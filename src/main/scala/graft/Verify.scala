@@ -5,7 +5,8 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    val only: Option[String] = args.drop(2).headOption
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,10 +16,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(n.startsWith) }
+      .foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        // Contract: a literal file at outDir/<name>.parquet. Spark writes a
+        // directory, so write to a temp dir and move the single part file.
+        val tmp = s"$outDir/_tmp_$name"
+        // repartition(1), not coalesce(1): coalesce would collapse the whole
+        // upstream plan to one task; the shuffle barrier keeps it parallel.
+        fn(spark, sfDir).repartition(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file under $tmp"))
+        val dest = Paths.get(s"$outDir/$name.parquet")
+        Files.deleteIfExists(dest)
+        Files.move(part.toPath, dest)
+        new java.io.File(tmp).listFiles().foreach(_.delete())
+        Files.deleteIfExists(Paths.get(tmp))
+        System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -1,0 +1,20 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Bit-reproducible aggregates.
+  *
+  * A plain `SUM(double)` depends on partition count and merge order — two
+  * runs of the same query (or Spark vs. another engine) can differ in the
+  * last ulp, which breaks hash-compared results and makes pipelines
+  * non-idempotent. Routing the sum through DECIMAL makes it exact and
+  * order-independent, at ~no cost inside whole-stage codegen. Use for any
+  * value that feeds a correctness gate; min/max/count never need it.
+  */
+object Stable {
+  /** Exact, order-independent sum of a double column (DECIMAL transit). */
+  def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+}

@@ -1,0 +1,116 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/** Explicit StructTypes for every source the engine reads.
+  *
+  * The reference (see SURVEY.md §1.3) never declares schemas — it inherits
+  * whatever the tushare API / CSV inference returns (reference:
+  * market/non_fq_daily_kline.py:37-47,67,75,84). Declaring them here is the
+  * deliberate fidelity upgrade: schema-on-read kills silent type drift, and
+  * at 100 TB a mis-inferred column type is unrecoverable.
+  */
+object Schemas {
+
+  /** Stock-universe dimension (reference: market/non_fq_daily_kline.py:37-48).
+    * `list_date` stays a `yyyyMMdd` string at ingest; Conform casts it.
+    */
+  val stockBasic: StructType = StructType(Seq(
+    StructField("ts_code", StringType),
+    StructField("name", StringType),
+    StructField("area", StringType),
+    StructField("industry", StringType),
+    StructField("market", StringType),
+    StructField("exchange", StringType),
+    StructField("list_date", StringType)
+  ))
+
+  /** Daily OHLCV K-line fact (reference: market/non_fq_daily_kline.py:67). */
+  val dailyKline: StructType = StructType(Seq(
+    StructField("ts_code", StringType),
+    StructField("trade_date", StringType),
+    StructField("open", DoubleType),
+    StructField("high", DoubleType),
+    StructField("low", DoubleType),
+    StructField("close", DoubleType),
+    StructField("pre_close", DoubleType),
+    StructField("pct_chg", DoubleType),
+    StructField("vol", DoubleType),
+    StructField("amount", DoubleType)
+  ))
+
+  /** Daily price-limit fact (reference: market/non_fq_daily_kline.py:75). */
+  val stkLimit: StructType = StructType(Seq(
+    StructField("ts_code", StringType),
+    StructField("trade_date", StringType),
+    StructField("up_limit", DoubleType),
+    StructField("down_limit", DoubleType)
+  ))
+
+  /** Daily valuation/indicator fact (reference: market/non_fq_daily_kline.py:84). */
+  val dailyBasic: StructType = StructType(Seq(
+    StructField("ts_code", StringType),
+    StructField("trade_date", StringType),
+    StructField("turnover_rate", DoubleType),
+    StructField("turnover_rate_f", DoubleType),
+    StructField("volume_ratio", DoubleType),
+    StructField("pe", DoubleType),
+    StructField("pe_ttm", DoubleType),
+    StructField("pb", DoubleType),
+    StructField("ps", DoubleType),
+    StructField("ps_ttm", DoubleType),
+    StructField("dv_ratio", DoubleType),
+    StructField("dv_ttm", DoubleType),
+    StructField("total_share", DoubleType),
+    StructField("float_share", DoubleType),
+    StructField("free_share", DoubleType),
+    StructField("total_mv", DoubleType),
+    StructField("circ_mv", DoubleType)
+  ))
+
+  /** Trading calendar (reference: market/trade_calendar.py:27). */
+  val tradeCal: StructType = StructType(Seq(
+    StructField("exchange", StringType),
+    StructField("cal_date", StringType),
+    StructField("is_open", IntegerType)
+  ))
+
+  /** The conformed wide output table — 30 columns keyed (code, date)
+    * (SURVEY.md §1.4; rename map reference: market/non_fq_daily_kline.py:113-120).
+    */
+  val prices: StructType = StructType(Seq(
+    StructField("code", StringType),
+    StructField("date", DateType),
+    StructField("open", DoubleType),
+    StructField("high", DoubleType),
+    StructField("low", DoubleType),
+    StructField("close", DoubleType),
+    StructField("prev_close", DoubleType),
+    StructField("quote_rate", DoubleType),
+    StructField("volume", DoubleType),
+    StructField("turnover", DoubleType),
+    StructField("high_limit", DoubleType),
+    StructField("low_limit", DoubleType),
+    StructField("turnover_rate", DoubleType),
+    StructField("turnover_rate_f", DoubleType),
+    StructField("volume_ratio", DoubleType),
+    StructField("pe", DoubleType),
+    StructField("pe_ttm", DoubleType),
+    StructField("pb", DoubleType),
+    StructField("ps", DoubleType),
+    StructField("ps_ttm", DoubleType),
+    StructField("dv_ratio", DoubleType),
+    StructField("dv_ttm", DoubleType),
+    StructField("total_share", DoubleType),
+    StructField("float_share", DoubleType),
+    StructField("free_share", DoubleType),
+    StructField("total_mv", DoubleType),
+    StructField("circ_mv", DoubleType),
+    StructField("name", StringType),
+    StructField("area", StringType),
+    StructField("industry", StringType),
+    StructField("market", StringType),
+    StructField("exchange", StringType),
+    StructField("list_date", DateType)
+  ))
+}

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed as-of (point-in-time) join.
+  *
+  * Market-data staple the reference never needed (its `prev_close` arrives
+  * pre-computed from the source, reference: market/non_fq_daily_kline.py:67)
+  * but any consumer of the conformed table does: "price as of date d",
+  * carrying the last observation forward across suspension days.
+  *
+  * Spark-first implementation: instead of a custom SparkPlan, tag and union
+  * both inputs, then run one `last(..., ignoreNulls)` window per right-hand
+  * value column, partitioned by key and ordered by (time, side). This is the
+  * textbook distributed as-of: ONE shuffle on the key, one sort — the same
+  * cost as a sort-merge join — and it scales to arbitrarily many rows per key
+  * because nothing is collected or buffered beyond the window's running
+  * state. Right rows sort before left rows at equal timestamps, giving
+  * inclusive (`right.time <= left.time`) semantics.
+  */
+object AsOf {
+
+  /** For every row of `left`, append the most recent values from `right`
+    * with `right(rTime) <= left(lTime)`, matching on `keys`.
+    *
+    * `right` must contain only `keys`, `rTime`, and value columns whose
+    * names do not collide with `left`'s.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               lTime: String, rTime: String): DataFrame = {
+    val rValueCols = right.columns.filterNot(keys.contains).toSeq
+    require(rValueCols.intersect(left.columns.toSeq).isEmpty,
+      s"right value columns ${rValueCols.mkString(",")} must not collide with left")
+
+    val l = left.withColumn("_t", col(lTime)).withColumn("_side", lit(1))
+    val r = right.withColumn("_t", col(rTime)).withColumn("_side", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    rValueCols
+      .foldLeft(unioned)((df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+      .where(col("_side") === 1)
+      .drop("_t", "_side")
+  }
+}

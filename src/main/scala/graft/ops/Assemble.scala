@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Assembly of the conformed wide table (SURVEY.md §2.5, §2.4).
+  *
+  * The reference builds the daily row set with `pd.concat(axis=1)` — a
+  * full-outer index alignment on `(ts_code, trade_date)` — then an inner join
+  * onto the pre-filtered stock universe, then `dropna(subset=['close'])`
+  * (reference: market/delta_non_fq_daily_kline.py:83-85,
+  * market/non_fq_daily_kline.py:99-106).
+  *
+  * Spark-first translation and why it scales:
+  *  - J1: two chained full-outer equi-joins on the composite key. All three
+  *    fact branches shuffle on the same `(code, date)` key, so Catalyst reuses
+  *    one exchange layout across both joins — no extra shuffle for the third
+  *    table; AQE picks SMJ/shuffled-hash per actual sizes.
+  *  - J2: the universe dimension is thousands of rows against billions of fact
+  *    rows at 100 TB — always broadcast; the explicit hint removes any
+  *    threshold dependence.
+  *  - F2: `close IS NOT NULL` stays above the full-outer join (it must — it
+  *    filters join *results*), but Catalyst still prunes columns into scans.
+  */
+object Assemble {
+
+  val keys: Seq[String] = Seq("code", "date")
+
+  /** J1 — 3-way full-outer merge on the composite key.
+    * pandas `concat(axis=1)` raises on duplicate index entries; a Spark join
+    * would silently multiply rows instead, so callers who cannot prove
+    * per-source key uniqueness should run [[assertUniqueKeys]] first
+    * (SURVEY.md §7.4 risk 1).
+    */
+  def threeWayMerge(kline: DataFrame, limit: DataFrame, basic: DataFrame): DataFrame =
+    kline
+      .join(limit, keys, "full_outer")
+      .join(basic, keys, "full_outer")
+
+  /** J2 — enrich facts with the (pre-filtered) stock universe; inner join
+    * doubles as the universe filter (reference:
+    * market/delta_non_fq_daily_kline.py:84).
+    */
+  def enrichUniverse(fact: DataFrame, universe: DataFrame): DataFrame =
+    fact.join(broadcast(universe), Seq("code"), "inner")
+
+  /** J3 — left enrichment variant used by the backfill flow (reference:
+    * market/non_fq_daily_kline.py:104): keeps fact rows whose code is
+    * missing from the dimension.
+    */
+  def enrichLeft(fact: DataFrame, dim: DataFrame): DataFrame =
+    fact.join(broadcast(dim), Seq("code"), "left")
+
+  /** F2 — drop rows without a close price (suspended / unlisted days that
+    * the full-outer alignment padded with nulls; reference:
+    * market/non_fq_daily_kline.py:106).
+    */
+  def cleanse(df: DataFrame): DataFrame =
+    df.where(col("close").isNotNull)
+
+  /** F1 — the universe filter the reference applies before J2 (reference:
+    * market/non_fq_daily_kline.py:48): Main Board only.
+    */
+  def mainBoard(stockBasic: DataFrame): DataFrame =
+    stockBasic.where(col("market") === "主板")
+
+  /** Guard for J1 semantics fidelity: pandas' concat raises on duplicate
+    * keys; we fail fast the same way instead of silently multiplying rows.
+    * One aggregation job; run only when the source cannot guarantee keys.
+    */
+  def assertUniqueKeys(df: DataFrame, cols: Seq[String] = keys): Unit = {
+    val dups = df.groupBy(cols.map(col): _*).count().where(col("count") > 1).limit(1).count()
+    require(dups == 0, s"duplicate ${cols.mkString("(", ",", ")")} keys — " +
+      "full-outer merge would multiply rows (pandas concat(axis=1) raises here too)")
+  }
+}

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-source conformance: projection, casts, renames (SURVEY.md §2.3, §2.10).
+  *
+  * Mirrors the reference's select-slice / rename / to_datetime steps
+  * (reference: market/non_fq_daily_kline.py:67,75,84,102,113-124) as lazy
+  * column transformations — Catalyst's ColumnPruning pushes the projections
+  * into the scans, so these are free at any scale.
+  */
+object Conform {
+
+  /** X4 — the reference's rename map
+    * (reference: market/non_fq_daily_kline.py:113-120).
+    */
+  val klineRenames: Map[String, String] = Map(
+    "ts_code"    -> "code",
+    "pre_close"  -> "prev_close",
+    "pct_chg"    -> "quote_rate",
+    "vol"        -> "volume",
+    "amount"     -> "turnover",
+    "up_limit"   -> "high_limit",
+    "down_limit" -> "low_limit"
+  )
+
+  def rename(df: DataFrame): DataFrame =
+    df.withColumnsRenamed(klineRenames)
+
+  /** X1 — `yyyyMMdd` string → DATE cast
+    * (reference: market/non_fq_daily_kline.py:102,123).
+    */
+  def castYyyymmdd(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, to_date(col(c), "yyyyMMdd")))
+
+  /** Conform one fact source: key columns renamed/cast, everything else kept.
+    * `trade_date` → `date: DATE`, `ts_code` → `code`.
+    */
+  def conformFact(df: DataFrame): DataFrame =
+    castYyyymmdd(
+      df.withColumnsRenamed(Map("ts_code" -> "code", "trade_date" -> "date")),
+      "date")
+
+  /** Conform the stock-universe dimension: cast `list_date`, keep `ts_code`
+    * as `code` (reference: market/non_fq_daily_kline.py:102-104).
+    */
+  def conformDim(df: DataFrame): DataFrame =
+    castYyyymmdd(df.withColumnsRenamed(Map("ts_code" -> "code")), "list_date")
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.time.LocalDate
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental (watermark-driven) machinery — SURVEY.md §2.11.
+  *
+  * The reference keeps one piece of state: a `.last_update_date` file holding
+  * a `yyyyMMdd` low watermark, read at flow start and advanced only *after* a
+  * successful publish (reference: market/delta_non_fq_daily_kline.py:30-41,
+  * 159-167). Its union-append publish is not idempotent — a re-run duplicates
+  * rows (reference defect, SURVEY.md §2.9 U1 / §2.11 T5). We keep the
+  * publish-then-advance ordering (the pipeline's only consistency guarantee)
+  * and fix idempotency with dynamic partition overwrite per `date`.
+  */
+object Incremental {
+
+  val Fmt: DateTimeFormatter = DateTimeFormatter.ofPattern("yyyyMMdd")
+
+  /** T1/S8 — sidecar watermark file. */
+  final class Watermark(path: String) {
+    def read(): Option[LocalDate] = {
+      val p = Paths.get(path)
+      if (Files.exists(p)) Some(LocalDate.parse(new String(Files.readAllBytes(p), "UTF-8").trim, Fmt))
+      else None
+    }
+    /** K5 — atomic advance (temp file + move), only call after publish. */
+    def advance(d: LocalDate): Unit = {
+      val p = Paths.get(path)
+      if (p.getParent != null) Files.createDirectories(p.getParent)
+      val tmp = Paths.get(path + ".tmp")
+      Files.write(tmp, d.format(Fmt).getBytes("UTF-8"))
+      Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** Honest recomputation of the watermark from the published table itself
+    * (SURVEY.md §2.6 A3) — survives loss of the sidecar file.
+    */
+  def recomputeWatermark(published: DataFrame, dateCol: String = "date"): Option[java.sql.Date] =
+    published.agg(max(col(dateCol))).collect()(0) match {
+      case r if r.isNullAt(0) => None
+      case r                  => Some(r.getDate(0))
+    }
+
+  /** X3 — the per-day delta range `(last, end]` the delta flow iterates
+    * (reference: market/delta_non_fq_daily_kline.py:66-73).
+    */
+  def deltaDates(last: LocalDate, end: LocalDate): Seq[LocalDate] =
+    Iterator.iterate(last.plusDays(1))(_.plusDays(1)).takeWhile(!_.isAfter(end)).toSeq
+
+  /** Idempotent publish: write only the delta's `date` partitions, replacing
+    * them if present (fixes U1/T5). With
+    * `spark.sql.sources.partitionOverwriteMode=dynamic` a re-run of the same
+    * delta is a no-op instead of a duplication.
+    */
+  def publishDelta(delta: DataFrame, targetDir: String): Unit = {
+    val spark = delta.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    delta.write.mode("overwrite").partitionBy("date").parquet(targetDir)
+  }
+
+  /** U1 hardened — union master ∪ delta with key-level dedup so re-applied
+    * deltas cannot duplicate (reference defect at
+    * market/delta_non_fq_daily_kline.py:150).
+    */
+  def unionDelta(master: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame =
+    master.unionByName(delta).dropDuplicates(keys)
+}

@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import graft.ops.{Assemble, Conform}
+import graft.sources.MarketSource
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The three reference flows re-expressed as lazy DataFrame plans
+  * (SURVEY.md §3 E1/E2/E3).
+  *
+  * The single biggest structural win over the reference (SURVEY.md §2.12 D5):
+  * the backfill's ~1,600-iteration sequential per-stock loop
+  * (reference: market/non_fq_daily_kline.py:54-58) collapses into ONE
+  * partitioned job over all stocks — Spark's scan parallelism replaces the
+  * driver loop, and the three source branches of the join DAG evaluate
+  * concurrently (replacing the reference's 3-way thread-pool submit,
+  * market/non_fq_daily_kline.py:92-98).
+  */
+object MarketPipeline {
+
+  /** E1 backfill / E2 per-date assembly — identical plan; callers narrow the
+    * inputs by date predicate (delta) or not (backfill). Produces the
+    * 30-column conformed `prices` shape (SURVEY.md §1.4).
+    */
+  def assemblePrices(src: MarketSource): DataFrame = {
+    val kline = Conform.conformFact(Conform.rename(src.dailyKline))
+    val limit = Conform.conformFact(Conform.rename(src.stkLimit))
+    val basic = Conform.conformFact(src.dailyBasic)
+    val universe = Conform.conformDim(Assemble.mainBoard(src.stockBasic))
+    val merged = Assemble.threeWayMerge(kline, limit, basic)
+    Assemble.cleanse(Assemble.enrichUniverse(merged, universe))
+  }
+
+  /** E2 — one delta micro-batch: same assembly restricted to `(last, end]`.
+    * On a date-partitioned production layout the `between` predicate becomes
+    * partition pruning — the job touches only the new days' files.
+    */
+  def assembleDelta(src: MarketSource, fromExclusive: java.sql.Date, toInclusive: java.sql.Date): DataFrame =
+    assemblePrices(src)
+      .where(col("date") > lit(fromExclusive) && col("date") <= lit(toInclusive))
+
+  /** E3 — trading calendar: filter open days, cast, sort, project
+    * (reference: market/trade_calendar.py:24-29).
+    */
+  def tradeCalendar(src: MarketSource): DataFrame =
+    Conform.castYyyymmdd(src.tradeCal.where(col("is_open") === 1), "cal_date")
+      .orderBy(col("cal_date").asc)
+      .select("cal_date")
+}

@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import graft.sources.{MarketSource, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Deterministic kline-shaped sources derived from the driver's TPC-H-ish
+  * test tables (TESTDATA.md), so the real market pipeline
+  * ([[MarketPipeline]]) can be exercised end-to-end against a DuckDB oracle.
+  *
+  * Shapes mirror the reference's tushare payloads exactly (FIXTURES.md §2):
+  * `ts_code` strings, `trade_date` as `yyyyMMdd` strings, float facts.
+  * Every aggregate is chosen to be bit-reproducible across engines:
+  * min/max/count always are; double sums go through DECIMAL (exact, order-
+  * independent); per-row double arithmetic is IEEE-deterministic.
+  * l_quantity is integral-valued so its double sum is exact too.
+  */
+final class TpchMarketSource(spark: SparkSession, dir: String) extends MarketSource {
+
+  private def li: DataFrame = Tables.lineitem(spark, dir)
+
+  private val code = concat(lit("S"), lpad(col("l_suppkey").cast("string"), 4, "0")).as("ts_code")
+  private val tradeDate = date_format(col("l_shipdate"), "yyyyMMdd").as("trade_date")
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 4))).cast("double")
+  private val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** Daily K-line fact (reference shape: market/non_fq_daily_kline.py:67). */
+  override def dailyKline: DataFrame =
+    li.where(col("l_linenumber") <= 5)
+      .groupBy(code, tradeDate)
+      .agg(
+        min(col("l_extendedprice")).as("open"),
+        max(col("l_extendedprice")).as("high"),
+        min(discPrice).as("low"),
+        max(discPrice).as("close"),
+        max(col("l_extendedprice") * (lit(1.0) + col("l_tax"))).as("pre_close"),
+        sum(col("l_discount").cast(DecimalType(18, 6))).cast("double").as("pct_chg"),
+        sum(col("l_quantity")).as("vol"),
+        dsum(col("l_extendedprice")).as("amount"))
+
+  /** Price-limit fact (reference shape: market/non_fq_daily_kline.py:75). */
+  override def stkLimit: DataFrame =
+    li.where(col("l_linenumber") >= 2)
+      .groupBy(code, tradeDate)
+      .agg(
+        (max(col("l_extendedprice")) * lit(1.1)).as("up_limit"),
+        (min(col("l_extendedprice")) * lit(0.9)).as("down_limit"))
+
+  /** Daily valuation fact, 15 metrics (reference shape:
+    * market/non_fq_daily_kline.py:84).
+    */
+  override def dailyBasic: DataFrame =
+    li.where(col("l_linenumber") >= 3)
+      .groupBy(code, tradeDate)
+      .agg(
+        count(lit(1)).cast("double").as("turnover_rate"),
+        sum(col("l_quantity")).as("turnover_rate_f"),
+        max(col("l_discount")).as("volume_ratio"),
+        min(col("l_extendedprice")).as("pe"),
+        max(col("l_extendedprice")).as("pe_ttm"),
+        min(col("l_tax")).as("pb"),
+        max(col("l_tax")).as("ps"),
+        min(col("l_quantity")).as("ps_ttm"),
+        max(col("l_quantity")).as("dv_ratio"),
+        min(col("l_discount")).as("dv_ttm"),
+        dsum(col("l_extendedprice")).as("total_share"),
+        sum(col("l_linenumber")).cast("double").as("float_share"),
+        countDistinct(col("l_partkey")).cast("double").as("free_share"),
+        dsum(discPrice).as("total_mv"),
+        sum((col("l_quantity") * col("l_extendedprice")).cast(DecimalType(20, 4))).cast("double").as("circ_mv"))
+
+  /** Stock-universe dimension from `supplier` (reference shape:
+    * market/non_fq_daily_kline.py:37-48), including 主板 / non-主板 rows so
+    * the F1 filter and J2 inner join genuinely drop codes.
+    */
+  override def stockBasic: DataFrame =
+    Tables.supplier(spark, dir).select(
+      concat(lit("S"), lpad(col("s_suppkey").cast("string"), 4, "0")).as("ts_code"),
+      col("s_name").as("name"),
+      col("s_nationkey").cast("string").as("area"),
+      concat(lit("IND"), (col("s_nationkey") % 5).cast("string")).as("industry"),
+      when(col("s_nationkey") % 3 === 0, lit("主板")).otherwise(lit("GEM")).as("market"),
+      when(col("s_suppkey") % 2 === 0, lit("SSE")).otherwise(lit("SZSE")).as("exchange"),
+      concat(lit("2005"),
+        lpad(((col("s_suppkey") % 12) + 1).cast("string"), 2, "0"),
+        lpad(((col("s_suppkey") % 28) + 1).cast("string"), 2, "0")).as("list_date"))
+
+  /** Trading calendar from distinct order dates (reference shape:
+    * market/trade_calendar.py:27), with deterministic open/closed days.
+    */
+  override def tradeCal: DataFrame =
+    Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("d")).distinct()
+      .select(
+        lit("SSE").as("exchange"),
+        date_format(col("d"), "yyyyMMdd").as("cal_date"),
+        when(dayofmonth(col("d")) % 7 === 0, lit(0)).otherwise(lit(1)).as("is_open"))
+}

@@ -1,0 +1,39 @@
+package graft.sources
+
+import graft.model.Schemas
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Pluggable market-data provider — the engine-side replacement for the
+  * reference's tushare HTTP client (reference: market/non_fq_daily_kline.py:37-84,
+  * market/delta_non_fq_daily_kline.py:50-132, market/trade_calendar.py:27).
+  *
+  * The reference parameterizes each fetch by either one trade date (delta
+  * flow) or one stock + date range (backfill flow); in Spark both collapse to
+  * ordinary `.where` predicates that Catalyst pushes into the scan, so the
+  * trait exposes whole tables and callers filter. On a production layout the
+  * facts are `date`-partitioned parquet and the predicate becomes partition
+  * pruning — the 100 TB path reads only the days it needs.
+  */
+trait MarketSource {
+  def stockBasic: DataFrame
+  def dailyKline: DataFrame
+  def stkLimit: DataFrame
+  def dailyBasic: DataFrame
+  def tradeCal: DataFrame
+}
+
+/** File-backed source with enforced schemas (SURVEY.md §1.3): reads CSV or
+  * parquet fixtures under `root`, never inferring types.
+  */
+final class FixtureSource(spark: SparkSession, root: String) extends MarketSource {
+  private def load(name: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val pq = new java.io.File(s"$root/$name.parquet")
+    if (pq.exists()) spark.read.schema(schema).parquet(pq.getPath)
+    else spark.read.option("header", "true").schema(schema).csv(s"$root/$name.csv")
+  }
+  override def stockBasic: DataFrame = load("stock_basic", Schemas.stockBasic)
+  override def dailyKline: DataFrame = load("daily", Schemas.dailyKline)
+  override def stkLimit: DataFrame   = load("stk_limit", Schemas.stkLimit)
+  override def dailyBasic: DataFrame = load("daily_basic", Schemas.dailyBasic)
+  override def tradeCal: DataFrame   = load("trade_cal", Schemas.tradeCal)
+}

@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL in
+DuckDB over the same parquet tables, compare with the Spark result parquet
+(sort columns by name, sort rows, exact value compare)."""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fails = 0
+for name in sorted(oracle):
+    sql = oracle[name]
+    p = f"{out_dir}/{name}.parquet"
+    spark_files = [p] if os.path.isfile(p) else glob.glob(f"{p}/*.parquet")
+    if not spark_files:
+        print(f"MISS  {name}: no spark output"); fails += 1; continue
+    try:
+        duck = con.execute(sql).df()
+    except Exception as e:
+        print(f"ORAFAIL {name}: {str(e)[:200]}"); fails += 1; continue
+    spark = pd.concat([pd.read_parquet(f) for f in spark_files], ignore_index=True)
+    # driver semantics: sort columns by name, then sort rows, exact compare
+    duck = duck[sorted(duck.columns)]
+    spark = spark[sorted(spark.columns)]
+    if list(duck.columns) != list(spark.columns):
+        print(f"SCHEMA {name}: duck={list(duck.columns)} spark={list(spark.columns)}"); fails += 1; continue
+    if len(duck) != len(spark):
+        print(f"ROWS  {name}: duck={len(duck)} spark={len(spark)}"); fails += 1; continue
+    def norm(df):
+        d = df.copy()
+        for c in d.columns:
+            if d[c].dtype == object:
+                d[c] = d[c].astype(str)
+            if str(d[c].dtype).startswith("datetime64"):
+                d[c] = d[c].astype("datetime64[us]")
+        return d.sort_values(by=list(d.columns), kind="mergesort").reset_index(drop=True)
+    a, b = norm(duck), norm(spark)
+    bad = []
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == 'f':
+            eq = (av.values == bv.values) | (np.isnan(av.values.astype(float)) & np.isnan(bv.values.astype(float)))
+        else:
+            eq = (av.values == bv.values) | (pd.isna(av).values & pd.isna(bv).values)
+        if not eq.all():
+            i = int(np.argmin(eq))
+            bad.append(f"{c} ({int((~eq).sum())} diffs, e.g. row {i}: {av.iloc[i]!r} vs {bv.iloc[i]!r}, dtypes {av.dtype}/{bv.dtype})")
+    if bad:
+        print(f"VALUE {name}: " + "; ".join(bad[:3])); fails += 1
+    else:
+        print(f"OK    {name} ({len(duck)} rows)")
+print(f"\n{'ALL PASS' if fails == 0 else f'{fails} FAILURES'} / {len(oracle)} queries")
+sys.exit(1 if fails else 0)
