@@ -37,14 +37,15 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
-  def queries: Map[String, Q] = coreQueries
+  def queries: Map[String, Q] = coreQueries ++ graft.ext.ExtQueries.queries
 
   /** Headline set timed by [[Bench]] — one per operator family. */
   def benchQueries: Seq[String] = Seq(
     "q03_p1_projection", "q07_j1_threeway_fullouter", "q08_j2_enrich_inner",
     "q10_u1_union_dedup", "q13_a2_groupby_agg", "q15_e1_backfill_assemble",
     "q18_w1_lag_prev_close", "q22_o2_topk", "q23_st1_tumbling_window",
-    "q24_ja_asof_join")
+    "q24_ja_asof_join",
+    "x03_dedup_minhash_lsh", "x06_ann_bruteforce_topk", "x09_text_quality")
 
   private def coreQueries: Map[String, Q] = Map(
     // S1+P4+F1+F4 — dimension scan with projection + pushed predicates
@@ -404,5 +405,5 @@ object SparkEntry {
         | (SELECT max(c.ts) FROM events c
         |   WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts) AS click_ts
         |FROM events p WHERE p.event_type = 'purchase'""".stripMargin
-  )
+  ) ++ graft.ext.ExtQueries.oracleSql
 }

@@ -1,0 +1,179 @@
+package graft.ext
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract registry for the training-data-pipeline extension
+  * operators (dedup, similarity search, text analysis, multimodal), each
+  * paired with DuckDB oracle SQL that reproduces the exact same values —
+  * including MinHash/SimHash/LSH, which stay verifiable because every hash
+  * in the engine is md5-derived and every float reduction is a left-to-right
+  * double sum in both engines.
+  */
+object ExtQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    "x01_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir))),
+
+    "x02_dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), 3, 0.8)),
+
+    "x03_dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(Tables.documents(s, dir), 3, 0.8)),
+
+    "x04_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir))),
+
+    "x05_dedup_embedding_cosine" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.4)),
+
+    "x06_ann_bruteforce_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(e.where(col("vec_id") < 5), e, 10)
+    }),
+
+    "x07_ann_lsh_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshTopK(e.where(col("vec_id") < 5), e, 10)
+    }),
+
+    "x08_text_lang_id" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"), col("lang"))
+        .withColumn("is_match", col("pred_lang") === col("lang"))
+    }),
+
+    "x09_text_quality" -> ((s, dir) =>
+      TextOps.qualityMetrics(Tables.documents(s, dir).select("doc_id", "text")).drop("text")),
+
+    "x10_text_tokens" -> ((s, dir) =>
+      TextOps.tokenCounts(Tables.documents(s, dir).select("doc_id", "text")).drop("text")),
+
+    "x11_text_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(Tables.documents(s, dir).select("doc_id", "text")).drop("text")),
+
+    "x12_multimodal_binary" -> ((s, dir) =>
+      Multimodal.binaryFeatures(Tables.documents(s, dir)))
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  /** Shared fragments (plain single-pass strings; no stripMargin). */
+  private val toksCte =
+    "SELECT doc_id, string_split(text, ' ') AS toks FROM documents"
+
+  private val shinglesCte =
+    "SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
+      "THEN list_transform(generate_series(1, len(toks)-2), i -> array_to_string(toks[i:i+2], ' ')) " +
+      "ELSE [array_to_string(toks, ' ')] END) AS shingles FROM t"
+
+  private val jaccardTail =
+    "SELECT c.doc_a, c.doc_b, CAST(c.common AS DOUBLE)/(x.n + y.n - c.common) AS jaccard " +
+      "FROM c JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id " +
+      "WHERE CAST(c.common AS DOUBLE)/(x.n + y.n - c.common) >= 0.8"
+
+  private val stopList = TextOps.EnStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  private def dotSql(a: String, b: String): String =
+    s"list_aggregate(list_transform(list_zip($a, $b), z -> z[1]*z[2]), 'sum')"
+
+  private val bucketSql: String =
+    (0 until Similarity.Planes).map { p =>
+      s"(CASE WHEN ${dotSql("emb", Similarity.planeSql(p))} >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  def oracleSql: Map[String, String] = Map(
+    "x01_dedup_exact" ->
+      ("SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies " +
+        "FROM documents GROUP BY 1"),
+
+    "x02_dedup_ngram_jaccard" ->
+      (s"WITH t AS ($toksCte), sh AS ($shinglesCte), " +
+        "ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh), " +
+        "sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh), " +
+        "c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common " +
+        "FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        jaccardTail),
+
+    "x03_dedup_minhash_lsh" ->
+      (s"WITH t AS ($toksCte), sh AS ($shinglesCte), " +
+        "ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh), " +
+        "sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh), " +
+        "sig AS (SELECT doc_id, list_transform(generate_series(0, 15), " +
+        "i -> list_aggregate(list_transform(shingles, s -> md5(CAST(i AS VARCHAR) || ':' || s)), 'min')) AS sig FROM sh), " +
+        "bandx AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM sig), " +
+        "band AS (SELECT doc_id, band, md5(array_to_string(sig[4*band+1:4*band+4], '|')) AS bh FROM bandx), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM band a JOIN band b " +
+        "ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id), " +
+        "c AS (SELECT cand.doc_a, cand.doc_b, CAST(count(*) AS BIGINT) AS common FROM cand " +
+        "JOIN ex ea ON ea.doc_id = cand.doc_a JOIN ex eb ON eb.doc_id = cand.doc_b AND ea.sh = eb.sh " +
+        "GROUP BY 1, 2) " +
+        jaccardTail),
+
+    "x04_dedup_simhash" ->
+      (s"WITH t AS ($toksCte), " +
+        "v AS (SELECT doc_id, list_transform(toks, tk -> CAST(('0x' || substr(md5(tk), 1, 4)) AS INT)) AS vals FROM t) " +
+        "SELECT doc_id, CAST(list_aggregate(list_transform(generate_series(0, 15), " +
+        "j -> CASE WHEN list_aggregate(list_transform(vals, x -> ((x >> j) & 1)*2 - 1), 'sum') >= 0 " +
+        "THEN (1 << j) ELSE 0 END), 'sum') AS BIGINT) AS simhash FROM v"),
+
+    "x05_dedup_embedding_cosine" ->
+      ("WITH a AS (SELECT vec_id AS vec_a, CAST(embedding AS DOUBLE[]) AS ea FROM embeddings), " +
+        "b AS (SELECT vec_id AS vec_b, CAST(embedding AS DOUBLE[]) AS eb FROM embeddings), " +
+        s"s AS (SELECT vec_a, vec_b, ${dotSql("ea", "eb")} AS cos FROM a JOIN b ON vec_a < vec_b) " +
+        "SELECT vec_a, vec_b, cos FROM s WHERE cos >= 0.4"),
+
+    "x06_ann_bruteforce_topk" ->
+      ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
+        "s AS (SELECT q_id, vec_id, " +
+        s"${dotSql("qe", "CAST(embedding AS DOUBLE[])")} AS cos " +
+        "FROM embeddings, q WHERE q_id <> vec_id), " +
+        "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
+        "SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10"),
+
+    "x07_ann_lsh_topk" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        s"be AS (SELECT vec_id, emb, $bucketSql AS bucket FROM e), " +
+        "q AS (SELECT vec_id AS q_id, emb AS qe, bucket FROM be WHERE vec_id < 5), " +
+        "s AS (SELECT q.q_id, be.vec_id, " +
+        s"${dotSql("q.qe", "be.emb")} AS cos " +
+        "FROM be JOIN q USING (bucket) WHERE q.q_id <> be.vec_id), " +
+        "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
+        "SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10"),
+
+    "x08_text_lang_id" ->
+      (s"WITH p AS (SELECT doc_id, lang, CASE WHEN len(list_filter(string_split(text, ' '), " +
+        s"tk -> list_contains($stopList, tk))) >= 2 THEN 'en' ELSE 'unk' END AS pred_lang FROM documents) " +
+        "SELECT doc_id, pred_lang, lang, (pred_lang = lang) AS is_match FROM p"),
+
+    "x09_text_quality" ->
+      (s"WITH t AS ($toksCte), d AS (SELECT doc_id, toks, text FROM documents JOIN t USING (doc_id)), " +
+        "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "CAST(list_aggregate(list_transform(toks, tk -> length(tk)), 'sum') AS DOUBLE)/len(toks) AS avg_token_len, " +
+        s"CAST(len(list_filter(toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(toks) AS stopword_ratio, " +
+        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/length(text) AS alpha_ratio " +
+        "FROM d) " +
+        "SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, alpha_ratio, " +
+        "least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5 + stopword_ratio*0.25 + alpha_ratio*0.25 AS quality_score FROM m"),
+
+    "x10_text_tokens" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens, " +
+        "CAST(ceil(CAST(length(text) AS DOUBLE)/4.0) AS BIGINT) AS n_bpe_est FROM documents"),
+
+    "x11_text_fingerprint" ->
+      ("WITH g AS (SELECT doc_id, CASE WHEN length(text) >= 8 " +
+        "THEN list_transform(generate_series(1, length(text)-7), i -> md5(substr(text, i, 8))) " +
+        "ELSE [md5(text)] END AS grams FROM documents) " +
+        "SELECT doc_id, list_aggregate(grams, 'min') AS fp_min, " +
+        "array_to_string(list_sort(grams)[1:4], '|') AS fp_top4 FROM g"),
+
+    "x12_multimodal_binary" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "base64(encode(substr(text, 1, 8))) AS prefix_b64 FROM documents")
+  )
+}

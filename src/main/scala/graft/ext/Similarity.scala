@@ -1,0 +1,110 @@
+package graft.ext
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * - [[cosine]]: exact dot product in double precision via
+  *   `zip_with`+`aggregate` — codegen'd, no UDF, left-to-right summation so
+  *   the result is bit-identical to the DuckDB oracle's.
+  * - [[bruteForceTopK]]: the exact baseline — broadcast the (small) query
+  *   set against the corpus, per-query window top-k. One shuffle (the window
+  *   partition by query); corpus side streams, so this scales to any corpus
+  *   size × small query count.
+  * - [[lshTopK]]: the scale path — random-hyperplane LSH. Every vector gets
+  *   a bucket id from the sign pattern of 8 fixed hyperplanes; search is
+  *   confined to the query's bucket, cutting the scanned corpus ~256× at the
+  *   cost of recall. Hyperplanes are ±1 vectors derived deterministically
+  *   from md5 at plan-build time (shared verbatim with the oracle SQL), not
+  *   from an RNG — reruns and engines agree exactly.
+  *
+  * Embeddings in the fixture are unit-norm, so cosine == dot product.
+  */
+object Similarity {
+
+  /** Exact cosine (dot product for unit vectors), double precision. */
+  def cosine(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Exact top-k neighbors for each query row (queries small ⇒ broadcast;
+    * ties broken by vec_id for a total deterministic order). Self-matches
+    * excluded.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+    val scored = corpus.join(q, col("q_id") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
+      .where(col("rank") <= k)
+      .select("q_id", "vec_id", "cos", "rank")
+  }
+
+  val Planes = 8
+  val Dim = 64
+
+  /** Deterministic ±1 hyperplanes: plane p, dim d → sign of one md5 nibble.
+    * Computed at plan-build time and embedded as literals in both the Spark
+    * plan and the oracle SQL.
+    */
+  lazy val hyperplanes: IndexedSeq[IndexedSeq[Double]] = {
+    val mdt = MessageDigest.getInstance("MD5")
+    (0 until Planes).map { p =>
+      (0 until Dim).map { d =>
+        val h = mdt.digest(s"$p:$d".getBytes("UTF-8"))
+        if ((h(0) & 1) == 1) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** LSH bucket id: 8 sign bits of the hyperplane projections. */
+  def lshBucket(emb: Column): Column =
+    (0 until Planes).map { p =>
+      when(cosine(emb, typedLit(hyperplanes(p))) >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Bucketed ANN: exact search restricted to the query's LSH bucket.
+    * The bucket equi-join replaces the all-pairs cross join — at 100 TB the
+    * corpus is hash-partitioned by bucket once and each query probes one
+    * partition.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val c = corpus.withColumn("bucket", lshBucket(col("embedding")))
+    val q = broadcast(
+      queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .withColumn("bucket", lshBucket(col("q_emb"))))
+    val scored = c.join(q, Seq("bucket")).where(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
+      .where(col("rank") <= k)
+      .select("q_id", "vec_id", "cos", "rank")
+  }
+
+  /** All near-duplicate pairs by cosine ≥ threshold — exact all-pairs form
+    * (the embedding-space analog of [[Dedup.jaccardPairs]]); LSH bucketing
+    * above is the scale path for the same semantics.
+    */
+  def cosineNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    val a = vectors.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = vectors.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+      .where(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+  }
+
+  /** The hyperplane literal for plane p as DuckDB list syntax — keeps the
+    * oracle SQL in lock-step with [[hyperplanes]].
+    */
+  def planeSql(p: Int): String =
+    hyperplanes(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+}
