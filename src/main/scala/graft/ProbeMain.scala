@@ -1,0 +1,32 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.{Event, EventStream}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming smoke: drives sessionize end-to-end (guards the Spark 4.1.2
+  * nested-case-class planner NPE regression — see EventStream's scaladoc).
+  */
+object ProbeMain {
+  def main(a: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(Event(1L, Timestamp.valueOf("2024-01-01 10:00:00"), "c", 1.0))
+    val q = EventStream.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("s")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    // ProcessingTimeTimeout keeps the AvailableNow query alive; bounded drive.
+    Thread.sleep(5000)
+    println("sessionize rows=" + spark.table("s").count() + " exception=" + q.exception)
+    q.stop()
+    spark.stop()
+  }
+}

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all specs (one JVM-wide session — specs
+  * must not stop it).
+  */
+trait SparkTestBase extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkTestBase.session
+    // ScalaTest may run this suite on a different thread than the one that
+    // created the shared session; streaming query planner threads inherit
+    // the active-session thread-local at start(), so pin it here.
+    SparkSession.setActiveSession(s)
+    s
+  }
+  def sfDir: String = "/root/testdata/sf0.001"
+}
+
+object SparkTestBase {
+  lazy val session: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}

@@ -1,0 +1,30 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("binary payloads survive a parquet round trip and batch extraction") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/fake", Array[Byte](1, 2, 3, -1)),
+      Multimodal.MediaRow(2L, "audio/fake", Array[Byte](0, 0, 0, 0, 0, 0, 0, 0))
+    ).toDS()
+    val dir = Files.createTempDirectory("media").toString + "/t"
+    media.write.parquet(dir)
+    val back = spark.read.parquet(dir).as[Multimodal.MediaRow]
+    val feats = Multimodal.extractFeatures(back).collect().sortBy(_.doc_id)
+    assert(feats.map(_.n_bytes).toSeq === Seq(4L, 8L))
+    // checksum is a pure function of bytes → deterministic across runs
+    assert(feats(0).checksum === Multimodal.decodeStub(
+      Multimodal.MediaRow(1L, "image/fake", Array[Byte](1, 2, 3, -1))).checksum)
+  }
+
+  test("mediaFromDocuments builds binary payloads from text (utf-8 bytes)") {
+    val docs = Seq((7L, "héllo")).toDF("doc_id", "text")
+    val m = Multimodal.mediaFromDocuments(docs).collect().head
+    assert(m.doc_id === 7L && m.payload.length === 6) // é is 2 bytes
+  }
+}

@@ -1,0 +1,50 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.0f, 1.0f, 0.0f)),
+    (2L, Seq(1.0f, 0.0f, 0.0f)),          // identical to 0
+    (3L, Seq(0.8f, 0.6f, 0.0f))           // unit, cos 0.8 with 0
+  ).toDF("vec_id", "embedding")
+
+  test("cosine is the exact double dot product") {
+    val c = vecs.where($"vec_id" === 0).crossJoin(
+        vecs.where($"vec_id" === 3).select($"embedding".as("e2")))
+      .select(Similarity.cosine($"embedding", $"e2")).head().getDouble(0)
+    assert(math.abs(c - 0.8) < 1e-6)
+  }
+
+  test("bruteForceTopK ranks by cosine desc with vec_id tiebreak, excludes self") {
+    val out = Similarity.bruteForceTopK(vecs.where($"vec_id" === 0), vecs, 2)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(out.toSeq === Seq((2L, 1L), (3L, 2L))) // identical first, then cos=0.8
+  }
+
+  test("cosineNearDupPairs finds exactly the identical pair at high threshold") {
+    val out = Similarity.cosineNearDupPairs(vecs, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((0L, 2L)))
+  }
+
+  test("identical vectors share an LSH bucket, so lshTopK finds exact dups") {
+    val dim64 = Seq(
+      (0L, Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f).toSeq),
+      (1L, Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f).toSeq),
+      (2L, Array.tabulate(64)(i => if (i == 1) 1.0f else 0.0f).toSeq)
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(dim64.where($"vec_id" === 0), dim64, 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(out.exists { case (id, cos) => id == 1L && math.abs(cos - 1.0) < 1e-9 })
+  }
+
+  test("hyperplanes are deterministic across invocations") {
+    assert(Similarity.hyperplanes === Similarity.hyperplanes.map(identity))
+    assert(Similarity.hyperplanes.flatten.forall(v => v == 1.0 || v == -1.0))
+  }
+}

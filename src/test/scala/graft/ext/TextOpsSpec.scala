@@ -1,0 +1,49 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("shingles: n-k+1 word 3-grams, distinct; short docs yield whole text") {
+    val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextOps.shingles($"text", 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L).toSet === Set("a b c", "b c d"))
+    assert(out(2L) === Seq("x y"))
+  }
+
+  test("quality metrics are exact on a crafted doc") {
+    val df = Seq((1L, "the cat sat")).toDF("doc_id", "text")
+    val r = TextOps.qualityMetrics(df).head()
+    assert(r.getAs[Long]("n_tokens") === 3L)
+    assert(r.getAs[Double]("avg_token_len") === (3 + 3 + 3) / 3.0)
+    assert(r.getAs[Double]("stopword_ratio") === 1.0 / 3)
+    assert(r.getAs[Double]("alpha_ratio") === 9.0 / 11)
+  }
+
+  test("token counts: ws vs regex-word vs bpe estimate") {
+    val df = Seq((1L, "ab cd3 ef")).toDF("doc_id", "text")
+    val r = TextOps.tokenCounts(df).head()
+    assert(r.getAs[Long]("n_ws_tokens") === 3L)
+    assert(r.getAs[Long]("n_word_tokens") === 3L) // [a-z]+ groups: ab, cd, ef
+    assert(r.getAs[Long]("n_bpe_est") === math.ceil(9 / 4.0).toLong)
+  }
+
+  test("fingerprint is stable and changes with content") {
+    val df = Seq((1L, "abcdefghij"), (2L, "abcdefghij"), (3L, "zbcdefghij"))
+      .toDF("doc_id", "text")
+    val out = TextOps.fingerprint(df).collect()
+      .map(r => r.getLong(0) -> (r.getAs[String]("fp_min"), r.getAs[String]("fp_top4"))).toMap
+    assert(out(1L) === out(2L))
+    assert(out(1L) !== out(3L))
+  }
+
+  test("langId flags stopword-rich text as en") {
+    val df = Seq((1L, "the cat and the hat"), (2L, "xyzzy qwerty")).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextOps.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "en" && out(2L) === "unk")
+  }
+}

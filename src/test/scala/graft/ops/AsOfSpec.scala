@@ -1,0 +1,25 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** As-of join semantics: last observation at-or-before, per key. */
+class AsOfSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("asofJoin picks the latest right row with rTime <= lTime, inclusive") {
+    val left = Seq((1L, 10L), (1L, 20L), (2L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 5L, "a"), (1L, 10L, "b"), (1L, 15L, "c"), (3L, 1L, "z"))
+      .toDF("k", "rt", "v")
+    val out = AsOf.asofJoin(left, right, Seq("k"), "t", "rt")
+      .orderBy("k", "t").collect()
+    // (1,10) → "b" (inclusive tie), (1,20) → "c", (2,10) → null (no right rows)
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSeq ===
+      Seq((1L, 10L, "b"), (1L, 20L, "c"), (2L, 10L, null)))
+  }
+
+  test("asofJoin rejects colliding value column names") {
+    val left = Seq((1L, 10L, "x")).toDF("k", "t", "v")
+    val right = Seq((1L, 5L, "a")).toDF("k", "rt", "v")
+    intercept[IllegalArgumentException](AsOf.asofJoin(left, right, Seq("k"), "t", "rt"))
+  }
+}

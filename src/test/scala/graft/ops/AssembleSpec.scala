@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Golden tests for the J1/J2/F2 assembly semantics (SURVEY.md §2.5) —
+  * including the null-alignment behavior pandas `concat(axis=1)` gives the
+  * reference and the duplicate-key guard (§7.4 risk 1).
+  */
+class AssembleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def kline = Seq(
+    ("S1", "2024-01-01", 10.0), ("S1", "2024-01-02", 11.0), ("S2", "2024-01-01", 20.0)
+  ).toDF("code", "date", "close")
+
+  private def limit = Seq(
+    ("S1", "2024-01-01", 11.0), ("S3", "2024-01-01", 33.0)
+  ).toDF("code", "date", "high_limit")
+
+  private def basic = Seq(
+    ("S1", "2024-01-02", 1.5), ("S2", "2024-01-01", 2.5)
+  ).toDF("code", "date", "pe")
+
+  test("threeWayMerge is a full-outer alignment: union of keys, nulls where absent") {
+    val m = Assemble.threeWayMerge(kline, limit, basic).orderBy("code", "date")
+    val rows = m.collect()
+    assert(rows.length === 4) // (S1,d1) (S1,d2) (S2,d1) (S3,d1)
+    val s3 = rows.find(_.getString(0) == "S3").get
+    assert(s3.isNullAt(2) && s3.getDouble(3) === 33.0) // close null, high_limit present
+  }
+
+  test("cleanse drops rows whose close is null (F2 after outer alignment)") {
+    val cleaned = Assemble.cleanse(Assemble.threeWayMerge(kline, limit, basic))
+    assert(cleaned.count() === 3)
+    assert(cleaned.where($"code" === "S3").isEmpty)
+  }
+
+  test("enrichUniverse is inner: codes missing from the universe are filtered") {
+    val uni = Seq(("S1", "Bank")).toDF("code", "name")
+    val out = Assemble.enrichUniverse(kline, uni)
+    assert(out.select("code").distinct().collect().map(_.getString(0)).toSet === Set("S1"))
+  }
+
+  test("enrichLeft keeps unmatched fact rows with null dims") {
+    val uni = Seq(("S1", "Bank")).toDF("code", "name")
+    val out = Assemble.enrichLeft(kline, uni)
+    assert(out.count() === 3)
+    assert(out.where($"code" === "S2").select("name").head() === Row(null))
+  }
+
+  test("assertUniqueKeys fails fast on duplicate composite keys") {
+    val dup = kline.union(kline.limit(1))
+    val e = intercept[IllegalArgumentException](Assemble.assertUniqueKeys(dup))
+    assert(e.getMessage.contains("duplicate"))
+    Assemble.assertUniqueKeys(kline) // clean keys pass
+  }
+
+  test("mainBoard filters on the Chinese literal exactly") {
+    val dim = Seq(("S1", "主板"), ("S2", "GEM")).toDF("code", "market")
+    assert(Assemble.mainBoard(dim).collect().map(_.getString(0)).toSeq === Seq("S1"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import java.nio.file.Files
+import java.time.LocalDate
+
+import graft.SparkTestBase
+
+/** Watermark + idempotent-publish machinery (SURVEY.md §2.11; fixes the
+  * reference's non-idempotent union-append, defect U1/T5).
+  */
+class IncrementalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("watermark: absent → None; advance is read-back exact and atomic-replace") {
+    val dir = Files.createTempDirectory("wm").toString
+    val wm = new Incremental.Watermark(s"$dir/.last_update_date")
+    assert(wm.read().isEmpty)
+    wm.advance(LocalDate.of(2024, 3, 9))
+    assert(wm.read().contains(LocalDate.of(2024, 3, 9)))
+    wm.advance(LocalDate.of(2024, 3, 10)) // replace existing
+    assert(wm.read().contains(LocalDate.of(2024, 3, 10)))
+  }
+
+  test("deltaDates is the half-open range (last, end]") {
+    val ds = Incremental.deltaDates(LocalDate.of(2024, 1, 30), LocalDate.of(2024, 2, 2))
+    assert(ds === Seq(LocalDate.of(2024, 1, 31), LocalDate.of(2024, 2, 1), LocalDate.of(2024, 2, 2)))
+    assert(Incremental.deltaDates(LocalDate.of(2024, 1, 1), LocalDate.of(2024, 1, 1)).isEmpty)
+  }
+
+  test("unionDelta: re-applying the same delta does not duplicate (idempotency)") {
+    val master = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val delta = Seq((2L, "b"), (3L, "c")).toDF("id", "v")
+    val once = Incremental.unionDelta(master, delta, Seq("id"))
+    val twice = Incremental.unionDelta(once, delta, Seq("id"))
+    assert(once.count() === 3 && twice.count() === 3)
+  }
+
+  test("publishDelta: re-running the same delta overwrites its partitions, not appends") {
+    val dir = Files.createTempDirectory("pub").toString + "/prices"
+    val delta = Seq(("S1", "2024-01-01", 1.0), ("S1", "2024-01-02", 2.0))
+      .toDF("code", "date", "close")
+    Incremental.publishDelta(delta, dir)
+    Incremental.publishDelta(delta, dir) // re-run: same rows, not doubled
+    assert(spark.read.parquet(dir).count() === 2)
+  }
+
+  test("recomputeWatermark is max(date) over the published table") {
+    val df = Seq(("2024-01-01"), ("2024-03-05")).toDF("d")
+      .selectExpr("cast(d as date) as date")
+    assert(Incremental.recomputeWatermark(df).contains(java.sql.Date.valueOf("2024-03-05")))
+    assert(Incremental.recomputeWatermark(df.limit(0)).isEmpty)
+  }
+}
