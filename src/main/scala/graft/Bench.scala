@@ -17,7 +17,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSeq.filter(SparkEntry.queries.contains))
+      .getOrElse(SparkEntry.benchQueries.filter(SparkEntry.queries.contains))
     val results = names.map { name =>
       val t0 = System.nanoTime()
       val n = try SparkEntry.queries(name)(spark, sfDir).count() catch { case _: Throwable => -1L }

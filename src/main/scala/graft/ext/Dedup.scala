@@ -33,10 +33,13 @@ object Dedup {
       .agg(min(col(id)).as(id), count(lit(1)).as("n_copies"))
 
   /** Distinct word-k-shingle sets per doc: `(doc_id, shingle)` exploded and
-    * `(doc_id, n_shingles)` sizes.
+    * `(doc_id, n_shingles)` sizes. The shingle table is cached — every
+    * consumer (signature, band join sides, verify sides) would otherwise
+    * re-run tokenize+shingle over the full corpus; the cache is O(corpus
+    * tokens), the cheapest of all the intermediates.
     */
   private def shingleSets(docs: DataFrame, k: Int): (DataFrame, DataFrame) = {
-    val sh = docs.select(col("doc_id"), TextOps.shingles(col("text"), k).as("shingles"))
+    val sh = docs.select(col("doc_id"), TextOps.shingles(col("text"), k).as("shingles")).cache()
     (sh.select(col("doc_id"), explode(col("shingles")).as("shingle")),
       sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh")))
   }
@@ -87,7 +90,11 @@ object Dedup {
     * [[jaccardPairs]] modulo LSH recall.
     */
   def minhashLsh(docs: DataFrame, k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val bands = lshBands(minhashSignature(docs, k))
+    // Cache the band table: it is ~4 rows x 32 bytes per doc (the compressed
+    // representation LSH exists to produce) and feeds both sides of the
+    // candidate self-join — without the cache each side re-runs the full
+    // shingle+16xmd5 signature computation over the corpus.
+    val bands = lshBands(minhashSignature(docs, k)).cache()
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
           && col("a.doc_id") < col("b.doc_id"))
