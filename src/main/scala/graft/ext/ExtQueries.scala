@@ -41,6 +41,11 @@ object ExtQueries {
       Similarity.lshTopK(e.where(col("vec_id") < 5), e, 10)
     }),
 
+    "x13_ann_ivf_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(e.where(col("vec_id") < 5), e, 10)
+    }),
+
     "x08_text_lang_id" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       d.select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"), col("lang"))
@@ -142,6 +147,20 @@ object ExtQueries {
         "s AS (SELECT q.q_id, be.vec_id, " +
         s"${dotSql("q.qe", "be.emb")} AS cos " +
         "FROM be JOIN q USING (bucket) WHERE q.q_id <> be.vec_id), " +
+        "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
+        "SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10"),
+
+    "x13_ann_ivf_topk" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.IvfCentroidStride} = 0), " +
+        "scored AS (SELECT e.vec_id, e.emb, cents.cent_id, " +
+        s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
+        "assigned AS (SELECT vec_id, emb, cent_id AS cell FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM scored) t WHERE r = 1), " +
+        "q AS (SELECT vec_id AS q_id, emb AS q_emb, cell FROM assigned WHERE vec_id < 5), " +
+        "s AS (SELECT q.q_id, a.vec_id, " +
+        s"${dotSql("q.q_emb", "a.emb")} AS cos " +
+        "FROM assigned a JOIN q USING (cell) WHERE q.q_id <> a.vec_id), " +
         "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
         "SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10"),
 

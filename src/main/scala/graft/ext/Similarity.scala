@@ -107,4 +107,44 @@ object Similarity {
     */
   def planeSql(p: Int): String =
     hyperplanes(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+
+  val IvfCentroidStride = 97
+
+  /** IVF-style ANN: partition the corpus into cells around centroid vectors,
+    * search only the query's cell.
+    *
+    * Centroids here are a deterministic corpus sample (`vec_id %
+    * IvfCentroidStride == 0`) so the oracle can replicate cell assignment
+    * exactly; production would k-means them — the cell-assignment and
+    * probing mechanics (the scale-relevant part) are identical. Cell
+    * assignment = argmax cosine over centroids, ties to the lower centroid
+    * id; one shuffle by cell id co-locates each cell, and a query probes
+    * exactly one cell (`nprobe=1`).
+    */
+  def ivfAssign(vectors: DataFrame, centroidSource: DataFrame): DataFrame = {
+    val cents = broadcast(centroidSource.where(col("vec_id") % IvfCentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb")))
+    vectors.crossJoin(cents)
+      .withColumn("cent_cos", cosine(col("embedding"), col("cent_emb")))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cent_cos").desc, col("cent_id").asc)))
+      .where(col("_r") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+  }
+
+  /** Top-k within the query's IVF cell (exact within-cell, approximate
+    * globally — recall governed by cell granularity, cost cut by the cell
+    * count versus a full scan).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, corpus)
+    val q = broadcast(ivfAssign(queries, corpus)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cell")))
+    assigned.join(q, Seq("cell")).where(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
+      .where(col("rank") <= k)
+      .select("q_id", "vec_id", "cos", "rank")
+  }
 }
