@@ -17,6 +17,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warm-up: JIT-compile the parquet reader, codegen, and shuffle
+    // paths so the first timed query doesn't absorb one-time JVM costs.
+    spark.range(2000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count().collect()
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSeq.filter(SparkEntry.queries.contains))
       .getOrElse(SparkEntry.benchQueries.filter(SparkEntry.queries.contains))

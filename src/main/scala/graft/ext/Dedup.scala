@@ -65,15 +65,21 @@ object Dedup {
   val MinhashK = 16
   val Bands = 4 // 4 bands x 4 rows
 
-  /** Per-doc MinHash signature columns `sig0..sig15`: min over shingles of
-    * seeded md5. Pure per-row map — computed in one scan pass, no shuffle.
+  /** Per-doc MinHash signature columns `sig0..sig15`: TWO md5 per shingle,
+    * each sliced into 8 disjoint 16-bit hex pieces (one-permutation-hashing
+    * style) — 8x fewer hash evaluations than seeded per-function hashing,
+    * same banding behavior (lowercase-hex lexicographic min == numeric min on
+    * equal-length slices). Pure per-row map: one scan pass, no shuffle.
     */
   def minhashSignature(docs: DataFrame, k: Int = 3): DataFrame = {
     val base = docs.select(col("doc_id"), TextOps.shingles(col("text"), k).as("shingles"))
+      .withColumn("_h0", transform(col("shingles"), s => md5(s)))
+      .withColumn("_h1", transform(col("shingles"), s => md5(concat(lit("1:"), s))))
     (0 until MinhashK).foldLeft(base)((df, i) =>
       df.withColumn(s"sig$i",
-        array_min(transform(col("shingles"), s => md5(concat(lit(s"$i:"), s))))))
-      .drop("shingles")
+        array_min(transform(col(if (i < 8) "_h0" else "_h1"),
+          h => substring(h, (i % 8) * 4 + 1, 4)))))
+      .drop("shingles", "_h0", "_h1")
   }
 
   /** LSH band hashes: `(doc_id, band, band_hash)`, one row per band. */

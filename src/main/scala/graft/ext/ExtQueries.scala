@@ -108,8 +108,11 @@ object ExtQueries {
       (s"WITH t AS ($toksCte), sh AS ($shinglesCte), " +
         "ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh), " +
         "sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh), " +
+        "hs AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS h0, " +
+        "list_transform(shingles, s -> md5('1:' || s)) AS h1 FROM sh), " +
         "sig AS (SELECT doc_id, list_transform(generate_series(0, 15), " +
-        "i -> list_aggregate(list_transform(shingles, s -> md5(CAST(i AS VARCHAR) || ':' || s)), 'min')) AS sig FROM sh), " +
+        "i -> list_aggregate(list_transform(CASE WHEN i < 8 THEN h0 ELSE h1 END, " +
+        "h -> substr(h, (i % 8) * 4 + 1, 4)), 'min')) AS sig FROM hs), " +
         "bandx AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM sig), " +
         "band AS (SELECT doc_id, band, md5(array_to_string(sig[4*band+1:4*band+4], '|')) AS bh FROM bandx), " +
         "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM band a JOIN band b " +
