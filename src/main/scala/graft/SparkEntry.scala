@@ -208,6 +208,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("total_value"))
         .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total_value"))),
 
+    // A+ — hierarchical subtotals (ROLLUP): per (flag,status), per flag, grand.
+    "q25_a3_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))),
+
+    // A+ — full cross-tabulation (CUBE) over two low-cardinality dims.
+    "q26_a4_cube" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(dsum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))),
+
     // AsOf — point-in-time join: last click at-or-before each purchase.
     "q24_ja_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -400,6 +412,13 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q25_a3_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q26_a4_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price, count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
     "q24_ja_asof_join" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value,
         | (SELECT max(c.ts) FROM events c
