@@ -2,6 +2,8 @@ package graft.ext
 
 import java.security.MessageDigest
 
+import graft.functions.GraftFunctions
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -37,9 +39,10 @@ object Similarity {
     * excluded.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
     val q = broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
     val scored = corpus.join(q, col("q_id") =!= col("vec_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .withColumn("cos", GraftFunctions.cosineSim(col("q_emb"), col("embedding")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
@@ -76,12 +79,13 @@ object Similarity {
     * partition.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
     val c = corpus.withColumn("bucket", lshBucket(col("embedding")))
     val q = broadcast(
       queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         .withColumn("bucket", lshBucket(col("q_emb"))))
     val scored = c.join(q, Seq("bucket")).where(col("q_id") =!= col("vec_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .withColumn("cos", GraftFunctions.cosineSim(col("q_emb"), col("embedding")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
@@ -94,10 +98,11 @@ object Similarity {
     * above is the scale path for the same semantics.
     */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
     val a = vectors.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = vectors.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+      .withColumn("cos", GraftFunctions.cosineSim(col("emb_a"), col("emb_b")))
       .where(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
   }
@@ -122,10 +127,11 @@ object Similarity {
     * exactly one cell (`nprobe=1`).
     */
   def ivfAssign(vectors: DataFrame, centroidSource: DataFrame): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
     val cents = broadcast(centroidSource.where(col("vec_id") % IvfCentroidStride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb")))
     vectors.crossJoin(cents)
-      .withColumn("cent_cos", cosine(col("embedding"), col("cent_emb")))
+      .withColumn("cent_cos", GraftFunctions.cosineSim(col("embedding"), col("cent_emb")))
       .withColumn("_r", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("cent_cos").desc, col("cent_id").asc)))
       .where(col("_r") === 1)
@@ -141,7 +147,7 @@ object Similarity {
     val q = broadcast(ivfAssign(queries, corpus)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cell")))
     assigned.join(q, Seq("cell")).where(col("q_id") =!= col("vec_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .withColumn("cos", GraftFunctions.cosineSim(col("q_emb"), col("embedding")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
       .where(col("rank") <= k)

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for the embedding dot product (== cosine for
+  * unit vectors): a whole-stage-codegen'd tight loop over the two float
+  * `ArrayData`s with zero intermediate allocation.
+  *
+  * The composable form (`zip_with` + `aggregate`, [[graft.ext.Similarity.cosine]])
+  * materializes an intermediate product array and a higher-order-function
+  * lambda frame per row; at ANN scale (corpus x queries dot products) this
+  * expression removes both. Numeric semantics are IDENTICAL by construction —
+  * float widened to double, products summed left-to-right — so it is
+  * drop-in interchangeable with the HOF form and hash-matches the same
+  * DuckDB oracle.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got ${l.sql} and ${r.sql}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Runtime registration (works on any existing session — no
+  * `SparkSessionExtensions` build-time wiring needed, though
+  * `injectFunction` would use the same builder) and the Column-API entry
+  * point.
+  */
+object GraftFunctions {
+  val CosineName = "graft_cosine"
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(CosineName),
+      new ExpressionInfo(classOf[CosineSim].getName, CosineName),
+      (children: Seq[Expression]) => CosineSim(children(0), children(1)))
+
+  /** Codegen'd dot product; requires [[register]] on the session first. */
+  def cosineSim(a: Column, b: Column): Column = call_function(CosineName, a, b)
+}

@@ -43,6 +43,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.exists { case (id, cos) => id == 1L && math.abs(cos - 1.0) < 1e-9 })
   }
 
+  test("CosineSim expression is bit-identical to the HOF cosine on real embeddings") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val both = a.join(b, col("ia") < col("ib"))
+      .select(
+        Similarity.cosine(col("ea"), col("eb")).as("hof"),
+        graft.functions.GraftFunctions.cosineSim(col("ea"), col("eb")).as("expr"))
+    assert(both.where(col("hof") =!= col("expr")).isEmpty)
+    // interpreted path (eval) agrees with codegen too
+    val r = both.head()
+    assert(r.getDouble(0) === r.getDouble(1))
+  }
+
+  test("CosineSim rejects non-float-array inputs at analysis time") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b") // array<double>
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.GraftFunctions.cosineSim(col("a"), col("b"))).collect()
+    }
+  }
+
   test("hyperplanes are deterministic across invocations") {
     assert(Similarity.hyperplanes === Similarity.hyperplanes.map(identity))
     assert(Similarity.hyperplanes.flatten.forall(v => v == 1.0 || v == -1.0))
