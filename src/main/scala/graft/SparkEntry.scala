@@ -220,6 +220,22 @@ object SparkEntry {
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(dsum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))),
 
+    // ST2 — batch sessionization (the batch twin of streaming.EventStream
+    // .sessionize): gap>30min starts a new session; one shuffle + two
+    // window passes over (user, ts).
+    "q27_st2_sessionize_batch" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("_gap",
+          when(col("ts").cast("timestamp").cast("long") - lag(col("ts"), 1).over(w).cast("timestamp").cast("long") > 1800, 1)
+            .otherwise(lit(0)))
+        .withColumn("session_seq",
+          sum(col("_gap")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"), dsum(col("value"), 6).as("total_value"))
+    }),
+
     // AsOf — point-in-time join: last click at-or-before each purchase.
     "q24_ja_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -419,6 +435,21 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price, count(*) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q27_st2_sessionize_batch" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS gap
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM g
+        |)
+        |SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, session_seq""".stripMargin,
     "q24_ja_asof_join" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value,
         | (SELECT max(c.ts) FROM events c
