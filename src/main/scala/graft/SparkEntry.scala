@@ -88,10 +88,8 @@ object SparkEntry {
     // (reference: delta_non_fq_daily_kline.py:83, pandas concat(axis=1)).
     "q07_j1_threeway_fullouter" -> ((s, dir) => {
       val src = new TpchMarketSource(s, dir)
-      tsify(Assemble.threeWayMerge(
-        Conform.conformFact(Conform.rename(src.dailyKline)),
-        Conform.conformFact(Conform.rename(src.stkLimit)),
-        Conform.conformFact(src.dailyBasic)))
+      tsify(Conform.conformFact(Conform.rename(Assemble.threeWayMerge(
+        src.dailyKline, src.stkLimit, src.dailyBasic, Seq("ts_code", "trade_date")))))
     }),
 
     // J2 — broadcast inner join onto the pre-filtered dimension

@@ -31,11 +31,18 @@ object Assemble {
     * would silently multiply rows instead, so callers who cannot prove
     * per-source key uniqueness should run [[assertUniqueKeys]] first
     * (SURVEY.md §7.4 risk 1).
+    *
+    * Join on the RAW source key (`mergeKeys = ts_code/trade_date`) and
+    * conform afterwards, exactly like the reference (renames/casts at
+    * market/non_fq_daily_kline.py:113-124 happen post-merge): key-conform
+    * before the join changes the partitioning expression and forces every
+    * branch — and the intermediate join — through an extra exchange+sort.
     */
-  def threeWayMerge(kline: DataFrame, limit: DataFrame, basic: DataFrame): DataFrame =
+  def threeWayMerge(kline: DataFrame, limit: DataFrame, basic: DataFrame,
+                    mergeKeys: Seq[String] = keys): DataFrame =
     kline
-      .join(limit, keys, "full_outer")
-      .join(basic, keys, "full_outer")
+      .join(limit, mergeKeys, "full_outer")
+      .join(basic, mergeKeys, "full_outer")
 
   /** J2 — enrich facts with the (pre-filtered) stock universe; inner join
     * doubles as the universe filter (reference:

@@ -23,12 +23,15 @@ object MarketPipeline {
     * 30-column conformed `prices` shape (SURVEY.md §1.4).
     */
   def assemblePrices(src: MarketSource): DataFrame = {
-    val kline = Conform.conformFact(Conform.rename(src.dailyKline))
-    val limit = Conform.conformFact(Conform.rename(src.stkLimit))
-    val basic = Conform.conformFact(src.dailyBasic)
+    // Merge on the raw (ts_code, trade_date) key, conform once afterwards —
+    // the reference's own order (renames/casts post-merge), and one shuffle
+    // layout shared by all three branches instead of re-exchanging each
+    // branch on the conformed key.
+    val merged = Assemble.threeWayMerge(
+      src.dailyKline, src.stkLimit, src.dailyBasic, Seq("ts_code", "trade_date"))
+    val conformed = Conform.conformFact(Conform.rename(merged))
     val universe = Conform.conformDim(Assemble.mainBoard(src.stockBasic))
-    val merged = Assemble.threeWayMerge(kline, limit, basic)
-    Assemble.cleanse(Assemble.enrichUniverse(merged, universe))
+    Assemble.cleanse(Assemble.enrichUniverse(conformed, universe))
   }
 
   /** E2 — one delta micro-batch: same assembly restricted to `(last, end]`.
