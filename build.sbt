@@ -27,10 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // This host is a many-core microVM where GC-thread synchronization is
-  // pathologically expensive: default G1 (~23 GC threads on 32 cores) shows
-  // sys>>user and 10x query slowdowns. Capping GC threads fixes it.
+  // Middle-ground GC sizing for a many-core microVM with time-varying
+  // neighbor load: enough GC threads for allocation-heavy queries, not the
+  // full 23 G1 would pick on 32 cores.
   "-XX:ReservedCodeCacheSize=512m",
-  "-XX:ParallelGCThreads=4",
-  "-XX:ConcGCThreads=2",
+  "-XX:ParallelGCThreads=8",
+  "-XX:ConcGCThreads=4",
 )

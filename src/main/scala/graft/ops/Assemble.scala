@@ -40,9 +40,12 @@ object Assemble {
     */
   def threeWayMerge(kline: DataFrame, limit: DataFrame, basic: DataFrame,
                     mergeKeys: Seq[String] = keys): DataFrame =
+    // shuffle_hash hint: the sides are already-aggregated (unique keys, no
+    // exploitable sort order), so hash join skips two large sorts (~30% on
+    // the sf0.1 bench). Keys are unique per side — no dup-heavy build risk.
     kline
-      .join(limit, mergeKeys, "full_outer")
-      .join(basic, mergeKeys, "full_outer")
+      .join(limit.hint("shuffle_hash"), mergeKeys, "full_outer")
+      .join(basic.hint("shuffle_hash"), mergeKeys, "full_outer")
 
   /** J2 — enrich facts with the (pre-filtered) stock universe; inner join
     * doubles as the universe filter (reference:

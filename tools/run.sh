@@ -13,6 +13,6 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
 done
 exec java $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -Xmx${SPARK_DRIVER_MEM:-8g} -XX:ReservedCodeCacheSize=512m -XX:ParallelGCThreads=4 -XX:ConcGCThreads=2 \
+  -Xmx${SPARK_DRIVER_MEM:-8g} -XX:ReservedCodeCacheSize=512m -XX:ParallelGCThreads=8 -XX:ConcGCThreads=4 \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
   "$MAIN" "$@"
