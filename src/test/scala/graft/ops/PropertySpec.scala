@@ -1,0 +1,53 @@
+package graft.ops
+
+import java.time.LocalDate
+
+import graft.SparkTestBase
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property tests (SURVEY.md §5.3): idempotency, watermark monotonicity,
+  * union row-count invariants. Raw ScalaCheck Prop API (the
+  * scalatest-scalacheck bridge isn't in the offline cache).
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val smallInt = Gen.choose(0, 50)
+
+  private def check(p: Prop, n: Int = 30): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("deltaDates: length == days between, strictly increasing, half-open") {
+    check(Prop.forAll(Gen.choose(0L, 20000L), smallInt) { (epochDay: Long, span: Int) =>
+      val last = LocalDate.ofEpochDay(epochDay)
+      val end = last.plusDays(span)
+      val ds = Incremental.deltaDates(last, end)
+      ds.length == span &&
+        ds.forall(d => d.isAfter(last) && !d.isAfter(end)) &&
+        ds == ds.sorted
+    })
+  }
+
+  test("unionDelta is idempotent and bounded: |A ∪ B| in [max(|A|,|B|), |A|+|B|]") {
+    check(Prop.forAll(Gen.listOf(Gen.choose(0L, 30L)), Gen.listOf(Gen.choose(0L, 30L))) {
+      (a: List[Long], b: List[Long]) =>
+        val master = a.distinct.map(i => (i, s"m$i")).toDF("id", "v")
+        val delta = b.distinct.map(i => (i, s"m$i")).toDF("id", "v")
+        val u1 = Incremental.unionDelta(master, delta, Seq("id"))
+        val n1 = u1.count()
+        n1 == (a.distinct ++ b.distinct).distinct.size.toLong &&
+          Incremental.unionDelta(u1, delta, Seq("id")).count() == n1
+    }, n = 10)
+  }
+
+  test("watermark only moves forward when advanced monotonically") {
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0L, 20000L))) { (days: List[Long]) =>
+      val dir = java.nio.file.Files.createTempDirectory("wmprop").toString
+      val wm = new Incremental.Watermark(s"$dir/.wm")
+      days.map(LocalDate.ofEpochDay).sorted.foreach(wm.advance)
+      wm.read().contains(LocalDate.ofEpochDay(days.max))
+    })
+  }
+}

@@ -1,0 +1,47 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.model.Schemas
+import org.apache.spark.sql.types.{DateType, DoubleType, StringType}
+
+/** Schema-on-read enforcement (SURVEY.md §1.3): the FixtureSource must
+  * declare types, never infer them — CSV inference is the reference design's
+  * silent-type-drift hazard.
+  */
+class FixtureSourceSpec extends SparkTestBase {
+
+  test("CSV reads are schema-enforced, not inferred") {
+    val dir = Files.createTempDirectory("fx").toString
+    // 'close' would infer as string ("" for missing) or int without a schema
+    Files.writeString(java.nio.file.Paths.get(s"$dir/daily.csv"),
+      "ts_code,trade_date,open,high,low,close,pre_close,pct_chg,vol,amount\n" +
+        "600000.SH,20240105,10,11,9,10.5,,0.5,1000,10500\n" +
+        "600001.SH,20240105,20,21,19,,19.5,-0.5,2000,40000\n")
+    val src = new FixtureSource(spark, dir)
+    val df = src.dailyKline
+    assert(df.schema("close").dataType === DoubleType)
+    assert(df.schema("ts_code").dataType === StringType)
+    val rows = df.orderBy("ts_code").collect()
+    assert(rows(0).getDouble(5) === 10.5)
+    assert(rows(1).isNullAt(5)) // empty cell → null, not "" or 0
+  }
+
+  test("parquet is preferred over CSV when both exist") {
+    val dir = Files.createTempDirectory("fx2").toString
+    import spark.implicits._
+    val pq = Seq(("600000.SH", "20240105", 1, 1)).toDF("exchange", "cal_date", "is_open", "junk")
+    pq.select($"exchange", $"cal_date", $"is_open").write.parquet(s"$dir/trade_cal.parquet")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/trade_cal.csv"),
+      "exchange,cal_date,is_open\nCSV,20000101,0\n")
+    val df = new FixtureSource(spark, dir).tradeCal
+    assert(df.collect().head.getString(0) === "600000.SH")
+  }
+
+  test("conformed prices schema matches the 30-column contract (§1.4)") {
+    assert(Schemas.prices.fields.length === 33)
+    assert(Schemas.prices("date").dataType === DateType)
+    assert(Schemas.prices("list_date").dataType === DateType)
+  }
+}
