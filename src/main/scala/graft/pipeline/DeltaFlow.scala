@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import java.time.LocalDate
+
+import graft.ops.{Assemble, Incremental}
+import graft.sources.MarketSource
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** E2 end-to-end (SURVEY.md §3): the delta flow as one idempotent unit —
+  * read watermark, assemble only the days after it, publish those `date`
+  * partitions with dynamic overwrite, then (and only then) advance the
+  * watermark. This is the reference's only consistency guarantee
+  * (publish-then-advance, market/delta_non_fq_daily_kline.py:159-167),
+  * hardened: a crash between publish and advance re-runs the same days and
+  * overwrites the same partitions instead of duplicating (fixes defect
+  * U1/T5).
+  *
+  * Unlike the reference's per-day fetch loop (T2), the whole `(last, end]`
+  * range is ONE Spark job — the date predicate prunes partitions at the
+  * scan, and writing per-date partitions keeps re-runs surgical at any
+  * scale.
+  */
+object DeltaFlow {
+
+  case class Result(daysProcessed: Int, rowsPublished: Long, newWatermark: Option[LocalDate])
+
+  def runOnce(spark: SparkSession, src: MarketSource, targetDir: String,
+              watermarkPath: String, endInclusive: LocalDate): Result = {
+    val wm = new Incremental.Watermark(watermarkPath)
+    val last = wm.read().getOrElse(LocalDate.of(2005, 1, 1))
+    if (!endInclusive.isAfter(last)) return Result(0, 0L, Some(last))
+
+    val delta = MarketPipeline.assembleDelta(src,
+      java.sql.Date.valueOf(last), java.sql.Date.valueOf(endInclusive))
+
+    // F5 — empty-delta guard (non-trading window): publish nothing, but the
+    // watermark still advances (those days are conclusively empty).
+    val rows =
+      if (delta.isEmpty) 0L
+      else {
+        Incremental.publishDelta(delta, targetDir)
+        spark.read.parquet(targetDir)
+          .where(col("date") > lit(java.sql.Date.valueOf(last))
+            && col("date") <= lit(java.sql.Date.valueOf(endInclusive)))
+          .count()
+      }
+    wm.advance(endInclusive) // K5 ordering: only after a successful publish
+    Result(Incremental.deltaDates(last, endInclusive).size, rows, Some(endInclusive))
+  }
+}

@@ -1,0 +1,42 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import java.time.LocalDate
+
+import graft.SparkTestBase
+
+/** E2 end-to-end on real fixtures: watermark-driven incremental publish,
+  * idempotent re-runs, crash-recovery overwrite semantics.
+  */
+class DeltaFlowSpec extends SparkTestBase {
+
+  test("delta flow: incremental publish advances watermark; re-run is a no-op; crash-replay doesn't duplicate") {
+    val dir = Files.createTempDirectory("delta").toString
+    val target = s"$dir/prices"
+    val wmPath = s"$dir/.last_update_date"
+    val src = new TpchMarketSource(spark, sfDir)
+
+    // first run: everything up to 1997-06-30 (watermark absent → 2005 floor
+    // is AFTER the fixture's dates, so seed the watermark explicitly)
+    new graft.ops.Incremental.Watermark(wmPath).advance(LocalDate.of(1996, 1, 1))
+    val r1 = DeltaFlow.runOnce(spark, src, target, wmPath, LocalDate.of(1997, 6, 30))
+    assert(r1.rowsPublished > 0)
+    assert(r1.newWatermark.contains(LocalDate.of(1997, 6, 30)))
+    val afterFirst = spark.read.parquet(target).count()
+
+    // same end again: watermark says nothing to do
+    val r2 = DeltaFlow.runOnce(spark, src, target, wmPath, LocalDate.of(1997, 6, 30))
+    assert(r2.daysProcessed === 0 && spark.read.parquet(target).count() === afterFirst)
+
+    // crash replay: reset the watermark (simulating crash before advance) and
+    // re-run — dynamic partition overwrite must not duplicate rows
+    new graft.ops.Incremental.Watermark(wmPath).advance(LocalDate.of(1996, 1, 1))
+    DeltaFlow.runOnce(spark, src, target, wmPath, LocalDate.of(1997, 6, 30))
+    assert(spark.read.parquet(target).count() === afterFirst)
+
+    // second increment: later window adds new partitions only
+    val r4 = DeltaFlow.runOnce(spark, src, target, wmPath, LocalDate.of(1998, 12, 31))
+    assert(r4.rowsPublished > 0)
+    assert(spark.read.parquet(target).count() > afterFirst)
+  }
+}
