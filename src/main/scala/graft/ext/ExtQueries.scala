@@ -41,6 +41,9 @@ object ExtQueries {
       Similarity.lshTopK(e.where(col("vec_id") < 5), e, 10)
     }),
 
+    "x14_dedup_embedding_lsh" -> ((s, dir) =>
+      Similarity.lshNearDupPairs(Tables.embeddings(s, dir), 0.4)),
+
     "x13_ann_ivf_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.ivfTopK(e.where(col("vec_id") < 5), e, 10)
@@ -152,6 +155,14 @@ object ExtQueries {
         "FROM be JOIN q USING (bucket) WHERE q.q_id <> be.vec_id), " +
         "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
         "SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10"),
+
+    "x14_dedup_embedding_lsh" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        s"be AS (SELECT vec_id, emb, $bucketSql AS bucket FROM e), " +
+        "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        s"${dotSql("a.emb", "b.emb")} AS cos " +
+        "FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
+        "SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.4"),
 
     "x13_ann_ivf_topk" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +

@@ -107,6 +107,22 @@ object Similarity {
       .select("vec_a", "vec_b", "cos")
   }
 
+  /** Scale path for [[cosineNearDupPairs]]: restrict the pair space to
+    * vectors sharing an LSH bucket — the self-join becomes an equi-join on
+    * the bucket id (one shuffle, ~256x fewer candidate pairs), with the
+    * usual LSH recall trade-off. Emitted pairs are verified exact.
+    */
+  def lshNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
+    val b = vectors.withColumn("bucket", lshBucket(col("embedding")))
+    val l = b.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val r = b.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    l.join(r, Seq("bucket")).where(col("vec_a") < col("vec_b"))
+      .withColumn("cos", GraftFunctions.cosineSim(col("emb_a"), col("emb_b")))
+      .where(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+  }
+
   /** The hyperplane literal for plane p as DuckDB list syntax — keeps the
     * oracle SQL in lock-step with [[hyperplanes]].
     */
