@@ -1,0 +1,52 @@
+package graft.plans
+
+import graft.SparkTestBase
+import graft.ext.Similarity
+import org.apache.spark.sql.functions._
+
+class CosineRewriteSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Seq(0.6f, 0.8f, 0.0f)),
+    (1L, Seq(0.8f, 0.6f, 0.0f)),
+    (2L, Seq(0.0f, 0.0f, 1.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("rule rewrites the HOF dot-product pattern into CosineSim, results unchanged") {
+    // build the query fresh each time: QueryExecution is cached per Dataset,
+    // so a Dataset planned before the rule is installed would not re-optimize
+    def q = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+
+    val before = q.collect().map(_.getDouble(2)).sorted
+
+    val prior = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = prior :+ CosineRewriteRule
+      val q2 = q
+      val plan = q2.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_cosine"),
+        s"rewrite did not fire. optimized plan:\n" +
+        q2.queryExecution.optimizedPlan.treeString)
+      val after = q2.collect().map(_.getDouble(2)).sorted
+      assert(before.toSeq === after.toSeq)
+    } finally {
+      spark.experimental.extraOptimizations = prior
+    }
+  }
+
+  test("rule leaves non-matching aggregates alone") {
+    val q = vecs.select(
+      aggregate(col("embedding").cast("array<double>"), lit(0.0), (acc, x) => acc + x).as("s"))
+    val prior = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = prior :+ CosineRewriteRule
+      assert(!q.queryExecution.executedPlan.toString.contains("graft_cosine"))
+      assert(q.collect().map(_.getDouble(0)).sum > 0)
+    } finally {
+      spark.experimental.extraOptimizations = prior
+    }
+  }
+}
