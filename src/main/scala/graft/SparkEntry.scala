@@ -218,6 +218,25 @@ object SparkEntry {
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(dsum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))),
 
+    // A+ — exact percentiles (linear interpolation, same as DuckDB
+    // quantile_cont) per group.
+    "q28_a5_percentile" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+          min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))),
+
+    // X+ — date arithmetic suite: add, truncate, diff.
+    "q29_x5_date_funcs" -> ((s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).cast("timestamp_ntz").as("d"),
+        date_add(to_date(col("o_orderdate")), 30).cast("timestamp_ntz").as("d_plus30"),
+        date_trunc("month", to_date(col("o_orderdate"))).cast("timestamp_ntz").as("d_month"),
+        datediff(lit(Date.valueOf("1998-12-31")), to_date(col("o_orderdate"))).cast("long").as("days_to_eoy"))),
+
     // ST2 — batch sessionization (the batch twin of streaming.EventStream
     // .sessionize): gap>30min starts a new session; one shuffle + two
     // window passes over (user, ts).
@@ -433,6 +452,17 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price, count(*) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q28_a5_percentile" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
+        | quantile_cont(l_extendedprice, 0.9) AS p90_price,
+        | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q29_x5_date_funcs" ->
+      """SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS d,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP) AS d_plus30,
+        | CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS d_month,
+        | datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy
+        |FROM orders""".stripMargin,
     "q27_st2_sessionize_batch" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts, value,
