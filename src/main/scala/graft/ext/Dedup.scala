@@ -121,6 +121,42 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Cluster near-duplicate pairs into connected components and elect the
+    * min-doc_id as the canonical survivor — the step that turns pairwise
+    * near-dup detection into an actionable dedup decision.
+    *
+    * Distributed min-label propagation: every vertex repeatedly adopts the
+    * smallest label among itself and its neighbors until fixpoint. Each
+    * iteration is one shuffle (groupBy vertex); `localCheckpoint` truncates
+    * the lineage so plans stay O(1) per iteration. Iteration count is
+    * bounded by the component diameter — near-dup clusters are tiny in
+    * practice, and `maxIters` caps pathological chains.
+    *
+    * Output: `(doc_id, canonical_id)` for every doc that appears in a pair.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnsRenamed(Map("doc_id" -> "dst", "lbl" -> "nlbl")), "dst")
+        .groupBy(col("src").as("doc_id")).agg(min(col("nlbl")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      converged = updated.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+        .where(col("lbl") =!= col("old")).isEmpty
+      labels = updated
+      i += 1
+    }
+    labels.select(col("doc_id"), col("lbl").as("canonical_id"))
+  }
+
   /** 16-bit SimHash per doc, one scan pass: hash each token to 16 bits (md5
     * prefix), accumulate ±1 per bit position across tokens (repeats count —
     * standard term-frequency weighting), take sign bits.

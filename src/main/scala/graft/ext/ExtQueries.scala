@@ -41,6 +41,9 @@ object ExtQueries {
       Similarity.lshTopK(e.where(col("vec_id") < 5), e, 10)
     }),
 
+    "x15_dedup_cluster_canonical" -> ((s, dir) =>
+      Dedup.connectedComponents(Dedup.jaccardPairs(Tables.documents(s, dir), 3, 0.8))),
+
     "x14_dedup_embedding_lsh" -> ((s, dir) =>
       Similarity.lshNearDupPairs(Tables.embeddings(s, dir), 0.4)),
 
@@ -155,6 +158,22 @@ object ExtQueries {
         "FROM be JOIN q USING (bucket) WHERE q.q_id <> be.vec_id), " +
         "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
         "SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10"),
+
+    "x15_dedup_cluster_canonical" ->
+      (s"WITH RECURSIVE t AS ($toksCte), sh AS ($shinglesCte), " +
+        "ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh), " +
+        "sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh), " +
+        "c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common " +
+        "FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pairs AS (SELECT c.doc_a, c.doc_b FROM c " +
+        "JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id " +
+        "WHERE CAST(c.common AS DOUBLE)/(x.n + y.n - c.common) >= 0.8), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+        "UNION SELECT doc_b, doc_a FROM pairs), " +
+        "reach AS (SELECT src, dst FROM edges " +
+        "UNION (SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)) " +
+        "SELECT src AS doc_id, least(src, min(dst)) AS canonical_id " +
+        "FROM reach GROUP BY src"),
 
     "x14_dedup_embedding_lsh" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +

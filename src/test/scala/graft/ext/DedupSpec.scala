@@ -51,6 +51,15 @@ class DedupSpec extends SparkTestBase {
     assert(hd <= 4, s"hamming distance $hd too large for a near-dup")
   }
 
+  test("connectedComponents: transitive chains collapse to one canonical id") {
+    // chain 1-2-3 (via shared neighbor 2) plus isolated pair 7-9
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) === 1L && comp(2L) === 1L && comp(3L) === 1L)
+    assert(comp(7L) === 7L && comp(9L) === 7L)
+  }
+
   test("minhash signature is a pure per-row map (no shuffle in the plan)") {
     val plan = Dedup.minhashSignature(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
