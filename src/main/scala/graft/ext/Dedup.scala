@@ -157,6 +157,15 @@ object Dedup {
     labels.select(col("doc_id"), col("lbl").as("canonical_id"))
   }
 
+  /** Apply a dedup decision: drop every doc that belongs to a near-dup
+    * cluster but is not its canonical survivor (left-anti join — no row
+    * data moves for survivors, only the small victim list shuffles).
+    */
+  def applyDedup(docs: DataFrame, components: DataFrame): DataFrame = {
+    val victims = components.where(col("doc_id") =!= col("canonical_id")).select("doc_id")
+    docs.join(victims, Seq("doc_id"), "left_anti")
+  }
+
   /** 16-bit SimHash per doc, one scan pass: hash each token to 16 bits (md5
     * prefix), accumulate ±1 per bit position across tokens (repeats count —
     * standard term-frequency weighting), take sign bits.

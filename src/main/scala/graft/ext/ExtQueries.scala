@@ -44,6 +44,17 @@ object ExtQueries {
     "x15_dedup_cluster_canonical" -> ((s, dir) =>
       Dedup.connectedComponents(Dedup.jaccardPairs(Tables.documents(s, dir), 3, 0.8))),
 
+    "x16_dedup_applied" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.applyDedup(docs, Dedup.connectedComponents(Dedup.jaccardPairs(docs, 3, 0.8)))
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
+    "x17_text_normalize" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.normalize(concat(col("text"), lit("  MIXED!! Case++"))).as("norm_text"))),
+
     "x14_dedup_embedding_lsh" -> ((s, dir) =>
       Similarity.lshNearDupPairs(Tables.embeddings(s, dir), 0.4)),
 
@@ -174,6 +185,28 @@ object ExtQueries {
         "UNION (SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)) " +
         "SELECT src AS doc_id, least(src, min(dst)) AS canonical_id " +
         "FROM reach GROUP BY src"),
+
+    "x16_dedup_applied" ->
+      (s"WITH RECURSIVE t AS ($toksCte), sh AS ($shinglesCte), " +
+        "ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh), " +
+        "sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh), " +
+        "c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common " +
+        "FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pairs AS (SELECT c.doc_a, c.doc_b FROM c " +
+        "JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id " +
+        "WHERE CAST(c.common AS DOUBLE)/(x.n + y.n - c.common) >= 0.8), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+        "UNION SELECT doc_b, doc_a FROM pairs), " +
+        "reach AS (SELECT src, dst FROM edges " +
+        "UNION (SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)), " +
+        "comp AS (SELECT src AS doc_id, least(src, min(dst)) AS canonical_id FROM reach GROUP BY src), " +
+        "victims AS (SELECT doc_id FROM comp WHERE doc_id <> canonical_id) " +
+        "SELECT doc_id, lang, source, n_chars FROM documents " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM victims)"),
+
+    "x17_text_normalize" ->
+      ("SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text || '  MIXED!! Case++'), " +
+        "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text FROM documents"),
 
     "x14_dedup_embedding_lsh" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +

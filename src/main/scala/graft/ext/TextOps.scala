@@ -84,6 +84,13 @@ object TextOps {
         size(regexp_extract_all(text, lit("[a-z]+"), lit(0))).cast("long"))
       .withColumn("n_bpe_est", ceil(length(text).cast("double") / lit(4.0)).cast("long"))
 
+  /** Canonical text normalization for dedup/tokenization robustness:
+    * lowercase, strip everything but `[a-z0-9 ]`, collapse whitespace runs,
+    * trim. Pure per-row expressions — runs at scan speed.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** Rolling-hash document fingerprint (winnowing-lite): md5 over every
     * 8-char window, keep the minimum and the sorted first 4 — a compact
     * signature stable under small edits elsewhere in the doc.
