@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for shuffle joins (SURVEY.md §7 / 100 TB design note).
+  *
+  * When one join key carries a disproportionate share of the fact rows, the
+  * task holding that key becomes the straggler. AQE's skew-join splits
+  * oversized partitions, but only for sort-merge joins and only after the
+  * skewed shuffle files exist. Salting fixes it at plan time: spread the
+  * fact side over `salts` sub-keys (deterministically, from a hash of the
+  * whole row) and replicate the dimension side once per sub-key. Join
+  * results are exactly those of the unsalted join.
+  *
+  * Use when the dimension is too big to broadcast but small enough to
+  * replicate `salts` times; broadcast is always preferable when it fits.
+  */
+object Skew {
+
+  /** Inner equi-join of a skewed `fact` with `dim` on `key`, spread over
+    * `salts` sub-partitions.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    // Deterministic per-row salt: hash of all fact columns. (Not rand() —
+    // idempotent re-runs and retried tasks must place rows identically.)
+    val salted = fact.withColumn("_salt",
+      pmod(hash(fact.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    val replicated = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, Seq(key, "_salt"), "inner").drop("_salt")
+  }
+}
