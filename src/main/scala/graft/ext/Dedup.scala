@@ -121,6 +121,22 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** SimHash near-dup pairs: Hamming distance ≤ `maxDist` between 16-bit
+    * signatures. The all-pairs form shown here is the small-data verifier;
+    * the scale path buckets signatures by band (any pair within distance d
+    * shares at least one of d+1 disjoint bands — pigeonhole) exactly like
+    * [[minhashLsh]].
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val h = simhash(docs)
+    val a = h.select(col("doc_id").as("doc_a"), col("simhash").as("h_a"))
+    val b = h.select(col("doc_id").as("doc_b"), col("simhash").as("h_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long"))
+      .where(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Cluster near-duplicate pairs into connected components and elect the
     * min-doc_id as the canonical survivor — the step that turns pairwise
     * near-dup detection into an actionable dedup decision.

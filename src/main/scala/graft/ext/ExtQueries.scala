@@ -41,6 +41,9 @@ object ExtQueries {
       Similarity.lshTopK(e.where(col("vec_id") < 5), e, 10)
     }),
 
+    "x18_dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), 3)),
+
     "x15_dedup_cluster_canonical" -> ((s, dir) =>
       Dedup.connectedComponents(Dedup.jaccardPairs(Tables.documents(s, dir), 3, 0.8))),
 
@@ -169,6 +172,17 @@ object ExtQueries {
         "FROM be JOIN q USING (bucket) WHERE q.q_id <> be.vec_id), " +
         "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
         "SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10"),
+
+    "x18_dedup_simhash_pairs" ->
+      (s"WITH t AS ($toksCte), " +
+        "v AS (SELECT doc_id, list_transform(toks, tk -> CAST(('0x' || substr(md5(tk), 1, 4)) AS INT)) AS vals FROM t), " +
+        "h AS (SELECT doc_id, CAST(list_aggregate(list_transform(generate_series(0, 15), " +
+        "j -> CASE WHEN list_aggregate(list_transform(vals, x -> ((x >> j) & 1)*2 - 1), 'sum') >= 0 " +
+        "THEN (1 << j) ELSE 0 END), 'sum') AS BIGINT) AS simhash FROM v) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming " +
+        "FROM h a JOIN h b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"),
 
     "x15_dedup_cluster_canonical" ->
       (s"WITH RECURSIVE t AS ($toksCte), sh AS ($shinglesCte), " +
