@@ -237,6 +237,47 @@ object SparkEntry {
         date_trunc("month", to_date(col("o_orderdate"))).cast("timestamp_ntz").as("d_month"),
         datediff(lit(Date.valueOf("1998-12-31")), to_date(col("o_orderdate"))).cast("long").as("days_to_eoy"))),
 
+    // J+ — scalar/correlated subquery shape: customers above their
+    // segment's average balance.
+    "q30_j6_scalar_subquery" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val segAvg = c.groupBy(col("c_mktsegment"))
+        .agg(avg(col("c_acctbal")).as("seg_avg"))
+      c.join(broadcast(segAvg), Seq("c_mktsegment"))
+        .where(col("c_acctbal") > col("seg_avg"))
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    }),
+
+    // U+ — INTERSECT / EXCEPT set operations (absent from the reference;
+    // free in Spark).
+    "q31_u2_intersect_except" -> ((s, dir) => {
+      val buyers = Tables.orders(s, dir).select(col("o_custkey").as("k"))
+      val building = Tables.customer(s, dir)
+        .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+      buyers.intersect(building).withColumn("tag", lit("both"))
+        .unionByName(building.exceptAll(buyers.distinct()).withColumn("tag", lit("no_orders")))
+    }),
+
+    // X+ — string-function suite over part names.
+    "q32_x6_string_funcs" -> ((s, dir) =>
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("head8"),
+        length(col("p_name")).cast("long").as("name_len"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_padded"))),
+
+    // A+ — conditional aggregation (pivot-style wide metrics in one pass).
+    "q33_a6_conditional_agg" -> ((s, dir) =>
+      Tables.orders(s, dir).groupBy(col("o_orderpriority"))
+        .agg(
+          count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+          count(when(col("o_orderstatus") === "O", 1)).as("n_open"),
+          count(when(col("o_orderstatus") === "P", 1)).as("n_pending"),
+          dsum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(lit(0.0)))
+            .as("finished_price"))),
+
     // ST2 — batch sessionization (the batch twin of streaming.EventStream
     // .sessionize): gap>30min starts a new session; one shuffle + two
     // window passes over (user, ts).
@@ -452,6 +493,35 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price, count(*) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q30_j6_scalar_subquery" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_mktsegment = c.c_mktsegment)""".stripMargin,
+    "q31_u2_intersect_except" ->
+      """SELECT k, 'both' AS tag FROM (
+        |  SELECT o_custkey AS k FROM orders
+        |  INTERSECT
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |UNION ALL
+        |SELECT k, 'no_orders' AS tag FROM (
+        |  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT ALL
+        |  SELECT DISTINCT o_custkey FROM orders)""".stripMargin,
+    "q32_x6_string_funcs" ->
+      """SELECT p_partkey, upper(substr(p_name, 1, 8)) AS head8,
+        | CAST(length(p_name) AS BIGINT) AS name_len,
+        | coalesce(regexp_extract(p_name, '([a-z]+)$', 1), '') AS last_word,
+        | concat_ws('|', p_brand, p_type) AS brand_type,
+        | lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
+        |FROM part""".stripMargin,
+    "q33_a6_conditional_agg" ->
+      """SELECT o_orderpriority,
+        | count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+        | count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+        | count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending,
+        | CAST(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END
+        |   AS DECIMAL(18,4))) AS DOUBLE) AS finished_price
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q28_a5_percentile" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
         | quantile_cont(l_extendedprice, 0.9) AS p90_price,

@@ -98,6 +98,14 @@ object EventStream {
         sessionStepImpl(timeout != GroupStateTimeout.NoTimeout()))
   }
 
+  /** Stream-static enrichment: join each micro-batch against a (small)
+    * static dimension — the streaming twin of the pipeline's J2 broadcast
+    * enrich. The dimension is re-broadcast per batch, so slowly-changing
+    * dims pick up updates on refresh without restarting the query.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Batch-incremental file stream (T2 as Structured Streaming): read a
     * parquet directory as a stream and drain everything available, then
     * stop — `Trigger.AvailableNow` — with exactly-once bookkeeping in the

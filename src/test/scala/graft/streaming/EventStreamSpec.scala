@@ -71,6 +71,21 @@ class EventStreamSpec extends SparkTestBase {
     assert(spark.table("sess").isEmpty) // sessions close on timeout only
   }
 
+  test("enrichStream joins micro-batches against a static broadcast dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    in.addData((1L, 10.0), (2L, 20.0), (3L, 30.0))
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val stream = in.toDF().toDF("user_id", "value")
+    val q = EventStream.enrichStream(stream, dim, "user_id")
+      .writeStream.format("memory").queryName("enr")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("enr").collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)).getOrElse("none"))).toSet
+    assert(rows === Set((1L, "gold"), (2L, "silver"), (3L, "none")))
+  }
+
   test("fileStream drains a parquet directory with AvailableNow (T2 semantics)") {
     val dir = java.nio.file.Files.createTempDirectory("fs").toString
     val data = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
