@@ -278,6 +278,17 @@ object SparkEntry {
           dsum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(lit(0.0)))
             .as("finished_price"))),
 
+    // X+ — JSON path extraction over a constructed payload column.
+    "q34_x7_json_funcs" -> ((s, dir) => {
+      val js = concat(lit("{\"id\":"), col("o_orderkey"),
+        lit(",\"status\":\""), col("o_orderstatus"),
+        lit("\",\"price\":"), col("o_totalprice"), lit("}"))
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        get_json_object(js, "$.status").as("j_status"),
+        get_json_object(js, "$.price").cast("double").as("j_price"))
+    }),
+
     // ST2 — batch sessionization (the batch twin of streaming.EventStream
     // .sessionize): gap>30min starts a new session; one shuffle + two
     // window passes over (user, ts).
@@ -493,6 +504,12 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price, count(*) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q34_x7_json_funcs" ->
+      """WITH j AS (SELECT o_orderkey,
+        |  '{"id":' || o_orderkey || ',"status":"' || o_orderstatus || '","price":' || o_totalprice || '}' AS js
+        |  FROM orders)
+        |SELECT o_orderkey, json_extract_string(js, '$.status') AS j_status,
+        |  CAST(json_extract_string(js, '$.price') AS DOUBLE) AS j_price FROM j""".stripMargin,
     "q30_j6_scalar_subquery" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer c
         |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2

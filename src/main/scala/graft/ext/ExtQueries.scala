@@ -41,6 +41,16 @@ object ExtQueries {
       Similarity.lshTopK(e.where(col("vec_id") < 5), e, 10)
     }),
 
+    "x19_array_funcs" -> ((s, dir) =>
+      Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        array_max(col("embedding")).cast("double").as("emb_max"),
+        array_min(col("embedding")).cast("double").as("emb_min"),
+        element_at(col("embedding"), 1).cast("double").as("first"),
+        aggregate(slice(col("embedding"), 1, 8).cast("array<double>"),
+          lit(0.0), (a, x) => a + x).as("head8_sum"))),
+
     "x18_dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), 3)),
 
@@ -172,6 +182,14 @@ object ExtQueries {
         "FROM be JOIN q USING (bucket) WHERE q.q_id <> be.vec_id), " +
         "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
         "SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10"),
+
+    "x19_array_funcs" ->
+      ("SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, " +
+        "CAST(list_max(embedding) AS DOUBLE) AS emb_max, " +
+        "CAST(list_min(embedding) AS DOUBLE) AS emb_min, " +
+        "CAST(embedding[1] AS DOUBLE) AS first, " +
+        "list_aggregate(list_transform(CAST(embedding AS DOUBLE[])[1:8], x -> x), 'sum') AS head8_sum " +
+        "FROM embeddings"),
 
     "x18_dedup_simhash_pairs" ->
       (s"WITH t AS ($toksCte), " +
