@@ -278,6 +278,15 @@ object SparkEntry {
           dsum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(lit(0.0)))
             .as("finished_price"))),
 
+    // CAL — trading-day arithmetic from the calendar table (§7.4 risk 3):
+    // next open day strictly after each distinct order date.
+    "q35_cal_next_trading_day" -> ((s, dir) => {
+      val src = new TpchMarketSource(s, dir)
+      val dates = Tables.orders(s, dir)
+        .select(to_date(col("o_orderdate")).as("d")).distinct()
+      tsify(MarketPipeline.nextTradingDay(dates, src, "d"))
+    }),
+
     // X+ — JSON path extraction over a constructed payload column.
     "q34_x7_json_funcs" -> ((s, dir) => {
       val js = concat(lit("{\"id\":"), col("o_orderkey"),
@@ -504,6 +513,17 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price, count(*) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q35_cal_next_trading_day" ->
+      """WITH cal AS (
+        |  SELECT strftime(d, '%Y%m%d') AS cal_date,
+        |         CASE WHEN extract(day FROM d) % 7 = 0 THEN 0 ELSE 1 END AS is_open
+        |  FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders) dd
+        |), open_days AS (
+        |  SELECT strptime(cal_date, '%Y%m%d') AS cd FROM cal WHERE is_open = 1
+        |), dts AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+        |SELECT CAST(d AS TIMESTAMP) AS d,
+        |  (SELECT min(cd) FROM open_days WHERE cd > CAST(d AS TIMESTAMP)) AS next_trading_day
+        |FROM dts""".stripMargin,
     "q34_x7_json_funcs" ->
       """WITH j AS (SELECT o_orderkey,
         |  '{"id":' || o_orderkey || ',"status":"' || o_orderstatus || '","price":' || o_totalprice || '}' AS js

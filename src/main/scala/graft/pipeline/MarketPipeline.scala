@@ -49,4 +49,18 @@ object MarketPipeline {
     Conform.castYyyymmdd(src.tradeCal.where(col("is_open") === 1), "cal_date")
       .orderBy(col("cal_date").asc)
       .select("cal_date")
+
+  /** Trading-day arithmetic (SURVEY.md §7.4 risk 3): "next trading day"
+    * comes from the calendar table, never `plusDays` — holidays and
+    * suspensions make naive date math wrong. The calendar is tiny at any
+    * scale (~250 rows/year), so the range lookup is a broadcast join + min,
+    * which Catalyst keeps fully parallel over the dates side.
+    */
+  def nextTradingDay(dates: DataFrame, src: MarketSource, dateCol: String): DataFrame = {
+    val openDays = Conform.castYyyymmdd(
+      src.tradeCal.where(col("is_open") === 1), "cal_date").select("cal_date")
+    dates.join(broadcast(openDays), col("cal_date") > col(dateCol), "left")
+      .groupBy(dates.columns.map(col).toIndexedSeq: _*)
+      .agg(min(col("cal_date")).as("next_trading_day"))
+  }
 }
