@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver-gate contract: graft.Bench must emit its result JSON as a clean,
+// undecorated stdout line. With the default LoggedOutput strategy sbt
+// prefixes every forked-process line with [info]/[error], which broke the
+// round-1 bench parse (BENCH_r01.json: parsed=null despite rc=0). Pipe the
+// forked JVM's stdout/stderr straight through instead.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+// ...and drop sbt's trailing "[success] Total time: ..." line so the JSON
+// stays the LAST stdout line a driver tail-parse would see.
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(run / outputStrategy, Compile / run / outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

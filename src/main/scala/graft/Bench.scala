@@ -37,7 +37,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Driver contract: the JSON must be the last undecorated stdout line.
+    // Stop Spark FIRST so no shutdown logging can land after it, then print
+    // and flush. (Spark's log4j console appender targets stderr, but the
+    // ordering guarantee costs nothing.) Also persist a copy next to the
+    // repo so a stdout-capture failure still leaves the result on disk.
     spark.stop()
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), json + "\n")
+    catch { case _: Throwable => () }
+    println(json)
+    System.out.flush()
   }
 }
