@@ -182,21 +182,79 @@ object Dedup {
     docs.join(victims, Seq("doc_id"), "left_anti")
   }
 
-  /** 16-bit SimHash per doc, one scan pass: hash each token to 16 bits (md5
-    * prefix), accumulate ±1 per bit position across tokens (repeats count —
-    * standard term-frequency weighting), take sign bits.
+  /** 16-bit sign-accumulate over an array of 16-bit token hashes: ±1 per bit
+    * position across tokens (repeats count — standard term-frequency
+    * weighting), then sign bits packed back into an int.
     */
-  def simhash(docs: DataFrame, text: Column = col("text")): DataFrame = {
-    val vals = transform(TextOps.tokens(text), t => TextOps.tokHash16(t))
+  private def signBits16(vals: Column): Column = {
     val zeros = array_repeat(lit(0), 16)
     val bitSums = aggregate(vals, zeros, (acc, v) =>
       zip_with(acc,
         array((0 until 16).map(j => shiftright(v, j).bitwiseAND(lit(1)) * lit(2) - lit(1)): _*),
         (a, b) => a + b))
-    val hash = aggregate(
+    aggregate(
       zip_with(bitSums, typedLit((0 until 16).map(j => 1 << j)),
         (s, p) => when(s >= 0, p).otherwise(lit(0))),
       lit(0), (a, b) => a + b)
-    docs.select(col("doc_id"), hash.cast("long").as("simhash"))
+  }
+
+  /** 16-bit SimHash per doc, one scan pass: hash each token to 16 bits (md5
+    * prefix), sign-accumulate. Kept as the small/verifier width; the real
+    * corpus path is [[simhash64]] — 16 bits has only 65,536 distinct values,
+    * so at scale everything collides.
+    */
+  def simhash(docs: DataFrame, text: Column = col("text")): DataFrame =
+    docs.select(col("doc_id"),
+      signBits16(transform(TextOps.tokens(text), t => TextOps.tokHash16(t)))
+        .cast("long").as("simhash"))
+
+  val SimhashPieces = 4 // 4 x 16 bits = 64-bit signature
+
+  /** 64-bit SimHash as 4 independent 16-bit pieces (`sig: array<int>`, one
+    * md5 per token sliced into 4 disjoint 16-bit hex pieces). Partitioning
+    * the 64 bit positions across array slots changes nothing semantically —
+    * Hamming distance is the sum of per-piece `bit_count(xor)` — and keeps
+    * every value in signed-int range so both engines agree bit-for-bit
+    * (a true 64-bit value would overflow DuckDB's signed BIGINT cast).
+    * Pure per-row map: one scan pass, no shuffle.
+    */
+  def simhash64(docs: DataFrame, text: Column = col("text")): DataFrame = {
+    val hashes = transform(TextOps.tokens(text), t => md5(t))
+    val pieces = (0 until SimhashPieces).map { p =>
+      signBits16(transform(hashes, h => conv(substring(h, p * 4 + 1, 4), 16, 10).cast("int")))
+    }
+    docs.select(col("doc_id"), array(pieces: _*).as("sig"))
+  }
+
+  /** Per-pair Hamming distance between two 4x16-bit signatures. */
+  private def hamming64(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, v) => acc + v).cast("long")
+
+  /** Banded SimHash near-dup pairs — the 100 TB scale path. Any pair within
+    * Hamming distance d ≤ 3 differs in at most 3 of the 4 disjoint 16-bit
+    * bands, so by pigeonhole it matches EXACTLY on at least one band.
+    * Candidate generation is therefore a band-bucket equi-join (the only
+    * wide op — mirror of [[minhashLsh]]), and each candidate is verified
+    * with the exact 64-bit Hamming distance. No cross join anywhere.
+    * Output: (doc_a, doc_b, hamming), doc_a < doc_b.
+    */
+  def simhashBandedPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist < SimhashPieces, s"banding guarantees recall only for maxDist < $SimhashPieces")
+    // Cache the signature table: ~4 ints/doc, feeds both band-join sides and
+    // both verify sides — without it each consumer re-runs tokenize+md5.
+    val sig = simhash64(docs).cache()
+    val bands = sig.select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "bits")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
+      .where(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming")
   }
 }

@@ -54,6 +54,9 @@ object ExtQueries {
     "x18_dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), 3)),
 
+    "x20_dedup_simhash_banded" -> ((s, dir) =>
+      Dedup.simhashBandedPairs(Tables.documents(s, dir), 3)),
+
     "x15_dedup_cluster_canonical" -> ((s, dir) =>
       Dedup.connectedComponents(Dedup.jaccardPairs(Tables.documents(s, dir), 3, 0.8))),
 
@@ -201,6 +204,23 @@ object ExtQueries {
         "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming " +
         "FROM h a JOIN h b ON a.doc_id < b.doc_id " +
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"),
+
+    "x20_dedup_simhash_banded" ->
+      (s"WITH t AS ($toksCte), " +
+        "hs AS (SELECT doc_id, list_transform(toks, tk -> md5(tk)) AS hs FROM t), " +
+        "sig AS (SELECT doc_id, list_transform(generate_series(0, 3), " +
+        "p -> CAST(list_aggregate(list_transform(generate_series(0, 15), " +
+        "j -> CASE WHEN list_aggregate(list_transform(hs, " +
+        "h -> ((CAST(('0x' || substr(h, p * 4 + 1, 4)) AS INT) >> j) & 1) * 2 - 1), 'sum') >= 0 " +
+        "THEN (1 << j) ELSE 0 END), 'sum') AS INT)) AS sig FROM hs), " +
+        "bandx AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM sig), " +
+        "band AS (SELECT doc_id, band, sig[band + 1] AS bits FROM bandx), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM band a JOIN band b " +
+        "ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id), " +
+        "ham AS (SELECT cand.doc_a, cand.doc_b, " +
+        "CAST(list_aggregate(list_transform(list_zip(sa.sig, sb.sig), z -> bit_count(xor(z[1], z[2]))), 'sum') AS BIGINT) AS hamming " +
+        "FROM cand JOIN sig sa ON sa.doc_id = cand.doc_a JOIN sig sb ON sb.doc_id = cand.doc_b) " +
+        "SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3"),
 
     "x15_dedup_cluster_canonical" ->
       (s"WITH RECURSIVE t AS ($toksCte), sh AS ($shinglesCte), " +
