@@ -144,14 +144,25 @@ object Similarity {
     */
   def ivfAssign(vectors: DataFrame, centroidSource: DataFrame): DataFrame = {
     GraftFunctions.register(vectors.sparkSession)
-    val cents = broadcast(centroidSource.where(col("vec_id") % IvfCentroidStride === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb")))
-    vectors.crossJoin(cents)
-      .withColumn("cent_cos", GraftFunctions.cosineSim(col("embedding"), col("cent_emb")))
-      .withColumn("_r", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("cent_cos").desc, col("cent_id").asc)))
-      .where(col("_r") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val cents = centroidSource.where(col("vec_id") % IvfCentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    // Pack ALL centroids into one array-of-structs row (IVF centroid lists
+    // are small by construction — that's what makes IVF an index) and
+    // broadcast it onto every vector row. Cell assignment is then a single
+    // per-row codegen'd fold: argmax cosine, strict `>` over an id-sorted
+    // array so ties resolve to the LOWER centroid id. Zero shuffle and zero
+    // row amplification — the earlier form cross-joined corpus × centroids
+    // and shuffled the N×C expansion through a row_number window.
+    val packed = broadcast(cents.agg(
+      array_sort(collect_list(struct(col("cent_id"), col("cent_emb")))).as("_cents")))
+    val init = struct(lit(Double.NegativeInfinity).as("cos"), lit(-1L).as("id"))
+    val best = aggregate(col("_cents"), init, (acc, c) => {
+      val cos = GraftFunctions.cosineSim(col("embedding"), c.getField("cent_emb"))
+      when(cos > acc.getField("cos"),
+        struct(cos.as("cos"), c.getField("cent_id").as("id"))).otherwise(acc)
+    })
+    vectors.crossJoin(packed)
+      .select(col("vec_id"), col("embedding"), best.getField("id").as("cell"))
   }
 
   /** Top-k within the query's IVF cell (exact within-cell, approximate

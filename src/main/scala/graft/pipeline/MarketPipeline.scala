@@ -3,6 +3,7 @@ package graft.pipeline
 import graft.ops.{Assemble, Conform}
 import graft.sources.MarketSource
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The three reference flows re-expressed as lazy DataFrame plans
@@ -52,15 +53,27 @@ object MarketPipeline {
 
   /** Trading-day arithmetic (SURVEY.md §7.4 risk 3): "next trading day"
     * comes from the calendar table, never `plusDays` — holidays and
-    * suspensions make naive date math wrong. The calendar is tiny at any
-    * scale (~250 rows/year), so the range lookup is a broadcast join + min,
-    * which Catalyst keeps fully parallel over the dates side.
+    * suspensions make naive date math wrong.
+    *
+    * Plan: precompute `next_trading_day` per CALENDAR day with one forward
+    * window over the tiny calendar (~250 rows/year — the single-partition
+    * window is deliberate and cheap on a dim this size), then BROADCAST
+    * equi-join each date to its calendar row. The earlier range-join form
+    * (`cal_date > d` + min-agg) was a BroadcastNestedLoopJoin that expanded
+    * every date row by ~half the calendar before aggregating — this version
+    * does zero row amplification and keeps the dates side embarrassingly
+    * parallel. Dates outside the calendar domain resolve to null (the
+    * calendar defines the trading universe).
     */
   def nextTradingDay(dates: DataFrame, src: MarketSource, dateCol: String): DataFrame = {
-    val openDays = Conform.castYyyymmdd(
-      src.tradeCal.where(col("is_open") === 1), "cal_date").select("cal_date")
-    dates.join(broadcast(openDays), col("cal_date") > col(dateCol), "left")
-      .groupBy(dates.columns.map(col).toIndexedSeq: _*)
-      .agg(min(col("cal_date")).as("next_trading_day"))
+    val w = Window.orderBy(col("cal_date"))
+      .rowsBetween(1L, Window.unboundedFollowing)
+    val nextOpen = Conform.castYyyymmdd(src.tradeCal, "cal_date")
+      .select(col("cal_date"), col("is_open"))
+      .withColumn("next_trading_day",
+        first(when(col("is_open") === 1, col("cal_date")), ignoreNulls = true).over(w))
+      .select(col("cal_date").as("_cal_d"), col("next_trading_day"))
+    dates.join(broadcast(nextOpen), col(dateCol) === col("_cal_d"), "left")
+      .drop("_cal_d")
   }
 }
