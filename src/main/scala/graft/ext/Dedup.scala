@@ -170,6 +170,12 @@ object Dedup {
       labels = updated
       i += 1
     }
+    // A silent partial result here would be consumed as a dedup DECISION —
+    // docs would keep wrong canonical ids and survive dedup incorrectly.
+    // Fail loudly; callers with genuinely deep components raise maxIters.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIters iterations — " +
+        "component diameter exceeds maxIters; labels would be partially propagated")
     labels.select(col("doc_id"), col("lbl").as("canonical_id"))
   }
 

@@ -43,9 +43,20 @@ object AsOf {
       .orderBy(col("_t").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // Pack the right value columns into ONE struct and LOCF that single
+    // column, so every appended value comes from the SAME matched right row
+    // (pandas merge_asof semantics). Per-column last(ignoreNulls) would
+    // blend values across right rows whenever the most recent row holds a
+    // null in one column. The struct is tagged on right rows only — a
+    // struct of nulls is itself non-null, so it must not exist on left rows
+    // or it would shadow earlier right rows.
+    val packed = unioned.withColumn("_rvals",
+      when(col("_side") === 0, struct(rValueCols.map(col): _*)))
+    val filled = packed.withColumn("_rlast",
+      last(col("_rvals"), ignoreNulls = true).over(w))
     rValueCols
-      .foldLeft(unioned)((df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+      .foldLeft(filled)((df, c) => df.withColumn(c, col("_rlast").getField(c)))
       .where(col("_side") === 1)
-      .drop("_t", "_side")
+      .drop("_t", "_side", "_rvals", "_rlast")
   }
 }

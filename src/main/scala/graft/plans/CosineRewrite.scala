@@ -31,15 +31,34 @@ object CosineRewriteRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** True iff {e1, e2} is exactly the lambda's own argument pair {v1, v2}
+    * (either order, matched by exprId). Guards against rewriting shapes like
+    * `(x, y) -> x * x` — structurally a Multiply of lambda variables, but
+    * NOT the dot product — which an operand-blind match would accept and
+    * silently change results for.
+    */
+  private def isArgPair(e1: Expression, e2: Expression,
+                        v1: NamedLambdaVariable, v2: NamedLambdaVariable): Boolean =
+    (e1, e2) match {
+      case (a: NamedLambdaVariable, b: NamedLambdaVariable) =>
+        (a.exprId == v1.exprId && b.exprId == v2.exprId) ||
+          (a.exprId == v2.exprId && b.exprId == v1.exprId)
+      case _ => false
+    }
+
   private object DotProductPattern {
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
       case ArrayAggregate(
             ZipWith(Cast(a, ArrayType(DoubleType, _), _, _), Cast(b, ArrayType(DoubleType, _), _, _),
-              LambdaFunction(Multiply(_, _, _), _, _)),
+              LambdaFunction(Multiply(m1, m2, _),
+                Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
             Literal(0.0, DoubleType),
-            LambdaFunction(Add(_, _, _), _, _),
-            LambdaFunction(_: NamedLambdaVariable, _, _))
-          if isFloatArray(a) && isFloatArray(b) =>
+            LambdaFunction(Add(s1, s2, _),
+              Seq(acc: NamedLambdaVariable, elem: NamedLambdaVariable), _),
+            LambdaFunction(fin: NamedLambdaVariable, Seq(fv: NamedLambdaVariable), _))
+          if isFloatArray(a) && isFloatArray(b)
+            && isArgPair(m1, m2, x, y) && isArgPair(s1, s2, acc, elem)
+            && fin.exprId == fv.exprId =>
         Some((a, b))
       case _ => None
     }

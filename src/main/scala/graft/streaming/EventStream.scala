@@ -49,9 +49,11 @@ object EventStream {
 
   /** Custom stateful operator: gap-based sessionization per user via
     * `flatMapGroupsWithState` — the Spark-native replacement for any
-    * hand-rolled per-key state loop. Emits a session when the 30-minute
-    * inactivity gap elapses (processing-time timeout); state is one small
-    * struct per active user, so memory is O(active users), not O(events).
+    * hand-rolled per-key state loop. Sessions split on EVENT-time gaps
+    * > 30 min (emitted as soon as the gap is visible in arrived data); the
+    * processing-time timeout only finalizes the last open session when the
+    * stream goes quiet. State is one small struct per active user, so
+    * memory is O(active users), not O(events).
     */
   /** The per-group state transition, exposed for direct unit testing with
     * `TestGroupState`: absorb the batch's events into the running session,
@@ -69,19 +71,32 @@ object EventStream {
       Iterator(UserSession(userId, new Timestamp(s.start), new Timestamp(s.lastSeen),
         s.nEvents, s.totalValue))
     } else {
-      val merged = rows.toSeq.sortBy(_.ts.getTime).foldLeft(state.getOption) { (acc, e) =>
-        val t = e.ts.getTime
-        acc match {
-          case Some(s) => Some(SessionState(s.start, math.max(s.lastSeen, t),
-            s.nEvents + 1, s.totalValue + e.value))
-          case None => Some(SessionState(t, t, 1L, e.value))
-        }
+      // EVENT-time sessionization, matching the batch twin (q27): a gap
+      // > SessionGapMs between consecutive event timestamps closes the
+      // session immediately — even when both events arrive in the same
+      // micro-batch or via an AvailableNow replay. The processing-time
+      // timeout only finalizes the LAST open session once the stream goes
+      // quiet. Late cross-batch events min-update the session start.
+      val evs = rows.toSeq.sortBy(_.ts.getTime)
+      val (closed, current) = evs.foldLeft((Vector.empty[UserSession], state.getOption)) {
+        case ((done, acc), e) =>
+          val t = e.ts.getTime
+          acc match {
+            case Some(s) if t - s.lastSeen > SessionGapMs =>
+              (done :+ UserSession(userId, new Timestamp(s.start),
+                new Timestamp(s.lastSeen), s.nEvents, s.totalValue),
+                Some(SessionState(t, t, 1L, e.value)))
+            case Some(s) =>
+              (done, Some(SessionState(math.min(s.start, t), math.max(s.lastSeen, t),
+                s.nEvents + 1, s.totalValue + e.value)))
+            case None => (done, Some(SessionState(t, t, 1L, e.value)))
+          }
       }
-      merged.foreach { s =>
+      current.foreach { s =>
         state.update(s)
         if (useTimeout) state.setTimeoutDuration(SessionGapMs)
       }
-      Iterator.empty // sessions close on timeout only
+      closed.iterator
     }
 
   /** `timeout` is parameterized so bounded-drain tests can run the NoTimeout

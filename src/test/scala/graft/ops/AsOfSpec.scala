@@ -17,6 +17,22 @@ class AsOfSpec extends SparkTestBase {
       Seq((1L, 10L, "b"), (1L, 20L, "c"), (2L, 10L, null)))
   }
 
+  test("asofJoin carries the WHOLE matched right row (no cross-row blending on nulls)") {
+    // Right rows: (t=5, a=1, b=2) then (t=10, a=null, b=3). A left row at
+    // t=15 must see (a=null, b=3) — all values from the t=10 row — not the
+    // per-column blend (a=1, b=3) that independent last(ignoreNulls) gives.
+    val left = Seq((1L, 15L)).toDF("k", "t")
+    val right = Seq(
+      (1L, 5L, Some(1), Some(2)),
+      (1L, 10L, None, Some(3))
+    ).toDF("k", "rt", "a", "b")
+    val out = AsOf.asofJoin(left, right, Seq("k"), "t", "rt").collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.isNullAt(r.fieldIndex("a")), "a must be null — from the t=10 row")
+    assert(r.getInt(r.fieldIndex("b")) === 3)
+  }
+
   test("asofJoin rejects colliding value column names") {
     val left = Seq((1L, 10L, "x")).toDF("k", "t", "v")
     val right = Seq((1L, 5L, "a")).toDF("k", "rt", "v")

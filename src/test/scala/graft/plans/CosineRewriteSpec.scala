@@ -37,6 +37,42 @@ class CosineRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("rule does NOT rewrite sum-of-squares (lambda operands must be the zip_with pair)") {
+    // aggregate(zip_with(a, b, (x, y) -> x * x), ...) is structurally a
+    // Multiply inside the right lambda shape but is NOT a dot product —
+    // an operand-blind match would silently turn sum(x²) into cos(a, b).
+    def q = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(aggregate(
+        zip_with(col("a.embedding").cast("array<double>"),
+          col("b.embedding").cast("array<double>"), (x, _) => x * x),
+        lit(0.0), (acc, v) => acc + v).as("sumsq"))
+    val before = q.collect().map(_.getDouble(0)).sorted
+    val prior = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = prior :+ CosineRewriteRule
+      val q2 = q
+      assert(!q2.queryExecution.executedPlan.toString.contains("graft_cosine"),
+        "sum-of-squares must not be rewritten to CosineSim")
+      assert(q2.collect().map(_.getDouble(0)).sorted.toSeq === before.toSeq)
+    } finally {
+      spark.experimental.extraOptimizations = prior
+    }
+  }
+
+  test("CosineSim matches HOF null semantics: length mismatch and null element give null") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (Seq(Some(1.0f), Some(2.0f)), Seq(Some(1.0f), Some(1.0f), Some(1.0f))), // length mismatch
+      (Seq(Some(1.0f), None), Seq(Some(1.0f), Some(1.0f))),                   // null element
+      (Seq(Some(1.0f), Some(2.0f)), Seq(Some(3.0f), Some(4.0f)))             // clean
+    ).toDF("a", "b")
+    val native = df.select(graft.functions.GraftFunctions.cosineSim(col("a"), col("b"))).collect()
+    val hof = df.select(Similarity.cosine(col("a"), col("b"))).collect()
+    assert(native.map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq ===
+      hof.map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq)
+    assert(native(0).isNullAt(0) && native(1).isNullAt(0) && native(2).getDouble(0) === 11.0)
+  }
+
   test("rule leaves non-matching aggregates alone") {
     val q = vecs.select(
       aggregate(col("embedding").cast("array<double>"), lit(0.0), (acc, x) => acc + x).as("s"))

@@ -51,6 +51,37 @@ class EventStreamSpec extends SparkTestBase {
     assert(s2.isRemoved)
   }
 
+  test("sessionStep splits on event-time gaps within one batch (q27 twin semantics)") {
+    import EventStream.sessionStep
+    val s = TestGroupState.create[SessionState](
+      org.apache.spark.api.java.Optional.empty[SessionState](),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      1000L, org.apache.spark.api.java.Optional.empty[java.lang.Long]().asInstanceOf[org.apache.spark.api.java.Optional[Long]], false)
+    // 10:00, 10:05, then 10:50 — the 45-min event-time gap closes session 1
+    // immediately, even though all three arrived in the same micro-batch.
+    val out = sessionStep(1L, Iterator(
+      Event(1L, ts(0), "click", 1.0),
+      Event(1L, ts(5), "click", 2.0),
+      Event(1L, ts(50), "buy", 7.0)), s).toSeq
+    assert(out === Seq(UserSession(1L, ts(0), ts(5), 2L, 3.0)))
+    val st = s.get
+    assert(st.start === ts(50).getTime && st.nEvents === 1L && st.totalValue === 7.0)
+  }
+
+  test("sessionStep min-updates session start for late cross-batch events") {
+    import EventStream.sessionStep
+    val open = SessionState(ts(10).getTime, ts(10).getTime, 1L, 1.0)
+    val s = TestGroupState.create[SessionState](
+      org.apache.spark.api.java.Optional.of(open),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      1000L, org.apache.spark.api.java.Optional.empty[java.lang.Long]().asInstanceOf[org.apache.spark.api.java.Optional[Long]], false)
+    // A late event at 10:05 arrives after the session opened at 10:10.
+    val out = sessionStep(1L, Iterator(Event(1L, ts(5), "click", 2.0)), s).toSeq
+    assert(out.isEmpty)
+    assert(s.get.start === ts(5).getTime, "session start must min-update for late events")
+    assert(s.get.nEvents === 2L)
+  }
+
   test("sessionize runs end-to-end as a streaming query (state holds, no premature emission)") {
     org.apache.spark.sql.SparkSession.setActiveSession(spark)
     implicit val sqlCtx = spark.sqlContext
