@@ -58,11 +58,21 @@ object Incremental {
     * `spark.sql.sources.partitionOverwriteMode=dynamic` a re-run of the same
     * delta is a no-op instead of a duplication.
     */
-  def publishDelta(delta: DataFrame, targetDir: String): Unit = {
-    val spark = delta.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    delta.write.mode("overwrite").partitionBy("date").parquet(targetDir)
-  }
+  def publishDelta(delta: DataFrame, targetDir: String): Unit =
+    // Writer-scoped option, not session-conf mutation — the overwrite mode
+    // must not leak into unrelated writes on a shared session.
+    delta.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("date").parquet(targetDir)
+
+  /** E1 backfill publish (K2/D7): full overwrite of the whole `date`-
+    * partitioned table — the workspace-reset semantics of the reference's
+    * backfill (market/non_fq_daily_kline.py:126-132 writes the complete
+    * history). Static overwrite mode drops partitions that no longer exist
+    * upstream, so a re-run always converges to exactly the assembled set.
+    */
+  def publishFull(df: DataFrame, targetDir: String): Unit =
+    df.write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("date").parquet(targetDir)
 
   /** U1 hardened — union master ∪ delta with key-level dedup so re-applied
     * deltas cannot duplicate (reference defect at

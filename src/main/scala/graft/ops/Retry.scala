@@ -1,0 +1,24 @@
+package graft.ops
+
+/** D1 — driver-level retry wrapper. The reference wraps every fetch task in
+  * `retries=3` (reference: market/non_fq_daily_kline.py:62,70,78 and
+  * market/delta_non_fq_daily_kline.py:50); Spark's task retries cover
+  * in-engine failure, but a whole-JOB transient (sink hiccup, source
+  * listing race) still needs one driver-side loop around the action.
+  */
+object Retry {
+  def withRetries[T](attempts: Int = 3, label: String = "job")(body: => T): T = {
+    var lastErr: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try return body
+      catch {
+        case e: Throwable =>
+          lastErr = e
+          i += 1
+          System.err.println(s"[retry] $label attempt $i/$attempts failed: ${e.getMessage}")
+      }
+    }
+    throw lastErr
+  }
+}

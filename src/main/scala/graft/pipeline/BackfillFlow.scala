@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import graft.ops.{Incremental, Retry}
+import graft.sources.MarketSource
+import org.apache.spark.sql.SparkSession
+
+/** E1 end-to-end: the backfill flow as a runnable unit — assemble the FULL
+  * history in one partitioned job (the structural replacement for the
+  * reference's ~1,600-iteration per-stock loop,
+  * market/non_fq_daily_kline.py:54-58) and publish it as a `date`-
+  * partitioned parquet table (the reference appends per-stock CSV,
+  * market/non_fq_daily_kline.py:126-132 — here the write IS the
+  * partitioning, so every downstream date predicate becomes partition
+  * pruning).
+  */
+object BackfillFlow {
+
+  case class Result(rowsPublished: Long)
+
+  def run(spark: SparkSession, src: MarketSource, targetDir: String): Result = {
+    val prices = MarketPipeline.assemblePrices(src)
+    Retry.withRetries(3, "backfill publish") {
+      Incremental.publishFull(prices, targetDir)
+    }
+    Result(spark.read.parquet(targetDir).count())
+  }
+}
+
+/** E3 end-to-end: the trading-calendar flow — open days, sorted, written as
+  * ONE single-column CSV file (the reference's exact sink shape,
+  * market/trade_calendar.py:29). The repartition(1) is correct here and
+  * only here: the calendar is ~250 rows/year at any data scale.
+  */
+object CalendarFlow {
+
+  case class Result(daysWritten: Long, path: String)
+
+  def run(spark: SparkSession, src: MarketSource, targetFile: String): Result = {
+    import java.nio.file.{Files, Paths}
+    val cal = MarketPipeline.tradeCalendar(src)
+    val tmp = targetFile + "_tmpdir"
+    Retry.withRetries(3, "calendar write") {
+      cal.repartition(1).sortWithinPartitions("cal_date")
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+    }
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+      .getOrElse(sys.error(s"no part file under $tmp"))
+    val dest = Paths.get(targetFile)
+    if (dest.getParent != null) Files.createDirectories(dest.getParent)
+    Files.deleteIfExists(dest)
+    Files.move(part.toPath, dest)
+    new java.io.File(tmp).listFiles().foreach(_.delete())
+    Files.deleteIfExists(Paths.get(tmp))
+    Result(Files.lines(dest).count() - 1, targetFile) // minus header
+  }
+}
+
+/** Runnable entry points for the three flows:
+  * {{{
+  *   tools/run.sh graft.pipeline.PipelineMain backfill <sfDir> <outDir>
+  *   tools/run.sh graft.pipeline.PipelineMain calendar <sfDir> <outFile.csv>
+  *   tools/run.sh graft.pipeline.PipelineMain delta <sfDir> <outDir> <wmFile> <yyyy-MM-dd>
+  * }}}
+  */
+object PipelineMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: PipelineMain backfill|calendar|delta <sfDir> <out> [wmFile endDate]")
+    val cmd = args(0); val sfDir = args(1); val out = args(2)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = new TpchMarketSource(spark, sfDir)
+    cmd match {
+      case "backfill" =>
+        println(s"backfill rows=${BackfillFlow.run(spark, src, out).rowsPublished}")
+      case "calendar" =>
+        println(s"calendar days=${CalendarFlow.run(spark, src, out).daysWritten}")
+      case "delta" =>
+        val r = DeltaFlow.runOnce(spark, src, out, args(3), java.time.LocalDate.parse(args(4)))
+        println(s"delta days=${r.daysProcessed} rows=${r.rowsPublished} wm=${r.newWatermark.orNull}")
+      case other => sys.error(s"unknown command $other")
+    }
+    spark.stop()
+  }
+}

@@ -2,9 +2,9 @@ package graft.pipeline
 
 import java.time.LocalDate
 
-import graft.ops.{Assemble, Incremental}
+import graft.ops.{Assemble, Incremental, Retry}
 import graft.sources.MarketSource
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** E2 end-to-end (SURVEY.md §3): the delta flow as one idempotent unit —
@@ -25,8 +25,12 @@ object DeltaFlow {
 
   case class Result(daysProcessed: Int, rowsPublished: Long, newWatermark: Option[LocalDate])
 
+  /** `publish` is injectable so specs can exercise the retry path with a
+    * transiently-failing sink; production callers use the default.
+    */
   def runOnce(spark: SparkSession, src: MarketSource, targetDir: String,
-              watermarkPath: String, endInclusive: LocalDate): Result = {
+              watermarkPath: String, endInclusive: LocalDate,
+              publish: (DataFrame, String) => Unit = Incremental.publishDelta): Result = {
     val wm = new Incremental.Watermark(watermarkPath)
     val last = wm.read().getOrElse(LocalDate.of(2005, 1, 1))
     if (!endInclusive.isAfter(last)) return Result(0, 0L, Some(last))
@@ -39,7 +43,12 @@ object DeltaFlow {
     val rows =
       if (delta.isEmpty) 0L
       else {
-        Incremental.publishDelta(delta, targetDir)
+        // D1 — per-job retry (reference retries=3 per fetch,
+        // market/non_fq_daily_kline.py:62). Safe to retry because the
+        // publish is idempotent (dynamic partition overwrite).
+        Retry.withRetries(3, s"delta publish ($last, $endInclusive]") {
+          publish(delta, targetDir)
+        }
         spark.read.parquet(targetDir)
           .where(col("date") > lit(java.sql.Date.valueOf(last))
             && col("date") <= lit(java.sql.Date.valueOf(endInclusive)))

@@ -31,7 +31,11 @@ object MarketPipeline {
     val merged = Assemble.threeWayMerge(
       src.dailyKline, src.stkLimit, src.dailyBasic, Seq("ts_code", "trade_date"))
     val conformed = Conform.conformFact(Conform.rename(merged))
-    val universe = Conform.conformDim(Assemble.mainBoard(src.stockBasic))
+    // D2 — dim cache (reference: market/non_fq_daily_kline.py:30-34 caches
+    // the universe for 1h): the universe is re-read per action otherwise;
+    // it's a few thousand rows, so caching costs nothing and the broadcast
+    // build reuses it across every action on the assembled plan.
+    val universe = Conform.conformDim(Assemble.mainBoard(src.stockBasic)).cache()
     Assemble.cleanse(Assemble.enrichUniverse(conformed, universe))
   }
 
