@@ -23,6 +23,7 @@ import org.apache.spark.sql.functions._
   * bit-for-bit.
   */
 object Dedup {
+  import graft.ops.Caching.cacheOnce
 
   /** Exact dedup: canonical survivor (min doc_id) per distinct text digest.
     * GroupBy the 128-bit digest, not the text: at 100 TB the shuffle moves
@@ -39,7 +40,7 @@ object Dedup {
     * tokens), the cheapest of all the intermediates.
     */
   private def shingleSets(docs: DataFrame, k: Int): (DataFrame, DataFrame) = {
-    val sh = docs.select(col("doc_id"), TextOps.shingles(col("text"), k).as("shingles")).cache()
+    val sh = cacheOnce(docs.select(col("doc_id"), TextOps.shingles(col("text"), k).as("shingles")))
     (sh.select(col("doc_id"), explode(col("shingles")).as("shingle")),
       sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh")))
   }
@@ -100,7 +101,7 @@ object Dedup {
     // representation LSH exists to produce) and feeds both sides of the
     // candidate self-join — without the cache each side re-runs the full
     // shingle+16xmd5 signature computation over the corpus.
-    val bands = lshBands(minhashSignature(docs, k)).cache()
+    val bands = cacheOnce(lshBands(minhashSignature(docs, k)))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
           && col("a.doc_id") < col("b.doc_id"))
@@ -249,7 +250,7 @@ object Dedup {
     require(maxDist < SimhashPieces, s"banding guarantees recall only for maxDist < $SimhashPieces")
     // Cache the signature table: ~4 ints/doc, feeds both band-join sides and
     // both verify sides — without it each consumer re-runs tokenize+md5.
-    val sig = simhash64(docs).cache()
+    val sig = cacheOnce(simhash64(docs))
     val bands = sig.select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "bits")))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits")

@@ -1,0 +1,27 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Cache lifecycle hygiene shared by the dedup/similarity operators and the
+  * pipeline dims.
+  */
+object Caching {
+
+  /** Cache a plan exactly once: Spark's CacheManager matches by logical
+    * plan, so calling `.cache()` on an equivalent plan built twice (e.g.
+    * the shingle table shared by x02 and x03 in one sweep) logs "already
+    * cached" warnings and double-registers intent. Checking the storage
+    * level first makes repeated cache requests silent no-ops that REUSE the
+    * existing cache entry. Entries are MEMORY_AND_DISK and LRU-evicted, so
+    * a long session degrades gracefully; [[clearCaches]] is the explicit
+    * end-of-query release.
+    */
+  def cacheOnce(df: DataFrame): DataFrame =
+    if (df.storageLevel == StorageLevel.NONE) df.cache() else df
+
+  /** Drop every cached plan on the session — call when a query's consumers
+    * are done to release shingle/signature/band/dim caches.
+    */
+  def clearCaches(spark: SparkSession): Unit = spark.catalog.clearCache()
+}

@@ -35,7 +35,8 @@ object MarketPipeline {
     // the universe for 1h): the universe is re-read per action otherwise;
     // it's a few thousand rows, so caching costs nothing and the broadcast
     // build reuses it across every action on the assembled plan.
-    val universe = Conform.conformDim(Assemble.mainBoard(src.stockBasic)).cache()
+    val universe = graft.ops.Caching.cacheOnce(
+      Conform.conformDim(Assemble.mainBoard(src.stockBasic)))
     Assemble.cleanse(Assemble.enrichUniverse(conformed, universe))
   }
 

@@ -26,9 +26,15 @@ object Tables {
     * rejects. Read nanos as long (legacy conf) and convert to TIMESTAMP_NTZ
     * at microsecond precision — integer division, no double transit, so no
     * precision loss on epoch-nanos magnitudes.
+    *
+    * The conf belongs in the session builder (our entry points all set it —
+    * Verify/Bench/PipelineMain/tests); the guarded set below is a fallback
+    * for EXTERNAL sessions only (the driver smoke-checks `entry` with a
+    * session we don't build), and never overrides a value already present.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
   }
