@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators: corpus statistics, salient-term
+  * extraction, deterministic sampling, PII redaction, distribution
+  * profiling. All shuffle patterns are the scale-safe ones: token-level
+  * groupBys get map-side partial aggregation; sampling and redaction are
+  * per-row scans; the per-doc top-k is a window with rank pushdown
+  * (WindowGroupLimit). No UDFs, no driver-side loops.
+  */
+object Curate {
+
+  /** Corpus vocabulary statistics: occurrences and document frequency per
+    * token, floored at `minOcc` to keep the long tail out of the result.
+    * The explode is the one row-expansion (corpus tokens), immediately
+    * collapsed by a partial-agg groupBy — the canonical distributed
+    * word-count shape.
+    */
+  def vocabStats(docs: DataFrame, minOcc: Long = 5L): DataFrame =
+    docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_occ") >= minOcc)
+
+  /** Top-k salient terms per document, scored tf/df (a rational tf-idf
+    * variant — division instead of log-idf so the score is one IEEE
+    * operation and bit-identical across engines; the ranking it induces is
+    * the same for fixed tf). Two aggregations share the exploded token
+    * table; the per-doc top-k is a rank window that Spark executes with
+    * WindowGroupLimit pushdown (partial top-k before the shuffle).
+    */
+  def salientTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(df, "tok")
+      .withColumn("salience", col("tf").cast("double") / col("df"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("salience").desc, col("tok").asc)).cast("long"))
+      .where(col("rank") <= k)
+      .select("doc_id", "tok", "salience", "rank")
+  }
+
+  /** Deterministic hash-mod sampling: keep a doc iff
+    * `md5(doc_id || salt) % mod == 0`. Unlike `rand()`-based sampling this
+    * is reproducible across retries, engines, and runs (a retried task
+    * re-samples the SAME rows — rand() would silently duplicate/drop), and
+    * the salt gives independent draws for independent sample sets. Pure
+    * per-row predicate: runs at scan speed, pushes nothing, shuffles
+    * nothing.
+    */
+  def hashSample(docs: DataFrame, idCol: String, mod: Int, salt: String): DataFrame =
+    docs.where(
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 4), 16, 10)
+        .cast("int") % mod === 0)
+
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\+[0-9][0-9()\\- ]{7,}[0-9]"
+
+  /** PII redaction: replace email and phone shapes with typed placeholder
+    * tags. Regex classes chosen to behave identically under Java regex
+    * (Spark) and RE2 (DuckDB oracle). Per-row scan-speed transform.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  /** Length-distribution histogram: bucket docs by `lenCol div bucketWidth`,
+    * with count / min / max / exact mean per bucket (mean = integer sum
+    * then ONE double division — order-independent, engine-exact).
+    */
+  def lengthHistogram(docs: DataFrame, lenCol: String, bucketWidth: Int = 100): DataFrame =
+    docs.groupBy(expr(s"cast($lenCol as bigint) div $bucketWidth").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(lenCol)).cast("long").as("min_len"),
+        max(col(lenCol)).cast("long").as("max_len"),
+        (sum(col(lenCol)).cast("double") / count(lit(1))).as("mean_len"))
+}

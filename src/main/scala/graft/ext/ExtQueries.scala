@@ -95,7 +95,27 @@ object ExtQueries {
       TextOps.fingerprint(Tables.documents(s, dir).select("doc_id", "text")).drop("text")),
 
     "x12_multimodal_binary" -> ((s, dir) =>
-      Multimodal.binaryFeatures(Tables.documents(s, dir)))
+      Multimodal.binaryFeatures(Tables.documents(s, dir))),
+
+    "x21_text_vocab" -> ((s, dir) =>
+      Curate.vocabStats(Tables.documents(s, dir), 5L)),
+
+    "x22_text_salient_terms" -> ((s, dir) =>
+      Curate.salientTerms(Tables.documents(s, dir), 3)),
+
+    "x23_curate_hash_sample" -> ((s, dir) =>
+      Curate.hashSample(Tables.documents(s, dir), "doc_id", 10, "s0")
+        .select("doc_id", "lang", "source", "n_chars")),
+
+    "x24_curate_pii_redact" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        Curate.redactPii(concat(col("text"),
+          lit(" contact bob.smith+x@mail.example.org or +1 (555) 123-4567 now")))
+          .as("clean_text"))),
+
+    "x25_curate_length_hist" -> ((s, dir) =>
+      Curate.lengthHistogram(Tables.documents(s, dir), "n_chars", 100))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -311,6 +331,38 @@ object ExtQueries {
 
     "x12_multimodal_binary" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
-        "base64(encode(substr(text, 1, 8))) AS prefix_b64 FROM documents")
+        "base64(encode(substr(text, 1, 8))) AS prefix_b64 FROM documents"),
+
+    "x21_text_vocab" ->
+      ("SELECT tok, CAST(count(*) AS BIGINT) AS n_occ, " +
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs " +
+        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        "GROUP BY tok HAVING count(*) >= 5"),
+
+    "x22_text_salient_terms" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2), " +
+        "dfreq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY 1), " +
+        "s AS (SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df, " +
+        "CAST(tf.tf AS DOUBLE) / dfreq.df AS salience FROM tf JOIN dfreq USING (tok)), " +
+        "r AS (SELECT doc_id, tok, salience, " +
+        "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY salience DESC, tok) AS BIGINT) AS rank FROM s) " +
+        "SELECT doc_id, tok, salience, rank FROM r WHERE rank <= 3"),
+
+    "x23_curate_hash_sample" ->
+      ("SELECT doc_id, lang, source, n_chars FROM documents " +
+        "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s0'), 1, 4)) AS INT) % 10 = 0"),
+
+    "x24_curate_pii_redact" ->
+      ("SELECT doc_id, regexp_replace(regexp_replace(" +
+        "text || ' contact bob.smith+x@mail.example.org or +1 (555) 123-4567 now', " +
+        "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\+[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g') AS clean_text FROM documents"),
+
+    "x25_curate_length_hist" ->
+      ("SELECT n_chars // 100 AS bucket, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(min(n_chars) AS BIGINT) AS min_len, CAST(max(n_chars) AS BIGINT) AS max_len, " +
+        "CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_len " +
+        "FROM documents GROUP BY 1")
   )
 }

@@ -113,6 +113,17 @@ object EventStream {
         sessionStepImpl(timeout != GroupStateTimeout.NoTimeout()))
   }
 
+  /** Streaming exact dedup — the streaming twin of [[graft.ext.Dedup.exact]]:
+    * drop duplicate keys across micro-batches with state bounded by the
+    * event-time watermark (`dropDuplicatesWithinWatermark` evicts seen-keys
+    * once they age past the watermark, so state is O(keys-per-window), not
+    * O(stream) — the property that lets a dedup stage run forever on an
+    * unbounded ingest feed).
+    */
+  def dedupStream(events: DataFrame, eventTimeCol: String, keys: Seq[String]): DataFrame =
+    events.withWatermark(eventTimeCol, "10 minutes")
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Stream-static enrichment: join each micro-batch against a (small)
     * static dimension — the streaming twin of the pipeline's J2 broadcast
     * enrich. The dimension is re-broadcast per batch, so slowly-changing

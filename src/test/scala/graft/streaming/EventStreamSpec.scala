@@ -102,6 +102,20 @@ class EventStreamSpec extends SparkTestBase {
     assert(spark.table("sess").isEmpty) // sessions close on timeout only
   }
 
+  test("dedupStream drops duplicate keys with watermark-bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    in.addData((1L, ts(0), "a"), (1L, ts(3), "a-dup"), (2L, ts(1), "b"), (2L, ts(2), "b-dup"), (3L, ts(4), "c"))
+    val stream = in.toDF().toDF("user_id", "ts", "v")
+    val q = EventStream.dedupStream(stream, "ts", Seq("user_id"))
+      .writeStream.format("memory").queryName("ddup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+    val users = spark.table("ddup").collect().map(_.getLong(0)).sorted.toSeq
+    assert(users === Seq(1L, 2L, 3L), "one survivor per user_id")
+  }
+
   test("enrichStream joins micro-batches against a static broadcast dim") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
