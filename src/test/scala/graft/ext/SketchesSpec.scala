@@ -1,0 +1,35 @@
+package graft.ext
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+/** Sketch accuracy pinned against exact answers at test scale (the oracle
+  * can't hash-match estimator internals across engines).
+  */
+class SketchesSpec extends SparkTestBase {
+
+  test("HLL token cardinality is within the configured 5% rsd of exact") {
+    val rows = Sketches.tokenCardinality(Tables.documents(spark, sfDir)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hll = r.getAs[Long]("n_tokens_hll").toDouble
+      val exact = r.getAs[Long]("n_tokens_exact").toDouble
+      assert(math.abs(hll - exact) / exact < 0.15,
+        s"lang=${r.get(0)}: hll=$hll exact=$exact drift too large")
+    }
+  }
+
+  test("GK length quantiles are ordered and within the column's range") {
+    val docs = Tables.documents(spark, sfDir)
+    val mm = docs.agg(
+      org.apache.spark.sql.functions.min("n_chars"),
+      org.apache.spark.sql.functions.max("n_chars")).collect()(0)
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val rows = Sketches.lengthQuantiles(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p50 = r.getAs[Long]("p50"); val p95 = r.getAs[Long]("p95")
+      assert(p50 <= p95 && p50 >= lo && p95 <= hi)
+    }
+  }
+}
