@@ -1,0 +1,54 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-column utilities beyond similarity search: norms, per-group
+  * element-wise profiles, centroids. The explode→groupBy shapes here are
+  * the canonical distributed treatment of a vector column: one row
+  * expansion (corpus × dim), collapsed immediately by partial-agg groupBys
+  * keyed on (group, position) — scales with scan bandwidth, never collects
+  * vectors to the driver.
+  */
+object Embeddings {
+
+  /** Sum of squares as a deterministic LEFT-TO-RIGHT double fold (same
+    * contract as [[Similarity.cosine]] — bit-identical across engines).
+    */
+  def sumSquares(emb: Column): Column =
+    aggregate(emb.cast("array<double>"), lit(0.0), (acc, x) => acc + x * x)
+
+  /** L2 norm — sqrt is correctly rounded per IEEE-754, so still exact. */
+  def l2Norm(emb: Column): Column = sqrt(sumSquares(emb))
+
+  /** Unit-normalized vector (for cosine == dot-product pipelines). */
+  def l2Normalize(emb: Column): Column = {
+    val n = l2Norm(emb)
+    transform(emb.cast("array<double>"), x => x / n)
+  }
+
+  /** Per-group element-wise min/max profile, EXPLODED to scalar rows
+    * `(grp, pos, v_min, v_max)` — order-independent aggregates only, so
+    * the DuckDB oracle hash-matches exactly (element-wise means are NOT
+    * engine-exact — double sums are order-dependent — see
+    * [[groupCentroid]]).
+    */
+  def groupProfile(emb: DataFrame, grp: Column): DataFrame =
+    emb.select(grp.as("grp"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("grp", "pos")
+      .agg(min(col("v")).as("v_min"), max(col("v")).as("v_max"))
+      .select(col("grp"), col("pos").cast("long").as("pos"), col("v_min"), col("v_max"))
+
+  /** Per-group centroid (element-wise mean), the k-means/IVF building
+    * block. Rows-only at the driver gate: the sum order across rows is
+    * engine- and partitioning-dependent, so exactness is pinned by spec
+    * (tolerance vs a single-threaded reference) instead of the oracle.
+    */
+  def groupCentroid(emb: DataFrame, grp: Column): DataFrame =
+    emb.select(grp.as("grp"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("grp", "pos")
+      .agg((sum(col("v").cast("double")) / count(lit(1))).as("m"))
+      .groupBy("grp")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("grp"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+}

@@ -124,7 +124,37 @@ object ExtQueries {
       Sketches.tokenCardinality(Tables.documents(s, dir))),
 
     "x27_sketch_quantiles" -> ((s, dir) =>
-      Sketches.lengthQuantiles(Tables.documents(s, dir)))
+      Sketches.lengthQuantiles(Tables.documents(s, dir))),
+
+    "x29_emb_group_profile" -> ((s, dir) =>
+      Embeddings.groupProfile(Tables.embeddings(s, dir), col("vec_id") % 10)),
+
+    "x30_emb_l2_norm" -> ((s, dir) =>
+      Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        Embeddings.l2Norm(col("embedding")).as("l2_norm"),
+        (element_at(col("embedding"), 1).cast("double")
+          / Embeddings.l2Norm(col("embedding"))).as("e0_unit"))),
+
+    // Centroids are rows-only (double sum order is engine-dependent);
+    // EmbeddingsSpec pins values against a per-row exact reference.
+    "x31_emb_group_centroid" -> ((s, dir) =>
+      Embeddings.groupCentroid(Tables.embeddings(s, dir), col("vec_id") % 10)),
+
+    // Range join via bucket decomposition (graft.ops.RangeJoin): lineitems
+    // shipped within each sampled order's first week. The bucket equi-join
+    // replaces the BroadcastNestedLoopJoin Spark would plan for the raw
+    // range predicate.
+    "x28_range_join_bucketed" -> ((s, dir) => {
+      val w = Tables.orders(s, dir).where(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey").as("w_id"),
+          to_date(col("o_orderdate")).as("w_start"),
+          date_add(to_date(col("o_orderdate")), 7).as("w_end"))
+      val li = Tables.lineitem(s, dir).where(col("l_linenumber") === 1)
+        .select(to_date(col("l_shipdate")).as("ship_d"))
+      graft.ops.RangeJoin.bucketedInterval(li, "ship_d", w, "w_start", "w_end", 7)
+        .groupBy("w_id").agg(count(lit(1)).as("n_shipped"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -372,6 +402,25 @@ object ExtQueries {
       ("SELECT n_chars // 100 AS bucket, CAST(count(*) AS BIGINT) AS n, " +
         "CAST(min(n_chars) AS BIGINT) AS min_len, CAST(max(n_chars) AS BIGINT) AS max_len, " +
         "CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_len " +
-        "FROM documents GROUP BY 1")
+        "FROM documents GROUP BY 1"),
+
+    "x29_emb_group_profile" ->
+      ("WITH x AS (SELECT vec_id % 10 AS grp, " +
+        "unnest(generate_series(1, len(embedding))) AS i, embedding FROM embeddings) " +
+        "SELECT grp, CAST(i - 1 AS BIGINT) AS pos, " +
+        "min(embedding[i]) AS v_min, max(embedding[i]) AS v_max FROM x GROUP BY 1, 2"),
+
+    "x30_emb_l2_norm" ->
+      ("WITH s AS (SELECT vec_id, embedding[1] AS e0, " +
+        "list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum') AS ss " +
+        "FROM embeddings) " +
+        "SELECT vec_id, sqrt(ss) AS l2_norm, CAST(e0 AS DOUBLE) / sqrt(ss) AS e0_unit FROM s"),
+
+    "x28_range_join_bucketed" ->
+      ("WITH w AS (SELECT o_orderkey AS w_id, CAST(o_orderdate AS DATE) AS ws, " +
+        "CAST(o_orderdate AS DATE) + 7 AS we FROM orders WHERE o_orderkey % 100 = 0), " +
+        "l AS (SELECT CAST(l_shipdate AS DATE) AS d FROM lineitem WHERE l_linenumber = 1) " +
+        "SELECT w_id, CAST(count(*) AS BIGINT) AS n_shipped " +
+        "FROM l JOIN w ON l.d >= w.ws AND l.d < w.we GROUP BY w_id")
   )
 }

@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed range (interval-containment) join — an operator Spark lacks
+  * natively: `left.join(right, l >= start && l < end)` plans as a
+  * BroadcastNestedLoopJoin, which is quadratic and a non-starter at scale.
+  *
+  * Scale path (the standard bucketing decomposition): quantize time into
+  * fixed-width buckets; each LEFT row lands in exactly ONE bucket, each
+  * RIGHT interval explodes to the buckets it covers (bounded by
+  * intervalLength/bucketWidth + 1 rows — choose the width near the typical
+  * interval length to keep amplification ~2×). The join is then a plain
+  * bucket EQUI-join (shuffle- or broadcast-hash) with an exact containment
+  * filter on top. No duplicates by construction — a left row matches a
+  * right interval in exactly the left row's own bucket.
+  */
+object RangeJoin {
+
+  /** Pairs (l, r) with `r(startCol) <= l(timeCol) < r(endCol)` (end
+    * exclusive), all columns of both sides kept. Date-typed columns;
+    * `bucketDays` is the quantization width.
+    */
+  def bucketedInterval(left: DataFrame, timeCol: String,
+                       right: DataFrame, startCol: String, endCol: String,
+                       bucketDays: Int): DataFrame = {
+    val lb = left.withColumn("_bucket",
+      expr(s"datediff($timeCol, date'1970-01-01') div $bucketDays"))
+    val rb = right
+      .withColumn("_b0", expr(s"datediff($startCol, date'1970-01-01') div $bucketDays"))
+      // end is exclusive: the last covered day is endCol - 1
+      .withColumn("_b1", expr(s"datediff(date_sub($endCol, 1), date'1970-01-01') div $bucketDays"))
+      .withColumn("_bucket", explode(sequence(col("_b0"), col("_b1"))))
+      .drop("_b0", "_b1")
+    lb.join(rb, Seq("_bucket"))
+      .where(col(timeCol) >= col(startCol) && col(timeCol) < col(endCol))
+      .drop("_bucket")
+  }
+}

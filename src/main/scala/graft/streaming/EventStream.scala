@@ -132,6 +132,25 @@ object EventStream {
   def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream interval join: match right events to left events of the
+    * same key within `[lTime, lTime + maxGap]`. Both sides carry event-time
+    * watermarks and the join condition bounds the time range, which is
+    * exactly what lets Spark EVICT buffered state — without both, a
+    * stream-stream join must buffer one side forever. Column names must be
+    * disjoint apart from the key.
+    */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame, key: String,
+                          lTime: String, rTime: String,
+                          watermark: String = "10 minutes",
+                          maxGap: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(lTime, watermark).alias("l")
+    val r = right.withWatermark(rTime, watermark).alias("r")
+    l.join(r, expr(
+        s"l.$key = r.$key AND r.$rTime >= l.$lTime AND r.$rTime <= l.$lTime + INTERVAL $maxGap"),
+        "inner")
+      .drop(col(s"r.$key"))
+  }
+
   /** Batch-incremental file stream (T2 as Structured Streaming): read a
     * parquet directory as a stream and drain everything available, then
     * stop — `Trigger.AvailableNow` — with exactly-once bookkeeping in the

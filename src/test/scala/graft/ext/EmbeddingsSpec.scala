@@ -1,0 +1,50 @@
+package graft.ext
+
+import graft.SparkTestBase
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class EmbeddingsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("l2Normalize produces unit vectors (norm 1 within double eps)") {
+    val out = Tables.embeddings(spark, sfDir).limit(50)
+      .select(Embeddings.sumSquares(Embeddings.l2Normalize(col("embedding"))).as("ss"))
+      .collect()
+    out.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-9))
+  }
+
+  test("groupCentroid matches a driver-side exact mean within float-sum tolerance") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = Embeddings.groupCentroid(emb, col("vec_id") % 10)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // reference: collect the (tiny at test scale) group 0 and average on the driver
+    val g0 = emb.where(col("vec_id") % 10 === 0)
+      .select(col("embedding").cast("array<double>")).collect().map(_.getSeq[Double](0))
+    val dim = g0.head.length
+    val ref = (0 until dim).map(p => g0.map(_(p)).sum / g0.length)
+    val got = centroids(0L)
+    assert(got.length === dim)
+    (0 until dim).foreach(p => assert(math.abs(got(p) - ref(p)) < 1e-9,
+      s"pos $p: ${got(p)} vs ${ref(p)}"))
+  }
+
+  test("bucketedInterval matches the naive range join incl. boundary and bucket-straddling cases") {
+    val left = Seq(
+      (1L, "2020-01-01"), (2L, "2020-01-07"), (3L, "2020-01-08"),
+      (4L, "2020-01-14"), (5L, "2020-02-01")
+    ).toDF("l_id", "d").select(col("l_id"), to_date(col("d")).as("d"))
+    val right = Seq(
+      (10L, "2020-01-01", "2020-01-08"),  // [1st, 8th) — contains 1,2 not 3
+      (20L, "2020-01-05", "2020-01-15"),  // straddles a 7-day bucket boundary
+      (30L, "2020-03-01", "2020-03-02")
+    ).toDF("r_id", "s", "e")
+      .select(col("r_id"), to_date(col("s")).as("s"), to_date(col("e")).as("e"))
+    val got = graft.ops.RangeJoin.bucketedInterval(left, "d", right, "s", "e", 7)
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = left.join(right, col("d") >= col("s") && col("d") < col("e"))
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === naive)
+    assert(naive === Set((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L), (4L, 20L)))
+  }
+}

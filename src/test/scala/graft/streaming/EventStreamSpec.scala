@@ -131,6 +131,26 @@ class EventStreamSpec extends SparkTestBase {
     assert(rows === Set((1L, "gold"), (2L, "silver"), (3L, "none")))
   }
 
+  test("intervalJoinStreams matches events within the time bound, state watermark-evictable") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp, Double)]
+    clicks.addData((1L, ts(0)), (2L, ts(10)))
+    buys.addData((1L, ts(30), 9.99), (1L, Timestamp.valueOf("2024-01-01 12:00:00"), 5.0), (2L, ts(15), 1.0))
+    val q = EventStream.intervalJoinStreams(
+        clicks.toDF().toDF("user_id", "click_ts"),
+        buys.toDF().toDF("user_id", "buy_ts", "amount"),
+        "user_id", "click_ts", "buy_ts")
+      .writeStream.format("memory").queryName("ij")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+    val got = spark.table("ij").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("amount"))).toSet
+    // user 1's 12:00 buy is outside the 1h window of the 10:00 click
+    assert(got === Set((1L, 9.99), (2L, 1.0)))
+  }
+
   test("fileStream drains a parquet directory with AvailableNow (T2 semantics)") {
     val dir = java.nio.file.Files.createTempDirectory("fs").toString
     val data = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
