@@ -126,6 +126,11 @@ object ExtQueries {
     "x27_sketch_quantiles" -> ((s, dir) =>
       Sketches.lengthQuantiles(Tables.documents(s, dir))),
 
+    "x32_ann_ivf_nprobe2" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfTopKProbe2(e.where(col("vec_id") < 5), e, 10)
+    }),
+
     "x29_emb_group_profile" -> ((s, dir) =>
       Embeddings.groupProfile(Tables.embeddings(s, dir), col("vec_id") % 10)),
 
@@ -403,6 +408,20 @@ object ExtQueries {
         "CAST(min(n_chars) AS BIGINT) AS min_len, CAST(max(n_chars) AS BIGINT) AS max_len, " +
         "CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_len " +
         "FROM documents GROUP BY 1"),
+
+    "x32_ann_ivf_nprobe2" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.IvfCentroidStride} = 0), " +
+        "scored AS (SELECT e.vec_id, e.emb, cents.cent_id, " +
+        s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM scored), " +
+        "assigned AS (SELECT vec_id, emb, cent_id AS cell FROM ranked WHERE r = 1), " +
+        "q AS (SELECT vec_id AS q_id, emb AS q_emb, cent_id AS cell FROM ranked WHERE vec_id < 5 AND r <= 2), " +
+        "s AS (SELECT q.q_id, a.vec_id, " +
+        s"${dotSql("q.q_emb", "a.emb")} AS cos " +
+        "FROM assigned a JOIN q USING (cell) WHERE q.q_id <> a.vec_id), " +
+        "rr AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
+        "SELECT q_id, vec_id, cos, rank FROM rr WHERE rank <= 10"),
 
     "x29_emb_group_profile" ->
       ("WITH x AS (SELECT vec_id % 10 AS grp, " +

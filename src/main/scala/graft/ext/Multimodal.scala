@@ -60,6 +60,49 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  case class FrameRow(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling — the video-shaped flatMap expansion: each payload is
+    * chunked into fixed-size "frames" and every `stride`-th frame becomes
+    * its own row (a real implementation swaps the chunker for a container
+    * demuxer; the 1→N row expansion, batch shape, and output schema are
+    * identical). Downstream operators see frames as ordinary binary rows,
+    * so per-frame featurization parallelizes with no further ceremony.
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int, stride: Int): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        r.payload.grouped(frameBytes).zipWithIndex.collect {
+          case (f, i) if i % stride == 0 => FrameRow(r.doc_id, i, f)
+        }
+      }
+    }
+  }
+
+  case class MediaEmbedding(doc_id: Long, embedding: Array[Float])
+
+  /** Featurize payloads into fixed-dimension embeddings (8-bucket l2-
+    * normalized byte histogram — the stub for a real vision/audio encoder).
+    * The output column is the SAME `array<float>` shape the Similarity
+    * operators consume, so binary media plugs straight into the ANN /
+    * near-dup pipeline: decode → embed → [[Similarity.bruteForceTopK]].
+    */
+  def embedPayloads(media: Dataset[MediaRow]): Dataset[MediaEmbedding] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val h = new Array[Float](8)
+        var i = 0
+        while (i < r.payload.length) { h((r.payload(i) & 0xff) >> 5) += 1f; i += 1 }
+        var ss = 0.0
+        h.foreach(v => ss += v.toDouble * v)
+        val n = math.sqrt(ss)
+        MediaEmbedding(r.doc_id, if (n == 0) h else h.map(v => (v / n).toFloat))
+      }
+    }
+  }
+
   /** SQL-expressible slice of the feature extraction (byte length + prefix),
     * used by the oracle-checked query; the checksum path is covered by the
     * ScalaTest spec instead (DuckDB lacks blob hashing).

@@ -165,6 +165,55 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), best.getField("id").as("cell"))
   }
 
+  /** Top-2 cell assignment for the QUERY side (`nprobe=2`): same broadcast
+    * packed-centroid fold as [[ivfAssign]], but the accumulator tracks the
+    * best AND second-best centroid (strict `>` comparisons over the
+    * id-sorted array keep ties on the lower centroid id, consistent with
+    * [[ivfAssign]]). Still zero shuffle, zero row amplification.
+    */
+  def ivfAssignTop2(vectors: DataFrame, centroidSource: DataFrame): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
+    val cents = centroidSource.where(col("vec_id") % IvfCentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val packed = broadcast(cents.agg(
+      array_sort(collect_list(struct(col("cent_id"), col("cent_emb")))).as("_cents")))
+    val init = struct(
+      lit(Double.NegativeInfinity).as("c1"), lit(-1L).as("i1"),
+      lit(Double.NegativeInfinity).as("c2"), lit(-1L).as("i2"))
+    val best2 = aggregate(col("_cents"), init, (acc, c) => {
+      val cos = GraftFunctions.cosineSim(col("embedding"), c.getField("cent_emb"))
+      when(cos > acc.getField("c1"),
+        struct(cos.as("c1"), c.getField("cent_id").as("i1"),
+          acc.getField("c1").as("c2"), acc.getField("i1").as("i2")))
+        .when(cos > acc.getField("c2"),
+          struct(acc.getField("c1").as("c1"), acc.getField("i1").as("i1"),
+            cos.as("c2"), c.getField("cent_id").as("i2")))
+        .otherwise(acc)
+    })
+    vectors.crossJoin(packed)
+      .select(col("vec_id"), col("embedding"),
+        best2.getField("i1").as("cell1"), best2.getField("i2").as("cell2"))
+  }
+
+  /** IVF top-k with `nprobe=2`: the corpus keeps its single-cell
+    * assignment; each query probes its two nearest cells (exploded to two
+    * broadcast rows — candidates stay unique because a corpus row lives in
+    * exactly one cell). The standard recall/cost dial: ~2× scanned
+    * candidates for materially better recall near cell boundaries.
+    */
+  def ivfTopKProbe2(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, corpus)
+    val q = broadcast(ivfAssignTop2(queries, corpus)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(array(col("cell1"), col("cell2"))).as("cell")))
+    assigned.join(q, Seq("cell")).where(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", GraftFunctions.cosineSim(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
+      .where(col("rank") <= k)
+      .select("q_id", "vec_id", "cos", "rank")
+  }
+
   /** Top-k within the query's IVF cell (exact within-cell, approximate
     * globally — recall governed by cell granularity, cost cut by the cell
     * count versus a full scan).

@@ -27,4 +27,26 @@ class MultimodalSpec extends SparkTestBase {
     val m = Multimodal.mediaFromDocuments(docs).collect().head
     assert(m.doc_id === 7L && m.payload.length === 6) // é is 2 bytes
   }
+
+  test("sampleFrames expands payloads 1→N with the right stride and indices") {
+    // 100-byte payload, 16-byte frames → frames 0..6 (last partial), stride 2 → 0,2,4,6
+    val media = Seq(Multimodal.MediaRow(1L, "video/fake", Array.tabulate[Byte](100)(_.toByte))).toDS()
+    val frames = Multimodal.sampleFrames(media, 16, 2).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 2, 4, 6))
+    assert(frames.take(3).forall(_.frame.length === 16) && frames.last.frame.length === 4)
+    assert(frames(1).frame.head === 32.toByte, "frame 2 starts at byte offset 32")
+  }
+
+  test("embedPayloads feeds straight into the ANN operators (decode → embed → top-k)") {
+    val docs = graft.sources.Tables.documents(spark, sfDir).limit(200)
+    val emb = Multimodal.embedPayloads(Multimodal.mediaFromDocuments(docs))
+      .toDF("vec_id", "embedding") // same shape the Similarity ops consume
+    // unit-norm by construction
+    val norms = emb.select(Embeddings.sumSquares(org.apache.spark.sql.functions.col("embedding")))
+      .collect().map(_.getDouble(0))
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-6))
+    val topk = Similarity.bruteForceTopK(
+      emb.where(org.apache.spark.sql.functions.col("vec_id") < 3), emb, 5)
+    assert(topk.count() === 15, "3 queries × top-5 from binary-derived embeddings")
+  }
 }
