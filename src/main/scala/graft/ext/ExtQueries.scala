@@ -126,6 +126,11 @@ object ExtQueries {
     "x27_sketch_quantiles" -> ((s, dir) =>
       Sketches.lengthQuantiles(Tables.documents(s, dir))),
 
+    "x33_quality_profile" -> ((s, dir) =>
+      graft.ops.Quality.profile(
+        Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
+        Seq("lang", "source"))),
+
     "x32_ann_ivf_nprobe2" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.ivfTopKProbe2(e.where(col("vec_id") < 5), e, 10)
@@ -408,6 +413,17 @@ object ExtQueries {
         "CAST(min(n_chars) AS BIGINT) AS min_len, CAST(max(n_chars) AS BIGINT) AS max_len, " +
         "CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_len " +
         "FROM documents GROUP BY 1"),
+
+    "x33_quality_profile" ->
+      ("WITH d AS (SELECT doc_id, lang, source, n_chars FROM documents), " +
+        "wide AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_doc_id, " +
+        "CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_lang, " +
+        "CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_source, " +
+        "CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_n_chars FROM d), " +
+        "dups AS (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS n_dup_rows FROM " +
+        "(SELECT count(*) AS n FROM d GROUP BY lang, source HAVING count(*) > 1) t) " +
+        "SELECT * FROM wide, dups"),
 
     "x32_ann_ivf_nprobe2" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +

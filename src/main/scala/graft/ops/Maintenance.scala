@@ -1,0 +1,46 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Table-maintenance operators. The small-files problem is the canonical
+  * 100 TB operational failure mode: an incremental pipeline writing per-day
+  * deltas accumulates thousands of KB-scale files per partition, and scan
+  * throughput collapses under per-file open/footer overhead long before
+  * data volume is the bottleneck.
+  */
+object Maintenance {
+
+  /** Rewrite a `date`-partitioned parquet table so each partition holds
+    * one file per `filesPerPartition` (default 1 — right for partitions
+    * up to a few hundred MB; raise it for bigger ones).
+    *
+    * `repartition(partitionCol)` hash-co-locates each partition's rows on
+    * one task, so the `partitionBy` writer emits exactly one file per
+    * partition — without it, every upstream task holding rows of a date
+    * writes its own fragment. The rewrite goes to a sibling tmp dir and is
+    * swapped in with directory moves (crash before the final move leaves
+    * the original intact).
+    */
+  def compactPartitioned(spark: SparkSession, dir: String,
+                         partitionCol: String = "date",
+                         filesPerPartition: Int = 1): Unit = {
+    val tmp = dir + "_compact_tmp"
+    val old = dir + "_compact_old"
+    val df = spark.read.parquet(dir)
+    val parts: Array[org.apache.spark.sql.Column] =
+      if (filesPerPartition == 1) Array(col(partitionCol))
+      else Array(col(partitionCol), (org.apache.spark.sql.functions.spark_partition_id() % filesPerPartition))
+    df.repartition(parts.toIndexedSeq: _*)
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
+    Files.move(Paths.get(dir), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), Paths.get(dir), StandardCopyOption.ATOMIC_MOVE)
+    // best-effort cleanup of the displaced original
+    def rm(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rm)); p.delete()
+    }
+    rm(new java.io.File(old))
+  }
+}

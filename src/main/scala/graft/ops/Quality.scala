@@ -1,0 +1,27 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling — the generalization of the pipeline's
+  * `assertUniqueKeys` guard into a reusable one-pass report: row count,
+  * per-column null counts, and key-duplication volume. ONE aggregation
+  * pass over the table (every null counter is a conditional sum in the
+  * same job) plus one groupBy on the key columns; both get map-side
+  * partial aggregation, so profiling costs roughly a scan at any scale.
+  */
+object Quality {
+
+  /** Single-row profile: `n_rows`, `nulls_<col>` for every column, and
+    * `n_dup_rows` (rows beyond the first per duplicated key).
+    */
+  def profile(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val nullAggs = df.columns.toSeq.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+    val wide = df.agg(count(lit(1)).as("n_rows"), nullAggs: _*)
+    val dups = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+      .where(col("_n") > 1)
+      .agg(coalesce(sum(col("_n") - 1), lit(0L)).as("n_dup_rows"))
+    wide.crossJoin(dups)
+  }
+}

@@ -82,6 +82,25 @@ class FlowsSpec extends SparkTestBase {
     assert(spark.read.parquet(target).count() === r.rowsPublished)
   }
 
+  test("compactPartitioned collapses fragmented partitions to one file each, data unchanged") {
+    val dir = Files.createTempDirectory("compact").toString
+    val target = s"$dir/prices"
+    val src = new TpchMarketSource(spark, sfDir)
+    // Fragment deliberately: 16 upstream tasks each write their slice of
+    // every date partition.
+    MarketPipeline.assemblePrices(src).repartition(16)
+      .write.partitionBy("date").parquet(target)
+    def filesPerPart(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith("date=")).map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    val before = spark.read.parquet(target).count()
+    assert(filesPerPart(target).max > 1, "test setup should fragment partitions")
+
+    graft.ops.Maintenance.compactPartitioned(spark, target)
+    val per = filesPerPart(target)
+    assert(per.nonEmpty && per.max === 1, s"expected 1 file/partition, got max ${per.max}")
+    assert(spark.read.parquet(target).count() === before)
+  }
+
   test("retry wrapper exhausts attempts and rethrows the last error") {
     var calls = 0
     val e = intercept[RuntimeException] {
