@@ -33,7 +33,10 @@ object Curate {
     * WindowGroupLimit pushdown (partial top-k before the shuffle).
     */
   def salientTerms(docs: DataFrame, k: Int = 3): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    // Both aggregations consume the exploded token table; cache it once so
+    // the corpus-wide tokenize+explode doesn't run per branch.
+    val toks = graft.ops.Caching.cacheOnce(
+      docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok")))
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val df = toks.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
     tf.join(df, "tok")

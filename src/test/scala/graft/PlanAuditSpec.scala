@@ -1,0 +1,32 @@
+package graft
+
+/** Fleet-wide plan audit: no registered query may plan a CartesianProduct
+  * or BroadcastNestedLoopJoin — the two node types that turn into
+  * quadratic work at scale — except the documented small-data verifiers
+  * and 1-row broadcast folds listed below. This is the regression guard
+  * that keeps future queries honest: a range predicate or a missed join
+  * key anywhere in the registry fails this spec, not a 100 TB run.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  /** Queries ALLOWED to contain nested-loop nodes, each with its reason. */
+  private val allowed: Map[String, String] = Map(
+    "x02_dedup_ngram_jaccard" -> "exact all-pairs VERIFIER (scale path = x03)",
+    "x06_ann_bruteforce_topk" -> "brute-force BASELINE by definition: corpus streams against the broadcast query set (scale paths = x07/x13/x32)",
+    "x05_dedup_embedding_cosine" -> "exact all-pairs VERIFIER (scale path = x14)",
+    "x18_dedup_simhash_pairs" -> "all-pairs VERIFIER (scale path = x20)",
+    "x13_ann_ivf_topk" -> "crossJoin against ONE packed broadcast row (constant)",
+    "x32_ann_ivf_nprobe2" -> "crossJoin against ONE packed broadcast row (constant)",
+    "x33_quality_profile" -> "crossJoin of two single-row aggregates (constant)"
+  )
+
+  test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      val bad = plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin")
+      if (bad && !allowed.contains(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"quadratic join nodes in: ${offenders.mkString(", ")} — fix the plan or document a verifier exemption")
+  }
+}
