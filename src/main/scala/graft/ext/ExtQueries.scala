@@ -126,6 +126,15 @@ object ExtQueries {
     "x27_sketch_quantiles" -> ((s, dir) =>
       Sketches.lengthQuantiles(Tables.documents(s, dir))),
 
+    // Typed Aggregator coverage: deterministic bottom-k-by-hash sample of
+    // doc_ids per language, exploded to scalar rows for the oracle.
+    "x34_curate_group_sample" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(graft.functions.BottomKSample.sample(col("doc_id").cast("string"), 5).as("sample"))
+        .select(col("lang"), explode(col("sample")).as("_id"))
+        .select(col("lang"), col("_id").cast("long").as("doc_id"))),
+
     "x33_quality_profile" -> ((s, dir) =>
       graft.ops.Quality.profile(
         Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
@@ -413,6 +422,11 @@ object ExtQueries {
         "CAST(min(n_chars) AS BIGINT) AS min_len, CAST(max(n_chars) AS BIGINT) AS max_len, " +
         "CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_len " +
         "FROM documents GROUP BY 1"),
+
+    "x34_curate_group_sample" ->
+      ("SELECT lang, doc_id FROM (SELECT lang, doc_id, " +
+        "row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r " +
+        "FROM documents) t WHERE r <= 5"),
 
     "x33_quality_profile" ->
       ("WITH d AS (SELECT doc_id, lang, source, n_chars FROM documents), " +

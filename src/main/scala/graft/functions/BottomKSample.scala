@@ -1,0 +1,50 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Deterministic per-group uniform sampling as a typed `Aggregator`:
+  * keep the k elements with the SMALLEST md5 hash ("bottom-k by hash").
+  *
+  * Why this shape and not classic reservoir sampling: a reservoir needs an
+  * RNG and is order-dependent, so a retried task or a different partition
+  * layout yields a different sample. Hash-ordering makes the sample a pure
+  * FUNCTION of the data — mergeable across partitions (the aggregator
+  * buffer is the partial bottom-k, merge is a k-way min-merge), retry-safe,
+  * and reproducible by any engine with md5 (the DuckDB oracle re-derives it
+  * with a window rank). Uniformity follows from md5 behaving as a random
+  * permutation of the value space.
+  *
+  * Buffer is O(k) per group; reduce/merge are O(k) with the sorted-vector
+  * representation, so the shuffle carries k hashes+values per group
+  * regardless of group size.
+  */
+class BottomKSample(k: Int) extends Aggregator[String, Seq[(String, String)], Seq[String]] {
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  override def zero: Seq[(String, String)] = Vector.empty
+
+  override def reduce(b: Seq[(String, String)], v: String): Seq[(String, String)] =
+    if (v == null) b else merge(b, Vector((md5hex(v), v)))
+
+  override def merge(a: Seq[(String, String)], b: Seq[(String, String)]): Seq[(String, String)] =
+    (a ++ b).sortBy(identity).take(k)
+
+  override def finish(b: Seq[(String, String)]): Seq[String] = b.map(_._2)
+
+  override def bufferEncoder: Encoder[Seq[(String, String)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, String)]]()
+  override def outputEncoder: Encoder[Seq[String]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+}
+
+object BottomKSample {
+  /** Column-API entry point: `groupBy(g).agg(BottomKSample.sample(col, 5))`. */
+  def sample(c: Column, k: Int): Column = udaf(new BottomKSample(k)).apply(c)
+}

@@ -1,0 +1,29 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class BottomKSampleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("sample is a pure function of the data: partitioning does not change it") {
+    val vals = (1 to 500).map(i => ("g" + (i % 3), i.toString))
+    def run(parts: Int) =
+      vals.toDF("g", "v").repartition(parts)
+        .groupBy("g").agg(BottomKSample.sample(col("v"), 5).as("s"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val a = run(1)
+    val b = run(13)
+    assert(a === b, "bottom-k-by-hash must be invariant to partition layout")
+    assert(a.values.forall(_.size === 5))
+  }
+
+  test("merge keeps the k globally-smallest hashes (not k per partial)") {
+    val agg = new BottomKSample(2)
+    val p1 = Seq("a", "b", "c").foldLeft(agg.zero)(agg.reduce)
+    val p2 = Seq("d", "e", "f").foldLeft(agg.zero)(agg.reduce)
+    val merged = agg.finish(agg.merge(p1, p2)).toSet
+    val direct = agg.finish(Seq("a", "b", "c", "d", "e", "f").foldLeft(agg.zero)(agg.reduce)).toSet
+    assert(merged === direct)
+  }
+}
