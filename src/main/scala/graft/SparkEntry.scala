@@ -322,6 +322,17 @@ object SparkEntry {
         ev.where(col("event_type") === "purchase").select("event_id", "user_id", "ts", "value"),
         ev.where(col("event_type") === "click").select(col("user_id"), col("ts").as("click_ts")),
         Seq("user_id"), "ts", "click_ts")
+    }),
+
+    // JA+ — forward as-of with tolerance (pandas merge_asof direction=
+    // "forward", tolerance=1h): next click within an hour of each purchase.
+    "q36_ja_asof_forward_tol" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      AsOf.asofJoin(
+        ev.where(col("event_type") === "purchase").select("event_id", "user_id", "ts", "value"),
+        ev.where(col("event_type") === "click").select(col("user_id"), col("ts").as("next_click_ts")),
+        Seq("user_id"), "ts", "next_click_ts",
+        direction = "forward", tolerance = Some(expr("INTERVAL 1 HOUR")))
     })
   )
 
@@ -590,6 +601,12 @@ object SparkEntry {
       """SELECT p.event_id, p.user_id, p.ts, p.value,
         | (SELECT max(c.ts) FROM events c
         |   WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts) AS click_ts
+        |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
+    "q36_ja_asof_forward_tol" ->
+      """SELECT p.event_id, p.user_id, p.ts, p.value,
+        | (SELECT min(c.ts) FROM events c
+        |   WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |     AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR) AS next_click_ts
         |FROM events p WHERE p.event_type = 'purchase'""".stripMargin
   ) ++ graft.ext.ExtQueries.oracleSql
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,14 +22,26 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
-  /** For every row of `left`, append the most recent values from `right`
-    * with `right(rTime) <= left(lTime)`, matching on `keys`.
+  /** For every row of `left`, append the values of the matched `right` row
+    * on `keys`:
+    *  - `direction = "backward"` (default): the LATEST right row with
+    *    `right(rTime) <= left(lTime)`;
+    *  - `direction = "forward"`: the EARLIEST right row with
+    *    `right(rTime) >= left(lTime)` (same one-shuffle window plan, run
+    *    over the reversed time order);
+    *  - `tolerance`: maximum staleness — matches farther than this from
+    *    `lTime` yield nulls (pandas `merge_asof(tolerance=...)`). Pass an
+    *    interval column (timestamps) or numeric column (numeric times).
     *
     * `right` must contain only `keys`, `rTime`, and value columns whose
     * names do not collide with `left`'s.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-               lTime: String, rTime: String): DataFrame = {
+               lTime: String, rTime: String,
+               direction: String = "backward",
+               tolerance: Option[Column] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val rValueCols = right.columns.filterNot(keys.contains).toSeq
     require(rValueCols.intersect(left.columns.toSeq).isEmpty,
       s"right value columns ${rValueCols.mkString(",")} must not collide with left")
@@ -38,24 +50,35 @@ object AsOf {
     val r = right.withColumn("_t", col(rTime)).withColumn("_side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
 
+    // Backward scans time ascending; forward is the mirror image (descending
+    // scan ⇒ the running "last right seen" is the nearest FUTURE row). In
+    // both, right sorts before left at equal timestamps ⇒ inclusive match.
+    val ord = if (direction == "backward") col("_t").asc else col("_t").desc
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col("_t").asc, col("_side").asc)
+      .orderBy(ord, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    // Pack the right value columns into ONE struct and LOCF that single
-    // column, so every appended value comes from the SAME matched right row
-    // (pandas merge_asof semantics). Per-column last(ignoreNulls) would
-    // blend values across right rows whenever the most recent row holds a
-    // null in one column. The struct is tagged on right rows only — a
-    // struct of nulls is itself non-null, so it must not exist on left rows
-    // or it would shadow earlier right rows.
+    // Pack the matched right row's time plus its value columns into ONE
+    // struct and LOCF that single column, so every appended value comes
+    // from the SAME matched right row (pandas merge_asof semantics).
+    // Per-column last(ignoreNulls) would blend values across right rows
+    // whenever the most recent row holds a null in one column. The struct
+    // is tagged on right rows only — a struct of nulls is itself non-null,
+    // so it must not exist on left rows or it would shadow earlier rights.
     val packed = unioned.withColumn("_rvals",
-      when(col("_side") === 0, struct(rValueCols.map(col): _*)))
+      when(col("_side") === 0, struct((col(rTime).as("_rt") +: rValueCols.map(col)): _*)))
     val filled = packed.withColumn("_rlast",
       last(col("_rvals"), ignoreNulls = true).over(w))
+    val within: Column = tolerance match {
+      case None => lit(true)
+      case Some(tol) if direction == "backward" =>
+        col("_t") - col("_rlast").getField("_rt") <= tol
+      case Some(tol) =>
+        col("_rlast").getField("_rt") - col("_t") <= tol
+    }
     rValueCols
-      .foldLeft(filled)((df, c) => df.withColumn(c, col("_rlast").getField(c)))
+      .foldLeft(filled)((df, c) => df.withColumn(c, when(within, col("_rlast").getField(c))))
       .where(col("_side") === 1)
       .drop("_t", "_side", "_rvals", "_rlast")
   }

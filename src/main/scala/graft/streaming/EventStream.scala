@@ -159,4 +159,22 @@ object EventStream {
   def fileStream(spark: org.apache.spark.sql.SparkSession, dir: String,
                  schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
+
+  /** The full production incremental-publish path: stream → `foreachBatch`
+    * → idempotent per-`date` dynamic-partition overwrite. The checkpoint
+    * replaces the reference's `.last_update_date` watermark file entirely:
+    * source progress is tracked exactly-once, a crashed batch replays into
+    * the same partitions it already (partially) wrote, and re-running the
+    * drain with nothing new is a no-op. This is [[graft.pipeline.DeltaFlow]]
+    * with Spark owning the bookkeeping instead of the driver.
+    */
+  def incrementalPublish(stream: DataFrame, targetDir: String,
+                         checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) graft.ops.Incremental.publishDelta(batch, targetDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

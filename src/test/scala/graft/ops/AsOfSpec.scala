@@ -33,6 +33,28 @@ class AsOfSpec extends SparkTestBase {
     assert(r.getInt(r.fieldIndex("b")) === 3)
   }
 
+  test("asofJoin forward direction picks the earliest right row at-or-after, inclusive") {
+    val left = Seq((1L, 10L), (1L, 16L), (2L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 5L, "a"), (1L, 10L, "b"), (1L, 15L, "c"), (1L, 20L, "d"))
+      .toDF("k", "rt", "v")
+    val out = AsOf.asofJoin(left, right, Seq("k"), "t", "rt", direction = "forward")
+      .orderBy("k", "t").collect()
+    // (1,10) → "b" (inclusive), (1,16) → "d" (next at 20), (2,10) → null
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSeq ===
+      Seq((1L, 10L, "b"), (1L, 16L, "d"), (2L, 10L, null)))
+  }
+
+  test("asofJoin tolerance nulls out matches farther than the bound") {
+    val left = Seq((1L, 10L), (1L, 100L)).toDF("k", "t")
+    val right = Seq((1L, 8L, "near")).toDF("k", "rt", "v")
+    val out = AsOf.asofJoin(left, right, Seq("k"), "t", "rt",
+        tolerance = Some(org.apache.spark.sql.functions.lit(5L)))
+      .orderBy("t").collect()
+    // t=10: rt=8 within 5 → "near"; t=100: rt=8 is 92 away → null
+    assert(out.map(r => (r.getLong(1), r.getString(3))).toSeq ===
+      Seq((10L, "near"), (100L, null)))
+  }
+
   test("asofJoin rejects colliding value column names") {
     val left = Seq((1L, 10L, "x")).toDF("k", "t", "v")
     val right = Seq((1L, 5L, "a")).toDF("k", "rt", "v")

@@ -151,6 +151,35 @@ class EventStreamSpec extends SparkTestBase {
     assert(got === Set((1L, 9.99), (2L, 1.0)))
   }
 
+  test("incrementalPublish: checkpointed drain publishes date partitions idempotently") {
+    val dir = java.nio.file.Files.createTempDirectory("ip").toString
+    val in = s"$dir/in"; val target = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    val d1 = java.sql.Date.valueOf("2024-01-01"); val d2 = java.sql.Date.valueOf("2024-01-02")
+    Seq((1L, d1, 1.0), (2L, d1, 2.0), (3L, d2, 3.0)).toDF("id", "date", "v")
+      .write.parquet(in)
+    val schema = spark.read.parquet(in).schema
+
+    def drain(): Unit = {
+      val q = EventStream.incrementalPublish(EventStream.fileStream(spark, in, schema), target, ckpt)
+      q.awaitTermination(120000)
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+    }
+    drain()
+    assert(spark.read.parquet(target).count() === 3)
+    assert(new java.io.File(target).listFiles().count(_.getName.startsWith("date=")) === 2)
+
+    // nothing new → the re-drain publishes nothing and duplicates nothing
+    drain()
+    assert(spark.read.parquet(target).count() === 3)
+
+    // a late file for a NEW date → exactly that partition appears
+    Seq((4L, java.sql.Date.valueOf("2024-01-03"), 4.0)).toDF("id", "date", "v")
+      .write.mode("append").parquet(in)
+    drain()
+    assert(spark.read.parquet(target).count() === 4)
+    assert(new java.io.File(target).listFiles().count(_.getName.startsWith("date=")) === 3)
+  }
+
   test("fileStream drains a parquet directory with AvailableNow (T2 semantics)") {
     val dir = java.nio.file.Files.createTempDirectory("fs").toString
     val data = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
