@@ -333,6 +333,33 @@ object SparkEntry {
         ev.where(col("event_type") === "click").select(col("user_id"), col("ts").as("next_click_ts")),
         Seq("user_id"), "ts", "next_click_ts",
         direction = "forward", tolerance = Some(expr("INTERVAL 1 HOUR")))
+    }),
+
+    // A+ — pivot (cross-tab): doc counts per source × language. The value
+    // list is EXPLICIT — at scale an implicit pivot runs a distinct scan
+    // first AND breaks plan determinism; pinning the columns keeps the
+    // pivot a single partial-agg pass.
+    "q37_a7_pivot" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
+    // W+ — analytic-window suite: ntile / percent_rank / cume_dist /
+    // first+last value over a total deterministic order.
+    "q38_w3_window_suite" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n_chars").asc, col("doc_id").asc)
+      val wf = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        first(col("doc_id")).over(wf).as("shortest_doc"),
+        last(col("doc_id")).over(wf).as("longest_doc"))
     })
   )
 
@@ -607,6 +634,25 @@ object SparkEntry {
         | (SELECT min(c.ts) FROM events c
         |   WHERE c.event_type = 'click' AND c.user_id = p.user_id
         |     AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR) AS next_click_ts
-        |FROM events p WHERE p.event_type = 'purchase'""".stripMargin
+        |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
+    "q37_a7_pivot" ->
+      ("SELECT source, " +
+        "CAST(count(CASE WHEN lang = 'de' THEN 1 END) AS BIGINT) AS de, " +
+        "CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS en, " +
+        "CAST(count(CASE WHEN lang = 'es' THEN 1 END) AS BIGINT) AS es, " +
+        "CAST(count(CASE WHEN lang = 'fr' THEN 1 END) AS BIGINT) AS fr, " +
+        "CAST(count(CASE WHEN lang = 'zh' THEN 1 END) AS BIGINT) AS zh " +
+        "FROM documents GROUP BY source"),
+    "q38_w3_window_suite" ->
+      ("SELECT doc_id, lang, n_chars, " +
+        "CAST(ntile(4) OVER w AS BIGINT) AS quartile, " +
+        "percent_rank() OVER w AS pct_rank, " +
+        "cume_dist() OVER w AS cume, " +
+        "first_value(doc_id) OVER wf AS shortest_doc, " +
+        "last_value(doc_id) OVER wf AS longest_doc " +
+        "FROM documents " +
+        "WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id), " +
+        "wf AS (PARTITION BY lang ORDER BY n_chars, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)")
   ) ++ graft.ext.ExtQueries.oracleSql
 }

@@ -101,6 +101,24 @@ class FlowsSpec extends SparkTestBase {
     assert(spark.read.parquet(target).count() === before)
   }
 
+  test("published table tolerates schema evolution: later deltas add a column, mergeSchema reads both") {
+    val dir = Files.createTempDirectory("evolve").toString
+    val target = s"$dir/prices"
+    import spark.implicits._
+    val d1 = java.sql.Date.valueOf("2024-01-01"); val d2 = java.sql.Date.valueOf("2024-01-02")
+    graft.ops.Incremental.publishDelta(
+      Seq((1L, d1, 10.0)).toDF("id", "date", "close"), target)
+    // a later delta carries a NEW column (source added a field mid-history)
+    graft.ops.Incremental.publishDelta(
+      Seq((2L, d2, 20.0, 0.5)).toDF("id", "date", "close", "quote_rate"), target)
+
+    val merged = spark.read.option("mergeSchema", "true").parquet(target)
+    assert(merged.columns.toSet === Set("id", "date", "close", "quote_rate"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("quote_rate")), "old partitions read null for the new column")
+    assert(rows(1).getDouble(rows(1).fieldIndex("quote_rate")) === 0.5)
+  }
+
   test("retry wrapper exhausts attempts and rethrows the last error") {
     var calls = 0
     val e = intercept[RuntimeException] {
