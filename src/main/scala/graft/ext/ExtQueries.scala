@@ -126,6 +126,9 @@ object ExtQueries {
     "x27_sketch_quantiles" -> ((s, dir) =>
       Sketches.lengthQuantiles(Tables.documents(s, dir))),
 
+    "x35_curate_boilerplate" -> ((s, dir) =>
+      Curate.boilerplateShingles(Tables.documents(s, dir), 3, 0.01)),
+
     // Typed Aggregator coverage: deterministic bottom-k-by-hash sample of
     // doc_ids per language, exploded to scalar rows for the oracle.
     "x34_curate_group_sample" -> ((s, dir) =>
@@ -422,6 +425,14 @@ object ExtQueries {
         "CAST(min(n_chars) AS BIGINT) AS min_len, CAST(max(n_chars) AS BIGINT) AS max_len, " +
         "CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_len " +
         "FROM documents GROUP BY 1"),
+
+    "x35_curate_boilerplate" ->
+      (s"WITH t AS ($toksCte), sh AS ($shinglesCte), " +
+        "ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents), " +
+        "g AS (SELECT shingle, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM ex GROUP BY 1) " +
+        "SELECT shingle, n_docs, CAST(n_docs AS DOUBLE) / n_total AS doc_frac " +
+        "FROM g, tot WHERE CAST(n_docs AS DOUBLE) / n_total > 0.01"),
 
     "x34_curate_group_sample" ->
       ("SELECT lang, doc_id FROM (SELECT lang, doc_id, " +

@@ -17,7 +17,8 @@ class PlanAuditSpec extends SparkTestBase {
     "x18_dedup_simhash_pairs" -> "all-pairs VERIFIER (scale path = x20)",
     "x13_ann_ivf_topk" -> "crossJoin against ONE packed broadcast row (constant)",
     "x32_ann_ivf_nprobe2" -> "crossJoin against ONE packed broadcast row (constant)",
-    "x33_quality_profile" -> "crossJoin of two single-row aggregates (constant)"
+    "x33_quality_profile" -> "crossJoin of two single-row aggregates (constant)",
+    "x35_curate_boilerplate" -> "crossJoin against ONE broadcast total-count row (constant)"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {
