@@ -42,6 +42,64 @@ class PropertySpec extends SparkTestBase {
     }, n = 10)
   }
 
+  test("bucketedInterval == naive range join for random dates and intervals") {
+    val day = Gen.choose(18000L, 18100L) // ~100-day window, epoch days
+    check(Prop.forAll(Gen.listOfN(20, day), Gen.listOfN(8, Gen.zip(day, Gen.choose(0L, 20L)))) {
+      (lefts: List[Long], rights: List[(Long, Long)]) =>
+        val l = lefts.zipWithIndex.map { case (d, i) =>
+          (i.toLong, java.sql.Date.valueOf(LocalDate.ofEpochDay(d)))
+        }.toDF("l_id", "d")
+        val r = rights.zipWithIndex.map { case ((s, span), i) =>
+          (100L + i, java.sql.Date.valueOf(LocalDate.ofEpochDay(s)),
+            java.sql.Date.valueOf(LocalDate.ofEpochDay(s + span)))
+        }.toDF("r_id", "s", "e")
+        import org.apache.spark.sql.functions.col
+        val got = RangeJoin.bucketedInterval(l, "d", r, "s", "e", 7)
+          .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+        val naive = l.join(r, col("d") >= col("s") && col("d") < col("e"))
+          .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+        got == naive
+    }, n = 10)
+  }
+
+  test("asofJoin backward+forward match the naive definition on random series") {
+    val t = Gen.choose(0L, 200L)
+    check(Prop.forAll(Gen.listOfN(15, t), Gen.listOfN(15, t)) { (lts: List[Long], rts: List[Long]) =>
+      val l = lts.distinct.map(x => (1L, x)).toDF("k", "t")
+      val r = rts.distinct.map(x => (1L, x, s"v$x")).toDF("k", "rt", "v")
+      val back = AsOf.asofJoin(l, r, Seq("k"), "t", "rt")
+        .collect().map(x => x.getLong(1) -> Option(x.getString(3))).toMap
+      val fwd = AsOf.asofJoin(l, r, Seq("k"), "t", "rt", direction = "forward")
+        .collect().map(x => x.getLong(1) -> Option(x.getString(3))).toMap
+      lts.distinct.forall { lt =>
+        val expB = rts.distinct.filter(_ <= lt).sorted.lastOption.map(x => s"v$x")
+        val expF = rts.distinct.filter(_ >= lt).sorted.headOption.map(x => s"v$x")
+        back(lt) == expB && fwd(lt) == expF
+      }
+    }, n = 10)
+  }
+
+  test("banded simhash finds EVERY pair within the Hamming bound (pigeonhole recall)") {
+    // Recall guarantee is structural: compare against the exhaustive
+    // all-pairs form on random small corpora.
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta")
+    val doc = Gen.listOfN(12, word).map(_.mkString(" "))
+    check(Prop.forAll(Gen.listOfN(12, doc)) { (texts: List[String]) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      import org.apache.spark.sql.functions.col
+      val sigs = graft.ext.Dedup.simhash64(docs)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      def ham(a: Seq[Int], b: Seq[Int]) =
+        a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+      val expected = (for {
+        i <- sigs.keys; j <- sigs.keys if i < j && ham(sigs(i), sigs(j)) <= 3
+      } yield (i, j)).toSet
+      val got = graft.ext.Dedup.simhashBandedPairs(docs, 3)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got == expected
+    }, n = 5)
+  }
+
   test("watermark only moves forward when advanced monotonically") {
     check(Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0L, 20000L))) { (days: List[Long]) =>
       val dir = java.nio.file.Files.createTempDirectory("wmprop").toString
