@@ -360,6 +360,38 @@ object SparkEntry {
           Array(col("quantity"), col("extendedprice"), col("discount")),
           "metric", "value")),
 
+    // SQL+ — the spark.sql entry path (everything else uses the DataFrame
+    // API; a reference user must be able to bring plain SQL too). EXISTS
+    // correlated subquery — Catalyst plans it as a left-semi join.
+    "q40_sql_exists_subquery" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM v_orders
+        WHERE EXISTS (
+          SELECT 1 FROM v_lineitem
+          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+      """)
+    }),
+
+    // SQL+ — GROUPING SETS with the grouping() marker (finer-grained than
+    // the rollup/cube queries): per-lang, per-source, and grand totals in
+    // one pass.
+    "q41_sql_grouping_sets" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("v_documents")
+      s.sql("""
+        SELECT lang, source,
+               CAST(grouping(lang) AS BIGINT) AS g_lang,
+               CAST(grouping(source) AS BIGINT) AS g_source,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM v_documents
+        GROUP BY GROUPING SETS ((lang), (source), ())
+      """)
+    }),
+
     // W+ — analytic-window suite: ntile / percent_rank / cume_dist /
     // first+last value over a total deterministic order.
     "q38_w3_window_suite" -> ((s, dir) => {
@@ -649,6 +681,17 @@ object SparkEntry {
         |   WHERE c.event_type = 'click' AND c.user_id = p.user_id
         |     AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR) AS next_click_ts
         |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
+    "q40_sql_exists_subquery" ->
+      ("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders FROM orders " +
+        "WHERE EXISTS (SELECT 1 FROM lineitem " +
+        "WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') " +
+        "GROUP BY o_orderpriority"),
+    "q41_sql_grouping_sets" ->
+      ("SELECT lang, source, " +
+        "CAST(grouping(lang) AS BIGINT) AS g_lang, " +
+        "CAST(grouping(source) AS BIGINT) AS g_source, " +
+        "CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars " +
+        "FROM documents GROUP BY GROUPING SETS ((lang), (source), ())"),
     "q39_u3_unpivot" ->
       ("WITH b AS (SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS quantity, " +
         "CAST(l_extendedprice AS DOUBLE) AS extendedprice, CAST(l_discount AS DOUBLE) AS discount " +
