@@ -78,6 +78,29 @@ object Curate {
         (col("n_docs").cast("double") / col("n_total")).as("doc_frac"))
   }
 
+  /** Benchmark decontamination scoring: per benchmark document, the
+    * fraction of its k-shingles that appear ANYWHERE in the training
+    * corpus (the standard n-gram-overlap test-set-contamination check).
+    *
+    * Scale shape: the corpus side collapses to DISTINCT shingles before
+    * the join (the only big shuffle), and the membership test is a
+    * LEFT-SEMI join — no row duplication however many corpus docs share a
+    * shingle. Benchmark sides are typically small; the corpus side scales
+    * with unique-shingle volume, not corpus size.
+    */
+  def contamination(benchmark: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val bsh = benchmark.select(col("doc_id"), explode(TextOps.shingles(col("text"), k)).as("shingle"))
+    val csh = corpus.select(explode(TextOps.shingles(col("text"), k)).as("shingle")).distinct()
+    val total = bsh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hit = bsh.join(csh, Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    total.join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)).cast("double") / col("n_shingles"))
+          .as("contamination"))
+  }
+
   val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val PhoneRe = "\\+[0-9][0-9()\\- ]{7,}[0-9]"
 

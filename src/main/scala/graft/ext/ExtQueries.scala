@@ -129,6 +129,12 @@ object ExtQueries {
     "x35_curate_boilerplate" -> ((s, dir) =>
       Curate.boilerplateShingles(Tables.documents(s, dir), 3, 0.01)),
 
+    "x36_curate_contamination" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Curate.contamination(d.where(col("source") === "src0"),
+        d.where(col("source") =!= "src0"), 3)
+    }),
+
     // Typed Aggregator coverage: deterministic bottom-k-by-hash sample of
     // doc_ids per language, exploded to scalar rows for the oracle.
     "x34_curate_group_sample" -> ((s, dir) =>
@@ -425,6 +431,23 @@ object ExtQueries {
         "CAST(min(n_chars) AS BIGINT) AS min_len, CAST(max(n_chars) AS BIGINT) AS max_len, " +
         "CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_len " +
         "FROM documents GROUP BY 1"),
+
+    "x36_curate_contamination" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE source = 'src0'), " +
+        s"sh AS ($shinglesCte), " +
+        "bex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh), " +
+        "t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE source <> 'src0'), " +
+        "sh2 AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(toks)-2), i -> array_to_string(toks[i:i+2], ' ')) " +
+        "ELSE [array_to_string(toks, ' ')] END) AS shingles FROM t2), " +
+        "cex AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh2), " +
+        "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM bex GROUP BY 1), " +
+        "hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated FROM bex " +
+        "WHERE shingle IN (SELECT shingle FROM cex) GROUP BY 1) " +
+        "SELECT tot.doc_id, tot.n_shingles, " +
+        "CAST(coalesce(hit.n_contaminated, 0) AS BIGINT) AS n_contaminated, " +
+        "CAST(coalesce(hit.n_contaminated, 0) AS DOUBLE) / tot.n_shingles AS contamination " +
+        "FROM tot LEFT JOIN hit USING (doc_id)"),
 
     "x35_curate_boilerplate" ->
       (s"WITH t AS ($toksCte), sh AS ($shinglesCte), " +

@@ -39,6 +39,25 @@ class FixtureSourceSpec extends SparkTestBase {
     assert(df.collect().head.getString(0) === "600000.SH")
   }
 
+  test("malformed CSV rows: PERMISSIVE nulls bad cells; FAILFAST raises") {
+    val dir = Files.createTempDirectory("fx3").toString
+    val path = s"$dir/daily.csv"
+    Files.writeString(java.nio.file.Paths.get(path),
+      "ts_code,trade_date,open,high,low,close,pre_close,pct_chg,vol,amount\n" +
+        "600000.SH,20240105,10,11,9,10.5,10,0.5,1000,10500\n" +
+        "600001.SH,20240105,NOT_A_NUMBER,21,19,20,19.5,-0.5,2000,40000\n")
+    // default (PERMISSIVE): the corrupt cell becomes null, the row survives —
+    // an ingest pipeline must not lose a whole day to one bad field
+    val permissive = new FixtureSource(spark, dir).dailyKline.orderBy("ts_code").collect()
+    assert(permissive.length === 2)
+    assert(permissive(1).isNullAt(2), "corrupt numeric cell must read as null")
+    // FAILFAST: strict-mode readers surface the corruption instead
+    intercept[org.apache.spark.SparkException] {
+      spark.read.option("header", "true").option("mode", "FAILFAST")
+        .schema(Schemas.dailyKline).csv(path).collect()
+    }
+  }
+
   test("conformed prices schema matches the 30-column contract (§1.4)") {
     assert(Schemas.prices.fields.length === 33)
     assert(Schemas.prices("date").dataType === DateType)
