@@ -46,7 +46,8 @@ object SparkEntry {
     "q18_w1_lag_prev_close", "q22_o2_topk", "q23_st1_tumbling_window",
     "q24_ja_asof_join",
     "x03_dedup_minhash_lsh", "x06_ann_bruteforce_topk", "x09_text_quality",
-    "x20_dedup_simhash_banded", "x21_text_vocab")
+    "x20_dedup_simhash_banded", "x21_text_vocab",
+    "x28_range_join_bucketed", "x36_curate_contamination")
 
   private def coreQueries: Map[String, Q] = Map(
     // S1+P4+F1+F4 — dimension scan with projection + pushed predicates

@@ -20,6 +20,40 @@ class ScaleSpec extends SparkTestBase {
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    val conf = spark.conf
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> util.Try(conf.get(k)).toOption)
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // shrink the skew thresholds so test-scale data triggers the same
+      // runtime re-plan a hot key triggers at 100 TB
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = (1 to 20000).map(i => (if (i % 10 == 0) i.toLong % 7 else 1L, s"payload_$i"))
+        .toDF("k", "v")
+      val dim = (0L to 7L).map(k => (k, s"dim_$k")).toDF("k", "name")
+      val joined = fact.join(dim, Seq("k"))
+      // materialize THIS QueryExecution (count() would run its own) so the
+      // adaptive plan is final before we inspect it
+      assert(joined.collect().length === 20000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected AQE skew-split join in final plan:\n$finalPlan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("bucketed tables co-locate the join: no Exchange in the join plan") {
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
