@@ -47,7 +47,8 @@ object SparkEntry {
     "q24_ja_asof_join",
     "x03_dedup_minhash_lsh", "x06_ann_bruteforce_topk", "x09_text_quality",
     "x20_dedup_simhash_banded", "x21_text_vocab",
-    "x28_range_join_bucketed", "x36_curate_contamination")
+    "x28_range_join_bucketed", "x36_curate_contamination",
+    "q42_j7_star_join")
 
   private def coreQueries: Map[String, Q] = Map(
     // S1+P4+F1+F4 — dimension scan with projection + pushed predicates
@@ -360,6 +361,33 @@ object SparkEntry {
           Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("quantity"), col("extendedprice"), col("discount")),
           "metric", "value")),
+
+    // J+ — star-schema join (TPC-H Q5 shape): fact ⋈ 4 dims with a
+    // region-side filter that prunes through two join hops. Catalyst
+    // broadcast-cascades the dim chain; the only wide exchange is the
+    // fact⋈orders key shuffle — the canonical OLAP star plan.
+    "q42_j7_star_join" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+          .where(to_date(col("o_orderdate")).between(
+            lit(Date.valueOf("1996-01-01")), lit(Date.valueOf("1996-12-31")))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(20, 6))).cast("double").as("revenue"))),
+
+    // U+ — multiset set ops (ALL variants keep duplicates; q31 covers the
+    // distinct forms).
+    "q43_u4_except_intersect_all" -> ((s, dir) => {
+      val a = Tables.lineitem(s, dir).where(col("l_linenumber") <= 3).select("l_orderkey", "l_returnflag")
+      val b = Tables.lineitem(s, dir).where(col("l_linenumber") >= 2).select("l_orderkey", "l_returnflag")
+      a.exceptAll(b).withColumn("op", lit("except_all"))
+        .unionByName(a.intersectAll(b).withColumn("op", lit("intersect_all")))
+    }),
 
     // SQL+ — the spark.sql entry path (everything else uses the DataFrame
     // API; a reference user must be able to bring plain SQL too). EXISTS
@@ -682,6 +710,21 @@ object SparkEntry {
         |   WHERE c.event_type = 'click' AND c.user_id = p.user_id
         |     AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR) AS next_click_ts
         |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
+    "q42_j7_star_join" ->
+      ("SELECT n_name, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01' " +
+        "AND CAST(o_orderdate AS DATE) <= DATE '1996-12-31' " +
+        "GROUP BY n_name"),
+    "q43_u4_except_intersect_all" ->
+      ("WITH a AS (SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_linenumber <= 3), " +
+        "b AS (SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_linenumber >= 2) " +
+        "SELECT l_orderkey, l_returnflag, 'except_all' AS op FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) " +
+        "UNION ALL " +
+        "SELECT l_orderkey, l_returnflag, 'intersect_all' AS op FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)"),
     "q40_sql_exists_subquery" ->
       ("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders FROM orders " +
         "WHERE EXISTS (SELECT 1 FROM lineitem " +
