@@ -42,6 +42,21 @@ class DedupSpec extends SparkTestBase {
     assert(lsh.contains((0L, 1L)))
   }
 
+  test("minhashLsh recall on the fixture's planted near-dups matches exact Jaccard") {
+    // The sf0.001 documents fixture plants real near-duplicate pairs; LSH
+    // with 4x4 banding at threshold 0.8 must recover every pair the exact
+    // all-pairs form finds (~98% theoretical recall at J=0.9 ⇒ all planted
+    // pairs at fixture similarity levels). This pins the recall claim the
+    // banding parameters were chosen for.
+    val fixture = graft.sources.Tables.documents(spark, sfDir)
+    val exact = Dedup.jaccardPairs(fixture, 3, 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(fixture, 3, 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture must contain planted near-dup pairs")
+    assert(lsh === exact, s"LSH missed ${(exact -- lsh).size} of ${exact.size} exact pairs")
+  }
+
   test("simhash: identical texts get identical hashes; hash is 16-bit") {
     val h = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(h(0L) === h(1L))
