@@ -209,6 +209,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("total_value"))
         .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total_value"))),
 
+    // ST+ — SLIDING window aggregation (completes the tumbling/sliding/
+    // session batch trio): 1-hour windows sliding every 15 minutes, so each
+    // event lands in exactly 4 windows.
+    "q44_st3_sliding_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value"))),
+
     // A+ — hierarchical subtotals (ROLLUP): per (flag,status), per flag, grand.
     "q25_a3_rollup" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -620,6 +630,15 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q44_st3_sliding_window" ->
+      """WITH x AS (SELECT ts, event_type, value,
+        |  time_bucket(INTERVAL '15 minutes', ts) AS f15 FROM events),
+        |w AS (SELECT event_type, value,
+        |  f15 - t.i * INTERVAL '15 minutes' AS window_start
+        |  FROM x, unnest(generate_series(0, 3)) AS t(i))
+        |SELECT window_start, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
     "q25_a3_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
