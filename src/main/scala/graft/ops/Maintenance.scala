@@ -21,14 +21,20 @@ object Maintenance {
     * one task, so the `partitionBy` writer emits exactly one file per
     * partition — without it, every upstream task holding rows of a date
     * writes its own fragment. The rewrite goes to a sibling tmp dir and is
-    * swapped in with directory moves (crash before the final move leaves
-    * the original intact).
+    * swapped in with two directory moves. The swap is NOT atomic as a
+    * whole: a crash between `dir→_compact_old` and `_compact_tmp→dir`
+    * leaves no table at `dir`, with the data intact in `_compact_old`.
+    * `recoverSwap` (called on entry) heals exactly that state, so the
+    * operation is crash-safe across a re-run. java.nio moves assume a
+    * local/POSIX filesystem; on an object store the swap should be a
+    * metastore pointer flip instead.
     */
   def compactPartitioned(spark: SparkSession, dir: String,
                          partitionCol: String = "date",
                          filesPerPartition: Int = 1): Unit = {
     val tmp = dir + "_compact_tmp"
     val old = dir + "_compact_old"
+    recoverSwap(dir)
     val df = spark.read.parquet(dir)
     val parts: Array[org.apache.spark.sql.Column] =
       if (filesPerPartition == 1) Array(col(partitionCol))
@@ -42,5 +48,15 @@ object Maintenance {
       Option(p.listFiles()).foreach(_.foreach(rm)); p.delete()
     }
     rm(new java.io.File(old))
+  }
+
+  /** Heal an interrupted `compactPartitioned` swap: if `dir` is missing but
+    * the displaced original `_compact_old` exists, move it back. Safe to
+    * call unconditionally before reading or re-compacting the table.
+    */
+  def recoverSwap(dir: String): Unit = {
+    val old = Paths.get(dir + "_compact_old")
+    if (!Files.exists(Paths.get(dir)) && Files.exists(old))
+      Files.move(old, Paths.get(dir), StandardCopyOption.ATOMIC_MOVE)
   }
 }

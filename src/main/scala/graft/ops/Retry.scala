@@ -13,7 +13,9 @@ object Retry {
     while (i < attempts) {
       try return body
       catch {
-        case e: Throwable =>
+        // NonFatal only: an OutOfMemoryError or interrupt must propagate,
+        // not be retried against a possibly-corrupted session.
+        case scala.util.control.NonFatal(e) =>
           lastErr = e
           i += 1
           System.err.println(s"[retry] $label attempt $i/$attempts failed: ${e.getMessage}")

@@ -52,7 +52,9 @@ object CalendarFlow {
     Files.move(part.toPath, dest)
     new java.io.File(tmp).listFiles().foreach(_.delete())
     Files.deleteIfExists(Paths.get(tmp))
-    Result(Files.lines(dest).count() - 1, targetFile) // minus header
+    val lines = Files.lines(dest)
+    val n = try lines.count() finally lines.close()
+    Result(n - 1, targetFile) // minus header
   }
 }
 
