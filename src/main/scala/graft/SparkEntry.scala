@@ -3,7 +3,7 @@ package graft
 import java.sql.Date
 
 import graft.functions.Stable.dsum
-import graft.ops.{AsOf, Assemble, Conform, Incremental}
+import graft.ops.{AsOf, Assemble, Conform, Incremental, Merge}
 import graft.pipeline.{MarketPipeline, TpchMarketSource}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -399,6 +399,53 @@ object SparkEntry {
         .unionByName(a.intersectAll(b).withColumn("op", lit("intersect_all")))
     }),
 
+    // W+ — RANGE-frame window: per-customer rolling 30-day spend. The frame
+    // is value-based (days), not row-based — peers at the same day all see
+    // the same frame. DECIMAL-transit sum keeps it merge-order-exact.
+    "q46_w4_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("d_epoch").rangeBetween(-30, 0)
+      Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_custkey"),
+          datediff(to_date(col("o_orderdate")), lit(Date.valueOf("1970-01-01"))).as("d_epoch"),
+          col("o_totalprice"))
+        .select(col("o_orderkey"), col("o_custkey"), col("d_epoch").cast("long").as("d_epoch"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w).cast("double").as("rolling_30d_spend"),
+          count(lit(1)).over(w).cast("long").as("rolling_30d_orders"))
+    }),
+
+    // SQL+ — LATERAL correlated subquery (per-row dependent aggregate):
+    // Catalyst decorrelates it into a left outer aggregate join.
+    "q47_sql_lateral_join" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("v47_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("v47_orders")
+      s.sql("""
+        SELECT c.c_custkey, c.c_name, l.n_orders, l.max_price
+        FROM v47_customer c, LATERAL (
+          SELECT CAST(count(*) AS BIGINT) AS n_orders, max(o_totalprice) AS max_price
+          FROM v47_orders WHERE o_custkey = c.c_custkey) l
+      """)
+    }),
+
+    // M — CDC merge-apply (MERGE INTO semantics): master = orders payload;
+    // changes = two versions of updates/deletes over ~30% of keys plus
+    // fresh-key inserts, latest-version-wins. See ops.Merge for the
+    // broadcast-anti plan (the master side never shuffles).
+    "q45_m1_merge_cdc" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+      val m = base.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val v1 = base.where(col("o_orderkey") % 10 < 3).select(
+        col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") * 2).as("o_totalprice"), lit(1L).as("version"),
+        when(col("o_orderkey") % 10 === 0, "D").otherwise("U").as("op"))
+      val v2 = base.where(col("o_orderkey") % 20 === 1).select(
+        col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") * 3).as("o_totalprice"), lit(2L).as("version"), lit("U").as("op"))
+      val ins = base.where(col("o_orderkey") % 10 === 5).select(
+        (col("o_orderkey") + 100000000L).as("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") + 0.5).as("o_totalprice"), lit(1L).as("version"), lit("I").as("op"))
+      Merge.applyChanges(m, v1.unionByName(v2).unionByName(ins), Seq("o_orderkey"))
+    }),
+
     // SQL+ — the spark.sql entry path (everything else uses the DataFrame
     // API; a reference user must be able to bring plain SQL too). EXISTS
     // correlated subquery — Catalyst plans it as a left-semi join.
@@ -744,6 +791,31 @@ object SparkEntry {
         "SELECT l_orderkey, l_returnflag, 'except_all' AS op FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) " +
         "UNION ALL " +
         "SELECT l_orderkey, l_returnflag, 'intersect_all' AS op FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)"),
+    "q46_w4_range_frame" ->
+      ("SELECT o_orderkey, o_custkey, " +
+        "CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d_epoch, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS rolling_30d_spend, " +
+        "CAST(count(*) OVER w AS BIGINT) AS rolling_30d_orders " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey " +
+        "ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01') " +
+        "RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)"),
+    "q47_sql_lateral_join" ->
+      ("SELECT c.c_custkey, c.c_name, l.n_orders, l.max_price " +
+        "FROM customer c, LATERAL (" +
+        "SELECT CAST(count(*) AS BIGINT) AS n_orders, max(o_totalprice) AS max_price " +
+        "FROM orders WHERE o_custkey = c.c_custkey) l"),
+    "q45_m1_merge_cdc" ->
+      ("WITH m AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders), " +
+        "changes AS (" +
+        "SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice, 1 AS version, " +
+        "CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op FROM orders WHERE o_orderkey % 10 < 3 " +
+        "UNION ALL SELECT o_orderkey, o_custkey, o_totalprice * 3, 2, 'U' FROM orders WHERE o_orderkey % 20 = 1 " +
+        "UNION ALL SELECT o_orderkey + 100000000, o_custkey, o_totalprice + 0.5, 1, 'I' FROM orders WHERE o_orderkey % 10 = 5), " +
+        "latest AS (SELECT * FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY o_orderkey ORDER BY version DESC) AS rn FROM changes) WHERE rn = 1) " +
+        "SELECT m.o_orderkey, m.o_custkey, m.o_totalprice FROM m " +
+        "WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.o_orderkey = m.o_orderkey) " +
+        "UNION ALL SELECT o_orderkey, o_custkey, o_totalprice FROM latest WHERE op <> 'D'"),
     "q40_sql_exists_subquery" ->
       ("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders FROM orders " +
         "WHERE EXISTS (SELECT 1 FROM lineitem " +

@@ -149,6 +149,17 @@ object ExtQueries {
         Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
         Seq("lang", "source"))),
 
+    // Z-order clustering key: the codegen'd Morton interleave the layout
+    // writer sorts by (graft.ops.Layout.zorderWrite); oracle replicates the
+    // bit-spreading arithmetic in plain SQL.
+    "x37_layout_zorder" -> ((s, dir) => {
+      graft.functions.Morton.register(s)
+      Tables.orders(s, dir).select(col("o_orderkey"),
+        graft.functions.Morton.interleave(
+          (col("o_orderkey") % 65536).cast("long"),
+          (col("o_custkey") % 65536).cast("long")).as("zval"))
+    }),
+
     "x32_ann_ivf_nprobe2" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.ivfTopKProbe2(e.where(col("vec_id") < 5), e, 10)
@@ -456,6 +467,16 @@ object ExtQueries {
         "g AS (SELECT shingle, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM ex GROUP BY 1) " +
         "SELECT shingle, n_docs, CAST(n_docs AS DOUBLE) / n_total AS doc_frac " +
         "FROM g, tot WHERE CAST(n_docs AS DOUBLE) / n_total > 0.01"),
+
+    "x37_layout_zorder" ->
+      ("WITH b0 AS (SELECT o_orderkey, CAST(o_orderkey % 65536 AS BIGINT) AS x, " +
+        "CAST(o_custkey % 65536 AS BIGINT) AS y FROM orders), " +
+        "b1 AS (SELECT o_orderkey, (x | (x << 16)) & 281470681808895 AS x, (y | (y << 16)) & 281470681808895 AS y FROM b0), " +
+        "b2 AS (SELECT o_orderkey, (x | (x << 8)) & 71777214294589695 AS x, (y | (y << 8)) & 71777214294589695 AS y FROM b1), " +
+        "b3 AS (SELECT o_orderkey, (x | (x << 4)) & 1085102592571150095 AS x, (y | (y << 4)) & 1085102592571150095 AS y FROM b2), " +
+        "b4 AS (SELECT o_orderkey, (x | (x << 2)) & 3689348814741910323 AS x, (y | (y << 2)) & 3689348814741910323 AS y FROM b3), " +
+        "b5 AS (SELECT o_orderkey, (x | (x << 1)) & 6148914691236517205 AS x, (y | (y << 1)) & 6148914691236517205 AS y FROM b4) " +
+        "SELECT o_orderkey, x | (y << 1) AS zval FROM b5"),
 
     "x34_curate_group_sample" ->
       ("SELECT lang, doc_id FROM (SELECT lang, doc_id, " +

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Morton (Z-order) bit interleave of two 32-bit keys into one 64-bit
+  * z-value — the multi-dimensional clustering key behind z-ordered data
+  * layout (as popularized by Delta/Iceberg OPTIMIZE ZORDER; the curve
+  * itself is Morton 1966).
+  *
+  * Sorting a table by `interleave(x, y)` gives every written file a tight
+  * min/max envelope in BOTH dimensions, so parquet row-group / file stats
+  * prune scans filtered on either column — a linear sort gets that for its
+  * leading column only. At 100 TB, this is the difference between a
+  * point-lookup reading one file and reading the whole table.
+  *
+  * Codegen'd magic-number bit spreading (5 shift/mask steps per side, no
+  * loop, no allocation). Inputs are the LOW 32 bits of each long child
+  * (callers range-normalize first — see [[graft.ops.Layout]]).
+  */
+case class InterleaveBits(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two bigint arguments, got ${l.sql} and ${r.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_interleave"
+
+  @inline private def spread(v0: Long): Long = {
+    var v = v0 & 0xFFFFFFFFL
+    v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
+    v = (v | (v << 8)) & 0x00FF00FF00FF00FFL
+    v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FL
+    v = (v | (v << 2)) & 0x3333333333333333L
+    v = (v | (v << 1)) & 0x5555555555555555L
+    v
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    spread(a.asInstanceOf[Long]) | (spread(b.asInstanceOf[Long]) << 1)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val spreadFn = ctx.addNewFunction("graftSpreadBits",
+      s"""
+         |private long graftSpreadBits(long v) {
+         |  v &= 0xFFFFFFFFL;
+         |  v = (v | (v << 16)) & 0x0000FFFF0000FFFFL;
+         |  v = (v | (v << 8)) & 0x00FF00FF00FF00FFL;
+         |  v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FL;
+         |  v = (v | (v << 2)) & 0x3333333333333333L;
+         |  v = (v | (v << 1)) & 0x5555555555555555L;
+         |  return v;
+         |}
+       """.stripMargin)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $spreadFn($a) | ($spreadFn($b) << 1);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object Morton {
+  val InterleaveName = "graft_interleave"
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(InterleaveName),
+      new ExpressionInfo(classOf[InterleaveBits].getName, InterleaveName),
+      (children: Seq[Expression]) => InterleaveBits(children(0), children(1)))
+
+  /** Codegen'd 64-bit z-value; requires [[register]] on the session first. */
+  def interleave(a: Column, b: Column): Column = call_function(InterleaveName, a, b)
+}

@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.functions.Morton
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-ordered data layout (multi-dimensional clustering for file skipping).
+  *
+  * A linear sort clusters one column; filters on any other column read the
+  * whole table. Sorting by the Morton interleave of two range-normalized
+  * keys gives every output file a tight min/max envelope in BOTH
+  * dimensions, so parquet footer stats prune on either predicate. This is
+  * the write-side complement of partition pruning: partitions prune the
+  * coarse dimension (date), z-order prunes within partitions.
+  *
+  * All heavy work is distributed: one tiny min/max aggregate for the
+  * normalization bounds (driver scalars), then a range repartition on the
+  * z-value (sampled, skew-tolerant) and a per-partition sort feeding the
+  * writer. Nothing is collected.
+  */
+object Layout {
+
+  /** Range-normalize `c` into [0, 2^bits) using precomputed bounds. */
+  private def scaled(c: Column, lo: Double, hi: Double, bits: Int): Column = {
+    val span = math.max(hi - lo, 1e-12)
+    val maxV = (1L << bits) - 1
+    least(lit(maxV), greatest(lit(0L),
+      ((c.cast("double") - lit(lo)) / lit(span) * lit(maxV.toDouble)).cast("long")))
+  }
+
+  /** The z-value column for (a, b) over the frame's observed bounds. */
+  def zorderKey(df: DataFrame, a: String, b: String, bits: Int = 16): Column = {
+    Morton.register(df.sparkSession)
+    val r = df.agg(min(col(a)).cast("double"), max(col(a)).cast("double"),
+      min(col(b)).cast("double"), max(col(b)).cast("double")).head()
+    Morton.interleave(
+      scaled(col(a), r.getDouble(0), r.getDouble(1), bits),
+      scaled(col(b), r.getDouble(2), r.getDouble(3), bits))
+  }
+
+  /** Write `df` z-ordered on (a, b) into `numFiles` files. */
+  def zorderWrite(df: DataFrame, a: String, b: String, outDir: String,
+                  numFiles: Int, bits: Int = 16): Unit = {
+    val z = zorderKey(df, a, b, bits)
+    df.repartitionByRange(numFiles, z)
+      .sortWithinPartitions(z)
+      .write.mode("overwrite").parquet(outDir)
+  }
+}
