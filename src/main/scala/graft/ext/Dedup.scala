@@ -71,8 +71,26 @@ object Dedup {
     * style) — 8x fewer hash evaluations than seeded per-function hashing,
     * same banding behavior (lowercase-hex lexicographic min == numeric min on
     * equal-length slices). Pure per-row map: one scan pass, no shuffle.
+    *
+    * The signature itself is the fused codegen'd kernel
+    * [[graft.functions.TextSig.minhashSig]] — the HOF formulation below
+    * ([[minhashSignatureHof]]) allocates ~2 hex strings + 16 slices per
+    * shingle and goes GC-bound at corpus scale; the kernel computes the
+    * identical arithmetic in one loop (parity pinned by TextSigSpec).
     */
   def minhashSignature(docs: DataFrame, k: Int = 3): DataFrame = {
+    graft.functions.TextSig.register(docs.sparkSession)
+    val base = docs.select(col("doc_id"),
+      graft.functions.TextSig.minhashSig(TextOps.shingles(col("text"), k)).as("_sig"))
+    (0 until MinhashK).foldLeft(base)((df, i) =>
+      df.withColumn(s"sig$i", element_at(col("_sig"), i + 1)))
+      .drop("_sig")
+  }
+
+  /** Reference HOF formulation of [[minhashSignature]] — kept as the
+    * spec-side twin that pins the kernel's semantics to pure built-ins.
+    */
+  def minhashSignatureHof(docs: DataFrame, k: Int = 3): DataFrame = {
     val base = docs.select(col("doc_id"), TextOps.shingles(col("text"), k).as("shingles"))
       .withColumn("_h0", transform(col("shingles"), s => md5(s)))
       .withColumn("_h1", transform(col("shingles"), s => md5(concat(lit("1:"), s))))
@@ -210,10 +228,14 @@ object Dedup {
     * corpus path is [[simhash64]] — 16 bits has only 65,536 distinct values,
     * so at scale everything collides.
     */
-  def simhash(docs: DataFrame, text: Column = col("text")): DataFrame =
+  def simhash(docs: DataFrame, text: Column = col("text")): DataFrame = {
+    graft.functions.TextSig.register(docs.sparkSession)
+    // tokHash16 is the first 16-bit md5 word — exactly piece 0 of the fused
+    // 64-bit kernel, so the 16-bit form is one element_at away.
     docs.select(col("doc_id"),
-      signBits16(transform(TextOps.tokens(text), t => TextOps.tokHash16(t)))
+      element_at(graft.functions.TextSig.simhashSig(TextOps.tokens(text)), 1)
         .cast("long").as("simhash"))
+  }
 
   val SimhashPieces = 4 // 4 x 16 bits = 64-bit signature
 
@@ -226,6 +248,15 @@ object Dedup {
     * Pure per-row map: one scan pass, no shuffle.
     */
   def simhash64(docs: DataFrame, text: Column = col("text")): DataFrame = {
+    graft.functions.TextSig.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      graft.functions.TextSig.simhashSig(TextOps.tokens(text)).as("sig"))
+  }
+
+  /** Reference HOF formulation of [[simhash64]] — the spec-side twin pinning
+    * the fused kernel's semantics to pure built-ins (see [[minhashSignatureHof]]).
+    */
+  def simhash64Hof(docs: DataFrame, text: Column = col("text")): DataFrame = {
     val hashes = transform(TextOps.tokens(text), t => md5(t))
     val pieces = (0 until SimhashPieces).map { p =>
       signBits16(transform(hashes, h => conv(substring(h, p * 4 + 1, 4), 16, 10).cast("int")))

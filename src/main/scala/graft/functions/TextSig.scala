@@ -1,0 +1,191 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop dedup-signature kernels shared by the interpreted and
+  * generated paths of [[MinhashSig]] / [[SimhashSig]].
+  *
+  * Why these exist: the HOF formulations (`transform(shingles, md5)` →
+  * 32-char hex strings → 16 `substring` slices → `array_min`, and the
+  * SimHash ±1 `zip_with` cascade) are codegen'd by Catalyst but allocate
+  * hundreds of short-lived objects per input token — at corpus scale that
+  * makes signature computation GC-bound, and on a CPU-contended host it
+  * degrades superlinearly (observed 100× on the shared-microVM bench while
+  * shuffle-bound queries degraded 5×). One fused kernel per row computes
+  * the same md5-slice arithmetic with two reused 16-byte buffers and zero
+  * intermediate arrays.
+  *
+  * Semantics are BIT-IDENTICAL to the HOF forms (pinned by TextSigSpec),
+  * so the DuckDB oracle SQL — which replicates the md5 arithmetic — is
+  * unchanged: a lexicographic min over fixed-length lowercase-hex slices
+  * equals the numeric min over the underlying 16-bit digest words.
+  */
+object TextSigImpl {
+  private val mdLocal: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** MinHash signature: for shingle s, slices 0..7 come from md5(s) and
+    * slices 8..15 from md5("1:" + s), each slice the 16-bit big-endian word
+    * at digest bytes (2j, 2j+1); the signature is the per-slice minimum.
+    * Null shingles are skipped (array_min semantics); a slice with no
+    * contributing shingle is null. Mirrors Dedup.minhashSignatureHof.
+    */
+  def minhashSig(shingles: ArrayData): ArrayData = {
+    val md = mdLocal.get()
+    val d = new Array[Byte](16)
+    val mins = Array.fill(16)(0x10000) // sentinel: no contribution yet
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val s = shingles.getUTF8String(i).getBytes
+        md.reset(); md.update(s); md.digest(d, 0, 16)
+        var j = 0
+        while (j < 8) {
+          val v = ((d(2 * j) & 0xff) << 8) | (d(2 * j + 1) & 0xff)
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+        md.reset(); md.update('1'.toByte); md.update(':'.toByte); md.update(s)
+        md.digest(d, 0, 16)
+        j = 0
+        while (j < 8) {
+          val v = ((d(2 * j) & 0xff) << 8) | (d(2 * j + 1) & 0xff)
+          if (v < mins(8 + j)) mins(8 + j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[AnyRef](16)
+    var k = 0
+    while (k < 16) {
+      if (mins(k) < 0x10000) {
+        val c = new Array[Byte](4)
+        c(0) = HexChars((mins(k) >>> 12) & 0xf).toByte
+        c(1) = HexChars((mins(k) >>> 8) & 0xf).toByte
+        c(2) = HexChars((mins(k) >>> 4) & 0xf).toByte
+        c(3) = HexChars(mins(k) & 0xf).toByte
+        out(k) = UTF8String.fromBytes(c)
+      }
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash as 4×16-bit pieces: token → md5; piece p reads the
+    * 16-bit word at digest bytes (2p, 2p+1); each bit position accumulates
+    * ±1 per token; a bit is set when its running sum is ≥ 0 (so an empty
+    * token array yields 0xFFFF per piece). A null token poisons the HOF
+    * accumulator into yielding 0 for every piece — replicated here.
+    * Mirrors Dedup.simhash64Hof.
+    */
+  def simhashSig(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) { // null token → HOF accumulator goes null → all pieces 0
+      if (tokens.isNullAt(i)) return new GenericArrayData(Array(0, 0, 0, 0))
+      i += 1
+    }
+    val md = mdLocal.get()
+    val d = new Array[Byte](16)
+    val cnt = new Array[Int](64)
+    i = 0
+    while (i < n) {
+      md.reset(); md.update(tokens.getUTF8String(i).getBytes); md.digest(d, 0, 16)
+      var p = 0
+      while (p < 4) {
+        val v = ((d(2 * p) & 0xff) << 8) | (d(2 * p + 1) & 0xff)
+        var j = 0
+        while (j < 16) {
+          cnt(p * 16 + j) += (((v >>> j) & 1) << 1) - 1
+          j += 1
+        }
+        p += 1
+      }
+      i += 1
+    }
+    val pieces = new Array[Int](4)
+    var p = 0
+    while (p < 4) {
+      var piece = 0
+      var j = 0
+      while (j < 16) {
+        if (cnt(p * 16 + j) >= 0) piece |= 1 << j
+        j += 1
+      }
+      pieces(p) = piece
+      p += 1
+    }
+    new GenericArrayData(pieces)
+  }
+}
+
+private[functions] trait TextSigExpr extends UnaryExpression {
+  protected def implMethod: String
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.sql}")
+  }
+
+  // One generated call into the fused kernel: the expression itself stays
+  // inside whole-stage codegen; the kernel is a plain JVM loop.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextSigImpl.$implMethod($a);")
+}
+
+/** `graft_minhash_sig(shingles)` → array<string> of the 16 slice minima. */
+case class MinhashSig(child: Expression) extends TextSigExpr {
+  override protected def implMethod: String = "minhashSig"
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = TextSig.MinhashName
+  override def nullSafeEval(a: Any): Any =
+    TextSigImpl.minhashSig(a.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_simhash_sig(tokens)` → array<int> of the 4 SimHash pieces. */
+case class SimhashSig(child: Expression) extends TextSigExpr {
+  override protected def implMethod: String = "simhashSig"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+  override def prettyName: String = TextSig.SimhashName
+  override def nullSafeEval(a: Any): Any =
+    TextSigImpl.simhashSig(a.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextSig {
+  val MinhashName = "graft_minhash_sig"
+  val SimhashName = "graft_simhash_sig"
+
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(MinhashName),
+      new ExpressionInfo(classOf[MinhashSig].getName, MinhashName),
+      (children: Seq[Expression]) => MinhashSig(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(SimhashName),
+      new ExpressionInfo(classOf[SimhashSig].getName, SimhashName),
+      (children: Seq[Expression]) => SimhashSig(children.head))
+  }
+
+  def minhashSig(shingles: Column): Column = call_function(MinhashName, shingles)
+  def simhashSig(tokens: Column): Column = call_function(SimhashName, tokens)
+}

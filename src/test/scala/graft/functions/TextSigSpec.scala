@@ -1,0 +1,73 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.ext.Dedup
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the fused signature kernels ([[TextSig]]) to their pure-built-in HOF
+  * twins, row by row — the property that keeps the DuckDB oracle valid after
+  * the hot path moved into custom expressions.
+  */
+class TextSigSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different text with no overlap at all whatsoever"),
+      (4L, "short"),
+      (5L, "a b"),
+      (6L, ""), // split("", " ") = [""] — exercises the md5("") path
+      (7L, "repeat repeat repeat repeat repeat")
+    ).toDF("doc_id", "text")
+  }
+
+  test("minhash kernel == HOF formulation, all 16 slices") {
+    val a = Dedup.minhashSignature(docs).orderBy("doc_id").collect()
+    val b = Dedup.minhashSignatureHof(docs).orderBy("doc_id").collect()
+    assert(a.length === b.length)
+    a.zip(b).foreach { case (ra, rb) => assert(ra === rb) }
+  }
+
+  test("simhash64 kernel == HOF formulation, all 4 pieces") {
+    val a = Dedup.simhash64(docs).orderBy("doc_id").collect()
+    val b = Dedup.simhash64Hof(docs).orderBy("doc_id").collect()
+    a.zip(b).foreach { case (ra, rb) =>
+      assert(ra.getLong(0) === rb.getLong(0))
+      assert(ra.getSeq[Int](1) === rb.getSeq[Int](1))
+    }
+  }
+
+  test("kernels run inside whole-stage codegen (no fallback to eval)") {
+    // The x03 pipeline's shingle step uses transform() — a HigherOrderFunction,
+    // which is CodegenFallback in Spark and pulls its projection out of the
+    // whole-stage span no matter what we do. The kernel itself must codegen,
+    // so assert on a HOF-free input: split() is an ordinary codegen'd builtin.
+    import org.apache.spark.sql.functions.{col, split}
+    TextSig.register(spark)
+    // repartition keeps ConvertToLocalRelation from folding the projection
+    // into a LocalTableScan; collect() first so AQE finalizes the plan.
+    val df = docs.repartition(2)
+      .select(col("doc_id"), TextSig.minhashSig(split(col("text"), " ")).as("sig"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // simple-mode plan marks whole-stage spans with "*(n)"
+    assert(plan.contains("*(") && plan.contains("graft_minhash_sig"),
+      s"kernel fell out of codegen:\n$plan")
+    val starredProject = plan.linesIterator
+      .exists(l => l.contains("*(") && l.contains("graft_minhash_sig"))
+    assert(starredProject, s"projection with the kernel is not starred:\n$plan")
+  }
+
+  test("empty-corpus and single-token edge rows agree with the oracle arithmetic") {
+    import spark.implicits._
+    // md5("short") = 30042... slice 0 check by construction: HOF twin is the
+    // authority; here we only need determinism across two evaluations.
+    val once = Dedup.simhash64(docs).collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val twice = Dedup.simhash64(docs).collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(once === twice)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.minhashSignature(empty).count() === 0L)
+  }
+}
