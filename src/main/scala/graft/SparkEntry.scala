@@ -3,7 +3,7 @@ package graft
 import java.sql.Date
 
 import graft.functions.Stable.dsum
-import graft.ops.{AsOf, Assemble, Conform, Incremental, Merge}
+import graft.ops.{AsOf, Assemble, Conform, Incremental, Merge, PartialAgg, Resample}
 import graft.pipeline.{MarketPipeline, TpchMarketSource}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -492,6 +492,60 @@ object SparkEntry {
         cume_dist().over(w).as("cume"),
         first(col("doc_id")).over(wf).as("shortest_doc"),
         last(col("doc_id")).over(wf).as("longest_doc"))
+    }),
+
+    // RS — calendar resample + LOCF forward fill (pandas reindex+ffill over
+    // the trading calendar). Broadcast calendar grid, one fact-key shuffle,
+    // one window per code — see ops.Resample for the 100 TB plan notes.
+    "q48_rs1_gapfill_locf" -> ((s, dir) => {
+      val src = new TpchMarketSource(s, dir)
+      val k = Conform.conformFact(Conform.rename(src.dailyKline))
+      val openDays = MarketPipeline.tradeCalendar(src).withColumnRenamed("cal_date", "date")
+      tsify(Resample.gapFillLocf(k, openDays))
+    }),
+
+    // SQL+ — recursive CTE (Spark 4 WITH RECURSIVE → UnionLoop): a quarterly
+    // rebalance schedule walked over the open-day calendar. The hop map
+    // (day → first open day ≥ 90 days later) is precomputed ONCE as a
+    // calendar-bounded self range-join, so each recursive step is a pure
+    // equi-join — no aggregate in the recursive term (portable: Postgres
+    // and DuckDB reject recursive-side aggregates too).
+    "q49_sql_recursive_cte" -> ((s, dir) => {
+      val src = new TpchMarketSource(s, dir)
+      val cal = MarketPipeline.tradeCalendar(src)
+      cal.createOrReplaceTempView("v49_open_days")
+      // Materialize the hop map BEFORE the recursion: UnionLoop re-evaluates
+      // its plan every iteration, so an inlined hop CTE would recompute the
+      // calendar self range-join ~80 times (measured 64s → ~8s with the
+      // checkpoint). Calendar-bounded (~2k rows), so the pin is trivial.
+      s.sql("""
+          SELECT a.cal_date AS d, min(b.cal_date) AS next_d
+          FROM v49_open_days a JOIN v49_open_days b
+            ON b.cal_date >= date_add(a.cal_date, 90)
+          GROUP BY a.cal_date
+        """).localCheckpoint(eager = true).createOrReplaceTempView("v49_hop")
+      s.sql("""
+        WITH RECURSIVE walk(step, d) AS (
+          SELECT CAST(1 AS BIGINT) AS step,
+                 (SELECT min(cal_date) FROM v49_open_days) AS d
+          UNION ALL
+          SELECT w.step + 1, h.next_d FROM walk w JOIN v49_hop h ON h.d = w.d
+        )
+        SELECT step, CAST(d AS TIMESTAMP_NTZ) AS d FROM walk
+      """)
+    }),
+
+    // IA — incremental aggregate maintenance: master- and delta-batch
+    // partial states merged (union + state-sized groupBy) instead of a full
+    // fact re-scan; oracle pins merge(state(a), state(b)) == state(a ∪ b)
+    // bit-for-bit. See ops.PartialAgg.
+    "q50_ia1_incremental_agg" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val cutoff = to_date(col("o_orderdate")) <= lit(Date.valueOf("1997-06-30"))
+      val keys = Seq("o_orderpriority")
+      PartialAgg.finalize(PartialAgg.merge(
+        PartialAgg.state(o.where(cutoff), keys, "o_totalprice"),
+        PartialAgg.state(o.where(!cutoff), keys, "o_totalprice")))
     })
   )
 
@@ -852,6 +906,38 @@ object SparkEntry {
         "FROM documents " +
         "WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id), " +
         "wf AS (PARTITION BY lang ORDER BY n_chars, doc_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)")
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"),
+    "q48_rs1_gapfill_locf" ->
+      (s"WITH k AS ($conformedK), " +
+        "cal AS (SELECT strptime(strftime(d0, '%Y%m%d'), '%Y%m%d') AS date " +
+        "FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d0 FROM orders) dd " +
+        "WHERE extract(day FROM d0) % 7 <> 0), " +
+        "codes AS (SELECT DISTINCT code FROM k), " +
+        "grid AS (SELECT codes.code, cal.date FROM codes CROSS JOIN cal), " +
+        "j AS (SELECT g.code, g.date, k.close FROM grid g " +
+        "LEFT JOIN k ON k.code = g.code AND k.date = g.date) " +
+        "SELECT code, date, close, " +
+        "last_value(close IGNORE NULLS) OVER (PARTITION BY code ORDER BY date " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ff, " +
+        "close IS NOT NULL AS is_traded FROM j"),
+    "q49_sql_recursive_cte" ->
+      ("WITH RECURSIVE cal AS (" +
+        "SELECT strptime(strftime(d0, '%Y%m%d'), '%Y%m%d') AS d " +
+        "FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d0 FROM orders) dd " +
+        "WHERE extract(day FROM d0) % 7 <> 0), " +
+        "hop AS (SELECT a.d AS d, min(b.d) AS next_d FROM cal a " +
+        "JOIN cal b ON b.d >= a.d + INTERVAL 90 DAY GROUP BY a.d), " +
+        "walk(step, d) AS (" +
+        "SELECT CAST(1 AS BIGINT), (SELECT min(d) FROM cal) " +
+        "UNION ALL " +
+        "SELECT w.step + 1, h.next_d FROM walk w JOIN hop h ON h.d = w.d) " +
+        "SELECT step, d FROM walk"),
+    "q50_ia1_incremental_agg" ->
+      ("SELECT o_orderpriority, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total, " +
+        "count(o_totalprice) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(o_totalprice) AS mean, " +
+        "min(o_totalprice) AS lo, max(o_totalprice) AS hi " +
+        "FROM orders GROUP BY o_orderpriority")
   ) ++ graft.ext.ExtQueries.oracleSql
 }

@@ -68,7 +68,7 @@ object Verify {
       "x03_dedup_minhash_lsh", "x20_dedup_simhash_banded", "x18_dedup_simhash_pairs",
       "x05_dedup_embedding_exact", "x14_dedup_embedding_lsh", "x06_ann_bruteforce_topk",
       "x07_ann_lsh", "x13_ann_ivf", "x32_ann_ivf_nprobe", "x15_dedup_cluster",
-      "q23_st1_tumbling_window", "q24_ja_asof_join")
+      "q23_st1_tumbling_window", "q24_ja_asof_join", "q49_sql_recursive_cte")
     val allNames = SparkEntry.queries.toSeq.sortBy { case (n, _) => (heavyLast.contains(n), n) }
     // A third positional arg is a name-prefix filter ONLY if it actually
     // selects something — an unrecognized extra arg from the driver (a round

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Calendar resampling: align a sparse per-code daily fact to the full
+  * trading calendar and forward-fill the gaps (pandas `reindex` + `ffill`,
+  * the alignment step every kline consumer does before indicator math —
+  * reference: market/non_fq_daily_kline.py assembles per-date frames and
+  * downstream notebooks reindex them onto the open-day calendar).
+  *
+  * Plan shape, sized for 100 TB facts:
+  *  - the calendar is tiny and calendar-bounded (~250 open days/year) →
+  *    broadcast; the per-code day grid comes from a broadcast nested-loop
+  *    expansion of `distinct codes × open days`, which is the *output* size,
+  *    not an intermediate blow-up;
+  *  - the fact join is an equi-join on (code, date) — one fact-sized
+  *    shuffle, prunable to `date >=` the resample window;
+  *  - LOCF is `last(close, ignoreNulls) OVER (PARTITION BY code ORDER BY
+  *    date ROWS UNBOUNDED PRECEDING)` — one partition-local sort per code,
+  *    no extra pass, no driver loop.
+  */
+object Resample {
+
+  /** Expand `facts` (code, date, close, ...) onto every open day in
+    * `openDays` (single `date` column, pre-filtered to is_open) and
+    * forward-fill `close` per code. Emits one row per (code, open day) ≥
+    * the code's first traded day semantics are NOT applied — leading days
+    * before a code's first trade carry a null `close_ff`, which keeps the
+    * operator a pure reindex (the caller can drop leading nulls).
+    */
+  def gapFillLocf(facts: DataFrame, openDays: DataFrame): DataFrame = {
+    val codes = facts.select(col("code")).distinct()
+    val grid = codes.crossJoin(broadcast(openDays.select(col("date"))))
+    val joined = grid.join(facts.select(col("code"), col("date"), col("close")),
+      Seq("code", "date"), "left")
+    val w = Window.partitionBy("code").orderBy("date")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined.select(
+      col("code"), col("date"), col("close"),
+      last(col("close"), ignoreNulls = true).over(w).as("close_ff"),
+      col("close").isNotNull.as("is_traded"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+class PartialAggSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val rows = {
+    import spark.implicits._
+    Seq(
+      ("g1", 1.25), ("g1", 2.50), ("g1", -0.75),
+      ("g2", 100.0001), ("g2", 0.0002),
+      ("g3", 7.0)
+    ).toDF("k", "v")
+  }
+
+  private def fullState: DataFrame = PartialAgg.state(rows, Seq("k"), "v")
+
+  test("merge of batch states equals the state of the union, bit for bit") {
+    import spark.implicits._
+    val batches = Seq(
+      rows.where($"v" > 1.0), rows.where($"v" <= 1.0 && $"v" > 0), rows.where($"v" <= 0))
+    val merged = PartialAgg.merge(batches.map(PartialAgg.state(_, Seq("k"), "v")): _*)
+    val direct = fullState
+    val m = merged.orderBy("k").collect().map(_.toSeq)
+    val f = direct.orderBy("k").collect().map(_.toSeq)
+    assert(m.toSeq === f.toSeq)
+  }
+
+  test("merge is associative: (a+b)+c == a+(b+c)") {
+    import spark.implicits._
+    val Seq(a, b, c) = Seq(
+      rows.where($"v" > 1.0), rows.where($"v" <= 1.0 && $"v" > 0), rows.where($"v" <= 0))
+      .map(PartialAgg.state(_, Seq("k"), "v"))
+    val left = PartialAgg.merge(PartialAgg.merge(a, b), c).orderBy("k").collect().map(_.toSeq)
+    val right = PartialAgg.merge(a, PartialAgg.merge(b, c)).orderBy("k").collect().map(_.toSeq)
+    assert(left.toSeq === right.toSeq)
+  }
+
+  test("finalize derives mean/total and keeps keys first") {
+    val out = PartialAgg.finalize(fullState).orderBy("k").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("g1", "g2", "g3"))
+    val g1 = out(0)
+    assert(g1.getDouble(1) === 3.0)        // total
+    assert(g1.getLong(2) === 3L)           // n
+    assert(g1.getDouble(3) === 1.0)        // mean
+    assert(g1.getDouble(4) === -0.75)      // lo
+    assert(g1.getDouble(5) === 2.5)        // hi
+  }
+
+  test("empty delta is the merge identity") {
+    import spark.implicits._
+    val empty = PartialAgg.state(rows.where($"v" > 1e9), Seq("k"), "v")
+    val merged = PartialAgg.merge(fullState, empty).orderBy("k").collect().map(_.toSeq)
+    assert(merged.toSeq === fullState.orderBy("k").collect().map(_.toSeq).toSeq)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.ops
+
+import java.sql.Date
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ResampleSpec extends AnyFunSuite with SparkTestBase {
+
+  private def d(s: String) = Date.valueOf(s)
+
+  private lazy val openDays = {
+    import spark.implicits._
+    Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04", "2024-01-05")
+      .map(d).toDF("date")
+  }
+
+  private lazy val facts = {
+    import spark.implicits._
+    Seq(
+      ("A", "2024-01-01", 10.0),
+      ("A", "2024-01-04", 13.0), // gap: 01-02, 01-03 filled with 10.0
+      ("B", "2024-01-02", 20.0)  // leading 01-01 stays null
+    ).map { case (c, dt, v) => (c, d(dt), v) }.toDF("code", "date", "close")
+  }
+
+  test("LOCF fills interior gaps per code and leaves leading days null") {
+    val out = Resample.gapFillLocf(facts, openDays)
+      .orderBy("code", "date").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4)))
+    assert(out.length === 10) // 2 codes x 5 open days
+    val a = out.filter(_._1 == "A").map(t => (t._2, t._3, t._4))
+    assert(a === Seq(
+      ("2024-01-01", Some(10.0), true),
+      ("2024-01-02", Some(10.0), false),
+      ("2024-01-03", Some(10.0), false),
+      ("2024-01-04", Some(13.0), true),
+      ("2024-01-05", Some(13.0), false)))
+    val b = out.filter(_._1 == "B").map(t => (t._2, t._3, t._4))
+    assert(b === Seq(
+      ("2024-01-01", None, false),
+      ("2024-01-02", Some(20.0), true),
+      ("2024-01-03", Some(20.0), false),
+      ("2024-01-04", Some(20.0), false),
+      ("2024-01-05", Some(20.0), false)))
+  }
+
+  test("grid size is codes x open days; original close survives untouched") {
+    val out = Resample.gapFillLocf(facts, openDays)
+    assert(out.count() === 10L)
+    assert(out.where(col("is_traded")).count() === 3L)
+    assert(out.where(col("close").isNotNull).count() === 3L)
+  }
+}
