@@ -165,6 +165,17 @@ object ExtQueries {
       Similarity.ivfTopKProbe2(e.where(col("vec_id") < 5), e, 10)
     }),
 
+    "x38_ann_int8_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.int8TopK(e.where(col("vec_id") < 5), e, 10)
+    }),
+
+    // Rows-only like the other sketches (binary HLL states never hash-match
+    // across libraries); SketchesSpec pins the union==direct property and
+    // the accuracy envelope.
+    "x39_sketch_hll_union" -> ((s, dir) =>
+      Sketches.hllTokenRollup(Tables.documents(s, dir))),
+
     "x29_emb_group_profile" -> ((s, dir) =>
       Embeddings.groupProfile(Tables.embeddings(s, dir), col("vec_id") % 10)),
 
@@ -525,6 +536,21 @@ object ExtQueries {
         "CAST(o_orderdate AS DATE) + 7 AS we FROM orders WHERE o_orderkey % 100 = 0), " +
         "l AS (SELECT CAST(l_shipdate AS DATE) AS d FROM lineitem WHERE l_linenumber = 1) " +
         "SELECT w_id, CAST(count(*) AS BIGINT) AS n_shipped " +
-        "FROM l JOIN w ON l.d >= w.ws AND l.d < w.we GROUP BY w_id")
+        "FROM l JOIN w ON l.d >= w.ws AND l.d < w.we GROUP BY w_id"),
+
+    "x38_ann_int8_topk" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "m AS (SELECT vec_id, emb, " +
+        "greatest(list_aggregate(list_transform(emb, x -> abs(x)), 'max'), 1e-12) AS ma FROM e), " +
+        "q8 AS (SELECT vec_id, " +
+        "list_transform(emb, x -> CAST(round(x * 127.0 / ma) AS INTEGER)) AS qv, " +
+        "ma / 127.0 AS scale FROM m), " +
+        "qq AS (SELECT vec_id AS q_id, qv AS q_qv, scale AS q_scale FROM q8 WHERE vec_id < 5), " +
+        "s AS (SELECT q_id, vec_id, " +
+        "CAST(list_aggregate(list_transform(list_zip(q_qv, qv), z -> CAST(z[1] AS BIGINT) * z[2]), 'sum') AS DOUBLE) " +
+        "* q_scale * scale AS score FROM q8, qq WHERE q_id <> vec_id), " +
+        "r AS (SELECT q_id, vec_id, score, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM s) " +
+        "SELECT q_id, vec_id, score, rank FROM r WHERE rank <= 10")
   )
 }

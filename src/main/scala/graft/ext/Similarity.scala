@@ -129,6 +129,47 @@ object Similarity {
   def planeSql(p: Int): String =
     hyperplanes(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
 
+  /** Symmetric per-vector int8 quantization: q_i = round(x_i * 127 /
+    * max|x|), reconstructed as q_i * scale with scale = max|x| / 127.
+    *
+    * Why at 100 TB: a float32 64-dim corpus is 256 B/vector of embedding
+    * payload; int8 is 64 B + one double — 4× less scan bandwidth and cache
+    * footprint for the distance loop, at ≤ (1/254)·max|x| per-component
+    * error. The dot product over int8 components is exact integer
+    * arithmetic, so Spark and the DuckDB oracle agree bit-for-bit after the
+    * one double rescale (both engines round() half-away-from-zero).
+    */
+  def int8Quantize(vectors: DataFrame): DataFrame = {
+    val emb = col("embedding").cast("array<double>")
+    vectors.select(col("vec_id"), emb.as("_e"))
+      .withColumn("_ma", greatest(
+        aggregate(col("_e"), lit(0.0), (acc, x) => greatest(acc, abs(x))), lit(1e-12)))
+      .select(
+        col("vec_id"),
+        transform(col("_e"), x => round(x * lit(127.0) / col("_ma")).cast("int")).as("qvec"),
+        (col("_ma") / lit(127.0)).as("scale"))
+  }
+
+  /** Brute-force top-k over the int8-quantized corpus: integer dot product
+    * (exact), one double rescale per pair. Same plan shape as
+    * [[bruteForceTopK]] — broadcast queries, corpus streams, per-query
+    * window top-k is the only shuffle.
+    */
+  def int8TopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val cq = int8Quantize(corpus)
+    val qq = broadcast(int8Quantize(queries).select(
+      col("vec_id").as("q_id"), col("qvec").as("q_qvec"), col("scale").as("q_scale")))
+    val intdot = aggregate(
+      zip_with(col("q_qvec"), col("qvec"), (x, y) => x.cast("long") * y),
+      lit(0L), (acc, x) => acc + x)
+    cq.join(qq, col("q_id") =!= col("vec_id"))
+      .withColumn("score", intdot.cast("double") * col("q_scale") * col("scale"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)).cast("long"))
+      .where(col("rank") <= k)
+      .select("q_id", "vec_id", "score", "rank")
+  }
+
   val IvfCentroidStride = 97
 
   /** IVF-style ANN: partition the corpus into cells around centroid vectors,

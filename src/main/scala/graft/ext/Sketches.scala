@@ -29,6 +29,34 @@ object Sketches {
         approx_count_distinct(col("tok"), rsd).as("n_tokens_hll"),
         countDistinct(col("tok")).as("n_tokens_exact"))
 
+  /** Mergeable distinct-token sketches (Apache DataSketches HLL via
+    * `hll_sketch_agg`): one binary sketch per source, re-aggregable with
+    * `hll_union_agg` WITHOUT touching the raw data again.
+    *
+    * This is the property [[tokenCardinality]]'s `approx_count_distinct`
+    * lacks at the API surface: there the sketch dies inside the aggregate;
+    * here it is a first-class column you can store per partition/day and
+    * roll up along any dimension later — the 100 TB pattern is "sketch once
+    * per ingest partition, union at query time" (same algebra as
+    * [[graft.ops.PartialAgg]], with HLL registers as the monoid).
+    * Output: one row per source plus an 'ALL' rollup row unioned from the
+    * per-source sketches — never from the raw tokens.
+    */
+  def hllTokenRollup(docs: DataFrame, lgK: Int = 12): DataFrame = {
+    val toks = docs.select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val per = toks.groupBy("source").agg(
+      hll_sketch_agg(col("tok"), lit(lgK)).as("sk"),
+      countDistinct(col("tok")).as("n_exact"))
+    val bySource = per.select(
+      col("source"),
+      hll_sketch_estimate(col("sk")).cast("long").as("n_hll"),
+      col("n_exact"))
+    val all = per.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).cast("long").as("n_hll"))
+      .select(lit("ALL").as("source"), col("n_hll"), lit(null).cast("long").as("n_exact"))
+    bySource.unionByName(all)
+  }
+
   /** Length quantiles per source: GK sketch with accuracy 10000 alongside
     * the exact percentiles for auditability.
     */

@@ -71,4 +71,35 @@ class SimilaritySpec extends SparkTestBase {
     assert(Similarity.hyperplanes === Similarity.hyperplanes.map(identity))
     assert(Similarity.hyperplanes.flatten.forall(v => v == 1.0 || v == -1.0))
   }
+
+  test("int8 quantization: scores within component-error bound, recall@10 >= 0.9") {
+    import graft.sources.Tables
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(q, e, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val quant = Similarity.int8TopK(q, e, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // error bound: |q_i*s_q - x_i| <= s_q/2 per component; for unit 64-dim
+    // vectors the dot error is well under 0.02 in practice — assert 0.05
+    val common = exact.keySet intersect quant.keySet
+    assert(common.nonEmpty)
+    common.foreach { k =>
+      assert(math.abs(exact(k) - quant(k)) < 0.05,
+        s"pair $k: exact=${exact(k)} int8=${quant(k)}")
+    }
+    val recall = common.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@10 = $recall")
+  }
+
+  test("int8 quantized components stay in [-127, 127] and scale is positive") {
+    import graft.sources.Tables
+    val rows = Similarity.int8Quantize(Tables.embeddings(spark, sfDir)).collect()
+    rows.foreach { r =>
+      val qv = r.getSeq[Int](1)
+      assert(qv.forall(v => v >= -127 && v <= 127))
+      assert(qv.exists(v => math.abs(v) == 127)) // max|x| component hits full scale
+      assert(r.getDouble(2) > 0)
+    }
+  }
 }

@@ -19,6 +19,27 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("HLL rollup: union of per-source sketches matches the direct sketch") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val rows = Sketches.hllTokenRollup(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-source estimates within 15% of exact
+    Sketches.hllTokenRollup(docs).where(col("source") =!= "ALL").collect().foreach { r =>
+      val (hll, exact) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(hll - exact) / exact < 0.15,
+        s"source=${r.getString(0)}: hll=$hll exact=$exact")
+    }
+    // the mergeability property: union-of-sketches == sketch-of-everything
+    // (HLL registers form a max-monoid; same lgK → identical state)
+    val direct = docs
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("tok"), lit(12))).cast("long"))
+      .collect()(0).getLong(0)
+    assert(rows("ALL") === direct,
+      s"union rollup ${rows("ALL")} != direct sketch $direct")
+  }
+
   test("GK length quantiles are ordered and within the column's range") {
     val docs = Tables.documents(spark, sfDir)
     val mm = docs.agg(
