@@ -28,6 +28,33 @@ case class SessionState(start: Long, lastSeen: Long, nEvents: Long, totalValue: 
 case class UserSession(user_id: Long, session_start: Timestamp, session_end: Timestamp,
                        n_events: Long, total_value: Double)
 
+/** Spark 4 `transformWithState` form of the sessionizer (the successor API
+  * to `flatMapGroupsWithState`: typed per-key state handles, timer
+  * registration decoupled from output, RocksDB-backed state store). Same
+  * transition function as the fMGWS path — both call
+  * [[EventStream.absorbEvents]] — so the two APIs are pinned equal by
+  * EventStreamSpec. Top-level class for the same 4.1.2 planner-NPE reason
+  * as the IO case classes above.
+  */
+class SessionProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserSession] {
+  import org.apache.spark.sql.{Encoders, streaming => ss}
+
+  @transient private var state: ss.ValueState[SessionState] = _
+
+  override def init(outputMode: OutputMode, timeMode: ss.TimeMode): Unit =
+    state = getHandle.getValueState[SessionState](
+      "session", Encoders.product[SessionState], ss.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+                               timerValues: ss.TimerValues): Iterator[UserSession] = {
+    val acc0 = if (state.exists()) Some(state.get()) else None
+    val (closed, current) = EventStream.absorbEvents(key, rows.toSeq, acc0)
+    current.foreach(state.update)
+    closed.iterator
+  }
+}
+
 object EventStream {
 
   /** Tumbling-window aggregation with event-time watermark (the streaming
@@ -71,32 +98,37 @@ object EventStream {
       Iterator(UserSession(userId, new Timestamp(s.start), new Timestamp(s.lastSeen),
         s.nEvents, s.totalValue))
     } else {
-      // EVENT-time sessionization, matching the batch twin (q27): a gap
-      // > SessionGapMs between consecutive event timestamps closes the
-      // session immediately — even when both events arrive in the same
-      // micro-batch or via an AvailableNow replay. The processing-time
-      // timeout only finalizes the LAST open session once the stream goes
-      // quiet. Late cross-batch events min-update the session start.
-      val evs = rows.toSeq.sortBy(_.ts.getTime)
-      val (closed, current) = evs.foldLeft((Vector.empty[UserSession], state.getOption)) {
-        case ((done, acc), e) =>
-          val t = e.ts.getTime
-          acc match {
-            case Some(s) if t - s.lastSeen > SessionGapMs =>
-              (done :+ UserSession(userId, new Timestamp(s.start),
-                new Timestamp(s.lastSeen), s.nEvents, s.totalValue),
-                Some(SessionState(t, t, 1L, e.value)))
-            case Some(s) =>
-              (done, Some(SessionState(math.min(s.start, t), math.max(s.lastSeen, t),
-                s.nEvents + 1, s.totalValue + e.value)))
-            case None => (done, Some(SessionState(t, t, 1L, e.value)))
-          }
-      }
+      val (closed, current) = absorbEvents(userId, rows.toSeq, state.getOption)
       current.foreach { s =>
         state.update(s)
         if (useTimeout) state.setTimeoutDuration(SessionGapMs)
       }
       closed.iterator
+    }
+
+  /** The pure per-key transition shared by BOTH stateful APIs
+    * (`flatMapGroupsWithState` above, `transformWithState` in
+    * [[SessionProcessor]]): EVENT-time sessionization matching the batch
+    * twin (q27) — a gap > SessionGapMs between consecutive event timestamps
+    * closes the session immediately, even when both events arrive in the
+    * same micro-batch or via an AvailableNow replay. Late cross-batch
+    * events min-update the session start.
+    */
+  def absorbEvents(userId: Long, batch: Seq[Event], acc0: Option[SessionState])
+      : (Vector[UserSession], Option[SessionState]) =
+    batch.sortBy(_.ts.getTime).foldLeft((Vector.empty[UserSession], acc0)) {
+      case ((done, acc), e) =>
+        val t = e.ts.getTime
+        acc match {
+          case Some(s) if t - s.lastSeen > SessionGapMs =>
+            (done :+ UserSession(userId, new Timestamp(s.start),
+              new Timestamp(s.lastSeen), s.nEvents, s.totalValue),
+              Some(SessionState(t, t, 1L, e.value)))
+          case Some(s) =>
+            (done, Some(SessionState(math.min(s.start, t), math.max(s.lastSeen, t),
+              s.nEvents + 1, s.totalValue + e.value)))
+          case None => (done, Some(SessionState(t, t, 1L, e.value)))
+        }
     }
 
   /** `timeout` is parameterized so bounded-drain tests can run the NoTimeout
@@ -111,6 +143,21 @@ object EventStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSession](OutputMode.Append(), timeout)(
         sessionStepImpl(timeout != GroupStateTimeout.NoTimeout()))
+  }
+
+  /** [[sessionize]] via the Spark 4 `transformWithState` API (see
+    * [[SessionProcessor]]). Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`) — HDFS-backed state is not
+    * supported for this operator. TimeMode.None: sessions close on visible
+    * event-time gaps; no timers, so an AvailableNow drain terminates.
+    */
+  def sessionizeTws(events: Dataset[Event]): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor, TimeMode.None(), OutputMode.Append())
   }
 
   /** Streaming exact dedup — the streaming twin of [[graft.ext.Dedup.exact]]:

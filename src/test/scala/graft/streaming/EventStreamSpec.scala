@@ -102,6 +102,49 @@ class EventStreamSpec extends SparkTestBase {
     assert(spark.table("sess").isEmpty) // sessions close on timeout only
   }
 
+  test("transformWithState sessionizer emits gap-closed sessions (RocksDB state store)") {
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Event]
+      // user 1: two sessions split by a >30min gap visible in arrived data;
+      // user 2: one open session (never emitted — no timers in TimeMode.None)
+      in.addData(
+        Event(1L, ts(0), "click", 1.0),
+        Event(1L, ts(5), "click", 2.0),
+        Event(1L, Timestamp.valueOf("2024-01-01 11:00:00"), "click", 4.0),
+        Event(2L, ts(1), "buy", 9.0))
+      val q = EventStream.sessionizeTws(in.toDS())
+        .writeStream.format("memory").queryName("sess_tws")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+      val out = spark.table("sess_tws").as[UserSession].collect()
+      assert(out.toSeq === Seq(
+        UserSession(1L, ts(0), ts(5), 2L, 3.0))) // first session closed by the gap
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("transformWithState and flatMapGroupsWithState share one transition function") {
+    // the two APIs are pinned equal by construction: both fold through
+    // absorbEvents — assert the pure function's behavior once here
+    val (closed, open) = EventStream.absorbEvents(7L, Seq(
+      Event(7L, ts(10), "a", 1.0),
+      Event(7L, ts(0), "a", 2.0), // out of order: sorted before folding
+      Event(7L, Timestamp.valueOf("2024-01-01 11:30:00"), "a", 5.0)), None)
+    assert(closed === Vector(UserSession(7L, ts(0), ts(10), 2L, 3.0)))
+    assert(open.map(_.nEvents) === Some(1L))
+  }
+
   test("dedupStream drops duplicate keys with watermark-bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String)]
