@@ -15,7 +15,29 @@ import java.util.concurrent.{Executors, TimeUnit}
   *    MatchError when the invocation shape differs from ours.
   */
 object Verify {
+  /** Which entry-point object delegated here (alias sweep — see Aliases.scala).
+    * Recorded in the manifest so a post-mortem can tell WHICH contract name the
+    * driver actually invoked, after three rounds of empty CORRECTNESS artifacts. */
+  @volatile var invokedAs: String = "graft.Verify"
+
+  /** Known allocation/join-heavy queries, ordered last in the sweep so a
+    * driver-side timeout truncates the tail, not the bulk. PREFIXES against
+    * registered query names; VerifySpec pins that each selects >=1 query. */
+  val heavyLastPrefixes: Set[String] = Set(
+    "x03_dedup_minhash_lsh", "x20_dedup_simhash_banded", "x18_dedup_simhash",
+    "x05_dedup_embedding", "x14_dedup_embedding_lsh", "x06_ann_bruteforce",
+    "x07_ann_lsh", "x13_ann_ivf", "x32_ann_ivf", "x15_dedup_cluster",
+    "q23_st1", "q24_ja_asof", "q49_sql_recursive")
+
   def main(args: Array[String]): Unit = {
+    // Forensic breadcrumb, written before ANYTHING else (even SparkSession
+    // startup): if the driver invokes us and the sweep dies later, this file
+    // still proves the invocation happened and with what shape.
+    try {
+      val line = s"${java.time.Instant.now()} entry=$invokedAs cwd=${System.getProperty("user.dir")} args=${args.mkString("[", ", ", "]")}\n"
+      Files.writeString(Paths.get("/root/repo/verify_invocations.log"), line,
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Throwable => () }
     // Tolerate flag-style invocations (--sf-dir=X / --out=Y) alongside the
     // documented positional form, and self-correct a swapped argument order
     // by checking which argument actually holds the test tables — the gate
@@ -64,12 +86,13 @@ object Verify {
     // Cheap-first ordering: the known allocation/join-heavy queries go LAST
     // so a driver-side timeout truncates the tail, not the bulk. Everything
     // else runs in name order.
-    val heavyLast = Set(
-      "x03_dedup_minhash_lsh", "x20_dedup_simhash_banded", "x18_dedup_simhash_pairs",
-      "x05_dedup_embedding_exact", "x14_dedup_embedding_lsh", "x06_ann_bruteforce_topk",
-      "x07_ann_lsh", "x13_ann_ivf", "x32_ann_ivf_nprobe", "x15_dedup_cluster",
-      "q23_st1_tumbling_window", "q24_ja_asof_join", "q49_sql_recursive_cte")
-    val allNames = SparkEntry.queries.toSeq.sortBy { case (n, _) => (heavyLast.contains(n), n) }
+    // Matched by PREFIX, not equality: exact names drifted from the registry
+    // once (ADVICE r3 — five entries silently matched nothing and the heavy
+    // queries ran mid-sweep). VerifySpec asserts every prefix selects >=1
+    // registered query so drift fails the build instead of the mitigation.
+    val heavyLast = Verify.heavyLastPrefixes
+    val allNames = SparkEntry.queries.toSeq
+      .sortBy { case (n, _) => (heavyLast.exists(n.startsWith), n) }
     // A third positional arg is a name-prefix filter ONLY if it actually
     // selects something — an unrecognized extra arg from the driver (a round
     // tag, an sf value) must not silently zero the sweep.
@@ -86,7 +109,7 @@ object Verify {
       val entries = done.entrySet().toArray(Array.empty[java.util.Map.Entry[String, String]])
         .sortBy(_.getKey)
         .map(e => s"${q(e.getKey)}: ${q(e.getValue)}").mkString("{", ",", "}")
-      val j = s"""{"total": ${names.size}, "completed": ${done.size}, "finished": $finished, "deadline_hit": $deadlineHit, "elapsed_sec": ${(System.nanoTime() - t00) / 1e9}, "status": $entries}"""
+      val j = s"""{"total": ${names.size}, "completed": ${done.size}, "finished": $finished, "deadline_hit": $deadlineHit, "elapsed_sec": ${(System.nanoTime() - t00) / 1e9}, "entry_point": ${q(invokedAs)}, "args": ${q(args.mkString(" "))}, "status": $entries}"""
       val tmpM = Paths.get(s"$outDir/.manifest.json.tmp")
       Files.writeString(tmpM, j)
       Files.move(tmpM, Paths.get(s"$outDir/manifest.json"),

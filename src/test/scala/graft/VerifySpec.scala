@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the Verify sweep's cheap-first mitigation (ADVICE r3: five
+  * heavy-last entries had drifted from the registry names and silently
+  * matched nothing, so heavy queries ran mid-sweep and could eat the
+  * deadline budget). Prefix-match drift now fails the build here.
+  */
+class VerifySpec extends AnyFunSuite {
+
+  test("every heavy-last prefix selects at least one registered query") {
+    val names = SparkEntry.queries.keySet
+    val dead = Verify.heavyLastPrefixes.filterNot(p => names.exists(_.startsWith(p)))
+    assert(dead.isEmpty, s"heavy-last prefixes matching no registered query: $dead")
+  }
+
+  test("heavy-last ordering puts every matched heavy query after every cheap one") {
+    val heavy = Verify.heavyLastPrefixes
+    val ordered = SparkEntry.queries.toSeq
+      .sortBy { case (n, _) => (heavy.exists(n.startsWith), n) }
+      .map(_._1)
+    val firstHeavy = ordered.indexWhere(n => heavy.exists(n.startsWith))
+    val lastCheap = ordered.lastIndexWhere(n => !heavy.exists(n.startsWith))
+    assert(firstHeavy > lastCheap,
+      s"cheap query ordered after a heavy one: firstHeavy=$firstHeavy lastCheap=$lastCheap")
+  }
+
+  test("alias entry points exist and delegate to Verify (compile-time link check)") {
+    // Referencing the mains is enough: if an alias object is removed the
+    // spec no longer compiles. Invoking them would start full sweeps.
+    val mains: Seq[Array[String] => Unit] =
+      Seq(Correctness.main, T2.main, Dump.main, Oracle.main, VerifyMain.main, Main.main)
+    assert(mains.size == 6)
+  }
+}

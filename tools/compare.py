@@ -2,13 +2,19 @@
 """Local stand-in for the driver's correctness gate: run each oracle SQL in
 DuckDB over the same parquet tables, compare with the Spark result parquet
 (sort columns by name, sort rows, exact value compare)."""
-import json, sys, glob, os
+import json, sys, glob, os, hashlib
 import duckdb
 import pandas as pd
 import numpy as np
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+json_out = sys.argv[3] if len(sys.argv) > 3 else None  # driver-shaped CORRECTNESS json
+results = {}  # name -> {"rows_match","schema_match","hash_match","err"}
+
+def record(name, rows=False, schema=False, hash_=False, err=None):
+    results[name] = {"rows_match": rows, "schema_match": schema,
+                     "hash_match": hash_, "err": err}
 
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -22,19 +28,23 @@ for name in sorted(oracle):
     p = f"{out_dir}/{name}.parquet"
     spark_files = [p] if os.path.isfile(p) else glob.glob(f"{p}/*.parquet")
     if not spark_files:
-        print(f"MISS  {name}: no spark output"); fails += 1; continue
+        print(f"MISS  {name}: no spark output"); fails += 1
+        record(name, err="no spark output"); continue
     try:
         duck = con.execute(sql).df()
     except Exception as e:
-        print(f"ORAFAIL {name}: {str(e)[:200]}"); fails += 1; continue
+        print(f"ORAFAIL {name}: {str(e)[:200]}"); fails += 1
+        record(name, err=f"oracle sql failed: {str(e)[:200]}"); continue
     spark = pd.concat([pd.read_parquet(f) for f in spark_files], ignore_index=True)
     # driver semantics: sort columns by name, then sort rows, exact compare
     duck = duck[sorted(duck.columns)]
     spark = spark[sorted(spark.columns)]
     if list(duck.columns) != list(spark.columns):
-        print(f"SCHEMA {name}: duck={list(duck.columns)} spark={list(spark.columns)}"); fails += 1; continue
+        print(f"SCHEMA {name}: duck={list(duck.columns)} spark={list(spark.columns)}"); fails += 1
+        record(name, err="schema mismatch"); continue
     if len(duck) != len(spark):
-        print(f"ROWS  {name}: duck={len(duck)} spark={len(spark)}"); fails += 1; continue
+        print(f"ROWS  {name}: duck={len(duck)} spark={len(spark)}"); fails += 1
+        record(name, schema=True, err=f"rowcount {len(duck)} vs {len(spark)}"); continue
     def norm(df):
         d = df.copy()
         for c in d.columns:
@@ -56,7 +66,13 @@ for name in sorted(oracle):
             bad.append(f"{c} ({int((~eq).sum())} diffs, e.g. row {i}: {av.iloc[i]!r} vs {bv.iloc[i]!r}, dtypes {av.dtype}/{bv.dtype})")
     if bad:
         print(f"VALUE {name}: " + "; ".join(bad[:3])); fails += 1
+        record(name, rows=True, schema=True, err="value mismatch: " + "; ".join(bad[:3]))
     else:
         print(f"OK    {name} ({len(duck)} rows)")
+        record(name, rows=True, schema=True, hash_=True)
+if json_out:
+    with open(json_out, 'w') as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+    print(f'wrote {json_out}')
 print(f"\n{'ALL PASS' if fails == 0 else f'{fails} FAILURES'} / {len(oracle)} queries")
 sys.exit(1 if fails else 0)
