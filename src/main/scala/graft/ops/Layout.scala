@@ -33,9 +33,12 @@ object Layout {
     Morton.register(df.sparkSession)
     val r = df.agg(min(col(a)).cast("double"), max(col(a)).cast("double"),
       min(col(b)).cast("double"), max(col(b)).cast("double")).head()
+    // Empty input (or all-null keys) aggregates to nulls; any [lo, hi) works
+    // since there are no rows (or only nulls, which scaled() clamps) to place.
+    def bound(i: Int, dflt: Double): Double = if (r.isNullAt(i)) dflt else r.getDouble(i)
     Morton.interleave(
-      scaled(col(a), r.getDouble(0), r.getDouble(1), bits),
-      scaled(col(b), r.getDouble(2), r.getDouble(3), bits))
+      scaled(col(a), bound(0, 0d), bound(1, 1d), bits),
+      scaled(col(b), bound(2, 0d), bound(3, 1d), bits))
   }
 
   /** Write `df` z-ordered on (a, b) into `numFiles` files. */

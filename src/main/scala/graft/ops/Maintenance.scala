@@ -50,13 +50,27 @@ object Maintenance {
     rm(new java.io.File(old))
   }
 
-  /** Heal an interrupted `compactPartitioned` swap: if `dir` is missing but
-    * the displaced original `_compact_old` exists, move it back. Safe to
-    * call unconditionally before reading or re-compacting the table.
+  /** Heal an interrupted `compactPartitioned` swap. Two crash states exist:
+    *  - crash between the two moves: `dir` missing, `_compact_old` holds the
+    *    original → move it back;
+    *  - crash after the second move but before cleanup: `dir` holds the
+    *    compacted table AND `_compact_old` still holds the superseded
+    *    original → delete the leftover, else the next compaction's
+    *    `dir→_compact_old` move throws FileAlreadyExistsException and the
+    *    table can never be compacted again without manual cleanup.
+    * Safe to call unconditionally before reading or re-compacting.
     */
   def recoverSwap(dir: String): Unit = {
     val old = Paths.get(dir + "_compact_old")
-    if (!Files.exists(Paths.get(dir)) && Files.exists(old))
-      Files.move(old, Paths.get(dir), StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(old)) {
+      if (!Files.exists(Paths.get(dir)))
+        Files.move(old, Paths.get(dir), StandardCopyOption.ATOMIC_MOVE)
+      else {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles()).foreach(_.foreach(rm)); p.delete()
+        }
+        rm(old.toFile)
+      }
+    }
   }
 }

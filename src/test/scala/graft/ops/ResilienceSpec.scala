@@ -1,0 +1,64 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
+
+/** Pins the three ADVICE r2/r3 resilience behaviors: fatal errors escape the
+  * retry loop, an interrupted compaction swap heals from BOTH crash states,
+  * and z-order layout degrades to a plain write on empty/degenerate input.
+  */
+class ResilienceSpec extends SparkTestBase {
+
+  test("retry does NOT retry fatal errors — they propagate on the first attempt") {
+    var calls = 0
+    intercept[OutOfMemoryError] {
+      Retry.withRetries(3, "fatal") { calls += 1; throw new OutOfMemoryError("synthetic") }
+    }
+    assert(calls === 1, "a fatal error must not be retried against a possibly-poisoned session")
+  }
+
+  test("recoverSwap deletes a superseded _compact_old when the table also exists") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("swap").toString
+    val target = s"$base/t"
+    Seq((1, "a"), (2, "b")).toDF("id", "v").write.parquet(target)
+    // Simulate a crash after the second move but before cleanup: the
+    // compacted table is live at `dir` AND the displaced original remains.
+    Seq((9, "stale")).toDF("id", "v").write.parquet(target + "_compact_old")
+    // Without healing, the next compaction's dir→old move would throw
+    // FileAlreadyExistsException and the table could never be compacted.
+    Maintenance.compactPartitioned(spark, target, partitionCol = "id")
+    assert(!new java.io.File(target + "_compact_old").exists(), "leftover must be cleared")
+    assert(spark.read.parquet(target).count() === 2, "live table survives, stale copy dropped")
+  }
+
+  test("recoverSwap restores the original when a crash left no table at dir") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("swap2").toString
+    val target = s"$base/t"
+    Seq((1, "a")).toDF("id", "v").write.parquet(target + "_compact_old")
+    Maintenance.recoverSwap(target)
+    assert(spark.read.parquet(target).count() === 1)
+    assert(!new java.io.File(target + "_compact_old").exists())
+  }
+
+  test("zorderWrite of an empty input writes an empty table instead of crashing") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("zempty").toString + "/t"
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    Layout.zorderWrite(empty, "x", "y", out, numFiles = 4)
+    assert(spark.read.parquet(out).count() === 0)
+  }
+
+  test("zorderWrite with all-null keys still writes every row") {
+    val out = Files.createTempDirectory("znull").toString + "/t"
+    val df = spark.range(10).select(
+      org.apache.spark.sql.functions.lit(null).cast("long").as("x"),
+      org.apache.spark.sql.functions.lit(null).cast("long").as("y"),
+      col("id"))
+    Layout.zorderWrite(df, "x", "y", out, numFiles = 2)
+    assert(spark.read.parquet(out).count() === 10)
+  }
+}
