@@ -6,14 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: images/audio/video travel as opaque `binary`
   * payloads with typed metadata, processed per-partition in batches.
   *
-  * The real decode (JPEG decode, audio resample, frame sampling) needs
-  * native media libraries not present in this container, so the decode
-  * kernel is STUBBED with a deterministic fake — but everything Spark-side
-  * is real and tested: the schema, the binary column flow through
-  * parquet/shuffle, the partition-batched execution shape
-  * (`mapPartitions`, the Scala analog of `mapInPandas` batching), and the
-  * feature-vector output schema. Swapping [[decodeStub]] for a JNI/JavaCPP
-  * decoder changes no plan shape.
+  * Image decode is REAL: [[decodeImages]] turns PNG/JPEG/BMP/GIF payload
+  * bytes into width/height/channels/pixel stats via `javax.imageio` (pure
+  * JVM, no native codecs). Audio resampling and video demux would need
+  * native libraries not present in this container; they reuse the exact
+  * same execution shape (`mapPartitions` batching with per-partition init,
+  * the Scala analog of `mapInPandas`), so plugging a JavaCPP/FFmpeg
+  * decoder in changes no plan shape. Cheap byte-level featurization
+  * ([[byteFeatures]]) stays as the format-agnostic path the DuckDB-
+  * checkable x12 query uses.
   *
   * Scale notes: payloads never enter a shuffle key; feature extraction is a
   * narrow map, so the operator scales with scan bandwidth. Partition sizing
@@ -26,11 +27,12 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
                            checksum: Long, feat0: Double, feat1: Double)
 
-  /** STUB — deterministic fake decoder standing in for the native media
-    * decode. Features are pure functions of the payload bytes so tests and
-    * oracles are reproducible.
+  /** Format-agnostic byte featurization (length, rolling checksum, two
+    * derived stats) — deterministic pure functions of the payload, so the
+    * x12 oracle stays engine-independent. NOT a decoder; for images use
+    * [[decodeImages]].
     */
-  def decodeStub(r: MediaRow): MediaFeatures = {
+  def byteFeatures(r: MediaRow): MediaFeatures = {
     var sum = 0L
     var i = 0
     while (i < r.payload.length) { sum = (sum * 31 + (r.payload(i) & 0xff)) & 0xffffffffL; i += 1 }
@@ -44,8 +46,65 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // A real decoder would init its native context once here.
-      rows.map(decodeStub)
+      rows.map(byteFeatures)
+    }
+  }
+
+  case class ImageFeatures(doc_id: Long, media_type: String, width: Int,
+                           height: Int, channels: Int, mean_luma: Double,
+                           decode_ok: Boolean)
+
+  /** REAL image decode: payload bytes → pixels via `javax.imageio`
+    * (PNG/JPEG/BMP/GIF ship with the JVM). Emits dimensions, channel count,
+    * and mean luminance (Rec.601 weights over up to 64×64 sampled pixels —
+    * enough for dedup/quality signals without touching every pixel of a
+    * large image). Undecodable payloads yield a `decode_ok=false` row with
+    * zeroed features rather than failing the job — at corpus scale some
+    * fraction of media bytes is always corrupt, and a poison payload must
+    * not kill a 1000-executor stage.
+    */
+  def decodeImage(r: MediaRow): ImageFeatures = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      if (img == null)
+        ImageFeatures(r.doc_id, r.media_type, 0, 0, 0, 0.0, decode_ok = false)
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val channels = img.getRaster.getNumBands
+        // Sample a bounded pixel grid so a 10MP image costs the same as a
+        // thumbnail; step >= 1 and the loop always hits pixel (0,0).
+        val sx = math.max(1, w / 64); val sy = math.max(1, h / 64)
+        var sum = 0.0; var n = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            n += 1
+            x += sx
+          }
+          y += sy
+        }
+        ImageFeatures(r.doc_id, r.media_type, w, h, channels, sum / n, decode_ok = true)
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        ImageFeatures(r.doc_id, r.media_type, 0, 0, 0, 0.0, decode_ok = false)
+    }
+  }
+
+  /** Partition-batched image decode. Per-partition init disables ImageIO's
+    * disk-backed stream cache ONCE (it would otherwise create a temp file
+    * per image — a real small-files generator at scale) — this is the
+    * "init the decoder context once per batch" slot a native codec would
+    * use too.
+    */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map(decodeImage)
     }
   }
 

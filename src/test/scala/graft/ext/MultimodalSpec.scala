@@ -18,8 +18,46 @@ class MultimodalSpec extends SparkTestBase {
     val feats = Multimodal.extractFeatures(back).collect().sortBy(_.doc_id)
     assert(feats.map(_.n_bytes).toSeq === Seq(4L, 8L))
     // checksum is a pure function of bytes → deterministic across runs
-    assert(feats(0).checksum === Multimodal.decodeStub(
+    assert(feats(0).checksum === Multimodal.byteFeatures(
       Multimodal.MediaRow(1L, "image/fake", Array[Byte](1, 2, 3, -1))).checksum)
+  }
+
+  /** Encode a solid-color image to real `format` bytes in memory. */
+  private def imageBytes(format: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, bos), s"JVM must ship a $format writer")
+    bos.toByteArray
+  }
+
+  test("decodeImages decodes real PNG and JPEG bytes: dimensions, channels, luminance") {
+    val png = imageBytes("png", 20, 10, 0xffffff)   // white 20x10
+    val jpg = imageBytes("jpg", 8, 8, 0x000000)     // black 8x8
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/png", png),
+      Multimodal.MediaRow(2L, "image/jpeg", jpg),
+      Multimodal.MediaRow(3L, "image/corrupt", Array[Byte](9, 9, 9, 9))
+    ).toDS()
+    val dir = Files.createTempDirectory("imgs").toString + "/t"
+    media.write.parquet(dir) // decode AFTER a parquet round trip, like production
+    val out = Multimodal.decodeImages(spark.read.parquet(dir).as[Multimodal.MediaRow])
+      .collect().sortBy(_.doc_id)
+
+    val Seq(p, j, c) = out.toSeq
+    assert(p.decode_ok && p.width === 20 && p.height === 10 && p.channels === 3)
+    assert(p.mean_luma > 254.0, s"white image luma ~255, got ${p.mean_luma}")
+    assert(j.decode_ok && j.width === 8 && j.height === 8)
+    assert(j.mean_luma < 2.0, s"black JPEG luma ~0, got ${j.mean_luma}")
+    assert(!c.decode_ok && c.width === 0, "corrupt payload degrades, not throws")
+  }
+
+  test("decodeImage samples large images instead of visiting every pixel (bounded cost)") {
+    // 1000x1000 mid-gray PNG: sampled mean must still land on the true value.
+    val gray = imageBytes("png", 1000, 1000, 0x808080)
+    val f = Multimodal.decodeImage(Multimodal.MediaRow(9L, "image/png", gray))
+    assert(f.decode_ok && f.width === 1000 && f.height === 1000)
+    assert(math.abs(f.mean_luma - 128.0) < 1.0, s"sampled luma of uniform gray, got ${f.mean_luma}")
   }
 
   test("mediaFromDocuments builds binary payloads from text (utf-8 bytes)") {
