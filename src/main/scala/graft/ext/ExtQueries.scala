@@ -170,6 +170,15 @@ object ExtQueries {
       Similarity.int8TopK(e.where(col("vec_id") < 5), e, 10)
     }),
 
+    // Rows-only: k-means centroid training is iterative floating-point
+    // state DuckDB SQL can't replay exactly; SimilaritySpec pins recall@10
+    // against brute-force ground truth instead (and that training beats the
+    // stride-sampled centroids x13 uses).
+    "x40_ann_ivf_kmeans" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfTopKKmeans(e.where(col("vec_id") < 5), e, 10)
+    }),
+
     // Rows-only like the other sketches (binary HLL states never hash-match
     // across libraries); SketchesSpec pins the union==direct property and
     // the accuracy envelope.
