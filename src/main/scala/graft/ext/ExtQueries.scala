@@ -179,6 +179,19 @@ object ExtQueries {
       Similarity.ivfTopKKmeans(e.where(col("vec_id") < 5), e, 10)
     }),
 
+    // The single query a user actually runs for corpus dedup: LSH candidate
+    // pairs -> connected components (the large/small-star scale form) ->
+    // drop non-canonical members -> per-(lang, source) surviving stats.
+    "x41_dedup_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashLsh(docs, 3, 0.8)
+      val surviving = Dedup.applyDedup(docs, Dedup.connectedComponentsStars(pairs))
+      surviving.groupBy("lang", "source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        min("doc_id").as("min_doc_id"))
+    }),
+
     // Rows-only like the other sketches (binary HLL states never hash-match
     // across libraries); SketchesSpec pins the union==direct property and
     // the accuracy envelope.
@@ -377,6 +390,38 @@ object ExtQueries {
     "x17_text_normalize" ->
       ("SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text || '  MIXED!! Case++'), " +
         "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text FROM documents"),
+
+    // x03's minhash-LSH pair derivation + x15's reachability CC + x16's
+    // victim drop, finished with per-(lang, source) surviving-corpus stats.
+    "x41_dedup_pipeline" ->
+      (s"WITH RECURSIVE t AS ($toksCte), sh AS ($shinglesCte), " +
+        "ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh), " +
+        "sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh), " +
+        "hs AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS h0, " +
+        "list_transform(shingles, s -> md5('1:' || s)) AS h1 FROM sh), " +
+        "sig AS (SELECT doc_id, list_transform(generate_series(0, 15), " +
+        "i -> list_aggregate(list_transform(CASE WHEN i < 8 THEN h0 ELSE h1 END, " +
+        "h -> substr(h, (i % 8) * 4 + 1, 4)), 'min')) AS sig FROM hs), " +
+        "bandx AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM sig), " +
+        "band AS (SELECT doc_id, band, md5(array_to_string(sig[4*band+1:4*band+4], '|')) AS bh FROM bandx), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM band a JOIN band b " +
+        "ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id), " +
+        "c AS (SELECT cand.doc_a, cand.doc_b, CAST(count(*) AS BIGINT) AS common FROM cand " +
+        "JOIN ex ea ON ea.doc_id = cand.doc_a JOIN ex eb ON eb.doc_id = cand.doc_b AND ea.sh = eb.sh " +
+        "GROUP BY 1, 2), " +
+        "pairs AS (SELECT c.doc_a, c.doc_b FROM c " +
+        "JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id " +
+        "WHERE CAST(c.common AS DOUBLE)/(x.n + y.n - c.common) >= 0.8), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+        "UNION SELECT doc_b, doc_a FROM pairs), " +
+        "reach AS (SELECT src, dst FROM edges " +
+        "UNION (SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)), " +
+        "comp AS (SELECT src AS doc_id, least(src, min(dst)) AS canonical_id FROM reach GROUP BY src), " +
+        "victims AS (SELECT doc_id FROM comp WHERE doc_id <> canonical_id) " +
+        "SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars, min(doc_id) AS min_doc_id " +
+        "FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM victims) " +
+        "GROUP BY lang, source"),
 
     "x14_dedup_embedding_lsh" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +

@@ -75,6 +75,43 @@ class DedupSpec extends SparkTestBase {
     assert(comp(7L) === 7L && comp(9L) === 7L)
   }
 
+  test("large-star/small-star CC matches the min-label verifier on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 5) {
+      val n = 30 + trial * 10
+      val pairs = Seq.fill(n)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("doc_a", "doc_b")
+      val byStars = Dedup.connectedComponentsStars(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val byLabels = Dedup.connectedComponents(pairs, maxIters = 50)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byStars === byLabels, s"trial $trial: star CC diverges from min-label CC")
+    }
+  }
+
+  test("star CC converges in O(log n) rounds on a chain the label-propagation cap rejects") {
+    // A 60-node path has diameter 59: min-label propagation moves the root
+    // label one hop per iteration and (correctly, loudly) throws at its
+    // default maxIters=20. The star form contracts doubly-exponentially.
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] { Dedup.connectedComponents(chain) }
+    val comp = Dedup.connectedComponentsStars(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size === 60 && comp.values.forall(_ === 0L),
+      "whole chain must collapse to canonical id 0")
+  }
+
+  test("star CC handles self-pairs, duplicate edges, and an empty pair set") {
+    val pairs = Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponentsStars(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 5L -> 5L),
+      "self-pair keeps its own id; duplicates collapse")
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponentsStars(empty).count() === 0)
+  }
+
   test("minhash signature is a pure per-row map (no shuffle in the plan)") {
     val plan = Dedup.minhashSignature(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
