@@ -48,7 +48,7 @@ object SparkEntry {
     "x03_dedup_minhash_lsh", "x06_ann_bruteforce_topk", "x09_text_quality",
     "x20_dedup_simhash_banded", "x21_text_vocab",
     "x28_range_join_bucketed", "x36_curate_contamination",
-    "q42_j7_star_join")
+    "q42_j7_star_join", "q51_pp_pruned_scan")
 
   private def coreQueries: Map[String, Q] = Map(
     // S1+P4+F1+F4 — dimension scan with projection + pushed predicates
@@ -546,6 +546,24 @@ object SparkEntry {
       PartialAgg.finalize(PartialAgg.merge(
         PartialAgg.state(o.where(cutoff), keys, "o_totalprice"),
         PartialAgg.state(o.where(!cutoff), keys, "o_totalprice")))
+    }),
+
+    // The partitioned-layout read path END TO END: publish the assembled
+    // history as a date=-partitioned table (once per JVM+sfDir), then a
+    // date-range aggregate over it. The range predicate must become a
+    // PartitionFilter — directories outside the window are never opened, let
+    // alone read (PartitionPruningSpec pins the plan; Bench times it at
+    // sf0.1). Aggregates are min/max/count only: reduction-order-free, so
+    // the hash compare is exact.
+    "q51_pp_pruned_scan" -> ((s, dir) => {
+      val t = graft.pipeline.BackfillFlow.publishedPricesDir(s, dir)
+      tsify(s.read.parquet(t)
+        .where(col("date") >= lit(Date.valueOf("1997-07-01"))
+          && col("date") <= lit(Date.valueOf("1997-09-30")))
+        .groupBy("date").agg(
+          count(lit(1)).as("n_rows"),
+          min("close").as("min_close"),
+          max("close").as("max_close")))
     })
   )
 
@@ -938,6 +956,15 @@ object SparkEntry {
         "count(o_totalprice) AS n, " +
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(o_totalprice) AS mean, " +
         "min(o_totalprice) AS lo, max(o_totalprice) AS hi " +
-        "FROM orders GROUP BY o_orderpriority")
+        "FROM orders GROUP BY o_orderpriority"),
+    // Same assembled rows as q15, windowed to the partition-pruned range.
+    // The oracle recomputes the assembly directly — the partitioned table
+    // round trip on the Spark side must be value-preserving.
+    "q51_pp_pruned_scan" -> withMarketCtes(
+      "SELECT date, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "min(close) AS min_close, max(close) AS max_close " +
+        s"FROM ($assembledSelect) a " +
+        "WHERE date >= TIMESTAMP '1997-07-01' AND date <= TIMESTAMP '1997-09-30' " +
+        "GROUP BY date")
   ) ++ graft.ext.ExtQueries.oracleSql
 }

@@ -24,6 +24,26 @@ object BackfillFlow {
     }
     Result(spark.read.parquet(targetDir).count())
   }
+
+  private val published = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Publish-once cache of the date-partitioned prices table for `sfDir`
+    * (backing q51's partitioned-read path). The table lands at a
+    * deterministic per-sfDir path and is reused when a complete copy
+    * (`_SUCCESS` marker) already exists — publishing ~1,600 date
+    * directories costs more than a minute on this filesystem, and Verify,
+    * Bench, and the specs all read the identical table, across JVMs. The
+    * fixture directories are immutable, so the cache cannot go stale.
+    */
+  def publishedPricesDir(spark: SparkSession, sfDir: String): String =
+    published.computeIfAbsent(sfDir, _ => {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(sfDir.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pp_$key/prices"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_SUCCESS")))
+        run(spark, new TpchMarketSource(spark, sfDir), dir)
+      dir
+    })
 }
 
 /** E3 end-to-end: the trading-calendar flow — open days, sorted, written as

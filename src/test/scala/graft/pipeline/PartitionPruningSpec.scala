@@ -1,0 +1,54 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Pins that the published `date=`-partitioned table actually prunes: the
+  * 100 TB claim behind partitionBy is that a time-windowed read opens only
+  * the window's directories. Asserted from the executed plan's
+  * FileSourceScan (partitionFilters non-empty, selected partition count =
+  * window size), not argued from docs.
+  */
+class PartitionPruningSpec extends SparkTestBase {
+
+  private def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+    p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(allScans)
+    }
+
+  test("q51's date-range read plans partition filters, not a full scan + post-filter") {
+    val df = graft.SparkEntry.queries("q51_pp_pruned_scan")(spark, sfDir)
+    val scans = allScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "expected a FileSourceScan over the published table")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"date predicate must reach the partition level; got:\n${scan.treeString}")
+    // The data filter list must NOT re-check the date range — pruning
+    // replaced it; close/min/max need no row-level date test.
+    assert(!scan.dataFilters.exists(_.toString.contains("date")),
+      s"date predicate leaked into row-level filters: ${scan.dataFilters}")
+  }
+
+  test("pruned read touches only the window's partition directories") {
+    val dir = BackfillFlow.publishedPricesDir(spark, sfDir)
+    val lo = java.sql.Date.valueOf("1997-07-01")
+    val hi = java.sql.Date.valueOf("1997-09-30")
+    val read = spark.read.parquet(dir).where(col("date") >= lo && col("date") <= hi)
+    val scan = read.queryExecution.executedPlan
+      .collect { case s: FileSourceScanExec => s }.head
+    val selected = scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+      .map(_.files.size).sum
+    val total = scan.relation.location.listFiles(Nil, Nil).map(_.files.size).sum
+    assert(selected < total,
+      s"pruning selected $selected of $total files — nothing was skipped")
+    // Every file that survives pruning must actually be in the window.
+    val inWindow = spark.read.parquet(dir)
+      .where(col("date") >= lo && col("date") <= hi)
+      .select(input_file_name()).distinct().count()
+    assert(selected === inWindow,
+      s"selected files ($selected) != files holding in-window rows ($inWindow)")
+  }
+}
