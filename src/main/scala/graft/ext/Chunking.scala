@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-sequence preparation: split documents into overlapping
+  * token-window chunks, and pack documents into fixed-token-budget
+  * training sequences.
+  *
+  * Beyond the reference surface (ellendan000/a-share-data-pipeline is a
+  * market-data ETL with no text processing); these are the two operators a
+  * pretraining data pipeline runs between "corpus is deduped" and "tensors
+  * exist": context-window chunking and sequence packing.
+  *
+  * Both are built from codegen'd higher-order functions / window
+  * aggregates — no UDFs, no driver-side state — and both hash-match a
+  * DuckDB oracle (integer arithmetic only).
+  */
+object Chunking {
+
+  /** Overlapping token-window chunks: chunk i covers tokens
+    * `[i*stride+1, i*stride+chunk]` (1-based), and the number of chunks is
+    * `ceil((n - chunk) / stride) + 1` (minimum 1), so every token is
+    * covered and the final chunk may be short. This is the standard
+    * context-window split (chunk = window size, chunk - stride = overlap).
+    *
+    * Per-row HOF work only (`sequence`/`transform`/`slice` are codegen'd):
+    * zero shuffle, scan-speed at any scale. Output grows by roughly
+    * `n_tokens / stride` rows per doc — it is output-sized, the floor for
+    * this operator.
+    *
+    * The ceil is `floor((n - chunk + stride - 1) / stride)` on doubles:
+    * exact for any corpus-plausible token count (integer-valued doubles are
+    * closed under this division far beyond 2^30; the oracle uses the same
+    * formula).
+    */
+  def chunkTokens(docs: DataFrame, chunk: Int, stride: Int): DataFrame = {
+    require(chunk >= 1 && stride >= 1 && stride <= chunk,
+      s"need 1 <= stride <= chunk, got chunk=$chunk stride=$stride")
+    val toks = TextOps.tokens(col("text"))
+    val n = size(toks)
+    val nChunks = when(n <= chunk, lit(1)).otherwise(
+      floor((n - lit(chunk) + lit(stride - 1)).cast("double") / lit(stride)).cast("int") + 1)
+    docs
+      .select(col("doc_id"), toks.as("toks"), nChunks.as("n_chunks"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
+          i => concat_ws(" ", slice(col("toks"), i * stride + 1, lit(chunk))))))
+      .select(
+        col("doc_id"),
+        col("pos").as("chunk_id"),
+        col("col").as("chunk_text"),
+        size(TextOps.tokens(col("col"))).as("n_chunk_tokens"))
+  }
+
+  /** Pack documents into fixed-token-budget training sequences by global
+    * token offset: docs are laid out contiguously per `source` in `doc_id`
+    * order, and a doc starting at token offset `o` belongs to sequence
+    * `o / budget` (docs straddling a boundary are split at tensorization —
+    * this operator computes the layout, which is the distributed part).
+    *
+    * Scale shape — the naive form is ONE window over each whole source
+    * (`sum(n) over (partition by source order by doc_id)`), which funnels
+    * every row of a source through a single task: a straggler at 100 TB.
+    * Instead the prefix sum is two-phase, the classic distributed scan:
+    *
+    *   1. bucket docs by `doc_id / bucketSize` (doc_id-ordered, so buckets
+    *      are contiguous spans); per-(source, bucket) token totals are a
+    *      partial-agg'd groupBy over tiny state;
+    *   2. an ordered window over the BUCKET TOTALS (thousands of rows, not
+    *      billions) yields each bucket's starting offset; broadcast-join it
+    *      back and finish with an in-bucket window, whose partitions are
+    *      bounded by bucketSize docs regardless of source skew.
+    *
+    * Result is bit-identical to the single-window form (the spec pins it);
+    * only the plan shape differs.
+    */
+  def packSequences(docs: DataFrame, budget: Long, bucketSize: Long = 1024L): DataFrame = {
+    require(budget >= 1 && bucketSize >= 1)
+    val base = docs.select(
+      col("doc_id"), col("source"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+      (col("doc_id") / bucketSize).cast("long").as("bucket"))
+
+    // Phase 1: per-bucket totals (partial agg; rows = n_docs / bucketSize).
+    val bucketTotals = base.groupBy("source", "bucket")
+      .agg(sum("n_tokens").as("bucket_tokens"))
+    // Phase 2: tiny ordered window over bucket totals -> bucket start offsets.
+    val wB = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketStarts = bucketTotals.select(
+      col("source"), col("bucket"),
+      coalesce(sum("bucket_tokens").over(wB), lit(0L)).as("bucket_start"))
+    // Phase 3: in-bucket prefix sum (partitions bounded by bucketSize docs)
+    // + broadcast the bucket starts back.
+    val wD = Window.partitionBy("source", "bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .join(broadcast(bucketStarts), Seq("source", "bucket"))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"),
+        (col("bucket_start") + coalesce(sum("n_tokens").over(wD), lit(0L)))
+          .as("token_offset"))
+      .withColumn("offset_in_seq", col("token_offset") % budget)
+      // Exact long division (double `/` can misround near 2^40 offsets):
+      // numerator is an exact multiple of budget, so the quotient is exact.
+      .withColumn("seq_id",
+        ((col("token_offset") - col("offset_in_seq")) / budget).cast("long"))
+      .drop("token_offset")
+  }
+
+  /** Reference single-window form of [[packSequences]] — the spec's
+    * equivalence twin (NOT for production: one task per source).
+    */
+  private[graft] def packSequencesNaive(docs: DataFrame, budget: Long): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(
+      col("doc_id"), col("source"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("token_offset", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("offset_in_seq", col("token_offset") % budget)
+      .withColumn("seq_id",
+        ((col("token_offset") - col("offset_in_seq")) / budget).cast("long"))
+      .drop("token_offset")
+  }
+}

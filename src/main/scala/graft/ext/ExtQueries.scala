@@ -198,6 +198,16 @@ object ExtQueries {
     "x39_sketch_hll_union" -> ((s, dir) =>
       Sketches.hllTokenRollup(Tables.documents(s, dir))),
 
+    // Context-window chunking: 64-token windows, stride 48 (16-token
+    // overlap) — per-row HOFs only, output-sized.
+    "x42_chunk_tokens" -> ((s, dir) =>
+      Chunking.chunkTokens(Tables.documents(s, dir), 64, 48)),
+
+    // Sequence packing by global token offset (two-phase distributed
+    // prefix sum; oracle replays it as the single-window form).
+    "x43_pack_sequences" -> ((s, dir) =>
+      Chunking.packSequences(Tables.documents(s, dir), 2048L, 64L)),
+
     "x29_emb_group_profile" -> ((s, dir) =>
       Embeddings.groupProfile(Tables.embeddings(s, dir), col("vec_id") % 10)),
 
@@ -605,6 +615,28 @@ object ExtQueries {
         "* q_scale * scale AS score FROM q8, qq WHERE q_id <> vec_id), " +
         "r AS (SELECT q_id, vec_id, score, " +
         "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM s) " +
-        "SELECT q_id, vec_id, score, rank FROM r WHERE rank <= 10")
+        "SELECT q_id, vec_id, score, rank FROM r WHERE rank <= 10"),
+
+    "x42_chunk_tokens" ->
+      (s"WITH t AS ($toksCte), " +
+        "n AS (SELECT doc_id, toks, len(toks) AS n FROM t), " +
+        "g AS (SELECT doc_id, toks, CASE WHEN n <= 64 THEN 0 " +
+        "ELSE CAST(floor((n - 64 + 47) / 48.0) AS INT) END AS last_chunk FROM n), " +
+        "e AS (SELECT doc_id, toks, unnest(generate_series(0, last_chunk)) AS i FROM g) " +
+        "SELECT doc_id, CAST(i AS INT) AS chunk_id, " +
+        "array_to_string(toks[(i*48+1):(i*48+64)], ' ') AS chunk_text, " +
+        "CAST(len(toks[(i*48+1):(i*48+64)]) AS INT) AS n_chunk_tokens FROM e"),
+
+    // Oracle replays the packing as the single-window prefix sum; the
+    // engine's two-phase distributed form is bit-identical by construction
+    // (ChunkingSpec pins the equivalence).
+    "x43_pack_sequences" ->
+      ("WITH n AS (SELECT doc_id, source, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+        "o AS (SELECT doc_id, source, n_tokens, " +
+        "COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset FROM n) " +
+        "SELECT doc_id, source, n_tokens, token_offset % 2048 AS offset_in_seq, " +
+        "token_offset // 2048 AS seq_id FROM o")
   )
 }

@@ -1,0 +1,76 @@
+package graft.ext
+
+import graft.SparkTestBase
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class ChunkingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docsDf = Seq(
+    // 10 tokens: chunk=4, stride=3 -> chunks at 1,4,7,10 (ceil((10-4)/3)+1 = 3) -> starts 1,4,7
+    (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10", "en", "src0", 30L),
+    (2L, "a b c", "en", "src0", 5L), // shorter than chunk -> one chunk
+    (3L, "x y z w v", "en", "src1", 9L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("chunkTokens covers every token with the ceil-window count") {
+    val out = Chunking.chunkTokens(docsDf, 4, 3)
+      .orderBy("doc_id", "chunk_id").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    // ceil((10-4)/3)+1 = 3 chunks, starts 1/4/7, last covers t7..t10
+    assert(d1.map(_.getString(2)).toSeq ==
+      Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(d1.map(_.getInt(3)).toSeq == Seq(4, 4, 4))
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.map(_.getString(2)).toSeq == Seq("a b c"))
+    // 5 tokens, chunk 4, stride 3: chunks at 1 and 4; second is short (2 toks)
+    val d3 = out.filter(_.getLong(0) == 3L)
+    assert(d3.map(_.getString(2)).toSeq == Seq("x y z w", "w v"))
+    assert(d3.map(_.getInt(3)).toSeq == Seq(4, 2))
+  }
+
+  test("chunkTokens reconstructs the corpus when stride == chunk") {
+    val docs = Tables.documents(spark, sfDir)
+    // collect_list has no order guarantee across partitions; rebuild via sort
+    val ordered = Chunking.chunkTokens(docs, 16, 16)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))).as("cs"))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(col("cs"), c => c.getField("chunk_text"))).as("rebuilt"))
+    val diff = ordered.join(docs, "doc_id")
+      .where(col("rebuilt") =!= col("text"))
+    assert(diff.isEmpty, "non-overlapping chunks must reconstruct the text")
+  }
+
+  test("packSequences two-phase == single-window reference, and budgets hold") {
+    val docs = Tables.documents(spark, sfDir)
+    val fast = Chunking.packSequences(docs, 512L, bucketSize = 16L)
+    val naive = Chunking.packSequencesNaive(docs, 512L)
+    assert(fast.except(naive).isEmpty && naive.except(fast).isEmpty,
+      "distributed prefix sum must be bit-identical to the single window")
+    // every in-sequence offset is inside the budget
+    assert(fast.where(col("offset_in_seq") < 0 || col("offset_in_seq") >= 512L).isEmpty)
+    // offsets are contiguous: per source, sum of n_tokens == max offset reached
+    val chk = fast.groupBy("source").agg(
+      sum("n_tokens").as("total"),
+      max(col("seq_id") * 512L + col("offset_in_seq") + col("n_tokens")).as("hi"))
+      .where(col("total") =!= col("hi"))
+    assert(chk.isEmpty, "token layout must be gapless per source")
+  }
+
+  test("packSequences plan has no global single-partition window") {
+    val docs = Tables.documents(spark, sfDir)
+    val plan = Chunking.packSequences(docs, 512L, bucketSize = 16L)
+      .queryExecution.executedPlan.toString
+    // the whole point of the two-phase form: no single-partition exchange
+    // (the naive form funnels each source through one task)
+    assert(!plan.contains("SinglePartition"),
+      s"two-phase prefix sum must not plan a SinglePartition exchange:\n$plan")
+    // and the doc-level window is keyed by (source, bucket) — partition
+    // count scales with data volume, not with the number of sources
+    assert("hashpartitioning\\(source#\\d+[^)]*bucket#\\d+".r
+      .findFirstIn(plan).isDefined,
+      s"doc-level window must shuffle on (source, bucket):\n$plan")
+  }
+}
