@@ -198,6 +198,12 @@ object ExtQueries {
     "x39_sketch_hll_union" -> ((s, dir) =>
       Sketches.hllTokenRollup(Tables.documents(s, dir))),
 
+    // Rows-only (KLL compaction flips coins, so sketch bytes — and with
+    // them the estimated quantiles — are run-dependent); SketchesSpec pins
+    // the rank-error envelope and the union rollup's accuracy.
+    "x44_sketch_kll_rollup" -> ((s, dir) =>
+      Sketches.kllLengthRollup(Tables.documents(s, dir))),
+
     // Context-window chunking: 64-token windows, stride 48 (16-token
     // overlap) — per-row HOFs only, output-sized.
     "x42_chunk_tokens" -> ((s, dir) =>

@@ -57,6 +57,34 @@ object Sketches {
     bySource.unionByName(all)
   }
 
+  /** Mergeable length-quantile sketches (DataSketches KLL via the
+    * [[graft.functions.KllSketch]] aggregates — Spark ships no storable
+    * quantile sketch): one binary sketch per source, p50/p95 extracted per
+    * source, plus an 'ALL' rollup row whose quantiles come from UNIONING
+    * the per-source sketches — the raw `n_chars` column is read exactly
+    * once. Same "sketch once per ingest partition, roll up at query time"
+    * algebra as [[hllTokenRollup]], for quantiles.
+    */
+  def kllLengthRollup(docs: DataFrame, k: Int = 200): DataFrame = {
+    graft.functions.KllSketch.register(docs.sparkSession)
+    import graft.functions.KllSketch
+    val per = docs.groupBy("source").agg(
+      KllSketch.agg(col("n_chars").cast("double"), k).as("sk"),
+      count(lit(1)).as("n"))
+    val bySource = per.select(
+      col("source"),
+      KllSketch.quantile(col("sk"), 0.5).as("p50"),
+      KllSketch.quantile(col("sk"), 0.95).as("p95"),
+      col("n"))
+    val all = per.agg(
+      KllSketch.unionAgg(col("sk"), k).as("sk"), sum("n").as("n"))
+      .select(lit("ALL").as("source"),
+        KllSketch.quantile(col("sk"), 0.5).as("p50"),
+        KllSketch.quantile(col("sk"), 0.95).as("p95"),
+        col("n"))
+    bySource.unionByName(all)
+  }
+
   /** Length quantiles per source: GK sketch with accuracy 10000 alongside
     * the exact percentiles for auditability.
     */

@@ -1,0 +1,205 @@
+package graft.functions
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types._
+
+/** Mergeable KLL quantile sketches (Apache DataSketches) as first-class
+  * binary columns — the quantile twin of Spark's `hll_sketch_agg` family,
+  * which Spark 4 ships for cardinality but not for quantiles
+  * (`approx_percentile`'s sketch dies inside the aggregate and cannot be
+  * stored or re-merged).
+  *
+  * The 100 TB pattern this enables: sketch each ingest partition/day ONCE,
+  * store the ~KB sketch column, and answer "p95 over any slice of days"
+  * by unioning sketches — never re-touching raw data. KLL guarantees
+  * ~1.65% normalized rank error at k=200 with proven mergeability
+  * (Karnin/Lang/Liberty, FOCS 2016).
+  *
+  * Implemented as Catalyst `TypedImperativeAggregate`s — the engine-native
+  * shape Spark's own DataSketches aggregates use: the buffer is the live
+  * heap sketch object, serialized only at shuffle boundaries (a typed
+  * `Aggregator` over a binary buffer would pay deserialize+serialize per
+  * row).
+  *
+  * KLL compaction flips random coins, so two runs over the same data may
+  * emit different (equally valid) sketch bytes: queries over these are
+  * rows-only for the driver gate, and the spec pins the rank-error
+  * envelope rather than bytes.
+  */
+case class KllDoublesAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a double argument, got ${t.sql}")
+  }
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+    buf.merge(other)
+    buf
+  }
+
+  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+
+  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = KllSketch.AggName
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllDoublesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllDoublesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KllDoublesAgg =
+    copy(child = newChild)
+}
+
+/** Union of serialized KLL sketches: the rollup aggregate that never sees
+  * raw data. KLL merge keeps the MIN k across inputs, so `k` here (the
+  * empty starting buffer's size) must be >= the sketches' build k or the
+  * union degrades — same contract as Spark's `hll_union_agg(col, lgK)`.
+  * (The true identity element would be k=65535, but KLL heap sketches
+  * allocate O(k) up front — 512 KB per group buffer is the wrong default.)
+  */
+case class KllUnionAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary (serialized KLL) argument, got ${t.sql}")
+  }
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null)
+      buf.merge(KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buf
+  }
+
+  override def merge(buf: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+    buf.merge(other)
+    buf
+  }
+
+  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+
+  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = KllSketch.UnionName
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KllUnionAgg =
+    copy(child = newChild)
+}
+
+/** Scalar quantile extraction from a serialized sketch. Runs once per
+  * OUTPUT group row, never per input row — CodegenFallback is fine here
+  * (same stance as Spark's own `hll_sketch_estimate`).
+  */
+case class KllQuantile(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (binary, double), got ${l.sql} and ${r.sql}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = KllSketch.QuantileName
+
+  override def nullSafeEval(sk: Any, rank: Any): Any = {
+    val sketch = KllDoublesSketch.heapify(Memory.wrap(sk.asInstanceOf[Array[Byte]]))
+    if (sketch.isEmpty) null else sketch.getQuantile(rank.asInstanceOf[Double])
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object KllSketch {
+  val AggName = "graft_kll_agg"
+  val UnionName = "graft_kll_union_agg"
+  val QuantileName = "graft_kll_quantile"
+  val DefaultK: Int = 200
+
+  private def evalInt(e: Expression): Int = e.eval() match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"k must be an integer literal, got $other")
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(
+      FunctionIdentifier(AggName),
+      new ExpressionInfo(classOf[KllDoublesAgg].getName, AggName),
+      (children: Seq[Expression]) => KllDoublesAgg(children(0), evalInt(children(1))))
+    reg.registerFunction(
+      FunctionIdentifier(UnionName),
+      new ExpressionInfo(classOf[KllUnionAgg].getName, UnionName),
+      (children: Seq[Expression]) => KllUnionAgg(children(0), evalInt(children(1))))
+    reg.registerFunction(
+      FunctionIdentifier(QuantileName),
+      new ExpressionInfo(classOf[KllQuantile].getName, QuantileName),
+      (children: Seq[Expression]) => KllQuantile(children(0), children(1)))
+  }
+
+  /** `groupBy(g).agg(KllSketch.agg(col, k))` → binary sketch column. */
+  def agg(c: Column, k: Int = DefaultK): Column =
+    call_function(AggName, c, lit(k))
+
+  /** Union of serialized sketches (rollup without raw data); `k` must be
+    * >= the build k of the unioned sketches.
+    */
+  def unionAgg(c: Column, k: Int = DefaultK): Column =
+    call_function(UnionName, c, lit(k))
+
+  /** Quantile at `rank` (0..1) from a serialized sketch. */
+  def quantile(c: Column, rank: Double): Column =
+    call_function(QuantileName, c, lit(rank))
+}

@@ -40,6 +40,55 @@ class SketchesSpec extends SparkTestBase {
       s"union rollup ${rows("ALL")} != direct sketch $direct")
   }
 
+  test("KLL rollup: per-source and unioned quantiles land within rank tolerance") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val out = Sketches.kllLengthRollup(docs).collect()
+    assert(out.map(_.getString(0)).contains("ALL"))
+    // true rank of each reported quantile, measured against the real data
+    // of its slice, must be within KLL's k=200 error envelope (~1.65% at
+    // 99% confidence; assert 5% for flake-immunity)
+    def rankAndN(source: String, v: Double): (Double, Double) = {
+      val slice = if (source == "ALL") docs else docs.where(col("source") === source)
+      val row = slice.agg(
+        sum(when(col("n_chars") <= v, 1L).otherwise(0L)).cast("double"),
+        count(lit(1)).cast("double")).collect()(0)
+      (row.getDouble(0) / row.getDouble(1), row.getDouble(1))
+    }
+    out.foreach { r =>
+      val src = r.getString(0)
+      // 5% sketch envelope + 1/n rank discretization on small slices
+      val (r50, n) = rankAndN(src, r.getDouble(1))
+      assert(math.abs(r50 - 0.5) <= 0.05 + 1.0 / n,
+        s"$src p50=${r.getDouble(1)} misses rank 0.5 (true $r50, n=$n)")
+      val (r95, _) = rankAndN(src, r.getDouble(2))
+      assert(math.abs(r95 - 0.95) <= 0.05 + 1.0 / n,
+        s"$src p95=${r.getDouble(2)} misses rank 0.95 (true $r95, n=$n)")
+      assert(r.getDouble(1) <= r.getDouble(2))
+    }
+    // the ALL row counts every doc exactly (counts are exact even though
+    // quantiles are estimates)
+    assert(out.find(_.getString(0) == "ALL").get.getLong(3) == docs.count())
+  }
+
+  test("KLL sketches survive a store-then-rollup round trip (mergeability)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.KllSketch
+    val docs = Tables.documents(spark, sfDir)
+    KllSketch.register(spark)
+    // "sketch once per partition, store, union later" — simulate the store
+    // with a checkpointed intermediate of serialized sketches
+    val stored = docs.groupBy("source")
+      .agg(KllSketch.agg(col("n_chars").cast("double"), 200).as("sk"))
+      .localCheckpoint()
+    val unioned = stored.agg(KllSketch.unionAgg(col("sk"), 200).as("sk"))
+      .select(KllSketch.quantile(col("sk"), 0.5).as("p50")).collect()(0).getDouble(0)
+    val n = docs.count().toDouble
+    val le = docs.where(col("n_chars") <= unioned).count().toDouble
+    assert(math.abs(le / n - 0.5) < 0.05,
+      s"round-tripped union p50=$unioned has true rank ${le / n}")
+  }
+
   test("GK length quantiles are ordered and within the column's range") {
     val docs = Tables.documents(spark, sfDir)
     val mm = docs.agg(
