@@ -28,10 +28,11 @@ object Bench {
     // generated codegen classes differ.)
     spark.range(2000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count().collect()
-    // q51 reads a published partitioned table; the one-time publish is
-    // setup, not the measured read path — pay it before the clock starts.
+    // q51 reads a published partitioned CATALOG table; the one-time publish
+    // and partition recovery are setup (a production table exists before
+    // queries run), not the measured read path — pay both before the clock.
     if (names.contains("q51_pp_pruned_scan"))
-      graft.pipeline.BackfillFlow.publishedPricesDir(spark, sfDir)
+      graft.pipeline.BackfillFlow.publishedPricesTable(spark, sfDir)
 
     /** (user, sys) process CPU seconds from /proc/self/stat — splitting wall
       * time into compute vs kernel/steal is what separates a plan regression

@@ -556,8 +556,12 @@ object SparkEntry {
     // sf0.1). Aggregates are min/max/count only: reduction-order-free, so
     // the hash compare is exact.
     "q51_pp_pruned_scan" -> ((s, dir) => {
-      val t = graft.pipeline.BackfillFlow.publishedPricesDir(s, dir)
-      tsify(s.read.parquet(t)
+      // Catalog table, not spark.read.parquet(dir): partition metadata is
+      // recovered once, so this read prunes via the catalog instead of
+      // re-running discovery over ~1,600 date directories (measured 4-7s
+      // of pure listing per read at sf0.1).
+      val t = graft.pipeline.BackfillFlow.publishedPricesTable(s, dir)
+      tsify(s.table(t)
         .where(col("date") >= lit(Date.valueOf("1997-07-01"))
           && col("date") <= lit(Date.valueOf("1997-09-30")))
         .groupBy("date").agg(

@@ -204,6 +204,25 @@ object ExtQueries {
     "x44_sketch_kll_rollup" -> ((s, dir) =>
       Sketches.kllLengthRollup(Tables.documents(s, dir))),
 
+    // Semi-join reduction: lineitem pruned by a Bloom filter of the
+    // selected orders' keys BEFORE the shuffle join. Bit-identical to the
+    // plain join (no false negatives; false positives die in the join), so
+    // the oracle just runs the join.
+    "x45_bloom_semijoin" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val ord = Tables.orders(s, dir)
+        .where(to_date(col("o_orderdate")).between(
+          lit(java.sql.Date.valueOf("1995-01-01")), lit(java.sql.Date.valueOf("1995-03-31"))))
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      graft.ops.BloomJoin.bloomPrunedJoin(li, "l_orderkey", ord, "o_orderkey", 200000L)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+            .cast("double").as("revenue"))
+    }),
+
     // Context-window chunking: 64-token windows, stride 48 (16-token
     // overlap) — per-row HOFs only, output-sized.
     "x42_chunk_tokens" -> ((s, dir) =>
@@ -622,6 +641,14 @@ object ExtQueries {
         "r AS (SELECT q_id, vec_id, score, " +
         "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM s) " +
         "SELECT q_id, vec_id, score, rank FROM r WHERE rank <= 10"),
+
+    "x45_bloom_semijoin" ->
+      ("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items, " +
+        "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01' " +
+        "AND CAST(o_orderdate AS DATE) <= DATE '1995-03-31' " +
+        "GROUP BY o_orderpriority"),
 
     "x42_chunk_tokens" ->
       (s"WITH t AS ($toksCte), " +

@@ -1,0 +1,156 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Whole-stage-codegen'd membership probe against a pre-built Bloom filter
+  * (`org.apache.spark.util.sketch.BloomFilter`, the public sketch Spark's
+  * own `DataFrame.stat.bloomFilter` builds distributedly).
+  *
+  * This is the executor half of semi-join reduction
+  * ([[graft.ops.BloomJoin]]): the probe runs INSIDE the scan's codegen
+  * stage, so fact rows that cannot match the build side die before the
+  * shuffle write — at 100 TB the shuffle, not the scan, is what this
+  * saves. Spark's AQE injects the same shape itself only under
+  * `runtimeFilter` conditions it controls; this expression makes the
+  * pattern available declaratively.
+  *
+  * The filter ships as serialized bytes inside the expression (part of
+  * the task binary, broadcast once per stage — NOT per row/task); it is
+  * deserialized lazily once per executor JVM.
+  */
+case class BloomMightContainLong(child: Expression, filterBytes: Array[Byte])
+  extends UnaryExpression {
+
+  @transient private lazy val filter: BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(filterBytes))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint key, got ${t.sql}")
+  }
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = BloomJoinFns.MightContainName
+
+  /** Public for generated code. */
+  def mightContain(v: Long): Boolean = filter.mightContainLong(v)
+
+  override def nullSafeEval(v: Any): Any = mightContain(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomProbe", this,
+      classOf[BloomMightContainLong].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.mightContain($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainLong =
+    copy(child = newChild)
+}
+
+/** Distributed Bloom-filter build over long keys: buffer is the live
+  * filter, `putLong` per row, `mergeInPlace` across partitions. Unlike
+  * `DataFrame.stat.bloomFilter` (which NPEs when the input is empty —
+  * Spark's internal aggregate evals to null), an empty input yields a
+  * valid all-zero filter whose probe is `false` everywhere — exactly the
+  * semi-join semantics of an empty build side.
+  */
+case class BloomBuildAgg(
+    child: Expression,
+    expectedItems: Long,
+    fpp: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BloomFilter] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint key, got ${t.sql}")
+  }
+
+  override def createAggregationBuffer(): BloomFilter =
+    BloomFilter.create(expectedItems, fpp)
+
+  override def update(buf: BloomFilter, input: InternalRow): BloomFilter = {
+    val v = child.eval(input)
+    if (v != null) buf.putLong(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: BloomFilter, other: BloomFilter): BloomFilter =
+    buf.mergeInPlace(other)
+
+  override def eval(buf: BloomFilter): Any = BloomJoinFns.serialize(buf)
+
+  override def serialize(buf: BloomFilter): Array[Byte] = BloomJoinFns.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = BloomJoinFns.BuildName
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomBuildAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomBuildAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BloomBuildAgg =
+    copy(child = newChild)
+}
+
+object BloomJoinFns {
+  val MightContainName = "graft_bloom_might_contain"
+  val BuildName = "graft_bloom_build_agg"
+
+  private def evalLong(e: Expression): Long = e.eval() match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case other => throw new IllegalArgumentException(s"expected integer literal, got $other")
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(
+      FunctionIdentifier(MightContainName),
+      new ExpressionInfo(classOf[BloomMightContainLong].getName, MightContainName),
+      (children: Seq[Expression]) => BloomMightContainLong(
+        children(0), children(1).eval().asInstanceOf[Array[Byte]]))
+    reg.registerFunction(
+      FunctionIdentifier(BuildName),
+      new ExpressionInfo(classOf[BloomBuildAgg].getName, BuildName),
+      (children: Seq[Expression]) => BloomBuildAgg(
+        children(0), evalLong(children(1)),
+        children(2).eval().asInstanceOf[Double]))
+  }
+
+  def serialize(bf: BloomFilter): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Build aggregate: `df.agg(buildAgg(col, n, fpp))` → serialized filter. */
+  def buildAgg(key: Column, expectedItems: Long, fpp: Double): Column =
+    call_function(BuildName, key, lit(expectedItems), lit(fpp))
+
+  /** Probe column over a pre-built filter; requires [[register]] first. */
+  def mightContain(key: Column, bf: BloomFilter): Column =
+    call_function(MightContainName, key, lit(serialize(bf)))
+
+  /** Probe column over serialized filter bytes. */
+  def mightContain(key: Column, bytes: Array[Byte]): Column =
+    call_function(MightContainName, key, lit(bytes))
+}

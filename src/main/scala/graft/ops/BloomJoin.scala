@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.functions.BloomJoinFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semi-join reduction via Bloom filter: when the build side of a join is
+  * too big to broadcast as ROWS but its KEY SET fits in a few hundred KB
+  * of Bloom bits, probe the fact side against the filter BEFORE the
+  * shuffle. False positives are eliminated by the real join; false
+  * negatives don't exist — so the result is bit-identical to the plain
+  * join (the oracle runs the plain join), while the shuffle only carries
+  * fact rows that can possibly match.
+  *
+  * The standard numbers: 10M build keys at 1% fpp is ~12 MB of filter —
+  * broadcastable when 10M two-sided shuffle rows are not. At 100 TB this
+  * is the difference between shuffling the full fact table and shuffling
+  * the ~matching fraction of it. (Spark's AQE injects this shape itself
+  * only for subquery-reusable cases under `spark.sql.optimizer.runtime.
+  * bloomFilter.*`; this operator makes it explicit and deterministic.)
+  *
+  * The filter build (`df.stat.bloomFilter`) is one distributed
+  * treeAggregate over the build side's keys — driver receives only the
+  * merged bits, same cost shape as any sketch collect.
+  */
+object BloomJoin {
+
+  /** Inner join `fact ⋈ build` on `factKey == buildKey`, with the fact
+    * side pre-pruned by a Bloom filter of the build side's keys.
+    *
+    * `expectedItems` sizes the filter (overestimating costs bits, not
+    * correctness); `fpp` trades filter size against leftover shuffle
+    * traffic from false positives.
+    */
+  def bloomPrunedJoin(
+      fact: DataFrame,
+      factKey: String,
+      build: DataFrame,
+      buildKey: String,
+      expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = fact.sparkSession
+    BloomJoinFns.register(spark)
+    // One distributed treeAggregate over the build keys; driver receives
+    // only the merged filter bits. (Not `stat.bloomFilter` — that NPEs on
+    // an empty build side, where the correct filter is all-zero bits.)
+    val bytes = build
+      .agg(BloomJoinFns.buildAgg(col(buildKey).cast("long"), expectedItems, fpp))
+      .collect()(0).getAs[Array[Byte]](0)
+    val pruned = fact.where(
+      BloomJoinFns.mightContain(col(factKey).cast("long"), bytes))
+    pruned.join(build, pruned(factKey) === build(buildKey))
+  }
+}

@@ -37,13 +37,47 @@ object BackfillFlow {
     */
   def publishedPricesDir(spark: SparkSession, sfDir: String): String =
     published.computeIfAbsent(sfDir, _ => {
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(sfDir.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pp_$key/prices"
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pp_${md5Key(sfDir)}/prices"
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_SUCCESS")))
         run(spark, new TpchMarketSource(spark, sfDir), dir)
       dir
     })
+
+  private def md5Key(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+
+  /** The published table as a CATALOG table — the metastore pattern.
+    *
+    * `spark.read.parquet(dir)` on a ~1,600-directory partitioned table
+    * re-runs partition discovery (distributed listing job + path parsing +
+    * schema resolution) on EVERY read: measured 4–7s per query on this
+    * table, ~10x the actual pruned scan. A catalog table pays partition
+    * recovery ONCE; every subsequent read plans against catalog partition
+    * metadata and lists only the directories the filter selects
+    * (CatalogFileIndex). At 100 TB this is the difference between
+    * re-listing the data lake per query and a metastore lookup — no
+    * production engine re-infers partitions per query.
+    *
+    * The schema is read from ONE partition directory (cheap), not from a
+    * full discovery pass.
+    */
+  def publishedPricesTable(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = publishedPricesDir(spark, sfDir)
+    val tbl = s"graft_pp_${md5Key(sfDir)}"
+    if (!spark.catalog.tableExists(tbl)) {
+      val onePart = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("date=")).minBy(_.getName)
+      val schema = spark.read.option("basePath", dir)
+        .parquet(onePart.toString).schema
+      val dataCols = schema.fields.filterNot(_.name == "date")
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      spark.sql(s"CREATE TABLE `$tbl` ($dataCols, `date` DATE) " +
+        s"USING PARQUET PARTITIONED BY (`date`) LOCATION '$dir'")
+      spark.sql(s"MSCK REPAIR TABLE `$tbl`")
+    }
+    tbl
+  }
 }
 
 /** E3 end-to-end: the trading-calendar flow — open days, sorted, written as

@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.functions.BloomJoinFns
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class BloomJoinSpec extends SparkTestBase {
+
+  private def selectiveOrders = Tables.orders(spark, sfDir)
+    .where(to_date(col("o_orderdate")).between(
+      lit(java.sql.Date.valueOf("1995-01-01")), lit(java.sql.Date.valueOf("1995-03-31"))))
+    .select(col("o_orderkey"), col("o_orderpriority"))
+
+  test("bloom-pruned join is bit-identical to the plain join") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val pruned = BloomJoin.bloomPrunedJoin(li, "l_orderkey", selectiveOrders, "o_orderkey", 10000L)
+    val plain = li.join(selectiveOrders, col("l_orderkey") === col("o_orderkey"))
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty,
+      "bloom pruning must not change join results (no false negatives)")
+  }
+
+  test("probe expression prunes non-matching rows before the join") {
+    val li = Tables.lineitem(spark, sfDir)
+    BloomJoinFns.register(spark)
+    val bytes = selectiveOrders
+      .agg(BloomJoinFns.buildAgg(col("o_orderkey"), 10000L, 0.01))
+      .collect()(0).getAs[Array[Byte]](0)
+    val kept = li.where(BloomJoinFns.mightContain(col("l_orderkey"), bytes)).count()
+    val total = li.count()
+    val trueMatches = li.join(selectiveOrders,
+      col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    assert(kept < total, "a selective build side must prune something")
+    assert(kept >= trueMatches, "no false negatives allowed")
+    // fpp=1%: surviving non-matches should be a small fraction of the pruned-away set
+    assert(kept - trueMatches <= (total - trueMatches) / 20,
+      s"false-positive leakage too high: kept=$kept true=$trueMatches total=$total")
+  }
+
+  test("probe runs inside whole-stage codegen and nulls never match") {
+    import spark.implicits._
+    BloomJoinFns.register(spark)
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    bf.putLong(7L); bf.putLong(42L)
+    val df = Seq[java.lang.Long](7L, 42L, 9999L, null)
+      .toDF("k").where(BloomJoinFns.mightContain(col("k"), bf))
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(7L, 42L))
+    // the probe must not break the codegen stage it lives in: the Filter
+    // node renders with a `*(n)` whole-stage-codegen marker
+    val plan = Tables.lineitem(spark, sfDir)
+      .where(BloomJoinFns.mightContain(col("l_orderkey"), bf))
+      .queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Filter graft_bloom_might_contain".r.findFirstIn(plan).isDefined,
+      s"bloom probe must stay inside whole-stage codegen:\n$plan")
+  }
+
+  test("empty build side yields an all-false filter, not a crash") {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"))
+    val empty = Tables.orders(spark, sfDir).where(lit(false))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val out = BloomJoin.bloomPrunedJoin(li, "l_orderkey", empty, "o_orderkey", 100L)
+    assert(out.isEmpty)
+  }
+}
