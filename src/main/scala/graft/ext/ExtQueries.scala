@@ -204,6 +204,28 @@ object ExtQueries {
     "x44_sketch_kll_rollup" -> ((s, dir) =>
       Sketches.kllLengthRollup(Tables.documents(s, dir))),
 
+    // The full training-data preparation pipeline as ONE registered query:
+    // quality gate (x09's score) -> exact dedup keeping the min doc_id per
+    // text hash (x01's canonicalization) -> context-window chunking (x42)
+    // -> per-(lang, source) corpus stats. Every stage is the operator the
+    // standalone query verifies; this pins that they compose.
+    "x46_training_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val quality = TextOps.qualityMetrics(docs).where(col("quality_score") >= 0.6)
+      val canon = quality.groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("doc_id"))
+      val surviving = quality.join(canon.select("doc_id"), "doc_id")
+      val chunkStats = Chunking.chunkTokens(surviving, 64, 48)
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_chunks"),
+          sum(col("n_chunk_tokens").cast("long")).as("chunk_tokens"))
+      surviving.join(chunkStats, "doc_id")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chunks").as("n_chunks"),
+          sum("chunk_tokens").as("total_chunk_tokens"))
+    }),
+
     // Semi-join reduction: lineitem pruned by a Bloom filter of the
     // selected orders' keys BEFORE the shuffle join. Bit-identical to the
     // plain join (no false negatives; false positives die in the join), so
@@ -641,6 +663,27 @@ object ExtQueries {
         "r AS (SELECT q_id, vec_id, score, " +
         "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM s) " +
         "SELECT q_id, vec_id, score, rank FROM r WHERE rank <= 10"),
+
+    "x46_training_pipeline" ->
+      (s"WITH t AS ($toksCte), " +
+        "m AS (SELECT d.doc_id, d.lang, d.source, d.text, t.toks, " +
+        "least(CAST(len(t.toks) AS DOUBLE)/50.0, 1.0)*0.5 " +
+        s"+ (CAST(len(list_filter(t.toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(t.toks))*0.25 " +
+        "+ (CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)/length(d.text))*0.25 " +
+        "AS quality_score FROM documents d JOIN t USING (doc_id)), " +
+        "q AS (SELECT * FROM m WHERE quality_score >= 0.6), " +
+        "canon AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM q GROUP BY 1), " +
+        "s AS (SELECT q.* FROM q JOIN canon USING (doc_id)), " +
+        "n AS (SELECT doc_id, toks, len(toks) AS n FROM s), " +
+        "g AS (SELECT doc_id, toks, CASE WHEN n <= 64 THEN 0 " +
+        "ELSE CAST(floor((n - 64 + 47)/48.0) AS INT) END AS last_chunk FROM n), " +
+        "e AS (SELECT doc_id, toks, unnest(generate_series(0, last_chunk)) AS i FROM g), " +
+        "cs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, " +
+        "CAST(sum(len(toks[(i*48+1):(i*48+64)])) AS BIGINT) AS chunk_tokens FROM e GROUP BY doc_id) " +
+        "SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chunks) AS BIGINT) AS n_chunks, " +
+        "CAST(sum(chunk_tokens) AS BIGINT) AS total_chunk_tokens " +
+        "FROM s JOIN cs USING (doc_id) GROUP BY lang, source"),
 
     "x45_bloom_semijoin" ->
       ("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items, " +
