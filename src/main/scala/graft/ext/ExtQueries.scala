@@ -204,6 +204,14 @@ object ExtQueries {
     "x44_sketch_kll_rollup" -> ((s, dir) =>
       Sketches.kllLengthRollup(Tables.documents(s, dir))),
 
+    // Exact heavy-hitter tokens (true count >= 1% of stream) via the
+    // two-phase frequent-items sketch: mergeable per-source sketches ->
+    // union rollup -> NO_FALSE_NEGATIVES candidate superset -> broadcast
+    // exact count of candidates only. Output is exact (hash-matched), yet
+    // the only vocabulary-wide op is a constant-size sketch agg.
+    "x47_sketch_heavy_hitters" -> ((s, dir) =>
+      Sketches.sketchHeavyHitters(Tables.documents(s, dir), phi = 0.01)),
+
     // The full training-data preparation pipeline as ONE registered query:
     // quality gate (x09's score) -> exact dedup keeping the min doc_id per
     // text hash (x01's canonicalization) -> context-window chunking (x42)
@@ -663,6 +671,12 @@ object ExtQueries {
         "r AS (SELECT q_id, vec_id, score, " +
         "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM s) " +
         "SELECT q_id, vec_id, score, rank FROM r WHERE rank <= 10"),
+
+    "x47_sketch_heavy_hitters" ->
+      (s"WITH t AS ($toksCte), e AS (SELECT unnest(toks) AS tok FROM t), " +
+        "n AS (SELECT CAST(ceil(CAST(0.01 AS DOUBLE) * count(*)) AS BIGINT) AS threshold FROM e) " +
+        "SELECT tok, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY tok " +
+        "HAVING count(*) >= (SELECT threshold FROM n)"),
 
     "x46_training_pipeline" ->
       (s"WITH t AS ($toksCte), " +

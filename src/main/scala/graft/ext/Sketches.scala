@@ -85,6 +85,51 @@ object Sketches {
     bySource.unionByName(all)
   }
 
+  /** Exact heavy-hitter tokens via a two-phase frequent-items sketch pass
+    * ([[graft.functions.FreqSketch]], DataSketches ItemsSketch):
+    *
+    *   1. sketch tokens per source (mergeable binary column, one narrow
+    *      agg), union the per-source sketches into a global sketch WITHOUT
+    *      re-reading tokens;
+    *   2. read the candidate set out under NO_FALSE_NEGATIVES — a
+    *      guaranteed superset of every token whose true count >= phi*N,
+    *      provided phi > 3.5/maxMapSize (the sketch's epsilon; caller's
+    *      contract, asserted in the spec) — then broadcast the (tiny)
+    *      candidate list back over the tokens for an exact count of
+    *      candidates only.
+    *
+    * The output is therefore EXACT (hash-matchable against a full
+    * group-count oracle) while the only full-data shuffle is the
+    * constant-size sketch agg: the exact pass groups on a token set
+    * bounded by the sketch map size, not the vocabulary. At 100 TB the
+    * vocabulary-wide exact groupBy this replaces is the bottleneck;
+    * the sketch pass is scan-speed.
+    */
+  def sketchHeavyHitters(
+      docs: DataFrame,
+      phi: Double = 0.01,
+      maxMapSize: Int = graft.functions.FreqSketch.DefaultMapSize): DataFrame = {
+    require(phi > 3.5 / maxMapSize,
+      s"phi=$phi must exceed sketch epsilon ${3.5 / maxMapSize} for the no-false-negatives guarantee")
+    graft.functions.FreqSketch.register(docs.sparkSession)
+    import graft.functions.FreqSketch
+    val toks = docs.select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val per = toks.groupBy("source").agg(
+      FreqSketch.agg(col("tok"), maxMapSize).as("sk"),
+      count(lit(1)).as("n"))
+    val global = per.agg(
+      FreqSketch.unionAgg(col("sk"), maxMapSize).as("sk"),
+      sum("n").as("stream_len"))
+    val thresholdCol = ceil(col("stream_len") * lit(phi)).cast("long")
+    val cands = global.select(
+      explode(FreqSketch.heavyHitters(col("sk"), thresholdCol)).as("tok"),
+      col("stream_len"))
+    toks.join(broadcast(cands), "tok")
+      .groupBy("tok", "stream_len").agg(count(lit(1)).as("n"))
+      .where(col("n") >= ceil(col("stream_len") * lit(phi)).cast("long"))
+      .select("tok", "n")
+  }
+
   /** Length quantiles per source: GK sketch with accuracy 10000 alongside
     * the exact percentiles for auditability.
     */

@@ -1,0 +1,220 @@
+package graft.functions
+
+import org.apache.datasketches.common.ArrayOfStringsSerDe
+import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+import org.apache.datasketches.memory.Memory
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mergeable frequent-items (heavy-hitters) sketches as first-class binary
+  * columns — the frequency member of the sketch family next to Spark 4's
+  * `hll_sketch_agg` (cardinality) and [[KllSketch]] (quantiles). Wraps
+  * DataSketches' `ItemsSketch[String]`, the Misra-Gries / space-saving
+  * variant with proven merge semantics (error bounds ADD under merge,
+  * never break).
+  *
+  * The 100 TB pattern: sketch each ingest partition/day once into a ~64 KB
+  * column, roll up along any dimension with [[FreqUnionAgg]] without
+  * re-touching raw data, then read candidates out with NO_FALSE_NEGATIVES
+  * — every item whose TRUE count clears the threshold is guaranteed
+  * present (upper bound >= true count, unconditionally), so a second,
+  * candidate-filtered exact pass produces the exact heavy-hitter set while
+  * only ever shuffling the (tiny) candidate subset. That two-phase shape
+  * is [[graft.ext.Sketches.sketchHeavyHitters]].
+  *
+  * `TypedImperativeAggregate` like [[KllDoublesAgg]]: the buffer is the
+  * live heap sketch, serialized only at shuffle boundaries. Sketch BYTES
+  * depend on purge order and are not canonical across engines — queries
+  * exposing raw sketch columns register rows-only; the exactness-after-
+  * verification query hash-matches.
+  */
+case class FreqItemsAgg(
+    child: Expression,
+    maxMapSize: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ItemsSketch[String]] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.sql}")
+  }
+
+  override def createAggregationBuffer(): ItemsSketch[String] =
+    new ItemsSketch[String](maxMapSize)
+
+  override def update(buf: ItemsSketch[String], input: InternalRow): ItemsSketch[String] = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[UTF8String].toString)
+    buf
+  }
+
+  override def merge(buf: ItemsSketch[String], other: ItemsSketch[String]): ItemsSketch[String] =
+    buf.merge(other)
+
+  override def eval(buf: ItemsSketch[String]): Any =
+    buf.toByteArray(FreqSketch.serde)
+
+  override def serialize(buf: ItemsSketch[String]): Array[Byte] =
+    buf.toByteArray(FreqSketch.serde)
+  override def deserialize(bytes: Array[Byte]): ItemsSketch[String] =
+    ItemsSketch.getInstance(Memory.wrap(bytes), FreqSketch.serde)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = FreqSketch.AggName
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FreqItemsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FreqItemsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): FreqItemsAgg =
+    copy(child = newChild)
+}
+
+/** Union of serialized frequent-items sketches: the rollup aggregate that
+  * never re-reads raw data. `maxMapSize` sizes the merge target; merging
+  * sketches built at different sizes is sound (errors add — the bound is
+  * tracked inside the sketch, not assumed).
+  */
+case class FreqUnionAgg(
+    child: Expression,
+    maxMapSize: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ItemsSketch[String]] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary (serialized frequent-items sketch) argument, got ${t.sql}")
+  }
+
+  override def createAggregationBuffer(): ItemsSketch[String] =
+    new ItemsSketch[String](maxMapSize)
+
+  override def update(buf: ItemsSketch[String], input: InternalRow): ItemsSketch[String] = {
+    val v = child.eval(input)
+    if (v != null)
+      buf.merge(ItemsSketch.getInstance(
+        Memory.wrap(v.asInstanceOf[Array[Byte]]), FreqSketch.serde))
+    buf
+  }
+
+  override def merge(buf: ItemsSketch[String], other: ItemsSketch[String]): ItemsSketch[String] =
+    buf.merge(other)
+
+  override def eval(buf: ItemsSketch[String]): Any =
+    buf.toByteArray(FreqSketch.serde)
+
+  override def serialize(buf: ItemsSketch[String]): Array[Byte] =
+    buf.toByteArray(FreqSketch.serde)
+  override def deserialize(bytes: Array[Byte]): ItemsSketch[String] =
+    ItemsSketch.getInstance(Memory.wrap(bytes), FreqSketch.serde)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = FreqSketch.UnionName
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FreqUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FreqUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): FreqUnionAgg =
+    copy(child = newChild)
+}
+
+/** Candidate heavy hitters from a serialized sketch at `threshold`, under
+  * NO_FALSE_NEGATIVES: returns every item whose UPPER count bound clears
+  * the threshold — a guaranteed superset of the items whose true count
+  * does. Runs once per output row (CodegenFallback fine, same stance as
+  * `hll_sketch_estimate`). Items are returned sorted so the column is
+  * deterministic given the sketch.
+  */
+case class FreqHeavyHitters(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, LongType | IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (binary, integral threshold), got ${l.sql} and ${r.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = FreqSketch.ItemsName
+
+  override def nullSafeEval(sk: Any, threshold: Any): Any = {
+    val sketch = ItemsSketch.getInstance(
+      Memory.wrap(sk.asInstanceOf[Array[Byte]]), FreqSketch.serde)
+    val t = threshold match { case i: Int => i.toLong; case l: Long => l }
+    val items = sketch.getFrequentItems(t, ErrorType.NO_FALSE_NEGATIVES)
+      .map(_.getItem).sorted
+    new GenericArrayData(items.map(UTF8String.fromString(_)))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object FreqSketch {
+  val AggName = "graft_freq_agg"
+  val UnionName = "graft_freq_union_agg"
+  val ItemsName = "graft_freq_items"
+  /** Must be a power of 2 (ItemsSketch contract); 1024 tracks ~768 heavy
+    * items with epsilon ~= 3.5/1024 of the stream length.
+    */
+  val DefaultMapSize: Int = 1024
+
+  private[graft] val serde = new ArrayOfStringsSerDe
+
+  private def evalInt(e: Expression): Int = e.eval() match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"maxMapSize must be an integer literal, got $other")
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(
+      FunctionIdentifier(AggName),
+      new ExpressionInfo(classOf[FreqItemsAgg].getName, AggName),
+      (children: Seq[Expression]) => FreqItemsAgg(children(0), evalInt(children(1))))
+    reg.registerFunction(
+      FunctionIdentifier(UnionName),
+      new ExpressionInfo(classOf[FreqUnionAgg].getName, UnionName),
+      (children: Seq[Expression]) => FreqUnionAgg(children(0), evalInt(children(1))))
+    reg.registerFunction(
+      FunctionIdentifier(ItemsName),
+      new ExpressionInfo(classOf[FreqHeavyHitters].getName, ItemsName),
+      (children: Seq[Expression]) => FreqHeavyHitters(children(0), children(1)))
+  }
+
+  /** `groupBy(g).agg(FreqSketch.agg(col))` → binary sketch column. */
+  def agg(c: Column, maxMapSize: Int = DefaultMapSize): Column =
+    call_function(AggName, c, lit(maxMapSize))
+
+  /** Union of serialized sketches (rollup without raw data). */
+  def unionAgg(c: Column, maxMapSize: Int = DefaultMapSize): Column =
+    call_function(UnionName, c, lit(maxMapSize))
+
+  /** Candidate items at `threshold` (NO_FALSE_NEGATIVES superset). */
+  def heavyHitters(c: Column, threshold: Long): Column =
+    call_function(ItemsName, c, lit(threshold))
+
+  /** Same, with a computed threshold column (e.g. `ceil(phi * N)`). */
+  def heavyHitters(c: Column, threshold: Column): Column =
+    call_function(ItemsName, c, threshold)
+}

@@ -1,0 +1,73 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.ext.Sketches
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Frequent-items sketch: the guarantees the two-phase heavy-hitter query
+  * rests on, exercised under REAL purge pressure (vocabulary much larger
+  * than the sketch map, so the Misra-Gries purge path actually runs —
+  * the registered query's sf0.01 vocabulary fits the default map and
+  * would not catch a broken purge/merge).
+  */
+class FreqSketchSpec extends SparkTestBase {
+
+  // 5 heavy items at 8% of the stream each + ~5k-item long tail: distinct
+  // count (5005) >> map capacity at maxMapSize=64 (~48), so per-group
+  // sketches purge and the union merges already-purged state.
+  private lazy val skewed = {
+    import spark.implicits._
+    val heavy = (1 to 5).flatMap(i => Seq.fill(1600)(s"hot_$i"))
+    val tail = (1 to 5000).flatMap(i => Seq.fill(1 + i % 3)(s"tail_$i"))
+    new scala.util.Random(7).shuffle(heavy ++ tail)
+      .zipWithIndex
+      .map { case (item, i) => (i % 8, item) }
+      .toDF("grp", "item")
+  }
+
+  test("NO_FALSE_NEGATIVES: union-of-purged-sketches candidates cover every true heavy hitter") {
+    FreqSketch.register(spark)
+    val maxMapSize = 64
+    val phi = 0.07 // > epsilon = 3.5/64 ~= 0.0547, the guarantee's precondition
+    val n = skewed.count()
+    val threshold = math.ceil(phi * n).toLong
+
+    val per = skewed.groupBy("grp").agg(FreqSketch.agg(col("item"), maxMapSize).as("sk"))
+    val cands = per.agg(FreqSketch.unionAgg(col("sk"), maxMapSize).as("sk"))
+      .select(explode(FreqSketch.heavyHitters(col("sk"), threshold)).as("item"))
+      .collect().map(_.getString(0)).toSet
+
+    val exact = skewed.groupBy("item").agg(count(lit(1)).as("n"))
+      .where(col("n") >= threshold)
+      .collect().map(_.getString(0)).toSet
+
+    assert(exact === (1 to 5).map(i => s"hot_$i").toSet, "fixture sanity: the 5 hot items are the true heavy hitters")
+    assert(exact.subsetOf(cands),
+      s"false negatives: ${exact -- cands} missing from candidates")
+    // and it is a PRUNING: candidates bounded by sketch state, not vocabulary
+    assert(cands.size <= maxMapSize,
+      s"candidate set ${cands.size} exceeds sketch map size — no pruning happened")
+  }
+
+  test("sketchHeavyHitters equals the exact vocabulary-wide heavy-hitter count") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = Sketches.sketchHeavyHitters(docs, phi = 0.01)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toks = docs.select(explode(graft.ext.TextOps.tokens(col("text"))).as("tok"))
+    val n = toks.count()
+    val threshold = math.ceil(0.01 * n).toLong
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .where(col("n") >= threshold)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === exact)
+    assert(got.nonEmpty, "degenerate fixture: no heavy hitters at phi=0.01")
+  }
+
+  test("phi below the sketch epsilon is rejected (guarantee precondition)") {
+    val docs = Tables.documents(spark, sfDir)
+    intercept[IllegalArgumentException] {
+      Sketches.sketchHeavyHitters(docs, phi = 0.001, maxMapSize = 64)
+    }
+  }
+}
