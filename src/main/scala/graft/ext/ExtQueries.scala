@@ -212,6 +212,13 @@ object ExtQueries {
     "x47_sketch_heavy_hitters" -> ((s, dir) =>
       Sketches.sketchHeavyHitters(Tables.documents(s, dir), phi = 0.01)),
 
+    // BM25 top-k retrieval (rational-idf variant — ln replaced by its
+    // argument so the doubles are bit-identical across engines). One
+    // doc-keyed shuffle computes dl + per-term tf together; stats fold
+    // back as a 1-row broadcast; top-k is TakeOrderedAndProject.
+    "x48_bm25_topk" -> ((s, dir) =>
+      Search.bm25TopK(Tables.documents(s, dir), Seq("hash", "join", "dup"), 10)),
+
     // The full training-data preparation pipeline as ONE registered query:
     // quality gate (x09's score) -> exact dedup keeping the min doc_id per
     // text hash (x01's canonicalization) -> context-window chunking (x42)
@@ -671,6 +678,24 @@ object ExtQueries {
         "r AS (SELECT q_id, vec_id, score, " +
         "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM s) " +
         "SELECT q_id, vec_id, score, rank FROM r WHERE rank <= 10"),
+
+    "x48_bm25_topk" ->
+      (s"WITH t AS ($toksCte), e AS (SELECT doc_id, unnest(toks) AS tok FROM t), " +
+        "pd AS (SELECT doc_id, count(*) AS dl, " +
+        "sum(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END) AS tf_0, " +
+        "sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS tf_1, " +
+        "sum(CASE WHEN tok = 'dup' THEN 1 ELSE 0 END) AS tf_2 " +
+        "FROM e GROUP BY doc_id), " +
+        "st AS (SELECT sum(dl) AS sum_dl, count(*) AS n_docs, " +
+        "sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0, " +
+        "sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1, " +
+        "sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2 FROM pd) " +
+        "SELECT doc_id, " +
+        "CASE WHEN tf_0 > 0 THEN ((CAST(n_docs AS DOUBLE) - CAST(df_0 AS DOUBLE) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5)) * (CAST(tf_0 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf_0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) ELSE 0.0 END " +
+        "+ CASE WHEN tf_1 > 0 THEN ((CAST(n_docs AS DOUBLE) - CAST(df_1 AS DOUBLE) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5)) * (CAST(tf_1 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf_1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) ELSE 0.0 END " +
+        "+ CASE WHEN tf_2 > 0 THEN ((CAST(n_docs AS DOUBLE) - CAST(df_2 AS DOUBLE) + 0.5) / (CAST(df_2 AS DOUBLE) + 0.5)) * (CAST(tf_2 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf_2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) ELSE 0.0 END " +
+        "AS score FROM pd, st WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0 " +
+        "ORDER BY score DESC, doc_id LIMIT 10"),
 
     "x47_sketch_heavy_hitters" ->
       (s"WITH t AS ($toksCte), e AS (SELECT unnest(toks) AS tok FROM t), " +

@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical document retrieval over the corpus — the query-time companion
+  * to the curation operators: given a bag of query terms, score every
+  * matching document and return the top-k.
+  *
+  * Scoring is a rational-idf BM25 variant: the classic
+  * `idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))` shape with
+  * Robertson idf's log replaced by its argument
+  * `(N - df + 0.5) / (df + 0.5)` — one IEEE division instead of `ln`,
+  * so scores are bit-identical across engines (libm `log` is not; same
+  * stance as [[Curate.salientTerms]]'s tf/df). Per-term idf ordering is
+  * identical to log-BM25 (the log is monotone).
+  */
+object Search {
+
+  /** Top-k documents by BM25 score for a static bag of query terms.
+    *
+    * Plan shape, built for the 100 TB corpus:
+    *  - ONE doc-keyed shuffle computes doc length AND per-query-term term
+    *    frequencies in the same aggregation (terms are a static list, so
+    *    tf is a fixed set of conditional-sum columns — no second pass,
+    *    no (doc, term) shuffle, no vocabulary-wide state);
+    *  - corpus stats (N, total length, per-term document frequencies)
+    *    reduce that per-doc frame to ONE row, folded back via a broadcast
+    *    (PlanAudit-exempt constant);
+    *  - only documents containing >= 1 query term survive to scoring
+    *    (inverted-index pruning without materializing an index);
+    *  - top-k is `TakeOrderedAndProject` — per-partition heaps, never a
+    *    global sort.
+    *
+    * The per-document score sums term contributions in the FIXED order of
+    * `queryTerms` (explicit left-to-right expression chain), keeping the
+    * double arithmetic deterministic and oracle-matchable.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    require(queryTerms.distinct == queryTerms, "query terms must be distinct")
+
+    val toks = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf_$i")
+    }
+    val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"), tfCols: _*)
+
+    val statCols =
+      sum(col("dl")).as("sum_dl") +: count(lit(1)).as("n_docs") +:
+        queryTerms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+
+    val matched = perDoc
+      .where(queryTerms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+      .crossJoin(broadcast(stats))
+
+    // integer sums + one division: avgdl is deterministic, no float agg
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val lenNorm = lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)
+    val termScore: Int => Column = { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val dfT = col(s"df_$i").cast("double")
+      val idf = (col("n_docs").cast("double") - dfT + lit(0.5)) / (dfT + lit(0.5))
+      when(col(s"tf_$i") > 0,
+        idf * (tf * (lit(k1) + lit(1.0))) / (tf + lit(k1) * lenNorm))
+        .otherwise(lit(0.0))
+    }
+    matched
+      .select(col("doc_id"),
+        queryTerms.indices.map(termScore).reduceLeft(_ + _).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,48 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SearchSpec extends SparkTestBase {
+
+  private def mkDocs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("bm25: rare-term documents outrank common-term documents") {
+    // 'rare' appears in 1 of 20 docs, 'common' in all 20: the rare-term
+    // doc must rank first even though its tf is no higher.
+    val docs = mkDocs(
+      (1L, "common rare filler filler") +:
+        (2L to 20L).map(i => (i, "common filler filler filler")))
+    val top = Search.bm25TopK(docs, Seq("common", "rare"), 5).collect()
+    assert(top.head.getLong(0) === 1L, s"rare-term doc not first: ${top.mkString(", ")}")
+    assert(top.head.getDouble(1) > top(1).getDouble(1))
+  }
+
+  test("bm25: length normalization favors the shorter doc at equal tf") {
+    val docs = mkDocs(Seq(
+      (1L, "term pad"),
+      (2L, "term pad pad pad pad pad pad pad"),
+      (3L, "pad pad")))
+    val top = Search.bm25TopK(docs, Seq("term"), 5).collect()
+    assert(top.map(_.getLong(0)).toSeq === Seq(1L, 2L), "only matching docs, shorter first")
+  }
+
+  test("bm25: respects k and matches only documents containing a query term") {
+    val docs = mkDocs((1L to 30L).map(i =>
+      (i, if (i % 3 == 0) "hit pad pad" else "pad pad pad")))
+    val got = Search.bm25TopK(docs, Seq("hit"), 4).collect()
+    assert(got.length === 4)
+    assert(got.forall(r => r.getLong(0) % 3 == 0))
+  }
+
+  test("bm25 plan: top-k is TakeOrderedAndProject, one doc-keyed aggregate, no global sort") {
+    val docs = mkDocs((1L to 10L).map(i => (i, "a b c")))
+    val plan = Search.bm25TopK(docs, Seq("a", "b"), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"missing top-k operator:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
