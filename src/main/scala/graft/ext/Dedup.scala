@@ -140,6 +140,60 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Incremental near-dup detection: which BATCH docs are near-dups of the
+    * already-deduped MASTER corpus, or of an earlier doc in the same batch?
+    * This is the delta-run form of [[minhashLsh]] — the shape a 100 TB
+    * pipeline actually executes per ingest, where re-running corpus-wide
+    * LSH (x03) over master+delta would re-hash the whole corpus for every
+    * batch:
+    *
+    *  - the master side contributes only its band table (~128 bytes/doc;
+    *    in production computed once at ingest and STORED — the LSH index),
+    *    so signature work is batch-sized, not corpus-sized;
+    *  - candidates = batch-bands ⋈ master-bands (index equi-join) ∪ the
+    *    batch's internal band self-join;
+    *  - exact-Jaccard verification re-reads ONLY the master docs that
+    *    appear in a candidate pair (left-semi pushdown) — the corpus text
+    *    is never re-scanned.
+    *
+    * Output matches [[minhashLsh]] over master∪batch restricted to pairs
+    * whose newer side is in the batch (`doc_a` = kept earlier doc, `doc_b`
+    * = batch doc), so the full-corpus run is the oracle for the
+    * incremental one. Requires master and batch doc_ids to be disjoint,
+    * with batch ids greater than master ids (append-only id discipline).
+    */
+  def incrementalNearDups(
+      master: DataFrame,
+      batch: DataFrame,
+      k: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val masterBands = lshBands(minhashSignature(master, k)) // prod: read the stored index
+    val batchBands = cacheOnce(lshBands(minhashSignature(batch, k)))
+    val vsMaster = batchBands.as("a").join(masterBands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash"))
+      .select(col("b.doc_id").as("doc_a"), col("a.doc_id").as("doc_b"))
+    val vsBatch = batchBands.as("a").join(batchBands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cand = cacheOnce(vsMaster.union(vsBatch).distinct())
+    // verification corpus: the batch plus ONLY the master docs named in a
+    // candidate pair — never the full master text
+    val touchedMaster = master.join(
+      cand.select(col("doc_a").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+    val (ex, sz) = shingleSets(touchedMaster.unionByName(batch), k)
+    val exA = ex.select(col("doc_id").as("doc_a"), col("shingle").as("sh"))
+    val exB = ex.select(col("doc_id").as("doc_b"), col("shingle").as("sh"))
+    val common = cand.join(exA, Seq("doc_a")).join(exB, Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sz.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "n_a")), "doc_a")
+      .join(sz.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "n_b")), "doc_b")
+      .withColumn("jaccard", col("common") / (col("n_a") + col("n_b") - col("common")))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** SimHash near-dup pairs: Hamming distance ≤ `maxDist` between 16-bit
     * signatures. The all-pairs form shown here is the small-data verifier;
     * the scale path buckets signatures by band (any pair within distance d

@@ -212,6 +212,16 @@ object ExtQueries {
     "x47_sketch_heavy_hitters" -> ((s, dir) =>
       Sketches.sketchHeavyHitters(Tables.documents(s, dir), phi = 0.01)),
 
+    // Delta-run dedup: batch docs (id >= 250) near-dup'd against the
+    // already-deduped master (id < 250) via the master's band INDEX —
+    // batch-sized signature work, candidate-only master re-reads. Oracle
+    // = the full-corpus x03 run restricted to batch-side newer docs.
+    "x49_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalNearDups(
+        docs.where(col("doc_id") < 250), docs.where(col("doc_id") >= 250), 3, 0.8)
+    }),
+
     // BM25 top-k retrieval (rational-idf variant — ln replaced by its
     // argument so the doubles are bit-identical across engines). One
     // doc-keyed shuffle computes dl + per-term tf together; stats fold
@@ -317,6 +327,25 @@ object ExtQueries {
       "FROM c JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id " +
       "WHERE CAST(c.common AS DOUBLE)/(x.n + y.n - c.common) >= 0.8"
 
+  /** Full-corpus MinHash+LSH SQL (x03); x49 filters it to batch-side pairs. */
+  private val minhashLshSql =
+    s"WITH t AS ($toksCte), sh AS ($shinglesCte), " +
+      "ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh), " +
+      "sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh), " +
+      "hs AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS h0, " +
+      "list_transform(shingles, s -> md5('1:' || s)) AS h1 FROM sh), " +
+      "sig AS (SELECT doc_id, list_transform(generate_series(0, 15), " +
+      "i -> list_aggregate(list_transform(CASE WHEN i < 8 THEN h0 ELSE h1 END, " +
+      "h -> substr(h, (i % 8) * 4 + 1, 4)), 'min')) AS sig FROM hs), " +
+      "bandx AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM sig), " +
+      "band AS (SELECT doc_id, band, md5(array_to_string(sig[4*band+1:4*band+4], '|')) AS bh FROM bandx), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM band a JOIN band b " +
+      "ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id), " +
+      "c AS (SELECT cand.doc_a, cand.doc_b, CAST(count(*) AS BIGINT) AS common FROM cand " +
+      "JOIN ex ea ON ea.doc_id = cand.doc_a JOIN ex eb ON eb.doc_id = cand.doc_b AND ea.sh = eb.sh " +
+      "GROUP BY 1, 2) " +
+      jaccardTail
+
   private val stopList = TextOps.EnStopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
   private def dotSql(a: String, b: String): String =
@@ -340,23 +369,12 @@ object ExtQueries {
         "FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
         jaccardTail),
 
-    "x03_dedup_minhash_lsh" ->
-      (s"WITH t AS ($toksCte), sh AS ($shinglesCte), " +
-        "ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh), " +
-        "sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh), " +
-        "hs AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS h0, " +
-        "list_transform(shingles, s -> md5('1:' || s)) AS h1 FROM sh), " +
-        "sig AS (SELECT doc_id, list_transform(generate_series(0, 15), " +
-        "i -> list_aggregate(list_transform(CASE WHEN i < 8 THEN h0 ELSE h1 END, " +
-        "h -> substr(h, (i % 8) * 4 + 1, 4)), 'min')) AS sig FROM hs), " +
-        "bandx AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM sig), " +
-        "band AS (SELECT doc_id, band, md5(array_to_string(sig[4*band+1:4*band+4], '|')) AS bh FROM bandx), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM band a JOIN band b " +
-        "ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id), " +
-        "c AS (SELECT cand.doc_a, cand.doc_b, CAST(count(*) AS BIGINT) AS common FROM cand " +
-        "JOIN ex ea ON ea.doc_id = cand.doc_a JOIN ex eb ON eb.doc_id = cand.doc_b AND ea.sh = eb.sh " +
-        "GROUP BY 1, 2) " +
-        jaccardTail),
+    "x03_dedup_minhash_lsh" -> minhashLshSql,
+
+    // the incremental run must reproduce exactly the full-corpus pairs
+    // whose newer side is in the batch
+    "x49_dedup_incremental" ->
+      s"SELECT doc_a, doc_b, jaccard FROM ($minhashLshSql) WHERE doc_b >= 250",
 
     "x04_dedup_simhash" ->
       (s"WITH t AS ($toksCte), " +

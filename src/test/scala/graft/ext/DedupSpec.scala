@@ -116,4 +116,22 @@ class DedupSpec extends SparkTestBase {
     val plan = Dedup.minhashSignature(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("incremental near-dups == full-corpus LSH restricted to batch-side pairs") {
+    import org.apache.spark.sql.functions.col
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard"))
+    // split the fixture at the median id: both master-vs-batch and
+    // batch-internal pairs exist below/above it (asserted, not assumed)
+    val split = docs.agg(org.apache.spark.sql.functions.expr("percentile(doc_id, 0.5)"))
+      .collect()(0).getDouble(0).toLong
+    val full = Dedup.minhashLsh(docs, 3, 0.8)
+      .where(col("doc_b") >= split).collect().map(key).toSet
+    val inc = Dedup.incrementalNearDups(
+      docs.where(col("doc_id") < split), docs.where(col("doc_id") >= split), 3, 0.8)
+      .collect().map(key).toSet
+    assert(inc === full)
+    assert(full.exists(_._1 < split) && full.exists(_._1 >= split),
+      "fixture must exercise both the master-index join and the batch self-join")
+  }
 }
