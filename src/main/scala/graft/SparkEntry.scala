@@ -48,7 +48,8 @@ object SparkEntry {
     "x03_dedup_minhash_lsh", "x06_ann_bruteforce_topk", "x09_text_quality",
     "x20_dedup_simhash_banded", "x21_text_vocab",
     "x28_range_join_bucketed", "x36_curate_contamination",
-    "q42_j7_star_join", "q51_pp_pruned_scan")
+    "q42_j7_star_join", "q51_pp_pruned_scan",
+    "x47_sketch_heavy_hitters", "x48_bm25_topk")
 
   private def coreQueries: Map[String, Q] = Map(
     // S1+P4+F1+F4 — dimension scan with projection + pushed predicates

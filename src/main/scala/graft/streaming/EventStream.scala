@@ -72,6 +72,28 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming windowed heavy-hitter sketch: per tumbling hour, a
+    * mergeable frequent-items sketch ([[graft.functions.FreqSketch]]) of
+    * the event-type stream plus its NO_FALSE_NEGATIVES candidate read-out
+    * at `threshold`. The binary sketch column is the point: downstream
+    * consumers roll hourly windows into daily/weekly heavy hitters with
+    * `graft_freq_union_agg` WITHOUT reprocessing the stream — the batch
+    * x47 store-the-sketch pattern under a watermark that bounds state.
+    * The aggregate buffer is the live sketch (TypedImperativeAggregate),
+    * serialized into the state store between micro-batches.
+    */
+  def windowedHeavyHitters(events: DataFrame, threshold: Long): DataFrame = {
+    graft.functions.FreqSketch.register(events.sparkSession)
+    import graft.functions.FreqSketch
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(FreqSketch.agg(col("event_type")).as("sk"), count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"),
+        FreqSketch.heavyHitters(col("sk"), threshold).as("candidates"),
+        col("sk"))
+  }
+
   val SessionGapMs: Long = 30 * 60 * 1000L
 
   /** Custom stateful operator: gap-based sessionization per user via

@@ -27,6 +27,31 @@ class EventStreamSpec extends SparkTestBase {
     assert(rows === Set(("click", 2L, 3.0), ("buy", 1L, 5.0)))
   }
 
+  test("windowedHeavyHitters: streaming sketch matches batch exact counts per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    // hour 10: 'click' x5, 'buy' x2, 'view' x1; threshold 2 → {click, buy}
+    val data = Seq.fill(5)((ts(5), "click")) ++ Seq.fill(2)((ts(20), "buy")) :+ ((ts(40), "view"))
+    in.addData(data: _*)
+    val events = in.toDF().toDF("ts", "event_type")
+    val q = EventStream.windowedHeavyHitters(events, 2L)
+      .writeStream.format("memory").queryName("whh")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("whh").collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[Long]("n") === 8L)
+    assert(rows(0).getSeq[String](rows(0).fieldIndex("candidates")).toSet === Set("click", "buy"))
+    // and the stored sketch re-reads at a different threshold without the stream
+    graft.functions.FreqSketch.register(spark)
+    val re = spark.table("whh")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.FreqSketch.heavyHitters(
+          org.apache.spark.sql.functions.col("sk"), 5L)).as("t"))
+      .collect().map(_.getString(0)).toSet
+    assert(re === Set("click"), "stored sketch must answer new thresholds raw-data-free")
+  }
+
   test("sessionStep accumulates state across batches and emits on timeout") {
     import EventStream.sessionStep
     // batch 1: two events open a session
