@@ -553,6 +553,8 @@ object ExtQueries {
     "x10_text_tokens" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens, " +
+        "CAST(len(regexp_extract_all(text, " +
+        "'''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')) AS BIGINT) AS n_bpe_pretokens, " +
         "CAST(ceil(CAST(length(text) AS DOUBLE)/4.0) AS BIGINT) AS n_bpe_est FROM documents"),
 
     "x11_text_fingerprint" ->

@@ -75,13 +75,24 @@ object TextOps {
           + col("alpha_ratio") * lit(0.25))
   }
 
-  /** Token-count estimates: whitespace tokens, regex word tokens, and the
-    * standard chars/4 BPE estimate.
+  /** GPT-2-style pretokenizer pattern (ASCII subset): contraction
+    * suffixes, space-prefixed letter/digit runs, punctuation runs, residual
+    * spaces — the split a byte-level BPE applies BEFORE merges, so its
+    * count is the number of pretoken units an actual BPE would start from.
+    */
+  val BpePretokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+
+  /** Token-count estimates: whitespace tokens, regex word tokens, a real
+    * BPE pretokenizer split, and the standard chars/4 estimate. All pure
+    * per-row regex expressions — scan speed, no shuffle.
     */
   def tokenCounts(df: DataFrame, text: Column = col("text")): DataFrame =
     df.withColumn("n_ws_tokens", size(tokens(text)).cast("long"))
       .withColumn("n_word_tokens",
         size(regexp_extract_all(text, lit("[a-z]+"), lit(0))).cast("long"))
+      .withColumn("n_bpe_pretokens",
+        size(regexp_extract_all(text, lit(BpePretokenPattern), lit(0))).cast("long"))
       .withColumn("n_bpe_est", ceil(length(text).cast("double") / lit(4.0)).cast("long"))
 
   /** Canonical text normalization for dedup/tokenization robustness:

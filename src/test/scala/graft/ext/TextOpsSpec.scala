@@ -31,6 +31,13 @@ class TextOpsSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_bpe_est") === math.ceil(9 / 4.0).toLong)
   }
 
+  test("bpe pretokenizer: contractions split off, space-prefixed runs, punctuation runs") {
+    // "it's over 9000!!" → [it]["'s"][ over][ 9000][!!] = 5 pretokens
+    val df = Seq((1L, "it's over 9000!!")).toDF("doc_id", "text")
+    val r = TextOps.tokenCounts(df).head()
+    assert(r.getAs[Long]("n_bpe_pretokens") === 5L)
+  }
+
   test("fingerprint is stable and changes with content") {
     val df = Seq((1L, "abcdefghij"), (2L, "abcdefghij"), (3L, "zbcdefghij"))
       .toDF("doc_id", "text")
