@@ -212,6 +212,23 @@ object ExtQueries {
     "x47_sketch_heavy_hitters" -> ((s, dir) =>
       Sketches.sketchHeavyHitters(Tables.documents(s, dir), phi = 0.01)),
 
+    // Semantic dedup end-to-end — x41's pipeline in embedding space: LSH
+    // near-dup pairs (cosine >= 0.4 within hyperplane buckets) -> star CC
+    // -> drop non-canonical members -> surviving per-label stats. The
+    // embedding twin of the text pipeline, sharing the same CC operator.
+    "x50_semantic_dedup_pipeline" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Similarity.lshNearDupPairs(emb, 0.4)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      val victims = Dedup.connectedComponentsStars(pairs)
+        .where(col("doc_id") =!= col("canonical_id"))
+        .select(col("doc_id").as("vec_id"))
+      emb.join(victims, Seq("vec_id"), "left_anti")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec_id"),
+          max("vec_id").as("max_vec_id"))
+    }),
+
     // Delta-run dedup: batch docs (id >= 250) near-dup'd against the
     // already-deduped master (id < 250) via the master's band INDEX —
     // batch-sized signature work, candidate-only master re-reads. Oracle
@@ -375,6 +392,22 @@ object ExtQueries {
     // whose newer side is in the batch
     "x49_dedup_incremental" ->
       s"SELECT doc_a, doc_b, jaccard FROM ($minhashLshSql) WHERE doc_b >= 250",
+
+    "x50_semantic_dedup_pipeline" ->
+      ("WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        s"be AS (SELECT vec_id, emb, $bucketSql AS bucket FROM e), " +
+        "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        s"${dotSql("a.emb", "b.emb")} AS cos " +
+        "FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
+        "pairs AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM p WHERE cos >= 0.4), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
+        "reach AS (SELECT src, dst FROM edges " +
+        "UNION (SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src)), " +
+        "comp AS (SELECT src AS vid, least(src, min(dst)) AS canonical_id FROM reach GROUP BY src), " +
+        "victims AS (SELECT vid FROM comp WHERE vid <> canonical_id) " +
+        "SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, min(vec_id) AS min_vec_id, " +
+        "max(vec_id) AS max_vec_id " +
+        "FROM embeddings WHERE vec_id NOT IN (SELECT vid FROM victims) GROUP BY label"),
 
     "x04_dedup_simhash" ->
       (s"WITH t AS ($toksCte), " +
