@@ -60,6 +60,40 @@ object Curate {
       conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 4), 16, 10)
         .cast("int") % mod === 0)
 
+  /** Deterministic uniform draw in [0, 1): first 8 md5 hex chars of
+    * `id:salt` over 2^32. The division is by a power of two, so the double
+    * is exact and bit-identical in any IEEE-754 engine.
+    */
+  def uniformHash(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+
+  /** Training-mixture sampling: replay each document `epochs(key)` times,
+    * where fractional epochs become a deterministic Bernoulli draw — the
+    * standard way a corpus mix ("2.25 epochs of en, 0.25 of es") is
+    * materialized for training. `n_copies = floor(e) + [u < frac(e)]` with
+    * `u = uniformHash(doc_id)`, then one row per epoch copy.
+    *
+    * Scale shape: the weights table is tiny (one row per mixture key) and
+    * broadcast; the draw is a per-row expression; the only row expansion is
+    * the output itself (`sum(epochs)` × corpus). No shuffle at all — this
+    * runs at scan speed and composes with a repartition-on-write.
+    *
+    * Reproducibility contract (same as [[hashSample]]): retried tasks and
+    * re-runs emit the SAME copies — `rand()`-based mixing would not.
+    */
+  def mixtureSample(docs: DataFrame, weights: DataFrame, keyCol: String,
+      salt: String = "mix"): DataFrame = {
+    val u = uniformHash(col("doc_id"), salt)
+    docs.join(broadcast(weights), Seq(keyCol))
+      .withColumn("n_copies",
+        (floor(col("epochs")) +
+          when(u < col("epochs") - floor(col("epochs")), 1L).otherwise(0L)).cast("long"))
+      .where(col("n_copies") > 0)
+      .select(col("doc_id"), col(keyCol),
+        explode(sequence(lit(1L), col("n_copies"))).as("epoch"))
+  }
+
   /** Boilerplate n-gram detection: shingles occurring in more than
     * `docFraction` of the corpus (site headers, license blurbs, template
     * text — the high-frequency substrings an LLM corpus wants stripped

@@ -39,6 +39,24 @@ object Embeddings {
       .agg(min(col("v")).as("v_min"), max(col("v")).as("v_max"))
       .select(col("grp"), col("pos").cast("long").as("pos"), col("v_min"), col("v_max"))
 
+  /** Johnson–Lindenstrauss-style random projection: compress the 64-dim
+    * embedding to `k` coordinates by dotting against fixed ±1 hyperplanes
+    * (the deterministic md5-derived planes [[Similarity.hyperplanes]] —
+    * shared verbatim with the LSH bucketing and the DuckDB oracle, so the
+    * projected doubles are bit-identical across engines). ±1 projections
+    * satisfy the JL distance-preservation guarantee (Achlioptas 2001) while
+    * staying integer-free-of-rounding until the final left-to-right fold.
+    *
+    * Per-row expression only — scan speed, no shuffle; at 100 TB this is
+    * the cheap first stage before clustering/dedup in the compressed space.
+    */
+  def randomProjection(emb: DataFrame, k: Int = Similarity.Planes): DataFrame = {
+    require(k <= Similarity.Planes, s"only ${Similarity.Planes} fixed planes defined")
+    val projections = (0 until k).map(p =>
+      Similarity.cosine(col("embedding"), typedLit(Similarity.hyperplanes(p))).as(s"p$p"))
+    emb.select(col("vec_id") +: projections: _*)
+  }
+
   /** Per-group centroid (element-wise mean), the k-means/IVF building
     * block. Rows-only at the driver gate: the sum order across rows is
     * engine- and partitioning-dependent, so exactness is pinned by spec

@@ -297,6 +297,43 @@ object ExtQueries {
     "x43_pack_sequences" -> ((s, dir) =>
       Chunking.packSequences(Tables.documents(s, dir), 2048L, 64L)),
 
+    // Training-mixture materialization: per-lang epoch weights (binary-
+    // exact fractions, so the Bernoulli compare is engine-exact),
+    // fractional epochs as a deterministic md5 draw, one output row per
+    // epoch copy. The weights table is broadcast; the draw is per-row.
+    "x51_curate_mixture_sample" -> ((s, dir) => {
+      import s.implicits._
+      val weights = Seq(("en", 2.25), ("zh", 1.0), ("de", 0.5), ("es", 0.25), ("fr", 1.5))
+        .toDF("lang", "epochs")
+      Curate.mixtureSample(Tables.documents(s, dir), weights, "lang")
+    }),
+
+    // Gopher-style repetition quality rules in token-2-gram form — the
+    // degenerate/looping-text signals a length filter misses.
+    "x52_text_repetition" -> ((s, dir) =>
+      TextOps.repetitionMetrics(Tables.documents(s, dir).select("doc_id", "text"))
+        .drop("text")),
+
+    // JL random projection 64→8 dims against the fixed md5-derived ±1
+    // planes (shared verbatim with the LSH bucketing and the oracle SQL).
+    "x53_emb_random_projection" -> ((s, dir) =>
+      Embeddings.randomProjection(Tables.embeddings(s, dir))),
+
+    // Curriculum quality binning via the scalable exact-NTILE (range
+    // repartition + local ranks + offset shift — graft.ops.Quality); the
+    // oracle replays it as the single-window SQL NTILE: same semantics,
+    // different physics.
+    "x54_curate_quality_bins" -> ((s, dir) => {
+      val m = TextOps.qualityMetrics(Tables.documents(s, dir))
+        .select("doc_id", "n_tokens", "quality_score")
+      graft.ops.Quality.exactNtile(m, 10, Seq("quality_score", "doc_id"))
+        .groupBy("bin").agg(
+          count(lit(1)).as("n_docs"),
+          min("quality_score").as("min_score"),
+          max("quality_score").as("max_score"),
+          sum("n_tokens").as("total_tokens"))
+    }),
+
     "x29_emb_group_profile" -> ((s, dir) =>
       Embeddings.groupProfile(Tables.embeddings(s, dir), col("vec_id") % 10)),
 
@@ -582,6 +619,53 @@ object ExtQueries {
         "FROM d) " +
         "SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, alpha_ratio, " +
         "least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5 + stopword_ratio*0.25 + alpha_ratio*0.25 AS quality_score FROM m"),
+
+    "x51_curate_mixture_sample" ->
+      ("WITH w(lang, epochs) AS (VALUES ('en', 2.25), ('zh', 1.0), ('de', 0.5), " +
+        "('es', 0.25), ('fr', 1.5)), " +
+        "u AS (SELECT doc_id, d.lang, epochs, " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)) AS BIGINT)" +
+        "/4294967296.0 AS u FROM documents d JOIN w ON d.lang = w.lang), " +
+        "n AS (SELECT doc_id, lang, CAST(floor(epochs) + " +
+        "CASE WHEN u < epochs - floor(epochs) THEN 1 ELSE 0 END AS BIGINT) AS n_copies FROM u) " +
+        "SELECT doc_id, lang, unnest(generate_series(1, n_copies)) AS epoch " +
+        "FROM n WHERE n_copies > 0"),
+
+    "x52_text_repetition" ->
+      (s"WITH t AS ($toksCte), " +
+        "g AS (SELECT doc_id, CASE WHEN len(toks) >= 2 " +
+        "THEN list_transform(generate_series(1, len(toks)-1), i -> array_to_string(toks[i:i+1], ' ')) " +
+        "ELSE [array_to_string(toks, ' ')] END AS grams FROM t), " +
+        "m AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_2grams, " +
+        "CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_2grams, " +
+        "CAST(list_aggregate(list_transform(list_distinct(grams), " +
+        "gg -> len(list_filter(grams, x -> x = gg))), 'max') AS BIGINT) AS top_2gram_count FROM g) " +
+        "SELECT doc_id, n_2grams, n_distinct_2grams, top_2gram_count, " +
+        "CAST(n_2grams - n_distinct_2grams AS DOUBLE)/n_2grams AS dup_2gram_frac, " +
+        "CAST(top_2gram_count AS DOUBLE)/n_2grams AS top_2gram_frac, " +
+        "(CAST(n_2grams - n_distinct_2grams AS DOUBLE)/n_2grams > 0.2 " +
+        "OR CAST(top_2gram_count AS DOUBLE)/n_2grams > 0.18) AS is_repetitive FROM m"),
+
+    "x53_emb_random_projection" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) " +
+        "SELECT vec_id, " +
+        (0 until Similarity.Planes).map(p =>
+          s"${dotSql("emb", Similarity.planeSql(p))} AS p$p").mkString(", ") +
+        " FROM e"),
+
+    "x54_curate_quality_bins" ->
+      (s"WITH t AS ($toksCte), d AS (SELECT doc_id, toks, text FROM documents JOIN t USING (doc_id)), " +
+        "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        s"CAST(len(list_filter(toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(toks) AS stopword_ratio, " +
+        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/length(text) AS alpha_ratio " +
+        "FROM d), " +
+        "s AS (SELECT doc_id, n_tokens, least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5 " +
+        "+ stopword_ratio*0.25 + alpha_ratio*0.25 AS quality_score FROM m), " +
+        "b AS (SELECT doc_id, n_tokens, quality_score, " +
+        "CAST(ntile(10) OVER (ORDER BY quality_score, doc_id) AS BIGINT) AS bin FROM s) " +
+        "SELECT bin, CAST(count(*) AS BIGINT) AS n_docs, min(quality_score) AS min_score, " +
+        "max(quality_score) AS max_score, CAST(sum(n_tokens) AS BIGINT) AS total_tokens " +
+        "FROM b GROUP BY bin"),
 
     "x10_text_tokens" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens, " +

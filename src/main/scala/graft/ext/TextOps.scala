@@ -95,6 +95,35 @@ object TextOps {
         size(regexp_extract_all(text, lit(BpePretokenPattern), lit(0))).cast("long"))
       .withColumn("n_bpe_est", ceil(length(text).cast("double") / lit(4.0)).cast("long"))
 
+  /** Repetition metrics (Gopher-style quality rules, token-2-gram form):
+    * fraction of duplicated 2-grams and the corpus-share of the single most
+    * frequent 2-gram — the two signals that catch degenerate/looping text a
+    * plain length/stopword filter misses. All per-row HOFs (the inner
+    * count-per-distinct-gram is O(n·distinct) per document — bounded by the
+    * document, not the corpus), so this runs shuffle-free at scan speed.
+    * Ratios are single double divisions of exact integers (engine-exact).
+    */
+  def repetitionMetrics(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val toks = tokens(text)
+    val grams = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - lit(1)),
+          i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array(concat_ws(" ", toks)))
+    df.withColumn("_g", grams)
+      .withColumn("n_2grams", size(col("_g")).cast("long"))
+      .withColumn("n_distinct_2grams", size(array_distinct(col("_g"))).cast("long"))
+      .withColumn("top_2gram_count",
+        array_max(transform(array_distinct(col("_g")),
+          g => size(filter(col("_g"), x => x === g)))).cast("long"))
+      .withColumn("dup_2gram_frac",
+        (col("n_2grams") - col("n_distinct_2grams")).cast("double") / col("n_2grams"))
+      .withColumn("top_2gram_frac",
+        col("top_2gram_count").cast("double") / col("n_2grams"))
+      .withColumn("is_repetitive",
+        col("dup_2gram_frac") > lit(0.2) || col("top_2gram_frac") > lit(0.18))
+      .drop("_g")
+  }
+
   /** Canonical text normalization for dedup/tokenization robustness:
     * lowercase, strip everything but `[a-z0-9 ]`, collapse whitespace runs,
     * trim. Pure per-row expressions — runs at scan speed.

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality profiling — the generalization of the pipeline's
@@ -23,5 +24,49 @@ object Quality {
       .where(col("_n") > 1)
       .agg(coalesce(sum(col("_n") - 1), lit(0L)).as("n_dup_rows"))
     wide.crossJoin(dups)
+  }
+
+  /** Exact NTILE without the single-partition global window.
+    *
+    * `ntile(n) OVER (ORDER BY ...)` — the curriculum-binning / stratified
+    * split primitive — is exact but a scale trap: Spark plans an empty-key
+    * window, funneling EVERY row through one task. This is the two-phase
+    * scalable form of the identical semantics:
+    *
+    *   1. range-repartition on the order key (the same machinery as a
+    *      global sort — sampled range bounds, parallel partitions);
+    *   2. rank locally per partition (window keyed by partition id — runs
+    *      where the data sits, never wider than one partition);
+    *   3. shift local ranks by per-partition offsets. The offsets are P
+    *      driver-side scalars (one count per partition — same class of
+    *      driver scalar as a z-order bound), broadcast back as a literal
+    *      map.
+    *
+    * Bucket assignment replays SQL NTILE exactly: with `q = total / n`,
+    * `r = total % n`, the first `r` buckets take `q+1` rows. `orderCols`
+    * must be a total order (add a key column as tiebreak) or ranks within
+    * ties are partitioning-dependent.
+    */
+  def exactNtile(df: DataFrame, n: Int, orderCols: Seq[String],
+      numPartitions: Int = 32): DataFrame = {
+    val parted = Caching.cacheOnce(
+      df.repartitionByRange(numPartitions, orderCols.map(col): _*)
+        .withColumn("_pid", spark_partition_id()))
+    val counts = parted.groupBy("_pid").agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      counts.map { case (pid, c) => val entry = (pid, acc); acc += c; entry }.toMap
+    }
+    val rank = row_number().over(
+        Window.partitionBy("_pid").orderBy(orderCols.map(col): _*)).cast("long") +
+      coalesce(element_at(typedLit(offsets), col("_pid")), lit(0L))
+    val q = total / n
+    val r = total % n
+    val bin =
+      when(rank <= lit((q + 1) * r), (rank - 1) / lit(q + 1) + 1)
+        .otherwise((rank - 1 - lit(r)) / lit(math.max(q, 1)) + 1)
+    parted.withColumn("bin", bin.cast("long")).drop("_pid")
   }
 }

@@ -1,0 +1,60 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class CurateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "en"), (2L, "en"), (3L, "en"), (4L, "en"),
+    (5L, "zh"), (6L, "zh"),
+    (7L, "de"), (8L, "de"), (9L, "de"), (10L, "de"),
+    (11L, "xx") // no weight row — dropped by the mixture inner join
+  ).toDF("doc_id", "lang")
+
+  private def weights = Seq(("en", 2.25), ("zh", 1.0), ("de", 0.5))
+    .toDF("lang", "epochs")
+
+  test("mixtureSample: integer epochs replay exactly, unknown keys drop") {
+    val out = Curate.mixtureSample(docs, weights, "lang").cache()
+    // zh epochs = 1.0 exactly: every zh doc appears exactly once
+    val zh = out.where(col("lang") === "zh").groupBy("doc_id").count().collect()
+    assert(zh.length === 2 && zh.forall(_.getLong(1) === 1L))
+    // en epochs = 2.25: every en doc appears 2 or 3 times
+    val en = out.where(col("lang") === "en").groupBy("doc_id").count()
+      .collect().map(_.getLong(1))
+    assert(en.length === 4 && en.forall(c => c == 2L || c == 3L))
+    // de epochs = 0.5: each de doc appears 0 or 1 times
+    val de = out.where(col("lang") === "de").groupBy("doc_id").count()
+      .collect().map(_.getLong(1))
+    assert(de.forall(_ === 1L) && de.length <= 4)
+    // no weight row -> dropped entirely
+    assert(out.where(col("lang") === "xx").isEmpty)
+    // epoch numbering is 1..n_copies
+    val epochs = out.where(col("lang") === "en").groupBy("doc_id")
+      .agg(sort_array(collect_list("epoch")).as("es")).collect()
+    epochs.foreach(r => assert(r.getSeq[Long](1) === (1L to r.getSeq[Long](1).length)))
+    out.unpersist()
+  }
+
+  test("mixtureSample is deterministic across runs and salts differ") {
+    val a = Curate.mixtureSample(docs, weights, "lang").collect().toSet
+    val b = Curate.mixtureSample(docs, weights, "lang").collect().toSet
+    assert(a === b)
+    // a different salt gives an independent draw: same integer floor,
+    // possibly different Bernoulli outcomes — at minimum it must still
+    // satisfy the per-key copy bounds
+    val c = Curate.mixtureSample(docs, weights, "lang", salt = "mix2")
+    val cn = c.where(col("lang") === "en").groupBy("doc_id").count()
+      .collect().map(_.getLong(1))
+    assert(cn.forall(x => x == 2L || x == 3L))
+  }
+
+  test("uniformHash is in [0,1) and reproducible") {
+    val u = docs.select(Curate.uniformHash(col("doc_id"), "s").as("u"))
+      .collect().map(_.getDouble(0))
+    assert(u.forall(x => x >= 0.0 && x < 1.0))
+    assert(u.distinct.length > 1) // not constant
+  }
+}

@@ -29,6 +29,37 @@ class EmbeddingsSpec extends SparkTestBase {
       s"pos $p: ${got(p)} vs ${ref(p)}"))
   }
 
+  test("randomProjection: dots against the fixed planes, exactly") {
+    val emb = Tables.embeddings(spark, sfDir).limit(20)
+    val rows = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val got = Embeddings.randomProjection(emb).collect()
+    got.foreach { r =>
+      val v = rows(r.getAs[Long]("vec_id"))
+      (0 until Similarity.Planes).foreach { p =>
+        // same left-to-right fold order as the engine: exact equality
+        val ref = v.zip(Similarity.hyperplanes(p)).foldLeft(0.0)((a, xy) => a + xy._1 * xy._2)
+        assert(r.getAs[Double](s"p$p") === ref)
+      }
+    }
+  }
+
+  test("randomProjection preserves relative similarity (JL sanity)") {
+    // near-identical vectors project near-identically; orthogonal-ish far
+    val e = Tables.embeddings(spark, sfDir).limit(3)
+      .select(col("vec_id"), col("embedding")).collect()
+    val proj = Embeddings.randomProjection(Tables.embeddings(spark, sfDir).limit(3))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (0 until Similarity.Planes).map(p => r.getAs[Double](s"p$p"))).toMap
+    // self-distance is zero; distinct vectors have nonzero projected distance
+    proj.foreach { case (_, v) => assert(v.exists(_ != 0.0)) }
+    val ids = proj.keys.toSeq
+    for (a <- ids; b <- ids if a < b) {
+      val d = proj(a).zip(proj(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+      assert(d > 0.0)
+    }
+  }
+
   test("bucketedInterval matches the naive range join incl. boundary and bucket-straddling cases") {
     val left = Seq(
       (1L, "2020-01-01"), (2L, "2020-01-07"), (3L, "2020-01-08"),

@@ -47,6 +47,27 @@ class TextOpsSpec extends SparkTestBase {
     assert(out(1L) !== out(3L))
   }
 
+  test("repetition metrics: looping text flagged, varied text not") {
+    val df = Seq(
+      (1L, "spam ham spam ham spam ham spam ham"), // 2-grams cycle between 2 values
+      (2L, "one two three four five six seven"),   // all 2-grams unique
+      (3L, "solo")                                 // shorter than a 2-gram
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionMetrics(df).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: 7 2-grams, 2 distinct ("spam ham" ×4, "ham spam" ×3)
+    assert(out(1L).getAs[Long]("n_2grams") === 7L)
+    assert(out(1L).getAs[Long]("n_distinct_2grams") === 2L)
+    assert(out(1L).getAs[Long]("top_2gram_count") === 4L)
+    assert(out(1L).getAs[Double]("dup_2gram_frac") === 5.0 / 7)
+    assert(out(1L).getAs[Boolean]("is_repetitive"))
+    // doc 2: 6 unique 2-grams — clean
+    assert(out(2L).getAs[Double]("dup_2gram_frac") === 0.0)
+    assert(!out(2L).getAs[Boolean]("is_repetitive"))
+    // doc 3: whole text as the one "gram", never empty
+    assert(out(3L).getAs[Long]("n_2grams") === 1L)
+  }
+
   test("langId flags stopword-rich text as en") {
     val df = Seq((1L, "the cat and the hat"), (2L, "xyzzy qwerty")).toDF("doc_id", "text")
     val out = df.select($"doc_id", TextOps.langId($"text").as("l"))

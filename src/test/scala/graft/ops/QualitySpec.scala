@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class QualitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("exactNtile == window NTILE for n not dividing total") {
+    // 23 rows into 10 bins: first 3 bins take 3 rows, the rest 2
+    val df = (1 to 23).map(i => (i.toLong, (i * 37 % 23).toLong)).toDF("id", "score")
+    val got = Quality.exactNtile(df, 10, Seq("score", "id"), numPartitions = 5)
+      .select("id", "bin").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = df.withColumn("bin",
+        ntile(10).over(Window.orderBy(col("score"), col("id"))).cast("long"))
+      .select("id", "bin").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === ref)
+  }
+
+  test("exactNtile == window NTILE when total < n (one row per bucket)") {
+    val df = (1 to 4).map(i => (i.toLong, i.toLong * 10)).toDF("id", "score")
+    val got = Quality.exactNtile(df, 10, Seq("score", "id"), numPartitions = 3)
+      .select("id", "bin").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("exactNtile handles duplicate scores via the tiebreak column") {
+    val df = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L), (5L, 5L), (6L, 5L))
+      .toDF("id", "score")
+    val got = Quality.exactNtile(df, 3, Seq("score", "id"), numPartitions = 4)
+      .select("id", "bin").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // deterministic: ids ascend through bins 1,1,2,2,3,3
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("profile reports nulls and duplicate keys in one pass") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), Some("b")), (Some(2L), None), (None, Some("d"))
+    ).toDF("k", "v")
+    val r = Quality.profile(df, Seq("k")).head()
+    assert(r.getAs[Long]("n_rows") === 4L)
+    assert(r.getAs[Long]("nulls_k") === 1L)
+    assert(r.getAs[Long]("nulls_v") === 1L)
+    assert(r.getAs[Long]("n_dup_rows") === 1L)
+  }
+}
