@@ -235,12 +235,16 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnsRenamed(Map("doc_id" -> "dst", "lbl" -> "nlbl")), "dst")
         .groupBy(col("src").as("doc_id")).agg(min(col("nlbl")).as("nmin"))
+      // The changed flag rides along in the SAME select (nmin < lbl), so
+      // convergence detection is a filter over the checkpointed in-memory
+      // result — not the extra join-against-old-labels job it used to be.
       val updated = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
+          (coalesce(col("nmin"), col("lbl")) < col("lbl")).as("chg"))
         .localCheckpoint()
-      converged = updated.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
-        .where(col("lbl") =!= col("old")).isEmpty
-      labels = updated
+      converged = updated.where(col("chg")).isEmpty
+      labels = updated.drop("chg")
       i += 1
     }
     // A silent partial result here would be consumed as a dedup DECISION —

@@ -34,4 +34,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(offenders.isEmpty,
       s"quadratic join nodes in: ${offenders.mkString(", ")} — fix the plan or document a verifier exemption")
   }
+
+  test("no registered query plans a global (empty-partition) window") {
+    // A Window/WindowGroupLimit with an empty partition spec funnels EVERY
+    // row through one task — the quiet scale-killer ntile/row_number-over-
+    // nothing introduces. The engine's global-rank needs are served by
+    // range-partitioned forms (ops.Quality.exactNtile, Chunking's two-phase
+    // prefix sum), so the fleet-wide budget for this node is ZERO.
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan
+      val globals = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
+      }
+      if (globals.nonEmpty) Some(s"$name (${globals.mkString(",")})") else None
+    }
+    assert(offenders.isEmpty,
+      s"single-partition global windows in: ${offenders.mkString(", ")} — use a range-partitioned two-phase form")
+  }
 }
