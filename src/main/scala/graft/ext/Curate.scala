@@ -94,6 +94,54 @@ object Curate {
         explode(sequence(lit(1L), col("n_copies"))).as("epoch"))
   }
 
+  /** Deterministic dataset split (train/val/test): cumulative-fraction
+    * thresholds over the [[uniformHash]] draw. Same reproducibility
+    * contract as [[hashSample]] — a retried task assigns the SAME split,
+    * and the salt decorrelates this draw from any other sampling stage.
+    * Per-row expression, scan speed; split sizes converge to the requested
+    * fractions by hash uniformity (within binomial noise), per stratum too
+    * since the draw is independent of every column.
+    */
+  def splitAssign(df: DataFrame, idCol: String, cuts: Seq[(String, Double)],
+      salt: String = "split"): DataFrame = {
+    require(cuts.nonEmpty && math.abs(cuts.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val u = uniformHash(col(idCol), salt)
+    val cum = cuts.map(_._2).scanLeft(0.0)(_ + _).tail
+    val assigned = cuts.init.zip(cum.init).foldRight(lit(cuts.last._1): Column) {
+      case (((name, _), hi), rest) => when(u < lit(hi), lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", assigned)
+  }
+
+  /** Per-source quality quota: keep only the `k` highest-quality docs from
+    * each source — the balanced-corpus selection step after scoring. The
+    * rank is a window PARTITIONED by source, which Spark executes with
+    * WindowGroupLimit pushdown (partial top-k before the shuffle), so the
+    * exchanged volume is `k × sources`, not the corpus.
+    */
+  def sourceQuota(scored: DataFrame, k: Int, scoreCol: String = "quality_score",
+      srcCol: String = "source"): DataFrame =
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(srcCol).orderBy(col(scoreCol).desc, col("doc_id").asc)).cast("long"))
+      .where(col("rank") <= k)
+
+  /** Percentile outlier clip: keep rows whose `lenCol` lies within the
+    * corpus's exact [lo, hi] quantiles — the standard too-short/too-long
+    * document filter. The thresholds are ONE exact-percentile aggregate
+    * row, broadcast back against the corpus (a constant-side nested loop,
+    * same documented shape as the x35 total-count fold); the filter itself
+    * is a per-row predicate at scan speed.
+    */
+  def percentileClip(df: DataFrame, lenCol: String, lo: Double, hi: Double): DataFrame = {
+    val th = df.agg(
+      expr(s"percentile($lenCol, $lo)").as("_lo"),
+      expr(s"percentile($lenCol, $hi)").as("_hi"))
+    df.crossJoin(broadcast(th))
+      .where(col(lenCol) >= col("_lo") && col(lenCol) <= col("_hi"))
+      .drop("_lo", "_hi")
+  }
+
   /** Boilerplate n-gram detection: shingles occurring in more than
     * `docFraction` of the corpus (site headers, license blurbs, template
     * text — the high-frequency substrings an LLM corpus wants stripped

@@ -334,6 +334,27 @@ object ExtQueries {
           sum("n_tokens").as("total_tokens"))
     }),
 
+    // Deterministic train/val/test split — cumulative thresholds over the
+    // md5 uniform draw; retries assign the SAME split.
+    "x55_curate_split" -> ((s, dir) =>
+      Curate.splitAssign(Tables.documents(s, dir),
+          "doc_id", Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))
+        .select("doc_id", "lang", "source", "split")),
+
+    // Per-source quality quota: top-5 docs per source by quality score,
+    // executed with WindowGroupLimit pushdown (partial top-k pre-shuffle).
+    "x56_curate_source_quota" -> ((s, dir) => {
+      val scored = TextOps.qualityMetrics(Tables.documents(s, dir))
+        .select("doc_id", "source", "quality_score")
+      Curate.sourceQuota(scored, 5)
+    }),
+
+    // Exact-percentile outlier clip: docs within the corpus's [P5, P95]
+    // n_chars band; thresholds are one broadcast aggregate row.
+    "x57_curate_length_clip" -> ((s, dir) =>
+      Curate.percentileClip(Tables.documents(s, dir), "n_chars", 0.05, 0.95)
+        .select("doc_id", "lang", "source", "n_chars")),
+
     "x29_emb_group_profile" -> ((s, dir) =>
       Embeddings.groupProfile(Tables.embeddings(s, dir), col("vec_id") % 10)),
 
@@ -619,6 +640,31 @@ object ExtQueries {
         "FROM d) " +
         "SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, alpha_ratio, " +
         "least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5 + stopword_ratio*0.25 + alpha_ratio*0.25 AS quality_score FROM m"),
+
+    "x55_curate_split" ->
+      ("WITH u AS (SELECT doc_id, lang, source, " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)) AS BIGINT)" +
+        "/4294967296.0 AS u FROM documents) " +
+        "SELECT doc_id, lang, source, CASE WHEN u < 0.9 THEN 'train' " +
+        "WHEN u < 0.9500000000000001 THEN 'val' ELSE 'test' END AS split FROM u"),
+
+    "x56_curate_source_quota" ->
+      (s"WITH t AS ($toksCte), d AS (SELECT doc_id, source, toks, text FROM documents JOIN t USING (doc_id)), " +
+        "m AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        s"CAST(len(list_filter(toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(toks) AS stopword_ratio, " +
+        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/length(text) AS alpha_ratio " +
+        "FROM d), " +
+        "s AS (SELECT doc_id, source, least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5 " +
+        "+ stopword_ratio*0.25 + alpha_ratio*0.25 AS quality_score FROM m), " +
+        "r AS (SELECT doc_id, source, quality_score, " +
+        "CAST(row_number() OVER (PARTITION BY source ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rank FROM s) " +
+        "SELECT doc_id, source, quality_score, rank FROM r WHERE rank <= 5"),
+
+    "x57_curate_length_clip" ->
+      ("WITH th AS (SELECT quantile_cont(n_chars, 0.05) AS lo, " +
+        "quantile_cont(n_chars, 0.95) AS hi FROM documents) " +
+        "SELECT doc_id, lang, source, n_chars FROM documents, th " +
+        "WHERE n_chars >= lo AND n_chars <= hi"),
 
     "x51_curate_mixture_sample" ->
       ("WITH w(lang, epochs) AS (VALUES ('en', 2.25), ('zh', 1.0), ('de', 0.5), " +

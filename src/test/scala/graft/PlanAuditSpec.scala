@@ -22,7 +22,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q48_rs1_gapfill_locf" -> "codes × broadcast open-day calendar: the expansion IS the resampled output grid (no intermediate amplification); calendar is bounded (~250 rows/yr)",
     "x38_ann_int8_topk" -> "brute-force BASELINE like x06: quantized corpus streams against the broadcast query set (scale paths = x07/x13/x32)",
     "x40_ann_ivf_kmeans" -> "crossJoin against ONE packed broadcast row (constant)",
-    "x48_bm25_topk" -> "crossJoin against ONE broadcast corpus-stats row (constant)"
+    "x48_bm25_topk" -> "crossJoin against ONE broadcast corpus-stats row (constant)",
+    "x57_curate_length_clip" -> "crossJoin against ONE broadcast percentile-threshold row (constant)"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {

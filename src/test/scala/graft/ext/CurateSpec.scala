@@ -51,6 +51,47 @@ class CurateSpec extends SparkTestBase {
     assert(cn.forall(x => x == 2L || x == 3L))
   }
 
+  test("splitAssign: total partition, deterministic, fractions roughly honored") {
+    val many = spark.range(0, 2000).toDF("doc_id")
+    val out = Curate.splitAssign(many, "doc_id",
+      Seq(("train", 0.9), ("val", 0.05), ("test", 0.05))).cache()
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 2000L) // every row assigned exactly one split
+    assert(counts("train") > 1700 && counts("train") < 1900) // ~1800 ± binomial
+    assert(counts("val") > 50 && counts("val") < 150)
+    assert(counts("test") > 50 && counts("test") < 150)
+    // deterministic across runs
+    val again = Curate.splitAssign(many, "doc_id",
+      Seq(("train", 0.9), ("val", 0.05), ("test", 0.05))).collect().toSet
+    assert(out.collect().toSet === again)
+    out.unpersist()
+  }
+
+  test("sourceQuota keeps exactly k per source, highest quality first") {
+    val scored = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.8), (3L, "a", 0.7), (4L, "a", 0.6),
+      (5L, "b", 0.5), (6L, "b", 0.4)
+    ).toDF("doc_id", "source", "quality_score")
+    val out = Curate.sourceQuota(scored, 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank"))).toSet
+    assert(out === Set((1L, 1L), (2L, 2L), (5L, 1L), (6L, 2L)))
+  }
+
+  test("sourceQuota plans a WindowGroupLimit (partial top-k pushdown)") {
+    val scored = Seq((1L, "a", 0.9), (2L, "a", 0.8)).toDF("doc_id", "source", "quality_score")
+    val plan = Curate.sourceQuota(scored, 1).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit pushdown in:\n$plan")
+  }
+
+  test("percentileClip drops outliers outside the exact quantile band") {
+    val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("doc_id", "n_chars")
+    val kept = Curate.percentileClip(df, "n_chars", 0.05, 0.95)
+      .collect().map(_.getAs[Long]("n_chars"))
+    // exact interpolated P5 of 1..100 = 5.95, P95 = 95.05
+    assert(kept.min === 6L && kept.max === 95L && kept.length === 90)
+  }
+
   test("uniformHash is in [0,1) and reproducible") {
     val u = docs.select(Curate.uniformHash(col("doc_id"), "s").as("u"))
       .collect().map(_.getDouble(0))
