@@ -49,7 +49,8 @@ object SparkEntry {
     "x20_dedup_simhash_banded", "x21_text_vocab",
     "x28_range_join_bucketed", "x36_curate_contamination",
     "q42_j7_star_join", "q51_pp_pruned_scan",
-    "x47_sketch_heavy_hitters", "x48_bm25_topk")
+    "x47_sketch_heavy_hitters", "x48_bm25_topk",
+    "x46_training_pipeline", "x54_curate_quality_bins")
 
   private def coreQueries: Map[String, Q] = Map(
     // S1+P4+F1+F4 — dimension scan with projection + pushed predicates
