@@ -165,6 +165,18 @@ object ExtQueries {
       Similarity.ivfTopKProbe2(e.where(col("vec_id") < 5), e, 10)
     }),
 
+    // The production ANN shape: IVF index persisted as TABLES (centroids +
+    // cell-PARTITIONED assignment), probes pruned to the probed cells via
+    // dynamic partition pruning. Same centroids/fold/ranking as x13, so it
+    // shares x13's oracle.
+    "x58_ann_ivf_stored" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_ivf_index_${math.abs(dir.hashCode)}").getPath
+      Similarity.buildIvfIndex(e, idx)
+      Similarity.ivfTopKStored(s, idx, e.where(col("vec_id") < 5), 10)
+    }),
+
     "x38_ann_int8_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.int8TopK(e.where(col("vec_id") < 5), e, 10)
@@ -611,6 +623,22 @@ object ExtQueries {
         s"${dotSql("a.emb", "b.emb")} AS cos " +
         "FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
         "SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.4"),
+
+    // x58 probes the STORED index built from the same stride centroids and
+    // the same argmax fold, so the full x13 oracle holds verbatim.
+    "x58_ann_ivf_stored" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.IvfCentroidStride} = 0), " +
+        "scored AS (SELECT e.vec_id, e.emb, cents.cent_id, " +
+        s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
+        "assigned AS (SELECT vec_id, emb, cent_id AS cell FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM scored) t WHERE r = 1), " +
+        "q AS (SELECT vec_id AS q_id, emb AS q_emb, cell FROM assigned WHERE vec_id < 5), " +
+        "s AS (SELECT q.q_id, a.vec_id, " +
+        s"${dotSql("q.q_emb", "a.emb")} AS cos " +
+        "FROM assigned a JOIN q USING (cell) WHERE q.q_id <> a.vec_id), " +
+        "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
+        "SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10"),
 
     "x13_ann_ivf_topk" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +

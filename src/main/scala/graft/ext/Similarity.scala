@@ -219,6 +219,45 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), best.getField("id").as("cell"))
   }
 
+  /** Persist the IVF index as TABLES — the production shape at 100 TB: the
+    * index is built ONCE and probed many times, so the corpus-wide work
+    * (cell assignment) must never re-run per query. `centroids/` holds the
+    * deterministic `(cent_id, cent_emb)` rows; `assigned/` holds
+    * `(vec_id, embedding, cell)` PARTITIONED BY cell on disk, which is
+    * what makes probing cheap: a probe's cell equi-join prunes to the
+    * probed cells' files instead of scanning the corpus.
+    */
+  def buildIvfIndex(corpus: DataFrame, indexDir: String): Unit = {
+    val cents = strideCents(corpus)
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    ivfAssign(corpus, corpus).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$indexDir/assigned")
+  }
+
+  /** Probe the stored index: queries are assigned against the stored
+    * centroid table (same broadcast packed-centroid fold), then joined to
+    * the cell-partitioned assignment table. Spark plans a dynamic-
+    * partition-pruning subquery on `cell` (asserted in SimilaritySpec), so
+    * only the probed cells' partitions are read — the I/O profile of a
+    * real vector-index lookup, not a corpus scan. Results are identical to
+    * the in-memory [[ivfTopK]] (same centroids, same fold, same ranking),
+    * so x13's oracle verifies this query too.
+    */
+  def ivfTopKStored(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.register(spark)
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val assigned = spark.read.parquet(s"$indexDir/assigned")
+    val q = broadcast(assignCells(queries, cents)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cell")))
+    assigned.join(q, Seq("cell")).where(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", GraftFunctions.cosineSim(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
+      .where(col("rank") <= k)
+      .select("q_id", "vec_id", "cos", "rank")
+  }
+
   /** Top-2 cell assignment for the QUERY side (`nprobe=2`): same broadcast
     * packed-centroid fold as [[ivfAssign]], but the accumulator tracks the
     * best AND second-best centroid (strict `>` comparisons over the

@@ -23,7 +23,8 @@ class PlanAuditSpec extends SparkTestBase {
     "x38_ann_int8_topk" -> "brute-force BASELINE like x06: quantized corpus streams against the broadcast query set (scale paths = x07/x13/x32)",
     "x40_ann_ivf_kmeans" -> "crossJoin against ONE packed broadcast row (constant)",
     "x48_bm25_topk" -> "crossJoin against ONE broadcast corpus-stats row (constant)",
-    "x57_curate_length_clip" -> "crossJoin against ONE broadcast percentile-threshold row (constant)"
+    "x57_curate_length_clip" -> "crossJoin against ONE broadcast percentile-threshold row (constant)",
+    "x58_ann_ivf_stored" -> "crossJoin against ONE packed broadcast centroid row (constant), same as x13"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {

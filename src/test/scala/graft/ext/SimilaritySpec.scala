@@ -95,6 +95,21 @@ class SimilaritySpec extends SparkTestBase {
   private def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("stored IVF index: probe == in-memory ivfTopK, and the probe plan prunes partitions dynamically") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-spec").toString
+    Similarity.buildIvfIndex(e, idx)
+    val queries = e.where(col("vec_id") < 5)
+    val stored = Similarity.ivfTopKStored(spark, idx, queries, 10)
+    val mem = Similarity.ivfTopK(queries, e, 10)
+    assert(stored.collect().map(_.toSeq).toSet === mem.collect().map(_.toSeq).toSet)
+    // the assignment table is partitioned by cell; the probe join must plan
+    // a dynamic-partition-pruning filter, not a full index scan
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on cell in:\n$plan")
+  }
+
   test("k-means IVF: trained centroids improve recall@10 on clustered data") {
     // The synthetic embeddings fixture is uniform random (same-label and
     // cross-label cosine both ~0), where NO centroid placement beats any
