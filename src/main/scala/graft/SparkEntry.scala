@@ -221,6 +221,18 @@ object SparkEntry {
         .select(col("window.start").as("window_start"), col("event_type"),
           col("n"), col("total_value"))),
 
+    // EV1 — ordered funnel (signup→view→click→purchase): chained
+    // equi-join + partial-agg stages co-partitioned on user_id throughout
+    // (graft.ops.Funnel); each stage moves only its own step's events.
+    "q52_ev1_funnel" -> ((s, dir) =>
+      graft.ops.Funnel.funnel(Tables.events(s, dir),
+        Seq("signup", "view", "click", "purchase"))),
+
+    // EV2 — retention triangle: first-event-date cohorts × day offset,
+    // distinct-user counts via two user-keyed partial aggregations.
+    "q53_ev2_retention" -> ((s, dir) =>
+      graft.ops.Funnel.retentionCohorts(Tables.events(s, dir))),
+
     // A+ — hierarchical subtotals (ROLLUP): per (flag,status), per flag, grand.
     "q25_a3_rollup" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -671,6 +683,24 @@ object SparkEntry {
       "FROM m JOIN u ON m.code = u.code WHERE m.close IS NOT NULL"
 
   def oracleSql: Map[String, String] = Map(
+    "q52_ev1_funnel" ->
+      ("WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id), " +
+        "s2 AS (SELECT s1.user_id, t1, min(CASE WHEN e.ts > t1 THEN e.ts END) AS t2 " +
+        "FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id AND e.event_type = 'view' GROUP BY s1.user_id, t1), " +
+        "s3 AS (SELECT s2.user_id, t1, t2, min(CASE WHEN e.ts > t2 THEN e.ts END) AS t3 " +
+        "FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id AND e.event_type = 'click' GROUP BY s2.user_id, t1, t2), " +
+        "s4 AS (SELECT s3.user_id, t1, t2, t3, min(CASE WHEN e.ts > t3 THEN e.ts END) AS t4 " +
+        "FROM s3 LEFT JOIN events e ON e.user_id = s3.user_id AND e.event_type = 'purchase' GROUP BY s3.user_id, t1, t2, t3) " +
+        "SELECT user_id, t1, t2, t3, t4, " +
+        "CAST(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END " +
+        "+ CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN t4 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth " +
+        "FROM s4"),
+    "q53_ev2_retention" ->
+      ("WITH c AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_date FROM events GROUP BY user_id) " +
+        "SELECT CAST(cohort_date AS TIMESTAMP) AS cohort_date, " +
+        "CAST(CAST(e.ts AS DATE) - cohort_date AS BIGINT) AS day_offset, " +
+        "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active " +
+        "FROM events e JOIN c USING (user_id) GROUP BY 1, 2"),
     "q01_s1_dim_scan" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_mktsegment = 'BUILDING' AND c_nationkey IN (1, 3, 5, 7, 9)""".stripMargin,

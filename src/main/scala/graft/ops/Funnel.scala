@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over an append-only event log: ordered funnels
+  * and retention cohorts — the two standard questions asked of the
+  * reference's `events`-style stream data at rest.
+  *
+  * Scale shapes: every stage is an equi-join + partial-agg on the SAME user
+  * key, so all exchanges share one hash-partitioning (Spark reuses the
+  * layout across stages); no windows, no collects, no row expansion beyond
+  * the per-user step times. The event scan is filtered to the step's type
+  * BEFORE the shuffle, so each stage moves only its own step's events.
+  */
+object Funnel {
+
+  /** Earliest strictly-ordered completion time of each funnel step per
+    * user: `t1 = min ts of steps(0)`, `t(i+1) = min ts of steps(i) AFTER
+    * t(i)`, null once a step is unreached (and all later steps stay null
+    * via null-comparison semantics). `depth` counts completed steps.
+    *
+    * This is the chained-aggregation funnel: step i is one left equi-join
+    * of the current per-user frontier against the step-filtered events
+    * plus one groupBy — linear in matching events, deterministic (min of
+    * distinct timestamps), and co-partitioned on the user key throughout.
+    */
+  def funnel(events: DataFrame, steps: Seq[String], userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = events.where(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
+    val full = steps.tail.zipWithIndex.foldLeft(first) { case (acc, (st, i)) =>
+      val prev = s"t${i + 1}"
+      val cur = s"t${i + 2}"
+      val nxt = events.where(col(typeCol) === st)
+        .select(col(userCol), col(tsCol).as("_ts"))
+      val keys = col(userCol) +: (1 to i + 1).map(j => col(s"t$j"))
+      acc.join(nxt, Seq(userCol), "left")
+        .groupBy(keys: _*)
+        .agg(min(when(col("_ts") > col(prev), col("_ts"))).as(cur))
+    }
+    val depth = (1 to steps.size)
+      .map(j => when(col(s"t$j").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    full.withColumn("depth", depth)
+  }
+
+  /** Classic retention triangle: users bucketed by the DATE of their first
+    * event (the cohort), activity counted as distinct users per
+    * `(cohort_date, day_offset)`. Two user-keyed aggregations and one
+    * co-partitioned join — the `countDistinct` collapses to a partial agg
+    * on `(cohort, offset, user)` before the final count, so nothing
+    * user-level crosses the wire twice.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val cohort = events.groupBy(col(userCol))
+      .agg(to_date(min(col(tsCol))).as("_cohort"))
+    events.select(col(userCol), to_date(col(tsCol)).as("_d"))
+      .join(cohort, Seq(userCol))
+      .withColumn("day_offset", datediff(col("_d"), col("_cohort")).cast("long"))
+      .groupBy(col("_cohort"), col("day_offset"))
+      .agg(countDistinct(col(userCol)).as("n_active"))
+      // DATE → TIMESTAMP for the cross-engine compare (driver-hash
+      // convention shared with q29's date suite)
+      .select(col("_cohort").cast("timestamp").as("cohort_date"),
+        col("day_offset"), col("n_active"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+
+class FunnelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  private def events = Seq(
+    // user 1: full ordered funnel a(1) -> b(2) -> c(3)
+    (1L, "a", ts(1)), (1L, "b", ts(2)), (1L, "c", ts(3)),
+    // user 2: b BEFORE a — step 2 must NOT match the earlier b
+    (2L, "b", ts(1)), (2L, "a", ts(2)),
+    // user 3: a only
+    (3L, "a", ts(5)),
+    // user 4: never enters (no a) — absent from the funnel output
+    (4L, "b", ts(1)), (4L, "c", ts(2)),
+    // user 5: two a's, funnel anchors on the EARLIEST a; c without b stays null
+    (5L, "a", ts(4)), (5L, "a", ts(1)), (5L, "c", ts(6))
+  ).toDF("user_id", "event_type", "ts")
+
+  test("funnel: strict ordering, earliest anchors, nulls cascade") {
+    val out = Funnel.funnel(events, Seq("a", "b", "c")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 5L))
+    assert(out(1L).getAs[Timestamp]("t2") === ts(2))
+    assert(out(1L).getAs[Timestamp]("t3") === ts(3))
+    assert(out(1L).getAs[Long]("depth") === 3L)
+    // user 2: the b at ts(1) precedes a's min ts(2) — no step 2
+    assert(out(2L).getAs[Timestamp]("t2") === null)
+    assert(out(2L).getAs[Long]("depth") === 1L)
+    assert(out(3L).getAs[Long]("depth") === 1L)
+    // user 5: anchored on earliest a; c present but b missing -> t3 null
+    assert(out(5L).getAs[Timestamp]("t1") === ts(1))
+    assert(out(5L).getAs[Timestamp]("t3") === null)
+    assert(out(5L).getAs[Long]("depth") === 1L)
+  }
+
+  test("retentionCohorts: offsets measured from each user's first event date") {
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 09:00:00")),
+      (1L, Timestamp.valueOf("2024-01-03 09:00:00")),
+      (2L, Timestamp.valueOf("2024-01-01 23:00:00")),
+      (2L, Timestamp.valueOf("2024-01-02 01:00:00")),
+      (3L, Timestamp.valueOf("2024-01-02 12:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Funnel.retentionCohorts(ev).collect()
+      .map(r => (r.getTimestamp(0).toLocalDateTime.toLocalDate.toString, r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      ("2024-01-01", 0L) -> 2L,  // users 1 and 2 on their first day
+      ("2024-01-01", 1L) -> 1L,  // user 2 next day
+      ("2024-01-01", 2L) -> 1L,  // user 1 two days later
+      ("2024-01-02", 0L) -> 1L)) // user 3's own cohort
+  }
+}
