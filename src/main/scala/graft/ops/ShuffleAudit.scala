@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+/** Measured shuffle volume for a DataFrame action — "measure, don't
+  * guess" applied to the wire. Plan-shape audits (PlanAuditSpec) prove the
+  * right operators; this proves the right BYTES: after running the action
+  * it folds the executed plan's shuffle-write SQLMetrics (drilling through
+  * AQE's adaptive/query-stage wrappers), so a spec can pin an upper bound
+  * on what an operator ships — e.g. exact dedup must shuffle digests,
+  * never document text. At 100 TB the difference between those two is the
+  * difference between a working job and a dead one, and this makes it a
+  * regression test instead of a code-review argument.
+  */
+object ShuffleAudit {
+
+  final case class Measured(rows: Long, shuffleBytesWritten: Long, shuffleRecordsWritten: Long)
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val nested = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => allNodes(q.plan)
+      case _ => Seq.empty
+    }
+    p +: (p.children.flatMap(allNodes) ++ p.subqueries.flatMap(allNodes) ++ nested)
+  }
+
+  /** Run `count()` on the frame and report total shuffle bytes/records
+    * written across every exchange in the (final, post-AQE) physical plan.
+    */
+  def measureCount(df: DataFrame): Measured = {
+    val rows = df.count()
+    val exchanges = allNodes(df.queryExecution.executedPlan).collect {
+      case s: ShuffleExchangeLike => s
+    }
+    val bytes = exchanges.flatMap(_.metrics.get("shuffleBytesWritten").map(_.value)).sum
+    val recs = exchanges.flatMap(_.metrics.get("shuffleRecordsWritten").map(_.value)).sum
+    Measured(rows, bytes, recs)
+  }
+}

@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.ext.Dedup
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Shuffle-VOLUME regression guards: plan audits prove the operator shapes,
+  * these prove the bytes. Bounds are generous (2× headroom) so they catch
+  * structural regressions (text on the wire, row amplification), not codec
+  * drift.
+  */
+class ShuffleAuditSpec extends SparkTestBase {
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("exact dedup shuffles digests, never document text") {
+    val m = ShuffleAudit.measureCount(Dedup.exact(docs))
+    val nDocs = docs.count()
+    val textBytes = docs.agg(sum(length(col("text")))).head().getLong(0)
+    // the groupBy key is a 32-hex md5 + two small aggregates: ~150 B/doc
+    // shuffled in the worst (no map-side combine) case
+    assert(m.shuffleBytesWritten < nDocs * 300,
+      s"exact dedup shuffled ${m.shuffleBytesWritten} B for $nDocs docs — text is on the wire?")
+    assert(m.shuffleBytesWritten < textBytes,
+      s"exact dedup shuffled more than the corpus text volume ($textBytes B)")
+  }
+
+  test("minhash signatures are a narrow map: only the count's 8-byte partials shuffle") {
+    val sigs = Dedup.minhashSignature(docs, 3)
+    val m = ShuffleAudit.measureCount(sigs)
+    assert(m.rows === docs.count())
+    // the only exchange a count() plans is the final partial-count fold
+    assert(m.shuffleBytesWritten < 32 * 1024,
+      s"signature computation shuffled ${m.shuffleBytesWritten} B — it must stay per-row")
+  }
+
+  test("repetition metrics shuffle nothing but count partials") {
+    val m = ShuffleAudit.measureCount(
+      graft.ext.TextOps.repetitionMetrics(docs.select("doc_id", "text")))
+    assert(m.shuffleBytesWritten < 32 * 1024)
+  }
+}
