@@ -40,4 +40,27 @@ class ShuffleAuditSpec extends SparkTestBase {
       graft.ext.TextOps.repetitionMetrics(docs.select("doc_id", "text")))
     assert(m.shuffleBytesWritten < 32 * 1024)
   }
+
+  test("minhash-LSH end-to-end shuffle is bounded by signatures, not text") {
+    // bands (4 × 32-hex + ids), candidate pairs, and the shingle-explode
+    // verification join are the only wide ops; with the corpus's planted
+    // near-dups the whole run must stay within ~4 KiB/doc — an order of
+    // magnitude under shipping the shingle sets of every pair blindly.
+    val m = ShuffleAudit.measureCount(Dedup.minhashLsh(docs, 3, 0.8))
+    val nDocs = docs.count()
+    assert(m.shuffleBytesWritten < nDocs * 4096,
+      s"LSH shuffled ${m.shuffleBytesWritten} B for $nDocs docs")
+  }
+
+  test("backfill assembly shuffles at most a low multiple of the fact volume") {
+    val assembled = graft.pipeline.MarketPipeline.assemblePrices(
+      new graft.pipeline.TpchMarketSource(spark, sfDir))
+    val m = ShuffleAudit.measureCount(assembled)
+    // three aggregated source branches share ONE raw-key shuffle layout;
+    // budget 3 branches × ~200 B/row × rows plus headroom — a row-
+    // amplifying merge or an extra exchange per branch would blow this.
+    assert(m.rows > 0)
+    assert(m.shuffleBytesWritten < m.rows * 1200,
+      s"assembly shuffled ${m.shuffleBytesWritten} B for ${m.rows} rows")
+  }
 }
