@@ -60,6 +60,49 @@ class MultimodalSpec extends SparkTestBase {
     assert(math.abs(f.mean_luma - 128.0) < 1.0, s"sampled luma of uniform gray, got ${f.mean_luma}")
   }
 
+  /** Synthesize a PCM16 WAV: RIFF header + fmt + data with a sine tone. */
+  private def wavBytes(rate: Int, channels: Int, seconds: Double, amp: Double,
+      extraChunk: Boolean = false): Array[Byte] = {
+    val n = (rate * seconds).toInt
+    val dataLen = n * channels * 2
+    val listChunk = if (extraChunk) 12 else 0 // LIST chunk before data, like real encoders emit
+    val bb = java.nio.ByteBuffer.allocate(44 + listChunk + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(0x46464952); bb.putInt(36 + listChunk + dataLen); bb.putInt(0x45564157)
+    bb.putInt(0x20746d66); bb.putInt(16)
+    bb.putShort(1); bb.putShort(channels.toShort); bb.putInt(rate)
+    bb.putInt(rate * channels * 2); bb.putShort((channels * 2).toShort); bb.putShort(16)
+    if (extraChunk) { bb.putInt(0x5453494c); bb.putInt(4); bb.putInt(0x4f464e49) }
+    bb.putInt(0x61746164); bb.putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      val s = (amp * math.sin(2 * math.Pi * 440.0 * i / rate) * 32767).toShort
+      var c = 0
+      while (c < channels) { bb.putShort(s); c += 1 }
+      i += 1
+    }
+    bb.array()
+  }
+
+  test("decodeWav parses real RIFF/PCM16 bytes: rate, channels, duration, RMS") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio/wav", wavBytes(8000, 1, 0.5, 0.5)),
+      Multimodal.MediaRow(2L, "audio/wav", wavBytes(16000, 2, 0.25, 0.8, extraChunk = true)),
+      Multimodal.MediaRow(3L, "audio/wav", "not a wav at all".getBytes("UTF-8"))
+    ).toDS()
+    val out = Multimodal.decodeWavs(media).collect().map(a => a.doc_id -> a).toMap
+    assert(out(1L).decode_ok && out(1L).sample_rate === 8000 && out(1L).channels === 1)
+    assert(out(1L).n_samples === 4000L && math.abs(out(1L).duration_sec - 0.5) < 1e-9)
+    // sine RMS = amp / sqrt(2); quantization keeps it within ~1%
+    assert(math.abs(out(1L).rms - 0.5 / math.sqrt(2)) < 0.01)
+    assert(out(1L).peak <= 0.5 + 0.01 && out(1L).peak > 0.45)
+    // chunk-walking finds data past a LIST chunk; stereo sample count is per-frame
+    assert(out(2L).decode_ok && out(2L).channels === 2 && out(2L).n_samples === 4000L)
+    assert(math.abs(out(2L).duration_sec - 0.25) < 1e-9)
+    // garbage degrades, never throws
+    assert(!out(3L).decode_ok && out(3L).sample_rate === 0)
+  }
+
   test("mediaFromDocuments builds binary payloads from text (utf-8 bytes)") {
     val docs = Seq((7L, "héllo")).toDF("doc_id", "text")
     val m = Multimodal.mediaFromDocuments(docs).collect().head
