@@ -126,6 +126,29 @@ object Curate {
         Window.partitionBy(srcCol).orderBy(col(scoreCol).desc, col("doc_id").asc)).cast("long"))
       .where(col("rank") <= k)
 
+  /** Distribution flattening (importance resampling): subsample each
+    * bucket of `bucketCol` with acceptance rate `min_count / bucket_count`
+    * so the surviving corpus is uniform across observed buckets — the
+    * technique that stops one dominant length band / domain from swamping
+    * a training mix. The per-bucket counts are one partial-agg groupBy
+    * broadcast back onto the corpus; the accept/reject is the
+    * deterministic [[uniformHash]] draw, so retries keep identical rows.
+    * (The exponent-α "temperature" variant needs `pow` — transcendental,
+    * not bit-stable cross-engine — so the exact-ratio flattening is the
+    * oracle-checked form.)
+    */
+  def flattenDistribution(docs: DataFrame, bucketCol: Column, idCol: String = "doc_id",
+      salt: String = "flat"): DataFrame = {
+    val b = docs.withColumn("bucket", bucketCol)
+    val counts = b.groupBy("bucket").agg(count(lit(1)).as("_n"))
+    val minC = counts.agg(min(col("_n")).as("_min_n"))
+    b.join(broadcast(counts), Seq("bucket"))
+      .crossJoin(broadcast(minC))
+      .where(uniformHash(col(idCol), salt) <
+        col("_min_n").cast("double") / col("_n").cast("double"))
+      .drop("_n", "_min_n")
+  }
+
   /** Percentile outlier clip: keep rows whose `lenCol` lies within the
     * corpus's exact [lo, hi] quantiles — the standard too-short/too-long
     * document filter. The thresholds are ONE exact-percentile aggregate

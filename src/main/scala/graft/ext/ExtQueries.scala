@@ -367,6 +367,13 @@ object ExtQueries {
       Curate.percentileClip(Tables.documents(s, dir), "n_chars", 0.05, 0.95)
         .select("doc_id", "lang", "source", "n_chars")),
 
+    // Distribution flattening: per-length-bucket acceptance rates
+    // min_count/count make the surviving corpus uniform across buckets.
+    "x59_curate_flatten" -> ((s, dir) =>
+      Curate.flattenDistribution(Tables.documents(s, dir),
+          expr("cast(n_chars as bigint) div 100"))
+        .select("doc_id", "bucket", "lang", "source")),
+
     "x29_emb_group_profile" -> ((s, dir) =>
       Embeddings.groupProfile(Tables.embeddings(s, dir), col("vec_id") % 10)),
 
@@ -693,6 +700,16 @@ object ExtQueries {
         "quantile_cont(n_chars, 0.95) AS hi FROM documents) " +
         "SELECT doc_id, lang, source, n_chars FROM documents, th " +
         "WHERE n_chars >= lo AND n_chars <= hi"),
+
+    "x59_curate_flatten" ->
+      ("WITH b AS (SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) // 100 AS bucket FROM documents), " +
+        "c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_b FROM b GROUP BY 1), " +
+        "m AS (SELECT min(n_b) AS min_n FROM c), " +
+        "u AS (SELECT doc_id, lang, source, bucket, " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':flat'), 1, 8)) AS BIGINT)" +
+        "/4294967296.0 AS u FROM b) " +
+        "SELECT doc_id, bucket, lang, source FROM u JOIN c USING (bucket), m " +
+        "WHERE u < CAST(min_n AS DOUBLE)/CAST(n_b AS DOUBLE)"),
 
     "x51_curate_mixture_sample" ->
       ("WITH w(lang, epochs) AS (VALUES ('en', 2.25), ('zh', 1.0), ('de', 0.5), " +

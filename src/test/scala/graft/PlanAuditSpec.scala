@@ -24,7 +24,8 @@ class PlanAuditSpec extends SparkTestBase {
     "x40_ann_ivf_kmeans" -> "crossJoin against ONE packed broadcast row (constant)",
     "x48_bm25_topk" -> "crossJoin against ONE broadcast corpus-stats row (constant)",
     "x57_curate_length_clip" -> "crossJoin against ONE broadcast percentile-threshold row (constant)",
-    "x58_ann_ivf_stored" -> "crossJoin against ONE packed broadcast centroid row (constant), same as x13"
+    "x58_ann_ivf_stored" -> "crossJoin against ONE packed broadcast centroid row (constant), same as x13",
+    "x59_curate_flatten" -> "crossJoin against ONE broadcast min-bucket-count row (constant)"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {

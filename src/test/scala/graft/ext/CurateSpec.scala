@@ -92,6 +92,25 @@ class CurateSpec extends SparkTestBase {
     assert(kept.min === 6L && kept.max === 95L && kept.length === 90)
   }
 
+  test("flattenDistribution equalizes bucket counts within binomial noise") {
+    // 3 buckets with 1000/500/100 rows; flattening should leave ~100 each
+    val rows = (1 to 1000).map(i => (i.toLong, 0L)) ++
+      (1001 to 1500).map(i => (i.toLong, 1L)) ++
+      (1501 to 1600).map(i => (i.toLong, 2L))
+    val df = rows.toDF("doc_id", "b")
+    val out = Curate.flattenDistribution(df, col("b")).cache()
+    val counts = out.groupBy("bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the min bucket survives whole; larger buckets land near 100 ± noise
+    assert(counts(2L) === 100L)
+    assert(counts(0L) > 60 && counts(0L) < 140, s"bucket 0: ${counts(0L)}")
+    assert(counts(1L) > 60 && counts(1L) < 140, s"bucket 1: ${counts(1L)}")
+    // deterministic
+    assert(out.collect().toSet ===
+      Curate.flattenDistribution(df, col("b")).collect().toSet)
+    out.unpersist()
+  }
+
   test("uniformHash is in [0,1) and reproducible") {
     val u = docs.select(Curate.uniformHash(col("doc_id"), "s").as("u"))
       .collect().map(_.getDouble(0))
