@@ -374,6 +374,12 @@ object ExtQueries {
           expr("cast(n_chars as bigint) div 100"))
         .select("doc_id", "bucket", "lang", "source")),
 
+    // BPE merge-candidate counting: pretokenizer split -> pretoken freqs
+    // -> adjacent char pairs over DISTINCT pretokens weighted by freq —
+    // tokenizer training's first corpus pass, vocabulary-sized explode.
+    "x60_bpe_pair_counts" -> ((s, dir) =>
+      TextOps.bpePairCounts(Tables.documents(s, dir))),
+
     "x29_emb_group_profile" -> ((s, dir) =>
       Embeddings.groupProfile(Tables.embeddings(s, dir), col("vec_id") % 10)),
 
@@ -700,6 +706,14 @@ object ExtQueries {
         "quantile_cont(n_chars, 0.95) AS hi FROM documents) " +
         "SELECT doc_id, lang, source, n_chars FROM documents, th " +
         "WHERE n_chars >= lo AND n_chars <= hi"),
+
+    "x60_bpe_pair_counts" ->
+      ("WITH p AS (SELECT unnest(regexp_extract_all(text, " +
+        "'''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')) AS pretok FROM documents), " +
+        "f AS (SELECT pretok, CAST(count(*) AS BIGINT) AS freq FROM p GROUP BY 1), " +
+        "pairs AS (SELECT freq, unnest(list_transform(generate_series(1, length(pretok)-1), " +
+        "i -> substr(pretok, i, 2))) AS pair FROM f WHERE length(pretok) >= 2) " +
+        "SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM pairs GROUP BY 1 HAVING sum(freq) >= 2"),
 
     "x59_curate_flatten" ->
       ("WITH b AS (SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) // 100 AS bucket FROM documents), " +

@@ -124,6 +124,31 @@ object TextOps {
       .drop("_g")
   }
 
+  /** BPE merge-candidate counting — the corpus-wide first step of
+    * tokenizer training: split text with the GPT-2-style pretokenizer,
+    * aggregate pretoken frequencies, then count adjacent character pairs
+    * WITHIN each distinct pretoken weighted by its frequency. The highest
+    * count is the pair a BPE trainer would merge first.
+    *
+    * Scale shape: two partial-agg groupBys (pretoken freq, then pair
+    * count), both map-side-combined; the pair explode runs over DISTINCT
+    * pretokens — vocabulary-sized, not corpus-sized — which is the whole
+    * trick that makes corpus-scale tokenizer training cheap.
+    */
+  def bpePairCounts(docs: DataFrame, minCount: Long = 2L,
+      text: Column = col("text")): DataFrame = {
+    val pretokens = docs
+      .select(explode(regexp_extract_all(text, lit(BpePretokenPattern), lit(0))).as("pretok"))
+      .groupBy("pretok").agg(count(lit(1)).as("freq"))
+    pretokens
+      .where(length(col("pretok")) >= 2)
+      .select(col("freq"),
+        explode(transform(sequence(lit(1), length(col("pretok")) - lit(1)),
+          i => col("pretok").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("n"))
+      .where(col("n") >= minCount)
+  }
+
   /** Canonical text normalization for dedup/tokenization robustness:
     * lowercase, strip everything but `[a-z0-9 ]`, collapse whitespace runs,
     * trim. Pure per-row expressions — runs at scan speed.

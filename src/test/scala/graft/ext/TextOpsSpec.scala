@@ -68,6 +68,19 @@ class TextOpsSpec extends SparkTestBase {
     assert(out(3L).getAs[Long]("n_2grams") === 1L)
   }
 
+  test("bpePairCounts: pair counts weighted by pretoken frequency") {
+    // "ab ab cd" -> pretokens: ["ab", " ab", " cd"]; pairs: ab(1), " a"(1),
+    // "ab"(1), " c"(1), "cd"(1) -> "ab" totals 2, everything else 1
+    val df = Seq((1L, "ab ab cd"), (2L, "ab ab cd")).toDF("doc_id", "text")
+    val out = TextOps.bpePairCounts(df, minCount = 1L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("ab") === 4L) // ("ab" x2 docs) + (" ab" x2 docs) both contain "ab"
+    assert(out(" a") === 2L)
+    assert(out("cd") === 2L)
+    // the top merge candidate is the pair a BPE trainer would pick first
+    assert(out.maxBy(_._2)._1 === "ab")
+  }
+
   test("langId flags stopword-rich text as en") {
     val df = Seq((1L, "the cat and the hat"), (2L, "xyzzy qwerty")).toDF("doc_id", "text")
     val out = df.select($"doc_id", TextOps.langId($"text").as("l"))
