@@ -50,16 +50,20 @@ object Bench {
     // estimate of what the plan costs) plus both raw runs and their CPU
     // split as extra JSON fields — the driver contract only reads
     // metric/value/queries, so the additions are compatible.
-    case class Run(sec: Double, user: Double, sys: Double)
+    case class Run(sec: Double, user: Double, sys: Double, shuffleBytes: Long)
     val results = names.map { name =>
       val runs = (1 to 2).map { _ =>
         val (u0, s0) = procCpu()
         val t0 = System.nanoTime()
-        val n = try SparkEntry.queries(name)(spark, sfDir).count() catch { case _: Throwable => -1L }
+        // measureCount also folds the executed plan's shuffle-write metrics
+        // — the bench reports BYTES MOVED per query, not just seconds, so a
+        // plan regression shows up even under neighbor-load timing noise.
+        val m = try graft.ops.ShuffleAudit.measureCount(SparkEntry.queries(name)(spark, sfDir))
+          catch { case _: Throwable => graft.ops.ShuffleAudit.Measured(-1L, -1L, -1L) }
         val sec = (System.nanoTime() - t0) / 1e9
         val (u1, s1) = procCpu()
-        System.err.println(f"[bench] $name: $sec%.2fs ($n rows, cpu u=${u1 - u0}%.1f s=${s1 - s0}%.1f)")
-        Run(sec, u1 - u0, s1 - s0)
+        System.err.println(f"[bench] $name: $sec%.2fs (${m.rows} rows, ${m.shuffleBytesWritten} shuffle B, cpu u=${u1 - u0}%.1f s=${s1 - s0}%.1f)")
+        Run(sec, u1 - u0, s1 - s0, m.shuffleBytesWritten)
       }
       name -> runs
     }
@@ -69,9 +73,10 @@ object Bench {
     val runsJson = fmtMap((_, rs) => rs.map(r => f"${r.sec}%.3f").mkString("[", ",", "]"))
     val cpuJson = fmtMap((_, rs) =>
       rs.map(r => f"[${r.user}%.2f,${r.sys}%.2f]").mkString("[", ",", "]"))
+    val shuffleJson = fmtMap((_, rs) => rs.map(_.shuffleBytes).max.toString)
     val total = results.map(_._2.map(_.sec).min).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""runs":$runsJson,"cpu_user_sys":$cpuJson,""" +
+      s""""runs":$runsJson,"cpu_user_sys":$cpuJson,"shuffle_bytes":$shuffleJson,""" +
       s""""cpus":${Runtime.getRuntime.availableProcessors()},"passes":2,"sf":"$sfDir"}"""
     // Driver contract: the JSON must be the last undecorated stdout line.
     // Stop Spark FIRST so no shutdown logging can land after it, then print

@@ -28,12 +28,18 @@ object ShuffleAudit {
     p +: (p.children.flatMap(allNodes) ++ p.subqueries.flatMap(allNodes) ++ nested)
   }
 
-  /** Run `count()` on the frame and report total shuffle bytes/records
-    * written across every exchange in the (final, post-AQE) physical plan.
+  /** Count the frame and report total shuffle bytes/records written across
+    * every exchange in the (final, post-AQE) physical plan.
+    *
+    * The count is built as an explicit `groupBy().count()` Dataset and THAT
+    * query's executed plan is inspected — `df.count()` plans a separate
+    * query, so reading `df.queryExecution` after it would see never-executed
+    * exchanges with zeroed metrics (a silently vacuous audit).
     */
   def measureCount(df: DataFrame): Measured = {
-    val rows = df.count()
-    val exchanges = allNodes(df.queryExecution.executedPlan).collect {
+    val counted = df.groupBy().count()
+    val rows = counted.collect()(0).getLong(0)
+    val exchanges = allNodes(counted.queryExecution.executedPlan).collect {
       case s: ShuffleExchangeLike => s
     }
     val bytes = exchanges.flatMap(_.metrics.get("shuffleBytesWritten").map(_.value)).sum

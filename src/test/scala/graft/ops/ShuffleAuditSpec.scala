@@ -18,6 +18,9 @@ class ShuffleAuditSpec extends SparkTestBase {
     val m = ShuffleAudit.measureCount(Dedup.exact(docs))
     val nDocs = docs.count()
     val textBytes = docs.agg(sum(length(col("text")))).head().getLong(0)
+    // POSITIVE control first: a groupBy must write a real exchange — zero
+    // here means the audit is reading an unexecuted plan (vacuous bounds)
+    assert(m.shuffleBytesWritten > 0, "audit read no shuffle metrics at all")
     // the groupBy key is a 32-hex md5 + two small aggregates: ~150 B/doc
     // shuffled in the worst (no map-side combine) case
     assert(m.shuffleBytesWritten < nDocs * 300,
@@ -48,6 +51,7 @@ class ShuffleAuditSpec extends SparkTestBase {
     // magnitude under shipping the shingle sets of every pair blindly.
     val m = ShuffleAudit.measureCount(Dedup.minhashLsh(docs, 3, 0.8))
     val nDocs = docs.count()
+    assert(m.shuffleBytesWritten > 0, "audit read no shuffle metrics at all")
     assert(m.shuffleBytesWritten < nDocs * 4096,
       s"LSH shuffled ${m.shuffleBytesWritten} B for $nDocs docs")
   }
@@ -60,6 +64,7 @@ class ShuffleAuditSpec extends SparkTestBase {
     // budget 3 branches × ~200 B/row × rows plus headroom — a row-
     // amplifying merge or an extra exchange per branch would blow this.
     assert(m.rows > 0)
+    assert(m.shuffleBytesWritten > 0, "audit read no shuffle metrics at all")
     assert(m.shuffleBytesWritten < m.rows * 1200,
       s"assembly shuffled ${m.shuffleBytesWritten} B for ${m.rows} rows")
   }
