@@ -216,6 +216,21 @@ object Curate {
   def redactPii(text: Column): Column =
     regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
 
+  val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** PII profiling — the compliance-report side of [[redactPii]]: typed
+    * per-document match counts (email / phone / IPv4) plus a `has_pii`
+    * flag. Counting instead of redacting is what an audit needs (how much,
+    * which sources) before deciding to drop vs scrub. Pure per-row regex
+    * counts at scan speed; roll up by source/lang with an ordinary groupBy.
+    */
+  def piiProfile(docs: DataFrame, text: Column = col("text")): DataFrame =
+    docs.withColumn("n_emails", size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("n_phones", size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long"))
+      .withColumn("n_ipv4", size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).cast("long"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_phones") + col("n_ipv4") > 0)
+
   /** Length-distribution histogram: bucket docs by `lenCol div bucketWidth`,
     * with count / min / max / exact mean per bucket (mean = integer sum
     * then ONE double division — order-independent, engine-exact).

@@ -380,6 +380,17 @@ object ExtQueries {
     "x60_bpe_pair_counts" -> ((s, dir) =>
       TextOps.bpePairCounts(Tables.documents(s, dir))),
 
+    // PII profiling (the audit twin of x24's redaction): typed match
+    // counts per doc over deterministically injected email/phone/IP text.
+    "x61_curate_pii_profile" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).withColumn("_t",
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" reach a.b@c.example.com")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" call +1 212 555 0199 from 10.0.0.1")).otherwise(lit(""))))
+      Curate.piiProfile(d, col("_t"))
+        .select("doc_id", "lang", "source", "n_emails", "n_phones", "n_ipv4", "has_pii")
+    }),
+
     "x29_emb_group_profile" -> ((s, dir) =>
       Embeddings.groupProfile(Tables.embeddings(s, dir), col("vec_id") % 10)),
 
@@ -706,6 +717,19 @@ object ExtQueries {
         "quantile_cont(n_chars, 0.95) AS hi FROM documents) " +
         "SELECT doc_id, lang, source, n_chars FROM documents, th " +
         "WHERE n_chars >= lo AND n_chars <= hi"),
+
+    "x61_curate_pii_profile" ->
+      ("WITH d AS (SELECT doc_id, lang, source, text || " +
+        "(CASE WHEN doc_id % 3 = 0 THEN ' reach a.b@c.example.com' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 5 = 0 THEN ' call +1 212 555 0199 from 10.0.0.1' ELSE '' END) AS t " +
+        "FROM documents) " +
+        s"SELECT doc_id, lang, source, " +
+        s"CAST(len(regexp_extract_all(t, '${Curate.EmailRe}')) AS BIGINT) AS n_emails, " +
+        s"CAST(len(regexp_extract_all(t, '${Curate.PhoneRe}')) AS BIGINT) AS n_phones, " +
+        s"CAST(len(regexp_extract_all(t, '${Curate.Ipv4Re}')) AS BIGINT) AS n_ipv4, " +
+        s"(len(regexp_extract_all(t, '${Curate.EmailRe}')) + " +
+        s"len(regexp_extract_all(t, '${Curate.PhoneRe}')) + " +
+        s"len(regexp_extract_all(t, '${Curate.Ipv4Re}'))) > 0 AS has_pii FROM d"),
 
     "x60_bpe_pair_counts" ->
       ("WITH p AS (SELECT unnest(regexp_extract_all(text, " +

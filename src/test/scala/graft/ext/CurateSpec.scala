@@ -111,6 +111,21 @@ class CurateSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("piiProfile counts typed PII matches and flags documents") {
+    val df = Seq(
+      (1L, "mail me at a.b@c.example.com or x@y.example.org thanks"),
+      (2L, "call +1 (555) 123-4567 at 192.168.0.1 now"),
+      (3L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val out = Curate.piiProfile(df).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") === 2L)
+    assert(out(1L).getAs[Boolean]("has_pii"))
+    assert(out(2L).getAs[Long]("n_phones") === 1L)
+    assert(out(2L).getAs[Long]("n_ipv4") === 1L)
+    assert(out(3L).getAs[Long]("n_emails") === 0L)
+    assert(!out(3L).getAs[Boolean]("has_pii"))
+  }
+
   test("uniformHash is in [0,1) and reproducible") {
     val u = docs.select(Curate.uniformHash(col("doc_id"), "s").as("u"))
       .collect().map(_.getDouble(0))
