@@ -134,6 +134,9 @@ object Multimodal {
       var dataOff = -1; var dataLen = 0
       while (pos + 8 <= b.limit()) {
         val id = b.getInt(pos); val len = b.getInt(pos + 4)
+        // a malformed negative length would stall the chunk walk (pos += 8
+        // + len can stop advancing) — treat it as a corrupt file instead
+        if (len < 0) return fail
         if (id == 0x20746d66 /* fmt  */ && pos + 8 + 16 <= b.limit()) {
           val audioFormat = b.getShort(pos + 8).toInt
           channels = b.getShort(pos + 10).toInt

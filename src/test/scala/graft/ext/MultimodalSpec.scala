@@ -103,6 +103,16 @@ class MultimodalSpec extends SparkTestBase {
     assert(!out(3L).decode_ok && out(3L).sample_rate === 0)
   }
 
+  test("decodeWav rejects a negative chunk length instead of stalling the chunk walk") {
+    // valid RIFF/WAVE preamble, then a chunk whose length field is -8:
+    // pos += 8 + len would stop advancing — must return decode_ok=false
+    val bb = java.nio.ByteBuffer.allocate(20).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(0x46464952); bb.putInt(12); bb.putInt(0x45564157)
+    bb.putInt(0x20746d66); bb.putInt(-8)
+    val out = Multimodal.decodeWav(Multimodal.MediaRow(1L, "audio/wav", bb.array()))
+    assert(!out.decode_ok)
+  }
+
   test("mediaFromDocuments builds binary payloads from text (utf-8 bytes)") {
     val docs = Seq((7L, "héllo")).toDF("doc_id", "text")
     val m = Multimodal.mediaFromDocuments(docs).collect().head
