@@ -380,6 +380,14 @@ object ExtQueries {
     "x60_bpe_pair_counts" -> ((s, dir) =>
       TextOps.bpePairCounts(Tables.documents(s, dir))),
 
+    // Consecutive-duplicate token collapse over injected stutter — the
+    // cheap OCR/ASR repetition scrub, per-row index-lambda HOF.
+    "x62_text_collapse_repeats" -> ((s, dir) =>
+      TextOps.collapseRepeats(
+          Tables.documents(s, dir).select("doc_id", "text"),
+          concat(col("text"), lit(" um um um ok")))
+        .drop("text")),
+
     // PII profiling (the audit twin of x24's redaction): typed match
     // counts per doc over deterministically injected email/phone/IP text.
     "x61_curate_pii_profile" -> ((s, dir) => {
@@ -717,6 +725,13 @@ object ExtQueries {
         "quantile_cont(n_chars, 0.95) AS hi FROM documents) " +
         "SELECT doc_id, lang, source, n_chars FROM documents, th " +
         "WHERE n_chars >= lo AND n_chars <= hi"),
+
+    "x62_text_collapse_repeats" ->
+      ("WITH t AS (SELECT doc_id, string_split(text || ' um um um ok', ' ') AS l FROM documents) " +
+        "SELECT doc_id, " +
+        "array_to_string(list_filter(l, (x, i) -> i = 1 OR x <> l[i-1]), ' ') AS clean_text, " +
+        "CAST(len(l) - len(list_filter(l, (x, i) -> i = 1 OR x <> l[i-1])) AS BIGINT) AS n_collapsed " +
+        "FROM t"),
 
     "x61_curate_pii_profile" ->
       ("WITH d AS (SELECT doc_id, lang, source, text || " +

@@ -124,6 +124,19 @@ object TextOps {
       .drop("_g")
   }
 
+  /** Collapse runs of consecutively repeated tokens ("go go go" → "go") —
+    * the cheap degenerate-repetition scrub applied before tokenization
+    * (stutter loops from OCR/ASR/scraped chat). Index-lambda HOF keeps a
+    * token iff it differs from its predecessor; per-row, scan speed. The
+    * repeat count is emitted alongside so curation can threshold on it.
+    */
+  def collapseRepeats(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val toks = tokens(text)
+    val kept = filter(toks, (t, i) => i === 0 || t =!= element_at(toks, i))
+    df.withColumn("clean_text", concat_ws(" ", kept))
+      .withColumn("n_collapsed", (size(toks) - size(kept)).cast("long"))
+  }
+
   /** BPE merge-candidate counting — the corpus-wide first step of
     * tokenizer training: split text with the GPT-2-style pretokenizer,
     * aggregate pretoken frequencies, then count adjacent character pairs

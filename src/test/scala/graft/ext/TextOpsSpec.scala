@@ -68,6 +68,17 @@ class TextOpsSpec extends SparkTestBase {
     assert(out(3L).getAs[Long]("n_2grams") === 1L)
   }
 
+  test("collapseRepeats removes runs, keeps non-adjacent duplicates, counts drops") {
+    val df = Seq((1L, "go go go stop stop now go"), (2L, "all distinct here"))
+      .toDF("doc_id", "text")
+    val out = TextOps.collapseRepeats(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_collapsed"))).toMap
+    // the trailing non-adjacent "go" survives — this is run collapse, not dedup
+    assert(out(1L) === ("go stop now go", 3L))
+    assert(out(2L) === ("all distinct here", 0L))
+  }
+
   test("bpePairCounts: pair counts weighted by pretoken frequency") {
     // "ab ab cd" -> pretokens: ["ab", " ab", " cd"]; pairs: ab(1), " a"(1),
     // "ab"(1), " c"(1), "cd"(1) -> "ab" totals 2, everything else 1
