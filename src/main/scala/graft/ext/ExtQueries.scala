@@ -380,6 +380,19 @@ object ExtQueries {
     "x60_bpe_pair_counts" -> ((s, dir) =>
       TextOps.bpePairCounts(Tables.documents(s, dir))),
 
+    // Table diff between two corpus versions (synthesized deterministic
+    // drops/changes/adds): digests-not-data compare, one full-outer join
+    // — the validation gate after every incremental publish.
+    "x63_corpus_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val v2 = docs.where(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(docs.where(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000))
+      graft.ops.Diff.diffSummary(docs, v2, "doc_id", Seq("text", "lang", "source"))
+    }),
+
     // Consecutive-duplicate token collapse over injected stutter — the
     // cheap OCR/ASR repetition scrub, per-row index-lambda HOF.
     "x62_text_collapse_repeats" -> ((s, dir) =>
@@ -725,6 +738,18 @@ object ExtQueries {
         "quantile_cont(n_chars, 0.95) AS hi FROM documents) " +
         "SELECT doc_id, lang, source, n_chars FROM documents, th " +
         "WHERE n_chars >= lo AND n_chars <= hi"),
+
+    "x63_corpus_diff" ->
+      ("WITH v2 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text, " +
+        "lang, source FROM documents WHERE doc_id % 13 <> 0 " +
+        "UNION ALL SELECT doc_id + 10000, text, lang, source FROM documents WHERE doc_id % 11 = 0), " +
+        "a AS (SELECT doc_id, md5(text || chr(1) || lang || chr(1) || source) AS fp_old FROM documents), " +
+        "b AS (SELECT doc_id, md5(text || chr(1) || lang || chr(1) || source) AS fp_new FROM v2), " +
+        "d AS (SELECT doc_id, CASE WHEN fp_old IS NULL THEN 'added' WHEN fp_new IS NULL THEN 'removed' " +
+        "WHEN fp_old <> fp_new THEN 'changed' ELSE 'unchanged' END AS status " +
+        "FROM a FULL OUTER JOIN b USING (doc_id)) " +
+        "SELECT status, CAST(count(*) AS BIGINT) AS n_keys, min(doc_id) AS min_key, " +
+        "max(doc_id) AS max_key FROM d GROUP BY status"),
 
     "x62_text_collapse_repeats" ->
       ("WITH t AS (SELECT doc_id, string_split(text || ' um um um ok', ' ') AS l FROM documents) " +

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Row-level table diff — the validation step after every incremental
+  * publish: which keys were added, removed, changed, or untouched between
+  * two versions of a table. The engine-side answer to "did the delta run
+  * do what we think it did" (the reference has no such check; its append
+  * either worked or silently duplicated).
+  *
+  * Scale shape: each side collapses to `(key, fingerprint)` BEFORE the
+  * join — a 32-hex md5 per row, never the payload — then ONE full-outer
+  * equi-join on the key decides the status. Wire cost is ~50 B/row
+  * regardless of row width, the same digests-not-data discipline as
+  * exact dedup (pinned by ShuffleAuditSpec).
+  */
+object Diff {
+
+  /** Per-key status between `v1` (old) and `v2` (new):
+    * `added` (key only in v2), `removed` (only in v1), `changed` (both,
+    * fingerprint differs), `unchanged`. The fingerprint is md5 over the
+    * value columns joined with a U+0001 separator (unambiguous for values
+    * not containing the separator — pick columns accordingly).
+    */
+  def tableDiff(v1: DataFrame, v2: DataFrame, key: String,
+      valueCols: Seq[String]): DataFrame = {
+    def fp(df: DataFrame) = df.select(col(key),
+      md5(concat_ws("\u0001", valueCols.map(col): _*)).as("_fp"))
+    val a = fp(v1).withColumnRenamed("_fp", "_fp_old")
+    val b = fp(v2).withColumnRenamed("_fp", "_fp_new")
+    a.join(b, Seq(key), "full_outer")
+      .select(col(key),
+        when(col("_fp_old").isNull, "added")
+          .when(col("_fp_new").isNull, "removed")
+          .when(col("_fp_old") =!= col("_fp_new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  /** The rollup a publish gate actually consumes: row counts per status. */
+  def diffSummary(v1: DataFrame, v2: DataFrame, key: String,
+      valueCols: Seq[String]): DataFrame =
+    tableDiff(v1, v2, key, valueCols)
+      .groupBy("status").agg(count(lit(1)).as("n_keys"),
+        min(col(key)).as("min_key"), max(col(key)).as("max_key"))
+}

@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+class DiffSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def v1 = Seq(
+    (1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y"), (4L, "d", "y")
+  ).toDF("k", "v", "w")
+
+  private def v2 = Seq(
+    (1L, "a", "x"),      // unchanged
+    (2L, "B", "x"),      // changed (v)
+    (3L, "c", "z"),      // changed (w)
+    (5L, "e", "y")       // added; 4 removed
+  ).toDF("k", "v", "w")
+
+  test("tableDiff classifies added/removed/changed/unchanged per key") {
+    val out = Diff.tableDiff(v1, v2, "k", Seq("v", "w")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+  }
+
+  test("fingerprint separator prevents column-boundary collisions") {
+    val p = Seq((1L, "ab", "c")).toDF("k", "v", "w")
+    val q = Seq((1L, "a", "bc")).toDF("k", "v", "w")
+    val out = Diff.tableDiff(p, q, "k", Seq("v", "w")).head()
+    assert(out.getString(1) === "changed") // "ab"+"c" must NOT equal "a"+"bc"
+  }
+
+  test("diffSummary rolls up counts per status") {
+    val out = Diff.diffSummary(v1, v2, "k", Seq("v", "w")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("unchanged" -> 1L, "changed" -> 2L, "removed" -> 1L, "added" -> 1L))
+  }
+}
