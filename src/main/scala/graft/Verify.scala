@@ -27,7 +27,7 @@ object Verify {
     "x03_dedup_minhash_lsh", "x20_dedup_simhash_banded", "x18_dedup_simhash",
     "x05_dedup_embedding", "x14_dedup_embedding_lsh", "x06_ann_bruteforce",
     "x07_ann_lsh", "x13_ann_ivf", "x32_ann_ivf", "x15_dedup_cluster",
-    "x41_dedup_pipeline",
+    "x41_dedup_pipeline", "x64_dedup_prefix",
     "q23_st1", "q24_ja_asof", "q49_sql_recursive", "q51_pp")
 
   def main(args: Array[String]): Unit = {

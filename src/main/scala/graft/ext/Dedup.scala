@@ -45,6 +45,41 @@ object Dedup {
       sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh")))
   }
 
+  /** EXACT shingle-Jaccard pairs via prefix filtering (PPJoin-style) — the
+    * exact scale path where [[minhashLsh]] is the approximate one: a pair
+    * with Jaccard ≥ t must share at least one shingle among each side's
+    * `n - ceil(t·n) + 1` rarest shingles (rarest-first global order =
+    * ascending document frequency, shingle as tiebreak). Candidates come
+    * from an equi-join on prefix shingles only — the frequent shingles
+    * that would explode a plain inverted-index join never leave the map
+    * side — then exact verification. No false negatives, so the naive
+    * all-pairs oracle (x02's SQL) validates this plan verbatim.
+    */
+  def prefixFilterPairs(docs: DataFrame, k: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (ex, sz) = shingleSets(docs, k)
+    val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val pref = cacheOnce(ex.join(dfreq, "shingle")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)).cast("long"))
+      .join(sz, "doc_id")
+      .where(col("rnk") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .select(col("doc_id"), col("shingle")))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    val exA = ex.select(col("doc_id").as("doc_a"), col("shingle"))
+    val exB = ex.select(col("doc_id").as("doc_b"), col("shingle"))
+    val common = cand.join(exA, Seq("doc_a")).join(exB, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sz.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "n_a")), "doc_a")
+      .join(sz.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "n_b")), "doc_b")
+      .withColumn("jaccard", col("common") / (col("n_a") + col("n_b") - col("common")))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** All-pairs n-gram Jaccard ≥ threshold (exact, O(n²) worst case — the
     * verifier / small-data form; LSH below is the scale path).
     * Output: (doc_a, doc_b, jaccard), doc_a < doc_b.

@@ -22,6 +22,14 @@ object ExtQueries {
     "x02_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), 3, 0.8)),
 
+    // Exact prefix-filtered set-similarity join (PPJoin-style): same
+    // semantics as x02, candidates bounded by rarest-prefix equi-join —
+    // the EXACT scale path (x03's LSH is the approximate one). Shares
+    // x02's all-pairs oracle because prefix filtering has no false
+    // negatives.
+    "x64_dedup_prefix_filter" -> ((s, dir) =>
+      Dedup.prefixFilterPairs(Tables.documents(s, dir), 3, 0.8)),
+
     "x03_dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(Tables.documents(s, dir), 3, 0.8)),
 
@@ -494,6 +502,16 @@ object ExtQueries {
         "FROM documents GROUP BY 1"),
 
     "x02_dedup_ngram_jaccard" ->
+      (s"WITH t AS ($toksCte), sh AS ($shinglesCte), " +
+        "ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh), " +
+        "sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh), " +
+        "c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common " +
+        "FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        jaccardTail),
+
+    // prefix filtering is exact (no false negatives), so the naive
+    // all-pairs SQL is the oracle for the pruned plan too
+    "x64_dedup_prefix_filter" ->
       (s"WITH t AS ($toksCte), sh AS ($shinglesCte), " +
         "ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh), " +
         "sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh), " +

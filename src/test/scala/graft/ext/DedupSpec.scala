@@ -29,6 +29,24 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("prefixFilterPairs == all-pairs jaccardPairs (exact, no false negatives)") {
+    // fixture docs AND the real corpus: the pruned plan must reproduce the
+    // naive result identically at several thresholds
+    val corpus = graft.sources.Tables.documents(spark, sfDir)
+    for (t <- Seq(0.5, 0.8)) {
+      val naive = Dedup.jaccardPairs(docs, 3, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pruned = Dedup.prefixFilterPairs(docs, 3, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pruned === naive, s"threshold $t")
+    }
+    val naiveC = Dedup.jaccardPairs(corpus, 3, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prunedC = Dedup.prefixFilterPairs(corpus, 3, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prunedC === naiveC)
+  }
+
   test("minhashLsh candidates are verified-exact and catch exact dups surely") {
     val exact = Dedup.jaccardPairs(docs, 3, 0.8)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
