@@ -1,0 +1,14 @@
+#!/bin/bash
+# One-shot verification: compile, full test suite, smoke, oracle sweep +
+# DuckDB compare, bench. Exits non-zero on the first red gate.
+set -e
+cd "$(dirname "$0")/.."
+echo "== sbt test =="
+sbt -batch test 2>&1 | grep -E "Tests:|error" | tail -3
+echo "== smoke =="
+tools/run.sh graft.Smoke 2>&1 | grep "entry rows"
+echo "== verify sweep (sf0.01) =="
+tools/run.sh graft.Verify /root/testdata/sf0.01 /tmp/verify_out 2>&1 | tail -1
+python3 tools/compare.py /root/testdata/sf0.01 /tmp/verify_out CORRECTNESS_local.json 2>/dev/null | tail -1
+echo "== bench (sf0.1) =="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 tools/run.sh graft.Bench 2>/dev/null | tail -1
