@@ -108,6 +108,51 @@ object Multimodal {
     }
   }
 
+  case class ResizedImage(doc_id: Long, width: Int, height: Int,
+                          payload: Array[Byte], resize_ok: Boolean)
+
+  /** REAL image resize: decode via `javax.imageio`, bilinear-resample to
+    * `(w, h)` with `Graphics2D` (pure JVM), re-encode as PNG bytes — the
+    * thumbnail/normalize step every vision training pipeline runs before
+    * feature extraction. Same mapPartitions batch shape and poison-payload
+    * contract as [[decodeImages]]; output rows carry the resized payload
+    * as an ordinary binary column, so the result feeds straight back into
+    * [[decodeImages]]/[[embedPayloads]].
+    */
+  def resizeImage(r: MediaRow, w: Int, h: Int): ResizedImage = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      if (img == null) ResizedImage(r.doc_id, 0, 0, Array.empty, resize_ok = false)
+      else {
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        ResizedImage(r.doc_id, w, h, bos.toByteArray, resize_ok = true)
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        ResizedImage(r.doc_id, 0, 0, Array.empty, resize_ok = false)
+    }
+  }
+
+  /** Partition-batched resize (per-partition ImageIO cache init, like
+    * [[decodeImages]]).
+    */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map(resizeImage(_, w, h))
+    }
+  }
+
   case class AudioFeatures(doc_id: Long, media_type: String, sample_rate: Int,
                            channels: Int, bits_per_sample: Int, n_samples: Long,
                            duration_sec: Double, rms: Double, peak: Double,

@@ -60,6 +60,27 @@ class MultimodalSpec extends SparkTestBase {
     assert(math.abs(f.mean_luma - 128.0) < 1.0, s"sampled luma of uniform gray, got ${f.mean_luma}")
   }
 
+  test("resizeImages: real decode -> bilinear resample -> PNG re-encode round trip") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/png", imageBytes("png", 64, 32, 0x4080c0)),
+      Multimodal.MediaRow(2L, "image/png", "corrupt".getBytes("UTF-8"))
+    ).toDS()
+    val out = Multimodal.resizeImages(media, 16, 16).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(out(1L).resize_ok && out(1L).width === 16 && out(1L).height === 16)
+    // the resized payload is a REAL decodable PNG of the requested size,
+    // and a solid-color source stays that color through the resample
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).payload))
+    assert(back.getWidth === 16 && back.getHeight === 16)
+    assert((back.getRGB(8, 8) & 0xffffff) === 0x4080c0)
+    // and it feeds straight back into the decoder operator
+    val redecoded = Multimodal.decodeImages(
+      Seq(Multimodal.MediaRow(1L, "image/png", out(1L).payload)).toDS()).head()
+    assert(redecoded.decode_ok && redecoded.width === 16)
+    assert(!out(2L).resize_ok && out(2L).payload.isEmpty)
+  }
+
   /** Synthesize a PCM16 WAV: RIFF header + fmt + data with a sine tone. */
   private def wavBytes(rate: Int, channels: Int, seconds: Double, amp: Double,
       extraChunk: Boolean = false): Array[Byte] = {
