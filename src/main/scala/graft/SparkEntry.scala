@@ -50,7 +50,8 @@ object SparkEntry {
     "x28_range_join_bucketed", "x36_curate_contamination",
     "q42_j7_star_join", "q51_pp_pruned_scan",
     "x47_sketch_heavy_hitters", "x48_bm25_topk",
-    "x46_training_pipeline", "x54_curate_quality_bins")
+    "x46_training_pipeline", "x54_curate_quality_bins",
+    "x64_dedup_prefix_filter")
 
   private def coreQueries: Map[String, Q] = Map(
     // S1+P4+F1+F4 — dimension scan with projection + pushed predicates
