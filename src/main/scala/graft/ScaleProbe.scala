@@ -1,0 +1,66 @@
+package graft
+
+import graft.ext.Dedup
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling probe: time the dedup pipelines on 1×/4×/16× replicas of the
+  * documents corpus — measured evidence (not argument) that the LSH/banded
+  * plans grow near-linearly while the all-pairs verifier does not get run
+  * at all. Each replica's text is salted with its copy index so cross-copy
+  * exact duplicates don't manufacture quadratic pair growth the real
+  * corpus wouldn't have; within-copy near-dup structure is preserved
+  * verbatim.
+  *
+  * Usage: tools/run.sh graft.ScaleProbe [sfDir] — prints one JSON line per
+  * (scale, op) with seconds and output rows.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(k: Int): DataFrame = {
+      val base = Tables.documents(spark, sfDir)
+      (0 until k).map { i =>
+        // salt EVERY token with the copy index: cross-copy shingle overlap
+        // is exactly zero, so replication multiplies the within-copy
+        // near-dup structure linearly instead of manufacturing k² cross-
+        // copy pairs a real growing corpus wouldn't have
+        base.select(
+          (col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+          concat_ws(" ", transform(split(col("text"), " "),
+            t => concat(lit(s"c${i}x"), t))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+    }
+
+    val scales = args.drop(1).headOption
+      .map(_.split(",").toSeq.map(_.toInt)).getOrElse(Seq(1, 4, 16))
+    for (k <- scales) {
+      val corpus = replicate(k).cache()
+      val n = corpus.count() // materialize the cache outside the clock
+      def time(op: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val rows = f
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"scale":$k,"docs":$n,"op":"$op","sec":$sec%.2f,"rows":$rows}""")
+      }
+      time("exact_dedup") { Dedup.exact(corpus).count() }
+      time("minhash_lsh") { Dedup.minhashLsh(corpus, 3, 0.8).count() }
+      time("simhash_banded") { Dedup.simhashBandedPairs(corpus, 3).count() }
+      corpus.unpersist(blocking = true)
+      // the per-run caches (shingle/band tables) must not leak across scales
+      spark.sharedState.cacheManager.clearCache()
+    }
+    spark.stop()
+  }
+}
