@@ -183,6 +183,33 @@ object Curate {
         (col("n_docs").cast("double") / col("n_total")).as("doc_frac"))
   }
 
+  /** Pairwise source-overlap (leakage) matrix: for every ordered source
+    * pair, the count of shared distinct shingles and the containment
+    * fraction `|A ∩ B| / |A|` — the corpus-level view of x36's per-doc
+    * contamination, used to decide which sources can safely sit on
+    * opposite sides of a train/eval split.
+    *
+    * Scale shape: the corpus collapses to DISTINCT (source, shingle) rows
+    * first (the only corpus-sized shuffle); the shingle self-join then
+    * emits at most `sources²` rows per shingle — bounded by the square of
+    * the (small) source count, never by corpus volume.
+    */
+  def sourceOverlap(docs: DataFrame, k: Int): DataFrame = {
+    val ss = graft.ops.Caching.cacheOnce(
+      docs.select(col("source"), explode(TextOps.shingles(col("text"), k)).as("shingle"))
+        .distinct())
+    val sizes = ss.groupBy("source").agg(count(lit(1)).as("n_shingles"))
+    val common = ss.as("a").join(ss.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.source") =!= col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes.withColumnsRenamed(
+        Map("source" -> "source_a", "n_shingles" -> "n_a"))), "source_a")
+      .withColumn("containment", col("n_common").cast("double") / col("n_a"))
+      .select("source_a", "source_b", "n_common", "containment")
+  }
+
   /** Benchmark decontamination scoring: per benchmark document, the
     * fraction of its k-shingles that appear ANYWHERE in the training
     * corpus (the standard n-gram-overlap test-set-contamination check).

@@ -388,6 +388,11 @@ object ExtQueries {
     "x60_bpe_pair_counts" -> ((s, dir) =>
       TextOps.bpePairCounts(Tables.documents(s, dir))),
 
+    // Pairwise source-leakage matrix: shared distinct shingles and
+    // containment per ordered source pair (the corpus-level x36).
+    "x65_source_overlap" -> ((s, dir) =>
+      Curate.sourceOverlap(Tables.documents(s, dir), 3)),
+
     // Table diff between two corpus versions (synthesized deterministic
     // drops/changes/adds): digests-not-data compare, one full-outer join
     // — the validation gate after every incremental publish.
@@ -756,6 +761,16 @@ object ExtQueries {
         "quantile_cont(n_chars, 0.95) AS hi FROM documents) " +
         "SELECT doc_id, lang, source, n_chars FROM documents, th " +
         "WHERE n_chars >= lo AND n_chars <= hi"),
+
+    "x65_source_overlap" ->
+      (s"WITH t AS ($toksCte), sh AS ($shinglesCte), " +
+        "ss AS (SELECT DISTINCT d.source, unnest(sh.shingles) AS shingle " +
+        "FROM sh JOIN documents d USING (doc_id)), " +
+        "sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ss GROUP BY 1), " +
+        "c AS (SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS n_common " +
+        "FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source <> b.source GROUP BY 1, 2) " +
+        "SELECT source_a, source_b, n_common, CAST(n_common AS DOUBLE)/sz.n AS containment " +
+        "FROM c JOIN sz ON c.source_a = sz.source"),
 
     "x63_corpus_diff" ->
       ("WITH v2 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text, " +

@@ -111,6 +111,19 @@ class CurateSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("sourceOverlap: containment of shared shingles per source pair") {
+    val df = Seq(
+      (1L, "a b c d", "s1"),   // shingles: "a b c", "b c d"
+      (2L, "a b c x", "s2"),   // shares "a b c" with s1
+      (3L, "p q r s", "s3")    // disjoint
+    ).toDF("doc_id", "text", "source")
+    val out = Curate.sourceOverlap(df, 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("s1", "s2")) === ((1L, 0.5)))   // 1 shared of s1's 2 shingles
+    assert(out(("s2", "s1")) === ((1L, 0.5)))   // 1 shared of s2's 2 shingles
+    assert(!out.contains(("s1", "s3")))          // disjoint pairs absent
+  }
+
   test("piiProfile counts typed PII matches and flags documents") {
     val df = Seq(
       (1L, "mail me at a.b@c.example.com or x@y.example.org thanks"),
