@@ -63,7 +63,13 @@ object Dedup {
       .withColumn("rnk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)).cast("long"))
       .join(sz, "doc_id")
-      .where(col("rnk") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      // Epsilon-guarded ceil: when n·t is mathematically integral but the
+      // double product rounds UP across the integer (e.g. 100 × 0.07 →
+      // 7.0000000000000009 → ceil 8), the prefix would shrink below the
+      // safe minimum and silently drop true pairs at J exactly = t. The
+      // epsilon only ever LENGTHENS the prefix — more candidates, never a
+      // false negative.
+      .where(col("rnk") <= col("n_sh") - ceil(col("n_sh") * threshold - lit(1e-9)) + 1)
       .select(col("doc_id"), col("shingle")))
     val cand = pref.as("a").join(pref.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

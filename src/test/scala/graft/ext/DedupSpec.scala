@@ -47,6 +47,25 @@ class DedupSpec extends SparkTestBase {
     assert(prunedC === naiveC)
   }
 
+  test("prefixFilterPairs keeps boundary pairs at J exactly = t (minimal prefix)") {
+    // A = {u1, s1..s4}, B = {s1..s4}: J = 4/(5+4-4) = 0.8 exactly — the
+    // pair whose survival depends on the prefix being its full safe length
+    // (A's prefix must reach past its unique rarest shingle u1 to s1).
+    // Guards the epsilon-ceil: a threshold whose double product rounds up
+    // across an integer (100 × 0.07 → ceil 8) would shorten the prefix and
+    // drop exactly this shape of pair.
+    val df = Seq(
+      (1L, "u1 s1 s2 s3 s4"),
+      (2L, "s1 s2 s3 s4")
+    ).toDF("doc_id", "text")
+    val naive = Dedup.jaccardPairs(df, 1, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = Dedup.prefixFilterPairs(df, 1, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive === Set((1L, 2L)))
+    assert(pruned === naive)
+  }
+
   test("minhashLsh candidates are verified-exact and catch exact dups surely") {
     val exact = Dedup.jaccardPairs(docs, 3, 0.8)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
