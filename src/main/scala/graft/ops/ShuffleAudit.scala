@@ -17,7 +17,8 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
   */
 object ShuffleAudit {
 
-  final case class Measured(rows: Long, shuffleBytesWritten: Long, shuffleRecordsWritten: Long)
+  final case class Measured(rows: Long, shuffleBytesWritten: Long,
+      shuffleRecordsWritten: Long, numExchanges: Int = 0)
 
   private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
     val nested = p match {
@@ -44,6 +45,8 @@ object ShuffleAudit {
     }
     val bytes = exchanges.flatMap(_.metrics.get("shuffleBytesWritten").map(_.value)).sum
     val recs = exchanges.flatMap(_.metrics.get("shuffleRecordsWritten").map(_.value)).sum
-    Measured(rows, bytes, recs)
+    // distinct by node identity: AQE reuses stages, and a reused exchange
+    // must count once (it shuffles once)
+    Measured(rows, bytes, recs, exchanges.distinct.size)
   }
 }

@@ -56,6 +56,32 @@ class ShuffleAuditSpec extends SparkTestBase {
       s"LSH shuffled ${m.shuffleBytesWritten} B for $nDocs docs")
   }
 
+  test("exchange-count budgets: headliners keep their audited shuffle counts") {
+    // Exact post-AQE exchange counts on the fixed sf0.001 fixture (the
+    // final count() fold contributes one). Byte bounds catch volume
+    // regressions; THIS catches an accidental extra exchange (a lost
+    // co-partitioning, a conform pushed below the merge) even when it
+    // moves few bytes at test scale.
+    val budgets = Map(
+      "q07_j1_threeway_fullouter" -> 5, // 3 agg branches on one raw-key layout + merge + count
+      "q15_e1_backfill_assemble" -> 5,
+      "x03_dedup_minhash_lsh" -> 2,     // band-bucket join + count (signatures are narrow maps)
+      "q42_j7_star_join" -> 2,          // one fact shuffle (dims broadcast) + count
+      "x54_curate_quality_bins" -> 3,   // range repartition + bin groupBy + count
+      "q52_ev1_funnel" -> 2,            // steps collapse to broadcast joins at this size + count
+      "q13_a2_groupby_agg" -> 2,
+      "x01_dedup_exact" -> 2,           // digest groupBy + count
+      "x48_bm25_topk" -> 2,
+      "q53_ev2_retention" -> 3)
+    val got = budgets.keys.toSeq.sorted.map { name =>
+      name -> graft.ops.ShuffleAudit.measureCount(
+        graft.SparkEntry.queries(name)(spark, sfDir)).numExchanges
+    }.toMap
+    val over = got.filter { case (n, c) => c != budgets(n) }
+    assert(over.isEmpty,
+      s"exchange counts drifted from audited budgets: $over (budgets: ${over.keys.map(budgets)})")
+  }
+
   test("backfill assembly shuffles at most a low multiple of the fact volume") {
     val assembled = graft.pipeline.MarketPipeline.assemblePrices(
       new graft.pipeline.TpchMarketSource(spark, sfDir))
