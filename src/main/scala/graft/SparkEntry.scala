@@ -234,6 +234,11 @@ object SparkEntry {
     "q53_ev2_retention" -> ((s, dir) =>
       graft.ops.Funnel.retentionCohorts(Tables.events(s, dir))),
 
+    // EV3 — hourly event-rate anomaly z-scores from exact integer moments
+    // (fixed expression order keeps the doubles engine-identical).
+    "q54_ev3_rate_anomaly" -> ((s, dir) =>
+      graft.ops.Funnel.rateAnomaly(Tables.events(s, dir))),
+
     // A+ — hierarchical subtotals (ROLLUP): per (flag,status), per flag, grand.
     "q25_a3_rollup" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -696,6 +701,17 @@ object SparkEntry {
         "CAST(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END " +
         "+ CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN t4 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth " +
         "FROM s4"),
+    "q54_ev3_rate_anomaly" ->
+      ("WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour, " +
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
+        "s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_w, " +
+        "CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n*n) AS BIGINT) AS s2 FROM c GROUP BY 1), " +
+        "m AS (SELECT event_type, CAST(s1 AS DOUBLE)/n_w AS mean, " +
+        "sqrt(CAST(s2 AS DOUBLE)/n_w - (CAST(s1 AS DOUBLE)/n_w)*(CAST(s1 AS DOUBLE)/n_w)) AS std FROM s) " +
+        "SELECT c.event_type, hour, n, mean, " +
+        "CASE WHEN std = 0 THEN 0.0 ELSE (n - mean)/std END AS z, " +
+        "(abs(CASE WHEN std = 0 THEN 0.0 ELSE (n - mean)/std END) > 2.0) AS is_anomaly " +
+        "FROM c JOIN m USING (event_type)"),
     "q53_ev2_retention" ->
       ("WITH c AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_date FROM events GROUP BY user_id) " +
         "SELECT CAST(cohort_date AS TIMESTAMP) AS cohort_date, " +

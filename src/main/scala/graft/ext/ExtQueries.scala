@@ -393,6 +393,11 @@ object ExtQueries {
     "x65_source_overlap" -> ((s, dir) =>
       Curate.sourceOverlap(Tables.documents(s, dir), 3)),
 
+    // Collocation lift (rational PMI — same ranking, exact doubles):
+    // adjacent-pair counts vs unigram counts, word-count shapes only.
+    "x66_token_lift" -> ((s, dir) =>
+      TextOps.tokenLift(Tables.documents(s, dir), 5L)),
+
     // Table diff between two corpus versions (synthesized deterministic
     // drops/changes/adds): digests-not-data compare, one full-outer join
     // — the validation gate after every incremental publish.
@@ -761,6 +766,19 @@ object ExtQueries {
         "quantile_cont(n_chars, 0.95) AS hi FROM documents) " +
         "SELECT doc_id, lang, source, n_chars FROM documents, th " +
         "WHERE n_chars >= lo AND n_chars <= hi"),
+
+    "x66_token_lift" ->
+      (s"WITH t AS ($toksCte), " +
+        "ex AS (SELECT unnest(toks) AS tok FROM t), " +
+        "uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY 1), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM ex), " +
+        "pr AS (SELECT unnest(list_transform(generate_series(1, len(toks)-1), " +
+        "i -> struct_pack(tok_a := toks[i], tok_b := toks[i+1]))) AS p FROM t WHERE len(toks) >= 2), " +
+        "pairs AS (SELECT p.tok_a AS tok_a, p.tok_b AS tok_b, CAST(count(*) AS BIGINT) AS n_ab " +
+        "FROM pr GROUP BY 1, 2 HAVING count(*) >= 5) " +
+        "SELECT tok_a, tok_b, n_ab, " +
+        "CAST(n_ab * n_total AS DOUBLE) / CAST(a.n * b.n AS DOUBLE) AS lift " +
+        "FROM pairs JOIN uni a ON tok_a = a.tok JOIN uni b ON tok_b = b.tok, tot"),
 
     "x65_source_overlap" ->
       (s"WITH t AS ($toksCte), sh AS ($shinglesCte), " +

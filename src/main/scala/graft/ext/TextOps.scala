@@ -162,6 +162,41 @@ object TextOps {
       .where(col("n") >= minCount)
   }
 
+  /** Collocation mining: lift scores for adjacent token pairs —
+    * `lift(a,b) = P(ab) / (P(a)·P(b)) = n_ab·N_tok / (n_a·n_b)` — PMI's
+    * rational form (no log, so the doubles are bit-identical cross-engine;
+    * the RANKING is the same as PMI's for fixed N). High-lift pairs are
+    * the multi-word expressions a tokenizer or phrase-mining pass wants.
+    *
+    * Shapes: token counts and adjacent-pair counts are two partial-agg
+    * groupBys (word-count shape); the final join attaches unigram counts
+    * to pairs. All counts are exact longs; the one double division happens
+    * last.
+    */
+  def tokenLift(docs: DataFrame, minPairCount: Long = 5L,
+      text: Column = col("text")): DataFrame = {
+    val toks = tokens(text)
+    val exploded = graft.ops.Caching.cacheOnce(
+      docs.select(explode(toks).as("tok")))
+    val uni = exploded.groupBy("tok").agg(count(lit(1)).as("n"))
+    val totals = exploded.agg(count(lit(1)).as("n_total"))
+    val pairs = docs.select(explode(
+        when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - lit(1)),
+            i => struct(element_at(toks, i).as("tok_a"), element_at(toks, i + 1).as("tok_b"))))
+          .otherwise(array())).as("p"))
+      .select(col("p.tok_a"), col("p.tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minPairCount)
+    pairs
+      .join(uni.withColumnsRenamed(Map("tok" -> "tok_a", "n" -> "n_a")), "tok_a")
+      .join(uni.withColumnsRenamed(Map("tok" -> "tok_b", "n" -> "n_b")), "tok_b")
+      .crossJoin(broadcast(totals))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        ((col("n_ab") * col("n_total")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
+
   /** Canonical text normalization for dedup/tokenization robustness:
     * lowercase, strip everything but `[a-z0-9 ]`, collapse whitespace runs,
     * trim. Pure per-row expressions — runs at scan speed.

@@ -46,6 +46,31 @@ object Funnel {
     full.withColumn("depth", depth)
   }
 
+  /** Event-rate anomaly scores: per (event_type, hour) count z-scored
+    * against that type's own hourly history — the monitoring query a
+    * pipeline runs over its event log. Mean/stddev come from exact integer
+    * sums (`Σc`, `Σc²`) folded in a FIXED expression order, so the doubles
+    * (and the DuckDB oracle) are bit-identical; constant-rate types get
+    * z = 0 rather than a 0/0.
+    *
+    * Two partial-agg groupBys (hourly counts, then per-type moments) and
+    * one broadcast join of the tiny per-type stats — scan-bound at scale.
+    */
+  def rateAnomaly(events: DataFrame, tsCol: String = "ts",
+      typeCol: String = "event_type", zThreshold: Double = 2.0): DataFrame = {
+    val counts = events
+      .groupBy(col(typeCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val stats = counts.groupBy(typeCol)
+      .agg(count(lit(1)).as("n_w"), sum("n").as("s1"), sum(col("n") * col("n")).as("s2"))
+    val mean = col("s1").cast("double") / col("n_w")
+    val std = sqrt(col("s2").cast("double") / col("n_w") - mean * mean)
+    val z = when(std === 0.0, lit(0.0)).otherwise((col("n") - mean) / std)
+    counts.join(broadcast(stats), Seq(typeCol))
+      .select(col(typeCol), col("hour"), col("n"), mean.as("mean"), z.as("z"),
+        (abs(z) > lit(zThreshold)).as("is_anomaly"))
+  }
+
   /** Classic retention triangle: users bucketed by the DATE of their first
     * event (the cohort), activity counted as distinct users per
     * `(cohort_date, day_offset)`. Two user-keyed aggregations and one

@@ -68,6 +68,25 @@ class TextOpsSpec extends SparkTestBase {
     assert(out(3L).getAs[Long]("n_2grams") === 1L)
   }
 
+  test("tokenLift: collocated pairs score above independent ones") {
+    // "big data" always adjacent (lift high); "big" and "x" never adjacent
+    val df = Seq(
+      (1L, "big data big data big data"),
+      (2L, "big data x y big data"),
+      (3L, "x y x y x y")
+    ).toDF("doc_id", "text")
+    val out = TextOps.tokenLift(df, minPairCount = 2L).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val total = 6L + 6L + 6L // 18 tokens
+    // "big data": 5 occurrences, n_big = 5, n_data = 5 -> lift 3.6
+    assert(out(("big", "data"))._1 === 5L)
+    assert(out(("big", "data"))._2 === 5.0 * total / (5.0 * 5.0))
+    // the forward collocation dominates its reverse (5 vs 2 occurrences)
+    assert(out(("big", "data"))._2 > out(("data", "big"))._2 * 2)
+    assert(out(("x", "y"))._2 === 4.0 * total / (4.0 * 4.0))
+    assert(!out.contains(("big", "x"))) // below min count
+  }
+
   test("collapseRepeats removes runs, keeps non-adjacent duplicates, counts drops") {
     val df = Seq((1L, "go go go stop stop now go"), (2L, "all distinct here"))
       .toDF("doc_id", "text")

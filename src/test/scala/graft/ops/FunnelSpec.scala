@@ -40,6 +40,25 @@ class FunnelSpec extends SparkTestBase {
     assert(out(5L).getAs[Long]("depth") === 1L)
   }
 
+  test("rateAnomaly: spike hours flagged, constant rates get z = 0") {
+    // type "a": 1 event/hour for 9 hours, then a 10-event spike
+    // type "b": constant 2/hour (std = 0 -> z = 0, never anomalous)
+    val rows =
+      (0 until 9).map(h => ("a", Timestamp.valueOf(f"2024-01-01 $h%02d:15:00"))) ++
+      (0 until 10).map(i => ("a", Timestamp.valueOf(f"2024-01-01 09:${i * 5}%02d:00"))) ++
+      (0 until 4).flatMap(h => Seq.fill(2)(("b", Timestamp.valueOf(f"2024-01-01 $h%02d:30:00"))))
+    val ev = rows.toDF("event_type", "ts")
+    val out = Funnel.rateAnomaly(ev).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString) -> r).toMap
+    val spike = out(("a", "2024-01-01 09:00:00.0"))
+    assert(spike.getAs[Long]("n") === 10L)
+    assert(spike.getAs[Boolean]("is_anomaly"), s"z=${spike.getAs[Double]("z")}")
+    assert(!out(("a", "2024-01-01 00:00:00.0")).getAs[Boolean]("is_anomaly"))
+    out.filter(_._1._1 == "b").values.foreach { r =>
+      assert(r.getAs[Double]("z") === 0.0 && !r.getAs[Boolean]("is_anomaly"))
+    }
+  }
+
   test("retentionCohorts: offsets measured from each user's first event date") {
     val ev = Seq(
       (1L, Timestamp.valueOf("2024-01-01 09:00:00")),
