@@ -62,6 +62,22 @@ object Embeddings {
     * engine- and partitioning-dependent, so exactness is pinned by spec
     * (tolerance vs a single-threaded reference) instead of the oracle.
     */
+  /** Engine-EXACT per-group element-wise mean: values per `(grp, pos)` are
+    * collected, SORTED, and folded left-to-right, making the double sum a
+    * pure function of the value multiset — bit-identical in any engine
+    * whose list fold is sequential (DuckDB's `list_aggregate('sum')` is;
+    * probed in the oracle suite). This buys a hash-matched oracle at the
+    * price of materializing each group's values ([[groupCentroid]] stays
+    * the partial-agg scale form whose sum order is partitioning-dependent).
+    */
+  def groupCentroidExact(emb: DataFrame, grp: Column): DataFrame =
+    emb.select(grp.as("grp"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy("grp", "pos")
+      .agg(sort_array(collect_list(col("v"))).as("vs"), count(lit(1)).as("n"))
+      .select(col("grp"), col("pos").cast("long").as("pos"),
+        (aggregate(col("vs"), lit(0.0), (a, x) => a + x) / col("n")).as("mean"))
+
   def groupCentroid(emb: DataFrame, grp: Column): DataFrame =
     emb.select(grp.as("grp"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("grp", "pos")

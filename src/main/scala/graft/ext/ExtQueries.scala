@@ -445,6 +445,12 @@ object ExtQueries {
     "x31_emb_group_centroid" -> ((s, dir) =>
       Embeddings.groupCentroid(Tables.embeddings(s, dir), col("vec_id") % 10)),
 
+    // The hash-matched centroid twin: sorted-fold summation makes the
+    // double mean a pure function of the value multiset (x31 stays the
+    // partial-agg scale form).
+    "x67_emb_centroid_exact" -> ((s, dir) =>
+      Embeddings.groupCentroidExact(Tables.embeddings(s, dir), col("vec_id") % 10)),
+
     // Range join via bucket decomposition (graft.ops.RangeJoin): lineitems
     // shipped within each sampled order's first week. The bucket equi-join
     // replaces the BroadcastNestedLoopJoin Spark would plan for the raw
@@ -766,6 +772,13 @@ object ExtQueries {
         "quantile_cont(n_chars, 0.95) AS hi FROM documents) " +
         "SELECT doc_id, lang, source, n_chars FROM documents, th " +
         "WHERE n_chars >= lo AND n_chars <= hi"),
+
+    "x67_emb_centroid_exact" ->
+      ("WITH e AS (SELECT vec_id % 10 AS grp, " +
+        "unnest(CAST(embedding AS DOUBLE[])) AS v, " +
+        "CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings) " +
+        "SELECT grp, pos, list_aggregate(list_sort(list(v)), 'sum')/count(*) AS mean " +
+        "FROM e GROUP BY grp, pos"),
 
     "x66_token_lift" ->
       (s"WITH t AS ($toksCte), " +

@@ -29,6 +29,23 @@ class EmbeddingsSpec extends SparkTestBase {
       s"pos $p: ${got(p)} vs ${ref(p)}"))
   }
 
+  test("groupCentroidExact is bit-identical across partitionings (sorted fold)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Embeddings.groupCentroidExact(df, col("vec_id") % 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val a = run(emb)
+    val b = run(emb.repartition(13))
+    // EXACT equality — the whole point of the sorted fold; the partial-agg
+    // groupCentroid would differ in final ulps across these partitionings
+    assert(a === b)
+    // and it agrees with the scale form within FP-reassociation tolerance
+    val approx = Embeddings.groupCentroid(emb, col("vec_id") % 10)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    a.foreach { case ((g, p), m) =>
+      assert(math.abs(m - approx(g)(p.toInt)) < 1e-9) }
+  }
+
   test("randomProjection: dots against the fixed planes, exactly") {
     val emb = Tables.embeddings(spark, sfDir).limit(20)
     val rows = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
