@@ -177,6 +177,34 @@ object SparkEntry {
           Window.partitionBy("l_suppkey")
             .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))))),
 
+    // W — rolling volatility (20-row window): the quant metric consumers
+    // compute over the assembled table. The frame is materialized as a
+    // LIST and folded left-to-right for Σx and Σx² — windowed sum(double)
+    // itself is NOT engine-portable (Spark re-folds each frame
+    // sequentially, DuckDB uses segment trees: different association,
+    // ulp-different sums), but both engines build the frame list in ORDER
+    // BY order and both list folds are sequential. One fixed expression
+    // finishes mean and sample variance.
+    "q55_w5_rolling_vol" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(-19, Window.currentRow)
+      val nW = col("n_w")
+      val s1 = col("_s1")
+      val s2 = col("_s2")
+      Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice").cast("double").as("price"))
+        .withColumn("_frame", collect_list(col("price")).over(w))
+        .withColumn("n_w", size(col("_frame")).cast("long"))
+        .withColumn("_s1", aggregate(col("_frame"), lit(0.0), (a, v) => a + v))
+        .withColumn("_s2", aggregate(col("_frame"), lit(0.0), (a, v) => a + v * v))
+        .withColumn("roll_mean", s1 / nW)
+        .withColumn("roll_var",
+          when(nW > 1, (s2 - s1 * s1 / nW) / (nW - 1)).otherwise(lit(0.0)))
+        .drop("_frame", "_s1", "_s2")
+    }),
+
     // W — ranked top-N per group.
     "q19_w2_rank_topn" -> ((s, dir) =>
       Tables.customer(s, dir)
@@ -783,6 +811,19 @@ object SparkEntry {
         | lag(l_extendedprice, 1) OVER (PARTITION BY l_suppkey
         |   ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_price
         |FROM lineitem""".stripMargin,
+    "q55_w5_rolling_vol" ->
+      ("WITH b AS (SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, " +
+        "CAST(l_extendedprice AS DOUBLE) AS price FROM lineitem), " +
+        "w AS (SELECT *, list(price) OVER win AS frame " +
+        "FROM b WINDOW win AS (PARTITION BY l_suppkey " +
+        "ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)), " +
+        "m AS (SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, price, " +
+        "CAST(len(frame) AS BIGINT) AS n_w, " +
+        "list_aggregate(frame, 'sum') AS s1, " +
+        "list_aggregate(list_transform(frame, v -> v*v), 'sum') AS s2 FROM w) " +
+        "SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, price, n_w, " +
+        "s1/n_w AS roll_mean, " +
+        "CASE WHEN n_w > 1 THEN (s2 - s1*s1/n_w)/(n_w - 1) ELSE 0.0 END AS roll_var FROM m"),
     "q19_w2_rank_topn" ->
       """SELECT * FROM (
         |  SELECT c_mktsegment, c_custkey, c_acctbal,
