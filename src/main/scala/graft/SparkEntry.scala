@@ -205,6 +205,36 @@ object SparkEntry {
         .drop("_frame", "_s1", "_s2")
     }),
 
+    // W — rolling price↔quantity correlation, same frame-list fold as q55
+    // (all five moments from two sequential folds + one fixed expression).
+    "q56_w6_rolling_corr" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(-19, Window.currentRow)
+      Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"),
+          col("l_extendedprice").cast("double").as("x"),
+          col("l_quantity").cast("double").as("y"))
+        .withColumn("_f", collect_list(struct(col("x"), col("y"))).over(w))
+        .withColumn("n_w", size(col("_f")).cast("long"))
+        .withColumn("_sx", aggregate(col("_f"), lit(0.0), (a, p) => a + p.getField("x")))
+        .withColumn("_sy", aggregate(col("_f"), lit(0.0), (a, p) => a + p.getField("y")))
+        .withColumn("_sxx", aggregate(col("_f"), lit(0.0),
+          (a, p) => a + p.getField("x") * p.getField("x")))
+        .withColumn("_syy", aggregate(col("_f"), lit(0.0),
+          (a, p) => a + p.getField("y") * p.getField("y")))
+        .withColumn("_sxy", aggregate(col("_f"), lit(0.0),
+          (a, p) => a + p.getField("x") * p.getField("y")))
+        .withColumn("roll_corr", {
+          val num = col("n_w") * col("_sxy") - col("_sx") * col("_sy")
+          val den = sqrt(col("n_w") * col("_sxx") - col("_sx") * col("_sx")) *
+            sqrt(col("n_w") * col("_syy") - col("_sy") * col("_sy"))
+          when(col("n_w") > 1 && den =!= 0.0, num / den).otherwise(lit(0.0))
+        })
+        .drop("_f", "_sx", "_sy", "_sxx", "_syy", "_sxy")
+    }),
+
     // W — ranked top-N per group.
     "q19_w2_rank_topn" -> ((s, dir) =>
       Tables.customer(s, dir)
@@ -811,6 +841,24 @@ object SparkEntry {
         | lag(l_extendedprice, 1) OVER (PARTITION BY l_suppkey
         |   ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_price
         |FROM lineitem""".stripMargin,
+    "q56_w6_rolling_corr" ->
+      ("WITH b AS (SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, " +
+        "CAST(l_extendedprice AS DOUBLE) AS x, CAST(l_quantity AS DOUBLE) AS y FROM lineitem), " +
+        "w AS (SELECT *, list(struct_pack(x := x, y := y)) OVER win AS f " +
+        "FROM b WINDOW win AS (PARTITION BY l_suppkey " +
+        "ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)), " +
+        "m AS (SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, x, y, " +
+        "CAST(len(f) AS BIGINT) AS n_w, " +
+        "list_aggregate(list_transform(f, p -> p.x), 'sum') AS sx, " +
+        "list_aggregate(list_transform(f, p -> p.y), 'sum') AS sy, " +
+        "list_aggregate(list_transform(f, p -> p.x*p.x), 'sum') AS sxx, " +
+        "list_aggregate(list_transform(f, p -> p.y*p.y), 'sum') AS syy, " +
+        "list_aggregate(list_transform(f, p -> p.x*p.y), 'sum') AS sxy FROM w) " +
+        "SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, x, y, n_w, " +
+        "CASE WHEN n_w > 1 AND " +
+        "sqrt(n_w*sxx - sx*sx)*sqrt(n_w*syy - sy*sy) <> 0 " +
+        "THEN (n_w*sxy - sx*sy)/(sqrt(n_w*sxx - sx*sx)*sqrt(n_w*syy - sy*sy)) " +
+        "ELSE 0.0 END AS roll_corr FROM m"),
     "q55_w5_rolling_vol" ->
       ("WITH b AS (SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, " +
         "CAST(l_extendedprice AS DOUBLE) AS price FROM lineitem), " +

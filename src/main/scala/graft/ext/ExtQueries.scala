@@ -398,6 +398,11 @@ object ExtQueries {
     "x66_token_lift" -> ((s, dir) =>
       TextOps.tokenLift(Tables.documents(s, dir), 5L)),
 
+    // Hashing-trick doc vectors: signed md5-bucket counts, dim 8 —
+    // vocabulary-free featurization at scan speed, integer-exact.
+    "x68_text_hash_embedding" -> ((s, dir) =>
+      TextOps.hashEmbedding(Tables.documents(s, dir).select("doc_id", "text"))),
+
     // Table diff between two corpus versions (synthesized deterministic
     // drops/changes/adds): digests-not-data compare, one full-outer join
     // — the validation gate after every incremental publish.
@@ -772,6 +777,15 @@ object ExtQueries {
         "quantile_cont(n_chars, 0.95) AS hi FROM documents) " +
         "SELECT doc_id, lang, source, n_chars FROM documents, th " +
         "WHERE n_chars >= lo AND n_chars <= hi"),
+
+    "x68_text_hash_embedding" ->
+      (s"WITH t AS ($toksCte) SELECT doc_id, " +
+        (0 until 8).map { j =>
+          s"CAST(len(list_filter(toks, tk -> CAST(('0x' || substr(md5(tk), 1, 4)) AS INT) % 8 = $j " +
+            s"AND CAST(('0x' || substr(md5(tk), 5, 1)) AS INT) % 2 = 0)) " +
+            s"- len(list_filter(toks, tk -> CAST(('0x' || substr(md5(tk), 1, 4)) AS INT) % 8 = $j " +
+            s"AND CAST(('0x' || substr(md5(tk), 5, 1)) AS INT) % 2 = 1)) AS BIGINT) AS h$j"
+        }.mkString(", ") + " FROM t"),
 
     "x67_emb_centroid_exact" ->
       ("WITH e AS (SELECT vec_id % 10 AS grp, " +

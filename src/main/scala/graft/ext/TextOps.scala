@@ -162,6 +162,27 @@ object TextOps {
       .where(col("n") >= minCount)
   }
 
+  /** Feature-hashing ("hashing trick") text vectorizer: every token lands
+    * in one of `dim` buckets by md5, carrying a ±1 sign from an
+    * independent md5 nibble; the document vector is the signed count per
+    * bucket. Vocabulary-free featurization — the fixed-width doc vector a
+    * linear classifier or nearest-neighbor prefilter consumes without ever
+    * building a token dictionary. Integer arithmetic only → engine-exact;
+    * per-row HOFs → scan speed, zero shuffle.
+    */
+  def hashEmbedding(df: DataFrame, dim: Int = 8, text: Column = col("text")): DataFrame = {
+    val toks = tokens(text)
+    def bucket(t: Column): Column = tokHash16(t) % dim
+    def positive(t: Column): Column =
+      conv(substring(md5(t), 5, 1), 16, 10).cast("int") % 2 === 0
+    val cols = (0 until dim).map { j =>
+      (size(filter(toks, t => bucket(t) === j && positive(t))) -
+        size(filter(toks, t => bucket(t) === j && !positive(t))))
+        .cast("long").as(s"h$j")
+    }
+    df.select(col("doc_id") +: cols: _*)
+  }
+
   /** Collocation mining: lift scores for adjacent token pairs —
     * `lift(a,b) = P(ab) / (P(a)·P(b)) = n_ab·N_tok / (n_a·n_b)` — PMI's
     * rational form (no log, so the doubles are bit-identical cross-engine;

@@ -68,6 +68,24 @@ class TextOpsSpec extends SparkTestBase {
     assert(out(3L).getAs[Long]("n_2grams") === 1L)
   }
 
+  test("hashEmbedding: signed bucket counts, linear in the token multiset") {
+    val df = Seq((1L, "alpha beta alpha"), (2L, "alpha beta alpha"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val out = TextOps.hashEmbedding(df).collect().map(r =>
+      r.getLong(0) -> (0 until 8).map(j => r.getAs[Long](s"h$j"))).toMap
+    // identical docs vectorize identically; total mass bounded by token count
+    assert(out(1L) === out(2L))
+    assert(out(1L).map(math.abs).sum <= 3)
+    assert(out(3L).map(math.abs).sum === 1) // one token -> exactly one ±1
+    // doubling a token doubles its bucket's contribution (linearity)
+    val single = TextOps.hashEmbedding(Seq((9L, "alpha")).toDF("doc_id", "text"))
+      .head()
+    val triple = TextOps.hashEmbedding(Seq((9L, "alpha alpha alpha")).toDF("doc_id", "text"))
+      .head()
+    (0 until 8).foreach(j =>
+      assert(triple.getAs[Long](s"h$j") === 3 * single.getAs[Long](s"h$j")))
+  }
+
   test("tokenLift: collocated pairs score above independent ones") {
     // "big data" always adjacent (lift high); "big" and "x" never adjacent
     val df = Seq(
