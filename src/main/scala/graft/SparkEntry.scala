@@ -297,6 +297,12 @@ object SparkEntry {
     "q54_ev3_rate_anomaly" -> ((s, dir) =>
       graft.ops.Funnel.rateAnomaly(Tables.events(s, dir))),
 
+    // EV4 — daily new users + cumulative unique-user curve; the running
+    // sum's window input is DAYS (post-aggregation), documented exemption
+    // to the global-window audit.
+    "q57_ev4_cumulative_users" -> ((s, dir) =>
+      graft.ops.Funnel.cumulativeUsers(Tables.events(s, dir))),
+
     // A+ — hierarchical subtotals (ROLLUP): per (flag,status), per flag, grand.
     "q25_a3_rollup" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -759,6 +765,12 @@ object SparkEntry {
         "CAST(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END " +
         "+ CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN t4 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth " +
         "FROM s4"),
+    "q57_ev4_cumulative_users" ->
+      ("WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS d FROM events GROUP BY user_id), " +
+        "daily AS (SELECT d, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY d) " +
+        "SELECT CAST(d AS TIMESTAMP) AS day, new_users, " +
+        "CAST(sum(new_users) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users " +
+        "FROM daily"),
     "q54_ev3_rate_anomaly" ->
       ("WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour, " +
         "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +

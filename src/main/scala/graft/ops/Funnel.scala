@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-sequence analytics over an append-only event log: ordered funnels
@@ -44,6 +45,25 @@ object Funnel {
       .map(j => when(col(s"t$j").isNotNull, 1L).otherwise(0L))
       .reduce(_ + _)
     full.withColumn("depth", depth)
+  }
+
+  /** Daily new users and the cumulative unique-user curve. Running
+    * COUNT(DISTINCT) is a scale trap done literally (global state per
+    * row); the scale-right form: each user's FIRST event date (one
+    * user-keyed agg), daily new-user counts (one partial agg), then the
+    * running sum over the DAY rows — a window over calendar-sized data
+    * (thousands of rows), not events.
+    */
+  def cumulativeUsers(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val firstSeen = events.groupBy(col(userCol))
+      .agg(to_date(min(col(tsCol))).as("_d"))
+    val daily = firstSeen.groupBy("_d").agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy("_d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_users", sum("new_users").over(w))
+      .select(col("_d").cast("timestamp").as("day"), col("new_users"), col("cum_users"))
   }
 
   /** Event-rate anomaly scores: per (event_type, hour) count z-scored
