@@ -303,6 +303,27 @@ object SparkEntry {
     "q57_ev4_cumulative_users" -> ((s, dir) =>
       graft.ops.Funnel.cumulativeUsers(Tables.events(s, dir))),
 
+    // EV5 — funnel conversion summary: users per completed depth with the
+    // step-over-step conversion fraction (exact integer counts + one
+    // double division per row).
+    "q58_ev5_funnel_conversion" -> ((s, dir) => {
+      val f = graft.ops.Funnel.funnel(Tables.events(s, dir),
+        Seq("signup", "view", "click", "purchase"))
+      val byDepth = f.groupBy("depth").agg(count(lit(1)).as("n_users"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("depth").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // users who reached AT LEAST depth d = running sum from deepest down
+      // (a window over <= 4 depth rows — calendar-class input)
+      byDepth.withColumn("n_reached", sum("n_users").over(w))
+        .withColumn("prev_reached",
+          lag(col("n_reached"), -1).over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("depth").desc)))
+        .select(col("depth"), col("n_users"), col("n_reached"),
+          when(col("prev_reached").isNotNull,
+            col("n_reached").cast("double") / col("prev_reached"))
+            .otherwise(lit(1.0)).as("conversion"))
+    }),
+
     // A+ — hierarchical subtotals (ROLLUP): per (flag,status), per flag, grand.
     "q25_a3_rollup" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -752,19 +773,33 @@ object SparkEntry {
       "u.name, u.area, u.industry, u.market, u.exchange, u.list_date " +
       "FROM m JOIN u ON m.code = u.code WHERE m.close IS NOT NULL"
 
+  /** Shared funnel CTE chain (q52's oracle body, reused by q58's rollup). */
+  private val funnelCtes =
+    "s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id), " +
+      "s2 AS (SELECT s1.user_id, t1, min(CASE WHEN e.ts > t1 THEN e.ts END) AS t2 " +
+      "FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id AND e.event_type = 'view' GROUP BY s1.user_id, t1), " +
+      "s3 AS (SELECT s2.user_id, t1, t2, min(CASE WHEN e.ts > t2 THEN e.ts END) AS t3 " +
+      "FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id AND e.event_type = 'click' GROUP BY s2.user_id, t1, t2), " +
+      "s4 AS (SELECT s3.user_id, t1, t2, t3, min(CASE WHEN e.ts > t3 THEN e.ts END) AS t4 " +
+      "FROM s3 LEFT JOIN events e ON e.user_id = s3.user_id AND e.event_type = 'purchase' GROUP BY s3.user_id, t1, t2, t3), " +
+      "fd AS (SELECT user_id, t1, t2, t3, t4, " +
+      "CAST(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END " +
+      "+ CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN t4 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth " +
+      "FROM s4)"
+
   def oracleSql: Map[String, String] = Map(
     "q52_ev1_funnel" ->
-      ("WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id), " +
-        "s2 AS (SELECT s1.user_id, t1, min(CASE WHEN e.ts > t1 THEN e.ts END) AS t2 " +
-        "FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id AND e.event_type = 'view' GROUP BY s1.user_id, t1), " +
-        "s3 AS (SELECT s2.user_id, t1, t2, min(CASE WHEN e.ts > t2 THEN e.ts END) AS t3 " +
-        "FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id AND e.event_type = 'click' GROUP BY s2.user_id, t1, t2), " +
-        "s4 AS (SELECT s3.user_id, t1, t2, t3, min(CASE WHEN e.ts > t3 THEN e.ts END) AS t4 " +
-        "FROM s3 LEFT JOIN events e ON e.user_id = s3.user_id AND e.event_type = 'purchase' GROUP BY s3.user_id, t1, t2, t3) " +
-        "SELECT user_id, t1, t2, t3, t4, " +
-        "CAST(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END " +
-        "+ CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN t4 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth " +
-        "FROM s4"),
+      s"WITH $funnelCtes SELECT user_id, t1, t2, t3, t4, depth FROM fd",
+
+    "q58_ev5_funnel_conversion" ->
+      (s"WITH $funnelCtes, " +
+        "d AS (SELECT depth, CAST(count(*) AS BIGINT) AS n_users FROM fd GROUP BY depth), " +
+        "r AS (SELECT depth, n_users, CAST(sum(n_users) OVER " +
+        "(ORDER BY depth DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_reached FROM d) " +
+        "SELECT depth, n_users, n_reached, " +
+        "CASE WHEN lead(n_reached) OVER (ORDER BY depth DESC) IS NOT NULL " +
+        "THEN CAST(n_reached AS DOUBLE)/lead(n_reached) OVER (ORDER BY depth DESC) " +
+        "ELSE 1.0 END AS conversion FROM r"),
     "q57_ev4_cumulative_users" ->
       ("WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS d FROM events GROUP BY user_id), " +
         "daily AS (SELECT d, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY d) " +

@@ -15,6 +15,20 @@ object ExtQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** 1-row approximation-quality report: |truth|, |approx|, |∩|, recall.
+    * Three single-row aggregates crossJoined (constant folds — documented
+    * PlanAudit exemptions); the heavy work is the semi-join on `keys`.
+    */
+  private def recallReport(truth: DataFrame, approx: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val t = graft.ops.Caching.cacheOnce(truth.select(keys.map(col): _*))
+    val common = t.join(approx, keys, "left_semi")
+    t.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(approx.agg(count(lit(1)).as("n_approx")))
+      .crossJoin(common.agg(count(lit(1)).as("n_common")))
+      .withColumn("recall", col("n_common").cast("double") / col("n_truth"))
+  }
+
   def queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir))),
@@ -403,6 +417,45 @@ object ExtQueries {
     "x68_text_hash_embedding" -> ((s, dir) =>
       TextOps.hashEmbedding(Tables.documents(s, dir).select("doc_id", "text"))),
 
+    // Self-measuring approximation quality: recall of the LSH dedup scale
+    // path against the exact all-pairs truth, computed IN-ENGINE as one
+    // registered query — the number a user quotes when choosing x03 over
+    // x02 at scale.
+    "x69_dedup_lsh_recall" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      recallReport(
+        Dedup.jaccardPairs(docs, 3, 0.8),
+        Dedup.minhashLsh(docs, 3, 0.8),
+        Seq("doc_a", "doc_b"))
+    }),
+
+    // Same report for ANN: hyperplane-LSH top-10 vs brute-force truth.
+    "x70_ann_lsh_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 5)
+      recallReport(
+        Similarity.bruteForceTopK(q, e, 10),
+        Similarity.lshTopK(q, e, 10),
+        Seq("q_id", "vec_id"))
+    }),
+
+    // Multi-table LSH ANN (8 × 4-bit tables): the production form x70's
+    // measurement motivates — OR-of-L recall for an L× index.
+    "x71_ann_lsh_multitable" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshMultiTopK(e.where(col("vec_id") < 5), e, 10)
+    }),
+
+    // And its measured recall, same in-engine report shape as x70.
+    "x72_ann_multitable_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 5)
+      recallReport(
+        Similarity.bruteForceTopK(q, e, 10),
+        Similarity.lshMultiTopK(q, e, 10),
+        Seq("q_id", "vec_id"))
+    }),
+
     // Table diff between two corpus versions (synthesized deterministic
     // drops/changes/adds): digests-not-data compare, one full-outer join
     // — the validation gate after every incremental publish.
@@ -507,6 +560,53 @@ object ExtQueries {
       "GROUP BY 1, 2) " +
       jaccardTail
 
+  /** Full-corpus exact all-pairs shingle-Jaccard SQL (x02; reused by x64's
+    * prefix-filter twin and x69's recall report). */
+  private val jaccardAllPairsSql =
+    s"WITH t AS ($toksCte), sh AS ($shinglesCte), " +
+      "ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh), " +
+      "sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh), " +
+      "c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common " +
+      "FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      jaccardTail
+
+  /** ANN top-10 SQL twins (x06/x07; reused by x70's recall report). */
+  private lazy val annBruteSql =
+    "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
+      "s AS (SELECT q_id, vec_id, " +
+      s"${dotSql("qe", "CAST(embedding AS DOUBLE[])")} AS cos " +
+      "FROM embeddings, q WHERE q_id <> vec_id), " +
+      "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
+      "SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10"
+
+  private lazy val annLshSql =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+      s"be AS (SELECT vec_id, emb, $bucketSql AS bucket FROM e), " +
+      "q AS (SELECT vec_id AS q_id, emb AS qe, bucket FROM be WHERE vec_id < 5), " +
+      "s AS (SELECT q.q_id, be.vec_id, " +
+      s"${dotSql("q.qe", "be.emb")} AS cos " +
+      "FROM be JOIN q USING (bucket) WHERE q.q_id <> be.vec_id), " +
+      "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
+      "SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10"
+
+  /** Table-l multi-LSH bucket expression (x71/x72 oracle lock-step). */
+  private def multiBucketSql(l: Int): String =
+    (0 until Similarity.PlanesPerTable).map { p =>
+      s"(CASE WHEN ${dotSql("emb", Similarity.multiPlaneSql(l, p))} >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private lazy val annMultiSql =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+      s"be AS (SELECT vec_id, emb, unnest(generate_series(0, ${Similarity.LshTables - 1})) AS tbl, " +
+      (0 until Similarity.LshTables).map(multiBucketSql)
+        .mkString("unnest([", ", ", "]) AS bkt FROM e), ") +
+      "q AS (SELECT vec_id AS q_id, emb AS q_emb, tbl, bkt FROM be WHERE vec_id < 5), " +
+      "s AS (SELECT DISTINCT q.q_id, c.vec_id, " +
+      s"${dotSql("q.q_emb", "c.emb")} AS cos " +
+      "FROM be c JOIN q ON c.tbl = q.tbl AND c.bkt = q.bkt AND q.q_id <> c.vec_id), " +
+      "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
+      "SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10"
+
   private val stopList = TextOps.EnStopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
   private def dotSql(a: String, b: String): String =
@@ -522,23 +622,22 @@ object ExtQueries {
       ("SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies " +
         "FROM documents GROUP BY 1"),
 
-    "x02_dedup_ngram_jaccard" ->
-      (s"WITH t AS ($toksCte), sh AS ($shinglesCte), " +
-        "ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh), " +
-        "sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh), " +
-        "c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common " +
-        "FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
-        jaccardTail),
+    "x02_dedup_ngram_jaccard" -> jaccardAllPairsSql,
 
     // prefix filtering is exact (no false negatives), so the naive
     // all-pairs SQL is the oracle for the pruned plan too
-    "x64_dedup_prefix_filter" ->
-      (s"WITH t AS ($toksCte), sh AS ($shinglesCte), " +
-        "ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh), " +
-        "sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh), " +
-        "c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common " +
-        "FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
-        jaccardTail),
+    "x64_dedup_prefix_filter" -> jaccardAllPairsSql,
+
+    // recall report: both pair sets as derived tables, three scalar
+    // subquery counts, one double division
+    "x69_dedup_lsh_recall" ->
+      (s"WITH ep AS (SELECT doc_a, doc_b FROM ($jaccardAllPairsSql)), " +
+        s"lp AS (SELECT doc_a, doc_b FROM ($minhashLshSql)) " +
+        "SELECT CAST((SELECT count(*) FROM ep) AS BIGINT) AS n_truth, " +
+        "CAST((SELECT count(*) FROM lp) AS BIGINT) AS n_approx, " +
+        "CAST((SELECT count(*) FROM ep JOIN lp USING (doc_a, doc_b)) AS BIGINT) AS n_common, " +
+        "CAST((SELECT count(*) FROM ep JOIN lp USING (doc_a, doc_b)) AS DOUBLE) " +
+        "/ (SELECT count(*) FROM ep) AS recall"),
 
     "x03_dedup_minhash_lsh" -> minhashLshSql,
 
@@ -576,23 +675,29 @@ object ExtQueries {
         s"s AS (SELECT vec_a, vec_b, ${dotSql("ea", "eb")} AS cos FROM a JOIN b ON vec_a < vec_b) " +
         "SELECT vec_a, vec_b, cos FROM s WHERE cos >= 0.4"),
 
-    "x06_ann_bruteforce_topk" ->
-      ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
-        "s AS (SELECT q_id, vec_id, " +
-        s"${dotSql("qe", "CAST(embedding AS DOUBLE[])")} AS cos " +
-        "FROM embeddings, q WHERE q_id <> vec_id), " +
-        "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
-        "SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10"),
+    "x06_ann_bruteforce_topk" -> annBruteSql,
 
-    "x07_ann_lsh_topk" ->
-      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-        s"be AS (SELECT vec_id, emb, $bucketSql AS bucket FROM e), " +
-        "q AS (SELECT vec_id AS q_id, emb AS qe, bucket FROM be WHERE vec_id < 5), " +
-        "s AS (SELECT q.q_id, be.vec_id, " +
-        s"${dotSql("q.qe", "be.emb")} AS cos " +
-        "FROM be JOIN q USING (bucket) WHERE q.q_id <> be.vec_id), " +
-        "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
-        "SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10"),
+    "x07_ann_lsh_topk" -> annLshSql,
+
+    "x71_ann_lsh_multitable" -> annMultiSql,
+
+    "x72_ann_multitable_recall" ->
+      (s"WITH tp AS (SELECT q_id, vec_id FROM ($annBruteSql)), " +
+        s"ap AS (SELECT q_id, vec_id FROM ($annMultiSql)) " +
+        "SELECT CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_truth, " +
+        "CAST((SELECT count(*) FROM ap) AS BIGINT) AS n_approx, " +
+        "CAST((SELECT count(*) FROM tp JOIN ap USING (q_id, vec_id)) AS BIGINT) AS n_common, " +
+        "CAST((SELECT count(*) FROM tp JOIN ap USING (q_id, vec_id)) AS DOUBLE) " +
+        "/ (SELECT count(*) FROM tp) AS recall"),
+
+    "x70_ann_lsh_recall" ->
+      (s"WITH tp AS (SELECT q_id, vec_id FROM ($annBruteSql)), " +
+        s"ap AS (SELECT q_id, vec_id FROM ($annLshSql)) " +
+        "SELECT CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_truth, " +
+        "CAST((SELECT count(*) FROM ap) AS BIGINT) AS n_approx, " +
+        "CAST((SELECT count(*) FROM tp JOIN ap USING (q_id, vec_id)) AS BIGINT) AS n_common, " +
+        "CAST((SELECT count(*) FROM tp JOIN ap USING (q_id, vec_id)) AS DOUBLE) " +
+        "/ (SELECT count(*) FROM tp) AS recall"),
 
     "x19_array_funcs" ->
       ("SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, " +

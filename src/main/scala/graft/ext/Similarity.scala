@@ -73,6 +73,63 @@ object Similarity {
       when(cosine(emb, typedLit(hyperplanes(p))) >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  val LshTables = 8
+  val PlanesPerTable = 4
+
+  /** Deterministic ±1 planes for multi-table LSH: table l, plane p, dim d
+    * → sign of one md5 bit (independent family from [[hyperplanes]] via
+    * the "m:" prefix).
+    */
+  lazy val multiPlanes: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    val mdt = MessageDigest.getInstance("MD5")
+    (0 until LshTables).map { l =>
+      (0 until PlanesPerTable).map { p =>
+        (0 until Dim).map { d =>
+          val h = mdt.digest(s"m:$l:$p:$d".getBytes("UTF-8"))
+          if ((h(0) & 1) == 1) 1.0 else -1.0
+        }
+      }
+    }
+  }
+
+  /** Table-l bucket id: 4 sign bits of that table's planes. */
+  def multiBucket(emb: Column, l: Int): Column =
+    (0 until PlanesPerTable).map { p =>
+      when(cosine(emb, typedLit(multiPlanes(l)(p))) >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Plane (l, p) as a DuckDB list literal (oracle lock-step). */
+  def multiPlaneSql(l: Int, p: Int): String =
+    multiPlanes(l)(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+
+  /** MULTI-TABLE hyperplane LSH ANN — the standard production form:
+    * [[lshTopK]]'s single 8-bit table misses any neighbor that differs in
+    * even one sign bit (recall@10 ≈ 0.02 on the unstructured fixture —
+    * measured by x70); L independent coarser tables (8 × 4-bit here) let a
+    * neighbor match in ANY table, trading an L× index for OR-of-L recall
+    * (x71's spec pins the improvement). Corpus and queries explode to
+    * (table, bucket) rows — L rows per vector, the documented index-size
+    * price — candidates dedupe on (q_id, vec_id) BEFORE ranking, and the
+    * per-pair score is the same exact codegen'd dot product.
+    */
+  def lshMultiTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    def expand(df: DataFrame, idAs: String, embAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+          posexplode(array((0 until LshTables).map(l =>
+            multiBucket(col("embedding"), l)): _*)).as(Seq("tbl", "bkt")))
+    val c = expand(corpus, "vec_id", "emb")
+    val q = broadcast(expand(queries, "q_id", "q_emb"))
+    val scored = c.join(q, Seq("tbl", "bkt")).where(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", GraftFunctions.cosineSim(col("q_emb"), col("emb")))
+      .select("q_id", "vec_id", "cos").distinct()
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
+      .where(col("rank") <= k)
+      .select("q_id", "vec_id", "cos", "rank")
+  }
+
   /** Bucketed ANN: exact search restricted to the query's LSH bucket.
     * The bucket equi-join replaces the all-pairs cross join — at 100 TB the
     * corpus is hash-partitioned by bucket once and each query probes one

@@ -26,7 +26,10 @@ class PlanAuditSpec extends SparkTestBase {
     "x57_curate_length_clip" -> "crossJoin against ONE broadcast percentile-threshold row (constant)",
     "x58_ann_ivf_stored" -> "crossJoin against ONE packed broadcast centroid row (constant), same as x13",
     "x59_curate_flatten" -> "crossJoin against ONE broadcast min-bucket-count row (constant)",
-    "x66_token_lift" -> "crossJoin against ONE broadcast total-token-count row (constant)"
+    "x66_token_lift" -> "crossJoin against ONE broadcast total-token-count row (constant)",
+    "x69_dedup_lsh_recall" -> "crossJoin of three single-row count aggregates (constant) + the exact all-pairs VERIFIER it measures",
+    "x70_ann_lsh_recall" -> "crossJoin of three single-row count aggregates (constant) + the brute-force BASELINE it measures",
+    "x72_ann_multitable_recall" -> "crossJoin of three single-row count aggregates (constant) + the brute-force BASELINE it measures"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {

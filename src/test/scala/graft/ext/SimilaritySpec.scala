@@ -95,6 +95,21 @@ class SimilaritySpec extends SparkTestBase {
   private def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("multi-table LSH recall beats the single-table form decisively") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") < 5)
+    val truth = Similarity.bruteForceTopK(q, e, 10)
+      .select("q_id", "vec_id").collect().map(_.toSeq).toSet
+    def recall(approx: org.apache.spark.sql.DataFrame): Double = {
+      val a = approx.select("q_id", "vec_id").collect().map(_.toSeq).toSet
+      a.intersect(truth).size.toDouble / truth.size
+    }
+    val single = recall(Similarity.lshTopK(q, e, 10))
+    val multi = recall(Similarity.lshMultiTopK(q, e, 10))
+    assert(multi > single, s"multi $multi vs single $single")
+    assert(multi >= 0.3, s"multi-table recall collapsed to $multi")
+  }
+
   test("stored IVF index: probe == in-memory ivfTopK, and the probe plan prunes partitions dynamically") {
     val e = graft.sources.Tables.embeddings(spark, sfDir)
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-spec").toString
