@@ -439,6 +439,41 @@ object ExtQueries {
         Seq("q_id", "vec_id"))
     }),
 
+    // IVF recall report (stride centroids, nprobe=1): the cell-confinement
+    // recall x13 trades for its scan cut, measured.
+    "x73_ann_ivf_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 5)
+      recallReport(
+        Similarity.bruteForceTopK(q, e, 10),
+        Similarity.ivfTopK(q, e, 10),
+        Seq("q_id", "vec_id"))
+    }),
+
+    // Embedding near-dup recall: bucketed LSH pairs (x14) vs the exact
+    // all-pairs truth (x05).
+    "x74_dedup_embedding_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      recallReport(
+        Similarity.cosineNearDupPairs(e, 0.4),
+        Similarity.lshNearDupPairs(e, 0.4),
+        Seq("vec_a", "vec_b"))
+    }),
+
+    // Multi-table near-dup pairs: x74's 0.05 recall motivates the same
+    // 8 × 4-bit OR-of-tables treatment x71 gave ANN.
+    "x75_dedup_embedding_multitable" -> ((s, dir) =>
+      Similarity.lshMultiNearDupPairs(Tables.embeddings(s, dir), 0.4)),
+
+    // And its measured recall against the same exact truth.
+    "x76_dedup_multitable_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      recallReport(
+        Similarity.cosineNearDupPairs(e, 0.4),
+        Similarity.lshMultiNearDupPairs(e, 0.4),
+        Seq("vec_a", "vec_b"))
+    }),
+
     // Multi-table LSH ANN (8 × 4-bit tables): the production form x70's
     // measurement motivates — OR-of-L recall for an L× index.
     "x71_ann_lsh_multitable" -> ((s, dir) => {
@@ -607,6 +642,47 @@ object ExtQueries {
       "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
       "SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10"
 
+  /** Stride-IVF top-10 SQL (x13's oracle body; reused by x73's report). */
+  private lazy val annIvfSql =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+      s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.IvfCentroidStride} = 0), " +
+      "scored AS (SELECT e.vec_id, e.emb, cents.cent_id, " +
+      s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
+      "assigned AS (SELECT vec_id, emb, cent_id AS cell FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM scored) t WHERE r = 1), " +
+      "q AS (SELECT vec_id AS q_id, emb AS q_emb, cell FROM assigned WHERE vec_id < 5), " +
+      "s AS (SELECT q.q_id, a.vec_id, " +
+      s"${dotSql("q.q_emb", "a.emb")} AS cos " +
+      "FROM assigned a JOIN q USING (cell) WHERE q.q_id <> a.vec_id), " +
+      "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
+      "SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10"
+
+  /** Embedding near-dup pair SQL twins (x05/x14; reused by x74's report). */
+  private lazy val embExactPairsSql =
+    "WITH a AS (SELECT vec_id AS vec_a, CAST(embedding AS DOUBLE[]) AS ea FROM embeddings), " +
+      "b AS (SELECT vec_id AS vec_b, CAST(embedding AS DOUBLE[]) AS eb FROM embeddings), " +
+      s"s AS (SELECT vec_a, vec_b, ${dotSql("ea", "eb")} AS cos FROM a JOIN b ON vec_a < vec_b) " +
+      "SELECT vec_a, vec_b, cos FROM s WHERE cos >= 0.4"
+
+  private lazy val embLshPairsSql =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+      s"be AS (SELECT vec_id, emb, $bucketSql AS bucket FROM e), " +
+      "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+      s"${dotSql("a.emb", "b.emb")} AS cos " +
+      "FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
+      "SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.4"
+
+  /** Multi-table near-dup pair SQL (x75; reused by x76's report). */
+  private lazy val embMultiPairsSql =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+      s"be AS (SELECT vec_id, emb, unnest(generate_series(0, ${Similarity.LshTables - 1})) AS tbl, " +
+      (0 until Similarity.LshTables).map(multiBucketSql)
+        .mkString("unnest([", ", ", "]) AS bkt FROM e), ") +
+      "p AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+      s"${dotSql("a.emb", "b.emb")} AS cos " +
+      "FROM be a JOIN be b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id) " +
+      "SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.4"
+
   private val stopList = TextOps.EnStopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
   private def dotSql(a: String, b: String): String =
@@ -688,6 +764,35 @@ object ExtQueries {
         "CAST((SELECT count(*) FROM ap) AS BIGINT) AS n_approx, " +
         "CAST((SELECT count(*) FROM tp JOIN ap USING (q_id, vec_id)) AS BIGINT) AS n_common, " +
         "CAST((SELECT count(*) FROM tp JOIN ap USING (q_id, vec_id)) AS DOUBLE) " +
+        "/ (SELECT count(*) FROM tp) AS recall"),
+
+    "x75_dedup_embedding_multitable" -> embMultiPairsSql,
+
+    "x76_dedup_multitable_recall" ->
+      (s"WITH tp AS (SELECT vec_a, vec_b FROM ($embExactPairsSql)), " +
+        s"ap AS (SELECT vec_a, vec_b FROM ($embMultiPairsSql)) " +
+        "SELECT CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_truth, " +
+        "CAST((SELECT count(*) FROM ap) AS BIGINT) AS n_approx, " +
+        "CAST((SELECT count(*) FROM tp JOIN ap USING (vec_a, vec_b)) AS BIGINT) AS n_common, " +
+        "CAST((SELECT count(*) FROM tp JOIN ap USING (vec_a, vec_b)) AS DOUBLE) " +
+        "/ (SELECT count(*) FROM tp) AS recall"),
+
+    "x73_ann_ivf_recall" ->
+      (s"WITH tp AS (SELECT q_id, vec_id FROM ($annBruteSql)), " +
+        s"ap AS (SELECT q_id, vec_id FROM ($annIvfSql)) " +
+        "SELECT CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_truth, " +
+        "CAST((SELECT count(*) FROM ap) AS BIGINT) AS n_approx, " +
+        "CAST((SELECT count(*) FROM tp JOIN ap USING (q_id, vec_id)) AS BIGINT) AS n_common, " +
+        "CAST((SELECT count(*) FROM tp JOIN ap USING (q_id, vec_id)) AS DOUBLE) " +
+        "/ (SELECT count(*) FROM tp) AS recall"),
+
+    "x74_dedup_embedding_recall" ->
+      (s"WITH tp AS (SELECT vec_a, vec_b FROM ($embExactPairsSql)), " +
+        s"ap AS (SELECT vec_a, vec_b FROM ($embLshPairsSql)) " +
+        "SELECT CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_truth, " +
+        "CAST((SELECT count(*) FROM ap) AS BIGINT) AS n_approx, " +
+        "CAST((SELECT count(*) FROM tp JOIN ap USING (vec_a, vec_b)) AS BIGINT) AS n_common, " +
+        "CAST((SELECT count(*) FROM tp JOIN ap USING (vec_a, vec_b)) AS DOUBLE) " +
         "/ (SELECT count(*) FROM tp) AS recall"),
 
     "x70_ann_lsh_recall" ->

@@ -130,6 +130,28 @@ object Similarity {
       .select("q_id", "vec_id", "cos", "rank")
   }
 
+  /** Multi-table near-dup pairs — the x71 treatment for the PAIR problem:
+    * single-bucket near-dup mining ([[lshNearDupPairs]]) requires all 8
+    * sign bits to agree (measured recall 0.05, x74); here a pair
+    * qualifies by sharing ANY of the 8 coarser 4-bit tables, candidates
+    * dedupe before the exact cosine verify. Same L× index trade.
+    */
+  def lshMultiNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
+    val expanded = graft.ops.Caching.cacheOnce(
+      vectors.select(col("vec_id"), col("embedding"),
+        posexplode(array((0 until LshTables).map(l =>
+          multiBucket(col("embedding"), l)): _*)).as(Seq("tbl", "bkt"))))
+    val l = expanded.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+      col("tbl"), col("bkt"))
+    val r = expanded.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      col("tbl"), col("bkt"))
+    l.join(r, Seq("tbl", "bkt")).where(col("vec_a") < col("vec_b"))
+      .withColumn("cos", GraftFunctions.cosineSim(col("emb_a"), col("emb_b")))
+      .where(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos").distinct()
+  }
+
   /** Bucketed ANN: exact search restricted to the query's LSH bucket.
     * The bucket equi-join replaces the all-pairs cross join — at 100 TB the
     * corpus is hash-partitioned by bucket once and each query probes one

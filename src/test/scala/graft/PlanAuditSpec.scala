@@ -29,7 +29,10 @@ class PlanAuditSpec extends SparkTestBase {
     "x66_token_lift" -> "crossJoin against ONE broadcast total-token-count row (constant)",
     "x69_dedup_lsh_recall" -> "crossJoin of three single-row count aggregates (constant) + the exact all-pairs VERIFIER it measures",
     "x70_ann_lsh_recall" -> "crossJoin of three single-row count aggregates (constant) + the brute-force BASELINE it measures",
-    "x72_ann_multitable_recall" -> "crossJoin of three single-row count aggregates (constant) + the brute-force BASELINE it measures"
+    "x72_ann_multitable_recall" -> "crossJoin of three single-row count aggregates (constant) + the brute-force BASELINE it measures",
+    "x73_ann_ivf_recall" -> "crossJoin of three single-row count aggregates (constant) + the brute-force BASELINE and packed-centroid fold it measures",
+    "x74_dedup_embedding_recall" -> "crossJoin of three single-row count aggregates (constant) + the exact all-pairs VERIFIER it measures",
+    "x76_dedup_multitable_recall" -> "crossJoin of three single-row count aggregates (constant) + the exact all-pairs VERIFIER it measures"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {

@@ -110,6 +110,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(multi >= 0.3, s"multi-table recall collapsed to $multi")
   }
 
+  test("multi-table near-dup pairs recover far more true pairs than the single bucket") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val truth = Similarity.cosineNearDupPairs(e, 0.4)
+      .select("vec_a", "vec_b").collect().map(_.toSeq).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val a = df.select("vec_a", "vec_b").collect().map(_.toSeq).toSet
+      if (truth.isEmpty) 1.0 else a.intersect(truth).size.toDouble / truth.size
+    }
+    val single = recall(Similarity.lshNearDupPairs(e, 0.4))
+    val multi = recall(Similarity.lshMultiNearDupPairs(e, 0.4))
+    assert(multi >= single, s"multi $multi vs single $single")
+    assert(multi >= 0.4, s"multi-table pair recall collapsed to $multi")
+  }
+
   test("stored IVF index: probe == in-memory ivfTopK, and the probe plan prunes partitions dynamically") {
     val e = graft.sources.Tables.embeddings(spark, sfDir)
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-spec").toString
