@@ -43,6 +43,26 @@ object ScaleProbe {
       }.reduce(_ unionByName _)
     }
 
+    /** Replicated embeddings: copy i multiplies every dimension by a ±1
+      * sign from md5(i:d) — unit norms preserved, cross-copy cosines are
+      * ~N(0, 1/64) (far below any near-dup threshold), so replication
+      * scales the within-copy similarity structure linearly.
+      */
+    def replicateEmb(k: Int): DataFrame = {
+      val base = Tables.embeddings(spark, sfDir)
+      val mdt = java.security.MessageDigest.getInstance("MD5")
+      (0 until k).map { i =>
+        val signs: Seq[Float] = (0 until 64).map { d =>
+          val h = mdt.digest(s"sp:$i:$d".getBytes("UTF-8"))
+          if ((h(0) & 1) == 1) 1.0f else -1.0f
+        }
+        base.select(
+          (col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+          zip_with(col("embedding"), typedLit(signs), (x, s) => x * s).as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+    }
+
     val scales = args.drop(1).headOption
       .map(_.split(",").toSeq.map(_.toInt)).getOrElse(Seq(1, 4, 16))
     for (k <- scales) {
@@ -58,6 +78,26 @@ object ScaleProbe {
       time("minhash_lsh") { Dedup.minhashLsh(corpus, 3, 0.8).count() }
       time("simhash_banded") { Dedup.simhashBandedPairs(corpus, 3).count() }
       corpus.unpersist(blocking = true)
+      val emb = replicateEmb(k).cache()
+      emb.count()
+      time("ann_multitable") {
+        graft.ext.Similarity.lshMultiTopK(
+          emb.where(col("vec_id") < 5), emb, 10).count()
+      }
+      // Threshold note (measured): at 0.4 — only 3.2σ above the random
+      // cosine noise floor for 64 dims (σ = 1/8) — TRUE pair density is
+      // inherently corpus-quadratic (3.1M pairs at 64×), so OUTPUT grows
+      // k² no matter the algorithm. The scale-safe regime is a threshold
+      // above the noise bulk; 0.8 (6.4σ) keeps true pairs linear and is
+      // what a 100 TB run would use. Table WIDTH follows the sizing law:
+      // bits ~ log2(nVec / 30) keeps bucket occupancy O(1).
+      val nVec = emb.count()
+      val bits = math.max(4, math.ceil(
+        math.log(nVec / 30.0) / math.log(2)).toInt)
+      time(s"neardup_multitable_b$bits") {
+        graft.ext.Similarity.lshMultiNearDupPairs(emb, 0.8, bits).count()
+      }
+      emb.unpersist(blocking = true)
       // the per-run caches (shingle/band tables) must not leak across scales
       spark.sharedState.cacheManager.clearCache()
     }

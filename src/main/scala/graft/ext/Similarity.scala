@@ -75,15 +75,18 @@ object Similarity {
 
   val LshTables = 8
   val PlanesPerTable = 4
+  private val MaxPlanesPerTable = 20
 
   /** Deterministic ±1 planes for multi-table LSH: table l, plane p, dim d
     * → sign of one md5 bit (independent family from [[hyperplanes]] via
-    * the "m:" prefix).
+    * the "m:" prefix). 20 planes per table are pre-generated; callers use
+    * the first `bits` — table WIDTH must grow with log(corpus) for pair
+    * mining (see [[lshMultiNearDupPairs]]).
     */
   lazy val multiPlanes: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
     val mdt = MessageDigest.getInstance("MD5")
     (0 until LshTables).map { l =>
-      (0 until PlanesPerTable).map { p =>
+      (0 until MaxPlanesPerTable).map { p =>
         (0 until Dim).map { d =>
           val h = mdt.digest(s"m:$l:$p:$d".getBytes("UTF-8"))
           if ((h(0) & 1) == 1) 1.0 else -1.0
@@ -92,11 +95,13 @@ object Similarity {
     }
   }
 
-  /** Table-l bucket id: 4 sign bits of that table's planes. */
-  def multiBucket(emb: Column, l: Int): Column =
-    (0 until PlanesPerTable).map { p =>
+  /** Table-l bucket id from that table's first `bits` sign bits. */
+  def multiBucket(emb: Column, l: Int, bits: Int = PlanesPerTable): Column = {
+    require(bits <= MaxPlanesPerTable, s"at most $MaxPlanesPerTable planes per table")
+    (0 until bits).map { p =>
       when(cosine(emb, typedLit(multiPlanes(l)(p))) >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
+  }
 
   /** Plane (l, p) as a DuckDB list literal (oracle lock-step). */
   def multiPlaneSql(l: Int, p: Int): String =
@@ -133,15 +138,24 @@ object Similarity {
   /** Multi-table near-dup pairs — the x71 treatment for the PAIR problem:
     * single-bucket near-dup mining ([[lshNearDupPairs]]) requires all 8
     * sign bits to agree (measured recall 0.05, x74); here a pair
-    * qualifies by sharing ANY of the 8 coarser 4-bit tables, candidates
-    * dedupe before the exact cosine verify. Same L× index trade.
+    * qualifies by sharing ANY of the 8 tables, candidates dedupe before
+    * the exact cosine verify. Same L× index trade.
+    *
+    * SIZING LAW (measured by ScaleProbe): for all-pairs mining the bucket
+    * self-join is Σ bucket², so occupancy must stay O(1) relative to the
+    * corpus — `bits` must grow ~log2(N / targetOccupancy). The 4-bit
+    * default suits fixture-scale corpora; at 320k vectors 4-bit tables
+    * cost quadratic candidate time even when true pairs are rare (115 s),
+    * while log-sized tables keep it near-linear. (Query-side ANN,
+    * [[lshMultiTopK]], probes |Q| buckets and does NOT need this.)
     */
-  def lshMultiNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+  def lshMultiNearDupPairs(vectors: DataFrame, threshold: Double,
+      bits: Int = PlanesPerTable): DataFrame = {
     GraftFunctions.register(vectors.sparkSession)
     val expanded = graft.ops.Caching.cacheOnce(
       vectors.select(col("vec_id"), col("embedding"),
         posexplode(array((0 until LshTables).map(l =>
-          multiBucket(col("embedding"), l)): _*)).as(Seq("tbl", "bkt"))))
+          multiBucket(col("embedding"), l, bits)): _*)).as(Seq("tbl", "bkt"))))
     val l = expanded.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
       col("tbl"), col("bkt"))
     val r = expanded.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
