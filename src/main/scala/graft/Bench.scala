@@ -75,7 +75,14 @@ object Bench {
       rs.map(r => f"[${r.user}%.2f,${r.sys}%.2f]").mkString("[", ",", "]"))
     val shuffleJson = fmtMap((_, rs) => rs.map(_.shuffleBytes).max.toString)
     val total = results.map(_._2.map(_.sec).min).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    // FINAL stdout line: the r3-proven compact shape ONLY. The r4 enriched
+    // line (~3.5 KB with runs/cpu/shuffle maps) overflowed the driver's
+    // fixed-size tail capture, truncating the line's START and zeroing the
+    // round's bench artifact (BENCH_r04 parsed: null) — line LENGTH is part
+    // of the contract. The diagnostics keep flowing, but to bench_last.json
+    // (committed) and stderr, never the final stdout line.
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val enriched = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""runs":$runsJson,"cpu_user_sys":$cpuJson,"shuffle_bytes":$shuffleJson,""" +
       s""""cpus":${Runtime.getRuntime.availableProcessors()},"passes":2,"sf":"$sfDir"}"""
     // Driver contract: the JSON must be the last undecorated stdout line.
@@ -84,8 +91,9 @@ object Bench {
     // ordering guarantee costs nothing.) Also persist a copy next to the
     // repo so a stdout-capture failure still leaves the result on disk.
     spark.stop()
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), json + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), enriched + "\n")
     catch { case _: Throwable => () }
+    System.err.println(s"[bench] enriched: $enriched")
     println(json)
     System.out.flush()
   }

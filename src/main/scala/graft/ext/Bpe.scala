@@ -1,0 +1,162 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Full BPE tokenizer: corpus-scale merge TRAINING (the iterative loop
+  * [[TextOps.bpePairCounts]] only computed the first candidate pass of) and
+  * an ENCODE operator mapping text to token ids through the learned merges.
+  *
+  * Scale shape — the whole algorithm is vocabulary-sized after one corpus
+  * pass: training folds the corpus to a `(pretoken, freq)` table once (one
+  * partial-agg groupBy), then every merge iteration runs over DISTINCT
+  * pretokens (thousands of rows, not billions of documents), with only the
+  * 1-row argmax collected to the driver per iteration — the same
+  * driver-loop budget as the k-means trainer ([[Similarity.kmeansCentroids]]).
+  * Encode applies the (tiny, broadcast) merge table to distinct pretokens
+  * and joins the results back to the corpus — documents are scanned once,
+  * and the per-pretoken merge expressions never touch corpus-sized data.
+  *
+  * Cross-engine exactness: counts are integer sums; the argmax tie-break is
+  * total (count desc, then both symbols' binary string order); the
+  * merge-application scan is reproduced in DuckDB by `list_reduce` over the
+  * same separator-joined representation, so the oracle hash-matches the
+  * whole merge table and every token id.
+  */
+object Bpe {
+
+  /** Symbol separator inside a packed symbol string: U+001E (record
+    * separator), never produced by the pretokenizer on the fixture corpus
+    * and not a regex metacharacter (safe for Spark's `split`).
+    */
+  val Sep = "\u001E"
+
+  /** Merge rule: `rnk` is the training order (0-based priority). */
+  final case class Merge(rnk: Long, symA: String, symB: String, n: Long)
+
+  /** Pretoken → separator-joined character sequence ("abc" → "a␞b␞c").
+    * `transform` over `sequence` rather than split-on-empty: the empty-
+    * pattern split is engine-specific about trailing empties; this form is
+    * defined identically in Spark and DuckDB (`generate_series` +
+    * `substr`).
+    */
+  private def charSplit(pretok: Column): Column =
+    array_join(transform(sequence(lit(1), length(pretok)), i => pretok.substr(i, lit(1))), Sep)
+
+  /** One BPE merge applied to a separator-joined symbol string: the
+    * standard greedy left-to-right non-overlapping scan, as a single fold.
+    * The accumulator is the output-so-far; a new symbol `x` merges iff the
+    * accumulator's LAST symbol is exactly `a` (checked as the suffix
+    * `␞a`, which is boundary-safe because symbols never contain the
+    * separator) and `x == b`. A freshly merged symbol is `a+b`, strictly
+    * longer than `a`, so it can never merge again as the left side in the
+    * same pass — exactly the non-overlap rule. DuckDB replays this with
+    * `list_reduce` (same fold, same initial element).
+    */
+  private def applyMerge(symstr: Column, a: String, b: String): Column =
+    aggregate(split(symstr, Sep), lit(""),
+      (acc, x) =>
+        when(acc === "", x)
+          .when((acc === a || acc.endsWith(Sep + a)) && x === b, concat(acc, lit(b)))
+          .otherwise(concat(acc, lit(Sep), x)))
+
+  /** Adjacent-symbol pair counts over the state table, freq-weighted. */
+  private def pairCounts(state: DataFrame): DataFrame =
+    state.select(col("freq"), split(col("s"), Sep).as("l"))
+      .where(size(col("l")) >= 2)
+      .select(col("freq"), explode(transform(sequence(lit(1), size(col("l")) - 1),
+        i => struct(element_at(col("l"), i).as("sym_a"),
+          element_at(col("l"), i + 1).as("sym_b")))).as("p"))
+      .groupBy("p.sym_a", "p.sym_b").agg(sum("freq").as("n"))
+
+  /** The corpus's `(pretok, freq)` table — the single corpus-wide pass. */
+  def pretokenFreqs(docs: DataFrame, text: Column = col("text")): DataFrame =
+    docs.select(explode(regexp_extract_all(text, lit(TextOps.BpePretokenPattern), lit(0)))
+        .as("pretok"))
+      .groupBy("pretok").agg(count(lit(1)).as("freq"))
+
+  /** Train `nMerges` BPE merges. Each iteration: vocabulary-sized pair
+    * count → 1-row argmax collect (count desc, symbol order tie-break) →
+    * merge applied across the state table, lineage truncated per iteration
+    * with an eager localCheckpoint (k-means loop pattern). Stops early if
+    * no pair remains.
+    */
+  def train(docs: DataFrame, nMerges: Int, text: Column = col("text")): Seq[Merge] = {
+    var state = pretokenFreqs(docs, text)
+      .select(col("freq"), charSplit(col("pretok")).as("s"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    var k = 0
+    var exhausted = false
+    while (k < nMerges && !exhausted) {
+      val top = pairCounts(state)
+        .orderBy(col("n").desc, col("sym_a"), col("sym_b")).limit(1).collect()
+      top.headOption match {
+        case None => exhausted = true
+        case Some(Row(a: String, b: String, n: Long)) =>
+          merges += Merge(k.toLong, a, b, n)
+          state = state.select(col("freq"), applyMerge(col("s"), a, b).as("s"))
+            .localCheckpoint()
+          k += 1
+        case Some(other) => sys.error(s"unexpected argmax row: $other")
+      }
+    }
+    merges.result()
+  }
+
+  /** The registered x77 shape: the trained merge table as a DataFrame. */
+  def mergeTable(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    train(docs, nMerges)
+      .map(m => (m.rnk, m.symA, m.symB, m.symA + m.symB, m.n))
+      .toDF("rnk", "sym_a", "sym_b", "merged", "n")
+  }
+
+  /** Encode: text → token ids through a learned merge list.
+    *
+    * Ids are deterministic and data-derived: base symbols are the corpus's
+    * distinct pretoken characters in binary sort order (id 0..B-1, built
+    * driver-side from a character-set collect — alphabet-sized, the same
+    * budget as the k-means centroid collect); merge `k` gets id `B + k`;
+    * duplicate spellings (a later merge reproducing an earlier symbol
+    * string) keep the smallest id.
+    *
+    * Output: one row per emitted token, `(doc_id, seq, pos, sym,
+    * token_id)` where `seq` is the pretoken's 0-based index in the
+    * document and `pos` the symbol's 0-based index within the pretoken —
+    * a unique, order-recoverable key for the oracle's row compare.
+    */
+  def encode(docs: DataFrame, merges: Seq[Merge], text: Column = col("text")): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pre = docs.select(col("doc_id"),
+      posexplode(regexp_extract_all(text, lit(TextOps.BpePretokenPattern), lit(0)))
+        .as(Seq("seq", "pretok")))
+    val distinctPre = pre.select("pretok").distinct()
+    // alphabet-sized driver collect: the base-vocabulary character set
+    val baseChars = distinctPre
+      .select(explode(split(charSplit(col("pretok")), Sep)).as("c"))
+      .distinct().orderBy("c").collect().map(_.getString(0))
+    val base = baseChars.zipWithIndex.map { case (c, i) => (c, i.toLong) }
+    val mergedIds = merges.map(m => (m.symA + m.symB, baseChars.length + m.rnk))
+    val vocab = (base ++ mergedIds).toSeq.toDF("sym", "id")
+      .groupBy("sym").agg(min("id").as("token_id"))
+    val symstr = merges.foldLeft(charSplit(col("pretok")))((s, m) => applyMerge(s, m.symA, m.symB))
+    val symbols = distinctPre
+      .select(col("pretok"), posexplode(split(symstr, Sep)).as(Seq("pos", "sym")))
+      .select(col("pretok"), col("pos").cast("long").as("pos"), col("sym"))
+    pre.join(broadcast(symbols), "pretok")
+      .join(broadcast(vocab), "sym")
+      .select(col("doc_id"), col("seq").cast("long").as("seq"), col("pos"), col("sym"),
+        col("token_id"))
+  }
+
+  /** Per-document REAL token counts (encoded length), the drop-in upgrade
+    * for the chunkers' whitespace/regex estimates: [[Chunking.chunkTokens]]
+    * and [[Chunking.packSequences]] consume token counts, and this is the
+    * count an actual BPE-trained tokenizer would produce.
+    */
+  def tokenCounts(docs: DataFrame, merges: Seq[Merge], text: Column = col("text")): DataFrame =
+    encode(docs, merges, text).groupBy("doc_id").agg(count(lit(1)).as("n_bpe_tokens"))
+}

@@ -57,11 +57,6 @@ object Embeddings {
     emb.select(col("vec_id") +: projections: _*)
   }
 
-  /** Per-group centroid (element-wise mean), the k-means/IVF building
-    * block. Rows-only at the driver gate: the sum order across rows is
-    * engine- and partitioning-dependent, so exactness is pinned by spec
-    * (tolerance vs a single-threaded reference) instead of the oracle.
-    */
   /** Engine-EXACT per-group element-wise mean: values per `(grp, pos)` are
     * collected, SORTED, and folded left-to-right, making the double sum a
     * pure function of the value multiset — bit-identical in any engine
@@ -85,4 +80,21 @@ object Embeddings {
       .groupBy("grp")
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("grp"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+
+  /** [[groupCentroid]]'s oracle-expressible form: the exact sorted-fold
+    * mean per `(grp, pos)` (hash-matchable — see [[groupCentroidExact]])
+    * plus a boolean pinning the partial-agg scale form within float-sum
+    * reassociation tolerance of it. The sketch-report pattern applied to
+    * iterative FP: the engine's own exact twin is the oracle-compared
+    * value, the engine-only value is reduced to an in-engine verdict.
+    */
+  def groupCentroidChecked(emb: DataFrame, grp: Column): DataFrame = {
+    val approx = groupCentroid(emb, grp)
+      .select(col("grp"), posexplode(col("centroid")).as(Seq("pos", "m")))
+      .select(col("grp"), col("pos").cast("long").as("pos"), col("m"))
+    groupCentroidExact(emb, grp).join(approx, Seq("grp", "pos"))
+      .select(col("grp"), col("pos"), col("mean"),
+        (abs(col("mean") - col("m")) <= greatest(abs(col("mean")) * 1e-9, lit(1e-9)))
+          .as("partial_agg_close"))
+  }
 }

@@ -97,7 +97,9 @@ object Similarity {
 
   /** Table-l bucket id from that table's first `bits` sign bits. */
   def multiBucket(emb: Column, l: Int, bits: Int = PlanesPerTable): Column = {
-    require(bits <= MaxPlanesPerTable, s"at most $MaxPlanesPerTable planes per table")
+    require(bits >= 1 && bits <= MaxPlanesPerTable,
+      s"bits=$bits out of range [1, $MaxPlanesPerTable] — clamp computed sizing laws " +
+        "like ceil(log2(N/occupancy)) with max(1, ...) (ScaleProbe uses max(4, ...))")
     (0 until bits).map { p =>
       when(cosine(emb, typedLit(multiPlanes(l)(p))) >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)

@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-sketch operators — the constant-memory answers to questions
@@ -140,4 +141,127 @@ object Sketches {
         count(lit(1)).as("n"))
       .select(col("source"), col("approx_p").getItem(0).as("p50"),
         col("approx_p").getItem(1).as("p95"), col("n"))
+
+  // ------------------------------------------------- self-verifying reports
+  //
+  // Estimator internals never hash-match across engines (two HLL/GK/KLL
+  // implementations disagree in the estimate's low digits), which kept the
+  // sketch queries rows-only at the driver gate for four rounds. These
+  // report forms close that gap: every sketch-derived column is reduced to
+  // a BOOLEAN accuracy verdict checked in-engine against the exact answer,
+  // and the exact answer itself is emitted alongside — so the whole output
+  // is oracle-expressible while the sketch path still executes inside the
+  // query (a broken sketch flips the boolean and fails the hash compare).
+
+  /** Exact discrete quantiles from a VALUE-DOMAIN histogram: group by the
+    * value, cumulative-sum the counts in value order, and take the smallest
+    * value whose cumulative count reaches `ceil(p*n)`. The window input is
+    * the distinct-value histogram (value-domain-sized, e.g. ~hundreds of
+    * distinct doc lengths), never corpus rows — this is the scale-correct
+    * exact-quantile form, and the rank definition is explicit so DuckDB
+    * replays it verbatim (no reliance on matching quantile conventions).
+    * `vals`: (partCols..., v: long). Empty `partCols` = one global row.
+    */
+  private[ext] def histQuantiles(vals: DataFrame, partCols: Seq[String]): DataFrame = {
+    val hist = vals.groupBy((partCols :+ "v").map(col): _*).agg(count(lit(1)).as("c"))
+    val wOrd = if (partCols.isEmpty) Window.orderBy("v")
+      else Window.partitionBy(partCols.map(col): _*).orderBy("v")
+    val wTot = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist.withColumn("cum", sum("c").over(wOrd))
+      .withColumn("n", sum("c").over(wTot))
+    cum.groupBy(partCols.map(col): _*).agg(
+      min(when(col("cum") >= ceil(col("n") * 0.5), col("v"))).as("p50"),
+      min(when(col("cum") >= ceil(col("n") * 0.95), col("v"))).as("p95"),
+      max(col("n")).as("n"))
+  }
+
+  /** Aggregate verdict: does estimate `q` sit within `slackFrac` of rank
+    * `p`? True iff #{v < q} <= p*n + s and #{v <= q} >= p*n - s with
+    * s = slackFrac*n + 1 — the standard rank-error envelope check, with
+    * ties handled by bracketing between strict and inclusive counts.
+    */
+  private def rankOk(p: Double, q: Column, slackFrac: Double): Column = {
+    val n = count(lit(1)).cast("double")
+    val lt = sum(when(col("v") < q, 1L).otherwise(0L)).cast("double")
+    val le = sum(when(col("v") <= q, 1L).otherwise(0L)).cast("double")
+    val slack = n * slackFrac + 1.0
+    (lt <= n * p + slack) && (le >= n * p - slack)
+  }
+
+  /** [[tokenCardinality]]'s oracle-expressible form: exact per-language
+    * distinct-token counts plus a boolean pinning the HLL estimate inside
+    * `tol` (3× the sketch's 5% rsd — deterministic for a given dataset, so
+    * the verdict is stable run-to-run).
+    */
+  def cardinalityReport(docs: DataFrame, rsd: Double = 0.05, tol: Double = 0.15): DataFrame =
+    tokenCardinality(docs, rsd).select(
+      col("lang"), col("n_tokens_exact"),
+      (abs(col("n_tokens_hll") - col("n_tokens_exact")) <= col("n_tokens_exact") * tol)
+        .as("hll_within_15pct"))
+
+  /** [[lengthQuantiles]]'s oracle-expressible form: exact per-source
+    * p50/p95 (explicit-rank histogram quantiles) plus booleans pinning the
+    * GK estimates' ranks. GK at accuracy 10000 is near-exact at any test
+    * scale; the 5% slack absorbs convention differences at tiny n.
+    */
+  def quantileReport(docs: DataFrame): DataFrame = {
+    val vals = docs.select(col("source"), col("n_chars").cast("long").as("v"))
+    val exact = histQuantiles(vals, Seq("source"))
+    val est = lengthQuantiles(docs)
+      .select(col("source"), col("p50").as("q50"), col("p95").as("q95"))
+    val chk = vals.join(broadcast(est), "source").groupBy("source").agg(
+      rankOk(0.5, col("q50"), 0.05).as("gk_p50_rank_ok"),
+      rankOk(0.95, col("q95"), 0.05).as("gk_p95_rank_ok"))
+    exact.join(chk, "source")
+  }
+
+  /** [[hllTokenRollup]]'s oracle-expressible form: exact distinct counts
+    * per source AND for the ALL row (the row whose HLL estimate comes from
+    * UNIONING the per-source sketches, raw tokens untouched), each with a
+    * boolean pinning the estimate within 5% (~3 sigma at lgK=12).
+    */
+  def hllRollupReport(docs: DataFrame, lgK: Int = 12, tol: Double = 0.05): DataFrame = {
+    val toks = docs.select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val per = toks.groupBy("source").agg(
+      hll_sketch_agg(col("tok"), lit(lgK)).as("sk"),
+      countDistinct(col("tok")).as("n_exact"))
+    val bySource = per.select(
+      col("source"), col("n_exact"),
+      (abs(hll_sketch_estimate(col("sk")) - col("n_exact")) <= col("n_exact") * tol)
+        .as("hll_within_5pct"))
+    val allEst = per.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
+    val all = toks.agg(countDistinct(col("tok")).as("n_exact"))
+      .crossJoin(broadcast(allEst))
+      .select(lit("ALL").as("source"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <= col("n_exact") * tol).as("hll_within_5pct"))
+    bySource.unionByName(all)
+  }
+
+  /** [[kllLengthRollup]]'s oracle-expressible form: exact per-source and
+    * ALL-row p50/p95 (histogram quantiles) plus booleans pinning each KLL
+    * estimate's rank — including the ALL row's, whose estimates come from
+    * the UNIONED per-source sketches. The 5% rank slack is ~3× KLL's
+    * k=200 error bound, wide enough that compaction randomness can't flip
+    * a verdict.
+    */
+  def kllRollupReport(docs: DataFrame, k: Int = 200): DataFrame = {
+    val vals = docs.select(col("source"), col("n_chars").cast("long").as("v"))
+    val roll = kllLengthRollup(docs, k)
+    val estSrc = roll.where(col("source") =!= "ALL")
+      .select(col("source"), col("p50").as("q50"), col("p95").as("q95"))
+    val chkSrc = vals.join(broadcast(estSrc), "source").groupBy("source").agg(
+      rankOk(0.5, col("q50"), 0.05).as("kll_p50_rank_ok"),
+      rankOk(0.95, col("q95"), 0.05).as("kll_p95_rank_ok"))
+    val perSource = histQuantiles(vals, Seq("source")).join(chkSrc, "source")
+    val estAll = roll.where(col("source") === "ALL")
+      .select(col("p50").as("q50"), col("p95").as("q95"))
+    val chkAll = vals.crossJoin(broadcast(estAll)).groupBy().agg(
+      rankOk(0.5, col("q50"), 0.05).as("kll_p50_rank_ok"),
+      rankOk(0.95, col("q95"), 0.05).as("kll_p95_rank_ok"))
+    val all = histQuantiles(vals.select("v"), Seq.empty)
+      .withColumn("source", lit("ALL"))
+      .crossJoin(broadcast(chkAll))
+    perSource.unionByName(all)
+  }
 }

@@ -20,7 +20,14 @@ object ShuffleAudit {
   final case class Measured(rows: Long, shuffleBytesWritten: Long,
       shuffleRecordsWritten: Long, numExchanges: Int = 0)
 
-  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+  /** Every node in the physical plan, drilling through AQE's
+    * AdaptiveSparkPlanExec/QueryStageExec wrappers (which are LeafExecNodes
+    * to a plain `collect`) and into subqueries. Public because plan-shape
+    * audits (PlanAuditSpec) need the same traversal — a bare
+    * `executedPlan.collect` under AQE sees only the wrapper and silently
+    * matches nothing.
+    */
+  def allNodes(p: SparkPlan): Seq[SparkPlan] = {
     val nested = p match {
       case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
       case q: QueryStageExec => allNodes(q.plan)
@@ -40,13 +47,17 @@ object ShuffleAudit {
   def measureCount(df: DataFrame): Measured = {
     val counted = df.groupBy().count()
     val rows = counted.collect()(0).getLong(0)
+    // Dedup by REFERENCE identity before computing anything: AQE reuses
+    // stages, and a reused exchange must count once (it shuffles once) —
+    // in bytes and records as much as in the exchange count. Structural
+    // `.distinct` would also collapse two separate-but-identical exchanges.
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[ShuffleExchangeLike, java.lang.Boolean]())
     val exchanges = allNodes(counted.queryExecution.executedPlan).collect {
-      case s: ShuffleExchangeLike => s
+      case s: ShuffleExchangeLike if seen.add(s) => s
     }
     val bytes = exchanges.flatMap(_.metrics.get("shuffleBytesWritten").map(_.value)).sum
     val recs = exchanges.flatMap(_.metrics.get("shuffleRecordsWritten").map(_.value)).sum
-    // distinct by node identity: AQE reuses stages, and a reused exchange
-    // must count once (it shuffles once)
-    Measured(rows, bytes, recs, exchanges.distinct.size)
+    Measured(rows, bytes, recs, exchanges.size)
   }
 }

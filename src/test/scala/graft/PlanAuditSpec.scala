@@ -21,7 +21,9 @@ class PlanAuditSpec extends SparkTestBase {
     "x35_curate_boilerplate" -> "crossJoin against ONE broadcast total-count row (constant)",
     "q48_rs1_gapfill_locf" -> "codes × broadcast open-day calendar: the expansion IS the resampled output grid (no intermediate amplification); calendar is bounded (~250 rows/yr)",
     "x38_ann_int8_topk" -> "brute-force BASELINE like x06: quantized corpus streams against the broadcast query set (scale paths = x07/x13/x32)",
-    "x40_ann_ivf_kmeans" -> "crossJoin against ONE packed broadcast row (constant)",
+    "x40_ann_ivf_kmeans" -> "crossJoin against ONE packed broadcast row (constant) + the 1-row recall-report fold",
+    "x39_sketch_hll_union" -> "crossJoin of two single-row aggregates (exact ALL count × unioned-sketch estimate)",
+    "x44_sketch_kll_rollup" -> "crossJoin against ONE broadcast unioned-sketch estimate row + the 1-row ALL fold (constant)",
     "x48_bm25_topk" -> "crossJoin against ONE broadcast corpus-stats row (constant)",
     "x57_curate_length_clip" -> "crossJoin against ONE broadcast percentile-threshold row (constant)",
     "x58_ann_ivf_stored" -> "crossJoin against ONE packed broadcast centroid row (constant), same as x13",
@@ -50,7 +52,13 @@ class PlanAuditSpec extends SparkTestBase {
     */
   private val allowedGlobalWindows: Map[String, String] = Map(
     "q57_ev4_cumulative_users" ->
-      "running sum over DAILY new-user counts — calendar-sized input (~days rows), not events"
+      "running sum over DAILY new-user counts — calendar-sized input (~days rows), not events",
+    "q58_ev5_funnel_conversion" ->
+      "running product over the <= steps+1 per-depth conversion rows — constant-sized input",
+    "q35_cal_next_trading_day" ->
+      "next-open lookahead over the TRADE CALENDAR (~250 rows/yr), broadcast onto facts — surfaced the moment the audit stopped being vacuous (r5)",
+    "x44_sketch_kll_rollup" ->
+      "cumulative count over the VALUE-DOMAIN length histogram (distinct n_chars values), not corpus rows"
   )
 
   test("no registered query plans a global (empty-partition) window (except documented calendar-sized ones)") {
@@ -60,17 +68,30 @@ class PlanAuditSpec extends SparkTestBase {
     // range-partitioned forms (ops.Quality.exactNtile, Chunking's two-phase
     // prefix sum); the only exemptions are windows over calendar-sized
     // aggregates, listed with their reasons above.
+    //
+    // Traversal MUST drill through AQE wrappers (ShuffleAudit.allNodes):
+    // under AQE (default on) the top node is AdaptiveSparkPlanExec, a
+    // LeafExecNode whose bare `collect` never reaches the real plan — the
+    // r4 version of this audit matched zero windows for every query
+    // (ADVICE r4) and guarded nothing.
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, sfDir).queryExecution.executedPlan
-      val globals = plan.collect {
-        case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
-        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
-      }
+      val globals = graft.ops.ShuffleAudit.allNodes(fn(spark, sfDir).queryExecution.executedPlan)
+        .collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
+          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
+        }
       if (globals.nonEmpty && !allowedGlobalWindows.contains(name))
         Some(s"$name (${globals.mkString(",")})") else None
     }
     assert(offenders.isEmpty,
       s"single-partition global windows in: ${offenders.mkString(", ")} — use a range-partitioned two-phase form")
+    // Anti-vacuity guard: the traversal must actually see the exempted
+    // queries' global windows — if this collects zero windows fleet-wide
+    // again, the audit is broken, not the fleet clean.
+    val q57Windows = graft.ops.ShuffleAudit.allNodes(
+      SparkEntry.queries("q57_ev4_cumulative_users")(spark, sfDir).queryExecution.executedPlan)
+      .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(q57Windows.nonEmpty, "window audit traversal is vacuous: q57's global window not found")
   }
 }

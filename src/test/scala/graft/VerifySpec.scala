@@ -26,6 +26,19 @@ class VerifySpec extends AnyFunSuite {
       s"cheap query ordered after a heavy one: firstHeavy=$firstHeavy lastCheap=$lastCheap")
   }
 
+  test("every registered query is oracle-backed (the r5 verify_out invariant)") {
+    // The driver's compare must never find a parquet in verify_out without
+    // an oracle_sql.json entry — the last builder-side suspect for four
+    // rounds of empty CORRECTNESS artifacts. The sketch/iterative-FP
+    // queries now register report forms whose outputs ARE oracle-
+    // expressible, so full coverage is the steady state; Verify also
+    // routes any future no-oracle query to verify_out_extra as a backstop.
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"registered queries without an oracle entry: $missing")
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphaned.isEmpty, s"oracle entries without a registered query: $orphaned")
+  }
+
   test("alias entry points exist and delegate to Verify (compile-time link check)") {
     // Referencing the mains is enough: if an alias object is removed the
     // spec no longer compiles. Invoking them would start full sweeps.

@@ -46,6 +46,18 @@ class EmbeddingsSpec extends SparkTestBase {
       assert(math.abs(m - approx(g)(p.toInt)) < 1e-9) }
   }
 
+  test("groupCentroidChecked: exact means with an all-true partial-agg verdict") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Embeddings.groupCentroidChecked(emb, col("vec_id") % 10).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Boolean]("partial_agg_close"),
+      s"partial-agg centroid drifted past reassociation tolerance: $r"))
+    // compared values are exactly the sorted-fold means
+    val exact = Embeddings.groupCentroidExact(emb, col("vec_id") % 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    out.foreach(r => assert(r.getAs[Double]("mean") === exact((r.getLong(0), r.getLong(1)))))
+  }
+
   test("randomProjection: dots against the fixed planes, exactly") {
     val emb = Tables.embeddings(spark, sfDir).limit(20)
     val rows = emb.select(col("vec_id"), col("embedding").cast("array<double>"))

@@ -89,6 +89,41 @@ class SketchesSpec extends SparkTestBase {
       s"round-tripped union p50=$unioned has true rank ${le / n}")
   }
 
+  test("report forms: every sketch verdict is TRUE and exact columns are exact") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    // x26 form: exact distinct counts + HLL verdict
+    val card = Sketches.cardinalityReport(docs).collect()
+    assert(card.nonEmpty)
+    card.foreach(r => assert(r.getAs[Boolean]("hll_within_15pct"), s"x26 verdict false: $r"))
+    // x39 form: per-source + unioned-ALL verdicts, ALL exact count is global
+    val hll = Sketches.hllRollupReport(docs).collect()
+    hll.foreach(r => assert(r.getAs[Boolean]("hll_within_5pct"), s"x39 verdict false: $r"))
+    val allExact = hll.find(_.getString(0) == "ALL").get.getAs[Long]("n_exact")
+    val direct = docs.select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok"))).collect()(0).getLong(0)
+    assert(allExact === direct, s"x39 ALL exact $allExact != $direct")
+    // x27/x44 forms: GK/KLL rank verdicts all true; exact quantiles honor
+    // the explicit rank definition (smallest v with cum count >= ceil(p*n))
+    val gk = Sketches.quantileReport(docs).collect()
+    gk.foreach { r =>
+      assert(r.getAs[Boolean]("gk_p50_rank_ok") && r.getAs[Boolean]("gk_p95_rank_ok"), s"x27: $r")
+    }
+    val kll = Sketches.kllRollupReport(docs).collect()
+    assert(kll.map(_.getString(0)).contains("ALL"))
+    kll.foreach { r =>
+      assert(r.getAs[Boolean]("kll_p50_rank_ok") && r.getAs[Boolean]("kll_p95_rank_ok"), s"x44: $r")
+    }
+    val all = kll.find(_.getString(0) == "ALL").get
+    val n = docs.count()
+    assert(all.getAs[Long]("n") === n)
+    val p50 = all.getAs[Long]("p50")
+    val below = docs.where(col("n_chars") <= p50).count()
+    val strictlyBelow = docs.where(col("n_chars") < p50).count()
+    assert(below >= (n + 1) / 2 && strictlyBelow < (n + 1) / 2,
+      s"x44 ALL p50=$p50 violates the explicit rank definition (le=$below lt=$strictlyBelow n=$n)")
+  }
+
   test("GK length quantiles are ordered and within the column's range") {
     val docs = Tables.documents(spark, sfDir)
     val mm = docs.agg(
