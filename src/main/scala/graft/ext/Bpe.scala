@@ -159,4 +159,32 @@ object Bpe {
     */
   def tokenCounts(docs: DataFrame, merges: Seq[Merge], text: Column = col("text")): DataFrame =
     encode(docs, merges, text).groupBy("doc_id").agg(count(lit(1)).as("n_bpe_tokens"))
+
+  /** Context-window chunking over REAL token ids — [[Chunking.chunkTokens]]'s
+    * window math applied to the encoded id stream instead of whitespace
+    * tokens: chunk i covers ids `[i*stride, i*stride+chunk)` of the
+    * document's id sequence, `ceil((n - chunk) / stride) + 1` chunks
+    * (minimum 1). The per-doc id sequence is rebuilt from the encode
+    * output's `(seq, pos)` provenance; the collect_list is document-sized
+    * (context-window scale), the same budget as the chunkers' own rows.
+    */
+  def chunkTokenIds(docs: DataFrame, merges: Seq[Merge], chunk: Int, stride: Int,
+      text: Column = col("text")): DataFrame = {
+    require(chunk >= 1 && stride >= 1 && stride <= chunk,
+      s"need 1 <= stride <= chunk, got chunk=$chunk stride=$stride")
+    val ids = encode(docs, merges, text)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("seq"), col("pos"), col("token_id")))).as("tps"))
+      .select(col("doc_id"), transform(col("tps"), t => t.getField("token_id")).as("ids"))
+    val n = size(col("ids"))
+    val nChunks = when(n <= chunk, lit(1)).otherwise(
+      floor((n - lit(chunk) + lit(stride - 1)).cast("double") / lit(stride)).cast("int") + 1)
+    ids
+      .select(col("doc_id"), col("ids"), nChunks.as("n_chunks"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
+          i => slice(col("ids"), i * stride + 1, lit(chunk)))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        col("col").as("token_ids"), size(col("col")).cast("long").as("n_chunk_tokens"))
+  }
 }

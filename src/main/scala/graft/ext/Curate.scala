@@ -126,6 +126,70 @@ object Curate {
         Window.partitionBy(srcCol).orderBy(col(scoreCol).desc, col("doc_id").asc)).cast("long"))
       .where(col("rank") <= k)
 
+  // ------------------------------------------------ URL / domain curation
+  //
+  // The C4/RefinedWeb-standard first pass over a web corpus: extract the
+  // host from each document's URL, reduce it to the registered domain,
+  // drop blocklisted domains (anti-join), and cap the per-domain document
+  // count (quota) so no single site swamps the mix. The fixture has no URL
+  // column, so one is DERIVED deterministically from doc_id/source via the
+  // engine's md5 convention — same trick the media/events fixtures use —
+  // which keeps every step DuckDB-replayable.
+
+  /** Deterministic synthetic `url` column: three independent md5 hex
+    * slices pick the subdomain, the (sometimes blocklisted) registered
+    * name, and the TLD, so the derived web corpus has realistic domain
+    * structure — multiple hosts per registered domain, multiple domains
+    * per doc source.
+    */
+  def withUrl(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val h = md5(concat(col(idCol).cast("string"), lit(":url")))
+    def slice(from: Int, mod: Int): Column =
+      conv(substring(h, from, 4), 16, 10).cast("int") % mod
+    val sub = concat(lit("w"), slice(1, 7).cast("string"))
+    val name = element_at(typedLit(UrlDomainNames), slice(5, UrlDomainNames.size) + 1)
+    val tld = element_at(typedLit(UrlTlds), slice(9, UrlTlds.size) + 1)
+    docs.withColumn("url", concat(lit("https://"), sub, lit("."), name, lit("."), tld,
+      lit("/"), col("source"), lit("/"), col(idCol).cast("string")))
+  }
+
+  val UrlDomainNames: Seq[String] = Seq("alpha", "beta", "gamma", "delta", "spamfarm", "linkmill")
+  val UrlTlds: Seq[String] = Seq("com", "org", "net")
+
+  /** The default blocklist: every TLD variant of the two junk names. */
+  val DefaultDomainBlocklist: Seq[String] =
+    for (n <- Seq("spamfarm", "linkmill"); t <- UrlTlds) yield s"$n.$t"
+
+  /** Host and registered-domain extraction from a `url` column — regex,
+    * not `parse_url`, so the oracle replays the identical extraction.
+    */
+  def withHostDomain(docs: DataFrame, urlCol: String = "url"): DataFrame =
+    docs.withColumn("host", regexp_extract(col(urlCol), "https?://([^/]+)", 1))
+      .withColumn("domain", substring_index(col("host"), ".", -2))
+
+  /** Domain blocklist as a broadcast LEFT ANTI join — at 100 TB the
+    * blocklist is a dimension table (thousands of rows), the corpus never
+    * shuffles, and the anti-join runs at scan speed.
+    */
+  def domainBlockFilter(docs: DataFrame, blocked: Seq[String],
+      domainCol: String = "domain"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.join(broadcast(blocked.toDF(domainCol)), Seq(domainCol), "left_anti")
+  }
+
+  /** The composed x79 pipeline: URL derivation → host/domain extraction →
+    * blocklist anti-join → per-domain quota ([[sourceQuota]] keyed on
+    * domain, longest-docs-first).
+    */
+  def urlDomainCuration(docs: DataFrame, quota: Int = 50): DataFrame =
+    sourceQuota(
+      domainBlockFilter(
+        withHostDomain(withUrl(docs))
+          .select("doc_id", "url", "host", "domain", "n_chars"),
+        DefaultDomainBlocklist),
+      quota, scoreCol = "n_chars", srcCol = "domain")
+
   /** Distribution flattening (importance resampling): subsample each
     * bucket of `bucketCol` with acceptance rate `min_count / bucket_count`
     * so the surviving corpus is uniform across observed buckets — the

@@ -193,6 +193,44 @@ object ExtQueries {
     // cell-PARTITIONED assignment), probes pruned to the probed cells via
     // dynamic partition pruning. Same centroids/fold/ranking as x13, so it
     // shares x13's oracle.
+    // URL/domain curation (r5): the C4/RefinedWeb first pass — deterministic
+    // derived URL, regex host extraction, registered-domain reduction,
+    // blocklist anti-join, per-domain quota. One composed query.
+    "x79_url_domain_curation" -> ((s, dir) =>
+      Curate.urlDomainCuration(Tables.documents(s, dir))),
+
+    // Model-based quality scoring (r5): bigram LM trained on the src0
+    // held-out slice, every other doc scored by average smoothed inverse
+    // conditional probability (perplexity's transcendental-free surrogate).
+    "x80_lm_quality_score" -> ((s, dir) =>
+      TextOps.lmInvProbScore(Tables.documents(s, dir), col("source") === "src0")),
+
+    // The composed web-corpus flagship (r5): the full C4/RefinedWeb-shaped
+    // pass as ONE query — domain gate (derived URL, blocklist anti-join) ->
+    // model-based quality gate (stupid-backoff LM, exact-P95 threshold) ->
+    // exact dedup -> context-window chunk stats per registered domain.
+    // Every stage is an already-verified operator; the composition is the
+    // product a training-data user actually ships.
+    "x81_web_corpus_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val dom = Curate.domainBlockFilter(
+        Curate.withHostDomain(Curate.withUrl(docs)), Curate.DefaultDomainBlocklist)
+      val scores = TextOps.lmInvProbScore(docs, col("source") === "src0")
+      val scored = dom.join(scores.select("doc_id", "avg_invp"), "doc_id")
+      val fluent = Curate.percentileClip(scored, "avg_invp", 0.0, 0.95)
+      val canon = fluent.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
+      val surviving = fluent.join(canon.select("doc_id"), "doc_id")
+      val chunkStats = Chunking.chunkTokens(surviving, 64, 48)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_chunk_tokens").cast("long")).as("chunk_tokens"))
+      surviving.join(chunkStats, "doc_id")
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chunks").as("n_chunks"),
+          sum("chunk_tokens").as("total_chunk_tokens"),
+          min("doc_id").as("min_doc_id"))
+    }),
+
     // Full BPE training (r5): 8 iterative merges over the vocabulary-sized
     // pretoken table — the loop x60's first-pass pair count only started.
     // The DuckDB oracle re-derives the whole merge table via an unrolled
@@ -725,6 +763,52 @@ object ExtQueries {
     * pair-count/argmax/apply CTE stage per merge).
     */
   val BpeMerges = 8
+
+  /** x79's URL-derivation + host/domain + blocklist chain (CTEs u/h/d/f),
+    * generated from the [[Curate]] constants so the two engines can never
+    * drift; reused verbatim by x81's composed pipeline.
+    */
+  private lazy val urlChainCtes: String = {
+    val nameList = Curate.UrlDomainNames.map(n => s"'$n'").mkString("[", ",", "]")
+    val tldList = Curate.UrlTlds.map(t => s"'$t'").mkString("[", ",", "]")
+    val blocked = Curate.DefaultDomainBlocklist.map(d => s"'$d'").mkString(", ")
+    def hx(from: Int): String =
+      s"CAST(('0x' || substr(md5(doc_id || ':url'), $from, 4)) AS INT)"
+    "u AS (SELECT doc_id, source, n_chars, " +
+      s"'https://w' || (${hx(1)} % 7) || '.' || " +
+      s"($nameList)[${hx(5)} % ${Curate.UrlDomainNames.size} + 1] || '.' || " +
+      s"($tldList)[${hx(9)} % ${Curate.UrlTlds.size} + 1] || " +
+      "'/' || source || '/' || doc_id AS url FROM documents), " +
+      "h AS (SELECT doc_id, n_chars, url, " +
+      "regexp_extract(url, 'https?://([^/]+)', 1) AS host FROM u), " +
+      "d AS (SELECT doc_id, n_chars, url, host, " +
+      "array_to_string(string_split(host, '.')[-2:], '.') AS domain FROM h), " +
+      s"f AS (SELECT * FROM d WHERE domain NOT IN ($blocked))"
+  }
+
+  /** x80's stupid-backoff bigram LM chain (CTEs t..sp, per-pair inverse
+    * probabilities in `sp`), reused by x81's quality gate.
+    */
+  private lazy val lmCtes: String =
+    "t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +
+      "tr AS (SELECT toks FROM t WHERE source = 'src0'), " +
+      "trtok AS (SELECT unnest(toks) AS a FROM tr), " +
+      "uni AS (SELECT a, CAST(count(*) AS BIGINT) AS c_a FROM trtok GROUP BY 1), " +
+      "st AS (SELECT CAST(count(*) AS BIGINT) AS n_tok, " +
+      "CAST(count(DISTINCT a) AS BIGINT) AS v FROM trtok), " +
+      "bi AS (SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS c_ab FROM " +
+      "(SELECT unnest(list_transform(generate_series(1, len(toks)-1), " +
+      "i -> struct_pack(a := toks[i], b := toks[i+1]))) AS p FROM tr WHERE len(toks) >= 2) " +
+      "GROUP BY 1, 2), " +
+      "ub AS (SELECT a AS b, c_a AS c_b FROM uni), " +
+      "pr AS (SELECT doc_id, p.i AS i, p.a AS a, p.b AS b FROM " +
+      "(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1), " +
+      "i -> struct_pack(i := i, a := toks[i], b := toks[i+1]))) AS p " +
+      "FROM t WHERE source <> 'src0' AND len(toks) >= 2)), " +
+      "sp AS (SELECT doc_id, i, CASE WHEN c_ab IS NOT NULL " +
+      "THEN CAST(c_a AS DOUBLE) / CAST(c_ab AS DOUBLE) " +
+      "ELSE 2.5 * CAST(st.n_tok + st.v AS DOUBLE) / CAST(coalesce(c_b, 0) + 1 AS DOUBLE) END AS invp " +
+      "FROM pr LEFT JOIN uni USING (a) LEFT JOIN ub USING (b) LEFT JOIN bi USING (a, b), st)"
 
   /** GPT-2-style pretokenizer pattern as a DuckDB literal (leading quote
     * doubled) — must stay in lock-step with [[TextOps.BpePretokenPattern]].
@@ -1437,6 +1521,43 @@ object ExtQueries {
     "x77_bpe_train" -> bpeTrainSql,
 
     "x78_bpe_encode" -> bpeEncodeSql,
+
+    "x79_url_domain_curation" ->
+      (s"WITH $urlChainCtes, " +
+        "r AS (SELECT doc_id, url, host, domain, n_chars, " +
+        "CAST(row_number() OVER (PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank FROM f) " +
+        "SELECT doc_id, url, host, domain, n_chars, rank FROM r WHERE rank <= 50"),
+
+    "x80_lm_quality_score" ->
+      (s"WITH $lmCtes " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "list_aggregate(list(invp ORDER BY i), 'sum') / count(*) AS avg_invp " +
+        "FROM sp GROUP BY doc_id"),
+
+    // The composed flagship: domain gate -> LM gate at the exact P95 ->
+    // exact dedup -> context-window chunk stats per registered domain.
+    "x81_web_corpus_pipeline" ->
+      (s"WITH $lmCtes, $urlChainCtes, " +
+        "sc AS (SELECT doc_id, list_aggregate(list(invp ORDER BY i), 'sum') / count(*) " +
+        "AS avg_invp FROM sp GROUP BY doc_id), " +
+        "j AS (SELECT f.doc_id, f.domain, sc.avg_invp FROM f JOIN sc USING (doc_id)), " +
+        "th AS (SELECT quantile_cont(avg_invp, 0.95) AS hi FROM j), " +
+        "fl AS (SELECT j.doc_id, j.domain, dd.text, t.toks FROM j " +
+        "JOIN documents dd ON j.doc_id = dd.doc_id JOIN t ON j.doc_id = t.doc_id " +
+        "CROSS JOIN th WHERE j.avg_invp <= th.hi), " +
+        "canon AS (SELECT md5(text) AS hh, min(doc_id) AS doc_id FROM fl GROUP BY 1), " +
+        "sv AS (SELECT fl.* FROM fl JOIN canon USING (doc_id)), " +
+        "cn AS (SELECT doc_id, toks, len(toks) AS n FROM sv), " +
+        "cg AS (SELECT doc_id, toks, CASE WHEN n <= 64 THEN 0 " +
+        "ELSE CAST(floor((n - 64 + 47)/48.0) AS INT) END AS last_chunk FROM cn), " +
+        "ce AS (SELECT doc_id, toks, unnest(generate_series(0, last_chunk)) AS i FROM cg), " +
+        "cs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, " +
+        "CAST(sum(len(toks[(i*48+1):(i*48+64)])) AS BIGINT) AS chunk_tokens FROM ce GROUP BY doc_id) " +
+        "SELECT domain, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chunks) AS BIGINT) AS n_chunks, " +
+        "CAST(sum(chunk_tokens) AS BIGINT) AS total_chunk_tokens, " +
+        "min(doc_id) AS min_doc_id " +
+        "FROM sv JOIN cs USING (doc_id) GROUP BY domain"),
 
     "x47_sketch_heavy_hitters" ->
       (s"WITH t AS ($toksCte), e AS (SELECT unnest(toks) AS tok FROM t), " +

@@ -218,6 +218,63 @@ object TextOps {
           (col("n_a") * col("n_b")).cast("double")).as("lift"))
   }
 
+  /** Model-based quality scoring: a bigram language model with stupid
+    * backoff (Brants et al. 2007) trained on a held-out corpus slice,
+    * scoring every other document by its average INVERSE conditional
+    * probability over adjacent token pairs:
+    *
+    *   invp_i = c(a_i)/c(a_i,b_i)            if the bigram was seen,
+    *            2.5 · (N+V)/(c(b_i)+1)       otherwise (backoff, 1/0.4)
+    *
+    * — perplexity's rational surrogate (perplexity is the geometric mean
+    * of these inverses; the arithmetic mean ranks fluent-vs-gibberish the
+    * same way while staying transcendental-free, the engine's cross-engine
+    * exactness rule: ratios of exact integer counts and one binary-exact
+    * 2.5 multiplier, summed in document position order). A doc of tokens
+    * the model never saw backs off to `2.5·(N+V)/1` per pair — orders of
+    * magnitude above any fluent doc's score.
+    *
+    * Scale shape: training is two partial-agg groupBys over the held-out
+    * slice (unigram + bigram counts, vocabulary-sized outputs) broadcast
+    * onto the scoring pairs; the per-doc sum is the q55/q56 portable fold
+    * (collect the doc's pair scores, sort by position, fold left-to-right)
+    * so partitioning can never change a double.
+    */
+  def lmInvProbScore(docs: DataFrame, heldOut: Column,
+      text: Column = col("text")): DataFrame = {
+    val toks = tokens(text)
+    val train = docs.where(heldOut)
+    val trTok = train.select(explode(toks).as("a"))
+    val uni = trTok.groupBy("a").agg(count(lit(1)).as("c_a"))
+    val stats = trTok.agg(count(lit(1)).as("n_tok"), countDistinct(col("a")).as("v"))
+    val bi = train.select(explode(
+        when(size(toks) >= 2, transform(sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("a"), element_at(toks, i + 1).as("b"))))
+          .otherwise(array())).as("p"))
+      .groupBy("p.a", "p.b").agg(count(lit(1)).as("c_ab"))
+    val pairs = docs.where(!heldOut && size(toks) >= 2)
+      .select(col("doc_id"), posexplode(transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("a"), element_at(toks, i + 1).as("b"))))
+        .as(Seq("i", "p")))
+      .select(col("doc_id"), col("i"), col("p.a"), col("p.b"))
+    val scoredPairs = pairs
+      .join(broadcast(uni), Seq("a"), "left")
+      .join(broadcast(uni.withColumnsRenamed(Map("a" -> "b", "c_a" -> "c_b"))), Seq("b"), "left")
+      .join(broadcast(bi), Seq("a", "b"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("i"),
+        when(col("c_ab").isNotNull,
+          col("c_a").cast("double") / col("c_ab").cast("double"))
+          .otherwise(lit(2.5) * (col("n_tok") + col("v")).cast("double") /
+            (coalesce(col("c_b"), lit(0L)) + lit(1L)).cast("double")).as("invp"))
+    scoredPairs.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("i"), col("invp")))).as("ps"))
+      .select(col("doc_id"),
+        size(col("ps")).cast("long").as("n_pairs"),
+        (aggregate(transform(col("ps"), s => s.getField("invp")), lit(0.0), (a, x) => a + x)
+          / size(col("ps"))).as("avg_invp"))
+  }
+
   /** Canonical text normalization for dedup/tokenization robustness:
     * lowercase, strip everything but `[a-z0-9 ]`, collapse whitespace runs,
     * trim. Pure per-row expressions — runs at scan speed.

@@ -23,6 +23,8 @@ class PlanAuditSpec extends SparkTestBase {
     "x38_ann_int8_topk" -> "brute-force BASELINE like x06: quantized corpus streams against the broadcast query set (scale paths = x07/x13/x32)",
     "x40_ann_ivf_kmeans" -> "crossJoin against ONE packed broadcast row (constant) + the 1-row recall-report fold",
     "x39_sketch_hll_union" -> "crossJoin of two single-row aggregates (exact ALL count × unioned-sketch estimate)",
+    "x80_lm_quality_score" -> "crossJoin against ONE broadcast LM-stats row (train token/vocab totals, constant)",
+    "x81_web_corpus_pipeline" -> "crossJoins against ONE broadcast LM-stats row and ONE broadcast P95-threshold row (constants)",
     "x44_sketch_kll_rollup" -> "crossJoin against ONE broadcast unioned-sketch estimate row + the 1-row ALL fold (constant)",
     "x48_bm25_topk" -> "crossJoin against ONE broadcast corpus-stats row (constant)",
     "x57_curate_length_clip" -> "crossJoin against ONE broadcast percentile-threshold row (constant)",

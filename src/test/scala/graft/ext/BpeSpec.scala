@@ -1,0 +1,91 @@
+package graft.ext
+
+import graft.SparkTestBase
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Full BPE tokenizer: training, encoding, and the real-token-id chunker.
+  * Hand-checkable properties on a tiny corpus plus fixture-scale
+  * consistency with the r4 first-pass operator (TextOps.bpePairCounts).
+  */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tinyDocs = Seq(
+    (1L, "aaab aaab"),
+    (2L, "aaab cc"),
+    (3L, "cc cc")
+  ).toDF("doc_id", "text")
+
+  test("train: hand-computed merges on a tiny corpus, deterministic order") {
+    // pretokens: "aaab"x1, " aaab"x1, " cc"x2, "cc"x1, " ..." — derive:
+    // doc1: ["aaab", " aaab"]; doc2: ["aaab", " cc"]; doc3: ["cc", " cc"]
+    // freq: "aaab"->2, " aaab"->1, " cc"->2, "cc"->1
+    // pair counts pass 1: (a,a): "aaab" has 2 per occurrence ->2*2=4, " aaab" 2 -> total 6;
+    // (a,b): 2+1=3; (c,c): 2+1=3; ( ,a): 1; ( ,c): 2
+    // argmax: (a,a) n=6 -> merge "aa"
+    val merges = Bpe.train(tinyDocs, 3)
+    assert(merges.head.symA === "a" && merges.head.symB === "a" && merges.head.n === 6L)
+    // after merge 0: "aaab" -> [aa, a, b]; " aaab" -> [ , aa, a, b]
+    // pairs: (aa,a): 2+1=3; (a,b): 2+1=3; (c,c): 3; ( ,aa): 1; ( ,c): 2
+    // tie at 3: (a,b) < (aa,a) < (c,c) by (sym_a, sym_b) string order
+    assert(merges(1).symA === "a" && merges(1).symB === "b" && merges(1).n === 3L)
+    // deterministic: same input -> same merges
+    assert(Bpe.train(tinyDocs, 3) === merges)
+  }
+
+  test("encode: symbols reconstruct every pretoken; ids are consistent") {
+    val merges = Bpe.train(tinyDocs, 3)
+    val enc = Bpe.encode(tinyDocs, merges).collect()
+    // concatenating symbols in (seq, pos) order reproduces the document's
+    // pretoken stream, i.e. the original text
+    val rebuilt = enc.groupBy(_.getLong(0)).map { case (docId, rows) =>
+      docId -> rows.sortBy(r => (r.getLong(1), r.getLong(2))).map(_.getString(3)).mkString
+    }
+    tinyDocs.collect().foreach { r =>
+      assert(rebuilt(r.getLong(0)) === r.getString(1),
+        s"doc ${r.getLong(0)} did not reconstruct")
+    }
+    // one id per distinct symbol, ids non-negative
+    val symToId = enc.map(r => r.getString(3) -> r.getLong(4)).toSet
+    assert(symToId.size === symToId.map(_._1).size)
+    assert(symToId.forall(_._2 >= 0))
+    // merged symbols carry post-alphabet ids
+    val merged = merges.map(m => m.symA + m.symB).toSet
+    val baseIds = symToId.filterNot(s => merged.contains(s._1)).map(_._2)
+    symToId.filter(s => merged.contains(s._1)).foreach { case (s, id) =>
+      assert(baseIds.isEmpty || id > baseIds.max, s"merged symbol $s id $id not post-alphabet")
+    }
+  }
+
+  test("first trained merge agrees with the r4 first-pass pair count (x60)") {
+    val docs = Tables.documents(spark, sfDir)
+    val first = Bpe.train(docs, 1).head
+    val top = TextOps.bpePairCounts(docs, minCount = 1L)
+      .orderBy(col("n").desc, col("pair")).limit(1).collect()(0)
+    assert(first.symA + first.symB === top.getString(0),
+      s"trained first merge ${first.symA}+${first.symB} != pair-count argmax ${top.getString(0)}")
+    assert(first.n === top.getLong(1))
+  }
+
+  test("chunkTokenIds: real-id windows cover the stream with stride overlap") {
+    val merges = Bpe.train(tinyDocs, 2)
+    val counts = Bpe.tokenCounts(tinyDocs, merges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = Bpe.chunkTokenIds(tinyDocs, merges, chunk = 3, stride = 2).collect()
+    chunks.foreach(r => assert(r.getAs[collection.Seq[Long]]("token_ids").nonEmpty
+      && r.getLong(3) <= 3, s"bad chunk: $r"))
+    // chunk count per doc follows the ceil formula over the REAL id count
+    val byDoc = chunks.groupBy(_.getLong(0))
+    counts.foreach { case (doc, n) =>
+      val expect = if (n <= 3) 1L else (n - 3 + 1) / 2 + 1
+      assert(byDoc(doc).length.toLong === expect, s"doc $doc: n=$n chunks=${byDoc(doc).length}")
+      // stride coverage: consecutive chunks share chunk-stride ids
+      val sorted = byDoc(doc).sortBy(_.getLong(1)).map(_.getAs[collection.Seq[Long]]("token_ids")).toSeq
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a.drop(2).toSeq === b.take(a.length - 2).toSeq)
+        case _ => ()
+      }
+    }
+  }
+}

@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.SparkTestBase
+import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
 class CurateSpec extends SparkTestBase {
@@ -137,6 +138,29 @@ class CurateSpec extends SparkTestBase {
     assert(out(2L).getAs[Long]("n_ipv4") === 1L)
     assert(out(3L).getAs[Long]("n_emails") === 0L)
     assert(!out(3L).getAs[Boolean]("has_pii"))
+  }
+
+  test("urlDomainCuration: blocklist enforced, quota capped, derivation deterministic") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Curate.urlDomainCuration(docs, quota = 50).collect()
+    assert(out.nonEmpty)
+    // no blocklisted registered domain survives the anti-join
+    val domains = out.map(_.getAs[String]("domain")).toSet
+    assert(Curate.DefaultDomainBlocklist.forall(d => !domains.contains(d)))
+    // host parses as sub.name.tld and domain is its last two labels
+    out.foreach { r =>
+      val host = r.getAs[String]("host")
+      assert(host.matches("w\\d\\.[a-z]+\\.[a-z]+"), s"malformed host $host")
+      assert(r.getAs[String]("domain") === host.split("\\.").takeRight(2).mkString("."))
+      assert(r.getAs[String]("url").startsWith(s"https://$host/"))
+    }
+    // per-domain quota holds
+    out.groupBy(_.getAs[String]("domain")).foreach { case (d, rows) =>
+      assert(rows.length <= 50, s"domain $d exceeded quota: ${rows.length}")
+    }
+    // derivation is deterministic (retry-safe, like every sampler here)
+    val again = Curate.urlDomainCuration(docs, quota = 50).collect()
+    assert(out.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
 
   test("uniformHash is in [0,1) and reproducible") {

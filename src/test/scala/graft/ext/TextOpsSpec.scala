@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.SparkTestBase
+import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
 class TextOpsSpec extends SparkTestBase {
@@ -134,5 +135,26 @@ class TextOpsSpec extends SparkTestBase {
     val out = df.select($"doc_id", TextOps.langId($"text").as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(1L) === "en" && out(2L) === "unk")
+  }
+
+  test("lmInvProbScore: gibberish scores above every fluent fixture doc") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    // plant a gibberish doc (tokens the src0 training slice never saw) among
+    // the scoring slice; its smoothed inverse probabilities are the V/1
+    // unseen-context maximum on every pair
+    val gibberish = Seq((999999L, "zzq9 xv7kq wm3jj qpp0z brrt9 zzq9 xv7kq nn2m")).toDF("doc_id", "text")
+      .withColumn("source", lit("srcX"))
+    val planted = docs.select("doc_id", "text", "source").unionByName(gibberish)
+    val scored = TextOps.lmInvProbScore(planted, col("source") === "src0").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_invp")).toMap
+    val g = scored(999999L)
+    val real = (scored - 999999L).values
+    assert(real.nonEmpty && g > real.max,
+      s"gibberish avg_invp $g not above fluent max ${real.max}")
+    // and the score is deterministic across partitionings (fixed-order fold)
+    val re = TextOps.lmInvProbScore(planted.repartition(13), col("source") === "src0")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_invp")).toMap
+    assert(re === scored)
   }
 }
