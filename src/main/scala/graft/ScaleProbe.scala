@@ -98,6 +98,24 @@ object ScaleProbe {
         graft.ext.Similarity.lshMultiNearDupPairs(emb, 0.8, bits).count()
       }
       emb.unpersist(blocking = true)
+      // Replicated events: copy i shifts user_id (and event_id) into a
+      // disjoint range, preserving each user's event history verbatim — so
+      // the funnel's per-user chained joins and retention's cohort aggs do
+      // CONSTANT work per user and total work must grow linearly with k.
+      // Every stage stays co-partitioned on user_id (one hash layout),
+      // which is exactly the property this probe certifies at scale.
+      val ev = (0 until k).map { i =>
+        Tables.events(spark, sfDir)
+          .withColumn("user_id", col("user_id") + lit(i.toLong * 100000000L))
+          .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L))
+      }.reduce(_ unionByName _).cache()
+      ev.count()
+      time("funnel") {
+        graft.ops.Funnel.funnel(ev, Seq("signup", "view", "click", "purchase")).count()
+      }
+      time("retention") { graft.ops.Funnel.retentionCohorts(ev).count() }
+      time("rate_anomaly") { graft.ops.Funnel.rateAnomaly(ev).count() }
+      ev.unpersist(blocking = true)
       // the per-run caches (shingle/band tables) must not leak across scales
       spark.sharedState.cacheManager.clearCache()
     }
