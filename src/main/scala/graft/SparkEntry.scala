@@ -51,7 +51,9 @@ object SparkEntry {
     "q42_j7_star_join", "q51_pp_pruned_scan",
     "x47_sketch_heavy_hitters", "x48_bm25_topk",
     "x46_training_pipeline", "x54_curate_quality_bins",
-    "x64_dedup_prefix_filter")
+    "x64_dedup_prefix_filter",
+    "x77_bpe_train", "x79_url_domain_curation",
+    "x80_lm_quality_score", "x81_web_corpus_pipeline")
 
   private def coreQueries: Map[String, Q] = Map(
     // S1+P4+F1+F4 — dimension scan with projection + pushed predicates

@@ -44,6 +44,19 @@ class ShuffleAuditSpec extends SparkTestBase {
     assert(m.shuffleBytesWritten < 32 * 1024)
   }
 
+  test("web-corpus flagship shuffle is output-shaped: survivors' text, once") {
+    // x81's only text-bearing exchanges are the dedup join and the chunk
+    // agg over the FILTERED survivors — bounded by ~4× the corpus text
+    // volume (text appears on both join sides plus agg partials), never a
+    // pair- or chunk-amplified multiple of it.
+    val m = ShuffleAudit.measureCount(
+      graft.SparkEntry.queries("x81_web_corpus_pipeline")(spark, sfDir))
+    val textBytes = docs.agg(sum(length(col("text")))).head().getLong(0)
+    assert(m.shuffleBytesWritten > 0, "audit read no shuffle metrics at all")
+    assert(m.shuffleBytesWritten < textBytes * 4,
+      s"x81 shuffled ${m.shuffleBytesWritten} B vs corpus text $textBytes B — amplification?")
+  }
+
   test("minhash-LSH end-to-end shuffle is bounded by signatures, not text") {
     // bands (4 × 32-hex + ids), candidate pairs, and the shingle-explode
     // verification join are the only wide ops; with the corpus's planted
@@ -72,7 +85,9 @@ class ShuffleAuditSpec extends SparkTestBase {
       "q13_a2_groupby_agg" -> 2,
       "x01_dedup_exact" -> 2,           // digest groupBy + count
       "x48_bm25_topk" -> 2,
-      "q53_ev2_retention" -> 3)
+      "q53_ev2_retention" -> 3,
+      "x79_url_domain_curation" -> 2, // domain-keyed quota window + count (blocklist broadcast)
+      "x80_lm_quality_score" -> 3)    // vocab-sized LM aggs broadcast; doc-keyed fold + count
     val got = budgets.keys.toSeq.sorted.map { name =>
       name -> graft.ops.ShuffleAudit.measureCount(
         graft.SparkEntry.queries(name)(spark, sfDir)).numExchanges
