@@ -160,6 +160,30 @@ object Bpe {
   def tokenCounts(docs: DataFrame, merges: Seq[Merge], text: Column = col("text")): DataFrame =
     encode(docs, merges, text).groupBy("doc_id").agg(count(lit(1)).as("n_bpe_tokens"))
 
+  /** Per-language tokenizer FERTILITY report — the standard tokenizer-
+    * quality diagnostic (tokens per whitespace word; chars per token): a
+    * high-fertility language is being over-fragmented by the learned
+    * merges and needs more merge budget or its own training slice. One
+    * doc-keyed join of the encode output onto the language column, two
+    * partial-agg groupBys, exact-integer ratios.
+    */
+  def fertilityByLang(docs: DataFrame, merges: Seq[Merge],
+      text: Column = col("text")): DataFrame = {
+    val perLangBpe = encode(docs, merges, text)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_bpe_tokens"),
+        sum(length(col("sym"))).as("n_chars"))
+    val perLangWs = docs.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(TextOps.tokens(text))).as("n_ws_tokens"))
+    perLangWs.join(perLangBpe, "lang")
+      .select(col("lang"), col("n_docs"), col("n_ws_tokens").cast("long").as("n_ws_tokens"),
+        col("n_bpe_tokens"),
+        (col("n_bpe_tokens").cast("double") / col("n_ws_tokens").cast("double")).as("fertility"),
+        (col("n_chars").cast("double") / col("n_bpe_tokens").cast("double")).as("chars_per_token"))
+  }
+
   /** Context-window chunking over REAL token ids — [[Chunking.chunkTokens]]'s
     * window math applied to the encoded id stream instead of whitespace
     * tokens: chunk i covers ids `[i*stride, i*stride+chunk)` of the

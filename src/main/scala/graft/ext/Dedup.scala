@@ -490,4 +490,45 @@ object Dedup {
       .where(col("hamming") <= maxDist)
       .select("doc_a", "doc_b", "hamming")
   }
+
+  /** Cross-document duplicate-PASSAGE detection (the substring-level dedup
+    * of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", in its distributed shingle form): a token position is
+    * duplicated if it is covered by any k-token window whose digest occurs
+    * in >= 2 distinct documents. Doc-level dedup (x01/x03) misses these —
+    * boilerplate headers, license blurbs, quoted passages shared across
+    * otherwise-distinct documents.
+    *
+    * Scale shape: positions carry 32-hex WINDOW DIGESTS, never text (the
+    * x01 digest discipline applied per window); the duplicated-window set
+    * comes from one digest-keyed partial-agg groupBy; coverage is an
+    * explode of the matched windows' k positions collapsed by a
+    * (doc, position) distinct — every stage is corpus-linear with
+    * constant-size keys. Output: one row per doc with its duplicated-token
+    * fraction (docs shorter than k tokens report zero).
+    */
+  def dupPassages(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens, got $k")
+    val toks = TextOps.tokens(col("text"))
+    val base = docs.select(col("doc_id"), size(toks).as("n_tokens"))
+    val windows = cacheOnce(docs
+      .select(col("doc_id"),
+        posexplode(when(size(toks) >= k,
+          transform(sequence(lit(1), size(toks) - lit(k - 1)),
+            i => md5(concat_ws(" ", slice(toks, i, lit(k))))))
+          .otherwise(array())).as(Seq("pos", "wh"))))
+    val dup = windows.groupBy("wh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select("wh")
+    val covered = windows.join(dup, "wh")
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("ti"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_tokens"))
+    base.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        (coalesce(col("n_dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+          .as("dup_frac"))
+  }
 }

@@ -246,6 +246,19 @@ object ExtQueries {
       Bpe.encode(d, Bpe.train(d, BpeMerges))
     }),
 
+    // Duplicate-PASSAGE detection (r5, Lee et al. 2022 shape): token
+    // positions covered by any 8-token window digest occurring in >= 2
+    // distinct docs — the substring-level dedup doc-level x01/x03 miss.
+    "x82_dup_passages" -> ((s, dir) =>
+      Dedup.dupPassages(Tables.documents(s, dir))),
+
+    // Tokenizer fertility per language from the REAL trained tokenizer —
+    // tokens/word and chars/token, the over-fragmentation diagnostic.
+    "x83_bpe_fertility" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Bpe.fertilityByLang(d, Bpe.train(d, BpeMerges))
+    }),
+
     "x58_ann_ivf_stored" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       // Per-invocation temp dir (not a shared fixed path): two concurrent
@@ -1521,6 +1534,33 @@ object ExtQueries {
     "x77_bpe_train" -> bpeTrainSql,
 
     "x78_bpe_encode" -> bpeEncodeSql,
+
+    "x82_dup_passages" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t), " +
+        "w AS (SELECT doc_id, p.i AS i, p.wh AS wh FROM " +
+        "(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-7), " +
+        "i -> struct_pack(i := i, wh := md5(array_to_string(toks[i:i+7], ' '))))) AS p " +
+        "FROM t WHERE len(toks) >= 8)), " +
+        "d AS (SELECT wh FROM w GROUP BY wh HAVING count(DISTINCT doc_id) >= 2), " +
+        "c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup FROM " +
+        "(SELECT DISTINCT doc_id, ti FROM (SELECT w.doc_id, " +
+        "unnest(generate_series(w.i, w.i+7)) AS ti FROM w JOIN d USING (wh))) GROUP BY doc_id) " +
+        "SELECT b.doc_id, b.n_tokens, coalesce(c.n_dup, 0) AS n_dup_tokens, " +
+        "CAST(coalesce(c.n_dup, 0) AS DOUBLE)/b.n_tokens AS dup_frac " +
+        "FROM b LEFT JOIN c USING (doc_id)"),
+
+    "x83_bpe_fertility" ->
+      ("WITH w AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens " +
+        "FROM documents GROUP BY 1), " +
+        "bb AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_bpe_tokens, " +
+        s"CAST(sum(length(e.sym)) AS BIGINT) AS n_chars FROM ($bpeEncodeSql) e " +
+        "JOIN documents d USING (doc_id) GROUP BY 1) " +
+        "SELECT lang, n_docs, n_ws_tokens, n_bpe_tokens, " +
+        "CAST(n_bpe_tokens AS DOUBLE)/CAST(n_ws_tokens AS DOUBLE) AS fertility, " +
+        "CAST(n_chars AS DOUBLE)/CAST(n_bpe_tokens AS DOUBLE) AS chars_per_token " +
+        "FROM w JOIN bb USING (lang)"),
 
     "x79_url_domain_curation" ->
       (s"WITH $urlChainCtes, " +

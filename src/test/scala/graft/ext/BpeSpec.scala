@@ -68,6 +68,21 @@ class BpeSpec extends SparkTestBase {
     assert(first.n === top.getLong(1))
   }
 
+  test("fertilityByLang: consistent totals, over-1 fertility at tiny merge budget") {
+    val docs = Tables.documents(spark, sfDir)
+    val merges = Bpe.train(docs, 8)
+    val out = Bpe.fertilityByLang(docs, merges).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // 8 merges leave most symbols character-sized: far more tokens than words
+      assert(r.getAs[Double]("fertility") > 1.0, s"fertility <= 1: $r")
+      assert(r.getAs[Double]("chars_per_token") >= 1.0, s"chars/token < 1: $r")
+    }
+    // the per-lang BPE token totals must sum to the full encode row count
+    val total = Bpe.encode(docs, merges).count()
+    assert(out.map(_.getAs[Long]("n_bpe_tokens")).sum === total)
+  }
+
   test("chunkTokenIds: real-id windows cover the stream with stride overlap") {
     val merges = Bpe.train(tinyDocs, 2)
     val counts = Bpe.tokenCounts(tinyDocs, merges).collect()

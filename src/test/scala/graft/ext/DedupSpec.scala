@@ -171,4 +171,30 @@ class DedupSpec extends SparkTestBase {
     assert(full.exists(_._1 < split) && full.exists(_._1 >= split),
       "fixture must exercise both the master-index join and the batch self-join")
   }
+
+  test("dupPassages: shared 9-token passage covered exactly, unique doc untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog extra words here"),
+      (2L, "prefix tokens then the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different content with no shared passages at all ok")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupPassages(docs, k = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getAs[Double]("dup_frac"))).toMap
+    // the two docs share exactly the 9-token run "the quick ... dog": its
+    // two 8-windows are the only cross-doc duplicates, covering 9 tokens
+    assert(out(1L) === ((12L, 9L, 9.0 / 12)))
+    assert(out(2L) === ((12L, 9L, 9.0 / 12)))
+    assert(out(3L) === ((10L, 0L, 0.0)))
+  }
+
+  test("dupPassages: exact duplicate docs are fully covered at fixture scale") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val out = Dedup.dupPassages(docs).collect()
+    assert(out.exists(_.getAs[Double]("dup_frac") == 1.0),
+      "the fixture's planted exact duplicates must be fully covered")
+    assert(out.exists(_.getAs[Double]("dup_frac") == 0.0),
+      "some docs must be passage-clean")
+    out.foreach(r => assert(r.getLong(2) <= r.getLong(1), s"coverage exceeds doc length: $r"))
+  }
 }
