@@ -77,6 +77,20 @@ object ScaleProbe {
       time("exact_dedup") { Dedup.exact(corpus).count() }
       time("minhash_lsh") { Dedup.minhashLsh(corpus, 3, 0.8).count() }
       time("simhash_banded") { Dedup.simhashBandedPairs(corpus, 3).count() }
+      time("dup_passages") { Dedup.dupPassages(corpus).where(col("dup_frac") > 0).count() }
+      // BPE training cost is vocabulary-bound: the salted replicas grow the
+      // pretoken vocabulary ~linearly, so the 8-merge loop should too (the
+      // corpus pass is one partial-agg groupBy; each iteration is
+      // vocab-sized). The k-selected merges differ per scale (salted
+      // tokens), which is fine — the probe times the loop, not the result.
+      time("bpe_train8") {
+        graft.ext.Bpe.train(corpus, 8); 8L
+      }
+      // LM scoring: train on ~1/5 of the corpus (source src0), score the
+      // rest — explode + broadcast joins + doc-keyed fold, corpus-linear.
+      time("lm_score") {
+        graft.ext.TextOps.lmInvProbScore(corpus, col("source") === "src0").count()
+      }
       corpus.unpersist(blocking = true)
       val emb = replicateEmb(k).cache()
       emb.count()
