@@ -53,7 +53,8 @@ object SparkEntry {
     "x46_training_pipeline", "x54_curate_quality_bins",
     "x64_dedup_prefix_filter",
     "x77_bpe_train", "x79_url_domain_curation",
-    "x80_lm_quality_score", "x81_web_corpus_pipeline")
+    "x80_lm_quality_score", "x81_web_corpus_pipeline",
+    "x84_dsir_importance", "x85_embedding_outliers")
 
   private def coreQueries: Map[String, Q] = Map(
     // S1+P4+F1+F4 — dimension scan with projection + pushed predicates

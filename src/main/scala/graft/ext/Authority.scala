@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph authority scoring — the domain-level quality prior every
+  * web-corpus curation stack computes (CommonCrawl publishes harmonic
+  * centrality / PageRank over its domain graph; C4/RefinedWeb-style
+  * pipelines consume it as a per-domain quality feature beside the
+  * blocklist). Beyond the reference surface (the reference has no graph
+  * ops); completes the engine's iterative-graph family next to
+  * [[Dedup.connectedComponents]] — CC is the unweighted reachability
+  * fixpoint, PageRank is the damped weighted one.
+  *
+  * Determinism: per-node contribution sums are collected, sorted by source
+  * node, and folded left-to-right (the q55/q56 portable-fold discipline),
+  * and the damping constants are evaluated with the same IEEE operation
+  * sequence the DuckDB oracle uses — every iteration's rank vector is
+  * bit-identical across engines, so 5 unrolled iterations hash-match.
+  */
+object Authority {
+
+  /** Damped PageRank over `(src, dst)` edges, fixed iteration count.
+    *
+    * r₀ = 1/N;  rₖ₊₁(d) = (1-α)/N + α · Σ_{s→d} rₖ(s)/outdeg(s)
+    *
+    * Dangling mass is NOT redistributed (the simple variant; ranks then
+    * sum to < 1 when sinks exist — documented, and identical in the
+    * oracle). Nodes = every vertex appearing as src or dst.
+    *
+    * Scale shape: the rank vector and degree table are node-keyed
+    * DataFrames, never driver-resident (N at web scale is ~10⁸ domains —
+    * too big to broadcast, fine to shuffle on the node key); each
+    * iteration is one edges⋈ranks join co-partitioned on `src` plus one
+    * partial-agg groupBy on `dst`. AQE broadcasts the rank side
+    * automatically when it is small, so the local fixture pays no
+    * shuffle it doesn't need. The only driver scalar is N (one count —
+    * the k-means-loop budget).
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val out = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val n = nodes.count()
+    var rank = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    for (_ <- 0 until iters) {
+      val sums = e.join(rank.withColumnRenamed("node", "src"), "src")
+        .join(out, "src")
+        .select(col("dst").as("node"), col("src"), (col("rank") / col("out_deg")).as("c"))
+        .groupBy("node")
+        .agg(sort_array(collect_list(struct(col("src"), col("c")))).as("cs"))
+        .select(col("node"),
+          aggregate(transform(col("cs"), s => s.getField("c")), lit(0.0), (a, x) => a + x)
+            .as("s"))
+      rank = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1 - damping) / n) + lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+    }
+    val inDeg = e.groupBy("dst").agg(count(lit(1)).as("in_deg"))
+    rank
+      .join(out.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .join(inDeg.withColumnRenamed("dst", "node"), Seq("node"), "left")
+      .select(col("node"), col("rank"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
+  /** Domain authority over the documents fixture: derive the deterministic
+    * web shape (the same md5-derived URL/host/domain chain x79 curates),
+    * add one md5-derived citation edge per document (doc → the document at
+    * `md5(doc_id‖":lnk") mod n_docs`, the fixture-determinism idiom the
+    * events/media fixtures use), collapse to the distinct domain graph,
+    * and run [[pageRank]]. Edge derivation is scan-speed; the graph the
+    * iterations see is domain-sized.
+    */
+  def domainAuthority(docs: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    val d = Curate.withHostDomain(Curate.withUrl(docs)).select(col("doc_id"), col("domain"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tgt = docs.select(col("doc_id"),
+        conv(substring(md5(concat(col("doc_id"), lit(":lnk"))), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), pmod(col("h"), col("n_docs")).as("tgt_id"))
+    val edges = d.join(tgt, "doc_id")
+      .join(d.select(col("doc_id").as("tgt_id"), col("domain").as("dst")), "tgt_id")
+      .select(col("domain").as("src"), col("dst"))
+    pageRank(edges, iters, damping)
+      .withColumnRenamed("node", "domain")
+  }
+}

@@ -97,4 +97,45 @@ object Embeddings {
         (abs(col("mean") - col("m")) <= greatest(abs(col("mean")) * 1e-9, lit(1e-9)))
           .as("partial_agg_close"))
   }
+
+  /** Embedding outlier report — the SemDeDup-adjacent embedding-space
+    * filter: distance of every vector to its class centroid, flagged
+    * against the corpus's exact P95 squared-distance threshold. Vectors
+    * far from their own label's centroid are mislabeled/noisy/off-
+    * distribution — the standard embedding-based curation pass after
+    * near-dup removal.
+    *
+    * Exactness: centroids are the sorted-fold means of
+    * [[groupCentroidExact]]; each vector's squared distance is a
+    * position-ordered left-to-right fold of `(v-mean)²`; `sqrt` is
+    * IEEE-exact; the threshold is ONE exact-percentile row broadcast back
+    * (same shape as `Curate.percentileClip`) — every double a pure
+    * function of the value multiset, so the DuckDB oracle hash-matches.
+    *
+    * Scale shape: centroid state is (labels × dims) rows — broadcast; the
+    * distance pass is one explode + broadcast join + per-vector collapse
+    * keyed on `vec_id` (partial-agg). No all-pairs anything; at 100 TB
+    * this is scan + one vector-keyed shuffle.
+    */
+  def outlierReport(emb: DataFrame, grp: Column = col("label"),
+      hi: Double = 0.95): DataFrame = {
+    val e = emb.select(col("vec_id"), grp.as("label"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+    val cent = e.groupBy("label", "pos")
+      .agg(sort_array(collect_list(col("v"))).as("vs"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (aggregate(col("vs"), lit(0.0), (a, x) => a + x) / col("n")).as("mean"))
+    val d2 = e.join(broadcast(cent), Seq("label", "pos"))
+      .select(col("vec_id"), col("label"), col("pos"),
+        ((col("v") - col("mean")) * (col("v") - col("mean"))).as("sq"))
+      .groupBy("vec_id", "label")
+      .agg(sort_array(collect_list(struct(col("pos"), col("sq")))).as("ss"))
+      .select(col("vec_id"), col("label"),
+        aggregate(transform(col("ss"), s => s.getField("sq")), lit(0.0), (a, x) => a + x)
+          .as("dist2"))
+    val th = d2.agg(expr(s"percentile(dist2, $hi)").as("_hi"))
+    d2.crossJoin(broadcast(th))
+      .select(col("vec_id"), col("label"), col("dist2"),
+        sqrt(col("dist2")).as("dist"), (col("dist2") > col("_hi")).as("is_outlier"))
+  }
 }

@@ -267,6 +267,26 @@ object ExtQueries {
       Bpe.fertilityByLang(d, Bpe.train(d, BpeMerges))
     }),
 
+    // DSIR importance weights (r5): hashed-unigram likelihood ratios
+    // between the src0 target slice and the raw rest — the
+    // importance-resampling data-selection score (Xie et al. 2023) beside
+    // x80's LM quality score. O(buckets) training state, broadcast onto a
+    // scan of the scoring corpus.
+    "x84_dsir_importance" -> ((s, dir) =>
+      TextOps.dsirImportance(Tables.documents(s, dir), col("source") === "src0")),
+
+    // Embedding outlier report (r5): distance to the label's exact
+    // centroid, flagged at the corpus's exact P95 squared-distance — the
+    // embedding-space curation filter after near-dup removal.
+    "x85_embedding_outliers" -> ((s, dir) =>
+      Embeddings.outlierReport(Tables.embeddings(s, dir))),
+
+    // Domain authority (r5): 5 damped PageRank iterations over the
+    // deterministically derived domain citation graph — the CommonCrawl-
+    // style per-domain quality prior beside x79's blocklist.
+    "x86_domain_authority" -> ((s, dir) =>
+      Authority.domainAuthority(Tables.documents(s, dir))),
+
     "x58_ann_ivf_stored" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       // Per-invocation temp dir (not a shared fixed path): two concurrent
@@ -830,6 +850,45 @@ object ExtQueries {
       "THEN CAST(c_a AS DOUBLE) / CAST(c_ab AS DOUBLE) " +
       "ELSE 2.5 * CAST(st.n_tok + st.v AS DOUBLE) / CAST(coalesce(c_b, 0) + 1 AS DOUBLE) END AS invp " +
       "FROM pr LEFT JOIN uni USING (a) LEFT JOIN ub USING (b) LEFT JOIN bi USING (a, b), st)"
+
+  /** x86's unrolled damped-PageRank chain: the deterministic doc→doc
+    * citation graph collapsed to distinct domain edges, then `Iters`
+    * rank CTEs, each the same IEEE operation sequence [[Authority.pageRank]]
+    * executes (per-target contributions summed in source order, damping
+    * applied as `(1-0.85)/n + 0.85*s`).
+    */
+  private lazy val pageRankSql: String = {
+    val iters = 5
+    val sb = new StringBuilder
+    sb ++= s"WITH $urlChainCtes, "
+    sb ++= "nnd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents), "
+    sb ++= "tg AS (SELECT doc_id, CAST(('0x' || substr(md5(doc_id || ':lnk'), 1, 8)) AS BIGINT) " +
+      "% n_docs AS tgt_id FROM documents, nnd), "
+    sb ++= "ed AS (SELECT DISTINCT sd.domain AS src, td.domain AS dst FROM tg " +
+      "JOIN d sd ON tg.doc_id = sd.doc_id JOIN d td ON tg.tgt_id = td.doc_id " +
+      "WHERE sd.domain <> td.domain), "
+    sb ++= "od AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM ed GROUP BY 1), "
+    sb ++= "ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS in_deg FROM ed GROUP BY 1), "
+    sb ++= "nd AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed), "
+    sb ++= "nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd), "
+    sb ++= "r0 AS (SELECT node, 1.0/CAST(n AS DOUBLE) AS rank FROM nd, nc)"
+    for (k <- 0 until iters) {
+      sb ++= s", c$k AS (SELECT ed.dst AS node, ed.src AS src, r$k.rank/od.out_deg AS c " +
+        s"FROM ed JOIN r$k ON ed.src = r$k.node JOIN od ON ed.src = od.src)"
+      sb ++= s", s$k AS (SELECT node, list_aggregate(list(c ORDER BY src), 'sum') AS s " +
+        s"FROM c$k GROUP BY 1)"
+      // (1 - CAST(.. AS DOUBLE)): a bare DuckDB literal 0.85 is DECIMAL, so
+      // (1-0.85) would be exact decimal 0.15 — a DIFFERENT double than the
+      // engine's IEEE 1-0.85. The multiplier 0.85*s needs no cast (the
+      // decimal→double conversion of 0.85 is the same double literal).
+      sb ++= s", r${k + 1} AS (SELECT nd.node, (1 - CAST(0.85 AS DOUBLE))/CAST(n AS DOUBLE) " +
+        s"+ 0.85*coalesce(s$k.s, 0.0) AS rank FROM nd LEFT JOIN s$k USING (node), nc)"
+    }
+    sb ++= s" SELECT r$iters.node AS domain, rank, coalesce(out_deg, 0) AS out_deg, " +
+      s"coalesce(in_deg, 0) AS in_deg FROM r$iters " +
+      s"LEFT JOIN od ON r$iters.node = od.src LEFT JOIN ind ON r$iters.node = ind.dst"
+    sb.toString
+  }
 
   /** GPT-2-style pretokenizer pattern as a DuckDB literal (leading quote
     * doubled) — must stay in lock-step with [[TextOps.BpePretokenPattern]].
@@ -1569,6 +1628,44 @@ object ExtQueries {
         "CAST(n_bpe_tokens AS DOUBLE)/CAST(n_ws_tokens AS DOUBLE) AS fertility, " +
         "CAST(n_chars AS DOUBLE)/CAST(n_bpe_tokens AS DOUBLE) AS chars_per_token " +
         "FROM w JOIN bb USING (lang)"),
+
+    "x84_dsir_importance" ->
+      ("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +
+        "tf AS (SELECT CAST(('0x' || substr(md5(tok), 1, 4)) AS INT) % 1024 AS f " +
+        "FROM (SELECT unnest(toks) AS tok FROM t WHERE source = 'src0')), " +
+        "sf AS (SELECT CAST(('0x' || substr(md5(tok), 1, 4)) AS INT) % 1024 AS f " +
+        "FROM (SELECT unnest(toks) AS tok FROM t WHERE source <> 'src0')), " +
+        "ct AS (SELECT f, CAST(count(*) AS BIGINT) AS c_t FROM tf GROUP BY 1), " +
+        "cs AS (SELECT f, CAST(count(*) AS BIGINT) AS c_s FROM sf GROUP BY 1), " +
+        "st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM tf) AS n_t, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM sf) AS n_s), " +
+        "r AS (SELECT f, CAST((coalesce(c_t, 0) + 1) * (n_s + 1024) AS DOUBLE) " +
+        "/ CAST((coalesce(c_s, 0) + 1) * (n_t + 1024) AS DOUBLE) AS lr " +
+        "FROM ct FULL JOIN cs USING (f), st), " +
+        "pr AS (SELECT doc_id, p.i AS i, " +
+        "CAST(('0x' || substr(md5(p.tok), 1, 4)) AS INT) % 1024 AS f " +
+        "FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)), " +
+        "i -> struct_pack(i := i, tok := toks[i]))) AS p FROM t WHERE source <> 'src0')), " +
+        "sp AS (SELECT doc_id, i, coalesce(lr, " +
+        "CAST(n_s + 1024 AS DOUBLE) / CAST(n_t + 1024 AS DOUBLE)) AS lr " +
+        "FROM pr LEFT JOIN r USING (f), st) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats, " +
+        "list_aggregate(list(lr ORDER BY i), 'sum') / count(*) AS avg_lr " +
+        "FROM sp GROUP BY doc_id"),
+
+    "x85_embedding_outliers" ->
+      ("WITH e AS (SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS v, " +
+        "CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings), " +
+        "c AS (SELECT label, pos, list_aggregate(list_sort(list(v)), 'sum')/count(*) AS mean " +
+        "FROM e GROUP BY 1, 2), " +
+        "dd AS (SELECT e.vec_id, e.label, " +
+        "list_aggregate(list((e.v - c.mean)*(e.v - c.mean) ORDER BY e.pos), 'sum') AS dist2 " +
+        "FROM e JOIN c USING (label, pos) GROUP BY 1, 2), " +
+        "t AS (SELECT quantile_cont(dist2, 0.95) AS hi FROM dd) " +
+        "SELECT vec_id, label, dist2, sqrt(dist2) AS dist, dist2 > hi AS is_outlier " +
+        "FROM dd, t"),
+
+    "x86_domain_authority" -> pageRankSql,
 
     "x79_url_domain_curation" ->
       (s"WITH $urlChainCtes, " +

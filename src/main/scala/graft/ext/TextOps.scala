@@ -275,6 +275,64 @@ object TextOps {
           / size(col("ps"))).as("avg_invp"))
   }
 
+  /** DSIR-shaped importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every raw-corpus document by the
+    * likelihood ratio between a TARGET distribution (the held-out slice a
+    * user wants more data "like") and the raw-source distribution, both
+    * estimated over hashed unigram features — the paper's hashed n-gram
+    * bag-of-features model, add-1 smoothed:
+    *
+    *   lr(f) = [(c_t(f)+1) · (n_s+B)] / [(c_s(f)+1) · (n_t+B)]
+    *
+    * and a document's weight is the mean of `lr` over its token-feature
+    * occurrences (the paper's product-of-ratios re-expressed as the
+    * engine's transcendental-free rational surrogate — same discipline as
+    * [[lmInvProbScore]]'s inverse-probability perplexity stand-in; both
+    * rank documents identically to the log form). Every numerator/
+    * denominator is a product of exact integer counts < 2^53, so the
+    * single double division is bit-identical across engines; the per-doc
+    * mean is the q55/q56 portable fold (collect, sort by token position,
+    * fold left-to-right).
+    *
+    * Scale shape: two vocabulary-bounded partial-agg groupBys (B=`buckets`
+    * rows each) broadcast onto a per-token explode of the scoring corpus —
+    * training state is O(B), never corpus-sized; scoring is scan +
+    * broadcast join. At 100 TB the feature table is still 1024 rows.
+    */
+  def dsirImportance(docs: DataFrame, target: Column, buckets: Int = 1024,
+      text: Column = col("text")): DataFrame = {
+    val toks = tokens(text)
+    def feat(t: Column): Column = pmod(tokHash16(t), lit(buckets))
+    val tgtTok = docs.where(target).select(explode(toks).as("tok"))
+      .select(feat(col("tok")).as("f"))
+    val srcTok = docs.where(!target).select(explode(toks).as("tok"))
+      .select(feat(col("tok")).as("f"))
+    val cT = tgtTok.groupBy("f").agg(count(lit(1)).as("c_t"))
+    val cS = srcTok.groupBy("f").agg(count(lit(1)).as("c_s"))
+    val stats = tgtTok.agg(count(lit(1)).as("n_t"))
+      .crossJoin(srcTok.agg(count(lit(1)).as("n_s")))
+    val b = lit(buckets.toLong)
+    val ratios = cT.join(cS, Seq("f"), "full")
+      .crossJoin(broadcast(stats))
+      .select(col("f"),
+        (((coalesce(col("c_t"), lit(0L)) + 1L) * (col("n_s") + b)).cast("double") /
+          ((coalesce(col("c_s"), lit(0L)) + 1L) * (col("n_t") + b)).cast("double")).as("lr"))
+    val occurrences = docs.where(!target)
+      .select(col("doc_id"), posexplode(transform(toks, t => feat(t))).as(Seq("i", "f")))
+    occurrences
+      .join(broadcast(ratios), Seq("f"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("i"),
+        coalesce(col("lr"),
+          (col("n_s") + b).cast("double") / (col("n_t") + b).cast("double")).as("lr"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("i"), col("lr")))).as("ls"))
+      .select(col("doc_id"),
+        size(col("ls")).cast("long").as("n_feats"),
+        (aggregate(transform(col("ls"), s => s.getField("lr")), lit(0.0), (a, x) => a + x)
+          / size(col("ls"))).as("avg_lr"))
+  }
+
   /** Canonical text normalization for dedup/tokenization robustness:
     * lowercase, strip everything but `[a-z0-9 ]`, collapse whitespace runs,
     * trim. Pure per-row expressions — runs at scan speed.

@@ -36,7 +36,10 @@ class PlanAuditSpec extends SparkTestBase {
     "x72_ann_multitable_recall" -> "crossJoin of three single-row count aggregates (constant) + the brute-force BASELINE it measures",
     "x73_ann_ivf_recall" -> "crossJoin of three single-row count aggregates (constant) + the brute-force BASELINE and packed-centroid fold it measures",
     "x74_dedup_embedding_recall" -> "crossJoin of three single-row count aggregates (constant) + the exact all-pairs VERIFIER it measures",
-    "x76_dedup_multitable_recall" -> "crossJoin of three single-row count aggregates (constant) + the exact all-pairs VERIFIER it measures"
+    "x76_dedup_multitable_recall" -> "crossJoin of three single-row count aggregates (constant) + the exact all-pairs VERIFIER it measures",
+    "x84_dsir_importance" -> "crossJoin against ONE broadcast token-total row (target/source corpus sizes, constant)",
+    "x85_embedding_outliers" -> "crossJoin against ONE broadcast P95-threshold row (constant), same as x57",
+    "x86_domain_authority" -> "crossJoin against ONE broadcast doc-count row (constant edge-target modulus)"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {

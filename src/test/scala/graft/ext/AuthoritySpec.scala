@@ -1,0 +1,66 @@
+package graft.ext
+
+import graft.SparkTestBase
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class AuthoritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Driver-side reference PageRank replaying the exact operator order the
+    * engine uses: contributions per target summed in source order, then
+    * (1-d)/n + d*sum — so the comparison below is EXACT double equality,
+    * not tolerance.
+    */
+  private def refPageRank(edges: Seq[(String, String)], iters: Int,
+      damping: Double): Map[String, Double] = {
+    val e = edges.filter(p => p._1 != p._2).distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val out = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = nodes.size
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 0 until iters) {
+      val sums = e.groupBy(_._2).view.mapValues { in =>
+        in.sortBy(_._1).foldLeft(0.0)((acc, p) => acc + rank(p._1) / out(p._1))
+      }.toMap
+      rank = nodes.map(v => v -> ((1 - damping) / n + damping * sums.getOrElse(v, 0.0))).toMap
+    }
+    rank
+  }
+
+  test("pageRank matches the driver-side reference bit-for-bit on a hand graph") {
+    // b is the authority (two in-links), d is a sink (dangling), a has none.
+    val edges = Seq(("a", "b"), ("c", "b"), ("b", "c"), ("b", "d"), ("c", "d"))
+    val got = Authority.pageRank(edges.toDF("src", "dst"), iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = refPageRank(edges, 5, 0.85)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (v, r) => assert(r === want(v), s"node $v: $r vs ${want(v)}") }
+    // the two-in-link node outranks everything with one or zero in-links
+    assert(got("b") > got("a") && got("b") > got("c"))
+  }
+
+  test("pageRank reports degrees and drops self-loops/duplicate edges") {
+    val edges = Seq(("a", "b"), ("a", "b"), ("a", "a"), ("b", "c"))
+    val rows = Authority.pageRank(edges.toDF("src", "dst"), iters = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(rows("a") === ((1L, 0L))) // dup a->b collapsed, self-loop dropped
+    assert(rows("b") === ((1L, 1L)))
+    assert(rows("c") === ((0L, 1L)))
+  }
+
+  test("domainAuthority is deterministic across input partitioning") {
+    val docs = Tables.documents(spark, sfDir)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Authority.domainAuthority(df).collect()
+        .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    val a = run(docs)
+    val b = run(docs.repartition(13))
+    assert(a === b) // EXACT — the sorted contribution fold is the point
+    assert(a.nonEmpty)
+    // mass check: ranks are positive and sum to at most 1 (dangling mass
+    // leaks by design; no node can exceed total mass)
+    val total = a.values.map(_._1).sum
+    assert(a.values.forall(_._1 > 0.0) && total <= 1.0 + 1e-9, s"mass $total")
+  }
+}

@@ -107,4 +107,33 @@ class EmbeddingsSpec extends SparkTestBase {
     assert(got === naive)
     assert(naive === Set((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L), (4L, 20L)))
   }
+
+  test("outlierReport: distances match a driver-side exact replay; ~5% flagged") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Embeddings.outlierReport(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("label"), r.getAs[Double]("dist2"), r.getAs[Boolean]("is_outlier")))).toMap
+    // driver-side replay with the SAME operation order (sorted-fold mean
+    // per (label,pos), pos-ordered distance fold) -> exact double equality
+    val rows = emb.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2)))
+    val dim = rows.head._3.length
+    val mean = rows.groupBy(_._2).map { case (l, g) =>
+      l -> (0 until dim).map(p => g.map(_._3(p)).sorted.foldLeft(0.0)(_ + _) / g.size)
+    }
+    rows.foreach { case (id, l, v) =>
+      val want = (0 until dim).foldLeft(0.0)((acc, p) =>
+        acc + (v(p) - mean(l)(p)) * (v(p) - mean(l)(p)))
+      assert(out(id)._2 === want, s"vec $id: ${out(id)._2} vs $want")
+    }
+    // the P95 flag marks at most ~5% of the corpus, and at least one vector
+    val flagged = out.values.count(_._3)
+    assert(flagged >= 1 && flagged <= math.ceil(rows.length * 0.06),
+      s"$flagged of ${rows.length} flagged")
+    // deterministic across partitionings
+    val re = Embeddings.outlierReport(emb.repartition(13)).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("dist2")).toMap
+    out.foreach { case (id, (_, d2, _)) => assert(re(id) === d2) }
+  }
 }

@@ -157,4 +157,31 @@ class TextOpsSpec extends SparkTestBase {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_invp")).toMap
     assert(re === scored)
   }
+
+  test("dsirImportance: target-like docs outweigh off-target docs") {
+    import org.apache.spark.sql.functions._
+    // target slice speaks {alpha..delta}; the raw corpus speaks {noise*}.
+    // A raw doc written in target vocabulary must get a higher likelihood
+    // ratio than raw docs in raw-corpus vocabulary (whose features are
+    // common in source, absent in target -> lr < 1).
+    val docs = (
+      (1 to 20).map(i => (i.toLong, "alpha beta gamma delta alpha beta", "tgt")) ++
+      // noise vocab chosen so no md5 bucket collides with the target vocab
+      // (buckets are deterministic — checked once, stable forever)
+      (21 to 40).map(i => (i.toLong, s"noise$i pad$i blk$i noise$i", "raw")) ++
+      Seq((100L, "alpha beta gamma delta", "raw"))
+    ).toDF("doc_id", "text", "source")
+    val scored = TextOps.dsirImportance(docs, col("source") === "tgt")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_lr")).toMap
+    assert(!scored.contains(1L)) // target slice itself is not scored
+    val offTarget = (scored - 100L).values
+    assert(offTarget.nonEmpty && scored(100L) > offTarget.max,
+      s"target-like doc ${scored(100L)} not above off-target max ${offTarget.max}")
+    // off-target docs sit below the neutral ratio, target-like above it
+    assert(offTarget.max < 1.0 && scored(100L) > 1.0)
+    // deterministic across partitionings (position-ordered fold)
+    val re = TextOps.dsirImportance(docs.repartition(13), col("source") === "tgt")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_lr")).toMap
+    assert(re === scored)
+  }
 }

@@ -75,6 +75,14 @@ class ShuffleAuditSpec extends SparkTestBase {
     // regressions; THIS catches an accidental extra exchange (a lost
     // co-partitioning, a conform pushed below the merge) even when it
     // moves few bytes at test scale.
+    //
+    // Budgets are pinned against a CLEAN cache: the shared session may
+    // carry cache entries registered by other suites (even plan-only ones
+    // — CacheManager matches logical subplans, and an injected
+    // InMemoryRelation on one branch breaks AQE exchange reuse, drifting
+    // x48 2→3 when PlanAuditSpec happens to run first), so make the count
+    // deterministic regardless of suite order.
+    graft.ops.Caching.clearCaches(spark)
     val budgets = Map(
       "q07_j1_threeway_fullouter" -> 5, // 3 agg branches on one raw-key layout + merge + count
       "q15_e1_backfill_assemble" -> 5,
