@@ -91,6 +91,20 @@ object ScaleProbe {
       time("lm_score") {
         graft.ext.TextOps.lmInvProbScore(corpus, col("source") === "src0").count()
       }
+      // DSIR weights: same train/score split as lm_score but the trained
+      // state is a FIXED 1024-bucket table regardless of corpus size —
+      // scoring is explode + broadcast join + doc fold, corpus-linear.
+      time("dsir_score") {
+        graft.ext.TextOps.dsirImportance(corpus, col("source") === "src0").count()
+      }
+      // Domain authority: edge DERIVATION is corpus-linear scan work; the
+      // distinct domain graph and 5 rank iterations are domain-sized
+      // (constant here), so total time must grow sub-linearly with k —
+      // the web-scale claim is that iteration cost follows |domains|,
+      // not |docs|.
+      time("domain_authority") {
+        graft.ext.Authority.domainAuthority(corpus).count()
+      }
       corpus.unpersist(blocking = true)
       val emb = replicateEmb(k).cache()
       emb.count()
@@ -110,6 +124,11 @@ object ScaleProbe {
         math.log(nVec / 30.0) / math.log(2)).toInt)
       time(s"neardup_multitable_b$bits") {
         graft.ext.Similarity.lshMultiNearDupPairs(emb, 0.8, bits).count()
+      }
+      // Outlier report: one explode + (labels×dims) broadcast centroid join
+      // + vec-keyed collapse + 1-row threshold — corpus-linear by shape.
+      time("outlier_report") {
+        graft.ext.Embeddings.outlierReport(emb).count()
       }
       emb.unpersist(blocking = true)
       // Replicated events: copy i shifts user_id (and event_id) into a

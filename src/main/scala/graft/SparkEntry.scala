@@ -54,7 +54,8 @@ object SparkEntry {
     "x64_dedup_prefix_filter",
     "x77_bpe_train", "x79_url_domain_curation",
     "x80_lm_quality_score", "x81_web_corpus_pipeline",
-    "x84_dsir_importance", "x85_embedding_outliers")
+    "x84_dsir_importance", "x85_embedding_outliers",
+    "x89_likelihood_classify")
 
   private def coreQueries: Map[String, Q] = Map(
     // S1+P4+F1+F4 — dimension scan with projection + pushed predicates

@@ -94,6 +94,53 @@ object Curate {
         explode(sequence(lit(1L), col("n_copies"))).as("epoch"))
   }
 
+  /** Temperature-scaled corpus mixture (the multilingual sampling rule of
+    * XLM/mBERT-style training: bucket share p_b is raised to α and
+    * renormalized, up-weighting tail languages): with α = 1/2 the reweight
+    * is `sqrt(p_b) / Σ sqrt(p_b)` — sqrt is IEEE-exact, so unlike an
+    * arbitrary pow this stays bit-identical across engines. The report
+    * carries each bucket's raw share, temperature weight, implied epochs
+    * against a row budget, and the EXACT row count the deterministic
+    * fractional-epoch replay ([[mixtureSample]]'s rule, same md5 draw)
+    * materializes at those epochs.
+    *
+    * Exactness: shares and weights are single double divisions; the
+    * normalizer Σ sqrt(p_b) is a bucket-ordered fold (bucket-cardinality
+    * list — languages/sources, not documents); the draw is
+    * [[uniformHash]]'s power-of-two-exact division.
+    *
+    * Scale shape: two bucket-sized aggregates broadcast back over a
+    * per-row scan — no corpus-sized shuffle beyond the bucket groupBy.
+    */
+  def temperatureMix(docs: DataFrame, bucketCol: Column, budget: Long,
+      salt: String = "tmix"): DataFrame = {
+    val counts = docs.groupBy(bucketCol.as("bucket")).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("n_total"))
+    val sp = counts.crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_docs"),
+        (col("n_docs").cast("double") / col("n_total").cast("double")).as("share"))
+      .withColumn("_ss", sqrt(col("share")))
+    val denom = sp
+      .agg(sort_array(collect_list(struct(col("bucket"), col("_ss")))).as("xs"))
+      .select(aggregate(transform(col("xs"), x => x.getField("_ss")),
+        lit(0.0), (a, b) => a + b).as("_denom"))
+    val w = sp.crossJoin(broadcast(denom))
+      .select(col("bucket"), col("n_docs"), col("share"),
+        (col("_ss") / col("_denom")).as("w_temp"))
+      .withColumn("epochs",
+        col("w_temp") * lit(budget.toDouble) / col("n_docs").cast("double"))
+    val realized = docs.select(bucketCol.as("bucket"), col("doc_id"))
+      .join(broadcast(w.select("bucket", "epochs")), "bucket")
+      .select(col("bucket"),
+        (floor(col("epochs")).cast("long") +
+          when(uniformHash(col("doc_id"), salt) < col("epochs") - floor(col("epochs")),
+            1L).otherwise(0L)).as("n_copies"))
+      .groupBy("bucket").agg(sum(col("n_copies")).as("n_rows_out"))
+    w.join(realized, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"), col("share"), col("w_temp"), col("epochs"),
+        coalesce(col("n_rows_out"), lit(0L)).as("n_rows_out"))
+  }
+
   /** Deterministic dataset split (train/val/test): cumulative-fraction
     * thresholds over the [[uniformHash]] draw. Same reproducibility
     * contract as [[hashSample]] — a retried task assigns the SAME split,

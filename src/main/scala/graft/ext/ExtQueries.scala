@@ -287,6 +287,37 @@ object ExtQueries {
     "x86_domain_authority" -> ((s, dir) =>
       Authority.domainAuthority(Tables.documents(s, dir))),
 
+    // Temperature-scaled language mixture (r5): sqrt-share reweighting +
+    // the exact row count the deterministic fractional-epoch replay
+    // materializes against a 1000-row budget.
+    "x87_temperature_mix" -> ((s, dir) =>
+      Curate.temperatureMix(Tables.documents(s, dir), col("lang"), 1000L)),
+
+    // The per-domain quality table (r5): PageRank authority × mean LM
+    // quality × scored-doc counts — the composed artifact a web-curation
+    // stack actually ships (domain ranking with both link and content
+    // signals). Every input is an already-verified operator.
+    "x88_domain_quality" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val auth = Authority.domainAuthority(docs)
+      val scored = TextOps.lmInvProbScore(docs, col("source") === "src0")
+      val d = Curate.withHostDomain(Curate.withUrl(docs)).select(col("doc_id"), col("domain"))
+      val perDomain = d.join(scored.select("doc_id", "avg_invp"), "doc_id")
+        .groupBy("domain")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("avg_invp")))).as("xs"))
+        .select(col("domain"), size(col("xs")).cast("long").as("n_scored"),
+          (aggregate(transform(col("xs"), x => x.getField("avg_invp")),
+            lit(0.0), (a, b) => a + b) / size(col("xs"))).as("mean_invp"))
+      auth.join(perDomain, Seq("domain"), "left")
+    }),
+
+    // K-class model-based classification (r5): fastText-shaped hashed-
+    // feature classifier, trained on a deterministic half split, argmax
+    // with deterministic ties — x84's likelihood ratio generalized to
+    // class-vs-background.
+    "x89_likelihood_classify" -> ((s, dir) =>
+      TextOps.likelihoodClassify(Tables.documents(s, dir), col("source"))),
+
     "x58_ann_ivf_stored" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       // Per-invocation temp dir (not a shared fixed path): two concurrent
@@ -857,10 +888,21 @@ object ExtQueries {
     * executes (per-target contributions summed in source order, damping
     * applied as `(1-0.85)/n + 0.85*s`).
     */
-  private lazy val pageRankSql: String = {
+  private lazy val pageRankSql: String =
+    s"WITH $pageRankCtes $pageRankSelect"
+
+  /** The PageRank chain as bare CTEs (+ the final select separately) so
+    * x88's composed domain-quality oracle can extend the same chain.
+    */
+  private lazy val pageRankSelect: String =
+    "SELECT r5.node AS domain, rank, coalesce(out_deg, 0) AS out_deg, " +
+      "coalesce(in_deg, 0) AS in_deg FROM r5 " +
+      "LEFT JOIN od ON r5.node = od.src LEFT JOIN ind ON r5.node = ind.dst"
+
+  private lazy val pageRankCtes: String = {
     val iters = 5
     val sb = new StringBuilder
-    sb ++= s"WITH $urlChainCtes, "
+    sb ++= s"$urlChainCtes, "
     sb ++= "nnd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents), "
     sb ++= "tg AS (SELECT doc_id, CAST(('0x' || substr(md5(doc_id || ':lnk'), 1, 8)) AS BIGINT) " +
       "% n_docs AS tgt_id FROM documents, nnd), "
@@ -884,9 +926,6 @@ object ExtQueries {
       sb ++= s", r${k + 1} AS (SELECT nd.node, (1 - CAST(0.85 AS DOUBLE))/CAST(n AS DOUBLE) " +
         s"+ 0.85*coalesce(s$k.s, 0.0) AS rank FROM nd LEFT JOIN s$k USING (node), nc)"
     }
-    sb ++= s" SELECT r$iters.node AS domain, rank, coalesce(out_deg, 0) AS out_deg, " +
-      s"coalesce(in_deg, 0) AS in_deg FROM r$iters " +
-      s"LEFT JOIN od ON r$iters.node = od.src LEFT JOIN ind ON r$iters.node = ind.dst"
     sb.toString
   }
 
@@ -1666,6 +1705,66 @@ object ExtQueries {
         "FROM dd, t"),
 
     "x86_domain_authority" -> pageRankSql,
+
+    "x87_temperature_mix" ->
+      ("WITH c AS (SELECT lang AS bucket, CAST(count(*) AS BIGINT) AS n_docs " +
+        "FROM documents GROUP BY 1), " +
+        "tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM c), " +
+        "sp2 AS (SELECT bucket, n_docs, " +
+        "CAST(n_docs AS DOUBLE)/CAST(n_total AS DOUBLE) AS share FROM c, tt), " +
+        "sq AS (SELECT bucket, n_docs, share, sqrt(share) AS ss FROM sp2), " +
+        "dn AS (SELECT list_aggregate(list(ss ORDER BY bucket), 'sum') AS denom FROM sq), " +
+        "w AS (SELECT bucket, n_docs, share, ss/denom AS w_temp, " +
+        "ss/denom*CAST(1000 AS DOUBLE)/CAST(n_docs AS DOUBLE) AS epochs FROM sq, dn), " +
+        "rz AS (SELECT d2.lang AS bucket, CAST(sum(CAST(floor(epochs) AS BIGINT) + " +
+        "CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(d2.doc_id AS VARCHAR) || ':tmix'), 1, 8)) " +
+        "AS BIGINT) AS DOUBLE)/CAST(4294967296.0 AS DOUBLE) < epochs - floor(epochs) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_out " +
+        "FROM documents d2 JOIN w ON d2.lang = w.bucket GROUP BY 1) " +
+        "SELECT w.bucket, n_docs, share, w_temp, epochs, " +
+        "coalesce(rz.n_rows_out, 0) AS n_rows_out FROM w LEFT JOIN rz ON w.bucket = rz.bucket"),
+
+    "x88_domain_quality" ->
+      (s"WITH $pageRankCtes, $lmCtes, " +
+        "sc88 AS (SELECT doc_id, list_aggregate(list(invp ORDER BY i), 'sum')/count(*) " +
+        "AS avg_invp FROM sp GROUP BY doc_id), " +
+        "pd88 AS (SELECT d.domain, CAST(count(*) AS BIGINT) AS n_scored, " +
+        "list_aggregate(list(avg_invp ORDER BY doc_id), 'sum')/count(*) AS mean_invp " +
+        "FROM d JOIN sc88 USING (doc_id) GROUP BY 1) " +
+        "SELECT r5.node AS domain, rank, coalesce(out_deg, 0) AS out_deg, " +
+        "coalesce(in_deg, 0) AS in_deg, pd88.n_scored, pd88.mean_invp FROM r5 " +
+        "LEFT JOIN od ON r5.node = od.src LEFT JOIN ind ON r5.node = ind.dst " +
+        "LEFT JOIN pd88 ON r5.node = pd88.domain"),
+
+    "x89_likelihood_classify" ->
+      ("WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +
+        "spl AS (SELECT doc_id, CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) " +
+        "|| ':nbsplit'), 1, 8)) AS BIGINT) AS DOUBLE)/CAST(4294967296.0 AS DOUBLE) < 0.5 " +
+        "AS is_train FROM documents), " +
+        "trt AS (SELECT cls, CAST(('0x' || substr(md5(tok), 1, 4)) AS INT) % 1024 AS f " +
+        "FROM (SELECT tk.source AS cls, unnest(toks) AS tok FROM tk " +
+        "JOIN spl USING (doc_id) WHERE is_train)), " +
+        "bc AS (SELECT cls, f, CAST(count(*) AS BIGINT) AS c_fc FROM trt GROUP BY 1, 2), " +
+        "ctot AS (SELECT cls, CAST(count(*) AS BIGINT) AS n_c FROM trt GROUP BY 1), " +
+        "bf AS (SELECT f, CAST(count(*) AS BIGINT) AS c_f FROM trt GROUP BY 1), " +
+        "gr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM trt), " +
+        "mdl AS (SELECT ctot.cls, bf.f, " +
+        "CAST((coalesce(c_fc, 0) + 1)*(n + 1024) AS DOUBLE)" +
+        "/CAST((n_c + 1024)*(c_f + 1) AS DOUBLE) AS lr " +
+        "FROM ctot CROSS JOIN bf LEFT JOIN bc ON bc.cls = ctot.cls AND bc.f = bf.f, gr), " +
+        "sd AS (SELECT doc_id, label, p.i AS i, " +
+        "CAST(('0x' || substr(md5(p.tok), 1, 4)) AS INT) % 1024 AS f " +
+        "FROM (SELECT tk.doc_id, tk.source AS label, " +
+        "unnest(list_transform(generate_series(1, len(toks)), " +
+        "i -> struct_pack(i := i, tok := toks[i]))) AS p FROM tk " +
+        "JOIN spl USING (doc_id) WHERE NOT is_train)), " +
+        "pc AS (SELECT doc_id, label, cls, " +
+        "list_aggregate(list(lr ORDER BY i), 'sum')/count(*) AS score " +
+        "FROM sd JOIN mdl USING (f) GROUP BY 1, 2, 3), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY score DESC, cls) AS r FROM pc) " +
+        "SELECT doc_id, label, cls AS pred, score, cls = label AS is_correct " +
+        "FROM rk WHERE r = 1"),
 
     "x79_url_domain_curation" ->
       (s"WITH $urlChainCtes, " +

@@ -333,6 +333,71 @@ object TextOps {
           / size(col("ls"))).as("avg_lr"))
   }
 
+  /** K-class text classifier over hashed unigram features — the fastText-
+    * style model-based classifier shape (train class-conditional counts on
+    * a labeled split, score every held-out doc against each class, predict
+    * the argmax). [[dsirImportance]]'s 2-distribution likelihood ratio
+    * generalized to k classes against the pooled background:
+    *
+    *   score(doc, c) = mean over token features f of
+    *       p̂(f|c) / p̂(f)   with add-1 smoothing over B buckets
+    *     = [(c_fc+1) · (n+B)] / [(n_c+B) · (c_f+1)]
+    *
+    * — the engine's transcendental-free surrogate for the Naive Bayes
+    * log-posterior (the mean-of-ratios ranks classes the same way on
+    * separable vocabularies; every term is a ratio of exact integer
+    * products < 2^53, summed in token-position order). Prediction is the
+    * max score with deterministic ties (smaller class name wins) via a
+    * doc-keyed rank window.
+    *
+    * Train/score split is [[Curate.uniformHash]] on the salt — retry-safe,
+    * and the same split is replayed verbatim by the DuckDB oracle.
+    *
+    * Scale shape: the trained state is (classes × buckets) counts — tiny,
+    * broadcast; scoring is a per-token explode joined against it and a
+    * (doc, class)-keyed collapse. No corpus-sized state anywhere.
+    */
+  def likelihoodClassify(docs: DataFrame, labelCol: Column,
+      buckets: Int = 1024, trainFrac: Double = 0.5,
+      salt: String = "nbsplit", text: Column = col("text")): DataFrame = {
+    val toks = tokens(text)
+    def feat(t: Column): Column = pmod(tokHash16(t), lit(buckets))
+    val isTrain = Curate.uniformHash(col("doc_id"), salt) < lit(trainFrac)
+    val trainTok = docs.where(isTrain)
+      .select(labelCol.as("cls"), explode(toks).as("tok"))
+      .select(col("cls"), feat(col("tok")).as("f"))
+    val byClass = trainTok.groupBy("cls", "f").agg(count(lit(1)).as("c_fc"))
+    val classTotals = trainTok.groupBy("cls").agg(count(lit(1)).as("n_c"))
+    val byFeat = trainTok.groupBy("f").agg(count(lit(1)).as("c_f"))
+    val grand = trainTok.agg(count(lit(1)).as("n"))
+    val b = lit(buckets.toLong)
+    // (class × bucket) ratio table — the broadcast model. Built dense via
+    // classes × observed features so unseen (c, f) cells score their
+    // smoothed floor instead of dropping out of the mean.
+    val model = classTotals.crossJoin(byFeat)
+      .join(byClass, Seq("cls", "f"), "left")
+      .crossJoin(broadcast(grand))
+      .select(col("cls"), col("f"),
+        (((coalesce(col("c_fc"), lit(0L)) + 1L) * (col("n") + b)).cast("double") /
+          ((col("n_c") + b) * (col("c_f") + 1L)).cast("double")).as("lr"))
+    val scoreDocs = docs.where(!isTrain)
+      .select(col("doc_id"), labelCol.as("label"),
+        posexplode(transform(toks, t => feat(t))).as(Seq("i", "f")))
+    val perClass = scoreDocs
+      .join(broadcast(model), Seq("f"), "inner")
+      .groupBy("doc_id", "label", "cls")
+      .agg(sort_array(collect_list(struct(col("i"), col("lr")))).as("ls"))
+      .select(col("doc_id"), col("label"), col("cls"),
+        (aggregate(transform(col("ls"), s => s.getField("lr")), lit(0.0), (a, x) => a + x)
+          / size(col("ls"))).as("score"))
+    val ranked = perClass.withColumn("_r", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("cls").asc)))
+    ranked.where(col("_r") === 1)
+      .select(col("doc_id"), col("label"), col("cls").as("pred"), col("score"),
+        (col("cls") === col("label")).as("is_correct"))
+  }
+
   /** Canonical text normalization for dedup/tokenization robustness:
     * lowercase, strip everything but `[a-z0-9 ]`, collapse whitespace runs,
     * trim. Pure per-row expressions — runs at scan speed.

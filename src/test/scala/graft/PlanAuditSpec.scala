@@ -39,7 +39,10 @@ class PlanAuditSpec extends SparkTestBase {
     "x76_dedup_multitable_recall" -> "crossJoin of three single-row count aggregates (constant) + the exact all-pairs VERIFIER it measures",
     "x84_dsir_importance" -> "crossJoin against ONE broadcast token-total row (target/source corpus sizes, constant)",
     "x85_embedding_outliers" -> "crossJoin against ONE broadcast P95-threshold row (constant), same as x57",
-    "x86_domain_authority" -> "crossJoin against ONE broadcast doc-count row (constant edge-target modulus)"
+    "x86_domain_authority" -> "crossJoin against ONE broadcast doc-count row (constant edge-target modulus)",
+    "x87_temperature_mix" -> "crossJoins against ONE broadcast total row and ONE broadcast sqrt-share normalizer row (bucket-cardinality constants)",
+    "x88_domain_quality" -> "embeds x86's doc-count and x80's LM-stats 1-row broadcast folds (constants)",
+    "x89_likelihood_classify" -> "model densification: (classes x observed-buckets) crossJoin, bounded by 5 x 1024 constants + the 1-row grand-total fold"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {

@@ -49,6 +49,19 @@ class AuthoritySpec extends SparkTestBase {
     assert(rows("c") === ((0L, 1L)))
   }
 
+  test("domain quality table carries x86's exact ranks beside per-domain LM stats") {
+    val docs = Tables.documents(spark, sfDir)
+    val auth = Authority.domainAuthority(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val q = graft.ext.ExtQueries.queries("x88_domain_quality")(spark, sfDir).collect()
+    assert(q.length === auth.size)
+    q.foreach { r =>
+      assert(r.getAs[Double]("rank") === auth(r.getAs[String]("domain")))
+      // every domain in the fixture hosts scored (non-src0) docs
+      assert(r.getAs[Long]("n_scored") > 0L && !r.isNullAt(r.fieldIndex("mean_invp")))
+    }
+  }
+
   test("domainAuthority is deterministic across input partitioning") {
     val docs = Tables.documents(spark, sfDir)
     def run(df: org.apache.spark.sql.DataFrame) =

@@ -169,4 +169,29 @@ class CurateSpec extends SparkTestBase {
     assert(u.forall(x => x >= 0.0 && x < 1.0))
     assert(u.distinct.length > 1) // not constant
   }
+
+  test("temperatureMix: sqrt-share reweighting exact; replay count matches epochs") {
+    import spark.implicits._
+    // 16 'en' docs vs 4 'fr': shares .8/.2 -> sqrt .8944/.4472 -> weights
+    // exactly 2/3 and 1/3 (the ratio sqrt(4) of the shares)
+    val docs = ((1 to 16).map(i => (i.toLong, "en")) ++ (17 to 20).map(i => (i.toLong, "fr")))
+      .toDF("doc_id", "lang")
+    val out = Curate.temperatureMix(docs, col("lang"), budget = 100L)
+      .collect().map(r => r.getAs[String]("bucket") -> r).toMap
+    // replay the engine's exact double sequence on the driver
+    val sEn = math.sqrt(16.0 / 20.0); val sFr = math.sqrt(4.0 / 20.0)
+    val denom = sEn + sFr // bucket order: en < fr
+    assert(out("en").getAs[Double]("w_temp") === sEn / denom)
+    assert(out("fr").getAs[Double]("w_temp") === sFr / denom)
+    val eFr = sFr / denom * 100.0 / 4.0
+    assert(out("fr").getAs[Double]("epochs") === eFr)
+    // tail language up-weighted, head language down-weighted vs raw share
+    assert(out("fr").getAs[Double]("w_temp") > 0.2 && out("en").getAs[Double]("w_temp") < 0.8)
+    // the realized count brackets n*floor(e) .. n*ceil(e) and is deterministic
+    val nFr = out("fr").getAs[Long]("n_rows_out")
+    assert(nFr >= 4 * math.floor(eFr).toLong && nFr <= 4 * math.ceil(eFr).toLong)
+    val again = Curate.temperatureMix(docs.repartition(7), col("lang"), budget = 100L)
+      .collect().map(r => r.getAs[String]("bucket") -> r.getAs[Long]("n_rows_out")).toMap
+    assert(again("fr") === nFr && again("en") === out("en").getAs[Long]("n_rows_out"))
+  }
 }

@@ -184,4 +184,27 @@ class TextOpsSpec extends SparkTestBase {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_lr")).toMap
     assert(re === scored)
   }
+
+  test("likelihoodClassify: separable vocabularies predicted correctly on the held-out split") {
+    import org.apache.spark.sql.functions._
+    val docs = (
+      (1 to 40).map(i => (i.toLong, "alpha beta gamma alpha", "A")) ++
+      (41 to 80).map(i => (i.toLong, "zulu yankee xray zulu", "B"))
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.likelihoodClassify(docs, col("source")).collect()
+    // the hash split must leave both classes represented on both sides
+    assert(out.nonEmpty && out.map(_.getAs[String]("label")).distinct.length === 2)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("is_correct"),
+        s"doc ${r.getAs[Long]("doc_id")} (${r.getAs[String]("label")}) " +
+          s"predicted ${r.getAs[String]("pred")}")
+    }
+    // deterministic across partitionings (position-ordered fold + fixed split)
+    val a = out.map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[String]("pred"), r.getAs[Double]("score")))).toMap
+    val b = TextOps.likelihoodClassify(docs.repartition(13), col("source")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("pred"), r.getAs[Double]("score")))).toMap
+    assert(a === b)
+  }
 }
