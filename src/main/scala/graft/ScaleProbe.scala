@@ -97,6 +97,12 @@ object ScaleProbe {
       time("dsir_score") {
         graft.ext.TextOps.dsirImportance(corpus, col("source") === "src0").count()
       }
+      // Classifier: (classes × 1024) model broadcast; scoring explodes
+      // tokens × classes (constant factor) then collapses per (doc, class)
+      // — corpus-linear with a k multiplier, never corpus-sized state.
+      time("likelihood_classify") {
+        graft.ext.TextOps.likelihoodClassify(corpus, col("source")).count()
+      }
       // Domain authority: edge DERIVATION is corpus-linear scan work; the
       // distinct domain graph and 5 rank iterations are domain-sized
       // (constant here), so total time must grow sub-linearly with k —
