@@ -76,11 +76,21 @@ object Chunking {
     * Result is bit-identical to the single-window form (the spec pins it);
     * only the plan shape differs.
     */
-  def packSequences(docs: DataFrame, budget: Long, bucketSize: Long = 1024L): DataFrame = {
-    require(budget >= 1 && bucketSize >= 1)
-    val base = docs.select(
+  def packSequences(docs: DataFrame, budget: Long, bucketSize: Long = 1024L): DataFrame =
+    packCounts(docs.select(
       col("doc_id"), col("source"),
-      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+      budget, bucketSize)
+
+  /** [[packSequences]] over PRECOMPUTED per-doc token counts `(doc_id,
+    * source, n_tokens)` — the form the real-tokenizer handoff uses (x90
+    * packs x78's BPE token counts instead of the whitespace estimate).
+    * Same two-phase distributed prefix sum, same output contract.
+    */
+  def packCounts(counted: DataFrame, budget: Long, bucketSize: Long = 1024L): DataFrame = {
+    require(budget >= 1 && bucketSize >= 1)
+    val base = counted.select(
+      col("doc_id"), col("source"), col("n_tokens").cast("long").as("n_tokens"),
       (col("doc_id") / bucketSize).cast("long").as("bucket"))
 
     // Phase 1: per-bucket totals (partial agg; rows = n_docs / bucketSize).

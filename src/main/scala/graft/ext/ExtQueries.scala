@@ -318,6 +318,19 @@ object ExtQueries {
     "x89_likelihood_classify" -> ((s, dir) =>
       TextOps.likelihoodClassify(Tables.documents(s, dir), col("source"))),
 
+    // The tokenizer→trainer handoff (r5): train BPE, encode the corpus to
+    // real token ids, pack the REAL counts into 2048-token training
+    // sequences — the composed artifact a pretraining run actually
+    // consumes (x77 train + x78 encode + x43's two-phase packing, with
+    // the whitespace estimate replaced by the tokenizer's own counts).
+    "x90_tokenize_pack" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val enc = Bpe.encode(d, Bpe.train(d, BpeMerges))
+      val counts = enc.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+        .join(d.select("doc_id", "source"), "doc_id")
+      Chunking.packCounts(counts, 2048L)
+    }),
+
     "x58_ann_ivf_stored" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       // Per-invocation temp dir (not a shared fixed path): two concurrent
@@ -1735,6 +1748,17 @@ object ExtQueries {
         "coalesce(in_deg, 0) AS in_deg, pd88.n_scored, pd88.mean_invp FROM r5 " +
         "LEFT JOIN od ON r5.node = od.src LEFT JOIN ind ON r5.node = ind.dst " +
         "LEFT JOIN pd88 ON r5.node = pd88.domain"),
+
+    "x90_tokenize_pack" ->
+      (s"WITH nn90 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens " +
+        s"FROM ($bpeEncodeSql) e GROUP BY 1), " +
+        "j90 AS (SELECT nn90.doc_id, d.source, n_tokens FROM nn90 " +
+        "JOIN documents d USING (doc_id)), " +
+        "o90 AS (SELECT doc_id, source, n_tokens, " +
+        "COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset FROM j90) " +
+        "SELECT doc_id, source, n_tokens, token_offset % 2048 AS offset_in_seq, " +
+        "token_offset // 2048 AS seq_id FROM o90"),
 
     "x89_likelihood_classify" ->
       ("WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +

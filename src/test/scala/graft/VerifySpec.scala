@@ -39,6 +39,22 @@ class VerifySpec extends AnyFunSuite {
     assert(orphaned.isEmpty, s"oracle entries without a registered query: $orphaned")
   }
 
+  test("bench final stdout line stays under the driver tail-capture budget") {
+    // BENCH_r04 was lost to line LENGTH (the enriched ~3.5 KB line
+    // overflowed the driver's fixed-size tail capture, truncating its
+    // start). The compact final line's length is a pure function of the
+    // bench leg list — reconstruct it with worst-case per-query widths
+    // ("%.3f" at up to 99.999 s per leg; every leg is under 4 s even on a
+    // noisy host, and a 100 s leg means the bench is broken regardless)
+    // and pin the 1 KB contract here so adding a leg that would overflow
+    // fails the build, not the round.
+    val worst = SparkEntry.benchQueries.map(n => "\"" + n + "\":99.999")
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":99999.99999999,"unit":"sec","queries":$worst,"sf":"/root/testdata/sf0.1"}"""
+    assert(line.length <= 1024,
+      s"projected bench line is ${line.length} B — trim benchQueries (${SparkEntry.benchQueries.size} legs)")
+  }
+
   test("alias entry points exist and delegate to Verify (compile-time link check)") {
     // Referencing the mains is enough: if an alias object is removed the
     // spec no longer compiles. Invoking them would start full sweeps.

@@ -59,6 +59,17 @@ class ChunkingSpec extends SparkTestBase {
     assert(chk.isEmpty, "token layout must be gapless per source")
   }
 
+  test("packCounts on precomputed counts matches packSequences on the same docs") {
+    val docs = Tables.documents(spark, sfDir)
+    val counted = docs.select(col("doc_id"), col("source"),
+      size(org.apache.spark.sql.functions.split(col("text"), " ")).cast("long").as("n_tokens"))
+    def key(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("doc_id") -> ((r.getAs[Long]("offset_in_seq"), r.getAs[Long]("seq_id")))
+    val a = Chunking.packCounts(counted, 512L, bucketSize = 16L).collect().map(key).toMap
+    val b = Chunking.packSequences(docs, 512L, bucketSize = 16L).collect().map(key).toMap
+    assert(a === b)
+  }
+
   test("packSequences plan has no global single-partition window") {
     val docs = Tables.documents(spark, sfDir)
     val plan = Chunking.packSequences(docs, 512L, bucketSize = 16L)
