@@ -27,6 +27,8 @@ case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double
 case class SessionState(start: Long, lastSeen: Long, nEvents: Long, totalValue: Double)
 case class UserSession(user_id: Long, session_start: Timestamp, session_end: Timestamp,
                        n_events: Long, total_value: Double)
+case class BandDoc(band: Int, band_hash: String, doc_id: Long)
+case class NearDupHit(doc_id: Long, dup_of: Long, band: Int)
 
 /** Spark 4 `transformWithState` form of the sessionizer (the successor API
   * to `flatMapGroupsWithState`: typed per-key state handles, timer
@@ -192,6 +194,45 @@ object EventStream {
   def dedupStream(events: DataFrame, eventTimeCol: String, keys: Seq[String]): DataFrame =
     events.withWatermark(eventTimeCol, "10 minutes")
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Streaming NEAR-dup detection at ingestion — the streaming twin of
+    * [[graft.ext.Dedup.incrementalNearDups]]: each arriving document's LSH
+    * band hashes (the same md5 minhash-band signature the batch path
+    * computes — a narrow per-row map, streaming-safe) probe per-bucket
+    * state holding ONE long: the first-seen owner of that band bucket. A
+    * document landing in an owned bucket emits a `NearDupHit` against the
+    * owner immediately — dedup-on-arrival, no re-scan of the corpus.
+    *
+    * State is O(distinct band buckets) × 8 bytes, the compressed
+    * representation LSH exists to produce — at 100 TB the bucket universe
+    * is ~4 rows/doc of 32-hex keys in RocksDB, not documents. First-seen
+    * ownership is ingestion-order canonical (retry-safe within a
+    * micro-batch: the batch's minimum doc_id claims an unowned bucket).
+    * Downstream consumers `dropDuplicates("doc_id","dup_of")` for distinct
+    * pairs or feed the hits to the batch connected-components pass for
+    * cluster election.
+    */
+  def nearDupHits(docs: DataFrame, k: Int = 3): Dataset[NearDupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.ext.Dedup.lshBands(graft.ext.Dedup.minhashSignature(docs, k))
+      .select(col("band").cast("int").as("band"), col("band_hash"), col("doc_id"))
+      .as[BandDoc]
+      .groupByKey(b => (b.band, b.band_hash))
+      .flatMapGroupsWithState[Long, NearDupHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(nearDupStep)
+  }
+
+  /** [[nearDupHits]]'s transition: claim the bucket on first sight, emit
+    * hits for every later arrival. Exposed for direct unit testing.
+    */
+  def nearDupStep(key: (Int, String), rows: Iterator[BandDoc],
+      state: GroupState[Long]): Iterator[NearDupHit] = {
+    val incoming = rows.map(_.doc_id).toSeq.sorted
+    val owner = state.getOption.getOrElse(incoming.head)
+    state.update(owner)
+    incoming.iterator.filter(_ != owner).map(d => NearDupHit(d, owner, key._1))
+  }
 
   /** Stream-static enrichment: join each micro-batch against a (small)
     * static dimension — the streaming twin of the pipeline's J2 broadcast

@@ -184,6 +184,51 @@ class EventStreamSpec extends SparkTestBase {
     assert(users === Seq(1L, 2L, 3L), "one survivor per user_id")
   }
 
+  test("nearDupStep claims a bucket on first sight and emits later arrivals") {
+    import EventStream.nearDupStep
+    def st(owner: Option[Long]) = TestGroupState.create[Long](
+      owner.map(o => org.apache.spark.api.java.Optional.of(o))
+        .getOrElse(org.apache.spark.api.java.Optional.empty[Long]()),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+      1000L, org.apache.spark.api.java.Optional.empty[java.lang.Long]()
+        .asInstanceOf[org.apache.spark.api.java.Optional[Long]], false)
+    // first batch: min doc_id claims the bucket, the rest are hits
+    val s1 = st(None)
+    val out1 = nearDupStep((0, "h"), Iterator(
+      BandDoc(0, "h", 9L), BandDoc(0, "h", 5L)), s1).toSeq
+    assert(out1 === Seq(NearDupHit(9L, 5L, 0)) && s1.get === 5L)
+    // later batch: every arrival is a hit against the stored owner
+    val s2 = st(Some(5L))
+    val out2 = nearDupStep((0, "h"), Iterator(BandDoc(0, "h", 7L)), s2).toSeq
+    assert(out2 === Seq(NearDupHit(7L, 5L, 0)) && s2.get === 5L)
+  }
+
+  test("nearDupHits: dedup-on-arrival across micro-batches (band state persists)") {
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+    // ONE long-running query; each addData+processAllAvailable round is its
+    // own micro-batch, so bucket state provably carries across batches.
+    val q = EventStream.nearDupHits(stream)
+      .writeStream.format("memory").queryName("nd")
+      .outputMode("append").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again and again"
+      in.addData((10L, base),
+        (11L, "completely different words entirely unrelated content here"))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+      assert(spark.table("nd").isEmpty, "distinct docs must not collide")
+      in.addData((12L, base)) // near-dup of 10 arrives in a LATER batch
+      q.processAllAvailable()
+      val hits = spark.table("nd").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"))).distinct.toSeq
+      assert(hits === Seq((12L, 10L)),
+        s"later twin must hit the first-seen owner: $hits")
+    } finally q.stop()
+  }
+
   test("enrichStream joins micro-batches against a static broadcast dim") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
