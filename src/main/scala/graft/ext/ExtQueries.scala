@@ -58,6 +58,33 @@ object ExtQueries {
       Similarity.bruteForceTopK(e.where(col("vec_id") < 5), e, 10)
     }),
 
+    // Hard-negative mining (r5): per query, the top-k most-similar corpus
+    // vectors with a DIFFERENT label — contrastive-training negatives
+    // preparation; x06's streaming-corpus shape with a label guard.
+    "x91_ann_hard_negatives" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(e.where(col("vec_id") < 5), e, 10)
+    }),
+
+    // Corpus datasheet (r5): the per-source summary a dataset card ships —
+    // volume, token mass, language spread, exact-dup rate, mean heuristic
+    // quality (doc-ordered fold) — ONE partial-agg pass over the corpus.
+    "x92_corpus_datasheet" -> ((s, dir) => {
+      val q = TextOps.qualityMetrics(Tables.documents(s, dir))
+      q.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(md5(col("text"))).as("n_unique_texts"),
+          sort_array(collect_list(struct(col("doc_id"), col("quality_score")))).as("_qs"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_langs"), col("n_unique_texts"),
+          ((col("n_docs") - col("n_unique_texts")).cast("double") /
+            col("n_docs").cast("double")).as("dup_frac"),
+          (aggregate(transform(col("_qs"), x => x.getField("quality_score")),
+            lit(0.0), (a, b) => a + b) / col("n_docs")).as("mean_quality"))
+    }),
+
     "x07_ann_lsh_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.lshTopK(e.where(col("vec_id") < 5), e, 10)
@@ -1090,6 +1117,32 @@ object ExtQueries {
         "SELECT vec_a, vec_b, cos FROM s WHERE cos >= 0.4"),
 
     "x06_ann_bruteforce_topk" -> annBruteSql,
+
+    "x92_corpus_datasheet" ->
+      (s"WITH t AS ($toksCte), " +
+        "m AS (SELECT d.doc_id, d.source, d.lang, d.text, " +
+        "CAST(len(t.toks) AS BIGINT) AS n_tokens, " +
+        "least(CAST(len(t.toks) AS DOUBLE)/50.0, 1.0)*0.5 " +
+        s"+ (CAST(len(list_filter(t.toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(t.toks))*0.25 " +
+        "+ (CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)/length(d.text))*0.25 " +
+        "AS quality_score FROM documents d JOIN t USING (doc_id)) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, " +
+        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, " +
+        "CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts, " +
+        "CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS dup_frac, " +
+        "list_aggregate(list(quality_score ORDER BY doc_id), 'sum')/count(*) AS mean_quality " +
+        "FROM m GROUP BY source"),
+
+    "x91_ann_hard_negatives" ->
+      ("WITH q AS (SELECT vec_id AS q_id, label AS q_label, " +
+        "CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
+        "s AS (SELECT q_id, q_label, vec_id, label, " +
+        s"${dotSql("qe", "CAST(embedding AS DOUBLE[])")} AS cos " +
+        "FROM embeddings, q WHERE q_id <> vec_id AND q_label <> label), " +
+        "r AS (SELECT q_id, q_label, vec_id, label, cos, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
+        "SELECT q_id, q_label, vec_id, label, cos, rank FROM r WHERE rank <= 10"),
 
     "x07_ann_lsh_topk" -> annLshSql,
 

@@ -50,6 +50,26 @@ object Similarity {
       .select("q_id", "vec_id", "cos", "rank")
   }
 
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the top-k most-similar corpus vectors with a DIFFERENT label — the
+    * near-misses a contrastive loss learns the most from (the standard
+    * negatives-preparation pass next to [[bruteForceTopK]]'s positives).
+    * Same scale shape as x06: the corpus streams against the broadcast
+    * query set (documented constant-side nested loop), per-query top-k via
+    * a q-keyed rank window — no corpus shuffle.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("label").as("q_label")))
+    corpus.join(q, col("q_id") =!= col("vec_id") && col("q_label") =!= col("label"))
+      .withColumn("cos", GraftFunctions.cosineSim(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
+      .where(col("rank") <= k)
+      .select("q_id", "q_label", "vec_id", "label", "cos", "rank")
+  }
+
   val Planes = 8
   val Dim = 64
 

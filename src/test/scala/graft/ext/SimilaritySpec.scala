@@ -26,6 +26,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.toSeq === Seq((2L, 1L), (3L, 2L))) // identical first, then cos=0.8
   }
 
+  test("hardNegatives returns only different-label neighbors, equal to filtered brute force") {
+    val labeled = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(0.0f, 1.0f, 0.0f), 1),
+      (2L, Seq(1.0f, 0.0f, 0.0f), 0),    // identical to 0 but SAME label -> excluded
+      (3L, Seq(0.8f, 0.6f, 0.0f), 1),
+      (4L, Seq(0.6f, 0.8f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(labeled.where($"vec_id" === 0), labeled, 2)
+      .orderBy("rank").collect()
+    // same-label twin (vec 2) is skipped; hardest different-label first
+    assert(out.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"))).toSeq
+      === Seq((3L, 1L), (4L, 2L)))
+    assert(out.forall(r => r.getAs[Int]("label") != r.getAs[Int]("q_label")))
+  }
+
   test("cosineNearDupPairs finds exactly the identical pair at high threshold") {
     val out = Similarity.cosineNearDupPairs(vecs, 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

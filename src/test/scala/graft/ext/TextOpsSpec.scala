@@ -207,4 +207,20 @@ class TextOpsSpec extends SparkTestBase {
         ((r.getAs[String]("pred"), r.getAs[Double]("score")))).toMap
     assert(a === b)
   }
+
+  test("corpus datasheet: totals reconcile with the raw corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val ds = graft.ext.ExtQueries.queries("x92_corpus_datasheet")(spark, sfDir).collect()
+    assert(ds.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    val wsTokens = docs.agg(sum(size(split(col("text"), " ")))).head().getLong(0)
+    assert(ds.map(_.getAs[Long]("n_tokens")).sum === wsTokens)
+    ds.foreach { r =>
+      val dup = r.getAs[Double]("dup_frac")
+      assert(dup >= 0.0 && dup < 1.0)
+      assert(r.getAs[Long]("n_unique_texts") <= r.getAs[Long]("n_docs"))
+      val mq = r.getAs[Double]("mean_quality")
+      assert(mq > 0.0 && mq <= 1.0)
+    }
+  }
 }
