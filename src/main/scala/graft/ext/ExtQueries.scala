@@ -66,6 +66,12 @@ object ExtQueries {
       Similarity.hardNegatives(e.where(col("vec_id") < 5), e, 10)
     }),
 
+    // Distribution-level corpus drift (r5): pairwise χ²-like divergence
+    // between sources over hashed-unigram distributions — catches a source
+    // changing CONTENT where x63's digest diff only catches changed rows.
+    "x93_vocab_divergence" -> ((s, dir) =>
+      TextOps.vocabDivergence(Tables.documents(s, dir), col("source"))),
+
     // Corpus datasheet (r5): the per-source summary a dataset card ships —
     // volume, token mass, language spread, exact-dup rate, mean heuristic
     // quality (doc-ordered fold) — ONE partial-agg pass over the corpus.
@@ -1117,6 +1123,23 @@ object ExtQueries {
         "SELECT vec_a, vec_b, cos FROM s WHERE cos >= 0.4"),
 
     "x06_ann_bruteforce_topk" -> annBruteSql,
+
+    "x93_vocab_divergence" ->
+      ("WITH t93 AS (SELECT source AS slice, string_split(text, ' ') AS toks FROM documents), " +
+        "cf AS (SELECT slice, CAST(('0x' || substr(md5(tok), 1, 4)) AS INT) % 1024 AS f " +
+        "FROM (SELECT slice, unnest(toks) AS tok FROM t93)), " +
+        "cc AS (SELECT slice, f, CAST(count(*) AS BIGINT) AS c FROM cf GROUP BY 1, 2), " +
+        "tot AS (SELECT slice, CAST(sum(c) AS BIGINT) AS n FROM cc GROUP BY 1), " +
+        "af AS (SELECT DISTINCT f FROM cc), " +
+        "p AS (SELECT tot.slice, af.f, " +
+        "CAST(coalesce(c, 0) + 1 AS DOUBLE)/CAST(n + 1024 AS DOUBLE) AS p " +
+        "FROM tot CROSS JOIN af LEFT JOIN cc ON cc.slice = tot.slice AND cc.f = af.f), " +
+        "pr AS (SELECT a.slice AS slice_a, b.slice AS slice_b, a.f AS f, " +
+        "(a.p - b.p)*(a.p - b.p)/(a.p + b.p) AS d " +
+        "FROM p a JOIN p b ON a.f = b.f AND a.slice < b.slice) " +
+        "SELECT slice_a, slice_b, CAST(count(*) AS BIGINT) AS n_buckets, " +
+        "list_aggregate(list(d ORDER BY f), 'sum') AS divergence " +
+        "FROM pr GROUP BY 1, 2"),
 
     "x92_corpus_datasheet" ->
       (s"WITH t AS ($toksCte), " +

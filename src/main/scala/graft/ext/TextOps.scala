@@ -333,6 +333,52 @@ object TextOps {
           / size(col("ls"))).as("avg_lr"))
   }
 
+  /** Distribution-level corpus drift: pairwise divergence between two
+    * slices' hashed-unigram distributions — the monitoring statistic that
+    * catches a source changing CONTENT while x63's digest-level diff only
+    * catches changed rows. The statistic is the χ²-like symmetric
+    * discrepancy
+    *
+    *   D(a, b) = Σ_f (p_a(f) − p_b(f))² / (p_a(f) + p_b(f))
+    *
+    * over add-1-smoothed bucket probabilities — bounded [0, 2), zero iff
+    * identical, and RATIONAL (one division per bucket, no logs), so it
+    * stays bit-identical across engines where a KL divergence would not.
+    * The per-pair sum folds in bucket order (bucket-cardinality list).
+    *
+    * Scale shape: one explode + (slice, bucket) partial-agg groupBy —
+    * state is slices × B buckets; the pairwise stage works on that tiny
+    * frame, never the corpus.
+    */
+  def vocabDivergence(docs: DataFrame, sliceCol: Column, buckets: Int = 1024,
+      text: Column = col("text")): DataFrame = {
+    val toks = tokens(text)
+    val counts = docs.select(sliceCol.as("slice"), explode(toks).as("tok"))
+      .select(col("slice"), pmod(tokHash16(col("tok")), lit(buckets)).as("f"))
+      .groupBy("slice", "f").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("slice").agg(sum(col("c")).as("n"))
+    val b = lit(buckets.toLong)
+    // dense (slice × observed-bucket) probabilities so a bucket one slice
+    // lacks still contributes through smoothing
+    val allF = counts.select("f").distinct()
+    val p = totals.crossJoin(allF)
+      .join(counts, Seq("slice", "f"), "left")
+      .select(col("slice"), col("f"),
+        ((coalesce(col("c"), lit(0L)) + 1L).cast("double") /
+          (col("n") + b).cast("double")).as("p"))
+    val pairs = p.as("a").join(p.as("b"),
+        col("a.f") === col("b.f") && col("a.slice") < col("b.slice"))
+      .select(col("a.slice").as("slice_a"), col("b.slice").as("slice_b"), col("a.f").as("f"),
+        ((col("a.p") - col("b.p")) * (col("a.p") - col("b.p")) /
+          (col("a.p") + col("b.p"))).as("d"))
+    pairs.groupBy("slice_a", "slice_b")
+      .agg(sort_array(collect_list(struct(col("f"), col("d")))).as("ds"))
+      .select(col("slice_a"), col("slice_b"),
+        size(col("ds")).cast("long").as("n_buckets"),
+        aggregate(transform(col("ds"), s => s.getField("d")), lit(0.0), (a, x) => a + x)
+          .as("divergence"))
+  }
+
   /** K-class text classifier over hashed unigram features — the fastText-
     * style model-based classifier shape (train class-conditional counts on
     * a labeled split, score every held-out doc against each class, predict

@@ -208,6 +208,25 @@ class TextOpsSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("vocabDivergence: zero for identical slices, large for disjoint vocab, deterministic") {
+    import org.apache.spark.sql.functions._
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "alpha beta gamma delta", "s1")) ++
+      (11 to 20).map(i => (i.toLong, "alpha beta gamma delta", "s2")) ++ // identical dist
+      (21 to 30).map(i => (i.toLong, "zulu yankee xray whiskey", "s3"))  // disjoint vocab
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.vocabDivergence(docs, col("source")).collect()
+      .map(r => (r.getAs[String]("slice_a"), r.getAs[String]("slice_b")) ->
+        r.getAs[Double]("divergence")).toMap
+    assert(out(("s1", "s2")) === 0.0) // EXACT zero: identical multisets
+    assert(out(("s1", "s3")) > 0.05 && out(("s2", "s3")) > 0.05) // ~0.063: 8 disjoint buckets diluted by add-1 smoothing over 1024
+    assert(out(("s1", "s3")) === out(("s2", "s3"))) // symmetry of construction
+    val re = TextOps.vocabDivergence(docs.repartition(13), col("source")).collect()
+      .map(r => (r.getAs[String]("slice_a"), r.getAs[String]("slice_b")) ->
+        r.getAs[Double]("divergence")).toMap
+    assert(re === out)
+  }
+
   test("corpus datasheet: totals reconcile with the raw corpus") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sfDir)
