@@ -531,4 +531,53 @@ object Dedup {
         (coalesce(col("n_dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
           .as("dup_frac"))
   }
+
+  /** APPLIED passage dedup — the cleaning pass [[dupPassages]] only reports
+    * on (the "keep one copy of each duplicated substring" step of Lee et
+    * al. 2022, run after doc-level dedup in web-corpus pipelines).
+    * Policy, deterministic and positional: every duplicated k-token
+    * window has an OWNER (min doc_id among the docs containing it); a token
+    * position is removed iff it is covered by at least one duplicated
+    * window owned by a different doc. Owners keep their copy, so every
+    * duplicated passage survives exactly once in owner position; the
+    * cleaned text is the kept tokens re-joined in original order.
+    *
+    * Scale shape: same digest-keyed stages as [[dupPassages]] (window
+    * digests, never text, in shuffle keys; corpus-linear) plus one
+    * (doc, position) anti-join and a per-doc rebuild whose state is
+    * bounded by the longest single document — no corpus-sized collect
+    * anywhere.
+    */
+  def dedupPassagesApplied(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens, got $k")
+    val base = cacheOnce(docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks")))
+    val windows = cacheOnce(base
+      .select(col("doc_id"),
+        posexplode(when(size(col("toks")) >= k,
+          transform(sequence(lit(1), size(col("toks")) - lit(k - 1)),
+            i => md5(concat_ws(" ", slice(col("toks"), i, lit(k))))))
+          .otherwise(array())).as(Seq("pos", "wh"))))
+    val owners = windows.groupBy("wh")
+      .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("owner"))
+      .where(col("nd") >= 2)
+      .select("wh", "owner")
+    val removed = windows.join(owners, "wh")
+      .where(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("ti"))
+      .distinct()
+    val kept = base
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("ti", "tok")))
+      .join(removed, Seq("doc_id", "ti"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("ti"), col("tok")))),
+            s => s.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    base.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_removed"))
+  }
 }

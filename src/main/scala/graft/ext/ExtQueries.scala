@@ -293,6 +293,12 @@ object ExtQueries {
     "x82_dup_passages" -> ((s, dir) =>
       Dedup.dupPassages(Tables.documents(s, dir))),
 
+    // APPLIED passage dedup (r5): strip every non-owner copy of a
+    // duplicated 8-token window and rebuild the cleaned text — the
+    // Lee-et-al cleaning pass x82 only reports on.
+    "x94_dedup_passages_applied" -> ((s, dir) =>
+      Dedup.dedupPassagesApplied(Tables.documents(s, dir))),
+
     // Tokenizer fertility per language from the REAL trained tokenizer —
     // tokens/word and chars/token, the over-fragmentation diagnostic.
     "x83_bpe_fertility" -> ((s, dir) => {
@@ -1744,6 +1750,29 @@ object ExtQueries {
         "SELECT b.doc_id, b.n_tokens, coalesce(c.n_dup, 0) AS n_dup_tokens, " +
         "CAST(coalesce(c.n_dup, 0) AS DOUBLE)/b.n_tokens AS dup_frac " +
         "FROM b LEFT JOIN c USING (doc_id)"),
+
+    "x94_dedup_passages_applied" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "w AS (SELECT doc_id, p.i AS i, p.wh AS wh FROM " +
+        "(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-7), " +
+        "i -> struct_pack(i := i, wh := md5(array_to_string(toks[i:i+7], ' '))))) AS p " +
+        "FROM t WHERE len(toks) >= 8)), " +
+        "own AS (SELECT wh, min(doc_id) AS owner FROM w GROUP BY wh " +
+        "HAVING count(DISTINCT doc_id) >= 2), " +
+        "rem AS (SELECT DISTINCT doc_id, ti FROM (SELECT w.doc_id, " +
+        "unnest(generate_series(w.i, w.i+7)) AS ti " +
+        "FROM w JOIN own USING (wh) WHERE w.doc_id <> own.owner)), " +
+        "tokp AS (SELECT doc_id, p.i AS ti, p.tok AS tok FROM " +
+        "(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)), " +
+        "i -> struct_pack(i := i, tok := toks[i]))) AS p FROM t)), " +
+        "kept AS (SELECT tokp.doc_id, tokp.ti, tokp.tok FROM tokp " +
+        "ANTI JOIN rem ON tokp.doc_id = rem.doc_id AND tokp.ti = rem.ti), " +
+        "reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS clean_text, " +
+        "CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id) " +
+        "SELECT b.doc_id, b.n_tokens, coalesce(reb.clean_text, '') AS clean_text, " +
+        "b.n_tokens - coalesce(reb.n_kept, 0) AS n_removed " +
+        "FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t) b " +
+        "LEFT JOIN reb USING (doc_id)"),
 
     "x83_bpe_fertility" ->
       ("WITH w AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +

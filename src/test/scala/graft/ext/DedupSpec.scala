@@ -188,6 +188,36 @@ class DedupSpec extends SparkTestBase {
     assert(out(3L) === ((10L, 0L, 0.0)))
   }
 
+  test("dedupPassagesApplied: owner keeps the passage, non-owner loses exactly its covered tokens") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog extra words here"),
+      (2L, "prefix tokens then the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different content with no shared passages at all ok")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupPassagesApplied(docs, k = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getAs[String]("clean_text"), r.getLong(3))).toMap
+    // doc 1 owns both duplicated windows (min doc_id) -> untouched;
+    // doc 2 loses the 9 covered tokens, keeping only its 3-token prefix
+    assert(out(1L) === ((12L, "the quick brown fox jumps over the lazy dog extra words here", 0L)))
+    assert(out(2L) === ((12L, "prefix tokens then", 9L)))
+    assert(out(3L) === ((10L, "completely different content with no shared passages at all ok", 0L)))
+  }
+
+  test("dedupPassagesApplied: fixture invariants — exact dups survive once, reconciles with dupPassages") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val out = Dedup.dedupPassagesApplied(docs).collect()
+    assert(out.exists(r => r.getLong(1) > 0 && r.getAs[String]("clean_text").isEmpty),
+      "a planted non-owner exact duplicate must be fully stripped")
+    out.foreach(r => assert(r.getLong(3) <= r.getLong(1), s"removed more than doc length: $r"))
+    // removal only happens where dupPassages reports coverage, and owners
+    // keep their copy, so per-doc n_removed <= reported n_dup_tokens
+    val rep = Dedup.dupPassages(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out.foreach(r => assert(r.getLong(3) <= rep(r.getLong(0)),
+      s"removed tokens outside reported duplicated coverage: $r"))
+  }
+
   test("dupPassages: exact duplicate docs are fully covered at fixture scale") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val out = Dedup.dupPassages(docs).collect()
