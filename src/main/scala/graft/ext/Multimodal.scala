@@ -271,6 +271,121 @@ object Multimodal {
     }
   }
 
+  case class PhashRow(doc_id: Long, phash: Long, phash_ok: Boolean)
+
+  /** REAL perceptual hash (DCT pHash): decode, bilinear-resample to 32×32,
+    * grayscale, 2-D DCT-II, take the low-frequency 8×8 block, threshold
+    * the 63 AC coefficients at their median → 64-bit hash (bit 0 unused;
+    * DC excluded — it is pure brightness). Robust to re-encoding, rescaling
+    * and mild brightness/contrast shifts; Hamming distance between hashes
+    * measures visual similarity. This is the image-side analogue of the
+    * text simhash (x04/x20): a constant-size per-row signature whose
+    * near-dup pairing is a banded equi-join, never an all-pairs scan.
+    * Undecodable payloads yield `phash_ok=false` (poison-payload contract
+    * of [[decodeImages]]).
+    */
+  def phash64Of(r: MediaRow): PhashRow = {
+    val N = 32
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      if (img == null) PhashRow(r.doc_id, 0L, phash_ok = false)
+      else {
+        val small = new java.awt.image.BufferedImage(N, N,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = small.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, N, N, null)
+        } finally g.dispose()
+        val luma = new Array[Double](N * N)
+        var y = 0
+        while (y < N) {
+          var x = 0
+          while (x < N) {
+            val rgb = small.getRGB(x, y)
+            luma(y * N + x) = 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        // partial 2-D DCT-II: only the low-frequency 8×8 block is needed,
+        // so cost is 8×8×N×N multiplies — constant per image.
+        val coef = new Array[Double](64)
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            var s = 0.0
+            var yy = 0
+            while (yy < N) {
+              val cy = math.cos(((2 * yy + 1) * v * math.Pi) / (2.0 * N))
+              var xx = 0
+              while (xx < N) {
+                s += luma(yy * N + xx) * cy *
+                  math.cos(((2 * xx + 1) * u * math.Pi) / (2.0 * N))
+                xx += 1
+              }
+              yy += 1
+            }
+            coef(v * 8 + u) = s
+            u += 1
+          }
+          v += 1
+        }
+        val ac = coef.drop(1)
+        val med = ac.sorted.apply(31) // lower median of the 63 AC coefficients
+        var h = 0L
+        var i = 1
+        while (i < 64) {
+          if (coef(i) > med) h |= (1L << i)
+          i += 1
+        }
+        PhashRow(r.doc_id, h, phash_ok = true)
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => PhashRow(r.doc_id, 0L, phash_ok = false)
+    }
+  }
+
+  /** Partition-batched pHash (per-partition ImageIO cache init, like
+    * [[decodeImages]]).
+    */
+  def phashImages(media: Dataset[MediaRow]): Dataset[PhashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map(phash64Of)
+    }
+  }
+
+  /** Visual near-dup pairs: pHash every image, band the 64-bit hash into 4
+    * 16-bit bands, equi-join on (band, value), verify `popcount(xor) <=
+    * maxHamming`. Pigeonhole: any pair within Hamming distance 3 is
+    * GUARANTEED to share a band (4 bands, <= 3 differing bits); larger
+    * thresholds are recall-probabilistic, same discipline as the text
+    * simhash banding (x20). The join moves (band, 16-bit value, id) — the
+    * image bytes never shuffle.
+    */
+  def phashNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64, s"bad maxHamming $maxHamming")
+    val hashes = phashImages(media).where(col("phash_ok"))
+      .select(col("doc_id"), col("phash"))
+    val banded = hashes.select(col("doc_id"), col("phash"),
+      explode(array((0 until 4).map(b =>
+        shiftright(col("phash"), b * 16).bitwiseAND(lit(0xffffL)) * 4 + b): _*))
+        .as("band_key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.phash").as("ph_a"), col("b.phash").as("ph_b"))
+      .distinct()
+      .where(bit_count(col("ph_a").bitwiseXOR(col("ph_b"))) <= maxHamming)
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hamming"))
+  }
+
   /** SQL-expressible slice of the feature extraction (byte length + prefix),
     * used by the oracle-checked query; the checksum path is covered by the
     * ScalaTest spec instead (DuckDB lacks blob hashing).

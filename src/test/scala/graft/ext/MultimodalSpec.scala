@@ -149,6 +149,74 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames(1).frame.head === 32.toByte, "frame 2 starts at byte offset 32")
   }
 
+  /** Dense-spectrum test image: a seeded random-signed cosine mix over the
+    * full low-frequency block, sampled from CONTINUOUS coordinates — every
+    * AC coefficient pHash thresholds carries real signal (a plain gradient
+    * or solid color is spectrally degenerate: most coefficients sit at ~0
+    * and the median split flips on resampling noise, which is exactly why
+    * pHash is specified for natural images). Affine-normalized to
+    * [10+brightness, 215+brightness] so a brightness shift is purely
+    * additive (no clamping nonlinearity) and touches only the DC term.
+    */
+  private def structuredImage(format: String, w: Int, h: Int, brightness: Int = 0,
+                              variant: Int = 0): Array[Byte] = {
+    val rnd = new scala.util.Random(42 + variant)
+    val amps = for (v <- 0 until 8; u <- 0 until 8 if u + v > 0)
+      yield (u, v, (rnd.nextDouble() * 2 - 1) / (1.0 + u + v))
+    val f = Array.tabulate(h, w) { (y, x) =>
+      amps.map { case (u, v, a) =>
+        a * math.cos(math.Pi * u * (x + 0.5) / w) * math.cos(math.Pi * v * (y + 0.5) / h)
+      }.sum
+    }
+    val lo = f.flatten.min; val hi = f.flatten.max
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = 10 + brightness + ((f(y)(x) - lo) / (hi - lo) * 205.0).round.toInt
+      img.setRGB(x, y, (p << 16) | (p << 8) | p)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, bos))
+    bos.toByteArray
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("phash64: invariant to rescale and brightness shift, far for different structure") {
+    val base = Multimodal.phash64Of(
+      Multimodal.MediaRow(1L, "image/png", structuredImage("png", 64, 64)))
+    val scaled = Multimodal.phash64Of(
+      Multimodal.MediaRow(2L, "image/png", structuredImage("png", 128, 128)))
+    val bright = Multimodal.phash64Of(
+      Multimodal.MediaRow(3L, "image/png", structuredImage("png", 64, 64, brightness = 30)))
+    val rotated = Multimodal.phash64Of(
+      Multimodal.MediaRow(4L, "image/png", structuredImage("png", 64, 64, variant = 7)))
+    assert(base.phash_ok && scaled.phash_ok && bright.phash_ok && rotated.phash_ok)
+    assert(hamming(base.phash, scaled.phash) <= 3,
+      s"rescaled copy must be near: ${hamming(base.phash, scaled.phash)}")
+    assert(hamming(base.phash, bright.phash) <= 3,
+      s"brightness shift must be near (DC excluded): ${hamming(base.phash, bright.phash)}")
+    assert(hamming(base.phash, rotated.phash) > 10,
+      s"different structure must be far: ${hamming(base.phash, rotated.phash)}")
+    val corrupt = Multimodal.phash64Of(Multimodal.MediaRow(5L, "image/x", Array[Byte](1, 2)))
+    assert(!corrupt.phash_ok)
+  }
+
+  test("phashNearDupPairs: rescaled/JPEG copies pair up, different structure does not") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/png", structuredImage("png", 64, 64)),
+      Multimodal.MediaRow(2L, "image/png", structuredImage("png", 96, 96)),
+      Multimodal.MediaRow(3L, "image/jpeg", structuredImage("jpg", 64, 64)),
+      Multimodal.MediaRow(4L, "image/png", structuredImage("png", 64, 64, variant = 7)),
+      Multimodal.MediaRow(5L, "image/corrupt", Array[Byte](9))
+    ).toDS()
+    val pairs = Multimodal.phashNearDupPairs(media, maxHamming = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "rescaled copy must pair")
+    assert(pairs.contains((1L, 3L)), "JPEG re-encode must pair")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "different structure must not pair")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), "corrupt payload must be dropped")
+  }
+
   test("embedPayloads feeds straight into the ANN operators (decode → embed → top-k)") {
     val docs = graft.sources.Tables.documents(spark, sfDir).limit(200)
     val emb = Multimodal.embedPayloads(Multimodal.mediaFromDocuments(docs))
