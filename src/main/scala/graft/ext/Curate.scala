@@ -237,6 +237,71 @@ object Curate {
         DefaultDomainBlocklist),
       quota, scoreCol = "n_chars", srcCol = "domain")
 
+  /** Deterministic MESSY url variant for the canonicalization operator:
+    * the same doc can surface with scheme/host case noise, an explicit
+    * default port, tracking query params, a fragment, and a trailing
+    * slash — and the PATH collides across docs (`doc_id % 97`), so
+    * canonical-URL dedup has real work to do. All noise bits come from
+    * independent md5 hex digits (engine-replayable).
+    */
+  def withMessyUrl(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val h = md5(concat(col(idCol).cast("string"), lit(":murl")))
+    def d(i: Int): Column = conv(substring(h, i, 1), 16, 10).cast("int")
+    val name = element_at(typedLit(UrlDomainNames), d(3) % UrlDomainNames.size + 1)
+    val tld = element_at(typedLit(UrlTlds), d(4) % UrlTlds.size + 1)
+    val baseHost = concat(lit("www."), name, lit("."), tld)
+    val url = concat(
+      when(d(1) % 2 === 1, lit("HTTPS")).otherwise(lit("https")), lit("://"),
+      when(d(5) % 2 === 1, upper(baseHost)).otherwise(baseHost),
+      when(d(6) % 2 === 1, lit(":443")).otherwise(lit("")),
+      lit("/p/"), (col(idCol) % 97).cast("string"),
+      when(d(7) % 2 === 1, lit("/")).otherwise(lit("")),
+      when(d(8) % 4 === 0, lit("?utm_source=feed&utm_medium=rss"))
+        .when(d(8) % 4 === 1, concat(lit("?id="), (col(idCol) % 5).cast("string"),
+          lit("&utm_campaign=x")))
+        .when(d(8) % 4 === 2, concat(lit("?id="), (col(idCol) % 5).cast("string")))
+        .otherwise(lit("")),
+      when(d(9) % 2 === 1, lit("#frag")).otherwise(lit("")))
+    docs.withColumn("url", url)
+  }
+
+  val TrackingParamRe = "^(utm_[^=]*|ref|fbclid|gclid)="
+
+  /** Standard URL canonicalization: lowercase scheme+host, strip default
+    * ports / fragments / trailing slashes, drop tracking params
+    * (`utm_*`, `ref`, `fbclid`, `gclid`), sort surviving params. Pure
+    * string expressions (regex + array HOFs) — runs at scan speed and the
+    * oracle replays it verbatim.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = regexp_replace(
+      lower(regexp_extract(url, "://([^/?#]+)", 1)), ":(443|80)$", "")
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val path = regexp_replace(
+      regexp_extract(noFrag, "://[^/?#]+([^?]*)", 1), "/+$", "")
+    val rawQ = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val keptQ = array_join(
+      array_sort(filter(split(rawQ, "&"),
+        p => not(p.rlike(TrackingParamRe)) && p =!= lit(""))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(keptQ === "", lit("")).otherwise(concat(lit("?"), keptQ)))
+  }
+
+  /** Canonical-URL dedup report: group the messy corpus by canonical URL,
+    * elect the min-doc_id survivor, count how many raw variants and docs
+    * collapsed. The groupBy key is the canonical STRING (bounded — a URL,
+    * not a document); at 100 TB this is the same single-shuffle shape as
+    * exact text dedup (x01).
+    */
+  def urlCanonicalDedup(docs: DataFrame): DataFrame =
+    withMessyUrl(docs)
+      .select(col("doc_id"), col("url"), canonicalizeUrl(col("url")).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(min(col("doc_id")).as("survivor_id"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_variants"))
+
   /** Distribution flattening (importance resampling): subsample each
     * bucket of `bucketCol` with acceptance rate `min_count / bucket_count`
     * so the surviving corpus is uniform across observed buckets — the

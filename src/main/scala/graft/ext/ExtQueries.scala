@@ -232,6 +232,13 @@ object ExtQueries {
     "x79_url_domain_curation" -> ((s, dir) =>
       Curate.urlDomainCuration(Tables.documents(s, dir))),
 
+    // Canonical-URL dedup (r5): normalize a messy derived URL (case, default
+    // port, fragment, trailing slash, tracking params, param order) and
+    // collapse docs sharing the canonical form — the URL-level dedup web
+    // pipelines run BEFORE content dedup.
+    "x95_url_canonical_dedup" -> ((s, dir) =>
+      Curate.urlCanonicalDedup(Tables.documents(s, dir))),
+
     // Model-based quality scoring (r5): bigram LM trained on the src0
     // held-out slice, every other doc scored by average smoothed inverse
     // conditional probability (perplexity's transcendental-free surrogate).
@@ -1900,6 +1907,38 @@ object ExtQueries {
         "r AS (SELECT doc_id, url, host, domain, n_chars, " +
         "CAST(row_number() OVER (PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank FROM f) " +
         "SELECT doc_id, url, host, domain, n_chars, rank FROM r WHERE rank <= 50"),
+
+    "x95_url_canonical_dedup" -> {
+      val nameList = Curate.UrlDomainNames.map(n => s"'$n'").mkString("[", ",", "]")
+      val tldList = Curate.UrlTlds.map(t => s"'$t'").mkString("[", ",", "]")
+      def dg(i: Int) = s"CAST(('0x' || substr(md5(doc_id || ':murl'), $i, 1)) AS INT)"
+      ("WITH m AS (SELECT doc_id, " +
+        s"(CASE WHEN ${dg(1)} % 2 = 1 THEN 'HTTPS' ELSE 'https' END) || '://' || " +
+        s"(CASE WHEN ${dg(5)} % 2 = 1 THEN upper(bh) ELSE bh END) || " +
+        s"(CASE WHEN ${dg(6)} % 2 = 1 THEN ':443' ELSE '' END) || " +
+        "'/p/' || (doc_id % 97) || " +
+        s"(CASE WHEN ${dg(7)} % 2 = 1 THEN '/' ELSE '' END) || " +
+        s"(CASE WHEN ${dg(8)} % 4 = 0 THEN '?utm_source=feed&utm_medium=rss' " +
+        s"WHEN ${dg(8)} % 4 = 1 THEN '?id=' || (doc_id % 5) || '&utm_campaign=x' " +
+        s"WHEN ${dg(8)} % 4 = 2 THEN '?id=' || (doc_id % 5) ELSE '' END) || " +
+        s"(CASE WHEN ${dg(9)} % 2 = 1 THEN '#frag' ELSE '' END) AS url " +
+        "FROM (SELECT doc_id, 'www.' || " +
+        s"($nameList)[${dg(3)} % ${Curate.UrlDomainNames.size} + 1] || '.' || " +
+        s"($tldList)[${dg(4)} % ${Curate.UrlTlds.size} + 1] AS bh FROM documents)), " +
+        "c AS (SELECT doc_id, url, " +
+        "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' || " +
+        "regexp_replace(lower(regexp_extract(url, '://([^/?#]+)', 1)), ':(443|80)$', '') || " +
+        "regexp_replace(regexp_extract(regexp_replace(url, '#.*$', ''), '://[^/?#]+([^?]*)', 1), '/+$', '') || " +
+        "(CASE WHEN kq = '' THEN '' ELSE '?' || kq END) AS canonical_url FROM " +
+        // coalesce: DuckDB's array_to_string(list_sort([])) is NULL, Spark's array_join is ''
+        "(SELECT doc_id, url, coalesce(array_to_string(list_sort(list_filter(" +
+        "string_split(regexp_extract(regexp_replace(url, '#.*$', ''), '\\?(.*)$', 1), '&'), " +
+        "x -> NOT regexp_matches(x, '^(utm_[^=]*|ref|fbclid|gclid)=') AND x <> '')), '&'), '') AS kq " +
+        "FROM m)) " +
+        "SELECT canonical_url, min(doc_id) AS survivor_id, " +
+        "CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(count(DISTINCT url) AS BIGINT) AS n_variants FROM c GROUP BY 1")
+    },
 
     "x80_lm_quality_score" ->
       (s"WITH $lmCtes " +

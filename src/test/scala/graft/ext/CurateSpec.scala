@@ -163,6 +163,31 @@ class CurateSpec extends SparkTestBase {
     assert(out.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
 
+  test("canonicalizeUrl: case, default port, fragment, trailing slash, tracking params, param order") {
+    import org.apache.spark.sql.functions.col
+    val urls = Seq(
+      "HTTPS://WWW.Alpha.COM:443/p/12/?utm_source=feed&id=3#frag",
+      "https://www.alpha.com/p/12?id=3&utm_campaign=x",
+      "https://www.alpha.com/p/12?b=2&a=1",
+      "http://host.org:80/x?ref=abc&fbclid=zzz&gclid=q"
+    ).toDF("url")
+    val out = urls.select(Curate.canonicalizeUrl(col("url")).as("c")).collect().map(_.getString(0))
+    assert(out(0) === "https://www.alpha.com/p/12?id=3")
+    assert(out(1) === out(0), "same resource through different noise must canonicalize equal")
+    assert(out(2) === "https://www.alpha.com/p/12?a=1&b=2", "kept params are sorted")
+    assert(out(3) === "http://host.org/x", "all-tracking query vanishes, :80 stripped")
+  }
+
+  test("urlCanonicalDedup: totals reconcile, collisions are real, survivor is min doc_id") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val out = Curate.urlCanonicalDedup(docs).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs.count(), "every doc lands in exactly one group")
+    assert(out.exists(_.getAs[Long]("n_docs") > 1), "the messy derivation must create canonical collisions")
+    assert(out.forall(r => r.getAs[Long]("n_variants") <= r.getAs[Long]("n_docs")))
+    out.foreach(r => assert(!r.getAs[String]("canonical_url").matches(".*(utm_|#|:443|HTTPS).*"),
+      s"canonical form must be clean: ${r.getAs[String]("canonical_url")}"))
+  }
+
   test("uniformHash is in [0,1) and reproducible") {
     val u = docs.select(Curate.uniformHash(col("doc_id"), "s").as("u"))
       .collect().map(_.getDouble(0))
