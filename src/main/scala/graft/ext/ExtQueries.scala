@@ -245,6 +245,12 @@ object ExtQueries {
     "x80_lm_quality_score" -> ((s, dir) =>
       TextOps.lmInvProbScore(Tables.documents(s, dir), col("source") === "src0")),
 
+    // Trigram stupid-backoff LM (r5): the CCNet-shaped upgrade of x80 —
+    // three exact-rational backoff tiers (1/0.4 = 2.5, 1/0.4^2 = 6.25),
+    // model tables from the bounded train slice, corpus never shuffles.
+    "x96_lm_trigram_score" -> ((s, dir) =>
+      TextOps.lmTrigramScore(Tables.documents(s, dir), col("source") === "src0")),
+
     // The composed web-corpus flagship (r5): the full C4/RefinedWeb-shaped
     // pass as ONE query — domain gate (derived URL, blocklist anti-join) ->
     // model-based quality gate (stupid-backoff LM, exact-P95 threshold) ->
@@ -1907,6 +1913,40 @@ object ExtQueries {
         "r AS (SELECT doc_id, url, host, domain, n_chars, " +
         "CAST(row_number() OVER (PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank FROM f) " +
         "SELECT doc_id, url, host, domain, n_chars, rank FROM r WHERE rank <= 50"),
+
+    "x96_lm_trigram_score" ->
+      ("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +
+        "trn AS (SELECT toks FROM t WHERE source = 'src0'), " +
+        "tw AS (SELECT unnest(toks) AS w FROM trn), " +
+        "uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM tw GROUP BY 1), " +
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS n_tok, " +
+        "CAST(count(DISTINCT w) AS BIGINT) AS v FROM tw), " +
+        "bi AS (SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS c_ab FROM " +
+        "(SELECT unnest(list_transform(generate_series(1, len(toks)-1), " +
+        "i -> struct_pack(a := toks[i], b := toks[i+1]))) AS p " +
+        "FROM trn WHERE len(toks) >= 2) GROUP BY 1, 2), " +
+        "tri AS (SELECT p.a AS a, p.b AS b, p.c AS c, CAST(count(*) AS BIGINT) AS c_abc FROM " +
+        "(SELECT unnest(list_transform(generate_series(1, len(toks)-2), " +
+        "i -> struct_pack(a := toks[i], b := toks[i+1], c := toks[i+2]))) AS p " +
+        "FROM trn WHERE len(toks) >= 3) GROUP BY 1, 2, 3), " +
+        "pos AS (SELECT doc_id, p.i AS i, p.a AS a, p.b AS b, p.c AS c FROM " +
+        "(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-2), " +
+        "i -> struct_pack(i := i, a := toks[i], b := toks[i+1], c := toks[i+2]))) AS p " +
+        "FROM t WHERE source <> 'src0' AND len(toks) >= 3)), " +
+        "sp AS (SELECT pos.doc_id, pos.i, " +
+        "CASE WHEN tri.c_abc IS NOT NULL THEN CAST(biab.c_ab AS DOUBLE)/tri.c_abc " +
+        "WHEN bibc.c_ab IS NOT NULL THEN 2.5 * CAST(unib.c_w AS DOUBLE)/bibc.c_ab " +
+        "ELSE 6.25 * CAST(st.n_tok + st.v AS DOUBLE)/(coalesce(unic.c_w, 0) + 1) END AS invp " +
+        "FROM pos " +
+        "LEFT JOIN tri ON tri.a = pos.a AND tri.b = pos.b AND tri.c = pos.c " +
+        "LEFT JOIN bi biab ON biab.a = pos.a AND biab.b = pos.b " +
+        "LEFT JOIN bi bibc ON bibc.a = pos.b AND bibc.b = pos.c " +
+        "LEFT JOIN uni unib ON unib.w = pos.b " +
+        "LEFT JOIN uni unic ON unic.w = pos.c " +
+        "CROSS JOIN st) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams, " +
+        "list_aggregate(list(invp ORDER BY i), 'sum') / count(*) AS avg_invp " +
+        "FROM sp GROUP BY doc_id"),
 
     "x95_url_canonical_dedup" -> {
       val nameList = Curate.UrlDomainNames.map(n => s"'$n'").mkString("[", ",", "]")

@@ -275,6 +275,77 @@ object TextOps {
           / size(col("ps"))).as("avg_invp"))
   }
 
+  /** Trigram stupid-backoff LM scoring — the CCNet-shaped upgrade of
+    * [[lmInvProbScore]]'s bigram model (Brants et al. 2007 "stupid
+    * backoff": no discounting, a fixed 0.4 backoff factor, which at
+    * corpus scale ranks within noise of Kneser-Ney at a fraction of the
+    * cost). Inverse-probability surrogate, all tiers exact rationals:
+    *
+    *   invp(c|ab) = c_ab / c_abc                     if the trigram was seen
+    *              = 2.5 · c_b / c_bc                 else if the bigram was
+    *                                                 seen   (2.5 = 1/0.4)
+    *              = 6.25 · (n + V) / (c_c + 1)       else (smoothed unigram;
+    *                                                 6.25 = 1/0.4²)
+    *
+    * 2.5 and 6.25 are exact binary fractions, every count is an exact
+    * integer < 2^53, so each tier is one bit-stable double division; the
+    * per-doc mean folds in trigram-position order (the q55/q56 portable
+    * fold). Docs shorter than 3 tokens are unscored, as in [[lmInvProbScore]].
+    *
+    * Scale shape: the model tables are built from the TRAIN slice only —
+    * in a CCNet-style pipeline that slice is a bounded high-quality sample
+    * (Wikipedia-sized, not corpus-sized), so uni/bi/tri count tables are
+    * dimension tables and broadcast; scoring is a scan + broadcast joins,
+    * the corpus never shuffles. The only wide op is the per-doc collapse
+    * of scored positions.
+    */
+  def lmTrigramScore(docs: DataFrame, heldOut: Column,
+      text: Column = col("text")): DataFrame = {
+    val toks = tokens(text)
+    val train = docs.where(heldOut)
+    val trTok = train.select(explode(toks).as("w"))
+    val uni = trTok.groupBy("w").agg(count(lit(1)).as("c_w"))
+    val stats = trTok.agg(count(lit(1)).as("n_tok"), countDistinct(col("w")).as("v"))
+    val bi = train.select(explode(
+        when(size(toks) >= 2, transform(sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("a"), element_at(toks, i + 1).as("b"))))
+          .otherwise(array())).as("p"))
+      .groupBy("p.a", "p.b").agg(count(lit(1)).as("c_ab"))
+    val tri = train.select(explode(
+        when(size(toks) >= 3, transform(sequence(lit(1), size(toks) - 2),
+          i => struct(element_at(toks, i).as("a"), element_at(toks, i + 1).as("b"),
+            element_at(toks, i + 2).as("c"))))
+          .otherwise(array())).as("p"))
+      .groupBy("p.a", "p.b", "p.c").agg(count(lit(1)).as("c_abc"))
+    val pos = docs.where(!heldOut && size(toks) >= 3)
+      .select(col("doc_id"), posexplode(transform(sequence(lit(1), size(toks) - 2),
+        i => struct(element_at(toks, i).as("a"), element_at(toks, i + 1).as("b"),
+          element_at(toks, i + 2).as("c"))))
+        .as(Seq("i", "p")))
+      .select(col("doc_id"), col("i"), col("p.a"), col("p.b"), col("p.c"))
+    val scored = pos
+      .join(broadcast(tri), Seq("a", "b", "c"), "left")
+      .join(broadcast(bi), Seq("a", "b"), "left")
+      .join(broadcast(bi.select(col("a").as("b"), col("b").as("c"),
+        col("c_ab").as("c_bc"))), Seq("b", "c"), "left")
+      .join(broadcast(uni.withColumnsRenamed(Map("w" -> "b", "c_w" -> "c_b"))), Seq("b"), "left")
+      .join(broadcast(uni.withColumnsRenamed(Map("w" -> "c", "c_w" -> "c_c"))), Seq("c"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("i"),
+        when(col("c_abc").isNotNull,
+          col("c_ab").cast("double") / col("c_abc").cast("double"))
+        .when(col("c_bc").isNotNull,
+          lit(2.5) * col("c_b").cast("double") / col("c_bc").cast("double"))
+        .otherwise(lit(6.25) * (col("n_tok") + col("v")).cast("double") /
+          (coalesce(col("c_c"), lit(0L)) + lit(1L)).cast("double")).as("invp"))
+    scored.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("i"), col("invp")))).as("ps"))
+      .select(col("doc_id"),
+        size(col("ps")).cast("long").as("n_trigrams"),
+        (aggregate(transform(col("ps"), s => s.getField("invp")), lit(0.0), (a, x) => a + x)
+          / size(col("ps"))).as("avg_invp"))
+  }
+
   /** DSIR-shaped importance weights (Data Selection via Importance
     * Resampling, Xie et al. 2023): score every raw-corpus document by the
     * likelihood ratio between a TARGET distribution (the held-out slice a

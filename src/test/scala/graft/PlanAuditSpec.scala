@@ -24,6 +24,7 @@ class PlanAuditSpec extends SparkTestBase {
     "x40_ann_ivf_kmeans" -> "crossJoin against ONE packed broadcast row (constant) + the 1-row recall-report fold",
     "x39_sketch_hll_union" -> "crossJoin of two single-row aggregates (exact ALL count × unioned-sketch estimate)",
     "x80_lm_quality_score" -> "crossJoin against ONE broadcast LM-stats row (train token/vocab totals, constant)",
+    "x96_lm_trigram_score" -> "crossJoin against ONE broadcast LM-stats row (x80's shape, trigram model)",
     "x81_web_corpus_pipeline" -> "crossJoins against ONE broadcast LM-stats row and ONE broadcast P95-threshold row (constants)",
     "x44_sketch_kll_rollup" -> "crossJoin against ONE broadcast unioned-sketch estimate row + the 1-row ALL fold (constant)",
     "x48_bm25_topk" -> "crossJoin against ONE broadcast corpus-stats row (constant)",

@@ -208,6 +208,27 @@ class TextOpsSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("lmTrigramScore: each backoff tier exact; in-domain beats OOV; deterministic") {
+    import org.apache.spark.sql.functions._
+    // train: "a b c d" twice -> c_abc("a","b","c")=2, c_ab=2, n=8, V=4
+    val docs = Seq(
+      (1L, "a b c d", true), (2L, "a b c d", true),
+      (10L, "a b c", false),   // trigram seen: invp = c_ab/c_abc = 2/2 = 1.0
+      (11L, "x b c", false),   // unseen tri, bigram (b,c) seen: 2.5*c_b/c_bc = 2.5*2/2 = 2.5
+      (12L, "x y c", false),   // both unseen, c in vocab: 6.25*(8+4)/(2+1) = 25.0
+      (13L, "x y z", false)    // full OOV: 6.25*12/1 = 75.0
+    ).toDF("doc_id", "text", "held")
+    val out = TextOps.lmTrigramScore(docs, col("held")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("avg_invp")).toMap
+    assert(out(10L) === 1.0)
+    assert(out(11L) === 2.5)
+    assert(out(12L) === 25.0)
+    assert(out(13L) === 75.0)
+    val re = TextOps.lmTrigramScore(docs.repartition(7), col("held")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("avg_invp")).toMap
+    assert(re === out)
+  }
+
   test("vocabDivergence: zero for identical slices, large for disjoint vocab, deterministic") {
     import org.apache.spark.sql.functions._
     val docs = (
