@@ -66,6 +66,16 @@ object ExtQueries {
       Similarity.hardNegatives(e.where(col("vec_id") < 5), e, 10)
     }),
 
+    // Winnowing overlap candidates (r5): MOSS fingerprint selection +
+    // df-capped shared-fingerprint pairing.
+    "x98_winnowing_pairs" -> ((s, dir) =>
+      TextOps.winnowingPairs(Tables.documents(s, dir))),
+
+    // Per-source vocabulary diversity (r5): Gini-Simpson + effective vocab
+    // size — the log-free "did this source collapse to boilerplate?" stat.
+    "x97_vocab_diversity" -> ((s, dir) =>
+      TextOps.vocabDiversity(Tables.documents(s, dir), col("source"))),
+
     // Distribution-level corpus drift (r5): pairwise χ²-like divergence
     // between sources over hashed-unigram distributions — catches a source
     // changing CONTENT where x63's digest diff only catches changed rows.
@@ -1142,6 +1152,33 @@ object ExtQueries {
         "SELECT vec_a, vec_b, cos FROM s WHERE cos >= 0.4"),
 
     "x06_ann_bruteforce_topk" -> annBruteSql,
+
+    "x98_winnowing_pairs" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, CASE WHEN len(toks) >= 4 THEN " +
+        "list_transform(generate_series(1, len(toks)-3), i -> md5(array_to_string(toks[i:i+3], ' '))) " +
+        "ELSE [] END AS grams FROM t), " +
+        "fp AS (SELECT DISTINCT doc_id, fp FROM (SELECT doc_id, unnest(" +
+        "CASE WHEN len(grams) >= 4 THEN " +
+        "list_transform(generate_series(1, len(grams)-3), j -> list_aggregate(grams[j:j+3], 'min')) " +
+        "WHEN len(grams) >= 1 THEN [list_aggregate(grams, 'min')] ELSE [] END) AS fp FROM g)), " +
+        "rare AS (SELECT fp FROM fp GROUP BY fp " +
+        "HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50), " +
+        "h AS (SELECT doc_id, fp.fp AS fp FROM fp JOIN rare USING (fp)) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM h a JOIN h b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2"),
+
+    "x97_vocab_diversity" ->
+      ("WITH cf AS (SELECT slice, CAST(('0x' || substr(md5(tok), 1, 4)) AS INT) % 1024 AS f " +
+        "FROM (SELECT source AS slice, unnest(string_split(text, ' ')) AS tok FROM documents)), " +
+        "cc AS (SELECT slice, f, CAST(count(*) AS BIGINT) AS c FROM cf GROUP BY 1, 2), " +
+        "ag AS (SELECT slice, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+        "CAST(count(*) AS BIGINT) AS n_buckets_used, " +
+        "list_aggregate(list(CAST(c AS DOUBLE)*c ORDER BY f), 'sum') AS ss FROM cc GROUP BY 1) " +
+        "SELECT slice, n_tokens, n_buckets_used, " +
+        "ss/(CAST(n_tokens AS DOUBLE)*CAST(n_tokens AS DOUBLE)) AS simpson, " +
+        "1.0 - ss/(CAST(n_tokens AS DOUBLE)*CAST(n_tokens AS DOUBLE)) AS diversity, " +
+        "1.0/(ss/(CAST(n_tokens AS DOUBLE)*CAST(n_tokens AS DOUBLE))) AS eff_vocab FROM ag"),
 
     "x93_vocab_divergence" ->
       ("WITH t93 AS (SELECT source AS slice, string_split(text, ' ') AS toks FROM documents), " +

@@ -450,6 +450,93 @@ object TextOps {
           .as("divergence"))
   }
 
+  /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm):
+    * hash every k-token gram, slide a w-hash window, keep each window's
+    * MINIMUM hash, distinct per doc. Guarantee: any shared token run of
+    * length ≥ w+k−1 yields a shared fingerprint, at ~2/(w+1) the density
+    * of x82's every-window set — the cheap partial-overlap candidate
+    * generator. Degenerate short docs (at least one gram but fewer than
+    * w) contribute their single global-min fingerprint; docs shorter
+    * than k tokens have no grams and produce none.
+    * md5 strings make min (binary collation) engine-identical; per-row
+    * HOFs only — fingerprinting itself shuffles nothing.
+    */
+  def winnowingFingerprints(docs: DataFrame, k: Int = 4, w: Int = 4,
+      text: Column = col("text")): DataFrame = {
+    require(k >= 1 && w >= 1, s"bad winnowing params k=$k w=$w")
+    val toks = tokens(text)
+    // materialize grams as a column: referenced from inside the window
+    // lambda, an inline expression would be recomputed per WINDOW element
+    // (O(m·w) md5s per doc instead of O(m))
+    val withGrams = docs.select(col("doc_id"),
+      when(size(toks) >= k,
+        transform(sequence(lit(1), size(toks) - lit(k - 1)),
+          i => md5(concat_ws(" ", slice(toks, i, lit(k))))))
+        .otherwise(array()).as("grams"))
+    val g = col("grams")
+    val fps = array_distinct(
+      when(size(g) >= w,
+        transform(sequence(lit(1), size(g) - lit(w - 1)),
+          j => array_min(slice(g, j, lit(w)))))
+      .when(size(g) >= 1, array(array_min(g)))
+      .otherwise(array().cast("array<string>")))
+    withGrams.select(col("doc_id"), explode(fps).as("fp"))
+  }
+
+  /** Candidate overlap pairs from shared winnowing fingerprints, with a
+    * document-frequency cap: fingerprints appearing in more than `maxDf`
+    * docs are boilerplate (their pairs explode quadratically and are
+    * better handled by x82's coverage report / x03's LSH) and are
+    * dropped — the same df-capping discipline as the prefix-filter join.
+    * One digest-keyed groupBy + a capped self-join; text never shuffles.
+    */
+  def winnowingPairs(docs: DataFrame, k: Int = 4, w: Int = 4,
+      maxDf: Int = 50): DataFrame = {
+    val fps = winnowingFingerprints(docs, k, w)
+    val rare = fps.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") >= 2 && col("df") <= maxDf)
+      .select("fp")
+    val hits = fps.join(rare, "fp").select("doc_id", "fp").distinct()
+    hits.as("a").join(hits.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Per-slice vocabulary diversity: Gini-Simpson index and effective
+    * vocabulary size over the hashed-unigram distribution —
+    *
+    *   simpson   = Σ_f p_f²   (collision probability)
+    *   diversity = 1 − simpson
+    *   eff_vocab = 1 / simpson   (inverse Simpson, "how many equally-
+    *                              common tokens would look like this")
+    *
+    * the log-free companion to Shannon entropy (same monitoring job —
+    * "did this source collapse to boilerplate?" — but every term is
+    * rational, so it hash-matches across engines; entropy's ln would
+    * not). Counts fold as doubles in bucket order; bucket counts < 2²⁶
+    * keep c·c exact. One explode + (slice, bucket) partial-agg groupBy;
+    * state is slices × buckets, never the corpus.
+    */
+  def vocabDiversity(docs: DataFrame, sliceCol: Column, buckets: Int = 1024,
+      text: Column = col("text")): DataFrame = {
+    val counts = docs.select(sliceCol.as("slice"), explode(tokens(text)).as("tok"))
+      .select(col("slice"), pmod(tokHash16(col("tok")), lit(buckets)).as("f"))
+      .groupBy("slice", "f").agg(count(lit(1)).as("c"))
+    counts.groupBy("slice")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_buckets_used"),
+        sort_array(collect_list(struct(col("f"), col("c")))).as("cs"))
+      .select(col("slice"), col("n_tokens"), col("n_buckets_used"),
+        (aggregate(transform(col("cs"), s => s.getField("c").cast("double") * s.getField("c")),
+          lit(0.0), (a, x) => a + x)
+          / (col("n_tokens").cast("double") * col("n_tokens").cast("double"))).as("simpson"))
+      .select(col("slice"), col("n_tokens"), col("n_buckets_used"), col("simpson"),
+        (lit(1.0) - col("simpson")).as("diversity"),
+        (lit(1.0) / col("simpson")).as("eff_vocab"))
+  }
+
   /** K-class text classifier over hashed unigram features — the fastText-
     * style model-based classifier shape (train class-conditional counts on
     * a labeled split, score every held-out doc against each class, predict

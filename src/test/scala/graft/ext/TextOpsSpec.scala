@@ -248,6 +248,50 @@ class TextOpsSpec extends SparkTestBase {
     assert(re === out)
   }
 
+  test("winnowing: shared run >= w+k-1 guarantees a pair; density below every-window; short docs degrade") {
+    import org.apache.spark.sql.functions._
+    // k=4, w=4: a shared 7-token run MUST yield a shared fingerprint
+    val shared = "one two three four five six seven"
+    val docs = Seq(
+      (1L, s"$shared alpha beta gamma delta epsilon zeta"),
+      (2L, s"prefix tokens here then $shared"),
+      (3L, "entirely unrelated text with no overlap at all whatsoever here"),
+      (4L, "tiny doc five tokens yes"),  // 5 tokens -> 2 grams < w -> global-min fp
+      (5L, "tiny doc five tokens yes"),
+      (6L, "so")                          // < k tokens -> no fingerprints
+    ).toDF("doc_id", "text")
+    val pairs = TextOps.winnowingPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "guaranteed detection of the shared 7-token run")
+    assert(pairs.contains((4L, 5L)), "degenerate short docs pair via global-min fingerprint")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L))
+    // winnowing must SELECT, not keep every window
+    val nFp = TextOps.winnowingFingerprints(docs.where(col("doc_id") === 1L)).count()
+    val nGrams = 13 - 3 // 13 tokens, k=4
+    assert(nFp < nGrams, s"winnowed $nFp must be sparser than $nGrams grams")
+  }
+
+  test("vocabDiversity: uniform beats repetitive; single-token slice has eff_vocab 1") {
+    import org.apache.spark.sql.functions._
+    val docs = (
+      (1 to 5).map(i => (i.toLong, "a b c d e f g h", "varied")) ++
+      (6 to 10).map(i => (i.toLong, "spam spam spam spam spam spam spam spam", "collapsed"))
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.vocabDiversity(docs, col("source")).collect()
+      .map(r => r.getAs[String]("slice") -> r).toMap
+    // 8 distinct tokens, equal counts -> simpson = 8*(1/8)^2 = 1/8, eff_vocab = 8
+    assert(math.abs(out("varied").getAs[Double]("eff_vocab") - 8.0) < 1e-9)
+    // one token -> simpson = 1, diversity = 0, eff_vocab = 1
+    assert(out("collapsed").getAs[Double]("simpson") === 1.0)
+    assert(out("collapsed").getAs[Double]("eff_vocab") === 1.0)
+    assert(out("varied").getAs[Double]("diversity") >
+      out("collapsed").getAs[Double]("diversity"))
+    val re = TextOps.vocabDiversity(docs.repartition(9), col("source")).collect()
+      .map(r => r.getAs[String]("slice") -> r.getAs[Double]("simpson")).toMap
+    assert(re("varied") === out("varied").getAs[Double]("simpson"))
+  }
+
   test("corpus datasheet: totals reconcile with the raw corpus") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sfDir)
