@@ -532,6 +532,34 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Quality-aware canonical election: near-dup clusters (exact-Jaccard
+    * pairs → connected components) keep their HIGHEST-QUALITY member
+    * (ties → min doc_id) instead of [[connectedComponents]]'s min-id
+    * label — what production pipelines actually elect, since the min-id
+    * copy is often the truncated/boilerplate variant. One row per
+    * cluster (singletons included, cluster = own id) with the survivor,
+    * its score, and the member count. The election window partitions by
+    * cluster — bounded by the largest near-dup cluster, never global.
+    */
+  def keepBestDedup(docs: DataFrame, k: Int = 3, threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = connectedComponents(jaccardPairs(docs, k, threshold))
+    val q = TextOps.qualityMetrics(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("quality_score"))
+    val labeled = q.join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("cluster"),
+        col("quality_score"))
+    val w = Window.partitionBy("cluster")
+    labeled
+      .withColumn("n_members", count(lit(1)).over(w).cast("long"))
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("quality_score").desc, col("doc_id").asc)))
+      .where(col("rk") === 1)
+      .select(col("cluster"), col("doc_id").as("survivor_id"),
+        col("quality_score").as("best_quality"), col("n_members"))
+  }
+
   /** APPLIED passage dedup — the cleaning pass [[dupPassages]] only reports
     * on (the "keep one copy of each duplicated substring" step of Lee et
     * al. 2022, run after doc-level dedup in web-corpus pipelines).

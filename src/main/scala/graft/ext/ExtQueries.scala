@@ -125,6 +125,12 @@ object ExtQueries {
     "x15_dedup_cluster_canonical" -> ((s, dir) =>
       Dedup.connectedComponents(Dedup.jaccardPairs(Tables.documents(s, dir), 3, 0.8))),
 
+    // Quality-aware canonical election (r5): near-dup clusters keep the
+    // HIGHEST-quality member, not the min id — the x15/x16 election policy
+    // production pipelines actually want.
+    "x99_dedup_keep_best" -> ((s, dir) =>
+      Dedup.keepBestDedup(Tables.documents(s, dir))),
+
     "x16_dedup_applied" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.applyDedup(docs, Dedup.connectedComponents(Dedup.jaccardPairs(docs, 3, 0.8)))
@@ -1325,6 +1331,35 @@ object ExtQueries {
         "UNION (SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)) " +
         "SELECT src AS doc_id, least(src, min(dst)) AS canonical_id " +
         "FROM reach GROUP BY src"),
+
+    "x99_dedup_keep_best" ->
+      (s"WITH RECURSIVE t AS ($toksCte), sh AS ($shinglesCte), " +
+        "ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh), " +
+        "sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh), " +
+        "c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common " +
+        "FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pairs AS (SELECT c.doc_a, c.doc_b FROM c " +
+        "JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id " +
+        "WHERE CAST(c.common AS DOUBLE)/(x.n + y.n - c.common) >= 0.8), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+        "UNION SELECT doc_b, doc_a FROM pairs), " +
+        "reach AS (SELECT src, dst FROM edges " +
+        "UNION (SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)), " +
+        "cl AS (SELECT src AS doc_id, least(src, min(dst)) AS canonical_id " +
+        "FROM reach GROUP BY src), " +
+        "qm AS (SELECT d.doc_id, " +
+        "least(CAST(len(t.toks) AS DOUBLE)/50.0, 1.0)*0.5 " +
+        s"+ (CAST(len(list_filter(t.toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(t.toks))*0.25 " +
+        "+ (CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)/length(d.text))*0.25 " +
+        "AS quality_score FROM documents d JOIN t ON d.doc_id = t.doc_id), " +
+        "lab AS (SELECT qm.doc_id, coalesce(cl.canonical_id, qm.doc_id) AS cluster, " +
+        "qm.quality_score FROM qm LEFT JOIN cl ON qm.doc_id = cl.doc_id), " +
+        "rk AS (SELECT doc_id, cluster, quality_score, " +
+        "CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_members, " +
+        "row_number() OVER (PARTITION BY cluster ORDER BY quality_score DESC, doc_id) AS r " +
+        "FROM lab) " +
+        "SELECT cluster, doc_id AS survivor_id, quality_score AS best_quality, n_members " +
+        "FROM rk WHERE r = 1"),
 
     "x16_dedup_applied" ->
       (s"WITH RECURSIVE t AS ($toksCte), sh AS ($shinglesCte), " +

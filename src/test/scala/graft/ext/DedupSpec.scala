@@ -172,6 +172,22 @@ class DedupSpec extends SparkTestBase {
       "fixture must exercise both the master-index join and the batch self-join")
   }
 
+  test("keepBestDedup: survivor is max-quality not min-id; singletons kept") {
+    import spark.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val docs = Seq(
+      (1L, base),                     // 20 tokens — lower length-quality
+      (2L, s"$base $base"),           // same shingle set + boundary, 40 tokens — higher quality
+      (9L, "completely unrelated standalone document with its own words here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.keepBestDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    // cluster label is the component MIN id (1), but the survivor is doc 2
+    assert(out(1L) === ((2L, 2L)), "higher-quality doc 2 must beat min-id doc 1")
+    assert(out(9L) === ((9L, 1L)), "singleton survives itself")
+  }
+
   test("dupPassages: shared 9-token passage covered exactly, unique doc untouched") {
     import spark.implicits._
     val docs = Seq(
