@@ -155,6 +155,42 @@ object ScaleProbe {
       time("retention") { graft.ops.Funnel.retentionCohorts(ev).count() }
       time("rate_anomaly") { graft.ops.Funnel.rateAnomaly(ev).count() }
       ev.unpersist(blocking = true)
+      // Synthetic images, 2000 per copy: iid-noise pixels give the dense
+      // spectrum pHash thresholds reliably; consecutive ids share a
+      // pattern with a pure +8 brightness shift (AC untouched -> planted
+      // visual near-dup), so TRUE pairs are exactly docs/2 and must grow
+      // linearly. Decode+DCT is per-row scan work; the pairing join moves
+      // (band, 16-bit value, id) only — time must track docs, not docs².
+      locally {
+        import spark.implicits._
+        val imgs = spark.range(k * 2000L).as[Long].mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val rnd = new java.util.Random((id / 2) * 2654435761L + 12345)
+            val bright = (id % 2).toInt * 8
+            val img = new java.awt.image.BufferedImage(32, 32,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < 32) {
+              var x = 0
+              while (x < 32) {
+                val p = 30 + rnd.nextInt(180) + bright
+                img.setRGB(x, y, (p << 16) | (p << 8) | p)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            graft.ext.Multimodal.MediaRow(id, "image/png", bos.toByteArray)
+          }
+        }.cache()
+        imgs.count()
+        time(s"phash_near_dups_img${k * 2000}") {
+          graft.ext.Multimodal.phashNearDupPairs(imgs.toDF().as[graft.ext.Multimodal.MediaRow], 3).count()
+        }
+        imgs.unpersist(true)
+      }
       // the per-run caches (shingle/band tables) must not leak across scales
       spark.sharedState.cacheManager.clearCache()
     }
