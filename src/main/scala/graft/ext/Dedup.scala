@@ -181,6 +181,41 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Edit-distance-verified near-dup pairs: MinHash-band candidates (the
+    * x03 generator) verified by NORMALIZED LEVENSHTEIN ≤ maxRatio — the
+    * character-level complement to shingle Jaccard (catches small in-place
+    * edits that shuffle shingles, e.g. number/date substitutions). The
+    * length prefilter |len_a − len_b| ≤ maxRatio·max(len) is a pure
+    * optimization (length gap lower-bounds edit distance) and removes only
+    * pairs the final predicate would drop — output is unchanged.
+    *
+    * Scale shape: candidates are band-bounded as in [[minhashLsh]]; the
+    * verify join is the only stage that moves text, and only for candidate
+    * pairs that survive the length gate. Levenshtein is O(len²) per pair —
+    * this op is for bounded-length fields (titles, paragraphs); full-doc
+    * near-dup stays with Jaccard/simhash.
+    */
+  def editDistancePairs(docs: DataFrame, k: Int = 3, maxRatio: Double = 0.2): DataFrame = {
+    require(maxRatio > 0 && maxRatio <= 1, s"bad maxRatio $maxRatio")
+    val bands = cacheOnce(lshBands(minhashSignature(docs, k)))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val txt = docs.select(col("doc_id"), col("text"))
+    cand
+      .join(txt.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(txt.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .where(abs(length(col("ta")) - length(col("tb"))).cast("double") <=
+        lit(maxRatio) * greatest(length(col("ta")), length(col("tb"))).cast("double"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_distance"),
+        (levenshtein(col("ta"), col("tb")).cast("double") /
+          greatest(length(col("ta")), length(col("tb"))).cast("double")).as("edit_ratio"))
+      .where(col("edit_ratio") <= maxRatio)
+  }
+
   /** Incremental near-dup detection: which BATCH docs are near-dups of the
     * already-deduped MASTER corpus, or of an earlier doc in the same batch?
     * This is the delta-run form of [[minhashLsh]] — the shape a 100 TB

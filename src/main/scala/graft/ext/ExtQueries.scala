@@ -125,6 +125,12 @@ object ExtQueries {
     "x15_dedup_cluster_canonical" -> ((s, dir) =>
       Dedup.connectedComponents(Dedup.jaccardPairs(Tables.documents(s, dir), 3, 0.8))),
 
+    // Edit-distance-verified near-dup (r5): x03's band candidates verified
+    // by normalized Levenshtein — catches in-place character edits that
+    // shuffle shingles.
+    "x100_dedup_edit_distance" -> ((s, dir) =>
+      Dedup.editDistancePairs(Tables.documents(s, dir))),
+
     // Quality-aware canonical election (r5): near-dup clusters keep the
     // HIGHEST-quality member, not the min id — the x15/x16 election policy
     // production pipelines actually want.
@@ -795,9 +801,10 @@ object ExtQueries {
       "FROM c JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id " +
       "WHERE CAST(c.common AS DOUBLE)/(x.n + y.n - c.common) >= 0.8"
 
-  /** Full-corpus MinHash+LSH SQL (x03); x49 filters it to batch-side pairs. */
-  private val minhashLshSql =
-    s"WITH t AS ($toksCte), sh AS ($shinglesCte), " +
+  /** MinHash band-candidate CTE chain (through `cand`), shared by x03's
+    * Jaccard verify and x100's edit-distance verify. */
+  private val minhashCandCtes =
+    s"t AS ($toksCte), sh AS ($shinglesCte), " +
       "ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh), " +
       "sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh), " +
       "hs AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS h0, " +
@@ -808,7 +815,11 @@ object ExtQueries {
       "bandx AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM sig), " +
       "band AS (SELECT doc_id, band, md5(array_to_string(sig[4*band+1:4*band+4], '|')) AS bh FROM bandx), " +
       "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM band a JOIN band b " +
-      "ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id), " +
+      "ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"
+
+  /** Full-corpus MinHash+LSH SQL (x03); x49 filters it to batch-side pairs. */
+  private val minhashLshSql =
+    s"WITH $minhashCandCtes, " +
       "c AS (SELECT cand.doc_a, cand.doc_b, CAST(count(*) AS BIGINT) AS common FROM cand " +
       "JOIN ex ea ON ea.doc_id = cand.doc_a JOIN ex eb ON eb.doc_id = cand.doc_b AND ea.sh = eb.sh " +
       "GROUP BY 1, 2) " +
@@ -1331,6 +1342,16 @@ object ExtQueries {
         "UNION (SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)) " +
         "SELECT src AS doc_id, least(src, min(dst)) AS canonical_id " +
         "FROM reach GROUP BY src"),
+
+    "x100_dedup_edit_distance" ->
+      (s"WITH $minhashCandCtes, " +
+        "v AS (SELECT cand.doc_a, cand.doc_b, " +
+        "CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_distance, " +
+        "CAST(levenshtein(ta.text, tb.text) AS DOUBLE)/" +
+        "greatest(length(ta.text), length(tb.text)) AS edit_ratio " +
+        "FROM cand JOIN documents ta ON ta.doc_id = cand.doc_a " +
+        "JOIN documents tb ON tb.doc_id = cand.doc_b) " +
+        "SELECT doc_a, doc_b, edit_distance, edit_ratio FROM v WHERE edit_ratio <= 0.2"),
 
     "x99_dedup_keep_best" ->
       (s"WITH RECURSIVE t AS ($toksCte), sh AS ($shinglesCte), " +

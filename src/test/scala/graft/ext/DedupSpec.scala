@@ -172,6 +172,28 @@ class DedupSpec extends SparkTestBase {
       "fixture must exercise both the master-index join and the batch self-join")
   }
 
+  test("editDistancePairs: exact distance on in-place edit; unrelated and over-ratio pairs absent") {
+    import spark.implicits._
+    // long enough that a 1-word edit keeps Jaccard ~0.9 (the band
+    // generator's regime); a 10-token doc would drop to J~0.45 and
+    // rightly fall below the near-dup radar
+    val base = ('a' to 'z').map(c => s"${c}word").mkString(" ") + " " +
+      ('a' to 'z').map(c => s"${c}term").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("mword", "mwprd")),  // 1-char in-place edit
+      (3L, "totally different words everywhere nothing shared at all here now"),
+      (4L, base.replaceAll(" [a-m]term", ""))  // drops 13 tokens: ratio > 0.2
+    ).toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getAs[Double]("edit_ratio"))).toMap
+    assert(out.contains((1L, 2L)), "small in-place edit must pair")
+    assert(out((1L, 2L))._1 === 1L, s"levenshtein(mword,mwprd)=1 char: ${out((1L, 2L))}")
+    assert(out((1L, 2L))._2 <= 0.01)
+    assert(!out.keys.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+    assert(!out.keys.exists(p => p._1 == 4L || p._2 == 4L), "heavy edit exceeds the 0.2 ratio gate")
+  }
+
   test("keepBestDedup: survivor is max-quality not min-id; singletons kept") {
     import spark.implicits._
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
