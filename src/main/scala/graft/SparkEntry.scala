@@ -175,11 +175,15 @@ object SparkEntry {
     // W — lag window: the documented re-derivation of prev_close
     // (SURVEY.md §2.7; deterministic total order within each partition).
     "q18_w1_lag_prev_close" -> ((s, dir) =>
+      // l_extendedprice as final tiebreak: the sf0.1 fixture has a
+      // duplicated (suppkey, shipdate, orderkey, linenumber) pair — see
+      // q55's comment; without it the lag of the tied rows is order-luck
       Tables.lineitem(s, dir)
         .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
         .withColumn("prev_price", lag(col("l_extendedprice"), 1).over(
           Window.partitionBy("l_suppkey")
-            .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))))),
+            .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+              col("l_extendedprice"))))),
 
     // W — rolling volatility (20-row window): the quant metric consumers
     // compute over the assembled table. The frame is materialized as a
@@ -190,8 +194,13 @@ object SparkEntry {
     // BY order and both list folds are sequential. One fixed expression
     // finishes mean and sample variance.
     "q55_w5_rolling_vol" -> ((s, dir) => {
+      // `price` as final tiebreak: the sf0.1 fixture contains a duplicated
+      // (suppkey, shipdate, orderkey, linenumber) row pair, and without a
+      // total order the tied rows' frames (and downstream fold order)
+      // depend on which engine sorts the pair first. Equal prices commute
+      // in the fold, so this makes every frame deterministic.
       val w = Window.partitionBy("l_suppkey")
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("price"))
         .rowsBetween(-19, Window.currentRow)
       val nW = col("n_w")
       val s1 = col("_s1")
@@ -212,8 +221,10 @@ object SparkEntry {
     // W — rolling price↔quantity correlation, same frame-list fold as q55
     // (all five moments from two sequential folds + one fixed expression).
     "q56_w6_rolling_corr" -> ((s, dir) => {
+      // (x, y) tiebreaks for the duplicated-key pair — see q55's comment
       val w = Window.partitionBy("l_suppkey")
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("x"), col("y"))
         .rowsBetween(-19, Window.currentRow)
       Tables.lineitem(s, dir)
         .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
@@ -890,14 +901,14 @@ object SparkEntry {
     "q18_w1_lag_prev_close" ->
       """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice,
         | lag(l_extendedprice, 1) OVER (PARTITION BY l_suppkey
-        |   ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_price
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice) AS prev_price
         |FROM lineitem""".stripMargin,
     "q56_w6_rolling_corr" ->
       ("WITH b AS (SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, " +
         "CAST(l_extendedprice AS DOUBLE) AS x, CAST(l_quantity AS DOUBLE) AS y FROM lineitem), " +
         "w AS (SELECT *, list(struct_pack(x := x, y := y)) OVER win AS f " +
         "FROM b WINDOW win AS (PARTITION BY l_suppkey " +
-        "ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)), " +
+        "ORDER BY l_shipdate, l_orderkey, l_linenumber, x, y ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)), " +
         "m AS (SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, x, y, " +
         "CAST(len(f) AS BIGINT) AS n_w, " +
         "list_aggregate(list_transform(f, p -> p.x), 'sum') AS sx, " +
@@ -915,7 +926,7 @@ object SparkEntry {
         "CAST(l_extendedprice AS DOUBLE) AS price FROM lineitem), " +
         "w AS (SELECT *, list(price) OVER win AS frame " +
         "FROM b WINDOW win AS (PARTITION BY l_suppkey " +
-        "ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)), " +
+        "ORDER BY l_shipdate, l_orderkey, l_linenumber, price ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)), " +
         "m AS (SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, price, " +
         "CAST(len(frame) AS BIGINT) AS n_w, " +
         "list_aggregate(frame, 'sum') AS s1, " +
