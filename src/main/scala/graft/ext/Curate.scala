@@ -409,6 +409,20 @@ object Curate {
           .as("contamination"))
   }
 
+  /** Corpus-side decontamination — the direction [[contamination]] (x36)
+    * reports is "how much of the BENCHMARK leaked"; this one is the filter
+    * a training pipeline actually applies: score every TRAINING doc by its
+    * shingle overlap with the benchmark set and flag docs above `maxFrac`
+    * for removal (the GPT-3/PaLM-style n-gram decontamination pass). Same
+    * distinct-shingle left-semi shape — the benchmark side is the small
+    * one, so at 100 TB its distinct shingles broadcast and the corpus
+    * never shuffles.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, k: Int,
+      maxFrac: Double = 0.05): DataFrame =
+    contamination(corpus, benchmark, k)
+      .withColumn("drop_doc", col("contamination") > maxFrac)
+
   val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val PhoneRe = "\\+[0-9][0-9()\\- ]{7,}[0-9]"
 

@@ -214,6 +214,14 @@ object ExtQueries {
         d.where(col("source") =!= "src0"), 3)
     }),
 
+    // Corpus-side decontamination (r5): the filter direction — score every
+    // TRAINING doc against the benchmark shingle set, flag for removal.
+    "x101_decontaminate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Curate.decontaminate(d.where(col("source") =!= "src0"),
+        d.where(col("source") === "src0"), 3)
+    }),
+
     // Typed Aggregator coverage: deterministic bottom-k-by-hash sample of
     // doc_ids per language, exploded to scalar rows for the oracle.
     "x34_curate_group_sample" -> ((s, dir) =>
@@ -1714,6 +1722,24 @@ object ExtQueries {
         "SELECT tot.doc_id, tot.n_shingles, " +
         "CAST(coalesce(hit.n_contaminated, 0) AS BIGINT) AS n_contaminated, " +
         "CAST(coalesce(hit.n_contaminated, 0) AS DOUBLE) / tot.n_shingles AS contamination " +
+        "FROM tot LEFT JOIN hit USING (doc_id)"),
+
+    "x101_decontaminate" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE source <> 'src0'), " +
+        s"sh AS ($shinglesCte), " +
+        "bex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh), " +
+        "t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE source = 'src0'), " +
+        "sh2 AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(toks)-2), i -> array_to_string(toks[i:i+2], ' ')) " +
+        "ELSE [array_to_string(toks, ' ')] END) AS shingles FROM t2), " +
+        "cex AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh2), " +
+        "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM bex GROUP BY 1), " +
+        "hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated FROM bex " +
+        "WHERE shingle IN (SELECT shingle FROM cex) GROUP BY 1) " +
+        "SELECT tot.doc_id, tot.n_shingles, " +
+        "CAST(coalesce(hit.n_contaminated, 0) AS BIGINT) AS n_contaminated, " +
+        "CAST(coalesce(hit.n_contaminated, 0) AS DOUBLE) / tot.n_shingles AS contamination, " +
+        "CAST(coalesce(hit.n_contaminated, 0) AS DOUBLE) / tot.n_shingles > 0.05 AS drop_doc " +
         "FROM tot LEFT JOIN hit USING (doc_id)"),
 
     "x35_curate_boilerplate" ->

@@ -163,6 +163,20 @@ class CurateSpec extends SparkTestBase {
     assert(out.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
 
+  test("decontaminate: benchmark-overlapping doc flagged, clean doc kept") {
+    import org.apache.spark.sql.functions.col
+    val bench = Seq((100L, "secret benchmark question about unusual zebras dancing")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words then secret benchmark question about unusual zebras dancing appended"),
+      (2L, "entirely clean training document with no benchmark leakage at all")
+    ).toDF("doc_id", "text")
+    val out = Curate.decontaminate(corpus, bench, 3).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Double]("contamination"), r.getAs[Boolean]("drop_doc"))).toMap
+    assert(out(1L)._2, s"leaked doc must be flagged: ${out(1L)}")
+    assert(out(1L)._1 > 0.5)
+    assert(!out(2L)._2 && out(2L)._1 === 0.0)
+  }
+
   test("canonicalizeUrl: case, default port, fragment, trailing slash, tracking params, param order") {
     import org.apache.spark.sql.functions.col
     val urls = Seq(
