@@ -423,6 +423,24 @@ object Curate {
     contamination(corpus, benchmark, k)
       .withColumn("drop_doc", col("contamination") > maxFrac)
 
+  /** Ordered filter cascade with drop-reason attribution — the audit
+    * artifact every curation pipeline ships alongside its output ("N docs
+    * dropped by rule R"). `rules` is an ordered list of (name, dropWhen)
+    * pairs; each doc gets the FIRST rule whose condition fires as its
+    * `drop_reason` (or "kept"), plus a `kept` boolean. First-match-wins
+    * makes per-rule counts additive: summing over reasons reconciles with
+    * the corpus total, which overlapping independent filters don't. Pure
+    * per-row CASE expression — scan speed, no shuffle, codegen'd.
+    */
+  def filterCascade(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "filterCascade needs at least one (name, dropWhen) rule")
+    val reason = rules.foldRight(lit("kept"): Column) { case ((name, cond), tail) =>
+      when(cond, lit(name)).otherwise(tail)
+    }
+    df.withColumn("drop_reason", reason)
+      .withColumn("kept", col("drop_reason") === lit("kept"))
+  }
+
   val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val PhoneRe = "\\+[0-9][0-9()\\- ]{7,}[0-9]"
 

@@ -222,6 +222,21 @@ object ExtQueries {
         d.where(col("source") === "src0"), 3)
     }),
 
+    // Filter cascade with drop-reason attribution (r5): Gopher/C4-style
+    // heuristic gates in a fixed order; each doc gets its first failing
+    // rule as drop_reason, so per-rule counts are additive. Thresholds
+    // chosen to exercise all three rules on the fixture (43/104/16/337 at
+    // sf0.01). Ratios are single divisions of exact integers — the
+    // threshold compares are bit-identical across engines.
+    "x102_filter_cascade" -> ((s, dir) => {
+      val m = TextOps.qualityMetrics(Tables.documents(s, dir).select("doc_id", "text"))
+      Curate.filterCascade(m, Seq(
+        "too_short" -> (col("n_tokens") < 20),
+        "low_stopword" -> (col("stopword_ratio") < 0.04),
+        "low_alpha" -> (col("alpha_ratio") < 0.81)))
+        .select("doc_id", "n_tokens", "drop_reason", "kept")
+    }),
+
     // Typed Aggregator coverage: deterministic bottom-k-by-hash sample of
     // doc_ids per language, exploded to scalar rows for the oracle.
     "x34_curate_group_sample" -> ((s, dir) =>
@@ -1741,6 +1756,16 @@ object ExtQueries {
         "CAST(coalesce(hit.n_contaminated, 0) AS DOUBLE) / tot.n_shingles AS contamination, " +
         "CAST(coalesce(hit.n_contaminated, 0) AS DOUBLE) / tot.n_shingles > 0.05 AS drop_doc " +
         "FROM tot LEFT JOIN hit USING (doc_id)"),
+
+    "x102_filter_cascade" ->
+      (s"WITH t AS ($toksCte), d AS (SELECT doc_id, toks, text FROM documents JOIN t USING (doc_id)), " +
+        "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        s"CAST(len(list_filter(toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(toks) AS sw, " +
+        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/length(text) AS ar FROM d), " +
+        "r AS (SELECT doc_id, n_tokens, CASE WHEN n_tokens < 20 THEN 'too_short' " +
+        "WHEN sw < 0.04 THEN 'low_stopword' WHEN ar < 0.81 THEN 'low_alpha' " +
+        "ELSE 'kept' END AS drop_reason FROM m) " +
+        "SELECT doc_id, n_tokens, drop_reason, (drop_reason = 'kept') AS kept FROM r"),
 
     "x35_curate_boilerplate" ->
       (s"WITH t AS ($toksCte), sh AS ($shinglesCte), " +

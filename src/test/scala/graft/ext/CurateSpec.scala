@@ -177,6 +177,27 @@ class CurateSpec extends SparkTestBase {
     assert(!out(2L)._2 && out(2L)._1 === 0.0)
   }
 
+  test("filterCascade: first-match-wins attribution, kept flag, additive counts") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, 5L, 0.5, 0.9),   // fails too_short AND low_stopword -> earlier rule wins
+      (2L, 50L, 0.01, 0.9), // low_stopword
+      (3L, 50L, 0.2, 0.1),  // low_alpha
+      (4L, 50L, 0.2, 0.9)   // kept
+    ).toDF("doc_id", "n_tokens", "stopword_ratio", "alpha_ratio")
+    val out = Curate.filterCascade(df, Seq(
+      "too_short" -> (col("n_tokens") < 20),
+      "low_stopword" -> (col("stopword_ratio") < 0.04),
+      "low_alpha" -> (col("alpha_ratio") < 0.5))).collect()
+      .map(r => r.getLong(0) -> (r.getAs[String]("drop_reason"), r.getAs[Boolean]("kept"))).toMap
+    assert(out(1L) === ("too_short", false), "doc failing two rules gets the FIRST rule")
+    assert(out(2L) === ("low_stopword", false))
+    assert(out(3L) === ("low_alpha", false))
+    assert(out(4L) === ("kept", true))
+    assert(out.values.count(!_._2) + out.values.count(_._2) === 4, "reasons partition the corpus")
+    intercept[IllegalArgumentException] { Curate.filterCascade(df, Seq.empty) }
+  }
+
   test("canonicalizeUrl: case, default port, fragment, trailing slash, tracking params, param order") {
     import org.apache.spark.sql.functions.col
     val urls = Seq(
