@@ -510,6 +510,16 @@ object ExtQueries {
           max("vec_id").as("max_vec_id"))
     }),
 
+    // Semantic decontamination (r5): x101's filter in embedding space —
+    // flag training vectors (vec_id < 450) whose embedding near-dups a
+    // benchmark vector (vec_id >= 450) at cosine >= 0.4 in a shared LSH
+    // bucket. Catches paraphrased leakage n-gram overlap misses.
+    "x103_semantic_decontaminate" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semanticDecontaminate(
+        emb.where(col("vec_id") < 450), emb.where(col("vec_id") >= 450), 0.4)
+    }),
+
     // Delta-run dedup: batch docs (id >= 250) near-dup'd against the
     // already-deduped master (id < 250) via the master's band INDEX —
     // batch-sized signature work, candidate-only master re-reads. Oracle
@@ -1177,6 +1187,22 @@ object ExtQueries {
         "SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, min(vec_id) AS min_vec_id, " +
         "max(vec_id) AS max_vec_id " +
         "FROM embeddings WHERE vec_id NOT IN (SELECT vid FROM victims) GROUP BY label"),
+
+    "x103_semantic_decontaminate" ->
+      ("WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 450), " +
+        "bm AS (SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id >= 450), " +
+        s"cb AS (SELECT vec_id, emb, unnest(generate_series(0, ${Similarity.LshTables - 1})) AS tbl, " +
+        (0 until Similarity.LshTables).map(multiBucketSql)
+          .mkString("unnest([", ", ", "]) AS bkt FROM c), ") +
+        s"bb AS (SELECT bench_id, emb, unnest(generate_series(0, ${Similarity.LshTables - 1})) AS tbl, " +
+        (0 until Similarity.LshTables).map(multiBucketSql)
+          .mkString("unnest([", ", ", "]) AS bkt FROM bm), ") +
+        s"h AS (SELECT DISTINCT cb.vec_id, bb.bench_id, ${dotSql("cb.emb", "bb.emb")} AS cos " +
+        "FROM cb JOIN bb ON cb.tbl = bb.tbl AND cb.bkt = bb.bkt " +
+        s"WHERE ${dotSql("cb.emb", "bb.emb")} >= 0.4), " +
+        "g AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits, max(cos) AS max_cos FROM h GROUP BY 1) " +
+        "SELECT c.vec_id, coalesce(g.n_hits, CAST(0 AS BIGINT)) AS n_hits, g.max_cos, " +
+        "coalesce(g.n_hits, CAST(0 AS BIGINT)) > 0 AS drop_vec FROM c LEFT JOIN g USING (vec_id)"),
 
     "x04_dedup_simhash" ->
       (s"WITH t AS ($toksCte), " +

@@ -238,6 +238,42 @@ object Similarity {
       .select("vec_a", "vec_b", "cos")
   }
 
+  /** Semantic decontamination — `Curate.decontaminate` (x101) in embedding
+    * space: flag TRAINING vectors whose embedding near-dups any BENCHMARK
+    * vector (cosine >= `threshold` within a shared LSH bucket), catching
+    * paraphrased benchmark leakage that n-gram overlap misses. Uses the
+    * multi-table buckets (OR of [[LshTables]] tables — the measured-
+    * recall-0.69 form of x71/x75, vs ~0.05 single-table) on BOTH sides;
+    * same scale shape as x101: the benchmark side is small, so its
+    * exploded bucket table BROADCASTS; the corpus is bucketed at scan
+    * speed and never shuffled — candidates collapse to distinct
+    * (vec, bench) pairs before the per-vector partial agg. Returns every
+    * corpus vec_id with n_hits (distinct benchmark vectors matched),
+    * max_cos (null when clean) and a drop flag.
+    */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    def buckets(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), col("embedding"),
+        posexplode(array((0 until LshTables).map(l =>
+          multiBucket(col("embedding"), l)): _*)).as(Seq("tbl", "bkt")))
+    val c = buckets(corpus).select(col("vec_id"), col("embedding").as("emb_c"),
+      col("tbl"), col("bkt"))
+    val b = buckets(benchmark).select(col("vec_id").as("bench_id"),
+      col("embedding").as("emb_b"), col("tbl"), col("bkt"))
+    val hits = c.join(broadcast(b), Seq("tbl", "bkt"))
+      .withColumn("cos", GraftFunctions.cosineSim(col("emb_c"), col("emb_b")))
+      .where(col("cos") >= threshold)
+      .select("vec_id", "bench_id", "cos").distinct()
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_hits"), max(col("cos")).as("max_cos"))
+    corpus.select("vec_id").join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("max_cos"))
+      .withColumn("drop_vec", col("n_hits") > 0)
+  }
+
   /** The hyperplane literal for plane p as DuckDB list syntax — keeps the
     * oracle SQL in lock-step with [[hyperplanes]].
     */

@@ -126,6 +126,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(multi >= 0.3, s"multi-table recall collapsed to $multi")
   }
 
+  test("semanticDecontaminate: planted leak flagged once, orthogonal corpus clean") {
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),   // ~identical to benchmark 100 -> flag
+      (1L, Seq(0.0f, 1.0f, 0.0f, 0.0f))    // orthogonal to all benchmark -> clean
+    ).toDF("vec_id", "embedding")
+    val bench = Seq(
+      (100L, Seq(0.999f, 0.001f, 0.0f, 0.0f)),
+      (101L, Seq(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(corpus, bench, 0.9).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_hits"), r.getAs[Boolean]("drop_vec"))).toMap
+    // identical vectors share every table's bucket; n_hits counts DISTINCT
+    // benchmark matches (1), not the 8 table-duplicated candidates
+    assert(out(0L) === ((1L, true)), s"leaked vector must be flagged once: ${out(0L)}")
+    assert(out(1L) === ((0L, false)), s"orthogonal vector must stay clean: ${out(1L)}")
+  }
+
   test("multi-table near-dup pairs recover far more true pairs than the single bucket") {
     val e = graft.sources.Tables.embeddings(spark, sfDir)
     val truth = Similarity.cosineNearDupPairs(e, 0.4)
