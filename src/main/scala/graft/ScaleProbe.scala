@@ -136,6 +136,16 @@ object ScaleProbe {
       time("outlier_report") {
         graft.ext.Embeddings.outlierReport(emb).count()
       }
+      // Semantic decontamination: the benchmark side stays FIXED (the base
+      // fixture's holdout) while the corpus grows with k — the broadcast
+      // probe does constant work per corpus vector, so time must track k;
+      // cross-copy cosines are noise, so flags stay copy-local.
+      time("semantic_decontaminate") {
+        graft.ext.Similarity.semanticDecontaminate(
+          emb.where(col("vec_id") % 1000000L < 450),
+          Tables.embeddings(spark, sfDir).where(col("vec_id") >= 450),
+          0.4).where(col("drop_vec")).count()
+      }
       emb.unpersist(blocking = true)
       // Replicated events: copy i shifts user_id (and event_id) into a
       // disjoint range, preserving each user's event history verbatim — so
