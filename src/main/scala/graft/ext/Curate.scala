@@ -476,4 +476,29 @@ object Curate {
         min(col(lenCol)).cast("long").as("min_len"),
         max(col(lenCol)).cast("long").as("max_len"),
         (sum(col(lenCol)).cast("double") / count(lit(1))).as("mean_len"))
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    * non-train doc with the trigram stupid-backoff LM
+    * ([[TextOps.lmTrigramScore]]), cut the scored corpus into EXACT
+    * tertiles of `avg_invp` ascending (head = most fluent third — lowest
+    * inverse probability = lowest perplexity surrogate), and keep
+    * head+middle — CCNet's shipped policy (tail is discarded or routed to
+    * a lighter pipeline). Tertiles come from [[graft.ops.Quality.exactNtile]]
+    * over (avg_invp, doc_id) — a total order, so buckets are deterministic
+    * and replay SQL NTILE exactly (x54's equivalence).
+    *
+    * Scale shape: the LM model tables are train-slice-sized and broadcast
+    * (x96's shape); the bucketing range-shuffles only the per-DOC score
+    * rows (16 bytes each, never text), and the cutpoints are P driver
+    * scalars — no global sort, no single-task funnel.
+    */
+  def perplexityBuckets(docs: DataFrame, heldOut: Column): DataFrame = {
+    val scored = TextOps.lmTrigramScore(docs, heldOut)
+    graft.ops.Quality.exactNtile(scored, 3, Seq("avg_invp", "doc_id"))
+      .select(col("doc_id"), col("n_trigrams"), col("avg_invp"),
+        when(col("bin") === 1, "head")
+          .when(col("bin") === 2, "middle")
+          .otherwise("tail").as("bucket"),
+        (col("bin") <= 2).as("keep"))
+  }
 }

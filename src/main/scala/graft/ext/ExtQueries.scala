@@ -296,6 +296,11 @@ object ExtQueries {
     "x96_lm_trigram_score" -> ((s, dir) =>
       TextOps.lmTrigramScore(Tables.documents(s, dir), col("source") === "src0")),
 
+    // CCNet perplexity buckets (r5): trigram-LM scores -> exact tertiles
+    // (head = most fluent), keep head+middle — Wenzek et al. 2020's policy.
+    "x105_ccnet_buckets" -> ((s, dir) =>
+      Curate.perplexityBuckets(Tables.documents(s, dir), col("source") === "src0")),
+
     // The composed web-corpus flagship (r5): the full C4/RefinedWeb-shaped
     // pass as ONE query — domain gate (derived URL, blocklist anti-join) ->
     // model-based quality gate (stupid-backoff LM, exact-P95 threshold) ->
@@ -519,6 +524,12 @@ object ExtQueries {
       Similarity.semanticDecontaminate(
         emb.where(col("vec_id") < 450), emb.where(col("vec_id") >= 450), 0.4)
     }),
+
+    // SemDeDup (r5): cluster-then-prune semantic dedup — pairwise cosine
+    // only WITHIN deterministic IVF cells (Σ|cell|² candidates, not N²);
+    // min-id survivor per duplicate chain, x01/x99's canon.
+    "x104_semdedup" -> ((s, dir) =>
+      Similarity.semDeDup(Tables.embeddings(s, dir), 0.4)),
 
     // Delta-run dedup: batch docs (id >= 250) near-dup'd against the
     // already-deduped master (id < 250) via the master's band INDEX —
@@ -983,6 +994,40 @@ object ExtQueries {
       s"f AS (SELECT * FROM d WHERE domain NOT IN ($blocked))"
   }
 
+  /** x96's trigram stupid-backoff LM chain (CTEs t..sp, per-trigram inverse
+    * probabilities in `sp`), reused by x105's bucketing.
+    */
+  private lazy val lmTrigramCtes: String =
+    "t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +
+      "trn AS (SELECT toks FROM t WHERE source = 'src0'), " +
+      "tw AS (SELECT unnest(toks) AS w FROM trn), " +
+      "uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM tw GROUP BY 1), " +
+      "st AS (SELECT CAST(count(*) AS BIGINT) AS n_tok, " +
+      "CAST(count(DISTINCT w) AS BIGINT) AS v FROM tw), " +
+      "bi AS (SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS c_ab FROM " +
+      "(SELECT unnest(list_transform(generate_series(1, len(toks)-1), " +
+      "i -> struct_pack(a := toks[i], b := toks[i+1]))) AS p " +
+      "FROM trn WHERE len(toks) >= 2) GROUP BY 1, 2), " +
+      "tri AS (SELECT p.a AS a, p.b AS b, p.c AS c, CAST(count(*) AS BIGINT) AS c_abc FROM " +
+      "(SELECT unnest(list_transform(generate_series(1, len(toks)-2), " +
+      "i -> struct_pack(a := toks[i], b := toks[i+1], c := toks[i+2]))) AS p " +
+      "FROM trn WHERE len(toks) >= 3) GROUP BY 1, 2, 3), " +
+      "pos AS (SELECT doc_id, p.i AS i, p.a AS a, p.b AS b, p.c AS c FROM " +
+      "(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-2), " +
+      "i -> struct_pack(i := i, a := toks[i], b := toks[i+1], c := toks[i+2]))) AS p " +
+      "FROM t WHERE source <> 'src0' AND len(toks) >= 3)), " +
+      "sp AS (SELECT pos.doc_id, pos.i, " +
+      "CASE WHEN tri.c_abc IS NOT NULL THEN CAST(biab.c_ab AS DOUBLE)/tri.c_abc " +
+      "WHEN bibc.c_ab IS NOT NULL THEN 2.5 * CAST(unib.c_w AS DOUBLE)/bibc.c_ab " +
+      "ELSE 6.25 * CAST(st.n_tok + st.v AS DOUBLE)/(coalesce(unic.c_w, 0) + 1) END AS invp " +
+      "FROM pos " +
+      "LEFT JOIN tri ON tri.a = pos.a AND tri.b = pos.b AND tri.c = pos.c " +
+      "LEFT JOIN bi biab ON biab.a = pos.a AND biab.b = pos.b " +
+      "LEFT JOIN bi bibc ON bibc.a = pos.b AND bibc.b = pos.c " +
+      "LEFT JOIN uni unib ON unib.w = pos.b " +
+      "LEFT JOIN uni unic ON unic.w = pos.c " +
+      "CROSS JOIN st)"
+
   /** x80's stupid-backoff bigram LM chain (CTEs t..sp, per-pair inverse
     * probabilities in `sp`), reused by x81's quality gate.
     */
@@ -1203,6 +1248,22 @@ object ExtQueries {
         "g AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits, max(cos) AS max_cos FROM h GROUP BY 1) " +
         "SELECT c.vec_id, coalesce(g.n_hits, CAST(0 AS BIGINT)) AS n_hits, g.max_cos, " +
         "coalesce(g.n_hits, CAST(0 AS BIGINT)) > 0 AS drop_vec FROM c LEFT JOIN g USING (vec_id)"),
+
+    "x104_semdedup" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.IvfCentroidStride} = 0), " +
+        "scored AS (SELECT e.vec_id, e.emb, cents.cent_id, " +
+        s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
+        "assigned AS (SELECT vec_id, emb, cent_id AS cell FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM scored) t WHERE r = 1), " +
+        "p AS (SELECT b.vec_id, " +
+        s"${dotSql("a.emb", "b.emb")} AS cos " +
+        "FROM assigned a JOIN assigned b USING (cell) WHERE a.vec_id < b.vec_id), " +
+        "d AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dup_lower, max(cos) AS max_dup_cos " +
+        "FROM p WHERE cos >= 0.4 GROUP BY 1) " +
+        "SELECT s.vec_id, s.cell, coalesce(d.n_dup_lower, CAST(0 AS BIGINT)) AS n_dup_lower, " +
+        "d.max_dup_cos, coalesce(d.n_dup_lower, CAST(0 AS BIGINT)) > 0 AS drop_vec " +
+        "FROM assigned s LEFT JOIN d USING (vec_id)"),
 
     "x04_dedup_simhash" ->
       (s"WITH t AS ($toksCte), " +
@@ -2085,38 +2146,23 @@ object ExtQueries {
         "SELECT doc_id, url, host, domain, n_chars, rank FROM r WHERE rank <= 50"),
 
     "x96_lm_trigram_score" ->
-      ("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +
-        "trn AS (SELECT toks FROM t WHERE source = 'src0'), " +
-        "tw AS (SELECT unnest(toks) AS w FROM trn), " +
-        "uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM tw GROUP BY 1), " +
-        "st AS (SELECT CAST(count(*) AS BIGINT) AS n_tok, " +
-        "CAST(count(DISTINCT w) AS BIGINT) AS v FROM tw), " +
-        "bi AS (SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS c_ab FROM " +
-        "(SELECT unnest(list_transform(generate_series(1, len(toks)-1), " +
-        "i -> struct_pack(a := toks[i], b := toks[i+1]))) AS p " +
-        "FROM trn WHERE len(toks) >= 2) GROUP BY 1, 2), " +
-        "tri AS (SELECT p.a AS a, p.b AS b, p.c AS c, CAST(count(*) AS BIGINT) AS c_abc FROM " +
-        "(SELECT unnest(list_transform(generate_series(1, len(toks)-2), " +
-        "i -> struct_pack(a := toks[i], b := toks[i+1], c := toks[i+2]))) AS p " +
-        "FROM trn WHERE len(toks) >= 3) GROUP BY 1, 2, 3), " +
-        "pos AS (SELECT doc_id, p.i AS i, p.a AS a, p.b AS b, p.c AS c FROM " +
-        "(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-2), " +
-        "i -> struct_pack(i := i, a := toks[i], b := toks[i+1], c := toks[i+2]))) AS p " +
-        "FROM t WHERE source <> 'src0' AND len(toks) >= 3)), " +
-        "sp AS (SELECT pos.doc_id, pos.i, " +
-        "CASE WHEN tri.c_abc IS NOT NULL THEN CAST(biab.c_ab AS DOUBLE)/tri.c_abc " +
-        "WHEN bibc.c_ab IS NOT NULL THEN 2.5 * CAST(unib.c_w AS DOUBLE)/bibc.c_ab " +
-        "ELSE 6.25 * CAST(st.n_tok + st.v AS DOUBLE)/(coalesce(unic.c_w, 0) + 1) END AS invp " +
-        "FROM pos " +
-        "LEFT JOIN tri ON tri.a = pos.a AND tri.b = pos.b AND tri.c = pos.c " +
-        "LEFT JOIN bi biab ON biab.a = pos.a AND biab.b = pos.b " +
-        "LEFT JOIN bi bibc ON bibc.a = pos.b AND bibc.b = pos.c " +
-        "LEFT JOIN uni unib ON unib.w = pos.b " +
-        "LEFT JOIN uni unic ON unic.w = pos.c " +
-        "CROSS JOIN st) " +
+      (s"WITH $lmTrigramCtes " +
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams, " +
         "list_aggregate(list(invp ORDER BY i), 'sum') / count(*) AS avg_invp " +
         "FROM sp GROUP BY doc_id"),
+
+    // CCNet head/middle/tail: per-doc trigram-LM scores -> exact tertiles
+    // (NTILE over (avg_invp, doc_id) — x54's equivalence), head = most
+    // fluent; keep head+middle, the Wenzek et al. 2020 policy.
+    "x105_ccnet_buckets" ->
+      (s"WITH $lmTrigramCtes, " +
+        "sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams, " +
+        "list_aggregate(list(invp ORDER BY i), 'sum') / count(*) AS avg_invp " +
+        "FROM sp GROUP BY doc_id), " +
+        "b AS (SELECT *, CAST(ntile(3) OVER (ORDER BY avg_invp, doc_id) AS BIGINT) AS bin FROM sc) " +
+        "SELECT doc_id, n_trigrams, avg_invp, " +
+        "CASE bin WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket, " +
+        "bin <= 2 AS keep FROM b"),
 
     "x95_url_canonical_dedup" -> {
       val nameList = Curate.UrlDomainNames.map(n => s"'$n'").mkString("[", ",", "]")

@@ -274,6 +274,47 @@ object Similarity {
       .withColumn("drop_vec", col("n_hits") > 0)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the corpus, then
+    * prune semantic duplicates WITHIN each cluster — pairwise cosine is
+    * computed only between cell-mates, so the candidate space is
+    * Σ|cell|² (the paper's tractability argument) instead of the corpus
+    * square. Cells here are the deterministic stride centroids of
+    * [[assignCells]] so the DuckDB oracle can replay the assignment
+    * bit-for-bit (x13's discipline); production swaps in
+    * [[kmeansCentroids]] for better-balanced cells with the same probe
+    * mechanics. Survivor rule is the engine's dedup canon (x01/x99):
+    * a vector is dropped iff some LOWER-id cell-mate sits at cosine >=
+    * `threshold`, so the min-id member of every duplicate chain survives
+    * deterministically. Returns EVERY vec_id with its cell, the count of
+    * lower-id duplicates, the max duplicate cosine (null when kept) and
+    * the drop flag.
+    *
+    * Scale shape: assignment is a per-row fold over broadcast packed
+    * centroids (zero shuffle, zero row amplification); the wide ops are
+    * the cell equi-self-join — occupancy-bounded, and at 100 TB K grows
+    * ~√N per the paper so Σ|cell|² stays ~linear — and the vec-keyed
+    * collapse. Embedding payloads cross the wire once, in the cell
+    * shuffle; flags join back on 8-byte keys.
+    */
+  def semDeDup(vectors: DataFrame, threshold: Double): DataFrame = {
+    val assigned = graft.ops.Caching.cacheOnce(
+      assignCells(vectors, strideCents(vectors)))
+    val lower = assigned.select(col("cell"), col("vec_id").as("lo_id"),
+      col("embedding").as("lo_emb"))
+    val dups = assigned.join(lower, Seq("cell"))
+      .where(col("lo_id") < col("vec_id"))
+      .withColumn("cos", GraftFunctions.cosineSim(col("lo_emb"), col("embedding")))
+      .where(col("cos") >= threshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_dup_lower"), max(col("cos")).as("max_dup_cos"))
+    assigned.select("vec_id", "cell").join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_dup_lower"), lit(0L)).as("n_dup_lower"),
+        col("max_dup_cos"))
+      .withColumn("drop_vec", col("n_dup_lower") > 0)
+  }
+
   /** The hyperplane literal for plane p as DuckDB list syntax — keeps the
     * oracle SQL in lock-step with [[hyperplanes]].
     */

@@ -254,4 +254,29 @@ class CurateSpec extends SparkTestBase {
       .collect().map(r => r.getAs[String]("bucket") -> r.getAs[Long]("n_rows_out")).toMap
     assert(again("fr") === nFr && again("en") === out("en").getAs[Long]("n_rows_out"))
   }
+
+  test("perplexityBuckets: exact tertiles by fluency, head+middle kept, tail dropped") {
+    import spark.implicits._
+    // Train "a b c d" x2; scored docs hit the exact tier values pinned in
+    // TextOpsSpec: 1.0 (trigram seen), 2.5 (bigram backoff), 25/75 (unigram)
+    val docs = Seq(
+      (1L, "a b c d", true), (2L, "a b c d", true),
+      (10L, "a b c", false),   // 1.0
+      (14L, "b c d", false),   // 1.0
+      (11L, "x b c", false),   // 2.5
+      (12L, "x y c", false),   // 25.0
+      (13L, "x y z", false),   // 75.0
+      (15L, "x y z w", false)  // 75.0 (both trigrams full OOV)
+    ).toDF("doc_id", "text", "held")
+    val out = Curate.perplexityBuckets(docs, col("held")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[String]("bucket"), r.getAs[Boolean]("keep")))).toMap
+    assert(out(10L) === (("head", true)) && out(14L) === (("head", true)))
+    assert(out(11L) === (("middle", true)) && out(12L) === (("middle", true)))
+    assert(out(13L) === (("tail", false)) && out(15L) === (("tail", false)))
+    // deterministic under repartition (exactNtile's total order)
+    val re = Curate.perplexityBuckets(docs.repartition(7), col("held")).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("bucket")).toMap
+    assert(re === out.map { case (k, v) => k -> v._1 })
+  }
 }

@@ -143,6 +143,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(out(1L) === ((0L, false)), s"orthogonal vector must stay clean: ${out(1L)}")
   }
 
+  test("semDeDup: min-id survivor per duplicate chain, orthogonal vectors kept") {
+    // ids 0..3 share one stride cell (only 0 % 97 == 0 is a centroid):
+    // 2 duplicates 0 (cos 1.0), 3 is near 0/2 (0.8) and 1 (0.6); 1 is
+    // orthogonal to 0. Min-id rule: 0 and 1 survive, 2 and 3 drop.
+    val out = Similarity.semDeDup(vecs, 0.4).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_dup_lower"), r.getAs[Boolean]("drop_vec")))).toMap
+    assert(out(0L) === ((0L, false)), s"chain head must survive: ${out(0L)}")
+    assert(out(1L) === ((0L, false)), s"orthogonal must survive: ${out(1L)}")
+    assert(out(2L) === ((1L, true)), s"exact dup must drop: ${out(2L)}")
+    assert(out(3L) === ((3L, true)), s"near-dup of 0,1,2 must drop: ${out(3L)}")
+    val maxCos = Similarity.semDeDup(vecs, 0.4).where(col("vec_id") === 3L)
+      .head().getAs[Double]("max_dup_cos")
+    assert(math.abs(maxCos - 0.8) < 1e-6, s"max_dup_cos $maxCos")
+  }
+
   test("multi-table near-dup pairs recover far more true pairs than the single bucket") {
     val e = graft.sources.Tables.embeddings(spark, sfDir)
     val truth = Similarity.cosineNearDupPairs(e, 0.4)
