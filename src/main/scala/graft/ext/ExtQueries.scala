@@ -301,6 +301,12 @@ object ExtQueries {
     "x105_ccnet_buckets" -> ((s, dir) =>
       Curate.perplexityBuckets(Tables.documents(s, dir), col("source") === "src0")),
 
+    // Paragraph-level CCNet filter (r5): score 20-token paragraphs with
+    // the bigram LM, drop those above invp 50 (~P90 on the fixture),
+    // rebuild docs from kept paragraphs — salvages mostly-good documents.
+    "x106_paragraph_lm_filter" -> ((s, dir) =>
+      TextOps.paragraphLmFilter(Tables.documents(s, dir), col("source") === "src0")),
+
     // The composed web-corpus flagship (r5): the full C4/RefinedWeb-shaped
     // pass as ONE query — domain gate (derived URL, blocklist anti-join) ->
     // model-based quality gate (stupid-backoff LM, exact-P95 threshold) ->
@@ -2163,6 +2169,43 @@ object ExtQueries {
         "SELECT doc_id, n_trigrams, avg_invp, " +
         "CASE bin WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket, " +
         "bin <= 2 AS keep FROM b"),
+
+    "x106_paragraph_lm_filter" ->
+      ("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +
+        "tr AS (SELECT toks FROM t WHERE source = 'src0'), " +
+        "trtok AS (SELECT unnest(toks) AS a FROM tr), " +
+        "uni AS (SELECT a, CAST(count(*) AS BIGINT) AS c_a FROM trtok GROUP BY 1), " +
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS n_tok, " +
+        "CAST(count(DISTINCT a) AS BIGINT) AS v FROM trtok), " +
+        "bi AS (SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS c_ab FROM " +
+        "(SELECT unnest(list_transform(generate_series(1, len(toks)-1), " +
+        "i -> struct_pack(a := toks[i], b := toks[i+1]))) AS p FROM tr WHERE len(toks) >= 2) " +
+        "GROUP BY 1, 2), " +
+        "ub AS (SELECT a AS b, c_a AS c_b FROM uni), " +
+        "pa AS (SELECT doc_id, p.w AS p_idx, p.p_text FROM " +
+        "(SELECT doc_id, unnest(list_transform(generate_series(0, (len(toks)-1)//20), " +
+        "w -> struct_pack(w := w, p_text := array_to_string(toks[w*20+1:w*20+20], ' ')))) AS p " +
+        "FROM t WHERE source <> 'src0')), " +
+        "pt AS (SELECT doc_id, p_idx, p_text, string_split(p_text, ' ') AS ptoks FROM pa), " +
+        "pr AS (SELECT doc_id, p_idx, p.i AS i, p.a AS a, p.b AS b FROM " +
+        "(SELECT doc_id, p_idx, unnest(list_transform(generate_series(1, len(ptoks)-1), " +
+        "i -> struct_pack(i := i, a := ptoks[i], b := ptoks[i+1]))) AS p " +
+        "FROM pt WHERE len(ptoks) >= 2)), " +
+        "sp AS (SELECT doc_id, p_idx, i, CASE WHEN c_ab IS NOT NULL " +
+        "THEN CAST(c_a AS DOUBLE) / CAST(c_ab AS DOUBLE) " +
+        "ELSE 2.5 * CAST(st.n_tok + st.v AS DOUBLE) / CAST(coalesce(c_b, 0) + 1 AS DOUBLE) END AS invp " +
+        "FROM pr LEFT JOIN uni USING (a) LEFT JOIN ub USING (b) LEFT JOIN bi USING (a, b), st), " +
+        "sc AS (SELECT doc_id, p_idx, " +
+        "list_aggregate(list(invp ORDER BY i), 'sum')/count(*) AS avg_invp FROM sp GROUP BY 1, 2), " +
+        "fl AS (SELECT pt.doc_id, pt.p_idx, pt.p_text, " +
+        "coalesce(sc.avg_invp > 50.0, false) AS drop_para " +
+        "FROM pt LEFT JOIN sc USING (doc_id, p_idx)), " +
+        "reb AS (SELECT doc_id, string_agg(p_text, ' ' ORDER BY p_idx) AS clean_text " +
+        "FROM fl WHERE NOT drop_para GROUP BY doc_id), " +
+        "ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras, " +
+        "CAST(sum(CASE WHEN drop_para THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped FROM fl GROUP BY doc_id) " +
+        "SELECT ag.doc_id, ag.n_paras, ag.n_dropped, " +
+        "coalesce(reb.clean_text, '') AS clean_text FROM ag LEFT JOIN reb USING (doc_id)"),
 
     "x95_url_canonical_dedup" -> {
       val nameList = Curate.UrlDomainNames.map(n => s"'$n'").mkString("[", ",", "]")

@@ -167,13 +167,17 @@ object Multimodal {
     * `decode_ok=false` rather than failing the stage, same contract as
     * [[decodeImage]].
     */
-  def decodeWav(r: MediaRow): AudioFeatures = {
-    val fail = AudioFeatures(r.doc_id, r.media_type, 0, 0, 0, 0L, 0.0, 0.0, 0.0,
-      decode_ok = false)
+  /** The RIFF/WAVE chunk walk shared by [[decodeWav]] and [[ahash64Of]]:
+    * returns (buffer, rate, channels, dataOff, dataLen) for a valid
+    * uncompressed PCM16 payload, None for anything malformed (bad
+    * preamble, negative chunk length, compressed format, missing chunks).
+    */
+  private def parseWavPcm16(payload: Array[Byte]
+      ): Option[(java.nio.ByteBuffer, Int, Int, Int, Int)] = {
     try {
-      val b = java.nio.ByteBuffer.wrap(r.payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val b = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       if (b.remaining() < 12 || b.getInt(0) != 0x46464952 /* RIFF */ ||
-          b.getInt(8) != 0x45564157 /* WAVE */) return fail
+          b.getInt(8) != 0x45564157 /* WAVE */) return None
       var pos = 12
       var rate = 0; var channels = 0; var bits = 0; var fmtOk = false
       var dataOff = -1; var dataLen = 0
@@ -181,7 +185,7 @@ object Multimodal {
         val id = b.getInt(pos); val len = b.getInt(pos + 4)
         // a malformed negative length would stall the chunk walk (pos += 8
         // + len can stop advancing) — treat it as a corrupt file instead
-        if (len < 0) return fail
+        if (len < 0) return None
         if (id == 0x20746d66 /* fmt  */ && pos + 8 + 16 <= b.limit()) {
           val audioFormat = b.getShort(pos + 8).toInt
           channels = b.getShort(pos + 10).toInt
@@ -193,21 +197,31 @@ object Multimodal {
         }
         pos += 8 + len + (len & 1) // chunks are word-aligned
       }
-      if (!fmtOk || bits != 16 || channels <= 0 || rate <= 0 || dataOff < 0) return fail
-      val nSamples = dataLen / 2 / channels
-      var i = dataOff; var sumSq = 0.0; var peak = 0.0
-      while (i + 1 < dataOff + dataLen) {
-        val s = b.getShort(i).toDouble / 32768.0
-        sumSq += s * s
-        val a = math.abs(s); if (a > peak) peak = a
-        i += 2
-      }
-      val total = dataLen / 2
-      AudioFeatures(r.doc_id, r.media_type, rate, channels, bits, nSamples.toLong,
-        nSamples.toDouble / rate, if (total > 0) math.sqrt(sumSq / total) else 0.0,
-        peak, decode_ok = true)
+      if (!fmtOk || bits != 16 || channels <= 0 || rate <= 0 || dataOff < 0) None
+      else Some((b, rate, channels, dataOff, dataLen))
     } catch {
-      case scala.util.control.NonFatal(_) => fail
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  def decodeWav(r: MediaRow): AudioFeatures = {
+    val fail = AudioFeatures(r.doc_id, r.media_type, 0, 0, 0, 0L, 0.0, 0.0, 0.0,
+      decode_ok = false)
+    parseWavPcm16(r.payload) match {
+      case None => fail
+      case Some((b, rate, channels, dataOff, dataLen)) =>
+        val nSamples = dataLen / 2 / channels
+        var i = dataOff; var sumSq = 0.0; var peak = 0.0
+        while (i + 1 < dataOff + dataLen) {
+          val s = b.getShort(i).toDouble / 32768.0
+          sumSq += s * s
+          val a = math.abs(s); if (a > peak) peak = a
+          i += 2
+        }
+        val total = dataLen / 2
+        AudioFeatures(r.doc_id, r.media_type, rate, channels, 16, nSamples.toLong,
+          nSamples.toDouble / rate, if (total > 0) math.sqrt(sumSq / total) else 0.0,
+          peak, decode_ok = true)
     }
   }
 
@@ -368,23 +382,100 @@ object Multimodal {
     * simhash banding (x20). The join moves (band, 16-bit value, id) — the
     * image bytes never shuffle.
     */
-  def phashNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+  def phashNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    bandedHashPairs(phashImages(media).where(col("phash_ok"))
+      .select(col("doc_id"), col("phash").as("h")), maxHamming)
+
+  /** The 4×16-bit pigeonhole-banded pairing shared by the image and audio
+    * signatures: equi-join on (band, value), verify `popcount(xor) <=
+    * maxHamming`. Any pair within Hamming distance 3 is GUARANTEED to
+    * share a band (4 bands, <= 3 differing bits); larger thresholds are
+    * recall-probabilistic, same discipline as the text simhash banding
+    * (x20). The join moves (band, 16-bit value, id) — payloads never
+    * shuffle. Input: (doc_id, h: long).
+    */
+  private def bandedHashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 64, s"bad maxHamming $maxHamming")
-    val hashes = phashImages(media).where(col("phash_ok"))
-      .select(col("doc_id"), col("phash"))
-    val banded = hashes.select(col("doc_id"), col("phash"),
+    val banded = hashes.select(col("doc_id"), col("h"),
       explode(array((0 until 4).map(b =>
-        shiftright(col("phash"), b * 16).bitwiseAND(lit(0xffffL)) * 4 + b): _*))
+        shiftright(col("h"), b * 16).bitwiseAND(lit(0xffffL)) * 4 + b): _*))
         .as("band_key"))
     banded.as("a").join(banded.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.phash").as("ph_a"), col("b.phash").as("ph_b"))
+        col("a.h").as("h_a"), col("b.h").as("h_b"))
       .distinct()
-      .where(bit_count(col("ph_a").bitwiseXOR(col("ph_b"))) <= maxHamming)
+      .where(bit_count(col("h_a").bitwiseXOR(col("h_b"))) <= maxHamming)
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hamming"))
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
   }
+
+  case class AhashRow(doc_id: Long, ahash: Long, ahash_ok: Boolean)
+
+  /** 64-bit audio fingerprint from the ENERGY-DELTA signature: downmix to
+    * mono, split the clip into 65 equal-duration frames, take mean energy
+    * per frame, and set bit i iff frame i+1 is louder than frame i — the
+    * classic envelope-delta fingerprint (the sign-of-change construction
+    * underlying Shazam/Chromaprint-family audio hashing, reduced to the
+    * time-domain envelope since the container ships no FFT and the
+    * engine's discipline is deterministic pure-JVM decode). Two
+    * invariances fall out of the construction: volume scaling multiplies
+    * every frame energy by c², preserving all delta signs; and resampling
+    * preserves the time-relative frame grid, so the same audio at 8 kHz
+    * and 16 kHz hashes near-identically (quantization noise may flip
+    * near-tie bits — that's what the Hamming tolerance absorbs). Clips
+    * shorter than 65 samples degrade to `ahash_ok=false`
+    * ([[decodeImage]]'s poison contract).
+    */
+  def ahash64Of(r: MediaRow): AhashRow = {
+    parseWavPcm16(r.payload) match {
+      case None => AhashRow(r.doc_id, 0L, ahash_ok = false)
+      case Some((b, _, channels, dataOff, dataLen)) =>
+        val frames = 65
+        val n = dataLen / 2 / channels
+        if (n < frames) AhashRow(r.doc_id, 0L, ahash_ok = false)
+        else {
+          val e = new Array[Double](frames)
+          var f = 0
+          while (f < frames) {
+            val s0 = (n.toLong * f / frames).toInt
+            val s1 = (n.toLong * (f + 1) / frames).toInt
+            var s = s0; var acc = 0.0
+            while (s < s1) {
+              var c = 0; var m = 0.0
+              while (c < channels) {
+                m += b.getShort(dataOff + (s * channels + c) * 2).toDouble
+                c += 1
+              }
+              m /= channels
+              acc += m * m
+              s += 1
+            }
+            e(f) = acc / math.max(s1 - s0, 1)
+            f += 1
+          }
+          var h = 0L; var i = 0
+          while (i < 64) {
+            if (e(i + 1) > e(i)) h |= (1L << i)
+            i += 1
+          }
+          AhashRow(r.doc_id, h, ahash_ok = true)
+        }
+    }
+  }
+
+  /** Partition-batched audio fingerprinting. */
+  def ahashAudio(media: Dataset[MediaRow]): Dataset[AhashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(ahash64Of))
+  }
+
+  /** Audio near-dup pairs: fingerprint every clip, band-join, verify —
+    * the audio twin of [[phashNearDupPairs]] over the same shared pairing.
+    */
+  def audioNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    bandedHashPairs(ahashAudio(media).where(col("ahash_ok"))
+      .select(col("doc_id"), col("ahash").as("h")), maxHamming)
 
   /** SQL-expressible slice of the feature extraction (byte length + prefix),
     * used by the oracle-checked query; the checksum path is covered by the

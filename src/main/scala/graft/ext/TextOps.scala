@@ -240,10 +240,12 @@ object TextOps {
     * (collect the doc's pair scores, sort by position, fold left-to-right)
     * so partitioning can never change a double.
     */
-  def lmInvProbScore(docs: DataFrame, heldOut: Column,
-      text: Column = col("text")): DataFrame = {
+  /** The bigram stupid-backoff model tables trained on `train`:
+    * (uni, bi, stats) — all train-slice-sized, intended for broadcast.
+    */
+  private def bigramModel(train: DataFrame,
+      text: Column): (DataFrame, DataFrame, DataFrame) = {
     val toks = tokens(text)
-    val train = docs.where(heldOut)
     val trTok = train.select(explode(toks).as("a"))
     val uni = trTok.groupBy("a").agg(count(lit(1)).as("c_a"))
     val stats = trTok.agg(count(lit(1)).as("n_tok"), countDistinct(col("a")).as("v"))
@@ -252,6 +254,13 @@ object TextOps {
           i => struct(element_at(toks, i).as("a"), element_at(toks, i + 1).as("b"))))
           .otherwise(array())).as("p"))
       .groupBy("p.a", "p.b").agg(count(lit(1)).as("c_ab"))
+    (uni, bi, stats)
+  }
+
+  def lmInvProbScore(docs: DataFrame, heldOut: Column,
+      text: Column = col("text")): DataFrame = {
+    val toks = tokens(text)
+    val (uni, bi, stats) = bigramModel(docs.where(heldOut), text)
     val pairs = docs.where(!heldOut && size(toks) >= 2)
       .select(col("doc_id"), posexplode(transform(sequence(lit(1), size(toks) - 1),
         i => struct(element_at(toks, i).as("a"), element_at(toks, i + 1).as("b"))))
@@ -273,6 +282,73 @@ object TextOps {
         size(col("ps")).cast("long").as("n_pairs"),
         (aggregate(transform(col("ps"), s => s.getField("invp")), lit(0.0), (a, x) => a + x)
           / size(col("ps"))).as("avg_invp"))
+  }
+
+  /** Deterministic paragraph derivation: consecutive `paraTokens`-token
+    * windows as an array of strings. Real corpora split on newlines; the
+    * fixture's text has no paragraph marks, so the split criterion is a
+    * parameter of the DATA, not the operator — everything downstream works
+    * on any array-of-paragraphs column.
+    */
+  def paragraphs(text: Column, paraTokens: Int): Column = {
+    val toks = tokens(text)
+    transform(sequence(lit(0), floor((size(toks) - 1) / lit(paraTokens)).cast("int")),
+      w => array_join(slice(toks, w * paraTokens + 1, lit(paraTokens)), " "))
+  }
+
+  /** CCNet's paragraph-level LM filter (Wenzek et al. 2020 §4.3): score
+    * each PARAGRAPH with the bigram stupid-backoff LM, drop paragraphs
+    * whose inverse-probability score exceeds `maxInvp` (CCNet's fixed
+    * per-language perplexity cutoff), and rebuild each document from its
+    * kept paragraphs in order — the document-level twin is [[lmInvProbScore]]
+    * + a doc filter; this one salvages mostly-good documents by excising
+    * only the bad spans (boilerplate, garbled sections). Paragraphs too
+    * short to score (< 2 tokens) are kept, as CCNet keeps unscorable
+    * lines. Returns every non-train doc with n_paras, n_dropped and the
+    * rebuilt clean_text ('' when everything dropped).
+    *
+    * Scale shape: model tables are train-slice-sized and broadcast; the
+    * paragraph explode is bounded by corpus token count; the two wide ops
+    * are the (doc,para)-keyed score collapse and the doc-keyed rebuild —
+    * both partial-agg, and the rebuild is x94's bounded per-doc
+    * collect+sort (a doc's own paragraphs, never cross-doc state).
+    */
+  def paragraphLmFilter(docs: DataFrame, heldOut: Column, paraTokens: Int = 20,
+      maxInvp: Double = 50.0, text: Column = col("text")): DataFrame = {
+    val (uni, bi, stats) = bigramModel(docs.where(heldOut), text)
+    val paras = graft.ops.Caching.cacheOnce(docs.where(!heldOut)
+      .select(col("doc_id"),
+        posexplode(paragraphs(text, paraTokens)).as(Seq("p_idx", "p_text"))))
+    val ptoks = tokens(col("p_text"))
+    val pairs = paras.where(size(ptoks) >= 2)
+      .select(col("doc_id"), col("p_idx"),
+        posexplode(transform(sequence(lit(1), size(ptoks) - 1),
+          i => struct(element_at(ptoks, i).as("a"), element_at(ptoks, i + 1).as("b"))))
+          .as(Seq("i", "p")))
+      .select(col("doc_id"), col("p_idx"), col("i"), col("p.a"), col("p.b"))
+    val scored = pairs
+      .join(broadcast(uni), Seq("a"), "left")
+      .join(broadcast(uni.withColumnsRenamed(Map("a" -> "b", "c_a" -> "c_b"))), Seq("b"), "left")
+      .join(broadcast(bi), Seq("a", "b"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("p_idx"), col("i"),
+        when(col("c_ab").isNotNull,
+          col("c_a").cast("double") / col("c_ab").cast("double"))
+          .otherwise(lit(2.5) * (col("n_tok") + col("v")).cast("double") /
+            (coalesce(col("c_b"), lit(0L)) + lit(1L)).cast("double")).as("invp"))
+      .groupBy("doc_id", "p_idx")
+      .agg(sort_array(collect_list(struct(col("i"), col("invp")))).as("ps"))
+      .select(col("doc_id"), col("p_idx"),
+        (aggregate(transform(col("ps"), s => s.getField("invp")), lit(0.0), (a, x) => a + x)
+          / size(col("ps"))).as("avg_invp"))
+    paras.join(scored, Seq("doc_id", "p_idx"), "left")
+      .withColumn("drop_para", coalesce(col("avg_invp") > maxInvp, lit(false)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("drop_para"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(sort_array(collect_list(
+          when(!col("drop_para"), struct(col("p_idx"), col("p_text"))))),
+          s => s.getField("p_text")), " ").as("clean_text"))
   }
 
   /** Trigram stupid-backoff LM scoring — the CCNet-shaped upgrade of

@@ -217,6 +217,68 @@ class MultimodalSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), "corrupt payload must be dropped")
   }
 
+  /** Mono PCM16 WAV: 440 Hz carrier under an |sin(2π·modHz·t)| envelope —
+    * a distinctive energy envelope for the audio fingerprint tests.
+    */
+  private def wavEnvBytes(rate: Int, seconds: Double, amp: Double,
+      modHz: Double): Array[Byte] = {
+    val n = (rate * seconds).toInt
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(0x46464952); bb.putInt(36 + dataLen); bb.putInt(0x45564157)
+    bb.putInt(0x20746d66); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(rate)
+    bb.putInt(rate * 2); bb.putShort(2); bb.putShort(16)
+    bb.putInt(0x61746164); bb.putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      val t = i.toDouble / rate
+      val s = (amp * math.abs(math.sin(2 * math.Pi * modHz * t)) *
+        math.sin(2 * math.Pi * 440.0 * t) * 32767).toShort
+      bb.putShort(s)
+      i += 1
+    }
+    bb.array()
+  }
+
+  test("ahash64: volume- and resample-invariant, far for a different envelope") {
+    val base = Multimodal.ahash64Of(
+      Multimodal.MediaRow(1L, "audio/wav", wavEnvBytes(8000, 0.5, 0.9, 3.0)))
+    val quiet = Multimodal.ahash64Of(
+      Multimodal.MediaRow(2L, "audio/wav", wavEnvBytes(8000, 0.5, 0.4, 3.0)))
+    val resampled = Multimodal.ahash64Of(
+      Multimodal.MediaRow(3L, "audio/wav", wavEnvBytes(16000, 0.5, 0.9, 3.0)))
+    val other = Multimodal.ahash64Of(
+      Multimodal.MediaRow(4L, "audio/wav", wavEnvBytes(8000, 0.5, 0.9, 7.0)))
+    val garbage = Multimodal.ahash64Of(
+      Multimodal.MediaRow(5L, "audio/wav", "not audio".getBytes("UTF-8")))
+    assert(base.ahash_ok && quiet.ahash_ok && resampled.ahash_ok && other.ahash_ok)
+    assert(hamming(base.ahash, quiet.ahash) <= 3,
+      s"volume-scaled copy must be near: ${hamming(base.ahash, quiet.ahash)}")
+    assert(hamming(base.ahash, resampled.ahash) <= 3,
+      s"resampled copy must be near: ${hamming(base.ahash, resampled.ahash)}")
+    assert(hamming(base.ahash, other.ahash) > 10,
+      s"different envelope must be far: ${hamming(base.ahash, other.ahash)}")
+    assert(!garbage.ahash_ok, "garbage must degrade, not throw")
+  }
+
+  test("audioNearDupPairs: scaled copy pairs, different envelope does not, poison dropped") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio/wav", wavEnvBytes(8000, 0.5, 0.9, 3.0)),
+      Multimodal.MediaRow(2L, "audio/wav", wavEnvBytes(8000, 0.5, 0.4, 3.0)),
+      Multimodal.MediaRow(3L, "audio/wav", wavEnvBytes(16000, 0.5, 0.7, 3.0)),
+      Multimodal.MediaRow(4L, "audio/wav", wavEnvBytes(8000, 0.5, 0.9, 7.0)),
+      Multimodal.MediaRow(5L, "audio/corrupt", Array[Byte](1, 2, 3))
+    ).toDS()
+    val pairs = Multimodal.audioNearDupPairs(media, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "volume-scaled copy must pair")
+    assert(pairs.contains((1L, 3L)), "resampled copy must pair")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "different envelope must not pair")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), "poison payload must be dropped")
+  }
+
   test("embedPayloads feeds straight into the ANN operators (decode → embed → top-k)") {
     val docs = graft.sources.Tables.documents(spark, sfDir).limit(200)
     val emb = Multimodal.embedPayloads(Multimodal.mediaFromDocuments(docs))

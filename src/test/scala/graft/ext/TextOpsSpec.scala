@@ -229,6 +229,32 @@ class TextOpsSpec extends SparkTestBase {
     assert(re === out)
   }
 
+  test("paragraphLmFilter: bad paragraphs excised, good ones rebuilt in order, short ones kept") {
+    import org.apache.spark.sql.functions._
+    // train "a b c d" x2 -> seen bigrams score 1.0; unseen score
+    // 2.5*(8+4)/(0+1) = 30. paraTokens=3, maxInvp=10.
+    val docs = Seq(
+      (1L, "a b c d", true), (2L, "a b c d", true),
+      (10L, "a b c x y z", false), // para0 "a b c"=1.0 kept, para1 "x y z"=30 dropped
+      (11L, "x q r v w u", false), // both paras 30 -> all dropped, clean_text ''
+      (12L, "a b", false),         // one 2-token para, 1.0 -> kept
+      (13L, "d", false)            // one 1-token para, unscorable -> kept
+    ).toDF("doc_id", "text", "held")
+    val out = TextOps.paragraphLmFilter(docs, col("held"), paraTokens = 3, maxInvp = 10.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_paras"), r.getAs[Long]("n_dropped"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(out(10L) === ((2L, 1L, "a b c")))
+    assert(out(11L) === ((2L, 2L, "")))
+    assert(out(12L) === ((1L, 0L, "a b")))
+    assert(out(13L) === ((1L, 0L, "d")))
+    val re = TextOps.paragraphLmFilter(docs.repartition(7), col("held"),
+      paraTokens = 3, maxInvp = 10.0).collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_paras"), r.getAs[Long]("n_dropped"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(re === out)
+  }
+
   test("vocabDivergence: zero for identical slices, large for disjoint vocab, deterministic") {
     import org.apache.spark.sql.functions._
     val docs = (
