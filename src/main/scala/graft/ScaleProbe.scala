@@ -91,6 +91,13 @@ object ScaleProbe {
       time("lm_score") {
         graft.ext.TextOps.lmInvProbScore(corpus, col("source") === "src0").count()
       }
+      // Paragraph-level LM filter: same broadcast-model shape as lm_score
+      // plus the per-doc rebuild — the paragraph explode is corpus-token-
+      // bounded and the rebuild state is one doc's own paragraphs, so
+      // time must track k.
+      time("paragraph_lm_filter") {
+        graft.ext.TextOps.paragraphLmFilter(corpus, col("source") === "src0").count()
+      }
       // DSIR weights: same train/score split as lm_score but the trained
       // state is a FIXED 1024-bucket table regardless of corpus size —
       // scoring is explode + broadcast join + doc fold, corpus-linear.
@@ -145,6 +152,21 @@ object ScaleProbe {
           emb.where(col("vec_id") % 1000000L < 450),
           Tables.embeddings(spark, sfDir).where(col("vec_id") >= 450),
           0.4).where(col("drop_vec")).count()
+      }
+      // SemDeDup at the K=√N sizing: assignment N·K + pairs N²/K both
+      // land at N^1.5 — the honest exact-within-cluster law (the linear
+      // path stays LSH). Threshold 0.8: the fixture plants no pairs that
+      // high, so EVERY flag would be a false positive — the probe pins
+      // drop_vec == 0 at every scale (precision under growth). Low
+      // thresholds are unsound here by construction, and the probe
+      // measured it: at 0.5 flags grew ~10× per 4× step because
+      // within-cell pairs are CENTROID-CONDITIONED (both members
+      // correlate with their centroid, inflating pairwise cosine) —
+      // which is exactly why the paper dedups at thresholds ≥0.9.
+      time("semdedup_sqrtN") {
+        val stride = math.max(1L, math.round(math.sqrt(nVec.toDouble)))
+        graft.ext.Similarity.semDeDup(emb, 0.8, stride)
+          .where(col("drop_vec")).count()
       }
       emb.unpersist(blocking = true)
       // Replicated events: copy i shifts user_id (and event_id) into a

@@ -307,6 +307,51 @@ object ExtQueries {
     "x106_paragraph_lm_filter" -> ((s, dir) =>
       TextOps.paragraphLmFilter(Tables.documents(s, dir), col("source") === "src0")),
 
+    // Curriculum shards (r5): the training-order artifact — docs split
+    // into 8 EXACT quality octiles (shard 1 = lowest score ... 8 =
+    // highest; curriculum training feeds shards in order), each doc also
+    // carrying a deterministic md5 order key for within-shard shuffling.
+    // Emitting the KEY instead of a global rank is what keeps the plan
+    // scale-safe: the trainer sorts its shard-partitioned reads by the
+    // key locally, and the engine never plans a per-shard global window
+    // (the funnel x54's exactNtile exists to avoid).
+    "x108_curriculum_shards" -> ((s, dir) => {
+      val m = TextOps.qualityMetrics(Tables.documents(s, dir))
+        .select("doc_id", "quality_score")
+      graft.ops.Quality.exactNtile(m, 8, Seq("quality_score", "doc_id"))
+        .select(col("doc_id"), col("quality_score"), col("bin").as("shard"),
+          md5(concat(col("doc_id").cast("string"), lit(":order"))).as("order_key"))
+    }),
+
+    // Dolma-style per-doc ATTRIBUTES table (r5): the tagger-output
+    // artifact web corpora ship beside the text — one wide row per doc
+    // with every per-doc signal the engine computes: heuristic quality
+    // (x09), language id (x08), bigram-LM fluency (x80; null for train
+    // and sub-2-token docs), PII presence (x61's deterministic salting so
+    // the clean fixture carries signal), exact-dup victimhood (x01's
+    // min-id canon) and duplicated-passage coverage (x82). All joins are
+    // doc-keyed; every branch is an already-verified operator.
+    "x107_doc_attributes" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val q = TextOps.qualityMetrics(docs).select("doc_id", "n_tokens", "quality_score")
+      val lang = docs.select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))
+      val lm = TextOps.lmInvProbScore(docs, col("source") === "src0")
+        .select(col("doc_id"), col("avg_invp").as("lm_invp"))
+      val pii = Curate.piiProfile(docs.withColumn("_t",
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0, lit(" reach a.b@c.example.com")).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0, lit(" call +1 212 555 0199 from 10.0.0.1"))
+              .otherwise(lit("")))), col("_t"))
+        .select("doc_id", "has_pii")
+      val canon = Dedup.exact(docs).select(col("text_hash"), col("doc_id").as("canon_id"))
+      val victims = docs.select(col("doc_id"), md5(col("text")).as("text_hash"))
+        .join(canon, Seq("text_hash"))
+        .select(col("doc_id"), (col("doc_id") =!= col("canon_id")).as("exact_dup_victim"))
+      val dup = Dedup.dupPassages(docs).select(col("doc_id"), col("dup_frac"))
+      q.join(lang, "doc_id").join(lm, Seq("doc_id"), "left")
+        .join(pii, "doc_id").join(victims, "doc_id").join(dup, "doc_id")
+    }),
+
     // The composed web-corpus flagship (r5): the full C4/RefinedWeb-shaped
     // pass as ONE query — domain gate (derived URL, blocklist anti-join) ->
     // model-based quality gate (stupid-backoff LM, exact-P95 threshold) ->
@@ -2169,6 +2214,56 @@ object ExtQueries {
         "SELECT doc_id, n_trigrams, avg_invp, " +
         "CASE bin WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket, " +
         "bin <= 2 AS keep FROM b"),
+
+    "x108_curriculum_shards" ->
+      (s"WITH t AS ($toksCte), d AS (SELECT doc_id, toks, text FROM documents JOIN t USING (doc_id)), " +
+        "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        s"CAST(len(list_filter(toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(toks) AS stopword_ratio, " +
+        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/length(text) AS alpha_ratio " +
+        "FROM d), " +
+        "s AS (SELECT doc_id, least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5 " +
+        "+ stopword_ratio*0.25 + alpha_ratio*0.25 AS quality_score FROM m) " +
+        "SELECT doc_id, quality_score, " +
+        "CAST(ntile(8) OVER (ORDER BY quality_score, doc_id) AS BIGINT) AS shard, " +
+        "md5(CAST(doc_id AS VARCHAR) || ':order') AS order_key FROM s"),
+
+    "x107_doc_attributes" ->
+      (s"WITH $lmCtes, " +
+        "lm AS (SELECT doc_id, list_aggregate(list(invp ORDER BY i), 'sum')/count(*) " +
+        "AS lm_invp FROM sp GROUP BY doc_id), " +
+        "d2 AS (SELECT t.doc_id, t.toks, documents.text FROM t JOIN documents USING (doc_id)), " +
+        "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        s"CAST(len(list_filter(toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(toks) AS stopword_ratio, " +
+        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/length(text) AS alpha_ratio " +
+        "FROM d2), " +
+        "q AS (SELECT doc_id, n_tokens, least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5 " +
+        "+ stopword_ratio*0.25 + alpha_ratio*0.25 AS quality_score FROM m), " +
+        s"lg AS (SELECT doc_id, CASE WHEN len(list_filter(string_split(text, ' '), " +
+        s"tk -> list_contains($stopList, tk))) >= 2 THEN 'en' ELSE 'unk' END AS pred_lang FROM documents), " +
+        "pi AS (SELECT doc_id, " +
+        s"(len(regexp_extract_all(tt, '${Curate.EmailRe}')) + " +
+        s"len(regexp_extract_all(tt, '${Curate.PhoneRe}')) + " +
+        s"len(regexp_extract_all(tt, '${Curate.Ipv4Re}'))) > 0 AS has_pii FROM " +
+        "(SELECT doc_id, text || " +
+        "(CASE WHEN doc_id % 3 = 0 THEN ' reach a.b@c.example.com' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 5 = 0 THEN ' call +1 212 555 0199 from 10.0.0.1' ELSE '' END) AS tt " +
+        "FROM documents)), " +
+        "cn AS (SELECT md5(text) AS th, min(doc_id) AS canon_id FROM documents GROUP BY 1), " +
+        "vv AS (SELECT doc_id, (doc_id <> canon_id) AS exact_dup_victim FROM " +
+        "(SELECT doc_id, md5(text) AS th FROM documents) JOIN cn USING (th)), " +
+        "w2 AS (SELECT doc_id, p.i AS i, p.wh AS wh FROM " +
+        "(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-7), " +
+        "i -> struct_pack(i := i, wh := md5(array_to_string(toks[i:i+7], ' '))))) AS p " +
+        "FROM t WHERE len(toks) >= 8)), " +
+        "dd AS (SELECT wh FROM w2 GROUP BY wh HAVING count(DISTINCT doc_id) >= 2), " +
+        "cc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup FROM " +
+        "(SELECT DISTINCT doc_id, ti FROM (SELECT w2.doc_id, " +
+        "unnest(generate_series(w2.i, w2.i+7)) AS ti FROM w2 JOIN dd USING (wh))) GROUP BY doc_id) " +
+        "SELECT q.doc_id, q.n_tokens, q.quality_score, lg.pred_lang, lm.lm_invp, " +
+        "pi.has_pii, vv.exact_dup_victim, " +
+        "CAST(coalesce(cc.n_dup, 0) AS DOUBLE)/q.n_tokens AS dup_frac " +
+        "FROM q JOIN lg USING (doc_id) LEFT JOIN lm USING (doc_id) " +
+        "JOIN pi USING (doc_id) JOIN vv USING (doc_id) LEFT JOIN cc USING (doc_id)"),
 
     "x106_paragraph_lm_filter" ->
       ("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +

@@ -291,15 +291,23 @@ object Similarity {
     * the drop flag.
     *
     * Scale shape: assignment is a per-row fold over broadcast packed
-    * centroids (zero shuffle, zero row amplification); the wide ops are
-    * the cell equi-self-join — occupancy-bounded, and at 100 TB K grows
-    * ~√N per the paper so Σ|cell|² stays ~linear — and the vec-keyed
-    * collapse. Embedding payloads cross the wire once, in the cell
-    * shuffle; flags join back on 8-byte keys.
+    * centroids (zero shuffle, zero row amplification) costing N·K dot
+    * products; the cell self-join costs Σ|cell|² ≈ N²/K. Total work is
+    * minimized at K = √N — O(N^1.5), the honest complexity of exact
+    * within-cluster dedup (SemDeDup runs exactly this regime on GPUs) —
+    * which is what `stride` dials: K = N/stride, so stride ≈ √N sizes the
+    * law (ScaleProbe measures the ~k^1.5 exponent). The default stride is
+    * the oracle-replicable IVF constant. At 100 TB the LINEAR default for
+    * semantic near-dup remains the LSH family (x14/x103, the same
+    * precedent as x64's exact PPJoin vs x03's LSH); SemDeDup is the
+    * cluster-exact path. Embedding payloads cross the wire once, in the
+    * cell shuffle; flags join back on 8-byte keys.
     */
-  def semDeDup(vectors: DataFrame, threshold: Double): DataFrame = {
-    val assigned = graft.ops.Caching.cacheOnce(
-      assignCells(vectors, strideCents(vectors)))
+  def semDeDup(vectors: DataFrame, threshold: Double,
+      stride: Long = IvfCentroidStride.toLong): DataFrame = {
+    val cents = vectors.where(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val assigned = graft.ops.Caching.cacheOnce(assignCells(vectors, cents))
     val lower = assigned.select(col("cell"), col("vec_id").as("lo_id"),
       col("embedding").as("lo_emb"))
     val dups = assigned.join(lower, Seq("cell"))

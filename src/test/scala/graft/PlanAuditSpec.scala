@@ -48,7 +48,8 @@ class PlanAuditSpec extends SparkTestBase {
     "x93_vocab_divergence" -> "probability densification: (slices x observed-buckets) crossJoin, bounded by 5 x 1024 constants (same family as x89's model table)",
     "x104_semdedup" -> "crossJoin against ONE packed broadcast centroid row (constant), same as x13",
     "x105_ccnet_buckets" -> "crossJoin against ONE broadcast LM-stats row (x96's shape, trigram model)",
-    "x106_paragraph_lm_filter" -> "crossJoin against ONE broadcast LM-stats row (x80's shape, paragraph-scored)"
+    "x106_paragraph_lm_filter" -> "crossJoin against ONE broadcast LM-stats row (x80's shape, paragraph-scored)",
+    "x107_doc_attributes" -> "embeds x80's 1-row broadcast LM-stats fold (constant) in the fluency branch"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {
