@@ -434,6 +434,26 @@ object Similarity {
       .partitionBy("cell").parquet(s"$indexDir/assigned")
   }
 
+  /** Append a delta BATCH to a stored IVF index — the production
+    * maintenance path at 100 TB: the index is built once (corpus-wide)
+    * and then grows by delta batches, so an append must do BATCH-sized
+    * work only. The batch is assigned against the STORED centroid table
+    * (broadcast packed-centroid fold — zero shuffle, zero corpus reads)
+    * and appended to the cell partitions: `mode("append")` +
+    * `partitionBy` touches only the batch's cells' directories, existing
+    * files are never rewritten, and probes see the union immediately.
+    * Centroids deliberately stay FIXED between offline rebuilds (the IVF
+    * norm): appended vectors land in their nearest existing cell, mildly
+    * unbalancing occupancy without affecting probe correctness.
+    */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame): Unit = {
+    GraftFunctions.register(spark)
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    assignCells(batch, cents)
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/assigned")
+  }
+
   /** Probe the stored index: queries are assigned against the stored
     * centroid table (same broadcast packed-centroid fold), then joined to
     * the cell-partitioned assignment table. Spark plans a dynamic-

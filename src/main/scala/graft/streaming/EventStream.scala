@@ -242,6 +242,36 @@ object EventStream {
   def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Ingestion-time decontamination — `Curate.decontaminate` (x101) at
+    * the stream boundary: every arriving doc's k-shingle overlap with the
+    * static BENCHMARK set is scored inside the micro-batch, emitting
+    * (doc_id, n_overlap, n_shingles, overlap_frac, drop_doc). The
+    * benchmark shingle table is bounded (eval sets, not corpora) and
+    * broadcast per batch, so the stream side never shuffles and no
+    * streaming state accrues at all — contamination is a pure per-doc
+    * measurement, which is why it belongs at ingestion: leaked docs are
+    * flagged before they ever reach the corpus. Batch/stream results are
+    * identical by construction (the same distinct-shingle semi-join).
+    */
+  def contaminationHits(docs: DataFrame, benchmark: DataFrame, k: Int = 3,
+      maxFrac: Double = 0.5): DataFrame = {
+    val bench = broadcast(benchmark
+      .select(explode(graft.ext.TextOps.shingles(col("text"), k)).as("shingle"))
+      .distinct())
+    val sh = docs.select(col("doc_id"),
+      explode(graft.ext.TextOps.shingles(col("text"), k)).as("shingle"))
+    sh.join(bench, Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      .join(docs.select(col("doc_id"),
+        size(graft.ext.TextOps.shingles(col("text"), k)).cast("long").as("n_shingles")),
+        Seq("doc_id"), "right")
+      .select(col("doc_id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        col("n_shingles"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double") / col("n_shingles"))
+          .as("overlap_frac"))
+      .withColumn("drop_doc", col("overlap_frac") > maxFrac)
+  }
+
   /** Stream-stream interval join: match right events to left events of the
     * same key within `[lTime, lTime + maxGap]`. Both sides carry event-time
     * watermarks and the join condition bounds the time range, which is

@@ -188,6 +188,24 @@ class SimilaritySpec extends SparkTestBase {
       s"expected dynamic partition pruning on cell in:\n$plan")
   }
 
+  test("appendToIvfIndex: build-then-append probes identically to a full rebuild") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    // base carries EVERY stride centroid so both index builds share the
+    // exact centroid table; the batch is everything else
+    val isBase = col("vec_id") % Similarity.IvfCentroidStride === 0 || col("vec_id") < 150
+    val grown = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    Similarity.buildIvfIndex(e.where(isBase), grown)
+    Similarity.appendToIvfIndex(spark, grown, e.where(!isBase))
+    val full = java.nio.file.Files.createTempDirectory("graft-ivf-full").toString
+    Similarity.buildIvfIndex(e, full)
+    val queries = e.where(col("vec_id") < 5)
+    val a = Similarity.ivfTopKStored(spark, grown, queries, 10).collect().map(_.toSeq).toSet
+    val b = Similarity.ivfTopKStored(spark, full, queries, 10).collect().map(_.toSeq).toSet
+    assert(a === b, "append-grown index must probe identically to a full rebuild")
+    assert(spark.read.parquet(s"$grown/assigned").count() === e.count(),
+      "every corpus vector must be in the grown index exactly once")
+  }
+
   test("k-means IVF: trained centroids improve recall@10 on clustered data") {
     // The synthetic embeddings fixture is uniform random (same-label and
     // cross-label cosine both ~0), where NO centroid placement beats any
