@@ -480,6 +480,34 @@ object TextOps {
           / size(col("ls"))).as("avg_lr"))
   }
 
+  /** DSIR importance-resampling APPLICATION: turn [[dsirImportance]]'s
+    * weights into the actual keep/drop pass that builds the resampled
+    * corpus. The paper samples without replacement proportionally to the
+    * importance weight; the engine's deterministic, retry-safe equivalent
+    * is a Bernoulli draw with acceptance probability `w / w_max`
+    * (max-normalized rejection sampling — in expectation the kept set is
+    * exactly importance-proportional). The rule is expressed multiplication-
+    * only, `u · w_max < w`, so no division ever rounds: `u` is
+    * [[Curate.uniformHash]]'s power-of-two-exact md5 draw, `w_max` a 1-row
+    * broadcast max, and one IEEE double multiply is bit-identical in any
+    * engine. The max-weight document is kept with probability 1 (u < 1
+    * always), so the target-most-like document can never be dropped.
+    *
+    * Scale shape: [[dsirImportance]]'s O(buckets) training state, plus a
+    * 1-row max broadcast onto a per-row predicate — the decision pass adds
+    * zero shuffles to the scoring plan. Reference: the acceptance step of
+    * `importance_resample` in DSIR (Xie et al. 2023, §3).
+    */
+  def dsirResample(docs: DataFrame, target: Column, buckets: Int = 1024,
+      salt: String = "dsir", text: Column = col("text")): DataFrame = {
+    val w = dsirImportance(docs, target, buckets, text)
+    val wmax = w.agg(max(col("avg_lr")).as("wmax"))
+    val u = Curate.uniformHash(col("doc_id"), salt)
+    w.crossJoin(broadcast(wmax))
+      .select(col("doc_id"), col("n_feats"), col("avg_lr"), u.as("draw"),
+        (u * col("wmax") < col("avg_lr")).as("kept"))
+  }
+
   /** Distribution-level corpus drift: pairwise divergence between two
     * slices' hashed-unigram distributions — the monitoring statistic that
     * catches a source changing CONTENT while x63's digest-level diff only
