@@ -118,6 +118,22 @@ object ScaleProbe {
       time("domain_authority") {
         graft.ext.Authority.domainAuthority(corpus).count()
       }
+      // Rank ensemble: 3 range-repartition rank passes + doc-keyed joins
+      // over (doc_id, 8-byte rank) rows — after the metric scan, work is
+      // rank-row-sized, so time must track k with a scan-dominated slope.
+      time("rank_ensemble") {
+        val m = graft.ext.TextOps.qualityMetrics(corpus)
+        val rl = graft.ops.Quality.withExactRank(
+          m.select("doc_id", "n_tokens"), Seq("n_tokens", "doc_id"), "r_len")
+        val rs = graft.ops.Quality.withExactRank(
+          m.select("doc_id", "stopword_ratio"), Seq("stopword_ratio", "doc_id"), "r_stop")
+        rl.select("doc_id", "r_len").join(rs.select("doc_id", "r_stop"), "doc_id").count()
+      }
+      // Shard manifest: one map-side-combined groupBy, commutative
+      // accumulators, 16 rows out — scan-bound by construction.
+      time("shard_manifest") {
+        graft.ext.Curate.shardManifest(corpus, "doc_id", "text", 16).count()
+      }
       corpus.unpersist(blocking = true)
       val emb = replicateEmb(k).cache()
       emb.count()
@@ -137,6 +153,13 @@ object ScaleProbe {
         math.log(nVec / 30.0) / math.log(2)).toInt)
       time(s"neardup_multitable_b$bits") {
         graft.ext.Similarity.lshMultiNearDupPairs(emb, 0.8, bits).count()
+      }
+      // kNN label propagation: FIXED 5-query probe set (copy 0) against the
+      // growing labeled corpus — the corpus streams against the broadcast
+      // queries, so per-vector work is constant and time must track k.
+      time("knn_classify") {
+        graft.ext.Similarity.knnClassify(
+          emb.where(col("vec_id") < 5), emb.where(col("vec_id") >= 5), 10).count()
       }
       // Outlier report: one explode + (labels×dims) broadcast centroid join
       // + vec-keyed collapse + 1-row threshold — corpus-linear by shape.

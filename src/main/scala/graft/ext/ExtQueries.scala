@@ -323,6 +323,71 @@ object ExtQueries {
           md5(concat(col("doc_id").cast("string"), lit(":order"))).as("order_key"))
     }),
 
+    // kNN label propagation (r5): semi-supervised labeling — every 5th
+    // vector is "unlabeled" (held out), predicted by majority vote of its
+    // 10 nearest labeled neighbors; deterministic winner (votes, decimal
+    // sim sum, smallest label) and the true label kept for an in-engine
+    // accuracy audit. Scale path: swap the exact candidate generator for
+    // lshMultiTopK's bucketed candidates (see Similarity.knnClassify doc).
+    "x109_knn_label_prop" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.knnClassify(
+        e.where(col("vec_id") % 5 === 0), e.where(col("vec_id") % 5 =!= 0), 10)
+    }),
+
+    // Rank-ensemble quality (r5): combine heterogeneous quality signals
+    // (length, stopword ratio, alpha ratio) on a COMMON scale — each
+    // signal's exact global rank — then average and decile-bin. The
+    // rank-normalization sidesteps unit mismatch between raw signals
+    // (ensemble filtering's standard trick). Each rank is one
+    // range-repartition pass (withExactRank — no global-window funnel),
+    // then doc-keyed joins; only 8-byte ranks travel, never text.
+    "x110_quality_rank_ensemble" -> ((s, dir) => {
+      val m = TextOps.qualityMetrics(Tables.documents(s, dir))
+      val rl = graft.ops.Quality.withExactRank(
+        m.select("doc_id", "n_tokens"), Seq("n_tokens", "doc_id"), "r_len")
+      val rs = graft.ops.Quality.withExactRank(
+        m.select("doc_id", "stopword_ratio"), Seq("stopword_ratio", "doc_id"), "r_stop")
+      val ra = graft.ops.Quality.withExactRank(
+        m.select("doc_id", "alpha_ratio"), Seq("alpha_ratio", "doc_id"), "r_alpha")
+      val ens = rl.select("doc_id", "r_len")
+        .join(rs.select("doc_id", "r_stop"), "doc_id")
+        .join(ra.select("doc_id", "r_alpha"), "doc_id")
+        .withColumn("ensemble",
+          (col("r_len") + col("r_stop") + col("r_alpha")).cast("double") / 3.0)
+      graft.ops.Quality.exactNtile(ens, 10, Seq("ensemble", "doc_id"))
+        .select("doc_id", "r_len", "r_stop", "r_alpha", "ensemble", "bin")
+    }),
+
+    // kNN agreement report (r5): the engine measures its own scale path —
+    // label-propagation predictions from exact brute-force candidates vs
+    // the lshMultiTopK bucketed candidates (the 100 TB path), joined per
+    // query: agreement rate + each path's accuracy on the common set.
+    // 1-row artifact, same in-engine-audit practice as x70/x72/x74.
+    "x112_knn_lsh_agreement" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") % 5 === 0)
+      val c = e.where(col("vec_id") % 5 =!= 0)
+      val ex = Similarity.knnClassify(q, c, 10)
+        .select(col("vec_id"), col("pred_label").as("exact_pred"), col("true_label"))
+      val ap = Similarity.knnClassify(q, c, 10, Similarity.lshMultiTopK)
+        .select(col("vec_id"), col("pred_label").as("lsh_pred"))
+      ex.join(ap, "vec_id").agg(
+        count(lit(1)).as("n_queries"),
+        sum(when(col("exact_pred") === col("lsh_pred"), 1L).otherwise(0L)).as("n_agree"),
+        sum(when(col("exact_pred") === col("true_label"), 1L).otherwise(0L)).as("n_exact_correct"),
+        sum(when(col("lsh_pred") === col("true_label"), 1L).otherwise(0L)).as("n_lsh_correct"))
+        .withColumn("agreement",
+          col("n_agree").cast("double") / col("n_queries"))
+    }),
+
+    // Export shard manifest (r5): the publish-side integrity artifact —
+    // per-shard row count, byte volume, and an order-independent XOR
+    // content checksum (see Curate.shardManifest). One map-side-combined
+    // groupBy; 16 rows out.
+    "x111_shard_manifest" -> ((s, dir) =>
+      Curate.shardManifest(Tables.documents(s, dir), "doc_id", "text", 16)),
+
     // Dolma-style per-doc ATTRIBUTES table (r5): the tagger-output
     // artifact web corpora ship beside the text — one wide row per doc
     // with every per-doc signal the engine computes: heuristic quality
@@ -966,6 +1031,43 @@ object ExtQueries {
       "FROM be c JOIN q ON c.tbl = q.tbl AND c.bkt = q.bkt AND q.q_id <> c.vec_id), " +
       "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
       "SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10"
+
+  /** Majority-vote collapse over kNN candidate rows
+    * (q_id, true_label, vec_id, nbr_label, cos) — the SQL twin of
+    * Similarity.knnClassify's vote: rank-10 cut, then (votes desc, DECIMAL
+    * sim sum desc, smallest label). Shared by x109/x112.
+    */
+  private def knnVoteSql(candSql: String): String =
+    s"WITH cand AS ($candSql), " +
+      "r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM cand), " +
+      "v AS (SELECT q_id, true_label, nbr_label, CAST(count(*) AS BIGINT) AS votes, " +
+      "CAST(sum(CAST(cos AS DECIMAL(20,6))) AS DOUBLE) AS sim_sum " +
+      "FROM r WHERE rank <= 10 GROUP BY 1, 2, 3), " +
+      "w AS (SELECT *, row_number() OVER (PARTITION BY q_id " +
+      "ORDER BY votes DESC, sim_sum DESC, nbr_label) AS rr FROM v) " +
+      "SELECT q_id AS vec_id, nbr_label AS pred_label, true_label FROM w WHERE rr = 1"
+
+  /** Exact kNN candidates over the %5 labeled/unlabeled split (x109/x112). */
+  private lazy val knnExactCandSql =
+    "WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings), " +
+      "q0 AS (SELECT vec_id AS q_id, emb AS qe, label AS true_label FROM e0 WHERE vec_id % 5 = 0), " +
+      "c0 AS (SELECT vec_id, emb, label AS nbr_label FROM e0 WHERE vec_id % 5 <> 0) " +
+      "SELECT q_id, true_label, vec_id, nbr_label, " +
+      s"${dotSql("qe", "emb")} AS cos FROM c0, q0"
+
+  /** Multi-table LSH kNN candidates over the same split (x112's scale path;
+    * DISTINCT collapses cross-table duplicates exactly as lshMultiTopK).
+    */
+  private lazy val knnLshCandSql =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings), " +
+      s"be AS (SELECT vec_id, emb, label, unnest(generate_series(0, ${Similarity.LshTables - 1})) AS tbl, " +
+      (0 until Similarity.LshTables).map(multiBucketSql)
+        .mkString("unnest([", ", ", "]) AS bkt FROM e), ") +
+      "q1 AS (SELECT vec_id AS q_id, emb AS qe, label AS true_label, tbl, bkt FROM be WHERE vec_id % 5 = 0), " +
+      "c1 AS (SELECT vec_id, emb, label AS nbr_label, tbl, bkt FROM be WHERE vec_id % 5 <> 0) " +
+      "SELECT DISTINCT q1.q_id, q1.true_label, c1.vec_id, c1.nbr_label, " +
+      s"${dotSql("q1.qe", "c1.emb")} AS cos " +
+      "FROM c1 JOIN q1 ON c1.tbl = q1.tbl AND c1.bkt = q1.bkt"
 
   /** Stride-IVF top-10 SQL (x13's oracle body; reused by x73's report). */
   private lazy val annIvfSql =
@@ -2226,6 +2328,55 @@ object ExtQueries {
         "SELECT doc_id, quality_score, " +
         "CAST(ntile(8) OVER (ORDER BY quality_score, doc_id) AS BIGINT) AS shard, " +
         "md5(CAST(doc_id AS VARCHAR) || ':order') AS order_key FROM s"),
+
+    "x109_knn_label_prop" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings), " +
+        "q AS (SELECT vec_id AS q_id, emb AS qe, label AS true_label FROM e WHERE vec_id % 5 = 0), " +
+        "c AS (SELECT vec_id, emb, label AS nbr_label FROM e WHERE vec_id % 5 <> 0), " +
+        "s AS (SELECT q_id, true_label, vec_id, nbr_label, " +
+        s"${dotSql("qe", "emb")} AS cos FROM c, q), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s), " +
+        "v AS (SELECT q_id, true_label, nbr_label, CAST(count(*) AS BIGINT) AS votes, " +
+        "CAST(sum(CAST(cos AS DECIMAL(20,6))) AS DOUBLE) AS sim_sum " +
+        "FROM r WHERE rank <= 10 GROUP BY 1, 2, 3), " +
+        "w AS (SELECT *, row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY votes DESC, sim_sum DESC, nbr_label) AS rr FROM v) " +
+        "SELECT q_id AS vec_id, nbr_label AS pred_label, true_label, votes, sim_sum, " +
+        "nbr_label = true_label AS is_correct FROM w WHERE rr = 1"),
+
+    "x110_quality_rank_ensemble" ->
+      (s"WITH t AS ($toksCte), d AS (SELECT doc_id, toks, text FROM documents JOIN t USING (doc_id)), " +
+        "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        s"CAST(len(list_filter(toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(toks) AS stopword_ratio, " +
+        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/length(text) AS alpha_ratio " +
+        "FROM d), " +
+        "r AS (SELECT doc_id, " +
+        "CAST(row_number() OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS r_len, " +
+        "CAST(row_number() OVER (ORDER BY stopword_ratio, doc_id) AS BIGINT) AS r_stop, " +
+        "CAST(row_number() OVER (ORDER BY alpha_ratio, doc_id) AS BIGINT) AS r_alpha FROM m), " +
+        "e AS (SELECT doc_id, r_len, r_stop, r_alpha, " +
+        "CAST(r_len + r_stop + r_alpha AS DOUBLE)/3.0 AS ensemble FROM r) " +
+        "SELECT doc_id, r_len, r_stop, r_alpha, ensemble, " +
+        "CAST(ntile(10) OVER (ORDER BY ensemble, doc_id) AS BIGINT) AS bin FROM e"),
+
+    "x112_knn_lsh_agreement" ->
+      (s"WITH ex AS (SELECT * FROM (${knnVoteSql(knnExactCandSql)})), " +
+        s"ap AS (SELECT vec_id, pred_label AS lsh_pred FROM (${knnVoteSql(knnLshCandSql)})) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_queries, " +
+        "CAST(sum(CASE WHEN ex.pred_label = ap.lsh_pred THEN 1 ELSE 0 END) AS BIGINT) AS n_agree, " +
+        "CAST(sum(CASE WHEN ex.pred_label = ex.true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_correct, " +
+        "CAST(sum(CASE WHEN ap.lsh_pred = ex.true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh_correct, " +
+        "CAST(sum(CASE WHEN ex.pred_label = ap.lsh_pred THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS agreement " +
+        "FROM ex JOIN ap USING (vec_id)"),
+
+    "x111_shard_manifest" ->
+      ("WITH f AS (SELECT " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 4)) AS BIGINT) % 16 AS shard, " +
+        "CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp, " +
+        "CAST(length(text) AS BIGINT) AS n FROM documents) " +
+        "SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS n_chars, " +
+        "bit_xor(fp) AS content_xor, min(fp) AS min_fp, max(fp) AS max_fp " +
+        "FROM f GROUP BY shard"),
 
     "x107_doc_attributes" ->
       (s"WITH $lmCtes, " +

@@ -50,6 +50,40 @@ object Similarity {
       .select("q_id", "vec_id", "cos", "rank")
   }
 
+  /** kNN label propagation: predict each unlabeled vector's label by
+    * majority vote among its k nearest labeled neighbors (cosine), the
+    * standard semi-supervised labeling pass over a partially-annotated
+    * corpus. Vote winner is fully deterministic: vote count desc, then
+    * summed similarity desc (DECIMAL transit so the sum is order-independent
+    * and engine-exact), then smallest label. Reports the held-out true
+    * label per query so the result doubles as an in-engine accuracy audit.
+    *
+    * Scale shape: the candidate generator is pluggable — the default exact
+    * [[bruteForceTopK]] streams the corpus against the broadcast query set
+    * (right for small query batches); at 100 TB corpus × large query sets
+    * pass [[lshMultiTopK]]'s bucketed candidates instead, same vote logic.
+    */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int,
+      topK: (DataFrame, DataFrame, Int) => DataFrame = bruteForceTopK): DataFrame = {
+    val nn = topK(queries, corpus, k)
+    val nbrLabels = corpus.select(col("vec_id"), col("label").as("nbr_label"))
+    val trueLabels = broadcast(
+      queries.select(col("vec_id").as("q_id"), col("label").as("true_label")))
+    val votes = nn.join(nbrLabels, "vec_id")
+      .groupBy("q_id", "nbr_label")
+      .agg(count(lit(1)).as("votes"),
+        sum(col("cos").cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+          .cast("double").as("sim_sum"))
+    votes
+      .withColumn("r", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("votes").desc, col("sim_sum").desc, col("nbr_label").asc)))
+      .where(col("r") === 1)
+      .join(trueLabels, "q_id")
+      .select(col("q_id").as("vec_id"), col("nbr_label").as("pred_label"),
+        col("true_label"), col("votes"), col("sim_sum"),
+        (col("nbr_label") === col("true_label")).as("is_correct"))
+  }
+
   /** Hard-negative mining for contrastive training: for each query vector,
     * the top-k most-similar corpus vectors with a DIFFERENT label — the
     * near-misses a contrastive loss learns the most from (the standard

@@ -49,6 +49,32 @@ object Quality {
     */
   def exactNtile(df: DataFrame, n: Int, orderCols: Seq[String],
       numPartitions: Int = 32): DataFrame = {
+    val (parted, rank, total) = ranked(df, orderCols, numPartitions)
+    val q = total / n
+    val r = total % n
+    val bin =
+      when(rank <= lit((q + 1) * r), (rank - 1) / lit(q + 1) + 1)
+        .otherwise((rank - 1 - lit(r)) / lit(math.max(q, 1)) + 1)
+    parted.withColumn("bin", bin.cast("long")).drop("_pid")
+  }
+
+  /** Exact global `row_number() OVER (ORDER BY orderCols)` as a named
+    * column, with the same two-phase range-partition machinery as
+    * [[exactNtile]] (no single-partition global window). `orderCols` must
+    * be a total order. The rank-ensemble scorer runs this once per signal.
+    */
+  def withExactRank(df: DataFrame, orderCols: Seq[String], rankName: String,
+      numPartitions: Int = 32): DataFrame = {
+    val (parted, rank, _) = ranked(df, orderCols, numPartitions)
+    parted.withColumn(rankName, rank).drop("_pid")
+  }
+
+  /** Shared core of [[exactNtile]]/[[withExactRank]]: range-partitioned
+    * frame with `_pid`, the global-rank column expression, and the total
+    * row count (P per-partition counts are the only driver-side scalars).
+    */
+  private def ranked(df: DataFrame, orderCols: Seq[String],
+      numPartitions: Int): (DataFrame, org.apache.spark.sql.Column, Long) = {
     val parted = Caching.cacheOnce(
       df.repartitionByRange(numPartitions, orderCols.map(col): _*)
         .withColumn("_pid", spark_partition_id()))
@@ -62,11 +88,6 @@ object Quality {
     val rank = row_number().over(
         Window.partitionBy("_pid").orderBy(orderCols.map(col): _*)).cast("long") +
       coalesce(element_at(typedLit(offsets), col("_pid")), lit(0L))
-    val q = total / n
-    val r = total % n
-    val bin =
-      when(rank <= lit((q + 1) * r), (rank - 1) / lit(q + 1) + 1)
-        .otherwise((rank - 1 - lit(r)) / lit(math.max(q, 1)) + 1)
-    parted.withColumn("bin", bin.cast("long")).drop("_pid")
+    (parted, rank, total)
   }
 }

@@ -35,8 +35,17 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+    val df = table(spark, dir, "events")
+    // The fixture's physical ts type has varied across driver rounds:
+    // nanos-as-long (needs the div-1000 conversion) vs timestamp[us]
+    // (already a timestamp). Dispatch on the decoded type so either
+    // encoding yields the same timestamp_ntz column.
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

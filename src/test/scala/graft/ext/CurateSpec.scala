@@ -279,4 +279,24 @@ class CurateSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getAs[String]("bucket")).toMap
     assert(re === out.map { case (k, v) => k -> v._1 })
   }
+
+  test("shardManifest checksum is order-independent and detects content change") {
+    val docs = (0L until 40L).map(i => (i, s"document body number $i")).toDF("doc_id", "text")
+    val key = (r: org.apache.spark.sql.Row) =>
+      r.getAs[Long]("shard") -> ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("content_xor"), r.getAs[Long]("min_fp"), r.getAs[Long]("max_fp")))
+    val base = Curate.shardManifest(docs, "doc_id", "text", 4).collect().map(key).toMap
+    assert(base.values.map(_._1).sum === 40L)
+    // any partition layout / row order yields the identical manifest
+    val shuffled = Curate.shardManifest(docs.repartition(7).sortWithinPartitions(desc("text")),
+      "doc_id", "text", 4).collect().map(key).toMap
+    assert(shuffled === base)
+    // a single-doc content flip changes exactly that shard's checksum, not its counts
+    val tampered = docs.withColumn("text",
+      when($"doc_id" === 17L, lit("tampered")).otherwise($"text"))
+    val bad = Curate.shardManifest(tampered, "doc_id", "text", 4).collect().map(key).toMap
+    val changed = base.keySet.filter(s => base(s)._3 != bad(s)._3)
+    assert(changed.size === 1)
+    assert(base(changed.head)._1 === bad(changed.head)._1) // n_docs unchanged
+  }
 }

@@ -282,4 +282,27 @@ class SimilaritySpec extends SparkTestBase {
       assert(r.getDouble(2) > 0)
     }
   }
+
+  test("knnClassify predicts by majority vote with deterministic tiebreaks") {
+    val labeled = Seq(
+      (1L, Seq(0.99f, 0.14f, 0.0f), 0), (2L, Seq(0.98f, 0.2f, 0.0f), 0),
+      (3L, Seq(0.96f, 0.28f, 0.0f), 0), (4L, Seq(0.0f, 1.0f, 0.0f), 1),
+      (6L, Seq(0.14f, 0.99f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      (100L, Seq(1.0f, 0.0f, 0.0f), 0),   // x-cluster -> label 0, correct
+      (101L, Seq(0.0f, 1.0f, 0.0f), 0)    // y-cluster -> label 1, incorrect
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(queries, labeled, 3).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("pred_label"), r.getAs[Boolean]("is_correct")))).toMap
+    assert(out(100L) === ((0, true)))
+    assert(out(101L) === ((1, false)))
+    // vote tie (k=2, one neighbor per label): summed similarity decides
+    val tied = Similarity.knnClassify(
+      queries.where($"vec_id" === 100L), labeled.where($"vec_id".isin(1L, 4L)), 2)
+      .head()
+    assert(tied.getAs[Int]("pred_label") === 0) // cos(q,1) ~ 0.99 > cos(q,4) = 0
+    assert(tied.getAs[Long]("votes") === 1L)
+  }
 }

@@ -44,4 +44,12 @@ class QualitySpec extends SparkTestBase {
     assert(r.getAs[Long]("nulls_v") === 1L)
     assert(r.getAs[Long]("n_dup_rows") === 1L)
   }
+
+  test("withExactRank == global row_number and survives repartition") {
+    val df = Seq((5L, "e"), (1L, "a"), (3L, "c"), (2L, "b"), (4L, "d"), (3L, "z"))
+      .toDF("score", "id")
+    val got = Quality.withExactRank(df.repartition(5), Seq("score", "id"), "r", 3)
+      .orderBy("r").collect().map(r => (r.getAs[String]("id"), r.getAs[Long]("r")))
+    assert(got.toSeq === Seq(("a", 1L), ("b", 2L), ("c", 3L), ("z", 4L), ("d", 5L), ("e", 6L)))
+  }
 }
