@@ -381,6 +381,13 @@ object ExtQueries {
           col("n_agree").cast("double") / col("n_queries"))
     }),
 
+    // Semantic cluster profile (r5): corpus composition by IVF cell —
+    // count, tightness (mean cosine to centroid), dominant label + share.
+    // The "what is IN this corpus" artifact consulted before mixtures or
+    // semantic pruning; reuses x13's deterministic stride centroids.
+    "x113_cluster_profile" -> ((s, dir) =>
+      Similarity.clusterProfile(Tables.embeddings(s, dir))),
+
     // Export shard manifest (r5): the publish-side integrity artifact —
     // per-shard row count, byte volume, and an order-independent XOR
     // content checksum (see Curate.shardManifest). One map-side-combined
@@ -2368,6 +2375,21 @@ object ExtQueries {
         "CAST(sum(CASE WHEN ap.lsh_pred = ex.true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh_correct, " +
         "CAST(sum(CASE WHEN ex.pred_label = ap.lsh_pred THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS agreement " +
         "FROM ex JOIN ap USING (vec_id)"),
+
+    "x113_cluster_profile" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings), " +
+        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.IvfCentroidStride} = 0), " +
+        "scored AS (SELECT e.vec_id, e.label, cents.cent_id, " +
+        s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
+        "asg AS (SELECT vec_id, label, cent_id AS cell, cent_cos FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM scored) t WHERE r = 1), " +
+        "cs AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs, " +
+        "CAST(sum(CAST(cent_cos AS DECIMAL(20,6))) AS DOUBLE)/count(*) AS mean_cos FROM asg GROUP BY 1), " +
+        "bl AS (SELECT cell, label, CAST(count(*) AS BIGINT) AS n FROM asg GROUP BY 1, 2), " +
+        "dm AS (SELECT cell, label AS top_label, n AS n_top FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY cell ORDER BY n DESC, label) AS r FROM bl) t WHERE r = 1) " +
+        "SELECT cs.cell, cs.n_vecs, cs.mean_cos, dm.top_label, " +
+        "CAST(dm.n_top AS DOUBLE)/cs.n_vecs AS top_share FROM cs JOIN dm USING (cell)"),
 
     "x111_shard_manifest" ->
       ("WITH f AS (SELECT " +

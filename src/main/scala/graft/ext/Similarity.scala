@@ -453,6 +453,44 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), best.getField("id").as("cell"))
   }
 
+  /** Semantic corpus composition: per IVF cell — membership count, mean
+    * cosine to the assigned centroid (cluster tightness, DECIMAL-transit
+    * exact), and the dominant label with its share. The analysis twin of
+    * the IVF/SemDeDup cell machinery: the same deterministic stride
+    * centroids, reused to answer "what is IN this corpus" before deciding
+    * mixtures or pruning (cells with low tightness and no dominant label
+    * are the diffuse/noisy regions).
+    *
+    * Scale shape: the assignment is [[assignCells]]'s zero-shuffle
+    * broadcast fold (winning cosine kept); both aggregates shuffle only
+    * (cell, label, 8-byte stats) rows — embeddings never travel.
+    */
+  def clusterProfile(vectors: DataFrame): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
+    val packed = packCents(strideCents(vectors))
+    val init = struct(lit(Double.NegativeInfinity).as("cos"), lit(-1L).as("id"))
+    val best = aggregate(col("_cents"), init, (acc, c) => {
+      val cos = GraftFunctions.cosineSim(col("embedding"), c.getField("cent_emb"))
+      when(cos > acc.getField("cos"),
+        struct(cos.as("cos"), c.getField("cent_id").as("id"))).otherwise(acc)
+    })
+    val asg = vectors.crossJoin(packed)
+      .select(col("vec_id"), col("label"),
+        best.getField("id").as("cell"), best.getField("cos").as("cent_cos"))
+    val cellStats = asg.groupBy("cell").agg(
+      count(lit(1)).as("n_vecs"),
+      (sum(col("cent_cos").cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+        .cast("double") / count(lit(1))).as("mean_cos"))
+    val dominant = asg.groupBy("cell", "label").agg(count(lit(1)).as("n"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("cell").orderBy(col("n").desc, col("label").asc)))
+      .where(col("r") === 1)
+      .select(col("cell"), col("label").as("top_label"), col("n").as("n_top"))
+    cellStats.join(dominant, "cell")
+      .select(col("cell"), col("n_vecs"), col("mean_cos"), col("top_label"),
+        (col("n_top").cast("double") / col("n_vecs")).as("top_share"))
+  }
+
   /** Persist the IVF index as TABLES — the production shape at 100 TB: the
     * index is built ONCE and probed many times, so the corpus-wide work
     * (cell assignment) must never re-run per query. `centroids/` holds the

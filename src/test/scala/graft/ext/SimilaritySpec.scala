@@ -283,6 +283,22 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("clusterProfile reports per-cell counts, tightness, and dominant label") {
+    val vs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 0),    // centroid A (0 % 97 == 0)
+      (97L, Seq(0.0f, 1.0f, 0.0f), 1),   // centroid B
+      (1L, Seq(0.8f, 0.6f, 0.0f), 0),    // nearer A (cos .8 vs .6)
+      (2L, Seq(0.6f, 0.8f, 0.0f), 1),    // nearer B
+      (3L, Seq(0.0f, 0.9f, 0.1f), 1)     // nearer B
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.clusterProfile(vs).collect()
+      .map(r => r.getAs[Long]("cell") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Int]("top_label"), r.getAs[Double]("top_share"))))
+      .toMap
+    assert(out(0L) === ((2L, 0, 1.0)))
+    assert(out(97L) === ((3L, 1, 1.0)))
+  }
+
   test("knnClassify predicts by majority vote with deterministic tiebreaks") {
     val labeled = Seq(
       (1L, Seq(0.99f, 0.14f, 0.0f), 0), (2L, Seq(0.98f, 0.2f, 0.0f), 0),
