@@ -502,6 +502,45 @@ object Curate {
         (col("bin") <= 2).as("keep"))
   }
 
+  /** Taxonomy keyword tagger — the Dolma-tagger pattern for an
+    * EXTERNALLY-supplied topic dictionary (vs [[salientTerms]]' corpus-
+    * derived terms): per doc, exact-token hit counts per topic, the
+    * dominant topic (ties to the alphabetically-first — deterministic),
+    * and tag density. Pure per-row codegen'd expressions over the token
+    * split — scan speed, zero shuffle, dictionary folded into the plan as
+    * literals (broadcast-free because taxonomies are small by definition).
+    */
+  val DefaultTaxonomy: Seq[(String, Seq[String])] = Seq(
+    "joins" -> Seq("join", "merge", "hash"),
+    "sorting" -> Seq("sort", "order"),
+    "storage" -> Seq("table", "scan", "column", "row"),
+    "streaming" -> Seq("stream", "batch", "window"))
+
+  def topicTag(docs: DataFrame,
+      taxonomy: Seq[(String, Seq[String])] = DefaultTaxonomy): DataFrame = {
+    val topics = taxonomy.sortBy(_._1)
+    val toks = TextOps.tokens(col("text"))
+    val withHits = topics.foldLeft(docs.select(col("doc_id"), toks.as("_toks"))) {
+      case (df, (t, kws)) =>
+        df.withColumn(s"h_$t",
+          size(filter(col("_toks"), tk => tk.isInCollection(kws))).cast("long"))
+    }
+    // Dominant topic: chained >= in alphabetical order resolves ties to the
+    // earlier topic; the oracle mirrors the identical CASE chain.
+    val top = topics.init.zipWithIndex.foldLeft(when(lit(false), "")) {
+      case (acc, ((t, _), i)) =>
+        val rest = topics.drop(i + 1).map { case (u, _) => col(s"h_$t") >= col(s"h_$u") }
+        acc.when(rest.reduce(_ && _), t)
+    }.otherwise(topics.last._1)
+    val tagged = topics.map { case (t, _) => col(s"h_$t") }.reduce(_ + _)
+    withHits
+      .withColumn("n_tagged", tagged)
+      .withColumn("top_topic", top)
+      .withColumn("tag_density",
+        col("n_tagged").cast("double") / size(col("_toks")))
+      .drop("_toks")
+  }
+
   /** Export-integrity shard manifest: the verification artifact a dataset
     * publisher ships next to the shards (count / bytes / checksum per
     * shard) so a consumer can detect truncated, duplicated, or corrupted

@@ -381,6 +381,26 @@ object ExtQueries {
           col("n_agree").cast("double") / col("n_queries"))
     }),
 
+    // kNN score propagation (r5): regression twin of x109 — spread the
+    // heuristic quality score from the scored pool (vec_id % 5 != 0) to
+    // the held-out docs as the similarity-weighted neighbor mean, with
+    // the true score kept → residual audit. Embeddings × text-quality
+    // composition across the two fixture tables (ids align by design).
+    "x115_knn_score_propagation" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val qs = TextOps.qualityMetrics(Tables.documents(s, dir))
+        .select(col("doc_id").as("vec_id"), col("quality_score").as("score"))
+      Similarity.knnPropagateScore(
+        e.where(col("vec_id") % 5 === 0), e.where(col("vec_id") % 5 =!= 0), qs, 10)
+    }),
+
+    // Taxonomy keyword tagger (r5): the Dolma-tagger pattern with an
+    // EXTERNALLY-supplied topic dictionary — per-doc topic hit counts,
+    // deterministic dominant topic, tag density; pure codegen'd per-row
+    // expressions, scan speed, zero shuffle.
+    "x114_topic_tagging" -> ((s, dir) =>
+      Curate.topicTag(Tables.documents(s, dir))),
+
     // Semantic cluster profile (r5): corpus composition by IVF cell —
     // count, tightness (mean cosine to centroid), dominant label + share.
     // The "what is IN this corpus" artifact consulted before mixtures or
@@ -1038,6 +1058,27 @@ object ExtQueries {
       "FROM be c JOIN q ON c.tbl = q.tbl AND c.bkt = q.bkt AND q.q_id <> c.vec_id), " +
       "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
       "SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10"
+
+  /** x114's oracle, generated FROM Curate.DefaultTaxonomy so the SQL can
+    * never drift from the Scala dictionary (same lock-step discipline as
+    * the LSH plane/bucket fragments).
+    */
+  private lazy val topicTagSql: String = {
+    val topics = Curate.DefaultTaxonomy.sortBy(_._1)
+    val hitCols = topics.map { case (t, kws) =>
+      s"CAST(len(list_filter(toks, tk -> list_contains([${kws.map(k => s"'$k'").mkString(",")}], tk))) AS BIGINT) AS h_$t"
+    }
+    val caseChain = topics.init.zipWithIndex.map { case ((t, _), i) =>
+      val conds = topics.drop(i + 1).map { case (u, _) => s"h_$t >= h_$u" }.mkString(" AND ")
+      s"WHEN $conds THEN '$t'"
+    }.mkString(" ")
+    val sumExpr = topics.map { case (t, _) => s"h_$t" }.mkString(" + ")
+    s"WITH t AS ($toksCte), h AS (SELECT doc_id, ${hitCols.mkString(", ")}, " +
+      "CAST(len(toks) AS BIGINT) AS n_toks FROM t) " +
+      s"SELECT doc_id, ${topics.map(t => "h_" + t._1).mkString(", ")}, $sumExpr AS n_tagged, " +
+      s"CASE $caseChain ELSE '${topics.last._1}' END AS top_topic, " +
+      s"CAST($sumExpr AS DOUBLE)/n_toks AS tag_density FROM h"
+  }
 
   /** Majority-vote collapse over kNN candidate rows
     * (q_id, true_label, vec_id, nbr_label, cos) — the SQL twin of
@@ -2375,6 +2416,26 @@ object ExtQueries {
         "CAST(sum(CASE WHEN ap.lsh_pred = ex.true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh_correct, " +
         "CAST(sum(CASE WHEN ex.pred_label = ap.lsh_pred THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS agreement " +
         "FROM ex JOIN ap USING (vec_id)"),
+
+    "x114_topic_tagging" -> topicTagSql,
+
+    "x115_knn_score_propagation" ->
+      (s"WITH t AS ($toksCte), d AS (SELECT doc_id, toks, text FROM documents JOIN t USING (doc_id)), " +
+        "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        s"CAST(len(list_filter(toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(toks) AS stopword_ratio, " +
+        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/length(text) AS alpha_ratio " +
+        "FROM d), " +
+        "sq AS (SELECT doc_id, least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5 " +
+        "+ stopword_ratio*0.25 + alpha_ratio*0.25 AS quality_score FROM m), " +
+        s"cand AS ($knnExactCandSql), " +
+        "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM cand), " +
+        "kk AS (SELECT q_id, r.vec_id, cos, quality_score FROM r JOIN sq ON r.vec_id = sq.doc_id WHERE rank <= 10), " +
+        "p AS (SELECT q_id, CAST(sum(CAST(cos*quality_score AS DECIMAL(20,8))) AS DOUBLE)" +
+        "/CAST(sum(CAST(cos AS DECIMAL(20,8))) AS DOUBLE) AS pred_score, " +
+        "CAST(count(*) AS BIGINT) AS n_neighbors FROM kk GROUP BY 1) " +
+        "SELECT p.q_id AS vec_id, pred_score, sq.quality_score AS actual_score, " +
+        "abs(pred_score - sq.quality_score) AS abs_err, n_neighbors " +
+        "FROM p JOIN sq ON p.q_id = sq.doc_id"),
 
     "x113_cluster_profile" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings), " +

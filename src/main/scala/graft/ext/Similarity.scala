@@ -84,6 +84,37 @@ object Similarity {
         (col("nbr_label") === col("true_label")).as("is_correct"))
   }
 
+  /** kNN score propagation — the regression twin of [[knnClassify]]:
+    * spread a continuous per-item score (e.g. a quality-classifier output
+    * computed on a scored pool) to unscored items as the similarity-
+    * weighted mean over the k nearest scored neighbors:
+    * `pred = Σ(cos·score) / Σcos`, both sums DECIMAL-transit so the
+    * result is order-independent and engine-exact. The item's own actual
+    * score (when known) rides along → the result doubles as a residual
+    * audit of the propagation. Same pluggable candidate generator as
+    * [[knnClassify]] (exact default; [[lshMultiTopK]] at scale).
+    *
+    * `scores`: two columns `(vec_id, score)` covering both sides.
+    */
+  def knnPropagateScore(queries: DataFrame, corpus: DataFrame,
+      scores: DataFrame, k: Int,
+      topK: (DataFrame, DataFrame, Int) => DataFrame = bruteForceTopK): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(20, 8)
+    val nn = topK(queries, corpus, k)
+    val pred = nn.join(scores, "vec_id")
+      .groupBy("q_id")
+      .agg(
+        (sum((col("cos") * col("score")).cast(dec)).cast("double") /
+          sum(col("cos").cast(dec)).cast("double")).as("pred_score"),
+        count(lit(1)).as("n_neighbors"))
+    pred
+      .join(scores.withColumnRenamed("vec_id", "q_id")
+        .withColumnRenamed("score", "actual_score"), "q_id")
+      .select(col("q_id").as("vec_id"), col("pred_score"), col("actual_score"),
+        abs(col("pred_score") - col("actual_score")).as("abs_err"),
+        col("n_neighbors"))
+  }
+
   /** Hard-negative mining for contrastive training: for each query vector,
     * the top-k most-similar corpus vectors with a DIFFERENT label — the
     * near-misses a contrastive loss learns the most from (the standard

@@ -48,6 +48,7 @@ class PlanAuditSpec extends SparkTestBase {
     "x109_knn_label_prop" -> "exact-candidate kNN vote, x06's shape: labeled corpus streams against the broadcast query set (scale path = knnClassify with lshMultiTopK candidates, measured by x112)",
     "x112_knn_lsh_agreement" -> "agreement REPORT: contains the exact x06-shaped leg it measures the LSH path against (the LSH leg itself is equi-joined on (tbl, bkt))",
     "x113_cluster_profile" -> "crossJoin against ONE packed broadcast centroid row (constant), same as x13",
+    "x115_knn_score_propagation" -> "exact-candidate kNN regression, x06's shape: scored corpus streams against the broadcast query set (scale path = knnPropagateScore with lshMultiTopK candidates)",
     "x93_vocab_divergence" -> "probability densification: (slices x observed-buckets) crossJoin, bounded by 5 x 1024 constants (same family as x89's model table)",
     "x104_semdedup" -> "crossJoin against ONE packed broadcast centroid row (constant), same as x13",
     "x105_ccnet_buckets" -> "crossJoin against ONE broadcast LM-stats row (x96's shape, trigram model)",

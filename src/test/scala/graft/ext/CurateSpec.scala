@@ -280,6 +280,23 @@ class CurateSpec extends SparkTestBase {
     assert(re === out.map { case (k, v) => k -> v._1 })
   }
 
+  test("topicTag counts per-topic hits and breaks dominant-topic ties alphabetically") {
+    val docs = Seq(
+      (1L, "join merge sort scan"),      // joins 2, sorting 1, storage 1 -> joins
+      (2L, "sort order table scan row"), // sorting 2, storage 3 -> storage
+      (3L, "stream batch sort order"),   // sorting 2 == streaming 2 -> sorting (alphabetical)
+      (4L, "the a value")                // all zero -> joins (first topic wins 0-ties)
+    ).toDF("doc_id", "text")
+    val out = Curate.topicTag(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("top_topic"), r.getAs[Long]("n_tagged"), r.getAs[Double]("tag_density"))))
+      .toMap
+    assert(out(1L)._1 === "joins" && out(1L)._2 === 4L && out(1L)._3 === 1.0)
+    assert(out(2L)._1 === "storage")
+    assert(out(3L)._1 === "sorting")
+    assert(out(4L) === (("joins", 0L, 0.0)))
+  }
+
   test("shardManifest checksum is order-independent and detects content change") {
     val docs = (0L until 40L).map(i => (i, s"document body number $i")).toDF("doc_id", "text")
     val key = (r: org.apache.spark.sql.Row) =>

@@ -299,6 +299,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(out(97L) === ((3L, 1, 1.0)))
   }
 
+  test("knnPropagateScore predicts the similarity-weighted neighbor mean with residual") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((10L, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val scores = Seq((1L, 1.0), (2L, 0.0), (10L, 0.5)).toDF("vec_id", "score")
+    val r = Similarity.knnPropagateScore(queries, corpus, scores, 2).head()
+    // weights: cos(q,1)=1 -> score 1.0; cos(q,2)=0 -> no weight => pred 1.0
+    assert(r.getAs[Long]("vec_id") === 10L)
+    assert(math.abs(r.getAs[Double]("pred_score") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("abs_err") - 0.5) < 1e-9)
+    assert(r.getAs[Long]("n_neighbors") === 2L)
+  }
+
   test("knnClassify predicts by majority vote with deterministic tiebreaks") {
     val labeled = Seq(
       (1L, Seq(0.99f, 0.14f, 0.0f), 0), (2L, Seq(0.98f, 0.2f, 0.0f), 0),
