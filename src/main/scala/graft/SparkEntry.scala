@@ -55,7 +55,9 @@ object SparkEntry {
     "x77_bpe_train", "x79_url_domain_curation",
     "x80_lm_quality_score", "x81_web_corpus_pipeline",
     "x84_dsir_importance", "x85_embedding_outliers",
-    "x89_likelihood_classify")
+    "x89_likelihood_classify",
+    "x109_knn_label_prop", "x110_quality_rank_ensemble",
+    "x111_shard_manifest", "x114_topic_tagging")
 
   private def coreQueries: Map[String, Q] = Map(
     // S1+P4+F1+F4 — dimension scan with projection + pushed predicates

@@ -42,17 +42,26 @@ class VerifySpec extends AnyFunSuite {
   test("bench final stdout line stays under the driver tail-capture budget") {
     // BENCH_r04 was lost to line LENGTH (the enriched ~3.5 KB line
     // overflowed the driver's fixed-size tail capture, truncating its
-    // start). The compact final line's length is a pure function of the
-    // bench leg list — reconstruct it with worst-case per-query widths
-    // ("%.3f" at up to 99.999 s per leg; every leg is under 4 s even on a
-    // noisy host, and a 100 s leg means the bench is broken regardless)
-    // and pin the 1 KB contract here so adding a leg that would overflow
-    // fails the build, not the round.
-    val worst = SparkEntry.benchQueries.map(n => "\"" + n + "\":99.999")
-      .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":99999.99999999,"unit":"sec","queries":$worst,"sf":"/root/testdata/sf0.1"}"""
-    assert(line.length <= 1024,
-      s"projected bench line is ${line.length} B — trim benchQueries (${SparkEntry.benchQueries.size} legs)")
+    // start). Bench.finalLine now enforces the budget itself: when the
+    // headline set would overflow, it keeps the most expensive legs and
+    // reports the dropped cheap ones. Pin the guarantee at worst-case
+    // per-leg widths ("%.3f" at 99.999 s) over the REAL benchQueries list,
+    // and pin that expensive legs survive the cut while only cheap ones
+    // are dropped.
+    val worst = SparkEntry.benchQueries.map(n => (n, 99.999))
+    val (line, dropped) = Bench.finalLine(worst, 99999.99999999, "/root/testdata/sf0.1")
+    assert(line.length <= 1000,
+      s"bench final line is ${line.length} B despite the cap (${SparkEntry.benchQueries.size} legs)")
+    assert(line.startsWith("""{"metric":"total","value":""") && line.endsWith("""}"""))
+    // realistic costs: the expensive leg is always kept, cheap legs go first
+    val mixed = SparkEntry.benchQueries.zipWithIndex.map { case (n, i) =>
+      (n, if (i == 0) 9.9 else 0.001 * (i + 1)) }
+    val (line2, dropped2) = Bench.finalLine(mixed, 10.0, "/root/testdata/sf0.1")
+    assert(line2.contains("\"" + SparkEntry.benchQueries.head + "\":9.900"))
+    assert(dropped2.forall(n => n != SparkEntry.benchQueries.head))
+    // dropped legs are exactly the cheapest ones
+    val keptCosts = mixed.filterNot { case (n, _) => dropped2.contains(n) }.map(_._2)
+    assert(dropped2.isEmpty || keptCosts.min >= mixed.filter { case (n, _) => dropped2.contains(n) }.map(_._2).max)
   }
 
   test("alias entry points exist and delegate to Verify (compile-time link check)") {
