@@ -381,6 +381,25 @@ object ExtQueries {
           col("n_agree").cast("double") / col("n_queries"))
     }),
 
+    // Filter-agreement cross-tab (r5): do the two quality filters agree?
+    // Tertile every scored doc under BOTH signals — trigram-LM fluency
+    // (bin 1 = most fluent) and heuristic quality (bin 1 = highest, via
+    // negated score) — and cross-tabulate. Diagonal mass = redundant
+    // filters; off-diagonal = each filter catches docs the other misses.
+    // The standard check before stacking filters in a cascade (x102).
+    "x116_filter_agreement" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lm = TextOps.lmTrigramScore(docs, col("source") === "src0")
+        .select("doc_id", "avg_invp")
+      val hq = TextOps.qualityMetrics(docs).select("doc_id", "quality_score")
+      val j = lm.join(hq, "doc_id").withColumn("neg_q", -col("quality_score"))
+      val lb = graft.ops.Quality.exactNtile(j, 3, Seq("avg_invp", "doc_id"))
+        .withColumnRenamed("bin", "lm_bin")
+      val hb = graft.ops.Quality.exactNtile(lb, 3, Seq("neg_q", "doc_id"))
+        .withColumnRenamed("bin", "hq_bin")
+      hb.groupBy("lm_bin", "hq_bin").agg(count(lit(1)).as("n_docs"))
+    }),
+
     // kNN score propagation (r5): regression twin of x109 — spread the
     // heuristic quality score from the scored pool (vec_id % 5 != 0) to
     // the held-out docs as the similarity-weighted neighbor mean, with
@@ -2418,6 +2437,22 @@ object ExtQueries {
         "FROM ex JOIN ap USING (vec_id)"),
 
     "x114_topic_tagging" -> topicTagSql,
+
+    "x116_filter_agreement" ->
+      (s"WITH $lmTrigramCtes, " +
+        "sc AS (SELECT doc_id, list_aggregate(list(invp ORDER BY i), 'sum')/count(*) AS avg_invp " +
+        "FROM sp GROUP BY doc_id), " +
+        "mq AS (SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens, " +
+        s"CAST(len(list_filter(t.toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(t.toks) AS stopword_ratio, " +
+        "CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)/length(d.text) AS alpha_ratio " +
+        "FROM t JOIN documents d USING (doc_id)), " +
+        "qq AS (SELECT doc_id, least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5 " +
+        "+ stopword_ratio*0.25 + alpha_ratio*0.25 AS quality_score FROM mq), " +
+        "j AS (SELECT sc.doc_id, avg_invp, quality_score FROM sc JOIN qq USING (doc_id)), " +
+        "b AS (SELECT doc_id, " +
+        "CAST(ntile(3) OVER (ORDER BY avg_invp, doc_id) AS BIGINT) AS lm_bin, " +
+        "CAST(ntile(3) OVER (ORDER BY -quality_score, doc_id) AS BIGINT) AS hq_bin FROM j) " +
+        "SELECT lm_bin, hq_bin, CAST(count(*) AS BIGINT) AS n_docs FROM b GROUP BY 1, 2"),
 
     "x115_knn_score_propagation" ->
       (s"WITH t AS ($toksCte), d AS (SELECT doc_id, toks, text FROM documents JOIN t USING (doc_id)), " +

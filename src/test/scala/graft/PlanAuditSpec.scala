@@ -25,6 +25,7 @@ class PlanAuditSpec extends SparkTestBase {
     "x39_sketch_hll_union" -> "crossJoin of two single-row aggregates (exact ALL count × unioned-sketch estimate)",
     "x80_lm_quality_score" -> "crossJoin against ONE broadcast LM-stats row (train token/vocab totals, constant)",
     "x96_lm_trigram_score" -> "crossJoin against ONE broadcast LM-stats row (x80's shape, trigram model)",
+    "x116_filter_agreement" -> "crossJoin against ONE broadcast LM-stats row (x96's trigram chain feeding the cross-tab)",
     "x81_web_corpus_pipeline" -> "crossJoins against ONE broadcast LM-stats row and ONE broadcast P95-threshold row (constants)",
     "x44_sketch_kll_rollup" -> "crossJoin against ONE broadcast unioned-sketch estimate row + the 1-row ALL fold (constant)",
     "x48_bm25_topk" -> "crossJoin against ONE broadcast corpus-stats row (constant)",
