@@ -297,6 +297,24 @@ class CurateSpec extends SparkTestBase {
     assert(out(4L) === (("joins", 0L, 0.0)))
   }
 
+  test("shardManifest merges incrementally: manifest(a union b) == fold of the two") {
+    // The commutative accumulators (count/sum/xor/min/max) mean a delta
+    // publish can fold its batch manifest into the stored one without
+    // re-reading the corpus — pin the algebra.
+    val a = (0L until 30L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
+    val b = (30L until 50L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
+    val full = Curate.shardManifest(a.unionByName(b), "doc_id", "text", 4)
+      .orderBy("shard").collect().map(_.toSeq).toSeq
+    val merged = Curate.shardManifest(a, "doc_id", "text", 4)
+      .unionByName(Curate.shardManifest(b, "doc_id", "text", 4))
+      .groupBy("shard").agg(
+        sum("n_docs").as("n_docs"), sum("n_chars").as("n_chars"),
+        expr("bit_xor(content_xor)").as("content_xor"),
+        min("min_fp").as("min_fp"), max("max_fp").as("max_fp"))
+      .orderBy("shard").collect().map(_.toSeq).toSeq
+    assert(merged === full)
+  }
+
   test("shardManifest checksum is order-independent and detects content change") {
     val docs = (0L until 40L).map(i => (i, s"document body number $i")).toDF("doc_id", "text")
     val key = (r: org.apache.spark.sql.Row) =>
