@@ -95,7 +95,9 @@ class ShuffleAuditSpec extends SparkTestBase {
       "x48_bm25_topk" -> 2,
       "q53_ev2_retention" -> 3,
       "x79_url_domain_curation" -> 2, // domain-keyed quota window + count (blocklist broadcast)
-      "x80_lm_quality_score" -> 3)    // vocab-sized LM aggs broadcast; doc-keyed fold + count
+      "x80_lm_quality_score" -> 3,    // vocab-sized LM aggs broadcast; doc-keyed fold + count
+      "x111_shard_manifest" -> 2,     // THE point of the plan: one 16-row shard agg + count
+      "x114_topic_tagging" -> 1)      // pure scan-speed tagger: only the count() fold
     val got = budgets.keys.toSeq.sorted.map { name =>
       name -> graft.ops.ShuffleAudit.measureCount(
         graft.SparkEntry.queries(name)(spark, sfDir)).numExchanges
