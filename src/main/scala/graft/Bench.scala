@@ -117,8 +117,12 @@ object Bench {
     // ordering guarantee costs nothing.) Also persist a copy next to the
     // repo so a stdout-capture failure still leaves the result on disk.
     spark.stop()
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), enriched + "\n")
-    catch { case _: Throwable => () }
+    // Only FULL headline runs update the committed reference artifact — a
+    // targeted SPARK_GRAFT_BENCH_ONLY run must not clobber it with a
+    // one-leg map.
+    if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), enriched + "\n")
+      catch { case _: Throwable => () }
     System.err.println(s"[bench] enriched: $enriched")
     println(json)
     System.out.flush()

@@ -688,22 +688,40 @@ object TextOps {
       .select(col("cls"), col("f"),
         (((coalesce(col("c_fc"), lit(0L)) + 1L) * (col("n") + b)).cast("double") /
           ((col("n_c") + b) * (col("c_f") + 1L)).cast("double")).as("lr"))
+    // Scoring joins each token ONCE against a bucket → (cls → lr) MAP model
+    // instead of exploding tokens × classes: k× fewer join/shuffle rows and
+    // ONE doc-keyed aggregation, with the per-doc argmax as a codegen'd
+    // fold over the class list (no rank window). The class list is a
+    // driver-side collect of class-cardinality size (same budget as the
+    // k-means centroids). Per-class scores stay i-ordered folds over the
+    // identical doubles, so results are bit-identical to the exploded form
+    // (and to the oracle's `list(lr ORDER BY i)` sums).
+    val classes = classTotals.select("cls").collect().map(_.getString(0)).sorted.toSeq
+    val bucketModel = model.groupBy("f")
+      .agg(map_from_entries(sort_array(collect_list(struct(col("cls"), col("lr"))))).as("m"))
+      .select(col("f"),
+        array(classes.map(c => element_at(col("m"), c)): _*).as("lrs"))
     val scoreDocs = docs.where(!isTrain)
       .select(col("doc_id"), labelCol.as("label"),
         posexplode(transform(toks, t => feat(t))).as(Seq("i", "f")))
-    val perClass = scoreDocs
-      .join(broadcast(model), Seq("f"), "inner")
-      .groupBy("doc_id", "label", "cls")
-      .agg(sort_array(collect_list(struct(col("i"), col("lr")))).as("ls"))
-      .select(col("doc_id"), col("label"), col("cls"),
-        (aggregate(transform(col("ls"), s => s.getField("lr")), lit(0.0), (a, x) => a + x)
-          / size(col("ls"))).as("score"))
-    val ranked = perClass.withColumn("_r", row_number().over(
-      org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-        .orderBy(col("score").desc, col("cls").asc)))
-    ranked.where(col("_r") === 1)
-      .select(col("doc_id"), col("label"), col("cls").as("pred"), col("score"),
-        (col("cls") === col("label")).as("is_correct"))
+    val agg = scoreDocs
+      .join(broadcast(bucketModel), Seq("f"), "inner")
+      .groupBy("doc_id", "label")
+      .agg(sort_array(collect_list(struct(col("i"), col("lrs")))).as("ls"))
+    val scored = classes.zipWithIndex.foldLeft(agg) { case (df, (c, j)) =>
+      df.withColumn(s"_s_$c",
+        aggregate(transform(col("ls"), s => s.getField("lrs").getItem(j)),
+          lit(0.0), (a, x) => a + x) / size(col("ls")))
+    }
+    val init = struct(lit(Double.NegativeInfinity).as("score"), lit("").as("cls"))
+    val pairs = array(classes.map(c =>
+      struct(col(s"_s_$c").as("score"), lit(c).as("cls"))): _*)
+    val best = aggregate(pairs, init, (acc, p) =>
+      when(p.getField("score") > acc.getField("score"), p).otherwise(acc))
+    scored.withColumn("_best", best)
+      .select(col("doc_id"), col("label"), col("_best").getField("cls").as("pred"),
+        col("_best").getField("score").as("score"),
+        (col("_best").getField("cls") === col("label")).as("is_correct"))
   }
 
   /** Canonical text normalization for dedup/tokenization robustness:
