@@ -478,7 +478,7 @@ object ExtQueries {
       // LM explode cuts ~1/3 of the scoring work; per-doc scores are
       // independent, so the surviving rows are bit-identical to scoring
       // everything and joining after (which is what the oracle does).
-      val baseCols = docs.columns.map(col)
+      val baseCols = docs.columns.toIndexedSeq.map(col)
       val scoringDocs = docs.where(col("source") === "src0")
         .unionByName(dom.where(col("source") =!= "src0").select(baseCols: _*))
       val scores = TextOps.lmInvProbScore(scoringDocs, col("source") === "src0")

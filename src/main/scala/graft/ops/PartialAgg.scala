@@ -39,7 +39,7 @@ object PartialAgg {
     */
   def merge(states: DataFrame*): DataFrame =
     states.reduce(_ unionByName _)
-      .groupBy(states.head.columns.dropRight(4).map(col): _*)
+      .groupBy(states.head.columns.toIndexedSeq.dropRight(4).map(col): _*)
       .agg(
         sum(col("s_sum")).as("s_sum"),
         sum(col("s_cnt")).as("s_cnt"),
@@ -49,7 +49,7 @@ object PartialAgg {
   /** Read-time finalization: surface the derived measures. */
   def finalize(state: DataFrame): DataFrame =
     state.select(
-      state.columns.dropRight(4).map(col) ++ Seq(
+      state.columns.toIndexedSeq.dropRight(4).map(col) ++ Seq(
         col("s_sum").cast("double").as("total"),
         col("s_cnt").as("n"),
         // double division of the two exact components — decimal division
