@@ -643,4 +643,50 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_removed"))
   }
+
+  /** APPLIED n-gram decontamination — the surgical form of the flag-only
+    * check (x101): strip every k-token window of a TRAINING doc that
+    * appears ANYWHERE in the benchmark set and rebuild the cleaned text,
+    * instead of dropping whole documents (GPT-3-style span-level
+    * decontamination; [[dedupPassagesApplied]]'s excise-and-rebuild with
+    * the duplicated-window owners replaced by benchmark windows).
+    *
+    * Scale shape: the benchmark side collapses to DISTINCT window digests
+    * — benchmark suites are dim-sized by definition, so the digest set
+    * broadcasts and the 100 TB training corpus never shuffles for the
+    * match; the only wide ops are the (doc, pos) distinct and the per-doc
+    * bounded rebuild (a doc's own tokens), both x94-audited shapes.
+    */
+  def decontaminateApplied(train: DataFrame, benchmark: DataFrame,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens, got $k")
+    val base = cacheOnce(train.select(col("doc_id"), TextOps.tokens(col("text")).as("toks")))
+    def windowHashes(toks: Column): Column =
+      when(size(toks) >= k,
+        transform(sequence(lit(1), size(toks) - lit(k - 1)),
+          i => md5(concat_ws(" ", slice(toks, i, lit(k))))))
+        .otherwise(array())
+    val trainWin = base.select(col("doc_id"),
+      posexplode(windowHashes(col("toks"))).as(Seq("pos", "wh")))
+    val benchWin = benchmark
+      .select(explode(windowHashes(TextOps.tokens(col("text")))).as("wh"))
+      .distinct()
+    val removed = trainWin.join(broadcast(benchWin), "wh")
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("ti"))
+      .distinct()
+    val kept = base
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("ti", "tok")))
+      .join(removed, Seq("doc_id", "ti"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("ti"), col("tok")))),
+            s => s.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    base.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_removed"))
+  }
 }

@@ -381,6 +381,17 @@ object ExtQueries {
           col("n_agree").cast("double") / col("n_queries"))
     }),
 
+    // APPLIED decontamination (r5): x101's flag turned surgical — strip
+    // every 8-token window of a training doc that appears anywhere in the
+    // benchmark set (source = src0) and rebuild the cleaned text
+    // (GPT-3-style span-level decontamination; x94's excise-and-rebuild
+    // with benchmark windows as the kill set).
+    "x117_decontaminate_applied" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.decontaminateApplied(
+        d.where(col("source") =!= "src0"), d.where(col("source") === "src0"))
+    }),
+
     // Filter-agreement cross-tab (r5): do the two quality filters agree?
     // Tertile every scored doc under BOTH signals — trigram-LM fluency
     // (bin 1 = most fluent) and heuristic quality (bin 1 = highest, via
@@ -2437,6 +2448,30 @@ object ExtQueries {
         "FROM ex JOIN ap USING (vec_id)"),
 
     "x114_topic_tagging" -> topicTagSql,
+
+    "x117_decontaminate_applied" ->
+      ("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +
+        "tr AS (SELECT doc_id, toks FROM t WHERE source <> 'src0'), " +
+        "w AS (SELECT doc_id, p.i AS i, p.wh AS wh FROM " +
+        "(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-7), " +
+        "i -> struct_pack(i := i, wh := md5(array_to_string(toks[i:i+7], ' '))))) AS p " +
+        "FROM tr WHERE len(toks) >= 8)), " +
+        "bw AS (SELECT DISTINCT md5(array_to_string(toks[i:i+7], ' ')) AS wh FROM " +
+        "(SELECT toks, unnest(generate_series(1, len(toks)-7)) AS i " +
+        "FROM t WHERE source = 'src0' AND len(toks) >= 8)), " +
+        "rem AS (SELECT DISTINCT doc_id, ti FROM (SELECT w.doc_id, " +
+        "unnest(generate_series(w.i, w.i+7)) AS ti FROM w JOIN bw USING (wh))), " +
+        "tokp AS (SELECT doc_id, p.i AS ti, p.tok AS tok FROM " +
+        "(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)), " +
+        "i -> struct_pack(i := i, tok := toks[i]))) AS p FROM tr)), " +
+        "kept AS (SELECT tokp.doc_id, tokp.ti, tokp.tok FROM tokp " +
+        "ANTI JOIN rem ON tokp.doc_id = rem.doc_id AND tokp.ti = rem.ti), " +
+        "reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS clean_text, " +
+        "CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id) " +
+        "SELECT b.doc_id, b.n_tokens, coalesce(reb.clean_text, '') AS clean_text, " +
+        "b.n_tokens - coalesce(reb.n_kept, 0) AS n_removed " +
+        "FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tr) b " +
+        "LEFT JOIN reb USING (doc_id)"),
 
     "x116_filter_agreement" ->
       (s"WITH $lmTrigramCtes, " +

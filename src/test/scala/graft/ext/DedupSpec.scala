@@ -242,6 +242,28 @@ class DedupSpec extends SparkTestBase {
     assert(out(3L) === ((10L, "completely different content with no shared passages at all ok", 0L)))
   }
 
+  test("decontaminateApplied strips exactly the benchmark-overlapping spans") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "intro words then the quick brown fox jumps over the lazy dog"),
+      (2L, "totally clean training document with no benchmark overlap at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog")  // 9 tokens, 2 windows of 8
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminateApplied(train, bench, k = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getAs[String]("clean_text"), r.getLong(3)))).toMap
+    // doc 1: the 9 benchmark tokens go (both windows), the 3-token intro stays
+    assert(out(1L) === ((12L, "intro words then", 9L)))
+    assert(out(2L) === ((10L, "totally clean training document with no benchmark overlap at all", 0L)))
+    // unlike dedupPassagesApplied there is NO owner exemption: every
+    // training copy of a benchmark span is stripped
+    val twoCopies = Dedup.decontaminateApplied(
+      train.unionByName(Seq((3L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")),
+      bench, k = 8).collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(twoCopies(1L) === 9L && twoCopies(3L) === 9L)
+  }
+
   test("dedupPassagesApplied: fixture invariants — exact dups survive once, reconciles with dupPassages") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val out = Dedup.dedupPassagesApplied(docs).collect()
