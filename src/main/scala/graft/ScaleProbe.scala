@@ -118,6 +118,18 @@ object ScaleProbe {
       time("domain_authority") {
         graft.ext.Authority.domainAuthority(corpus).count()
       }
+      // Applied decontamination: the benchmark window set stays FIXED (the
+      // COPY-0 src0 slice — token salting is per copy, so the base
+      // fixture's unsalted windows would match nothing) while the training
+      // corpus grows with k — the broadcast window match is constant work
+      // per token, so time must track k; cross-copy salting keeps hits
+      // copy-0-local, so the hit count must stay CONSTANT as k grows.
+      time("decontaminate_applied") {
+        graft.ext.Dedup.decontaminateApplied(
+          corpus.where(col("source") =!= "src0"),
+          corpus.where(col("doc_id") < 1000000L && col("source") === "src0"))
+          .where(col("n_removed") > 0).count()
+      }
       // Rank ensemble: 3 range-repartition rank passes + doc-keyed joins
       // over (doc_id, 8-byte rank) rows — after the metric scan, work is
       // rank-row-sized, so time must track k with a scan-dominated slope.
