@@ -222,6 +222,28 @@ object SparkEntry {
 
     // W — rolling price↔quantity correlation, same frame-list fold as q55
     // (all five moments from two sequential folds + one fixed expression).
+    // W — exponentially-weighted moving average, the pandas `ewm` staple of
+    // the reference's K-line domain: 20-tap truncated EWM (α = 0.2,
+    // adjust-style: Σ wⱼ·x_{t-j} / Σ wⱼ, wⱼ = 0.8ʲ). The tap weights are a
+    // PLAN-TIME literal list shared verbatim with the oracle (printed
+    // doubles round-trip, so both engines fold the identical values in the
+    // identical newest-first order — no pow() libm divergence).
+    "q59_w7_ewma" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("price"))
+        .rowsBetween(-19, Window.currentRow)
+      Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice").cast("double").as("price"))
+        .withColumn("_rf", reverse(collect_list(col("price")).over(w)))
+        .withColumn("_wts", slice(typedLit(EwmaWeights), lit(1), size(col("_rf"))))
+        .withColumn("ewma",
+          aggregate(zip_with(col("_rf"), col("_wts"), (x, wt) => x * wt),
+            lit(0.0), (a, x) => a + x)
+            / aggregate(col("_wts"), lit(0.0), (a, x) => a + x))
+        .drop("_rf", "_wts")
+    }),
+
     "q56_w6_rolling_corr" -> ((s, dir) => {
       // (x, y) tiebreaks for the duplicated-key pair — see q55's comment
       val w = Window.partitionBy("l_suppkey")
@@ -804,7 +826,30 @@ object SparkEntry {
       "+ CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN t4 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth " +
       "FROM s4)"
 
+  /** q59's EWM tap weights, 0.8ʲ by repeated multiplication; the oracle
+    * embeds the PRINTED doubles (round-trip-exact) so both engines use
+    * bit-identical taps.
+    */
+  private val EwmaWeights: Seq[Double] =
+    Iterator.iterate(1.0)(_ * 0.8).take(20).toVector
+
   def oracleSql: Map[String, String] = Map(
+    "q59_w7_ewma" ->
+      ("WITH b AS (SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, " +
+        "CAST(l_extendedprice AS DOUBLE) AS price FROM lineitem), " +
+        "w AS (SELECT *, list(price) OVER win AS f FROM b WINDOW win AS " +
+        "(PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, price " +
+        "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)), " +
+        // E-notation forces each tap literal through the DOUBLE parser
+        // (strtod round-to-nearest == JVM parse of the same printed
+        // double). Bare decimals are the x86 trap, list edition: a
+        // decimal LIST takes one common scale (487/60k ulp mismatches),
+        // and even per-element CAST(decimal AS DOUBLE) converts via
+        // inexact 10^-s arithmetic (3935/60k). Measured, both.
+        s"e AS (SELECT *, list_reverse(f) AS rf, (${EwmaWeights.map(d => s"${d}E0").mkString("[", ", ", "]")})[1:len(f)] AS wts FROM w) " +
+        "SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, price, " +
+        "list_aggregate(list_transform(list_zip(rf, wts), z -> z[1]*z[2]), 'sum')" +
+        "/list_aggregate(wts, 'sum') AS ewma FROM e"),
     "q52_ev1_funnel" ->
       s"WITH $funnelCtes SELECT user_id, t1, t2, t3, t4, depth FROM fd",
 
