@@ -6,6 +6,15 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   */
 object Bench {
+  /** Locale-pinned decimal formatting: the scala `f` interpolator uses the
+    * JVM default locale, so under a comma-decimal locale the machine-parsed
+    * final JSON line would become invalid (ADVICE r5) — same class of trap
+    * the 1000-byte cap exists for. All JSON number formatting goes through
+    * here.
+    */
+  def fmt(pattern: String, v: Double): String =
+    String.format(java.util.Locale.ROOT, pattern, Double.box(v))
+
   /** Final-stdout-line builder with a HARD ≤1000-byte guarantee (BENCH_r04
     * was lost to a ~3.5 KB line overflowing the driver's fixed-size tail
     * capture — line LENGTH is part of the contract). If the full queries
@@ -19,7 +28,7 @@ object Bench {
     val byCost = perLeg.sortBy { case (n, s) => (-s, n) }
     def lineFor(keep: Int): String = {
       val kept = byCost.take(keep).sortBy(_._1)
-      val qs = kept.map { case (k, s) => "\"" + k + "\":" + f"$s%.3f" }
+      val qs = kept.map { case (k, s) => "\"" + k + "\":" + fmt("%.3f", s) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
@@ -91,10 +100,11 @@ object Bench {
     }
     def fmtMap(f: (String, Seq[Run]) => String): String =
       results.map { case (k, rs) => "\"" + k + "\":" + f(k, rs) }.mkString("{", ",", "}")
-    val qs = fmtMap((_, rs) => f"${rs.map(_.sec).min}%.3f")
-    val runsJson = fmtMap((_, rs) => rs.map(r => f"${r.sec}%.3f").mkString("[", ",", "]"))
+    val qs = fmtMap((_, rs) => fmt("%.3f", rs.map(_.sec).min))
+    val runsJson = fmtMap((_, rs) => rs.map(r => fmt("%.3f", r.sec)).mkString("[", ",", "]"))
     val cpuJson = fmtMap((_, rs) =>
-      rs.map(r => f"[${r.user}%.2f,${r.sys}%.2f]").mkString("[", ",", "]"))
+      rs.map(r => "[" + fmt("%.2f", r.user) + "," + fmt("%.2f", r.sys) + "]")
+        .mkString("[", ",", "]"))
     val shuffleJson = fmtMap((_, rs) => rs.map(_.shuffleBytes).max.toString)
     val total = results.map(_._2.map(_.sec).min).sum
     // FINAL stdout line: the r3-proven compact shape ONLY. The r4 enriched
@@ -103,8 +113,20 @@ object Bench {
     // round's bench artifact (BENCH_r04 parsed: null) — line LENGTH is part
     // of the contract. The diagnostics keep flowing, but to bench_last.json
     // (committed) and stderr, never the final stdout line.
-    val (json, droppedLegs) =
-      Bench.finalLine(results.map { case (k, rs) => (k, rs.map(_.sec).min) }, total, sfDir)
+    val perLeg = results.map { case (k, rs) => (k, rs.map(_.sec).min) }
+    val (json, droppedLegs) = Bench.finalLine(perLeg, total, sfDir)
+    // VERDICT r5 ask #2: legs dropped from the capped final line must not be
+    // stderr-only — emit them as a SECOND stdout line (metric total_extra)
+    // right before the final one, so every timed leg is recoverable from the
+    // stdout tail even if the committed bench_last.json twin is lost. The
+    // final compact line stays last and under 1000 B.
+    val extraLine: Option[String] = if (droppedLegs.isEmpty) None else {
+      val droppedSet = droppedLegs.toSet
+      val dropped = perLeg.filter { case (n, _) => droppedSet.contains(n) }
+      val qs = dropped.sortBy(_._1)
+        .map { case (k, s) => "\"" + k + "\":" + fmt("%.3f", s) }.mkString("{", ",", "}")
+      Some(s"""{"metric":"total_extra","value":${dropped.map(_._2).sum},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    }
     if (droppedLegs.nonEmpty)
       System.err.println(s"[bench] final line dropped ${droppedLegs.size} cheapest legs to fit 1000 B: " +
         droppedLegs.mkString(","))
@@ -124,6 +146,7 @@ object Bench {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), enriched + "\n")
       catch { case _: Throwable => () }
     System.err.println(s"[bench] enriched: $enriched")
+    extraLine.foreach(println)
     println(json)
     System.out.flush()
   }

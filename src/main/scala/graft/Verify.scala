@@ -170,6 +170,31 @@ object Verify {
       System.err.println(f"[verify] sweep complete: ${done.size}/${names.size} in ${(System.nanoTime() - t00) / 1e9}%.0fs")
     }
     try writeManifest(finished, deadlineHit = !finished) catch { case _: Throwable => () }
+    // Self-published correctness verdict (VERDICT r5 ask #1): the driver's
+    // own compare step has produced `{}` for 5 straight rounds against a
+    // twice-validated directory, so after the sweep finishes we best-effort
+    // run the full DuckDB compare ourselves and leave COMPARE.json sitting
+    // next to the parquets — a driver-initiated invocation then always
+    // carries its own verdict. Never fatal, bounded by a timeout, logged.
+    try {
+      val cmp = new java.io.File("/root/repo/tools/compare.py")
+      // Skip on prefix-filtered runs: the compare iterates the FULL oracle
+      // map, so a targeted sweep would report every unselected query as a
+      // miss — noise, not signal.
+      if (cmp.isFile && only.isEmpty) {
+        val pb = new ProcessBuilder("python3", cmp.getAbsolutePath, sfDir, outDir,
+          s"$outDir/COMPARE.json")
+        pb.redirectErrorStream(true)
+        val p = pb.start()
+        val outLines = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        val ok = p.waitFor(300, TimeUnit.SECONDS)
+        if (!ok) p.destroyForcibly()
+        val tail = outLines.linesIterator.toSeq.takeRight(2).mkString(" | ")
+        System.err.println(s"[verify] self-compare ${if (ok) s"rc=${p.exitValue()}" else "TIMEOUT"}: $tail")
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] self-compare skipped: ${e.getMessage}")
+    }
     // Exit 0 unconditionally (after flushing results): stuck Spark jobs or
     // non-daemon threads must not turn a mostly-green sweep into a driver
     // timeout kill. System.exit runs the SparkContext shutdown hook.

@@ -518,6 +518,15 @@ object Curate {
 
   def topicTag(docs: DataFrame,
       taxonomy: Seq[(String, Seq[String])] = DefaultTaxonomy): DataFrame = {
+    // Topic names become column names (h_$t) and raw SQL identifiers in the
+    // generated oracle; keywords become single-quoted SQL literals (ADVICE
+    // r5). Reject anything that could break either plan at the door.
+    taxonomy.foreach { case (t, kws) =>
+      require(t.matches("[A-Za-z0-9_]+"),
+        s"topic name '$t' must match [A-Za-z0-9_]+ (it becomes a column/SQL identifier)")
+      kws.foreach(k => require(!k.exists(c => c == '\'' || c == '"' || c == '\\'),
+        s"keyword '$k' for topic '$t' must not contain quotes/backslashes"))
+    }
     val topics = taxonomy.sortBy(_._1)
     val toks = TextOps.tokens(col("text"))
     val withHits = topics.foldLeft(docs.select(col("doc_id"), toks.as("_toks"))) {

@@ -2500,8 +2500,9 @@ object ExtQueries {
         s"cand AS ($knnExactCandSql), " +
         "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM cand), " +
         "kk AS (SELECT q_id, r.vec_id, cos, quality_score FROM r JOIN sq ON r.vec_id = sq.doc_id WHERE rank <= 10), " +
-        "p AS (SELECT q_id, CAST(sum(CAST(cos*quality_score AS DECIMAL(20,8))) AS DOUBLE)" +
-        "/CAST(sum(CAST(cos AS DECIMAL(20,8))) AS DOUBLE) AS pred_score, " +
+        "p AS (SELECT q_id, CASE WHEN CAST(sum(CAST(cos AS DECIMAL(20,8))) AS DOUBLE) > 0 " +
+        "THEN CAST(sum(CAST(cos*quality_score AS DECIMAL(20,8))) AS DOUBLE)" +
+        "/CAST(sum(CAST(cos AS DECIMAL(20,8))) AS DOUBLE) END AS pred_score, " +
         "CAST(count(*) AS BIGINT) AS n_neighbors FROM kk GROUP BY 1) " +
         "SELECT p.q_id AS vec_id, pred_score, sq.quality_score AS actual_score, " +
         "abs(pred_score - sq.quality_score) AS abs_err, n_neighbors " +

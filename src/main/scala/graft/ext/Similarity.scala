@@ -101,12 +101,20 @@ object Similarity {
       topK: (DataFrame, DataFrame, Int) => DataFrame = bruteForceTopK): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(20, 8)
     val nn = topK(queries, corpus, k)
+    // Guard the denominator (ADVICE r5): a query whose neighbors are all
+    // orthogonal/anti-similar has Σcos <= 0 — a division there yields
+    // null/NaN/out-of-range predictions whose zero-division behavior can
+    // differ between engines. Emit null pred_score instead, identically in
+    // the oracle (abs_err then propagates null in both engines).
     val pred = nn.join(scores, "vec_id")
       .groupBy("q_id")
       .agg(
-        (sum((col("cos") * col("score")).cast(dec)).cast("double") /
-          sum(col("cos").cast(dec)).cast("double")).as("pred_score"),
+        sum((col("cos") * col("score")).cast(dec)).cast("double").as("_num"),
+        sum(col("cos").cast(dec)).cast("double").as("_den"),
         count(lit(1)).as("n_neighbors"))
+      .select(col("q_id"),
+        when(col("_den") > 0, col("_num") / col("_den")).as("pred_score"),
+        col("n_neighbors"))
     pred
       .join(scores.withColumnRenamed("vec_id", "q_id")
         .withColumnRenamed("score", "actual_score"), "q_id")

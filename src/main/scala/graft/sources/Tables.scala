@@ -35,6 +35,13 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Both decode paths below cast through the SESSION timezone to reach
+    // timestamp_ntz; a non-UTC external caller would silently shift every
+    // event timestamp (ADVICE r5). Same guarded-set fallback as the
+    // nanosAsLong conf: all our entry points already pin UTC, so this only
+    // bites sessions we didn't build.
+    if (spark.conf.get("spark.sql.session.timeZone") != "UTC")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = table(spark, dir, "events")
     // The fixture's physical ts type has varied across driver rounds:
     // nanos-as-long (needs the div-1000 conversion) vs timestamp[us]
