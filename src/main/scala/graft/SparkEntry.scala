@@ -57,7 +57,8 @@ object SparkEntry {
     "x84_dsir_importance", "x85_embedding_outliers",
     "x89_likelihood_classify",
     "x109_knn_label_prop", "x110_quality_rank_ensemble",
-    "x111_shard_manifest", "x114_topic_tagging")
+    "x111_shard_manifest", "x114_topic_tagging",
+    "x119_retrieval_eval")
 
   private def coreQueries: Map[String, Q] = Map(
     // S1+P4+F1+F4 — dimension scan with projection + pushed predicates

@@ -721,6 +721,27 @@ object ExtQueries {
     "x48_bm25_topk" -> ((s, dir) =>
       Search.bm25TopK(Tables.documents(s, dir), Seq("hash", "join", "dup"), 10)),
 
+    // Hybrid retrieval (r6): RRF fusion of the BM25 lexical list and the
+    // brute-force semantic list for the fixture query (vector 0 + x48's
+    // terms) — Σ 1/(60+rank), ranks null where a list missed the doc.
+    // The two 20-row candidate lists full-outer join; all heavy work is
+    // the already-verified upstream rankers.
+    "x118_hybrid_rrf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).where(col("doc_id") =!= Hybrid.QueryVecId)
+      Hybrid.rrfFuse(
+        Hybrid.bm25Ranked(docs, Hybrid.QueryTerms, 20),
+        Hybrid.annRanked(Tables.embeddings(s, dir), 20), 10)
+    }),
+
+    // Retrieval-quality eval (r6): nDCG@10 + recall@10 for bm25 / ann /
+    // rrf against the planted two-aspect graded relevance (label match +
+    // query-term presence) — the fusion's win measured in-engine, three
+    // rows out. log2 position discounts are plan-build literals (q59's
+    // tap idiom); ideal DCG comes from the gain histogram, never a
+    // corpus-sized collect.
+    "x119_retrieval_eval" -> ((s, dir) =>
+      Hybrid.retrievalEval(Tables.documents(s, dir), Tables.embeddings(s, dir))),
+
     // The full training-data preparation pipeline as ONE registered query:
     // quality gate (x09's score) -> exact dedup keeping the min doc_id per
     // text hash (x01's canonicalization) -> context-window chunking (x42)
@@ -1203,6 +1224,71 @@ object ExtQueries {
     */
   val BpeMerges = 8
 
+  /** Hybrid-retrieval CTE chain (x118/x119), generated from the [[Hybrid]]
+    * constants: BM25 ranked list (x48's score shape over docs <> query),
+    * brute-force ANN ranked list for vector 0, RRF fusion, graded two-aspect
+    * relevance, and the gain histogram. Shared so the fusion query and its
+    * eval can never drift from each other or from the Spark plan.
+    */
+  private lazy val hybridCtes: String = {
+    val terms = Hybrid.QueryTerms
+    val ti = terms.indices
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN tok = '$t' THEN 1 ELSE 0 END) AS tf_$i" }.mkString(", ")
+    val dfCols = ti.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
+    def termScore(i: Int): String =
+      s"CASE WHEN tf_$i > 0 THEN ((CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) " +
+        s"/ (CAST(df_$i AS DOUBLE) + 0.5)) * (CAST(tf_$i AS DOUBLE) * (1.2 + 1.0)) " +
+        s"/ (CAST(tf_$i AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) " +
+        s"/ (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) ELSE 0.0 END"
+    s"ht AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id <> ${Hybrid.QueryVecId}), " +
+      "he AS (SELECT doc_id, unnest(toks) AS tok FROM ht), " +
+      s"hpd AS (SELECT doc_id, count(*) AS dl, $tfCols FROM he GROUP BY doc_id), " +
+      s"hst AS (SELECT sum(dl) AS sum_dl, count(*) AS n_docs, $dfCols FROM hpd), " +
+      s"hbm0 AS (SELECT doc_id, ${ti.map(termScore).mkString(" + ")} AS score " +
+      s"FROM hpd, hst WHERE ${ti.map(i => s"tf_$i > 0").mkString(" OR ")} " +
+      "ORDER BY score DESC, doc_id LIMIT 20), " +
+      "hbm AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM hbm0), " +
+      "hemb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+      s"hq AS (SELECT emb AS qe FROM hemb WHERE vec_id = ${Hybrid.QueryVecId}), " +
+      s"hs AS (SELECT vec_id, ${dotSql("emb", "qe")} AS cos FROM hemb, hq WHERE vec_id <> ${Hybrid.QueryVecId}), " +
+      "hann AS (SELECT vec_id AS doc_id, CAST(rank AS BIGINT) AS rank FROM " +
+      "(SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank FROM hs) WHERE rank <= 20), " +
+      "hfuse AS (SELECT coalesce(b.doc_id, a.doc_id) AS doc_id, b.rank AS bm25_rank, a.rank AS ann_rank, " +
+      s"coalesce(1.0/(${Hybrid.RrfK} + CAST(b.rank AS DOUBLE)), 0.0) " +
+      s"+ coalesce(1.0/(${Hybrid.RrfK} + CAST(a.rank AS DOUBLE)), 0.0) AS rrf_score " +
+      "FROM hbm b FULL JOIN hann a ON b.doc_id = a.doc_id), " +
+      "hrrf10 AS (SELECT doc_id, bm25_rank, ann_rank, rrf_score FROM hfuse " +
+      "ORDER BY rrf_score DESC, doc_id LIMIT 10), " +
+      "hrrf AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank FROM hrrf10), " +
+      // E-notation: the threshold literal must go through the DOUBLE parser
+      // (bare decimals are the x86 DECIMAL-literal trap).
+      s"hrel AS (SELECT d.doc_id, CASE WHEN s.cos >= ${Hybrid.SemRelThreshold}E0 THEN 1 ELSE 0 END " +
+      s"+ CASE WHEN list_contains(d.toks, '${Hybrid.RelTerm}') THEN 1 ELSE 0 END AS gain " +
+      "FROM ht d LEFT JOIN hs s ON d.doc_id = s.vec_id), " +
+      "hstats AS (SELECT CAST(sum(CASE WHEN gain = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2, " +
+      "CAST(sum(CASE WHEN gain = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 FROM hrel)"
+  }
+
+  /** One system's nDCG@10 / recall@10 eval over the [[hybridCtes]] chain —
+    * DCG folds gain·tap in rank order; ideal DCG unrolls the gain histogram
+    * against the same printed-double taps the Spark plan embeds.
+    */
+  private def hybridEvalSql(sys: String, listCte: String): String = {
+    val k = 10
+    val taps = Hybrid.dcgTaps(k)
+    val idcg = (1 to k).map { i =>
+      s"${taps(i - 1)}E0 * (CASE WHEN $i <= n2 THEN 2.0 WHEN $i <= n2 + n1 THEN 1.0 ELSE 0.0 END)"
+    }.mkString(" + ")
+    s"(SELECT '$sys' AS system, dcg, $idcg AS idcg, n_rel_retrieved, n2 + n1 AS n_rel_total, " +
+      s"dcg / ($idcg) AS ndcg, CAST(n_rel_retrieved AS DOUBLE) / (n2 + n1) AS recall_at_k FROM " +
+      s"(SELECT list_aggregate(list(CAST(gain AS DOUBLE) * (${Hybrid.dcgTapsSql(k)})[CAST(rank AS INT)] ORDER BY rank), 'sum') AS dcg, " +
+      "CAST(sum(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_retrieved FROM " +
+      s"(SELECT l.rank, coalesce(r.gain, 0) AS gain FROM $listCte l LEFT JOIN hrel r USING (doc_id) WHERE l.rank <= $k)) " +
+      "CROSS JOIN hstats)"
+  }
+
   /** x79's URL-derivation + host/domain + blocklist chain (CTEs u/h/d/f),
     * generated from the [[Curate]] constants so the two engines can never
     * drift; reused verbatim by x81's composed pipeline.
@@ -1420,6 +1506,15 @@ object ExtQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "x118_hybrid_rrf" ->
+      s"WITH $hybridCtes SELECT doc_id, bm25_rank, ann_rank, rrf_score FROM hrrf10",
+
+    "x119_retrieval_eval" ->
+      (s"WITH $hybridCtes " +
+        s"SELECT * FROM ${hybridEvalSql("bm25", "hbm")} " +
+        s"UNION ALL SELECT * FROM ${hybridEvalSql("ann", "hann")} " +
+        s"UNION ALL SELECT * FROM ${hybridEvalSql("rrf", "hrrf")}"),
+
     "x01_dedup_exact" ->
       ("SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies " +
         "FROM documents GROUP BY 1"),

@@ -1,0 +1,186 @@
+package graft.ext
+
+import graft.functions.GraftFunctions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval: reciprocal-rank fusion of a lexical ranker
+  * ([[Search.bm25TopK]]) and a semantic ranker
+  * ([[Similarity.bruteForceTopK]] / [[Similarity.lshMultiTopK]]), plus the
+  * in-engine ranking-quality report (nDCG@k / recall@k) that makes the
+  * fusion measurable — the standard production retrieval shape (Cormack et
+  * al. 2009 RRF; every BM25+ANN stack ships this pair).
+  *
+  * Determinism discipline:
+  *  - RRF is Σ 1/(k₀+rank) over the lists that retrieved the doc — one IEEE
+  *    division per list, summed in the FIXED order (lexical, semantic); no
+  *    transcendentals.
+  *  - nDCG's 1/log2(i+1) position discounts are computed ONCE at plan-build
+  *    time ([[dcgTaps]], StrictMath so any JVM derives the same doubles) and
+  *    embedded as printed-double literals in BOTH the Spark plan and the
+  *    DuckDB oracle (q59's EWMA-tap precedent) — the engines never call log.
+  *
+  * Scale shape: fusion joins two k-row candidate lists — driver-scale
+  * frames regardless of corpus size; the expensive work lives in the
+  * already-scale-shaped rankers upstream. Ranks are materialized with
+  * [[graft.ops.Quality.withExactRank]] (range-partition rank, no
+  * single-partition global window) so the plan stays audit-clean even when
+  * a caller fuses corpus-sized lists.
+  */
+object Hybrid {
+
+  /** RRF's standard smoothing constant (Cormack et al. 2009). */
+  val RrfK = 60
+
+  /** The fixture query: vector 0's embedding on the semantic side, these
+    * exact tokens on the lexical side (x48's query terms — they select a
+    * topically-coherent slice of the fixture).
+    */
+  val QueryVecId = 0L
+  val QueryTerms: Seq[String] = Seq("hash", "join", "dup")
+
+  /** nDCG position discounts 1/log2(i+1), i = 1..k — plan-build-time
+    * constants, embedded as literals in both engines (never recomputed
+    * engine-side).
+    */
+  def dcgTaps(k: Int): IndexedSeq[Double] =
+    (1 to k).map(i => 1.0 / (StrictMath.log(i + 1.0) / StrictMath.log(2.0)))
+
+  /** Taps as DuckDB E-notation list literal (q59's round-trip idiom: the
+    * printed double re-parses to the identical bits in both engines).
+    */
+  def dcgTapsSql(k: Int): String =
+    dcgTaps(k).map(d => s"${d}E0").mkString("[", ", ", "]")
+
+  /** Reciprocal-rank fusion of two ranked lists `(doc_id, rank)` (rank
+    * 1-based, best first). A doc absent from a list contributes 0 for that
+    * list. Output: top `k` by fused score — (doc_id, bm25_rank, ann_rank,
+    * rrf_score), ranks null where the list missed the doc.
+    */
+  def rrfFuse(lexical: DataFrame, semantic: DataFrame, k: Int,
+      rrfK: Int = RrfK): DataFrame = {
+    val b = lexical.select(col("doc_id"), col("rank").as("bm25_rank"))
+    val a = semantic.select(col("doc_id"), col("rank").as("ann_rank"))
+    b.join(a, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("bm25_rank"), col("ann_rank"),
+        (coalesce(lit(1.0) / (lit(rrfK).cast("double") + col("bm25_rank").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK).cast("double") + col("ann_rank").cast("double")), lit(0.0)))
+          .as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** BM25 top-`k` as a ranked list `(doc_id, rank)` — [[Search.bm25TopK]]'s
+    * scored list with the rank materialized via the range-partition exact
+    * rank (score desc, doc_id asc — the same total order the LIMIT used).
+    */
+  def bm25Ranked(docs: DataFrame, terms: Seq[String], k: Int): DataFrame =
+    graft.ops.Quality.withExactRank(
+      Search.bm25TopK(docs, terms, k).withColumn("_neg", -col("score")),
+      Seq("_neg", "doc_id"), "rank")
+      .select(col("doc_id"), col("rank"))
+
+  /** ANN top-`k` for the single fixture query vector as `(doc_id, rank)`. */
+  def annRanked(emb: DataFrame, k: Int,
+      topK: (DataFrame, DataFrame, Int) => DataFrame = Similarity.bruteForceTopK)
+      : DataFrame =
+    topK(emb.where(col("vec_id") === QueryVecId),
+        emb.where(col("vec_id") =!= QueryVecId), k)
+      .select(col("vec_id").as("doc_id"), col("rank"))
+
+  /** The graded-relevance aspects: lexical = the doc contains [[RelTerm]]
+    * (the fixture vocabulary's one RARE token, df 25/500 — the other 30
+    * tokens appear in ~80% of docs, so nothing else is selective), and
+    * semantic = cosine to the query vector >= [[SemRelThreshold]] (the top
+    * ~6% of the fixture's cosine distribution; its max is ~0.33).
+    */
+  val RelTerm = "dup"
+  val SemRelThreshold = 0.2
+
+  /** The planted graded relevance for the fixture query: each non-query doc
+    * earns one point per matched ASPECT — lexical (text contains the rare
+    * term [[RelTerm]]) and semantic (cosine to the query vector clears
+    * [[SemRelThreshold]]). Multi-aspect relevance is exactly the regime
+    * hybrid retrieval exists for: BM25 observes only the lexical aspect,
+    * ANN only the semantic one, and the gain-2 docs (both aspects) are what
+    * the fusion surfaces. Docs without an embedding row (sf0.1 has 5000
+    * docs / 2000 vectors) score 0 on the semantic aspect, not null.
+    */
+  def gradedRelevance(docs: DataFrame, emb: DataFrame,
+      queryVecId: Long = QueryVecId): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val q = broadcast(emb.where(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb")))
+    docs.where(col("doc_id") =!= queryVecId)
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"), "left")
+      .crossJoin(q)
+      .select(col("doc_id"),
+        (when(GraftFunctions.cosineSim(col("q_emb"), col("embedding")) >= SemRelThreshold,
+          1L).otherwise(0L) +
+          when(array_contains(TextOps.tokens(col("text")), RelTerm), 1L).otherwise(0L))
+          .as("gain"))
+  }
+
+  /** nDCG@k + recall@k for one ranked list against the graded relevance.
+    *
+    *  - DCG folds gain·tap(rank) in rank order (the q55/q56 portable fold);
+    *  - ideal DCG needs only the relevance GAIN HISTOGRAM (n₂ docs of gain
+    *    2, n₁ of gain 1): position i's ideal gain is 2 while i <= n₂, then
+    *    1 while i <= n₂+n₁, else 0 — a literal-unrolled k-term chain, no
+    *    corpus-sized collect;
+    *  - recall@k counts retrieved docs with gain > 0 over all such docs.
+    */
+  def evalRankedList(system: String, list: DataFrame, rel: DataFrame,
+      k: Int): DataFrame = {
+    val taps = dcgTaps(k)
+    val relStats = rel.agg(
+      sum(when(col("gain") === 2, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("gain") === 1, 1L).otherwise(0L)).as("n1"))
+    val joined = list.where(col("rank") <= k)
+      .join(rel, Seq("doc_id"), "left")
+      .select(col("rank"), coalesce(col("gain"), lit(0L)).as("gain"))
+    val agged = joined.agg(
+      sort_array(collect_list(struct(col("rank"),
+        (col("gain").cast("double") *
+          element_at(typedLit(taps), col("rank").cast("int"))).as("g")))).as("gs"),
+      sum(when(col("gain") > 0, 1L).otherwise(0L)).as("n_rel_retrieved"))
+    val idcg = (1 to k).map { i =>
+      lit(taps(i - 1)) *
+        when(lit(i.toLong) <= col("n2"), lit(2.0))
+          .when(lit(i.toLong) <= col("n2") + col("n1"), lit(1.0))
+          .otherwise(lit(0.0))
+    }.reduceLeft(_ + _)
+    agged.crossJoin(broadcast(relStats))
+      .select(lit(system).as("system"),
+        aggregate(transform(col("gs"), s => s.getField("g")), lit(0.0), (a, x) => a + x)
+          .as("dcg"),
+        idcg.as("idcg"),
+        col("n_rel_retrieved"),
+        (col("n2") + col("n1")).as("n_rel_total"))
+      .withColumn("ndcg", col("dcg") / col("idcg"))
+      .withColumn("recall_at_k",
+        col("n_rel_retrieved").cast("double") / col("n_rel_total"))
+  }
+
+  /** The three-system ranking report: bm25 / ann / rrf top-`k` each
+    * evaluated against [[gradedRelevance]] — fusion's win is measured
+    * IN-ENGINE (the x69–x76 recall-report practice). `depth` is the
+    * candidate-list depth fed to the fusion (deeper than `k` so the fused
+    * order can differ from either input's prefix).
+    */
+  def retrievalEval(docs: DataFrame, emb: DataFrame, k: Int = 10,
+      depth: Int = 20): DataFrame = {
+    val corpus = docs.where(col("doc_id") =!= QueryVecId)
+    val bm = bm25Ranked(corpus, QueryTerms, depth)
+    val ann = annRanked(emb, depth)
+    val fused = graft.ops.Quality.withExactRank(
+      rrfFuse(bm, ann, k).withColumn("_neg", -col("rrf_score")),
+      Seq("_neg", "doc_id"), "rank")
+      .select(col("doc_id"), col("rank"))
+    val rel = graft.ops.Caching.cacheOnce(gradedRelevance(docs, emb))
+    evalRankedList("bm25", bm, rel, k)
+      .unionByName(evalRankedList("ann", ann, rel, k))
+      .unionByName(evalRankedList("rrf", fused, rel, k))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.ext
+
+import graft.SparkTestBase
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class HybridSpec extends SparkTestBase {
+
+  private def mkList(rows: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "rank")
+  }
+
+  test("rrfFuse: a doc in both lists outranks single-list heads") {
+    // doc 99 is rank 10 in BOTH lists: 2/70 ≈ 0.0286 beats either list's
+    // rank-1 single (1/61 ≈ 0.0164) — RRF's signature behavior.
+    val lex = mkList(Seq((1L, 1L), (2L, 2L), (99L, 10L)))
+    val sem = mkList(Seq((3L, 1L), (4L, 2L), (99L, 10L)))
+    val fused = Hybrid.rrfFuse(lex, sem, 10).collect()
+    assert(fused.head.getLong(0) === 99L, s"overlap doc not first: ${fused.mkString(", ")}")
+    assert(fused.head.getAs[Double]("rrf_score") > fused(1).getAs[Double]("rrf_score"))
+  }
+
+  test("rrfFuse: missing-list ranks are null and contribute zero") {
+    val lex = mkList(Seq((1L, 1L)))
+    val sem = mkList(Seq((2L, 1L)))
+    val fused = Hybrid.rrfFuse(lex, sem, 10).collect()
+    assert(fused.length === 2)
+    val d1 = fused.find(_.getLong(0) == 1L).get
+    assert(d1.isNullAt(d1.fieldIndex("ann_rank")))
+    assert(math.abs(d1.getAs[Double]("rrf_score") - 1.0 / 61) < 1e-12)
+  }
+
+  test("dcg taps are the printed-double log2 discounts, lock-step with the oracle") {
+    val taps = Hybrid.dcgTaps(10)
+    assert(taps.head === 1.0)                      // 1/log2(2)
+    assert(math.abs(taps(1) - 0.6309297535714574) < 1e-15) // 1/log2(3)
+    assert(taps === taps.sorted.reverse, "taps must be monotonically decreasing")
+    // round-trip: the SQL literal re-parses to the identical double
+    Hybrid.dcgTapsSql(10).stripPrefix("[").stripSuffix("]").split(", ")
+      .map(s => java.lang.Double.parseDouble(s.stripSuffix("E0")))
+      .zip(taps).foreach { case (a, b) => assert(a === b) }
+  }
+
+  test("fusion beats both single rankers on the planted two-aspect relevance") {
+    val ev = Hybrid.retrievalEval(
+        Tables.documents(spark, sfDir), Tables.embeddings(spark, sfDir))
+      .collect().map(r => r.getAs[String]("system") -> r.getAs[Double]("ndcg")).toMap
+    assert(ev.keySet === Set("bm25", "ann", "rrf"))
+    assert(ev("rrf") > ev("bm25"),
+      s"fusion must beat bm25: rrf=${ev("rrf")} bm25=${ev("bm25")}")
+    assert(ev("rrf") > ev("ann"),
+      s"fusion must beat ann: rrf=${ev("rrf")} ann=${ev("ann")}")
+  }
+
+  test("graded relevance: gains are 0/1/2 and both aspects contribute") {
+    val rel = Hybrid.gradedRelevance(
+        Tables.documents(spark, sfDir), Tables.embeddings(spark, sfDir))
+      .groupBy("gain").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rel.keySet.subsetOf(Set(0L, 1L, 2L)))
+    assert(rel.getOrElse(1L, 0L) > 0, "some single-aspect docs must exist")
+    assert(rel.getOrElse(2L, 0L) > 0, "some dual-aspect docs must exist")
+  }
+}
