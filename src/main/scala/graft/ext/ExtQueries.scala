@@ -733,6 +733,15 @@ object ExtQueries {
         Hybrid.annRanked(Tables.embeddings(s, dir), 20), 10)
     }),
 
+    // HTML main-content extraction (r6): deterministic HTML wrapper over
+    // the fixture docs (md5-chosen nav variant + title + <p> paragraphs +
+    // footer), then Arc90-style block filtering (word count + link
+    // density) — per-row HOF chain, scan speed, zero shuffle.
+    "x120_html_extract" -> ((s, dir) =>
+      Html.extractMain(Html.withHtml(Tables.documents(s, dir)))
+        .select("doc_id", "n_blocks", "n_kept", "main_text",
+          "n_raw_chars", "n_main_chars")),
+
     // Retrieval-quality eval (r6): nDCG@10 + recall@10 for bm25 / ann /
     // rrf against the planted two-aspect graded relevance (label match +
     // query-term presence) — the fusion's win measured in-engine, three
@@ -1506,6 +1515,35 @@ object ExtQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "x120_html_extract" -> {
+      // The strip/word-count/link-count chain inlined per use (DuckDB has
+      // no SQL lambdas-with-names); 'g' flags mirror Spark's replace-all.
+      def strip(b: String) =
+        s"trim(regexp_replace(regexp_replace($b, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g'))"
+      def wc(b: String) =
+        s"len(list_filter(string_split(${strip(b)}, ' '), tk -> tk <> ''))"
+      val nav0 = """<div class="nav"><a href="/">home</a> <a href="/docs">docs</a> menu</div>"""
+      val nav1 = """<div class="nav"><a href="/">home</a> <a href="/news">news</a> <a href="/about">about</a> site menu</div>"""
+      val footer = """<div class="footer">copyright 2026 <a href="/terms">terms</a> <a href="/privacy">privacy</a></div>"""
+      val keep = s"${wc("b")} >= ${Html.MinBlockWords} AND " +
+        s"${wc("b")} >= ${Html.LinkWordRatio} * len(regexp_extract_all(b, '<a '))"
+      "WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "hb AS (SELECT doc_id, '<html><head><title>doc ' || doc_id || '</title></head><body>' || " +
+        s"(CASE WHEN CAST(('0x' || substr(md5(doc_id || ':nav'), 1, 4)) AS BIGINT) % 2 = 0 " +
+        s"THEN '$nav0' ELSE '$nav1' END) || " +
+        s"array_to_string(list_transform(generate_series(0, (len(toks)-1)//${Html.ParaTokens}), " +
+        s"w -> '<p>' || array_to_string(toks[w*${Html.ParaTokens}+1:w*${Html.ParaTokens}+${Html.ParaTokens}], ' ') || '</p>'), '') || " +
+        s"'$footer' || '</body></html>' AS html FROM t0), " +
+        s"bl AS (SELECT doc_id, html, regexp_extract_all(html, '${Html.BlockPattern}') AS blocks FROM hb), " +
+        s"ke AS (SELECT doc_id, html, blocks, list_filter(blocks, b -> $keep) AS kept FROM bl) " +
+        "SELECT doc_id, CAST(len(blocks) AS BIGINT) AS n_blocks, " +
+        "CAST(len(kept) AS BIGINT) AS n_kept, " +
+        s"array_to_string(list_transform(kept, b -> ${strip("b")}), ' ') AS main_text, " +
+        "CAST(length(html) AS BIGINT) AS n_raw_chars, " +
+        s"CAST(length(array_to_string(list_transform(kept, b -> ${strip("b")}), ' ')) AS BIGINT) AS n_main_chars " +
+        "FROM ke"
+    },
+
     "x118_hybrid_rrf" ->
       s"WITH $hybridCtes SELECT doc_id, bm25_rank, ann_rank, rrf_score FROM hrrf10",
 

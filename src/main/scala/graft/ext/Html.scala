@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML main-content extraction — the ingest edge of the web-corpus chain
+  * (x79 → x80/x96 → x81 starts from clean text; real CommonCrawl-style
+  * input is HTML). The extractor is an Arc90/trafilatura-style block
+  * heuristic (public knowledge): segment the page into block-level
+  * elements, strip tags, and keep blocks that look like prose — enough
+  * words, low link density — dropping navigation, titles, and footers.
+  *
+  * Everything is per-row higher-order-function work over the html string
+  * (regexp_extract_all → transform → filter → array_join): scan speed,
+  * ZERO shuffle, fully codegen-friendly, and every step has an exact
+  * DuckDB twin (no backreferences or lookaheads — the patterns stay inside
+  * the RE2 subset both engines support).
+  *
+  * The fixture has no HTML, so [[withHtml]] derives a deterministic page
+  * per document (the x79 md5-derivation idiom): md5-chosen nav variant,
+  * `<title>`, the doc's text as 40-token `<p>` paragraphs, and a footer —
+  * giving the extractor REAL boilerplate (link-dense nav, short footer) to
+  * remove and real content to keep, at any SF, identically in both
+  * engines.
+  */
+object Html {
+
+  /** Tokens per generated paragraph (matches [[TextOps.paragraphs]]). */
+  val ParaTokens = 40
+
+  /** Minimum words for a block to count as prose. */
+  val MinBlockWords = 5
+
+  /** A block is link-dense (navigation-shaped) unless it has at least
+    * `LinkWordRatio` words per anchor tag.
+    */
+  val LinkWordRatio = 5
+
+  /** Deterministic HTML wrapper: nav (2 md5-chosen variants) + title +
+    * text as `<p>` paragraphs + footer. Pure per-row string work.
+    */
+  def withHtml(docs: DataFrame, text: Column = col("text")): DataFrame = {
+    val navPick =
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(":nav"))), 1, 4), 16, 10)
+        .cast("long") % 2
+    val nav = when(navPick === 0,
+      lit("""<div class="nav"><a href="/">home</a> <a href="/docs">docs</a> menu</div>"""))
+      .otherwise(
+        lit("""<div class="nav"><a href="/">home</a> <a href="/news">news</a> <a href="/about">about</a> site menu</div>"""))
+    val title = concat(lit("<title>doc "), col("doc_id").cast("string"), lit("</title>"))
+    val paras = array_join(
+      transform(TextOps.paragraphs(text, ParaTokens),
+        p => concat(lit("<p>"), p, lit("</p>"))), "")
+    val footer =
+      lit("""<div class="footer">copyright 2026 <a href="/terms">terms</a> <a href="/privacy">privacy</a></div>""")
+    docs.withColumn("html",
+      concat(lit("<html><head>"), title, lit("</head><body>"), nav, paras, footer,
+        lit("</body></html>")))
+  }
+
+  /** Block pattern: an opening block-level tag, its text, and any run of
+    * inline anchors — everything up to (excluding) the closing tag. RE2-
+    * safe: no backreferences, no lookaheads.
+    */
+  val BlockPattern = "<(?:p|div|title|h1)[^>]*>[^<]*(?:<a[^>]*>[^<]*</a>[^<]*)*"
+
+  private def stripTags(b: Column): Column =
+    trim(regexp_replace(regexp_replace(b, "<[^>]*>", " "), " +", " "))
+
+  private def wordCount(s: Column): Column =
+    size(filter(split(s, " "), t => t =!= ""))
+
+  /** Main-content extraction: html → ordered block list → per-block prose
+    * test (>= [[MinBlockWords]] words AND >= [[LinkWordRatio]] words per
+    * anchor) → kept blocks' tag-stripped text rejoined in document order.
+    *
+    * Output adds: `n_blocks`, `n_kept`, `main_text`, `n_raw_chars`,
+    * `n_main_chars` (the boilerplate-removal audit trail).
+    */
+  def extractMain(df: DataFrame, html: Column = col("html")): DataFrame = {
+    val blocks = regexp_extract_all(html, lit(BlockPattern), lit(0))
+    val keep: Column => Column = b =>
+      wordCount(stripTags(b)) >= MinBlockWords &&
+        wordCount(stripTags(b)) >=
+          lit(LinkWordRatio) * size(regexp_extract_all(b, lit("<a "), lit(0)))
+    df.withColumn("_blocks", blocks)
+      .withColumn("n_blocks", size(col("_blocks")).cast("long"))
+      .withColumn("_kept", filter(col("_blocks"), keep))
+      .withColumn("n_kept", size(col("_kept")).cast("long"))
+      .withColumn("main_text", array_join(transform(col("_kept"), stripTags(_)), " "))
+      .withColumn("n_raw_chars", length(html).cast("long"))
+      .withColumn("n_main_chars", length(col("main_text")).cast("long"))
+      .drop("_blocks", "_kept")
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class HtmlSpec extends SparkTestBase {
+
+  private def extract(html: String): org.apache.spark.sql.Row = {
+    import spark.implicits._
+    Html.extractMain(Seq((1L, html)).toDF("doc_id", "html")).collect().head
+  }
+
+  test("planted boilerplate blocks are removed, content paragraphs kept in order") {
+    val html = "<html><head><title>doc 1</title></head><body>" +
+      """<div class="nav"><a href="/">home</a> <a href="/docs">docs</a> menu</div>""" +
+      "<p>alpha beta gamma delta epsilon zeta</p>" +
+      "<p>one two three four five six seven</p>" +
+      """<div class="footer">copyright 2026 <a href="/terms">terms</a> <a href="/privacy">privacy</a></div>""" +
+      "</body></html>"
+    val r = extract(html)
+    assert(r.getAs[Long]("n_blocks") === 5L) // title, nav, 2 paras, footer
+    assert(r.getAs[Long]("n_kept") === 2L)
+    assert(r.getAs[String]("main_text") ===
+      "alpha beta gamma delta epsilon zeta one two three four five six seven")
+  }
+
+  test("link-dense prose is dropped even when long; sparse-link prose survives") {
+    // 6 words / 2 anchors = 3 words per link < 5 → navigation-shaped, drop.
+    val dense = """<div><a href="/a">x</a> one two <a href="/b">y</a> three four</div>"""
+    // 11 words / 1 anchor → prose with an inline link, keep.
+    val sparse = "<p>alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      """<a href="/r">ref</a></p>"""
+    val r = extract(s"<html><body>$dense$sparse</body></html>")
+    assert(r.getAs[Long]("n_kept") === 1L)
+    assert(r.getAs[String]("main_text").startsWith("alpha beta"))
+    assert(r.getAs[String]("main_text").endsWith("ref"))
+  }
+
+  test("short blocks are dropped; char accounting is consistent") {
+    val r = extract("<html><body><p>too short</p>" +
+      "<p>this block has more than five words in it</p></body></html>")
+    assert(r.getAs[Long]("n_blocks") === 2L)
+    assert(r.getAs[Long]("n_kept") === 1L)
+    assert(r.getAs[Long]("n_main_chars") ===
+      r.getAs[String]("main_text").length.toLong)
+    assert(r.getAs[Long]("n_main_chars") < r.getAs[Long]("n_raw_chars"))
+  }
+
+  test("withHtml wraps fixture-shaped docs deterministically and round-trips through extractMain") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, ("w " * 39).trim + " tail"),          // exactly 40 tokens → 1 para
+      (7L, (1 to 85).map(i => s"t$i").mkString(" "))) // 85 tokens → 3 paras
+      .toDF("doc_id", "text")
+    val out = Html.extractMain(Html.withHtml(docs)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 0: title + nav + 1 para + footer = 4 blocks, only the para kept
+    assert(out(0L).getAs[Long]("n_blocks") === 4L)
+    assert(out(0L).getAs[Long]("n_kept") === 1L)
+    assert(out(0L).getAs[String]("main_text") === ("w " * 39).trim + " tail")
+    // doc 7: 3 paras; the 5-token tail para (t81..t85) meets MinBlockWords
+    assert(out(7L).getAs[Long]("n_blocks") === 6L)
+    assert(out(7L).getAs[Long]("n_kept") === 3L)
+    assert(out(7L).getAs[String]("main_text") ===
+      (1 to 85).map(i => s"t$i").mkString(" "))
+    // determinism: same input → same html → same output
+    val again = Html.extractMain(Html.withHtml(docs)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("main_text")).toMap
+    assert(again(7L) === out(7L).getAs[String]("main_text"))
+  }
+}
