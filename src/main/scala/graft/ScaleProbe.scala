@@ -65,10 +65,13 @@ object ScaleProbe {
 
     val scales = args.drop(1).headOption
       .map(_.split(",").toSeq.map(_.toInt)).getOrElse(Seq(1, 4, 16))
+    // Optional third arg: substring filter on op names, so a single new leg
+    // can be probed without paying for the whole suite.
+    val opFilter: Option[String] = args.drop(2).headOption
     for (k <- scales) {
       val corpus = replicate(k).cache()
       val n = corpus.count() // materialize the cache outside the clock
-      def time(op: String)(f: => Long): Unit = {
+      def time(op: String)(f: => Long): Unit = if (opFilter.forall(op.contains)) {
         val t0 = System.nanoTime()
         val rows = f
         val sec = (System.nanoTime() - t0) / 1e9
@@ -117,6 +120,20 @@ object ScaleProbe {
       // not |docs|.
       time("domain_authority") {
         graft.ext.Authority.domainAuthority(corpus).count()
+      }
+      // Graph-family probe: grow the GRAPH itself — k disjoint node-salted
+      // copies of the derived domain edge set (nodes AND edges ×k) — and
+      // time the 5-iteration PageRank. Each iteration is one edges⋈ranks
+      // join + one partial agg, both edge-count-bound, so time must track
+      // k linearly (the constant-graph sublinear claim is domain_authority
+      // above; this pins the other axis).
+      time("pagerank_edges") {
+        val base = graft.ext.Authority.domainEdges(Tables.documents(spark, sfDir))
+        val edges = (0 until k).map { i =>
+          base.select(concat(lit(s"c$i-"), col("src")).as("src"),
+            concat(lit(s"c$i-"), col("dst")).as("dst"))
+        }.reduce(_ unionByName _)
+        graft.ext.Authority.pageRank(edges, 5).count()
       }
       // Applied decontamination: the benchmark window set stays FIXED (the
       // COPY-0 src0 slice — token salting is per copy, so the base

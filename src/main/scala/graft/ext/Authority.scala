@@ -37,27 +37,64 @@ object Authority {
     * shuffle it doesn't need. The only driver scalar is N (one count —
     * the k-means-loop budget).
     */
-  def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
+  /** One shared prepared graph: distinct directed edges, the node set, and
+    * out-degrees — `localCheckpoint`ed ONCE so the per-iteration joins read
+    * materialized tables instead of replaying the distinct/degree plans
+    * every round (and so iteration lineage starts from O(1) leaves).
+    */
+  private def prepare(edges: DataFrame): (DataFrame, DataFrame, DataFrame, Long) = {
     val e = edges.select(col("src"), col("dst"))
-      .where(col("src") =!= col("dst")).distinct()
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val out = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
-    val n = nodes.count()
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val out = e.groupBy("src").agg(count(lit(1)).as("out_deg")).localCheckpoint()
+    (e, nodes, out, nodes.count())
+  }
+
+  /** One PageRank iteration — the exact IEEE operation sequence the oracle
+    * unrolls (contributions folded in source order; damping applied as
+    * `(1-α)/n + α·s`). Shared by [[pageRank]] and [[pageRankConvergence]]
+    * so the two can never drift.
+    */
+  private def step(e: DataFrame, nodes: DataFrame, out: DataFrame, n: Long,
+      damping: Double)(rank: DataFrame): DataFrame = {
+    val sums = e.join(rank.withColumnRenamed("node", "src"), "src")
+      .join(out, "src")
+      .select(col("dst").as("node"), col("src"), (col("rank") / col("out_deg")).as("c"))
+      .groupBy("node")
+      .agg(sort_array(collect_list(struct(col("src"), col("c")))).as("cs"))
+      .select(col("node"),
+        aggregate(transform(col("cs"), s => s.getField("c")), lit(0.0), (a, x) => a + x)
+          .as("s"))
+    nodes.join(sums, Seq("node"), "left")
+      .select(col("node"),
+        (lit((1 - damping) / n) + lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+  }
+
+  /** Lineage policy per iteration (the CC/BPE loop discipline,
+    * `Dedup.connectedComponentsStars`): `localCheckpoint` every round keeps
+    * the plan O(1) — without it the rank frame appears twice per iteration
+    * and the plan doubles per round, which is why the un-checkpointed loop
+    * was only safe at iters=5 — and every `checkpointEvery` rounds a
+    * RELIABLE `checkpoint` (temp-dir fallback installed if none is set; a
+    * production run points it at HDFS/S3) bounds replay-on-executor-loss.
+    */
+  private def bound(spark: org.apache.spark.sql.SparkSession, iter: Int,
+      checkpointEvery: Int)(rank: DataFrame): DataFrame =
+    if ((iter + 1) % checkpointEvery == 0) {
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.sparkContext.setCheckpointDir(
+          java.nio.file.Files.createTempDirectory("graft-pr-ckpt").toString)
+      rank.checkpoint()
+    } else rank.localCheckpoint()
+
+  def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
+      checkpointEvery: Int = 8): DataFrame = {
+    val spark = edges.sparkSession
+    val (e, nodes, out, n) = prepare(edges)
     var rank = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-    for (_ <- 0 until iters) {
-      val sums = e.join(rank.withColumnRenamed("node", "src"), "src")
-        .join(out, "src")
-        .select(col("dst").as("node"), col("src"), (col("rank") / col("out_deg")).as("c"))
-        .groupBy("node")
-        .agg(sort_array(collect_list(struct(col("src"), col("c")))).as("cs"))
-        .select(col("node"),
-          aggregate(transform(col("cs"), s => s.getField("c")), lit(0.0), (a, x) => a + x)
-            .as("s"))
-      rank = nodes.join(sums, Seq("node"), "left")
-        .select(col("node"),
-          (lit((1 - damping) / n) + lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
-    }
+    for (i <- 0 until iters)
+      rank = bound(spark, i, checkpointEvery)(step(e, nodes, out, n, damping)(rank))
     val inDeg = e.groupBy("dst").agg(count(lit(1)).as("in_deg"))
     rank
       .join(out.withColumnRenamed("src", "node"), Seq("node"), "left")
@@ -65,6 +102,31 @@ object Authority {
       .select(col("node"), col("rank"),
         coalesce(col("out_deg"), lit(0L)).as("out_deg"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
+  /** Per-iteration L1-delta convergence report: `(iter, l1_delta)` with
+    * `l1_delta = Σ_nodes |rₖ₊₁ − rₖ|` (DECIMAL-transit sum — order-
+    * independent and engine-exact). The artifact that justifies an
+    * iteration count: run once, read where the curve flattens, pin `iters`
+    * there. Each delta is a node-keyed join + one partial agg; the loop
+    * carries the same bounded lineage as [[pageRank]].
+    */
+  def pageRankConvergence(edges: DataFrame, iters: Int = 5,
+      damping: Double = 0.85, checkpointEvery: Int = 8): DataFrame = {
+    val spark = edges.sparkSession
+    val dec = org.apache.spark.sql.types.DecimalType(25, 15)
+    val (e, nodes, out, n) = prepare(edges)
+    var rank = nodes.select(col("node"), lit(1.0 / n).as("rank")).localCheckpoint()
+    val deltas = (0 until iters).map { i =>
+      val next = bound(spark, i, checkpointEvery)(step(e, nodes, out, n, damping)(rank))
+      val d = next.withColumnRenamed("rank", "r_new")
+        .join(rank.withColumnRenamed("rank", "r_old"), "node")
+        .agg(sum(abs(col("r_new") - col("r_old")).cast(dec)).as("_d"))
+        .select(lit(i.toLong + 1).as("iter"), col("_d").cast("double").as("l1_delta"))
+      rank = next
+      d
+    }
+    deltas.reduceLeft(_.unionByName(_))
   }
 
   /** Domain authority over the documents fixture: derive the deterministic
@@ -75,7 +137,11 @@ object Authority {
     * and run [[pageRank]]. Edge derivation is scan-speed; the graph the
     * iterations see is domain-sized.
     */
-  def domainAuthority(docs: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
+  /** The deterministic doc→doc citation graph collapsed to domain edges
+    * (the x79 URL/host/domain chain + one md5-derived link per doc) —
+    * shared by [[domainAuthority]] and the x122 convergence report.
+    */
+  def domainEdges(docs: DataFrame): DataFrame = {
     val d = Curate.withHostDomain(Curate.withUrl(docs)).select(col("doc_id"), col("domain"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val tgt = docs.select(col("doc_id"),
@@ -83,10 +149,12 @@ object Authority {
           .cast("long").as("h"))
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), pmod(col("h"), col("n_docs")).as("tgt_id"))
-    val edges = d.join(tgt, "doc_id")
+    d.join(tgt, "doc_id")
       .join(d.select(col("doc_id").as("tgt_id"), col("domain").as("dst")), "tgt_id")
       .select(col("domain").as("src"), col("dst"))
-    pageRank(edges, iters, damping)
-      .withColumnRenamed("node", "domain")
   }
+
+  def domainAuthority(docs: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame =
+    pageRank(domainEdges(docs), iters, damping)
+      .withColumnRenamed("node", "domain")
 }

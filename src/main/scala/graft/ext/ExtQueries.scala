@@ -742,6 +742,41 @@ object ExtQueries {
         .select("doc_id", "n_blocks", "n_kept", "main_text",
           "n_raw_chars", "n_main_chars")),
 
+    // PageRank convergence report (r6): per-iteration L1 delta over the
+    // derived domain graph — the artifact that justifies an iteration
+    // count (run once, read where the curve flattens, pin iters there).
+    // DECIMAL-transit sums; the loop carries x86's new bounded lineage.
+    "x122_pagerank_convergence" -> ((s, dir) =>
+      Authority.pageRankConvergence(
+        Authority.domainEdges(Tables.documents(s, dir)), 5)),
+
+    // Pruned-LM ranking stability (r6): score every doc under the
+    // unpruned bigram LM and the minPairCount=2 pruned one (the broadcast-
+    // budget knob — hapax bigrams dropped to the backoff tier), tertile
+    // both, and report agreement + mean absolute score shift in ONE row.
+    // The artifact that justifies shipping the pruned (broadcast-safe)
+    // model at 100 TB.
+    "x121_lm_pruned_stability" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val un = TextOps.lmInvProbScore(docs, col("source") === "src0")
+        .select("doc_id", "avg_invp")
+      val pr = TextOps.lmInvProbScore(docs, col("source") === "src0",
+          minPairCount = 2L)
+        .select(col("doc_id"), col("avg_invp").as("p_invp"))
+      val ub = graft.ops.Quality.exactNtile(un, 3, Seq("avg_invp", "doc_id"))
+        .withColumnRenamed("bin", "u_bin")
+      val pb = graft.ops.Quality.exactNtile(pr, 3, Seq("p_invp", "doc_id"))
+        .withColumnRenamed("bin", "p_bin")
+      val dec = org.apache.spark.sql.types.DecimalType(20, 8)
+      ub.join(pb, "doc_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("u_bin") === col("p_bin"), 1L).otherwise(0L)).as("n_same_tertile"),
+          sum(abs(col("p_invp") - col("avg_invp")).cast(dec)).as("_shift"))
+        .select(col("n_docs"), col("n_same_tertile"),
+          (col("n_same_tertile").cast("double") / col("n_docs")).as("agreement"),
+          (col("_shift").cast("double") / col("n_docs")).as("mean_abs_shift"))
+    }),
+
     // Retrieval-quality eval (r6): nDCG@10 + recall@10 for bm25 / ann /
     // rrf against the planted two-aspect graded relevance (label match +
     // query-term presence) — the fusion's win measured in-engine, three
@@ -1357,26 +1392,33 @@ object ExtQueries {
   /** x80's stupid-backoff bigram LM chain (CTEs t..sp, per-pair inverse
     * probabilities in `sp`), reused by x81's quality gate.
     */
-  private lazy val lmCtes: String =
-    "t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +
-      "tr AS (SELECT toks FROM t WHERE source = 'src0'), " +
-      "trtok AS (SELECT unnest(toks) AS a FROM tr), " +
-      "uni AS (SELECT a, CAST(count(*) AS BIGINT) AS c_a FROM trtok GROUP BY 1), " +
-      "st AS (SELECT CAST(count(*) AS BIGINT) AS n_tok, " +
-      "CAST(count(DISTINCT a) AS BIGINT) AS v FROM trtok), " +
-      "bi AS (SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS c_ab FROM " +
+  /** The bigram stupid-backoff scoring chain as CTEs, parameterized by a
+    * CTE-name prefix (so two variants can coexist in one query — x121) and
+    * the bigram-table prune threshold (TextOps.lmInvProbScore's
+    * `minPairCount`; pruned bigrams fall to the backoff tier).
+    */
+  private def lmCtesWith(px: String, minPair: Long): String =
+    s"${px}t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +
+      s"${px}tr AS (SELECT toks FROM ${px}t WHERE source = 'src0'), " +
+      s"${px}trtok AS (SELECT unnest(toks) AS a FROM ${px}tr), " +
+      s"${px}uni AS (SELECT a, CAST(count(*) AS BIGINT) AS c_a FROM ${px}trtok GROUP BY 1), " +
+      s"${px}st AS (SELECT CAST(count(*) AS BIGINT) AS n_tok, " +
+      s"CAST(count(DISTINCT a) AS BIGINT) AS v FROM ${px}trtok), " +
+      s"${px}bi AS (SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS c_ab FROM " +
       "(SELECT unnest(list_transform(generate_series(1, len(toks)-1), " +
-      "i -> struct_pack(a := toks[i], b := toks[i+1]))) AS p FROM tr WHERE len(toks) >= 2) " +
-      "GROUP BY 1, 2), " +
-      "ub AS (SELECT a AS b, c_a AS c_b FROM uni), " +
-      "pr AS (SELECT doc_id, p.i AS i, p.a AS a, p.b AS b FROM " +
+      s"i -> struct_pack(a := toks[i], b := toks[i+1]))) AS p FROM ${px}tr WHERE len(toks) >= 2) " +
+      s"GROUP BY 1, 2${if (minPair > 1) s" HAVING count(*) >= $minPair" else ""}), " +
+      s"${px}ub AS (SELECT a AS b, c_a AS c_b FROM ${px}uni), " +
+      s"${px}pr AS (SELECT doc_id, p.i AS i, p.a AS a, p.b AS b FROM " +
       "(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1), " +
       "i -> struct_pack(i := i, a := toks[i], b := toks[i+1]))) AS p " +
-      "FROM t WHERE source <> 'src0' AND len(toks) >= 2)), " +
-      "sp AS (SELECT doc_id, i, CASE WHEN c_ab IS NOT NULL " +
+      s"FROM ${px}t WHERE source <> 'src0' AND len(toks) >= 2)), " +
+      s"${px}sp AS (SELECT doc_id, i, CASE WHEN c_ab IS NOT NULL " +
       "THEN CAST(c_a AS DOUBLE) / CAST(c_ab AS DOUBLE) " +
-      "ELSE 2.5 * CAST(st.n_tok + st.v AS DOUBLE) / CAST(coalesce(c_b, 0) + 1 AS DOUBLE) END AS invp " +
-      "FROM pr LEFT JOIN uni USING (a) LEFT JOIN ub USING (b) LEFT JOIN bi USING (a, b), st)"
+      s"ELSE 2.5 * CAST(${px}st.n_tok + ${px}st.v AS DOUBLE) / CAST(coalesce(c_b, 0) + 1 AS DOUBLE) END AS invp " +
+      s"FROM ${px}pr LEFT JOIN ${px}uni USING (a) LEFT JOIN ${px}ub USING (b) LEFT JOIN ${px}bi USING (a, b), ${px}st)"
+
+  private lazy val lmCtes: String = lmCtesWith("", 1L)
 
   /** x86's unrolled damped-PageRank chain: the deterministic doc→doc
     * citation graph collapsed to distinct domain edges, then `Iters`
@@ -1546,6 +1588,29 @@ object ExtQueries {
 
     "x118_hybrid_rrf" ->
       s"WITH $hybridCtes SELECT doc_id, bm25_rank, ann_rank, rrf_score FROM hrrf10",
+
+    "x122_pagerank_convergence" ->
+      (s"WITH $pageRankCtes, " +
+        (0 until 5).map { k =>
+          s"dl$k AS (SELECT CAST(${k + 1} AS BIGINT) AS iter, " +
+            "CAST(sum(CAST(abs(b.rank - a.rank) AS DECIMAL(25,15))) AS DOUBLE) AS l1_delta " +
+            s"FROM r$k a JOIN r${k + 1} b USING (node))"
+        }.mkString(", ") + " " +
+        (0 until 5).map(k => s"SELECT * FROM dl$k").mkString(" UNION ALL ")),
+
+    "x121_lm_pruned_stability" ->
+      (s"WITH ${lmCtesWith("", 1L)}, ${lmCtesWith("z", 2L)}, " +
+        "ua AS (SELECT doc_id, list_aggregate(list(invp ORDER BY i), 'sum')/count(*) AS avg_invp " +
+        "FROM sp GROUP BY doc_id), " +
+        "pa AS (SELECT doc_id, list_aggregate(list(invp ORDER BY i), 'sum')/count(*) AS p_invp " +
+        "FROM zsp GROUP BY doc_id), " +
+        "ubn AS (SELECT doc_id, avg_invp, CAST(ntile(3) OVER (ORDER BY avg_invp, doc_id) AS BIGINT) AS u_bin FROM ua), " +
+        "pbn AS (SELECT doc_id, p_invp, CAST(ntile(3) OVER (ORDER BY p_invp, doc_id) AS BIGINT) AS p_bin FROM pa) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN u_bin = p_bin THEN 1 ELSE 0 END) AS BIGINT) AS n_same_tertile, " +
+        "CAST(sum(CASE WHEN u_bin = p_bin THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS agreement, " +
+        "CAST(sum(CAST(abs(p_invp - avg_invp) AS DECIMAL(20,8))) AS DOUBLE)/count(*) AS mean_abs_shift " +
+        "FROM ubn JOIN pbn USING (doc_id)"),
 
     "x119_retrieval_eval" ->
       (s"WITH $hybridCtes " +

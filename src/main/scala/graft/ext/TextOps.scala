@@ -240,27 +240,45 @@ object TextOps {
     * (collect the doc's pair scores, sort by position, fold left-to-right)
     * so partitioning can never change a double.
     */
+  /** Broadcast budget for the LM model tables (uni/bi/tri), documented as
+    * a number so the sizing law is explicit rather than folklore: the
+    * bigram table is TRAIN-SLICE-BIGRAM-VOCABULARY-sized, which is bounded
+    * only if the train slice is a bounded high-quality sample (the CCNet
+    * deployment shape — Wikipedia-sized, not corpus-sized). At 100 TB with
+    * a large held-out slice an UNPRUNED bigram table is not broadcast-safe;
+    * `minPairCount` is the knob that restores the bound (hapax bigrams are
+    * the long tail — Zipf puts ~half the distinct bigrams at count 1, and
+    * stupid backoff was DESIGNED for missing mass, so pruning them shifts
+    * scores only through the backoff tier). `TextOpsSpec` measures the
+    * actual broadcast bytes of both variants against this budget.
+    */
+  val LmBroadcastBudgetBytes: Long = 512L << 20
+
   /** The bigram stupid-backoff model tables trained on `train`:
     * (uni, bi, stats) — all train-slice-sized, intended for broadcast.
+    * `minPairCount` > 1 prunes the bigram table's long tail (the
+    * [[tokenLift]] precedent); pruned bigrams score through the backoff
+    * tier, exactly as unseen ones do.
     */
   private def bigramModel(train: DataFrame,
-      text: Column): (DataFrame, DataFrame, DataFrame) = {
+      text: Column, minPairCount: Long = 1L): (DataFrame, DataFrame, DataFrame) = {
     val toks = tokens(text)
     val trTok = train.select(explode(toks).as("a"))
     val uni = trTok.groupBy("a").agg(count(lit(1)).as("c_a"))
     val stats = trTok.agg(count(lit(1)).as("n_tok"), countDistinct(col("a")).as("v"))
-    val bi = train.select(explode(
+    val biAll = train.select(explode(
         when(size(toks) >= 2, transform(sequence(lit(1), size(toks) - 1),
           i => struct(element_at(toks, i).as("a"), element_at(toks, i + 1).as("b"))))
           .otherwise(array())).as("p"))
       .groupBy("p.a", "p.b").agg(count(lit(1)).as("c_ab"))
+    val bi = if (minPairCount > 1L) biAll.where(col("c_ab") >= minPairCount) else biAll
     (uni, bi, stats)
   }
 
   def lmInvProbScore(docs: DataFrame, heldOut: Column,
-      text: Column = col("text")): DataFrame = {
+      text: Column = col("text"), minPairCount: Long = 1L): DataFrame = {
     val toks = tokens(text)
-    val (uni, bi, stats) = bigramModel(docs.where(heldOut), text)
+    val (uni, bi, stats) = bigramModel(docs.where(heldOut), text, minPairCount)
     val pairs = docs.where(!heldOut && size(toks) >= 2)
       .select(col("doc_id"), posexplode(transform(sequence(lit(1), size(toks) - 1),
         i => struct(element_at(toks, i).as("a"), element_at(toks, i + 1).as("b"))))
@@ -376,23 +394,28 @@ object TextOps {
     * of scored positions.
     */
   def lmTrigramScore(docs: DataFrame, heldOut: Column,
-      text: Column = col("text")): DataFrame = {
+      text: Column = col("text"), minPairCount: Long = 1L): DataFrame = {
     val toks = tokens(text)
     val train = docs.where(heldOut)
     val trTok = train.select(explode(toks).as("w"))
     val uni = trTok.groupBy("w").agg(count(lit(1)).as("c_w"))
     val stats = trTok.agg(count(lit(1)).as("n_tok"), countDistinct(col("w")).as("v"))
-    val bi = train.select(explode(
+    // minPairCount prunes BOTH n-gram tables' long tails (the broadcast-
+    // budget knob — see [[LmBroadcastBudgetBytes]]); pruned entries score
+    // through the next backoff tier, exactly as unseen ones do.
+    val biAll = train.select(explode(
         when(size(toks) >= 2, transform(sequence(lit(1), size(toks) - 1),
           i => struct(element_at(toks, i).as("a"), element_at(toks, i + 1).as("b"))))
           .otherwise(array())).as("p"))
       .groupBy("p.a", "p.b").agg(count(lit(1)).as("c_ab"))
-    val tri = train.select(explode(
+    val bi = if (minPairCount > 1L) biAll.where(col("c_ab") >= minPairCount) else biAll
+    val triAll = train.select(explode(
         when(size(toks) >= 3, transform(sequence(lit(1), size(toks) - 2),
           i => struct(element_at(toks, i).as("a"), element_at(toks, i + 1).as("b"),
             element_at(toks, i + 2).as("c"))))
           .otherwise(array())).as("p"))
       .groupBy("p.a", "p.b", "p.c").agg(count(lit(1)).as("c_abc"))
+    val tri = if (minPairCount > 1L) triAll.where(col("c_abc") >= minPairCount) else triAll
     val pos = docs.where(!heldOut && size(toks) >= 3)
       .select(col("doc_id"), posexplode(transform(sequence(lit(1), size(toks) - 2),
         i => struct(element_at(toks, i).as("a"), element_at(toks, i + 1).as("b"),

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
 
 /** Measured shuffle volume for a DataFrame action — "measure, don't
   * guess" applied to the wire. Plan-shape audits (PlanAuditSpec) prove the
@@ -59,5 +59,35 @@ object ShuffleAudit {
     val bytes = exchanges.flatMap(_.metrics.get("shuffleBytesWritten").map(_.value)).sum
     val recs = exchanges.flatMap(_.metrics.get("shuffleRecordsWritten").map(_.value)).sum
     Measured(rows, bytes, recs, exchanges.size)
+  }
+
+  final case class BroadcastMeasured(rows: Long, broadcastDataSize: Long,
+      numBroadcasts: Int)
+
+  /** Count the frame and report the total built-relation `dataSize` across
+    * every broadcast exchange in the executed plan — the shuffle audit's
+    * twin for the OTHER way bytes move. A spec pins an upper bound on what
+    * an operator asks every executor to hold (e.g. the LM model tables
+    * against [[graft.ext.TextOps.LmBroadcastBudgetBytes]]): at 1000
+    * executors an oversized broadcast is cluster-wide memory, and this
+    * makes the budget a regression test instead of a Scaladoc promise.
+    */
+  def measureBroadcast(df: DataFrame): BroadcastMeasured = {
+    import org.apache.spark.sql.functions.{col, count, expr, lit, struct, xxhash64}
+    // A bare count would let Catalyst ELIMINATE the very joins under audit
+    // (left joins preserve cardinality, so their broadcasts never build);
+    // hashing every column into the aggregate forces full evaluation.
+    // bit_xor, not sum: a sum of 64-bit hashes overflows under ANSI mode.
+    val consumed = df
+      .select(xxhash64(struct(df.columns.map(col): _*)).as("_h"))
+      .groupBy().agg(count(lit(1)).as("_n"), expr("bit_xor(_h)").as("_s"))
+    val rows = consumed.collect()(0).getLong(0)
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[BroadcastExchangeLike, java.lang.Boolean]())
+    val bcasts = allNodes(consumed.queryExecution.executedPlan).collect {
+      case b: BroadcastExchangeLike if seen.add(b) => b
+    }
+    val bytes = bcasts.flatMap(_.metrics.get("dataSize").map(_.value)).sum
+    BroadcastMeasured(rows, bytes, bcasts.size)
   }
 }

@@ -49,6 +49,34 @@ class AuthoritySpec extends SparkTestBase {
     assert(rows("c") === ((0L, 1L)))
   }
 
+  test("pageRank at iters=20: lineage stays bounded and matches the driver reference") {
+    val edges = Seq(("a", "b"), ("c", "b"), ("b", "c"), ("b", "d"), ("c", "d"), ("d", "a"))
+    val pr = Authority.pageRank(edges.toDF("src", "dst"), iters = 20)
+    // per-iteration localCheckpoint (+ reliable checkpoint every 8) keeps
+    // the final plan O(1): without it the rank frame doubles per round and
+    // a 20-iteration plan would have ~2^20 nodes. 40 is generous headroom
+    // for "scan-of-checkpoint + three joins".
+    val planNodes = pr.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(planNodes < 40, s"plan has $planNodes nodes — lineage not bounded")
+    val got = pr.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = refPageRank(edges, 20, 0.85)
+    got.foreach { case (v, r) => assert(r === want(v), s"node $v: $r vs ${want(v)}") }
+    // no dangling nodes in this graph: ranks must sum to ~1
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRankConvergence: L1 deltas shrink monotonically and agree with the reference") {
+    val edges = Seq(("a", "b"), ("c", "b"), ("b", "c"), ("b", "d"), ("c", "d"), ("d", "a"))
+    val deltas = Authority.pageRankConvergence(edges.toDF("src", "dst"), iters = 6)
+      .collect().map(r => r.getAs[Long]("iter") -> r.getAs[Double]("l1_delta"))
+      .sortBy(_._1).map(_._2).toSeq
+    assert(deltas.length === 6)
+    deltas.sliding(2).foreach { case Seq(a, b) =>
+      assert(b < a, s"deltas must shrink: $deltas") }
+    // the damped chain contracts at rate <= damping per iteration
+    assert(deltas.last < deltas.head * math.pow(0.85, 5) * 1.01)
+  }
+
   test("domain quality table carries x86's exact ranks beside per-domain LM stats") {
     val docs = Tables.documents(spark, sfDir)
     val auth = Authority.domainAuthority(docs).collect()

@@ -158,6 +158,41 @@ class TextOpsSpec extends SparkTestBase {
     assert(re === scored)
   }
 
+  test("lm minPairCount: hapax bigrams fall to the backoff tier; frequent ones keep their score") {
+    import org.apache.spark.sql.functions._
+    // train: "a b" seen 3x (survives minPairCount=2), "c d" seen once
+    // (pruned). Scoring docs hit exactly one pair each.
+    val docs = Seq(
+      (1L, "a b x a b y a b z c d", "src0"),
+      (10L, "a b", "srcX"),   // surviving bigram: score unchanged by pruning
+      (11L, "c d", "srcX"))   // hapax bigram: pruned model must backoff
+      .toDF("doc_id", "text", "source")
+    def score(minPair: Long) =
+      TextOps.lmInvProbScore(docs, col("source") === "src0", minPairCount = minPair)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_invp")).toMap
+    val un = score(1L)
+    val pr = score(2L)
+    assert(pr(10L) === un(10L), "frequent bigram's score must be unchanged")
+    assert(un(11L) < pr(11L), "pruned hapax must score through the (higher) backoff tier")
+    // backoff tier for 'c d': 2.5 * (n_tok + V) / (c_d + 1) = 2.5 * (11+7)/2
+    assert(math.abs(pr(11L) - 2.5 * 18 / 2) < 1e-12)
+  }
+
+  test("lm broadcast budget: pruning shrinks the model broadcast; both fit the documented budget") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    def measured(minPair: Long) = graft.ops.ShuffleAudit.measureBroadcast(
+      TextOps.lmInvProbScore(docs, col("source") === "src0", minPairCount = minPair))
+    val un = measured(1L)
+    val pr = measured(2L)
+    assert(un.numBroadcasts >= 3, s"model joins must broadcast (got ${un.numBroadcasts})")
+    assert(un.broadcastDataSize > 0L)
+    assert(pr.broadcastDataSize < un.broadcastDataSize,
+      s"pruned model must broadcast fewer bytes: ${pr.broadcastDataSize} vs ${un.broadcastDataSize}")
+    assert(un.broadcastDataSize < TextOps.LmBroadcastBudgetBytes,
+      s"fixture model over budget: ${un.broadcastDataSize}")
+  }
+
   test("dsirImportance: target-like docs outweigh off-target docs") {
     import org.apache.spark.sql.functions._
     // target slice speaks {alpha..delta}; the raw corpus speaks {noise*}.
