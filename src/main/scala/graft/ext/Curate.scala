@@ -112,8 +112,13 @@ object Curate {
     * Scale shape: two bucket-sized aggregates broadcast back over a
     * per-row scan — no corpus-sized shuffle beyond the bucket groupBy.
     */
-  def temperatureMix(docs: DataFrame, bucketCol: Column, budget: Long,
-      salt: String = "tmix"): DataFrame = {
+  /** The per-bucket temperature weights (bucket, n_docs, share, w_temp,
+    * epochs) — the bucket-cardinality-sized head of [[temperatureMix]],
+    * shared with [[temperatureCopies]] so the report and the materializing
+    * export can never drift.
+    */
+  private def temperatureWeights(docs: DataFrame, bucketCol: Column,
+      budget: Long): DataFrame = {
     val counts = docs.groupBy(bucketCol.as("bucket")).agg(count(lit(1)).as("n_docs"))
     val total = counts.agg(sum(col("n_docs")).as("n_total"))
     val sp = counts.crossJoin(broadcast(total))
@@ -124,17 +129,34 @@ object Curate {
       .agg(sort_array(collect_list(struct(col("bucket"), col("_ss")))).as("xs"))
       .select(aggregate(transform(col("xs"), x => x.getField("_ss")),
         lit(0.0), (a, b) => a + b).as("_denom"))
-    val w = sp.crossJoin(broadcast(denom))
+    sp.crossJoin(broadcast(denom))
       .select(col("bucket"), col("n_docs"), col("share"),
         (col("_ss") / col("_denom")).as("w_temp"))
       .withColumn("epochs",
         col("w_temp") * lit(budget.toDouble) / col("n_docs").cast("double"))
-    val realized = docs.select(bucketCol.as("bucket"), col("doc_id"))
+  }
+
+  /** Per-doc REALIZED replication counts under the temperature mixture —
+    * `floor(epochs)` guaranteed copies plus one fractional copy drawn by
+    * the deterministic per-doc hash (retry-safe; the exact draw
+    * [[temperatureMix]] reports in aggregate). The row-level step a
+    * training-run export materializes. Returns (doc_id, bucket, n_copies).
+    */
+  def temperatureCopies(docs: DataFrame, bucketCol: Column, budget: Long,
+      salt: String = "tmix"): DataFrame = {
+    val w = temperatureWeights(docs, bucketCol, budget)
+    docs.select(bucketCol.as("bucket"), col("doc_id"))
       .join(broadcast(w.select("bucket", "epochs")), "bucket")
-      .select(col("bucket"),
+      .select(col("doc_id"), col("bucket"),
         (floor(col("epochs")).cast("long") +
           when(uniformHash(col("doc_id"), salt) < col("epochs") - floor(col("epochs")),
             1L).otherwise(0L)).as("n_copies"))
+  }
+
+  def temperatureMix(docs: DataFrame, bucketCol: Column, budget: Long,
+      salt: String = "tmix"): DataFrame = {
+    val w = temperatureWeights(docs, bucketCol, budget)
+    val realized = temperatureCopies(docs, bucketCol, budget, salt)
       .groupBy("bucket").agg(sum(col("n_copies")).as("n_rows_out"))
     w.join(realized, Seq("bucket"), "left")
       .select(col("bucket"), col("n_docs"), col("share"), col("w_temp"), col("epochs"),

@@ -742,6 +742,35 @@ object ExtQueries {
         .select("doc_id", "n_blocks", "n_kept", "main_text",
           "n_raw_chars", "n_main_chars")),
 
+    // The corpus→trainer export flagship (r6): temperature mixture
+    // REALIZED to per-doc copies (x87's draw, row level) ∘ curriculum
+    // octiles (x108's exact ntile) ∘ per-(shard, lang) manifest with
+    // order-independent checksums (x111's algebra, fingerprints salted by
+    // copy index so replicas are distinguishable) — the artifact a trainer
+    // actually consumes, in ONE query. Every stage is an already-verified
+    // operator; the only explode is the mixture's own output rows.
+    "x123_training_run_export" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val q = TextOps.qualityMetrics(docs).select("doc_id", "quality_score")
+      val shards = graft.ops.Quality.exactNtile(q, 8, Seq("quality_score", "doc_id"))
+        .select(col("doc_id"), col("bin").as("shard"))
+      val rows = Curate.temperatureCopies(docs, col("lang"), 1000L)
+        .where(col("n_copies") > 0)
+        .select(col("doc_id"), col("bucket").as("lang"),
+          explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+      rows.join(shards, "doc_id")
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .withColumn("fp",
+          conv(substring(md5(concat(col("text"), lit(":"), col("copy").cast("string"))), 1, 15), 16, 10)
+            .cast("long"))
+        .groupBy("shard", "lang")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          expr("bit_xor(fp)").as("content_xor"),
+          min("fp").as("min_fp"), max("fp").as("max_fp"))
+    }),
+
     // PageRank convergence report (r6): per-iteration L1 delta over the
     // derived domain graph — the artifact that justifies an iteration
     // count (run once, read where the curve flattens, pin iters there).
@@ -1588,6 +1617,38 @@ object ExtQueries {
 
     "x118_hybrid_rrf" ->
       s"WITH $hybridCtes SELECT doc_id, bm25_rank, ann_rank, rrf_score FROM hrrf10",
+
+    "x123_training_run_export" ->
+      ("WITH c AS (SELECT lang AS bucket, CAST(count(*) AS BIGINT) AS n_docs " +
+        "FROM documents GROUP BY 1), " +
+        "tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM c), " +
+        "sp2 AS (SELECT bucket, n_docs, " +
+        "CAST(n_docs AS DOUBLE)/CAST(n_total AS DOUBLE) AS share FROM c, tt), " +
+        "sq AS (SELECT bucket, n_docs, share, sqrt(share) AS ss FROM sp2), " +
+        "dn AS (SELECT list_aggregate(list(ss ORDER BY bucket), 'sum') AS denom FROM sq), " +
+        "w AS (SELECT bucket, n_docs, share, ss/denom AS w_temp, " +
+        "ss/denom*CAST(1000 AS DOUBLE)/CAST(n_docs AS DOUBLE) AS epochs FROM sq, dn), " +
+        "cp AS (SELECT d2.doc_id, d2.lang, d2.text, CAST(floor(epochs) AS BIGINT) + " +
+        "CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(d2.doc_id AS VARCHAR) || ':tmix'), 1, 8)) " +
+        "AS BIGINT) AS DOUBLE)/CAST(4294967296.0 AS DOUBLE) < epochs - floor(epochs) " +
+        "THEN 1 ELSE 0 END AS n_copies FROM documents d2 JOIN w ON d2.lang = w.bucket), " +
+        "rw AS (SELECT doc_id, lang, text, unnest(generate_series(1, n_copies)) AS copy " +
+        "FROM cp WHERE n_copies > 0), " +
+        s"tq AS ($toksCte), " +
+        "mq AS (SELECT tq.doc_id, CAST(len(tq.toks) AS BIGINT) AS n_tokens, " +
+        s"CAST(len(list_filter(tq.toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(tq.toks) AS stopword_ratio, " +
+        "CAST(length(regexp_replace(d3.text, '[^a-z]', '', 'g')) AS DOUBLE)/length(d3.text) AS alpha_ratio " +
+        "FROM tq JOIN documents d3 USING (doc_id)), " +
+        "qs AS (SELECT doc_id, least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5 " +
+        "+ stopword_ratio*0.25 + alpha_ratio*0.25 AS quality_score FROM mq), " +
+        "sh AS (SELECT doc_id, CAST(ntile(8) OVER (ORDER BY quality_score, doc_id) AS BIGINT) AS shard FROM qs), " +
+        "fpt AS (SELECT sh.shard, rw.lang, rw.doc_id, length(rw.text) AS len, " +
+        "CAST(('0x' || substr(md5(rw.text || ':' || copy), 1, 15)) AS BIGINT) AS fp " +
+        "FROM rw JOIN sh USING (doc_id)) " +
+        "SELECT shard, lang, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+        "CAST(sum(len) AS BIGINT) AS n_chars, bit_xor(fp) AS content_xor, " +
+        "min(fp) AS min_fp, max(fp) AS max_fp FROM fpt GROUP BY 1, 2"),
 
     "x122_pagerank_convergence" ->
       (s"WITH $pageRankCtes, " +

@@ -255,6 +255,24 @@ class CurateSpec extends SparkTestBase {
     assert(again("fr") === nFr && again("en") === out("en").getAs[Long]("n_rows_out"))
   }
 
+  test("temperatureCopies: per-doc counts reconcile exactly with the mix report") {
+    import spark.implicits._
+    val docs = ((1 to 16).map(i => (i.toLong, "en")) ++ (17 to 20).map(i => (i.toLong, "fr")))
+      .toDF("doc_id", "lang")
+    val copies = Curate.temperatureCopies(docs, col("lang"), budget = 100L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("bucket"),
+        r.getAs[Long]("n_copies")))
+    assert(copies.length === 20, "every doc gets a row")
+    val mix = Curate.temperatureMix(docs, col("lang"), budget = 100L)
+      .collect().map(r => r.getAs[String]("bucket") -> r.getAs[Long]("n_rows_out")).toMap
+    val byBucket = copies.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(byBucket === mix, "row-level counts must sum to the report's realized totals")
+    // per-doc counts bracket floor/ceil of the bucket's epochs
+    val eFr = math.sqrt(4.0 / 20.0) / (math.sqrt(16.0 / 20.0) + math.sqrt(4.0 / 20.0)) * 100.0 / 4.0
+    copies.filter(_._2 == "fr").foreach { case (_, _, n) =>
+      assert(n == math.floor(eFr).toLong || n == math.ceil(eFr).toLong) }
+  }
+
   test("perplexityBuckets: exact tertiles by fluency, head+middle kept, tail dropped") {
     import spark.implicits._
     // Train "a b c d" x2; scored docs hit the exact tier values pinned in
