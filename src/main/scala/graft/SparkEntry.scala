@@ -58,7 +58,8 @@ object SparkEntry {
     "x89_likelihood_classify",
     "x109_knn_label_prop", "x110_quality_rank_ensemble",
     "x111_shard_manifest", "x114_topic_tagging",
-    "x119_retrieval_eval", "x120_html_extract", "x123_training_run_export")
+    "x119_retrieval_eval", "x120_html_extract", "x123_training_run_export",
+    "x124_web_ingest_pipeline")
 
   private def coreQueries: Map[String, Q] = Map(
     // S1+P4+F1+F4 — dimension scan with projection + pushed predicates

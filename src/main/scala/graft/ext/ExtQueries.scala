@@ -742,6 +742,38 @@ object ExtQueries {
         .select("doc_id", "n_blocks", "n_kept", "main_text",
           "n_raw_chars", "n_main_chars")),
 
+    // The raw-web ingest pipeline (r6): the OTHER edge of the corpus
+    // lifecycle, composed — HTML wrapper (the raw CommonCrawl-shaped
+    // input) → main-content extraction (x120) → heuristic quality gate on
+    // the EXTRACTED text (x46's 0.6 threshold) → exact dedup on extracted
+    // text → per-language funnel stats with the measured boilerplate
+    // fraction. Scan-level HOFs feed three partial aggs; no corpus-sized
+    // state anywhere.
+    "x124_web_ingest_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ex = Html.extractMain(Html.withHtml(docs))
+        .select("doc_id", "main_text", "n_kept", "n_raw_chars", "n_main_chars")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      val base = ex.groupBy("lang").agg(
+        count(lit(1)).as("n_pages"),
+        sum(col("n_raw_chars")).as("raw_chars"),
+        sum(col("n_main_chars")).as("main_chars"))
+      val scored = TextOps.qualityMetrics(ex.where(col("n_kept") > 0), col("main_text"))
+      val kept = scored.where(col("quality_score") >= 0.6)
+      val canon = kept.groupBy(md5(col("main_text")).as("h")).agg(min("doc_id").as("doc_id"))
+      val uniq = kept.join(canon.select("doc_id"), "doc_id")
+      val qual = kept.groupBy("lang").agg(count(lit(1)).as("n_quality"))
+      val u = uniq.groupBy("lang").agg(
+        count(lit(1)).as("n_unique"), sum(col("n_tokens")).as("unique_tokens"))
+      base.join(qual, Seq("lang"), "left").join(u, Seq("lang"), "left")
+        .select(col("lang"), col("n_pages"),
+          coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+          coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+          coalesce(col("unique_tokens"), lit(0L)).as("unique_tokens"),
+          (lit(1.0) - col("main_chars").cast("double") / col("raw_chars").cast("double"))
+            .as("boilerplate_frac"))
+    }),
+
     // The corpus→trainer export flagship (r6): temperature mixture
     // REALIZED to per-doc copies (x87's draw, row level) ∘ curriculum
     // octiles (x108's exact ntile) ∘ per-(shard, lang) manifest with
@@ -1585,38 +1617,74 @@ object ExtQueries {
     if (withAll) s"$ctes$allCtes $perSource$allRow" else s"$ctes $perSource"
   }
 
+  /** The strip/word-count chain inlined per use (DuckDB has no SQL
+    * lambdas-with-names); 'g' flags mirror Spark's replace-all.
+    */
+  private def htmlStripSql(b: String) =
+    s"trim(regexp_replace(regexp_replace($b, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** x120's HTML wrapper + block-extraction chain (CTEs t0/hb/bl/ke/hx),
+    * generated from the [[Html]] constants; `hx` ends with
+    * (doc_id, n_blocks, n_kept, main_text, n_raw_chars, n_main_chars).
+    * Shared by x120 and x124's composed ingest pipeline.
+    */
+  private lazy val htmlChainCtes: String = {
+    def wc(b: String) =
+      s"len(list_filter(string_split(${htmlStripSql(b)}, ' '), tk -> tk <> ''))"
+    val nav0 = """<div class="nav"><a href="/">home</a> <a href="/docs">docs</a> menu</div>"""
+    val nav1 = """<div class="nav"><a href="/">home</a> <a href="/news">news</a> <a href="/about">about</a> site menu</div>"""
+    val footer = """<div class="footer">copyright 2026 <a href="/terms">terms</a> <a href="/privacy">privacy</a></div>"""
+    val keep = s"${wc("b")} >= ${Html.MinBlockWords} AND " +
+      s"${wc("b")} >= ${Html.LinkWordRatio} * len(regexp_extract_all(b, '<a '))"
+    "t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+      "hb AS (SELECT doc_id, '<html><head><title>doc ' || doc_id || '</title></head><body>' || " +
+      s"(CASE WHEN CAST(('0x' || substr(md5(doc_id || ':nav'), 1, 4)) AS BIGINT) % 2 = 0 " +
+      s"THEN '$nav0' ELSE '$nav1' END) || " +
+      s"array_to_string(list_transform(generate_series(0, (len(toks)-1)//${Html.ParaTokens}), " +
+      s"w -> '<p>' || array_to_string(toks[w*${Html.ParaTokens}+1:w*${Html.ParaTokens}+${Html.ParaTokens}], ' ') || '</p>'), '') || " +
+      s"'$footer' || '</body></html>' AS html FROM t0), " +
+      s"bl AS (SELECT doc_id, html, regexp_extract_all(html, '${Html.BlockPattern}') AS blocks FROM hb), " +
+      s"ke AS (SELECT doc_id, html, blocks, list_filter(blocks, b -> $keep) AS kept FROM bl), " +
+      "hx AS (SELECT doc_id, CAST(len(blocks) AS BIGINT) AS n_blocks, " +
+      "CAST(len(kept) AS BIGINT) AS n_kept, " +
+      s"array_to_string(list_transform(kept, b -> ${htmlStripSql("b")}), ' ') AS main_text, " +
+      "CAST(length(html) AS BIGINT) AS n_raw_chars, " +
+      s"CAST(length(array_to_string(list_transform(kept, b -> ${htmlStripSql("b")}), ' ')) AS BIGINT) AS n_main_chars " +
+      "FROM ke)"
+  }
+
   def oracleSql: Map[String, String] = Map(
-    "x120_html_extract" -> {
-      // The strip/word-count/link-count chain inlined per use (DuckDB has
-      // no SQL lambdas-with-names); 'g' flags mirror Spark's replace-all.
-      def strip(b: String) =
-        s"trim(regexp_replace(regexp_replace($b, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g'))"
-      def wc(b: String) =
-        s"len(list_filter(string_split(${strip(b)}, ' '), tk -> tk <> ''))"
-      val nav0 = """<div class="nav"><a href="/">home</a> <a href="/docs">docs</a> menu</div>"""
-      val nav1 = """<div class="nav"><a href="/">home</a> <a href="/news">news</a> <a href="/about">about</a> site menu</div>"""
-      val footer = """<div class="footer">copyright 2026 <a href="/terms">terms</a> <a href="/privacy">privacy</a></div>"""
-      val keep = s"${wc("b")} >= ${Html.MinBlockWords} AND " +
-        s"${wc("b")} >= ${Html.LinkWordRatio} * len(regexp_extract_all(b, '<a '))"
-      "WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-        "hb AS (SELECT doc_id, '<html><head><title>doc ' || doc_id || '</title></head><body>' || " +
-        s"(CASE WHEN CAST(('0x' || substr(md5(doc_id || ':nav'), 1, 4)) AS BIGINT) % 2 = 0 " +
-        s"THEN '$nav0' ELSE '$nav1' END) || " +
-        s"array_to_string(list_transform(generate_series(0, (len(toks)-1)//${Html.ParaTokens}), " +
-        s"w -> '<p>' || array_to_string(toks[w*${Html.ParaTokens}+1:w*${Html.ParaTokens}+${Html.ParaTokens}], ' ') || '</p>'), '') || " +
-        s"'$footer' || '</body></html>' AS html FROM t0), " +
-        s"bl AS (SELECT doc_id, html, regexp_extract_all(html, '${Html.BlockPattern}') AS blocks FROM hb), " +
-        s"ke AS (SELECT doc_id, html, blocks, list_filter(blocks, b -> $keep) AS kept FROM bl) " +
-        "SELECT doc_id, CAST(len(blocks) AS BIGINT) AS n_blocks, " +
-        "CAST(len(kept) AS BIGINT) AS n_kept, " +
-        s"array_to_string(list_transform(kept, b -> ${strip("b")}), ' ') AS main_text, " +
-        "CAST(length(html) AS BIGINT) AS n_raw_chars, " +
-        s"CAST(length(array_to_string(list_transform(kept, b -> ${strip("b")}), ' ')) AS BIGINT) AS n_main_chars " +
-        "FROM ke"
-    },
+    "x120_html_extract" ->
+      (s"WITH $htmlChainCtes " +
+        "SELECT doc_id, n_blocks, n_kept, main_text, n_raw_chars, n_main_chars FROM hx"),
 
     "x118_hybrid_rrf" ->
       s"WITH $hybridCtes SELECT doc_id, bm25_rank, ann_rank, rrf_score FROM hrrf10",
+
+    "x124_web_ingest_pipeline" ->
+      (s"WITH $htmlChainCtes, " +
+        "exq AS (SELECT hx.doc_id, d4.lang, main_text, n_kept, n_raw_chars, n_main_chars, " +
+        "string_split(main_text, ' ') AS mtoks FROM hx JOIN documents d4 USING (doc_id)), " +
+        "qm3 AS (SELECT doc_id, lang, main_text, CAST(len(mtoks) AS BIGINT) AS n_tokens, " +
+        s"CAST(len(list_filter(mtoks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(mtoks) AS stopword_ratio, " +
+        "CAST(length(regexp_replace(main_text, '[^a-z]', '', 'g')) AS DOUBLE)/length(main_text) AS alpha_ratio " +
+        "FROM exq WHERE n_kept > 0), " +
+        "kq AS (SELECT doc_id, lang, main_text, n_tokens FROM " +
+        "(SELECT *, least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5 " +
+        "+ stopword_ratio*0.25 + alpha_ratio*0.25 AS quality_score FROM qm3) " +
+        "WHERE quality_score >= 0.6), " +
+        "cn2 AS (SELECT md5(main_text) AS h2, min(doc_id) AS doc_id FROM kq GROUP BY 1), " +
+        "uq AS (SELECT kq.* FROM kq JOIN cn2 USING (doc_id)), " +
+        "bs AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_pages, " +
+        "CAST(sum(n_raw_chars) AS BIGINT) AS raw_chars, " +
+        "CAST(sum(n_main_chars) AS BIGINT) AS main_chars FROM exq GROUP BY 1), " +
+        "qsq AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_quality FROM kq GROUP BY 1), " +
+        "usq AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_unique, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS unique_tokens FROM uq GROUP BY 1) " +
+        "SELECT bs.lang, n_pages, coalesce(n_quality, 0) AS n_quality, " +
+        "coalesce(n_unique, 0) AS n_unique, coalesce(unique_tokens, 0) AS unique_tokens, " +
+        "1.0 - CAST(main_chars AS DOUBLE)/CAST(raw_chars AS DOUBLE) AS boilerplate_frac " +
+        "FROM bs LEFT JOIN qsq USING (lang) LEFT JOIN usq USING (lang)"),
 
     "x123_training_run_export" ->
       ("WITH c AS (SELECT lang AS bucket, CAST(count(*) AS BIGINT) AS n_docs " +
