@@ -163,6 +163,30 @@ object ScaleProbe {
       time("shard_manifest") {
         graft.ext.Curate.shardManifest(corpus, "doc_id", "text", 16).count()
       }
+      // HTML extraction: per-row HOF chain (wrapper derivation + block
+      // regex + strip + filter + rejoin), ZERO shuffle — time must track
+      // k at scan slope, the pure-codegen claim.
+      time("html_extract") {
+        graft.ext.Html.extractMain(graft.ext.Html.withHtml(corpus))
+          .where(col("n_kept") > 0).count()
+      }
+      // Training-run export: mixture weights are bucket-sized folds; the
+      // copy explode is budget×k rows; shards are one range-repartition
+      // pass; the manifest agg is map-side-combined — all stages k-linear
+      // or bucket-bounded, so time must track k. Budget scales with k so
+      // the mixed row mass (the export's actual output) grows linearly.
+      time("training_run_export") {
+        val q = graft.ext.TextOps.qualityMetrics(corpus).select("doc_id", "quality_score")
+        val shards = graft.ops.Quality.exactNtile(q, 8, Seq("quality_score", "doc_id"))
+          .select(col("doc_id"), col("bin").as("shard"))
+        val rows = graft.ext.Curate.temperatureCopies(corpus, col("lang"), 1000L * k)
+          .where(col("n_copies") > 0)
+          .select(col("doc_id"), col("bucket").as("lang"),
+            explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+        rows.join(shards, "doc_id").join(corpus.select("doc_id", "text"), "doc_id")
+          .groupBy("shard", "lang").agg(count(lit(1)).as("n_rows"))
+          .count()
+      }
       corpus.unpersist(blocking = true)
       val emb = replicateEmb(k).cache()
       emb.count()

@@ -742,6 +742,37 @@ object ExtQueries {
         .select("doc_id", "n_blocks", "n_kept", "main_text",
           "n_raw_chars", "n_main_chars")),
 
+    // Hybrid-fusion scale-path agreement (r6): the engine measures its own
+    // 100 TB path for x118 — RRF over exact brute-force ANN candidates vs
+    // RRF over lshMultiTopK's bucketed candidates (the scale default),
+    // reporting fused-top-10 overlap and both paths' nDCG against the
+    // planted relevance in ONE row (the x112 audit practice applied to
+    // retrieval fusion).
+    "x125_hybrid_lsh_agreement" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val corpus = docs.where(col("doc_id") =!= Hybrid.QueryVecId)
+      val bm = Hybrid.bm25Ranked(corpus, Hybrid.QueryTerms, 20)
+      def ranked(fused: org.apache.spark.sql.DataFrame) =
+        graft.ops.Quality.withExactRank(
+          fused.withColumn("_neg", -col("rrf_score")), Seq("_neg", "doc_id"), "rank")
+          .select(col("doc_id"), col("rank"))
+      val exR = ranked(Hybrid.rrfFuse(bm, Hybrid.annRanked(emb, 20), 10))
+      val lshR = ranked(Hybrid.rrfFuse(bm,
+        Hybrid.annRanked(emb, 20, Similarity.lshMultiTopK), 10))
+      val rel = graft.ops.Caching.cacheOnce(Hybrid.gradedRelevance(docs, emb))
+      val exEv = Hybrid.evalRankedList("x", exR, rel, 10)
+        .select(col("ndcg").as("ndcg_exact"))
+      val lshEv = Hybrid.evalRankedList("y", lshR, rel, 10)
+        .select(col("ndcg").as("ndcg_lsh"))
+      exR.select("doc_id").join(lshR.select("doc_id"), "doc_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .crossJoin(broadcast(exEv)).crossJoin(broadcast(lshEv))
+        .select(col("n_overlap"),
+          (col("n_overlap").cast("double") / lit(10.0)).as("overlap_frac"),
+          col("ndcg_exact"), col("ndcg_lsh"))
+    }),
+
     // The raw-web ingest pipeline (r6): the OTHER edge of the corpus
     // lifecycle, composed — HTML wrapper (the raw CommonCrawl-shaped
     // input) → main-content extraction (x120) → heuristic quality gate on
@@ -1660,6 +1691,29 @@ object ExtQueries {
 
     "x118_hybrid_rrf" ->
       s"WITH $hybridCtes SELECT doc_id, bm25_rank, ann_rank, rrf_score FROM hrrf10",
+
+    "x125_hybrid_lsh_agreement" ->
+      (s"WITH $hybridCtes, " +
+        s"hbe AS (SELECT vec_id, emb, unnest(generate_series(0, ${Similarity.LshTables - 1})) AS tbl, " +
+        (0 until Similarity.LshTables).map(multiBucketSql)
+          .mkString("unnest([", ", ", "]) AS bkt FROM hemb), ") +
+        s"hq2 AS (SELECT emb AS qe2, tbl, bkt FROM hbe WHERE vec_id = ${Hybrid.QueryVecId}), " +
+        s"hc2 AS (SELECT vec_id, emb, tbl, bkt FROM hbe WHERE vec_id <> ${Hybrid.QueryVecId}), " +
+        s"hlc AS (SELECT DISTINCT hc2.vec_id, ${dotSql("hq2.qe2", "hc2.emb")} AS cos " +
+        "FROM hc2 JOIN hq2 USING (tbl, bkt)), " +
+        "hannl AS (SELECT vec_id AS doc_id, CAST(rank AS BIGINT) AS rank FROM " +
+        "(SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank FROM hlc) WHERE rank <= 20), " +
+        "hfl AS (SELECT coalesce(b.doc_id, a.doc_id) AS doc_id, " +
+        s"coalesce(1.0/(${Hybrid.RrfK} + CAST(b.rank AS DOUBLE)), 0.0) " +
+        s"+ coalesce(1.0/(${Hybrid.RrfK} + CAST(a.rank AS DOUBLE)), 0.0) AS rrf_score " +
+        "FROM hbm b FULL JOIN hannl a ON b.doc_id = a.doc_id), " +
+        "hrrfl10 AS (SELECT doc_id, rrf_score FROM hfl ORDER BY rrf_score DESC, doc_id LIMIT 10), " +
+        "hrrfl AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank FROM hrrfl10), " +
+        "ov AS (SELECT CAST(count(*) AS BIGINT) AS n_overlap FROM hrrf JOIN hrrfl USING (doc_id)) " +
+        "SELECT ov.n_overlap, CAST(ov.n_overlap AS DOUBLE)/10.0 AS overlap_frac, " +
+        "ex.ndcg AS ndcg_exact, ls.ndcg AS ndcg_lsh " +
+        s"FROM ov, (SELECT ndcg FROM ${hybridEvalSql("x", "hrrf")}) ex, " +
+        s"(SELECT ndcg FROM ${hybridEvalSql("y", "hrrfl")}) ls"),
 
     "x124_web_ingest_pipeline" ->
       (s"WITH $htmlChainCtes, " +

@@ -58,7 +58,8 @@ class PlanAuditSpec extends SparkTestBase {
     "x118_hybrid_rrf" -> "embeds x48's 1-row broadcast corpus-stats fold + x06's brute-force semantic leg (scale path = lshMultiTopK candidates via Hybrid.annRanked's topK parameter)",
     "x119_retrieval_eval" -> "x118's folds + ONE broadcast query-embedding row (relevance) + ONE broadcast gain-histogram row per evaluated system (constants)",
     "x121_lm_pruned_stability" -> "crossJoins against ONE broadcast LM-stats row per model variant (x80's shape, twice)",
-    "x123_training_run_export" -> "embeds x87's 1-row broadcast total and sqrt-share-normalizer folds (bucket-cardinality constants)"
+    "x123_training_run_export" -> "embeds x87's 1-row broadcast total and sqrt-share-normalizer folds (bucket-cardinality constants)",
+    "x125_hybrid_lsh_agreement" -> "agreement REPORT: contains the exact x06-shaped fusion leg it measures the LSH-fusion path against (x112's practice), plus x119's 1-row eval folds"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {
