@@ -44,6 +44,16 @@ class ShuffleAuditSpec extends SparkTestBase {
     assert(m.shuffleBytesWritten < 32 * 1024)
   }
 
+  test("html extraction shuffles nothing but count partials") {
+    // The whole wrapper+extract chain (x120) is per-row HOFs — neither the
+    // derived html nor any block text may ever reach the wire.
+    val m = ShuffleAudit.measureCount(
+      graft.ext.Html.extractMain(graft.ext.Html.withHtml(docs)))
+    assert(m.rows === docs.count())
+    assert(m.shuffleBytesWritten < 32 * 1024,
+      s"html extraction shuffled ${m.shuffleBytesWritten} B — it must stay per-row")
+  }
+
   test("web-corpus flagship shuffle is output-shaped: survivors' text, once") {
     // x81's only text-bearing exchanges are the dedup join and the chunk
     // agg over the FILTERED survivors — bounded by ~4× the corpus text
