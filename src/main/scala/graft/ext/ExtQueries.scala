@@ -721,6 +721,17 @@ object ExtQueries {
     "x48_bm25_topk" -> ((s, dir) =>
       Search.bm25TopK(Tables.documents(s, dir), Seq("hash", "join", "dup"), 10)),
 
+    // Stored BM25 index probe (r6): the x58 stored-IVF discipline applied
+    // to lexical retrieval — postings partitioned by term-hash bucket,
+    // probe prunes to its terms' buckets (driver-side bucket computation),
+    // per-term df from the pruned postings, IDENTICAL score expression to
+    // x48 (one oracle serves both). Per-invocation temp dir (ADVICE r4).
+    "x126_bm25_stored" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("graft_bm25_index_").toString
+      Search.buildBm25Index(Tables.documents(s, dir), idx)
+      Search.bm25TopKStored(s, idx, Seq("hash", "join", "dup"), 10)
+    }),
+
     // Hybrid retrieval (r6): RRF fusion of the BM25 lexical list and the
     // brute-force semantic list for the fixture query (vector 0 + x48's
     // terms) — Σ 1/(60+rank), ranks null where a list missed the doc.
@@ -2549,6 +2560,27 @@ object ExtQueries {
         "SELECT q_id, vec_id, score, rank FROM r WHERE rank <= 10"),
 
     "x48_bm25_topk" ->
+      (s"WITH t AS ($toksCte), e AS (SELECT doc_id, unnest(toks) AS tok FROM t), " +
+        "pd AS (SELECT doc_id, count(*) AS dl, " +
+        "sum(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END) AS tf_0, " +
+        "sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS tf_1, " +
+        "sum(CASE WHEN tok = 'dup' THEN 1 ELSE 0 END) AS tf_2 " +
+        "FROM e GROUP BY doc_id), " +
+        "st AS (SELECT sum(dl) AS sum_dl, count(*) AS n_docs, " +
+        "sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0, " +
+        "sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1, " +
+        "sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2 FROM pd) " +
+        "SELECT doc_id, " +
+        "CASE WHEN tf_0 > 0 THEN ((CAST(n_docs AS DOUBLE) - CAST(df_0 AS DOUBLE) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5)) * (CAST(tf_0 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf_0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) ELSE 0.0 END " +
+        "+ CASE WHEN tf_1 > 0 THEN ((CAST(n_docs AS DOUBLE) - CAST(df_1 AS DOUBLE) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5)) * (CAST(tf_1 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf_1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) ELSE 0.0 END " +
+        "+ CASE WHEN tf_2 > 0 THEN ((CAST(n_docs AS DOUBLE) - CAST(df_2 AS DOUBLE) + 0.5) / (CAST(df_2 AS DOUBLE) + 0.5)) * (CAST(tf_2 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf_2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) ELSE 0.0 END " +
+        "AS score FROM pd, st WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0 " +
+        "ORDER BY score DESC, doc_id LIMIT 10"),
+
+    // The stored-index probe re-derives tf from bucket-pruned postings and
+    // df/stats from the stored tables — all IDENTICAL values to computing
+    // them from the corpus, so x48's oracle holds verbatim.
+    "x126_bm25_stored" ->
       (s"WITH t AS ($toksCte), e AS (SELECT doc_id, unnest(toks) AS tok FROM t), " +
         "pd AS (SELECT doc_id, count(*) AS dl, " +
         "sum(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END) AS tf_0, " +

@@ -36,6 +36,26 @@ object Search {
     * `queryTerms` (explicit left-to-right expression chain), keeping the
     * double arithmetic deterministic and oracle-matchable.
     */
+  /** The summed per-term BM25 score over columns `tf_i`/`df_i`/`dl`/
+    * `sum_dl`/`n_docs` — extracted so the in-memory ranker and the stored-
+    * index probe evaluate the IDENTICAL IEEE operation sequence (one
+    * oracle serves both).
+    */
+  private def scoreExpr(queryTerms: Seq[String], k1: Double, b: Double): Column = {
+    // integer sums + one division: avgdl is deterministic, no float agg
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val lenNorm = lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)
+    val termScore: Int => Column = { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val dfT = col(s"df_$i").cast("double")
+      val idf = (col("n_docs").cast("double") - dfT + lit(0.5)) / (dfT + lit(0.5))
+      when(col(s"tf_$i") > 0,
+        idf * (tf * (lit(k1) + lit(1.0))) / (tf + lit(k1) * lenNorm))
+        .otherwise(lit(0.0))
+    }
+    queryTerms.indices.map(termScore).reduceLeft(_ + _)
+  }
+
   def bm25TopK(
       docs: DataFrame,
       queryTerms: Seq[String],
@@ -61,20 +81,77 @@ object Search {
       .where(queryTerms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
       .crossJoin(broadcast(stats))
 
-    // integer sums + one division: avgdl is deterministic, no float agg
-    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
-    val lenNorm = lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)
-    val termScore: Int => Column = { i =>
-      val tf = col(s"tf_$i").cast("double")
-      val dfT = col(s"df_$i").cast("double")
-      val idf = (col("n_docs").cast("double") - dfT + lit(0.5)) / (dfT + lit(0.5))
-      when(col(s"tf_$i") > 0,
-        idf * (tf * (lit(k1) + lit(1.0))) / (tf + lit(k1) * lenNorm))
-        .otherwise(lit(0.0))
-    }
     matched
-      .select(col("doc_id"),
-        queryTerms.indices.map(termScore).reduceLeft(_ + _).as("score"))
+      .select(col("doc_id"), scoreExpr(queryTerms, k1, b).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Postings-bucket fan-out for the stored index: query terms hash to
+    * buckets, and a probe prunes to its terms' bucket partitions. 64 keeps
+    * fixture directories small; at 100 TB raise it so a bucket's postings
+    * fit a task (the layout, not the code, is the knob).
+    */
+  val IndexBuckets = 64
+
+  /** Scala twin of [[TextOps.tokHash16]] (first 4 md5 hex chars as int) —
+    * computes a query term's bucket DRIVER-side so the probe can prune
+    * partitions before any file is read.
+    */
+  def termBucket(t: String, buckets: Int = IndexBuckets): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8"))
+    (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % buckets
+  }
+
+  /** Persist the BM25 index as TABLES — the production retrieval shape:
+    * the corpus-wide work (tokenize, tf, doc lengths, corpus stats) runs
+    * ONCE at build time, and each query probes the stored postings with
+    * partition pruning instead of re-scanning the corpus (the
+    * [[Similarity.buildIvfIndex]] discipline applied to lexical search).
+    *
+    *  - `postings/` = (tok, doc_id, tf) PARTITIONED BY the term's hash
+    *    bucket — a probe's terms prune to their buckets' directories;
+    *  - `doclen/` = (doc_id, dl);
+    *  - `stats/` = ONE row (sum_dl, n_docs).
+    */
+  def buildBm25Index(corpus: DataFrame, indexDir: String,
+      buckets: Int = IndexBuckets): Unit = {
+    val toks = corpus.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    toks.groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(TextOps.tokHash16(col("tok")), lit(buckets)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/postings")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    dl.write.mode("overwrite").parquet(s"$indexDir/doclen")
+    dl.agg(sum(col("dl")).as("sum_dl"), count(lit(1)).as("n_docs"))
+      .write.mode("overwrite").parquet(s"$indexDir/stats")
+  }
+
+  /** Top-k against the STORED index: reads only the query terms' postings
+    * buckets (driver-side [[termBucket]] + partition pruning), derives
+    * per-term document frequencies from those pruned postings (one
+    * broadcast row), and scores with the IDENTICAL expression as
+    * [[bm25TopK]] — same results, corpus never re-read.
+    */
+  def bm25TopKStored(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopKStored needs at least one query term")
+    require(queryTerms.distinct == queryTerms, "query terms must be distinct")
+    val bks = queryTerms.map(termBucket(_)).distinct
+    val post = spark.read.parquet(s"$indexDir/postings")
+      .where(col("bucket").isin(bks: _*) && col("tok").isin(queryTerms: _*))
+    val dfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"df_$i") }
+    val dfAgg = post.agg(dfCols.head, dfCols.tail: _*)
+    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("tok") === t, col("tf")).otherwise(0L)).as(s"tf_$i") }
+    val perDoc = post.groupBy("doc_id").agg(tfCols.head, tfCols.tail: _*)
+    perDoc
+      .join(spark.read.parquet(s"$indexDir/doclen"), "doc_id")
+      .crossJoin(broadcast(spark.read.parquet(s"$indexDir/stats")))
+      .crossJoin(broadcast(dfAgg))
+      .select(col("doc_id"), scoreExpr(queryTerms, k1, b).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }

@@ -59,7 +59,8 @@ class PlanAuditSpec extends SparkTestBase {
     "x119_retrieval_eval" -> "x118's folds + ONE broadcast query-embedding row (relevance) + ONE broadcast gain-histogram row per evaluated system (constants)",
     "x121_lm_pruned_stability" -> "crossJoins against ONE broadcast LM-stats row per model variant (x80's shape, twice)",
     "x123_training_run_export" -> "embeds x87's 1-row broadcast total and sqrt-share-normalizer folds (bucket-cardinality constants)",
-    "x125_hybrid_lsh_agreement" -> "agreement REPORT: contains the exact x06-shaped fusion leg it measures the LSH-fusion path against (x112's practice), plus x119's 1-row eval folds"
+    "x125_hybrid_lsh_agreement" -> "agreement REPORT: contains the exact x06-shaped fusion leg it measures the LSH-fusion path against (x112's practice), plus x119's 1-row eval folds",
+    "x126_bm25_stored" -> "crossJoins against ONE stored corpus-stats row and ONE pruned-postings df row (constants, x48's shape)"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {

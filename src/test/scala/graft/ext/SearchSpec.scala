@@ -30,6 +30,33 @@ class SearchSpec extends SparkTestBase {
     assert(top.map(_.getLong(0)).toSeq === Seq(1L, 2L), "only matching docs, shorter first")
   }
 
+  test("stored index probe returns exactly the in-memory ranking, reading only the terms' buckets") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sfDir)
+    val terms = Seq("hash", "join", "dup")
+    val idx = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    Search.buildBm25Index(docs, idx)
+    val mem = Search.bm25TopK(docs, terms, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val stored = Search.bm25TopKStored(spark, idx, terms, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(stored.toSeq === mem.toSeq, "stored probe must be bit-identical to the in-memory ranker")
+    // the probe's scan is partition-pruned: the executed scan's SELECTED
+    // partitions cover only the query terms' bucket directories
+    // (df.inputFiles would NOT do: it lists the relation pre-pruning)
+    val wanted = terms.map(Search.termBucket(_)).toSet
+    val probe = Search.bm25TopKStored(spark, idx, terms, 10)
+    probe.collect()
+    val readBuckets = graft.ops.ShuffleAudit.allNodes(probe.queryExecution.executedPlan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.getOrElse("Location", "").contains("postings") => f }
+      .flatMap(_.selectedPartitions.toPartitionArray.map(_.urlEncodedPath))
+      .flatMap("bucket=([0-9]+)".r.findFirstMatchIn(_).map(_.group(1).toInt)).toSet
+    assert(readBuckets.nonEmpty)
+    assert(readBuckets.subsetOf(wanted),
+      s"probe read buckets $readBuckets beyond the query terms' $wanted")
+  }
+
   test("bm25: respects k and matches only documents containing a query term") {
     val docs = mkDocs((1L to 30L).map(i =>
       (i, if (i % 3 == 0) "hit pad pad" else "pad pad pad")))
