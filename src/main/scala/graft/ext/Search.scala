@@ -127,6 +127,33 @@ object Search {
       .write.mode("overwrite").parquet(s"$indexDir/stats")
   }
 
+  /** Append a delta BATCH of NEW documents to a stored BM25 index — the
+    * [[Similarity.appendToIvfIndex]] maintenance discipline for the
+    * lexical index: batch-sized tokenize/tf work only, `mode(append)` +
+    * `partitionBy` touches only the batch's terms' bucket directories,
+    * existing postings files are never rewritten, and probes see the
+    * union immediately. The one-row corpus-stats table is re-derived from
+    * (old row + batch aggregate) — a single driver scalar, the k-means
+    * loop budget. Batch doc_ids must be new (an update is delete+rebuild,
+    * as with IVF's fixed centroids between offline rebuilds).
+    */
+  def appendToBm25Index(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      batch: DataFrame, buckets: Int = IndexBuckets): Unit = {
+    val toks = batch.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    toks.groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(TextOps.tokHash16(col("tok")), lit(buckets)))
+      .write.mode("append").partitionBy("bucket").parquet(s"$indexDir/postings")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    dl.write.mode("append").parquet(s"$indexDir/doclen")
+    val add = dl.agg(sum(col("dl")).as("sum_dl"), count(lit(1)).as("n_docs")).collect()(0)
+    val old = spark.read.parquet(s"$indexDir/stats").collect()(0)
+    import spark.implicits._
+    Seq((old.getAs[Long]("sum_dl") + add.getAs[Long]("sum_dl"),
+        old.getAs[Long]("n_docs") + add.getAs[Long]("n_docs")))
+      .toDF("sum_dl", "n_docs")
+      .write.mode("overwrite").parquet(s"$indexDir/stats")
+  }
+
   /** Top-k against the STORED index: reads only the query terms' postings
     * buckets (driver-side [[termBucket]] + partition pruning), derives
     * per-term document frequencies from those pruned postings (one

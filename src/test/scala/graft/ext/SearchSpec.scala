@@ -57,6 +57,24 @@ class SearchSpec extends SparkTestBase {
       s"probe read buckets $readBuckets beyond the query terms' $wanted")
   }
 
+  test("index append: build-then-append probes identically to a full rebuild") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sfDir)
+    val terms = Seq("hash", "join", "dup")
+    val incr = java.nio.file.Files.createTempDirectory("bm25incr").toString
+    Search.buildBm25Index(docs.where(col("doc_id") < 250), incr)
+    Search.appendToBm25Index(spark, incr, docs.where(col("doc_id") >= 250))
+    val full = java.nio.file.Files.createTempDirectory("bm25full").toString
+    Search.buildBm25Index(docs, full)
+    val a = Search.bm25TopKStored(spark, incr, terms, 10).collect().toSeq
+    val b = Search.bm25TopKStored(spark, full, terms, 10).collect().toSeq
+    assert(a === b, "append must be indistinguishable from a rebuild at probe time")
+    // exactly-once postings: no doc appears twice for a term
+    val dup = spark.read.parquet(s"$incr/postings")
+      .groupBy("tok", "doc_id").count().where(col("count") > 1).count()
+    assert(dup === 0L)
+  }
+
   test("bm25: respects k and matches only documents containing a query term") {
     val docs = mkDocs((1L to 30L).map(i =>
       (i, if (i % 3 == 0) "hit pad pad" else "pad pad pad")))
