@@ -183,6 +183,69 @@ object Curate {
     df.withColumn("split", assigned)
   }
 
+  /** Leakage-safe (group-wise) dataset split: every near-duplicate cluster
+    * lands on ONE side of the train/eval boundary. The standard failure
+    * this prevents: a doc-level hash split ([[splitAssign]]) puts two
+    * near-identical documents on opposite sides and the eval set silently
+    * measures memorization. The fix is to draw the split from the CLUSTER
+    * id (`Dedup.connectedComponents`' canonical label; singletons are
+    * their own group), so near-dups move together by construction.
+    *
+    * `trainFrac` is compared against [[uniformHash]]'s exact power-of-two
+    * division — pass the literal you mean (0.9), never `1.0 - evalFrac`
+    * arithmetic, so the oracle can embed the identical double.
+    *
+    * Scale shape: the component table is pair-derived (≪ corpus) and the
+    * join is doc-keyed; the draw and assignment are per-row expressions.
+    * One doc-keyed shuffle total.
+    */
+  def groupwiseSplit(docs: DataFrame, components: DataFrame,
+      trainFrac: Double = 0.9, salt: String = "gsplit"): DataFrame =
+    docs.select(col("doc_id"))
+      .join(components.select(col("doc_id"), col("canonical_id")), Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("canonical_id"), col("doc_id")))
+      .withColumn("split",
+        when(uniformHash(col("group_id"), salt) < lit(trainFrac), lit("train"))
+          .otherwise(lit("eval")))
+      .select(col("doc_id"), col("group_id"), col("split"))
+
+  /** Split-leakage audit — the one-row evidence that [[groupwiseSplit]]
+    * actually closes the leak a naive doc-hash split leaves open: counts
+    * near-dup pairs whose endpoints land on OPPOSITE sides under each
+    * policy (group-wise must be 0 by construction; the naive count is the
+    * measured leak). Also carries both splits' sizes and the group count,
+    * so the report doubles as the split's datasheet row.
+    *
+    * Scale shape: two doc-keyed joins of the pair set against each
+    * assignment (pairs ≪ corpus²: they come from the banded/verified
+    * near-dup chain), four 1-row aggregates cross-joined. Nothing
+    * corpus-sized leaves an executor.
+    */
+  def splitLeakageAudit(docs: DataFrame, pairs: DataFrame, components: DataFrame,
+      trainFrac: Double = 0.9, salt: String = "gsplit"): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val gw = groupwiseSplit(docs, components, trainFrac, salt)
+    val naive = docs.select(col("doc_id"),
+      when(uniformHash(col("doc_id"), salt) < lit(trainFrac), lit("train"))
+        .otherwise(lit("eval")).as("split"))
+    val p = pairs.select("doc_a", "doc_b")
+    def crossPairs(assign: DataFrame, as: String) = p
+      .join(assign.select(col("doc_id").as("doc_a"), col("split").as("_sa")), "doc_a")
+      .join(assign.select(col("doc_id").as("doc_b"), col("split").as("_sb")), "doc_b")
+      .agg(coalesce(sum(when(col("_sa") =!= col("_sb"), 1L).otherwise(0L)), lit(0L)).as(as))
+    val gwCounts = gw.agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train_gw"),
+      sum(when(col("split") === "eval", 1L).otherwise(0L)).as("n_eval_gw"),
+      countDistinct(col("group_id")).as("n_groups"))
+    val nvCounts = naive.agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train_naive"),
+      sum(when(col("split") === "eval", 1L).otherwise(0L)).as("n_eval_naive"))
+    gwCounts
+      .crossJoin(broadcast(nvCounts))
+      .crossJoin(broadcast(crossPairs(gw, "cross_pairs_gw")))
+      .crossJoin(broadcast(crossPairs(naive, "cross_pairs_naive")))
+  }
+
   /** Per-source quality quota: keep only the `k` highest-quality docs from
     * each source — the balanced-corpus selection step after scoring. The
     * rank is a window PARTITIONED by source, which Spark executes with

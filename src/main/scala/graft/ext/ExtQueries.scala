@@ -816,6 +816,41 @@ object ExtQueries {
             .as("boilerplate_frac"))
     }),
 
+    // Leakage-safe eval split (r6): near-dup clusters (x15's components)
+    // split as UNITS — the group id draws the train/eval coin, so two
+    // near-identical docs can never straddle the boundary and leak eval
+    // content into training. Singletons are their own group.
+    "x127_groupwise_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curate.groupwiseSplit(docs,
+        Dedup.connectedComponents(Dedup.jaccardPairs(docs, 3, 0.8)))
+    }),
+
+    // Split-leakage audit (r6): the one-row proof — near-dup pairs crossing
+    // the boundary under the group-wise policy (0 by construction, counted
+    // not asserted) vs under x55's naive doc-hash policy (the measured
+    // leak), plus both splits' sizes and the group count.
+    "x128_split_leakage_audit" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardPairs(docs, 3, 0.8)
+      Curate.splitLeakageAudit(docs, pairs, Dedup.connectedComponents(pairs))
+    }),
+
+    // In-engine classifier TRAINING (r6): full-batch gradient descent on a
+    // hashed-tf fast-sigmoid classifier, unrolled as ONE declarative plan
+    // (each iteration = one corpus aggregate producing the next 1-row
+    // weight frame). The report is the weight/gradient trajectory with the
+    // partial-agg fast path tolerance-checked per cell.
+    "x129_lr_train_trajectory" -> ((s, dir) =>
+      Trainer.lrTrajectory(s, Tables.documents(s, dir))),
+
+    // The trained model APPLIED (r6): held-out per-doc scores under the
+    // final weights — x89's classifier-report shape, but the model was
+    // fitted by the engine itself (x129's loop), closing the FineWeb-style
+    // "train the quality filter, then run it" edge.
+    "x130_lr_classify" -> ((s, dir) =>
+      Trainer.lrClassify(s, Tables.documents(s, dir))),
+
     // The corpus→trainer export flagship (r6): temperature mixture
     // REALIZED to per-doc copies (x87's draw, row level) ∘ curriculum
     // octiles (x108's exact ntile) ∘ per-(shard, lang) manifest with
@@ -1201,6 +1236,102 @@ object ExtQueries {
       "band AS (SELECT doc_id, band, md5(array_to_string(sig[4*band+1:4*band+4], '|')) AS bh FROM bandx), " +
       "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM band a JOIN band b " +
       "ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"
+
+  /** Exact-Jaccard pair + connected-component + group-wise-split CTE chain
+    * (through `ga`: doc_id, group_id, split), shared by x127's applied
+    * split and x128's leakage audit. Same reachability CC as x15/x99; the
+    * split draw is x55's md5 idiom over the GROUP id. */
+  private val groupSplitCtes =
+    s"t AS ($toksCte), sh AS ($shinglesCte), " +
+      "ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh), " +
+      "sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh), " +
+      "c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common " +
+      "FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "pairs AS (SELECT c.doc_a, c.doc_b FROM c " +
+      "JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id " +
+      "WHERE CAST(c.common AS DOUBLE)/(x.n + y.n - c.common) >= 0.8), " +
+      "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+      "UNION SELECT doc_b, doc_a FROM pairs), " +
+      "reach AS (SELECT src, dst FROM edges " +
+      "UNION (SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)), " +
+      "comp AS (SELECT src AS doc_id, least(src, min(dst)) AS canonical_id FROM reach GROUP BY src), " +
+      "gw AS (SELECT d.doc_id, coalesce(comp.canonical_id, d.doc_id) AS group_id " +
+      "FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id), " +
+      "ga AS (SELECT doc_id, group_id, " +
+      "CASE WHEN CAST(('0x' || substr(md5(CAST(group_id AS VARCHAR) || ':gsplit'), 1, 8)) AS BIGINT)" +
+      "/4294967296.0 < 0.9 THEN 'train' ELSE 'eval' END AS split FROM gw)"
+
+  /** Unrolled gradient-descent CTE chain for x129/x130 — the DuckDB twin
+    * of `Trainer`'s declarative loop. Every floating-point expression
+    * mirrors the Spark side token-for-token: left-associated margin chain,
+    * rational fast sigmoid, sorted-list gradient folds, `w - lr·(g/n)`
+    * updates. Chain ends at `wi<iters>` (final weights) with each
+    * iteration's `g<t>` diagnostics CTE still addressable.
+    */
+  private def lrCtes(buckets: Int, iters: Int): String = {
+    val lr = Trainer.LearnRate
+    val xs = 0 until (buckets + 2)
+    val feat =
+      s"t AS MATERIALIZED ($toksCte), " +
+        "hsx AS MATERIALIZED (SELECT doc_id, list_transform(toks, " +
+        s"tk -> CAST(('0x' || substr(md5(tk), 1, 4)) AS INT) % $buckets) AS hs FROM t), " +
+        "qm AS MATERIALIZED (SELECT d.doc_id, " +
+        "least(CAST(len(t.toks) AS DOUBLE)/50.0, 1.0) AS lenf, " +
+        "CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)/length(d.text) AS alphaf, " +
+        "least(CAST(len(t.toks) AS DOUBLE)/50.0, 1.0)*0.5 " +
+        s"+ (CAST(len(list_filter(t.toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(t.toks))*0.25 " +
+        "+ (CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)/length(d.text))*0.25 AS q " +
+        "FROM documents d JOIN t ON d.doc_id = t.doc_id), " +
+        "fx AS MATERIALIZED (SELECT h.doc_id, CASE WHEN q.q >= 0.6 THEN 1.0 ELSE 0.0 END AS y, " +
+        "list_concat([q.lenf, q.alphaf], " +
+        s"list_transform(range(0, $buckets), j -> CAST(len(list_filter(h.hs, v -> v = j)) AS DOUBLE)/len(h.hs))) AS x " +
+        "FROM hsx h JOIN qm q ON h.doc_id = q.doc_id WHERE len(h.hs) > 0), " +
+        "tr AS MATERIALIZED (SELECT * FROM fx WHERE " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5), " +
+        "wi0 AS (SELECT " + (Seq("0.0 AS wb") ++ xs.map(j => s"0.0 AS w$j")).mkString(", ") + ")"
+    val iterCtes = (1 to iters).map { tt =>
+      val m = (Seq("w.wb") ++ xs.map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
+      s"m$tt AS MATERIALIZED (SELECT f.y, f.x, ($m) AS m FROM tr f CROSS JOIN wi${tt - 1} w), " +
+        s"r$tt AS MATERIALIZED (SELECT y, x, ((0.5 + 0.5*m/(1.0 + abs(m))) - y) AS r FROM m$tt), " +
+        s"g$tt AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        (Seq("list_aggregate(list_sort(list(r)), 'sum') AS gb", "sum(r) AS psb") ++
+          xs.flatMap(j => Seq(
+            s"list_aggregate(list_sort(list(r*x[${j + 1}])), 'sum') AS g$j",
+            s"sum(r*x[${j + 1}]) AS ps$j"))).mkString(", ") +
+        s" FROM r$tt), " +
+        s"wi$tt AS MATERIALIZED (SELECT " +
+        (Seq(s"w.wb - $lr*(g.gb/CAST(g.n AS DOUBLE)) AS wb") ++
+          xs.map(j => s"w.w$j - $lr*(g.g$j/CAST(g.n AS DOUBLE)) AS w$j")).mkString(", ") +
+        s" FROM g$tt g CROSS JOIN wi${tt - 1} w)"
+    }.mkString(", ")
+    feat + ", " + iterCtes
+  }
+
+  private def lrTrajectorySql(buckets: Int, iters: Int): String = {
+    val rows = (1 to iters).flatMap { tt =>
+      val bias = s"SELECT CAST($tt AS BIGINT) AS iter, CAST(-1 AS BIGINT) AS feature, " +
+        s"w.wb AS weight, g.gb AS grad, " +
+        s"abs(g.gb - g.psb) <= greatest(abs(g.gb)*1e-9, 1e-9) AS partial_agg_close " +
+        s"FROM wi$tt w CROSS JOIN g$tt g"
+      val fs = (0 until (buckets + 2)).map(j =>
+        s"SELECT CAST($tt AS BIGINT), CAST($j AS BIGINT), w.w$j, g.g$j, " +
+          s"abs(g.g$j - g.ps$j) <= greatest(abs(g.g$j)*1e-9, 1e-9) " +
+          s"FROM wi$tt w CROSS JOIN g$tt g")
+      bias +: fs
+    }
+    s"WITH ${lrCtes(buckets, iters)} " + rows.mkString(" UNION ALL ")
+  }
+
+  private def lrClassifySql(buckets: Int, iters: Int): String = {
+    val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
+    s"WITH ${lrCtes(buckets, iters)}, " +
+      "ho AS (SELECT * FROM fx WHERE NOT (" +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5)), " +
+      s"mf AS (SELECT f.doc_id, f.y, ($m) AS m FROM ho f CROSS JOIN wi$iters w) " +
+      "SELECT doc_id, y, (0.5 + 0.5*m/(1.0 + abs(m))) AS score, " +
+      "(0.5 + 0.5*m/(1.0 + abs(m))) >= 0.5 AS pred, " +
+      "((0.5 + 0.5*m/(1.0 + abs(m))) >= 0.5) = (y = 1.0) AS is_correct FROM mf"
+  }
 
   /** Full-corpus MinHash+LSH SQL (x03); x49 filters it to batch-side pairs. */
   private val minhashLshSql =
@@ -2221,6 +2352,32 @@ object ExtQueries {
         "FROM d) " +
         "SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, alpha_ratio, " +
         "least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5 + stopword_ratio*0.25 + alpha_ratio*0.25 AS quality_score FROM m"),
+
+    "x129_lr_train_trajectory" ->
+      lrTrajectorySql(Trainer.Buckets, Trainer.Iters),
+
+    "x130_lr_classify" ->
+      lrClassifySql(Trainer.Buckets, Trainer.Iters),
+
+    "x127_groupwise_split" ->
+      (s"WITH RECURSIVE $groupSplitCtes SELECT doc_id, group_id, split FROM ga"),
+
+    "x128_split_leakage_audit" ->
+      (s"WITH RECURSIVE $groupSplitCtes, " +
+        "na AS (SELECT doc_id, " +
+        "CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':gsplit'), 1, 8)) AS BIGINT)" +
+        "/4294967296.0 < 0.9 THEN 'train' ELSE 'eval' END AS split FROM documents), " +
+        "gc AS (SELECT CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train_gw, " +
+        "CAST(sum(CASE WHEN split = 'eval' THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_gw, " +
+        "CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups FROM ga), " +
+        "nc AS (SELECT CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train_naive, " +
+        "CAST(sum(CASE WHEN split = 'eval' THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_naive FROM na), " +
+        "cg AS (SELECT coalesce(CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT), 0) " +
+        "AS cross_pairs_gw FROM pairs p JOIN ga a ON p.doc_a = a.doc_id JOIN ga b ON p.doc_b = b.doc_id), " +
+        "cn AS (SELECT coalesce(CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT), 0) " +
+        "AS cross_pairs_naive FROM pairs p JOIN na a ON p.doc_a = a.doc_id JOIN na b ON p.doc_b = b.doc_id) " +
+        "SELECT gc.n_train_gw, gc.n_eval_gw, gc.n_groups, nc.n_train_naive, nc.n_eval_naive, " +
+        "cg.cross_pairs_gw, cn.cross_pairs_naive FROM gc, nc, cg, cn"),
 
     "x55_curate_split" ->
       ("WITH u AS (SELECT doc_id, lang, source, " +

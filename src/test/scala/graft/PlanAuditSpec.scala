@@ -60,7 +60,10 @@ class PlanAuditSpec extends SparkTestBase {
     "x121_lm_pruned_stability" -> "crossJoins against ONE broadcast LM-stats row per model variant (x80's shape, twice)",
     "x123_training_run_export" -> "embeds x87's 1-row broadcast total and sqrt-share-normalizer folds (bucket-cardinality constants)",
     "x125_hybrid_lsh_agreement" -> "agreement REPORT: contains the exact x06-shaped fusion leg it measures the LSH-fusion path against (x112's practice), plus x119's 1-row eval folds",
-    "x126_bm25_stored" -> "crossJoins against ONE stored corpus-stats row and ONE pruned-postings df row (constants, x48's shape)"
+    "x126_bm25_stored" -> "crossJoins against ONE stored corpus-stats row and ONE pruned-postings df row (constants, x48's shape)",
+    "x128_split_leakage_audit" -> "crossJoin of four single-row count aggregates (split sizes, group count, two cross-pair counts — constants)",
+    "x129_lr_train_trajectory" -> "each GD iteration crossJoins the ONE-ROW broadcast weight frame (B+3 doubles) onto the cached feature scan — constant model state, the x122 iterative-report shape",
+    "x130_lr_classify" -> "scoring crossJoins the ONE-ROW broadcast final-weight frame onto the held-out scan (x129's trained model, constant)"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {

@@ -1,0 +1,53 @@
+package graft.ext
+
+import graft.SparkTestBase
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class SplitSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def fixtureDocs = Tables.documents(spark, sfDir)
+  private def fixturePairs = Dedup.jaccardPairs(fixtureDocs, 3, 0.8)
+  private def fixtureComps = Dedup.connectedComponents(fixturePairs)
+
+  test("groupwiseSplit: partitions the corpus, one split per group, deterministic") {
+    val s = Curate.groupwiseSplit(fixtureDocs, fixtureComps).cache()
+    assert(s.count() === fixtureDocs.count())
+    // a group never straddles the boundary
+    val mixed = s.groupBy("group_id").agg(countDistinct("split").as("k"))
+      .where(col("k") > 1)
+    assert(mixed.isEmpty)
+    assert(s.collect().toSet ===
+      Curate.groupwiseSplit(fixtureDocs, fixtureComps).collect().toSet)
+    s.unpersist()
+  }
+
+  test("splitLeakageAudit: group-wise leak is zero; counts reconcile") {
+    val row = Curate.splitLeakageAudit(fixtureDocs, fixturePairs, fixtureComps)
+      .collect().head
+    val n = fixtureDocs.count()
+    assert(row.getLong(row.fieldIndex("cross_pairs_gw")) === 0L)
+    assert(row.getLong(row.fieldIndex("n_train_gw")) +
+      row.getLong(row.fieldIndex("n_eval_gw")) === n)
+    assert(row.getLong(row.fieldIndex("n_train_naive")) +
+      row.getLong(row.fieldIndex("n_eval_naive")) === n)
+    assert(row.getLong(row.fieldIndex("n_groups")) <= n)
+  }
+
+  test("planted clique: naive split leaks, group-wise split does not") {
+    // 20 identical docs = one near-dup clique; the doc-level hash draw
+    // (deterministic: 17 train / 3 eval for ids 1..20) splits it, the
+    // group-level draw cannot.
+    val clique = (1L to 20L).map(i => (i, "the quick brown fox jumps over the lazy dog again"))
+    val docs = clique.toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, 3, 0.8)
+    assert(pairs.count() === 190L) // all C(20,2) pairs at jaccard 1.0
+    val comps = Dedup.connectedComponents(pairs)
+    val row = Curate.splitLeakageAudit(docs, pairs, comps).collect().head
+    assert(row.getLong(row.fieldIndex("cross_pairs_gw")) === 0L)
+    assert(row.getLong(row.fieldIndex("cross_pairs_naive")) > 0L,
+      "doc-level split must separate some of the planted clique")
+    assert(row.getLong(row.fieldIndex("n_groups")) === 1L)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ext
+
+import graft.SparkTestBase
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class TrainerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("fastSigmoid: range, midpoint, monotonicity — exact rational values") {
+    val vals = Seq(-100.0, -1.0, 0.0, 1.0, 100.0).toDF("m")
+      .select(Trainer.fastSigmoid(col("m")).as("p"))
+      .collect().map(_.getDouble(0))
+    assert(vals(2) === 0.5)             // σ̃(0) = 0.5 exactly
+    assert(vals(1) === 0.25 && vals(3) === 0.75) // 0.5 ± 0.5·(1/2): exact
+    assert(vals.forall(p => p > 0.0 && p < 1.0))
+    assert(vals.sameElements(vals.sorted))
+  }
+
+  test("features: dense pair + tf buckets, tf mass sums to 1") {
+    val f = Trainer.features(Tables.documents(spark, sfDir))
+    val r = f.select(col("y"), col("x"),
+        aggregate(slice(col("x"), 3, Trainer.Buckets), lit(0.0), (a, v) => a + v).as("tfsum"),
+        col("x").getItem(0).as("lenf"), col("x").getItem(1).as("alphaf"))
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getSeq[Double](1).length === Trainer.Dim)
+      assert(math.abs(row.getDouble(2) - 1.0) < 1e-9) // tf ratios partition the doc
+      assert(row.getDouble(3) >= 0.0 && row.getDouble(3) <= 1.0)
+      assert(row.getDouble(4) >= 0.0 && row.getDouble(4) <= 1.0)
+      assert(row.getDouble(0) == 0.0 || row.getDouble(0) == 1.0)
+    }
+  }
+
+  test("lrTrajectory: shape, decaying gradient, partial-agg within tolerance") {
+    val t = Trainer.lrTrajectory(spark, Tables.documents(spark, sfDir)).cache()
+    assert(t.count() === Trainer.Iters.toLong * (Trainer.Dim + 1))
+    // every (iter, feature) cell's partial-agg shadow sum is within
+    // reassociation tolerance of the exact sorted fold
+    assert(t.where(!col("partial_agg_close")).isEmpty)
+    // gradient L1 decays: optimization is actually descending, not looping
+    val l1 = t.groupBy("iter").agg(sum(abs(col("grad"))).as("l1"))
+      .orderBy("iter").collect().map(_.getDouble(1))
+    assert(l1.length === Trainer.Iters)
+    assert(l1.last < l1.head / 2.0,
+      s"gradient L1 should at least halve over ${Trainer.Iters} iters: ${l1.toSeq}")
+    t.unpersist()
+  }
+
+  test("lrClassify: deterministic, self-consistent, and separable labels are learned") {
+    val out = Trainer.lrClassify(spark, Tables.documents(spark, sfDir)).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (score, pred, correct) = (r.getDouble(2), r.getBoolean(3), r.getBoolean(4))
+      assert(score > 0.0 && score < 1.0)
+      assert(pred === (score >= 0.5))
+      assert(correct === (pred == (r.getDouble(1) == 1.0)))
+    }
+    assert(out.collect().toSet === Trainer.lrClassify(spark, Tables.documents(spark, sfDir))
+      .collect().toSet)
+    out.unpersist()
+
+    // A linearly separable corpus (label driven by the capped-length
+    // feature): the trained model must beat the base rate decisively.
+    val long = (1L to 30L).map(i => (i, Array.fill(60)("alpha").mkString(" ")))
+    val short = (31L to 60L).map(i => (i, Array.fill(4)("beta").mkString(" ")))
+    val synth = (long ++ short).toDF("doc_id", "text")
+    val scored = Trainer.lrClassify(spark, synth).cache()
+    val n = scored.count().toDouble
+    val acc = scored.where(col("is_correct")).count() / n
+    val base = math.max(
+      scored.where(col("y") === 1.0).count() / n,
+      scored.where(col("y") === 0.0).count() / n)
+    assert(acc > base, s"learned accuracy $acc should beat base rate $base")
+    scored.unpersist()
+  }
+}
