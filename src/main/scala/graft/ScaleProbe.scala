@@ -187,6 +187,24 @@ object ScaleProbe {
           .groupBy("shard", "lang").agg(count(lit(1)).as("n_rows"))
           .count()
       }
+      // Leakage-safe split audit: LSH pairs (the scale default) → star-CC
+      // (O(log n) rounds) → group-id draw → one-row audit. Pair volume and
+      // CC work grow linearly by the salting argument; the audit adds two
+      // pair-vs-assignment doc-keyed joins and four 1-row aggregates.
+      time("groupwise_split_audit") {
+        val pairs = Dedup.minhashLsh(corpus, 3, 0.8).cache()
+        val comps = Dedup.connectedComponentsStars(pairs).cache()
+        val n = graft.ext.Curate.splitLeakageAudit(corpus, pairs, comps).count()
+        pairs.unpersist(); comps.unpersist()
+        n
+      }
+      // In-engine GD training: each of the 10 iterations is ONE corpus
+      // aggregate over the cached feature scan plus a 1-row localCheckpoint
+      // — time must track k on top of a constant plan-build/JIT floor (the
+      // model is B+3 doubles regardless of corpus size).
+      time("lr_train10") {
+        graft.ext.Trainer.lrTrajectory(spark, corpus).count()
+      }
       corpus.unpersist(blocking = true)
       val emb = replicateEmb(k).cache()
       emb.count()

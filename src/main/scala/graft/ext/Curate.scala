@@ -224,7 +224,10 @@ object Curate {
   def splitLeakageAudit(docs: DataFrame, pairs: DataFrame, components: DataFrame,
       trainFrac: Double = 0.9, salt: String = "gsplit"): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val gw = groupwiseSplit(docs, components, trainFrac, salt)
+    // The assignment is referenced twice (sizes + cross-pair join) and its
+    // upstream CC is iterative — materialize once, as a production pipeline
+    // persisting its split table would.
+    val gw = graft.ops.Caching.cacheOnce(groupwiseSplit(docs, components, trainFrac, salt))
     val naive = docs.select(col("doc_id"),
       when(uniformHash(col("doc_id"), salt) < lit(trainFrac), lit("train"))
         .otherwise(lit("eval")).as("split"))

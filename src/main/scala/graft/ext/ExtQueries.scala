@@ -832,7 +832,7 @@ object ExtQueries {
     // leak), plus both splits' sizes and the group count.
     "x128_split_leakage_audit" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.jaccardPairs(docs, 3, 0.8)
+      val pairs = graft.ops.Caching.cacheOnce(Dedup.jaccardPairs(docs, 3, 0.8))
       Curate.splitLeakageAudit(docs, pairs, Dedup.connectedComponents(pairs))
     }),
 
