@@ -205,6 +205,15 @@ object ScaleProbe {
       time("lr_train10") {
         graft.ext.Trainer.lrTrajectory(spark, corpus).count()
       }
+      // Bradley–Terry MM fit: pools sized to constant occupancy (~8/pool,
+      // the LSH-bits law), so comparisons grow LINEARLY with items; each of
+      // the 5 rounds is one comparison-keyed join + item-keyed fold over
+      // checkpointed (item, strength) state — time must track k.
+      time("bt_fit5") {
+        val pools = math.max(64L, n / 8L).toInt
+        graft.ext.Preference.btFit(
+          graft.ext.Preference.derivedPreferences(corpus, pools)).count()
+      }
       corpus.unpersist(blocking = true)
       val emb = replicateEmb(k).cache()
       emb.count()

@@ -844,6 +844,20 @@ object ExtQueries {
     "x129_lr_train_trajectory" -> ((s, dir) =>
       Trainer.lrTrajectory(s, Tables.documents(s, dir))),
 
+    // Bradley–Terry preference aggregation (r6): md5-pool A/B comparisons
+    // (won by quality, the fixture's stand-in for human judgments) fitted
+    // by Hunter's MM iteration — rational arithmetic end to end, so the
+    // 5-round fit hash-matches the oracle's unrolled replay. Per-item
+    // wins/games/strength out.
+    "x131_bt_strengths" -> ((s, dir) =>
+      Preference.btStrengths(Tables.documents(s, dir))),
+
+    // The fit's convergence report (r6): per-round L1 delta of the
+    // strength vector, DECIMAL-transit (x122's report shape for the MM
+    // loop).
+    "x132_bt_convergence" -> ((s, dir) =>
+      Preference.btConvergence(Tables.documents(s, dir))),
+
     // The trained model APPLIED (r6): held-out per-doc scores under the
     // final weights — x89's classifier-report shape, but the model was
     // fitted by the engine itself (x129's loop), closing the FineWeb-style
@@ -1320,6 +1334,44 @@ object ExtQueries {
       bias +: fs
     }
     s"WITH ${lrCtes(buckets, iters)} " + rows.mkString(" UNION ALL ")
+  }
+
+  /** Unrolled Bradley–Terry MM CTE chain for x131/x132 — pools, derived
+    * preferences, sufficient stats, then `iters` rounds of
+    * `s ← wins / Σ 1/(s_i + s_j)` with opponent-ordered list folds
+    * (`list(v ORDER BY j)` ≡ Spark's sorted-struct fold). Ends with
+    * `s<iters>`; every round's `s<t>` stays addressable for the
+    * convergence deltas.
+    */
+  private def btCtes(iters: Int): String = {
+    val base =
+      s"t AS MATERIALIZED ($toksCte), " +
+        "qd AS MATERIALIZED (SELECT d.doc_id, least(CAST(len(t.toks) AS DOUBLE)/50.0, 1.0)*0.5 " +
+        s"+ (CAST(len(list_filter(t.toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(t.toks))*0.25 " +
+        "+ (CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)/length(d.text))*0.25 AS q " +
+        "FROM documents d JOIN t ON d.doc_id = t.doc_id), " +
+        "pl AS MATERIALIZED (SELECT doc_id, q, " +
+        s"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pref'), 1, 4)) AS INT) % ${Preference.Pools} AS pool FROM qd), " +
+        "pf AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CASE WHEN a.q > b.q THEN a.doc_id WHEN a.q < b.q THEN b.doc_id " +
+        "ELSE least(a.doc_id, b.doc_id) END AS winner " +
+        "FROM pl a JOIN pl b ON a.pool = b.pool AND a.doc_id < b.doc_id), " +
+        "gm AS MATERIALIZED (SELECT doc_a AS i, doc_b AS j FROM pf " +
+        "UNION ALL SELECT doc_b, doc_a FROM pf), " +
+        "gcnt AS (SELECT i AS doc_id, CAST(count(*) AS BIGINT) AS games FROM gm GROUP BY 1), " +
+        "wcnt AS (SELECT winner AS doc_id, CAST(count(*) AS BIGINT) AS wins FROM pf GROUP BY 1), " +
+        "bst AS MATERIALIZED (SELECT g.doc_id, coalesce(w.wins, CAST(0 AS BIGINT)) AS wins, g.games " +
+        "FROM gcnt g LEFT JOIN wcnt w USING (doc_id)), " +
+        "s0 AS MATERIALIZED (SELECT doc_id, CAST(1.0 AS DOUBLE) AS s FROM bst)"
+    val rounds = (1 to iters).map { tt =>
+      s"dn$tt AS MATERIALIZED (SELECT g.i AS doc_id, " +
+        s"list_aggregate(list(CAST(1.0 AS DOUBLE)/(si.s + sj.s) ORDER BY g.j), 'sum') AS denom " +
+        s"FROM gm g JOIN s${tt - 1} si ON g.i = si.doc_id JOIN s${tt - 1} sj ON g.j = sj.doc_id " +
+        "GROUP BY g.i), " +
+        s"s$tt AS MATERIALIZED (SELECT bst.doc_id, CAST(bst.wins AS DOUBLE)/dn.denom AS s " +
+        s"FROM bst JOIN dn$tt dn USING (doc_id))"
+    }.mkString(", ")
+    base + ", " + rounds
   }
 
   private def lrClassifySql(buckets: Int, iters: Int): String = {
@@ -2355,6 +2407,20 @@ object ExtQueries {
 
     "x129_lr_train_trajectory" ->
       lrTrajectorySql(Trainer.Buckets, Trainer.Iters),
+
+    "x131_bt_strengths" ->
+      (s"WITH ${btCtes(Preference.Iters)} " +
+        s"SELECT bst.doc_id, bst.wins, bst.games, s.s AS strength " +
+        s"FROM bst JOIN s${Preference.Iters} s USING (doc_id)"),
+
+    "x132_bt_convergence" ->
+      (s"WITH ${btCtes(Preference.Iters)}, " +
+        (0 until Preference.Iters).map { k =>
+          s"dl$k AS (SELECT CAST(${k + 1} AS BIGINT) AS iter, " +
+            "CAST(sum(CAST(abs(b.s - a.s) AS DECIMAL(25,15))) AS DOUBLE) AS l1_delta " +
+            s"FROM s$k a JOIN s${k + 1} b USING (doc_id))"
+        }.mkString(", ") + " " +
+        (0 until Preference.Iters).map(k => s"SELECT * FROM dl$k").mkString(" UNION ALL ")),
 
     "x130_lr_classify" ->
       lrClassifySql(Trainer.Buckets, Trainer.Iters),

@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pairwise-preference aggregation — the RLHF-data stage that turns raw
+  * A-vs-B comparisons into per-item strength scores. The estimator is the
+  * Bradley–Terry model fitted by Hunter's MM (minorization–maximization)
+  * iteration (Hunter, "MM algorithms for generalized Bradley-Terry
+  * models", Ann. Statist. 2004):
+  *
+  *   s_i ← W_i / Σ_{j played i} 1 / (s_i + s_j)
+  *
+  * — every operation a division or add, so the whole fit is rational
+  * arithmetic the DuckDB oracle replays bit-exactly (the x129 discipline:
+  * no exp/log likelihood, the MM form IS transcendental-free).
+  *
+  * Scale shape: comparisons live in hash pools (bounded all-pairs within a
+  * pool, the LSH-band budget); iteration state is one (item, strength) row
+  * per item, updated by a comparison-keyed join + item-keyed fold and
+  * `localCheckpoint`ed per round (the CC/PageRank lineage discipline).
+  * Nothing corpus-quadratic, nothing driver-resident.
+  */
+object Preference {
+
+  /** Comparison pool count: docs hash into ~corpus/Pools-sized pools and
+    * every within-pool pair is one observed comparison. */
+  val Pools = 64
+  val Iters = 5
+
+  /** Deterministic derived preference set: within each md5 pool, every
+    * (a < b) doc pair is one comparison won by the higher quality score
+    * (deterministic ties: lower doc_id). This is the fixture's stand-in
+    * for human A/B judgments — the aggregation operator downstream is the
+    * production piece.
+    */
+  def derivedPreferences(docs: DataFrame, pools: Int = Pools): DataFrame = {
+    val q = TextOps.qualityMetrics(docs).select(col("doc_id"), col("quality_score"))
+    val pool = pmod(
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(":pref"))), 1, 4), 16, 10)
+        .cast("int"), lit(pools))
+    val b = q.withColumn("pool", pool)
+    b.as("a").join(b.as("b"),
+        col("a.pool") === col("b.pool") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        when(col("a.quality_score") > col("b.quality_score"), col("a.doc_id"))
+          .when(col("a.quality_score") < col("b.quality_score"), col("b.doc_id"))
+          .otherwise(least(col("a.doc_id"), col("b.doc_id"))).as("winner"))
+  }
+
+  /** Per-item (wins, games) from a preference table — the sufficient
+    * statistics the MM iteration consumes. */
+  private def stats(prefs: DataFrame): DataFrame = {
+    val games = prefs.select(col("doc_a").as("i"))
+      .unionByName(prefs.select(col("doc_b").as("i")))
+      .groupBy("i").agg(count(lit(1)).as("games"))
+    val wins = prefs.groupBy(col("winner").as("i")).agg(count(lit(1)).as("wins"))
+    games.join(wins, Seq("i"), "left")
+      .select(col("i").as("doc_id"), coalesce(col("wins"), lit(0L)).as("wins"),
+        col("games"))
+  }
+
+  /** Run `iters` MM rounds from all-ones; returns the final strength table
+    * alongside the cached stats and the per-round state sequence (for the
+    * convergence report). Denominator folds are opponent-ordered sorted
+    * folds — a pure function of the comparison multiset, replayed by the
+    * oracle's `list(v ORDER BY j)`.
+    */
+  private def mmRounds(prefs: DataFrame, iters: Int): (DataFrame, Seq[DataFrame]) = {
+    val p = graft.ops.Caching.cacheOnce(prefs)
+    val st = graft.ops.Caching.cacheOnce(stats(p))
+    val games = graft.ops.Caching.cacheOnce(
+      p.select(col("doc_a").as("i"), col("doc_b").as("j"))
+        .unionByName(p.select(col("doc_b").as("i"), col("doc_a").as("j"))))
+    var s = st.select(col("doc_id"), lit(1.0).as("s")).localCheckpoint()
+    val seq = Seq(s) ++ (1 to iters).map { _ =>
+      val joined = games
+        .join(s.select(col("doc_id").as("i"), col("s").as("si")), "i")
+        .join(s.select(col("doc_id").as("j"), col("s").as("sj")), "j")
+        .select(col("i"), col("j"), (lit(1.0) / (col("si") + col("sj"))).as("v"))
+      val denom = joined.groupBy("i")
+        .agg(sort_array(collect_list(struct(col("j"), col("v")))).as("xs"))
+        .select(col("i").as("doc_id"),
+          aggregate(transform(col("xs"), x => x.getField("v")), lit(0.0), (a, x) => a + x)
+            .as("denom"))
+      s = st.join(denom, "doc_id")
+        .select(col("doc_id"), (col("wins").cast("double") / col("denom")).as("s"))
+        .localCheckpoint()
+      s
+    }
+    (st, seq)
+  }
+
+  /** Bradley–Terry strengths after `iters` MM rounds: per item, the
+    * observed (wins, games) and the fitted strength. Zero-win items settle
+    * at strength 0 (the MLE boundary); ranking by strength recovers the
+    * within-pool quality order where the comparison graph connects it.
+    */
+  def btStrengths(docs: DataFrame, iters: Int = Iters): DataFrame =
+    btFit(derivedPreferences(docs), iters)
+
+  /** Fit on an ARBITRARY preference table (doc_a, doc_b, winner) — the
+    * production entry point; comparisons from human labeling arrive here
+    * directly. At growing corpus size, size `pools` in
+    * [[derivedPreferences]] to keep pool occupancy O(1) (the LSH-bits
+    * sizing law), so the comparison count stays linear in items.
+    */
+  def btFit(prefs: DataFrame, iters: Int = Iters): DataFrame = {
+    val (st, seq) = mmRounds(prefs, iters)
+    st.join(seq.last, "doc_id")
+      .select(col("doc_id"), col("wins"), col("games"), col("s").as("strength"))
+  }
+
+  /** Per-round L1 convergence of the MM fit (x122's report shape):
+    * DECIMAL-transit sums so the total is order-independent and
+    * oracle-exact.
+    */
+  def btConvergence(docs: DataFrame, iters: Int = Iters): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(25, 15)
+    val (_, seq) = mmRounds(derivedPreferences(docs), iters)
+    (1 to iters).map { t =>
+      seq(t).select(col("doc_id"), col("s").as("s_new"))
+        .join(seq(t - 1).select(col("doc_id"), col("s").as("s_old")), "doc_id")
+        .agg(sum(abs(col("s_new") - col("s_old")).cast(dec)).as("_d"))
+        .select(lit(t.toLong).as("iter"), col("_d").cast("double").as("l1_delta"))
+    }.reduce(_ unionByName _)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.ext
+
+import graft.SparkTestBase
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class PreferenceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("derivedPreferences: within-pool pairs only, winner is the higher quality") {
+    val docs = Tables.documents(spark, sfDir)
+    val prefs = Preference.derivedPreferences(docs).cache()
+    val q = TextOps.qualityMetrics(docs).select(col("doc_id"), col("quality_score"))
+    val checked = prefs
+      .join(q.select(col("doc_id").as("doc_a"), col("quality_score").as("qa")), "doc_a")
+      .join(q.select(col("doc_id").as("doc_b"), col("quality_score").as("qb")), "doc_b")
+    // winner always the strictly-higher quality side (or min id on a tie)
+    assert(checked.where(
+      (col("qa") > col("qb") && col("winner") =!= col("doc_a")) ||
+      (col("qa") < col("qb") && col("winner") =!= col("doc_b")) ||
+      (col("qa") === col("qb") && col("winner") =!= least(col("doc_a"), col("doc_b")))
+    ).isEmpty)
+    // pairs are canonical (a < b) and unique
+    assert(prefs.where(col("doc_a") >= col("doc_b")).isEmpty)
+    assert(prefs.distinct().count() === prefs.count())
+    prefs.unpersist()
+  }
+
+  test("btStrengths: zero-win boundary, win-monotone within pool, deterministic") {
+    val docs = Tables.documents(spark, sfDir)
+    val s = Preference.btStrengths(docs).cache()
+    // MLE boundary: items that never win settle at exactly 0
+    assert(s.where(col("wins") === 0L && col("strength") =!= 0.0).isEmpty)
+    assert(s.where(col("wins") > 0L && !(col("strength") > 0.0)).isEmpty)
+    // within a comparison pool (round-robin, transitive outcomes), more
+    // wins must mean strictly greater fitted strength
+    val pool = pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":pref"))), 1, 4), 16, 10).cast("int"), lit(Preference.Pools))
+    val withPool = s.withColumn("pool", pool)
+    val violations = withPool.as("x").join(withPool.as("y"),
+        col("x.pool") === col("y.pool") && col("x.wins") > col("y.wins") &&
+          col("x.strength") <= col("y.strength"))
+    assert(violations.isEmpty)
+    assert(s.collect().toSet === Preference.btStrengths(docs).collect().toSet)
+    s.unpersist()
+  }
+
+  test("btConvergence: positive L1 deltas, decaying") {
+    val d = Preference.btConvergence(Tables.documents(spark, sfDir))
+      .orderBy("iter").collect().map(_.getDouble(1))
+    assert(d.length === Preference.Iters)
+    assert(d.forall(_ >= 0.0))
+    assert(d.last < d.head, s"MM iteration should contract: ${d.toSeq}")
+  }
+}
