@@ -205,6 +205,15 @@ object ScaleProbe {
       time("lr_train10") {
         graft.ext.Trainer.lrTrajectory(spark, corpus).count()
       }
+      // Chat parse + SFT stats: wrapper derivation, fence split, turn
+      // explode are per-row HOFs (zero shuffle — the html_extract claim on
+      // the chat modality); sftStats adds ONE conversation-keyed partial
+      // agg. Time must track k at scan slope.
+      time("chat_sft_stats") {
+        graft.ext.Chat.sftStats(
+          graft.ext.Chat.parseTurns(graft.ext.Chat.withChat(corpus)))
+          .where(col("alternates")).count()
+      }
       // Bradley–Terry MM fit: pools sized to constant occupancy (~8/pool,
       // the LSH-bits law), so comparisons grow LINEARLY with items; each of
       // the 5 rounds is one comparison-keyed join + item-keyed fold over

@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Conversation / SFT-data operators: parse raw chat transcripts into
+  * typed turn rows, then compute the per-conversation structure checks and
+  * loss-mask statistics an instruction-tuning pipeline needs before
+  * packing. The whole family is per-row HOF work (split / slice / explode)
+  * plus one conversation-keyed aggregate — scan speed, no corpus-sized
+  * state, exactly the ingest shape of the HTML family (`Html.extractMain`)
+  * applied to the chat modality.
+  *
+  * Transcript format: `##role## content…` segments with literal `##`
+  * fences — split-safe in any engine (no regex metacharacters), the
+  * ChatML-style delimiter idea with a fixture-friendly spelling.
+  */
+object Chat {
+
+  /** Deterministic chat wrapper over the fixture corpus (the x79/Html
+    * derivation idiom): each document's tokens are chunked into
+    * alternating user/assistant turns whose length (4–11 tokens) is
+    * md5-derived per doc, then fenced into one transcript string. Gives
+    * the parser real multi-turn input at any SF with zero new test data.
+    */
+  def withChat(docs: DataFrame, text: Column = col("text")): DataFrame = {
+    val toks = TextOps.tokens(text)
+    val turnLen = (lit(4) + pmod(
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(":ct"))), 1, 4), 16, 10)
+        .cast("int"), lit(8))).as("_len")
+    docs.withColumn("_toks", toks).withColumn("_len", turnLen)
+      .withColumn("_nt",
+        ceil(size(col("_toks")).cast("double") / col("_len").cast("double")).cast("int"))
+      .withColumn("transcript",
+        concat_ws(" ", transform(sequence(lit(1), col("_nt")), i =>
+          concat(lit("##"),
+            when(pmod(i, lit(2)) === 1, lit("user")).otherwise(lit("assistant")),
+            lit("## "),
+            concat_ws(" ", slice(col("_toks"), (i - 1) * col("_len") + 1, col("_len")))))))
+      .drop("_toks", "_len", "_nt")
+  }
+
+  /** Parse `##role## content` transcripts into one row per turn:
+    * (doc_id, turn_idx, role, n_tokens, content). Pure per-row split +
+    * explode — zero shuffle; a transcript with no fences parses to zero
+    * turns (the malformed-input contract: drop, don't throw).
+    */
+  def parseTurns(conv: DataFrame, transcript: Column = col("transcript")): DataFrame = {
+    val parts = split(transcript, "##")
+    conv.withColumn("_p", parts)
+      .withColumn("_nt", floor((size(col("_p")) - lit(1)) / lit(2.0)).cast("int"))
+      .select(col("doc_id"),
+        // sequence(1, 0) would count DOWN in Spark — guard the no-fence
+        // case to an empty turn list (0 parsed rows, the drop contract)
+        posexplode(when(col("_nt") >= 1,
+          transform(sequence(lit(1), col("_nt")), i => struct(
+            trim(element_at(col("_p"), i * 2)).as("role"),
+            trim(element_at(col("_p"), i * 2 + 1)).as("content"))))
+          .otherwise(array().cast("array<struct<role:string,content:string>>")))
+          .as(Seq("_i", "_t")))
+      .select(col("doc_id"), (col("_i") + 1).cast("long").as("turn_idx"),
+        col("_t.role").as("role"), col("_t.content").as("content"))
+      .withColumn("n_tokens", size(TextOps.tokens(col("content"))).cast("long"))
+  }
+
+  /** Per-conversation SFT readiness report: turn count, structure checks
+    * (opens with user, strict role alternation — computed from the parsed
+    * turns, not assumed from the derivation), and the loss-mask split:
+    * assistant tokens are the trainable targets, user tokens are masked
+    * context; `mask_frac` is the fraction of tokens that actually train.
+    * One conversation-keyed aggregate over the turn rows.
+    */
+  def sftStats(turns: DataFrame): DataFrame =
+    turns.groupBy("doc_id").agg(
+      count(lit(1)).as("n_turns"),
+      coalesce(sum(when(col("turn_idx") === 1 && col("role") === "user", 1L)
+        .otherwise(0L)), lit(0L)).as("_opens"),
+      coalesce(sum(when(
+        (pmod(col("turn_idx"), lit(2)) === 1 && col("role") =!= "user") ||
+        (pmod(col("turn_idx"), lit(2)) === 0 && col("role") =!= "assistant"), 1L)
+        .otherwise(0L)), lit(0L)).as("_bad"),
+      coalesce(sum(when(col("role") === "user", col("n_tokens")).otherwise(0L)), lit(0L))
+        .as("user_tokens"),
+      coalesce(sum(when(col("role") === "assistant", col("n_tokens")).otherwise(0L)), lit(0L))
+        .as("assistant_tokens"))
+    .select(col("doc_id"), col("n_turns"),
+      (col("_opens") === 1L).as("opens_with_user"),
+      (col("_bad") === 0L).as("alternates"),
+      col("user_tokens"), col("assistant_tokens"),
+      (col("assistant_tokens").cast("double") /
+        (col("user_tokens") + col("assistant_tokens")).cast("double")).as("mask_frac"))
+}

@@ -844,6 +844,21 @@ object ExtQueries {
     "x129_lr_train_trajectory" -> ((s, dir) =>
       Trainer.lrTrajectory(s, Tables.documents(s, dir))),
 
+    // Chat-transcript parsing (r6): the SFT-data ingest edge — fenced
+    // ##role## transcripts (deterministic wrapper, the Html.withHtml
+    // idiom) parsed into typed turn rows by per-row split+explode. Zero
+    // shuffle; malformed (fence-free) input parses to zero rows.
+    "x133_chat_parse_turns" -> ((s, dir) =>
+      Chat.parseTurns(Chat.withChat(Tables.documents(s, dir)))
+        .select("doc_id", "turn_idx", "role", "content", "n_tokens")),
+
+    // Per-conversation SFT readiness report (r6): structure checks
+    // (opens-with-user, strict alternation — computed from the parsed
+    // turns) and the loss-mask split (assistant tokens train, user tokens
+    // are masked context). One conversation-keyed aggregate.
+    "x134_chat_sft_stats" -> ((s, dir) =>
+      Chat.sftStats(Chat.parseTurns(Chat.withChat(Tables.documents(s, dir))))),
+
     // Bradley–Terry preference aggregation (r6): md5-pool A/B comparisons
     // (won by quality, the fixture's stand-in for human judgments) fitted
     // by Hunter's MM iteration — rational arithmetic end to end, so the
@@ -1373,6 +1388,26 @@ object ExtQueries {
     }.mkString(", ")
     base + ", " + rounds
   }
+
+  /** Chat wrapper + turn-parse CTE chain (through `tt`: doc_id, turn_idx,
+    * role, content, ntk), shared by x133/x134 — the DuckDB twin of
+    * `Chat.withChat` + `Chat.parseTurns`.
+    */
+  private val chatCtes =
+    s"t AS MATERIALIZED ($toksCte), " +
+      "cw AS MATERIALIZED (SELECT d.doc_id, t.toks, " +
+      "4 + CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':ct'), 1, 4)) AS INT) % 8 AS tl " +
+      "FROM documents d JOIN t ON d.doc_id = t.doc_id), " +
+      "ch AS MATERIALIZED (SELECT doc_id, array_to_string(list_transform(" +
+      "generate_series(1, CAST(ceil(CAST(len(toks) AS DOUBLE)/tl) AS INT)), " +
+      "i -> '##' || (CASE WHEN i % 2 = 1 THEN 'user' ELSE 'assistant' END) || '## ' || " +
+      "array_to_string(list_slice(toks, (i-1)*tl + 1, i*tl), ' ')), ' ') AS transcript FROM cw), " +
+      "pp AS MATERIALIZED (SELECT doc_id, string_split(transcript, '##') AS p FROM ch), " +
+      "px AS (SELECT doc_id, p, unnest(generate_series(1, " +
+      "CAST(floor((len(p)-1)/2.0) AS INT))) AS i FROM pp), " +
+      "tt AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS turn_idx, " +
+      "trim(p[2*i]) AS role, trim(p[2*i+1]) AS content, " +
+      "CAST(len(string_split(trim(p[2*i+1]), ' ')) AS BIGINT) AS ntk FROM px)"
 
   private def lrClassifySql(buckets: Int, iters: Int): String = {
     val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
@@ -2407,6 +2442,24 @@ object ExtQueries {
 
     "x129_lr_train_trajectory" ->
       lrTrajectorySql(Trainer.Buckets, Trainer.Iters),
+
+    "x133_chat_parse_turns" ->
+      (s"WITH $chatCtes " +
+        "SELECT doc_id, turn_idx, role, content, ntk AS n_tokens FROM tt"),
+
+    "x134_chat_sft_stats" ->
+      (s"WITH $chatCtes, " +
+        "ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_turns, " +
+        "CAST(sum(CASE WHEN turn_idx = 1 AND role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS opens, " +
+        "CAST(sum(CASE WHEN (turn_idx % 2 = 1 AND role <> 'user') " +
+        "OR (turn_idx % 2 = 0 AND role <> 'assistant') THEN 1 ELSE 0 END) AS BIGINT) AS bad, " +
+        "CAST(sum(CASE WHEN role = 'user' THEN ntk ELSE 0 END) AS BIGINT) AS user_tokens, " +
+        "CAST(sum(CASE WHEN role = 'assistant' THEN ntk ELSE 0 END) AS BIGINT) AS assistant_tokens " +
+        "FROM tt GROUP BY doc_id) " +
+        "SELECT doc_id, n_turns, (opens = 1) AS opens_with_user, (bad = 0) AS alternates, " +
+        "user_tokens, assistant_tokens, " +
+        "CAST(assistant_tokens AS DOUBLE)/CAST(user_tokens + assistant_tokens AS DOUBLE) AS mask_frac " +
+        "FROM ag"),
 
     "x131_bt_strengths" ->
       (s"WITH ${btCtes(Preference.Iters)} " +

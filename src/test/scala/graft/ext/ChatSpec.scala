@@ -1,0 +1,62 @@
+package graft.ext
+
+import graft.SparkTestBase
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class ChatSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("parseTurns: handcrafted transcript parses to exact typed turns") {
+    val df = Seq((1L, "##user## hello there ##assistant## hi how can I help ##user## bye"))
+      .toDF("doc_id", "transcript")
+    val turns = Chat.parseTurns(df)
+      .orderBy("turn_idx")
+      .select("turn_idx", "role", "content", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(turns.toSeq === Seq(
+      (1L, "user", "hello there", 2L),
+      (2L, "assistant", "hi how can I help", 5L),
+      (3L, "user", "bye", 1L)))
+  }
+
+  test("parseTurns: fence-free input parses to zero rows (drop, don't throw)") {
+    val df = Seq((1L, "no fences at all"), (2L, "")).toDF("doc_id", "transcript")
+    assert(Chat.parseTurns(df).isEmpty)
+  }
+
+  test("withChat -> parseTurns roundtrip: token mass reconciles exactly") {
+    val docs = Tables.documents(spark, sfDir)
+    val parsed = Chat.parseTurns(Chat.withChat(docs))
+    val perDoc = parsed.groupBy("doc_id").agg(sum("n_tokens").as("parsed_tokens"))
+    val orig = docs.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("orig_tokens"))
+    // every source token lands in exactly one turn and nothing is invented
+    assert(perDoc.join(orig, "doc_id")
+      .where(col("parsed_tokens") =!= col("orig_tokens")).isEmpty)
+    assert(perDoc.count() === docs.count())
+  }
+
+  test("sftStats: structure checks hold on the derived corpus, mask_frac consistent") {
+    val stats = Chat.sftStats(
+      Chat.parseTurns(Chat.withChat(Tables.documents(spark, sfDir)))).cache()
+    // derivation alternates by construction; the CHECK must recover that
+    assert(stats.where(!col("opens_with_user") || !col("alternates")).isEmpty)
+    assert(stats.where(col("mask_frac") < 0.0 || col("mask_frac") > 1.0).isEmpty)
+    // single-turn conversations are all-user: mask_frac exactly 0
+    assert(stats.where(col("n_turns") === 1L && col("mask_frac") =!= 0.0).isEmpty)
+    // multi-turn conversations train on something
+    assert(stats.where(col("n_turns") >= 2L && !(col("assistant_tokens") > 0L)).isEmpty)
+    stats.unpersist()
+  }
+
+  test("sftStats flags broken structure on malformed transcripts") {
+    val df = Seq(
+      (1L, "##assistant## starts wrong ##user## see"),
+      (2L, "##user## ok ##user## twice user")).toDF("doc_id", "transcript")
+    val stats = Chat.sftStats(Chat.parseTurns(df)).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(stats(1L) === ((false, false))) // opens wrong, and turn 2 = user breaks alternation too
+    assert(stats(2L) === ((true, false)))  // opens fine, repeats user
+  }
+}
