@@ -61,7 +61,7 @@ object SparkEntry {
     "x119_retrieval_eval", "x120_html_extract", "x123_training_run_export",
     "x124_web_ingest_pipeline",
     "x128_split_leakage_audit", "x129_lr_train_trajectory",
-    "x131_bt_strengths", "x134_chat_sft_stats")
+    "x131_bt_strengths", "x134_chat_sft_stats", "x135_sft_pipeline")
 
   private def coreQueries: Map[String, Q] = Map(
     // S1+P4+F1+F4 — dimension scan with projection + pushed predicates
