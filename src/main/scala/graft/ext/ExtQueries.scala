@@ -844,6 +844,20 @@ object ExtQueries {
     "x129_lr_train_trajectory" -> ((s, dir) =>
       Trainer.lrTrajectory(s, Tables.documents(s, dir))),
 
+    // Incremental warm-start training (r6): the trainer's twin of the
+    // IVF/BM25 index-append discipline — when a batch arrives, CONTINUE
+    // GD from the existing weights on base∪batch for 3 rounds instead of
+    // a 13-round cold retrain, and MEASURE the divergence: max weight
+    // diff, both held-out accuracies, prediction agreement. One row.
+    "x136_lr_incremental" -> ((s, dir) =>
+      Trainer.lrIncremental(s, Tables.documents(s, dir))),
+
+    // Calibration report (r6): decile reliability bins over the held-out
+    // scores — mean predicted probability vs empirical positive rate per
+    // bin, the standard post-training check before scores gate a corpus.
+    "x137_lr_calibration" -> ((s, dir) =>
+      Trainer.lrCalibration(s, Tables.documents(s, dir))),
+
     // Chat-transcript parsing (r6): the SFT-data ingest edge — fenced
     // ##role## transcripts (deterministic wrapper, the Html.withHtml
     // idiom) parsed into typed turn rows by per-row split+explode. Zero
@@ -1337,44 +1351,55 @@ object ExtQueries {
     * updates. Chain ends at `wi<iters>` (final weights) with each
     * iteration's `g<t>` diagnostics CTE still addressable.
     */
-  private def lrCtes(buckets: Int, iters: Int): String = {
+  /** Feature/split/zero-weights CTE prefix shared by every lr* oracle:
+    * `t, hsx, qm, fx, tr, wi0`. */
+  private def lrFeatCtes(buckets: Int): String =
+    s"t AS MATERIALIZED ($toksCte), " +
+      "hsx AS MATERIALIZED (SELECT doc_id, list_transform(toks, " +
+      s"tk -> CAST(('0x' || substr(md5(tk), 1, 4)) AS INT) % $buckets) AS hs FROM t), " +
+      "qm AS MATERIALIZED (SELECT d.doc_id, " +
+      "least(CAST(len(t.toks) AS DOUBLE)/50.0, 1.0) AS lenf, " +
+      "CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)/length(d.text) AS alphaf, " +
+      "least(CAST(len(t.toks) AS DOUBLE)/50.0, 1.0)*0.5 " +
+      s"+ (CAST(len(list_filter(t.toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(t.toks))*0.25 " +
+      "+ (CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)/length(d.text))*0.25 AS q " +
+      "FROM documents d JOIN t ON d.doc_id = t.doc_id), " +
+      "fx AS MATERIALIZED (SELECT h.doc_id, CASE WHEN q.q >= 0.6 THEN 1.0 ELSE 0.0 END AS y, " +
+      "list_concat([q.lenf, q.alphaf], " +
+      s"list_transform(range(0, $buckets), j -> CAST(len(list_filter(h.hs, v -> v = j)) AS DOUBLE)/len(h.hs))) AS x " +
+      "FROM hsx h JOIN qm q ON h.doc_id = q.doc_id WHERE len(h.hs) > 0), " +
+      "tr AS MATERIALIZED (SELECT * FROM fx WHERE " +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5), " +
+      "wi0 AS (SELECT " + (Seq("0.0 AS wb") ++ (0 until (buckets + 2)).map(j => s"0.0 AS w$j")).mkString(", ") + ")"
+
+  /** One named gradient-descent CTE chain: `<pfx>m/r/g/wi<t>` for t in
+    * 1..iters, training on `trainCte`, warm-starting from `w0Name` — the
+    * generator x129/x130 use with an empty prefix and that x136 reuses
+    * twice more (warm continuation + cold retrain). */
+  private def lrChain(pfx: String, trainCte: String, w0Name: String,
+      iters: Int, buckets: Int): String = {
     val lr = Trainer.LearnRate
     val xs = 0 until (buckets + 2)
-    val feat =
-      s"t AS MATERIALIZED ($toksCte), " +
-        "hsx AS MATERIALIZED (SELECT doc_id, list_transform(toks, " +
-        s"tk -> CAST(('0x' || substr(md5(tk), 1, 4)) AS INT) % $buckets) AS hs FROM t), " +
-        "qm AS MATERIALIZED (SELECT d.doc_id, " +
-        "least(CAST(len(t.toks) AS DOUBLE)/50.0, 1.0) AS lenf, " +
-        "CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)/length(d.text) AS alphaf, " +
-        "least(CAST(len(t.toks) AS DOUBLE)/50.0, 1.0)*0.5 " +
-        s"+ (CAST(len(list_filter(t.toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(t.toks))*0.25 " +
-        "+ (CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)/length(d.text))*0.25 AS q " +
-        "FROM documents d JOIN t ON d.doc_id = t.doc_id), " +
-        "fx AS MATERIALIZED (SELECT h.doc_id, CASE WHEN q.q >= 0.6 THEN 1.0 ELSE 0.0 END AS y, " +
-        "list_concat([q.lenf, q.alphaf], " +
-        s"list_transform(range(0, $buckets), j -> CAST(len(list_filter(h.hs, v -> v = j)) AS DOUBLE)/len(h.hs))) AS x " +
-        "FROM hsx h JOIN qm q ON h.doc_id = q.doc_id WHERE len(h.hs) > 0), " +
-        "tr AS MATERIALIZED (SELECT * FROM fx WHERE " +
-        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5), " +
-        "wi0 AS (SELECT " + (Seq("0.0 AS wb") ++ xs.map(j => s"0.0 AS w$j")).mkString(", ") + ")"
-    val iterCtes = (1 to iters).map { tt =>
+    (1 to iters).map { tt =>
+      val prev = if (tt == 1) w0Name else s"${pfx}wi${tt - 1}"
       val m = (Seq("w.wb") ++ xs.map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
-      s"m$tt AS MATERIALIZED (SELECT f.y, f.x, ($m) AS m FROM tr f CROSS JOIN wi${tt - 1} w), " +
-        s"r$tt AS MATERIALIZED (SELECT y, x, ((0.5 + 0.5*m/(1.0 + abs(m))) - y) AS r FROM m$tt), " +
-        s"g$tt AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n, " +
+      s"${pfx}m$tt AS MATERIALIZED (SELECT f.y, f.x, ($m) AS m FROM $trainCte f CROSS JOIN $prev w), " +
+        s"${pfx}r$tt AS MATERIALIZED (SELECT y, x, ((0.5 + 0.5*m/(1.0 + abs(m))) - y) AS r FROM ${pfx}m$tt), " +
+        s"${pfx}g$tt AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n, " +
         (Seq("list_aggregate(list_sort(list(r)), 'sum') AS gb", "sum(r) AS psb") ++
           xs.flatMap(j => Seq(
             s"list_aggregate(list_sort(list(r*x[${j + 1}])), 'sum') AS g$j",
             s"sum(r*x[${j + 1}]) AS ps$j"))).mkString(", ") +
-        s" FROM r$tt), " +
-        s"wi$tt AS MATERIALIZED (SELECT " +
+        s" FROM ${pfx}r$tt), " +
+        s"${pfx}wi$tt AS MATERIALIZED (SELECT " +
         (Seq(s"w.wb - $lr*(g.gb/CAST(g.n AS DOUBLE)) AS wb") ++
           xs.map(j => s"w.w$j - $lr*(g.g$j/CAST(g.n AS DOUBLE)) AS w$j")).mkString(", ") +
-        s" FROM g$tt g CROSS JOIN wi${tt - 1} w)"
+        s" FROM ${pfx}g$tt g CROSS JOIN $prev w)"
     }.mkString(", ")
-    feat + ", " + iterCtes
   }
+
+  private def lrCtes(buckets: Int, iters: Int): String =
+    lrFeatCtes(buckets) + ", " + lrChain("", "tr", "wi0", iters, buckets)
 
   private def lrTrajectorySql(buckets: Int, iters: Int): String = {
     val rows = (1 to iters).flatMap { tt =>
@@ -1458,6 +1483,52 @@ object ExtQueries {
       "SELECT doc_id, y, (0.5 + 0.5*m/(1.0 + abs(m))) AS score, " +
       "(0.5 + 0.5*m/(1.0 + abs(m))) >= 0.5 AS pred, " +
       "((0.5 + 0.5*m/(1.0 + abs(m))) >= 0.5) = (y = 1.0) AS is_correct FROM mf"
+  }
+
+  /** x137: decile reliability bins over the held-out scores. */
+  private def lrCalibrationSql(buckets: Int, iters: Int): String = {
+    val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
+    s"WITH ${lrCtes(buckets, iters)}, " +
+      "ho AS (SELECT * FROM fx WHERE NOT (" +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5)), " +
+      s"mf AS (SELECT f.doc_id, f.y, ($m) AS m FROM ho f CROSS JOIN wi$iters w), " +
+      "sc2 AS (SELECT doc_id, y, (0.5 + 0.5*m/(1.0 + abs(m))) AS score FROM mf) " +
+      "SELECT CAST(least(floor(score*10.0), 9.0) AS BIGINT) AS bin, " +
+      "CAST(count(*) AS BIGINT) AS n, " +
+      "list_aggregate(list_sort(list(score)), 'sum')/count(*) AS mean_score, " +
+      "CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS frac_positive, " +
+      "abs(list_aggregate(list_sort(list(score)), 'sum')/count(*) - " +
+      "CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)/count(*)) AS gap " +
+      "FROM sc2 GROUP BY 1"
+  }
+
+  /** x136: warm-start continuation vs cold retrain, one comparison row. */
+  private def lrIncrementalSql(buckets: Int, itersBase: Int, itersWarm: Int): String = {
+    val dim = buckets + 2
+    val m = (Seq("w.wb") ++ (0 until dim).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
+    val draw = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0"
+    s"WITH ${lrFeatCtes(buckets)}, " +
+      s"tr2 AS MATERIALIZED (SELECT * FROM fx WHERE $draw < 0.75), " +
+      s"ho3 AS MATERIALIZED (SELECT * FROM fx WHERE NOT ($draw < 0.75)), " +
+      lrChain("", "tr", "wi0", itersBase, buckets) + ", " +
+      lrChain("wm", "tr2", s"wi$itersBase", itersWarm, buckets) + ", " +
+      lrChain("cd", "tr2", "wi0", itersBase + itersWarm, buckets) + ", " +
+      s"sw AS (SELECT f.doc_id, f.y, ((0.5 + 0.5*($m)/(1.0 + abs($m))) >= 0.5) AS pred_warm " +
+      s"FROM ho3 f CROSS JOIN wmwi$itersWarm w), " +
+      s"sc AS (SELECT f.doc_id, ((0.5 + 0.5*($m)/(1.0 + abs($m))) >= 0.5) AS pred_cold " +
+      s"FROM ho3 f CROSS JOIN cdwi${itersBase + itersWarm} w), " +
+      "ev AS (SELECT CAST(count(*) AS BIGINT) AS n_holdout, " +
+      "CAST(sum(CASE WHEN a.pred_warm = (a.y = 1.0) THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS acc_warm, " +
+      "CAST(sum(CASE WHEN b.pred_cold = (a.y = 1.0) THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS acc_cold, " +
+      "CAST(sum(CASE WHEN a.pred_warm = b.pred_cold THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS pred_agreement " +
+      "FROM sw a JOIN sc b USING (doc_id)), " +
+      "md AS (SELECT greatest(" +
+      (Seq("abs(a.wb - b.wb)") ++ (0 until dim).map(j => s"abs(a.w$j - b.w$j)")).mkString(", ") +
+      s") AS max_w_diff FROM wmwi$itersWarm a CROSS JOIN cdwi${itersBase + itersWarm} b), " +
+      "ct AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_base, " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM tr2) - (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_batch) " +
+      "SELECT ct.n_base, ct.n_batch, md.max_w_diff, ev.n_holdout, ev.acc_warm, ev.acc_cold, " +
+      "ev.pred_agreement FROM ct, md, ev"
   }
 
   /** Full-corpus MinHash+LSH SQL (x03); x49 filters it to batch-side pairs. */
@@ -2482,6 +2553,12 @@ object ExtQueries {
 
     "x129_lr_train_trajectory" ->
       lrTrajectorySql(Trainer.Buckets, Trainer.Iters),
+
+    "x136_lr_incremental" ->
+      lrIncrementalSql(Trainer.Buckets, Trainer.Iters, 3),
+
+    "x137_lr_calibration" ->
+      lrCalibrationSql(Trainer.Buckets, Trainer.Iters),
 
     "x133_chat_parse_turns" ->
       (s"WITH $chatCtes " +

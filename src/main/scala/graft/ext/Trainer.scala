@@ -139,8 +139,15 @@ object Trainer {
     * bounded-lineage discipline as the CC / PageRank loops.
     */
   private def unroll(spark: org.apache.spark.sql.SparkSession, tr: DataFrame,
+      dim: Int, iters: Int, learnRate: Double): Seq[DataFrame] =
+    unrollFrom(zeroWeights(spark, dim), tr, dim, iters, learnRate)
+
+  /** [[unroll]] from an ARBITRARY starting weight frame — the warm-start
+    * entry the incremental-training path uses (continue from stored
+    * weights when a new batch arrives, instead of a cold retrain). */
+  private def unrollFrom(w0: DataFrame, tr: DataFrame,
       dim: Int, iters: Int, learnRate: Double): Seq[DataFrame] = {
-    var w: DataFrame = zeroWeights(spark, dim)
+    var w: DataFrame = w0
     (1 to iters).map { _ =>
       val next = step(tr, w, dim, learnRate).localCheckpoint()
       w = next
@@ -171,6 +178,82 @@ object Trainer {
           col("_e.weight").as("weight"), col("_e.grad").as("grad"),
           col("_e.partial_agg_close").as("partial_agg_close"))
     }.reduce(_ union _)
+  }
+
+  /** Calibration report over the held-out scores: decile reliability bins
+    * (predicted-probability bucket vs empirical positive rate) — the
+    * standard post-training check before a classifier's scores gate a
+    * corpus. `mean_score` is a sorted fold (oracle-exact); `gap` is the
+    * calibration error per bin. Ten 1-group aggregates over the scored
+    * frame — nothing corpus-sized.
+    */
+  def lrCalibration(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      buckets: Int = Buckets, iters: Int = Iters,
+      learnRate: Double = LearnRate): DataFrame = {
+    val scored = lrClassify(spark, docs, buckets, iters, learnRate)
+    scored
+      .withColumn("bin", least(floor(col("score") * lit(10.0)), lit(9.0)).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        aggregate(sort_array(collect_list(col("score"))), lit(0.0), (a, x) => a + x)
+          .as("_ssum"),
+        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"))
+      .select(col("bin"), col("n"),
+        (col("_ssum") / col("n").cast("double")).as("mean_score"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("frac_positive"),
+        abs(col("_ssum") / col("n").cast("double") -
+          col("n_pos").cast("double") / col("n").cast("double")).as("gap"))
+  }
+
+  /** Incremental (warm-start) training vs cold retrain — the trainer's
+    * twin of the IVF/BM25 index-append discipline: when a new batch
+    * arrives, CONTINUE gradient descent from the existing weights on
+    * base∪batch for a few rounds instead of retraining from zero, and
+    * MEASURE what that buys. One row out: slice sizes, the max absolute
+    * weight divergence between the two models, both models' held-out
+    * accuracy, and their prediction agreement. Everything engine-side;
+    * the warm path costs `itersWarm` aggregates instead of
+    * `itersBase + itersWarm`.
+    */
+  def lrIncremental(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      buckets: Int = Buckets, itersBase: Int = Iters, itersWarm: Int = 3,
+      learnRate: Double = LearnRate): DataFrame = {
+    val dim = buckets + 2
+    val feats = graft.ops.Caching.cacheOnce(features(docs, buckets))
+    val u = Curate.uniformHash(col("doc_id"), Salt)
+    val base = graft.ops.Caching.cacheOnce(feats.where(u < lit(TrainFrac)))
+    val union2 = graft.ops.Caching.cacheOnce(feats.where(u < lit(0.75)))
+    val ho = feats.where(!(u < lit(0.75)))
+    def weightsOnly(w: DataFrame) =
+      w.select((col("wb") +: (0 until dim).map(j => col(s"w$j"))): _*)
+    val wBase = weightsOnly(unrollFrom(zeroWeights(spark, dim), base, dim, itersBase, learnRate).last)
+    val wWarm = weightsOnly(unrollFrom(wBase, union2, dim, itersWarm, learnRate).last)
+    val wCold = weightsOnly(unrollFrom(zeroWeights(spark, dim), union2, dim,
+      itersBase + itersWarm, learnRate).last)
+    def scored(w: DataFrame, tag: String) = ho
+      .crossJoin(broadcast(w))
+      .select(col("doc_id"), col("y"),
+        (fastSigmoid(marginCol(dim)) >= lit(0.5)).as(s"pred_$tag"))
+    val both = scored(wWarm, "warm")
+      .join(scored(wCold, "cold").select("doc_id", "pred_cold"), "doc_id")
+    val evalRow = both.agg(
+      count(lit(1)).as("n_holdout"),
+      (sum(when(col("pred_warm") === (col("y") === 1.0), 1L).otherwise(0L)).cast("double")
+        / count(lit(1)).cast("double")).as("acc_warm"),
+      (sum(when(col("pred_cold") === (col("y") === 1.0), 1L).otherwise(0L)).cast("double")
+        / count(lit(1)).cast("double")).as("acc_cold"),
+      (sum(when(col("pred_warm") === col("pred_cold"), 1L).otherwise(0L)).cast("double")
+        / count(lit(1)).cast("double")).as("pred_agreement"))
+    val maxDiff = wWarm
+      .crossJoin(broadcast(wCold.select(
+        (col("wb").as("cwb") +: (0 until dim).map(j => col(s"w$j").as(s"cw$j"))): _*)))
+      .select(greatest(
+        (abs(col("wb") - col("cwb")) +:
+          (0 until dim).map(j => abs(col(s"w$j") - col(s"cw$j")))): _*).as("max_w_diff"))
+    val counts = base.agg(count(lit(1)).as("n_base"))
+      .crossJoin(broadcast(union2.agg(count(lit(1)).as("_nu"))))
+      .select(col("n_base"), (col("_nu") - col("n_base")).as("n_batch"))
+    counts.crossJoin(broadcast(maxDiff)).crossJoin(broadcast(evalRow))
   }
 
   /** Apply the trained model to the held-out half: per-doc fast-sigmoid

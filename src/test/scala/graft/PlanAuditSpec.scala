@@ -63,7 +63,9 @@ class PlanAuditSpec extends SparkTestBase {
     "x126_bm25_stored" -> "crossJoins against ONE stored corpus-stats row and ONE pruned-postings df row (constants, x48's shape)",
     "x128_split_leakage_audit" -> "crossJoin of four single-row count aggregates (split sizes, group count, two cross-pair counts — constants)",
     "x129_lr_train_trajectory" -> "each GD iteration crossJoins the ONE-ROW broadcast weight frame (B+3 doubles) onto the cached feature scan — constant model state, the x122 iterative-report shape",
-    "x130_lr_classify" -> "scoring crossJoins the ONE-ROW broadcast final-weight frame onto the held-out scan (x129's trained model, constant)"
+    "x130_lr_classify" -> "scoring crossJoins the ONE-ROW broadcast final-weight frame onto the held-out scan (x129's trained model, constant)",
+    "x136_lr_incremental" -> "three GD chains' 1-row weight broadcasts + the 1-row weight-diff / count / eval folds (x129's shape, warm vs cold)",
+    "x137_lr_calibration" -> "x130's 1-row broadcast final-weight scoring feeding decile bins (constant model state)"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {

@@ -48,6 +48,38 @@ class TrainerSpec extends SparkTestBase {
     t.unpersist()
   }
 
+  test("lrIncremental: warm continuation tracks the cold retrain") {
+    val row = Trainer.lrIncremental(spark, Tables.documents(spark, sfDir)).collect().head
+    assert(row.getLong(row.fieldIndex("n_base")) > 0L)
+    assert(row.getLong(row.fieldIndex("n_holdout")) > 0L)
+    // the two optimizers run on the same final objective from different
+    // starts — they must land close (bounded weight gap, high agreement)
+    assert(row.getDouble(row.fieldIndex("max_w_diff")) < 1.0)
+    assert(row.getDouble(row.fieldIndex("pred_agreement")) >= 0.9)
+    val (aw, ac) = (row.getDouble(row.fieldIndex("acc_warm")),
+      row.getDouble(row.fieldIndex("acc_cold")))
+    assert(aw >= 0.0 && aw <= 1.0 && ac >= 0.0 && ac <= 1.0)
+  }
+
+  test("lrCalibration: bins partition the holdout, rates are consistent") {
+    val bins = Trainer.lrCalibration(spark, Tables.documents(spark, sfDir)).cache()
+    val rows = bins.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (bin, n, mean, frac, gap) = (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(bin >= 0L && bin <= 9L && n > 0L)
+      // every score in bin b lies in [b/10, (b+1)/10) (clamped top bin)
+      assert(mean >= bin / 10.0 && (bin == 9L || mean < (bin + 1) / 10.0))
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(math.abs(gap - math.abs(mean - frac)) < 1e-12)
+    }
+    // bins cover the whole holdout
+    val total = rows.map(_.getLong(1)).sum
+    assert(total === Trainer.lrClassify(spark, Tables.documents(spark, sfDir)).count())
+    bins.unpersist()
+  }
+
   test("lrClassify: deterministic, self-consistent, and separable labels are learned") {
     val out = Trainer.lrClassify(spark, Tables.documents(spark, sfDir)).cache()
     val rows = out.collect()
