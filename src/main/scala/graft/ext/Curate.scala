@@ -249,6 +249,62 @@ object Curate {
       .crossJoin(broadcast(crossPairs(naive, "cross_pairs_naive")))
   }
 
+  /** Incremental split maintenance — eval-set STABILITY under corpus
+    * growth, the production property [[groupwiseSplit]] exists to buy:
+    * when a batch arrives, each new doc inherits the split of the stored
+    * group it near-dups into (min group on multiple matches) instead of
+    * re-running the full clustering; docs matching nothing draw from
+    * their own id. The one-row report measures what that buys against a
+    * full recompute: batch-side split agreement, and — the property that
+    * matters — the fraction of BASE docs whose split survived unchanged
+    * (only a batch-induced merge of two differently-drawn groups can flip
+    * one).
+    *
+    * `pairs` must cover the whole corpus (exact verifier grade here; the
+    * scale path derives the batch↔base candidates with
+    * `Dedup.incrementalNearDups` against the stored band index — batch-
+    * sized work, same downstream algebra).
+    */
+  def splitIncrementalReport(docs: DataFrame, pairs: DataFrame,
+      batchFrac: Double = 0.8, batchSalt: String = "batch",
+      trainFrac: Double = 0.9, salt: String = "gsplit"): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    def isBase(id: Column) = uniformHash(id, batchSalt) < lit(batchFrac)
+    val base = docs.where(isBase(col("doc_id")))
+    val batch = docs.where(!isBase(col("doc_id")))
+    val ap = graft.ops.Caching.cacheOnce(pairs.select("doc_a", "doc_b"))
+    val basePairs = ap.where(isBase(col("doc_a")) && isBase(col("doc_b")))
+    val baseSplit = graft.ops.Caching.cacheOnce(
+      groupwiseSplit(base, Dedup.connectedComponents(basePairs), trainFrac, salt))
+    val fullSplit = graft.ops.Caching.cacheOnce(
+      groupwiseSplit(docs, Dedup.connectedComponents(ap), trainFrac, salt))
+    val cross = ap
+      .withColumn("_ab", isBase(col("doc_a"))).withColumn("_bb", isBase(col("doc_b")))
+      .where(col("_ab") =!= col("_bb"))
+      .select(when(col("_ab"), col("doc_b")).otherwise(col("doc_a")).as("bdoc"),
+        when(col("_ab"), col("doc_a")).otherwise(col("doc_b")).as("mdoc"))
+    val inherited = graft.ops.Caching.cacheOnce(cross
+      .join(baseSplit.select(col("doc_id").as("mdoc"), col("group_id")), "mdoc")
+      .groupBy(col("bdoc").as("doc_id")).agg(min(col("group_id")).as("g")))
+    val incSplit = batch.select(col("doc_id"))
+      .join(inherited, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("g"), col("doc_id")))
+      .withColumn("split",
+        when(uniformHash(col("group_id"), salt) < lit(trainFrac), lit("train"))
+          .otherwise(lit("eval")))
+      .select("doc_id", "split")
+    def frac(a: DataFrame, b: DataFrame, as: String) = a
+      .join(b.select(col("doc_id"), col("split").as("_fs")), "doc_id")
+      .agg((sum(when(col("split") === col("_fs"), 1L).otherwise(0L)).cast("double")
+        / count(lit(1)).cast("double")).as(as))
+    base.agg(count(lit(1)).as("n_base"))
+      .crossJoin(broadcast(batch.agg(count(lit(1)).as("n_batch"))))
+      .crossJoin(broadcast(inherited.agg(count(lit(1)).as("n_attached"))))
+      .crossJoin(broadcast(frac(incSplit, fullSplit, "batch_split_agreement")))
+      .crossJoin(broadcast(frac(baseSplit.select("doc_id", "split"), fullSplit,
+        "base_split_stability")))
+  }
+
   /** Per-source quality quota: keep only the `k` highest-quality docs from
     * each source — the balanced-corpus selection step after scoring. The
     * rank is a window PARTITIONED by source, which Spark executes with

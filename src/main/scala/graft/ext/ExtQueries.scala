@@ -836,6 +836,16 @@ object ExtQueries {
       Curate.splitLeakageAudit(docs, pairs, Dedup.connectedComponents(pairs))
     }),
 
+    // Incremental split maintenance (r6): eval-set STABILITY under corpus
+    // growth — new docs inherit the split of the stored group they
+    // near-dup into (min group on multiple matches) instead of a full
+    // re-cluster; the one-row report measures batch-side agreement with a
+    // full recompute and the fraction of base docs whose split survived.
+    "x138_split_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curate.splitIncrementalReport(docs, Dedup.jaccardPairs(docs, 3, 0.8))
+    }),
+
     // In-engine classifier TRAINING (r6): full-batch gradient descent on a
     // hashed-tf fast-sigmoid classifier, unrolled as ONE declarative plan
     // (each iteration = one corpus aggregate producing the next 1-row
@@ -2631,6 +2641,46 @@ object ExtQueries {
 
     "x127_groupwise_split" ->
       (s"WITH RECURSIVE $groupSplitCtes SELECT doc_id, group_id, split FROM ga"),
+
+    "x138_split_incremental" -> {
+      def dr(x: String, salt: String) =
+        s"CAST(('0x' || substr(md5(CAST($x AS VARCHAR) || ':$salt'), 1, 8)) AS BIGINT)/4294967296.0"
+      s"WITH RECURSIVE $groupSplitCtes, " +
+        s"bb AS (SELECT doc_id FROM documents WHERE ${dr("doc_id", "batch")} < 0.8), " +
+        "bp AS (SELECT p.doc_a, p.doc_b FROM pairs p " +
+        "JOIN bb x ON p.doc_a = x.doc_id JOIN bb y ON p.doc_b = y.doc_id), " +
+        "bedges AS (SELECT doc_a AS src, doc_b AS dst FROM bp " +
+        "UNION SELECT doc_b, doc_a FROM bp), " +
+        "breach AS (SELECT src, dst FROM bedges " +
+        "UNION (SELECT r.src, e.dst FROM breach r JOIN bedges e ON r.dst = e.src)), " +
+        "bcomp AS (SELECT src AS doc_id, least(src, min(dst)) AS canonical_id " +
+        "FROM breach GROUP BY src), " +
+        "bga AS (SELECT d.doc_id, coalesce(bcomp.canonical_id, d.doc_id) AS group_id, " +
+        s"CASE WHEN ${dr("coalesce(bcomp.canonical_id, d.doc_id)", "gsplit")} < 0.9 " +
+        "THEN 'train' ELSE 'eval' END AS split " +
+        "FROM bb d LEFT JOIN bcomp ON d.doc_id = bcomp.doc_id), " +
+        "cpx AS (SELECT p.doc_a, p.doc_b, " +
+        s"(${dr("p.doc_a", "batch")} < 0.8) AS ab, (${dr("p.doc_b", "batch")} < 0.8) AS bb2 " +
+        "FROM pairs p), " +
+        "cp AS (SELECT CASE WHEN ab THEN doc_b ELSE doc_a END AS bdoc, " +
+        "CASE WHEN ab THEN doc_a ELSE doc_b END AS mdoc FROM cpx WHERE ab <> bb2), " +
+        "inh AS (SELECT cp.bdoc AS doc_id, min(bga.group_id) AS g " +
+        "FROM cp JOIN bga ON cp.mdoc = bga.doc_id GROUP BY 1), " +
+        s"btd AS (SELECT doc_id FROM documents WHERE NOT (${dr("doc_id", "batch")} < 0.8)), " +
+        "igs AS (SELECT btd.doc_id, " +
+        s"CASE WHEN ${dr("coalesce(inh.g, btd.doc_id)", "gsplit")} < 0.9 " +
+        "THEN 'train' ELSE 'eval' END AS split " +
+        "FROM btd LEFT JOIN inh ON btd.doc_id = inh.doc_id), " +
+        "nb AS (SELECT CAST(count(*) AS BIGINT) AS n_base FROM bb), " +
+        "nt2 AS (SELECT CAST(count(*) AS BIGINT) AS n_batch FROM btd), " +
+        "na AS (SELECT CAST(count(*) AS BIGINT) AS n_attached FROM inh), " +
+        "bag AS (SELECT CAST(sum(CASE WHEN i.split = f.split THEN 1 ELSE 0 END) AS DOUBLE)/count(*) " +
+        "AS batch_split_agreement FROM igs i JOIN ga f USING (doc_id)), " +
+        "bst AS (SELECT CAST(sum(CASE WHEN b.split = f.split THEN 1 ELSE 0 END) AS DOUBLE)/count(*) " +
+        "AS base_split_stability FROM bga b JOIN ga f USING (doc_id)) " +
+        "SELECT nb.n_base, nt2.n_batch, na.n_attached, bag.batch_split_agreement, " +
+        "bst.base_split_stability FROM nb, nt2, na, bag, bst"
+    },
 
     "x128_split_leakage_audit" ->
       (s"WITH RECURSIVE $groupSplitCtes, " +

@@ -35,6 +35,42 @@ class SplitSpec extends SparkTestBase {
     assert(row.getLong(row.fieldIndex("n_groups")) <= n)
   }
 
+  test("splitIncrementalReport: counts reconcile, agreement and stability high") {
+    val docs = fixtureDocs
+    val row = Curate.splitIncrementalReport(docs, Dedup.jaccardPairs(docs, 3, 0.8))
+      .collect().head
+    val (nb, nt, na) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nb + nt === docs.count())
+    assert(na <= nt)
+    // batch agreement can dip below 1.0 only for batch-INTERNAL new
+    // clusters (incremental assigns per-doc groups where the recompute
+    // merges them) — rare by construction; base stability flips only on a
+    // batch-induced merge of differently-drawn groups
+    assert(row.getDouble(row.fieldIndex("batch_split_agreement")) >= 0.9)
+    assert(row.getDouble(row.fieldIndex("base_split_stability")) >= 0.9)
+  }
+
+  test("splitIncrementalReport: a batch near-dup inherits the stored group's split") {
+    // Ids chosen so the md5 'batch' draw puts two clique members in the
+    // base and one in the batch: draw(1)=0.74, draw(3)=0.49 (base, < 0.8);
+    // draw(2)=0.82 (batch). All three share one text = one clique.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (40L, "completely different words nothing shared here at all ok")
+    ).toDF("doc_id", "text")
+    val u = Curate.uniformHash(col("doc_id"), "batch")
+    val sides = docs.select(col("doc_id"), (u < 0.8).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assume(sides(1L) && sides(3L) && !sides(2L)) // pin the derivation this test relies on
+    val row = Curate.splitIncrementalReport(docs, Dedup.jaccardPairs(docs, 3, 0.8))
+      .collect().head
+    assert(row.getLong(row.fieldIndex("n_attached")) === 1L) // doc 2 attached
+    assert(row.getDouble(row.fieldIndex("batch_split_agreement")) === 1.0)
+    assert(row.getDouble(row.fieldIndex("base_split_stability")) === 1.0)
+  }
+
   test("planted clique: naive split leaks, group-wise split does not") {
     // 20 identical docs = one near-dup clique; the doc-level hash draw
     // (deterministic: 17 train / 3 eval for ids 1..20) splits it, the
