@@ -305,6 +305,36 @@ object Curate {
         "base_split_stability")))
   }
 
+  /** Distribution-drift report between two corpus slices: decile
+    * histograms of the quality score, per-bin shares, absolute share
+    * difference, and the rational χ²-style per-bin term
+    * `(p_a−p_b)²/(p_a+p_b)` — the monitoring pass a production pipeline
+    * runs between crawls (vocabulary-level drift is x93/x97; this is the
+    * metric-distribution axis). Two bin-keyed partial aggs + two 1-row
+    * totals; every number a ratio of exact integers or one IEEE op.
+    */
+  def qualityDrift(docs: DataFrame, sliceA: Column, text: Column = col("text")): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val q = TextOps.qualityMetrics(docs, text)
+      .join(docs.select(col("doc_id"), sliceA.as("_a")), "doc_id")
+      .withColumn("bin", least(floor(col("quality_score") * lit(10.0)), lit(9.0)).cast("long"))
+    val ca = q.where(col("_a")).groupBy("bin").agg(count(lit(1)).as("n_a"))
+    val cb = q.where(!col("_a")).groupBy("bin").agg(count(lit(1)).as("n_b"))
+    val ta = q.where(col("_a")).agg(count(lit(1)).as("t_a"))
+    val tb = q.where(!col("_a")).agg(count(lit(1)).as("t_b"))
+    ca.join(cb, Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        (col("n_a").cast("double") / col("t_a").cast("double")).as("share_a"),
+        (col("n_b").cast("double") / col("t_b").cast("double")).as("share_b"))
+      .withColumn("abs_diff", abs(col("share_a") - col("share_b")))
+      .withColumn("chi2_term",
+        (col("share_a") - col("share_b")) * (col("share_a") - col("share_b"))
+          / (col("share_a") + col("share_b")))
+  }
+
   /** Per-source quality quota: keep only the `k` highest-quality docs from
     * each source — the balanced-corpus selection step after scoring. The
     * rank is a window PARTITIONED by source, which Spark executes with

@@ -836,6 +836,13 @@ object ExtQueries {
       Curate.splitLeakageAudit(docs, pairs, Dedup.connectedComponents(pairs))
     }),
 
+    // Distribution-drift monitor (r6): decile quality-score histograms of
+    // two slices (src0 vs rest — the "new crawl vs corpus" shape), per-bin
+    // shares, |Δshare|, and the rational χ²-style term — the metric-
+    // distribution drift axis complementing x93/x97's vocabulary drift.
+    "x139_quality_drift" -> ((s, dir) =>
+      Curate.qualityDrift(Tables.documents(s, dir), col("source") === "src0")),
+
     // Incremental split maintenance (r6): eval-set STABILITY under corpus
     // growth — new docs inherit the split of the stored group they
     // near-dup into (min group on multiple matches) instead of a full
@@ -2641,6 +2648,26 @@ object ExtQueries {
 
     "x127_groupwise_split" ->
       (s"WITH RECURSIVE $groupSplitCtes SELECT doc_id, group_id, split FROM ga"),
+
+    "x139_quality_drift" ->
+      (s"WITH t AS ($toksCte), " +
+        "qm AS (SELECT d.doc_id, d.source, least(CAST(len(t.toks) AS DOUBLE)/50.0, 1.0)*0.5 " +
+        s"+ (CAST(len(list_filter(t.toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(t.toks))*0.25 " +
+        "+ (CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)/length(d.text))*0.25 AS q " +
+        "FROM documents d JOIN t ON d.doc_id = t.doc_id), " +
+        "qb AS (SELECT doc_id, (source = 'src0') AS a, " +
+        "CAST(least(floor(q*10.0), 9.0) AS BIGINT) AS bin FROM qm), " +
+        "ca AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_a FROM qb WHERE a GROUP BY 1), " +
+        "cb AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_b FROM qb WHERE NOT a GROUP BY 1), " +
+        "ta AS (SELECT CAST(count(*) AS BIGINT) AS t_a FROM qb WHERE a), " +
+        "tb AS (SELECT CAST(count(*) AS BIGINT) AS t_b FROM qb WHERE NOT a), " +
+        "j AS (SELECT coalesce(ca.bin, cb.bin) AS bin, " +
+        "coalesce(ca.n_a, CAST(0 AS BIGINT)) AS n_a, coalesce(cb.n_b, CAST(0 AS BIGINT)) AS n_b " +
+        "FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin), " +
+        "sh AS (SELECT bin, n_a, n_b, CAST(n_a AS DOUBLE)/CAST(t_a AS DOUBLE) AS share_a, " +
+        "CAST(n_b AS DOUBLE)/CAST(t_b AS DOUBLE) AS share_b FROM j, ta, tb) " +
+        "SELECT bin, n_a, n_b, share_a, share_b, abs(share_a - share_b) AS abs_diff, " +
+        "(share_a - share_b)*(share_a - share_b)/(share_a + share_b) AS chi2_term FROM sh"),
 
     "x138_split_incremental" -> {
       def dr(x: String, salt: String) =

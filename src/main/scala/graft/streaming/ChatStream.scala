@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming SFT ingestion: turn events assembled into per-conversation
+  * loss-mask statistics (the streaming twin of `Chat.sftStats`), closing a
+  * conversation when its turn stream goes quiet for the gap window. State
+  * per conversation is a FIXED handful of counters — O(active
+  * conversations), never O(turns) — so the assembler runs forever on an
+  * unbounded stream.
+  *
+  * The accumulators are position-based (turn_idx parity), so the
+  * transition is insensitive to arrival order within a batch — the same
+  * design that makes the batch check exact makes the stream replay-safe.
+  */
+// Top-level IO case classes: the 4.1.2 streaming planner NPEs on
+// object-nested fMGWS IO types (see EventStream.scala's note).
+case class TurnEvent(conv_id: Long, ts: Timestamp, turn_idx: Long,
+                     role: String, n_tokens: Long)
+case class ConvState(lastSeen: Long, nTurns: Long, opens: Long, bad: Long,
+                     userTok: Long, asstTok: Long)
+case class ConvStats(conv_id: Long, n_turns: Long, opens_with_user: Boolean,
+                     alternates: Boolean, user_tokens: Long,
+                     assistant_tokens: Long, mask_frac: Double)
+
+object ChatStream {
+
+  val ConvGapMs: Long = 30 * 60 * 1000L
+
+  /** Fold one turn into the conversation counters (pure, order-stable
+    * because the checks key off turn_idx, not arrival order). */
+  private def fold(s: ConvState, e: TurnEvent): ConvState = ConvState(
+    lastSeen = math.max(s.lastSeen, e.ts.getTime),
+    nTurns = s.nTurns + 1,
+    opens = s.opens + (if (e.turn_idx == 1L && e.role == "user") 1L else 0L),
+    bad = s.bad + (if ((e.turn_idx % 2 == 1 && e.role != "user") ||
+      (e.turn_idx % 2 == 0 && e.role != "assistant")) 1L else 0L),
+    userTok = s.userTok + (if (e.role == "user") e.n_tokens else 0L),
+    asstTok = s.asstTok + (if (e.role == "assistant") e.n_tokens else 0L))
+
+  private def emit(convId: Long, s: ConvState): ConvStats = ConvStats(
+    convId, s.nTurns, s.opens == 1L, s.bad == 0L, s.userTok, s.asstTok,
+    s.asstTok.toDouble / (s.userTok + s.asstTok).toDouble)
+
+  /** The pure per-key transition (the `absorbEvents` discipline): a turn
+    * arriving more than `ConvGapMs` after the conversation's last event
+    * closes it and starts a fresh one.
+    */
+  def absorbTurns(convId: Long, batch: Seq[TurnEvent], acc0: Option[ConvState])
+      : (Vector[ConvStats], Option[ConvState]) =
+    batch.sortBy(e => (e.ts.getTime, e.turn_idx)).foldLeft(
+        (Vector.empty[ConvStats], acc0)) {
+      case ((done, acc), e) =>
+        acc match {
+          case Some(s) if e.ts.getTime - s.lastSeen > ConvGapMs =>
+            (done :+ emit(convId, s), Some(fold(ConvState(e.ts.getTime, 0, 0, 0, 0, 0), e)))
+          case Some(s) => (done, Some(fold(s, e)))
+          case None => (done, Some(fold(ConvState(e.ts.getTime, 0, 0, 0, 0, 0), e)))
+        }
+    }
+
+  def statsStep(useTimeout: Boolean)(convId: Long, rows: Iterator[TurnEvent],
+      state: GroupState[ConvState]): Iterator[ConvStats] =
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator(emit(convId, s))
+    } else {
+      val (closed, current) = absorbTurns(convId, rows.toSeq, state.getOption)
+      current.foreach { s =>
+        state.update(s)
+        if (useTimeout) state.setTimeoutDuration(ConvGapMs)
+      }
+      closed.iterator
+    }
+
+  /** Streaming per-conversation SFT stats. `NoTimeout` for bounded-drain
+    * tests (same reason as `EventStream.sessionize`). */
+  def sftStatsStream(turns: Dataset[TurnEvent],
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout())
+      : Dataset[ConvStats] = {
+    import turns.sparkSession.implicits._
+    turns
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState[ConvState, ConvStats](OutputMode.Append(), timeout)(
+        statsStep(timeout != GroupStateTimeout.NoTimeout()))
+  }
+}

@@ -66,7 +66,8 @@ class PlanAuditSpec extends SparkTestBase {
     "x130_lr_classify" -> "scoring crossJoins the ONE-ROW broadcast final-weight frame onto the held-out scan (x129's trained model, constant)",
     "x136_lr_incremental" -> "three GD chains' 1-row weight broadcasts + the 1-row weight-diff / count / eval folds (x129's shape, warm vs cold)",
     "x137_lr_calibration" -> "x130's 1-row broadcast final-weight scoring feeding decile bins (constant model state)",
-    "x138_split_incremental" -> "crossJoin of five single-row aggregates (counts + two agreement fractions — constants)"
+    "x138_split_incremental" -> "crossJoin of five single-row aggregates (counts + two agreement fractions — constants)",
+    "x139_quality_drift" -> "bin histogram crossJoins TWO single-row slice-total folds (constants)"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {

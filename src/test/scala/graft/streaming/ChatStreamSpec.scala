@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import graft.ext.Chat
+import graft.sources.Tables
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
+
+class ChatStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("absorbTurns: gap closes the conversation, counters match the batch semantics") {
+    val turns = Seq(
+      TurnEvent(7L, ts(0), 1L, "user", 3L),
+      TurnEvent(7L, ts(1), 2L, "assistant", 5L),
+      // > 30 min gap — closes the first conversation
+      TurnEvent(7L, Timestamp.valueOf("2024-01-01 11:00:00"), 1L, "user", 2L))
+    val (closed, current) = ChatStream.absorbTurns(7L, turns, None)
+    assert(closed.length === 1)
+    val c = closed.head
+    assert(c === ConvStats(7L, 2L, true, true, 3L, 5L, 5.0 / 8.0))
+    assert(current.exists(_.nTurns == 1L))
+  }
+
+  test("streaming sftStats equals the batch operator on the fixture's parsed turns") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir).limit(40)
+    val parsed = Chat.parseTurns(Chat.withChat(docs))
+      .select(col("doc_id"), col("turn_idx"), col("role"), col("n_tokens"))
+      .collect()
+      .map(r => TurnEvent(r.getLong(0), ts((r.getLong(1) % 50).toInt),
+        r.getLong(1), r.getString(2), r.getLong(3)))
+    val in = MemoryStream[TurnEvent]
+    // two micro-batches: state must carry across the batch boundary
+    val (b1, b2) = parsed.splitAt(parsed.length / 2)
+    in.addData(b1.toSeq); in.addData(b2.toSeq)
+    // NoTimeout + a final synthetic far-future turn per conversation would
+    // be one option; instead drain and read the still-open state via a
+    // closing batch: one turn per conv far in the future flushes stats.
+    val flush = parsed.map(_.conv_id).distinct.map(id =>
+      TurnEvent(id, Timestamp.valueOf("2024-01-02 10:00:00"), 99L, "user", 0L))
+    in.addData(flush.toSeq)
+    val q = ChatStream.sftStatsStream(in.toDS(), GroupStateTimeout.NoTimeout())
+      .writeStream.format("memory").queryName("sft_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sft_stream").as[ConvStats].collect()
+      .map(s => s.conv_id -> s).toMap
+    val batch = Chat.sftStats(Chat.parseTurns(Chat.withChat(docs))).collect()
+    assert(batch.nonEmpty && streamed.size === batch.length)
+    batch.foreach { r =>
+      val s = streamed(r.getLong(0))
+      assert(s.n_turns === r.getLong(1))
+      assert(s.opens_with_user === r.getBoolean(2))
+      assert(s.alternates === r.getBoolean(3))
+      assert(s.user_tokens === r.getLong(4))
+      assert(s.assistant_tokens === r.getLong(5))
+      assert(s.mask_frac === r.getDouble(6))
+    }
+  }
+}
