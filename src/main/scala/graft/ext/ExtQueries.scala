@@ -836,6 +836,13 @@ object ExtQueries {
       Curate.splitLeakageAudit(docs, pairs, Dedup.connectedComponents(pairs))
     }),
 
+    // MMR diversified selection (r6): greedy λ·rel − γ·maxsim top-k over
+    // the embedding corpus (query = vector 0) — the eval-set/few-shot-pool
+    // builder where plain top-k returns near-duplicates of one item. Each
+    // step one engine argmax; selected set travels as ≤k−1 literal vectors.
+    "x140_mmr_select" -> ((s, dir) =>
+      Similarity.mmrSelect(Tables.embeddings(s, dir))),
+
     // Distribution-drift monitor (r6): decile quality-score histograms of
     // two slices (src0 vs rest — the "new crawl vs corpus" shape), per-bin
     // shares, |Δshare|, and the rational χ²-style term — the metric-
@@ -2648,6 +2655,32 @@ object ExtQueries {
 
     "x127_groupwise_split" ->
       (s"WITH RECURSIVE $groupSplitCtes SELECT doc_id, group_id, split FROM ga"),
+
+    "x140_mmr_select" -> {
+      val k = 10
+      val steps = (2 to k).map { t =>
+        s"mx$t AS (SELECT c.vec_id, max(${dotSql("c.emb", "s.emb")}) AS m " +
+          s"FROM cand c, acc${t - 1} s " +
+          s"WHERE c.vec_id NOT IN (SELECT vec_id FROM acc${t - 1}) GROUP BY c.vec_id), " +
+          s"s$t AS (SELECT c.vec_id, c.rel, 0.7*c.rel - 0.3*mx.m AS score " +
+          s"FROM cand c JOIN mx$t mx USING (vec_id)), " +
+          s"p$t AS MATERIALIZED (SELECT vec_id FROM s$t ORDER BY score DESC, vec_id LIMIT 1), " +
+          s"acc$t AS MATERIALIZED (SELECT * FROM acc${t - 1} " +
+          s"UNION ALL SELECT c.vec_id, c.emb FROM cand c JOIN p$t USING (vec_id))"
+      }.mkString(", ")
+      val rows = (1 to k).map { t =>
+        s"SELECT CAST($t AS BIGINT) AS rank, c.vec_id, c.rel, s.score AS mmr_score " +
+          s"FROM p$t JOIN s$t s USING (vec_id) JOIN cand c USING (vec_id)"
+      }.mkString(" UNION ALL ")
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "q AS (SELECT emb AS qe FROM e WHERE vec_id = 0), " +
+        s"cand AS MATERIALIZED (SELECT vec_id, emb, ${dotSql("emb", "qe")} AS rel " +
+        "FROM e, q WHERE vec_id <> 0), " +
+        "s1 AS (SELECT vec_id, rel, 0.7*rel - 0.3*0.0 AS score FROM cand), " +
+        "p1 AS MATERIALIZED (SELECT vec_id FROM s1 ORDER BY score DESC, vec_id LIMIT 1), " +
+        "acc1 AS MATERIALIZED (SELECT c.vec_id, c.emb FROM cand c JOIN p1 USING (vec_id)), " +
+        steps + " " + rows
+    },
 
     "x139_quality_drift" ->
       (s"WITH t AS ($toksCte), " +

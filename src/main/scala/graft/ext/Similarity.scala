@@ -722,4 +722,49 @@ object Similarity {
       .where(col("rank") <= k)
       .select("q_id", "vec_id", "cos", "rank")
   }
+
+  /** MMR weights as SEPARATE literals — never derive one from the other
+    * (`1.0 - 0.7` is not the double `0.3`, and the oracle embeds the
+    * literal). */
+  val MmrLambda = 0.7
+  val MmrGamma = 0.3
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein, SIGIR
+    * 1998): greedily pick `k` items maximizing
+    * `λ·rel − γ·max_{s∈selected} cos(v, s)` — the diversified top-k an
+    * eval-set or few-shot-pool builder wants, where plain top-k returns
+    * near-duplicates of one item. Each of the k steps is ONE engine
+    * argmax (`orderBy.limit(1)` — WindowGroupLimit-free) over the cached
+    * candidate scan; driver state is k ids + k vectors (the k-means
+    * centroid budget). Selected-set similarity is a `greatest` over ≤k−1
+    * literal-vector cosines — model state, not data shuffle.
+    */
+  def mmrSelect(emb: DataFrame, k: Int = 10, queryId: Long = 0L): DataFrame = {
+    val qe = emb.where(col("vec_id") === queryId)
+      .select(col("embedding").cast("array<double>")).collect()(0).getSeq[Double](0)
+    val cand = graft.ops.Caching.cacheOnce(
+      emb.where(col("vec_id") =!= queryId)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .withColumn("rel", cosine(col("emb"), typedLit(qe))))
+    var selected = Vector.empty[(Long, Seq[Double])]
+    val rows = (1 to k).map { t =>
+      val maxSim: Column =
+        if (selected.isEmpty) lit(0.0)
+        else if (selected.size == 1) cosine(col("emb"), typedLit(selected.head._2))
+        else greatest(selected.map(s => cosine(col("emb"), typedLit(s._2))): _*)
+      val score = lit(MmrLambda) * col("rel") - lit(MmrGamma) * maxSim
+      val pool =
+        if (selected.isEmpty) cand
+        else cand.where(!col("vec_id").isin(selected.map(_._1): _*))
+      val top = pool.withColumn("score", score)
+        .orderBy(col("score").desc, col("vec_id").asc).limit(1)
+        .select("vec_id", "emb").collect()(0)
+      val out = cand.where(col("vec_id") === lit(top.getLong(0)))
+        .select(lit(t.toLong).as("rank"), col("vec_id"), col("rel"),
+          (lit(MmrLambda) * col("rel") - lit(MmrGamma) * maxSim).as("mmr_score"))
+      selected :+= ((top.getLong(0), top.getSeq[Double](1)))
+      out
+    }
+    rows.reduce(_ unionByName _)
+  }
 }

@@ -335,4 +335,39 @@ class SimilaritySpec extends SparkTestBase {
     assert(tied.getAs[Int]("pred_label") === 0) // cos(q,1) ~ 0.99 > cos(q,4) = 0
     assert(tied.getAs[Long]("votes") === 1L)
   }
+
+  test("mmrSelect: first pick is pure argmax-rel; clones are deferred for diversity") {
+    // query 0 = x-axis; 1 and 2 are identical clones (rel 0.8), 3 is
+    // lower-rel (0.6) but EXACTLY orthogonal to the clones. Pure top-2
+    // takes both clones; MMR: clone-2's score after picking 1 is
+    // 0.7·0.8 − 0.3·1 = 0.26, vec-3's is 0.7·0.6 − 0.3·0 = 0.42 → 3 wins.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.8f, 0.6f, 0.0f)),
+      (2L, Seq(0.8f, 0.6f, 0.0f)),   // identical clone
+      (3L, Seq(0.6f, -0.8f, 0.0f))   // rel 0.6, cos with the clones = 0
+    ).toDF("vec_id", "embedding")
+    val sel = Similarity.mmrSelect(emb, 3).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(sel(0)._2 === 1L) // argmax rel, tie-broken to the lower id
+    assert(sel(1)._2 === 3L) // the clone loses to the diverse item
+    assert(sel(2)._2 === 2L)
+  }
+
+  test("mmrSelect: deterministic, distinct, mmr_score bounded by relevance term") {
+    import graft.sources.Tables
+    val emb = Tables.embeddings(spark, sfDir)
+    val a = Similarity.mmrSelect(emb, 5).collect().toSet
+    assert(a === Similarity.mmrSelect(emb, 5).collect().toSet)
+    val ids = a.toSeq.map(_.getLong(1))
+    assert(ids.distinct.length === ids.length)
+    // maxsim ∈ [−1, 1] bounds the diversity penalty both ways
+    a.foreach { r =>
+      assert(r.getDouble(3) <= Similarity.MmrLambda * r.getDouble(2) + Similarity.MmrGamma + 1e-12)
+      assert(r.getDouble(3) >= Similarity.MmrLambda * r.getDouble(2) - Similarity.MmrGamma - 1e-12)
+    }
+    // rank 1 pays no penalty: mmr_score == λ·rel exactly
+    val r1 = a.find(_.getLong(0) == 1L).get
+    assert(r1.getDouble(3) === Similarity.MmrLambda * r1.getDouble(2))
+  }
 }
