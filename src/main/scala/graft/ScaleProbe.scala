@@ -226,6 +226,12 @@ object ScaleProbe {
       corpus.unpersist(blocking = true)
       val emb = replicateEmb(k).cache()
       emb.count()
+      // MMR selection: k=10 greedy steps, each ONE argmax scan over the
+      // cached candidates — time must track corpus size × 10 at scan
+      // slope; driver state stays 10 ids + 10 vectors at every scale.
+      time("mmr_select10") {
+        graft.ext.Similarity.mmrSelect(emb).count()
+      }
       time("ann_multitable") {
         graft.ext.Similarity.lshMultiTopK(
           emb.where(col("vec_id") < 5), emb, 10).count()

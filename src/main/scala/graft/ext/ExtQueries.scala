@@ -836,6 +836,12 @@ object ExtQueries {
       Curate.splitLeakageAudit(docs, pairs, Dedup.connectedComponents(pairs))
     }),
 
+    // Contrastive triplet export (r6): the retriever-training artifact —
+    // nearest same-label positive + x91's hard negatives per query, with
+    // the training margin precomputed. Both legs the x06 broadcast shape.
+    "x141_contrastive_pairs" -> ((s, dir) =>
+      Similarity.contrastivePairs(Tables.embeddings(s, dir))),
+
     // MMR diversified selection (r6): greedy λ·rel − γ·maxsim top-k over
     // the embedding corpus (query = vector 0) — the eval-set/few-shot-pool
     // builder where plain top-k returns near-duplicates of one item. Each
@@ -2655,6 +2661,25 @@ object ExtQueries {
 
     "x127_groupwise_split" ->
       (s"WITH RECURSIVE $groupSplitCtes SELECT doc_id, group_id, split FROM ga"),
+
+    "x141_contrastive_pairs" ->
+      ("WITH q AS (SELECT vec_id AS q_id, label AS q_label, " +
+        "CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
+        "sp AS (SELECT q_id, vec_id, " +
+        s"${dotSql("qe", "CAST(embedding AS DOUBLE[])")} AS cos " +
+        "FROM embeddings, q WHERE q_id <> vec_id AND q_label = label), " +
+        "rp AS (SELECT q_id, vec_id, cos, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM sp), " +
+        "pos AS (SELECT q_id, vec_id AS pos_id, cos AS pos_cos FROM rp WHERE rank = 1), " +
+        "sn AS (SELECT q_id, vec_id, " +
+        s"${dotSql("qe", "CAST(embedding AS DOUBLE[])")} AS cos " +
+        "FROM embeddings, q WHERE q_id <> vec_id AND q_label <> label), " +
+        "rn AS (SELECT q_id, vec_id, cos, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM sn), " +
+        "neg AS (SELECT q_id, vec_id AS neg_id, cos AS neg_cos, CAST(rank AS BIGINT) AS neg_rank " +
+        "FROM rn WHERE rank <= 3) " +
+        "SELECT p.q_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos, n.neg_rank, " +
+        "p.pos_cos - n.neg_cos AS margin FROM pos p JOIN neg n USING (q_id)"),
 
     "x140_mmr_select" -> {
       val k = 10

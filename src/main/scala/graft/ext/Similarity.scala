@@ -723,6 +723,34 @@ object Similarity {
       .select("q_id", "vec_id", "cos", "rank")
   }
 
+  /** Contrastive triplet export — the retriever-training artifact: per
+    * query, the nearest SAME-label vector as the positive and the top
+    * `nNeg` highest-cosine DIFFERENT-label vectors ([[hardNegatives]]) as
+    * negatives, with the training margin `pos_cos − neg_cos` precomputed.
+    * Both legs are the x06 broadcast-query corpus-stream shape; at scale
+    * the candidate legs swap to the bucketed rankers like every other
+    * retrieval consumer.
+    */
+  def contrastivePairs(emb: DataFrame, nNeg: Int = 3): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val q = broadcast(emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label")))
+    val pos = emb.join(q, col("q_id") =!= col("vec_id") && col("q_label") === col("label"))
+      .withColumn("cos", GraftFunctions.cosineSim(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
+      .where(col("rank") === 1)
+      .select(col("q_id"), col("vec_id").as("pos_id"), col("cos").as("pos_cos"))
+    val neg = hardNegatives(emb.where(col("vec_id") < 5), emb, nNeg)
+      .select(col("q_id"), col("vec_id").as("neg_id"), col("cos").as("neg_cos"),
+        col("rank").as("neg_rank"))
+    pos.join(neg, "q_id")
+      .select(col("q_id"), col("pos_id"), col("pos_cos"), col("neg_id"),
+        col("neg_cos"), col("neg_rank"),
+        (col("pos_cos") - col("neg_cos")).as("margin"))
+  }
+
   /** MMR weights as SEPARATE literals — never derive one from the other
     * (`1.0 - 0.7` is not the double `0.3`, and the oracle embeds the
     * literal). */

@@ -67,7 +67,8 @@ class PlanAuditSpec extends SparkTestBase {
     "x136_lr_incremental" -> "three GD chains' 1-row weight broadcasts + the 1-row weight-diff / count / eval folds (x129's shape, warm vs cold)",
     "x137_lr_calibration" -> "x130's 1-row broadcast final-weight scoring feeding decile bins (constant model state)",
     "x138_split_incremental" -> "crossJoin of five single-row aggregates (counts + two agreement fractions — constants)",
-    "x139_quality_drift" -> "bin histogram crossJoins TWO single-row slice-total folds (constants)"
+    "x139_quality_drift" -> "bin histogram crossJoins TWO single-row slice-total folds (constants)",
+    "x141_contrastive_pairs" -> "both legs are x91/x06's broadcast-query corpus stream (scale path = bucketed candidate rankers)"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {
