@@ -2651,7 +2651,7 @@ object ExtQueries {
       (s"WITH ${btCtes(Preference.Iters)}, " +
         (0 until Preference.Iters).map { k =>
           s"dl$k AS (SELECT CAST(${k + 1} AS BIGINT) AS iter, " +
-            "CAST(sum(CAST(abs(b.s - a.s) AS DECIMAL(25,15))) AS DOUBLE) AS l1_delta " +
+            "list_aggregate(list_sort(list(abs(b.s - a.s))), 'sum') AS l1_delta " +
             s"FROM s$k a JOIN s${k + 1} b USING (doc_id))"
         }.mkString(", ") + " " +
         (0 until Preference.Iters).map(k => s"SELECT * FROM dl$k").mkString(" UNION ALL ")),

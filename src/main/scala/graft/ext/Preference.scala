@@ -111,18 +111,22 @@ object Preference {
       .select(col("doc_id"), col("wins"), col("games"), col("s").as("strength"))
   }
 
-  /** Per-round L1 convergence of the MM fit (x122's report shape):
-    * DECIMAL-transit sums so the total is order-independent and
-    * oracle-exact.
+  /** Per-round L1 convergence of the MM fit (x122's report shape). The
+    * sum is a SORTED FOLD of the per-item |Δ| doubles, not a DECIMAL
+    * transit: strengths reach ~wins (tens), so a DECIMAL(25,15) cast
+    * rounds right at the double's 17-significant-digit edge and the two
+    * engines can disagree by one ulp (caught by the cross-SF sweep at
+    * sf0.001). The sorted fold is a pure function of the value multiset
+    * in IEEE doubles — no engine rounding surface at all.
     */
   def btConvergence(docs: DataFrame, iters: Int = Iters): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(25, 15)
     val (_, seq) = mmRounds(derivedPreferences(docs), iters)
     (1 to iters).map { t =>
       seq(t).select(col("doc_id"), col("s").as("s_new"))
         .join(seq(t - 1).select(col("doc_id"), col("s").as("s_old")), "doc_id")
-        .agg(sum(abs(col("s_new") - col("s_old")).cast(dec)).as("_d"))
-        .select(lit(t.toLong).as("iter"), col("_d").cast("double").as("l1_delta"))
+        .agg(aggregate(sort_array(collect_list(abs(col("s_new") - col("s_old")))),
+          lit(0.0), (a, x) => a + x).as("l1_delta"))
+        .select(lit(t.toLong).as("iter"), col("l1_delta"))
     }.reduce(_ unionByName _)
   }
 }

@@ -147,6 +147,10 @@ object Trainer {
     * weights when a new batch arrives, instead of a cold retrain). */
   private def unrollFrom(w0: DataFrame, tr: DataFrame,
       dim: Int, iters: Int, learnRate: Double): Seq[DataFrame] = {
+    // An empty training slice would silently propagate 0/0 = NaN through
+    // every weight (the gradient mean divides by the slice count). Fail
+    // loudly instead — the caller picked a bad split, not a bad model.
+    require(!tr.isEmpty, "training slice is empty — gradient mean would be 0/0 (NaN weights)")
     var w: DataFrame = w0
     (1 to iters).map { _ =>
       val next = step(tr, w, dim, learnRate).localCheckpoint()

@@ -48,6 +48,14 @@ class TrainerSpec extends SparkTestBase {
     t.unpersist()
   }
 
+  test("empty training slice fails loudly instead of yielding NaN weights") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Trainer.lrTrajectory(spark, empty).collect()
+    }
+    assert(e.getMessage.contains("training slice is empty"))
+  }
+
   test("lrIncremental: warm continuation tracks the cold retrain") {
     val row = Trainer.lrIncremental(spark, Tables.documents(spark, sfDir)).collect().head
     assert(row.getLong(row.fieldIndex("n_base")) > 0L)
