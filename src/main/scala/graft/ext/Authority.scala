@@ -114,15 +114,19 @@ object Authority {
   def pageRankConvergence(edges: DataFrame, iters: Int = 5,
       damping: Double = 0.85, checkpointEvery: Int = 8): DataFrame = {
     val spark = edges.sparkSession
-    val dec = org.apache.spark.sql.types.DecimalType(25, 15)
     val (e, nodes, out, n) = prepare(edges)
     var rank = nodes.select(col("node"), lit(1.0 / n).as("rank")).localCheckpoint()
     val deltas = (0 until iters).map { i =>
       val next = bound(spark, i, checkpointEvery)(step(e, nodes, out, n, damping)(rank))
+      // Sorted fold, not DECIMAL transit: Spark's double→decimal cast goes
+      // through the SHORTEST string repr while DuckDB rounds the exact
+      // binary value — near the precision edge the engines can disagree by
+      // an ulp (x132 hit this; fixed fleet-wide to the multiset fold).
       val d = next.withColumnRenamed("rank", "r_new")
         .join(rank.withColumnRenamed("rank", "r_old"), "node")
-        .agg(sum(abs(col("r_new") - col("r_old")).cast(dec)).as("_d"))
-        .select(lit(i.toLong + 1).as("iter"), col("_d").cast("double").as("l1_delta"))
+        .agg(aggregate(sort_array(collect_list(abs(col("r_new") - col("r_old")))),
+          lit(0.0), (a, x) => a + x).as("l1_delta"))
+        .select(lit(i.toLong + 1).as("iter"), col("l1_delta"))
       rank = next
       d
     }

@@ -2146,7 +2146,7 @@ object ExtQueries {
       (s"WITH $pageRankCtes, " +
         (0 until 5).map { k =>
           s"dl$k AS (SELECT CAST(${k + 1} AS BIGINT) AS iter, " +
-            "CAST(sum(CAST(abs(b.rank - a.rank) AS DECIMAL(25,15))) AS DOUBLE) AS l1_delta " +
+            "list_aggregate(list_sort(list(abs(b.rank - a.rank))), 'sum') AS l1_delta " +
             s"FROM r$k a JOIN r${k + 1} b USING (node))"
         }.mkString(", ") + " " +
         (0 until 5).map(k => s"SELECT * FROM dl$k").mkString(" UNION ALL ")),
