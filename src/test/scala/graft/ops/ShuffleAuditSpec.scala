@@ -54,6 +54,29 @@ class ShuffleAuditSpec extends SparkTestBase {
       s"html extraction shuffled ${m.shuffleBytesWritten} B — it must stay per-row")
   }
 
+  test("chat turn parsing shuffles nothing but count partials") {
+    // wrapper + fence split + turn explode (x133) are per-row HOFs —
+    // neither the transcript nor any turn content may reach the wire.
+    val m = ShuffleAudit.measureCount(
+      graft.ext.Chat.parseTurns(graft.ext.Chat.withChat(docs)))
+    assert(m.rows > docs.count(), "turn explode should expand rows")
+    assert(m.shuffleBytesWritten < 32 * 1024,
+      s"chat parsing shuffled ${m.shuffleBytesWritten} B — it must stay per-row")
+  }
+
+  test("chat sft stats shuffle only conversation-keyed counter partials") {
+    // x134 adds ONE doc-keyed agg over six numeric counters: bytes must be
+    // counter-row-sized (~100 B/conversation with map-side combine
+    // headroom), never turn-content-sized.
+    val m = ShuffleAudit.measureCount(
+      graft.ext.Chat.sftStats(graft.ext.Chat.parseTurns(graft.ext.Chat.withChat(docs))))
+    val n = docs.count()
+    assert(m.rows === n)
+    assert(m.shuffleBytesWritten > 0, "audit read no shuffle metrics at all")
+    assert(m.shuffleBytesWritten < n * 300 + 32 * 1024,
+      s"sft stats shuffled ${m.shuffleBytesWritten} B for $n conversations — content on the wire?")
+  }
+
   test("web-corpus flagship shuffle is output-shaped: survivors' text, once") {
     // x81's only text-bearing exchanges are the dedup join and the chunk
     // agg over the FILTERED survivors — bounded by ~4× the corpus text
