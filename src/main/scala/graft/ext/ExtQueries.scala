@@ -952,10 +952,17 @@ object ExtQueries {
       Preference.btStrengths(Tables.documents(s, dir))),
 
     // The fit's convergence report (r6): per-round L1 delta of the
-    // strength vector, DECIMAL-transit (x122's report shape for the MM
-    // loop).
+    // strength vector (sorted-multiset fold — see the x122/x132 ulp note).
     "x132_bt_convergence" -> ((s, dir) =>
       Preference.btConvergence(Tables.documents(s, dir))),
+
+    // Incremental warm-start BT (r6): when the comparison pool grows,
+    // continue the MM fit from the stored base strengths for 2 rounds
+    // instead of a 7-round cold refit — measured: top-10 overlap + mean
+    // strength gap vs the cold fit, one row (x136's discipline for the
+    // preference family).
+    "x142_bt_incremental" -> ((s, dir) =>
+      Preference.btIncremental(Tables.documents(s, dir))),
 
     // The trained model APPLIED (r6): held-out per-doc scores under the
     // final weights — x89's classifier-report shape, but the model was
@@ -1473,16 +1480,24 @@ object ExtQueries {
         "bst AS MATERIALIZED (SELECT g.doc_id, coalesce(w.wins, CAST(0 AS BIGINT)) AS wins, g.games " +
         "FROM gcnt g LEFT JOIN wcnt w USING (doc_id)), " +
         "s0 AS MATERIALIZED (SELECT doc_id, CAST(1.0 AS DOUBLE) AS s FROM bst)"
-    val rounds = (1 to iters).map { tt =>
-      s"dn$tt AS MATERIALIZED (SELECT g.i AS doc_id, " +
-        s"list_aggregate(list(CAST(1.0 AS DOUBLE)/(si.s + sj.s) ORDER BY g.j), 'sum') AS denom " +
-        s"FROM gm g JOIN s${tt - 1} si ON g.i = si.doc_id JOIN s${tt - 1} sj ON g.j = sj.doc_id " +
-        "GROUP BY g.i), " +
-        s"s$tt AS MATERIALIZED (SELECT bst.doc_id, CAST(bst.wins AS DOUBLE)/dn.denom AS s " +
-        s"FROM bst JOIN dn$tt dn USING (doc_id))"
-    }.mkString(", ")
-    base + ", " + rounds
+    if (iters == 0) base
+    else base + ", " + btChain("", "gm", "bst", "s0", iters)
   }
+
+  /** One named MM round chain `<pfx>dn/s<t>` on games `gmCte` with stats
+    * `stCte`, warm-starting from `s0Name` — reused three times by x142
+    * (base fit, warm continuation, cold refit). */
+  private def btChain(pfx: String, gmCte: String, stCte: String,
+      s0Name: String, iters: Int): String =
+    (1 to iters).map { tt =>
+      val prev = if (tt == 1) s0Name else s"${pfx}s${tt - 1}"
+      s"${pfx}dn$tt AS MATERIALIZED (SELECT g.i AS doc_id, " +
+        s"list_aggregate(list(CAST(1.0 AS DOUBLE)/(si.s + sj.s) ORDER BY g.j), 'sum') AS denom " +
+        s"FROM $gmCte g JOIN $prev si ON g.i = si.doc_id JOIN $prev sj ON g.j = sj.doc_id " +
+        "GROUP BY g.i), " +
+        s"${pfx}s$tt AS MATERIALIZED (SELECT b.doc_id, CAST(b.wins AS DOUBLE)/dn.denom AS s " +
+        s"FROM $stCte b JOIN ${pfx}dn$tt dn USING (doc_id))"
+    }.mkString(", ")
 
   /** Chat wrapper + turn-parse CTE chain (through `tt`: doc_id, turn_idx,
     * role, content, ntk), shared by x133/x134 — the DuckDB twin of
@@ -2646,6 +2661,37 @@ object ExtQueries {
       (s"WITH ${btCtes(Preference.Iters)} " +
         s"SELECT bst.doc_id, bst.wins, bst.games, s.s AS strength " +
         s"FROM bst JOIN s${Preference.Iters} s USING (doc_id)"),
+
+    "x142_bt_incremental" -> {
+      val dr = "CAST(('0x' || substr(md5(CAST(%s AS VARCHAR) || ':btbatch'), 1, 8)) AS BIGINT)/4294967296.0"
+      val (ib, iw) = (Preference.Iters, 2)
+      s"WITH ${btCtes(0)}, " + // base/pf/gm/bst/s0 CTEs only (0 shared rounds)
+        s"bpf AS MATERIALIZED (SELECT * FROM pf WHERE ${dr.format("doc_a")} < 0.8 " +
+        s"AND ${dr.format("doc_b")} < 0.8), " +
+        "bgm AS MATERIALIZED (SELECT doc_a AS i, doc_b AS j FROM bpf " +
+        "UNION ALL SELECT doc_b, doc_a FROM bpf), " +
+        "bgc AS (SELECT i AS doc_id, CAST(count(*) AS BIGINT) AS games FROM bgm GROUP BY 1), " +
+        "bwc AS (SELECT winner AS doc_id, CAST(count(*) AS BIGINT) AS wins FROM bpf GROUP BY 1), " +
+        "bbst AS MATERIALIZED (SELECT g.doc_id, coalesce(w.wins, CAST(0 AS BIGINT)) AS wins, g.games " +
+        "FROM bgc g LEFT JOIN bwc w USING (doc_id)), " +
+        "bs0 AS (SELECT doc_id, CAST(1.0 AS DOUBLE) AS s FROM bbst), " +
+        btChain("b", "bgm", "bbst", "bs0", ib) + ", " +
+        s"ws0 AS MATERIALIZED (SELECT bst.doc_id, coalesce(b.s, CAST(1.0 AS DOUBLE)) AS s " +
+        s"FROM bst LEFT JOIN bs$ib b USING (doc_id)), " +
+        btChain("w", "gm", "bst", "ws0", iw) + ", " +
+        btChain("c", "gm", "bst", "s0", ib + iw) + ", " +
+        s"wt AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r " +
+        s"FROM ws$iw) WHERE r <= 10), " +
+        s"ctp AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r " +
+        s"FROM cs${ib + iw}) WHERE r <= 10), " +
+        "ov AS (SELECT CAST(count(*) AS BIGINT) AS top10_overlap FROM wt JOIN ctp USING (doc_id)), " +
+        s"gp AS (SELECT CAST(count(*) AS BIGINT) AS n_items, " +
+        "list_aggregate(list_sort(list(abs(w.s - c.s))), 'sum')/CAST(count(*) AS DOUBLE) AS mean_abs_gap " +
+        s"FROM ws$iw w JOIN cs${ib + iw} c USING (doc_id)), " +
+        s"nb AS (SELECT CAST(count(*) AS BIGINT) AS n_base_items FROM bs$ib) " +
+        "SELECT nb.n_base_items, gp.n_items, gp.n_items - nb.n_base_items AS n_new_items, " +
+        "ov.top10_overlap, gp.mean_abs_gap FROM nb, gp, ov"
+    },
 
     "x132_bt_convergence" ->
       (s"WITH ${btCtes(Preference.Iters)}, " +

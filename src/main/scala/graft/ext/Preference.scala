@@ -66,13 +66,22 @@ object Preference {
     * folds — a pure function of the comparison multiset, replayed by the
     * oracle's `list(v ORDER BY j)`.
     */
-  private def mmRounds(prefs: DataFrame, iters: Int): (DataFrame, Seq[DataFrame]) = {
+  private def mmRounds(prefs: DataFrame, iters: Int,
+      warmStart: Option[DataFrame] = None): (DataFrame, Seq[DataFrame]) = {
     val p = graft.ops.Caching.cacheOnce(prefs)
     val st = graft.ops.Caching.cacheOnce(stats(p))
     val games = graft.ops.Caching.cacheOnce(
       p.select(col("doc_a").as("i"), col("doc_b").as("j"))
         .unionByName(p.select(col("doc_b").as("i"), col("doc_a").as("j"))))
-    var s = st.select(col("doc_id"), lit(1.0).as("s")).localCheckpoint()
+    // Warm start: carry prior strengths where known, 1.0 for new items —
+    // the index-append discipline for the preference fit (x142).
+    val s0 = warmStart match {
+      case Some(w) => st.select(col("doc_id"))
+        .join(w.select(col("doc_id"), col("s").as("_ws")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("_ws"), lit(1.0)).as("s"))
+      case None => st.select(col("doc_id"), lit(1.0).as("s"))
+    }
+    var s = s0.localCheckpoint()
     val seq = Seq(s) ++ (1 to iters).map { _ =>
       val joined = games
         .join(s.select(col("doc_id").as("i"), col("s").as("si")), "i")
@@ -109,6 +118,42 @@ object Preference {
     val (st, seq) = mmRounds(prefs, iters)
     st.join(seq.last, "doc_id")
       .select(col("doc_id"), col("wins"), col("games"), col("s").as("strength"))
+  }
+
+  /** Incremental warm-start fit vs cold refit — the preference twin of the
+    * trainer's x136: when a comparison batch arrives (here: the base pool
+    * set grows to the full corpus's), CONTINUE the MM iteration from the
+    * stored base strengths (`itersWarm` rounds, new items start at 1.0)
+    * instead of refitting from scratch (`itersBase + itersWarm` rounds).
+    * One row: item counts, top-10 strength-rank overlap between the two
+    * fits, and their mean absolute strength gap (sorted-fold, oracle-exact).
+    */
+  def btIncremental(docs: DataFrame, itersBase: Int = Iters, itersWarm: Int = 2,
+      batchFrac: Double = 0.8, batchSalt: String = "btbatch"): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    def isBase(id: Column) = Curate.uniformHash(id, batchSalt) < lit(batchFrac)
+    val all = graft.ops.Caching.cacheOnce(derivedPreferences(docs))
+    val basePrefs = all.where(isBase(col("doc_a")) && isBase(col("doc_b")))
+    val (_, baseSeq) = mmRounds(basePrefs, itersBase)
+    val (_, warmSeq) = mmRounds(all, itersWarm, warmStart = Some(baseSeq.last))
+    val (_, coldSeq) = mmRounds(all, itersBase + itersWarm)
+    val warm = graft.ops.Caching.cacheOnce(warmSeq.last)
+    val cold = graft.ops.Caching.cacheOnce(coldSeq.last)
+    def top10(s: DataFrame) = graft.ops.Quality.withExactRank(
+        s.withColumn("_neg", -col("s")), Seq("_neg", "doc_id"), "rank")
+      .where(col("rank") <= 10).select("doc_id")
+    val overlap = top10(warm).join(top10(cold), "doc_id")
+      .agg(count(lit(1)).as("top10_overlap"))
+    val gap = warm.select(col("doc_id"), col("s").as("sw"))
+      .join(cold.select(col("doc_id"), col("s").as("sc")), "doc_id")
+      .agg(count(lit(1)).as("n_items"),
+        (aggregate(sort_array(collect_list(abs(col("sw") - col("sc")))),
+          lit(0.0), (a, x) => a + x) / count(lit(1)).cast("double")).as("mean_abs_gap"))
+    val counts = baseSeq.last.agg(count(lit(1)).as("n_base_items"))
+    counts.crossJoin(broadcast(gap)).crossJoin(broadcast(overlap))
+      .select(col("n_base_items"), col("n_items"),
+        (col("n_items") - col("n_base_items")).as("n_new_items"),
+        col("top10_overlap"), col("mean_abs_gap"))
   }
 
   /** Per-round L1 convergence of the MM fit (x122's report shape). The

@@ -45,6 +45,16 @@ class PreferenceSpec extends SparkTestBase {
     s.unpersist()
   }
 
+  test("btIncremental: counts reconcile, overlap bounded, gap non-negative") {
+    val row = Preference.btIncremental(Tables.documents(spark, sfDir)).collect().head
+    val (nb, n, nn) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nb + nn === n)
+    assert(nb > 0 && nn >= 0)
+    val ov = row.getLong(row.fieldIndex("top10_overlap"))
+    assert(ov >= 0L && ov <= 10L)
+    assert(row.getDouble(row.fieldIndex("mean_abs_gap")) >= 0.0)
+  }
+
   test("btConvergence: positive L1 deltas, decaying") {
     val d = Preference.btConvergence(Tables.documents(spark, sfDir))
       .orderBy("iter").collect().map(_.getDouble(1))
