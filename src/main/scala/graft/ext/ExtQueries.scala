@@ -888,6 +888,12 @@ object ExtQueries {
     "x137_lr_calibration" -> ((s, dir) =>
       Trainer.lrCalibration(s, Tables.documents(s, dir))),
 
+    // Per-group fairness audit (r6): held-out accuracy / predicted-
+    // positive rate / base rate / mean score per language — the
+    // disparate-impact check a corpus-gating score must pass.
+    "x143_lr_group_fairness" -> ((s, dir) =>
+      Trainer.lrGroupFairness(s, Tables.documents(s, dir))),
+
     // Chat-transcript parsing (r6): the SFT-data ingest edge — fenced
     // ##role## transcripts (deterministic wrapper, the Html.withHtml
     // idiom) parsed into typed turn rows by per-row split+explode. Zero
@@ -1528,6 +1534,26 @@ object ExtQueries {
       "SELECT doc_id, y, (0.5 + 0.5*m/(1.0 + abs(m))) AS score, " +
       "(0.5 + 0.5*m/(1.0 + abs(m))) >= 0.5 AS pred, " +
       "((0.5 + 0.5*m/(1.0 + abs(m))) >= 0.5) = (y = 1.0) AS is_correct FROM mf"
+  }
+
+  /** x143: per-language fairness audit over the held-out scores. */
+  private def lrFairnessSql(buckets: Int, iters: Int): String = {
+    val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
+    s"WITH ${lrCtes(buckets, iters)}, " +
+      "ho AS (SELECT * FROM fx WHERE NOT (" +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5)), " +
+      s"mf AS (SELECT f.doc_id, f.y, ($m) AS m FROM ho f CROSS JOIN wi$iters w), " +
+      "sc3 AS (SELECT mf.doc_id, mf.y, d.lang AS grp, " +
+      "(0.5 + 0.5*m/(1.0 + abs(m))) AS score, " +
+      "(0.5 + 0.5*m/(1.0 + abs(m))) >= 0.5 AS pred, " +
+      "((0.5 + 0.5*m/(1.0 + abs(m))) >= 0.5) = (mf.y = 1.0) AS is_correct " +
+      "FROM mf JOIN documents d ON mf.doc_id = d.doc_id) " +
+      "SELECT grp, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(CASE WHEN is_correct THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS accuracy, " +
+      "CAST(sum(CASE WHEN pred THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS pred_pos_rate, " +
+      "CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS base_rate, " +
+      "list_aggregate(list_sort(list(score)), 'sum')/count(*) AS mean_score " +
+      "FROM sc3 GROUP BY grp"
   }
 
   /** x137: decile reliability bins over the held-out scores. */
@@ -2604,6 +2630,9 @@ object ExtQueries {
 
     "x137_lr_calibration" ->
       lrCalibrationSql(Trainer.Buckets, Trainer.Iters),
+
+    "x143_lr_group_fairness" ->
+      lrFairnessSql(Trainer.Buckets, Trainer.Iters),
 
     "x133_chat_parse_turns" ->
       (s"WITH $chatCtes " +

@@ -260,6 +260,29 @@ object Trainer {
     counts.crossJoin(broadcast(maxDiff)).crossJoin(broadcast(evalRow))
   }
 
+  /** Per-group fairness audit of the trained classifier: held-out
+    * accuracy, positive-prediction rate, base rate and mean score per
+    * group (language here) — the disparate-impact check a score that
+    * gates a corpus must pass before deployment. One group-keyed
+    * aggregate over the scored frame; mean score is a sorted fold.
+    */
+  def lrGroupFairness(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      groupCol: Column = col("lang"), buckets: Int = Buckets, iters: Int = Iters,
+      learnRate: Double = LearnRate): DataFrame = {
+    val scored = lrClassify(spark, docs, buckets, iters, learnRate)
+      .join(docs.select(col("doc_id"), groupCol.as("grp")), "doc_id")
+    scored.groupBy("grp").agg(
+      count(lit(1)).as("n"),
+      (sum(when(col("is_correct"), 1L).otherwise(0L)).cast("double")
+        / count(lit(1)).cast("double")).as("accuracy"),
+      (sum(when(col("pred"), 1L).otherwise(0L)).cast("double")
+        / count(lit(1)).cast("double")).as("pred_pos_rate"),
+      (sum(when(col("y") === 1.0, 1L).otherwise(0L)).cast("double")
+        / count(lit(1)).cast("double")).as("base_rate"),
+      (aggregate(sort_array(collect_list(col("score"))), lit(0.0), (a, x) => a + x)
+        / count(lit(1)).cast("double")).as("mean_score"))
+  }
+
   /** Apply the trained model to the held-out half: per-doc fast-sigmoid
     * score, thresholded prediction, and correctness against the teacher
     * label — x89's classifier-report shape with a model the engine itself

@@ -69,7 +69,8 @@ class PlanAuditSpec extends SparkTestBase {
     "x138_split_incremental" -> "crossJoin of five single-row aggregates (counts + two agreement fractions — constants)",
     "x139_quality_drift" -> "bin histogram crossJoins TWO single-row slice-total folds (constants)",
     "x141_contrastive_pairs" -> "both legs are x91/x06's broadcast-query corpus stream (scale path = bucketed candidate rankers)",
-    "x142_bt_incremental" -> "crossJoin of three single-row report folds (counts, gap, overlap — constants)"
+    "x142_bt_incremental" -> "crossJoin of three single-row report folds (counts, gap, overlap — constants)",
+    "x143_lr_group_fairness" -> "x130's 1-row broadcast final-weight scoring feeding the per-group audit (constant model state)"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {
