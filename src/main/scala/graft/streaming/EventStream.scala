@@ -96,6 +96,28 @@ object EventStream {
         col("sk"))
   }
 
+  /** Streaming per-window quantiles via the KLL sketch aggregator —
+    * watermark-bounded windows, O(k) sketch state per open window instead
+    * of the per-window value buffer an exact quantile would need. The
+    * emitted sketch column rolls up later without raw data
+    * ([[graft.functions.KllSketch.unionAgg]]), so daily → weekly quantile
+    * reports never rescan events — the same mergeable-state contract as
+    * [[windowedHeavyHitters]].
+    */
+  def windowedQuantiles(events: DataFrame, ranks: Seq[Double] = Seq(0.5, 0.95, 0.99))
+      : DataFrame = {
+    graft.functions.KllSketch.register(events.sparkSession)
+    import graft.functions.KllSketch
+    val base = events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(KllSketch.agg(col("value")).as("sk"), count(lit(1)).as("n"))
+    ranks.foldLeft(base) { (df, r) =>
+      df.withColumn(s"p${(r * 100).round}", KllSketch.quantile(col("sk"), r))
+    }.select(col("window.start").as("window_start") +: col("n") +:
+      ranks.map(r => col(s"p${(r * 100).round}")) :+ col("sk"): _*)
+  }
+
   val SessionGapMs: Long = 30 * 60 * 1000L
 
   /** Custom stateful operator: gap-based sessionization per user via

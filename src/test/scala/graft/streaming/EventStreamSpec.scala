@@ -52,6 +52,35 @@ class EventStreamSpec extends SparkTestBase {
     assert(re === Set("click"), "stored sketch must answer new thresholds raw-data-free")
   }
 
+  test("windowedQuantiles: streaming sketch quantiles bracket the exact batch values") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Double)]
+    // one hour window, values 1..100 — p50/p95 within KLL rank error of exact
+    in.addData((1 to 100).map(i => (ts(i % 60), i.toDouble)): _*)
+    val events = in.toDF().toDF("ts", "value")
+    val q = EventStream.windowedQuantiles(events)
+      .writeStream.format("memory").queryName("wq")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("wq").collect()
+    assert(rows.length === 1) // every minute lands in the 10:00 hour window
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total === 100L)
+    val big = rows.maxBy(_.getAs[Long]("n"))
+    val (p50, p95) = (big.getAs[Double]("p50"), big.getAs[Double]("p95"))
+    // KLL k=200 on <=100 values is EXACT: quantiles are actual data values
+    assert(p50 >= 45.0 && p50 <= 55.0, s"p50=$p50")
+    assert(p95 >= 90.0 && p95 <= 100.0, s"p95=$p95")
+    // the stored sketch answers NEW ranks without the stream
+    graft.functions.KllSketch.register(spark)
+    val p25 = spark.table("wq")
+      .where(org.apache.spark.sql.functions.col("n") === big.getAs[Long]("n"))
+      .select(graft.functions.KllSketch.quantile(
+        org.apache.spark.sql.functions.col("sk"), 0.25))
+      .collect().head.getDouble(0)
+    assert(p25 >= 20.0 && p25 <= 30.0, s"p25=$p25")
+  }
+
   test("sessionStep accumulates state across batches and emits on timeout") {
     import EventStream.sessionStep
     // batch 1: two events open a session
