@@ -949,6 +949,29 @@ object ExtQueries {
             .otherwise(lit(null).cast("double")).as("trainable_frac"))
     }),
 
+    // Per-sequence SFT manifest (r6): x135's pipeline finished to the
+    // artifact the training iterator actually consumes — one row per
+    // (lang, seq_id) with doc count, token mass and trainable (assistant)
+    // token mass. The gate/dedup/packing chain is x135's verbatim.
+    "x144_sft_sequence_manifest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val conv = graft.ops.Caching.cacheOnce(Chat.withChat(docs))
+      val stats = Chat.sftStats(Chat.parseTurns(conv))
+      val gated = stats.join(docs.select("doc_id", "lang"), "doc_id")
+        .where(col("opens_with_user") && col("alternates") && col("n_turns") >= 2)
+        .join(conv.select("doc_id", "transcript"), "doc_id")
+      val canon = gated.groupBy(md5(col("transcript")).as("h")).agg(min("doc_id").as("doc_id"))
+      val uniq = graft.ops.Caching.cacheOnce(gated.join(canon.select("doc_id"), "doc_id"))
+      Chunking.packCounts(
+          uniq.select(col("doc_id"), col("lang").as("source"),
+            (col("user_tokens") + col("assistant_tokens")).as("n_tokens")), 2048L)
+        .join(uniq.select(col("doc_id"), col("assistant_tokens")), "doc_id")
+        .groupBy(col("source").as("lang"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("assistant_tokens")).as("trainable_tokens"))
+    }),
+
     // Bradley–Terry preference aggregation (r6): md5-pool A/B comparisons
     // (won by quality, the fixture's stand-in for human judgments) fitted
     // by Hunter's MM iteration — rational arithmetic end to end, so the
@@ -2651,6 +2674,28 @@ object ExtQueries {
         "user_tokens, assistant_tokens, " +
         "CAST(assistant_tokens AS DOUBLE)/CAST(user_tokens + assistant_tokens AS DOUBLE) AS mask_frac " +
         "FROM ag"),
+
+    "x144_sft_sequence_manifest" ->
+      (s"WITH $chatCtes, " +
+        "ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_turns, " +
+        "CAST(sum(CASE WHEN turn_idx = 1 AND role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS opens, " +
+        "CAST(sum(CASE WHEN (turn_idx % 2 = 1 AND role <> 'user') " +
+        "OR (turn_idx % 2 = 0 AND role <> 'assistant') THEN 1 ELSE 0 END) AS BIGINT) AS bad, " +
+        "CAST(sum(CASE WHEN role = 'user' THEN ntk ELSE 0 END) AS BIGINT) AS user_tokens, " +
+        "CAST(sum(CASE WHEN role = 'assistant' THEN ntk ELSE 0 END) AS BIGINT) AS assistant_tokens " +
+        "FROM tt GROUP BY doc_id), " +
+        "gt AS MATERIALIZED (SELECT a.*, d.lang, ch.transcript FROM ag a " +
+        "JOIN documents d USING (doc_id) JOIN ch USING (doc_id) " +
+        "WHERE opens = 1 AND bad = 0 AND n_turns >= 2), " +
+        "cn AS (SELECT md5(transcript) AS h, min(doc_id) AS doc_id FROM gt GROUP BY 1), " +
+        "uq AS MATERIALIZED (SELECT gt.* FROM gt JOIN cn ON gt.doc_id = cn.doc_id), " +
+        "pk AS (SELECT doc_id, lang, user_tokens + assistant_tokens AS n_tokens, assistant_tokens, " +
+        "COALESCE(sum(user_tokens + assistant_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM uq) " +
+        "SELECT lang, off // 2048 AS seq_id, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, " +
+        "CAST(sum(assistant_tokens) AS BIGINT) AS trainable_tokens " +
+        "FROM pk GROUP BY 1, 2"),
 
     "x135_sft_pipeline" ->
       (s"WITH $chatCtes, " +
