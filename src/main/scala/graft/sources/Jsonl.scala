@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** JSONL source/sink — the interchange format LLM corpora actually move
+  * in (one JSON object per line). The parquet tables stay the engine's
+  * working format; this is the ingest/export edge.
+  *
+  * Read side: schema-ENFORCED (never inferSchema — the S6 discipline:
+  * inference is the #1 source of silent type drift), PERMISSIVE with a
+  * `_corrupt_record` column so malformed lines are FLAGGED rows the
+  * caller drops or routes to a quarantine sink, not silent losses and
+  * not job failures.
+  *
+  * Write side: field order pinned to the given column order (`to_json` of
+  * an explicit struct), rows range-partitioned and sorted by the order
+  * column so shard contents are DETERMINISTIC — a re-export is
+  * byte-comparable, which is what makes training-data shards diffable.
+  */
+object Jsonl {
+
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
+  /** Valid rows only; malformed lines counted by the caller via
+    * [[readFlagged]] when an ingest audit needs the number. The parsed
+    * frame is cached first: Spark (correctly) refuses count-style queries
+    * whose only referenced column is `_corrupt_record` on an uncached
+    * raw-file read. */
+  def readClean(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    read(spark, path, schema).cache()
+      .where(col("_corrupt_record").isNull).drop("_corrupt_record")
+
+  /** (clean rows, malformed-line count) — the ingest-audit form. */
+  def readFlagged(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, Long) = {
+    val df = read(spark, path, schema).cache()
+    val bad = df.where(col("_corrupt_record").isNotNull).count()
+    (df.where(col("_corrupt_record").isNull).drop("_corrupt_record"), bad)
+  }
+
+  def write(df: DataFrame, path: String, orderCol: String = "doc_id",
+      shards: Int = 4): Unit =
+    df.repartitionByRange(shards, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
+      .write.mode("overwrite").text(path)
+}

@@ -1,0 +1,52 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class JsonlSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  test("write → read round-trips the fixture docs exactly") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString
+    Jsonl.write(docs, dir)
+    val back = Jsonl.readClean(spark, dir, schema)
+    assert(back.count() === docs.count())
+    assert(back.except(docs).isEmpty && docs.except(back).isEmpty)
+  }
+
+  test("shard contents are deterministic and ordered by the range column") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+    val d1 = java.nio.file.Files.createTempDirectory("graft_jsonl_a").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft_jsonl_b").toString
+    Jsonl.write(docs, d1); Jsonl.write(docs, d2)
+    def lines(d: String) = spark.read.text(d).collect().map(_.getString(0)).toSeq
+    assert(lines(d1).sorted === lines(d2).sorted)
+    // within each shard file, doc_ids ascend (diffable shards)
+    val files = new java.io.File(d1).listFiles().filter(_.getName.startsWith("part-"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val ids = scala.io.Source.fromFile(f).getLines()
+        .map(l => "\"doc_id\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong).toSeq
+      assert(ids === ids.sorted, s"${f.getName} not ordered")
+    }
+  }
+
+  test("malformed lines are flagged and counted, never silently dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_bad").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.jsonl"),
+      """{"doc_id":1,"text":"ok","lang":"en"}
+        |not json at all
+        |{"doc_id":2,"text":"also ok","lang":"de"}
+        |{"doc_id":broken}
+        |""".stripMargin)
+    val (clean, bad) = Jsonl.readFlagged(spark, dir, schema)
+    assert(bad === 2L)
+    assert(clean.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+}
