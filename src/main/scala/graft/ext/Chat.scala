@@ -32,11 +32,17 @@ object Chat {
       .withColumn("_nt",
         ceil(size(col("_toks")).cast("double") / col("_len").cast("double")).cast("int"))
       .withColumn("transcript",
-        concat_ws(" ", transform(sequence(lit(1), col("_nt")), i =>
-          concat(lit("##"),
-            when(pmod(i, lit(2)) === 1, lit("user")).otherwise(lit("assistant")),
-            lit("## "),
-            concat_ws(" ", slice(col("_toks"), (i - 1) * col("_len") + 1, col("_len")))))))
+        // same ≥1 guard parseTurns has: sequence(1, 0) counts DOWN in
+        // Spark, so an empty token list would fabricate two turns if the
+        // tokenizer ever started yielding empty arrays — an empty doc is
+        // an empty (fence-free) transcript instead
+        when(col("_nt") >= 1,
+          concat_ws(" ", transform(sequence(lit(1), col("_nt")), i =>
+            concat(lit("##"),
+              when(pmod(i, lit(2)) === 1, lit("user")).otherwise(lit("assistant")),
+              lit("## "),
+              concat_ws(" ", slice(col("_toks"), (i - 1) * col("_len") + 1, col("_len")))))))
+          .otherwise(lit("")))
       .drop("_toks", "_len", "_nt")
   }
 

@@ -1497,7 +1497,10 @@ object ExtQueries {
         "+ (CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)/length(d.text))*0.25 AS q " +
         "FROM documents d JOIN t ON d.doc_id = t.doc_id), " +
         "pl AS MATERIALIZED (SELECT doc_id, q, " +
-        s"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pref'), 1, 4)) AS INT) % ${Preference.Pools} AS pool FROM qd), " +
+        // the occupancy law's oracle twin: pools = min(cap, max(floor, n/occ))
+        s"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pref'), 1, 4)) AS INT) % " +
+        s"least(${Preference.MaxPools}, greatest(${Preference.Pools}, " +
+        s"(SELECT count(*) // ${Preference.PoolOccupancy} FROM qd))) AS pool FROM qd), " +
         "pf AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
         "CASE WHEN a.q > b.q THEN a.doc_id WHEN a.q < b.q THEN b.doc_id " +
         "ELSE least(a.doc_id, b.doc_id) END AS winner " +

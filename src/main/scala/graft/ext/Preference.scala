@@ -23,22 +23,37 @@ import org.apache.spark.sql.functions._
   */
 object Preference {
 
-  /** Comparison pool count: docs hash into ~corpus/Pools-sized pools and
-    * every within-pool pair is one observed comparison. */
+  /** Comparison pool FLOOR — the occupancy law lives in code, not a doc
+    * comment: [[derivedPreferences]] derives the actual pool count from
+    * one corpus count as `max(Pools, n/PoolOccupancy)` (the lshMultiTopK
+    * bits-sizing idiom), so within-pool all-pairs comparisons stay LINEAR
+    * in items at any corpus size instead of going quadratic at a fixed 64
+    * pools. Capped at 65536 — the 4-hex md5 draw's range; a corpus past
+    * ~half a million docs widens the draw (and its oracle twin)
+    * together. */
   val Pools = 64
+  /** Target docs per pool (~28 comparisons/pool at 8). */
+  val PoolOccupancy = 8
+  val MaxPools = 65536
   val Iters = 5
 
   /** Deterministic derived preference set: within each md5 pool, every
     * (a < b) doc pair is one comparison won by the higher quality score
     * (deterministic ties: lower doc_id). This is the fixture's stand-in
     * for human A/B judgments — the aggregation operator downstream is the
-    * production piece.
+    * production piece. `pools <= 0` (the default) derives the pool count
+    * by the occupancy law; an explicit positive value pins it (specs).
     */
-  def derivedPreferences(docs: DataFrame, pools: Int = Pools): DataFrame = {
+  /** The occupancy law as a pure function of the corpus count. */
+  def derivedPoolCount(n: Long): Int =
+    math.min(MaxPools.toLong, math.max(Pools.toLong, n / PoolOccupancy)).toInt
+
+  def derivedPreferences(docs: DataFrame, pools: Int = 0): DataFrame = {
     val q = TextOps.qualityMetrics(docs).select(col("doc_id"), col("quality_score"))
+    val p = if (pools > 0) pools else derivedPoolCount(q.count())
     val pool = pmod(
       conv(substring(md5(concat(col("doc_id").cast("string"), lit(":pref"))), 1, 4), 16, 10)
-        .cast("int"), lit(pools))
+        .cast("int"), lit(p))
     val b = q.withColumn("pool", pool)
     b.as("a").join(b.as("b"),
         col("a.pool") === col("b.pool") && col("a.doc_id") < col("b.doc_id"))
@@ -110,9 +125,9 @@ object Preference {
 
   /** Fit on an ARBITRARY preference table (doc_a, doc_b, winner) — the
     * production entry point; comparisons from human labeling arrive here
-    * directly. At growing corpus size, size `pools` in
-    * [[derivedPreferences]] to keep pool occupancy O(1) (the LSH-bits
-    * sizing law), so the comparison count stays linear in items.
+    * directly. [[derivedPreferences]] sizes its pools by the occupancy
+    * law automatically, so fixture comparison counts stay linear in
+    * items at any corpus size.
     */
   def btFit(prefs: DataFrame, iters: Int = Iters): DataFrame = {
     val (st, seq) = mmRounds(prefs, iters)

@@ -768,14 +768,24 @@ object Similarity {
     * literal-vector cosines — model state, not data shuffle.
     */
   def mmrSelect(emb: DataFrame, k: Int = 10, queryId: Long = 0L): DataFrame = {
-    val qe = emb.where(col("vec_id") === queryId)
-      .select(col("embedding").cast("array<double>")).collect()(0).getSeq[Double](0)
+    // Fail loudly on a missing query (the unrollFrom discipline) instead
+    // of an opaque ArrayIndexOutOfBounds from collect()(0).
+    val qRows = emb.where(col("vec_id") === queryId)
+      .select(col("embedding").cast("array<double>")).collect()
+    require(qRows.nonEmpty, s"mmrSelect: query vector $queryId not found in the input")
+    val qe = qRows(0).getSeq[Double](0)
     val cand = graft.ops.Caching.cacheOnce(
       emb.where(col("vec_id") =!= queryId)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
         .withColumn("rel", cosine(col("emb"), typedLit(qe))))
+    require(!cand.isEmpty, s"mmrSelect: no candidates besides query $queryId")
     var selected = Vector.empty[(Long, Seq[Double])]
-    val rows = (1 to k).map { t =>
+    var rows = Vector.empty[DataFrame]
+    var t = 1
+    var drained = false
+    // k beyond the candidate count stops early with the drained pool's
+    // selection rather than throwing mid-greedy.
+    while (t <= k && !drained) {
       val maxSim: Column =
         if (selected.isEmpty) lit(0.0)
         else if (selected.size == 1) cosine(col("emb"), typedLit(selected.head._2))
@@ -784,14 +794,18 @@ object Similarity {
       val pool =
         if (selected.isEmpty) cand
         else cand.where(!col("vec_id").isin(selected.map(_._1): _*))
-      val top = pool.withColumn("score", score)
+      val tops = pool.withColumn("score", score)
         .orderBy(col("score").desc, col("vec_id").asc).limit(1)
-        .select("vec_id", "emb").collect()(0)
-      val out = cand.where(col("vec_id") === lit(top.getLong(0)))
-        .select(lit(t.toLong).as("rank"), col("vec_id"), col("rel"),
-          (lit(MmrLambda) * col("rel") - lit(MmrGamma) * maxSim).as("mmr_score"))
-      selected :+= ((top.getLong(0), top.getSeq[Double](1)))
-      out
+        .select("vec_id", "emb").collect()
+      if (tops.isEmpty) drained = true
+      else {
+        val top = tops(0)
+        rows :+= cand.where(col("vec_id") === lit(top.getLong(0)))
+          .select(lit(t.toLong).as("rank"), col("vec_id"), col("rel"),
+            (lit(MmrLambda) * col("rel") - lit(MmrGamma) * maxSim).as("mmr_score"))
+        selected :+= ((top.getLong(0), top.getSeq[Double](1)))
+        t += 1
+      }
     }
     rows.reduce(_ unionByName _)
   }

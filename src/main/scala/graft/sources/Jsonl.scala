@@ -15,9 +15,12 @@ import org.apache.spark.sql.types.StructType
   * not job failures.
   *
   * Write side: field order pinned to the given column order (`to_json` of
-  * an explicit struct), rows range-partitioned and sorted by the order
-  * column so shard contents are DETERMINISTIC — a re-export is
-  * byte-comparable, which is what makes training-data shards diffable.
+  * an explicit struct); shard assignment is a HASH of the order column —
+  * a pure per-row function, unlike `repartitionByRange`, whose sampled
+  * boundaries shift with input layout and session — and rows are sorted
+  * by the order column within each shard. A re-export from ANY input
+  * partitioning is therefore byte-identical per shard file, which is what
+  * makes training-data shards diffable.
   */
 object Jsonl {
 
@@ -28,26 +31,36 @@ object Jsonl {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
 
-  /** Valid rows only; malformed lines counted by the caller via
-    * [[readFlagged]] when an ingest audit needs the number. The parsed
-    * frame is cached first: Spark (correctly) refuses count-style queries
-    * whose only referenced column is `_corrupt_record` on an uncached
-    * raw-file read. */
+  /** Valid rows only — one filtered streaming scan, nothing cached (r6
+    * cached the full parse here; at 100 TB that is storage pressure for
+    * nothing). Caveat inherited from Spark's raw-file reader: a query
+    * over this frame whose only surviving column reference is the corrupt
+    * marker (e.g. a bare `count()`) is rejected by the analyzer — audits
+    * wanting counts use [[readFlagged]], whose totals come from a single
+    * conditional-aggregation pass. */
   def readClean(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    read(spark, path, schema).cache()
+    read(spark, path, schema)
       .where(col("_corrupt_record").isNull).drop("_corrupt_record")
 
-  /** (clean rows, malformed-line count) — the ingest-audit form. */
+  /** (clean rows, malformed-line count) — the ingest-audit form. The
+    * count is ONE conditional aggregation over the raw scan (referencing
+    * a data column alongside the corrupt marker keeps the raw-file read
+    * legal); nothing is cached, so a 100 TB audit is a streaming pass,
+    * not a persisted copy of the corpus. */
   def readFlagged(spark: SparkSession, path: String,
       schema: StructType): (DataFrame, Long) = {
-    val df = read(spark, path, schema).cache()
-    val bad = df.where(col("_corrupt_record").isNotNull).count()
-    (df.where(col("_corrupt_record").isNull).drop("_corrupt_record"), bad)
+    val df = read(spark, path, schema)
+    val firstDataCol = schema.fields.head.name
+    val audit = df.agg(
+      count(col(firstDataCol)).as("_n_parsed"),
+      coalesce(sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)),
+        lit(0L)).as("_n_bad")).collect()(0)
+    (readClean(spark, path, schema), audit.getLong(1))
   }
 
   def write(df: DataFrame, path: String, orderCol: String = "doc_id",
       shards: Int = 4): Unit =
-    df.repartitionByRange(shards, col(orderCol))
+    df.repartition(shards, col(orderCol))
       .sortWithinPartitions(orderCol)
       .select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
       .write.mode("overwrite").text(path)

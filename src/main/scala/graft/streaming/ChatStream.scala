@@ -41,9 +41,14 @@ object ChatStream {
     userTok = s.userTok + (if (e.role == "user") e.n_tokens else 0L),
     asstTok = s.asstTok + (if (e.role == "assistant") e.n_tokens else 0L))
 
-  private def emit(convId: Long, s: ConvState): ConvStats = ConvStats(
-    convId, s.nTurns, s.opens == 1L, s.bad == 0L, s.userTok, s.asstTok,
-    s.asstTok.toDouble / (s.userTok + s.asstTok).toDouble)
+  private def emit(convId: Long, s: ConvState): ConvStats = {
+    // A conversation whose events all carry n_tokens=0 is possible on the
+    // stream (unlike the batch twin, where a parsed turn always has ≥1
+    // token) — guard the mask fraction to 0.0 instead of emitting NaN.
+    val tot = s.userTok + s.asstTok
+    ConvStats(convId, s.nTurns, s.opens == 1L, s.bad == 0L, s.userTok, s.asstTok,
+      if (tot == 0L) 0.0 else s.asstTok.toDouble / tot.toDouble)
+  }
 
   /** The pure per-key transition (the `absorbEvents` discipline): a turn
     * arriving more than `ConvGapMs` after the conversation's last event

@@ -35,7 +35,8 @@ class PreferenceSpec extends SparkTestBase {
     // within a comparison pool (round-robin, transitive outcomes), more
     // wins must mean strictly greater fitted strength
     val pool = pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
-      lit(":pref"))), 1, 4), 16, 10).cast("int"), lit(Preference.Pools))
+      lit(":pref"))), 1, 4), 16, 10).cast("int"),
+      lit(Preference.derivedPoolCount(docs.count())))
     val withPool = s.withColumn("pool", pool)
     val violations = withPool.as("x").join(withPool.as("y"),
         col("x.pool") === col("y.pool") && col("x.wins") > col("y.wins") &&
@@ -53,6 +54,27 @@ class PreferenceSpec extends SparkTestBase {
     val ov = row.getLong(row.fieldIndex("top10_overlap"))
     assert(ov >= 0L && ov <= 10L)
     assert(row.getDouble(row.fieldIndex("mean_abs_gap")) >= 0.0)
+  }
+
+  test("pool-occupancy law: comparisons per item stay O(1) as the corpus grows") {
+    // the law itself, as a pure function: floor, linear region, cap
+    assert(Preference.derivedPoolCount(100) === Preference.Pools)
+    assert(Preference.derivedPoolCount(8000) === 1000)
+    assert(Preference.derivedPoolCount(1000000000L) === Preference.MaxPools)
+    // behaviorally: replicate the fixture 16× and 64× past the pool floor —
+    // the derived pool count keeps comparisons/item flat, where a fixed 64
+    // pools would grow it 4× per step (within-pool all-pairs is quadratic)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    def rep(m: Int) = (0 until m).map(i =>
+        docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    val Seq(r16, r64) = Seq(16, 64).map { m =>
+      val d = rep(m)
+      Preference.derivedPreferences(d).count().toDouble / d.count()
+    }
+    assert(r16 <= Preference.PoolOccupancy && r64 <= Preference.PoolOccupancy,
+      s"comparisons/item above the occupancy bound: $r16, $r64")
+    assert(r64 <= r16 * 1.5, s"occupancy not O(1) across 4× growth: $r16 -> $r64")
   }
 
   test("btConvergence: positive L1 deltas, decaying") {

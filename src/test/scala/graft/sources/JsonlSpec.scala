@@ -16,24 +16,32 @@ class JsonlSpec extends SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString
     Jsonl.write(docs, dir)
     val back = Jsonl.readClean(spark, dir, schema)
-    assert(back.count() === docs.count())
+    // count through a data column: a bare count() on the clean frame prunes
+    // every column but the corrupt filter, which the raw-file reader rejects
+    assert(back.agg(count(col("doc_id"))).as[Long].head() === docs.count())
     assert(back.except(docs).isEmpty && docs.except(back).isEmpty)
   }
 
-  test("shard contents are deterministic and ordered by the range column") {
+  test("shard files are byte-identical across input layouts and ordered") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
     val d1 = java.nio.file.Files.createTempDirectory("graft_jsonl_a").toString
     val d2 = java.nio.file.Files.createTempDirectory("graft_jsonl_b").toString
-    Jsonl.write(docs, d1); Jsonl.write(docs, d2)
-    def lines(d: String) = spark.read.text(d).collect().map(_.getString(0)).toSeq
-    assert(lines(d1).sorted === lines(d2).sorted)
+    // same rows, deliberately different input partitioning/order: hash
+    // shard assignment is a per-row function, so the exports must agree
+    // file-for-file (repartitionByRange's sampled boundaries would not)
+    Jsonl.write(docs, d1)
+    Jsonl.write(docs.repartition(7).sortWithinPartitions("lang"), d2)
+    def shardLines(d: String): Map[String, Seq[String]] =
+      new java.io.File(d).listFiles().filter(_.getName.startsWith("part-"))
+        .map(f => f.getName.take(10) -> // "part-NNNNN" — the stable shard index
+          scala.io.Source.fromFile(f).getLines().toSeq).toMap
+    val s1 = shardLines(d1); val s2 = shardLines(d2)
+    assert(s1.keySet === s2.keySet && s1.keySet.size === 4)
+    s1.keySet.foreach(k => assert(s1(k) === s2(k), s"shard $k differs across layouts"))
     // within each shard file, doc_ids ascend (diffable shards)
-    val files = new java.io.File(d1).listFiles().filter(_.getName.startsWith("part-"))
-    assert(files.nonEmpty)
-    files.foreach { f =>
-      val ids = scala.io.Source.fromFile(f).getLines()
-        .map(l => "\"doc_id\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong).toSeq
-      assert(ids === ids.sorted, s"${f.getName} not ordered")
+    s1.values.foreach { ls =>
+      val ids = ls.map(l => "\"doc_id\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong)
+      assert(ids === ids.sorted)
     }
   }
 
@@ -48,5 +56,20 @@ class JsonlSpec extends SparkTestBase {
     val (clean, bad) = Jsonl.readFlagged(spark, dir, schema)
     assert(bad === 2L)
     assert(clean.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("ingest audit is a streaming pass: large file, nothing cached") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_big").toString
+    val w = new java.io.PrintWriter(s"$dir/big.jsonl")
+    try (0 until 200000).foreach { i =>
+      if (i % 1000 == 999) w.println(s"""{"doc_id":$i broken""")
+      else w.println(s"""{"doc_id":$i,"text":"line $i","lang":"en"}""")
+    } finally w.close()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (clean, bad) = Jsonl.readFlagged(spark, dir, schema)
+    assert(bad === 200L)
+    assert(clean.agg(count(col("doc_id"))).as[Long].head() === 199800L)
+    assert(spark.sparkContext.getPersistentRDDs.size === before,
+      "readFlagged must not persist the parsed input")
   }
 }
