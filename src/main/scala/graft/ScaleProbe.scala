@@ -198,10 +198,21 @@ object ScaleProbe {
         pairs.unpersist(); comps.unpersist()
         n
       }
-      // In-engine GD training: each of the 10 iterations is ONE corpus
-      // aggregate over the cached feature scan plus a 1-row localCheckpoint
-      // — time must track k on top of a constant plan-build/JIT floor (the
-      // model is B+3 doubles regardless of corpus size).
+      // The two-level fold's buffer law (r7): the trajectory/convergence
+      // family's deterministic sums now bucket by doc_id % ⌈√n⌉ — stage-1
+      // buffers are bucket-sized, stage-2 is √n rows. "rows" here IS the
+      // max stage-1 bucket occupancy: it must grow ~2× per 4× scale step
+      // (√k), where the r6 flat fold's single buffer grew with k itself.
+      time("fold_buffer_sqrtlaw") {
+        val b = graft.functions.Stable.sqrtBuckets(n)
+        corpus.groupBy(pmod(col("doc_id"), lit(b.toLong)).as("_bkt"))
+          .agg(count(lit(1)).as("c")).agg(max("c")).collect()(0).getLong(0)
+      }
+      // In-engine GD training: each of the 10 iterations is one bucket-
+      // keyed partial aggregation (√n buffers, the leg above) plus a √n-row
+      // collapse and a 1-row localCheckpoint — time must track k on top of
+      // a constant plan-build/JIT floor (the model is B+3 doubles
+      // regardless of corpus size).
       time("lr_train10") {
         graft.ext.Trainer.lrTrajectory(spark, corpus).count()
       }
@@ -214,14 +225,14 @@ object ScaleProbe {
           graft.ext.Chat.parseTurns(graft.ext.Chat.withChat(corpus)))
           .where(col("alternates")).count()
       }
-      // Bradley–Terry MM fit: pools sized to constant occupancy (~8/pool,
-      // the LSH-bits law), so comparisons grow LINEARLY with items; each of
-      // the 5 rounds is one comparison-keyed join + item-keyed fold over
-      // checkpointed (item, strength) state — time must track k.
+      // Bradley–Terry MM fit: derivedPreferences sizes pools to constant
+      // occupancy ITSELF now (~8/pool, the r7 occupancy law in code), so
+      // comparisons grow LINEARLY with items; each of the 5 rounds is one
+      // comparison-keyed join + item-keyed fold over checkpointed
+      // (item, strength) state — time must track k.
       time("bt_fit5") {
-        val pools = math.max(64L, n / 8L).toInt
         graft.ext.Preference.btFit(
-          graft.ext.Preference.derivedPreferences(corpus, pools)).count()
+          graft.ext.Preference.derivedPreferences(corpus)).count()
       }
       corpus.unpersist(blocking = true)
       val emb = replicateEmb(k).cache()

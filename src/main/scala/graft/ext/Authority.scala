@@ -113,19 +113,27 @@ object Authority {
     */
   def pageRankConvergence(edges: DataFrame, iters: Int = 5,
       damping: Double = 0.85, checkpointEvery: Int = 8): DataFrame = {
+    import graft.functions.Stable.{sortedFold, bucketFold, sqrtBuckets}
     val spark = edges.sparkSession
     val (e, nodes, out, n) = prepare(edges)
+    // Two-level fold keyed on a 4-hex md5 node draw mod √n (the pool-draw
+    // idiom — node is a string, so no numeric modulo exists): sorted fold
+    // within each bucket, bucket-ordered fold of the √n sums. Deterministic
+    // like the r6 flat fold (not DECIMAL transit — Spark's double→decimal
+    // cast goes through the SHORTEST string repr while DuckDB rounds the
+    // exact binary value, ulp-divergent near the precision edge), but with
+    // O(√n) aggregation buffers instead of one node-count-sized list.
+    val bkt = pmod(
+      conv(substring(md5(col("node")), 1, 4), 16, 10).cast("int"),
+      lit(sqrtBuckets(n)))
     var rank = nodes.select(col("node"), lit(1.0 / n).as("rank")).localCheckpoint()
     val deltas = (0 until iters).map { i =>
       val next = bound(spark, i, checkpointEvery)(step(e, nodes, out, n, damping)(rank))
-      // Sorted fold, not DECIMAL transit: Spark's double→decimal cast goes
-      // through the SHORTEST string repr while DuckDB rounds the exact
-      // binary value — near the precision edge the engines can disagree by
-      // an ulp (x132 hit this; fixed fleet-wide to the multiset fold).
       val d = next.withColumnRenamed("rank", "r_new")
         .join(rank.withColumnRenamed("rank", "r_old"), "node")
-        .agg(aggregate(sort_array(collect_list(abs(col("r_new") - col("r_old")))),
-          lit(0.0), (a, x) => a + x).as("l1_delta"))
+        .groupBy(bkt.as("_bkt"))
+        .agg(sortedFold(abs(col("r_new") - col("r_old"))).as("_ps"))
+        .agg(bucketFold(col("_bkt"), col("_ps")).as("l1_delta"))
         .select(lit(i.toLong + 1).as("iter"), col("l1_delta"))
       rank = next
       d

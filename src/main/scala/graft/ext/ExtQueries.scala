@@ -1446,17 +1446,29 @@ object ExtQueries {
       iters: Int, buckets: Int): String = {
     val lr = Trainer.LearnRate
     val xs = 0 until (buckets + 2)
-    (1 to iters).map { tt =>
+    // √n fold-bucket count, derived once per chain from the SAME train CTE
+    // the Spark side counts (Stable.sqrtBuckets — IEEE sqrt/ceil agree).
+    val fb = s"${pfx}fb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM $trainCte), "
+    fb + (1 to iters).map { tt =>
       val prev = if (tt == 1) w0Name else s"${pfx}wi${tt - 1}"
       val m = (Seq("w.wb") ++ xs.map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
-      s"${pfx}m$tt AS MATERIALIZED (SELECT f.y, f.x, ($m) AS m FROM $trainCte f CROSS JOIN $prev w), " +
-        s"${pfx}r$tt AS MATERIALIZED (SELECT y, x, ((0.5 + 0.5*m/(1.0 + abs(m))) - y) AS r FROM ${pfx}m$tt), " +
-        s"${pfx}g$tt AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n, " +
+      // two-level gradient fold (Trainer.step's bucketed twin): sorted fold
+      // within each doc_id%B bucket, then a bucket-ordered fold of the sums
+      s"${pfx}m$tt AS MATERIALIZED (SELECT f.doc_id, f.y, f.x, ($m) AS m FROM $trainCte f CROSS JOIN $prev w), " +
+        s"${pfx}r$tt AS MATERIALIZED (SELECT doc_id, y, x, ((0.5 + 0.5*m/(1.0 + abs(m))) - y) AS r FROM ${pfx}m$tt), " +
+        s"${pfx}bg$tt AS MATERIALIZED (SELECT doc_id % (SELECT b FROM ${pfx}fb) AS bkt, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
         (Seq("list_aggregate(list_sort(list(r)), 'sum') AS gb", "sum(r) AS psb") ++
           xs.flatMap(j => Seq(
             s"list_aggregate(list_sort(list(r*x[${j + 1}])), 'sum') AS g$j",
             s"sum(r*x[${j + 1}]) AS ps$j"))).mkString(", ") +
-        s" FROM ${pfx}r$tt), " +
+        s" FROM ${pfx}r$tt GROUP BY 1), " +
+        s"${pfx}g$tt AS MATERIALIZED (SELECT CAST(sum(n) AS BIGINT) AS n, " +
+        (Seq("list_aggregate(list(gb ORDER BY bkt), 'sum') AS gb", "sum(psb) AS psb") ++
+          xs.flatMap(j => Seq(
+            s"list_aggregate(list(g$j ORDER BY bkt), 'sum') AS g$j",
+            s"sum(ps$j) AS ps$j"))).mkString(", ") +
+        s" FROM ${pfx}bg$tt), " +
         s"${pfx}wi$tt AS MATERIALIZED (SELECT " +
         (Seq(s"w.wb - $lr*(g.gb/CAST(g.n AS DOUBLE)) AS wb") ++
           xs.map(j => s"w.w$j - $lr*(g.g$j/CAST(g.n AS DOUBLE)) AS w$j")).mkString(", ") +
@@ -2210,11 +2222,17 @@ object ExtQueries {
         "min(fp) AS min_fp, max(fp) AS max_fp FROM fpt GROUP BY 1, 2"),
 
     "x122_pagerank_convergence" ->
+      // two-level fold (pageRankConvergence's oracle twin): 4-hex md5 node
+      // draw mod √n buckets its |Δ|s, bucket-ordered fold of the sums
       (s"WITH $pageRankCtes, " +
+        "pfb AS (SELECT CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS b FROM nc), " +
         (0 until 5).map { k =>
-          s"dl$k AS (SELECT CAST(${k + 1} AS BIGINT) AS iter, " +
-            "list_aggregate(list_sort(list(abs(b.rank - a.rank))), 'sum') AS l1_delta " +
-            s"FROM r$k a JOIN r${k + 1} b USING (node))"
+          s"dj$k AS (SELECT CAST(('0x' || substr(md5(a.node), 1, 4)) AS INT) " +
+            "% (SELECT b FROM pfb) AS bkt, " +
+            "list_aggregate(list_sort(list(abs(b.rank - a.rank))), 'sum') AS ps " +
+            s"FROM r$k a JOIN r${k + 1} b USING (node) GROUP BY 1), " +
+            s"dl$k AS (SELECT CAST(${k + 1} AS BIGINT) AS iter, " +
+            s"list_aggregate(list(ps ORDER BY bkt), 'sum') AS l1_delta FROM dj$k)"
         }.mkString(", ") + " " +
         (0 until 5).map(k => s"SELECT * FROM dl$k").mkString(" UNION ALL ")),
 
@@ -2762,20 +2780,32 @@ object ExtQueries {
         s"ctp AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r " +
         s"FROM cs${ib + iw}) WHERE r <= 10), " +
         "ov AS (SELECT CAST(count(*) AS BIGINT) AS top10_overlap FROM wt JOIN ctp USING (doc_id)), " +
-        s"gp AS (SELECT CAST(count(*) AS BIGINT) AS n_items, " +
-        "list_aggregate(list_sort(list(abs(w.s - c.s))), 'sum')/CAST(count(*) AS DOUBLE) AS mean_abs_gap " +
-        s"FROM ws$iw w JOIN cs${ib + iw} c USING (doc_id)), " +
+        // two-level gap fold (btIncremental's oracle twin), √n from the
+        // warm strengths — the relation the Spark side counts
+        s"gfb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM ws$iw), " +
+        s"gj AS (SELECT w.doc_id % (SELECT b FROM gfb) AS bkt, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "list_aggregate(list_sort(list(abs(w.s - c.s))), 'sum') AS ps " +
+        s"FROM ws$iw w JOIN cs${ib + iw} c USING (doc_id) GROUP BY 1), " +
+        "gp AS (SELECT CAST(sum(n) AS BIGINT) AS n_items, " +
+        "list_aggregate(list(ps ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS mean_abs_gap " +
+        "FROM gj), " +
         s"nb AS (SELECT CAST(count(*) AS BIGINT) AS n_base_items FROM bs$ib) " +
         "SELECT nb.n_base_items, gp.n_items, gp.n_items - nb.n_base_items AS n_new_items, " +
         "ov.top10_overlap, gp.mean_abs_gap FROM nb, gp, ov"
     },
 
     "x132_bt_convergence" ->
+      // two-level fold (btConvergence's oracle twin): sorted |Δ| fold per
+      // doc_id%√n bucket, then a bucket-ordered fold of the bucket sums
       (s"WITH ${btCtes(Preference.Iters)}, " +
+        "cfb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM bst), " +
         (0 until Preference.Iters).map { k =>
-          s"dl$k AS (SELECT CAST(${k + 1} AS BIGINT) AS iter, " +
-            "list_aggregate(list_sort(list(abs(b.s - a.s))), 'sum') AS l1_delta " +
-            s"FROM s$k a JOIN s${k + 1} b USING (doc_id))"
+          s"dj$k AS (SELECT a.doc_id % (SELECT b FROM cfb) AS bkt, " +
+            "list_aggregate(list_sort(list(abs(b.s - a.s))), 'sum') AS ps " +
+            s"FROM s$k a JOIN s${k + 1} b USING (doc_id) GROUP BY 1), " +
+            s"dl$k AS (SELECT CAST(${k + 1} AS BIGINT) AS iter, " +
+            s"list_aggregate(list(ps ORDER BY bkt), 'sum') AS l1_delta FROM dj$k)"
         }.mkString(", ") + " " +
         (0 until Preference.Iters).map(k => s"SELECT * FROM dl$k").mkString(" UNION ALL ")),
 

@@ -159,11 +159,19 @@ object Preference {
       .where(col("rank") <= 10).select("doc_id")
     val overlap = top10(warm).join(top10(cold), "doc_id")
       .agg(count(lit(1)).as("top10_overlap"))
+    // two-level fold (Stable.sortedFold/bucketFold): the r6 flat fold held
+    // every item's |Δ| in one aggregation buffer; bucketing by doc_id%√n
+    // makes the gap a keyed partial aggregation with O(√n) buffers
+    val bkt = pmod(col("doc_id"),
+      lit(graft.functions.Stable.sqrtBuckets(warm.count()).toLong))
     val gap = warm.select(col("doc_id"), col("s").as("sw"))
       .join(cold.select(col("doc_id"), col("s").as("sc")), "doc_id")
-      .agg(count(lit(1)).as("n_items"),
-        (aggregate(sort_array(collect_list(abs(col("sw") - col("sc")))),
-          lit(0.0), (a, x) => a + x) / count(lit(1)).cast("double")).as("mean_abs_gap"))
+      .groupBy(bkt.as("_bkt"))
+      .agg(count(lit(1)).as("_n"),
+        graft.functions.Stable.sortedFold(abs(col("sw") - col("sc"))).as("_ps"))
+      .agg(sum(col("_n")).cast("long").as("n_items"),
+        (graft.functions.Stable.bucketFold(col("_bkt"), col("_ps"))
+          / sum(col("_n")).cast("double")).as("mean_abs_gap"))
     val counts = baseSeq.last.agg(count(lit(1)).as("n_base_items"))
     counts.crossJoin(broadcast(gap)).crossJoin(broadcast(overlap))
       .select(col("n_base_items"), col("n_items"),
@@ -172,20 +180,26 @@ object Preference {
   }
 
   /** Per-round L1 convergence of the MM fit (x122's report shape). The
-    * sum is a SORTED FOLD of the per-item |Δ| doubles, not a DECIMAL
-    * transit: strengths reach ~wins (tens), so a DECIMAL(25,15) cast
-    * rounds right at the double's 17-significant-digit edge and the two
-    * engines can disagree by one ulp (caught by the cross-SF sweep at
-    * sf0.001). The sorted fold is a pure function of the value multiset
-    * in IEEE doubles — no engine rounding surface at all.
+    * sum is a TWO-LEVEL deterministic fold of the per-item |Δ| doubles
+    * (`Stable.sortedFold` per `doc_id % √n` bucket, then `bucketFold`
+    * over the bucket sums), not a DECIMAL transit: strengths reach ~wins
+    * (tens), so a DECIMAL(25,15) cast rounds right at the double's
+    * 17-significant-digit edge and the two engines can disagree by one
+    * ulp (caught by the cross-SF sweep at sf0.001). The fold tree is a
+    * pure function of the (doc_id, value) assignment — no engine
+    * rounding surface — and, unlike the r6 flat fold, every aggregation
+    * buffer is O(√n).
     */
   def btConvergence(docs: DataFrame, iters: Int = Iters): DataFrame = {
-    val (_, seq) = mmRounds(derivedPreferences(docs), iters)
+    import graft.functions.Stable.{sortedFold, bucketFold, sqrtBuckets}
+    val (st, seq) = mmRounds(derivedPreferences(docs), iters)
+    val bkt = pmod(col("doc_id"), lit(sqrtBuckets(st.count()).toLong))
     (1 to iters).map { t =>
       seq(t).select(col("doc_id"), col("s").as("s_new"))
         .join(seq(t - 1).select(col("doc_id"), col("s").as("s_old")), "doc_id")
-        .agg(aggregate(sort_array(collect_list(abs(col("s_new") - col("s_old")))),
-          lit(0.0), (a, x) => a + x).as("l1_delta"))
+        .groupBy(bkt.as("_bkt"))
+        .agg(sortedFold(abs(col("s_new") - col("s_old"))).as("_ps"))
+        .agg(bucketFold(col("_bkt"), col("_ps")).as("l1_delta"))
         .select(lit(t.toLong).as("iter"), col("l1_delta"))
     }.reduce(_ unionByName _)
   }

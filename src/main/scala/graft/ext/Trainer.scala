@@ -18,20 +18,22 @@ import org.apache.spark.sql.functions._
   *    `0.5 + 0.5·m/(1+|m|)` — one abs/add/divide, bit-identical in any
   *    IEEE-754 engine, where `exp()` is libm-dependent and would break
   *    cross-engine equality;
-  *  - gradient sums are sorted folds (`sort_array(collect_list(·))` then a
-  *    left fold — a pure function of the value multiset, the
-  *    `groupCentroidExact` idiom), with the partial-agg scale form riding
-  *    along as a tolerance-checked boolean (`groupCentroidChecked`);
+  *  - gradient sums are TWO-LEVEL deterministic folds (sorted fold per
+  *    `doc_id % ⌈√n⌉` bucket, then a bucket-ordered fold of the bucket
+  *    sums — `Stable.sortedFold`/`bucketFold`): a pure function of the
+  *    (doc_id, value) assignment that the oracle replays bit-for-bit,
+  *    with O(√n) aggregation buffers at both levels where the r6 flat
+  *    fold held the whole train slice in one buffer;
   *  - margins/updates are fixed-arity left-associated chains mirrored
   *    token-for-token by the generated oracle SQL.
   *
   * Scale shape: the model is B+1 doubles — one broadcast row. Training
-  * data is scanned once per iteration (cached after the first); the only
-  * shuffle is each iteration's single global aggregate. The sorted-fold
-  * gradient is the oracle-exact twin; swapping it for the plain `sum`
-  * column (already computed alongside) is the documented 100 TB fast path,
-  * with `partial_agg_close` measuring exactly the reassociation error that
-  * swap would admit.
+  * data is scanned once per iteration (cached after the first); each
+  * iteration is one bucket-keyed partial aggregation plus one √n-row
+  * collapse. The plain `sum` shadow columns (`ps_*`) ride along and
+  * `partial_agg_close` pins them within reassociation tolerance of the
+  * deterministic gradient — the in-engine measurement of the error a
+  * tolerance-free engine would admit by using raw float sums.
   */
 object Trainer {
 
@@ -88,27 +90,43 @@ object Trainer {
     (0 until dim).foldLeft(col("wb"): Column)(
       (acc, j) => acc + col("x").getItem(j) * col(s"w$j"))
 
-  private def foldSum(c: Column): Column =
-    aggregate(sort_array(collect_list(c)), lit(0.0), (a, x) => a + x)
-
   private def close(g: Column, ps: Column): Column =
     abs(g - ps) <= greatest(abs(g) * lit(1e-9), lit(1e-9))
 
   /** One gradient step: returns a 1-row frame carrying the UPDATED weights
     * (`wb`, `w0`…), each feature's exact gradient (`g_b`, `g0`…), the
     * partial-agg shadow sums (`ps_*`), and the train count `n`.
+    *
+    * The gradient sums are TWO-LEVEL deterministic folds
+    * ([[graft.functions.Stable.sortedFold]] per `doc_id % √n` bucket, then
+    * [[graft.functions.Stable.bucketFold]] over the bucket sums): the r6
+    * flat fold collected the whole train slice into ONE aggregation
+    * buffer per gradient component — oracle-exact but O(corpus) driver-of-
+    * buffer state; the bucketed form is a keyed partial aggregation with
+    * O(√n) buffers at both levels and the identical engine-portability
+    * (the association tree is a pure function of (doc_id, value)).
     */
   private def step(feats: DataFrame, wPrev: DataFrame, dim: Int,
-      learnRate: Double): DataFrame = {
+      learnRate: Double, foldBuckets: Int): DataFrame = {
+    import graft.functions.Stable.{sortedFold, bucketFold}
     val scored = feats.crossJoin(broadcast(wPrev.select(
         (col("wb") +: (0 until dim).map(j => col(s"w$j"))): _*)))
       .withColumn("_r", fastSigmoid(marginCol(dim)) - col("y"))
-    val aggCols =
-      Seq(foldSum(col("_r")).as("g_b"), sum(col("_r")).as("ps_b")) ++
+    val s1Cols =
+      Seq(count(lit(1)).as("_n"),
+        sortedFold(col("_r")).as("g_b"), sum(col("_r")).as("ps_b")) ++
         (0 until dim).flatMap(j => Seq(
-          foldSum(col("_r") * col("x").getItem(j)).as(s"g$j"),
+          sortedFold(col("_r") * col("x").getItem(j)).as(s"g$j"),
           sum(col("_r") * col("x").getItem(j)).as(s"ps$j")))
-    val g = scored.agg(count(lit(1)).as("n"), aggCols: _*)
+    val s1 = scored.groupBy(pmod(col("doc_id"), lit(foldBuckets.toLong)).as("_bkt"))
+      .agg(s1Cols.head, s1Cols.tail: _*)
+    val s2Cols =
+      Seq(sum(col("_n")).cast("long").as("n"),
+        bucketFold(col("_bkt"), col("g_b")).as("g_b"), sum(col("ps_b")).as("ps_b")) ++
+        (0 until dim).flatMap(j => Seq(
+          bucketFold(col("_bkt"), col(s"g$j")).as(s"g$j"),
+          sum(col(s"ps$j")).as(s"ps$j")))
+    val g = s1.agg(s2Cols.head, s2Cols.tail: _*)
     g.crossJoin(broadcast(wPrev.select(
         (col("wb").as("_pwb") +: (0 until dim).map(j => col(s"w$j").as(s"_pw$j"))): _*)))
       .select(
@@ -150,10 +168,15 @@ object Trainer {
     // An empty training slice would silently propagate 0/0 = NaN through
     // every weight (the gradient mean divides by the slice count). Fail
     // loudly instead — the caller picked a bad split, not a bad model.
-    require(!tr.isEmpty, "training slice is empty — gradient mean would be 0/0 (NaN weights)")
+    // The same count that guards the split sizes the gradient fold's √n
+    // bucket key (the oracle derives the identical B from
+    // ceil(sqrt(count(*))) over the same train CTE).
+    val n = tr.count()
+    require(n > 0, "training slice is empty — gradient mean would be 0/0 (NaN weights)")
+    val foldBuckets = graft.functions.Stable.sqrtBuckets(n)
     var w: DataFrame = w0
     (1 to iters).map { _ =>
-      val next = step(tr, w, dim, learnRate).localCheckpoint()
+      val next = step(tr, w, dim, learnRate, foldBuckets).localCheckpoint()
       w = next
       next
     }

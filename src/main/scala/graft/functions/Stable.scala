@@ -17,4 +17,37 @@ object Stable {
   /** Exact, order-independent sum of a double column (DECIMAL transit). */
   def dsum(c: Column, scale: Int = 4): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  // ----- deterministic two-level fold (the partial-agg scale twin of the
+  // flat `aggregate(sort_array(collect_list(v)))` corpus fold) -----
+  //
+  // A flat sorted fold is a pure function of the value multiset — engine-
+  // portable, but its single aggregation buffer holds the WHOLE corpus. The
+  // two-level form pins a bucket key (a deterministic per-row function),
+  // folds each bucket's multiset in sorted order (stage 1: a keyed partial
+  // aggregation, bucket-sized buffers), then folds the bucket sums in
+  // bucket order (stage 2: a B-row aggregate). With B ≈ ⌈√n⌉ both buffers
+  // are O(√n); the association tree is fixed by (key, value) alone, so a
+  // DuckDB oracle replays it bit-for-bit. This is what "partial
+  // aggregation" means when bit-reproducibility is part of the contract.
+
+  /** Stage-1 fold: sorted multiset fold of `v` (use inside a bucket-keyed
+    * `groupBy(...).agg`). */
+  def sortedFold(v: Column): Column =
+    aggregate(sort_array(collect_list(v)), lit(0.0), (a, x) => a + x)
+
+  /** Stage-2 fold: bucket partial sums `psum`, folded in ascending `bkt`
+    * order (use in the final B-row aggregate). */
+  def bucketFold(bkt: Column, psum: Column): Column =
+    aggregate(
+      transform(sort_array(collect_list(struct(bkt.as("b"), psum.as("v")))),
+        p => p.getField("v")),
+      lit(0.0), (a, x) => a + x)
+
+  /** Bucket count for the √n law — one driver scalar from one count (the
+    * k-means loop-budget idiom), mirrored by the oracle's
+    * `ceil(sqrt(count(*)))` subquery (IEEE sqrt is correctly rounded in
+    * both engines, so the derived B is identical). */
+  def sqrtBuckets(n: Long): Int =
+    math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
 }
