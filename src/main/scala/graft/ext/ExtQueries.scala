@@ -1073,6 +1073,16 @@ object ExtQueries {
     "x119_retrieval_eval" -> ((s, dir) =>
       Hybrid.retrievalEval(Tables.documents(s, dir), Tables.embeddings(s, dir))),
 
+    // Query-SET retrieval eval (r7): the production IR-eval shape — 5
+    // fixture queries (each a vector + a term set) against bm25 / ann /
+    // rrf in ONE broadcast-query-set plan, per-(system, query) nDCG@10 /
+    // recall@10, reduced to the per-system score distribution
+    // (mean / p50 / p90 nDCG, mean / min recall). Percentiles interpolate
+    // from the sorted 5-list with plan-time constants — never an engine
+    // percentile kernel.
+    "x145_retrieval_eval_set" -> ((s, dir) =>
+      Hybrid.retrievalEvalSet(Tables.documents(s, dir), Tables.embeddings(s, dir))),
+
     // The full training-data preparation pipeline as ONE registered query:
     // quality gate (x09's score) -> exact dedup keeping the min doc_id per
     // text hash (x01's canonicalization) -> context-window chunking (x42)
@@ -1856,6 +1866,93 @@ object ExtQueries {
       "CAST(sum(CASE WHEN gain = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 FROM hrel)"
   }
 
+  /** Query-SET retrieval eval chain (x145) — the DuckDB twin of
+    * [[Hybrid.retrievalEvalSet]]: VALUES query-term table, ONE corpus hit
+    * stream joined against it (per-(query,doc,term) tf, per-term df,
+    * corpus-wide dl/stats), ti-ordered score folds, per-query ranks,
+    * brute-force ANN per query vector, RRF fusion, graded relevance per
+    * (query, doc). Ends with `srel`/`srst` + the three ranked lists
+    * `sbm`/`sann`/`srrf`.
+    */
+  private lazy val hybridSetCtes: String = {
+    val qVals = Hybrid.QuerySet.flatMap { case (q, ts, rm) =>
+      ts.zipWithIndex.map { case (t, i) => s"($q, $i, '$t', $rm)" }
+    }.mkString(", ")
+    val qIds = Hybrid.QuerySet.map(_._1).mkString(", ")
+    s"sqs AS (SELECT CAST(query_id AS BIGINT) AS query_id, CAST(ti AS BIGINT) AS ti, term, " +
+      s"CAST(rel_min AS BIGINT) AS rel_min FROM (VALUES $qVals) v(query_id, ti, term, rel_min)), " +
+      "srt AS (SELECT query_id, term AS rel_term, rel_min FROM " +
+      "(SELECT query_id, term, rel_min, row_number() OVER (PARTITION BY query_id ORDER BY ti DESC) AS r FROM sqs) WHERE r = 1), " +
+      "sht AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+      "she AS (SELECT doc_id, unnest(toks) AS tok FROM sht), " +
+      "sdl AS (SELECT doc_id, count(*) AS dl FROM she GROUP BY 1), " +
+      "sst AS (SELECT sum(dl) AS sum_dl, count(*) AS n_docs FROM sdl), " +
+      "shit AS (SELECT q.query_id, q.ti, q.term, e.doc_id, CAST(count(*) AS BIGINT) AS tf " +
+      "FROM she e JOIN sqs q ON e.tok = q.term GROUP BY 1, 2, 3, 4), " +
+      "sdf AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM shit GROUP BY 1), " +
+      "ssc AS (SELECT h.query_id, h.doc_id, h.ti, " +
+      "((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5)) " +
+      "* (CAST(h.tf AS DOUBLE) * (1.2 + 1.0)) " +
+      "/ (CAST(h.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(l.dl AS DOUBLE) " +
+      "/ (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))) AS c " +
+      "FROM shit h JOIN sdf d USING (term) JOIN sdl l USING (doc_id) CROSS JOIN sst s), " +
+      "sbm0 AS (SELECT query_id, doc_id, list_aggregate(list(c ORDER BY ti), 'sum') AS score " +
+      "FROM ssc WHERE doc_id <> query_id GROUP BY 1, 2), " +
+      "sbm AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank FROM " +
+      "(SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sbm0) " +
+      "WHERE rank <= 20), " +
+      "semb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+      s"sqv AS (SELECT vec_id AS query_id, emb AS qe FROM semb WHERE vec_id IN ($qIds)), " +
+      s"ssan AS (SELECT q.query_id, e.vec_id AS doc_id, ${dotSql("e.emb", "q.qe")} AS cos " +
+      "FROM semb e, sqv q WHERE e.vec_id <> q.query_id), " +
+      "sann AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank FROM " +
+      "(SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank FROM ssan) " +
+      "WHERE rank <= 20), " +
+      "sfu AS (SELECT coalesce(b.query_id, a.query_id) AS query_id, " +
+      "coalesce(b.doc_id, a.doc_id) AS doc_id, " +
+      s"coalesce(1.0/(${Hybrid.RrfK} + CAST(b.rank AS DOUBLE)), 0.0) " +
+      s"+ coalesce(1.0/(${Hybrid.RrfK} + CAST(a.rank AS DOUBLE)), 0.0) AS rrf_score " +
+      "FROM sbm b FULL JOIN sann a ON b.query_id = a.query_id AND b.doc_id = a.doc_id), " +
+      "srrf AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank FROM " +
+      "(SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank FROM sfu) " +
+      "WHERE rank <= 10), " +
+      s"srel AS (SELECT r.query_id, d.doc_id, CASE WHEN s.cos >= ${Hybrid.SemRelThreshold}E0 THEN 1 ELSE 0 END " +
+      "+ CASE WHEN len(list_filter(d.toks, tk -> tk = r.rel_term)) >= r.rel_min THEN 1 ELSE 0 END AS gain " +
+      "FROM sht d CROSS JOIN srt r " +
+      "LEFT JOIN ssan s ON s.query_id = r.query_id AND s.doc_id = d.doc_id " +
+      "WHERE d.doc_id <> r.query_id), " +
+      "srst AS (SELECT query_id, CAST(sum(CASE WHEN gain = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2, " +
+      "CAST(sum(CASE WHEN gain = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 FROM srel GROUP BY 1)"
+  }
+
+  /** One system's per-(query) nDCG@10 / recall@10 over the
+    * [[hybridSetCtes]] chain. */
+  private def hybridSetEvalSql(sys: String, listCte: String): String = {
+    val k = 10
+    val taps = Hybrid.dcgTaps(k)
+    val idcg = (1 to k).map { i =>
+      s"${taps(i - 1)}E0 * (CASE WHEN $i <= r.n2 THEN 2.0 WHEN $i <= r.n2 + r.n1 THEN 1.0 ELSE 0.0 END)"
+    }.mkString(" + ")
+    s"(SELECT '$sys' AS system, e.query_id, e.dcg / ($idcg) AS ndcg, " +
+      "CAST(e.n_rel_retrieved AS DOUBLE) / (r.n2 + r.n1) AS recall_at_k FROM " +
+      s"(SELECT query_id, list_aggregate(list(CAST(gain AS DOUBLE) * (${Hybrid.dcgTapsSql(k)})[CAST(rank AS INT)] ORDER BY rank), 'sum') AS dcg, " +
+      "CAST(sum(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_retrieved FROM " +
+      s"(SELECT l.query_id, l.rank, coalesce(g.gain, 0) AS gain FROM $listCte l " +
+      s"LEFT JOIN srel g ON g.query_id = l.query_id AND g.doc_id = l.doc_id WHERE l.rank <= $k) " +
+      "GROUP BY query_id) e JOIN srst r USING (query_id))"
+  }
+
+  /** Plan-time percentile literal from a sorted list (the
+    * [[Hybrid.pctFromSorted]] twin — fixed index + printed-double
+    * fraction, no engine percentile kernel). */
+  private def pctSql(listExpr: String, p: Double, n: Int): String = {
+    val pos = p * (n - 1)
+    val lo = math.floor(pos).toInt
+    val frac = pos - lo
+    if (frac == 0.0) s"$listExpr[${lo + 1}]"
+    else s"($listExpr[${lo + 1}] + ($listExpr[${lo + 2}] - $listExpr[${lo + 1}]) * ${frac}E0)"
+  }
+
   /** One system's nDCG@10 / recall@10 eval over the [[hybridCtes]] chain —
     * DCG folds gain·tap in rank order; ideal DCG unrolls the gain histogram
     * against the same printed-double taps the Spark plan embeds.
@@ -2255,6 +2352,21 @@ object ExtQueries {
         s"SELECT * FROM ${hybridEvalSql("bm25", "hbm")} " +
         s"UNION ALL SELECT * FROM ${hybridEvalSql("ann", "hann")} " +
         s"UNION ALL SELECT * FROM ${hybridEvalSql("rrf", "hrrf")}"),
+
+    "x145_retrieval_eval_set" -> {
+      val nQ = Hybrid.QuerySet.size
+      s"WITH $hybridSetCtes, " +
+        s"sevq AS (SELECT * FROM ${hybridSetEvalSql("bm25", "sbm")} " +
+        s"UNION ALL SELECT * FROM ${hybridSetEvalSql("ann", "sann")} " +
+        s"UNION ALL SELECT * FROM ${hybridSetEvalSql("rrf", "srrf")}) " +
+        "SELECT system, CAST(count(*) AS BIGINT) AS n_queries, " +
+        "list_aggregate(list(ndcg ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_ndcg, " +
+        s"${pctSql("list_sort(list(ndcg))", 0.5, nQ)} AS p50_ndcg, " +
+        s"${pctSql("list_sort(list(ndcg))", 0.9, nQ)} AS p90_ndcg, " +
+        "list_aggregate(list(recall_at_k ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_recall, " +
+        "min(recall_at_k) AS min_recall " +
+        "FROM sevq GROUP BY system"
+    },
 
     "x01_dedup_exact" ->
       ("SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies " +

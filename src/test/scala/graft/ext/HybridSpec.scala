@@ -53,6 +53,78 @@ class HybridSpec extends SparkTestBase {
       s"fusion must beat ann: rrf=${ev("rrf")} ann=${ev("ann")}")
   }
 
+  test("bm25TopKSet on a 1-query set reproduces bm25TopK bit-for-bit") {
+    val corpus = Tables.documents(spark, sfDir)
+      .where(col("doc_id") =!= Hybrid.QueryVecId)
+    val single = Search.bm25TopK(corpus, Hybrid.QueryTerms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val set = Hybrid.bm25TopKSet(corpus,
+        Hybrid.querySetDf(spark, Hybrid.QuerySet.take(1)), 20)
+      .orderBy("rank")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    // identical docs, identical score DOUBLES (the set plan's ti-ordered
+    // fold reproduces the single ranker's left-to-right term association)
+    assert(set.toSeq === single.toSeq)
+  }
+
+  test("rrfFuseSet on one query matches rrfFuse scores") {
+    import spark.implicits._
+    val lex = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 99L, 10L))
+      .toDF("query_id", "doc_id", "rank")
+    val sem = Seq((0L, 3L, 1L), (0L, 4L, 2L), (0L, 99L, 10L))
+      .toDF("query_id", "doc_id", "rank")
+    val set = Hybrid.rrfFuseSet(lex, sem, 10)
+      .select("doc_id", "rrf_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val single = Hybrid.rrfFuse(
+        lex.select("doc_id", "rank"), sem.select("doc_id", "rank"), 10)
+      .select("doc_id", "rrf_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(set === single)
+  }
+
+  test("gradedRelevanceSet query 0 equals the single-query gradedRelevance") {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val single = Hybrid.gradedRelevance(docs, emb)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q0 = Hybrid.gradedRelevanceSet(docs, emb, Hybrid.querySetDf(spark))
+      .where(col("query_id") === 0L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("gain")).toMap
+    assert(q0 === single)
+  }
+
+  test("retrievalEvalSet: three systems, bounded scores, deterministic") {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val rows = Hybrid.retrievalEvalSet(docs, emb).collect()
+    assert(rows.map(_.getAs[String]("system")).toSet === Set("bm25", "ann", "rrf"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_queries") === Hybrid.QuerySet.size.toLong)
+      val m = r.getAs[Double]("mean_ndcg")
+      assert(m >= 0.0 && m <= 1.0, s"ndcg out of range: $r")
+      // p50 <= p90 (sorted-list interpolation is monotone in p)
+      assert(r.getAs[Double]("p50_ndcg") <= r.getAs[Double]("p90_ndcg") + 1e-12)
+      assert(r.getAs[Double]("min_recall") <= r.getAs[Double]("mean_recall") + 1e-12)
+    }
+    val again = Hybrid.retrievalEvalSet(docs, emb).collect()
+    assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
+
+  test("pctFromSorted: exact index and interpolated positions") {
+    import spark.implicits._
+    val df = Seq(Seq(1.0, 2.0, 3.0, 4.0, 10.0)).toDF("v")
+    val r = df.select(
+      Hybrid.pctFromSorted(col("v"), 0.5, 5).as("p50"),
+      Hybrid.pctFromSorted(col("v"), 0.9, 5).as("p90"),
+      Hybrid.pctFromSorted(col("v"), 0.0, 5).as("p0"),
+      Hybrid.pctFromSorted(col("v"), 1.0, 5).as("p100")).collect()(0)
+    assert(r.getDouble(0) === 3.0)
+    // pos = 3.6: 4 + (10-4)*0.6000000000000001
+    assert(math.abs(r.getDouble(1) - (4.0 + 6.0 * 0.6000000000000001)) < 1e-12)
+    assert(r.getDouble(2) === 1.0 && r.getDouble(3) === 10.0)
+  }
+
   test("graded relevance: gains are 0/1/2 and both aspects contribute") {
     val rel = Hybrid.gradedRelevance(
         Tables.documents(spark, sfDir), Tables.embeddings(spark, sfDir))
