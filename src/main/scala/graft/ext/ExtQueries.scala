@@ -638,6 +638,18 @@ object ExtQueries {
         .select(col("n_truth"), (col("recall") >= 0.2).as("recall_ok"))
     }),
 
+    // Product-quantization recall report (r7): three codebook configs
+    // (4 B / 8 B / 64 B per vector) ADC-scored against the brute-force
+    // cosine truth for the 5 fixture queries — the memory/recall tradeoff
+    // measured in-engine, with the 64 B config matching int8's byte
+    // budget and beating its recall (0.98 vs 0.94 at sf0.1; spec-pinned).
+    // Deterministic sorted-fold k-means makes the whole chain hash-match.
+    "x146_pq_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.pqRecallReport(e.where(col("vec_id") < 5), e, 10,
+        Seq((8, 16), (16, 16), (64, 256)))
+    }),
+
     // The single query a user actually runs for corpus dedup: LSH candidate
     // pairs -> connected components (the large/small-star scale form) ->
     // drop non-canonical members -> per-(lang, source) surviving stats.
@@ -1676,6 +1688,56 @@ object ExtQueries {
       "FROM embeddings, q WHERE q_id <> vec_id), " +
       "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
       "SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10"
+
+  /** One PQ config's full train→encode→ADC chain (x146) — the DuckDB twin
+    * of [[Similarity.pqTrain]]/[[Similarity.pqTopK]]: subvector slices,
+    * first-K init, `iters` Lloyd rounds with per-(sub, cid, dim)
+    * sorted-fold means (empty cells keep their centroid), final-codebook
+    * encode, query dot LUT, sub-ordered ADC score folds, per-query top-k.
+    * Ends with `${p}tk (q_id, vec_id)`.
+    */
+  private def pqChainSql(p: String, m: Int, kc: Int, iters: Int, k: Int): String = {
+    val ds = Similarity.PqDims / m
+    // ds==1 shortcut: 0.0 + v == v in IEEE, so the unrolled form is the
+    // same double as the generic fold — and ~10x less list machinery
+    def l2(x: String, c: String): String =
+      if (ds == 1) s"($x[1]-$c[1])*($x[1]-$c[1])"
+      else s"list_aggregate(list_transform(range(1, ${ds + 1}), i -> ($x[i]-$c[i])*($x[i]-$c[i])), 'sum')"
+    def dot(x: String, c: String): String =
+      if (ds == 1) s"$x[1]*$c[1]"
+      else s"list_aggregate(list_transform(range(1, ${ds + 1}), i -> $x[i]*$c[i]), 'sum')"
+    def assign(name: String, centName: String): String =
+      s"$name AS (SELECT vec_id, sub, svec, cid FROM (" +
+        s"SELECT v.vec_id, v.sub, v.svec, c.cid, row_number() OVER (PARTITION BY v.vec_id, v.sub " +
+        s"ORDER BY ${l2("v.svec", "c.cvec")}, c.cid) AS r FROM ${p}sv v JOIN $centName c USING (sub)) WHERE r = 1)"
+    val sb = new StringBuilder
+    sb ++= s"${p}sv AS MATERIALIZED (SELECT vec_id, CAST(s.sub AS BIGINT) AS sub, s.svec AS svec FROM " +
+      s"(SELECT vec_id, unnest(list_transform(range(0, $m), ss -> struct_pack(sub := ss, " +
+      s"svec := (CAST(embedding AS DOUBLE[]))[ss*$ds+1 : ss*$ds+$ds]))) AS s FROM embeddings)), "
+    sb ++= s"${p}c0 AS (SELECT sub, CAST(vec_id AS BIGINT) AS cid, svec AS cvec FROM ${p}sv WHERE vec_id < $kc), "
+    for (t <- 1 to iters) {
+      sb ++= assign(s"${p}a$t", s"${p}c${t - 1}") + ", "
+      sb ++= s"${p}u$t AS (SELECT sub, cid, u.d AS d, " +
+        "list_aggregate(list_sort(list(u.v)), 'sum')/count(*) AS mv FROM " +
+        s"(SELECT sub, cid, unnest(list_transform(range(1, ${ds + 1}), i -> struct_pack(d := i, v := svec[i]))) AS u " +
+        s"FROM ${p}a$t) GROUP BY sub, cid, u.d), "
+      sb ++= s"${p}m$t AS (SELECT sub, cid, list(mv ORDER BY d) AS cvec FROM ${p}u$t GROUP BY 1, 2), "
+      sb ++= s"${p}c$t AS MATERIALIZED (SELECT c.sub, c.cid, coalesce(mm.cvec, c.cvec) AS cvec " +
+        s"FROM ${p}c${t - 1} c LEFT JOIN ${p}m$t mm USING (sub, cid)), "
+    }
+    sb ++= assign(s"${p}enc", s"${p}c$iters") + ", "
+    sb ++= s"${p}lut AS (SELECT q.vec_id AS q_id, q.sub, c.cid, ${dot("q.svec", "c.cvec")} AS pdot " +
+      s"FROM ${p}sv q JOIN ${p}c$iters c USING (sub) WHERE q.vec_id < 5), "
+    sb ++= s"${p}scs AS (SELECT l.q_id, e.vec_id, list_aggregate(list(l.pdot ORDER BY l.sub), 'sum') AS score " +
+      s"FROM ${p}enc e JOIN ${p}lut l ON e.sub = l.sub AND e.cid = l.cid WHERE e.vec_id <> l.q_id GROUP BY 1, 2), "
+    sb ++= s"${p}tk AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+      s"row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS r FROM ${p}scs) WHERE r <= $k)"
+    sb.toString
+  }
+
+  /** The x146 PQ configs: (sql prefix, M, K, bytes/vector). */
+  private val pqConfigs: Seq[(String, Int, Int, Double)] =
+    Seq(("pa", 8, 16, 4.0), ("pb", 16, 16, 8.0), ("pc", 64, 256, 64.0))
 
   private lazy val annLshSql =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
@@ -3446,6 +3508,24 @@ object ExtQueries {
     "x40_ann_ivf_kmeans" ->
       (s"SELECT CAST((SELECT count(*) FROM ($annBruteSql)) AS BIGINT) AS n_truth, " +
         "TRUE AS recall_ok"),
+
+    // Full replay of train -> encode -> ADC per config (deterministic
+    // sorted-fold centroid means make the whole chain oracle-exact —
+    // stronger than x40's self-verifying report form).
+    "x146_pq_recall" -> {
+      val chains = pqConfigs.map { case (p, m, kc, _) =>
+        pqChainSql(p, m, kc, Similarity.PqIters, 10)
+      }.mkString(", ")
+      val rows = pqConfigs.map { case (p, m, kc, bytes) =>
+        s"SELECT 'pq_m${m}_k$kc' AS method, CAST($bytes AS DOUBLE) AS bytes_per_vec, " +
+          "CAST((SELECT count(*) FROM tru) AS BIGINT) AS n_truth, " +
+          s"CAST((SELECT count(*) FROM ${p}tk) AS BIGINT) AS n_approx, " +
+          s"CAST((SELECT count(*) FROM tru JOIN ${p}tk USING (q_id, vec_id)) AS BIGINT) AS n_common, " +
+          s"CAST((SELECT count(*) FROM tru JOIN ${p}tk USING (q_id, vec_id)) AS DOUBLE) " +
+          "/ (SELECT count(*) FROM tru) AS recall"
+      }.mkString(" UNION ALL ")
+      s"WITH tru AS (SELECT q_id, vec_id FROM ($annBruteSql)), $chains $rows"
+    },
 
     "x77_bpe_train" -> bpeTrainSql,
 

@@ -108,6 +108,42 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.9, s"recall@10 = $recall")
   }
 
+  test("PQ: codes are complete and bounded, ADC top-k is deterministic") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val m = 8
+    val cents = Similarity.pqTrain(e, m)
+    assert(cents.count() === m.toLong * Similarity.PqK)
+    val codes = Similarity.pqAssign(Similarity.pqSubvectors(e, m), cents)
+    assert(codes.count() === e.count() * m) // one code per (vec, subspace)
+    assert(codes.where(col("cid") < 0 || col("cid") >= Similarity.PqK).isEmpty)
+    val q = e.where($"vec_id" < 5)
+    val a = Similarity.pqTopK(q, e, 10, m).collect().map(_.toString).sorted.toSeq
+    val b = Similarity.pqTopK(q, e, 10, m).collect().map(_.toString).sorted.toSeq
+    assert(a === b, "ADC top-k must be bit-deterministic across runs")
+  }
+
+  test("PQ recall: equal-byte config beats int8's floor; more bytes, more recall") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val q = e.where($"vec_id" < 5)
+    val rep = Similarity.pqRecallReport(q, e, 10, Seq((8, 16), (16, 16), (64, 256)))
+      .collect().map(r => r.getAs[String]("method") ->
+        (r.getAs[Double]("bytes_per_vec"), r.getAs[Double]("recall"))).toMap
+    val truth = Similarity.bruteForceTopK(q, e, 10).select("q_id", "vec_id")
+    val i8 = Similarity.int8TopK(q, e, 10).select("q_id", "vec_id")
+    val int8Recall = truth.join(i8, Seq("q_id", "vec_id")).count().toDouble /
+      truth.count()
+    // the 64 B/vec codebook matches int8's byte budget and must not lose
+    // to it (measured: 0.98 vs 0.94 at sf0.1, 1.0 vs 1.0 at sf0.01)
+    assert(rep("pq_m64_k256")._1 === 64.0)
+    assert(rep("pq_m64_k256")._2 >= int8Recall - 1e-9,
+      s"pq@64B ${rep("pq_m64_k256")._2} < int8 $int8Recall")
+    // memory/recall tradeoff is monotone across the config ladder, and
+    // even the 4 B config sits far above the ~0.005 random baseline
+    assert(rep("pq_m64_k256")._2 >= rep("pq_m8_k16")._2)
+    assert(rep("pq_m8_k16")._2 >= 0.1,
+      s"4B-config recall collapsed: ${rep("pq_m8_k16")._2}")
+  }
+
   private def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
