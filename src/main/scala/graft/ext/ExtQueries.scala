@@ -1012,6 +1012,24 @@ object ExtQueries {
     "x130_lr_classify" -> ((s, dir) =>
       Trainer.lrClassify(s, Tables.documents(s, dir))),
 
+    // Best-of-N rejection sampling (r7): candidates pool into md5-derived
+    // prompt groups (occupancy-law sized, ~8/prompt), the ENGINE-TRAINED
+    // scorer (x129's weights applied corpus-wide) ranks each pool, and the
+    // report keeps the per-prompt winner with its margin over the
+    // runner-up + pool mean — the selection artifact an RLHF data pipeline
+    // exports.
+    "x147_best_of_n" -> ((s, dir) =>
+      Preference.bestOfNReport(Trainer.lrScoreAll(s, Tables.documents(s, dir)))),
+
+    // The scorer -> selection -> preference flagship (r7): best-of-N's
+    // winner-vs-each-loser star comparisons feed the Bradley-Terry MM fit
+    // (x131's estimator) as synthetic preference data — per-item wins /
+    // games / fitted strength out. Losers never win, so they settle at the
+    // MLE boundary 0 and winners carry pool-sized strengths (spec-pinned).
+    "x148_bon_preference_fit" -> ((s, dir) =>
+      Preference.btFit(Preference.bonPreferences(
+        Trainer.lrScoreAll(s, Tables.documents(s, dir))))),
+
     // The corpus→trainer export flagship (r6): temperature mixture
     // REALIZED to per-doc copies (x87's draw, row level) ∘ curriculum
     // octiles (x108's exact ntile) ∘ per-(shard, lang) manifest with
@@ -1660,6 +1678,22 @@ object ExtQueries {
       "(SELECT CAST(count(*) AS BIGINT) FROM tr2) - (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_batch) " +
       "SELECT ct.n_base, ct.n_batch, md.max_w_diff, ev.n_holdout, ev.acc_warm, ev.acc_cold, " +
       "ev.pred_agreement FROM ct, md, ev"
+  }
+
+  /** Best-of-N chain (x147/x148): corpus-wide trained-scorer scores
+    * (`sca` — the lrScoreAll twin), occupancy-law prompt pools (`bpl`),
+    * per-pool score ranks (`brn`). */
+  private def bonCtes(buckets: Int, iters: Int): String = {
+    val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
+    s"${lrCtes(buckets, iters)}, " +
+      s"bmm AS (SELECT f.doc_id, ($m) AS m FROM fx f CROSS JOIN wi$iters w), " +
+      "sca AS MATERIALIZED (SELECT doc_id, (0.5 + 0.5*m/(1.0 + abs(m))) AS score FROM bmm), " +
+      "bpl AS (SELECT doc_id, score, " +
+      "CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':bon'), 1, 4)) AS INT) % " +
+      s"least(${Preference.MaxPools}, greatest(${Preference.Pools}, " +
+      s"(SELECT count(*) FROM sca) // ${Preference.PoolOccupancy})) AS BIGINT) AS prompt_id FROM sca), " +
+      "brn AS MATERIALIZED (SELECT doc_id, score, prompt_id, " +
+      "CAST(row_number() OVER (PARTITION BY prompt_id ORDER BY score DESC, doc_id) AS BIGINT) AS rn FROM bpl)"
   }
 
   /** Full-corpus MinHash+LSH SQL (x03); x49 filters it to batch-side pairs. */
@@ -2985,6 +3019,32 @@ object ExtQueries {
 
     "x130_lr_classify" ->
       lrClassifySql(Trainer.Buckets, Trainer.Iters),
+
+    "x147_best_of_n" ->
+      (s"WITH ${bonCtes(Trainer.Buckets, Trainer.Iters)}, " +
+        "bstt AS (SELECT prompt_id, CAST(count(*) AS BIGINT) AS n_candidates, " +
+        "list_aggregate(list_sort(list(score)), 'sum')/count(*) AS mean_score FROM bpl GROUP BY 1), " +
+        "bbst AS (SELECT prompt_id, doc_id AS best_doc, score AS best_score FROM brn WHERE rn = 1), " +
+        "bsec AS (SELECT prompt_id, score AS second_score FROM brn WHERE rn = 2) " +
+        "SELECT t.prompt_id, t.n_candidates, b.best_doc, b.best_score, s2.second_score, " +
+        "b.best_score - s2.second_score AS margin, t.mean_score " +
+        "FROM bstt t JOIN bbst b USING (prompt_id) LEFT JOIN bsec s2 USING (prompt_id)"),
+
+    "x148_bon_preference_fit" ->
+      (s"WITH ${bonCtes(Trainer.Buckets, Trainer.Iters)}, " +
+        "bw AS (SELECT prompt_id, doc_id AS w FROM brn WHERE rn = 1), " +
+        "bls AS (SELECT l.prompt_id, l.doc_id AS lid, bw.w AS w FROM brn l " +
+        "JOIN bw USING (prompt_id) WHERE l.rn > 1), " +
+        "bnpf AS (SELECT least(w, lid) AS doc_a, greatest(w, lid) AS doc_b, w AS winner FROM bls), " +
+        "bngm AS (SELECT doc_a AS i, doc_b AS j FROM bnpf UNION ALL SELECT doc_b, doc_a FROM bnpf), " +
+        "bngc AS (SELECT i AS doc_id, CAST(count(*) AS BIGINT) AS games FROM bngm GROUP BY 1), " +
+        "bnwc AS (SELECT winner AS doc_id, CAST(count(*) AS BIGINT) AS wins FROM bnpf GROUP BY 1), " +
+        "bnst AS MATERIALIZED (SELECT g.doc_id, coalesce(w2.wins, CAST(0 AS BIGINT)) AS wins, g.games " +
+        "FROM bngc g LEFT JOIN bnwc w2 USING (doc_id)), " +
+        "bns0 AS (SELECT doc_id, CAST(1.0 AS DOUBLE) AS s FROM bnst), " +
+        btChain("bn", "bngm", "bnst", "bns0", Preference.Iters) + " " +
+        s"SELECT bnst.doc_id, bnst.wins, bnst.games, s.s AS strength " +
+        s"FROM bnst JOIN bns${Preference.Iters} s USING (doc_id)"),
 
     "x127_groupwise_split" ->
       (s"WITH RECURSIVE $groupSplitCtes SELECT doc_id, group_id, split FROM ga"),

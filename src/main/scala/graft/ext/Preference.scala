@@ -179,6 +179,73 @@ object Preference {
         col("top10_overlap"), col("mean_abs_gap"))
   }
 
+  // ---------------- best-of-N rejection sampling (r7) ----------------
+  //
+  // The RLHF-data edge between the scorers (x89/x130) and the preference
+  // fit (x131): candidates group into per-prompt pools (the md5 pool
+  // idiom — a deterministic stand-in for "N sampled responses per
+  // prompt"), a scorer ranks each pool, the top-1 is kept with its margin
+  // over the runner-up, and the winner-vs-each-loser comparisons feed
+  // [[btFit]] as synthetic preference data — rejection sampling's export
+  // surface, closed scorer → selection → preference in-engine.
+
+  /** Pool ASSIGNMENT for scored candidates: prompt_id = md5 draw mod the
+    * occupancy-law pool count (~[[PoolOccupancy]] candidates/prompt at
+    * any corpus size). Input: (doc_id, score). */
+  def bonAssign(scored: DataFrame, salt: String = "bon",
+      pools: Int = 0): DataFrame = {
+    val p = if (pools > 0) pools else derivedPoolCount(scored.count())
+    scored.withColumn("prompt_id", pmod(
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(":" + salt))), 1, 4), 16, 10)
+        .cast("int"), lit(p)).cast("long"))
+  }
+
+  /** Per-prompt best-of-N selection report: candidate count, the winning
+    * doc and score (score desc, doc_id asc — fully deterministic), the
+    * runner-up score, the selection margin (null for 1-candidate pools),
+    * and the pool's mean score (pool-sized sorted fold). One window pass
+    * over (prompt, score) — WindowGroupLimit-friendly.
+    */
+  def bestOfNReport(scored: DataFrame, salt: String = "bon",
+      pools: Int = 0): DataFrame = {
+    val sel = bonAssign(scored, salt, pools)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("prompt_id")
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+    val stats = sel.groupBy("prompt_id").agg(
+      count(lit(1)).as("n_candidates"),
+      (aggregate(sort_array(collect_list(col("score"))), lit(0.0), (a, x) => a + x)
+        / count(lit(1)).cast("double")).as("mean_score"))
+    val best = sel.where(col("rn") === 1)
+      .select(col("prompt_id"), col("doc_id").as("best_doc"), col("score").as("best_score"))
+    val second = sel.where(col("rn") === 2)
+      .select(col("prompt_id"), col("score").as("second_score"))
+    stats.join(best, "prompt_id")
+      .join(second, Seq("prompt_id"), "left")
+      .select(col("prompt_id"), col("n_candidates"), col("best_doc"),
+        col("best_score"), col("second_score"),
+        (col("best_score") - col("second_score")).as("margin"),
+        col("mean_score"))
+  }
+
+  /** The winner-vs-each-loser comparisons best-of-N implies — a star
+    * graph per prompt, canonical (doc_a < doc_b) like
+    * [[derivedPreferences]], ready for [[btFit]]. */
+  def bonPreferences(scored: DataFrame, salt: String = "bon",
+      pools: Int = 0): DataFrame = {
+    val sel = bonAssign(scored, salt, pools)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("prompt_id")
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+    val best = sel.where(col("rn") === 1)
+      .select(col("prompt_id"), col("doc_id").as("_w"))
+    sel.where(col("rn") > 1).select(col("prompt_id"), col("doc_id").as("_l"))
+      .join(best, "prompt_id")
+      .select(least(col("_w"), col("_l")).as("doc_a"),
+        greatest(col("_w"), col("_l")).as("doc_b"),
+        col("_w").as("winner"))
+  }
+
   /** Per-round L1 convergence of the MM fit (x122's report shape). The
     * sum is a TWO-LEVEL deterministic fold of the per-item |Δ| doubles
     * (`Stable.sortedFold` per `doc_id % √n` bucket, then `bucketFold`

@@ -306,6 +306,22 @@ object Trainer {
         / count(lit(1)).cast("double")).as("mean_score"))
   }
 
+  /** Score EVERY featured doc under the final trained weights — the
+    * generation-scorer entry the best-of-N selection consumes (x147/x148):
+    * one broadcast weight row over the feature scan, no holdout split on
+    * the apply side (training still uses only the train slice).
+    */
+  def lrScoreAll(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      buckets: Int = Buckets, iters: Int = Iters,
+      learnRate: Double = LearnRate): DataFrame = {
+    val dim = buckets + 2
+    val feats = graft.ops.Caching.cacheOnce(features(docs, buckets))
+    val wFinal = unroll(spark, trainSplit(feats, train = true), dim, iters, learnRate).last
+      .select((col("wb") +: (0 until dim).map(j => col(s"w$j"))): _*)
+    feats.crossJoin(broadcast(wFinal))
+      .select(col("doc_id"), fastSigmoid(marginCol(dim)).as("score"))
+  }
+
   /** Apply the trained model to the held-out half: per-doc fast-sigmoid
     * score, thresholded prediction, and correctness against the teacher
     * label — x89's classifier-report shape with a model the engine itself

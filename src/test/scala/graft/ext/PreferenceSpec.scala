@@ -77,6 +77,29 @@ class PreferenceSpec extends SparkTestBase {
     assert(r64 <= r16 * 1.5, s"occupancy not O(1) across 4× growth: $r16 -> $r64")
   }
 
+  test("best-of-N: deterministic selection, star-graph btFit handoff") {
+    val docs = Tables.documents(spark, sfDir)
+    val scored = Trainer.lrScoreAll(spark, docs)
+    val rep = Preference.bestOfNReport(scored).cache()
+    // the winner carries the pool max: margin >= 0 wherever a runner-up
+    // exists, and best_score >= the pool mean
+    assert(rep.where(col("margin") < 0).isEmpty)
+    assert(rep.where(col("best_score") < col("mean_score") - lit(1e-12)).isEmpty)
+    // selection is a pure function of (doc_id, score) — input partitioning
+    // must not change a single row
+    val rep2 = Preference.bestOfNReport(
+      Trainer.lrScoreAll(spark, docs.repartition(7)))
+    assert(rep.collect().map(_.toString).sorted.toSeq ===
+      rep2.collect().map(_.toString).sorted.toSeq)
+    // btFit handoff: the star comparisons mean losers never win (strength
+    // settles at the MLE boundary 0) and winners win EVERY pool game
+    val fit = Preference.btFit(Preference.bonPreferences(scored)).cache()
+    assert(fit.where(col("wins") === 0 && col("strength") =!= 0.0).isEmpty)
+    assert(fit.where(col("wins") > 0 && !(col("strength") > 0.0)).isEmpty)
+    assert(fit.where(col("wins") > 0 && col("wins") =!= col("games")).isEmpty)
+    fit.unpersist(); rep.unpersist()
+  }
+
   test("btConvergence: positive L1 deltas, decaying") {
     val d = Preference.btConvergence(Tables.documents(spark, sfDir))
       .orderBy("iter").collect().map(_.getDouble(1))
