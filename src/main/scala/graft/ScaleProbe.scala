@@ -247,6 +247,14 @@ object ScaleProbe {
         graft.ext.Similarity.lshMultiTopK(
           emb.where(col("vec_id") < 5), emb, 10).count()
       }
+      // PQ train + encode + ADC (r7): training cost is assignment-join-
+      // bound (vectors × M × K rows/iteration — k-linear); encode is one
+      // more assignment pass; ADC streams the COMPACT code table against
+      // a fixed-size broadcast LUT — time must track k with centroid
+      // state constant (M·K rows) at every scale.
+      time("pq_adc_topk") {
+        graft.ext.Similarity.pqTopK(emb.where(col("vec_id") < 5), emb, 10, 8).count()
+      }
       // Threshold note (measured): at 0.4 — only 3.2σ above the random
       // cosine noise floor for 64 dims (σ = 1/8) — TRUE pair density is
       // inherently corpus-quadratic (3.1M pairs at 64×), so OUTPUT grows

@@ -39,29 +39,41 @@ object SparkEntry {
 
   def queries: Map[String, Q] = coreQueries ++ graft.ext.ExtQueries.queries
 
-  /** Headline set timed by [[Bench]] — one per operator family. */
+  /** Headline set timed by [[Bench]] and carried on the FINAL stdout line —
+    * one per operator family, every leg >0.3 s on quiet hardware so
+    * round-over-round deltas stay readable against neighbor-load noise
+    * (r7 bench governance: stable sub-second legs live in
+    * [[benchExtraQueries]] instead). */
   def benchQueries: Seq[String] = Seq(
-    "q03_p1_projection", "q07_j1_threeway_fullouter", "q08_j2_enrich_inner",
-    "q10_u1_union_dedup", "q13_a2_groupby_agg", "q15_e1_backfill_assemble",
-    "q18_w1_lag_prev_close", "q22_o2_topk", "q23_st1_tumbling_window",
-    "q24_ja_asof_join",
-    "x03_dedup_minhash_lsh", "x06_ann_bruteforce_topk", "x09_text_quality",
-    "x20_dedup_simhash_banded", "x21_text_vocab",
-    "x28_range_join_bucketed", "x36_curate_contamination",
+    "q07_j1_threeway_fullouter", "q08_j2_enrich_inner",
+    "q10_u1_union_dedup", "q15_e1_backfill_assemble",
+    "x03_dedup_minhash_lsh",
+    "x20_dedup_simhash_banded",
+    "x28_range_join_bucketed",
     "q42_j7_star_join", "q51_pp_pruned_scan",
     "x47_sketch_heavy_hitters", "x48_bm25_topk",
     "x46_training_pipeline", "x54_curate_quality_bins",
     "x64_dedup_prefix_filter",
-    "x77_bpe_train", "x79_url_domain_curation",
+    "x77_bpe_train",
     "x80_lm_quality_score", "x81_web_corpus_pipeline",
-    "x84_dsir_importance", "x85_embedding_outliers",
+    "x84_dsir_importance",
     "x89_likelihood_classify",
     "x109_knn_label_prop", "x110_quality_rank_ensemble",
-    "x111_shard_manifest", "x114_topic_tagging",
-    "x119_retrieval_eval", "x120_html_extract", "x123_training_run_export",
-    "x124_web_ingest_pipeline",
+    "x119_retrieval_eval", "x123_training_run_export",
     "x128_split_leakage_audit", "x129_lr_train_trajectory",
-    "x131_bt_strengths", "x134_chat_sft_stats", "x135_sft_pipeline")
+    "x131_bt_strengths", "x134_chat_sft_stats", "x135_sft_pipeline",
+    "x145_retrieval_eval_set", "x146_pq_recall", "x147_best_of_n")
+
+  /** Cheap stable legs (<0.3 s quiet): still timed every round, reported
+    * on the `total_extra` stdout line and in bench_last.json, never on
+    * the capped final line. */
+  def benchExtraQueries: Seq[String] = Seq(
+    "q03_p1_projection", "q13_a2_groupby_agg", "q18_w1_lag_prev_close",
+    "q22_o2_topk", "q23_st1_tumbling_window", "q24_ja_asof_join",
+    "x06_ann_bruteforce_topk", "x09_text_quality", "x21_text_vocab",
+    "x36_curate_contamination", "x79_url_domain_curation",
+    "x85_embedding_outliers", "x111_shard_manifest", "x114_topic_tagging",
+    "x120_html_extract", "x124_web_ingest_pipeline")
 
   private def coreQueries: Map[String, Q] = Map(
     // S1+P4+F1+F4 — dimension scan with projection + pushed predicates

@@ -64,6 +64,14 @@ class VerifySpec extends AnyFunSuite {
     assert(dropped2.isEmpty || keptCosts.min >= mixed.filter { case (n, _) => dropped2.contains(n) }.map(_._2).max)
   }
 
+  test("bench headline and extra sets are disjoint and fully registered") {
+    val h = SparkEntry.benchQueries
+    val e = SparkEntry.benchExtraQueries
+    assert((h.toSet intersect e.toSet).isEmpty, "a leg is in both bench sets")
+    val unknown = (h ++ e).filterNot(SparkEntry.queries.contains)
+    assert(unknown.isEmpty, s"bench legs not in the query registry: $unknown")
+  }
+
   test("alias entry points exist and delegate to Verify (compile-time link check)") {
     // Referencing the mains is enough: if an alias object is removed the
     // spec no longer compiles. Invoking them would start full sweeps.
