@@ -153,6 +153,45 @@ object Curate {
             1L).otherwise(0L)).as("n_copies"))
   }
 
+  /** Per-source TOKEN-budget sampling — the mixture knob a pretraining
+    * run actually turns: each source contributes documents (in a
+    * deterministic hash-shuffled order) until its TOKEN budget is full,
+    * not until a document count is hit (doc-count quotas over-weight
+    * short-doc sources; [[temperatureMix]] is the doc-count form). A doc
+    * is kept iff the running token sum through it stays ≤ the budget —
+    * prefix semantics, so a retried task keeps the identical set.
+    *
+    * Report: per source, docs/tokens kept vs totals and the budget fill
+    * fraction. Everything before the final per-source rollup is exact
+    * LONG arithmetic (token counts, running sums) — no float fold
+    * anywhere; the two ratios are single exact-integer divisions.
+    *
+    * Scale shape: one window prefix-sum per source (sources are the
+    * mixture taxonomy — dozens, not millions; within a source the prefix
+    * sum is the standard sort-based running total) and one source-keyed
+    * partial aggregation. Nothing corpus-sized on the driver.
+    */
+  def tokenBudgetMix(docs: DataFrame, budget: Long,
+      salt: String = "tokmix"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("_u").asc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs.select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("_nt"),
+        uniformHash(col("doc_id"), salt).as("_u"))
+      .withColumn("_cum", sum(col("_nt")).over(w))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs_total"),
+        sum(col("_nt")).as("tokens_total"),
+        sum(when(col("_cum") <= budget, 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(when(col("_cum") <= budget, col("_nt")).otherwise(0L)).as("tokens_kept"))
+      .select(col("source"), col("n_docs_total"), col("tokens_total"),
+        col("n_docs_kept"), col("tokens_kept"), lit(budget).as("budget"),
+        (col("tokens_kept").cast("double") / lit(budget).cast("double"))
+          .as("fill_frac"))
+  }
+
   def temperatureMix(docs: DataFrame, bucketCol: Column, budget: Long,
       salt: String = "tmix"): DataFrame = {
     val w = temperatureWeights(docs, bucketCol, budget)

@@ -246,6 +246,49 @@ object Preference {
         col("_w").as("winner"))
   }
 
+  /** DPO margin floor: a chosen/rejected pair whose scorer gap is below
+    * this carries more label noise than signal (the rejection-sampling
+    * literature's margin filter); the literal is embedded in the oracle,
+    * so it lives here as THE constant, never re-derived. */
+  val DpoMinMargin = 0.05
+
+  /** DPO pair export — the (prompt, chosen, rejected) table a direct-
+    * preference-optimization run trains on (Rafailov et al., "Direct
+    * Preference Optimization", NeurIPS 2023 — public method, data-format
+    * side only). Per prompt pool: chosen = the best-of-N winner (score
+    * desc, doc_id asc — [[bestOfNReport]]'s selection), rejected = the
+    * WORST candidate (the same ranking's last row), margin = chosen −
+    * rejected score. Pools need ≥ 2 candidates, and pairs below
+    * [[DpoMinMargin]] are dropped — a near-tie teaches nothing and costs
+    * a training step.
+    *
+    * Scale shape: one window pass over (prompt, score) — pool-sized
+    * partitions by the occupancy law — then two rank-filtered slices
+    * joined back prompt-keyed. No corpus-sized state anywhere.
+    */
+  def dpoPairs(scored: DataFrame, salt: String = "bon",
+      minMargin: Double = DpoMinMargin, pools: Int = 0): DataFrame = {
+    val sel = bonAssign(scored, salt, pools)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("prompt_id")
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+    val cnt = sel.groupBy("prompt_id")
+      .agg(count(lit(1)).as("n_candidates"))
+    val chosen = sel.where(col("rn") === 1)
+      .select(col("prompt_id"), col("doc_id").as("chosen_doc"),
+        col("score").as("chosen_score"))
+    val rejected = sel.join(cnt, "prompt_id")
+      .where(col("rn") === col("n_candidates") && col("n_candidates") >= 2)
+      .select(col("prompt_id"), col("n_candidates"),
+        col("doc_id").as("rejected_doc"), col("score").as("rejected_score"))
+    rejected.join(chosen, "prompt_id")
+      .withColumn("margin", col("chosen_score") - col("rejected_score"))
+      .where(col("margin") >= lit(minMargin))
+      .select(col("prompt_id"), col("n_candidates"), col("chosen_doc"),
+        col("chosen_score"), col("rejected_doc"), col("rejected_score"),
+        col("margin"))
+  }
+
   /** Per-round L1 convergence of the MM fit (x122's report shape). The
     * sum is a TWO-LEVEL deterministic fold of the per-item |Δ| doubles
     * (`Stable.sortedFold` per `doc_id % √n` bucket, then `bucketFold`

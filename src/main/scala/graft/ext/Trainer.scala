@@ -311,6 +311,71 @@ object Trainer {
     * one broadcast weight row over the feature scan, no holdout split on
     * the apply side (training still uses only the train slice).
     */
+  /** How many most-influential training docs the report keeps. */
+  val InfluenceTopK = 20
+
+  /** Gradient-dot data influence (the TracIn idea at its last checkpoint
+    * — Pruthi et al., "Estimating Training Data Influence by Tracing
+    * Gradient Descent", NeurIPS 2020; public method): score each TRAINING
+    * document by the dot product of its per-example gradient with the
+    * held-out set's mean gradient under the final trained weights,
+    *
+    *   infl_i = ∇ℓ_i(w*) · ḡ_val(w*)
+    *           = r_i · (ḡ_b + Σ_j x_ij · ḡ_j),   r_i = σ(w*·x_i) − y_i
+    *
+    * — the curation signal "which training docs most move validation
+    * loss", the data-attribution stage a pipeline uses to up-/down-weight
+    * sources. For LR the per-example gradient factors as r_i·[1, x_i], so
+    * the whole score is ONE broadcast of (dim+1) doubles and a per-row
+    * expression — no per-doc gradient materialization.
+    *
+    * ḡ_val components are two-level deterministic folds over the held-out
+    * slice (the [[step]] discipline: sorted fold per `doc_id % √n` bucket,
+    * bucket-ordered fold of the sums — O(√n) buffers, oracle bit-exact);
+    * the per-doc dot is the left-associated [[marginCol]] tree shape.
+    * Report: the [[InfluenceTopK]] highest-influence training docs
+    * (influence desc, doc_id asc).
+    */
+  def lrInfluence(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      buckets: Int = Buckets, iters: Int = Iters,
+      learnRate: Double = LearnRate, topK: Int = InfluenceTopK): DataFrame = {
+    import graft.functions.Stable.{sortedFold, bucketFold, sqrtBuckets}
+    val dim = buckets + 2
+    val feats = graft.ops.Caching.cacheOnce(features(docs, buckets))
+    val tr = trainSplit(feats, train = true)
+    val ho = trainSplit(feats, train = false)
+    val wFinal = unroll(spark, tr, dim, iters, learnRate).last
+      .select((col("wb") +: (0 until dim).map(j => col(s"w$j"))): _*)
+    val nHo = ho.count()
+    require(nHo > 0, "held-out slice is empty — validation gradient undefined")
+    val fb = sqrtBuckets(nHo)
+    val hoScored = ho.crossJoin(broadcast(wFinal))
+      .withColumn("_r", fastSigmoid(marginCol(dim)) - col("y"))
+    val s1Cols = Seq(count(lit(1)).as("_n"), sortedFold(col("_r")).as("gv_b")) ++
+      (0 until dim).map(j =>
+        sortedFold(col("_r") * col("x").getItem(j)).as(s"gv$j"))
+    val s1 = hoScored.groupBy(pmod(col("doc_id"), lit(fb.toLong)).as("_bkt"))
+      .agg(s1Cols.head, s1Cols.tail: _*)
+    val s2Cols = Seq(sum(col("_n")).cast("double").as("_nv"),
+        bucketFold(col("_bkt"), col("gv_b")).as("gv_b")) ++
+      (0 until dim).map(j => bucketFold(col("_bkt"), col(s"gv$j")).as(s"gv$j"))
+    val gval = s1.agg(s2Cols.head, s2Cols.tail: _*)
+      .select((col("gv_b") / col("_nv")).as("gv_b") +:
+        (0 until dim).map(j => (col(s"gv$j") / col("_nv")).as(s"gv$j")): _*)
+    val dotv = (0 until dim).foldLeft(col("gv_b"): Column)(
+      (acc, j) => acc + col("x").getItem(j) * col(s"gv$j"))
+    val scored = tr.crossJoin(broadcast(wFinal)).crossJoin(broadcast(gval))
+      .select(col("doc_id"), col("y"),
+        ((fastSigmoid(marginCol(dim)) - col("y")) * dotv).as("influence"))
+      // influence DESC via an exact negation (doubles negate losslessly):
+      // withExactRank is ascending-only and range-partitioned — no
+      // single-partition global window (the PlanAudit law).
+      .withColumn("_neg", negate(col("influence")))
+    graft.ops.Quality.withExactRank(scored, Seq("_neg", "doc_id"), "rank")
+      .where(col("rank") <= topK)
+      .select(col("rank"), col("doc_id"), col("y"), col("influence"))
+  }
+
   def lrScoreAll(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
       buckets: Int = Buckets, iters: Int = Iters,
       learnRate: Double = LearnRate): DataFrame = {
