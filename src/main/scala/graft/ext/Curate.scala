@@ -164,15 +164,24 @@ object Curate {
     * Report: per source, docs/tokens kept vs totals and the budget fill
     * fraction. Everything before the final per-source rollup is exact
     * LONG arithmetic (token counts, running sums) — no float fold
-    * anywhere; the two ratios are single exact-integer divisions.
+    * anywhere; `fill_frac` is one exact-integer-derived division.
     *
     * Scale shape: one window prefix-sum per source (sources are the
     * mixture taxonomy — dozens, not millions; within a source the prefix
     * sum is the standard sort-based running total) and one source-keyed
     * partial aggregation. Nothing corpus-sized on the driver.
     */
+  /** The registered per-source token budget (x150): ~60% of a source's
+    * tokens at the small fixtures, ~6% at sf0.1 — both regimes (partial
+    * fill and hard cap) exercised by the same literal, which the oracle
+    * embeds. */
+  val TokenMixBudget = 800L
+
   def tokenBudgetMix(docs: DataFrame, budget: Long,
       salt: String = "tokmix"): DataFrame = {
+    // budget <= 0 would silently emit fill_frac = NaN/Infinity for every
+    // source (the unrollFrom fail-loudly discipline).
+    require(budget > 0, s"tokenBudgetMix: budget must be positive, got $budget")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
       .orderBy(col("_u").asc, col("doc_id").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

@@ -1030,6 +1030,29 @@ object ExtQueries {
       Preference.btFit(Preference.bonPreferences(
         Trainer.lrScoreAll(s, Tables.documents(s, dir))))),
 
+    // DPO pair export (r8): per best-of-N pool, chosen = the winner,
+    // rejected = the LAST candidate of the same trained-scorer ranking,
+    // margin = chosen − rejected; pairs under DpoMinMargin are dropped
+    // (near-ties carry more label noise than signal) — the
+    // (prompt, chosen, rejected) table a DPO run trains on.
+    "x149_dpo_pairs" -> ((s, dir) =>
+      Preference.dpoPairs(Trainer.lrScoreAll(s, Tables.documents(s, dir)))),
+
+    // Per-source TOKEN-budget mixture (r8): each source contributes its
+    // hash-shuffled document prefix until TokenMixBudget tokens — the
+    // mixture knob a pretraining run actually turns (doc-count quotas
+    // over-weight short-doc sources). Exact LONG prefix sums; fill_frac
+    // is the only division.
+    "x150_token_budget_mix" -> ((s, dir) =>
+      Curate.tokenBudgetMix(Tables.documents(s, dir), Curate.TokenMixBudget)),
+
+    // Gradient-dot data influence (r8, the TracIn idea at the final
+    // checkpoint): each training doc scored by grad_i · mean held-out
+    // gradient under the final trained weights — top-20 most influential
+    // docs, the data-attribution signal that re-weights sources.
+    "x151_lr_influence" -> ((s, dir) =>
+      Trainer.lrInfluence(s, Tables.documents(s, dir))),
+
     // The corpus→trainer export flagship (r6): temperature mixture
     // REALIZED to per-doc copies (x87's draw, row level) ∘ curriculum
     // octiles (x108's exact ntile) ∘ per-(shard, lang) manifest with
@@ -1651,6 +1674,42 @@ object ExtQueries {
       "FROM sc2 GROUP BY 1"
   }
 
+  /** x151: gradient-dot data influence (TracIn at the final checkpoint).
+    * The held-out mean gradient is the SAME two-level √n fold shape as
+    * the training chain (sorted fold per `doc_id % B` bucket, bucket-
+    * ordered fold of the sums, B = ceil(sqrt(|holdout|))); the per-
+    * training-doc dot mirrors Spark's left-associated chain; top-K by
+    * influence DESC, doc_id. */
+  private def lrInfluenceSql(buckets: Int, iters: Int, topK: Int): String = {
+    val dim = buckets + 2
+    val m = (Seq("w.wb") ++ (0 until dim).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
+    s"WITH ${lrCtes(buckets, iters)}, " +
+      "ho AS (SELECT * FROM fx WHERE NOT (" +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5)), " +
+      "ifb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM ho), " +
+      "ihr AS (SELECT doc_id, x, ((0.5 + 0.5*m/(1.0 + abs(m))) - y) AS r FROM " +
+      s"(SELECT f.doc_id, f.x, f.y, ($m) AS m FROM ho f CROSS JOIN wi$iters w)), " +
+      "is1 AS (SELECT doc_id % (SELECT b FROM ifb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
+      (Seq("list_aggregate(list_sort(list(r)), 'sum') AS gvb") ++
+        (0 until dim).map(j =>
+          s"list_aggregate(list_sort(list(r*x[${j + 1}])), 'sum') AS gv$j")).mkString(", ") +
+      " FROM ihr GROUP BY 1), " +
+      "igv AS (SELECT CAST(sum(n) AS DOUBLE) AS nv, " +
+      (Seq("list_aggregate(list(gvb ORDER BY bkt), 'sum') AS gvb") ++
+        (0 until dim).map(j =>
+          s"list_aggregate(list(gv$j ORDER BY bkt), 'sum') AS gv$j")).mkString(", ") +
+      " FROM is1), " +
+      "igm AS (SELECT " +
+      (Seq("gvb/nv AS gvb") ++ (0 until dim).map(j => s"gv$j/nv AS gv$j")).mkString(", ") +
+      " FROM igv), " +
+      s"itr AS (SELECT f.doc_id, f.y, f.x, ($m) AS m FROM tr f CROSS JOIN wi$iters w), " +
+      "isc AS (SELECT t.doc_id, t.y, ((0.5 + 0.5*t.m/(1.0 + abs(t.m))) - t.y) * (" +
+      (Seq("g.gvb") ++ (0 until dim).map(j => s"t.x[${j + 1}]*g.gv$j")).mkString(" + ") +
+      ") AS influence FROM itr t CROSS JOIN igm g) " +
+      "SELECT * FROM (SELECT CAST(row_number() OVER (ORDER BY influence DESC, doc_id) AS BIGINT) AS rank, " +
+      s"doc_id, y, influence FROM isc) WHERE rank <= $topK"
+  }
+
   /** x136: warm-start continuation vs cold retrain, one comparison row. */
   private def lrIncrementalSql(buckets: Int, itersBase: Int, itersWarm: Int): String = {
     val dim = buckets + 2
@@ -1725,10 +1784,11 @@ object ExtQueries {
 
   /** One PQ config's full train→encode→ADC chain (x146) — the DuckDB twin
     * of [[Similarity.pqTrain]]/[[Similarity.pqTopK]]: subvector slices,
-    * first-K init, `iters` Lloyd rounds with per-(sub, cid, dim)
-    * sorted-fold means (empty cells keep their centroid), final-codebook
-    * encode, query dot LUT, sub-ordered ADC score folds, per-query top-k.
-    * Ends with `${p}tk (q_id, vec_id)`.
+    * the bounded md5-stride training sample, K-smallest-sampled init,
+    * `iters` Lloyd rounds with per-(sub, cid, dim) sorted-fold means
+    * (empty cells keep their centroid), final-codebook encode over the
+    * FULL corpus, query dot LUT, sub-ordered ADC score folds, per-query
+    * top-k. Ends with `${p}tk (q_id, vec_id)`.
     */
   private def pqChainSql(p: String, m: Int, kc: Int, iters: Int, k: Int): String = {
     val ds = Similarity.PqDims / m
@@ -1740,17 +1800,23 @@ object ExtQueries {
     def dot(x: String, c: String): String =
       if (ds == 1) s"$x[1]*$c[1]"
       else s"list_aggregate(list_transform(range(1, ${ds + 1}), i -> $x[i]*$c[i]), 'sum')"
-    def assign(name: String, centName: String): String =
+    def assign(name: String, srcName: String, centName: String): String =
       s"$name AS (SELECT vec_id, sub, svec, cid FROM (" +
         s"SELECT v.vec_id, v.sub, v.svec, c.cid, row_number() OVER (PARTITION BY v.vec_id, v.sub " +
-        s"ORDER BY ${l2("v.svec", "c.cvec")}, c.cid) AS r FROM ${p}sv v JOIN $centName c USING (sub)) WHERE r = 1)"
+        s"ORDER BY ${l2("v.svec", "c.cvec")}, c.cid) AS r FROM $srcName v JOIN $centName c USING (sub)) WHERE r = 1)"
     val sb = new StringBuilder
     sb ++= s"${p}sv AS MATERIALIZED (SELECT vec_id, CAST(s.sub AS BIGINT) AS sub, s.svec AS svec FROM " +
       s"(SELECT vec_id, unnest(list_transform(range(0, $m), ss -> struct_pack(sub := ss, " +
       s"svec := (CAST(embedding AS DOUBLE[]))[ss*$ds+1 : ss*$ds+$ds]))) AS s FROM embeddings)), "
-    sb ++= s"${p}c0 AS (SELECT sub, CAST(vec_id AS BIGINT) AS cid, svec AS cvec FROM ${p}sv WHERE vec_id < $kc), "
+    // bounded deterministic training sample: stride from ONE corpus count
+    // (Similarity.pqTrainStride), then the md5 keep-1-in-stride draw
+    sb ++= s"${p}st AS (SELECT greatest(1, CAST(ceil(count(*) / ${Similarity.PqTrainCap}.0) AS BIGINT)) AS s FROM embeddings), "
+    sb ++= s"${p}ssv AS MATERIALIZED (SELECT * FROM ${p}sv WHERE " +
+      s"CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':pqs'), 1, 4)) AS INT) % (SELECT s FROM ${p}st) = 0), "
+    sb ++= s"${p}ini AS (SELECT vec_id FROM (SELECT DISTINCT vec_id FROM ${p}ssv) ORDER BY vec_id LIMIT $kc), "
+    sb ++= s"${p}c0 AS (SELECT sub, CAST(v.vec_id AS BIGINT) AS cid, svec AS cvec FROM ${p}ssv v JOIN ${p}ini USING (vec_id)), "
     for (t <- 1 to iters) {
-      sb ++= assign(s"${p}a$t", s"${p}c${t - 1}") + ", "
+      sb ++= assign(s"${p}a$t", s"${p}ssv", s"${p}c${t - 1}") + ", "
       sb ++= s"${p}u$t AS (SELECT sub, cid, u.d AS d, " +
         "list_aggregate(list_sort(list(u.v)), 'sum')/count(*) AS mv FROM " +
         s"(SELECT sub, cid, unnest(list_transform(range(1, ${ds + 1}), i -> struct_pack(d := i, v := svec[i]))) AS u " +
@@ -1759,7 +1825,7 @@ object ExtQueries {
       sb ++= s"${p}c$t AS MATERIALIZED (SELECT c.sub, c.cid, coalesce(mm.cvec, c.cvec) AS cvec " +
         s"FROM ${p}c${t - 1} c LEFT JOIN ${p}m$t mm USING (sub, cid)), "
     }
-    sb ++= assign(s"${p}enc", s"${p}c$iters") + ", "
+    sb ++= assign(s"${p}enc", s"${p}sv", s"${p}c$iters") + ", "
     sb ++= s"${p}lut AS (SELECT q.vec_id AS q_id, q.sub, c.cid, ${dot("q.svec", "c.cvec")} AS pdot " +
       s"FROM ${p}sv q JOIN ${p}c$iters c USING (sub) WHERE q.vec_id < 5), "
     sb ++= s"${p}scs AS (SELECT l.q_id, e.vec_id, list_aggregate(list(l.pdot ORDER BY l.sub), 'sum') AS score " +
@@ -3045,6 +3111,42 @@ object ExtQueries {
         btChain("bn", "bngm", "bnst", "bns0", Preference.Iters) + " " +
         s"SELECT bnst.doc_id, bnst.wins, bnst.games, s.s AS strength " +
         s"FROM bnst JOIN bns${Preference.Iters} s USING (doc_id)"),
+
+    // Chosen = pool rank 1, rejected = pool rank n_candidates, both from
+    // the SAME brn ranking; the DpoMinMargin literal is embedded below so
+    // the floor itself is oracle-verified.
+    "x149_dpo_pairs" ->
+      (s"WITH ${bonCtes(Trainer.Buckets, Trainer.Iters)}, " +
+        "dct AS (SELECT prompt_id, CAST(count(*) AS BIGINT) AS n_candidates FROM brn GROUP BY 1), " +
+        "dch AS (SELECT prompt_id, doc_id AS chosen_doc, score AS chosen_score FROM brn WHERE rn = 1), " +
+        "drj AS (SELECT r.prompt_id, c.n_candidates, r.doc_id AS rejected_doc, r.score AS rejected_score " +
+        "FROM brn r JOIN dct c USING (prompt_id) WHERE r.rn = c.n_candidates AND c.n_candidates >= 2) " +
+        "SELECT r.prompt_id, r.n_candidates, ch.chosen_doc, ch.chosen_score, " +
+        "r.rejected_doc, r.rejected_score, ch.chosen_score - r.rejected_score AS margin " +
+        "FROM drj r JOIN dch ch USING (prompt_id) " +
+        s"WHERE ch.chosen_score - r.rejected_score >= ${Preference.DpoMinMargin}"),
+
+    // Exact-integer window prefix sums over the hash-shuffled per-source
+    // order; the budget literal is embedded (Curate.TokenMixBudget).
+    "x150_token_budget_mix" -> {
+      val b = Curate.TokenMixBudget
+      s"WITH t AS ($toksCte), " +
+        "tn AS (SELECT t.doc_id, d.source, CAST(len(t.toks) AS BIGINT) AS nt, " +
+        "CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR) || ':tokmix'), 1, 8)) AS BIGINT)/4294967296.0 AS u " +
+        "FROM t JOIN documents d ON t.doc_id = d.doc_id), " +
+        "tc AS (SELECT *, sum(nt) OVER (PARTITION BY source ORDER BY u, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM tn) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs_total, " +
+        "CAST(sum(nt) AS BIGINT) AS tokens_total, " +
+        s"CAST(sum(CASE WHEN cum <= $b THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept, " +
+        s"CAST(sum(CASE WHEN cum <= $b THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept, " +
+        s"CAST($b AS BIGINT) AS budget, " +
+        s"CAST(sum(CASE WHEN cum <= $b THEN nt ELSE 0 END) AS DOUBLE)/$b.0 AS fill_frac " +
+        "FROM tc GROUP BY source"
+    },
+
+    "x151_lr_influence" ->
+      lrInfluenceSql(Trainer.Buckets, Trainer.Iters, Trainer.InfluenceTopK),
 
     "x127_groupwise_split" ->
       (s"WITH RECURSIVE $groupSplitCtes SELECT doc_id, group_id, split FROM ga"),

@@ -762,14 +762,16 @@ object Similarity {
   // then score(v) = Σ_m LUT[m][code_m(v)] — the memory lever that makes a
   // 100 TB vector corpus RAM-resident.
   //
-  // Engine shape: all M subspace k-means run in ONE loop — the subspace id
-  // is part of the grouping key, so an iteration is one broadcast-centroid
-  // assignment join plus one (sub, cid, dim)-keyed partial aggregation;
-  // centroid state is (M·K) rows, localCheckpointed per round. Unlike the
-  // driver-collected [[kmeansCentroids]], every mean here is a per-cell
-  // SORTED fold — bit-deterministic, so the DuckDB oracle replays the
-  // whole train→encode→ADC chain and x146 hash-matches (stronger than
-  // x40's self-verifying report form).
+  // Engine shape: all M subspace k-means run in ONE loop over a BOUNDED
+  // deterministic sample — the subspace id is part of the grouping key,
+  // so an iteration is one per-row argmin fold over the broadcast packed
+  // codebook (zero row expansion — the r7 form join-expanded N·M·K rows)
+  // plus one (sub, cid, dim)-keyed partial aggregation; centroid state is
+  // (M·K) rows, localCheckpointed per round. Unlike the driver-collected
+  // [[kmeansCentroids]], every mean here is a per-cell SORTED fold —
+  // bit-deterministic, so the DuckDB oracle replays the whole
+  // train→encode→ADC chain and x146 hash-matches (stronger than x40's
+  // self-verifying report form).
 
   val PqK = 16
   val PqIters = 2
@@ -795,29 +797,99 @@ object Similarity {
   private def dotFold(x: Column, c: Column): Column =
     aggregate(zip_with(x, c, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
 
-  /** Nearest-centroid assignment per (vec, sub): argmin of squared L2,
-    * ties to the smaller cid (min over (d2, cid) structs — no window). */
-  def pqAssign(sub: DataFrame, cents: DataFrame): DataFrame =
-    sub.join(broadcast(cents), "sub")
-      .select(col("vec_id"), col("sub"), col("svec"),
-        struct(l2sq(col("svec"), col("cvec")).as("d2"), col("cid")).as("dc"))
-      .groupBy("vec_id", "sub")
-      .agg(first(col("svec")).as("svec"), min(col("dc")).as("dc"))
-      .select(col("vec_id"), col("sub"), col("svec"), col("dc.cid").as("cid"))
+  /** Codebook training-sample cap: Lloyd runs on at most ~this many
+    * vectors. PQ codebooks are trained on a bounded sample, never the
+    * corpus (standard PQ practice — the codebook is M·K constants, a few
+    * thousand training vectors saturate it); the draw is a deterministic
+    * md5 stride so the DuckDB oracle replays the identical sample. At
+    * the fixtures (n ≤ cap) the sample is the whole corpus. */
+  val PqTrainCap = 4096L
 
-  /** Train the M×K codebook: init = the first K vectors' subvectors
-    * (cid j = vec j), then `iters` Lloyd rounds — assignment join +
-    * per-(sub, cid, dim) sorted-fold means; empty cells keep their
+  /** md5-draw keep-1-in-stride so the expected sample is ~[[PqTrainCap]]
+    * (the occupancy-law shape: one count, then a pure per-row predicate). */
+  def pqTrainStride(n: Long): Long =
+    math.max(1L, math.ceil(n.toDouble / PqTrainCap).toLong)
+
+  /** The bounded deterministic training sample: `md5(vec_id:pqs) mod
+    * stride == 0` — reproducible across retries and engines (the
+    * [[Curate.hashSample]] discipline). */
+  def pqTrainSample(emb: DataFrame): DataFrame = {
+    val stride = pqTrainStride(emb.count())
+    emb.where(
+      conv(substring(md5(concat(col("vec_id").cast("string"), lit(":pqs"))), 1, 4), 16, 10)
+        .cast("int") % stride === 0)
+  }
+
+  /** Pack the (sub, cid, cvec) codebook into M broadcast rows — one
+    * cid-sorted array per subspace — so assignment is a per-row argmin
+    * FOLD (strict `<` keeps the first = lowest cid on ties), not a ×K
+    * join expansion. The [[assignCells]] idiom at PQ shape: the r7 form
+    * joined every subvector row against all K centroids and collapsed
+    * N·M·K intermediate rows through a shuffle; this form does the same
+    * argmin inside one codegen'd expression at scan speed. */
+  private def packPqCodebook(cents: DataFrame): DataFrame =
+    broadcast(cents.groupBy("sub")
+      .agg(array_sort(collect_list(struct(col("cid"), col("cvec")))).as("_cb")))
+
+  /** Nearest-centroid assignment per (vec, sub): argmin of squared L2,
+    * ties to the smaller cid — a per-row fold over the M-row broadcast
+    * packed codebook (equi-join on `sub` matches exactly one codebook row
+    * per subvector row: zero row amplification, zero shuffle). */
+  def pqAssign(sub: DataFrame, cents: DataFrame): DataFrame = {
+    val init = struct(lit(Double.PositiveInfinity).as("d2"), lit(Long.MaxValue).as("cid"))
+    val best = aggregate(col("_cb"), init, (acc, c) => {
+      val d2 = l2sq(col("svec"), c.getField("cvec"))
+      when(d2 < acc.getField("d2"),
+        struct(d2.as("d2"), c.getField("cid").as("cid"))).otherwise(acc)
+    })
+    sub.join(packPqCodebook(cents), "sub")
+      .select(col("vec_id"), col("sub"), col("svec"), best.getField("cid").as("cid"))
+  }
+
+  /** The whole codebook as ONE broadcast row, in the [[PqEncode]] layout:
+    * `_cbf` = flat doubles in (sub, pos, dim) order (positions cid-sorted,
+    * so position order == cid order) and `_cids` = the cid per (sub, pos)
+    * for mapping encoded positions back to centroid identities. */
+  private def packPqFlat(cents: DataFrame): DataFrame = {
+    val perSub = cents.groupBy("sub")
+      .agg(array_sort(collect_list(struct(col("cid"), col("cvec")))).as("cb"))
+    broadcast(perSub.agg(
+      flatten(transform(array_sort(collect_list(struct(col("sub"), col("cb")))),
+        s => flatten(transform(s.getField("cb"), c => c.getField("cvec"))))).as("_cbf"),
+      transform(array_sort(collect_list(struct(col("sub"), col("cb")))),
+        s => transform(s.getField("cb"), c => c.getField("cid"))).as("_cids")))
+  }
+
+  /** Train the M×K codebook on the BOUNDED [[pqTrainSample]]: init = the
+    * K smallest sampled vectors' subvectors (cid = vec id; at the dense
+    * fixtures this is exactly vectors 0..K−1), then `iters` Lloyd rounds
+    * — the codegen'd [[graft.functions.PqEncode]] assignment over the
+    * single broadcast packed-codebook row (zero shuffle, zero expansion)
+    * + per-(sub, cid, dim) sorted-fold means; empty cells keep their
     * previous centroid. Centroid state is M·K rows, checkpointed per
-    * round (the CC/PageRank lineage discipline). */
+    * round (the CC/PageRank lineage discipline). Training cost is
+    * sample-sized — a constant — regardless of corpus size; only the
+    * final encode pass scans the corpus. */
   def pqTrain(emb: DataFrame, m: Int, k: Int = PqK,
       iters: Int = PqIters): DataFrame = {
-    val sub = graft.ops.Caching.cacheOnce(pqSubvectors(emb, m))
-    var cents = sub.where(col("vec_id") < k)
+    graft.functions.PqEncode.register(emb.sparkSession)
+    val ds = PqDims / m
+    val sampleEmb = graft.ops.Caching.cacheOnce(pqTrainSample(emb))
+    val initIds = sampleEmb.select("vec_id").orderBy("vec_id").limit(k)
+    var cents = pqSubvectors(sampleEmb.join(broadcast(initIds), "vec_id"), m)
       .select(col("sub"), col("vec_id").as("cid"), col("svec").as("cvec"))
       .localCheckpoint()
+    val sample = sampleEmb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     for (_ <- 1 to iters) {
-      val means = pqAssign(sub, cents)
+      val means = sample.crossJoin(packPqFlat(cents))
+        .select(col("e"), col("_cids"),
+          graft.functions.PqEncode.pqEncode(col("e"), col("_cbf"), m).as("codes"))
+        .select(col("e"), col("_cids"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .select(col("sub").cast("long").as("sub"),
+          element_at(element_at(col("_cids"), (col("sub") + 1).cast("int")),
+            col("code")).as("cid"),
+          slice(col("e"), col("sub") * ds + 1, lit(ds)).as("svec"))
         .select(col("sub"), col("cid"), posexplode(col("svec")).as(Seq("d", "v")))
         .groupBy("sub", "cid", "d")
         .agg((graft.functions.Stable.sortedFold(col("v"))
@@ -832,26 +904,39 @@ object Similarity {
     cents
   }
 
-  /** ADC top-k: queries stay full-precision; the (N_q · M · K)-row dot
-    * LUT broadcasts against the compact code table, scores fold the M
-    * partial dots in subspace order. */
+  /** ADC top-k: queries stay full-precision; corpus vectors are encoded
+    * to M codebook POSITIONS by the codegen'd [[graft.functions.PqEncode]]
+    * kernel over the single packed codebook row (zero shuffle, zero
+    * expansion — the r7 form ran a ×K assignment join over the whole
+    * corpus, 67% of the bench), and each query carries its (M × K) dot
+    * LUT as one broadcast array. Scoring folds `lut[s][code_s]` in
+    * subspace order — the identical doubles, in the identical order, as
+    * the oracle's sub-ordered pdot sum. */
   def pqTopK(queries: DataFrame, emb: DataFrame, k: Int, m: Int,
       kc: Int = PqK, iters: Int = PqIters): DataFrame = {
-    val cents = pqTrain(emb, m, kc, iters)
-    val codes = pqAssign(pqSubvectors(emb, m), cents)
-      .select("vec_id", "sub", "cid")
-    val lut = broadcast(pqSubvectors(queries, m)
-      .select(col("vec_id").as("q_id"), col("sub"), col("svec"))
-      .join(broadcast(cents), "sub")
-      .select(col("q_id"), col("sub"), col("cid"),
-        dotFold(col("svec"), col("cvec")).as("pdot")))
-    codes.join(lut, Seq("sub", "cid"))
+    graft.functions.PqEncode.register(emb.sparkSession)
+    val ds = PqDims / m
+    val packed = packPqFlat(pqTrain(emb, m, kc, iters))
+    val codes = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .crossJoin(packed)
+      .select(col("vec_id"),
+        graft.functions.PqEncode.pqEncode(col("e"), col("_cbf"), m).as("codes"))
+    // per-query LUT: lut[s][pos] = q_subvec(s) · cvec(s, pos) — N_q · M · K
+    // dots over the broadcast flat codebook (query-side only, tiny)
+    val lutCol = transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(sequence(lit(0), lit(kc - 1)), p =>
+        dotFold(slice(col("qe"), s * ds + 1, lit(ds)),
+          slice(col("_cbf"), (s * kc + p) * ds + 1, lit(ds)))))
+    val qlut = broadcast(queries
+      .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qe"))
+      .crossJoin(packed)
+      .select(col("q_id"), lutCol.as("lut")))
+    codes.crossJoin(qlut)
       .where(col("q_id") =!= col("vec_id"))
-      .groupBy("q_id", "vec_id")
-      .agg(aggregate(
-        transform(sort_array(collect_list(struct(col("sub"), col("pdot")))),
-          s => s.getField("pdot")),
-        lit(0.0), (a, x) => a + x).as("score"))
+      .select(col("q_id"), col("vec_id"),
+        aggregate(zip_with(col("lut"), col("codes"), (l, c) => element_at(l, c)),
+          lit(0.0), (a, x) => a + x).as("score"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc))
         .cast("long"))

@@ -306,11 +306,6 @@ object Trainer {
         / count(lit(1)).cast("double")).as("mean_score"))
   }
 
-  /** Score EVERY featured doc under the final trained weights — the
-    * generation-scorer entry the best-of-N selection consumes (x147/x148):
-    * one broadcast weight row over the feature scan, no holdout split on
-    * the apply side (training still uses only the train slice).
-    */
   /** How many most-influential training docs the report keeps. */
   val InfluenceTopK = 20
 
@@ -376,6 +371,11 @@ object Trainer {
       .select(col("rank"), col("doc_id"), col("y"), col("influence"))
   }
 
+  /** Score EVERY featured doc under the final trained weights — the
+    * generation-scorer entry the best-of-N selection consumes (x147/x148):
+    * one broadcast weight row over the feature scan, no holdout split on
+    * the apply side (training still uses only the train slice).
+    */
   def lrScoreAll(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
       buckets: Int = Buckets, iters: Int = Iters,
       learnRate: Double = LearnRate): DataFrame = {

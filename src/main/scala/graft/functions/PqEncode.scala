@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Native product-quantization encoder: for each of `m` subspaces, the
+  * 1-based POSITION of the squared-L2-nearest codebook entry — the PQ
+  * assignment/encode kernel as one whole-stage-codegen'd primitive loop.
+  *
+  * Inputs: the vector as `array<double>` (length D = m·ds) and the flat
+  * codebook as `array<double>` in (sub, pos, dim) order (length m·K·ds,
+  * positions cid-sorted by the packer so position order == cid order).
+  *
+  * The composable form (a `transform(sequence(..))` of `aggregate` folds
+  * over a nested codebook array) is evaluated per element by the
+  * interpreted HOF machinery — ~m·K accumulator structs and lambda frames
+  * PER ROW, which at (m=64, K=256) is 16k interpreted steps/row and
+  * dominated x146's runtime. This expression does the identical
+  * arithmetic — per-dim `(x−c)²` products accumulated left-to-right,
+  * strict `<` argmin so ties keep the FIRST (= lowest-cid) position — in
+  * a tight loop, so it is drop-in interchangeable and hash-matches the
+  * same DuckDB oracle.
+  */
+case class PqEncode(left: Expression, right: Expression, m: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) if m > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments and m > 0, got ${l.sql}, ${r.sql}, m=$m")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+  // null on shape mismatch (D not divisible by m, codebook not m·K·ds)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val cb = b.asInstanceOf[ArrayData]
+    val d = x.numElements()
+    if (d % m != 0 || d == 0) return null
+    val ds = d / m
+    val k = cb.numElements() / (m * ds)
+    if (k * m * ds != cb.numElements() || k == 0) return null
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = Double.PositiveInfinity
+      var bestPos = 0
+      var p = 0
+      while (p < k) {
+        val base = (s * k + p) * ds
+        var d2 = 0.0
+        var i = 0
+        while (i < ds) {
+          val t = x.getDouble(s * ds + i) - cb.getDouble(base + i)
+          d2 += t * t
+          i += 1
+        }
+        if (d2 < best) { best = d2; bestPos = p + 1 }
+        p += 1
+      }
+      out(s) = bestPos
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val d = ctx.freshName("d")
+      val ds = ctx.freshName("ds")
+      val k = ctx.freshName("k")
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val best = ctx.freshName("best")
+      val bestPos = ctx.freshName("bestPos")
+      val base = ctx.freshName("base")
+      val d2 = ctx.freshName("d2")
+      val t = ctx.freshName("t")
+      s"""
+         |int $d = $a.numElements();
+         |if ($d == 0 || $d % $m != 0) { ${ev.isNull} = true; } else {
+         |  int $ds = $d / $m;
+         |  int $k = $b.numElements() / ($m * $ds);
+         |  if ($k == 0 || $k * $m * $ds != $b.numElements()) { ${ev.isNull} = true; } else {
+         |    int[] $out = new int[$m];
+         |    for (int $s = 0; $s < $m; $s++) {
+         |      double $best = Double.POSITIVE_INFINITY;
+         |      int $bestPos = 0;
+         |      for (int $p = 0; $p < $k; $p++) {
+         |        int $base = ($s * $k + $p) * $ds;
+         |        double $d2 = 0.0;
+         |        for (int $i = 0; $i < $ds; $i++) {
+         |          double $t = $a.getDouble($s * $ds + $i) - $b.getDouble($base + $i);
+         |          $d2 += $t * $t;
+         |        }
+         |        if ($d2 < $best) { $best = $d2; $bestPos = $p + 1; }
+         |      }
+         |      $out[$s] = $bestPos;
+         |    }
+         |    ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqEncode {
+  val Name = "graft_pq_encode"
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(Name),
+      new ExpressionInfo(classOf[PqEncode].getName, Name),
+      (children: Seq[Expression]) => children(2) match {
+        case Literal(v: Int, IntegerType) => PqEncode(children(0), children(1), v)
+        case other => throw new IllegalArgumentException(
+          s"$Name: m must be an integer literal, got $other")
+      })
+
+  /** Codegen'd PQ encode; requires [[register]] on the session first. */
+  def pqEncode(vec: Column, flatCodebook: Column, m: Int): Column =
+    call_function(Name, vec, flatCodebook, org.apache.spark.sql.functions.lit(m))
+}

@@ -72,9 +72,11 @@ class PlanAuditSpec extends SparkTestBase {
     "x142_bt_incremental" -> "crossJoin of three single-row report folds (counts, gap, overlap — constants)",
     "x143_lr_group_fairness" -> "x130's 1-row broadcast final-weight scoring feeding the per-group audit (constant model state)",
     "x145_retrieval_eval_set" -> "broadcast-query-SET stream: the corpus joins the 5-row query/relevance broadcast (x06's shape, N bounded) + x48's 1-row corpus-stats fold + the x06-shaped brute-force ANN leg (scale path = lshMultiTopK via the same ranked-list interface)",
-    "x146_pq_recall" -> "crossJoin of three single-row count aggregates per config (recall-report constants, x69's shape); the training/ADC joins themselves are equi on (sub)/(sub, cid)",
+    "x146_pq_recall" -> "crossJoin of three single-row count aggregates per config (recall-report constants, x69's shape) + crossJoins against the ONE-ROW packed flat codebook (PqEncode assignment/encode/LUT, constant) and the broadcast 5-row query-LUT stream (x06's shape)",
     "x147_best_of_n" -> "x130's 1-row broadcast final-weight scoring ahead of the pool selection (constant model state)",
-    "x148_bon_preference_fit" -> "x130's 1-row broadcast final-weight scoring feeding the preference fit (constant model state)"
+    "x148_bon_preference_fit" -> "x130's 1-row broadcast final-weight scoring feeding the preference fit (constant model state)",
+    "x149_dpo_pairs" -> "x130's 1-row broadcast final-weight scoring ahead of the pool selection (constant model state, x147's shape)",
+    "x151_lr_influence" -> "x130's 1-row broadcast final-weight scoring + ONE broadcast mean-held-out-gradient row (B+3 doubles, constant model state)"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {

@@ -352,4 +352,31 @@ class CurateSpec extends SparkTestBase {
     assert(changed.size === 1)
     assert(base(changed.head)._1 === bad(changed.head)._1) // n_docs unchanged
   }
+
+  test("tokenBudgetMix: exact prefix semantics, deterministic, bad budget fails loudly") {
+    // Equal-length docs make the prefix count order-independent: 3 docs x
+    // 3 tokens against budget 7 keeps exactly 2 docs / 6 tokens no matter
+    // which hash order the draw shuffles them into.
+    val tiny = Seq((1L, "s", "a b c"), (2L, "s", "d e f"), (3L, "s", "g h i"))
+      .toDF("doc_id", "source", "text")
+    val row = Curate.tokenBudgetMix(tiny, 7L).collect().head
+    assert(row.getLong(row.fieldIndex("n_docs_total")) === 3L)
+    assert(row.getLong(row.fieldIndex("tokens_total")) === 9L)
+    assert(row.getLong(row.fieldIndex("n_docs_kept")) === 2L)
+    assert(row.getLong(row.fieldIndex("tokens_kept")) === 6L)
+    assert(row.getDouble(row.fieldIndex("fill_frac")) === 6.0 / 7.0)
+    // fixture scale: kept never exceeds the budget or the totals, and a
+    // retried task keeps the IDENTICAL set (hash order, not rand())
+    val docs = Tables.documents(spark, sfDir)
+    val mix = Curate.tokenBudgetMix(docs, Curate.TokenMixBudget).cache()
+    assert(mix.where(col("tokens_kept") > col("budget")).isEmpty)
+    assert(mix.where(col("n_docs_kept") > col("n_docs_total") ||
+      col("tokens_kept") > col("tokens_total")).isEmpty)
+    assert(mix.collect().toSet ===
+      Curate.tokenBudgetMix(docs.repartition(7), Curate.TokenMixBudget).collect().toSet)
+    mix.unpersist()
+    // budget <= 0 fails loudly instead of NaN/Infinity fill_frac
+    intercept[IllegalArgumentException] { Curate.tokenBudgetMix(docs, 0L) }
+    intercept[IllegalArgumentException] { Curate.tokenBudgetMix(docs, -5L) }
+  }
 }

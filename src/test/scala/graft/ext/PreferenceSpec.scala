@@ -100,6 +100,32 @@ class PreferenceSpec extends SparkTestBase {
     fit.unpersist(); rep.unpersist()
   }
 
+  test("dpoPairs: chosen/rejected are pool extremes; margin floor drops near-ties") {
+    // Controlled single pool (pools = 1): extremes and the floor are exact.
+    val scored = Seq((1L, 0.90), (2L, 0.88), (3L, 0.50)).toDF("doc_id", "score")
+    val pairs = Preference.dpoPairs(scored, pools = 1).collect()
+    assert(pairs.length === 1)
+    val r = pairs.head
+    assert(r.getLong(r.fieldIndex("chosen_doc")) === 1L)
+    assert(r.getLong(r.fieldIndex("rejected_doc")) === 3L)
+    assert(r.getLong(r.fieldIndex("n_candidates")) === 3L)
+    assert(math.abs(r.getDouble(r.fieldIndex("margin")) - 0.4) < 1e-15)
+    // a pool whose best-worst gap is under the floor exports NOTHING
+    val tight = Seq((1L, 0.90), (2L, 0.88)).toDF("doc_id", "score")
+    assert(Preference.dpoPairs(tight, pools = 1).isEmpty)
+    // ...and a 1-candidate pool can never pair with itself
+    assert(Preference.dpoPairs(Seq((1L, 0.9)).toDF("doc_id", "score"), pools = 1).isEmpty)
+    // fixture-scale invariants: floor respected, chosen strictly above
+    // rejected, pools of >= 2, deterministic
+    val full = Preference.dpoPairs(
+      Trainer.lrScoreAll(spark, Tables.documents(spark, sfDir))).cache()
+    assert(full.where(col("margin") < Preference.DpoMinMargin).isEmpty)
+    assert(full.where(col("chosen_score") <= col("rejected_score")).isEmpty)
+    assert(full.where(col("n_candidates") < 2).isEmpty)
+    assert(full.where(col("chosen_doc") === col("rejected_doc")).isEmpty)
+    full.unpersist()
+  }
+
   test("btConvergence: positive L1 deltas, decaying") {
     val d = Preference.btConvergence(Tables.documents(spark, sfDir))
       .orderBy("iter").collect().map(_.getDouble(1))

@@ -116,4 +116,24 @@ class TrainerSpec extends SparkTestBase {
     assert(acc > base, s"learned accuracy $acc should beat base rate $base")
     scored.unpersist()
   }
+
+  test("lrInfluence: contiguous top-k ranks, influence-desc/doc_id-asc order, deterministic") {
+    val docs = Tables.documents(spark, sfDir)
+    val inf = Trainer.lrInfluence(spark, docs).cache()
+    val rows = inf.orderBy("rank").collect()
+    assert(rows.length === Trainer.InfluenceTopK)
+    assert(rows.map(_.getLong(0)).toSeq === (1L to rows.length.toLong))
+    // strict ordering: influence descending, ties broken by ascending
+    // doc_id (the withExactRank contract — no nondeterministic tie order)
+    rows.sliding(2).foreach { w =>
+      val (a, b) = (w(0), w(1))
+      val (ia, ib) = (a.getDouble(a.fieldIndex("influence")), b.getDouble(b.fieldIndex("influence")))
+      assert(ia > ib || (ia == ib && a.getLong(a.fieldIndex("doc_id")) < b.getLong(b.fieldIndex("doc_id"))),
+        s"rank order violated at ${a.getLong(0)}: $ia/$ib")
+    }
+    // doc ids come from the TRAIN slice only, and the report is stable
+    // across input partitioning
+    assert(inf.collect().toSet === Trainer.lrInfluence(spark, docs.repartition(7)).collect().toSet)
+    inf.unpersist()
+  }
 }
