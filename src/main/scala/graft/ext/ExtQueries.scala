@@ -1637,7 +1637,9 @@ object ExtQueries {
       "((0.5 + 0.5*m/(1.0 + abs(m))) >= 0.5) = (y = 1.0) AS is_correct FROM mf"
   }
 
-  /** x143: per-language fairness audit over the held-out scores. */
+  /** x143: per-language fairness audit over the held-out scores. The
+    * mean-score fold is two-level (√|holdout| buckets inside each group —
+    * Trainer.lrGroupFairness's twin). */
   private def lrFairnessSql(buckets: Int, iters: Int): String = {
     val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
     s"WITH ${lrCtes(buckets, iters)}, " +
@@ -1648,30 +1650,45 @@ object ExtQueries {
       "(0.5 + 0.5*m/(1.0 + abs(m))) AS score, " +
       "(0.5 + 0.5*m/(1.0 + abs(m))) >= 0.5 AS pred, " +
       "((0.5 + 0.5*m/(1.0 + abs(m))) >= 0.5) = (mf.y = 1.0) AS is_correct " +
-      "FROM mf JOIN documents d ON mf.doc_id = d.doc_id) " +
-      "SELECT grp, CAST(count(*) AS BIGINT) AS n, " +
-      "CAST(sum(CASE WHEN is_correct THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS accuracy, " +
-      "CAST(sum(CASE WHEN pred THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS pred_pos_rate, " +
-      "CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS base_rate, " +
-      "list_aggregate(list_sort(list(score)), 'sum')/count(*) AS mean_score " +
-      "FROM sc3 GROUP BY grp"
+      "FROM mf JOIN documents d ON mf.doc_id = d.doc_id), " +
+      "ffb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM ho), " +
+      "fg1 AS (SELECT grp, doc_id % (SELECT b FROM ffb) AS bkt, " +
+      "CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(CASE WHEN is_correct THEN 1 ELSE 0 END) AS BIGINT) AS nc, " +
+      "CAST(sum(CASE WHEN pred THEN 1 ELSE 0 END) AS BIGINT) AS npr, " +
+      "CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS npos, " +
+      "list_aggregate(list_sort(list(score)), 'sum') AS ps " +
+      "FROM sc3 GROUP BY 1, 2) " +
+      "SELECT grp, CAST(sum(n) AS BIGINT) AS n, " +
+      "CAST(sum(nc) AS DOUBLE)/CAST(sum(n) AS DOUBLE) AS accuracy, " +
+      "CAST(sum(npr) AS DOUBLE)/CAST(sum(n) AS DOUBLE) AS pred_pos_rate, " +
+      "CAST(sum(npos) AS DOUBLE)/CAST(sum(n) AS DOUBLE) AS base_rate, " +
+      "list_aggregate(list(ps ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS mean_score " +
+      "FROM fg1 GROUP BY grp"
   }
 
-  /** x137: decile reliability bins over the held-out scores. */
+  /** x137: decile reliability bins over the held-out scores; the
+    * mean-score fold is two-level (√|holdout| buckets inside each bin —
+    * Trainer.lrCalibration's twin). */
   private def lrCalibrationSql(buckets: Int, iters: Int): String = {
     val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
     s"WITH ${lrCtes(buckets, iters)}, " +
       "ho AS (SELECT * FROM fx WHERE NOT (" +
       "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5)), " +
       s"mf AS (SELECT f.doc_id, f.y, ($m) AS m FROM ho f CROSS JOIN wi$iters w), " +
-      "sc2 AS (SELECT doc_id, y, (0.5 + 0.5*m/(1.0 + abs(m))) AS score FROM mf) " +
-      "SELECT CAST(least(floor(score*10.0), 9.0) AS BIGINT) AS bin, " +
-      "CAST(count(*) AS BIGINT) AS n, " +
-      "list_aggregate(list_sort(list(score)), 'sum')/count(*) AS mean_score, " +
-      "CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS frac_positive, " +
-      "abs(list_aggregate(list_sort(list(score)), 'sum')/count(*) - " +
-      "CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)/count(*)) AS gap " +
-      "FROM sc2 GROUP BY 1"
+      "sc2 AS (SELECT doc_id, y, (0.5 + 0.5*m/(1.0 + abs(m))) AS score FROM mf), " +
+      "cfb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM ho), " +
+      "cb1 AS (SELECT CAST(least(floor(score*10.0), 9.0) AS BIGINT) AS bin, " +
+      "doc_id % (SELECT b FROM cfb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
+      "list_aggregate(list_sort(list(score)), 'sum') AS ps, " +
+      "CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS np " +
+      "FROM sc2 GROUP BY 1, 2) " +
+      "SELECT bin, CAST(sum(n) AS BIGINT) AS n, " +
+      "list_aggregate(list(ps ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS mean_score, " +
+      "CAST(sum(np) AS DOUBLE)/CAST(sum(n) AS DOUBLE) AS frac_positive, " +
+      "abs(list_aggregate(list(ps ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) - " +
+      "CAST(sum(np) AS DOUBLE)/CAST(sum(n) AS DOUBLE)) AS gap " +
+      "FROM cb1 GROUP BY bin"
   }
 
   /** x151: gradient-dot data influence (TracIn at the final checkpoint).

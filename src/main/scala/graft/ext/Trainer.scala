@@ -207,24 +207,41 @@ object Trainer {
     }.reduce(_ union _)
   }
 
+  /** The held-out row count — sizes the √n fold-bucket key the per-bin /
+    * per-group score means use (one count over the CACHED feature frame;
+    * the oracle derives the identical B from `ceil(sqrt(count(*)))` over
+    * the same holdout CTE). */
+  private def holdoutFoldBuckets(docs: DataFrame, buckets: Int): Int = {
+    val n = trainSplit(graft.ops.Caching.cacheOnce(features(docs, buckets)),
+      train = false).count()
+    require(n > 0, "held-out slice is empty — per-bin score means undefined")
+    graft.functions.Stable.sqrtBuckets(n)
+  }
+
   /** Calibration report over the held-out scores: decile reliability bins
     * (predicted-probability bucket vs empirical positive rate) — the
     * standard post-training check before a classifier's scores gate a
-    * corpus. `mean_score` is a sorted fold (oracle-exact); `gap` is the
-    * calibration error per bin. Ten 1-group aggregates over the scored
-    * frame — nothing corpus-sized.
+    * corpus. `mean_score` is a TWO-LEVEL deterministic fold (sorted fold
+    * per `doc_id % ⌈√n_holdout⌉` bucket inside each bin, then a
+    * bucket-ordered fold of the sums — the [[step]] discipline): the r7
+    * flat fold held one |holdout|/10-sized buffer per bin; with a GLOBAL
+    * √n bucket key both aggregation levels stay O(√n) even when one bin
+    * absorbs the whole holdout. `gap` is the calibration error per bin.
     */
   def lrCalibration(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
       buckets: Int = Buckets, iters: Int = Iters,
       learnRate: Double = LearnRate): DataFrame = {
+    import graft.functions.Stable.{sortedFold, bucketFold}
+    val fb = holdoutFoldBuckets(docs, buckets)
     val scored = lrClassify(spark, docs, buckets, iters, learnRate)
     scored
       .withColumn("bin", least(floor(col("score") * lit(10.0)), lit(9.0)).cast("long"))
+      .groupBy(col("bin"), pmod(col("doc_id"), lit(fb.toLong)).as("_bkt"))
+      .agg(count(lit(1)).as("_n"), sortedFold(col("score")).as("_ps"),
+        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("_np"))
       .groupBy("bin")
-      .agg(count(lit(1)).as("n"),
-        aggregate(sort_array(collect_list(col("score"))), lit(0.0), (a, x) => a + x)
-          .as("_ssum"),
-        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"))
+      .agg(sum(col("_n")).as("n"), bucketFold(col("_bkt"), col("_ps")).as("_ssum"),
+        sum(col("_np")).as("n_pos"))
       .select(col("bin"), col("n"),
         (col("_ssum") / col("n").cast("double")).as("mean_score"),
         (col("n_pos").cast("double") / col("n").cast("double")).as("frac_positive"),
@@ -286,24 +303,33 @@ object Trainer {
   /** Per-group fairness audit of the trained classifier: held-out
     * accuracy, positive-prediction rate, base rate and mean score per
     * group (language here) — the disparate-impact check a score that
-    * gates a corpus must pass before deployment. One group-keyed
-    * aggregate over the scored frame; mean score is a sorted fold.
+    * gates a corpus must pass before deployment. `mean_score` is the same
+    * two-level √n-bucketed fold as [[lrCalibration]]: the r7 flat fold
+    * held one group-sized buffer per language — corpus-scale for a
+    * dominant language; the global `doc_id % ⌈√n_holdout⌉` bucket key
+    * bounds both aggregation levels at O(√n) regardless of group skew.
     */
   def lrGroupFairness(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
       groupCol: Column = col("lang"), buckets: Int = Buckets, iters: Int = Iters,
       learnRate: Double = LearnRate): DataFrame = {
+    import graft.functions.Stable.{sortedFold, bucketFold}
+    val fb = holdoutFoldBuckets(docs, buckets)
     val scored = lrClassify(spark, docs, buckets, iters, learnRate)
       .join(docs.select(col("doc_id"), groupCol.as("grp")), "doc_id")
-    scored.groupBy("grp").agg(
-      count(lit(1)).as("n"),
-      (sum(when(col("is_correct"), 1L).otherwise(0L)).cast("double")
-        / count(lit(1)).cast("double")).as("accuracy"),
-      (sum(when(col("pred"), 1L).otherwise(0L)).cast("double")
-        / count(lit(1)).cast("double")).as("pred_pos_rate"),
-      (sum(when(col("y") === 1.0, 1L).otherwise(0L)).cast("double")
-        / count(lit(1)).cast("double")).as("base_rate"),
-      (aggregate(sort_array(collect_list(col("score"))), lit(0.0), (a, x) => a + x)
-        / count(lit(1)).cast("double")).as("mean_score"))
+    scored
+      .groupBy(col("grp"), pmod(col("doc_id"), lit(fb.toLong)).as("_bkt"))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col("is_correct"), 1L).otherwise(0L)).as("_nc"),
+        sum(when(col("pred"), 1L).otherwise(0L)).as("_npr"),
+        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("_npos"),
+        sortedFold(col("score")).as("_ps"))
+      .groupBy("grp")
+      .agg(sum(col("_n")).as("n"),
+        (sum(col("_nc")).cast("double") / sum(col("_n")).cast("double")).as("accuracy"),
+        (sum(col("_npr")).cast("double") / sum(col("_n")).cast("double")).as("pred_pos_rate"),
+        (sum(col("_npos")).cast("double") / sum(col("_n")).cast("double")).as("base_rate"),
+        (bucketFold(col("_bkt"), col("_ps"))
+          / sum(col("_n")).cast("double")).as("mean_score"))
   }
 
   /** How many most-influential training docs the report keeps. */
