@@ -616,6 +616,18 @@ object ExtQueries {
       Similarity.ivfTopKStored(s, idx, e.where(col("vec_id") < 5), 10)
     }),
 
+    // IVFADC stored index (r8): coarse stride cells + per-vector PQ codes
+    // persisted partitioned-by-cell (x58's stored discipline composed with
+    // x146's codebook); the probe DPP-prunes to the query's cell and
+    // ADC-scores codes against the query's broadcast LUT. Per-invocation
+    // temp dir (ADVICE r4).
+    "x152_ann_ivfpq_stored" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_index_").toString
+      Similarity.buildIvfPqIndex(e, idx)
+      Similarity.ivfPqTopK(s, idx, e.where(col("vec_id") < 5), 10)
+    }),
+
     "x38_ann_int8_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.int8TopK(e.where(col("vec_id") < 5), e, 10)
@@ -2911,6 +2923,33 @@ object ExtQueries {
         s"${dotSql("a.emb", "b.emb")} AS cos " +
         "FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
         "SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.4"),
+
+    // x152: the IVFADC probe — x58's cell assignment composed with x146's
+    // full PQ chain; candidates are the query's cell, scores are the
+    // sub-ordered ADC pdot sums over the final codebook's encode.
+    "x152_ann_ivfpq_stored" -> {
+      val m = Similarity.IvfPqM
+      val kc = Similarity.PqK
+      val ds = Similarity.PqDims / m
+      val dotQ = s"list_aggregate(list_transform(range(1, ${ds + 1}), i -> q.svec[i]*c.cvec[i]), 'sum')"
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.IvfCentroidStride} = 0), " +
+        "iscored AS (SELECT e.vec_id, cents.cent_id, " +
+        s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
+        "iasg AS (SELECT vec_id, cent_id AS cell FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t WHERE r = 1), " +
+        pqChainSql("pi", m, kc, Similarity.PqIters, 10) + ", " +
+        "iqc AS (SELECT vec_id AS q_id, cell FROM iasg WHERE vec_id < 5), " +
+        s"iplut AS (SELECT q.vec_id AS q_id, q.sub, c.cid, $dotQ AS pdot " +
+        s"FROM pisv q JOIN pic${Similarity.PqIters} c USING (sub) WHERE q.vec_id < 5), " +
+        "icand AS (SELECT iqc.q_id, a.vec_id FROM iasg a JOIN iqc USING (cell) WHERE iqc.q_id <> a.vec_id), " +
+        "iscs AS (SELECT cd.q_id, cd.vec_id, list_aggregate(list(l.pdot ORDER BY l.sub), 'sum') AS score " +
+        "FROM icand cd JOIN pienc en ON en.vec_id = cd.vec_id " +
+        "JOIN iplut l ON l.q_id = cd.q_id AND l.sub = en.sub AND l.cid = en.cid GROUP BY 1, 2) " +
+        "SELECT q_id, vec_id, score, CAST(rank AS BIGINT) AS rank FROM " +
+        "(SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank " +
+        "FROM iscs) WHERE rank <= 10"
+    },
 
     // x58 probes the STORED index built from the same stride centroids and
     // the same argmax fold, so the full x13 oracle holds verbatim.

@@ -944,6 +944,102 @@ object Similarity {
       .select("q_id", "vec_id", "score", "rank")
   }
 
+  // ---------------- IVFADC: stored PQ index (r8) ----------------
+  //
+  // The 100 TB composition of the stored-IVF discipline (x58) and the PQ
+  // codebook (x146): coarse stride centroids split the corpus into cells;
+  // each vector is stored as (cell, M codebook positions) — M small codes,
+  // not D floats; a probe reads ONLY its query's cell partitions (dynamic
+  // partition pruning, plan-asserted) and ADC-scores the codes against the
+  // query's (M × K) dot LUT. This is IVFADC (Jégou, Douze, Schmid, TPAMI
+  // 2011 §IV) as parquet tables + Catalyst plans: index once, probe many,
+  // append in batch-sized work.
+
+  /** The stored-index PQ config: 8 B/vec codes (M=16, K=16) — the middle
+    * rung of x146's measured memory/recall ladder. */
+  val IvfPqM = 16
+
+  /** Assign cells + encode codes for one batch — the shared kernel of
+    * build and append: one [[assignCells]] fold + one [[PqEncode]] pass,
+    * both zero-shuffle scans against 1-row broadcasts. */
+  private def ivfPqEncode(batch: DataFrame, cents: DataFrame,
+      codebook: DataFrame, m: Int): DataFrame =
+    assignCells(batch, cents)
+      .crossJoin(packPqFlat(codebook))
+      .select(col("vec_id"), col("cell"),
+        graft.functions.PqEncode.pqEncode(
+          col("embedding").cast("array<double>"), col("_cbf"), m).as("codes"))
+
+  /** Persist the IVFADC index: `centroids/` (coarse quantizer),
+    * `codebook/` (the PQ codebook trained on the bounded sample), and
+    * `codes/` — (vec_id, codes) PARTITIONED BY cell, so probes prune to
+    * the probed cells' files. The corpus-wide work (assign + encode) runs
+    * exactly once; embeddings never enter the codes table. */
+  def buildIvfPqIndex(corpus: DataFrame, indexDir: String,
+      m: Int = IvfPqM, kc: Int = PqK): Unit = {
+    GraftFunctions.register(corpus.sparkSession)
+    graft.functions.PqEncode.register(corpus.sparkSession)
+    val cents = strideCents(corpus)
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val codebook = pqTrain(corpus, m, kc)
+    codebook.write.mode("overwrite").parquet(s"$indexDir/codebook")
+    ivfPqEncode(corpus, cents, codebook, m)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
+  }
+
+  /** Append a delta batch: assign + encode against the STORED centroid
+    * and codebook tables (batch-sized work, zero corpus reads — the
+    * [[appendToIvfIndex]] discipline), `mode("append")` touches only the
+    * batch's cells' directories. Centroids and codebook stay FIXED
+    * between offline rebuilds (the IVF norm). */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame): Unit = {
+    GraftFunctions.register(spark)
+    graft.functions.PqEncode.register(spark)
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val codebook = spark.read.parquet(s"$indexDir/codebook")
+    val m = codebook.select("sub").distinct().count().toInt
+    ivfPqEncode(batch, cents, codebook, m)
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/codes")
+  }
+
+  /** Probe the stored IVFADC index: the query is cell-assigned against
+    * the stored centroids (broadcast fold), carries its (M × K) ADC LUT
+    * (one broadcast array per query), and equi-joins the cell-partitioned
+    * codes table — Spark plans a dynamic-partition-pruning subquery on
+    * `cell` (spec-asserted), so only the probed cells' code files are
+    * read. Scores fold `lut[s][code_s]` in subspace order, exactly
+    * [[pqTopK]]'s ADC kernel restricted to the probed cells — so the
+    * whole chain stays DuckDB-replayable (x152). */
+  def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.register(spark)
+    graft.functions.PqEncode.register(spark)
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val codebook = spark.read.parquet(s"$indexDir/codebook")
+    val m = codebook.select("sub").distinct().count().toInt
+    val kc = (codebook.count() / m).toInt
+    val ds = PqDims / m
+    val codes = spark.read.parquet(s"$indexDir/codes")
+    val lutCol = transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(sequence(lit(0), lit(kc - 1)), p =>
+        dotFold(slice(col("qe"), s * ds + 1, lit(ds)),
+          slice(col("_cbf"), (s * kc + p) * ds + 1, lit(ds)))))
+    val q = broadcast(assignCells(queries, cents)
+      .withColumn("qe", col("embedding").cast("array<double>"))
+      .crossJoin(packPqFlat(codebook))
+      .select(col("vec_id").as("q_id"), col("cell"), lutCol.as("lut")))
+    codes.join(q, Seq("cell")).where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        aggregate(zip_with(col("lut"), col("codes"), (l, c) => element_at(l, c)),
+          lit(0.0), (a, x) => a + x).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc))
+        .cast("long"))
+      .where(col("rank") <= k)
+      .select("q_id", "vec_id", "score", "rank")
+  }
+
   /** PQ recall report (the x69 practice): per (m, K) config, PQ top-k for
     * the 5 fixture queries against the brute-force cosine truth — bytes
     * per vector beside the measured recall, so the memory/recall tradeoff

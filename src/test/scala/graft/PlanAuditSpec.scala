@@ -76,7 +76,8 @@ class PlanAuditSpec extends SparkTestBase {
     "x147_best_of_n" -> "x130's 1-row broadcast final-weight scoring ahead of the pool selection (constant model state)",
     "x148_bon_preference_fit" -> "x130's 1-row broadcast final-weight scoring feeding the preference fit (constant model state)",
     "x149_dpo_pairs" -> "x130's 1-row broadcast final-weight scoring ahead of the pool selection (constant model state, x147's shape)",
-    "x151_lr_influence" -> "x130's 1-row broadcast final-weight scoring + ONE broadcast mean-held-out-gradient row (B+3 doubles, constant model state)"
+    "x151_lr_influence" -> "x130's 1-row broadcast final-weight scoring + ONE broadcast mean-held-out-gradient row (B+3 doubles, constant model state)",
+    "x152_ann_ivfpq_stored" -> "crossJoins against the ONE-ROW packed centroid/flat-codebook broadcasts (PqEncode + assignCells folds, constants); the probe itself is equi on cell with DPP (spec-asserted)"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {

@@ -242,6 +242,63 @@ class SimilaritySpec extends SparkTestBase {
       "every corpus vector must be in the grown index exactly once")
   }
 
+  test("stored IVFADC: probe == in-memory cell-restricted ADC, and the plan prunes partitions dynamically") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-spec").toString
+    Similarity.buildIvfPqIndex(e, idx)
+    val queries = e.where(col("vec_id") < 5)
+    val stored = Similarity.ivfPqTopK(spark, idx, queries, 10)
+    // in-memory expected: the full ADC ranking (same deterministic
+    // codebook chain) restricted to the query's IVF cell, re-ranked —
+    // scores must be BIT-identical, not approximately equal
+    val n = e.count().toInt
+    val all = Similarity.pqTopK(queries, e, n, Similarity.IvfPqM)
+    val cents = e.where(col("vec_id") % Similarity.IvfCentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val asg = Similarity.assignCells(e, cents).select(col("vec_id"), col("cell"))
+    val mem = all
+      .join(asg, "vec_id")
+      .join(asg.select(col("vec_id").as("q_id"), col("cell").as("qcell")), "q_id")
+      .where(col("cell") === col("qcell"))
+      .withColumn("r2", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("vec_id").asc)).cast("long"))
+      .where(col("r2") <= 10)
+      .select(col("q_id"), col("vec_id"), col("score"), col("r2").as("rank"))
+    assert(stored.collect().map(_.toSeq).toSet === mem.collect().map(_.toSeq).toSet)
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on cell in:\n$plan")
+  }
+
+  test("appendToIvfPqIndex: batch-sized append; base scores survive bit-identically") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    // base carries every stride centroid so the grown index's coarse
+    // quantizer is identical to the base-only one
+    val isBase = col("vec_id") % Similarity.IvfCentroidStride === 0 || col("vec_id") < 150
+    val baseIdx = java.nio.file.Files.createTempDirectory("graft-ivfpq-base").toString
+    val grown = java.nio.file.Files.createTempDirectory("graft-ivfpq-append").toString
+    Similarity.buildIvfPqIndex(e.where(isBase), baseIdx)
+    Similarity.buildIvfPqIndex(e.where(isBase), grown)
+    Similarity.appendToIvfPqIndex(spark, grown, e.where(!isBase))
+    assert(spark.read.parquet(s"$grown/codes").count() === e.count(),
+      "every corpus vector must be in the grown index exactly once")
+    val queries = e.where(col("vec_id") < 5)
+    // ADC scores are per-(query, vector) — appending vectors must not
+    // perturb a single existing score bit (same codebook, same cells)
+    def pairs(ix: String) = Similarity.ivfPqTopK(spark, ix, queries, 100000)
+      .select("q_id", "vec_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val basePairs = pairs(baseIdx)
+    val grownPairs = pairs(grown)
+    assert(basePairs.nonEmpty)
+    basePairs.foreach { case (k2, v) =>
+      assert(grownPairs.contains(k2) && grownPairs(k2) == v,
+        s"base pair $k2 score changed after append: $v vs ${grownPairs.get(k2)}")
+    }
+    assert(grownPairs.size > basePairs.size, "appended vectors must be probe-visible")
+  }
+
   test("k-means IVF: trained centroids improve recall@10 on clustered data") {
     // The synthetic embeddings fixture is uniform random (same-label and
     // cross-label cosine both ~0), where NO centroid placement beats any
