@@ -1148,6 +1148,21 @@ object ExtQueries {
     "x145_retrieval_eval_set" -> ((s, dir) =>
       Hybrid.retrievalEvalSet(Tables.documents(s, dir), Tables.embeddings(s, dir))),
 
+    // The query-set eval over the STORED indexes (r8): bm25 list from the
+    // partition-pruned postings probe, ANN list from the DPP-pruned
+    // IVFADC probe, RRF fused — the same evalRankedSet / distribution
+    // rows as x145, so in-memory vs production-index quality is a direct
+    // read-off. Per-invocation temp dirs (ADVICE r4).
+    "x153_retrieval_eval_stored" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val bmIdx = java.nio.file.Files.createTempDirectory("graft_bm25_eval_").toString
+      Search.buildBm25Index(docs, bmIdx)
+      val pqIdx = java.nio.file.Files.createTempDirectory("graft_ivfpq_eval_").toString
+      Similarity.buildIvfPqIndex(emb, pqIdx)
+      Hybrid.retrievalEvalStored(docs, emb, bmIdx, pqIdx)
+    }),
+
     // The full training-data preparation pipeline as ONE registered query:
     // quality gate (x09's score) -> exact dedup keeping the min doc_id per
     // text hash (x01's canonicalization) -> context-window chunking (x42)
@@ -1868,6 +1883,32 @@ object ExtQueries {
   private val pqConfigs: Seq[(String, Int, Int, Double)] =
     Seq(("pa", 8, 16, 4.0), ("pb", 16, 16, 8.0), ("pc", 64, 256, 64.0))
 
+  /** The stored-IVFADC probe chain (x152; the ANN leg of x153): stride-
+    * centroid cell assignment (x58's form), the full PQ chain (prefix
+    * `pi`, the [[Similarity.IvfPqM]] config), the 5 fixture queries' ADC
+    * LUT, cell-confined candidates, sub-ordered score folds. Ends with
+    * `iscs (q_id, vec_id, score)`. */
+  private lazy val ivfPqProbeCtes: String = {
+    val m = Similarity.IvfPqM
+    val kc = Similarity.PqK
+    val ds = Similarity.PqDims / m
+    val dotQ = s"list_aggregate(list_transform(range(1, ${ds + 1}), i -> q.svec[i]*c.cvec[i]), 'sum')"
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+      s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.IvfCentroidStride} = 0), " +
+      "iscored AS (SELECT e.vec_id, cents.cent_id, " +
+      s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
+      "iasg AS (SELECT vec_id, cent_id AS cell FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t WHERE r = 1), " +
+      pqChainSql("pi", m, kc, Similarity.PqIters, 10) + ", " +
+      "iqc AS (SELECT vec_id AS q_id, cell FROM iasg WHERE vec_id < 5), " +
+      s"iplut AS (SELECT q.vec_id AS q_id, q.sub, c.cid, $dotQ AS pdot " +
+      s"FROM pisv q JOIN pic${Similarity.PqIters} c USING (sub) WHERE q.vec_id < 5), " +
+      "icand AS (SELECT iqc.q_id, a.vec_id FROM iasg a JOIN iqc USING (cell) WHERE iqc.q_id <> a.vec_id), " +
+      "iscs AS (SELECT cd.q_id, cd.vec_id, list_aggregate(list(l.pdot ORDER BY l.sub), 'sum') AS score " +
+      "FROM icand cd JOIN pienc en ON en.vec_id = cd.vec_id " +
+      "JOIN iplut l ON l.q_id = cd.q_id AND l.sub = en.sub AND l.cid = en.cid GROUP BY 1, 2)"
+  }
+
   private lazy val annLshSql =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
       s"be AS (SELECT vec_id, emb, $bucketSql AS bucket FROM e), " +
@@ -2559,6 +2600,35 @@ object ExtQueries {
         "FROM sevq GROUP BY system"
     },
 
+    // x153: the same eval chain with the STORED systems' lists — sbm is
+    // the stored-bm25 list verbatim (x126 pins stored ≡ in-memory scoring
+    // bit-for-bit), the ANN leg is the IVFADC probe chain at depth 20.
+    "x153_retrieval_eval_stored" -> {
+      val nQ = Hybrid.QuerySet.size
+      s"WITH $hybridSetCtes, $ivfPqProbeCtes, " +
+        "pann AS (SELECT q_id AS query_id, vec_id AS doc_id, CAST(rank AS BIGINT) AS rank FROM " +
+        "(SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM iscs) " +
+        "WHERE rank <= 20), " +
+        "pfu AS (SELECT coalesce(b.query_id, a.query_id) AS query_id, " +
+        "coalesce(b.doc_id, a.doc_id) AS doc_id, " +
+        s"coalesce(1.0/(${Hybrid.RrfK} + CAST(b.rank AS DOUBLE)), 0.0) " +
+        s"+ coalesce(1.0/(${Hybrid.RrfK} + CAST(a.rank AS DOUBLE)), 0.0) AS rrf_score " +
+        "FROM sbm b FULL JOIN pann a ON b.query_id = a.query_id AND b.doc_id = a.doc_id), " +
+        "prrf AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank FROM " +
+        "(SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank FROM pfu) " +
+        "WHERE rank <= 10), " +
+        s"pevq AS (SELECT * FROM ${hybridSetEvalSql("bm25_stored", "sbm")} " +
+        s"UNION ALL SELECT * FROM ${hybridSetEvalSql("ivfpq_stored", "pann")} " +
+        s"UNION ALL SELECT * FROM ${hybridSetEvalSql("rrf_stored", "prrf")}) " +
+        "SELECT system, CAST(count(*) AS BIGINT) AS n_queries, " +
+        "list_aggregate(list(ndcg ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_ndcg, " +
+        s"${pctSql("list_sort(list(ndcg))", 0.5, nQ)} AS p50_ndcg, " +
+        s"${pctSql("list_sort(list(ndcg))", 0.9, nQ)} AS p90_ndcg, " +
+        "list_aggregate(list(recall_at_k ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_recall, " +
+        "min(recall_at_k) AS min_recall " +
+        "FROM pevq GROUP BY system"
+    },
+
     "x01_dedup_exact" ->
       ("SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies " +
         "FROM documents GROUP BY 1"),
@@ -2927,29 +2997,11 @@ object ExtQueries {
     // x152: the IVFADC probe — x58's cell assignment composed with x146's
     // full PQ chain; candidates are the query's cell, scores are the
     // sub-ordered ADC pdot sums over the final codebook's encode.
-    "x152_ann_ivfpq_stored" -> {
-      val m = Similarity.IvfPqM
-      val kc = Similarity.PqK
-      val ds = Similarity.PqDims / m
-      val dotQ = s"list_aggregate(list_transform(range(1, ${ds + 1}), i -> q.svec[i]*c.cvec[i]), 'sum')"
-      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.IvfCentroidStride} = 0), " +
-        "iscored AS (SELECT e.vec_id, cents.cent_id, " +
-        s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
-        "iasg AS (SELECT vec_id, cent_id AS cell FROM (SELECT *, " +
-        "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t WHERE r = 1), " +
-        pqChainSql("pi", m, kc, Similarity.PqIters, 10) + ", " +
-        "iqc AS (SELECT vec_id AS q_id, cell FROM iasg WHERE vec_id < 5), " +
-        s"iplut AS (SELECT q.vec_id AS q_id, q.sub, c.cid, $dotQ AS pdot " +
-        s"FROM pisv q JOIN pic${Similarity.PqIters} c USING (sub) WHERE q.vec_id < 5), " +
-        "icand AS (SELECT iqc.q_id, a.vec_id FROM iasg a JOIN iqc USING (cell) WHERE iqc.q_id <> a.vec_id), " +
-        "iscs AS (SELECT cd.q_id, cd.vec_id, list_aggregate(list(l.pdot ORDER BY l.sub), 'sum') AS score " +
-        "FROM icand cd JOIN pienc en ON en.vec_id = cd.vec_id " +
-        "JOIN iplut l ON l.q_id = cd.q_id AND l.sub = en.sub AND l.cid = en.cid GROUP BY 1, 2) " +
+    "x152_ann_ivfpq_stored" ->
+      (s"WITH $ivfPqProbeCtes " +
         "SELECT q_id, vec_id, score, CAST(rank AS BIGINT) AS rank FROM " +
         "(SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank " +
-        "FROM iscs) WHERE rank <= 10"
-    },
+        "FROM iscs) WHERE rank <= 10"),
 
     // x58 probes the STORED index built from the same stride centroids and
     // the same argmax fold, so the full x13 oracle holds verbatim.

@@ -366,7 +366,6 @@ object Hybrid {
       depth: Int = 20): DataFrame = {
     val spark = docs.sparkSession
     val queries = querySetDf(spark)
-    val nQ = QuerySet.size
     val bm = bm25TopKSet(docs, queries, depth, excludeSelf = true)
       .select("query_id", "doc_id", "rank")
     val ann = Similarity.bruteForceTopK(
@@ -377,6 +376,13 @@ object Hybrid {
     val perQ = evalRankedSet("bm25", bm, rel, k)
       .unionByName(evalRankedSet("ann", ann, rel, k))
       .unionByName(evalRankedSet("rrf", fused, rel, k))
+    evalDistribution(perQ, QuerySet.size)
+  }
+
+  /** The per-system score-distribution rollup shared by the in-memory
+    * (x145) and stored-index (x153) evals: N-sized query-ordered mean
+    * folds, plan-time-constant percentiles from the sorted N-list. */
+  private def evalDistribution(perQ: DataFrame, nQ: Int): DataFrame = {
     def meanBy(v: String): Column =
       aggregate(transform(sort_array(collect_list(struct(col("query_id"), col(v).as("v")))),
         s => s.getField("v")), lit(0.0), (a, x) => a + x) / count(lit(1)).cast("double")
@@ -387,5 +393,53 @@ object Hybrid {
         pctFromSorted(sort_array(collect_list(col("ndcg"))), 0.9, nQ).as("p90_ndcg"),
         meanBy("recall_at_k").as("mean_recall"),
         min(col("recall_at_k")).as("min_recall"))
+  }
+
+  /** The bm25 ranked list from the STORED index, for every query in the
+    * set: per query, probe at `depth + 1` (partition-pruned postings),
+    * drop the query's own doc, re-rank — exactly the
+    * `bm25TopKSet(excludeSelf = true)` list (a candidate below position
+    * depth+1 can never enter the top `depth` after one removal), with the
+    * corpus never re-read. The per-query loop is driver-side over the
+    * BOUNDED query set — the documented x145 exemption shape. */
+  def bm25TopKSetStored(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, depth: Int,
+      qs: Seq[(Long, Seq[String], Int)] = QuerySet): DataFrame =
+    qs.map { case (qid, terms, _) =>
+      Search.bm25TopKStored(spark, indexDir, terms, depth + 1)
+        .select(lit(qid).as("query_id"), col("doc_id"), col("score"))
+    }.reduce(_ unionByName _)
+      .where(col("doc_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id")))
+        .cast("long"))
+      .where(col("rank") <= depth)
+      .select("query_id", "doc_id", "rank")
+
+  /** x145's query-set eval driven through the STORED indexes — the plan
+    * users actually run in production: the bm25 leg probes the
+    * [[Search.buildBm25Index]] postings (partition-pruned), the ANN leg
+    * probes the [[Similarity.buildIvfPqIndex]] IVFADC codes (DPP-pruned
+    * cells, ADC scores), RRF fuses the two, and all three systems report
+    * the same nDCG/recall distribution rows through [[evalRankedSet]].
+    * Relevance stays index-independent (the graded gain definition), so
+    * the stored systems' numbers are directly comparable to x145's
+    * in-memory ones — the recall cost of cell confinement is a read-off.
+    */
+  def retrievalEvalStored(docs: DataFrame, emb: DataFrame,
+      bm25IndexDir: String, ivfPqIndexDir: String,
+      k: Int = 10, depth: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    val queries = querySetDf(spark)
+    val bm = bm25TopKSetStored(spark, bm25IndexDir, depth)
+    val ann = Similarity.ivfPqTopK(spark, ivfPqIndexDir,
+        emb.where(col("vec_id").isin(QuerySet.map(_._1): _*)), depth)
+      .select(col("q_id").as("query_id"), col("vec_id").as("doc_id"), col("rank"))
+    val fused = rrfFuseSet(bm, ann, k).select("query_id", "doc_id", "rank")
+    val rel = graft.ops.Caching.cacheOnce(gradedRelevanceSet(docs, emb, queries))
+    val perQ = evalRankedSet("bm25_stored", bm, rel, k)
+      .unionByName(evalRankedSet("ivfpq_stored", ann, rel, k))
+      .unionByName(evalRankedSet("rrf_stored", fused, rel, k))
+    evalDistribution(perQ, QuerySet.size)
   }
 }

@@ -125,6 +125,42 @@ class HybridSpec extends SparkTestBase {
     assert(r.getDouble(2) === 1.0 && r.getDouble(3) === 10.0)
   }
 
+  test("stored bm25 query-set list == in-memory bm25TopKSet list, row for row") {
+    val docs = Tables.documents(spark, sfDir)
+    val idx = java.nio.file.Files.createTempDirectory("graft-bm25set-spec").toString
+    Search.buildBm25Index(docs, idx)
+    val stored = Hybrid.bm25TopKSetStored(spark, idx, 20)
+      .collect().map(_.toSeq).toSet
+    val mem = Hybrid.bm25TopKSet(docs, Hybrid.querySetDf(spark), 20, excludeSelf = true)
+      .select("query_id", "doc_id", "rank")
+      .collect().map(_.toSeq).toSet
+    assert(stored === mem,
+      "the stored-index probe must reproduce the in-memory ranked list exactly")
+  }
+
+  test("retrievalEvalStored: three stored systems, bounded scores, deterministic") {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val bmIdx = java.nio.file.Files.createTempDirectory("graft-bm25-res").toString
+    Search.buildBm25Index(docs, bmIdx)
+    val pqIdx = java.nio.file.Files.createTempDirectory("graft-ivfpq-res").toString
+    Similarity.buildIvfPqIndex(emb, pqIdx)
+    val rep = Hybrid.retrievalEvalStored(docs, emb, bmIdx, pqIdx).cache()
+    val rows = rep.collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ===
+      Seq("bm25_stored", "ivfpq_stored", "rrf_stored"))
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_queries")) === Hybrid.QuerySet.size.toLong)
+      Seq("mean_ndcg", "p50_ndcg", "p90_ndcg", "mean_recall", "min_recall").foreach { c =>
+        val v = r.getDouble(r.fieldIndex(c))
+        assert(v >= 0.0 && v <= 1.0, s"${r.getString(0)}.$c = $v out of [0,1]")
+      }
+    }
+    assert(rep.collect().map(_.toSeq).toSet ===
+      Hybrid.retrievalEvalStored(docs, emb, bmIdx, pqIdx).collect().map(_.toSeq).toSet)
+    rep.unpersist()
+  }
+
   test("graded relevance: gains are 0/1/2 and both aspects contribute") {
     val rel = Hybrid.gradedRelevance(
         Tables.documents(spark, sfDir), Tables.embeddings(spark, sfDir))
