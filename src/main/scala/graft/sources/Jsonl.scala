@@ -58,10 +58,28 @@ object Jsonl {
     (readClean(spark, path, schema), audit.getLong(1))
   }
 
+  /** Rows per shard file under the derived-shard law — sized so a shard
+    * stays a few tens of MB of JSONL (diffable, re-exportable), far below
+    * executor memory. */
+  val RowsPerShard = 262144L
+
+  /** Shard count law: `ceil(n / RowsPerShard)` clamped to [1, 65536] —
+    * the occupancy-law shape (one count, then a pure function), so a
+    * 500-row fixture writes 1 shard and a 10^10-row export writes ~38k,
+    * never a fixed 4. */
+  def derivedShards(n: Long): Int =
+    math.min(65536L, math.max(1L, (n + RowsPerShard - 1) / RowsPerShard)).toInt
+
+  /** `shards <= 0` (the default) derives the count from one row count via
+    * [[derivedShards]]; an explicit positive count is honored unchanged
+    * (the hash-mod assignment stays byte-deterministic either way — the
+    * shard count, not the input layout, is the only degree of freedom). */
   def write(df: DataFrame, path: String, orderCol: String = "doc_id",
-      shards: Int = 4): Unit =
-    df.repartition(shards, col(orderCol))
+      shards: Int = 0): Unit = {
+    val s = if (shards > 0) shards else derivedShards(df.count())
+    df.repartition(s, col(orderCol))
       .sortWithinPartitions(orderCol)
       .select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
       .write.mode("overwrite").text(path)
+  }
 }

@@ -29,8 +29,8 @@ class JsonlSpec extends SparkTestBase {
     // same rows, deliberately different input partitioning/order: hash
     // shard assignment is a per-row function, so the exports must agree
     // file-for-file (repartitionByRange's sampled boundaries would not)
-    Jsonl.write(docs, d1)
-    Jsonl.write(docs.repartition(7).sortWithinPartitions("lang"), d2)
+    Jsonl.write(docs, d1, shards = 4)
+    Jsonl.write(docs.repartition(7).sortWithinPartitions("lang"), d2, shards = 4)
     def shardLines(d: String): Map[String, Seq[String]] =
       new java.io.File(d).listFiles().filter(_.getName.startsWith("part-"))
         .map(f => f.getName.take(10) -> // "part-NNNNN" — the stable shard index
@@ -43,6 +43,23 @@ class JsonlSpec extends SparkTestBase {
       val ids = ls.map(l => "\"doc_id\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong)
       assert(ids === ids.sorted)
     }
+  }
+
+  test("derived shard count follows the rows-per-shard law; default write uses it") {
+    // the law as a pure function: floor 1, linear region, hard cap
+    assert(Jsonl.derivedShards(0L) === 1)
+    assert(Jsonl.derivedShards(1L) === 1)
+    assert(Jsonl.derivedShards(Jsonl.RowsPerShard) === 1)
+    assert(Jsonl.derivedShards(Jsonl.RowsPerShard + 1) === 2)
+    assert(Jsonl.derivedShards(10L * Jsonl.RowsPerShard) === 10)
+    assert(Jsonl.derivedShards(Long.MaxValue / 4) === 65536)
+    // a fixture-sized default export writes exactly derivedShards(n) files
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_law").toString
+    Jsonl.write(docs, dir)
+    val parts = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(parts === Jsonl.derivedShards(docs.count()))
   }
 
   test("malformed lines are flagged and counted, never silently dropped") {
