@@ -247,13 +247,23 @@ object ScaleProbe {
         graft.ext.Similarity.lshMultiTopK(
           emb.where(col("vec_id") < 5), emb, 10).count()
       }
-      // PQ train + encode + ADC (r7): training cost is assignment-join-
-      // bound (vectors × M × K rows/iteration — k-linear); encode is one
-      // more assignment pass; ADC streams the COMPACT code table against
-      // a fixed-size broadcast LUT — time must track k with centroid
-      // state constant (M·K rows) at every scale.
+      // PQ train + encode + ADC (r8 plan): training runs on the BOUNDED
+      // md5-stride sample (≤ PqTrainCap vectors — constant work once the
+      // corpus passes the cap, where the r7 join form grew with k); the
+      // only k-linear passes are the PqEncode codegen scan and the ADC
+      // stream of the compact code table against the fixed broadcast LUT.
+      // Time must track k at scan slope with a constant training floor.
       time("pq_adc_topk") {
         graft.ext.Similarity.pqTopK(emb.where(col("vec_id") < 5), emb, 10, 8).count()
+      }
+      // Stored IVFADC (r8): build = one assign+encode scan + partitioned
+      // write (k-linear); the probe reads ONLY the queries' cells (DPP),
+      // so probe work grows with cell size (~k/cells), not corpus size.
+      time("ivfpq_stored_probe") {
+        val idx = java.nio.file.Files.createTempDirectory("graft_probe_ivfpq_").toString
+        graft.ext.Similarity.buildIvfPqIndex(emb, idx)
+        graft.ext.Similarity.ivfPqTopK(spark, idx,
+          emb.where(col("vec_id") < 5), 10).count()
       }
       // Threshold note (measured): at 0.4 — only 3.2σ above the random
       // cosine noise floor for 64 dims (σ = 1/8) — TRUE pair density is

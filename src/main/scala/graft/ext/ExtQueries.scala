@@ -628,6 +628,29 @@ object ExtQueries {
       Similarity.ivfPqTopK(s, idx, e.where(col("vec_id") < 5), 10)
     }),
 
+    // IVFADC nprobe recall dial (r8): the stored index probed at nprobe=1
+    // and nprobe=2 against the brute-force truth — the read-cells/recall
+    // tradeoff measured in-engine (x69's report form). One build, two
+    // probes of the same codes table.
+    "x154_ann_ivfpq_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 5)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_rec_").toString
+      Similarity.buildIvfPqIndex(e, idx)
+      val truth = graft.ops.Caching.cacheOnce(
+        Similarity.bruteForceTopK(q, e, 10).select("q_id", "vec_id"))
+      Seq(("ivfpq_nprobe1", Similarity.ivfPqTopK(s, idx, q, 10)),
+          ("ivfpq_nprobe2", Similarity.ivfPqTopK2(s, idx, q, 10))).map { case (nm, ap) =>
+        val a = ap.select("q_id", "vec_id")
+        val nT = truth.agg(count(lit(1)).as("n_truth"))
+        val nA = a.agg(count(lit(1)).as("n_approx"))
+        val nC = truth.join(a, Seq("q_id", "vec_id")).agg(count(lit(1)).as("n_common"))
+        nT.crossJoin(broadcast(nA)).crossJoin(broadcast(nC))
+          .select(lit(nm).as("method"), col("n_truth"), col("n_approx"), col("n_common"),
+            (col("n_common").cast("double") / col("n_truth").cast("double")).as("recall"))
+      }.reduce(_ unionByName _)
+    }),
+
     "x38_ann_int8_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.int8TopK(e.where(col("vec_id") < 5), e, 10)
@@ -1906,6 +1929,15 @@ object ExtQueries {
       "icand AS (SELECT iqc.q_id, a.vec_id FROM iasg a JOIN iqc USING (cell) WHERE iqc.q_id <> a.vec_id), " +
       "iscs AS (SELECT cd.q_id, cd.vec_id, list_aggregate(list(l.pdot ORDER BY l.sub), 'sum') AS score " +
       "FROM icand cd JOIN pienc en ON en.vec_id = cd.vec_id " +
+      "JOIN iplut l ON l.q_id = cd.q_id AND l.sub = en.sub AND l.cid = en.cid GROUP BY 1, 2), " +
+      // nprobe=2 legs (x154 only — unreferenced CTEs cost nothing):
+      // each query's TWO nearest cells, same candidate/score shape
+      "iqc2 AS (SELECT vec_id AS q_id, cent_id AS cell FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t " +
+      "WHERE r <= 2 AND vec_id < 5), " +
+      "icand2 AS (SELECT iqc2.q_id, a.vec_id FROM iasg a JOIN iqc2 USING (cell) WHERE iqc2.q_id <> a.vec_id), " +
+      "iscs2 AS (SELECT cd.q_id, cd.vec_id, list_aggregate(list(l.pdot ORDER BY l.sub), 'sum') AS score " +
+      "FROM icand2 cd JOIN pienc en ON en.vec_id = cd.vec_id " +
       "JOIN iplut l ON l.q_id = cd.q_id AND l.sub = en.sub AND l.cid = en.cid GROUP BY 1, 2)"
   }
 
@@ -3002,6 +3034,23 @@ object ExtQueries {
         "SELECT q_id, vec_id, score, CAST(rank AS BIGINT) AS rank FROM " +
         "(SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank " +
         "FROM iscs) WHERE rank <= 10"),
+
+    // x154: both probe depths' top-10 sets vs the brute-force truth —
+    // scalar-subquery counts per method (x69's report form).
+    "x154_ann_ivfpq_recall" ->
+      (s"WITH $ivfPqProbeCtes, " +
+        s"tru AS (SELECT q_id, vec_id FROM ($annBruteSql)), " +
+        "ptk1 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS r FROM iscs) WHERE r <= 10), " +
+        "ptk2 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS r FROM iscs2) WHERE r <= 10) " +
+        Seq(("ivfpq_nprobe1", "ptk1"), ("ivfpq_nprobe2", "ptk2")).map { case (nm, tk) =>
+          s"SELECT '$nm' AS method, CAST((SELECT count(*) FROM tru) AS BIGINT) AS n_truth, " +
+            s"CAST((SELECT count(*) FROM $tk) AS BIGINT) AS n_approx, " +
+            s"CAST((SELECT count(*) FROM tru JOIN $tk USING (q_id, vec_id)) AS BIGINT) AS n_common, " +
+            s"CAST((SELECT count(*) FROM tru JOIN $tk USING (q_id, vec_id)) AS DOUBLE) " +
+            "/ (SELECT count(*) FROM tru) AS recall"
+        }.mkString(" UNION ALL ")),
 
     // x58 probes the STORED index built from the same stride centroids and
     // the same argmax fold, so the full x13 oracle holds verbatim.

@@ -595,10 +595,16 @@ object Similarity {
     * id-sorted array keep ties on the lower centroid id, consistent with
     * [[ivfAssign]]). Still zero shuffle, zero row amplification.
     */
-  def ivfAssignTop2(vectors: DataFrame, centroidSource: DataFrame): DataFrame = {
+  def ivfAssignTop2(vectors: DataFrame, centroidSource: DataFrame): DataFrame =
+    assignCellsTop2(vectors,
+      centroidSource.where(col("vec_id") % IvfCentroidStride === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb")))
+
+  /** [[ivfAssignTop2]] against an explicit `(cent_id, cent_emb)` centroid
+    * table — the stored-index entry (x154's nprobe=2 probe). */
+  def assignCellsTop2(vectors: DataFrame, cents0: DataFrame): DataFrame = {
     GraftFunctions.register(vectors.sparkSession)
-    val cents = centroidSource.where(col("vec_id") % IvfCentroidStride === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val cents = cents0
     val packed = broadcast(cents.agg(
       array_sort(collect_list(struct(col("cent_id"), col("cent_emb")))).as("_cents")))
     val init = struct(
@@ -1012,7 +1018,20 @@ object Similarity {
     * [[pqTopK]]'s ADC kernel restricted to the probed cells — so the
     * whole chain stays DuckDB-replayable (x152). */
   def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      queries: DataFrame, k: Int): DataFrame = {
+      queries: DataFrame, k: Int): DataFrame =
+    ivfPqProbe(spark, indexDir, queries, k, nprobe = 1)
+
+  /** [[ivfPqTopK]] with `nprobe = 2`: each query probes its two nearest
+    * cells ([[assignCellsTop2]], exploded to two broadcast rows —
+    * candidates stay unique because a code row lives in exactly one cell
+    * partition). The IVFADC recall/cost dial: ~2× read cells for
+    * materially better recall near cell boundaries, measured by x154. */
+  def ivfPqTopK2(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, k: Int): DataFrame =
+    ivfPqProbe(spark, indexDir, queries, k, nprobe = 2)
+
+  private def ivfPqProbe(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     GraftFunctions.register(spark)
     graft.functions.PqEncode.register(spark)
     val cents = spark.read.parquet(s"$indexDir/centroids")
@@ -1025,7 +1044,12 @@ object Similarity {
       transform(sequence(lit(0), lit(kc - 1)), p =>
         dotFold(slice(col("qe"), s * ds + 1, lit(ds)),
           slice(col("_cbf"), (s * kc + p) * ds + 1, lit(ds)))))
-    val q = broadcast(assignCells(queries, cents)
+    val qcells =
+      if (nprobe == 1) assignCells(queries, cents)
+      else assignCellsTop2(queries, cents)
+        .select(col("vec_id"), col("embedding"),
+          explode(array(col("cell1"), col("cell2"))).as("cell"))
+    val q = broadcast(qcells
       .withColumn("qe", col("embedding").cast("array<double>"))
       .crossJoin(packPqFlat(codebook))
       .select(col("vec_id").as("q_id"), col("cell"), lutCol.as("lut")))

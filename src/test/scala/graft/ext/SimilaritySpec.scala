@@ -271,6 +271,23 @@ class SimilaritySpec extends SparkTestBase {
       s"expected dynamic partition pruning on cell in:\n$plan")
   }
 
+  test("ivfPqTopK2: strict candidate superset of nprobe=1, shared scores bit-identical") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-np2").toString
+    Similarity.buildIvfPqIndex(e, idx)
+    val queries = e.where(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "vec_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val p1 = pairs(Similarity.ivfPqTopK(spark, idx, queries, 100000))
+    val p2 = pairs(Similarity.ivfPqTopK2(spark, idx, queries, 100000))
+    // cell1 is the nprobe=1 cell, so every nprobe=1 candidate reappears
+    // with the IDENTICAL ADC score; the second cell adds strictly more
+    assert(p1.keySet.subsetOf(p2.keySet))
+    assert(p2.size > p1.size, "second probed cell contributed no candidates")
+    p1.foreach { case (k2, v) => assert(p2(k2) == v, s"score drift at $k2") }
+  }
+
   test("appendToIvfPqIndex: batch-sized append; base scores survive bit-identically") {
     val e = graft.sources.Tables.embeddings(spark, sfDir)
     // base carries every stride centroid so the grown index's coarse
