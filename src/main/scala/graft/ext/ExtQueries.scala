@@ -1081,6 +1081,14 @@ object ExtQueries {
     "x150_token_budget_mix" -> ((s, dir) =>
       Curate.tokenBudgetMix(Tables.documents(s, dir), Curate.TokenMixBudget)),
 
+    // Gopher repetition filters (r8): per-doc most-frequent-n-gram char
+    // fractions (n = 2,3,4) + duplicated-n-gram coverage (n = 5,8) with
+    // the published thresholds ORed into a `repetitive` flag — the
+    // boilerplate/degenerate-repetition failure mode the length/stopword
+    // quality score misses.
+    "x155_repetition_signals" -> ((s, dir) =>
+      TextOps.repetitionSignals(Tables.documents(s, dir))),
+
     // Gradient-dot data influence (r8, the TracIn idea at the final
     // checkpoint): each training doc scored by grad_i · mean held-out
     // gradient under the final trained weights — top-20 most influential
@@ -2659,6 +2667,51 @@ object ExtQueries {
         "list_aggregate(list(recall_at_k ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_recall, " +
         "min(recall_at_k) AS min_recall " +
         "FROM pevq GROUP BY system"
+    },
+
+    // x155: token-level Gopher repetition signals — per-n gram CTEs, top
+    // gram by (count desc, gram), duplicated-gram position coverage
+    // joined to per-position token chars; thresholds from the TextOps
+    // constants.
+    "x155_repetition_signals" -> {
+      def gramsCte(n: Int, nm: String) =
+        s"$nm AS (SELECT doc_id, s.i AS pos, s.g AS gram FROM " +
+          s"(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-${n - 1}), " +
+          s"i -> struct_pack(i := i, g := array_to_string(toks[i:i+${n - 1}], ' ')))) AS s " +
+          s"FROM t WHERE len(toks) >= $n))"
+      def topCte(n: Int, g: String, nm: String) =
+        s"$nm AS (SELECT doc_id, CAST(cnt * (length(gram) - ${n - 1}) AS BIGINT) AS num FROM " +
+          "(SELECT doc_id, gram, count(*) AS cnt, " +
+          "row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram) AS r " +
+          s"FROM $g GROUP BY doc_id, gram) WHERE r = 1)"
+      def dupCte(n: Int, g: String, nm: String) =
+        s"${nm}d AS (SELECT doc_id, gram FROM $g GROUP BY doc_id, gram HAVING count(*) >= 2), " +
+          s"${nm}c AS (SELECT DISTINCT doc_id, p FROM (SELECT $g.doc_id AS doc_id, " +
+          s"unnest(generate_series($g.pos, $g.pos + ${n - 1})) AS p FROM $g JOIN ${nm}d USING (doc_id, gram))), " +
+          s"$nm AS (SELECT c.doc_id, CAST(sum(tk.tc) AS BIGINT) AS num FROM ${nm}c c " +
+          "JOIN rtokc tk ON tk.doc_id = c.doc_id AND tk.p = c.p GROUP BY 1)"
+      def fr(src: String, out: String) =
+        s"CASE WHEN total_chars > 0 THEN CAST(coalesce($src, 0) AS DOUBLE)/CAST(total_chars AS DOUBLE) ELSE 0.0 END AS $out"
+      s"WITH t AS ($toksCte), " +
+        "rb AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "CAST(coalesce(list_aggregate(list_transform(toks, tk -> CAST(length(tk) AS BIGINT)), 'sum'), 0) AS BIGINT) AS total_chars FROM t), " +
+        "rtokc AS (SELECT doc_id, s.p AS p, length(s.tok) AS tc FROM " +
+        "(SELECT doc_id, unnest(list_transform(range(1, len(toks)+1), j -> struct_pack(p := j, tok := toks[j]))) AS s FROM t)), " +
+        s"${gramsCte(2, "rg2")}, ${gramsCte(3, "rg3")}, ${gramsCte(4, "rg4")}, " +
+        s"${gramsCte(5, "rg5")}, ${gramsCte(8, "rg8")}, " +
+        s"${topCte(2, "rg2", "rt2")}, ${topCte(3, "rg3", "rt3")}, ${topCte(4, "rg4", "rt4")}, " +
+        s"${dupCte(5, "rg5", "rd5")}, ${dupCte(8, "rg8", "rd8")} " +
+        "SELECT doc_id, n_tokens, total_chars, top2_char_frac, top3_char_frac, top4_char_frac, " +
+        "dup5_char_frac, dup8_char_frac, " +
+        s"(top2_char_frac > ${TextOps.RepTop2} OR top3_char_frac > ${TextOps.RepTop3} " +
+        s"OR top4_char_frac > ${TextOps.RepTop4} OR dup5_char_frac > ${TextOps.RepDup5} " +
+        s"OR dup8_char_frac > ${TextOps.RepDup8}) AS repetitive FROM " +
+        "(SELECT rb.doc_id, rb.n_tokens, rb.total_chars, " +
+        s"${fr("rt2.num", "top2_char_frac")}, ${fr("rt3.num", "top3_char_frac")}, " +
+        s"${fr("rt4.num", "top4_char_frac")}, ${fr("rd5.num", "dup5_char_frac")}, " +
+        s"${fr("rd8.num", "dup8_char_frac")} " +
+        "FROM rb LEFT JOIN rt2 USING (doc_id) LEFT JOIN rt3 USING (doc_id) " +
+        "LEFT JOIN rt4 USING (doc_id) LEFT JOIN rd5 USING (doc_id) LEFT JOIN rd8 USING (doc_id))"
     },
 
     "x01_dedup_exact" ->

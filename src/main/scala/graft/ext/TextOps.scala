@@ -769,4 +769,82 @@ object TextOps {
       .withColumn("fp_top4", concat_ws("|", slice(array_sort(col("_grams")), 1, 4)))
       .drop("_grams")
   }
+
+  // Gopher repetition-filter thresholds (Rae et al., "Scaling Language
+  // Models: Methods, Analysis & Insights from Training Gopher", 2021,
+  // Appendix A — public method): a document whose most-frequent n-gram or
+  // duplicated-n-gram coverage exceeds these character fractions is the
+  // boilerplate/degenerate-repetition failure mode quality scores miss.
+  // The literals live here ONCE; the oracle embeds them.
+  val RepTop2 = 0.20
+  val RepTop3 = 0.18
+  val RepTop4 = 0.16
+  val RepDup5 = 0.15
+  val RepDup8 = 0.12
+
+  /** Per-doc repetition signals (the Gopher filter family, token-level —
+    * the fixture has no line/paragraph structure): for n ∈ {2,3,4} the
+    * character fraction of the MOST FREQUENT n-gram (count × gram token
+    * chars / total token chars; ties to the lexicographically smallest
+    * gram — overlapping repeats can push a degenerate doc past 1.0, which
+    * is exactly the signal), and for n ∈ {5,8} the fraction of token
+    * characters COVERED by n-grams occurring ≥ 2× within the doc
+    * (positions counted once — the x82 passage-coverage idiom turned
+    * within-doc). `repetitive` ORs the published thresholds.
+    *
+    * Scale shape: per-n explodes + (doc, gram)-keyed counts — doc-local
+    * shuffles of (id, gram) rows, linear in corpus tokens; the top-gram
+    * window partitions by doc (bounded by doc length); nothing
+    * corpus-sized anywhere.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.ops.Caching.cacheOnce(
+      docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("total_chars",
+          aggregate(transform(col("toks"), t => length(t).cast("long")),
+            lit(0L), (a, x) => a + x)))
+    def grams(n: Int): DataFrame = base.select(col("doc_id"),
+      posexplode(when(size(col("toks")) >= n,
+        transform(sequence(lit(1), size(col("toks")) - lit(n - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(n)))))
+        .otherwise(array())).as(Seq("pos", "gram")))
+    def topNum(n: Int, name: String): DataFrame = grams(n)
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .withColumn("r", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("cnt").desc, col("gram").asc)))
+      .where(col("r") === 1)
+      .select(col("doc_id"),
+        (col("cnt") * (length(col("gram")) - lit(n - 1)).cast("long")).as(s"_num_$name"))
+    def dupNum(n: Int, name: String): DataFrame = {
+      val g = grams(n)
+      val d = g.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+        .where(col("c") >= 2).select("doc_id", "gram")
+      val tokChars = base.select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tok")))
+        .select(col("doc_id"), col("p"), length(col("tok")).cast("long").as("tc"))
+      g.join(d, Seq("doc_id", "gram"))
+        .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+        .distinct()
+        .join(tokChars, Seq("doc_id", "p"))
+        .groupBy("doc_id").agg(sum(col("tc")).as(s"_num_$name"))
+    }
+    val joined = base
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"), col("total_chars"))
+      .join(topNum(2, "top2"), Seq("doc_id"), "left")
+      .join(topNum(3, "top3"), Seq("doc_id"), "left")
+      .join(topNum(4, "top4"), Seq("doc_id"), "left")
+      .join(dupNum(5, "dup5"), Seq("doc_id"), "left")
+      .join(dupNum(8, "dup8"), Seq("doc_id"), "left")
+    def frac(name: String): Column = when(col("total_chars") > 0,
+      coalesce(col(s"_num_$name"), lit(0L)).cast("double")
+        / col("total_chars").cast("double")).otherwise(lit(0.0))
+    joined.select(col("doc_id"), col("n_tokens"), col("total_chars"),
+        frac("top2").as("top2_char_frac"), frac("top3").as("top3_char_frac"),
+        frac("top4").as("top4_char_frac"), frac("dup5").as("dup5_char_frac"),
+        frac("dup8").as("dup8_char_frac"))
+      .withColumn("repetitive",
+        col("top2_char_frac") > RepTop2 || col("top3_char_frac") > RepTop3 ||
+        col("top4_char_frac") > RepTop4 || col("dup5_char_frac") > RepDup5 ||
+        col("dup8_char_frac") > RepDup8)
+  }
 }

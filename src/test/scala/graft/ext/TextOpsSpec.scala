@@ -368,4 +368,32 @@ class TextOpsSpec extends SparkTestBase {
       assert(mq > 0.0 && mq <= 1.0)
     }
   }
+
+  test("repetitionSignals: planted repetition flagged with exact coverage; varied text passes") {
+    val clean = (1 to 30).map(i => f"t$i%02d").mkString(" ") // 30 distinct 3-char tokens
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, clean),
+      (3L, "x y z w v x y z w v x y z w v q r s t u")).toDF("doc_id", "text")
+    val r = TextOps.repetitionSignals(df).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // doc 1: top bigram "spam spam" count 5 x 8 chars over 24 token chars
+    assert(math.abs(r(1L).getAs[Double]("top2_char_frac") - 40.0 / 24.0) < 1e-12)
+    assert(r(1L).getAs[Double]("dup5_char_frac") === 1.0)
+    assert(r(1L).getAs[Boolean]("repetitive"))
+    // doc 3: period-5 repetition covers exactly tokens 1..15 of 20
+    assert(r(3L).getAs[Double]("dup5_char_frac") === 15.0 / 20.0)
+    assert(r(3L).getAs[Boolean]("repetitive"))
+    // doc 2: 30 distinct tokens — every signal under its threshold
+    assert(!r(2L).getAs[Boolean]("repetitive"))
+    assert(r(2L).getAs[Double]("dup5_char_frac") === 0.0)
+    // fixture invariants: fracs non-negative, flags deterministic
+    val docs = Tables.documents(spark, sfDir)
+    val fx = TextOps.repetitionSignals(docs).cache()
+    assert(fx.where(col("top2_char_frac") < 0.0 || col("dup5_char_frac") < 0.0 ||
+      col("dup8_char_frac") < 0.0).isEmpty)
+    assert(fx.collect().map(_.toSeq).toSet ===
+      TextOps.repetitionSignals(docs.repartition(7)).collect().map(_.toSeq).toSet)
+    fx.unpersist()
+  }
 }
