@@ -1081,6 +1081,15 @@ object ExtQueries {
     "x150_token_budget_mix" -> ((s, dir) =>
       Curate.tokenBudgetMix(Tables.documents(s, dir), Curate.TokenMixBudget)),
 
+    // DSIR resample applied (r8): x84's importance weights turned into
+    // the actual keep/drop pass — max-normalized rejection sampling with
+    // the multiplication-only acceptance rule (u · w_max < w, no division
+    // rounds), deterministic and retry-safe. Registers the previously
+    // unconsumed TextOps.dsirResample per the house rule that
+    // unregistered code is unverified code.
+    "x156_dsir_resample" -> ((s, dir) =>
+      TextOps.dsirResample(Tables.documents(s, dir), col("source") === "src0")),
+
     // Gopher repetition filters (r8): per-doc most-frequent-n-gram char
     // fractions (n = 2,3,4) + duplicated-n-gram coverage (n = 5,8) with
     // the published thresholds ORed into a `repetitive` flag — the
@@ -1913,6 +1922,34 @@ object ExtQueries {
   /** The x146 PQ configs: (sql prefix, M, K, bytes/vector). */
   private val pqConfigs: Seq[(String, Int, Int, Double)] =
     Seq(("pa", 8, 16, 4.0), ("pb", 16, 16, 8.0), ("pc", 64, 256, 64.0))
+
+  /** The DSIR hashed-unigram likelihood-ratio chain (x84; reused by
+    * x156's resample): target/source bucket counts, add-1-smoothed
+    * ratios, per-doc position-ordered lr folds. Ends with
+    * `dw (doc_id, n_feats, avg_lr)`. */
+  private lazy val dsirCtes: String =
+    "t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +
+      "tf AS (SELECT CAST(('0x' || substr(md5(tok), 1, 4)) AS INT) % 1024 AS f " +
+      "FROM (SELECT unnest(toks) AS tok FROM t WHERE source = 'src0')), " +
+      "sf AS (SELECT CAST(('0x' || substr(md5(tok), 1, 4)) AS INT) % 1024 AS f " +
+      "FROM (SELECT unnest(toks) AS tok FROM t WHERE source <> 'src0')), " +
+      "ct AS (SELECT f, CAST(count(*) AS BIGINT) AS c_t FROM tf GROUP BY 1), " +
+      "cs AS (SELECT f, CAST(count(*) AS BIGINT) AS c_s FROM sf GROUP BY 1), " +
+      "st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM tf) AS n_t, " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM sf) AS n_s), " +
+      "r AS (SELECT f, CAST((coalesce(c_t, 0) + 1) * (n_s + 1024) AS DOUBLE) " +
+      "/ CAST((coalesce(c_s, 0) + 1) * (n_t + 1024) AS DOUBLE) AS lr " +
+      "FROM ct FULL JOIN cs USING (f), st), " +
+      "pr AS (SELECT doc_id, p.i AS i, " +
+      "CAST(('0x' || substr(md5(p.tok), 1, 4)) AS INT) % 1024 AS f " +
+      "FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)), " +
+      "i -> struct_pack(i := i, tok := toks[i]))) AS p FROM t WHERE source <> 'src0')), " +
+      "sp AS (SELECT doc_id, i, coalesce(lr, " +
+      "CAST(n_s + 1024 AS DOUBLE) / CAST(n_t + 1024 AS DOUBLE)) AS lr " +
+      "FROM pr LEFT JOIN r USING (f), st), " +
+      "dw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats, " +
+      "list_aggregate(list(lr ORDER BY i), 'sum') / count(*) AS avg_lr " +
+      "FROM sp GROUP BY doc_id)"
 
   /** The stored-IVFADC probe chain (x152; the ANN leg of x153): stride-
     * centroid cell assignment (x58's form), the full PQ chain (prefix
@@ -3954,28 +3991,16 @@ object ExtQueries {
         "FROM w JOIN bb USING (lang)"),
 
     "x84_dsir_importance" ->
-      ("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +
-        "tf AS (SELECT CAST(('0x' || substr(md5(tok), 1, 4)) AS INT) % 1024 AS f " +
-        "FROM (SELECT unnest(toks) AS tok FROM t WHERE source = 'src0')), " +
-        "sf AS (SELECT CAST(('0x' || substr(md5(tok), 1, 4)) AS INT) % 1024 AS f " +
-        "FROM (SELECT unnest(toks) AS tok FROM t WHERE source <> 'src0')), " +
-        "ct AS (SELECT f, CAST(count(*) AS BIGINT) AS c_t FROM tf GROUP BY 1), " +
-        "cs AS (SELECT f, CAST(count(*) AS BIGINT) AS c_s FROM sf GROUP BY 1), " +
-        "st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM tf) AS n_t, " +
-        "(SELECT CAST(count(*) AS BIGINT) FROM sf) AS n_s), " +
-        "r AS (SELECT f, CAST((coalesce(c_t, 0) + 1) * (n_s + 1024) AS DOUBLE) " +
-        "/ CAST((coalesce(c_s, 0) + 1) * (n_t + 1024) AS DOUBLE) AS lr " +
-        "FROM ct FULL JOIN cs USING (f), st), " +
-        "pr AS (SELECT doc_id, p.i AS i, " +
-        "CAST(('0x' || substr(md5(p.tok), 1, 4)) AS INT) % 1024 AS f " +
-        "FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)), " +
-        "i -> struct_pack(i := i, tok := toks[i]))) AS p FROM t WHERE source <> 'src0')), " +
-        "sp AS (SELECT doc_id, i, coalesce(lr, " +
-        "CAST(n_s + 1024 AS DOUBLE) / CAST(n_t + 1024 AS DOUBLE)) AS lr " +
-        "FROM pr LEFT JOIN r USING (f), st) " +
-        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats, " +
-        "list_aggregate(list(lr ORDER BY i), 'sum') / count(*) AS avg_lr " +
-        "FROM sp GROUP BY doc_id"),
+      s"WITH $dsirCtes SELECT doc_id, n_feats, avg_lr FROM dw",
+
+    // x156: the resample APPLICATION — max-normalized rejection sampling,
+    // multiplication-only (u · w_max < w) so no division ever rounds.
+    "x156_dsir_resample" -> {
+      val draw = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':dsir'), 1, 8)) AS BIGINT)/4294967296.0"
+      s"WITH $dsirCtes, wm AS (SELECT max(avg_lr) AS wmax FROM dw) " +
+        s"SELECT doc_id, n_feats, avg_lr, $draw AS draw, " +
+        s"($draw * wmax < avg_lr) AS kept FROM dw, wm"
+    },
 
     "x85_embedding_outliers" ->
       ("WITH e AS (SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS v, " +

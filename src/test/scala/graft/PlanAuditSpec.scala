@@ -79,7 +79,8 @@ class PlanAuditSpec extends SparkTestBase {
     "x151_lr_influence" -> "x130's 1-row broadcast final-weight scoring + ONE broadcast mean-held-out-gradient row (B+3 doubles, constant model state)",
     "x152_ann_ivfpq_stored" -> "crossJoins against the ONE-ROW packed centroid/flat-codebook broadcasts (PqEncode + assignCells folds, constants); the probe itself is equi on cell with DPP (spec-asserted)",
     "x153_retrieval_eval_stored" -> "x126's 1-row stored-stats/df crossJoins (bm25 leg) + x152's packed centroid/codebook 1-row crossJoins (IVFADC leg) + x145's 1-row eval folds and broadcast query/relevance stream",
-    "x154_ann_ivfpq_recall" -> "crossJoin of three single-row count aggregates per method (recall-report constants, x69's shape) + x152's packed centroid/codebook 1-row crossJoins and the x06-shaped brute-force truth leg"
+    "x154_ann_ivfpq_recall" -> "crossJoin of three single-row count aggregates per method (recall-report constants, x69's shape) + x152's packed centroid/codebook 1-row crossJoins and the x06-shaped brute-force truth leg",
+    "x156_dsir_resample" -> "x84's 1-row token-total crossJoin + ONE broadcast max-weight row (the acceptance normalizer, constant)"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {

@@ -369,6 +369,26 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("dsirResample: kept iff u*wmax < w, max-weight doc always survives, deterministic") {
+    val docs = Tables.documents(spark, sfDir)
+    val r = TextOps.dsirResample(docs, col("source") === "src0").cache()
+    // the rule itself, row for row
+    assert(r.where((col("draw") * lit(1.0) >= lit(0.0)) &&
+      (col("kept") =!= (col("draw") *
+        r.agg(max("avg_lr")).collect()(0).getDouble(0) < col("avg_lr")))).isEmpty)
+    // the max-weight doc is kept with probability 1 (u < 1 always)
+    val wmax = r.agg(max("avg_lr")).collect()(0).getDouble(0)
+    assert(r.where(col("avg_lr") === wmax && !col("kept")).isEmpty)
+    // something is kept and something dropped at fixture scale
+    assert(r.where(col("kept")).count() > 0)
+    assert(r.where(!col("kept")).count() > 0)
+    // retry-safe: identical decisions across runs and input layouts
+    assert(r.collect().map(_.toSeq).toSet ===
+      TextOps.dsirResample(docs.repartition(7), col("source") === "src0")
+        .collect().map(_.toSeq).toSet)
+    r.unpersist()
+  }
+
   test("repetitionSignals: planted repetition flagged with exact coverage; varied text passes") {
     val clean = (1 to 30).map(i => f"t$i%02d").mkString(" ") // 30 distinct 3-char tokens
     val df = Seq(
