@@ -1,0 +1,32 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming ANN-index maintenance — the vector twin of
+  * [[EventStream.incrementalPublish]]: an embedding stream drains into the
+  * stored IVFADC index through `foreachBatch` →
+  * [[graft.ext.Similarity.appendToIvfPqIndex]]. Each micro-batch does
+  * BATCH-sized work only (assign + encode against the stored centroid and
+  * codebook tables — zero corpus reads), appends touch only the batch's
+  * cells' directories, and the checkpoint gives exactly-once source
+  * progress: a crashed batch replays into the same cell partitions it
+  * already (partially) wrote, and draining with nothing new is a no-op.
+  * Probes ([[graft.ext.Similarity.ivfPqTopK]]) see appended vectors
+  * immediately after their batch commits — index freshness tracks
+  * ingestion latency, the production property a 100 TB vector pipeline
+  * needs (rebuilds stay offline; the stream only ever appends).
+  */
+object VectorStream {
+
+  def indexIngest(stream: DataFrame, indexDir: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.ext.Similarity.appendToIvfPqIndex(batch.sparkSession, indexDir, batch)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

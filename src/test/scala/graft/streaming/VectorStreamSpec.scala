@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.ext.Similarity
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class VectorStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("indexIngest: streamed batches append to the stored IVFADC index; probes stay exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    // base carries every stride centroid so the coarse quantizer (and the
+    // bounded-sample codebook) are frozen before the stream starts
+    val isBase = col("vec_id") % Similarity.IvfCentroidStride === 0 || col("vec_id") < 150
+    val idx = java.nio.file.Files.createTempDirectory("graft-vstream-idx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-vstream-ckpt").toString
+    Similarity.buildIvfPqIndex(e.where(isBase), idx)
+    val queries = e.where(col("vec_id") < 5)
+    def pairs(k: Int = 100000) = Similarity.ivfPqTopK(spark, idx, queries, k)
+      .select("q_id", "vec_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val before = pairs()
+
+    // stream the remaining vectors in as micro-batches
+    val rest = e.where(!isBase)
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Seq[Float])].collect()
+    val (b1, b2) = rest.splitAt(rest.length / 2)
+    val in = MemoryStream[(Long, Seq[Float])]
+    in.addData(b1.toSeq)
+    in.addData(b2.toSeq)
+    val stream = in.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val q = VectorStream.indexIngest(stream, idx, ckpt)
+    q.awaitTermination(180000)
+
+    // every vector present exactly once; pre-existing ADC scores unmoved
+    assert(spark.read.parquet(s"$idx/codes").count() === e.count())
+    val after = pairs()
+    before.foreach { case (k2, v) =>
+      assert(after.contains(k2) && after(k2) == v, s"base score moved at $k2")
+    }
+    assert(after.size > before.size, "streamed vectors must be probe-visible")
+
+    // exactly-once: re-draining with nothing new is a no-op
+    val q2 = VectorStream.indexIngest(stream, idx, ckpt)
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(s"$idx/codes").count() === e.count(),
+      "an empty re-drain must not duplicate appended vectors")
+  }
+}
