@@ -316,6 +316,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(grownPairs.size > basePairs.size, "appended vectors must be probe-visible")
   }
 
+  test("IVFADC codes table compacts with Maintenance.compactPartitioned: fewer files, probes bit-identical") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val isBase = col("vec_id") % Similarity.IvfCentroidStride === 0 || col("vec_id") < 150
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-compact").toString
+    Similarity.buildIvfPqIndex(e.where(isBase), idx)
+    // three appends fragment every touched cell directory
+    val rest = e.where(!isBase)
+    Seq(0, 1, 2).foreach { i =>
+      Similarity.appendToIvfPqIndex(spark, idx, rest.where(col("vec_id") % 3 === i))
+    }
+    def dataFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$idx/codes")).count(_.getName.endsWith(".parquet"))
+    }
+    val queries = e.where(col("vec_id") < 5)
+    def pairs() = Similarity.ivfPqTopK(spark, idx, queries, 100000)
+      .select("q_id", "vec_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val before = pairs()
+    val filesBefore = dataFiles()
+    graft.ops.Maintenance.compactPartitioned(spark, s"$idx/codes", "cell")
+    assert(dataFiles() < filesBefore,
+      s"compaction must shrink the file count (was $filesBefore)")
+    assert(pairs() === before, "compaction must not move a single ADC score bit")
+    assert(spark.read.parquet(s"$idx/codes").count() === e.count())
+  }
+
   test("k-means IVF: trained centroids improve recall@10 on clustered data") {
     // The synthetic embeddings fixture is uniform random (same-label and
     // cross-label cosine both ~0), where NO centroid placement beats any
