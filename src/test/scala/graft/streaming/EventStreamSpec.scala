@@ -322,6 +322,35 @@ class EventStreamSpec extends SparkTestBase {
     assert(new java.io.File(target).listFiles().count(_.getName.startsWith("date=")) === 3)
   }
 
+  test("contaminationHits at ingestion: leaked doc flagged in-batch, stream == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val rows = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally different words here now"))
+    val in = MemoryStream[(Long, String)]
+    in.addData(rows)
+    val docs = in.toDF().toDF("doc_id", "text")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-contam-ckpt").toString
+    val got = scala.collection.mutable.Map[Long, (Long, Boolean)]()
+    val q = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        EventStream.contaminationHits(batch, bench).collect().foreach { r =>
+          got.synchronized { got(r.getLong(0)) = (r.getLong(1), r.getAs[Boolean]("drop_doc")) }
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // 3 of the leaked doc's 4 shingles hit the benchmark (0.75 > 0.5)
+    assert(got(1L) === ((3L, true)))
+    assert(got(2L) === ((0L, false)))
+    // batch/stream identity: the same function over the same rows as a
+    // plain DataFrame produces the identical measurements
+    val batchRes = EventStream.contaminationHits(rows.toDF("doc_id", "text"), bench)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getAs[Boolean]("drop_doc")))).toMap
+    assert(got.toMap === batchRes)
+  }
+
   test("fileStream drains a parquet directory with AvailableNow (T2 semantics)") {
     val dir = java.nio.file.Files.createTempDirectory("fs").toString
     val data = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
