@@ -63,7 +63,8 @@ object SparkEntry {
     "x128_split_leakage_audit", "x129_lr_train_trajectory",
     "x131_bt_strengths", "x134_chat_sft_stats", "x135_sft_pipeline",
     "x145_retrieval_eval_set", "x146_pq_recall", "x147_best_of_n",
-    "x151_lr_influence", "x152_ann_ivfpq_stored", "x153_retrieval_eval_stored")
+    "x151_lr_influence", "x152_ann_ivfpq_stored", "x153_retrieval_eval_stored",
+    "x155_repetition_signals")
 
   /** Cheap stable legs (<0.3 s quiet): still timed every round, reported
     * on the `total_extra` stdout line and in bench_last.json, never on

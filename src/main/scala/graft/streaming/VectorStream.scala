@@ -29,4 +29,22 @@ object VectorStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** The lexical twin: a document stream drains into the stored BM25
+    * index ([[graft.ext.Search.appendToBm25Index]] per micro-batch —
+    * batch-sized tokenize/tf, bucket-partitioned postings appends, the
+    * 1-row stats table re-derived additively in exact integers). Because
+    * every index component is additive, a stream-grown index probes
+    * IDENTICALLY to one built on the full corpus at once (spec-pinned) —
+    * lexical retrieval freshness tracks ingestion latency too. */
+  def bm25Ingest(stream: DataFrame, indexDir: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.ext.Search.appendToBm25Index(batch.sparkSession, indexDir, batch)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

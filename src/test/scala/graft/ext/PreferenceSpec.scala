@@ -126,6 +126,17 @@ class PreferenceSpec extends SparkTestBase {
     full.unpersist()
   }
 
+  test("dpoPairs JSONL export round-trips bit-for-bit (the trainer handoff artifact)") {
+    val pairs = Preference.dpoPairs(
+      Trainer.lrScoreAll(spark, Tables.documents(spark, sfDir))).cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpo_export").toString
+    graft.sources.Jsonl.write(pairs, dir, orderCol = "prompt_id")
+    val back = graft.sources.Jsonl.readClean(spark, dir, pairs.schema)
+    // doubles survive the JSON edge exactly (shortest-round-trip repr)
+    assert(back.collect().map(_.toSeq).toSet === pairs.collect().map(_.toSeq).toSet)
+    pairs.unpersist()
+  }
+
   test("btConvergence: positive L1 deltas, decaying") {
     val d = Preference.btConvergence(Tables.documents(spark, sfDir))
       .orderBy("iter").collect().map(_.getDouble(1))

@@ -50,4 +50,31 @@ class VectorStreamSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$idx/codes").count() === e.count(),
       "an empty re-drain must not duplicate appended vectors")
   }
+
+  test("bm25Ingest: a stream-grown lexical index probes identically to a full build") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val grown = java.nio.file.Files.createTempDirectory("graft-bm25-stream").toString
+    val full = java.nio.file.Files.createTempDirectory("graft-bm25-full").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bm25-sckpt").toString
+    graft.ext.Search.buildBm25Index(docs.where(col("doc_id") < 150), grown)
+    graft.ext.Search.buildBm25Index(docs, full)
+    val rest = docs.where(col("doc_id") >= 150)
+      .as[(Long, String)].collect()
+    val (b1, b2) = rest.splitAt(rest.length / 2)
+    val in = MemoryStream[(Long, String)]
+    in.addData(b1.toSeq)
+    in.addData(b2.toSeq)
+    val q = VectorStream.bm25Ingest(in.toDF().toDF("doc_id", "text"), grown, ckpt)
+    q.awaitTermination(180000)
+    // postings, doc lengths, and the 1-row stats are all additive in
+    // exact integers, so the probes must agree bit-for-bit
+    val terms = Seq("hash", "join", "dup")
+    val a = graft.ext.Search.bm25TopKStored(spark, grown, terms, 20)
+      .collect().map(_.toSeq).toSeq
+    val b = graft.ext.Search.bm25TopKStored(spark, full, terms, 20)
+      .collect().map(_.toSeq).toSeq
+    assert(a === b, "stream-grown index must probe identically to a full rebuild")
+  }
 }
