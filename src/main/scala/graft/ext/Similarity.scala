@@ -1009,6 +1009,43 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$indexDir/codes")
   }
 
+  /** Delete vectors from the stored IVFADC index — the tombstone verb
+    * that completes the maintenance set (build / append / compact /
+    * delete): locate the victims' cells (one pruned scan; the id set is a
+    * bounded delete batch, so it rides an `isin` literal), rewrite ONLY
+    * those cells' partitions without the victims, and swap each affected
+    * cell directory in. Untouched cells' files are never opened or
+    * rewritten — delete cost tracks the affected cells, not the index.
+    * Corpus-scale tombstone sets belong in an offline rebuild instead.
+    * The per-cell directory swap is crash-safe per cell (a re-run
+    * re-deletes idempotently: already-deleted ids match no rows). */
+  def deleteFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, ids: Seq[Long]): Unit = {
+    require(ids.nonEmpty, "empty delete batch — nothing to do is a caller bug")
+    val codes = spark.read.parquet(s"$indexDir/codes")
+    // the partition column reads back as INT (path inference) — normalize
+    val cells = codes.where(col("vec_id").isin(ids: _*))
+      .select(col("cell").cast("long")).distinct().collect().map(_.getLong(0)).sorted
+    if (cells.nonEmpty) {
+      val tmp = s"$indexDir/codes_delete_tmp"
+      codes.where(col("cell").isin(cells.toIndexedSeq: _*) &&
+          !col("vec_id").isin(ids: _*))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      for (c <- cells) {
+        val dst = Paths.get(s"$indexDir/codes/cell=$c")
+        val src = Paths.get(s"$tmp/cell=$c")
+        rm(dst.toFile)
+        if (Files.exists(src))
+          Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   /** Probe the stored IVFADC index: the query is cell-assigned against
     * the stored centroids (broadcast fold), carries its (M × K) ADC LUT
     * (one broadcast array per query), and equi-joins the cell-partitioned

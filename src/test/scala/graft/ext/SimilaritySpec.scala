@@ -316,6 +316,44 @@ class SimilaritySpec extends SparkTestBase {
     assert(grownPairs.size > basePairs.size, "appended vectors must be probe-visible")
   }
 
+  test("deleteFromIvfPqIndex: victims vanish, survivors' scores bit-identical, untouched cells untouched") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-del").toString
+    Similarity.buildIvfPqIndex(e, idx)
+    val queries = e.where(col("vec_id") < 5)
+    def pairs() = Similarity.ivfPqTopK(spark, idx, queries, 100000)
+      .select("q_id", "vec_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val before = pairs()
+    val nBefore = spark.read.parquet(s"$idx/codes").count()
+    // victims: three candidates the probes can currently see
+    val victims = before.keySet.map(_._2).toSeq.sorted.take(3)
+    // an untouched cell: one holding none of the victims
+    val codes = spark.read.parquet(s"$idx/codes")
+    val victimCells = codes.where(col("vec_id").isin(victims: _*))
+      .select(col("cell").cast("long")).distinct().collect().map(_.getLong(0)).toSet
+    val quietCell = codes.select(col("cell").cast("long")).distinct().collect()
+      .map(_.getLong(0)).filterNot(victimCells).head
+    def cellFiles(c: Long): Set[(String, Long)] =
+      Option(new java.io.File(s"$idx/codes/cell=$c").listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    val quietBefore = cellFiles(quietCell)
+    Similarity.deleteFromIvfPqIndex(spark, idx, victims)
+    assert(spark.read.parquet(s"$idx/codes").count() === nBefore - victims.size)
+    val after = pairs()
+    assert(victims.forall(v => !after.keySet.exists(_._2 == v)),
+      "deleted vectors must be invisible to probes")
+    after.foreach { case (k2, v) =>
+      assert(before(k2) == v, s"survivor score moved at $k2")
+    }
+    assert(cellFiles(quietCell) === quietBefore,
+      "a cell holding no victims must not be rewritten")
+    // idempotent: re-deleting the same batch is a no-op
+    Similarity.deleteFromIvfPqIndex(spark, idx, victims)
+    assert(spark.read.parquet(s"$idx/codes").count() === nBefore - victims.size)
+  }
+
   test("IVFADC codes table compacts with Maintenance.compactPartitioned: fewer files, probes bit-identical") {
     val e = graft.sources.Tables.embeddings(spark, sfDir)
     val isBase = col("vec_id") % Similarity.IvfCentroidStride === 0 || col("vec_id") < 150
