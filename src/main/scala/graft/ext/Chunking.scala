@@ -123,6 +123,38 @@ object Chunking {
   /** Reference single-window form of [[packSequences]] — the spec's
     * equivalence twin (NOT for production: one task per source).
     */
+  /** Fixture-scaled context budgets for the registered truncation report
+    * (x157): the ~54-token fixture docs exercise heavy / moderate / rare
+    * truncation; a production run passes real context lengths
+    * (2048/4096/8192 …). Literals embedded in the oracle. */
+  val TruncBudgets: Seq[Long] = Seq(32L, 64L, 128L)
+
+  /** Context-budget truncation report — the planning query behind a
+    * sequence-length choice: per candidate budget, how many documents
+    * exceed it and what fraction of corpus TOKENS a hard truncation
+    * would discard. One corpus scan: each doc's token count fans out to
+    * the (bounded) budget grid with a literal-array explode — no join —
+    * then one budget-keyed exact-LONG aggregation; the two fractions are
+    * the only divisions. */
+  def truncationReport(docs: DataFrame,
+      budgets: Seq[Long] = TruncBudgets): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ > 0), "budgets must be positive")
+    docs.select(size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      .select(col("n"), explode(typedLit(budgets)).as("budget"))
+      .groupBy("budget")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        sum(when(col("n") > col("budget"), 1L).otherwise(0L)).as("n_docs_truncated"),
+        sum(when(col("n") > col("budget"), col("n") - col("budget")).otherwise(0L))
+          .as("tokens_lost"))
+      .select(col("budget"), col("n_docs"), col("n_docs_truncated"),
+        col("total_tokens"), col("tokens_lost"),
+        (col("n_docs_truncated").cast("double") / col("n_docs").cast("double"))
+          .as("frac_docs_truncated"),
+        (col("tokens_lost").cast("double") / col("total_tokens").cast("double"))
+          .as("frac_tokens_lost"))
+  }
+
   private[graft] def packSequencesNaive(docs: DataFrame, budget: Long): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)

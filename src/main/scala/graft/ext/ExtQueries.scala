@@ -1081,6 +1081,13 @@ object ExtQueries {
     "x150_token_budget_mix" -> ((s, dir) =>
       Curate.tokenBudgetMix(Tables.documents(s, dir), Curate.TokenMixBudget)),
 
+    // Context-budget truncation report (r8): per candidate sequence
+    // length, the docs over budget and the corpus-token fraction a hard
+    // truncation would discard — the planning query behind a context-
+    // length choice. Exact LONG sums; two divisions.
+    "x157_truncation_report" -> ((s, dir) =>
+      Chunking.truncationReport(Tables.documents(s, dir))),
+
     // DSIR resample applied (r8): x84's importance weights turned into
     // the actual keep/drop pass — max-normalized rejection sampling with
     // the multiplication-only acceptance rule (u · w_max < w, no division
@@ -2704,6 +2711,20 @@ object ExtQueries {
         "list_aggregate(list(recall_at_k ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_recall, " +
         "min(recall_at_k) AS min_recall " +
         "FROM pevq GROUP BY system"
+    },
+
+    "x157_truncation_report" -> {
+      val vals = Chunking.TruncBudgets.map(b => s"($b)").mkString(", ")
+      s"WITH t AS ($toksCte), " +
+        "tn AS (SELECT CAST(len(toks) AS BIGINT) AS n FROM t), " +
+        s"bg AS (SELECT CAST(budget AS BIGINT) AS budget FROM (VALUES $vals) v(budget)) " +
+        "SELECT budget, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN n > budget THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_truncated, " +
+        "CAST(sum(n) AS BIGINT) AS total_tokens, " +
+        "CAST(sum(CASE WHEN n > budget THEN n - budget ELSE 0 END) AS BIGINT) AS tokens_lost, " +
+        "CAST(sum(CASE WHEN n > budget THEN 1 ELSE 0 END) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS frac_docs_truncated, " +
+        "CAST(sum(CASE WHEN n > budget THEN n - budget ELSE 0 END) AS DOUBLE)/CAST(sum(n) AS DOUBLE) AS frac_tokens_lost " +
+        "FROM tn, bg GROUP BY budget"
     },
 
     // x155: token-level Gopher repetition signals — per-n gram CTEs, top

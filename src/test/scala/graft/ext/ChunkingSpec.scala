@@ -84,4 +84,26 @@ class ChunkingSpec extends SparkTestBase {
       .findFirstIn(plan).isDefined,
       s"doc-level window must shuffle on (source, bucket):\n$plan")
   }
+
+  test("truncationReport: exact losses per budget; bad budgets fail loudly") {
+    import spark.implicits._
+    def doc(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, doc(10)), (2L, doc(50)), (3L, doc(100))).toDF("doc_id", "text")
+    val r = Chunking.truncationReport(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet === Set(32L, 64L, 128L))
+    // b=32: docs 50 and 100 truncate, losing (50-32)+(100-32)=86 of 160
+    assert(r(32L).getAs[Long]("n_docs_truncated") === 2L)
+    assert(r(32L).getAs[Long]("tokens_lost") === 86L)
+    assert(r(32L).getAs[Double]("frac_tokens_lost") === 86.0 / 160.0)
+    // b=64: only the 100-token doc truncates
+    assert(r(64L).getAs[Long]("n_docs_truncated") === 1L)
+    assert(r(64L).getAs[Long]("tokens_lost") === 36L)
+    // b=128: nothing truncates, zero loss
+    assert(r(128L).getAs[Long]("n_docs_truncated") === 0L)
+    assert(r(128L).getAs[Double]("frac_tokens_lost") === 0.0)
+    assert(r.values.forall(_.getAs[Long]("total_tokens") === 160L))
+    intercept[IllegalArgumentException] { Chunking.truncationReport(docs, Seq(0L)) }
+    intercept[IllegalArgumentException] { Chunking.truncationReport(docs, Nil) }
+  }
 }
