@@ -1081,6 +1081,22 @@ object ExtQueries {
     "x150_token_budget_mix" -> ((s, dir) =>
       Curate.tokenBudgetMix(Tables.documents(s, dir), Curate.TokenMixBudget)),
 
+    // The round-8 composed curation flagship: repetition gate (x155's
+    // filter applied) ∘ DSIR importance resample (x156's keep/drop) ∘
+    // token-budget mixture (x150) — the single query a pretraining data
+    // refresh runs over a non-target corpus. Every stage is the operator
+    // the standalone query verifies; this pins that they compose.
+    "x158_curation_refresh" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val keepRep = TextOps.repetitionSignals(docs)
+        .where(!col("repetitive")).select("doc_id")
+      val keepDsir = TextOps.dsirResample(docs, col("source") === "src0")
+        .where(col("kept")).select("doc_id")
+      Curate.tokenBudgetMix(
+        docs.join(keepRep, "doc_id").join(keepDsir, "doc_id"),
+        Curate.TokenMixBudget)
+    }),
+
     // Context-budget truncation report (r8): per candidate sequence
     // length, the docs over budget and the corpus-token fraction a hard
     // truncation would discard — the planning query behind a context-
@@ -1930,6 +1946,49 @@ object ExtQueries {
   private val pqConfigs: Seq[(String, Int, Int, Double)] =
     Seq(("pa", 8, 16, 4.0), ("pb", 16, 16, 8.0), ("pc", 64, 256, 64.0))
 
+  /** The Gopher repetition-signal chain (x155; reused by x158). ASSUMES a
+    * `t (doc_id, toks)` CTE is already in scope. Ends with `rsig
+    * (doc_id, n_tokens, total_chars, five fracs, repetitive)`. */
+  private lazy val repetitionCtes: String = {
+    def gramsCte(n: Int, nm: String) =
+      s"$nm AS (SELECT doc_id, s.i AS pos, s.g AS gram FROM " +
+        s"(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-${n - 1}), " +
+        s"i -> struct_pack(i := i, g := array_to_string(toks[i:i+${n - 1}], ' ')))) AS s " +
+        s"FROM t WHERE len(toks) >= $n))"
+    def topCte(n: Int, g: String, nm: String) =
+      s"$nm AS (SELECT doc_id, CAST(cnt * (length(gram) - ${n - 1}) AS BIGINT) AS num FROM " +
+        "(SELECT doc_id, gram, count(*) AS cnt, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram) AS r " +
+        s"FROM $g GROUP BY doc_id, gram) WHERE r = 1)"
+    def dupCte(n: Int, g: String, nm: String) =
+      s"${nm}d AS (SELECT doc_id, gram FROM $g GROUP BY doc_id, gram HAVING count(*) >= 2), " +
+        s"${nm}c AS (SELECT DISTINCT doc_id, p FROM (SELECT $g.doc_id AS doc_id, " +
+        s"unnest(generate_series($g.pos, $g.pos + ${n - 1})) AS p FROM $g JOIN ${nm}d USING (doc_id, gram))), " +
+        s"$nm AS (SELECT c.doc_id, CAST(sum(tk.tc) AS BIGINT) AS num FROM ${nm}c c " +
+        "JOIN rtokc tk ON tk.doc_id = c.doc_id AND tk.p = c.p GROUP BY 1)"
+    def fr(src: String, out: String) =
+      s"CASE WHEN total_chars > 0 THEN CAST(coalesce($src, 0) AS DOUBLE)/CAST(total_chars AS DOUBLE) ELSE 0.0 END AS $out"
+    "rb AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+      "CAST(coalesce(list_aggregate(list_transform(toks, tk -> CAST(length(tk) AS BIGINT)), 'sum'), 0) AS BIGINT) AS total_chars FROM t), " +
+      "rtokc AS (SELECT doc_id, s.p AS p, length(s.tok) AS tc FROM " +
+      "(SELECT doc_id, unnest(list_transform(range(1, len(toks)+1), j -> struct_pack(p := j, tok := toks[j]))) AS s FROM t)), " +
+      s"${gramsCte(2, "rg2")}, ${gramsCte(3, "rg3")}, ${gramsCte(4, "rg4")}, " +
+      s"${gramsCte(5, "rg5")}, ${gramsCte(8, "rg8")}, " +
+      s"${topCte(2, "rg2", "rt2")}, ${topCte(3, "rg3", "rt3")}, ${topCte(4, "rg4", "rt4")}, " +
+      s"${dupCte(5, "rg5", "rd5")}, ${dupCte(8, "rg8", "rd8")}, " +
+      "rsig AS (SELECT doc_id, n_tokens, total_chars, top2_char_frac, top3_char_frac, " +
+      "top4_char_frac, dup5_char_frac, dup8_char_frac, " +
+      s"(top2_char_frac > ${TextOps.RepTop2} OR top3_char_frac > ${TextOps.RepTop3} " +
+      s"OR top4_char_frac > ${TextOps.RepTop4} OR dup5_char_frac > ${TextOps.RepDup5} " +
+      s"OR dup8_char_frac > ${TextOps.RepDup8}) AS repetitive FROM " +
+      "(SELECT rb.doc_id, rb.n_tokens, rb.total_chars, " +
+      s"${fr("rt2.num", "top2_char_frac")}, ${fr("rt3.num", "top3_char_frac")}, " +
+      s"${fr("rt4.num", "top4_char_frac")}, ${fr("rd5.num", "dup5_char_frac")}, " +
+      s"${fr("rd8.num", "dup8_char_frac")} " +
+      "FROM rb LEFT JOIN rt2 USING (doc_id) LEFT JOIN rt3 USING (doc_id) " +
+      "LEFT JOIN rt4 USING (doc_id) LEFT JOIN rd5 USING (doc_id) LEFT JOIN rd8 USING (doc_id)))"
+  }
+
   /** The DSIR hashed-unigram likelihood-ratio chain (x84; reused by
     * x156's resample): target/source bucket counts, add-1-smoothed
     * ratios, per-doc position-ordered lr folds. Ends with
@@ -2713,6 +2772,31 @@ object ExtQueries {
         "FROM pevq GROUP BY system"
     },
 
+    // x158: the composed refresh — dsirCtes supplies the shared `t`;
+    // repetition chain, the resample keep set, then x150's window over
+    // the two-gate survivors.
+    "x158_curation_refresh" -> {
+      val b = Curate.TokenMixBudget
+      s"WITH $dsirCtes, $repetitionCtes, " +
+        "wm AS (SELECT max(avg_lr) AS wmax FROM dw), " +
+        "rkeep AS (SELECT doc_id FROM rsig WHERE NOT repetitive), " +
+        "dkeep AS (SELECT doc_id FROM dw, wm WHERE " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':dsir'), 1, 8)) AS BIGINT)/4294967296.0 * wmax < avg_lr), " +
+        "sv AS (SELECT t.doc_id, t.source, t.toks FROM t " +
+        "JOIN rkeep USING (doc_id) JOIN dkeep USING (doc_id)), " +
+        "svn AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS nt, " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':tokmix'), 1, 8)) AS BIGINT)/4294967296.0 AS u FROM sv), " +
+        "svc AS (SELECT *, sum(nt) OVER (PARTITION BY source ORDER BY u, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM svn) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs_total, " +
+        "CAST(sum(nt) AS BIGINT) AS tokens_total, " +
+        s"CAST(sum(CASE WHEN cum <= $b THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept, " +
+        s"CAST(sum(CASE WHEN cum <= $b THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept, " +
+        s"CAST($b AS BIGINT) AS budget, " +
+        s"CAST(sum(CASE WHEN cum <= $b THEN nt ELSE 0 END) AS DOUBLE)/$b.0 AS fill_frac " +
+        "FROM svc GROUP BY source"
+    },
+
     "x157_truncation_report" -> {
       val vals = Chunking.TruncBudgets.map(b => s"($b)").mkString(", ")
       s"WITH t AS ($toksCte), " +
@@ -2731,46 +2815,10 @@ object ExtQueries {
     // gram by (count desc, gram), duplicated-gram position coverage
     // joined to per-position token chars; thresholds from the TextOps
     // constants.
-    "x155_repetition_signals" -> {
-      def gramsCte(n: Int, nm: String) =
-        s"$nm AS (SELECT doc_id, s.i AS pos, s.g AS gram FROM " +
-          s"(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-${n - 1}), " +
-          s"i -> struct_pack(i := i, g := array_to_string(toks[i:i+${n - 1}], ' ')))) AS s " +
-          s"FROM t WHERE len(toks) >= $n))"
-      def topCte(n: Int, g: String, nm: String) =
-        s"$nm AS (SELECT doc_id, CAST(cnt * (length(gram) - ${n - 1}) AS BIGINT) AS num FROM " +
-          "(SELECT doc_id, gram, count(*) AS cnt, " +
-          "row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram) AS r " +
-          s"FROM $g GROUP BY doc_id, gram) WHERE r = 1)"
-      def dupCte(n: Int, g: String, nm: String) =
-        s"${nm}d AS (SELECT doc_id, gram FROM $g GROUP BY doc_id, gram HAVING count(*) >= 2), " +
-          s"${nm}c AS (SELECT DISTINCT doc_id, p FROM (SELECT $g.doc_id AS doc_id, " +
-          s"unnest(generate_series($g.pos, $g.pos + ${n - 1})) AS p FROM $g JOIN ${nm}d USING (doc_id, gram))), " +
-          s"$nm AS (SELECT c.doc_id, CAST(sum(tk.tc) AS BIGINT) AS num FROM ${nm}c c " +
-          "JOIN rtokc tk ON tk.doc_id = c.doc_id AND tk.p = c.p GROUP BY 1)"
-      def fr(src: String, out: String) =
-        s"CASE WHEN total_chars > 0 THEN CAST(coalesce($src, 0) AS DOUBLE)/CAST(total_chars AS DOUBLE) ELSE 0.0 END AS $out"
-      s"WITH t AS ($toksCte), " +
-        "rb AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
-        "CAST(coalesce(list_aggregate(list_transform(toks, tk -> CAST(length(tk) AS BIGINT)), 'sum'), 0) AS BIGINT) AS total_chars FROM t), " +
-        "rtokc AS (SELECT doc_id, s.p AS p, length(s.tok) AS tc FROM " +
-        "(SELECT doc_id, unnest(list_transform(range(1, len(toks)+1), j -> struct_pack(p := j, tok := toks[j]))) AS s FROM t)), " +
-        s"${gramsCte(2, "rg2")}, ${gramsCte(3, "rg3")}, ${gramsCte(4, "rg4")}, " +
-        s"${gramsCte(5, "rg5")}, ${gramsCte(8, "rg8")}, " +
-        s"${topCte(2, "rg2", "rt2")}, ${topCte(3, "rg3", "rt3")}, ${topCte(4, "rg4", "rt4")}, " +
-        s"${dupCte(5, "rg5", "rd5")}, ${dupCte(8, "rg8", "rd8")} " +
-        "SELECT doc_id, n_tokens, total_chars, top2_char_frac, top3_char_frac, top4_char_frac, " +
-        "dup5_char_frac, dup8_char_frac, " +
-        s"(top2_char_frac > ${TextOps.RepTop2} OR top3_char_frac > ${TextOps.RepTop3} " +
-        s"OR top4_char_frac > ${TextOps.RepTop4} OR dup5_char_frac > ${TextOps.RepDup5} " +
-        s"OR dup8_char_frac > ${TextOps.RepDup8}) AS repetitive FROM " +
-        "(SELECT rb.doc_id, rb.n_tokens, rb.total_chars, " +
-        s"${fr("rt2.num", "top2_char_frac")}, ${fr("rt3.num", "top3_char_frac")}, " +
-        s"${fr("rt4.num", "top4_char_frac")}, ${fr("rd5.num", "dup5_char_frac")}, " +
-        s"${fr("rd8.num", "dup8_char_frac")} " +
-        "FROM rb LEFT JOIN rt2 USING (doc_id) LEFT JOIN rt3 USING (doc_id) " +
-        "LEFT JOIN rt4 USING (doc_id) LEFT JOIN rd5 USING (doc_id) LEFT JOIN rd8 USING (doc_id))"
-    },
+    "x155_repetition_signals" ->
+      (s"WITH t AS ($toksCte), $repetitionCtes " +
+        "SELECT doc_id, n_tokens, total_chars, top2_char_frac, top3_char_frac, " +
+        "top4_char_frac, dup5_char_frac, dup8_char_frac, repetitive FROM rsig"),
 
     "x01_dedup_exact" ->
       ("SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies " +
