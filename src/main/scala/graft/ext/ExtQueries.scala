@@ -1081,6 +1081,13 @@ object ExtQueries {
     "x150_token_budget_mix" -> ((s, dir) =>
       Curate.tokenBudgetMix(Tables.documents(s, dir), Curate.TokenMixBudget)),
 
+    // Source-level influence rollup (r8): TracIn scores aggregated to the
+    // taxonomy mixtures are expressed in — per source, training-doc count
+    // and mean influence on validation loss; the report a curator reads
+    // before re-weighting.
+    "x159_influence_by_source" -> ((s, dir) =>
+      Trainer.lrInfluenceBySource(s, Tables.documents(s, dir))),
+
     // The round-8 composed curation flagship: repetition gate (x155's
     // filter applied) ∘ DSIR importance resample (x156's keep/drop) ∘
     // token-budget mixture (x150) — the single query a pretraining data
@@ -1787,10 +1794,12 @@ object ExtQueries {
     * ordered fold of the sums, B = ceil(sqrt(|holdout|))); the per-
     * training-doc dot mirrors Spark's left-associated chain; top-K by
     * influence DESC, doc_id. */
-  private def lrInfluenceSql(buckets: Int, iters: Int, topK: Int): String = {
+  /** The influence chain through `isc (doc_id, y, influence)` — shared by
+    * x151's top-k and x159's per-source rollup. */
+  private def lrInfluenceChain(buckets: Int, iters: Int): String = {
     val dim = buckets + 2
     val m = (Seq("w.wb") ++ (0 until dim).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
-    s"WITH ${lrCtes(buckets, iters)}, " +
+    s"${lrCtes(buckets, iters)}, " +
       "ho AS (SELECT * FROM fx WHERE NOT (" +
       "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5)), " +
       "ifb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM ho), " +
@@ -1812,10 +1821,26 @@ object ExtQueries {
       s"itr AS (SELECT f.doc_id, f.y, f.x, ($m) AS m FROM tr f CROSS JOIN wi$iters w), " +
       "isc AS (SELECT t.doc_id, t.y, ((0.5 + 0.5*t.m/(1.0 + abs(t.m))) - t.y) * (" +
       (Seq("g.gvb") ++ (0 until dim).map(j => s"t.x[${j + 1}]*g.gv$j")).mkString(" + ") +
-      ") AS influence FROM itr t CROSS JOIN igm g) " +
+      ") AS influence FROM itr t CROSS JOIN igm g)"
+  }
+
+  private def lrInfluenceSql(buckets: Int, iters: Int, topK: Int): String =
+    s"WITH ${lrInfluenceChain(buckets, iters)} " +
       "SELECT * FROM (SELECT CAST(row_number() OVER (ORDER BY influence DESC, doc_id) AS BIGINT) AS rank, " +
       s"doc_id, y, influence FROM isc) WHERE rank <= $topK"
-  }
+
+  /** x159: per-source influence rollup — the same two-level √n fold
+    * shape as x137/x143, bucket count from the TRAIN slice. */
+  private def lrInfluenceBySourceSql(buckets: Int, iters: Int): String =
+    s"WITH ${lrInfluenceChain(buckets, iters)}, " +
+      "sfb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM tr), " +
+      "sg1 AS (SELECT d.source, isc.doc_id % (SELECT b FROM sfb) AS bkt, " +
+      "CAST(count(*) AS BIGINT) AS n, " +
+      "list_aggregate(list_sort(list(influence)), 'sum') AS ps " +
+      "FROM isc JOIN documents d ON isc.doc_id = d.doc_id GROUP BY 1, 2) " +
+      "SELECT source, CAST(sum(n) AS BIGINT) AS n_train_docs, " +
+      "list_aggregate(list(ps ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS mean_influence " +
+      "FROM sg1 GROUP BY source"
 
   /** x136: warm-start continuation vs cold retrain, one comparison row. */
   private def lrIncrementalSql(buckets: Int, itersBase: Int, itersWarm: Int): String = {
@@ -3463,6 +3488,9 @@ object ExtQueries {
 
     "x151_lr_influence" ->
       lrInfluenceSql(Trainer.Buckets, Trainer.Iters, Trainer.InfluenceTopK),
+
+    "x159_influence_by_source" ->
+      lrInfluenceBySourceSql(Trainer.Buckets, Trainer.Iters),
 
     "x127_groupwise_split" ->
       (s"WITH RECURSIVE $groupSplitCtes SELECT doc_id, group_id, split FROM ga"),

@@ -357,9 +357,10 @@ object Trainer {
     * Report: the [[InfluenceTopK]] highest-influence training docs
     * (influence desc, doc_id asc).
     */
-  def lrInfluence(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
-      buckets: Int = Buckets, iters: Int = Iters,
-      learnRate: Double = LearnRate, topK: Int = InfluenceTopK): DataFrame = {
+  /** Every training doc's influence score (the shared chain of
+    * [[lrInfluence]] and [[lrInfluenceBySource]]): (doc_id, y, influence). */
+  private def influenceScores(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, buckets: Int, iters: Int, learnRate: Double): DataFrame = {
     import graft.functions.Stable.{sortedFold, bucketFold, sqrtBuckets}
     val dim = buckets + 2
     val feats = graft.ops.Caching.cacheOnce(features(docs, buckets))
@@ -385,9 +386,15 @@ object Trainer {
         (0 until dim).map(j => (col(s"gv$j") / col("_nv")).as(s"gv$j")): _*)
     val dotv = (0 until dim).foldLeft(col("gv_b"): Column)(
       (acc, j) => acc + col("x").getItem(j) * col(s"gv$j"))
-    val scored = tr.crossJoin(broadcast(wFinal)).crossJoin(broadcast(gval))
+    tr.crossJoin(broadcast(wFinal)).crossJoin(broadcast(gval))
       .select(col("doc_id"), col("y"),
         ((fastSigmoid(marginCol(dim)) - col("y")) * dotv).as("influence"))
+  }
+
+  def lrInfluence(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      buckets: Int = Buckets, iters: Int = Iters,
+      learnRate: Double = LearnRate, topK: Int = InfluenceTopK): DataFrame = {
+    val scored = influenceScores(spark, docs, buckets, iters, learnRate)
       // influence DESC via an exact negation (doubles negate losslessly):
       // withExactRank is ascending-only and range-partitioned — no
       // single-partition global window (the PlanAudit law).
@@ -395,6 +402,32 @@ object Trainer {
     graft.ops.Quality.withExactRank(scored, Seq("_neg", "doc_id"), "rank")
       .where(col("rank") <= topK)
       .select(col("rank"), col("doc_id"), col("y"), col("influence"))
+  }
+
+  /** SOURCE-level influence rollup — the data-attribution report a
+    * curator reads to re-weight the mixture: per source, its training
+    * docs' count and mean influence on validation loss (TracIn scores
+    * aggregated to the taxonomy that mixtures are actually expressed in).
+    * The mean is the two-level √n-bucketed fold keyed by the GLOBAL
+    * `⌈√n_train⌉` bucket count inside the source key (the
+    * [[lrCalibration]] discipline — O(√n) buffers regardless of source
+    * skew). */
+  def lrInfluenceBySource(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, buckets: Int = Buckets, iters: Int = Iters,
+      learnRate: Double = LearnRate): DataFrame = {
+    import graft.functions.Stable.{sortedFold, bucketFold, sqrtBuckets}
+    val nTr = trainSplit(graft.ops.Caching.cacheOnce(features(docs, buckets)),
+      train = true).count()
+    require(nTr > 0, "training slice is empty — influence undefined")
+    val fb = sqrtBuckets(nTr)
+    influenceScores(spark, docs, buckets, iters, learnRate)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"), pmod(col("doc_id"), lit(fb.toLong)).as("_bkt"))
+      .agg(count(lit(1)).as("_n"), sortedFold(col("influence")).as("_ps"))
+      .groupBy("source")
+      .agg(sum(col("_n")).as("n_train_docs"),
+        (bucketFold(col("_bkt"), col("_ps"))
+          / sum(col("_n")).cast("double")).as("mean_influence"))
   }
 
   /** Score EVERY featured doc under the final trained weights — the

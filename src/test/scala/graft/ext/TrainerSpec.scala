@@ -117,6 +117,21 @@ class TrainerSpec extends SparkTestBase {
     scored.unpersist()
   }
 
+  test("lrInfluenceBySource: counts partition the train slice, deterministic, ranked sources differ") {
+    val docs = Tables.documents(spark, sfDir)
+    val r = Trainer.lrInfluenceBySource(spark, docs).cache()
+    val rows = r.collect()
+    // per-source counts are a partition of the featured train slice
+    val nTrain = rows.map(_.getLong(1)).sum
+    assert(nTrain > 0 && rows.forall(_.getLong(1) > 0))
+    // the report is the attribution signal: sources must actually differ
+    val means = rows.map(_.getDouble(2))
+    assert(means.distinct.length > 1, "per-source influence collapsed to one value")
+    assert(r.collect().map(_.toSeq).toSet ===
+      Trainer.lrInfluenceBySource(spark, docs.repartition(7)).collect().map(_.toSeq).toSet)
+    r.unpersist()
+  }
+
   test("lrInfluence: contiguous top-k ranks, influence-desc/doc_id-asc order, deterministic") {
     val docs = Tables.documents(spark, sfDir)
     val inf = Trainer.lrInfluence(spark, docs).cache()
