@@ -628,6 +628,16 @@ object ExtQueries {
       Similarity.ivfPqTopK(s, idx, e.where(col("vec_id") < 5), 10)
     }),
 
+    // IVFADC index-health stats (r8): cell occupancy min/max/mean and the
+    // imbalance factor — the rebuild-trigger statistic a maintenance loop
+    // watches (appends drift occupancy between offline rebuilds).
+    "x160_ivfpq_index_stats" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_stats_").toString
+      Similarity.buildIvfPqIndex(e, idx)
+      Similarity.ivfPqIndexStats(s, idx)
+    }),
+
     // IVFADC nprobe recall dial (r8): the stored index probed at nprobe=1
     // and nprobe=2 against the brute-force truth — the read-cells/recall
     // tradeoff measured in-engine (x69's report form). One build, two
@@ -3218,6 +3228,21 @@ object ExtQueries {
         "SELECT q_id, vec_id, score, CAST(rank AS BIGINT) AS rank FROM " +
         "(SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank " +
         "FROM iscs) WHERE rank <= 10"),
+
+    // x160: the deterministic cell assignment's occupancy rollup.
+    "x160_ivfpq_index_stats" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.IvfCentroidStride} = 0), " +
+        "iscored AS (SELECT e.vec_id, cents.cent_id, " +
+        s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
+        "iasg AS (SELECT vec_id, cent_id AS cell FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t WHERE r = 1), " +
+        "occ AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM iasg GROUP BY 1) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(n) AS BIGINT) AS n_vecs, " +
+        "CAST(min(n) AS BIGINT) AS min_cell, CAST(max(n) AS BIGINT) AS max_cell, " +
+        "CAST(sum(n) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS mean_cell, " +
+        "CAST(max(n) AS DOUBLE)*CAST(count(*) AS DOUBLE)/CAST(sum(n) AS DOUBLE) AS imbalance " +
+        "FROM occ"),
 
     // x154: both probe depths' top-10 sets vs the brute-force truth —
     // scalar-subquery counts per method (x69's report form).

@@ -1046,6 +1046,25 @@ object Similarity {
     }
   }
 
+  /** Index-health report for a stored IVFADC index — the ops statistic a
+    * maintenance loop watches: cell count, vector count, min/max/mean
+    * cell occupancy and the imbalance factor (max/mean). Appends land in
+    * their nearest EXISTING cell, so occupancy drifts between offline
+    * rebuilds; imbalance creeping up is the rebuild trigger (a probe's
+    * cost is its cell's size). One pruned scan of (cell) + a cell-keyed
+    * count + a 1-row rollup — never reads codes payloads. */
+  def ivfPqIndexStats(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = {
+    val per = spark.read.parquet(s"$indexDir/codes")
+      .groupBy(col("cell").cast("long").as("cell")).agg(count(lit(1)).as("n"))
+    per.agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_vecs"),
+        min(col("n")).as("min_cell"), max(col("n")).as("max_cell"))
+      .select(col("n_cells"), col("n_vecs"), col("min_cell"), col("max_cell"),
+        (col("n_vecs").cast("double") / col("n_cells").cast("double")).as("mean_cell"),
+        (col("max_cell").cast("double") * col("n_cells").cast("double")
+          / col("n_vecs").cast("double")).as("imbalance"))
+  }
+
   /** Probe the stored IVFADC index: the query is cell-assigned against
     * the stored centroids (broadcast fold), carries its (M × K) ADC LUT
     * (one broadcast array per query), and equi-joins the cell-partitioned
