@@ -661,6 +661,35 @@ object ExtQueries {
       }.reduce(_ unionByName _)
     }),
 
+    // Residual IVFADC (r8): the literature-exact variant — codes encode
+    // x − c(cell), scores decompose as q·c(cell) + LUT fold. Reported
+    // beside the cell-confined EXACT probe at both nprobe depths, so the
+    // table reads as "how much of the exact ceiling does residual ADC
+    // keep" (the raw-code comparison is x154's table, same truth/k).
+    // Honest read-off: the fixture's clusters are diffuse (residual norms
+    // EXCEED raw — see the Similarity.scala section comment), so residual
+    // trails raw here; it wins exactly when the corpus clusters tightly.
+    "x161_ann_ivfpq_residual" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 5)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivfpqr_").toString
+      Similarity.buildIvfPqResIndex(e, idx)
+      val truth = graft.ops.Caching.cacheOnce(
+        Similarity.bruteForceTopK(q, e, 10).select("q_id", "vec_id"))
+      Seq(("ivf_exact_nprobe1", Similarity.ivfTopK(q, e, 10)),
+          ("ivf_exact_nprobe2", Similarity.ivfTopKProbe2(q, e, 10)),
+          ("ivfpq_res_nprobe1", Similarity.ivfPqResTopK(s, idx, q, 10, 1)),
+          ("ivfpq_res_nprobe2", Similarity.ivfPqResTopK(s, idx, q, 10, 2))).map { case (nm, ap) =>
+        val a = ap.select("q_id", "vec_id")
+        val nT = truth.agg(count(lit(1)).as("n_truth"))
+        val nA = a.agg(count(lit(1)).as("n_approx"))
+        val nC = truth.join(a, Seq("q_id", "vec_id")).agg(count(lit(1)).as("n_common"))
+        nT.crossJoin(broadcast(nA)).crossJoin(broadcast(nC))
+          .select(lit(nm).as("method"), col("n_truth"), col("n_approx"), col("n_common"),
+            (col("n_common").cast("double") / col("n_truth").cast("double")).as("recall"))
+      }.reduce(_ unionByName _)
+    }),
+
     "x38_ann_int8_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.int8TopK(e.where(col("vec_id") < 5), e, 10)
@@ -1932,7 +1961,8 @@ object ExtQueries {
     * FULL corpus, query dot LUT, sub-ordered ADC score folds, per-query
     * top-k. Ends with `${p}tk (q_id, vec_id)`.
     */
-  private def pqChainSql(p: String, m: Int, kc: Int, iters: Int, k: Int): String = {
+  private def pqChainSql(p: String, m: Int, kc: Int, iters: Int, k: Int,
+      src: String = "embeddings"): String = {
     val ds = Similarity.PqDims / m
     // ds==1 shortcut: 0.0 + v == v in IEEE, so the unrolled form is the
     // same double as the generic fold — and ~10x less list machinery
@@ -1949,10 +1979,10 @@ object ExtQueries {
     val sb = new StringBuilder
     sb ++= s"${p}sv AS MATERIALIZED (SELECT vec_id, CAST(s.sub AS BIGINT) AS sub, s.svec AS svec FROM " +
       s"(SELECT vec_id, unnest(list_transform(range(0, $m), ss -> struct_pack(sub := ss, " +
-      s"svec := (CAST(embedding AS DOUBLE[]))[ss*$ds+1 : ss*$ds+$ds]))) AS s FROM embeddings)), "
+      s"svec := (CAST(embedding AS DOUBLE[]))[ss*$ds+1 : ss*$ds+$ds]))) AS s FROM $src)), "
     // bounded deterministic training sample: stride from ONE corpus count
     // (Similarity.pqTrainStride), then the md5 keep-1-in-stride draw
-    sb ++= s"${p}st AS (SELECT greatest(1, CAST(ceil(count(*) / ${Similarity.PqTrainCap}.0) AS BIGINT)) AS s FROM embeddings), "
+    sb ++= s"${p}st AS (SELECT greatest(1, CAST(ceil(count(*) / ${Similarity.PqTrainCap}.0) AS BIGINT)) AS s FROM $src), "
     sb ++= s"${p}ssv AS MATERIALIZED (SELECT * FROM ${p}sv WHERE " +
       s"CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':pqs'), 1, 4)) AS INT) % (SELECT s FROM ${p}st) = 0), "
     sb ++= s"${p}ini AS (SELECT vec_id FROM (SELECT DISTINCT vec_id FROM ${p}ssv) ORDER BY vec_id LIMIT $kc), "
@@ -2085,6 +2115,62 @@ object ExtQueries {
       "iscs2 AS (SELECT cd.q_id, cd.vec_id, list_aggregate(list(l.pdot ORDER BY l.sub), 'sum') AS score " +
       "FROM icand2 cd JOIN pienc en ON en.vec_id = cd.vec_id " +
       "JOIN iplut l ON l.q_id = cd.q_id AND l.sub = en.sub AND l.cid = en.cid GROUP BY 1, 2)"
+  }
+
+  /** The residual-IVFADC chain (x161): same cell assignment as
+    * [[ivfPqProbeCtes]], but the PQ chain (prefix `pr`) trains on and
+    * encodes the RESIDUAL source `rsrc` (x − c(cell)), queries keep RAW
+    * subvectors for the LUT, and scores add the per-(query, cell) offset
+    * `q·c` — which is exactly `iscored`'s `cent_cos` (dotSql is the plain
+    * dot both sides compute). Also ends with the exact cell-confined
+    * ceiling legs `ext1`/`ext2` (x13's chain at nprobe 1 and 2). */
+  private lazy val ivfPqResCtes: String = {
+    val m = Similarity.IvfPqM
+    val kc = Similarity.PqK
+    val ds = Similarity.PqDims / m
+    val dims = Similarity.PqDims
+    val dotQ = s"list_aggregate(list_transform(range(1, ${ds + 1}), i -> q.svec[i]*c.cvec[i]), 'sum')"
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+      s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.IvfCentroidStride} = 0), " +
+      "iscored AS (SELECT e.vec_id, cents.cent_id, " +
+      s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
+      "iasg AS (SELECT vec_id, cent_id AS cell FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t WHERE r = 1), " +
+      s"rsrc AS MATERIALIZED (SELECT a.vec_id, list_transform(range(1, ${dims + 1}), " +
+      "i -> e.emb[i] - c.cent_emb[i]) AS embedding " +
+      "FROM iasg a JOIN e USING (vec_id) JOIN cents c ON a.cell = c.cent_id), " +
+      pqChainSql("pr", m, kc, Similarity.PqIters, 10, src = "rsrc") + ", " +
+      s"rqsv AS (SELECT vec_id, CAST(s.sub AS BIGINT) AS sub, s.svec AS svec FROM " +
+      s"(SELECT vec_id, unnest(list_transform(range(0, $m), ss -> struct_pack(sub := ss, " +
+      s"svec := emb[ss*$ds+1 : ss*$ds+$ds]))) AS s FROM e WHERE vec_id < 5)), " +
+      s"rlut AS (SELECT q.vec_id AS q_id, q.sub, c.cid, $dotQ AS pdot " +
+      s"FROM rqsv q JOIN prc${Similarity.PqIters} c USING (sub)), " +
+      "roff AS (SELECT vec_id AS q_id, cent_id AS cell, cent_cos AS off FROM iscored WHERE vec_id < 5), " +
+      "rqc AS (SELECT vec_id AS q_id, cell FROM iasg WHERE vec_id < 5), " +
+      "rqc2 AS (SELECT vec_id AS q_id, cent_id AS cell FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t " +
+      "WHERE r <= 2 AND vec_id < 5), " +
+      "rcand AS (SELECT rqc.q_id, a.vec_id, cell FROM iasg a JOIN rqc USING (cell) WHERE rqc.q_id <> a.vec_id), " +
+      "rcand2 AS (SELECT rqc2.q_id, a.vec_id, cell FROM iasg a JOIN rqc2 USING (cell) WHERE rqc2.q_id <> a.vec_id), " +
+      "rscs AS (SELECT cd.q_id, cd.vec_id, o.off + list_aggregate(list(l.pdot ORDER BY l.sub), 'sum') AS score " +
+      "FROM rcand cd JOIN prenc en ON en.vec_id = cd.vec_id " +
+      "JOIN rlut l ON l.q_id = cd.q_id AND l.sub = en.sub AND l.cid = en.cid " +
+      "JOIN roff o ON o.q_id = cd.q_id AND o.cell = cd.cell GROUP BY cd.q_id, cd.vec_id, o.off), " +
+      "rscs2 AS (SELECT cd.q_id, cd.vec_id, o.off + list_aggregate(list(l.pdot ORDER BY l.sub), 'sum') AS score " +
+      "FROM rcand2 cd JOIN prenc en ON en.vec_id = cd.vec_id " +
+      "JOIN rlut l ON l.q_id = cd.q_id AND l.sub = en.sub AND l.cid = en.cid " +
+      "JOIN roff o ON o.q_id = cd.q_id AND o.cell = cd.cell GROUP BY cd.q_id, cd.vec_id, o.off), " +
+      "iasge AS (SELECT a.vec_id, e.emb, a.cell FROM iasg a JOIN e USING (vec_id)), " +
+      "exs1 AS (SELECT q.q_id, a.vec_id, " + dotSql("q.q_emb", "a.emb") + " AS cos " +
+      "FROM iasge a JOIN (SELECT vec_id AS q_id, emb AS q_emb, cell FROM iasge WHERE vec_id < 5) q USING (cell) " +
+      "WHERE q.q_id <> a.vec_id), " +
+      "ext1 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS r FROM exs1) WHERE r <= 10), " +
+      "exs2 AS (SELECT q.q_id, a.vec_id, " + dotSql("q.q_emb", "a.emb") + " AS cos " +
+      "FROM iasge a JOIN (SELECT qc.q_id, e.emb AS q_emb, qc.cell FROM rqc2 qc JOIN e ON e.vec_id = qc.q_id) q USING (cell) " +
+      "WHERE q.q_id <> a.vec_id), " +
+      "ext2 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS r FROM exs2) WHERE r <= 10)"
   }
 
   private lazy val annLshSql =
@@ -3254,6 +3340,24 @@ object ExtQueries {
         "ptk2 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
         "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS r FROM iscs2) WHERE r <= 10) " +
         Seq(("ivfpq_nprobe1", "ptk1"), ("ivfpq_nprobe2", "ptk2")).map { case (nm, tk) =>
+          s"SELECT '$nm' AS method, CAST((SELECT count(*) FROM tru) AS BIGINT) AS n_truth, " +
+            s"CAST((SELECT count(*) FROM $tk) AS BIGINT) AS n_approx, " +
+            s"CAST((SELECT count(*) FROM tru JOIN $tk USING (q_id, vec_id)) AS BIGINT) AS n_common, " +
+            s"CAST((SELECT count(*) FROM tru JOIN $tk USING (q_id, vec_id)) AS DOUBLE) " +
+            "/ (SELECT count(*) FROM tru) AS recall"
+        }.mkString(" UNION ALL ")),
+
+    // x161: residual-IVFADC recall beside the exact cell-confined ceiling —
+    // both probe depths, same truth/report shape as x154.
+    "x161_ann_ivfpq_residual" ->
+      (s"WITH $ivfPqResCtes, " +
+        s"tru AS (SELECT q_id, vec_id FROM ($annBruteSql)), " +
+        "rtk1 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS r FROM rscs) WHERE r <= 10), " +
+        "rtk2 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS r FROM rscs2) WHERE r <= 10) " +
+        Seq(("ivf_exact_nprobe1", "ext1"), ("ivf_exact_nprobe2", "ext2"),
+            ("ivfpq_res_nprobe1", "rtk1"), ("ivfpq_res_nprobe2", "rtk2")).map { case (nm, tk) =>
           s"SELECT '$nm' AS method, CAST((SELECT count(*) FROM tru) AS BIGINT) AS n_truth, " +
             s"CAST((SELECT count(*) FROM $tk) AS BIGINT) AS n_approx, " +
             s"CAST((SELECT count(*) FROM tru JOIN $tk USING (q_id, vec_id)) AS BIGINT) AS n_common, " +

@@ -1120,6 +1120,106 @@ object Similarity {
       .select("q_id", "vec_id", "score", "rank")
   }
 
+  // ---------------- Residual IVFADC (r8, second half) ----------------
+  //
+  // Jégou/Douze/Schmid (TPAMI 2011) §IV-A: the actual IVFADC system
+  // encodes the RESIDUAL x − c(cell) — the vector minus its coarse cell
+  // centroid — not x itself. When cells are tight (|r| ≪ |x|) the
+  // codebook spends its K^M capacity on the within-cell displacement
+  // distribution and quantization error drops at identical bytes/vector.
+  // Scoring decomposes exactly: q·x ≈ q·c(cell) + q·r̂ — a per-(query,
+  // probed-cell) offset scalar plus the standard LUT fold over the
+  // residual codes — which keeps the whole chain DuckDB-replayable (x161).
+  //
+  // Measured finding (x161 vs x154, all three SFs): on the synthetic
+  // fixture embeddings the clusters are DIFFUSE — mean residual norm 1.22
+  // vs raw 1.0 under the stride coarse quantizer, and still ~1.18 under a
+  // trained spherical-k-means one — so residuals quantize WORSE than raw
+  // vectors there (sf0.1 nprobe=2: residual 0.22 vs raw 0.32) and raw
+  // encoding stays the registered default (buildIvfPqIndex). The residual
+  // variant is the right choice exactly when the corpus actually
+  // clusters; both are first-class verbs and share every maintenance
+  // path's layout.
+
+  /** (vec_id, embedding = x − c(cell), cell): assign each vector's coarse
+    * cell ([[assignCells]]'s broadcast fold), then subtract the cell
+    * centroid — one broadcast join against the small centroid table plus
+    * one zip_with; embeddings never shuffle. */
+  private def residualize(vectors: DataFrame, cents: DataFrame): DataFrame =
+    assignCells(vectors, cents)
+      .join(broadcast(cents), col("cell") === col("cent_id"))
+      .select(col("vec_id"),
+        zip_with(col("embedding").cast("array<double>"),
+          col("cent_emb").cast("array<double>"), (x, c) => x - c).as("embedding"),
+        col("cell"))
+
+  /** Build the residual-encoded IVFADC index: the same three-table layout
+    * as [[buildIvfPqIndex]] (`centroids/`, `codebook/`, cell-partitioned
+    * `codes/`), but the codebook trains on the bounded RESIDUAL sample and
+    * codes encode residuals. Must be probed with [[ivfPqResTopK]] — the
+    * raw probe's LUT-only score has no offset term and is wrong for
+    * residual codes. Corpus-level work is the same two scans as the raw
+    * build (count-for-stride + encode); residuals are computed on the fly
+    * per scan and never cached or shuffled. */
+  def buildIvfPqResIndex(corpus: DataFrame, indexDir: String,
+      m: Int = IvfPqM, kc: Int = PqK): Unit = {
+    GraftFunctions.register(corpus.sparkSession)
+    graft.functions.PqEncode.register(corpus.sparkSession)
+    val cents = strideCents(corpus)
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val res = residualize(corpus, cents)
+    val codebook = pqTrain(res.select("vec_id", "embedding"), m, kc)
+    codebook.write.mode("overwrite").parquet(s"$indexDir/codebook")
+    res.crossJoin(packPqFlat(codebook))
+      .select(col("vec_id"), col("cell"),
+        graft.functions.PqEncode.pqEncode(col("embedding"), col("_cbf"), m).as("codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
+  }
+
+  /** Probe a residual IVFADC index: each (query, probed cell) carries its
+    * offset `q·c(cell)` (one scalar from the broadcast centroid join) and
+    * the (M × K) LUT of RAW query subvectors against the residual
+    * codebook; `score = offset + LUT fold` — the exact decomposition of
+    * `q·(c + r̂)`. The codes equi-join on `cell` plans the same
+    * dynamic-partition-pruning subquery as [[ivfPqTopK]] (spec-asserted),
+    * so only the probed cells' code files are read. */
+  def ivfPqResTopK(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
+    GraftFunctions.register(spark)
+    graft.functions.PqEncode.register(spark)
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val codebook = spark.read.parquet(s"$indexDir/codebook")
+    val m = codebook.select("sub").distinct().count().toInt
+    val kc = (codebook.count() / m).toInt
+    val ds = PqDims / m
+    val codes = spark.read.parquet(s"$indexDir/codes")
+    val lutCol = transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(sequence(lit(0), lit(kc - 1)), p =>
+        dotFold(slice(col("qe"), s * ds + 1, lit(ds)),
+          slice(col("_cbf"), (s * kc + p) * ds + 1, lit(ds)))))
+    val qcells =
+      if (nprobe == 1) assignCells(queries, cents)
+      else assignCellsTop2(queries, cents)
+        .select(col("vec_id"), col("embedding"),
+          explode(array(col("cell1"), col("cell2"))).as("cell"))
+    val q = broadcast(qcells
+      .join(broadcast(cents), col("cell") === col("cent_id"))
+      .withColumn("qe", col("embedding").cast("array<double>"))
+      .crossJoin(packPqFlat(codebook))
+      .select(col("vec_id").as("q_id"), col("cell"),
+        dotFold(col("qe"), col("cent_emb").cast("array<double>")).as("off"),
+        lutCol.as("lut")))
+    codes.join(q, Seq("cell")).where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        (col("off") + aggregate(zip_with(col("lut"), col("codes"),
+          (l, c) => element_at(l, c)), lit(0.0), (a, x) => a + x)).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc))
+        .cast("long"))
+      .where(col("rank") <= k)
+      .select("q_id", "vec_id", "score", "rank")
+  }
+
   /** PQ recall report (the x69 practice): per (m, K) config, PQ top-k for
     * the 5 fixture queries against the brute-force cosine truth — bytes
     * per vector beside the measured recall, so the memory/recall tradeoff

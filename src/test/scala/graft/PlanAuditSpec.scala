@@ -83,7 +83,8 @@ class PlanAuditSpec extends SparkTestBase {
     "x156_dsir_resample" -> "x84's 1-row token-total crossJoin + ONE broadcast max-weight row (the acceptance normalizer, constant)",
     "x158_curation_refresh" -> "embeds x156's gates: x84's 1-row token-total crossJoin + the 1-row max-weight broadcast (constants)",
     "x159_influence_by_source" -> "x151's 1-row weight + 1-row mean-held-out-gradient broadcasts (constant model state)",
-    "x160_ivfpq_index_stats" -> "x152's packed centroid/codebook 1-row crossJoins in the build step (constants); the stats themselves are one cell-keyed count + a 1-row rollup"
+    "x160_ivfpq_index_stats" -> "x152's packed centroid/codebook 1-row crossJoins in the build step (constants); the stats themselves are one cell-keyed count + a 1-row rollup",
+    "x161_ann_ivfpq_residual" -> "crossJoin of three single-row count aggregates per method (recall-report constants, x154's shape) + x152's packed centroid/codebook 1-row crossJoins and the x06-shaped brute-force truth leg"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {

@@ -288,6 +288,64 @@ class SimilaritySpec extends SparkTestBase {
     p1.foreach { case (k2, v) => assert(p2(k2) == v, s"score drift at $k2") }
   }
 
+  test("residual IVFADC: probe score == q·c(cell) + sub-ordered residual ADC recompute; nprobe=2 superset; DPP") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpqr-spec").toString
+    Similarity.buildIvfPqResIndex(e, idx)
+    val queries = e.where(col("vec_id") < 5)
+    val stored = Similarity.ivfPqResTopK(spark, idx, queries, 10)
+    // independent recompute from the STORED tables: explode each candidate's
+    // codes, join the codebook by (sub, position), per-sub dot of the RAW
+    // query subvector against the residual codeword, sum in sub order, add
+    // the q·c(cell) offset — the same doubles in the same order as the
+    // probe's packed-LUT fold, derived through a different plan shape
+    val cents = spark.read.parquet(s"$idx/centroids")
+    val cb = spark.read.parquet(s"$idx/codebook")
+    val m = Similarity.IvfPqM
+    val ds = Similarity.PqDims / m
+    // position p (1-based, cid-sorted per sub) -> codeword
+    val pos = cb.withColumn("p", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("sub").orderBy("cid")).cast("int"))
+    val codes = spark.read.parquet(s"$idx/codes")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        posexplode(col("codes")).as(Seq("sub", "p")))
+      .select(col("vec_id"), col("cell"), col("sub").cast("long").as("sub"), col("p"))
+    val qasg = Similarity.assignCells(queries, cents)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cell"))
+      .join(cents, col("cell") === col("cent_id"))
+      .select(col("q_id"), col("q_emb"), col("cell"),
+        aggregate(zip_with(col("q_emb").cast("array<double>"),
+          col("cent_emb").cast("array<double>"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x).as("off"))
+    val perSub = codes.join(broadcast(qasg), Seq("cell"))
+      .where(col("q_id") =!= col("vec_id"))
+      .join(broadcast(pos), Seq("sub", "p"))
+      .select(col("q_id"), col("vec_id"), col("sub"), col("off"),
+        aggregate(zip_with(
+          slice(col("q_emb").cast("array<double>"), col("sub") * ds + 1, lit(ds)),
+          col("cvec"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x).as("pdot"))
+    val expect = perSub.groupBy("q_id", "vec_id", "off")
+      .agg((col("off") + graft.functions.Stable.bucketFold(col("sub"), col("pdot"))).as("score"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("vec_id").asc)).cast("long"))
+      .where(col("rank") <= 10)
+      .select("q_id", "vec_id", "score", "rank")
+    assert(stored.collect().map(_.toSeq).toSet === expect.collect().map(_.toSeq).toSet)
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on cell in:\n$plan")
+    // nprobe=2: strict candidate superset, shared ADC scores bit-identical
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "vec_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val p1 = pairs(Similarity.ivfPqResTopK(spark, idx, queries, 100000, 1))
+    val p2 = pairs(Similarity.ivfPqResTopK(spark, idx, queries, 100000, 2))
+    assert(p1.keySet.subsetOf(p2.keySet))
+    assert(p2.size > p1.size, "second probed cell contributed no candidates")
+    p1.foreach { case (k2, v) => assert(p2(k2) == v, s"score drift at $k2") }
+  }
+
   test("appendToIvfPqIndex: batch-sized append; base scores survive bit-identically") {
     val e = graft.sources.Tables.embeddings(spark, sfDir)
     // base carries every stride centroid so the grown index's coarse
