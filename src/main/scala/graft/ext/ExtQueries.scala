@@ -1174,6 +1174,14 @@ object ExtQueries {
     "x151_lr_influence" -> ((s, dir) =>
       Trainer.lrInfluence(s, Tables.documents(s, dir))),
 
+    // EL2N data-diet report (r8 second half): per-training-doc error
+    // magnitude |sigma(m) - y| after TWO gradient steps (the early
+    // checkpoint is the paper's point), fixed-width error-bin histogram
+    // with exact two-level-fold means — the lowest bins are the
+    // easy/redundant examples a pruning pass drops first.
+    "x162_el2n_prune_report" -> ((s, dir) =>
+      Trainer.el2nReport(s, Tables.documents(s, dir))),
+
     // The corpus→trainer export flagship (r6): temperature mixture
     // REALIZED to per-doc copies (x87's draw, row level) ∘ curriculum
     // octiles (x108's exact ntile) ∘ per-(shard, lang) manifest with
@@ -1825,6 +1833,26 @@ object ExtQueries {
       "abs(list_aggregate(list(ps ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) - " +
       "CAST(sum(np) AS DOUBLE)/CAST(sum(n) AS DOUBLE)) AS gap " +
       "FROM cb1 GROUP BY bin"
+  }
+
+  /** x162: EL2N data-diet report — the lrChain truncated at
+    * [[Trainer.El2nIters]] steps (the early checkpoint is the method's
+    * point), per-doc |σ(m) − y| over the TRAIN slice, fixed-width bins,
+    * two-level √n-fold means (reusing the chain's own `fb` bucket law). */
+  private def el2nSql(buckets: Int): String = {
+    val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
+    s"WITH ${lrFeatCtes(buckets)}, ${lrChain("", "tr", "wi0", Trainer.El2nIters, buckets)}, " +
+      s"elm AS (SELECT f.doc_id, f.y, ($m) AS m FROM tr f CROSS JOIN wi${Trainer.El2nIters} w), " +
+      "el AS (SELECT doc_id, abs((0.5 + 0.5*m/(1.0 + abs(m))) - y) AS el2n FROM elm), " +
+      "eb AS (SELECT doc_id, el2n, least(CAST(floor(el2n*10.0) AS BIGINT), 9) AS bin FROM el), " +
+      "b1 AS (SELECT bin, doc_id % (SELECT b FROM fb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
+      "list_aggregate(list_sort(list(el2n)), 'sum') AS s FROM eb GROUP BY 1, 2), " +
+      "b2 AS (SELECT bin, CAST(sum(n) AS BIGINT) AS n, " +
+      "list_aggregate(list(s ORDER BY bkt), 'sum') AS s FROM b1 GROUP BY 1), " +
+      "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_train FROM eb) " +
+      "SELECT bin, n, s / CAST(n AS DOUBLE) AS mean_el2n, " +
+      "CAST(n AS DOUBLE) / CAST(n_train AS DOUBLE) AS share, " +
+      s"bin <= ${Trainer.El2nPruneBin} AS pruned FROM b2, tot"
   }
 
   /** x151: gradient-dot data influence (TracIn at the final checkpoint).
@@ -3418,6 +3446,9 @@ object ExtQueries {
 
     "x137_lr_calibration" ->
       lrCalibrationSql(Trainer.Buckets, Trainer.Iters),
+
+    "x162_el2n_prune_report" ->
+      el2nSql(Trainer.Buckets),
 
     "x143_lr_group_fairness" ->
       lrFairnessSql(Trainer.Buckets, Trainer.Iters),

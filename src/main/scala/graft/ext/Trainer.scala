@@ -332,6 +332,55 @@ object Trainer {
           / sum(col("_n")).cast("double")).as("mean_score"))
   }
 
+  /** EL2N early-checkpoint depth: the error signal is read after TWO
+    * gradient steps, not at convergence — the paper's point is that easy
+    * examples are identifiable EARLY, so pruning doesn't pay for a full
+    * training run. Embedded in the oracle. */
+  val El2nIters = 2
+
+  /** Bins at-or-below this (of 10 fixed-width error bins) are the prune
+    * candidates: EL2N < 0.2 = the model already nails these examples two
+    * steps in. Embedded in the oracle. */
+  val El2nPruneBin = 1L
+
+  /** EL2N-style training-signal pruning report (Paul/Ganguli/Dziugaite,
+    * "Deep Learning on a Data Diet", NeurIPS 2021; public method): score
+    * each TRAINING doc by its error magnitude `|σ(m) − y|` under the
+    * weights after [[El2nIters]] gradient steps (for binary LR the EL2N
+    * error-vector norm IS the per-example error magnitude), then report
+    * the fixed-width error-bin histogram with each bin's exact mean score
+    * and the prune verdict — lowest bins are the easy/redundant examples
+    * a data-diet pass drops first.
+    *
+    * Scale shape: one bounded `unrollFrom` chain (two corpus aggregates),
+    * ONE broadcast weight row, one per-row error expression, and a
+    * bin-keyed two-level √n fold for the means (the [[step]] discipline)
+    * — no per-doc state leaves the executors, and the report is 10 rows.
+    */
+  def el2nReport(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      buckets: Int = Buckets, learnRate: Double = LearnRate): DataFrame = {
+    import graft.functions.Stable.{sortedFold, bucketFold, sqrtBuckets}
+    val dim = buckets + 2
+    val tr = graft.ops.Caching.cacheOnce(trainSplit(features(docs, buckets), train = true))
+    val w = unroll(spark, tr, dim, El2nIters, learnRate).last
+    val fb = sqrtBuckets(tr.count())
+    val el = tr.crossJoin(broadcast(w.select(
+        (col("wb") +: (0 until dim).map(j => col(s"w$j"))): _*)))
+      .withColumn("el2n", abs(fastSigmoid(marginCol(dim)) - col("y")))
+      .withColumn("bin", least(floor(col("el2n") * lit(10.0)).cast("long"), lit(9L)))
+    val s1 = el.groupBy(col("bin"), pmod(col("doc_id"), lit(fb.toLong)).as("_bkt"))
+      .agg(count(lit(1)).as("_n"), sortedFold(col("el2n")).as("_s"))
+    val s2 = s1.groupBy("bin")
+      .agg(sum(col("_n")).cast("long").as("n"),
+        bucketFold(col("_bkt"), col("_s")).as("_s"))
+    val tot = el.agg(count(lit(1)).cast("long").as("n_train"))
+    s2.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"),
+        (col("_s") / col("n").cast("double")).as("mean_el2n"),
+        (col("n").cast("double") / col("n_train").cast("double")).as("share"),
+        (col("bin") <= lit(El2nPruneBin)).as("pruned"))
+  }
+
   /** How many most-influential training docs the report keeps. */
   val InfluenceTopK = 20
 

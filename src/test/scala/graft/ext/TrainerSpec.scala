@@ -132,6 +132,33 @@ class TrainerSpec extends SparkTestBase {
     r.unpersist()
   }
 
+  test("el2nReport: bins partition the train slice, means inside bin bounds, prune verdict pinned") {
+    val docs = Tables.documents(spark, sfDir)
+    val r = Trainer.el2nReport(spark, docs).cache()
+    val rows = r.collect()
+    // shares sum to exactly 1 over the bins (n_train = sum of bin counts
+    // by construction, so the shares are n_i / Σn_i)
+    val nTot = rows.map(_.getLong(rows.head.fieldIndex("n"))).sum
+    rows.foreach { row =>
+      val bin = row.getLong(row.fieldIndex("bin"))
+      val mean = row.getDouble(row.fieldIndex("mean_el2n"))
+      val share = row.getDouble(row.fieldIndex("share"))
+      assert(bin >= 0 && bin <= 9)
+      // a bin's mean lives inside the bin's value range (bin 9 absorbs 1.0)
+      assert(mean >= bin / 10.0 && mean < (bin + 1) / 10.0 + (if (bin == 9) 1e-9 else 0.0),
+        s"bin $bin mean $mean outside its range")
+      assert(share == row.getLong(row.fieldIndex("n")).toDouble / nTot)
+      assert(row.getBoolean(row.fieldIndex("pruned")) === (bin <= Trainer.El2nPruneBin))
+    }
+    // the error signal separates after two steps: at least two distinct
+    // occupied bins (a degenerate all-one-bin report would be vacuous)
+    assert(rows.map(_.getLong(rows.head.fieldIndex("bin"))).distinct.length >= 2)
+    // deterministic under input repartitioning
+    assert(r.collect().map(_.toSeq).toSet ===
+      Trainer.el2nReport(spark, docs.repartition(7)).collect().map(_.toSeq).toSet)
+    r.unpersist()
+  }
+
   test("lrInfluence: contiguous top-k ranks, influence-desc/doc_id-asc order, deterministic") {
     val docs = Tables.documents(spark, sfDir)
     val inf = Trainer.lrInfluence(spark, docs).cache()
