@@ -690,6 +690,14 @@ object ExtQueries {
       }.reduce(_ unionByName _)
     }),
 
+    // Semantic decontamination (r8 second half): the embedding-space
+    // complement of x117's n-gram span decontamination — train vectors
+    // whose max cosine to the (hash-split, bounded) eval set reaches the
+    // near-dup threshold, with the nearest eval item named. One packed
+    // broadcast of the eval side + a per-row argmax fold over the corpus.
+    "x163_semantic_decontamination" -> ((s, dir) =>
+      Similarity.semanticDecontamination(Tables.embeddings(s, dir))),
+
     "x38_ann_int8_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.int8TopK(e.where(col("vec_id") < 5), e, 10)
@@ -3392,6 +3400,18 @@ object ExtQueries {
             s"CAST((SELECT count(*) FROM tru JOIN $tk USING (q_id, vec_id)) AS DOUBLE) " +
             "/ (SELECT count(*) FROM tru) AS recall"
         }.mkString(" UNION ALL ")),
+
+    // x163: the hash split, the all-pairs train×eval cosines (eval is the
+    // bounded side), per-train argmax with lowest-eval-id ties, τ filter.
+    "x163_semantic_decontamination" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, " +
+        "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':decon'), 1, 8)) AS BIGINT)/4294967296.0 AS h FROM embeddings), " +
+        s"ev AS (SELECT vec_id AS eval_id, emb AS eval_emb FROM e WHERE h < ${Similarity.DeconEvalFrac}), " +
+        s"tr AS (SELECT vec_id, emb FROM e WHERE NOT (h < ${Similarity.DeconEvalFrac})), " +
+        "s AS (SELECT tr.vec_id, ev.eval_id, " +
+        s"${dotSql("tr.emb", "ev.eval_emb")} AS cos FROM tr, ev), " +
+        "r AS (SELECT vec_id, eval_id, cos, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_id) AS rn FROM s) " +
+        s"SELECT vec_id, eval_id AS nearest_eval, cos AS max_cos FROM r WHERE rn = 1 AND cos >= ${Similarity.DeconTau}"),
 
     // x58 probes the STORED index built from the same stride centroids and
     // the same argmax fold, so the full x13 oracle holds verbatim.

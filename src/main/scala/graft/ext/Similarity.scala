@@ -1244,6 +1244,53 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** Semantic-decontamination eval fraction and similarity threshold.
+    * τ = 0.4 is the repo's established embedding near-dup threshold (x05):
+    * the fixture's diffuse synthetic vectors sit far below real-text
+    * cosine scales, so the production τ (~0.9) would flag nothing here;
+    * the MECHANISM is τ-independent. Both embedded in the oracle. */
+  val DeconEvalFrac = 0.1
+  val DeconTau = 0.4
+
+  /** Semantic decontamination — the embedding-space complement of the
+    * n-gram span decontamination (x117): flag TRAIN vectors whose cosine
+    * to ANY eval vector reaches [[DeconTau]] (benchmark rephrases and
+    * translations share no n-grams but sit next to the eval item in
+    * embedding space). The split is the engine's deterministic hash draw
+    * (`uniformHash(vec_id, "decon") < frac`), so train/eval are disjoint
+    * and replayable.
+    *
+    * Scale shape: eval sets are BOUNDED by construction (a benchmark is
+    * thousands of items, the corpus is billions), so the eval side packs
+    * into one broadcast array row and each train vector takes one
+    * [[assignCells]]-style argmax fold — zero shuffle, zero row
+    * amplification, scan speed over the corpus. Ties resolve to the
+    * lowest eval id (strict `>` over the id-sorted array). For eval sets
+    * too large for one broadcast row, the same verdict composes from
+    * [[lshMultiTopK]]'s bucketed candidates (the x125 agreement-audited
+    * path) — the flag is `max_cos >= τ` either way.
+    */
+  def semanticDecontamination(vectors: DataFrame,
+      evalFrac: Double = DeconEvalFrac, tau: Double = DeconTau): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
+    val u = Curate.uniformHash(col("vec_id"), "decon")
+    val ev = vectors.where(u < lit(evalFrac))
+      .select(col("vec_id").as("eval_id"), col("embedding").as("eval_emb"))
+    val train = vectors.where(!(u < lit(evalFrac)))
+    val packed = broadcast(ev.agg(
+      array_sort(collect_list(struct(col("eval_id"), col("eval_emb")))).as("_ev")))
+    val init = struct(lit(Double.NegativeInfinity).as("cos"), lit(-1L).as("id"))
+    val best = aggregate(col("_ev"), init, (acc, c) => {
+      val cos = GraftFunctions.cosineSim(col("embedding"), c.getField("eval_emb"))
+      when(cos > acc.getField("cos"),
+        struct(cos.as("cos"), c.getField("eval_id").as("id"))).otherwise(acc)
+    })
+    train.crossJoin(packed)
+      .select(col("vec_id"), best.getField("id").as("nearest_eval"),
+        best.getField("cos").as("max_cos"))
+      .where(col("max_cos") >= lit(tau))
+  }
+
   /** MMR weights as SEPARATE literals — never derive one from the other
     * (`1.0 - 0.7` is not the double `0.3`, and the oracle embeds the
     * literal). */

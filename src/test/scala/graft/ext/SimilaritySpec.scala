@@ -346,6 +346,34 @@ class SimilaritySpec extends SparkTestBase {
     p1.foreach { case (k2, v) => assert(p2(k2) == v, s"score drift at $k2") }
   }
 
+  test("semanticDecontamination: split-disjoint, complete vs all-pairs recompute, deterministic") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val out = Similarity.semanticDecontamination(e).cache()
+    val u = Curate.uniformHash(col("vec_id"), "decon")
+    val evalIds = e.where(u < Similarity.DeconEvalFrac).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val flagged = out.collect()
+    // no eval vector is ever flagged (the split is disjoint by the hash rule)
+    assert(flagged.forall(r => !evalIds.contains(r.getLong(0))))
+    // completeness + exactness vs an independent all-pairs recompute:
+    // every train vector whose true max-cos reaches τ appears, with the
+    // identical max_cos and the lowest-id nearest eval on ties
+    val ev = e.where(u < Similarity.DeconEvalFrac)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("eval_emb"))
+    val expect = e.where(!(u < Similarity.DeconEvalFrac)).crossJoin(broadcast(ev))
+      .withColumn("cos", graft.functions.GraftFunctions.cosineSim(col("embedding"), col("eval_emb")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("cos").desc, col("eval_id").asc)))
+      .where(col("rn") === 1 && col("cos") >= Similarity.DeconTau)
+      .select(col("vec_id"), col("eval_id").as("nearest_eval"), col("cos").as("max_cos"))
+    assert(flagged.map(_.toSeq).toSet === expect.collect().map(_.toSeq).toSet)
+    assert(flagged.nonEmpty, "fixture should flag at least one near-eval train vector")
+    assert(out.collect().map(_.toSeq).toSet ===
+      Similarity.semanticDecontamination(e.repartition(7)).collect().map(_.toSeq).toSet)
+    out.unpersist()
+  }
+
   test("appendToIvfPqIndex: batch-sized append; base scores survive bit-identically") {
     val e = graft.sources.Tables.embeddings(spark, sfDir)
     // base carries every stride centroid so the grown index's coarse
