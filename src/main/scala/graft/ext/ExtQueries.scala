@@ -1182,6 +1182,13 @@ object ExtQueries {
     "x151_lr_influence" -> ((s, dir) =>
       Trainer.lrInfluence(s, Tables.documents(s, dir))),
 
+    // Confident-learning label-noise audit (r8 second half): per-class
+    // self-confidence thresholds from the held-out scores; docs crossing
+    // the OTHER class's threshold are the mislabel suspects — the audit
+    // run on teacher labels before distilling them.
+    "x164_label_noise_audit" -> ((s, dir) =>
+      Trainer.labelNoiseAudit(s, Tables.documents(s, dir))),
+
     // EL2N data-diet report (r8 second half): per-training-doc error
     // magnitude |sigma(m) - y| after TWO gradient steps (the early
     // checkpoint is the paper's point), fixed-width error-bin histogram
@@ -1861,6 +1868,28 @@ object ExtQueries {
       "SELECT bin, n, s / CAST(n AS DOUBLE) AS mean_el2n, " +
       "CAST(n AS DOUBLE) / CAST(n_train AS DOUBLE) AS share, " +
       s"bin <= ${Trainer.El2nPruneBin} AS pruned FROM b2, tot"
+  }
+
+  /** x164: confident-learning label-noise audit — the lrClassify scoring
+    * chain, per-class two-level-fold mean-score thresholds, cross-class
+    * flags, 2-row rollup. */
+  private def labelNoiseSql(buckets: Int, iters: Int): String = {
+    val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
+    s"WITH ${lrCtes(buckets, iters)}, " +
+      "ho AS (SELECT * FROM fx WHERE NOT (" +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5)), " +
+      s"mf AS (SELECT f.doc_id, f.y, ($m) AS m FROM ho f CROSS JOIN wi$iters w), " +
+      "sc2 AS (SELECT doc_id, y, (0.5 + 0.5*m/(1.0 + abs(m))) AS score FROM mf), " +
+      "cfb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM ho), " +
+      "lb1 AS (SELECT y, doc_id % (SELECT b FROM cfb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
+      "list_aggregate(list_sort(list(score)), 'sum') AS s FROM sc2 GROUP BY 1, 2), " +
+      "lb2 AS (SELECT y, list_aggregate(list(s ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS t FROM lb1 GROUP BY 1), " +
+      "th AS (SELECT sum(CASE WHEN y = 0.0 THEN t END) AS t0, sum(CASE WHEN y = 1.0 THEN t END) AS t1 FROM lb2), " +
+      "fl AS (SELECT sc2.y, ((sc2.y = 0.0 AND sc2.score >= th.t1) OR (sc2.y = 1.0 AND sc2.score <= th.t0)) AS flag FROM sc2, th), " +
+      "ag AS (SELECT y AS given_label, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged FROM fl GROUP BY 1) " +
+      "SELECT given_label, n, CASE WHEN given_label = 1.0 THEN th.t0 ELSE th.t1 END AS cross_thresh, " +
+      "n_flagged, CAST(n_flagged AS DOUBLE)/CAST(n AS DOUBLE) AS noise_rate FROM ag, th"
   }
 
   /** x151: gradient-dot data influence (TracIn at the final checkpoint).
@@ -3469,6 +3498,9 @@ object ExtQueries {
 
     "x162_el2n_prune_report" ->
       el2nSql(Trainer.Buckets),
+
+    "x164_label_noise_audit" ->
+      labelNoiseSql(Trainer.Buckets, Trainer.Iters),
 
     "x143_lr_group_fairness" ->
       lrFairnessSql(Trainer.Buckets, Trainer.Iters),

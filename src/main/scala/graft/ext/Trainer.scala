@@ -332,6 +332,54 @@ object Trainer {
           / sum(col("_n")).cast("double")).as("mean_score"))
   }
 
+  /** Confident-learning-style label-noise audit (Northcutt/Jiang/Chuang,
+    * JAIR 2021 — simplified to the per-class self-confidence thresholds
+    * that method builds its confident joint from): on the held-out slice,
+    * `t_c` = mean predicted score among docs labeled `c`; a doc is
+    * FLAGGED when its score crosses the OTHER class's threshold — y=0
+    * scoring ≥ t₁ (likely mislabeled positive) or y=1 scoring ≤ t₀. The
+    * audit a pipeline runs on teacher labels before distilling them.
+    *
+    * Scale shape: [[lrClassify]]'s broadcast-weight scoring pass, class-
+    * keyed two-level √n folds for the thresholds (the [[step]]
+    * discipline), ONE 2-double threshold row broadcast back over the
+    * scored scan, and a 2-row rollup. No per-doc state leaves executors.
+    */
+  def labelNoiseAudit(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      buckets: Int = Buckets, iters: Int = Iters,
+      learnRate: Double = LearnRate): DataFrame =
+    auditScoredLabels(graft.ops.Caching.cacheOnce(
+      lrClassify(spark, docs, buckets, iters, learnRate)),
+      holdoutFoldBuckets(docs, buckets))
+
+  /** The audit core over ANY `(doc_id, y, score)` frame — scores need not
+    * come from [[lrClassify]]; an external annotation set audited against
+    * an external model's scores runs through the same verb (and the spec
+    * plants flipped labels here to prove the flags fire). `fb` is the
+    * caller's √n fold-bucket count over the same frame. */
+  def auditScoredLabels(sc: DataFrame, fb: Int): DataFrame = {
+    import graft.functions.Stable.{sortedFold, bucketFold}
+    val s1 = sc.groupBy(col("y"), pmod(col("doc_id"), lit(fb.toLong)).as("_bkt"))
+      .agg(count(lit(1)).as("_n"), sortedFold(col("score")).as("_s"))
+    val means = s1.groupBy("y")
+      .agg((bucketFold(col("_bkt"), col("_s")) / sum(col("_n")).cast("double")).as("t"))
+    val th = broadcast(means.agg(
+      sum(when(col("y") === 0.0, col("t"))).as("t0"),
+      sum(when(col("y") === 1.0, col("t"))).as("t1")))
+    sc.crossJoin(th)
+      .withColumn("flag",
+        (col("y") === 0.0 && col("score") >= col("t1")) ||
+          (col("y") === 1.0 && col("score") <= col("t0")))
+      .groupBy(col("y").as("given_label"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("flag"), 1L).otherwise(0L)).cast("long").as("n_flagged"))
+      .crossJoin(th)
+      .select(col("given_label"), col("n"),
+        when(col("given_label") === 1.0, col("t0")).otherwise(col("t1")).as("cross_thresh"),
+        col("n_flagged"),
+        (col("n_flagged").cast("double") / col("n").cast("double")).as("noise_rate"))
+  }
+
   /** EL2N early-checkpoint depth: the error signal is read after TWO
     * gradient steps, not at convergence — the paper's point is that easy
     * examples are identifiable EARLY, so pruning doesn't pay for a full

@@ -159,6 +159,35 @@ class TrainerSpec extends SparkTestBase {
     r.unpersist()
   }
 
+  test("labelNoiseAudit: zero flags on the noise-free fixture; planted flips caught by the core audit") {
+    val docs = Tables.documents(spark, sfDir)
+    val r = Trainer.labelNoiseAudit(spark, docs).collect()
+    assert(r.length === 2)
+    // the fixture's teacher labels ARE a deterministic function of the
+    // text (no noise by construction) — zero flags is the correct answer
+    r.foreach { row =>
+      assert(row.getLong(row.fieldIndex("n_flagged")) === 0L)
+      assert(row.getDouble(row.fieldIndex("noise_rate")) === 0.0)
+    }
+    // planted noise through the core verb: two flipped labels among six
+    // clean ones; thresholds and flags are hand-computable
+    val scored = Seq(
+      (1L, 0.0, 0.10), (2L, 0.0, 0.20), (3L, 0.0, 0.30),
+      (4L, 1.0, 0.80), (5L, 1.0, 0.90), (6L, 1.0, 0.70),
+      (7L, 0.0, 0.95), // labeled 0, scores like a positive -> must flag
+      (8L, 1.0, 0.05)  // labeled 1, scores like a negative -> must flag
+    ).toDF("doc_id", "y", "score")
+    val out = Trainer.auditScoredLabels(scored, 3).collect()
+      .map(r2 => r2.getDouble(0) -> r2).toMap
+    // t0 = mean(0.1, 0.2, 0.3, 0.95) = 0.3875; t1 = mean(0.8, 0.9, 0.7, 0.05) = 0.6125
+    assert(out(0.0).getLong(out(0.0).fieldIndex("n_flagged")) === 1L)
+    assert(out(1.0).getLong(out(1.0).fieldIndex("n_flagged")) === 1L)
+    assert(math.abs(out(0.0).getDouble(out(0.0).fieldIndex("cross_thresh")) - 0.6125) < 1e-12)
+    assert(math.abs(out(1.0).getDouble(out(1.0).fieldIndex("cross_thresh")) - 0.3875) < 1e-12)
+    assert(out(0.0).getDouble(out(0.0).fieldIndex("noise_rate")) === 0.25)
+    assert(out(1.0).getDouble(out(1.0).fieldIndex("noise_rate")) === 0.25)
+  }
+
   test("lrInfluence: contiguous top-k ranks, influence-desc/doc_id-asc order, deterministic") {
     val docs = Tables.documents(spark, sfDir)
     val inf = Trainer.lrInfluence(spark, docs).cache()
