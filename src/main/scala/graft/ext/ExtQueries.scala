@@ -1280,6 +1280,12 @@ object ExtQueries {
     "x145_retrieval_eval_set" -> ((s, dir) =>
       Hybrid.retrievalEvalSet(Tables.documents(s, dir), Tables.embeddings(s, dir))),
 
+    // MRR@10 / MAP@10 (r8 second half): the same three x145 systems and
+    // relevance, read out through the binary-relevance rank metrics —
+    // window-free j/rank precision folds, so the chain stays replayable.
+    "x165_retrieval_rank_metrics" -> ((s, dir) =>
+      Hybrid.rankMetricsReport(Tables.documents(s, dir), Tables.embeddings(s, dir))),
+
     // The query-set eval over the STORED indexes (r8): bm25 list from the
     // partition-pruned postings probe, ANN list from the DPP-pruned
     // IVFADC probe, RRF fused — the same evalRankedSet / distribution
@@ -2928,6 +2934,28 @@ object ExtQueries {
         "min(recall_at_k) AS min_recall " +
         "FROM sevq GROUP BY system"
     },
+
+    // x165: per-system MRR@10 / MAP@10 over the same set chain — the
+    // j-th relevant position's j/rank IS precision@rank, so AP needs no
+    // windowed prefix sums.
+    "x165_retrieval_rank_metrics" ->
+      (s"WITH $hybridSetCtes, " +
+        "mq AS (" +
+        Seq(("bm25", "sbm"), ("ann", "sann"), ("rrf", "srrf")).map { case (sys, l) =>
+          s"SELECT * FROM (SELECT '$sys' AS system, nr.query_id, " +
+            "coalesce(1.0/CAST(p.first_rel AS DOUBLE), 0.0) AS mrr, " +
+            "CASE WHEN least(nr.n_rel, 10) > 0 THEN coalesce(p.sum_prec, 0.0)/CAST(least(nr.n_rel, 10) AS DOUBLE) ELSE 0.0 END AS ap " +
+            "FROM (SELECT query_id, CAST(sum(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel FROM srel GROUP BY 1) nr " +
+            "LEFT JOIN (SELECT query_id, CAST(min(rank) AS BIGINT) AS first_rel, " +
+            "list_aggregate(list(CAST(j AS DOUBLE)/CAST(rank AS DOUBLE) ORDER BY rank), 'sum') AS sum_prec FROM " +
+            "(SELECT query_id, rank, row_number() OVER (PARTITION BY query_id ORDER BY rank) AS j FROM " +
+            s"(SELECT l.query_id, l.rank FROM $l l LEFT JOIN srel g ON g.query_id = l.query_id AND g.doc_id = l.doc_id " +
+            "WHERE l.rank <= 10 AND coalesce(g.gain, 0) > 0)) GROUP BY query_id) p USING (query_id))"
+        }.mkString(" UNION ALL ") + ") " +
+        "SELECT system, CAST(count(*) AS BIGINT) AS n_queries, " +
+        "list_aggregate(list(mrr ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_mrr, min(mrr) AS min_mrr, " +
+        "list_aggregate(list(ap ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_map, min(ap) AS min_ap " +
+        "FROM mq GROUP BY system"),
 
     // x153: the same eval chain with the STORED systems' lists — sbm is
     // the stored-bm25 list verbatim (x126 pins stored ≡ in-memory scoring

@@ -395,6 +395,63 @@ object Hybrid {
         min(col("recall_at_k")).as("min_recall"))
   }
 
+  /** Per-(system, query) MRR@k / AP@k — the binary-relevance rank metrics
+    * (relevant = gain > 0) completing the eval family beside nDCG/recall:
+    * MRR is 1/rank of the first relevant hit (0 when none lands in the
+    * top k); AP@k sums precision at each relevant position over
+    * min(n_rel, k). Both derive window-free from rank-ordered bounded
+    * folds — `j/rank` at the j-th relevant position IS precision@rank —
+    * so the whole chain replays in the oracle.
+    */
+  def rankMetricsSet(system: String, list: DataFrame, rel: DataFrame,
+      k: Int): DataFrame = {
+    val nRel = rel.groupBy("query_id")
+      .agg(sum(when(col("gain") > 0, 1L).otherwise(0L)).as("n_rel"))
+    val relRows = list.where(col("rank") <= k)
+      .join(rel, Seq("query_id", "doc_id"), "left")
+      .where(coalesce(col("gain"), lit(0L)) > 0)
+      .withColumn("j", row_number().over(
+        Window.partitionBy("query_id").orderBy("rank")).cast("long"))
+    val perQ = relRows.groupBy("query_id").agg(
+      min(col("rank")).as("first_rel"),
+      aggregate(transform(sort_array(collect_list(struct(col("rank"),
+        (col("j").cast("double") / col("rank").cast("double")).as("c")))),
+        s => s.getField("c")), lit(0.0), (a, x) => a + x).as("sum_prec"))
+    nRel.join(perQ, Seq("query_id"), "left")
+      .select(lit(system).as("system"), col("query_id"),
+        coalesce(lit(1.0) / col("first_rel").cast("double"), lit(0.0)).as("mrr"),
+        when(least(col("n_rel"), lit(k.toLong)) > 0,
+          coalesce(col("sum_prec"), lit(0.0))
+            / least(col("n_rel"), lit(k.toLong)).cast("double"))
+          .otherwise(lit(0.0)).as("ap"))
+  }
+
+  /** The x145 systems (bm25 / brute-ANN / RRF) reduced to per-system
+    * MRR/MAP rows — same lists, same relevance, the complementary
+    * binary-relevance read-out (x165). */
+  def rankMetricsReport(docs: DataFrame, emb: DataFrame, k: Int = 10,
+      depth: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    val queries = querySetDf(spark)
+    val bm = bm25TopKSet(docs, queries, depth, excludeSelf = true)
+      .select("query_id", "doc_id", "rank")
+    val ann = Similarity.bruteForceTopK(
+        emb.where(col("vec_id").isin(QuerySet.map(_._1): _*)), emb, depth)
+      .select(col("q_id").as("query_id"), col("vec_id").as("doc_id"), col("rank"))
+    val fused = rrfFuseSet(bm, ann, k).select("query_id", "doc_id", "rank")
+    val rel = graft.ops.Caching.cacheOnce(gradedRelevanceSet(docs, emb, queries))
+    val perQ = rankMetricsSet("bm25", bm, rel, k)
+      .unionByName(rankMetricsSet("ann", ann, rel, k))
+      .unionByName(rankMetricsSet("rrf", fused, rel, k))
+    def meanBy(v: String): Column =
+      aggregate(transform(sort_array(collect_list(struct(col("query_id"), col(v).as("v")))),
+        s => s.getField("v")), lit(0.0), (a, x) => a + x) / count(lit(1)).cast("double")
+    perQ.groupBy("system").agg(
+      count(lit(1)).as("n_queries"),
+      meanBy("mrr").as("mean_mrr"), min(col("mrr")).as("min_mrr"),
+      meanBy("ap").as("mean_map"), min(col("ap")).as("min_ap"))
+  }
+
   /** The bm25 ranked list from the STORED index, for every query in the
     * set: per query, probe at `depth + 1` (partition-pruned postings),
     * drop the query's own doc, re-rank — exactly the

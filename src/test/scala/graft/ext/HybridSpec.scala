@@ -170,4 +170,42 @@ class HybridSpec extends SparkTestBase {
     assert(rel.getOrElse(1L, 0L) > 0, "some single-aspect docs must exist")
     assert(rel.getOrElse(2L, 0L) > 0, "some dual-aspect docs must exist")
   }
+
+  test("rankMetricsSet: hand-computed MRR/AP, zero-hit query scores zero") {
+    import spark.implicits._
+    // q1: relevant docs 10 (gain 1) and 12 (gain 2); retrieved at ranks 2
+    // and 4 -> precision 1/2 at the 1st hit, 2/4 at the 2nd;
+    // AP = (0.5 + 0.5)/min(2, 10) = 0.5; MRR = 1/2.
+    // q2: its one relevant doc is never retrieved -> MRR = AP = 0.
+    val list = Seq(
+      (1L, 11L, 1L), (1L, 10L, 2L), (1L, 13L, 3L), (1L, 12L, 4L),
+      (2L, 20L, 1L)).toDF("query_id", "doc_id", "rank")
+    val rel = Seq(
+      (1L, 10L, 1L), (1L, 11L, 0L), (1L, 12L, 2L), (1L, 13L, 0L),
+      (2L, 21L, 1L), (2L, 20L, 0L)).toDF("query_id", "doc_id", "gain")
+    val out = Hybrid.rankMetricsSet("t", list, rel, 10).collect()
+      .map(r => r.getLong(1) -> r).toMap
+    assert(out(1L).getDouble(out(1L).fieldIndex("mrr")) === 0.5)
+    assert(out(1L).getDouble(out(1L).fieldIndex("ap")) === 0.5)
+    assert(out(2L).getDouble(out(2L).fieldIndex("mrr")) === 0.0)
+    assert(out(2L).getDouble(out(2L).fieldIndex("ap")) === 0.0)
+  }
+
+  test("rankMetricsReport: three systems, metrics in [0, 1], deterministic") {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val r = Hybrid.rankMetricsReport(docs, emb).cache()
+    val rows = r.collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq === Seq("ann", "bm25", "rrf"))
+    rows.foreach { row =>
+      Seq("mean_mrr", "min_mrr", "mean_map", "min_ap").foreach { c =>
+        val v = row.getDouble(row.fieldIndex(c))
+        assert(v >= 0.0 && v <= 1.0, s"$c = $v out of range")
+      }
+      assert(row.getLong(row.fieldIndex("n_queries")) === Hybrid.QuerySet.size.toLong)
+    }
+    assert(r.collect().map(_.toSeq).toSet ===
+      Hybrid.rankMetricsReport(docs.repartition(7), emb).collect().map(_.toSeq).toSet)
+    r.unpersist()
+  }
 }
