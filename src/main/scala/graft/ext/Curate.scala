@@ -201,6 +201,38 @@ object Curate {
           .as("fill_frac"))
   }
 
+  /** [[tokenBudgetMix]] with PER-SOURCE budgets — the actuated form a
+    * feedback signal drives (x166 feeds influence-derived budgets into
+    * it): the same hash-shuffled prefix rule, but each source's cut comes
+    * from the `(source, budget)` frame (broadcast — a mixture taxonomy is
+    * bounded). Budgets must be positive: callers derive them from a
+    * bounded weight law (x166's weights live in [0.5, 1.5]); a
+    * non-positive budget surfaces as a NaN/±Inf `fill_frac` that the
+    * correctness gate rejects loudly rather than a silently dropped
+    * source. */
+  def tokenBudgetMixWeighted(docs: DataFrame, budgets: DataFrame,
+      salt: String = "tokmix"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("_u").asc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs.select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("_nt"),
+        uniformHash(col("doc_id"), salt).as("_u"))
+      .withColumn("_cum", sum(col("_nt")).over(w))
+      .join(broadcast(budgets), "source")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs_total"),
+        sum(col("_nt")).as("tokens_total"),
+        sum(when(col("_cum") <= col("budget"), 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(when(col("_cum") <= col("budget"), col("_nt")).otherwise(0L)).as("tokens_kept"),
+        max(col("budget")).as("budget"))
+      .select(col("source"), col("n_docs_total"), col("tokens_total"),
+        col("n_docs_kept"), col("tokens_kept"), col("budget"),
+        (col("tokens_kept").cast("double") / col("budget").cast("double"))
+          .as("fill_frac"))
+  }
+
   def temperatureMix(docs: DataFrame, bucketCol: Column, budget: Long,
       salt: String = "tmix"): DataFrame = {
     val w = temperatureWeights(docs, bucketCol, budget)

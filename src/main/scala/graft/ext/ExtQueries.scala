@@ -1197,6 +1197,29 @@ object ExtQueries {
     "x162_el2n_prune_report" -> ((s, dir) =>
       Trainer.el2nReport(s, Tables.documents(s, dir))),
 
+    // Influence-informed mixture (r8 second half): the measure→act loop
+    // closed — x159's per-source TracIn means become bounded multiplicative
+    // budget weights (1 + 0.5·mi/max|mi| ∈ [0.5, 1.5]), and the x150
+    // token-budget prefix rule runs with each source's OWN budget. The
+    // curation knob actually turned by the attribution signal.
+    "x166_influence_informed_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val infl = Trainer.lrInfluenceBySource(s, docs)
+      val mx = broadcast(infl.agg(max(abs(col("mean_influence"))).as("maxabs")))
+      val wts = infl.crossJoin(mx)
+        .select(col("source"), col("mean_influence"),
+          when(col("maxabs") > 0,
+            lit(1.0) + lit(0.5) * (col("mean_influence") / col("maxabs")))
+            .otherwise(lit(1.0)).as("weight"))
+      val budgets = wts.select(col("source"), col("mean_influence"), col("weight"),
+        floor(lit(Curate.TokenMixBudget).cast("double") * col("weight"))
+          .cast("long").as("budget"))
+      Curate.tokenBudgetMixWeighted(docs, budgets.select("source", "budget"))
+        .join(broadcast(budgets.select("source", "mean_influence", "weight")), "source")
+        .select("source", "mean_influence", "weight", "budget", "n_docs_total",
+          "tokens_total", "n_docs_kept", "tokens_kept", "fill_frac")
+    }),
+
     // The corpus→trainer export flagship (r6): temperature mixture
     // REALIZED to per-doc copies (x87's draw, row level) ∘ curriculum
     // octiles (x108's exact ntile) ∘ per-(shard, lang) manifest with
@@ -3731,6 +3754,39 @@ object ExtQueries {
 
     "x159_influence_by_source" ->
       lrInfluenceBySourceSql(Trainer.Buckets, Trainer.Iters),
+
+    // x166: x159's per-source mean-influence chain → bounded weights →
+    // per-source budgets → the x150 prefix rule with each source's own cut.
+    "x166_influence_informed_mix" ->
+      (s"WITH ${lrInfluenceChain(Trainer.Buckets, Trainer.Iters)}, " +
+        "sfb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM tr), " +
+        "sg1 AS (SELECT d.source, isc.doc_id % (SELECT b FROM sfb) AS bkt, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "list_aggregate(list_sort(list(influence)), 'sum') AS ps " +
+        "FROM isc JOIN documents d ON isc.doc_id = d.doc_id GROUP BY 1, 2), " +
+        "misrc AS (SELECT source, " +
+        "list_aggregate(list(ps ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS mean_influence " +
+        "FROM sg1 GROUP BY source), " +
+        "mmx AS (SELECT max(abs(mean_influence)) AS maxabs FROM misrc), " +
+        "mwt AS (SELECT source, mean_influence, " +
+        "CASE WHEN mmx.maxabs > 0 THEN 1.0 + 0.5*(mean_influence/mmx.maxabs) ELSE 1.0 END AS weight " +
+        "FROM misrc, mmx), " +
+        s"mbg AS (SELECT source, mean_influence, weight, " +
+        s"CAST(floor(CAST(${Curate.TokenMixBudget} AS DOUBLE) * weight) AS BIGINT) AS budget FROM mwt), " +
+        "tn AS (SELECT t.doc_id, d.source, CAST(len(t.toks) AS BIGINT) AS nt, " +
+        "CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR) || ':tokmix'), 1, 8)) AS BIGINT)/4294967296.0 AS u " +
+        "FROM t JOIN documents d ON t.doc_id = d.doc_id), " +
+        "tc AS (SELECT *, sum(nt) OVER (PARTITION BY source ORDER BY u, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM tn), " +
+        "agx AS (SELECT tc.source, CAST(count(*) AS BIGINT) AS n_docs_total, " +
+        "CAST(sum(nt) AS BIGINT) AS tokens_total, " +
+        "CAST(sum(CASE WHEN cum <= b.budget THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept, " +
+        "CAST(sum(CASE WHEN cum <= b.budget THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept, " +
+        "max(b.budget) AS budget FROM tc JOIN mbg b ON tc.source = b.source GROUP BY 1) " +
+        "SELECT a.source, b.mean_influence, b.weight, CAST(a.budget AS BIGINT) AS budget, " +
+        "a.n_docs_total, a.tokens_total, a.n_docs_kept, a.tokens_kept, " +
+        "CAST(a.tokens_kept AS DOUBLE)/CAST(a.budget AS DOUBLE) AS fill_frac " +
+        "FROM agx a JOIN mbg b USING (source)"),
 
     "x127_groupwise_split" ->
       (s"WITH RECURSIVE $groupSplitCtes SELECT doc_id, group_id, split FROM ga"),

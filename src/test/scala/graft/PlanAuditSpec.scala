@@ -88,7 +88,8 @@ class PlanAuditSpec extends SparkTestBase {
     "x162_el2n_prune_report" -> "x129's 1-row broadcast weight frame (two-step early checkpoint, constant model state) + the 1-row train-count fold",
     "x163_semantic_decontamination" -> "ONE packed eval-set broadcast row (eval sets are bounded by construction) + the per-row argmax fold — assignCells' shape; scale path for oversized eval sets = lshMultiTopK candidates (x125)",
     "x164_label_noise_audit" -> "x130's 1-row broadcast final-weight scoring + ONE 2-double threshold row broadcast back over the scored scan (constants)",
-    "x165_retrieval_rank_metrics" -> "x145's broadcast-query-SET stream + the x06-shaped brute-force ANN leg (bounded query set; scale path = bucketed rankers via the same ranked-list interface)"
+    "x165_retrieval_rank_metrics" -> "x145's broadcast-query-SET stream + the x06-shaped brute-force ANN leg (bounded query set; scale path = bucketed rankers via the same ranked-list interface)",
+    "x166_influence_informed_mix" -> "x151's 1-row weight + 1-row mean-held-out-gradient broadcasts (constant model state) + the 1-row max-|influence| normalizer crossJoin"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {

@@ -379,4 +379,26 @@ class CurateSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Curate.tokenBudgetMix(docs, 0L) }
     intercept[IllegalArgumentException] { Curate.tokenBudgetMix(docs, -5L) }
   }
+
+  test("tokenBudgetMixWeighted: per-source budgets honored; constant budgets reproduce tokenBudgetMix") {
+    // Two sources, equal-length docs: source a's budget keeps 2 of 3 docs,
+    // source b's smaller budget keeps exactly 1.
+    val tiny = Seq(
+      (1L, "a", "a b c"), (2L, "a", "d e f"), (3L, "a", "g h i"),
+      (4L, "b", "j k l"), (5L, "b", "m n o")).toDF("doc_id", "source", "text")
+    val budgets = Seq(("a", 7L), ("b", 3L)).toDF("source", "budget")
+    val by = Curate.tokenBudgetMixWeighted(tiny, budgets).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(by("a").getLong(by("a").fieldIndex("n_docs_kept")) === 2L)
+    assert(by("a").getLong(by("a").fieldIndex("tokens_kept")) === 6L)
+    assert(by("b").getLong(by("b").fieldIndex("n_docs_kept")) === 1L)
+    assert(by("b").getLong(by("b").fieldIndex("tokens_kept")) === 3L)
+    assert(by("b").getDouble(by("b").fieldIndex("fill_frac")) === 1.0)
+    // a constant budget frame reproduces the global-budget verb row-for-row
+    val docs = Tables.documents(spark, sfDir)
+    val const = docs.select(col("source")).distinct()
+      .withColumn("budget", lit(Curate.TokenMixBudget))
+    assert(Curate.tokenBudgetMixWeighted(docs, const).collect().map(_.toSeq).toSet ===
+      Curate.tokenBudgetMix(docs, Curate.TokenMixBudget).collect().map(_.toSeq).toSet)
+  }
 }
