@@ -1272,11 +1272,20 @@ object Similarity {
     */
   def semanticDecontamination(vectors: DataFrame,
       evalFrac: Double = DeconEvalFrac, tau: Double = DeconTau): DataFrame = {
-    GraftFunctions.register(vectors.sparkSession)
     val u = Curate.uniformHash(col("vec_id"), "decon")
-    val ev = vectors.where(u < lit(evalFrac))
-      .select(col("vec_id").as("eval_id"), col("embedding").as("eval_emb"))
-    val train = vectors.where(!(u < lit(evalFrac)))
+    semanticDeconAgainst(vectors.where(!(u < lit(evalFrac))),
+      vectors.where(u < lit(evalFrac))
+        .select(col("vec_id").as("eval_id"), col("embedding").as("eval_emb")),
+      tau)
+  }
+
+  /** The decontamination core against an EXPLICIT `(eval_id, eval_emb)`
+    * table — shared by the batch split form above and the streaming
+    * ingestion gate ([[graft.streaming.VectorStream.semanticDeconIngest]]):
+    * stateless per-row work, so it runs unchanged on a streaming frame. */
+  def semanticDeconAgainst(vectors: DataFrame, ev: DataFrame,
+      tau: Double = DeconTau): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
     val packed = broadcast(ev.agg(
       array_sort(collect_list(struct(col("eval_id"), col("eval_emb")))).as("_ev")))
     val init = struct(lit(Double.NegativeInfinity).as("cos"), lit(-1L).as("id"))
@@ -1285,7 +1294,7 @@ object Similarity {
       when(cos > acc.getField("cos"),
         struct(cos.as("cos"), c.getField("eval_id").as("id"))).otherwise(acc)
     })
-    train.crossJoin(packed)
+    vectors.crossJoin(packed)
       .select(col("vec_id"), best.getField("id").as("nearest_eval"),
         best.getField("cos").as("max_cos"))
       .where(col("max_cos") >= lit(tau))

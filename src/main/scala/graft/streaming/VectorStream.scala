@@ -30,6 +30,17 @@ object VectorStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Ingestion-time semantic decontamination — x163's verdict moved to
+    * the stream boundary, the cheapest point to stop eval leakage (a
+    * flagged vector never lands in training storage at all). Stateless
+    * per-row work: the bounded eval table packs into one broadcast row
+    * and each streamed vector takes one argmax fold — no state store, no
+    * watermark, and stream verdicts ≡ batch verdicts bit-for-bit
+    * (spec-pinned), because the fold is a pure per-row function. */
+  def semanticDeconIngest(stream: DataFrame, ev: DataFrame,
+      tau: Double = graft.ext.Similarity.DeconTau): DataFrame =
+    graft.ext.Similarity.semanticDeconAgainst(stream, ev, tau)
+
   /** The lexical twin: a document stream drains into the stored BM25
     * index ([[graft.ext.Search.appendToBm25Index]] per micro-batch —
     * batch-sized tokenize/tf, bucket-partitioned postings appends, the

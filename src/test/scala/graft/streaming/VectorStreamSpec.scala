@@ -77,4 +77,31 @@ class VectorStreamSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSeq
     assert(a === b, "stream-grown index must probe identically to a full rebuild")
   }
+
+  test("semanticDeconIngest: stream verdicts equal batch verdicts bit-for-bit; clean batches pass") {
+    implicit val sqlCtx = spark.sqlContext
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val u = graft.ext.Curate.uniformHash(col("vec_id"), "decon")
+    val ev = e.where(u < Similarity.DeconEvalFrac)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("eval_emb"))
+    val train = e.where(!(u < Similarity.DeconEvalFrac))
+    // stream the train side through the gate in two micro-batches
+    val rows = train.select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Seq[Float])].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[(Long, Seq[Float])]
+    in.addData(b1.toSeq)
+    in.addData(b2.toSeq)
+    val stream = in.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val sink = VectorStream.semanticDeconIngest(stream, ev)
+      .writeStream.format("memory").queryName("decon_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    sink.awaitTermination(180000)
+    val streamed = spark.table("decon_sink").collect().map(_.toSeq).toSet
+    val batch = Similarity.semanticDecontamination(e).collect().map(_.toSeq).toSet
+    assert(streamed === batch,
+      "the ingestion gate must flag exactly the batch-audit set, scores bit-identical")
+    assert(streamed.nonEmpty)
+  }
 }
