@@ -698,6 +698,29 @@ object ExtQueries {
     "x163_semantic_decontamination" -> ((s, dir) =>
       Similarity.semanticDecontamination(Tables.embeddings(s, dir))),
 
+    // IVF-SQ8 stored index (r8 second half): the 64 B/vec scalar-quantized
+    // rung of the stored menu — near-exact within probed cells, so its
+    // recall rows read as "the exact ceiling at 8x PQ's bytes" beside
+    // x154 (8 B PQ) and x161 (residual PQ).
+    "x167_ann_ivfsq8_stored" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 5)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivfsq8_").toString
+      Similarity.buildIvfSq8Index(e, idx)
+      val truth = graft.ops.Caching.cacheOnce(
+        Similarity.bruteForceTopK(q, e, 10).select("q_id", "vec_id"))
+      Seq(("ivfsq8_nprobe1", Similarity.ivfSq8TopK(s, idx, q, 10, 1)),
+          ("ivfsq8_nprobe2", Similarity.ivfSq8TopK(s, idx, q, 10, 2))).map { case (nm, ap) =>
+        val a = ap.select("q_id", "vec_id")
+        val nT = truth.agg(count(lit(1)).as("n_truth"))
+        val nA = a.agg(count(lit(1)).as("n_approx"))
+        val nC = truth.join(a, Seq("q_id", "vec_id")).agg(count(lit(1)).as("n_common"))
+        nT.crossJoin(broadcast(nA)).crossJoin(broadcast(nC))
+          .select(lit(nm).as("method"), col("n_truth"), col("n_approx"), col("n_common"),
+            (col("n_common").cast("double") / col("n_truth").cast("double")).as("recall"))
+      }.reduce(_ unionByName _)
+    }),
+
     "x38_ann_int8_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.int8TopK(e.where(col("vec_id") < 5), e, 10)
@@ -3492,6 +3515,48 @@ object ExtQueries {
         s"${dotSql("tr.emb", "ev.eval_emb")} AS cos FROM tr, ev), " +
         "r AS (SELECT vec_id, eval_id, cos, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_id) AS rn FROM s) " +
         s"SELECT vec_id, eval_id AS nearest_eval, cos AS max_cos FROM r WHERE rn = 1 AND cos >= ${Similarity.DeconTau}"),
+
+    // x167: cell assignment + x38's int8 chain, cell-confined scoring at
+    // both probe depths vs the brute truth.
+    "x167_ann_ivfsq8_stored" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.IvfCentroidStride} = 0), " +
+        "iscored AS (SELECT e.vec_id, cents.cent_id, " +
+        s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
+        "iasg AS (SELECT vec_id, cent_id AS cell FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t WHERE r = 1), " +
+        "m8 AS (SELECT vec_id, emb, " +
+        "greatest(list_aggregate(list_transform(emb, x -> abs(x)), 'max'), 1e-12) AS ma FROM e), " +
+        "q8 AS (SELECT vec_id, " +
+        "list_transform(emb, x -> CAST(round(x * 127.0 / ma) AS INTEGER)) AS qv, " +
+        "ma / 127.0 AS scale FROM m8), " +
+        "qq8 AS (SELECT vec_id AS q_id, qv AS q_qv, scale AS q_scale FROM q8 WHERE vec_id < 5), " +
+        "sqc AS (SELECT vec_id AS q_id, cell FROM iasg WHERE vec_id < 5), " +
+        "sqc2 AS (SELECT vec_id AS q_id, cent_id AS cell FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t " +
+        "WHERE r <= 2 AND vec_id < 5), " +
+        "sc8 AS (SELECT c.q_id, a.vec_id, " +
+        "CAST(list_aggregate(list_transform(list_zip(q.q_qv, v.qv), z -> CAST(z[1] AS BIGINT) * z[2]), 'sum') AS DOUBLE) " +
+        "* q.q_scale * v.scale AS score " +
+        "FROM iasg a JOIN sqc c USING (cell) JOIN q8 v ON v.vec_id = a.vec_id " +
+        "JOIN qq8 q ON q.q_id = c.q_id WHERE c.q_id <> a.vec_id), " +
+        "sc82 AS (SELECT c.q_id, a.vec_id, " +
+        "CAST(list_aggregate(list_transform(list_zip(q.q_qv, v.qv), z -> CAST(z[1] AS BIGINT) * z[2]), 'sum') AS DOUBLE) " +
+        "* q.q_scale * v.scale AS score " +
+        "FROM iasg a JOIN sqc2 c USING (cell) JOIN q8 v ON v.vec_id = a.vec_id " +
+        "JOIN qq8 q ON q.q_id = c.q_id WHERE c.q_id <> a.vec_id), " +
+        s"tru AS (SELECT q_id, vec_id FROM ($annBruteSql)), " +
+        "st1 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS r FROM sc8) WHERE r <= 10), " +
+        "st2 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS r FROM sc82) WHERE r <= 10) " +
+        Seq(("ivfsq8_nprobe1", "st1"), ("ivfsq8_nprobe2", "st2")).map { case (nm, tk) =>
+          s"SELECT '$nm' AS method, CAST((SELECT count(*) FROM tru) AS BIGINT) AS n_truth, " +
+            s"CAST((SELECT count(*) FROM $tk) AS BIGINT) AS n_approx, " +
+            s"CAST((SELECT count(*) FROM tru JOIN $tk USING (q_id, vec_id)) AS BIGINT) AS n_common, " +
+            s"CAST((SELECT count(*) FROM tru JOIN $tk USING (q_id, vec_id)) AS DOUBLE) " +
+            "/ (SELECT count(*) FROM tru) AS recall"
+        }.mkString(" UNION ALL ")),
 
     // x58 probes the STORED index built from the same stride centroids and
     // the same argmax fold, so the full x13 oracle holds verbatim.

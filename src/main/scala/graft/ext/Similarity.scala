@@ -1220,6 +1220,82 @@ object Similarity {
       .select("q_id", "vec_id", "score", "rank")
   }
 
+  // ---------------- IVF-SQ8: stored scalar-quantized index (r8) ----------
+  //
+  // The third rung of the stored-index quantization menu (exact = x58,
+  // 8 B PQ = x152/x154, residual PQ = x161): cell-partitioned int8
+  // payloads + one scale double per vector — 64 B/vec at fixture dims
+  // (x38's per-vector max-abs symmetric quantization), near-exact scores
+  // (integer dots are exact; only the per-vector rescale rounds). This is
+  // the FAISS IVF-SQ8 shape as parquet tables + Catalyst plans, and x167
+  // measures where it sits on the bytes/recall frontier: at 8× PQ's bytes
+  // it recovers (nearly) the exact cell-confined ceiling.
+
+  /** Assign + int8-quantize one batch — the shared kernel of the SQ8
+    * build and append (both zero-shuffle scans). */
+  private def ivfSq8Encode(batch: DataFrame, cents: DataFrame): DataFrame = {
+    val asg = assignCells(batch, cents)
+    val e = col("embedding").cast("array<double>")
+    val ma = greatest(aggregate(e, lit(0.0), (acc, x) => greatest(acc, abs(x))), lit(1e-12))
+    asg.select(col("vec_id"), col("cell"),
+      transform(e, x => round(x * lit(127.0) / ma).cast("int")).as("qvec"),
+      (ma / lit(127.0)).as("scale"))
+  }
+
+  /** Persist the IVF-SQ8 index: `centroids/` + `quant/` (vec_id, int8
+    * codes, scale) PARTITIONED BY cell. One corpus scan; embeddings never
+    * stored. */
+  def buildIvfSq8Index(corpus: DataFrame, indexDir: String): Unit = {
+    GraftFunctions.register(corpus.sparkSession)
+    val cents = strideCents(corpus)
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    ivfSq8Encode(corpus, cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/quant")
+  }
+
+  /** Append a delta batch against the STORED centroids — batch-sized
+    * work, `mode("append")` touches only the batch's cells (the
+    * [[appendToIvfPqIndex]] discipline). */
+  def appendToIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame): Unit = {
+    GraftFunctions.register(spark)
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    ivfSq8Encode(batch, cents)
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/quant")
+  }
+
+  /** Probe the stored IVF-SQ8 index: the query is cell-assigned and
+    * int8-quantized (x38's rule — both sides quantized, so the integer
+    * dot is exact and the only rounding is the two per-vector scales);
+    * the quant equi-join on `cell` plans the same dynamic-partition-
+    * pruning subquery as the IVFADC probes. */
+  def ivfSq8TopK(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
+    GraftFunctions.register(spark)
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val quant = spark.read.parquet(s"$indexDir/quant")
+    val qcells =
+      if (nprobe == 1) assignCells(queries, cents)
+      else assignCellsTop2(queries, cents)
+        .select(col("vec_id"), col("embedding"),
+          explode(array(col("cell1"), col("cell2"))).as("cell"))
+    val qe = col("embedding").cast("array<double>")
+    val qma = greatest(aggregate(qe, lit(0.0), (acc, x) => greatest(acc, abs(x))), lit(1e-12))
+    val qq = broadcast(qcells.select(col("vec_id").as("q_id"), col("cell"),
+      transform(qe, x => round(x * lit(127.0) / qma).cast("int")).as("q_qvec"),
+      (qma / lit(127.0)).as("q_scale")))
+    val intdot = aggregate(
+      zip_with(col("q_qvec"), col("qvec"), (x, y) => x.cast("long") * y),
+      lit(0L), (acc, x) => acc + x)
+    quant.join(qq, Seq("cell")).where(col("q_id") =!= col("vec_id"))
+      .withColumn("score", intdot.cast("double") * col("q_scale") * col("scale"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc))
+        .cast("long"))
+      .where(col("rank") <= k)
+      .select("q_id", "vec_id", "score", "rank")
+  }
+
   /** PQ recall report (the x69 practice): per (m, K) config, PQ top-k for
     * the 5 fixture queries against the brute-force cosine truth — bytes
     * per vector beside the measured recall, so the memory/recall tradeoff

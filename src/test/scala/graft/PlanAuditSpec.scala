@@ -89,7 +89,8 @@ class PlanAuditSpec extends SparkTestBase {
     "x163_semantic_decontamination" -> "ONE packed eval-set broadcast row (eval sets are bounded by construction) + the per-row argmax fold — assignCells' shape; scale path for oversized eval sets = lshMultiTopK candidates (x125)",
     "x164_label_noise_audit" -> "x130's 1-row broadcast final-weight scoring + ONE 2-double threshold row broadcast back over the scored scan (constants)",
     "x165_retrieval_rank_metrics" -> "x145's broadcast-query-SET stream + the x06-shaped brute-force ANN leg (bounded query set; scale path = bucketed rankers via the same ranked-list interface)",
-    "x166_influence_informed_mix" -> "x151's 1-row weight + 1-row mean-held-out-gradient broadcasts (constant model state) + the 1-row max-|influence| normalizer crossJoin"
+    "x166_influence_informed_mix" -> "x151's 1-row weight + 1-row mean-held-out-gradient broadcasts (constant model state) + the 1-row max-|influence| normalizer crossJoin",
+    "x167_ann_ivfsq8_stored" -> "crossJoin of three single-row count aggregates per method (recall-report constants, x154's shape) + the packed-centroid 1-row crossJoins and the x06-shaped brute-force truth leg"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {

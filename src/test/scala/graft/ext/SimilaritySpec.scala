@@ -374,6 +374,51 @@ class SimilaritySpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("IVF-SQ8: probe == cell-restricted int8TopK bit-for-bit; nprobe=2 superset; DPP; append exact") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfsq8-spec").toString
+    Similarity.buildIvfSq8Index(e, idx)
+    val queries = e.where(col("vec_id") < 5)
+    val stored = Similarity.ivfSq8TopK(spark, idx, queries, 10)
+    // in-memory expected: the full int8 ranking (same quantization rule)
+    // restricted to the query's cell, re-ranked — scores bit-identical
+    val n = e.count().toInt
+    val all = Similarity.int8TopK(queries, e, n)
+    val cents = e.where(col("vec_id") % Similarity.IvfCentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val asg = Similarity.assignCells(e, cents).select(col("vec_id"), col("cell"))
+    val mem = all
+      .join(asg, "vec_id")
+      .join(asg.select(col("vec_id").as("q_id"), col("cell").as("qcell")), "q_id")
+      .where(col("cell") === col("qcell"))
+      .withColumn("r2", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("vec_id").asc)).cast("long"))
+      .where(col("r2") <= 10)
+      .select(col("q_id"), col("vec_id"), col("score"), col("r2").as("rank"))
+    assert(stored.collect().map(_.toSeq).toSet === mem.collect().map(_.toSeq).toSet)
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on cell in:\n$plan")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "vec_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val p1 = pairs(Similarity.ivfSq8TopK(spark, idx, queries, 100000, 1))
+    val p2 = pairs(Similarity.ivfSq8TopK(spark, idx, queries, 100000, 2))
+    assert(p1.keySet.subsetOf(p2.keySet))
+    assert(p2.size > p1.size, "second probed cell contributed no candidates")
+    p1.foreach { case (k2, v) => assert(p2(k2) == v, s"score drift at $k2") }
+    // append: grown index probes identically to a full rebuild (the
+    // quantization rule is per-vector, so appends can't move base rows)
+    val isBase = col("vec_id") % Similarity.IvfCentroidStride === 0 || col("vec_id") < 150
+    val grown = java.nio.file.Files.createTempDirectory("graft-ivfsq8-app").toString
+    Similarity.buildIvfSq8Index(e.where(isBase), grown)
+    Similarity.appendToIvfSq8Index(spark, grown, e.where(!isBase))
+    val g = Similarity.ivfSq8TopK(spark, grown, queries, 10).collect().map(_.toSeq).toSet
+    assert(g === stored.collect().map(_.toSeq).toSet,
+      "append-grown SQ8 index must probe identically to the full build")
+  }
+
   test("appendToIvfPqIndex: batch-sized append; base scores survive bit-identically") {
     val e = graft.sources.Tables.embeddings(spark, sfDir)
     // base carries every stride centroid so the grown index's coarse
