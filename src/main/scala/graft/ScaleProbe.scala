@@ -265,6 +265,25 @@ object ScaleProbe {
         graft.ext.Similarity.ivfPqTopK(spark, idx,
           emb.where(col("vec_id") < 5), 10).count()
       }
+      // IVF-SQ8 build+probe (r8): k-linear quantize/assign scan +
+      // partitioned write; the probe reads only the probed cells (DPP)
+      time("ivfsq8_stored_probe") {
+        val idx = java.nio.file.Files.createTempDirectory("graft_probe_sq8_").toString
+        graft.ext.Similarity.buildIvfSq8Index(emb, idx)
+        graft.ext.Similarity.ivfSq8TopK(spark, idx,
+          emb.where(col("vec_id") < 5), 10).count()
+      }
+      // Semantic decontamination (r8): the eval side is the FIXED copy-0
+      // hash draw (bounded broadcast — a benchmark doesn't grow with the
+      // corpus); the train side grows k-linear, so the slope is the scan
+      time("semantic_decon") {
+        val u = graft.ext.Curate.uniformHash(col("vec_id"), "decon")
+        val ev = emb.where(col("vec_id") < 1000000L)
+          .where(u < graft.ext.Similarity.DeconEvalFrac)
+          .select(col("vec_id").as("eval_id"), col("embedding").as("eval_emb"))
+        graft.ext.Similarity.semanticDeconAgainst(
+          emb.where(!(u < graft.ext.Similarity.DeconEvalFrac)), ev).count()
+      }
       // Threshold note (measured): at 0.4 — only 3.2σ above the random
       // cosine noise floor for 64 dims (σ = 1/8) — TRUE pair density is
       // inherently corpus-quadratic (3.1M pairs at 64×), so OUTPUT grows

@@ -690,11 +690,12 @@ object ExtQueries {
       }.reduce(_ unionByName _)
     }),
 
-    // Semantic decontamination (r8 second half): the embedding-space
-    // complement of x117's n-gram span decontamination — train vectors
-    // whose max cosine to the (hash-split, bounded) eval set reaches the
-    // near-dup threshold, with the nearest eval item named. One packed
-    // broadcast of the eval side + a per-row argmax fold over the corpus.
+    // Semantic decontamination, EXACT bounded-eval form (r8 second
+    // half): train vectors whose max cosine to the hash-split eval set
+    // reaches the near-dup threshold, nearest eval item NAMED (the
+    // attribution a leakage report needs). One packed broadcast of the
+    // eval side + a per-row argmax fold over the corpus. x103 is the
+    // LSH-bucketed sibling for oversized eval sets; x117 the n-gram one.
     "x163_semantic_decontamination" -> ((s, dir) =>
       Similarity.semanticDecontamination(Tables.embeddings(s, dir))),
 

@@ -1341,10 +1341,15 @@ object Similarity {
     * into one broadcast array row and each train vector takes one
     * [[assignCells]]-style argmax fold — zero shuffle, zero row
     * amplification, scan speed over the corpus. Ties resolve to the
-    * lowest eval id (strict `>` over the id-sorted array). For eval sets
-    * too large for one broadcast row, the same verdict composes from
-    * [[lshMultiTopK]]'s bucketed candidates (the x125 agreement-audited
-    * path) — the flag is `max_cos >= τ` either way.
+    * lowest eval id (strict `>` over the id-sorted array).
+    *
+    * Relationship to [[semanticDecontaminate]] (x103): that is the
+    * LSH-BUCKETED form (recall ~0.69 multi-table buckets, hit counts, no
+    * nearest attribution) for when even the packed-row broadcast is too
+    * big; this is the EXACT form for the common bounded-eval case, and it
+    * names each flagged vector's nearest eval item — the attribution a
+    * leakage report needs. Same verdict semantics (`max_cos ≥ τ`), so
+    * the two swap freely at the τ boundary.
     */
   def semanticDecontamination(vectors: DataFrame,
       evalFrac: Double = DeconEvalFrac, tau: Double = DeconTau): DataFrame = {
