@@ -155,6 +155,49 @@ object Chunking {
           .as("frac_tokens_lost"))
   }
 
+  /** FIM application rate (Bavarian et al. 2022 train with 0.5–0.9; the
+    * paper's headline runs use 0.5) and the sentinel strings. Embedded in
+    * the oracle. */
+  val FimRate = 0.5
+  val FimPre = "<|fim_pre|>"
+  val FimMid = "<|fim_mid|>"
+  val FimSuf = "<|fim_suf|>"
+
+  /** Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle"; public method):
+    * with probability [[FimRate]] (a deterministic hash draw), split the
+    * document's characters at two hash-drawn points and emit the PSM
+    * reorder `PRE prefix SUF suffix MID middle` — the pretraining
+    * transform that teaches infilling without an architecture change.
+    * Untransformed docs pass through verbatim (`fim_applied = false`).
+    *
+    * Everything is a per-row expression over three decorrelated
+    * [[Curate.uniformHash]] draws (apply?, cut1, cut2) — deterministic
+    * under retries, zero shuffle, scan speed; the split points are
+    * `floor(u·(L+1))` over char length L, reordered so cut1 ≤ cut2.
+    */
+  def fimTransform(docs: DataFrame, rate: Double = FimRate): DataFrame = {
+    val L = length(col("text"))
+    val u1 = Curate.uniformHash(col("doc_id"), "fimcut1")
+    val u2 = Curate.uniformHash(col("doc_id"), "fimcut2")
+    val c1 = floor(u1 * (L + lit(1)).cast("double")).cast("int")
+    val c2 = floor(u2 * (L + lit(1)).cast("double")).cast("int")
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    val applied = Curate.uniformHash(col("doc_id"), "fimapply") < lit(rate)
+    val pre = col("text").substr(lit(1), lo)
+    val mid = col("text").substr(lo + lit(1), hi - lo)
+    val suf = col("text").substr(hi + lit(1), L - hi)
+    docs.select(col("doc_id"), col("source"),
+      applied.as("fim_applied"),
+      when(applied, lo.cast("long")).otherwise(lit(null)).as("n_prefix"),
+      when(applied, (hi - lo).cast("long")).otherwise(lit(null)).as("n_middle"),
+      when(applied, (L - hi).cast("long")).otherwise(lit(null)).as("n_suffix"),
+      when(applied,
+        concat(lit(FimPre), pre, lit(FimSuf), suf, lit(FimMid), mid))
+        .otherwise(col("text")).as("out_text"))
+  }
+
   private[graft] def packSequencesNaive(docs: DataFrame, budget: Long): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -1179,6 +1179,13 @@ object ExtQueries {
     // length, the docs over budget and the corpus-token fraction a hard
     // truncation would discard — the planning query behind a context-
     // length choice. Exact LONG sums; two divisions.
+    // FIM transform (r8 second half): Bavarian et al. 2022's PSM reorder
+    // at FimRate via three decorrelated hash draws (apply?, cut1, cut2) —
+    // the pretraining transform that teaches infilling. Pure per-row
+    // expressions; untransformed docs pass through verbatim.
+    "x168_fim_transform" -> ((s, dir) =>
+      Chunking.fimTransform(Tables.documents(s, dir))),
+
     "x157_truncation_report" -> ((s, dir) =>
       Chunking.truncationReport(Tables.documents(s, dir))),
 
@@ -3057,6 +3064,27 @@ object ExtQueries {
         s"CAST(sum(CASE WHEN cum <= $b THEN nt ELSE 0 END) AS DOUBLE)/$b.0 AS fill_frac " +
         "FROM svc GROUP BY source"
     },
+
+    // x168: the three hash draws, floor(u·(L+1)) cuts reordered lo ≤ hi,
+    // PSM concat with the sentinel literals.
+    "x168_fim_transform" ->
+      ("WITH f AS (SELECT doc_id, source, text, length(text) AS l, " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fimapply'), 1, 8)) AS BIGINT)/4294967296.0 AS ua, " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fimcut1'), 1, 8)) AS BIGINT)/4294967296.0 AS u1, " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fimcut2'), 1, 8)) AS BIGINT)/4294967296.0 AS u2 " +
+        "FROM documents), " +
+        s"c AS (SELECT doc_id, source, text, l, ua < ${Chunking.FimRate} AS ap, " +
+        "least(CAST(floor(u1 * CAST(l + 1 AS DOUBLE)) AS INTEGER), CAST(floor(u2 * CAST(l + 1 AS DOUBLE)) AS INTEGER)) AS lo, " +
+        "greatest(CAST(floor(u1 * CAST(l + 1 AS DOUBLE)) AS INTEGER), CAST(floor(u2 * CAST(l + 1 AS DOUBLE)) AS INTEGER)) AS hi " +
+        "FROM f) " +
+        "SELECT doc_id, source, ap AS fim_applied, " +
+        "CASE WHEN ap THEN CAST(lo AS BIGINT) END AS n_prefix, " +
+        "CASE WHEN ap THEN CAST(hi - lo AS BIGINT) END AS n_middle, " +
+        "CASE WHEN ap THEN CAST(l - hi AS BIGINT) END AS n_suffix, " +
+        s"CASE WHEN ap THEN '${Chunking.FimPre}' || substr(text, 1, lo) || " +
+        s"'${Chunking.FimSuf}' || substr(text, hi + 1, l - hi) || " +
+        s"'${Chunking.FimMid}' || substr(text, lo + 1, hi - lo) ELSE text END AS out_text " +
+        "FROM c"),
 
     "x157_truncation_report" -> {
       val vals = Chunking.TruncBudgets.map(b => s"($b)").mkString(", ")

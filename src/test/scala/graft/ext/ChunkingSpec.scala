@@ -106,4 +106,41 @@ class ChunkingSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Chunking.truncationReport(docs, Seq(0L)) }
     intercept[IllegalArgumentException] { Chunking.truncationReport(docs, Nil) }
   }
+
+  test("fimTransform: lossless PSM reorder, length partition, rate near FimRate, deterministic") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Chunking.fimTransform(docs).cache()
+    val joined = out.join(docs.select(col("doc_id"), col("text")), "doc_id").collect()
+    var applied = 0
+    joined.foreach { r =>
+      val text = r.getString(r.fieldIndex("text"))
+      val ot = r.getString(r.fieldIndex("out_text"))
+      if (r.getBoolean(r.fieldIndex("fim_applied"))) {
+        applied += 1
+        // PSM parse: PRE prefix SUF suffix MID middle — reassembly must
+        // reproduce the original text exactly (the transform is lossless)
+        assert(ot.startsWith(Chunking.FimPre))
+        val body = ot.stripPrefix(Chunking.FimPre)
+        val si = body.indexOf(Chunking.FimSuf)
+        val mi = body.indexOf(Chunking.FimMid)
+        assert(si >= 0 && mi > si)
+        val pre = body.substring(0, si)
+        val suf = body.substring(si + Chunking.FimSuf.length, mi)
+        val mid = body.substring(mi + Chunking.FimMid.length)
+        assert(pre + mid + suf === text, s"doc ${r.getLong(0)} reassembly mismatch")
+        // the reported lengths partition the original
+        assert(r.getLong(r.fieldIndex("n_prefix")) === pre.length.toLong)
+        assert(r.getLong(r.fieldIndex("n_middle")) === mid.length.toLong)
+        assert(r.getLong(r.fieldIndex("n_suffix")) === suf.length.toLong)
+      } else {
+        assert(ot === text, "unapplied docs must pass through verbatim")
+      }
+    }
+    // the hash draw realizes close to FimRate on the fixture
+    val rate = applied.toDouble / joined.length
+    assert(rate > 0.4 && rate < 0.6, s"realized FIM rate $rate far from ${Chunking.FimRate}")
+    assert(out.collect().map(_.toSeq).toSet ===
+      Chunking.fimTransform(docs.repartition(7)).collect().map(_.toSeq).toSet)
+    out.unpersist()
+  }
 }
