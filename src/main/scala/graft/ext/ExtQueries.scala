@@ -1127,6 +1127,13 @@ object ExtQueries {
     "x147_best_of_n" -> ((s, dir) =>
       Preference.bestOfNReport(Trainer.lrScoreAll(s, Tables.documents(s, dir)))),
 
+    // KTO unpaired export (r8 second half): binary desirability vs the
+    // pool-mean reference point + the class-rebalance weight (λ_D = 1,
+    // λ_U = n_D/n_U) — the alignment-data shape for UNPAIRED feedback,
+    // beside x149's paired DPO export.
+    "x169_kto_export" -> ((s, dir) =>
+      Preference.ktoExport(Trainer.lrScoreAll(s, Tables.documents(s, dir)))),
+
     // The scorer -> selection -> preference flagship (r7): best-of-N's
     // winner-vs-each-loser star comparisons feed the Bradley-Terry MM fit
     // (x131's estimator) as synthetic preference data — per-item wins /
@@ -3809,6 +3816,19 @@ object ExtQueries {
         btChain("bn", "bngm", "bnst", "bns0", Preference.Iters) + " " +
         s"SELECT bnst.doc_id, bnst.wins, bnst.games, s.s AS strength " +
         s"FROM bnst JOIN bns${Preference.Iters} s USING (doc_id)"),
+
+    // x169: pool means over bpl, per-candidate desirability, 1-row class
+    // counts, rebalance weight.
+    "x169_kto_export" ->
+      (s"WITH ${bonCtes(Trainer.Buckets, Trainer.Iters)}, " +
+        "kmn AS (SELECT prompt_id, list_aggregate(list_sort(list(score)), 'sum')/count(*) AS pool_mean FROM bpl GROUP BY 1), " +
+        "klb AS (SELECT b.prompt_id, b.doc_id, b.score, m.pool_mean, " +
+        "b.score >= m.pool_mean AS desirable FROM bpl b JOIN kmn m USING (prompt_id)), " +
+        "kct AS (SELECT CAST(sum(CASE WHEN desirable THEN 1 ELSE 0 END) AS BIGINT) AS n_d, " +
+        "CAST(sum(CASE WHEN desirable THEN 0 ELSE 1 END) AS BIGINT) AS n_u FROM klb) " +
+        "SELECT prompt_id, doc_id, score, pool_mean, desirable, " +
+        "CASE WHEN desirable THEN 1.0 ELSE CAST(n_d AS DOUBLE)/CAST(n_u AS DOUBLE) END AS weight " +
+        "FROM klb, kct"),
 
     // Chosen = pool rank 1, rejected = pool rank n_candidates, both from
     // the SAME brn ranking; the DpoMinMargin literal is embedded below so

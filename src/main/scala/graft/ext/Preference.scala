@@ -228,6 +228,38 @@ object Preference {
         col("mean_score"))
   }
 
+  /** KTO-style unpaired preference export (Ethayarajh et al. 2024, "KTO:
+    * Model Alignment as Prospect Theoretic Optimization"; public method):
+    * binary desirability per candidate instead of pairwise comparisons —
+    * the data shape for feedback that arrives unpaired (thumbs up/down).
+    * Desirable ⇔ the candidate scores at/above its POOL's mean (the
+    * pool mean is the natural prospect-theory reference point and is the
+    * x147 fold), and each row carries the class-rebalance weight the KTO
+    * loss expects: λ_D = 1, λ_U = n_D/n_U, so both classes contribute
+    * equal total mass. Pool-sized sorted folds + ONE 2-long count row
+    * broadcast back over the labeled scan — the x147 plan shape. The
+    * λ_U branch only evaluates on undesirable rows, so an all-desirable
+    * degenerate corpus exports weights without a 0-division.
+    */
+  def ktoExport(scored: DataFrame, salt: String = "bon",
+      pools: Int = 0): DataFrame = {
+    val withPool = bonAssign(scored, salt, pools)
+    val means = withPool.groupBy("prompt_id").agg(
+      (aggregate(sort_array(collect_list(col("score"))), lit(0.0), (a, x) => a + x)
+        / count(lit(1)).cast("double")).as("pool_mean"))
+    val lab = withPool.join(means, "prompt_id")
+      .withColumn("desirable", col("score") >= col("pool_mean"))
+    val counts = broadcast(lab.agg(
+      sum(when(col("desirable"), 1L).otherwise(0L)).as("n_d"),
+      sum(when(col("desirable"), 0L).otherwise(1L)).as("n_u")))
+    lab.crossJoin(counts)
+      .select(col("prompt_id"), col("doc_id"), col("score"), col("pool_mean"),
+        col("desirable"),
+        when(col("desirable"), lit(1.0))
+          .otherwise(col("n_d").cast("double") / col("n_u").cast("double"))
+          .as("weight"))
+  }
+
   /** The winner-vs-each-loser comparisons best-of-N implies — a star
     * graph per prompt, canonical (doc_a < doc_b) like
     * [[derivedPreferences]], ready for [[btFit]]. */

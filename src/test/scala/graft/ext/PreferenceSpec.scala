@@ -137,6 +137,39 @@ class PreferenceSpec extends SparkTestBase {
     pairs.unpersist()
   }
 
+  test("ktoExport: desirability vs pool mean, class masses balance, winner always desirable") {
+    // hand fixture: one pool of four scores — mean 0.5, two on each side
+    val scored = Seq((1L, 0.9), (2L, 0.7), (3L, 0.3), (4L, 0.1))
+      .toDF("doc_id", "score")
+    val out = Preference.ktoExport(scored, pools = 1).collect()
+      .map(r => r.getLong(1) -> r).toMap
+    assert(out(1L).getBoolean(out(1L).fieldIndex("desirable")))
+    assert(out(2L).getBoolean(out(2L).fieldIndex("desirable")))
+    assert(!out(3L).getBoolean(out(3L).fieldIndex("desirable")))
+    assert(!out(4L).getBoolean(out(4L).fieldIndex("desirable")))
+    out.values.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("pool_mean")) === 0.5)
+      assert(r.getDouble(r.fieldIndex("weight")) === 1.0) // n_d == n_u
+    }
+    // fixture scale: every row labeled, λ_U rebalances exactly, and the
+    // per-pool best-of-N winner is always desirable (it is ≥ the mean)
+    val docs = Tables.documents(spark, sfDir)
+    val sc = Trainer.lrScoreAll(spark, docs)
+    val kto = Preference.ktoExport(sc).cache()
+    assert(kto.count() === sc.count())
+    val Array(nd, nu) = kto.agg(
+      sum(when(col("desirable"), 1L).otherwise(0L)),
+      sum(when(col("desirable"), 0L).otherwise(1L))).collect().head
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val undesW = kto.where(!col("desirable")).select("weight").distinct().collect()
+    assert(undesW.length === 1 && undesW.head.getDouble(0) === nd.toDouble / nu)
+    val winners = Preference.bestOfNReport(sc)
+      .select(col("best_doc").as("doc_id"))
+    assert(kto.join(winners, "doc_id").where(!col("desirable")).isEmpty,
+      "a pool's best-of-N winner can never be below its pool mean")
+    kto.unpersist()
+  }
+
   test("btConvergence: positive L1 deltas, decaying") {
     val d = Preference.btConvergence(Tables.documents(spark, sfDir))
       .orderBy("iter").collect().map(_.getDouble(1))
