@@ -1220,6 +1220,13 @@ object ExtQueries {
     "x151_lr_influence" -> ((s, dir) =>
       Trainer.lrInfluence(s, Tables.documents(s, dir))),
 
+    // Gate operating-point selection (r8 second half): decile-threshold
+    // sweep over held-out scores — exact confusion counts, precision /
+    // recall / F1 per point, and the smallest threshold meeting the
+    // precision target CHOSEN. "What cutoff do we ship", with evidence.
+    "x170_gate_operating_points" -> ((s, dir) =>
+      Trainer.gateOperatingPoints(s, Tables.documents(s, dir))),
+
     // Confident-learning label-noise audit (r8 second half): per-class
     // self-confidence thresholds from the held-out scores; docs crossing
     // the OTHER class's threshold are the mislabel suspects — the audit
@@ -1935,6 +1942,34 @@ object ExtQueries {
       "SELECT bin, n, s / CAST(n AS DOUBLE) AS mean_el2n, " +
       "CAST(n AS DOUBLE) / CAST(n_train AS DOUBLE) AS share, " +
       s"bin <= ${Trainer.El2nPruneBin} AS pruned FROM b2, tot"
+  }
+
+  /** x170: decile-threshold operating-point sweep over the held-out
+    * scores, with the precision-target choice. `precision` is quoted —
+    * it is a reserved word in DuckDB. */
+  private def gatePointsSql(buckets: Int, iters: Int): String = {
+    val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
+    val grid = (1 to 9).map(i => (i / 10.0).toString).mkString("[", ", ", "]")
+    s"WITH ${lrCtes(buckets, iters)}, " +
+      "ho AS (SELECT * FROM fx WHERE NOT (" +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5)), " +
+      s"mf AS (SELECT f.doc_id, f.y, ($m) AS m FROM ho f CROSS JOIN wi$iters w), " +
+      "sc2 AS (SELECT doc_id, y, (0.5 + 0.5*m/(1.0 + abs(m))) AS score FROM mf), " +
+      s"gth AS (SELECT unnest($grid) AS threshold), " +
+      "gpt AS (SELECT g.threshold, " +
+      "CAST(sum(CASE WHEN s.score >= g.threshold AND s.y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp, " +
+      "CAST(sum(CASE WHEN s.score >= g.threshold AND s.y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp, " +
+      "CAST(sum(CASE WHEN s.score < g.threshold AND s.y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn " +
+      "FROM sc2 s CROSS JOIN gth g GROUP BY 1), " +
+      "gpr AS (SELECT threshold, tp, fp, fn, " +
+      "CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE)/CAST(tp + fp AS DOUBLE) END AS \"precision\", " +
+      "CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE)/CAST(tp + fn AS DOUBLE) END AS recall FROM gpt), " +
+      "gp2 AS (SELECT *, CASE WHEN \"precision\" IS NOT NULL AND recall IS NOT NULL " +
+      "AND \"precision\" + recall > 0 THEN 2.0*\"precision\"*recall/(\"precision\" + recall) END AS f1 FROM gpr), " +
+      s"gmt AS (SELECT *, coalesce(\"precision\" >= ${Trainer.PrecisionTarget}, false) AS meets_target FROM gp2), " +
+      "gch AS (SELECT min(threshold) AS cht FROM gmt WHERE meets_target) " +
+      "SELECT threshold, tp, fp, fn, \"precision\", recall, f1, meets_target, " +
+      "coalesce(threshold = gch.cht, false) AS chosen FROM gmt, gch"
   }
 
   /** x164: confident-learning label-noise audit — the lrClassify scoring
@@ -3653,6 +3688,9 @@ object ExtQueries {
 
     "x164_label_noise_audit" ->
       labelNoiseSql(Trainer.Buckets, Trainer.Iters),
+
+    "x170_gate_operating_points" ->
+      gatePointsSql(Trainer.Buckets, Trainer.Iters),
 
     "x143_lr_group_fairness" ->
       lrFairnessSql(Trainer.Buckets, Trainer.Iters),

@@ -380,6 +380,57 @@ object Trainer {
         (col("n_flagged").cast("double") / col("n").cast("double")).as("noise_rate"))
   }
 
+  /** The precision target the gate's operating point is chosen for.
+    * Embedded in the oracle. */
+  val PrecisionTarget = 0.8
+
+  /** Operating-point selection for the quality gate: sweep the held-out
+    * scores over the nine decile thresholds, report each point's exact
+    * confusion counts / precision / recall / F1, and CHOOSE the smallest
+    * threshold meeting [[PrecisionTarget]] — "what cutoff do we ship"
+    * answered with held-out evidence instead of a default 0.5. The sweep
+    * grid is a plan-time literal array (no data-dependent thresholds, so
+    * the whole report is one aggregation pass + a 1-row argmin
+    * broadcast); precision/F1 guard their 0-denominator cases to NULL
+    * rather than NaN.
+    */
+  def gateOperatingPoints(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, buckets: Int = Buckets, iters: Int = Iters,
+      learnRate: Double = LearnRate): DataFrame = {
+    val sc = graft.ops.Caching.cacheOnce(
+      lrClassify(spark, docs, buckets, iters, learnRate))
+    val grid = typedLit((1 to 9).map(_ / 10.0))
+    val pts = sc.select(col("y"), col("score"), explode(grid).as("threshold"))
+      .groupBy("threshold")
+      .agg(
+        sum(when(col("score") >= col("threshold") && col("y") === 1.0, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("score") >= col("threshold") && col("y") === 0.0, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("score") < col("threshold") && col("y") === 1.0, 1L)
+          .otherwise(0L)).as("fn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+          .as("recall"))
+      .withColumn("f1",
+        when(col("precision").isNotNull && col("recall").isNotNull &&
+            (col("precision") + col("recall") > 0),
+          lit(2.0) * col("precision") * col("recall")
+            / (col("precision") + col("recall"))))
+      .withColumn("meets_target", coalesce(
+        col("precision") >= lit(PrecisionTarget), lit(false)))
+    val chosen = broadcast(pts.where(col("meets_target"))
+      .agg(min(col("threshold")).as("_cht")))
+    pts.crossJoin(chosen)
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        col("precision"), col("recall"), col("f1"), col("meets_target"),
+        coalesce(col("threshold") === col("_cht"), lit(false)).as("chosen"))
+  }
+
   /** EL2N early-checkpoint depth: the error signal is read after TWO
     * gradient steps, not at convergence — the paper's point is that easy
     * examples are identifiable EARLY, so pruning doesn't pay for a full

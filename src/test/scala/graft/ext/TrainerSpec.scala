@@ -188,6 +188,31 @@ class TrainerSpec extends SparkTestBase {
     assert(out(1.0).getDouble(out(1.0).fieldIndex("noise_rate")) === 0.25)
   }
 
+  test("gateOperatingPoints: consistent confusion counts, monotone counts, smallest passing threshold chosen") {
+    val docs = Tables.documents(spark, sfDir)
+    val rows = Trainer.gateOperatingPoints(spark, docs)
+      .orderBy("threshold").collect()
+    assert(rows.length === 9)
+    // tp + fn is the positive count — constant across the sweep
+    val pos = rows.map(r => r.getLong(r.fieldIndex("tp")) + r.getLong(r.fieldIndex("fn"))).distinct
+    assert(pos.length === 1 && pos.head > 0)
+    // raising the threshold can only shrink tp and fp
+    rows.sliding(2).foreach { w =>
+      assert(w(1).getLong(w(1).fieldIndex("tp")) <= w(0).getLong(w(0).fieldIndex("tp")))
+      assert(w(1).getLong(w(1).fieldIndex("fp")) <= w(0).getLong(w(0).fieldIndex("fp")))
+    }
+    // chosen = exactly the smallest meets_target threshold (when any)
+    val meeting = rows.filter(_.getBoolean(rows.head.fieldIndex("meets_target")))
+      .map(_.getDouble(0))
+    val chosen = rows.filter(_.getBoolean(rows.head.fieldIndex("chosen"))).map(_.getDouble(0))
+    if (meeting.nonEmpty) assert(chosen.toSeq === Seq(meeting.min))
+    else assert(chosen.isEmpty)
+    // a chosen point's precision really meets the target
+    rows.filter(_.getBoolean(rows.head.fieldIndex("chosen"))).foreach { r =>
+      assert(r.getDouble(r.fieldIndex("precision")) >= Trainer.PrecisionTarget)
+    }
+  }
+
   test("lrInfluence: contiguous top-k ranks, influence-desc/doc_id-asc order, deterministic") {
     val docs = Tables.documents(spark, sfDir)
     val inf = Trainer.lrInfluence(spark, docs).cache()
