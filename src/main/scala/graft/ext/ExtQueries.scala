@@ -1186,6 +1186,19 @@ object ExtQueries {
     // length, the docs over budget and the corpus-token fraction a hard
     // truncation would discard — the planning query behind a context-
     // length choice. Exact LONG sums; two divisions.
+    // Pretrain-assembly flagship (r8 second half): the transform→pack
+    // composition a pretraining batch builder actually runs — FIM reorder
+    // (x168) ∘ token counting of the TRANSFORMED text ∘ 2048-token
+    // two-phase packing (x90's contract), with the fim_applied provenance
+    // riding along. Every stage is an already-verified operator.
+    "x171_pretrain_assembly" -> ((s, dir) => {
+      val fim = Chunking.fimTransform(Tables.documents(s, dir))
+      val counts = fim.select(col("doc_id"), col("source"), col("fim_applied"),
+        size(TextOps.tokens(col("out_text"))).cast("long").as("n_tokens"))
+      Chunking.packCounts(counts.select("doc_id", "source", "n_tokens"), 2048L)
+        .join(counts.select("doc_id", "fim_applied"), "doc_id")
+    }),
+
     // FIM transform (r8 second half): Bavarian et al. 2022's PSM reorder
     // at FimRate via three decorrelated hash draws (apply?, cut1, cut2) —
     // the pretraining transform that teaches infilling. Pure per-row
@@ -1943,6 +1956,29 @@ object ExtQueries {
       "CAST(n AS DOUBLE) / CAST(n_train AS DOUBLE) AS share, " +
       s"bin <= ${Trainer.El2nPruneBin} AS pruned FROM b2, tot"
   }
+
+  /** The x168 FIM chain (shared with x171): three hash draws,
+    * floor(u·(L+1)) character cuts reordered lo ≤ hi, PSM concat. Ends
+    * with `fimout (doc_id, source, fim_applied, n_prefix, n_middle,
+    * n_suffix, out_text)`. */
+  private lazy val fimCtes: String =
+    "ff AS (SELECT doc_id, source, text, length(text) AS l, " +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fimapply'), 1, 8)) AS BIGINT)/4294967296.0 AS ua, " +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fimcut1'), 1, 8)) AS BIGINT)/4294967296.0 AS u1, " +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fimcut2'), 1, 8)) AS BIGINT)/4294967296.0 AS u2 " +
+      "FROM documents), " +
+      s"fcx AS (SELECT doc_id, source, text, l, ua < ${Chunking.FimRate} AS ap, " +
+      "least(CAST(floor(u1 * CAST(l + 1 AS DOUBLE)) AS INTEGER), CAST(floor(u2 * CAST(l + 1 AS DOUBLE)) AS INTEGER)) AS lo, " +
+      "greatest(CAST(floor(u1 * CAST(l + 1 AS DOUBLE)) AS INTEGER), CAST(floor(u2 * CAST(l + 1 AS DOUBLE)) AS INTEGER)) AS hi " +
+      "FROM ff), " +
+      "fimout AS (SELECT doc_id, source, ap AS fim_applied, " +
+      "CASE WHEN ap THEN CAST(lo AS BIGINT) END AS n_prefix, " +
+      "CASE WHEN ap THEN CAST(hi - lo AS BIGINT) END AS n_middle, " +
+      "CASE WHEN ap THEN CAST(l - hi AS BIGINT) END AS n_suffix, " +
+      s"CASE WHEN ap THEN '${Chunking.FimPre}' || substr(text, 1, lo) || " +
+      s"'${Chunking.FimSuf}' || substr(text, hi + 1, l - hi) || " +
+      s"'${Chunking.FimMid}' || substr(text, lo + 1, hi - lo) ELSE text END AS out_text " +
+      "FROM fcx)"
 
   /** x170: decile-threshold operating-point sweep over the held-out
     * scores, with the precision-target choice. `precision` is quoted —
@@ -3108,25 +3144,23 @@ object ExtQueries {
     },
 
     // x168: the three hash draws, floor(u·(L+1)) cuts reordered lo ≤ hi,
-    // PSM concat with the sentinel literals.
+    // PSM concat with the sentinel literals (chain shared with x171).
     "x168_fim_transform" ->
-      ("WITH f AS (SELECT doc_id, source, text, length(text) AS l, " +
-        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fimapply'), 1, 8)) AS BIGINT)/4294967296.0 AS ua, " +
-        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fimcut1'), 1, 8)) AS BIGINT)/4294967296.0 AS u1, " +
-        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fimcut2'), 1, 8)) AS BIGINT)/4294967296.0 AS u2 " +
-        "FROM documents), " +
-        s"c AS (SELECT doc_id, source, text, l, ua < ${Chunking.FimRate} AS ap, " +
-        "least(CAST(floor(u1 * CAST(l + 1 AS DOUBLE)) AS INTEGER), CAST(floor(u2 * CAST(l + 1 AS DOUBLE)) AS INTEGER)) AS lo, " +
-        "greatest(CAST(floor(u1 * CAST(l + 1 AS DOUBLE)) AS INTEGER), CAST(floor(u2 * CAST(l + 1 AS DOUBLE)) AS INTEGER)) AS hi " +
-        "FROM f) " +
-        "SELECT doc_id, source, ap AS fim_applied, " +
-        "CASE WHEN ap THEN CAST(lo AS BIGINT) END AS n_prefix, " +
-        "CASE WHEN ap THEN CAST(hi - lo AS BIGINT) END AS n_middle, " +
-        "CASE WHEN ap THEN CAST(l - hi AS BIGINT) END AS n_suffix, " +
-        s"CASE WHEN ap THEN '${Chunking.FimPre}' || substr(text, 1, lo) || " +
-        s"'${Chunking.FimSuf}' || substr(text, hi + 1, l - hi) || " +
-        s"'${Chunking.FimMid}' || substr(text, lo + 1, hi - lo) ELSE text END AS out_text " +
-        "FROM c"),
+      (s"WITH $fimCtes " +
+        "SELECT doc_id, source, fim_applied, n_prefix, n_middle, n_suffix, out_text FROM fimout"),
+
+    // x171: the x168 chain's transformed text re-counted and packed with
+    // x90's per-source two-phase prefix-sum contract.
+    "x171_pretrain_assembly" ->
+      (s"WITH $fimCtes, " +
+        "pcn AS (SELECT doc_id, source, fim_applied, " +
+        "CAST(len(string_split(out_text, ' ')) AS BIGINT) AS n_tokens FROM fimout), " +
+        "po AS (SELECT doc_id, source, n_tokens, " +
+        "COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tko FROM pcn) " +
+        "SELECT po.doc_id, po.source, po.n_tokens, tko % 2048 AS offset_in_seq, " +
+        "tko // 2048 AS seq_id, p2.fim_applied " +
+        "FROM po JOIN (SELECT doc_id, fim_applied FROM pcn) p2 USING (doc_id)"),
 
     "x157_truncation_report" -> {
       val vals = Chunking.TruncBudgets.map(b => s"($b)").mkString(", ")

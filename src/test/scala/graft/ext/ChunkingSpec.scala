@@ -143,4 +143,24 @@ class ChunkingSpec extends SparkTestBase {
       Chunking.fimTransform(docs.repartition(7)).collect().map(_.toSeq).toSet)
     out.unpersist()
   }
+
+  test("pretrain assembly: packed offsets partition each source's transformed token stream") {
+    val docs = Tables.documents(spark, sfDir)
+    val fim = Chunking.fimTransform(docs)
+    val counts = fim.select(col("doc_id"), col("source"),
+      size(split(col("out_text"), " ")).cast("long").as("n_tokens"))
+    val packed = Chunking.packCounts(counts, 2048L).collect()
+    // per source: offsets are the exact doc_id-ordered prefix sums of the
+    // TRANSFORMED counts (seq_id * 2048 + offset_in_seq reconstructs them)
+    packed.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      val inOrder = rows.sortBy(_.getLong(0))
+      var cum = 0L
+      inOrder.foreach { r =>
+        val off = r.getLong(r.fieldIndex("seq_id")) * 2048L +
+          r.getLong(r.fieldIndex("offset_in_seq"))
+        assert(off === cum, s"doc ${r.getLong(0)} offset $off != cum $cum")
+        cum += r.getLong(r.fieldIndex("n_tokens"))
+      }
+    }
+  }
 }
