@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -196,6 +196,59 @@ object Chunking {
       when(applied,
         concat(lit(FimPre), pre, lit(FimSuf), suf, lit(FimMid), mid))
         .otherwise(col("text")).as("out_text"))
+  }
+
+  /** Span-start rate and span length for [[spanCorrupt]] — rate 0.05 with
+    * 3-token spans masks ~15% of tokens, T5's published noise density
+    * (Raffel et al. 2020 §3.1.4). Embedded in the oracle. */
+  val SpanStartRate = 0.05
+  val SpanLen = 3
+
+  /** T5-style span corruption (Raffel et al. 2020; public method): mask
+    * hash-drawn token spans with numbered sentinels, emitting the
+    * (input_text, target_text) pair the denoising objective trains on —
+    * input keeps unmasked tokens with one `<extra_id_k>` per span; target
+    * lists each sentinel followed by its masked tokens. Overlapping spans
+    * merge (coverage is an OR over the [[SpanLen]] candidate starts), and
+    * sentinel numbering is the per-doc prefix sum of run starts — both
+    * pure functions of the (doc_id, position) hash draws, so the whole
+    * transform replays in the oracle. Positions explode to rows; the only
+    * windows are per-doc (bounded partitions, the x90 shape).
+    */
+  def spanCorrupt(docs: DataFrame, rate: Double = SpanStartRate): DataFrame = {
+    val ex = docs.select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("i", "tok")))
+      .select(col("doc_id"), (col("i") + 1).cast("long").as("p"), col("tok"))
+    def d(q: Column) = Curate.uniformHash(
+      concat(col("doc_id").cast("string"), lit(":"), q.cast("string")), "spanst")
+    def cov(q: Column) = (0 until SpanLen)
+      .map(o => (q - lit(o) >= 1) && (d(q - lit(o)) < lit(rate)))
+      .reduce(_ || _)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy("p").rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val sent = concat(lit("<extra_id_"), col("k").cast("string"), lit(">"))
+    val marked = ex
+      .withColumn("covered", cov(col("p")))
+      .withColumn("runstart", col("covered") && !cov(col("p") - 1))
+      .withColumn("k", sum(when(col("runstart"), 1L).otherwise(0L)).over(w))
+      .withColumn("ip", when(!col("covered"), col("tok")).when(col("runstart"), sent))
+      .withColumn("tp", when(col("runstart"), concat(sent, lit(" "), col("tok")))
+        .when(col("covered"), col("tok")))
+    def joined(v: Column) = array_join(
+      transform(array_sort(collect_list(struct(col("p"), v.as("v")))),
+        s => s.getField("v")), " ")
+    val stats = marked.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      max(col("k")).as("n_spans"),
+      sum(when(col("covered"), 1L).otherwise(0L)).as("n_masked"))
+    val inp = marked.where(col("ip").isNotNull)
+      .groupBy("doc_id").agg(joined(col("ip")).as("input_text"))
+    val tgt = marked.where(col("tp").isNotNull)
+      .groupBy("doc_id").agg(joined(col("tp")).as("target_text"))
+    stats.join(inp, Seq("doc_id"), "left").join(tgt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"), col("n_masked"),
+        coalesce(col("input_text"), lit("")).as("input_text"),
+        coalesce(col("target_text"), lit("")).as("target_text"))
   }
 
   private[graft] def packSequencesNaive(docs: DataFrame, budget: Long): DataFrame = {

@@ -1199,6 +1199,14 @@ object ExtQueries {
         .join(counts.select("doc_id", "fim_applied"), "doc_id")
     }),
 
+    // T5 span corruption (r8 second half): hash-drawn 3-token spans at
+    // the published ~15% noise density masked with numbered sentinels —
+    // the (input, target) denoising pair. Coverage is an OR over the
+    // SpanLen candidate starts (overlaps merge); sentinel numbers are the
+    // per-doc prefix sum of run starts.
+    "x172_span_corruption" -> ((s, dir) =>
+      Chunking.spanCorrupt(Tables.documents(s, dir))),
+
     // FIM transform (r8 second half): Bavarian et al. 2022's PSM reorder
     // at FimRate via three decorrelated hash draws (apply?, cut1, cut2) —
     // the pretraining transform that teaches infilling. Pure per-row
@@ -1956,6 +1964,16 @@ object ExtQueries {
       "CAST(n AS DOUBLE) / CAST(n_train AS DOUBLE) AS share, " +
       s"bin <= ${Trainer.El2nPruneBin} AS pruned FROM b2, tot"
   }
+
+  /** x172 span-corruption draw/coverage fragments: the per-(doc,
+    * position) hash draw and the SpanLen-candidate coverage OR. */
+  private def spanDrawSql(q: String): String =
+    s"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST($q AS VARCHAR) || ':spanst'), 1, 8)) AS BIGINT)/4294967296.0"
+
+  private def spanCovSql(q: String): String =
+    (0 until Chunking.SpanLen).map(o =>
+      s"(($q) - $o >= 1 AND ${spanDrawSql(s"($q) - $o")} < ${Chunking.SpanStartRate})")
+      .mkString("(", " OR ", ")")
 
   /** The x168 FIM chain (shared with x171): three hash draws,
     * floor(u·(L+1)) character cuts reordered lo ≤ hi, PSM concat. Ends
@@ -3142,6 +3160,30 @@ object ExtQueries {
         s"CAST(sum(CASE WHEN cum <= $b THEN nt ELSE 0 END) AS DOUBLE)/$b.0 AS fill_frac " +
         "FROM svc GROUP BY source"
     },
+
+    // x172: per-position draws, merged coverage, prefix-sum sentinel
+    // numbering, filtered ordered string joins.
+    "x172_span_corruption" ->
+      (s"WITH t AS ($toksCte), " +
+        "sx AS (SELECT doc_id, p.i AS p, p.tok AS tok FROM " +
+        "(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)), " +
+        "i -> struct_pack(i := i, tok := toks[i]))) AS p FROM t)), " +
+        s"sm AS (SELECT doc_id, CAST(p AS BIGINT) AS p, tok, ${spanCovSql("p")} AS covered, " +
+        s"(${spanCovSql("p")}) AND NOT ${spanCovSql("p - 1")} AS runstart FROM sx), " +
+        "sk AS (SELECT *, CAST(sum(CASE WHEN runstart THEN 1 ELSE 0 END) OVER " +
+        "(PARTITION BY doc_id ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS k FROM sm), " +
+        "sp2 AS (SELECT doc_id, p, tok, covered, runstart, k, " +
+        "'<extra_id_' || CAST(k AS VARCHAR) || '>' AS sent FROM sk), " +
+        "sst AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(max(k) AS BIGINT) AS n_spans, " +
+        "CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_masked FROM sp2 GROUP BY 1), " +
+        "sin AS (SELECT doc_id, array_to_string(list(CASE WHEN runstart THEN sent ELSE tok END ORDER BY p), ' ') AS input_text " +
+        "FROM sp2 WHERE NOT covered OR runstart GROUP BY 1), " +
+        "stg AS (SELECT doc_id, array_to_string(list(CASE WHEN runstart THEN sent || ' ' || tok ELSE tok END ORDER BY p), ' ') AS target_text " +
+        "FROM sp2 WHERE covered GROUP BY 1) " +
+        "SELECT s.doc_id, s.n_tokens, s.n_spans, s.n_masked, " +
+        "coalesce(i.input_text, '') AS input_text, coalesce(g.target_text, '') AS target_text " +
+        "FROM sst s LEFT JOIN sin i USING (doc_id) LEFT JOIN stg g USING (doc_id)"),
 
     // x168: the three hash draws, floor(u·(L+1)) cuts reordered lo ≤ hi,
     // PSM concat with the sentinel literals (chain shared with x171).

@@ -144,6 +144,45 @@ class ChunkingSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("spanCorrupt: sentinel reconstruction is lossless, noise near target, deterministic") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Chunking.spanCorrupt(docs).cache()
+    val joined = out.join(docs.select(col("doc_id"), col("text")), "doc_id").collect()
+    val sentRe = "<extra_id_(\\d+)>".r
+    var masked = 0L
+    var total = 0L
+    joined.foreach { r =>
+      val text = r.getString(r.fieldIndex("text"))
+      val inp = r.getString(r.fieldIndex("input_text"))
+      val tgt = r.getString(r.fieldIndex("target_text"))
+      val nSpans = r.getLong(r.fieldIndex("n_spans"))
+      masked += r.getLong(r.fieldIndex("n_masked"))
+      total += r.getLong(r.fieldIndex("n_tokens"))
+      if (nSpans == 0) {
+        assert(inp === text && tgt.isEmpty, s"doc ${r.getLong(0)} no-span passthrough")
+      } else {
+        // parse target: each sentinel's content runs to the next sentinel
+        val ms = sentRe.findAllMatchIn(tgt).toList
+        assert(ms.map(_.group(1).toLong) === (1L to nSpans).toList,
+          s"doc ${r.getLong(0)} sentinel numbering")
+        val spans = ms.zipWithIndex.map { case (m2, i) =>
+          val end = if (i + 1 < ms.length) ms(i + 1).start - 1 else tgt.length
+          m2.group(1).toLong -> tgt.substring(m2.end + 1, end)
+        }.toMap
+        // substituting each input sentinel with its span reproduces the text
+        val rebuilt = sentRe.replaceAllIn(inp,
+          m2 => java.util.regex.Matcher.quoteReplacement(spans(m2.group(1).toLong)))
+        assert(rebuilt === text, s"doc ${r.getLong(0)} reconstruction mismatch")
+      }
+    }
+    // realized noise density near the T5 target (~15%)
+    val frac = masked.toDouble / total
+    assert(frac > 0.10 && frac < 0.20, s"mask fraction $frac far from target")
+    assert(out.collect().map(_.toSeq).toSet ===
+      Chunking.spanCorrupt(docs.repartition(7)).collect().map(_.toSeq).toSet)
+    out.unpersist()
+  }
+
   test("pretrain assembly: packed offsets partition each source's transformed token stream") {
     val docs = Tables.documents(spark, sfDir)
     val fim = Chunking.fimTransform(docs)
