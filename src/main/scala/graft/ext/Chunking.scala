@@ -251,6 +251,48 @@ object Chunking {
         coalesce(col("target_text"), lit("")).as("target_text"))
   }
 
+  /** UL2 mixture-of-denoisers manifest (Tay et al. 2022, "UL2: Unifying
+    * Language Learning Paradigms"; public method): each document is
+    * hash-assigned one denoising objective — R (regular span corruption,
+    * 50%), S (sequential prefix-LM, 25%), or X (extreme/infilling via the
+    * FIM cuts, 25%) — and carries ITS objective's (input, target) pair,
+    * built by the already-verified transforms: R = [[spanCorrupt]]'s
+    * pair; S = a single hash character cut (input = prefix, target =
+    * suffix); X = the x168 FIM cuts presented as infilling (input =
+    * sentinel-joined prefix/suffix, target = the middle). One pass, all
+    * per-row expressions plus [[spanCorrupt]]'s doc-bounded windows.
+    */
+  def ul2Mixture(docs: DataFrame): DataFrame = {
+    val ud = Curate.uniformHash(col("doc_id"), "ul2")
+    val L = length(col("text"))
+    // S: one cut
+    val us = Curate.uniformHash(col("doc_id"), "ul2cut")
+    val c = floor(us * (L + lit(1)).cast("double")).cast("int")
+    val sRows = docs.where(ud >= lit(0.5) && ud < lit(0.75))
+      .select(col("doc_id"), lit("s_prefix").as("denoiser"),
+        col("text").substr(lit(1), c).as("input_text"),
+        col("text").substr(c + lit(1), L - c).as("target_text"))
+    // X: the FIM cuts, infilling presentation
+    val u1 = Curate.uniformHash(col("doc_id"), "fimcut1")
+    val u2 = Curate.uniformHash(col("doc_id"), "fimcut2")
+    val c1 = floor(u1 * (L + lit(1)).cast("double")).cast("int")
+    val c2 = floor(u2 * (L + lit(1)).cast("double")).cast("int")
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    val xRows = docs.where(ud >= lit(0.75))
+      .select(col("doc_id"), lit("x_fim").as("denoiser"),
+        concat(lit(FimPre), col("text").substr(lit(1), lo),
+          lit(FimSuf), col("text").substr(hi + lit(1), L - hi),
+          lit(FimMid)).as("input_text"),
+        col("text").substr(lo + lit(1), hi - lo).as("target_text"))
+    // R: span corruption on the R slice (per-(doc, position) draws are
+    // independent across docs, so filtering first changes nothing)
+    val rRows = spanCorrupt(docs.where(ud < lit(0.5)))
+      .select(col("doc_id"), lit("r_span").as("denoiser"),
+        col("input_text"), col("target_text"))
+    rRows.unionByName(sRows).unionByName(xRows)
+  }
+
   private[graft] def packSequencesNaive(docs: DataFrame, budget: Long): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)

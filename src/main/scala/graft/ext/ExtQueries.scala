@@ -1199,6 +1199,14 @@ object ExtQueries {
         .join(counts.select("doc_id", "fim_applied"), "doc_id")
     }),
 
+    // UL2 mixture-of-denoisers (r8 second half): each doc hash-assigned
+    // R (span corruption, 50%) / S (prefix-LM, 25%) / X (FIM infilling,
+    // 25%) and carrying its objective's (input, target) pair — the
+    // objective-mixture manifest UL2 pretraining consumes, composed from
+    // the verified transforms.
+    "x173_ul2_mixture" -> ((s, dir) =>
+      Chunking.ul2Mixture(Tables.documents(s, dir))),
+
     // T5 span corruption (r8 second half): hash-drawn 3-token spans at
     // the published ~15% noise density masked with numbered sentinels —
     // the (input, target) denoising pair. Coverage is an OR over the
@@ -1974,6 +1982,28 @@ object ExtQueries {
     (0 until Chunking.SpanLen).map(o =>
       s"(($q) - $o >= 1 AND ${spanDrawSql(s"($q) - $o")} < ${Chunking.SpanStartRate})")
       .mkString("(", " OR ", ")")
+
+  /** The x172 span-corruption chain (shared with x173's R slice): ends
+    * with `sst (doc_id, n_tokens, n_spans, n_masked)` + `sin`/`stg` (the
+    * filtered ordered string joins). */
+  private lazy val spanCtes: String =
+    s"t AS ($toksCte), " +
+      "sx AS (SELECT doc_id, p.i AS p, p.tok AS tok FROM " +
+      "(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)), " +
+      "i -> struct_pack(i := i, tok := toks[i]))) AS p FROM t)), " +
+      s"sm AS (SELECT doc_id, CAST(p AS BIGINT) AS p, tok, ${spanCovSql("p")} AS covered, " +
+      s"(${spanCovSql("p")}) AND NOT ${spanCovSql("p - 1")} AS runstart FROM sx), " +
+      "sk AS (SELECT *, CAST(sum(CASE WHEN runstart THEN 1 ELSE 0 END) OVER " +
+      "(PARTITION BY doc_id ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS k FROM sm), " +
+      "sp2 AS (SELECT doc_id, p, tok, covered, runstart, k, " +
+      "'<extra_id_' || CAST(k AS VARCHAR) || '>' AS sent FROM sk), " +
+      "sst AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+      "CAST(max(k) AS BIGINT) AS n_spans, " +
+      "CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_masked FROM sp2 GROUP BY 1), " +
+      "sin AS (SELECT doc_id, array_to_string(list(CASE WHEN runstart THEN sent ELSE tok END ORDER BY p), ' ') AS input_text " +
+      "FROM sp2 WHERE NOT covered OR runstart GROUP BY 1), " +
+      "stg AS (SELECT doc_id, array_to_string(list(CASE WHEN runstart THEN sent || ' ' || tok ELSE tok END ORDER BY p), ' ') AS target_text " +
+      "FROM sp2 WHERE covered GROUP BY 1)"
 
   /** The x168 FIM chain (shared with x171): three hash draws,
     * floor(u·(L+1)) character cuts reordered lo ≤ hi, PSM concat. Ends
@@ -3162,28 +3192,39 @@ object ExtQueries {
     },
 
     // x172: per-position draws, merged coverage, prefix-sum sentinel
-    // numbering, filtered ordered string joins.
+    // numbering, filtered ordered string joins (chain shared with x173).
     "x172_span_corruption" ->
-      (s"WITH t AS ($toksCte), " +
-        "sx AS (SELECT doc_id, p.i AS p, p.tok AS tok FROM " +
-        "(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)), " +
-        "i -> struct_pack(i := i, tok := toks[i]))) AS p FROM t)), " +
-        s"sm AS (SELECT doc_id, CAST(p AS BIGINT) AS p, tok, ${spanCovSql("p")} AS covered, " +
-        s"(${spanCovSql("p")}) AND NOT ${spanCovSql("p - 1")} AS runstart FROM sx), " +
-        "sk AS (SELECT *, CAST(sum(CASE WHEN runstart THEN 1 ELSE 0 END) OVER " +
-        "(PARTITION BY doc_id ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS k FROM sm), " +
-        "sp2 AS (SELECT doc_id, p, tok, covered, runstart, k, " +
-        "'<extra_id_' || CAST(k AS VARCHAR) || '>' AS sent FROM sk), " +
-        "sst AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
-        "CAST(max(k) AS BIGINT) AS n_spans, " +
-        "CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_masked FROM sp2 GROUP BY 1), " +
-        "sin AS (SELECT doc_id, array_to_string(list(CASE WHEN runstart THEN sent ELSE tok END ORDER BY p), ' ') AS input_text " +
-        "FROM sp2 WHERE NOT covered OR runstart GROUP BY 1), " +
-        "stg AS (SELECT doc_id, array_to_string(list(CASE WHEN runstart THEN sent || ' ' || tok ELSE tok END ORDER BY p), ' ') AS target_text " +
-        "FROM sp2 WHERE covered GROUP BY 1) " +
+      (s"WITH $spanCtes " +
         "SELECT s.doc_id, s.n_tokens, s.n_spans, s.n_masked, " +
         "coalesce(i.input_text, '') AS input_text, coalesce(g.target_text, '') AS target_text " +
         "FROM sst s LEFT JOIN sin i USING (doc_id) LEFT JOIN stg g USING (doc_id)"),
+
+    // x173: the ud/us/fim draws assign R/S/X; R rides the shared span
+    // chain, S is one cut, X is the FIM cuts as infilling.
+    "x173_ul2_mixture" ->
+      (s"WITH $spanCtes, " +
+        "uu AS (SELECT doc_id, text, length(text) AS l, " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ul2'), 1, 8)) AS BIGINT)/4294967296.0 AS ud, " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ul2cut'), 1, 8)) AS BIGINT)/4294967296.0 AS us, " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fimcut1'), 1, 8)) AS BIGINT)/4294967296.0 AS u1, " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fimcut2'), 1, 8)) AS BIGINT)/4294967296.0 AS u2 " +
+        "FROM documents), " +
+        "rmx AS (SELECT s.doc_id, 'r_span' AS denoiser, " +
+        "coalesce(i.input_text, '') AS input_text, coalesce(g.target_text, '') AS target_text " +
+        "FROM sst s LEFT JOIN sin i USING (doc_id) LEFT JOIN stg g USING (doc_id) " +
+        "JOIN uu ON uu.doc_id = s.doc_id WHERE uu.ud < 0.5), " +
+        "smx AS (SELECT doc_id, 's_prefix' AS denoiser, " +
+        "substr(text, 1, c) AS input_text, substr(text, c + 1, l - c) AS target_text FROM " +
+        "(SELECT *, CAST(floor(us * CAST(l + 1 AS DOUBLE)) AS INTEGER) AS c FROM uu) " +
+        "WHERE ud >= 0.5 AND ud < 0.75), " +
+        "xmx AS (SELECT doc_id, 'x_fim' AS denoiser, " +
+        s"'${Chunking.FimPre}' || substr(text, 1, lo) || '${Chunking.FimSuf}' || " +
+        s"substr(text, hi + 1, l - hi) || '${Chunking.FimMid}' AS input_text, " +
+        "substr(text, lo + 1, hi - lo) AS target_text FROM " +
+        "(SELECT *, least(CAST(floor(u1 * CAST(l + 1 AS DOUBLE)) AS INTEGER), CAST(floor(u2 * CAST(l + 1 AS DOUBLE)) AS INTEGER)) AS lo, " +
+        "greatest(CAST(floor(u1 * CAST(l + 1 AS DOUBLE)) AS INTEGER), CAST(floor(u2 * CAST(l + 1 AS DOUBLE)) AS INTEGER)) AS hi FROM uu) " +
+        "WHERE ud >= 0.75) " +
+        "SELECT * FROM rmx UNION ALL SELECT * FROM smx UNION ALL SELECT * FROM xmx"),
 
     // x168: the three hash draws, floor(u·(L+1)) cuts reordered lo ≤ hi,
     // PSM concat with the sentinel literals (chain shared with x171).

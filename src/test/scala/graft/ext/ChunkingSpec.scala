@@ -183,6 +183,43 @@ class ChunkingSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("ul2Mixture: every doc exactly once, shares near 50/25/25, objectives reconstruct") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Chunking.ul2Mixture(docs).cache()
+    assert(out.count() === docs.count(), "each doc carries exactly one objective")
+    val byDen = out.groupBy("denoiser").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(byDen("r_span") / n > 0.4 && byDen("r_span") / n < 0.6)
+    assert(byDen("s_prefix") / n > 0.15 && byDen("s_prefix") / n < 0.35)
+    assert(byDen("x_fim") / n > 0.15 && byDen("x_fim") / n < 0.35)
+    // S and X reconstruct the original text directly
+    val joined = out.where(col("denoiser") =!= "r_span")
+      .join(docs.select(col("doc_id"), col("text")), "doc_id").collect()
+    joined.foreach { r =>
+      val text = r.getString(r.fieldIndex("text"))
+      val inp = r.getString(r.fieldIndex("input_text"))
+      val tgt = r.getString(r.fieldIndex("target_text"))
+      r.getString(r.fieldIndex("denoiser")) match {
+        case "s_prefix" => assert(inp + tgt === text)
+        case "x_fim" =>
+          val body = inp.stripPrefix(Chunking.FimPre).stripSuffix(Chunking.FimMid)
+          val si = body.indexOf(Chunking.FimSuf)
+          val pre = body.substring(0, si)
+          val suf = body.substring(si + Chunking.FimSuf.length)
+          assert(pre + tgt + suf === text)
+      }
+    }
+    // the R slice is bit-identical to spanCorrupt on those docs
+    val rPairs = out.where(col("denoiser") === "r_span")
+      .select("doc_id", "input_text", "target_text").collect().map(_.toSeq).toSet
+    val rIds = out.where(col("denoiser") === "r_span").select("doc_id")
+    val expect = Chunking.spanCorrupt(docs.join(rIds, "doc_id"))
+      .select("doc_id", "input_text", "target_text").collect().map(_.toSeq).toSet
+    assert(rPairs === expect)
+    out.unpersist()
+  }
+
   test("pretrain assembly: packed offsets partition each source's transformed token stream") {
     val docs = Tables.documents(spark, sfDir)
     val fim = Chunking.fimTransform(docs)
