@@ -1127,6 +1127,15 @@ object ExtQueries {
     "x147_best_of_n" -> ((s, dir) =>
       Preference.bestOfNReport(Trainer.lrScoreAll(s, Tables.documents(s, dir)))),
 
+    // Length-bias audit (r8 second half): across every (winner, loser)
+    // pair the best-of-N pools imply, how often is the winner simply the
+    // LONGER text — the reward-hacking pathology checked before the
+    // preference export ships.
+    "x174_length_bias_audit" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Preference.lengthBiasAudit(Trainer.lrScoreAll(s, docs), docs)
+    }),
+
     // KTO unpaired export (r8 second half): binary desirability vs the
     // pool-mean reference point + the class-rebalance weight (λ_D = 1,
     // λ_U = n_D/n_U) — the alignment-data shape for UNPAIRED feedback,
@@ -3971,6 +3980,23 @@ object ExtQueries {
         btChain("bn", "bngm", "bnst", "bns0", Preference.Iters) + " " +
         s"SELECT bnst.doc_id, bnst.wins, bnst.games, s.s AS strength " +
         s"FROM bnst JOIN bns${Preference.Iters} s USING (doc_id)"),
+
+    // x174: the brn ranking joined to doc lengths; winner-vs-loser pairs,
+    // exact counts, pair-weighted means.
+    "x174_length_bias_audit" ->
+      (s"WITH ${bonCtes(Trainer.Buckets, Trainer.Iters)}, " +
+        "lbl AS (SELECT r.prompt_id, r.rn, d.n_chars FROM brn r " +
+        "JOIN documents d USING (doc_id)), " +
+        "lbw AS (SELECT prompt_id, n_chars AS w_chars FROM lbl WHERE rn = 1), " +
+        "lbp AS (SELECT l.prompt_id, l.n_chars AS l_chars, w.w_chars FROM lbl l " +
+        "JOIN lbw w USING (prompt_id) WHERE l.rn > 1) " +
+        "SELECT CAST(count(DISTINCT prompt_id) AS BIGINT) AS n_pools, " +
+        "CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(sum(CASE WHEN w_chars > l_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_winner_longer, " +
+        "CAST(sum(CASE WHEN w_chars > l_chars THEN 1 ELSE 0 END) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS frac_winner_longer, " +
+        "CAST(sum(w_chars) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS mean_winner_chars, " +
+        "CAST(sum(l_chars) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS mean_loser_chars " +
+        "FROM lbp"),
 
     // x169: pool means over bpl, per-candidate desirability, 1-row class
     // counts, rebalance weight.

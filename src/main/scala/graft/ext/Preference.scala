@@ -260,6 +260,40 @@ object Preference {
           .as("weight"))
   }
 
+  /** Length-bias audit over the best-of-N selections — the well-known
+    * RLHF pathology (reward models systematically prefer LONGER
+    * responses; Singhal et al. 2023 "A Long Way to Go", public method)
+    * measured on this pipeline's own selection artifact: across every
+    * (winner, loser) pair the pools imply, how often is the winner the
+    * longer text, and how do pair-weighted mean lengths compare. A
+    * `frac_winner_longer` far above 0.5 says the scorer is buying length,
+    * not quality — the audit runs BEFORE the preference export ships.
+    * Exact integer counts/sums; one window pass + one 1-row rollup.
+    */
+  def lengthBiasAudit(scored: DataFrame, docs: DataFrame,
+      salt: String = "bon", pools: Int = 0): DataFrame = {
+    val withLen = bonAssign(scored, salt, pools)
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("prompt_id")
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+    val w = withLen.where(col("rn") === 1)
+      .select(col("prompt_id"), col("n_chars").as("w_chars"))
+    val pairs = withLen.where(col("rn") > 1)
+      .select(col("prompt_id"), col("n_chars").as("l_chars"))
+      .join(w, "prompt_id")
+    pairs.agg(
+      countDistinct(col("prompt_id")).as("n_pools"),
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("w_chars") > col("l_chars"), 1L).otherwise(0L)).as("n_winner_longer"),
+      (sum(when(col("w_chars") > col("l_chars"), 1L).otherwise(0L)).cast("double")
+        / count(lit(1)).cast("double")).as("frac_winner_longer"),
+      (sum(col("w_chars")).cast("double") / count(lit(1)).cast("double"))
+        .as("mean_winner_chars"),
+      (sum(col("l_chars")).cast("double") / count(lit(1)).cast("double"))
+        .as("mean_loser_chars"))
+  }
+
   /** The winner-vs-each-loser comparisons best-of-N implies — a star
     * graph per prompt, canonical (doc_a < doc_b) like
     * [[derivedPreferences]], ready for [[btFit]]. */

@@ -170,6 +170,29 @@ class PreferenceSpec extends SparkTestBase {
     kto.unpersist()
   }
 
+  test("lengthBiasAudit: hand-computed pair counts; fixture scorer's length feature is detected") {
+    // one pool, ranks by score: 1st (len 30), 2nd (len 10), 3rd (len 50)
+    // -> pairs (w=30 vs 10: longer), (w=30 vs 50: not) -> frac 0.5
+    val scored = Seq((1L, 0.9), (2L, 0.5), (3L, 0.1)).toDF("doc_id", "score")
+    val lens = Seq((1L, 30L), (2L, 10L), (3L, 50L)).toDF("doc_id", "n_chars")
+    val r = Preference.lengthBiasAudit(scored, lens, pools = 1).collect().head
+    assert(r.getLong(r.fieldIndex("n_pools")) === 1L)
+    assert(r.getLong(r.fieldIndex("n_pairs")) === 2L)
+    assert(r.getLong(r.fieldIndex("n_winner_longer")) === 1L)
+    assert(r.getDouble(r.fieldIndex("frac_winner_longer")) === 0.5)
+    assert(r.getDouble(r.fieldIndex("mean_winner_chars")) === 30.0)
+    assert(r.getDouble(r.fieldIndex("mean_loser_chars")) === 30.0)
+    // fixture scale: the engine-trained scorer HAS a length feature, so
+    // the audit must detect winner-longer bias above chance
+    val docs = Tables.documents(spark, sfDir)
+    val audit = Preference.lengthBiasAudit(Trainer.lrScoreAll(spark, docs), docs)
+      .collect().head
+    assert(audit.getDouble(audit.fieldIndex("frac_winner_longer")) > 0.55,
+      "the capped-length feature should surface as length bias")
+    assert(audit.getDouble(audit.fieldIndex("mean_winner_chars")) >
+      audit.getDouble(audit.fieldIndex("mean_loser_chars")))
+  }
+
   test("btConvergence: positive L1 deltas, decaying") {
     val d = Preference.btConvergence(Tables.documents(spark, sfDir))
       .orderBy("iter").collect().map(_.getDouble(1))
