@@ -69,6 +69,27 @@ object Chat {
       .withColumn("n_tokens", size(TextOps.tokens(col("content"))).cast("long"))
   }
 
+  /** SFT prompt-level dedup: conversations sharing an IDENTICAL first
+    * user turn (the instruction) are near-certain duplicates of the same
+    * task even when the assistant sides differ — the dedup SFT sets run
+    * on the prompt, not the whole transcript, because keeping ten
+    * responses to one prompt over-weights it ten-fold at training time.
+    * Exact digest groups (md5 of the parsed turn-1 user content, the x01
+    * discipline), min-doc_id survivor; emits only duplicated groups'
+    * members with the keep verdict. One digest-keyed shuffle of
+    * (digest, id) rows — transcripts never travel.
+    */
+  def promptDedup(turns: DataFrame): DataFrame = {
+    val pd = turns.where(col("turn_idx") === 1 && col("role") === "user")
+      .select(col("doc_id"), md5(col("content")).as("prompt_digest"))
+    val pg = pd.groupBy("prompt_digest")
+      .agg(count(lit(1)).as("group_size"), min(col("doc_id")).as("_keeper"))
+      .where(col("group_size") >= 2)
+    pd.join(pg, "prompt_digest")
+      .select(col("prompt_digest"), col("doc_id"), col("group_size"),
+        (col("doc_id") === col("_keeper")).as("keep"))
+  }
+
   /** Per-conversation SFT readiness report: turn count, structure checks
     * (opens with user, strict role alternation — computed from the parsed
     * turns, not assumed from the derivation), and the loss-mask split:

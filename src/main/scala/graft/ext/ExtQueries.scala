@@ -1127,6 +1127,13 @@ object ExtQueries {
     "x147_best_of_n" -> ((s, dir) =>
       Preference.bestOfNReport(Trainer.lrScoreAll(s, Tables.documents(s, dir)))),
 
+    // SFT prompt dedup (r8 second half): conversations sharing an
+    // identical first user turn are duplicates of the same task — digest
+    // groups over the PARSED instruction, min-id survivor, duplicated
+    // groups only.
+    "x175_sft_prompt_dedup" -> ((s, dir) =>
+      Chat.promptDedup(Chat.parseTurns(Chat.withChat(Tables.documents(s, dir))))),
+
     // Length-bias audit (r8 second half): across every (winner, loser)
     // pair the best-of-N pools imply, how often is the winner simply the
     // LONGER text — the reward-hacking pathology checked before the
@@ -3980,6 +3987,17 @@ object ExtQueries {
         btChain("bn", "bngm", "bnst", "bns0", Preference.Iters) + " " +
         s"SELECT bnst.doc_id, bnst.wins, bnst.games, s.s AS strength " +
         s"FROM bnst JOIN bns${Preference.Iters} s USING (doc_id)"),
+
+    // x175: first-user-turn digests over the shared chat chain, dup
+    // groups with the min-id survivor.
+    "x175_sft_prompt_dedup" ->
+      (s"WITH $chatCtes, " +
+        "spd AS (SELECT doc_id, md5(content) AS prompt_digest FROM tt " +
+        "WHERE turn_idx = 1 AND role = 'user'), " +
+        "spg AS (SELECT prompt_digest, CAST(count(*) AS BIGINT) AS group_size, " +
+        "min(doc_id) AS keeper FROM spd GROUP BY 1 HAVING count(*) >= 2) " +
+        "SELECT p.prompt_digest, p.doc_id, g.group_size, p.doc_id = g.keeper AS keep " +
+        "FROM spd p JOIN spg g USING (prompt_digest)"),
 
     // x174: the brn ranking joined to doc lengths; winner-vs-loser pairs,
     // exact counts, pair-weighted means.

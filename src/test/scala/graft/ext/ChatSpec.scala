@@ -59,4 +59,33 @@ class ChatSpec extends SparkTestBase {
     assert(stats(1L) === ((false, false))) // opens wrong, and turn 2 = user breaks alternation too
     assert(stats(2L) === ((true, false)))  // opens fine, repeats user
   }
+
+  test("promptDedup: identical first user turns group, min-id survives, singletons never emitted") {
+    import spark.implicits._
+    val turns = Seq(
+      (1L, 1L, "user", "do the task"), (1L, 2L, "assistant", "ok a"),
+      (2L, 1L, "user", "do the task"), (2L, 2L, "assistant", "ok b"),
+      (3L, 1L, "user", "different ask"), (3L, 2L, "assistant", "ok c"),
+      // a doc whose SECOND turn matches another prompt must not join a group
+      (4L, 1L, "user", "unique here"), (4L, 2L, "assistant", "do the task")
+    ).toDF("doc_id", "turn_idx", "role", "content")
+      .withColumn("n_tokens", size(split(col("content"), " ")).cast("long"))
+    val out = Chat.promptDedup(turns).collect()
+    assert(out.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L))
+    val byId = out.map(r => r.getLong(1) -> r.getBoolean(r.fieldIndex("keep"))).toMap
+    assert(byId(1L) && !byId(2L))
+    assert(out.forall(_.getLong(2) === 2L))
+    // fixture scale: exactly one keeper per duplicated group
+    val docs = Tables.documents(spark, sfDir)
+    val full = Chat.promptDedup(Chat.parseTurns(Chat.withChat(docs)))
+    val perGroup = full.groupBy("prompt_digest").agg(
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+      count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect()
+    assert(perGroup.nonEmpty, "the derived fixture should contain duplicate prompts")
+    perGroup.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_keep")) === 1L)
+      assert(r.getLong(r.fieldIndex("n")) >= 2L)
+    }
+  }
 }
