@@ -33,6 +33,31 @@ object Dedup {
     docs.groupBy(md5(col(text)).as("text_hash"))
       .agg(min(col(id)).as(id), count(lit(1)).as("n_copies"))
 
+  /** Per-source dedup-savings report — the datasheet row a mixture owner
+    * reads before paying for training tokens: per source, how many docs
+    * and TOKENS sit in exact-duplicate groups beyond the keeper (x01's
+    * md5 groups, min-id survivor), and the token fraction dedup would
+    * reclaim. A source with a high `savings_frac` is re-crawled/boiler-
+    * plate content; its effective contribution is smaller than its raw
+    * size. One digest-keyed shuffle of (digest, id) + exact LONG token
+    * sums — text never travels twice.
+    */
+  def savingsBySource(docs: DataFrame): DataFrame = {
+    val g = docs.select(col("doc_id"), col("source"), md5(col("text")).as("_h"),
+      size(TextOps.tokens(col("text"))).cast("long").as("_nt"))
+    val k = g.groupBy("_h").agg(min(col("doc_id")).as("_keeper"))
+    g.join(k, "_h")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_nt")).as("total_tokens"),
+        sum(when(col("doc_id") =!= col("_keeper"), 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(when(col("doc_id") =!= col("_keeper"), col("_nt")).otherwise(0L)).as("dup_tokens"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("n_dup_docs"), col("dup_tokens"),
+        (col("dup_tokens").cast("double") / col("total_tokens").cast("double"))
+          .as("savings_frac"))
+  }
+
   /** Distinct word-k-shingle sets per doc: `(doc_id, shingle)` exploded and
     * `(doc_id, n_shingles)` sizes. The shingle table is cached — every
     * consumer (signature, band join sides, verify sides) would otherwise

@@ -117,6 +117,58 @@ object Embeddings {
     * keyed on `vec_id` (partial-agg). No all-pairs anything; at 100 TB
     * this is scan + one vector-keyed shuffle.
     */
+  /** Corpus-level embedding-health (isotropy) report — the datasheet row
+    * read BEFORE trusting cosine retrieval on an embedding column:
+    * anisotropic spaces (a dominant mean direction / few dominant
+    * dimensions) make cosine scores cluster and neighbors meaningless
+    * (Ethayarajh 2019, public observation). One row:
+    *  - `mean_norm`: mean per-vector L2 norm (≈1 for normalized inputs);
+    *  - `mu_sqnorm`: ‖mean vector‖² — for unit vectors this IS the
+    *    expected random-pair cosine (E[x·y] = ‖μ‖²), the anisotropy
+    *    headline;
+    *  - `trace_var`: Σ_d Var[v_d] (total centered variance);
+    *  - `top_dim_var_share`: max_d Var[v_d] / trace_var — dimension
+    *    dominance (1/D = perfectly isotropic).
+    *
+    * Exactness: per-dim sums are two-level √n folds keyed by
+    * `vec_id % ⌈√n⌉` inside the dim key (the Trainer.step discipline —
+    * O(√n) buffers, oracle bit-exact); per-vector norms fold dims
+    * left-to-right; Var uses E[v²] − mean² (deterministic; the
+    * cancellation caveat is documented, not hidden). Dim-ordered final
+    * folds. */
+  def isotropyReport(emb: DataFrame): DataFrame = {
+    import graft.functions.Stable.{sortedFold, bucketFold, sqrtBuckets}
+    val n = emb.count()
+    require(n > 0, "isotropy of an empty corpus is undefined")
+    val fb = sqrtBuckets(n)
+    val dims = emb.select(col("vec_id"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("d", "v")))
+    val s1 = dims.groupBy(col("d"), pmod(col("vec_id"), lit(fb.toLong)).as("_bkt"))
+      .agg(count(lit(1)).as("_n"), sortedFold(col("v")).as("_s"),
+        sortedFold(col("v") * col("v")).as("_s2"))
+    val perDim = s1.groupBy("d")
+      .agg((bucketFold(col("_bkt"), col("_s")) / sum(col("_n")).cast("double")).as("mean_d"),
+        (bucketFold(col("_bkt"), col("_s2")) / sum(col("_n")).cast("double")).as("m2_d"))
+      .select(col("d"), col("mean_d"),
+        (col("m2_d") - col("mean_d") * col("mean_d")).as("var_d"))
+    val dimRoll = perDim.agg(
+      bucketFold(col("d"), col("mean_d") * col("mean_d")).as("mu_sqnorm"),
+      bucketFold(col("d"), col("var_d")).as("trace_var"),
+      max(col("var_d")).as("_maxvar"))
+    val norms1 = emb.select(col("vec_id"), l2Norm(col("embedding")).as("_nm"))
+      .groupBy(pmod(col("vec_id"), lit(fb.toLong)).as("_bkt"))
+      .agg(count(lit(1)).as("_n"), sortedFold(col("_nm")).as("_s"))
+    val meanNorm = norms1.agg(
+      sum(col("_n")).cast("long").as("n_vecs"),
+      (bucketFold(col("_bkt"), col("_s")) / sum(col("_n")).cast("double")).as("mean_norm"))
+    meanNorm.crossJoin(broadcast(dimRoll))
+      .select(col("n_vecs"), col("mean_norm"), col("mu_sqnorm"), col("trace_var"),
+        // a zero-variance corpus (all vectors identical) has no dominance
+        // to report — NULL, not 0/0 NaN
+        when(col("trace_var") > 0, col("_maxvar") / col("trace_var"))
+          .as("top_dim_var_share"))
+  }
+
   def outlierReport(emb: DataFrame, grp: Column = col("label"),
       hi: Double = 0.95): DataFrame = {
     val e = emb.select(col("vec_id"), grp.as("label"),

@@ -36,6 +36,12 @@ object ExtQueries {
     "x02_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), 3, 0.8)),
 
+    // Dedup savings by source (r8 second half): per source, the doc and
+    // TOKEN mass sitting in exact-duplicate groups beyond the keeper —
+    // the datasheet row a mixture owner reads before paying for tokens.
+    "x176_dedup_savings_by_source" -> ((s, dir) =>
+      Dedup.savingsBySource(Tables.documents(s, dir))),
+
     // Exact prefix-filtered set-similarity join (PPJoin-style): same
     // semantics as x02, candidates bounded by rarest-prefix equi-join —
     // the EXACT scale path (x03's LSH is the approximate one). Shares
@@ -549,6 +555,13 @@ object ExtQueries {
     // scan of the scoring corpus.
     "x84_dsir_importance" -> ((s, dir) =>
       TextOps.dsirImportance(Tables.documents(s, dir), col("source") === "src0")),
+
+    // Embedding isotropy report (r8 second half): mean norm, ||mean
+    // vector||^2 (the expected random-pair cosine for unit vectors — the
+    // anisotropy headline), total centered variance and dimension
+    // dominance — the health row read before trusting cosine retrieval.
+    "x177_embedding_isotropy" -> ((s, dir) =>
+      Embeddings.isotropyReport(Tables.embeddings(s, dir))),
 
     // Embedding outlier report (r5): distance to the label's exact
     // centroid, flagged at the corpus's exact P95 squared-distance — the
@@ -3290,6 +3303,20 @@ object ExtQueries {
 
     "x02_dedup_ngram_jaccard" -> jaccardAllPairsSql,
 
+    // x176: x01's digest groups joined to token counts, per-source rollup.
+    "x176_dedup_savings_by_source" ->
+      (s"WITH t AS ($toksCte), " +
+        "dg AS (SELECT d.doc_id, d.source, md5(d.text) AS h, " +
+        "CAST(len(t.toks) AS BIGINT) AS nt FROM documents d JOIN t ON d.doc_id = t.doc_id), " +
+        "dk AS (SELECT h, min(doc_id) AS keeper FROM dg GROUP BY 1) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(nt) AS BIGINT) AS total_tokens, " +
+        "CAST(sum(CASE WHEN dg.doc_id <> dk.keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs, " +
+        "CAST(sum(CASE WHEN dg.doc_id <> dk.keeper THEN nt ELSE 0 END) AS BIGINT) AS dup_tokens, " +
+        "CAST(sum(CASE WHEN dg.doc_id <> dk.keeper THEN nt ELSE 0 END) AS DOUBLE)" +
+        "/CAST(sum(nt) AS DOUBLE) AS savings_frac " +
+        "FROM dg JOIN dk USING (h) GROUP BY source"),
+
     // prefix filtering is exact (no false negatives), so the naive
     // all-pairs SQL is the oracle for the pruned plan too
     "x64_dedup_prefix_filter" -> jaccardAllPairsSql,
@@ -4721,6 +4748,29 @@ object ExtQueries {
         "FROM dd, t"),
 
     "x86_domain_authority" -> pageRankSql,
+
+    // x177: per-dim two-level folds (bucket = vec_id % ceil(sqrt(n))),
+    // E[v^2] - mean^2 variance, dim-ordered rollups, norm fold per vec.
+    "x177_embedding_isotropy" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "ifb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM e), " +
+        "dx AS (SELECT vec_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS d, " +
+        "unnest(emb) AS v FROM e), " +
+        "is1 AS (SELECT d, vec_id % (SELECT b FROM ifb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
+        "list_aggregate(list_sort(list(v)), 'sum') AS s, " +
+        "list_aggregate(list_sort(list(v*v)), 'sum') AS s2 FROM dx GROUP BY 1, 2), " +
+        "ipd AS (SELECT d, list_aggregate(list(s ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS mean_d, " +
+        "list_aggregate(list(s2 ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS m2_d FROM is1 GROUP BY 1), " +
+        "ipv AS (SELECT d, mean_d, m2_d - mean_d*mean_d AS var_d FROM ipd), " +
+        "idr AS (SELECT list_aggregate(list(mean_d*mean_d ORDER BY d), 'sum') AS mu_sqnorm, " +
+        "list_aggregate(list(var_d ORDER BY d), 'sum') AS trace_var, max(var_d) AS maxvar FROM ipv), " +
+        "in1 AS (SELECT vec_id % (SELECT b FROM ifb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
+        "list_aggregate(list_sort(list(nmv)), 'sum') AS s FROM " +
+        "(SELECT vec_id, sqrt(list_aggregate(list_transform(emb, x -> x*x), 'sum')) AS nmv FROM e) GROUP BY 1), " +
+        "imn AS (SELECT CAST(sum(n) AS BIGINT) AS n_vecs, " +
+        "list_aggregate(list(s ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS mean_norm FROM in1) " +
+        "SELECT imn.n_vecs, imn.mean_norm, idr.mu_sqnorm, idr.trace_var, " +
+        "CASE WHEN idr.trace_var > 0 THEN idr.maxvar/idr.trace_var END AS top_dim_var_share FROM imn, idr"),
 
     "x87_temperature_mix" ->
       ("WITH c AS (SELECT lang AS bucket, CAST(count(*) AS BIGINT) AS n_docs " +

@@ -1139,7 +1139,10 @@ object Similarity {
   // encoding stays the registered default (buildIvfPqIndex). The residual
   // variant is the right choice exactly when the corpus actually
   // clusters; both are first-class verbs and share every maintenance
-  // path's layout.
+  // path's layout. x177's isotropy report QUANTIFIES the cause on this
+  // fixture: expected random-pair cosine ‖μ‖² ≈ 0.0005 and dimension
+  // dominance ≈ 1/D — a near-perfectly isotropic space has no cluster
+  // structure for residuals to exploit.
 
   /** (vec_id, embedding = x − c(cell), cell): assign each vector's coarse
     * cell ([[assignCells]]'s broadcast fold), then subtract the cell

@@ -287,4 +287,30 @@ class DedupSpec extends SparkTestBase {
       "some docs must be passage-clean")
     out.foreach(r => assert(r.getLong(2) <= r.getLong(1), s"coverage exceeds doc length: $r"))
   }
+
+  test("savingsBySource: planted duplicates counted token-exactly, keeper never charged") {
+    val tiny = Seq(
+      (1L, "a", "x y z"), (2L, "a", "x y z"), (3L, "a", "x y z"), // 3-way dup: 2 charged
+      (4L, "a", "p q"),                                          // unique
+      (5L, "b", "m n o r"), (6L, "b", "m n o r"),                // pair: 1 charged
+      (7L, "b", "s t")                                           // unique
+    ).toDF("doc_id", "source", "text")
+    val by = Dedup.savingsBySource(tiny).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(by("a").getLong(by("a").fieldIndex("n_docs")) === 4L)
+    assert(by("a").getLong(by("a").fieldIndex("total_tokens")) === 11L)
+    assert(by("a").getLong(by("a").fieldIndex("n_dup_docs")) === 2L)
+    assert(by("a").getLong(by("a").fieldIndex("dup_tokens")) === 6L)
+    assert(by("a").getDouble(by("a").fieldIndex("savings_frac")) === 6.0 / 11.0)
+    assert(by("b").getLong(by("b").fieldIndex("n_dup_docs")) === 1L)
+    assert(by("b").getLong(by("b").fieldIndex("dup_tokens")) === 4L)
+    // fixture invariants: dup mass never exceeds totals, rollup covers all
+    val docsF = graft.sources.Tables.documents(spark, sfDir)
+    val full = Dedup.savingsBySource(docsF).collect()
+    assert(full.map(_.getLong(1)).sum === docsF.count())
+    full.foreach { r =>
+      assert(r.getLong(r.fieldIndex("dup_tokens")) <= r.getLong(r.fieldIndex("total_tokens")))
+      assert(r.getLong(r.fieldIndex("n_dup_docs")) < r.getLong(r.fieldIndex("n_docs")))
+    }
+  }
 }

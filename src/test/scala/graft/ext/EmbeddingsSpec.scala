@@ -136,4 +136,32 @@ class EmbeddingsSpec extends SparkTestBase {
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("dist2")).toMap
     out.foreach { case (id, (_, d2, _)) => assert(re(id) === d2) }
   }
+
+  test("isotropyReport: hand-computable axes fixture; fixture corpus is near-isotropic") {
+    // two antipodal unit vectors on axis 0: mean vector = 0 (mu_sqnorm 0),
+    // all variance on dim 0 (trace 1, dominance 1), norms exactly 1
+    val axes = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Embeddings.isotropyReport(axes).collect().head
+    assert(r.getLong(r.fieldIndex("n_vecs")) === 2L)
+    assert(r.getDouble(r.fieldIndex("mean_norm")) === 1.0)
+    assert(r.getDouble(r.fieldIndex("mu_sqnorm")) === 0.0)
+    assert(r.getDouble(r.fieldIndex("trace_var")) === 1.0)
+    assert(r.getDouble(r.fieldIndex("top_dim_var_share")) === 1.0)
+    // degenerate corpus: identical vectors -> zero variance, NULL dominance
+    val same = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r2 = Embeddings.isotropyReport(same).collect().head
+    assert(r2.getDouble(r2.fieldIndex("trace_var")) === 0.0)
+    assert(r2.isNullAt(r2.fieldIndex("top_dim_var_share")))
+    // the fixture embedding corpus: unit norms, near-zero expected
+    // random-pair cosine, dominance near 1/64 — the quantified REASON
+    // residual IVFADC can't win there (x161's finding)
+    val f = Embeddings.isotropyReport(Tables.embeddings(spark, sfDir)).collect().head
+    assert(math.abs(f.getDouble(f.fieldIndex("mean_norm")) - 1.0) < 1e-6)
+    assert(f.getDouble(f.fieldIndex("mu_sqnorm")) < 0.01)
+    val share = f.getDouble(f.fieldIndex("top_dim_var_share"))
+    assert(share > 1.0 / 64 / 2 && share < 3.0 / 64, s"dominance $share far from 1/64")
+  }
 }
