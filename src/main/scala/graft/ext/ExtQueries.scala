@@ -1292,6 +1292,13 @@ object ExtQueries {
     "x164_label_noise_audit" -> ((s, dir) =>
       Trainer.labelNoiseAudit(s, Tables.documents(s, dir))),
 
+    // Within-class influence quartiles (r8 second half): the magnitude
+    // structure behind x151's top-k — class 1, bin 1 is the most-negative
+    // "good-label" pile (the curation second look). A signed 2×2 would be
+    // vacuous (influence sign is class-constant under LR on this fixture).
+    "x178_influence_quartiles" -> ((s, dir) =>
+      Trainer.lrInfluenceQuartiles(s, Tables.documents(s, dir))),
+
     // EL2N data-diet report (r8 second half): per-training-doc error
     // magnitude |sigma(m) - y| after TWO gradient steps (the early
     // checkpoint is the paper's point), fixed-width error-bin histogram
@@ -4094,6 +4101,22 @@ object ExtQueries {
 
     "x159_influence_by_source" ->
       lrInfluenceBySourceSql(Trainer.Buckets, Trainer.Iters),
+
+    // x178: the isc chain, per-class exact ntile(4) (x108's proven
+    // NTILE parity with exactNtile), √n folds + per-class totals.
+    "x178_influence_quartiles" ->
+      (s"WITH ${lrInfluenceChain(Trainer.Buckets, Trainer.Iters)}, " +
+        "qfb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM tr), " +
+        "qnb AS (SELECT doc_id, y, influence, " +
+        "CAST(ntile(4) OVER (PARTITION BY y ORDER BY influence, doc_id) AS BIGINT) AS bin FROM isc), " +
+        "qct AS (SELECT y, CAST(count(*) AS BIGINT) AS n_class FROM qnb GROUP BY 1), " +
+        "qg1 AS (SELECT y, bin, doc_id % (SELECT b FROM qfb) AS bkt, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "list_aggregate(list_sort(list(influence)), 'sum') AS s FROM qnb GROUP BY 1, 2, 3) " +
+        "SELECT g.y, g.bin, CAST(sum(g.n) AS BIGINT) AS n, " +
+        "CAST(sum(g.n) AS DOUBLE)/CAST(c.n_class AS DOUBLE) AS share_of_class, " +
+        "list_aggregate(list(g.s ORDER BY g.bkt), 'sum')/CAST(sum(g.n) AS DOUBLE) AS mean_influence " +
+        "FROM qg1 g JOIN qct c USING (y) GROUP BY g.y, g.bin, c.n_class"),
 
     // x166: x159's per-source mean-influence chain → bounded weights →
     // per-source budgets → the x150 prefix rule with each source's own cut.

@@ -560,6 +560,45 @@ object Trainer {
     * `⌈√n_train⌉` bucket count inside the source key (the
     * [[lrCalibration]] discipline — O(√n) buffers regardless of source
     * skew). */
+  /** Within-class influence quartiles — the concentration report behind
+    * x151's top-k: per teacher class, training docs binned into exact
+    * influence quartiles ([[graft.ops.Quality.exactNtile]] per class
+    * slice — range-partitioned, no global window) with each bin's exact
+    * mean influence. The actionable read-off is class y = 1, bin 1: the
+    * most-negative-influence docs the quality teacher calls GOOD — the
+    * curation second-look pile. (A signed 2×2 would be vacuous here:
+    * for logistic regression sign(influence) is sign(σ(m) − y) times the
+    * held-out-gradient dot, which is class-constant on this fixture —
+    * the quartile form measures the magnitude structure instead.) */
+  def lrInfluenceQuartiles(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, buckets: Int = Buckets, iters: Int = Iters,
+      learnRate: Double = LearnRate): DataFrame = {
+    import graft.functions.Stable.{sortedFold, bucketFold, sqrtBuckets}
+    val sc = graft.ops.Caching.cacheOnce(
+      influenceScores(spark, docs, buckets, iters, learnRate))
+    val nTr = sc.count()
+    require(nTr > 0, "training slice is empty — influence undefined")
+    val fb = sqrtBuckets(nTr)
+    val binned = Seq(0.0, 1.0).map { cls =>
+      graft.ops.Quality.exactNtile(sc.where(col("y") === cls), 4,
+        Seq("influence", "doc_id"))
+    }.reduce(_ unionByName _)
+    val classTot = broadcast(binned.groupBy("y")
+      .agg(count(lit(1)).cast("long").as("_n_class")))
+    binned.groupBy(col("y"), col("bin"),
+        pmod(col("doc_id"), lit(fb.toLong)).as("_bkt"))
+      .agg(count(lit(1)).as("_n"), sortedFold(col("influence")).as("_s"))
+      .groupBy("y", "bin")
+      .agg(sum(col("_n")).cast("long").as("n"),
+        (bucketFold(col("_bkt"), col("_s"))
+          / sum(col("_n")).cast("double")).as("mean_influence"))
+      .join(classTot, "y")
+      .select(col("y"), col("bin"), col("n"),
+        (col("n").cast("double") / col("_n_class").cast("double"))
+          .as("share_of_class"),
+        col("mean_influence"))
+  }
+
   def lrInfluenceBySource(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, buckets: Int = Buckets, iters: Int = Iters,
       learnRate: Double = LearnRate): DataFrame = {

@@ -213,6 +213,26 @@ class TrainerSpec extends SparkTestBase {
     }
   }
 
+  test("lrInfluenceQuartiles: bins partition each class evenly, means monotone, deterministic") {
+    val docs = Tables.documents(spark, sfDir)
+    val rows = Trainer.lrInfluenceQuartiles(spark, docs).collect()
+    assert(rows.length === 8)
+    rows.groupBy(_.getDouble(0)).foreach { case (_, cls) =>
+      assert(cls.map(_.getLong(cls.head.fieldIndex("bin"))).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+      // quartiles are balanced (ntile: sizes differ by at most 1)
+      val ns = cls.map(_.getLong(cls.head.fieldIndex("n")))
+      assert(ns.max - ns.min <= 1)
+      // binning by influence ascending makes the bin means non-decreasing
+      val means = cls.sortBy(_.getLong(cls.head.fieldIndex("bin")))
+        .map(_.getDouble(cls.head.fieldIndex("mean_influence")))
+      means.sliding(2).foreach(w => assert(w(0) <= w(1), s"means not monotone: ${means.toSeq}"))
+      val shares = cls.map(_.getDouble(cls.head.fieldIndex("share_of_class"))).sum
+      assert(math.abs(shares - 1.0) < 1e-9)
+    }
+    assert(rows.map(_.toSeq).toSet ===
+      Trainer.lrInfluenceQuartiles(spark, docs.repartition(7)).collect().map(_.toSeq).toSet)
+  }
+
   test("lrInfluence: contiguous top-k ranks, influence-desc/doc_id-asc order, deterministic") {
     val docs = Tables.documents(spark, sfDir)
     val inf = Trainer.lrInfluence(spark, docs).cache()
