@@ -233,6 +233,35 @@ object Curate {
           .as("fill_frac"))
   }
 
+  /** Source-concentration (Gini) report — ONE number for "how unequal is
+    * the corpus across sources": G = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n over
+    * the ascending-sorted per-source token totals (ranks tie-broken by
+    * source name). 0 = perfectly balanced mixture, →1 = one source owns
+    * the corpus — the first line of a mixture datasheet. Token totals
+    * are exact LONG sums; the rank-weighted fold runs over the BOUNDED
+    * source list in (total, source) order, so the doubles associate
+    * identically in both engines. */
+  def sourceTokenGini(docs: DataFrame): DataFrame = {
+    val totals = docs.groupBy("source")
+      .agg(sum(size(TextOps.tokens(col("text"))).cast("long")).as("tokens"))
+    totals.agg(
+        count(lit(1)).cast("long").as("n_sources"),
+        sum(col("tokens")).cast("long").as("total_tokens"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("tokens"), col("source")))),
+            s => s.getField("tokens").cast("double")),
+          struct(lit(0.0).as("acc"), lit(0L).as("i")),
+          (st, x) => struct(
+            (st.getField("acc") + (st.getField("i") + 1).cast("double") * x).as("acc"),
+            (st.getField("i") + 1).as("i")),
+          st => st.getField("acc")).as("_ws"))
+      .select(col("n_sources"), col("total_tokens"),
+        (lit(2.0) * col("_ws")
+          / (col("n_sources").cast("double") * col("total_tokens").cast("double"))
+          - (col("n_sources") + 1).cast("double") / col("n_sources").cast("double"))
+          .as("gini"))
+  }
+
   def temperatureMix(docs: DataFrame, bucketCol: Column, budget: Long,
       salt: String = "tmix"): DataFrame = {
     val w = temperatureWeights(docs, bucketCol, budget)

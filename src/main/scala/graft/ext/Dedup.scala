@@ -58,6 +58,24 @@ object Dedup {
           .as("savings_frac"))
   }
 
+  /** Duplicate-cluster size histogram — the dedup datasheet's shape row:
+    * how many exact-duplicate clusters exist at each multiplicity, and
+    * what document share each multiplicity carries. A long tail of large
+    * clusters means template/boilerplate content; the `n_copies = 1` row
+    * is the unique mass. Derived entirely from [[exact]]'s digest groups
+    * — one more tiny aggregation over cluster-count rows. */
+  def clusterHistogram(docs: DataFrame): DataFrame = {
+    val h = exact(docs).groupBy("n_copies")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("n_copies"), col("n_clusters"),
+        (col("n_copies") * col("n_clusters")).as("n_docs"))
+    val tot = broadcast(h.agg(sum(col("n_docs")).cast("long").as("_total")))
+    h.crossJoin(tot)
+      .select(col("n_copies"), col("n_clusters"), col("n_docs"),
+        (col("n_docs").cast("double") / col("_total").cast("double"))
+          .as("doc_share"))
+  }
+
   /** Distinct word-k-shingle sets per doc: `(doc_id, shingle)` exploded and
     * `(doc_id, n_shingles)` sizes. The shingle table is cached — every
     * consumer (signature, band join sides, verify sides) would otherwise

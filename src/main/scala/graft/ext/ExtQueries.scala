@@ -36,6 +36,17 @@ object ExtQueries {
     "x02_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), 3, 0.8)),
 
+    // Dup-cluster histogram (r8 second half): clusters per multiplicity
+    // and each multiplicity's document share — the dedup shape row (a
+    // long tail of big clusters = template/boilerplate content).
+    "x179_dup_cluster_histogram" -> ((s, dir) =>
+      Dedup.clusterHistogram(Tables.documents(s, dir))),
+
+    // Source-token Gini (r8 second half): one number for mixture
+    // imbalance over exact per-source token totals.
+    "x180_source_token_gini" -> ((s, dir) =>
+      Curate.sourceTokenGini(Tables.documents(s, dir))),
+
     // Dedup savings by source (r8 second half): per source, the doc and
     // TOKEN mass sitting in exact-duplicate groups beyond the keeper —
     // the datasheet row a mixture owner reads before paying for tokens.
@@ -3309,6 +3320,27 @@ object ExtQueries {
         "FROM documents GROUP BY 1"),
 
     "x02_dedup_ngram_jaccard" -> jaccardAllPairsSql,
+
+    // x179: x01's groups re-aggregated by multiplicity + the 1-row total.
+    "x179_dup_cluster_histogram" ->
+      ("WITH g AS (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY 1), " +
+        "hh AS (SELECT n_copies, CAST(count(*) AS BIGINT) AS n_clusters, " +
+        "CAST(n_copies * count(*) AS BIGINT) AS n_docs FROM g GROUP BY 1), " +
+        "tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM hh) " +
+        "SELECT n_copies, n_clusters, n_docs, " +
+        "CAST(n_docs AS DOUBLE)/CAST(total AS DOUBLE) AS doc_share FROM hh, tt"),
+
+    // x180: exact per-source token totals, rank-weighted ascending fold,
+    // the closed-form Gini.
+    "x180_source_token_gini" ->
+      (s"WITH t AS ($toksCte), " +
+        "gt AS (SELECT d.source, CAST(sum(len(t.toks)) AS BIGINT) AS tokens " +
+        "FROM documents d JOIN t ON d.doc_id = t.doc_id GROUP BY 1), " +
+        "gr AS (SELECT source, tokens, CAST(row_number() OVER (ORDER BY tokens, source) AS BIGINT) AS rnk FROM gt) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_sources, CAST(sum(tokens) AS BIGINT) AS total_tokens, " +
+        "2.0 * list_aggregate(list(CAST(rnk AS DOUBLE) * CAST(tokens AS DOUBLE) ORDER BY rnk), 'sum') " +
+        "/ (CAST(count(*) AS DOUBLE) * CAST(sum(tokens) AS DOUBLE)) " +
+        "- CAST(count(*) + 1 AS DOUBLE)/CAST(count(*) AS DOUBLE) AS gini FROM gr"),
 
     // x176: x01's digest groups joined to token counts, per-source rollup.
     "x176_dedup_savings_by_source" ->

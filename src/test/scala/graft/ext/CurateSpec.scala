@@ -380,6 +380,23 @@ class CurateSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Curate.tokenBudgetMix(docs, -5L) }
   }
 
+  test("sourceTokenGini: hand-computed two-source value; balanced and degenerate extremes") {
+    // totals 1 and 3 tokens -> exact Gini 0.25
+    val two = Seq((1L, "s1", "x"), (2L, "s2", "a b c")).toDF("doc_id", "source", "text")
+    val r = Curate.sourceTokenGini(two).collect().head
+    assert(r.getLong(r.fieldIndex("n_sources")) === 2L)
+    assert(r.getLong(r.fieldIndex("total_tokens")) === 4L)
+    assert(r.getDouble(r.fieldIndex("gini")) === 0.25)
+    // perfectly balanced -> 0
+    val bal = Seq((1L, "s1", "a b"), (2L, "s2", "c d")).toDF("doc_id", "source", "text")
+    val rb = Curate.sourceTokenGini(bal).collect().head
+    assert(rb.getDouble(rb.fieldIndex("gini")) === 0.0)
+    // fixture: bounded in [0, 1)
+    val rf = Curate.sourceTokenGini(Tables.documents(spark, sfDir)).collect().head
+    val g = rf.getDouble(rf.fieldIndex("gini"))
+    assert(g >= 0.0 && g < 1.0)
+  }
+
   test("tokenBudgetMixWeighted: per-source budgets honored; constant budgets reproduce tokenBudgetMix") {
     // Two sources, equal-length docs: source a's budget keeps 2 of 3 docs,
     // source b's smaller budget keeps exactly 1.

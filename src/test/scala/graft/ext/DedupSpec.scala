@@ -288,6 +288,21 @@ class DedupSpec extends SparkTestBase {
     out.foreach(r => assert(r.getLong(2) <= r.getLong(1), s"coverage exceeds doc length: $r"))
   }
 
+  test("clusterHistogram: planted multiplicities, shares sum to 1") {
+    val tiny = Seq(
+      (1L, "a a"), (2L, "a a"), (3L, "a a"),  // one 3-cluster
+      (4L, "b b"), (5L, "b b"),               // one 2-cluster
+      (6L, "c c"), (7L, "d d")                // two singletons
+    ).toDF("doc_id", "text")
+    val by = Dedup.clusterHistogram(tiny).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(by(3L).getLong(by(3L).fieldIndex("n_clusters")) === 1L)
+    assert(by(2L).getLong(by(2L).fieldIndex("n_clusters")) === 1L)
+    assert(by(1L).getLong(by(1L).fieldIndex("n_clusters")) === 2L)
+    assert(by.values.map(r => r.getLong(r.fieldIndex("n_docs"))).sum === 7L)
+    assert(math.abs(by.values.map(r => r.getDouble(r.fieldIndex("doc_share"))).sum - 1.0) < 1e-12)
+  }
+
   test("savingsBySource: planted duplicates counted token-exactly, keeper never charged") {
     val tiny = Seq(
       (1L, "a", "x y z"), (2L, "a", "x y z"), (3L, "a", "x y z"), // 3-way dup: 2 charged
