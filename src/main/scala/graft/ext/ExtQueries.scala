@@ -75,6 +75,15 @@ object ExtQueries {
       Similarity.bruteForceTopK(e.where(col("vec_id") < 5), e, 10)
     }),
 
+    // Matryoshka truncation frontier (r8 batch 5): top-k recall of cosine
+    // search over renormalized embedding PREFIXES at 64/32/16/8 dims vs
+    // the full-dim truth — the dimensionality rung of the quantization
+    // menu (x146/x161/x167 are the byte rungs).
+    "x181_matryoshka_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.matryoshkaRecallReport(e.where(col("vec_id") < 5), e, 10)
+    }),
+
     // Hard-negative mining (r5): per query, the top-k most-similar corpus
     // vectors with a DIFFERENT label — contrastive-training negatives
     // preparation; x06's streaming-corpus shape with a label guard.
@@ -3440,6 +3449,33 @@ object ExtQueries {
         "SELECT vec_a, vec_b, cos FROM s WHERE cos >= 0.4"),
 
     "x06_ann_bruteforce_topk" -> annBruteSql,
+
+    // x181: per truncation dim, renormalized-prefix cosine top-10 vs the
+    // full-dim truth; cos = dot/sqrt(nq)/sqrt(nv) in exactly the engine's
+    // division order.
+    "x181_matryoshka_recall" -> {
+      def leg(d: Int): String = {
+        val qe = s"qe[1:$d]"
+        val ve = s"emb[1:$d]"
+        s"s$d AS (SELECT q_id, vec_id, " +
+          s"${dotSql(qe, ve)} / sqrt(${dotSql(qe, qe)}) / sqrt(${dotSql(ve, ve)}) AS cos " +
+          "FROM e, q WHERE q_id <> vec_id), " +
+          s"a$d AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+          s"row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s$d) WHERE rank <= 10), " +
+          s"leg$d AS (SELECT CAST($d AS BIGINT) AS dims, CAST(${d * 4}.0 AS DOUBLE) AS bytes_per_vec, " +
+          "CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_truth, " +
+          s"CAST((SELECT count(*) FROM a$d) AS BIGINT) AS n_approx, " +
+          s"CAST((SELECT count(*) FROM tp JOIN a$d USING (q_id, vec_id)) AS BIGINT) AS n_common, " +
+          s"CAST((SELECT count(*) FROM tp JOIN a$d USING (q_id, vec_id)) AS DOUBLE) " +
+          "/ (SELECT count(*) FROM tp) AS recall)"
+      }
+      val dims = Similarity.MatryoshkaDims
+      s"WITH tp AS (SELECT q_id, vec_id FROM ($annBruteSql)), " +
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 5), " +
+        dims.map(leg).mkString(", ") + " " +
+        dims.map(d => s"SELECT * FROM leg$d").mkString(" UNION ALL ")
+    },
 
     "x98_winnowing_pairs" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +

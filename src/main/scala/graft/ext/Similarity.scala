@@ -1323,6 +1323,59 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** Matryoshka truncation dims for the recall frontier (full dim first —
+    * the recall-1.0 anchor row; the fixture embedding dim is 64). */
+  val MatryoshkaDims: Seq[Int] = Seq(64, 32, 16, 8)
+
+  /** Matryoshka dimension-truncation recall frontier (Kusupati et al. 2022,
+    * "Matryoshka Representation Learning"; public method): top-k recall of
+    * cosine search over the PREFIX of each embedding at descending dims,
+    * against the full-dim brute-force truth — the DIMENSIONALITY rung of
+    * the quantization menu beside the byte rungs (x146 PQ, x167 SQ8,
+    * x161 residual): dims/4 at float32 is 4 B/dim saved with no codebook.
+    * Truncated prefixes are not unit vectors, so each leg re-normalizes:
+    * cos = dot(q_d, v_d) / √(q_d·q_d) / √(v_d·v_d) — two IEEE-exact
+    * divisions in that exact order, mirrored verbatim by the oracle
+    * (√ is correctly rounded in both engines). Zero-norm prefixes would
+    * 0-divide; the fixture has none (min prefix-8 norm² ≈ 0.0125 at
+    * sf0.1) and a NULL cosine would surface as a row-count mismatch, so
+    * the gate itself guards the degenerate case.
+    *
+    * Scale shape: each leg is [[bruteForceTopK]]'s broadcast-queries ×
+    * streamed-corpus scan (the x69 recall-report exemption — eval runs on
+    * a bounded query set); the truncated scan reads d/64 of the vector
+    * bytes, which is the point being measured.
+    */
+  def matryoshkaRecallReport(queries: DataFrame, emb: DataFrame, k: Int = 10,
+      dims: Seq[Int] = MatryoshkaDims): DataFrame = {
+    val truth = graft.ops.Caching.cacheOnce(
+      bruteForceTopK(queries, emb, k).select("q_id", "vec_id"))
+    dims.map { d =>
+      val qs = broadcast(queries.select(col("vec_id").as("q_id"),
+        slice(col("embedding"), 1, d).as("q_emb")))
+      val vs = emb.select(col("vec_id"), slice(col("embedding"), 1, d).as("v_emb"))
+      val scored = vs.join(qs, col("q_id") =!= col("vec_id"))
+        .withColumn("cos",
+          GraftFunctions.cosineSim(col("q_emb"), col("v_emb"))
+            / sqrt(GraftFunctions.cosineSim(col("q_emb"), col("q_emb")))
+            / sqrt(GraftFunctions.cosineSim(col("v_emb"), col("v_emb"))))
+      val approxTop = scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)))
+        .where(col("rank") <= k).select("q_id", "vec_id")
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      val nA = approxTop.agg(count(lit(1)).as("n_approx"))
+      val nC = truth.join(approxTop, Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).as("n_common"))
+      nT.crossJoin(broadcast(nA)).crossJoin(broadcast(nC))
+        .select(lit(d.toLong).as("dims"),
+          lit(d * 4.0).as("bytes_per_vec"),
+          col("n_truth"), col("n_approx"), col("n_common"),
+          (col("n_common").cast("double") / col("n_truth").cast("double"))
+            .as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Semantic-decontamination eval fraction and similarity threshold.
     * τ = 0.4 is the repo's established embedding near-dup threshold (x05):
     * the fixture's diffuse synthetic vectors sit far below real-text

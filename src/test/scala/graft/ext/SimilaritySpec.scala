@@ -677,4 +677,36 @@ class SimilaritySpec extends SparkTestBase {
     val r1 = a.find(_.getLong(0) == 1L).get
     assert(r1.getDouble(3) === Similarity.MmrLambda * r1.getDouble(2))
   }
+
+  test("matryoshka: full-dim anchor recalls 1.0; truncation flips a rank the renormalized cosine must see") {
+    // q = e1, so full cos = v[0] (unit vectors). vB wins at full dim
+    // (0.7 > 0.6) but its mass sits in dim 2, so the renormalized
+    // 2-dim prefix ranks vA first (1.0 > 0.7) — recall@1 drops to 0.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.6f, 0.0f, 0.8f, 0.0f)),                  // vA: cos4 0.6, cos2 1.0
+      (2L, Seq(0.7f, 0.71414284f, 0.0f, 0.0f))            // vB: cos4 0.7, cos2 0.7
+    ).toDF("vec_id", "embedding")
+    val rep = Similarity.matryoshkaRecallReport(
+        emb.where($"vec_id" === 0), emb, 1, Seq(4, 2))
+      .collect().map(r => (r.getLong(0), r)).toMap
+    assert(rep(4L).getAs[Double]("recall") === 1.0)
+    assert(rep(4L).getAs[Long]("n_truth") === 1L)
+    assert(rep(2L).getAs[Double]("recall") === 0.0)
+    assert(rep(2L).getAs[Long]("n_approx") === 1L)       // still returns k rows
+    assert(rep(4L).getAs[Double]("bytes_per_vec") === 16.0)
+    assert(rep(2L).getAs[Double]("bytes_per_vec") === 8.0)
+  }
+
+  test("matryoshka report is deterministic and monotone-shaped on real embeddings") {
+    import graft.sources.Tables
+    val e = Tables.embeddings(spark, sfDir)
+    val rep = Similarity.matryoshkaRecallReport(e.where($"vec_id" < 3), e, 5)
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("recall"))).toMap
+    assert(rep(64L) === 1.0)                              // the anchor row
+    assert(rep.values.forall(r => r >= 0.0 && r <= 1.0))
+    val rep2 = Similarity.matryoshkaRecallReport(e.where($"vec_id" < 3), e, 5)
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("recall"))).toMap
+    assert(rep === rep2)
+  }
 }
