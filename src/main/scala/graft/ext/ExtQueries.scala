@@ -102,6 +102,24 @@ object ExtQueries {
     "x97_vocab_diversity" -> ((s, dir) =>
       TextOps.vocabDiversity(Tables.documents(s, dir), col("source"))),
 
+    // Zipf rank-frequency profile (r8 batch 5): exact frequency, r·f(r)
+    // constancy ratio and cumulative share at power-of-two ranks — the
+    // corpus-statistics datasheet row, transcendental-free.
+    "x182_zipf_profile" -> ((s, dir) =>
+      TextOps.zipfProfile(Tables.documents(s, dir))),
+
+    // Heaps'-law vocabulary growth (r8 batch 5): cumulative types vs
+    // cumulative tokens at 10 doc-order checkpoints — "is the vocabulary
+    // saturating?" for the more-data-vs-more-sources decision.
+    "x183_heaps_growth" -> ((s, dir) =>
+      TextOps.heapsGrowth(Tables.documents(s, dir))),
+
+    // Distinct-n generation diversity (r8 batch 5): per-source exact
+    // distinct-1/distinct-2 ratios — the mode-collapse audit for
+    // synthetic training data (Li 2016).
+    "x184_ngram_diversity" -> ((s, dir) =>
+      TextOps.ngramDiversity(Tables.documents(s, dir), col("source"))),
+
     // Distribution-level corpus drift (r5): pairwise χ²-like divergence
     // between sources over hashed-unigram distributions — catches a source
     // changing CONTENT where x63's digest diff only catches changed rows.
@@ -3491,6 +3509,58 @@ object ExtQueries {
         "h AS (SELECT doc_id, fp.fp AS fp FROM fp JOIN rare USING (fp)) " +
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared " +
         "FROM h a JOIN h b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2"),
+
+    // x182: vocab counts → TakeOrdered top-1024 (rank/cumsum windows over
+    // the bounded set) → power-of-two checkpoint rows. rank·freq exact
+    // BIGINT; the two doubles are single divisions of exact ints.
+    "x182_zipf_profile" ->
+      ("WITH tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_types FROM tc), " +
+        "tf AS (SELECT CAST(max(freq) AS BIGINT) AS top_freq FROM tc), " +
+        "rk AS (SELECT freq, CAST(row_number() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS rank, " +
+        "CAST(sum(freq) OVER (ORDER BY freq DESC, tok ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_freq FROM tc) " +
+        "SELECT rank, freq, rank * freq AS rank_x_freq, " +
+        "CAST(cum_freq AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS cum_share, " +
+        "CAST(top_freq AS DOUBLE) / CAST(rank * freq AS DOUBLE) AS zipf_ratio, " +
+        "n_tokens, n_types FROM rk, tot, tf " +
+        s"WHERE rank IN (${TextOps.ZipfRanks.mkString(", ")})"),
+
+    // x183: doc_id value-range deciles vs the 1-row max; per-type min
+    // first-seen decile; cumulative sums over the ≤10-row bucket set.
+    "x183_heaps_growth" ->
+      ("WITH mx AS (SELECT max(doc_id) AS max_id FROM documents), " +
+        "d AS (SELECT doc_id, text, CAST(least(9, (doc_id * 10) // (max_id + 1)) AS BIGINT) AS decile FROM documents, mx), " +
+        "pd AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_toks FROM d GROUP BY 1), " +
+        "fs AS (SELECT tok, min(decile) AS decile FROM " +
+        "(SELECT decile, unnest(string_split(text, ' ')) AS tok FROM d) GROUP BY 1), " +
+        "nt AS (SELECT decile, CAST(count(*) AS BIGINT) AS new_types FROM fs GROUP BY 1), " +
+        "j AS (SELECT decile, n_docs, n_toks, coalesce(new_types, 0) AS new_types FROM pd LEFT JOIN nt USING (decile)) " +
+        "SELECT decile, CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs, " +
+        "CAST(sum(n_toks) OVER w AS BIGINT) AS cum_tokens, " +
+        "CAST(sum(new_types) OVER w AS BIGINT) AS cum_types, " +
+        "CAST(sum(new_types) OVER w AS DOUBLE) / CAST(sum(n_toks) OVER w AS DOUBLE) AS type_token_ratio " +
+        "FROM j WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"),
+
+    // x184: exact unigram/bigram type-over-occurrence ratios per source;
+    // single-token-only slices re-admitted by the left join, distinct_2
+    // NULL-guarded (the engine's 0/0 rule).
+    "x184_ngram_diversity" ->
+      ("WITH b AS (SELECT source AS slice, string_split(text, ' ') AS toks FROM documents), " +
+        "u AS (SELECT slice, CAST(count(*) AS BIGINT) AS n_unigrams, " +
+        "CAST(count(DISTINCT g) AS BIGINT) AS v_unigrams FROM " +
+        "(SELECT slice, unnest(toks) AS g FROM b) GROUP BY 1), " +
+        "bg AS (SELECT slice, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+        "CAST(count(DISTINCT g) AS BIGINT) AS v_bigrams FROM " +
+        "(SELECT slice, unnest(CASE WHEN len(toks) >= 2 THEN " +
+        "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) " +
+        "ELSE [] END) AS g FROM b) GROUP BY 1) " +
+        "SELECT slice, n_unigrams, v_unigrams, " +
+        "CAST(v_unigrams AS DOUBLE) / CAST(n_unigrams AS DOUBLE) AS distinct_1, " +
+        "coalesce(n_bigrams, 0) AS n_bigrams, coalesce(v_bigrams, 0) AS v_bigrams, " +
+        "CASE WHEN coalesce(n_bigrams, 0) > 0 THEN CAST(v_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE) END AS distinct_2 " +
+        "FROM u LEFT JOIN bg USING (slice)"),
 
     "x97_vocab_diversity" ->
       ("WITH cf AS (SELECT slice, CAST(('0x' || substr(md5(tok), 1, 4)) AS INT) % 1024 AS f " +

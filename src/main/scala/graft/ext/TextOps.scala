@@ -847,4 +847,132 @@ object TextOps {
         col("top4_char_frac") > RepTop4 || col("dup5_char_frac") > RepDup5 ||
         col("dup8_char_frac") > RepDup8)
   }
+
+  /** Power-of-two checkpoint ranks for [[zipfProfile]]. */
+  val ZipfRanks: Seq[Int] = Seq(1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+
+  /** Zipf rank-frequency profile — the corpus-statistics datasheet row that
+    * checks the token distribution against the power law (Zipf 1949). Under
+    * an ideal slope-1 law, rank·freq is constant, so at each power-of-two
+    * checkpoint rank r the profile reports the exact frequency, the product
+    * r·f(r), the constancy ratio f(1)/(r·f(r)) (≈1 under the law; a corpus
+    * collapsed to boilerplate spikes it toward 0 at small r and a
+    * hash-soup corpus drives it up), and the cumulative token share of the
+    * top-r types. Everything is exact integer arithmetic plus single
+    * double divisions — the house transcendental-free rule (a fitted
+    * log-log slope would need `ln`, which does not hash-match across
+    * engines; the constancy ratio carries the same signal rationally).
+    *
+    * Scale shape: the vocab groupBy partial-aggregates map-side; the
+    * top-`maxRank` cut is `orderBy.limit` = TakeOrderedAndProject (per-
+    * partition heap top-k, never a global sort); the rank/cumsum window
+    * then runs over ≤`maxRank` rows — a bounded single-partition window,
+    * same budget class as the 1-row crossJoin constants.
+    */
+  def zipfProfile(docs: DataFrame, maxRank: Int = 1024,
+      text: Column = col("text")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(explode(tokens(text)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val totals = counts.agg(sum(col("freq")).as("n_tokens"),
+      count(lit(1)).as("n_types"))
+    val top = counts.orderBy(col("freq").desc, col("tok").asc).limit(maxRank)
+    val w = Window.orderBy(col("freq").desc, col("tok").asc)
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_freq", sum(col("freq")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("rank").isin(ZipfRanks.filter(_ <= maxRank).map(_.toLong): _*))
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(top.agg(max(col("freq")).as("top_freq"))))
+      .select(col("rank"), col("freq"),
+        (col("rank") * col("freq")).as("rank_x_freq"),
+        (col("cum_freq").cast("double") / col("n_tokens").cast("double"))
+          .as("cum_share"),
+        (col("top_freq").cast("double") / (col("rank") * col("freq")).cast("double"))
+          .as("zipf_ratio"),
+        col("n_tokens"), col("n_types"))
+  }
+
+  /** Heaps'-law vocabulary-growth curve (Heaps 1978): cumulative distinct
+    * token types vs cumulative token mass at `buckets` checkpoints along
+    * doc_id order — the datasheet row that answers "is the vocabulary
+    * still growing, or has the corpus saturated?" (a flattening curve
+    * means more data adds tokens but no new types — the diversity
+    * argument for MORE SOURCES rather than more of the same source).
+    * Checkpoints are doc_id value-range buckets against the 1-row max-id
+    * aggregate — pure per-row integer arithmetic (`div`), no global
+    * window, no density assumption (sparse ids just shift mass between
+    * buckets, identically in both engines; an id-range bucket with no
+    * docs contributes no row).
+    *
+    * Scale shape: a type's first-seen bucket is one `groupBy(tok).min`
+    * with map-side partials (vocab-sized state); per-bucket doc/token
+    * mass is one partial-agg pass; the cumulative window runs over
+    * ≤`buckets` rows. type_token_ratio is the single exact-int division.
+    */
+  def heapsGrowth(docs: DataFrame, buckets: Int = 10,
+      text: Column = col("text")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxId = broadcast(docs.agg(max(col("doc_id")).as("max_id")))
+    val d = docs.crossJoin(maxId)
+      .withColumn("decile",
+        least(lit(buckets - 1).cast("long"),
+          expr(s"(doc_id * $buckets) div (max_id + 1)")).cast("long"))
+    val perBucket = d.groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum(size(tokens(text))).as("n_toks"))
+    val newTypes = d.select(col("decile"), explode(tokens(text)).as("tok"))
+      .groupBy("tok").agg(min(col("decile")).as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(newTypes, Seq("decile"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .select(col("decile"),
+        sum(col("n_docs")).over(w).as("cum_docs"),
+        sum(col("n_toks")).over(w).as("cum_tokens"),
+        sum(col("new_types")).over(w).as("cum_types"))
+      .withColumn("type_token_ratio",
+        col("cum_types").cast("double") / col("cum_tokens").cast("double"))
+  }
+
+  /** Distinct-n generation-diversity ratios (Li et al. 2016, "A
+    * Diversity-Promoting Objective Function for Neural Conversation
+    * Models"): per slice, distinct unigram and bigram types over total
+    * n-gram occurrences — the standard mode-collapse audit for synthetic /
+    * model-generated training data (a collapsed generator repeats the
+    * same phrases: distinct-2 craters first). Exact type counts (not
+    * [[vocabDiversity]]'s hashed-bucket Simpson index — this is the
+    * companion exact-count row, and it adds the bigram level).
+    *
+    * Scale shape: two explode → partial-agg groupBys; `countDistinct`
+    * expands to the standard two-phase distinct aggregate (per-slice
+    * distinct-key shuffle, vocab-sized per slice). Slices whose docs are
+    * all single-token have no bigram occurrences: explode of the empty
+    * array drops the rows, the left join re-admits the slice, and
+    * distinct_2 stays NULL (0/0 guarded, the house fail-visible rule).
+    */
+  def ngramDiversity(docs: DataFrame, sliceCol: Column,
+      text: Column = col("text")): DataFrame = {
+    val base = docs.select(sliceCol.as("slice"), tokens(text).as("toks"))
+    val uni = base.select(col("slice"), explode(col("toks")).as("g"))
+      .groupBy("slice").agg(count(lit(1)).as("n_unigrams"),
+        countDistinct(col("g")).as("v_unigrams"))
+    val bi = base.select(col("slice"), explode(
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", slice(col("toks"), i, lit(2)))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      .groupBy("slice").agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("g")).as("v_bigrams"))
+    uni.join(bi, Seq("slice"), "left")
+      .select(col("slice"), col("n_unigrams"), col("v_unigrams"),
+        (col("v_unigrams").cast("double") / col("n_unigrams").cast("double"))
+          .as("distinct_1"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("v_bigrams"), lit(0L)).as("v_bigrams"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          col("v_bigrams").cast("double") / col("n_bigrams").cast("double"))
+          .as("distinct_2"))
+  }
 }

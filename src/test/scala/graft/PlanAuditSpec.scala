@@ -97,7 +97,10 @@ class PlanAuditSpec extends SparkTestBase {
     "x174_length_bias_audit" -> "x130's 1-row broadcast final-weight scoring ahead of the pool ranking (constant model state, x147's shape)",
     "x177_embedding_isotropy" -> "crossJoin of the 1-row mean-norm and 1-row dim-rollup aggregates (report constants)",
     "x178_influence_quartiles" -> "x151's 1-row weight + 1-row mean-held-out-gradient broadcasts (constant model state) + exactNtile's broadcast partition-offset map",
-    "x179_dup_cluster_histogram" -> "the 1-row doc-total crossJoined onto the multiplicity histogram (report constant)"
+    "x179_dup_cluster_histogram" -> "the 1-row doc-total crossJoined onto the multiplicity histogram (report constant)",
+    "x181_matryoshka_recall" -> "crossJoin of single-row count aggregates per truncation dim (recall-report constants, x154's shape) + the x06-shaped brute-force truth leg",
+    "x182_zipf_profile" -> "crossJoins of the 1-row vocab-totals and 1-row top-frequency aggregates onto the <=1024-row checkpoint set (report constants)",
+    "x183_heaps_growth" -> "the 1-row broadcast max-doc_id aggregate crossJoined onto the scan for per-row bucket arithmetic (constant, x84's token-total shape)"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {
@@ -121,7 +124,11 @@ class PlanAuditSpec extends SparkTestBase {
     "q35_cal_next_trading_day" ->
       "next-open lookahead over the TRADE CALENDAR (~250 rows/yr), broadcast onto facts — surfaced the moment the audit stopped being vacuous (r5)",
     "x44_sketch_kll_rollup" ->
-      "cumulative count over the VALUE-DOMAIN length histogram (distinct n_chars values), not corpus rows"
+      "cumulative count over the VALUE-DOMAIN length histogram (distinct n_chars values), not corpus rows",
+    "x182_zipf_profile" ->
+      "rank/cumsum over the top-maxRank(<=1024) TakeOrderedAndProject cut — bounded checkpoint set, not the vocabulary",
+    "x183_heaps_growth" ->
+      "cumulative sums over the <=10 doc_id-range bucket rows — calendar-sized input, not corpus rows"
   )
 
   test("no registered query plans a global (empty-partition) window (except documented calendar-sized ones)") {

@@ -416,4 +416,65 @@ class TextOpsSpec extends SparkTestBase {
       TextOps.repetitionSignals(docs.repartition(7)).collect().map(_.toSeq).toSet)
     fx.unpersist()
   }
+
+  test("zipfProfile: checkpoint rows exact on a crafted frequency ladder") {
+    // a×8 b×4 c×2 d×1 e×1 → 16 tokens, 5 types; ranks a=1 b=2 c=3 d=4 e=5
+    val df = Seq((1L, "a a a a a a a a b b"), (2L, "b b c c d e"))
+      .toDF("doc_id", "text")
+    val rows = TextOps.zipfProfile(df)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet === Set(1L, 2L, 4L))            // vocab 5 < rank 8
+    assert(rows(1L).getAs[Long]("freq") === 8L)
+    assert(rows(1L).getAs[Long]("rank_x_freq") === 8L)
+    assert(rows(1L).getAs[Double]("cum_share") === 0.5)
+    assert(rows(1L).getAs[Double]("zipf_ratio") === 1.0)
+    assert(rows(2L).getAs[Long]("rank_x_freq") === 8L) // 2×4: perfect law
+    assert(rows(2L).getAs[Double]("cum_share") === 0.75)
+    assert(rows(4L).getAs[Long]("freq") === 1L)        // d at rank 4
+    assert(rows(4L).getAs[Double]("zipf_ratio") === 2.0)
+    assert(rows(4L).getAs[Long]("n_tokens") === 16L)
+    assert(rows(4L).getAs[Long]("n_types") === 5L)
+    // maxRank truncates the candidate set before checkpointing
+    assert(TextOps.zipfProfile(df, maxRank = 2).collect().length === 2)
+  }
+
+  test("heapsGrowth: cumulative types/tokens exact on range buckets; sparse ids safe") {
+    val df = Seq((0L, "a b"), (1L, "a c"), (2L, "a b"), (3L, "d"))
+      .toDF("doc_id", "text")
+    // max_id 3 → bucket = (id*2) div 4: ids 0,1 → 0; ids 2,3 → 1
+    val r = TextOps.heapsGrowth(df, buckets = 2)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getAs[Long]("cum_docs") === 2L)
+    assert(r(0L).getAs[Long]("cum_tokens") === 4L)
+    assert(r(0L).getAs[Long]("cum_types") === 3L)      // {a, b, c}
+    assert(r(0L).getAs[Double]("type_token_ratio") === 0.75)
+    assert(r(1L).getAs[Long]("cum_docs") === 4L)
+    assert(r(1L).getAs[Long]("cum_tokens") === 7L)
+    assert(r(1L).getAs[Long]("cum_types") === 4L)      // + {d}
+    // sparse ids: value-range bucketing needs no density assumption
+    val sparse = Seq((0L, "a"), (10L, "b")).toDF("doc_id", "text")
+    val s = TextOps.heapsGrowth(sparse, buckets = 2)
+      .collect().map(x => x.getLong(0) -> x.getAs[Long]("cum_types")).toMap
+    assert(s === Map(0L -> 1L, 1L -> 2L))
+    // monotone on the fixture: types never shrink, ratio bounded
+    val fx = TextOps.heapsGrowth(Tables.documents(spark, sfDir)).collect()
+      .sortBy(_.getLong(0))
+    assert(fx.map(_.getAs[Long]("cum_types")).sliding(2)
+      .forall(p => p.length < 2 || p(0) <= p(1)))
+    assert(fx.last.getAs[Double]("type_token_ratio") > 0.0)
+  }
+
+  test("ngramDiversity: exact distinct-1/distinct-2; single-token slice keeps NULL distinct_2") {
+    val df = Seq((1L, "x", "a b a"), (2L, "x", "a"), (3L, "y", "z"))
+      .toDF("doc_id", "source", "text")
+    val r = TextOps.ngramDiversity(df, col("source"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("x").getAs[Long]("n_unigrams") === 4L)
+    assert(r("x").getAs[Long]("v_unigrams") === 2L)
+    assert(r("x").getAs[Double]("distinct_1") === 0.5)
+    assert(r("x").getAs[Long]("n_bigrams") === 2L)     // "a b", "b a"
+    assert(r("x").getAs[Double]("distinct_2") === 1.0)
+    assert(r("y").getAs[Long]("n_bigrams") === 0L)
+    assert(r("y").isNullAt(r("y").fieldIndex("distinct_2")))
+  }
 }
