@@ -864,4 +864,79 @@ object Curate {
         min("fp").as("min_fp"),
         max("fp").as("max_fp"))
   }
+
+  /** The k in [[kAnonymityAudit]]: quasi-identifier groups smaller than
+    * this are disclosure risks. Embedded in the oracle. */
+  val KAnonThreshold = 5L
+
+  /** Char-length bucket width for [[kAnonymityAudit]]'s quasi-identifier
+    * tuple. Embedded in the oracle. */
+  val KAnonLenBucket = 128L
+
+  /** k-anonymity audit — the privacy datasheet row: treat
+    * (source, lang, length-bucket) as a quasi-identifier tuple and count
+    * the documents whose tuple-group has fewer than [[KAnonThreshold]]
+    * members. A released corpus where a metadata combination singles out
+    * one document re-identifies its author even after PII redaction
+    * (Sweeney 2002, "k-anonymity"; public method) — this is the check
+    * run BEFORE publishing per-slice statistics or per-slice samples.
+    * One row per at-risk group size (1..k−1): how many groups, how many
+    * docs, and the corpus share at that exposure level.
+    *
+    * Scale shape: one quasi-identifier groupBy (map-side partials,
+    * bounded by the metadata cross-product, not the corpus), a second
+    * tiny aggregation over group sizes, and the 1-row doc total as a
+    * report constant. Exact integer counts; zero text movement.
+    */
+  def kAnonymityAudit(docs: DataFrame, k: Long = KAnonThreshold): DataFrame = {
+    val g = docs
+      .select(col("source"), col("lang"),
+        expr(s"n_chars div $KAnonLenBucket").as("_lb"))
+      .groupBy("source", "lang", "_lb").agg(count(lit(1)).as("_gs"))
+    val h = g.where(col("_gs") < k)
+      .groupBy(col("_gs").as("group_size"))
+      .agg(count(lit(1)).as("n_groups"))
+      .select(col("group_size"), col("n_groups"),
+        (col("group_size") * col("n_groups")).as("n_docs"))
+    h.crossJoin(broadcast(docs.agg(count(lit(1)).as("_total"))))
+      .select(col("group_size"), col("n_groups"), col("n_docs"),
+        (col("n_docs").cast("double") / col("_total").cast("double"))
+          .as("at_risk_frac"))
+  }
+
+  /** Quality-mass Lorenz curve — the doc-granularity companion to
+    * [[sourceTokenGini]]: rank every doc by the house quality score
+    * (best first), cut into 10 exact deciles, and report each decile's
+    * doc count, token mass, and CUMULATIVE token share. The row a
+    * curation owner actually reads is "keep the top-k deciles → keep
+    * cum_token_share of the tokens": whether quality-filtering starves
+    * the token budget depends on this curve, not on doc counts (long
+    * high-quality docs bend it above the diagonal; if quality anti-
+    * correlates with length, a 50% doc cut can be a 70% token cut).
+    *
+    * Scale shape: decile assignment is [[graft.ops.Quality.exactNtile]]
+    * (range-partitioned two-phase rank, no global window over docs);
+    * ranking is on (−score, doc_id) — a total order, so the cut is
+    * deterministic. Per-decile sums partial-aggregate; the cumulative
+    * window runs over the 10 decile rows and the 1-row token total is a
+    * broadcast report constant.
+    */
+  def qualityMassCurve(docs: DataFrame): DataFrame = {
+    val m = TextOps.qualityMetrics(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .withColumn("_negq", -col("quality_score"))
+    val per = graft.ops.Quality.exactNtile(m, 10, Seq("_negq", "doc_id"))
+      .groupBy("bin").agg(
+        count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.crossJoin(broadcast(per.agg(sum("n_tokens").as("_tot"))))
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("bin"), col("n_docs"), col("n_tokens"),
+        col("cum_docs"), col("cum_tokens"),
+        when(col("_tot") > 0,
+          col("cum_tokens").cast("double") / col("_tot").cast("double"))
+          .as("cum_token_share"))
+  }
 }

@@ -58,6 +58,59 @@ object Dedup {
           .as("savings_frac"))
   }
 
+  /** Per-epoch value-decay factor for [[effectiveTokens]]: the k-th copy
+    * of identical content contributes `RepeatDecay^(k−1)` of its token
+    * mass. 0.5 is the dyadic surrogate for the exponential repeat-value
+    * decay measured in Muennighoff et al. 2023 ("Scaling Data-Constrained
+    * Language Models"; public method) — dyadic so every per-copy factor
+    * is an EXACT double (t / 2^(k−1)) and the report hash-matches across
+    * engines, where a transcendental exp fit would not. Embedded in the
+    * oracle. */
+  val RepeatDecay = 0.5
+
+  /** Effective token mass under repetition — the data-constrained-scaling
+    * companion to [[savingsBySource]]: raw token counts overstate what a
+    * source is worth when its content repeats, because the k-th copy of
+    * the same text teaches less than the first (Muennighoff 2023). Each
+    * copy in an exact-duplicate group (ordered by doc_id — deterministic)
+    * contributes `tokens · [[RepeatDecay]]^(copy_rank−1)`; per source the
+    * report carries raw vs unique vs effective token mass and the
+    * effective fraction — the number a token-budget mixer should weigh
+    * sources BY instead of raw counts (`tokenBudgetMixWeighted` accepts
+    * exactly such a budget frame).
+    *
+    * Scale shape: one digest-keyed shuffle of (digest, id, count) — text
+    * never travels; the copy rank is a DIGEST-partitioned window (never
+    * global); decayed masses are exact dyadic doubles summed with the
+    * two-level √n fold discipline (order-stable, no corpus-sized
+    * buffers). Copy ranks past 63 contribute exactly 0.0 (the 2^63
+    * shift guard — identical rule in the oracle).
+    */
+  def effectiveTokens(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Stable.{sortedFold, bucketFold, sqrtBuckets}
+    val g = docs.select(col("doc_id"), col("source"), md5(col("text")).as("_h"),
+      size(TextOps.tokens(col("text"))).cast("long").as("_nt"))
+    val ranked = g.withColumn("_r", row_number().over(
+      Window.partitionBy("_h").orderBy("doc_id")).cast("long"))
+    val eff = ranked.withColumn("_eff",
+      when(col("_r") <= 63L, col("_nt").cast("double") /
+        expr("cast(shiftleft(1L, cast(_r - 1 as int)) as double)"))
+        .otherwise(lit(0.0)))
+    val fb = sqrtBuckets(docs.count())
+    val s1 = eff.groupBy(col("source"), pmod(col("doc_id"), lit(fb.toLong)).as("_bkt"))
+      .agg(count(lit(1)).as("_n"), sum(col("_nt")).as("_t"),
+        sum(when(col("_r") === 1L, col("_nt")).otherwise(0L)).as("_u"),
+        sortedFold(col("_eff")).as("_ps"))
+    s1.groupBy("source")
+      .agg(sum(col("_n")).as("n_docs"), sum(col("_t")).as("raw_tokens"),
+        sum(col("_u")).as("unique_tokens"),
+        bucketFold(col("_bkt"), col("_ps")).as("effective_tokens"))
+      .withColumn("effective_frac",
+        when(col("raw_tokens") > 0,
+          col("effective_tokens") / col("raw_tokens").cast("double")))
+  }
+
   /** Duplicate-cluster size histogram — the dedup datasheet's shape row:
     * how many exact-duplicate clusters exist at each multiplicity, and
     * what document share each multiplicity carries. A long tail of large

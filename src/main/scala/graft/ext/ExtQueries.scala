@@ -120,6 +120,37 @@ object ExtQueries {
     "x184_ngram_diversity" -> ((s, dir) =>
       TextOps.ngramDiversity(Tables.documents(s, dir), col("source"))),
 
+    // Exact midrank ROC-AUC of the gate scorer (r8 batch 6): the
+    // threshold-free model-comparison number beside x170's operating
+    // points — Mann–Whitney in doubled-integer units, distinct-score
+    // frame + two-phase prefix sum, no global window.
+    "x185_gate_auc" -> ((s, dir) =>
+      Trainer.gateAuc(s, Tables.documents(s, dir))),
+
+    // Padding-waste report (r8 batch 6): per-length-bucket pad economics
+    // + the bucketed-vs-pad-to-max corpus fractions — the measured
+    // throughput argument for length-sorted batching.
+    "x186_padding_waste" -> ((s, dir) =>
+      TextOps.paddingWaste(Tables.documents(s, dir))),
+
+    // Quality-mass Lorenz curve (r8 batch 6): cumulative token share by
+    // quality decile (exactNtile on (−score, doc_id)) — "keep the top-k
+    // deciles, keep what fraction of the tokens?"
+    "x187_quality_mass_curve" -> ((s, dir) =>
+      Curate.qualityMassCurve(Tables.documents(s, dir))),
+
+    // k-anonymity audit (r8 batch 7): docs whose (source, lang,
+    // length-bucket) quasi-identifier group has < k members — the
+    // privacy datasheet row run before publishing per-slice stats.
+    "x188_k_anonymity" -> ((s, dir) =>
+      Curate.kAnonymityAudit(Tables.documents(s, dir))),
+
+    // Effective token mass under repetition (r8 batch 7): per-source
+    // raw vs unique vs repeat-decayed token mass (Muennighoff 2023,
+    // dyadic decay) — what a token-budget mixer should weigh sources by.
+    "x189_effective_tokens" -> ((s, dir) =>
+      Dedup.effectiveTokens(Tables.documents(s, dir))),
+
     // Distribution-level corpus drift (r5): pairwise χ²-like divergence
     // between sources over hashed-unigram distributions — catches a source
     // changing CONTENT where x63's digest diff only catches changed rows.
@@ -2130,6 +2161,29 @@ object ExtQueries {
       "coalesce(threshold = gch.cht, false) AS chosen FROM gmt, gch"
   }
 
+  /** x185: exact midrank ROC-AUC over the held-out scores — the
+    * lrClassify scoring chain collapsed to distinct score values, the
+    * exclusive prefix count, and the doubled-unit Mann–Whitney statistic
+    * (2·midrank = 2·below + ties + 1, exact BIGINT throughout; AUC is
+    * the single final division). */
+  private def gateAucSql(buckets: Int, iters: Int): String = {
+    val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
+    s"WITH ${lrCtes(buckets, iters)}, " +
+      "ho AS (SELECT * FROM fx WHERE NOT (" +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5)), " +
+      s"mf AS (SELECT f.doc_id, f.y, ($m) AS m FROM ho f CROSS JOIN wi$iters w), " +
+      "sc2 AS (SELECT doc_id, y, (0.5 + 0.5*m/(1.0 + abs(m))) AS score FROM mf), " +
+      "ag AS (SELECT score, CAST(count(*) AS BIGINT) AS c, " +
+      "CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS p FROM sc2 GROUP BY 1), " +
+      "aw AS (SELECT *, CAST(coalesce(sum(c) OVER (ORDER BY score " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb FROM ag), " +
+      "st AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(c - p) AS BIGINT) AS n_neg, " +
+      "CAST(sum(p*(2*cb + c + 1)) AS BIGINT) AS sr2 FROM aw) " +
+      "SELECT n_pos, n_neg, sr2 AS sum_ranks_pos_x2, " +
+      "CASE WHEN n_pos > 0 AND n_neg > 0 THEN " +
+      "CAST(sr2 - n_pos*(n_pos + 1) AS DOUBLE)/CAST(2*n_pos*n_neg AS DOUBLE) END AS auc FROM st"
+  }
+
   /** x164: confident-learning label-noise audit — the lrClassify scoring
     * chain, per-class two-level-fold mean-score thresholds, cross-class
     * flags, 2-row rollup. */
@@ -3997,6 +4051,25 @@ object ExtQueries {
     "x170_gate_operating_points" ->
       gatePointsSql(Trainer.Buckets, Trainer.Iters),
 
+    "x185_gate_auc" ->
+      gateAucSql(Trainer.Buckets, Trainer.Iters),
+
+    // x186: per-bucket groupBy + the 1-row totals constant; all token
+    // arithmetic exact BIGINT, fractions single divisions (zero-length
+    // bucket NULL-guarded).
+    "x186_padding_waste" ->
+      (s"WITH pd AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n, " +
+        s"CAST(((len(string_split(text, ' ')) + ${TextOps.PadBucket - 1}) // ${TextOps.PadBucket}) * ${TextOps.PadBucket} AS BIGINT) AS seq_len FROM documents), " +
+        "pp AS (SELECT seq_len, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens FROM pd GROUP BY 1), " +
+        "pt AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(n) AS BIGINT) AS tt, " +
+        "CAST(sum(seq_len) AS BIGINT) AS tp, CAST(max(seq_len) AS BIGINT) AS mx FROM pd) " +
+        "SELECT seq_len, n_docs, sum_tokens, seq_len*n_docs AS padded_tokens, " +
+        "seq_len*n_docs - sum_tokens AS waste_tokens, " +
+        "CASE WHEN seq_len > 0 THEN CAST(seq_len*n_docs - sum_tokens AS DOUBLE)/CAST(seq_len*n_docs AS DOUBLE) END AS waste_frac, " +
+        "CASE WHEN tp > 0 THEN CAST(tp - tt AS DOUBLE)/CAST(tp AS DOUBLE) END AS bucketed_waste_frac, " +
+        "CASE WHEN mx*nd > 0 THEN CAST(mx*nd - tt AS DOUBLE)/CAST(mx*nd AS DOUBLE) END AS padmax_waste_frac " +
+        "FROM pp, pt"),
+
     "x143_lr_group_fairness" ->
       lrFairnessSql(Trainer.Buckets, Trainer.Iters),
 
@@ -4573,6 +4646,56 @@ object ExtQueries {
         "SELECT bin, CAST(count(*) AS BIGINT) AS n_docs, min(quality_score) AS min_score, " +
         "max(quality_score) AS max_score, CAST(sum(n_tokens) AS BIGINT) AS total_tokens " +
         "FROM b GROUP BY bin"),
+
+    // x187: x54's quality-score CTEs, deciles on (−score, doc_id)
+    // best-first (native NTILE — x108's proven exactNtile parity), then
+    // cumulative sums over the 10 decile rows + the 1-row token total.
+    "x187_quality_mass_curve" ->
+      (s"WITH t AS ($toksCte), d AS (SELECT doc_id, toks, text FROM documents JOIN t USING (doc_id)), " +
+        "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        s"CAST(len(list_filter(toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(toks) AS stopword_ratio, " +
+        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/length(text) AS alpha_ratio " +
+        "FROM d), " +
+        "s AS (SELECT doc_id, n_tokens, least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5 " +
+        "+ stopword_ratio*0.25 + alpha_ratio*0.25 AS quality_score FROM m), " +
+        "b AS (SELECT doc_id, n_tokens, " +
+        "CAST(ntile(10) OVER (ORDER BY -quality_score, doc_id) AS BIGINT) AS bin FROM s), " +
+        "pq AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM b GROUP BY 1), " +
+        "qt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM pq) " +
+        "SELECT bin, n_docs, n_tokens, " +
+        "CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs, " +
+        "CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens, " +
+        "CASE WHEN tt > 0 THEN CAST(sum(n_tokens) OVER w AS DOUBLE)/CAST(tt AS DOUBLE) END AS cum_token_share " +
+        "FROM pq, qt WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"),
+
+    // x188: quasi-identifier groupBy (metadata-bounded), group-size
+    // histogram below k, 1-row doc-total constant.
+    "x188_k_anonymity" ->
+      (s"WITH kg AS (SELECT source, lang, n_chars // ${Curate.KAnonLenBucket} AS lb, " +
+        "CAST(count(*) AS BIGINT) AS gs FROM documents GROUP BY 1, 2, 3), " +
+        s"kh AS (SELECT gs AS group_size, CAST(count(*) AS BIGINT) AS n_groups FROM kg WHERE gs < ${Curate.KAnonThreshold} GROUP BY 1), " +
+        "kt AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents) " +
+        "SELECT group_size, n_groups, group_size*n_groups AS n_docs, " +
+        "CAST(group_size*n_groups AS DOUBLE)/CAST(total AS DOUBLE) AS at_risk_frac FROM kh, kt"),
+
+    // x189: digest-partitioned copy rank, exact dyadic decay t/2^(r−1)
+    // (rank ≤ 63 guard, identical rule both engines), √n two-level folds
+    // for the double sums (x143's idiom).
+    "x189_effective_tokens" ->
+      ("WITH eg AS (SELECT doc_id, source, md5(text) AS h, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents), " +
+        "er AS (SELECT *, CAST(row_number() OVER (PARTITION BY h ORDER BY doc_id) AS BIGINT) AS r FROM eg), " +
+        "ee AS (SELECT *, CASE WHEN r <= 63 THEN CAST(nt AS DOUBLE)/" +
+        "CAST((CAST(1 AS BIGINT) << CAST(r - 1 AS INTEGER)) AS DOUBLE) ELSE 0.0 END AS eff FROM er), " +
+        "efb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM documents), " +
+        "e1 AS (SELECT source, doc_id % (SELECT b FROM efb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(nt) AS BIGINT) AS t, CAST(sum(CASE WHEN r = 1 THEN nt ELSE 0 END) AS BIGINT) AS u, " +
+        "list_aggregate(list_sort(list(eff)), 'sum') AS ps FROM ee GROUP BY 1, 2) " +
+        "SELECT source, CAST(sum(n) AS BIGINT) AS n_docs, CAST(sum(t) AS BIGINT) AS raw_tokens, " +
+        "CAST(sum(u) AS BIGINT) AS unique_tokens, " +
+        "list_aggregate(list(ps ORDER BY bkt), 'sum') AS effective_tokens, " +
+        "CASE WHEN sum(t) > 0 THEN list_aggregate(list(ps ORDER BY bkt), 'sum')/CAST(sum(t) AS DOUBLE) END AS effective_frac " +
+        "FROM e1 GROUP BY 1"),
 
     "x10_text_tokens" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens, " +

@@ -936,6 +936,54 @@ object TextOps {
         col("cum_types").cast("double") / col("cum_tokens").cast("double"))
   }
 
+  /** Length-bucket granularity for [[paddingWaste]]: documents pad up to
+    * the next multiple of this many tokens. 32 spans the fixture corpus's
+    * length distribution with several buckets (128 would collapse it to
+    * one row and report nothing); real corpora pass their model's
+    * sequence-length quantum. Embedded in the oracle. */
+  val PadBucket = 32
+
+  /** Padding-waste report — the sequence-batching economics row: when
+    * docs are padded to length buckets of [[PadBucket]] tokens (the
+    * length-sorted-batching discipline), how many pad tokens does each
+    * bucket burn, and how does the bucketed total compare to the naive
+    * pad-everything-to-max baseline? Per bucket: doc count, real token
+    * mass, padded mass (bucket length × docs), waste and waste fraction;
+    * plus the two corpus constants every row carries — bucketed total
+    * waste fraction vs the pad-to-max fraction. The gap between those two
+    * numbers is the throughput a training loader gains from bucketing —
+    * measured from the corpus, not assumed.
+    *
+    * Scale shape: one per-row length expression, one bucket-keyed groupBy
+    * (map-side partials, ≤ max_len/[[PadBucket]] groups) and ONE 1-row
+    * totals aggregate crossJoined back (report constant). Exact integer
+    * token arithmetic; fractions are single divisions, NULL-guarded for
+    * the empty-doc zero-length bucket.
+    */
+  def paddingWaste(docs: DataFrame, bucket: Int = PadBucket,
+      text: Column = col("text")): DataFrame = {
+    val d = docs.select(size(tokens(text)).cast("long").as("_n"))
+      .withColumn("seq_len",
+        expr(s"((_n + ${bucket - 1}) div $bucket) * $bucket"))
+    val per = d.groupBy("seq_len").agg(
+      count(lit(1)).as("n_docs"), sum(col("_n")).as("sum_tokens"))
+    val totals = broadcast(d.agg(
+      count(lit(1)).as("_nd"), sum(col("_n")).as("_tt"),
+      sum(col("seq_len")).as("_tp"), max(col("seq_len")).as("_mx")))
+    per.crossJoin(totals)
+      .select(col("seq_len"), col("n_docs"), col("sum_tokens"),
+        (col("seq_len") * col("n_docs")).as("padded_tokens"),
+        (col("seq_len") * col("n_docs") - col("sum_tokens")).as("waste_tokens"),
+        when(col("seq_len") > 0,
+          (col("seq_len") * col("n_docs") - col("sum_tokens")).cast("double")
+            / (col("seq_len") * col("n_docs")).cast("double")).as("waste_frac"),
+        when(col("_tp") > 0, (col("_tp") - col("_tt")).cast("double")
+          / col("_tp").cast("double")).as("bucketed_waste_frac"),
+        when(col("_mx") * col("_nd") > 0,
+          (col("_mx") * col("_nd") - col("_tt")).cast("double")
+            / (col("_mx") * col("_nd")).cast("double")).as("padmax_waste_frac"))
+  }
+
   /** Distinct-n generation-diversity ratios (Li et al. 2016, "A
     * Diversity-Promoting Objective Function for Neural Conversation
     * Models"): per slice, distinct unigram and bigram types over total

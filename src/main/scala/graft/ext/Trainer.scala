@@ -653,4 +653,58 @@ object Trainer {
         (col("_p") >= lit(0.5)).as("pred"),
         ((col("_p") >= lit(0.5)) === (col("y") === lit(1.0))).as("is_correct"))
   }
+
+  /** Exact ROC-AUC of the gate scorer on the held-out half, computed as
+    * the Mann–Whitney rank-sum statistic with MIDRANKS for ties — the
+    * threshold-free companion to [[gateOperatingPoints]]' decile sweep
+    * (AUC is what you compare two candidate gate models BY before
+    * choosing either's operating point). Transcendental-free and
+    * tie-correct: ranks are kept in DOUBLED units so every midrank
+    * (k + 0.5 under ties) is an exact integer —
+    * 2·midrank(s) = 2·|{scores < s}| + |{scores = s}| + 1 — and the
+    * statistic Σ_pos 2·midrank stays exact BIGINT; AUC is then the one
+    * double division (Σ − n_pos·(n_pos+1)) / (2·n_pos·n_neg), NULL when
+    * either class is absent (the house 0/0 rule).
+    *
+    * Scale shape: no global window and no per-doc rank column —
+    * the holdout collapses to its DISTINCT score values first
+    * (groupBy partial-aggregates map-side), the cumulative
+    * |{scores below}| comes from [[graft.ops.Quality.withExactPrefixSum]]
+    * (range-partitioned two-phase prefix sum, P driver scalars), and the
+    * statistic is one fold over the distinct-score frame. The report is
+    * 1 row.
+    */
+  def gateAuc(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      buckets: Int = Buckets, iters: Int = Iters,
+      learnRate: Double = LearnRate): DataFrame =
+    aucFromScored(lrClassify(spark, docs, buckets, iters, learnRate))
+
+  /** The midrank-AUC kernel behind [[gateAuc]], usable on any scored
+    * frame with `y` (0.0/1.0) and `score` columns. On the small fixtures
+    * the registered query reports auc = 1.0 — genuine, not vacuous: the
+    * teacher label IS a threshold on the quality score and the features
+    * carry that score's components, so the held-out halves separate
+    * perfectly (at sf0.1 the statistic drops below 1 — 0.999627 — once
+    * the holdout contains near-threshold docs the 10-iter model misses);
+    * the spec exercises the tie/reversal/degenerate arithmetic this
+    * kernel exists for.
+    */
+  def aucFromScored(scored: DataFrame): DataFrame = {
+    val g = scored.groupBy(col("score")).agg(
+      count(lit(1)).as("c"),
+      sum(when(col("y") === lit(1.0), 1L).otherwise(0L)).as("p"))
+    val ps = graft.ops.Quality.withExactPrefixSum(
+      g, Seq("score"), col("c"), "cum_incl")
+    ps.agg(
+        sum(col("p")).as("n_pos"),
+        sum(col("c") - col("p")).as("n_neg"),
+        sum(col("p") * (lit(2L) * (col("cum_incl") - col("c")) + col("c")
+          + lit(1L))).as("sum_ranks_pos_x2"))
+      .select(col("n_pos"), col("n_neg"), col("sum_ranks_pos_x2"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          (col("sum_ranks_pos_x2") - col("n_pos") * (col("n_pos") + lit(1L)))
+            .cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+          .as("auc"))
+  }
 }

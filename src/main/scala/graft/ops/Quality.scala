@@ -69,6 +69,39 @@ object Quality {
     parted.withColumn(rankName, rank).drop("_pid")
   }
 
+  /** Exact global running sum of `weight` over the total order `orderCols`
+    * — the weighted-prefix-sum sibling of [[withExactRank]], and the
+    * primitive a global `sum() OVER (ORDER BY …)` must compile to at
+    * scale: range-partition on the order, per-partition totals become
+    * partition offsets (P driver-side scalars, the [[ranked]] discipline),
+    * and the in-partition running-sum window never sees more than one
+    * partition's rows. The emitted column is the INCLUSIVE prefix sum;
+    * subtract the row's own weight for the exclusive form.
+    *
+    * `weight` is cast to long so the sum is exact (callers pass counts /
+    * token masses, never doubles); `orderCols` must be a total order —
+    * rows tied on it would get order-dependent prefixes.
+    */
+  def withExactPrefixSum(df: DataFrame, orderCols: Seq[String],
+      weight: org.apache.spark.sql.Column, sumName: String,
+      numPartitions: Int = 32): DataFrame = {
+    val parted = Caching.cacheOnce(
+      df.repartitionByRange(numPartitions, orderCols.map(col): _*)
+        .withColumn("_pid", spark_partition_id())
+        .withColumn("_w", weight.cast("long")))
+    val sums = parted.groupBy("_pid").agg(sum(col("_w")).as("_s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      sums.map { case (pid, s) => val entry = (pid, acc); acc += s; entry }.toMap
+    }
+    val run = sum(col("_w")).over(
+        Window.partitionBy("_pid").orderBy(orderCols.map(col): _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) +
+      coalesce(element_at(typedLit(offsets), col("_pid")), lit(0L))
+    parted.withColumn(sumName, run).drop("_pid", "_w")
+  }
+
   /** Shared core of [[exactNtile]]/[[withExactRank]]: range-partitioned
     * frame with `_pid`, the global-rank column expression, and the total
     * row count (P per-partition counts are the only driver-side scalars).

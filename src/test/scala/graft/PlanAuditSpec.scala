@@ -100,7 +100,11 @@ class PlanAuditSpec extends SparkTestBase {
     "x179_dup_cluster_histogram" -> "the 1-row doc-total crossJoined onto the multiplicity histogram (report constant)",
     "x181_matryoshka_recall" -> "crossJoin of single-row count aggregates per truncation dim (recall-report constants, x154's shape) + the x06-shaped brute-force truth leg",
     "x182_zipf_profile" -> "crossJoins of the 1-row vocab-totals and 1-row top-frequency aggregates onto the <=1024-row checkpoint set (report constants)",
-    "x183_heaps_growth" -> "the 1-row broadcast max-doc_id aggregate crossJoined onto the scan for per-row bucket arithmetic (constant, x84's token-total shape)"
+    "x183_heaps_growth" -> "the 1-row broadcast max-doc_id aggregate crossJoined onto the scan for per-row bucket arithmetic (constant, x84's token-total shape)",
+    "x185_gate_auc" -> "x130's 1-row broadcast final-weight scoring (constant model state); the AUC itself is a distinct-score fold behind the two-phase prefix sum — no rank window",
+    "x186_padding_waste" -> "the 1-row corpus-totals aggregate crossJoined onto the <=max_len/PadBucket bucket rows (report constants)",
+    "x187_quality_mass_curve" -> "the 1-row token-total aggregate crossJoined onto the 10 decile rows (report constant); decile assignment is exactNtile, not a global window",
+    "x188_k_anonymity" -> "the 1-row doc-total aggregate crossJoined onto the <k group-size histogram rows (report constant)"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {
@@ -128,7 +132,9 @@ class PlanAuditSpec extends SparkTestBase {
     "x182_zipf_profile" ->
       "rank/cumsum over the top-maxRank(<=1024) TakeOrderedAndProject cut — bounded checkpoint set, not the vocabulary",
     "x183_heaps_growth" ->
-      "cumulative sums over the <=10 doc_id-range bucket rows — calendar-sized input, not corpus rows"
+      "cumulative sums over the <=10 doc_id-range bucket rows — calendar-sized input, not corpus rows",
+    "x187_quality_mass_curve" ->
+      "cumulative sums over the 10 exactNtile decile rows — the per-doc ranking itself is the range-partitioned two-phase form"
   )
 
   test("no registered query plans a global (empty-partition) window (except documented calendar-sized ones)") {

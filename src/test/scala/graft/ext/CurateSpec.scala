@@ -418,4 +418,49 @@ class CurateSpec extends SparkTestBase {
     assert(Curate.tokenBudgetMixWeighted(docs, const).collect().map(_.toSeq).toSet ===
       Curate.tokenBudgetMix(docs, Curate.TokenMixBudget).collect().map(_.toSeq).toSet)
   }
+
+  test("kAnonymityAudit: hand-built small groups counted at their exposure level") {
+    // quasi-identifier = (source, lang, n_chars div 128):
+    // one singleton group, one pair group, one safe group of 6
+    val rows = Seq(
+      (1L, "s1", "en", 10L),
+      (2L, "s2", "en", 10L), (3L, "s2", "en", 20L),
+      (4L, "s3", "en", 10L), (5L, "s3", "en", 20L), (6L, "s3", "en", 30L),
+      (7L, "s3", "en", 40L), (8L, "s3", "en", 50L), (9L, "s3", "en", 60L)
+    ).toDF("doc_id", "source", "lang", "n_chars")
+    val r = Curate.kAnonymityAudit(rows, k = 5L)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // s3's six docs share one bucket-0 group of 6 → safe; s1 is a
+    // singleton; s2's two docs are one group of 2
+    assert(r.keySet === Set(1L, 2L, 6L) -- Set(6L))
+    assert(r(1L).getAs[Long]("n_groups") === 1L)
+    assert(r(1L).getAs[Long]("n_docs") === 1L)
+    assert(r(2L).getAs[Long]("n_groups") === 1L)
+    assert(r(2L).getAs[Long]("n_docs") === 2L)
+    assert(r(1L).getAs[Double]("at_risk_frac") === 1.0 / 9.0)
+    // raising k pulls the 6-group into the at-risk set
+    val loose = Curate.kAnonymityAudit(rows, k = 7L)
+      .collect().map(x => x.getLong(0)).toSet
+    assert(loose === Set(1L, 2L, 6L))
+  }
+
+  test("qualityMassCurve: 10 exact deciles, monotone cumulative, share hits 1.0") {
+    val fx = Tables.documents(spark, sfDir)
+    val rows = Curate.qualityMassCurve(fx).collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 10L))
+    // exact deciles over 500 docs: 50 each; cumulative doc count is linear
+    assert(rows.map(_.getAs[Long]("n_docs")).distinct.length === 1)
+    assert(rows.last.getAs[Long]("cum_docs") === rows.map(_.getAs[Long]("n_docs")).sum)
+    val shares = rows.map(_.getAs[Double]("cum_token_share"))
+    assert(shares.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    assert(shares.last === 1.0)
+    // best-first: the top decile carries at least the mean decile's mass
+    // (quality correlates with length on the fixture — the curve bends
+    // ABOVE the diagonal, which is exactly what the report exists to show)
+    val total = rows.last.getAs[Long]("cum_tokens").toDouble
+    assert(rows.head.getAs[Long]("n_tokens").toDouble >= total / 10.0)
+    // deterministic under repartition (exactNtile's total order)
+    assert(Curate.qualityMassCurve(fx.repartition(7)).collect().map(_.toSeq).toSet ===
+      rows.map(_.toSeq).toSet)
+  }
 }

@@ -328,4 +328,35 @@ class DedupSpec extends SparkTestBase {
       assert(r.getLong(r.fieldIndex("n_dup_docs")) < r.getLong(r.fieldIndex("n_docs")))
     }
   }
+
+  test("effectiveTokens: hand-computed dyadic decay over planted copies") {
+    import org.apache.spark.sql.functions.col
+    // source a: "x y z" twice (ranks 1,2 → 3 + 1.5) and unique "p q" (2)
+    // source b: "x y z" once more — THIRD copy globally (rank 3 → 0.75)
+    val tiny = Seq(
+      (1L, "a", "x y z"), (2L, "a", "x y z"), (3L, "a", "p q"),
+      (4L, "b", "x y z")
+    ).toDF("doc_id", "source", "text")
+    val by = Dedup.effectiveTokens(tiny).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(by("a").getAs[Long]("n_docs") === 3L)
+    assert(by("a").getAs[Long]("raw_tokens") === 8L)
+    assert(by("a").getAs[Long]("unique_tokens") === 5L)  // keeper 3 + unique 2
+    assert(by("a").getAs[Double]("effective_tokens") === 3.0 + 1.5 + 2.0)
+    assert(by("a").getAs[Double]("effective_frac") === 6.5 / 8.0)
+    // the third copy decays twice: 3/4 tokens of value
+    assert(by("b").getAs[Long]("unique_tokens") === 0L)
+    assert(by("b").getAs[Double]("effective_tokens") === 0.75)
+    // deterministic under repartition; fixture fractions in (0, 1]
+    val docsF = graft.sources.Tables.documents(spark, sfDir)
+    val full = Dedup.effectiveTokens(docsF).cache()
+    assert(full.collect().map(_.toSeq).toSet ===
+      Dedup.effectiveTokens(docsF.repartition(7)).collect().map(_.toSeq).toSet)
+    full.collect().foreach { r =>
+      val f = r.getAs[Double]("effective_frac")
+      assert(f > 0.0 && f <= 1.0)
+      assert(r.getAs[Long]("unique_tokens") <= r.getAs[Long]("raw_tokens"))
+    }
+    full.unpersist()
+  }
 }

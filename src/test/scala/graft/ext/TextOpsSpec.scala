@@ -477,4 +477,35 @@ class TextOpsSpec extends SparkTestBase {
     assert(r("y").getAs[Long]("n_bigrams") === 0L)
     assert(r("y").isNullAt(r("y").fieldIndex("distinct_2")))
   }
+
+  test("paddingWaste: hand-computed bucket economics and the pad-to-max gap") {
+    // lengths 2, 3, 5 with bucket=4: buckets 4, 4, 8
+    val df = Seq((1L, "a b"), (2L, "a b c"), (3L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val r = TextOps.paddingWaste(df, bucket = 4)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet === Set(4L, 8L))
+    assert(r(4L).getAs[Long]("n_docs") === 2L)
+    assert(r(4L).getAs[Long]("sum_tokens") === 5L)
+    assert(r(4L).getAs[Long]("padded_tokens") === 8L)
+    assert(r(4L).getAs[Long]("waste_tokens") === 3L)
+    assert(r(4L).getAs[Double]("waste_frac") === 0.375)
+    assert(r(8L).getAs[Long]("waste_tokens") === 3L)
+    // bucketed: (16 − 10)/16; pad-to-max: (24 − 10)/24 — every row
+    // carries both corpus constants, and bucketing strictly wins
+    assert(r(4L).getAs[Double]("bucketed_waste_frac") === 6.0 / 16.0)
+    assert(r(4L).getAs[Double]("padmax_waste_frac") === 14.0 / 24.0)
+    assert(r(8L).getAs[Double]("bucketed_waste_frac") < r(8L).getAs[Double]("padmax_waste_frac"))
+  }
+
+  test("paddingWaste: fixture report is multi-bucket and deterministic") {
+    val docs = Tables.documents(spark, sfDir)
+    val rows = TextOps.paddingWaste(docs).collect()
+    assert(rows.length > 1, "PadBucket must split the fixture length distribution")
+    assert(rows.map(_.toSeq).toSet ===
+      TextOps.paddingWaste(docs.repartition(7)).collect().map(_.toSeq).toSet)
+    // bucketing never loses to pad-to-max
+    val h = rows.head
+    assert(h.getAs[Double]("bucketed_waste_frac") <= h.getAs[Double]("padmax_waste_frac"))
+  }
 }

@@ -252,4 +252,39 @@ class TrainerSpec extends SparkTestBase {
     assert(inf.collect().toSet === Trainer.lrInfluence(spark, docs.repartition(7)).collect().toSet)
     inf.unpersist()
   }
+
+  test("aucFromScored: hand-computed midrank AUC with a cross-class tie") {
+    // scores 0.1(neg) 0.2(neg) 0.2(pos) 0.3(pos): midranks 1, 2.5, 2.5, 4
+    // → Σranks_pos = 6.5, doubled = 13, AUC = (6.5 − 3)/(2·2) = 0.875
+    val scored = Seq((0.0, 0.1), (0.0, 0.2), (1.0, 0.2), (1.0, 0.3))
+      .toDF("y", "score")
+    val r = Trainer.aucFromScored(scored).head()
+    assert(r.getAs[Long]("n_pos") === 2L)
+    assert(r.getAs[Long]("n_neg") === 2L)
+    assert(r.getAs[Long]("sum_ranks_pos_x2") === 13L)
+    assert(r.getAs[Double]("auc") === 0.875)
+    // reversing the scorer reflects the statistic: AUC' = 1 − AUC
+    val rev = Trainer.aucFromScored(
+      scored.select(col("y"), (lit(1.0) - col("score")).as("score"))).head()
+    assert(rev.getAs[Double]("auc") === 0.125)
+  }
+
+  test("aucFromScored: degenerate single-class input → NULL auc, not NaN") {
+    val onlyPos = Seq((1.0, 0.3), (1.0, 0.7)).toDF("y", "score")
+    val r = Trainer.aucFromScored(onlyPos).head()
+    assert(r.getAs[Long]("n_neg") === 0L)
+    assert(r.isNullAt(r.fieldIndex("auc")))
+  }
+
+  test("gateAuc: fixture separability is real (auc = 1.0) and deterministic") {
+    val docs = Tables.documents(spark, sfDir)
+    val a = Trainer.gateAuc(spark, docs).head()
+    // documented in the Scaladoc: y IS a quality-score threshold and the
+    // features carry the score's components, so held-out separation is
+    // perfect on the fixture — the statistic's arithmetic is pinned by
+    // the hand-computed cases above
+    assert(a.getAs[Double]("auc") === 1.0)
+    assert(a.getAs[Long]("n_pos") > 0 && a.getAs[Long]("n_neg") > 0)
+    assert(Trainer.gateAuc(spark, docs.repartition(7)).head().toSeq === a.toSeq)
+  }
 }

@@ -52,4 +52,23 @@ class QualitySpec extends SparkTestBase {
       .orderBy("r").collect().map(r => (r.getAs[String]("id"), r.getAs[Long]("r")))
     assert(got.toSeq === Seq(("a", 1L), ("b", 2L), ("c", 3L), ("z", 4L), ("d", 5L), ("e", 6L)))
   }
+
+  test("withExactPrefixSum == global running sum and survives repartition") {
+    val df = Seq((3L, 10L), (1L, 2L), (5L, 100L), (2L, 7L), (4L, 30L))
+      .toDF("k", "w")
+    val got = Quality.withExactPrefixSum(df.repartition(4), Seq("k"), col("w"), "cum", 3)
+      .orderBy("k").collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("cum")))
+    // inclusive prefix in k order: 2, 9, 19, 49, 149
+    assert(got.toSeq === Seq((1L, 2L), (2L, 9L), (3L, 19L), (4L, 49L), (5L, 149L)))
+  }
+
+  test("withExactPrefixSum plans no empty-partition global window") {
+    val df = (1 to 100).map(i => (i.toLong, i.toLong % 7)).toDF("k", "w")
+    val plan = Quality.withExactPrefixSum(df, Seq("k"), col("w"), "cum", 8)
+      .queryExecution.executedPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    val globals = graft.ops.ShuffleAudit.allNodes(plan)
+      .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(globals.isEmpty, "prefix sum must stay range-partitioned")
+  }
 }
