@@ -277,6 +277,54 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Threshold grid for [[thresholdSweep]]. Embedded in the oracle. */
+  val SweepThresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** Near-dup threshold-sensitivity sweep — the dial report behind
+    * "dedup at 0.8": for each Jaccard threshold in [[SweepThresholds]],
+    * how many verified pairs survive, how many docs would be dropped and
+    * how much token mass goes with them. The drop rule is the documented
+    * greedy pigeonhole bound — a doc is dropped when it is the HIGHER id
+    * of any surviving pair (an upper bound on connected-component dedup;
+    * the exact CC form is x15/x16) — because the question this report
+    * answers is threshold SENSITIVITY, not final membership: where the
+    * curve jumps is where the corpus's near-dup mass actually sits, and
+    * that is what picks the production threshold.
+    *
+    * Scale shape: ONE [[minhashLsh]] run at the loosest threshold
+    * (band-bounded candidates, one shuffle), a per-pair explode over the
+    * 5-literal grid (no join), two tiny per-threshold aggregates, and
+    * the 1-row corpus totals as report constants. Thresholds with zero
+    * pairs keep their row via the 5-row grid left join.
+    */
+  def thresholdSweep(docs: DataFrame, k: Int = 3): DataFrame = {
+    val pairs = cacheOnce(minhashLsh(docs, k, SweepThresholds.min))
+    val pt = cacheOnce(pairs
+      .withColumn("threshold", explode(typedLit(SweepThresholds)))
+      .where(col("jaccard") >= col("threshold")))
+    val np = pt.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val tok = docs.select(col("doc_id").as("doc_b"),
+      size(TextOps.tokens(col("text"))).cast("long").as("_nt"))
+    val dr = pt.select("threshold", "doc_b").distinct()
+      .join(tok, "doc_b")
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_docs_dropped"), sum(col("_nt")).as("tokens_dropped"))
+    val grid = docs.sparkSession.range(1)
+      .select(explode(typedLit(SweepThresholds)).as("threshold"))
+    val tot = broadcast(docs.agg(count(lit(1)).as("_ndocs"),
+      sum(size(TextOps.tokens(col("text"))).cast("long")).as("_ntok")))
+    grid.join(np, Seq("threshold"), "left").join(dr, Seq("threshold"), "left")
+      .crossJoin(tot)
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"),
+        coalesce(col("tokens_dropped"), lit(0L)).as("tokens_dropped"),
+        (coalesce(col("n_docs_dropped"), lit(0L)).cast("double")
+          / col("_ndocs").cast("double")).as("docs_drop_frac"),
+        (coalesce(col("tokens_dropped"), lit(0L)).cast("double")
+          / col("_ntok").cast("double")).as("tokens_drop_frac"))
+  }
+
   /** Edit-distance-verified near-dup pairs: MinHash-band candidates (the
     * x03 generator) verified by NORMALIZED LEVENSHTEIN ≤ maxRatio — the
     * character-level complement to shingle Jaccard (catches small in-place

@@ -151,6 +151,27 @@ object ExtQueries {
     "x189_effective_tokens" -> ((s, dir) =>
       Dedup.effectiveTokens(Tables.documents(s, dir))),
 
+    // Brier decomposition (r8 batch 8): reliability / resolution /
+    // uncertainty split of the gate's held-out Brier score (Murphy
+    // 1973) + the within-bin gap — WHY the forecasts are good, where
+    // x137 shows the raw bins and x185 only ranks.
+    "x190_brier_decomposition" -> ((s, dir) =>
+      Trainer.brierDecomposition(s, Tables.documents(s, dir))),
+
+    // Dedup threshold sweep (r8 batch 8): verified-pair count, docs and
+    // token mass dropped at each Jaccard threshold 0.5..0.9 — the dial
+    // report that picks the production dedup threshold.
+    "x191_dedup_threshold_sweep" -> ((s, dir) =>
+      Dedup.thresholdSweep(Tables.documents(s, dir))),
+
+    // Binary sign-quantization recall (r8 batch 8): the 1-bit/8-byte
+    // rung of the quantization menu — raw Hamming ranking vs
+    // Hamming-shortlist + exact-cosine rerank, against the exact top-k.
+    "x192_binary_quant_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.binaryRecallReport(e.where(col("vec_id") < 5), e, 10)
+    }),
+
     // Distribution-level corpus drift (r5): pairwise χ²-like divergence
     // between sources over hashed-unigram distributions — catches a source
     // changing CONTENT where x63's digest diff only catches changed rows.
@@ -2056,6 +2077,46 @@ object ExtQueries {
       "abs(list_aggregate(list(ps ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) - " +
       "CAST(sum(np) AS DOUBLE)/CAST(sum(n) AS DOUBLE)) AS gap " +
       "FROM cb1 GROUP BY bin"
+  }
+
+  /** x190: Murphy Brier decomposition over the held-out scores — x137's
+    * scoring/binning chain, per-(bin, √n-bucket) sorted folds for the
+    * score and squared-error sums, 1-row totals, per-bin REL/RES terms,
+    * final ≤10-element bin-ordered folds. */
+  private def brierSql(buckets: Int, iters: Int): String = {
+    val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
+    s"WITH ${lrCtes(buckets, iters)}, " +
+      "ho AS (SELECT * FROM fx WHERE NOT (" +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5)), " +
+      s"mf AS (SELECT f.doc_id, f.y, ($m) AS m FROM ho f CROSS JOIN wi$iters w), " +
+      "sc2 AS (SELECT doc_id, y, (0.5 + 0.5*m/(1.0 + abs(m))) AS score FROM mf), " +
+      "cfb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM ho), " +
+      "bb1 AS (SELECT CAST(least(floor(score*10.0), 9.0) AS BIGINT) AS bin, " +
+      "doc_id % (SELECT b FROM cfb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
+      "list_aggregate(list_sort(list(score)), 'sum') AS ps, " +
+      "list_aggregate(list_sort(list((score - y)*(score - y))), 'sum') AS pq, " +
+      "CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS np " +
+      "FROM sc2 GROUP BY 1, 2), " +
+      "bb2 AS (SELECT bin, CAST(sum(n) AS BIGINT) AS n, " +
+      "list_aggregate(list(ps ORDER BY bkt), 'sum') AS ssum, " +
+      "list_aggregate(list(pq ORDER BY bkt), 'sum') AS qsum, " +
+      "CAST(sum(np) AS BIGINT) AS n_pos FROM bb1 GROUP BY 1), " +
+      "bbt AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(n_pos) AS BIGINT) AS npt FROM bb2), " +
+      "bb3 AS (SELECT bin, qsum, nt, npt, CAST(npt AS DOUBLE)/CAST(nt AS DOUBLE) AS ybase, " +
+      "CAST(n AS DOUBLE)*((ssum/CAST(n AS DOUBLE)) - (CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE)))*" +
+      "((ssum/CAST(n AS DOUBLE)) - (CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE))) AS rel, " +
+      "CAST(n AS DOUBLE)*((CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE)) - CAST(npt AS DOUBLE)/CAST(nt AS DOUBLE))*" +
+      "((CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE)) - CAST(npt AS DOUBLE)/CAST(nt AS DOUBLE)) AS res " +
+      "FROM bb2, bbt), " +
+      "bb4 AS (SELECT nt, npt, ybase, " +
+      "list_aggregate(list(qsum ORDER BY bin), 'sum') AS bsum, " +
+      "list_aggregate(list(rel ORDER BY bin), 'sum') AS rsum, " +
+      "list_aggregate(list(res ORDER BY bin), 'sum') AS ssum2 FROM bb3 GROUP BY 1, 2, 3) " +
+      "SELECT nt AS n, ybase AS base_rate, bsum/CAST(nt AS DOUBLE) AS brier, " +
+      "rsum/CAST(nt AS DOUBLE) AS reliability, ssum2/CAST(nt AS DOUBLE) AS resolution, " +
+      "ybase*(1.0 - ybase) AS uncertainty, " +
+      "bsum/CAST(nt AS DOUBLE) - (rsum/CAST(nt AS DOUBLE) - ssum2/CAST(nt AS DOUBLE) + ybase*(1.0 - ybase)) AS decomp_gap " +
+      "FROM bb4"
   }
 
   /** x162: EL2N data-diet report — the lrChain truncated at
@@ -4053,6 +4114,80 @@ object ExtQueries {
 
     "x185_gate_auc" ->
       gateAucSql(Trainer.Buckets, Trainer.Iters),
+
+    "x190_brier_decomposition" ->
+      brierSql(Trainer.Buckets, Trainer.Iters),
+
+    // x191: x03's band-candidate + Jaccard-verify chain at the loosest
+    // grid threshold, per-pair threshold explode, per-threshold pair /
+    // dropped-doc aggregates, 5-row grid left join + 1-row totals.
+    "x191_dedup_threshold_sweep" ->
+      (s"WITH $minhashCandCtes, " +
+        "c AS (SELECT cand.doc_a, cand.doc_b, CAST(count(*) AS BIGINT) AS common FROM cand " +
+        "JOIN ex ea ON ea.doc_id = cand.doc_a JOIN ex eb ON eb.doc_id = cand.doc_b AND ea.sh = eb.sh " +
+        "GROUP BY 1, 2), " +
+        "jp AS (SELECT c.doc_a, c.doc_b, CAST(c.common AS DOUBLE)/(x.n + y.n - c.common) AS jaccard " +
+        "FROM c JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id " +
+        s"WHERE CAST(c.common AS DOUBLE)/(x.n + y.n - c.common) >= ${Dedup.SweepThresholds.min}), " +
+        s"th AS (SELECT unnest(${Dedup.SweepThresholds.mkString("[", ", ", "]")}) AS threshold), " +
+        "pt AS (SELECT th.threshold, jp.doc_a, jp.doc_b FROM jp, th WHERE jp.jaccard >= th.threshold), " +
+        "np AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs FROM pt GROUP BY 1), " +
+        "db AS (SELECT DISTINCT threshold, doc_b FROM pt), " +
+        "tk AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents), " +
+        "dr AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_docs_dropped, " +
+        "CAST(sum(nt) AS BIGINT) AS tokens_dropped FROM db JOIN tk ON db.doc_b = tk.doc_id GROUP BY 1), " +
+        "tt AS (SELECT CAST(count(*) AS BIGINT) AS ndocs, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ntok FROM documents) " +
+        "SELECT th.threshold, coalesce(np.n_pairs, 0) AS n_pairs, " +
+        "coalesce(dr.n_docs_dropped, 0) AS n_docs_dropped, " +
+        "coalesce(dr.tokens_dropped, 0) AS tokens_dropped, " +
+        "CAST(coalesce(dr.n_docs_dropped, 0) AS DOUBLE)/CAST(ndocs AS DOUBLE) AS docs_drop_frac, " +
+        "CAST(coalesce(dr.tokens_dropped, 0) AS DOUBLE)/CAST(ntok AS DOUBLE) AS tokens_drop_frac " +
+        "FROM th LEFT JOIN np USING (threshold) LEFT JOIN dr USING (threshold), tt"),
+
+    // x192: sign bits per 16-bit piece (signed-int safe, the simhash64
+    // discipline), Hamming = per-piece bit_count(xor) fold, Hamming
+    // top-k + 4k-shortlist exact-cosine rerank, x69-shaped recall rows.
+    "x192_binary_quant_recall" -> {
+      val piece = (0 until 4).map { p =>
+        val terms = (0 until 16).map(i =>
+          s"CASE WHEN e[${p * 16 + i + 1}] > 0 THEN ${1 << i} ELSE 0 END")
+          .mkString(" + ")
+        s"($terms)"
+      }.mkString("[", ", ", "]")
+      val truthCte =
+        "btq AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
+          "bts AS (SELECT q_id, vec_id, " +
+          s"${dotSql("qe", "CAST(embedding AS DOUBLE[])")} AS cos " +
+          "FROM embeddings, btq WHERE q_id <> vec_id), " +
+          "btr AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+          "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM bts) WHERE rank <= 10)"
+      s"WITH be AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        s"bs AS (SELECT vec_id, e, $piece AS sig FROM be), " +
+        "bq AS (SELECT vec_id AS q_id, e AS qe, sig AS qsig FROM bs WHERE vec_id < 5), " +
+        "bh AS (SELECT bq.q_id, bs.vec_id, bs.e, bq.qe, " +
+        "CAST(list_aggregate(list_transform(list_zip(bq.qsig, bs.sig), z -> bit_count(xor(z[1], z[2]))), 'sum') AS BIGINT) AS hamming " +
+        "FROM bs, bq WHERE bq.q_id <> bs.vec_id), " +
+        "bhr AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS hrank FROM bh), " +
+        "bht AS (SELECT q_id, vec_id FROM bhr WHERE hrank <= 10), " +
+        s"brr AS (SELECT q_id, vec_id, ${dotSql("qe", "e")} AS cos FROM bhr WHERE hrank <= ${10 * Similarity.BinaryRerankMult}), " +
+        "brt AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rrank FROM brr) WHERE rrank <= 10), " +
+        truthCte + " " +
+        "SELECT 'binary_hamming' AS method, 8.0 AS bytes_per_vec, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM btr) AS n_truth, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM bht) AS n_approx, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM btr JOIN bht USING (q_id, vec_id)) AS n_common, " +
+        "CAST((SELECT count(*) FROM btr JOIN bht USING (q_id, vec_id)) AS DOUBLE)/" +
+        "CAST((SELECT count(*) FROM btr) AS DOUBLE) AS recall " +
+        "UNION ALL " +
+        "SELECT 'binary_rerank', 8.0, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM btr), " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM brt), " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM btr JOIN brt USING (q_id, vec_id)), " +
+        "CAST((SELECT count(*) FROM btr JOIN brt USING (q_id, vec_id)) AS DOUBLE)/" +
+        "CAST((SELECT count(*) FROM btr) AS DOUBLE)"
+    },
 
     // x186: per-bucket groupBy + the 1-row totals constant; all token
     // arithmetic exact BIGINT, fractions single divisions (zero-length

@@ -1376,6 +1376,74 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** Hamming-shortlist depth multiplier for [[binaryRecallReport]]'s
+    * rerank leg: the exact-cosine rerank reads 4·k candidates. Embedded
+    * in the oracle. */
+  val BinaryRerankMult = 4
+
+  /** Binary (1-bit) sign quantization recall — the EXTREME rung of the
+    * quantization menu, under the byte rungs (x146 PQ, x167 SQ8, x161
+    * residual) and the dimension rung (x181 Matryoshka): keep only each
+    * dimension's SIGN, 64 dims → 8 bytes/vec, search by Hamming distance
+    * (sign-cosine sketch: for mean-centered vectors, P[signs agree] is
+    * monotone in the angle — Charikar 2002's hyperplane LSH with every
+    * hyperplane axis-aligned). Two legs measured against the exact
+    * full-precision top-k: `binary_hamming` (raw Hamming ranking) and
+    * `binary_rerank` (Hamming shortlist of [[BinaryRerankMult]]·k, exact
+    * cosine rerank — the production pattern: the 8-byte scan pays for
+    * itself, the rerank touches only the shortlist). Signs pack into 4
+    * SIGNED-INT 16-bit pieces (the simhash64 discipline — a true 64-bit
+    * word would diverge across engines at the sign bit); Hamming is the
+    * per-piece `bit_count(xor)` fold.
+    *
+    * Scale shape: quantization is one per-row expression scan; ranking
+    * joins the corpus against the BROADCAST query sigs (x06's stream
+    * shape, the documented eval exemption — the stored-scale path is the
+    * IVF cell probe with sigs as the in-cell code); the rerank leg reads
+    * full vectors for only 4·k rows per query.
+    */
+  def binaryRecallReport(queries: DataFrame, emb: DataFrame,
+      k: Int = 10): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    def signBits(e: Column): Column = array((0 until 4).map { p =>
+      (0 until 16).map(i =>
+        when(e.getItem(p * 16 + i) > 0f, lit(1 << i)).otherwise(lit(0)))
+        .reduce(_ + _)
+    }: _*)
+    def ham(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+        lit(0L), (acc, h) => acc + h)
+    val truth = graft.ops.Caching.cacheOnce(
+      bruteForceTopK(queries, emb, k).select("q_id", "vec_id"))
+    val qs = broadcast(queries.select(col("vec_id").as("q_id"),
+      signBits(col("embedding")).as("q_sig"), col("embedding").as("q_emb")))
+    val scored = graft.ops.Caching.cacheOnce(
+      emb.select(col("vec_id"), col("embedding"),
+          signBits(col("embedding")).as("v_sig"))
+        .join(qs, col("q_id") =!= col("vec_id"))
+        .withColumn("hamming", ham(col("q_sig"), col("v_sig")))
+        .withColumn("hrank", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("hamming").asc, col("vec_id").asc))))
+    val hammingTop = scored.where(col("hrank") <= k).select("q_id", "vec_id")
+    val reranked = scored.where(col("hrank") <= k * BinaryRerankMult)
+      .withColumn("cos", GraftFunctions.cosineSim(col("q_emb"), col("embedding")))
+      .withColumn("rrank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)))
+      .where(col("rrank") <= k).select("q_id", "vec_id")
+    Seq(("binary_hamming", hammingTop), ("binary_rerank", reranked)).map {
+      case (m, top) =>
+        val nT = truth.agg(count(lit(1)).as("n_truth"))
+        val nA = top.agg(count(lit(1)).as("n_approx"))
+        val nC = truth.join(top, Seq("q_id", "vec_id"))
+          .agg(count(lit(1)).as("n_common"))
+        nT.crossJoin(broadcast(nA)).crossJoin(broadcast(nC))
+          .select(lit(m).as("method"), lit(8.0).as("bytes_per_vec"),
+            col("n_truth"), col("n_approx"), col("n_common"),
+            (col("n_common").cast("double") / col("n_truth").cast("double"))
+              .as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Semantic-decontamination eval fraction and similarity threshold.
     * τ = 0.4 is the repo's established embedding near-dup threshold (x05):
     * the fixture's diffuse synthetic vectors sit far below real-text

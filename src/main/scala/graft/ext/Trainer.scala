@@ -249,6 +249,72 @@ object Trainer {
           col("n_pos").cast("double") / col("n").cast("double")).as("gap"))
   }
 
+  /** Brier-score decomposition (Murphy 1973; public method) over the
+    * held-out gate scores — the calibration summary that says WHY the
+    * probability forecasts are good or bad, where [[lrCalibration]]'s
+    * per-bin table shows the raw gaps and [[gateAuc]] ranks without
+    * calibrating: Brier = mean (p − y)², split over 10 fixed-width
+    * forecast bins into reliability (calibration error, lower better),
+    * resolution (how far bin outcome rates sit from the base rate,
+    * higher better) and uncertainty (base-rate variance, the data's
+    * floor). `decomp_gap` = Brier − (REL − RES + UNC) — the within-bin
+    * variance term the binned identity drops; reporting it keeps the
+    * identity honest instead of pretending the binned decomposition is
+    * exact. All arithmetic rational; every corpus-sized double sum is a
+    * two-level √n fold and every bin-level sum folds in ascending bin
+    * order (≤10 values), so the row hash-matches across engines.
+    *
+    * Scale shape: one scored scan → (bin, √n-bucket) partials → 10 bin
+    * rows → 1-row totals crossJoined back (report constant) → one final
+    * ≤10-element ordered fold. No global window, no corpus-sized buffer.
+    */
+  def brierDecomposition(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, buckets: Int = Buckets, iters: Int = Iters,
+      learnRate: Double = LearnRate): DataFrame =
+    brierFromScored(lrClassify(spark, docs, buckets, iters, learnRate),
+      holdoutFoldBuckets(docs, buckets))
+
+  /** The decomposition kernel behind [[brierDecomposition]], usable on
+    * any scored frame with `doc_id`, `y` (0.0/1.0) and `score` columns;
+    * `foldBuckets` is the √n bucket count for the order-stable double
+    * folds (the caller's population law).
+    */
+  def brierFromScored(scoredIn: DataFrame, foldBuckets: Int): DataFrame = {
+    import graft.functions.Stable.{sortedFold, bucketFold}
+    val fb = foldBuckets
+    val scored = scoredIn
+      .withColumn("bin", least(floor(col("score") * lit(10.0)), lit(9.0)).cast("long"))
+      .withColumn("_sq", (col("score") - col("y")) * (col("score") - col("y")))
+    val s2 = scored
+      .groupBy(col("bin"), pmod(col("doc_id"), lit(fb.toLong)).as("_bkt"))
+      .agg(count(lit(1)).as("_n"), sortedFold(col("score")).as("_ps"),
+        sortedFold(col("_sq")).as("_pq"),
+        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("_np"))
+      .groupBy("bin")
+      .agg(sum(col("_n")).as("n"), bucketFold(col("_bkt"), col("_ps")).as("_ssum"),
+        bucketFold(col("_bkt"), col("_pq")).as("_qsum"), sum(col("_np")).as("n_pos"))
+    val tot = broadcast(s2.agg(sum(col("n")).as("_nt"), sum(col("n_pos")).as("_npt")))
+    val terms = s2.crossJoin(tot)
+      .withColumn("_pbar", col("_ssum") / col("n").cast("double"))
+      .withColumn("_ybar", col("n_pos").cast("double") / col("n").cast("double"))
+      .withColumn("_ybase", col("_npt").cast("double") / col("_nt").cast("double"))
+      .withColumn("_rel",
+        col("n").cast("double") * (col("_pbar") - col("_ybar")) * (col("_pbar") - col("_ybar")))
+      .withColumn("_res",
+        col("n").cast("double") * (col("_ybar") - col("_ybase")) * (col("_ybar") - col("_ybase")))
+    terms.groupBy("_nt", "_npt", "_ybase")
+      .agg(bucketFold(col("bin"), col("_qsum")).as("_b"),
+        bucketFold(col("bin"), col("_rel")).as("_r"),
+        bucketFold(col("bin"), col("_res")).as("_s"))
+      .select(col("_nt").as("n"), col("_ybase").as("base_rate"),
+        (col("_b") / col("_nt").cast("double")).as("brier"),
+        (col("_r") / col("_nt").cast("double")).as("reliability"),
+        (col("_s") / col("_nt").cast("double")).as("resolution"),
+        (col("_ybase") * (lit(1.0) - col("_ybase"))).as("uncertainty"))
+      .withColumn("decomp_gap",
+        col("brier") - (col("reliability") - col("resolution") + col("uncertainty")))
+  }
+
   /** Incremental (warm-start) training vs cold retrain — the trainer's
     * twin of the IVF/BM25 index-append discipline: when a new batch
     * arrives, CONTINUE gradient descent from the existing weights on

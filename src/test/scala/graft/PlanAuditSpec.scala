@@ -104,7 +104,10 @@ class PlanAuditSpec extends SparkTestBase {
     "x185_gate_auc" -> "x130's 1-row broadcast final-weight scoring (constant model state); the AUC itself is a distinct-score fold behind the two-phase prefix sum — no rank window",
     "x186_padding_waste" -> "the 1-row corpus-totals aggregate crossJoined onto the <=max_len/PadBucket bucket rows (report constants)",
     "x187_quality_mass_curve" -> "the 1-row token-total aggregate crossJoined onto the 10 decile rows (report constant); decile assignment is exactNtile, not a global window",
-    "x188_k_anonymity" -> "the 1-row doc-total aggregate crossJoined onto the <k group-size histogram rows (report constant)"
+    "x188_k_anonymity" -> "the 1-row doc-total aggregate crossJoined onto the <k group-size histogram rows (report constant)",
+    "x190_brier_decomposition" -> "x130's 1-row broadcast final-weight scoring (constant model state) + the 1-row bin-totals aggregate crossJoined onto the 10 bin rows (report constant)",
+    "x191_dedup_threshold_sweep" -> "the 1-row corpus-totals aggregate crossJoined onto the 5 threshold rows (report constant); pair generation is x03's band equi-join",
+    "x192_binary_quant_recall" -> "crossJoin of single-row count aggregates per method (recall-report constants, x69's shape) + the x06-shaped broadcast-query stream and brute-force truth leg"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {

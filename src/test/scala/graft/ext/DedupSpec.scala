@@ -329,6 +329,42 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("thresholdSweep: planted exact pair survives every threshold; curve is monotone") {
+    import org.apache.spark.sql.functions.col
+    // docs 1/2 identical (jaccard 1.0 — identical signatures share every
+    // band, so LSH recall is exactly 1 for them); 3/4 unrelated fillers
+    val tiny = Seq(
+      (1L, "a", "p q r s t u v w"), (2L, "a", "p q r s t u v w"),
+      (3L, "b", "aa bb cc dd ee ff gg hh"), (4L, "b", "zz yy xx ww vv uu tt ss")
+    ).toDF("doc_id", "source", "text")
+    val rows = Dedup.thresholdSweep(tiny).collect().sortBy(_.getDouble(0))
+    assert(rows.map(_.getDouble(0)).toSeq === Dedup.SweepThresholds)
+    // the identical pair (and its 8 dropped tokens) survives at 0.9
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") >= 1L)
+      assert(r.getAs[Long]("n_docs_dropped") >= 1L)
+      assert(r.getAs[Long]("tokens_dropped") >= 8L)
+    }
+    // tightening the threshold never drops MORE
+    val np = rows.map(_.getAs[Long]("n_pairs"))
+    assert(np.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    val nd = rows.map(_.getAs[Long]("tokens_dropped"))
+    assert(nd.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("thresholdSweep: fixture curve keeps all 5 rows, fractions bounded, deterministic") {
+    val docsF = graft.sources.Tables.documents(spark, sfDir)
+    val rows = Dedup.thresholdSweep(docsF).collect().sortBy(_.getDouble(0))
+    assert(rows.length === Dedup.SweepThresholds.length)
+    rows.foreach { r =>
+      val f = r.getAs[Double]("tokens_drop_frac")
+      assert(f >= 0.0 && f < 1.0)
+      assert(r.getAs[Long]("n_docs_dropped") <= r.getAs[Long]("n_pairs"))
+    }
+    assert(Dedup.thresholdSweep(docsF.repartition(7)).collect().map(_.toSeq).toSet ===
+      rows.map(_.toSeq).toSet)
+  }
+
   test("effectiveTokens: hand-computed dyadic decay over planted copies") {
     import org.apache.spark.sql.functions.col
     // source a: "x y z" twice (ranks 1,2 → 3 + 1.5) and unique "p q" (2)

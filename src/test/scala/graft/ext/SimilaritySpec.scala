@@ -698,6 +698,35 @@ class SimilaritySpec extends SparkTestBase {
     assert(rep(2L).getAs[Double]("bytes_per_vec") === 8.0)
   }
 
+  test("binary quantization: constructed sign-tie the rerank must break") {
+    // q = all-ones. C matches q's SIGNS exactly (hamming 0) but has tiny
+    // magnitude (dot 6.4); D flips ONE sign (hamming 1) but carries dot
+    // 62.9 — the true top-1. Raw Hamming ranks C first (recall 0); the
+    // 4k-shortlist exact rerank reads both and recovers D (recall 1).
+    val ones = Seq.fill(64)(1.0f)
+    val c = Seq.fill(64)(0.1f)
+    val d = -0.1f +: Seq.fill(63)(1.0f)
+    val emb = Seq((0L, ones), (1L, c), (2L, d)).toDF("vec_id", "embedding")
+    val rep = Similarity.binaryRecallReport(emb.where($"vec_id" === 0), emb, 1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rep("binary_hamming").getAs[Double]("recall") === 0.0)
+    assert(rep("binary_hamming").getAs[Long]("n_approx") === 1L)
+    assert(rep("binary_rerank").getAs[Double]("recall") === 1.0)
+    assert(rep("binary_hamming").getAs[Double]("bytes_per_vec") === 8.0)
+  }
+
+  test("binary quantization report: rerank never loses to raw hamming on real embeddings") {
+    import graft.sources.Tables
+    val e = Tables.embeddings(spark, sfDir)
+    val rep = Similarity.binaryRecallReport(e.where($"vec_id" < 3), e, 5)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("recall")).toMap
+    assert(rep.values.forall(r => r >= 0.0 && r <= 1.0))
+    assert(rep("binary_rerank") >= rep("binary_hamming"))
+    val rep2 = Similarity.binaryRecallReport(e.where($"vec_id" < 3), e, 5)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("recall")).toMap
+    assert(rep === rep2)
+  }
+
   test("matryoshka report is deterministic and monotone-shaped on real embeddings") {
     import graft.sources.Tables
     val e = Tables.embeddings(spark, sfDir)

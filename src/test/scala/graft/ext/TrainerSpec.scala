@@ -276,6 +276,37 @@ class TrainerSpec extends SparkTestBase {
     assert(r.isNullAt(r.fieldIndex("auc")))
   }
 
+  test("brierFromScored: hand-computed Murphy decomposition; zero within-bin gap case") {
+    // bins: {0.1, 0.1}→bin1 (ȳ=0), {0.9}→bin9 (ȳ=1), {0.7}→bin7 (ȳ=0)
+    // REL = (2·0.01 + 0.01 + 0.49)/4 = 0.13; base = 0.25,
+    // RES = (2·0.0625 + 0.5625 + 0.0625)/4 = 0.1875; UNC = 0.1875;
+    // Brier = 0.13 and the identity gap is exactly the (zero) within-bin
+    // score variance.
+    val scored = Seq((1L, 0.0, 0.1), (2L, 0.0, 0.1), (3L, 1.0, 0.9), (4L, 0.0, 0.7))
+      .toDF("doc_id", "y", "score")
+    val r = Trainer.brierFromScored(scored, foldBuckets = 2).head()
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Double]("base_rate") === 0.25)
+    assert(math.abs(r.getAs[Double]("brier") - 0.13) < 1e-12)
+    assert(math.abs(r.getAs[Double]("reliability") - 0.13) < 1e-12)
+    assert(math.abs(r.getAs[Double]("resolution") - 0.1875) < 1e-12)
+    assert(r.getAs[Double]("uncertainty") === 0.1875)
+    assert(math.abs(r.getAs[Double]("decomp_gap")) < 1e-12)
+  }
+
+  test("brierDecomposition: fixture identity holds to within-bin variance; deterministic") {
+    val docs = Tables.documents(spark, sfDir)
+    val r = Trainer.brierDecomposition(spark, docs).head()
+    val (b, rel, res, unc) = (r.getAs[Double]("brier"), r.getAs[Double]("reliability"),
+      r.getAs[Double]("resolution"), r.getAs[Double]("uncertainty"))
+    assert(b >= 0.0 && rel >= 0.0 && res >= 0.0 && unc >= 0.0 && unc <= 0.25)
+    // the binned identity is exact only for within-bin-constant forecasts;
+    // the residual carries the within-bin variance/covariance terms and
+    // must stay small relative to the score itself (sf0.1: −0.0025)
+    assert(math.abs(r.getAs[Double]("decomp_gap")) < 0.05)
+    assert(Trainer.brierDecomposition(spark, docs.repartition(7)).head().toSeq === r.toSeq)
+  }
+
   test("gateAuc: fixture separability is real (auc = 1.0) and deterministic") {
     val docs = Tables.documents(spark, sfDir)
     val a = Trainer.gateAuc(spark, docs).head()
