@@ -904,6 +904,57 @@ object Curate {
           .as("at_risk_frac"))
   }
 
+  /** Delete-a-group jackknife over the mean quality score — the
+    * uncertainty row every datasheet mean should carry (Kott 2001's
+    * delete-a-group jackknife; public method): split docs into G = ⌈√n⌉
+    * deterministic id-hash groups (the house bucket law), compute the G
+    * leave-one-group-out means, and report the jackknife SE
+    * √((G−1)/G · Σ(m_g − m̄)²) beside the point estimate — "quality is
+    * 0.61 ± 0.003" instead of a bare 0.61, so a drift alarm (x139) can
+    * tell signal from sampling noise. Everything but the final IEEE
+    * `sqrt` (correctly rounded in both engines) is rational; group sums
+    * are sorted folds over √n-sized buffers and the G-row reductions
+    * fold in ascending group order.
+    *
+    * Scale shape: one groupBy(doc_id % G) pass (map-side partials, √n
+    * groups × √n-sized fold buffers), a 1-row totals crossJoin (report
+    * constant), and two G-element ordered folds. The report is 1 row.
+    */
+  def jackknifeQuality(docs: DataFrame): DataFrame = {
+    import graft.functions.Stable.sqrtBuckets
+    jackknifeOf(
+      TextOps.qualityMetrics(docs)
+        .select(col("doc_id"), col("quality_score").as("value")),
+      sqrtBuckets(docs.count()))
+  }
+
+  /** The delete-a-group kernel behind [[jackknifeQuality]], usable on any
+    * (doc_id, value) frame with `groups` id-hash groups. */
+  def jackknifeOf(vals: DataFrame, groups: Int): DataFrame = {
+    import graft.functions.Stable.{sortedFold, bucketFold}
+    val g = groups
+    val per = vals.groupBy(pmod(col("doc_id"), lit(g.toLong)).as("_g"))
+      .agg(count(lit(1)).as("_ng"), sortedFold(col("value")).as("_sg"))
+    val tot = broadcast(per.agg(sum(col("_ng")).as("_n"),
+      bucketFold(col("_g"), col("_sg")).as("_s"), count(lit(1)).as("_ngrp")))
+    val loo = per.crossJoin(tot)
+      .withColumn("_mg", (col("_s") - col("_sg"))
+        / (col("_n") - col("_ng")).cast("double"))
+    val mbar = broadcast(loo.groupBy("_n", "_s", "_ngrp")
+      .agg((bucketFold(col("_g"), col("_mg")) / col("_ngrp").cast("double")).as("_mbar")))
+    loo.select(col("_g"), col("_mg"))
+      .crossJoin(mbar)
+      .withColumn("_dev", (col("_mg") - col("_mbar")) * (col("_mg") - col("_mbar")))
+      .groupBy("_n", "_s", "_ngrp", "_mbar")
+      .agg(bucketFold(col("_g"), col("_dev")).as("_ss"))
+      .select(col("_n").as("n"), col("_ngrp").as("n_groups"),
+        (col("_s") / col("_n").cast("double")).as("mean_quality"),
+        sqrt((col("_ngrp") - 1).cast("double") / col("_ngrp").cast("double")
+          * col("_ss")).as("jackknife_se"))
+      .withColumn("ci_lo", col("mean_quality") - lit(2.0) * col("jackknife_se"))
+      .withColumn("ci_hi", col("mean_quality") + lit(2.0) * col("jackknife_se"))
+  }
+
   /** Quality-mass Lorenz curve — the doc-granularity companion to
     * [[sourceTokenGini]]: rank every doc by the house quality score
     * (best first), cut into 10 exact deciles, and report each decile's

@@ -145,6 +145,12 @@ object ExtQueries {
     "x188_k_anonymity" -> ((s, dir) =>
       Curate.kAnonymityAudit(Tables.documents(s, dir))),
 
+    // Delete-a-group jackknife (r8 batch 9): mean quality ± jackknife SE
+    // over √n id-hash groups — the uncertainty the drift alarm needs to
+    // tell signal from sampling noise.
+    "x194_jackknife_quality" -> ((s, dir) =>
+      Curate.jackknifeQuality(Tables.documents(s, dir))),
+
     // Effective token mass under repetition (r8 batch 7): per-source
     // raw vs unique vs repeat-decayed token mass (Muennighoff 2023,
     // dyadic decay) — what a token-budget mixer should weigh sources by.
@@ -828,6 +834,32 @@ object ExtQueries {
     "x38_ann_int8_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.int8TopK(e.where(col("vec_id") < 5), e, 10)
+    }),
+
+    // Stored IVF-BIN index (r8 batch 9): x192's 1-bit sign kernel
+    // composed with the stored-index discipline — 8 B/vec cell-
+    // partitioned codes, DPP probes, and the two-stage rerank that looks
+    // the shortlist's full vectors up from the corpus store. Closes the
+    // scale path x192's Scaladoc names, the x167 pattern.
+    "x193_ann_ivfbin_stored" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 5)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivfbin_").toString
+      Similarity.buildIvfBinIndex(e, idx)
+      val truth = graft.ops.Caching.cacheOnce(
+        Similarity.bruteForceTopK(q, e, 10).select("q_id", "vec_id"))
+      Seq(("ivfbin_nprobe1", Similarity.ivfBinTopK(s, idx, q, 10, 1)),
+          ("ivfbin_nprobe2", Similarity.ivfBinTopK(s, idx, q, 10, 2)),
+          ("ivfbin_rerank_nprobe2",
+            Similarity.ivfBinRerankTopK(s, idx, q, e, 10, 2))).map { case (nm, ap) =>
+        val a = ap.select("q_id", "vec_id")
+        val nT = truth.agg(count(lit(1)).as("n_truth"))
+        val nA = a.agg(count(lit(1)).as("n_approx"))
+        val nC = truth.join(a, Seq("q_id", "vec_id")).agg(count(lit(1)).as("n_common"))
+        nT.crossJoin(broadcast(nA)).crossJoin(broadcast(nC))
+          .select(lit(nm).as("method"), col("n_truth"), col("n_approx"), col("n_common"),
+            (col("n_common").cast("double") / col("n_truth").cast("double")).as("recall"))
+      }.reduce(_ unionByName _)
     }),
 
     // k-means centroid training is iterative floating-point state DuckDB
@@ -4007,6 +4039,72 @@ object ExtQueries {
         "r AS (SELECT vec_id, eval_id, cos, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_id) AS rn FROM s) " +
         s"SELECT vec_id, eval_id AS nearest_eval, cos AS max_cos FROM r WHERE rn = 1 AND cos >= ${Similarity.DeconTau}"),
 
+    // x193: cell assignment + x192's sign-piece chain, cell-confined
+    // Hamming ranking at both probe depths + the nprobe2 shortlist
+    // exact-dot rerank, vs the brute truth.
+    "x193_ann_ivfbin_stored" -> {
+      val piece = (0 until 4).map { p =>
+        val terms = (0 until 16).map(i =>
+          s"CASE WHEN emb[${p * 16 + i + 1}] > 0 THEN ${1 << i} ELSE 0 END")
+          .mkString(" + ")
+        s"($terms)"
+      }.mkString("[", ", ", "]")
+      val hamZip =
+        "CAST(list_aggregate(list_transform(list_zip(q.q_sig, v.sig), z -> bit_count(xor(z[1], z[2]))), 'sum') AS BIGINT)"
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.IvfCentroidStride} = 0), " +
+        "iscored AS (SELECT e.vec_id, cents.cent_id, " +
+        s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
+        "iasg AS (SELECT vec_id, cent_id AS cell FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t WHERE r = 1), " +
+        s"pz AS (SELECT vec_id, emb, $piece AS sig FROM e), " +
+        "vq1 AS (SELECT vec_id AS q_id, cell FROM iasg WHERE vec_id < 5), " +
+        "vq2 AS (SELECT vec_id AS q_id, cent_id AS cell FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t " +
+        "WHERE r <= 2 AND vec_id < 5), " +
+        "vqs AS (SELECT vec_id AS q_id, emb AS q_emb, sig AS q_sig FROM pz WHERE vec_id < 5), " +
+        "vh1 AS (SELECT c.q_id, a.vec_id, " + hamZip + " AS hamming " +
+        "FROM iasg a JOIN vq1 c USING (cell) JOIN pz v ON v.vec_id = a.vec_id " +
+        "JOIN vqs q ON q.q_id = c.q_id WHERE c.q_id <> a.vec_id), " +
+        "vh2 AS (SELECT c.q_id, a.vec_id, " + hamZip + " AS hamming " +
+        "FROM iasg a JOIN vq2 c USING (cell) JOIN pz v ON v.vec_id = a.vec_id " +
+        "JOIN vqs q ON q.q_id = c.q_id WHERE c.q_id <> a.vec_id), " +
+        "vt1 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rank FROM vh1) WHERE rank <= 10), " +
+        "vt2 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rank FROM vh2) WHERE rank <= 10), " +
+        s"vsh AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rank FROM vh2) " +
+        s"WHERE rank <= ${10 * Similarity.BinaryRerankMult}), " +
+        s"vrr AS (SELECT s.q_id, s.vec_id, ${dotSql("q.q_emb", "v.emb")} AS cos " +
+        "FROM vsh s JOIN pz v ON v.vec_id = s.vec_id JOIN vqs q ON q.q_id = s.q_id), " +
+        "vt3 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rrank FROM vrr) WHERE rrank <= 10), " +
+        "btq AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 5), " +
+        "bts AS (SELECT q_id, e.vec_id, " + dotSql("qe", "e.emb") + " AS cos " +
+        "FROM e, btq WHERE q_id <> e.vec_id), " +
+        "btr AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM bts) WHERE rank <= 10) " +
+        "SELECT 'ivfbin_nprobe1' AS method, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM btr) AS n_truth, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM vt1) AS n_approx, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM btr JOIN vt1 USING (q_id, vec_id)) AS n_common, " +
+        "CAST((SELECT count(*) FROM btr JOIN vt1 USING (q_id, vec_id)) AS DOUBLE)/" +
+        "CAST((SELECT count(*) FROM btr) AS DOUBLE) AS recall " +
+        "UNION ALL SELECT 'ivfbin_nprobe2', " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM btr), " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM vt2), " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM btr JOIN vt2 USING (q_id, vec_id)), " +
+        "CAST((SELECT count(*) FROM btr JOIN vt2 USING (q_id, vec_id)) AS DOUBLE)/" +
+        "CAST((SELECT count(*) FROM btr) AS DOUBLE) " +
+        "UNION ALL SELECT 'ivfbin_rerank_nprobe2', " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM btr), " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM vt3), " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM btr JOIN vt3 USING (q_id, vec_id)), " +
+        "CAST((SELECT count(*) FROM btr JOIN vt3 USING (q_id, vec_id)) AS DOUBLE)/" +
+        "CAST((SELECT count(*) FROM btr) AS DOUBLE)"
+    },
+
     // x167: cell assignment + x38's int8 chain, cell-confined scoring at
     // both probe depths vs the brute truth.
     "x167_ann_ivfsq8_stored" ->
@@ -4802,6 +4900,30 @@ object ExtQueries {
         "CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens, " +
         "CASE WHEN tt > 0 THEN CAST(sum(n_tokens) OVER w AS DOUBLE)/CAST(tt AS DOUBLE) END AS cum_token_share " +
         "FROM pq, qt WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"),
+
+    // x194: x54's quality-score CTEs, √n id-hash groups with sorted
+    // folds, leave-one-out means, grp-ordered G-element folds, IEEE sqrt.
+    "x194_jackknife_quality" ->
+      (s"WITH t AS ($toksCte), d AS (SELECT doc_id, toks, text FROM documents JOIN t USING (doc_id)), " +
+        "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        s"CAST(len(list_filter(toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(toks) AS stopword_ratio, " +
+        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/length(text) AS alpha_ratio " +
+        "FROM d), " +
+        "s AS (SELECT doc_id, least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5 " +
+        "+ stopword_ratio*0.25 + alpha_ratio*0.25 AS quality_score FROM m), " +
+        "jg AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS g FROM documents), " +
+        "jp AS (SELECT doc_id % (SELECT g FROM jg) AS grp, CAST(count(*) AS BIGINT) AS ng, " +
+        "list_aggregate(list_sort(list(quality_score)), 'sum') AS sg FROM s GROUP BY 1), " +
+        "jt AS (SELECT CAST(sum(ng) AS BIGINT) AS n, " +
+        "list_aggregate(list(sg ORDER BY grp), 'sum') AS s2, CAST(count(*) AS BIGINT) AS ngrp FROM jp), " +
+        "jl AS (SELECT grp, (s2 - sg)/CAST(n - ng AS DOUBLE) AS mg, n, s2, ngrp FROM jp, jt), " +
+        "jm AS (SELECT n, s2, ngrp, list_aggregate(list(mg ORDER BY grp), 'sum')/CAST(ngrp AS DOUBLE) AS mbar FROM jl GROUP BY 1, 2, 3), " +
+        "jd AS (SELECT jl.grp, (jl.mg - jm.mbar)*(jl.mg - jm.mbar) AS dev, jl.n, jl.s2, jl.ngrp, jm.mbar FROM jl, jm), " +
+        "jv AS (SELECT n, s2, ngrp, mbar, list_aggregate(list(dev ORDER BY grp), 'sum') AS ss FROM jd GROUP BY 1, 2, 3, 4) " +
+        "SELECT n, ngrp AS n_groups, s2/CAST(n AS DOUBLE) AS mean_quality, " +
+        "sqrt(CAST(ngrp - 1 AS DOUBLE)/CAST(ngrp AS DOUBLE) * ss) AS jackknife_se, " +
+        "s2/CAST(n AS DOUBLE) - 2.0*sqrt(CAST(ngrp - 1 AS DOUBLE)/CAST(ngrp AS DOUBLE) * ss) AS ci_lo, " +
+        "s2/CAST(n AS DOUBLE) + 2.0*sqrt(CAST(ngrp - 1 AS DOUBLE)/CAST(ngrp AS DOUBLE) * ss) AS ci_hi FROM jv"),
 
     // x188: quasi-identifier groupBy (metadata-bounded), group-size
     // histogram below k, 1-row doc-total constant.

@@ -1299,6 +1299,86 @@ object Similarity {
       .select("q_id", "vec_id", "score", "rank")
   }
 
+  // ---------------- IVF-BIN: stored 1-bit sign index (r8) ----------
+  //
+  // The FOURTH rung of the stored-index quantization menu (exact = x58,
+  // 8 B PQ = x152/x154, residual PQ = x161, 64 B SQ8 = x167): cell-
+  // partitioned 8-byte sign codes — the x192 in-memory kernel composed
+  // with the stored-IVF discipline, exactly the scale path x192's
+  // Scaladoc names. Probes read only the probed cells (DPP); the rerank
+  // leg looks the Hamming shortlist's FULL vectors up from the corpus
+  // store (bounded mult·k rows per query), the production two-stage.
+
+  /** Assign + sign-quantize one batch — the shared kernel of the BIN
+    * build and append (both zero-shuffle scans). */
+  private def ivfBinEncode(batch: DataFrame, cents: DataFrame): DataFrame =
+    assignCells(batch, cents).select(col("vec_id"), col("cell"),
+      signBits(col("embedding")).as("sig"))
+
+  /** Persist the IVF-BIN index: `centroids/` + `signs/` (vec_id, 4-piece
+    * sig) PARTITIONED BY cell. One corpus scan; embeddings never stored. */
+  def buildIvfBinIndex(corpus: DataFrame, indexDir: String): Unit = {
+    GraftFunctions.register(corpus.sparkSession)
+    val cents = strideCents(corpus)
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    ivfBinEncode(corpus, cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/signs")
+  }
+
+  /** Append a delta batch against the STORED centroids — batch-sized
+    * work; sign codes are per-vector, so appends cannot move base rows. */
+  def appendToIvfBinIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame): Unit = {
+    GraftFunctions.register(spark)
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    ivfBinEncode(batch, cents)
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/signs")
+  }
+
+  /** Probe the stored IVF-BIN index by Hamming distance within the probed
+    * cells; the signs equi-join on `cell` plans the same dynamic-
+    * partition-pruning subquery as the other stored probes. */
+  def ivfBinTopK(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
+    GraftFunctions.register(spark)
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val signs = spark.read.parquet(s"$indexDir/signs")
+    val qcells =
+      if (nprobe == 1) assignCells(queries, cents)
+      else assignCellsTop2(queries, cents)
+        .select(col("vec_id"), col("embedding"),
+          explode(array(col("cell1"), col("cell2"))).as("cell"))
+    val qq = broadcast(qcells.select(col("vec_id").as("q_id"), col("cell"),
+      signBits(col("embedding")).as("q_sig")))
+    signs.join(qq, Seq("cell")).where(col("q_id") =!= col("vec_id"))
+      .withColumn("hamming", ham(col("q_sig"), col("sig")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("hamming").asc, col("vec_id").asc))
+        .cast("long"))
+      .where(col("rank") <= k)
+      .select("q_id", "vec_id", "hamming", "rank")
+  }
+
+  /** Two-stage probe: Hamming shortlist of mult·k from the stored index,
+    * exact-cosine rerank against full vectors looked up from `corpus` —
+    * the bounded vector-store lookup (mult·k rows per query). */
+  def ivfBinRerankTopK(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, corpus: DataFrame, k: Int,
+      nprobe: Int = 1, mult: Int = BinaryRerankMult): DataFrame = {
+    GraftFunctions.register(spark)
+    val short = ivfBinTopK(spark, indexDir, queries, k * mult, nprobe)
+      .select("q_id", "vec_id")
+    val qe = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb")))
+    short.join(corpus, "vec_id").join(qe, "q_id")
+      .withColumn("score", GraftFunctions.cosineSim(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc))
+        .cast("long"))
+      .where(col("rank") <= k)
+      .select("q_id", "vec_id", "score", "rank")
+  }
+
   /** PQ recall report (the x69 practice): per (m, K) config, PQ top-k for
     * the 5 fixture queries against the brute-force cosine truth — bytes
     * per vector beside the measured recall, so the memory/recall tradeoff
@@ -1402,17 +1482,23 @@ object Similarity {
     * IVF cell probe with sigs as the in-cell code); the rerank leg reads
     * full vectors for only 4·k rows per query.
     */
+  /** 64 sign bits as 4 signed-int 16-bit pieces (the simhash64
+    * engine-parity discipline); dims past the array length count as
+    * sign 0 in both engines. */
+  private[ext] def signBits(e: Column): Column = array((0 until 4).map { p =>
+    (0 until 16).map(i =>
+      when(e.getItem(p * 16 + i) > 0f, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+  }: _*)
+
+  /** Hamming distance over two 4-piece sign arrays. */
+  private[ext] def ham(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0L), (acc, h) => acc + h)
+
   def binaryRecallReport(queries: DataFrame, emb: DataFrame,
       k: Int = 10): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
-    def signBits(e: Column): Column = array((0 until 4).map { p =>
-      (0 until 16).map(i =>
-        when(e.getItem(p * 16 + i) > 0f, lit(1 << i)).otherwise(lit(0)))
-        .reduce(_ + _)
-    }: _*)
-    def ham(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
-        lit(0L), (acc, h) => acc + h)
     val truth = graft.ops.Caching.cacheOnce(
       bruteForceTopK(queries, emb, k).select("q_id", "vec_id"))
     val qs = broadcast(queries.select(col("vec_id").as("q_id"),

@@ -419,6 +419,32 @@ class CurateSpec extends SparkTestBase {
       Curate.tokenBudgetMix(docs, Curate.TokenMixBudget).collect().map(_.toSeq).toSet)
   }
 
+  test("jackknifeOf: hand-computed delete-a-group SE; fixture CI brackets the mean") {
+    // ids 1..4 values 1,2,3,4 in G=2 id-hash groups: g1={1,3}, g0={2,4}
+    // m_g0 = (10−6)/2 = 2, m_g1 = (10−4)/2 = 3, m̄ = 2.5,
+    // var = (1/2)·(0.25+0.25) = 0.25 → SE = 0.5
+    val vals = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0))
+      .toDF("doc_id", "value")
+    val r = Curate.jackknifeOf(vals, groups = 2).head()
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Long]("n_groups") === 2L)
+    assert(r.getAs[Double]("mean_quality") === 2.5)
+    assert(r.getAs[Double]("jackknife_se") === 0.5)
+    assert(r.getAs[Double]("ci_lo") === 1.5)
+    assert(r.getAs[Double]("ci_hi") === 3.5)
+    // a constant column has zero sampling error
+    val const = Curate.jackknifeOf(
+      vals.withColumn("value", lit(7.0)), groups = 2).head()
+    assert(const.getAs[Double]("jackknife_se") === 0.0)
+    // fixture: SE positive, CI brackets the mean, deterministic
+    val docs = Tables.documents(spark, sfDir)
+    val f = Curate.jackknifeQuality(docs).head()
+    assert(f.getAs[Double]("jackknife_se") > 0.0)
+    assert(f.getAs[Double]("ci_lo") < f.getAs[Double]("mean_quality"))
+    assert(f.getAs[Double]("ci_hi") > f.getAs[Double]("mean_quality"))
+    assert(Curate.jackknifeQuality(docs.repartition(7)).head().toSeq === f.toSeq)
+  }
+
   test("kAnonymityAudit: hand-built small groups counted at their exposure level") {
     // quasi-identifier = (source, lang, n_chars div 128):
     // one singleton group, one pair group, one safe group of 6

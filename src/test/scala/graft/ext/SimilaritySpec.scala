@@ -715,6 +715,47 @@ class SimilaritySpec extends SparkTestBase {
     assert(rep("binary_hamming").getAs[Double]("bytes_per_vec") === 8.0)
   }
 
+  test("stored IVF-BIN probe == in-memory cell-confined hamming; DPP; append == rebuild") {
+    import org.apache.spark.sql.functions.{col, broadcast}
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfbin-spec").toString
+    Similarity.buildIvfBinIndex(e, idx)
+    val queries = e.where(col("vec_id") < 5)
+    val stored = Similarity.ivfBinTopK(spark, idx, queries, 10)
+    // in-memory expected: sign bits over the full corpus, restricted to
+    // the query's assigned cell, hamming-ranked — identical rows
+    val cents = e.where(col("vec_id") % Similarity.IvfCentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val asg = Similarity.assignCells(e, cents).select(col("vec_id"), col("cell"))
+    val sigs = e.select(col("vec_id"), Similarity.signBits(col("embedding")).as("sig"))
+      .join(asg, "vec_id")
+    val qs = broadcast(queries
+      .select(col("vec_id").as("q_id"), Similarity.signBits(col("embedding")).as("q_sig"))
+      .join(asg.select(col("vec_id").as("q_id"), col("cell")), "q_id"))
+    val mem = sigs.join(qs, Seq("cell")).where(col("q_id") =!= col("vec_id"))
+      .withColumn("hamming", Similarity.ham(col("q_sig"), col("sig")))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("hamming").asc, col("vec_id").asc)).cast("long"))
+      .where(col("rank") <= 10)
+      .select("q_id", "vec_id", "hamming", "rank")
+    assert(stored.collect().map(_.toSeq).toSet === mem.collect().map(_.toSeq).toSet)
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on cell in:\n$plan")
+    // rerank leg returns k rows per query with exact-cosine order
+    val rr = Similarity.ivfBinRerankTopK(spark, idx, queries, e, 10, 2).collect()
+    assert(rr.length === 50)
+    // append-grown index probes identically to a full rebuild
+    val isBase = col("vec_id") % Similarity.IvfCentroidStride === 0 || col("vec_id") < 150
+    val grown = java.nio.file.Files.createTempDirectory("graft-ivfbin-app").toString
+    Similarity.buildIvfBinIndex(e.where(isBase), grown)
+    Similarity.appendToIvfBinIndex(spark, grown, e.where(!isBase))
+    val g = Similarity.ivfBinTopK(spark, grown, queries, 10).collect().map(_.toSeq).toSet
+    assert(g === stored.collect().map(_.toSeq).toSet,
+      "append-grown BIN index must probe identically to the full build")
+  }
+
   test("binary quantization report: rerank never loses to raw hamming on real embeddings") {
     import graft.sources.Tables
     val e = Tables.embeddings(spark, sfDir)
