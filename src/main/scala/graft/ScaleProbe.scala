@@ -273,6 +273,30 @@ object ScaleProbe {
         graft.ext.Similarity.ivfSq8TopK(spark, idx,
           emb.where(col("vec_id") < 5), 10).count()
       }
+      // IVF-BIN build+probe (r8 batch 9): sign-quantize scan (8 B/vec
+      // codes) + partitioned write; the probe reads only the probed cells
+      time("ivfbin_stored_probe") {
+        val idx = java.nio.file.Files.createTempDirectory("graft_probe_bin_").toString
+        graft.ext.Similarity.buildIvfBinIndex(emb, idx)
+        graft.ext.Similarity.ivfBinTopK(spark, idx,
+          emb.where(col("vec_id") < 5), 10).count()
+      }
+      // Exact midrank AUC (r8 batch 6): LR chain (k-linear corpus
+      // aggregates) + the distinct-score two-phase prefix sum — the probe
+      // measures that the prefix-sum machinery adds scan-shaped cost only
+      time("gate_auc") {
+        graft.ext.Trainer.gateAuc(spark, corpus).count()
+      }
+      // Effective tokens (r8 batch 7): digest-keyed copy-rank window +
+      // sqrt-n folds; replication multiplies dup groups linearly
+      time("effective_tokens") {
+        graft.ext.Dedup.effectiveTokens(corpus).count()
+      }
+      // Dedup threshold sweep (r8 batch 8): ONE minhashLsh at 0.5 feeds
+      // all five thresholds; pair volume linear under the salted protocol
+      time("threshold_sweep") {
+        graft.ext.Dedup.thresholdSweep(corpus).count()
+      }
       // Semantic decontamination (r8): the eval side is the FIXED copy-0
       // hash draw (bounded broadcast — a benchmark doesn't grow with the
       // corpus); the train side grows k-linear, so the slope is the scan
