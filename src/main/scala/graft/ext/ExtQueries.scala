@@ -1556,6 +1556,17 @@ object ExtQueries {
       Hybrid.retrievalEvalStored(docs, emb, bmIdx, pqIdx)
     }),
 
+    // Query-set eval over the stored IVF-BIN index (r8 batch 10): the
+    // x153 discipline applied to the 1-bit rung — raw-Hamming and
+    // reranked legs in nDCG terms, over the DPP plans users run.
+    "x195_retrieval_eval_binary" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivfbin_eval_").toString
+      Similarity.buildIvfBinIndex(emb, idx)
+      Hybrid.retrievalEvalBinary(docs, emb, idx)
+    }),
+
     // The full training-data preparation pipeline as ONE registered query:
     // quality gate (x09's score) -> exact dedup keeping the min doc_id per
     // text hash (x01's canonicalization) -> context-window chunking (x42)
@@ -2559,6 +2570,40 @@ object ExtQueries {
     * `pi`, the [[Similarity.IvfPqM]] config), the 5 fixture queries' ADC
     * LUT, cell-confined candidates, sub-ordered score folds. Ends with
     * `iscs (q_id, vec_id, score)`. */
+  /** IVF-BIN probe CTE chain (x193/x195): double-cast embeddings, stride
+    * centroids, cell assignment, sign pieces, the 5 fixture queries'
+    * nprobe1/nprobe2 cell sets and per-cell Hamming scores. Ends with
+    * `vh1`/`vh2` (q_id, vec_id, hamming); `pz`/`vqs` carry full vectors
+    * for the rerank legs. */
+  private lazy val ivfBinProbeCtes: String = {
+    val piece = (0 until 4).map { p =>
+      val terms = (0 until 16).map(i =>
+        s"CASE WHEN emb[${p * 16 + i + 1}] > 0 THEN ${1 << i} ELSE 0 END")
+        .mkString(" + ")
+      s"($terms)"
+    }.mkString("[", ", ", "]")
+    val hamZip =
+      "CAST(list_aggregate(list_transform(list_zip(q.q_sig, v.sig), z -> bit_count(xor(z[1], z[2]))), 'sum') AS BIGINT)"
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+      s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.IvfCentroidStride} = 0), " +
+      "iscored AS (SELECT e.vec_id, cents.cent_id, " +
+      s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
+      "iasg AS (SELECT vec_id, cent_id AS cell FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t WHERE r = 1), " +
+      s"pz AS (SELECT vec_id, emb, $piece AS sig FROM e), " +
+      "vq1 AS (SELECT vec_id AS q_id, cell FROM iasg WHERE vec_id < 5), " +
+      "vq2 AS (SELECT vec_id AS q_id, cent_id AS cell FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t " +
+      "WHERE r <= 2 AND vec_id < 5), " +
+      "vqs AS (SELECT vec_id AS q_id, emb AS q_emb, sig AS q_sig FROM pz WHERE vec_id < 5), " +
+      "vh1 AS (SELECT c.q_id, a.vec_id, " + hamZip + " AS hamming " +
+      "FROM iasg a JOIN vq1 c USING (cell) JOIN pz v ON v.vec_id = a.vec_id " +
+      "JOIN vqs q ON q.q_id = c.q_id WHERE c.q_id <> a.vec_id), " +
+      "vh2 AS (SELECT c.q_id, a.vec_id, " + hamZip + " AS hamming " +
+      "FROM iasg a JOIN vq2 c USING (cell) JOIN pz v ON v.vec_id = a.vec_id " +
+      "JOIN vqs q ON q.q_id = c.q_id WHERE c.q_id <> a.vec_id)"
+  }
+
   private lazy val ivfPqProbeCtes: String = {
     val m = Similarity.IvfPqM
     val kc = Similarity.PqK
@@ -3387,6 +3432,34 @@ object ExtQueries {
         "FROM pevq GROUP BY system"
     },
 
+    // x195: the IVF-BIN probe chain (x193's CTEs) feeding the query-set
+    // eval tail (x153's pattern) — raw-Hamming top-20 and the 80-deep
+    // shortlist's exact-dot rerank, both scored against srel.
+    "x195_retrieval_eval_binary" -> {
+      val nQ = Hybrid.QuerySet.size
+      s"WITH $hybridSetCtes, $ivfBinProbeCtes, " +
+        "bann AS (SELECT q_id AS query_id, vec_id AS doc_id, CAST(rank AS BIGINT) AS rank FROM " +
+        "(SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rank FROM vh2) " +
+        "WHERE rank <= 20), " +
+        s"bsh AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rank FROM vh2) " +
+        s"WHERE rank <= ${20 * Similarity.BinaryRerankMult}), " +
+        s"brr0 AS (SELECT s.q_id, s.vec_id, ${dotSql("q.q_emb", "v.emb")} AS cos " +
+        "FROM bsh s JOIN pz v ON v.vec_id = s.vec_id JOIN vqs q ON q.q_id = s.q_id), " +
+        "brr AS (SELECT q_id AS query_id, vec_id AS doc_id, CAST(rrank AS BIGINT) AS rank FROM " +
+        "(SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rrank FROM brr0) " +
+        "WHERE rrank <= 20), " +
+        s"bevq AS (SELECT * FROM ${hybridSetEvalSql("ivfbin_stored", "bann")} " +
+        s"UNION ALL SELECT * FROM ${hybridSetEvalSql("ivfbin_rerank_stored", "brr")}) " +
+        "SELECT system, CAST(count(*) AS BIGINT) AS n_queries, " +
+        "list_aggregate(list(ndcg ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_ndcg, " +
+        s"${pctSql("list_sort(list(ndcg))", 0.5, nQ)} AS p50_ndcg, " +
+        s"${pctSql("list_sort(list(ndcg))", 0.9, nQ)} AS p90_ndcg, " +
+        "list_aggregate(list(recall_at_k ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_recall, " +
+        "min(recall_at_k) AS min_recall " +
+        "FROM bevq GROUP BY system"
+    },
+
     // x158: the composed refresh — dsirCtes supplies the shared `t`;
     // repetition chain, the resample keep set, then x150's window over
     // the two-gate survivors.
@@ -4043,32 +4116,7 @@ object ExtQueries {
     // Hamming ranking at both probe depths + the nprobe2 shortlist
     // exact-dot rerank, vs the brute truth.
     "x193_ann_ivfbin_stored" -> {
-      val piece = (0 until 4).map { p =>
-        val terms = (0 until 16).map(i =>
-          s"CASE WHEN emb[${p * 16 + i + 1}] > 0 THEN ${1 << i} ELSE 0 END")
-          .mkString(" + ")
-        s"($terms)"
-      }.mkString("[", ", ", "]")
-      val hamZip =
-        "CAST(list_aggregate(list_transform(list_zip(q.q_sig, v.sig), z -> bit_count(xor(z[1], z[2]))), 'sum') AS BIGINT)"
-      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.IvfCentroidStride} = 0), " +
-        "iscored AS (SELECT e.vec_id, cents.cent_id, " +
-        s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
-        "iasg AS (SELECT vec_id, cent_id AS cell FROM (SELECT *, " +
-        "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t WHERE r = 1), " +
-        s"pz AS (SELECT vec_id, emb, $piece AS sig FROM e), " +
-        "vq1 AS (SELECT vec_id AS q_id, cell FROM iasg WHERE vec_id < 5), " +
-        "vq2 AS (SELECT vec_id AS q_id, cent_id AS cell FROM (SELECT *, " +
-        "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t " +
-        "WHERE r <= 2 AND vec_id < 5), " +
-        "vqs AS (SELECT vec_id AS q_id, emb AS q_emb, sig AS q_sig FROM pz WHERE vec_id < 5), " +
-        "vh1 AS (SELECT c.q_id, a.vec_id, " + hamZip + " AS hamming " +
-        "FROM iasg a JOIN vq1 c USING (cell) JOIN pz v ON v.vec_id = a.vec_id " +
-        "JOIN vqs q ON q.q_id = c.q_id WHERE c.q_id <> a.vec_id), " +
-        "vh2 AS (SELECT c.q_id, a.vec_id, " + hamZip + " AS hamming " +
-        "FROM iasg a JOIN vq2 c USING (cell) JOIN pz v ON v.vec_id = a.vec_id " +
-        "JOIN vqs q ON q.q_id = c.q_id WHERE c.q_id <> a.vec_id), " +
+      s"WITH $ivfBinProbeCtes, " +
         "vt1 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
         "row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rank FROM vh1) WHERE rank <= 10), " +
         "vt2 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +

@@ -499,4 +499,26 @@ object Hybrid {
       .unionByName(evalRankedSet("rrf_stored", fused, rel, k))
     evalDistribution(perQ, QuerySet.size)
   }
+
+  /** Query-set retrieval eval over the STORED IVF-BIN index — the x153
+    * discipline applied to the 1-bit rung the moment it got a stored
+    * form: the eval drives the exact plans a user runs (DPP cell probes,
+    * nprobe=2), reporting the raw-Hamming leg and the exact-cosine
+    * rerank leg side by side so the "shortlist generator, not a ranker"
+    * finding (x193) shows up in nDCG terms too.
+    */
+  def retrievalEvalBinary(docs: DataFrame, emb: DataFrame,
+      binIndexDir: String, k: Int = 10, depth: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    val queries = querySetDf(spark)
+    val qemb = emb.where(col("vec_id").isin(QuerySet.map(_._1): _*))
+    val raw = Similarity.ivfBinTopK(spark, binIndexDir, qemb, depth, 2)
+      .select(col("q_id").as("query_id"), col("vec_id").as("doc_id"), col("rank"))
+    val rr = Similarity.ivfBinRerankTopK(spark, binIndexDir, qemb, emb, depth, 2)
+      .select(col("q_id").as("query_id"), col("vec_id").as("doc_id"), col("rank"))
+    val rel = graft.ops.Caching.cacheOnce(gradedRelevanceSet(docs, emb, queries))
+    val perQ = evalRankedSet("ivfbin_stored", raw, rel, k)
+      .unionByName(evalRankedSet("ivfbin_rerank_stored", rr, rel, k))
+    evalDistribution(perQ, QuerySet.size)
+  }
 }

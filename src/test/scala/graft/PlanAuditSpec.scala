@@ -109,7 +109,8 @@ class PlanAuditSpec extends SparkTestBase {
     "x191_dedup_threshold_sweep" -> "the 1-row corpus-totals aggregate crossJoined onto the 5 threshold rows (report constant); pair generation is x03's band equi-join",
     "x192_binary_quant_recall" -> "crossJoin of single-row count aggregates per method (recall-report constants, x69's shape) + the x06-shaped broadcast-query stream and brute-force truth leg",
     "x193_ann_ivfbin_stored" -> "crossJoin of single-row count aggregates per method (recall-report constants, x167's shape) + the x06-shaped brute-force truth leg; the probes themselves are equi on cell with DPP (spec-asserted)",
-    "x194_jackknife_quality" -> "the 1-row totals and 1-row jackknife-mean aggregates crossJoined onto the √n group rows (report constants)"
+    "x194_jackknife_quality" -> "the 1-row totals and 1-row jackknife-mean aggregates crossJoined onto the √n group rows (report constants)",
+    "x195_retrieval_eval_binary" -> "x193's DPP cell probes feeding x145's 1-row eval folds and broadcast query/relevance stream (x153's shape)"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {

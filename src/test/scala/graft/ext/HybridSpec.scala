@@ -208,4 +208,27 @@ class HybridSpec extends SparkTestBase {
       Hybrid.rankMetricsReport(docs.repartition(7), emb).collect().map(_.toSeq).toSet)
     r.unpersist()
   }
+
+  test("retrievalEvalBinary: stored-index legs share the eval interface; rerank lifts nDCG") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = java.nio.file.Files.createTempDirectory("graft-hybin-spec").toString
+    graft.ext.Similarity.buildIvfBinIndex(emb, idx)
+    val rows = Hybrid.retrievalEvalBinary(docs, emb, idx).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("ivfbin_stored", "ivfbin_rerank_stored"))
+    rows.values.foreach { row =>
+      assert(row.getLong(row.fieldIndex("n_queries")) === Hybrid.QuerySet.size.toLong)
+      val n = row.getDouble(row.fieldIndex("mean_ndcg"))
+      assert(n >= 0.0 && n <= 1.0)
+    }
+    // the exact-cosine rerank never loses to raw 1-bit Hamming in nDCG
+    assert(rows("ivfbin_rerank_stored").getDouble(
+        rows("ivfbin_rerank_stored").fieldIndex("mean_ndcg")) >=
+      rows("ivfbin_stored").getDouble(rows("ivfbin_stored").fieldIndex("mean_ndcg")))
+    // deterministic across runs (same stored index)
+    assert(Hybrid.retrievalEvalBinary(docs, emb, idx).collect().map(_.toSeq).toSet ===
+      rows.values.map(_.toSeq).toSet)
+  }
 }
