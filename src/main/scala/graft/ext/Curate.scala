@@ -904,6 +904,54 @@ object Curate {
           .as("at_risk_frac"))
   }
 
+  /** Token-length bucket width for [[stratifiedQualitySelect]]'s strata.
+    * Embedded in the oracle. */
+  val StratLenBucket = 32L
+
+  /** Quality deciles kept by [[stratifiedQualitySelect]] (bins 1..keep).
+    * Embedded in the oracle. */
+  val StratKeepBins = 2L
+
+  /** Length-stratified quality selection — the de-confounded gate: x187
+    * proved quality CORRELATES with length on this corpus, so "keep the
+    * global top 20% by quality" quietly empties the short-doc strata and
+    * skews the surviving length distribution. This operator ranks quality
+    * WITHIN each token-length bucket (per-bucket deciles — a KEYED ntile
+    * window, never global) and keeps the top [[StratKeepBins]] deciles of
+    * every stratum, then reports, per bucket, how the stratified keep set
+    * differs from the global-decile keep set (x54/x187's exactNtile):
+    * kept docs/tokens under each rule and their overlap. Buckets where
+    * `n_kept_global` craters to 0 while `n_kept_strat` holds are exactly
+    * the strata the naive gate was starving.
+    *
+    * Scale shape: one keyed ntile window (partitioned by bucket), one
+    * [[graft.ops.Quality.exactNtile]] global ranking (range-partitioned
+    * two-phase), one join on doc_id, one bucket-keyed aggregate. Exact
+    * integer counts.
+    */
+  def stratifiedQualitySelect(docs: DataFrame): DataFrame = {
+    val m = TextOps.qualityMetrics(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .withColumn("_lb", expr(s"n_tokens div $StratLenBucket"))
+      .withColumn("_negq", -col("quality_score"))
+    val strat = m.withColumn("_sbin",
+      ntile(10).over(Window.partitionBy("_lb")
+        .orderBy(col("_negq"), col("doc_id"))).cast("long"))
+    val glob = graft.ops.Quality.exactNtile(m, 10, Seq("_negq", "doc_id"))
+      .select(col("doc_id"), col("bin").as("_gbin"))
+    strat.join(glob, "doc_id")
+      .groupBy(col("_lb").as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_sbin") <= StratKeepBins, 1L).otherwise(0L)).as("n_kept_strat"),
+        sum(when(col("_gbin") <= StratKeepBins, 1L).otherwise(0L)).as("n_kept_global"),
+        sum(when(col("_sbin") <= StratKeepBins && col("_gbin") <= StratKeepBins, 1L)
+          .otherwise(0L)).as("n_overlap"),
+        sum(when(col("_sbin") <= StratKeepBins, col("n_tokens")).otherwise(0L))
+          .as("tokens_kept_strat"),
+        sum(when(col("_gbin") <= StratKeepBins, col("n_tokens")).otherwise(0L))
+          .as("tokens_kept_global"))
+  }
+
   /** Delete-a-group jackknife over the mean quality score — the
     * uncertainty row every datasheet mean should carry (Kott 2001's
     * delete-a-group jackknife; public method): split docs into G = ⌈√n⌉
@@ -953,6 +1001,67 @@ object Curate {
           * col("_ss")).as("jackknife_se"))
       .withColumn("ci_lo", col("mean_quality") - lit(2.0) * col("jackknife_se"))
       .withColumn("ci_hi", col("mean_quality") + lit(2.0) * col("jackknife_se"))
+  }
+
+  /** Trim fraction for [[robustQuality]]'s trimmed mean. Embedded in the
+    * oracle. */
+  val RobustTrimFrac = 0.05
+
+  /** Robust location/scale report for the quality score — the outlier-
+    * resistant companions to x194's mean ± SE: exact rank-based MEDIAN
+    * (mean of the two middle ranks — one deterministic rule, identical
+    * in both engines, no interpolation ambiguity), 5%-TRIMMED mean (drop
+    * ⌊0.05·n⌋ ranks at each end), and MAD (median absolute deviation, a
+    * second rank pass over |x − median|). A boilerplate flood or scraper
+    * burst moves the mean but not these; the drift monitor reads both
+    * rows and the GAP between them says "outliers" vs "shift".
+    *
+    * Scale shape: two [[graft.ops.Quality.withExactRank]] passes (range-
+    * partitioned two-phase rank — no global window), rank-filtered
+    * 2-row/1-row aggregates, √n two-level folds for the trimmed sum, and
+    * 1-row broadcast constants between stages. The report is 1 row.
+    */
+  def robustQuality(docs: DataFrame): DataFrame =
+    robustOf(TextOps.qualityMetrics(docs)
+      .select(col("doc_id"), col("quality_score").as("v")))
+
+  /** The rank-statistics kernel behind [[robustQuality]], usable on any
+    * (doc_id, v) frame. */
+  def robustOf(vals: DataFrame): DataFrame = {
+    import graft.functions.Stable.{sortedFold, bucketFold, sqrtBuckets}
+    val m = graft.ops.Caching.cacheOnce(vals)
+    val n = m.count()
+    val fb = sqrtBuckets(n)
+    val lo = (n + 1) / 2
+    val hi = n / 2 + 1
+    val ranked = graft.ops.Caching.cacheOnce(
+      graft.ops.Quality.withExactRank(m, Seq("v", "doc_id"), "r"))
+    // avg over the matched middle ranks: two rows for even n, ONE row for
+    // odd n (lo == hi) — avg handles both; IEEE a+b is order-free for 2
+    def medianOf(rk: DataFrame): DataFrame =
+      rk.where(col("r") === lo || col("r") === hi)
+        .agg(avg(col("v")).as("med"))
+    val med = broadcast(medianOf(ranked))
+    val trim = n * RobustTrimFrac
+    val cut = math.floor(trim).toLong
+    val trimmed = ranked.where(col("r") > cut && col("r") <= n - cut)
+      .groupBy(pmod(col("doc_id"), lit(fb.toLong)).as("_bkt"))
+      .agg(count(lit(1)).as("_n"), sortedFold(col("v")).as("_ps"))
+      .agg(sum(col("_n")).as("_nt"),
+        bucketFold(col("_bkt"), col("_ps")).as("_ts"))
+      .select((col("_ts") / col("_nt").cast("double")).as("trimmed_mean"))
+    val devRanked = graft.ops.Quality.withExactRank(
+      m.crossJoin(med).select(col("doc_id"), abs(col("v") - col("med")).as("v")),
+      Seq("v", "doc_id"), "r")
+    val mad = medianOf(devRanked).select(col("med").as("mad"))
+    val mean = m.groupBy(pmod(col("doc_id"), lit(fb.toLong)).as("_bkt"))
+      .agg(count(lit(1)).as("_n"), sortedFold(col("v")).as("_ps"))
+      .agg(sum(col("_n")).as("n"),
+        (bucketFold(col("_bkt"), col("_ps")) / sum(col("_n")).cast("double"))
+          .as("mean_quality"))
+    mean.crossJoin(broadcast(med.select(col("med").as("median_quality"))))
+      .crossJoin(broadcast(trimmed))
+      .crossJoin(broadcast(mad))
   }
 
   /** Quality-mass Lorenz curve — the doc-granularity companion to

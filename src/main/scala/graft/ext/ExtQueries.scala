@@ -151,6 +151,18 @@ object ExtQueries {
     "x194_jackknife_quality" -> ((s, dir) =>
       Curate.jackknifeQuality(Tables.documents(s, dir))),
 
+    // Length-stratified quality selection (r8 batch 11): per-length-
+    // bucket quality deciles vs the global decile gate — the
+    // de-confounded keep rule x187's length/quality correlation calls for.
+    "x196_stratified_quality" -> ((s, dir) =>
+      Curate.stratifiedQualitySelect(Tables.documents(s, dir))),
+
+    // Robust quality statistics (r8 batch 11): exact rank median,
+    // 5%-trimmed mean, MAD — the outlier-resistant companions to x194's
+    // mean ± SE.
+    "x197_robust_quality" -> ((s, dir) =>
+      Curate.robustQuality(Tables.documents(s, dir))),
+
     // Effective token mass under repetition (r8 batch 7): per-source
     // raw vs unique vs repeat-decayed token mass (Muennighoff 2023,
     // dyadic decay) — what a token-budget mixer should weigh sources by.
@@ -4948,6 +4960,58 @@ object ExtQueries {
         "CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens, " +
         "CASE WHEN tt > 0 THEN CAST(sum(n_tokens) OVER w AS DOUBLE)/CAST(tt AS DOUBLE) END AS cum_token_share " +
         "FROM pq, qt WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"),
+
+    // x196: x54's quality CTEs; per-length-bucket ntile (keyed) vs the
+    // global ntile (x108 parity), joined on doc_id, bucket rollup.
+    "x196_stratified_quality" ->
+      (s"WITH t AS ($toksCte), d AS (SELECT doc_id, toks, text FROM documents JOIN t USING (doc_id)), " +
+        "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        s"CAST(len(list_filter(toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(toks) AS stopword_ratio, " +
+        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/length(text) AS alpha_ratio " +
+        "FROM d), " +
+        "s AS (SELECT doc_id, n_tokens, least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5 " +
+        "+ stopword_ratio*0.25 + alpha_ratio*0.25 AS quality_score FROM m), " +
+        s"sq AS (SELECT doc_id, n_tokens, quality_score, n_tokens // ${Curate.StratLenBucket} AS lb FROM s), " +
+        "sb2 AS (SELECT doc_id, n_tokens, lb, " +
+        "CAST(ntile(10) OVER (PARTITION BY lb ORDER BY -quality_score, doc_id) AS BIGINT) AS sbin FROM sq), " +
+        "gb2 AS (SELECT doc_id, CAST(ntile(10) OVER (ORDER BY -quality_score, doc_id) AS BIGINT) AS gbin FROM sq) " +
+        "SELECT lb AS len_bucket, CAST(count(*) AS BIGINT) AS n_docs, " +
+        s"CAST(sum(CASE WHEN sbin <= ${Curate.StratKeepBins} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_strat, " +
+        s"CAST(sum(CASE WHEN gbin <= ${Curate.StratKeepBins} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_global, " +
+        s"CAST(sum(CASE WHEN sbin <= ${Curate.StratKeepBins} AND gbin <= ${Curate.StratKeepBins} THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap, " +
+        s"CAST(sum(CASE WHEN sbin <= ${Curate.StratKeepBins} THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept_strat, " +
+        s"CAST(sum(CASE WHEN gbin <= ${Curate.StratKeepBins} THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept_global " +
+        "FROM sb2 JOIN gb2 USING (doc_id) GROUP BY 1"),
+
+    // x197: rank-based median (avg of the two middle ranks — one row for
+    // odd n), floor(0.05n) trim with √n folds, second rank pass for MAD.
+    "x197_robust_quality" ->
+      (s"WITH t AS ($toksCte), d AS (SELECT doc_id, toks, text FROM documents JOIN t USING (doc_id)), " +
+        "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        s"CAST(len(list_filter(toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(toks) AS stopword_ratio, " +
+        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/length(text) AS alpha_ratio " +
+        "FROM d), " +
+        "s AS (SELECT doc_id, least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5 " +
+        "+ stopword_ratio*0.25 + alpha_ratio*0.25 AS quality_score FROM m), " +
+        "rn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s), " +
+        "rk AS (SELECT doc_id, quality_score AS v, " +
+        "CAST(row_number() OVER (ORDER BY quality_score, doc_id) AS BIGINT) AS r FROM s), " +
+        "rmed AS (SELECT avg(v) AS med FROM rk, rn WHERE r = (n + 1) // 2 OR r = n // 2 + 1), " +
+        "rfb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM s), " +
+        s"rtm AS (SELECT doc_id % (SELECT b FROM rfb) AS bkt, CAST(count(*) AS BIGINT) AS cn, " +
+        "list_aggregate(list_sort(list(v)), 'sum') AS ps FROM rk, rn " +
+        s"WHERE r > CAST(floor(${Curate.RobustTrimFrac} * n) AS BIGINT) " +
+        s"AND r <= n - CAST(floor(${Curate.RobustTrimFrac} * n) AS BIGINT) GROUP BY 1), " +
+        "rt2 AS (SELECT list_aggregate(list(ps ORDER BY bkt), 'sum')/CAST(sum(cn) AS DOUBLE) AS trimmed_mean FROM rtm), " +
+        "rdv AS (SELECT doc_id, abs(v - med) AS v FROM rk, rmed), " +
+        "rdr AS (SELECT doc_id, v, CAST(row_number() OVER (ORDER BY v, doc_id) AS BIGINT) AS r FROM rdv), " +
+        "rmad AS (SELECT avg(v) AS mad FROM rdr, rn WHERE r = (n + 1) // 2 OR r = n // 2 + 1), " +
+        "rmn AS (SELECT doc_id % (SELECT b FROM rfb) AS bkt, CAST(count(*) AS BIGINT) AS cn, " +
+        "list_aggregate(list_sort(list(v)), 'sum') AS ps FROM rk GROUP BY 1), " +
+        "rm2 AS (SELECT CAST(sum(cn) AS BIGINT) AS n, " +
+        "list_aggregate(list(ps ORDER BY bkt), 'sum')/CAST(sum(cn) AS DOUBLE) AS mean_quality FROM rmn) " +
+        "SELECT rm2.n, rm2.mean_quality, rmed.med AS median_quality, " +
+        "rt2.trimmed_mean, rmad.mad FROM rm2, rmed, rt2, rmad"),
 
     // x194: x54's quality-score CTEs, √n id-hash groups with sorted
     // folds, leave-one-out means, grp-ordered G-element folds, IEEE sqrt.

@@ -110,7 +110,8 @@ class PlanAuditSpec extends SparkTestBase {
     "x192_binary_quant_recall" -> "crossJoin of single-row count aggregates per method (recall-report constants, x69's shape) + the x06-shaped broadcast-query stream and brute-force truth leg",
     "x193_ann_ivfbin_stored" -> "crossJoin of single-row count aggregates per method (recall-report constants, x167's shape) + the x06-shaped brute-force truth leg; the probes themselves are equi on cell with DPP (spec-asserted)",
     "x194_jackknife_quality" -> "the 1-row totals and 1-row jackknife-mean aggregates crossJoined onto the √n group rows (report constants)",
-    "x195_retrieval_eval_binary" -> "x193's DPP cell probes feeding x145's 1-row eval folds and broadcast query/relevance stream (x153's shape)"
+    "x195_retrieval_eval_binary" -> "x193's DPP cell probes feeding x145's 1-row eval folds and broadcast query/relevance stream (x153's shape)",
+    "x197_robust_quality" -> "the 1-row median broadcast onto the scan for the MAD deviation pass (x183's shape) + 1-row report constants crossJoined at the end"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {

@@ -419,6 +419,58 @@ class CurateSpec extends SparkTestBase {
       Curate.tokenBudgetMix(docs, Curate.TokenMixBudget).collect().map(_.toSeq).toSet)
   }
 
+  test("robustOf: hand-computed median/trim/MAD on 1..20; fixture cross-pins") {
+    // n=20: median = (10+11)/2 = 10.5; cut = ⌊1⌋ → trimmed mean of 2..19
+    // = 10.5; devs are 0.5,0.5,1.5,1.5,… so ranks 10/11 are 4.5/5.5 → MAD 5
+    val vals = (1 to 20).map(i => (i.toLong, i.toDouble)).toDF("doc_id", "v")
+    val r = Curate.robustOf(vals).head()
+    assert(r.getAs[Long]("n") === 20L)
+    assert(r.getAs[Double]("mean_quality") === 10.5)
+    assert(r.getAs[Double]("median_quality") === 10.5)
+    assert(r.getAs[Double]("trimmed_mean") === 10.5)
+    assert(r.getAs[Double]("mad") === 5.0)
+    // an outlier moves the mean but not median/MAD — the row's reason to exist
+    val out = Curate.robustOf(vals.withColumn("v",
+      when(col("doc_id") === 20L, lit(1000.0)).otherwise(col("v")))).head()
+    assert(out.getAs[Double]("mean_quality") > 50.0)
+    assert(out.getAs[Double]("median_quality") === 10.5)
+    assert(out.getAs[Double]("mad") === 5.0)
+    // fixture: mean here IS x194's mean (same folds) — cross-operator pin
+    val docs = Tables.documents(spark, sfDir)
+    val f = Curate.robustQuality(docs).head()
+    assert(f.getAs[Double]("mean_quality") ===
+      Curate.jackknifeQuality(docs).head().getAs[Double]("mean_quality"))
+    assert(f.getAs[Double]("mad") >= 0.0)
+    assert(Curate.robustQuality(docs.repartition(7)).head().toSeq === f.toSeq)
+  }
+
+  test("stratifiedQualitySelect: ntile keep-law per bucket; fixture starvation visible") {
+    val docs = Tables.documents(spark, sfDir)
+    val rows = Curate.stratifiedQualitySelect(docs).collect()
+    // per bucket the stratified rule keeps EXACTLY the ntile law's bins
+    // 1..2 mass: (q+1)·min(2, r) + q·(2 − min(2, r)) for nb = 10q + r
+    rows.foreach { row =>
+      val nb = row.getAs[Long]("n_docs")
+      val (q, rr) = (nb / 10, nb % 10)
+      val expect = (q + 1) * math.min(2L, rr) + q * (2L - math.min(2L, rr))
+      assert(row.getAs[Long]("n_kept_strat") === expect,
+        s"bucket ${row.getAs[Long]("len_bucket")}: ${row.getAs[Long]("n_kept_strat")} != $expect")
+      assert(row.getAs[Long]("n_overlap") <=
+        math.min(row.getAs[Long]("n_kept_strat"), row.getAs[Long]("n_kept_global")))
+    }
+    // both rules keep ~20% corpus-wide; they differ only by per-bucket
+    // ntile rounding (at most 2 docs per bucket)
+    val (st, gt) = (rows.map(_.getAs[Long]("n_kept_strat")).sum,
+      rows.map(_.getAs[Long]("n_kept_global")).sum)
+    assert(math.abs(st - gt) <= 2L * rows.length)
+    // the starvation the operator exists to show: some bucket where the
+    // global gate keeps fewer docs than the stratified rule
+    assert(rows.exists(row =>
+      row.getAs[Long]("n_kept_global") < row.getAs[Long]("n_kept_strat")))
+    assert(Curate.stratifiedQualitySelect(docs.repartition(7)).collect().map(_.toSeq).toSet ===
+      rows.map(_.toSeq).toSet)
+  }
+
   test("jackknifeOf: hand-computed delete-a-group SE; fixture CI brackets the mean") {
     // ids 1..4 values 1,2,3,4 in G=2 id-hash groups: g1={1,3}, g0={2,4}
     // m_g0 = (10−6)/2 = 2, m_g1 = (10−4)/2 = 3, m̄ = 2.5,
