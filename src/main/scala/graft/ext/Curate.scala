@@ -233,6 +233,30 @@ object Curate {
           .as("fill_frac"))
   }
 
+  /** Fraction of a source's EFFECTIVE token mass the repetition-aware
+    * budget mix samples. Embedded in the oracle. */
+  val EffBudgetFrac = 0.5
+
+  /** Repetition-aware token-budget mix — the handoff x189's Scaladoc
+    * promises, closed: per-source budgets are set from the EFFECTIVE
+    * token mass under repeat decay ([[graft.ext.Dedup.effectiveTokens]]),
+    * not the raw counts, then fed through [[tokenBudgetMixWeighted]]'s
+    * deterministic hash-order prefix sampler. A source whose mass is
+    * mostly copies gets a proportionally smaller draw — the mixture
+    * stops paying twice for the same content without running a dedup
+    * pass over the text.
+    *
+    * Scale shape: x189's digest-window chain (only (digest, id, count)
+    * rows shuffle) + one 20-row broadcast budget frame + the per-source
+    * keyed window sampler. Exact integer budgets (`floor(eff/2)`).
+    */
+  def effectiveBudgetMix(docs: DataFrame): DataFrame = {
+    val budgets = Dedup.effectiveTokens(docs)
+      .select(col("source"),
+        floor(col("effective_tokens") * lit(EffBudgetFrac)).cast("long").as("budget"))
+    tokenBudgetMixWeighted(docs, budgets, salt = "effmix")
+  }
+
   /** Source-concentration (Gini) report — ONE number for "how unequal is
     * the corpus across sources": G = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n over
     * the ascending-sorted per-source token totals (ranks tie-broken by

@@ -163,6 +163,13 @@ object ExtQueries {
     "x197_robust_quality" -> ((s, dir) =>
       Curate.robustQuality(Tables.documents(s, dir))),
 
+    // Repetition-aware budget mix (r8 batch 12): per-source budgets set
+    // from x189's EFFECTIVE token mass (floor(eff/2)) feeding the
+    // weighted prefix sampler — the mixture stops paying twice for
+    // copies, without a dedup pass over the text.
+    "x198_effective_budget_mix" -> ((s, dir) =>
+      Curate.effectiveBudgetMix(Tables.documents(s, dir))),
+
     // Effective token mass under repetition (r8 batch 7): per-source
     // raw vs unique vs repeat-decayed token mass (Muennighoff 2023,
     // dyadic decay) — what a token-budget mixer should weigh sources by.
@@ -2582,6 +2589,20 @@ object ExtQueries {
     * `pi`, the [[Similarity.IvfPqM]] config), the 5 fixture queries' ADC
     * LUT, cell-confined candidates, sub-ordered score folds. Ends with
     * `iscs (q_id, vec_id, score)`. */
+  /** Effective-token CTE chain (x189/x198): digest copy-rank window,
+    * dyadic decay with the rank-63 guard, √n bucket partials. Ends with
+    * `e1 (source, bkt, n, t, u, ps)`. */
+  private lazy val effTokenCtes: String =
+    "eg AS (SELECT doc_id, source, md5(text) AS h, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents), " +
+      "er AS (SELECT *, CAST(row_number() OVER (PARTITION BY h ORDER BY doc_id) AS BIGINT) AS r FROM eg), " +
+      "ee AS (SELECT *, CASE WHEN r <= 63 THEN CAST(nt AS DOUBLE)/" +
+      "CAST((CAST(1 AS BIGINT) << CAST(r - 1 AS INTEGER)) AS DOUBLE) ELSE 0.0 END AS eff FROM er), " +
+      "efb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM documents), " +
+      "e1 AS (SELECT source, doc_id % (SELECT b FROM efb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(nt) AS BIGINT) AS t, CAST(sum(CASE WHEN r = 1 THEN nt ELSE 0 END) AS BIGINT) AS u, " +
+      "list_aggregate(list_sort(list(eff)), 'sum') AS ps FROM ee GROUP BY 1, 2)"
+
   /** IVF-BIN probe CTE chain (x193/x195): double-cast embeddings, stride
     * centroids, cell assignment, sign pieces, the 5 fixture queries'
     * nprobe1/nprobe2 cell sets and per-cell Hamming scores. Ends with
@@ -5051,20 +5072,30 @@ object ExtQueries {
     // (rank ≤ 63 guard, identical rule both engines), √n two-level folds
     // for the double sums (x143's idiom).
     "x189_effective_tokens" ->
-      ("WITH eg AS (SELECT doc_id, source, md5(text) AS h, " +
-        "CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents), " +
-        "er AS (SELECT *, CAST(row_number() OVER (PARTITION BY h ORDER BY doc_id) AS BIGINT) AS r FROM eg), " +
-        "ee AS (SELECT *, CASE WHEN r <= 63 THEN CAST(nt AS DOUBLE)/" +
-        "CAST((CAST(1 AS BIGINT) << CAST(r - 1 AS INTEGER)) AS DOUBLE) ELSE 0.0 END AS eff FROM er), " +
-        "efb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM documents), " +
-        "e1 AS (SELECT source, doc_id % (SELECT b FROM efb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
-        "CAST(sum(nt) AS BIGINT) AS t, CAST(sum(CASE WHEN r = 1 THEN nt ELSE 0 END) AS BIGINT) AS u, " +
-        "list_aggregate(list_sort(list(eff)), 'sum') AS ps FROM ee GROUP BY 1, 2) " +
+      (s"WITH $effTokenCtes " +
         "SELECT source, CAST(sum(n) AS BIGINT) AS n_docs, CAST(sum(t) AS BIGINT) AS raw_tokens, " +
         "CAST(sum(u) AS BIGINT) AS unique_tokens, " +
         "list_aggregate(list(ps ORDER BY bkt), 'sum') AS effective_tokens, " +
         "CASE WHEN sum(t) > 0 THEN list_aggregate(list(ps ORDER BY bkt), 'sum')/CAST(sum(t) AS DOUBLE) END AS effective_frac " +
         "FROM e1 GROUP BY 1"),
+
+    // x198: x189's effective-mass chain sets the per-source budgets
+    // (floor(eff/2)); the x150-style salted prefix sampler consumes them.
+    "x198_effective_budget_mix" ->
+      (s"WITH $effTokenCtes, " +
+        "e2 AS (SELECT source, list_aggregate(list(ps ORDER BY bkt), 'sum') AS eff FROM e1 GROUP BY 1), " +
+        s"bgt AS (SELECT source, CAST(floor(eff * ${Curate.EffBudgetFrac}) AS BIGINT) AS budget FROM e2), " +
+        "wn AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt, " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':effmix'), 1, 8)) AS BIGINT)/4294967296.0 AS u FROM documents), " +
+        "wc AS (SELECT *, sum(nt) OVER (PARTITION BY source ORDER BY u, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM wn) " +
+        "SELECT w.source, CAST(count(*) AS BIGINT) AS n_docs_total, " +
+        "CAST(sum(nt) AS BIGINT) AS tokens_total, " +
+        "CAST(sum(CASE WHEN cum <= b.budget THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept, " +
+        "CAST(sum(CASE WHEN cum <= b.budget THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept, " +
+        "b.budget AS budget, " +
+        "CAST(sum(CASE WHEN cum <= b.budget THEN nt ELSE 0 END) AS DOUBLE)/CAST(b.budget AS DOUBLE) AS fill_frac " +
+        "FROM wc w JOIN bgt b USING (source) GROUP BY w.source, b.budget"),
 
     "x10_text_tokens" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens, " +

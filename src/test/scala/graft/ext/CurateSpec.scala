@@ -419,6 +419,33 @@ class CurateSpec extends SparkTestBase {
       Curate.tokenBudgetMix(docs, Curate.TokenMixBudget).collect().map(_.toSeq).toSet)
   }
 
+  test("effectiveBudgetMix: dup-heavy source gets the smaller draw at equal raw mass") {
+    // a: two copies of "x y z" + "p q" → raw 8, effective 6.5, budget 3
+    // b: four unique 2-token docs → raw 8, effective 8, budget 4
+    val tiny = Seq(
+      (1L, "a", "x y z"), (2L, "a", "x y z"), (3L, "a", "p q"),
+      (4L, "b", "c d"), (5L, "b", "e f"), (6L, "b", "g h"), (7L, "b", "i j")
+    ).toDF("doc_id", "source", "text")
+    val by = Curate.effectiveBudgetMix(tiny).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(by("a").getAs[Long]("budget") === 3L)
+    assert(by("b").getAs[Long]("budget") === 4L)
+    assert(by("a").getAs[Long]("tokens_kept") <= 3L)
+    assert(by("b").getAs[Long]("tokens_kept") <= 4L)
+    // the composition IS tokenBudgetMixWeighted under the derived budgets
+    val budgets = Dedup.effectiveTokens(tiny).select(col("source"),
+      floor(col("effective_tokens") * Curate.EffBudgetFrac).cast("long").as("budget"))
+    assert(Curate.effectiveBudgetMix(tiny).collect().map(_.toSeq).toSet ===
+      Curate.tokenBudgetMixWeighted(tiny, budgets, salt = "effmix")
+        .collect().map(_.toSeq).toSet)
+    // fixture: kept never exceeds budget; deterministic
+    val docs = Tables.documents(spark, sfDir)
+    val f = Curate.effectiveBudgetMix(docs).collect()
+    f.foreach(r => assert(r.getAs[Long]("tokens_kept") <= r.getAs[Long]("budget")))
+    assert(Curate.effectiveBudgetMix(docs.repartition(7)).collect().map(_.toSeq).toSet ===
+      f.map(_.toSeq).toSet)
+  }
+
   test("robustOf: hand-computed median/trim/MAD on 1..20; fixture cross-pins") {
     // n=20: median = (10+11)/2 = 10.5; cut = ⌊1⌋ → trimmed mean of 2..19
     // = 10.5; devs are 0.5,0.5,1.5,1.5,… so ranks 10/11 are 4.5/5.5 → MAD 5
