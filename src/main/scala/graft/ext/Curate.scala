@@ -1088,6 +1088,37 @@ object Curate {
       .crossJoin(broadcast(mad))
   }
 
+  /** Per-source robust location/scale — [[robustQuality]] sliced to the
+    * mixture's granularity: exact rank median and MAD per source, so the
+    * per-slice drift monitor gets the outlier-resistant statistics x197
+    * argued for (x143's per-group means move when a scraper burst hits
+    * one source; these don't). Ranks are KEYED windows (partitioned by
+    * source — never global); the two middle ranks average per source;
+    * the deviation pass joins the 20-row broadcast median frame.
+    */
+  def sourceRobustQuality(docs: DataFrame): DataFrame = {
+    val m = graft.ops.Caching.cacheOnce(TextOps.qualityMetrics(docs)
+      .select(col("doc_id"), col("source"), col("quality_score").as("v")))
+    def medians(df: DataFrame, out: String): DataFrame = {
+      val n = df.groupBy("source").agg(count(lit(1)).as("_n"))
+      df.join(broadcast(n), "source")
+        .withColumn("_r", row_number().over(
+          Window.partitionBy("source").orderBy(col("v"), col("doc_id"))).cast("long"))
+        // Column `/` on longs is TRUE division (double) — the middle
+        // ranks need integer `div` or even-sized slices match only one
+        // of their two middle rows
+        .where(col("_r") === expr("(_n + 1) div 2") || col("_r") === expr("_n div 2 + 1"))
+        .groupBy("source").agg(avg(col("v")).as(out), max(col("_n")).as("_n"))
+    }
+    val med = medians(m, "median_quality")
+    val dev = m.join(broadcast(med.select(col("source"), col("median_quality"))), "source")
+      .select(col("source"), col("doc_id"),
+        abs(col("v") - col("median_quality")).as("v"))
+    val mad = medians(dev, "mad").select(col("source"), col("mad"))
+    med.select(col("source"), col("_n").as("n"), col("median_quality"))
+      .join(mad, "source")
+  }
+
   /** Quality-mass Lorenz curve — the doc-granularity companion to
     * [[sourceTokenGini]]: rank every doc by the house quality score
     * (best first), cut into 10 exact deciles, and report each decile's

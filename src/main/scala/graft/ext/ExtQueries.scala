@@ -170,6 +170,12 @@ object ExtQueries {
     "x198_effective_budget_mix" -> ((s, dir) =>
       Curate.effectiveBudgetMix(Tables.documents(s, dir))),
 
+    // Per-source robust stats (r8 batch 13): exact rank median + MAD per
+    // source via keyed windows — the outlier-resistant per-slice drift
+    // row (x143's means move on a scraper burst; these don't).
+    "x199_source_robust_quality" -> ((s, dir) =>
+      Curate.sourceRobustQuality(Tables.documents(s, dir))),
+
     // Effective token mass under repetition (r8 batch 7): per-source
     // raw vs unique vs repeat-decayed token mass (Muennighoff 2023,
     // dyadic decay) — what a token-budget mixer should weigh sources by.
@@ -5033,6 +5039,32 @@ object ExtQueries {
         "list_aggregate(list(ps ORDER BY bkt), 'sum')/CAST(sum(cn) AS DOUBLE) AS mean_quality FROM rmn) " +
         "SELECT rm2.n, rm2.mean_quality, rmed.med AS median_quality, " +
         "rt2.trimmed_mean, rmad.mad FROM rm2, rmed, rt2, rmad"),
+
+    // x199: x54's quality CTEs; per-source keyed rank windows, two-middle-
+    // rank averages, 20-row median frame joined back for the MAD pass.
+    "x199_source_robust_quality" ->
+      (s"WITH t AS ($toksCte), d AS (SELECT doc_id, toks, text FROM documents JOIN t USING (doc_id)), " +
+        "m AS (SELECT d.doc_id, doc2.source, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        s"CAST(len(list_filter(toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(toks) AS stopword_ratio, " +
+        "CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)/length(d.text) AS alpha_ratio " +
+        "FROM d JOIN documents doc2 ON d.doc_id = doc2.doc_id), " +
+        "s AS (SELECT doc_id, source, least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5 " +
+        "+ stopword_ratio*0.25 + alpha_ratio*0.25 AS v FROM m), " +
+        "sn AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1), " +
+        "sr AS (SELECT s.source, s.doc_id, s.v, sn.n, " +
+        "CAST(row_number() OVER (PARTITION BY s.source ORDER BY s.v, s.doc_id) AS BIGINT) AS r " +
+        "FROM s JOIN sn USING (source)), " +
+        "smed AS (SELECT source, avg(v) AS median_quality, max(n) AS n FROM sr " +
+        "WHERE r = (n + 1) // 2 OR r = n // 2 + 1 GROUP BY 1), " +
+        "sdv AS (SELECT s.source, s.doc_id, abs(s.v - smed.median_quality) AS v " +
+        "FROM s JOIN smed USING (source)), " +
+        "sdr AS (SELECT sdv.source, sdv.doc_id, sdv.v, sn.n, " +
+        "CAST(row_number() OVER (PARTITION BY sdv.source ORDER BY sdv.v, sdv.doc_id) AS BIGINT) AS r " +
+        "FROM sdv JOIN sn USING (source)), " +
+        "smad AS (SELECT source, avg(v) AS mad FROM sdr " +
+        "WHERE r = (n + 1) // 2 OR r = n // 2 + 1 GROUP BY 1) " +
+        "SELECT smed.source, CAST(smed.n AS BIGINT) AS n, smed.median_quality, smad.mad " +
+        "FROM smed JOIN smad USING (source)"),
 
     // x194: x54's quality-score CTEs, √n id-hash groups with sorted
     // folds, leave-one-out means, grp-ordered G-element folds, IEEE sqrt.

@@ -446,6 +446,28 @@ class CurateSpec extends SparkTestBase {
       f.map(_.toSeq).toSet)
   }
 
+  test("sourceRobustQuality: per-source medians cross-pin robustOf on the slice") {
+    val docs = Tables.documents(spark, sfDir)
+    val rows = Curate.sourceRobustQuality(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.nonEmpty)
+    // every source's median/MAD equals the global kernel run on just
+    // that slice — the keyed-window form is the sliced withExactRank form
+    rows.keys.take(2).foreach { src =>
+      val slice = Curate.robustOf(
+        TextOps.qualityMetrics(docs.where(col("source") === src))
+          .select(col("doc_id"), col("quality_score").as("v"))).head()
+      assert(rows(src).getAs[Double]("median_quality") ===
+        slice.getAs[Double]("median_quality"), s"median mismatch for $src")
+      assert(rows(src).getAs[Double]("mad") === slice.getAs[Double]("mad"),
+        s"mad mismatch for $src")
+      assert(rows(src).getAs[Long]("n") === slice.getAs[Long]("n"))
+    }
+    rows.values.foreach(r => assert(r.getAs[Double]("mad") >= 0.0))
+    assert(Curate.sourceRobustQuality(docs.repartition(7)).collect()
+      .map(_.toSeq).toSet === rows.values.map(_.toSeq).toSet)
+  }
+
   test("robustOf: hand-computed median/trim/MAD on 1..20; fixture cross-pins") {
     // n=20: median = (10+11)/2 = 10.5; cut = ⌊1⌋ → trimmed mean of 2..19
     // = 10.5; devs are 0.5,0.5,1.5,1.5,… so ranks 10/11 are 4.5/5.5 → MAD 5
