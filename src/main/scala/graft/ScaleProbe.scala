@@ -256,29 +256,38 @@ object ScaleProbe {
       time("pq_adc_topk") {
         graft.ext.Similarity.pqTopK(emb.where(col("vec_id") < 5), emb, 10, 8).count()
       }
-      // Stored IVFADC (r8): build = one assign+encode scan + partitioned
-      // write (k-linear); the probe reads ONLY the queries' cells (DPP),
-      // so probe work grows with cell size (~k/cells), not corpus size.
-      time("ivfpq_stored_probe") {
-        val idx = java.nio.file.Files.createTempDirectory("graft_probe_ivfpq_").toString
-        graft.ext.Similarity.buildIvfPqIndex(emb, idx)
-        graft.ext.Similarity.ivfPqTopK(spark, idx,
+      // Stored IVFADC (r8; split build/probe r9 — VERDICT item 2): build
+      // = one assign+encode scan + partitioned write. Under the derived
+      // stride law (r9) cells AND occupancy grow as √n, so build output
+      // stays one file per cell and the k-linear component is the scan,
+      // not directory minting; the probe reads ONLY the queries' cells
+      // (DPP), so probe work grows with cell size (~√(nk)), not corpus.
+      val pqIdx = java.nio.file.Files.createTempDirectory("graft_probe_ivfpq_").toString
+      time("ivfpq_build") {
+        graft.ext.Similarity.buildIvfPqIndex(emb, pqIdx); 0L
+      }
+      time("ivfpq_probe") {
+        graft.ext.Similarity.ivfPqTopK(spark, pqIdx,
           emb.where(col("vec_id") < 5), 10).count()
       }
-      // IVF-SQ8 build+probe (r8): k-linear quantize/assign scan +
+      // IVF-SQ8 (r8; split r9): k-linear quantize/assign scan +
       // partitioned write; the probe reads only the probed cells (DPP)
-      time("ivfsq8_stored_probe") {
-        val idx = java.nio.file.Files.createTempDirectory("graft_probe_sq8_").toString
-        graft.ext.Similarity.buildIvfSq8Index(emb, idx)
-        graft.ext.Similarity.ivfSq8TopK(spark, idx,
+      val sqIdx = java.nio.file.Files.createTempDirectory("graft_probe_sq8_").toString
+      time("ivfsq8_build") {
+        graft.ext.Similarity.buildIvfSq8Index(emb, sqIdx); 0L
+      }
+      time("ivfsq8_probe") {
+        graft.ext.Similarity.ivfSq8TopK(spark, sqIdx,
           emb.where(col("vec_id") < 5), 10).count()
       }
-      // IVF-BIN build+probe (r8 batch 9): sign-quantize scan (8 B/vec
+      // IVF-BIN (r8 batch 9; split r9): sign-quantize scan (8 B/vec
       // codes) + partitioned write; the probe reads only the probed cells
-      time("ivfbin_stored_probe") {
-        val idx = java.nio.file.Files.createTempDirectory("graft_probe_bin_").toString
-        graft.ext.Similarity.buildIvfBinIndex(emb, idx)
-        graft.ext.Similarity.ivfBinTopK(spark, idx,
+      val binIdx = java.nio.file.Files.createTempDirectory("graft_probe_bin_").toString
+      time("ivfbin_build") {
+        graft.ext.Similarity.buildIvfBinIndex(emb, binIdx); 0L
+      }
+      time("ivfbin_probe") {
+        graft.ext.Similarity.ivfBinTopK(spark, binIdx,
           emb.where(col("vec_id") < 5), 10).count()
       }
       // Exact midrank AUC (r8 batch 6): LR chain (k-linear corpus

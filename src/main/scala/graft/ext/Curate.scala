@@ -209,7 +209,11 @@ object Curate {
     * bounded weight law (x166's weights live in [0.5, 1.5]); a
     * non-positive budget surfaces as a NaN/±Inf `fill_frac` that the
     * correctness gate rejects loudly rather than a silently dropped
-    * source. */
+    * source. The budgets join is LEFT (ADVICE r8): a source present in
+    * `docs` but absent from `budgets` (e.g. x166's train-slice-derived
+    * budgets when a source hashes entirely into the holdout) still gets
+    * its report row — NULL budget, zero kept, NULL fill_frac — instead
+    * of silently vanishing from the mix. */
   def tokenBudgetMixWeighted(docs: DataFrame, budgets: DataFrame,
       salt: String = "tokmix"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
@@ -219,7 +223,7 @@ object Curate {
         size(TextOps.tokens(col("text"))).cast("long").as("_nt"),
         uniformHash(col("doc_id"), salt).as("_u"))
       .withColumn("_cum", sum(col("_nt")).over(w))
-      .join(broadcast(budgets), "source")
+      .join(broadcast(budgets), Seq("source"), "left")
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs_total"),

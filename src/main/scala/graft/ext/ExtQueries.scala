@@ -29,6 +29,30 @@ object ExtQueries {
       .withColumn("recall", col("n_common").cast("double") / col("n_truth"))
   }
 
+  /** One stored index per (family, sfDir) per JVM — build ONCE, probe
+    * many: the production discipline (an index outlives its probes), and
+    * r9 bench hygiene (VERDICT item 2: probe legs must measure probes,
+    * not a rebuild conflated in). Each build lands in a FRESH temp dir,
+    * created exactly once per key and only read afterwards — so ADVICE
+    * r4's concurrent-sweep overwrite hazard (a shared FIXED path) cannot
+    * occur, and cross-JVM sweeps still get private dirs. Builds are
+    * deterministic, so consumers see content identical to a private
+    * rebuild. Mutating specs (append/delete/compact) build their own
+    * dirs and never touch these.
+    */
+  private[ext] object StoredIndexes {
+    private val dirs = scala.collection.mutable.Map[(String, String), String]()
+    def get(family: String, sfDir: String)(build: String => Unit): String =
+      synchronized {
+        dirs.getOrElseUpdate((family, sfDir), {
+          val idx = java.nio.file.Files
+            .createTempDirectory(s"graft_${family}_idx_").toString
+          build(idx)
+          idx
+        })
+      }
+  }
+
   def queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir))),
@@ -742,23 +766,20 @@ object ExtQueries {
 
     "x58_ann_ivf_stored" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      // Per-invocation temp dir (not a shared fixed path): two concurrent
-      // sweeps over the same sfDir must not overwrite each other's index
-      // mid-read, and nothing is left to collide across runs (ADVICE r4).
-      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_index_").toString
-      Similarity.buildIvfIndex(e, idx)
+      // Shared per-(family, sfDir) build — see StoredIndexes: fresh temp
+      // dir created once per JVM, probed many times (r9 bench hygiene).
+      val idx = StoredIndexes.get("ivf", dir)(Similarity.buildIvfIndex(e, _))
       Similarity.ivfTopKStored(s, idx, e.where(col("vec_id") < 5), 10)
     }),
 
     // IVFADC stored index (r8): coarse stride cells + per-vector PQ codes
     // persisted partitioned-by-cell (x58's stored discipline composed with
     // x146's codebook); the probe DPP-prunes to the query's cell and
-    // ADC-scores codes against the query's broadcast LUT. Per-invocation
-    // temp dir (ADVICE r4).
+    // ADC-scores codes against the query's broadcast LUT. Shared
+    // per-(family, sfDir) index build (StoredIndexes, r9).
     "x152_ann_ivfpq_stored" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_index_").toString
-      Similarity.buildIvfPqIndex(e, idx)
+      val idx = StoredIndexes.get("ivfpq", dir)(Similarity.buildIvfPqIndex(e, _))
       Similarity.ivfPqTopK(s, idx, e.where(col("vec_id") < 5), 10)
     }),
 
@@ -767,8 +788,7 @@ object ExtQueries {
     // watches (appends drift occupancy between offline rebuilds).
     "x160_ivfpq_index_stats" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_stats_").toString
-      Similarity.buildIvfPqIndex(e, idx)
+      val idx = StoredIndexes.get("ivfpq", dir)(Similarity.buildIvfPqIndex(e, _))
       Similarity.ivfPqIndexStats(s, idx)
     }),
 
@@ -779,8 +799,7 @@ object ExtQueries {
     "x154_ann_ivfpq_recall" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val q = e.where(col("vec_id") < 5)
-      val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_rec_").toString
-      Similarity.buildIvfPqIndex(e, idx)
+      val idx = StoredIndexes.get("ivfpq", dir)(Similarity.buildIvfPqIndex(e, _))
       val truth = graft.ops.Caching.cacheOnce(
         Similarity.bruteForceTopK(q, e, 10).select("q_id", "vec_id"))
       Seq(("ivfpq_nprobe1", Similarity.ivfPqTopK(s, idx, q, 10)),
@@ -806,8 +825,7 @@ object ExtQueries {
     "x161_ann_ivfpq_residual" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val q = e.where(col("vec_id") < 5)
-      val idx = java.nio.file.Files.createTempDirectory("graft_ivfpqr_").toString
-      Similarity.buildIvfPqResIndex(e, idx)
+      val idx = StoredIndexes.get("ivfpqres", dir)(Similarity.buildIvfPqResIndex(e, _))
       val truth = graft.ops.Caching.cacheOnce(
         Similarity.bruteForceTopK(q, e, 10).select("q_id", "vec_id"))
       Seq(("ivf_exact_nprobe1", Similarity.ivfTopK(q, e, 10)),
@@ -840,8 +858,7 @@ object ExtQueries {
     "x167_ann_ivfsq8_stored" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val q = e.where(col("vec_id") < 5)
-      val idx = java.nio.file.Files.createTempDirectory("graft_ivfsq8_").toString
-      Similarity.buildIvfSq8Index(e, idx)
+      val idx = StoredIndexes.get("ivfsq8", dir)(Similarity.buildIvfSq8Index(e, _))
       val truth = graft.ops.Caching.cacheOnce(
         Similarity.bruteForceTopK(q, e, 10).select("q_id", "vec_id"))
       Seq(("ivfsq8_nprobe1", Similarity.ivfSq8TopK(s, idx, q, 10, 1)),
@@ -869,8 +886,7 @@ object ExtQueries {
     "x193_ann_ivfbin_stored" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val q = e.where(col("vec_id") < 5)
-      val idx = java.nio.file.Files.createTempDirectory("graft_ivfbin_").toString
-      Similarity.buildIvfBinIndex(e, idx)
+      val idx = StoredIndexes.get("ivfbin", dir)(Similarity.buildIvfBinIndex(e, _))
       val truth = graft.ops.Caching.cacheOnce(
         Similarity.bruteForceTopK(q, e, 10).select("q_id", "vec_id"))
       Seq(("ivfbin_nprobe1", Similarity.ivfBinTopK(s, idx, q, 10, 1)),
@@ -1003,10 +1019,11 @@ object ExtQueries {
     // to lexical retrieval — postings partitioned by term-hash bucket,
     // probe prunes to its terms' buckets (driver-side bucket computation),
     // per-term df from the pruned postings, IDENTICAL score expression to
-    // x48 (one oracle serves both). Per-invocation temp dir (ADVICE r4).
+    // x48 (one oracle serves both). Shared per-(family, sfDir) build
+    // (StoredIndexes, r9).
     "x126_bm25_stored" -> ((s, dir) => {
-      val idx = java.nio.file.Files.createTempDirectory("graft_bm25_index_").toString
-      Search.buildBm25Index(Tables.documents(s, dir), idx)
+      val idx = StoredIndexes.get("bm25", dir)(
+        Search.buildBm25Index(Tables.documents(s, dir), _))
       Search.bm25TopKStored(s, idx, Seq("hash", "join", "dup"), 10)
     }),
 
@@ -1472,7 +1489,8 @@ object ExtQueries {
         floor(lit(Curate.TokenMixBudget).cast("double") * col("weight"))
           .cast("long").as("budget"))
       Curate.tokenBudgetMixWeighted(docs, budgets.select("source", "budget"))
-        .join(broadcast(budgets.select("source", "mean_influence", "weight")), "source")
+        .join(broadcast(budgets.select("source", "mean_influence", "weight")),
+          Seq("source"), "left")
         .select("source", "mean_influence", "weight", "budget", "n_docs_total",
           "tokens_total", "n_docs_kept", "tokens_kept", "fill_frac")
     }),
@@ -1570,14 +1588,12 @@ object ExtQueries {
     // partition-pruned postings probe, ANN list from the DPP-pruned
     // IVFADC probe, RRF fused — the same evalRankedSet / distribution
     // rows as x145, so in-memory vs production-index quality is a direct
-    // read-off. Per-invocation temp dirs (ADVICE r4).
+    // read-off. Shared per-(family, sfDir) index builds (StoredIndexes).
     "x153_retrieval_eval_stored" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val emb = Tables.embeddings(s, dir)
-      val bmIdx = java.nio.file.Files.createTempDirectory("graft_bm25_eval_").toString
-      Search.buildBm25Index(docs, bmIdx)
-      val pqIdx = java.nio.file.Files.createTempDirectory("graft_ivfpq_eval_").toString
-      Similarity.buildIvfPqIndex(emb, pqIdx)
+      val bmIdx = StoredIndexes.get("bm25", dir)(Search.buildBm25Index(docs, _))
+      val pqIdx = StoredIndexes.get("ivfpq", dir)(Similarity.buildIvfPqIndex(emb, _))
       Hybrid.retrievalEvalStored(docs, emb, bmIdx, pqIdx)
     }),
 
@@ -1587,8 +1603,7 @@ object ExtQueries {
     "x195_retrieval_eval_binary" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val emb = Tables.embeddings(s, dir)
-      val idx = java.nio.file.Files.createTempDirectory("graft_ivfbin_eval_").toString
-      Similarity.buildIvfBinIndex(emb, idx)
+      val idx = StoredIndexes.get("ivfbin", dir)(Similarity.buildIvfBinIndex(emb, _))
       Hybrid.retrievalEvalBinary(docs, emb, idx)
     }),
 
@@ -2488,11 +2503,12 @@ object ExtQueries {
     sb ++= s"${p}sv AS MATERIALIZED (SELECT vec_id, CAST(s.sub AS BIGINT) AS sub, s.svec AS svec FROM " +
       s"(SELECT vec_id, unnest(list_transform(range(0, $m), ss -> struct_pack(sub := ss, " +
       s"svec := (CAST(embedding AS DOUBLE[]))[ss*$ds+1 : ss*$ds+$ds]))) AS s FROM $src)), "
-    // bounded deterministic training sample: stride from ONE corpus count
-    // (Similarity.pqTrainStride), then the md5 keep-1-in-stride draw
-    sb ++= s"${p}st AS (SELECT greatest(1, CAST(ceil(count(*) / ${Similarity.PqTrainCap}.0) AS BIGINT)) AS s FROM $src), "
+    // bounded deterministic training sample: keep-threshold from ONE
+    // corpus count (Similarity.pqTrainThreshold), then the 32-bit md5
+    // prefix draw — P(keep) = cap/n with no divisibility bias (ADVICE r8)
+    sb ++= s"${p}st AS (SELECT 4294967296.0 * ${Similarity.PqTrainCap} / greatest(count(*), 1) AS t FROM $src), "
     sb ++= s"${p}ssv AS MATERIALIZED (SELECT * FROM ${p}sv WHERE " +
-      s"CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':pqs'), 1, 4)) AS INT) % (SELECT s FROM ${p}st) = 0), "
+      s"CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':pqs'), 1, 8)) AS BIGINT) < (SELECT t FROM ${p}st)), "
     sb ++= s"${p}ini AS (SELECT vec_id FROM (SELECT DISTINCT vec_id FROM ${p}ssv) ORDER BY vec_id LIMIT $kc), "
     sb ++= s"${p}c0 AS (SELECT sub, CAST(v.vec_id AS BIGINT) AS cid, svec AS cvec FROM ${p}ssv v JOIN ${p}ini USING (vec_id)), "
     for (t <- 1 to iters) {
@@ -2624,7 +2640,7 @@ object ExtQueries {
     val hamZip =
       "CAST(list_aggregate(list_transform(list_zip(q.q_sig, v.sig), z -> bit_count(xor(z[1], z[2]))), 'sum') AS BIGINT)"
     "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-      s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.IvfCentroidStride} = 0), " +
+      s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
       "iscored AS (SELECT e.vec_id, cents.cent_id, " +
       s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
       "iasg AS (SELECT vec_id, cent_id AS cell FROM (SELECT *, " +
@@ -2649,7 +2665,7 @@ object ExtQueries {
     val ds = Similarity.PqDims / m
     val dotQ = s"list_aggregate(list_transform(range(1, ${ds + 1}), i -> q.svec[i]*c.cvec[i]), 'sum')"
     "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-      s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.IvfCentroidStride} = 0), " +
+      s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
       "iscored AS (SELECT e.vec_id, cents.cent_id, " +
       s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
       "iasg AS (SELECT vec_id, cent_id AS cell FROM (SELECT *, " +
@@ -2687,7 +2703,7 @@ object ExtQueries {
     val dims = Similarity.PqDims
     val dotQ = s"list_aggregate(list_transform(range(1, ${ds + 1}), i -> q.svec[i]*c.cvec[i]), 'sum')"
     "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-      s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.IvfCentroidStride} = 0), " +
+      s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
       "iscored AS (SELECT e.vec_id, cents.cent_id, " +
       s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
       "iasg AS (SELECT vec_id, cent_id AS cell FROM (SELECT *, " +
@@ -2818,7 +2834,7 @@ object ExtQueries {
   /** Stride-IVF top-10 SQL (x13's oracle body; reused by x73's report). */
   private lazy val annIvfSql =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-      s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.IvfCentroidStride} = 0), " +
+      s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
       "scored AS (SELECT e.vec_id, e.emb, cents.cent_id, " +
       s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
       "assigned AS (SELECT vec_id, emb, cent_id AS cell FROM (SELECT *, " +
@@ -3698,7 +3714,7 @@ object ExtQueries {
 
     "x104_semdedup" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.IvfCentroidStride} = 0), " +
+        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
         "scored AS (SELECT e.vec_id, e.emb, cents.cent_id, " +
         s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
         "assigned AS (SELECT vec_id, emb, cent_id AS cell FROM (SELECT *, " +
@@ -4092,7 +4108,7 @@ object ExtQueries {
     // x160: the deterministic cell assignment's occupancy rollup.
     "x160_ivfpq_index_stats" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.IvfCentroidStride} = 0), " +
+        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
         "iscored AS (SELECT e.vec_id, cents.cent_id, " +
         s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
         "iasg AS (SELECT vec_id, cent_id AS cell FROM (SELECT *, " +
@@ -4196,7 +4212,7 @@ object ExtQueries {
     // both probe depths vs the brute truth.
     "x167_ann_ivfsq8_stored" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.IvfCentroidStride} = 0), " +
+        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
         "iscored AS (SELECT e.vec_id, cents.cent_id, " +
         s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
         "iasg AS (SELECT vec_id, cent_id AS cell FROM (SELECT *, " +
@@ -4238,7 +4254,7 @@ object ExtQueries {
     // the same argmax fold, so the full x13 oracle holds verbatim.
     "x58_ann_ivf_stored" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.IvfCentroidStride} = 0), " +
+        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
         "scored AS (SELECT e.vec_id, e.emb, cents.cent_id, " +
         s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
         "assigned AS (SELECT vec_id, emb, cent_id AS cell FROM (SELECT *, " +
@@ -4252,7 +4268,7 @@ object ExtQueries {
 
     "x13_ann_ivf_topk" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.IvfCentroidStride} = 0), " +
+        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
         "scored AS (SELECT e.vec_id, e.emb, cents.cent_id, " +
         s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
         "assigned AS (SELECT vec_id, emb, cent_id AS cell FROM (SELECT *, " +
@@ -4676,11 +4692,11 @@ object ExtQueries {
         "CAST(sum(nt) AS BIGINT) AS tokens_total, " +
         "CAST(sum(CASE WHEN cum <= b.budget THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept, " +
         "CAST(sum(CASE WHEN cum <= b.budget THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept, " +
-        "max(b.budget) AS budget FROM tc JOIN mbg b ON tc.source = b.source GROUP BY 1) " +
+        "max(b.budget) AS budget FROM tc LEFT JOIN mbg b ON tc.source = b.source GROUP BY 1) " +
         "SELECT a.source, b.mean_influence, b.weight, CAST(a.budget AS BIGINT) AS budget, " +
         "a.n_docs_total, a.tokens_total, a.n_docs_kept, a.tokens_kept, " +
         "CAST(a.tokens_kept AS DOUBLE)/CAST(a.budget AS DOUBLE) AS fill_frac " +
-        "FROM agx a JOIN mbg b USING (source)"),
+        "FROM agx a LEFT JOIN mbg b USING (source)"),
 
     "x127_groupwise_split" ->
       (s"WITH RECURSIVE $groupSplitCtes SELECT doc_id, group_id, split FROM ga"),
@@ -5127,7 +5143,7 @@ object ExtQueries {
         "CAST(sum(CASE WHEN cum <= b.budget THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept, " +
         "b.budget AS budget, " +
         "CAST(sum(CASE WHEN cum <= b.budget THEN nt ELSE 0 END) AS DOUBLE)/CAST(b.budget AS DOUBLE) AS fill_frac " +
-        "FROM wc w JOIN bgt b USING (source) GROUP BY w.source, b.budget"),
+        "FROM wc w LEFT JOIN bgt b USING (source) GROUP BY w.source, b.budget"),
 
     "x10_text_tokens" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens, " +
@@ -5260,7 +5276,7 @@ object ExtQueries {
 
     "x32_ann_ivf_nprobe2" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.IvfCentroidStride} = 0), " +
+        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
         "scored AS (SELECT e.vec_id, e.emb, cents.cent_id, " +
         s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
         "ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM scored), " +
@@ -5699,7 +5715,7 @@ object ExtQueries {
 
     "x113_cluster_profile" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings), " +
-        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.IvfCentroidStride} = 0), " +
+        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
         "scored AS (SELECT e.vec_id, e.label, cents.cent_id, " +
         s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
         "asg AS (SELECT vec_id, label, cent_id AS cell, cent_cos FROM (SELECT *, " +

@@ -369,16 +369,18 @@ object Similarity {
     * minimized at K = √N — O(N^1.5), the honest complexity of exact
     * within-cluster dedup (SemDeDup runs exactly this regime on GPUs) —
     * which is what `stride` dials: K = N/stride, so stride ≈ √N sizes the
-    * law (ScaleProbe measures the ~k^1.5 exponent). The default stride is
-    * the oracle-replicable IVF constant. At 100 TB the LINEAR default for
+    * law (ScaleProbe measures the ~k^1.5 exponent). The default
+    * (`stride <= 0`) derives exactly that from one count
+    * ([[derivedStride]] — oracle-replicable). At 100 TB the LINEAR default for
     * semantic near-dup remains the LSH family (x14/x103, the same
     * precedent as x64's exact PPJoin vs x03's LSH); SemDeDup is the
     * cluster-exact path. Embedding payloads cross the wire once, in the
     * cell shuffle; flags join back on 8-byte keys.
     */
   def semDeDup(vectors: DataFrame, threshold: Double,
-      stride: Long = IvfCentroidStride.toLong): DataFrame = {
-    val cents = vectors.where(col("vec_id") % stride === 0)
+      stride: Long = 0L): DataFrame = {
+    val st = if (stride > 0) stride else derivedStride(vectors.count())
+    val cents = vectors.where(col("vec_id") % st === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
     val assigned = graft.ops.Caching.cacheOnce(assignCells(vectors, cents))
     val lower = assigned.select(col("cell"), col("vec_id").as("lo_id"),
@@ -443,26 +445,61 @@ object Similarity {
       .select("q_id", "vec_id", "score", "rank")
   }
 
-  val IvfCentroidStride = 97
+  /** Cell-count ceiling for the derived IVF stride law — the same clamp
+    * bound as [[graft.sources.Jsonl.derivedShards]]: past n ≈ 4.3e9 the
+    * √n law would mint more coarse cells than any probe fan-out or
+    * centroid broadcast wants, so cells saturate here and occupancy grows
+    * linearly instead. */
+  val IvfMaxCells = 65536L
+
+  /** The IVF stride LAW (r9 — replaces the fixed stride 97): derive the
+    * centroid-sample stride from ONE corpus count so the cell count
+    * tracks ≈ √n (clamped to [[IvfMaxCells]]) — the standard IVF nlist
+    * sizing, and the repo's occupancy-law idiom ([[graft.sources.Jsonl
+    * .derivedShards]], `Preference.derivedPoolCount`, the Trainer √n fold
+    * buckets). A fixed stride makes cell count LINEAR in corpus size: a
+    * 100× corpus writes 100× cell directories at constant occupancy and
+    * each probe retrieves a constant ~97 candidates — the wrong shape at
+    * 100 TB. Under this law cells and per-cell occupancy BOTH grow as √n,
+    * so build output, probe candidate sets, and the centroid broadcast
+    * all scale sublinearly. `ceil`/`sqrt` are IEEE-exact in both engines,
+    * so the DuckDB oracle replays the identical stride via
+    * [[strideSqlOver]]. */
+  def derivedStride(n: Long): Long =
+    math.max(1L, math.max(
+      math.ceil(math.sqrt(n.toDouble)).toLong,
+      math.ceil(n.toDouble / IvfMaxCells).toLong))
+
+  /** The DuckDB mirror of [[derivedStride]] as a scalar subquery over the
+    * CTE/table `src` — embedded by every IVF-family oracle so the stride
+    * law lives in ONE place (the [[planeSql]] discipline). */
+  def strideSqlOver(src: String): String =
+    s"(SELECT greatest(CAST(ceil(sqrt(count(*) * 1.0)) AS BIGINT), " +
+      s"CAST(ceil(count(*) / $IvfMaxCells.0) AS BIGINT), 1) FROM $src)"
 
   /** IVF-style ANN: partition the corpus into cells around centroid vectors,
     * search only the query's cell.
     *
     * Centroids here are a deterministic corpus sample (`vec_id %
-    * IvfCentroidStride == 0`) so the oracle can replicate cell assignment
-    * exactly; production would k-means them — the cell-assignment and
-    * probing mechanics (the scale-relevant part) are identical. Cell
-    * assignment = argmax cosine over centroids, ties to the lower centroid
-    * id; one shuffle by cell id co-locates each cell, and a query probes
-    * exactly one cell (`nprobe=1`).
+    * derivedStride(n) == 0` — one count, then a pure predicate) so the
+    * oracle can replicate cell assignment exactly; production would
+    * k-means them — the cell-assignment and probing mechanics (the
+    * scale-relevant part) are identical. Cell assignment = argmax cosine
+    * over centroids, ties to the lower centroid id; one shuffle by cell
+    * id co-locates each cell, and a query probes exactly one cell
+    * (`nprobe=1`).
     */
   def ivfAssign(vectors: DataFrame, centroidSource: DataFrame): DataFrame =
     assignCells(vectors, strideCents(centroidSource))
 
-  /** The deterministic corpus-sample centroid set x13/x32's oracle replays. */
-  private def strideCents(centroidSource: DataFrame): DataFrame =
-    centroidSource.where(col("vec_id") % IvfCentroidStride === 0)
+  /** The deterministic corpus-sample centroid set x13/x32's oracle
+    * replays: stride from ONE count ([[derivedStride]]), then the modulo
+    * predicate. */
+  private def strideCents(centroidSource: DataFrame): DataFrame = {
+    val stride = derivedStride(centroidSource.count())
+    centroidSource.where(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+  }
 
   /** Pack ALL centroids into one array-of-structs row (IVF centroid lists
     * are small by construction — that's what makes IVF an index) for
@@ -530,6 +567,16 @@ object Similarity {
         (col("n_top").cast("double") / col("n_vecs")).as("top_share"))
   }
 
+  /** One file per cell on cell-partitioned index writes: hash-repartition
+    * by the cell column so `partitionBy("cell")` emits exactly ONE file
+    * per cell directory instead of up to (write-tasks × cells) small
+    * files (VERDICT r9 item 3 — at 100× corpus that product is millions
+    * of tiny files). Per-cell rows are ≈ √n under [[derivedStride]]'s
+    * law, one task's worth by construction; several cells hashing into
+    * one task still emit one file each (partitionBy splits within the
+    * task). Spec-asserted in SimilaritySpec. */
+  private def byCell(df: DataFrame): DataFrame = df.repartition(col("cell"))
+
   /** Persist the IVF index as TABLES — the production shape at 100 TB: the
     * index is built ONCE and probed many times, so the corpus-wide work
     * (cell assignment) must never re-run per query. `centroids/` holds the
@@ -541,7 +588,7 @@ object Similarity {
   def buildIvfIndex(corpus: DataFrame, indexDir: String): Unit = {
     val cents = strideCents(corpus)
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
-    ivfAssign(corpus, corpus).write.mode("overwrite")
+    byCell(ivfAssign(corpus, corpus)).write.mode("overwrite")
       .partitionBy("cell").parquet(s"$indexDir/assigned")
   }
 
@@ -561,7 +608,7 @@ object Similarity {
       indexDir: String, batch: DataFrame): Unit = {
     GraftFunctions.register(spark)
     val cents = spark.read.parquet(s"$indexDir/centroids")
-    assignCells(batch, cents)
+    byCell(assignCells(batch, cents))
       .write.mode("append").partitionBy("cell").parquet(s"$indexDir/assigned")
   }
 
@@ -596,9 +643,7 @@ object Similarity {
     * [[ivfAssign]]). Still zero shuffle, zero row amplification.
     */
   def ivfAssignTop2(vectors: DataFrame, centroidSource: DataFrame): DataFrame =
-    assignCellsTop2(vectors,
-      centroidSource.where(col("vec_id") % IvfCentroidStride === 0)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb")))
+    assignCellsTop2(vectors, strideCents(centroidSource))
 
   /** [[ivfAssignTop2]] against an explicit `(cent_id, cent_emb)` centroid
     * table — the stored-index entry (x154's nprobe=2 probe). */
@@ -646,11 +691,19 @@ object Similarity {
 
   /** Top-k within the query's IVF cell (exact within-cell, approximate
     * globally — recall governed by cell granularity, cost cut by the cell
-    * count versus a full scan).
+    * count versus a full scan). `stride` is the nlist dial every IVF
+    * library exposes; the default derives it from the corpus count
+    * ([[derivedStride]]).
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val assigned = ivfAssign(corpus, corpus)
-    val q = broadcast(ivfAssign(queries, corpus)
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      stride: Long = 0L): DataFrame = {
+    val cents =
+      if (stride > 0)
+        corpus.where(col("vec_id") % stride === 0)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      else strideCents(corpus)
+    val assigned = assignCells(corpus, cents)
+    val q = broadcast(assignCells(queries, cents)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cell")))
     assigned.join(q, Seq("cell")).where(col("q_id") =!= col("vec_id"))
       .withColumn("cos", GraftFunctions.cosineSim(col("q_emb"), col("embedding")))
@@ -679,11 +732,13 @@ object Similarity {
     * shrink, never split), which is the standard mild failure mode and
     * fine for an ANN index.
     */
-  def kmeansCentroids(corpus: DataFrame, iters: Int = 4): Seq[(Long, Seq[Float])] = {
+  def kmeansCentroids(corpus: DataFrame, iters: Int = 4,
+      stride: Long = 0L): Seq[(Long, Seq[Float])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val st = if (stride > 0) stride else derivedStride(corpus.count())
     var cents: Seq[(Long, Seq[Float])] = corpus
-      .where(col("vec_id") % IvfCentroidStride === 0)
+      .where(col("vec_id") % st === 0)
       .select(col("vec_id"), col("embedding").cast("array<float>"))
       .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
     var it = 0
@@ -715,9 +770,9 @@ object Similarity {
     * cells mean better recall at the same scanned-candidate budget.
     */
   def ivfTopKKmeans(queries: DataFrame, corpus: DataFrame, k: Int,
-                    iters: Int = 4): DataFrame = {
+                    iters: Int = 4, stride: Long = 0L): DataFrame = {
     val spark = corpus.sparkSession
-    val cents = centsDf(spark, kmeansCentroids(corpus, iters))
+    val cents = centsDf(spark, kmeansCentroids(corpus, iters, stride))
     val assigned = assignCells(corpus, cents)
     val q = broadcast(assignCells(queries, cents)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cell")))
@@ -811,19 +866,27 @@ object Similarity {
     * the fixtures (n ≤ cap) the sample is the whole corpus. */
   val PqTrainCap = 4096L
 
-  /** md5-draw keep-1-in-stride so the expected sample is ~[[PqTrainCap]]
-    * (the occupancy-law shape: one count, then a pure per-row predicate). */
-  def pqTrainStride(n: Long): Long =
-    math.max(1L, math.ceil(n.toDouble / PqTrainCap).toLong)
+  /** Keep-threshold over a 32-bit md5 prefix so the expected sample is
+    * ~[[PqTrainCap]] at ANY corpus size (one count, then a pure per-row
+    * predicate). The r8 form compared a 16-bit prefix mod a stride, which
+    * oversamples by up to ~2× when the stride doesn't divide 65536 and
+    * degenerates past n ≈ 2.7e8 (stride > 65536 keeps only hash == 0) —
+    * ADVICE r8. The threshold form has no divisibility bias: keep iff
+    * `u < 2^32·cap/n`, so P(keep) = cap/n exactly (up to hash
+    * uniformity), and n ≤ cap keeps everything (threshold ≥ 2^32). The
+    * threshold double is the same IEEE expression DuckDB computes, so the
+    * oracle replays the identical sample. */
+  def pqTrainThreshold(n: Long): Double =
+    4294967296.0 * PqTrainCap / math.max(1L, n)
 
-  /** The bounded deterministic training sample: `md5(vec_id:pqs) mod
-    * stride == 0` — reproducible across retries and engines (the
-    * [[Curate.hashSample]] discipline). */
+  /** The bounded deterministic training sample: 32-bit
+    * `md5(vec_id:pqs)` prefix under [[pqTrainThreshold]] — reproducible
+    * across retries and engines (the [[Curate]] uniformHash discipline). */
   def pqTrainSample(emb: DataFrame): DataFrame = {
-    val stride = pqTrainStride(emb.count())
+    val thr = pqTrainThreshold(emb.count())
     emb.where(
-      conv(substring(md5(concat(col("vec_id").cast("string"), lit(":pqs"))), 1, 4), 16, 10)
-        .cast("int") % stride === 0)
+      conv(substring(md5(concat(col("vec_id").cast("string"), lit(":pqs"))), 1, 8), 16, 10)
+        .cast("long") < thr)
   }
 
   /** Pack the (sub, cid, cvec) codebook into M broadcast rows — one
@@ -989,7 +1052,7 @@ object Similarity {
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
     val codebook = pqTrain(corpus, m, kc)
     codebook.write.mode("overwrite").parquet(s"$indexDir/codebook")
-    ivfPqEncode(corpus, cents, codebook, m)
+    byCell(ivfPqEncode(corpus, cents, codebook, m))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
   }
 
@@ -1005,7 +1068,7 @@ object Similarity {
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val codebook = spark.read.parquet(s"$indexDir/codebook")
     val m = codebook.select("sub").distinct().count().toInt
-    ivfPqEncode(batch, cents, codebook, m)
+    byCell(ivfPqEncode(batch, cents, codebook, m))
       .write.mode("append").partitionBy("cell").parquet(s"$indexDir/codes")
   }
 
@@ -1017,33 +1080,81 @@ object Similarity {
     * cell directory in. Untouched cells' files are never opened or
     * rewritten — delete cost tracks the affected cells, not the index.
     * Corpus-scale tombstone sets belong in an offline rebuild instead.
-    * The per-cell directory swap is crash-safe per cell (a re-run
-    * re-deletes idempotently: already-deleted ids match no rows). */
+    *
+    * Crash safety (ADVICE r8 — the r8 form rm'd the live cell BEFORE
+    * moving the rewrite in, so a crash in that window lost the cell's
+    * survivors unrecoverably): the swap is now a journaled two-phase
+    * move. The rewrite lands in `codes_delete_tmp/` (Spark's committed
+    * `_SUCCESS` marker = the rewrite is complete and authoritative); each
+    * live cell dir is first moved ASIDE to `codes_delete_old/` (outside
+    * `codes/`, so partition discovery never sees it), then the rewritten
+    * dir moves into place; both aux dirs are dropped last. Every crash
+    * window is recoverable by [[recoverIvfPqDelete]], which runs
+    * automatically at the start of the next delete: with `_SUCCESS`
+    * present the swap completes FORWARD (aside cells whose rewrite dir is
+    * missing were emptied by the delete and stay absent); without it the
+    * aside cells roll BACK and the incomplete rewrite is discarded. */
   def deleteFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, ids: Seq[Long]): Unit = {
     require(ids.nonEmpty, "empty delete batch — nothing to do is a caller bug")
+    recoverIvfPqDelete(indexDir)
     val codes = spark.read.parquet(s"$indexDir/codes")
     // the partition column reads back as INT (path inference) — normalize
     val cells = codes.where(col("vec_id").isin(ids: _*))
       .select(col("cell").cast("long")).distinct().collect().map(_.getLong(0)).sorted
     if (cells.nonEmpty) {
-      val tmp = s"$indexDir/codes_delete_tmp"
-      codes.where(col("cell").isin(cells.toIndexedSeq: _*) &&
-          !col("vec_id").isin(ids: _*))
-        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
       import java.nio.file.{Files, Paths, StandardCopyOption}
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
+      val tmp = s"$indexDir/codes_delete_tmp"
+      val aside = s"$indexDir/codes_delete_old"
+      byCell(codes.where(col("cell").isin(cells.toIndexedSeq: _*) &&
+          !col("vec_id").isin(ids: _*)))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      Files.createDirectories(Paths.get(aside))
       for (c <- cells) {
         val dst = Paths.get(s"$indexDir/codes/cell=$c")
         val src = Paths.get(s"$tmp/cell=$c")
-        rm(dst.toFile)
+        if (Files.exists(dst))
+          Files.move(dst, Paths.get(s"$aside/cell=$c"), StandardCopyOption.ATOMIC_MOVE)
         if (Files.exists(src))
           Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
       }
-      rm(new java.io.File(tmp))
+      rmTree(new java.io.File(aside))
+      rmTree(new java.io.File(tmp))
     }
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
+  }
+
+  /** Complete or roll back an interrupted [[deleteFromIvfPqIndex]] swap —
+    * idempotent, runs automatically at the start of every delete; call it
+    * directly before probing an index that may have crashed mid-delete.
+    * `codes_delete_tmp/_SUCCESS` is the commit point: present → roll the
+    * swap FORWARD (move each pending rewritten cell in; an aside cell
+    * with no rewritten twin was emptied by the delete and stays absent);
+    * absent → roll aside cells BACK and discard the incomplete rewrite. */
+  def recoverIvfPqDelete(indexDir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = s"$indexDir/codes_delete_tmp"
+    val aside = s"$indexDir/codes_delete_old"
+    val asideDir = new java.io.File(aside)
+    if (asideDir.isDirectory) {
+      val committed = Files.exists(Paths.get(s"$tmp/_SUCCESS"))
+      for (a <- Option(asideDir.listFiles()).getOrElse(Array.empty)
+           if a.isDirectory && a.getName.startsWith("cell=")) {
+        val dst = Paths.get(s"$indexDir/codes/${a.getName}")
+        val src = Paths.get(s"$tmp/${a.getName}")
+        if (!Files.exists(dst)) {
+          if (committed && Files.exists(src))
+            Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+          else if (!committed)
+            Files.move(a.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
+      rmTree(asideDir)
+    }
+    rmTree(new java.io.File(tmp))
   }
 
   /** Index-health report for a stored IVFADC index — the ops statistic a
@@ -1176,6 +1287,7 @@ object Similarity {
     res.crossJoin(packPqFlat(codebook))
       .select(col("vec_id"), col("cell"),
         graft.functions.PqEncode.pqEncode(col("embedding"), col("_cbf"), m).as("codes"))
+      .transform(byCell)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
   }
 
@@ -1252,7 +1364,7 @@ object Similarity {
     GraftFunctions.register(corpus.sparkSession)
     val cents = strideCents(corpus)
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
-    ivfSq8Encode(corpus, cents)
+    byCell(ivfSq8Encode(corpus, cents))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/quant")
   }
 
@@ -1263,7 +1375,7 @@ object Similarity {
       indexDir: String, batch: DataFrame): Unit = {
     GraftFunctions.register(spark)
     val cents = spark.read.parquet(s"$indexDir/centroids")
-    ivfSq8Encode(batch, cents)
+    byCell(ivfSq8Encode(batch, cents))
       .write.mode("append").partitionBy("cell").parquet(s"$indexDir/quant")
   }
 
@@ -1321,7 +1433,7 @@ object Similarity {
     GraftFunctions.register(corpus.sparkSession)
     val cents = strideCents(corpus)
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
-    ivfBinEncode(corpus, cents)
+    byCell(ivfBinEncode(corpus, cents))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/signs")
   }
 
@@ -1331,7 +1443,7 @@ object Similarity {
       indexDir: String, batch: DataFrame): Unit = {
     GraftFunctions.register(spark)
     val cents = spark.read.parquet(s"$indexDir/centroids")
-    ivfBinEncode(batch, cents)
+    byCell(ivfBinEncode(batch, cents))
       .write.mode("append").partitionBy("cell").parquet(s"$indexDir/signs")
   }
 

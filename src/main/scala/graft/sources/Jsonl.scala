@@ -73,13 +73,24 @@ object Jsonl {
   /** `shards <= 0` (the default) derives the count from one row count via
     * [[derivedShards]]; an explicit positive count is honored unchanged
     * (the hash-mod assignment stays byte-deterministic either way — the
-    * shard count, not the input layout, is the only degree of freedom). */
+    * shard count, not the input layout, is the only degree of freedom).
+    * The derived path caches `df` across the count + write so an
+    * expensive upstream lineage (e.g. the DPO scoring chain) is evaluated
+    * ONCE, not twice (ADVICE r8); callers exporting an already-cached or
+    * cheap frame pay only a no-op persist. */
   def write(df: DataFrame, path: String, orderCol: String = "doc_id",
       shards: Int = 0): Unit = {
-    val s = if (shards > 0) shards else derivedShards(df.count())
-    df.repartition(s, col(orderCol))
-      .sortWithinPartitions(orderCol)
-      .select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
-      .write.mode("overwrite").text(path)
+    // only release a cache THIS call created — a caller-cached frame
+    // stays cached for the caller's other consumers
+    val ownCache = shards <= 0 &&
+      df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val src = if (shards <= 0) graft.ops.Caching.cacheOnce(df) else df
+    try {
+      val s = if (shards > 0) shards else derivedShards(src.count())
+      src.repartition(s, col(orderCol))
+        .sortWithinPartitions(orderCol)
+        .select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
+        .write.mode("overwrite").text(path)
+    } finally if (ownCache) src.unpersist(false)
   }
 }

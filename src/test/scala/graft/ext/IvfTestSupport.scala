@@ -1,0 +1,27 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.col
+
+/** Shared spec helper: a base/batch split that PRESERVES the derived IVF
+  * stride law ([[Similarity.derivedStride]]). The base keeps enough rows
+  * that its derived stride equals the full corpus's, and every centroid
+  * id (the multiples of that stride) stays in the base — so a base-built
+  * index and a full rebuild share the exact coarse-centroid table, which
+  * is the premise of every "append-grown == full rebuild" spec (the IVF
+  * norm: centroids stay FIXED between offline rebuilds; appends assign
+  * against the stored table).
+  */
+object IvfTestSupport {
+  /** TRUE for base rows. The batch is the highest ~10 non-centroid ids,
+    * capped so `ceil(sqrt(nBase)) == ceil(sqrt(n))` (the stride is
+    * unchanged by removing the batch — `nBase > (stride-1)²`). Assumes
+    * the fixture's dense 0..n-1 `vec_id`s. */
+  def isBase(e: DataFrame): Column = {
+    val n = e.count()
+    val stride = Similarity.derivedStride(n)
+    val maxBatch = n - (stride - 1) * (stride - 1) - 1
+    val b = math.max(1L, math.min(10L, maxBatch))
+    col("vec_id") < (n - b) || col("vec_id") % stride === 0
+  }
+}

@@ -180,7 +180,8 @@ class SimilaritySpec extends SparkTestBase {
   }
 
   test("semDeDup: min-id survivor per duplicate chain, orthogonal vectors kept") {
-    // ids 0..3 share one stride cell (only 0 % 97 == 0 is a centroid):
+    // n=4 -> derived stride 2 -> centroids {0, 2}; 0 and 2 are identical
+    // vectors, so ties send EVERY vector to cell 0 (lower cent_id wins):
     // 2 duplicates 0 (cos 1.0), 3 is near 0/2 (0.8) and 1 (0.6); 1 is
     // orthogonal to 0. Min-id rule: 0 and 1 survive, 2 and 3 drop.
     val out = Similarity.semDeDup(vecs, 0.4).collect()
@@ -226,9 +227,9 @@ class SimilaritySpec extends SparkTestBase {
 
   test("appendToIvfIndex: build-then-append probes identically to a full rebuild") {
     val e = graft.sources.Tables.embeddings(spark, sfDir)
-    // base carries EVERY stride centroid so both index builds share the
-    // exact centroid table; the batch is everything else
-    val isBase = col("vec_id") % Similarity.IvfCentroidStride === 0 || col("vec_id") < 150
+    // the stride-preserving split keeps every derived-stride centroid in
+    // the base, so both index builds share the exact centroid table
+    val isBase = IvfTestSupport.isBase(e)
     val grown = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
     Similarity.buildIvfIndex(e.where(isBase), grown)
     Similarity.appendToIvfIndex(spark, grown, e.where(!isBase))
@@ -253,7 +254,7 @@ class SimilaritySpec extends SparkTestBase {
     // scores must be BIT-identical, not approximately equal
     val n = e.count().toInt
     val all = Similarity.pqTopK(queries, e, n, Similarity.IvfPqM)
-    val cents = e.where(col("vec_id") % Similarity.IvfCentroidStride === 0)
+    val cents = e.where(col("vec_id") % Similarity.derivedStride(e.count()) === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
     val asg = Similarity.assignCells(e, cents).select(col("vec_id"), col("cell"))
     val mem = all
@@ -384,7 +385,7 @@ class SimilaritySpec extends SparkTestBase {
     // restricted to the query's cell, re-ranked — scores bit-identical
     val n = e.count().toInt
     val all = Similarity.int8TopK(queries, e, n)
-    val cents = e.where(col("vec_id") % Similarity.IvfCentroidStride === 0)
+    val cents = e.where(col("vec_id") % Similarity.derivedStride(e.count()) === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
     val asg = Similarity.assignCells(e, cents).select(col("vec_id"), col("cell"))
     val mem = all
@@ -410,7 +411,7 @@ class SimilaritySpec extends SparkTestBase {
     p1.foreach { case (k2, v) => assert(p2(k2) == v, s"score drift at $k2") }
     // append: grown index probes identically to a full rebuild (the
     // quantization rule is per-vector, so appends can't move base rows)
-    val isBase = col("vec_id") % Similarity.IvfCentroidStride === 0 || col("vec_id") < 150
+    val isBase = IvfTestSupport.isBase(e)
     val grown = java.nio.file.Files.createTempDirectory("graft-ivfsq8-app").toString
     Similarity.buildIvfSq8Index(e.where(isBase), grown)
     Similarity.appendToIvfSq8Index(spark, grown, e.where(!isBase))
@@ -421,9 +422,9 @@ class SimilaritySpec extends SparkTestBase {
 
   test("appendToIvfPqIndex: batch-sized append; base scores survive bit-identically") {
     val e = graft.sources.Tables.embeddings(spark, sfDir)
-    // base carries every stride centroid so the grown index's coarse
-    // quantizer is identical to the base-only one
-    val isBase = col("vec_id") % Similarity.IvfCentroidStride === 0 || col("vec_id") < 150
+    // the stride-preserving split: the grown index's coarse quantizer
+    // (and bounded-sample codebook) is identical to the base-only one
+    val isBase = IvfTestSupport.isBase(e)
     val baseIdx = java.nio.file.Files.createTempDirectory("graft-ivfpq-base").toString
     val grown = java.nio.file.Files.createTempDirectory("graft-ivfpq-append").toString
     Similarity.buildIvfPqIndex(e.where(isBase), baseIdx)
@@ -485,9 +486,62 @@ class SimilaritySpec extends SparkTestBase {
     assert(spark.read.parquet(s"$idx/codes").count() === nBefore - victims.size)
   }
 
+  test("delete crash windows recover: committed swap rolls FORWARD, uncommitted rolls BACK") {
+    // ADVICE r8: the r8 delete rm'd the live cell before moving the
+    // rewrite in — a crash in that window lost the cell's survivors for
+    // good. The journaled swap leaves every window recoverable; this test
+    // constructs both crash states by hand and pins recoverIvfPqDelete.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-crash").toString
+    Similarity.buildIvfPqIndex(e, idx)
+    val codes = spark.read.parquet(s"$idx/codes")
+    val cell = codes.groupBy(col("cell").cast("long").as("c")).count()
+      .where(col("count") >= 3).orderBy("c").head().getLong(0)
+    val members = codes.where(col("cell").cast("long") === cell)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    val victims = members.take(1).toSeq
+    val survivors = members.drop(1).toSet
+    def cellIds(): Set[Long] =
+      spark.read.parquet(s"$idx/codes").where(col("cell").cast("long") === cell)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    val nAll = spark.read.parquet(s"$idx/codes").count()
+
+    // crash state A: rewrite committed (tmp has _SUCCESS), live cell
+    // moved aside, rewritten cell NOT yet moved in -> probe would miss the
+    // cell entirely; recovery must complete FORWARD
+    val tmp = s"$idx/codes_delete_tmp"
+    codes.where(col("cell").cast("long") === cell && !col("vec_id").isin(victims: _*))
+      .repartition(1)
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    assert(Files.exists(Paths.get(s"$tmp/_SUCCESS")), "spark commit marker expected")
+    Files.createDirectories(Paths.get(s"$idx/codes_delete_old"))
+    Files.move(Paths.get(s"$idx/codes/cell=$cell"),
+      Paths.get(s"$idx/codes_delete_old/cell=$cell"), StandardCopyOption.ATOMIC_MOVE)
+    Similarity.recoverIvfPqDelete(idx)
+    assert(cellIds() === survivors, "committed swap must roll forward (victims gone)")
+    assert(spark.read.parquet(s"$idx/codes").count() === nAll - victims.size)
+    assert(!Files.exists(Paths.get(tmp)) && !Files.exists(Paths.get(s"$idx/codes_delete_old")),
+      "recovery must consume both journal dirs")
+
+    // crash state B: tmp written but NOT committed (no _SUCCESS), live
+    // cell moved aside -> recovery must roll BACK to the pre-delete state
+    val cur = spark.read.parquet(s"$idx/codes")
+    cur.where(col("cell").cast("long") === cell)
+      .repartition(1)
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    Files.delete(Paths.get(s"$tmp/_SUCCESS"))
+    Files.createDirectories(Paths.get(s"$idx/codes_delete_old"))
+    Files.move(Paths.get(s"$idx/codes/cell=$cell"),
+      Paths.get(s"$idx/codes_delete_old/cell=$cell"), StandardCopyOption.ATOMIC_MOVE)
+    Similarity.recoverIvfPqDelete(idx)
+    assert(cellIds() === survivors, "uncommitted swap must roll back the aside cell")
+    assert(!Files.exists(Paths.get(tmp)), "stale uncommitted rewrite must be discarded")
+  }
+
   test("IVFADC codes table compacts with Maintenance.compactPartitioned: fewer files, probes bit-identical") {
     val e = graft.sources.Tables.embeddings(spark, sfDir)
-    val isBase = col("vec_id") % Similarity.IvfCentroidStride === 0 || col("vec_id") < 150
+    val isBase = IvfTestSupport.isBase(e)
     val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-compact").toString
     Similarity.buildIvfPqIndex(e.where(isBase), idx)
     // three appends fragment every touched cell directory
@@ -520,9 +574,11 @@ class SimilaritySpec extends SparkTestBase {
     // corpus, in the exact failure mode training exists to fix: a SAMPLED
     // centroid init lands proportionally to cluster size, doubling up on
     // big clusters and missing small ones. Five well-separated centers
-    // with skewed block sizes [250,60,40,30,20]; the stride-97 init picks
-    // ids 0/97/194 (all cluster 0), 291 (c1), 388 (c4) — clusters 2 and 3
-    // start with no centroid at all. Noise vector norm ~0.4.
+    // with skewed block sizes [250,60,40,30,20] at an EXPLICIT nlist
+    // stride of 97 (the user dial; the derived default would mint 20
+    // cell-scale cells where this 5-cluster geometry has nothing to fix):
+    // seeds 0/97/194 all land in cluster 0, 291 in c1, 388 in c4 —
+    // clusters 2 and 3 start with no centroid at all. Noise norm ~0.4.
     val rnd = new scala.util.Random(42)
     def unit(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum); v.map(x => x / n)
@@ -539,8 +595,8 @@ class SimilaritySpec extends SparkTestBase {
     // 20 queries spread across all five clusters
     val q = e.where($"vec_id" % 20 === 0)
     val truth = hits(Similarity.bruteForceTopK(q, e, 10))
-    val stride = hits(Similarity.ivfTopK(q, e, 10))
-    val trained = hits(Similarity.ivfTopKKmeans(q, e, 10, iters = 4))
+    val stride = hits(Similarity.ivfTopK(q, e, 10, stride = 97))
+    val trained = hits(Similarity.ivfTopKKmeans(q, e, 10, iters = 4, stride = 97))
     val strideRecall = (truth intersect stride).size.toDouble / truth.size
     val trainedRecall = (truth intersect trained).size.toDouble / truth.size
     info(f"recall@10: stride=$strideRecall%.3f kmeans=$trainedRecall%.3f")
@@ -567,7 +623,8 @@ class SimilaritySpec extends SparkTestBase {
     import graft.sources.Tables
     val e = Tables.embeddings(spark, sfDir)
     val c1 = Similarity.kmeansCentroids(e, iters = 3)
-    assert(c1.nonEmpty && c1.size <= 1 + 499 / Similarity.IvfCentroidStride,
+    val n = e.count()
+    assert(c1.nonEmpty && c1.size <= 1 + (n - 1) / Similarity.derivedStride(n),
       "K can only shrink from the stride init, never grow")
     c1.foreach { case (_, emb) =>
       val n = math.sqrt(emb.map(x => x.toDouble * x).sum)
@@ -591,19 +648,20 @@ class SimilaritySpec extends SparkTestBase {
   }
 
   test("clusterProfile reports per-cell counts, tightness, and dominant label") {
+    // n=5 -> derived stride ceil(sqrt(5)) = 3 -> centroids {0, 3}
     val vs = Seq(
-      (0L, Seq(1.0f, 0.0f, 0.0f), 0),    // centroid A (0 % 97 == 0)
-      (97L, Seq(0.0f, 1.0f, 0.0f), 1),   // centroid B
+      (0L, Seq(1.0f, 0.0f, 0.0f), 0),    // centroid A
+      (3L, Seq(0.0f, 1.0f, 0.0f), 1),    // centroid B
       (1L, Seq(0.8f, 0.6f, 0.0f), 0),    // nearer A (cos .8 vs .6)
       (2L, Seq(0.6f, 0.8f, 0.0f), 1),    // nearer B
-      (3L, Seq(0.0f, 0.9f, 0.1f), 1)     // nearer B
+      (4L, Seq(0.0f, 0.9f, 0.1f), 1)     // nearer B
     ).toDF("vec_id", "embedding", "label")
     val out = Similarity.clusterProfile(vs).collect()
       .map(r => r.getAs[Long]("cell") ->
         ((r.getAs[Long]("n_vecs"), r.getAs[Int]("top_label"), r.getAs[Double]("top_share"))))
       .toMap
     assert(out(0L) === ((2L, 0, 1.0)))
-    assert(out(97L) === ((3L, 1, 1.0)))
+    assert(out(3L) === ((3L, 1, 1.0)))
   }
 
   test("knnPropagateScore predicts the similarity-weighted neighbor mean with residual") {
@@ -724,7 +782,7 @@ class SimilaritySpec extends SparkTestBase {
     val stored = Similarity.ivfBinTopK(spark, idx, queries, 10)
     // in-memory expected: sign bits over the full corpus, restricted to
     // the query's assigned cell, hamming-ranked — identical rows
-    val cents = e.where(col("vec_id") % Similarity.IvfCentroidStride === 0)
+    val cents = e.where(col("vec_id") % Similarity.derivedStride(e.count()) === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
     val asg = Similarity.assignCells(e, cents).select(col("vec_id"), col("cell"))
     val sigs = e.select(col("vec_id"), Similarity.signBits(col("embedding")).as("sig"))
@@ -747,7 +805,7 @@ class SimilaritySpec extends SparkTestBase {
     val rr = Similarity.ivfBinRerankTopK(spark, idx, queries, e, 10, 2).collect()
     assert(rr.length === 50)
     // append-grown index probes identically to a full rebuild
-    val isBase = col("vec_id") % Similarity.IvfCentroidStride === 0 || col("vec_id") < 150
+    val isBase = IvfTestSupport.isBase(e)
     val grown = java.nio.file.Files.createTempDirectory("graft-ivfbin-app").toString
     Similarity.buildIvfBinIndex(e.where(isBase), grown)
     Similarity.appendToIvfBinIndex(spark, grown, e.where(!isBase))
@@ -778,5 +836,37 @@ class SimilaritySpec extends SparkTestBase {
     val rep2 = Similarity.matryoshkaRecallReport(e.where($"vec_id" < 3), e, 5)
       .collect().map(r => (r.getLong(0), r.getAs[Double]("recall"))).toMap
     assert(rep === rep2)
+  }
+
+  test("index builds write exactly ONE file per cell, and cells track the sqrt-n law") {
+    // VERDICT r9 items 1+3: the derived stride makes cell count ~ceil(sqrt n)
+    // (22 at the 500-row fixture, not N/97), and the repartition-by-cell
+    // write discipline caps the file count at exactly one per cell dir —
+    // never (write-tasks x cells) small files.
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val n = e.count()
+    val expectedCells = (0L until n).count(_ % Similarity.derivedStride(n) == 0)
+    def onePerCell(table: String): Int = {
+      val dirs = Option(new java.io.File(table).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      dirs.foreach { d =>
+        val parts = Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet"))
+        assert(parts.length === 1, s"${d.getName}: ${parts.length} data files")
+      }
+      dirs.length
+    }
+    val ivf = java.nio.file.Files.createTempDirectory("graft-onefile-ivf").toString
+    Similarity.buildIvfIndex(e, ivf)
+    assert(onePerCell(s"$ivf/assigned") === expectedCells)
+    val pq = java.nio.file.Files.createTempDirectory("graft-onefile-pq").toString
+    Similarity.buildIvfPqIndex(e, pq)
+    assert(onePerCell(s"$pq/codes") === expectedCells)
+    val sq = java.nio.file.Files.createTempDirectory("graft-onefile-sq").toString
+    Similarity.buildIvfSq8Index(e, sq)
+    assert(onePerCell(s"$sq/quant") === expectedCells)
+    val bn = java.nio.file.Files.createTempDirectory("graft-onefile-bin").toString
+    Similarity.buildIvfBinIndex(e, bn)
+    assert(onePerCell(s"$bn/signs") === expectedCells)
   }
 }

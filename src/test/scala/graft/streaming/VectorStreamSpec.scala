@@ -11,9 +11,10 @@ class VectorStreamSpec extends SparkTestBase {
   test("indexIngest: streamed batches append to the stored IVFADC index; probes stay exact") {
     implicit val sqlCtx = spark.sqlContext
     val e = graft.sources.Tables.embeddings(spark, sfDir)
-    // base carries every stride centroid so the coarse quantizer (and the
-    // bounded-sample codebook) are frozen before the stream starts
-    val isBase = col("vec_id") % Similarity.IvfCentroidStride === 0 || col("vec_id") < 150
+    // the stride-preserving split (IvfTestSupport) keeps the coarse
+    // quantizer (and the bounded-sample codebook) frozen before the
+    // stream starts
+    val isBase = graft.ext.IvfTestSupport.isBase(e)
     val idx = java.nio.file.Files.createTempDirectory("graft-vstream-idx").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-vstream-ckpt").toString
     Similarity.buildIvfPqIndex(e.where(isBase), idx)
