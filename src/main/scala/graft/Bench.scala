@@ -121,6 +121,7 @@ object Bench {
           "b152_ivfpq_build" -> (() => graft.ext.Similarity.buildIvfPqIndex(emb, tmp("bench_ivfpq"))),
           "b167_ivfsq8_build" -> (() => graft.ext.Similarity.buildIvfSq8Index(emb, tmp("bench_ivfsq8"))),
           "b193_ivfbin_build" -> (() => graft.ext.Similarity.buildIvfBinIndex(emb, tmp("bench_ivfbin"))),
+          "b200_graph_build" -> (() => graft.ext.Similarity.buildGraphIndex(emb, tmp("bench_graph"))),
           "b126_bm25_build" -> (() => graft.ext.Search.buildBm25Index(docs, tmp("bench_bm25"))))
         legs.map { case (nm, f) =>
           val runs = (1 to 2).map { _ =>

@@ -64,7 +64,7 @@ object SparkEntry {
     "x131_bt_strengths", "x134_chat_sft_stats", "x135_sft_pipeline",
     "x145_retrieval_eval_set", "x146_pq_recall", "x147_best_of_n",
     "x151_lr_influence", "x152_ann_ivfpq_stored", "x153_retrieval_eval_stored",
-    "x155_repetition_signals")
+    "x155_repetition_signals", "x201_graph_recall_report")
 
   /** Cheap stable legs (<0.3 s quiet): still timed every round, reported
     * on the `total_extra` stdout line and in bench_last.json, never on
@@ -75,7 +75,8 @@ object SparkEntry {
     "x06_ann_bruteforce_topk", "x09_text_quality", "x21_text_vocab",
     "x36_curate_contamination", "x79_url_domain_curation",
     "x85_embedding_outliers", "x111_shard_manifest", "x114_topic_tagging",
-    "x120_html_extract", "x124_web_ingest_pipeline")
+    "x120_html_extract", "x124_web_ingest_pipeline",
+    "x200_ann_graph_beam")
 
   private def coreQueries: Map[String, Q] = Map(
     // S1+P4+F1+F4 — dimension scan with projection + pushed predicates

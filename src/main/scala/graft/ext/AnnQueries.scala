@@ -1,0 +1,824 @@
+package graft.ext
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.ExtQueries.{Q, recallReport, StoredIndexes}
+import graft.ext.ExtOracles._
+
+/** Ann registry — embedding similarity + ANN index family. Split out of the monolithic
+  * ExtQueries (r9, VERDICT item 7); entries and oracle SQL are
+  * verbatim, merged back in [[ExtQueries.queries]] /
+  * [[ExtQueries.oracleSql]]. */
+private[graft] object AnnQueries {
+
+  val queries: Map[String, Q] = Map(
+    // Graph-ANN rung (r9, VERDICT item 5): stored NSW-style neighbor
+    // graph — LSH-mined degree-capped edges (never all-pairs), strength-
+    // ranked bucket seeds, 3-round beam traversal. Deterministic
+    // end-to-end (fixed seeds, tie-broken ranks), so the DuckDB oracle
+    // replays the whole walk row-for-row.
+    "x200_ann_graph_beam" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val idx = StoredIndexes.get("graph", dir)(Similarity.buildGraphIndex(e, _))
+      Similarity.graphBeamTopK(s, idx, e.where(col("vec_id") < 5), 10)
+    }),
+
+    // The budget-honest graph-vs-IVF comparison (r9): candidates scored,
+    // truth/approx/common and recall per method — every column DuckDB-
+    // replayed. Measured: recall 0.74/0.74/0.68 (graph) vs 0.32/0.28/0.34
+    // (ivf nprobe2) across sf0.001/0.01/0.1 at comparable scanned budgets.
+    "x201_graph_recall_report" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val idx = StoredIndexes.get("graph", dir)(Similarity.buildGraphIndex(e, _))
+      Similarity.graphRecallReport(s, idx, e.where(col("vec_id") < 5), e, 10)
+    }),
+
+    "x06_ann_bruteforce_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(e.where(col("vec_id") < 5), e, 10)
+    }),
+
+    // Matryoshka truncation frontier (r8 batch 5): top-k recall of cosine
+    // search over renormalized embedding PREFIXES at 64/32/16/8 dims vs
+    // the full-dim truth — the dimensionality rung of the quantization
+    // menu (x146/x161/x167 are the byte rungs).,
+    "x181_matryoshka_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.matryoshkaRecallReport(e.where(col("vec_id") < 5), e, 10)
+    }),
+
+    // Hard-negative mining (r5): per query, the top-k most-similar corpus
+    // vectors with a DIFFERENT label — contrastive-training negatives
+    // preparation; x06's streaming-corpus shape with a label guard.,
+    "x192_binary_quant_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.binaryRecallReport(e.where(col("vec_id") < 5), e, 10)
+    }),
+
+    // Distribution-level corpus drift (r5): pairwise χ²-like divergence
+    // between sources over hashed-unigram distributions — catches a source
+    // changing CONTENT where x63's digest diff only catches changed rows.,
+    "x07_ann_lsh_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshTopK(e.where(col("vec_id") < 5), e, 10)
+    }),
+    "x13_ann_ivf_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(e.where(col("vec_id") < 5), e, 10)
+    }),
+    "x32_ann_ivf_nprobe2" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfTopKProbe2(e.where(col("vec_id") < 5), e, 10)
+    }),
+
+    // The production ANN shape: IVF index persisted as TABLES (centroids +
+    // cell-PARTITIONED assignment), probes pruned to the probed cells via
+    // dynamic partition pruning. Same centroids/fold/ranking as x13, so it
+    // shares x13's oracle.
+    // URL/domain curation (r5): the C4/RefinedWeb first pass — deterministic
+    // derived URL, regex host extraction, registered-domain reduction,
+    // blocklist anti-join, per-domain quota. One composed query.,
+    "x113_cluster_profile" -> ((s, dir) =>
+      Similarity.clusterProfile(Tables.embeddings(s, dir))),
+
+    // Export shard manifest (r5): the publish-side integrity artifact —
+    // per-shard row count, byte volume, and an order-independent XOR
+    // content checksum (see Curate.shardManifest). One map-side-combined
+    // groupBy; 16 rows out.,
+    "x177_embedding_isotropy" -> ((s, dir) =>
+      Embeddings.isotropyReport(Tables.embeddings(s, dir))),
+
+    // Embedding outlier report (r5): distance to the label's exact
+    // centroid, flagged at the corpus's exact P95 squared-distance — the
+    // embedding-space curation filter after near-dup removal.,
+    "x85_embedding_outliers" -> ((s, dir) =>
+      Embeddings.outlierReport(Tables.embeddings(s, dir))),
+
+    // Domain authority (r5): 5 damped PageRank iterations over the
+    // deterministically derived domain citation graph — the CommonCrawl-
+    // style per-domain quality prior beside x79's blocklist.,
+    "x58_ann_ivf_stored" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      // Shared per-(family, sfDir) build — see StoredIndexes: fresh temp
+      // dir created once per JVM, probed many times (r9 bench hygiene).
+      val idx = StoredIndexes.get("ivf", dir)(Similarity.buildIvfIndex(e, _))
+      Similarity.ivfTopKStored(s, idx, e.where(col("vec_id") < 5), 10)
+    }),
+
+    // IVFADC stored index (r8): coarse stride cells + per-vector PQ codes
+    // persisted partitioned-by-cell (x58's stored discipline composed with
+    // x146's codebook); the probe DPP-prunes to the query's cell and
+    // ADC-scores codes against the query's broadcast LUT. Shared
+    // per-(family, sfDir) index build (StoredIndexes, r9).,
+    "x152_ann_ivfpq_stored" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val idx = StoredIndexes.get("ivfpq", dir)(Similarity.buildIvfPqIndex(e, _))
+      Similarity.ivfPqTopK(s, idx, e.where(col("vec_id") < 5), 10)
+    }),
+
+    // IVFADC index-health stats (r8): cell occupancy min/max/mean and the
+    // imbalance factor — the rebuild-trigger statistic a maintenance loop
+    // watches (appends drift occupancy between offline rebuilds).,
+    "x160_ivfpq_index_stats" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val idx = StoredIndexes.get("ivfpq", dir)(Similarity.buildIvfPqIndex(e, _))
+      Similarity.ivfPqIndexStats(s, idx)
+    }),
+
+    // IVFADC nprobe recall dial (r8): the stored index probed at nprobe=1
+    // and nprobe=2 against the brute-force truth — the read-cells/recall
+    // tradeoff measured in-engine (x69's report form). One build, two
+    // probes of the same codes table.,
+    "x154_ann_ivfpq_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 5)
+      val idx = StoredIndexes.get("ivfpq", dir)(Similarity.buildIvfPqIndex(e, _))
+      val truth = graft.ops.Caching.cacheOnce(
+        Similarity.bruteForceTopK(q, e, 10).select("q_id", "vec_id"))
+      Seq(("ivfpq_nprobe1", Similarity.ivfPqTopK(s, idx, q, 10)),
+          ("ivfpq_nprobe2", Similarity.ivfPqTopK2(s, idx, q, 10))).map { case (nm, ap) =>
+        val a = ap.select("q_id", "vec_id")
+        val nT = truth.agg(count(lit(1)).as("n_truth"))
+        val nA = a.agg(count(lit(1)).as("n_approx"))
+        val nC = truth.join(a, Seq("q_id", "vec_id")).agg(count(lit(1)).as("n_common"))
+        nT.crossJoin(broadcast(nA)).crossJoin(broadcast(nC))
+          .select(lit(nm).as("method"), col("n_truth"), col("n_approx"), col("n_common"),
+            (col("n_common").cast("double") / col("n_truth").cast("double")).as("recall"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // Residual IVFADC (r8): the literature-exact variant — codes encode
+    // x − c(cell), scores decompose as q·c(cell) + LUT fold. Reported
+    // beside the cell-confined EXACT probe at both nprobe depths, so the
+    // table reads as "how much of the exact ceiling does residual ADC
+    // keep" (the raw-code comparison is x154's table, same truth/k).
+    // Honest read-off: the fixture's clusters are diffuse (residual norms
+    // EXCEED raw — see the Similarity.scala section comment), so residual
+    // trails raw here; it wins exactly when the corpus clusters tightly.,
+    "x161_ann_ivfpq_residual" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 5)
+      val idx = StoredIndexes.get("ivfpqres", dir)(Similarity.buildIvfPqResIndex(e, _))
+      val truth = graft.ops.Caching.cacheOnce(
+        Similarity.bruteForceTopK(q, e, 10).select("q_id", "vec_id"))
+      Seq(("ivf_exact_nprobe1", Similarity.ivfTopK(q, e, 10)),
+          ("ivf_exact_nprobe2", Similarity.ivfTopKProbe2(q, e, 10)),
+          ("ivfpq_res_nprobe1", Similarity.ivfPqResTopK(s, idx, q, 10, 1)),
+          ("ivfpq_res_nprobe2", Similarity.ivfPqResTopK(s, idx, q, 10, 2))).map { case (nm, ap) =>
+        val a = ap.select("q_id", "vec_id")
+        val nT = truth.agg(count(lit(1)).as("n_truth"))
+        val nA = a.agg(count(lit(1)).as("n_approx"))
+        val nC = truth.join(a, Seq("q_id", "vec_id")).agg(count(lit(1)).as("n_common"))
+        nT.crossJoin(broadcast(nA)).crossJoin(broadcast(nC))
+          .select(lit(nm).as("method"), col("n_truth"), col("n_approx"), col("n_common"),
+            (col("n_common").cast("double") / col("n_truth").cast("double")).as("recall"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // Semantic decontamination, EXACT bounded-eval form (r8 second
+    // half): train vectors whose max cosine to the hash-split eval set
+    // reaches the near-dup threshold, nearest eval item NAMED (the
+    // attribution a leakage report needs). One packed broadcast of the
+    // eval side + a per-row argmax fold over the corpus. x103 is the
+    // LSH-bucketed sibling for oversized eval sets; x117 the n-gram one.,
+    "x163_semantic_decontamination" -> ((s, dir) =>
+      Similarity.semanticDecontamination(Tables.embeddings(s, dir))),
+
+    // IVF-SQ8 stored index (r8 second half): the 64 B/vec scalar-quantized
+    // rung of the stored menu — near-exact within probed cells, so its
+    // recall rows read as "the exact ceiling at 8x PQ's bytes" beside
+    // x154 (8 B PQ) and x161 (residual PQ).,
+    "x167_ann_ivfsq8_stored" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 5)
+      val idx = StoredIndexes.get("ivfsq8", dir)(Similarity.buildIvfSq8Index(e, _))
+      val truth = graft.ops.Caching.cacheOnce(
+        Similarity.bruteForceTopK(q, e, 10).select("q_id", "vec_id"))
+      Seq(("ivfsq8_nprobe1", Similarity.ivfSq8TopK(s, idx, q, 10, 1)),
+          ("ivfsq8_nprobe2", Similarity.ivfSq8TopK(s, idx, q, 10, 2))).map { case (nm, ap) =>
+        val a = ap.select("q_id", "vec_id")
+        val nT = truth.agg(count(lit(1)).as("n_truth"))
+        val nA = a.agg(count(lit(1)).as("n_approx"))
+        val nC = truth.join(a, Seq("q_id", "vec_id")).agg(count(lit(1)).as("n_common"))
+        nT.crossJoin(broadcast(nA)).crossJoin(broadcast(nC))
+          .select(lit(nm).as("method"), col("n_truth"), col("n_approx"), col("n_common"),
+            (col("n_common").cast("double") / col("n_truth").cast("double")).as("recall"))
+      }.reduce(_ unionByName _)
+    }),
+    "x38_ann_int8_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.int8TopK(e.where(col("vec_id") < 5), e, 10)
+    }),
+
+    // Stored IVF-BIN index (r8 batch 9): x192's 1-bit sign kernel
+    // composed with the stored-index discipline — 8 B/vec cell-
+    // partitioned codes, DPP probes, and the two-stage rerank that looks
+    // the shortlist's full vectors up from the corpus store. Closes the
+    // scale path x192's Scaladoc names, the x167 pattern.,
+    "x193_ann_ivfbin_stored" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 5)
+      val idx = StoredIndexes.get("ivfbin", dir)(Similarity.buildIvfBinIndex(e, _))
+      val truth = graft.ops.Caching.cacheOnce(
+        Similarity.bruteForceTopK(q, e, 10).select("q_id", "vec_id"))
+      Seq(("ivfbin_nprobe1", Similarity.ivfBinTopK(s, idx, q, 10, 1)),
+          ("ivfbin_nprobe2", Similarity.ivfBinTopK(s, idx, q, 10, 2)),
+          ("ivfbin_rerank_nprobe2",
+            Similarity.ivfBinRerankTopK(s, idx, q, e, 10, 2))).map { case (nm, ap) =>
+        val a = ap.select("q_id", "vec_id")
+        val nT = truth.agg(count(lit(1)).as("n_truth"))
+        val nA = a.agg(count(lit(1)).as("n_approx"))
+        val nC = truth.join(a, Seq("q_id", "vec_id")).agg(count(lit(1)).as("n_common"))
+        nT.crossJoin(broadcast(nA)).crossJoin(broadcast(nC))
+          .select(lit(nm).as("method"), col("n_truth"), col("n_approx"), col("n_common"),
+            (col("n_common").cast("double") / col("n_truth").cast("double")).as("recall"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // k-means centroid training is iterative floating-point state DuckDB
+    // SQL can't replay, so the registered form is a self-verifying recall
+    // report: n_truth (DuckDB-derivable from the brute-force SQL) plus a
+    // boolean pinning trained-IVF recall@10 >= 0.2 vs in-engine brute
+    // force. Measured recall is 0.32-0.40 across sf0.001/0.01/0.1
+    // (nprobe=1 cell confinement — same envelope x73 reports for the
+    // stride variant); 0.2 cleanly separates that from a broken index
+    // (single-table-LSH-style 0.02). SimilaritySpec pins the tighter
+    // trained-vs-stride property.,
+    "x40_ann_ivf_kmeans" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 5)
+      recallReport(Similarity.bruteForceTopK(q, e, 10),
+          Similarity.ivfTopKKmeans(q, e, 10), Seq("q_id", "vec_id"))
+        .select(col("n_truth"), (col("recall") >= 0.2).as("recall_ok"))
+    }),
+
+    // Product-quantization recall report (r7): three codebook configs
+    // (4 B / 8 B / 64 B per vector) ADC-scored against the brute-force
+    // cosine truth for the 5 fixture queries — the memory/recall tradeoff
+    // measured in-engine, with the 64 B config matching int8's byte
+    // budget and beating its recall (0.98 vs 0.94 at sf0.1; spec-pinned).
+    // Deterministic sorted-fold k-means makes the whole chain hash-match.,
+    "x146_pq_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.pqRecallReport(e.where(col("vec_id") < 5), e, 10,
+        Seq((8, 16), (16, 16), (64, 256)))
+    }),
+
+    // The single query a user actually runs for corpus dedup: LSH candidate
+    // pairs -> connected components (the large/small-star scale form) ->
+    // drop non-canonical members -> per-(lang, source) surviving stats.,
+    "x103_semantic_decontaminate" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semanticDecontaminate(
+        emb.where(col("vec_id") < 450), emb.where(col("vec_id") >= 450), 0.4)
+    }),
+
+    // SemDeDup (r5): cluster-then-prune semantic dedup — pairwise cosine
+    // only WITHIN deterministic IVF cells (Σ|cell|² candidates, not N²);
+    // min-id survivor per duplicate chain, x01/x99's canon.,
+    "x104_semdedup" -> ((s, dir) =>
+      Similarity.semDeDup(Tables.embeddings(s, dir), 0.4)),
+
+    // Delta-run dedup: batch docs (id >= 250) near-dup'd against the
+    // already-deduped master (id < 250) via the master's band INDEX —
+    // batch-sized signature work, candidate-only master re-reads. Oracle
+    // = the full-corpus x03 run restricted to batch-side newer docs.,
+    "x53_emb_random_projection" -> ((s, dir) =>
+      Embeddings.randomProjection(Tables.embeddings(s, dir))),
+
+    // Curriculum quality binning via the scalable exact-NTILE (range
+    // repartition + local ranks + offset shift — graft.ops.Quality); the
+    // oracle replays it as the single-window SQL NTILE: same semantics,
+    // different physics.,
+    "x70_ann_lsh_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 5)
+      recallReport(
+        Similarity.bruteForceTopK(q, e, 10),
+        Similarity.lshTopK(q, e, 10),
+        Seq("q_id", "vec_id"))
+    }),
+
+    // IVF recall report (stride centroids, nprobe=1): the cell-confinement
+    // recall x13 trades for its scan cut, measured.,
+    "x73_ann_ivf_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 5)
+      recallReport(
+        Similarity.bruteForceTopK(q, e, 10),
+        Similarity.ivfTopK(q, e, 10),
+        Seq("q_id", "vec_id"))
+    }),
+
+    // Embedding near-dup recall: bucketed LSH pairs (x14) vs the exact
+    // all-pairs truth (x05).,
+    "x71_ann_lsh_multitable" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshMultiTopK(e.where(col("vec_id") < 5), e, 10)
+    }),
+
+    // And its measured recall, same in-engine report shape as x70.,
+    "x72_ann_multitable_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 5)
+      recallReport(
+        Similarity.bruteForceTopK(q, e, 10),
+        Similarity.lshMultiTopK(q, e, 10),
+        Seq("q_id", "vec_id"))
+    }),
+
+    // Table diff between two corpus versions (synthesized deterministic
+    // drops/changes/adds): digests-not-data compare, one full-outer join
+    // — the validation gate after every incremental publish.,
+    "x29_emb_group_profile" -> ((s, dir) =>
+      Embeddings.groupProfile(Tables.embeddings(s, dir), col("vec_id") % 10)),
+    "x30_emb_l2_norm" -> ((s, dir) =>
+      Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        Embeddings.l2Norm(col("embedding")).as("l2_norm"),
+        (element_at(col("embedding"), 1).cast("double")
+          / Embeddings.l2Norm(col("embedding"))).as("e0_unit"))),
+
+    // Checked form (r5): the sorted-fold exact mean is the compared value
+    // (same oracle family as x67); the partial-agg scale form runs beside
+    // it and is pinned within reassociation tolerance by a boolean.,
+    "x31_emb_group_centroid" -> ((s, dir) =>
+      Embeddings.groupCentroidChecked(Tables.embeddings(s, dir), col("vec_id") % 10)),
+
+    // The hash-matched centroid twin: sorted-fold summation makes the
+    // double mean a pure function of the value multiset (x31 stays the
+    // partial-agg scale form).,
+    "x67_emb_centroid_exact" -> ((s, dir) =>
+      Embeddings.groupCentroidExact(Tables.embeddings(s, dir), col("vec_id") % 10)),
+
+    // Range join via bucket decomposition (graft.ops.RangeJoin): lineitems
+    // shipped within each sampled order's first week. The bucket equi-join
+    // replaces the BroadcastNestedLoopJoin Spark would plan for the raw
+    // range predicate.,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x200_ann_graph_beam" ->
+      (s"WITH $graphCtes " +
+        "SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM " +
+        "(SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY cos DESC, vec_id) AS rank FROM gv3 WHERE q_id <> vec_id) t " +
+        "WHERE rank <= 10"),
+
+    "x201_graph_recall_report" ->
+      (s"WITH $graphCtes, " +
+        "gtk AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, vec_id) AS r FROM gv3 WHERE q_id <> vec_id) t WHERE r <= 10), " +
+        s"gts AS (SELECT q.q_id, e.vec_id, ${dotSql("q.q_emb", "e.emb")} AS cos " +
+        "FROM e, gq q WHERE q.q_id <> e.vec_id), " +
+        "gtr AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, vec_id) AS r FROM gts) t WHERE r <= 10), " +
+        s"gcents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
+        s"gisc AS (SELECT e.vec_id, gcents.cent_id, ${dotSql("e.emb", "gcents.cent_emb")} AS cent_cos FROM e, gcents), " +
+        "gasg AS (SELECT vec_id, cent_id AS cell FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM gisc) t WHERE r = 1), " +
+        "gq2 AS (SELECT vec_id AS q_id, cent_id AS cell FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM gisc) t " +
+        "WHERE r <= 2 AND vec_id < 5), " +
+        s"givs AS (SELECT c.q_id, a.vec_id, ${dotSql("q.q_emb", "e.emb")} AS cos " +
+        "FROM gasg a JOIN gq2 c USING (cell) JOIN e ON e.vec_id = a.vec_id " +
+        "JOIN gq q ON q.q_id = c.q_id WHERE c.q_id <> a.vec_id), " +
+        "gitk AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, vec_id) AS r FROM givs) t WHERE r <= 10), " +
+        "grg AS (SELECT CAST((SELECT count(*) FROM gv3) AS BIGINT) AS n_scanned, " +
+        "CAST((SELECT count(*) FROM gtr) AS BIGINT) AS n_truth, " +
+        "CAST((SELECT count(*) FROM gtk) AS BIGINT) AS n_approx, " +
+        "CAST((SELECT count(*) FROM gtr JOIN gtk USING (q_id, vec_id)) AS BIGINT) AS n_common), " +
+        "gri AS (SELECT CAST((SELECT count(*) FROM givs) AS BIGINT) AS n_scanned, " +
+        "CAST((SELECT count(*) FROM gtr) AS BIGINT) AS n_truth, " +
+        "CAST((SELECT count(*) FROM gitk) AS BIGINT) AS n_approx, " +
+        "CAST((SELECT count(*) FROM gtr JOIN gitk USING (q_id, vec_id)) AS BIGINT) AS n_common) " +
+        "SELECT 'graph_beam' AS method, n_scanned, n_truth, n_approx, n_common, " +
+        "CAST(n_common AS DOUBLE)/n_truth AS recall FROM grg " +
+        "UNION ALL SELECT 'ivf_nprobe2' AS method, n_scanned, n_truth, n_approx, n_common, " +
+        "CAST(n_common AS DOUBLE)/n_truth AS recall FROM gri"),
+
+    "x103_semantic_decontaminate" ->
+      ("WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 450), " +
+        "bm AS (SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id >= 450), " +
+        s"cb AS (SELECT vec_id, emb, unnest(generate_series(0, ${Similarity.LshTables - 1})) AS tbl, " +
+        (0 until Similarity.LshTables).map(multiBucketSql)
+          .mkString("unnest([", ", ", "]) AS bkt FROM c), ") +
+        s"bb AS (SELECT bench_id, emb, unnest(generate_series(0, ${Similarity.LshTables - 1})) AS tbl, " +
+        (0 until Similarity.LshTables).map(multiBucketSql)
+          .mkString("unnest([", ", ", "]) AS bkt FROM bm), ") +
+        s"h AS (SELECT DISTINCT cb.vec_id, bb.bench_id, ${dotSql("cb.emb", "bb.emb")} AS cos " +
+        "FROM cb JOIN bb ON cb.tbl = bb.tbl AND cb.bkt = bb.bkt " +
+        s"WHERE ${dotSql("cb.emb", "bb.emb")} >= 0.4), " +
+        "g AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits, max(cos) AS max_cos FROM h GROUP BY 1) " +
+        "SELECT c.vec_id, coalesce(g.n_hits, CAST(0 AS BIGINT)) AS n_hits, g.max_cos, " +
+        "coalesce(g.n_hits, CAST(0 AS BIGINT)) > 0 AS drop_vec FROM c LEFT JOIN g USING (vec_id)"),
+    "x104_semdedup" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
+        "scored AS (SELECT e.vec_id, e.emb, cents.cent_id, " +
+        s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
+        "assigned AS (SELECT vec_id, emb, cent_id AS cell FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM scored) t WHERE r = 1), " +
+        "p AS (SELECT b.vec_id, " +
+        s"${dotSql("a.emb", "b.emb")} AS cos " +
+        "FROM assigned a JOIN assigned b USING (cell) WHERE a.vec_id < b.vec_id), " +
+        "d AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dup_lower, max(cos) AS max_dup_cos " +
+        "FROM p WHERE cos >= 0.4 GROUP BY 1) " +
+        "SELECT s.vec_id, s.cell, coalesce(d.n_dup_lower, CAST(0 AS BIGINT)) AS n_dup_lower, " +
+        "d.max_dup_cos, coalesce(d.n_dup_lower, CAST(0 AS BIGINT)) > 0 AS drop_vec " +
+        "FROM assigned s LEFT JOIN d USING (vec_id)"),
+    "x06_ann_bruteforce_topk" -> annBruteSql,
+
+    // x181: per truncation dim, renormalized-prefix cosine top-10 vs the
+    // full-dim truth; cos = dot/sqrt(nq)/sqrt(nv) in exactly the engine's
+    // division order.,
+    "x181_matryoshka_recall" -> {
+      def leg(d: Int): String = {
+        val qe = s"qe[1:$d]"
+        val ve = s"emb[1:$d]"
+        s"s$d AS (SELECT q_id, vec_id, " +
+          s"${dotSql(qe, ve)} / sqrt(${dotSql(qe, qe)}) / sqrt(${dotSql(ve, ve)}) AS cos " +
+          "FROM e, q WHERE q_id <> vec_id), " +
+          s"a$d AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+          s"row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s$d) WHERE rank <= 10), " +
+          s"leg$d AS (SELECT CAST($d AS BIGINT) AS dims, CAST(${d * 4}.0 AS DOUBLE) AS bytes_per_vec, " +
+          "CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_truth, " +
+          s"CAST((SELECT count(*) FROM a$d) AS BIGINT) AS n_approx, " +
+          s"CAST((SELECT count(*) FROM tp JOIN a$d USING (q_id, vec_id)) AS BIGINT) AS n_common, " +
+          s"CAST((SELECT count(*) FROM tp JOIN a$d USING (q_id, vec_id)) AS DOUBLE) " +
+          "/ (SELECT count(*) FROM tp) AS recall)"
+      }
+      val dims = Similarity.MatryoshkaDims
+      s"WITH tp AS (SELECT q_id, vec_id FROM ($annBruteSql)), " +
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 5), " +
+        dims.map(leg).mkString(", ") + " " +
+        dims.map(d => s"SELECT * FROM leg$d").mkString(" UNION ALL ")
+    },
+    "x07_ann_lsh_topk" -> annLshSql,
+    "x71_ann_lsh_multitable" -> annMultiSql,
+    "x72_ann_multitable_recall" ->
+      (s"WITH tp AS (SELECT q_id, vec_id FROM ($annBruteSql)), " +
+        s"ap AS (SELECT q_id, vec_id FROM ($annMultiSql)) " +
+        "SELECT CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_truth, " +
+        "CAST((SELECT count(*) FROM ap) AS BIGINT) AS n_approx, " +
+        "CAST((SELECT count(*) FROM tp JOIN ap USING (q_id, vec_id)) AS BIGINT) AS n_common, " +
+        "CAST((SELECT count(*) FROM tp JOIN ap USING (q_id, vec_id)) AS DOUBLE) " +
+        "/ (SELECT count(*) FROM tp) AS recall"),
+    "x73_ann_ivf_recall" ->
+      (s"WITH tp AS (SELECT q_id, vec_id FROM ($annBruteSql)), " +
+        s"ap AS (SELECT q_id, vec_id FROM ($annIvfSql)) " +
+        "SELECT CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_truth, " +
+        "CAST((SELECT count(*) FROM ap) AS BIGINT) AS n_approx, " +
+        "CAST((SELECT count(*) FROM tp JOIN ap USING (q_id, vec_id)) AS BIGINT) AS n_common, " +
+        "CAST((SELECT count(*) FROM tp JOIN ap USING (q_id, vec_id)) AS DOUBLE) " +
+        "/ (SELECT count(*) FROM tp) AS recall"),
+    "x70_ann_lsh_recall" ->
+      (s"WITH tp AS (SELECT q_id, vec_id FROM ($annBruteSql)), " +
+        s"ap AS (SELECT q_id, vec_id FROM ($annLshSql)) " +
+        "SELECT CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_truth, " +
+        "CAST((SELECT count(*) FROM ap) AS BIGINT) AS n_approx, " +
+        "CAST((SELECT count(*) FROM tp JOIN ap USING (q_id, vec_id)) AS BIGINT) AS n_common, " +
+        "CAST((SELECT count(*) FROM tp JOIN ap USING (q_id, vec_id)) AS DOUBLE) " +
+        "/ (SELECT count(*) FROM tp) AS recall"),
+    "x152_ann_ivfpq_stored" ->
+      (s"WITH $ivfPqProbeCtes " +
+        "SELECT q_id, vec_id, score, CAST(rank AS BIGINT) AS rank FROM " +
+        "(SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank " +
+        "FROM iscs) WHERE rank <= 10"),
+
+    // x160: the deterministic cell assignment's occupancy rollup.,
+    "x160_ivfpq_index_stats" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
+        "iscored AS (SELECT e.vec_id, cents.cent_id, " +
+        s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
+        "iasg AS (SELECT vec_id, cent_id AS cell FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t WHERE r = 1), " +
+        "occ AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM iasg GROUP BY 1) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(n) AS BIGINT) AS n_vecs, " +
+        "CAST(min(n) AS BIGINT) AS min_cell, CAST(max(n) AS BIGINT) AS max_cell, " +
+        "CAST(sum(n) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS mean_cell, " +
+        "CAST(max(n) AS DOUBLE)*CAST(count(*) AS DOUBLE)/CAST(sum(n) AS DOUBLE) AS imbalance " +
+        "FROM occ"),
+
+    // x154: both probe depths' top-10 sets vs the brute-force truth —
+    // scalar-subquery counts per method (x69's report form).,
+    "x154_ann_ivfpq_recall" ->
+      (s"WITH $ivfPqProbeCtes, " +
+        s"tru AS (SELECT q_id, vec_id FROM ($annBruteSql)), " +
+        "ptk1 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS r FROM iscs) WHERE r <= 10), " +
+        "ptk2 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS r FROM iscs2) WHERE r <= 10) " +
+        Seq(("ivfpq_nprobe1", "ptk1"), ("ivfpq_nprobe2", "ptk2")).map { case (nm, tk) =>
+          s"SELECT '$nm' AS method, CAST((SELECT count(*) FROM tru) AS BIGINT) AS n_truth, " +
+            s"CAST((SELECT count(*) FROM $tk) AS BIGINT) AS n_approx, " +
+            s"CAST((SELECT count(*) FROM tru JOIN $tk USING (q_id, vec_id)) AS BIGINT) AS n_common, " +
+            s"CAST((SELECT count(*) FROM tru JOIN $tk USING (q_id, vec_id)) AS DOUBLE) " +
+            "/ (SELECT count(*) FROM tru) AS recall"
+        }.mkString(" UNION ALL ")),
+
+    // x161: residual-IVFADC recall beside the exact cell-confined ceiling —
+    // both probe depths, same truth/report shape as x154.,
+    "x161_ann_ivfpq_residual" ->
+      (s"WITH $ivfPqResCtes, " +
+        s"tru AS (SELECT q_id, vec_id FROM ($annBruteSql)), " +
+        "rtk1 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS r FROM rscs) WHERE r <= 10), " +
+        "rtk2 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS r FROM rscs2) WHERE r <= 10) " +
+        Seq(("ivf_exact_nprobe1", "ext1"), ("ivf_exact_nprobe2", "ext2"),
+            ("ivfpq_res_nprobe1", "rtk1"), ("ivfpq_res_nprobe2", "rtk2")).map { case (nm, tk) =>
+          s"SELECT '$nm' AS method, CAST((SELECT count(*) FROM tru) AS BIGINT) AS n_truth, " +
+            s"CAST((SELECT count(*) FROM $tk) AS BIGINT) AS n_approx, " +
+            s"CAST((SELECT count(*) FROM tru JOIN $tk USING (q_id, vec_id)) AS BIGINT) AS n_common, " +
+            s"CAST((SELECT count(*) FROM tru JOIN $tk USING (q_id, vec_id)) AS DOUBLE) " +
+            "/ (SELECT count(*) FROM tru) AS recall"
+        }.mkString(" UNION ALL ")),
+
+    // x163: the hash split, the all-pairs train×eval cosines (eval is the
+    // bounded side), per-train argmax with lowest-eval-id ties, τ filter.,
+    "x163_semantic_decontamination" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, " +
+        "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':decon'), 1, 8)) AS BIGINT)/4294967296.0 AS h FROM embeddings), " +
+        s"ev AS (SELECT vec_id AS eval_id, emb AS eval_emb FROM e WHERE h < ${Similarity.DeconEvalFrac}), " +
+        s"tr AS (SELECT vec_id, emb FROM e WHERE NOT (h < ${Similarity.DeconEvalFrac})), " +
+        "s AS (SELECT tr.vec_id, ev.eval_id, " +
+        s"${dotSql("tr.emb", "ev.eval_emb")} AS cos FROM tr, ev), " +
+        "r AS (SELECT vec_id, eval_id, cos, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_id) AS rn FROM s) " +
+        s"SELECT vec_id, eval_id AS nearest_eval, cos AS max_cos FROM r WHERE rn = 1 AND cos >= ${Similarity.DeconTau}"),
+
+    // x193: cell assignment + x192's sign-piece chain, cell-confined
+    // Hamming ranking at both probe depths + the nprobe2 shortlist
+    // exact-dot rerank, vs the brute truth.,
+    "x193_ann_ivfbin_stored" -> {
+      s"WITH $ivfBinProbeCtes, " +
+        "vt1 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rank FROM vh1) WHERE rank <= 10), " +
+        "vt2 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rank FROM vh2) WHERE rank <= 10), " +
+        s"vsh AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rank FROM vh2) " +
+        s"WHERE rank <= ${10 * Similarity.BinaryRerankMult}), " +
+        s"vrr AS (SELECT s.q_id, s.vec_id, ${dotSql("q.q_emb", "v.emb")} AS cos " +
+        "FROM vsh s JOIN pz v ON v.vec_id = s.vec_id JOIN vqs q ON q.q_id = s.q_id), " +
+        "vt3 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rrank FROM vrr) WHERE rrank <= 10), " +
+        "btq AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 5), " +
+        "bts AS (SELECT q_id, e.vec_id, " + dotSql("qe", "e.emb") + " AS cos " +
+        "FROM e, btq WHERE q_id <> e.vec_id), " +
+        "btr AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM bts) WHERE rank <= 10) " +
+        "SELECT 'ivfbin_nprobe1' AS method, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM btr) AS n_truth, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM vt1) AS n_approx, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM btr JOIN vt1 USING (q_id, vec_id)) AS n_common, " +
+        "CAST((SELECT count(*) FROM btr JOIN vt1 USING (q_id, vec_id)) AS DOUBLE)/" +
+        "CAST((SELECT count(*) FROM btr) AS DOUBLE) AS recall " +
+        "UNION ALL SELECT 'ivfbin_nprobe2', " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM btr), " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM vt2), " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM btr JOIN vt2 USING (q_id, vec_id)), " +
+        "CAST((SELECT count(*) FROM btr JOIN vt2 USING (q_id, vec_id)) AS DOUBLE)/" +
+        "CAST((SELECT count(*) FROM btr) AS DOUBLE) " +
+        "UNION ALL SELECT 'ivfbin_rerank_nprobe2', " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM btr), " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM vt3), " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM btr JOIN vt3 USING (q_id, vec_id)), " +
+        "CAST((SELECT count(*) FROM btr JOIN vt3 USING (q_id, vec_id)) AS DOUBLE)/" +
+        "CAST((SELECT count(*) FROM btr) AS DOUBLE)"
+    },
+
+    // x167: cell assignment + x38's int8 chain, cell-confined scoring at
+    // both probe depths vs the brute truth.,
+    "x167_ann_ivfsq8_stored" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
+        "iscored AS (SELECT e.vec_id, cents.cent_id, " +
+        s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
+        "iasg AS (SELECT vec_id, cent_id AS cell FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t WHERE r = 1), " +
+        "m8 AS (SELECT vec_id, emb, " +
+        "greatest(list_aggregate(list_transform(emb, x -> abs(x)), 'max'), 1e-12) AS ma FROM e), " +
+        "q8 AS (SELECT vec_id, " +
+        "list_transform(emb, x -> CAST(round(x * 127.0 / ma) AS INTEGER)) AS qv, " +
+        "ma / 127.0 AS scale FROM m8), " +
+        "qq8 AS (SELECT vec_id AS q_id, qv AS q_qv, scale AS q_scale FROM q8 WHERE vec_id < 5), " +
+        "sqc AS (SELECT vec_id AS q_id, cell FROM iasg WHERE vec_id < 5), " +
+        "sqc2 AS (SELECT vec_id AS q_id, cent_id AS cell FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t " +
+        "WHERE r <= 2 AND vec_id < 5), " +
+        "sc8 AS (SELECT c.q_id, a.vec_id, " +
+        "CAST(list_aggregate(list_transform(list_zip(q.q_qv, v.qv), z -> CAST(z[1] AS BIGINT) * z[2]), 'sum') AS DOUBLE) " +
+        "* q.q_scale * v.scale AS score " +
+        "FROM iasg a JOIN sqc c USING (cell) JOIN q8 v ON v.vec_id = a.vec_id " +
+        "JOIN qq8 q ON q.q_id = c.q_id WHERE c.q_id <> a.vec_id), " +
+        "sc82 AS (SELECT c.q_id, a.vec_id, " +
+        "CAST(list_aggregate(list_transform(list_zip(q.q_qv, v.qv), z -> CAST(z[1] AS BIGINT) * z[2]), 'sum') AS DOUBLE) " +
+        "* q.q_scale * v.scale AS score " +
+        "FROM iasg a JOIN sqc2 c USING (cell) JOIN q8 v ON v.vec_id = a.vec_id " +
+        "JOIN qq8 q ON q.q_id = c.q_id WHERE c.q_id <> a.vec_id), " +
+        s"tru AS (SELECT q_id, vec_id FROM ($annBruteSql)), " +
+        "st1 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS r FROM sc8) WHERE r <= 10), " +
+        "st2 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS r FROM sc82) WHERE r <= 10) " +
+        Seq(("ivfsq8_nprobe1", "st1"), ("ivfsq8_nprobe2", "st2")).map { case (nm, tk) =>
+          s"SELECT '$nm' AS method, CAST((SELECT count(*) FROM tru) AS BIGINT) AS n_truth, " +
+            s"CAST((SELECT count(*) FROM $tk) AS BIGINT) AS n_approx, " +
+            s"CAST((SELECT count(*) FROM tru JOIN $tk USING (q_id, vec_id)) AS BIGINT) AS n_common, " +
+            s"CAST((SELECT count(*) FROM tru JOIN $tk USING (q_id, vec_id)) AS DOUBLE) " +
+            "/ (SELECT count(*) FROM tru) AS recall"
+        }.mkString(" UNION ALL ")),
+
+    // x58 probes the STORED index built from the same stride centroids and
+    // the same argmax fold, so the full x13 oracle holds verbatim.,
+    "x58_ann_ivf_stored" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
+        "scored AS (SELECT e.vec_id, e.emb, cents.cent_id, " +
+        s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
+        "assigned AS (SELECT vec_id, emb, cent_id AS cell FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM scored) t WHERE r = 1), " +
+        "q AS (SELECT vec_id AS q_id, emb AS q_emb, cell FROM assigned WHERE vec_id < 5), " +
+        "s AS (SELECT q.q_id, a.vec_id, " +
+        s"${dotSql("q.q_emb", "a.emb")} AS cos " +
+        "FROM assigned a JOIN q USING (cell) WHERE q.q_id <> a.vec_id), " +
+        "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
+        "SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10"),
+    "x13_ann_ivf_topk" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
+        "scored AS (SELECT e.vec_id, e.emb, cents.cent_id, " +
+        s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
+        "assigned AS (SELECT vec_id, emb, cent_id AS cell FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM scored) t WHERE r = 1), " +
+        "q AS (SELECT vec_id AS q_id, emb AS q_emb, cell FROM assigned WHERE vec_id < 5), " +
+        "s AS (SELECT q.q_id, a.vec_id, " +
+        s"${dotSql("q.q_emb", "a.emb")} AS cos " +
+        "FROM assigned a JOIN q USING (cell) WHERE q.q_id <> a.vec_id), " +
+        "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
+        "SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10"),
+    "x192_binary_quant_recall" -> {
+      val piece = (0 until 4).map { p =>
+        val terms = (0 until 16).map(i =>
+          s"CASE WHEN e[${p * 16 + i + 1}] > 0 THEN ${1 << i} ELSE 0 END")
+          .mkString(" + ")
+        s"($terms)"
+      }.mkString("[", ", ", "]")
+      val truthCte =
+        "btq AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
+          "bts AS (SELECT q_id, vec_id, " +
+          s"${dotSql("qe", "CAST(embedding AS DOUBLE[])")} AS cos " +
+          "FROM embeddings, btq WHERE q_id <> vec_id), " +
+          "btr AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+          "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM bts) WHERE rank <= 10)"
+      s"WITH be AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        s"bs AS (SELECT vec_id, e, $piece AS sig FROM be), " +
+        "bq AS (SELECT vec_id AS q_id, e AS qe, sig AS qsig FROM bs WHERE vec_id < 5), " +
+        "bh AS (SELECT bq.q_id, bs.vec_id, bs.e, bq.qe, " +
+        "CAST(list_aggregate(list_transform(list_zip(bq.qsig, bs.sig), z -> bit_count(xor(z[1], z[2]))), 'sum') AS BIGINT) AS hamming " +
+        "FROM bs, bq WHERE bq.q_id <> bs.vec_id), " +
+        "bhr AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS hrank FROM bh), " +
+        "bht AS (SELECT q_id, vec_id FROM bhr WHERE hrank <= 10), " +
+        s"brr AS (SELECT q_id, vec_id, ${dotSql("qe", "e")} AS cos FROM bhr WHERE hrank <= ${10 * Similarity.BinaryRerankMult}), " +
+        "brt AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rrank FROM brr) WHERE rrank <= 10), " +
+        truthCte + " " +
+        "SELECT 'binary_hamming' AS method, 8.0 AS bytes_per_vec, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM btr) AS n_truth, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM bht) AS n_approx, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM btr JOIN bht USING (q_id, vec_id)) AS n_common, " +
+        "CAST((SELECT count(*) FROM btr JOIN bht USING (q_id, vec_id)) AS DOUBLE)/" +
+        "CAST((SELECT count(*) FROM btr) AS DOUBLE) AS recall " +
+        "UNION ALL " +
+        "SELECT 'binary_rerank', 8.0, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM btr), " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM brt), " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM btr JOIN brt USING (q_id, vec_id)), " +
+        "CAST((SELECT count(*) FROM btr JOIN brt USING (q_id, vec_id)) AS DOUBLE)/" +
+        "CAST((SELECT count(*) FROM btr) AS DOUBLE)"
+    },
+
+    // x186: per-bucket groupBy + the 1-row totals constant; all token
+    // arithmetic exact BIGINT, fractions single divisions (zero-length
+    // bucket NULL-guarded).,
+    "x67_emb_centroid_exact" -> centroidExactSql(""),
+
+    // x31's checked form: the compared values ARE the sorted-fold exact
+    // means (x67's oracle); the partial-agg verdict is an in-engine TRUE.,
+    "x31_emb_group_centroid" -> centroidExactSql(", TRUE AS partial_agg_close"),
+    "x53_emb_random_projection" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) " +
+        "SELECT vec_id, " +
+        (0 until Similarity.Planes).map(p =>
+          s"${dotSql("emb", Similarity.planeSql(p))} AS p$p").mkString(", ") +
+        " FROM e"),
+    "x32_ann_ivf_nprobe2" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
+        "scored AS (SELECT e.vec_id, e.emb, cents.cent_id, " +
+        s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM scored), " +
+        "assigned AS (SELECT vec_id, emb, cent_id AS cell FROM ranked WHERE r = 1), " +
+        "q AS (SELECT vec_id AS q_id, emb AS q_emb, cent_id AS cell FROM ranked WHERE vec_id < 5 AND r <= 2), " +
+        "s AS (SELECT q.q_id, a.vec_id, " +
+        s"${dotSql("q.q_emb", "a.emb")} AS cos " +
+        "FROM assigned a JOIN q USING (cell) WHERE q.q_id <> a.vec_id), " +
+        "rr AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
+        "SELECT q_id, vec_id, cos, rank FROM rr WHERE rank <= 10"),
+    "x29_emb_group_profile" ->
+      ("WITH x AS (SELECT vec_id % 10 AS grp, " +
+        "unnest(generate_series(1, len(embedding))) AS i, embedding FROM embeddings) " +
+        "SELECT grp, CAST(i - 1 AS BIGINT) AS pos, " +
+        "min(embedding[i]) AS v_min, max(embedding[i]) AS v_max FROM x GROUP BY 1, 2"),
+    "x30_emb_l2_norm" ->
+      ("WITH s AS (SELECT vec_id, embedding[1] AS e0, " +
+        "list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum') AS ss " +
+        "FROM embeddings) " +
+        "SELECT vec_id, sqrt(ss) AS l2_norm, CAST(e0 AS DOUBLE) / sqrt(ss) AS e0_unit FROM s"),
+    "x38_ann_int8_topk" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "m AS (SELECT vec_id, emb, " +
+        "greatest(list_aggregate(list_transform(emb, x -> abs(x)), 'max'), 1e-12) AS ma FROM e), " +
+        "q8 AS (SELECT vec_id, " +
+        "list_transform(emb, x -> CAST(round(x * 127.0 / ma) AS INTEGER)) AS qv, " +
+        "ma / 127.0 AS scale FROM m), " +
+        "qq AS (SELECT vec_id AS q_id, qv AS q_qv, scale AS q_scale FROM q8 WHERE vec_id < 5), " +
+        "s AS (SELECT q_id, vec_id, " +
+        "CAST(list_aggregate(list_transform(list_zip(q_qv, qv), z -> CAST(z[1] AS BIGINT) * z[2]), 'sum') AS DOUBLE) " +
+        "* q_scale * scale AS score FROM q8, qq WHERE q_id <> vec_id), " +
+        "r AS (SELECT q_id, vec_id, score, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM s) " +
+        "SELECT q_id, vec_id, score, rank FROM r WHERE rank <= 10"),
+    "x40_ann_ivf_kmeans" ->
+      (s"SELECT CAST((SELECT count(*) FROM ($annBruteSql)) AS BIGINT) AS n_truth, " +
+        "TRUE AS recall_ok"),
+
+    // Full replay of train -> encode -> ADC per config (deterministic
+    // sorted-fold centroid means make the whole chain oracle-exact —
+    // stronger than x40's self-verifying report form).,
+    "x146_pq_recall" -> {
+      val chains = pqConfigs.map { case (p, m, kc, _) =>
+        pqChainSql(p, m, kc, Similarity.PqIters, 10)
+      }.mkString(", ")
+      val rows = pqConfigs.map { case (p, m, kc, bytes) =>
+        s"SELECT 'pq_m${m}_k$kc' AS method, CAST($bytes AS DOUBLE) AS bytes_per_vec, " +
+          "CAST((SELECT count(*) FROM tru) AS BIGINT) AS n_truth, " +
+          s"CAST((SELECT count(*) FROM ${p}tk) AS BIGINT) AS n_approx, " +
+          s"CAST((SELECT count(*) FROM tru JOIN ${p}tk USING (q_id, vec_id)) AS BIGINT) AS n_common, " +
+          s"CAST((SELECT count(*) FROM tru JOIN ${p}tk USING (q_id, vec_id)) AS DOUBLE) " +
+          "/ (SELECT count(*) FROM tru) AS recall"
+      }.mkString(" UNION ALL ")
+      s"WITH tru AS (SELECT q_id, vec_id FROM ($annBruteSql)), $chains $rows"
+    },
+    "x85_embedding_outliers" ->
+      ("WITH e AS (SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS v, " +
+        "CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings), " +
+        "c AS (SELECT label, pos, list_aggregate(list_sort(list(v)), 'sum')/count(*) AS mean " +
+        "FROM e GROUP BY 1, 2), " +
+        "dd AS (SELECT e.vec_id, e.label, " +
+        "list_aggregate(list((e.v - c.mean)*(e.v - c.mean) ORDER BY e.pos), 'sum') AS dist2 " +
+        "FROM e JOIN c USING (label, pos) GROUP BY 1, 2), " +
+        "t AS (SELECT quantile_cont(dist2, 0.95) AS hi FROM dd) " +
+        "SELECT vec_id, label, dist2, sqrt(dist2) AS dist, dist2 > hi AS is_outlier " +
+        "FROM dd, t"),
+    "x177_embedding_isotropy" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "ifb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM e), " +
+        "dx AS (SELECT vec_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS d, " +
+        "unnest(emb) AS v FROM e), " +
+        "is1 AS (SELECT d, vec_id % (SELECT b FROM ifb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
+        "list_aggregate(list_sort(list(v)), 'sum') AS s, " +
+        "list_aggregate(list_sort(list(v*v)), 'sum') AS s2 FROM dx GROUP BY 1, 2), " +
+        "ipd AS (SELECT d, list_aggregate(list(s ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS mean_d, " +
+        "list_aggregate(list(s2 ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS m2_d FROM is1 GROUP BY 1), " +
+        "ipv AS (SELECT d, mean_d, m2_d - mean_d*mean_d AS var_d FROM ipd), " +
+        "idr AS (SELECT list_aggregate(list(mean_d*mean_d ORDER BY d), 'sum') AS mu_sqnorm, " +
+        "list_aggregate(list(var_d ORDER BY d), 'sum') AS trace_var, max(var_d) AS maxvar FROM ipv), " +
+        "in1 AS (SELECT vec_id % (SELECT b FROM ifb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
+        "list_aggregate(list_sort(list(nmv)), 'sum') AS s FROM " +
+        "(SELECT vec_id, sqrt(list_aggregate(list_transform(emb, x -> x*x), 'sum')) AS nmv FROM e) GROUP BY 1), " +
+        "imn AS (SELECT CAST(sum(n) AS BIGINT) AS n_vecs, " +
+        "list_aggregate(list(s ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS mean_norm FROM in1) " +
+        "SELECT imn.n_vecs, imn.mean_norm, idr.mu_sqnorm, idr.trace_var, " +
+        "CASE WHEN idr.trace_var > 0 THEN idr.maxvar/idr.trace_var END AS top_dim_var_share FROM imn, idr"),
+    "x113_cluster_profile" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings), " +
+        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
+        "scored AS (SELECT e.vec_id, e.label, cents.cent_id, " +
+        s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
+        "asg AS (SELECT vec_id, label, cent_id AS cell, cent_cos FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM scored) t WHERE r = 1), " +
+        "cs AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs, " +
+        "CAST(sum(CAST(cent_cos AS DECIMAL(20,6))) AS DOUBLE)/count(*) AS mean_cos FROM asg GROUP BY 1), " +
+        "bl AS (SELECT cell, label, CAST(count(*) AS BIGINT) AS n FROM asg GROUP BY 1, 2), " +
+        "dm AS (SELECT cell, label AS top_label, n AS n_top FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY cell ORDER BY n DESC, label) AS r FROM bl) t WHERE r = 1) " +
+        "SELECT cs.cell, cs.n_vecs, cs.mean_cos, dm.top_label, " +
+        "CAST(dm.n_top AS DOUBLE)/cs.n_vecs AS top_share FROM cs JOIN dm USING (cell)"),
+  )
+}

@@ -1,0 +1,187 @@
+package graft.ext
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.ExtQueries.{Q, recallReport, StoredIndexes}
+import graft.ext.ExtOracles._
+
+/** Chat registry — chat/SFT parsing and assembly. Split out of the monolithic
+  * ExtQueries (r9, VERDICT item 7); entries and oracle SQL are
+  * verbatim, merged back in [[ExtQueries.queries]] /
+  * [[ExtQueries.oracleSql]]. */
+private[graft] object ChatQueries {
+
+  val queries: Map[String, Q] = Map(
+    "x133_chat_parse_turns" -> ((s, dir) =>
+      Chat.parseTurns(Chat.withChat(Tables.documents(s, dir)))
+        .select("doc_id", "turn_idx", "role", "content", "n_tokens")),
+
+    // Per-conversation SFT readiness report (r6): structure checks
+    // (opens-with-user, strict alternation — computed from the parsed
+    // turns) and the loss-mask split (assistant tokens train, user tokens
+    // are masked context). One conversation-keyed aggregate.,
+    "x134_chat_sft_stats" -> ((s, dir) =>
+      Chat.sftStats(Chat.parseTurns(Chat.withChat(Tables.documents(s, dir))))),
+
+    // The SFT-pipeline flagship (r6): chat parse → structure gate
+    // (opens-with-user ∧ alternates ∧ ≥2 turns) → exact transcript dedup →
+    // loss-mask-aware packing into 2048-token sequences (x43's two-phase
+    // prefix sum) → per-lang funnel with the trainable-token fraction.
+    // Every stage an already-verified operator; one query.,
+    "x135_sft_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val conv = graft.ops.Caching.cacheOnce(Chat.withChat(docs))
+      val stats = Chat.sftStats(Chat.parseTurns(conv))
+      val all = stats.join(docs.select("doc_id", "lang"), "doc_id")
+      val perLang = all.groupBy("lang").agg(count(lit(1)).as("n_conversations"))
+      val gated = graft.ops.Caching.cacheOnce(
+        all.where(col("opens_with_user") && col("alternates") && col("n_turns") >= 2)
+          .join(conv.select("doc_id", "transcript"), "doc_id"))
+      val canon = gated.groupBy(md5(col("transcript")).as("h")).agg(min("doc_id").as("doc_id"))
+      val uniq = graft.ops.Caching.cacheOnce(gated.join(canon.select("doc_id"), "doc_id"))
+      val packed = Chunking.packCounts(
+        uniq.select(col("doc_id"), col("lang").as("source"),
+          (col("user_tokens") + col("assistant_tokens")).as("n_tokens")), 2048L)
+      val seqStats = packed
+        .join(uniq.select(col("doc_id"), col("assistant_tokens")), "doc_id")
+        .groupBy(col("source").as("lang"))
+        .agg(countDistinct(col("seq_id")).as("n_sequences"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("assistant_tokens")).as("trainable_tokens"))
+      val gc = gated.groupBy("lang").agg(count(lit(1)).as("n_structured"))
+      val uc = uniq.groupBy("lang").agg(count(lit(1)).as("n_unique"))
+      perLang.join(gc, Seq("lang"), "left").join(uc, Seq("lang"), "left")
+        .join(seqStats, Seq("lang"), "left")
+        .select(col("lang"), col("n_conversations"),
+          coalesce(col("n_structured"), lit(0L)).as("n_structured"),
+          coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+          coalesce(col("n_sequences"), lit(0L)).as("n_sequences"),
+          coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
+          coalesce(col("trainable_tokens"), lit(0L)).as("trainable_tokens"),
+          when(coalesce(col("total_tokens"), lit(0L)) > 0,
+            col("trainable_tokens").cast("double") / col("total_tokens").cast("double"))
+            .otherwise(lit(null).cast("double")).as("trainable_frac"))
+    }),
+
+    // Per-sequence SFT manifest (r6): x135's pipeline finished to the
+    // artifact the training iterator actually consumes — one row per
+    // (lang, seq_id) with doc count, token mass and trainable (assistant)
+    // token mass. The gate/dedup/packing chain is x135's verbatim.,
+    "x144_sft_sequence_manifest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val conv = graft.ops.Caching.cacheOnce(Chat.withChat(docs))
+      val stats = Chat.sftStats(Chat.parseTurns(conv))
+      val gated = stats.join(docs.select("doc_id", "lang"), "doc_id")
+        .where(col("opens_with_user") && col("alternates") && col("n_turns") >= 2)
+        .join(conv.select("doc_id", "transcript"), "doc_id")
+      val canon = gated.groupBy(md5(col("transcript")).as("h")).agg(min("doc_id").as("doc_id"))
+      val uniq = graft.ops.Caching.cacheOnce(gated.join(canon.select("doc_id"), "doc_id"))
+      Chunking.packCounts(
+          uniq.select(col("doc_id"), col("lang").as("source"),
+            (col("user_tokens") + col("assistant_tokens")).as("n_tokens")), 2048L)
+        .join(uniq.select(col("doc_id"), col("assistant_tokens")), "doc_id")
+        .groupBy(col("source").as("lang"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("assistant_tokens")).as("trainable_tokens"))
+    }),
+
+    // Bradley–Terry preference aggregation (r6): md5-pool A/B comparisons
+    // (won by quality, the fixture's stand-in for human judgments) fitted
+    // by Hunter's MM iteration — rational arithmetic end to end, so the
+    // 5-round fit hash-matches the oracle's unrolled replay. Per-item
+    // wins/games/strength out.,
+    "x175_sft_prompt_dedup" -> ((s, dir) =>
+      Chat.promptDedup(Chat.parseTurns(Chat.withChat(Tables.documents(s, dir))))),
+
+    // Length-bias audit (r8 second half): across every (winner, loser)
+    // pair the best-of-N pools imply, how often is the winner simply the
+    // LONGER text — the reward-hacking pathology checked before the
+    // preference export ships.,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x133_chat_parse_turns" ->
+      (s"WITH $chatCtes " +
+        "SELECT doc_id, turn_idx, role, content, ntk AS n_tokens FROM tt"),
+    "x134_chat_sft_stats" ->
+      (s"WITH $chatCtes, " +
+        "ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_turns, " +
+        "CAST(sum(CASE WHEN turn_idx = 1 AND role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS opens, " +
+        "CAST(sum(CASE WHEN (turn_idx % 2 = 1 AND role <> 'user') " +
+        "OR (turn_idx % 2 = 0 AND role <> 'assistant') THEN 1 ELSE 0 END) AS BIGINT) AS bad, " +
+        "CAST(sum(CASE WHEN role = 'user' THEN ntk ELSE 0 END) AS BIGINT) AS user_tokens, " +
+        "CAST(sum(CASE WHEN role = 'assistant' THEN ntk ELSE 0 END) AS BIGINT) AS assistant_tokens " +
+        "FROM tt GROUP BY doc_id) " +
+        "SELECT doc_id, n_turns, (opens = 1) AS opens_with_user, (bad = 0) AS alternates, " +
+        "user_tokens, assistant_tokens, " +
+        "CAST(assistant_tokens AS DOUBLE)/CAST(user_tokens + assistant_tokens AS DOUBLE) AS mask_frac " +
+        "FROM ag"),
+    "x144_sft_sequence_manifest" ->
+      (s"WITH $chatCtes, " +
+        "ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_turns, " +
+        "CAST(sum(CASE WHEN turn_idx = 1 AND role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS opens, " +
+        "CAST(sum(CASE WHEN (turn_idx % 2 = 1 AND role <> 'user') " +
+        "OR (turn_idx % 2 = 0 AND role <> 'assistant') THEN 1 ELSE 0 END) AS BIGINT) AS bad, " +
+        "CAST(sum(CASE WHEN role = 'user' THEN ntk ELSE 0 END) AS BIGINT) AS user_tokens, " +
+        "CAST(sum(CASE WHEN role = 'assistant' THEN ntk ELSE 0 END) AS BIGINT) AS assistant_tokens " +
+        "FROM tt GROUP BY doc_id), " +
+        "gt AS MATERIALIZED (SELECT a.*, d.lang, ch.transcript FROM ag a " +
+        "JOIN documents d USING (doc_id) JOIN ch USING (doc_id) " +
+        "WHERE opens = 1 AND bad = 0 AND n_turns >= 2), " +
+        "cn AS (SELECT md5(transcript) AS h, min(doc_id) AS doc_id FROM gt GROUP BY 1), " +
+        "uq AS MATERIALIZED (SELECT gt.* FROM gt JOIN cn ON gt.doc_id = cn.doc_id), " +
+        "pk AS (SELECT doc_id, lang, user_tokens + assistant_tokens AS n_tokens, assistant_tokens, " +
+        "COALESCE(sum(user_tokens + assistant_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM uq) " +
+        "SELECT lang, off // 2048 AS seq_id, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, " +
+        "CAST(sum(assistant_tokens) AS BIGINT) AS trainable_tokens " +
+        "FROM pk GROUP BY 1, 2"),
+    "x135_sft_pipeline" ->
+      (s"WITH $chatCtes, " +
+        "ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_turns, " +
+        "CAST(sum(CASE WHEN turn_idx = 1 AND role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS opens, " +
+        "CAST(sum(CASE WHEN (turn_idx % 2 = 1 AND role <> 'user') " +
+        "OR (turn_idx % 2 = 0 AND role <> 'assistant') THEN 1 ELSE 0 END) AS BIGINT) AS bad, " +
+        "CAST(sum(CASE WHEN role = 'user' THEN ntk ELSE 0 END) AS BIGINT) AS user_tokens, " +
+        "CAST(sum(CASE WHEN role = 'assistant' THEN ntk ELSE 0 END) AS BIGINT) AS assistant_tokens " +
+        "FROM tt GROUP BY doc_id), " +
+        "al AS (SELECT a.*, d.lang FROM ag a JOIN documents d USING (doc_id)), " +
+        "pa AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_conversations FROM al GROUP BY 1), " +
+        "gt AS MATERIALIZED (SELECT al.*, ch.transcript FROM al JOIN ch USING (doc_id) " +
+        "WHERE opens = 1 AND bad = 0 AND n_turns >= 2), " +
+        "cn AS (SELECT md5(transcript) AS h, min(doc_id) AS doc_id FROM gt GROUP BY 1), " +
+        "uq AS MATERIALIZED (SELECT gt.* FROM gt JOIN cn ON gt.doc_id = cn.doc_id), " +
+        "gc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_structured FROM gt GROUP BY 1), " +
+        "uc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_unique FROM uq GROUP BY 1), " +
+        "pk AS (SELECT doc_id, lang, user_tokens + assistant_tokens AS n_tokens, assistant_tokens, " +
+        "COALESCE(sum(user_tokens + assistant_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM uq), " +
+        "sq AS (SELECT lang, CAST(count(DISTINCT off // 2048) AS BIGINT) AS n_sequences, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, " +
+        "CAST(sum(assistant_tokens) AS BIGINT) AS trainable_tokens FROM pk GROUP BY 1) " +
+        "SELECT pa.lang, pa.n_conversations, " +
+        "coalesce(gc.n_structured, CAST(0 AS BIGINT)) AS n_structured, " +
+        "coalesce(uc.n_unique, CAST(0 AS BIGINT)) AS n_unique, " +
+        "coalesce(sq.n_sequences, CAST(0 AS BIGINT)) AS n_sequences, " +
+        "coalesce(sq.total_tokens, CAST(0 AS BIGINT)) AS total_tokens, " +
+        "coalesce(sq.trainable_tokens, CAST(0 AS BIGINT)) AS trainable_tokens, " +
+        "CASE WHEN coalesce(sq.total_tokens, CAST(0 AS BIGINT)) > 0 " +
+        "THEN CAST(sq.trainable_tokens AS DOUBLE)/CAST(sq.total_tokens AS DOUBLE) " +
+        "ELSE NULL END AS trainable_frac " +
+        "FROM pa LEFT JOIN gc USING (lang) LEFT JOIN uc USING (lang) LEFT JOIN sq USING (lang)"),
+    "x175_sft_prompt_dedup" ->
+      (s"WITH $chatCtes, " +
+        "spd AS (SELECT doc_id, md5(content) AS prompt_digest FROM tt " +
+        "WHERE turn_idx = 1 AND role = 'user'), " +
+        "spg AS (SELECT prompt_digest, CAST(count(*) AS BIGINT) AS group_size, " +
+        "min(doc_id) AS keeper FROM spd GROUP BY 1 HAVING count(*) >= 2) " +
+        "SELECT p.prompt_digest, p.doc_id, g.group_size, p.doc_id = g.keeper AS keep " +
+        "FROM spd p JOIN spg g USING (prompt_digest)"),
+
+    // x174: the brn ranking joined to doc lengths; winner-vs-loser pairs,
+    // exact counts, pair-weighted means.,
+  )
+}

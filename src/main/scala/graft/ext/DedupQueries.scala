@@ -1,0 +1,493 @@
+package graft.ext
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.ExtQueries.{Q, recallReport, StoredIndexes}
+import graft.ext.ExtOracles._
+
+/** Dedup registry — exact/near/semantic deduplication. Split out of the monolithic
+  * ExtQueries (r9, VERDICT item 7); entries and oracle SQL are
+  * verbatim, merged back in [[ExtQueries.queries]] /
+  * [[ExtQueries.oracleSql]]. */
+private[graft] object DedupQueries {
+
+  val queries: Map[String, Q] = Map(
+    "x01_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir))),
+    "x02_dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), 3, 0.8)),
+
+    // Dup-cluster histogram (r8 second half): clusters per multiplicity
+    // and each multiplicity's document share — the dedup shape row (a
+    // long tail of big clusters = template/boilerplate content).,
+    "x176_dedup_savings_by_source" -> ((s, dir) =>
+      Dedup.savingsBySource(Tables.documents(s, dir))),
+
+    // Exact prefix-filtered set-similarity join (PPJoin-style): same
+    // semantics as x02, candidates bounded by rarest-prefix equi-join —
+    // the EXACT scale path (x03's LSH is the approximate one). Shares
+    // x02's all-pairs oracle because prefix filtering has no false
+    // negatives.,
+    "x64_dedup_prefix_filter" -> ((s, dir) =>
+      Dedup.prefixFilterPairs(Tables.documents(s, dir), 3, 0.8)),
+    "x03_dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(Tables.documents(s, dir), 3, 0.8)),
+    "x04_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir))),
+    "x05_dedup_embedding_cosine" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.4)),
+    "x189_effective_tokens" -> ((s, dir) =>
+      Dedup.effectiveTokens(Tables.documents(s, dir))),
+
+    // Brier decomposition (r8 batch 8): reliability / resolution /
+    // uncertainty split of the gate's held-out Brier score (Murphy
+    // 1973) + the within-bin gap — WHY the forecasts are good, where
+    // x137 shows the raw bins and x185 only ranks.,
+    "x191_dedup_threshold_sweep" -> ((s, dir) =>
+      Dedup.thresholdSweep(Tables.documents(s, dir))),
+
+    // Binary sign-quantization recall (r8 batch 8): the 1-bit/8-byte
+    // rung of the quantization menu — raw Hamming ranking vs
+    // Hamming-shortlist + exact-cosine rerank, against the exact top-k.,
+    "x18_dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), 3)),
+    "x20_dedup_simhash_banded" -> ((s, dir) =>
+      Dedup.simhashBandedPairs(Tables.documents(s, dir), 3)),
+    "x15_dedup_cluster_canonical" -> ((s, dir) =>
+      Dedup.connectedComponents(Dedup.jaccardPairs(Tables.documents(s, dir), 3, 0.8))),
+
+    // Edit-distance-verified near-dup (r5): x03's band candidates verified
+    // by normalized Levenshtein — catches in-place character edits that
+    // shuffle shingles.,
+    "x100_dedup_edit_distance" -> ((s, dir) =>
+      Dedup.editDistancePairs(Tables.documents(s, dir))),
+
+    // Quality-aware canonical election (r5): near-dup clusters keep the
+    // HIGHEST-quality member, not the min id — the x15/x16 election policy
+    // production pipelines actually want.,
+    "x99_dedup_keep_best" -> ((s, dir) =>
+      Dedup.keepBestDedup(Tables.documents(s, dir))),
+    "x16_dedup_applied" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.applyDedup(docs, Dedup.connectedComponents(Dedup.jaccardPairs(docs, 3, 0.8)))
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+    "x14_dedup_embedding_lsh" -> ((s, dir) =>
+      Similarity.lshNearDupPairs(Tables.embeddings(s, dir), 0.4)),
+    "x95_url_canonical_dedup" -> ((s, dir) =>
+      Curate.urlCanonicalDedup(Tables.documents(s, dir))),
+
+    // Model-based quality scoring (r5): bigram LM trained on the src0
+    // held-out slice, every other doc scored by average smoothed inverse
+    // conditional probability (perplexity's transcendental-free surrogate).,
+    "x82_dup_passages" -> ((s, dir) =>
+      Dedup.dupPassages(Tables.documents(s, dir))),
+
+    // APPLIED passage dedup (r5): strip every non-owner copy of a
+    // duplicated 8-token window and rebuild the cleaned text — the
+    // Lee-et-al cleaning pass x82 only reports on.,
+    "x94_dedup_passages_applied" -> ((s, dir) =>
+      Dedup.dedupPassagesApplied(Tables.documents(s, dir))),
+
+    // Tokenizer fertility per language from the REAL trained tokenizer —
+    // tokens/word and chars/token, the over-fragmentation diagnostic.,
+    "x41_dedup_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashLsh(docs, 3, 0.8)
+      val surviving = Dedup.applyDedup(docs, Dedup.connectedComponentsStars(pairs))
+      surviving.groupBy("lang", "source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        min("doc_id").as("min_doc_id"))
+    }),
+
+    // Report form (r5): exact per-source + unioned-ALL distinct counts,
+    // HLL estimates reduced to within-5% booleans — the union rollup still
+    // runs in-engine, but the output hash-matches DuckDB.,
+    "x50_semantic_dedup_pipeline" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Similarity.lshNearDupPairs(emb, 0.4)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      val victims = Dedup.connectedComponentsStars(pairs)
+        .where(col("doc_id") =!= col("canonical_id"))
+        .select(col("doc_id").as("vec_id"))
+      emb.join(victims, Seq("vec_id"), "left_anti")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec_id"),
+          max("vec_id").as("max_vec_id"))
+    }),
+
+    // Semantic decontamination (r5): x101's filter in embedding space —
+    // flag training vectors (vec_id < 450) whose embedding near-dups a
+    // benchmark vector (vec_id >= 450) at cosine >= 0.4 in a shared LSH
+    // bucket. Catches paraphrased leakage n-gram overlap misses.,
+    "x49_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalNearDups(
+        docs.where(col("doc_id") < 250), docs.where(col("doc_id") >= 250), 3, 0.8)
+    }),
+
+    // BM25 top-k retrieval (rational-idf variant — ln replaced by its
+    // argument so the doubles are bit-identical across engines). One
+    // doc-keyed shuffle computes dl + per-term tf together; stats fold
+    // back as a 1-row broadcast; top-k is TakeOrderedAndProject.,
+    "x69_dedup_lsh_recall" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      recallReport(
+        Dedup.jaccardPairs(docs, 3, 0.8),
+        Dedup.minhashLsh(docs, 3, 0.8),
+        Seq("doc_a", "doc_b"))
+    }),
+
+    // Same report for ANN: hyperplane-LSH top-10 vs brute-force truth.,
+    "x74_dedup_embedding_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      recallReport(
+        Similarity.cosineNearDupPairs(e, 0.4),
+        Similarity.lshNearDupPairs(e, 0.4),
+        Seq("vec_a", "vec_b"))
+    }),
+
+    // Multi-table near-dup pairs: x74's 0.05 recall motivates the same
+    // 8 × 4-bit OR-of-tables treatment x71 gave ANN.,
+    "x75_dedup_embedding_multitable" -> ((s, dir) =>
+      Similarity.lshMultiNearDupPairs(Tables.embeddings(s, dir), 0.4)),
+
+    // And its measured recall against the same exact truth.,
+    "x76_dedup_multitable_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      recallReport(
+        Similarity.cosineNearDupPairs(e, 0.4),
+        Similarity.lshMultiNearDupPairs(e, 0.4),
+        Seq("vec_a", "vec_b"))
+    }),
+
+    // Multi-table LSH ANN (8 × 4-bit tables): the production form x70's
+    // measurement motivates — OR-of-L recall for an L× index.,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x01_dedup_exact" ->
+      ("SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies " +
+        "FROM documents GROUP BY 1"),
+    "x02_dedup_ngram_jaccard" -> jaccardAllPairsSql,
+
+    // x179: x01's groups re-aggregated by multiplicity + the 1-row total.,
+    "x176_dedup_savings_by_source" ->
+      (s"WITH t AS ($toksCte), " +
+        "dg AS (SELECT d.doc_id, d.source, md5(d.text) AS h, " +
+        "CAST(len(t.toks) AS BIGINT) AS nt FROM documents d JOIN t ON d.doc_id = t.doc_id), " +
+        "dk AS (SELECT h, min(doc_id) AS keeper FROM dg GROUP BY 1) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(nt) AS BIGINT) AS total_tokens, " +
+        "CAST(sum(CASE WHEN dg.doc_id <> dk.keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs, " +
+        "CAST(sum(CASE WHEN dg.doc_id <> dk.keeper THEN nt ELSE 0 END) AS BIGINT) AS dup_tokens, " +
+        "CAST(sum(CASE WHEN dg.doc_id <> dk.keeper THEN nt ELSE 0 END) AS DOUBLE)" +
+        "/CAST(sum(nt) AS DOUBLE) AS savings_frac " +
+        "FROM dg JOIN dk USING (h) GROUP BY source"),
+
+    // prefix filtering is exact (no false negatives), so the naive
+    // all-pairs SQL is the oracle for the pruned plan too,
+    "x64_dedup_prefix_filter" -> jaccardAllPairsSql,
+
+    // recall report: both pair sets as derived tables, three scalar
+    // subquery counts, one double division,
+    "x69_dedup_lsh_recall" ->
+      (s"WITH ep AS (SELECT doc_a, doc_b FROM ($jaccardAllPairsSql)), " +
+        s"lp AS (SELECT doc_a, doc_b FROM ($minhashLshSql)) " +
+        "SELECT CAST((SELECT count(*) FROM ep) AS BIGINT) AS n_truth, " +
+        "CAST((SELECT count(*) FROM lp) AS BIGINT) AS n_approx, " +
+        "CAST((SELECT count(*) FROM ep JOIN lp USING (doc_a, doc_b)) AS BIGINT) AS n_common, " +
+        "CAST((SELECT count(*) FROM ep JOIN lp USING (doc_a, doc_b)) AS DOUBLE) " +
+        "/ (SELECT count(*) FROM ep) AS recall"),
+    "x03_dedup_minhash_lsh" -> minhashLshSql,
+
+    // the incremental run must reproduce exactly the full-corpus pairs
+    // whose newer side is in the batch,
+    "x49_dedup_incremental" ->
+      s"SELECT doc_a, doc_b, jaccard FROM ($minhashLshSql) WHERE doc_b >= 250",
+    "x50_semantic_dedup_pipeline" ->
+      ("WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        s"be AS (SELECT vec_id, emb, $bucketSql AS bucket FROM e), " +
+        "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        s"${dotSql("a.emb", "b.emb")} AS cos " +
+        "FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
+        "pairs AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM p WHERE cos >= 0.4), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
+        "reach AS (SELECT src, dst FROM edges " +
+        "UNION (SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src)), " +
+        "comp AS (SELECT src AS vid, least(src, min(dst)) AS canonical_id FROM reach GROUP BY src), " +
+        "victims AS (SELECT vid FROM comp WHERE vid <> canonical_id) " +
+        "SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, min(vec_id) AS min_vec_id, " +
+        "max(vec_id) AS max_vec_id " +
+        "FROM embeddings WHERE vec_id NOT IN (SELECT vid FROM victims) GROUP BY label"),
+    "x04_dedup_simhash" ->
+      (s"WITH t AS ($toksCte), " +
+        "v AS (SELECT doc_id, list_transform(toks, tk -> CAST(('0x' || substr(md5(tk), 1, 4)) AS INT)) AS vals FROM t) " +
+        "SELECT doc_id, CAST(list_aggregate(list_transform(generate_series(0, 15), " +
+        "j -> CASE WHEN list_aggregate(list_transform(vals, x -> ((x >> j) & 1)*2 - 1), 'sum') >= 0 " +
+        "THEN (1 << j) ELSE 0 END), 'sum') AS BIGINT) AS simhash FROM v"),
+    "x05_dedup_embedding_cosine" ->
+      ("WITH a AS (SELECT vec_id AS vec_a, CAST(embedding AS DOUBLE[]) AS ea FROM embeddings), " +
+        "b AS (SELECT vec_id AS vec_b, CAST(embedding AS DOUBLE[]) AS eb FROM embeddings), " +
+        s"s AS (SELECT vec_a, vec_b, ${dotSql("ea", "eb")} AS cos FROM a JOIN b ON vec_a < vec_b) " +
+        "SELECT vec_a, vec_b, cos FROM s WHERE cos >= 0.4"),
+    "x75_dedup_embedding_multitable" -> embMultiPairsSql,
+    "x76_dedup_multitable_recall" ->
+      (s"WITH tp AS (SELECT vec_a, vec_b FROM ($embExactPairsSql)), " +
+        s"ap AS (SELECT vec_a, vec_b FROM ($embMultiPairsSql)) " +
+        "SELECT CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_truth, " +
+        "CAST((SELECT count(*) FROM ap) AS BIGINT) AS n_approx, " +
+        "CAST((SELECT count(*) FROM tp JOIN ap USING (vec_a, vec_b)) AS BIGINT) AS n_common, " +
+        "CAST((SELECT count(*) FROM tp JOIN ap USING (vec_a, vec_b)) AS DOUBLE) " +
+        "/ (SELECT count(*) FROM tp) AS recall"),
+    "x74_dedup_embedding_recall" ->
+      (s"WITH tp AS (SELECT vec_a, vec_b FROM ($embExactPairsSql)), " +
+        s"ap AS (SELECT vec_a, vec_b FROM ($embLshPairsSql)) " +
+        "SELECT CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_truth, " +
+        "CAST((SELECT count(*) FROM ap) AS BIGINT) AS n_approx, " +
+        "CAST((SELECT count(*) FROM tp JOIN ap USING (vec_a, vec_b)) AS BIGINT) AS n_common, " +
+        "CAST((SELECT count(*) FROM tp JOIN ap USING (vec_a, vec_b)) AS DOUBLE) " +
+        "/ (SELECT count(*) FROM tp) AS recall"),
+    "x18_dedup_simhash_pairs" ->
+      (s"WITH t AS ($toksCte), " +
+        "v AS (SELECT doc_id, list_transform(toks, tk -> CAST(('0x' || substr(md5(tk), 1, 4)) AS INT)) AS vals FROM t), " +
+        "h AS (SELECT doc_id, CAST(list_aggregate(list_transform(generate_series(0, 15), " +
+        "j -> CASE WHEN list_aggregate(list_transform(vals, x -> ((x >> j) & 1)*2 - 1), 'sum') >= 0 " +
+        "THEN (1 << j) ELSE 0 END), 'sum') AS BIGINT) AS simhash FROM v) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming " +
+        "FROM h a JOIN h b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"),
+    "x20_dedup_simhash_banded" ->
+      (s"WITH t AS ($toksCte), " +
+        "hs AS (SELECT doc_id, list_transform(toks, tk -> md5(tk)) AS hs FROM t), " +
+        "sig AS (SELECT doc_id, list_transform(generate_series(0, 3), " +
+        "p -> CAST(list_aggregate(list_transform(generate_series(0, 15), " +
+        "j -> CASE WHEN list_aggregate(list_transform(hs, " +
+        "h -> ((CAST(('0x' || substr(h, p * 4 + 1, 4)) AS INT) >> j) & 1) * 2 - 1), 'sum') >= 0 " +
+        "THEN (1 << j) ELSE 0 END), 'sum') AS INT)) AS sig FROM hs), " +
+        "bandx AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM sig), " +
+        "band AS (SELECT doc_id, band, sig[band + 1] AS bits FROM bandx), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM band a JOIN band b " +
+        "ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id), " +
+        "ham AS (SELECT cand.doc_a, cand.doc_b, " +
+        "CAST(list_aggregate(list_transform(list_zip(sa.sig, sb.sig), z -> bit_count(xor(z[1], z[2]))), 'sum') AS BIGINT) AS hamming " +
+        "FROM cand JOIN sig sa ON sa.doc_id = cand.doc_a JOIN sig sb ON sb.doc_id = cand.doc_b) " +
+        "SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3"),
+    "x15_dedup_cluster_canonical" ->
+      (s"WITH RECURSIVE t AS ($toksCte), sh AS ($shinglesCte), " +
+        "ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh), " +
+        "sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh), " +
+        "c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common " +
+        "FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pairs AS (SELECT c.doc_a, c.doc_b FROM c " +
+        "JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id " +
+        "WHERE CAST(c.common AS DOUBLE)/(x.n + y.n - c.common) >= 0.8), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+        "UNION SELECT doc_b, doc_a FROM pairs), " +
+        "reach AS (SELECT src, dst FROM edges " +
+        "UNION (SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)) " +
+        "SELECT src AS doc_id, least(src, min(dst)) AS canonical_id " +
+        "FROM reach GROUP BY src"),
+    "x100_dedup_edit_distance" ->
+      (s"WITH $minhashCandCtes, " +
+        "v AS (SELECT cand.doc_a, cand.doc_b, " +
+        "CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_distance, " +
+        "CAST(levenshtein(ta.text, tb.text) AS DOUBLE)/" +
+        "greatest(length(ta.text), length(tb.text)) AS edit_ratio " +
+        "FROM cand JOIN documents ta ON ta.doc_id = cand.doc_a " +
+        "JOIN documents tb ON tb.doc_id = cand.doc_b) " +
+        "SELECT doc_a, doc_b, edit_distance, edit_ratio FROM v WHERE edit_ratio <= 0.2"),
+    "x99_dedup_keep_best" ->
+      (s"WITH RECURSIVE t AS ($toksCte), sh AS ($shinglesCte), " +
+        "ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh), " +
+        "sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh), " +
+        "c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common " +
+        "FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pairs AS (SELECT c.doc_a, c.doc_b FROM c " +
+        "JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id " +
+        "WHERE CAST(c.common AS DOUBLE)/(x.n + y.n - c.common) >= 0.8), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+        "UNION SELECT doc_b, doc_a FROM pairs), " +
+        "reach AS (SELECT src, dst FROM edges " +
+        "UNION (SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)), " +
+        "cl AS (SELECT src AS doc_id, least(src, min(dst)) AS canonical_id " +
+        "FROM reach GROUP BY src), " +
+        "qm AS (SELECT d.doc_id, " +
+        "least(CAST(len(t.toks) AS DOUBLE)/50.0, 1.0)*0.5 " +
+        s"+ (CAST(len(list_filter(t.toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(t.toks))*0.25 " +
+        "+ (CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)/length(d.text))*0.25 " +
+        "AS quality_score FROM documents d JOIN t ON d.doc_id = t.doc_id), " +
+        "lab AS (SELECT qm.doc_id, coalesce(cl.canonical_id, qm.doc_id) AS cluster, " +
+        "qm.quality_score FROM qm LEFT JOIN cl ON qm.doc_id = cl.doc_id), " +
+        "rk AS (SELECT doc_id, cluster, quality_score, " +
+        "CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_members, " +
+        "row_number() OVER (PARTITION BY cluster ORDER BY quality_score DESC, doc_id) AS r " +
+        "FROM lab) " +
+        "SELECT cluster, doc_id AS survivor_id, quality_score AS best_quality, n_members " +
+        "FROM rk WHERE r = 1"),
+    "x16_dedup_applied" ->
+      (s"WITH RECURSIVE t AS ($toksCte), sh AS ($shinglesCte), " +
+        "ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh), " +
+        "sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh), " +
+        "c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common " +
+        "FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pairs AS (SELECT c.doc_a, c.doc_b FROM c " +
+        "JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id " +
+        "WHERE CAST(c.common AS DOUBLE)/(x.n + y.n - c.common) >= 0.8), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+        "UNION SELECT doc_b, doc_a FROM pairs), " +
+        "reach AS (SELECT src, dst FROM edges " +
+        "UNION (SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)), " +
+        "comp AS (SELECT src AS doc_id, least(src, min(dst)) AS canonical_id FROM reach GROUP BY src), " +
+        "victims AS (SELECT doc_id FROM comp WHERE doc_id <> canonical_id) " +
+        "SELECT doc_id, lang, source, n_chars FROM documents " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM victims)"),
+    "x41_dedup_pipeline" ->
+      (s"WITH RECURSIVE t AS ($toksCte), sh AS ($shinglesCte), " +
+        "ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh), " +
+        "sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh), " +
+        "hs AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS h0, " +
+        "list_transform(shingles, s -> md5('1:' || s)) AS h1 FROM sh), " +
+        "sig AS (SELECT doc_id, list_transform(generate_series(0, 15), " +
+        "i -> list_aggregate(list_transform(CASE WHEN i < 8 THEN h0 ELSE h1 END, " +
+        "h -> substr(h, (i % 8) * 4 + 1, 4)), 'min')) AS sig FROM hs), " +
+        "bandx AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM sig), " +
+        "band AS (SELECT doc_id, band, md5(array_to_string(sig[4*band+1:4*band+4], '|')) AS bh FROM bandx), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM band a JOIN band b " +
+        "ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id), " +
+        "c AS (SELECT cand.doc_a, cand.doc_b, CAST(count(*) AS BIGINT) AS common FROM cand " +
+        "JOIN ex ea ON ea.doc_id = cand.doc_a JOIN ex eb ON eb.doc_id = cand.doc_b AND ea.sh = eb.sh " +
+        "GROUP BY 1, 2), " +
+        "pairs AS (SELECT c.doc_a, c.doc_b FROM c " +
+        "JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id " +
+        "WHERE CAST(c.common AS DOUBLE)/(x.n + y.n - c.common) >= 0.8), " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+        "UNION SELECT doc_b, doc_a FROM pairs), " +
+        "reach AS (SELECT src, dst FROM edges " +
+        "UNION (SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)), " +
+        "comp AS (SELECT src AS doc_id, least(src, min(dst)) AS canonical_id FROM reach GROUP BY src), " +
+        "victims AS (SELECT doc_id FROM comp WHERE doc_id <> canonical_id) " +
+        "SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars, min(doc_id) AS min_doc_id " +
+        "FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM victims) " +
+        "GROUP BY lang, source"),
+    "x14_dedup_embedding_lsh" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        s"be AS (SELECT vec_id, emb, $bucketSql AS bucket FROM e), " +
+        "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        s"${dotSql("a.emb", "b.emb")} AS cos " +
+        "FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
+        "SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.4"),
+
+    // x152: the IVFADC probe — x58's cell assignment composed with x146's
+    // full PQ chain; candidates are the query's cell, scores are the
+    // sub-ordered ADC pdot sums over the final codebook's encode.,
+    "x191_dedup_threshold_sweep" ->
+      (s"WITH $minhashCandCtes, " +
+        "c AS (SELECT cand.doc_a, cand.doc_b, CAST(count(*) AS BIGINT) AS common FROM cand " +
+        "JOIN ex ea ON ea.doc_id = cand.doc_a JOIN ex eb ON eb.doc_id = cand.doc_b AND ea.sh = eb.sh " +
+        "GROUP BY 1, 2), " +
+        "jp AS (SELECT c.doc_a, c.doc_b, CAST(c.common AS DOUBLE)/(x.n + y.n - c.common) AS jaccard " +
+        "FROM c JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id " +
+        s"WHERE CAST(c.common AS DOUBLE)/(x.n + y.n - c.common) >= ${Dedup.SweepThresholds.min}), " +
+        s"th AS (SELECT unnest(${Dedup.SweepThresholds.mkString("[", ", ", "]")}) AS threshold), " +
+        "pt AS (SELECT th.threshold, jp.doc_a, jp.doc_b FROM jp, th WHERE jp.jaccard >= th.threshold), " +
+        "np AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs FROM pt GROUP BY 1), " +
+        "db AS (SELECT DISTINCT threshold, doc_b FROM pt), " +
+        "tk AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents), " +
+        "dr AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_docs_dropped, " +
+        "CAST(sum(nt) AS BIGINT) AS tokens_dropped FROM db JOIN tk ON db.doc_b = tk.doc_id GROUP BY 1), " +
+        "tt AS (SELECT CAST(count(*) AS BIGINT) AS ndocs, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ntok FROM documents) " +
+        "SELECT th.threshold, coalesce(np.n_pairs, 0) AS n_pairs, " +
+        "coalesce(dr.n_docs_dropped, 0) AS n_docs_dropped, " +
+        "coalesce(dr.tokens_dropped, 0) AS tokens_dropped, " +
+        "CAST(coalesce(dr.n_docs_dropped, 0) AS DOUBLE)/CAST(ndocs AS DOUBLE) AS docs_drop_frac, " +
+        "CAST(coalesce(dr.tokens_dropped, 0) AS DOUBLE)/CAST(ntok AS DOUBLE) AS tokens_drop_frac " +
+        "FROM th LEFT JOIN np USING (threshold) LEFT JOIN dr USING (threshold), tt"),
+
+    // x192: sign bits per 16-bit piece (signed-int safe, the simhash64
+    // discipline), Hamming = per-piece bit_count(xor) fold, Hamming
+    // top-k + 4k-shortlist exact-cosine rerank, x69-shaped recall rows.,
+    "x189_effective_tokens" ->
+      (s"WITH $effTokenCtes " +
+        "SELECT source, CAST(sum(n) AS BIGINT) AS n_docs, CAST(sum(t) AS BIGINT) AS raw_tokens, " +
+        "CAST(sum(u) AS BIGINT) AS unique_tokens, " +
+        "list_aggregate(list(ps ORDER BY bkt), 'sum') AS effective_tokens, " +
+        "CASE WHEN sum(t) > 0 THEN list_aggregate(list(ps ORDER BY bkt), 'sum')/CAST(sum(t) AS DOUBLE) END AS effective_frac " +
+        "FROM e1 GROUP BY 1"),
+
+    // x198: x189's effective-mass chain sets the per-source budgets
+    // (floor(eff/2)); the x150-style salted prefix sampler consumes them.,
+    "x82_dup_passages" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t), " +
+        "w AS (SELECT doc_id, p.i AS i, p.wh AS wh FROM " +
+        "(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-7), " +
+        "i -> struct_pack(i := i, wh := md5(array_to_string(toks[i:i+7], ' '))))) AS p " +
+        "FROM t WHERE len(toks) >= 8)), " +
+        "d AS (SELECT wh FROM w GROUP BY wh HAVING count(DISTINCT doc_id) >= 2), " +
+        "c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup FROM " +
+        "(SELECT DISTINCT doc_id, ti FROM (SELECT w.doc_id, " +
+        "unnest(generate_series(w.i, w.i+7)) AS ti FROM w JOIN d USING (wh))) GROUP BY doc_id) " +
+        "SELECT b.doc_id, b.n_tokens, coalesce(c.n_dup, 0) AS n_dup_tokens, " +
+        "CAST(coalesce(c.n_dup, 0) AS DOUBLE)/b.n_tokens AS dup_frac " +
+        "FROM b LEFT JOIN c USING (doc_id)"),
+    "x94_dedup_passages_applied" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "w AS (SELECT doc_id, p.i AS i, p.wh AS wh FROM " +
+        "(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-7), " +
+        "i -> struct_pack(i := i, wh := md5(array_to_string(toks[i:i+7], ' '))))) AS p " +
+        "FROM t WHERE len(toks) >= 8)), " +
+        "own AS (SELECT wh, min(doc_id) AS owner FROM w GROUP BY wh " +
+        "HAVING count(DISTINCT doc_id) >= 2), " +
+        "rem AS (SELECT DISTINCT doc_id, ti FROM (SELECT w.doc_id, " +
+        "unnest(generate_series(w.i, w.i+7)) AS ti " +
+        "FROM w JOIN own USING (wh) WHERE w.doc_id <> own.owner)), " +
+        "tokp AS (SELECT doc_id, p.i AS ti, p.tok AS tok FROM " +
+        "(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)), " +
+        "i -> struct_pack(i := i, tok := toks[i]))) AS p FROM t)), " +
+        "kept AS (SELECT tokp.doc_id, tokp.ti, tokp.tok FROM tokp " +
+        "ANTI JOIN rem ON tokp.doc_id = rem.doc_id AND tokp.ti = rem.ti), " +
+        "reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS clean_text, " +
+        "CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id) " +
+        "SELECT b.doc_id, b.n_tokens, coalesce(reb.clean_text, '') AS clean_text, " +
+        "b.n_tokens - coalesce(reb.n_kept, 0) AS n_removed " +
+        "FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t) b " +
+        "LEFT JOIN reb USING (doc_id)"),
+    "x95_url_canonical_dedup" -> {
+      val nameList = Curate.UrlDomainNames.map(n => s"'$n'").mkString("[", ",", "]")
+      val tldList = Curate.UrlTlds.map(t => s"'$t'").mkString("[", ",", "]")
+      def dg(i: Int) = s"CAST(('0x' || substr(md5(doc_id || ':murl'), $i, 1)) AS INT)"
+      ("WITH m AS (SELECT doc_id, " +
+        s"(CASE WHEN ${dg(1)} % 2 = 1 THEN 'HTTPS' ELSE 'https' END) || '://' || " +
+        s"(CASE WHEN ${dg(5)} % 2 = 1 THEN upper(bh) ELSE bh END) || " +
+        s"(CASE WHEN ${dg(6)} % 2 = 1 THEN ':443' ELSE '' END) || " +
+        "'/p/' || (doc_id % 97) || " +
+        s"(CASE WHEN ${dg(7)} % 2 = 1 THEN '/' ELSE '' END) || " +
+        s"(CASE WHEN ${dg(8)} % 4 = 0 THEN '?utm_source=feed&utm_medium=rss' " +
+        s"WHEN ${dg(8)} % 4 = 1 THEN '?id=' || (doc_id % 5) || '&utm_campaign=x' " +
+        s"WHEN ${dg(8)} % 4 = 2 THEN '?id=' || (doc_id % 5) ELSE '' END) || " +
+        s"(CASE WHEN ${dg(9)} % 2 = 1 THEN '#frag' ELSE '' END) AS url " +
+        "FROM (SELECT doc_id, 'www.' || " +
+        s"($nameList)[${dg(3)} % ${Curate.UrlDomainNames.size} + 1] || '.' || " +
+        s"($tldList)[${dg(4)} % ${Curate.UrlTlds.size} + 1] AS bh FROM documents)), " +
+        "c AS (SELECT doc_id, url, " +
+        "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' || " +
+        "regexp_replace(lower(regexp_extract(url, '://([^/?#]+)', 1)), ':(443|80)$', '') || " +
+        "regexp_replace(regexp_extract(regexp_replace(url, '#.*$', ''), '://[^/?#]+([^?]*)', 1), '/+$', '') || " +
+        "(CASE WHEN kq = '' THEN '' ELSE '?' || kq END) AS canonical_url FROM " +
+        // coalesce: DuckDB's array_to_string(list_sort([])) is NULL, Spark's array_join is ''
+        "(SELECT doc_id, url, coalesce(array_to_string(list_sort(list_filter(" +
+        "string_split(regexp_extract(regexp_replace(url, '#.*$', ''), '\\?(.*)$', 1), '&'), " +
+        "x -> NOT regexp_matches(x, '^(utm_[^=]*|ref|fbclid|gclid)=') AND x <> '')), '&'), '') AS kq " +
+        "FROM m)) " +
+        "SELECT canonical_url, min(doc_id) AS survivor_id, " +
+        "CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(count(DISTINCT url) AS BIGINT) AS n_variants FROM c GROUP BY 1")
+    },
+  )
+}

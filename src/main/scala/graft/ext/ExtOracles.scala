@@ -1,0 +1,1570 @@
+package graft.ext
+
+/** Shared DuckDB oracle CTE fragments and chain builders, used across the
+  * per-family registries (split out of ExtQueries, r9). Fragment contracts
+  * (what CTE names a chain assumes/produces) are documented per member. */
+private[ext] object ExtOracles {
+
+  /** Shared fragments (plain single-pass strings; no stripMargin). */
+  val toksCte =
+    "SELECT doc_id, string_split(text, ' ') AS toks FROM documents"
+
+  val shinglesCte =
+    "SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
+      "THEN list_transform(generate_series(1, len(toks)-2), i -> array_to_string(toks[i:i+2], ' ')) " +
+      "ELSE [array_to_string(toks, ' ')] END) AS shingles FROM t"
+
+  val jaccardTail =
+    "SELECT c.doc_a, c.doc_b, CAST(c.common AS DOUBLE)/(x.n + y.n - c.common) AS jaccard " +
+      "FROM c JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id " +
+      "WHERE CAST(c.common AS DOUBLE)/(x.n + y.n - c.common) >= 0.8"
+
+  /** MinHash band-candidate CTE chain (through `cand`), shared by x03's
+    * Jaccard verify and x100's edit-distance verify. */
+  val minhashCandCtes =
+    s"t AS ($toksCte), sh AS ($shinglesCte), " +
+      "ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh), " +
+      "sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh), " +
+      "hs AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS h0, " +
+      "list_transform(shingles, s -> md5('1:' || s)) AS h1 FROM sh), " +
+      "sig AS (SELECT doc_id, list_transform(generate_series(0, 15), " +
+      "i -> list_aggregate(list_transform(CASE WHEN i < 8 THEN h0 ELSE h1 END, " +
+      "h -> substr(h, (i % 8) * 4 + 1, 4)), 'min')) AS sig FROM hs), " +
+      "bandx AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM sig), " +
+      "band AS (SELECT doc_id, band, md5(array_to_string(sig[4*band+1:4*band+4], '|')) AS bh FROM bandx), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM band a JOIN band b " +
+      "ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"
+
+  /** Exact-Jaccard pair + connected-component + group-wise-split CTE chain
+    * (through `ga`: doc_id, group_id, split), shared by x127's applied
+    * split and x128's leakage audit. Same reachability CC as x15/x99; the
+    * split draw is x55's md5 idiom over the GROUP id. */
+  val groupSplitCtes =
+    s"t AS ($toksCte), sh AS ($shinglesCte), " +
+      "ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh), " +
+      "sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh), " +
+      "c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common " +
+      "FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "pairs AS (SELECT c.doc_a, c.doc_b FROM c " +
+      "JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id " +
+      "WHERE CAST(c.common AS DOUBLE)/(x.n + y.n - c.common) >= 0.8), " +
+      "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+      "UNION SELECT doc_b, doc_a FROM pairs), " +
+      "reach AS (SELECT src, dst FROM edges " +
+      "UNION (SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)), " +
+      "comp AS (SELECT src AS doc_id, least(src, min(dst)) AS canonical_id FROM reach GROUP BY src), " +
+      "gw AS (SELECT d.doc_id, coalesce(comp.canonical_id, d.doc_id) AS group_id " +
+      "FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id), " +
+      "ga AS (SELECT doc_id, group_id, " +
+      "CASE WHEN CAST(('0x' || substr(md5(CAST(group_id AS VARCHAR) || ':gsplit'), 1, 8)) AS BIGINT)" +
+      "/4294967296.0 < 0.9 THEN 'train' ELSE 'eval' END AS split FROM gw)"
+
+  /** Unrolled gradient-descent CTE chain for x129/x130 — the DuckDB twin
+    * of `Trainer`'s declarative loop. Every floating-point expression
+    * mirrors the Spark side token-for-token: left-associated margin chain,
+    * rational fast sigmoid, sorted-list gradient folds, `w - lr·(g/n)`
+    * updates. Chain ends at `wi<iters>` (final weights) with each
+    * iteration's `g<t>` diagnostics CTE still addressable.
+    */
+  /** Feature/split/zero-weights CTE prefix shared by every lr* oracle:
+    * `t, hsx, qm, fx, tr, wi0`. */
+  def lrFeatCtes(buckets: Int): String =
+    s"t AS MATERIALIZED ($toksCte), " +
+      "hsx AS MATERIALIZED (SELECT doc_id, list_transform(toks, " +
+      s"tk -> CAST(('0x' || substr(md5(tk), 1, 4)) AS INT) % $buckets) AS hs FROM t), " +
+      "qm AS MATERIALIZED (SELECT d.doc_id, " +
+      "least(CAST(len(t.toks) AS DOUBLE)/50.0, 1.0) AS lenf, " +
+      "CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)/length(d.text) AS alphaf, " +
+      "least(CAST(len(t.toks) AS DOUBLE)/50.0, 1.0)*0.5 " +
+      s"+ (CAST(len(list_filter(t.toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(t.toks))*0.25 " +
+      "+ (CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)/length(d.text))*0.25 AS q " +
+      "FROM documents d JOIN t ON d.doc_id = t.doc_id), " +
+      "fx AS MATERIALIZED (SELECT h.doc_id, CASE WHEN q.q >= 0.6 THEN 1.0 ELSE 0.0 END AS y, " +
+      "list_concat([q.lenf, q.alphaf], " +
+      s"list_transform(range(0, $buckets), j -> CAST(len(list_filter(h.hs, v -> v = j)) AS DOUBLE)/len(h.hs))) AS x " +
+      "FROM hsx h JOIN qm q ON h.doc_id = q.doc_id WHERE len(h.hs) > 0), " +
+      "tr AS MATERIALIZED (SELECT * FROM fx WHERE " +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5), " +
+      "wi0 AS (SELECT " + (Seq("0.0 AS wb") ++ (0 until (buckets + 2)).map(j => s"0.0 AS w$j")).mkString(", ") + ")"
+
+  /** One named gradient-descent CTE chain: `<pfx>m/r/g/wi<t>` for t in
+    * 1..iters, training on `trainCte`, warm-starting from `w0Name` — the
+    * generator x129/x130 use with an empty prefix and that x136 reuses
+    * twice more (warm continuation + cold retrain). */
+  def lrChain(pfx: String, trainCte: String, w0Name: String,
+      iters: Int, buckets: Int): String = {
+    val lr = Trainer.LearnRate
+    val xs = 0 until (buckets + 2)
+    // √n fold-bucket count, derived once per chain from the SAME train CTE
+    // the Spark side counts (Stable.sqrtBuckets — IEEE sqrt/ceil agree).
+    val fb = s"${pfx}fb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM $trainCte), "
+    fb + (1 to iters).map { tt =>
+      val prev = if (tt == 1) w0Name else s"${pfx}wi${tt - 1}"
+      val m = (Seq("w.wb") ++ xs.map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
+      // two-level gradient fold (Trainer.step's bucketed twin): sorted fold
+      // within each doc_id%B bucket, then a bucket-ordered fold of the sums
+      s"${pfx}m$tt AS MATERIALIZED (SELECT f.doc_id, f.y, f.x, ($m) AS m FROM $trainCte f CROSS JOIN $prev w), " +
+        s"${pfx}r$tt AS MATERIALIZED (SELECT doc_id, y, x, ((0.5 + 0.5*m/(1.0 + abs(m))) - y) AS r FROM ${pfx}m$tt), " +
+        s"${pfx}bg$tt AS MATERIALIZED (SELECT doc_id % (SELECT b FROM ${pfx}fb) AS bkt, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        (Seq("list_aggregate(list_sort(list(r)), 'sum') AS gb", "sum(r) AS psb") ++
+          xs.flatMap(j => Seq(
+            s"list_aggregate(list_sort(list(r*x[${j + 1}])), 'sum') AS g$j",
+            s"sum(r*x[${j + 1}]) AS ps$j"))).mkString(", ") +
+        s" FROM ${pfx}r$tt GROUP BY 1), " +
+        s"${pfx}g$tt AS MATERIALIZED (SELECT CAST(sum(n) AS BIGINT) AS n, " +
+        (Seq("list_aggregate(list(gb ORDER BY bkt), 'sum') AS gb", "sum(psb) AS psb") ++
+          xs.flatMap(j => Seq(
+            s"list_aggregate(list(g$j ORDER BY bkt), 'sum') AS g$j",
+            s"sum(ps$j) AS ps$j"))).mkString(", ") +
+        s" FROM ${pfx}bg$tt), " +
+        s"${pfx}wi$tt AS MATERIALIZED (SELECT " +
+        (Seq(s"w.wb - $lr*(g.gb/CAST(g.n AS DOUBLE)) AS wb") ++
+          xs.map(j => s"w.w$j - $lr*(g.g$j/CAST(g.n AS DOUBLE)) AS w$j")).mkString(", ") +
+        s" FROM ${pfx}g$tt g CROSS JOIN $prev w)"
+    }.mkString(", ")
+  }
+
+  def lrCtes(buckets: Int, iters: Int): String =
+    lrFeatCtes(buckets) + ", " + lrChain("", "tr", "wi0", iters, buckets)
+
+  def lrTrajectorySql(buckets: Int, iters: Int): String = {
+    val rows = (1 to iters).flatMap { tt =>
+      val bias = s"SELECT CAST($tt AS BIGINT) AS iter, CAST(-1 AS BIGINT) AS feature, " +
+        s"w.wb AS weight, g.gb AS grad, " +
+        s"abs(g.gb - g.psb) <= greatest(abs(g.gb)*1e-9, 1e-9) AS partial_agg_close " +
+        s"FROM wi$tt w CROSS JOIN g$tt g"
+      val fs = (0 until (buckets + 2)).map(j =>
+        s"SELECT CAST($tt AS BIGINT), CAST($j AS BIGINT), w.w$j, g.g$j, " +
+          s"abs(g.g$j - g.ps$j) <= greatest(abs(g.g$j)*1e-9, 1e-9) " +
+          s"FROM wi$tt w CROSS JOIN g$tt g")
+      bias +: fs
+    }
+    s"WITH ${lrCtes(buckets, iters)} " + rows.mkString(" UNION ALL ")
+  }
+
+  /** Unrolled Bradley–Terry MM CTE chain for x131/x132 — pools, derived
+    * preferences, sufficient stats, then `iters` rounds of
+    * `s ← wins / Σ 1/(s_i + s_j)` with opponent-ordered list folds
+    * (`list(v ORDER BY j)` ≡ Spark's sorted-struct fold). Ends with
+    * `s<iters>`; every round's `s<t>` stays addressable for the
+    * convergence deltas.
+    */
+  def btCtes(iters: Int): String = {
+    val base =
+      s"t AS MATERIALIZED ($toksCte), " +
+        "qd AS MATERIALIZED (SELECT d.doc_id, least(CAST(len(t.toks) AS DOUBLE)/50.0, 1.0)*0.5 " +
+        s"+ (CAST(len(list_filter(t.toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(t.toks))*0.25 " +
+        "+ (CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)/length(d.text))*0.25 AS q " +
+        "FROM documents d JOIN t ON d.doc_id = t.doc_id), " +
+        "pl AS MATERIALIZED (SELECT doc_id, q, " +
+        // the occupancy law's oracle twin: pools = min(cap, max(floor, n/occ))
+        s"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pref'), 1, 4)) AS INT) % " +
+        s"least(${Preference.MaxPools}, greatest(${Preference.Pools}, " +
+        s"(SELECT count(*) // ${Preference.PoolOccupancy} FROM qd))) AS pool FROM qd), " +
+        "pf AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CASE WHEN a.q > b.q THEN a.doc_id WHEN a.q < b.q THEN b.doc_id " +
+        "ELSE least(a.doc_id, b.doc_id) END AS winner " +
+        "FROM pl a JOIN pl b ON a.pool = b.pool AND a.doc_id < b.doc_id), " +
+        "gm AS MATERIALIZED (SELECT doc_a AS i, doc_b AS j FROM pf " +
+        "UNION ALL SELECT doc_b, doc_a FROM pf), " +
+        "gcnt AS (SELECT i AS doc_id, CAST(count(*) AS BIGINT) AS games FROM gm GROUP BY 1), " +
+        "wcnt AS (SELECT winner AS doc_id, CAST(count(*) AS BIGINT) AS wins FROM pf GROUP BY 1), " +
+        "bst AS MATERIALIZED (SELECT g.doc_id, coalesce(w.wins, CAST(0 AS BIGINT)) AS wins, g.games " +
+        "FROM gcnt g LEFT JOIN wcnt w USING (doc_id)), " +
+        "s0 AS MATERIALIZED (SELECT doc_id, CAST(1.0 AS DOUBLE) AS s FROM bst)"
+    if (iters == 0) base
+    else base + ", " + btChain("", "gm", "bst", "s0", iters)
+  }
+
+  /** One named MM round chain `<pfx>dn/s<t>` on games `gmCte` with stats
+    * `stCte`, warm-starting from `s0Name` — reused three times by x142
+    * (base fit, warm continuation, cold refit). */
+  def btChain(pfx: String, gmCte: String, stCte: String,
+      s0Name: String, iters: Int): String =
+    (1 to iters).map { tt =>
+      val prev = if (tt == 1) s0Name else s"${pfx}s${tt - 1}"
+      s"${pfx}dn$tt AS MATERIALIZED (SELECT g.i AS doc_id, " +
+        s"list_aggregate(list(CAST(1.0 AS DOUBLE)/(si.s + sj.s) ORDER BY g.j), 'sum') AS denom " +
+        s"FROM $gmCte g JOIN $prev si ON g.i = si.doc_id JOIN $prev sj ON g.j = sj.doc_id " +
+        "GROUP BY g.i), " +
+        s"${pfx}s$tt AS MATERIALIZED (SELECT b.doc_id, CAST(b.wins AS DOUBLE)/dn.denom AS s " +
+        s"FROM $stCte b JOIN ${pfx}dn$tt dn USING (doc_id))"
+    }.mkString(", ")
+
+  /** Chat wrapper + turn-parse CTE chain (through `tt`: doc_id, turn_idx,
+    * role, content, ntk), shared by x133/x134 — the DuckDB twin of
+    * `Chat.withChat` + `Chat.parseTurns`.
+    */
+  val chatCtes =
+    s"t AS MATERIALIZED ($toksCte), " +
+      "cw AS MATERIALIZED (SELECT d.doc_id, t.toks, " +
+      "4 + CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':ct'), 1, 4)) AS INT) % 8 AS tl " +
+      "FROM documents d JOIN t ON d.doc_id = t.doc_id), " +
+      "ch AS MATERIALIZED (SELECT doc_id, array_to_string(list_transform(" +
+      "generate_series(1, CAST(ceil(CAST(len(toks) AS DOUBLE)/tl) AS INT)), " +
+      "i -> '##' || (CASE WHEN i % 2 = 1 THEN 'user' ELSE 'assistant' END) || '## ' || " +
+      "array_to_string(list_slice(toks, (i-1)*tl + 1, i*tl), ' ')), ' ') AS transcript FROM cw), " +
+      "pp AS MATERIALIZED (SELECT doc_id, string_split(transcript, '##') AS p FROM ch), " +
+      "px AS (SELECT doc_id, p, unnest(generate_series(1, " +
+      "CAST(floor((len(p)-1)/2.0) AS INT))) AS i FROM pp), " +
+      "tt AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS turn_idx, " +
+      "trim(p[2*i]) AS role, trim(p[2*i+1]) AS content, " +
+      "CAST(len(string_split(trim(p[2*i+1]), ' ')) AS BIGINT) AS ntk FROM px)"
+
+  def lrClassifySql(buckets: Int, iters: Int): String = {
+    val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
+    s"WITH ${lrCtes(buckets, iters)}, " +
+      "ho AS (SELECT * FROM fx WHERE NOT (" +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5)), " +
+      s"mf AS (SELECT f.doc_id, f.y, ($m) AS m FROM ho f CROSS JOIN wi$iters w) " +
+      "SELECT doc_id, y, (0.5 + 0.5*m/(1.0 + abs(m))) AS score, " +
+      "(0.5 + 0.5*m/(1.0 + abs(m))) >= 0.5 AS pred, " +
+      "((0.5 + 0.5*m/(1.0 + abs(m))) >= 0.5) = (y = 1.0) AS is_correct FROM mf"
+  }
+
+  /** x143: per-language fairness audit over the held-out scores. The
+    * mean-score fold is two-level (√|holdout| buckets inside each group —
+    * Trainer.lrGroupFairness's twin). */
+  def lrFairnessSql(buckets: Int, iters: Int): String = {
+    val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
+    s"WITH ${lrCtes(buckets, iters)}, " +
+      "ho AS (SELECT * FROM fx WHERE NOT (" +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5)), " +
+      s"mf AS (SELECT f.doc_id, f.y, ($m) AS m FROM ho f CROSS JOIN wi$iters w), " +
+      "sc3 AS (SELECT mf.doc_id, mf.y, d.lang AS grp, " +
+      "(0.5 + 0.5*m/(1.0 + abs(m))) AS score, " +
+      "(0.5 + 0.5*m/(1.0 + abs(m))) >= 0.5 AS pred, " +
+      "((0.5 + 0.5*m/(1.0 + abs(m))) >= 0.5) = (mf.y = 1.0) AS is_correct " +
+      "FROM mf JOIN documents d ON mf.doc_id = d.doc_id), " +
+      "ffb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM ho), " +
+      "fg1 AS (SELECT grp, doc_id % (SELECT b FROM ffb) AS bkt, " +
+      "CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(CASE WHEN is_correct THEN 1 ELSE 0 END) AS BIGINT) AS nc, " +
+      "CAST(sum(CASE WHEN pred THEN 1 ELSE 0 END) AS BIGINT) AS npr, " +
+      "CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS npos, " +
+      "list_aggregate(list_sort(list(score)), 'sum') AS ps " +
+      "FROM sc3 GROUP BY 1, 2) " +
+      "SELECT grp, CAST(sum(n) AS BIGINT) AS n, " +
+      "CAST(sum(nc) AS DOUBLE)/CAST(sum(n) AS DOUBLE) AS accuracy, " +
+      "CAST(sum(npr) AS DOUBLE)/CAST(sum(n) AS DOUBLE) AS pred_pos_rate, " +
+      "CAST(sum(npos) AS DOUBLE)/CAST(sum(n) AS DOUBLE) AS base_rate, " +
+      "list_aggregate(list(ps ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS mean_score " +
+      "FROM fg1 GROUP BY grp"
+  }
+
+  /** x137: decile reliability bins over the held-out scores; the
+    * mean-score fold is two-level (√|holdout| buckets inside each bin —
+    * Trainer.lrCalibration's twin). */
+  def lrCalibrationSql(buckets: Int, iters: Int): String = {
+    val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
+    s"WITH ${lrCtes(buckets, iters)}, " +
+      "ho AS (SELECT * FROM fx WHERE NOT (" +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5)), " +
+      s"mf AS (SELECT f.doc_id, f.y, ($m) AS m FROM ho f CROSS JOIN wi$iters w), " +
+      "sc2 AS (SELECT doc_id, y, (0.5 + 0.5*m/(1.0 + abs(m))) AS score FROM mf), " +
+      "cfb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM ho), " +
+      "cb1 AS (SELECT CAST(least(floor(score*10.0), 9.0) AS BIGINT) AS bin, " +
+      "doc_id % (SELECT b FROM cfb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
+      "list_aggregate(list_sort(list(score)), 'sum') AS ps, " +
+      "CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS np " +
+      "FROM sc2 GROUP BY 1, 2) " +
+      "SELECT bin, CAST(sum(n) AS BIGINT) AS n, " +
+      "list_aggregate(list(ps ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS mean_score, " +
+      "CAST(sum(np) AS DOUBLE)/CAST(sum(n) AS DOUBLE) AS frac_positive, " +
+      "abs(list_aggregate(list(ps ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) - " +
+      "CAST(sum(np) AS DOUBLE)/CAST(sum(n) AS DOUBLE)) AS gap " +
+      "FROM cb1 GROUP BY bin"
+  }
+
+  /** x190: Murphy Brier decomposition over the held-out scores — x137's
+    * scoring/binning chain, per-(bin, √n-bucket) sorted folds for the
+    * score and squared-error sums, 1-row totals, per-bin REL/RES terms,
+    * final ≤10-element bin-ordered folds. */
+  def brierSql(buckets: Int, iters: Int): String = {
+    val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
+    s"WITH ${lrCtes(buckets, iters)}, " +
+      "ho AS (SELECT * FROM fx WHERE NOT (" +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5)), " +
+      s"mf AS (SELECT f.doc_id, f.y, ($m) AS m FROM ho f CROSS JOIN wi$iters w), " +
+      "sc2 AS (SELECT doc_id, y, (0.5 + 0.5*m/(1.0 + abs(m))) AS score FROM mf), " +
+      "cfb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM ho), " +
+      "bb1 AS (SELECT CAST(least(floor(score*10.0), 9.0) AS BIGINT) AS bin, " +
+      "doc_id % (SELECT b FROM cfb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
+      "list_aggregate(list_sort(list(score)), 'sum') AS ps, " +
+      "list_aggregate(list_sort(list((score - y)*(score - y))), 'sum') AS pq, " +
+      "CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS np " +
+      "FROM sc2 GROUP BY 1, 2), " +
+      "bb2 AS (SELECT bin, CAST(sum(n) AS BIGINT) AS n, " +
+      "list_aggregate(list(ps ORDER BY bkt), 'sum') AS ssum, " +
+      "list_aggregate(list(pq ORDER BY bkt), 'sum') AS qsum, " +
+      "CAST(sum(np) AS BIGINT) AS n_pos FROM bb1 GROUP BY 1), " +
+      "bbt AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(n_pos) AS BIGINT) AS npt FROM bb2), " +
+      "bb3 AS (SELECT bin, qsum, nt, npt, CAST(npt AS DOUBLE)/CAST(nt AS DOUBLE) AS ybase, " +
+      "CAST(n AS DOUBLE)*((ssum/CAST(n AS DOUBLE)) - (CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE)))*" +
+      "((ssum/CAST(n AS DOUBLE)) - (CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE))) AS rel, " +
+      "CAST(n AS DOUBLE)*((CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE)) - CAST(npt AS DOUBLE)/CAST(nt AS DOUBLE))*" +
+      "((CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE)) - CAST(npt AS DOUBLE)/CAST(nt AS DOUBLE)) AS res " +
+      "FROM bb2, bbt), " +
+      "bb4 AS (SELECT nt, npt, ybase, " +
+      "list_aggregate(list(qsum ORDER BY bin), 'sum') AS bsum, " +
+      "list_aggregate(list(rel ORDER BY bin), 'sum') AS rsum, " +
+      "list_aggregate(list(res ORDER BY bin), 'sum') AS ssum2 FROM bb3 GROUP BY 1, 2, 3) " +
+      "SELECT nt AS n, ybase AS base_rate, bsum/CAST(nt AS DOUBLE) AS brier, " +
+      "rsum/CAST(nt AS DOUBLE) AS reliability, ssum2/CAST(nt AS DOUBLE) AS resolution, " +
+      "ybase*(1.0 - ybase) AS uncertainty, " +
+      "bsum/CAST(nt AS DOUBLE) - (rsum/CAST(nt AS DOUBLE) - ssum2/CAST(nt AS DOUBLE) + ybase*(1.0 - ybase)) AS decomp_gap " +
+      "FROM bb4"
+  }
+
+  /** x162: EL2N data-diet report — the lrChain truncated at
+    * [[Trainer.El2nIters]] steps (the early checkpoint is the method's
+    * point), per-doc |σ(m) − y| over the TRAIN slice, fixed-width bins,
+    * two-level √n-fold means (reusing the chain's own `fb` bucket law). */
+  def el2nSql(buckets: Int): String = {
+    val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
+    s"WITH ${lrFeatCtes(buckets)}, ${lrChain("", "tr", "wi0", Trainer.El2nIters, buckets)}, " +
+      s"elm AS (SELECT f.doc_id, f.y, ($m) AS m FROM tr f CROSS JOIN wi${Trainer.El2nIters} w), " +
+      "el AS (SELECT doc_id, abs((0.5 + 0.5*m/(1.0 + abs(m))) - y) AS el2n FROM elm), " +
+      "eb AS (SELECT doc_id, el2n, least(CAST(floor(el2n*10.0) AS BIGINT), 9) AS bin FROM el), " +
+      "b1 AS (SELECT bin, doc_id % (SELECT b FROM fb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
+      "list_aggregate(list_sort(list(el2n)), 'sum') AS s FROM eb GROUP BY 1, 2), " +
+      "b2 AS (SELECT bin, CAST(sum(n) AS BIGINT) AS n, " +
+      "list_aggregate(list(s ORDER BY bkt), 'sum') AS s FROM b1 GROUP BY 1), " +
+      "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_train FROM eb) " +
+      "SELECT bin, n, s / CAST(n AS DOUBLE) AS mean_el2n, " +
+      "CAST(n AS DOUBLE) / CAST(n_train AS DOUBLE) AS share, " +
+      s"bin <= ${Trainer.El2nPruneBin} AS pruned FROM b2, tot"
+  }
+
+  /** x172 span-corruption draw/coverage fragments: the per-(doc,
+    * position) hash draw and the SpanLen-candidate coverage OR. */
+  def spanDrawSql(q: String): String =
+    s"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST($q AS VARCHAR) || ':spanst'), 1, 8)) AS BIGINT)/4294967296.0"
+
+  def spanCovSql(q: String): String =
+    (0 until Chunking.SpanLen).map(o =>
+      s"(($q) - $o >= 1 AND ${spanDrawSql(s"($q) - $o")} < ${Chunking.SpanStartRate})")
+      .mkString("(", " OR ", ")")
+
+  /** The x172 span-corruption chain (shared with x173's R slice): ends
+    * with `sst (doc_id, n_tokens, n_spans, n_masked)` + `sin`/`stg` (the
+    * filtered ordered string joins). */
+  lazy val spanCtes: String =
+    s"t AS ($toksCte), " +
+      "sx AS (SELECT doc_id, p.i AS p, p.tok AS tok FROM " +
+      "(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)), " +
+      "i -> struct_pack(i := i, tok := toks[i]))) AS p FROM t)), " +
+      s"sm AS (SELECT doc_id, CAST(p AS BIGINT) AS p, tok, ${spanCovSql("p")} AS covered, " +
+      s"(${spanCovSql("p")}) AND NOT ${spanCovSql("p - 1")} AS runstart FROM sx), " +
+      "sk AS (SELECT *, CAST(sum(CASE WHEN runstart THEN 1 ELSE 0 END) OVER " +
+      "(PARTITION BY doc_id ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS k FROM sm), " +
+      "sp2 AS (SELECT doc_id, p, tok, covered, runstart, k, " +
+      "'<extra_id_' || CAST(k AS VARCHAR) || '>' AS sent FROM sk), " +
+      "sst AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+      "CAST(max(k) AS BIGINT) AS n_spans, " +
+      "CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_masked FROM sp2 GROUP BY 1), " +
+      "sin AS (SELECT doc_id, array_to_string(list(CASE WHEN runstart THEN sent ELSE tok END ORDER BY p), ' ') AS input_text " +
+      "FROM sp2 WHERE NOT covered OR runstart GROUP BY 1), " +
+      "stg AS (SELECT doc_id, array_to_string(list(CASE WHEN runstart THEN sent || ' ' || tok ELSE tok END ORDER BY p), ' ') AS target_text " +
+      "FROM sp2 WHERE covered GROUP BY 1)"
+
+  /** The x168 FIM chain (shared with x171): three hash draws,
+    * floor(u·(L+1)) character cuts reordered lo ≤ hi, PSM concat. Ends
+    * with `fimout (doc_id, source, fim_applied, n_prefix, n_middle,
+    * n_suffix, out_text)`. */
+  lazy val fimCtes: String =
+    "ff AS (SELECT doc_id, source, text, length(text) AS l, " +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fimapply'), 1, 8)) AS BIGINT)/4294967296.0 AS ua, " +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fimcut1'), 1, 8)) AS BIGINT)/4294967296.0 AS u1, " +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fimcut2'), 1, 8)) AS BIGINT)/4294967296.0 AS u2 " +
+      "FROM documents), " +
+      s"fcx AS (SELECT doc_id, source, text, l, ua < ${Chunking.FimRate} AS ap, " +
+      "least(CAST(floor(u1 * CAST(l + 1 AS DOUBLE)) AS INTEGER), CAST(floor(u2 * CAST(l + 1 AS DOUBLE)) AS INTEGER)) AS lo, " +
+      "greatest(CAST(floor(u1 * CAST(l + 1 AS DOUBLE)) AS INTEGER), CAST(floor(u2 * CAST(l + 1 AS DOUBLE)) AS INTEGER)) AS hi " +
+      "FROM ff), " +
+      "fimout AS (SELECT doc_id, source, ap AS fim_applied, " +
+      "CASE WHEN ap THEN CAST(lo AS BIGINT) END AS n_prefix, " +
+      "CASE WHEN ap THEN CAST(hi - lo AS BIGINT) END AS n_middle, " +
+      "CASE WHEN ap THEN CAST(l - hi AS BIGINT) END AS n_suffix, " +
+      s"CASE WHEN ap THEN '${Chunking.FimPre}' || substr(text, 1, lo) || " +
+      s"'${Chunking.FimSuf}' || substr(text, hi + 1, l - hi) || " +
+      s"'${Chunking.FimMid}' || substr(text, lo + 1, hi - lo) ELSE text END AS out_text " +
+      "FROM fcx)"
+
+  /** x170: decile-threshold operating-point sweep over the held-out
+    * scores, with the precision-target choice. `precision` is quoted —
+    * it is a reserved word in DuckDB. */
+  def gatePointsSql(buckets: Int, iters: Int): String = {
+    val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
+    val grid = (1 to 9).map(i => (i / 10.0).toString).mkString("[", ", ", "]")
+    s"WITH ${lrCtes(buckets, iters)}, " +
+      "ho AS (SELECT * FROM fx WHERE NOT (" +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5)), " +
+      s"mf AS (SELECT f.doc_id, f.y, ($m) AS m FROM ho f CROSS JOIN wi$iters w), " +
+      "sc2 AS (SELECT doc_id, y, (0.5 + 0.5*m/(1.0 + abs(m))) AS score FROM mf), " +
+      s"gth AS (SELECT unnest($grid) AS threshold), " +
+      "gpt AS (SELECT g.threshold, " +
+      "CAST(sum(CASE WHEN s.score >= g.threshold AND s.y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp, " +
+      "CAST(sum(CASE WHEN s.score >= g.threshold AND s.y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp, " +
+      "CAST(sum(CASE WHEN s.score < g.threshold AND s.y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn " +
+      "FROM sc2 s CROSS JOIN gth g GROUP BY 1), " +
+      "gpr AS (SELECT threshold, tp, fp, fn, " +
+      "CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE)/CAST(tp + fp AS DOUBLE) END AS \"precision\", " +
+      "CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE)/CAST(tp + fn AS DOUBLE) END AS recall FROM gpt), " +
+      "gp2 AS (SELECT *, CASE WHEN \"precision\" IS NOT NULL AND recall IS NOT NULL " +
+      "AND \"precision\" + recall > 0 THEN 2.0*\"precision\"*recall/(\"precision\" + recall) END AS f1 FROM gpr), " +
+      s"gmt AS (SELECT *, coalesce(\"precision\" >= ${Trainer.PrecisionTarget}, false) AS meets_target FROM gp2), " +
+      "gch AS (SELECT min(threshold) AS cht FROM gmt WHERE meets_target) " +
+      "SELECT threshold, tp, fp, fn, \"precision\", recall, f1, meets_target, " +
+      "coalesce(threshold = gch.cht, false) AS chosen FROM gmt, gch"
+  }
+
+  /** x185: exact midrank ROC-AUC over the held-out scores — the
+    * lrClassify scoring chain collapsed to distinct score values, the
+    * exclusive prefix count, and the doubled-unit Mann–Whitney statistic
+    * (2·midrank = 2·below + ties + 1, exact BIGINT throughout; AUC is
+    * the single final division). */
+  def gateAucSql(buckets: Int, iters: Int): String = {
+    val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
+    s"WITH ${lrCtes(buckets, iters)}, " +
+      "ho AS (SELECT * FROM fx WHERE NOT (" +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5)), " +
+      s"mf AS (SELECT f.doc_id, f.y, ($m) AS m FROM ho f CROSS JOIN wi$iters w), " +
+      "sc2 AS (SELECT doc_id, y, (0.5 + 0.5*m/(1.0 + abs(m))) AS score FROM mf), " +
+      "ag AS (SELECT score, CAST(count(*) AS BIGINT) AS c, " +
+      "CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS p FROM sc2 GROUP BY 1), " +
+      "aw AS (SELECT *, CAST(coalesce(sum(c) OVER (ORDER BY score " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb FROM ag), " +
+      "st AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(c - p) AS BIGINT) AS n_neg, " +
+      "CAST(sum(p*(2*cb + c + 1)) AS BIGINT) AS sr2 FROM aw) " +
+      "SELECT n_pos, n_neg, sr2 AS sum_ranks_pos_x2, " +
+      "CASE WHEN n_pos > 0 AND n_neg > 0 THEN " +
+      "CAST(sr2 - n_pos*(n_pos + 1) AS DOUBLE)/CAST(2*n_pos*n_neg AS DOUBLE) END AS auc FROM st"
+  }
+
+  /** x164: confident-learning label-noise audit — the lrClassify scoring
+    * chain, per-class two-level-fold mean-score thresholds, cross-class
+    * flags, 2-row rollup. */
+  def labelNoiseSql(buckets: Int, iters: Int): String = {
+    val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
+    s"WITH ${lrCtes(buckets, iters)}, " +
+      "ho AS (SELECT * FROM fx WHERE NOT (" +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5)), " +
+      s"mf AS (SELECT f.doc_id, f.y, ($m) AS m FROM ho f CROSS JOIN wi$iters w), " +
+      "sc2 AS (SELECT doc_id, y, (0.5 + 0.5*m/(1.0 + abs(m))) AS score FROM mf), " +
+      "cfb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM ho), " +
+      "lb1 AS (SELECT y, doc_id % (SELECT b FROM cfb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
+      "list_aggregate(list_sort(list(score)), 'sum') AS s FROM sc2 GROUP BY 1, 2), " +
+      "lb2 AS (SELECT y, list_aggregate(list(s ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS t FROM lb1 GROUP BY 1), " +
+      "th AS (SELECT sum(CASE WHEN y = 0.0 THEN t END) AS t0, sum(CASE WHEN y = 1.0 THEN t END) AS t1 FROM lb2), " +
+      "fl AS (SELECT sc2.y, ((sc2.y = 0.0 AND sc2.score >= th.t1) OR (sc2.y = 1.0 AND sc2.score <= th.t0)) AS flag FROM sc2, th), " +
+      "ag AS (SELECT y AS given_label, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged FROM fl GROUP BY 1) " +
+      "SELECT given_label, n, CASE WHEN given_label = 1.0 THEN th.t0 ELSE th.t1 END AS cross_thresh, " +
+      "n_flagged, CAST(n_flagged AS DOUBLE)/CAST(n AS DOUBLE) AS noise_rate FROM ag, th"
+  }
+
+  /** x151: gradient-dot data influence (TracIn at the final checkpoint).
+    * The held-out mean gradient is the SAME two-level √n fold shape as
+    * the training chain (sorted fold per `doc_id % B` bucket, bucket-
+    * ordered fold of the sums, B = ceil(sqrt(|holdout|))); the per-
+    * training-doc dot mirrors Spark's left-associated chain; top-K by
+    * influence DESC, doc_id. */
+  /** The influence chain through `isc (doc_id, y, influence)` — shared by
+    * x151's top-k and x159's per-source rollup. */
+  def lrInfluenceChain(buckets: Int, iters: Int): String = {
+    val dim = buckets + 2
+    val m = (Seq("w.wb") ++ (0 until dim).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
+    s"${lrCtes(buckets, iters)}, " +
+      "ho AS (SELECT * FROM fx WHERE NOT (" +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5)), " +
+      "ifb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM ho), " +
+      "ihr AS (SELECT doc_id, x, ((0.5 + 0.5*m/(1.0 + abs(m))) - y) AS r FROM " +
+      s"(SELECT f.doc_id, f.x, f.y, ($m) AS m FROM ho f CROSS JOIN wi$iters w)), " +
+      "is1 AS (SELECT doc_id % (SELECT b FROM ifb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
+      (Seq("list_aggregate(list_sort(list(r)), 'sum') AS gvb") ++
+        (0 until dim).map(j =>
+          s"list_aggregate(list_sort(list(r*x[${j + 1}])), 'sum') AS gv$j")).mkString(", ") +
+      " FROM ihr GROUP BY 1), " +
+      "igv AS (SELECT CAST(sum(n) AS DOUBLE) AS nv, " +
+      (Seq("list_aggregate(list(gvb ORDER BY bkt), 'sum') AS gvb") ++
+        (0 until dim).map(j =>
+          s"list_aggregate(list(gv$j ORDER BY bkt), 'sum') AS gv$j")).mkString(", ") +
+      " FROM is1), " +
+      "igm AS (SELECT " +
+      (Seq("gvb/nv AS gvb") ++ (0 until dim).map(j => s"gv$j/nv AS gv$j")).mkString(", ") +
+      " FROM igv), " +
+      s"itr AS (SELECT f.doc_id, f.y, f.x, ($m) AS m FROM tr f CROSS JOIN wi$iters w), " +
+      "isc AS (SELECT t.doc_id, t.y, ((0.5 + 0.5*t.m/(1.0 + abs(t.m))) - t.y) * (" +
+      (Seq("g.gvb") ++ (0 until dim).map(j => s"t.x[${j + 1}]*g.gv$j")).mkString(" + ") +
+      ") AS influence FROM itr t CROSS JOIN igm g)"
+  }
+
+  def lrInfluenceSql(buckets: Int, iters: Int, topK: Int): String =
+    s"WITH ${lrInfluenceChain(buckets, iters)} " +
+      "SELECT * FROM (SELECT CAST(row_number() OVER (ORDER BY influence DESC, doc_id) AS BIGINT) AS rank, " +
+      s"doc_id, y, influence FROM isc) WHERE rank <= $topK"
+
+  /** x159: per-source influence rollup — the same two-level √n fold
+    * shape as x137/x143, bucket count from the TRAIN slice. */
+  def lrInfluenceBySourceSql(buckets: Int, iters: Int): String =
+    s"WITH ${lrInfluenceChain(buckets, iters)}, " +
+      "sfb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM tr), " +
+      "sg1 AS (SELECT d.source, isc.doc_id % (SELECT b FROM sfb) AS bkt, " +
+      "CAST(count(*) AS BIGINT) AS n, " +
+      "list_aggregate(list_sort(list(influence)), 'sum') AS ps " +
+      "FROM isc JOIN documents d ON isc.doc_id = d.doc_id GROUP BY 1, 2) " +
+      "SELECT source, CAST(sum(n) AS BIGINT) AS n_train_docs, " +
+      "list_aggregate(list(ps ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS mean_influence " +
+      "FROM sg1 GROUP BY source"
+
+  /** x136: warm-start continuation vs cold retrain, one comparison row. */
+  def lrIncrementalSql(buckets: Int, itersBase: Int, itersWarm: Int): String = {
+    val dim = buckets + 2
+    val m = (Seq("w.wb") ++ (0 until dim).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
+    val draw = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0"
+    s"WITH ${lrFeatCtes(buckets)}, " +
+      s"tr2 AS MATERIALIZED (SELECT * FROM fx WHERE $draw < 0.75), " +
+      s"ho3 AS MATERIALIZED (SELECT * FROM fx WHERE NOT ($draw < 0.75)), " +
+      lrChain("", "tr", "wi0", itersBase, buckets) + ", " +
+      lrChain("wm", "tr2", s"wi$itersBase", itersWarm, buckets) + ", " +
+      lrChain("cd", "tr2", "wi0", itersBase + itersWarm, buckets) + ", " +
+      s"sw AS (SELECT f.doc_id, f.y, ((0.5 + 0.5*($m)/(1.0 + abs($m))) >= 0.5) AS pred_warm " +
+      s"FROM ho3 f CROSS JOIN wmwi$itersWarm w), " +
+      s"sc AS (SELECT f.doc_id, ((0.5 + 0.5*($m)/(1.0 + abs($m))) >= 0.5) AS pred_cold " +
+      s"FROM ho3 f CROSS JOIN cdwi${itersBase + itersWarm} w), " +
+      "ev AS (SELECT CAST(count(*) AS BIGINT) AS n_holdout, " +
+      "CAST(sum(CASE WHEN a.pred_warm = (a.y = 1.0) THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS acc_warm, " +
+      "CAST(sum(CASE WHEN b.pred_cold = (a.y = 1.0) THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS acc_cold, " +
+      "CAST(sum(CASE WHEN a.pred_warm = b.pred_cold THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS pred_agreement " +
+      "FROM sw a JOIN sc b USING (doc_id)), " +
+      "md AS (SELECT greatest(" +
+      (Seq("abs(a.wb - b.wb)") ++ (0 until dim).map(j => s"abs(a.w$j - b.w$j)")).mkString(", ") +
+      s") AS max_w_diff FROM wmwi$itersWarm a CROSS JOIN cdwi${itersBase + itersWarm} b), " +
+      "ct AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_base, " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM tr2) - (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_batch) " +
+      "SELECT ct.n_base, ct.n_batch, md.max_w_diff, ev.n_holdout, ev.acc_warm, ev.acc_cold, " +
+      "ev.pred_agreement FROM ct, md, ev"
+  }
+
+  /** Best-of-N chain (x147/x148): corpus-wide trained-scorer scores
+    * (`sca` — the lrScoreAll twin), occupancy-law prompt pools (`bpl`),
+    * per-pool score ranks (`brn`). */
+  def bonCtes(buckets: Int, iters: Int): String = {
+    val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
+    s"${lrCtes(buckets, iters)}, " +
+      s"bmm AS (SELECT f.doc_id, ($m) AS m FROM fx f CROSS JOIN wi$iters w), " +
+      "sca AS MATERIALIZED (SELECT doc_id, (0.5 + 0.5*m/(1.0 + abs(m))) AS score FROM bmm), " +
+      "bpl AS (SELECT doc_id, score, " +
+      "CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':bon'), 1, 4)) AS INT) % " +
+      s"least(${Preference.MaxPools}, greatest(${Preference.Pools}, " +
+      s"(SELECT count(*) FROM sca) // ${Preference.PoolOccupancy})) AS BIGINT) AS prompt_id FROM sca), " +
+      "brn AS MATERIALIZED (SELECT doc_id, score, prompt_id, " +
+      "CAST(row_number() OVER (PARTITION BY prompt_id ORDER BY score DESC, doc_id) AS BIGINT) AS rn FROM bpl)"
+  }
+
+  /** Full-corpus MinHash+LSH SQL (x03); x49 filters it to batch-side pairs. */
+  val minhashLshSql =
+    s"WITH $minhashCandCtes, " +
+      "c AS (SELECT cand.doc_a, cand.doc_b, CAST(count(*) AS BIGINT) AS common FROM cand " +
+      "JOIN ex ea ON ea.doc_id = cand.doc_a JOIN ex eb ON eb.doc_id = cand.doc_b AND ea.sh = eb.sh " +
+      "GROUP BY 1, 2) " +
+      jaccardTail
+
+  /** Full-corpus exact all-pairs shingle-Jaccard SQL (x02; reused by x64's
+    * prefix-filter twin and x69's recall report). */
+  val jaccardAllPairsSql =
+    s"WITH t AS ($toksCte), sh AS ($shinglesCte), " +
+      "ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh), " +
+      "sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh), " +
+      "c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common " +
+      "FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      jaccardTail
+
+  /** ANN top-10 SQL twins (x06/x07; reused by x70's recall report). */
+  lazy val annBruteSql =
+    "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
+      "s AS (SELECT q_id, vec_id, " +
+      s"${dotSql("qe", "CAST(embedding AS DOUBLE[])")} AS cos " +
+      "FROM embeddings, q WHERE q_id <> vec_id), " +
+      "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
+      "SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10"
+
+  /** One PQ config's full train→encode→ADC chain (x146) — the DuckDB twin
+    * of [[Similarity.pqTrain]]/[[Similarity.pqTopK]]: subvector slices,
+    * the bounded md5-stride training sample, K-smallest-sampled init,
+    * `iters` Lloyd rounds with per-(sub, cid, dim) sorted-fold means
+    * (empty cells keep their centroid), final-codebook encode over the
+    * FULL corpus, query dot LUT, sub-ordered ADC score folds, per-query
+    * top-k. Ends with `${p}tk (q_id, vec_id)`.
+    */
+  def pqChainSql(p: String, m: Int, kc: Int, iters: Int, k: Int,
+      src: String = "embeddings"): String = {
+    val ds = Similarity.PqDims / m
+    // ds==1 shortcut: 0.0 + v == v in IEEE, so the unrolled form is the
+    // same double as the generic fold — and ~10x less list machinery
+    def l2(x: String, c: String): String =
+      if (ds == 1) s"($x[1]-$c[1])*($x[1]-$c[1])"
+      else s"list_aggregate(list_transform(range(1, ${ds + 1}), i -> ($x[i]-$c[i])*($x[i]-$c[i])), 'sum')"
+    def dot(x: String, c: String): String =
+      if (ds == 1) s"$x[1]*$c[1]"
+      else s"list_aggregate(list_transform(range(1, ${ds + 1}), i -> $x[i]*$c[i]), 'sum')"
+    def assign(name: String, srcName: String, centName: String): String =
+      s"$name AS (SELECT vec_id, sub, svec, cid FROM (" +
+        s"SELECT v.vec_id, v.sub, v.svec, c.cid, row_number() OVER (PARTITION BY v.vec_id, v.sub " +
+        s"ORDER BY ${l2("v.svec", "c.cvec")}, c.cid) AS r FROM $srcName v JOIN $centName c USING (sub)) WHERE r = 1)"
+    val sb = new StringBuilder
+    sb ++= s"${p}sv AS MATERIALIZED (SELECT vec_id, CAST(s.sub AS BIGINT) AS sub, s.svec AS svec FROM " +
+      s"(SELECT vec_id, unnest(list_transform(range(0, $m), ss -> struct_pack(sub := ss, " +
+      s"svec := (CAST(embedding AS DOUBLE[]))[ss*$ds+1 : ss*$ds+$ds]))) AS s FROM $src)), "
+    // bounded deterministic training sample: keep-threshold from ONE
+    // corpus count (Similarity.pqTrainThreshold), then the 32-bit md5
+    // prefix draw — P(keep) = cap/n with no divisibility bias (ADVICE r8)
+    sb ++= s"${p}st AS (SELECT 4294967296.0 * ${Similarity.PqTrainCap} / greatest(count(*), 1) AS t FROM $src), "
+    sb ++= s"${p}ssv AS MATERIALIZED (SELECT * FROM ${p}sv WHERE " +
+      s"CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':pqs'), 1, 8)) AS BIGINT) < (SELECT t FROM ${p}st)), "
+    sb ++= s"${p}ini AS (SELECT vec_id FROM (SELECT DISTINCT vec_id FROM ${p}ssv) ORDER BY vec_id LIMIT $kc), "
+    sb ++= s"${p}c0 AS (SELECT sub, CAST(v.vec_id AS BIGINT) AS cid, svec AS cvec FROM ${p}ssv v JOIN ${p}ini USING (vec_id)), "
+    for (t <- 1 to iters) {
+      sb ++= assign(s"${p}a$t", s"${p}ssv", s"${p}c${t - 1}") + ", "
+      sb ++= s"${p}u$t AS (SELECT sub, cid, u.d AS d, " +
+        "list_aggregate(list_sort(list(u.v)), 'sum')/count(*) AS mv FROM " +
+        s"(SELECT sub, cid, unnest(list_transform(range(1, ${ds + 1}), i -> struct_pack(d := i, v := svec[i]))) AS u " +
+        s"FROM ${p}a$t) GROUP BY sub, cid, u.d), "
+      sb ++= s"${p}m$t AS (SELECT sub, cid, list(mv ORDER BY d) AS cvec FROM ${p}u$t GROUP BY 1, 2), "
+      sb ++= s"${p}c$t AS MATERIALIZED (SELECT c.sub, c.cid, coalesce(mm.cvec, c.cvec) AS cvec " +
+        s"FROM ${p}c${t - 1} c LEFT JOIN ${p}m$t mm USING (sub, cid)), "
+    }
+    sb ++= assign(s"${p}enc", s"${p}sv", s"${p}c$iters") + ", "
+    sb ++= s"${p}lut AS (SELECT q.vec_id AS q_id, q.sub, c.cid, ${dot("q.svec", "c.cvec")} AS pdot " +
+      s"FROM ${p}sv q JOIN ${p}c$iters c USING (sub) WHERE q.vec_id < 5), "
+    sb ++= s"${p}scs AS (SELECT l.q_id, e.vec_id, list_aggregate(list(l.pdot ORDER BY l.sub), 'sum') AS score " +
+      s"FROM ${p}enc e JOIN ${p}lut l ON e.sub = l.sub AND e.cid = l.cid WHERE e.vec_id <> l.q_id GROUP BY 1, 2), "
+    sb ++= s"${p}tk AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+      s"row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS r FROM ${p}scs) WHERE r <= $k)"
+    sb.toString
+  }
+
+  /** The x146 PQ configs: (sql prefix, M, K, bytes/vector). */
+  val pqConfigs: Seq[(String, Int, Int, Double)] =
+    Seq(("pa", 8, 16, 4.0), ("pb", 16, 16, 8.0), ("pc", 64, 256, 64.0))
+
+  /** The Gopher repetition-signal chain (x155; reused by x158). ASSUMES a
+    * `t (doc_id, toks)` CTE is already in scope. Ends with `rsig
+    * (doc_id, n_tokens, total_chars, five fracs, repetitive)`. */
+  lazy val repetitionCtes: String = {
+    def gramsCte(n: Int, nm: String) =
+      s"$nm AS (SELECT doc_id, s.i AS pos, s.g AS gram FROM " +
+        s"(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-${n - 1}), " +
+        s"i -> struct_pack(i := i, g := array_to_string(toks[i:i+${n - 1}], ' ')))) AS s " +
+        s"FROM t WHERE len(toks) >= $n))"
+    def topCte(n: Int, g: String, nm: String) =
+      s"$nm AS (SELECT doc_id, CAST(cnt * (length(gram) - ${n - 1}) AS BIGINT) AS num FROM " +
+        "(SELECT doc_id, gram, count(*) AS cnt, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram) AS r " +
+        s"FROM $g GROUP BY doc_id, gram) WHERE r = 1)"
+    def dupCte(n: Int, g: String, nm: String) =
+      s"${nm}d AS (SELECT doc_id, gram FROM $g GROUP BY doc_id, gram HAVING count(*) >= 2), " +
+        s"${nm}c AS (SELECT DISTINCT doc_id, p FROM (SELECT $g.doc_id AS doc_id, " +
+        s"unnest(generate_series($g.pos, $g.pos + ${n - 1})) AS p FROM $g JOIN ${nm}d USING (doc_id, gram))), " +
+        s"$nm AS (SELECT c.doc_id, CAST(sum(tk.tc) AS BIGINT) AS num FROM ${nm}c c " +
+        "JOIN rtokc tk ON tk.doc_id = c.doc_id AND tk.p = c.p GROUP BY 1)"
+    def fr(src: String, out: String) =
+      s"CASE WHEN total_chars > 0 THEN CAST(coalesce($src, 0) AS DOUBLE)/CAST(total_chars AS DOUBLE) ELSE 0.0 END AS $out"
+    "rb AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+      "CAST(coalesce(list_aggregate(list_transform(toks, tk -> CAST(length(tk) AS BIGINT)), 'sum'), 0) AS BIGINT) AS total_chars FROM t), " +
+      "rtokc AS (SELECT doc_id, s.p AS p, length(s.tok) AS tc FROM " +
+      "(SELECT doc_id, unnest(list_transform(range(1, len(toks)+1), j -> struct_pack(p := j, tok := toks[j]))) AS s FROM t)), " +
+      s"${gramsCte(2, "rg2")}, ${gramsCte(3, "rg3")}, ${gramsCte(4, "rg4")}, " +
+      s"${gramsCte(5, "rg5")}, ${gramsCte(8, "rg8")}, " +
+      s"${topCte(2, "rg2", "rt2")}, ${topCte(3, "rg3", "rt3")}, ${topCte(4, "rg4", "rt4")}, " +
+      s"${dupCte(5, "rg5", "rd5")}, ${dupCte(8, "rg8", "rd8")}, " +
+      "rsig AS (SELECT doc_id, n_tokens, total_chars, top2_char_frac, top3_char_frac, " +
+      "top4_char_frac, dup5_char_frac, dup8_char_frac, " +
+      s"(top2_char_frac > ${TextOps.RepTop2} OR top3_char_frac > ${TextOps.RepTop3} " +
+      s"OR top4_char_frac > ${TextOps.RepTop4} OR dup5_char_frac > ${TextOps.RepDup5} " +
+      s"OR dup8_char_frac > ${TextOps.RepDup8}) AS repetitive FROM " +
+      "(SELECT rb.doc_id, rb.n_tokens, rb.total_chars, " +
+      s"${fr("rt2.num", "top2_char_frac")}, ${fr("rt3.num", "top3_char_frac")}, " +
+      s"${fr("rt4.num", "top4_char_frac")}, ${fr("rd5.num", "dup5_char_frac")}, " +
+      s"${fr("rd8.num", "dup8_char_frac")} " +
+      "FROM rb LEFT JOIN rt2 USING (doc_id) LEFT JOIN rt3 USING (doc_id) " +
+      "LEFT JOIN rt4 USING (doc_id) LEFT JOIN rd5 USING (doc_id) LEFT JOIN rd8 USING (doc_id)))"
+  }
+
+  /** The DSIR hashed-unigram likelihood-ratio chain (x84; reused by
+    * x156's resample): target/source bucket counts, add-1-smoothed
+    * ratios, per-doc position-ordered lr folds. Ends with
+    * `dw (doc_id, n_feats, avg_lr)`. */
+  lazy val dsirCtes: String =
+    "t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +
+      "tf AS (SELECT CAST(('0x' || substr(md5(tok), 1, 4)) AS INT) % 1024 AS f " +
+      "FROM (SELECT unnest(toks) AS tok FROM t WHERE source = 'src0')), " +
+      "sf AS (SELECT CAST(('0x' || substr(md5(tok), 1, 4)) AS INT) % 1024 AS f " +
+      "FROM (SELECT unnest(toks) AS tok FROM t WHERE source <> 'src0')), " +
+      "ct AS (SELECT f, CAST(count(*) AS BIGINT) AS c_t FROM tf GROUP BY 1), " +
+      "cs AS (SELECT f, CAST(count(*) AS BIGINT) AS c_s FROM sf GROUP BY 1), " +
+      "st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM tf) AS n_t, " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM sf) AS n_s), " +
+      "r AS (SELECT f, CAST((coalesce(c_t, 0) + 1) * (n_s + 1024) AS DOUBLE) " +
+      "/ CAST((coalesce(c_s, 0) + 1) * (n_t + 1024) AS DOUBLE) AS lr " +
+      "FROM ct FULL JOIN cs USING (f), st), " +
+      "pr AS (SELECT doc_id, p.i AS i, " +
+      "CAST(('0x' || substr(md5(p.tok), 1, 4)) AS INT) % 1024 AS f " +
+      "FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)), " +
+      "i -> struct_pack(i := i, tok := toks[i]))) AS p FROM t WHERE source <> 'src0')), " +
+      "sp AS (SELECT doc_id, i, coalesce(lr, " +
+      "CAST(n_s + 1024 AS DOUBLE) / CAST(n_t + 1024 AS DOUBLE)) AS lr " +
+      "FROM pr LEFT JOIN r USING (f), st), " +
+      "dw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats, " +
+      "list_aggregate(list(lr ORDER BY i), 'sum') / count(*) AS avg_lr " +
+      "FROM sp GROUP BY doc_id)"
+
+  /** The stored-IVFADC probe chain (x152; the ANN leg of x153): stride-
+    * centroid cell assignment (x58's form), the full PQ chain (prefix
+    * `pi`, the [[Similarity.IvfPqM]] config), the 5 fixture queries' ADC
+    * LUT, cell-confined candidates, sub-ordered score folds. Ends with
+    * `iscs (q_id, vec_id, score)`. */
+  /** Effective-token CTE chain (x189/x198): digest copy-rank window,
+    * dyadic decay with the rank-63 guard, √n bucket partials. Ends with
+    * `e1 (source, bkt, n, t, u, ps)`. */
+  lazy val effTokenCtes: String =
+    "eg AS (SELECT doc_id, source, md5(text) AS h, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents), " +
+      "er AS (SELECT *, CAST(row_number() OVER (PARTITION BY h ORDER BY doc_id) AS BIGINT) AS r FROM eg), " +
+      "ee AS (SELECT *, CASE WHEN r <= 63 THEN CAST(nt AS DOUBLE)/" +
+      "CAST((CAST(1 AS BIGINT) << CAST(r - 1 AS INTEGER)) AS DOUBLE) ELSE 0.0 END AS eff FROM er), " +
+      "efb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM documents), " +
+      "e1 AS (SELECT source, doc_id % (SELECT b FROM efb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(nt) AS BIGINT) AS t, CAST(sum(CASE WHEN r = 1 THEN nt ELSE 0 END) AS BIGINT) AS u, " +
+      "list_aggregate(list_sort(list(eff)), 'sum') AS ps FROM ee GROUP BY 1, 2)"
+
+  /** IVF-BIN probe CTE chain (x193/x195): double-cast embeddings, stride
+    * centroids, cell assignment, sign pieces, the 5 fixture queries'
+    * nprobe1/nprobe2 cell sets and per-cell Hamming scores. Ends with
+    * `vh1`/`vh2` (q_id, vec_id, hamming); `pz`/`vqs` carry full vectors
+    * for the rerank legs. */
+  lazy val ivfBinProbeCtes: String = {
+    val piece = (0 until 4).map { p =>
+      val terms = (0 until 16).map(i =>
+        s"CASE WHEN emb[${p * 16 + i + 1}] > 0 THEN ${1 << i} ELSE 0 END")
+        .mkString(" + ")
+      s"($terms)"
+    }.mkString("[", ", ", "]")
+    val hamZip =
+      "CAST(list_aggregate(list_transform(list_zip(q.q_sig, v.sig), z -> bit_count(xor(z[1], z[2]))), 'sum') AS BIGINT)"
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+      s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
+      "iscored AS (SELECT e.vec_id, cents.cent_id, " +
+      s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
+      "iasg AS (SELECT vec_id, cent_id AS cell FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t WHERE r = 1), " +
+      s"pz AS (SELECT vec_id, emb, $piece AS sig FROM e), " +
+      "vq1 AS (SELECT vec_id AS q_id, cell FROM iasg WHERE vec_id < 5), " +
+      "vq2 AS (SELECT vec_id AS q_id, cent_id AS cell FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t " +
+      "WHERE r <= 2 AND vec_id < 5), " +
+      "vqs AS (SELECT vec_id AS q_id, emb AS q_emb, sig AS q_sig FROM pz WHERE vec_id < 5), " +
+      "vh1 AS (SELECT c.q_id, a.vec_id, " + hamZip + " AS hamming " +
+      "FROM iasg a JOIN vq1 c USING (cell) JOIN pz v ON v.vec_id = a.vec_id " +
+      "JOIN vqs q ON q.q_id = c.q_id WHERE c.q_id <> a.vec_id), " +
+      "vh2 AS (SELECT c.q_id, a.vec_id, " + hamZip + " AS hamming " +
+      "FROM iasg a JOIN vq2 c USING (cell) JOIN pz v ON v.vec_id = a.vec_id " +
+      "JOIN vqs q ON q.q_id = c.q_id WHERE c.q_id <> a.vec_id)"
+  }
+
+  lazy val ivfPqProbeCtes: String = {
+    val m = Similarity.IvfPqM
+    val kc = Similarity.PqK
+    val ds = Similarity.PqDims / m
+    val dotQ = s"list_aggregate(list_transform(range(1, ${ds + 1}), i -> q.svec[i]*c.cvec[i]), 'sum')"
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+      s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
+      "iscored AS (SELECT e.vec_id, cents.cent_id, " +
+      s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
+      "iasg AS (SELECT vec_id, cent_id AS cell FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t WHERE r = 1), " +
+      pqChainSql("pi", m, kc, Similarity.PqIters, 10) + ", " +
+      "iqc AS (SELECT vec_id AS q_id, cell FROM iasg WHERE vec_id < 5), " +
+      s"iplut AS (SELECT q.vec_id AS q_id, q.sub, c.cid, $dotQ AS pdot " +
+      s"FROM pisv q JOIN pic${Similarity.PqIters} c USING (sub) WHERE q.vec_id < 5), " +
+      "icand AS (SELECT iqc.q_id, a.vec_id FROM iasg a JOIN iqc USING (cell) WHERE iqc.q_id <> a.vec_id), " +
+      "iscs AS (SELECT cd.q_id, cd.vec_id, list_aggregate(list(l.pdot ORDER BY l.sub), 'sum') AS score " +
+      "FROM icand cd JOIN pienc en ON en.vec_id = cd.vec_id " +
+      "JOIN iplut l ON l.q_id = cd.q_id AND l.sub = en.sub AND l.cid = en.cid GROUP BY 1, 2), " +
+      // nprobe=2 legs (x154 only — unreferenced CTEs cost nothing):
+      // each query's TWO nearest cells, same candidate/score shape
+      "iqc2 AS (SELECT vec_id AS q_id, cent_id AS cell FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t " +
+      "WHERE r <= 2 AND vec_id < 5), " +
+      "icand2 AS (SELECT iqc2.q_id, a.vec_id FROM iasg a JOIN iqc2 USING (cell) WHERE iqc2.q_id <> a.vec_id), " +
+      "iscs2 AS (SELECT cd.q_id, cd.vec_id, list_aggregate(list(l.pdot ORDER BY l.sub), 'sum') AS score " +
+      "FROM icand2 cd JOIN pienc en ON en.vec_id = cd.vec_id " +
+      "JOIN iplut l ON l.q_id = cd.q_id AND l.sub = en.sub AND l.cid = en.cid GROUP BY 1, 2)"
+  }
+
+  /** The residual-IVFADC chain (x161): same cell assignment as
+    * [[ivfPqProbeCtes]], but the PQ chain (prefix `pr`) trains on and
+    * encodes the RESIDUAL source `rsrc` (x − c(cell)), queries keep RAW
+    * subvectors for the LUT, and scores add the per-(query, cell) offset
+    * `q·c` — which is exactly `iscored`'s `cent_cos` (dotSql is the plain
+    * dot both sides compute). Also ends with the exact cell-confined
+    * ceiling legs `ext1`/`ext2` (x13's chain at nprobe 1 and 2). */
+  lazy val ivfPqResCtes: String = {
+    val m = Similarity.IvfPqM
+    val kc = Similarity.PqK
+    val ds = Similarity.PqDims / m
+    val dims = Similarity.PqDims
+    val dotQ = s"list_aggregate(list_transform(range(1, ${ds + 1}), i -> q.svec[i]*c.cvec[i]), 'sum')"
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+      s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
+      "iscored AS (SELECT e.vec_id, cents.cent_id, " +
+      s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
+      "iasg AS (SELECT vec_id, cent_id AS cell FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t WHERE r = 1), " +
+      s"rsrc AS MATERIALIZED (SELECT a.vec_id, list_transform(range(1, ${dims + 1}), " +
+      "i -> e.emb[i] - c.cent_emb[i]) AS embedding " +
+      "FROM iasg a JOIN e USING (vec_id) JOIN cents c ON a.cell = c.cent_id), " +
+      pqChainSql("pr", m, kc, Similarity.PqIters, 10, src = "rsrc") + ", " +
+      s"rqsv AS (SELECT vec_id, CAST(s.sub AS BIGINT) AS sub, s.svec AS svec FROM " +
+      s"(SELECT vec_id, unnest(list_transform(range(0, $m), ss -> struct_pack(sub := ss, " +
+      s"svec := emb[ss*$ds+1 : ss*$ds+$ds]))) AS s FROM e WHERE vec_id < 5)), " +
+      s"rlut AS (SELECT q.vec_id AS q_id, q.sub, c.cid, $dotQ AS pdot " +
+      s"FROM rqsv q JOIN prc${Similarity.PqIters} c USING (sub)), " +
+      "roff AS (SELECT vec_id AS q_id, cent_id AS cell, cent_cos AS off FROM iscored WHERE vec_id < 5), " +
+      "rqc AS (SELECT vec_id AS q_id, cell FROM iasg WHERE vec_id < 5), " +
+      "rqc2 AS (SELECT vec_id AS q_id, cent_id AS cell FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t " +
+      "WHERE r <= 2 AND vec_id < 5), " +
+      "rcand AS (SELECT rqc.q_id, a.vec_id, cell FROM iasg a JOIN rqc USING (cell) WHERE rqc.q_id <> a.vec_id), " +
+      "rcand2 AS (SELECT rqc2.q_id, a.vec_id, cell FROM iasg a JOIN rqc2 USING (cell) WHERE rqc2.q_id <> a.vec_id), " +
+      "rscs AS (SELECT cd.q_id, cd.vec_id, o.off + list_aggregate(list(l.pdot ORDER BY l.sub), 'sum') AS score " +
+      "FROM rcand cd JOIN prenc en ON en.vec_id = cd.vec_id " +
+      "JOIN rlut l ON l.q_id = cd.q_id AND l.sub = en.sub AND l.cid = en.cid " +
+      "JOIN roff o ON o.q_id = cd.q_id AND o.cell = cd.cell GROUP BY cd.q_id, cd.vec_id, o.off), " +
+      "rscs2 AS (SELECT cd.q_id, cd.vec_id, o.off + list_aggregate(list(l.pdot ORDER BY l.sub), 'sum') AS score " +
+      "FROM rcand2 cd JOIN prenc en ON en.vec_id = cd.vec_id " +
+      "JOIN rlut l ON l.q_id = cd.q_id AND l.sub = en.sub AND l.cid = en.cid " +
+      "JOIN roff o ON o.q_id = cd.q_id AND o.cell = cd.cell GROUP BY cd.q_id, cd.vec_id, o.off), " +
+      "iasge AS (SELECT a.vec_id, e.emb, a.cell FROM iasg a JOIN e USING (vec_id)), " +
+      "exs1 AS (SELECT q.q_id, a.vec_id, " + dotSql("q.q_emb", "a.emb") + " AS cos " +
+      "FROM iasge a JOIN (SELECT vec_id AS q_id, emb AS q_emb, cell FROM iasge WHERE vec_id < 5) q USING (cell) " +
+      "WHERE q.q_id <> a.vec_id), " +
+      "ext1 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS r FROM exs1) WHERE r <= 10), " +
+      "exs2 AS (SELECT q.q_id, a.vec_id, " + dotSql("q.q_emb", "a.emb") + " AS cos " +
+      "FROM iasge a JOIN (SELECT qc.q_id, e.emb AS q_emb, qc.cell FROM rqc2 qc JOIN e ON e.vec_id = qc.q_id) q USING (cell) " +
+      "WHERE q.q_id <> a.vec_id), " +
+      "ext2 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS r FROM exs2) WHERE r <= 10)"
+  }
+
+  lazy val annLshSql =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+      s"be AS (SELECT vec_id, emb, $bucketSql AS bucket FROM e), " +
+      "q AS (SELECT vec_id AS q_id, emb AS qe, bucket FROM be WHERE vec_id < 5), " +
+      "s AS (SELECT q.q_id, be.vec_id, " +
+      s"${dotSql("q.qe", "be.emb")} AS cos " +
+      "FROM be JOIN q USING (bucket) WHERE q.q_id <> be.vec_id), " +
+      "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
+      "SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10"
+
+  /** Table-l multi-LSH bucket expression (x71/x72 oracle lock-step). */
+  def multiBucketSql(l: Int): String =
+    (0 until Similarity.PlanesPerTable).map { p =>
+      s"(CASE WHEN ${dotSql("emb", Similarity.multiPlaneSql(l, p))} >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  lazy val annMultiSql =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+      s"be AS (SELECT vec_id, emb, unnest(generate_series(0, ${Similarity.LshTables - 1})) AS tbl, " +
+      (0 until Similarity.LshTables).map(multiBucketSql)
+        .mkString("unnest([", ", ", "]) AS bkt FROM e), ") +
+      "q AS (SELECT vec_id AS q_id, emb AS q_emb, tbl, bkt FROM be WHERE vec_id < 5), " +
+      "s AS (SELECT DISTINCT q.q_id, c.vec_id, " +
+      s"${dotSql("q.q_emb", "c.emb")} AS cos " +
+      "FROM be c JOIN q ON c.tbl = q.tbl AND c.bkt = q.bkt AND q.q_id <> c.vec_id), " +
+      "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
+      "SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10"
+
+  /** x200/x201 graph-ANN chain: the LSH-mined degree-capped neighbor
+    * graph, strength-ranked bucket seeds (match-count desc, id asc — no
+    * distance evals before the budget clock), and GraphRounds unrolled
+    * beam expansions; self rows ride the walk and drop only at the final
+    * ranking, exactly as Similarity.graphBeamVisited. Ends with
+    * `gv{GraphRounds}` (the visited set) plus `gq` (the query rows) for
+    * the consuming oracles. */
+  lazy val graphCtes: String = {
+    val m = Similarity.GraphDegree
+    val B = Similarity.GraphBeam
+    val E = Similarity.GraphEntries
+    val R = Similarity.GraphRounds
+    val sb = new StringBuilder
+    sb ++= "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+    sb ++= s"be AS (SELECT vec_id, emb, unnest(generate_series(0, ${Similarity.LshTables - 1})) AS tbl, " +
+      (0 until Similarity.LshTables).map(multiBucketSql)
+        .mkString("unnest([", ", ", "]) AS bkt FROM e), ")
+    sb ++= s"gp AS MATERIALIZED (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst, " +
+      s"${dotSql("a.emb", "b.emb")} AS cos " +
+      "FROM be a JOIN be b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id <> b.vec_id), "
+    sb ++= s"gd AS (SELECT src, dst, cos FROM (SELECT *, row_number() OVER " +
+      s"(PARTITION BY src ORDER BY cos DESC, dst) AS r FROM gp) t WHERE r <= $m), "
+    sb ++= "gs AS (SELECT DISTINCT * FROM (SELECT src, dst, cos FROM gd " +
+      "UNION ALL SELECT dst AS src, src AS dst, cos FROM gd) u), "
+    sb ++= s"ge AS MATERIALIZED (SELECT src, dst FROM (SELECT *, row_number() OVER " +
+      s"(PARTITION BY src ORDER BY cos DESC, dst) AS r FROM gs) t WHERE r <= ${2 * m}), "
+    sb ++= "gq AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 5), "
+    sb ++= "gqb AS (SELECT vec_id AS q_id, tbl, bkt FROM be WHERE vec_id < 5), "
+    sb ++= "gent AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, row_number() OVER " +
+      "(PARTITION BY q_id ORDER BY nt DESC, vec_id) AS r FROM " +
+      "(SELECT gqb.q_id, c.vec_id, count(*) AS nt FROM be c " +
+      "JOIN gqb ON c.tbl = gqb.tbl AND c.bkt = gqb.bkt GROUP BY 1, 2) t) t2 " +
+      s"WHERE r <= $E), "
+    sb ++= s"gv0 AS (SELECT g.q_id, g.vec_id, ${dotSql("q.q_emb", "e.emb")} AS cos " +
+      "FROM gent g JOIN e ON g.vec_id = e.vec_id JOIN gq q ON q.q_id = g.q_id), "
+    for (t <- 1 to R) {
+      sb ++= s"gb$t AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, row_number() OVER " +
+        s"(PARTITION BY q_id ORDER BY cos DESC, vec_id) AS r FROM gv${t - 1}) t WHERE r <= $B), "
+      sb ++= s"gf$t AS (SELECT DISTINCT b.q_id, ge.dst AS vec_id FROM gb$t b JOIN ge ON b.vec_id = ge.src), "
+      sb ++= s"gn$t AS (SELECT f.q_id, f.vec_id, ${dotSql("q.q_emb", "e.emb")} AS cos " +
+        s"FROM gf$t f JOIN e ON f.vec_id = e.vec_id JOIN gq q ON q.q_id = f.q_id), "
+      sb ++= s"gv$t AS MATERIALIZED (SELECT DISTINCT * FROM (SELECT * FROM gv${t - 1} " +
+        s"UNION ALL SELECT * FROM gn$t) u)" + (if (t < R) ", " else "")
+    }
+    sb.toString
+  }
+
+  /** x114's oracle, generated FROM Curate.DefaultTaxonomy so the SQL can
+    * never drift from the Scala dictionary (same lock-step discipline as
+    * the LSH plane/bucket fragments).
+    */
+  lazy val topicTagSql: String = {
+    val topics = Curate.DefaultTaxonomy.sortBy(_._1)
+    val hitCols = topics.map { case (t, kws) =>
+      s"CAST(len(list_filter(toks, tk -> list_contains([${kws.map(k => s"'$k'").mkString(",")}], tk))) AS BIGINT) AS h_$t"
+    }
+    val caseChain = topics.init.zipWithIndex.map { case ((t, _), i) =>
+      val conds = topics.drop(i + 1).map { case (u, _) => s"h_$t >= h_$u" }.mkString(" AND ")
+      s"WHEN $conds THEN '$t'"
+    }.mkString(" ")
+    val sumExpr = topics.map { case (t, _) => s"h_$t" }.mkString(" + ")
+    s"WITH t AS ($toksCte), h AS (SELECT doc_id, ${hitCols.mkString(", ")}, " +
+      "CAST(len(toks) AS BIGINT) AS n_toks FROM t) " +
+      s"SELECT doc_id, ${topics.map(t => "h_" + t._1).mkString(", ")}, $sumExpr AS n_tagged, " +
+      s"CASE $caseChain ELSE '${topics.last._1}' END AS top_topic, " +
+      s"CAST($sumExpr AS DOUBLE)/n_toks AS tag_density FROM h"
+  }
+
+  /** Majority-vote collapse over kNN candidate rows
+    * (q_id, true_label, vec_id, nbr_label, cos) — the SQL twin of
+    * Similarity.knnClassify's vote: rank-10 cut, then (votes desc, DECIMAL
+    * sim sum desc, smallest label). Shared by x109/x112.
+    */
+  def knnVoteSql(candSql: String): String =
+    s"WITH cand AS ($candSql), " +
+      "r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM cand), " +
+      "v AS (SELECT q_id, true_label, nbr_label, CAST(count(*) AS BIGINT) AS votes, " +
+      "CAST(sum(CAST(cos AS DECIMAL(20,6))) AS DOUBLE) AS sim_sum " +
+      "FROM r WHERE rank <= 10 GROUP BY 1, 2, 3), " +
+      "w AS (SELECT *, row_number() OVER (PARTITION BY q_id " +
+      "ORDER BY votes DESC, sim_sum DESC, nbr_label) AS rr FROM v) " +
+      "SELECT q_id AS vec_id, nbr_label AS pred_label, true_label FROM w WHERE rr = 1"
+
+  /** Exact kNN candidates over the %5 labeled/unlabeled split (x109/x112). */
+  lazy val knnExactCandSql =
+    "WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings), " +
+      "q0 AS (SELECT vec_id AS q_id, emb AS qe, label AS true_label FROM e0 WHERE vec_id % 5 = 0), " +
+      "c0 AS (SELECT vec_id, emb, label AS nbr_label FROM e0 WHERE vec_id % 5 <> 0) " +
+      "SELECT q_id, true_label, vec_id, nbr_label, " +
+      s"${dotSql("qe", "emb")} AS cos FROM c0, q0"
+
+  /** Multi-table LSH kNN candidates over the same split (x112's scale path;
+    * DISTINCT collapses cross-table duplicates exactly as lshMultiTopK).
+    */
+  lazy val knnLshCandSql =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings), " +
+      s"be AS (SELECT vec_id, emb, label, unnest(generate_series(0, ${Similarity.LshTables - 1})) AS tbl, " +
+      (0 until Similarity.LshTables).map(multiBucketSql)
+        .mkString("unnest([", ", ", "]) AS bkt FROM e), ") +
+      "q1 AS (SELECT vec_id AS q_id, emb AS qe, label AS true_label, tbl, bkt FROM be WHERE vec_id % 5 = 0), " +
+      "c1 AS (SELECT vec_id, emb, label AS nbr_label, tbl, bkt FROM be WHERE vec_id % 5 <> 0) " +
+      "SELECT DISTINCT q1.q_id, q1.true_label, c1.vec_id, c1.nbr_label, " +
+      s"${dotSql("q1.qe", "c1.emb")} AS cos " +
+      "FROM c1 JOIN q1 ON c1.tbl = q1.tbl AND c1.bkt = q1.bkt"
+
+  /** Stride-IVF top-10 SQL (x13's oracle body; reused by x73's report). */
+  lazy val annIvfSql =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+      s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
+      "scored AS (SELECT e.vec_id, e.emb, cents.cent_id, " +
+      s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
+      "assigned AS (SELECT vec_id, emb, cent_id AS cell FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM scored) t WHERE r = 1), " +
+      "q AS (SELECT vec_id AS q_id, emb AS q_emb, cell FROM assigned WHERE vec_id < 5), " +
+      "s AS (SELECT q.q_id, a.vec_id, " +
+      s"${dotSql("q.q_emb", "a.emb")} AS cos " +
+      "FROM assigned a JOIN q USING (cell) WHERE q.q_id <> a.vec_id), " +
+      "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
+      "SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10"
+
+  /** Embedding near-dup pair SQL twins (x05/x14; reused by x74's report). */
+  lazy val embExactPairsSql =
+    "WITH a AS (SELECT vec_id AS vec_a, CAST(embedding AS DOUBLE[]) AS ea FROM embeddings), " +
+      "b AS (SELECT vec_id AS vec_b, CAST(embedding AS DOUBLE[]) AS eb FROM embeddings), " +
+      s"s AS (SELECT vec_a, vec_b, ${dotSql("ea", "eb")} AS cos FROM a JOIN b ON vec_a < vec_b) " +
+      "SELECT vec_a, vec_b, cos FROM s WHERE cos >= 0.4"
+
+  lazy val embLshPairsSql =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+      s"be AS (SELECT vec_id, emb, $bucketSql AS bucket FROM e), " +
+      "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+      s"${dotSql("a.emb", "b.emb")} AS cos " +
+      "FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
+      "SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.4"
+
+  /** Multi-table near-dup pair SQL (x75; reused by x76's report). */
+  lazy val embMultiPairsSql =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+      s"be AS (SELECT vec_id, emb, unnest(generate_series(0, ${Similarity.LshTables - 1})) AS tbl, " +
+      (0 until Similarity.LshTables).map(multiBucketSql)
+        .mkString("unnest([", ", ", "]) AS bkt FROM e), ") +
+      "p AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+      s"${dotSql("a.emb", "b.emb")} AS cos " +
+      "FROM be a JOIN be b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id) " +
+      "SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.4"
+
+  val stopList = TextOps.EnStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  def dotSql(a: String, b: String): String =
+    s"list_aggregate(list_transform(list_zip($a, $b), z -> z[1]*z[2]), 'sum')"
+
+  val bucketSql: String =
+    (0 until Similarity.Planes).map { p =>
+      s"(CASE WHEN ${dotSql("emb", Similarity.planeSql(p))} >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** BPE merge count for x77/x78 (kept small: the oracle unrolls one
+    * pair-count/argmax/apply CTE stage per merge).
+    */
+  val BpeMerges = 8
+
+  /** Hybrid-retrieval CTE chain (x118/x119), generated from the [[Hybrid]]
+    * constants: BM25 ranked list (x48's score shape over docs <> query),
+    * brute-force ANN ranked list for vector 0, RRF fusion, graded two-aspect
+    * relevance, and the gain histogram. Shared so the fusion query and its
+    * eval can never drift from each other or from the Spark plan.
+    */
+  lazy val hybridCtes: String = {
+    val terms = Hybrid.QueryTerms
+    val ti = terms.indices
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN tok = '$t' THEN 1 ELSE 0 END) AS tf_$i" }.mkString(", ")
+    val dfCols = ti.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
+    def termScore(i: Int): String =
+      s"CASE WHEN tf_$i > 0 THEN ((CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) " +
+        s"/ (CAST(df_$i AS DOUBLE) + 0.5)) * (CAST(tf_$i AS DOUBLE) * (1.2 + 1.0)) " +
+        s"/ (CAST(tf_$i AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) " +
+        s"/ (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) ELSE 0.0 END"
+    s"ht AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id <> ${Hybrid.QueryVecId}), " +
+      "he AS (SELECT doc_id, unnest(toks) AS tok FROM ht), " +
+      s"hpd AS (SELECT doc_id, count(*) AS dl, $tfCols FROM he GROUP BY doc_id), " +
+      s"hst AS (SELECT sum(dl) AS sum_dl, count(*) AS n_docs, $dfCols FROM hpd), " +
+      s"hbm0 AS (SELECT doc_id, ${ti.map(termScore).mkString(" + ")} AS score " +
+      s"FROM hpd, hst WHERE ${ti.map(i => s"tf_$i > 0").mkString(" OR ")} " +
+      "ORDER BY score DESC, doc_id LIMIT 20), " +
+      "hbm AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM hbm0), " +
+      "hemb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+      s"hq AS (SELECT emb AS qe FROM hemb WHERE vec_id = ${Hybrid.QueryVecId}), " +
+      s"hs AS (SELECT vec_id, ${dotSql("emb", "qe")} AS cos FROM hemb, hq WHERE vec_id <> ${Hybrid.QueryVecId}), " +
+      "hann AS (SELECT vec_id AS doc_id, CAST(rank AS BIGINT) AS rank FROM " +
+      "(SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank FROM hs) WHERE rank <= 20), " +
+      "hfuse AS (SELECT coalesce(b.doc_id, a.doc_id) AS doc_id, b.rank AS bm25_rank, a.rank AS ann_rank, " +
+      s"coalesce(1.0/(${Hybrid.RrfK} + CAST(b.rank AS DOUBLE)), 0.0) " +
+      s"+ coalesce(1.0/(${Hybrid.RrfK} + CAST(a.rank AS DOUBLE)), 0.0) AS rrf_score " +
+      "FROM hbm b FULL JOIN hann a ON b.doc_id = a.doc_id), " +
+      "hrrf10 AS (SELECT doc_id, bm25_rank, ann_rank, rrf_score FROM hfuse " +
+      "ORDER BY rrf_score DESC, doc_id LIMIT 10), " +
+      "hrrf AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank FROM hrrf10), " +
+      // E-notation: the threshold literal must go through the DOUBLE parser
+      // (bare decimals are the x86 DECIMAL-literal trap).
+      s"hrel AS (SELECT d.doc_id, CASE WHEN s.cos >= ${Hybrid.SemRelThreshold}E0 THEN 1 ELSE 0 END " +
+      s"+ CASE WHEN list_contains(d.toks, '${Hybrid.RelTerm}') THEN 1 ELSE 0 END AS gain " +
+      "FROM ht d LEFT JOIN hs s ON d.doc_id = s.vec_id), " +
+      "hstats AS (SELECT CAST(sum(CASE WHEN gain = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2, " +
+      "CAST(sum(CASE WHEN gain = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 FROM hrel)"
+  }
+
+  /** Query-SET retrieval eval chain (x145) — the DuckDB twin of
+    * [[Hybrid.retrievalEvalSet]]: VALUES query-term table, ONE corpus hit
+    * stream joined against it (per-(query,doc,term) tf, per-term df,
+    * corpus-wide dl/stats), ti-ordered score folds, per-query ranks,
+    * brute-force ANN per query vector, RRF fusion, graded relevance per
+    * (query, doc). Ends with `srel`/`srst` + the three ranked lists
+    * `sbm`/`sann`/`srrf`.
+    */
+  lazy val hybridSetCtes: String = {
+    val qVals = Hybrid.QuerySet.flatMap { case (q, ts, rm) =>
+      ts.zipWithIndex.map { case (t, i) => s"($q, $i, '$t', $rm)" }
+    }.mkString(", ")
+    val qIds = Hybrid.QuerySet.map(_._1).mkString(", ")
+    s"sqs AS (SELECT CAST(query_id AS BIGINT) AS query_id, CAST(ti AS BIGINT) AS ti, term, " +
+      s"CAST(rel_min AS BIGINT) AS rel_min FROM (VALUES $qVals) v(query_id, ti, term, rel_min)), " +
+      "srt AS (SELECT query_id, term AS rel_term, rel_min FROM " +
+      "(SELECT query_id, term, rel_min, row_number() OVER (PARTITION BY query_id ORDER BY ti DESC) AS r FROM sqs) WHERE r = 1), " +
+      "sht AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+      "she AS (SELECT doc_id, unnest(toks) AS tok FROM sht), " +
+      "sdl AS (SELECT doc_id, count(*) AS dl FROM she GROUP BY 1), " +
+      "sst AS (SELECT sum(dl) AS sum_dl, count(*) AS n_docs FROM sdl), " +
+      "shit AS (SELECT q.query_id, q.ti, q.term, e.doc_id, CAST(count(*) AS BIGINT) AS tf " +
+      "FROM she e JOIN sqs q ON e.tok = q.term GROUP BY 1, 2, 3, 4), " +
+      "sdf AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM shit GROUP BY 1), " +
+      "ssc AS (SELECT h.query_id, h.doc_id, h.ti, " +
+      "((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5)) " +
+      "* (CAST(h.tf AS DOUBLE) * (1.2 + 1.0)) " +
+      "/ (CAST(h.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(l.dl AS DOUBLE) " +
+      "/ (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))) AS c " +
+      "FROM shit h JOIN sdf d USING (term) JOIN sdl l USING (doc_id) CROSS JOIN sst s), " +
+      "sbm0 AS (SELECT query_id, doc_id, list_aggregate(list(c ORDER BY ti), 'sum') AS score " +
+      "FROM ssc WHERE doc_id <> query_id GROUP BY 1, 2), " +
+      "sbm AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank FROM " +
+      "(SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sbm0) " +
+      "WHERE rank <= 20), " +
+      "semb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+      s"sqv AS (SELECT vec_id AS query_id, emb AS qe FROM semb WHERE vec_id IN ($qIds)), " +
+      s"ssan AS (SELECT q.query_id, e.vec_id AS doc_id, ${dotSql("e.emb", "q.qe")} AS cos " +
+      "FROM semb e, sqv q WHERE e.vec_id <> q.query_id), " +
+      "sann AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank FROM " +
+      "(SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank FROM ssan) " +
+      "WHERE rank <= 20), " +
+      "sfu AS (SELECT coalesce(b.query_id, a.query_id) AS query_id, " +
+      "coalesce(b.doc_id, a.doc_id) AS doc_id, " +
+      s"coalesce(1.0/(${Hybrid.RrfK} + CAST(b.rank AS DOUBLE)), 0.0) " +
+      s"+ coalesce(1.0/(${Hybrid.RrfK} + CAST(a.rank AS DOUBLE)), 0.0) AS rrf_score " +
+      "FROM sbm b FULL JOIN sann a ON b.query_id = a.query_id AND b.doc_id = a.doc_id), " +
+      "srrf AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank FROM " +
+      "(SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank FROM sfu) " +
+      "WHERE rank <= 10), " +
+      s"srel AS (SELECT r.query_id, d.doc_id, CASE WHEN s.cos >= ${Hybrid.SemRelThreshold}E0 THEN 1 ELSE 0 END " +
+      "+ CASE WHEN len(list_filter(d.toks, tk -> tk = r.rel_term)) >= r.rel_min THEN 1 ELSE 0 END AS gain " +
+      "FROM sht d CROSS JOIN srt r " +
+      "LEFT JOIN ssan s ON s.query_id = r.query_id AND s.doc_id = d.doc_id " +
+      "WHERE d.doc_id <> r.query_id), " +
+      "srst AS (SELECT query_id, CAST(sum(CASE WHEN gain = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2, " +
+      "CAST(sum(CASE WHEN gain = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 FROM srel GROUP BY 1)"
+  }
+
+  /** One system's per-(query) nDCG@10 / recall@10 over the
+    * [[hybridSetCtes]] chain. */
+  def hybridSetEvalSql(sys: String, listCte: String): String = {
+    val k = 10
+    val taps = Hybrid.dcgTaps(k)
+    val idcg = (1 to k).map { i =>
+      s"${taps(i - 1)}E0 * (CASE WHEN $i <= r.n2 THEN 2.0 WHEN $i <= r.n2 + r.n1 THEN 1.0 ELSE 0.0 END)"
+    }.mkString(" + ")
+    s"(SELECT '$sys' AS system, e.query_id, e.dcg / ($idcg) AS ndcg, " +
+      "CAST(e.n_rel_retrieved AS DOUBLE) / (r.n2 + r.n1) AS recall_at_k FROM " +
+      s"(SELECT query_id, list_aggregate(list(CAST(gain AS DOUBLE) * (${Hybrid.dcgTapsSql(k)})[CAST(rank AS INT)] ORDER BY rank), 'sum') AS dcg, " +
+      "CAST(sum(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_retrieved FROM " +
+      s"(SELECT l.query_id, l.rank, coalesce(g.gain, 0) AS gain FROM $listCte l " +
+      s"LEFT JOIN srel g ON g.query_id = l.query_id AND g.doc_id = l.doc_id WHERE l.rank <= $k) " +
+      "GROUP BY query_id) e JOIN srst r USING (query_id))"
+  }
+
+  /** Plan-time percentile literal from a sorted list (the
+    * [[Hybrid.pctFromSorted]] twin — fixed index + printed-double
+    * fraction, no engine percentile kernel). */
+  def pctSql(listExpr: String, p: Double, n: Int): String = {
+    val pos = p * (n - 1)
+    val lo = math.floor(pos).toInt
+    val frac = pos - lo
+    if (frac == 0.0) s"$listExpr[${lo + 1}]"
+    else s"($listExpr[${lo + 1}] + ($listExpr[${lo + 2}] - $listExpr[${lo + 1}]) * ${frac}E0)"
+  }
+
+  /** One system's nDCG@10 / recall@10 eval over the [[hybridCtes]] chain —
+    * DCG folds gain·tap in rank order; ideal DCG unrolls the gain histogram
+    * against the same printed-double taps the Spark plan embeds.
+    */
+  def hybridEvalSql(sys: String, listCte: String): String = {
+    val k = 10
+    val taps = Hybrid.dcgTaps(k)
+    val idcg = (1 to k).map { i =>
+      s"${taps(i - 1)}E0 * (CASE WHEN $i <= n2 THEN 2.0 WHEN $i <= n2 + n1 THEN 1.0 ELSE 0.0 END)"
+    }.mkString(" + ")
+    s"(SELECT '$sys' AS system, dcg, $idcg AS idcg, n_rel_retrieved, n2 + n1 AS n_rel_total, " +
+      s"dcg / ($idcg) AS ndcg, CAST(n_rel_retrieved AS DOUBLE) / (n2 + n1) AS recall_at_k FROM " +
+      s"(SELECT list_aggregate(list(CAST(gain AS DOUBLE) * (${Hybrid.dcgTapsSql(k)})[CAST(rank AS INT)] ORDER BY rank), 'sum') AS dcg, " +
+      "CAST(sum(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_retrieved FROM " +
+      s"(SELECT l.rank, coalesce(r.gain, 0) AS gain FROM $listCte l LEFT JOIN hrel r USING (doc_id) WHERE l.rank <= $k)) " +
+      "CROSS JOIN hstats)"
+  }
+
+  /** x79's URL-derivation + host/domain + blocklist chain (CTEs u/h/d/f),
+    * generated from the [[Curate]] constants so the two engines can never
+    * drift; reused verbatim by x81's composed pipeline.
+    */
+  lazy val urlChainCtes: String = {
+    val nameList = Curate.UrlDomainNames.map(n => s"'$n'").mkString("[", ",", "]")
+    val tldList = Curate.UrlTlds.map(t => s"'$t'").mkString("[", ",", "]")
+    val blocked = Curate.DefaultDomainBlocklist.map(d => s"'$d'").mkString(", ")
+    def hx(from: Int): String =
+      s"CAST(('0x' || substr(md5(doc_id || ':url'), $from, 4)) AS INT)"
+    "u AS (SELECT doc_id, source, n_chars, " +
+      s"'https://w' || (${hx(1)} % 7) || '.' || " +
+      s"($nameList)[${hx(5)} % ${Curate.UrlDomainNames.size} + 1] || '.' || " +
+      s"($tldList)[${hx(9)} % ${Curate.UrlTlds.size} + 1] || " +
+      "'/' || source || '/' || doc_id AS url FROM documents), " +
+      "h AS (SELECT doc_id, n_chars, url, " +
+      "regexp_extract(url, 'https?://([^/]+)', 1) AS host FROM u), " +
+      "d AS (SELECT doc_id, n_chars, url, host, " +
+      "array_to_string(string_split(host, '.')[-2:], '.') AS domain FROM h), " +
+      s"f AS (SELECT * FROM d WHERE domain NOT IN ($blocked))"
+  }
+
+  /** x96's trigram stupid-backoff LM chain (CTEs t..sp, per-trigram inverse
+    * probabilities in `sp`), reused by x105's bucketing.
+    */
+  lazy val lmTrigramCtes: String =
+    "t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +
+      "trn AS (SELECT toks FROM t WHERE source = 'src0'), " +
+      "tw AS (SELECT unnest(toks) AS w FROM trn), " +
+      "uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM tw GROUP BY 1), " +
+      "st AS (SELECT CAST(count(*) AS BIGINT) AS n_tok, " +
+      "CAST(count(DISTINCT w) AS BIGINT) AS v FROM tw), " +
+      "bi AS (SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS c_ab FROM " +
+      "(SELECT unnest(list_transform(generate_series(1, len(toks)-1), " +
+      "i -> struct_pack(a := toks[i], b := toks[i+1]))) AS p " +
+      "FROM trn WHERE len(toks) >= 2) GROUP BY 1, 2), " +
+      "tri AS (SELECT p.a AS a, p.b AS b, p.c AS c, CAST(count(*) AS BIGINT) AS c_abc FROM " +
+      "(SELECT unnest(list_transform(generate_series(1, len(toks)-2), " +
+      "i -> struct_pack(a := toks[i], b := toks[i+1], c := toks[i+2]))) AS p " +
+      "FROM trn WHERE len(toks) >= 3) GROUP BY 1, 2, 3), " +
+      "pos AS (SELECT doc_id, p.i AS i, p.a AS a, p.b AS b, p.c AS c FROM " +
+      "(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-2), " +
+      "i -> struct_pack(i := i, a := toks[i], b := toks[i+1], c := toks[i+2]))) AS p " +
+      "FROM t WHERE source <> 'src0' AND len(toks) >= 3)), " +
+      "sp AS (SELECT pos.doc_id, pos.i, " +
+      "CASE WHEN tri.c_abc IS NOT NULL THEN CAST(biab.c_ab AS DOUBLE)/tri.c_abc " +
+      "WHEN bibc.c_ab IS NOT NULL THEN 2.5 * CAST(unib.c_w AS DOUBLE)/bibc.c_ab " +
+      "ELSE 6.25 * CAST(st.n_tok + st.v AS DOUBLE)/(coalesce(unic.c_w, 0) + 1) END AS invp " +
+      "FROM pos " +
+      "LEFT JOIN tri ON tri.a = pos.a AND tri.b = pos.b AND tri.c = pos.c " +
+      "LEFT JOIN bi biab ON biab.a = pos.a AND biab.b = pos.b " +
+      "LEFT JOIN bi bibc ON bibc.a = pos.b AND bibc.b = pos.c " +
+      "LEFT JOIN uni unib ON unib.w = pos.b " +
+      "LEFT JOIN uni unic ON unic.w = pos.c " +
+      "CROSS JOIN st)"
+
+  /** x80's stupid-backoff bigram LM chain (CTEs t..sp, per-pair inverse
+    * probabilities in `sp`), reused by x81's quality gate.
+    */
+  /** The bigram stupid-backoff scoring chain as CTEs, parameterized by a
+    * CTE-name prefix (so two variants can coexist in one query — x121) and
+    * the bigram-table prune threshold (TextOps.lmInvProbScore's
+    * `minPairCount`; pruned bigrams fall to the backoff tier).
+    */
+  def lmCtesWith(px: String, minPair: Long): String =
+    s"${px}t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +
+      s"${px}tr AS (SELECT toks FROM ${px}t WHERE source = 'src0'), " +
+      s"${px}trtok AS (SELECT unnest(toks) AS a FROM ${px}tr), " +
+      s"${px}uni AS (SELECT a, CAST(count(*) AS BIGINT) AS c_a FROM ${px}trtok GROUP BY 1), " +
+      s"${px}st AS (SELECT CAST(count(*) AS BIGINT) AS n_tok, " +
+      s"CAST(count(DISTINCT a) AS BIGINT) AS v FROM ${px}trtok), " +
+      s"${px}bi AS (SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS c_ab FROM " +
+      "(SELECT unnest(list_transform(generate_series(1, len(toks)-1), " +
+      s"i -> struct_pack(a := toks[i], b := toks[i+1]))) AS p FROM ${px}tr WHERE len(toks) >= 2) " +
+      s"GROUP BY 1, 2${if (minPair > 1) s" HAVING count(*) >= $minPair" else ""}), " +
+      s"${px}ub AS (SELECT a AS b, c_a AS c_b FROM ${px}uni), " +
+      s"${px}pr AS (SELECT doc_id, p.i AS i, p.a AS a, p.b AS b FROM " +
+      "(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1), " +
+      "i -> struct_pack(i := i, a := toks[i], b := toks[i+1]))) AS p " +
+      s"FROM ${px}t WHERE source <> 'src0' AND len(toks) >= 2)), " +
+      s"${px}sp AS (SELECT doc_id, i, CASE WHEN c_ab IS NOT NULL " +
+      "THEN CAST(c_a AS DOUBLE) / CAST(c_ab AS DOUBLE) " +
+      s"ELSE 2.5 * CAST(${px}st.n_tok + ${px}st.v AS DOUBLE) / CAST(coalesce(c_b, 0) + 1 AS DOUBLE) END AS invp " +
+      s"FROM ${px}pr LEFT JOIN ${px}uni USING (a) LEFT JOIN ${px}ub USING (b) LEFT JOIN ${px}bi USING (a, b), ${px}st)"
+
+  lazy val lmCtes: String = lmCtesWith("", 1L)
+
+  /** x86's unrolled damped-PageRank chain: the deterministic doc→doc
+    * citation graph collapsed to distinct domain edges, then `Iters`
+    * rank CTEs, each the same IEEE operation sequence [[Authority.pageRank]]
+    * executes (per-target contributions summed in source order, damping
+    * applied as `(1-0.85)/n + 0.85*s`).
+    */
+  lazy val pageRankSql: String =
+    s"WITH $pageRankCtes $pageRankSelect"
+
+  /** The PageRank chain as bare CTEs (+ the final select separately) so
+    * x88's composed domain-quality oracle can extend the same chain.
+    */
+  lazy val pageRankSelect: String =
+    "SELECT r5.node AS domain, rank, coalesce(out_deg, 0) AS out_deg, " +
+      "coalesce(in_deg, 0) AS in_deg FROM r5 " +
+      "LEFT JOIN od ON r5.node = od.src LEFT JOIN ind ON r5.node = ind.dst"
+
+  lazy val pageRankCtes: String = {
+    val iters = 5
+    val sb = new StringBuilder
+    sb ++= s"$urlChainCtes, "
+    sb ++= "nnd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents), "
+    sb ++= "tg AS (SELECT doc_id, CAST(('0x' || substr(md5(doc_id || ':lnk'), 1, 8)) AS BIGINT) " +
+      "% n_docs AS tgt_id FROM documents, nnd), "
+    sb ++= "ed AS (SELECT DISTINCT sd.domain AS src, td.domain AS dst FROM tg " +
+      "JOIN d sd ON tg.doc_id = sd.doc_id JOIN d td ON tg.tgt_id = td.doc_id " +
+      "WHERE sd.domain <> td.domain), "
+    sb ++= "od AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM ed GROUP BY 1), "
+    sb ++= "ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS in_deg FROM ed GROUP BY 1), "
+    sb ++= "nd AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed), "
+    sb ++= "nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd), "
+    sb ++= "r0 AS (SELECT node, 1.0/CAST(n AS DOUBLE) AS rank FROM nd, nc)"
+    for (k <- 0 until iters) {
+      sb ++= s", c$k AS (SELECT ed.dst AS node, ed.src AS src, r$k.rank/od.out_deg AS c " +
+        s"FROM ed JOIN r$k ON ed.src = r$k.node JOIN od ON ed.src = od.src)"
+      sb ++= s", s$k AS (SELECT node, list_aggregate(list(c ORDER BY src), 'sum') AS s " +
+        s"FROM c$k GROUP BY 1)"
+      // (1 - CAST(.. AS DOUBLE)): a bare DuckDB literal 0.85 is DECIMAL, so
+      // (1-0.85) would be exact decimal 0.15 — a DIFFERENT double than the
+      // engine's IEEE 1-0.85. The multiplier 0.85*s needs no cast (the
+      // decimal→double conversion of 0.85 is the same double literal).
+      sb ++= s", r${k + 1} AS (SELECT nd.node, (1 - CAST(0.85 AS DOUBLE))/CAST(n AS DOUBLE) " +
+        s"+ 0.85*coalesce(s$k.s, 0.0) AS rank FROM nd LEFT JOIN s$k USING (node), nc)"
+    }
+    sb.toString
+  }
+
+  /** GPT-2-style pretokenizer pattern as a DuckDB literal (leading quote
+    * doubled) — must stay in lock-step with [[TextOps.BpePretokenPattern]].
+    */
+  val bpePatSql = "'''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +'"
+
+  /** The unrolled BPE training chain (x77/x78): state s0 = per-pretoken
+    * character sequences joined by chr(30); each stage k computes
+    * freq-weighted adjacent-pair counts (pK), the argmax merge under the
+    * total (n DESC, sym_a, sym_b) order (bK), and the post-merge state
+    * (s{k+1}) via `list_reduce` replaying [[Bpe]]'s greedy left-to-right
+    * scan — merge iff the accumulator's last symbol is exactly sym_a
+    * (boundary-safe suffix check) and the next is sym_b.
+    */
+  def bpeStagesSql: String = {
+    val sb = new StringBuilder
+    sb ++= "pre AS (SELECT pretok, CAST(count(*) AS BIGINT) AS freq FROM " +
+      s"(SELECT unnest(regexp_extract_all(text, $bpePatSql)) AS pretok FROM documents) GROUP BY 1), " +
+      "s0 AS (SELECT pretok, freq, array_to_string(list_transform(" +
+      "generate_series(1, length(pretok)), i -> substr(pretok, i, 1)), chr(30)) AS s FROM pre)"
+    for (k <- 0 until BpeMerges) {
+      sb ++= s", p$k AS (SELECT pr.sym_a AS sym_a, pr.sym_b AS sym_b, CAST(sum(freq) AS BIGINT) AS n " +
+        "FROM (SELECT freq, unnest(list_transform(generate_series(1, len(li)-1), " +
+        "i -> struct_pack(sym_a := li[i], sym_b := li[i+1]))) AS pr " +
+        s"FROM (SELECT freq, string_split(s, chr(30)) AS li FROM s$k) WHERE len(li) >= 2) GROUP BY 1, 2)" +
+        s", b$k AS (SELECT sym_a, sym_b, n FROM p$k ORDER BY n DESC, sym_a, sym_b LIMIT 1)" +
+        s", s${k + 1} AS (SELECT pretok, freq, CASE WHEN len(li) = 1 THEN li[1] " +
+        "ELSE list_reduce(li, (acc, x) -> CASE WHEN (acc = b.sym_a OR " +
+        "ends_with(acc, chr(30) || b.sym_a)) AND x = b.sym_b " +
+        "THEN acc || x ELSE acc || chr(30) || x END) END AS s " +
+        s"FROM (SELECT pretok, freq, string_split(s, chr(30)) AS li FROM s$k), b$k b)"
+    }
+    sb.toString
+  }
+
+  def bpeTrainSql: String =
+    s"WITH $bpeStagesSql " + (0 until BpeMerges).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS rnk, sym_a, sym_b, sym_a || sym_b AS merged, n FROM b$k")
+      .mkString(" UNION ALL ")
+
+  def bpeEncodeSql: String =
+    s"WITH $bpeStagesSql, " +
+      "sy AS (SELECT pretok, CAST(generate_subscripts(li, 1) - 1 AS BIGINT) AS pos, " +
+      s"unnest(li) AS sym FROM (SELECT pretok, string_split(s, chr(30)) AS li FROM s$BpeMerges)), " +
+      "enc AS (SELECT doc_id, CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS seq, " +
+      "unnest(arr) AS pretok FROM (SELECT doc_id, " +
+      s"regexp_extract_all(text, $bpePatSql) AS arr FROM documents)), " +
+      "bc AS (SELECT c AS sym, CAST(row_number() OVER (ORDER BY c) - 1 AS BIGINT) AS id FROM " +
+      "(SELECT DISTINCT unnest(list_transform(generate_series(1, length(pretok)), " +
+      "i -> substr(pretok, i, 1))) AS c FROM pre)), " +
+      "nb AS (SELECT CAST(count(*) AS BIGINT) AS nbase FROM bc), " +
+      "mg AS (" + (0 until BpeMerges).map(k =>
+        s"SELECT sym_a || sym_b AS sym, nbase + $k AS id FROM b$k, nb").mkString(" UNION ALL ") +
+      "), vocab AS (SELECT sym, CAST(min(id) AS BIGINT) AS token_id FROM " +
+      "(SELECT sym, id FROM bc UNION ALL SELECT sym, id FROM mg) GROUP BY sym) " +
+      "SELECT e.doc_id, e.seq, sy.pos, sy.sym, v.token_id " +
+      "FROM enc e JOIN sy USING (pretok) JOIN vocab v USING (sym)"
+
+  /** Sorted-fold exact centroid SQL (x67; x31 appends its verdict column). */
+  def centroidExactSql(extraCols: String): String =
+    "WITH e AS (SELECT vec_id % 10 AS grp, " +
+      "unnest(CAST(embedding AS DOUBLE[])) AS v, " +
+      "CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings) " +
+      s"SELECT grp, pos, list_aggregate(list_sort(list(v)), 'sum')/count(*) AS mean$extraCols " +
+      "FROM e GROUP BY grp, pos"
+
+  /** Explicit-rank histogram-quantile SQL over documents.n_chars — the
+    * DuckDB replay of [[Sketches.histQuantiles]]'s rank definition
+    * (smallest v whose cumulative count reaches ceil(p*n)); sketch rank
+    * verdicts are in-engine TRUEs. x27 = per-source; x44 adds the ALL row
+    * (whose engine-side estimates come from the UNIONED KLL sketches).
+    */
+  def histQuantSql(okPrefix: String, withAll: Boolean): String = {
+    val ctes = "WITH b AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents), " +
+      "h AS (SELECT source, v, count(*) AS c FROM b GROUP BY 1, 2), " +
+      "cum AS (SELECT source, v, sum(c) OVER (PARTITION BY source ORDER BY v) AS cum, " +
+      "sum(c) OVER (PARTITION BY source) AS n FROM h)"
+    val allCtes = ", h2 AS (SELECT v, count(*) AS c FROM b GROUP BY 1), " +
+      "cum2 AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n FROM h2)"
+    val perSource = "SELECT source, min(CASE WHEN cum >= ceil(n*0.5) THEN v END) AS p50, " +
+      "min(CASE WHEN cum >= ceil(n*0.95) THEN v END) AS p95, " +
+      s"CAST(max(n) AS BIGINT) AS n, TRUE AS ${okPrefix}_p50_rank_ok, " +
+      s"TRUE AS ${okPrefix}_p95_rank_ok FROM cum GROUP BY source"
+    val allRow = " UNION ALL SELECT 'ALL' AS source, " +
+      "min(CASE WHEN cum >= ceil(n*0.5) THEN v END), " +
+      "min(CASE WHEN cum >= ceil(n*0.95) THEN v END), " +
+      "CAST(max(n) AS BIGINT), TRUE, TRUE FROM cum2"
+    if (withAll) s"$ctes$allCtes $perSource$allRow" else s"$ctes $perSource"
+  }
+
+  /** The strip/word-count chain inlined per use (DuckDB has no SQL
+    * lambdas-with-names); 'g' flags mirror Spark's replace-all.
+    */
+  def htmlStripSql(b: String) =
+    s"trim(regexp_replace(regexp_replace($b, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** x120's HTML wrapper + block-extraction chain (CTEs t0/hb/bl/ke/hx),
+    * generated from the [[Html]] constants; `hx` ends with
+    * (doc_id, n_blocks, n_kept, main_text, n_raw_chars, n_main_chars).
+    * Shared by x120 and x124's composed ingest pipeline.
+    */
+  lazy val htmlChainCtes: String = {
+    def wc(b: String) =
+      s"len(list_filter(string_split(${htmlStripSql(b)}, ' '), tk -> tk <> ''))"
+    val nav0 = """<div class="nav"><a href="/">home</a> <a href="/docs">docs</a> menu</div>"""
+    val nav1 = """<div class="nav"><a href="/">home</a> <a href="/news">news</a> <a href="/about">about</a> site menu</div>"""
+    val footer = """<div class="footer">copyright 2026 <a href="/terms">terms</a> <a href="/privacy">privacy</a></div>"""
+    val keep = s"${wc("b")} >= ${Html.MinBlockWords} AND " +
+      s"${wc("b")} >= ${Html.LinkWordRatio} * len(regexp_extract_all(b, '<a '))"
+    "t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+      "hb AS (SELECT doc_id, '<html><head><title>doc ' || doc_id || '</title></head><body>' || " +
+      s"(CASE WHEN CAST(('0x' || substr(md5(doc_id || ':nav'), 1, 4)) AS BIGINT) % 2 = 0 " +
+      s"THEN '$nav0' ELSE '$nav1' END) || " +
+      s"array_to_string(list_transform(generate_series(0, (len(toks)-1)//${Html.ParaTokens}), " +
+      s"w -> '<p>' || array_to_string(toks[w*${Html.ParaTokens}+1:w*${Html.ParaTokens}+${Html.ParaTokens}], ' ') || '</p>'), '') || " +
+      s"'$footer' || '</body></html>' AS html FROM t0), " +
+      s"bl AS (SELECT doc_id, html, regexp_extract_all(html, '${Html.BlockPattern}') AS blocks FROM hb), " +
+      s"ke AS (SELECT doc_id, html, blocks, list_filter(blocks, b -> $keep) AS kept FROM bl), " +
+      "hx AS (SELECT doc_id, CAST(len(blocks) AS BIGINT) AS n_blocks, " +
+      "CAST(len(kept) AS BIGINT) AS n_kept, " +
+      s"array_to_string(list_transform(kept, b -> ${htmlStripSql("b")}), ' ') AS main_text, " +
+      "CAST(length(html) AS BIGINT) AS n_raw_chars, " +
+      s"CAST(length(array_to_string(list_transform(kept, b -> ${htmlStripSql("b")}), ' ')) AS BIGINT) AS n_main_chars " +
+      "FROM ke)"
+  }
+
+  // ------------- Unigram-LM tokenizer chain (x202–x204, r9) -------------
+
+  /** One Viterbi candidate of the unigram DP at piece length `k`: piece =
+    * s[i−k+1..i] looked up in the 1-row vocab map `vm`, score = the
+    * position-(i−k) best times the piece prob, with the invalid marker
+    * (−1, k, '') when i < k or the piece is out of vocabulary. `i` is
+    * recovered from the wrapped element's sc field (DuckDB 1.0's
+    * `list_reduce` has no initial-value form, so the fold runs over
+    * single-struct LISTS with the init prepended — the accumulator and
+    * element types unify, and element j encodes position j in `.sc`). */
+  private def uniCandSql(k: Int): String = {
+    val sub = s"substr(pretok, CAST(x[1].sc AS INT) - ${k - 1}, $k)"
+    val prev = s"acc[CAST(x[1].sc AS INT) - ${k - 1}]"
+    s"CASE WHEN CAST(x[1].sc AS INT) >= $k AND len(element_at(vm, $sub)) > 0 " +
+      s"THEN struct_pack(sc := $prev.sc * element_at(vm, $sub)[1], kk := $k, " +
+      s"path := CASE WHEN $prev.path = '' THEN $sub ELSE $prev.path || chr(30) || $sub END) " +
+      s"ELSE struct_pack(sc := CAST(-1.0 AS DOUBLE), kk := $k, path := '') END"
+  }
+
+  /** The whole DP as one `list_reduce` replaying [[Unigram]]'s fold: the
+    * per-position argmax is `list_sort(cands)[L]` over `(sc, kk, path)`
+    * structs — lexicographic struct order in both engines, so ties in the
+    * score resolve to the longer piece identically. Yields the final
+    * position's best struct. */
+  private def uniDpSql: String = {
+    val l = Unigram.MaxPieceLen
+    "list_reduce(" +
+      "[[struct_pack(sc := CAST(1.0 AS DOUBLE), kk := 0, path := '')]] || " +
+      "list_transform(generate_series(1, length(pretok)), i -> " +
+      "[struct_pack(sc := CAST(i AS DOUBLE), kk := 0, path := '')]), " +
+      "(acc, x) -> acc || [list_sort([" +
+      (1 to l).map(uniCandSql).mkString(", ") +
+      s"])[$l]])[length(pretok) + 1]"
+  }
+
+  private def uniNormSql(name: String, v: String): String =
+    s"$name AS (SELECT piece, n, CAST(n AS DOUBLE) / " +
+      s"(SELECT CAST(sum(n) AS DOUBLE) FROM $v) AS prob FROM $v)"
+
+  /** The unigram-LM training chain through `pf` (final normalized vocab):
+    * pretoken freqs → overcomplete substring seed (chars + top
+    * [[Unigram.SeedCap]]) → [[Unigram.EmRounds]] unrolled hard-EM rounds
+    * (Viterbi segment under the round's map, freq-weighted counts,
+    * char floor at 1) → prune to [[Unigram.VocabTarget]] multi-char
+    * pieces → re-normalize. Every cut uses the total (n desc, piece asc)
+    * order; every division is one BIGINT→DOUBLE cast pair. */
+  def unigramCtes: String = {
+    val l = Unigram.MaxPieceLen
+    val sb = new StringBuilder
+    sb ++= "pre AS (SELECT pretok, CAST(count(*) AS BIGINT) AS freq FROM " +
+      s"(SELECT unnest(regexp_extract_all(text, $bpePatSql)) AS pretok FROM documents) GROUP BY 1), " +
+      "sub AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS n FROM " +
+      "(SELECT freq, unnest(flatten(list_transform(generate_series(1, length(pretok)), " +
+      s"i -> list_transform(generate_series(1, least($l, length(pretok) - i + 1)), " +
+      "k -> substr(pretok, i, k))))) AS piece FROM pre) GROUP BY 1), " +
+      "chars AS (SELECT piece, n FROM sub WHERE length(piece) = 1), " +
+      s"seeds AS (SELECT piece, n FROM sub WHERE length(piece) >= 2 ORDER BY n DESC, piece LIMIT ${Unigram.SeedCap}), " +
+      "v0 AS (SELECT piece, n FROM chars UNION ALL SELECT piece, n FROM seeds), " +
+      uniNormSql("p0", "v0")
+    for (r <- 1 to Unigram.EmRounds) {
+      sb ++= s", vm${r - 1} AS (SELECT map_from_entries(list(struct_pack(k := piece, v := prob))) AS vm FROM p${r - 1})"
+      sb ++= s", seg$r AS (SELECT pretok, freq, string_split(($uniDpSql).path, chr(30)) AS pieces FROM pre, vm${r - 1})"
+      sb ++= s", cnt$r AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS n FROM " +
+        s"(SELECT freq, unnest(pieces) AS piece FROM seg$r) GROUP BY 1)"
+      sb ++= s", v$r AS (SELECT c.piece, greatest(coalesce(ct.n, 0), 1) AS n " +
+        s"FROM chars c LEFT JOIN cnt$r ct USING (piece) " +
+        s"UNION ALL SELECT piece, n FROM cnt$r WHERE length(piece) >= 2)"
+      sb ++= s", ${uniNormSql(s"p$r", s"v$r")}"
+    }
+    val rr = Unigram.EmRounds
+    sb ++= s", keepm AS (SELECT piece, n FROM v$rr WHERE length(piece) >= 2 " +
+      s"ORDER BY n DESC, piece LIMIT ${Unigram.VocabTarget})"
+    sb ++= s", vf AS (SELECT piece, n FROM v$rr WHERE length(piece) = 1 " +
+      "UNION ALL SELECT piece, n FROM keepm)"
+    sb ++= s", ${uniNormSql("pf", "vf")}"
+    sb.toString
+  }
+
+  def unigramTrainSql: String =
+    s"WITH $unigramCtes SELECT CAST(row_number() OVER (ORDER BY n DESC, piece) - 1 AS BIGINT) " +
+      "AS rnk, piece, n, prob FROM pf"
+
+  def unigramEncodeSql: String =
+    s"WITH $unigramCtes, " +
+      "vmf AS (SELECT map_from_entries(list(struct_pack(k := piece, v := prob))) AS vm FROM pf), " +
+      s"segf AS (SELECT pretok, string_split(($uniDpSql).path, chr(30)) AS pieces FROM pre, vmf), " +
+      "uid AS (SELECT piece, CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS token_id FROM pf), " +
+      "sy AS (SELECT pretok, CAST(generate_subscripts(pieces, 1) - 1 AS BIGINT) AS pos, " +
+      "unnest(pieces) AS piece FROM segf), " +
+      "enc AS (SELECT doc_id, CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS seq, " +
+      "unnest(arr) AS pretok FROM (SELECT doc_id, " +
+      s"regexp_extract_all(text, $bpePatSql) AS arr FROM documents)) " +
+      "SELECT e.doc_id, e.seq, sy.pos, sy.piece, u.token_id " +
+      "FROM enc e JOIN sy USING (pretok) JOIN uid u USING (piece)"
+
+  def unigramFertilitySql: String =
+    "WITH w AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens " +
+      "FROM documents GROUP BY 1), " +
+      s"ub AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_uni_tokens, " +
+      s"CAST(sum(length(e.piece)) AS BIGINT) AS n_chars FROM ($unigramEncodeSql) e " +
+      "JOIN documents d USING (doc_id) GROUP BY 1) " +
+      "SELECT lang, n_docs, n_ws_tokens, n_uni_tokens, " +
+      "CAST(n_uni_tokens AS DOUBLE)/CAST(n_ws_tokens AS DOUBLE) AS fertility, " +
+      "CAST(n_chars AS DOUBLE)/CAST(n_uni_tokens AS DOUBLE) AS chars_per_token " +
+      "FROM w JOIN ub USING (lang)"
+
+}

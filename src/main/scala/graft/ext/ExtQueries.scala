@@ -19,7 +19,7 @@ object ExtQueries {
     * Three single-row aggregates crossJoined (constant folds — documented
     * PlanAudit exemptions); the heavy work is the semi-join on `keys`.
     */
-  private def recallReport(truth: DataFrame, approx: DataFrame,
+  private[ext] def recallReport(truth: DataFrame, approx: DataFrame,
       keys: Seq[String]): DataFrame = {
     val t = graft.ops.Caching.cacheOnce(truth.select(keys.map(col): _*))
     val common = t.join(approx, keys, "left_semi")
@@ -53,5883 +53,28 @@ object ExtQueries {
       }
   }
 
-  def queries: Map[String, Q] = Map(
-    "x01_dedup_exact" -> ((s, dir) =>
-      Dedup.exact(Tables.documents(s, dir))),
-
-    "x02_dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(Tables.documents(s, dir), 3, 0.8)),
-
-    // Dup-cluster histogram (r8 second half): clusters per multiplicity
-    // and each multiplicity's document share — the dedup shape row (a
-    // long tail of big clusters = template/boilerplate content).
-    "x179_dup_cluster_histogram" -> ((s, dir) =>
-      Dedup.clusterHistogram(Tables.documents(s, dir))),
-
-    // Source-token Gini (r8 second half): one number for mixture
-    // imbalance over exact per-source token totals.
-    "x180_source_token_gini" -> ((s, dir) =>
-      Curate.sourceTokenGini(Tables.documents(s, dir))),
-
-    // Dedup savings by source (r8 second half): per source, the doc and
-    // TOKEN mass sitting in exact-duplicate groups beyond the keeper —
-    // the datasheet row a mixture owner reads before paying for tokens.
-    "x176_dedup_savings_by_source" -> ((s, dir) =>
-      Dedup.savingsBySource(Tables.documents(s, dir))),
-
-    // Exact prefix-filtered set-similarity join (PPJoin-style): same
-    // semantics as x02, candidates bounded by rarest-prefix equi-join —
-    // the EXACT scale path (x03's LSH is the approximate one). Shares
-    // x02's all-pairs oracle because prefix filtering has no false
-    // negatives.
-    "x64_dedup_prefix_filter" -> ((s, dir) =>
-      Dedup.prefixFilterPairs(Tables.documents(s, dir), 3, 0.8)),
-
-    "x03_dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLsh(Tables.documents(s, dir), 3, 0.8)),
-
-    "x04_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhash(Tables.documents(s, dir))),
-
-    "x05_dedup_embedding_cosine" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.4)),
-
-    "x06_ann_bruteforce_topk" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      Similarity.bruteForceTopK(e.where(col("vec_id") < 5), e, 10)
-    }),
-
-    // Matryoshka truncation frontier (r8 batch 5): top-k recall of cosine
-    // search over renormalized embedding PREFIXES at 64/32/16/8 dims vs
-    // the full-dim truth — the dimensionality rung of the quantization
-    // menu (x146/x161/x167 are the byte rungs).
-    "x181_matryoshka_recall" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      Similarity.matryoshkaRecallReport(e.where(col("vec_id") < 5), e, 10)
-    }),
-
-    // Hard-negative mining (r5): per query, the top-k most-similar corpus
-    // vectors with a DIFFERENT label — contrastive-training negatives
-    // preparation; x06's streaming-corpus shape with a label guard.
-    "x91_ann_hard_negatives" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      Similarity.hardNegatives(e.where(col("vec_id") < 5), e, 10)
-    }),
-
-    // Winnowing overlap candidates (r5): MOSS fingerprint selection +
-    // df-capped shared-fingerprint pairing.
-    "x98_winnowing_pairs" -> ((s, dir) =>
-      TextOps.winnowingPairs(Tables.documents(s, dir))),
-
-    // Per-source vocabulary diversity (r5): Gini-Simpson + effective vocab
-    // size — the log-free "did this source collapse to boilerplate?" stat.
-    "x97_vocab_diversity" -> ((s, dir) =>
-      TextOps.vocabDiversity(Tables.documents(s, dir), col("source"))),
-
-    // Zipf rank-frequency profile (r8 batch 5): exact frequency, r·f(r)
-    // constancy ratio and cumulative share at power-of-two ranks — the
-    // corpus-statistics datasheet row, transcendental-free.
-    "x182_zipf_profile" -> ((s, dir) =>
-      TextOps.zipfProfile(Tables.documents(s, dir))),
-
-    // Heaps'-law vocabulary growth (r8 batch 5): cumulative types vs
-    // cumulative tokens at 10 doc-order checkpoints — "is the vocabulary
-    // saturating?" for the more-data-vs-more-sources decision.
-    "x183_heaps_growth" -> ((s, dir) =>
-      TextOps.heapsGrowth(Tables.documents(s, dir))),
-
-    // Distinct-n generation diversity (r8 batch 5): per-source exact
-    // distinct-1/distinct-2 ratios — the mode-collapse audit for
-    // synthetic training data (Li 2016).
-    "x184_ngram_diversity" -> ((s, dir) =>
-      TextOps.ngramDiversity(Tables.documents(s, dir), col("source"))),
-
-    // Exact midrank ROC-AUC of the gate scorer (r8 batch 6): the
-    // threshold-free model-comparison number beside x170's operating
-    // points — Mann–Whitney in doubled-integer units, distinct-score
-    // frame + two-phase prefix sum, no global window.
-    "x185_gate_auc" -> ((s, dir) =>
-      Trainer.gateAuc(s, Tables.documents(s, dir))),
-
-    // Padding-waste report (r8 batch 6): per-length-bucket pad economics
-    // + the bucketed-vs-pad-to-max corpus fractions — the measured
-    // throughput argument for length-sorted batching.
-    "x186_padding_waste" -> ((s, dir) =>
-      TextOps.paddingWaste(Tables.documents(s, dir))),
-
-    // Quality-mass Lorenz curve (r8 batch 6): cumulative token share by
-    // quality decile (exactNtile on (−score, doc_id)) — "keep the top-k
-    // deciles, keep what fraction of the tokens?"
-    "x187_quality_mass_curve" -> ((s, dir) =>
-      Curate.qualityMassCurve(Tables.documents(s, dir))),
-
-    // k-anonymity audit (r8 batch 7): docs whose (source, lang,
-    // length-bucket) quasi-identifier group has < k members — the
-    // privacy datasheet row run before publishing per-slice stats.
-    "x188_k_anonymity" -> ((s, dir) =>
-      Curate.kAnonymityAudit(Tables.documents(s, dir))),
-
-    // Delete-a-group jackknife (r8 batch 9): mean quality ± jackknife SE
-    // over √n id-hash groups — the uncertainty the drift alarm needs to
-    // tell signal from sampling noise.
-    "x194_jackknife_quality" -> ((s, dir) =>
-      Curate.jackknifeQuality(Tables.documents(s, dir))),
-
-    // Length-stratified quality selection (r8 batch 11): per-length-
-    // bucket quality deciles vs the global decile gate — the
-    // de-confounded keep rule x187's length/quality correlation calls for.
-    "x196_stratified_quality" -> ((s, dir) =>
-      Curate.stratifiedQualitySelect(Tables.documents(s, dir))),
-
-    // Robust quality statistics (r8 batch 11): exact rank median,
-    // 5%-trimmed mean, MAD — the outlier-resistant companions to x194's
-    // mean ± SE.
-    "x197_robust_quality" -> ((s, dir) =>
-      Curate.robustQuality(Tables.documents(s, dir))),
-
-    // Repetition-aware budget mix (r8 batch 12): per-source budgets set
-    // from x189's EFFECTIVE token mass (floor(eff/2)) feeding the
-    // weighted prefix sampler — the mixture stops paying twice for
-    // copies, without a dedup pass over the text.
-    "x198_effective_budget_mix" -> ((s, dir) =>
-      Curate.effectiveBudgetMix(Tables.documents(s, dir))),
-
-    // Per-source robust stats (r8 batch 13): exact rank median + MAD per
-    // source via keyed windows — the outlier-resistant per-slice drift
-    // row (x143's means move on a scraper burst; these don't).
-    "x199_source_robust_quality" -> ((s, dir) =>
-      Curate.sourceRobustQuality(Tables.documents(s, dir))),
-
-    // Effective token mass under repetition (r8 batch 7): per-source
-    // raw vs unique vs repeat-decayed token mass (Muennighoff 2023,
-    // dyadic decay) — what a token-budget mixer should weigh sources by.
-    "x189_effective_tokens" -> ((s, dir) =>
-      Dedup.effectiveTokens(Tables.documents(s, dir))),
-
-    // Brier decomposition (r8 batch 8): reliability / resolution /
-    // uncertainty split of the gate's held-out Brier score (Murphy
-    // 1973) + the within-bin gap — WHY the forecasts are good, where
-    // x137 shows the raw bins and x185 only ranks.
-    "x190_brier_decomposition" -> ((s, dir) =>
-      Trainer.brierDecomposition(s, Tables.documents(s, dir))),
-
-    // Dedup threshold sweep (r8 batch 8): verified-pair count, docs and
-    // token mass dropped at each Jaccard threshold 0.5..0.9 — the dial
-    // report that picks the production dedup threshold.
-    "x191_dedup_threshold_sweep" -> ((s, dir) =>
-      Dedup.thresholdSweep(Tables.documents(s, dir))),
-
-    // Binary sign-quantization recall (r8 batch 8): the 1-bit/8-byte
-    // rung of the quantization menu — raw Hamming ranking vs
-    // Hamming-shortlist + exact-cosine rerank, against the exact top-k.
-    "x192_binary_quant_recall" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      Similarity.binaryRecallReport(e.where(col("vec_id") < 5), e, 10)
-    }),
-
-    // Distribution-level corpus drift (r5): pairwise χ²-like divergence
-    // between sources over hashed-unigram distributions — catches a source
-    // changing CONTENT where x63's digest diff only catches changed rows.
-    "x93_vocab_divergence" -> ((s, dir) =>
-      TextOps.vocabDivergence(Tables.documents(s, dir), col("source"))),
-
-    // Corpus datasheet (r5): the per-source summary a dataset card ships —
-    // volume, token mass, language spread, exact-dup rate, mean heuristic
-    // quality (doc-ordered fold) — ONE partial-agg pass over the corpus.
-    "x92_corpus_datasheet" -> ((s, dir) => {
-      val q = TextOps.qualityMetrics(Tables.documents(s, dir))
-      q.groupBy("source").agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("n_tokens"),
-          countDistinct(col("lang")).as("n_langs"),
-          countDistinct(md5(col("text"))).as("n_unique_texts"),
-          sort_array(collect_list(struct(col("doc_id"), col("quality_score")))).as("_qs"))
-        .select(col("source"), col("n_docs"), col("n_tokens"),
-          col("n_langs"), col("n_unique_texts"),
-          ((col("n_docs") - col("n_unique_texts")).cast("double") /
-            col("n_docs").cast("double")).as("dup_frac"),
-          (aggregate(transform(col("_qs"), x => x.getField("quality_score")),
-            lit(0.0), (a, b) => a + b) / col("n_docs")).as("mean_quality"))
-    }),
-
-    "x07_ann_lsh_topk" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      Similarity.lshTopK(e.where(col("vec_id") < 5), e, 10)
-    }),
-
-    "x19_array_funcs" -> ((s, dir) =>
-      Tables.embeddings(s, dir).select(
-        col("vec_id"),
-        size(col("embedding")).cast("long").as("dim"),
-        array_max(col("embedding")).cast("double").as("emb_max"),
-        array_min(col("embedding")).cast("double").as("emb_min"),
-        element_at(col("embedding"), 1).cast("double").as("first"),
-        aggregate(slice(col("embedding"), 1, 8).cast("array<double>"),
-          lit(0.0), (a, x) => a + x).as("head8_sum"))),
-
-    "x18_dedup_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(Tables.documents(s, dir), 3)),
-
-    "x20_dedup_simhash_banded" -> ((s, dir) =>
-      Dedup.simhashBandedPairs(Tables.documents(s, dir), 3)),
-
-    "x15_dedup_cluster_canonical" -> ((s, dir) =>
-      Dedup.connectedComponents(Dedup.jaccardPairs(Tables.documents(s, dir), 3, 0.8))),
-
-    // Edit-distance-verified near-dup (r5): x03's band candidates verified
-    // by normalized Levenshtein — catches in-place character edits that
-    // shuffle shingles.
-    "x100_dedup_edit_distance" -> ((s, dir) =>
-      Dedup.editDistancePairs(Tables.documents(s, dir))),
-
-    // Quality-aware canonical election (r5): near-dup clusters keep the
-    // HIGHEST-quality member, not the min id — the x15/x16 election policy
-    // production pipelines actually want.
-    "x99_dedup_keep_best" -> ((s, dir) =>
-      Dedup.keepBestDedup(Tables.documents(s, dir))),
-
-    "x16_dedup_applied" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Dedup.applyDedup(docs, Dedup.connectedComponents(Dedup.jaccardPairs(docs, 3, 0.8)))
-        .select("doc_id", "lang", "source", "n_chars")
-    }),
-
-    "x17_text_normalize" -> ((s, dir) =>
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        TextOps.normalize(concat(col("text"), lit("  MIXED!! Case++"))).as("norm_text"))),
-
-    "x14_dedup_embedding_lsh" -> ((s, dir) =>
-      Similarity.lshNearDupPairs(Tables.embeddings(s, dir), 0.4)),
-
-    "x13_ann_ivf_topk" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      Similarity.ivfTopK(e.where(col("vec_id") < 5), e, 10)
-    }),
-
-    "x08_text_lang_id" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      d.select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"), col("lang"))
-        .withColumn("is_match", col("pred_lang") === col("lang"))
-    }),
-
-    "x09_text_quality" -> ((s, dir) =>
-      TextOps.qualityMetrics(Tables.documents(s, dir).select("doc_id", "text")).drop("text")),
-
-    "x10_text_tokens" -> ((s, dir) =>
-      TextOps.tokenCounts(Tables.documents(s, dir).select("doc_id", "text")).drop("text")),
-
-    "x11_text_fingerprint" -> ((s, dir) =>
-      TextOps.fingerprint(Tables.documents(s, dir).select("doc_id", "text")).drop("text")),
-
-    "x12_multimodal_binary" -> ((s, dir) =>
-      Multimodal.binaryFeatures(Tables.documents(s, dir))),
-
-    "x21_text_vocab" -> ((s, dir) =>
-      Curate.vocabStats(Tables.documents(s, dir), 5L)),
-
-    "x22_text_salient_terms" -> ((s, dir) =>
-      Curate.salientTerms(Tables.documents(s, dir), 3)),
-
-    "x23_curate_hash_sample" -> ((s, dir) =>
-      Curate.hashSample(Tables.documents(s, dir), "doc_id", 10, "s0")
-        .select("doc_id", "lang", "source", "n_chars")),
-
-    "x24_curate_pii_redact" -> ((s, dir) =>
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        Curate.redactPii(concat(col("text"),
-          lit(" contact bob.smith+x@mail.example.org or +1 (555) 123-4567 now")))
-          .as("clean_text"))),
-
-    "x25_curate_length_hist" -> ((s, dir) =>
-      Curate.lengthHistogram(Tables.documents(s, dir), "n_chars", 100)),
-
-    // Sketch queries register their REPORT forms (r5): every sketch-derived
-    // column is an in-engine boolean verdict vs the exact answer, the exact
-    // answer is emitted alongside, so the whole output hash-matches DuckDB
-    // while the sketch path still executes (SketchesSpec keeps pinning the
-    // raw estimator forms' accuracy).
-    "x26_sketch_cardinality" -> ((s, dir) =>
-      Sketches.cardinalityReport(Tables.documents(s, dir))),
-
-    "x27_sketch_quantiles" -> ((s, dir) =>
-      Sketches.quantileReport(Tables.documents(s, dir))),
-
-    "x35_curate_boilerplate" -> ((s, dir) =>
-      Curate.boilerplateShingles(Tables.documents(s, dir), 3, 0.01)),
-
-    "x36_curate_contamination" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      Curate.contamination(d.where(col("source") === "src0"),
-        d.where(col("source") =!= "src0"), 3)
-    }),
-
-    // Corpus-side decontamination (r5): the filter direction — score every
-    // TRAINING doc against the benchmark shingle set, flag for removal.
-    "x101_decontaminate" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      Curate.decontaminate(d.where(col("source") =!= "src0"),
-        d.where(col("source") === "src0"), 3)
-    }),
-
-    // Filter cascade with drop-reason attribution (r5): Gopher/C4-style
-    // heuristic gates in a fixed order; each doc gets its first failing
-    // rule as drop_reason, so per-rule counts are additive. Thresholds
-    // chosen to exercise all three rules on the fixture (43/104/16/337 at
-    // sf0.01). Ratios are single divisions of exact integers — the
-    // threshold compares are bit-identical across engines.
-    "x102_filter_cascade" -> ((s, dir) => {
-      val m = TextOps.qualityMetrics(Tables.documents(s, dir).select("doc_id", "text"))
-      Curate.filterCascade(m, Seq(
-        "too_short" -> (col("n_tokens") < 20),
-        "low_stopword" -> (col("stopword_ratio") < 0.04),
-        "low_alpha" -> (col("alpha_ratio") < 0.81)))
-        .select("doc_id", "n_tokens", "drop_reason", "kept")
-    }),
-
-    // Typed Aggregator coverage: deterministic bottom-k-by-hash sample of
-    // doc_ids per language, exploded to scalar rows for the oracle.
-    "x34_curate_group_sample" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .groupBy("lang")
-        .agg(graft.functions.BottomKSample.sample(col("doc_id").cast("string"), 5).as("sample"))
-        .select(col("lang"), explode(col("sample")).as("_id"))
-        .select(col("lang"), col("_id").cast("long").as("doc_id"))),
-
-    "x33_quality_profile" -> ((s, dir) =>
-      graft.ops.Quality.profile(
-        Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
-        Seq("lang", "source"))),
-
-    // Z-order clustering key: the codegen'd Morton interleave the layout
-    // writer sorts by (graft.ops.Layout.zorderWrite); oracle replicates the
-    // bit-spreading arithmetic in plain SQL.
-    "x37_layout_zorder" -> ((s, dir) => {
-      graft.functions.Morton.register(s)
-      Tables.orders(s, dir).select(col("o_orderkey"),
-        graft.functions.Morton.interleave(
-          (col("o_orderkey") % 65536).cast("long"),
-          (col("o_custkey") % 65536).cast("long")).as("zval"))
-    }),
-
-    "x32_ann_ivf_nprobe2" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      Similarity.ivfTopKProbe2(e.where(col("vec_id") < 5), e, 10)
-    }),
-
-    // The production ANN shape: IVF index persisted as TABLES (centroids +
-    // cell-PARTITIONED assignment), probes pruned to the probed cells via
-    // dynamic partition pruning. Same centroids/fold/ranking as x13, so it
-    // shares x13's oracle.
-    // URL/domain curation (r5): the C4/RefinedWeb first pass — deterministic
-    // derived URL, regex host extraction, registered-domain reduction,
-    // blocklist anti-join, per-domain quota. One composed query.
-    "x79_url_domain_curation" -> ((s, dir) =>
-      Curate.urlDomainCuration(Tables.documents(s, dir))),
-
-    // Canonical-URL dedup (r5): normalize a messy derived URL (case, default
-    // port, fragment, trailing slash, tracking params, param order) and
-    // collapse docs sharing the canonical form — the URL-level dedup web
-    // pipelines run BEFORE content dedup.
-    "x95_url_canonical_dedup" -> ((s, dir) =>
-      Curate.urlCanonicalDedup(Tables.documents(s, dir))),
-
-    // Model-based quality scoring (r5): bigram LM trained on the src0
-    // held-out slice, every other doc scored by average smoothed inverse
-    // conditional probability (perplexity's transcendental-free surrogate).
-    "x80_lm_quality_score" -> ((s, dir) =>
-      TextOps.lmInvProbScore(Tables.documents(s, dir), col("source") === "src0")),
-
-    // Trigram stupid-backoff LM (r5): the CCNet-shaped upgrade of x80 —
-    // three exact-rational backoff tiers (1/0.4 = 2.5, 1/0.4^2 = 6.25),
-    // model tables from the bounded train slice, corpus never shuffles.
-    "x96_lm_trigram_score" -> ((s, dir) =>
-      TextOps.lmTrigramScore(Tables.documents(s, dir), col("source") === "src0")),
-
-    // CCNet perplexity buckets (r5): trigram-LM scores -> exact tertiles
-    // (head = most fluent), keep head+middle — Wenzek et al. 2020's policy.
-    "x105_ccnet_buckets" -> ((s, dir) =>
-      Curate.perplexityBuckets(Tables.documents(s, dir), col("source") === "src0")),
-
-    // Paragraph-level CCNet filter (r5): score 20-token paragraphs with
-    // the bigram LM, drop those above invp 50 (~P90 on the fixture),
-    // rebuild docs from kept paragraphs — salvages mostly-good documents.
-    "x106_paragraph_lm_filter" -> ((s, dir) =>
-      TextOps.paragraphLmFilter(Tables.documents(s, dir), col("source") === "src0")),
-
-    // Curriculum shards (r5): the training-order artifact — docs split
-    // into 8 EXACT quality octiles (shard 1 = lowest score ... 8 =
-    // highest; curriculum training feeds shards in order), each doc also
-    // carrying a deterministic md5 order key for within-shard shuffling.
-    // Emitting the KEY instead of a global rank is what keeps the plan
-    // scale-safe: the trainer sorts its shard-partitioned reads by the
-    // key locally, and the engine never plans a per-shard global window
-    // (the funnel x54's exactNtile exists to avoid).
-    "x108_curriculum_shards" -> ((s, dir) => {
-      val m = TextOps.qualityMetrics(Tables.documents(s, dir))
-        .select("doc_id", "quality_score")
-      graft.ops.Quality.exactNtile(m, 8, Seq("quality_score", "doc_id"))
-        .select(col("doc_id"), col("quality_score"), col("bin").as("shard"),
-          md5(concat(col("doc_id").cast("string"), lit(":order"))).as("order_key"))
-    }),
-
-    // kNN label propagation (r5): semi-supervised labeling — every 5th
-    // vector is "unlabeled" (held out), predicted by majority vote of its
-    // 10 nearest labeled neighbors; deterministic winner (votes, decimal
-    // sim sum, smallest label) and the true label kept for an in-engine
-    // accuracy audit. Scale path: swap the exact candidate generator for
-    // lshMultiTopK's bucketed candidates (see Similarity.knnClassify doc).
-    "x109_knn_label_prop" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      Similarity.knnClassify(
-        e.where(col("vec_id") % 5 === 0), e.where(col("vec_id") % 5 =!= 0), 10)
-    }),
-
-    // Rank-ensemble quality (r5): combine heterogeneous quality signals
-    // (length, stopword ratio, alpha ratio) on a COMMON scale — each
-    // signal's exact global rank — then average and decile-bin. The
-    // rank-normalization sidesteps unit mismatch between raw signals
-    // (ensemble filtering's standard trick). Each rank is one
-    // range-repartition pass (withExactRank — no global-window funnel),
-    // then doc-keyed joins; only 8-byte ranks travel, never text.
-    "x110_quality_rank_ensemble" -> ((s, dir) => {
-      val m = TextOps.qualityMetrics(Tables.documents(s, dir))
-      val rl = graft.ops.Quality.withExactRank(
-        m.select("doc_id", "n_tokens"), Seq("n_tokens", "doc_id"), "r_len")
-      val rs = graft.ops.Quality.withExactRank(
-        m.select("doc_id", "stopword_ratio"), Seq("stopword_ratio", "doc_id"), "r_stop")
-      val ra = graft.ops.Quality.withExactRank(
-        m.select("doc_id", "alpha_ratio"), Seq("alpha_ratio", "doc_id"), "r_alpha")
-      val ens = rl.select("doc_id", "r_len")
-        .join(rs.select("doc_id", "r_stop"), "doc_id")
-        .join(ra.select("doc_id", "r_alpha"), "doc_id")
-        .withColumn("ensemble",
-          (col("r_len") + col("r_stop") + col("r_alpha")).cast("double") / 3.0)
-      graft.ops.Quality.exactNtile(ens, 10, Seq("ensemble", "doc_id"))
-        .select("doc_id", "r_len", "r_stop", "r_alpha", "ensemble", "bin")
-    }),
-
-    // kNN agreement report (r5): the engine measures its own scale path —
-    // label-propagation predictions from exact brute-force candidates vs
-    // the lshMultiTopK bucketed candidates (the 100 TB path), joined per
-    // query: agreement rate + each path's accuracy on the common set.
-    // 1-row artifact, same in-engine-audit practice as x70/x72/x74.
-    "x112_knn_lsh_agreement" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val q = e.where(col("vec_id") % 5 === 0)
-      val c = e.where(col("vec_id") % 5 =!= 0)
-      val ex = Similarity.knnClassify(q, c, 10)
-        .select(col("vec_id"), col("pred_label").as("exact_pred"), col("true_label"))
-      val ap = Similarity.knnClassify(q, c, 10, Similarity.lshMultiTopK)
-        .select(col("vec_id"), col("pred_label").as("lsh_pred"))
-      ex.join(ap, "vec_id").agg(
-        count(lit(1)).as("n_queries"),
-        sum(when(col("exact_pred") === col("lsh_pred"), 1L).otherwise(0L)).as("n_agree"),
-        sum(when(col("exact_pred") === col("true_label"), 1L).otherwise(0L)).as("n_exact_correct"),
-        sum(when(col("lsh_pred") === col("true_label"), 1L).otherwise(0L)).as("n_lsh_correct"))
-        .withColumn("agreement",
-          col("n_agree").cast("double") / col("n_queries"))
-    }),
-
-    // APPLIED decontamination (r5): x101's flag turned surgical — strip
-    // every 8-token window of a training doc that appears anywhere in the
-    // benchmark set (source = src0) and rebuild the cleaned text
-    // (GPT-3-style span-level decontamination; x94's excise-and-rebuild
-    // with benchmark windows as the kill set).
-    "x117_decontaminate_applied" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      Dedup.decontaminateApplied(
-        d.where(col("source") =!= "src0"), d.where(col("source") === "src0"))
-    }),
-
-    // Filter-agreement cross-tab (r5): do the two quality filters agree?
-    // Tertile every scored doc under BOTH signals — trigram-LM fluency
-    // (bin 1 = most fluent) and heuristic quality (bin 1 = highest, via
-    // negated score) — and cross-tabulate. Diagonal mass = redundant
-    // filters; off-diagonal = each filter catches docs the other misses.
-    // The standard check before stacking filters in a cascade (x102).
-    "x116_filter_agreement" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val lm = TextOps.lmTrigramScore(docs, col("source") === "src0")
-        .select("doc_id", "avg_invp")
-      val hq = TextOps.qualityMetrics(docs).select("doc_id", "quality_score")
-      val j = lm.join(hq, "doc_id").withColumn("neg_q", -col("quality_score"))
-      val lb = graft.ops.Quality.exactNtile(j, 3, Seq("avg_invp", "doc_id"))
-        .withColumnRenamed("bin", "lm_bin")
-      val hb = graft.ops.Quality.exactNtile(lb, 3, Seq("neg_q", "doc_id"))
-        .withColumnRenamed("bin", "hq_bin")
-      hb.groupBy("lm_bin", "hq_bin").agg(count(lit(1)).as("n_docs"))
-    }),
-
-    // kNN score propagation (r5): regression twin of x109 — spread the
-    // heuristic quality score from the scored pool (vec_id % 5 != 0) to
-    // the held-out docs as the similarity-weighted neighbor mean, with
-    // the true score kept → residual audit. Embeddings × text-quality
-    // composition across the two fixture tables (ids align by design).
-    "x115_knn_score_propagation" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val qs = TextOps.qualityMetrics(Tables.documents(s, dir))
-        .select(col("doc_id").as("vec_id"), col("quality_score").as("score"))
-      Similarity.knnPropagateScore(
-        e.where(col("vec_id") % 5 === 0), e.where(col("vec_id") % 5 =!= 0), qs, 10)
-    }),
-
-    // Taxonomy keyword tagger (r5): the Dolma-tagger pattern with an
-    // EXTERNALLY-supplied topic dictionary — per-doc topic hit counts,
-    // deterministic dominant topic, tag density; pure codegen'd per-row
-    // expressions, scan speed, zero shuffle.
-    "x114_topic_tagging" -> ((s, dir) =>
-      Curate.topicTag(Tables.documents(s, dir))),
-
-    // Semantic cluster profile (r5): corpus composition by IVF cell —
-    // count, tightness (mean cosine to centroid), dominant label + share.
-    // The "what is IN this corpus" artifact consulted before mixtures or
-    // semantic pruning; reuses x13's deterministic stride centroids.
-    "x113_cluster_profile" -> ((s, dir) =>
-      Similarity.clusterProfile(Tables.embeddings(s, dir))),
-
-    // Export shard manifest (r5): the publish-side integrity artifact —
-    // per-shard row count, byte volume, and an order-independent XOR
-    // content checksum (see Curate.shardManifest). One map-side-combined
-    // groupBy; 16 rows out.
-    "x111_shard_manifest" -> ((s, dir) =>
-      Curate.shardManifest(Tables.documents(s, dir), "doc_id", "text", 16)),
-
-    // Dolma-style per-doc ATTRIBUTES table (r5): the tagger-output
-    // artifact web corpora ship beside the text — one wide row per doc
-    // with every per-doc signal the engine computes: heuristic quality
-    // (x09), language id (x08), bigram-LM fluency (x80; null for train
-    // and sub-2-token docs), PII presence (x61's deterministic salting so
-    // the clean fixture carries signal), exact-dup victimhood (x01's
-    // min-id canon) and duplicated-passage coverage (x82). All joins are
-    // doc-keyed; every branch is an already-verified operator.
-    "x107_doc_attributes" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val q = TextOps.qualityMetrics(docs).select("doc_id", "n_tokens", "quality_score")
-      val lang = docs.select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))
-      val lm = TextOps.lmInvProbScore(docs, col("source") === "src0")
-        .select(col("doc_id"), col("avg_invp").as("lm_invp"))
-      val pii = Curate.piiProfile(docs.withColumn("_t",
-          concat(col("text"),
-            when(col("doc_id") % 3 === 0, lit(" reach a.b@c.example.com")).otherwise(lit("")),
-            when(col("doc_id") % 5 === 0, lit(" call +1 212 555 0199 from 10.0.0.1"))
-              .otherwise(lit("")))), col("_t"))
-        .select("doc_id", "has_pii")
-      val canon = Dedup.exact(docs).select(col("text_hash"), col("doc_id").as("canon_id"))
-      val victims = docs.select(col("doc_id"), md5(col("text")).as("text_hash"))
-        .join(canon, Seq("text_hash"))
-        .select(col("doc_id"), (col("doc_id") =!= col("canon_id")).as("exact_dup_victim"))
-      val dup = Dedup.dupPassages(docs).select(col("doc_id"), col("dup_frac"))
-      q.join(lang, "doc_id").join(lm, Seq("doc_id"), "left")
-        .join(pii, "doc_id").join(victims, "doc_id").join(dup, "doc_id")
-    }),
-
-    // The composed web-corpus flagship (r5): the full C4/RefinedWeb-shaped
-    // pass as ONE query — domain gate (derived URL, blocklist anti-join) ->
-    // model-based quality gate (stupid-backoff LM, exact-P95 threshold) ->
-    // exact dedup -> context-window chunk stats per registered domain.
-    // Every stage is an already-verified operator; the composition is the
-    // product a training-data user actually ships.
-    "x81_web_corpus_pipeline" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val dom = Curate.domainBlockFilter(
-        Curate.withHostDomain(Curate.withUrl(docs)), Curate.DefaultDomainBlocklist)
-      // Score only the domain-surviving docs (plus the training slice):
-      // the domain gate is a scan-level predicate, so pushing it below the
-      // LM explode cuts ~1/3 of the scoring work; per-doc scores are
-      // independent, so the surviving rows are bit-identical to scoring
-      // everything and joining after (which is what the oracle does).
-      val baseCols = docs.columns.toIndexedSeq.map(col)
-      val scoringDocs = docs.where(col("source") === "src0")
-        .unionByName(dom.where(col("source") =!= "src0").select(baseCols: _*))
-      val scores = TextOps.lmInvProbScore(scoringDocs, col("source") === "src0")
-      val scored = dom.join(scores.select("doc_id", "avg_invp"), "doc_id")
-      val fluent = Curate.percentileClip(scored, "avg_invp", 0.0, 0.95)
-      val canon = fluent.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
-      val surviving = fluent.join(canon.select("doc_id"), "doc_id")
-      val chunkStats = Chunking.chunkTokens(surviving, 64, 48)
-        .groupBy("doc_id").agg(count(lit(1)).as("n_chunks"),
-          sum(col("n_chunk_tokens").cast("long")).as("chunk_tokens"))
-      surviving.join(chunkStats, "doc_id")
-        .groupBy("domain")
-        .agg(count(lit(1)).as("n_docs"),
-          sum("n_chunks").as("n_chunks"),
-          sum("chunk_tokens").as("total_chunk_tokens"),
-          min("doc_id").as("min_doc_id"))
-    }),
-
-    // Full BPE training (r5): 8 iterative merges over the vocabulary-sized
-    // pretoken table — the loop x60's first-pass pair count only started.
-    // The DuckDB oracle re-derives the whole merge table via an unrolled
-    // 8-stage chain of pair-count/argmax/list_reduce-apply CTEs.
-    "x77_bpe_train" -> ((s, dir) =>
-      Bpe.mergeTable(Tables.documents(s, dir), BpeMerges)),
-
-    // And encode: text → token ids through the trained merges, ids
-    // data-derived (sorted base alphabet, then merge ranks). One row per
-    // emitted token with its (seq, pos) provenance.
-    "x78_bpe_encode" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      Bpe.encode(d, Bpe.train(d, BpeMerges))
-    }),
-
-    // Duplicate-PASSAGE detection (r5, Lee et al. 2022 shape): token
-    // positions covered by any 8-token window digest occurring in >= 2
-    // distinct docs — the substring-level dedup doc-level x01/x03 miss.
-    "x82_dup_passages" -> ((s, dir) =>
-      Dedup.dupPassages(Tables.documents(s, dir))),
-
-    // APPLIED passage dedup (r5): strip every non-owner copy of a
-    // duplicated 8-token window and rebuild the cleaned text — the
-    // Lee-et-al cleaning pass x82 only reports on.
-    "x94_dedup_passages_applied" -> ((s, dir) =>
-      Dedup.dedupPassagesApplied(Tables.documents(s, dir))),
-
-    // Tokenizer fertility per language from the REAL trained tokenizer —
-    // tokens/word and chars/token, the over-fragmentation diagnostic.
-    "x83_bpe_fertility" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      Bpe.fertilityByLang(d, Bpe.train(d, BpeMerges))
-    }),
-
-    // DSIR importance weights (r5): hashed-unigram likelihood ratios
-    // between the src0 target slice and the raw rest — the
-    // importance-resampling data-selection score (Xie et al. 2023) beside
-    // x80's LM quality score. O(buckets) training state, broadcast onto a
-    // scan of the scoring corpus.
-    "x84_dsir_importance" -> ((s, dir) =>
-      TextOps.dsirImportance(Tables.documents(s, dir), col("source") === "src0")),
-
-    // Embedding isotropy report (r8 second half): mean norm, ||mean
-    // vector||^2 (the expected random-pair cosine for unit vectors — the
-    // anisotropy headline), total centered variance and dimension
-    // dominance — the health row read before trusting cosine retrieval.
-    "x177_embedding_isotropy" -> ((s, dir) =>
-      Embeddings.isotropyReport(Tables.embeddings(s, dir))),
-
-    // Embedding outlier report (r5): distance to the label's exact
-    // centroid, flagged at the corpus's exact P95 squared-distance — the
-    // embedding-space curation filter after near-dup removal.
-    "x85_embedding_outliers" -> ((s, dir) =>
-      Embeddings.outlierReport(Tables.embeddings(s, dir))),
-
-    // Domain authority (r5): 5 damped PageRank iterations over the
-    // deterministically derived domain citation graph — the CommonCrawl-
-    // style per-domain quality prior beside x79's blocklist.
-    "x86_domain_authority" -> ((s, dir) =>
-      Authority.domainAuthority(Tables.documents(s, dir))),
-
-    // Temperature-scaled language mixture (r5): sqrt-share reweighting +
-    // the exact row count the deterministic fractional-epoch replay
-    // materializes against a 1000-row budget.
-    "x87_temperature_mix" -> ((s, dir) =>
-      Curate.temperatureMix(Tables.documents(s, dir), col("lang"), 1000L)),
-
-    // The per-domain quality table (r5): PageRank authority × mean LM
-    // quality × scored-doc counts — the composed artifact a web-curation
-    // stack actually ships (domain ranking with both link and content
-    // signals). Every input is an already-verified operator.
-    "x88_domain_quality" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val auth = Authority.domainAuthority(docs)
-      val scored = TextOps.lmInvProbScore(docs, col("source") === "src0")
-      val d = Curate.withHostDomain(Curate.withUrl(docs)).select(col("doc_id"), col("domain"))
-      val perDomain = d.join(scored.select("doc_id", "avg_invp"), "doc_id")
-        .groupBy("domain")
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("avg_invp")))).as("xs"))
-        .select(col("domain"), size(col("xs")).cast("long").as("n_scored"),
-          (aggregate(transform(col("xs"), x => x.getField("avg_invp")),
-            lit(0.0), (a, b) => a + b) / size(col("xs"))).as("mean_invp"))
-      auth.join(perDomain, Seq("domain"), "left")
-    }),
-
-    // K-class model-based classification (r5): fastText-shaped hashed-
-    // feature classifier, trained on a deterministic half split, argmax
-    // with deterministic ties — x84's likelihood ratio generalized to
-    // class-vs-background.
-    "x89_likelihood_classify" -> ((s, dir) =>
-      TextOps.likelihoodClassify(Tables.documents(s, dir), col("source"))),
-
-    // The tokenizer→trainer handoff (r5): train BPE, encode the corpus to
-    // real token ids, pack the REAL counts into 2048-token training
-    // sequences — the composed artifact a pretraining run actually
-    // consumes (x77 train + x78 encode + x43's two-phase packing, with
-    // the whitespace estimate replaced by the tokenizer's own counts).
-    "x90_tokenize_pack" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val enc = Bpe.encode(d, Bpe.train(d, BpeMerges))
-      val counts = enc.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
-        .join(d.select("doc_id", "source"), "doc_id")
-      Chunking.packCounts(counts, 2048L)
-    }),
-
-    "x58_ann_ivf_stored" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      // Shared per-(family, sfDir) build — see StoredIndexes: fresh temp
-      // dir created once per JVM, probed many times (r9 bench hygiene).
-      val idx = StoredIndexes.get("ivf", dir)(Similarity.buildIvfIndex(e, _))
-      Similarity.ivfTopKStored(s, idx, e.where(col("vec_id") < 5), 10)
-    }),
-
-    // IVFADC stored index (r8): coarse stride cells + per-vector PQ codes
-    // persisted partitioned-by-cell (x58's stored discipline composed with
-    // x146's codebook); the probe DPP-prunes to the query's cell and
-    // ADC-scores codes against the query's broadcast LUT. Shared
-    // per-(family, sfDir) index build (StoredIndexes, r9).
-    "x152_ann_ivfpq_stored" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val idx = StoredIndexes.get("ivfpq", dir)(Similarity.buildIvfPqIndex(e, _))
-      Similarity.ivfPqTopK(s, idx, e.where(col("vec_id") < 5), 10)
-    }),
-
-    // IVFADC index-health stats (r8): cell occupancy min/max/mean and the
-    // imbalance factor — the rebuild-trigger statistic a maintenance loop
-    // watches (appends drift occupancy between offline rebuilds).
-    "x160_ivfpq_index_stats" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val idx = StoredIndexes.get("ivfpq", dir)(Similarity.buildIvfPqIndex(e, _))
-      Similarity.ivfPqIndexStats(s, idx)
-    }),
-
-    // IVFADC nprobe recall dial (r8): the stored index probed at nprobe=1
-    // and nprobe=2 against the brute-force truth — the read-cells/recall
-    // tradeoff measured in-engine (x69's report form). One build, two
-    // probes of the same codes table.
-    "x154_ann_ivfpq_recall" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val q = e.where(col("vec_id") < 5)
-      val idx = StoredIndexes.get("ivfpq", dir)(Similarity.buildIvfPqIndex(e, _))
-      val truth = graft.ops.Caching.cacheOnce(
-        Similarity.bruteForceTopK(q, e, 10).select("q_id", "vec_id"))
-      Seq(("ivfpq_nprobe1", Similarity.ivfPqTopK(s, idx, q, 10)),
-          ("ivfpq_nprobe2", Similarity.ivfPqTopK2(s, idx, q, 10))).map { case (nm, ap) =>
-        val a = ap.select("q_id", "vec_id")
-        val nT = truth.agg(count(lit(1)).as("n_truth"))
-        val nA = a.agg(count(lit(1)).as("n_approx"))
-        val nC = truth.join(a, Seq("q_id", "vec_id")).agg(count(lit(1)).as("n_common"))
-        nT.crossJoin(broadcast(nA)).crossJoin(broadcast(nC))
-          .select(lit(nm).as("method"), col("n_truth"), col("n_approx"), col("n_common"),
-            (col("n_common").cast("double") / col("n_truth").cast("double")).as("recall"))
-      }.reduce(_ unionByName _)
-    }),
-
-    // Residual IVFADC (r8): the literature-exact variant — codes encode
-    // x − c(cell), scores decompose as q·c(cell) + LUT fold. Reported
-    // beside the cell-confined EXACT probe at both nprobe depths, so the
-    // table reads as "how much of the exact ceiling does residual ADC
-    // keep" (the raw-code comparison is x154's table, same truth/k).
-    // Honest read-off: the fixture's clusters are diffuse (residual norms
-    // EXCEED raw — see the Similarity.scala section comment), so residual
-    // trails raw here; it wins exactly when the corpus clusters tightly.
-    "x161_ann_ivfpq_residual" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val q = e.where(col("vec_id") < 5)
-      val idx = StoredIndexes.get("ivfpqres", dir)(Similarity.buildIvfPqResIndex(e, _))
-      val truth = graft.ops.Caching.cacheOnce(
-        Similarity.bruteForceTopK(q, e, 10).select("q_id", "vec_id"))
-      Seq(("ivf_exact_nprobe1", Similarity.ivfTopK(q, e, 10)),
-          ("ivf_exact_nprobe2", Similarity.ivfTopKProbe2(q, e, 10)),
-          ("ivfpq_res_nprobe1", Similarity.ivfPqResTopK(s, idx, q, 10, 1)),
-          ("ivfpq_res_nprobe2", Similarity.ivfPqResTopK(s, idx, q, 10, 2))).map { case (nm, ap) =>
-        val a = ap.select("q_id", "vec_id")
-        val nT = truth.agg(count(lit(1)).as("n_truth"))
-        val nA = a.agg(count(lit(1)).as("n_approx"))
-        val nC = truth.join(a, Seq("q_id", "vec_id")).agg(count(lit(1)).as("n_common"))
-        nT.crossJoin(broadcast(nA)).crossJoin(broadcast(nC))
-          .select(lit(nm).as("method"), col("n_truth"), col("n_approx"), col("n_common"),
-            (col("n_common").cast("double") / col("n_truth").cast("double")).as("recall"))
-      }.reduce(_ unionByName _)
-    }),
-
-    // Semantic decontamination, EXACT bounded-eval form (r8 second
-    // half): train vectors whose max cosine to the hash-split eval set
-    // reaches the near-dup threshold, nearest eval item NAMED (the
-    // attribution a leakage report needs). One packed broadcast of the
-    // eval side + a per-row argmax fold over the corpus. x103 is the
-    // LSH-bucketed sibling for oversized eval sets; x117 the n-gram one.
-    "x163_semantic_decontamination" -> ((s, dir) =>
-      Similarity.semanticDecontamination(Tables.embeddings(s, dir))),
-
-    // IVF-SQ8 stored index (r8 second half): the 64 B/vec scalar-quantized
-    // rung of the stored menu — near-exact within probed cells, so its
-    // recall rows read as "the exact ceiling at 8x PQ's bytes" beside
-    // x154 (8 B PQ) and x161 (residual PQ).
-    "x167_ann_ivfsq8_stored" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val q = e.where(col("vec_id") < 5)
-      val idx = StoredIndexes.get("ivfsq8", dir)(Similarity.buildIvfSq8Index(e, _))
-      val truth = graft.ops.Caching.cacheOnce(
-        Similarity.bruteForceTopK(q, e, 10).select("q_id", "vec_id"))
-      Seq(("ivfsq8_nprobe1", Similarity.ivfSq8TopK(s, idx, q, 10, 1)),
-          ("ivfsq8_nprobe2", Similarity.ivfSq8TopK(s, idx, q, 10, 2))).map { case (nm, ap) =>
-        val a = ap.select("q_id", "vec_id")
-        val nT = truth.agg(count(lit(1)).as("n_truth"))
-        val nA = a.agg(count(lit(1)).as("n_approx"))
-        val nC = truth.join(a, Seq("q_id", "vec_id")).agg(count(lit(1)).as("n_common"))
-        nT.crossJoin(broadcast(nA)).crossJoin(broadcast(nC))
-          .select(lit(nm).as("method"), col("n_truth"), col("n_approx"), col("n_common"),
-            (col("n_common").cast("double") / col("n_truth").cast("double")).as("recall"))
-      }.reduce(_ unionByName _)
-    }),
-
-    "x38_ann_int8_topk" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      Similarity.int8TopK(e.where(col("vec_id") < 5), e, 10)
-    }),
-
-    // Stored IVF-BIN index (r8 batch 9): x192's 1-bit sign kernel
-    // composed with the stored-index discipline — 8 B/vec cell-
-    // partitioned codes, DPP probes, and the two-stage rerank that looks
-    // the shortlist's full vectors up from the corpus store. Closes the
-    // scale path x192's Scaladoc names, the x167 pattern.
-    "x193_ann_ivfbin_stored" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val q = e.where(col("vec_id") < 5)
-      val idx = StoredIndexes.get("ivfbin", dir)(Similarity.buildIvfBinIndex(e, _))
-      val truth = graft.ops.Caching.cacheOnce(
-        Similarity.bruteForceTopK(q, e, 10).select("q_id", "vec_id"))
-      Seq(("ivfbin_nprobe1", Similarity.ivfBinTopK(s, idx, q, 10, 1)),
-          ("ivfbin_nprobe2", Similarity.ivfBinTopK(s, idx, q, 10, 2)),
-          ("ivfbin_rerank_nprobe2",
-            Similarity.ivfBinRerankTopK(s, idx, q, e, 10, 2))).map { case (nm, ap) =>
-        val a = ap.select("q_id", "vec_id")
-        val nT = truth.agg(count(lit(1)).as("n_truth"))
-        val nA = a.agg(count(lit(1)).as("n_approx"))
-        val nC = truth.join(a, Seq("q_id", "vec_id")).agg(count(lit(1)).as("n_common"))
-        nT.crossJoin(broadcast(nA)).crossJoin(broadcast(nC))
-          .select(lit(nm).as("method"), col("n_truth"), col("n_approx"), col("n_common"),
-            (col("n_common").cast("double") / col("n_truth").cast("double")).as("recall"))
-      }.reduce(_ unionByName _)
-    }),
-
-    // k-means centroid training is iterative floating-point state DuckDB
-    // SQL can't replay, so the registered form is a self-verifying recall
-    // report: n_truth (DuckDB-derivable from the brute-force SQL) plus a
-    // boolean pinning trained-IVF recall@10 >= 0.2 vs in-engine brute
-    // force. Measured recall is 0.32-0.40 across sf0.001/0.01/0.1
-    // (nprobe=1 cell confinement — same envelope x73 reports for the
-    // stride variant); 0.2 cleanly separates that from a broken index
-    // (single-table-LSH-style 0.02). SimilaritySpec pins the tighter
-    // trained-vs-stride property.
-    "x40_ann_ivf_kmeans" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val q = e.where(col("vec_id") < 5)
-      recallReport(Similarity.bruteForceTopK(q, e, 10),
-          Similarity.ivfTopKKmeans(q, e, 10), Seq("q_id", "vec_id"))
-        .select(col("n_truth"), (col("recall") >= 0.2).as("recall_ok"))
-    }),
-
-    // Product-quantization recall report (r7): three codebook configs
-    // (4 B / 8 B / 64 B per vector) ADC-scored against the brute-force
-    // cosine truth for the 5 fixture queries — the memory/recall tradeoff
-    // measured in-engine, with the 64 B config matching int8's byte
-    // budget and beating its recall (0.98 vs 0.94 at sf0.1; spec-pinned).
-    // Deterministic sorted-fold k-means makes the whole chain hash-match.
-    "x146_pq_recall" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      Similarity.pqRecallReport(e.where(col("vec_id") < 5), e, 10,
-        Seq((8, 16), (16, 16), (64, 256)))
-    }),
-
-    // The single query a user actually runs for corpus dedup: LSH candidate
-    // pairs -> connected components (the large/small-star scale form) ->
-    // drop non-canonical members -> per-(lang, source) surviving stats.
-    "x41_dedup_pipeline" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val pairs = Dedup.minhashLsh(docs, 3, 0.8)
-      val surviving = Dedup.applyDedup(docs, Dedup.connectedComponentsStars(pairs))
-      surviving.groupBy("lang", "source").agg(
-        count(lit(1)).as("n_docs"),
-        sum("n_chars").as("total_chars"),
-        min("doc_id").as("min_doc_id"))
-    }),
-
-    // Report form (r5): exact per-source + unioned-ALL distinct counts,
-    // HLL estimates reduced to within-5% booleans — the union rollup still
-    // runs in-engine, but the output hash-matches DuckDB.
-    "x39_sketch_hll_union" -> ((s, dir) =>
-      Sketches.hllRollupReport(Tables.documents(s, dir))),
-
-    // Report form (r5): exact histogram quantiles per source + ALL row,
-    // KLL estimates (incl. the unioned ALL sketch) reduced to rank-error
-    // booleans wide enough that compaction randomness can't flip them.
-    "x44_sketch_kll_rollup" -> ((s, dir) =>
-      Sketches.kllRollupReport(Tables.documents(s, dir))),
-
-    // Exact heavy-hitter tokens (true count >= 1% of stream) via the
-    // two-phase frequent-items sketch: mergeable per-source sketches ->
-    // union rollup -> NO_FALSE_NEGATIVES candidate superset -> broadcast
-    // exact count of candidates only. Output is exact (hash-matched), yet
-    // the only vocabulary-wide op is a constant-size sketch agg.
-    "x47_sketch_heavy_hitters" -> ((s, dir) =>
-      Sketches.sketchHeavyHitters(Tables.documents(s, dir), phi = 0.01)),
-
-    // Semantic dedup end-to-end — x41's pipeline in embedding space: LSH
-    // near-dup pairs (cosine >= 0.4 within hyperplane buckets) -> star CC
-    // -> drop non-canonical members -> surviving per-label stats. The
-    // embedding twin of the text pipeline, sharing the same CC operator.
-    "x50_semantic_dedup_pipeline" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val pairs = Similarity.lshNearDupPairs(emb, 0.4)
-        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-      val victims = Dedup.connectedComponentsStars(pairs)
-        .where(col("doc_id") =!= col("canonical_id"))
-        .select(col("doc_id").as("vec_id"))
-      emb.join(victims, Seq("vec_id"), "left_anti")
-        .groupBy("label")
-        .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec_id"),
-          max("vec_id").as("max_vec_id"))
-    }),
-
-    // Semantic decontamination (r5): x101's filter in embedding space —
-    // flag training vectors (vec_id < 450) whose embedding near-dups a
-    // benchmark vector (vec_id >= 450) at cosine >= 0.4 in a shared LSH
-    // bucket. Catches paraphrased leakage n-gram overlap misses.
-    "x103_semantic_decontaminate" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      Similarity.semanticDecontaminate(
-        emb.where(col("vec_id") < 450), emb.where(col("vec_id") >= 450), 0.4)
-    }),
-
-    // SemDeDup (r5): cluster-then-prune semantic dedup — pairwise cosine
-    // only WITHIN deterministic IVF cells (Σ|cell|² candidates, not N²);
-    // min-id survivor per duplicate chain, x01/x99's canon.
-    "x104_semdedup" -> ((s, dir) =>
-      Similarity.semDeDup(Tables.embeddings(s, dir), 0.4)),
-
-    // Delta-run dedup: batch docs (id >= 250) near-dup'd against the
-    // already-deduped master (id < 250) via the master's band INDEX —
-    // batch-sized signature work, candidate-only master re-reads. Oracle
-    // = the full-corpus x03 run restricted to batch-side newer docs.
-    "x49_dedup_incremental" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Dedup.incrementalNearDups(
-        docs.where(col("doc_id") < 250), docs.where(col("doc_id") >= 250), 3, 0.8)
-    }),
-
-    // BM25 top-k retrieval (rational-idf variant — ln replaced by its
-    // argument so the doubles are bit-identical across engines). One
-    // doc-keyed shuffle computes dl + per-term tf together; stats fold
-    // back as a 1-row broadcast; top-k is TakeOrderedAndProject.
-    "x48_bm25_topk" -> ((s, dir) =>
-      Search.bm25TopK(Tables.documents(s, dir), Seq("hash", "join", "dup"), 10)),
-
-    // Stored BM25 index probe (r6): the x58 stored-IVF discipline applied
-    // to lexical retrieval — postings partitioned by term-hash bucket,
-    // probe prunes to its terms' buckets (driver-side bucket computation),
-    // per-term df from the pruned postings, IDENTICAL score expression to
-    // x48 (one oracle serves both). Shared per-(family, sfDir) build
-    // (StoredIndexes, r9).
-    "x126_bm25_stored" -> ((s, dir) => {
-      val idx = StoredIndexes.get("bm25", dir)(
-        Search.buildBm25Index(Tables.documents(s, dir), _))
-      Search.bm25TopKStored(s, idx, Seq("hash", "join", "dup"), 10)
-    }),
-
-    // Hybrid retrieval (r6): RRF fusion of the BM25 lexical list and the
-    // brute-force semantic list for the fixture query (vector 0 + x48's
-    // terms) — Σ 1/(60+rank), ranks null where a list missed the doc.
-    // The two 20-row candidate lists full-outer join; all heavy work is
-    // the already-verified upstream rankers.
-    "x118_hybrid_rrf" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).where(col("doc_id") =!= Hybrid.QueryVecId)
-      Hybrid.rrfFuse(
-        Hybrid.bm25Ranked(docs, Hybrid.QueryTerms, 20),
-        Hybrid.annRanked(Tables.embeddings(s, dir), 20), 10)
-    }),
-
-    // HTML main-content extraction (r6): deterministic HTML wrapper over
-    // the fixture docs (md5-chosen nav variant + title + <p> paragraphs +
-    // footer), then Arc90-style block filtering (word count + link
-    // density) — per-row HOF chain, scan speed, zero shuffle.
-    "x120_html_extract" -> ((s, dir) =>
-      Html.extractMain(Html.withHtml(Tables.documents(s, dir)))
-        .select("doc_id", "n_blocks", "n_kept", "main_text",
-          "n_raw_chars", "n_main_chars")),
-
-    // Hybrid-fusion scale-path agreement (r6): the engine measures its own
-    // 100 TB path for x118 — RRF over exact brute-force ANN candidates vs
-    // RRF over lshMultiTopK's bucketed candidates (the scale default),
-    // reporting fused-top-10 overlap and both paths' nDCG against the
-    // planted relevance in ONE row (the x112 audit practice applied to
-    // retrieval fusion).
-    "x125_hybrid_lsh_agreement" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val emb = Tables.embeddings(s, dir)
-      val corpus = docs.where(col("doc_id") =!= Hybrid.QueryVecId)
-      val bm = Hybrid.bm25Ranked(corpus, Hybrid.QueryTerms, 20)
-      def ranked(fused: org.apache.spark.sql.DataFrame) =
-        graft.ops.Quality.withExactRank(
-          fused.withColumn("_neg", -col("rrf_score")), Seq("_neg", "doc_id"), "rank")
-          .select(col("doc_id"), col("rank"))
-      val exR = ranked(Hybrid.rrfFuse(bm, Hybrid.annRanked(emb, 20), 10))
-      val lshR = ranked(Hybrid.rrfFuse(bm,
-        Hybrid.annRanked(emb, 20, Similarity.lshMultiTopK), 10))
-      val rel = graft.ops.Caching.cacheOnce(Hybrid.gradedRelevance(docs, emb))
-      val exEv = Hybrid.evalRankedList("x", exR, rel, 10)
-        .select(col("ndcg").as("ndcg_exact"))
-      val lshEv = Hybrid.evalRankedList("y", lshR, rel, 10)
-        .select(col("ndcg").as("ndcg_lsh"))
-      exR.select("doc_id").join(lshR.select("doc_id"), "doc_id")
-        .agg(count(lit(1)).as("n_overlap"))
-        .crossJoin(broadcast(exEv)).crossJoin(broadcast(lshEv))
-        .select(col("n_overlap"),
-          (col("n_overlap").cast("double") / lit(10.0)).as("overlap_frac"),
-          col("ndcg_exact"), col("ndcg_lsh"))
-    }),
-
-    // The raw-web ingest pipeline (r6): the OTHER edge of the corpus
-    // lifecycle, composed — HTML wrapper (the raw CommonCrawl-shaped
-    // input) → main-content extraction (x120) → heuristic quality gate on
-    // the EXTRACTED text (x46's 0.6 threshold) → exact dedup on extracted
-    // text → per-language funnel stats with the measured boilerplate
-    // fraction. Scan-level HOFs feed three partial aggs; no corpus-sized
-    // state anywhere.
-    "x124_web_ingest_pipeline" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val ex = Html.extractMain(Html.withHtml(docs))
-        .select("doc_id", "main_text", "n_kept", "n_raw_chars", "n_main_chars")
-        .join(docs.select("doc_id", "lang"), "doc_id")
-      val base = ex.groupBy("lang").agg(
-        count(lit(1)).as("n_pages"),
-        sum(col("n_raw_chars")).as("raw_chars"),
-        sum(col("n_main_chars")).as("main_chars"))
-      val scored = TextOps.qualityMetrics(ex.where(col("n_kept") > 0), col("main_text"))
-      val kept = scored.where(col("quality_score") >= 0.6)
-      val canon = kept.groupBy(md5(col("main_text")).as("h")).agg(min("doc_id").as("doc_id"))
-      val uniq = kept.join(canon.select("doc_id"), "doc_id")
-      val qual = kept.groupBy("lang").agg(count(lit(1)).as("n_quality"))
-      val u = uniq.groupBy("lang").agg(
-        count(lit(1)).as("n_unique"), sum(col("n_tokens")).as("unique_tokens"))
-      base.join(qual, Seq("lang"), "left").join(u, Seq("lang"), "left")
-        .select(col("lang"), col("n_pages"),
-          coalesce(col("n_quality"), lit(0L)).as("n_quality"),
-          coalesce(col("n_unique"), lit(0L)).as("n_unique"),
-          coalesce(col("unique_tokens"), lit(0L)).as("unique_tokens"),
-          (lit(1.0) - col("main_chars").cast("double") / col("raw_chars").cast("double"))
-            .as("boilerplate_frac"))
-    }),
-
-    // Leakage-safe eval split (r6): near-dup clusters (x15's components)
-    // split as UNITS — the group id draws the train/eval coin, so two
-    // near-identical docs can never straddle the boundary and leak eval
-    // content into training. Singletons are their own group.
-    "x127_groupwise_split" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Curate.groupwiseSplit(docs,
-        Dedup.connectedComponents(Dedup.jaccardPairs(docs, 3, 0.8)))
-    }),
-
-    // Split-leakage audit (r6): the one-row proof — near-dup pairs crossing
-    // the boundary under the group-wise policy (0 by construction, counted
-    // not asserted) vs under x55's naive doc-hash policy (the measured
-    // leak), plus both splits' sizes and the group count.
-    "x128_split_leakage_audit" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val pairs = graft.ops.Caching.cacheOnce(Dedup.jaccardPairs(docs, 3, 0.8))
-      Curate.splitLeakageAudit(docs, pairs, Dedup.connectedComponents(pairs))
-    }),
-
-    // Contrastive triplet export (r6): the retriever-training artifact —
-    // nearest same-label positive + x91's hard negatives per query, with
-    // the training margin precomputed. Both legs the x06 broadcast shape.
-    "x141_contrastive_pairs" -> ((s, dir) =>
-      Similarity.contrastivePairs(Tables.embeddings(s, dir))),
-
-    // MMR diversified selection (r6): greedy λ·rel − γ·maxsim top-k over
-    // the embedding corpus (query = vector 0) — the eval-set/few-shot-pool
-    // builder where plain top-k returns near-duplicates of one item. Each
-    // step one engine argmax; selected set travels as ≤k−1 literal vectors.
-    "x140_mmr_select" -> ((s, dir) =>
-      Similarity.mmrSelect(Tables.embeddings(s, dir))),
-
-    // Distribution-drift monitor (r6): decile quality-score histograms of
-    // two slices (src0 vs rest — the "new crawl vs corpus" shape), per-bin
-    // shares, |Δshare|, and the rational χ²-style term — the metric-
-    // distribution drift axis complementing x93/x97's vocabulary drift.
-    "x139_quality_drift" -> ((s, dir) =>
-      Curate.qualityDrift(Tables.documents(s, dir), col("source") === "src0")),
-
-    // Incremental split maintenance (r6): eval-set STABILITY under corpus
-    // growth — new docs inherit the split of the stored group they
-    // near-dup into (min group on multiple matches) instead of a full
-    // re-cluster; the one-row report measures batch-side agreement with a
-    // full recompute and the fraction of base docs whose split survived.
-    "x138_split_incremental" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Curate.splitIncrementalReport(docs, Dedup.jaccardPairs(docs, 3, 0.8))
-    }),
-
-    // In-engine classifier TRAINING (r6): full-batch gradient descent on a
-    // hashed-tf fast-sigmoid classifier, unrolled as ONE declarative plan
-    // (each iteration = one corpus aggregate producing the next 1-row
-    // weight frame). The report is the weight/gradient trajectory with the
-    // partial-agg fast path tolerance-checked per cell.
-    "x129_lr_train_trajectory" -> ((s, dir) =>
-      Trainer.lrTrajectory(s, Tables.documents(s, dir))),
-
-    // Incremental warm-start training (r6): the trainer's twin of the
-    // IVF/BM25 index-append discipline — when a batch arrives, CONTINUE
-    // GD from the existing weights on base∪batch for 3 rounds instead of
-    // a 13-round cold retrain, and MEASURE the divergence: max weight
-    // diff, both held-out accuracies, prediction agreement. One row.
-    "x136_lr_incremental" -> ((s, dir) =>
-      Trainer.lrIncremental(s, Tables.documents(s, dir))),
-
-    // Calibration report (r6): decile reliability bins over the held-out
-    // scores — mean predicted probability vs empirical positive rate per
-    // bin, the standard post-training check before scores gate a corpus.
-    "x137_lr_calibration" -> ((s, dir) =>
-      Trainer.lrCalibration(s, Tables.documents(s, dir))),
-
-    // Per-group fairness audit (r6): held-out accuracy / predicted-
-    // positive rate / base rate / mean score per language — the
-    // disparate-impact check a corpus-gating score must pass.
-    "x143_lr_group_fairness" -> ((s, dir) =>
-      Trainer.lrGroupFairness(s, Tables.documents(s, dir))),
-
-    // Chat-transcript parsing (r6): the SFT-data ingest edge — fenced
-    // ##role## transcripts (deterministic wrapper, the Html.withHtml
-    // idiom) parsed into typed turn rows by per-row split+explode. Zero
-    // shuffle; malformed (fence-free) input parses to zero rows.
-    "x133_chat_parse_turns" -> ((s, dir) =>
-      Chat.parseTurns(Chat.withChat(Tables.documents(s, dir)))
-        .select("doc_id", "turn_idx", "role", "content", "n_tokens")),
-
-    // Per-conversation SFT readiness report (r6): structure checks
-    // (opens-with-user, strict alternation — computed from the parsed
-    // turns) and the loss-mask split (assistant tokens train, user tokens
-    // are masked context). One conversation-keyed aggregate.
-    "x134_chat_sft_stats" -> ((s, dir) =>
-      Chat.sftStats(Chat.parseTurns(Chat.withChat(Tables.documents(s, dir))))),
-
-    // The SFT-pipeline flagship (r6): chat parse → structure gate
-    // (opens-with-user ∧ alternates ∧ ≥2 turns) → exact transcript dedup →
-    // loss-mask-aware packing into 2048-token sequences (x43's two-phase
-    // prefix sum) → per-lang funnel with the trainable-token fraction.
-    // Every stage an already-verified operator; one query.
-    "x135_sft_pipeline" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val conv = graft.ops.Caching.cacheOnce(Chat.withChat(docs))
-      val stats = Chat.sftStats(Chat.parseTurns(conv))
-      val all = stats.join(docs.select("doc_id", "lang"), "doc_id")
-      val perLang = all.groupBy("lang").agg(count(lit(1)).as("n_conversations"))
-      val gated = graft.ops.Caching.cacheOnce(
-        all.where(col("opens_with_user") && col("alternates") && col("n_turns") >= 2)
-          .join(conv.select("doc_id", "transcript"), "doc_id"))
-      val canon = gated.groupBy(md5(col("transcript")).as("h")).agg(min("doc_id").as("doc_id"))
-      val uniq = graft.ops.Caching.cacheOnce(gated.join(canon.select("doc_id"), "doc_id"))
-      val packed = Chunking.packCounts(
-        uniq.select(col("doc_id"), col("lang").as("source"),
-          (col("user_tokens") + col("assistant_tokens")).as("n_tokens")), 2048L)
-      val seqStats = packed
-        .join(uniq.select(col("doc_id"), col("assistant_tokens")), "doc_id")
-        .groupBy(col("source").as("lang"))
-        .agg(countDistinct(col("seq_id")).as("n_sequences"),
-          sum(col("n_tokens")).as("total_tokens"),
-          sum(col("assistant_tokens")).as("trainable_tokens"))
-      val gc = gated.groupBy("lang").agg(count(lit(1)).as("n_structured"))
-      val uc = uniq.groupBy("lang").agg(count(lit(1)).as("n_unique"))
-      perLang.join(gc, Seq("lang"), "left").join(uc, Seq("lang"), "left")
-        .join(seqStats, Seq("lang"), "left")
-        .select(col("lang"), col("n_conversations"),
-          coalesce(col("n_structured"), lit(0L)).as("n_structured"),
-          coalesce(col("n_unique"), lit(0L)).as("n_unique"),
-          coalesce(col("n_sequences"), lit(0L)).as("n_sequences"),
-          coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
-          coalesce(col("trainable_tokens"), lit(0L)).as("trainable_tokens"),
-          when(coalesce(col("total_tokens"), lit(0L)) > 0,
-            col("trainable_tokens").cast("double") / col("total_tokens").cast("double"))
-            .otherwise(lit(null).cast("double")).as("trainable_frac"))
-    }),
-
-    // Per-sequence SFT manifest (r6): x135's pipeline finished to the
-    // artifact the training iterator actually consumes — one row per
-    // (lang, seq_id) with doc count, token mass and trainable (assistant)
-    // token mass. The gate/dedup/packing chain is x135's verbatim.
-    "x144_sft_sequence_manifest" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val conv = graft.ops.Caching.cacheOnce(Chat.withChat(docs))
-      val stats = Chat.sftStats(Chat.parseTurns(conv))
-      val gated = stats.join(docs.select("doc_id", "lang"), "doc_id")
-        .where(col("opens_with_user") && col("alternates") && col("n_turns") >= 2)
-        .join(conv.select("doc_id", "transcript"), "doc_id")
-      val canon = gated.groupBy(md5(col("transcript")).as("h")).agg(min("doc_id").as("doc_id"))
-      val uniq = graft.ops.Caching.cacheOnce(gated.join(canon.select("doc_id"), "doc_id"))
-      Chunking.packCounts(
-          uniq.select(col("doc_id"), col("lang").as("source"),
-            (col("user_tokens") + col("assistant_tokens")).as("n_tokens")), 2048L)
-        .join(uniq.select(col("doc_id"), col("assistant_tokens")), "doc_id")
-        .groupBy(col("source").as("lang"), col("seq_id"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("total_tokens"),
-          sum(col("assistant_tokens")).as("trainable_tokens"))
-    }),
-
-    // Bradley–Terry preference aggregation (r6): md5-pool A/B comparisons
-    // (won by quality, the fixture's stand-in for human judgments) fitted
-    // by Hunter's MM iteration — rational arithmetic end to end, so the
-    // 5-round fit hash-matches the oracle's unrolled replay. Per-item
-    // wins/games/strength out.
-    "x131_bt_strengths" -> ((s, dir) =>
-      Preference.btStrengths(Tables.documents(s, dir))),
-
-    // The fit's convergence report (r6): per-round L1 delta of the
-    // strength vector (sorted-multiset fold — see the x122/x132 ulp note).
-    "x132_bt_convergence" -> ((s, dir) =>
-      Preference.btConvergence(Tables.documents(s, dir))),
-
-    // Incremental warm-start BT (r6): when the comparison pool grows,
-    // continue the MM fit from the stored base strengths for 2 rounds
-    // instead of a 7-round cold refit — measured: top-10 overlap + mean
-    // strength gap vs the cold fit, one row (x136's discipline for the
-    // preference family).
-    "x142_bt_incremental" -> ((s, dir) =>
-      Preference.btIncremental(Tables.documents(s, dir))),
-
-    // The trained model APPLIED (r6): held-out per-doc scores under the
-    // final weights — x89's classifier-report shape, but the model was
-    // fitted by the engine itself (x129's loop), closing the FineWeb-style
-    // "train the quality filter, then run it" edge.
-    "x130_lr_classify" -> ((s, dir) =>
-      Trainer.lrClassify(s, Tables.documents(s, dir))),
-
-    // Best-of-N rejection sampling (r7): candidates pool into md5-derived
-    // prompt groups (occupancy-law sized, ~8/prompt), the ENGINE-TRAINED
-    // scorer (x129's weights applied corpus-wide) ranks each pool, and the
-    // report keeps the per-prompt winner with its margin over the
-    // runner-up + pool mean — the selection artifact an RLHF data pipeline
-    // exports.
-    "x147_best_of_n" -> ((s, dir) =>
-      Preference.bestOfNReport(Trainer.lrScoreAll(s, Tables.documents(s, dir)))),
-
-    // SFT prompt dedup (r8 second half): conversations sharing an
-    // identical first user turn are duplicates of the same task — digest
-    // groups over the PARSED instruction, min-id survivor, duplicated
-    // groups only.
-    "x175_sft_prompt_dedup" -> ((s, dir) =>
-      Chat.promptDedup(Chat.parseTurns(Chat.withChat(Tables.documents(s, dir))))),
-
-    // Length-bias audit (r8 second half): across every (winner, loser)
-    // pair the best-of-N pools imply, how often is the winner simply the
-    // LONGER text — the reward-hacking pathology checked before the
-    // preference export ships.
-    "x174_length_bias_audit" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Preference.lengthBiasAudit(Trainer.lrScoreAll(s, docs), docs)
-    }),
-
-    // KTO unpaired export (r8 second half): binary desirability vs the
-    // pool-mean reference point + the class-rebalance weight (λ_D = 1,
-    // λ_U = n_D/n_U) — the alignment-data shape for UNPAIRED feedback,
-    // beside x149's paired DPO export.
-    "x169_kto_export" -> ((s, dir) =>
-      Preference.ktoExport(Trainer.lrScoreAll(s, Tables.documents(s, dir)))),
-
-    // The scorer -> selection -> preference flagship (r7): best-of-N's
-    // winner-vs-each-loser star comparisons feed the Bradley-Terry MM fit
-    // (x131's estimator) as synthetic preference data — per-item wins /
-    // games / fitted strength out. Losers never win, so they settle at the
-    // MLE boundary 0 and winners carry pool-sized strengths (spec-pinned).
-    "x148_bon_preference_fit" -> ((s, dir) =>
-      Preference.btFit(Preference.bonPreferences(
-        Trainer.lrScoreAll(s, Tables.documents(s, dir))))),
-
-    // DPO pair export (r8): per best-of-N pool, chosen = the winner,
-    // rejected = the LAST candidate of the same trained-scorer ranking,
-    // margin = chosen − rejected; pairs under DpoMinMargin are dropped
-    // (near-ties carry more label noise than signal) — the
-    // (prompt, chosen, rejected) table a DPO run trains on.
-    "x149_dpo_pairs" -> ((s, dir) =>
-      Preference.dpoPairs(Trainer.lrScoreAll(s, Tables.documents(s, dir)))),
-
-    // Per-source TOKEN-budget mixture (r8): each source contributes its
-    // hash-shuffled document prefix until TokenMixBudget tokens — the
-    // mixture knob a pretraining run actually turns (doc-count quotas
-    // over-weight short-doc sources). Exact LONG prefix sums; fill_frac
-    // is the only division.
-    "x150_token_budget_mix" -> ((s, dir) =>
-      Curate.tokenBudgetMix(Tables.documents(s, dir), Curate.TokenMixBudget)),
-
-    // Source-level influence rollup (r8): TracIn scores aggregated to the
-    // taxonomy mixtures are expressed in — per source, training-doc count
-    // and mean influence on validation loss; the report a curator reads
-    // before re-weighting.
-    "x159_influence_by_source" -> ((s, dir) =>
-      Trainer.lrInfluenceBySource(s, Tables.documents(s, dir))),
-
-    // The round-8 composed curation flagship: repetition gate (x155's
-    // filter applied) ∘ DSIR importance resample (x156's keep/drop) ∘
-    // token-budget mixture (x150) — the single query a pretraining data
-    // refresh runs over a non-target corpus. Every stage is the operator
-    // the standalone query verifies; this pins that they compose.
-    "x158_curation_refresh" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val keepRep = TextOps.repetitionSignals(docs)
-        .where(!col("repetitive")).select("doc_id")
-      val keepDsir = TextOps.dsirResample(docs, col("source") === "src0")
-        .where(col("kept")).select("doc_id")
-      Curate.tokenBudgetMix(
-        docs.join(keepRep, "doc_id").join(keepDsir, "doc_id"),
-        Curate.TokenMixBudget)
-    }),
-
-    // Context-budget truncation report (r8): per candidate sequence
-    // length, the docs over budget and the corpus-token fraction a hard
-    // truncation would discard — the planning query behind a context-
-    // length choice. Exact LONG sums; two divisions.
-    // Pretrain-assembly flagship (r8 second half): the transform→pack
-    // composition a pretraining batch builder actually runs — FIM reorder
-    // (x168) ∘ token counting of the TRANSFORMED text ∘ 2048-token
-    // two-phase packing (x90's contract), with the fim_applied provenance
-    // riding along. Every stage is an already-verified operator.
-    "x171_pretrain_assembly" -> ((s, dir) => {
-      val fim = Chunking.fimTransform(Tables.documents(s, dir))
-      val counts = fim.select(col("doc_id"), col("source"), col("fim_applied"),
-        size(TextOps.tokens(col("out_text"))).cast("long").as("n_tokens"))
-      Chunking.packCounts(counts.select("doc_id", "source", "n_tokens"), 2048L)
-        .join(counts.select("doc_id", "fim_applied"), "doc_id")
-    }),
-
-    // UL2 mixture-of-denoisers (r8 second half): each doc hash-assigned
-    // R (span corruption, 50%) / S (prefix-LM, 25%) / X (FIM infilling,
-    // 25%) and carrying its objective's (input, target) pair — the
-    // objective-mixture manifest UL2 pretraining consumes, composed from
-    // the verified transforms.
-    "x173_ul2_mixture" -> ((s, dir) =>
-      Chunking.ul2Mixture(Tables.documents(s, dir))),
-
-    // T5 span corruption (r8 second half): hash-drawn 3-token spans at
-    // the published ~15% noise density masked with numbered sentinels —
-    // the (input, target) denoising pair. Coverage is an OR over the
-    // SpanLen candidate starts (overlaps merge); sentinel numbers are the
-    // per-doc prefix sum of run starts.
-    "x172_span_corruption" -> ((s, dir) =>
-      Chunking.spanCorrupt(Tables.documents(s, dir))),
-
-    // FIM transform (r8 second half): Bavarian et al. 2022's PSM reorder
-    // at FimRate via three decorrelated hash draws (apply?, cut1, cut2) —
-    // the pretraining transform that teaches infilling. Pure per-row
-    // expressions; untransformed docs pass through verbatim.
-    "x168_fim_transform" -> ((s, dir) =>
-      Chunking.fimTransform(Tables.documents(s, dir))),
-
-    "x157_truncation_report" -> ((s, dir) =>
-      Chunking.truncationReport(Tables.documents(s, dir))),
-
-    // DSIR resample applied (r8): x84's importance weights turned into
-    // the actual keep/drop pass — max-normalized rejection sampling with
-    // the multiplication-only acceptance rule (u · w_max < w, no division
-    // rounds), deterministic and retry-safe. Registers the previously
-    // unconsumed TextOps.dsirResample per the house rule that
-    // unregistered code is unverified code.
-    "x156_dsir_resample" -> ((s, dir) =>
-      TextOps.dsirResample(Tables.documents(s, dir), col("source") === "src0")),
-
-    // Gopher repetition filters (r8): per-doc most-frequent-n-gram char
-    // fractions (n = 2,3,4) + duplicated-n-gram coverage (n = 5,8) with
-    // the published thresholds ORed into a `repetitive` flag — the
-    // boilerplate/degenerate-repetition failure mode the length/stopword
-    // quality score misses.
-    "x155_repetition_signals" -> ((s, dir) =>
-      TextOps.repetitionSignals(Tables.documents(s, dir))),
-
-    // Gradient-dot data influence (r8, the TracIn idea at the final
-    // checkpoint): each training doc scored by grad_i · mean held-out
-    // gradient under the final trained weights — top-20 most influential
-    // docs, the data-attribution signal that re-weights sources.
-    "x151_lr_influence" -> ((s, dir) =>
-      Trainer.lrInfluence(s, Tables.documents(s, dir))),
-
-    // Gate operating-point selection (r8 second half): decile-threshold
-    // sweep over held-out scores — exact confusion counts, precision /
-    // recall / F1 per point, and the smallest threshold meeting the
-    // precision target CHOSEN. "What cutoff do we ship", with evidence.
-    "x170_gate_operating_points" -> ((s, dir) =>
-      Trainer.gateOperatingPoints(s, Tables.documents(s, dir))),
-
-    // Confident-learning label-noise audit (r8 second half): per-class
-    // self-confidence thresholds from the held-out scores; docs crossing
-    // the OTHER class's threshold are the mislabel suspects — the audit
-    // run on teacher labels before distilling them.
-    "x164_label_noise_audit" -> ((s, dir) =>
-      Trainer.labelNoiseAudit(s, Tables.documents(s, dir))),
-
-    // Within-class influence quartiles (r8 second half): the magnitude
-    // structure behind x151's top-k — class 1, bin 1 is the most-negative
-    // "good-label" pile (the curation second look). A signed 2×2 would be
-    // vacuous (influence sign is class-constant under LR on this fixture).
-    "x178_influence_quartiles" -> ((s, dir) =>
-      Trainer.lrInfluenceQuartiles(s, Tables.documents(s, dir))),
-
-    // EL2N data-diet report (r8 second half): per-training-doc error
-    // magnitude |sigma(m) - y| after TWO gradient steps (the early
-    // checkpoint is the paper's point), fixed-width error-bin histogram
-    // with exact two-level-fold means — the lowest bins are the
-    // easy/redundant examples a pruning pass drops first.
-    "x162_el2n_prune_report" -> ((s, dir) =>
-      Trainer.el2nReport(s, Tables.documents(s, dir))),
-
-    // Influence-informed mixture (r8 second half): the measure→act loop
-    // closed — x159's per-source TracIn means become bounded multiplicative
-    // budget weights (1 + 0.5·mi/max|mi| ∈ [0.5, 1.5]), and the x150
-    // token-budget prefix rule runs with each source's OWN budget. The
-    // curation knob actually turned by the attribution signal.
-    "x166_influence_informed_mix" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val infl = Trainer.lrInfluenceBySource(s, docs)
-      val mx = broadcast(infl.agg(max(abs(col("mean_influence"))).as("maxabs")))
-      val wts = infl.crossJoin(mx)
-        .select(col("source"), col("mean_influence"),
-          when(col("maxabs") > 0,
-            lit(1.0) + lit(0.5) * (col("mean_influence") / col("maxabs")))
-            .otherwise(lit(1.0)).as("weight"))
-      val budgets = wts.select(col("source"), col("mean_influence"), col("weight"),
-        floor(lit(Curate.TokenMixBudget).cast("double") * col("weight"))
-          .cast("long").as("budget"))
-      Curate.tokenBudgetMixWeighted(docs, budgets.select("source", "budget"))
-        .join(broadcast(budgets.select("source", "mean_influence", "weight")),
-          Seq("source"), "left")
-        .select("source", "mean_influence", "weight", "budget", "n_docs_total",
-          "tokens_total", "n_docs_kept", "tokens_kept", "fill_frac")
-    }),
-
-    // The corpus→trainer export flagship (r6): temperature mixture
-    // REALIZED to per-doc copies (x87's draw, row level) ∘ curriculum
-    // octiles (x108's exact ntile) ∘ per-(shard, lang) manifest with
-    // order-independent checksums (x111's algebra, fingerprints salted by
-    // copy index so replicas are distinguishable) — the artifact a trainer
-    // actually consumes, in ONE query. Every stage is an already-verified
-    // operator; the only explode is the mixture's own output rows.
-    "x123_training_run_export" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val q = TextOps.qualityMetrics(docs).select("doc_id", "quality_score")
-      val shards = graft.ops.Quality.exactNtile(q, 8, Seq("quality_score", "doc_id"))
-        .select(col("doc_id"), col("bin").as("shard"))
-      val rows = Curate.temperatureCopies(docs, col("lang"), 1000L)
-        .where(col("n_copies") > 0)
-        .select(col("doc_id"), col("bucket").as("lang"),
-          explode(sequence(lit(1L), col("n_copies"))).as("copy"))
-      rows.join(shards, "doc_id")
-        .join(docs.select("doc_id", "text"), "doc_id")
-        .withColumn("fp",
-          conv(substring(md5(concat(col("text"), lit(":"), col("copy").cast("string"))), 1, 15), 16, 10)
-            .cast("long"))
-        .groupBy("shard", "lang")
-        .agg(count(lit(1)).as("n_rows"),
-          countDistinct(col("doc_id")).as("n_docs"),
-          sum(length(col("text")).cast("long")).as("n_chars"),
-          expr("bit_xor(fp)").as("content_xor"),
-          min("fp").as("min_fp"), max("fp").as("max_fp"))
-    }),
-
-    // PageRank convergence report (r6): per-iteration L1 delta over the
-    // derived domain graph — the artifact that justifies an iteration
-    // count (run once, read where the curve flattens, pin iters there).
-    // DECIMAL-transit sums; the loop carries x86's new bounded lineage.
-    "x122_pagerank_convergence" -> ((s, dir) =>
-      Authority.pageRankConvergence(
-        Authority.domainEdges(Tables.documents(s, dir)), 5)),
-
-    // Pruned-LM ranking stability (r6): score every doc under the
-    // unpruned bigram LM and the minPairCount=2 pruned one (the broadcast-
-    // budget knob — hapax bigrams dropped to the backoff tier), tertile
-    // both, and report agreement + mean absolute score shift in ONE row.
-    // The artifact that justifies shipping the pruned (broadcast-safe)
-    // model at 100 TB.
-    "x121_lm_pruned_stability" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val un = TextOps.lmInvProbScore(docs, col("source") === "src0")
-        .select("doc_id", "avg_invp")
-      val pr = TextOps.lmInvProbScore(docs, col("source") === "src0",
-          minPairCount = 2L)
-        .select(col("doc_id"), col("avg_invp").as("p_invp"))
-      val ub = graft.ops.Quality.exactNtile(un, 3, Seq("avg_invp", "doc_id"))
-        .withColumnRenamed("bin", "u_bin")
-      val pb = graft.ops.Quality.exactNtile(pr, 3, Seq("p_invp", "doc_id"))
-        .withColumnRenamed("bin", "p_bin")
-      val dec = org.apache.spark.sql.types.DecimalType(20, 8)
-      ub.join(pb, "doc_id")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("u_bin") === col("p_bin"), 1L).otherwise(0L)).as("n_same_tertile"),
-          sum(abs(col("p_invp") - col("avg_invp")).cast(dec)).as("_shift"))
-        .select(col("n_docs"), col("n_same_tertile"),
-          (col("n_same_tertile").cast("double") / col("n_docs")).as("agreement"),
-          (col("_shift").cast("double") / col("n_docs")).as("mean_abs_shift"))
-    }),
-
-    // Retrieval-quality eval (r6): nDCG@10 + recall@10 for bm25 / ann /
-    // rrf against the planted two-aspect graded relevance (label match +
-    // query-term presence) — the fusion's win measured in-engine, three
-    // rows out. log2 position discounts are plan-build literals (q59's
-    // tap idiom); ideal DCG comes from the gain histogram, never a
-    // corpus-sized collect.
-    "x119_retrieval_eval" -> ((s, dir) =>
-      Hybrid.retrievalEval(Tables.documents(s, dir), Tables.embeddings(s, dir))),
-
-    // Query-SET retrieval eval (r7): the production IR-eval shape — 5
-    // fixture queries (each a vector + a term set) against bm25 / ann /
-    // rrf in ONE broadcast-query-set plan, per-(system, query) nDCG@10 /
-    // recall@10, reduced to the per-system score distribution
-    // (mean / p50 / p90 nDCG, mean / min recall). Percentiles interpolate
-    // from the sorted 5-list with plan-time constants — never an engine
-    // percentile kernel.
-    "x145_retrieval_eval_set" -> ((s, dir) =>
-      Hybrid.retrievalEvalSet(Tables.documents(s, dir), Tables.embeddings(s, dir))),
-
-    // MRR@10 / MAP@10 (r8 second half): the same three x145 systems and
-    // relevance, read out through the binary-relevance rank metrics —
-    // window-free j/rank precision folds, so the chain stays replayable.
-    "x165_retrieval_rank_metrics" -> ((s, dir) =>
-      Hybrid.rankMetricsReport(Tables.documents(s, dir), Tables.embeddings(s, dir))),
-
-    // The query-set eval over the STORED indexes (r8): bm25 list from the
-    // partition-pruned postings probe, ANN list from the DPP-pruned
-    // IVFADC probe, RRF fused — the same evalRankedSet / distribution
-    // rows as x145, so in-memory vs production-index quality is a direct
-    // read-off. Shared per-(family, sfDir) index builds (StoredIndexes).
-    "x153_retrieval_eval_stored" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val emb = Tables.embeddings(s, dir)
-      val bmIdx = StoredIndexes.get("bm25", dir)(Search.buildBm25Index(docs, _))
-      val pqIdx = StoredIndexes.get("ivfpq", dir)(Similarity.buildIvfPqIndex(emb, _))
-      Hybrid.retrievalEvalStored(docs, emb, bmIdx, pqIdx)
-    }),
-
-    // Query-set eval over the stored IVF-BIN index (r8 batch 10): the
-    // x153 discipline applied to the 1-bit rung — raw-Hamming and
-    // reranked legs in nDCG terms, over the DPP plans users run.
-    "x195_retrieval_eval_binary" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val emb = Tables.embeddings(s, dir)
-      val idx = StoredIndexes.get("ivfbin", dir)(Similarity.buildIvfBinIndex(emb, _))
-      Hybrid.retrievalEvalBinary(docs, emb, idx)
-    }),
-
-    // The full training-data preparation pipeline as ONE registered query:
-    // quality gate (x09's score) -> exact dedup keeping the min doc_id per
-    // text hash (x01's canonicalization) -> context-window chunking (x42)
-    // -> per-(lang, source) corpus stats. Every stage is the operator the
-    // standalone query verifies; this pins that they compose.
-    "x46_training_pipeline" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val quality = TextOps.qualityMetrics(docs).where(col("quality_score") >= 0.6)
-      val canon = quality.groupBy(md5(col("text")).as("h"))
-        .agg(min("doc_id").as("doc_id"))
-      val surviving = quality.join(canon.select("doc_id"), "doc_id")
-      val chunkStats = Chunking.chunkTokens(surviving, 64, 48)
-        .groupBy("doc_id").agg(
-          count(lit(1)).as("n_chunks"),
-          sum(col("n_chunk_tokens").cast("long")).as("chunk_tokens"))
-      surviving.join(chunkStats, "doc_id")
-        .groupBy("lang", "source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum("n_chunks").as("n_chunks"),
-          sum("chunk_tokens").as("total_chunk_tokens"))
-    }),
-
-    // Semi-join reduction: lineitem pruned by a Bloom filter of the
-    // selected orders' keys BEFORE the shuffle join. Bit-identical to the
-    // plain join (no false negatives; false positives die in the join), so
-    // the oracle just runs the join.
-    "x45_bloom_semijoin" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      val ord = Tables.orders(s, dir)
-        .where(to_date(col("o_orderdate")).between(
-          lit(java.sql.Date.valueOf("1995-01-01")), lit(java.sql.Date.valueOf("1995-03-31"))))
-        .select(col("o_orderkey"), col("o_orderpriority"))
-      graft.ops.BloomJoin.bloomPrunedJoin(li, "l_orderkey", ord, "o_orderkey", 200000L)
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_items"),
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast(org.apache.spark.sql.types.DecimalType(20, 6)))
-            .cast("double").as("revenue"))
-    }),
-
-    // Context-window chunking: 64-token windows, stride 48 (16-token
-    // overlap) — per-row HOFs only, output-sized.
-    "x42_chunk_tokens" -> ((s, dir) =>
-      Chunking.chunkTokens(Tables.documents(s, dir), 64, 48)),
-
-    // Sequence packing by global token offset (two-phase distributed
-    // prefix sum; oracle replays it as the single-window form).
-    "x43_pack_sequences" -> ((s, dir) =>
-      Chunking.packSequences(Tables.documents(s, dir), 2048L, 64L)),
-
-    // Training-mixture materialization: per-lang epoch weights (binary-
-    // exact fractions, so the Bernoulli compare is engine-exact),
-    // fractional epochs as a deterministic md5 draw, one output row per
-    // epoch copy. The weights table is broadcast; the draw is per-row.
-    "x51_curate_mixture_sample" -> ((s, dir) => {
-      import s.implicits._
-      val weights = Seq(("en", 2.25), ("zh", 1.0), ("de", 0.5), ("es", 0.25), ("fr", 1.5))
-        .toDF("lang", "epochs")
-      Curate.mixtureSample(Tables.documents(s, dir), weights, "lang")
-    }),
-
-    // Gopher-style repetition quality rules in token-2-gram form — the
-    // degenerate/looping-text signals a length filter misses.
-    "x52_text_repetition" -> ((s, dir) =>
-      TextOps.repetitionMetrics(Tables.documents(s, dir).select("doc_id", "text"))
-        .drop("text")),
-
-    // JL random projection 64→8 dims against the fixed md5-derived ±1
-    // planes (shared verbatim with the LSH bucketing and the oracle SQL).
-    "x53_emb_random_projection" -> ((s, dir) =>
-      Embeddings.randomProjection(Tables.embeddings(s, dir))),
-
-    // Curriculum quality binning via the scalable exact-NTILE (range
-    // repartition + local ranks + offset shift — graft.ops.Quality); the
-    // oracle replays it as the single-window SQL NTILE: same semantics,
-    // different physics.
-    "x54_curate_quality_bins" -> ((s, dir) => {
-      val m = TextOps.qualityMetrics(Tables.documents(s, dir))
-        .select("doc_id", "n_tokens", "quality_score")
-      graft.ops.Quality.exactNtile(m, 10, Seq("quality_score", "doc_id"))
-        .groupBy("bin").agg(
-          count(lit(1)).as("n_docs"),
-          min("quality_score").as("min_score"),
-          max("quality_score").as("max_score"),
-          sum("n_tokens").as("total_tokens"))
-    }),
-
-    // Deterministic train/val/test split — cumulative thresholds over the
-    // md5 uniform draw; retries assign the SAME split.
-    "x55_curate_split" -> ((s, dir) =>
-      Curate.splitAssign(Tables.documents(s, dir),
-          "doc_id", Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))
-        .select("doc_id", "lang", "source", "split")),
-
-    // Per-source quality quota: top-5 docs per source by quality score,
-    // executed with WindowGroupLimit pushdown (partial top-k pre-shuffle).
-    "x56_curate_source_quota" -> ((s, dir) => {
-      val scored = TextOps.qualityMetrics(Tables.documents(s, dir))
-        .select("doc_id", "source", "quality_score")
-      Curate.sourceQuota(scored, 5)
-    }),
-
-    // Exact-percentile outlier clip: docs within the corpus's [P5, P95]
-    // n_chars band; thresholds are one broadcast aggregate row.
-    "x57_curate_length_clip" -> ((s, dir) =>
-      Curate.percentileClip(Tables.documents(s, dir), "n_chars", 0.05, 0.95)
-        .select("doc_id", "lang", "source", "n_chars")),
-
-    // Distribution flattening: per-length-bucket acceptance rates
-    // min_count/count make the surviving corpus uniform across buckets.
-    "x59_curate_flatten" -> ((s, dir) =>
-      Curate.flattenDistribution(Tables.documents(s, dir),
-          expr("cast(n_chars as bigint) div 100"))
-        .select("doc_id", "bucket", "lang", "source")),
-
-    // BPE merge-candidate counting: pretokenizer split -> pretoken freqs
-    // -> adjacent char pairs over DISTINCT pretokens weighted by freq —
-    // tokenizer training's first corpus pass, vocabulary-sized explode.
-    "x60_bpe_pair_counts" -> ((s, dir) =>
-      TextOps.bpePairCounts(Tables.documents(s, dir))),
-
-    // Pairwise source-leakage matrix: shared distinct shingles and
-    // containment per ordered source pair (the corpus-level x36).
-    "x65_source_overlap" -> ((s, dir) =>
-      Curate.sourceOverlap(Tables.documents(s, dir), 3)),
-
-    // Collocation lift (rational PMI — same ranking, exact doubles):
-    // adjacent-pair counts vs unigram counts, word-count shapes only.
-    "x66_token_lift" -> ((s, dir) =>
-      TextOps.tokenLift(Tables.documents(s, dir), 5L)),
-
-    // Hashing-trick doc vectors: signed md5-bucket counts, dim 8 —
-    // vocabulary-free featurization at scan speed, integer-exact.
-    "x68_text_hash_embedding" -> ((s, dir) =>
-      TextOps.hashEmbedding(Tables.documents(s, dir).select("doc_id", "text"))),
-
-    // Self-measuring approximation quality: recall of the LSH dedup scale
-    // path against the exact all-pairs truth, computed IN-ENGINE as one
-    // registered query — the number a user quotes when choosing x03 over
-    // x02 at scale.
-    "x69_dedup_lsh_recall" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      recallReport(
-        Dedup.jaccardPairs(docs, 3, 0.8),
-        Dedup.minhashLsh(docs, 3, 0.8),
-        Seq("doc_a", "doc_b"))
-    }),
-
-    // Same report for ANN: hyperplane-LSH top-10 vs brute-force truth.
-    "x70_ann_lsh_recall" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val q = e.where(col("vec_id") < 5)
-      recallReport(
-        Similarity.bruteForceTopK(q, e, 10),
-        Similarity.lshTopK(q, e, 10),
-        Seq("q_id", "vec_id"))
-    }),
-
-    // IVF recall report (stride centroids, nprobe=1): the cell-confinement
-    // recall x13 trades for its scan cut, measured.
-    "x73_ann_ivf_recall" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val q = e.where(col("vec_id") < 5)
-      recallReport(
-        Similarity.bruteForceTopK(q, e, 10),
-        Similarity.ivfTopK(q, e, 10),
-        Seq("q_id", "vec_id"))
-    }),
-
-    // Embedding near-dup recall: bucketed LSH pairs (x14) vs the exact
-    // all-pairs truth (x05).
-    "x74_dedup_embedding_recall" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      recallReport(
-        Similarity.cosineNearDupPairs(e, 0.4),
-        Similarity.lshNearDupPairs(e, 0.4),
-        Seq("vec_a", "vec_b"))
-    }),
-
-    // Multi-table near-dup pairs: x74's 0.05 recall motivates the same
-    // 8 × 4-bit OR-of-tables treatment x71 gave ANN.
-    "x75_dedup_embedding_multitable" -> ((s, dir) =>
-      Similarity.lshMultiNearDupPairs(Tables.embeddings(s, dir), 0.4)),
-
-    // And its measured recall against the same exact truth.
-    "x76_dedup_multitable_recall" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      recallReport(
-        Similarity.cosineNearDupPairs(e, 0.4),
-        Similarity.lshMultiNearDupPairs(e, 0.4),
-        Seq("vec_a", "vec_b"))
-    }),
-
-    // Multi-table LSH ANN (8 × 4-bit tables): the production form x70's
-    // measurement motivates — OR-of-L recall for an L× index.
-    "x71_ann_lsh_multitable" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      Similarity.lshMultiTopK(e.where(col("vec_id") < 5), e, 10)
-    }),
-
-    // And its measured recall, same in-engine report shape as x70.
-    "x72_ann_multitable_recall" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val q = e.where(col("vec_id") < 5)
-      recallReport(
-        Similarity.bruteForceTopK(q, e, 10),
-        Similarity.lshMultiTopK(q, e, 10),
-        Seq("q_id", "vec_id"))
-    }),
-
-    // Table diff between two corpus versions (synthesized deterministic
-    // drops/changes/adds): digests-not-data compare, one full-outer join
-    // — the validation gate after every incremental publish.
-    "x63_corpus_diff" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val v2 = docs.where(col("doc_id") % 13 =!= 0)
-        .withColumn("text", when(col("doc_id") % 7 === 0,
-          concat(col("text"), lit(" v2"))).otherwise(col("text")))
-        .unionByName(docs.where(col("doc_id") % 11 === 0)
-          .withColumn("doc_id", col("doc_id") + 10000))
-      graft.ops.Diff.diffSummary(docs, v2, "doc_id", Seq("text", "lang", "source"))
-    }),
-
-    // Consecutive-duplicate token collapse over injected stutter — the
-    // cheap OCR/ASR repetition scrub, per-row index-lambda HOF.
-    "x62_text_collapse_repeats" -> ((s, dir) =>
-      TextOps.collapseRepeats(
-          Tables.documents(s, dir).select("doc_id", "text"),
-          concat(col("text"), lit(" um um um ok")))
-        .drop("text")),
-
-    // PII profiling (the audit twin of x24's redaction): typed match
-    // counts per doc over deterministically injected email/phone/IP text.
-    "x61_curate_pii_profile" -> ((s, dir) => {
-      val d = Tables.documents(s, dir).withColumn("_t",
-        concat(col("text"),
-          when(col("doc_id") % 3 === 0, lit(" reach a.b@c.example.com")).otherwise(lit("")),
-          when(col("doc_id") % 5 === 0, lit(" call +1 212 555 0199 from 10.0.0.1")).otherwise(lit(""))))
-      Curate.piiProfile(d, col("_t"))
-        .select("doc_id", "lang", "source", "n_emails", "n_phones", "n_ipv4", "has_pii")
-    }),
-
-    "x29_emb_group_profile" -> ((s, dir) =>
-      Embeddings.groupProfile(Tables.embeddings(s, dir), col("vec_id") % 10)),
-
-    "x30_emb_l2_norm" -> ((s, dir) =>
-      Tables.embeddings(s, dir).select(
-        col("vec_id"),
-        Embeddings.l2Norm(col("embedding")).as("l2_norm"),
-        (element_at(col("embedding"), 1).cast("double")
-          / Embeddings.l2Norm(col("embedding"))).as("e0_unit"))),
-
-    // Checked form (r5): the sorted-fold exact mean is the compared value
-    // (same oracle family as x67); the partial-agg scale form runs beside
-    // it and is pinned within reassociation tolerance by a boolean.
-    "x31_emb_group_centroid" -> ((s, dir) =>
-      Embeddings.groupCentroidChecked(Tables.embeddings(s, dir), col("vec_id") % 10)),
-
-    // The hash-matched centroid twin: sorted-fold summation makes the
-    // double mean a pure function of the value multiset (x31 stays the
-    // partial-agg scale form).
-    "x67_emb_centroid_exact" -> ((s, dir) =>
-      Embeddings.groupCentroidExact(Tables.embeddings(s, dir), col("vec_id") % 10)),
-
-    // Range join via bucket decomposition (graft.ops.RangeJoin): lineitems
-    // shipped within each sampled order's first week. The bucket equi-join
-    // replaces the BroadcastNestedLoopJoin Spark would plan for the raw
-    // range predicate.
-    "x28_range_join_bucketed" -> ((s, dir) => {
-      val w = Tables.orders(s, dir).where(col("o_orderkey") % 100 === 0)
-        .select(col("o_orderkey").as("w_id"),
-          to_date(col("o_orderdate")).as("w_start"),
-          date_add(to_date(col("o_orderdate")), 7).as("w_end"))
-      val li = Tables.lineitem(s, dir).where(col("l_linenumber") === 1)
-        .select(to_date(col("l_shipdate")).as("ship_d"))
-      graft.ops.RangeJoin.bucketedInterval(li, "ship_d", w, "w_start", "w_end", 7)
-        .groupBy("w_id").agg(count(lit(1)).as("n_shipped"))
-    })
-  )
-
-  // ------------------------------------------------------------- oracle SQL
-
-  /** Shared fragments (plain single-pass strings; no stripMargin). */
-  private val toksCte =
-    "SELECT doc_id, string_split(text, ' ') AS toks FROM documents"
-
-  private val shinglesCte =
-    "SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
-      "THEN list_transform(generate_series(1, len(toks)-2), i -> array_to_string(toks[i:i+2], ' ')) " +
-      "ELSE [array_to_string(toks, ' ')] END) AS shingles FROM t"
-
-  private val jaccardTail =
-    "SELECT c.doc_a, c.doc_b, CAST(c.common AS DOUBLE)/(x.n + y.n - c.common) AS jaccard " +
-      "FROM c JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id " +
-      "WHERE CAST(c.common AS DOUBLE)/(x.n + y.n - c.common) >= 0.8"
-
-  /** MinHash band-candidate CTE chain (through `cand`), shared by x03's
-    * Jaccard verify and x100's edit-distance verify. */
-  private val minhashCandCtes =
-    s"t AS ($toksCte), sh AS ($shinglesCte), " +
-      "ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh), " +
-      "sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh), " +
-      "hs AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS h0, " +
-      "list_transform(shingles, s -> md5('1:' || s)) AS h1 FROM sh), " +
-      "sig AS (SELECT doc_id, list_transform(generate_series(0, 15), " +
-      "i -> list_aggregate(list_transform(CASE WHEN i < 8 THEN h0 ELSE h1 END, " +
-      "h -> substr(h, (i % 8) * 4 + 1, 4)), 'min')) AS sig FROM hs), " +
-      "bandx AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM sig), " +
-      "band AS (SELECT doc_id, band, md5(array_to_string(sig[4*band+1:4*band+4], '|')) AS bh FROM bandx), " +
-      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM band a JOIN band b " +
-      "ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"
-
-  /** Exact-Jaccard pair + connected-component + group-wise-split CTE chain
-    * (through `ga`: doc_id, group_id, split), shared by x127's applied
-    * split and x128's leakage audit. Same reachability CC as x15/x99; the
-    * split draw is x55's md5 idiom over the GROUP id. */
-  private val groupSplitCtes =
-    s"t AS ($toksCte), sh AS ($shinglesCte), " +
-      "ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh), " +
-      "sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh), " +
-      "c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common " +
-      "FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-      "pairs AS (SELECT c.doc_a, c.doc_b FROM c " +
-      "JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id " +
-      "WHERE CAST(c.common AS DOUBLE)/(x.n + y.n - c.common) >= 0.8), " +
-      "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
-      "UNION SELECT doc_b, doc_a FROM pairs), " +
-      "reach AS (SELECT src, dst FROM edges " +
-      "UNION (SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)), " +
-      "comp AS (SELECT src AS doc_id, least(src, min(dst)) AS canonical_id FROM reach GROUP BY src), " +
-      "gw AS (SELECT d.doc_id, coalesce(comp.canonical_id, d.doc_id) AS group_id " +
-      "FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id), " +
-      "ga AS (SELECT doc_id, group_id, " +
-      "CASE WHEN CAST(('0x' || substr(md5(CAST(group_id AS VARCHAR) || ':gsplit'), 1, 8)) AS BIGINT)" +
-      "/4294967296.0 < 0.9 THEN 'train' ELSE 'eval' END AS split FROM gw)"
-
-  /** Unrolled gradient-descent CTE chain for x129/x130 — the DuckDB twin
-    * of `Trainer`'s declarative loop. Every floating-point expression
-    * mirrors the Spark side token-for-token: left-associated margin chain,
-    * rational fast sigmoid, sorted-list gradient folds, `w - lr·(g/n)`
-    * updates. Chain ends at `wi<iters>` (final weights) with each
-    * iteration's `g<t>` diagnostics CTE still addressable.
-    */
-  /** Feature/split/zero-weights CTE prefix shared by every lr* oracle:
-    * `t, hsx, qm, fx, tr, wi0`. */
-  private def lrFeatCtes(buckets: Int): String =
-    s"t AS MATERIALIZED ($toksCte), " +
-      "hsx AS MATERIALIZED (SELECT doc_id, list_transform(toks, " +
-      s"tk -> CAST(('0x' || substr(md5(tk), 1, 4)) AS INT) % $buckets) AS hs FROM t), " +
-      "qm AS MATERIALIZED (SELECT d.doc_id, " +
-      "least(CAST(len(t.toks) AS DOUBLE)/50.0, 1.0) AS lenf, " +
-      "CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)/length(d.text) AS alphaf, " +
-      "least(CAST(len(t.toks) AS DOUBLE)/50.0, 1.0)*0.5 " +
-      s"+ (CAST(len(list_filter(t.toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(t.toks))*0.25 " +
-      "+ (CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)/length(d.text))*0.25 AS q " +
-      "FROM documents d JOIN t ON d.doc_id = t.doc_id), " +
-      "fx AS MATERIALIZED (SELECT h.doc_id, CASE WHEN q.q >= 0.6 THEN 1.0 ELSE 0.0 END AS y, " +
-      "list_concat([q.lenf, q.alphaf], " +
-      s"list_transform(range(0, $buckets), j -> CAST(len(list_filter(h.hs, v -> v = j)) AS DOUBLE)/len(h.hs))) AS x " +
-      "FROM hsx h JOIN qm q ON h.doc_id = q.doc_id WHERE len(h.hs) > 0), " +
-      "tr AS MATERIALIZED (SELECT * FROM fx WHERE " +
-      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5), " +
-      "wi0 AS (SELECT " + (Seq("0.0 AS wb") ++ (0 until (buckets + 2)).map(j => s"0.0 AS w$j")).mkString(", ") + ")"
-
-  /** One named gradient-descent CTE chain: `<pfx>m/r/g/wi<t>` for t in
-    * 1..iters, training on `trainCte`, warm-starting from `w0Name` — the
-    * generator x129/x130 use with an empty prefix and that x136 reuses
-    * twice more (warm continuation + cold retrain). */
-  private def lrChain(pfx: String, trainCte: String, w0Name: String,
-      iters: Int, buckets: Int): String = {
-    val lr = Trainer.LearnRate
-    val xs = 0 until (buckets + 2)
-    // √n fold-bucket count, derived once per chain from the SAME train CTE
-    // the Spark side counts (Stable.sqrtBuckets — IEEE sqrt/ceil agree).
-    val fb = s"${pfx}fb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM $trainCte), "
-    fb + (1 to iters).map { tt =>
-      val prev = if (tt == 1) w0Name else s"${pfx}wi${tt - 1}"
-      val m = (Seq("w.wb") ++ xs.map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
-      // two-level gradient fold (Trainer.step's bucketed twin): sorted fold
-      // within each doc_id%B bucket, then a bucket-ordered fold of the sums
-      s"${pfx}m$tt AS MATERIALIZED (SELECT f.doc_id, f.y, f.x, ($m) AS m FROM $trainCte f CROSS JOIN $prev w), " +
-        s"${pfx}r$tt AS MATERIALIZED (SELECT doc_id, y, x, ((0.5 + 0.5*m/(1.0 + abs(m))) - y) AS r FROM ${pfx}m$tt), " +
-        s"${pfx}bg$tt AS MATERIALIZED (SELECT doc_id % (SELECT b FROM ${pfx}fb) AS bkt, " +
-        "CAST(count(*) AS BIGINT) AS n, " +
-        (Seq("list_aggregate(list_sort(list(r)), 'sum') AS gb", "sum(r) AS psb") ++
-          xs.flatMap(j => Seq(
-            s"list_aggregate(list_sort(list(r*x[${j + 1}])), 'sum') AS g$j",
-            s"sum(r*x[${j + 1}]) AS ps$j"))).mkString(", ") +
-        s" FROM ${pfx}r$tt GROUP BY 1), " +
-        s"${pfx}g$tt AS MATERIALIZED (SELECT CAST(sum(n) AS BIGINT) AS n, " +
-        (Seq("list_aggregate(list(gb ORDER BY bkt), 'sum') AS gb", "sum(psb) AS psb") ++
-          xs.flatMap(j => Seq(
-            s"list_aggregate(list(g$j ORDER BY bkt), 'sum') AS g$j",
-            s"sum(ps$j) AS ps$j"))).mkString(", ") +
-        s" FROM ${pfx}bg$tt), " +
-        s"${pfx}wi$tt AS MATERIALIZED (SELECT " +
-        (Seq(s"w.wb - $lr*(g.gb/CAST(g.n AS DOUBLE)) AS wb") ++
-          xs.map(j => s"w.w$j - $lr*(g.g$j/CAST(g.n AS DOUBLE)) AS w$j")).mkString(", ") +
-        s" FROM ${pfx}g$tt g CROSS JOIN $prev w)"
-    }.mkString(", ")
-  }
-
-  private def lrCtes(buckets: Int, iters: Int): String =
-    lrFeatCtes(buckets) + ", " + lrChain("", "tr", "wi0", iters, buckets)
-
-  private def lrTrajectorySql(buckets: Int, iters: Int): String = {
-    val rows = (1 to iters).flatMap { tt =>
-      val bias = s"SELECT CAST($tt AS BIGINT) AS iter, CAST(-1 AS BIGINT) AS feature, " +
-        s"w.wb AS weight, g.gb AS grad, " +
-        s"abs(g.gb - g.psb) <= greatest(abs(g.gb)*1e-9, 1e-9) AS partial_agg_close " +
-        s"FROM wi$tt w CROSS JOIN g$tt g"
-      val fs = (0 until (buckets + 2)).map(j =>
-        s"SELECT CAST($tt AS BIGINT), CAST($j AS BIGINT), w.w$j, g.g$j, " +
-          s"abs(g.g$j - g.ps$j) <= greatest(abs(g.g$j)*1e-9, 1e-9) " +
-          s"FROM wi$tt w CROSS JOIN g$tt g")
-      bias +: fs
-    }
-    s"WITH ${lrCtes(buckets, iters)} " + rows.mkString(" UNION ALL ")
-  }
-
-  /** Unrolled Bradley–Terry MM CTE chain for x131/x132 — pools, derived
-    * preferences, sufficient stats, then `iters` rounds of
-    * `s ← wins / Σ 1/(s_i + s_j)` with opponent-ordered list folds
-    * (`list(v ORDER BY j)` ≡ Spark's sorted-struct fold). Ends with
-    * `s<iters>`; every round's `s<t>` stays addressable for the
-    * convergence deltas.
-    */
-  private def btCtes(iters: Int): String = {
-    val base =
-      s"t AS MATERIALIZED ($toksCte), " +
-        "qd AS MATERIALIZED (SELECT d.doc_id, least(CAST(len(t.toks) AS DOUBLE)/50.0, 1.0)*0.5 " +
-        s"+ (CAST(len(list_filter(t.toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(t.toks))*0.25 " +
-        "+ (CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)/length(d.text))*0.25 AS q " +
-        "FROM documents d JOIN t ON d.doc_id = t.doc_id), " +
-        "pl AS MATERIALIZED (SELECT doc_id, q, " +
-        // the occupancy law's oracle twin: pools = min(cap, max(floor, n/occ))
-        s"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pref'), 1, 4)) AS INT) % " +
-        s"least(${Preference.MaxPools}, greatest(${Preference.Pools}, " +
-        s"(SELECT count(*) // ${Preference.PoolOccupancy} FROM qd))) AS pool FROM qd), " +
-        "pf AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-        "CASE WHEN a.q > b.q THEN a.doc_id WHEN a.q < b.q THEN b.doc_id " +
-        "ELSE least(a.doc_id, b.doc_id) END AS winner " +
-        "FROM pl a JOIN pl b ON a.pool = b.pool AND a.doc_id < b.doc_id), " +
-        "gm AS MATERIALIZED (SELECT doc_a AS i, doc_b AS j FROM pf " +
-        "UNION ALL SELECT doc_b, doc_a FROM pf), " +
-        "gcnt AS (SELECT i AS doc_id, CAST(count(*) AS BIGINT) AS games FROM gm GROUP BY 1), " +
-        "wcnt AS (SELECT winner AS doc_id, CAST(count(*) AS BIGINT) AS wins FROM pf GROUP BY 1), " +
-        "bst AS MATERIALIZED (SELECT g.doc_id, coalesce(w.wins, CAST(0 AS BIGINT)) AS wins, g.games " +
-        "FROM gcnt g LEFT JOIN wcnt w USING (doc_id)), " +
-        "s0 AS MATERIALIZED (SELECT doc_id, CAST(1.0 AS DOUBLE) AS s FROM bst)"
-    if (iters == 0) base
-    else base + ", " + btChain("", "gm", "bst", "s0", iters)
-  }
-
-  /** One named MM round chain `<pfx>dn/s<t>` on games `gmCte` with stats
-    * `stCte`, warm-starting from `s0Name` — reused three times by x142
-    * (base fit, warm continuation, cold refit). */
-  private def btChain(pfx: String, gmCte: String, stCte: String,
-      s0Name: String, iters: Int): String =
-    (1 to iters).map { tt =>
-      val prev = if (tt == 1) s0Name else s"${pfx}s${tt - 1}"
-      s"${pfx}dn$tt AS MATERIALIZED (SELECT g.i AS doc_id, " +
-        s"list_aggregate(list(CAST(1.0 AS DOUBLE)/(si.s + sj.s) ORDER BY g.j), 'sum') AS denom " +
-        s"FROM $gmCte g JOIN $prev si ON g.i = si.doc_id JOIN $prev sj ON g.j = sj.doc_id " +
-        "GROUP BY g.i), " +
-        s"${pfx}s$tt AS MATERIALIZED (SELECT b.doc_id, CAST(b.wins AS DOUBLE)/dn.denom AS s " +
-        s"FROM $stCte b JOIN ${pfx}dn$tt dn USING (doc_id))"
-    }.mkString(", ")
-
-  /** Chat wrapper + turn-parse CTE chain (through `tt`: doc_id, turn_idx,
-    * role, content, ntk), shared by x133/x134 — the DuckDB twin of
-    * `Chat.withChat` + `Chat.parseTurns`.
-    */
-  private val chatCtes =
-    s"t AS MATERIALIZED ($toksCte), " +
-      "cw AS MATERIALIZED (SELECT d.doc_id, t.toks, " +
-      "4 + CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':ct'), 1, 4)) AS INT) % 8 AS tl " +
-      "FROM documents d JOIN t ON d.doc_id = t.doc_id), " +
-      "ch AS MATERIALIZED (SELECT doc_id, array_to_string(list_transform(" +
-      "generate_series(1, CAST(ceil(CAST(len(toks) AS DOUBLE)/tl) AS INT)), " +
-      "i -> '##' || (CASE WHEN i % 2 = 1 THEN 'user' ELSE 'assistant' END) || '## ' || " +
-      "array_to_string(list_slice(toks, (i-1)*tl + 1, i*tl), ' ')), ' ') AS transcript FROM cw), " +
-      "pp AS MATERIALIZED (SELECT doc_id, string_split(transcript, '##') AS p FROM ch), " +
-      "px AS (SELECT doc_id, p, unnest(generate_series(1, " +
-      "CAST(floor((len(p)-1)/2.0) AS INT))) AS i FROM pp), " +
-      "tt AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS turn_idx, " +
-      "trim(p[2*i]) AS role, trim(p[2*i+1]) AS content, " +
-      "CAST(len(string_split(trim(p[2*i+1]), ' ')) AS BIGINT) AS ntk FROM px)"
-
-  private def lrClassifySql(buckets: Int, iters: Int): String = {
-    val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
-    s"WITH ${lrCtes(buckets, iters)}, " +
-      "ho AS (SELECT * FROM fx WHERE NOT (" +
-      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5)), " +
-      s"mf AS (SELECT f.doc_id, f.y, ($m) AS m FROM ho f CROSS JOIN wi$iters w) " +
-      "SELECT doc_id, y, (0.5 + 0.5*m/(1.0 + abs(m))) AS score, " +
-      "(0.5 + 0.5*m/(1.0 + abs(m))) >= 0.5 AS pred, " +
-      "((0.5 + 0.5*m/(1.0 + abs(m))) >= 0.5) = (y = 1.0) AS is_correct FROM mf"
-  }
-
-  /** x143: per-language fairness audit over the held-out scores. The
-    * mean-score fold is two-level (√|holdout| buckets inside each group —
-    * Trainer.lrGroupFairness's twin). */
-  private def lrFairnessSql(buckets: Int, iters: Int): String = {
-    val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
-    s"WITH ${lrCtes(buckets, iters)}, " +
-      "ho AS (SELECT * FROM fx WHERE NOT (" +
-      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5)), " +
-      s"mf AS (SELECT f.doc_id, f.y, ($m) AS m FROM ho f CROSS JOIN wi$iters w), " +
-      "sc3 AS (SELECT mf.doc_id, mf.y, d.lang AS grp, " +
-      "(0.5 + 0.5*m/(1.0 + abs(m))) AS score, " +
-      "(0.5 + 0.5*m/(1.0 + abs(m))) >= 0.5 AS pred, " +
-      "((0.5 + 0.5*m/(1.0 + abs(m))) >= 0.5) = (mf.y = 1.0) AS is_correct " +
-      "FROM mf JOIN documents d ON mf.doc_id = d.doc_id), " +
-      "ffb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM ho), " +
-      "fg1 AS (SELECT grp, doc_id % (SELECT b FROM ffb) AS bkt, " +
-      "CAST(count(*) AS BIGINT) AS n, " +
-      "CAST(sum(CASE WHEN is_correct THEN 1 ELSE 0 END) AS BIGINT) AS nc, " +
-      "CAST(sum(CASE WHEN pred THEN 1 ELSE 0 END) AS BIGINT) AS npr, " +
-      "CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS npos, " +
-      "list_aggregate(list_sort(list(score)), 'sum') AS ps " +
-      "FROM sc3 GROUP BY 1, 2) " +
-      "SELECT grp, CAST(sum(n) AS BIGINT) AS n, " +
-      "CAST(sum(nc) AS DOUBLE)/CAST(sum(n) AS DOUBLE) AS accuracy, " +
-      "CAST(sum(npr) AS DOUBLE)/CAST(sum(n) AS DOUBLE) AS pred_pos_rate, " +
-      "CAST(sum(npos) AS DOUBLE)/CAST(sum(n) AS DOUBLE) AS base_rate, " +
-      "list_aggregate(list(ps ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS mean_score " +
-      "FROM fg1 GROUP BY grp"
-  }
-
-  /** x137: decile reliability bins over the held-out scores; the
-    * mean-score fold is two-level (√|holdout| buckets inside each bin —
-    * Trainer.lrCalibration's twin). */
-  private def lrCalibrationSql(buckets: Int, iters: Int): String = {
-    val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
-    s"WITH ${lrCtes(buckets, iters)}, " +
-      "ho AS (SELECT * FROM fx WHERE NOT (" +
-      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5)), " +
-      s"mf AS (SELECT f.doc_id, f.y, ($m) AS m FROM ho f CROSS JOIN wi$iters w), " +
-      "sc2 AS (SELECT doc_id, y, (0.5 + 0.5*m/(1.0 + abs(m))) AS score FROM mf), " +
-      "cfb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM ho), " +
-      "cb1 AS (SELECT CAST(least(floor(score*10.0), 9.0) AS BIGINT) AS bin, " +
-      "doc_id % (SELECT b FROM cfb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
-      "list_aggregate(list_sort(list(score)), 'sum') AS ps, " +
-      "CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS np " +
-      "FROM sc2 GROUP BY 1, 2) " +
-      "SELECT bin, CAST(sum(n) AS BIGINT) AS n, " +
-      "list_aggregate(list(ps ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS mean_score, " +
-      "CAST(sum(np) AS DOUBLE)/CAST(sum(n) AS DOUBLE) AS frac_positive, " +
-      "abs(list_aggregate(list(ps ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) - " +
-      "CAST(sum(np) AS DOUBLE)/CAST(sum(n) AS DOUBLE)) AS gap " +
-      "FROM cb1 GROUP BY bin"
-  }
-
-  /** x190: Murphy Brier decomposition over the held-out scores — x137's
-    * scoring/binning chain, per-(bin, √n-bucket) sorted folds for the
-    * score and squared-error sums, 1-row totals, per-bin REL/RES terms,
-    * final ≤10-element bin-ordered folds. */
-  private def brierSql(buckets: Int, iters: Int): String = {
-    val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
-    s"WITH ${lrCtes(buckets, iters)}, " +
-      "ho AS (SELECT * FROM fx WHERE NOT (" +
-      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5)), " +
-      s"mf AS (SELECT f.doc_id, f.y, ($m) AS m FROM ho f CROSS JOIN wi$iters w), " +
-      "sc2 AS (SELECT doc_id, y, (0.5 + 0.5*m/(1.0 + abs(m))) AS score FROM mf), " +
-      "cfb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM ho), " +
-      "bb1 AS (SELECT CAST(least(floor(score*10.0), 9.0) AS BIGINT) AS bin, " +
-      "doc_id % (SELECT b FROM cfb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
-      "list_aggregate(list_sort(list(score)), 'sum') AS ps, " +
-      "list_aggregate(list_sort(list((score - y)*(score - y))), 'sum') AS pq, " +
-      "CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS np " +
-      "FROM sc2 GROUP BY 1, 2), " +
-      "bb2 AS (SELECT bin, CAST(sum(n) AS BIGINT) AS n, " +
-      "list_aggregate(list(ps ORDER BY bkt), 'sum') AS ssum, " +
-      "list_aggregate(list(pq ORDER BY bkt), 'sum') AS qsum, " +
-      "CAST(sum(np) AS BIGINT) AS n_pos FROM bb1 GROUP BY 1), " +
-      "bbt AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(n_pos) AS BIGINT) AS npt FROM bb2), " +
-      "bb3 AS (SELECT bin, qsum, nt, npt, CAST(npt AS DOUBLE)/CAST(nt AS DOUBLE) AS ybase, " +
-      "CAST(n AS DOUBLE)*((ssum/CAST(n AS DOUBLE)) - (CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE)))*" +
-      "((ssum/CAST(n AS DOUBLE)) - (CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE))) AS rel, " +
-      "CAST(n AS DOUBLE)*((CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE)) - CAST(npt AS DOUBLE)/CAST(nt AS DOUBLE))*" +
-      "((CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE)) - CAST(npt AS DOUBLE)/CAST(nt AS DOUBLE)) AS res " +
-      "FROM bb2, bbt), " +
-      "bb4 AS (SELECT nt, npt, ybase, " +
-      "list_aggregate(list(qsum ORDER BY bin), 'sum') AS bsum, " +
-      "list_aggregate(list(rel ORDER BY bin), 'sum') AS rsum, " +
-      "list_aggregate(list(res ORDER BY bin), 'sum') AS ssum2 FROM bb3 GROUP BY 1, 2, 3) " +
-      "SELECT nt AS n, ybase AS base_rate, bsum/CAST(nt AS DOUBLE) AS brier, " +
-      "rsum/CAST(nt AS DOUBLE) AS reliability, ssum2/CAST(nt AS DOUBLE) AS resolution, " +
-      "ybase*(1.0 - ybase) AS uncertainty, " +
-      "bsum/CAST(nt AS DOUBLE) - (rsum/CAST(nt AS DOUBLE) - ssum2/CAST(nt AS DOUBLE) + ybase*(1.0 - ybase)) AS decomp_gap " +
-      "FROM bb4"
-  }
-
-  /** x162: EL2N data-diet report — the lrChain truncated at
-    * [[Trainer.El2nIters]] steps (the early checkpoint is the method's
-    * point), per-doc |σ(m) − y| over the TRAIN slice, fixed-width bins,
-    * two-level √n-fold means (reusing the chain's own `fb` bucket law). */
-  private def el2nSql(buckets: Int): String = {
-    val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
-    s"WITH ${lrFeatCtes(buckets)}, ${lrChain("", "tr", "wi0", Trainer.El2nIters, buckets)}, " +
-      s"elm AS (SELECT f.doc_id, f.y, ($m) AS m FROM tr f CROSS JOIN wi${Trainer.El2nIters} w), " +
-      "el AS (SELECT doc_id, abs((0.5 + 0.5*m/(1.0 + abs(m))) - y) AS el2n FROM elm), " +
-      "eb AS (SELECT doc_id, el2n, least(CAST(floor(el2n*10.0) AS BIGINT), 9) AS bin FROM el), " +
-      "b1 AS (SELECT bin, doc_id % (SELECT b FROM fb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
-      "list_aggregate(list_sort(list(el2n)), 'sum') AS s FROM eb GROUP BY 1, 2), " +
-      "b2 AS (SELECT bin, CAST(sum(n) AS BIGINT) AS n, " +
-      "list_aggregate(list(s ORDER BY bkt), 'sum') AS s FROM b1 GROUP BY 1), " +
-      "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_train FROM eb) " +
-      "SELECT bin, n, s / CAST(n AS DOUBLE) AS mean_el2n, " +
-      "CAST(n AS DOUBLE) / CAST(n_train AS DOUBLE) AS share, " +
-      s"bin <= ${Trainer.El2nPruneBin} AS pruned FROM b2, tot"
-  }
-
-  /** x172 span-corruption draw/coverage fragments: the per-(doc,
-    * position) hash draw and the SpanLen-candidate coverage OR. */
-  private def spanDrawSql(q: String): String =
-    s"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST($q AS VARCHAR) || ':spanst'), 1, 8)) AS BIGINT)/4294967296.0"
-
-  private def spanCovSql(q: String): String =
-    (0 until Chunking.SpanLen).map(o =>
-      s"(($q) - $o >= 1 AND ${spanDrawSql(s"($q) - $o")} < ${Chunking.SpanStartRate})")
-      .mkString("(", " OR ", ")")
-
-  /** The x172 span-corruption chain (shared with x173's R slice): ends
-    * with `sst (doc_id, n_tokens, n_spans, n_masked)` + `sin`/`stg` (the
-    * filtered ordered string joins). */
-  private lazy val spanCtes: String =
-    s"t AS ($toksCte), " +
-      "sx AS (SELECT doc_id, p.i AS p, p.tok AS tok FROM " +
-      "(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)), " +
-      "i -> struct_pack(i := i, tok := toks[i]))) AS p FROM t)), " +
-      s"sm AS (SELECT doc_id, CAST(p AS BIGINT) AS p, tok, ${spanCovSql("p")} AS covered, " +
-      s"(${spanCovSql("p")}) AND NOT ${spanCovSql("p - 1")} AS runstart FROM sx), " +
-      "sk AS (SELECT *, CAST(sum(CASE WHEN runstart THEN 1 ELSE 0 END) OVER " +
-      "(PARTITION BY doc_id ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS k FROM sm), " +
-      "sp2 AS (SELECT doc_id, p, tok, covered, runstart, k, " +
-      "'<extra_id_' || CAST(k AS VARCHAR) || '>' AS sent FROM sk), " +
-      "sst AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
-      "CAST(max(k) AS BIGINT) AS n_spans, " +
-      "CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_masked FROM sp2 GROUP BY 1), " +
-      "sin AS (SELECT doc_id, array_to_string(list(CASE WHEN runstart THEN sent ELSE tok END ORDER BY p), ' ') AS input_text " +
-      "FROM sp2 WHERE NOT covered OR runstart GROUP BY 1), " +
-      "stg AS (SELECT doc_id, array_to_string(list(CASE WHEN runstart THEN sent || ' ' || tok ELSE tok END ORDER BY p), ' ') AS target_text " +
-      "FROM sp2 WHERE covered GROUP BY 1)"
-
-  /** The x168 FIM chain (shared with x171): three hash draws,
-    * floor(u·(L+1)) character cuts reordered lo ≤ hi, PSM concat. Ends
-    * with `fimout (doc_id, source, fim_applied, n_prefix, n_middle,
-    * n_suffix, out_text)`. */
-  private lazy val fimCtes: String =
-    "ff AS (SELECT doc_id, source, text, length(text) AS l, " +
-      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fimapply'), 1, 8)) AS BIGINT)/4294967296.0 AS ua, " +
-      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fimcut1'), 1, 8)) AS BIGINT)/4294967296.0 AS u1, " +
-      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fimcut2'), 1, 8)) AS BIGINT)/4294967296.0 AS u2 " +
-      "FROM documents), " +
-      s"fcx AS (SELECT doc_id, source, text, l, ua < ${Chunking.FimRate} AS ap, " +
-      "least(CAST(floor(u1 * CAST(l + 1 AS DOUBLE)) AS INTEGER), CAST(floor(u2 * CAST(l + 1 AS DOUBLE)) AS INTEGER)) AS lo, " +
-      "greatest(CAST(floor(u1 * CAST(l + 1 AS DOUBLE)) AS INTEGER), CAST(floor(u2 * CAST(l + 1 AS DOUBLE)) AS INTEGER)) AS hi " +
-      "FROM ff), " +
-      "fimout AS (SELECT doc_id, source, ap AS fim_applied, " +
-      "CASE WHEN ap THEN CAST(lo AS BIGINT) END AS n_prefix, " +
-      "CASE WHEN ap THEN CAST(hi - lo AS BIGINT) END AS n_middle, " +
-      "CASE WHEN ap THEN CAST(l - hi AS BIGINT) END AS n_suffix, " +
-      s"CASE WHEN ap THEN '${Chunking.FimPre}' || substr(text, 1, lo) || " +
-      s"'${Chunking.FimSuf}' || substr(text, hi + 1, l - hi) || " +
-      s"'${Chunking.FimMid}' || substr(text, lo + 1, hi - lo) ELSE text END AS out_text " +
-      "FROM fcx)"
-
-  /** x170: decile-threshold operating-point sweep over the held-out
-    * scores, with the precision-target choice. `precision` is quoted —
-    * it is a reserved word in DuckDB. */
-  private def gatePointsSql(buckets: Int, iters: Int): String = {
-    val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
-    val grid = (1 to 9).map(i => (i / 10.0).toString).mkString("[", ", ", "]")
-    s"WITH ${lrCtes(buckets, iters)}, " +
-      "ho AS (SELECT * FROM fx WHERE NOT (" +
-      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5)), " +
-      s"mf AS (SELECT f.doc_id, f.y, ($m) AS m FROM ho f CROSS JOIN wi$iters w), " +
-      "sc2 AS (SELECT doc_id, y, (0.5 + 0.5*m/(1.0 + abs(m))) AS score FROM mf), " +
-      s"gth AS (SELECT unnest($grid) AS threshold), " +
-      "gpt AS (SELECT g.threshold, " +
-      "CAST(sum(CASE WHEN s.score >= g.threshold AND s.y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp, " +
-      "CAST(sum(CASE WHEN s.score >= g.threshold AND s.y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp, " +
-      "CAST(sum(CASE WHEN s.score < g.threshold AND s.y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn " +
-      "FROM sc2 s CROSS JOIN gth g GROUP BY 1), " +
-      "gpr AS (SELECT threshold, tp, fp, fn, " +
-      "CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE)/CAST(tp + fp AS DOUBLE) END AS \"precision\", " +
-      "CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE)/CAST(tp + fn AS DOUBLE) END AS recall FROM gpt), " +
-      "gp2 AS (SELECT *, CASE WHEN \"precision\" IS NOT NULL AND recall IS NOT NULL " +
-      "AND \"precision\" + recall > 0 THEN 2.0*\"precision\"*recall/(\"precision\" + recall) END AS f1 FROM gpr), " +
-      s"gmt AS (SELECT *, coalesce(\"precision\" >= ${Trainer.PrecisionTarget}, false) AS meets_target FROM gp2), " +
-      "gch AS (SELECT min(threshold) AS cht FROM gmt WHERE meets_target) " +
-      "SELECT threshold, tp, fp, fn, \"precision\", recall, f1, meets_target, " +
-      "coalesce(threshold = gch.cht, false) AS chosen FROM gmt, gch"
-  }
-
-  /** x185: exact midrank ROC-AUC over the held-out scores — the
-    * lrClassify scoring chain collapsed to distinct score values, the
-    * exclusive prefix count, and the doubled-unit Mann–Whitney statistic
-    * (2·midrank = 2·below + ties + 1, exact BIGINT throughout; AUC is
-    * the single final division). */
-  private def gateAucSql(buckets: Int, iters: Int): String = {
-    val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
-    s"WITH ${lrCtes(buckets, iters)}, " +
-      "ho AS (SELECT * FROM fx WHERE NOT (" +
-      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5)), " +
-      s"mf AS (SELECT f.doc_id, f.y, ($m) AS m FROM ho f CROSS JOIN wi$iters w), " +
-      "sc2 AS (SELECT doc_id, y, (0.5 + 0.5*m/(1.0 + abs(m))) AS score FROM mf), " +
-      "ag AS (SELECT score, CAST(count(*) AS BIGINT) AS c, " +
-      "CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS p FROM sc2 GROUP BY 1), " +
-      "aw AS (SELECT *, CAST(coalesce(sum(c) OVER (ORDER BY score " +
-      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb FROM ag), " +
-      "st AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(c - p) AS BIGINT) AS n_neg, " +
-      "CAST(sum(p*(2*cb + c + 1)) AS BIGINT) AS sr2 FROM aw) " +
-      "SELECT n_pos, n_neg, sr2 AS sum_ranks_pos_x2, " +
-      "CASE WHEN n_pos > 0 AND n_neg > 0 THEN " +
-      "CAST(sr2 - n_pos*(n_pos + 1) AS DOUBLE)/CAST(2*n_pos*n_neg AS DOUBLE) END AS auc FROM st"
-  }
-
-  /** x164: confident-learning label-noise audit — the lrClassify scoring
-    * chain, per-class two-level-fold mean-score thresholds, cross-class
-    * flags, 2-row rollup. */
-  private def labelNoiseSql(buckets: Int, iters: Int): String = {
-    val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
-    s"WITH ${lrCtes(buckets, iters)}, " +
-      "ho AS (SELECT * FROM fx WHERE NOT (" +
-      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5)), " +
-      s"mf AS (SELECT f.doc_id, f.y, ($m) AS m FROM ho f CROSS JOIN wi$iters w), " +
-      "sc2 AS (SELECT doc_id, y, (0.5 + 0.5*m/(1.0 + abs(m))) AS score FROM mf), " +
-      "cfb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM ho), " +
-      "lb1 AS (SELECT y, doc_id % (SELECT b FROM cfb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
-      "list_aggregate(list_sort(list(score)), 'sum') AS s FROM sc2 GROUP BY 1, 2), " +
-      "lb2 AS (SELECT y, list_aggregate(list(s ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS t FROM lb1 GROUP BY 1), " +
-      "th AS (SELECT sum(CASE WHEN y = 0.0 THEN t END) AS t0, sum(CASE WHEN y = 1.0 THEN t END) AS t1 FROM lb2), " +
-      "fl AS (SELECT sc2.y, ((sc2.y = 0.0 AND sc2.score >= th.t1) OR (sc2.y = 1.0 AND sc2.score <= th.t0)) AS flag FROM sc2, th), " +
-      "ag AS (SELECT y AS given_label, CAST(count(*) AS BIGINT) AS n, " +
-      "CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged FROM fl GROUP BY 1) " +
-      "SELECT given_label, n, CASE WHEN given_label = 1.0 THEN th.t0 ELSE th.t1 END AS cross_thresh, " +
-      "n_flagged, CAST(n_flagged AS DOUBLE)/CAST(n AS DOUBLE) AS noise_rate FROM ag, th"
-  }
-
-  /** x151: gradient-dot data influence (TracIn at the final checkpoint).
-    * The held-out mean gradient is the SAME two-level √n fold shape as
-    * the training chain (sorted fold per `doc_id % B` bucket, bucket-
-    * ordered fold of the sums, B = ceil(sqrt(|holdout|))); the per-
-    * training-doc dot mirrors Spark's left-associated chain; top-K by
-    * influence DESC, doc_id. */
-  /** The influence chain through `isc (doc_id, y, influence)` — shared by
-    * x151's top-k and x159's per-source rollup. */
-  private def lrInfluenceChain(buckets: Int, iters: Int): String = {
-    val dim = buckets + 2
-    val m = (Seq("w.wb") ++ (0 until dim).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
-    s"${lrCtes(buckets, iters)}, " +
-      "ho AS (SELECT * FROM fx WHERE NOT (" +
-      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5)), " +
-      "ifb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM ho), " +
-      "ihr AS (SELECT doc_id, x, ((0.5 + 0.5*m/(1.0 + abs(m))) - y) AS r FROM " +
-      s"(SELECT f.doc_id, f.x, f.y, ($m) AS m FROM ho f CROSS JOIN wi$iters w)), " +
-      "is1 AS (SELECT doc_id % (SELECT b FROM ifb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
-      (Seq("list_aggregate(list_sort(list(r)), 'sum') AS gvb") ++
-        (0 until dim).map(j =>
-          s"list_aggregate(list_sort(list(r*x[${j + 1}])), 'sum') AS gv$j")).mkString(", ") +
-      " FROM ihr GROUP BY 1), " +
-      "igv AS (SELECT CAST(sum(n) AS DOUBLE) AS nv, " +
-      (Seq("list_aggregate(list(gvb ORDER BY bkt), 'sum') AS gvb") ++
-        (0 until dim).map(j =>
-          s"list_aggregate(list(gv$j ORDER BY bkt), 'sum') AS gv$j")).mkString(", ") +
-      " FROM is1), " +
-      "igm AS (SELECT " +
-      (Seq("gvb/nv AS gvb") ++ (0 until dim).map(j => s"gv$j/nv AS gv$j")).mkString(", ") +
-      " FROM igv), " +
-      s"itr AS (SELECT f.doc_id, f.y, f.x, ($m) AS m FROM tr f CROSS JOIN wi$iters w), " +
-      "isc AS (SELECT t.doc_id, t.y, ((0.5 + 0.5*t.m/(1.0 + abs(t.m))) - t.y) * (" +
-      (Seq("g.gvb") ++ (0 until dim).map(j => s"t.x[${j + 1}]*g.gv$j")).mkString(" + ") +
-      ") AS influence FROM itr t CROSS JOIN igm g)"
-  }
-
-  private def lrInfluenceSql(buckets: Int, iters: Int, topK: Int): String =
-    s"WITH ${lrInfluenceChain(buckets, iters)} " +
-      "SELECT * FROM (SELECT CAST(row_number() OVER (ORDER BY influence DESC, doc_id) AS BIGINT) AS rank, " +
-      s"doc_id, y, influence FROM isc) WHERE rank <= $topK"
-
-  /** x159: per-source influence rollup — the same two-level √n fold
-    * shape as x137/x143, bucket count from the TRAIN slice. */
-  private def lrInfluenceBySourceSql(buckets: Int, iters: Int): String =
-    s"WITH ${lrInfluenceChain(buckets, iters)}, " +
-      "sfb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM tr), " +
-      "sg1 AS (SELECT d.source, isc.doc_id % (SELECT b FROM sfb) AS bkt, " +
-      "CAST(count(*) AS BIGINT) AS n, " +
-      "list_aggregate(list_sort(list(influence)), 'sum') AS ps " +
-      "FROM isc JOIN documents d ON isc.doc_id = d.doc_id GROUP BY 1, 2) " +
-      "SELECT source, CAST(sum(n) AS BIGINT) AS n_train_docs, " +
-      "list_aggregate(list(ps ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS mean_influence " +
-      "FROM sg1 GROUP BY source"
-
-  /** x136: warm-start continuation vs cold retrain, one comparison row. */
-  private def lrIncrementalSql(buckets: Int, itersBase: Int, itersWarm: Int): String = {
-    val dim = buckets + 2
-    val m = (Seq("w.wb") ++ (0 until dim).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
-    val draw = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0"
-    s"WITH ${lrFeatCtes(buckets)}, " +
-      s"tr2 AS MATERIALIZED (SELECT * FROM fx WHERE $draw < 0.75), " +
-      s"ho3 AS MATERIALIZED (SELECT * FROM fx WHERE NOT ($draw < 0.75)), " +
-      lrChain("", "tr", "wi0", itersBase, buckets) + ", " +
-      lrChain("wm", "tr2", s"wi$itersBase", itersWarm, buckets) + ", " +
-      lrChain("cd", "tr2", "wi0", itersBase + itersWarm, buckets) + ", " +
-      s"sw AS (SELECT f.doc_id, f.y, ((0.5 + 0.5*($m)/(1.0 + abs($m))) >= 0.5) AS pred_warm " +
-      s"FROM ho3 f CROSS JOIN wmwi$itersWarm w), " +
-      s"sc AS (SELECT f.doc_id, ((0.5 + 0.5*($m)/(1.0 + abs($m))) >= 0.5) AS pred_cold " +
-      s"FROM ho3 f CROSS JOIN cdwi${itersBase + itersWarm} w), " +
-      "ev AS (SELECT CAST(count(*) AS BIGINT) AS n_holdout, " +
-      "CAST(sum(CASE WHEN a.pred_warm = (a.y = 1.0) THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS acc_warm, " +
-      "CAST(sum(CASE WHEN b.pred_cold = (a.y = 1.0) THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS acc_cold, " +
-      "CAST(sum(CASE WHEN a.pred_warm = b.pred_cold THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS pred_agreement " +
-      "FROM sw a JOIN sc b USING (doc_id)), " +
-      "md AS (SELECT greatest(" +
-      (Seq("abs(a.wb - b.wb)") ++ (0 until dim).map(j => s"abs(a.w$j - b.w$j)")).mkString(", ") +
-      s") AS max_w_diff FROM wmwi$itersWarm a CROSS JOIN cdwi${itersBase + itersWarm} b), " +
-      "ct AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_base, " +
-      "(SELECT CAST(count(*) AS BIGINT) FROM tr2) - (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_batch) " +
-      "SELECT ct.n_base, ct.n_batch, md.max_w_diff, ev.n_holdout, ev.acc_warm, ev.acc_cold, " +
-      "ev.pred_agreement FROM ct, md, ev"
-  }
-
-  /** Best-of-N chain (x147/x148): corpus-wide trained-scorer scores
-    * (`sca` — the lrScoreAll twin), occupancy-law prompt pools (`bpl`),
-    * per-pool score ranks (`brn`). */
-  private def bonCtes(buckets: Int, iters: Int): String = {
-    val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
-    s"${lrCtes(buckets, iters)}, " +
-      s"bmm AS (SELECT f.doc_id, ($m) AS m FROM fx f CROSS JOIN wi$iters w), " +
-      "sca AS MATERIALIZED (SELECT doc_id, (0.5 + 0.5*m/(1.0 + abs(m))) AS score FROM bmm), " +
-      "bpl AS (SELECT doc_id, score, " +
-      "CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':bon'), 1, 4)) AS INT) % " +
-      s"least(${Preference.MaxPools}, greatest(${Preference.Pools}, " +
-      s"(SELECT count(*) FROM sca) // ${Preference.PoolOccupancy})) AS BIGINT) AS prompt_id FROM sca), " +
-      "brn AS MATERIALIZED (SELECT doc_id, score, prompt_id, " +
-      "CAST(row_number() OVER (PARTITION BY prompt_id ORDER BY score DESC, doc_id) AS BIGINT) AS rn FROM bpl)"
-  }
-
-  /** Full-corpus MinHash+LSH SQL (x03); x49 filters it to batch-side pairs. */
-  private val minhashLshSql =
-    s"WITH $minhashCandCtes, " +
-      "c AS (SELECT cand.doc_a, cand.doc_b, CAST(count(*) AS BIGINT) AS common FROM cand " +
-      "JOIN ex ea ON ea.doc_id = cand.doc_a JOIN ex eb ON eb.doc_id = cand.doc_b AND ea.sh = eb.sh " +
-      "GROUP BY 1, 2) " +
-      jaccardTail
-
-  /** Full-corpus exact all-pairs shingle-Jaccard SQL (x02; reused by x64's
-    * prefix-filter twin and x69's recall report). */
-  private val jaccardAllPairsSql =
-    s"WITH t AS ($toksCte), sh AS ($shinglesCte), " +
-      "ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh), " +
-      "sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh), " +
-      "c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common " +
-      "FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
-      jaccardTail
-
-  /** ANN top-10 SQL twins (x06/x07; reused by x70's recall report). */
-  private lazy val annBruteSql =
-    "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
-      "s AS (SELECT q_id, vec_id, " +
-      s"${dotSql("qe", "CAST(embedding AS DOUBLE[])")} AS cos " +
-      "FROM embeddings, q WHERE q_id <> vec_id), " +
-      "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
-      "SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10"
-
-  /** One PQ config's full train→encode→ADC chain (x146) — the DuckDB twin
-    * of [[Similarity.pqTrain]]/[[Similarity.pqTopK]]: subvector slices,
-    * the bounded md5-stride training sample, K-smallest-sampled init,
-    * `iters` Lloyd rounds with per-(sub, cid, dim) sorted-fold means
-    * (empty cells keep their centroid), final-codebook encode over the
-    * FULL corpus, query dot LUT, sub-ordered ADC score folds, per-query
-    * top-k. Ends with `${p}tk (q_id, vec_id)`.
-    */
-  private def pqChainSql(p: String, m: Int, kc: Int, iters: Int, k: Int,
-      src: String = "embeddings"): String = {
-    val ds = Similarity.PqDims / m
-    // ds==1 shortcut: 0.0 + v == v in IEEE, so the unrolled form is the
-    // same double as the generic fold — and ~10x less list machinery
-    def l2(x: String, c: String): String =
-      if (ds == 1) s"($x[1]-$c[1])*($x[1]-$c[1])"
-      else s"list_aggregate(list_transform(range(1, ${ds + 1}), i -> ($x[i]-$c[i])*($x[i]-$c[i])), 'sum')"
-    def dot(x: String, c: String): String =
-      if (ds == 1) s"$x[1]*$c[1]"
-      else s"list_aggregate(list_transform(range(1, ${ds + 1}), i -> $x[i]*$c[i]), 'sum')"
-    def assign(name: String, srcName: String, centName: String): String =
-      s"$name AS (SELECT vec_id, sub, svec, cid FROM (" +
-        s"SELECT v.vec_id, v.sub, v.svec, c.cid, row_number() OVER (PARTITION BY v.vec_id, v.sub " +
-        s"ORDER BY ${l2("v.svec", "c.cvec")}, c.cid) AS r FROM $srcName v JOIN $centName c USING (sub)) WHERE r = 1)"
-    val sb = new StringBuilder
-    sb ++= s"${p}sv AS MATERIALIZED (SELECT vec_id, CAST(s.sub AS BIGINT) AS sub, s.svec AS svec FROM " +
-      s"(SELECT vec_id, unnest(list_transform(range(0, $m), ss -> struct_pack(sub := ss, " +
-      s"svec := (CAST(embedding AS DOUBLE[]))[ss*$ds+1 : ss*$ds+$ds]))) AS s FROM $src)), "
-    // bounded deterministic training sample: keep-threshold from ONE
-    // corpus count (Similarity.pqTrainThreshold), then the 32-bit md5
-    // prefix draw — P(keep) = cap/n with no divisibility bias (ADVICE r8)
-    sb ++= s"${p}st AS (SELECT 4294967296.0 * ${Similarity.PqTrainCap} / greatest(count(*), 1) AS t FROM $src), "
-    sb ++= s"${p}ssv AS MATERIALIZED (SELECT * FROM ${p}sv WHERE " +
-      s"CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':pqs'), 1, 8)) AS BIGINT) < (SELECT t FROM ${p}st)), "
-    sb ++= s"${p}ini AS (SELECT vec_id FROM (SELECT DISTINCT vec_id FROM ${p}ssv) ORDER BY vec_id LIMIT $kc), "
-    sb ++= s"${p}c0 AS (SELECT sub, CAST(v.vec_id AS BIGINT) AS cid, svec AS cvec FROM ${p}ssv v JOIN ${p}ini USING (vec_id)), "
-    for (t <- 1 to iters) {
-      sb ++= assign(s"${p}a$t", s"${p}ssv", s"${p}c${t - 1}") + ", "
-      sb ++= s"${p}u$t AS (SELECT sub, cid, u.d AS d, " +
-        "list_aggregate(list_sort(list(u.v)), 'sum')/count(*) AS mv FROM " +
-        s"(SELECT sub, cid, unnest(list_transform(range(1, ${ds + 1}), i -> struct_pack(d := i, v := svec[i]))) AS u " +
-        s"FROM ${p}a$t) GROUP BY sub, cid, u.d), "
-      sb ++= s"${p}m$t AS (SELECT sub, cid, list(mv ORDER BY d) AS cvec FROM ${p}u$t GROUP BY 1, 2), "
-      sb ++= s"${p}c$t AS MATERIALIZED (SELECT c.sub, c.cid, coalesce(mm.cvec, c.cvec) AS cvec " +
-        s"FROM ${p}c${t - 1} c LEFT JOIN ${p}m$t mm USING (sub, cid)), "
-    }
-    sb ++= assign(s"${p}enc", s"${p}sv", s"${p}c$iters") + ", "
-    sb ++= s"${p}lut AS (SELECT q.vec_id AS q_id, q.sub, c.cid, ${dot("q.svec", "c.cvec")} AS pdot " +
-      s"FROM ${p}sv q JOIN ${p}c$iters c USING (sub) WHERE q.vec_id < 5), "
-    sb ++= s"${p}scs AS (SELECT l.q_id, e.vec_id, list_aggregate(list(l.pdot ORDER BY l.sub), 'sum') AS score " +
-      s"FROM ${p}enc e JOIN ${p}lut l ON e.sub = l.sub AND e.cid = l.cid WHERE e.vec_id <> l.q_id GROUP BY 1, 2), "
-    sb ++= s"${p}tk AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
-      s"row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS r FROM ${p}scs) WHERE r <= $k)"
-    sb.toString
-  }
-
-  /** The x146 PQ configs: (sql prefix, M, K, bytes/vector). */
-  private val pqConfigs: Seq[(String, Int, Int, Double)] =
-    Seq(("pa", 8, 16, 4.0), ("pb", 16, 16, 8.0), ("pc", 64, 256, 64.0))
-
-  /** The Gopher repetition-signal chain (x155; reused by x158). ASSUMES a
-    * `t (doc_id, toks)` CTE is already in scope. Ends with `rsig
-    * (doc_id, n_tokens, total_chars, five fracs, repetitive)`. */
-  private lazy val repetitionCtes: String = {
-    def gramsCte(n: Int, nm: String) =
-      s"$nm AS (SELECT doc_id, s.i AS pos, s.g AS gram FROM " +
-        s"(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-${n - 1}), " +
-        s"i -> struct_pack(i := i, g := array_to_string(toks[i:i+${n - 1}], ' ')))) AS s " +
-        s"FROM t WHERE len(toks) >= $n))"
-    def topCte(n: Int, g: String, nm: String) =
-      s"$nm AS (SELECT doc_id, CAST(cnt * (length(gram) - ${n - 1}) AS BIGINT) AS num FROM " +
-        "(SELECT doc_id, gram, count(*) AS cnt, " +
-        "row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram) AS r " +
-        s"FROM $g GROUP BY doc_id, gram) WHERE r = 1)"
-    def dupCte(n: Int, g: String, nm: String) =
-      s"${nm}d AS (SELECT doc_id, gram FROM $g GROUP BY doc_id, gram HAVING count(*) >= 2), " +
-        s"${nm}c AS (SELECT DISTINCT doc_id, p FROM (SELECT $g.doc_id AS doc_id, " +
-        s"unnest(generate_series($g.pos, $g.pos + ${n - 1})) AS p FROM $g JOIN ${nm}d USING (doc_id, gram))), " +
-        s"$nm AS (SELECT c.doc_id, CAST(sum(tk.tc) AS BIGINT) AS num FROM ${nm}c c " +
-        "JOIN rtokc tk ON tk.doc_id = c.doc_id AND tk.p = c.p GROUP BY 1)"
-    def fr(src: String, out: String) =
-      s"CASE WHEN total_chars > 0 THEN CAST(coalesce($src, 0) AS DOUBLE)/CAST(total_chars AS DOUBLE) ELSE 0.0 END AS $out"
-    "rb AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
-      "CAST(coalesce(list_aggregate(list_transform(toks, tk -> CAST(length(tk) AS BIGINT)), 'sum'), 0) AS BIGINT) AS total_chars FROM t), " +
-      "rtokc AS (SELECT doc_id, s.p AS p, length(s.tok) AS tc FROM " +
-      "(SELECT doc_id, unnest(list_transform(range(1, len(toks)+1), j -> struct_pack(p := j, tok := toks[j]))) AS s FROM t)), " +
-      s"${gramsCte(2, "rg2")}, ${gramsCte(3, "rg3")}, ${gramsCte(4, "rg4")}, " +
-      s"${gramsCte(5, "rg5")}, ${gramsCte(8, "rg8")}, " +
-      s"${topCte(2, "rg2", "rt2")}, ${topCte(3, "rg3", "rt3")}, ${topCte(4, "rg4", "rt4")}, " +
-      s"${dupCte(5, "rg5", "rd5")}, ${dupCte(8, "rg8", "rd8")}, " +
-      "rsig AS (SELECT doc_id, n_tokens, total_chars, top2_char_frac, top3_char_frac, " +
-      "top4_char_frac, dup5_char_frac, dup8_char_frac, " +
-      s"(top2_char_frac > ${TextOps.RepTop2} OR top3_char_frac > ${TextOps.RepTop3} " +
-      s"OR top4_char_frac > ${TextOps.RepTop4} OR dup5_char_frac > ${TextOps.RepDup5} " +
-      s"OR dup8_char_frac > ${TextOps.RepDup8}) AS repetitive FROM " +
-      "(SELECT rb.doc_id, rb.n_tokens, rb.total_chars, " +
-      s"${fr("rt2.num", "top2_char_frac")}, ${fr("rt3.num", "top3_char_frac")}, " +
-      s"${fr("rt4.num", "top4_char_frac")}, ${fr("rd5.num", "dup5_char_frac")}, " +
-      s"${fr("rd8.num", "dup8_char_frac")} " +
-      "FROM rb LEFT JOIN rt2 USING (doc_id) LEFT JOIN rt3 USING (doc_id) " +
-      "LEFT JOIN rt4 USING (doc_id) LEFT JOIN rd5 USING (doc_id) LEFT JOIN rd8 USING (doc_id)))"
-  }
-
-  /** The DSIR hashed-unigram likelihood-ratio chain (x84; reused by
-    * x156's resample): target/source bucket counts, add-1-smoothed
-    * ratios, per-doc position-ordered lr folds. Ends with
-    * `dw (doc_id, n_feats, avg_lr)`. */
-  private lazy val dsirCtes: String =
-    "t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +
-      "tf AS (SELECT CAST(('0x' || substr(md5(tok), 1, 4)) AS INT) % 1024 AS f " +
-      "FROM (SELECT unnest(toks) AS tok FROM t WHERE source = 'src0')), " +
-      "sf AS (SELECT CAST(('0x' || substr(md5(tok), 1, 4)) AS INT) % 1024 AS f " +
-      "FROM (SELECT unnest(toks) AS tok FROM t WHERE source <> 'src0')), " +
-      "ct AS (SELECT f, CAST(count(*) AS BIGINT) AS c_t FROM tf GROUP BY 1), " +
-      "cs AS (SELECT f, CAST(count(*) AS BIGINT) AS c_s FROM sf GROUP BY 1), " +
-      "st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM tf) AS n_t, " +
-      "(SELECT CAST(count(*) AS BIGINT) FROM sf) AS n_s), " +
-      "r AS (SELECT f, CAST((coalesce(c_t, 0) + 1) * (n_s + 1024) AS DOUBLE) " +
-      "/ CAST((coalesce(c_s, 0) + 1) * (n_t + 1024) AS DOUBLE) AS lr " +
-      "FROM ct FULL JOIN cs USING (f), st), " +
-      "pr AS (SELECT doc_id, p.i AS i, " +
-      "CAST(('0x' || substr(md5(p.tok), 1, 4)) AS INT) % 1024 AS f " +
-      "FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)), " +
-      "i -> struct_pack(i := i, tok := toks[i]))) AS p FROM t WHERE source <> 'src0')), " +
-      "sp AS (SELECT doc_id, i, coalesce(lr, " +
-      "CAST(n_s + 1024 AS DOUBLE) / CAST(n_t + 1024 AS DOUBLE)) AS lr " +
-      "FROM pr LEFT JOIN r USING (f), st), " +
-      "dw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats, " +
-      "list_aggregate(list(lr ORDER BY i), 'sum') / count(*) AS avg_lr " +
-      "FROM sp GROUP BY doc_id)"
-
-  /** The stored-IVFADC probe chain (x152; the ANN leg of x153): stride-
-    * centroid cell assignment (x58's form), the full PQ chain (prefix
-    * `pi`, the [[Similarity.IvfPqM]] config), the 5 fixture queries' ADC
-    * LUT, cell-confined candidates, sub-ordered score folds. Ends with
-    * `iscs (q_id, vec_id, score)`. */
-  /** Effective-token CTE chain (x189/x198): digest copy-rank window,
-    * dyadic decay with the rank-63 guard, √n bucket partials. Ends with
-    * `e1 (source, bkt, n, t, u, ps)`. */
-  private lazy val effTokenCtes: String =
-    "eg AS (SELECT doc_id, source, md5(text) AS h, " +
-      "CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents), " +
-      "er AS (SELECT *, CAST(row_number() OVER (PARTITION BY h ORDER BY doc_id) AS BIGINT) AS r FROM eg), " +
-      "ee AS (SELECT *, CASE WHEN r <= 63 THEN CAST(nt AS DOUBLE)/" +
-      "CAST((CAST(1 AS BIGINT) << CAST(r - 1 AS INTEGER)) AS DOUBLE) ELSE 0.0 END AS eff FROM er), " +
-      "efb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM documents), " +
-      "e1 AS (SELECT source, doc_id % (SELECT b FROM efb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
-      "CAST(sum(nt) AS BIGINT) AS t, CAST(sum(CASE WHEN r = 1 THEN nt ELSE 0 END) AS BIGINT) AS u, " +
-      "list_aggregate(list_sort(list(eff)), 'sum') AS ps FROM ee GROUP BY 1, 2)"
-
-  /** IVF-BIN probe CTE chain (x193/x195): double-cast embeddings, stride
-    * centroids, cell assignment, sign pieces, the 5 fixture queries'
-    * nprobe1/nprobe2 cell sets and per-cell Hamming scores. Ends with
-    * `vh1`/`vh2` (q_id, vec_id, hamming); `pz`/`vqs` carry full vectors
-    * for the rerank legs. */
-  private lazy val ivfBinProbeCtes: String = {
-    val piece = (0 until 4).map { p =>
-      val terms = (0 until 16).map(i =>
-        s"CASE WHEN emb[${p * 16 + i + 1}] > 0 THEN ${1 << i} ELSE 0 END")
-        .mkString(" + ")
-      s"($terms)"
-    }.mkString("[", ", ", "]")
-    val hamZip =
-      "CAST(list_aggregate(list_transform(list_zip(q.q_sig, v.sig), z -> bit_count(xor(z[1], z[2]))), 'sum') AS BIGINT)"
-    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-      s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
-      "iscored AS (SELECT e.vec_id, cents.cent_id, " +
-      s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
-      "iasg AS (SELECT vec_id, cent_id AS cell FROM (SELECT *, " +
-      "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t WHERE r = 1), " +
-      s"pz AS (SELECT vec_id, emb, $piece AS sig FROM e), " +
-      "vq1 AS (SELECT vec_id AS q_id, cell FROM iasg WHERE vec_id < 5), " +
-      "vq2 AS (SELECT vec_id AS q_id, cent_id AS cell FROM (SELECT *, " +
-      "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t " +
-      "WHERE r <= 2 AND vec_id < 5), " +
-      "vqs AS (SELECT vec_id AS q_id, emb AS q_emb, sig AS q_sig FROM pz WHERE vec_id < 5), " +
-      "vh1 AS (SELECT c.q_id, a.vec_id, " + hamZip + " AS hamming " +
-      "FROM iasg a JOIN vq1 c USING (cell) JOIN pz v ON v.vec_id = a.vec_id " +
-      "JOIN vqs q ON q.q_id = c.q_id WHERE c.q_id <> a.vec_id), " +
-      "vh2 AS (SELECT c.q_id, a.vec_id, " + hamZip + " AS hamming " +
-      "FROM iasg a JOIN vq2 c USING (cell) JOIN pz v ON v.vec_id = a.vec_id " +
-      "JOIN vqs q ON q.q_id = c.q_id WHERE c.q_id <> a.vec_id)"
-  }
-
-  private lazy val ivfPqProbeCtes: String = {
-    val m = Similarity.IvfPqM
-    val kc = Similarity.PqK
-    val ds = Similarity.PqDims / m
-    val dotQ = s"list_aggregate(list_transform(range(1, ${ds + 1}), i -> q.svec[i]*c.cvec[i]), 'sum')"
-    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-      s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
-      "iscored AS (SELECT e.vec_id, cents.cent_id, " +
-      s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
-      "iasg AS (SELECT vec_id, cent_id AS cell FROM (SELECT *, " +
-      "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t WHERE r = 1), " +
-      pqChainSql("pi", m, kc, Similarity.PqIters, 10) + ", " +
-      "iqc AS (SELECT vec_id AS q_id, cell FROM iasg WHERE vec_id < 5), " +
-      s"iplut AS (SELECT q.vec_id AS q_id, q.sub, c.cid, $dotQ AS pdot " +
-      s"FROM pisv q JOIN pic${Similarity.PqIters} c USING (sub) WHERE q.vec_id < 5), " +
-      "icand AS (SELECT iqc.q_id, a.vec_id FROM iasg a JOIN iqc USING (cell) WHERE iqc.q_id <> a.vec_id), " +
-      "iscs AS (SELECT cd.q_id, cd.vec_id, list_aggregate(list(l.pdot ORDER BY l.sub), 'sum') AS score " +
-      "FROM icand cd JOIN pienc en ON en.vec_id = cd.vec_id " +
-      "JOIN iplut l ON l.q_id = cd.q_id AND l.sub = en.sub AND l.cid = en.cid GROUP BY 1, 2), " +
-      // nprobe=2 legs (x154 only — unreferenced CTEs cost nothing):
-      // each query's TWO nearest cells, same candidate/score shape
-      "iqc2 AS (SELECT vec_id AS q_id, cent_id AS cell FROM (SELECT *, " +
-      "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t " +
-      "WHERE r <= 2 AND vec_id < 5), " +
-      "icand2 AS (SELECT iqc2.q_id, a.vec_id FROM iasg a JOIN iqc2 USING (cell) WHERE iqc2.q_id <> a.vec_id), " +
-      "iscs2 AS (SELECT cd.q_id, cd.vec_id, list_aggregate(list(l.pdot ORDER BY l.sub), 'sum') AS score " +
-      "FROM icand2 cd JOIN pienc en ON en.vec_id = cd.vec_id " +
-      "JOIN iplut l ON l.q_id = cd.q_id AND l.sub = en.sub AND l.cid = en.cid GROUP BY 1, 2)"
-  }
-
-  /** The residual-IVFADC chain (x161): same cell assignment as
-    * [[ivfPqProbeCtes]], but the PQ chain (prefix `pr`) trains on and
-    * encodes the RESIDUAL source `rsrc` (x − c(cell)), queries keep RAW
-    * subvectors for the LUT, and scores add the per-(query, cell) offset
-    * `q·c` — which is exactly `iscored`'s `cent_cos` (dotSql is the plain
-    * dot both sides compute). Also ends with the exact cell-confined
-    * ceiling legs `ext1`/`ext2` (x13's chain at nprobe 1 and 2). */
-  private lazy val ivfPqResCtes: String = {
-    val m = Similarity.IvfPqM
-    val kc = Similarity.PqK
-    val ds = Similarity.PqDims / m
-    val dims = Similarity.PqDims
-    val dotQ = s"list_aggregate(list_transform(range(1, ${ds + 1}), i -> q.svec[i]*c.cvec[i]), 'sum')"
-    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-      s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
-      "iscored AS (SELECT e.vec_id, cents.cent_id, " +
-      s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
-      "iasg AS (SELECT vec_id, cent_id AS cell FROM (SELECT *, " +
-      "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t WHERE r = 1), " +
-      s"rsrc AS MATERIALIZED (SELECT a.vec_id, list_transform(range(1, ${dims + 1}), " +
-      "i -> e.emb[i] - c.cent_emb[i]) AS embedding " +
-      "FROM iasg a JOIN e USING (vec_id) JOIN cents c ON a.cell = c.cent_id), " +
-      pqChainSql("pr", m, kc, Similarity.PqIters, 10, src = "rsrc") + ", " +
-      s"rqsv AS (SELECT vec_id, CAST(s.sub AS BIGINT) AS sub, s.svec AS svec FROM " +
-      s"(SELECT vec_id, unnest(list_transform(range(0, $m), ss -> struct_pack(sub := ss, " +
-      s"svec := emb[ss*$ds+1 : ss*$ds+$ds]))) AS s FROM e WHERE vec_id < 5)), " +
-      s"rlut AS (SELECT q.vec_id AS q_id, q.sub, c.cid, $dotQ AS pdot " +
-      s"FROM rqsv q JOIN prc${Similarity.PqIters} c USING (sub)), " +
-      "roff AS (SELECT vec_id AS q_id, cent_id AS cell, cent_cos AS off FROM iscored WHERE vec_id < 5), " +
-      "rqc AS (SELECT vec_id AS q_id, cell FROM iasg WHERE vec_id < 5), " +
-      "rqc2 AS (SELECT vec_id AS q_id, cent_id AS cell FROM (SELECT *, " +
-      "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t " +
-      "WHERE r <= 2 AND vec_id < 5), " +
-      "rcand AS (SELECT rqc.q_id, a.vec_id, cell FROM iasg a JOIN rqc USING (cell) WHERE rqc.q_id <> a.vec_id), " +
-      "rcand2 AS (SELECT rqc2.q_id, a.vec_id, cell FROM iasg a JOIN rqc2 USING (cell) WHERE rqc2.q_id <> a.vec_id), " +
-      "rscs AS (SELECT cd.q_id, cd.vec_id, o.off + list_aggregate(list(l.pdot ORDER BY l.sub), 'sum') AS score " +
-      "FROM rcand cd JOIN prenc en ON en.vec_id = cd.vec_id " +
-      "JOIN rlut l ON l.q_id = cd.q_id AND l.sub = en.sub AND l.cid = en.cid " +
-      "JOIN roff o ON o.q_id = cd.q_id AND o.cell = cd.cell GROUP BY cd.q_id, cd.vec_id, o.off), " +
-      "rscs2 AS (SELECT cd.q_id, cd.vec_id, o.off + list_aggregate(list(l.pdot ORDER BY l.sub), 'sum') AS score " +
-      "FROM rcand2 cd JOIN prenc en ON en.vec_id = cd.vec_id " +
-      "JOIN rlut l ON l.q_id = cd.q_id AND l.sub = en.sub AND l.cid = en.cid " +
-      "JOIN roff o ON o.q_id = cd.q_id AND o.cell = cd.cell GROUP BY cd.q_id, cd.vec_id, o.off), " +
-      "iasge AS (SELECT a.vec_id, e.emb, a.cell FROM iasg a JOIN e USING (vec_id)), " +
-      "exs1 AS (SELECT q.q_id, a.vec_id, " + dotSql("q.q_emb", "a.emb") + " AS cos " +
-      "FROM iasge a JOIN (SELECT vec_id AS q_id, emb AS q_emb, cell FROM iasge WHERE vec_id < 5) q USING (cell) " +
-      "WHERE q.q_id <> a.vec_id), " +
-      "ext1 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
-      "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS r FROM exs1) WHERE r <= 10), " +
-      "exs2 AS (SELECT q.q_id, a.vec_id, " + dotSql("q.q_emb", "a.emb") + " AS cos " +
-      "FROM iasge a JOIN (SELECT qc.q_id, e.emb AS q_emb, qc.cell FROM rqc2 qc JOIN e ON e.vec_id = qc.q_id) q USING (cell) " +
-      "WHERE q.q_id <> a.vec_id), " +
-      "ext2 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
-      "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS r FROM exs2) WHERE r <= 10)"
-  }
-
-  private lazy val annLshSql =
-    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-      s"be AS (SELECT vec_id, emb, $bucketSql AS bucket FROM e), " +
-      "q AS (SELECT vec_id AS q_id, emb AS qe, bucket FROM be WHERE vec_id < 5), " +
-      "s AS (SELECT q.q_id, be.vec_id, " +
-      s"${dotSql("q.qe", "be.emb")} AS cos " +
-      "FROM be JOIN q USING (bucket) WHERE q.q_id <> be.vec_id), " +
-      "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
-      "SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10"
-
-  /** Table-l multi-LSH bucket expression (x71/x72 oracle lock-step). */
-  private def multiBucketSql(l: Int): String =
-    (0 until Similarity.PlanesPerTable).map { p =>
-      s"(CASE WHEN ${dotSql("emb", Similarity.multiPlaneSql(l, p))} >= 0 THEN ${1 << p} ELSE 0 END)"
-    }.mkString(" + ")
-
-  private lazy val annMultiSql =
-    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-      s"be AS (SELECT vec_id, emb, unnest(generate_series(0, ${Similarity.LshTables - 1})) AS tbl, " +
-      (0 until Similarity.LshTables).map(multiBucketSql)
-        .mkString("unnest([", ", ", "]) AS bkt FROM e), ") +
-      "q AS (SELECT vec_id AS q_id, emb AS q_emb, tbl, bkt FROM be WHERE vec_id < 5), " +
-      "s AS (SELECT DISTINCT q.q_id, c.vec_id, " +
-      s"${dotSql("q.q_emb", "c.emb")} AS cos " +
-      "FROM be c JOIN q ON c.tbl = q.tbl AND c.bkt = q.bkt AND q.q_id <> c.vec_id), " +
-      "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
-      "SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10"
-
-  /** x114's oracle, generated FROM Curate.DefaultTaxonomy so the SQL can
-    * never drift from the Scala dictionary (same lock-step discipline as
-    * the LSH plane/bucket fragments).
-    */
-  private lazy val topicTagSql: String = {
-    val topics = Curate.DefaultTaxonomy.sortBy(_._1)
-    val hitCols = topics.map { case (t, kws) =>
-      s"CAST(len(list_filter(toks, tk -> list_contains([${kws.map(k => s"'$k'").mkString(",")}], tk))) AS BIGINT) AS h_$t"
-    }
-    val caseChain = topics.init.zipWithIndex.map { case ((t, _), i) =>
-      val conds = topics.drop(i + 1).map { case (u, _) => s"h_$t >= h_$u" }.mkString(" AND ")
-      s"WHEN $conds THEN '$t'"
-    }.mkString(" ")
-    val sumExpr = topics.map { case (t, _) => s"h_$t" }.mkString(" + ")
-    s"WITH t AS ($toksCte), h AS (SELECT doc_id, ${hitCols.mkString(", ")}, " +
-      "CAST(len(toks) AS BIGINT) AS n_toks FROM t) " +
-      s"SELECT doc_id, ${topics.map(t => "h_" + t._1).mkString(", ")}, $sumExpr AS n_tagged, " +
-      s"CASE $caseChain ELSE '${topics.last._1}' END AS top_topic, " +
-      s"CAST($sumExpr AS DOUBLE)/n_toks AS tag_density FROM h"
-  }
-
-  /** Majority-vote collapse over kNN candidate rows
-    * (q_id, true_label, vec_id, nbr_label, cos) — the SQL twin of
-    * Similarity.knnClassify's vote: rank-10 cut, then (votes desc, DECIMAL
-    * sim sum desc, smallest label). Shared by x109/x112.
-    */
-  private def knnVoteSql(candSql: String): String =
-    s"WITH cand AS ($candSql), " +
-      "r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM cand), " +
-      "v AS (SELECT q_id, true_label, nbr_label, CAST(count(*) AS BIGINT) AS votes, " +
-      "CAST(sum(CAST(cos AS DECIMAL(20,6))) AS DOUBLE) AS sim_sum " +
-      "FROM r WHERE rank <= 10 GROUP BY 1, 2, 3), " +
-      "w AS (SELECT *, row_number() OVER (PARTITION BY q_id " +
-      "ORDER BY votes DESC, sim_sum DESC, nbr_label) AS rr FROM v) " +
-      "SELECT q_id AS vec_id, nbr_label AS pred_label, true_label FROM w WHERE rr = 1"
-
-  /** Exact kNN candidates over the %5 labeled/unlabeled split (x109/x112). */
-  private lazy val knnExactCandSql =
-    "WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings), " +
-      "q0 AS (SELECT vec_id AS q_id, emb AS qe, label AS true_label FROM e0 WHERE vec_id % 5 = 0), " +
-      "c0 AS (SELECT vec_id, emb, label AS nbr_label FROM e0 WHERE vec_id % 5 <> 0) " +
-      "SELECT q_id, true_label, vec_id, nbr_label, " +
-      s"${dotSql("qe", "emb")} AS cos FROM c0, q0"
-
-  /** Multi-table LSH kNN candidates over the same split (x112's scale path;
-    * DISTINCT collapses cross-table duplicates exactly as lshMultiTopK).
-    */
-  private lazy val knnLshCandSql =
-    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings), " +
-      s"be AS (SELECT vec_id, emb, label, unnest(generate_series(0, ${Similarity.LshTables - 1})) AS tbl, " +
-      (0 until Similarity.LshTables).map(multiBucketSql)
-        .mkString("unnest([", ", ", "]) AS bkt FROM e), ") +
-      "q1 AS (SELECT vec_id AS q_id, emb AS qe, label AS true_label, tbl, bkt FROM be WHERE vec_id % 5 = 0), " +
-      "c1 AS (SELECT vec_id, emb, label AS nbr_label, tbl, bkt FROM be WHERE vec_id % 5 <> 0) " +
-      "SELECT DISTINCT q1.q_id, q1.true_label, c1.vec_id, c1.nbr_label, " +
-      s"${dotSql("q1.qe", "c1.emb")} AS cos " +
-      "FROM c1 JOIN q1 ON c1.tbl = q1.tbl AND c1.bkt = q1.bkt"
-
-  /** Stride-IVF top-10 SQL (x13's oracle body; reused by x73's report). */
-  private lazy val annIvfSql =
-    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-      s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
-      "scored AS (SELECT e.vec_id, e.emb, cents.cent_id, " +
-      s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
-      "assigned AS (SELECT vec_id, emb, cent_id AS cell FROM (SELECT *, " +
-      "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM scored) t WHERE r = 1), " +
-      "q AS (SELECT vec_id AS q_id, emb AS q_emb, cell FROM assigned WHERE vec_id < 5), " +
-      "s AS (SELECT q.q_id, a.vec_id, " +
-      s"${dotSql("q.q_emb", "a.emb")} AS cos " +
-      "FROM assigned a JOIN q USING (cell) WHERE q.q_id <> a.vec_id), " +
-      "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
-      "SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10"
-
-  /** Embedding near-dup pair SQL twins (x05/x14; reused by x74's report). */
-  private lazy val embExactPairsSql =
-    "WITH a AS (SELECT vec_id AS vec_a, CAST(embedding AS DOUBLE[]) AS ea FROM embeddings), " +
-      "b AS (SELECT vec_id AS vec_b, CAST(embedding AS DOUBLE[]) AS eb FROM embeddings), " +
-      s"s AS (SELECT vec_a, vec_b, ${dotSql("ea", "eb")} AS cos FROM a JOIN b ON vec_a < vec_b) " +
-      "SELECT vec_a, vec_b, cos FROM s WHERE cos >= 0.4"
-
-  private lazy val embLshPairsSql =
-    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-      s"be AS (SELECT vec_id, emb, $bucketSql AS bucket FROM e), " +
-      "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
-      s"${dotSql("a.emb", "b.emb")} AS cos " +
-      "FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
-      "SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.4"
-
-  /** Multi-table near-dup pair SQL (x75; reused by x76's report). */
-  private lazy val embMultiPairsSql =
-    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-      s"be AS (SELECT vec_id, emb, unnest(generate_series(0, ${Similarity.LshTables - 1})) AS tbl, " +
-      (0 until Similarity.LshTables).map(multiBucketSql)
-        .mkString("unnest([", ", ", "]) AS bkt FROM e), ") +
-      "p AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
-      s"${dotSql("a.emb", "b.emb")} AS cos " +
-      "FROM be a JOIN be b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id) " +
-      "SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.4"
-
-  private val stopList = TextOps.EnStopwords.map(w => s"'$w'").mkString("[", ",", "]")
-
-  private def dotSql(a: String, b: String): String =
-    s"list_aggregate(list_transform(list_zip($a, $b), z -> z[1]*z[2]), 'sum')"
-
-  private val bucketSql: String =
-    (0 until Similarity.Planes).map { p =>
-      s"(CASE WHEN ${dotSql("emb", Similarity.planeSql(p))} >= 0 THEN ${1 << p} ELSE 0 END)"
-    }.mkString(" + ")
-
-  /** BPE merge count for x77/x78 (kept small: the oracle unrolls one
-    * pair-count/argmax/apply CTE stage per merge).
-    */
-  val BpeMerges = 8
-
-  /** Hybrid-retrieval CTE chain (x118/x119), generated from the [[Hybrid]]
-    * constants: BM25 ranked list (x48's score shape over docs <> query),
-    * brute-force ANN ranked list for vector 0, RRF fusion, graded two-aspect
-    * relevance, and the gain histogram. Shared so the fusion query and its
-    * eval can never drift from each other or from the Spark plan.
-    */
-  private lazy val hybridCtes: String = {
-    val terms = Hybrid.QueryTerms
-    val ti = terms.indices
-    val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      s"sum(CASE WHEN tok = '$t' THEN 1 ELSE 0 END) AS tf_$i" }.mkString(", ")
-    val dfCols = ti.map(i =>
-      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
-    def termScore(i: Int): String =
-      s"CASE WHEN tf_$i > 0 THEN ((CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) " +
-        s"/ (CAST(df_$i AS DOUBLE) + 0.5)) * (CAST(tf_$i AS DOUBLE) * (1.2 + 1.0)) " +
-        s"/ (CAST(tf_$i AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) " +
-        s"/ (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) ELSE 0.0 END"
-    s"ht AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id <> ${Hybrid.QueryVecId}), " +
-      "he AS (SELECT doc_id, unnest(toks) AS tok FROM ht), " +
-      s"hpd AS (SELECT doc_id, count(*) AS dl, $tfCols FROM he GROUP BY doc_id), " +
-      s"hst AS (SELECT sum(dl) AS sum_dl, count(*) AS n_docs, $dfCols FROM hpd), " +
-      s"hbm0 AS (SELECT doc_id, ${ti.map(termScore).mkString(" + ")} AS score " +
-      s"FROM hpd, hst WHERE ${ti.map(i => s"tf_$i > 0").mkString(" OR ")} " +
-      "ORDER BY score DESC, doc_id LIMIT 20), " +
-      "hbm AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM hbm0), " +
-      "hemb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-      s"hq AS (SELECT emb AS qe FROM hemb WHERE vec_id = ${Hybrid.QueryVecId}), " +
-      s"hs AS (SELECT vec_id, ${dotSql("emb", "qe")} AS cos FROM hemb, hq WHERE vec_id <> ${Hybrid.QueryVecId}), " +
-      "hann AS (SELECT vec_id AS doc_id, CAST(rank AS BIGINT) AS rank FROM " +
-      "(SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank FROM hs) WHERE rank <= 20), " +
-      "hfuse AS (SELECT coalesce(b.doc_id, a.doc_id) AS doc_id, b.rank AS bm25_rank, a.rank AS ann_rank, " +
-      s"coalesce(1.0/(${Hybrid.RrfK} + CAST(b.rank AS DOUBLE)), 0.0) " +
-      s"+ coalesce(1.0/(${Hybrid.RrfK} + CAST(a.rank AS DOUBLE)), 0.0) AS rrf_score " +
-      "FROM hbm b FULL JOIN hann a ON b.doc_id = a.doc_id), " +
-      "hrrf10 AS (SELECT doc_id, bm25_rank, ann_rank, rrf_score FROM hfuse " +
-      "ORDER BY rrf_score DESC, doc_id LIMIT 10), " +
-      "hrrf AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank FROM hrrf10), " +
-      // E-notation: the threshold literal must go through the DOUBLE parser
-      // (bare decimals are the x86 DECIMAL-literal trap).
-      s"hrel AS (SELECT d.doc_id, CASE WHEN s.cos >= ${Hybrid.SemRelThreshold}E0 THEN 1 ELSE 0 END " +
-      s"+ CASE WHEN list_contains(d.toks, '${Hybrid.RelTerm}') THEN 1 ELSE 0 END AS gain " +
-      "FROM ht d LEFT JOIN hs s ON d.doc_id = s.vec_id), " +
-      "hstats AS (SELECT CAST(sum(CASE WHEN gain = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2, " +
-      "CAST(sum(CASE WHEN gain = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 FROM hrel)"
-  }
-
-  /** Query-SET retrieval eval chain (x145) — the DuckDB twin of
-    * [[Hybrid.retrievalEvalSet]]: VALUES query-term table, ONE corpus hit
-    * stream joined against it (per-(query,doc,term) tf, per-term df,
-    * corpus-wide dl/stats), ti-ordered score folds, per-query ranks,
-    * brute-force ANN per query vector, RRF fusion, graded relevance per
-    * (query, doc). Ends with `srel`/`srst` + the three ranked lists
-    * `sbm`/`sann`/`srrf`.
-    */
-  private lazy val hybridSetCtes: String = {
-    val qVals = Hybrid.QuerySet.flatMap { case (q, ts, rm) =>
-      ts.zipWithIndex.map { case (t, i) => s"($q, $i, '$t', $rm)" }
-    }.mkString(", ")
-    val qIds = Hybrid.QuerySet.map(_._1).mkString(", ")
-    s"sqs AS (SELECT CAST(query_id AS BIGINT) AS query_id, CAST(ti AS BIGINT) AS ti, term, " +
-      s"CAST(rel_min AS BIGINT) AS rel_min FROM (VALUES $qVals) v(query_id, ti, term, rel_min)), " +
-      "srt AS (SELECT query_id, term AS rel_term, rel_min FROM " +
-      "(SELECT query_id, term, rel_min, row_number() OVER (PARTITION BY query_id ORDER BY ti DESC) AS r FROM sqs) WHERE r = 1), " +
-      "sht AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-      "she AS (SELECT doc_id, unnest(toks) AS tok FROM sht), " +
-      "sdl AS (SELECT doc_id, count(*) AS dl FROM she GROUP BY 1), " +
-      "sst AS (SELECT sum(dl) AS sum_dl, count(*) AS n_docs FROM sdl), " +
-      "shit AS (SELECT q.query_id, q.ti, q.term, e.doc_id, CAST(count(*) AS BIGINT) AS tf " +
-      "FROM she e JOIN sqs q ON e.tok = q.term GROUP BY 1, 2, 3, 4), " +
-      "sdf AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM shit GROUP BY 1), " +
-      "ssc AS (SELECT h.query_id, h.doc_id, h.ti, " +
-      "((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5)) " +
-      "* (CAST(h.tf AS DOUBLE) * (1.2 + 1.0)) " +
-      "/ (CAST(h.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(l.dl AS DOUBLE) " +
-      "/ (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))) AS c " +
-      "FROM shit h JOIN sdf d USING (term) JOIN sdl l USING (doc_id) CROSS JOIN sst s), " +
-      "sbm0 AS (SELECT query_id, doc_id, list_aggregate(list(c ORDER BY ti), 'sum') AS score " +
-      "FROM ssc WHERE doc_id <> query_id GROUP BY 1, 2), " +
-      "sbm AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank FROM " +
-      "(SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sbm0) " +
-      "WHERE rank <= 20), " +
-      "semb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-      s"sqv AS (SELECT vec_id AS query_id, emb AS qe FROM semb WHERE vec_id IN ($qIds)), " +
-      s"ssan AS (SELECT q.query_id, e.vec_id AS doc_id, ${dotSql("e.emb", "q.qe")} AS cos " +
-      "FROM semb e, sqv q WHERE e.vec_id <> q.query_id), " +
-      "sann AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank FROM " +
-      "(SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank FROM ssan) " +
-      "WHERE rank <= 20), " +
-      "sfu AS (SELECT coalesce(b.query_id, a.query_id) AS query_id, " +
-      "coalesce(b.doc_id, a.doc_id) AS doc_id, " +
-      s"coalesce(1.0/(${Hybrid.RrfK} + CAST(b.rank AS DOUBLE)), 0.0) " +
-      s"+ coalesce(1.0/(${Hybrid.RrfK} + CAST(a.rank AS DOUBLE)), 0.0) AS rrf_score " +
-      "FROM sbm b FULL JOIN sann a ON b.query_id = a.query_id AND b.doc_id = a.doc_id), " +
-      "srrf AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank FROM " +
-      "(SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank FROM sfu) " +
-      "WHERE rank <= 10), " +
-      s"srel AS (SELECT r.query_id, d.doc_id, CASE WHEN s.cos >= ${Hybrid.SemRelThreshold}E0 THEN 1 ELSE 0 END " +
-      "+ CASE WHEN len(list_filter(d.toks, tk -> tk = r.rel_term)) >= r.rel_min THEN 1 ELSE 0 END AS gain " +
-      "FROM sht d CROSS JOIN srt r " +
-      "LEFT JOIN ssan s ON s.query_id = r.query_id AND s.doc_id = d.doc_id " +
-      "WHERE d.doc_id <> r.query_id), " +
-      "srst AS (SELECT query_id, CAST(sum(CASE WHEN gain = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2, " +
-      "CAST(sum(CASE WHEN gain = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 FROM srel GROUP BY 1)"
-  }
-
-  /** One system's per-(query) nDCG@10 / recall@10 over the
-    * [[hybridSetCtes]] chain. */
-  private def hybridSetEvalSql(sys: String, listCte: String): String = {
-    val k = 10
-    val taps = Hybrid.dcgTaps(k)
-    val idcg = (1 to k).map { i =>
-      s"${taps(i - 1)}E0 * (CASE WHEN $i <= r.n2 THEN 2.0 WHEN $i <= r.n2 + r.n1 THEN 1.0 ELSE 0.0 END)"
-    }.mkString(" + ")
-    s"(SELECT '$sys' AS system, e.query_id, e.dcg / ($idcg) AS ndcg, " +
-      "CAST(e.n_rel_retrieved AS DOUBLE) / (r.n2 + r.n1) AS recall_at_k FROM " +
-      s"(SELECT query_id, list_aggregate(list(CAST(gain AS DOUBLE) * (${Hybrid.dcgTapsSql(k)})[CAST(rank AS INT)] ORDER BY rank), 'sum') AS dcg, " +
-      "CAST(sum(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_retrieved FROM " +
-      s"(SELECT l.query_id, l.rank, coalesce(g.gain, 0) AS gain FROM $listCte l " +
-      s"LEFT JOIN srel g ON g.query_id = l.query_id AND g.doc_id = l.doc_id WHERE l.rank <= $k) " +
-      "GROUP BY query_id) e JOIN srst r USING (query_id))"
-  }
-
-  /** Plan-time percentile literal from a sorted list (the
-    * [[Hybrid.pctFromSorted]] twin — fixed index + printed-double
-    * fraction, no engine percentile kernel). */
-  private def pctSql(listExpr: String, p: Double, n: Int): String = {
-    val pos = p * (n - 1)
-    val lo = math.floor(pos).toInt
-    val frac = pos - lo
-    if (frac == 0.0) s"$listExpr[${lo + 1}]"
-    else s"($listExpr[${lo + 1}] + ($listExpr[${lo + 2}] - $listExpr[${lo + 1}]) * ${frac}E0)"
-  }
-
-  /** One system's nDCG@10 / recall@10 eval over the [[hybridCtes]] chain —
-    * DCG folds gain·tap in rank order; ideal DCG unrolls the gain histogram
-    * against the same printed-double taps the Spark plan embeds.
-    */
-  private def hybridEvalSql(sys: String, listCte: String): String = {
-    val k = 10
-    val taps = Hybrid.dcgTaps(k)
-    val idcg = (1 to k).map { i =>
-      s"${taps(i - 1)}E0 * (CASE WHEN $i <= n2 THEN 2.0 WHEN $i <= n2 + n1 THEN 1.0 ELSE 0.0 END)"
-    }.mkString(" + ")
-    s"(SELECT '$sys' AS system, dcg, $idcg AS idcg, n_rel_retrieved, n2 + n1 AS n_rel_total, " +
-      s"dcg / ($idcg) AS ndcg, CAST(n_rel_retrieved AS DOUBLE) / (n2 + n1) AS recall_at_k FROM " +
-      s"(SELECT list_aggregate(list(CAST(gain AS DOUBLE) * (${Hybrid.dcgTapsSql(k)})[CAST(rank AS INT)] ORDER BY rank), 'sum') AS dcg, " +
-      "CAST(sum(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_retrieved FROM " +
-      s"(SELECT l.rank, coalesce(r.gain, 0) AS gain FROM $listCte l LEFT JOIN hrel r USING (doc_id) WHERE l.rank <= $k)) " +
-      "CROSS JOIN hstats)"
-  }
-
-  /** x79's URL-derivation + host/domain + blocklist chain (CTEs u/h/d/f),
-    * generated from the [[Curate]] constants so the two engines can never
-    * drift; reused verbatim by x81's composed pipeline.
-    */
-  private lazy val urlChainCtes: String = {
-    val nameList = Curate.UrlDomainNames.map(n => s"'$n'").mkString("[", ",", "]")
-    val tldList = Curate.UrlTlds.map(t => s"'$t'").mkString("[", ",", "]")
-    val blocked = Curate.DefaultDomainBlocklist.map(d => s"'$d'").mkString(", ")
-    def hx(from: Int): String =
-      s"CAST(('0x' || substr(md5(doc_id || ':url'), $from, 4)) AS INT)"
-    "u AS (SELECT doc_id, source, n_chars, " +
-      s"'https://w' || (${hx(1)} % 7) || '.' || " +
-      s"($nameList)[${hx(5)} % ${Curate.UrlDomainNames.size} + 1] || '.' || " +
-      s"($tldList)[${hx(9)} % ${Curate.UrlTlds.size} + 1] || " +
-      "'/' || source || '/' || doc_id AS url FROM documents), " +
-      "h AS (SELECT doc_id, n_chars, url, " +
-      "regexp_extract(url, 'https?://([^/]+)', 1) AS host FROM u), " +
-      "d AS (SELECT doc_id, n_chars, url, host, " +
-      "array_to_string(string_split(host, '.')[-2:], '.') AS domain FROM h), " +
-      s"f AS (SELECT * FROM d WHERE domain NOT IN ($blocked))"
-  }
-
-  /** x96's trigram stupid-backoff LM chain (CTEs t..sp, per-trigram inverse
-    * probabilities in `sp`), reused by x105's bucketing.
-    */
-  private lazy val lmTrigramCtes: String =
-    "t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +
-      "trn AS (SELECT toks FROM t WHERE source = 'src0'), " +
-      "tw AS (SELECT unnest(toks) AS w FROM trn), " +
-      "uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM tw GROUP BY 1), " +
-      "st AS (SELECT CAST(count(*) AS BIGINT) AS n_tok, " +
-      "CAST(count(DISTINCT w) AS BIGINT) AS v FROM tw), " +
-      "bi AS (SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS c_ab FROM " +
-      "(SELECT unnest(list_transform(generate_series(1, len(toks)-1), " +
-      "i -> struct_pack(a := toks[i], b := toks[i+1]))) AS p " +
-      "FROM trn WHERE len(toks) >= 2) GROUP BY 1, 2), " +
-      "tri AS (SELECT p.a AS a, p.b AS b, p.c AS c, CAST(count(*) AS BIGINT) AS c_abc FROM " +
-      "(SELECT unnest(list_transform(generate_series(1, len(toks)-2), " +
-      "i -> struct_pack(a := toks[i], b := toks[i+1], c := toks[i+2]))) AS p " +
-      "FROM trn WHERE len(toks) >= 3) GROUP BY 1, 2, 3), " +
-      "pos AS (SELECT doc_id, p.i AS i, p.a AS a, p.b AS b, p.c AS c FROM " +
-      "(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-2), " +
-      "i -> struct_pack(i := i, a := toks[i], b := toks[i+1], c := toks[i+2]))) AS p " +
-      "FROM t WHERE source <> 'src0' AND len(toks) >= 3)), " +
-      "sp AS (SELECT pos.doc_id, pos.i, " +
-      "CASE WHEN tri.c_abc IS NOT NULL THEN CAST(biab.c_ab AS DOUBLE)/tri.c_abc " +
-      "WHEN bibc.c_ab IS NOT NULL THEN 2.5 * CAST(unib.c_w AS DOUBLE)/bibc.c_ab " +
-      "ELSE 6.25 * CAST(st.n_tok + st.v AS DOUBLE)/(coalesce(unic.c_w, 0) + 1) END AS invp " +
-      "FROM pos " +
-      "LEFT JOIN tri ON tri.a = pos.a AND tri.b = pos.b AND tri.c = pos.c " +
-      "LEFT JOIN bi biab ON biab.a = pos.a AND biab.b = pos.b " +
-      "LEFT JOIN bi bibc ON bibc.a = pos.b AND bibc.b = pos.c " +
-      "LEFT JOIN uni unib ON unib.w = pos.b " +
-      "LEFT JOIN uni unic ON unic.w = pos.c " +
-      "CROSS JOIN st)"
-
-  /** x80's stupid-backoff bigram LM chain (CTEs t..sp, per-pair inverse
-    * probabilities in `sp`), reused by x81's quality gate.
-    */
-  /** The bigram stupid-backoff scoring chain as CTEs, parameterized by a
-    * CTE-name prefix (so two variants can coexist in one query — x121) and
-    * the bigram-table prune threshold (TextOps.lmInvProbScore's
-    * `minPairCount`; pruned bigrams fall to the backoff tier).
-    */
-  private def lmCtesWith(px: String, minPair: Long): String =
-    s"${px}t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +
-      s"${px}tr AS (SELECT toks FROM ${px}t WHERE source = 'src0'), " +
-      s"${px}trtok AS (SELECT unnest(toks) AS a FROM ${px}tr), " +
-      s"${px}uni AS (SELECT a, CAST(count(*) AS BIGINT) AS c_a FROM ${px}trtok GROUP BY 1), " +
-      s"${px}st AS (SELECT CAST(count(*) AS BIGINT) AS n_tok, " +
-      s"CAST(count(DISTINCT a) AS BIGINT) AS v FROM ${px}trtok), " +
-      s"${px}bi AS (SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS c_ab FROM " +
-      "(SELECT unnest(list_transform(generate_series(1, len(toks)-1), " +
-      s"i -> struct_pack(a := toks[i], b := toks[i+1]))) AS p FROM ${px}tr WHERE len(toks) >= 2) " +
-      s"GROUP BY 1, 2${if (minPair > 1) s" HAVING count(*) >= $minPair" else ""}), " +
-      s"${px}ub AS (SELECT a AS b, c_a AS c_b FROM ${px}uni), " +
-      s"${px}pr AS (SELECT doc_id, p.i AS i, p.a AS a, p.b AS b FROM " +
-      "(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1), " +
-      "i -> struct_pack(i := i, a := toks[i], b := toks[i+1]))) AS p " +
-      s"FROM ${px}t WHERE source <> 'src0' AND len(toks) >= 2)), " +
-      s"${px}sp AS (SELECT doc_id, i, CASE WHEN c_ab IS NOT NULL " +
-      "THEN CAST(c_a AS DOUBLE) / CAST(c_ab AS DOUBLE) " +
-      s"ELSE 2.5 * CAST(${px}st.n_tok + ${px}st.v AS DOUBLE) / CAST(coalesce(c_b, 0) + 1 AS DOUBLE) END AS invp " +
-      s"FROM ${px}pr LEFT JOIN ${px}uni USING (a) LEFT JOIN ${px}ub USING (b) LEFT JOIN ${px}bi USING (a, b), ${px}st)"
-
-  private lazy val lmCtes: String = lmCtesWith("", 1L)
-
-  /** x86's unrolled damped-PageRank chain: the deterministic doc→doc
-    * citation graph collapsed to distinct domain edges, then `Iters`
-    * rank CTEs, each the same IEEE operation sequence [[Authority.pageRank]]
-    * executes (per-target contributions summed in source order, damping
-    * applied as `(1-0.85)/n + 0.85*s`).
-    */
-  private lazy val pageRankSql: String =
-    s"WITH $pageRankCtes $pageRankSelect"
-
-  /** The PageRank chain as bare CTEs (+ the final select separately) so
-    * x88's composed domain-quality oracle can extend the same chain.
-    */
-  private lazy val pageRankSelect: String =
-    "SELECT r5.node AS domain, rank, coalesce(out_deg, 0) AS out_deg, " +
-      "coalesce(in_deg, 0) AS in_deg FROM r5 " +
-      "LEFT JOIN od ON r5.node = od.src LEFT JOIN ind ON r5.node = ind.dst"
-
-  private lazy val pageRankCtes: String = {
-    val iters = 5
-    val sb = new StringBuilder
-    sb ++= s"$urlChainCtes, "
-    sb ++= "nnd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents), "
-    sb ++= "tg AS (SELECT doc_id, CAST(('0x' || substr(md5(doc_id || ':lnk'), 1, 8)) AS BIGINT) " +
-      "% n_docs AS tgt_id FROM documents, nnd), "
-    sb ++= "ed AS (SELECT DISTINCT sd.domain AS src, td.domain AS dst FROM tg " +
-      "JOIN d sd ON tg.doc_id = sd.doc_id JOIN d td ON tg.tgt_id = td.doc_id " +
-      "WHERE sd.domain <> td.domain), "
-    sb ++= "od AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM ed GROUP BY 1), "
-    sb ++= "ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS in_deg FROM ed GROUP BY 1), "
-    sb ++= "nd AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed), "
-    sb ++= "nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd), "
-    sb ++= "r0 AS (SELECT node, 1.0/CAST(n AS DOUBLE) AS rank FROM nd, nc)"
-    for (k <- 0 until iters) {
-      sb ++= s", c$k AS (SELECT ed.dst AS node, ed.src AS src, r$k.rank/od.out_deg AS c " +
-        s"FROM ed JOIN r$k ON ed.src = r$k.node JOIN od ON ed.src = od.src)"
-      sb ++= s", s$k AS (SELECT node, list_aggregate(list(c ORDER BY src), 'sum') AS s " +
-        s"FROM c$k GROUP BY 1)"
-      // (1 - CAST(.. AS DOUBLE)): a bare DuckDB literal 0.85 is DECIMAL, so
-      // (1-0.85) would be exact decimal 0.15 — a DIFFERENT double than the
-      // engine's IEEE 1-0.85. The multiplier 0.85*s needs no cast (the
-      // decimal→double conversion of 0.85 is the same double literal).
-      sb ++= s", r${k + 1} AS (SELECT nd.node, (1 - CAST(0.85 AS DOUBLE))/CAST(n AS DOUBLE) " +
-        s"+ 0.85*coalesce(s$k.s, 0.0) AS rank FROM nd LEFT JOIN s$k USING (node), nc)"
-    }
-    sb.toString
-  }
-
-  /** GPT-2-style pretokenizer pattern as a DuckDB literal (leading quote
-    * doubled) — must stay in lock-step with [[TextOps.BpePretokenPattern]].
-    */
-  private val bpePatSql = "'''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +'"
-
-  /** The unrolled BPE training chain (x77/x78): state s0 = per-pretoken
-    * character sequences joined by chr(30); each stage k computes
-    * freq-weighted adjacent-pair counts (pK), the argmax merge under the
-    * total (n DESC, sym_a, sym_b) order (bK), and the post-merge state
-    * (s{k+1}) via `list_reduce` replaying [[Bpe]]'s greedy left-to-right
-    * scan — merge iff the accumulator's last symbol is exactly sym_a
-    * (boundary-safe suffix check) and the next is sym_b.
-    */
-  private def bpeStagesSql: String = {
-    val sb = new StringBuilder
-    sb ++= "pre AS (SELECT pretok, CAST(count(*) AS BIGINT) AS freq FROM " +
-      s"(SELECT unnest(regexp_extract_all(text, $bpePatSql)) AS pretok FROM documents) GROUP BY 1), " +
-      "s0 AS (SELECT pretok, freq, array_to_string(list_transform(" +
-      "generate_series(1, length(pretok)), i -> substr(pretok, i, 1)), chr(30)) AS s FROM pre)"
-    for (k <- 0 until BpeMerges) {
-      sb ++= s", p$k AS (SELECT pr.sym_a AS sym_a, pr.sym_b AS sym_b, CAST(sum(freq) AS BIGINT) AS n " +
-        "FROM (SELECT freq, unnest(list_transform(generate_series(1, len(li)-1), " +
-        "i -> struct_pack(sym_a := li[i], sym_b := li[i+1]))) AS pr " +
-        s"FROM (SELECT freq, string_split(s, chr(30)) AS li FROM s$k) WHERE len(li) >= 2) GROUP BY 1, 2)" +
-        s", b$k AS (SELECT sym_a, sym_b, n FROM p$k ORDER BY n DESC, sym_a, sym_b LIMIT 1)" +
-        s", s${k + 1} AS (SELECT pretok, freq, CASE WHEN len(li) = 1 THEN li[1] " +
-        "ELSE list_reduce(li, (acc, x) -> CASE WHEN (acc = b.sym_a OR " +
-        "ends_with(acc, chr(30) || b.sym_a)) AND x = b.sym_b " +
-        "THEN acc || x ELSE acc || chr(30) || x END) END AS s " +
-        s"FROM (SELECT pretok, freq, string_split(s, chr(30)) AS li FROM s$k), b$k b)"
-    }
-    sb.toString
-  }
-
-  private def bpeTrainSql: String =
-    s"WITH $bpeStagesSql " + (0 until BpeMerges).map(k =>
-      s"SELECT CAST($k AS BIGINT) AS rnk, sym_a, sym_b, sym_a || sym_b AS merged, n FROM b$k")
-      .mkString(" UNION ALL ")
-
-  private def bpeEncodeSql: String =
-    s"WITH $bpeStagesSql, " +
-      "sy AS (SELECT pretok, CAST(generate_subscripts(li, 1) - 1 AS BIGINT) AS pos, " +
-      s"unnest(li) AS sym FROM (SELECT pretok, string_split(s, chr(30)) AS li FROM s$BpeMerges)), " +
-      "enc AS (SELECT doc_id, CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS seq, " +
-      "unnest(arr) AS pretok FROM (SELECT doc_id, " +
-      s"regexp_extract_all(text, $bpePatSql) AS arr FROM documents)), " +
-      "bc AS (SELECT c AS sym, CAST(row_number() OVER (ORDER BY c) - 1 AS BIGINT) AS id FROM " +
-      "(SELECT DISTINCT unnest(list_transform(generate_series(1, length(pretok)), " +
-      "i -> substr(pretok, i, 1))) AS c FROM pre)), " +
-      "nb AS (SELECT CAST(count(*) AS BIGINT) AS nbase FROM bc), " +
-      "mg AS (" + (0 until BpeMerges).map(k =>
-        s"SELECT sym_a || sym_b AS sym, nbase + $k AS id FROM b$k, nb").mkString(" UNION ALL ") +
-      "), vocab AS (SELECT sym, CAST(min(id) AS BIGINT) AS token_id FROM " +
-      "(SELECT sym, id FROM bc UNION ALL SELECT sym, id FROM mg) GROUP BY sym) " +
-      "SELECT e.doc_id, e.seq, sy.pos, sy.sym, v.token_id " +
-      "FROM enc e JOIN sy USING (pretok) JOIN vocab v USING (sym)"
-
-  /** Sorted-fold exact centroid SQL (x67; x31 appends its verdict column). */
-  private def centroidExactSql(extraCols: String): String =
-    "WITH e AS (SELECT vec_id % 10 AS grp, " +
-      "unnest(CAST(embedding AS DOUBLE[])) AS v, " +
-      "CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings) " +
-      s"SELECT grp, pos, list_aggregate(list_sort(list(v)), 'sum')/count(*) AS mean$extraCols " +
-      "FROM e GROUP BY grp, pos"
-
-  /** Explicit-rank histogram-quantile SQL over documents.n_chars — the
-    * DuckDB replay of [[Sketches.histQuantiles]]'s rank definition
-    * (smallest v whose cumulative count reaches ceil(p*n)); sketch rank
-    * verdicts are in-engine TRUEs. x27 = per-source; x44 adds the ALL row
-    * (whose engine-side estimates come from the UNIONED KLL sketches).
-    */
-  private def histQuantSql(okPrefix: String, withAll: Boolean): String = {
-    val ctes = "WITH b AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents), " +
-      "h AS (SELECT source, v, count(*) AS c FROM b GROUP BY 1, 2), " +
-      "cum AS (SELECT source, v, sum(c) OVER (PARTITION BY source ORDER BY v) AS cum, " +
-      "sum(c) OVER (PARTITION BY source) AS n FROM h)"
-    val allCtes = ", h2 AS (SELECT v, count(*) AS c FROM b GROUP BY 1), " +
-      "cum2 AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n FROM h2)"
-    val perSource = "SELECT source, min(CASE WHEN cum >= ceil(n*0.5) THEN v END) AS p50, " +
-      "min(CASE WHEN cum >= ceil(n*0.95) THEN v END) AS p95, " +
-      s"CAST(max(n) AS BIGINT) AS n, TRUE AS ${okPrefix}_p50_rank_ok, " +
-      s"TRUE AS ${okPrefix}_p95_rank_ok FROM cum GROUP BY source"
-    val allRow = " UNION ALL SELECT 'ALL' AS source, " +
-      "min(CASE WHEN cum >= ceil(n*0.5) THEN v END), " +
-      "min(CASE WHEN cum >= ceil(n*0.95) THEN v END), " +
-      "CAST(max(n) AS BIGINT), TRUE, TRUE FROM cum2"
-    if (withAll) s"$ctes$allCtes $perSource$allRow" else s"$ctes $perSource"
-  }
-
-  /** The strip/word-count chain inlined per use (DuckDB has no SQL
-    * lambdas-with-names); 'g' flags mirror Spark's replace-all.
-    */
-  private def htmlStripSql(b: String) =
-    s"trim(regexp_replace(regexp_replace($b, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g'))"
-
-  /** x120's HTML wrapper + block-extraction chain (CTEs t0/hb/bl/ke/hx),
-    * generated from the [[Html]] constants; `hx` ends with
-    * (doc_id, n_blocks, n_kept, main_text, n_raw_chars, n_main_chars).
-    * Shared by x120 and x124's composed ingest pipeline.
-    */
-  private lazy val htmlChainCtes: String = {
-    def wc(b: String) =
-      s"len(list_filter(string_split(${htmlStripSql(b)}, ' '), tk -> tk <> ''))"
-    val nav0 = """<div class="nav"><a href="/">home</a> <a href="/docs">docs</a> menu</div>"""
-    val nav1 = """<div class="nav"><a href="/">home</a> <a href="/news">news</a> <a href="/about">about</a> site menu</div>"""
-    val footer = """<div class="footer">copyright 2026 <a href="/terms">terms</a> <a href="/privacy">privacy</a></div>"""
-    val keep = s"${wc("b")} >= ${Html.MinBlockWords} AND " +
-      s"${wc("b")} >= ${Html.LinkWordRatio} * len(regexp_extract_all(b, '<a '))"
-    "t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-      "hb AS (SELECT doc_id, '<html><head><title>doc ' || doc_id || '</title></head><body>' || " +
-      s"(CASE WHEN CAST(('0x' || substr(md5(doc_id || ':nav'), 1, 4)) AS BIGINT) % 2 = 0 " +
-      s"THEN '$nav0' ELSE '$nav1' END) || " +
-      s"array_to_string(list_transform(generate_series(0, (len(toks)-1)//${Html.ParaTokens}), " +
-      s"w -> '<p>' || array_to_string(toks[w*${Html.ParaTokens}+1:w*${Html.ParaTokens}+${Html.ParaTokens}], ' ') || '</p>'), '') || " +
-      s"'$footer' || '</body></html>' AS html FROM t0), " +
-      s"bl AS (SELECT doc_id, html, regexp_extract_all(html, '${Html.BlockPattern}') AS blocks FROM hb), " +
-      s"ke AS (SELECT doc_id, html, blocks, list_filter(blocks, b -> $keep) AS kept FROM bl), " +
-      "hx AS (SELECT doc_id, CAST(len(blocks) AS BIGINT) AS n_blocks, " +
-      "CAST(len(kept) AS BIGINT) AS n_kept, " +
-      s"array_to_string(list_transform(kept, b -> ${htmlStripSql("b")}), ' ') AS main_text, " +
-      "CAST(length(html) AS BIGINT) AS n_raw_chars, " +
-      s"CAST(length(array_to_string(list_transform(kept, b -> ${htmlStripSql("b")}), ' ')) AS BIGINT) AS n_main_chars " +
-      "FROM ke)"
-  }
-
-  def oracleSql: Map[String, String] = Map(
-    "x120_html_extract" ->
-      (s"WITH $htmlChainCtes " +
-        "SELECT doc_id, n_blocks, n_kept, main_text, n_raw_chars, n_main_chars FROM hx"),
-
-    "x118_hybrid_rrf" ->
-      s"WITH $hybridCtes SELECT doc_id, bm25_rank, ann_rank, rrf_score FROM hrrf10",
-
-    "x125_hybrid_lsh_agreement" ->
-      (s"WITH $hybridCtes, " +
-        s"hbe AS (SELECT vec_id, emb, unnest(generate_series(0, ${Similarity.LshTables - 1})) AS tbl, " +
-        (0 until Similarity.LshTables).map(multiBucketSql)
-          .mkString("unnest([", ", ", "]) AS bkt FROM hemb), ") +
-        s"hq2 AS (SELECT emb AS qe2, tbl, bkt FROM hbe WHERE vec_id = ${Hybrid.QueryVecId}), " +
-        s"hc2 AS (SELECT vec_id, emb, tbl, bkt FROM hbe WHERE vec_id <> ${Hybrid.QueryVecId}), " +
-        s"hlc AS (SELECT DISTINCT hc2.vec_id, ${dotSql("hq2.qe2", "hc2.emb")} AS cos " +
-        "FROM hc2 JOIN hq2 USING (tbl, bkt)), " +
-        "hannl AS (SELECT vec_id AS doc_id, CAST(rank AS BIGINT) AS rank FROM " +
-        "(SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank FROM hlc) WHERE rank <= 20), " +
-        "hfl AS (SELECT coalesce(b.doc_id, a.doc_id) AS doc_id, " +
-        s"coalesce(1.0/(${Hybrid.RrfK} + CAST(b.rank AS DOUBLE)), 0.0) " +
-        s"+ coalesce(1.0/(${Hybrid.RrfK} + CAST(a.rank AS DOUBLE)), 0.0) AS rrf_score " +
-        "FROM hbm b FULL JOIN hannl a ON b.doc_id = a.doc_id), " +
-        "hrrfl10 AS (SELECT doc_id, rrf_score FROM hfl ORDER BY rrf_score DESC, doc_id LIMIT 10), " +
-        "hrrfl AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank FROM hrrfl10), " +
-        "ov AS (SELECT CAST(count(*) AS BIGINT) AS n_overlap FROM hrrf JOIN hrrfl USING (doc_id)) " +
-        "SELECT ov.n_overlap, CAST(ov.n_overlap AS DOUBLE)/10.0 AS overlap_frac, " +
-        "ex.ndcg AS ndcg_exact, ls.ndcg AS ndcg_lsh " +
-        s"FROM ov, (SELECT ndcg FROM ${hybridEvalSql("x", "hrrf")}) ex, " +
-        s"(SELECT ndcg FROM ${hybridEvalSql("y", "hrrfl")}) ls"),
-
-    "x124_web_ingest_pipeline" ->
-      (s"WITH $htmlChainCtes, " +
-        "exq AS (SELECT hx.doc_id, d4.lang, main_text, n_kept, n_raw_chars, n_main_chars, " +
-        "string_split(main_text, ' ') AS mtoks FROM hx JOIN documents d4 USING (doc_id)), " +
-        "qm3 AS (SELECT doc_id, lang, main_text, CAST(len(mtoks) AS BIGINT) AS n_tokens, " +
-        s"CAST(len(list_filter(mtoks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(mtoks) AS stopword_ratio, " +
-        "CAST(length(regexp_replace(main_text, '[^a-z]', '', 'g')) AS DOUBLE)/length(main_text) AS alpha_ratio " +
-        "FROM exq WHERE n_kept > 0), " +
-        "kq AS (SELECT doc_id, lang, main_text, n_tokens FROM " +
-        "(SELECT *, least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5 " +
-        "+ stopword_ratio*0.25 + alpha_ratio*0.25 AS quality_score FROM qm3) " +
-        "WHERE quality_score >= 0.6), " +
-        "cn2 AS (SELECT md5(main_text) AS h2, min(doc_id) AS doc_id FROM kq GROUP BY 1), " +
-        "uq AS (SELECT kq.* FROM kq JOIN cn2 USING (doc_id)), " +
-        "bs AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_pages, " +
-        "CAST(sum(n_raw_chars) AS BIGINT) AS raw_chars, " +
-        "CAST(sum(n_main_chars) AS BIGINT) AS main_chars FROM exq GROUP BY 1), " +
-        "qsq AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_quality FROM kq GROUP BY 1), " +
-        "usq AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_unique, " +
-        "CAST(sum(n_tokens) AS BIGINT) AS unique_tokens FROM uq GROUP BY 1) " +
-        "SELECT bs.lang, n_pages, coalesce(n_quality, 0) AS n_quality, " +
-        "coalesce(n_unique, 0) AS n_unique, coalesce(unique_tokens, 0) AS unique_tokens, " +
-        "1.0 - CAST(main_chars AS DOUBLE)/CAST(raw_chars AS DOUBLE) AS boilerplate_frac " +
-        "FROM bs LEFT JOIN qsq USING (lang) LEFT JOIN usq USING (lang)"),
-
-    "x123_training_run_export" ->
-      ("WITH c AS (SELECT lang AS bucket, CAST(count(*) AS BIGINT) AS n_docs " +
-        "FROM documents GROUP BY 1), " +
-        "tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM c), " +
-        "sp2 AS (SELECT bucket, n_docs, " +
-        "CAST(n_docs AS DOUBLE)/CAST(n_total AS DOUBLE) AS share FROM c, tt), " +
-        "sq AS (SELECT bucket, n_docs, share, sqrt(share) AS ss FROM sp2), " +
-        "dn AS (SELECT list_aggregate(list(ss ORDER BY bucket), 'sum') AS denom FROM sq), " +
-        "w AS (SELECT bucket, n_docs, share, ss/denom AS w_temp, " +
-        "ss/denom*CAST(1000 AS DOUBLE)/CAST(n_docs AS DOUBLE) AS epochs FROM sq, dn), " +
-        "cp AS (SELECT d2.doc_id, d2.lang, d2.text, CAST(floor(epochs) AS BIGINT) + " +
-        "CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(d2.doc_id AS VARCHAR) || ':tmix'), 1, 8)) " +
-        "AS BIGINT) AS DOUBLE)/CAST(4294967296.0 AS DOUBLE) < epochs - floor(epochs) " +
-        "THEN 1 ELSE 0 END AS n_copies FROM documents d2 JOIN w ON d2.lang = w.bucket), " +
-        "rw AS (SELECT doc_id, lang, text, unnest(generate_series(1, n_copies)) AS copy " +
-        "FROM cp WHERE n_copies > 0), " +
-        s"tq AS ($toksCte), " +
-        "mq AS (SELECT tq.doc_id, CAST(len(tq.toks) AS BIGINT) AS n_tokens, " +
-        s"CAST(len(list_filter(tq.toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(tq.toks) AS stopword_ratio, " +
-        "CAST(length(regexp_replace(d3.text, '[^a-z]', '', 'g')) AS DOUBLE)/length(d3.text) AS alpha_ratio " +
-        "FROM tq JOIN documents d3 USING (doc_id)), " +
-        "qs AS (SELECT doc_id, least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5 " +
-        "+ stopword_ratio*0.25 + alpha_ratio*0.25 AS quality_score FROM mq), " +
-        "sh AS (SELECT doc_id, CAST(ntile(8) OVER (ORDER BY quality_score, doc_id) AS BIGINT) AS shard FROM qs), " +
-        "fpt AS (SELECT sh.shard, rw.lang, rw.doc_id, length(rw.text) AS len, " +
-        "CAST(('0x' || substr(md5(rw.text || ':' || copy), 1, 15)) AS BIGINT) AS fp " +
-        "FROM rw JOIN sh USING (doc_id)) " +
-        "SELECT shard, lang, CAST(count(*) AS BIGINT) AS n_rows, " +
-        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
-        "CAST(sum(len) AS BIGINT) AS n_chars, bit_xor(fp) AS content_xor, " +
-        "min(fp) AS min_fp, max(fp) AS max_fp FROM fpt GROUP BY 1, 2"),
-
-    "x122_pagerank_convergence" ->
-      // two-level fold (pageRankConvergence's oracle twin): 4-hex md5 node
-      // draw mod √n buckets its |Δ|s, bucket-ordered fold of the sums
-      (s"WITH $pageRankCtes, " +
-        "pfb AS (SELECT CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS b FROM nc), " +
-        (0 until 5).map { k =>
-          s"dj$k AS (SELECT CAST(('0x' || substr(md5(a.node), 1, 4)) AS INT) " +
-            "% (SELECT b FROM pfb) AS bkt, " +
-            "list_aggregate(list_sort(list(abs(b.rank - a.rank))), 'sum') AS ps " +
-            s"FROM r$k a JOIN r${k + 1} b USING (node) GROUP BY 1), " +
-            s"dl$k AS (SELECT CAST(${k + 1} AS BIGINT) AS iter, " +
-            s"list_aggregate(list(ps ORDER BY bkt), 'sum') AS l1_delta FROM dj$k)"
-        }.mkString(", ") + " " +
-        (0 until 5).map(k => s"SELECT * FROM dl$k").mkString(" UNION ALL ")),
-
-    "x121_lm_pruned_stability" ->
-      (s"WITH ${lmCtesWith("", 1L)}, ${lmCtesWith("z", 2L)}, " +
-        "ua AS (SELECT doc_id, list_aggregate(list(invp ORDER BY i), 'sum')/count(*) AS avg_invp " +
-        "FROM sp GROUP BY doc_id), " +
-        "pa AS (SELECT doc_id, list_aggregate(list(invp ORDER BY i), 'sum')/count(*) AS p_invp " +
-        "FROM zsp GROUP BY doc_id), " +
-        "ubn AS (SELECT doc_id, avg_invp, CAST(ntile(3) OVER (ORDER BY avg_invp, doc_id) AS BIGINT) AS u_bin FROM ua), " +
-        "pbn AS (SELECT doc_id, p_invp, CAST(ntile(3) OVER (ORDER BY p_invp, doc_id) AS BIGINT) AS p_bin FROM pa) " +
-        "SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
-        "CAST(sum(CASE WHEN u_bin = p_bin THEN 1 ELSE 0 END) AS BIGINT) AS n_same_tertile, " +
-        "CAST(sum(CASE WHEN u_bin = p_bin THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS agreement, " +
-        "CAST(sum(CAST(abs(p_invp - avg_invp) AS DECIMAL(20,8))) AS DOUBLE)/count(*) AS mean_abs_shift " +
-        "FROM ubn JOIN pbn USING (doc_id)"),
-
-    "x119_retrieval_eval" ->
-      (s"WITH $hybridCtes " +
-        s"SELECT * FROM ${hybridEvalSql("bm25", "hbm")} " +
-        s"UNION ALL SELECT * FROM ${hybridEvalSql("ann", "hann")} " +
-        s"UNION ALL SELECT * FROM ${hybridEvalSql("rrf", "hrrf")}"),
-
-    "x145_retrieval_eval_set" -> {
-      val nQ = Hybrid.QuerySet.size
-      s"WITH $hybridSetCtes, " +
-        s"sevq AS (SELECT * FROM ${hybridSetEvalSql("bm25", "sbm")} " +
-        s"UNION ALL SELECT * FROM ${hybridSetEvalSql("ann", "sann")} " +
-        s"UNION ALL SELECT * FROM ${hybridSetEvalSql("rrf", "srrf")}) " +
-        "SELECT system, CAST(count(*) AS BIGINT) AS n_queries, " +
-        "list_aggregate(list(ndcg ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_ndcg, " +
-        s"${pctSql("list_sort(list(ndcg))", 0.5, nQ)} AS p50_ndcg, " +
-        s"${pctSql("list_sort(list(ndcg))", 0.9, nQ)} AS p90_ndcg, " +
-        "list_aggregate(list(recall_at_k ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_recall, " +
-        "min(recall_at_k) AS min_recall " +
-        "FROM sevq GROUP BY system"
-    },
-
-    // x165: per-system MRR@10 / MAP@10 over the same set chain — the
-    // j-th relevant position's j/rank IS precision@rank, so AP needs no
-    // windowed prefix sums.
-    "x165_retrieval_rank_metrics" ->
-      (s"WITH $hybridSetCtes, " +
-        "mq AS (" +
-        Seq(("bm25", "sbm"), ("ann", "sann"), ("rrf", "srrf")).map { case (sys, l) =>
-          s"SELECT * FROM (SELECT '$sys' AS system, nr.query_id, " +
-            "coalesce(1.0/CAST(p.first_rel AS DOUBLE), 0.0) AS mrr, " +
-            "CASE WHEN least(nr.n_rel, 10) > 0 THEN coalesce(p.sum_prec, 0.0)/CAST(least(nr.n_rel, 10) AS DOUBLE) ELSE 0.0 END AS ap " +
-            "FROM (SELECT query_id, CAST(sum(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel FROM srel GROUP BY 1) nr " +
-            "LEFT JOIN (SELECT query_id, CAST(min(rank) AS BIGINT) AS first_rel, " +
-            "list_aggregate(list(CAST(j AS DOUBLE)/CAST(rank AS DOUBLE) ORDER BY rank), 'sum') AS sum_prec FROM " +
-            "(SELECT query_id, rank, row_number() OVER (PARTITION BY query_id ORDER BY rank) AS j FROM " +
-            s"(SELECT l.query_id, l.rank FROM $l l LEFT JOIN srel g ON g.query_id = l.query_id AND g.doc_id = l.doc_id " +
-            "WHERE l.rank <= 10 AND coalesce(g.gain, 0) > 0)) GROUP BY query_id) p USING (query_id))"
-        }.mkString(" UNION ALL ") + ") " +
-        "SELECT system, CAST(count(*) AS BIGINT) AS n_queries, " +
-        "list_aggregate(list(mrr ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_mrr, min(mrr) AS min_mrr, " +
-        "list_aggregate(list(ap ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_map, min(ap) AS min_ap " +
-        "FROM mq GROUP BY system"),
-
-    // x153: the same eval chain with the STORED systems' lists — sbm is
-    // the stored-bm25 list verbatim (x126 pins stored ≡ in-memory scoring
-    // bit-for-bit), the ANN leg is the IVFADC probe chain at depth 20.
-    "x153_retrieval_eval_stored" -> {
-      val nQ = Hybrid.QuerySet.size
-      s"WITH $hybridSetCtes, $ivfPqProbeCtes, " +
-        "pann AS (SELECT q_id AS query_id, vec_id AS doc_id, CAST(rank AS BIGINT) AS rank FROM " +
-        "(SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM iscs) " +
-        "WHERE rank <= 20), " +
-        "pfu AS (SELECT coalesce(b.query_id, a.query_id) AS query_id, " +
-        "coalesce(b.doc_id, a.doc_id) AS doc_id, " +
-        s"coalesce(1.0/(${Hybrid.RrfK} + CAST(b.rank AS DOUBLE)), 0.0) " +
-        s"+ coalesce(1.0/(${Hybrid.RrfK} + CAST(a.rank AS DOUBLE)), 0.0) AS rrf_score " +
-        "FROM sbm b FULL JOIN pann a ON b.query_id = a.query_id AND b.doc_id = a.doc_id), " +
-        "prrf AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank FROM " +
-        "(SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank FROM pfu) " +
-        "WHERE rank <= 10), " +
-        s"pevq AS (SELECT * FROM ${hybridSetEvalSql("bm25_stored", "sbm")} " +
-        s"UNION ALL SELECT * FROM ${hybridSetEvalSql("ivfpq_stored", "pann")} " +
-        s"UNION ALL SELECT * FROM ${hybridSetEvalSql("rrf_stored", "prrf")}) " +
-        "SELECT system, CAST(count(*) AS BIGINT) AS n_queries, " +
-        "list_aggregate(list(ndcg ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_ndcg, " +
-        s"${pctSql("list_sort(list(ndcg))", 0.5, nQ)} AS p50_ndcg, " +
-        s"${pctSql("list_sort(list(ndcg))", 0.9, nQ)} AS p90_ndcg, " +
-        "list_aggregate(list(recall_at_k ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_recall, " +
-        "min(recall_at_k) AS min_recall " +
-        "FROM pevq GROUP BY system"
-    },
-
-    // x195: the IVF-BIN probe chain (x193's CTEs) feeding the query-set
-    // eval tail (x153's pattern) — raw-Hamming top-20 and the 80-deep
-    // shortlist's exact-dot rerank, both scored against srel.
-    "x195_retrieval_eval_binary" -> {
-      val nQ = Hybrid.QuerySet.size
-      s"WITH $hybridSetCtes, $ivfBinProbeCtes, " +
-        "bann AS (SELECT q_id AS query_id, vec_id AS doc_id, CAST(rank AS BIGINT) AS rank FROM " +
-        "(SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rank FROM vh2) " +
-        "WHERE rank <= 20), " +
-        s"bsh AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
-        "row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rank FROM vh2) " +
-        s"WHERE rank <= ${20 * Similarity.BinaryRerankMult}), " +
-        s"brr0 AS (SELECT s.q_id, s.vec_id, ${dotSql("q.q_emb", "v.emb")} AS cos " +
-        "FROM bsh s JOIN pz v ON v.vec_id = s.vec_id JOIN vqs q ON q.q_id = s.q_id), " +
-        "brr AS (SELECT q_id AS query_id, vec_id AS doc_id, CAST(rrank AS BIGINT) AS rank FROM " +
-        "(SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rrank FROM brr0) " +
-        "WHERE rrank <= 20), " +
-        s"bevq AS (SELECT * FROM ${hybridSetEvalSql("ivfbin_stored", "bann")} " +
-        s"UNION ALL SELECT * FROM ${hybridSetEvalSql("ivfbin_rerank_stored", "brr")}) " +
-        "SELECT system, CAST(count(*) AS BIGINT) AS n_queries, " +
-        "list_aggregate(list(ndcg ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_ndcg, " +
-        s"${pctSql("list_sort(list(ndcg))", 0.5, nQ)} AS p50_ndcg, " +
-        s"${pctSql("list_sort(list(ndcg))", 0.9, nQ)} AS p90_ndcg, " +
-        "list_aggregate(list(recall_at_k ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_recall, " +
-        "min(recall_at_k) AS min_recall " +
-        "FROM bevq GROUP BY system"
-    },
-
-    // x158: the composed refresh — dsirCtes supplies the shared `t`;
-    // repetition chain, the resample keep set, then x150's window over
-    // the two-gate survivors.
-    "x158_curation_refresh" -> {
-      val b = Curate.TokenMixBudget
-      s"WITH $dsirCtes, $repetitionCtes, " +
-        "wm AS (SELECT max(avg_lr) AS wmax FROM dw), " +
-        "rkeep AS (SELECT doc_id FROM rsig WHERE NOT repetitive), " +
-        "dkeep AS (SELECT doc_id FROM dw, wm WHERE " +
-        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':dsir'), 1, 8)) AS BIGINT)/4294967296.0 * wmax < avg_lr), " +
-        "sv AS (SELECT t.doc_id, t.source, t.toks FROM t " +
-        "JOIN rkeep USING (doc_id) JOIN dkeep USING (doc_id)), " +
-        "svn AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS nt, " +
-        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':tokmix'), 1, 8)) AS BIGINT)/4294967296.0 AS u FROM sv), " +
-        "svc AS (SELECT *, sum(nt) OVER (PARTITION BY source ORDER BY u, doc_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM svn) " +
-        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs_total, " +
-        "CAST(sum(nt) AS BIGINT) AS tokens_total, " +
-        s"CAST(sum(CASE WHEN cum <= $b THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept, " +
-        s"CAST(sum(CASE WHEN cum <= $b THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept, " +
-        s"CAST($b AS BIGINT) AS budget, " +
-        s"CAST(sum(CASE WHEN cum <= $b THEN nt ELSE 0 END) AS DOUBLE)/$b.0 AS fill_frac " +
-        "FROM svc GROUP BY source"
-    },
-
-    // x172: per-position draws, merged coverage, prefix-sum sentinel
-    // numbering, filtered ordered string joins (chain shared with x173).
-    "x172_span_corruption" ->
-      (s"WITH $spanCtes " +
-        "SELECT s.doc_id, s.n_tokens, s.n_spans, s.n_masked, " +
-        "coalesce(i.input_text, '') AS input_text, coalesce(g.target_text, '') AS target_text " +
-        "FROM sst s LEFT JOIN sin i USING (doc_id) LEFT JOIN stg g USING (doc_id)"),
-
-    // x173: the ud/us/fim draws assign R/S/X; R rides the shared span
-    // chain, S is one cut, X is the FIM cuts as infilling.
-    "x173_ul2_mixture" ->
-      (s"WITH $spanCtes, " +
-        "uu AS (SELECT doc_id, text, length(text) AS l, " +
-        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ul2'), 1, 8)) AS BIGINT)/4294967296.0 AS ud, " +
-        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ul2cut'), 1, 8)) AS BIGINT)/4294967296.0 AS us, " +
-        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fimcut1'), 1, 8)) AS BIGINT)/4294967296.0 AS u1, " +
-        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fimcut2'), 1, 8)) AS BIGINT)/4294967296.0 AS u2 " +
-        "FROM documents), " +
-        "rmx AS (SELECT s.doc_id, 'r_span' AS denoiser, " +
-        "coalesce(i.input_text, '') AS input_text, coalesce(g.target_text, '') AS target_text " +
-        "FROM sst s LEFT JOIN sin i USING (doc_id) LEFT JOIN stg g USING (doc_id) " +
-        "JOIN uu ON uu.doc_id = s.doc_id WHERE uu.ud < 0.5), " +
-        "smx AS (SELECT doc_id, 's_prefix' AS denoiser, " +
-        "substr(text, 1, c) AS input_text, substr(text, c + 1, l - c) AS target_text FROM " +
-        "(SELECT *, CAST(floor(us * CAST(l + 1 AS DOUBLE)) AS INTEGER) AS c FROM uu) " +
-        "WHERE ud >= 0.5 AND ud < 0.75), " +
-        "xmx AS (SELECT doc_id, 'x_fim' AS denoiser, " +
-        s"'${Chunking.FimPre}' || substr(text, 1, lo) || '${Chunking.FimSuf}' || " +
-        s"substr(text, hi + 1, l - hi) || '${Chunking.FimMid}' AS input_text, " +
-        "substr(text, lo + 1, hi - lo) AS target_text FROM " +
-        "(SELECT *, least(CAST(floor(u1 * CAST(l + 1 AS DOUBLE)) AS INTEGER), CAST(floor(u2 * CAST(l + 1 AS DOUBLE)) AS INTEGER)) AS lo, " +
-        "greatest(CAST(floor(u1 * CAST(l + 1 AS DOUBLE)) AS INTEGER), CAST(floor(u2 * CAST(l + 1 AS DOUBLE)) AS INTEGER)) AS hi FROM uu) " +
-        "WHERE ud >= 0.75) " +
-        "SELECT * FROM rmx UNION ALL SELECT * FROM smx UNION ALL SELECT * FROM xmx"),
-
-    // x168: the three hash draws, floor(u·(L+1)) cuts reordered lo ≤ hi,
-    // PSM concat with the sentinel literals (chain shared with x171).
-    "x168_fim_transform" ->
-      (s"WITH $fimCtes " +
-        "SELECT doc_id, source, fim_applied, n_prefix, n_middle, n_suffix, out_text FROM fimout"),
-
-    // x171: the x168 chain's transformed text re-counted and packed with
-    // x90's per-source two-phase prefix-sum contract.
-    "x171_pretrain_assembly" ->
-      (s"WITH $fimCtes, " +
-        "pcn AS (SELECT doc_id, source, fim_applied, " +
-        "CAST(len(string_split(out_text, ' ')) AS BIGINT) AS n_tokens FROM fimout), " +
-        "po AS (SELECT doc_id, source, n_tokens, " +
-        "COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tko FROM pcn) " +
-        "SELECT po.doc_id, po.source, po.n_tokens, tko % 2048 AS offset_in_seq, " +
-        "tko // 2048 AS seq_id, p2.fim_applied " +
-        "FROM po JOIN (SELECT doc_id, fim_applied FROM pcn) p2 USING (doc_id)"),
-
-    "x157_truncation_report" -> {
-      val vals = Chunking.TruncBudgets.map(b => s"($b)").mkString(", ")
-      s"WITH t AS ($toksCte), " +
-        "tn AS (SELECT CAST(len(toks) AS BIGINT) AS n FROM t), " +
-        s"bg AS (SELECT CAST(budget AS BIGINT) AS budget FROM (VALUES $vals) v(budget)) " +
-        "SELECT budget, CAST(count(*) AS BIGINT) AS n_docs, " +
-        "CAST(sum(CASE WHEN n > budget THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_truncated, " +
-        "CAST(sum(n) AS BIGINT) AS total_tokens, " +
-        "CAST(sum(CASE WHEN n > budget THEN n - budget ELSE 0 END) AS BIGINT) AS tokens_lost, " +
-        "CAST(sum(CASE WHEN n > budget THEN 1 ELSE 0 END) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS frac_docs_truncated, " +
-        "CAST(sum(CASE WHEN n > budget THEN n - budget ELSE 0 END) AS DOUBLE)/CAST(sum(n) AS DOUBLE) AS frac_tokens_lost " +
-        "FROM tn, bg GROUP BY budget"
-    },
-
-    // x155: token-level Gopher repetition signals — per-n gram CTEs, top
-    // gram by (count desc, gram), duplicated-gram position coverage
-    // joined to per-position token chars; thresholds from the TextOps
-    // constants.
-    "x155_repetition_signals" ->
-      (s"WITH t AS ($toksCte), $repetitionCtes " +
-        "SELECT doc_id, n_tokens, total_chars, top2_char_frac, top3_char_frac, " +
-        "top4_char_frac, dup5_char_frac, dup8_char_frac, repetitive FROM rsig"),
-
-    "x01_dedup_exact" ->
-      ("SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies " +
-        "FROM documents GROUP BY 1"),
-
-    "x02_dedup_ngram_jaccard" -> jaccardAllPairsSql,
-
-    // x179: x01's groups re-aggregated by multiplicity + the 1-row total.
-    "x179_dup_cluster_histogram" ->
-      ("WITH g AS (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY 1), " +
-        "hh AS (SELECT n_copies, CAST(count(*) AS BIGINT) AS n_clusters, " +
-        "CAST(n_copies * count(*) AS BIGINT) AS n_docs FROM g GROUP BY 1), " +
-        "tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM hh) " +
-        "SELECT n_copies, n_clusters, n_docs, " +
-        "CAST(n_docs AS DOUBLE)/CAST(total AS DOUBLE) AS doc_share FROM hh, tt"),
-
-    // x180: exact per-source token totals, rank-weighted ascending fold,
-    // the closed-form Gini.
-    "x180_source_token_gini" ->
-      (s"WITH t AS ($toksCte), " +
-        "gt AS (SELECT d.source, CAST(sum(len(t.toks)) AS BIGINT) AS tokens " +
-        "FROM documents d JOIN t ON d.doc_id = t.doc_id GROUP BY 1), " +
-        "gr AS (SELECT source, tokens, CAST(row_number() OVER (ORDER BY tokens, source) AS BIGINT) AS rnk FROM gt) " +
-        "SELECT CAST(count(*) AS BIGINT) AS n_sources, CAST(sum(tokens) AS BIGINT) AS total_tokens, " +
-        "2.0 * list_aggregate(list(CAST(rnk AS DOUBLE) * CAST(tokens AS DOUBLE) ORDER BY rnk), 'sum') " +
-        "/ (CAST(count(*) AS DOUBLE) * CAST(sum(tokens) AS DOUBLE)) " +
-        "- CAST(count(*) + 1 AS DOUBLE)/CAST(count(*) AS DOUBLE) AS gini FROM gr"),
-
-    // x176: x01's digest groups joined to token counts, per-source rollup.
-    "x176_dedup_savings_by_source" ->
-      (s"WITH t AS ($toksCte), " +
-        "dg AS (SELECT d.doc_id, d.source, md5(d.text) AS h, " +
-        "CAST(len(t.toks) AS BIGINT) AS nt FROM documents d JOIN t ON d.doc_id = t.doc_id), " +
-        "dk AS (SELECT h, min(doc_id) AS keeper FROM dg GROUP BY 1) " +
-        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
-        "CAST(sum(nt) AS BIGINT) AS total_tokens, " +
-        "CAST(sum(CASE WHEN dg.doc_id <> dk.keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs, " +
-        "CAST(sum(CASE WHEN dg.doc_id <> dk.keeper THEN nt ELSE 0 END) AS BIGINT) AS dup_tokens, " +
-        "CAST(sum(CASE WHEN dg.doc_id <> dk.keeper THEN nt ELSE 0 END) AS DOUBLE)" +
-        "/CAST(sum(nt) AS DOUBLE) AS savings_frac " +
-        "FROM dg JOIN dk USING (h) GROUP BY source"),
-
-    // prefix filtering is exact (no false negatives), so the naive
-    // all-pairs SQL is the oracle for the pruned plan too
-    "x64_dedup_prefix_filter" -> jaccardAllPairsSql,
-
-    // recall report: both pair sets as derived tables, three scalar
-    // subquery counts, one double division
-    "x69_dedup_lsh_recall" ->
-      (s"WITH ep AS (SELECT doc_a, doc_b FROM ($jaccardAllPairsSql)), " +
-        s"lp AS (SELECT doc_a, doc_b FROM ($minhashLshSql)) " +
-        "SELECT CAST((SELECT count(*) FROM ep) AS BIGINT) AS n_truth, " +
-        "CAST((SELECT count(*) FROM lp) AS BIGINT) AS n_approx, " +
-        "CAST((SELECT count(*) FROM ep JOIN lp USING (doc_a, doc_b)) AS BIGINT) AS n_common, " +
-        "CAST((SELECT count(*) FROM ep JOIN lp USING (doc_a, doc_b)) AS DOUBLE) " +
-        "/ (SELECT count(*) FROM ep) AS recall"),
-
-    "x03_dedup_minhash_lsh" -> minhashLshSql,
-
-    // the incremental run must reproduce exactly the full-corpus pairs
-    // whose newer side is in the batch
-    "x49_dedup_incremental" ->
-      s"SELECT doc_a, doc_b, jaccard FROM ($minhashLshSql) WHERE doc_b >= 250",
-
-    "x50_semantic_dedup_pipeline" ->
-      ("WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-        s"be AS (SELECT vec_id, emb, $bucketSql AS bucket FROM e), " +
-        "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
-        s"${dotSql("a.emb", "b.emb")} AS cos " +
-        "FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
-        "pairs AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM p WHERE cos >= 0.4), " +
-        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
-        "reach AS (SELECT src, dst FROM edges " +
-        "UNION (SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src)), " +
-        "comp AS (SELECT src AS vid, least(src, min(dst)) AS canonical_id FROM reach GROUP BY src), " +
-        "victims AS (SELECT vid FROM comp WHERE vid <> canonical_id) " +
-        "SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, min(vec_id) AS min_vec_id, " +
-        "max(vec_id) AS max_vec_id " +
-        "FROM embeddings WHERE vec_id NOT IN (SELECT vid FROM victims) GROUP BY label"),
-
-    "x103_semantic_decontaminate" ->
-      ("WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 450), " +
-        "bm AS (SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id >= 450), " +
-        s"cb AS (SELECT vec_id, emb, unnest(generate_series(0, ${Similarity.LshTables - 1})) AS tbl, " +
-        (0 until Similarity.LshTables).map(multiBucketSql)
-          .mkString("unnest([", ", ", "]) AS bkt FROM c), ") +
-        s"bb AS (SELECT bench_id, emb, unnest(generate_series(0, ${Similarity.LshTables - 1})) AS tbl, " +
-        (0 until Similarity.LshTables).map(multiBucketSql)
-          .mkString("unnest([", ", ", "]) AS bkt FROM bm), ") +
-        s"h AS (SELECT DISTINCT cb.vec_id, bb.bench_id, ${dotSql("cb.emb", "bb.emb")} AS cos " +
-        "FROM cb JOIN bb ON cb.tbl = bb.tbl AND cb.bkt = bb.bkt " +
-        s"WHERE ${dotSql("cb.emb", "bb.emb")} >= 0.4), " +
-        "g AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits, max(cos) AS max_cos FROM h GROUP BY 1) " +
-        "SELECT c.vec_id, coalesce(g.n_hits, CAST(0 AS BIGINT)) AS n_hits, g.max_cos, " +
-        "coalesce(g.n_hits, CAST(0 AS BIGINT)) > 0 AS drop_vec FROM c LEFT JOIN g USING (vec_id)"),
-
-    "x104_semdedup" ->
-      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
-        "scored AS (SELECT e.vec_id, e.emb, cents.cent_id, " +
-        s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
-        "assigned AS (SELECT vec_id, emb, cent_id AS cell FROM (SELECT *, " +
-        "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM scored) t WHERE r = 1), " +
-        "p AS (SELECT b.vec_id, " +
-        s"${dotSql("a.emb", "b.emb")} AS cos " +
-        "FROM assigned a JOIN assigned b USING (cell) WHERE a.vec_id < b.vec_id), " +
-        "d AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dup_lower, max(cos) AS max_dup_cos " +
-        "FROM p WHERE cos >= 0.4 GROUP BY 1) " +
-        "SELECT s.vec_id, s.cell, coalesce(d.n_dup_lower, CAST(0 AS BIGINT)) AS n_dup_lower, " +
-        "d.max_dup_cos, coalesce(d.n_dup_lower, CAST(0 AS BIGINT)) > 0 AS drop_vec " +
-        "FROM assigned s LEFT JOIN d USING (vec_id)"),
-
-    "x04_dedup_simhash" ->
-      (s"WITH t AS ($toksCte), " +
-        "v AS (SELECT doc_id, list_transform(toks, tk -> CAST(('0x' || substr(md5(tk), 1, 4)) AS INT)) AS vals FROM t) " +
-        "SELECT doc_id, CAST(list_aggregate(list_transform(generate_series(0, 15), " +
-        "j -> CASE WHEN list_aggregate(list_transform(vals, x -> ((x >> j) & 1)*2 - 1), 'sum') >= 0 " +
-        "THEN (1 << j) ELSE 0 END), 'sum') AS BIGINT) AS simhash FROM v"),
-
-    "x05_dedup_embedding_cosine" ->
-      ("WITH a AS (SELECT vec_id AS vec_a, CAST(embedding AS DOUBLE[]) AS ea FROM embeddings), " +
-        "b AS (SELECT vec_id AS vec_b, CAST(embedding AS DOUBLE[]) AS eb FROM embeddings), " +
-        s"s AS (SELECT vec_a, vec_b, ${dotSql("ea", "eb")} AS cos FROM a JOIN b ON vec_a < vec_b) " +
-        "SELECT vec_a, vec_b, cos FROM s WHERE cos >= 0.4"),
-
-    "x06_ann_bruteforce_topk" -> annBruteSql,
-
-    // x181: per truncation dim, renormalized-prefix cosine top-10 vs the
-    // full-dim truth; cos = dot/sqrt(nq)/sqrt(nv) in exactly the engine's
-    // division order.
-    "x181_matryoshka_recall" -> {
-      def leg(d: Int): String = {
-        val qe = s"qe[1:$d]"
-        val ve = s"emb[1:$d]"
-        s"s$d AS (SELECT q_id, vec_id, " +
-          s"${dotSql(qe, ve)} / sqrt(${dotSql(qe, qe)}) / sqrt(${dotSql(ve, ve)}) AS cos " +
-          "FROM e, q WHERE q_id <> vec_id), " +
-          s"a$d AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
-          s"row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s$d) WHERE rank <= 10), " +
-          s"leg$d AS (SELECT CAST($d AS BIGINT) AS dims, CAST(${d * 4}.0 AS DOUBLE) AS bytes_per_vec, " +
-          "CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_truth, " +
-          s"CAST((SELECT count(*) FROM a$d) AS BIGINT) AS n_approx, " +
-          s"CAST((SELECT count(*) FROM tp JOIN a$d USING (q_id, vec_id)) AS BIGINT) AS n_common, " +
-          s"CAST((SELECT count(*) FROM tp JOIN a$d USING (q_id, vec_id)) AS DOUBLE) " +
-          "/ (SELECT count(*) FROM tp) AS recall)"
-      }
-      val dims = Similarity.MatryoshkaDims
-      s"WITH tp AS (SELECT q_id, vec_id FROM ($annBruteSql)), " +
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-        "q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 5), " +
-        dims.map(leg).mkString(", ") + " " +
-        dims.map(d => s"SELECT * FROM leg$d").mkString(" UNION ALL ")
-    },
-
-    "x98_winnowing_pairs" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-        "g AS (SELECT doc_id, CASE WHEN len(toks) >= 4 THEN " +
-        "list_transform(generate_series(1, len(toks)-3), i -> md5(array_to_string(toks[i:i+3], ' '))) " +
-        "ELSE [] END AS grams FROM t), " +
-        "fp AS (SELECT DISTINCT doc_id, fp FROM (SELECT doc_id, unnest(" +
-        "CASE WHEN len(grams) >= 4 THEN " +
-        "list_transform(generate_series(1, len(grams)-3), j -> list_aggregate(grams[j:j+3], 'min')) " +
-        "WHEN len(grams) >= 1 THEN [list_aggregate(grams, 'min')] ELSE [] END) AS fp FROM g)), " +
-        "rare AS (SELECT fp FROM fp GROUP BY fp " +
-        "HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50), " +
-        "h AS (SELECT doc_id, fp.fp AS fp FROM fp JOIN rare USING (fp)) " +
-        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared " +
-        "FROM h a JOIN h b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2"),
-
-    // x182: vocab counts → TakeOrdered top-1024 (rank/cumsum windows over
-    // the bounded set) → power-of-two checkpoint rows. rank·freq exact
-    // BIGINT; the two doubles are single divisions of exact ints.
-    "x182_zipf_profile" ->
-      ("WITH tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM " +
-        "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1), " +
-        "tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_types FROM tc), " +
-        "tf AS (SELECT CAST(max(freq) AS BIGINT) AS top_freq FROM tc), " +
-        "rk AS (SELECT freq, CAST(row_number() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS rank, " +
-        "CAST(sum(freq) OVER (ORDER BY freq DESC, tok ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_freq FROM tc) " +
-        "SELECT rank, freq, rank * freq AS rank_x_freq, " +
-        "CAST(cum_freq AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS cum_share, " +
-        "CAST(top_freq AS DOUBLE) / CAST(rank * freq AS DOUBLE) AS zipf_ratio, " +
-        "n_tokens, n_types FROM rk, tot, tf " +
-        s"WHERE rank IN (${TextOps.ZipfRanks.mkString(", ")})"),
-
-    // x183: doc_id value-range deciles vs the 1-row max; per-type min
-    // first-seen decile; cumulative sums over the ≤10-row bucket set.
-    "x183_heaps_growth" ->
-      ("WITH mx AS (SELECT max(doc_id) AS max_id FROM documents), " +
-        "d AS (SELECT doc_id, text, CAST(least(9, (doc_id * 10) // (max_id + 1)) AS BIGINT) AS decile FROM documents, mx), " +
-        "pd AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs, " +
-        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_toks FROM d GROUP BY 1), " +
-        "fs AS (SELECT tok, min(decile) AS decile FROM " +
-        "(SELECT decile, unnest(string_split(text, ' ')) AS tok FROM d) GROUP BY 1), " +
-        "nt AS (SELECT decile, CAST(count(*) AS BIGINT) AS new_types FROM fs GROUP BY 1), " +
-        "j AS (SELECT decile, n_docs, n_toks, coalesce(new_types, 0) AS new_types FROM pd LEFT JOIN nt USING (decile)) " +
-        "SELECT decile, CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs, " +
-        "CAST(sum(n_toks) OVER w AS BIGINT) AS cum_tokens, " +
-        "CAST(sum(new_types) OVER w AS BIGINT) AS cum_types, " +
-        "CAST(sum(new_types) OVER w AS DOUBLE) / CAST(sum(n_toks) OVER w AS DOUBLE) AS type_token_ratio " +
-        "FROM j WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"),
-
-    // x184: exact unigram/bigram type-over-occurrence ratios per source;
-    // single-token-only slices re-admitted by the left join, distinct_2
-    // NULL-guarded (the engine's 0/0 rule).
-    "x184_ngram_diversity" ->
-      ("WITH b AS (SELECT source AS slice, string_split(text, ' ') AS toks FROM documents), " +
-        "u AS (SELECT slice, CAST(count(*) AS BIGINT) AS n_unigrams, " +
-        "CAST(count(DISTINCT g) AS BIGINT) AS v_unigrams FROM " +
-        "(SELECT slice, unnest(toks) AS g FROM b) GROUP BY 1), " +
-        "bg AS (SELECT slice, CAST(count(*) AS BIGINT) AS n_bigrams, " +
-        "CAST(count(DISTINCT g) AS BIGINT) AS v_bigrams FROM " +
-        "(SELECT slice, unnest(CASE WHEN len(toks) >= 2 THEN " +
-        "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) " +
-        "ELSE [] END) AS g FROM b) GROUP BY 1) " +
-        "SELECT slice, n_unigrams, v_unigrams, " +
-        "CAST(v_unigrams AS DOUBLE) / CAST(n_unigrams AS DOUBLE) AS distinct_1, " +
-        "coalesce(n_bigrams, 0) AS n_bigrams, coalesce(v_bigrams, 0) AS v_bigrams, " +
-        "CASE WHEN coalesce(n_bigrams, 0) > 0 THEN CAST(v_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE) END AS distinct_2 " +
-        "FROM u LEFT JOIN bg USING (slice)"),
-
-    "x97_vocab_diversity" ->
-      ("WITH cf AS (SELECT slice, CAST(('0x' || substr(md5(tok), 1, 4)) AS INT) % 1024 AS f " +
-        "FROM (SELECT source AS slice, unnest(string_split(text, ' ')) AS tok FROM documents)), " +
-        "cc AS (SELECT slice, f, CAST(count(*) AS BIGINT) AS c FROM cf GROUP BY 1, 2), " +
-        "ag AS (SELECT slice, CAST(sum(c) AS BIGINT) AS n_tokens, " +
-        "CAST(count(*) AS BIGINT) AS n_buckets_used, " +
-        "list_aggregate(list(CAST(c AS DOUBLE)*c ORDER BY f), 'sum') AS ss FROM cc GROUP BY 1) " +
-        "SELECT slice, n_tokens, n_buckets_used, " +
-        "ss/(CAST(n_tokens AS DOUBLE)*CAST(n_tokens AS DOUBLE)) AS simpson, " +
-        "1.0 - ss/(CAST(n_tokens AS DOUBLE)*CAST(n_tokens AS DOUBLE)) AS diversity, " +
-        "1.0/(ss/(CAST(n_tokens AS DOUBLE)*CAST(n_tokens AS DOUBLE))) AS eff_vocab FROM ag"),
-
-    "x93_vocab_divergence" ->
-      ("WITH t93 AS (SELECT source AS slice, string_split(text, ' ') AS toks FROM documents), " +
-        "cf AS (SELECT slice, CAST(('0x' || substr(md5(tok), 1, 4)) AS INT) % 1024 AS f " +
-        "FROM (SELECT slice, unnest(toks) AS tok FROM t93)), " +
-        "cc AS (SELECT slice, f, CAST(count(*) AS BIGINT) AS c FROM cf GROUP BY 1, 2), " +
-        "tot AS (SELECT slice, CAST(sum(c) AS BIGINT) AS n FROM cc GROUP BY 1), " +
-        "af AS (SELECT DISTINCT f FROM cc), " +
-        "p AS (SELECT tot.slice, af.f, " +
-        "CAST(coalesce(c, 0) + 1 AS DOUBLE)/CAST(n + 1024 AS DOUBLE) AS p " +
-        "FROM tot CROSS JOIN af LEFT JOIN cc ON cc.slice = tot.slice AND cc.f = af.f), " +
-        "pr AS (SELECT a.slice AS slice_a, b.slice AS slice_b, a.f AS f, " +
-        "(a.p - b.p)*(a.p - b.p)/(a.p + b.p) AS d " +
-        "FROM p a JOIN p b ON a.f = b.f AND a.slice < b.slice) " +
-        "SELECT slice_a, slice_b, CAST(count(*) AS BIGINT) AS n_buckets, " +
-        "list_aggregate(list(d ORDER BY f), 'sum') AS divergence " +
-        "FROM pr GROUP BY 1, 2"),
-
-    "x92_corpus_datasheet" ->
-      (s"WITH t AS ($toksCte), " +
-        "m AS (SELECT d.doc_id, d.source, d.lang, d.text, " +
-        "CAST(len(t.toks) AS BIGINT) AS n_tokens, " +
-        "least(CAST(len(t.toks) AS DOUBLE)/50.0, 1.0)*0.5 " +
-        s"+ (CAST(len(list_filter(t.toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(t.toks))*0.25 " +
-        "+ (CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)/length(d.text))*0.25 " +
-        "AS quality_score FROM documents d JOIN t USING (doc_id)) " +
-        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
-        "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, " +
-        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, " +
-        "CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts, " +
-        "CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS dup_frac, " +
-        "list_aggregate(list(quality_score ORDER BY doc_id), 'sum')/count(*) AS mean_quality " +
-        "FROM m GROUP BY source"),
-
-    "x91_ann_hard_negatives" ->
-      ("WITH q AS (SELECT vec_id AS q_id, label AS q_label, " +
-        "CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
-        "s AS (SELECT q_id, q_label, vec_id, label, " +
-        s"${dotSql("qe", "CAST(embedding AS DOUBLE[])")} AS cos " +
-        "FROM embeddings, q WHERE q_id <> vec_id AND q_label <> label), " +
-        "r AS (SELECT q_id, q_label, vec_id, label, cos, " +
-        "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
-        "SELECT q_id, q_label, vec_id, label, cos, rank FROM r WHERE rank <= 10"),
-
-    "x07_ann_lsh_topk" -> annLshSql,
-
-    "x71_ann_lsh_multitable" -> annMultiSql,
-
-    "x72_ann_multitable_recall" ->
-      (s"WITH tp AS (SELECT q_id, vec_id FROM ($annBruteSql)), " +
-        s"ap AS (SELECT q_id, vec_id FROM ($annMultiSql)) " +
-        "SELECT CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_truth, " +
-        "CAST((SELECT count(*) FROM ap) AS BIGINT) AS n_approx, " +
-        "CAST((SELECT count(*) FROM tp JOIN ap USING (q_id, vec_id)) AS BIGINT) AS n_common, " +
-        "CAST((SELECT count(*) FROM tp JOIN ap USING (q_id, vec_id)) AS DOUBLE) " +
-        "/ (SELECT count(*) FROM tp) AS recall"),
-
-    "x75_dedup_embedding_multitable" -> embMultiPairsSql,
-
-    "x76_dedup_multitable_recall" ->
-      (s"WITH tp AS (SELECT vec_a, vec_b FROM ($embExactPairsSql)), " +
-        s"ap AS (SELECT vec_a, vec_b FROM ($embMultiPairsSql)) " +
-        "SELECT CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_truth, " +
-        "CAST((SELECT count(*) FROM ap) AS BIGINT) AS n_approx, " +
-        "CAST((SELECT count(*) FROM tp JOIN ap USING (vec_a, vec_b)) AS BIGINT) AS n_common, " +
-        "CAST((SELECT count(*) FROM tp JOIN ap USING (vec_a, vec_b)) AS DOUBLE) " +
-        "/ (SELECT count(*) FROM tp) AS recall"),
-
-    "x73_ann_ivf_recall" ->
-      (s"WITH tp AS (SELECT q_id, vec_id FROM ($annBruteSql)), " +
-        s"ap AS (SELECT q_id, vec_id FROM ($annIvfSql)) " +
-        "SELECT CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_truth, " +
-        "CAST((SELECT count(*) FROM ap) AS BIGINT) AS n_approx, " +
-        "CAST((SELECT count(*) FROM tp JOIN ap USING (q_id, vec_id)) AS BIGINT) AS n_common, " +
-        "CAST((SELECT count(*) FROM tp JOIN ap USING (q_id, vec_id)) AS DOUBLE) " +
-        "/ (SELECT count(*) FROM tp) AS recall"),
-
-    "x74_dedup_embedding_recall" ->
-      (s"WITH tp AS (SELECT vec_a, vec_b FROM ($embExactPairsSql)), " +
-        s"ap AS (SELECT vec_a, vec_b FROM ($embLshPairsSql)) " +
-        "SELECT CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_truth, " +
-        "CAST((SELECT count(*) FROM ap) AS BIGINT) AS n_approx, " +
-        "CAST((SELECT count(*) FROM tp JOIN ap USING (vec_a, vec_b)) AS BIGINT) AS n_common, " +
-        "CAST((SELECT count(*) FROM tp JOIN ap USING (vec_a, vec_b)) AS DOUBLE) " +
-        "/ (SELECT count(*) FROM tp) AS recall"),
-
-    "x70_ann_lsh_recall" ->
-      (s"WITH tp AS (SELECT q_id, vec_id FROM ($annBruteSql)), " +
-        s"ap AS (SELECT q_id, vec_id FROM ($annLshSql)) " +
-        "SELECT CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_truth, " +
-        "CAST((SELECT count(*) FROM ap) AS BIGINT) AS n_approx, " +
-        "CAST((SELECT count(*) FROM tp JOIN ap USING (q_id, vec_id)) AS BIGINT) AS n_common, " +
-        "CAST((SELECT count(*) FROM tp JOIN ap USING (q_id, vec_id)) AS DOUBLE) " +
-        "/ (SELECT count(*) FROM tp) AS recall"),
-
-    "x19_array_funcs" ->
-      ("SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, " +
-        "CAST(list_max(embedding) AS DOUBLE) AS emb_max, " +
-        "CAST(list_min(embedding) AS DOUBLE) AS emb_min, " +
-        "CAST(embedding[1] AS DOUBLE) AS first, " +
-        "list_aggregate(list_transform(CAST(embedding AS DOUBLE[])[1:8], x -> x), 'sum') AS head8_sum " +
-        "FROM embeddings"),
-
-    "x18_dedup_simhash_pairs" ->
-      (s"WITH t AS ($toksCte), " +
-        "v AS (SELECT doc_id, list_transform(toks, tk -> CAST(('0x' || substr(md5(tk), 1, 4)) AS INT)) AS vals FROM t), " +
-        "h AS (SELECT doc_id, CAST(list_aggregate(list_transform(generate_series(0, 15), " +
-        "j -> CASE WHEN list_aggregate(list_transform(vals, x -> ((x >> j) & 1)*2 - 1), 'sum') >= 0 " +
-        "THEN (1 << j) ELSE 0 END), 'sum') AS BIGINT) AS simhash FROM v) " +
-        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-        "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming " +
-        "FROM h a JOIN h b ON a.doc_id < b.doc_id " +
-        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"),
-
-    "x20_dedup_simhash_banded" ->
-      (s"WITH t AS ($toksCte), " +
-        "hs AS (SELECT doc_id, list_transform(toks, tk -> md5(tk)) AS hs FROM t), " +
-        "sig AS (SELECT doc_id, list_transform(generate_series(0, 3), " +
-        "p -> CAST(list_aggregate(list_transform(generate_series(0, 15), " +
-        "j -> CASE WHEN list_aggregate(list_transform(hs, " +
-        "h -> ((CAST(('0x' || substr(h, p * 4 + 1, 4)) AS INT) >> j) & 1) * 2 - 1), 'sum') >= 0 " +
-        "THEN (1 << j) ELSE 0 END), 'sum') AS INT)) AS sig FROM hs), " +
-        "bandx AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM sig), " +
-        "band AS (SELECT doc_id, band, sig[band + 1] AS bits FROM bandx), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM band a JOIN band b " +
-        "ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id), " +
-        "ham AS (SELECT cand.doc_a, cand.doc_b, " +
-        "CAST(list_aggregate(list_transform(list_zip(sa.sig, sb.sig), z -> bit_count(xor(z[1], z[2]))), 'sum') AS BIGINT) AS hamming " +
-        "FROM cand JOIN sig sa ON sa.doc_id = cand.doc_a JOIN sig sb ON sb.doc_id = cand.doc_b) " +
-        "SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3"),
-
-    "x15_dedup_cluster_canonical" ->
-      (s"WITH RECURSIVE t AS ($toksCte), sh AS ($shinglesCte), " +
-        "ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh), " +
-        "sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh), " +
-        "c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common " +
-        "FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-        "pairs AS (SELECT c.doc_a, c.doc_b FROM c " +
-        "JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id " +
-        "WHERE CAST(c.common AS DOUBLE)/(x.n + y.n - c.common) >= 0.8), " +
-        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
-        "UNION SELECT doc_b, doc_a FROM pairs), " +
-        "reach AS (SELECT src, dst FROM edges " +
-        "UNION (SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)) " +
-        "SELECT src AS doc_id, least(src, min(dst)) AS canonical_id " +
-        "FROM reach GROUP BY src"),
-
-    "x100_dedup_edit_distance" ->
-      (s"WITH $minhashCandCtes, " +
-        "v AS (SELECT cand.doc_a, cand.doc_b, " +
-        "CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_distance, " +
-        "CAST(levenshtein(ta.text, tb.text) AS DOUBLE)/" +
-        "greatest(length(ta.text), length(tb.text)) AS edit_ratio " +
-        "FROM cand JOIN documents ta ON ta.doc_id = cand.doc_a " +
-        "JOIN documents tb ON tb.doc_id = cand.doc_b) " +
-        "SELECT doc_a, doc_b, edit_distance, edit_ratio FROM v WHERE edit_ratio <= 0.2"),
-
-    "x99_dedup_keep_best" ->
-      (s"WITH RECURSIVE t AS ($toksCte), sh AS ($shinglesCte), " +
-        "ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh), " +
-        "sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh), " +
-        "c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common " +
-        "FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-        "pairs AS (SELECT c.doc_a, c.doc_b FROM c " +
-        "JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id " +
-        "WHERE CAST(c.common AS DOUBLE)/(x.n + y.n - c.common) >= 0.8), " +
-        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
-        "UNION SELECT doc_b, doc_a FROM pairs), " +
-        "reach AS (SELECT src, dst FROM edges " +
-        "UNION (SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)), " +
-        "cl AS (SELECT src AS doc_id, least(src, min(dst)) AS canonical_id " +
-        "FROM reach GROUP BY src), " +
-        "qm AS (SELECT d.doc_id, " +
-        "least(CAST(len(t.toks) AS DOUBLE)/50.0, 1.0)*0.5 " +
-        s"+ (CAST(len(list_filter(t.toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(t.toks))*0.25 " +
-        "+ (CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)/length(d.text))*0.25 " +
-        "AS quality_score FROM documents d JOIN t ON d.doc_id = t.doc_id), " +
-        "lab AS (SELECT qm.doc_id, coalesce(cl.canonical_id, qm.doc_id) AS cluster, " +
-        "qm.quality_score FROM qm LEFT JOIN cl ON qm.doc_id = cl.doc_id), " +
-        "rk AS (SELECT doc_id, cluster, quality_score, " +
-        "CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_members, " +
-        "row_number() OVER (PARTITION BY cluster ORDER BY quality_score DESC, doc_id) AS r " +
-        "FROM lab) " +
-        "SELECT cluster, doc_id AS survivor_id, quality_score AS best_quality, n_members " +
-        "FROM rk WHERE r = 1"),
-
-    "x16_dedup_applied" ->
-      (s"WITH RECURSIVE t AS ($toksCte), sh AS ($shinglesCte), " +
-        "ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh), " +
-        "sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh), " +
-        "c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common " +
-        "FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-        "pairs AS (SELECT c.doc_a, c.doc_b FROM c " +
-        "JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id " +
-        "WHERE CAST(c.common AS DOUBLE)/(x.n + y.n - c.common) >= 0.8), " +
-        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
-        "UNION SELECT doc_b, doc_a FROM pairs), " +
-        "reach AS (SELECT src, dst FROM edges " +
-        "UNION (SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)), " +
-        "comp AS (SELECT src AS doc_id, least(src, min(dst)) AS canonical_id FROM reach GROUP BY src), " +
-        "victims AS (SELECT doc_id FROM comp WHERE doc_id <> canonical_id) " +
-        "SELECT doc_id, lang, source, n_chars FROM documents " +
-        "WHERE doc_id NOT IN (SELECT doc_id FROM victims)"),
-
-    "x17_text_normalize" ->
-      ("SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text || '  MIXED!! Case++'), " +
-        "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text FROM documents"),
-
-    // x03's minhash-LSH pair derivation + x15's reachability CC + x16's
-    // victim drop, finished with per-(lang, source) surviving-corpus stats.
-    "x41_dedup_pipeline" ->
-      (s"WITH RECURSIVE t AS ($toksCte), sh AS ($shinglesCte), " +
-        "ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh), " +
-        "sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh), " +
-        "hs AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS h0, " +
-        "list_transform(shingles, s -> md5('1:' || s)) AS h1 FROM sh), " +
-        "sig AS (SELECT doc_id, list_transform(generate_series(0, 15), " +
-        "i -> list_aggregate(list_transform(CASE WHEN i < 8 THEN h0 ELSE h1 END, " +
-        "h -> substr(h, (i % 8) * 4 + 1, 4)), 'min')) AS sig FROM hs), " +
-        "bandx AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM sig), " +
-        "band AS (SELECT doc_id, band, md5(array_to_string(sig[4*band+1:4*band+4], '|')) AS bh FROM bandx), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM band a JOIN band b " +
-        "ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id), " +
-        "c AS (SELECT cand.doc_a, cand.doc_b, CAST(count(*) AS BIGINT) AS common FROM cand " +
-        "JOIN ex ea ON ea.doc_id = cand.doc_a JOIN ex eb ON eb.doc_id = cand.doc_b AND ea.sh = eb.sh " +
-        "GROUP BY 1, 2), " +
-        "pairs AS (SELECT c.doc_a, c.doc_b FROM c " +
-        "JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id " +
-        "WHERE CAST(c.common AS DOUBLE)/(x.n + y.n - c.common) >= 0.8), " +
-        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
-        "UNION SELECT doc_b, doc_a FROM pairs), " +
-        "reach AS (SELECT src, dst FROM edges " +
-        "UNION (SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)), " +
-        "comp AS (SELECT src AS doc_id, least(src, min(dst)) AS canonical_id FROM reach GROUP BY src), " +
-        "victims AS (SELECT doc_id FROM comp WHERE doc_id <> canonical_id) " +
-        "SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs, " +
-        "CAST(sum(n_chars) AS BIGINT) AS total_chars, min(doc_id) AS min_doc_id " +
-        "FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM victims) " +
-        "GROUP BY lang, source"),
-
-    "x14_dedup_embedding_lsh" ->
-      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-        s"be AS (SELECT vec_id, emb, $bucketSql AS bucket FROM e), " +
-        "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
-        s"${dotSql("a.emb", "b.emb")} AS cos " +
-        "FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
-        "SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.4"),
-
-    // x152: the IVFADC probe — x58's cell assignment composed with x146's
-    // full PQ chain; candidates are the query's cell, scores are the
-    // sub-ordered ADC pdot sums over the final codebook's encode.
-    "x152_ann_ivfpq_stored" ->
-      (s"WITH $ivfPqProbeCtes " +
-        "SELECT q_id, vec_id, score, CAST(rank AS BIGINT) AS rank FROM " +
-        "(SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank " +
-        "FROM iscs) WHERE rank <= 10"),
-
-    // x160: the deterministic cell assignment's occupancy rollup.
-    "x160_ivfpq_index_stats" ->
-      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
-        "iscored AS (SELECT e.vec_id, cents.cent_id, " +
-        s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
-        "iasg AS (SELECT vec_id, cent_id AS cell FROM (SELECT *, " +
-        "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t WHERE r = 1), " +
-        "occ AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM iasg GROUP BY 1) " +
-        "SELECT CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(n) AS BIGINT) AS n_vecs, " +
-        "CAST(min(n) AS BIGINT) AS min_cell, CAST(max(n) AS BIGINT) AS max_cell, " +
-        "CAST(sum(n) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS mean_cell, " +
-        "CAST(max(n) AS DOUBLE)*CAST(count(*) AS DOUBLE)/CAST(sum(n) AS DOUBLE) AS imbalance " +
-        "FROM occ"),
-
-    // x154: both probe depths' top-10 sets vs the brute-force truth —
-    // scalar-subquery counts per method (x69's report form).
-    "x154_ann_ivfpq_recall" ->
-      (s"WITH $ivfPqProbeCtes, " +
-        s"tru AS (SELECT q_id, vec_id FROM ($annBruteSql)), " +
-        "ptk1 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
-        "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS r FROM iscs) WHERE r <= 10), " +
-        "ptk2 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
-        "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS r FROM iscs2) WHERE r <= 10) " +
-        Seq(("ivfpq_nprobe1", "ptk1"), ("ivfpq_nprobe2", "ptk2")).map { case (nm, tk) =>
-          s"SELECT '$nm' AS method, CAST((SELECT count(*) FROM tru) AS BIGINT) AS n_truth, " +
-            s"CAST((SELECT count(*) FROM $tk) AS BIGINT) AS n_approx, " +
-            s"CAST((SELECT count(*) FROM tru JOIN $tk USING (q_id, vec_id)) AS BIGINT) AS n_common, " +
-            s"CAST((SELECT count(*) FROM tru JOIN $tk USING (q_id, vec_id)) AS DOUBLE) " +
-            "/ (SELECT count(*) FROM tru) AS recall"
-        }.mkString(" UNION ALL ")),
-
-    // x161: residual-IVFADC recall beside the exact cell-confined ceiling —
-    // both probe depths, same truth/report shape as x154.
-    "x161_ann_ivfpq_residual" ->
-      (s"WITH $ivfPqResCtes, " +
-        s"tru AS (SELECT q_id, vec_id FROM ($annBruteSql)), " +
-        "rtk1 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
-        "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS r FROM rscs) WHERE r <= 10), " +
-        "rtk2 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
-        "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS r FROM rscs2) WHERE r <= 10) " +
-        Seq(("ivf_exact_nprobe1", "ext1"), ("ivf_exact_nprobe2", "ext2"),
-            ("ivfpq_res_nprobe1", "rtk1"), ("ivfpq_res_nprobe2", "rtk2")).map { case (nm, tk) =>
-          s"SELECT '$nm' AS method, CAST((SELECT count(*) FROM tru) AS BIGINT) AS n_truth, " +
-            s"CAST((SELECT count(*) FROM $tk) AS BIGINT) AS n_approx, " +
-            s"CAST((SELECT count(*) FROM tru JOIN $tk USING (q_id, vec_id)) AS BIGINT) AS n_common, " +
-            s"CAST((SELECT count(*) FROM tru JOIN $tk USING (q_id, vec_id)) AS DOUBLE) " +
-            "/ (SELECT count(*) FROM tru) AS recall"
-        }.mkString(" UNION ALL ")),
-
-    // x163: the hash split, the all-pairs train×eval cosines (eval is the
-    // bounded side), per-train argmax with lowest-eval-id ties, τ filter.
-    "x163_semantic_decontamination" ->
-      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, " +
-        "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':decon'), 1, 8)) AS BIGINT)/4294967296.0 AS h FROM embeddings), " +
-        s"ev AS (SELECT vec_id AS eval_id, emb AS eval_emb FROM e WHERE h < ${Similarity.DeconEvalFrac}), " +
-        s"tr AS (SELECT vec_id, emb FROM e WHERE NOT (h < ${Similarity.DeconEvalFrac})), " +
-        "s AS (SELECT tr.vec_id, ev.eval_id, " +
-        s"${dotSql("tr.emb", "ev.eval_emb")} AS cos FROM tr, ev), " +
-        "r AS (SELECT vec_id, eval_id, cos, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_id) AS rn FROM s) " +
-        s"SELECT vec_id, eval_id AS nearest_eval, cos AS max_cos FROM r WHERE rn = 1 AND cos >= ${Similarity.DeconTau}"),
-
-    // x193: cell assignment + x192's sign-piece chain, cell-confined
-    // Hamming ranking at both probe depths + the nprobe2 shortlist
-    // exact-dot rerank, vs the brute truth.
-    "x193_ann_ivfbin_stored" -> {
-      s"WITH $ivfBinProbeCtes, " +
-        "vt1 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
-        "row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rank FROM vh1) WHERE rank <= 10), " +
-        "vt2 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
-        "row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rank FROM vh2) WHERE rank <= 10), " +
-        s"vsh AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
-        "row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rank FROM vh2) " +
-        s"WHERE rank <= ${10 * Similarity.BinaryRerankMult}), " +
-        s"vrr AS (SELECT s.q_id, s.vec_id, ${dotSql("q.q_emb", "v.emb")} AS cos " +
-        "FROM vsh s JOIN pz v ON v.vec_id = s.vec_id JOIN vqs q ON q.q_id = s.q_id), " +
-        "vt3 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
-        "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rrank FROM vrr) WHERE rrank <= 10), " +
-        "btq AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 5), " +
-        "bts AS (SELECT q_id, e.vec_id, " + dotSql("qe", "e.emb") + " AS cos " +
-        "FROM e, btq WHERE q_id <> e.vec_id), " +
-        "btr AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
-        "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM bts) WHERE rank <= 10) " +
-        "SELECT 'ivfbin_nprobe1' AS method, " +
-        "(SELECT CAST(count(*) AS BIGINT) FROM btr) AS n_truth, " +
-        "(SELECT CAST(count(*) AS BIGINT) FROM vt1) AS n_approx, " +
-        "(SELECT CAST(count(*) AS BIGINT) FROM btr JOIN vt1 USING (q_id, vec_id)) AS n_common, " +
-        "CAST((SELECT count(*) FROM btr JOIN vt1 USING (q_id, vec_id)) AS DOUBLE)/" +
-        "CAST((SELECT count(*) FROM btr) AS DOUBLE) AS recall " +
-        "UNION ALL SELECT 'ivfbin_nprobe2', " +
-        "(SELECT CAST(count(*) AS BIGINT) FROM btr), " +
-        "(SELECT CAST(count(*) AS BIGINT) FROM vt2), " +
-        "(SELECT CAST(count(*) AS BIGINT) FROM btr JOIN vt2 USING (q_id, vec_id)), " +
-        "CAST((SELECT count(*) FROM btr JOIN vt2 USING (q_id, vec_id)) AS DOUBLE)/" +
-        "CAST((SELECT count(*) FROM btr) AS DOUBLE) " +
-        "UNION ALL SELECT 'ivfbin_rerank_nprobe2', " +
-        "(SELECT CAST(count(*) AS BIGINT) FROM btr), " +
-        "(SELECT CAST(count(*) AS BIGINT) FROM vt3), " +
-        "(SELECT CAST(count(*) AS BIGINT) FROM btr JOIN vt3 USING (q_id, vec_id)), " +
-        "CAST((SELECT count(*) FROM btr JOIN vt3 USING (q_id, vec_id)) AS DOUBLE)/" +
-        "CAST((SELECT count(*) FROM btr) AS DOUBLE)"
-    },
-
-    // x167: cell assignment + x38's int8 chain, cell-confined scoring at
-    // both probe depths vs the brute truth.
-    "x167_ann_ivfsq8_stored" ->
-      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
-        "iscored AS (SELECT e.vec_id, cents.cent_id, " +
-        s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
-        "iasg AS (SELECT vec_id, cent_id AS cell FROM (SELECT *, " +
-        "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t WHERE r = 1), " +
-        "m8 AS (SELECT vec_id, emb, " +
-        "greatest(list_aggregate(list_transform(emb, x -> abs(x)), 'max'), 1e-12) AS ma FROM e), " +
-        "q8 AS (SELECT vec_id, " +
-        "list_transform(emb, x -> CAST(round(x * 127.0 / ma) AS INTEGER)) AS qv, " +
-        "ma / 127.0 AS scale FROM m8), " +
-        "qq8 AS (SELECT vec_id AS q_id, qv AS q_qv, scale AS q_scale FROM q8 WHERE vec_id < 5), " +
-        "sqc AS (SELECT vec_id AS q_id, cell FROM iasg WHERE vec_id < 5), " +
-        "sqc2 AS (SELECT vec_id AS q_id, cent_id AS cell FROM (SELECT *, " +
-        "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t " +
-        "WHERE r <= 2 AND vec_id < 5), " +
-        "sc8 AS (SELECT c.q_id, a.vec_id, " +
-        "CAST(list_aggregate(list_transform(list_zip(q.q_qv, v.qv), z -> CAST(z[1] AS BIGINT) * z[2]), 'sum') AS DOUBLE) " +
-        "* q.q_scale * v.scale AS score " +
-        "FROM iasg a JOIN sqc c USING (cell) JOIN q8 v ON v.vec_id = a.vec_id " +
-        "JOIN qq8 q ON q.q_id = c.q_id WHERE c.q_id <> a.vec_id), " +
-        "sc82 AS (SELECT c.q_id, a.vec_id, " +
-        "CAST(list_aggregate(list_transform(list_zip(q.q_qv, v.qv), z -> CAST(z[1] AS BIGINT) * z[2]), 'sum') AS DOUBLE) " +
-        "* q.q_scale * v.scale AS score " +
-        "FROM iasg a JOIN sqc2 c USING (cell) JOIN q8 v ON v.vec_id = a.vec_id " +
-        "JOIN qq8 q ON q.q_id = c.q_id WHERE c.q_id <> a.vec_id), " +
-        s"tru AS (SELECT q_id, vec_id FROM ($annBruteSql)), " +
-        "st1 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
-        "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS r FROM sc8) WHERE r <= 10), " +
-        "st2 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
-        "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS r FROM sc82) WHERE r <= 10) " +
-        Seq(("ivfsq8_nprobe1", "st1"), ("ivfsq8_nprobe2", "st2")).map { case (nm, tk) =>
-          s"SELECT '$nm' AS method, CAST((SELECT count(*) FROM tru) AS BIGINT) AS n_truth, " +
-            s"CAST((SELECT count(*) FROM $tk) AS BIGINT) AS n_approx, " +
-            s"CAST((SELECT count(*) FROM tru JOIN $tk USING (q_id, vec_id)) AS BIGINT) AS n_common, " +
-            s"CAST((SELECT count(*) FROM tru JOIN $tk USING (q_id, vec_id)) AS DOUBLE) " +
-            "/ (SELECT count(*) FROM tru) AS recall"
-        }.mkString(" UNION ALL ")),
-
-    // x58 probes the STORED index built from the same stride centroids and
-    // the same argmax fold, so the full x13 oracle holds verbatim.
-    "x58_ann_ivf_stored" ->
-      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
-        "scored AS (SELECT e.vec_id, e.emb, cents.cent_id, " +
-        s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
-        "assigned AS (SELECT vec_id, emb, cent_id AS cell FROM (SELECT *, " +
-        "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM scored) t WHERE r = 1), " +
-        "q AS (SELECT vec_id AS q_id, emb AS q_emb, cell FROM assigned WHERE vec_id < 5), " +
-        "s AS (SELECT q.q_id, a.vec_id, " +
-        s"${dotSql("q.q_emb", "a.emb")} AS cos " +
-        "FROM assigned a JOIN q USING (cell) WHERE q.q_id <> a.vec_id), " +
-        "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
-        "SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10"),
-
-    "x13_ann_ivf_topk" ->
-      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
-        "scored AS (SELECT e.vec_id, e.emb, cents.cent_id, " +
-        s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
-        "assigned AS (SELECT vec_id, emb, cent_id AS cell FROM (SELECT *, " +
-        "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM scored) t WHERE r = 1), " +
-        "q AS (SELECT vec_id AS q_id, emb AS q_emb, cell FROM assigned WHERE vec_id < 5), " +
-        "s AS (SELECT q.q_id, a.vec_id, " +
-        s"${dotSql("q.q_emb", "a.emb")} AS cos " +
-        "FROM assigned a JOIN q USING (cell) WHERE q.q_id <> a.vec_id), " +
-        "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
-        "SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10"),
-
-    "x08_text_lang_id" ->
-      (s"WITH p AS (SELECT doc_id, lang, CASE WHEN len(list_filter(string_split(text, ' '), " +
-        s"tk -> list_contains($stopList, tk))) >= 2 THEN 'en' ELSE 'unk' END AS pred_lang FROM documents) " +
-        "SELECT doc_id, pred_lang, lang, (pred_lang = lang) AS is_match FROM p"),
-
-    "x09_text_quality" ->
-      (s"WITH t AS ($toksCte), d AS (SELECT doc_id, toks, text FROM documents JOIN t USING (doc_id)), " +
-        "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
-        "CAST(list_aggregate(list_transform(toks, tk -> length(tk)), 'sum') AS DOUBLE)/len(toks) AS avg_token_len, " +
-        s"CAST(len(list_filter(toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(toks) AS stopword_ratio, " +
-        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/length(text) AS alpha_ratio " +
-        "FROM d) " +
-        "SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, alpha_ratio, " +
-        "least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5 + stopword_ratio*0.25 + alpha_ratio*0.25 AS quality_score FROM m"),
-
-    "x129_lr_train_trajectory" ->
-      lrTrajectorySql(Trainer.Buckets, Trainer.Iters),
-
-    "x136_lr_incremental" ->
-      lrIncrementalSql(Trainer.Buckets, Trainer.Iters, 3),
-
-    "x137_lr_calibration" ->
-      lrCalibrationSql(Trainer.Buckets, Trainer.Iters),
-
-    "x162_el2n_prune_report" ->
-      el2nSql(Trainer.Buckets),
-
-    "x164_label_noise_audit" ->
-      labelNoiseSql(Trainer.Buckets, Trainer.Iters),
-
-    "x170_gate_operating_points" ->
-      gatePointsSql(Trainer.Buckets, Trainer.Iters),
-
-    "x185_gate_auc" ->
-      gateAucSql(Trainer.Buckets, Trainer.Iters),
-
-    "x190_brier_decomposition" ->
-      brierSql(Trainer.Buckets, Trainer.Iters),
-
-    // x191: x03's band-candidate + Jaccard-verify chain at the loosest
-    // grid threshold, per-pair threshold explode, per-threshold pair /
-    // dropped-doc aggregates, 5-row grid left join + 1-row totals.
-    "x191_dedup_threshold_sweep" ->
-      (s"WITH $minhashCandCtes, " +
-        "c AS (SELECT cand.doc_a, cand.doc_b, CAST(count(*) AS BIGINT) AS common FROM cand " +
-        "JOIN ex ea ON ea.doc_id = cand.doc_a JOIN ex eb ON eb.doc_id = cand.doc_b AND ea.sh = eb.sh " +
-        "GROUP BY 1, 2), " +
-        "jp AS (SELECT c.doc_a, c.doc_b, CAST(c.common AS DOUBLE)/(x.n + y.n - c.common) AS jaccard " +
-        "FROM c JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id " +
-        s"WHERE CAST(c.common AS DOUBLE)/(x.n + y.n - c.common) >= ${Dedup.SweepThresholds.min}), " +
-        s"th AS (SELECT unnest(${Dedup.SweepThresholds.mkString("[", ", ", "]")}) AS threshold), " +
-        "pt AS (SELECT th.threshold, jp.doc_a, jp.doc_b FROM jp, th WHERE jp.jaccard >= th.threshold), " +
-        "np AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs FROM pt GROUP BY 1), " +
-        "db AS (SELECT DISTINCT threshold, doc_b FROM pt), " +
-        "tk AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents), " +
-        "dr AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_docs_dropped, " +
-        "CAST(sum(nt) AS BIGINT) AS tokens_dropped FROM db JOIN tk ON db.doc_b = tk.doc_id GROUP BY 1), " +
-        "tt AS (SELECT CAST(count(*) AS BIGINT) AS ndocs, " +
-        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ntok FROM documents) " +
-        "SELECT th.threshold, coalesce(np.n_pairs, 0) AS n_pairs, " +
-        "coalesce(dr.n_docs_dropped, 0) AS n_docs_dropped, " +
-        "coalesce(dr.tokens_dropped, 0) AS tokens_dropped, " +
-        "CAST(coalesce(dr.n_docs_dropped, 0) AS DOUBLE)/CAST(ndocs AS DOUBLE) AS docs_drop_frac, " +
-        "CAST(coalesce(dr.tokens_dropped, 0) AS DOUBLE)/CAST(ntok AS DOUBLE) AS tokens_drop_frac " +
-        "FROM th LEFT JOIN np USING (threshold) LEFT JOIN dr USING (threshold), tt"),
-
-    // x192: sign bits per 16-bit piece (signed-int safe, the simhash64
-    // discipline), Hamming = per-piece bit_count(xor) fold, Hamming
-    // top-k + 4k-shortlist exact-cosine rerank, x69-shaped recall rows.
-    "x192_binary_quant_recall" -> {
-      val piece = (0 until 4).map { p =>
-        val terms = (0 until 16).map(i =>
-          s"CASE WHEN e[${p * 16 + i + 1}] > 0 THEN ${1 << i} ELSE 0 END")
-          .mkString(" + ")
-        s"($terms)"
-      }.mkString("[", ", ", "]")
-      val truthCte =
-        "btq AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
-          "bts AS (SELECT q_id, vec_id, " +
-          s"${dotSql("qe", "CAST(embedding AS DOUBLE[])")} AS cos " +
-          "FROM embeddings, btq WHERE q_id <> vec_id), " +
-          "btr AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
-          "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM bts) WHERE rank <= 10)"
-      s"WITH be AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
-        s"bs AS (SELECT vec_id, e, $piece AS sig FROM be), " +
-        "bq AS (SELECT vec_id AS q_id, e AS qe, sig AS qsig FROM bs WHERE vec_id < 5), " +
-        "bh AS (SELECT bq.q_id, bs.vec_id, bs.e, bq.qe, " +
-        "CAST(list_aggregate(list_transform(list_zip(bq.qsig, bs.sig), z -> bit_count(xor(z[1], z[2]))), 'sum') AS BIGINT) AS hamming " +
-        "FROM bs, bq WHERE bq.q_id <> bs.vec_id), " +
-        "bhr AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS hrank FROM bh), " +
-        "bht AS (SELECT q_id, vec_id FROM bhr WHERE hrank <= 10), " +
-        s"brr AS (SELECT q_id, vec_id, ${dotSql("qe", "e")} AS cos FROM bhr WHERE hrank <= ${10 * Similarity.BinaryRerankMult}), " +
-        "brt AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
-        "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rrank FROM brr) WHERE rrank <= 10), " +
-        truthCte + " " +
-        "SELECT 'binary_hamming' AS method, 8.0 AS bytes_per_vec, " +
-        "(SELECT CAST(count(*) AS BIGINT) FROM btr) AS n_truth, " +
-        "(SELECT CAST(count(*) AS BIGINT) FROM bht) AS n_approx, " +
-        "(SELECT CAST(count(*) AS BIGINT) FROM btr JOIN bht USING (q_id, vec_id)) AS n_common, " +
-        "CAST((SELECT count(*) FROM btr JOIN bht USING (q_id, vec_id)) AS DOUBLE)/" +
-        "CAST((SELECT count(*) FROM btr) AS DOUBLE) AS recall " +
-        "UNION ALL " +
-        "SELECT 'binary_rerank', 8.0, " +
-        "(SELECT CAST(count(*) AS BIGINT) FROM btr), " +
-        "(SELECT CAST(count(*) AS BIGINT) FROM brt), " +
-        "(SELECT CAST(count(*) AS BIGINT) FROM btr JOIN brt USING (q_id, vec_id)), " +
-        "CAST((SELECT count(*) FROM btr JOIN brt USING (q_id, vec_id)) AS DOUBLE)/" +
-        "CAST((SELECT count(*) FROM btr) AS DOUBLE)"
-    },
-
-    // x186: per-bucket groupBy + the 1-row totals constant; all token
-    // arithmetic exact BIGINT, fractions single divisions (zero-length
-    // bucket NULL-guarded).
-    "x186_padding_waste" ->
-      (s"WITH pd AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n, " +
-        s"CAST(((len(string_split(text, ' ')) + ${TextOps.PadBucket - 1}) // ${TextOps.PadBucket}) * ${TextOps.PadBucket} AS BIGINT) AS seq_len FROM documents), " +
-        "pp AS (SELECT seq_len, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens FROM pd GROUP BY 1), " +
-        "pt AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(n) AS BIGINT) AS tt, " +
-        "CAST(sum(seq_len) AS BIGINT) AS tp, CAST(max(seq_len) AS BIGINT) AS mx FROM pd) " +
-        "SELECT seq_len, n_docs, sum_tokens, seq_len*n_docs AS padded_tokens, " +
-        "seq_len*n_docs - sum_tokens AS waste_tokens, " +
-        "CASE WHEN seq_len > 0 THEN CAST(seq_len*n_docs - sum_tokens AS DOUBLE)/CAST(seq_len*n_docs AS DOUBLE) END AS waste_frac, " +
-        "CASE WHEN tp > 0 THEN CAST(tp - tt AS DOUBLE)/CAST(tp AS DOUBLE) END AS bucketed_waste_frac, " +
-        "CASE WHEN mx*nd > 0 THEN CAST(mx*nd - tt AS DOUBLE)/CAST(mx*nd AS DOUBLE) END AS padmax_waste_frac " +
-        "FROM pp, pt"),
-
-    "x143_lr_group_fairness" ->
-      lrFairnessSql(Trainer.Buckets, Trainer.Iters),
-
-    "x133_chat_parse_turns" ->
-      (s"WITH $chatCtes " +
-        "SELECT doc_id, turn_idx, role, content, ntk AS n_tokens FROM tt"),
-
-    "x134_chat_sft_stats" ->
-      (s"WITH $chatCtes, " +
-        "ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_turns, " +
-        "CAST(sum(CASE WHEN turn_idx = 1 AND role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS opens, " +
-        "CAST(sum(CASE WHEN (turn_idx % 2 = 1 AND role <> 'user') " +
-        "OR (turn_idx % 2 = 0 AND role <> 'assistant') THEN 1 ELSE 0 END) AS BIGINT) AS bad, " +
-        "CAST(sum(CASE WHEN role = 'user' THEN ntk ELSE 0 END) AS BIGINT) AS user_tokens, " +
-        "CAST(sum(CASE WHEN role = 'assistant' THEN ntk ELSE 0 END) AS BIGINT) AS assistant_tokens " +
-        "FROM tt GROUP BY doc_id) " +
-        "SELECT doc_id, n_turns, (opens = 1) AS opens_with_user, (bad = 0) AS alternates, " +
-        "user_tokens, assistant_tokens, " +
-        "CAST(assistant_tokens AS DOUBLE)/CAST(user_tokens + assistant_tokens AS DOUBLE) AS mask_frac " +
-        "FROM ag"),
-
-    "x144_sft_sequence_manifest" ->
-      (s"WITH $chatCtes, " +
-        "ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_turns, " +
-        "CAST(sum(CASE WHEN turn_idx = 1 AND role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS opens, " +
-        "CAST(sum(CASE WHEN (turn_idx % 2 = 1 AND role <> 'user') " +
-        "OR (turn_idx % 2 = 0 AND role <> 'assistant') THEN 1 ELSE 0 END) AS BIGINT) AS bad, " +
-        "CAST(sum(CASE WHEN role = 'user' THEN ntk ELSE 0 END) AS BIGINT) AS user_tokens, " +
-        "CAST(sum(CASE WHEN role = 'assistant' THEN ntk ELSE 0 END) AS BIGINT) AS assistant_tokens " +
-        "FROM tt GROUP BY doc_id), " +
-        "gt AS MATERIALIZED (SELECT a.*, d.lang, ch.transcript FROM ag a " +
-        "JOIN documents d USING (doc_id) JOIN ch USING (doc_id) " +
-        "WHERE opens = 1 AND bad = 0 AND n_turns >= 2), " +
-        "cn AS (SELECT md5(transcript) AS h, min(doc_id) AS doc_id FROM gt GROUP BY 1), " +
-        "uq AS MATERIALIZED (SELECT gt.* FROM gt JOIN cn ON gt.doc_id = cn.doc_id), " +
-        "pk AS (SELECT doc_id, lang, user_tokens + assistant_tokens AS n_tokens, assistant_tokens, " +
-        "COALESCE(sum(user_tokens + assistant_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM uq) " +
-        "SELECT lang, off // 2048 AS seq_id, CAST(count(*) AS BIGINT) AS n_docs, " +
-        "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, " +
-        "CAST(sum(assistant_tokens) AS BIGINT) AS trainable_tokens " +
-        "FROM pk GROUP BY 1, 2"),
-
-    "x135_sft_pipeline" ->
-      (s"WITH $chatCtes, " +
-        "ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_turns, " +
-        "CAST(sum(CASE WHEN turn_idx = 1 AND role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS opens, " +
-        "CAST(sum(CASE WHEN (turn_idx % 2 = 1 AND role <> 'user') " +
-        "OR (turn_idx % 2 = 0 AND role <> 'assistant') THEN 1 ELSE 0 END) AS BIGINT) AS bad, " +
-        "CAST(sum(CASE WHEN role = 'user' THEN ntk ELSE 0 END) AS BIGINT) AS user_tokens, " +
-        "CAST(sum(CASE WHEN role = 'assistant' THEN ntk ELSE 0 END) AS BIGINT) AS assistant_tokens " +
-        "FROM tt GROUP BY doc_id), " +
-        "al AS (SELECT a.*, d.lang FROM ag a JOIN documents d USING (doc_id)), " +
-        "pa AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_conversations FROM al GROUP BY 1), " +
-        "gt AS MATERIALIZED (SELECT al.*, ch.transcript FROM al JOIN ch USING (doc_id) " +
-        "WHERE opens = 1 AND bad = 0 AND n_turns >= 2), " +
-        "cn AS (SELECT md5(transcript) AS h, min(doc_id) AS doc_id FROM gt GROUP BY 1), " +
-        "uq AS MATERIALIZED (SELECT gt.* FROM gt JOIN cn ON gt.doc_id = cn.doc_id), " +
-        "gc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_structured FROM gt GROUP BY 1), " +
-        "uc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_unique FROM uq GROUP BY 1), " +
-        "pk AS (SELECT doc_id, lang, user_tokens + assistant_tokens AS n_tokens, assistant_tokens, " +
-        "COALESCE(sum(user_tokens + assistant_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM uq), " +
-        "sq AS (SELECT lang, CAST(count(DISTINCT off // 2048) AS BIGINT) AS n_sequences, " +
-        "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, " +
-        "CAST(sum(assistant_tokens) AS BIGINT) AS trainable_tokens FROM pk GROUP BY 1) " +
-        "SELECT pa.lang, pa.n_conversations, " +
-        "coalesce(gc.n_structured, CAST(0 AS BIGINT)) AS n_structured, " +
-        "coalesce(uc.n_unique, CAST(0 AS BIGINT)) AS n_unique, " +
-        "coalesce(sq.n_sequences, CAST(0 AS BIGINT)) AS n_sequences, " +
-        "coalesce(sq.total_tokens, CAST(0 AS BIGINT)) AS total_tokens, " +
-        "coalesce(sq.trainable_tokens, CAST(0 AS BIGINT)) AS trainable_tokens, " +
-        "CASE WHEN coalesce(sq.total_tokens, CAST(0 AS BIGINT)) > 0 " +
-        "THEN CAST(sq.trainable_tokens AS DOUBLE)/CAST(sq.total_tokens AS DOUBLE) " +
-        "ELSE NULL END AS trainable_frac " +
-        "FROM pa LEFT JOIN gc USING (lang) LEFT JOIN uc USING (lang) LEFT JOIN sq USING (lang)"),
-
-    "x131_bt_strengths" ->
-      (s"WITH ${btCtes(Preference.Iters)} " +
-        s"SELECT bst.doc_id, bst.wins, bst.games, s.s AS strength " +
-        s"FROM bst JOIN s${Preference.Iters} s USING (doc_id)"),
-
-    "x142_bt_incremental" -> {
-      val dr = "CAST(('0x' || substr(md5(CAST(%s AS VARCHAR) || ':btbatch'), 1, 8)) AS BIGINT)/4294967296.0"
-      val (ib, iw) = (Preference.Iters, 2)
-      s"WITH ${btCtes(0)}, " + // base/pf/gm/bst/s0 CTEs only (0 shared rounds)
-        s"bpf AS MATERIALIZED (SELECT * FROM pf WHERE ${dr.format("doc_a")} < 0.8 " +
-        s"AND ${dr.format("doc_b")} < 0.8), " +
-        "bgm AS MATERIALIZED (SELECT doc_a AS i, doc_b AS j FROM bpf " +
-        "UNION ALL SELECT doc_b, doc_a FROM bpf), " +
-        "bgc AS (SELECT i AS doc_id, CAST(count(*) AS BIGINT) AS games FROM bgm GROUP BY 1), " +
-        "bwc AS (SELECT winner AS doc_id, CAST(count(*) AS BIGINT) AS wins FROM bpf GROUP BY 1), " +
-        "bbst AS MATERIALIZED (SELECT g.doc_id, coalesce(w.wins, CAST(0 AS BIGINT)) AS wins, g.games " +
-        "FROM bgc g LEFT JOIN bwc w USING (doc_id)), " +
-        "bs0 AS (SELECT doc_id, CAST(1.0 AS DOUBLE) AS s FROM bbst), " +
-        btChain("b", "bgm", "bbst", "bs0", ib) + ", " +
-        s"ws0 AS MATERIALIZED (SELECT bst.doc_id, coalesce(b.s, CAST(1.0 AS DOUBLE)) AS s " +
-        s"FROM bst LEFT JOIN bs$ib b USING (doc_id)), " +
-        btChain("w", "gm", "bst", "ws0", iw) + ", " +
-        btChain("c", "gm", "bst", "s0", ib + iw) + ", " +
-        s"wt AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r " +
-        s"FROM ws$iw) WHERE r <= 10), " +
-        s"ctp AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r " +
-        s"FROM cs${ib + iw}) WHERE r <= 10), " +
-        "ov AS (SELECT CAST(count(*) AS BIGINT) AS top10_overlap FROM wt JOIN ctp USING (doc_id)), " +
-        // two-level gap fold (btIncremental's oracle twin), √n from the
-        // warm strengths — the relation the Spark side counts
-        s"gfb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM ws$iw), " +
-        s"gj AS (SELECT w.doc_id % (SELECT b FROM gfb) AS bkt, " +
-        "CAST(count(*) AS BIGINT) AS n, " +
-        "list_aggregate(list_sort(list(abs(w.s - c.s))), 'sum') AS ps " +
-        s"FROM ws$iw w JOIN cs${ib + iw} c USING (doc_id) GROUP BY 1), " +
-        "gp AS (SELECT CAST(sum(n) AS BIGINT) AS n_items, " +
-        "list_aggregate(list(ps ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS mean_abs_gap " +
-        "FROM gj), " +
-        s"nb AS (SELECT CAST(count(*) AS BIGINT) AS n_base_items FROM bs$ib) " +
-        "SELECT nb.n_base_items, gp.n_items, gp.n_items - nb.n_base_items AS n_new_items, " +
-        "ov.top10_overlap, gp.mean_abs_gap FROM nb, gp, ov"
-    },
-
-    "x132_bt_convergence" ->
-      // two-level fold (btConvergence's oracle twin): sorted |Δ| fold per
-      // doc_id%√n bucket, then a bucket-ordered fold of the bucket sums
-      (s"WITH ${btCtes(Preference.Iters)}, " +
-        "cfb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM bst), " +
-        (0 until Preference.Iters).map { k =>
-          s"dj$k AS (SELECT a.doc_id % (SELECT b FROM cfb) AS bkt, " +
-            "list_aggregate(list_sort(list(abs(b.s - a.s))), 'sum') AS ps " +
-            s"FROM s$k a JOIN s${k + 1} b USING (doc_id) GROUP BY 1), " +
-            s"dl$k AS (SELECT CAST(${k + 1} AS BIGINT) AS iter, " +
-            s"list_aggregate(list(ps ORDER BY bkt), 'sum') AS l1_delta FROM dj$k)"
-        }.mkString(", ") + " " +
-        (0 until Preference.Iters).map(k => s"SELECT * FROM dl$k").mkString(" UNION ALL ")),
-
-    "x130_lr_classify" ->
-      lrClassifySql(Trainer.Buckets, Trainer.Iters),
-
-    "x147_best_of_n" ->
-      (s"WITH ${bonCtes(Trainer.Buckets, Trainer.Iters)}, " +
-        "bstt AS (SELECT prompt_id, CAST(count(*) AS BIGINT) AS n_candidates, " +
-        "list_aggregate(list_sort(list(score)), 'sum')/count(*) AS mean_score FROM bpl GROUP BY 1), " +
-        "bbst AS (SELECT prompt_id, doc_id AS best_doc, score AS best_score FROM brn WHERE rn = 1), " +
-        "bsec AS (SELECT prompt_id, score AS second_score FROM brn WHERE rn = 2) " +
-        "SELECT t.prompt_id, t.n_candidates, b.best_doc, b.best_score, s2.second_score, " +
-        "b.best_score - s2.second_score AS margin, t.mean_score " +
-        "FROM bstt t JOIN bbst b USING (prompt_id) LEFT JOIN bsec s2 USING (prompt_id)"),
-
-    "x148_bon_preference_fit" ->
-      (s"WITH ${bonCtes(Trainer.Buckets, Trainer.Iters)}, " +
-        "bw AS (SELECT prompt_id, doc_id AS w FROM brn WHERE rn = 1), " +
-        "bls AS (SELECT l.prompt_id, l.doc_id AS lid, bw.w AS w FROM brn l " +
-        "JOIN bw USING (prompt_id) WHERE l.rn > 1), " +
-        "bnpf AS (SELECT least(w, lid) AS doc_a, greatest(w, lid) AS doc_b, w AS winner FROM bls), " +
-        "bngm AS (SELECT doc_a AS i, doc_b AS j FROM bnpf UNION ALL SELECT doc_b, doc_a FROM bnpf), " +
-        "bngc AS (SELECT i AS doc_id, CAST(count(*) AS BIGINT) AS games FROM bngm GROUP BY 1), " +
-        "bnwc AS (SELECT winner AS doc_id, CAST(count(*) AS BIGINT) AS wins FROM bnpf GROUP BY 1), " +
-        "bnst AS MATERIALIZED (SELECT g.doc_id, coalesce(w2.wins, CAST(0 AS BIGINT)) AS wins, g.games " +
-        "FROM bngc g LEFT JOIN bnwc w2 USING (doc_id)), " +
-        "bns0 AS (SELECT doc_id, CAST(1.0 AS DOUBLE) AS s FROM bnst), " +
-        btChain("bn", "bngm", "bnst", "bns0", Preference.Iters) + " " +
-        s"SELECT bnst.doc_id, bnst.wins, bnst.games, s.s AS strength " +
-        s"FROM bnst JOIN bns${Preference.Iters} s USING (doc_id)"),
-
-    // x175: first-user-turn digests over the shared chat chain, dup
-    // groups with the min-id survivor.
-    "x175_sft_prompt_dedup" ->
-      (s"WITH $chatCtes, " +
-        "spd AS (SELECT doc_id, md5(content) AS prompt_digest FROM tt " +
-        "WHERE turn_idx = 1 AND role = 'user'), " +
-        "spg AS (SELECT prompt_digest, CAST(count(*) AS BIGINT) AS group_size, " +
-        "min(doc_id) AS keeper FROM spd GROUP BY 1 HAVING count(*) >= 2) " +
-        "SELECT p.prompt_digest, p.doc_id, g.group_size, p.doc_id = g.keeper AS keep " +
-        "FROM spd p JOIN spg g USING (prompt_digest)"),
-
-    // x174: the brn ranking joined to doc lengths; winner-vs-loser pairs,
-    // exact counts, pair-weighted means.
-    "x174_length_bias_audit" ->
-      (s"WITH ${bonCtes(Trainer.Buckets, Trainer.Iters)}, " +
-        "lbl AS (SELECT r.prompt_id, r.rn, d.n_chars FROM brn r " +
-        "JOIN documents d USING (doc_id)), " +
-        "lbw AS (SELECT prompt_id, n_chars AS w_chars FROM lbl WHERE rn = 1), " +
-        "lbp AS (SELECT l.prompt_id, l.n_chars AS l_chars, w.w_chars FROM lbl l " +
-        "JOIN lbw w USING (prompt_id) WHERE l.rn > 1) " +
-        "SELECT CAST(count(DISTINCT prompt_id) AS BIGINT) AS n_pools, " +
-        "CAST(count(*) AS BIGINT) AS n_pairs, " +
-        "CAST(sum(CASE WHEN w_chars > l_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_winner_longer, " +
-        "CAST(sum(CASE WHEN w_chars > l_chars THEN 1 ELSE 0 END) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS frac_winner_longer, " +
-        "CAST(sum(w_chars) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS mean_winner_chars, " +
-        "CAST(sum(l_chars) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS mean_loser_chars " +
-        "FROM lbp"),
-
-    // x169: pool means over bpl, per-candidate desirability, 1-row class
-    // counts, rebalance weight.
-    "x169_kto_export" ->
-      (s"WITH ${bonCtes(Trainer.Buckets, Trainer.Iters)}, " +
-        "kmn AS (SELECT prompt_id, list_aggregate(list_sort(list(score)), 'sum')/count(*) AS pool_mean FROM bpl GROUP BY 1), " +
-        "klb AS (SELECT b.prompt_id, b.doc_id, b.score, m.pool_mean, " +
-        "b.score >= m.pool_mean AS desirable FROM bpl b JOIN kmn m USING (prompt_id)), " +
-        "kct AS (SELECT CAST(sum(CASE WHEN desirable THEN 1 ELSE 0 END) AS BIGINT) AS n_d, " +
-        "CAST(sum(CASE WHEN desirable THEN 0 ELSE 1 END) AS BIGINT) AS n_u FROM klb) " +
-        "SELECT prompt_id, doc_id, score, pool_mean, desirable, " +
-        "CASE WHEN desirable THEN 1.0 ELSE CAST(n_d AS DOUBLE)/CAST(n_u AS DOUBLE) END AS weight " +
-        "FROM klb, kct"),
-
-    // Chosen = pool rank 1, rejected = pool rank n_candidates, both from
-    // the SAME brn ranking; the DpoMinMargin literal is embedded below so
-    // the floor itself is oracle-verified.
-    "x149_dpo_pairs" ->
-      (s"WITH ${bonCtes(Trainer.Buckets, Trainer.Iters)}, " +
-        "dct AS (SELECT prompt_id, CAST(count(*) AS BIGINT) AS n_candidates FROM brn GROUP BY 1), " +
-        "dch AS (SELECT prompt_id, doc_id AS chosen_doc, score AS chosen_score FROM brn WHERE rn = 1), " +
-        "drj AS (SELECT r.prompt_id, c.n_candidates, r.doc_id AS rejected_doc, r.score AS rejected_score " +
-        "FROM brn r JOIN dct c USING (prompt_id) WHERE r.rn = c.n_candidates AND c.n_candidates >= 2) " +
-        "SELECT r.prompt_id, r.n_candidates, ch.chosen_doc, ch.chosen_score, " +
-        "r.rejected_doc, r.rejected_score, ch.chosen_score - r.rejected_score AS margin " +
-        "FROM drj r JOIN dch ch USING (prompt_id) " +
-        s"WHERE ch.chosen_score - r.rejected_score >= ${Preference.DpoMinMargin}"),
-
-    // Exact-integer window prefix sums over the hash-shuffled per-source
-    // order; the budget literal is embedded (Curate.TokenMixBudget).
-    "x150_token_budget_mix" -> {
-      val b = Curate.TokenMixBudget
-      s"WITH t AS ($toksCte), " +
-        "tn AS (SELECT t.doc_id, d.source, CAST(len(t.toks) AS BIGINT) AS nt, " +
-        "CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR) || ':tokmix'), 1, 8)) AS BIGINT)/4294967296.0 AS u " +
-        "FROM t JOIN documents d ON t.doc_id = d.doc_id), " +
-        "tc AS (SELECT *, sum(nt) OVER (PARTITION BY source ORDER BY u, doc_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM tn) " +
-        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs_total, " +
-        "CAST(sum(nt) AS BIGINT) AS tokens_total, " +
-        s"CAST(sum(CASE WHEN cum <= $b THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept, " +
-        s"CAST(sum(CASE WHEN cum <= $b THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept, " +
-        s"CAST($b AS BIGINT) AS budget, " +
-        s"CAST(sum(CASE WHEN cum <= $b THEN nt ELSE 0 END) AS DOUBLE)/$b.0 AS fill_frac " +
-        "FROM tc GROUP BY source"
-    },
-
-    "x151_lr_influence" ->
-      lrInfluenceSql(Trainer.Buckets, Trainer.Iters, Trainer.InfluenceTopK),
-
-    "x159_influence_by_source" ->
-      lrInfluenceBySourceSql(Trainer.Buckets, Trainer.Iters),
-
-    // x178: the isc chain, per-class exact ntile(4) (x108's proven
-    // NTILE parity with exactNtile), √n folds + per-class totals.
-    "x178_influence_quartiles" ->
-      (s"WITH ${lrInfluenceChain(Trainer.Buckets, Trainer.Iters)}, " +
-        "qfb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM tr), " +
-        "qnb AS (SELECT doc_id, y, influence, " +
-        "CAST(ntile(4) OVER (PARTITION BY y ORDER BY influence, doc_id) AS BIGINT) AS bin FROM isc), " +
-        "qct AS (SELECT y, CAST(count(*) AS BIGINT) AS n_class FROM qnb GROUP BY 1), " +
-        "qg1 AS (SELECT y, bin, doc_id % (SELECT b FROM qfb) AS bkt, " +
-        "CAST(count(*) AS BIGINT) AS n, " +
-        "list_aggregate(list_sort(list(influence)), 'sum') AS s FROM qnb GROUP BY 1, 2, 3) " +
-        "SELECT g.y, g.bin, CAST(sum(g.n) AS BIGINT) AS n, " +
-        "CAST(sum(g.n) AS DOUBLE)/CAST(c.n_class AS DOUBLE) AS share_of_class, " +
-        "list_aggregate(list(g.s ORDER BY g.bkt), 'sum')/CAST(sum(g.n) AS DOUBLE) AS mean_influence " +
-        "FROM qg1 g JOIN qct c USING (y) GROUP BY g.y, g.bin, c.n_class"),
-
-    // x166: x159's per-source mean-influence chain → bounded weights →
-    // per-source budgets → the x150 prefix rule with each source's own cut.
-    "x166_influence_informed_mix" ->
-      (s"WITH ${lrInfluenceChain(Trainer.Buckets, Trainer.Iters)}, " +
-        "sfb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM tr), " +
-        "sg1 AS (SELECT d.source, isc.doc_id % (SELECT b FROM sfb) AS bkt, " +
-        "CAST(count(*) AS BIGINT) AS n, " +
-        "list_aggregate(list_sort(list(influence)), 'sum') AS ps " +
-        "FROM isc JOIN documents d ON isc.doc_id = d.doc_id GROUP BY 1, 2), " +
-        "misrc AS (SELECT source, " +
-        "list_aggregate(list(ps ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS mean_influence " +
-        "FROM sg1 GROUP BY source), " +
-        "mmx AS (SELECT max(abs(mean_influence)) AS maxabs FROM misrc), " +
-        "mwt AS (SELECT source, mean_influence, " +
-        "CASE WHEN mmx.maxabs > 0 THEN 1.0 + 0.5*(mean_influence/mmx.maxabs) ELSE 1.0 END AS weight " +
-        "FROM misrc, mmx), " +
-        s"mbg AS (SELECT source, mean_influence, weight, " +
-        s"CAST(floor(CAST(${Curate.TokenMixBudget} AS DOUBLE) * weight) AS BIGINT) AS budget FROM mwt), " +
-        "tn AS (SELECT t.doc_id, d.source, CAST(len(t.toks) AS BIGINT) AS nt, " +
-        "CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR) || ':tokmix'), 1, 8)) AS BIGINT)/4294967296.0 AS u " +
-        "FROM t JOIN documents d ON t.doc_id = d.doc_id), " +
-        "tc AS (SELECT *, sum(nt) OVER (PARTITION BY source ORDER BY u, doc_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM tn), " +
-        "agx AS (SELECT tc.source, CAST(count(*) AS BIGINT) AS n_docs_total, " +
-        "CAST(sum(nt) AS BIGINT) AS tokens_total, " +
-        "CAST(sum(CASE WHEN cum <= b.budget THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept, " +
-        "CAST(sum(CASE WHEN cum <= b.budget THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept, " +
-        "max(b.budget) AS budget FROM tc LEFT JOIN mbg b ON tc.source = b.source GROUP BY 1) " +
-        "SELECT a.source, b.mean_influence, b.weight, CAST(a.budget AS BIGINT) AS budget, " +
-        "a.n_docs_total, a.tokens_total, a.n_docs_kept, a.tokens_kept, " +
-        "CAST(a.tokens_kept AS DOUBLE)/CAST(a.budget AS DOUBLE) AS fill_frac " +
-        "FROM agx a LEFT JOIN mbg b USING (source)"),
-
-    "x127_groupwise_split" ->
-      (s"WITH RECURSIVE $groupSplitCtes SELECT doc_id, group_id, split FROM ga"),
-
-    "x141_contrastive_pairs" ->
-      ("WITH q AS (SELECT vec_id AS q_id, label AS q_label, " +
-        "CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
-        "sp AS (SELECT q_id, vec_id, " +
-        s"${dotSql("qe", "CAST(embedding AS DOUBLE[])")} AS cos " +
-        "FROM embeddings, q WHERE q_id <> vec_id AND q_label = label), " +
-        "rp AS (SELECT q_id, vec_id, cos, " +
-        "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM sp), " +
-        "pos AS (SELECT q_id, vec_id AS pos_id, cos AS pos_cos FROM rp WHERE rank = 1), " +
-        "sn AS (SELECT q_id, vec_id, " +
-        s"${dotSql("qe", "CAST(embedding AS DOUBLE[])")} AS cos " +
-        "FROM embeddings, q WHERE q_id <> vec_id AND q_label <> label), " +
-        "rn AS (SELECT q_id, vec_id, cos, " +
-        "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM sn), " +
-        "neg AS (SELECT q_id, vec_id AS neg_id, cos AS neg_cos, CAST(rank AS BIGINT) AS neg_rank " +
-        "FROM rn WHERE rank <= 3) " +
-        "SELECT p.q_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos, n.neg_rank, " +
-        "p.pos_cos - n.neg_cos AS margin FROM pos p JOIN neg n USING (q_id)"),
-
-    "x140_mmr_select" -> {
-      val k = 10
-      val steps = (2 to k).map { t =>
-        s"mx$t AS (SELECT c.vec_id, max(${dotSql("c.emb", "s.emb")}) AS m " +
-          s"FROM cand c, acc${t - 1} s " +
-          s"WHERE c.vec_id NOT IN (SELECT vec_id FROM acc${t - 1}) GROUP BY c.vec_id), " +
-          s"s$t AS (SELECT c.vec_id, c.rel, 0.7*c.rel - 0.3*mx.m AS score " +
-          s"FROM cand c JOIN mx$t mx USING (vec_id)), " +
-          s"p$t AS MATERIALIZED (SELECT vec_id FROM s$t ORDER BY score DESC, vec_id LIMIT 1), " +
-          s"acc$t AS MATERIALIZED (SELECT * FROM acc${t - 1} " +
-          s"UNION ALL SELECT c.vec_id, c.emb FROM cand c JOIN p$t USING (vec_id))"
-      }.mkString(", ")
-      val rows = (1 to k).map { t =>
-        s"SELECT CAST($t AS BIGINT) AS rank, c.vec_id, c.rel, s.score AS mmr_score " +
-          s"FROM p$t JOIN s$t s USING (vec_id) JOIN cand c USING (vec_id)"
-      }.mkString(" UNION ALL ")
-      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-        "q AS (SELECT emb AS qe FROM e WHERE vec_id = 0), " +
-        s"cand AS MATERIALIZED (SELECT vec_id, emb, ${dotSql("emb", "qe")} AS rel " +
-        "FROM e, q WHERE vec_id <> 0), " +
-        "s1 AS (SELECT vec_id, rel, 0.7*rel - 0.3*0.0 AS score FROM cand), " +
-        "p1 AS MATERIALIZED (SELECT vec_id FROM s1 ORDER BY score DESC, vec_id LIMIT 1), " +
-        "acc1 AS MATERIALIZED (SELECT c.vec_id, c.emb FROM cand c JOIN p1 USING (vec_id)), " +
-        steps + " " + rows
-    },
-
-    "x139_quality_drift" ->
-      (s"WITH t AS ($toksCte), " +
-        "qm AS (SELECT d.doc_id, d.source, least(CAST(len(t.toks) AS DOUBLE)/50.0, 1.0)*0.5 " +
-        s"+ (CAST(len(list_filter(t.toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(t.toks))*0.25 " +
-        "+ (CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)/length(d.text))*0.25 AS q " +
-        "FROM documents d JOIN t ON d.doc_id = t.doc_id), " +
-        "qb AS (SELECT doc_id, (source = 'src0') AS a, " +
-        "CAST(least(floor(q*10.0), 9.0) AS BIGINT) AS bin FROM qm), " +
-        "ca AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_a FROM qb WHERE a GROUP BY 1), " +
-        "cb AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_b FROM qb WHERE NOT a GROUP BY 1), " +
-        "ta AS (SELECT CAST(count(*) AS BIGINT) AS t_a FROM qb WHERE a), " +
-        "tb AS (SELECT CAST(count(*) AS BIGINT) AS t_b FROM qb WHERE NOT a), " +
-        "j AS (SELECT coalesce(ca.bin, cb.bin) AS bin, " +
-        "coalesce(ca.n_a, CAST(0 AS BIGINT)) AS n_a, coalesce(cb.n_b, CAST(0 AS BIGINT)) AS n_b " +
-        "FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin), " +
-        "sh AS (SELECT bin, n_a, n_b, CAST(n_a AS DOUBLE)/CAST(t_a AS DOUBLE) AS share_a, " +
-        "CAST(n_b AS DOUBLE)/CAST(t_b AS DOUBLE) AS share_b FROM j, ta, tb) " +
-        "SELECT bin, n_a, n_b, share_a, share_b, abs(share_a - share_b) AS abs_diff, " +
-        "(share_a - share_b)*(share_a - share_b)/(share_a + share_b) AS chi2_term FROM sh"),
-
-    "x138_split_incremental" -> {
-      def dr(x: String, salt: String) =
-        s"CAST(('0x' || substr(md5(CAST($x AS VARCHAR) || ':$salt'), 1, 8)) AS BIGINT)/4294967296.0"
-      s"WITH RECURSIVE $groupSplitCtes, " +
-        s"bb AS (SELECT doc_id FROM documents WHERE ${dr("doc_id", "batch")} < 0.8), " +
-        "bp AS (SELECT p.doc_a, p.doc_b FROM pairs p " +
-        "JOIN bb x ON p.doc_a = x.doc_id JOIN bb y ON p.doc_b = y.doc_id), " +
-        "bedges AS (SELECT doc_a AS src, doc_b AS dst FROM bp " +
-        "UNION SELECT doc_b, doc_a FROM bp), " +
-        "breach AS (SELECT src, dst FROM bedges " +
-        "UNION (SELECT r.src, e.dst FROM breach r JOIN bedges e ON r.dst = e.src)), " +
-        "bcomp AS (SELECT src AS doc_id, least(src, min(dst)) AS canonical_id " +
-        "FROM breach GROUP BY src), " +
-        "bga AS (SELECT d.doc_id, coalesce(bcomp.canonical_id, d.doc_id) AS group_id, " +
-        s"CASE WHEN ${dr("coalesce(bcomp.canonical_id, d.doc_id)", "gsplit")} < 0.9 " +
-        "THEN 'train' ELSE 'eval' END AS split " +
-        "FROM bb d LEFT JOIN bcomp ON d.doc_id = bcomp.doc_id), " +
-        "cpx AS (SELECT p.doc_a, p.doc_b, " +
-        s"(${dr("p.doc_a", "batch")} < 0.8) AS ab, (${dr("p.doc_b", "batch")} < 0.8) AS bb2 " +
-        "FROM pairs p), " +
-        "cp AS (SELECT CASE WHEN ab THEN doc_b ELSE doc_a END AS bdoc, " +
-        "CASE WHEN ab THEN doc_a ELSE doc_b END AS mdoc FROM cpx WHERE ab <> bb2), " +
-        "inh AS (SELECT cp.bdoc AS doc_id, min(bga.group_id) AS g " +
-        "FROM cp JOIN bga ON cp.mdoc = bga.doc_id GROUP BY 1), " +
-        s"btd AS (SELECT doc_id FROM documents WHERE NOT (${dr("doc_id", "batch")} < 0.8)), " +
-        "igs AS (SELECT btd.doc_id, " +
-        s"CASE WHEN ${dr("coalesce(inh.g, btd.doc_id)", "gsplit")} < 0.9 " +
-        "THEN 'train' ELSE 'eval' END AS split " +
-        "FROM btd LEFT JOIN inh ON btd.doc_id = inh.doc_id), " +
-        "nb AS (SELECT CAST(count(*) AS BIGINT) AS n_base FROM bb), " +
-        "nt2 AS (SELECT CAST(count(*) AS BIGINT) AS n_batch FROM btd), " +
-        "na AS (SELECT CAST(count(*) AS BIGINT) AS n_attached FROM inh), " +
-        "bag AS (SELECT CAST(sum(CASE WHEN i.split = f.split THEN 1 ELSE 0 END) AS DOUBLE)/count(*) " +
-        "AS batch_split_agreement FROM igs i JOIN ga f USING (doc_id)), " +
-        "bst AS (SELECT CAST(sum(CASE WHEN b.split = f.split THEN 1 ELSE 0 END) AS DOUBLE)/count(*) " +
-        "AS base_split_stability FROM bga b JOIN ga f USING (doc_id)) " +
-        "SELECT nb.n_base, nt2.n_batch, na.n_attached, bag.batch_split_agreement, " +
-        "bst.base_split_stability FROM nb, nt2, na, bag, bst"
-    },
-
-    "x128_split_leakage_audit" ->
-      (s"WITH RECURSIVE $groupSplitCtes, " +
-        "na AS (SELECT doc_id, " +
-        "CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':gsplit'), 1, 8)) AS BIGINT)" +
-        "/4294967296.0 < 0.9 THEN 'train' ELSE 'eval' END AS split FROM documents), " +
-        "gc AS (SELECT CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train_gw, " +
-        "CAST(sum(CASE WHEN split = 'eval' THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_gw, " +
-        "CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups FROM ga), " +
-        "nc AS (SELECT CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train_naive, " +
-        "CAST(sum(CASE WHEN split = 'eval' THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_naive FROM na), " +
-        "cg AS (SELECT coalesce(CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT), 0) " +
-        "AS cross_pairs_gw FROM pairs p JOIN ga a ON p.doc_a = a.doc_id JOIN ga b ON p.doc_b = b.doc_id), " +
-        "cn AS (SELECT coalesce(CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT), 0) " +
-        "AS cross_pairs_naive FROM pairs p JOIN na a ON p.doc_a = a.doc_id JOIN na b ON p.doc_b = b.doc_id) " +
-        "SELECT gc.n_train_gw, gc.n_eval_gw, gc.n_groups, nc.n_train_naive, nc.n_eval_naive, " +
-        "cg.cross_pairs_gw, cn.cross_pairs_naive FROM gc, nc, cg, cn"),
-
-    "x55_curate_split" ->
-      ("WITH u AS (SELECT doc_id, lang, source, " +
-        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)) AS BIGINT)" +
-        "/4294967296.0 AS u FROM documents) " +
-        "SELECT doc_id, lang, source, CASE WHEN u < 0.9 THEN 'train' " +
-        "WHEN u < 0.9500000000000001 THEN 'val' ELSE 'test' END AS split FROM u"),
-
-    "x56_curate_source_quota" ->
-      (s"WITH t AS ($toksCte), d AS (SELECT doc_id, source, toks, text FROM documents JOIN t USING (doc_id)), " +
-        "m AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens, " +
-        s"CAST(len(list_filter(toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(toks) AS stopword_ratio, " +
-        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/length(text) AS alpha_ratio " +
-        "FROM d), " +
-        "s AS (SELECT doc_id, source, least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5 " +
-        "+ stopword_ratio*0.25 + alpha_ratio*0.25 AS quality_score FROM m), " +
-        "r AS (SELECT doc_id, source, quality_score, " +
-        "CAST(row_number() OVER (PARTITION BY source ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rank FROM s) " +
-        "SELECT doc_id, source, quality_score, rank FROM r WHERE rank <= 5"),
-
-    "x57_curate_length_clip" ->
-      ("WITH th AS (SELECT quantile_cont(n_chars, 0.05) AS lo, " +
-        "quantile_cont(n_chars, 0.95) AS hi FROM documents) " +
-        "SELECT doc_id, lang, source, n_chars FROM documents, th " +
-        "WHERE n_chars >= lo AND n_chars <= hi"),
-
-    "x68_text_hash_embedding" ->
-      (s"WITH t AS ($toksCte) SELECT doc_id, " +
-        (0 until 8).map { j =>
-          s"CAST(len(list_filter(toks, tk -> CAST(('0x' || substr(md5(tk), 1, 4)) AS INT) % 8 = $j " +
-            s"AND CAST(('0x' || substr(md5(tk), 5, 1)) AS INT) % 2 = 0)) " +
-            s"- len(list_filter(toks, tk -> CAST(('0x' || substr(md5(tk), 1, 4)) AS INT) % 8 = $j " +
-            s"AND CAST(('0x' || substr(md5(tk), 5, 1)) AS INT) % 2 = 1)) AS BIGINT) AS h$j"
-        }.mkString(", ") + " FROM t"),
-
-    "x67_emb_centroid_exact" -> centroidExactSql(""),
-
-    // x31's checked form: the compared values ARE the sorted-fold exact
-    // means (x67's oracle); the partial-agg verdict is an in-engine TRUE.
-    "x31_emb_group_centroid" -> centroidExactSql(", TRUE AS partial_agg_close"),
-
-    "x66_token_lift" ->
-      (s"WITH t AS ($toksCte), " +
-        "ex AS (SELECT unnest(toks) AS tok FROM t), " +
-        "uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY 1), " +
-        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM ex), " +
-        "pr AS (SELECT unnest(list_transform(generate_series(1, len(toks)-1), " +
-        "i -> struct_pack(tok_a := toks[i], tok_b := toks[i+1]))) AS p FROM t WHERE len(toks) >= 2), " +
-        "pairs AS (SELECT p.tok_a AS tok_a, p.tok_b AS tok_b, CAST(count(*) AS BIGINT) AS n_ab " +
-        "FROM pr GROUP BY 1, 2 HAVING count(*) >= 5) " +
-        "SELECT tok_a, tok_b, n_ab, " +
-        "CAST(n_ab * n_total AS DOUBLE) / CAST(a.n * b.n AS DOUBLE) AS lift " +
-        "FROM pairs JOIN uni a ON tok_a = a.tok JOIN uni b ON tok_b = b.tok, tot"),
-
-    "x65_source_overlap" ->
-      (s"WITH t AS ($toksCte), sh AS ($shinglesCte), " +
-        "ss AS (SELECT DISTINCT d.source, unnest(sh.shingles) AS shingle " +
-        "FROM sh JOIN documents d USING (doc_id)), " +
-        "sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ss GROUP BY 1), " +
-        "c AS (SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS n_common " +
-        "FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source <> b.source GROUP BY 1, 2) " +
-        "SELECT source_a, source_b, n_common, CAST(n_common AS DOUBLE)/sz.n AS containment " +
-        "FROM c JOIN sz ON c.source_a = sz.source"),
-
-    "x63_corpus_diff" ->
-      ("WITH v2 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text, " +
-        "lang, source FROM documents WHERE doc_id % 13 <> 0 " +
-        "UNION ALL SELECT doc_id + 10000, text, lang, source FROM documents WHERE doc_id % 11 = 0), " +
-        "a AS (SELECT doc_id, md5(text || chr(1) || lang || chr(1) || source) AS fp_old FROM documents), " +
-        "b AS (SELECT doc_id, md5(text || chr(1) || lang || chr(1) || source) AS fp_new FROM v2), " +
-        "d AS (SELECT doc_id, CASE WHEN fp_old IS NULL THEN 'added' WHEN fp_new IS NULL THEN 'removed' " +
-        "WHEN fp_old <> fp_new THEN 'changed' ELSE 'unchanged' END AS status " +
-        "FROM a FULL OUTER JOIN b USING (doc_id)) " +
-        "SELECT status, CAST(count(*) AS BIGINT) AS n_keys, min(doc_id) AS min_key, " +
-        "max(doc_id) AS max_key FROM d GROUP BY status"),
-
-    "x62_text_collapse_repeats" ->
-      ("WITH t AS (SELECT doc_id, string_split(text || ' um um um ok', ' ') AS l FROM documents) " +
-        "SELECT doc_id, " +
-        "array_to_string(list_filter(l, (x, i) -> i = 1 OR x <> l[i-1]), ' ') AS clean_text, " +
-        "CAST(len(l) - len(list_filter(l, (x, i) -> i = 1 OR x <> l[i-1])) AS BIGINT) AS n_collapsed " +
-        "FROM t"),
-
-    "x61_curate_pii_profile" ->
-      ("WITH d AS (SELECT doc_id, lang, source, text || " +
-        "(CASE WHEN doc_id % 3 = 0 THEN ' reach a.b@c.example.com' ELSE '' END) || " +
-        "(CASE WHEN doc_id % 5 = 0 THEN ' call +1 212 555 0199 from 10.0.0.1' ELSE '' END) AS t " +
-        "FROM documents) " +
-        s"SELECT doc_id, lang, source, " +
-        s"CAST(len(regexp_extract_all(t, '${Curate.EmailRe}')) AS BIGINT) AS n_emails, " +
-        s"CAST(len(regexp_extract_all(t, '${Curate.PhoneRe}')) AS BIGINT) AS n_phones, " +
-        s"CAST(len(regexp_extract_all(t, '${Curate.Ipv4Re}')) AS BIGINT) AS n_ipv4, " +
-        s"(len(regexp_extract_all(t, '${Curate.EmailRe}')) + " +
-        s"len(regexp_extract_all(t, '${Curate.PhoneRe}')) + " +
-        s"len(regexp_extract_all(t, '${Curate.Ipv4Re}'))) > 0 AS has_pii FROM d"),
-
-    "x60_bpe_pair_counts" ->
-      ("WITH p AS (SELECT unnest(regexp_extract_all(text, " +
-        "'''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')) AS pretok FROM documents), " +
-        "f AS (SELECT pretok, CAST(count(*) AS BIGINT) AS freq FROM p GROUP BY 1), " +
-        "pairs AS (SELECT freq, unnest(list_transform(generate_series(1, length(pretok)-1), " +
-        "i -> substr(pretok, i, 2))) AS pair FROM f WHERE length(pretok) >= 2) " +
-        "SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM pairs GROUP BY 1 HAVING sum(freq) >= 2"),
-
-    "x59_curate_flatten" ->
-      ("WITH b AS (SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) // 100 AS bucket FROM documents), " +
-        "c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_b FROM b GROUP BY 1), " +
-        "m AS (SELECT min(n_b) AS min_n FROM c), " +
-        "u AS (SELECT doc_id, lang, source, bucket, " +
-        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':flat'), 1, 8)) AS BIGINT)" +
-        "/4294967296.0 AS u FROM b) " +
-        "SELECT doc_id, bucket, lang, source FROM u JOIN c USING (bucket), m " +
-        "WHERE u < CAST(min_n AS DOUBLE)/CAST(n_b AS DOUBLE)"),
-
-    "x51_curate_mixture_sample" ->
-      ("WITH w(lang, epochs) AS (VALUES ('en', 2.25), ('zh', 1.0), ('de', 0.5), " +
-        "('es', 0.25), ('fr', 1.5)), " +
-        "u AS (SELECT doc_id, d.lang, epochs, " +
-        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)) AS BIGINT)" +
-        "/4294967296.0 AS u FROM documents d JOIN w ON d.lang = w.lang), " +
-        "n AS (SELECT doc_id, lang, CAST(floor(epochs) + " +
-        "CASE WHEN u < epochs - floor(epochs) THEN 1 ELSE 0 END AS BIGINT) AS n_copies FROM u) " +
-        "SELECT doc_id, lang, unnest(generate_series(1, n_copies)) AS epoch " +
-        "FROM n WHERE n_copies > 0"),
-
-    "x52_text_repetition" ->
-      (s"WITH t AS ($toksCte), " +
-        "g AS (SELECT doc_id, CASE WHEN len(toks) >= 2 " +
-        "THEN list_transform(generate_series(1, len(toks)-1), i -> array_to_string(toks[i:i+1], ' ')) " +
-        "ELSE [array_to_string(toks, ' ')] END AS grams FROM t), " +
-        "m AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_2grams, " +
-        "CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_2grams, " +
-        "CAST(list_aggregate(list_transform(list_distinct(grams), " +
-        "gg -> len(list_filter(grams, x -> x = gg))), 'max') AS BIGINT) AS top_2gram_count FROM g) " +
-        "SELECT doc_id, n_2grams, n_distinct_2grams, top_2gram_count, " +
-        "CAST(n_2grams - n_distinct_2grams AS DOUBLE)/n_2grams AS dup_2gram_frac, " +
-        "CAST(top_2gram_count AS DOUBLE)/n_2grams AS top_2gram_frac, " +
-        "(CAST(n_2grams - n_distinct_2grams AS DOUBLE)/n_2grams > 0.2 " +
-        "OR CAST(top_2gram_count AS DOUBLE)/n_2grams > 0.18) AS is_repetitive FROM m"),
-
-    "x53_emb_random_projection" ->
-      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) " +
-        "SELECT vec_id, " +
-        (0 until Similarity.Planes).map(p =>
-          s"${dotSql("emb", Similarity.planeSql(p))} AS p$p").mkString(", ") +
-        " FROM e"),
-
-    "x54_curate_quality_bins" ->
-      (s"WITH t AS ($toksCte), d AS (SELECT doc_id, toks, text FROM documents JOIN t USING (doc_id)), " +
-        "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
-        s"CAST(len(list_filter(toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(toks) AS stopword_ratio, " +
-        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/length(text) AS alpha_ratio " +
-        "FROM d), " +
-        "s AS (SELECT doc_id, n_tokens, least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5 " +
-        "+ stopword_ratio*0.25 + alpha_ratio*0.25 AS quality_score FROM m), " +
-        "b AS (SELECT doc_id, n_tokens, quality_score, " +
-        "CAST(ntile(10) OVER (ORDER BY quality_score, doc_id) AS BIGINT) AS bin FROM s) " +
-        "SELECT bin, CAST(count(*) AS BIGINT) AS n_docs, min(quality_score) AS min_score, " +
-        "max(quality_score) AS max_score, CAST(sum(n_tokens) AS BIGINT) AS total_tokens " +
-        "FROM b GROUP BY bin"),
-
-    // x187: x54's quality-score CTEs, deciles on (−score, doc_id)
-    // best-first (native NTILE — x108's proven exactNtile parity), then
-    // cumulative sums over the 10 decile rows + the 1-row token total.
-    "x187_quality_mass_curve" ->
-      (s"WITH t AS ($toksCte), d AS (SELECT doc_id, toks, text FROM documents JOIN t USING (doc_id)), " +
-        "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
-        s"CAST(len(list_filter(toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(toks) AS stopword_ratio, " +
-        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/length(text) AS alpha_ratio " +
-        "FROM d), " +
-        "s AS (SELECT doc_id, n_tokens, least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5 " +
-        "+ stopword_ratio*0.25 + alpha_ratio*0.25 AS quality_score FROM m), " +
-        "b AS (SELECT doc_id, n_tokens, " +
-        "CAST(ntile(10) OVER (ORDER BY -quality_score, doc_id) AS BIGINT) AS bin FROM s), " +
-        "pq AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM b GROUP BY 1), " +
-        "qt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM pq) " +
-        "SELECT bin, n_docs, n_tokens, " +
-        "CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs, " +
-        "CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens, " +
-        "CASE WHEN tt > 0 THEN CAST(sum(n_tokens) OVER w AS DOUBLE)/CAST(tt AS DOUBLE) END AS cum_token_share " +
-        "FROM pq, qt WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"),
-
-    // x196: x54's quality CTEs; per-length-bucket ntile (keyed) vs the
-    // global ntile (x108 parity), joined on doc_id, bucket rollup.
-    "x196_stratified_quality" ->
-      (s"WITH t AS ($toksCte), d AS (SELECT doc_id, toks, text FROM documents JOIN t USING (doc_id)), " +
-        "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
-        s"CAST(len(list_filter(toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(toks) AS stopword_ratio, " +
-        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/length(text) AS alpha_ratio " +
-        "FROM d), " +
-        "s AS (SELECT doc_id, n_tokens, least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5 " +
-        "+ stopword_ratio*0.25 + alpha_ratio*0.25 AS quality_score FROM m), " +
-        s"sq AS (SELECT doc_id, n_tokens, quality_score, n_tokens // ${Curate.StratLenBucket} AS lb FROM s), " +
-        "sb2 AS (SELECT doc_id, n_tokens, lb, " +
-        "CAST(ntile(10) OVER (PARTITION BY lb ORDER BY -quality_score, doc_id) AS BIGINT) AS sbin FROM sq), " +
-        "gb2 AS (SELECT doc_id, CAST(ntile(10) OVER (ORDER BY -quality_score, doc_id) AS BIGINT) AS gbin FROM sq) " +
-        "SELECT lb AS len_bucket, CAST(count(*) AS BIGINT) AS n_docs, " +
-        s"CAST(sum(CASE WHEN sbin <= ${Curate.StratKeepBins} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_strat, " +
-        s"CAST(sum(CASE WHEN gbin <= ${Curate.StratKeepBins} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_global, " +
-        s"CAST(sum(CASE WHEN sbin <= ${Curate.StratKeepBins} AND gbin <= ${Curate.StratKeepBins} THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap, " +
-        s"CAST(sum(CASE WHEN sbin <= ${Curate.StratKeepBins} THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept_strat, " +
-        s"CAST(sum(CASE WHEN gbin <= ${Curate.StratKeepBins} THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept_global " +
-        "FROM sb2 JOIN gb2 USING (doc_id) GROUP BY 1"),
-
-    // x197: rank-based median (avg of the two middle ranks — one row for
-    // odd n), floor(0.05n) trim with √n folds, second rank pass for MAD.
-    "x197_robust_quality" ->
-      (s"WITH t AS ($toksCte), d AS (SELECT doc_id, toks, text FROM documents JOIN t USING (doc_id)), " +
-        "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
-        s"CAST(len(list_filter(toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(toks) AS stopword_ratio, " +
-        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/length(text) AS alpha_ratio " +
-        "FROM d), " +
-        "s AS (SELECT doc_id, least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5 " +
-        "+ stopword_ratio*0.25 + alpha_ratio*0.25 AS quality_score FROM m), " +
-        "rn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s), " +
-        "rk AS (SELECT doc_id, quality_score AS v, " +
-        "CAST(row_number() OVER (ORDER BY quality_score, doc_id) AS BIGINT) AS r FROM s), " +
-        "rmed AS (SELECT avg(v) AS med FROM rk, rn WHERE r = (n + 1) // 2 OR r = n // 2 + 1), " +
-        "rfb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM s), " +
-        s"rtm AS (SELECT doc_id % (SELECT b FROM rfb) AS bkt, CAST(count(*) AS BIGINT) AS cn, " +
-        "list_aggregate(list_sort(list(v)), 'sum') AS ps FROM rk, rn " +
-        s"WHERE r > CAST(floor(${Curate.RobustTrimFrac} * n) AS BIGINT) " +
-        s"AND r <= n - CAST(floor(${Curate.RobustTrimFrac} * n) AS BIGINT) GROUP BY 1), " +
-        "rt2 AS (SELECT list_aggregate(list(ps ORDER BY bkt), 'sum')/CAST(sum(cn) AS DOUBLE) AS trimmed_mean FROM rtm), " +
-        "rdv AS (SELECT doc_id, abs(v - med) AS v FROM rk, rmed), " +
-        "rdr AS (SELECT doc_id, v, CAST(row_number() OVER (ORDER BY v, doc_id) AS BIGINT) AS r FROM rdv), " +
-        "rmad AS (SELECT avg(v) AS mad FROM rdr, rn WHERE r = (n + 1) // 2 OR r = n // 2 + 1), " +
-        "rmn AS (SELECT doc_id % (SELECT b FROM rfb) AS bkt, CAST(count(*) AS BIGINT) AS cn, " +
-        "list_aggregate(list_sort(list(v)), 'sum') AS ps FROM rk GROUP BY 1), " +
-        "rm2 AS (SELECT CAST(sum(cn) AS BIGINT) AS n, " +
-        "list_aggregate(list(ps ORDER BY bkt), 'sum')/CAST(sum(cn) AS DOUBLE) AS mean_quality FROM rmn) " +
-        "SELECT rm2.n, rm2.mean_quality, rmed.med AS median_quality, " +
-        "rt2.trimmed_mean, rmad.mad FROM rm2, rmed, rt2, rmad"),
-
-    // x199: x54's quality CTEs; per-source keyed rank windows, two-middle-
-    // rank averages, 20-row median frame joined back for the MAD pass.
-    "x199_source_robust_quality" ->
-      (s"WITH t AS ($toksCte), d AS (SELECT doc_id, toks, text FROM documents JOIN t USING (doc_id)), " +
-        "m AS (SELECT d.doc_id, doc2.source, CAST(len(toks) AS BIGINT) AS n_tokens, " +
-        s"CAST(len(list_filter(toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(toks) AS stopword_ratio, " +
-        "CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)/length(d.text) AS alpha_ratio " +
-        "FROM d JOIN documents doc2 ON d.doc_id = doc2.doc_id), " +
-        "s AS (SELECT doc_id, source, least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5 " +
-        "+ stopword_ratio*0.25 + alpha_ratio*0.25 AS v FROM m), " +
-        "sn AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1), " +
-        "sr AS (SELECT s.source, s.doc_id, s.v, sn.n, " +
-        "CAST(row_number() OVER (PARTITION BY s.source ORDER BY s.v, s.doc_id) AS BIGINT) AS r " +
-        "FROM s JOIN sn USING (source)), " +
-        "smed AS (SELECT source, avg(v) AS median_quality, max(n) AS n FROM sr " +
-        "WHERE r = (n + 1) // 2 OR r = n // 2 + 1 GROUP BY 1), " +
-        "sdv AS (SELECT s.source, s.doc_id, abs(s.v - smed.median_quality) AS v " +
-        "FROM s JOIN smed USING (source)), " +
-        "sdr AS (SELECT sdv.source, sdv.doc_id, sdv.v, sn.n, " +
-        "CAST(row_number() OVER (PARTITION BY sdv.source ORDER BY sdv.v, sdv.doc_id) AS BIGINT) AS r " +
-        "FROM sdv JOIN sn USING (source)), " +
-        "smad AS (SELECT source, avg(v) AS mad FROM sdr " +
-        "WHERE r = (n + 1) // 2 OR r = n // 2 + 1 GROUP BY 1) " +
-        "SELECT smed.source, CAST(smed.n AS BIGINT) AS n, smed.median_quality, smad.mad " +
-        "FROM smed JOIN smad USING (source)"),
-
-    // x194: x54's quality-score CTEs, √n id-hash groups with sorted
-    // folds, leave-one-out means, grp-ordered G-element folds, IEEE sqrt.
-    "x194_jackknife_quality" ->
-      (s"WITH t AS ($toksCte), d AS (SELECT doc_id, toks, text FROM documents JOIN t USING (doc_id)), " +
-        "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
-        s"CAST(len(list_filter(toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(toks) AS stopword_ratio, " +
-        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/length(text) AS alpha_ratio " +
-        "FROM d), " +
-        "s AS (SELECT doc_id, least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5 " +
-        "+ stopword_ratio*0.25 + alpha_ratio*0.25 AS quality_score FROM m), " +
-        "jg AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS g FROM documents), " +
-        "jp AS (SELECT doc_id % (SELECT g FROM jg) AS grp, CAST(count(*) AS BIGINT) AS ng, " +
-        "list_aggregate(list_sort(list(quality_score)), 'sum') AS sg FROM s GROUP BY 1), " +
-        "jt AS (SELECT CAST(sum(ng) AS BIGINT) AS n, " +
-        "list_aggregate(list(sg ORDER BY grp), 'sum') AS s2, CAST(count(*) AS BIGINT) AS ngrp FROM jp), " +
-        "jl AS (SELECT grp, (s2 - sg)/CAST(n - ng AS DOUBLE) AS mg, n, s2, ngrp FROM jp, jt), " +
-        "jm AS (SELECT n, s2, ngrp, list_aggregate(list(mg ORDER BY grp), 'sum')/CAST(ngrp AS DOUBLE) AS mbar FROM jl GROUP BY 1, 2, 3), " +
-        "jd AS (SELECT jl.grp, (jl.mg - jm.mbar)*(jl.mg - jm.mbar) AS dev, jl.n, jl.s2, jl.ngrp, jm.mbar FROM jl, jm), " +
-        "jv AS (SELECT n, s2, ngrp, mbar, list_aggregate(list(dev ORDER BY grp), 'sum') AS ss FROM jd GROUP BY 1, 2, 3, 4) " +
-        "SELECT n, ngrp AS n_groups, s2/CAST(n AS DOUBLE) AS mean_quality, " +
-        "sqrt(CAST(ngrp - 1 AS DOUBLE)/CAST(ngrp AS DOUBLE) * ss) AS jackknife_se, " +
-        "s2/CAST(n AS DOUBLE) - 2.0*sqrt(CAST(ngrp - 1 AS DOUBLE)/CAST(ngrp AS DOUBLE) * ss) AS ci_lo, " +
-        "s2/CAST(n AS DOUBLE) + 2.0*sqrt(CAST(ngrp - 1 AS DOUBLE)/CAST(ngrp AS DOUBLE) * ss) AS ci_hi FROM jv"),
-
-    // x188: quasi-identifier groupBy (metadata-bounded), group-size
-    // histogram below k, 1-row doc-total constant.
-    "x188_k_anonymity" ->
-      (s"WITH kg AS (SELECT source, lang, n_chars // ${Curate.KAnonLenBucket} AS lb, " +
-        "CAST(count(*) AS BIGINT) AS gs FROM documents GROUP BY 1, 2, 3), " +
-        s"kh AS (SELECT gs AS group_size, CAST(count(*) AS BIGINT) AS n_groups FROM kg WHERE gs < ${Curate.KAnonThreshold} GROUP BY 1), " +
-        "kt AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents) " +
-        "SELECT group_size, n_groups, group_size*n_groups AS n_docs, " +
-        "CAST(group_size*n_groups AS DOUBLE)/CAST(total AS DOUBLE) AS at_risk_frac FROM kh, kt"),
-
-    // x189: digest-partitioned copy rank, exact dyadic decay t/2^(r−1)
-    // (rank ≤ 63 guard, identical rule both engines), √n two-level folds
-    // for the double sums (x143's idiom).
-    "x189_effective_tokens" ->
-      (s"WITH $effTokenCtes " +
-        "SELECT source, CAST(sum(n) AS BIGINT) AS n_docs, CAST(sum(t) AS BIGINT) AS raw_tokens, " +
-        "CAST(sum(u) AS BIGINT) AS unique_tokens, " +
-        "list_aggregate(list(ps ORDER BY bkt), 'sum') AS effective_tokens, " +
-        "CASE WHEN sum(t) > 0 THEN list_aggregate(list(ps ORDER BY bkt), 'sum')/CAST(sum(t) AS DOUBLE) END AS effective_frac " +
-        "FROM e1 GROUP BY 1"),
-
-    // x198: x189's effective-mass chain sets the per-source budgets
-    // (floor(eff/2)); the x150-style salted prefix sampler consumes them.
-    "x198_effective_budget_mix" ->
-      (s"WITH $effTokenCtes, " +
-        "e2 AS (SELECT source, list_aggregate(list(ps ORDER BY bkt), 'sum') AS eff FROM e1 GROUP BY 1), " +
-        s"bgt AS (SELECT source, CAST(floor(eff * ${Curate.EffBudgetFrac}) AS BIGINT) AS budget FROM e2), " +
-        "wn AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt, " +
-        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':effmix'), 1, 8)) AS BIGINT)/4294967296.0 AS u FROM documents), " +
-        "wc AS (SELECT *, sum(nt) OVER (PARTITION BY source ORDER BY u, doc_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM wn) " +
-        "SELECT w.source, CAST(count(*) AS BIGINT) AS n_docs_total, " +
-        "CAST(sum(nt) AS BIGINT) AS tokens_total, " +
-        "CAST(sum(CASE WHEN cum <= b.budget THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept, " +
-        "CAST(sum(CASE WHEN cum <= b.budget THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept, " +
-        "b.budget AS budget, " +
-        "CAST(sum(CASE WHEN cum <= b.budget THEN nt ELSE 0 END) AS DOUBLE)/CAST(b.budget AS DOUBLE) AS fill_frac " +
-        "FROM wc w LEFT JOIN bgt b USING (source) GROUP BY w.source, b.budget"),
-
-    "x10_text_tokens" ->
-      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens, " +
-        "CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens, " +
-        "CAST(len(regexp_extract_all(text, " +
-        "'''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')) AS BIGINT) AS n_bpe_pretokens, " +
-        "CAST(ceil(CAST(length(text) AS DOUBLE)/4.0) AS BIGINT) AS n_bpe_est FROM documents"),
-
-    "x11_text_fingerprint" ->
-      ("WITH g AS (SELECT doc_id, CASE WHEN length(text) >= 8 " +
-        "THEN list_transform(generate_series(1, length(text)-7), i -> md5(substr(text, i, 8))) " +
-        "ELSE [md5(text)] END AS grams FROM documents) " +
-        "SELECT doc_id, list_aggregate(grams, 'min') AS fp_min, " +
-        "array_to_string(list_sort(grams)[1:4], '|') AS fp_top4 FROM g"),
-
-    "x12_multimodal_binary" ->
-      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
-        "base64(encode(substr(text, 1, 8))) AS prefix_b64 FROM documents"),
-
-    "x21_text_vocab" ->
-      ("SELECT tok, CAST(count(*) AS BIGINT) AS n_occ, " +
-        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs " +
-        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) " +
-        "GROUP BY tok HAVING count(*) >= 5"),
-
-    "x22_text_salient_terms" ->
-      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
-        "tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2), " +
-        "dfreq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY 1), " +
-        "s AS (SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df, " +
-        "CAST(tf.tf AS DOUBLE) / dfreq.df AS salience FROM tf JOIN dfreq USING (tok)), " +
-        "r AS (SELECT doc_id, tok, salience, " +
-        "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY salience DESC, tok) AS BIGINT) AS rank FROM s) " +
-        "SELECT doc_id, tok, salience, rank FROM r WHERE rank <= 3"),
-
-    "x23_curate_hash_sample" ->
-      ("SELECT doc_id, lang, source, n_chars FROM documents " +
-        "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s0'), 1, 4)) AS INT) % 10 = 0"),
-
-    "x24_curate_pii_redact" ->
-      ("SELECT doc_id, regexp_replace(regexp_replace(" +
-        "text || ' contact bob.smith+x@mail.example.org or +1 (555) 123-4567 now', " +
-        "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), " +
-        "'\\+[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g') AS clean_text FROM documents"),
-
-    "x25_curate_length_hist" ->
-      ("SELECT n_chars // 100 AS bucket, CAST(count(*) AS BIGINT) AS n, " +
-        "CAST(min(n_chars) AS BIGINT) AS min_len, CAST(max(n_chars) AS BIGINT) AS max_len, " +
-        "CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_len " +
-        "FROM documents GROUP BY 1"),
-
-    "x36_curate_contamination" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE source = 'src0'), " +
-        s"sh AS ($shinglesCte), " +
-        "bex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh), " +
-        "t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE source <> 'src0'), " +
-        "sh2 AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
-        "THEN list_transform(generate_series(1, len(toks)-2), i -> array_to_string(toks[i:i+2], ' ')) " +
-        "ELSE [array_to_string(toks, ' ')] END) AS shingles FROM t2), " +
-        "cex AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh2), " +
-        "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM bex GROUP BY 1), " +
-        "hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated FROM bex " +
-        "WHERE shingle IN (SELECT shingle FROM cex) GROUP BY 1) " +
-        "SELECT tot.doc_id, tot.n_shingles, " +
-        "CAST(coalesce(hit.n_contaminated, 0) AS BIGINT) AS n_contaminated, " +
-        "CAST(coalesce(hit.n_contaminated, 0) AS DOUBLE) / tot.n_shingles AS contamination " +
-        "FROM tot LEFT JOIN hit USING (doc_id)"),
-
-    "x101_decontaminate" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE source <> 'src0'), " +
-        s"sh AS ($shinglesCte), " +
-        "bex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh), " +
-        "t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE source = 'src0'), " +
-        "sh2 AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
-        "THEN list_transform(generate_series(1, len(toks)-2), i -> array_to_string(toks[i:i+2], ' ')) " +
-        "ELSE [array_to_string(toks, ' ')] END) AS shingles FROM t2), " +
-        "cex AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh2), " +
-        "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM bex GROUP BY 1), " +
-        "hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated FROM bex " +
-        "WHERE shingle IN (SELECT shingle FROM cex) GROUP BY 1) " +
-        "SELECT tot.doc_id, tot.n_shingles, " +
-        "CAST(coalesce(hit.n_contaminated, 0) AS BIGINT) AS n_contaminated, " +
-        "CAST(coalesce(hit.n_contaminated, 0) AS DOUBLE) / tot.n_shingles AS contamination, " +
-        "CAST(coalesce(hit.n_contaminated, 0) AS DOUBLE) / tot.n_shingles > 0.05 AS drop_doc " +
-        "FROM tot LEFT JOIN hit USING (doc_id)"),
-
-    "x102_filter_cascade" ->
-      (s"WITH t AS ($toksCte), d AS (SELECT doc_id, toks, text FROM documents JOIN t USING (doc_id)), " +
-        "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
-        s"CAST(len(list_filter(toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(toks) AS sw, " +
-        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/length(text) AS ar FROM d), " +
-        "r AS (SELECT doc_id, n_tokens, CASE WHEN n_tokens < 20 THEN 'too_short' " +
-        "WHEN sw < 0.04 THEN 'low_stopword' WHEN ar < 0.81 THEN 'low_alpha' " +
-        "ELSE 'kept' END AS drop_reason FROM m) " +
-        "SELECT doc_id, n_tokens, drop_reason, (drop_reason = 'kept') AS kept FROM r"),
-
-    "x35_curate_boilerplate" ->
-      (s"WITH t AS ($toksCte), sh AS ($shinglesCte), " +
-        "ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh), " +
-        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents), " +
-        "g AS (SELECT shingle, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM ex GROUP BY 1) " +
-        "SELECT shingle, n_docs, CAST(n_docs AS DOUBLE) / n_total AS doc_frac " +
-        "FROM g, tot WHERE CAST(n_docs AS DOUBLE) / n_total > 0.01"),
-
-    "x37_layout_zorder" ->
-      ("WITH b0 AS (SELECT o_orderkey, CAST(o_orderkey % 65536 AS BIGINT) AS x, " +
-        "CAST(o_custkey % 65536 AS BIGINT) AS y FROM orders), " +
-        "b1 AS (SELECT o_orderkey, (x | (x << 16)) & 281470681808895 AS x, (y | (y << 16)) & 281470681808895 AS y FROM b0), " +
-        "b2 AS (SELECT o_orderkey, (x | (x << 8)) & 71777214294589695 AS x, (y | (y << 8)) & 71777214294589695 AS y FROM b1), " +
-        "b3 AS (SELECT o_orderkey, (x | (x << 4)) & 1085102592571150095 AS x, (y | (y << 4)) & 1085102592571150095 AS y FROM b2), " +
-        "b4 AS (SELECT o_orderkey, (x | (x << 2)) & 3689348814741910323 AS x, (y | (y << 2)) & 3689348814741910323 AS y FROM b3), " +
-        "b5 AS (SELECT o_orderkey, (x | (x << 1)) & 6148914691236517205 AS x, (y | (y << 1)) & 6148914691236517205 AS y FROM b4) " +
-        "SELECT o_orderkey, x | (y << 1) AS zval FROM b5"),
-
-    "x34_curate_group_sample" ->
-      ("SELECT lang, doc_id FROM (SELECT lang, doc_id, " +
-        "row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r " +
-        "FROM documents) t WHERE r <= 5"),
-
-    "x33_quality_profile" ->
-      ("WITH d AS (SELECT doc_id, lang, source, n_chars FROM documents), " +
-        "wide AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
-        "CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_doc_id, " +
-        "CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_lang, " +
-        "CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_source, " +
-        "CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_n_chars FROM d), " +
-        "dups AS (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS n_dup_rows FROM " +
-        "(SELECT count(*) AS n FROM d GROUP BY lang, source HAVING count(*) > 1) t) " +
-        "SELECT * FROM wide, dups"),
-
-    "x32_ann_ivf_nprobe2" ->
-      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
-        "scored AS (SELECT e.vec_id, e.emb, cents.cent_id, " +
-        s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
-        "ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM scored), " +
-        "assigned AS (SELECT vec_id, emb, cent_id AS cell FROM ranked WHERE r = 1), " +
-        "q AS (SELECT vec_id AS q_id, emb AS q_emb, cent_id AS cell FROM ranked WHERE vec_id < 5 AND r <= 2), " +
-        "s AS (SELECT q.q_id, a.vec_id, " +
-        s"${dotSql("q.q_emb", "a.emb")} AS cos " +
-        "FROM assigned a JOIN q USING (cell) WHERE q.q_id <> a.vec_id), " +
-        "rr AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
-        "SELECT q_id, vec_id, cos, rank FROM rr WHERE rank <= 10"),
-
-    "x29_emb_group_profile" ->
-      ("WITH x AS (SELECT vec_id % 10 AS grp, " +
-        "unnest(generate_series(1, len(embedding))) AS i, embedding FROM embeddings) " +
-        "SELECT grp, CAST(i - 1 AS BIGINT) AS pos, " +
-        "min(embedding[i]) AS v_min, max(embedding[i]) AS v_max FROM x GROUP BY 1, 2"),
-
-    "x30_emb_l2_norm" ->
-      ("WITH s AS (SELECT vec_id, embedding[1] AS e0, " +
-        "list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum') AS ss " +
-        "FROM embeddings) " +
-        "SELECT vec_id, sqrt(ss) AS l2_norm, CAST(e0 AS DOUBLE) / sqrt(ss) AS e0_unit FROM s"),
-
-    "x28_range_join_bucketed" ->
-      ("WITH w AS (SELECT o_orderkey AS w_id, CAST(o_orderdate AS DATE) AS ws, " +
-        "CAST(o_orderdate AS DATE) + 7 AS we FROM orders WHERE o_orderkey % 100 = 0), " +
-        "l AS (SELECT CAST(l_shipdate AS DATE) AS d FROM lineitem WHERE l_linenumber = 1) " +
-        "SELECT w_id, CAST(count(*) AS BIGINT) AS n_shipped " +
-        "FROM l JOIN w ON l.d >= w.ws AND l.d < w.we GROUP BY w_id"),
-
-    "x38_ann_int8_topk" ->
-      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-        "m AS (SELECT vec_id, emb, " +
-        "greatest(list_aggregate(list_transform(emb, x -> abs(x)), 'max'), 1e-12) AS ma FROM e), " +
-        "q8 AS (SELECT vec_id, " +
-        "list_transform(emb, x -> CAST(round(x * 127.0 / ma) AS INTEGER)) AS qv, " +
-        "ma / 127.0 AS scale FROM m), " +
-        "qq AS (SELECT vec_id AS q_id, qv AS q_qv, scale AS q_scale FROM q8 WHERE vec_id < 5), " +
-        "s AS (SELECT q_id, vec_id, " +
-        "CAST(list_aggregate(list_transform(list_zip(q_qv, qv), z -> CAST(z[1] AS BIGINT) * z[2]), 'sum') AS DOUBLE) " +
-        "* q_scale * scale AS score FROM q8, qq WHERE q_id <> vec_id), " +
-        "r AS (SELECT q_id, vec_id, score, " +
-        "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM s) " +
-        "SELECT q_id, vec_id, score, rank FROM r WHERE rank <= 10"),
-
-    "x48_bm25_topk" ->
-      (s"WITH t AS ($toksCte), e AS (SELECT doc_id, unnest(toks) AS tok FROM t), " +
-        "pd AS (SELECT doc_id, count(*) AS dl, " +
-        "sum(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END) AS tf_0, " +
-        "sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS tf_1, " +
-        "sum(CASE WHEN tok = 'dup' THEN 1 ELSE 0 END) AS tf_2 " +
-        "FROM e GROUP BY doc_id), " +
-        "st AS (SELECT sum(dl) AS sum_dl, count(*) AS n_docs, " +
-        "sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0, " +
-        "sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1, " +
-        "sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2 FROM pd) " +
-        "SELECT doc_id, " +
-        "CASE WHEN tf_0 > 0 THEN ((CAST(n_docs AS DOUBLE) - CAST(df_0 AS DOUBLE) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5)) * (CAST(tf_0 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf_0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) ELSE 0.0 END " +
-        "+ CASE WHEN tf_1 > 0 THEN ((CAST(n_docs AS DOUBLE) - CAST(df_1 AS DOUBLE) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5)) * (CAST(tf_1 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf_1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) ELSE 0.0 END " +
-        "+ CASE WHEN tf_2 > 0 THEN ((CAST(n_docs AS DOUBLE) - CAST(df_2 AS DOUBLE) + 0.5) / (CAST(df_2 AS DOUBLE) + 0.5)) * (CAST(tf_2 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf_2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) ELSE 0.0 END " +
-        "AS score FROM pd, st WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0 " +
-        "ORDER BY score DESC, doc_id LIMIT 10"),
-
-    // The stored-index probe re-derives tf from bucket-pruned postings and
-    // df/stats from the stored tables — all IDENTICAL values to computing
-    // them from the corpus, so x48's oracle holds verbatim.
-    "x126_bm25_stored" ->
-      (s"WITH t AS ($toksCte), e AS (SELECT doc_id, unnest(toks) AS tok FROM t), " +
-        "pd AS (SELECT doc_id, count(*) AS dl, " +
-        "sum(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END) AS tf_0, " +
-        "sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS tf_1, " +
-        "sum(CASE WHEN tok = 'dup' THEN 1 ELSE 0 END) AS tf_2 " +
-        "FROM e GROUP BY doc_id), " +
-        "st AS (SELECT sum(dl) AS sum_dl, count(*) AS n_docs, " +
-        "sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0, " +
-        "sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1, " +
-        "sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2 FROM pd) " +
-        "SELECT doc_id, " +
-        "CASE WHEN tf_0 > 0 THEN ((CAST(n_docs AS DOUBLE) - CAST(df_0 AS DOUBLE) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5)) * (CAST(tf_0 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf_0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) ELSE 0.0 END " +
-        "+ CASE WHEN tf_1 > 0 THEN ((CAST(n_docs AS DOUBLE) - CAST(df_1 AS DOUBLE) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5)) * (CAST(tf_1 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf_1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) ELSE 0.0 END " +
-        "+ CASE WHEN tf_2 > 0 THEN ((CAST(n_docs AS DOUBLE) - CAST(df_2 AS DOUBLE) + 0.5) / (CAST(df_2 AS DOUBLE) + 0.5)) * (CAST(tf_2 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf_2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) ELSE 0.0 END " +
-        "AS score FROM pd, st WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0 " +
-        "ORDER BY score DESC, doc_id LIMIT 10"),
-
-    // Sketch-report oracles (r5): exact values + in-engine boolean verdicts
-    // — see the Sketches report-form Scaladoc for the pattern rationale.
-    "x26_sketch_cardinality" ->
-      ("SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_tokens_exact, " +
-        "TRUE AS hll_within_15pct " +
-        "FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents) " +
-        "GROUP BY lang"),
-
-    "x27_sketch_quantiles" -> histQuantSql("gk", withAll = false),
-
-    "x44_sketch_kll_rollup" -> histQuantSql("kll", withAll = true),
-
-    "x39_sketch_hll_union" ->
-      ("WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) " +
-        "SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS n_exact, " +
-        "TRUE AS hll_within_5pct FROM tk GROUP BY source " +
-        "UNION ALL SELECT 'ALL' AS source, CAST(count(DISTINCT tok) AS BIGINT), TRUE FROM tk"),
-
-    "x40_ann_ivf_kmeans" ->
-      (s"SELECT CAST((SELECT count(*) FROM ($annBruteSql)) AS BIGINT) AS n_truth, " +
-        "TRUE AS recall_ok"),
-
-    // Full replay of train -> encode -> ADC per config (deterministic
-    // sorted-fold centroid means make the whole chain oracle-exact —
-    // stronger than x40's self-verifying report form).
-    "x146_pq_recall" -> {
-      val chains = pqConfigs.map { case (p, m, kc, _) =>
-        pqChainSql(p, m, kc, Similarity.PqIters, 10)
-      }.mkString(", ")
-      val rows = pqConfigs.map { case (p, m, kc, bytes) =>
-        s"SELECT 'pq_m${m}_k$kc' AS method, CAST($bytes AS DOUBLE) AS bytes_per_vec, " +
-          "CAST((SELECT count(*) FROM tru) AS BIGINT) AS n_truth, " +
-          s"CAST((SELECT count(*) FROM ${p}tk) AS BIGINT) AS n_approx, " +
-          s"CAST((SELECT count(*) FROM tru JOIN ${p}tk USING (q_id, vec_id)) AS BIGINT) AS n_common, " +
-          s"CAST((SELECT count(*) FROM tru JOIN ${p}tk USING (q_id, vec_id)) AS DOUBLE) " +
-          "/ (SELECT count(*) FROM tru) AS recall"
-      }.mkString(" UNION ALL ")
-      s"WITH tru AS (SELECT q_id, vec_id FROM ($annBruteSql)), $chains $rows"
-    },
-
-    "x77_bpe_train" -> bpeTrainSql,
-
-    "x78_bpe_encode" -> bpeEncodeSql,
-
-    "x82_dup_passages" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-        "b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t), " +
-        "w AS (SELECT doc_id, p.i AS i, p.wh AS wh FROM " +
-        "(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-7), " +
-        "i -> struct_pack(i := i, wh := md5(array_to_string(toks[i:i+7], ' '))))) AS p " +
-        "FROM t WHERE len(toks) >= 8)), " +
-        "d AS (SELECT wh FROM w GROUP BY wh HAVING count(DISTINCT doc_id) >= 2), " +
-        "c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup FROM " +
-        "(SELECT DISTINCT doc_id, ti FROM (SELECT w.doc_id, " +
-        "unnest(generate_series(w.i, w.i+7)) AS ti FROM w JOIN d USING (wh))) GROUP BY doc_id) " +
-        "SELECT b.doc_id, b.n_tokens, coalesce(c.n_dup, 0) AS n_dup_tokens, " +
-        "CAST(coalesce(c.n_dup, 0) AS DOUBLE)/b.n_tokens AS dup_frac " +
-        "FROM b LEFT JOIN c USING (doc_id)"),
-
-    "x94_dedup_passages_applied" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-        "w AS (SELECT doc_id, p.i AS i, p.wh AS wh FROM " +
-        "(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-7), " +
-        "i -> struct_pack(i := i, wh := md5(array_to_string(toks[i:i+7], ' '))))) AS p " +
-        "FROM t WHERE len(toks) >= 8)), " +
-        "own AS (SELECT wh, min(doc_id) AS owner FROM w GROUP BY wh " +
-        "HAVING count(DISTINCT doc_id) >= 2), " +
-        "rem AS (SELECT DISTINCT doc_id, ti FROM (SELECT w.doc_id, " +
-        "unnest(generate_series(w.i, w.i+7)) AS ti " +
-        "FROM w JOIN own USING (wh) WHERE w.doc_id <> own.owner)), " +
-        "tokp AS (SELECT doc_id, p.i AS ti, p.tok AS tok FROM " +
-        "(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)), " +
-        "i -> struct_pack(i := i, tok := toks[i]))) AS p FROM t)), " +
-        "kept AS (SELECT tokp.doc_id, tokp.ti, tokp.tok FROM tokp " +
-        "ANTI JOIN rem ON tokp.doc_id = rem.doc_id AND tokp.ti = rem.ti), " +
-        "reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS clean_text, " +
-        "CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id) " +
-        "SELECT b.doc_id, b.n_tokens, coalesce(reb.clean_text, '') AS clean_text, " +
-        "b.n_tokens - coalesce(reb.n_kept, 0) AS n_removed " +
-        "FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t) b " +
-        "LEFT JOIN reb USING (doc_id)"),
-
-    "x83_bpe_fertility" ->
-      ("WITH w AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
-        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens " +
-        "FROM documents GROUP BY 1), " +
-        "bb AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_bpe_tokens, " +
-        s"CAST(sum(length(e.sym)) AS BIGINT) AS n_chars FROM ($bpeEncodeSql) e " +
-        "JOIN documents d USING (doc_id) GROUP BY 1) " +
-        "SELECT lang, n_docs, n_ws_tokens, n_bpe_tokens, " +
-        "CAST(n_bpe_tokens AS DOUBLE)/CAST(n_ws_tokens AS DOUBLE) AS fertility, " +
-        "CAST(n_chars AS DOUBLE)/CAST(n_bpe_tokens AS DOUBLE) AS chars_per_token " +
-        "FROM w JOIN bb USING (lang)"),
-
-    "x84_dsir_importance" ->
-      s"WITH $dsirCtes SELECT doc_id, n_feats, avg_lr FROM dw",
-
-    // x156: the resample APPLICATION — max-normalized rejection sampling,
-    // multiplication-only (u · w_max < w) so no division ever rounds.
-    "x156_dsir_resample" -> {
-      val draw = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':dsir'), 1, 8)) AS BIGINT)/4294967296.0"
-      s"WITH $dsirCtes, wm AS (SELECT max(avg_lr) AS wmax FROM dw) " +
-        s"SELECT doc_id, n_feats, avg_lr, $draw AS draw, " +
-        s"($draw * wmax < avg_lr) AS kept FROM dw, wm"
-    },
-
-    "x85_embedding_outliers" ->
-      ("WITH e AS (SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS v, " +
-        "CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings), " +
-        "c AS (SELECT label, pos, list_aggregate(list_sort(list(v)), 'sum')/count(*) AS mean " +
-        "FROM e GROUP BY 1, 2), " +
-        "dd AS (SELECT e.vec_id, e.label, " +
-        "list_aggregate(list((e.v - c.mean)*(e.v - c.mean) ORDER BY e.pos), 'sum') AS dist2 " +
-        "FROM e JOIN c USING (label, pos) GROUP BY 1, 2), " +
-        "t AS (SELECT quantile_cont(dist2, 0.95) AS hi FROM dd) " +
-        "SELECT vec_id, label, dist2, sqrt(dist2) AS dist, dist2 > hi AS is_outlier " +
-        "FROM dd, t"),
-
-    "x86_domain_authority" -> pageRankSql,
-
-    // x177: per-dim two-level folds (bucket = vec_id % ceil(sqrt(n))),
-    // E[v^2] - mean^2 variance, dim-ordered rollups, norm fold per vec.
-    "x177_embedding_isotropy" ->
-      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-        "ifb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM e), " +
-        "dx AS (SELECT vec_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS d, " +
-        "unnest(emb) AS v FROM e), " +
-        "is1 AS (SELECT d, vec_id % (SELECT b FROM ifb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
-        "list_aggregate(list_sort(list(v)), 'sum') AS s, " +
-        "list_aggregate(list_sort(list(v*v)), 'sum') AS s2 FROM dx GROUP BY 1, 2), " +
-        "ipd AS (SELECT d, list_aggregate(list(s ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS mean_d, " +
-        "list_aggregate(list(s2 ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS m2_d FROM is1 GROUP BY 1), " +
-        "ipv AS (SELECT d, mean_d, m2_d - mean_d*mean_d AS var_d FROM ipd), " +
-        "idr AS (SELECT list_aggregate(list(mean_d*mean_d ORDER BY d), 'sum') AS mu_sqnorm, " +
-        "list_aggregate(list(var_d ORDER BY d), 'sum') AS trace_var, max(var_d) AS maxvar FROM ipv), " +
-        "in1 AS (SELECT vec_id % (SELECT b FROM ifb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
-        "list_aggregate(list_sort(list(nmv)), 'sum') AS s FROM " +
-        "(SELECT vec_id, sqrt(list_aggregate(list_transform(emb, x -> x*x), 'sum')) AS nmv FROM e) GROUP BY 1), " +
-        "imn AS (SELECT CAST(sum(n) AS BIGINT) AS n_vecs, " +
-        "list_aggregate(list(s ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS mean_norm FROM in1) " +
-        "SELECT imn.n_vecs, imn.mean_norm, idr.mu_sqnorm, idr.trace_var, " +
-        "CASE WHEN idr.trace_var > 0 THEN idr.maxvar/idr.trace_var END AS top_dim_var_share FROM imn, idr"),
-
-    "x87_temperature_mix" ->
-      ("WITH c AS (SELECT lang AS bucket, CAST(count(*) AS BIGINT) AS n_docs " +
-        "FROM documents GROUP BY 1), " +
-        "tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM c), " +
-        "sp2 AS (SELECT bucket, n_docs, " +
-        "CAST(n_docs AS DOUBLE)/CAST(n_total AS DOUBLE) AS share FROM c, tt), " +
-        "sq AS (SELECT bucket, n_docs, share, sqrt(share) AS ss FROM sp2), " +
-        "dn AS (SELECT list_aggregate(list(ss ORDER BY bucket), 'sum') AS denom FROM sq), " +
-        "w AS (SELECT bucket, n_docs, share, ss/denom AS w_temp, " +
-        "ss/denom*CAST(1000 AS DOUBLE)/CAST(n_docs AS DOUBLE) AS epochs FROM sq, dn), " +
-        "rz AS (SELECT d2.lang AS bucket, CAST(sum(CAST(floor(epochs) AS BIGINT) + " +
-        "CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(d2.doc_id AS VARCHAR) || ':tmix'), 1, 8)) " +
-        "AS BIGINT) AS DOUBLE)/CAST(4294967296.0 AS DOUBLE) < epochs - floor(epochs) " +
-        "THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_out " +
-        "FROM documents d2 JOIN w ON d2.lang = w.bucket GROUP BY 1) " +
-        "SELECT w.bucket, n_docs, share, w_temp, epochs, " +
-        "coalesce(rz.n_rows_out, 0) AS n_rows_out FROM w LEFT JOIN rz ON w.bucket = rz.bucket"),
-
-    "x88_domain_quality" ->
-      (s"WITH $pageRankCtes, $lmCtes, " +
-        "sc88 AS (SELECT doc_id, list_aggregate(list(invp ORDER BY i), 'sum')/count(*) " +
-        "AS avg_invp FROM sp GROUP BY doc_id), " +
-        "pd88 AS (SELECT d.domain, CAST(count(*) AS BIGINT) AS n_scored, " +
-        "list_aggregate(list(avg_invp ORDER BY doc_id), 'sum')/count(*) AS mean_invp " +
-        "FROM d JOIN sc88 USING (doc_id) GROUP BY 1) " +
-        "SELECT r5.node AS domain, rank, coalesce(out_deg, 0) AS out_deg, " +
-        "coalesce(in_deg, 0) AS in_deg, pd88.n_scored, pd88.mean_invp FROM r5 " +
-        "LEFT JOIN od ON r5.node = od.src LEFT JOIN ind ON r5.node = ind.dst " +
-        "LEFT JOIN pd88 ON r5.node = pd88.domain"),
-
-    "x90_tokenize_pack" ->
-      (s"WITH nn90 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens " +
-        s"FROM ($bpeEncodeSql) e GROUP BY 1), " +
-        "j90 AS (SELECT nn90.doc_id, d.source, n_tokens FROM nn90 " +
-        "JOIN documents d USING (doc_id)), " +
-        "o90 AS (SELECT doc_id, source, n_tokens, " +
-        "COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset FROM j90) " +
-        "SELECT doc_id, source, n_tokens, token_offset % 2048 AS offset_in_seq, " +
-        "token_offset // 2048 AS seq_id FROM o90"),
-
-    "x89_likelihood_classify" ->
-      ("WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +
-        "spl AS (SELECT doc_id, CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) " +
-        "|| ':nbsplit'), 1, 8)) AS BIGINT) AS DOUBLE)/CAST(4294967296.0 AS DOUBLE) < 0.5 " +
-        "AS is_train FROM documents), " +
-        "trt AS (SELECT cls, CAST(('0x' || substr(md5(tok), 1, 4)) AS INT) % 1024 AS f " +
-        "FROM (SELECT tk.source AS cls, unnest(toks) AS tok FROM tk " +
-        "JOIN spl USING (doc_id) WHERE is_train)), " +
-        "bc AS (SELECT cls, f, CAST(count(*) AS BIGINT) AS c_fc FROM trt GROUP BY 1, 2), " +
-        "ctot AS (SELECT cls, CAST(count(*) AS BIGINT) AS n_c FROM trt GROUP BY 1), " +
-        "bf AS (SELECT f, CAST(count(*) AS BIGINT) AS c_f FROM trt GROUP BY 1), " +
-        "gr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM trt), " +
-        "mdl AS (SELECT ctot.cls, bf.f, " +
-        "CAST((coalesce(c_fc, 0) + 1)*(n + 1024) AS DOUBLE)" +
-        "/CAST((n_c + 1024)*(c_f + 1) AS DOUBLE) AS lr " +
-        "FROM ctot CROSS JOIN bf LEFT JOIN bc ON bc.cls = ctot.cls AND bc.f = bf.f, gr), " +
-        "sd AS (SELECT doc_id, label, p.i AS i, " +
-        "CAST(('0x' || substr(md5(p.tok), 1, 4)) AS INT) % 1024 AS f " +
-        "FROM (SELECT tk.doc_id, tk.source AS label, " +
-        "unnest(list_transform(generate_series(1, len(toks)), " +
-        "i -> struct_pack(i := i, tok := toks[i]))) AS p FROM tk " +
-        "JOIN spl USING (doc_id) WHERE NOT is_train)), " +
-        "pc AS (SELECT doc_id, label, cls, " +
-        "list_aggregate(list(lr ORDER BY i), 'sum')/count(*) AS score " +
-        "FROM sd JOIN mdl USING (f) GROUP BY 1, 2, 3), " +
-        "rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id " +
-        "ORDER BY score DESC, cls) AS r FROM pc) " +
-        "SELECT doc_id, label, cls AS pred, score, cls = label AS is_correct " +
-        "FROM rk WHERE r = 1"),
-
-    "x79_url_domain_curation" ->
-      (s"WITH $urlChainCtes, " +
-        "r AS (SELECT doc_id, url, host, domain, n_chars, " +
-        "CAST(row_number() OVER (PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank FROM f) " +
-        "SELECT doc_id, url, host, domain, n_chars, rank FROM r WHERE rank <= 50"),
-
-    "x96_lm_trigram_score" ->
-      (s"WITH $lmTrigramCtes " +
-        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams, " +
-        "list_aggregate(list(invp ORDER BY i), 'sum') / count(*) AS avg_invp " +
-        "FROM sp GROUP BY doc_id"),
-
-    // CCNet head/middle/tail: per-doc trigram-LM scores -> exact tertiles
-    // (NTILE over (avg_invp, doc_id) — x54's equivalence), head = most
-    // fluent; keep head+middle, the Wenzek et al. 2020 policy.
-    "x105_ccnet_buckets" ->
-      (s"WITH $lmTrigramCtes, " +
-        "sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams, " +
-        "list_aggregate(list(invp ORDER BY i), 'sum') / count(*) AS avg_invp " +
-        "FROM sp GROUP BY doc_id), " +
-        "b AS (SELECT *, CAST(ntile(3) OVER (ORDER BY avg_invp, doc_id) AS BIGINT) AS bin FROM sc) " +
-        "SELECT doc_id, n_trigrams, avg_invp, " +
-        "CASE bin WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket, " +
-        "bin <= 2 AS keep FROM b"),
-
-    "x108_curriculum_shards" ->
-      (s"WITH t AS ($toksCte), d AS (SELECT doc_id, toks, text FROM documents JOIN t USING (doc_id)), " +
-        "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
-        s"CAST(len(list_filter(toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(toks) AS stopword_ratio, " +
-        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/length(text) AS alpha_ratio " +
-        "FROM d), " +
-        "s AS (SELECT doc_id, least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5 " +
-        "+ stopword_ratio*0.25 + alpha_ratio*0.25 AS quality_score FROM m) " +
-        "SELECT doc_id, quality_score, " +
-        "CAST(ntile(8) OVER (ORDER BY quality_score, doc_id) AS BIGINT) AS shard, " +
-        "md5(CAST(doc_id AS VARCHAR) || ':order') AS order_key FROM s"),
-
-    "x109_knn_label_prop" ->
-      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings), " +
-        "q AS (SELECT vec_id AS q_id, emb AS qe, label AS true_label FROM e WHERE vec_id % 5 = 0), " +
-        "c AS (SELECT vec_id, emb, label AS nbr_label FROM e WHERE vec_id % 5 <> 0), " +
-        "s AS (SELECT q_id, true_label, vec_id, nbr_label, " +
-        s"${dotSql("qe", "emb")} AS cos FROM c, q), " +
-        "r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s), " +
-        "v AS (SELECT q_id, true_label, nbr_label, CAST(count(*) AS BIGINT) AS votes, " +
-        "CAST(sum(CAST(cos AS DECIMAL(20,6))) AS DOUBLE) AS sim_sum " +
-        "FROM r WHERE rank <= 10 GROUP BY 1, 2, 3), " +
-        "w AS (SELECT *, row_number() OVER (PARTITION BY q_id " +
-        "ORDER BY votes DESC, sim_sum DESC, nbr_label) AS rr FROM v) " +
-        "SELECT q_id AS vec_id, nbr_label AS pred_label, true_label, votes, sim_sum, " +
-        "nbr_label = true_label AS is_correct FROM w WHERE rr = 1"),
-
-    "x110_quality_rank_ensemble" ->
-      (s"WITH t AS ($toksCte), d AS (SELECT doc_id, toks, text FROM documents JOIN t USING (doc_id)), " +
-        "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
-        s"CAST(len(list_filter(toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(toks) AS stopword_ratio, " +
-        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/length(text) AS alpha_ratio " +
-        "FROM d), " +
-        "r AS (SELECT doc_id, " +
-        "CAST(row_number() OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS r_len, " +
-        "CAST(row_number() OVER (ORDER BY stopword_ratio, doc_id) AS BIGINT) AS r_stop, " +
-        "CAST(row_number() OVER (ORDER BY alpha_ratio, doc_id) AS BIGINT) AS r_alpha FROM m), " +
-        "e AS (SELECT doc_id, r_len, r_stop, r_alpha, " +
-        "CAST(r_len + r_stop + r_alpha AS DOUBLE)/3.0 AS ensemble FROM r) " +
-        "SELECT doc_id, r_len, r_stop, r_alpha, ensemble, " +
-        "CAST(ntile(10) OVER (ORDER BY ensemble, doc_id) AS BIGINT) AS bin FROM e"),
-
-    "x112_knn_lsh_agreement" ->
-      (s"WITH ex AS (SELECT * FROM (${knnVoteSql(knnExactCandSql)})), " +
-        s"ap AS (SELECT vec_id, pred_label AS lsh_pred FROM (${knnVoteSql(knnLshCandSql)})) " +
-        "SELECT CAST(count(*) AS BIGINT) AS n_queries, " +
-        "CAST(sum(CASE WHEN ex.pred_label = ap.lsh_pred THEN 1 ELSE 0 END) AS BIGINT) AS n_agree, " +
-        "CAST(sum(CASE WHEN ex.pred_label = ex.true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_correct, " +
-        "CAST(sum(CASE WHEN ap.lsh_pred = ex.true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh_correct, " +
-        "CAST(sum(CASE WHEN ex.pred_label = ap.lsh_pred THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS agreement " +
-        "FROM ex JOIN ap USING (vec_id)"),
-
-    "x114_topic_tagging" -> topicTagSql,
-
-    "x117_decontaminate_applied" ->
-      ("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +
-        "tr AS (SELECT doc_id, toks FROM t WHERE source <> 'src0'), " +
-        "w AS (SELECT doc_id, p.i AS i, p.wh AS wh FROM " +
-        "(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-7), " +
-        "i -> struct_pack(i := i, wh := md5(array_to_string(toks[i:i+7], ' '))))) AS p " +
-        "FROM tr WHERE len(toks) >= 8)), " +
-        "bw AS (SELECT DISTINCT md5(array_to_string(toks[i:i+7], ' ')) AS wh FROM " +
-        "(SELECT toks, unnest(generate_series(1, len(toks)-7)) AS i " +
-        "FROM t WHERE source = 'src0' AND len(toks) >= 8)), " +
-        "rem AS (SELECT DISTINCT doc_id, ti FROM (SELECT w.doc_id, " +
-        "unnest(generate_series(w.i, w.i+7)) AS ti FROM w JOIN bw USING (wh))), " +
-        "tokp AS (SELECT doc_id, p.i AS ti, p.tok AS tok FROM " +
-        "(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)), " +
-        "i -> struct_pack(i := i, tok := toks[i]))) AS p FROM tr)), " +
-        "kept AS (SELECT tokp.doc_id, tokp.ti, tokp.tok FROM tokp " +
-        "ANTI JOIN rem ON tokp.doc_id = rem.doc_id AND tokp.ti = rem.ti), " +
-        "reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS clean_text, " +
-        "CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id) " +
-        "SELECT b.doc_id, b.n_tokens, coalesce(reb.clean_text, '') AS clean_text, " +
-        "b.n_tokens - coalesce(reb.n_kept, 0) AS n_removed " +
-        "FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tr) b " +
-        "LEFT JOIN reb USING (doc_id)"),
-
-    "x116_filter_agreement" ->
-      (s"WITH $lmTrigramCtes, " +
-        "sc AS (SELECT doc_id, list_aggregate(list(invp ORDER BY i), 'sum')/count(*) AS avg_invp " +
-        "FROM sp GROUP BY doc_id), " +
-        "mq AS (SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens, " +
-        s"CAST(len(list_filter(t.toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(t.toks) AS stopword_ratio, " +
-        "CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)/length(d.text) AS alpha_ratio " +
-        "FROM t JOIN documents d USING (doc_id)), " +
-        "qq AS (SELECT doc_id, least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5 " +
-        "+ stopword_ratio*0.25 + alpha_ratio*0.25 AS quality_score FROM mq), " +
-        "j AS (SELECT sc.doc_id, avg_invp, quality_score FROM sc JOIN qq USING (doc_id)), " +
-        "b AS (SELECT doc_id, " +
-        "CAST(ntile(3) OVER (ORDER BY avg_invp, doc_id) AS BIGINT) AS lm_bin, " +
-        "CAST(ntile(3) OVER (ORDER BY -quality_score, doc_id) AS BIGINT) AS hq_bin FROM j) " +
-        "SELECT lm_bin, hq_bin, CAST(count(*) AS BIGINT) AS n_docs FROM b GROUP BY 1, 2"),
-
-    "x115_knn_score_propagation" ->
-      (s"WITH t AS ($toksCte), d AS (SELECT doc_id, toks, text FROM documents JOIN t USING (doc_id)), " +
-        "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
-        s"CAST(len(list_filter(toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(toks) AS stopword_ratio, " +
-        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/length(text) AS alpha_ratio " +
-        "FROM d), " +
-        "sq AS (SELECT doc_id, least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5 " +
-        "+ stopword_ratio*0.25 + alpha_ratio*0.25 AS quality_score FROM m), " +
-        s"cand AS ($knnExactCandSql), " +
-        "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM cand), " +
-        "kk AS (SELECT q_id, r.vec_id, cos, quality_score FROM r JOIN sq ON r.vec_id = sq.doc_id WHERE rank <= 10), " +
-        "p AS (SELECT q_id, CASE WHEN CAST(sum(CAST(cos AS DECIMAL(20,8))) AS DOUBLE) > 0 " +
-        "THEN CAST(sum(CAST(cos*quality_score AS DECIMAL(20,8))) AS DOUBLE)" +
-        "/CAST(sum(CAST(cos AS DECIMAL(20,8))) AS DOUBLE) END AS pred_score, " +
-        "CAST(count(*) AS BIGINT) AS n_neighbors FROM kk GROUP BY 1) " +
-        "SELECT p.q_id AS vec_id, pred_score, sq.quality_score AS actual_score, " +
-        "abs(pred_score - sq.quality_score) AS abs_err, n_neighbors " +
-        "FROM p JOIN sq ON p.q_id = sq.doc_id"),
-
-    "x113_cluster_profile" ->
-      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings), " +
-        s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
-        "scored AS (SELECT e.vec_id, e.label, cents.cent_id, " +
-        s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
-        "asg AS (SELECT vec_id, label, cent_id AS cell, cent_cos FROM (SELECT *, " +
-        "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM scored) t WHERE r = 1), " +
-        "cs AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs, " +
-        "CAST(sum(CAST(cent_cos AS DECIMAL(20,6))) AS DOUBLE)/count(*) AS mean_cos FROM asg GROUP BY 1), " +
-        "bl AS (SELECT cell, label, CAST(count(*) AS BIGINT) AS n FROM asg GROUP BY 1, 2), " +
-        "dm AS (SELECT cell, label AS top_label, n AS n_top FROM (SELECT *, " +
-        "row_number() OVER (PARTITION BY cell ORDER BY n DESC, label) AS r FROM bl) t WHERE r = 1) " +
-        "SELECT cs.cell, cs.n_vecs, cs.mean_cos, dm.top_label, " +
-        "CAST(dm.n_top AS DOUBLE)/cs.n_vecs AS top_share FROM cs JOIN dm USING (cell)"),
-
-    "x111_shard_manifest" ->
-      ("WITH f AS (SELECT " +
-        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 4)) AS BIGINT) % 16 AS shard, " +
-        "CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp, " +
-        "CAST(length(text) AS BIGINT) AS n FROM documents) " +
-        "SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS n_chars, " +
-        "bit_xor(fp) AS content_xor, min(fp) AS min_fp, max(fp) AS max_fp " +
-        "FROM f GROUP BY shard"),
-
-    "x107_doc_attributes" ->
-      (s"WITH $lmCtes, " +
-        "lm AS (SELECT doc_id, list_aggregate(list(invp ORDER BY i), 'sum')/count(*) " +
-        "AS lm_invp FROM sp GROUP BY doc_id), " +
-        "d2 AS (SELECT t.doc_id, t.toks, documents.text FROM t JOIN documents USING (doc_id)), " +
-        "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
-        s"CAST(len(list_filter(toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(toks) AS stopword_ratio, " +
-        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/length(text) AS alpha_ratio " +
-        "FROM d2), " +
-        "q AS (SELECT doc_id, n_tokens, least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5 " +
-        "+ stopword_ratio*0.25 + alpha_ratio*0.25 AS quality_score FROM m), " +
-        s"lg AS (SELECT doc_id, CASE WHEN len(list_filter(string_split(text, ' '), " +
-        s"tk -> list_contains($stopList, tk))) >= 2 THEN 'en' ELSE 'unk' END AS pred_lang FROM documents), " +
-        "pi AS (SELECT doc_id, " +
-        s"(len(regexp_extract_all(tt, '${Curate.EmailRe}')) + " +
-        s"len(regexp_extract_all(tt, '${Curate.PhoneRe}')) + " +
-        s"len(regexp_extract_all(tt, '${Curate.Ipv4Re}'))) > 0 AS has_pii FROM " +
-        "(SELECT doc_id, text || " +
-        "(CASE WHEN doc_id % 3 = 0 THEN ' reach a.b@c.example.com' ELSE '' END) || " +
-        "(CASE WHEN doc_id % 5 = 0 THEN ' call +1 212 555 0199 from 10.0.0.1' ELSE '' END) AS tt " +
-        "FROM documents)), " +
-        "cn AS (SELECT md5(text) AS th, min(doc_id) AS canon_id FROM documents GROUP BY 1), " +
-        "vv AS (SELECT doc_id, (doc_id <> canon_id) AS exact_dup_victim FROM " +
-        "(SELECT doc_id, md5(text) AS th FROM documents) JOIN cn USING (th)), " +
-        "w2 AS (SELECT doc_id, p.i AS i, p.wh AS wh FROM " +
-        "(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-7), " +
-        "i -> struct_pack(i := i, wh := md5(array_to_string(toks[i:i+7], ' '))))) AS p " +
-        "FROM t WHERE len(toks) >= 8)), " +
-        "dd AS (SELECT wh FROM w2 GROUP BY wh HAVING count(DISTINCT doc_id) >= 2), " +
-        "cc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup FROM " +
-        "(SELECT DISTINCT doc_id, ti FROM (SELECT w2.doc_id, " +
-        "unnest(generate_series(w2.i, w2.i+7)) AS ti FROM w2 JOIN dd USING (wh))) GROUP BY doc_id) " +
-        "SELECT q.doc_id, q.n_tokens, q.quality_score, lg.pred_lang, lm.lm_invp, " +
-        "pi.has_pii, vv.exact_dup_victim, " +
-        "CAST(coalesce(cc.n_dup, 0) AS DOUBLE)/q.n_tokens AS dup_frac " +
-        "FROM q JOIN lg USING (doc_id) LEFT JOIN lm USING (doc_id) " +
-        "JOIN pi USING (doc_id) JOIN vv USING (doc_id) LEFT JOIN cc USING (doc_id)"),
-
-    "x106_paragraph_lm_filter" ->
-      ("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +
-        "tr AS (SELECT toks FROM t WHERE source = 'src0'), " +
-        "trtok AS (SELECT unnest(toks) AS a FROM tr), " +
-        "uni AS (SELECT a, CAST(count(*) AS BIGINT) AS c_a FROM trtok GROUP BY 1), " +
-        "st AS (SELECT CAST(count(*) AS BIGINT) AS n_tok, " +
-        "CAST(count(DISTINCT a) AS BIGINT) AS v FROM trtok), " +
-        "bi AS (SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS c_ab FROM " +
-        "(SELECT unnest(list_transform(generate_series(1, len(toks)-1), " +
-        "i -> struct_pack(a := toks[i], b := toks[i+1]))) AS p FROM tr WHERE len(toks) >= 2) " +
-        "GROUP BY 1, 2), " +
-        "ub AS (SELECT a AS b, c_a AS c_b FROM uni), " +
-        "pa AS (SELECT doc_id, p.w AS p_idx, p.p_text FROM " +
-        "(SELECT doc_id, unnest(list_transform(generate_series(0, (len(toks)-1)//20), " +
-        "w -> struct_pack(w := w, p_text := array_to_string(toks[w*20+1:w*20+20], ' ')))) AS p " +
-        "FROM t WHERE source <> 'src0')), " +
-        "pt AS (SELECT doc_id, p_idx, p_text, string_split(p_text, ' ') AS ptoks FROM pa), " +
-        "pr AS (SELECT doc_id, p_idx, p.i AS i, p.a AS a, p.b AS b FROM " +
-        "(SELECT doc_id, p_idx, unnest(list_transform(generate_series(1, len(ptoks)-1), " +
-        "i -> struct_pack(i := i, a := ptoks[i], b := ptoks[i+1]))) AS p " +
-        "FROM pt WHERE len(ptoks) >= 2)), " +
-        "sp AS (SELECT doc_id, p_idx, i, CASE WHEN c_ab IS NOT NULL " +
-        "THEN CAST(c_a AS DOUBLE) / CAST(c_ab AS DOUBLE) " +
-        "ELSE 2.5 * CAST(st.n_tok + st.v AS DOUBLE) / CAST(coalesce(c_b, 0) + 1 AS DOUBLE) END AS invp " +
-        "FROM pr LEFT JOIN uni USING (a) LEFT JOIN ub USING (b) LEFT JOIN bi USING (a, b), st), " +
-        "sc AS (SELECT doc_id, p_idx, " +
-        "list_aggregate(list(invp ORDER BY i), 'sum')/count(*) AS avg_invp FROM sp GROUP BY 1, 2), " +
-        "fl AS (SELECT pt.doc_id, pt.p_idx, pt.p_text, " +
-        "coalesce(sc.avg_invp > 50.0, false) AS drop_para " +
-        "FROM pt LEFT JOIN sc USING (doc_id, p_idx)), " +
-        "reb AS (SELECT doc_id, string_agg(p_text, ' ' ORDER BY p_idx) AS clean_text " +
-        "FROM fl WHERE NOT drop_para GROUP BY doc_id), " +
-        "ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras, " +
-        "CAST(sum(CASE WHEN drop_para THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped FROM fl GROUP BY doc_id) " +
-        "SELECT ag.doc_id, ag.n_paras, ag.n_dropped, " +
-        "coalesce(reb.clean_text, '') AS clean_text FROM ag LEFT JOIN reb USING (doc_id)"),
-
-    "x95_url_canonical_dedup" -> {
-      val nameList = Curate.UrlDomainNames.map(n => s"'$n'").mkString("[", ",", "]")
-      val tldList = Curate.UrlTlds.map(t => s"'$t'").mkString("[", ",", "]")
-      def dg(i: Int) = s"CAST(('0x' || substr(md5(doc_id || ':murl'), $i, 1)) AS INT)"
-      ("WITH m AS (SELECT doc_id, " +
-        s"(CASE WHEN ${dg(1)} % 2 = 1 THEN 'HTTPS' ELSE 'https' END) || '://' || " +
-        s"(CASE WHEN ${dg(5)} % 2 = 1 THEN upper(bh) ELSE bh END) || " +
-        s"(CASE WHEN ${dg(6)} % 2 = 1 THEN ':443' ELSE '' END) || " +
-        "'/p/' || (doc_id % 97) || " +
-        s"(CASE WHEN ${dg(7)} % 2 = 1 THEN '/' ELSE '' END) || " +
-        s"(CASE WHEN ${dg(8)} % 4 = 0 THEN '?utm_source=feed&utm_medium=rss' " +
-        s"WHEN ${dg(8)} % 4 = 1 THEN '?id=' || (doc_id % 5) || '&utm_campaign=x' " +
-        s"WHEN ${dg(8)} % 4 = 2 THEN '?id=' || (doc_id % 5) ELSE '' END) || " +
-        s"(CASE WHEN ${dg(9)} % 2 = 1 THEN '#frag' ELSE '' END) AS url " +
-        "FROM (SELECT doc_id, 'www.' || " +
-        s"($nameList)[${dg(3)} % ${Curate.UrlDomainNames.size} + 1] || '.' || " +
-        s"($tldList)[${dg(4)} % ${Curate.UrlTlds.size} + 1] AS bh FROM documents)), " +
-        "c AS (SELECT doc_id, url, " +
-        "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' || " +
-        "regexp_replace(lower(regexp_extract(url, '://([^/?#]+)', 1)), ':(443|80)$', '') || " +
-        "regexp_replace(regexp_extract(regexp_replace(url, '#.*$', ''), '://[^/?#]+([^?]*)', 1), '/+$', '') || " +
-        "(CASE WHEN kq = '' THEN '' ELSE '?' || kq END) AS canonical_url FROM " +
-        // coalesce: DuckDB's array_to_string(list_sort([])) is NULL, Spark's array_join is ''
-        "(SELECT doc_id, url, coalesce(array_to_string(list_sort(list_filter(" +
-        "string_split(regexp_extract(regexp_replace(url, '#.*$', ''), '\\?(.*)$', 1), '&'), " +
-        "x -> NOT regexp_matches(x, '^(utm_[^=]*|ref|fbclid|gclid)=') AND x <> '')), '&'), '') AS kq " +
-        "FROM m)) " +
-        "SELECT canonical_url, min(doc_id) AS survivor_id, " +
-        "CAST(count(*) AS BIGINT) AS n_docs, " +
-        "CAST(count(DISTINCT url) AS BIGINT) AS n_variants FROM c GROUP BY 1")
-    },
-
-    "x80_lm_quality_score" ->
-      (s"WITH $lmCtes " +
-        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs, " +
-        "list_aggregate(list(invp ORDER BY i), 'sum') / count(*) AS avg_invp " +
-        "FROM sp GROUP BY doc_id"),
-
-    // The composed flagship: domain gate -> LM gate at the exact P95 ->
-    // exact dedup -> context-window chunk stats per registered domain.
-    "x81_web_corpus_pipeline" ->
-      (s"WITH $lmCtes, $urlChainCtes, " +
-        "sc AS (SELECT doc_id, list_aggregate(list(invp ORDER BY i), 'sum') / count(*) " +
-        "AS avg_invp FROM sp GROUP BY doc_id), " +
-        "j AS (SELECT f.doc_id, f.domain, sc.avg_invp FROM f JOIN sc USING (doc_id)), " +
-        "th AS (SELECT quantile_cont(avg_invp, 0.95) AS hi FROM j), " +
-        "fl AS (SELECT j.doc_id, j.domain, dd.text, t.toks FROM j " +
-        "JOIN documents dd ON j.doc_id = dd.doc_id JOIN t ON j.doc_id = t.doc_id " +
-        "CROSS JOIN th WHERE j.avg_invp <= th.hi), " +
-        "canon AS (SELECT md5(text) AS hh, min(doc_id) AS doc_id FROM fl GROUP BY 1), " +
-        "sv AS (SELECT fl.* FROM fl JOIN canon USING (doc_id)), " +
-        "cn AS (SELECT doc_id, toks, len(toks) AS n FROM sv), " +
-        "cg AS (SELECT doc_id, toks, CASE WHEN n <= 64 THEN 0 " +
-        "ELSE CAST(floor((n - 64 + 47)/48.0) AS INT) END AS last_chunk FROM cn), " +
-        "ce AS (SELECT doc_id, toks, unnest(generate_series(0, last_chunk)) AS i FROM cg), " +
-        "cs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, " +
-        "CAST(sum(len(toks[(i*48+1):(i*48+64)])) AS BIGINT) AS chunk_tokens FROM ce GROUP BY doc_id) " +
-        "SELECT domain, CAST(count(*) AS BIGINT) AS n_docs, " +
-        "CAST(sum(n_chunks) AS BIGINT) AS n_chunks, " +
-        "CAST(sum(chunk_tokens) AS BIGINT) AS total_chunk_tokens, " +
-        "min(doc_id) AS min_doc_id " +
-        "FROM sv JOIN cs USING (doc_id) GROUP BY domain"),
-
-    "x47_sketch_heavy_hitters" ->
-      (s"WITH t AS ($toksCte), e AS (SELECT unnest(toks) AS tok FROM t), " +
-        "n AS (SELECT CAST(ceil(CAST(0.01 AS DOUBLE) * count(*)) AS BIGINT) AS threshold FROM e) " +
-        "SELECT tok, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY tok " +
-        "HAVING count(*) >= (SELECT threshold FROM n)"),
-
-    "x46_training_pipeline" ->
-      (s"WITH t AS ($toksCte), " +
-        "m AS (SELECT d.doc_id, d.lang, d.source, d.text, t.toks, " +
-        "least(CAST(len(t.toks) AS DOUBLE)/50.0, 1.0)*0.5 " +
-        s"+ (CAST(len(list_filter(t.toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(t.toks))*0.25 " +
-        "+ (CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)/length(d.text))*0.25 " +
-        "AS quality_score FROM documents d JOIN t USING (doc_id)), " +
-        "q AS (SELECT * FROM m WHERE quality_score >= 0.6), " +
-        "canon AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM q GROUP BY 1), " +
-        "s AS (SELECT q.* FROM q JOIN canon USING (doc_id)), " +
-        "n AS (SELECT doc_id, toks, len(toks) AS n FROM s), " +
-        "g AS (SELECT doc_id, toks, CASE WHEN n <= 64 THEN 0 " +
-        "ELSE CAST(floor((n - 64 + 47)/48.0) AS INT) END AS last_chunk FROM n), " +
-        "e AS (SELECT doc_id, toks, unnest(generate_series(0, last_chunk)) AS i FROM g), " +
-        "cs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, " +
-        "CAST(sum(len(toks[(i*48+1):(i*48+64)])) AS BIGINT) AS chunk_tokens FROM e GROUP BY doc_id) " +
-        "SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs, " +
-        "CAST(sum(n_chunks) AS BIGINT) AS n_chunks, " +
-        "CAST(sum(chunk_tokens) AS BIGINT) AS total_chunk_tokens " +
-        "FROM s JOIN cs USING (doc_id) GROUP BY lang, source"),
-
-    "x45_bloom_semijoin" ->
-      ("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items, " +
-        "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue " +
-        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
-        "WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01' " +
-        "AND CAST(o_orderdate AS DATE) <= DATE '1995-03-31' " +
-        "GROUP BY o_orderpriority"),
-
-    "x42_chunk_tokens" ->
-      (s"WITH t AS ($toksCte), " +
-        "n AS (SELECT doc_id, toks, len(toks) AS n FROM t), " +
-        "g AS (SELECT doc_id, toks, CASE WHEN n <= 64 THEN 0 " +
-        "ELSE CAST(floor((n - 64 + 47) / 48.0) AS INT) END AS last_chunk FROM n), " +
-        "e AS (SELECT doc_id, toks, unnest(generate_series(0, last_chunk)) AS i FROM g) " +
-        "SELECT doc_id, CAST(i AS INT) AS chunk_id, " +
-        "array_to_string(toks[(i*48+1):(i*48+64)], ' ') AS chunk_text, " +
-        "CAST(len(toks[(i*48+1):(i*48+64)]) AS INT) AS n_chunk_tokens FROM e"),
-
-    // Oracle replays the packing as the single-window prefix sum; the
-    // engine's two-phase distributed form is bit-identical by construction
-    // (ChunkingSpec pins the equivalence).
-    "x43_pack_sequences" ->
-      ("WITH n AS (SELECT doc_id, source, " +
-        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
-        "o AS (SELECT doc_id, source, n_tokens, " +
-        "COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset FROM n) " +
-        "SELECT doc_id, source, n_tokens, token_offset % 2048 AS offset_in_seq, " +
-        "token_offset // 2048 AS seq_id FROM o")
-  )
+  /** The full extension registry: per-family maps merged (r9 split —
+    * zero behavior change; key sets are disjoint by construction and
+    * asserted in VerifySpec's registry checks). */
+  def queries: Map[String, Q] = AnnQueries.queries ++
+    ChatQueries.queries ++
+    CurateQueries.queries ++
+    DedupQueries.queries ++
+    MiscQueries.queries ++
+    PreferenceQueries.queries ++
+    RetrievalQueries.queries ++
+    TextQueries.queries ++
+    TokenizerQueries.queries ++
+    TrainerQueries.queries
+
+  def oracleSql: Map[String, String] = AnnQueries.oracleSql ++
+    ChatQueries.oracleSql ++
+    CurateQueries.oracleSql ++
+    DedupQueries.oracleSql ++
+    MiscQueries.oracleSql ++
+    PreferenceQueries.oracleSql ++
+    RetrievalQueries.oracleSql ++
+    TextQueries.oracleSql ++
+    TokenizerQueries.oracleSql ++
+    TrainerQueries.oracleSql
 }

@@ -1,0 +1,173 @@
+package graft.ext
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.ExtQueries.{Q, recallReport, StoredIndexes}
+import graft.ext.ExtOracles._
+
+/** Misc registry — sketches, layout, joins, graph, multimodal. Split out of the monolithic
+  * ExtQueries (r9, VERDICT item 7); entries and oracle SQL are
+  * verbatim, merged back in [[ExtQueries.queries]] /
+  * [[ExtQueries.oracleSql]]. */
+private[graft] object MiscQueries {
+
+  val queries: Map[String, Q] = Map(
+    "x19_array_funcs" -> ((s, dir) =>
+      Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        array_max(col("embedding")).cast("double").as("emb_max"),
+        array_min(col("embedding")).cast("double").as("emb_min"),
+        element_at(col("embedding"), 1).cast("double").as("first"),
+        aggregate(slice(col("embedding"), 1, 8).cast("array<double>"),
+          lit(0.0), (a, x) => a + x).as("head8_sum"))),
+    "x12_multimodal_binary" -> ((s, dir) =>
+      Multimodal.binaryFeatures(Tables.documents(s, dir))),
+    "x26_sketch_cardinality" -> ((s, dir) =>
+      Sketches.cardinalityReport(Tables.documents(s, dir))),
+    "x27_sketch_quantiles" -> ((s, dir) =>
+      Sketches.quantileReport(Tables.documents(s, dir))),
+    "x37_layout_zorder" -> ((s, dir) => {
+      graft.functions.Morton.register(s)
+      Tables.orders(s, dir).select(col("o_orderkey"),
+        graft.functions.Morton.interleave(
+          (col("o_orderkey") % 65536).cast("long"),
+          (col("o_custkey") % 65536).cast("long")).as("zval"))
+    }),
+    "x86_domain_authority" -> ((s, dir) =>
+      Authority.domainAuthority(Tables.documents(s, dir))),
+
+    // Temperature-scaled language mixture (r5): sqrt-share reweighting +
+    // the exact row count the deterministic fractional-epoch replay
+    // materializes against a 1000-row budget.,
+    "x39_sketch_hll_union" -> ((s, dir) =>
+      Sketches.hllRollupReport(Tables.documents(s, dir))),
+
+    // Report form (r5): exact histogram quantiles per source + ALL row,
+    // KLL estimates (incl. the unioned ALL sketch) reduced to rank-error
+    // booleans wide enough that compaction randomness can't flip them.,
+    "x44_sketch_kll_rollup" -> ((s, dir) =>
+      Sketches.kllRollupReport(Tables.documents(s, dir))),
+
+    // Exact heavy-hitter tokens (true count >= 1% of stream) via the
+    // two-phase frequent-items sketch: mergeable per-source sketches ->
+    // union rollup -> NO_FALSE_NEGATIVES candidate superset -> broadcast
+    // exact count of candidates only. Output is exact (hash-matched), yet
+    // the only vocabulary-wide op is a constant-size sketch agg.,
+    "x47_sketch_heavy_hitters" -> ((s, dir) =>
+      Sketches.sketchHeavyHitters(Tables.documents(s, dir), phi = 0.01)),
+
+    // Semantic dedup end-to-end — x41's pipeline in embedding space: LSH
+    // near-dup pairs (cosine >= 0.4 within hyperplane buckets) -> star CC
+    // -> drop non-canonical members -> surviving per-label stats. The
+    // embedding twin of the text pipeline, sharing the same CC operator.,
+    "x122_pagerank_convergence" -> ((s, dir) =>
+      Authority.pageRankConvergence(
+        Authority.domainEdges(Tables.documents(s, dir)), 5)),
+
+    // Pruned-LM ranking stability (r6): score every doc under the
+    // unpruned bigram LM and the minPairCount=2 pruned one (the broadcast-
+    // budget knob — hapax bigrams dropped to the backoff tier), tertile
+    // both, and report agreement + mean absolute score shift in ONE row.
+    // The artifact that justifies shipping the pruned (broadcast-safe)
+    // model at 100 TB.,
+    "x45_bloom_semijoin" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val ord = Tables.orders(s, dir)
+        .where(to_date(col("o_orderdate")).between(
+          lit(java.sql.Date.valueOf("1995-01-01")), lit(java.sql.Date.valueOf("1995-03-31"))))
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      graft.ops.BloomJoin.bloomPrunedJoin(li, "l_orderkey", ord, "o_orderkey", 200000L)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+            .cast("double").as("revenue"))
+    }),
+
+    // Context-window chunking: 64-token windows, stride 48 (16-token
+    // overlap) — per-row HOFs only, output-sized.,
+    "x28_range_join_bucketed" -> ((s, dir) => {
+      val w = Tables.orders(s, dir).where(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey").as("w_id"),
+          to_date(col("o_orderdate")).as("w_start"),
+          date_add(to_date(col("o_orderdate")), 7).as("w_end"))
+      val li = Tables.lineitem(s, dir).where(col("l_linenumber") === 1)
+        .select(to_date(col("l_shipdate")).as("ship_d"))
+      graft.ops.RangeJoin.bucketedInterval(li, "ship_d", w, "w_start", "w_end", 7)
+        .groupBy("w_id").agg(count(lit(1)).as("n_shipped"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x122_pagerank_convergence" ->
+      // two-level fold (pageRankConvergence's oracle twin): 4-hex md5 node
+      // draw mod √n buckets its |Δ|s, bucket-ordered fold of the sums
+      (s"WITH $pageRankCtes, " +
+        "pfb AS (SELECT CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS b FROM nc), " +
+        (0 until 5).map { k =>
+          s"dj$k AS (SELECT CAST(('0x' || substr(md5(a.node), 1, 4)) AS INT) " +
+            "% (SELECT b FROM pfb) AS bkt, " +
+            "list_aggregate(list_sort(list(abs(b.rank - a.rank))), 'sum') AS ps " +
+            s"FROM r$k a JOIN r${k + 1} b USING (node) GROUP BY 1), " +
+            s"dl$k AS (SELECT CAST(${k + 1} AS BIGINT) AS iter, " +
+            s"list_aggregate(list(ps ORDER BY bkt), 'sum') AS l1_delta FROM dj$k)"
+        }.mkString(", ") + " " +
+        (0 until 5).map(k => s"SELECT * FROM dl$k").mkString(" UNION ALL ")),
+    "x19_array_funcs" ->
+      ("SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, " +
+        "CAST(list_max(embedding) AS DOUBLE) AS emb_max, " +
+        "CAST(list_min(embedding) AS DOUBLE) AS emb_min, " +
+        "CAST(embedding[1] AS DOUBLE) AS first, " +
+        "list_aggregate(list_transform(CAST(embedding AS DOUBLE[])[1:8], x -> x), 'sum') AS head8_sum " +
+        "FROM embeddings"),
+    "x12_multimodal_binary" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "base64(encode(substr(text, 1, 8))) AS prefix_b64 FROM documents"),
+    "x37_layout_zorder" ->
+      ("WITH b0 AS (SELECT o_orderkey, CAST(o_orderkey % 65536 AS BIGINT) AS x, " +
+        "CAST(o_custkey % 65536 AS BIGINT) AS y FROM orders), " +
+        "b1 AS (SELECT o_orderkey, (x | (x << 16)) & 281470681808895 AS x, (y | (y << 16)) & 281470681808895 AS y FROM b0), " +
+        "b2 AS (SELECT o_orderkey, (x | (x << 8)) & 71777214294589695 AS x, (y | (y << 8)) & 71777214294589695 AS y FROM b1), " +
+        "b3 AS (SELECT o_orderkey, (x | (x << 4)) & 1085102592571150095 AS x, (y | (y << 4)) & 1085102592571150095 AS y FROM b2), " +
+        "b4 AS (SELECT o_orderkey, (x | (x << 2)) & 3689348814741910323 AS x, (y | (y << 2)) & 3689348814741910323 AS y FROM b3), " +
+        "b5 AS (SELECT o_orderkey, (x | (x << 1)) & 6148914691236517205 AS x, (y | (y << 1)) & 6148914691236517205 AS y FROM b4) " +
+        "SELECT o_orderkey, x | (y << 1) AS zval FROM b5"),
+    "x28_range_join_bucketed" ->
+      ("WITH w AS (SELECT o_orderkey AS w_id, CAST(o_orderdate AS DATE) AS ws, " +
+        "CAST(o_orderdate AS DATE) + 7 AS we FROM orders WHERE o_orderkey % 100 = 0), " +
+        "l AS (SELECT CAST(l_shipdate AS DATE) AS d FROM lineitem WHERE l_linenumber = 1) " +
+        "SELECT w_id, CAST(count(*) AS BIGINT) AS n_shipped " +
+        "FROM l JOIN w ON l.d >= w.ws AND l.d < w.we GROUP BY w_id"),
+    "x26_sketch_cardinality" ->
+      ("SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_tokens_exact, " +
+        "TRUE AS hll_within_15pct " +
+        "FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        "GROUP BY lang"),
+    "x27_sketch_quantiles" -> histQuantSql("gk", withAll = false),
+    "x44_sketch_kll_rollup" -> histQuantSql("kll", withAll = true),
+    "x39_sketch_hll_union" ->
+      ("WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        "SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS n_exact, " +
+        "TRUE AS hll_within_5pct FROM tk GROUP BY source " +
+        "UNION ALL SELECT 'ALL' AS source, CAST(count(DISTINCT tok) AS BIGINT), TRUE FROM tk"),
+    "x86_domain_authority" -> pageRankSql,
+
+    // x177: per-dim two-level folds (bucket = vec_id % ceil(sqrt(n))),
+    // E[v^2] - mean^2 variance, dim-ordered rollups, norm fold per vec.,
+    "x47_sketch_heavy_hitters" ->
+      (s"WITH t AS ($toksCte), e AS (SELECT unnest(toks) AS tok FROM t), " +
+        "n AS (SELECT CAST(ceil(CAST(0.01 AS DOUBLE) * count(*)) AS BIGINT) AS threshold FROM e) " +
+        "SELECT tok, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY tok " +
+        "HAVING count(*) >= (SELECT threshold FROM n)"),
+    "x45_bloom_semijoin" ->
+      ("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items, " +
+        "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01' " +
+        "AND CAST(o_orderdate AS DATE) <= DATE '1995-03-31' " +
+        "GROUP BY o_orderpriority"),
+  )
+}

@@ -1,0 +1,205 @@
+package graft.ext
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.ExtQueries.{Q, recallReport, StoredIndexes}
+import graft.ext.ExtOracles._
+
+/** Preference registry — preference/RLHF exports. Split out of the monolithic
+  * ExtQueries (r9, VERDICT item 7); entries and oracle SQL are
+  * verbatim, merged back in [[ExtQueries.queries]] /
+  * [[ExtQueries.oracleSql]]. */
+private[graft] object PreferenceQueries {
+
+  val queries: Map[String, Q] = Map(
+    "x141_contrastive_pairs" -> ((s, dir) =>
+      Similarity.contrastivePairs(Tables.embeddings(s, dir))),
+
+    // MMR diversified selection (r6): greedy λ·rel − γ·maxsim top-k over
+    // the embedding corpus (query = vector 0) — the eval-set/few-shot-pool
+    // builder where plain top-k returns near-duplicates of one item. Each
+    // step one engine argmax; selected set travels as ≤k−1 literal vectors.,
+    "x131_bt_strengths" -> ((s, dir) =>
+      Preference.btStrengths(Tables.documents(s, dir))),
+
+    // The fit's convergence report (r6): per-round L1 delta of the
+    // strength vector (sorted-multiset fold — see the x122/x132 ulp note).,
+    "x132_bt_convergence" -> ((s, dir) =>
+      Preference.btConvergence(Tables.documents(s, dir))),
+
+    // Incremental warm-start BT (r6): when the comparison pool grows,
+    // continue the MM fit from the stored base strengths for 2 rounds
+    // instead of a 7-round cold refit — measured: top-10 overlap + mean
+    // strength gap vs the cold fit, one row (x136's discipline for the
+    // preference family).,
+    "x142_bt_incremental" -> ((s, dir) =>
+      Preference.btIncremental(Tables.documents(s, dir))),
+
+    // The trained model APPLIED (r6): held-out per-doc scores under the
+    // final weights — x89's classifier-report shape, but the model was
+    // fitted by the engine itself (x129's loop), closing the FineWeb-style
+    // "train the quality filter, then run it" edge.,
+    "x147_best_of_n" -> ((s, dir) =>
+      Preference.bestOfNReport(Trainer.lrScoreAll(s, Tables.documents(s, dir)))),
+
+    // SFT prompt dedup (r8 second half): conversations sharing an
+    // identical first user turn are duplicates of the same task — digest
+    // groups over the PARSED instruction, min-id survivor, duplicated
+    // groups only.,
+    "x169_kto_export" -> ((s, dir) =>
+      Preference.ktoExport(Trainer.lrScoreAll(s, Tables.documents(s, dir)))),
+
+    // The scorer -> selection -> preference flagship (r7): best-of-N's
+    // winner-vs-each-loser star comparisons feed the Bradley-Terry MM fit
+    // (x131's estimator) as synthetic preference data — per-item wins /
+    // games / fitted strength out. Losers never win, so they settle at the
+    // MLE boundary 0 and winners carry pool-sized strengths (spec-pinned).,
+    "x148_bon_preference_fit" -> ((s, dir) =>
+      Preference.btFit(Preference.bonPreferences(
+        Trainer.lrScoreAll(s, Tables.documents(s, dir))))),
+
+    // DPO pair export (r8): per best-of-N pool, chosen = the winner,
+    // rejected = the LAST candidate of the same trained-scorer ranking,
+    // margin = chosen − rejected; pairs under DpoMinMargin are dropped
+    // (near-ties carry more label noise than signal) — the
+    // (prompt, chosen, rejected) table a DPO run trains on.,
+    "x149_dpo_pairs" -> ((s, dir) =>
+      Preference.dpoPairs(Trainer.lrScoreAll(s, Tables.documents(s, dir)))),
+
+    // Per-source TOKEN-budget mixture (r8): each source contributes its
+    // hash-shuffled document prefix until TokenMixBudget tokens — the
+    // mixture knob a pretraining run actually turns (doc-count quotas
+    // over-weight short-doc sources). Exact LONG prefix sums; fill_frac
+    // is the only division.,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x131_bt_strengths" ->
+      (s"WITH ${btCtes(Preference.Iters)} " +
+        s"SELECT bst.doc_id, bst.wins, bst.games, s.s AS strength " +
+        s"FROM bst JOIN s${Preference.Iters} s USING (doc_id)"),
+    "x142_bt_incremental" -> {
+      val dr = "CAST(('0x' || substr(md5(CAST(%s AS VARCHAR) || ':btbatch'), 1, 8)) AS BIGINT)/4294967296.0"
+      val (ib, iw) = (Preference.Iters, 2)
+      s"WITH ${btCtes(0)}, " + // base/pf/gm/bst/s0 CTEs only (0 shared rounds)
+        s"bpf AS MATERIALIZED (SELECT * FROM pf WHERE ${dr.format("doc_a")} < 0.8 " +
+        s"AND ${dr.format("doc_b")} < 0.8), " +
+        "bgm AS MATERIALIZED (SELECT doc_a AS i, doc_b AS j FROM bpf " +
+        "UNION ALL SELECT doc_b, doc_a FROM bpf), " +
+        "bgc AS (SELECT i AS doc_id, CAST(count(*) AS BIGINT) AS games FROM bgm GROUP BY 1), " +
+        "bwc AS (SELECT winner AS doc_id, CAST(count(*) AS BIGINT) AS wins FROM bpf GROUP BY 1), " +
+        "bbst AS MATERIALIZED (SELECT g.doc_id, coalesce(w.wins, CAST(0 AS BIGINT)) AS wins, g.games " +
+        "FROM bgc g LEFT JOIN bwc w USING (doc_id)), " +
+        "bs0 AS (SELECT doc_id, CAST(1.0 AS DOUBLE) AS s FROM bbst), " +
+        btChain("b", "bgm", "bbst", "bs0", ib) + ", " +
+        s"ws0 AS MATERIALIZED (SELECT bst.doc_id, coalesce(b.s, CAST(1.0 AS DOUBLE)) AS s " +
+        s"FROM bst LEFT JOIN bs$ib b USING (doc_id)), " +
+        btChain("w", "gm", "bst", "ws0", iw) + ", " +
+        btChain("c", "gm", "bst", "s0", ib + iw) + ", " +
+        s"wt AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r " +
+        s"FROM ws$iw) WHERE r <= 10), " +
+        s"ctp AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r " +
+        s"FROM cs${ib + iw}) WHERE r <= 10), " +
+        "ov AS (SELECT CAST(count(*) AS BIGINT) AS top10_overlap FROM wt JOIN ctp USING (doc_id)), " +
+        // two-level gap fold (btIncremental's oracle twin), √n from the
+        // warm strengths — the relation the Spark side counts
+        s"gfb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM ws$iw), " +
+        s"gj AS (SELECT w.doc_id % (SELECT b FROM gfb) AS bkt, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "list_aggregate(list_sort(list(abs(w.s - c.s))), 'sum') AS ps " +
+        s"FROM ws$iw w JOIN cs${ib + iw} c USING (doc_id) GROUP BY 1), " +
+        "gp AS (SELECT CAST(sum(n) AS BIGINT) AS n_items, " +
+        "list_aggregate(list(ps ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS mean_abs_gap " +
+        "FROM gj), " +
+        s"nb AS (SELECT CAST(count(*) AS BIGINT) AS n_base_items FROM bs$ib) " +
+        "SELECT nb.n_base_items, gp.n_items, gp.n_items - nb.n_base_items AS n_new_items, " +
+        "ov.top10_overlap, gp.mean_abs_gap FROM nb, gp, ov"
+    },
+    "x132_bt_convergence" ->
+      // two-level fold (btConvergence's oracle twin): sorted |Δ| fold per
+      // doc_id%√n bucket, then a bucket-ordered fold of the bucket sums
+      (s"WITH ${btCtes(Preference.Iters)}, " +
+        "cfb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM bst), " +
+        (0 until Preference.Iters).map { k =>
+          s"dj$k AS (SELECT a.doc_id % (SELECT b FROM cfb) AS bkt, " +
+            "list_aggregate(list_sort(list(abs(b.s - a.s))), 'sum') AS ps " +
+            s"FROM s$k a JOIN s${k + 1} b USING (doc_id) GROUP BY 1), " +
+            s"dl$k AS (SELECT CAST(${k + 1} AS BIGINT) AS iter, " +
+            s"list_aggregate(list(ps ORDER BY bkt), 'sum') AS l1_delta FROM dj$k)"
+        }.mkString(", ") + " " +
+        (0 until Preference.Iters).map(k => s"SELECT * FROM dl$k").mkString(" UNION ALL ")),
+    "x147_best_of_n" ->
+      (s"WITH ${bonCtes(Trainer.Buckets, Trainer.Iters)}, " +
+        "bstt AS (SELECT prompt_id, CAST(count(*) AS BIGINT) AS n_candidates, " +
+        "list_aggregate(list_sort(list(score)), 'sum')/count(*) AS mean_score FROM bpl GROUP BY 1), " +
+        "bbst AS (SELECT prompt_id, doc_id AS best_doc, score AS best_score FROM brn WHERE rn = 1), " +
+        "bsec AS (SELECT prompt_id, score AS second_score FROM brn WHERE rn = 2) " +
+        "SELECT t.prompt_id, t.n_candidates, b.best_doc, b.best_score, s2.second_score, " +
+        "b.best_score - s2.second_score AS margin, t.mean_score " +
+        "FROM bstt t JOIN bbst b USING (prompt_id) LEFT JOIN bsec s2 USING (prompt_id)"),
+    "x148_bon_preference_fit" ->
+      (s"WITH ${bonCtes(Trainer.Buckets, Trainer.Iters)}, " +
+        "bw AS (SELECT prompt_id, doc_id AS w FROM brn WHERE rn = 1), " +
+        "bls AS (SELECT l.prompt_id, l.doc_id AS lid, bw.w AS w FROM brn l " +
+        "JOIN bw USING (prompt_id) WHERE l.rn > 1), " +
+        "bnpf AS (SELECT least(w, lid) AS doc_a, greatest(w, lid) AS doc_b, w AS winner FROM bls), " +
+        "bngm AS (SELECT doc_a AS i, doc_b AS j FROM bnpf UNION ALL SELECT doc_b, doc_a FROM bnpf), " +
+        "bngc AS (SELECT i AS doc_id, CAST(count(*) AS BIGINT) AS games FROM bngm GROUP BY 1), " +
+        "bnwc AS (SELECT winner AS doc_id, CAST(count(*) AS BIGINT) AS wins FROM bnpf GROUP BY 1), " +
+        "bnst AS MATERIALIZED (SELECT g.doc_id, coalesce(w2.wins, CAST(0 AS BIGINT)) AS wins, g.games " +
+        "FROM bngc g LEFT JOIN bnwc w2 USING (doc_id)), " +
+        "bns0 AS (SELECT doc_id, CAST(1.0 AS DOUBLE) AS s FROM bnst), " +
+        btChain("bn", "bngm", "bnst", "bns0", Preference.Iters) + " " +
+        s"SELECT bnst.doc_id, bnst.wins, bnst.games, s.s AS strength " +
+        s"FROM bnst JOIN bns${Preference.Iters} s USING (doc_id)"),
+
+    // x175: first-user-turn digests over the shared chat chain, dup
+    // groups with the min-id survivor.,
+    "x169_kto_export" ->
+      (s"WITH ${bonCtes(Trainer.Buckets, Trainer.Iters)}, " +
+        "kmn AS (SELECT prompt_id, list_aggregate(list_sort(list(score)), 'sum')/count(*) AS pool_mean FROM bpl GROUP BY 1), " +
+        "klb AS (SELECT b.prompt_id, b.doc_id, b.score, m.pool_mean, " +
+        "b.score >= m.pool_mean AS desirable FROM bpl b JOIN kmn m USING (prompt_id)), " +
+        "kct AS (SELECT CAST(sum(CASE WHEN desirable THEN 1 ELSE 0 END) AS BIGINT) AS n_d, " +
+        "CAST(sum(CASE WHEN desirable THEN 0 ELSE 1 END) AS BIGINT) AS n_u FROM klb) " +
+        "SELECT prompt_id, doc_id, score, pool_mean, desirable, " +
+        "CASE WHEN desirable THEN 1.0 ELSE CAST(n_d AS DOUBLE)/CAST(n_u AS DOUBLE) END AS weight " +
+        "FROM klb, kct"),
+
+    // Chosen = pool rank 1, rejected = pool rank n_candidates, both from
+    // the SAME brn ranking; the DpoMinMargin literal is embedded below so
+    // the floor itself is oracle-verified.,
+    "x149_dpo_pairs" ->
+      (s"WITH ${bonCtes(Trainer.Buckets, Trainer.Iters)}, " +
+        "dct AS (SELECT prompt_id, CAST(count(*) AS BIGINT) AS n_candidates FROM brn GROUP BY 1), " +
+        "dch AS (SELECT prompt_id, doc_id AS chosen_doc, score AS chosen_score FROM brn WHERE rn = 1), " +
+        "drj AS (SELECT r.prompt_id, c.n_candidates, r.doc_id AS rejected_doc, r.score AS rejected_score " +
+        "FROM brn r JOIN dct c USING (prompt_id) WHERE r.rn = c.n_candidates AND c.n_candidates >= 2) " +
+        "SELECT r.prompt_id, r.n_candidates, ch.chosen_doc, ch.chosen_score, " +
+        "r.rejected_doc, r.rejected_score, ch.chosen_score - r.rejected_score AS margin " +
+        "FROM drj r JOIN dch ch USING (prompt_id) " +
+        s"WHERE ch.chosen_score - r.rejected_score >= ${Preference.DpoMinMargin}"),
+
+    // Exact-integer window prefix sums over the hash-shuffled per-source
+    // order; the budget literal is embedded (Curate.TokenMixBudget).,
+    "x141_contrastive_pairs" ->
+      ("WITH q AS (SELECT vec_id AS q_id, label AS q_label, " +
+        "CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
+        "sp AS (SELECT q_id, vec_id, " +
+        s"${dotSql("qe", "CAST(embedding AS DOUBLE[])")} AS cos " +
+        "FROM embeddings, q WHERE q_id <> vec_id AND q_label = label), " +
+        "rp AS (SELECT q_id, vec_id, cos, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM sp), " +
+        "pos AS (SELECT q_id, vec_id AS pos_id, cos AS pos_cos FROM rp WHERE rank = 1), " +
+        "sn AS (SELECT q_id, vec_id, " +
+        s"${dotSql("qe", "CAST(embedding AS DOUBLE[])")} AS cos " +
+        "FROM embeddings, q WHERE q_id <> vec_id AND q_label <> label), " +
+        "rn AS (SELECT q_id, vec_id, cos, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM sn), " +
+        "neg AS (SELECT q_id, vec_id AS neg_id, cos AS neg_cos, CAST(rank AS BIGINT) AS neg_rank " +
+        "FROM rn WHERE rank <= 3) " +
+        "SELECT p.q_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos, n.neg_rank, " +
+        "p.pos_cos - n.neg_cos AS margin FROM pos p JOIN neg n USING (q_id)"),
+  )
+}

@@ -1,0 +1,345 @@
+package graft.ext
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.ExtQueries.{Q, recallReport, StoredIndexes}
+import graft.ext.ExtOracles._
+
+/** Retrieval registry — lexical/hybrid retrieval + ranked eval. Split out of the monolithic
+  * ExtQueries (r9, VERDICT item 7); entries and oracle SQL are
+  * verbatim, merged back in [[ExtQueries.queries]] /
+  * [[ExtQueries.oracleSql]]. */
+private[graft] object RetrievalQueries {
+
+  val queries: Map[String, Q] = Map(
+    "x91_ann_hard_negatives" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(e.where(col("vec_id") < 5), e, 10)
+    }),
+
+    // Winnowing overlap candidates (r5): MOSS fingerprint selection +
+    // df-capped shared-fingerprint pairing.,
+    "x48_bm25_topk" -> ((s, dir) =>
+      Search.bm25TopK(Tables.documents(s, dir), Seq("hash", "join", "dup"), 10)),
+
+    // Stored BM25 index probe (r6): the x58 stored-IVF discipline applied
+    // to lexical retrieval — postings partitioned by term-hash bucket,
+    // probe prunes to its terms' buckets (driver-side bucket computation),
+    // per-term df from the pruned postings, IDENTICAL score expression to
+    // x48 (one oracle serves both). Shared per-(family, sfDir) build
+    // (StoredIndexes, r9).,
+    "x126_bm25_stored" -> ((s, dir) => {
+      val idx = StoredIndexes.get("bm25", dir)(
+        Search.buildBm25Index(Tables.documents(s, dir), _))
+      Search.bm25TopKStored(s, idx, Seq("hash", "join", "dup"), 10)
+    }),
+
+    // Hybrid retrieval (r6): RRF fusion of the BM25 lexical list and the
+    // brute-force semantic list for the fixture query (vector 0 + x48's
+    // terms) — Σ 1/(60+rank), ranks null where a list missed the doc.
+    // The two 20-row candidate lists full-outer join; all heavy work is
+    // the already-verified upstream rankers.,
+    "x118_hybrid_rrf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).where(col("doc_id") =!= Hybrid.QueryVecId)
+      Hybrid.rrfFuse(
+        Hybrid.bm25Ranked(docs, Hybrid.QueryTerms, 20),
+        Hybrid.annRanked(Tables.embeddings(s, dir), 20), 10)
+    }),
+
+    // HTML main-content extraction (r6): deterministic HTML wrapper over
+    // the fixture docs (md5-chosen nav variant + title + <p> paragraphs +
+    // footer), then Arc90-style block filtering (word count + link
+    // density) — per-row HOF chain, scan speed, zero shuffle.,
+    "x125_hybrid_lsh_agreement" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val corpus = docs.where(col("doc_id") =!= Hybrid.QueryVecId)
+      val bm = Hybrid.bm25Ranked(corpus, Hybrid.QueryTerms, 20)
+      def ranked(fused: org.apache.spark.sql.DataFrame) =
+        graft.ops.Quality.withExactRank(
+          fused.withColumn("_neg", -col("rrf_score")), Seq("_neg", "doc_id"), "rank")
+          .select(col("doc_id"), col("rank"))
+      val exR = ranked(Hybrid.rrfFuse(bm, Hybrid.annRanked(emb, 20), 10))
+      val lshR = ranked(Hybrid.rrfFuse(bm,
+        Hybrid.annRanked(emb, 20, Similarity.lshMultiTopK), 10))
+      val rel = graft.ops.Caching.cacheOnce(Hybrid.gradedRelevance(docs, emb))
+      val exEv = Hybrid.evalRankedList("x", exR, rel, 10)
+        .select(col("ndcg").as("ndcg_exact"))
+      val lshEv = Hybrid.evalRankedList("y", lshR, rel, 10)
+        .select(col("ndcg").as("ndcg_lsh"))
+      exR.select("doc_id").join(lshR.select("doc_id"), "doc_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .crossJoin(broadcast(exEv)).crossJoin(broadcast(lshEv))
+        .select(col("n_overlap"),
+          (col("n_overlap").cast("double") / lit(10.0)).as("overlap_frac"),
+          col("ndcg_exact"), col("ndcg_lsh"))
+    }),
+
+    // The raw-web ingest pipeline (r6): the OTHER edge of the corpus
+    // lifecycle, composed — HTML wrapper (the raw CommonCrawl-shaped
+    // input) → main-content extraction (x120) → heuristic quality gate on
+    // the EXTRACTED text (x46's 0.6 threshold) → exact dedup on extracted
+    // text → per-language funnel stats with the measured boilerplate
+    // fraction. Scan-level HOFs feed three partial aggs; no corpus-sized
+    // state anywhere.,
+    "x140_mmr_select" -> ((s, dir) =>
+      Similarity.mmrSelect(Tables.embeddings(s, dir))),
+
+    // Distribution-drift monitor (r6): decile quality-score histograms of
+    // two slices (src0 vs rest — the "new crawl vs corpus" shape), per-bin
+    // shares, |Δshare|, and the rational χ²-style term — the metric-
+    // distribution drift axis complementing x93/x97's vocabulary drift.,
+    "x119_retrieval_eval" -> ((s, dir) =>
+      Hybrid.retrievalEval(Tables.documents(s, dir), Tables.embeddings(s, dir))),
+
+    // Query-SET retrieval eval (r7): the production IR-eval shape — 5
+    // fixture queries (each a vector + a term set) against bm25 / ann /
+    // rrf in ONE broadcast-query-set plan, per-(system, query) nDCG@10 /
+    // recall@10, reduced to the per-system score distribution
+    // (mean / p50 / p90 nDCG, mean / min recall). Percentiles interpolate
+    // from the sorted 5-list with plan-time constants — never an engine
+    // percentile kernel.,
+    "x145_retrieval_eval_set" -> ((s, dir) =>
+      Hybrid.retrievalEvalSet(Tables.documents(s, dir), Tables.embeddings(s, dir))),
+
+    // MRR@10 / MAP@10 (r8 second half): the same three x145 systems and
+    // relevance, read out through the binary-relevance rank metrics —
+    // window-free j/rank precision folds, so the chain stays replayable.,
+    "x165_retrieval_rank_metrics" -> ((s, dir) =>
+      Hybrid.rankMetricsReport(Tables.documents(s, dir), Tables.embeddings(s, dir))),
+
+    // The query-set eval over the STORED indexes (r8): bm25 list from the
+    // partition-pruned postings probe, ANN list from the DPP-pruned
+    // IVFADC probe, RRF fused — the same evalRankedSet / distribution
+    // rows as x145, so in-memory vs production-index quality is a direct
+    // read-off. Shared per-(family, sfDir) index builds (StoredIndexes).,
+    "x153_retrieval_eval_stored" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val bmIdx = StoredIndexes.get("bm25", dir)(Search.buildBm25Index(docs, _))
+      val pqIdx = StoredIndexes.get("ivfpq", dir)(Similarity.buildIvfPqIndex(emb, _))
+      Hybrid.retrievalEvalStored(docs, emb, bmIdx, pqIdx)
+    }),
+
+    // Query-set eval over the stored IVF-BIN index (r8 batch 10): the
+    // x153 discipline applied to the 1-bit rung — raw-Hamming and
+    // reranked legs in nDCG terms, over the DPP plans users run.,
+    "x195_retrieval_eval_binary" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val idx = StoredIndexes.get("ivfbin", dir)(Similarity.buildIvfBinIndex(emb, _))
+      Hybrid.retrievalEvalBinary(docs, emb, idx)
+    }),
+
+    // The full training-data preparation pipeline as ONE registered query:
+    // quality gate (x09's score) -> exact dedup keeping the min doc_id per
+    // text hash (x01's canonicalization) -> context-window chunking (x42)
+    // -> per-(lang, source) corpus stats. Every stage is the operator the
+    // standalone query verifies; this pins that they compose.,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x118_hybrid_rrf" ->
+      s"WITH $hybridCtes SELECT doc_id, bm25_rank, ann_rank, rrf_score FROM hrrf10",
+    "x125_hybrid_lsh_agreement" ->
+      (s"WITH $hybridCtes, " +
+        s"hbe AS (SELECT vec_id, emb, unnest(generate_series(0, ${Similarity.LshTables - 1})) AS tbl, " +
+        (0 until Similarity.LshTables).map(multiBucketSql)
+          .mkString("unnest([", ", ", "]) AS bkt FROM hemb), ") +
+        s"hq2 AS (SELECT emb AS qe2, tbl, bkt FROM hbe WHERE vec_id = ${Hybrid.QueryVecId}), " +
+        s"hc2 AS (SELECT vec_id, emb, tbl, bkt FROM hbe WHERE vec_id <> ${Hybrid.QueryVecId}), " +
+        s"hlc AS (SELECT DISTINCT hc2.vec_id, ${dotSql("hq2.qe2", "hc2.emb")} AS cos " +
+        "FROM hc2 JOIN hq2 USING (tbl, bkt)), " +
+        "hannl AS (SELECT vec_id AS doc_id, CAST(rank AS BIGINT) AS rank FROM " +
+        "(SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank FROM hlc) WHERE rank <= 20), " +
+        "hfl AS (SELECT coalesce(b.doc_id, a.doc_id) AS doc_id, " +
+        s"coalesce(1.0/(${Hybrid.RrfK} + CAST(b.rank AS DOUBLE)), 0.0) " +
+        s"+ coalesce(1.0/(${Hybrid.RrfK} + CAST(a.rank AS DOUBLE)), 0.0) AS rrf_score " +
+        "FROM hbm b FULL JOIN hannl a ON b.doc_id = a.doc_id), " +
+        "hrrfl10 AS (SELECT doc_id, rrf_score FROM hfl ORDER BY rrf_score DESC, doc_id LIMIT 10), " +
+        "hrrfl AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank FROM hrrfl10), " +
+        "ov AS (SELECT CAST(count(*) AS BIGINT) AS n_overlap FROM hrrf JOIN hrrfl USING (doc_id)) " +
+        "SELECT ov.n_overlap, CAST(ov.n_overlap AS DOUBLE)/10.0 AS overlap_frac, " +
+        "ex.ndcg AS ndcg_exact, ls.ndcg AS ndcg_lsh " +
+        s"FROM ov, (SELECT ndcg FROM ${hybridEvalSql("x", "hrrf")}) ex, " +
+        s"(SELECT ndcg FROM ${hybridEvalSql("y", "hrrfl")}) ls"),
+    "x119_retrieval_eval" ->
+      (s"WITH $hybridCtes " +
+        s"SELECT * FROM ${hybridEvalSql("bm25", "hbm")} " +
+        s"UNION ALL SELECT * FROM ${hybridEvalSql("ann", "hann")} " +
+        s"UNION ALL SELECT * FROM ${hybridEvalSql("rrf", "hrrf")}"),
+    "x145_retrieval_eval_set" -> {
+      val nQ = Hybrid.QuerySet.size
+      s"WITH $hybridSetCtes, " +
+        s"sevq AS (SELECT * FROM ${hybridSetEvalSql("bm25", "sbm")} " +
+        s"UNION ALL SELECT * FROM ${hybridSetEvalSql("ann", "sann")} " +
+        s"UNION ALL SELECT * FROM ${hybridSetEvalSql("rrf", "srrf")}) " +
+        "SELECT system, CAST(count(*) AS BIGINT) AS n_queries, " +
+        "list_aggregate(list(ndcg ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_ndcg, " +
+        s"${pctSql("list_sort(list(ndcg))", 0.5, nQ)} AS p50_ndcg, " +
+        s"${pctSql("list_sort(list(ndcg))", 0.9, nQ)} AS p90_ndcg, " +
+        "list_aggregate(list(recall_at_k ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_recall, " +
+        "min(recall_at_k) AS min_recall " +
+        "FROM sevq GROUP BY system"
+    },
+
+    // x165: per-system MRR@10 / MAP@10 over the same set chain — the
+    // j-th relevant position's j/rank IS precision@rank, so AP needs no
+    // windowed prefix sums.,
+    "x165_retrieval_rank_metrics" ->
+      (s"WITH $hybridSetCtes, " +
+        "mq AS (" +
+        Seq(("bm25", "sbm"), ("ann", "sann"), ("rrf", "srrf")).map { case (sys, l) =>
+          s"SELECT * FROM (SELECT '$sys' AS system, nr.query_id, " +
+            "coalesce(1.0/CAST(p.first_rel AS DOUBLE), 0.0) AS mrr, " +
+            "CASE WHEN least(nr.n_rel, 10) > 0 THEN coalesce(p.sum_prec, 0.0)/CAST(least(nr.n_rel, 10) AS DOUBLE) ELSE 0.0 END AS ap " +
+            "FROM (SELECT query_id, CAST(sum(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel FROM srel GROUP BY 1) nr " +
+            "LEFT JOIN (SELECT query_id, CAST(min(rank) AS BIGINT) AS first_rel, " +
+            "list_aggregate(list(CAST(j AS DOUBLE)/CAST(rank AS DOUBLE) ORDER BY rank), 'sum') AS sum_prec FROM " +
+            "(SELECT query_id, rank, row_number() OVER (PARTITION BY query_id ORDER BY rank) AS j FROM " +
+            s"(SELECT l.query_id, l.rank FROM $l l LEFT JOIN srel g ON g.query_id = l.query_id AND g.doc_id = l.doc_id " +
+            "WHERE l.rank <= 10 AND coalesce(g.gain, 0) > 0)) GROUP BY query_id) p USING (query_id))"
+        }.mkString(" UNION ALL ") + ") " +
+        "SELECT system, CAST(count(*) AS BIGINT) AS n_queries, " +
+        "list_aggregate(list(mrr ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_mrr, min(mrr) AS min_mrr, " +
+        "list_aggregate(list(ap ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_map, min(ap) AS min_ap " +
+        "FROM mq GROUP BY system"),
+
+    // x153: the same eval chain with the STORED systems' lists — sbm is
+    // the stored-bm25 list verbatim (x126 pins stored ≡ in-memory scoring
+    // bit-for-bit), the ANN leg is the IVFADC probe chain at depth 20.,
+    "x153_retrieval_eval_stored" -> {
+      val nQ = Hybrid.QuerySet.size
+      s"WITH $hybridSetCtes, $ivfPqProbeCtes, " +
+        "pann AS (SELECT q_id AS query_id, vec_id AS doc_id, CAST(rank AS BIGINT) AS rank FROM " +
+        "(SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM iscs) " +
+        "WHERE rank <= 20), " +
+        "pfu AS (SELECT coalesce(b.query_id, a.query_id) AS query_id, " +
+        "coalesce(b.doc_id, a.doc_id) AS doc_id, " +
+        s"coalesce(1.0/(${Hybrid.RrfK} + CAST(b.rank AS DOUBLE)), 0.0) " +
+        s"+ coalesce(1.0/(${Hybrid.RrfK} + CAST(a.rank AS DOUBLE)), 0.0) AS rrf_score " +
+        "FROM sbm b FULL JOIN pann a ON b.query_id = a.query_id AND b.doc_id = a.doc_id), " +
+        "prrf AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank FROM " +
+        "(SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank FROM pfu) " +
+        "WHERE rank <= 10), " +
+        s"pevq AS (SELECT * FROM ${hybridSetEvalSql("bm25_stored", "sbm")} " +
+        s"UNION ALL SELECT * FROM ${hybridSetEvalSql("ivfpq_stored", "pann")} " +
+        s"UNION ALL SELECT * FROM ${hybridSetEvalSql("rrf_stored", "prrf")}) " +
+        "SELECT system, CAST(count(*) AS BIGINT) AS n_queries, " +
+        "list_aggregate(list(ndcg ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_ndcg, " +
+        s"${pctSql("list_sort(list(ndcg))", 0.5, nQ)} AS p50_ndcg, " +
+        s"${pctSql("list_sort(list(ndcg))", 0.9, nQ)} AS p90_ndcg, " +
+        "list_aggregate(list(recall_at_k ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_recall, " +
+        "min(recall_at_k) AS min_recall " +
+        "FROM pevq GROUP BY system"
+    },
+
+    // x195: the IVF-BIN probe chain (x193's CTEs) feeding the query-set
+    // eval tail (x153's pattern) — raw-Hamming top-20 and the 80-deep
+    // shortlist's exact-dot rerank, both scored against srel.,
+    "x195_retrieval_eval_binary" -> {
+      val nQ = Hybrid.QuerySet.size
+      s"WITH $hybridSetCtes, $ivfBinProbeCtes, " +
+        "bann AS (SELECT q_id AS query_id, vec_id AS doc_id, CAST(rank AS BIGINT) AS rank FROM " +
+        "(SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rank FROM vh2) " +
+        "WHERE rank <= 20), " +
+        s"bsh AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rank FROM vh2) " +
+        s"WHERE rank <= ${20 * Similarity.BinaryRerankMult}), " +
+        s"brr0 AS (SELECT s.q_id, s.vec_id, ${dotSql("q.q_emb", "v.emb")} AS cos " +
+        "FROM bsh s JOIN pz v ON v.vec_id = s.vec_id JOIN vqs q ON q.q_id = s.q_id), " +
+        "brr AS (SELECT q_id AS query_id, vec_id AS doc_id, CAST(rrank AS BIGINT) AS rank FROM " +
+        "(SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rrank FROM brr0) " +
+        "WHERE rrank <= 20), " +
+        s"bevq AS (SELECT * FROM ${hybridSetEvalSql("ivfbin_stored", "bann")} " +
+        s"UNION ALL SELECT * FROM ${hybridSetEvalSql("ivfbin_rerank_stored", "brr")}) " +
+        "SELECT system, CAST(count(*) AS BIGINT) AS n_queries, " +
+        "list_aggregate(list(ndcg ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_ndcg, " +
+        s"${pctSql("list_sort(list(ndcg))", 0.5, nQ)} AS p50_ndcg, " +
+        s"${pctSql("list_sort(list(ndcg))", 0.9, nQ)} AS p90_ndcg, " +
+        "list_aggregate(list(recall_at_k ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_recall, " +
+        "min(recall_at_k) AS min_recall " +
+        "FROM bevq GROUP BY system"
+    },
+
+    // x158: the composed refresh — dsirCtes supplies the shared `t`;
+    // repetition chain, the resample keep set, then x150's window over
+    // the two-gate survivors.,
+    "x91_ann_hard_negatives" ->
+      ("WITH q AS (SELECT vec_id AS q_id, label AS q_label, " +
+        "CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5), " +
+        "s AS (SELECT q_id, q_label, vec_id, label, " +
+        s"${dotSql("qe", "CAST(embedding AS DOUBLE[])")} AS cos " +
+        "FROM embeddings, q WHERE q_id <> vec_id AND q_label <> label), " +
+        "r AS (SELECT q_id, q_label, vec_id, label, cos, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
+        "SELECT q_id, q_label, vec_id, label, cos, rank FROM r WHERE rank <= 10"),
+    "x140_mmr_select" -> {
+      val k = 10
+      val steps = (2 to k).map { t =>
+        s"mx$t AS (SELECT c.vec_id, max(${dotSql("c.emb", "s.emb")}) AS m " +
+          s"FROM cand c, acc${t - 1} s " +
+          s"WHERE c.vec_id NOT IN (SELECT vec_id FROM acc${t - 1}) GROUP BY c.vec_id), " +
+          s"s$t AS (SELECT c.vec_id, c.rel, 0.7*c.rel - 0.3*mx.m AS score " +
+          s"FROM cand c JOIN mx$t mx USING (vec_id)), " +
+          s"p$t AS MATERIALIZED (SELECT vec_id FROM s$t ORDER BY score DESC, vec_id LIMIT 1), " +
+          s"acc$t AS MATERIALIZED (SELECT * FROM acc${t - 1} " +
+          s"UNION ALL SELECT c.vec_id, c.emb FROM cand c JOIN p$t USING (vec_id))"
+      }.mkString(", ")
+      val rows = (1 to k).map { t =>
+        s"SELECT CAST($t AS BIGINT) AS rank, c.vec_id, c.rel, s.score AS mmr_score " +
+          s"FROM p$t JOIN s$t s USING (vec_id) JOIN cand c USING (vec_id)"
+      }.mkString(" UNION ALL ")
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "q AS (SELECT emb AS qe FROM e WHERE vec_id = 0), " +
+        s"cand AS MATERIALIZED (SELECT vec_id, emb, ${dotSql("emb", "qe")} AS rel " +
+        "FROM e, q WHERE vec_id <> 0), " +
+        "s1 AS (SELECT vec_id, rel, 0.7*rel - 0.3*0.0 AS score FROM cand), " +
+        "p1 AS MATERIALIZED (SELECT vec_id FROM s1 ORDER BY score DESC, vec_id LIMIT 1), " +
+        "acc1 AS MATERIALIZED (SELECT c.vec_id, c.emb FROM cand c JOIN p1 USING (vec_id)), " +
+        steps + " " + rows
+    },
+    "x48_bm25_topk" ->
+      (s"WITH t AS ($toksCte), e AS (SELECT doc_id, unnest(toks) AS tok FROM t), " +
+        "pd AS (SELECT doc_id, count(*) AS dl, " +
+        "sum(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END) AS tf_0, " +
+        "sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS tf_1, " +
+        "sum(CASE WHEN tok = 'dup' THEN 1 ELSE 0 END) AS tf_2 " +
+        "FROM e GROUP BY doc_id), " +
+        "st AS (SELECT sum(dl) AS sum_dl, count(*) AS n_docs, " +
+        "sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0, " +
+        "sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1, " +
+        "sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2 FROM pd) " +
+        "SELECT doc_id, " +
+        "CASE WHEN tf_0 > 0 THEN ((CAST(n_docs AS DOUBLE) - CAST(df_0 AS DOUBLE) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5)) * (CAST(tf_0 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf_0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) ELSE 0.0 END " +
+        "+ CASE WHEN tf_1 > 0 THEN ((CAST(n_docs AS DOUBLE) - CAST(df_1 AS DOUBLE) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5)) * (CAST(tf_1 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf_1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) ELSE 0.0 END " +
+        "+ CASE WHEN tf_2 > 0 THEN ((CAST(n_docs AS DOUBLE) - CAST(df_2 AS DOUBLE) + 0.5) / (CAST(df_2 AS DOUBLE) + 0.5)) * (CAST(tf_2 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf_2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) ELSE 0.0 END " +
+        "AS score FROM pd, st WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0 " +
+        "ORDER BY score DESC, doc_id LIMIT 10"),
+
+    // The stored-index probe re-derives tf from bucket-pruned postings and
+    // df/stats from the stored tables — all IDENTICAL values to computing
+    // them from the corpus, so x48's oracle holds verbatim.,
+    "x126_bm25_stored" ->
+      (s"WITH t AS ($toksCte), e AS (SELECT doc_id, unnest(toks) AS tok FROM t), " +
+        "pd AS (SELECT doc_id, count(*) AS dl, " +
+        "sum(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END) AS tf_0, " +
+        "sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS tf_1, " +
+        "sum(CASE WHEN tok = 'dup' THEN 1 ELSE 0 END) AS tf_2 " +
+        "FROM e GROUP BY doc_id), " +
+        "st AS (SELECT sum(dl) AS sum_dl, count(*) AS n_docs, " +
+        "sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0, " +
+        "sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1, " +
+        "sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2 FROM pd) " +
+        "SELECT doc_id, " +
+        "CASE WHEN tf_0 > 0 THEN ((CAST(n_docs AS DOUBLE) - CAST(df_0 AS DOUBLE) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5)) * (CAST(tf_0 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf_0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) ELSE 0.0 END " +
+        "+ CASE WHEN tf_1 > 0 THEN ((CAST(n_docs AS DOUBLE) - CAST(df_1 AS DOUBLE) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5)) * (CAST(tf_1 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf_1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) ELSE 0.0 END " +
+        "+ CASE WHEN tf_2 > 0 THEN ((CAST(n_docs AS DOUBLE) - CAST(df_2 AS DOUBLE) + 0.5) / (CAST(df_2 AS DOUBLE) + 0.5)) * (CAST(tf_2 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf_2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) ELSE 0.0 END " +
+        "AS score FROM pd, st WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0 " +
+        "ORDER BY score DESC, doc_id LIMIT 10"),
+
+    // Sketch-report oracles (r5): exact values + in-engine boolean verdicts
+    // — see the Sketches report-form Scaladoc for the pattern rationale.,
+  )
+}

@@ -1761,4 +1761,192 @@ object Similarity {
     }
     rows.reduce(_ unionByName _)
   }
+
+  // ---------------- Graph ANN: stored NSW beam search (r9) ----------------
+  //
+  // The graph rung of the ANN menu — the quality ceiling at high recall
+  // (VERDICT r9 item 5). HNSW (Malkov & Yashunin, "Efficient and robust
+  // approximate nearest neighbor search using Hierarchical Navigable Small
+  // World graphs", TPAMI 2018) = a navigable neighbor graph walked greedily
+  // from an entry point; the hierarchy of sparser layers is a constant-
+  // factor shortcut to a good entry, not the recall mechanism. This engine
+  // keeps the recall mechanism — bounded-degree neighbor graph + beam
+  // traversal — and fixes the entry set and expansion order so the whole
+  // chain is DETERMINISTIC and the DuckDB oracle replays it row-for-row
+  // (x200 hash-matches; a stochastic multi-layer insert order could not be
+  // oracled). Construction is the LSH-kNN-graph route (NN-descent's
+  // standard scalable seed): candidates from the multi-table LSH buckets
+  // (x71's banded equi-join machinery — never all-pairs), per-node top-m
+  // by cosine, symmetrized, degree re-capped.
+  //
+  // 100 TB shape: build = one banded candidate join (linear under the
+  // bucket-sizing law) + two src-keyed windows; the stored graph is
+  // ≤ 2m·N edge rows (16 B + a double each). A probe is `rounds` bounded
+  // equi-joins: beam rows (B per query) join the edge table, candidates
+  // join the vector store — per-query work is O(rounds · B · 2m) score
+  // evaluations regardless of corpus size, the property that makes graph
+  // indexes the high-recall/low-latency point of the menu.
+
+  /** Directed kNN edges per node mined from the LSH candidates. */
+  val GraphDegree = 6
+  /** Beam width per query per expansion round. */
+  val GraphBeam = 8
+  /** Expansion rounds (the oracle unrolls exactly this many). */
+  val GraphRounds = 3
+  /** Entry candidates per query: the lowest-id corpus members of the
+    * query's LSH buckets (HNSW's upper layers are exactly a cheap
+    * good-entry finder; bucket membership is hash work, not a distance
+    * evaluation, and the id-ranked pick keeps the traversal
+    * oracle-replayable — a fixed global entry set strands the beam far
+    * from the query once the corpus outgrows a few hundred vectors). */
+  val GraphEntries = 8
+
+  /** Build the stored neighbor graph: `vectors/` (vec_id, embedding) and
+    * `edges/` (src, dst, cos) with per-src degree ≤ 2m — top-m directed
+    * kNN edges from the multi-table LSH candidates, symmetrized (an edge
+    * survives in both directions — navigability needs back-links), then
+    * re-capped keeping the highest-cosine neighbors. All ranks tie-break
+    * (cos desc, dst asc), so the graph is a pure function of the corpus.
+    */
+  def buildGraphIndex(corpus: DataFrame, indexDir: String,
+      m: Int = GraphDegree): Unit = {
+    GraftFunctions.register(corpus.sparkSession)
+    val expanded = corpus.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until LshTables).map(l =>
+        multiBucket(col("embedding"), l)): _*)).as(Seq("tbl", "bkt")))
+    val a = expanded.select(col("vec_id").as("src"), col("embedding").as("ea"),
+      col("tbl"), col("bkt"))
+    val b = expanded.select(col("vec_id").as("dst"), col("embedding").as("eb"),
+      col("tbl"), col("bkt"))
+    val cand = a.join(b, Seq("tbl", "bkt")).where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        GraftFunctions.cosineSim(col("ea"), col("eb")).as("cos"))
+      .distinct()
+    val directed = cand.withColumn("r", row_number().over(
+        Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)))
+      .where(col("r") <= m).drop("r")
+    val sym = directed.unionByName(
+        directed.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
+      .distinct()
+    val capped = sym.withColumn("r", row_number().over(
+        Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)))
+      .where(col("r") <= 2 * m).drop("r")
+    corpus.select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$indexDir/vectors")
+    capped.write.mode("overwrite").parquet(s"$indexDir/edges")
+    expanded.select("vec_id", "tbl", "bkt")
+      .write.mode("overwrite").parquet(s"$indexDir/buckets")
+  }
+
+  /** The full visited set of the beam traversal — every (q_id, vec_id)
+    * the search scored, with its exact cosine. Start = the fixed entry
+    * set; each round expands the current per-query beam (top-`beam` of
+    * visited) through the stored edges, scores the new candidates, and
+    * folds them in (plain DISTINCT dedup — a re-reached pair rescoring to
+    * the identical double). Exposed so x201's report can count scanned
+    * candidates; [[graphBeamTopK]] ranks this. */
+  def graphBeamVisited(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, beam: Int = GraphBeam,
+      rounds: Int = GraphRounds): DataFrame = {
+    GraftFunctions.register(spark)
+    val vectors = spark.read.parquet(s"$indexDir/vectors")
+    val edges = spark.read.parquet(s"$indexDir/edges").select("src", "dst")
+    val buckets = spark.read.parquet(s"$indexDir/buckets")
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb")))
+    val qb = broadcast(queries.select(col("vec_id").as("q_id"),
+      posexplode(array((0 until LshTables).map(l =>
+        multiBucket(col("embedding"), l)): _*)).as(Seq("tbl", "bkt"))))
+    // entry set: the query's strongest bucket-mates — ranked by how many
+    // of the 8 LSH tables agree (sign-pattern agreement is a monotone
+    // proxy for cosine that costs hash work, not a distance evaluation;
+    // a 1-table match is usually a cross-region collision), ties to the
+    // lower id. Selected BEFORE any scoring, so the scanned-candidate
+    // budget (x201) starts at exactly GraphEntries scored rows per query.
+    val entries = buckets.join(qb, Seq("tbl", "bkt"))
+      .groupBy("q_id", "vec_id").agg(count(lit(1)).as("_nt"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("_nt").desc, col("vec_id").asc)))
+      .where(col("r") <= GraphEntries).select("q_id", "vec_id")
+    // the walk may visit the query's OWN node (cos 1.0 — it tops the
+    // beam, so its edges, the best candidates, expand in round 1; an
+    // out-of-corpus query simply never finds one); self is excluded from
+    // the RESULT ranking, not the traversal
+    var visited = entries.join(vectors, "vec_id").join(q, "q_id")
+      .select(col("q_id"), col("vec_id"),
+        GraftFunctions.cosineSim(col("q_emb"), col("embedding")).as("cos"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val bm = visited.withColumn("r", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)))
+        .where(col("r") <= beam)
+        .select(col("q_id"), col("vec_id").as("src"))
+      val frontier = bm.join(edges, "src")
+        .select(col("q_id"), col("dst").as("vec_id")).distinct()
+      val scored = frontier.join(vectors, "vec_id").join(q, "q_id")
+        .select(col("q_id"), col("vec_id"),
+          GraftFunctions.cosineSim(col("q_emb"), col("embedding")).as("cos"))
+      visited = visited.unionByName(scored).distinct().localCheckpoint()
+    }
+    visited
+  }
+
+  /** Top-k by beam search over the stored neighbor graph (x200). */
+  def graphBeamTopK(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, k: Int,
+      beam: Int = GraphBeam, rounds: Int = GraphRounds): DataFrame =
+    graphBeamVisited(spark, indexDir, queries, beam, rounds)
+      .where(col("q_id") =!= col("vec_id"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc))
+        .cast("long"))
+      .where(col("rank") <= k)
+      .select("q_id", "vec_id", "cos", "rank")
+
+  /** Graph-vs-IVF recall report at measured candidate budgets (x201):
+    * per method — candidates actually scored (`n_scanned`), truth/approx/
+    * common top-k counts and recall vs the brute-force truth. The honest
+    * comparison the graph rung exists for: at a comparable scanned-
+    * candidate budget the beam search holds recall the cell-confined
+    * nprobe=2 probe can't (spec pins graph ≥ ivf on the fixtures). Both
+    * chains are deterministic, so every column — including the recalls —
+    * hash-matches the DuckDB replay. */
+  def graphRecallReport(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, corpus: DataFrame,
+      k: Int): DataFrame = {
+    val truth = graft.ops.Caching.cacheOnce(
+      bruteForceTopK(queries, corpus, k).select("q_id", "vec_id"))
+    val visited = graft.ops.Caching.cacheOnce(
+      graphBeamVisited(spark, indexDir, queries))
+    val graphTop = visited.where(col("q_id") =!= col("vec_id"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)))
+      .where(col("r") <= k).select("q_id", "vec_id")
+    val cents = strideCents(corpus)
+    val assigned = assignCells(corpus, cents)
+    val q2 = broadcast(assignCellsTop2(queries, cents)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(array(col("cell1"), col("cell2"))).as("cell")))
+    val ivfScored = graft.ops.Caching.cacheOnce(
+      assigned.join(q2, Seq("cell")).where(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          GraftFunctions.cosineSim(col("q_emb"), col("embedding")).as("cos")))
+    val ivfTop = ivfScored.withColumn("r", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)))
+      .where(col("r") <= k).select("q_id", "vec_id")
+    def rep(nm: String, scanned: DataFrame, approx: DataFrame): DataFrame = {
+      val nS = scanned.agg(count(lit(1)).as("n_scanned"))
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      val nA = approx.agg(count(lit(1)).as("n_approx"))
+      val nC = truth.join(approx, Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).as("n_common"))
+      nS.crossJoin(broadcast(nT)).crossJoin(broadcast(nA)).crossJoin(broadcast(nC))
+        .select(lit(nm).as("method"), col("n_scanned"), col("n_truth"),
+          col("n_approx"), col("n_common"),
+          (col("n_common").cast("double") / col("n_truth").cast("double"))
+            .as("recall"))
+    }
+    rep("graph_beam", visited, graphTop)
+      .unionByName(rep("ivf_nprobe2", ivfScored, ivfTop))
+  }
 }

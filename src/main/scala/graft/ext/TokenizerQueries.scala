@@ -1,0 +1,269 @@
+package graft.ext
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.ExtQueries.{Q, recallReport, StoredIndexes}
+import graft.ext.ExtOracles._
+
+/** Tokenizer registry — BPE + sequence packing/transforms. Split out of the monolithic
+  * ExtQueries (r9, VERDICT item 7); entries and oracle SQL are
+  * verbatim, merged back in [[ExtQueries.queries]] /
+  * [[ExtQueries.oracleSql]]. */
+private[graft] object TokenizerQueries {
+
+  val queries: Map[String, Q] = Map(
+    "x186_padding_waste" -> ((s, dir) =>
+      TextOps.paddingWaste(Tables.documents(s, dir))),
+
+    // Quality-mass Lorenz curve (r8 batch 6): cumulative token share by
+    // quality decile (exactNtile on (−score, doc_id)) — "keep the top-k
+    // deciles, keep what fraction of the tokens?",
+    "x77_bpe_train" -> ((s, dir) =>
+      Bpe.mergeTable(Tables.documents(s, dir), BpeMerges)),
+
+    // Unigram-LM (SentencePiece-style) trainer (r9, VERDICT item 6): the
+    // prune-down tokenizer family beside BPE's merge-up — overcomplete
+    // substring seed, hard-EM Viterbi rounds, mass prune. The whole chain
+    // (including every Viterbi walk) is replayed by the DuckDB oracle.,
+    "x202_unigram_train" -> ((s, dir) =>
+      Unigram.train(Tables.documents(s, dir))),
+
+    // Unigram encode: text → (doc_id, seq, pos, piece, token_id) through
+    // the trained vocabulary — x78's output contract on this family.,
+    "x203_unigram_encode" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Unigram.encode(d, Unigram.train(d))
+    }),
+
+    // Per-language fertility of the unigram tokenizer — x83's diagnostic,
+    // head-to-head comparable at equal vocabulary budget.,
+    "x204_unigram_fertility" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Unigram.fertilityByLang(d, Unigram.train(d))
+    }),
+
+    // And encode: text → token ids through the trained merges, ids
+    // data-derived (sorted base alphabet, then merge ranks). One row per
+    // emitted token with its (seq, pos) provenance.,
+    "x78_bpe_encode" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Bpe.encode(d, Bpe.train(d, BpeMerges))
+    }),
+
+    // Duplicate-PASSAGE detection (r5, Lee et al. 2022 shape): token
+    // positions covered by any 8-token window digest occurring in >= 2
+    // distinct docs — the substring-level dedup doc-level x01/x03 miss.,
+    "x83_bpe_fertility" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Bpe.fertilityByLang(d, Bpe.train(d, BpeMerges))
+    }),
+
+    // DSIR importance weights (r5): hashed-unigram likelihood ratios
+    // between the src0 target slice and the raw rest — the
+    // importance-resampling data-selection score (Xie et al. 2023) beside
+    // x80's LM quality score. O(buckets) training state, broadcast onto a
+    // scan of the scoring corpus.,
+    "x90_tokenize_pack" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val enc = Bpe.encode(d, Bpe.train(d, BpeMerges))
+      val counts = enc.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+        .join(d.select("doc_id", "source"), "doc_id")
+      Chunking.packCounts(counts, 2048L)
+    }),
+    "x171_pretrain_assembly" -> ((s, dir) => {
+      val fim = Chunking.fimTransform(Tables.documents(s, dir))
+      val counts = fim.select(col("doc_id"), col("source"), col("fim_applied"),
+        size(TextOps.tokens(col("out_text"))).cast("long").as("n_tokens"))
+      Chunking.packCounts(counts.select("doc_id", "source", "n_tokens"), 2048L)
+        .join(counts.select("doc_id", "fim_applied"), "doc_id")
+    }),
+
+    // UL2 mixture-of-denoisers (r8 second half): each doc hash-assigned
+    // R (span corruption, 50%) / S (prefix-LM, 25%) / X (FIM infilling,
+    // 25%) and carrying its objective's (input, target) pair — the
+    // objective-mixture manifest UL2 pretraining consumes, composed from
+    // the verified transforms.,
+    "x173_ul2_mixture" -> ((s, dir) =>
+      Chunking.ul2Mixture(Tables.documents(s, dir))),
+
+    // T5 span corruption (r8 second half): hash-drawn 3-token spans at
+    // the published ~15% noise density masked with numbered sentinels —
+    // the (input, target) denoising pair. Coverage is an OR over the
+    // SpanLen candidate starts (overlaps merge); sentinel numbers are the
+    // per-doc prefix sum of run starts.,
+    "x172_span_corruption" -> ((s, dir) =>
+      Chunking.spanCorrupt(Tables.documents(s, dir))),
+
+    // FIM transform (r8 second half): Bavarian et al. 2022's PSM reorder
+    // at FimRate via three decorrelated hash draws (apply?, cut1, cut2) —
+    // the pretraining transform that teaches infilling. Pure per-row
+    // expressions; untransformed docs pass through verbatim.,
+    "x168_fim_transform" -> ((s, dir) =>
+      Chunking.fimTransform(Tables.documents(s, dir))),
+    "x157_truncation_report" -> ((s, dir) =>
+      Chunking.truncationReport(Tables.documents(s, dir))),
+
+    // DSIR resample applied (r8): x84's importance weights turned into
+    // the actual keep/drop pass — max-normalized rejection sampling with
+    // the multiplication-only acceptance rule (u · w_max < w, no division
+    // rounds), deterministic and retry-safe. Registers the previously
+    // unconsumed TextOps.dsirResample per the house rule that
+    // unregistered code is unverified code.,
+    "x42_chunk_tokens" -> ((s, dir) =>
+      Chunking.chunkTokens(Tables.documents(s, dir), 64, 48)),
+
+    // Sequence packing by global token offset (two-phase distributed
+    // prefix sum; oracle replays it as the single-window form).,
+    "x43_pack_sequences" -> ((s, dir) =>
+      Chunking.packSequences(Tables.documents(s, dir), 2048L, 64L)),
+
+    // Training-mixture materialization: per-lang epoch weights (binary-
+    // exact fractions, so the Bernoulli compare is engine-exact),
+    // fractional epochs as a deterministic md5 draw, one output row per
+    // epoch copy. The weights table is broadcast; the draw is per-row.,
+    "x60_bpe_pair_counts" -> ((s, dir) =>
+      TextOps.bpePairCounts(Tables.documents(s, dir))),
+
+    // Pairwise source-leakage matrix: shared distinct shingles and
+    // containment per ordered source pair (the corpus-level x36).,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x172_span_corruption" ->
+      (s"WITH $spanCtes " +
+        "SELECT s.doc_id, s.n_tokens, s.n_spans, s.n_masked, " +
+        "coalesce(i.input_text, '') AS input_text, coalesce(g.target_text, '') AS target_text " +
+        "FROM sst s LEFT JOIN sin i USING (doc_id) LEFT JOIN stg g USING (doc_id)"),
+
+    // x173: the ud/us/fim draws assign R/S/X; R rides the shared span
+    // chain, S is one cut, X is the FIM cuts as infilling.,
+    "x173_ul2_mixture" ->
+      (s"WITH $spanCtes, " +
+        "uu AS (SELECT doc_id, text, length(text) AS l, " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ul2'), 1, 8)) AS BIGINT)/4294967296.0 AS ud, " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ul2cut'), 1, 8)) AS BIGINT)/4294967296.0 AS us, " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fimcut1'), 1, 8)) AS BIGINT)/4294967296.0 AS u1, " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fimcut2'), 1, 8)) AS BIGINT)/4294967296.0 AS u2 " +
+        "FROM documents), " +
+        "rmx AS (SELECT s.doc_id, 'r_span' AS denoiser, " +
+        "coalesce(i.input_text, '') AS input_text, coalesce(g.target_text, '') AS target_text " +
+        "FROM sst s LEFT JOIN sin i USING (doc_id) LEFT JOIN stg g USING (doc_id) " +
+        "JOIN uu ON uu.doc_id = s.doc_id WHERE uu.ud < 0.5), " +
+        "smx AS (SELECT doc_id, 's_prefix' AS denoiser, " +
+        "substr(text, 1, c) AS input_text, substr(text, c + 1, l - c) AS target_text FROM " +
+        "(SELECT *, CAST(floor(us * CAST(l + 1 AS DOUBLE)) AS INTEGER) AS c FROM uu) " +
+        "WHERE ud >= 0.5 AND ud < 0.75), " +
+        "xmx AS (SELECT doc_id, 'x_fim' AS denoiser, " +
+        s"'${Chunking.FimPre}' || substr(text, 1, lo) || '${Chunking.FimSuf}' || " +
+        s"substr(text, hi + 1, l - hi) || '${Chunking.FimMid}' AS input_text, " +
+        "substr(text, lo + 1, hi - lo) AS target_text FROM " +
+        "(SELECT *, least(CAST(floor(u1 * CAST(l + 1 AS DOUBLE)) AS INTEGER), CAST(floor(u2 * CAST(l + 1 AS DOUBLE)) AS INTEGER)) AS lo, " +
+        "greatest(CAST(floor(u1 * CAST(l + 1 AS DOUBLE)) AS INTEGER), CAST(floor(u2 * CAST(l + 1 AS DOUBLE)) AS INTEGER)) AS hi FROM uu) " +
+        "WHERE ud >= 0.75) " +
+        "SELECT * FROM rmx UNION ALL SELECT * FROM smx UNION ALL SELECT * FROM xmx"),
+
+    // x168: the three hash draws, floor(u·(L+1)) cuts reordered lo ≤ hi,
+    // PSM concat with the sentinel literals (chain shared with x171).,
+    "x168_fim_transform" ->
+      (s"WITH $fimCtes " +
+        "SELECT doc_id, source, fim_applied, n_prefix, n_middle, n_suffix, out_text FROM fimout"),
+
+    // x171: the x168 chain's transformed text re-counted and packed with
+    // x90's per-source two-phase prefix-sum contract.,
+    "x171_pretrain_assembly" ->
+      (s"WITH $fimCtes, " +
+        "pcn AS (SELECT doc_id, source, fim_applied, " +
+        "CAST(len(string_split(out_text, ' ')) AS BIGINT) AS n_tokens FROM fimout), " +
+        "po AS (SELECT doc_id, source, n_tokens, " +
+        "COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tko FROM pcn) " +
+        "SELECT po.doc_id, po.source, po.n_tokens, tko % 2048 AS offset_in_seq, " +
+        "tko // 2048 AS seq_id, p2.fim_applied " +
+        "FROM po JOIN (SELECT doc_id, fim_applied FROM pcn) p2 USING (doc_id)"),
+    "x157_truncation_report" -> {
+      val vals = Chunking.TruncBudgets.map(b => s"($b)").mkString(", ")
+      s"WITH t AS ($toksCte), " +
+        "tn AS (SELECT CAST(len(toks) AS BIGINT) AS n FROM t), " +
+        s"bg AS (SELECT CAST(budget AS BIGINT) AS budget FROM (VALUES $vals) v(budget)) " +
+        "SELECT budget, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN n > budget THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_truncated, " +
+        "CAST(sum(n) AS BIGINT) AS total_tokens, " +
+        "CAST(sum(CASE WHEN n > budget THEN n - budget ELSE 0 END) AS BIGINT) AS tokens_lost, " +
+        "CAST(sum(CASE WHEN n > budget THEN 1 ELSE 0 END) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS frac_docs_truncated, " +
+        "CAST(sum(CASE WHEN n > budget THEN n - budget ELSE 0 END) AS DOUBLE)/CAST(sum(n) AS DOUBLE) AS frac_tokens_lost " +
+        "FROM tn, bg GROUP BY budget"
+    },
+
+    // x155: token-level Gopher repetition signals — per-n gram CTEs, top
+    // gram by (count desc, gram), duplicated-gram position coverage
+    // joined to per-position token chars; thresholds from the TextOps
+    // constants.,
+    "x186_padding_waste" ->
+      (s"WITH pd AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n, " +
+        s"CAST(((len(string_split(text, ' ')) + ${TextOps.PadBucket - 1}) // ${TextOps.PadBucket}) * ${TextOps.PadBucket} AS BIGINT) AS seq_len FROM documents), " +
+        "pp AS (SELECT seq_len, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens FROM pd GROUP BY 1), " +
+        "pt AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(n) AS BIGINT) AS tt, " +
+        "CAST(sum(seq_len) AS BIGINT) AS tp, CAST(max(seq_len) AS BIGINT) AS mx FROM pd) " +
+        "SELECT seq_len, n_docs, sum_tokens, seq_len*n_docs AS padded_tokens, " +
+        "seq_len*n_docs - sum_tokens AS waste_tokens, " +
+        "CASE WHEN seq_len > 0 THEN CAST(seq_len*n_docs - sum_tokens AS DOUBLE)/CAST(seq_len*n_docs AS DOUBLE) END AS waste_frac, " +
+        "CASE WHEN tp > 0 THEN CAST(tp - tt AS DOUBLE)/CAST(tp AS DOUBLE) END AS bucketed_waste_frac, " +
+        "CASE WHEN mx*nd > 0 THEN CAST(mx*nd - tt AS DOUBLE)/CAST(mx*nd AS DOUBLE) END AS padmax_waste_frac " +
+        "FROM pp, pt"),
+    "x60_bpe_pair_counts" ->
+      ("WITH p AS (SELECT unnest(regexp_extract_all(text, " +
+        "'''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')) AS pretok FROM documents), " +
+        "f AS (SELECT pretok, CAST(count(*) AS BIGINT) AS freq FROM p GROUP BY 1), " +
+        "pairs AS (SELECT freq, unnest(list_transform(generate_series(1, length(pretok)-1), " +
+        "i -> substr(pretok, i, 2))) AS pair FROM f WHERE length(pretok) >= 2) " +
+        "SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM pairs GROUP BY 1 HAVING sum(freq) >= 2"),
+    "x77_bpe_train" -> bpeTrainSql,
+    "x78_bpe_encode" -> bpeEncodeSql,
+    "x202_unigram_train" -> unigramTrainSql,
+    "x203_unigram_encode" -> unigramEncodeSql,
+    "x204_unigram_fertility" -> unigramFertilitySql,
+    "x83_bpe_fertility" ->
+      ("WITH w AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens " +
+        "FROM documents GROUP BY 1), " +
+        "bb AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_bpe_tokens, " +
+        s"CAST(sum(length(e.sym)) AS BIGINT) AS n_chars FROM ($bpeEncodeSql) e " +
+        "JOIN documents d USING (doc_id) GROUP BY 1) " +
+        "SELECT lang, n_docs, n_ws_tokens, n_bpe_tokens, " +
+        "CAST(n_bpe_tokens AS DOUBLE)/CAST(n_ws_tokens AS DOUBLE) AS fertility, " +
+        "CAST(n_chars AS DOUBLE)/CAST(n_bpe_tokens AS DOUBLE) AS chars_per_token " +
+        "FROM w JOIN bb USING (lang)"),
+    "x90_tokenize_pack" ->
+      (s"WITH nn90 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens " +
+        s"FROM ($bpeEncodeSql) e GROUP BY 1), " +
+        "j90 AS (SELECT nn90.doc_id, d.source, n_tokens FROM nn90 " +
+        "JOIN documents d USING (doc_id)), " +
+        "o90 AS (SELECT doc_id, source, n_tokens, " +
+        "COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset FROM j90) " +
+        "SELECT doc_id, source, n_tokens, token_offset % 2048 AS offset_in_seq, " +
+        "token_offset // 2048 AS seq_id FROM o90"),
+    "x42_chunk_tokens" ->
+      (s"WITH t AS ($toksCte), " +
+        "n AS (SELECT doc_id, toks, len(toks) AS n FROM t), " +
+        "g AS (SELECT doc_id, toks, CASE WHEN n <= 64 THEN 0 " +
+        "ELSE CAST(floor((n - 64 + 47) / 48.0) AS INT) END AS last_chunk FROM n), " +
+        "e AS (SELECT doc_id, toks, unnest(generate_series(0, last_chunk)) AS i FROM g) " +
+        "SELECT doc_id, CAST(i AS INT) AS chunk_id, " +
+        "array_to_string(toks[(i*48+1):(i*48+64)], ' ') AS chunk_text, " +
+        "CAST(len(toks[(i*48+1):(i*48+64)]) AS INT) AS n_chunk_tokens FROM e"),
+
+    // Oracle replays the packing as the single-window prefix sum; the
+    // engine's two-phase distributed form is bit-identical by construction
+    // (ChunkingSpec pins the equivalence).,
+    "x43_pack_sequences" ->
+      ("WITH n AS (SELECT doc_id, source, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+        "o AS (SELECT doc_id, source, n_tokens, " +
+        "COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset FROM n) " +
+        "SELECT doc_id, source, n_tokens, token_offset % 2048 AS offset_in_seq, " +
+        "token_offset // 2048 AS seq_id FROM o"),
+  )
+}

@@ -1,0 +1,304 @@
+package graft.ext
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.ExtQueries.{Q, recallReport, StoredIndexes}
+import graft.ext.ExtOracles._
+
+/** Trainer registry — in-engine model training + attribution. Split out of the monolithic
+  * ExtQueries (r9, VERDICT item 7); entries and oracle SQL are
+  * verbatim, merged back in [[ExtQueries.queries]] /
+  * [[ExtQueries.oracleSql]]. */
+private[graft] object TrainerQueries {
+
+  val queries: Map[String, Q] = Map(
+    "x185_gate_auc" -> ((s, dir) =>
+      Trainer.gateAuc(s, Tables.documents(s, dir))),
+
+    // Padding-waste report (r8 batch 6): per-length-bucket pad economics
+    // + the bucketed-vs-pad-to-max corpus fractions — the measured
+    // throughput argument for length-sorted batching.,
+    "x190_brier_decomposition" -> ((s, dir) =>
+      Trainer.brierDecomposition(s, Tables.documents(s, dir))),
+
+    // Dedup threshold sweep (r8 batch 8): verified-pair count, docs and
+    // token mass dropped at each Jaccard threshold 0.5..0.9 — the dial
+    // report that picks the production dedup threshold.,
+    "x109_knn_label_prop" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.knnClassify(
+        e.where(col("vec_id") % 5 === 0), e.where(col("vec_id") % 5 =!= 0), 10)
+    }),
+
+    // Rank-ensemble quality (r5): combine heterogeneous quality signals
+    // (length, stopword ratio, alpha ratio) on a COMMON scale — each
+    // signal's exact global rank — then average and decile-bin. The
+    // rank-normalization sidesteps unit mismatch between raw signals
+    // (ensemble filtering's standard trick). Each rank is one
+    // range-repartition pass (withExactRank — no global-window funnel),
+    // then doc-keyed joins; only 8-byte ranks travel, never text.,
+    "x112_knn_lsh_agreement" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") % 5 === 0)
+      val c = e.where(col("vec_id") % 5 =!= 0)
+      val ex = Similarity.knnClassify(q, c, 10)
+        .select(col("vec_id"), col("pred_label").as("exact_pred"), col("true_label"))
+      val ap = Similarity.knnClassify(q, c, 10, Similarity.lshMultiTopK)
+        .select(col("vec_id"), col("pred_label").as("lsh_pred"))
+      ex.join(ap, "vec_id").agg(
+        count(lit(1)).as("n_queries"),
+        sum(when(col("exact_pred") === col("lsh_pred"), 1L).otherwise(0L)).as("n_agree"),
+        sum(when(col("exact_pred") === col("true_label"), 1L).otherwise(0L)).as("n_exact_correct"),
+        sum(when(col("lsh_pred") === col("true_label"), 1L).otherwise(0L)).as("n_lsh_correct"))
+        .withColumn("agreement",
+          col("n_agree").cast("double") / col("n_queries"))
+    }),
+
+    // APPLIED decontamination (r5): x101's flag turned surgical — strip
+    // every 8-token window of a training doc that appears anywhere in the
+    // benchmark set (source = src0) and rebuild the cleaned text
+    // (GPT-3-style span-level decontamination; x94's excise-and-rebuild
+    // with benchmark windows as the kill set).,
+    "x115_knn_score_propagation" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val qs = TextOps.qualityMetrics(Tables.documents(s, dir))
+        .select(col("doc_id").as("vec_id"), col("quality_score").as("score"))
+      Similarity.knnPropagateScore(
+        e.where(col("vec_id") % 5 === 0), e.where(col("vec_id") % 5 =!= 0), qs, 10)
+    }),
+
+    // Taxonomy keyword tagger (r5): the Dolma-tagger pattern with an
+    // EXTERNALLY-supplied topic dictionary — per-doc topic hit counts,
+    // deterministic dominant topic, tag density; pure codegen'd per-row
+    // expressions, scan speed, zero shuffle.,
+    "x129_lr_train_trajectory" -> ((s, dir) =>
+      Trainer.lrTrajectory(s, Tables.documents(s, dir))),
+
+    // Incremental warm-start training (r6): the trainer's twin of the
+    // IVF/BM25 index-append discipline — when a batch arrives, CONTINUE
+    // GD from the existing weights on base∪batch for 3 rounds instead of
+    // a 13-round cold retrain, and MEASURE the divergence: max weight
+    // diff, both held-out accuracies, prediction agreement. One row.,
+    "x136_lr_incremental" -> ((s, dir) =>
+      Trainer.lrIncremental(s, Tables.documents(s, dir))),
+
+    // Calibration report (r6): decile reliability bins over the held-out
+    // scores — mean predicted probability vs empirical positive rate per
+    // bin, the standard post-training check before scores gate a corpus.,
+    "x137_lr_calibration" -> ((s, dir) =>
+      Trainer.lrCalibration(s, Tables.documents(s, dir))),
+
+    // Per-group fairness audit (r6): held-out accuracy / predicted-
+    // positive rate / base rate / mean score per language — the
+    // disparate-impact check a corpus-gating score must pass.,
+    "x143_lr_group_fairness" -> ((s, dir) =>
+      Trainer.lrGroupFairness(s, Tables.documents(s, dir))),
+
+    // Chat-transcript parsing (r6): the SFT-data ingest edge — fenced
+    // ##role## transcripts (deterministic wrapper, the Html.withHtml
+    // idiom) parsed into typed turn rows by per-row split+explode. Zero
+    // shuffle; malformed (fence-free) input parses to zero rows.,
+    "x130_lr_classify" -> ((s, dir) =>
+      Trainer.lrClassify(s, Tables.documents(s, dir))),
+
+    // Best-of-N rejection sampling (r7): candidates pool into md5-derived
+    // prompt groups (occupancy-law sized, ~8/prompt), the ENGINE-TRAINED
+    // scorer (x129's weights applied corpus-wide) ranks each pool, and the
+    // report keeps the per-prompt winner with its margin over the
+    // runner-up + pool mean — the selection artifact an RLHF data pipeline
+    // exports.,
+    "x159_influence_by_source" -> ((s, dir) =>
+      Trainer.lrInfluenceBySource(s, Tables.documents(s, dir))),
+
+    // The round-8 composed curation flagship: repetition gate (x155's
+    // filter applied) ∘ DSIR importance resample (x156's keep/drop) ∘
+    // token-budget mixture (x150) — the single query a pretraining data
+    // refresh runs over a non-target corpus. Every stage is the operator
+    // the standalone query verifies; this pins that they compose.,
+    "x151_lr_influence" -> ((s, dir) =>
+      Trainer.lrInfluence(s, Tables.documents(s, dir))),
+
+    // Gate operating-point selection (r8 second half): decile-threshold
+    // sweep over held-out scores — exact confusion counts, precision /
+    // recall / F1 per point, and the smallest threshold meeting the
+    // precision target CHOSEN. "What cutoff do we ship", with evidence.,
+    "x170_gate_operating_points" -> ((s, dir) =>
+      Trainer.gateOperatingPoints(s, Tables.documents(s, dir))),
+
+    // Confident-learning label-noise audit (r8 second half): per-class
+    // self-confidence thresholds from the held-out scores; docs crossing
+    // the OTHER class's threshold are the mislabel suspects — the audit
+    // run on teacher labels before distilling them.,
+    "x164_label_noise_audit" -> ((s, dir) =>
+      Trainer.labelNoiseAudit(s, Tables.documents(s, dir))),
+
+    // Within-class influence quartiles (r8 second half): the magnitude
+    // structure behind x151's top-k — class 1, bin 1 is the most-negative
+    // "good-label" pile (the curation second look). A signed 2×2 would be
+    // vacuous (influence sign is class-constant under LR on this fixture).,
+    "x178_influence_quartiles" -> ((s, dir) =>
+      Trainer.lrInfluenceQuartiles(s, Tables.documents(s, dir))),
+
+    // EL2N data-diet report (r8 second half): per-training-doc error
+    // magnitude |sigma(m) - y| after TWO gradient steps (the early
+    // checkpoint is the paper's point), fixed-width error-bin histogram
+    // with exact two-level-fold means — the lowest bins are the
+    // easy/redundant examples a pruning pass drops first.,
+    "x162_el2n_prune_report" -> ((s, dir) =>
+      Trainer.el2nReport(s, Tables.documents(s, dir))),
+
+    // Influence-informed mixture (r8 second half): the measure→act loop
+    // closed — x159's per-source TracIn means become bounded multiplicative
+    // budget weights (1 + 0.5·mi/max|mi| ∈ [0.5, 1.5]), and the x150
+    // token-budget prefix rule runs with each source's OWN budget. The
+    // curation knob actually turned by the attribution signal.,
+    "x166_influence_informed_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val infl = Trainer.lrInfluenceBySource(s, docs)
+      val mx = broadcast(infl.agg(max(abs(col("mean_influence"))).as("maxabs")))
+      val wts = infl.crossJoin(mx)
+        .select(col("source"), col("mean_influence"),
+          when(col("maxabs") > 0,
+            lit(1.0) + lit(0.5) * (col("mean_influence") / col("maxabs")))
+            .otherwise(lit(1.0)).as("weight"))
+      val budgets = wts.select(col("source"), col("mean_influence"), col("weight"),
+        floor(lit(Curate.TokenMixBudget).cast("double") * col("weight"))
+          .cast("long").as("budget"))
+      Curate.tokenBudgetMixWeighted(docs, budgets.select("source", "budget"))
+        .join(broadcast(budgets.select("source", "mean_influence", "weight")),
+          Seq("source"), "left")
+        .select("source", "mean_influence", "weight", "budget", "n_docs_total",
+          "tokens_total", "n_docs_kept", "tokens_kept", "fill_frac")
+    }),
+
+    // The corpus→trainer export flagship (r6): temperature mixture
+    // REALIZED to per-doc copies (x87's draw, row level) ∘ curriculum
+    // octiles (x108's exact ntile) ∘ per-(shard, lang) manifest with
+    // order-independent checksums (x111's algebra, fingerprints salted by
+    // copy index so replicas are distinguishable) — the artifact a trainer
+    // actually consumes, in ONE query. Every stage is an already-verified
+    // operator; the only explode is the mixture's own output rows.,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x129_lr_train_trajectory" ->
+      lrTrajectorySql(Trainer.Buckets, Trainer.Iters),
+    "x136_lr_incremental" ->
+      lrIncrementalSql(Trainer.Buckets, Trainer.Iters, 3),
+    "x137_lr_calibration" ->
+      lrCalibrationSql(Trainer.Buckets, Trainer.Iters),
+    "x162_el2n_prune_report" ->
+      el2nSql(Trainer.Buckets),
+    "x164_label_noise_audit" ->
+      labelNoiseSql(Trainer.Buckets, Trainer.Iters),
+    "x170_gate_operating_points" ->
+      gatePointsSql(Trainer.Buckets, Trainer.Iters),
+    "x185_gate_auc" ->
+      gateAucSql(Trainer.Buckets, Trainer.Iters),
+    "x190_brier_decomposition" ->
+      brierSql(Trainer.Buckets, Trainer.Iters),
+
+    // x191: x03's band-candidate + Jaccard-verify chain at the loosest
+    // grid threshold, per-pair threshold explode, per-threshold pair /
+    // dropped-doc aggregates, 5-row grid left join + 1-row totals.,
+    "x143_lr_group_fairness" ->
+      lrFairnessSql(Trainer.Buckets, Trainer.Iters),
+    "x130_lr_classify" ->
+      lrClassifySql(Trainer.Buckets, Trainer.Iters),
+    "x151_lr_influence" ->
+      lrInfluenceSql(Trainer.Buckets, Trainer.Iters, Trainer.InfluenceTopK),
+    "x159_influence_by_source" ->
+      lrInfluenceBySourceSql(Trainer.Buckets, Trainer.Iters),
+
+    // x178: the isc chain, per-class exact ntile(4) (x108's proven
+    // NTILE parity with exactNtile), √n folds + per-class totals.,
+    "x178_influence_quartiles" ->
+      (s"WITH ${lrInfluenceChain(Trainer.Buckets, Trainer.Iters)}, " +
+        "qfb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM tr), " +
+        "qnb AS (SELECT doc_id, y, influence, " +
+        "CAST(ntile(4) OVER (PARTITION BY y ORDER BY influence, doc_id) AS BIGINT) AS bin FROM isc), " +
+        "qct AS (SELECT y, CAST(count(*) AS BIGINT) AS n_class FROM qnb GROUP BY 1), " +
+        "qg1 AS (SELECT y, bin, doc_id % (SELECT b FROM qfb) AS bkt, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "list_aggregate(list_sort(list(influence)), 'sum') AS s FROM qnb GROUP BY 1, 2, 3) " +
+        "SELECT g.y, g.bin, CAST(sum(g.n) AS BIGINT) AS n, " +
+        "CAST(sum(g.n) AS DOUBLE)/CAST(c.n_class AS DOUBLE) AS share_of_class, " +
+        "list_aggregate(list(g.s ORDER BY g.bkt), 'sum')/CAST(sum(g.n) AS DOUBLE) AS mean_influence " +
+        "FROM qg1 g JOIN qct c USING (y) GROUP BY g.y, g.bin, c.n_class"),
+
+    // x166: x159's per-source mean-influence chain → bounded weights →
+    // per-source budgets → the x150 prefix rule with each source's own cut.,
+    "x166_influence_informed_mix" ->
+      (s"WITH ${lrInfluenceChain(Trainer.Buckets, Trainer.Iters)}, " +
+        "sfb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM tr), " +
+        "sg1 AS (SELECT d.source, isc.doc_id % (SELECT b FROM sfb) AS bkt, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "list_aggregate(list_sort(list(influence)), 'sum') AS ps " +
+        "FROM isc JOIN documents d ON isc.doc_id = d.doc_id GROUP BY 1, 2), " +
+        "misrc AS (SELECT source, " +
+        "list_aggregate(list(ps ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS mean_influence " +
+        "FROM sg1 GROUP BY source), " +
+        "mmx AS (SELECT max(abs(mean_influence)) AS maxabs FROM misrc), " +
+        "mwt AS (SELECT source, mean_influence, " +
+        "CASE WHEN mmx.maxabs > 0 THEN 1.0 + 0.5*(mean_influence/mmx.maxabs) ELSE 1.0 END AS weight " +
+        "FROM misrc, mmx), " +
+        s"mbg AS (SELECT source, mean_influence, weight, " +
+        s"CAST(floor(CAST(${Curate.TokenMixBudget} AS DOUBLE) * weight) AS BIGINT) AS budget FROM mwt), " +
+        "tn AS (SELECT t.doc_id, d.source, CAST(len(t.toks) AS BIGINT) AS nt, " +
+        "CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR) || ':tokmix'), 1, 8)) AS BIGINT)/4294967296.0 AS u " +
+        "FROM t JOIN documents d ON t.doc_id = d.doc_id), " +
+        "tc AS (SELECT *, sum(nt) OVER (PARTITION BY source ORDER BY u, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM tn), " +
+        "agx AS (SELECT tc.source, CAST(count(*) AS BIGINT) AS n_docs_total, " +
+        "CAST(sum(nt) AS BIGINT) AS tokens_total, " +
+        "CAST(sum(CASE WHEN cum <= b.budget THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept, " +
+        "CAST(sum(CASE WHEN cum <= b.budget THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept, " +
+        "max(b.budget) AS budget FROM tc LEFT JOIN mbg b ON tc.source = b.source GROUP BY 1) " +
+        "SELECT a.source, b.mean_influence, b.weight, CAST(a.budget AS BIGINT) AS budget, " +
+        "a.n_docs_total, a.tokens_total, a.n_docs_kept, a.tokens_kept, " +
+        "CAST(a.tokens_kept AS DOUBLE)/CAST(a.budget AS DOUBLE) AS fill_frac " +
+        "FROM agx a LEFT JOIN mbg b USING (source)"),
+    "x109_knn_label_prop" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings), " +
+        "q AS (SELECT vec_id AS q_id, emb AS qe, label AS true_label FROM e WHERE vec_id % 5 = 0), " +
+        "c AS (SELECT vec_id, emb, label AS nbr_label FROM e WHERE vec_id % 5 <> 0), " +
+        "s AS (SELECT q_id, true_label, vec_id, nbr_label, " +
+        s"${dotSql("qe", "emb")} AS cos FROM c, q), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s), " +
+        "v AS (SELECT q_id, true_label, nbr_label, CAST(count(*) AS BIGINT) AS votes, " +
+        "CAST(sum(CAST(cos AS DECIMAL(20,6))) AS DOUBLE) AS sim_sum " +
+        "FROM r WHERE rank <= 10 GROUP BY 1, 2, 3), " +
+        "w AS (SELECT *, row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY votes DESC, sim_sum DESC, nbr_label) AS rr FROM v) " +
+        "SELECT q_id AS vec_id, nbr_label AS pred_label, true_label, votes, sim_sum, " +
+        "nbr_label = true_label AS is_correct FROM w WHERE rr = 1"),
+    "x112_knn_lsh_agreement" ->
+      (s"WITH ex AS (SELECT * FROM (${knnVoteSql(knnExactCandSql)})), " +
+        s"ap AS (SELECT vec_id, pred_label AS lsh_pred FROM (${knnVoteSql(knnLshCandSql)})) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_queries, " +
+        "CAST(sum(CASE WHEN ex.pred_label = ap.lsh_pred THEN 1 ELSE 0 END) AS BIGINT) AS n_agree, " +
+        "CAST(sum(CASE WHEN ex.pred_label = ex.true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_correct, " +
+        "CAST(sum(CASE WHEN ap.lsh_pred = ex.true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh_correct, " +
+        "CAST(sum(CASE WHEN ex.pred_label = ap.lsh_pred THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS agreement " +
+        "FROM ex JOIN ap USING (vec_id)"),
+    "x115_knn_score_propagation" ->
+      (s"WITH t AS ($toksCte), d AS (SELECT doc_id, toks, text FROM documents JOIN t USING (doc_id)), " +
+        "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        s"CAST(len(list_filter(toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(toks) AS stopword_ratio, " +
+        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/length(text) AS alpha_ratio " +
+        "FROM d), " +
+        "sq AS (SELECT doc_id, least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.5 " +
+        "+ stopword_ratio*0.25 + alpha_ratio*0.25 AS quality_score FROM m), " +
+        s"cand AS ($knnExactCandSql), " +
+        "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM cand), " +
+        "kk AS (SELECT q_id, r.vec_id, cos, quality_score FROM r JOIN sq ON r.vec_id = sq.doc_id WHERE rank <= 10), " +
+        "p AS (SELECT q_id, CASE WHEN CAST(sum(CAST(cos AS DECIMAL(20,8))) AS DOUBLE) > 0 " +
+        "THEN CAST(sum(CAST(cos*quality_score AS DECIMAL(20,8))) AS DOUBLE)" +
+        "/CAST(sum(CAST(cos AS DECIMAL(20,8))) AS DOUBLE) END AS pred_score, " +
+        "CAST(count(*) AS BIGINT) AS n_neighbors FROM kk GROUP BY 1) " +
+        "SELECT p.q_id AS vec_id, pred_score, sq.quality_score AS actual_score, " +
+        "abs(pred_score - sq.quality_score) AS abs_err, n_neighbors " +
+        "FROM p JOIN sq ON p.q_id = sq.doc_id"),
+  )
+}

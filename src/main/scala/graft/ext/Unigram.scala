@@ -1,0 +1,227 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style) tokenizer trainer — the one tokenizer
+  * family [[Bpe]] doesn't represent (Kudo, "Subword Regularization: Improving
+  * Neural Network Translation Models with Multiple Subword Candidates",
+  * ACL 2018; the SentencePiece unigram trainer). Where BPE grows a
+  * vocabulary bottom-up by merging, unigram-LM starts from an overcomplete
+  * substring seed vocabulary and shrinks it: segment the corpus with the
+  * current piece probabilities (Viterbi), re-estimate probabilities from the
+  * segmentation counts (hard EM), and prune the lowest-mass pieces.
+  *
+  * Scale shape — the [[Bpe]] train discipline exactly: ONE corpus pass folds
+  * documents to the `(pretok, freq)` table (a partial-agg groupBy); every
+  * subsequent step (seed counts, each EM round's segmentation + counts, the
+  * prune) runs over DISTINCT pretokens (thousands of rows, not billions of
+  * documents) with the vocabulary carried as a bounded broadcast map
+  * (≤ [[SeedCap]] + alphabet entries, the k-means-centroid budget). Nothing
+  * collects to the driver at all — the EM loop is a fixed [[EmRounds]]-deep
+  * unrolled plan, so even the 1-row-argmax-per-iteration budget of the BPE
+  * loop is absent.
+  *
+  * Cross-engine exactness: the Viterbi segmenter is a single left-to-right
+  * fold whose per-position best is `array_sort(cands).last` over the
+  * candidate structs `(sc, kk, path)` — both engines order structs
+  * lexicographically by field, so the argmax INCLUDING its tie-break
+  * (score desc, then LONGER piece) is total and identical. Scores are
+  * products of `count/total` doubles multiplied in the identical order
+  * (IEEE exact-rounded — bit-identical across engines, including gradual
+  * underflow on absurdly long pretokens, where the 0.0-tie resolves by the
+  * same longest-piece rule). Counts are integer sums; seed and prune cuts
+  * use the total (n desc, piece asc) order. The DuckDB oracle replays the
+  * whole chain: the DP fold via `list_reduce` over the same wrapped-struct
+  * lists, the vocabulary via `map_from_entries` — see
+  * [[ExtOracles.unigramCtes]].
+  */
+object Unigram {
+
+  /** Piece separator inside a packed segmentation path (U+001E — the
+    * [[Bpe.Sep]] record separator, never produced by the pretokenizer). */
+  val Sep = ""
+
+  /** Longest candidate piece, in characters. Bounds the DP fan-in (each
+    * position considers exactly this many candidates) and the seed
+    * vocabulary's substring enumeration. */
+  val MaxPieceLen = 4
+
+  /** Multi-character seed pieces kept after the substring count (single
+    * characters are always kept — they make every segmentation total).
+    * The vocabulary is bounded by `SeedCap + |alphabet|` from here on. */
+  val SeedCap = 384
+
+  /** Hard-EM rounds (segment → count → re-normalize), unrolled in both
+    * engines. Two rounds move essentially all of the mass the fixture
+    * corpus will move (the third-round delta is < 1% of pieces). */
+  val EmRounds = 2
+
+  /** Multi-character pieces surviving the final prune. */
+  val VocabTarget = 192
+
+  /** All substrings of length 1..[[MaxPieceLen]] of each pretoken, one row
+    * per OCCURRENCE, weighted by the pretoken's corpus frequency — the
+    * overcomplete seed count table. Runs over distinct pretokens; the
+    * explode is ≤ len·L rows per pretoken. */
+  def substringCounts(pre: DataFrame): DataFrame =
+    pre.select(col("freq"), explode(flatten(transform(
+        sequence(lit(1), length(col("pretok"))),
+        i => transform(
+          sequence(lit(1), least(lit(MaxPieceLen), length(col("pretok")) - i + 1)),
+          k => col("pretok").substr(i, k))))).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("n"))
+
+  /** The seed vocabulary with initial probabilities: every single
+    * character (totality) plus the top [[SeedCap]] multi-character
+    * substrings by (n desc, piece asc); `prob = n / Σn` over the kept set
+    * (exact-integer counts, one IEEE division). */
+  def seedVocab(pre: DataFrame): DataFrame = {
+    val sub = graft.ops.Caching.cacheOnce(substringCounts(pre))
+    val chars = sub.where(length(col("piece")) === 1)
+    val seeds = sub.where(length(col("piece")) >= 2)
+      .orderBy(col("n").desc, col("piece").asc).limit(SeedCap)
+    normalize(chars.unionByName(seeds))
+  }
+
+  /** `prob = n / Σn` over the given `(piece, n)` table. */
+  private def normalize(v: DataFrame): DataFrame = {
+    val t = v.agg(sum("n").cast("double").as("t"))
+    v.crossJoin(broadcast(t))
+      .select(col("piece"), col("n"), (col("n").cast("double") / col("t")).as("prob"))
+  }
+
+  /** The vocabulary as a single broadcast map row (piece → prob) —
+    * bounded by SeedCap + alphabet, the codebook-broadcast budget. */
+  private def vocabMap(vocab: DataFrame): DataFrame =
+    broadcast(vocab.agg(
+      map_from_entries(sort_array(collect_list(struct(col("piece"), col("prob"))))).as("vm")))
+
+  /** The Viterbi DP as one fold over character positions. The accumulator
+    * is the per-position best table: entry j+1 = position j holds
+    * `(sc, kk, path)` — the best segmentation score of the prefix s[1..j],
+    * the length of its last piece, and the separator-joined pieces.
+    * Position i's candidates are the ≤ [[MaxPieceLen]] vocabulary pieces
+    * ENDING at i (piece = s[i−k+1..i], score = best[i−k]·prob(piece));
+    * the per-position argmax is `array_sort(cands).last`, so ties in the
+    * score resolve to the longer piece. Single characters are always in
+    * the vocabulary, so every position is reachable (k=1 always valid) and
+    * the DP is total. */
+  private def dpBest(pretok: Column, vm: Column): Column = {
+    val init = array(struct(lit(1.0).as("sc"), lit(0).as("kk"), lit("").as("path")))
+    val folded = aggregate(sequence(lit(1), length(pretok)), init, (acc, i) => {
+      val cands = (1 to MaxPieceLen).map { k =>
+        val start = i - lit(k - 1) // = position i−k, as a 1-based acc index
+        val p = pretok.substr(start, lit(k))
+        val prev = try_element_at(acc, start)
+        val pr = try_element_at(vm, p)
+        when(i >= k && pr.isNotNull,
+          struct((prev.getField("sc") * pr).as("sc"), lit(k).as("kk"),
+            when(prev.getField("path") === "", p)
+              .otherwise(concat(prev.getField("path"), lit(Sep), p)).as("path")))
+          .otherwise(struct(lit(-1.0).as("sc"), lit(k).as("kk"), lit("").as("path")))
+      }
+      concat(acc, array(element_at(array_sort(array(cands: _*)), MaxPieceLen)))
+    })
+    element_at(folded, length(pretok) + 1)
+  }
+
+  /** Segment distinct pretokens with a vocabulary: `(pretok, freq,
+    * pieces array, sc)`. One fold pass over the pretoken table crossed
+    * with the 1-row broadcast vocab map. */
+  def segment(pre: DataFrame, vocab: DataFrame): DataFrame =
+    pre.crossJoin(vocabMap(vocab))
+      .withColumn("_b", dpBest(col("pretok"), col("vm")))
+      .select(col("pretok"), col("freq"),
+        split(col("_b").getField("path"), Sep).as("pieces"),
+        col("_b").getField("sc").as("sc"))
+
+  /** One hard-EM round: Viterbi-segment under `vocab`, re-count pieces
+    * freq-weighted, floor every single character at count 1 (characters
+    * are never pruned — they keep the DP total; the floor keeps an unused
+    * character alive with minimal mass), drop multi-character pieces the
+    * segmentation no longer uses, re-normalize. */
+  def emRound(pre: DataFrame, vocab: DataFrame): DataFrame = {
+    val cnt = segment(pre, vocab)
+      .select(col("freq"), explode(col("pieces")).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("n"))
+    val chars = vocab.where(length(col("piece")) === 1).select("piece")
+      .join(cnt, Seq("piece"), "left")
+      .select(col("piece"), greatest(coalesce(col("n"), lit(0L)), lit(1L)).as("n"))
+    val multi = cnt.where(length(col("piece")) >= 2)
+    normalize(chars.unionByName(multi))
+  }
+
+  /** Train the unigram-LM vocabulary: seed → [[EmRounds]] hard-EM rounds →
+    * prune multi-character pieces to the top [[VocabTarget]] by
+    * (n desc, piece asc) → final re-normalize. Returns `(rnk, piece, n,
+    * prob)` with `rnk` the (n desc, piece asc) rank over the final
+    * vocabulary — the x202 shape. */
+  def train(docs: DataFrame, text: Column = col("text")): DataFrame = {
+    val pre = graft.ops.Caching.cacheOnce(Bpe.pretokenFreqs(docs, text))
+    // each round's vocabulary is consumed several times downstream (char
+    // filter, multi filter, normalizing sum, the broadcast map) — an
+    // eager localCheckpoint pins the ≤ SeedCap+alphabet rows and cuts the
+    // lineage, or every consumer would replay the whole DP chain
+    // (the Bpe.train per-iteration discipline)
+    val fitted = (1 to EmRounds).foldLeft(seedVocab(pre).localCheckpoint())(
+      (v, _) => emRound(pre, v).localCheckpoint())
+    val chars = fitted.where(length(col("piece")) === 1).select("piece", "n")
+    val keep = fitted.where(length(col("piece")) >= 2)
+      .orderBy(col("n").desc, col("piece").asc).limit(VocabTarget)
+      .select("piece", "n")
+    normalize(chars.unionByName(keep))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("piece").asc)).cast("long") - 1)
+      .select(col("rnk"), col("piece"), col("n"), col("prob"))
+  }
+
+  /** Encode: text → unigram token rows through a trained vocabulary,
+    * [[Bpe.encode]]'s output contract — one row per emitted piece,
+    * `(doc_id, seq, pos, piece, token_id)` with `seq` the pretoken's index
+    * in the document, `pos` the piece's index within the pretoken, and
+    * `token_id` the piece's 0-based rank in (piece asc) order over the
+    * final vocabulary (data-derived, stable under re-training only if the
+    * vocabulary is unchanged — exactly BPE's id discipline). Documents are
+    * scanned once; segmentation runs on DISTINCT pretokens and joins back. */
+  def encode(docs: DataFrame, vocab: DataFrame, text: Column = col("text")): DataFrame = {
+    val ids = vocab.select(col("piece"),
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("piece").asc)) - 1).cast("long").as("token_id"))
+    val pre = docs.select(col("doc_id"),
+      posexplode(regexp_extract_all(text, lit(TextOps.BpePretokenPattern), lit(0)))
+        .as(Seq("seq", "pretok")))
+    val segmented = segment(
+        pre.groupBy("pretok").agg(count(lit(1)).as("freq")), vocab)
+      .select(col("pretok"), posexplode(col("pieces")).as(Seq("pos", "piece")))
+      .select(col("pretok"), col("pos").cast("long").as("pos"), col("piece"))
+    pre.join(broadcast(segmented), "pretok")
+      .join(broadcast(ids), "piece")
+      .select(col("doc_id"), col("seq").cast("long").as("seq"), col("pos"),
+        col("piece"), col("token_id"))
+  }
+
+  /** Per-language fertility report over the unigram encoding — the x83
+    * diagnostic on this tokenizer family (tokens per whitespace word,
+    * chars per token): the head-to-head number that says which trainer
+    * fragments a language less at equal vocabulary budget. */
+  def fertilityByLang(docs: DataFrame, vocab: DataFrame,
+      text: Column = col("text")): DataFrame = {
+    val perLangUni = encode(docs, vocab, text)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_uni_tokens"),
+        sum(length(col("piece"))).as("n_chars"))
+    val perLangWs = docs.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(TextOps.tokens(text))).as("n_ws_tokens"))
+    perLangWs.join(perLangUni, "lang")
+      .select(col("lang"), col("n_docs"),
+        col("n_ws_tokens").cast("long").as("n_ws_tokens"), col("n_uni_tokens"),
+        (col("n_uni_tokens").cast("double") / col("n_ws_tokens").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_uni_tokens").cast("double"))
+          .as("chars_per_token"))
+  }
+}

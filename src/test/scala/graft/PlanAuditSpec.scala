@@ -111,7 +111,11 @@ class PlanAuditSpec extends SparkTestBase {
     "x193_ann_ivfbin_stored" -> "crossJoin of single-row count aggregates per method (recall-report constants, x167's shape) + the x06-shaped brute-force truth leg; the probes themselves are equi on cell with DPP (spec-asserted)",
     "x194_jackknife_quality" -> "the 1-row totals and 1-row jackknife-mean aggregates crossJoined onto the √n group rows (report constants)",
     "x195_retrieval_eval_binary" -> "x193's DPP cell probes feeding x145's 1-row eval folds and broadcast query/relevance stream (x153's shape)",
-    "x197_robust_quality" -> "the 1-row median broadcast onto the scan for the MAD deviation pass (x183's shape) + 1-row report constants crossJoined at the end"
+    "x197_robust_quality" -> "the 1-row median broadcast onto the scan for the MAD deviation pass (x183's shape) + 1-row report constants crossJoined at the end",
+    "x201_graph_recall_report" -> "crossJoin of single-row count aggregates per method (recall-report constants, x146's shape) + the x06-shaped brute-force truth leg; the beam walk itself is bounded edge/bucket equi-joins",
+    "x202_unigram_train" -> "crossJoins against the ONE-ROW broadcast vocab map and 1-row normalizing-sum aggregates (vocabulary constants, x40's packed-row shape) — the DP fold runs on distinct pretokens",
+    "x203_unigram_encode" -> "x202's 1-row vocab-map/normalizing-sum crossJoins behind the pretoken-keyed equi-join back onto the corpus",
+    "x204_unigram_fertility" -> "x203's 1-row vocab-map/normalizing-sum crossJoins; the fertility itself is two lang-keyed partial aggs"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {
@@ -141,7 +145,13 @@ class PlanAuditSpec extends SparkTestBase {
     "x183_heaps_growth" ->
       "cumulative sums over the <=10 doc_id-range bucket rows — calendar-sized input, not corpus rows",
     "x187_quality_mass_curve" ->
-      "cumulative sums over the 10 exactNtile decile rows — the per-doc ranking itself is the range-partitioned two-phase form"
+      "cumulative sums over the 10 exactNtile decile rows — the per-doc ranking itself is the range-partitioned two-phase form",
+    "x202_unigram_train" ->
+      "rank over the final VOCABULARY rows (<= VocabTarget + alphabet) — vocabulary-sized input, not corpus rows",
+    "x203_unigram_encode" ->
+      "token-id rank over the final vocabulary rows (<= VocabTarget + alphabet); per-token corpus rows never enter a window",
+    "x204_unigram_fertility" ->
+      "x203's vocabulary-sized token-id rank — the fertility aggregation itself is lang-keyed partial aggs"
   )
 
   test("no registered query plans a global (empty-partition) window (except documented calendar-sized ones)") {

@@ -39,6 +39,33 @@ class VerifySpec extends AnyFunSuite {
     assert(orphaned.isEmpty, s"oracle entries without a registered query: $orphaned")
   }
 
+  test("per-family registries are disjoint and the merge loses nothing (r9 split)") {
+    // The r9 split of the monolithic ExtQueries into per-family objects is
+    // only safe if no key appears in two families (a ++ merge would
+    // silently pick one) and the merged key set is exactly the register.
+    val fams: Seq[(String, Map[String, _], Map[String, String])] = Seq(
+      ("Ann", graft.ext.AnnQueries.queries, graft.ext.AnnQueries.oracleSql),
+      ("Chat", graft.ext.ChatQueries.queries, graft.ext.ChatQueries.oracleSql),
+      ("Curate", graft.ext.CurateQueries.queries, graft.ext.CurateQueries.oracleSql),
+      ("Dedup", graft.ext.DedupQueries.queries, graft.ext.DedupQueries.oracleSql),
+      ("Misc", graft.ext.MiscQueries.queries, graft.ext.MiscQueries.oracleSql),
+      ("Preference", graft.ext.PreferenceQueries.queries, graft.ext.PreferenceQueries.oracleSql),
+      ("Retrieval", graft.ext.RetrievalQueries.queries, graft.ext.RetrievalQueries.oracleSql),
+      ("Text", graft.ext.TextQueries.queries, graft.ext.TextQueries.oracleSql),
+      ("Tokenizer", graft.ext.TokenizerQueries.queries, graft.ext.TokenizerQueries.oracleSql),
+      ("Trainer", graft.ext.TrainerQueries.queries, graft.ext.TrainerQueries.oracleSql))
+    val qSum = fams.map(_._2.size).sum
+    val oSum = fams.map(_._3.size).sum
+    assert(qSum === graft.ext.ExtQueries.queries.size,
+      "a query key is registered in two families (the ++ merge deduped it)")
+    assert(oSum === graft.ext.ExtQueries.oracleSql.size,
+      "an oracle key is registered in two families (the ++ merge deduped it)")
+    fams.foreach { case (n, q, o) =>
+      assert((o.keySet -- q.keySet).isEmpty,
+        s"$n: oracle entries whose query lives in another family: ${o.keySet -- q.keySet}")
+    }
+  }
+
   test("bench final stdout line stays under the driver tail-capture budget") {
     // BENCH_r04 was lost to line LENGTH (the enriched ~3.5 KB line
     // overflowed the driver's fixed-size tail capture, truncating its

@@ -869,4 +869,78 @@ class SimilaritySpec extends SparkTestBase {
     Similarity.buildIvfBinIndex(e, bn)
     assert(onePerCell(s"$bn/signs") === expectedCells)
   }
+
+  test("graph index build is deterministic and degree-capped (x200 oracle premise)") {
+    // The x200/x201 oracle replays the whole build+walk in SQL, which is
+    // only sound if the graph is a pure function of the corpus: two builds
+    // must agree edge-for-edge (including the cos doubles), and the degree
+    // re-cap must hold (≤ 2m out-edges per src).
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val d1 = java.nio.file.Files.createTempDirectory("graft-graph-a").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft-graph-b").toString
+    Similarity.buildGraphIndex(e, d1)
+    Similarity.buildGraphIndex(e, d2)
+    val ea = spark.read.parquet(s"$d1/edges")
+    val eb = spark.read.parquet(s"$d2/edges")
+    assert(ea.count() === eb.count())
+    assert(ea.exceptAll(eb).isEmpty && eb.exceptAll(ea).isEmpty)
+    // edges are symmetric (navigability back-links) and degree-capped
+    val deg = ea.groupBy("src").agg(count(lit(1)).as("d"))
+    assert(deg.where($"d" > 2 * Similarity.GraphDegree).isEmpty)
+    // a missing back-link is legal ONLY where the would-be holder's
+    // degree cap is already full (the re-cap evicted it)
+    val missingBack = ea.select($"dst".as("src"), $"src".as("dst"))
+      .join(ea.select("src", "dst"), Seq("src", "dst"), "left_anti")
+    assert(missingBack.join(deg, "src")
+      .where($"d" < 2 * Similarity.GraphDegree).isEmpty,
+      "back-link absent from a node with spare degree capacity")
+  }
+
+  test("graph beam search: corpus-member query tops out at its exact duplicate, self excluded") {
+    // The traversal may visit the query's own node (cos 1.0 expands its
+    // edges — the best candidates) but the RESULT ranking excludes self;
+    // an exact duplicate in the corpus must surface at rank 1.
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").limit(60)
+    val dup = e.where($"vec_id" === 0)
+      .select(lit(100000L).as("vec_id"), $"embedding")
+    val corpus = e.unionByName(dup)
+    val idx = java.nio.file.Files.createTempDirectory("graft-graph-dup").toString
+    Similarity.buildGraphIndex(corpus, idx)
+    val out = Similarity.graphBeamTopK(spark, idx,
+        corpus.where($"vec_id" === 0), 5)
+      .orderBy("rank").collect()
+    assert(out.forall(_.getAs[Long]("vec_id") != 0L), "self must not be ranked")
+    assert(out.head.getAs[Long]("vec_id") === 100000L, "exact dup at rank 1")
+    // float32 inputs: the double cosine of an exact duplicate lands a few
+    // float-ulps under 1.0 (norm rounding), not within 1e-9 of it
+    assert(math.abs(out.head.getAs[Double]("cos") - 1.0) < 1e-6)
+    // ranks are dense from 1 and ordered by cos desc
+    assert(out.map(_.getAs[Long]("rank")).toSeq === (1L to out.length).toSeq)
+    assert(out.map(_.getAs[Double]("cos")).toSeq.reverse.sorted.reverse
+      === out.map(_.getAs[Double]("cos")).toSeq)
+  }
+
+  test("graph beam recall beats IVF nprobe=2 on real embeddings (x201 claim)") {
+    // The reason the graph rung exists: at a comparable scanned-candidate
+    // budget the beam walk holds recall the cell-confined probe can't.
+    // Measured at registration time: 0.74/0.74/0.68 vs 0.32/0.28/0.34
+    // across sf0.001/0.01/0.1 — the spec pins the fixture-scale gap.
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val idx = java.nio.file.Files.createTempDirectory("graft-graph-rec").toString
+    Similarity.buildGraphIndex(e, idx)
+    val rep = Similarity.graphRecallReport(spark, idx,
+        e.where($"vec_id" < 5), e, 10)
+      .collect().map(r => r.getAs[String]("method") ->
+        (r.getAs[Double]("recall"), r.getAs[Long]("n_scanned"))).toMap
+    val (gRec, gScan) = rep("graph_beam")
+    val (iRec, _) = rep("ivf_nprobe2")
+    assert(gRec > iRec, s"graph $gRec must beat ivf $iRec")
+    assert(gRec >= 0.5, s"graph recall@10 $gRec below the pinned floor")
+    // budget honesty: the walk's scanned set stays bounded by
+    // entries + rounds·beam·2m candidates per query (5 queries here)
+    val cap = 5L * (Similarity.GraphEntries +
+      Similarity.GraphRounds * Similarity.GraphBeam * 2 * Similarity.GraphDegree)
+    assert(gScan <= cap, s"scanned $gScan exceeds the per-query budget cap $cap")
+  }
 }
