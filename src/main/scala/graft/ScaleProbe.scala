@@ -234,6 +234,15 @@ object ScaleProbe {
         graft.ext.Preference.btFit(
           graft.ext.Preference.derivedPreferences(corpus)).count()
       }
+      // Unigram-LM train (r9): the corpus pass is the one pretoken
+      // groupBy; seed/EM/prune run on DISTINCT pretokens (vocabulary-
+      // bound, like bpe_train8 — salting grows the pretoken vocabulary
+      // ~linearly) with the per-round state localCheckpointed at
+      // ≤ SeedCap+alphabet rows. Time must track the pretoken vocabulary,
+      // not documents.
+      time("unigram_train") {
+        graft.ext.Unigram.train(corpus).count()
+      }
       corpus.unpersist(blocking = true)
       val emb = replicateEmb(k).cache()
       emb.count()
@@ -288,6 +297,20 @@ object ScaleProbe {
       }
       time("ivfbin_probe") {
         graft.ext.Similarity.ivfBinTopK(spark, binIdx,
+          emb.where(col("vec_id") < 5), 10).count()
+      }
+      // Graph ANN (r9): build = LSH band equi-join (linear under the
+      // multi-table bucket structure) + two src-keyed top-2m windows —
+      // edge rows ≤ 2m·N, so time must track k near-linearly, never the
+      // all-pairs k². The probe is `rounds` bounded beam↔edge equi-joins:
+      // per-query work is O(rounds·beam·2m) score evaluations regardless
+      // of corpus size — time should stay flat as k grows.
+      val gIdx = java.nio.file.Files.createTempDirectory("graft_probe_graph_").toString
+      time("graph_build") {
+        graft.ext.Similarity.buildGraphIndex(emb, gIdx); 0L
+      }
+      time("graph_probe") {
+        graft.ext.Similarity.graphBeamTopK(spark, gIdx,
           emb.where(col("vec_id") < 5), 10).count()
       }
       // Exact midrank AUC (r8 batch 6): LR chain (k-linear corpus

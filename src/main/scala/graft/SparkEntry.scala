@@ -64,7 +64,8 @@ object SparkEntry {
     "x131_bt_strengths", "x134_chat_sft_stats", "x135_sft_pipeline",
     "x145_retrieval_eval_set", "x146_pq_recall", "x147_best_of_n",
     "x151_lr_influence", "x152_ann_ivfpq_stored", "x153_retrieval_eval_stored",
-    "x155_repetition_signals", "x201_graph_recall_report")
+    "x155_repetition_signals", "x201_graph_recall_report",
+    "x202_unigram_train")
 
   /** Cheap stable legs (<0.3 s quiet): still timed every round, reported
     * on the `total_extra` stdout line and in bench_last.json, never on

@@ -26,8 +26,9 @@ private[graft] object AnnQueries {
 
     // The budget-honest graph-vs-IVF comparison (r9): candidates scored,
     // truth/approx/common and recall per method — every column DuckDB-
-    // replayed. Measured: recall 0.74/0.74/0.68 (graph) vs 0.32/0.28/0.34
-    // (ivf nprobe2) across sf0.001/0.01/0.1 at comparable scanned budgets.
+    // replayed. Measured (derived-bits build, occ 64): recall
+    // 0.74/0.74/0.58 (graph) vs 0.32/0.28/0.34 (ivf nprobe2) across
+    // sf0.001/0.01/0.1 at comparable scanned budgets.
     "x201_graph_recall_report" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val idx = StoredIndexes.get("graph", dir)(Similarity.buildGraphIndex(e, _))

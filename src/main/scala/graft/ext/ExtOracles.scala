@@ -895,6 +895,23 @@ private[ext] object ExtOracles {
     * ranking, exactly as Similarity.graphBeamVisited. Ends with
     * `gv{GraphRounds}` (the visited set) plus `gq` (the query rows) for
     * the consuming oracles. */
+  /** [[Similarity.derivedBits]] as a pure-integer CASE chain over the
+    * corpus count — no cross-engine log rounding. */
+  def derivedBitsSql: String = {
+    val occ = Similarity.GraphBucketOcc
+    val cases = (Similarity.PlanesPerTable until Similarity.MaxPlanesPerTable)
+      .map(b => s"WHEN count(*) <= ${occ << b} THEN $b").mkString(" ")
+    s"CASE $cases ELSE ${Similarity.MaxPlanesPerTable} END"
+  }
+
+  /** Table-l bucket id at the DERIVED width: plane p contributes 2^p iff
+    * `p < bits` (the gbits cross-joined one-row law) and the sign bit is
+    * set — the SQL mirror of `multiBucket(emb, l, derivedBits(n))`. */
+  def multiBucketDynSql(l: Int): String =
+    (0 until Similarity.MaxPlanesPerTable).map { p =>
+      s"(CASE WHEN $p < bits AND ${dotSql("emb", Similarity.multiPlaneSql(l, p))} >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
   lazy val graphCtes: String = {
     val m = Similarity.GraphDegree
     val B = Similarity.GraphBeam
@@ -902,9 +919,10 @@ private[ext] object ExtOracles {
     val R = Similarity.GraphRounds
     val sb = new StringBuilder
     sb ++= "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+    sb ++= s"gbits AS (SELECT $derivedBitsSql AS bits FROM e), "
     sb ++= s"be AS (SELECT vec_id, emb, unnest(generate_series(0, ${Similarity.LshTables - 1})) AS tbl, " +
-      (0 until Similarity.LshTables).map(multiBucketSql)
-        .mkString("unnest([", ", ", "]) AS bkt FROM e), ")
+      (0 until Similarity.LshTables).map(multiBucketDynSql)
+        .mkString("unnest([", ", ", "]) AS bkt FROM e, gbits), ")
     sb ++= s"gp AS MATERIALIZED (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst, " +
       s"${dotSql("a.emb", "b.emb")} AS cos " +
       "FROM be a JOIN be b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id <> b.vec_id), "
@@ -1566,5 +1584,21 @@ private[ext] object ExtOracles {
       "CAST(n_uni_tokens AS DOUBLE)/CAST(n_ws_tokens AS DOUBLE) AS fertility, " +
       "CAST(n_chars AS DOUBLE)/CAST(n_uni_tokens AS DOUBLE) AS chars_per_token " +
       "FROM w JOIN ub USING (lang)"
+
+  /** x205: corpus-level BPE-vs-unigram datasheet — one leg per tokenizer
+    * over its verified encode chain, the same three aggregates each. */
+  def tokenizerCompareSql: String = {
+    val ws = "(SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) FROM documents)"
+    def leg(name: String, encSql: String, piece: String): String =
+      s"SELECT '$name' AS tokenizer, " +
+        s"CAST(count(DISTINCT $piece) AS BIGINT) AS vocab_used, " +
+        "CAST(count(*) AS BIGINT) AS n_tokens, " +
+        s"CAST(sum(length($piece)) AS BIGINT) AS n_chars, " +
+        s"CAST(count(*) AS DOUBLE)/CAST($ws AS DOUBLE) AS fertility, " +
+        s"CAST(sum(length($piece)) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS chars_per_token " +
+        s"FROM ($encSql) e"
+    leg("bpe", bpeEncodeSql, "sym") + " UNION ALL " +
+      leg("unigram", unigramEncodeSql, "piece")
+  }
 
 }

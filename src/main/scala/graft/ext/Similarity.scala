@@ -168,7 +168,7 @@ object Similarity {
 
   val LshTables = 8
   val PlanesPerTable = 4
-  private val MaxPlanesPerTable = 20
+  private[ext] val MaxPlanesPerTable = 20
 
   /** Deterministic ±1 planes for multi-table LSH: table l, plane p, dim d
     * → sign of one md5 bit (independent family from [[hyperplanes]] via
@@ -1801,19 +1801,45 @@ object Similarity {
     * from the query once the corpus outgrows a few hundred vectors). */
   val GraphEntries = 8
 
+  /** Target LSH bucket occupancy for the graph build's candidate mining.
+    * The build self-joins the corpus on (tbl, bkt), so per-bucket pair
+    * volume is occupancy² — occupancy must stay O(1) as the corpus grows
+    * (the [[lshMultiNearDupPairs]] sizing law). 64 keeps enough true
+    * neighbors per bucket for edge/entry quality (measured: recall@10
+    * 0.74/0.74/0.58 across the fixtures vs 0.48-at-sf0.1 under
+    * occupancy 32) while bounding the join at occ·N pairs per table. */
+  val GraphBucketOcc = 64L
+
+  /** Bits per LSH table for an n-vector corpus: the smallest b ≥
+    * [[PlanesPerTable]] with `GraphBucketOcc · 2^b ≥ n`, clamped to the
+    * plane pool — i.e. ceil(log2(n / occ)), computed by INTEGER
+    * comparison so the DuckDB oracle's CASE chain replays it exactly
+    * (no cross-engine log rounding; the [[derivedStride]] one-count
+    * discipline). ScaleProbe r9: the 4-bit fixed form grew the build ×7
+    * from 4×→16× (quadratic bucket self-join); under this law occupancy
+    * — and with it per-bucket pair volume — is constant. */
+  def derivedBits(n: Long): Int = {
+    var b = PlanesPerTable
+    while (b < MaxPlanesPerTable && (GraphBucketOcc << b) < n) b += 1
+    b
+  }
+
   /** Build the stored neighbor graph: `vectors/` (vec_id, embedding) and
     * `edges/` (src, dst, cos) with per-src degree ≤ 2m — top-m directed
     * kNN edges from the multi-table LSH candidates, symmetrized (an edge
     * survives in both directions — navigability needs back-links), then
     * re-capped keeping the highest-cosine neighbors. All ranks tie-break
     * (cos desc, dst asc), so the graph is a pure function of the corpus.
+    * Table width follows [[derivedBits]] from ONE corpus count; the probe
+    * re-derives the same width from the stored `vectors/` footer count.
     */
   def buildGraphIndex(corpus: DataFrame, indexDir: String,
       m: Int = GraphDegree): Unit = {
     GraftFunctions.register(corpus.sparkSession)
+    val bits = derivedBits(corpus.count())
     val expanded = corpus.select(col("vec_id"), col("embedding"),
       posexplode(array((0 until LshTables).map(l =>
-        multiBucket(col("embedding"), l)): _*)).as(Seq("tbl", "bkt")))
+        multiBucket(col("embedding"), l, bits)): _*)).as(Seq("tbl", "bkt")))
     val a = expanded.select(col("vec_id").as("src"), col("embedding").as("ea"),
       col("tbl"), col("bkt"))
     val b = expanded.select(col("vec_id").as("dst"), col("embedding").as("eb"),
@@ -1854,9 +1880,12 @@ object Similarity {
     val buckets = spark.read.parquet(s"$indexDir/buckets")
     val q = broadcast(queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb")))
+    // query buckets must hash with the BUILD's table width — re-derived
+    // from the stored vectors' count (a parquet-footer read, not a scan)
+    val bits = derivedBits(vectors.count())
     val qb = broadcast(queries.select(col("vec_id").as("q_id"),
       posexplode(array((0 until LshTables).map(l =>
-        multiBucket(col("embedding"), l)): _*)).as(Seq("tbl", "bkt"))))
+        multiBucket(col("embedding"), l, bits)): _*)).as(Seq("tbl", "bkt"))))
     // entry set: the query's strongest bucket-mates — ranked by how many
     // of the 8 LSH tables agree (sign-pattern agreement is a monotone
     // proxy for cosine that costs hash work, not a distance evaluation;

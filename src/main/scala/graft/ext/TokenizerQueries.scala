@@ -43,6 +43,15 @@ private[graft] object TokenizerQueries {
       Unigram.fertilityByLang(d, Unigram.train(d))
     }),
 
+    // Tokenizer-family head-to-head (r9): one datasheet row per trainer
+    // (BPE at its merge budget, unigram at its prune budget) — used vocab,
+    // token totals, corpus fertility, chars/token — over the two verified
+    // encode chains.,
+    "x205_tokenizer_compare" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Unigram.compareTokenizers(d, Bpe.train(d, BpeMerges), Unigram.train(d))
+    }),
+
     // And encode: text → token ids through the trained merges, ids
     // data-derived (sorted base alphabet, then merge ranks). One row per
     // emitted token with its (seq, pos) provenance.,
@@ -223,6 +232,7 @@ private[graft] object TokenizerQueries {
     "x202_unigram_train" -> unigramTrainSql,
     "x203_unigram_encode" -> unigramEncodeSql,
     "x204_unigram_fertility" -> unigramFertilitySql,
+    "x205_tokenizer_compare" -> tokenizerCompareSql,
     "x83_bpe_fertility" ->
       ("WITH w AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens " +

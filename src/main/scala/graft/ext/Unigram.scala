@@ -202,6 +202,34 @@ object Unigram {
         col("piece"), col("token_id"))
   }
 
+  /** Corpus-level head-to-head of the two tokenizer families at their
+    * registered training budgets (x205): one row per tokenizer with its
+    * USED vocabulary size (distinct emitted pieces — the number both
+    * engines can count from the encode stream), total tokens, total piece
+    * chars, corpus fertility (tokens per whitespace word), and chars per
+    * token. The mixture owner's datasheet row for "which tokenizer
+    * fragments this corpus less". Both encode streams are the verified
+    * x78/x203 chains; the comparison is three partial aggregates each. */
+  def compareTokenizers(docs: DataFrame, merges: Seq[Bpe.Merge],
+      vocab: DataFrame, text: Column = col("text")): DataFrame = {
+    val ws = broadcast(docs.agg(
+      sum(size(TextOps.tokens(text))).cast("long").as("n_ws_tokens")))
+    def leg(name: String, enc: DataFrame, piece: Column): DataFrame =
+      enc.agg(
+          countDistinct(piece).as("vocab_used"),
+          count(lit(1)).as("n_tokens"),
+          sum(length(piece)).as("n_chars"))
+        .crossJoin(ws)
+        .select(lit(name).as("tokenizer"), col("vocab_used"), col("n_tokens"),
+          col("n_chars"),
+          (col("n_tokens").cast("double") / col("n_ws_tokens").cast("double"))
+            .as("fertility"),
+          (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+            .as("chars_per_token"))
+    leg("bpe", Bpe.encode(docs, merges, text), col("sym"))
+      .unionByName(leg("unigram", encode(docs, vocab, text), col("piece")))
+  }
+
   /** Per-language fertility report over the unigram encoding — the x83
     * diagnostic on this tokenizer family (tokens per whitespace word,
     * chars per token): the head-to-head number that says which trainer

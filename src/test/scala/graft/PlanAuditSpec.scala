@@ -115,7 +115,8 @@ class PlanAuditSpec extends SparkTestBase {
     "x201_graph_recall_report" -> "crossJoin of single-row count aggregates per method (recall-report constants, x146's shape) + the x06-shaped brute-force truth leg; the beam walk itself is bounded edge/bucket equi-joins",
     "x202_unigram_train" -> "crossJoins against the ONE-ROW broadcast vocab map and 1-row normalizing-sum aggregates (vocabulary constants, x40's packed-row shape) — the DP fold runs on distinct pretokens",
     "x203_unigram_encode" -> "x202's 1-row vocab-map/normalizing-sum crossJoins behind the pretoken-keyed equi-join back onto the corpus",
-    "x204_unigram_fertility" -> "x203's 1-row vocab-map/normalizing-sum crossJoins; the fertility itself is two lang-keyed partial aggs"
+    "x204_unigram_fertility" -> "x203's 1-row vocab-map/normalizing-sum crossJoins; the fertility itself is two lang-keyed partial aggs",
+    "x205_tokenizer_compare" -> "x203's 1-row vocab-map/normalizing-sum crossJoins + the 1-row whitespace-total aggregate crossJoined onto each tokenizer's 1-row report leg (report constants)"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {
@@ -151,7 +152,9 @@ class PlanAuditSpec extends SparkTestBase {
     "x203_unigram_encode" ->
       "token-id rank over the final vocabulary rows (<= VocabTarget + alphabet); per-token corpus rows never enter a window",
     "x204_unigram_fertility" ->
-      "x203's vocabulary-sized token-id rank — the fertility aggregation itself is lang-keyed partial aggs"
+      "x203's vocabulary-sized token-id rank — the fertility aggregation itself is lang-keyed partial aggs",
+    "x205_tokenizer_compare" ->
+      "x203's vocabulary-sized token-id rank inside the unigram encode leg — the report itself is 1-row aggregates"
   )
 
   test("no registered query plans a global (empty-partition) window (except documented calendar-sized ones)") {

@@ -870,6 +870,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(onePerCell(s"$bn/signs") === expectedCells)
   }
 
+  test("graph LSH width follows the occupancy law (r9)") {
+    // bits = smallest b >= PlanesPerTable with occ·2^b >= n: fixture
+    // corpora stay at the 4-bit floor, growth adds one bit per doubling
+    // past occ<<4, and the plane pool clamps the top — so per-bucket
+    // occupancy (and with it the build self-join's per-bucket pair
+    // volume) is constant at any corpus size.
+    assert(Similarity.derivedBits(1L) === Similarity.PlanesPerTable)
+    assert(Similarity.derivedBits(Similarity.GraphBucketOcc << 4) === 4)
+    assert(Similarity.derivedBits((Similarity.GraphBucketOcc << 4) + 1) === 5)
+    assert(Similarity.derivedBits(Similarity.GraphBucketOcc << 10) === 10)
+    assert(Similarity.derivedBits(Long.MaxValue) === Similarity.MaxPlanesPerTable)
+  }
+
   test("graph index build is deterministic and degree-capped (x200 oracle premise)") {
     // The x200/x201 oracle replays the whole build+walk in SQL, which is
     // only sound if the graph is a pure function of the corpus: two builds
@@ -924,8 +937,9 @@ class SimilaritySpec extends SparkTestBase {
   test("graph beam recall beats IVF nprobe=2 on real embeddings (x201 claim)") {
     // The reason the graph rung exists: at a comparable scanned-candidate
     // budget the beam walk holds recall the cell-confined probe can't.
-    // Measured at registration time: 0.74/0.74/0.68 vs 0.32/0.28/0.34
-    // across sf0.001/0.01/0.1 — the spec pins the fixture-scale gap.
+    // Measured at registration (derived-bits build, occ 64):
+    // 0.74/0.74/0.58 vs 0.32/0.28/0.34 across sf0.001/0.01/0.1 — the
+    // spec pins the fixture-scale gap.
     val e = graft.sources.Tables.embeddings(spark, sfDir)
     val idx = java.nio.file.Files.createTempDirectory("graft-graph-rec").toString
     Similarity.buildGraphIndex(e, idx)

@@ -76,6 +76,25 @@ class UnigramSpec extends SparkTestBase {
       s"EM round regressed the Viterbi objective: $o0 -> $o1")
   }
 
+  test("tokenizer compare: both families partition the same character stream") {
+    val docs = Tables.documents(spark, sfDir).limit(300)
+    val rep = Unigram.compareTokenizers(docs,
+        Bpe.train(docs, 8), Unigram.train(docs))
+      .collect().map(r => r.getAs[String]("tokenizer") ->
+        (r.getAs[Long]("vocab_used"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_chars"))).toMap
+    assert(rep.keySet === Set("bpe", "unigram"))
+    // a segmentation is a PARTITION of the pretoken stream: total emitted
+    // chars must be identical across families — the cheap whole-chain
+    // integrity check (any dropped/duplicated piece breaks it)
+    assert(rep("bpe")._3 === rep("unigram")._3,
+      s"char mass differs: ${rep("bpe")._3} vs ${rep("unigram")._3}")
+    // both emit at least one token per pretoken, so counts are positive
+    // and the 192-piece unigram budget must out-compress 8 BPE merges
+    assert(rep("unigram")._2 < rep("bpe")._2,
+      "unigram at 192 pieces should emit fewer tokens than BPE at 8 merges")
+  }
+
   test("fixture-scale fertility beats char-level and stays above 1 token/word") {
     val docs = Tables.documents(spark, sfDir).limit(300)
     val vocab = Unigram.train(docs)
