@@ -507,6 +507,23 @@ object Hybrid {
     * rerank leg side by side so the "shortlist generator, not a ranker"
     * finding (x193) shows up in nDCG terms too.
     */
+  /** Query-set retrieval eval over the stored GRAPH index (x206) — the
+    * x153/x195 discipline applied to the r9 graph rung, completing the
+    * per-index eval family (BM25, IVFADC, IVF-BIN, graph all share the
+    * graded-relevance interface). ONE system row: the beam walk already
+    * scores exact cosine, so its shortlist IS the exact ranking — there
+    * is no raw-vs-rerank split like the quantized rungs have. */
+  def retrievalEvalGraph(docs: DataFrame, emb: DataFrame,
+      graphIndexDir: String, k: Int = 10, depth: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    val queries = querySetDf(spark)
+    val qemb = emb.where(col("vec_id").isin(QuerySet.map(_._1): _*))
+    val ranked = Similarity.graphBeamTopK(spark, graphIndexDir, qemb, depth)
+      .select(col("q_id").as("query_id"), col("vec_id").as("doc_id"), col("rank"))
+    val rel = graft.ops.Caching.cacheOnce(gradedRelevanceSet(docs, emb, queries))
+    evalDistribution(evalRankedSet("graph_stored", ranked, rel, k), QuerySet.size)
+  }
+
   def retrievalEvalBinary(docs: DataFrame, emb: DataFrame,
       binIndexDir: String, k: Int = 10, depth: Int = 20): DataFrame = {
     val spark = docs.sparkSession

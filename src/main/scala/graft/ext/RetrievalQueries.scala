@@ -132,6 +132,16 @@ private[graft] object RetrievalQueries {
       Hybrid.retrievalEvalBinary(docs, emb, idx)
     }),
 
+    // Query-set eval over the stored GRAPH index (r9): every stored index
+    // family now carries the same graded-relevance eval row — one system
+    // (the beam's shortlist is already exact-cosine ranked).,
+    "x206_retrieval_eval_graph" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val idx = StoredIndexes.get("graph", dir)(Similarity.buildGraphIndex(emb, _))
+      Hybrid.retrievalEvalGraph(docs, emb, idx)
+    }),
+
     // The full training-data preparation pipeline as ONE registered query:
     // quality gate (x09's score) -> exact dedup keeping the min doc_id per
     // text hash (x01's canonicalization) -> context-window chunking (x42)
@@ -261,6 +271,25 @@ private[graft] object RetrievalQueries {
         "list_aggregate(list(recall_at_k ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_recall, " +
         "min(recall_at_k) AS min_recall " +
         "FROM bevq GROUP BY system"
+    },
+
+    // x206: the graph walk (x200's CTEs, self-excluded, depth 20) feeding
+    // the same query-set eval tail as x195.,
+    "x206_retrieval_eval_graph" -> {
+      val nQ = Hybrid.QuerySet.size
+      val gvR = s"gv${Similarity.GraphRounds}"
+      s"WITH $hybridSetCtes, $graphCtes, " +
+        "gann AS (SELECT q_id AS query_id, vec_id AS doc_id, CAST(rank AS BIGINT) AS rank FROM " +
+        s"(SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM $gvR WHERE q_id <> vec_id) " +
+        "WHERE rank <= 20), " +
+        s"gevq AS (SELECT * FROM ${hybridSetEvalSql("graph_stored", "gann")}) " +
+        "SELECT system, CAST(count(*) AS BIGINT) AS n_queries, " +
+        "list_aggregate(list(ndcg ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_ndcg, " +
+        s"${pctSql("list_sort(list(ndcg))", 0.5, nQ)} AS p50_ndcg, " +
+        s"${pctSql("list_sort(list(ndcg))", 0.9, nQ)} AS p90_ndcg, " +
+        "list_aggregate(list(recall_at_k ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_recall, " +
+        "min(recall_at_k) AS min_recall " +
+        "FROM gevq GROUP BY system"
     },
 
     // x158: the composed refresh — dsirCtes supplies the shared `t`;

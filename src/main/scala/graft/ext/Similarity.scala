@@ -1833,35 +1833,172 @@ object Similarity {
     * Table width follows [[derivedBits]] from ONE corpus count; the probe
     * re-derives the same width from the stored `vectors/` footer count.
     */
+  /** Rows per src-hash edge partition — sized so an append's dynamic
+    * partition overwrite rewrites a few-MB directory per changed node
+    * group, never the whole edge table. */
+  val GraphNodesPerPart = 8192L
+
+  /** Edge-table partition count for an n-node graph (one count, then a
+    * pure function — the Jsonl.derivedShards shape). */
+  def graphEdgeParts(n: Long): Int =
+    math.min(4096L, math.max(1L, (n + GraphNodesPerPart - 1) / GraphNodesPerPart)).toInt
+
+  /** The shared candidate→directed-top-m stage of build and append:
+    * bucket equi-join of `srcSide` (the nodes whose edges are being
+    * (re)computed) against the full bucket table, exact cosine on the
+    * survivors, per-src top-m. Never all-pairs — per-bucket volume is
+    * occupancy-bounded by [[derivedBits]]. */
+  private def directedTopM(srcBuckets: DataFrame, allBuckets: DataFrame,
+      emb: DataFrame, m: Int): DataFrame = {
+    val a = srcBuckets.select(col("vec_id").as("src"), col("tbl"), col("bkt"))
+    val b = allBuckets.select(col("vec_id").as("dst"), col("tbl"), col("bkt"))
+    val cand = a.join(b, Seq("tbl", "bkt")).where(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+      .join(emb.select(col("vec_id").as("src"), col("embedding").as("ea")), "src")
+      .join(emb.select(col("vec_id").as("dst"), col("embedding").as("eb")), "dst")
+      .select(col("src"), col("dst"),
+        GraftFunctions.cosineSim(col("ea"), col("eb")).as("cos"))
+    cand.withColumn("r", row_number().over(
+        Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)))
+      .where(col("r") <= m).drop("r")
+  }
+
+  /** Symmetrize + re-cap at 2m (the navigability back-link rule): an edge
+    * survives in both directions, then each src keeps its 2m best. */
+  private def recap(directed: DataFrame, m: Int): DataFrame =
+    directed.unionByName(
+        directed.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
+      .distinct()
+      .withColumn("r", row_number().over(
+        Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)))
+      .where(col("r") <= 2 * m).drop("r")
+
+  private def withEpart(df: DataFrame, parts: Int): DataFrame =
+    df.withColumn("epart", pmod(col("src"), lit(parts.toLong)).cast("int"))
+
   def buildGraphIndex(corpus: DataFrame, indexDir: String,
       m: Int = GraphDegree): Unit = {
-    GraftFunctions.register(corpus.sparkSession)
-    val bits = derivedBits(corpus.count())
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    val n = corpus.count()
+    val bits = derivedBits(n)
+    val parts = graphEdgeParts(n)
     val expanded = corpus.select(col("vec_id"), col("embedding"),
       posexplode(array((0 until LshTables).map(l =>
         multiBucket(col("embedding"), l, bits)): _*)).as(Seq("tbl", "bkt")))
-    val a = expanded.select(col("vec_id").as("src"), col("embedding").as("ea"),
-      col("tbl"), col("bkt"))
-    val b = expanded.select(col("vec_id").as("dst"), col("embedding").as("eb"),
-      col("tbl"), col("bkt"))
-    val cand = a.join(b, Seq("tbl", "bkt")).where(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
-        GraftFunctions.cosineSim(col("ea"), col("eb")).as("cos"))
+    val bk = graft.ops.Caching.cacheOnce(expanded.select("vec_id", "tbl", "bkt"))
+    val emb = corpus.select("vec_id", "embedding")
+    val directed = directedTopM(bk, bk, emb, m)
+    val capped = recap(directed, m)
+    emb.write.mode("overwrite").parquet(s"$indexDir/vectors")
+    // src-hash partitioned + one file per partition: appends rewrite only
+    // the partitions holding changed nodes (dynamic partition overwrite,
+    // the ops.Incremental K1 discipline); build-time constants (LSH
+    // width, degree, partition count) persist in meta/ so append and
+    // probe hash/partition exactly as the build did — the width/layout
+    // is re-derived ONLY by an offline rebuild, the IVF-centroid norm.
+    withEpart(directed, parts).repartition(col("epart"))
+      .write.mode("overwrite").partitionBy("epart").parquet(s"$indexDir/directed")
+    withEpart(capped, parts).repartition(col("epart"))
+      .write.mode("overwrite").partitionBy("epart").parquet(s"$indexDir/edges")
+    bk.write.mode("overwrite").parquet(s"$indexDir/buckets")
+    import spark.implicits._
+    Seq((bits, m, parts)).toDF("bits", "m", "parts")
+      .repartition(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+  }
+
+  private def graphMeta(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$indexDir/meta").collect().head
+    (r.getAs[Int]("bits"), r.getAs[Int]("m"), r.getAs[Int]("parts"))
+  }
+
+  /** Append a batch of NEW vectors to a stored graph index with
+    * BATCH-SCALE compute — the [[appendToIvfIndex]]/BM25-append
+    * discipline on the graph rung, and (unlike generic NSW insertion,
+    * which depends on arrival order) EXACTLY rebuild-equivalent: the
+    * LSH-mined construction is a pure function of the node set, and
+    * top-k selection is monotone (`top-k(A ∪ B) = top-k(top-k(A) ∪ B)`),
+    * so recomputing only the nodes whose candidate or link sets changed
+    * reproduces the full rebuild edge-for-edge (spec-pinned, same-width
+    * regime). Work is bounded by the law: the batch's bucket-mates
+    * (occupancy·tables per node) are the only stored nodes whose
+    * directed edges can change, and only they, the batch, and their
+    * link partners re-cap. Writes: vectors/buckets append; directed/
+    * edges dynamic-overwrite ONLY the partitions holding changed nodes.
+    * NOT transactional across the four directories — a crash mid-append
+    * is repaired by an offline rebuild (where corpus-scale appends
+    * belong anyway); build-time width/degree/layout come from meta/, so
+    * growth past the width law's next step also waits for the rebuild. */
+  def appendToGraphIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame): Unit = {
+    GraftFunctions.register(spark)
+    val (bits, m, parts) = graphMeta(spark, indexDir)
+    val vectors = spark.read.parquet(s"$indexDir/vectors")
+    val buckets = spark.read.parquet(s"$indexDir/buckets")
+    val batchEmb = batch.select("vec_id", "embedding")
+    require(batchEmb.join(vectors, "vec_id").isEmpty,
+      "append batch re-uses existing vec_ids — appends are new-node-only")
+    val newBuckets = graft.ops.Caching.cacheOnce(
+      batchEmb.select(col("vec_id"),
+        posexplode(array((0 until LshTables).map(l =>
+          multiBucket(col("embedding"), l, bits)): _*)).as(Seq("tbl", "bkt"))))
+    val allBuckets = buckets.unionByName(newBuckets)
+    val allEmb = vectors.unionByName(batchEmb)
+    // stored nodes sharing a bucket with the batch: the only nodes whose
+    // candidate sets changed
+    val touched = graft.ops.Caching.cacheOnce(
+      buckets.join(broadcast(newBuckets.select("tbl", "bkt").distinct()),
+          Seq("tbl", "bkt"))
+        .select("vec_id").distinct()
+        .unionByName(batchEmb.select("vec_id")).distinct())
+    val directedOld = spark.read.parquet(s"$indexDir/directed")
+      .select("src", "dst", "cos")
+    val directedTouched = graft.ops.Caching.cacheOnce(directedTopM(
+      allBuckets.join(touched, "vec_id"), allBuckets, allEmb, m))
+    val oldOfTouched = graft.ops.Caching.cacheOnce(
+      directedOld.join(touched.withColumnRenamed("vec_id", "src"), "src"))
+    // nodes whose in/out link set changed: the recomputed nodes plus every
+    // partner named by a new or replaced directed edge
+    val changed = graft.ops.Caching.cacheOnce(touched
+      .unionByName(directedTouched.select(col("dst").as("vec_id")))
+      .unionByName(oldOfTouched.select(col("dst").as("vec_id")))
+      .distinct())
+    val chSrc = changed.withColumnRenamed("vec_id", "src")
+    val directedNew = directedOld
+      .join(touched.withColumnRenamed("vec_id", "src"), Seq("src"), "left_anti")
+      .unionByName(directedTouched)
+    // re-cap ONLY the changed nodes, from their full in/out sets in the
+    // post-append directed table
+    val symChanged = directedNew.join(chSrc, "src")
+      .unionByName(directedNew
+        .join(changed.withColumnRenamed("vec_id", "dst"), "dst")
+        .select(col("dst").as("src"), col("src").as("dst"), col("cos")))
       .distinct()
-    val directed = cand.withColumn("r", row_number().over(
-        Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)))
-      .where(col("r") <= m).drop("r")
-    val sym = directed.unionByName(
-        directed.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
-      .distinct()
-    val capped = sym.withColumn("r", row_number().over(
+    val cappedChanged = symChanged.withColumn("r", row_number().over(
         Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)))
       .where(col("r") <= 2 * m).drop("r")
-    corpus.select("vec_id", "embedding")
-      .write.mode("overwrite").parquet(s"$indexDir/vectors")
-    capped.write.mode("overwrite").parquet(s"$indexDir/edges")
-    expanded.select("vec_id", "tbl", "bkt")
-      .write.mode("overwrite").parquet(s"$indexDir/buckets")
+    // a changed node's partition must be rewritten WHOLE (unchanged
+    // co-resident rows included) — restrict both writes to those parts
+    val changedParts = changed
+      .select(pmod(col("vec_id"), lit(parts.toLong)).cast("int").as("epart"))
+      .distinct()
+    // materialize the to-write rows BEFORE overwriting the dirs they read
+    val dirWrite = withEpart(directedNew, parts)
+      .join(broadcast(changedParts), Seq("epart")).localCheckpoint()
+    val edgWrite = withEpart(
+        spark.read.parquet(s"$indexDir/edges").select("src", "dst", "cos")
+          .join(chSrc, Seq("src"), "left_anti")
+          .unionByName(cappedChanged), parts)
+      .join(broadcast(changedParts), Seq("epart")).localCheckpoint()
+    batchEmb.write.mode("append").parquet(s"$indexDir/vectors")
+    newBuckets.write.mode("append").parquet(s"$indexDir/buckets")
+    dirWrite.repartition(col("epart"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epart").parquet(s"$indexDir/directed")
+    edgWrite.repartition(col("epart"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epart").parquet(s"$indexDir/edges")
   }
 
   /** The full visited set of the beam traversal — every (q_id, vec_id)
@@ -1880,9 +2017,11 @@ object Similarity {
     val buckets = spark.read.parquet(s"$indexDir/buckets")
     val q = broadcast(queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb")))
-    // query buckets must hash with the BUILD's table width — re-derived
-    // from the stored vectors' count (a parquet-footer read, not a scan)
-    val bits = derivedBits(vectors.count())
+    // query buckets must hash with the BUILD's table width — read from
+    // the stored meta (appends keep it; a count-derived value would
+    // silently drift once appends push the corpus past the law's next
+    // step and stop matching the stored bucket table)
+    val (bits, _, _) = graphMeta(spark, indexDir)
     val qb = broadcast(queries.select(col("vec_id").as("q_id"),
       posexplode(array((0 until LshTables).map(l =>
         multiBucket(col("embedding"), l, bits)): _*)).as(Seq("tbl", "bkt"))))
@@ -1920,17 +2059,47 @@ object Similarity {
     visited
   }
 
-  /** Top-k by beam search over the stored neighbor graph (x200). */
+  /** Soft-delete from a stored graph index: tombstoned ids vanish from
+    * every RESULT while the graph keeps ROUTING through them — the
+    * production vector-DB norm (HNSW's mark-deleted), because a hard
+    * edge delete cannot be rebuild-equivalent from the capped stored
+    * set: evicting a neighbor could re-admit an edge the 2m cap dropped
+    * at build time, and that edge is gone. Hard deletes (reclaiming the
+    * routing nodes too) are an offline rebuild. O(batch) work: one
+    * appended tombstone file; re-appending a tombstoned id stays refused
+    * ([[appendToGraphIndex]]'s vectors/ check — the row is kept). */
+  def deleteFromGraphIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, ids: Seq[Long]): Unit = {
+    require(ids.nonEmpty, "empty delete batch — nothing to do is a caller bug")
+    import spark.implicits._
+    ids.toDF("vec_id").repartition(1)
+      .write.mode("append").parquet(s"$indexDir/tombstones")
+  }
+
+  private def graphTombstones(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[DataFrame] =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$indexDir/tombstones")))
+      Some(spark.read.parquet(s"$indexDir/tombstones").select("vec_id").distinct())
+    else None
+
+  /** Top-k by beam search over the stored neighbor graph (x200).
+    * Tombstoned ids are filtered from the RANKED result only — the
+    * traversal still routes through them (see [[deleteFromGraphIndex]]). */
   def graphBeamTopK(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, queries: DataFrame, k: Int,
-      beam: Int = GraphBeam, rounds: Int = GraphRounds): DataFrame =
-    graphBeamVisited(spark, indexDir, queries, beam, rounds)
-      .where(col("q_id") =!= col("vec_id"))
+      beam: Int = GraphBeam, rounds: Int = GraphRounds): DataFrame = {
+    val visited = graphBeamVisited(spark, indexDir, queries, beam, rounds)
+    val live = graphTombstones(spark, indexDir) match {
+      case Some(ts) => visited.join(broadcast(ts), Seq("vec_id"), "left_anti")
+      case None => visited
+    }
+    live.where(col("q_id") =!= col("vec_id"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc))
         .cast("long"))
       .where(col("rank") <= k)
       .select("q_id", "vec_id", "cos", "rank")
+  }
 
   /** Graph-vs-IVF recall report at measured candidate budgets (x201):
     * per method — candidates actually scored (`n_scanned`), truth/approx/

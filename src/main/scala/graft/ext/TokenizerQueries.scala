@@ -52,6 +52,17 @@ private[graft] object TokenizerQueries {
       Unigram.compareTokenizers(d, Bpe.train(d, BpeMerges), Unigram.train(d))
     }),
 
+    // x90's tokenizer→trainer handoff on the unigram family: REAL unigram
+    // token counts packed into 2048-token training sequences via the
+    // two-phase prefix sum.,
+    "x207_unigram_pack" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val enc = Unigram.encode(d, Unigram.train(d))
+      val counts = enc.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+        .join(d.select("doc_id", "source"), "doc_id")
+      Chunking.packCounts(counts, 2048L)
+    }),
+
     // And encode: text → token ids through the trained merges, ids
     // data-derived (sorted base alphabet, then merge ranks). One row per
     // emitted token with its (seq, pos) provenance.,
@@ -254,6 +265,16 @@ private[graft] object TokenizerQueries {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset FROM j90) " +
         "SELECT doc_id, source, n_tokens, token_offset % 2048 AS offset_in_seq, " +
         "token_offset // 2048 AS seq_id FROM o90"),
+    "x207_unigram_pack" ->
+      (s"WITH nn207 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens " +
+        s"FROM ($unigramEncodeSql) e GROUP BY 1), " +
+        "j207 AS (SELECT nn207.doc_id, d.source, n_tokens FROM nn207 " +
+        "JOIN documents d USING (doc_id)), " +
+        "o207 AS (SELECT doc_id, source, n_tokens, " +
+        "COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset FROM j207) " +
+        "SELECT doc_id, source, n_tokens, token_offset % 2048 AS offset_in_seq, " +
+        "token_offset // 2048 AS seq_id FROM o207"),
     "x42_chunk_tokens" ->
       (s"WITH t AS ($toksCte), " +
         "n AS (SELECT doc_id, toks, len(toks) AS n FROM t), " +

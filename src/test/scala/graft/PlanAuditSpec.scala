@@ -116,7 +116,9 @@ class PlanAuditSpec extends SparkTestBase {
     "x202_unigram_train" -> "crossJoins against the ONE-ROW broadcast vocab map and 1-row normalizing-sum aggregates (vocabulary constants, x40's packed-row shape) — the DP fold runs on distinct pretokens",
     "x203_unigram_encode" -> "x202's 1-row vocab-map/normalizing-sum crossJoins behind the pretoken-keyed equi-join back onto the corpus",
     "x204_unigram_fertility" -> "x203's 1-row vocab-map/normalizing-sum crossJoins; the fertility itself is two lang-keyed partial aggs",
-    "x205_tokenizer_compare" -> "x203's 1-row vocab-map/normalizing-sum crossJoins + the 1-row whitespace-total aggregate crossJoined onto each tokenizer's 1-row report leg (report constants)"
+    "x205_tokenizer_compare" -> "x203's 1-row vocab-map/normalizing-sum crossJoins + the 1-row whitespace-total aggregate crossJoined onto each tokenizer's 1-row report leg (report constants)",
+    "x207_unigram_pack" -> "x203's 1-row vocab-map/normalizing-sum crossJoins behind the doc-keyed count join; the packing itself is the two-phase prefix sum",
+    "x206_retrieval_eval_graph" -> "x200's bounded beam equi-joins feeding x145's 1-row eval folds and broadcast query/relevance stream (x195's shape)"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {
@@ -154,7 +156,9 @@ class PlanAuditSpec extends SparkTestBase {
     "x204_unigram_fertility" ->
       "x203's vocabulary-sized token-id rank — the fertility aggregation itself is lang-keyed partial aggs",
     "x205_tokenizer_compare" ->
-      "x203's vocabulary-sized token-id rank inside the unigram encode leg — the report itself is 1-row aggregates"
+      "x203's vocabulary-sized token-id rank inside the unigram encode leg — the report itself is 1-row aggregates",
+    "x207_unigram_pack" ->
+      "x203's vocabulary-sized token-id rank inside the encode leg — the packing prefix sum is source-keyed, never global"
   )
 
   test("no registered query plans a global (empty-partition) window (except documented calendar-sized ones)") {

@@ -231,4 +231,21 @@ class HybridSpec extends SparkTestBase {
     assert(Hybrid.retrievalEvalBinary(docs, emb, idx).collect().map(_.toSeq).toSet ===
       rows.values.map(_.toSeq).toSet)
   }
+
+  test("retrievalEvalGraph: the graph rung shares the eval interface (one exact-ranked system)") {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = java.nio.file.Files.createTempDirectory("graft-hygraph-spec").toString
+    graft.ext.Similarity.buildGraphIndex(emb, idx)
+    val rows = Hybrid.retrievalEvalGraph(docs, emb, idx).collect()
+    assert(rows.length === 1 && rows.head.getString(0) === "graph_stored")
+    val row = rows.head
+    assert(row.getLong(row.fieldIndex("n_queries")) === Hybrid.QuerySet.size.toLong)
+    val n = row.getDouble(row.fieldIndex("mean_ndcg"))
+    assert(n >= 0.0 && n <= 1.0)
+    assert(row.getDouble(row.fieldIndex("mean_recall")) >= 0.0)
+    // deterministic across runs (same stored index)
+    assert(Hybrid.retrievalEvalGraph(docs, emb, idx).collect().map(_.toSeq).toSeq ===
+      rows.map(_.toSeq).toSeq)
+  }
 }

@@ -934,6 +934,72 @@ class SimilaritySpec extends SparkTestBase {
       === out.map(_.getAs[Double]("cos")).toSeq)
   }
 
+  test("graph index append is exactly rebuild-equivalent (batch-scale recompute)") {
+    // The append recomputes ONLY the batch, its bucket-mates, and their
+    // link partners; because the LSH-mined construction is a pure
+    // function of the node set and top-k selection is monotone
+    // (top-k(A∪B) = top-k(top-k(A)∪B)), the result must equal a full
+    // rebuild EDGE-FOR-EDGE (cos doubles included) — same-width regime
+    // (both corpora under the 4-bit threshold here).
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+    val base = e.where($"vec_id" % 3 =!= 0)
+    val batch = e.where($"vec_id" % 3 === 0)
+    val inc = java.nio.file.Files.createTempDirectory("graft-gapp-inc").toString
+    val full = java.nio.file.Files.createTempDirectory("graft-gapp-full").toString
+    Similarity.buildGraphIndex(base, inc)
+    Similarity.appendToGraphIndex(spark, inc, batch)
+    Similarity.buildGraphIndex(e, full)
+    def edges(d: String) = spark.read.parquet(s"$d/edges").select("src", "dst", "cos")
+    val (ei, ef) = (edges(inc), edges(full))
+    assert(ei.count() === ef.count())
+    assert(ei.exceptAll(ef).isEmpty && ef.exceptAll(ei).isEmpty,
+      "appended edge table differs from the full rebuild")
+    // vectors and buckets are the rebuilt sets too
+    assert(spark.read.parquet(s"$inc/vectors").exceptAll(
+      spark.read.parquet(s"$full/vectors")).isEmpty)
+    assert(spark.read.parquet(s"$inc/buckets").exceptAll(
+      spark.read.parquet(s"$full/buckets")).isEmpty)
+    // and the probe sees the appended nodes immediately
+    val got = Similarity.graphBeamTopK(spark, inc, e.where($"vec_id" === 0), 5)
+      .collect()
+    assert(got.nonEmpty)
+    // re-using an existing id must be refused loudly
+    intercept[IllegalArgumentException] {
+      Similarity.appendToGraphIndex(spark, inc, batch.limit(1))
+    }
+  }
+
+  test("graph soft-delete: tombstoned ids vanish from results, traversal still routes") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-gdel").toString
+    Similarity.buildGraphIndex(e, idx)
+    val q = e.where($"vec_id" === 0)
+    val before = Similarity.graphBeamTopK(spark, idx, q, 10).collect()
+    assert(before.nonEmpty)
+    val victim = before.head.getAs[Long]("vec_id")
+    Similarity.deleteFromGraphIndex(spark, idx, Seq(victim))
+    val after = Similarity.graphBeamTopK(spark, idx, q, 10).collect()
+    assert(!after.exists(_.getAs[Long]("vec_id") == victim), "tombstoned id ranked")
+    // the walk still ROUTES through the tombstone: everything reachable
+    // before (bar the victim) is still reached — the result only loses
+    // the victim (and may admit a new 10th)
+    assert((before.map(_.getAs[Long]("vec_id")).toSet - victim)
+      .subsetOf(after.map(_.getAs[Long]("vec_id")).toSet))
+    // deletes accumulate across batches
+    val victim2 = after.head.getAs[Long]("vec_id")
+    Similarity.deleteFromGraphIndex(spark, idx, Seq(victim2))
+    val third = Similarity.graphBeamTopK(spark, idx, q, 10).collect()
+    assert(!third.exists(r => r.getAs[Long]("vec_id") == victim ||
+      r.getAs[Long]("vec_id") == victim2))
+    // a tombstoned id can NOT be re-appended (vectors/ keeps the row)
+    intercept[IllegalArgumentException] {
+      Similarity.appendToGraphIndex(spark, idx,
+        e.where($"vec_id" === victim))
+    }
+  }
+
   test("graph beam recall beats IVF nprobe=2 on real embeddings (x201 claim)") {
     // The reason the graph rung exists: at a comparable scanned-candidate
     // budget the beam walk holds recall the cell-confined probe can't.
