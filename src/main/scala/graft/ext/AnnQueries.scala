@@ -35,6 +35,16 @@ private[graft] object AnnQueries {
       Similarity.graphRecallReport(s, idx, e.where(col("vec_id") < 5), e, 10)
     }),
 
+    // Graph index health datasheet (r9): counts, isolated nodes, degree
+    // range vs the 2m cap, edge-cosine range — all from the STORED
+    // tables; the oracle rebuilds the graph, so equality is the x200
+    // premise restated as one row.,
+    "x208_graph_stats" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val idx = StoredIndexes.get("graph", dir)(Similarity.buildGraphIndex(e, _))
+      Similarity.graphIndexStats(s, idx)
+    }),
+
     "x06_ann_bruteforce_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(e.where(col("vec_id") < 5), e, 10)
@@ -360,6 +370,22 @@ private[graft] object AnnQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // x208: the stored-edge table's one-row health report — the oracle
+    // re-derives the capped edge set WITH cos (graphCtes' ge drops it)
+    // and folds the same integer/min-max columns.
+    "x208_graph_stats" ->
+      (s"WITH $graphCtes, " +
+        s"gec AS (SELECT src, dst, cos FROM (SELECT *, row_number() OVER " +
+        s"(PARTITION BY src ORDER BY cos DESC, dst) AS r FROM gs) t WHERE r <= ${2 * Similarity.GraphDegree}), " +
+        "gdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM gec GROUP BY 1), " +
+        "gda AS (SELECT CAST(count(*) AS BIGINT) AS n_linked, min(d) AS min_degree, max(d) AS max_degree FROM gdeg), " +
+        "gea AS (SELECT CAST(count(*) AS BIGINT) AS n_edges, min(cos) AS min_cos, max(cos) AS max_cos FROM gec), " +
+        "gna AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM e) " +
+        "SELECT n_nodes, n_edges, n_nodes - n_linked AS n_isolated, " +
+        "min_degree, max_degree, " +
+        "CAST(n_edges AS DOUBLE)/CAST(n_nodes AS DOUBLE) AS mean_degree, " +
+        "min_cos, max_cos FROM gna, gda, gea"),
+
     "x200_ann_graph_beam" ->
       (s"WITH $graphCtes " +
         "SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM " +

@@ -2001,6 +2001,33 @@ object Similarity {
       .partitionBy("epart").parquet(s"$indexDir/edges")
   }
 
+  /** One-row health report over a stored graph index (x208) — the
+    * datasheet an operator reads before trusting probes: node/edge
+    * counts, isolated nodes (no out-edges — vectors whose buckets held no
+    * mate; they are entry-reachable but never expand), the degree range
+    * against the 2m cap, and the edge-cosine range. Integer counts and
+    * min/max only (order-independent, exact) — the report reads the
+    * STORED tables, and hash-equality with the oracle's rebuilt graph is
+    * exactly the x200 premise. */
+  def graphIndexStats(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = {
+    val vectors = spark.read.parquet(s"$indexDir/vectors")
+    val edges = spark.read.parquet(s"$indexDir/edges").select("src", "dst", "cos")
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val degAgg = deg.agg(count(lit(1)).as("n_linked"),
+      min("d").as("min_degree"), max("d").as("max_degree"))
+    val edgeAgg = edges.agg(count(lit(1)).as("n_edges"),
+      min("cos").as("min_cos"), max("cos").as("max_cos"))
+    val nodeAgg = vectors.agg(count(lit(1)).as("n_nodes"))
+    nodeAgg.crossJoin(broadcast(degAgg)).crossJoin(broadcast(edgeAgg))
+      .select(col("n_nodes"), col("n_edges"),
+        (col("n_nodes") - col("n_linked")).as("n_isolated"),
+        col("min_degree"), col("max_degree"),
+        (col("n_edges").cast("double") / col("n_nodes").cast("double"))
+          .as("mean_degree"),
+        col("min_cos"), col("max_cos"))
+  }
+
   /** The full visited set of the beam traversal — every (q_id, vec_id)
     * the search scored, with its exact cosine. Start = the fixed entry
     * set; each round expands the current per-query beam (top-`beam` of

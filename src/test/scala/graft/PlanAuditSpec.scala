@@ -118,7 +118,8 @@ class PlanAuditSpec extends SparkTestBase {
     "x204_unigram_fertility" -> "x203's 1-row vocab-map/normalizing-sum crossJoins; the fertility itself is two lang-keyed partial aggs",
     "x205_tokenizer_compare" -> "x203's 1-row vocab-map/normalizing-sum crossJoins + the 1-row whitespace-total aggregate crossJoined onto each tokenizer's 1-row report leg (report constants)",
     "x207_unigram_pack" -> "x203's 1-row vocab-map/normalizing-sum crossJoins behind the doc-keyed count join; the packing itself is the two-phase prefix sum",
-    "x206_retrieval_eval_graph" -> "x200's bounded beam equi-joins feeding x145's 1-row eval folds and broadcast query/relevance stream (x195's shape)"
+    "x206_retrieval_eval_graph" -> "x200's bounded beam equi-joins feeding x145's 1-row eval folds and broadcast query/relevance stream (x195's shape)",
+    "x208_graph_stats" -> "crossJoin of three single-row aggregates over the stored node/edge tables (report constants, x177's shape)"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {
