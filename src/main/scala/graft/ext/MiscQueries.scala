@@ -13,6 +13,18 @@ import graft.ext.ExtOracles._
 private[graft] object MiscQueries {
 
   val queries: Map[String, Q] = Map(
+    // ORC roundtrip fidelity (r9): export the documents table to ORC
+    // shards under the derived-shard law, read back, digest per source.
+    // The oracle digests the ORIGINAL parquet table — a hash match proves
+    // the ORC write→read path preserved every row and every text byte.,
+    "x209_orc_roundtrip" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select("doc_id", "source", "text", "n_chars")
+      val out = StoredIndexes.get("orc", dir)(p =>
+        graft.sources.Orc.write(d, s"$p/docs"))
+      graft.sources.Orc.digest(s.read.orc(s"$out/docs"))
+    }),
+
     "x19_array_funcs" -> ((s, dir) =>
       Tables.embeddings(s, dir).select(
         col("vec_id"),
@@ -102,6 +114,14 @@ private[graft] object MiscQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // x209: digest the ORIGINAL table — equality with the engine's
+    // ORC-roundtripped digest is the fidelity proof.
+    "x209_orc_roundtrip" ->
+      ("SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars_total, " +
+        "min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id, " +
+        "CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS text_checksum " +
+        "FROM documents GROUP BY 1"),
     "x122_pagerank_convergence" ->
       // two-level fold (pageRankConvergence's oracle twin): 4-hex md5 node
       // draw mod √n buckets its |Δ|s, bucket-ordered fold of the sums

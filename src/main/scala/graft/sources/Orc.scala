@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ORC export/ingest — the columnar interchange format beside the parquet
+  * tables and the [[Jsonl]] text shards (S6 breadth: some downstream
+  * training stacks and Hive-era warehouses consume ORC, and Spark carries
+  * a native vectorized ORC reader/writer, so the path costs one format
+  * flag, not a connector).
+  *
+  * Fidelity is proved by the roundtrip DIGEST (x209): the report computed
+  * over write→read-back must hash-match the oracle's report computed from
+  * the original parquet table — any row lost, duplicated, or value-mangled
+  * by the ORC path breaks the per-source counts/sums. Digest columns are
+  * integer sums and min/max only (order-independent exact); the text
+  * checksum folds each document's 32-bit md5 prefix into an integer sum,
+  * the [[graft.ext.Curate]] uniformHash discipline, so content corruption
+  * (not just row loss) is caught.
+  *
+  * Scale shape: the export is one `repartition(shards)` pass under the
+  * [[Jsonl.derivedShards]] law (one count, then a pure function — never a
+  * fixed file count), the digest one partial-agg groupBy.
+  */
+object Orc {
+
+  /** Export under the derived-shard law; ORC's own stripe/footer layout
+    * handles intra-file splitting, the shard count only bounds task/file
+    * fan-out (and keeps the export diffable at fixture scale). */
+  def write(df: DataFrame, path: String, orderCol: String = "doc_id",
+      shards: Int = 0): Unit = {
+    val ownCache = shards <= 0 &&
+      df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val src = if (shards <= 0) graft.ops.Caching.cacheOnce(df) else df
+    try {
+      val s = if (shards > 0) shards else Jsonl.derivedShards(src.count())
+      src.repartition(s, col(orderCol)).sortWithinPartitions(orderCol)
+        .write.mode("overwrite").orc(path)
+    } finally if (ownCache) src.unpersist(false)
+  }
+
+  /** Per-source roundtrip digest over any (doc_id, source, text, n_chars)
+    * frame — the columns every x209-style fidelity check needs. */
+  def digest(df: DataFrame): DataFrame =
+    df.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("n_chars_total"),
+      min(col("doc_id")).as("min_doc_id"),
+      max(col("doc_id")).as("max_doc_id"),
+      sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+        .as("text_checksum"))
+}

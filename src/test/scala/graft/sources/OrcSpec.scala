@@ -1,0 +1,31 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** ORC export/ingest: exact roundtrip and the derived-shard law (the
+  * fixture-scale premises behind x209's digest gate). */
+class OrcSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("write→read roundtrip is exact and honors the shard law") {
+    val d = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text", "n_chars")
+    val out = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    Orc.write(d, s"$out/docs")
+    val back = spark.read.orc(s"$out/docs")
+    assert(back.count() === d.count())
+    assert(d.exceptAll(back).isEmpty && back.exceptAll(d).isEmpty,
+      "ORC roundtrip altered rows")
+    // derived shard law: fixture row count → 1 shard file
+    def orcFiles(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".orc"))
+    assert(orcFiles(s"$out/docs") === Jsonl.derivedShards(d.count()))
+    // an explicit shard count is honored unchanged
+    Orc.write(d, s"$out/docs3", shards = 3)
+    assert(orcFiles(s"$out/docs3") === 3)
+    // digest equality between original and roundtrip — the x209 gate's
+    // local form
+    assert(Orc.digest(d).exceptAll(Orc.digest(back)).isEmpty)
+  }
+}
