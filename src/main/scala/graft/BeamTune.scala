@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch tuner for the graph probe beam law (r10 item 2) — prints
+  * recall@10 and scanned counts per beam width at one SF. Deleted after
+  * the law constants are chosen.
+  */
+object BeamTune {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = graft.sources.Tables.embeddings(spark, sfDir).cache()
+    val n = emb.count()
+    val queries = emb.where(col("vec_id") < 5)
+    val truth = graft.ext.Similarity.bruteForceTopK(queries, emb, 10)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (m <- Seq(12)) {
+      val idx = java.nio.file.Files.createTempDirectory("beamtune").toString
+      graft.ext.Similarity.buildGraphIndex(emb, idx, m = m)
+      for (rounds <- Seq(3); beam <- Seq(8, 12)) {
+      val visited = graft.ext.Similarity.graphBeamVisited(spark, idx, queries,
+        beam = beam, rounds = rounds)
+      val nScanned = visited.count()
+      val top = visited.where(col("q_id") =!= col("vec_id"))
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+            .orderBy(col("cos").desc, col("vec_id").asc)))
+        .where(col("r") <= 10).select("q_id", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (truth & top).size.toDouble / truth.size
+      println(f"BEAMTUNE n=$n m=$m rounds=$rounds beam=$beam scanned=$nScanned recall=$recall%.3f")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -95,11 +95,14 @@ object Bench {
         // — the bench reports BYTES MOVED per query, not just seconds, so a
         // plan regression shows up even under neighbor-load timing noise.
         val m = try graft.ops.ShuffleAudit.measureCount(SparkEntry.queries(name)(spark, sfDir))
-          catch { case _: Throwable => graft.ops.ShuffleAudit.Measured(-1L, -1L, -1L) }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            graft.ops.ShuffleAudit.Measured(-1L, -1L, -1L) }
         val sec = (System.nanoTime() - t0) / 1e9
         val (u1, s1) = procCpu()
         System.err.println(f"[bench] $name: $sec%.2fs (${m.rows} rows, ${m.shuffleBytesWritten} shuffle B, cpu u=${u1 - u0}%.1f s=${s1 - s0}%.1f)")
-        Run(sec, u1 - u0, s1 - s0, m.shuffleBytesWritten)
+        // a thrown query must not record its elapsed time as a valid run
+        Run(if (m.rows < 0) -1.0 else sec, u1 - u0, s1 - s0, m.shuffleBytesWritten)
       }
       name -> runs
     }
@@ -114,46 +117,61 @@ object Bench {
       else {
         val emb = graft.sources.Tables.embeddings(spark, sfDir)
         val docs = graft.sources.Tables.documents(spark, sfDir)
-        def tmp(p: String): String =
-          java.nio.file.Files.createTempDirectory(p).toString
-        val legs: Seq[(String, () => Unit)] = Seq(
-          "b58_ivf_build" -> (() => graft.ext.Similarity.buildIvfIndex(emb, tmp("bench_ivf"))),
-          "b152_ivfpq_build" -> (() => graft.ext.Similarity.buildIvfPqIndex(emb, tmp("bench_ivfpq"))),
-          "b167_ivfsq8_build" -> (() => graft.ext.Similarity.buildIvfSq8Index(emb, tmp("bench_ivfsq8"))),
-          "b193_ivfbin_build" -> (() => graft.ext.Similarity.buildIvfBinIndex(emb, tmp("bench_ivfbin"))),
-          "b200_graph_build" -> (() => graft.ext.Similarity.buildGraphIndex(emb, tmp("bench_graph"))),
-          "b126_bm25_build" -> (() => graft.ext.Search.buildBm25Index(docs, tmp("bench_bm25"))))
+        val legs: Seq[(String, String => Unit)] = Seq(
+          "b58_ivf_build" -> (graft.ext.Similarity.buildIvfIndex(emb, _)),
+          "b152_ivfpq_build" -> (graft.ext.Similarity.buildIvfPqIndex(emb, _)),
+          "b167_ivfsq8_build" -> (graft.ext.Similarity.buildIvfSq8Index(emb, _)),
+          "b193_ivfbin_build" -> (graft.ext.Similarity.buildIvfBinIndex(emb, _)),
+          "b200_graph_build" -> (graft.ext.Similarity.buildGraphIndex(emb, _)),
+          "b126_bm25_build" -> (graft.ext.Search.buildBm25Index(docs, _)))
+        def rmTree(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
+        }
         legs.map { case (nm, f) =>
           val runs = (1 to 2).map { _ =>
+            // fresh dir per pass so pass 2 pays the full build; the dir is
+            // removed AFTER the clock stops (ADVICE r9: repeated rounds
+            // were leaking 12 index trees per bench invocation)
+            val dir = java.nio.file.Files.createTempDirectory("bench_idx_").toString
             val (u0, s0) = procCpu()
             val t0 = System.nanoTime()
-            try f() catch { case e: Throwable =>
-              System.err.println(s"[bench] $nm failed: $e") }
+            // a failed build must NOT record its elapsed time as a valid
+            // run (ADVICE r9: the swallow-and-keep form reported a bogus
+            // fast min) — sec -1 is the failure sentinel
+            val ok = try { f(dir); true } catch { case e: Throwable =>
+              System.err.println(s"[bench] $nm FAILED: $e"); false }
             val sec = (System.nanoTime() - t0) / 1e9
             val (u1, s1) = procCpu()
-            System.err.println(f"[bench] $nm: $sec%.2fs (index build, cpu u=${u1 - u0}%.1f s=${s1 - s0}%.1f)")
-            Run(sec, u1 - u0, s1 - s0, -1L)
+            rmTree(new java.io.File(dir))
+            System.err.println(f"[bench] $nm: $sec%.2fs (index build, ok=$ok, cpu u=${u1 - u0}%.1f s=${s1 - s0}%.1f)")
+            Run(if (ok) sec else -1.0, u1 - u0, s1 - s0, -1L)
           }
           nm -> runs
         }
       }
     val allResults = results ++ buildResults
+    // min over SUCCESSFUL runs; -1 when every pass failed (never let a
+    // failed pass's elapsed time masquerade as the leg's cost)
+    def legMin(rs: Seq[Run]): Double = {
+      val ok = rs.map(_.sec).filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
+    }
     def fmtMap(f: (String, Seq[Run]) => String): String =
       allResults.map { case (k, rs) => "\"" + k + "\":" + f(k, rs) }.mkString("{", ",", "}")
-    val qs = fmtMap((_, rs) => fmt("%.3f", rs.map(_.sec).min))
+    val qs = fmtMap((_, rs) => fmt("%.3f", legMin(rs)))
     val runsJson = fmtMap((_, rs) => rs.map(r => fmt("%.3f", r.sec)).mkString("[", ",", "]"))
     val cpuJson = fmtMap((_, rs) =>
       rs.map(r => "[" + fmt("%.2f", r.user) + "," + fmt("%.2f", r.sys) + "]")
         .mkString("[", ",", "]"))
     val shuffleJson = fmtMap((_, rs) => rs.map(_.shuffleBytes).max.toString)
-    val total = allResults.map(_._2.map(_.sec).min).sum
+    val total = allResults.map(r => math.max(legMin(r._2), 0.0)).sum
     // FINAL stdout line: the r3-proven compact shape ONLY. The r4 enriched
     // line (~3.5 KB with runs/cpu/shuffle maps) overflowed the driver's
     // fixed-size tail capture, truncating the line's START and zeroing the
     // round's bench artifact (BENCH_r04 parsed: null) — line LENGTH is part
     // of the contract. The diagnostics keep flowing, but to bench_last.json
     // (committed) and stderr, never the final stdout line.
-    val perLeg = allResults.map { case (k, rs) => (k, rs.map(_.sec).min) }
+    val perLeg = allResults.map { case (k, rs) => (k, legMin(rs)) }
     val (headLegs, extraLegs) = perLeg.partition { case (n, _) => !extraSet.contains(n) }
     val (json, droppedLegs) = Bench.finalLine(headLegs, total, sfDir)
     // VERDICT r5 ask #2 + r6 governance: the designated extra legs AND any

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Clamp-regime probe (r10, VERDICT items 1 and 6): measures the two
+  * sizing-law CLAMPS the code intentionally carries, instead of leaving
+  * them implied.
+  *
+  *  - `ivfpq_*_clamp16`: [[graft.ext.Similarity.derivedStride]] with the
+  *    cell ceiling lowered to 16 — cells pin at the clamp, occupancy grows
+  *    LINEARLY with the corpus, and probe time must grow linearly with it
+  *    (the regime the real law enters past n ≈ IvfMaxCells², and the
+  *    occupancy/clamp health columns in x160 exist to flag).
+  *  - `graph_occ_law_b{bits}`: [[graft.ext.Similarity.derivedBits]] with
+  *    occupancy target 1 — at the replica scales below the law lands at
+  *    17/20/22 bits, CROSSING the old 20-plane clamp into the r10-extended
+  *    pool, and the reported max bucket occupancy must stay flat (the
+  *    quantity whose growth made the r9 fixed-width build quadratic).
+  *
+  * Usage: tools/run.sh graft.ClampProbe [sfDir] — one JSON line per
+  * (scale, op), the ScaleProbe format.
+  */
+object ClampProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(k: Int, n: Long, op: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"scale":$k,"docs":$n,"op":"$op","sec":$sec%.2f,"rows":$rows}""")
+    }
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
+    }
+
+    // IVF stride law at a lowered clamp: cells pinned at 16, occupancy
+    // linear — probe time must track k (the default-clamp probe in
+    // ScaleProbe stays ~flat at these scales for contrast)
+    for (k <- Seq(1, 4, 16)) {
+      val emb = ProbeData.replicateEmb(spark, sfDir, k).cache()
+      val n = emb.count()
+      val idx = java.nio.file.Files.createTempDirectory("clamp_ivfpq_").toString
+      time(k, n, "ivfpq_build_clamp16") {
+        graft.ext.Similarity.buildIvfPqIndex(emb, idx, maxCells = 16L); 0L
+      }
+      time(k, n, "ivfpq_probe_clamp16") {
+        graft.ext.Similarity.ivfPqTopK(spark, idx,
+          emb.where(col("vec_id") < 5), 10).count()
+      }
+      val occ = spark.read.parquet(s"$idx/codes")
+        .groupBy("cell").count().agg(max("count")).head().getLong(0)
+      println(s"""{"scale":$k,"docs":$n,"op":"ivfpq_clamp16_max_cell","sec":0.0,"rows":$occ}""")
+      rmTree(new java.io.File(idx))
+      emb.unpersist(blocking = true)
+      spark.sharedState.cacheManager.clearCache()
+    }
+
+    // graph width law at occupancy target 1, across the EXTENDED range:
+    // rows = max (tbl, bkt) occupancy — must stay flat as bits grow with
+    // the corpus (17 → 20 → 22 at sf0.1 replicas 64/512/2048), including
+    // past the old MaxPlanesPerTable = 20 clamp
+    for (k <- Seq(64, 512, 2048)) {
+      val emb = ProbeData.replicateEmb(spark, sfDir, k).cache()
+      val n = emb.count()
+      val bits = graft.ext.Similarity.derivedBits(n, occ = 1L)
+      time(k, n, s"graph_occ_law_b$bits") {
+        emb.select(col("vec_id"),
+            posexplode(array((0 until graft.ext.Similarity.LshTables).map(l =>
+              graft.ext.Similarity.multiBucket(col("embedding"), l, bits)): _*))
+              .as(Seq("tbl", "bkt")))
+          .groupBy("tbl", "bkt").agg(count(lit(1)).as("c"))
+          .agg(max(col("c"))).head().getLong(0)
+      }
+      emb.unpersist(blocking = true)
+      spark.sharedState.cacheManager.clearCache()
+    }
+    spark.stop()
+  }
+}

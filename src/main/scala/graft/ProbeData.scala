@@ -1,0 +1,46 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Replicated-fixture builders shared by [[ScaleProbe]] and [[ClampProbe]]
+  * — scale-up protocols that multiply the WITHIN-copy structure linearly
+  * instead of manufacturing cross-copy pairs a real growing corpus
+  * wouldn't have.
+  */
+object ProbeData {
+
+  /** k doc replicas; every token salted with the copy index so cross-copy
+    * shingle overlap is exactly zero. */
+  def replicate(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+    (0 until k).map { i =>
+      base.select(
+        (col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(lit(s"c${i}x"), t))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** k embedding replicas: copy i multiplies every dimension by a ±1 sign
+    * from md5(i:d) — unit norms preserved, cross-copy cosines are
+    * ~N(0, 1/64) (far below any near-dup threshold), so replication
+    * scales the within-copy similarity structure linearly.
+    */
+  def replicateEmb(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    val base = Tables.embeddings(spark, sfDir)
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    (0 until k).map { i =>
+      val signs: Seq[Float] = (0 until 64).map { d =>
+        val h = mdt.digest(s"sp:$i:$d".getBytes("UTF-8"))
+        if ((h(0) & 1) == 1) 1.0f else -1.0f
+      }
+      base.select(
+        (col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+        zip_with(col("embedding"), typedLit(signs), (x, s) => x * s).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+  }
+}

@@ -28,40 +28,9 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def replicate(k: Int): DataFrame = {
-      val base = Tables.documents(spark, sfDir)
-      (0 until k).map { i =>
-        // salt EVERY token with the copy index: cross-copy shingle overlap
-        // is exactly zero, so replication multiplies the within-copy
-        // near-dup structure linearly instead of manufacturing k² cross-
-        // copy pairs a real growing corpus wouldn't have
-        base.select(
-          (col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
-          concat_ws(" ", transform(split(col("text"), " "),
-            t => concat(lit(s"c${i}x"), t))).as("text"),
-          col("lang"), col("source"), col("n_chars"))
-      }.reduce(_ unionByName _)
-    }
-
-    /** Replicated embeddings: copy i multiplies every dimension by a ±1
-      * sign from md5(i:d) — unit norms preserved, cross-copy cosines are
-      * ~N(0, 1/64) (far below any near-dup threshold), so replication
-      * scales the within-copy similarity structure linearly.
-      */
-    def replicateEmb(k: Int): DataFrame = {
-      val base = Tables.embeddings(spark, sfDir)
-      val mdt = java.security.MessageDigest.getInstance("MD5")
-      (0 until k).map { i =>
-        val signs: Seq[Float] = (0 until 64).map { d =>
-          val h = mdt.digest(s"sp:$i:$d".getBytes("UTF-8"))
-          if ((h(0) & 1) == 1) 1.0f else -1.0f
-        }
-        base.select(
-          (col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
-          zip_with(col("embedding"), typedLit(signs), (x, s) => x * s).as("embedding"),
-          col("label"))
-      }.reduce(_ unionByName _)
-    }
+    // salting protocols shared with ClampProbe — see ProbeData's Scaladoc
+    def replicate(k: Int): DataFrame = ProbeData.replicate(spark, sfDir, k)
+    def replicateEmb(k: Int): DataFrame = ProbeData.replicateEmb(spark, sfDir, k)
 
     val scales = args.drop(1).headOption
       .map(_.split(",").toSeq.map(_.toInt)).getOrElse(Seq(1, 4, 16))

@@ -528,7 +528,9 @@ private[graft] object AnnQueries {
         "SELECT CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(n) AS BIGINT) AS n_vecs, " +
         "CAST(min(n) AS BIGINT) AS min_cell, CAST(max(n) AS BIGINT) AS max_cell, " +
         "CAST(sum(n) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS mean_cell, " +
-        "CAST(max(n) AS DOUBLE)*CAST(count(*) AS DOUBLE)/CAST(sum(n) AS DOUBLE) AS imbalance " +
+        "CAST(max(n) AS DOUBLE)*CAST(count(*) AS DOUBLE)/CAST(sum(n) AS DOUBLE) AS imbalance, " +
+        s"CAST(count(*) AS DOUBLE)/${Similarity.IvfMaxCells}.0 AS clamp_cell_frac, " +
+        s"count(*) >= ${Similarity.IvfMaxCells} AS at_clamp " +
         "FROM occ"),
 
     // x154: both probe depths' top-10 sets vs the brute-force truth —

@@ -873,7 +873,7 @@ private[ext] object ExtOracles {
   /** Table-l multi-LSH bucket expression (x71/x72 oracle lock-step). */
   def multiBucketSql(l: Int): String =
     (0 until Similarity.PlanesPerTable).map { p =>
-      s"(CASE WHEN ${dotSql("emb", Similarity.multiPlaneSql(l, p))} >= 0 THEN ${1 << p} ELSE 0 END)"
+      s"(CASE WHEN ${dotSql("emb", Similarity.multiPlaneSql(l, p))} >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
 
   lazy val annMultiSql =
@@ -904,22 +904,39 @@ private[ext] object ExtOracles {
     s"CASE $cases ELSE ${Similarity.MaxPlanesPerTable} END"
   }
 
+  /** [[Similarity.derivedBeam]] as the same pure-integer CASE-chain idiom
+    * over the corpus count: beam = min(max, base + step·(ceilLog2(n) −
+    * knee)) — first-match WHEN `count(*) <= 2^lg` IS ceilLog2, and the
+    * below-knee cases collapse into the first arm (the law clamps at the
+    * base there). */
+  def derivedBeamSql: String = {
+    def beamAt(lg: Int): Int = math.min(Similarity.GraphBeamMax,
+      Similarity.GraphBeam +
+        Similarity.GraphBeamStep * math.max(0, lg - Similarity.GraphBeamKnee))
+    // chain up to where the cap saturates, then ELSE the cap
+    val lgCap = (Similarity.GraphBeamKnee to 62)
+      .find(lg => beamAt(lg) == Similarity.GraphBeamMax).getOrElse(62)
+    val cases = (Similarity.GraphBeamKnee until lgCap)
+      .map(lg => s"WHEN count(*) <= ${1L << lg} THEN ${beamAt(lg)}").mkString(" ")
+    s"CASE $cases ELSE ${Similarity.GraphBeamMax} END"
+  }
+
   /** Table-l bucket id at the DERIVED width: plane p contributes 2^p iff
     * `p < bits` (the gbits cross-joined one-row law) and the sign bit is
     * set — the SQL mirror of `multiBucket(emb, l, derivedBits(n))`. */
   def multiBucketDynSql(l: Int): String =
     (0 until Similarity.MaxPlanesPerTable).map { p =>
-      s"(CASE WHEN $p < bits AND ${dotSql("emb", Similarity.multiPlaneSql(l, p))} >= 0 THEN ${1 << p} ELSE 0 END)"
+      s"(CASE WHEN $p < bits AND ${dotSql("emb", Similarity.multiPlaneSql(l, p))} >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
 
   lazy val graphCtes: String = {
     val m = Similarity.GraphDegree
-    val B = Similarity.GraphBeam
     val E = Similarity.GraphEntries
     val R = Similarity.GraphRounds
     val sb = new StringBuilder
     sb ++= "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
     sb ++= s"gbits AS (SELECT $derivedBitsSql AS bits FROM e), "
+    sb ++= s"gbm AS (SELECT $derivedBeamSql AS beam FROM e), "
     sb ++= s"be AS (SELECT vec_id, emb, unnest(generate_series(0, ${Similarity.LshTables - 1})) AS tbl, " +
       (0 until Similarity.LshTables).map(multiBucketDynSql)
         .mkString("unnest([", ", ", "]) AS bkt FROM e, gbits), ")
@@ -943,7 +960,7 @@ private[ext] object ExtOracles {
       "FROM gent g JOIN e ON g.vec_id = e.vec_id JOIN gq q ON q.q_id = g.q_id), "
     for (t <- 1 to R) {
       sb ++= s"gb$t AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, row_number() OVER " +
-        s"(PARTITION BY q_id ORDER BY cos DESC, vec_id) AS r FROM gv${t - 1}) t WHERE r <= $B), "
+        s"(PARTITION BY q_id ORDER BY cos DESC, vec_id) AS r FROM gv${t - 1}) t, gbm WHERE r <= beam), "
       sb ++= s"gf$t AS (SELECT DISTINCT b.q_id, ge.dst AS vec_id FROM gb$t b JOIN ge ON b.vec_id = ge.src), "
       sb ++= s"gn$t AS (SELECT f.q_id, f.vec_id, ${dotSql("q.q_emb", "e.emb")} AS cos " +
         s"FROM gf$t f JOIN e ON f.vec_id = e.vec_id JOIN gq q ON q.q_id = f.q_id), "

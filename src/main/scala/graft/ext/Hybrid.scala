@@ -500,6 +500,48 @@ object Hybrid {
     evalDistribution(perQ, QuerySet.size)
   }
 
+  // x153 split per system (r10, VERDICT item 7): the three stored-system
+  // evals as INDEPENDENT queries/bench legs, so the heaviest eval leg
+  // can't hide a single-system regression. Each produces exactly its
+  // x153 row (same lists, same relevance, same rollup).
+
+  /** The stored-bm25 system's x153 row alone (x210). */
+  def retrievalEvalBm25Stored(docs: DataFrame, emb: DataFrame,
+      bm25IndexDir: String, k: Int = 10, depth: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    val bm = bm25TopKSetStored(spark, bm25IndexDir, depth)
+    val rel = graft.ops.Caching.cacheOnce(
+      gradedRelevanceSet(docs, emb, querySetDf(spark)))
+    evalDistribution(evalRankedSet("bm25_stored", bm, rel, k), QuerySet.size)
+  }
+
+  /** The stored-IVFADC system's x153 row alone (x211). */
+  def retrievalEvalIvfPqStored(docs: DataFrame, emb: DataFrame,
+      ivfPqIndexDir: String, k: Int = 10, depth: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    val ann = Similarity.ivfPqTopK(spark, ivfPqIndexDir,
+        emb.where(col("vec_id").isin(QuerySet.map(_._1): _*)), depth)
+      .select(col("q_id").as("query_id"), col("vec_id").as("doc_id"), col("rank"))
+    val rel = graft.ops.Caching.cacheOnce(
+      gradedRelevanceSet(docs, emb, querySetDf(spark)))
+    evalDistribution(evalRankedSet("ivfpq_stored", ann, rel, k), QuerySet.size)
+  }
+
+  /** The stored-RRF fusion's x153 row alone (x212). */
+  def retrievalEvalRrfStored(docs: DataFrame, emb: DataFrame,
+      bm25IndexDir: String, ivfPqIndexDir: String,
+      k: Int = 10, depth: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    val bm = bm25TopKSetStored(spark, bm25IndexDir, depth)
+    val ann = Similarity.ivfPqTopK(spark, ivfPqIndexDir,
+        emb.where(col("vec_id").isin(QuerySet.map(_._1): _*)), depth)
+      .select(col("q_id").as("query_id"), col("vec_id").as("doc_id"), col("rank"))
+    val fused = rrfFuseSet(bm, ann, k).select("query_id", "doc_id", "rank")
+    val rel = graft.ops.Caching.cacheOnce(
+      gradedRelevanceSet(docs, emb, querySetDf(spark)))
+    evalDistribution(evalRankedSet("rrf_stored", fused, rel, k), QuerySet.size)
+  }
+
   /** Query-set retrieval eval over the STORED IVF-BIN index — the x153
     * discipline applied to the 1-bit rung the moment it got a stored
     * form: the eval drives the exact plans a user runs (DPP cell probes,

