@@ -2036,11 +2036,30 @@ object Similarity {
     * directed edges can change, and only they, the batch, and their
     * link partners re-cap. Writes: vectors/buckets append; directed/
     * edges dynamic-overwrite ONLY the partitions holding changed nodes.
-    * NOT transactional across the four directories — a crash mid-append
-    * is repaired by an offline rebuild (where corpus-scale appends
-    * belong anyway); build-time width/degree/layout come from meta/, so
-    * growth past the width law's next step also waits for the rebuild. */
+    * JOURNALED across the four directories (r10, VERDICT item 3 — the
+    * [[recoverIvfPqDelete]] discipline applied to the one stored-index
+    * mutation that lacked it): all four outputs STAGE under
+    * `append_tmp/` first, a `COMMIT` marker lands only after every
+    * staging write succeeds, and only then does [[installGraphAppend]]
+    * move files/partitions into the live dirs (appended part files one
+    * atomic move each; changed partitions aside-first). Every crash
+    * window is consumed by [[recoverGraphAppend]] — run automatically at
+    * the start of every append and probe: with COMMIT present the
+    * install completes FORWARD; without it the staging is discarded.
+    * Build-time width/degree/layout come from meta/, so growth past the
+    * width law's next step still waits for an offline rebuild. */
   def appendToGraphIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame): Unit = {
+    recoverGraphAppend(indexDir)
+    stageGraphAppend(spark, indexDir, batch)
+    installGraphAppend(indexDir)
+  }
+
+  /** The compute + staging half of [[appendToGraphIndex]] — everything up
+    * to and including the COMMIT marker, NO live-dir mutation.
+    * Package-private so the crash-window spec can construct every
+    * interrupted state between staging and install. */
+  private[ext] def stageGraphAppend(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, batch: DataFrame): Unit = {
     GraftFunctions.register(spark)
     val (bits, m, parts, _) = graphMeta(spark, indexDir)
@@ -2093,22 +2112,88 @@ object Similarity {
     val changedParts = changed
       .select(pmod(col("vec_id"), lit(parts.toLong)).cast("int").as("epart"))
       .distinct()
-    // materialize the to-write rows BEFORE overwriting the dirs they read
     val dirWrite = withEpart(directedNew, parts)
-      .join(broadcast(changedParts), Seq("epart")).localCheckpoint()
+      .join(broadcast(changedParts), Seq("epart"))
     val edgWrite = withEpart(
         spark.read.parquet(s"$indexDir/edges").select("src", "dst", "cos")
           .join(chSrc, Seq("src"), "left_anti")
           .unionByName(cappedChanged), parts)
-      .join(broadcast(changedParts), Seq("epart")).localCheckpoint()
-    batchEmb.write.mode("append").parquet(s"$indexDir/vectors")
-    newBuckets.write.mode("append").parquet(s"$indexDir/buckets")
+      .join(broadcast(changedParts), Seq("epart"))
+    // STAGE all four outputs (reads above come from the live dirs, writes
+    // land beside them — materializing the staging IS the old
+    // localCheckpoint's read-before-overwrite guarantee), then COMMIT,
+    // then install — the journaled two-phase discipline
+    val tmp = s"$indexDir/append_tmp"
+    batchEmb.write.mode("overwrite").parquet(s"$tmp/vectors")
+    newBuckets.write.mode("overwrite").parquet(s"$tmp/buckets")
     dirWrite.repartition(col("epart"))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("epart").parquet(s"$indexDir/directed")
+      .write.mode("overwrite").partitionBy("epart").parquet(s"$tmp/directed")
     edgWrite.repartition(col("epart"))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("epart").parquet(s"$indexDir/edges")
+      .write.mode("overwrite").partitionBy("epart").parquet(s"$tmp/edges")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$tmp/COMMIT"))
+  }
+
+  /** Complete or discard an interrupted [[appendToGraphIndex]] —
+    * idempotent; runs automatically at the start of every append and
+    * probe ([[graphBeamVisited]], [[graphIndexStats]]). `append_tmp/
+    * COMMIT` is the commit point: present → the staged install rolls
+    * FORWARD ([[installGraphAppend]] re-run — moves already taken are
+    * simply absent from the staging); absent → no live dir was touched
+    * (installs only happen after COMMIT), so any aside dir from a
+    * recovery crash rolls back and the staging is discarded. */
+  def recoverGraphAppend(indexDir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = s"$indexDir/append_tmp"
+    val tmpDir = new java.io.File(tmp)
+    if (!tmpDir.isDirectory) return
+    if (Files.exists(Paths.get(s"$tmp/COMMIT"))) installGraphAppend(indexDir)
+    else {
+      for (sub <- Seq("directed", "edges");
+           a <- Option(new java.io.File(s"$tmp/aside_$sub").listFiles())
+             .getOrElse(Array.empty[java.io.File])
+           if a.isDirectory && a.getName.startsWith("epart=")) {
+        val dst = Paths.get(s"$indexDir/$sub/${a.getName}")
+        if (!Files.exists(dst))
+          Files.move(a.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
+      }
+      rmTree(tmpDir)
+    }
+  }
+
+  /** The committed install: move each staged appended part file into
+    * vectors/ and buckets/ (atomic, uniquely-named — a re-run skips the
+    * already-moved ones because they are gone from the staging), then
+    * swap each staged changed partition into directed/ and edges/
+    * ASIDE-FIRST (live dir moves to `append_tmp/aside_<sub>/` before the
+    * staged dir moves in, so a crash at any point re-enters an
+    * unambiguous state), and drop the staging last. */
+  private def installGraphAppend(indexDir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = s"$indexDir/append_tmp"
+    for (sub <- Seq("vectors", "buckets");
+         f <- Option(new java.io.File(s"$tmp/$sub").listFiles())
+           .getOrElse(Array.empty[java.io.File])
+         if f.getName.endsWith(".parquet")) {
+      val dst = Paths.get(s"$indexDir/$sub/${f.getName}")
+      if (!Files.exists(dst))
+        Files.move(f.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
+    }
+    for (sub <- Seq("directed", "edges")) {
+      val asideRoot = s"$tmp/aside_$sub"
+      for (p <- Option(new java.io.File(s"$tmp/$sub").listFiles())
+             .getOrElse(Array.empty[java.io.File])
+           if p.isDirectory && p.getName.startsWith("epart=")) {
+        val aside = Paths.get(s"$asideRoot/${p.getName}")
+        val dst = Paths.get(s"$indexDir/$sub/${p.getName}")
+        if (!Files.exists(aside) && Files.exists(dst)) {
+          Files.createDirectories(Paths.get(asideRoot))
+          Files.move(dst, aside, StandardCopyOption.ATOMIC_MOVE)
+        }
+        if (!Files.exists(dst))
+          Files.move(p.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    rmTree(new java.io.File(tmp))
   }
 
   /** One-row health report over a stored graph index (x208) — the
@@ -2121,6 +2206,7 @@ object Similarity {
     * exactly the x200 premise. */
   def graphIndexStats(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): DataFrame = {
+    recoverGraphAppend(indexDir)
     val vectors = spark.read.parquet(s"$indexDir/vectors")
     val edges = spark.read.parquet(s"$indexDir/edges").select("src", "dst", "cos")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
@@ -2149,6 +2235,7 @@ object Similarity {
       indexDir: String, queries: DataFrame, beam: Int = 0,
       rounds: Int = GraphRounds): DataFrame = {
     GraftFunctions.register(spark)
+    recoverGraphAppend(indexDir)
     val vectors = spark.read.parquet(s"$indexDir/vectors")
     val edges = spark.read.parquet(s"$indexDir/edges").select("src", "dst")
     val buckets = spark.read.parquet(s"$indexDir/buckets")

@@ -539,6 +539,55 @@ class SimilaritySpec extends SparkTestBase {
     assert(!Files.exists(Paths.get(tmp)), "stale uncommitted rewrite must be discarded")
   }
 
+  test("delete crash mid-swap over MULTIPLE cells: forward-roll finishes the not-yet-aside cells (ADVICE r9 medium)") {
+    // The r9 recovery iterated only ASIDE cell dirs — a crash after cell A
+    // swapped but before cell B was even moved aside left B's pre-delete
+    // files live while recovery consumed the journal, silently
+    // resurrecting B's deleted vec_ids. The r10 committed branch also
+    // walks tmp's cells with no aside twin and completes their swap.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-crash2").toString
+    Similarity.buildIvfPqIndex(e, idx)
+    val codes = spark.read.parquet(s"$idx/codes")
+    val cells = codes.groupBy(col("cell").cast("long").as("c")).count()
+      .where(col("count") >= 2).orderBy("c").collect().map(_.getLong(0)).take(2)
+    assert(cells.length === 2, "fixture must offer two multi-member cells")
+    val Array(cellA, cellB) = cells
+    def members(c: Long): Array[Long] =
+      codes.where(col("cell").cast("long") === c)
+        .select("vec_id").collect().map(_.getLong(0)).sorted
+    val victims = Seq(members(cellA).head, members(cellB).head)
+    val survA = members(cellA).drop(1).toSet
+    val survB = members(cellB).drop(1).toSet
+    val nAll = codes.count()
+    // stage the committed rewrite exactly as deleteFromIvfPqIndex does
+    val tmp = s"$idx/codes_delete_tmp"
+    codes.where(col("cell").cast("long").isin(cellA, cellB) &&
+        !col("vec_id").isin(victims: _*))
+      .repartition(1)
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    assert(Files.exists(Paths.get(s"$tmp/_SUCCESS")))
+    // crash state: cell A FULLY swapped, cell B not yet touched (no aside
+    // twin, live dir still pre-delete)
+    Files.createDirectories(Paths.get(s"$idx/codes_delete_old"))
+    Files.move(Paths.get(s"$idx/codes/cell=$cellA"),
+      Paths.get(s"$idx/codes_delete_old/cell=$cellA"), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(s"$tmp/cell=$cellA"),
+      Paths.get(s"$idx/codes/cell=$cellA"), StandardCopyOption.ATOMIC_MOVE)
+    Similarity.recoverIvfPqDelete(idx)
+    def cellIds(c: Long): Set[Long] =
+      spark.read.parquet(s"$idx/codes").where(col("cell").cast("long") === c)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(cellIds(cellA) === survA, "swapped cell must keep its post-delete state")
+    assert(cellIds(cellB) === survB,
+      "the not-yet-aside cell's deleted vec_id must NOT resurrect")
+    assert(spark.read.parquet(s"$idx/codes").count() === nAll - victims.size)
+    assert(!Files.exists(Paths.get(tmp)) &&
+      !Files.exists(Paths.get(s"$idx/codes_delete_old")),
+      "recovery must consume both journal dirs")
+  }
+
   test("IVFADC codes table compacts with Maintenance.compactPartitioned: fewer files, probes bit-identical") {
     val e = graft.sources.Tables.embeddings(spark, sfDir)
     val isBase = IvfTestSupport.isBase(e)
@@ -968,6 +1017,121 @@ class SimilaritySpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Similarity.appendToGraphIndex(spark, inc, batch.limit(1))
     }
+  }
+
+  test("graph append crash windows: committed staging rolls FORWARD at every inter-dir point, uncommitted rolls BACK") {
+    // r10 (VERDICT item 3): the append is journaled like the IVFADC
+    // delete — staging + COMMIT + install. This constructs the crash
+    // state at EVERY inter-dir point of the install order (vectors → buckets
+    // → directed → edges) and pins that recovery restores the exact
+    // post-append state; without COMMIT, the exact PRE-append state.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+    val base = e.where($"vec_id" % 3 =!= 0)
+    val batch = e.where($"vec_id" % 3 === 0)
+    // twins: the committed-append target and the untouched-base target
+    val want = java.nio.file.Files.createTempDirectory("graft-gcr-want").toString
+    Similarity.buildGraphIndex(base, want)
+    Similarity.appendToGraphIndex(spark, want, batch)
+    val baseTwin = java.nio.file.Files.createTempDirectory("graft-gcr-base").toString
+    Similarity.buildGraphIndex(base, baseTwin)
+    def staged(): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft-gcr").toString
+      Similarity.buildGraphIndex(base, d)
+      Similarity.stageGraphAppend(spark, d, batch)
+      d
+    }
+    def moveFiles(src: String, dst: String): Unit =
+      for (f <- Option(new java.io.File(src).listFiles()).getOrElse(Array.empty[java.io.File])
+           if f.getName.endsWith(".parquet"))
+        Files.move(f.toPath, Paths.get(s"$dst/${f.getName}"),
+          StandardCopyOption.ATOMIC_MOVE)
+    def assertEq(d: String, against: String, label: String): Unit = {
+      for (sub <- Seq("vectors", "buckets", "directed", "edges")) {
+        val a = spark.read.parquet(s"$d/$sub")
+        val b = spark.read.parquet(s"$against/$sub")
+        assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+          s"$label: $sub differs from the expected state")
+      }
+      assert(!new java.io.File(s"$d/append_tmp").exists(),
+        s"$label: journal must be consumed")
+    }
+
+    // window 0: COMMIT written, crash before ANY install
+    val d0 = staged()
+    Similarity.recoverGraphAppend(d0)
+    assertEq(d0, want, "w0 commit-only")
+
+    // window 1: vectors installed, crash before buckets
+    val d1 = staged()
+    moveFiles(s"$d1/append_tmp/vectors", s"$d1/vectors")
+    Similarity.recoverGraphAppend(d1)
+    assertEq(d1, want, "w1 after-vectors")
+
+    // window 2: vectors + buckets installed, crash before directed
+    val d2 = staged()
+    moveFiles(s"$d2/append_tmp/vectors", s"$d2/vectors")
+    moveFiles(s"$d2/append_tmp/buckets", s"$d2/buckets")
+    Similarity.recoverGraphAppend(d2)
+    assertEq(d2, want, "w2 after-buckets")
+
+    // window 3: + directed's live partition moved ASIDE but the staged
+    // one not yet in (the mid-swap point) — probe-visible hole until
+    // recovery completes forward
+    val d3 = staged()
+    moveFiles(s"$d3/append_tmp/vectors", s"$d3/vectors")
+    moveFiles(s"$d3/append_tmp/buckets", s"$d3/buckets")
+    val part = Option(new java.io.File(s"$d3/append_tmp/directed").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(p => p.isDirectory && p.getName.startsWith("epart=")).head.getName
+    Files.createDirectories(Paths.get(s"$d3/append_tmp/aside_directed"))
+    Files.move(Paths.get(s"$d3/directed/$part"),
+      Paths.get(s"$d3/append_tmp/aside_directed/$part"),
+      StandardCopyOption.ATOMIC_MOVE)
+    Similarity.recoverGraphAppend(d3)
+    assertEq(d3, want, "w3 mid-directed-swap")
+
+    // window 4: everything but edges installed, crash before the last dir
+    val d4 = staged()
+    moveFiles(s"$d4/append_tmp/vectors", s"$d4/vectors")
+    moveFiles(s"$d4/append_tmp/buckets", s"$d4/buckets")
+    for (p <- Option(new java.io.File(s"$d4/append_tmp/directed").listFiles())
+           .getOrElse(Array.empty[java.io.File])
+         if p.isDirectory && p.getName.startsWith("epart=")) {
+      Files.createDirectories(Paths.get(s"$d4/append_tmp/aside_directed"))
+      Files.move(Paths.get(s"$d4/directed/${p.getName}"),
+        Paths.get(s"$d4/append_tmp/aside_directed/${p.getName}"),
+        StandardCopyOption.ATOMIC_MOVE)
+      Files.move(p.toPath, Paths.get(s"$d4/directed/${p.getName}"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    Similarity.recoverGraphAppend(d4)
+    assertEq(d4, want, "w4 before-edges")
+
+    // uncommitted: staging complete but COMMIT missing — recovery must
+    // discard the staging and leave the EXACT pre-append state (incl.
+    // rolling back an aside dir a recovery crash could leave)
+    val d5 = java.nio.file.Files.createTempDirectory("graft-gcr-u").toString
+    Similarity.buildGraphIndex(base, d5)
+    Similarity.stageGraphAppend(spark, d5, batch)
+    Files.delete(Paths.get(s"$d5/append_tmp/COMMIT"))
+    Files.createDirectories(Paths.get(s"$d5/append_tmp/aside_edges"))
+    val epart = Option(new java.io.File(s"$d5/edges").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(p => p.isDirectory && p.getName.startsWith("epart=")).head.getName
+    Files.move(Paths.get(s"$d5/edges/$epart"),
+      Paths.get(s"$d5/append_tmp/aside_edges/$epart"),
+      StandardCopyOption.ATOMIC_MOVE)
+    Similarity.recoverGraphAppend(d5)
+    assertEq(d5, baseTwin, "uncommitted rollback")
+    // and the probe pipeline self-heals: graphBeamTopK on a crashed index
+    // (its entry recovery hook) answers from the recovered state
+    val d6 = staged()
+    val got = Similarity.graphBeamTopK(spark, d6, e.where($"vec_id" === 0), 5)
+    assert(got.count() > 0)
+    assert(!new java.io.File(s"$d6/append_tmp").exists(),
+      "probe entry must consume the journal")
   }
 
   test("graph soft-delete: tombstoned ids vanish from results, traversal still routes") {
