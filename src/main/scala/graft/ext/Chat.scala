@@ -90,6 +90,50 @@ object Chat {
         (col("doc_id") === col("_keeper")).as("keep"))
   }
 
+  /** Benchmark decontamination for the chat/preference families (x213,
+    * r10 — VERDICT item 4): the leakage channel RLHF/SFT data actually
+    * ships is the PROMPT — a conversation whose first user turn overlaps
+    * an eval benchmark trains on the benchmark's questions even when the
+    * responses are fresh, and the pretraining-text (x101/x117) and
+    * embedding (x163) decontaminators never look at the turn structure.
+    * Flag rule: any k-token window of the parsed first-user-turn (the
+    * x175 prompt surface) matches any k-token window of the benchmark
+    * prompt set — GPT-3-style n-gram containment on the prompt surface.
+    * Strip = drop the WHOLE conversation (no span excision: a leaked
+    * instruction poisons the entire exchange). Returns every conversation
+    * with its prompt window stats and the verdict.
+    *
+    * Scale shape: the benchmark side collapses to DISTINCT window digests
+    * and broadcasts (benchmark suites are dim-sized by definition); the
+    * training side is one scan + per-prompt HOF windows + the broadcast
+    * digest join — transcripts never shuffle.
+    */
+  def promptDecontaminate(turns: DataFrame, benchPrompts: DataFrame,
+      k: Int = 3): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens, got $k")
+    def winHashes(toks: Column): Column =
+      when(size(toks) >= k,
+        transform(sequence(lit(1), size(toks) - lit(k - 1)),
+          i => md5(concat_ws(" ", slice(toks, i, lit(k))))))
+        .otherwise(array().cast("array<string>"))
+    val prompts = graft.ops.Caching.cacheOnce(
+      turns.where(col("turn_idx") === 1 && col("role") === "user")
+        .select(col("doc_id"), TextOps.tokens(col("content")).as("_ptoks")))
+    val pw = prompts.select(col("doc_id"),
+      explode(winHashes(col("_ptoks"))).as("wh"))
+    val bench = benchPrompts
+      .select(explode(winHashes(TextOps.tokens(col("content")))).as("wh"))
+      .distinct()
+    val hits = pw.join(broadcast(bench), "wh")
+      .groupBy("doc_id").agg(countDistinct(col("wh")).as("n_leaked_windows"))
+    prompts
+      .select(col("doc_id"), size(col("_ptoks")).cast("long").as("n_prompt_tokens"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_prompt_tokens"),
+        coalesce(col("n_leaked_windows"), lit(0L)).as("n_leaked_windows"),
+        (coalesce(col("n_leaked_windows"), lit(0L)) > 0L).as("drop_conv"))
+  }
+
   /** Per-conversation SFT readiness report: turn count, structure checks
     * (opens with user, strict role alternation — computed from the parsed
     * turns, not assumed from the derivation), and the loss-mask split:

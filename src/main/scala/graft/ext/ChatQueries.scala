@@ -95,6 +95,21 @@ private[graft] object ChatQueries {
     "x175_sft_prompt_dedup" -> ((s, dir) =>
       Chat.promptDedup(Chat.parseTurns(Chat.withChat(Tables.documents(s, dir))))),
 
+    // Chat/preference benchmark decontamination (r10, VERDICT item 4):
+    // the x101/x117 shingle machinery composed onto the x175 prompt
+    // surface — train conversations (non-src0) flagged when their first
+    // user turn shares a 3-token window with the benchmark slice's
+    // (src0) prompts. Whole-conversation verdicts, no span excision.,
+    "x213_chat_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val turns = Chat.parseTurns(Chat.withChat(
+        docs.where(col("source") =!= "src0")))
+      val benchPrompts = Chat.parseTurns(Chat.withChat(
+          docs.where(col("source") === "src0")))
+        .where(col("turn_idx") === 1 && col("role") === "user")
+      Chat.promptDecontaminate(turns, benchPrompts)
+    }),
+
     // Length-bias audit (r8 second half): across every (winner, loser)
     // pair the best-of-N pools imply, how often is the winner simply the
     // LONGER text — the reward-hacking pathology checked before the
@@ -172,6 +187,30 @@ private[graft] object ChatQueries {
         "THEN CAST(sq.trainable_tokens AS DOUBLE)/CAST(sq.total_tokens AS DOUBLE) " +
         "ELSE NULL END AS trainable_frac " +
         "FROM pa LEFT JOIN gc USING (lang) LEFT JOIN uc USING (lang) LEFT JOIN sq USING (lang)"),
+    // x213: chatCtes' tt filtered by the documents source column gives the
+    // train/benchmark prompt slices; 3-token md5 windows, distinct
+    // benchmark digests, containment join, whole-conversation verdict.,
+    "x213_chat_decontaminate" ->
+      (s"WITH $chatCtes, " +
+        "xtr AS (SELECT tt.doc_id, string_split(content, ' ') AS ptoks FROM tt " +
+        "JOIN documents d USING (doc_id) " +
+        "WHERE turn_idx = 1 AND role = 'user' AND d.source <> 'src0'), " +
+        "xbn AS (SELECT string_split(content, ' ') AS ptoks FROM tt " +
+        "JOIN documents d USING (doc_id) " +
+        "WHERE turn_idx = 1 AND role = 'user' AND d.source = 'src0'), " +
+        "xdw AS (SELECT doc_id, unnest(CASE WHEN len(ptoks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(ptoks)-2), i -> md5(array_to_string(ptoks[i:i+2], ' '))) " +
+        "ELSE CAST([] AS VARCHAR[]) END) AS wh FROM xtr), " +
+        "xbw AS (SELECT DISTINCT unnest(CASE WHEN len(ptoks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(ptoks)-2), i -> md5(array_to_string(ptoks[i:i+2], ' '))) " +
+        "ELSE CAST([] AS VARCHAR[]) END) AS wh FROM xbn), " +
+        "xhit AS (SELECT doc_id, CAST(count(DISTINCT wh) AS BIGINT) AS n_leaked_windows " +
+        "FROM xdw WHERE wh IN (SELECT wh FROM xbw) GROUP BY 1) " +
+        "SELECT t.doc_id, CAST(len(t.ptoks) AS BIGINT) AS n_prompt_tokens, " +
+        "CAST(coalesce(h.n_leaked_windows, 0) AS BIGINT) AS n_leaked_windows, " +
+        "coalesce(h.n_leaked_windows, 0) > 0 AS drop_conv " +
+        "FROM xtr t LEFT JOIN xhit h USING (doc_id)"),
+
     "x175_sft_prompt_dedup" ->
       (s"WITH $chatCtes, " +
         "spd AS (SELECT doc_id, md5(content) AS prompt_digest FROM tt " +

@@ -36,6 +36,14 @@ private[graft] object MiscQueries {
           lit(0.0), (a, x) => a + x).as("head8_sum"))),
     "x12_multimodal_binary" -> ((s, dir) =>
       Multimodal.binaryFeatures(Tables.documents(s, dir))),
+
+    // Interleaved image+text sequence packing (r10, VERDICT item 5): the
+    // Multimodal family composed with the packing family — text tokens +
+    // per-image patch-placeholder blocks budgeted together under 2048,
+    // with per-doc provenance. The count arithmetic (not the decode) is
+    // the oracle-checked surface.,
+    "x214_multimodal_packing" -> ((s, dir) =>
+      Multimodal.interleavedPacking(Tables.documents(s, dir))),
     "x26_sketch_cardinality" -> ((s, dir) =>
       Sketches.cardinalityReport(Tables.documents(s, dir))),
     "x27_sketch_quantiles" -> ((s, dir) =>
@@ -146,6 +154,26 @@ private[graft] object MiscQueries {
     "x12_multimodal_binary" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
         "base64(encode(substr(text, 1, 8))) AS prefix_b64 FROM documents"),
+
+    // x214: the md5-derived image attachments' patch arithmetic + the
+    // x43 single-window prefix-sum packing (bit-identical to the
+    // engine's two-phase form by ChunkingSpec's pinned equivalence).,
+    "x214_multimodal_packing" ->
+      ("WITH mn AS (SELECT doc_id, source, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_text_tokens, " +
+        "CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mi'), 1, 4)) AS INT) % 3 AS BIGINT) AS n_images " +
+        "FROM documents), " +
+        "mm AS (SELECT doc_id, source, n_text_tokens, n_images, " +
+        "CAST(COALESCE(CASE WHEN n_images >= 1 THEN " +
+        "list_aggregate(list_transform(generate_series(1, n_images), j -> " +
+        "(8 + CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR) || ':w'), 1, 4)) AS BIGINT) % 25) " +
+        "* (8 + CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR) || ':h'), 1, 4)) AS BIGINT) % 25) " +
+        "+ 2), 'sum') ELSE 0 END, 0) AS BIGINT) AS n_image_tokens FROM mn), " +
+        "mt AS (SELECT *, n_text_tokens + n_image_tokens AS n_tokens FROM mm), " +
+        "mo AS (SELECT *, COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset FROM mt) " +
+        "SELECT doc_id, source, n_text_tokens, n_images, n_image_tokens, n_tokens, " +
+        "token_offset % 2048 AS offset_in_seq, token_offset // 2048 AS seq_id FROM mo"),
     "x37_layout_zorder" ->
       ("WITH b0 AS (SELECT o_orderkey, CAST(o_orderkey % 65536 AS BIGINT) AS x, " +
         "CAST(o_custkey % 65536 AS BIGINT) AS y FROM orders), " +

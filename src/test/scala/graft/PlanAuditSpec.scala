@@ -79,6 +79,9 @@ class PlanAuditSpec extends SparkTestBase {
     "x151_lr_influence" -> "x130's 1-row broadcast final-weight scoring + ONE broadcast mean-held-out-gradient row (B+3 doubles, constant model state)",
     "x152_ann_ivfpq_stored" -> "crossJoins against the ONE-ROW packed centroid/flat-codebook broadcasts (PqEncode + assignCells folds, constants); the probe itself is equi on cell with DPP (spec-asserted)",
     "x153_retrieval_eval_stored" -> "x126's 1-row stored-stats/df crossJoins (bm25 leg) + x152's packed centroid/codebook 1-row crossJoins (IVFADC leg) + x145's 1-row eval folds and broadcast query/relevance stream",
+    "x210_retrieval_eval_bm25_stored" -> "x153's bm25 leg alone (r10 split): x126's 1-row stored-stats/df crossJoins + x145's 1-row eval folds and broadcast query/relevance stream",
+    "x211_retrieval_eval_ivfpq_stored" -> "x153's IVFADC leg alone (r10 split): x152's packed centroid/codebook 1-row crossJoins + x145's 1-row eval folds and broadcast query/relevance stream",
+    "x212_retrieval_eval_rrf_stored" -> "x153's RRF fusion alone (r10 split): both stored legs' 1-row crossJoins + x145's 1-row eval folds and broadcast query/relevance stream",
     "x154_ann_ivfpq_recall" -> "crossJoin of three single-row count aggregates per method (recall-report constants, x69's shape) + x152's packed centroid/codebook 1-row crossJoins and the x06-shaped brute-force truth leg",
     "x156_dsir_resample" -> "x84's 1-row token-total crossJoin + ONE broadcast max-weight row (the acceptance normalizer, constant)",
     "x158_curation_refresh" -> "embeds x156's gates: x84's 1-row token-total crossJoin + the 1-row max-weight broadcast (constants)",

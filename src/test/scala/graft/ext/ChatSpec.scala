@@ -88,4 +88,32 @@ class ChatSpec extends SparkTestBase {
       assert(r.getLong(r.fieldIndex("n")) >= 2L)
     }
   }
+
+  test("promptDecontaminate: a planted leaked prompt flags, its clean twin is kept (x213)") {
+    // conversation 1's prompt embeds a benchmark question verbatim; 2 is
+    // a structurally identical clean twin; 3's prompt is too short to
+    // window (must be kept, not dropped from the report); the leaked
+    // RESPONSE in 4 must NOT flag — this is a prompt-surface check
+    val turns = Seq(
+      (1L, 1L, "user", "what is the capital of france exactly"),
+      (1L, 2L, "assistant", "paris is the capital"),
+      (2L, 1L, "user", "please summarize this novel document now"),
+      (2L, 2L, "assistant", "sure here is a summary"),
+      (3L, 1L, "user", "hi there"),
+      (4L, 1L, "user", "tell me something interesting"),
+      (4L, 2L, "assistant", "what is the capital of france")
+    ).toDF("doc_id", "turn_idx", "role", "content")
+    val bench = Seq(
+      "what is the capital of france",
+      "solve the following math problem"
+    ).toDF("content")
+    val got = Chat.promptDecontaminate(turns, bench)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got(1L)._2 && got(1L)._1 >= 1L, "leaked prompt must flag")
+    assert(!got(2L)._2 && got(2L)._1 === 0L, "clean twin must be kept")
+    assert(got.contains(3L) && !got(3L)._2, "sub-window prompt reported, kept")
+    assert(!got(4L)._2, "a leaked RESPONSE must not flag the prompt surface")
+    assert(got.size === 4, "every conversation gets a verdict row")
+  }
 }

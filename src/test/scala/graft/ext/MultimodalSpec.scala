@@ -291,4 +291,42 @@ class MultimodalSpec extends SparkTestBase {
       emb.where(org.apache.spark.sql.functions.col("vec_id") < 3), emb, 5)
     assert(topk.count() === 15, "3 queries × top-5 from binary-derived embeddings")
   }
+
+  test("interleavedPacking: image/text token masses reconcile with the source table (x214)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val out = graft.ops.Caching.cacheOnce(Multimodal.interleavedPacking(docs))
+    // component masses: total = text + image, text = the source's tokens
+    assert(out.where(col("n_tokens") =!=
+      col("n_text_tokens") + col("n_image_tokens")).isEmpty)
+    val srcToks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("st"))
+    assert(out.join(srcToks, "doc_id")
+      .where(col("n_text_tokens") =!= col("st")).isEmpty,
+      "text mass must equal the source table's token count")
+    // per-image placeholder block = grid_w·grid_h + 2 with grids in
+    // [8, 32] → each image contributes 66..1026 tokens, zero images zero
+    assert(out.where(col("n_images") === 0L && col("n_image_tokens") =!= 0L).isEmpty)
+    assert(out.where(col("n_images") > 0L &&
+      (col("n_image_tokens") < col("n_images") * 66L ||
+        col("n_image_tokens") > col("n_images") * 1026L)).isEmpty)
+    // the fixture derivation must exercise all attachment counts
+    val nByImgs = out.groupBy("n_images").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(0L, 1L, 2L).forall(nByImgs.getOrElse(_, 0L) > 0L))
+    // packing provenance reconciles: per source, in doc_id order, each
+    // doc's absolute offset (seq_id·budget + offset_in_seq) equals the
+    // running sum of its predecessors' TOTAL masses — i.e. the sequences
+    // are a gapless re-chunking of the interleaved stream
+    val budget = 2048L
+    out.select("source", "doc_id", "n_tokens", "seq_id", "offset_in_seq")
+      .collect().groupBy(_.getString(0)).foreach { case (_, rows) =>
+        var run = 0L
+        rows.sortBy(_.getLong(1)).foreach { r =>
+          assert(r.getLong(3) * budget + r.getLong(4) === run,
+            s"doc ${r.getLong(1)} offset breaks the prefix-sum contract")
+          run += r.getLong(2)
+        }
+      }
+  }
 }
