@@ -373,6 +373,10 @@ private[graft] object AnnQueries {
     // x208: the stored-edge table's one-row health report — the oracle
     // re-derives the capped edge set WITH cos (graphCtes' ge drops it)
     // and folds the same integer/min-max columns.
+    // The law-drift columns (r10): the oracle replays a FRESH build, for
+    // which stored ≡ law by definition — hash-equality with the engine's
+    // stored-table row therefore also PROVES the registered index is not
+    // drifted. The append-grown stale case is spec-pinned instead.,
     "x208_graph_stats" ->
       (s"WITH $graphCtes, " +
         s"gec AS (SELECT src, dst, cos FROM (SELECT *, row_number() OVER " +
@@ -384,7 +388,10 @@ private[graft] object AnnQueries {
         "SELECT n_nodes, n_edges, n_nodes - n_linked AS n_isolated, " +
         "min_degree, max_degree, " +
         "CAST(n_edges AS DOUBLE)/CAST(n_nodes AS DOUBLE) AS mean_degree, " +
-        "min_cos, max_cos FROM gna, gda, gea"),
+        "min_cos, max_cos, " +
+        "(SELECT bits FROM gbits) AS stored_bits, (SELECT bits FROM gbits) AS law_bits, " +
+        "(SELECT beam FROM gbm) AS stored_beam, (SELECT beam FROM gbm) AS law_beam, " +
+        "false AS stale_laws FROM gna, gda, gea"),
 
     "x200_ann_graph_beam" ->
       (s"WITH $graphCtes " +

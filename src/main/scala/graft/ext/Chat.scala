@@ -134,6 +134,35 @@ object Chat {
         (coalesce(col("n_leaked_windows"), lit(0L)) > 0L).as("drop_conv"))
   }
 
+  /** The PER-ROW form of [[promptDecontaminate]] — identical verdicts
+    * (spec-pinned), zero aggregation: the benchmark's distinct window
+    * digests pack into ONE broadcast row (benchmark suites are dim-sized
+    * — the packCents / semanticDeconAgainst discipline) and each
+    * conversation takes one `array_intersect` against its own prompt
+    * windows. Stateless per-row work is what makes this the STREAMING
+    * gate form ([[graft.streaming.ChatStream.promptDeconIngest]]): no
+    * state store, no watermark, stream verdicts ≡ batch verdicts. */
+  def promptDeconRow(turns: DataFrame, benchPrompts: DataFrame,
+      k: Int = 3): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens, got $k")
+    def winHashes(toks: Column): Column =
+      when(size(toks) >= k,
+        transform(sequence(lit(1), size(toks) - lit(k - 1)),
+          i => md5(concat_ws(" ", slice(toks, i, lit(k))))))
+        .otherwise(array().cast("array<string>"))
+    val benchRow = broadcast(benchPrompts
+      .select(explode(winHashes(TextOps.tokens(col("content")))).as("wh"))
+      .agg(collect_set(col("wh")).as("_bwh")))
+    turns.where(col("turn_idx") === 1 && col("role") === "user")
+      .select(col("doc_id"), TextOps.tokens(col("content")).as("_ptoks"))
+      .crossJoin(benchRow)
+      .select(col("doc_id"),
+        size(col("_ptoks")).cast("long").as("n_prompt_tokens"),
+        size(array_intersect(winHashes(col("_ptoks")), col("_bwh")))
+          .cast("long").as("n_leaked_windows"))
+      .withColumn("drop_conv", col("n_leaked_windows") > 0L)
+  }
+
   /** Per-conversation SFT readiness report: turn count, structure checks
     * (opens with user, strict role alternation — computed from the parsed
     * turns, not assumed from the derivation), and the loss-mask split:

@@ -155,6 +155,100 @@ object Chunking {
           .as("frac_tokens_lost"))
   }
 
+  /** Docs per greedy-packing shard — the bounded-state unit of
+    * [[packGreedy]] (the packCounts bucketSize twin). */
+  val GreedyShardSize = 1024L
+
+  /** NO-STRADDLE sequence packing (x215, r10): the SFT/packing rule the
+    * offset packer ([[packCounts]]) deliberately doesn't implement — a
+    * document either fits in the current sequence's remainder or OPENS a
+    * new sequence; sequences end with padding instead of splitting a
+    * document across two contexts (attention never spans a document
+    * boundary mid-token). Greedy first-fit in doc_id order; a doc longer
+    * than the budget gets a sequence alone (`oversize` — truncation is
+    * x157's separate report).
+    *
+    * The greedy chain is inherently SEQUENTIAL (each decision depends on
+    * the running remainder), so the honest distributed form is
+    * SHARD-BOUNDED state: contiguous doc_id ranges of
+    * [[GreedyShardSize]] docs pack independently per (source, shard) —
+    * one fold over a shard-sized array (codegen HOF, no UDF, no driver
+    * state), at the documented price of ≤ 1 partially-filled sequence
+    * per shard boundary (negligible once shardSize·mean_tokens ≫
+    * budget). Sequence identity is (source, shard, seq_in_shard);
+    * `n_tokens = fill − off` rides the fold, so nothing joins back.
+    *
+    * The oracle replays the identical fold via DuckDB `list_reduce` over
+    * wrapped single-struct lists (the Unigram Viterbi idiom) — integer
+    * arithmetic only, bit-exact.
+    */
+  def packGreedy(counted: DataFrame, budget: Long,
+      shardSize: Long = GreedyShardSize): DataFrame = {
+    require(budget >= 1 && shardSize >= 1)
+    val base = counted.select(
+      col("doc_id"), col("source"), col("n_tokens").cast("long").as("n_tokens"),
+      (col("doc_id") / shardSize).cast("long").as("shard"))
+    val grouped = base.groupBy("source", "shard")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("n_tokens")))).as("ds"))
+    // accumulator: packed rows so far; the LAST row carries the running
+    // (seq, fill). init fill = budget ("no open sequence"), seq = -1, so
+    // the first doc always opens seq 0 — including an oversize first doc.
+    val init = array(struct(lit(-1L).as("doc_id"), lit(-1L).as("seq"),
+      lit(0L).as("off"), lit(budget).as("fill")))
+    val folded = aggregate(col("ds"), init, (acc, d) => {
+      val last = element_at(acc, -1)
+      val fits = last.getField("fill") + d.getField("n_tokens") <= lit(budget)
+      concat(acc, array(struct(
+        d.getField("doc_id").as("doc_id"),
+        when(fits, last.getField("seq"))
+          .otherwise(last.getField("seq") + 1L).as("seq"),
+        when(fits, last.getField("fill")).otherwise(lit(0L)).as("off"),
+        when(fits, last.getField("fill") + d.getField("n_tokens"))
+          .otherwise(d.getField("n_tokens")).as("fill"))))
+    })
+    grouped.select(col("source"), col("shard"), explode(folded).as("r"))
+      .where(col("r.doc_id") =!= -1L)
+      .select(col("r.doc_id").as("doc_id"), col("source"), col("shard"),
+        (col("r.fill") - col("r.off")).as("n_tokens"),
+        col("r.seq").as("seq_in_shard"), col("r.off").as("offset_in_seq"),
+        (col("r.fill") - col("r.off") > lit(budget)).as("oversize"))
+  }
+
+  /** Packing-efficiency datasheet (x216, r10): the engineering tradeoff
+    * between the two packers, measured per source — the STRADDLE packer
+    * ([[packCounts]]) wastes zero tokens but splits documents across
+    * context boundaries (`ceil(total/budget)` sequences exactly); the
+    * NO-STRADDLE packer ([[packGreedy]]) keeps documents whole at the
+    * price of per-sequence padding. Columns: doc/oversize counts, both
+    * packers' sequence counts, the padding mass, and utilization
+    * (`total / Σ max(budget, seq_tokens)` — oversize sequences count at
+    * their own length, so utilization is exact, never > 1). */
+  def packEfficiency(counted: DataFrame, budget: Long,
+      shardSize: Long = GreedyShardSize): DataFrame = {
+    val packed = packGreedy(counted, budget, shardSize)
+    val perSeq = packed.groupBy("source", "shard", "seq_in_shard")
+      .agg(sum(col("n_tokens")).as("seq_tokens"),
+        count(lit(1)).as("n_docs_in_seq"),
+        sum(when(col("oversize"), 1L).otherwise(0L)).as("n_over"))
+    perSeq.groupBy("source").agg(
+        sum(col("n_docs_in_seq")).as("n_docs"),
+        sum(col("n_over")).as("n_oversize"),
+        count(lit(1)).as("n_seqs_greedy"),
+        sum(col("seq_tokens")).as("total_tokens"),
+        sum(greatest(lit(budget), col("seq_tokens"))).as("capacity"))
+      .select(col("source"), col("n_docs"), col("n_oversize"),
+        col("n_seqs_greedy"),
+        // the straddle packer's count is closed-form: ceil(total/budget).
+        // INTEGER div (x199's lesson: Column `/` on longs is true
+        // division — a double — and misrounds once totals get large)
+        expr(s"(total_tokens + ${budget - 1}) div $budget")
+          .cast("long").as("n_seqs_straddle"),
+        col("total_tokens"),
+        (col("capacity") - col("total_tokens")).as("padding_tokens"),
+        (col("total_tokens").cast("double") / col("capacity").cast("double"))
+          .as("utilization"))
+  }
+
   /** FIM application rate (Bavarian et al. 2022 train with 0.5–0.9; the
     * paper's headline runs use 0.5) and the sentinel strings. Embedded in
     * the oracle. */

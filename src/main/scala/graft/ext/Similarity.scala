@@ -1923,6 +1923,25 @@ object Similarity {
     b
   }
 
+  /** [[derivedBits]] as a Column CASE chain over a count column — the
+    * x208 law-drift row computes the CURRENT law value inside the same
+    * one-row plan that counts the stored nodes (no extra action). */
+  def derivedBitsCol(n: Column): Column =
+    (PlanesPerTable until MaxPlanesPerTable)
+      .foldRight(lit(MaxPlanesPerTable): Column) { (b, acc) =>
+        when(n <= lit(GraphBucketOcc << b), lit(b)).otherwise(acc)
+      }
+
+  /** [[derivedBeam]] as a Column CASE chain over a count column. */
+  def derivedBeamCol(n: Column): Column = {
+    def beamAt(lg: Int): Int = math.min(GraphBeamMax,
+      GraphBeam + GraphBeamStep * math.max(0, lg - GraphBeamKnee))
+    val lgCap = (GraphBeamKnee to 62).find(beamAt(_) == GraphBeamMax).getOrElse(62)
+    (GraphBeamKnee until lgCap).foldRight(lit(GraphBeamMax): Column) { (lg, acc) =>
+      when(n <= lit(1L << lg), lit(beamAt(lg))).otherwise(acc)
+    }
+  }
+
   /** Build the stored neighbor graph: `vectors/` (vec_id, embedding) and
     * `edges/` (src, dst, cos) with per-src degree ≤ 2m — top-m directed
     * kNN edges from the multi-table LSH candidates, symmetrized (an edge
@@ -2203,10 +2222,20 @@ object Similarity {
     * against the 2m cap, and the edge-cosine range. Integer counts and
     * min/max only (order-independent, exact) — the report reads the
     * STORED tables, and hash-equality with the oracle's rebuilt graph is
-    * exactly the x200 premise. */
+    * exactly the x200 premise.
+    *
+    * r10 adds the LAW-DRIFT columns (x160's clamp-trigger symmetry on the
+    * graph rung): the stored width/beam were derived at BUILD time and
+    * appends keep them, so once the corpus grows past the laws' next
+    * steps the stored values go stale — occupancy (and with it build-
+    * shape costs and probe recall) drifts until an offline rebuild.
+    * `stale_laws` is that rebuild trigger, computed inside the same
+    * one-row plan ([[derivedBitsCol]]/[[derivedBeamCol]] over the node
+    * count vs the meta literals). */
   def graphIndexStats(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): DataFrame = {
     recoverGraphAppend(indexDir)
+    val (bits, _, _, beam) = graphMeta(spark, indexDir)
     val vectors = spark.read.parquet(s"$indexDir/vectors")
     val edges = spark.read.parquet(s"$indexDir/edges").select("src", "dst", "cos")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
@@ -2221,7 +2250,11 @@ object Similarity {
         col("min_degree"), col("max_degree"),
         (col("n_edges").cast("double") / col("n_nodes").cast("double"))
           .as("mean_degree"),
-        col("min_cos"), col("max_cos"))
+        col("min_cos"), col("max_cos"),
+        lit(bits).as("stored_bits"), derivedBitsCol(col("n_nodes")).as("law_bits"),
+        lit(beam).as("stored_beam"), derivedBeamCol(col("n_nodes")).as("law_beam"),
+        (lit(bits) =!= derivedBitsCol(col("n_nodes")) ||
+          lit(beam) =!= derivedBeamCol(col("n_nodes"))).as("stale_laws"))
   }
 
   /** The full visited set of the beam traversal — every (q_id, vec_id)

@@ -138,6 +138,23 @@ private[graft] object TokenizerQueries {
     "x43_pack_sequences" -> ((s, dir) =>
       Chunking.packSequences(Tables.documents(s, dir), 2048L, 64L)),
 
+    // NO-STRADDLE greedy packing (r10): documents never split across a
+    // context boundary; shard-bounded sequential fold, oracle-replayed
+    // via the list_reduce wrapped-struct idiom.,
+    "x215_pack_greedy" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Chunking.packGreedy(d.select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).as("n_tokens")), 2048L)
+    }),
+
+    // Packing-efficiency datasheet (r10): straddle vs no-straddle — seq
+    // counts, padding mass, utilization per source.,
+    "x216_pack_efficiency" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Chunking.packEfficiency(d.select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).as("n_tokens")), 2048L)
+    }),
+
     // Training-mixture materialization: per-lang epoch weights (binary-
     // exact fractions, so the Bernoulli compare is engine-exact),
     // fractional epochs as a deterministic md5 draw, one output row per
@@ -148,6 +165,28 @@ private[graft] object TokenizerQueries {
     // Pairwise source-leakage matrix: shared distinct shingles and
     // containment per ordered source pair (the corpus-level x36).,
   )
+
+  /** x215/x216's shared chain: per-(source, shard) doc lists, the greedy
+    * no-straddle fold (list_reduce over wrapped single-struct lists —
+    * DuckDB 1.0 has no init-value reduce; the accumulator's LAST struct
+    * carries the running (seq, fill), init fill = budget so the first doc
+    * always opens seq 0), then the unnested per-doc rows (init row
+    * sliced off). */
+  private lazy val packGreedyCtes: String =
+    "pn AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+      "doc_id // 1024 AS shard FROM documents), " +
+      "pl AS (SELECT source, shard, list(struct_pack(doc_id := doc_id, n := n_tokens) ORDER BY doc_id) AS ds " +
+      "FROM pn GROUP BY 1, 2), " +
+      "pf AS (SELECT source, shard, list_reduce(" +
+      "[[struct_pack(doc_id := CAST(-1 AS BIGINT), seq := CAST(-1 AS BIGINT), off := CAST(0 AS BIGINT), fill := CAST(2048 AS BIGINT))]] || " +
+      "list_transform(ds, d -> [struct_pack(doc_id := d.doc_id, seq := CAST(-1 AS BIGINT), off := CAST(0 AS BIGINT), fill := d.n)]), " +
+      "(acc, x) -> acc || [struct_pack(" +
+      "doc_id := x[1].doc_id, " +
+      "seq := CASE WHEN acc[-1].fill + x[1].fill <= 2048 THEN acc[-1].seq ELSE acc[-1].seq + 1 END, " +
+      "off := CASE WHEN acc[-1].fill + x[1].fill <= 2048 THEN acc[-1].fill ELSE CAST(0 AS BIGINT) END, " +
+      "fill := CASE WHEN acc[-1].fill + x[1].fill <= 2048 THEN acc[-1].fill + x[1].fill ELSE x[1].fill END)]) AS folded " +
+      "FROM pl), " +
+      "pu AS (SELECT source, shard, unnest(folded[2:]) AS r FROM pf)"
 
   val oracleSql: Map[String, String] = Map(
     "x172_span_corruption" ->
@@ -288,6 +327,28 @@ private[graft] object TokenizerQueries {
     // Oracle replays the packing as the single-window prefix sum; the
     // engine's two-phase distributed form is bit-identical by construction
     // (ChunkingSpec pins the equivalence).,
+    // x215/x216: the shard-bounded greedy fold replayed via list_reduce
+    // over wrapped single-struct lists (no-init-value workaround, the
+    // Unigram Viterbi idiom); acc[-1] carries the running (seq, fill).,
+    "x215_pack_greedy" -> (s"WITH $packGreedyCtes " +
+      "SELECT r.doc_id AS doc_id, source, shard, r.fill - r.off AS n_tokens, " +
+      "r.seq AS seq_in_shard, r.off AS offset_in_seq, " +
+      "(r.fill - r.off) > 2048 AS oversize FROM pu"),
+    "x216_pack_efficiency" -> (s"WITH $packGreedyCtes, " +
+      "ps2 AS (SELECT source, shard, r.seq AS seq_in_shard, " +
+      "CAST(sum(r.fill - r.off) AS BIGINT) AS seq_tokens, " +
+      "CAST(count(*) AS BIGINT) AS n_docs_in_seq, " +
+      "CAST(sum(CASE WHEN (r.fill - r.off) > 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_over " +
+      "FROM pu GROUP BY 1, 2, 3) " +
+      "SELECT source, CAST(sum(n_docs_in_seq) AS BIGINT) AS n_docs, " +
+      "CAST(sum(n_over) AS BIGINT) AS n_oversize, " +
+      "CAST(count(*) AS BIGINT) AS n_seqs_greedy, " +
+      "CAST((sum(seq_tokens) + 2047) // 2048 AS BIGINT) AS n_seqs_straddle, " +
+      "CAST(sum(seq_tokens) AS BIGINT) AS total_tokens, " +
+      "CAST(sum(greatest(2048, seq_tokens)) - sum(seq_tokens) AS BIGINT) AS padding_tokens, " +
+      "CAST(sum(seq_tokens) AS DOUBLE)/CAST(sum(greatest(2048, seq_tokens)) AS DOUBLE) AS utilization " +
+      "FROM ps2 GROUP BY source"),
+
     "x43_pack_sequences" ->
       ("WITH n AS (SELECT doc_id, source, " +
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +

@@ -82,6 +82,20 @@ object ChatStream {
       closed.iterator
     }
 
+  /** Ingestion-time prompt decontamination (x213's gate moved to the
+    * stream boundary — the [[VectorStream.semanticDeconIngest]]
+    * discipline on the chat modality): arriving conversations
+    * (doc_id, transcript) parse per-row and their first user turn checks
+    * against the STATIC benchmark's broadcast window-digest row. A
+    * flagged conversation never lands in SFT storage at all. Stateless
+    * per-row work — no state store, no watermark — and stream verdicts ≡
+    * batch verdicts bit-for-bit (spec-pinned), because the whole gate is
+    * a pure per-row function. */
+  def promptDeconIngest(conv: org.apache.spark.sql.DataFrame,
+      benchPrompts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    graft.ext.Chat.promptDeconRow(graft.ext.Chat.parseTurns(conv), benchPrompts)
+
   /** Streaming per-conversation SFT stats. `NoTimeout` for bounded-drain
     * tests (same reason as `EventStream.sessionize`). */
   def sftStatsStream(turns: Dataset[TurnEvent],

@@ -239,4 +239,81 @@ class ChunkingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("packGreedy: handcrafted first-fit — no straddle, oversize alone, greedy openings (x215)") {
+    // budget 10: docs 6,3,4,12,2,9,1 in id order →
+    //   seq0 = [6,3] (fill 9; 4 doesn't fit), seq1 = [4] (12 doesn't fit),
+    //   seq2 = [12] oversize alone (2 can't join: 12+2 > 10),
+    //   seq3 = [2,1?]… greedy: after 12, 2 opens seq3 (fill 2), 9 doesn't
+    //   fit (2+9 > 10) → seq4 = [9], 1 fits seq4 (9+1 = 10).
+    val counted = Seq(
+      (0L, "s", 6L), (1L, "s", 3L), (2L, "s", 4L), (3L, "s", 12L),
+      (4L, "s", 2L), (5L, "s", 9L), (6L, "s", 1L)
+    ).toDF("doc_id", "source", "n_tokens")
+    val got = Chunking.packGreedy(counted, 10L)
+      .orderBy("doc_id")
+      .select("doc_id", "seq_in_shard", "offset_in_seq", "oversize")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq === Seq(
+      (0L, 0L, 0L, false), (1L, 0L, 6L, false), (2L, 1L, 0L, false),
+      (3L, 2L, 0L, true), (4L, 3L, 0L, false), (5L, 4L, 0L, false),
+      (6L, 4L, 9L, false)))
+  }
+
+  test("packGreedy invariants on the fixture: no straddle, bounded sequences, greedy openings (x215)") {
+    val budget = 2048L
+    val d = Tables.documents(spark, sfDir)
+    val out = graft.ops.Caching.cacheOnce(Chunking.packGreedy(
+      d.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("n_tokens")), budget))
+    // every doc's token count matches the source; nothing dropped
+    assert(out.count() === d.count())
+    // no doc straddles: it ends within the budget unless oversize
+    assert(out.where(!col("oversize") &&
+      col("offset_in_seq") + col("n_tokens") > budget).isEmpty)
+    // oversize docs sit alone at offset 0
+    assert(out.where(col("oversize") && col("offset_in_seq") =!= 0L).isEmpty)
+    // per-sequence invariants + greedy openings, checked per shard
+    out.select("source", "shard", "doc_id", "n_tokens", "seq_in_shard", "offset_in_seq")
+      .collect().groupBy(r => (r.getString(0), r.getLong(1))).foreach { case (_, rows) =>
+        var curSeq = -1L; var fill = budget
+        rows.sortBy(_.getLong(2)).foreach { r =>
+          val (n, seq, off) = (r.getLong(3), r.getLong(4), r.getLong(5))
+          if (seq == curSeq) {
+            assert(off === fill, "offset must continue the open sequence")
+            fill += n
+            assert(fill <= budget, "a shared sequence must stay within budget")
+          } else {
+            assert(seq === curSeq + 1, "sequences open densely in order")
+            assert(fill + n > budget,
+              "greedy: a new sequence may open ONLY when the doc doesn't fit")
+            assert(off === 0L)
+            curSeq = seq; fill = n
+          }
+        }
+      }
+  }
+
+  test("packEfficiency reconciles with packGreedy and the closed-form straddle count (x216)") {
+    val budget = 2048L
+    val d = Tables.documents(spark, sfDir)
+    val counted = d.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).as("n_tokens"))
+    val rep = Chunking.packEfficiency(counted, budget).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val totals = counted.groupBy("source")
+      .agg(sum(col("n_tokens").cast("long")).as("t"), count(lit(1)).as("nd"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    totals.foreach { case (src, (t, nd)) =>
+      val r = rep(src)
+      assert(r.getAs[Long]("n_docs") === nd)
+      assert(r.getAs[Long]("total_tokens") === t)
+      assert(r.getAs[Long]("n_seqs_straddle") === (t + budget - 1) / budget)
+      assert(r.getAs[Long]("n_seqs_greedy") >= r.getAs[Long]("n_seqs_straddle"),
+        "keeping docs whole can never need fewer sequences")
+      val cap = r.getAs[Long]("padding_tokens") + t
+      assert(math.abs(r.getAs[Double]("utilization") - t.toDouble / cap) < 1e-12)
+      assert(r.getAs[Double]("utilization") <= 1.0)
+    }
+  }
 }

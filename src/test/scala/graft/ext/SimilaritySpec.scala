@@ -1134,6 +1134,37 @@ class SimilaritySpec extends SparkTestBase {
       "probe entry must consume the journal")
   }
 
+  test("graph health law-drift columns: append-grown index past the law steps flags stale_laws (x208 r10)") {
+    // appends keep the BUILD's width/beam (they must — the stored bucket
+    // table hashes at that width), so corpus growth past the laws' next
+    // steps leaves the index running stale constants until an offline
+    // rebuild; the health row is where that shows. Build on copy 0, then
+    // append two salted replicas — 3× nodes crosses both law steps at
+    // every fixture SF.
+    val e0 = graft.ProbeData.replicateEmb(spark, sfDir, 1)
+      .select("vec_id", "embedding")
+    val e3 = graft.ProbeData.replicateEmb(spark, sfDir, 3)
+      .select("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-gdrift").toString
+    Similarity.buildGraphIndex(e0, idx)
+    val fresh = Similarity.graphIndexStats(spark, idx).head()
+    assert(!fresh.getAs[Boolean]("stale_laws"), "a fresh build is never stale")
+    assert(fresh.getAs[Int]("stored_bits") === fresh.getAs[Int]("law_bits"))
+    assert(fresh.getAs[Int]("stored_beam") === fresh.getAs[Int]("law_beam"))
+    Similarity.appendToGraphIndex(spark, idx, e3.exceptAll(e0))
+    val grown = Similarity.graphIndexStats(spark, idx).head()
+    val n = e3.count()
+    assert(grown.getAs[Long]("n_nodes") === n)
+    assert(grown.getAs[Int]("stored_bits") === fresh.getAs[Int]("stored_bits"),
+      "appends must keep the build width")
+    assert(grown.getAs[Int]("law_bits") === Similarity.derivedBits(n))
+    assert(grown.getAs[Int]("law_beam") === Similarity.derivedBeam(n))
+    assert(grown.getAs[Int]("law_bits") > grown.getAs[Int]("stored_bits") ||
+      grown.getAs[Int]("law_beam") > grown.getAs[Int]("stored_beam"),
+      "3x growth must cross at least one law step at every fixture SF")
+    assert(grown.getAs[Boolean]("stale_laws"), "the grown index must flag for rebuild")
+  }
+
   test("graph soft-delete: tombstoned ids vanish from results, traversal still routes") {
     val e = graft.sources.Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding")

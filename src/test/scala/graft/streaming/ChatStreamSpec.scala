@@ -63,4 +63,42 @@ class ChatStreamSpec extends SparkTestBase {
       assert(s.mask_frac === r.getDouble(6))
     }
   }
+
+  test("promptDeconIngest: stream verdicts equal the batch x213 gate bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+    val bench = Chat.parseTurns(Chat.withChat(docs.where(col("source") === "src0")))
+      .where(col("turn_idx") === 1 && col("role") === "user")
+      .select("content")
+    // a planted leak guarantees both verdicts appear in the small slice
+    val benchOne = bench.limit(1).collect().head.getString(0)
+    val planted = Seq((999999L,
+      s"##user## $benchOne ##assistant## a fresh response entirely"))
+      .toDF("doc_id", "transcript")
+    val train = Chat.withChat(docs.where(col("source") =!= "src0")).limit(60)
+      .select(col("doc_id"), col("transcript"))
+      .unionByName(planted)
+    // batch truth: the registered x213 chain restricted to the same rows
+    val batch = Chat.promptDecontaminate(Chat.parseTurns(train), bench)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    // stream: the same conversations arrive over two micro-batches
+    val rows = train.collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    in.addData(b1.toSeq); in.addData(b2.toSeq)
+    val q = ChatStream.promptDeconIngest(
+        in.toDF().toDF("doc_id", "transcript"), bench)
+      .writeStream.format("memory").queryName("pdecon")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+    val streamed = spark.table("pdecon").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(streamed.size === batch.size)
+    assert(streamed === batch, "stream gate must equal the batch gate bit-for-bit")
+    assert(batch.values.exists(_._3), "the slice must contain at least one flagged leak")
+    assert(batch.values.exists(!_._3), "and at least one kept conversation")
+  }
 }
