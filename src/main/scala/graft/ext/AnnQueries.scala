@@ -100,6 +100,12 @@ private[graft] object AnnQueries {
     "x177_embedding_isotropy" -> ((s, dir) =>
       Embeddings.isotropyReport(Tables.embeddings(s, dir))),
 
+    // All-but-the-Top post-processing (r10): mean-center + remove the
+    // power-iterated top principal direction — the FIX for the anisotropy
+    // x177 measures. Deterministic 3-iteration chain, bit-exact oracle.,
+    "x217_embedding_postprocess" -> ((s, dir) =>
+      Embeddings.allButTop(Tables.embeddings(s, dir))),
+
     // Embedding outlier report (r5): distance to the label's exact
     // centroid, flagged at the corpus's exact P95 squared-distance — the
     // embedding-space curation filter after near-dup removal.,
@@ -822,6 +828,43 @@ private[graft] object AnnQueries {
         "t AS (SELECT quantile_cont(dist2, 0.95) AS hi FROM dd) " +
         "SELECT vec_id, label, dist2, sqrt(dist2) AS dist, dist2 > hi AS is_outlier " +
         "FROM dd, t"),
+    // x217: the x177 fold idioms + unrolled power iterations. Each v_t is
+    // a one-row list CTE both sides derive identically (ordered folds,
+    // single divisions, IEEE sqrt); the per-dim Σ w·cx_d reductions are
+    // the same (d, bucket)-keyed two-level folds as the mean.,
+    "x217_embedding_postprocess" -> {
+      val D = Similarity.Dim
+      val iters = 3
+      val sb = new StringBuilder
+      sb ++= "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+      sb ++= "afb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM e), "
+      sb ++= "adx AS (SELECT vec_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS d, unnest(emb) AS v FROM e), "
+      sb ++= "am1 AS (SELECT d, vec_id % (SELECT b FROM afb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
+        "list_aggregate(list_sort(list(v)), 'sum') AS s FROM adx GROUP BY 1, 2), "
+      sb ++= "amu AS (SELECT d, list_aggregate(list(s ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS mu FROM am1 GROUP BY 1), "
+      sb ++= "amuv AS (SELECT list(mu ORDER BY d) AS mu FROM amu), "
+      sb ++= s"acx AS MATERIALIZED (SELECT vec_id, list_transform(generate_series(1, $D), i -> emb[i] - m.mu[i]) AS cx FROM e, amuv m), "
+      sb ++= s"av0 AS (SELECT ${List.fill(D)(java.lang.Double.toString(1.0 / math.sqrt(D.toDouble))).mkString("[", ", ", "]")} AS v), "
+      for (t <- 1 to iters) {
+        sb ++= s"aw$t AS (SELECT c.vec_id, c.cx, " +
+          s"list_aggregate(list_transform(generate_series(1, $D), i -> c.cx[i] * pv.v[i]), 'sum') AS w " +
+          s"FROM acx c, av${t - 1} pv), "
+        sb ++= s"au1_$t AS (SELECT d, bkt, list_aggregate(list_sort(list(wv)), 'sum') AS s FROM " +
+          s"(SELECT vec_id % (SELECT b FROM afb) AS bkt, " +
+          s"CAST(generate_subscripts(cx, 1) - 1 AS BIGINT) AS d, w * unnest(cx) AS wv FROM aw$t) GROUP BY 1, 2), "
+        sb ++= s"au$t AS (SELECT d, list_aggregate(list(s ORDER BY bkt), 'sum') AS u FROM au1_$t GROUP BY 1), "
+        sb ++= s"aun$t AS (SELECT sqrt(list_aggregate(list(u*u ORDER BY d), 'sum')) AS nm FROM au$t), "
+        sb ++= s"av$t AS MATERIALIZED (SELECT list(u/(SELECT nm FROM aun$t) ORDER BY d) AS v FROM au$t), "
+      }
+      sb ++= s"afin AS (SELECT c.vec_id, c.cx, vv.v, " +
+        s"list_aggregate(list_transform(generate_series(1, $D), i -> c.cx[i] * vv.v[i]), 'sum') AS proj " +
+        s"FROM acx c, av$iters vv) "
+      sb ++= s"SELECT vec_id, proj, " +
+        s"sqrt(list_aggregate(list_transform(generate_series(1, $D), i -> (cx[i] - proj*v[i])*(cx[i] - proj*v[i])), 'sum')) AS resid_norm, " +
+        s"cx[1] - proj*v[1] AS y0 FROM afin"
+      sb.toString
+    },
+
     "x177_embedding_isotropy" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
         "ifb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM e), " +

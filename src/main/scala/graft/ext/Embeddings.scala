@@ -169,6 +169,75 @@ object Embeddings {
           .as("top_dim_var_share"))
   }
 
+  /** All-but-the-Top embedding post-processing (x217, r10 — Mu &
+    * Viswanath 2018, public method): mean-center the corpus and remove
+    * its TOP principal direction — the standard fix for the anisotropy
+    * x177 measures (a dominant common direction makes every random pair
+    * look similar, washing out cosine retrieval). The top PC comes from
+    * `iters` deterministic POWER ITERATIONS (fixed unit start 1/√D, each
+    * step one corpus pass), so the whole chain is a pure function of the
+    * vector multiset and the DuckDB oracle replays it bit-for-bit.
+    *
+    * Per vector out: `proj` (the component along the removed direction),
+    * `resid_norm` (the post-processed vector's norm — `resid_norm² +
+    * proj² = ‖x − μ‖²`, the Pythagoras the spec pins) and `y0` (the
+    * post-processed first coordinate, a direct value pin). The cleaned
+    * vector itself is the downstream map `cx − proj·v` — emitting scalars
+    * keeps the oracle compare on stable ground.
+    *
+    * Exactness: dim means and the per-dim `Σ w·cx_d` reductions are
+    * two-level √n folds ([[graft.functions.Stable]] — the x129/x177
+    * discipline); every dot product folds dims left-to-right; the
+    * iteration vector collects to the driver (D doubles — plan-size O(1)
+    * per pass, lineage cut, the kmeansCentroids idiom) and re-enters as
+    * a literal both engines consume identically.
+    *
+    * Scale shape: per iteration ONE corpus scan + a (d, bucket)-keyed
+    * partial agg with √n buffers; state is D doubles. At 100 TB this is
+    * `iters + 2` scans and nothing else. */
+  def allButTop(emb: DataFrame, iters: Int = 3): DataFrame = {
+    import graft.functions.Stable.{sortedFold, bucketFold, sqrtBuckets}
+    require(iters >= 1)
+    val e = graft.ops.Caching.cacheOnce(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb")))
+    val n = e.count()
+    require(n > 0, "all-but-the-top of an empty corpus is undefined")
+    val fb = sqrtBuckets(n)
+    val dims = e.select(col("vec_id"), posexplode(col("emb")).as(Seq("d", "v")))
+    val mu: Seq[Double] = dims
+      .groupBy(col("d"), pmod(col("vec_id"), lit(fb.toLong)).as("_bkt"))
+      .agg(count(lit(1)).as("_n"), sortedFold(col("v")).as("_s"))
+      .groupBy("d")
+      .agg((bucketFold(col("_bkt"), col("_s")) / sum(col("_n")).cast("double"))
+        .as("mean_d"))
+      .orderBy("d").collect().map(_.getDouble(1)).toIndexedSeq
+    val dimN = mu.size
+    def centered = zip_with(col("emb"), typedLit(mu), (x, m) => x - m)
+    var v: Seq[Double] = Seq.fill(dimN)(1.0 / math.sqrt(dimN.toDouble))
+    for (_ <- 1 to iters) {
+      val w = e.select(col("vec_id"), centered.as("cx"))
+        .withColumn("w", aggregate(
+          zip_with(col("cx"), typedLit(v), (x, vv) => x * vv),
+          lit(0.0), (a, x) => a + x))
+      val u = w.select(col("vec_id"), col("w"),
+          posexplode(col("cx")).as(Seq("d", "cxd")))
+        .groupBy(col("d"), pmod(col("vec_id"), lit(fb.toLong)).as("_bkt"))
+        .agg(sortedFold(col("w") * col("cxd")).as("_s"))
+        .groupBy("d").agg(bucketFold(col("_bkt"), col("_s")).as("u_d"))
+        .orderBy("d").collect().map(_.getDouble(1)).toIndexedSeq
+      val norm = math.sqrt(u.foldLeft(0.0)((a, x) => a + x * x))
+      v = u.map(_ / norm)
+    }
+    val vLit = typedLit(v)
+    e.select(col("vec_id"), centered.as("cx"))
+      .withColumn("proj", aggregate(
+        zip_with(col("cx"), vLit, (x, vv) => x * vv), lit(0.0), (a, x) => a + x))
+      .withColumn("_y", zip_with(col("cx"), vLit, (x, vv) => x - col("proj") * vv))
+      .select(col("vec_id"), col("proj"),
+        sqrt(aggregate(col("_y"), lit(0.0), (a, x) => a + x * x)).as("resid_norm"),
+        element_at(col("_y"), 1).as("y0"))
+  }
+
   def outlierReport(emb: DataFrame, grp: Column = col("label"),
       hi: Double = 0.95): DataFrame = {
     val e = emb.select(col("vec_id"), grp.as("label"),

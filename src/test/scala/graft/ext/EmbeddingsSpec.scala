@@ -164,4 +164,39 @@ class EmbeddingsSpec extends SparkTestBase {
     val share = f.getDouble(f.fieldIndex("top_dim_var_share"))
     assert(share > 1.0 / 64 / 2 && share < 3.0 / 64, s"dominance $share far from 1/64")
   }
+
+  test("allButTop: Pythagoras holds, projections center, a planted common direction is removed (x217)") {
+    // planted corpus: the only real variance is along e0 (strong, varying
+    // coefficient) plus tiny e1 noise — the power-iterated top PC must be
+    // ≈ e0, so removal leaves ≈ the noise scale
+    val data = (0 until 200).map { i =>
+      val arr = Array.fill(64)(0.0f)
+      arr(0) = 1.0f + (i % 7)
+      arr(1) = ((i % 3) - 1) * 0.01f
+      (i.toLong, arr.toSeq)
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val out = Embeddings.allButTop(df).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // exact-enough reference cx from the same data, driver-side
+    val muRef = (0 until 64).map(d => data.map(_._2(d).toDouble).sum / data.size)
+    data.foreach { case (id, arr) =>
+      val cx = arr.map(_.toDouble).zip(muRef).map { case (x, m) => x - m }
+      val cxNorm2 = cx.map(x => x * x).sum
+      val (proj, resid) = out(id)
+      assert(math.abs(proj * proj + resid * resid - cxNorm2) < 1e-9 * (1 + cxNorm2),
+        s"Pythagoras broken at $id")
+      // top PC ≈ e0: the projection carries (almost) all of cx_0
+      assert(math.abs(math.abs(proj) - math.abs(cx(0))) < 0.05,
+        s"projection at $id should ride the planted direction")
+      assert(resid < 0.05, s"residual at $id should be noise-scale, got $resid")
+    }
+    // mean-centered input ⇒ projections sum to ~0
+    assert(math.abs(out.values.map(_._1).sum) < 1e-6 * out.size)
+    // deterministic end to end on the real fixture (two independent runs)
+    val e = Tables.embeddings(spark, sfDir)
+    val a = Embeddings.allButTop(e).collect().map(_.toSeq).toSet
+    val b = Embeddings.allButTop(e).collect().map(_.toSeq).toSet
+    assert(a === b, "allButTop must be bit-deterministic")
+  }
 }
