@@ -734,6 +734,63 @@ object Curate {
     contamination(corpus, benchmark, k)
       .withColumn("drop_doc", col("contamination") > maxFrac)
 
+  /** Decontamination-family DATASHEET (x218, r10) — the one-page audit an
+    * eval-integrity review reads: every leakage channel the engine
+    * closes, one row each, counted over the standard fixture slices
+    * (train = non-src0, benchmark = src0, the x101/x117/x213 convention;
+    * the embedding channel uses its own deterministic hash split):
+    *
+    *  - `text_ngram`   — x101's flag-only shingle containment (drop_doc);
+    *  - `ngram_applied`— x117's span excision (docs touched + the token
+    *    mass removed — the only channel with a mass column);
+    *  - `embedding`    — x163's exact semantic screen (cosine ≥ τ to any
+    *    eval vector);
+    *  - `chat_prompt`  — x213's first-user-turn window containment.
+    *
+    * Counts are exact integers, the fraction is one division, and every
+    * channel's chain is the registered operator itself — the datasheet
+    * can't drift from the things it summarizes (the oracle composes the
+    * SAME channel oracles). */
+  def deconDatasheet(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val train = docs.where(col("source") =!= "src0")
+    val bench = docs.where(col("source") === "src0")
+    def shape(channel: String, df: DataFrame, tokens: Boolean = false): DataFrame =
+      df.select(lit(channel).as("channel"), col("n_checked"), col("n_flagged"),
+        (col("n_flagged").cast("double") / col("n_checked").cast("double"))
+          .as("frac_flagged"),
+        (if (tokens) col("tokens_removed") else lit(null).cast("long"))
+          .as("tokens_removed"))
+    val t1 = decontaminate(train, bench, 3)
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("drop_doc"), 1L).otherwise(0L)).as("n_flagged"))
+    val t2 = Dedup.decontaminateApplied(train, bench)
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("n_removed") > 0L, 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("n_removed")).as("tokens_removed"))
+    val u = uniformHash(col("vec_id"), "decon")
+    // the flagged count is a driver scalar (one bounded action — flag
+    // sets are benchmark-sized, the mmrSelect/kmeansCentroids budget).
+    // Deliberately a FULL-COLUMN collect, not count(): pruning every
+    // column out of the packed broadcast-fold plan trips a Catalyst
+    // lambda-binding edge (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on the
+    // fold's outer reference) in some environments; the full collect is
+    // the path the x163 specs pin.
+    val t3flagged = Similarity.semanticDecontamination(emb).collect().length.toLong
+    val t3 = emb.where(!(u < lit(Similarity.DeconEvalFrac)))
+      .agg(count(lit(1)).as("n_checked"))
+      .select(col("n_checked"), lit(t3flagged).as("n_flagged"))
+    val t4 = Chat.promptDecontaminate(
+        Chat.parseTurns(Chat.withChat(train)),
+        Chat.parseTurns(Chat.withChat(bench))
+          .where(col("turn_idx") === 1 && col("role") === "user"))
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("drop_conv"), 1L).otherwise(0L)).as("n_flagged"))
+    shape("text_ngram", t1)
+      .unionByName(shape("ngram_applied", t2, tokens = true))
+      .unionByName(shape("embedding", t3))
+      .unionByName(shape("chat_prompt", t4))
+  }
+
   /** Ordered filter cascade with drop-reason attribution — the audit
     * artifact every curation pipeline ships alongside its output ("N docs
     * dropped by rule R"). `rules` is an ordered list of (name, dropWhen)

@@ -103,6 +103,13 @@ private[graft] object CurateQueries {
         d.where(col("source") === "src0"), 3)
     }),
 
+    // Decontamination-family datasheet (r10): every leakage channel the
+    // engine closes, one audit row each — x101 flag, x117 span excision,
+    // x163 embedding screen, x213 chat prompt. The oracle composes the
+    // SAME channel oracles, so the summary can't drift from them.,
+    "x218_decon_datasheet" -> ((s, dir) =>
+      Curate.deconDatasheet(Tables.documents(s, dir), Tables.embeddings(s, dir))),
+
     // Filter cascade with drop-reason attribution (r5): Gopher/C4-style
     // heuristic gates in a fixed order; each doc gets its first failing
     // rule as drop_reason, so per-rule counts are additive. Thresholds
@@ -461,7 +468,7 @@ private[graft] object CurateQueries {
     // cheap OCR/ASR repetition scrub, per-row index-lambda HOF.,
   )
 
-  val oracleSql: Map[String, String] = Map(
+  private val baseOracleSql: Map[String, String] = Map(
     "x123_training_run_export" ->
       ("WITH c AS (SELECT lang AS bucket, CAST(count(*) AS BIGINT) AS n_docs " +
         "FROM documents GROUP BY 1), " +
@@ -1094,4 +1101,36 @@ private[graft] object CurateQueries {
         "CAST(sum(chunk_tokens) AS BIGINT) AS total_chunk_tokens " +
         "FROM s JOIN cs USING (doc_id) GROUP BY lang, source"),
   )
+
+  /** x218's oracle COMPOSES the four channel oracles verbatim (each a
+    * full WITH…SELECT nested as a CTE body), so the datasheet stays in
+    * lock-step with the operators it summarizes by construction. */
+  val oracleSql: Map[String, String] = baseOracleSql +
+    ("x218_decon_datasheet" -> {
+      val embTrainCount =
+        "(SELECT count(*) FROM embeddings WHERE NOT " +
+          "(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':decon'), 1, 8)) AS BIGINT)/4294967296.0 " +
+          s"< ${Similarity.DeconEvalFrac}))"
+      s"WITH dd1 AS (${baseOracleSql("x101_decontaminate")}), " +
+        s"dd2 AS (${baseOracleSql("x117_decontaminate_applied")}), " +
+        s"dd3 AS (${AnnQueries.oracleSql("x163_semantic_decontamination")}), " +
+        s"dd4 AS (${ChatQueries.oracleSql("x213_chat_decontaminate")}) " +
+        "SELECT 'text_ngram' AS channel, CAST(count(*) AS BIGINT) AS n_checked, " +
+        "CAST(sum(CASE WHEN drop_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged, " +
+        "CAST(sum(CASE WHEN drop_doc THEN 1 ELSE 0 END) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS frac_flagged, " +
+        "CAST(NULL AS BIGINT) AS tokens_removed FROM dd1 " +
+        "UNION ALL SELECT 'ngram_applied', CAST(count(*) AS BIGINT), " +
+        "CAST(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT), " +
+        "CAST(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS DOUBLE)/CAST(count(*) AS DOUBLE), " +
+        "CAST(sum(n_removed) AS BIGINT) FROM dd2 " +
+        "UNION ALL SELECT 'embedding', " +
+        s"CAST($embTrainCount AS BIGINT), " +
+        "CAST((SELECT count(*) FROM dd3) AS BIGINT), " +
+        s"CAST((SELECT count(*) FROM dd3) AS DOUBLE)/CAST($embTrainCount AS DOUBLE), " +
+        "CAST(NULL AS BIGINT) " +
+        "UNION ALL SELECT 'chat_prompt', CAST(count(*) AS BIGINT), " +
+        "CAST(sum(CASE WHEN drop_conv THEN 1 ELSE 0 END) AS BIGINT), " +
+        "CAST(sum(CASE WHEN drop_conv THEN 1 ELSE 0 END) AS DOUBLE)/CAST(count(*) AS DOUBLE), " +
+        "CAST(NULL AS BIGINT) FROM dd4"
+    })
 }

@@ -539,15 +539,22 @@ object Similarity {
     */
   def assignCells(vectors: DataFrame, cents: DataFrame): DataFrame = {
     GraftFunctions.register(vectors.sparkSession)
+    // rename the probe column before the self-join-shaped crossJoin —
+    // cents usually derive from the SAME base relation, and an ambiguous
+    // `embedding` reference inside the fold lambda can re-bind into the
+    // packed subtree after relation deduplication (the
+    // semanticDeconAgainst incident, r10; order-dependent)
+    val probes = vectors.select(col("vec_id"), col("embedding").as("_probe_emb"))
     val packed = packCents(cents)
     val init = struct(lit(Double.NegativeInfinity).as("cos"), lit(-1L).as("id"))
     val best = aggregate(col("_cents"), init, (acc, c) => {
-      val cos = GraftFunctions.cosineSim(col("embedding"), c.getField("cent_emb"))
+      val cos = GraftFunctions.cosineSim(col("_probe_emb"), c.getField("cent_emb"))
       when(cos > acc.getField("cos"),
         struct(cos.as("cos"), c.getField("cent_id").as("id"))).otherwise(acc)
     })
-    vectors.crossJoin(packed)
-      .select(col("vec_id"), col("embedding"), best.getField("id").as("cell"))
+    probes.crossJoin(packed)
+      .select(col("vec_id"), col("_probe_emb").as("embedding"),
+        best.getField("id").as("cell"))
   }
 
   /** Semantic corpus composition: per IVF cell — membership count, mean
@@ -564,14 +571,18 @@ object Similarity {
     */
   def clusterProfile(vectors: DataFrame): DataFrame = {
     GraftFunctions.register(vectors.sparkSession)
+    // probe-column rename: the assignCells self-join discipline (r10) —
+    // the centroids here ALWAYS derive from the same frame
+    val probes = vectors.select(col("vec_id"), col("label"),
+      col("embedding").as("_probe_emb"))
     val packed = packCents(strideCents(vectors))
     val init = struct(lit(Double.NegativeInfinity).as("cos"), lit(-1L).as("id"))
     val best = aggregate(col("_cents"), init, (acc, c) => {
-      val cos = GraftFunctions.cosineSim(col("embedding"), c.getField("cent_emb"))
+      val cos = GraftFunctions.cosineSim(col("_probe_emb"), c.getField("cent_emb"))
       when(cos > acc.getField("cos"),
         struct(cos.as("cos"), c.getField("cent_id").as("id"))).otherwise(acc)
     })
-    val asg = vectors.crossJoin(packed)
+    val asg = probes.crossJoin(packed)
       .select(col("vec_id"), col("label"),
         best.getField("id").as("cell"), best.getField("cos").as("cent_cos"))
     val cellStats = asg.groupBy("cell").agg(
@@ -671,13 +682,15 @@ object Similarity {
   def assignCellsTop2(vectors: DataFrame, cents0: DataFrame): DataFrame = {
     GraftFunctions.register(vectors.sparkSession)
     val cents = cents0
+    // probe-column rename: the assignCells self-join discipline (r10)
+    val probes = vectors.select(col("vec_id"), col("embedding").as("_probe_emb"))
     val packed = broadcast(cents.agg(
       array_sort(collect_list(struct(col("cent_id"), col("cent_emb")))).as("_cents")))
     val init = struct(
       lit(Double.NegativeInfinity).as("c1"), lit(-1L).as("i1"),
       lit(Double.NegativeInfinity).as("c2"), lit(-1L).as("i2"))
     val best2 = aggregate(col("_cents"), init, (acc, c) => {
-      val cos = GraftFunctions.cosineSim(col("embedding"), c.getField("cent_emb"))
+      val cos = GraftFunctions.cosineSim(col("_probe_emb"), c.getField("cent_emb"))
       when(cos > acc.getField("c1"),
         struct(cos.as("c1"), c.getField("cent_id").as("i1"),
           acc.getField("c1").as("c2"), acc.getField("i1").as("i2")))
@@ -686,8 +699,8 @@ object Similarity {
             cos.as("c2"), c.getField("cent_id").as("i2")))
         .otherwise(acc)
     })
-    vectors.crossJoin(packed)
-      .select(col("vec_id"), col("embedding"),
+    probes.crossJoin(packed)
+      .select(col("vec_id"), col("_probe_emb").as("embedding"),
         best2.getField("i1").as("cell1"), best2.getField("i2").as("cell2"))
   }
 
@@ -1747,15 +1760,22 @@ object Similarity {
   def semanticDeconAgainst(vectors: DataFrame, ev: DataFrame,
       tau: Double = DeconTau): DataFrame = {
     GraftFunctions.register(vectors.sparkSession)
+    // rename the probe column BEFORE the self-join-shaped crossJoin: both
+    // sides usually derive from the SAME base relation, and an ambiguous
+    // `embedding` reference inside the fold lambda can re-bind into the
+    // packed side after relation deduplication (manifests as
+    // INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at task binding, dependent on
+    // expression-id assignment order)
+    val probes = vectors.select(col("vec_id"), col("embedding").as("_probe_emb"))
     val packed = broadcast(ev.agg(
       array_sort(collect_list(struct(col("eval_id"), col("eval_emb")))).as("_ev")))
     val init = struct(lit(Double.NegativeInfinity).as("cos"), lit(-1L).as("id"))
     val best = aggregate(col("_ev"), init, (acc, c) => {
-      val cos = GraftFunctions.cosineSim(col("embedding"), c.getField("eval_emb"))
+      val cos = GraftFunctions.cosineSim(col("_probe_emb"), c.getField("eval_emb"))
       when(cos > acc.getField("cos"),
         struct(cos.as("cos"), c.getField("eval_id").as("id"))).otherwise(acc)
     })
-    vectors.crossJoin(packed)
+    probes.crossJoin(packed)
       .select(col("vec_id"), best.getField("id").as("nearest_eval"),
         best.getField("cos").as("max_cos"))
       .where(col("max_cos") >= lit(tau))
@@ -2213,6 +2233,22 @@ object Similarity {
       }
     }
     rmTree(new java.io.File(tmp))
+  }
+
+  /** Compact an append-fragmented graph index (r10 — the lifecycle verb
+    * the other stored-index families already carry): `vectors/` and
+    * `buckets/` are plain append-accumulating dirs (one file per append
+    * batch), `directed/` and `edges/` fragment per rewritten partition —
+    * all four rewrite through [[graft.ops.Maintenance]]'s crash-safe
+    * tmp-dir + swap discipline. Content is untouched, so probes are
+    * bit-identical before/after (spec-pinned); only file counts fall. */
+  def compactGraphIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    recoverGraphAppend(indexDir)
+    graft.ops.Maintenance.compactPlain(spark, s"$indexDir/vectors")
+    graft.ops.Maintenance.compactPlain(spark, s"$indexDir/buckets")
+    graft.ops.Maintenance.compactPartitioned(spark, s"$indexDir/directed", "epart")
+    graft.ops.Maintenance.compactPartitioned(spark, s"$indexDir/edges", "epart")
   }
 
   /** One-row health report over a stored graph index (x208) — the

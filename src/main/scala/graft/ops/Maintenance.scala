@@ -50,6 +50,25 @@ object Maintenance {
     rm(new java.io.File(old))
   }
 
+  /** [[compactPartitioned]]'s UNPARTITIONED twin — rewrite a plain parquet
+    * dir (an append-accumulating table like a graph index's `vectors/`)
+    * to `files` output files via the same tmp-dir + two-move swap;
+    * [[recoverSwap]] (called on entry) heals the same crash states. */
+  def compactPlain(spark: SparkSession, dir: String, files: Int = 1): Unit = {
+    require(files >= 1)
+    val tmp = dir + "_compact_tmp"
+    val old = dir + "_compact_old"
+    recoverSwap(dir)
+    spark.read.parquet(dir).repartition(files)
+      .write.mode("overwrite").parquet(tmp)
+    Files.move(Paths.get(dir), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), Paths.get(dir), StandardCopyOption.ATOMIC_MOVE)
+    def rm(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rm)); p.delete()
+    }
+    rm(new java.io.File(old))
+  }
+
   /** Heal an interrupted `compactPartitioned` swap. Two crash states exist:
     *  - crash between the two moves: `dir` missing, `_compact_old` holds the
     *    original → move it back;

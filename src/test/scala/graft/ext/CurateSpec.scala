@@ -590,4 +590,47 @@ class CurateSpec extends SparkTestBase {
     assert(Curate.qualityMassCurve(fx.repartition(7)).collect().map(_.toSeq).toSet ===
       rows.map(_.toSeq).toSet)
   }
+
+  test("deconDatasheet rows cross-pin the standalone channel operators (x218)") {
+    val d = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val train = d.where(col("source") =!= "src0")
+    val bench = d.where(col("source") === "src0")
+    val ds = Curate.deconDatasheet(d, emb).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(ds.keySet === Set("text_ngram", "ngram_applied", "embedding", "chat_prompt"))
+    // each row must equal the standalone operator's own rollup — the
+    // datasheet summarizes, never re-derives
+    val t1 = Curate.decontaminate(train, bench, 3).collect()
+    assert(ds("text_ngram").getAs[Long]("n_checked") === t1.length.toLong)
+    assert(ds("text_ngram").getAs[Long]("n_flagged") ===
+      t1.count(_.getAs[Boolean]("drop_doc")).toLong)
+    val t2 = Dedup.decontaminateApplied(train, bench).collect()
+    assert(ds("ngram_applied").getAs[Long]("n_checked") === t2.length.toLong)
+    assert(ds("ngram_applied").getAs[Long]("n_flagged") ===
+      t2.count(_.getAs[Long]("n_removed") > 0L).toLong)
+    assert(ds("ngram_applied").getAs[Long]("tokens_removed") ===
+      t2.map(_.getAs[Long]("n_removed")).sum)
+    assert(ds("embedding").getAs[Long]("n_flagged") ===
+      Similarity.semanticDecontamination(emb).collect().length.toLong)
+    val t4 = Chat.promptDecontaminate(
+      Chat.parseTurns(Chat.withChat(train)),
+      Chat.parseTurns(Chat.withChat(bench))
+        .where(col("turn_idx") === 1 && col("role") === "user")).collect()
+    assert(ds("chat_prompt").getAs[Long]("n_checked") === t4.length.toLong)
+    assert(ds("chat_prompt").getAs[Long]("n_flagged") ===
+      t4.count(_.getAs[Boolean]("drop_conv")).toLong)
+    // the fixture exercises the n-gram channels; only the applied channel
+    // carries a token-mass column
+    assert(ds("ngram_applied").getAs[Long]("tokens_removed") > 0L)
+    Seq("text_ngram", "embedding", "chat_prompt").foreach { ch =>
+      assert(ds(ch).isNullAt(ds(ch).fieldIndex("tokens_removed")),
+        s"$ch must not claim a token mass")
+    }
+    // fractions are the exact count ratios
+    ds.values.foreach { r =>
+      assert(r.getAs[Double]("frac_flagged") ===
+        r.getAs[Long]("n_flagged").toDouble / r.getAs[Long]("n_checked").toDouble)
+    }
+  }
 }

@@ -1165,6 +1165,37 @@ class SimilaritySpec extends SparkTestBase {
     assert(grown.getAs[Boolean]("stale_laws"), "the grown index must flag for rebuild")
   }
 
+  test("graph index compacts: fewer files across all four dirs, probes bit-identical") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-gcomp").toString
+    Similarity.buildGraphIndex(e.where($"vec_id" % 3 =!= 0), idx)
+    // three appends fragment vectors/buckets (one file each) and rewrite
+    // edge partitions repeatedly
+    Seq(0L, 1L, 2L).foreach { i =>
+      Similarity.appendToGraphIndex(spark, idx,
+        e.where($"vec_id" % 3 === 0 && $"vec_id" % 9 === i * 3))
+    }
+    def files(sub: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$idx/$sub")).count(_.getName.endsWith(".parquet"))
+    }
+    val q = e.where($"vec_id" < 5)
+    def probe() = Similarity.graphBeamTopK(spark, idx, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val before = probe()
+    val filesBefore = Seq("vectors", "buckets", "directed", "edges").map(files)
+    assert(filesBefore.head >= 4, "appends must have fragmented vectors/")
+    Similarity.compactGraphIndex(spark, idx)
+    val filesAfter = Seq("vectors", "buckets", "directed", "edges").map(files)
+    assert(filesAfter.zip(filesBefore).forall { case (a, b) => a <= b })
+    assert(filesAfter.head === 1, "vectors/ must collapse to one file")
+    assert(filesAfter(1) === 1, "buckets/ must collapse to one file")
+    assert(probe() === before, "compaction must not move a single probe bit")
+  }
+
   test("graph soft-delete: tombstoned ids vanish from results, traversal still routes") {
     val e = graft.sources.Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding")
