@@ -500,6 +500,45 @@ object Hybrid {
     evalDistribution(perQ, QuerySet.size)
   }
 
+  /** LEXICAL hard negatives (x219, r10): the embedding-training negative
+    * miner that complements x91's semantic one — per query, the BM25
+    * top-`depth` candidates (lexically plausible: they share the query's
+    * terms) that are NOT in the semantic top-`k` (semantically wrong),
+    * kept in BM25 order. Exactly the "hard" negatives contrastive
+    * retrieval training wants: random negatives are trivially far, and
+    * semantic near-misses (x91) teach fine ranking — the lexical overlap
+    * trap is its own failure mode (BM25-similar ≠ relevant). Each
+    * negative carries its cosine to the query, which by construction
+    * cannot exceed the k-th positive's (the spec pins it).
+    *
+    * Scale shape: both rankers are the audited x145 chains (broadcast
+    * query set, partial-agg BM25, brute-force leg swappable for the
+    * bucketed rankers via the same interface); the negative join moves
+    * O(queries · depth) rows.
+    */
+  def lexicalHardNegatives(docs: DataFrame, emb: DataFrame,
+      k: Int = 10, depth: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    GraftFunctions.register(spark)
+    val queries = querySetDf(spark)
+    val bm = bm25TopKSet(docs, queries, depth, excludeSelf = true)
+      .select(col("query_id"), col("doc_id"), col("rank").as("bm25_rank"))
+    val pos = Similarity.bruteForceTopK(
+        emb.where(col("vec_id").isin(QuerySet.map(_._1): _*)), emb, k)
+      .select(col("q_id").as("query_id"), col("vec_id").as("doc_id"))
+    val qv = broadcast(emb.where(col("vec_id").isin(QuerySet.map(_._1): _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    bm.join(pos, Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(
+        Window.partitionBy("query_id").orderBy("bm25_rank")).cast("long"))
+      .where(col("neg_rank") <= k)
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      .join(qv, "query_id")
+      .select(col("query_id"), col("doc_id"), col("bm25_rank"),
+        GraftFunctions.cosineSim(col("embedding"), col("q_emb")).as("cos"),
+        col("neg_rank"))
+  }
+
   // x153 split per system (r10, VERDICT item 7): the three stored-system
   // evals as INDEPENDENT queries/bench legs, so the heaviest eval leg
   // can't hide a single-system regression. Each produces exactly its

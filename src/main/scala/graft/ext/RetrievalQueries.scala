@@ -18,6 +18,12 @@ private[graft] object RetrievalQueries {
       Similarity.hardNegatives(e.where(col("vec_id") < 5), e, 10)
     }),
 
+    // LEXICAL hard negatives (r10): BM25-plausible but semantically wrong
+    // — x91's complement for contrastive retrieval training. Composes the
+    // two x145 rankers; negatives keep BM25 order and carry their cosine.,
+    "x219_lexical_hard_negatives" -> ((s, dir) =>
+      Hybrid.lexicalHardNegatives(Tables.documents(s, dir), Tables.embeddings(s, dir))),
+
     // Winnowing overlap candidates (r5): MOSS fingerprint selection +
     // df-capped shared-fingerprint pairing.,
     "x48_bm25_topk" -> ((s, dir) =>
@@ -201,6 +207,20 @@ private[graft] object RetrievalQueries {
       "WHERE rank <= 10)"
 
   val oracleSql: Map[String, String] = Map(
+    // x219: sbm (lexical top-20) anti-joined against the semantic top-10
+    // from ssan, BM25-ordered, cosine re-attached from the same ssan.,
+    "x219_lexical_hard_negatives" ->
+      (s"WITH $hybridSetCtes, " +
+        "spos AS (SELECT query_id, doc_id FROM (SELECT query_id, doc_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS r FROM ssan) WHERE r <= 10), " +
+        "sneg AS (SELECT b.query_id, b.doc_id, b.rank AS bm25_rank FROM sbm b " +
+        "ANTI JOIN spos p ON b.query_id = p.query_id AND b.doc_id = p.doc_id), " +
+        "snr AS (SELECT query_id, doc_id, bm25_rank, " +
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY bm25_rank) AS BIGINT) AS neg_rank FROM sneg) " +
+        "SELECT n.query_id, n.doc_id, n.bm25_rank, s.cos, n.neg_rank " +
+        "FROM snr n JOIN ssan s ON n.query_id = s.query_id AND n.doc_id = s.doc_id " +
+        "WHERE n.neg_rank <= 10"),
+
     // x210/x211/x212: x153's per-system rows as standalone oracles (r10
     // split) — identical CTEs, filtered to one system each.,
     "x210_retrieval_eval_bm25_stored" ->

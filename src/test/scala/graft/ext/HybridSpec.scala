@@ -248,4 +248,32 @@ class HybridSpec extends SparkTestBase {
     assert(Hybrid.retrievalEvalGraph(docs, emb, idx).collect().map(_.toSeq).toSeq ===
       rows.map(_.toSeq).toSeq)
   }
+
+  test("lexicalHardNegatives: disjoint from semantic positives, BM25-ordered, cosine-bounded (x219)") {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val neg = Hybrid.lexicalHardNegatives(docs, emb).collect()
+    assert(neg.nonEmpty, "the fixture must yield lexical negatives")
+    val pos = Similarity.bruteForceTopK(
+        emb.where(col("vec_id").isin(Hybrid.QuerySet.map(_._1): _*)), emb, 10)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+    val posSet = pos.map(p => (p._1, p._2)).toSet
+    val minPosCos = pos.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).min }
+    neg.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      // never a semantic positive, and semantically BELOW every positive
+      rows.foreach { r =>
+        assert(!posSet.contains((q, r.getAs[Long]("doc_id"))),
+          "a negative must not be a semantic top-k member")
+        assert(r.getAs[Double]("cos") <= minPosCos(q) + 1e-12,
+          "a negative's cosine cannot exceed the k-th positive's")
+      }
+      // BM25 order is preserved and dense from 1
+      val byNeg = rows.sortBy(_.getAs[Long]("neg_rank"))
+      assert(byNeg.map(_.getAs[Long]("neg_rank")).toSeq === (1L to rows.length).toSeq)
+      assert(byNeg.map(_.getAs[Long]("bm25_rank")).toSeq ===
+        byNeg.map(_.getAs[Long]("bm25_rank")).sortBy(identity).toSeq)
+      assert(rows.length <= 10)
+    }
+  }
 }
