@@ -203,6 +203,14 @@ object ScaleProbe {
         graft.ext.Preference.btFit(
           graft.ext.Preference.derivedPreferences(corpus)).count()
       }
+      // No-straddle greedy packing (r10): one scan + a (source, shard)-
+      // keyed fold whose state is shard-bounded (1024 docs) — time must
+      // track k at scan slope; the fold buffers never grow with k.
+      time("pack_greedy") {
+        graft.ext.Chunking.packGreedy(
+          corpus.select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).as("n_tokens")), 2048L).count()
+      }
       // Unigram-LM train (r9): the corpus pass is the one pretoken
       // groupBy; seed/EM/prune run on DISTINCT pretokens (vocabulary-
       // bound, like bpe_train8 — salting grows the pretoken vocabulary
@@ -215,6 +223,12 @@ object ScaleProbe {
       corpus.unpersist(blocking = true)
       val emb = replicateEmb(k).cache()
       emb.count()
+      // All-but-the-top post-processing (r10): iters+2 corpus scans, each
+      // reduced through (d, bucket)-keyed √n folds — time must track k at
+      // scan slope with a constant driver-state floor (D doubles).
+      time("all_but_top") {
+        graft.ext.Embeddings.allButTop(emb).count()
+      }
       // MMR selection: k=10 greedy steps, each ONE argmax scan over the
       // cached candidates — time must track corpus size × 10 at scan
       // slope; driver state stays 10 ids + 10 vectors at every scale.
