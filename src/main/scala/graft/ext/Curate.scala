@@ -791,6 +791,46 @@ object Curate {
       .unionByName(shape("chat_prompt", t4))
   }
 
+  /** Delta-ingest datasheet (x221, r10) — the one-row "what did this
+    * crawl actually add" audit an incremental corpus pipeline reads
+    * before merging a new batch: batch size, how much of it is an EXACT
+    * duplicate of the master (digest containment — the x01 canon), the
+    * genuinely new docs' token mass, and the vocabulary growth the new
+    * docs bring (new distinct terms / master vocabulary — the
+    * staleness/novelty dial; near-zero growth means the crawl is
+    * re-reading the same web).
+    *
+    * Scale shape: the digest screen shuffles 16-byte hashes (never
+    * text); the vocabulary legs are token-keyed DISTINCT partial aggs +
+    * one anti-join on the term; the rollup is five 1-row aggregates
+    * crossJoined (constant folds, documented exemption). */
+  def deltaDatasheet(master: DataFrame, delta: DataFrame): DataFrame = {
+    val mDig = master.select(md5(col("text")).as("h")).distinct()
+    val dNew = graft.ops.Caching.cacheOnce(
+      delta.select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+        .join(mDig, Seq("h"), "left_anti"))
+    val mVocab = graft.ops.Caching.cacheOnce(
+      master.select(explode(TextOps.tokens(col("text"))).as("tok")).distinct())
+    val newTerms = dNew.select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .distinct()
+      .join(mVocab, Seq("tok"), "left_anti")
+    master.agg(count(lit(1)).as("n_master"))
+      .crossJoin(broadcast(delta.agg(count(lit(1)).as("n_delta"))))
+      .crossJoin(broadcast(dNew.agg(count(lit(1)).as("n_delta_new"),
+        coalesce(sum(size(TextOps.tokens(col("text"))).cast("long")), lit(0L))
+          .as("delta_new_tokens"))))
+      .crossJoin(broadcast(mVocab.agg(count(lit(1)).as("vocab_master"))))
+      .crossJoin(broadcast(newTerms.agg(count(lit(1)).as("vocab_new_terms"))))
+      .select(col("n_master"), col("n_delta"),
+        (col("n_delta") - col("n_delta_new")).as("n_delta_dup"),
+        col("n_delta_new"),
+        (col("n_delta_new").cast("double") / col("n_delta").cast("double"))
+          .as("new_frac"),
+        col("delta_new_tokens"), col("vocab_master"), col("vocab_new_terms"),
+        (col("vocab_new_terms").cast("double") / col("vocab_master").cast("double"))
+          .as("vocab_growth_frac"))
+  }
+
   /** Ordered filter cascade with drop-reason attribution — the audit
     * artifact every curation pipeline ships alongside its output ("N docs
     * dropped by rule R"). `rules` is an ordered list of (name, dropWhen)

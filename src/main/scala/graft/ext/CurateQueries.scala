@@ -110,6 +110,15 @@ private[graft] object CurateQueries {
     "x218_decon_datasheet" -> ((s, dir) =>
       Curate.deconDatasheet(Tables.documents(s, dir), Tables.embeddings(s, dir))),
 
+    // Delta-ingest datasheet (r10): master = 3/4 of the corpus, delta =
+    // the doc_id % 4 == 0 batch — exact-dup containment, new token mass,
+    // vocabulary growth. The "what did this crawl add" one-row audit.,
+    "x221_delta_datasheet" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Curate.deltaDatasheet(d.where(col("doc_id") % 4 =!= 0),
+        d.where(col("doc_id") % 4 === 0))
+    }),
+
     // Filter cascade with drop-reason attribution (r5): Gopher/C4-style
     // heuristic gates in a fixed order; each doc gets its first failing
     // rule as drop_reason, so per-rule counts are additive. Thresholds
@@ -1102,10 +1111,31 @@ private[graft] object CurateQueries {
         "FROM s JOIN cs USING (doc_id) GROUP BY lang, source"),
   )
 
+  /** x221: digest containment + token-distinct anti-joins, all scalar
+    * subqueries over the two doc_id%4 slices. */
+  private lazy val x221Sql: String =
+    "WITH dm AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0), " +
+      "dl AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0), " +
+      "mh AS (SELECT DISTINCT md5(text) AS h FROM dm), " +
+      "dn AS (SELECT doc_id, text FROM dl WHERE md5(text) NOT IN (SELECT h FROM mh)), " +
+      "mv AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM dm), " +
+      "nv AS (SELECT tok FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM dn) t " +
+      "WHERE tok NOT IN (SELECT tok FROM mv)) " +
+      "SELECT CAST((SELECT count(*) FROM dm) AS BIGINT) AS n_master, " +
+      "CAST((SELECT count(*) FROM dl) AS BIGINT) AS n_delta, " +
+      "CAST((SELECT count(*) FROM dl) - (SELECT count(*) FROM dn) AS BIGINT) AS n_delta_dup, " +
+      "CAST((SELECT count(*) FROM dn) AS BIGINT) AS n_delta_new, " +
+      "CAST((SELECT count(*) FROM dn) AS DOUBLE)/CAST((SELECT count(*) FROM dl) AS DOUBLE) AS new_frac, " +
+      "CAST(coalesce((SELECT sum(len(string_split(text, ' '))) FROM dn), 0) AS BIGINT) AS delta_new_tokens, " +
+      "CAST((SELECT count(*) FROM mv) AS BIGINT) AS vocab_master, " +
+      "CAST((SELECT count(*) FROM nv) AS BIGINT) AS vocab_new_terms, " +
+      "CAST((SELECT count(*) FROM nv) AS DOUBLE)/CAST((SELECT count(*) FROM mv) AS DOUBLE) AS vocab_growth_frac"
+
   /** x218's oracle COMPOSES the four channel oracles verbatim (each a
     * full WITH…SELECT nested as a CTE body), so the datasheet stays in
     * lock-step with the operators it summarizes by construction. */
   val oracleSql: Map[String, String] = baseOracleSql +
+    ("x221_delta_datasheet" -> x221Sql) +
     ("x218_decon_datasheet" -> {
       val embTrainCount =
         "(SELECT count(*) FROM embeddings WHERE NOT " +

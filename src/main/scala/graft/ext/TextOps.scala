@@ -55,6 +55,59 @@ object TextOps {
   def langId(text: Column): Column =
     when(stopwordHits(text, EnStopwords) >= 2, lit("en")).otherwise(lit("unk"))
 
+  // ----- PII scrubbing (x220, r10) -----
+  //
+  // The redaction pass every training-data pipeline runs before text
+  // ships (Dolma/CCNet-style regex PII tagging — public practice). The
+  // patterns use only character classes, bounded repetition, and \b —
+  // the regex subset Java (Spark) and RE2 (DuckDB) evaluate identically,
+  // the x102 regexp precedent.
+
+  val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+  val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Deterministic PII injection over the fixture corpus (the
+    * withUrl/withChat derivation idiom): ~3/4 of docs get one md5-chosen
+    * PII item appended (email / phone / IPv4), the rest stay clean — so
+    * the scrubber sees real positives AND true negatives at every SF
+    * with zero new test data. */
+  def withPii(docs: DataFrame): DataFrame = {
+    val h = md5(concat(col("doc_id").cast("string"), lit(":pii")))
+    def slice(from: Int, mod: Int): Column =
+      conv(substring(h, from, 4), 16, 10).cast("int") % mod
+    val email = concat(lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail"), slice(5, 10).cast("string"), lit(".com"))
+    val phone = concat(lit(" call 555-"),
+      lpad(slice(5, 10000).cast("string"), 4, "0"))
+    val ip = concat(lit(" host 10."), slice(5, 256).cast("string"),
+      lit("."), slice(9, 256).cast("string"),
+      lit("."), slice(13, 256).cast("string"))
+    val kind = slice(1, 4)
+    docs.withColumn("text", concat(col("text"),
+      when(kind === 0, email).when(kind === 1, phone)
+        .when(kind === 2, ip).otherwise(lit(""))))
+  }
+
+  /** Regex PII scrub: per doc — counts per category (on the ORIGINAL
+    * text, so the counts are independent of replacement order) and the
+    * redacted text with typed sentinels. Replacement order email → IP →
+    * phone; the patterns are mutually non-overlapping by construction
+    * (an email needs `@`, an IPv4 needs three dotted digit groups, a
+    * phone needs the dash), so the order is documentation, not load-
+    * bearing. Pure per-row regex work — scan speed, zero shuffle. */
+  def piiRedact(docs: DataFrame, text: Column = col("text")): DataFrame = {
+    val nE = size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long")
+    val nP = size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long")
+    val nI = size(regexp_extract_all(text, lit(IpRe), lit(0))).cast("long")
+    docs.select(col("doc_id"),
+      nE.as("n_emails"), nP.as("n_phones"), nI.as("n_ips"),
+      (nE + nP + nI).as("n_pii"),
+      regexp_replace(regexp_replace(regexp_replace(text,
+        EmailRe, "<EMAIL>"), IpRe, "<IP>"), PhoneRe, "<PHONE>")
+        .as("clean_text"))
+  }
+
   /** Quality metrics: token count, exact mean token length, stopword ratio,
     * lowercase-alpha ratio, and a composite score. All ratios are single
     * double divisions of exact integers — bit-identical across engines.

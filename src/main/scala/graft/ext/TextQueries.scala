@@ -16,6 +16,12 @@ private[graft] object TextQueries {
     "x98_winnowing_pairs" -> ((s, dir) =>
       TextOps.winnowingPairs(Tables.documents(s, dir))),
 
+    // PII scrub (r10): md5-derived injected PII (email/phone/IPv4, the
+    // withUrl fixture idiom) scrubbed by the cross-engine-safe regex
+    // subset — per-doc category counts + typed-sentinel redaction.,
+    "x220_pii_redaction" -> ((s, dir) =>
+      TextOps.piiRedact(TextOps.withPii(Tables.documents(s, dir)))),
+
     // Per-source vocabulary diversity (r5): Gini-Simpson + effective vocab
     // size — the log-free "did this source collapse to boilerplate?" stat.,
     "x97_vocab_diversity" -> ((s, dir) =>
@@ -280,6 +286,31 @@ private[graft] object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // x220: the injection replayed from the same md5 slices, counts via
+    // regexp_extract_all on the pre-redaction text, then the ordered
+    // 3-pass global regexp_replace.,
+    "x220_pii_redaction" ->
+      ("WITH ph AS (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR) || ':pii') AS h FROM documents), " +
+        "pk AS (SELECT doc_id, text, " +
+        "CAST(('0x' || substr(h, 1, 4)) AS INT) % 4 AS kind, " +
+        "CAST(('0x' || substr(h, 5, 4)) AS INT) AS h5, " +
+        "CAST(('0x' || substr(h, 9, 4)) AS INT) AS h9, " +
+        "CAST(('0x' || substr(h, 13, 4)) AS INT) AS h13 FROM ph), " +
+        "pt AS (SELECT doc_id, text || CASE " +
+        "WHEN kind = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail' || CAST(h5 % 10 AS VARCHAR) || '.com' " +
+        "WHEN kind = 1 THEN ' call 555-' || lpad(CAST(h5 % 10000 AS VARCHAR), 4, '0') " +
+        "WHEN kind = 2 THEN ' host 10.' || CAST(h5 % 256 AS VARCHAR) || '.' || CAST(h9 % 256 AS VARCHAR) || '.' || CAST(h13 % 256 AS VARCHAR) " +
+        "ELSE '' END AS text FROM pk) " +
+        "SELECT doc_id, " +
+        s"CAST(len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails, " +
+        s"CAST(len(regexp_extract_all(text, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phones, " +
+        s"CAST(len(regexp_extract_all(text, '${TextOps.IpRe}')) AS BIGINT) AS n_ips, " +
+        s"CAST(len(regexp_extract_all(text, '${TextOps.EmailRe}')) " +
+        s"+ len(regexp_extract_all(text, '${TextOps.PhoneRe}')) " +
+        s"+ len(regexp_extract_all(text, '${TextOps.IpRe}')) AS BIGINT) AS n_pii, " +
+        s"regexp_replace(regexp_replace(regexp_replace(text, '${TextOps.EmailRe}', '<EMAIL>', 'g'), " +
+        s"'${TextOps.IpRe}', '<IP>', 'g'), '${TextOps.PhoneRe}', '<PHONE>', 'g') AS clean_text " +
+        "FROM pt"),
     "x120_html_extract" ->
       (s"WITH $htmlChainCtes " +
         "SELECT doc_id, n_blocks, n_kept, main_text, n_raw_chars, n_main_chars FROM hx"),

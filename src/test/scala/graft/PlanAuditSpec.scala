@@ -81,6 +81,7 @@ class PlanAuditSpec extends SparkTestBase {
     "x153_retrieval_eval_stored" -> "x126's 1-row stored-stats/df crossJoins (bm25 leg) + x152's packed centroid/codebook 1-row crossJoins (IVFADC leg) + x145's 1-row eval folds and broadcast query/relevance stream",
     "x218_decon_datasheet" -> "four 1-row channel rollups (r10): x101/x117/x163/x213's own shapes reduced to count aggregates, unioned — every crossJoin is a 1-row constant fold or the channels' documented broadcast streams",
     "x219_lexical_hard_negatives" -> "x145's broadcast-query-SET stream + 1-row corpus-stats fold (bm25 leg) + the x06-shaped brute-force ANN leg (bounded query set; scale path = bucketed rankers via the same ranked-list interface)",
+    "x221_delta_datasheet" -> "five 1-row rollups crossJoined (r10): digest containment + vocab anti-joins each reduce to a count before the constant-fold joins",
     "x210_retrieval_eval_bm25_stored" -> "x153's bm25 leg alone (r10 split): x126's 1-row stored-stats/df crossJoins + x145's 1-row eval folds and broadcast query/relevance stream",
     "x211_retrieval_eval_ivfpq_stored" -> "x153's IVFADC leg alone (r10 split): x152's packed centroid/codebook 1-row crossJoins + x145's 1-row eval folds and broadcast query/relevance stream",
     "x212_retrieval_eval_rrf_stored" -> "x153's RRF fusion alone (r10 split): both stored legs' 1-row crossJoins + x145's 1-row eval folds and broadcast query/relevance stream",

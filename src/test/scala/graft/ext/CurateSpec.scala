@@ -591,6 +591,35 @@ class CurateSpec extends SparkTestBase {
       rows.map(_.toSeq).toSet)
   }
 
+  test("deltaDatasheet: hand-built overlap yields exact containment, mass and vocab growth (x221)") {
+    import spark.implicits._
+    val master = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "delta epsilon zeta"),
+      (3L, "eta theta iota")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "alpha beta gamma"),      // exact dup of master doc 1
+      (11L, "delta NEW1 zeta"),       // new doc, one new term
+      (12L, "NEW2 NEW3 alpha theta")  // new doc, two new terms
+    ).toDF("doc_id", "text")
+    val r = Curate.deltaDatasheet(master, delta).head()
+    assert(r.getAs[Long]("n_master") === 3L)
+    assert(r.getAs[Long]("n_delta") === 3L)
+    assert(r.getAs[Long]("n_delta_dup") === 1L)
+    assert(r.getAs[Long]("n_delta_new") === 2L)
+    assert(r.getAs[Double]("new_frac") === 2.0 / 3.0)
+    assert(r.getAs[Long]("delta_new_tokens") === 7L, "3 + 4 tokens of the new docs")
+    assert(r.getAs[Long]("vocab_master") === 9L)
+    assert(r.getAs[Long]("vocab_new_terms") === 3L, "NEW1 NEW2 NEW3")
+    assert(r.getAs[Double]("vocab_growth_frac") === 3.0 / 9.0)
+    // an all-duplicate delta reports zero novelty, never NaN
+    val allDup = Curate.deltaDatasheet(master, master.limit(2)).head()
+    assert(allDup.getAs[Long]("n_delta_new") === 0L)
+    assert(allDup.getAs[Long]("delta_new_tokens") === 0L)
+    assert(allDup.getAs[Double]("new_frac") === 0.0)
+  }
+
   test("deconDatasheet rows cross-pin the standalone channel operators (x218)") {
     val d = Tables.documents(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)

@@ -508,4 +508,46 @@ class TextOpsSpec extends SparkTestBase {
     val h = rows.head
     assert(h.getAs[Double]("bucketed_waste_frac") <= h.getAs[Double]("padmax_waste_frac"))
   }
+
+  test("piiRedact: exact counts and redaction on handcrafted PII, idempotent; injection covers every kind (x220)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach me at alice1@example.com or bob@test.org thanks"),
+      (2L, "call 555-1234 now"),
+      (3L, "server 10.0.0.1 and 192.168.1.255 up"),
+      (4L, "nothing sensitive here"),
+      (5L, "mixed alice@a.com 555-0000 10.1.2.3")
+    ).toDF("doc_id", "text")
+    val out = TextOps.piiRedact(df).collect().map(r => r.getLong(0) -> r).toMap
+    def counts(id: Long) = (out(id).getAs[Long]("n_emails"),
+      out(id).getAs[Long]("n_phones"), out(id).getAs[Long]("n_ips"))
+    assert(counts(1L) === ((2L, 0L, 0L)))
+    assert(counts(2L) === ((0L, 1L, 0L)))
+    assert(counts(3L) === ((0L, 0L, 2L)))
+    assert(counts(4L) === ((0L, 0L, 0L)))
+    assert(counts(5L) === ((1L, 1L, 1L)))
+    assert(out(1L).getAs[String]("clean_text") ===
+      "reach me at <EMAIL> or <EMAIL> thanks")
+    assert(out(2L).getAs[String]("clean_text") === "call <PHONE> now")
+    assert(out(3L).getAs[String]("clean_text") === "server <IP> and <IP> up")
+    assert(out(4L).getAs[String]("clean_text") === "nothing sensitive here")
+    assert(out(5L).getAs[String]("clean_text") === "mixed <EMAIL> <PHONE> <IP>")
+    assert(out.values.forall(r => r.getAs[Long]("n_pii") ===
+      r.getAs[Long]("n_emails") + r.getAs[Long]("n_phones") + r.getAs[Long]("n_ips")))
+    // idempotent: scrubbing the scrubbed text finds nothing and changes nothing
+    val again = TextOps.piiRedact(
+      TextOps.piiRedact(df).select(col("doc_id"), col("clean_text").as("text")))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    again.foreach { case (id, r) =>
+      assert(r.getAs[Long]("n_pii") === 0L)
+      assert(r.getAs[String]("clean_text") === out(id).getAs[String]("clean_text"))
+    }
+    // the fixture injection exercises every category AND leaves clean docs
+    val w = TextOps.piiRedact(TextOps.withPii(
+      graft.sources.Tables.documents(spark, sfDir)))
+    val agg = w.agg(sum(col("n_emails")), sum(col("n_phones")), sum(col("n_ips")),
+      sum(when(col("n_pii") === 0L, 1L).otherwise(0L))).head()
+    assert((0 to 3).forall(i => agg.getLong(i) > 0L),
+      "every PII kind and the clean case must appear in the derived fixture")
+  }
 }
