@@ -163,6 +163,63 @@ object Chat {
       .withColumn("drop_conv", col("n_leaked_windows") > 0L)
   }
 
+  /** The composed SFT curation pipeline as ONE registered query (x222,
+    * r10 — the x46/x135 composition discipline over this round's new
+    * gates): parse → STRUCTURE gate (opens with user, alternates,
+    * ≥ 2 turns — x134's checks) → PROMPT DEDUP (min-doc_id keeper per
+    * first-user-turn digest among the structure survivors — x175's rule)
+    * → PROMPT DECON (x213's benchmark-window flag) → NO-STRADDLE PACKING
+    * (x215) of the survivors' token mass. Per-language manifest: input
+    * conversations, drops attributed per gate IN ORDER, kept
+    * conversations/tokens, and the packed sequence count. Pins that the
+    * four operators compose — each gate is exactly the standalone
+    * verified operator.
+    */
+  def sftCurationManifest(docs: DataFrame, budget: Long = 2048L): DataFrame = {
+    val train = docs.where(col("source") =!= "src0")
+    val benchPrompts = parseTurns(withChat(docs.where(col("source") === "src0")))
+      .where(col("turn_idx") === 1 && col("role") === "user")
+    val turns = graft.ops.Caching.cacheOnce(parseTurns(withChat(train)))
+    val statsL = graft.ops.Caching.cacheOnce(
+      sftStats(turns).join(train.select(col("doc_id"), col("lang")), "doc_id"))
+    val structOk = statsL.where(col("opens_with_user") && col("alternates") &&
+      col("n_turns") >= 2L)
+    val pd = turns.where(col("turn_idx") === 1 && col("role") === "user")
+      .select(col("doc_id"), md5(col("content")).as("_pdig"))
+    val keepers = graft.ops.Caching.cacheOnce(structOk.join(pd, "doc_id")
+      .withColumn("_k", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_pdig")))
+      .where(col("doc_id") === col("_k")))
+    val flagged = promptDecontaminate(turns, benchPrompts)
+      .where(col("drop_conv")).select("doc_id")
+    val kept = graft.ops.Caching.cacheOnce(
+      keepers.join(flagged, Seq("doc_id"), "left_anti"))
+    val packed = Chunking.packGreedy(
+      kept.select(col("doc_id"), col("lang").as("source"),
+        (col("user_tokens") + col("assistant_tokens")).as("n_tokens")), budget)
+    val seqs = packed.groupBy(col("source").as("lang"))
+      .agg(countDistinct(col("shard") * lit(100000L) + col("seq_in_shard"))
+        .as("n_seqs"))
+    statsL.groupBy("lang").agg(count(lit(1)).as("n_in"))
+      .join(structOk.groupBy("lang").agg(count(lit(1)).as("_n_struct")),
+        Seq("lang"), "left")
+      .join(keepers.groupBy("lang").agg(count(lit(1)).as("_n_dedup")),
+        Seq("lang"), "left")
+      .join(kept.groupBy("lang").agg(count(lit(1)).as("n_kept"),
+        sum(col("user_tokens") + col("assistant_tokens")).as("kept_tokens")),
+        Seq("lang"), "left")
+      .join(seqs, Seq("lang"), "left")
+      .select(col("lang"), col("n_in"),
+        (col("n_in") - coalesce(col("_n_struct"), lit(0L))).as("n_drop_structure"),
+        (coalesce(col("_n_struct"), lit(0L)) - coalesce(col("_n_dedup"), lit(0L)))
+          .as("n_drop_dup"),
+        (coalesce(col("_n_dedup"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_drop_decon"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("n_seqs"), lit(0L)).as("n_seqs"))
+  }
+
   /** Per-conversation SFT readiness report: turn count, structure checks
     * (opens with user, strict role alternation — computed from the parsed
     * turns, not assumed from the derivation), and the loss-mask split:

@@ -100,6 +100,12 @@ private[graft] object ChatQueries {
     // surface — train conversations (non-src0) flagged when their first
     // user turn shares a 3-token window with the benchmark slice's
     // (src0) prompts. Whole-conversation verdicts, no span excision.,
+    // The composed SFT curation pipeline (r10): structure gate -> prompt
+    // dedup -> prompt decon -> no-straddle packing, drops attributed per
+    // gate in order — pins that the four standalone operators compose.,
+    "x222_sft_curation_pipeline" -> ((s, dir) =>
+      Chat.sftCurationManifest(Tables.documents(s, dir))),
+
     "x213_chat_decontaminate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val turns = Chat.parseTurns(Chat.withChat(
@@ -115,6 +121,26 @@ private[graft] object ChatQueries {
     // LONGER text — the reward-hacking pathology checked before the
     // preference export ships.,
   )
+
+  /** x213's decon chain (train/bench first-user-turn slices, 3-token md5
+    * windows, distinct benchmark digests, per-conversation hit counts) —
+    * shared with the composed x222 pipeline. Requires `tt` from
+    * [[graft.ext.ExtOracles.chatCtes]]. */
+  private[ext] lazy val chatDeconCtes: String =
+    "xtr AS (SELECT tt.doc_id, string_split(content, ' ') AS ptoks FROM tt " +
+      "JOIN documents d USING (doc_id) " +
+      "WHERE turn_idx = 1 AND role = 'user' AND d.source <> 'src0'), " +
+      "xbn AS (SELECT string_split(content, ' ') AS ptoks FROM tt " +
+      "JOIN documents d USING (doc_id) " +
+      "WHERE turn_idx = 1 AND role = 'user' AND d.source = 'src0'), " +
+      "xdw AS (SELECT doc_id, unnest(CASE WHEN len(ptoks) >= 3 " +
+      "THEN list_transform(generate_series(1, len(ptoks)-2), i -> md5(array_to_string(ptoks[i:i+2], ' '))) " +
+      "ELSE CAST([] AS VARCHAR[]) END) AS wh FROM xtr), " +
+      "xbw AS (SELECT DISTINCT unnest(CASE WHEN len(ptoks) >= 3 " +
+      "THEN list_transform(generate_series(1, len(ptoks)-2), i -> md5(array_to_string(ptoks[i:i+2], ' '))) " +
+      "ELSE CAST([] AS VARCHAR[]) END) AS wh FROM xbn), " +
+      "xhit AS (SELECT doc_id, CAST(count(DISTINCT wh) AS BIGINT) AS n_leaked_windows " +
+      "FROM xdw WHERE wh IN (SELECT wh FROM xbw) GROUP BY 1)"
 
   val oracleSql: Map[String, String] = Map(
     "x133_chat_parse_turns" ->
@@ -190,22 +216,46 @@ private[graft] object ChatQueries {
     // x213: chatCtes' tt filtered by the documents source column gives the
     // train/benchmark prompt slices; 3-token md5 windows, distinct
     // benchmark digests, containment join, whole-conversation verdict.,
+    // x222: x134's structure aggregate, x175's keeper rule over the
+    // structure survivors, x213's flag set, then the x215 greedy fold
+    // over the kept conversations' token mass — per-lang rollup with
+    // gate-ordered drop attribution.,
+    "x222_sft_curation_pipeline" ->
+      (s"WITH $chatCtes, $chatDeconCtes, " +
+        "zag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_turns, " +
+        "CAST(sum(CASE WHEN turn_idx = 1 AND role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS opens, " +
+        "CAST(sum(CASE WHEN (turn_idx % 2 = 1 AND role <> 'user') " +
+        "OR (turn_idx % 2 = 0 AND role <> 'assistant') THEN 1 ELSE 0 END) AS BIGINT) AS bad, " +
+        "CAST(sum(CASE WHEN role = 'user' THEN ntk ELSE 0 END) AS BIGINT) AS user_tokens, " +
+        "CAST(sum(CASE WHEN role = 'assistant' THEN ntk ELSE 0 END) AS BIGINT) AS assistant_tokens " +
+        "FROM tt GROUP BY doc_id), " +
+        "zsl AS (SELECT a.*, d.lang FROM zag a JOIN documents d USING (doc_id) " +
+        "WHERE d.source <> 'src0'), " +
+        "zok AS (SELECT * FROM zsl WHERE opens = 1 AND bad = 0 AND n_turns >= 2), " +
+        "zpd AS (SELECT doc_id, md5(content) AS pdig FROM tt WHERE turn_idx = 1 AND role = 'user'), " +
+        "zkp AS (SELECT * FROM (SELECT s.*, min(s.doc_id) OVER (PARTITION BY p.pdig) AS k " +
+        "FROM zok s JOIN zpd p USING (doc_id)) q WHERE q.doc_id = q.k), " +
+        "zkt AS (SELECT * FROM zkp WHERE doc_id NOT IN (SELECT doc_id FROM xhit)), " +
+        "zrows AS (SELECT doc_id, lang AS source, user_tokens + assistant_tokens AS n_tokens FROM zkt), " +
+        TokenizerQueries.packGreedyFoldCtes("zrows") + ", " +
+        "zsq AS (SELECT source AS lang, CAST(count(DISTINCT shard*100000 + r.seq) AS BIGINT) AS n_seqs FROM pu GROUP BY 1), " +
+        "zin AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_in FROM zsl GROUP BY 1), " +
+        "z1 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_struct FROM zok GROUP BY 1), " +
+        "z2 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_dedup FROM zkp GROUP BY 1), " +
+        "z3 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "CAST(sum(user_tokens + assistant_tokens) AS BIGINT) AS kept_tokens FROM zkt GROUP BY 1) " +
+        "SELECT zin.lang, zin.n_in, " +
+        "CAST(zin.n_in - coalesce(z1.n_struct, 0) AS BIGINT) AS n_drop_structure, " +
+        "CAST(coalesce(z1.n_struct, 0) - coalesce(z2.n_dedup, 0) AS BIGINT) AS n_drop_dup, " +
+        "CAST(coalesce(z2.n_dedup, 0) - coalesce(z3.n_kept, 0) AS BIGINT) AS n_drop_decon, " +
+        "CAST(coalesce(z3.n_kept, 0) AS BIGINT) AS n_kept, " +
+        "CAST(coalesce(z3.kept_tokens, 0) AS BIGINT) AS kept_tokens, " +
+        "CAST(coalesce(zsq.n_seqs, 0) AS BIGINT) AS n_seqs " +
+        "FROM zin LEFT JOIN z1 USING (lang) LEFT JOIN z2 USING (lang) " +
+        "LEFT JOIN z3 USING (lang) LEFT JOIN zsq USING (lang)"),
+
     "x213_chat_decontaminate" ->
-      (s"WITH $chatCtes, " +
-        "xtr AS (SELECT tt.doc_id, string_split(content, ' ') AS ptoks FROM tt " +
-        "JOIN documents d USING (doc_id) " +
-        "WHERE turn_idx = 1 AND role = 'user' AND d.source <> 'src0'), " +
-        "xbn AS (SELECT string_split(content, ' ') AS ptoks FROM tt " +
-        "JOIN documents d USING (doc_id) " +
-        "WHERE turn_idx = 1 AND role = 'user' AND d.source = 'src0'), " +
-        "xdw AS (SELECT doc_id, unnest(CASE WHEN len(ptoks) >= 3 " +
-        "THEN list_transform(generate_series(1, len(ptoks)-2), i -> md5(array_to_string(ptoks[i:i+2], ' '))) " +
-        "ELSE CAST([] AS VARCHAR[]) END) AS wh FROM xtr), " +
-        "xbw AS (SELECT DISTINCT unnest(CASE WHEN len(ptoks) >= 3 " +
-        "THEN list_transform(generate_series(1, len(ptoks)-2), i -> md5(array_to_string(ptoks[i:i+2], ' '))) " +
-        "ELSE CAST([] AS VARCHAR[]) END) AS wh FROM xbn), " +
-        "xhit AS (SELECT doc_id, CAST(count(DISTINCT wh) AS BIGINT) AS n_leaked_windows " +
-        "FROM xdw WHERE wh IN (SELECT wh FROM xbw) GROUP BY 1) " +
+      (s"WITH $chatCtes, $chatDeconCtes " +
         "SELECT t.doc_id, CAST(len(t.ptoks) AS BIGINT) AS n_prompt_tokens, " +
         "CAST(coalesce(h.n_leaked_windows, 0) AS BIGINT) AS n_leaked_windows, " +
         "coalesce(h.n_leaked_windows, 0) > 0 AS drop_conv " +

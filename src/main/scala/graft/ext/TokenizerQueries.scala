@@ -172,11 +172,13 @@ private[graft] object TokenizerQueries {
     * carries the running (seq, fill), init fill = budget so the first doc
     * always opens seq 0), then the unnested per-doc rows (init row
     * sliced off). */
-  private lazy val packGreedyCtes: String =
-    "pn AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
-      "doc_id // 1024 AS shard FROM documents), " +
+  /** The fold half alone, over any CTE exposing (doc_id, source,
+    * n_tokens) — x222's composed pipeline packs its surviving
+    * conversations through the SAME replay. */
+  private[ext] def packGreedyFoldCtes(rowsCte: String): String =
+    s"pg0 AS (SELECT doc_id, source, n_tokens, doc_id // 1024 AS shard FROM $rowsCte), " +
       "pl AS (SELECT source, shard, list(struct_pack(doc_id := doc_id, n := n_tokens) ORDER BY doc_id) AS ds " +
-      "FROM pn GROUP BY 1, 2), " +
+      "FROM pg0 GROUP BY 1, 2), " +
       "pf AS (SELECT source, shard, list_reduce(" +
       "[[struct_pack(doc_id := CAST(-1 AS BIGINT), seq := CAST(-1 AS BIGINT), off := CAST(0 AS BIGINT), fill := CAST(2048 AS BIGINT))]] || " +
       "list_transform(ds, d -> [struct_pack(doc_id := d.doc_id, seq := CAST(-1 AS BIGINT), off := CAST(0 AS BIGINT), fill := d.n)]), " +
@@ -187,6 +189,10 @@ private[graft] object TokenizerQueries {
       "fill := CASE WHEN acc[-1].fill + x[1].fill <= 2048 THEN acc[-1].fill + x[1].fill ELSE x[1].fill END)]) AS folded " +
       "FROM pl), " +
       "pu AS (SELECT source, shard, unnest(folded[2:]) AS r FROM pf)"
+
+  private lazy val packGreedyCtes: String =
+    "pn AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +
+      "FROM documents), " + packGreedyFoldCtes("pn")
 
   val oracleSql: Map[String, String] = Map(
     "x172_span_corruption" ->

@@ -89,6 +89,40 @@ class ChatSpec extends SparkTestBase {
     }
   }
 
+  test("sftCurationManifest: gate-ordered drops reconcile, packing bound holds (x222)") {
+    val docs = Tables.documents(spark, sfDir)
+    val m = Chat.sftCurationManifest(docs).collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      // the manifest is an exact partition of the input per gate order
+      assert(r.getAs[Long]("n_in") ===
+        r.getAs[Long]("n_drop_structure") + r.getAs[Long]("n_drop_dup") +
+          r.getAs[Long]("n_drop_decon") + r.getAs[Long]("n_kept"),
+        s"gate drops must partition n_in for ${r.getString(0)}")
+      // greedy no-straddle can never beat the zero-waste bound, and each
+      // kept conversation opens at most one sequence
+      val (kt, ns, nk) = (r.getAs[Long]("kept_tokens"),
+        r.getAs[Long]("n_seqs"), r.getAs[Long]("n_kept"))
+      assert(ns >= (kt + 2047L) / 2048L, "fewer sequences than the token mass allows")
+      assert(ns <= math.max(nk, 1L))
+      assert(kt >= 0L && (nk === 0L) === (kt === 0L))
+    }
+    // totals cross-pin the standalone operators
+    val train = docs.where(col("source") =!= "src0")
+    val nIn = Chat.sftStats(Chat.parseTurns(Chat.withChat(train))).count()
+    assert(m.map(_.getAs[Long]("n_in")).sum === nIn)
+    val benchPrompts = Chat.parseTurns(Chat.withChat(docs.where(col("source") === "src0")))
+      .where(col("turn_idx") === 1 && col("role") === "user")
+    val flagged = Chat.promptDecontaminate(
+        Chat.parseTurns(Chat.withChat(train)), benchPrompts)
+      .where(col("drop_conv")).count()
+    // decon drops are bounded by the standalone flag count (earlier gates
+    // may have already removed some flagged conversations) and the
+    // fixture must exercise the gate
+    val deconDrops = m.map(_.getAs[Long]("n_drop_decon")).sum
+    assert(deconDrops > 0L && deconDrops <= flagged)
+  }
+
   test("promptDecontaminate: a planted leaked prompt flags, its clean twin is kept (x213)") {
     // conversation 1's prompt embeds a benchmark question verbatim; 2 is
     // a structurally identical clean twin; 3's prompt is too short to
