@@ -96,6 +96,16 @@ object ChatStream {
       : org.apache.spark.sql.DataFrame =
     graft.ext.Chat.promptDeconRow(graft.ext.Chat.parseTurns(conv), benchPrompts)
 
+  /** Ingestion-time PII scrub (x220 at the stream boundary — the
+    * [[promptDeconIngest]] discipline): pure per-row regex work, so the
+    * scrubbed text and category counts are bit-identical to the batch
+    * operator on the same rows (spec-pinned). Redacting BEFORE storage is
+    * the posture privacy reviews actually require — raw PII never lands
+    * in the training corpus at all. */
+  def piiRedactIngest(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    graft.ext.TextOps.piiRedact(docs)
+
   /** Streaming per-conversation SFT stats. `NoTimeout` for bounded-drain
     * tests (same reason as `EventStream.sessionize`). */
   def sftStatsStream(turns: Dataset[TurnEvent],
