@@ -33,6 +33,26 @@ object Dedup {
     docs.groupBy(md5(col(text)).as("text_hash"))
       .agg(min(col(id)).as(id), count(lit(1)).as("n_copies"))
 
+  /** Duplicate-cluster SIZE distribution (x223, r10) — the power-law
+    * datasheet corpus reports publish beside dedup ratios: per exact-dup
+    * cluster size s, how many clusters and documents sit there, and the
+    * doc-mass share. A heavy tail (large s carrying real mass) is the
+    * "template/boilerplate farm" signature that motivates cluster-cap
+    * policies; size-1 mass is the genuinely unique corpus. Two partial
+    * aggs over 16-byte digests — text never shuffles. */
+  def clusterSizeHistogram(docs: DataFrame, text: String = "text"): DataFrame = {
+    val sizes = docs.groupBy(md5(col(text)).as("h"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val total = docs.count()
+    sizes.groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"),
+        col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") * col("n_clusters")).cast("double")
+          / lit(total.toDouble)).as("doc_share"))
+  }
+
   /** Per-source dedup-savings report — the datasheet row a mixture owner
     * reads before paying for training tokens: per source, how many docs
     * and TOKENS sit in exact-duplicate groups beyond the keeper (x01's

@@ -154,6 +154,12 @@ private[graft] object DedupQueries {
     "x75_dedup_embedding_multitable" -> ((s, dir) =>
       Similarity.lshMultiNearDupPairs(Tables.embeddings(s, dir), 0.4)),
 
+    // Duplicate-cluster size distribution (r10): the power-law datasheet
+    // beside x01's groups — per cluster size, cluster/doc counts and the
+    // doc-mass share.,
+    "x223_dedup_cluster_histogram" -> ((s, dir) =>
+      Dedup.clusterSizeHistogram(Tables.documents(s, dir))),
+
     // And its measured recall against the same exact truth.,
     "x76_dedup_multitable_recall" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -171,6 +177,13 @@ private[graft] object DedupQueries {
     "x01_dedup_exact" ->
       ("SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies " +
         "FROM documents GROUP BY 1"),
+    "x223_dedup_cluster_histogram" ->
+      ("WITH g AS (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS cluster_size " +
+        "FROM documents GROUP BY 1) " +
+        "SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters, " +
+        "CAST(cluster_size * count(*) AS BIGINT) AS n_docs, " +
+        "CAST(cluster_size * count(*) AS DOUBLE)/CAST((SELECT count(*) FROM documents) AS DOUBLE) AS doc_share " +
+        "FROM g GROUP BY cluster_size"),
     "x02_dedup_ngram_jaccard" -> jaccardAllPairsSql,
 
     // x179: x01's groups re-aggregated by multiplicity + the 1-row total.,

@@ -13,6 +13,26 @@ class DedupSpec extends SparkTestBase {
     (3L, "completely different words about spark catalyst optimizer plans and shuffles here")
   ).toDF("doc_id", "text")
 
+  test("clusterSizeHistogram: hand-built clusters yield exact size rows; shares partition (x223)") {
+    val df = Seq(
+      (1L, "aaa"), (2L, "aaa"), (3L, "aaa"),
+      (4L, "bbb"), (5L, "bbb"),
+      (6L, "ccc"), (7L, "ddd")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.clusterSizeHistogram(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows(3L) === ((1L, 3L, 3.0 / 7.0)))
+    assert(rows(2L) === ((1L, 2L, 2.0 / 7.0)))
+    assert(rows(1L) === ((2L, 2L, 2.0 / 7.0)))
+    assert(rows.values.map(_._2).sum === 7L, "doc mass must partition")
+    // fixture: the histogram's doc mass partitions the corpus exactly
+    // (sf0.001 plants no EXACT text dups — near-dups only — so a >1
+    // cluster size is asserted on the handcrafted corpus above, not here)
+    val d = graft.sources.Tables.documents(spark, sfDir)
+    val fx = Dedup.clusterSizeHistogram(d).collect()
+    assert(fx.map(_.getLong(2)).sum === d.count())
+  }
+
   test("exact dedup groups identical texts, keeps min doc_id") {
     val out = Dedup.exact(docs).collect()
     assert(out.length === 3)
