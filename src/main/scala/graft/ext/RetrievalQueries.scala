@@ -41,6 +41,34 @@ private[graft] object RetrievalQueries {
       Search.bm25TopKStored(s, idx, Seq("hash", "join", "dup"), 10)
     }),
 
+    // BM25 tombstone delete (r10): the verb that completes the lexical
+    // index's maintenance set. Build, tombstone a deterministic victim
+    // slice (doc_id % 23 == 3), probe — the delete-aware probe
+    // (anti-joined postings + tombstone-corrected stats) must be
+    // value-identical to a rebuild on the surviving corpus, which is
+    // exactly what the oracle computes. Fresh index per invocation: the
+    // query MUTATES it, so the shared StoredIndexes build can't serve.,
+    "x224_bm25_delete_probe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("bm25del").toString
+      Search.buildBm25Index(docs, idx)
+      Search.deleteFromBm25Index(s, idx,
+        docs.where(col("doc_id") % 23 === 3).select("doc_id"))
+      Search.bm25TopKStored(s, idx, Seq("hash", "join", "dup"), 10)
+    }),
+
+    // BM25 index health (r10): the datasheet row a compaction scheduler
+    // watches — indexed/tombstoned/live doc counts, live fraction, and
+    // postings mass total vs live, over an index with pending deletes.,
+    "x225_bm25_index_health" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("bm25health").toString
+      Search.buildBm25Index(docs, idx)
+      Search.deleteFromBm25Index(s, idx,
+        docs.where(col("doc_id") % 23 === 3).select("doc_id"))
+      Search.bm25IndexHealth(s, idx)
+    }),
+
     // Hybrid retrieval (r6): RRF fusion of the BM25 lexical list and the
     // brute-force semantic list for the fixture query (vector 0 + x48's
     // terms) — Σ 1/(60+rank), ranks null where a list missed the doc.
@@ -412,6 +440,45 @@ private[graft] object RetrievalQueries {
         "+ CASE WHEN tf_2 > 0 THEN ((CAST(n_docs AS DOUBLE) - CAST(df_2 AS DOUBLE) + 0.5) / (CAST(df_2 AS DOUBLE) + 0.5)) * (CAST(tf_2 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf_2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) ELSE 0.0 END " +
         "AS score FROM pd, st WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0 " +
         "ORDER BY score DESC, doc_id LIMIT 10"),
+
+    // Delete-aware stored probe ≡ rebuild on the surviving corpus: x48's
+    // oracle over documents WHERE doc_id % 23 <> 3 — the tombstone
+    // anti-join + stats correction must reproduce these values exactly.,
+    "x224_bm25_delete_probe" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents " +
+        "WHERE doc_id % 23 <> 3), " +
+        "e AS (SELECT doc_id, unnest(toks) AS tok FROM t), " +
+        "pd AS (SELECT doc_id, count(*) AS dl, " +
+        "sum(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END) AS tf_0, " +
+        "sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS tf_1, " +
+        "sum(CASE WHEN tok = 'dup' THEN 1 ELSE 0 END) AS tf_2 " +
+        "FROM e GROUP BY doc_id), " +
+        "st AS (SELECT sum(dl) AS sum_dl, count(*) AS n_docs, " +
+        "sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0, " +
+        "sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1, " +
+        "sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2 FROM pd) " +
+        "SELECT doc_id, " +
+        "CASE WHEN tf_0 > 0 THEN ((CAST(n_docs AS DOUBLE) - CAST(df_0 AS DOUBLE) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5)) * (CAST(tf_0 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf_0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) ELSE 0.0 END " +
+        "+ CASE WHEN tf_1 > 0 THEN ((CAST(n_docs AS DOUBLE) - CAST(df_1 AS DOUBLE) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5)) * (CAST(tf_1 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf_1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) ELSE 0.0 END " +
+        "+ CASE WHEN tf_2 > 0 THEN ((CAST(n_docs AS DOUBLE) - CAST(df_2 AS DOUBLE) + 0.5) / (CAST(df_2 AS DOUBLE) + 0.5)) * (CAST(tf_2 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf_2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) ELSE 0.0 END " +
+        "AS score FROM pd, st WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0 " +
+        "ORDER BY score DESC, doc_id LIMIT 10"),
+
+    // Health row: doc counts mirror doclen rows (docs with >= 1 token —
+    // explode/unnest drop empty arrays in BOTH engines), postings rows
+    // are distinct (tok, doc_id) pairs; live = not tombstoned.,
+    "x225_bm25_index_health" ->
+      (s"WITH t AS ($toksCte), e AS (SELECT doc_id, unnest(toks) AS tok FROM t), " +
+        "p AS (SELECT doc_id, tok FROM e GROUP BY 1, 2), " +
+        "pd AS (SELECT doc_id FROM e GROUP BY 1), " +
+        "nd AS (SELECT CAST(count(*) AS BIGINT) AS docs_indexed, " +
+        "CAST(sum(CASE WHEN doc_id % 23 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS tombstoned_docs FROM pd), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS postings_rows_total FROM p), " +
+        "liv AS (SELECT CAST(count(*) AS BIGINT) AS postings_rows_live FROM p WHERE doc_id % 23 <> 3) " +
+        "SELECT docs_indexed, tombstoned_docs, " +
+        "docs_indexed - tombstoned_docs AS docs_live, " +
+        "1.0 - CAST(tombstoned_docs AS DOUBLE) / CAST(docs_indexed AS DOUBLE) AS live_frac, " +
+        "postings_rows_total, postings_rows_live FROM nd, tot, liv"),
 
     // The stored-index probe re-derives tf from bucket-pruned postings and
     // df/stats from the stored tables — all IDENTICAL values to computing

@@ -159,15 +159,36 @@ object Search {
     * per-term document frequencies from those pruned postings (one
     * broadcast row), and scores with the IDENTICAL expression as
     * [[bm25TopK]] — same results, corpus never re-read.
+    *
+    * Delete-aware: when a `deletes/` tombstone table is present
+    * ([[deleteFromBm25Index]]), tombstoned documents are anti-joined out
+    * of the pruned postings BEFORE df derivation, and the one-row corpus
+    * stats are corrected by the tombstones' (count, Σdl) — so the probe
+    * is value-identical to a probe of a fresh rebuild on the surviving
+    * corpus, without any postings rewrite on the query path.
     */
   def bm25TopKStored(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       queryTerms: Seq[String], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopKStored needs at least one query term")
     require(queryTerms.distinct == queryTerms, "query terms must be distinct")
+    recoverBm25Compact(indexDir)
     val bks = queryTerms.map(termBucket(_)).distinct
-    val post = spark.read.parquet(s"$indexDir/postings")
+    val pruned = spark.read.parquet(s"$indexDir/postings")
       .where(col("bucket").isin(bks: _*) && col("tok").isin(queryTerms: _*))
+    val del = bm25Deletes(spark, indexDir)
+    val post = del.fold(pruned)(d =>
+      pruned.join(broadcast(d.select("doc_id")), Seq("doc_id"), "left_anti"))
+    val rawStats = spark.read.parquet(s"$indexDir/stats")
+    val stats = del.fold(rawStats) { d =>
+      // tombstone correction: stats row minus the deleted docs' mass —
+      // exact BIGINT arithmetic, same values a rebuild would compute
+      val dAgg = d.agg(coalesce(sum(col("dl")), lit(0L)).as("del_dl"),
+        count(lit(1)).as("del_n"))
+      rawStats.crossJoin(broadcast(dAgg))
+        .select((col("sum_dl") - col("del_dl")).as("sum_dl"),
+          (col("n_docs") - col("del_n")).as("n_docs"))
+    }
     val dfCols = queryTerms.zipWithIndex.map { case (t, i) =>
       sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"df_$i") }
     val dfAgg = post.agg(dfCols.head, dfCols.tail: _*)
@@ -176,10 +197,199 @@ object Search {
     val perDoc = post.groupBy("doc_id").agg(tfCols.head, tfCols.tail: _*)
     perDoc
       .join(spark.read.parquet(s"$indexDir/doclen"), "doc_id")
-      .crossJoin(broadcast(spark.read.parquet(s"$indexDir/stats")))
+      .crossJoin(broadcast(stats))
       .crossJoin(broadcast(dfAgg))
       .select(col("doc_id"), scoreExpr(queryTerms, k1, b).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** The tombstone table, if any deletes are pending: (doc_id, dl) rows
+    * appended by [[deleteFromBm25Index]], consumed by
+    * [[compactBm25Index]]. None ⇒ no pending deletes. */
+  private def bm25Deletes(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[DataFrame] = {
+    val d = new java.io.File(s"$indexDir/deletes")
+    if (d.isDirectory &&
+        Option(d.listFiles()).exists(_.exists(_.getName.endsWith(".parquet"))))
+      Some(spark.read.parquet(d.getPath))
+    else None
+  }
+
+  /** Tombstone-delete a batch of documents from a stored BM25 index — the
+    * verb that completes the lexical index's maintenance set (build /
+    * append / delete / compact), mirroring
+    * [[Similarity.deleteFromIvfPqIndex]]'s role for the vector indexes
+    * but WITHOUT a postings rewrite on the delete path: a document's
+    * postings are scattered across every bucket its terms hash to, so an
+    * eager rewrite would touch most of the index for even a tiny batch.
+    * Instead the delete appends (doc_id, dl) tombstones to `deletes/`
+    * (dl captured here so probes never re-scan doclen for the
+    * correction), probes anti-join the batch-sized tombstone set
+    * (broadcast), and [[compactBm25Index]] folds tombstones into the
+    * postings offline.
+    *
+    * Crash safety needs no journal: the append is one Spark write (job
+    * commit is all-or-nothing), stats/postings/doclen are untouched, and
+    * probes derive the corrected stats from the tombstones themselves.
+    * Idempotent: victims already tombstoned, or absent from the index,
+    * are dropped. Re-adding a deleted doc_id requires a compact (or
+    * rebuild) first — the probe's anti-join would hide the new rows, and
+    * [[appendToBm25Index]]'s contract is new ids only.
+    */
+  def deleteFromBm25Index(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, victims: DataFrame): Unit = {
+    recoverBm25Compact(indexDir)
+    val known = spark.read.parquet(s"$indexDir/doclen")
+      .join(broadcast(victims.select("doc_id").distinct()), Seq("doc_id"), "left_semi")
+    val fresh = bm25Deletes(spark, indexDir).fold(known)(d =>
+      known.join(broadcast(d.select("doc_id")), Seq("doc_id"), "left_anti"))
+    fresh.select(col("doc_id"), col("dl"))
+      .write.mode("append").parquet(s"$indexDir/deletes")
+  }
+
+  /** Fold pending tombstones into the stored index: rewrite ONLY the
+    * bucket partitions that contain a tombstoned document's postings,
+    * rewrite doclen, fold the correction into the one-row stats table,
+    * and drop `deletes/` — after which probes take the fast
+    * no-tombstone path and the deleted ids may be re-appended.
+    *
+    * Crash safety is a journaled two-phase swap, one step stricter than
+    * [[Similarity.deleteFromIvfPqIndex]]'s: the affected-bucket list is
+    * written to `compact_tmp/PLAN` BEFORE any heavy work, every rewrite
+    * lands under `compact_tmp/`, and a `COMMIT` marker (created only
+    * after all three rewrites) is the commit point. [[recoverBm25Compact]]
+    * (invoked automatically at the start of every probe, delete, and
+    * compact) rolls an interrupted swap FORWARD from the PLAN when COMMIT
+    * is present — including buckets emptied entirely, which have no tmp
+    * dir to enumerate and would be unrecoverable from directory listings
+    * alone — and BACK (discard tmp, nothing was swapped) when it is not.
+    */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    recoverBm25Compact(indexDir)
+    if (stageBm25Compact(spark, indexDir)) bm25SwapForward(indexDir)
+  }
+
+  /** The stage phase alone (journal + rewrites + COMMIT marker, no swap),
+    * split out so the spec can construct mid-compact crash states at the
+    * commit boundary; false ⇒ no pending tombstones, nothing staged. */
+  private[ext] def stageBm25Compact(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Boolean = {
+    import java.nio.file.{Files, Paths}
+    val del = bm25Deletes(spark, indexDir).getOrElse(return false)
+    val post = spark.read.parquet(s"$indexDir/postings")
+    val affected = post
+      .join(broadcast(del.select("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("bucket").cast("int")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val tmp = s"$indexDir/compact_tmp"
+    rmTree(new java.io.File(tmp))
+    Files.createDirectories(Paths.get(tmp))
+    Files.write(Paths.get(s"$tmp/PLAN"),
+      affected.mkString("\n").getBytes("UTF-8"))
+    if (affected.nonEmpty)
+      post.where(col("bucket").isin(affected.toIndexedSeq: _*))
+        .join(broadcast(del.select("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("tok"), col("doc_id"), col("tf"), col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$tmp/postings")
+    spark.read.parquet(s"$indexDir/doclen")
+      .join(broadcast(del.select("doc_id")), Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$tmp/doclen")
+    val dAgg = del.agg(coalesce(sum(col("dl")), lit(0L)).as("del_dl"),
+      count(lit(1)).as("del_n"))
+    spark.read.parquet(s"$indexDir/stats").crossJoin(broadcast(dAgg))
+      .select((col("sum_dl") - col("del_dl")).as("sum_dl"),
+        (col("n_docs") - col("del_n")).as("n_docs"))
+      .write.mode("overwrite").parquet(s"$tmp/stats")
+    Files.createFile(Paths.get(s"$tmp/COMMIT"))
+    true
+  }
+
+  /** The committed forward swap, shared by [[compactBm25Index]] and
+    * [[recoverBm25Compact]]: aside-first per entry (live dir moves to
+    * `compact_old/` before the rewrite moves in), each step conditional
+    * on the current state so re-running after a crash at ANY point is
+    * idempotent. Iterates the journaled PLAN, not tmp's directory
+    * listing — a bucket emptied by the compact has no tmp dir but its
+    * stale live dir must still come out. */
+  private[ext] def bm25SwapForward(indexDir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = s"$indexDir/compact_tmp"
+    val aside = s"$indexDir/compact_old"
+    def swap(live: String, asideTwin: String, rewrite: String): Unit = {
+      val (dst, asd, src) = (Paths.get(live), Paths.get(asideTwin), Paths.get(rewrite))
+      if (!Files.exists(asd) && Files.exists(dst)) {
+        Files.createDirectories(asd.getParent)
+        Files.move(dst, asd, StandardCopyOption.ATOMIC_MOVE)
+      }
+      if (!Files.exists(dst) && Files.exists(src))
+        Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+    }
+    val plan = new String(Files.readAllBytes(Paths.get(s"$tmp/PLAN")), "UTF-8")
+      .split("\n").filter(_.nonEmpty).map(_.toInt)
+    for (b <- plan)
+      swap(s"$indexDir/postings/bucket=$b", s"$aside/postings/bucket=$b",
+        s"$tmp/postings/bucket=$b")
+    for (sub <- Seq("doclen", "stats"))
+      swap(s"$indexDir/$sub", s"$aside/$sub", s"$tmp/$sub")
+    // tombstones are consumed by the committed compact
+    rmTree(new java.io.File(s"$indexDir/deletes"))
+    rmTree(new java.io.File(aside))
+    // drop the COMMIT marker BEFORE tearing tmp down: rmTree's listing
+    // order could otherwise remove PLAN first and leave a committed
+    // journal with no plan to roll forward from; once COMMIT is gone a
+    // crash mid-teardown degrades to the harmless rollback branch
+    // (every swap above already completed)
+    Files.deleteIfExists(Paths.get(s"$tmp/COMMIT"))
+    rmTree(new java.io.File(tmp))
+  }
+
+  /** Complete or roll back an interrupted [[compactBm25Index]] —
+    * idempotent, invoked automatically at the start of every probe,
+    * delete, and compact. `compact_tmp/COMMIT` is the commit point:
+    * present ⇒ roll FORWARD from the journaled PLAN; absent ⇒ nothing
+    * was swapped (the marker precedes the first move), so discard tmp. */
+  def recoverBm25Compact(indexDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val tmp = s"$indexDir/compact_tmp"
+    if (!new java.io.File(tmp).isDirectory) return
+    if (Files.exists(Paths.get(s"$tmp/COMMIT"))) bm25SwapForward(indexDir)
+    else rmTree(new java.io.File(tmp))
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
+  }
+
+  /** Health/datasheet row for a stored BM25 index — the maintenance
+    * statistic a compaction scheduler watches: indexed vs tombstoned doc
+    * counts, the live fraction (compaction trigger when it sags), and
+    * postings mass total vs live. One column-pruned postings scan + the
+    * batch-sized tombstone table; postings payloads are read only for
+    * the (doc_id) column. */
+  def bm25IndexHealth(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = {
+    recoverBm25Compact(indexDir)
+    val post = spark.read.parquet(s"$indexDir/postings")
+    val del = bm25Deletes(spark, indexDir)
+    val delIds = del.map(_.select("doc_id"))
+    val stats = spark.read.parquet(s"$indexDir/stats")
+    val postTotal = post.agg(count(lit(1)).as("postings_rows_total"))
+    val postLive = delIds.fold(post)(d =>
+        post.join(broadcast(d), Seq("doc_id"), "left_anti"))
+      .agg(count(lit(1)).as("postings_rows_live"))
+    val delN = delIds.fold(stats.select(lit(0L).as("tombstoned_docs")))(d =>
+      d.agg(count(lit(1)).as("tombstoned_docs")))
+    stats.crossJoin(broadcast(delN)).crossJoin(broadcast(postTotal))
+      .crossJoin(broadcast(postLive))
+      .select(
+        col("n_docs").as("docs_indexed"),
+        col("tombstoned_docs"),
+        (col("n_docs") - col("tombstoned_docs")).as("docs_live"),
+        (lit(1.0) - col("tombstoned_docs").cast("double") /
+          col("n_docs").cast("double")).as("live_frac"),
+        col("postings_rows_total"),
+        col("postings_rows_live"))
   }
 }

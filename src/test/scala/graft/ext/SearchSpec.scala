@@ -75,6 +75,103 @@ class SearchSpec extends SparkTestBase {
     assert(dup === 0L)
   }
 
+  test("index delete: tombstoned probe is bit-identical to a rebuild on the surviving corpus") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sfDir)
+    val terms = Seq("hash", "join", "dup")
+    val idx = java.nio.file.Files.createTempDirectory("bm25del").toString
+    Search.buildBm25Index(docs, idx)
+    val victims = docs.where(col("doc_id") % 23 === 3).select("doc_id")
+    Search.deleteFromBm25Index(spark, idx, victims)
+    val rebuilt = java.nio.file.Files.createTempDirectory("bm25delref").toString
+    Search.buildBm25Index(docs.where(col("doc_id") % 23 =!= 3), rebuilt)
+    val a = Search.bm25TopKStored(spark, idx, terms, 10).collect().toSeq
+    val b = Search.bm25TopKStored(spark, rebuilt, terms, 10).collect().toSeq
+    assert(a === b, "tombstoned probe must equal the surviving-corpus rebuild")
+    // idempotent: tombstoning the same victims again adds no rows
+    val n1 = spark.read.parquet(s"$idx/deletes").count()
+    Search.deleteFromBm25Index(spark, idx, victims)
+    assert(spark.read.parquet(s"$idx/deletes").count() === n1,
+      "re-deleting the same victims must be a no-op")
+    // compaction folds the tombstones in: same probe, deletes consumed,
+    // no victim postings remain, stats row equals the rebuild's
+    Search.compactBm25Index(spark, idx)
+    assert(!new java.io.File(s"$idx/deletes").exists(), "compact must consume deletes/")
+    assert(Search.bm25TopKStored(spark, idx, terms, 10).collect().toSeq === b)
+    val victimRows = spark.read.parquet(s"$idx/postings")
+      .join(victims, Seq("doc_id"), "left_semi").count()
+    assert(victimRows === 0L, "compact must drop every victim posting")
+    assert(spark.read.parquet(s"$idx/stats").collect().toSeq ===
+      spark.read.parquet(s"$rebuilt/stats").collect().toSeq)
+    // compact with nothing pending is a no-op
+    Search.compactBm25Index(spark, idx)
+    assert(Search.bm25TopKStored(spark, idx, terms, 10).collect().toSeq === b)
+  }
+
+  test("compact crash windows: committed journal rolls FORWARD (incl. emptied buckets), uncommitted rolls BACK") {
+    // Three docs with disjoint vocabularies: deleting doc 1 empties every
+    // bucket its terms occupy (asserted below), exercising the
+    // PLAN-driven forward roll — an emptied bucket has no tmp dir to
+    // enumerate, only the journal knows its stale live dir must go.
+    // "shared" appears in the victim AND a survivor: its bucket is in the
+    // PLAN but NOT emptied, exercising the aside-then-move-in swap; the
+    // victim-only terms' buckets exercise the emptied-bucket branch.
+    val docs = mkDocs(Seq(
+      (1L, "alpha beta shared"), (2L, "gamma delta shared"), (3L, "epsilon zeta")))
+    val doomed = Seq("alpha", "beta").map(Search.termBucket(_)).toSet
+    val sharedB = Search.termBucket("shared")
+    val kept = Seq("gamma", "delta", "epsilon", "zeta").map(Search.termBucket(_)).toSet + sharedB
+    assume(doomed.intersect(kept).isEmpty, "fixture vocab must not collide in buckets")
+    val terms = Seq("gamma", "zeta", "shared")
+    import spark.implicits._
+    def freshWithDelete(): String = {
+      val idx = java.nio.file.Files.createTempDirectory("bm25crash").toString
+      Search.buildBm25Index(docs, idx)
+      Search.deleteFromBm25Index(spark, idx, Seq(1L).toDF("doc_id"))
+      idx
+    }
+    val ref = Search.bm25TopKStored(spark, freshWithDelete(), terms, 5)
+      .collect().toSeq
+
+    // crash state A: staged + COMMIT present, ZERO swaps done → recovery
+    // must complete the compact (forward), removing the emptied buckets
+    val a = freshWithDelete()
+    assert(Search.stageBm25Compact(spark, a))
+    Search.recoverBm25Compact(a)
+    assert(!new java.io.File(s"$a/compact_tmp").exists())
+    assert(!new java.io.File(s"$a/deletes").exists(), "forward roll consumes tombstones")
+    for (b <- doomed)
+      assert(!new java.io.File(s"$a/postings/bucket=$b").exists(),
+        s"emptied bucket $b must be removed by the PLAN-driven roll")
+    assert(Search.bm25TopKStored(spark, a, terms, 5).collect().toSeq === ref)
+    assert(spark.read.parquet(s"$a/stats").collect()(0).getLong(1) === 2L)
+
+    // crash state B: staged but NOT committed → recovery discards tmp;
+    // tombstones remain pending and the delete-aware probe still serves
+    val b = freshWithDelete()
+    assert(Search.stageBm25Compact(spark, b))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$b/compact_tmp/COMMIT"))
+    Search.recoverBm25Compact(b)
+    assert(!new java.io.File(s"$b/compact_tmp").exists())
+    assert(new java.io.File(s"$b/deletes").exists(), "rollback must keep the tombstones")
+    assert(Search.bm25TopKStored(spark, b, terms, 5).collect().toSeq === ref)
+
+    // crash state C: committed, ONE live bucket already moved aside
+    // (aside-first, move-in not yet done) → recovery finishes that swap
+    // and the rest of the plan
+    val c = freshWithDelete()
+    assert(Search.stageBm25Compact(spark, c))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$c/compact_old/postings"))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$c/postings/bucket=$sharedB"),
+      java.nio.file.Paths.get(s"$c/compact_old/postings/bucket=$sharedB"))
+    Search.recoverBm25Compact(c)
+    assert(!new java.io.File(s"$c/compact_tmp").exists())
+    assert(!new java.io.File(s"$c/compact_old").exists())
+    assert(Search.bm25TopKStored(spark, c, terms, 5).collect().toSeq === ref)
+  }
+
   test("bm25: respects k and matches only documents containing a query term") {
     val docs = mkDocs((1L to 30L).map(i =>
       (i, if (i % 3 == 0) "hit pad pad" else "pad pad pad")))
