@@ -205,6 +205,16 @@ private[graft] object CurateQueries {
         d.where(col("source") =!= "src0"), d.where(col("source") === "src0"))
     }),
 
+    // Span-level contamination localization (r10): the contiguous
+    // 1-based token runs x117 would excise, per training doc —
+    // gaps-and-islands over the SAME removal set, so the audit report
+    // can't drift from the surgery it authorizes.,
+    "x226_contamination_spans" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.contaminationSpans(
+        d.where(col("source") =!= "src0"), d.where(col("source") === "src0"))
+    }),
+
     // Filter-agreement cross-tab (r5): do the two quality filters agree?
     // Tertile every scored doc under BOTH signals — trigram-LM fluency
     // (bin 1 = most fluent) and heuristic quality (bin 1 = highest, via
@@ -1066,6 +1076,26 @@ private[graft] object CurateQueries {
         "b.n_tokens - coalesce(reb.n_kept, 0) AS n_removed " +
         "FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tr) b " +
         "LEFT JOIN reb USING (doc_id)"),
+    // x226: x117's rem CTE (1-based ti), then classic gaps-and-islands —
+    // ti minus its per-doc rank keys a maximal contiguous run.,
+    "x226_contamination_spans" ->
+      ("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +
+        "tr AS (SELECT doc_id, toks FROM t WHERE source <> 'src0'), " +
+        "w AS (SELECT doc_id, p.i AS i, p.wh AS wh FROM " +
+        "(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-7), " +
+        "i -> struct_pack(i := i, wh := md5(array_to_string(toks[i:i+7], ' '))))) AS p " +
+        "FROM tr WHERE len(toks) >= 8)), " +
+        "bw AS (SELECT DISTINCT md5(array_to_string(toks[i:i+7], ' ')) AS wh FROM " +
+        "(SELECT toks, unnest(generate_series(1, len(toks)-7)) AS i " +
+        "FROM t WHERE source = 'src0' AND len(toks) >= 8)), " +
+        "rem AS (SELECT DISTINCT doc_id, ti FROM (SELECT w.doc_id, " +
+        "unnest(generate_series(w.i, w.i+7)) AS ti FROM w JOIN bw USING (wh))), " +
+        "g AS (SELECT doc_id, ti, ti - row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY ti) AS grp FROM rem) " +
+        "SELECT doc_id, CAST(min(ti) AS BIGINT) AS span_start, " +
+        "CAST(max(ti) AS BIGINT) AS span_end, CAST(count(*) AS BIGINT) AS span_len " +
+        "FROM g GROUP BY doc_id, grp"),
+
     "x116_filter_agreement" ->
       (s"WITH $lmTrigramCtes, " +
         "sc AS (SELECT doc_id, list_aggregate(list(invp ORDER BY i), 'sum')/count(*) AS avg_invp " +

@@ -825,19 +825,7 @@ object Dedup {
       k: Int = 8): DataFrame = {
     require(k >= 2, s"window must span at least 2 tokens, got $k")
     val base = cacheOnce(train.select(col("doc_id"), TextOps.tokens(col("text")).as("toks")))
-    def windowHashes(toks: Column): Column =
-      when(size(toks) >= k,
-        transform(sequence(lit(1), size(toks) - lit(k - 1)),
-          i => md5(concat_ws(" ", slice(toks, i, lit(k))))))
-        .otherwise(array())
-    val trainWin = base.select(col("doc_id"),
-      posexplode(windowHashes(col("toks"))).as(Seq("pos", "wh")))
-    val benchWin = benchmark
-      .select(explode(windowHashes(TextOps.tokens(col("text")))).as("wh"))
-      .distinct()
-    val removed = trainWin.join(broadcast(benchWin), "wh")
-      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("ti"))
-      .distinct()
+    val removed = contaminatedTokenIdx(base, benchmark, k)
     val kept = base
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("ti", "tok")))
       .join(removed, Seq("doc_id", "ti"), "left_anti")
@@ -852,5 +840,58 @@ object Dedup {
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_removed"))
+  }
+
+  /** The (doc_id, ti) set of 0-based token indices covered by any
+    * benchmark-matching k-token window — [[decontaminateApplied]]'s
+    * removal set, factored out so [[contaminationSpans]] reports the same
+    * indices it would excise. Benchmark digests broadcast; only
+    * (doc_id, ti) pairs shuffle. */
+  private def contaminatedTokenIdx(base: DataFrame, benchmark: DataFrame,
+      k: Int): DataFrame = {
+    def windowHashes(toks: Column): Column =
+      when(size(toks) >= k,
+        transform(sequence(lit(1), size(toks) - lit(k - 1)),
+          i => md5(concat_ws(" ", slice(toks, i, lit(k))))))
+        .otherwise(array())
+    val trainWin = base.select(col("doc_id"),
+      posexplode(windowHashes(col("toks"))).as(Seq("pos", "wh")))
+    val benchWin = benchmark
+      .select(explode(windowHashes(TextOps.tokens(col("text")))).as("wh"))
+      .distinct()
+    trainWin.join(broadcast(benchWin), "wh")
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("ti"))
+      .distinct()
+  }
+
+  /** Span-level contamination localization (x226, r10) — the audit view
+    * an eval-integrity reviewer reads BEFORE authorizing excision: for
+    * every training document with benchmark-window overlap, the
+    * contiguous 1-based token RUNS that [[decontaminateApplied]] would
+    * remove, assembled gaps-and-islands style (ti − rank(ti) keys a
+    * maximal run) from the same removal set x117 excises — the report
+    * can't drift from the surgery.
+    *
+    * Scale shape: the match is x117's broadcast digest semi-join (the
+    * corpus never shuffles for it); the island assembly is a keyed
+    * window over the MATCHED (doc_id, ti) pairs only — contamination is
+    * sparse by construction, so the windowed frame is a small fraction
+    * of the corpus, and the partition key is doc_id (never a global
+    * window). */
+  def contaminationSpans(train: DataFrame, benchmark: DataFrame,
+      k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"window must span at least 2 tokens, got $k")
+    val base = train.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val removed = contaminatedTokenIdx(base, benchmark, k)
+      .select(col("doc_id"), (col("ti") + lit(1)).as("ti"))
+    removed
+      .withColumn("grp", col("ti") -
+        row_number().over(Window.partitionBy("doc_id").orderBy("ti")))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("ti")).cast("long").as("span_start"),
+        max(col("ti")).cast("long").as("span_end"),
+        count(lit(1)).as("span_len"))
+      .select("doc_id", "span_start", "span_end", "span_len")
   }
 }

@@ -1147,6 +1147,15 @@ object Similarity {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val tmp = s"$indexDir/codes_delete_tmp"
       val aside = s"$indexDir/codes_delete_old"
+      // journal the affected-cell PLAN before any heavy work (and OUTSIDE
+      // tmp — the overwrite below would clear it): a cell emptied
+      // entirely by the delete has no rewritten dir in tmp and, until its
+      // swap starts, no aside twin either, so a crash after _SUCCESS
+      // would otherwise leave its stale live dir invisible to recovery —
+      // the deleted vec_ids would silently resurrect (the same gap class
+      // as the ADVICE r9 multi-cell fix, for the emptied-cell case)
+      Files.write(Paths.get(s"$indexDir/codes_delete_plan"),
+        cells.mkString("\n").getBytes("UTF-8"))
       byCell(codes.where(col("cell").isin(cells.toIndexedSeq: _*) &&
           !col("vec_id").isin(ids: _*)))
         .write.mode("overwrite").partitionBy("cell").parquet(tmp)
@@ -1161,6 +1170,7 @@ object Similarity {
       }
       rmTree(new java.io.File(aside))
       rmTree(new java.io.File(tmp))
+      Files.deleteIfExists(Paths.get(s"$indexDir/codes_delete_plan"))
     }
   }
 
@@ -1216,8 +1226,29 @@ object Similarity {
         }
       }
     }
+    // Cells EMPTIED by the delete appear in neither tmp (no survivors to
+    // rewrite) nor, until their swap starts, aside — only the journaled
+    // PLAN knows their stale live dirs must come out. Iterate it last
+    // with state-conditional steps (aside-first), so re-running after a
+    // crash at any point — including mid-recovery — is idempotent.
+    val planPath = Paths.get(s"$indexDir/codes_delete_plan")
+    if (committed && Files.exists(planPath)) {
+      for (c <- new String(Files.readAllBytes(planPath), "UTF-8")
+           .split("\n").filter(_.nonEmpty)) {
+        val dst = Paths.get(s"$indexDir/codes/cell=$c")
+        val asideTwin = Paths.get(s"$aside/cell=$c")
+        val src = Paths.get(s"$tmp/cell=$c")
+        if (!Files.exists(asideTwin) && Files.exists(dst)) {
+          Files.createDirectories(Paths.get(aside))
+          Files.move(dst, asideTwin, StandardCopyOption.ATOMIC_MOVE)
+        }
+        if (!Files.exists(dst) && Files.exists(src))
+          Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
     if (asideDir.isDirectory) rmTree(asideDir)
     rmTree(tmpDir)
+    Files.deleteIfExists(planPath)
   }
 
   /** Index-health report for a stored IVFADC index — the ops statistic a

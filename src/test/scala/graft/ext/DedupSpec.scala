@@ -284,6 +284,37 @@ class DedupSpec extends SparkTestBase {
     assert(twoCopies(1L) === 9L && twoCopies(3L) === 9L)
   }
 
+  test("contaminationSpans: planted span bounds exact; spans reconcile with decontaminateApplied's removed mass") {
+    import spark.implicits._
+    // doc 1: tokens 4..12 (1-based) are the 9 leaked benchmark tokens
+    // after a 3-token intro; doc 2 carries TWO disjoint leaked runs
+    // (tokens 1..9 and 13..21) separated by 3 clean tokens.
+    val train = Seq(
+      (1L, "intro words then the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog gap gap gap the quick brown fox jumps over the lazy dog"),
+      (3L, "totally clean training document with no benchmark overlap at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.contaminationSpans(train, bench, k = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(spans === Set((1L, 4L, 12L, 9L), (2L, 1L, 9L, 9L), (2L, 13L, 21L, 9L)),
+      s"planted runs must come back exactly: $spans")
+    // reconciliation on the fixture corpus: per-doc Σ span_len must equal
+    // decontaminateApplied's n_removed — same removal set, two views
+    val d = graft.sources.Tables.documents(spark, sfDir)
+    val tr = d.where(col("source") =!= "src0")
+    val be = d.where(col("source") === "src0")
+    val bySpan = Dedup.contaminationSpans(tr, be).groupBy("doc_id")
+      .agg(sum("span_len").as("m")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byExcise = Dedup.decontaminateApplied(tr, be).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(byExcise.filter(_._2 > 0L) === bySpan, "span mass must reconcile with n_removed")
+    assert(bySpan.nonEmpty, "fixture must actually contain contamination")
+  }
+
   test("dedupPassagesApplied: fixture invariants — exact dups survive once, reconciles with dupPassages") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val out = Dedup.dedupPassagesApplied(docs).collect()

@@ -588,6 +588,57 @@ class SimilaritySpec extends SparkTestBase {
       "recovery must consume both journal dirs")
   }
 
+  test("delete crash with a cell EMPTIED by the batch: the journaled plan removes its stale live dir") {
+    // A cell whose every member is in the delete batch has NO rewritten
+    // dir in tmp (nothing survives) and, until its swap starts, no aside
+    // twin — so a crash right after _SUCCESS left its pre-delete files
+    // live and invisible to a recovery that only walks aside/tmp dirs:
+    // the whole cell's deleted vec_ids resurrected. The delete now
+    // journals the affected-cell PLAN before the rewrite, and the
+    // committed forward-roll walks it.
+    import java.nio.file.{Files, Paths}
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-crash3").toString
+    Similarity.buildIvfPqIndex(e, idx)
+    val codes = spark.read.parquet(s"$idx/codes")
+    val cells = codes.groupBy(col("cell").cast("long").as("c")).count()
+      .where(col("count") >= 2).orderBy("c").collect().map(_.getLong(0)).take(2)
+    assert(cells.length === 2, "fixture must offer two multi-member cells")
+    val Array(cellA, cellB) = cells
+    def members(c: Long): Array[Long] =
+      codes.where(col("cell").cast("long") === c)
+        .select("vec_id").collect().map(_.getLong(0)).sorted
+    // delete ALL of cell A (emptied) plus one victim from cell B (so the
+    // committed rewrite in tmp is non-empty — a realistic mixed batch)
+    val victims = members(cellA).toSeq :+ members(cellB).head
+    val survB = members(cellB).drop(1).toSet
+    val nAll = codes.count()
+    // stage exactly as deleteFromIvfPqIndex does: PLAN first, then the
+    // committed rewrite; crash before ANY swap
+    val tmp = s"$idx/codes_delete_tmp"
+    Files.write(Paths.get(s"$idx/codes_delete_plan"),
+      Seq(cellA, cellB).mkString("\n").getBytes("UTF-8"))
+    codes.where(col("cell").cast("long").isin(cellA, cellB) &&
+        !col("vec_id").isin(victims: _*))
+      .repartition(1)
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    assert(Files.exists(Paths.get(s"$tmp/_SUCCESS")))
+    assert(!Files.exists(Paths.get(s"$tmp/cell=$cellA")),
+      "an emptied cell must have no rewritten dir — that's the hazard")
+    Similarity.recoverIvfPqDelete(idx)
+    assert(!Files.exists(Paths.get(s"$idx/codes/cell=$cellA")),
+      "the emptied cell's stale live dir must be removed by the PLAN roll")
+    val bIds = spark.read.parquet(s"$idx/codes")
+      .where(col("cell").cast("long") === cellB)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(bIds === survB, "the mixed batch's partial cell must also complete")
+    assert(spark.read.parquet(s"$idx/codes").count() === nAll - victims.size)
+    assert(!Files.exists(Paths.get(tmp)) &&
+      !Files.exists(Paths.get(s"$idx/codes_delete_old")) &&
+      !Files.exists(Paths.get(s"$idx/codes_delete_plan")),
+      "recovery must consume the journal dirs AND the plan file")
+  }
+
   test("IVFADC codes table compacts with Maintenance.compactPartitioned: fewer files, probes bit-identical") {
     val e = graft.sources.Tables.embeddings(spark, sfDir)
     val isBase = IvfTestSupport.isBase(e)
