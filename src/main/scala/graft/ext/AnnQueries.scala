@@ -106,6 +106,17 @@ private[graft] object AnnQueries {
     "x217_embedding_postprocess" -> ((s, dir) =>
       Embeddings.allButTop(Tables.embeddings(s, dir))),
 
+    // Embedding snapshot drift (r10): population-shift monitor between a
+    // reference snapshot and the current ingest batch (fixture: vec_id
+    // parity slices) — centroid cosine, centroid-difference norm,
+    // mean-norm delta. Per-dim means via two-level folds; everything
+    // after the two scans is D-sized.,
+    "x227_embedding_drift" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Embeddings.snapshotDrift(
+        e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 =!= 0))
+    }),
+
     // Embedding outlier report (r5): distance to the label's exact
     // centroid, flagged at the corpus's exact P95 squared-distance — the
     // embedding-space curation filter after near-dup removal.,
@@ -885,6 +896,44 @@ private[graft] object AnnQueries {
         "list_aggregate(list(s ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS mean_norm FROM in1) " +
         "SELECT imn.n_vecs, imn.mean_norm, idr.mu_sqnorm, idr.trace_var, " +
         "CASE WHEN idr.trace_var > 0 THEN idr.maxvar/idr.trace_var END AS top_dim_var_share FROM imn, idr"),
+    // x227: per-slice per-dim means (x177's fold idiom, one CTE chain per
+    // slice), then a D-sized combine — dot/sq-norms/shift all fold over
+    // dimensions ORDER BY d.,
+    "x227_embedding_drift" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "r AS (SELECT * FROM e WHERE vec_id % 2 = 0), " +
+        "c AS (SELECT * FROM e WHERE vec_id % 2 <> 0), " +
+        "rb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM r), " +
+        "cb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM c), " +
+        "rdx AS (SELECT vec_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS d, " +
+        "unnest(emb) AS v FROM r), " +
+        "cdx AS (SELECT vec_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS d, " +
+        "unnest(emb) AS v FROM c), " +
+        "rs1 AS (SELECT d, vec_id % (SELECT b FROM rb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
+        "list_aggregate(list_sort(list(v)), 'sum') AS s FROM rdx GROUP BY 1, 2), " +
+        "cs1 AS (SELECT d, vec_id % (SELECT b FROM cb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
+        "list_aggregate(list_sort(list(v)), 'sum') AS s FROM cdx GROUP BY 1, 2), " +
+        "rpd AS (SELECT d, list_aggregate(list(s ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS mr FROM rs1 GROUP BY 1), " +
+        "cpd AS (SELECT d, list_aggregate(list(s ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS mc FROM cs1 GROUP BY 1), " +
+        "cx AS (SELECT list_aggregate(list(mr*mc ORDER BY d), 'sum') AS dot, " +
+        "list_aggregate(list(mr*mr ORDER BY d), 'sum') AS sqa, " +
+        "list_aggregate(list(mc*mc ORDER BY d), 'sum') AS sqb, " +
+        "list_aggregate(list((mr - mc)*(mr - mc) ORDER BY d), 'sum') AS sqd " +
+        "FROM (SELECT rpd.d, mr, mc FROM rpd JOIN cpd USING (d))), " +
+        "rn1 AS (SELECT vec_id % (SELECT b FROM rb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
+        "list_aggregate(list_sort(list(nmv)), 'sum') AS s FROM " +
+        "(SELECT vec_id, sqrt(list_aggregate(list_transform(emb, x -> x*x), 'sum')) AS nmv FROM r) GROUP BY 1), " +
+        "cn1 AS (SELECT vec_id % (SELECT b FROM cb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
+        "list_aggregate(list_sort(list(nmv)), 'sum') AS s FROM " +
+        "(SELECT vec_id, sqrt(list_aggregate(list_transform(emb, x -> x*x), 'sum')) AS nmv FROM c) GROUP BY 1), " +
+        "rmn AS (SELECT CAST(sum(n) AS BIGINT) AS n_ref, " +
+        "list_aggregate(list(s ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS mean_norm_ref FROM rn1), " +
+        "cmn AS (SELECT CAST(sum(n) AS BIGINT) AS n_cur, " +
+        "list_aggregate(list(s ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS mean_norm_cur FROM cn1) " +
+        "SELECT n_ref, n_cur, mean_norm_ref, mean_norm_cur, " +
+        "mean_norm_cur - mean_norm_ref AS norm_shift, " +
+        "CASE WHEN sqa > 0 AND sqb > 0 THEN dot/(sqrt(sqa)*sqrt(sqb)) END AS centroid_cos, " +
+        "sqrt(sqd) AS mean_shift_norm FROM rmn, cmn, cx"),
     "x113_cluster_profile" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings), " +
         s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +

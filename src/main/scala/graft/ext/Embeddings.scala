@@ -259,4 +259,66 @@ object Embeddings {
       .select(col("vec_id"), col("label"), col("dist2"),
         sqrt(col("dist2")).as("dist"), (col("dist2") > col("_hi")).as("is_outlier"))
   }
+
+  /** Embedding snapshot drift (x227, r10) — the monitor an embedding
+    * pipeline runs between a REFERENCE snapshot and the CURRENT ingest
+    * batch before trusting stored-index probes trained on the old
+    * distribution: population-level shift summarized as the cosine
+    * between the two slices' centroid vectors, the L2 norm of the
+    * centroid difference, and the mean-vector-norm delta. A new encoder
+    * version, a domain-mix change, or a normalization bug all move these
+    * numbers; per-vector checks don't see population shift.
+    *
+    * Caveat a monitor must know: for a near-isotropic population (x177)
+    * the centroids are near-zero noise vectors and their cosine is
+    * meaningless — alarm on `mean_shift_norm` (absolute centroid
+    * displacement), and read `centroid_cos` only when the slices'
+    * mean-vector norms are well away from zero.
+    *
+    * Scale shape: each slice reduces to D per-dimension means via the
+    * [[graft.functions.Stable]] two-level fold (√n bucket partials —
+    * deterministic, oracle-replayable), then everything downstream is
+    * D-sized: the cross-slice combination folds over dimensions, never
+    * touching vectors again. Two corpus scans total, no corpus-sized
+    * shuffle (the per-dim agg moves (d, bucket) partials only). */
+  def snapshotDrift(ref: DataFrame, cur: DataFrame): DataFrame = {
+    import graft.functions.Stable.{sortedFold, bucketFold, sqrtBuckets}
+    def slice(emb: DataFrame, tag: String): (DataFrame, DataFrame) = {
+      val e = graft.ops.Caching.cacheOnce(emb)
+      val fb = sqrtBuckets(e.count())
+      val dims = e.select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("d", "v")))
+      val perDim = dims
+        .groupBy(col("d"), pmod(col("vec_id"), lit(fb.toLong)).as("_bkt"))
+        .agg(count(lit(1)).as("_n"), sortedFold(col("v")).as("_s"))
+        .groupBy("d")
+        .agg((bucketFold(col("_bkt"), col("_s")) / sum(col("_n")).cast("double"))
+          .as(s"mean_$tag"))
+      val norms = e.select(col("vec_id"), l2Norm(col("embedding").cast("array<double>")).as("_nm"))
+        .groupBy(pmod(col("vec_id"), lit(fb.toLong)).as("_bkt"))
+        .agg(count(lit(1)).as("_n"), sortedFold(col("_nm")).as("_s"))
+        .agg(sum(col("_n")).cast("long").as(s"n_$tag"),
+          (bucketFold(col("_bkt"), col("_s")) / sum(col("_n")).cast("double"))
+            .as(s"mean_norm_$tag"))
+      (perDim, norms)
+    }
+    val (dimRef, normRef) = slice(ref, "ref")
+    val (dimCur, normCur) = slice(cur, "cur")
+    val cross = dimRef.join(dimCur, "d").agg(
+      bucketFold(col("d"), col("mean_ref") * col("mean_cur")).as("_dot"),
+      bucketFold(col("d"), col("mean_ref") * col("mean_ref")).as("_sqa"),
+      bucketFold(col("d"), col("mean_cur") * col("mean_cur")).as("_sqb"),
+      bucketFold(col("d"), (col("mean_ref") - col("mean_cur")) *
+        (col("mean_ref") - col("mean_cur"))).as("_sqd"))
+    normRef.crossJoin(broadcast(normCur)).crossJoin(broadcast(cross))
+      .select(col("n_ref"), col("n_cur"),
+        col("mean_norm_ref"), col("mean_norm_cur"),
+        (col("mean_norm_cur") - col("mean_norm_ref")).as("norm_shift"),
+        // identical-population guard: a zero centroid (all-cancelling
+        // slice) has no direction to compare — NULL, not 0/0 NaN
+        when(col("_sqa") > 0 && col("_sqb") > 0,
+          col("_dot") / (sqrt(col("_sqa")) * sqrt(col("_sqb"))))
+          .as("centroid_cos"),
+        sqrt(col("_sqd")).as("mean_shift_norm"))
+  }
 }

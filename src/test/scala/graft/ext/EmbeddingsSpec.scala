@@ -199,4 +199,38 @@ class EmbeddingsSpec extends SparkTestBase {
     val b = Embeddings.allButTop(e).collect().map(_.toSeq).toSet
     assert(a === b, "allButTop must be bit-deterministic")
   }
+
+  test("snapshotDrift: identical slices report zero shift; a planted translation is measured (x227)") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    // identical populations: the per-dim mean chains are the SAME
+    // computation on both sides, so the difference fold is exactly zero
+    val same = Embeddings.snapshotDrift(e, e).collect()(0)
+    assert(same.getAs[Double]("mean_shift_norm") === 0.0)
+    assert(same.getAs[Double]("norm_shift") === 0.0)
+    assert(math.abs(same.getAs[Double]("centroid_cos") - 1.0) < 1e-12)
+    assert(same.getAs[Long]("n_ref") === same.getAs[Long]("n_cur"))
+    // planted drift: translate every vector by +1.0 in dimension 0 —
+    // the centroid moves by exactly that vector, up to fold rounding
+    val shifted = e.select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        (v, i) => when(i === 0, v + lit(1.0)).otherwise(v)).as("embedding"))
+    val drift = Embeddings.snapshotDrift(e, shifted).collect()(0)
+    assert(math.abs(drift.getAs[Double]("mean_shift_norm") - 1.0) < 1e-9,
+      s"translation by e0 must show up as shift 1.0: $drift")
+    assert(drift.getAs[Double]("centroid_cos") < 1.0)
+    // parity slices of one corpus: same distribution, so small but
+    // nonzero drift — and bit-deterministic across runs
+    val p1 = Embeddings.snapshotDrift(
+      e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 =!= 0)).collect()(0)
+    val p2 = Embeddings.snapshotDrift(
+      e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 =!= 0)).collect()(0)
+    assert(p1 === p2, "snapshotDrift must be bit-deterministic")
+    // the fixture corpus is near-isotropic (x177), so the slice centroids
+    // are near-zero noise vectors and their cosine is NOT near 1 — the
+    // metric's documented caveat; assert only well-formedness here
+    val cc = p1.getAs[Double]("centroid_cos")
+    assert(cc >= -1.0 - 1e-12 && cc <= 1.0 + 1e-12)
+    assert(p1.getAs[Double]("mean_shift_norm") < 0.2,
+      "same-distribution slices must show small centroid displacement")
+  }
 }
