@@ -1255,4 +1255,68 @@ object Curate {
           col("cum_tokens").cast("double") / col("_tot").cast("double"))
           .as("cum_token_share"))
   }
+
+  /** One-row DATASET CARD (x228, r10) — the publishable summary a corpus
+    * release ships (Gebru et al.'s datasheets, public practice),
+    * composing one headline number from each verified family so the card
+    * cannot drift from the operators it summarizes:
+    *
+    *  - identity: doc count, distinct sources/langs, whitespace-token
+    *    mass, mean doc length;
+    *  - duplication: exact-content duplicate fraction (md5 digests);
+    *  - composition: top-source share + source Gini–Simpson diversity
+    *    (1 − Σp², log-free like x97);
+    *  - quality: corpus mean of the x46 composite score (two-level fold);
+    *  - risk: fraction of docs with ≥ 1 PII hit, counted by x220's
+    *    redaction regexes over the SAME withPii-enriched fixture text
+    *    x220 audits.
+    *
+    * Scale shape: three corpus scans (quality fold / digest distinct /
+    * PII regex), each ending in a partial agg; the only corpus-keyed
+    * shuffle is the exact digest distinct — the price of an exact dup
+    * rate, already the x01 shape. Source rollups are dim-sized; the
+    * Σp² fold runs over the source-sorted list (deterministic order). */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    import graft.functions.Stable.{sortedFold, bucketFold, sqrtBuckets}
+    val base = graft.ops.Caching.cacheOnce(docs)
+    val fb = sqrtBuckets(base.count())
+    val core = TextOps.qualityMetrics(base)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .groupBy(pmod(col("doc_id"), lit(fb.toLong)).as("_bkt"))
+      .agg(count(lit(1)).as("_n"), sum(col("n_tokens")).as("_tk"),
+        sortedFold(col("quality_score")).as("_s"))
+      .agg(sum(col("_n")).cast("long").as("n_docs"),
+        sum(col("_tk")).cast("long").as("total_ws_tokens"),
+        (bucketFold(col("_bkt"), col("_s")) / sum(col("_n")).cast("double"))
+          .as("mean_quality"))
+    val dims = base.agg(
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(md5(col("text"))).as("_uniq"))
+    val srcRoll = base.groupBy("source").agg(count(lit(1)).as("_c"))
+      .crossJoin(broadcast(core.select("n_docs")))
+      .select(col("source"), col("_c"),
+        (col("_c").cast("double") / col("n_docs").cast("double")).as("_p"))
+      .agg(max(col("_c")).cast("long").as("_maxc"),
+        sort_array(collect_list(struct(col("source"), col("_p")))).as("_ps"))
+      .select(col("_maxc"),
+        aggregate(transform(col("_ps"), s => s.getField("_p") * s.getField("_p")),
+          lit(0.0), (a, x) => a + x).as("_p2"))
+    val pii = TextOps.piiRedact(TextOps.withPii(base))
+      .agg(sum(when(col("n_pii") > 0, 1L).otherwise(0L)).as("_piiDocs"))
+    core.crossJoin(broadcast(dims)).crossJoin(broadcast(srcRoll))
+      .crossJoin(broadcast(pii))
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        col("total_ws_tokens"),
+        (col("total_ws_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("mean_doc_tokens"),
+        (lit(1.0) - col("_uniq").cast("double") / col("n_docs").cast("double"))
+          .as("exact_dup_frac"),
+        (col("_maxc").cast("double") / col("n_docs").cast("double"))
+          .as("top_source_share"),
+        (lit(1.0) - col("_p2")).as("source_gini_simpson"),
+        col("mean_quality"),
+        (col("_piiDocs").cast("double") / col("n_docs").cast("double"))
+          .as("pii_doc_frac"))
+  }
 }

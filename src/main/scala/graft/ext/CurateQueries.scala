@@ -205,6 +205,13 @@ private[graft] object CurateQueries {
         d.where(col("source") =!= "src0"), d.where(col("source") === "src0"))
     }),
 
+    // Dataset card (r10): the one-row publishable summary composing one
+    // headline number per verified family — identity, duplication,
+    // composition, quality, PII risk — each column computed by the
+    // registered operator's own code path.,
+    "x228_dataset_card" -> ((s, dir) =>
+      Curate.datasetCard(Tables.documents(s, dir))),
+
     // Span-level contamination localization (r10): the contiguous
     // 1-based token runs x117 would excise, per training doc —
     // gaps-and-islands over the SAME removal set, so the audit report
@@ -1076,6 +1083,51 @@ private[graft] object CurateQueries {
         "b.n_tokens - coalesce(reb.n_kept, 0) AS n_removed " +
         "FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tr) b " +
         "LEFT JOIN reb USING (doc_id)"),
+    // x228: quality fold = x46's score formula + the √n bucket chain;
+    // Σp² folds over the source-sorted list; PII chain = x220's fixture
+    // enrichment + regex counts.,
+    "x228_dataset_card" ->
+      (s"WITH t AS ($toksCte), " +
+        "fb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM documents), " +
+        "q AS (SELECT d.doc_id, CAST(len(t.toks) AS BIGINT) AS ntok, " +
+        "least(CAST(len(t.toks) AS DOUBLE)/50.0, 1.0)*0.5 " +
+        s"+ (CAST(len(list_filter(t.toks, tk -> list_contains($stopList, tk))) AS DOUBLE)/len(t.toks))*0.25 " +
+        "+ (CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)/length(d.text))*0.25 " +
+        "AS quality_score FROM documents d JOIN t USING (doc_id)), " +
+        "qb AS (SELECT doc_id % (SELECT b FROM fb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(ntok) AS BIGINT) AS tk, " +
+        "list_aggregate(list_sort(list(quality_score)), 'sum') AS s FROM q GROUP BY 1), " +
+        "core AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs, CAST(sum(tk) AS BIGINT) AS total_ws_tokens, " +
+        "list_aggregate(list(s ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS mean_quality FROM qb), " +
+        "dm AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources, " +
+        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, " +
+        "CAST(count(DISTINCT md5(text)) AS BIGINT) AS uniq FROM documents), " +
+        "sc AS (SELECT source, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1), " +
+        "sr AS (SELECT CAST(max(c) AS BIGINT) AS maxc, " +
+        "list_aggregate(list((CAST(c AS DOUBLE)/CAST((SELECT n_docs FROM core) AS DOUBLE))" +
+        "*(CAST(c AS DOUBLE)/CAST((SELECT n_docs FROM core) AS DOUBLE)) ORDER BY source), 'sum') AS p2 FROM sc), " +
+        "ph AS (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR) || ':pii') AS h FROM documents), " +
+        "pk AS (SELECT doc_id, text, " +
+        "CAST(('0x' || substr(h, 1, 4)) AS INT) % 4 AS kind, " +
+        "CAST(('0x' || substr(h, 5, 4)) AS INT) AS h5, " +
+        "CAST(('0x' || substr(h, 9, 4)) AS INT) AS h9, " +
+        "CAST(('0x' || substr(h, 13, 4)) AS INT) AS h13 FROM ph), " +
+        "pt AS (SELECT doc_id, text || CASE " +
+        "WHEN kind = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail' || CAST(h5 % 10 AS VARCHAR) || '.com' " +
+        "WHEN kind = 1 THEN ' call 555-' || lpad(CAST(h5 % 10000 AS VARCHAR), 4, '0') " +
+        "WHEN kind = 2 THEN ' host 10.' || CAST(h5 % 256 AS VARCHAR) || '.' || CAST(h9 % 256 AS VARCHAR) || '.' || CAST(h13 % 256 AS VARCHAR) " +
+        "ELSE '' END AS text FROM pk), " +
+        s"pp AS (SELECT CAST(sum(CASE WHEN len(regexp_extract_all(text, '${TextOps.EmailRe}')) " +
+        s"+ len(regexp_extract_all(text, '${TextOps.PhoneRe}')) " +
+        s"+ len(regexp_extract_all(text, '${TextOps.IpRe}')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs FROM pt) " +
+        "SELECT n_docs, n_sources, n_langs, total_ws_tokens, " +
+        "CAST(total_ws_tokens AS DOUBLE)/CAST(n_docs AS DOUBLE) AS mean_doc_tokens, " +
+        "1.0 - CAST(uniq AS DOUBLE)/CAST(n_docs AS DOUBLE) AS exact_dup_frac, " +
+        "CAST(maxc AS DOUBLE)/CAST(n_docs AS DOUBLE) AS top_source_share, " +
+        "1.0 - p2 AS source_gini_simpson, mean_quality, " +
+        "CAST(pii_docs AS DOUBLE)/CAST(n_docs AS DOUBLE) AS pii_doc_frac " +
+        "FROM core, dm, sr, pp"),
+
     // x226: x117's rem CTE (1-based ti), then classic gaps-and-islands —
     // ti minus its per-doc rank keys a maximal contiguous run.,
     "x226_contamination_spans" ->

@@ -662,4 +662,29 @@ class CurateSpec extends SparkTestBase {
         r.getAs[Long]("n_flagged").toDouble / r.getAs[Long]("n_checked").toDouble)
     }
   }
+
+  test("datasetCard: one row whose columns reconcile with the family operators (x228)") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val card = Curate.datasetCard(docs).collect()(0)
+    val n = docs.count()
+    assert(card.getAs[Long]("n_docs") === n)
+    // duplication column == the exact-dedup family's digest arithmetic
+    val uniq = docs.select(md5(col("text"))).distinct().count()
+    assert(card.getAs[Double]("exact_dup_frac") === 1.0 - uniq.toDouble / n.toDouble)
+    // composition columns reconcile with a driver-side source rollup
+    val counts = docs.groupBy("source").count().collect()
+      .map(r => r.getAs[String](0) -> r.getLong(1)).sortBy(_._1)
+    assert(card.getAs[Double]("top_source_share") ===
+      counts.map(_._2).max.toDouble / n.toDouble)
+    val p2 = counts.map(_._2.toDouble / n.toDouble).map(p => p * p)
+      .foldLeft(0.0)(_ + _)
+    assert(card.getAs[Double]("source_gini_simpson") === 1.0 - p2)
+    // risk column == x220's own counting over the same enriched text
+    val piiDocs = TextOps.piiRedact(TextOps.withPii(docs))
+      .where(col("n_pii") > 0).count()
+    assert(card.getAs[Double]("pii_doc_frac") === piiDocs.toDouble / n.toDouble)
+    // sanity bounds on the remaining columns
+    assert(card.getAs[Double]("mean_quality") > 0.0 && card.getAs[Double]("mean_quality") < 1.0)
+    assert(card.getAs[Long]("total_ws_tokens") > n, "multi-token docs expected")
+  }
 }
