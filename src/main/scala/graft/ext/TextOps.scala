@@ -108,6 +108,53 @@ object TextOps {
         .as("clean_text"))
   }
 
+  /** Deterministic encoding-noise enrichment for the x229 audit (the
+    * [[withPii]] convention): per doc_id, an md5-chosen kind appends a
+    * replacement-character snippet (mojibake), a control-character
+    * snippet, an innocent accented-Latin snippet (a FALSE-POSITIVE probe
+    * — legit non-ASCII must not flag), or nothing. */
+  def withEncodingNoise(docs: DataFrame): DataFrame = {
+    val h = md5(concat(col("doc_id").cast("string"), lit(":enc")))
+    val kind = conv(substring(h, 1, 4), 16, 10).cast("int") % 4
+    docs.withColumn("text", concat(col("text"),
+      when(kind === 0, lit(" caf\uFFFDe men\uFFFDu"))
+        .when(kind === 1, lit(" bell\u0007 esc\u001b end"))
+        .when(kind === 2, lit(" na\u00efve r\u00e9sum\u00e9"))
+        .otherwise(lit(""))))
+  }
+
+  /** Per-source encoding-health audit (x229, r10) — the charset triage a
+    * web-scale ingest runs before any text op trusts the bytes: docs
+    * carrying U+FFFD replacement characters (a decode already failed
+    * upstream — the text is damaged), docs carrying C0 control characters
+    * (excluding tab/newline/CR — binary contamination), and the
+    * non-ASCII character fraction (NOT a defect signal by itself —
+    * accented Latin is healthy text; the audit separates the two, which
+    * is why the fixture plants an innocent-accent kind). Pure per-row
+    * regex counts folded by one dim-sized source rollup — scan speed,
+    * zero corpus-keyed shuffle. */
+  def encodingAudit(docs: DataFrame): DataFrame = {
+    val nRepl = size(regexp_extract_all(col("text"), lit("\uFFFD"), lit(0))).cast("long")
+    val nCtl = size(regexp_extract_all(col("text"),
+      lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"), lit(0))).cast("long")
+    val nNonAscii = length(regexp_replace(col("text"), "[\\x00-\\x7F]", "")).cast("long")
+    docs
+      .select(col("source"), nRepl.as("_r"), nCtl.as("_c"),
+        nNonAscii.as("_na"), length(col("text")).cast("long").as("_n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_r") > 0, 1L).otherwise(0L)).as("docs_replacement_char"),
+        sum(when(col("_c") > 0, 1L).otherwise(0L)).as("docs_control_char"),
+        sum(when(col("_r") > 0 || col("_c") > 0, 1L).otherwise(0L)).as("docs_damaged"),
+        sum(col("_na")).as("_sna"), sum(col("_n")).as("_sn"))
+      .select(col("source"), col("n_docs"),
+        col("docs_replacement_char"), col("docs_control_char"), col("docs_damaged"),
+        (col("docs_damaged").cast("double") / col("n_docs").cast("double"))
+          .as("damaged_doc_frac"),
+        (col("_sna").cast("double") / col("_sn").cast("double"))
+          .as("non_ascii_char_frac"))
+  }
+
   /** Quality metrics: token count, exact mean token length, stopword ratio,
     * lowercase-alpha ratio, and a composite score. All ratios are single
     * double divisions of exact integers — bit-identical across engines.

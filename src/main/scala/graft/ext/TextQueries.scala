@@ -22,6 +22,14 @@ private[graft] object TextQueries {
     "x220_pii_redaction" -> ((s, dir) =>
       TextOps.piiRedact(TextOps.withPii(Tables.documents(s, dir)))),
 
+    // Encoding-health audit (r10): per-source replacement-char /
+    // control-char damage counts + non-ASCII fraction over the
+    // deterministic noise enrichment — the charset triage before any
+    // text op trusts the bytes; the innocent-accent kind pins that
+    // legit non-ASCII does NOT flag.,
+    "x229_encoding_audit" -> ((s, dir) =>
+      TextOps.encodingAudit(TextOps.withEncodingNoise(Tables.documents(s, dir)))),
+
     // Per-source vocabulary diversity (r5): Gini-Simpson + effective vocab
     // size — the log-free "did this source collapse to boilerplate?" stat.,
     "x97_vocab_diversity" -> ((s, dir) =>
@@ -289,6 +297,29 @@ private[graft] object TextQueries {
     // x220: the injection replayed from the same md5 slices, counts via
     // regexp_extract_all on the pre-redaction text, then the ordered
     // 3-pass global regexp_replace.,
+    // x229: the enrichment replayed via chr() code points, then the same
+    // regex counts; frac divisions repeat the exact integer sums.,
+    "x229_encoding_audit" ->
+      ("WITH eh AS (SELECT doc_id, source, text, " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':enc'), 1, 4)) AS INT) % 4 AS kind FROM documents), " +
+        "et AS (SELECT source, text || CASE " +
+        "WHEN kind = 0 THEN ' caf' || chr(65533) || 'e men' || chr(65533) || 'u' " +
+        "WHEN kind = 1 THEN ' bell' || chr(7) || ' esc' || chr(27) || ' end' " +
+        "WHEN kind = 2 THEN ' na' || chr(239) || 've r' || chr(233) || 'sum' || chr(233) " +
+        "ELSE '' END AS text FROM eh), " +
+        "m AS (SELECT source, " +
+        "len(regexp_extract_all(text, chr(65533))) AS r, " +
+        "len(regexp_extract_all(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) AS c, " +
+        "length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS na, " +
+        "length(text) AS n FROM et) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_replacement_char, " +
+        "CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_control_char, " +
+        "CAST(sum(CASE WHEN r > 0 OR c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_damaged, " +
+        "CAST(sum(CASE WHEN r > 0 OR c > 0 THEN 1 ELSE 0 END) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS damaged_doc_frac, " +
+        "CAST(sum(na) AS DOUBLE)/CAST(sum(n) AS DOUBLE) AS non_ascii_char_frac " +
+        "FROM m GROUP BY source"),
+
     "x220_pii_redaction" ->
       ("WITH ph AS (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR) || ':pii') AS h FROM documents), " +
         "pk AS (SELECT doc_id, text, " +

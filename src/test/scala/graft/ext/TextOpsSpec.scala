@@ -550,4 +550,26 @@ class TextOpsSpec extends SparkTestBase {
     assert((0 to 3).forall(i => agg.getLong(i) > 0L),
       "every PII kind and the clean case must appear in the derived fixture")
   }
+
+  test("encodingAudit: replacement/control chars flag, innocent accents do NOT (x229)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean ascii text here", "a"),
+      (2L, "broken caf\uFFFDe text", "a"),
+      (3L, "binary bell\u0007 leak", "a"),
+      (4L, "na\u00efve r\u00e9sum\u00e9 healthy", "b"),
+      (5L, "tab\tand newline\nare fine", "b")
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.encodingAudit(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("docs_replacement_char") === 1L)
+    assert(a.getAs[Long]("docs_control_char") === 1L)
+    assert(a.getAs[Long]("docs_damaged") === 2L)
+    val b = out("b")
+    assert(b.getAs[Long]("docs_damaged") === 0L,
+      "accented Latin and tab/newline must not flag as damage")
+    assert(b.getAs[Double]("non_ascii_char_frac") > 0.0,
+      "the non-ASCII fraction still reports the accents")
+  }
 }
