@@ -428,6 +428,60 @@ object ScaleProbe {
         }
         imgs.unpersist(true)
       }
+      // BM25 tombstone lifecycle (r10): build OUTSIDE the clock, then time
+      // the three maintenance verbs. Delete cost must track the victim
+      // batch (a doclen semi-join + one small append), NOT the index;
+      // probes read only the query terms' buckets, and per-copy token
+      // salting keeps those terms' postings copy-0-constant, so both
+      // probe legs must stay FLAT as k grows. Compact rewrites only the
+      // victims' buckets — the affected-bucket fraction, not the index.
+      locally {
+        val dir = java.nio.file.Files.createTempDirectory("probe_bm25").toString
+        graft.ext.Search.buildBm25Index(corpus, dir)
+        val victims = corpus.where(col("doc_id") % 23 === 3).select("doc_id")
+        time("bm25_tombstone_delete") {
+          graft.ext.Search.deleteFromBm25Index(spark, dir, victims); victims.count()
+        }
+        // replicate() prefixes every copy's tokens with "c<i>x", so the
+        // probe terms carry copy 0's prefix — constant-size postings as k
+        // grows is exactly the pruning claim
+        time("bm25_probe_tombstoned") {
+          graft.ext.Search.bm25TopKStored(spark, dir, Seq("c0xhash", "c0xjoin", "c0xdup"), 10).count()
+        }
+        time("bm25_compact") { graft.ext.Search.compactBm25Index(spark, dir); 1L }
+        time("bm25_probe_compacted") {
+          graft.ext.Search.bm25TopKStored(spark, dir, Seq("c0xhash", "c0xjoin", "c0xdup"), 10).count()
+        }
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(new java.io.File(dir))
+      }
+      // Span localization (r10): decontaminate_applied's broadcast window
+      // match + a keyed window over MATCHED (doc_id, ti) pairs only —
+      // salting keeps hits copy-0-local, so rows stay constant and time
+      // must track k (the corpus-side scan), not the window state.
+      time("contamination_spans") {
+        graft.ext.Dedup.contaminationSpans(
+          corpus.where(col("source") =!= "src0"),
+          corpus.where(col("doc_id") < 1000000L && col("source") === "src0")).count()
+      }
+      // Dataset card (r10): three scan+partial-agg passes plus the exact
+      // digest distinct — the only corpus-keyed shuffle, so time must
+      // track k with the digest shuffle dominating at large k.
+      time("dataset_card") { graft.ext.Curate.datasetCard(corpus).count() }
+      // Embedding drift (r10): two scans reducing to (d, √n-bucket)
+      // partials; everything downstream is D-sized, so time must track k
+      // with no growth in shuffled state beyond the partial count.
+      locally {
+        val e2 = replicateEmb(k).cache()
+        e2.count()
+        time("embedding_drift") {
+          graft.ext.Embeddings.snapshotDrift(
+            e2.where(col("vec_id") % 2 === 0), e2.where(col("vec_id") % 2 =!= 0)).count()
+        }
+        e2.unpersist(blocking = true)
+      }
       // the per-run caches (shingle/band tables) must not leak across scales
       spark.sharedState.cacheManager.clearCache()
     }

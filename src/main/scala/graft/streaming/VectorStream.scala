@@ -58,4 +58,25 @@ object VectorStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Streaming DELETE drain for the lexical index — GDPR/takedown
+    * requests arrive as a stream of doc_ids and tombstone the stored
+    * BM25 index per micro-batch
+    * ([[graft.ext.Search.deleteFromBm25Index]]). Probes reflect a
+    * tombstone the moment its batch commits; the postings rewrite stays
+    * an offline [[graft.ext.Search.compactBm25Index]]. Exactly-once
+    * composes from the checkpoint (source progress) plus the delete
+    * verb's own idempotence — a crashed batch REPLAYS, and victims
+    * already tombstoned (or unknown to the index) are dropped by the
+    * doclen semi-join / deletes anti-join, so the replay is a no-op. */
+  def bm25TombstoneDrain(stream: DataFrame, indexDir: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.ext.Search.deleteFromBm25Index(batch.sparkSession, indexDir, batch)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

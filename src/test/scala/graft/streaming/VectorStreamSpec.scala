@@ -79,6 +79,42 @@ class VectorStreamSpec extends SparkTestBase {
     assert(a === b, "stream-grown index must probe identically to a full rebuild")
   }
 
+  test("bm25TombstoneDrain: stream-deleted index probes like a batch delete; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val streamed = java.nio.file.Files.createTempDirectory("graft-bm25-tsd").toString
+    val batched = java.nio.file.Files.createTempDirectory("graft-bm25-tsb").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bm25-tsckpt").toString
+    graft.ext.Search.buildBm25Index(docs, streamed)
+    graft.ext.Search.buildBm25Index(docs, batched)
+    val victims = docs.where(col("doc_id") % 23 === 3).select("doc_id")
+    graft.ext.Search.deleteFromBm25Index(spark, batched, victims)
+    // the same victims arrive as a two-batch takedown stream
+    val ids = victims.as[Long].collect()
+    val (b1, b2) = ids.splitAt(ids.length / 2)
+    val in = MemoryStream[Long]
+    in.addData(b1.toSeq)
+    in.addData(b2.toSeq)
+    val q = VectorStream.bm25TombstoneDrain(in.toDF().toDF("doc_id"), streamed, ckpt)
+    q.awaitTermination(180000)
+    val terms = Seq("hash", "join", "dup")
+    val a = graft.ext.Search.bm25TopKStored(spark, streamed, terms, 20)
+      .collect().map(_.toSeq).toSeq
+    assert(a === graft.ext.Search.bm25TopKStored(spark, batched, terms, 20)
+      .collect().map(_.toSeq).toSeq,
+      "stream-tombstoned index must probe like the batch delete")
+    // idempotent replay: a fresh drain of the SAME ids adds no tombstones
+    val n1 = spark.read.parquet(s"$streamed/deletes").count()
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-bm25-tsckpt2").toString
+    val in2 = MemoryStream[Long]
+    in2.addData(ids.toSeq)
+    val q2 = VectorStream.bm25TombstoneDrain(in2.toDF().toDF("doc_id"), streamed, ckpt2)
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(s"$streamed/deletes").count() === n1,
+      "replaying the same takedowns must be a no-op")
+  }
+
   test("semanticDeconIngest: stream verdicts equal batch verdicts bit-for-bit; clean batches pass") {
     implicit val sqlCtx = spark.sqlContext
     val e = graft.sources.Tables.embeddings(spark, sfDir)
