@@ -379,4 +379,37 @@ object Preference {
         .select(lit(t.toLong).as("iter"), col("l1_delta"))
     }.reduce(_ unionByName _)
   }
+
+  /** Inter-annotator agreement (x230, r10) — Cohen's κ over two label
+    * sets on the SAME comparison pairs, the label-quality gate run
+    * BEFORE any preference data feeds a BT fit / DPO export: raw
+    * agreement (`po`) overstates reliability when the label marginals
+    * are skewed, so κ removes the chance-agreement floor
+    * (`pe = p₁p₂ + (1−p₁)(1−p₂)`). Fixture rater 1 = the derived
+    * quality-preference labels; rater 2 = the same labels with a
+    * deterministic `flipFrac` of pairs flipped (md5 draw per pair) —
+    * a noisy-rater twin whose planted disagreement the report must
+    * measure back. One pair-table scan + a 1-row rollup; at 100 TB the
+    * pair table is pool-bounded (the occupancy law), never all-pairs. */
+  def annotatorAgreement(docs: DataFrame, flipFrac: Double = 0.2): DataFrame = {
+    val l1 = col("winner") === col("doc_a")
+    val u = Curate.uniformHash(
+      concat_ws(":", col("doc_a"), col("doc_b")), "anno2")
+    derivedPreferences(docs)
+      .select(l1.as("a1"), when(u < lit(flipFrac), !l1).otherwise(l1).as("a2"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("a1") === col("a2"), 1L).otherwise(0L)).as("n_agree"),
+        sum(when(col("a1"), 1L).otherwise(0L)).as("_n1"),
+        sum(when(col("a2"), 1L).otherwise(0L)).as("_n2"))
+      .select(col("n_pairs"), col("n_agree"),
+        (col("n_agree").cast("double") / col("n_pairs").cast("double")).as("po"),
+        (col("_n1").cast("double") / col("n_pairs").cast("double")).as("p_a_1"),
+        (col("_n2").cast("double") / col("n_pairs").cast("double")).as("p_a_2"))
+      .withColumn("pe", col("p_a_1") * col("p_a_2")
+        + (lit(1.0) - col("p_a_1")) * (lit(1.0) - col("p_a_2")))
+      // a degenerate marginal (pe = 1: both raters constant) leaves no
+      // room above chance — NULL, not 0/0
+      .withColumn("kappa", when(col("pe") < 1.0,
+        (col("po") - col("pe")) / (lit(1.0) - col("pe"))))
+  }
 }

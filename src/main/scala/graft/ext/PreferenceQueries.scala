@@ -23,6 +23,13 @@ private[graft] object PreferenceQueries {
     "x131_bt_strengths" -> ((s, dir) =>
       Preference.btStrengths(Tables.documents(s, dir))),
 
+    // Inter-annotator agreement (r10): Cohen's kappa over the derived
+    // preference labels vs a deterministic noisy-rater twin (20% md5
+    // flips) — the label-quality gate before any BT/DPO consumption;
+    // kappa strips the chance-agreement floor po alone overstates.,
+    "x230_annotator_agreement" -> ((s, dir) =>
+      Preference.annotatorAgreement(Tables.documents(s, dir))),
+
     // The fit's convergence report (r6): per-round L1 delta of the
     // strength vector (sorted-multiset fold — see the x122/x132 ulp note).,
     "x132_bt_convergence" -> ((s, dir) =>
@@ -79,6 +86,25 @@ private[graft] object PreferenceQueries {
       (s"WITH ${btCtes(Preference.Iters)} " +
         s"SELECT bst.doc_id, bst.wins, bst.games, s.s AS strength " +
         s"FROM bst JOIN s${Preference.Iters} s USING (doc_id)"),
+
+    // x230: the pf pair CTE + the uniformHash flip draw, then exact
+    // integer marginals and the kappa arithmetic in mirrored order.,
+    "x230_annotator_agreement" ->
+      (s"WITH ${btCtes(0)}, " +
+        "lb AS (SELECT (winner = doc_a) AS a1, " +
+        "CASE WHEN CAST(('0x' || substr(md5(CAST(doc_a AS VARCHAR) || ':' || CAST(doc_b AS VARCHAR) || ':anno2'), 1, 8)) AS BIGINT)/4294967296.0 < 0.2 " +
+        "THEN NOT (winner = doc_a) ELSE (winner = doc_a) END AS a2 FROM pf), " +
+        "ag AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(sum(CASE WHEN a1 = a2 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree, " +
+        "CAST(sum(CASE WHEN a1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+        "CAST(sum(CASE WHEN a2 THEN 1 ELSE 0 END) AS BIGINT) AS n2 FROM lb), " +
+        "pr AS (SELECT n_pairs, n_agree, " +
+        "CAST(n_agree AS DOUBLE)/CAST(n_pairs AS DOUBLE) AS po, " +
+        "CAST(n1 AS DOUBLE)/CAST(n_pairs AS DOUBLE) AS p_a_1, " +
+        "CAST(n2 AS DOUBLE)/CAST(n_pairs AS DOUBLE) AS p_a_2 FROM ag), " +
+        "pk AS (SELECT *, p_a_1*p_a_2 + (1.0 - p_a_1)*(1.0 - p_a_2) AS pe FROM pr) " +
+        "SELECT n_pairs, n_agree, po, p_a_1, p_a_2, pe, " +
+        "CASE WHEN pe < 1.0 THEN (po - pe)/(1.0 - pe) END AS kappa FROM pk"),
     "x142_bt_incremental" -> {
       val dr = "CAST(('0x' || substr(md5(CAST(%s AS VARCHAR) || ':btbatch'), 1, 8)) AS BIGINT)/4294967296.0"
       val (ib, iw) = (Preference.Iters, 2)

@@ -200,4 +200,21 @@ class PreferenceSpec extends SparkTestBase {
     assert(d.forall(_ >= 0.0))
     assert(d.last < d.head, s"MM iteration should contract: ${d.toSeq}")
   }
+
+  test("annotatorAgreement: perfect twin has kappa 1, full flip goes negative, planted noise measures back (x230)") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val perfect = Preference.annotatorAgreement(docs, flipFrac = 0.0).collect()(0)
+    assert(perfect.getAs[Double]("po") === 1.0)
+    assert(perfect.getAs[Double]("kappa") === 1.0)
+    val inverted = Preference.annotatorAgreement(docs, flipFrac = 1.0).collect()(0)
+    assert(inverted.getAs[Double]("po") === 0.0)
+    assert(inverted.getAs[Double]("kappa") < 0.0, "systematic inversion is below-chance agreement")
+    val noisy = Preference.annotatorAgreement(docs).collect()(0)
+    // a 20% flip puts raw agreement near 0.8 and kappa near 0.6 (the
+    // chance floor is ~0.5 for near-balanced marginals)
+    assert(math.abs(noisy.getAs[Double]("po") - 0.8) < 0.05, s"po: $noisy")
+    assert(noisy.getAs[Double]("kappa") > 0.45 && noisy.getAs[Double]("kappa") < 0.75)
+    assert(noisy.getAs[Double]("kappa") < noisy.getAs[Double]("po"),
+      "kappa must sit below raw agreement once chance is removed")
+  }
 }
