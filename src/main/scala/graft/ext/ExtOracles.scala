@@ -143,6 +143,37 @@ private[ext] object ExtOracles {
     s"WITH ${lrCtes(buckets, iters)} " + rows.mkString(" UNION ALL ")
   }
 
+  /** x231: two full gate trainings — the shared feature/split CTEs, the
+    * standard chain on `tr`, an `a`-prefixed chain on the source-ablated
+    * train slice — then the gateAuc midrank tail evaluated twice on the
+    * IDENTICAL holdout. */
+  def sourceAblationSql(buckets: Int, iters: Int, ablated: String): String = {
+    val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
+    def aucTail(pfx: String, wCte: String): String =
+      s"${pfx}mf AS (SELECT f.doc_id, f.y, ($m) AS m FROM ho f CROSS JOIN $wCte w), " +
+        s"${pfx}sc AS (SELECT doc_id, y, (0.5 + 0.5*m/(1.0 + abs(m))) AS score FROM ${pfx}mf), " +
+        s"${pfx}ag AS (SELECT score, CAST(count(*) AS BIGINT) AS c, " +
+        s"CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS p FROM ${pfx}sc GROUP BY 1), " +
+        s"${pfx}aw AS (SELECT *, CAST(coalesce(sum(c) OVER (ORDER BY score " +
+        s"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb FROM ${pfx}ag), " +
+        s"${pfx}st AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(c - p) AS BIGINT) AS n_neg, " +
+        s"CAST(sum(p*(2*cb + c + 1)) AS BIGINT) AS sr2 FROM ${pfx}aw), " +
+        s"${pfx}auc AS (SELECT CASE WHEN n_pos > 0 AND n_neg > 0 THEN " +
+        s"CAST(sr2 - n_pos*(n_pos + 1) AS DOUBLE)/CAST(2*n_pos*n_neg AS DOUBLE) END AS auc FROM ${pfx}st)"
+    s"WITH ${lrCtes(buckets, iters)}, " +
+      s"atr AS MATERIALIZED (SELECT f.* FROM tr f ANTI JOIN " +
+      s"(SELECT doc_id FROM documents WHERE source = '$ablated') s ON f.doc_id = s.doc_id), " +
+      lrChain("a", "atr", "wi0", iters, buckets) + ", " +
+      "ho AS (SELECT * FROM fx WHERE NOT (" +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5)), " +
+      aucTail("f", s"wi$iters") + ", " + aucTail("b", s"awi$iters") + " " +
+      s"SELECT '$ablated' AS ablated_source, " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_train_full, " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM atr) AS n_train_ablated, " +
+      "fauc.auc AS auc_full, bauc.auc AS auc_ablated, " +
+      "fauc.auc - bauc.auc AS delta_auc FROM fauc, bauc"
+  }
+
   /** Unrolled Bradley–Terry MM CTE chain for x131/x132 — pools, derived
     * preferences, sufficient stats, then `iters` rounds of
     * `s ← wins / Σ 1/(s_i + s_j)` with opponent-ordered list folds

@@ -745,6 +745,46 @@ object Trainer {
       learnRate: Double = LearnRate): DataFrame =
     aucFromScored(lrClassify(spark, docs, buckets, iters, learnRate))
 
+  /** Source-ablation probe (x231, r10) — the measure-to-act loop over
+    * the data MIX itself: retrain the quality gate with ONE source's
+    * documents removed from the TRAINING slice (the held-out eval set
+    * stays byte-identical, so the AUC delta isolates the data change)
+    * and report `auc_full − auc_ablated`. Positive delta ⇒ the source
+    * was carrying signal; ≈0 ⇒ redundant; negative ⇒ it was hurting —
+    * the leave-one-source-out evidence a mixture tuner (x166/x198)
+    * consumes before reweighting.
+    *
+    * Cost is exactly two gate trainings; the full k-source ablation
+    * matrix is k trainings — at 100 TB you run that matrix at PROXY
+    * scale and act on the production mix, the standard ablation
+    * economics (this probe is the k=1 column, oracle-exact). */
+  def sourceAblation(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      ablated: String = "src1", buckets: Int = Buckets, iters: Int = Iters,
+      learnRate: Double = LearnRate): DataFrame = {
+    val dim = buckets + 2
+    val feats = graft.ops.Caching.cacheOnce(features(docs, buckets))
+    val trFull = trainSplit(feats, train = true)
+    val trAbl = trFull.join(
+      docs.where(col("source") === ablated).select("doc_id"), Seq("doc_id"), "left_anti")
+    val ho = trainSplit(feats, train = false)
+    def aucOf(w: DataFrame, name: String): DataFrame = aucFromScored(
+      ho.crossJoin(broadcast(w))
+        .withColumn("_p", fastSigmoid(marginCol(dim)))
+        .select(col("y"), col("_p").as("score")))
+      .select(col("auc").as(name))
+    def finalW(tr: DataFrame): DataFrame =
+      unroll(spark, tr, dim, iters, learnRate).last
+        .select((col("wb") +: (0 until dim).map(j => col(s"w$j"))): _*)
+    trFull.agg(count(lit(1)).as("n_train_full"))
+      .crossJoin(broadcast(trAbl.agg(count(lit(1)).as("n_train_ablated"))))
+      .crossJoin(broadcast(aucOf(finalW(trFull), "auc_full")))
+      .crossJoin(broadcast(aucOf(finalW(trAbl), "auc_ablated")))
+      .select(lit(ablated).as("ablated_source"),
+        col("n_train_full"), col("n_train_ablated"),
+        col("auc_full"), col("auc_ablated"),
+        (col("auc_full") - col("auc_ablated")).as("delta_auc"))
+  }
+
   /** The midrank-AUC kernel behind [[gateAuc]], usable on any scored
     * frame with `y` (0.0/1.0) and `score` columns. On the small fixtures
     * the registered query reports auc = 1.0 — genuine, not vacuous: the

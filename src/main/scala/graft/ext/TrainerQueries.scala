@@ -75,6 +75,12 @@ private[graft] object TrainerQueries {
     "x129_lr_train_trajectory" -> ((s, dir) =>
       Trainer.lrTrajectory(s, Tables.documents(s, dir))),
 
+    // Source-ablation probe (r10): retrain the gate without src1's
+    // training docs (identical holdout) and report the AUC delta — the
+    // leave-one-source-out evidence the mixture tuners act on.,
+    "x231_source_ablation" -> ((s, dir) =>
+      Trainer.sourceAblation(s, Tables.documents(s, dir))),
+
     // Incremental warm-start training (r6): the trainer's twin of the
     // IVF/BM25 index-append discipline — when a batch arrives, CONTINUE
     // GD from the existing weights on base∪batch for 3 rounds instead of
@@ -184,6 +190,8 @@ private[graft] object TrainerQueries {
   val oracleSql: Map[String, String] = Map(
     "x129_lr_train_trajectory" ->
       lrTrajectorySql(Trainer.Buckets, Trainer.Iters),
+    "x231_source_ablation" ->
+      sourceAblationSql(Trainer.Buckets, Trainer.Iters, "src1"),
     "x136_lr_incremental" ->
       lrIncrementalSql(Trainer.Buckets, Trainer.Iters, 3),
     "x137_lr_calibration" ->

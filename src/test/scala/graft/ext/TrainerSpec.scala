@@ -318,4 +318,19 @@ class TrainerSpec extends SparkTestBase {
     assert(a.getAs[Long]("n_pos") > 0 && a.getAs[Long]("n_neg") > 0)
     assert(Trainer.gateAuc(spark, docs.repartition(7)).head().toSeq === a.toSeq)
   }
+
+  test("sourceAblation: ghost source ablates to an exact zero delta; a real source shrinks only the train side (x231)") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    // ablating a source that doesn't exist leaves the training slice
+    // identical — the two unrolls are the same deterministic computation,
+    // so the delta must be EXACTLY zero (bit-determinism, not tolerance)
+    val ghost = Trainer.sourceAblation(spark, docs, ablated = "no_such_source").collect()(0)
+    assert(ghost.getAs[Long]("n_train_full") === ghost.getAs[Long]("n_train_ablated"))
+    assert(ghost.getAs[Double]("delta_auc") === 0.0)
+    val real = Trainer.sourceAblation(spark, docs).collect()(0)
+    assert(real.getAs[Long]("n_train_ablated") < real.getAs[Long]("n_train_full"),
+      "src1's training docs must actually come out")
+    assert(real.getAs[Double]("auc_full") > 0.5 && real.getAs[Double]("auc_full") <= 1.0)
+    assert(real.getAs[Double]("auc_ablated") > 0.5 && real.getAs[Double]("auc_ablated") <= 1.0)
+  }
 }
