@@ -246,4 +246,63 @@ object Chat {
       col("user_tokens"), col("assistant_tokens"),
       (col("assistant_tokens").cast("double") /
         (col("user_tokens") + col("assistant_tokens")).cast("double")).as("mask_frac"))
+
+  /** Deterministic TOOL-USE trace enrichment for the x232 audit — the
+    * [[withChat]] convention extended with `tool_call`/`tool_result`
+    * roles, the data shape agentic fine-tuning actually trains on. Four
+    * md5-chosen kinds: a well-formed call→result trace, an UNANSWERED
+    * call (the result never arrived — a truncated rollout), an ORPHANED
+    * result (no preceding call — a merge/splice defect), and a plain
+    * no-tool conversation. */
+  def withToolTrace(docs: DataFrame): DataFrame = {
+    val kind = pmod(conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(":tt"))), 1, 4), 16, 10)
+      .cast("int"), lit(4))
+    val id = col("doc_id").cast("string")
+    docs.withColumn("transcript",
+      when(kind === 0, concat(
+        lit("##user## query "), id,
+        lit(" ##tool_call## lookup arg"), id,
+        lit(" ##tool_result## value "), id,
+        lit(" ##assistant## answer done")))
+        .when(kind === 1, concat(
+          lit("##user## query "), id,
+          lit(" ##tool_call## lookup arg"), id,
+          lit(" ##assistant## answer done")))
+        .when(kind === 2, concat(
+          lit("##user## query "), id,
+          lit(" ##tool_result## value "), id,
+          lit(" ##assistant## answer done")))
+        .otherwise(concat(
+          lit("##user## query "), id, lit(" ##assistant## answer done"))))
+  }
+
+  /** Tool-trace hygiene audit (x232, r10) — the structural validation an
+    * agentic SFT pipeline runs before training on tool-use rollouts:
+    * every `tool_call` turn must be answered by the IMMEDIATELY following
+    * turn being its `tool_result`, and every result must follow a call.
+    * Truncated rollouts (unanswered calls) teach the model to hallucinate
+    * results; orphaned results (splice defects) teach it to skip the
+    * call. Per conversation: turn/call/result counts, both violation
+    * counts, and the well-formed verdict. Keyed lead/lag windows per
+    * doc_id over the parsed turns — never a global window. */
+  def toolTraceAudit(turns: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("turn_idx")
+    turns
+      .withColumn("_nxt", lead(col("role"), 1).over(w))
+      .withColumn("_prv", lag(col("role"), 1).over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(col("role") === "tool_call", 1L).otherwise(0L)).as("n_calls"),
+        sum(when(col("role") === "tool_result", 1L).otherwise(0L)).as("n_results"),
+        sum(when(col("role") === "tool_call" &&
+          (col("_nxt").isNull || col("_nxt") =!= "tool_result"), 1L)
+          .otherwise(0L)).as("calls_unanswered"),
+        sum(when(col("role") === "tool_result" &&
+          (col("_prv").isNull || col("_prv") =!= "tool_call"), 1L)
+          .otherwise(0L)).as("results_orphaned"))
+      .withColumn("well_formed",
+        col("calls_unanswered") === 0L && col("results_orphaned") === 0L)
+  }
 }

@@ -106,6 +106,14 @@ private[graft] object ChatQueries {
     "x222_sft_curation_pipeline" -> ((s, dir) =>
       Chat.sftCurationManifest(Tables.documents(s, dir))),
 
+    // Tool-trace hygiene (r10): structural validation of agentic
+    // tool-use rollouts — every call answered by the next turn, every
+    // result preceded by its call; truncated rollouts and splice
+    // defects are the planted kinds the audit must find.,
+    "x232_tool_trace_audit" -> ((s, dir) =>
+      Chat.toolTraceAudit(Chat.parseTurns(
+        Chat.withToolTrace(Tables.documents(s, dir))))),
+
     "x213_chat_decontaminate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val turns = Chat.parseTurns(Chat.withChat(
@@ -217,6 +225,32 @@ private[graft] object ChatQueries {
     // train/benchmark prompt slices; 3-token md5 windows, distinct
     // benchmark digests, containment join, whole-conversation verdict.,
     // x222: x134's structure aggregate, x175's keeper rule over the
+    // x232: the tool-trace enrichment replayed (CASE on the md5 kind),
+    // the standard ##-fence parse chain, then per-doc lead/lag pairing.,
+    "x232_tool_trace_audit" ->
+      ("WITH tw AS (SELECT doc_id, " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':tt'), 1, 4)) AS INT) % 4 AS kind FROM documents), " +
+        "tr AS (SELECT doc_id, CASE kind " +
+        "WHEN 0 THEN '##user## query ' || CAST(doc_id AS VARCHAR) || ' ##tool_call## lookup arg' || CAST(doc_id AS VARCHAR) || ' ##tool_result## value ' || CAST(doc_id AS VARCHAR) || ' ##assistant## answer done' " +
+        "WHEN 1 THEN '##user## query ' || CAST(doc_id AS VARCHAR) || ' ##tool_call## lookup arg' || CAST(doc_id AS VARCHAR) || ' ##assistant## answer done' " +
+        "WHEN 2 THEN '##user## query ' || CAST(doc_id AS VARCHAR) || ' ##tool_result## value ' || CAST(doc_id AS VARCHAR) || ' ##assistant## answer done' " +
+        "ELSE '##user## query ' || CAST(doc_id AS VARCHAR) || ' ##assistant## answer done' END AS transcript FROM tw), " +
+        "pp AS (SELECT doc_id, string_split(transcript, '##') AS p FROM tr), " +
+        "px AS (SELECT doc_id, p, unnest(generate_series(1, " +
+        "CAST(floor((len(p)-1)/2.0) AS INT))) AS i FROM pp), " +
+        "tt AS (SELECT doc_id, CAST(i AS BIGINT) AS turn_idx, trim(p[2*i]) AS role FROM px), " +
+        "tl AS (SELECT doc_id, role, " +
+        "lead(role) OVER (PARTITION BY doc_id ORDER BY turn_idx) AS nxt, " +
+        "lag(role) OVER (PARTITION BY doc_id ORDER BY turn_idx) AS prv FROM tt), " +
+        "ga AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_turns, " +
+        "CAST(sum(CASE WHEN role = 'tool_call' THEN 1 ELSE 0 END) AS BIGINT) AS n_calls, " +
+        "CAST(sum(CASE WHEN role = 'tool_result' THEN 1 ELSE 0 END) AS BIGINT) AS n_results, " +
+        "CAST(sum(CASE WHEN role = 'tool_call' AND (nxt IS NULL OR nxt <> 'tool_result') THEN 1 ELSE 0 END) AS BIGINT) AS calls_unanswered, " +
+        "CAST(sum(CASE WHEN role = 'tool_result' AND (prv IS NULL OR prv <> 'tool_call') THEN 1 ELSE 0 END) AS BIGINT) AS results_orphaned " +
+        "FROM tl GROUP BY doc_id) " +
+        "SELECT doc_id, n_turns, n_calls, n_results, calls_unanswered, results_orphaned, " +
+        "calls_unanswered = 0 AND results_orphaned = 0 AS well_formed FROM ga"),
+
     // structure survivors, x213's flag set, then the x215 greedy fold
     // over the kept conversations' token mass — per-lang rollup with
     // gate-ordered drop attribution.,

@@ -150,4 +150,40 @@ class ChatSpec extends SparkTestBase {
     assert(!got(4L)._2, "a leaked RESPONSE must not flag the prompt surface")
     assert(got.size === 4, "every conversation gets a verdict row")
   }
+
+  test("toolTraceAudit: planted pairing defects are found, chained calls judged per-turn (x232)") {
+    import spark.implicits._
+    val convs = Seq(
+      (1L, "##user## q ##tool_call## f ##tool_result## v ##assistant## a"),
+      (2L, "##user## q ##tool_call## f ##assistant## a"),          // unanswered
+      (3L, "##user## q ##tool_result## v ##assistant## a"),        // orphaned
+      (4L, "##user## q ##assistant## a"),                          // no tools
+      // back-to-back calls: the FIRST is unanswered (next turn is a call,
+      // not its result); the second pairs fine
+      (5L, "##user## q ##tool_call## f ##tool_call## g ##tool_result## v ##assistant## a"),
+      // trailing call at transcript end: unanswered via the null lead
+      (6L, "##user## q ##tool_call## f")
+    ).toDF("doc_id", "transcript")
+    val out = Chat.toolTraceAudit(Chat.parseTurns(convs)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def v(id: Long) = (out(id).getAs[Long]("calls_unanswered"),
+      out(id).getAs[Long]("results_orphaned"), out(id).getAs[Boolean]("well_formed"))
+    assert(v(1L) === ((0L, 0L, true)))
+    assert(v(2L) === ((1L, 0L, false)))
+    assert(v(3L) === ((0L, 1L, false)))
+    assert(v(4L) === ((0L, 0L, true)))
+    assert(v(5L) === ((1L, 0L, false)))
+    assert(v(6L) === ((1L, 0L, false)))
+    // the enrichment's four kinds reconcile: wellformed + no-tool kinds
+    // are exactly the well_formed set on the fixture corpus
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val audited = Chat.toolTraceAudit(Chat.parseTurns(Chat.withToolTrace(docs)))
+    val kind = pmod(conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(":tt"))), 1, 4), 16, 10)
+      .cast("int"), lit(4))
+    val expected = docs.select(col("doc_id"), kind.as("k"))
+      .where(col("k") === 0 || col("k") === 3).count()
+    assert(audited.where(col("well_formed")).count() === expected)
+    assert(audited.where(!col("well_formed")).count() > 0)
+  }
 }
