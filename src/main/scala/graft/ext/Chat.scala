@@ -305,4 +305,41 @@ object Chat {
       .withColumn("well_formed",
         col("calls_unanswered") === 0L && col("results_orphaned") === 0L)
   }
+
+  /** Conversation prefix-tree profile (x236, r10 continuation): the
+    * structure RLHF/SFT corpora actually have — many conversations share
+    * an opening prompt (or a whole opening exchange) and diverge later,
+    * and training weight should follow the TREE, not the flat row count
+    * (ten completions of one prompt over-weight it ten-fold; x175 dedups
+    * the prompt level, this profiles every depth). Per conversation and
+    * depth d, the prefix digest is md5 of the `role:content` turns 1..d
+    * joined by U+0001 — a keyed-window ordered concat, never a global
+    * window — and the report aggregates the tree level by level:
+    * distinct prefixes (the tree's width), conversations reaching the
+    * depth, the widest shared node (`max_fanout`), how many
+    * conversations sit on shared nodes, and the per-depth
+    * `dedup_savings` a retain-one-per-prefix policy would yield.
+    *
+    * Scale shape: one keyed window over (conv, turn) rows + two
+    * partial-agg groupBys on (depth, digest) — digests, not transcripts,
+    * are the only shuffled payload past the window stage. */
+  def prefixTree(turns: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("turn_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pfx = turns.select(col("doc_id"), col("turn_idx"),
+      md5(concat_ws("\u0001",
+        collect_list(concat_ws(":", col("role"), col("content"))).over(w)))
+        .as("prefix_digest"))
+    pfx.groupBy(col("turn_idx").as("depth"), col("prefix_digest"))
+      .agg(count(lit(1)).as("_fanout"))
+      .groupBy("depth")
+      .agg(count(lit(1)).as("n_prefixes"),
+        sum(col("_fanout")).as("n_convs"),
+        max(col("_fanout")).as("max_fanout"),
+        sum(when(col("_fanout") >= 2, 1L).otherwise(0L)).as("n_shared_prefixes"),
+        sum(when(col("_fanout") >= 2, col("_fanout")).otherwise(0L))
+          .as("n_convs_sharing"))
+      .withColumn("dedup_savings", col("n_convs") - col("n_prefixes"))
+  }
 }

@@ -17,6 +17,14 @@ private[graft] object ChatQueries {
       Chat.parseTurns(Chat.withChat(Tables.documents(s, dir)))
         .select("doc_id", "turn_idx", "role", "content", "n_tokens")),
 
+    // Conversation prefix-tree profile (r10 continuation): per-depth
+    // fanout of the shared-prefix tree over the parsed turns — the
+    // over-weighting structure (one prompt, many completions) that flat
+    // row counts can't see; x175 dedups depth 1, this profiles every
+    // level and prices a retain-one-per-prefix policy.,
+    "x236_chat_prefix_tree" -> ((s, dir) =>
+      Chat.prefixTree(Chat.parseTurns(Chat.withChat(Tables.documents(s, dir))))),
+
     // Per-conversation SFT readiness report (r6): structure checks
     // (opens-with-user, strict alternation — computed from the parsed
     // turns) and the loss-mask split (assistant tokens train, user tokens
@@ -154,6 +162,25 @@ private[graft] object ChatQueries {
     "x133_chat_parse_turns" ->
       (s"WITH $chatCtes " +
         "SELECT doc_id, turn_idx, role, content, ntk AS n_tokens FROM tt"),
+
+    // x236: the keyed-window rolling prefix digest (string_agg over the
+    // per-conversation ordered frame, U+0001-joined role:content turns),
+    // then two grouped levels — (depth, digest) fanout, per-depth tree
+    // profile.,
+    "x236_chat_prefix_tree" ->
+      (s"WITH $chatCtes, " +
+        "pf AS (SELECT doc_id, turn_idx, md5(string_agg(role || ':' || content, chr(1)) " +
+        "OVER (PARTITION BY doc_id ORDER BY turn_idx " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS prefix_digest FROM tt), " +
+        "fg AS (SELECT turn_idx AS depth, prefix_digest, " +
+        "CAST(count(*) AS BIGINT) AS fanout FROM pf GROUP BY 1, 2) " +
+        "SELECT depth, CAST(count(*) AS BIGINT) AS n_prefixes, " +
+        "CAST(sum(fanout) AS BIGINT) AS n_convs, " +
+        "CAST(max(fanout) AS BIGINT) AS max_fanout, " +
+        "CAST(sum(CASE WHEN fanout >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_prefixes, " +
+        "CAST(sum(CASE WHEN fanout >= 2 THEN fanout ELSE 0 END) AS BIGINT) AS n_convs_sharing, " +
+        "CAST(sum(fanout) AS BIGINT) - CAST(count(*) AS BIGINT) AS dedup_savings " +
+        "FROM fg GROUP BY 1"),
     "x134_chat_sft_stats" ->
       (s"WITH $chatCtes, " +
         "ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_turns, " +

@@ -147,6 +147,144 @@ private[ext] object ExtOracles {
     * standard chain on `tr`, an `a`-prefixed chain on the source-ablated
     * train slice — then the gateAuc midrank tail evaluated twice on the
     * IDENTICAL holdout. */
+  /** x233: four nested-slice gate trainings (the c1/c2/c4 chains plus
+    * lrCtes' full chain), a shared-holdout Brier per model under the √n
+    * two-level fold, then the closed-form `brier ≈ a + b/√n` least
+    * squares over the 4 points — every term exact IEEE arithmetic
+    * (sqrt only; no ln/exp), sums via sorted folds so the association
+    * trees replay bit-for-bit. */
+  def dataScalingSql(buckets: Int, iters: Int): String = {
+    val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
+    def brierTail(pfx: String, wCte: String): String =
+      s"${pfx}bm AS (SELECT f.doc_id, f.y, ($m) AS m FROM ho f CROSS JOIN $wCte w), " +
+        s"${pfx}bp AS (SELECT doc_id, y, (0.5 + 0.5*m/(1.0 + abs(m))) AS p FROM ${pfx}bm), " +
+        s"${pfx}bs AS (SELECT doc_id % (SELECT b FROM hfb) AS bkt, " +
+        "list_aggregate(list_sort(list((p - y)*(p - y))), 'sum') AS s, " +
+        s"CAST(count(*) AS BIGINT) AS n FROM ${pfx}bp GROUP BY 1), " +
+        s"${pfx}bg AS (SELECT list_aggregate(list(s ORDER BY bkt), 'sum') " +
+        s"/ CAST(sum(n) AS DOUBLE) AS brier FROM ${pfx}bs)"
+    val slope = "(4.0*sxy - sx*sy)/(4.0*sxx - sx*sx)"
+    s"WITH ${lrCtes(buckets, iters)}, " +
+      "ho AS MATERIALIZED (SELECT * FROM fx WHERE NOT (" +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lrsplit'), 1, 8)) AS BIGINT)/4294967296.0 < 0.5)), " +
+      "hfb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM ho), " +
+      "tr1 AS MATERIALIZED (SELECT * FROM tr WHERE doc_id % 8 < 1), " +
+      "tr2 AS MATERIALIZED (SELECT * FROM tr WHERE doc_id % 8 < 2), " +
+      "tr4 AS MATERIALIZED (SELECT * FROM tr WHERE doc_id % 8 < 4), " +
+      lrChain("c1", "tr1", "wi0", iters, buckets) + ", " +
+      lrChain("c2", "tr2", "wi0", iters, buckets) + ", " +
+      lrChain("c4", "tr4", "wi0", iters, buckets) + ", " +
+      brierTail("c1", s"c1wi$iters") + ", " +
+      brierTail("c2", s"c2wi$iters") + ", " +
+      brierTail("c4", s"c4wi$iters") + ", " +
+      brierTail("c8", s"wi$iters") + ", " +
+      "pts AS (" +
+      "SELECT CAST(1 AS BIGINT) AS subset, CAST(0.125 AS DOUBLE) AS train_frac, " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM tr1) AS n_train, (SELECT brier FROM c1bg) AS holdout_brier " +
+      "UNION ALL SELECT CAST(2 AS BIGINT), CAST(0.25 AS DOUBLE), " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM tr2), (SELECT brier FROM c2bg) " +
+      "UNION ALL SELECT CAST(3 AS BIGINT), CAST(0.5 AS DOUBLE), " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM tr4), (SELECT brier FROM c4bg) " +
+      "UNION ALL SELECT CAST(4 AS BIGINT), CAST(1.0 AS DOUBLE), " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM tr), (SELECT brier FROM c8bg)), " +
+      "pxy AS (SELECT n_train, holdout_brier, 1.0/sqrt(CAST(n_train AS DOUBLE)) AS x FROM pts), " +
+      "psum AS (SELECT list_aggregate(list_sort(list(x)), 'sum') AS sx, " +
+      "list_aggregate(list_sort(list(holdout_brier)), 'sum') AS sy, " +
+      "list_aggregate(list_sort(list(x*x)), 'sum') AS sxx, " +
+      "list_aggregate(list_sort(list(x*holdout_brier)), 'sum') AS sxy, " +
+      "list_aggregate(list_sort(list(holdout_brier*holdout_brier)), 'sum') AS syy, " +
+      "CAST(max(n_train) AS BIGINT) AS nf FROM pxy), " +
+      s"fit0 AS (SELECT sx, sy, sxx, sxy, syy, nf, $slope AS fit_slope FROM psum), " +
+      "fit AS (SELECT fit_slope, (sy - fit_slope*sx)/4.0 AS fit_asymptote, " +
+      "((4.0*sxy - sx*sy)*(4.0*sxy - sx*sy))/((4.0*sxx - sx*sx)*(4.0*syy - sy*sy)) AS fit_r2, " +
+      "(sy - fit_slope*sx)/4.0 + fit_slope/sqrt(4.0*CAST(nf AS DOUBLE)) AS pred_brier_4x FROM fit0) " +
+      "SELECT p.subset, p.train_frac, p.n_train, p.holdout_brier, " +
+      "f.fit_asymptote, f.fit_slope, f.fit_r2, f.pred_brier_4x " +
+      "FROM pts p CROSS JOIN fit f"
+  }
+
+  /** x234: the DoReMi Group-DRO proxy loop replayed CTE-for-CTE — per
+    * iteration a (domain, √n-bucket) gradient fold, a domain-ordered
+    * K-fold combine under the current domain weights, the model update,
+    * a per-domain Brier pass under the fresh model, and the linearized
+    * MW reweight with an ordered-fold normalizer. Exact IEEE arithmetic
+    * throughout (the `(1 + η·excess)` update is the rational stand-in
+    * for the softmax's exp). */
+  def doremiSql(buckets: Int, iters: Int): String = {
+    val lr = Trainer.LearnRate
+    val eta = Trainer.DoremiEta
+    val xs = 0 until (buckets + 2)
+    def mOver(a: String): String =
+      (Seq(s"$a.wb") ++ xs.map(j => s"s.x[${j + 1}]*$a.w$j")).mkString(" + ")
+    val body = (1 to iters).map { t =>
+      val wPrev = if (t == 1) "dwi0" else s"dwi${t - 1}"
+      val mwPrev = s"mw${t - 1}"
+      s"r$t AS MATERIALIZED (SELECT s.doc_id, s.source, s.y, s.x, " +
+        s"((0.5 + 0.5*(${mOver("w")})/(1.0 + abs(${mOver("w")}))) - s.y) AS r " +
+        s"FROM trs s CROSS JOIN $wPrev w), " +
+        s"g${t}s AS MATERIALIZED (SELECT source, doc_id % (SELECT b FROM ffb) AS bkt, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        (Seq("list_aggregate(list_sort(list(r)), 'sum') AS gb") ++
+          xs.map(j => s"list_aggregate(list_sort(list(r*x[${j + 1}])), 'sum') AS g$j"))
+          .mkString(", ") +
+        s" FROM r$t GROUP BY 1, 2), " +
+        s"g${t}d AS (SELECT source, CAST(sum(n) AS BIGINT) AS nd, " +
+        (Seq("list_aggregate(list(gb ORDER BY bkt), 'sum') AS gb") ++
+          xs.map(j => s"list_aggregate(list(g$j ORDER BY bkt), 'sum') AS g$j"))
+          .mkString(", ") +
+        s" FROM g${t}s GROUP BY 1), " +
+        s"g${t}c AS (SELECT d.source, " +
+        (Seq("w.dw*(d.gb/CAST(d.nd AS DOUBLE)) AS cb") ++
+          xs.map(j => s"w.dw*(d.g$j/CAST(d.nd AS DOUBLE)) AS c$j")).mkString(", ") +
+        s" FROM g${t}d d JOIN $mwPrev w USING (source)), " +
+        s"g$t AS (SELECT list_aggregate(list(cb ORDER BY source), 'sum') AS gb, " +
+        xs.map(j => s"list_aggregate(list(c$j ORDER BY source), 'sum') AS g$j")
+          .mkString(", ") +
+        s" FROM g${t}c), " +
+        s"dwi$t AS MATERIALIZED (SELECT w.wb - $lr*g.gb AS wb, " +
+        xs.map(j => s"w.w$j - $lr*g.g$j AS w$j").mkString(", ") +
+        s" FROM g$t g CROSS JOIN $wPrev w), " +
+        s"l${t}p AS MATERIALIZED (SELECT s.doc_id, s.source, s.y, " +
+        s"(0.5 + 0.5*(${mOver("w")})/(1.0 + abs(${mOver("w")}))) AS p " +
+        s"FROM trs s CROSS JOIN dwi$t w), " +
+        s"l${t}s AS (SELECT source, doc_id % (SELECT b FROM ffb) AS bkt, " +
+        "list_aggregate(list_sort(list((p - y)*(p - y))), 'sum') AS s, " +
+        s"CAST(count(*) AS BIGINT) AS n FROM l${t}p GROUP BY 1, 2), " +
+        s"l${t}d AS (SELECT source, list_aggregate(list(s ORDER BY bkt), 'sum') " +
+        s"/ CAST(sum(n) AS DOUBLE) AS brier FROM l${t}s GROUP BY 1), " +
+        s"u$t AS (SELECT w.source, w.nd, w.ref, l.brier, " +
+        "greatest(l.brier - w.ref, 0.0) AS excess, " +
+        s"w.dw*(1.0 + $eta*greatest(l.brier - w.ref, 0.0)) AS nw, w.dwsum " +
+        s"FROM $mwPrev w JOIN l${t}d l USING (source)), " +
+        s"z$t AS (SELECT list_aggregate(list(nw ORDER BY source), 'sum') AS z FROM u$t), " +
+        s"mw$t AS MATERIALIZED (SELECT u.source, u.nd, u.ref, u.brier, u.excess, " +
+        s"u.nw/z.z AS dw, u.dwsum + u.nw/z.z AS dwsum FROM u$t u CROSS JOIN z$t z)"
+    }.mkString(", ")
+    s"WITH ${lrFeatCtes(buckets)}, " +
+      "trs AS MATERIALIZED (SELECT f.*, d.source FROM tr f " +
+      "JOIN documents d ON f.doc_id = d.doc_id), " +
+      "ffb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM trs), " +
+      "yb AS (SELECT CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)" +
+      "/CAST(count(*) AS DOUBLE) AS ybar FROM trs), " +
+      "rf1 AS (SELECT s.source, s.doc_id % (SELECT b FROM ffb) AS bkt, " +
+      "list_aggregate(list_sort(list((yy.ybar - s.y)*(yy.ybar - s.y))), 'sum') AS sq, " +
+      "CAST(count(*) AS BIGINT) AS n FROM trs s CROSS JOIN yb yy GROUP BY 1, 2), " +
+      "dm0 AS MATERIALIZED (SELECT source, CAST(sum(n) AS BIGINT) AS nd, " +
+      "list_aggregate(list(sq ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS ref " +
+      "FROM rf1 GROUP BY 1), " +
+      "kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM dm0), " +
+      "dwi0 AS (SELECT " +
+      (Seq("0.0 AS wb") ++ xs.map(j => s"0.0 AS w$j")).mkString(", ") + "), " +
+      "mw0 AS (SELECT source, nd, ref, " +
+      "1.0/CAST((SELECT k FROM kk) AS DOUBLE) AS dw, 0.0 AS dwsum FROM dm0), " +
+      body + " " +
+      s"SELECT source, nd AS n_train, ref AS ref_brier, brier AS proxy_brier, excess, " +
+      "1.0/CAST((SELECT k FROM kk) AS DOUBLE) AS weight_uniform, dw AS weight_final, " +
+      s"dwsum/$iters.0 AS weight_mean, " +
+      s"(dwsum/$iters.0)/(1.0/CAST((SELECT k FROM kk) AS DOUBLE)) AS boost " +
+      s"FROM mw$iters"
+  }
+
   def sourceAblationSql(buckets: Int, iters: Int, ablated: String): String = {
     val m = (Seq("w.wb") ++ (0 until (buckets + 2)).map(j => s"f.x[${j + 1}]*w.w$j")).mkString(" + ")
     def aucTail(pfx: String, wCte: String): String =

@@ -25,6 +25,21 @@ private[graft] object MiscQueries {
       graft.sources.Orc.digest(s.read.orc(s"$out/docs"))
     }),
 
+    // WebDataset tar-shard export (r10 continuation): the sequential
+    // shard format multimodal training loaders stream — pure-JVM ustar
+    // writer under the derived-shard law, then a manifest computed by
+    // RE-PARSING the written tar bytes (headers, sizes, member checksums).
+    // The oracle rebuilds the same manifest arithmetically from the
+    // original table (md5-mod shard law + ustar size algebra), so a hash
+    // match proves the tar path preserved structure AND content.,
+    "x235_webdataset_export" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "source", "text")
+      val out = StoredIndexes.get("wds", dir) { p =>
+        graft.sources.WebDataset.write(d, s"$p/shards"); ()
+      }
+      graft.sources.WebDataset.manifest(s, s"$out/shards")
+    }),
+
     "x19_array_funcs" -> ((s, dir) =>
       Tables.embeddings(s, dir).select(
         col("vec_id"),
@@ -130,6 +145,30 @@ private[graft] object MiscQueries {
         "min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id, " +
         "CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS text_checksum " +
         "FROM documents GROUP BY 1"),
+
+    // x235: the manifest rebuilt arithmetically — md5-mod shard law, the
+    // exact metadata-JSON byte algebra, and the ustar size formula
+    // (512-byte header + 512-padded content per member + 1024 EOF).
+    "x235_webdataset_export" ->
+      ("WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+        "ss AS (SELECT GREATEST(CAST(1 AS BIGINT), LEAST(CAST(65536 AS BIGINT), " +
+        "(n + 4095)//4096)) AS s FROM nn), " +
+        "m AS (SELECT doc_id, " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wds'), 1, 8)) AS BIGINT) " +
+        "% (SELECT s FROM ss) AS shard, " +
+        "CAST(octet_length(encode(text)) AS BIGINT) AS tb, " +
+        "CAST(octet_length(encode('{\"doc_id\":' || CAST(doc_id AS VARCHAR) || " +
+        "',\"source\":\"' || source || '\"}')) AS BIGINT) AS jb, " +
+        "CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS ck " +
+        "FROM documents) " +
+        "SELECT shard, CAST(count(*) AS BIGINT) AS n_samples, " +
+        "CAST(2*count(*) AS BIGINT) AS n_members, " +
+        "CAST(sum(tb + jb) AS BIGINT) AS payload_bytes, " +
+        "CAST(sum(512 + ((jb + 511)//512)*512 + 512 + ((tb + 511)//512)*512) " +
+        "+ 1024 AS BIGINT) AS tar_bytes, " +
+        "CAST(sum(ck) AS BIGINT) AS text_checksum, " +
+        "min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id " +
+        "FROM m GROUP BY shard"),
     "x122_pagerank_convergence" ->
       // two-level fold (pageRankConvergence's oracle twin): 4-hex md5 node
       // draw mod √n buckets its |Δ|s, bucket-ordered fold of the sums

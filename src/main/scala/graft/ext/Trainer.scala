@@ -785,6 +785,210 @@ object Trainer {
         (col("auc_full") - col("auc_ablated")).as("delta_auc"))
   }
 
+  /** Data-scaling curve (r10 continuation): retrain the gate on NESTED
+    * 1/8 → 1/4 → 1/2 → full slices of the training split (`doc_id % 8` —
+    * each slice contains the previous one, the way a scaling study
+    * accretes data), score the SAME holdout with all four models, and fit
+    * the estimation-error law  `brier ≈ a + b/√n`  by closed-form least
+    * squares. `fit_asymptote` is the irreducible-loss floor the curve
+    * converges to; `pred_brier_4x` extrapolates the loss at 4× the
+    * current corpus — the "is more data still buying anything?" number a
+    * collection roadmap is priced on (Hestness et al. 2017's
+    * power-law-region question, answered with the 1/√n excess-risk form).
+    *
+    * The √n law — not the log-log power law — keeps every fitted value
+    * exact IEEE arithmetic: `sqrt` is correctly rounded in both engines,
+    * `ln`/`exp` are not, and the correctness gate compares bit-for-bit
+    * (the same dodge as the LM family's inverse-probability scores).
+    * Holdout loss is the x190 Brier metric under the standard √n
+    * two-level fold; the 4-point fit sums use a sorted fold so the
+    * 4-double association tree is engine-portable too.
+    *
+    * Cost is 1.875 training-equivalents beyond the full model (the
+    * nested slices sum to ⅞ of the full pass count) — at 100 TB every
+    * chain is the same partial-agg shape as [[lrTrajectory]]: per
+    * iteration ONE map-side-combined pass over the slice, O(√n) buffers,
+    * a 1-row weight frame broadcast back. */
+  def dataScalingCurve(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      buckets: Int = Buckets, iters: Int = Iters,
+      learnRate: Double = LearnRate): DataFrame = {
+    import graft.functions.Stable.{sortedFold, bucketFold}
+    val dim = buckets + 2
+    val feats = graft.ops.Caching.cacheOnce(features(docs, buckets))
+    val trFull = graft.ops.Caching.cacheOnce(trainSplit(feats, train = true))
+    val ho = graft.ops.Caching.cacheOnce(trainSplit(feats, train = false))
+    val nHo = ho.count()
+    require(nHo > 0, "held-out slice is empty — scaling-curve Brier undefined")
+    val hfb = graft.functions.Stable.sqrtBuckets(nHo)
+    val pts = Seq(1L, 2L, 4L, 8L).zipWithIndex.map { case (mod, i) =>
+      val tr = if (mod == 8L) trFull
+        else trFull.where(pmod(col("doc_id"), lit(8L)) < lit(mod))
+      val w = unroll(spark, tr, dim, iters, learnRate).last
+        .select((col("wb") +: (0 until dim).map(j => col(s"w$j"))): _*)
+      val brier = ho.crossJoin(broadcast(w))
+        .withColumn("_p", fastSigmoid(marginCol(dim)))
+        .withColumn("_sq", (col("_p") - col("y")) * (col("_p") - col("y")))
+        .groupBy(pmod(col("doc_id"), lit(hfb.toLong)).as("_bkt"))
+        .agg(sortedFold(col("_sq")).as("_s"), count(lit(1)).as("_n"))
+        .agg(bucketFold(col("_bkt"), col("_s")).as("_ssum"),
+          sum(col("_n")).as("_nho"))
+        .select((col("_ssum") / col("_nho").cast("double")).as("holdout_brier"))
+      tr.agg(count(lit(1)).as("n_train"))
+        .crossJoin(broadcast(brier))
+        .select(lit((i + 1).toLong).as("subset"),
+          lit(mod.toDouble / 8.0).as("train_frac"),
+          col("n_train"), col("holdout_brier"))
+    }.reduce(_ union _)
+    // cacheOnce: the 4-point frame feeds both the fit aggregate and the
+    // final report — without the cut, all four trainings re-run (ADVICE
+    // r9's double-evaluation class).
+    val cached = graft.ops.Caching.cacheOnce(pts)
+    val fit = cached
+      .select(col("n_train"), col("holdout_brier"),
+        (lit(1.0) / sqrt(col("n_train").cast("double"))).as("_x"))
+      .agg(sortedFold(col("_x")).as("sx"),
+        sortedFold(col("holdout_brier")).as("sy"),
+        sortedFold(col("_x") * col("_x")).as("sxx"),
+        sortedFold(col("_x") * col("holdout_brier")).as("sxy"),
+        sortedFold(col("holdout_brier") * col("holdout_brier")).as("syy"),
+        max(col("n_train")).as("_nf"))
+      .withColumn("fit_slope",
+        (lit(4.0) * col("sxy") - col("sx") * col("sy"))
+          / (lit(4.0) * col("sxx") - col("sx") * col("sx")))
+      .withColumn("fit_asymptote",
+        (col("sy") - col("fit_slope") * col("sx")) / lit(4.0))
+      .withColumn("fit_r2",
+        ((lit(4.0) * col("sxy") - col("sx") * col("sy"))
+          * (lit(4.0) * col("sxy") - col("sx") * col("sy")))
+          / ((lit(4.0) * col("sxx") - col("sx") * col("sx"))
+            * (lit(4.0) * col("syy") - col("sy") * col("sy"))))
+      .withColumn("pred_brier_4x",
+        col("fit_asymptote")
+          + col("fit_slope") / sqrt(lit(4.0) * col("_nf").cast("double")))
+      .select("fit_asymptote", "fit_slope", "fit_r2", "pred_brier_4x")
+    cached.crossJoin(broadcast(fit))
+      .select(col("subset"), col("train_frac"), col("n_train"),
+        col("holdout_brier"), col("fit_asymptote"), col("fit_slope"),
+        col("fit_r2"), col("pred_brier_4x"))
+  }
+
+  /** DoReMi-style domain reweighting (r10 continuation; Xie et al. 2023's
+    * Group-DRO proxy loop, re-expressed exactly): ONE 10-iteration proxy
+    * training in which every iteration
+    *
+    *   1. combines PER-DOMAIN mean gradients under the current domain
+    *      weights (training on the weighted mixture: ∇ = Σ_d w_d·ḡ_d —
+    *      the decomposition that avoids per-row weights entirely),
+    *   2. measures each domain's training Brier under the freshly
+    *      updated model, and
+    *   3. multiplicative-weights-updates the domain weights from the
+    *      clipped excess loss vs a fixed base-rate reference predictor
+    *      (`w_d ← w_d·(1 + η·max(0, brier_d − ref_d))`, renormalized —
+    *      the linearized MW update, exact rational arithmetic where the
+    *      softmax form would need a non-portable `exp`).
+    *
+    * The reported mixture is the DoReMi-standard AVERAGE of the per-step
+    * weights (`weight_mean`), alongside the final step's weights and the
+    * per-domain loss decomposition. Hard domains (excess loss the proxy
+    * has not learned away) are boosted above uniform; learned-out domains
+    * decay — the principled version of the hand-tuned mixture quotas in
+    * x56/x87/x150.
+    *
+    * Scale shape: per iteration, two map-side-combined passes over the
+    * cached train slice (gradient pass, loss pass) with (domain, √n)
+    * partial-agg keys and O(√n) fold buffers; everything downstream is
+    * K-row (K = #domains) with ordered K-fold combines, so the plan moves
+    * O(K·dim) bytes per iteration regardless of corpus size. */
+  def doremiMix(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      buckets: Int = Buckets, iters: Int = Iters,
+      learnRate: Double = LearnRate, eta: Double = DoremiEta): DataFrame = {
+    import graft.functions.Stable.{sortedFold, bucketFold}
+    val dim = buckets + 2
+    val feats = graft.ops.Caching.cacheOnce(features(docs, buckets))
+    val trS = graft.ops.Caching.cacheOnce(
+      trainSplit(feats, train = true)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id"))
+    val n = trS.count()
+    require(n > 0, "training slice is empty — DoReMi mixture undefined")
+    val fb = graft.functions.Stable.sqrtBuckets(n).toLong
+    val bkt = pmod(col("doc_id"), lit(fb)).as("_bkt")
+    // fixed reference: the global-base-rate predictor's per-domain Brier
+    val ybar = trS.agg(
+      (sum(when(col("y") === 1.0, 1L).otherwise(0L)).cast("double")
+        / count(lit(1)).cast("double")).as("ybar"))
+    val dom0 = trS.crossJoin(broadcast(ybar))
+      .withColumn("_sq", (col("ybar") - col("y")) * (col("ybar") - col("y")))
+      .groupBy(col("source"), bkt)
+      .agg(sortedFold(col("_sq")).as("_s"), count(lit(1)).as("_n"))
+      .groupBy("source")
+      .agg(bucketFold(col("_bkt"), col("_s")).as("_ssum"), sum(col("_n")).as("nd"))
+      .select(col("source"), col("nd"),
+        (col("_ssum") / col("nd").cast("double")).as("ref"))
+      .localCheckpoint()
+    val k = dom0.count()
+    var mw = dom0.select(col("source"), col("nd"), col("ref"),
+      (lit(1.0) / lit(k.toDouble)).as("dw"), lit(0.0).as("dwsum"))
+    var w = zeroWeights(spark, dim)
+    (1 to iters).foreach { _ =>
+      // (1) mixture-weighted gradient: per-domain two-level folds, then a
+      // domain-ordered K-fold of dw_d·(G_dj/n_d)
+      val gCols = Seq(count(lit(1)).as("_n"), sortedFold(col("_r")).as("gb")) ++
+        (0 until dim).map(j => sortedFold(col("_r") * col("x").getItem(j)).as(s"g$j"))
+      val dgCols = Seq(sum(col("_n")).as("nd"),
+        bucketFold(col("_bkt"), col("gb")).as("gb")) ++
+        (0 until dim).map(j => bucketFold(col("_bkt"), col(s"g$j")).as(s"g$j"))
+      val dg = trS.crossJoin(broadcast(w.select(
+          (col("wb") +: (0 until dim).map(j => col(s"w$j"))): _*)))
+        .withColumn("_r", fastSigmoid(marginCol(dim)) - col("y"))
+        .groupBy(col("source"), bkt)
+        .agg(gCols.head, gCols.tail: _*)
+        .groupBy("source")
+        .agg(dgCols.head, dgCols.tail: _*)
+      val dc = dg.join(broadcast(mw.select("source", "dw")), "source")
+        .select((col("source") +:
+          (col("dw") * (col("gb") / col("nd").cast("double"))).as("cb") +:
+          (0 until dim).map(j =>
+            (col("dw") * (col(s"g$j") / col("nd").cast("double"))).as(s"c$j"))): _*)
+      val combCols = bucketFold(col("source"), col("cb")).as("gb") +:
+        (0 until dim).map(j => bucketFold(col("source"), col(s"c$j")).as(s"g$j"))
+      val comb = dc.agg(combCols.head, combCols.tail: _*)
+      w = comb.crossJoin(broadcast(w.select(
+          (col("wb").as("_pwb") +: (0 until dim).map(j => col(s"w$j").as(s"_pw$j"))): _*)))
+        .select(((col("_pwb") - lit(learnRate) * col("gb")).as("wb") +:
+          (0 until dim).map(j =>
+            (col(s"_pw$j") - lit(learnRate) * col(s"g$j")).as(s"w$j"))): _*)
+        .localCheckpoint()
+      // (2) per-domain Brier under the updated model
+      val ld = trS.crossJoin(broadcast(w))
+        .withColumn("_p", fastSigmoid(marginCol(dim)))
+        .withColumn("_sq", (col("_p") - col("y")) * (col("_p") - col("y")))
+        .groupBy(col("source"), bkt)
+        .agg(sortedFold(col("_sq")).as("_s"), count(lit(1)).as("_n"))
+        .groupBy("source")
+        .agg(bucketFold(col("_bkt"), col("_s")).as("_ssum"), sum(col("_n")).as("_nl"))
+        .select(col("source"), (col("_ssum") / col("_nl").cast("double")).as("brier"))
+      // (3) clipped-excess MW update, renormalized by a domain-ordered fold
+      val upd = mw.select("source", "nd", "ref", "dw", "dwsum")
+        .join(ld, "source")
+        .withColumn("excess", greatest(col("brier") - col("ref"), lit(0.0)))
+        .withColumn("_nw", col("dw") * (lit(1.0) + lit(eta) * col("excess")))
+      val z = upd.agg(bucketFold(col("source"), col("_nw")).as("z"))
+      mw = upd.crossJoin(broadcast(z))
+        .select(col("source"), col("nd"), col("ref"), col("brier"), col("excess"),
+          (col("_nw") / col("z")).as("dw"),
+          (col("dwsum") + col("_nw") / col("z")).as("dwsum"))
+        .localCheckpoint()
+    }
+    mw.select(col("source"), col("nd").as("n_train"),
+      col("ref").as("ref_brier"), col("brier").as("proxy_brier"), col("excess"),
+      (lit(1.0) / lit(k.toDouble)).as("weight_uniform"),
+      col("dw").as("weight_final"),
+      (col("dwsum") / lit(iters.toDouble)).as("weight_mean"),
+      ((col("dwsum") / lit(iters.toDouble)) / (lit(1.0) / lit(k.toDouble))).as("boost"))
+  }
+
+  val DoremiEta = 0.5
+
   /** The midrank-AUC kernel behind [[gateAuc]], usable on any scored
     * frame with `y` (0.0/1.0) and `score` columns. On the small fixtures
     * the registered query reports auc = 1.0 — genuine, not vacuous: the

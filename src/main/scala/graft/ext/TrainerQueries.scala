@@ -81,6 +81,24 @@ private[graft] object TrainerQueries {
     "x231_source_ablation" -> ((s, dir) =>
       Trainer.sourceAblation(s, Tables.documents(s, dir))),
 
+    // DoReMi domain reweighting (r10 continuation): a Group-DRO proxy
+    // loop — per-iteration mixture-weighted gradient (Σ_d w_d·ḡ_d over
+    // per-domain folds), per-domain Brier under the fresh model, and the
+    // linearized MW update w·(1+η·clipped-excess) vs a base-rate
+    // reference, renormalized; reported mixture = the DoReMi-standard
+    // average over steps. The principled successor to the hand-tuned
+    // quota/temperature mixes (x56/x87/x150).,
+    "x234_doremi_mix" -> ((s, dir) =>
+      Trainer.doremiMix(s, Tables.documents(s, dir))),
+
+    // Data-scaling curve (r10 continuation): the gate retrained on nested
+    // 1/8→1/4→1/2→full train slices, shared-holdout Brier per model, and
+    // the closed-form brier ≈ a + b/√n fit — asymptote = irreducible-loss
+    // floor, pred_brier_4x = the extrapolated value of 4× more data. All
+    // exact IEEE arithmetic (sqrt only), so the 4-point fit hash-matches.,
+    "x233_data_scaling_curve" -> ((s, dir) =>
+      Trainer.dataScalingCurve(s, Tables.documents(s, dir))),
+
     // Incremental warm-start training (r6): the trainer's twin of the
     // IVF/BM25 index-append discipline — when a batch arrives, CONTINUE
     // GD from the existing weights on base∪batch for 3 rounds instead of
@@ -192,6 +210,10 @@ private[graft] object TrainerQueries {
       lrTrajectorySql(Trainer.Buckets, Trainer.Iters),
     "x231_source_ablation" ->
       sourceAblationSql(Trainer.Buckets, Trainer.Iters, "src1"),
+    "x233_data_scaling_curve" ->
+      dataScalingSql(Trainer.Buckets, Trainer.Iters),
+    "x234_doremi_mix" ->
+      doremiSql(Trainer.Buckets, Trainer.Iters),
     "x136_lr_incremental" ->
       lrIncrementalSql(Trainer.Buckets, Trainer.Iters, 3),
     "x137_lr_calibration" ->

@@ -1,0 +1,198 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WebDataset tar-shard export/ingest — the sequential-shard format
+  * large-scale (especially multimodal) training loaders actually stream:
+  * each shard is a POSIX ustar archive, each sample a run of members
+  * sharing a zero-padded key (`<key>.json` metadata + `<key>.txt`
+  * payload; image/audio members ride the same mechanism as extra
+  * extensions). A training job reads shards sequentially at wire speed —
+  * no random access, no index — which is why the format wins at 100 TB:
+  * a 1000-executor fleet maps one task per shard and never seeks.
+  *
+  * The tar bytes are written by a pure-JVM ustar encoder (no external
+  * tooling): zeroed uid/gid/mtime, fixed 0644 mode, POSIX magic, exact
+  * checksum — every field deterministic, so a re-export from ANY input
+  * partitioning is byte-identical per shard (the [[Jsonl.write]]
+  * diffability contract extended to tar).
+  *
+  * Fidelity is proved the x209 way: the registered manifest query
+  * RE-READS the written tars (Spark's binaryFile source), re-parses every
+  * 512-byte header, and aggregates per shard — sample/member counts,
+  * payload bytes, the archive's exact byte size, a content checksum over
+  * the .txt members, and the key range. The oracle reproduces all of it
+  * arithmetically from the original parquet table (shard law, md5-mod
+  * assignment, ustar size algebra: 512 + ⌈size/512⌉·512 per member +
+  * 1024 EOF), so a hash match proves the tar path lost, duplicated, or
+  * mangled nothing.
+  *
+  * Scale shape: one count (shard law) + one hash repartition + one
+  * sorted sequential write per shard; payloads never shuffle twice and
+  * never concentrate (the md5-mod assignment is uniform). The manifest
+  * pass is one task per shard, linear scans only.
+  */
+object WebDataset {
+
+  /** WebDataset convention: shards sized for sequential streaming —
+    * thousands of samples, not millions. */
+  val SamplesPerShard = 4096L
+
+  /** Shard-count law: `ceil(n / SamplesPerShard)` clamped to [1, 65536]
+    * (the [[Jsonl.derivedShards]] shape — one count, then a pure
+    * function). */
+  def derivedShards(n: Long): Int =
+    math.min(65536L, math.max(1L, (n + SamplesPerShard - 1) / SamplesPerShard)).toInt
+
+  /** md5-mod shard assignment — engine-portable (the oracle replays the
+    * identical 32-bit md5 prefix mod), uniform, and independent of input
+    * layout. */
+  def shardId(key: org.apache.spark.sql.Column, shards: Int): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(concat(key.cast("string"), lit(":wds"))), 1, 8), 16, 10)
+      .cast("long"), lit(shards.toLong))
+
+  private val Block = 512
+
+  /** One ustar header block. Fields a loader never needs (uid/gid/uname/
+    * linkname) are zeroed; mtime is pinned to the epoch so the bytes are
+    * a pure function of (name, size). */
+  private[sources] def tarHeader(name: String, size: Long): Array[Byte] = {
+    require(name.length <= 100, s"tar member name too long: $name")
+    val h = new Array[Byte](Block)
+    def put(s: String, off: Int): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      System.arraycopy(b, 0, h, off, b.length)
+    }
+    put(name, 0)
+    put("0000644", 100); put("0000000", 108); put("0000000", 116)
+    put(f"$size%011o", 124)
+    put("00000000000", 136)
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // checksum field as spaces
+    h(156) = '0'                                   // typeflag: regular file
+    put("ustar", 257); h(262) = 0; put("00", 263)
+    var sum = 0L
+    var i = 0
+    while (i < Block) { sum += h(i) & 0xff; i += 1 }
+    put(f"$sum%06o", 148); h(154) = 0; h(155) = ' '
+    h
+  }
+
+  private def writeMember(out: java.io.OutputStream, name: String,
+      bytes: Array[Byte]): Unit = {
+    out.write(tarHeader(name, bytes.length.toLong))
+    out.write(bytes)
+    val pad = (Block - bytes.length % Block) % Block
+    if (pad > 0) out.write(new Array[Byte](pad))
+  }
+
+  private[sources] def sampleKey(docId: Long): String = f"$docId%012d"
+
+  /** The metadata member's exact bytes — plain concatenation with pinned
+    * field order (NOT a JSON library: the oracle reproduces the byte
+    * count with string algebra, so the bytes must be a fixed function of
+    * the values; fixture sources are identifier-safe). */
+  private[sources] def metaJson(docId: Long, source: String): String =
+    s"""{"doc_id":$docId,"source":"$source"}"""
+
+  /** Export `(doc_id, source, text)` rows as `shard-NNNNN.tar` files
+    * under the derived-shard law. Each task streams its shards' samples
+    * in doc_id order to a temp file, then atomically moves it into
+    * place — a crashed task leaves only `_tmp` litter, never a
+    * half-visible shard. Returns the shard count. */
+  def write(df: DataFrame, path: String): Int = {
+    val ownCache = df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val src = if (ownCache) graft.ops.Caching.cacheOnce(df) else df
+    try {
+      val s = derivedShards(src.count())
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      src.select(shardId(col("doc_id"), s).as("_shard"),
+          col("doc_id"), col("source"), col("text"))
+        .repartition(s, col("_shard"))
+        .sortWithinPartitions("_shard", "doc_id")
+        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          var cur = -1L
+          var out: java.io.OutputStream = null
+          var tmp: java.nio.file.Path = null
+          def close(): Unit = if (out != null) {
+            out.write(new Array[Byte](2 * Block)) // EOF: two zero blocks
+            out.close()
+            java.nio.file.Files.move(tmp,
+              tmp.resolveSibling(f"shard-$cur%05d.tar"),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            out = null
+          }
+          it.foreach { r =>
+            val shard = r.getLong(0)
+            if (shard != cur) {
+              close()
+              cur = shard
+              tmp = java.nio.file.Paths.get(path, f"_tmp_shard-$cur%05d.tar")
+              out = new java.io.BufferedOutputStream(
+                java.nio.file.Files.newOutputStream(tmp))
+            }
+            val key = sampleKey(r.getLong(1))
+            val meta = metaJson(r.getLong(1), r.getString(2))
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val txt = r.getString(3)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            writeMember(out, s"$key.json", meta)
+            writeMember(out, s"$key.txt", txt)
+          }
+          close()
+        }
+      s
+    } finally if (ownCache) src.unpersist(false)
+  }
+
+  private case class Member(shard: Long, name: String, size: Long,
+      tar_bytes: Long, checksum: Long, doc_id: Long)
+
+  /** Per-shard manifest computed FROM THE WRITTEN BYTES: re-read every
+    * tar with the binaryFile source, re-parse the ustar headers, and
+    * aggregate. `text_checksum` folds each .txt member's 32-bit md5
+    * prefix into an integer sum (the [[Orc.digest]] idiom) so content
+    * corruption — not just structural damage — breaks the hash match. */
+  def manifest(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile")
+      .load(s"$path/shard-*.tar")
+      .select(col("path"), col("content"))
+    val members = bin.as[(String, Array[Byte])].flatMap { case (p, bytes) =>
+      val shard = p.split("/").last.stripPrefix("shard-").stripSuffix(".tar").toLong
+      val out = scala.collection.mutable.ArrayBuffer[Member]()
+      var off = 0
+      var done = false
+      while (!done && off + Block <= bytes.length) {
+        if (bytes(off) == 0) done = true // EOF zero block
+        else {
+          val name = new String(bytes, off, 100,
+            java.nio.charset.StandardCharsets.US_ASCII).takeWhile(_ != 0)
+          val size = java.lang.Long.parseLong(new String(bytes, off + 124, 11,
+            java.nio.charset.StandardCharsets.US_ASCII).trim, 8)
+          val cs =
+            if (name.endsWith(".txt")) {
+              val md = java.security.MessageDigest.getInstance("MD5")
+              md.update(bytes, off + Block, size.toInt)
+              java.lang.Long.parseLong(
+                md.digest().take(4).map(b => f"$b%02x").mkString, 16)
+            } else 0L
+          out += Member(shard, name, size, bytes.length.toLong, cs,
+            name.take(12).toLong)
+          off += Block + ((size.toInt + Block - 1) / Block) * Block
+        }
+      }
+      out
+    }
+    members.toDF()
+      .groupBy("shard")
+      .agg(sum(when(col("name").endsWith(".txt"), 1L).otherwise(0L)).as("n_samples"),
+        count(lit(1)).as("n_members"),
+        sum(col("size")).as("payload_bytes"),
+        max(col("tar_bytes")).as("tar_bytes"),
+        sum(col("checksum")).as("text_checksum"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+  }
+}

@@ -125,7 +125,14 @@ class PlanAuditSpec extends SparkTestBase {
     "x205_tokenizer_compare" -> "x203's 1-row vocab-map/normalizing-sum crossJoins + the 1-row whitespace-total aggregate crossJoined onto each tokenizer's 1-row report leg (report constants)",
     "x207_unigram_pack" -> "x203's 1-row vocab-map/normalizing-sum crossJoins behind the doc-keyed count join; the packing itself is the two-phase prefix sum",
     "x206_retrieval_eval_graph" -> "x200's bounded beam equi-joins feeding x145's 1-row eval folds and broadcast query/relevance stream (x195's shape)",
-    "x208_graph_stats" -> "crossJoin of three single-row aggregates over the stored node/edge tables (report constants, x177's shape)"
+    "x208_graph_stats" -> "crossJoin of three single-row aggregates over the stored node/edge tables (report constants, x177's shape)",
+    "x224_bm25_delete_probe" -> "x126's 1-row stored-stats/df crossJoins on the delete-aware probe (tombstone-corrected N/avgdl constants); the postings anti-join itself is equi on doc_id",
+    "x225_bm25_index_health" -> "crossJoin of single-row indexed/tombstoned/postings-mass aggregates over the stored index dirs (report constants, x208's shape)",
+    "x227_embedding_drift" -> "crossJoin of the two snapshots' 1-row centroid/mean-norm folds (D-sized constants after the two scans, x177's shape)",
+    "x228_dataset_card" -> "the card is crossJoined 1-row rollups by construction — scan+partial-agg passes each reduced to a single report row before any join",
+    "x231_source_ablation" -> "x185's 1-row broadcast final-weight scoring twice (full + ablated chains, constant model state) + 1-row train-count and AUC folds crossJoined into the report row",
+    "x233_data_scaling_curve" -> "four nested-slice trainings' 1-row weight broadcasts + 1-row Brier/count folds per subset, then the 1-row closed-form fit crossJoined onto the 4 points (report constants)",
+    "x234_doremi_mix" -> "per-iteration 1-row model-weight broadcasts + the K-row domain-weight broadcast joins (K = #domains, equi on source); the only crossJoins are 1-row normalizer/base-rate folds"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {

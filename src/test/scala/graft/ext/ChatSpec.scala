@@ -186,4 +186,43 @@ class ChatSpec extends SparkTestBase {
     assert(audited.where(col("well_formed")).count() === expected)
     assert(audited.where(!col("well_formed")).count() > 0)
   }
+
+  test("prefixTree: planted shared prefixes fan out at the right depths (x236)") {
+    // convs 1+2 share turns 1-2 then diverge at 3; conv 3 shares only
+    // turn 1; conv 4 is disjoint from the start
+    val convs = Seq(
+      (1L, "##user## find bugs ##assistant## which repo ##user## the parser"),
+      (2L, "##user## find bugs ##assistant## which repo ##user## the lexer"),
+      (3L, "##user## find bugs ##assistant## none found"),
+      (4L, "##user## summarize this ##assistant## ok")
+    ).toDF("doc_id", "transcript")
+    val t = Chat.prefixTree(Chat.parseTurns(convs)).orderBy("depth").collect()
+      .map(r => r.getAs[Long]("depth") -> r).toMap
+    def v(d: Long) = (t(d).getAs[Long]("n_prefixes"), t(d).getAs[Long]("n_convs"),
+      t(d).getAs[Long]("max_fanout"), t(d).getAs[Long]("dedup_savings"))
+    assert(v(1L) === ((2L, 4L, 3L, 2L))) // "find bugs"×3 + "summarize"×1
+    assert(v(2L) === ((3L, 4L, 2L, 1L))) // convs 1+2 still together
+    assert(v(3L) === ((2L, 2L, 1L, 0L))) // fully diverged
+    assert(t(2L).getAs[Long]("n_shared_prefixes") === 1L)
+    assert(t(2L).getAs[Long]("n_convs_sharing") === 2L)
+    // tree invariants on the derived fixture corpus: widths never shrink
+    // with depth, every level's rows reconcile to convs reaching it
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val tree = Chat.prefixTree(Chat.parseTurns(Chat.withChat(docs)))
+      .orderBy("depth").collect()
+    assert(tree.nonEmpty)
+    tree.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_convs") <= a.getAs[Long]("n_convs"),
+          "conversations reaching depth d+1 can't exceed depth d")
+        assert(b.getAs[Long]("dedup_savings") <= a.getAs[Long]("dedup_savings"),
+          "shared mass only melts as prefixes extend")
+      case _ => ()
+    }
+    tree.foreach { r =>
+      assert(r.getAs[Long]("n_prefixes") <= r.getAs[Long]("n_convs"))
+      assert(r.getAs[Long]("n_convs_sharing") >= 2L * r.getAs[Long]("n_shared_prefixes")
+        || r.getAs[Long]("n_shared_prefixes") === 0L)
+    }
+  }
 }

@@ -333,4 +333,63 @@ class TrainerSpec extends SparkTestBase {
     assert(real.getAs[Double]("auc_full") > 0.5 && real.getAs[Double]("auc_full") <= 1.0)
     assert(real.getAs[Double]("auc_ablated") > 0.5 && real.getAs[Double]("auc_ablated") <= 1.0)
   }
+
+  test("doremiMix: weights stay a distribution, boost is the uniform-relative ratio (x234)") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val rows = Trainer.doremiMix(spark, docs).collect()
+    assert(rows.nonEmpty)
+    val k = rows.length
+    val wf = rows.map(_.getAs[Double]("weight_final"))
+    val wm = rows.map(_.getAs[Double]("weight_mean"))
+    // MW renormalizes every step: both the final and the averaged
+    // mixture must still be probability distributions
+    assert(math.abs(wf.sorted.sum - 1.0) < 1e-9, wf.toSeq.toString)
+    assert(math.abs(wm.sorted.sum - 1.0) < 1e-9, wm.toSeq.toString)
+    assert(wf.forall(_ > 0.0) && wm.forall(_ > 0.0))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("weight_uniform") === 1.0 / k)
+      assert(math.abs(r.getAs[Double]("boost")
+        - r.getAs[Double]("weight_mean") / (1.0 / k)) < 1e-12)
+      assert(r.getAs[Double]("excess") >= 0.0)
+      assert(r.getAs[Long]("n_train") > 0L)
+      val (ref, proxy) = (r.getAs[Double]("ref_brier"), r.getAs[Double]("proxy_brier"))
+      assert(ref > 0.0 && ref < 1.0 && proxy > 0.0 && proxy < 1.0)
+    }
+    // partition-layout invariance: the folds pin the association trees
+    assert(Trainer.doremiMix(spark, docs.repartition(7))
+      .orderBy("source").collect().map(_.toSeq).toSeq ===
+      Trainer.doremiMix(spark, docs).orderBy("source").collect().map(_.toSeq).toSeq)
+  }
+
+  test("dataScalingCurve: nested slices, bounded Brier, fit self-consistency (x233)") {
+    val rows = Trainer.dataScalingCurve(spark,
+        graft.sources.Tables.documents(spark, sfDir))
+      .orderBy("subset").collect()
+    assert(rows.length === 4)
+    val n = rows.map(_.getAs[Long]("n_train"))
+    val b = rows.map(_.getAs[Double]("holdout_brier"))
+    // nested slices accrete: each n_train contains the previous slice
+    assert(n.zip(n.tail).forall { case (a, c) => a <= c }, n.toSeq.toString)
+    assert(n.last > 0L)
+    // Brier of a (0,1) forecast is in (0,1)
+    assert(b.forall(v => v > 0.0 && v < 1.0), b.toSeq.toString)
+    // the fit columns are one law repeated on all 4 rows
+    Seq("fit_asymptote", "fit_slope", "fit_r2", "pred_brier_4x").foreach { c =>
+      assert(rows.map(_.getAs[Double](c)).distinct.length === 1)
+    }
+    val r = rows.head
+    val r2 = r.getAs[Double]("fit_r2")
+    assert(r2 >= -1e-12 && r2 <= 1.0 + 1e-12, s"r2=$r2")
+    // recompute the closed form from the reported points: same law
+    val xs = n.map(v => 1.0 / math.sqrt(v.toDouble))
+    val (sx, sy) = (xs.sorted.sum, b.sorted.sum)
+    val sxx = xs.map(v => v * v).sorted.sum
+    val sxy = xs.zip(b).map { case (x, y) => x * y }.sorted.sum
+    val slope = (4.0 * sxy - sx * sy) / (4.0 * sxx - sx * sx)
+    val asym = (sy - slope * sx) / 4.0
+    assert(math.abs(slope - r.getAs[Double]("fit_slope")) < 1e-9)
+    assert(math.abs(asym - r.getAs[Double]("fit_asymptote")) < 1e-9)
+    assert(math.abs(asym + slope / math.sqrt(4.0 * n.last.toDouble)
+      - r.getAs[Double]("pred_brier_4x")) < 1e-9)
+  }
 }
