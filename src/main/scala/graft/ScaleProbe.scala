@@ -34,13 +34,14 @@ object ScaleProbe {
 
     val scales = args.drop(1).headOption
       .map(_.split(",").toSeq.map(_.toInt)).getOrElse(Seq(1, 4, 16))
-    // Optional third arg: substring filter on op names, so a single new leg
-    // can be probed without paying for the whole suite.
+    // Optional third arg: comma-separated substring filter on op names, so
+    // new legs can be probed without paying for the whole suite.
     val opFilter: Option[String] = args.drop(2).headOption
     for (k <- scales) {
       val corpus = replicate(k).cache()
       val n = corpus.count() // materialize the cache outside the clock
-      def time(op: String)(f: => Long): Unit = if (opFilter.forall(op.contains)) {
+      def time(op: String)(f: => Long): Unit =
+        if (opFilter.forall(_.split(",").exists(op.contains))) {
         val t0 = System.nanoTime()
         val rows = f
         val sec = (System.nanoTime() - t0) / 1e9
@@ -481,6 +482,40 @@ object ScaleProbe {
             e2.where(col("vec_id") % 2 === 0), e2.where(col("vec_id") % 2 =!= 0)).count()
         }
         e2.unpersist(blocking = true)
+      }
+      // WebDataset export (r10 continuation): one count (shard law), one
+      // hash repartition, one sequential tar write per shard — time must
+      // track k (bytes written), shard count follows the law.
+      time("webdataset_export") {
+        val dir = java.nio.file.Files.createTempDirectory("probe-wds").toString
+        val s = graft.sources.WebDataset.write(
+          corpus.select(col("doc_id"), col("source"), col("text")), dir)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(new java.io.File(dir))
+        s.toLong
+      }
+      // DoReMi mixture (r10 continuation): per iteration two
+      // (domain, √n-bucket) partial-agg passes over the cached train
+      // slice + K-row combines — per-pass cost tracks k, pass count is
+      // fixed (2·iters), downstream state is K·dim regardless of corpus.
+      time("doremi_mix") {
+        graft.ext.Trainer.doremiMix(spark, corpus).count()
+      }
+      // Data-scaling curve (r10 continuation): four nested-slice gate
+      // trainings (Σ slice sizes = 1.875× the full train slice) + four
+      // holdout Brier folds — the lrChain partial-agg shape, so time must
+      // track k with the job-scheduling floor dominating at small k.
+      time("scaling_curve") {
+        graft.ext.Trainer.dataScalingCurve(spark, corpus).count()
+      }
+      // Chat prefix tree (r10 continuation): one keyed window over
+      // (conv, turn) rows + two digest-keyed partial aggs — corpus-linear,
+      // digests only on the shuffle.
+      time("chat_prefix_tree") {
+        graft.ext.Chat.prefixTree(
+          graft.ext.Chat.parseTurns(graft.ext.Chat.withChat(corpus))).count()
       }
       // the per-run caches (shingle/band tables) must not leak across scales
       spark.sharedState.cacheManager.clearCache()

@@ -1319,4 +1319,62 @@ object Curate {
         (col("_piiDocs").cast("double") / col("n_docs").cast("double"))
           .as("pii_doc_frac"))
   }
+
+  /** The license footers [[withLicense]] plants and [[licenseAudit]]
+    * detects, with their governance class: permissive licenses are
+    * trainable by most data policies, restricted ones need review, and
+    * an absent marker is "unknown" — the bucket that dominates web
+    * corpora and that a policy must make an explicit call on. */
+  val LicenseMarkers: Seq[(String, String, String)] = Seq(
+    ("creative commons attribution", "cc-by-4.0", "permissive"),
+    ("licensed under the apache license", "apache-2.0", "permissive"),
+    ("permission is hereby granted", "mit", "permissive"),
+    ("all rights reserved", "all-rights-reserved", "restricted"))
+
+  /** Deterministic license wrapper over the fixture corpus (the
+    * [[graft.ext.Chat.withChat]] derivation idiom): an md5 draw per doc
+    * appends one of the [[LicenseMarkers]] footers (kinds 0–3) or none
+    * (4–7), giving the detector real positives and negatives at any SF
+    * with zero new test data. */
+  def withLicense(docs: DataFrame, text: Column = col("text")): DataFrame = {
+    val kind = pmod(conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(":lic"))), 1, 4), 16, 10)
+      .cast("int"), lit(8))
+    val footer = LicenseMarkers.zipWithIndex.foldLeft(lit(""): Column) {
+      case (acc, ((marker, _, _), i)) =>
+        when(kind === i, concat(lit(" license: "), lit(marker))).otherwise(acc)
+    }
+    docs.withColumn("licensed_text", concat(text, footer))
+  }
+
+  /** License / usage-rights audit (x237, r10 continuation): the
+    * governance gate a corpus passes before release — per-document
+    * marker detection (first [[LicenseMarkers]] hit wins, `none`
+    * otherwise), then a per-(source, license) datasheet row with the
+    * governance class and each license's share of its source. A data
+    * policy consumes this to quota or exclude restricted slices; the
+    * dataset card (x228) reports WHAT is in the corpus, this reports
+    * what you are ALLOWED to do with it.
+    *
+    * Scale shape: detection is per-row `contains` at scan speed (zero
+    * shuffle); the rollup is one (source, license) partial agg plus a
+    * broadcast per-source totals join — K·L rows downstream. */
+  def licenseAudit(docs: DataFrame, text: Column = col("licensed_text")): DataFrame = {
+    val lic = LicenseMarkers.reverse.foldLeft(lit("none"): Column) {
+      case (acc, (marker, name, _)) => when(text.contains(marker), lit(name)).otherwise(acc)
+    }
+    val cls = LicenseMarkers.reverse.foldLeft(lit("unknown"): Column) {
+      case (acc, (marker, _, c)) => when(text.contains(marker), lit(c)).otherwise(acc)
+    }
+    val tagged = docs.select(col("doc_id"), col("source"),
+      lic.as("license"), cls.as("governance"))
+    val bySrc = tagged.groupBy("source").agg(count(lit(1)).as("_srcDocs"))
+    tagged.groupBy(col("source"), col("license"), col("governance"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(bySrc), "source")
+      .select(col("source"), col("license"), col("governance"), col("n_docs"),
+        (col("n_docs").cast("double") / col("_srcDocs").cast("double"))
+          .as("source_share"),
+        (col("governance") === "permissive").as("trainable"))
+  }
 }

@@ -212,6 +212,14 @@ private[graft] object CurateQueries {
     "x228_dataset_card" -> ((s, dir) =>
       Curate.datasetCard(Tables.documents(s, dir))),
 
+    // License / usage-rights audit (r10 continuation): per-row marker
+    // detection over the md5-derived license footers, rolled up to
+    // per-(source, license) datasheet rows with the governance class —
+    // the "are we allowed to train on this slice" gate beside x228's
+    // "what is in this corpus" card.,
+    "x237_license_audit" -> ((s, dir) =>
+      Curate.licenseAudit(Curate.withLicense(Tables.documents(s, dir)))),
+
     // Span-level contamination localization (r10): the contiguous
     // 1-based token runs x117 would excise, per training doc —
     // gaps-and-islands over the SAME removal set, so the audit report
@@ -1083,6 +1091,35 @@ private[graft] object CurateQueries {
         "b.n_tokens - coalesce(reb.n_kept, 0) AS n_removed " +
         "FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tr) b " +
         "LEFT JOIN reb USING (doc_id)"),
+    // x237: the md5 footer draw replayed (4-hex kind % 8), the same
+    // first-hit-wins CASE chains, then the (source, license) rollup with
+    // the per-source share division.
+    "x237_license_audit" ->
+      ("WITH lw AS (SELECT doc_id, source, text || " +
+        "(CASE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lic'), 1, 4)) AS INT) % 8 " +
+        "WHEN 0 THEN ' license: creative commons attribution' " +
+        "WHEN 1 THEN ' license: licensed under the apache license' " +
+        "WHEN 2 THEN ' license: permission is hereby granted' " +
+        "WHEN 3 THEN ' license: all rights reserved' " +
+        "ELSE '' END) AS lt FROM documents), " +
+        "tg AS (SELECT doc_id, source, " +
+        "CASE WHEN contains(lt, 'creative commons attribution') THEN 'cc-by-4.0' " +
+        "WHEN contains(lt, 'licensed under the apache license') THEN 'apache-2.0' " +
+        "WHEN contains(lt, 'permission is hereby granted') THEN 'mit' " +
+        "WHEN contains(lt, 'all rights reserved') THEN 'all-rights-reserved' " +
+        "ELSE 'none' END AS license, " +
+        "CASE WHEN contains(lt, 'creative commons attribution') THEN 'permissive' " +
+        "WHEN contains(lt, 'licensed under the apache license') THEN 'permissive' " +
+        "WHEN contains(lt, 'permission is hereby granted') THEN 'permissive' " +
+        "WHEN contains(lt, 'all rights reserved') THEN 'restricted' " +
+        "ELSE 'unknown' END AS governance FROM lw), " +
+        "sc AS (SELECT source, CAST(count(*) AS BIGINT) AS sd FROM tg GROUP BY 1) " +
+        "SELECT t.source, t.license, t.governance, " +
+        "CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(CAST(count(*) AS BIGINT) AS DOUBLE)/CAST(max(s.sd) AS DOUBLE) AS source_share, " +
+        "(t.governance = 'permissive') AS trainable " +
+        "FROM tg t JOIN sc s USING (source) GROUP BY 1, 2, 3"),
+
     // x228: quality fold = x46's score formula + the √n bucket chain;
     // Σp² folds over the source-sorted list; PII chain = x220's fixture
     // enrichment + regex counts.,

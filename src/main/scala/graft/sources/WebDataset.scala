@@ -154,10 +154,11 @@ object WebDataset {
     * aggregate. `text_checksum` folds each .txt member's 32-bit md5
     * prefix into an integer sum (the [[Orc.digest]] idiom) so content
     * corruption — not just structural damage — breaks the hash match. */
-  def manifest(spark: SparkSession, path: String): DataFrame = {
+  def manifest(spark: SparkSession, path: String,
+      glob: String = "shard-*.tar"): DataFrame = {
     import spark.implicits._
     val bin = spark.read.format("binaryFile")
-      .load(s"$path/shard-*.tar")
+      .load(s"$path/$glob")
       .select(col("path"), col("content"))
     val members = bin.as[(String, Array[Byte])].flatMap { case (p, bytes) =>
       val shard = p.split("/").last.stripPrefix("shard-").stripSuffix(".tar").toLong

@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming training-shard export — the sink-side twin of
+  * [[VectorStream.indexIngest]]: a curated-document stream drains into
+  * WebDataset tar shards through `foreachBatch` →
+  * [[graft.sources.WebDataset.write]], so freshly curated data becomes
+  * loader-consumable shards at ingestion latency instead of waiting for a
+  * full re-export.
+  *
+  * Each micro-batch lands in its own `batch=NNNNN/` directory under the
+  * derived-shard law applied to the BATCH's count; a WebDataset loader
+  * consumes "a list of tars", so batch scoping costs the consumer
+  * nothing. Exactly-once delivery is the [[graft.ops.Incremental]]
+  * discipline applied to tar files: the checkpoint pins source progress,
+  * and a replayed batch REWRITES its directory deterministically — the
+  * tar bytes are a pure function of the rows ([[graft.sources.WebDataset]]'s
+  * diffability contract), and the final `ATOMIC_MOVE` with
+  * `REPLACE_EXISTING` makes the rewrite idempotent rather than
+  * duplicating samples.
+  */
+object ShardStream {
+
+  def webdatasetDrain(stream: DataFrame, outDir: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.WebDataset.write(batch, f"$outDir/batch=$id%05d")
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

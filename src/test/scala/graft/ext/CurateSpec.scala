@@ -687,4 +687,38 @@ class CurateSpec extends SparkTestBase {
     assert(card.getAs[Double]("mean_quality") > 0.0 && card.getAs[Double]("mean_quality") < 1.0)
     assert(card.getAs[Long]("total_ws_tokens") > n, "multi-token docs expected")
   }
+
+  test("licenseAudit: handcrafted markers classify first-hit-wins; fixture shares partition each source (x237)") {
+    import spark.implicits._
+    // handcrafted detection: one doc per class + a multi-marker doc where
+    // the FIRST marker in the priority order must win
+    val hand = Seq(
+      (1L, "s", "plain body no markers at all"),
+      (2L, "s", "footer license: creative commons attribution intl"),
+      (3L, "s", "this work is licensed under the apache license v2"),
+      (4L, "s", "permission is hereby granted free of charge"),
+      (5L, "s", "copyright 2020 all rights reserved"),
+      (6L, "s", "creative commons attribution AND all rights reserved")
+    ).toDF("doc_id", "source", "text")
+    val t = Curate.licenseAudit(hand, col("text")).collect()
+      .map(r => (r.getAs[String]("license"), r.getAs[String]("governance"),
+        r.getAs[Boolean]("trainable"), r.getAs[Long]("n_docs"))).toSet
+    assert(t.contains(("none", "unknown", false, 1L)))
+    // doc 2 and doc 6 both resolve to cc-by (priority), so the cc row has 2
+    assert(t.contains(("cc-by-4.0", "permissive", true, 2L)))
+    assert(t.contains(("apache-2.0", "permissive", true, 1L)))
+    assert(t.contains(("mit", "permissive", true, 1L)))
+    assert(t.contains(("all-rights-reserved", "restricted", false, 1L)))
+    // fixture corpus through the derivation wrapper: per-source shares
+    // sum to 1 and doc totals reconcile
+    val docs = Tables.documents(spark, sfDir)
+    val out = Curate.licenseAudit(Curate.withLicense(docs)).collect()
+    out.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val s = rows.map(_.getAs[Double]("source_share")).sorted.sum
+      assert(math.abs(s - 1.0) < 1e-9, s"$src shares sum to $s")
+    }
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    // the 4-in-8 kind draw puts every class on the board at fixture scale
+    assert(out.map(_.getAs[String]("license")).toSet.size === 5)
+  }
 }
