@@ -1359,15 +1359,21 @@ object Curate {
     * Scale shape: detection is per-row `contains` at scan speed (zero
     * shuffle); the rollup is one (source, license) partial agg plus a
     * broadcast per-source totals join — K·L rows downstream. */
-  def licenseAudit(docs: DataFrame, text: Column = col("licensed_text")): DataFrame = {
+  /** Per-document license tag — [[licenseAudit]]'s detection stage alone
+    * (first [[LicenseMarkers]] hit wins), reusable as a row-level gate
+    * ([[releasePipeline]]). Scan-speed `contains`, zero shuffle. */
+  def licenseTag(docs: DataFrame, text: Column = col("licensed_text")): DataFrame = {
     val lic = LicenseMarkers.reverse.foldLeft(lit("none"): Column) {
       case (acc, (marker, name, _)) => when(text.contains(marker), lit(name)).otherwise(acc)
     }
     val cls = LicenseMarkers.reverse.foldLeft(lit("unknown"): Column) {
       case (acc, (marker, _, c)) => when(text.contains(marker), lit(c)).otherwise(acc)
     }
-    val tagged = docs.select(col("doc_id"), col("source"),
-      lic.as("license"), cls.as("governance"))
+    docs.select(col("doc_id"), col("source"), lic.as("license"), cls.as("governance"))
+  }
+
+  def licenseAudit(docs: DataFrame, text: Column = col("licensed_text")): DataFrame = {
+    val tagged = licenseTag(docs, text)
     val bySrc = tagged.groupBy("source").agg(count(lit(1)).as("_srcDocs"))
     tagged.groupBy(col("source"), col("license"), col("governance"))
       .agg(count(lit(1)).as("n_docs"))
@@ -1376,5 +1382,78 @@ object Curate {
         (col("n_docs").cast("double") / col("_srcDocs").cast("double"))
           .as("source_share"),
         (col("governance") === "permissive").as("trainable"))
+  }
+
+  /** The release flagship (x239, r10 continuation): the LAST MILE a
+    * corpus travels before shipping — rights → identity → mixture →
+    * shards, every stage an already-verified operator, in ONE query:
+    *
+    *  1. license gate (x237's [[licenseTag]]): only `permissive` docs
+    *     survive (detection on the wrapped text; everything downstream
+    *     uses the ORIGINAL payload — footers are rights metadata, not
+    *     training text);
+    *  2. exact dedup (x01's shape): md5-digest groups over the original
+    *     text, min-doc_id survivor;
+    *  3. DoReMi mixture realization (x234 ∘ x150's budget idiom): each
+    *     source's token target = `weight_mean · total unique tokens`,
+    *     realized by per-doc md5 acceptance at
+    *     `min(1, target/source_tokens)` — downsample-only (upsampling is
+    *     epoch replay's job, x87), so expected released tokens per
+    *     source = `min(source_tokens, target)`;
+    *  4. shard law (x235's): the released corpus prices out at
+    *     `⌈n/4096⌉` WebDataset shards (division by 2¹² is IEEE-exact, so
+    *     the floor form matches the oracle's integer `//`).
+    *
+    * One row per source with the whole funnel: input → licensed →
+    * unique → released doc counts, token masses, the learned weight, the
+    * realized acceptance probability, and the global shard count.
+    *
+    * Scale shape: the gates are scan-speed per-row work; dedup is one
+    * digest-keyed shuffle of (digest, id) rows; the mixture stage is
+    * K-row state joined equi on source; the only crossJoins are 1-row
+    * totals (documented PlanAudit exemptions). */
+  def releasePipeline(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame): DataFrame = {
+    val base = graft.ops.Caching.cacheOnce(docs)
+    val tagged = licenseTag(withLicense(base))
+    val licensed = base
+      .join(tagged.where(col("governance") === "permissive").select("doc_id"), "doc_id")
+    val withTok = graft.ops.Caching.cacheOnce(licensed.select(
+      col("doc_id"), col("source"), md5(col("text")).as("_hh"),
+      size(TextOps.tokens(col("text"))).cast("long").as("_ntk")))
+    val canon = withTok.groupBy("_hh").agg(min(col("doc_id")).as("doc_id"))
+    val uq = graft.ops.Caching.cacheOnce(
+      withTok.join(canon.select("doc_id"), "doc_id")
+        .select(col("doc_id"), col("source"), col("_ntk")))
+    val tot = uq.agg(sum(col("_ntk")).as("_tt"))
+    val st = uq.groupBy("source").agg(count(lit(1)).as("n_unique"),
+      sum(col("_ntk")).as("tokens_unique"))
+    val w = graft.ext.Trainer.doremiMix(spark, base)
+      .select(col("source"), col("weight_mean"))
+    val tq = st.join(w, "source").crossJoin(broadcast(tot))
+      .withColumn("target_tokens", col("weight_mean") * col("_tt").cast("double"))
+      .withColumn("accept_prob", least(lit(1.0),
+        col("target_tokens") / col("tokens_unique").cast("double")))
+    val rel = graft.ops.Caching.cacheOnce(
+      uq.join(broadcast(tq.select("source", "accept_prob")), "source")
+        .where(uniformHash(col("doc_id"), "rel") < col("accept_prob")))
+    val rs = rel.groupBy("source").agg(count(lit(1)).as("n_released"),
+      sum(col("_ntk")).as("tokens_released"))
+    val shards = rel.agg(count(lit(1)).as("_c"))
+      .select(greatest(lit(1L), least(lit(65536L),
+        floor((col("_c") + lit(4095L)).cast("double") / lit(4096.0)).cast("long")))
+        .as("release_shards"))
+    val ni = base.groupBy("source").agg(count(lit(1)).as("n_input"))
+    val nl = tagged.where(col("governance") === "permissive")
+      .groupBy("source").agg(count(lit(1)).as("n_licensed"))
+    tq.join(ni, "source").join(nl, "source")
+      .join(rs, Seq("source"), "left")
+      .crossJoin(broadcast(shards))
+      .select(col("source"), col("n_input"), col("n_licensed"), col("n_unique"),
+        coalesce(col("n_released"), lit(0L)).as("n_released"),
+        col("tokens_unique"), col("weight_mean"), col("target_tokens"),
+        col("accept_prob"),
+        coalesce(col("tokens_released"), lit(0L)).as("tokens_released"),
+        col("release_shards"))
   }
 }

@@ -220,6 +220,13 @@ private[graft] object CurateQueries {
     "x237_license_audit" -> ((s, dir) =>
       Curate.licenseAudit(Curate.withLicense(Tables.documents(s, dir)))),
 
+    // The release flagship (r10 continuation): license gate -> exact
+    // dedup -> DoReMi-weighted token-budget realization -> shard law, in
+    // one query — the last mile from raw corpus to shippable shards,
+    // every stage an already-verified operator (x237, x01, x234, x235).,
+    "x239_release_pipeline" -> ((s, dir) =>
+      Curate.releasePipeline(s, Tables.documents(s, dir))),
+
     // Span-level contamination localization (r10): the contiguous
     // 1-based token runs x117 would excise, per training doc —
     // gaps-and-islands over the SAME removal set, so the audit report
@@ -1119,6 +1126,59 @@ private[graft] object CurateQueries {
         "CAST(CAST(count(*) AS BIGINT) AS DOUBLE)/CAST(max(s.sd) AS DOUBLE) AS source_share, " +
         "(t.governance = 'permissive') AS trainable " +
         "FROM tg t JOIN sc s USING (source) GROUP BY 1, 2, 3"),
+
+    // x239: the whole funnel replayed — x237's footer/tag chain, x01's
+    // digest dedup, the FULL doremiCtes MW loop for weight_mean, the
+    // budget acceptance draw, and the x235 shard law over survivors.
+    "x239_release_pipeline" ->
+      (s"WITH ${doremiCtes(Trainer.Buckets, Trainer.Iters)}, " +
+        "rlw AS (SELECT doc_id, source, text || " +
+        "(CASE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lic'), 1, 4)) AS INT) % 8 " +
+        "WHEN 0 THEN ' license: creative commons attribution' " +
+        "WHEN 1 THEN ' license: licensed under the apache license' " +
+        "WHEN 2 THEN ' license: permission is hereby granted' " +
+        "WHEN 3 THEN ' license: all rights reserved' " +
+        "ELSE '' END) AS lt FROM documents), " +
+        "rtg AS (SELECT doc_id, source, " +
+        "CASE WHEN contains(lt, 'creative commons attribution') THEN 'permissive' " +
+        "WHEN contains(lt, 'licensed under the apache license') THEN 'permissive' " +
+        "WHEN contains(lt, 'permission is hereby granted') THEN 'permissive' " +
+        "WHEN contains(lt, 'all rights reserved') THEN 'restricted' " +
+        "ELSE 'unknown' END AS governance FROM rlw), " +
+        "rcn AS MATERIALIZED (SELECT d.doc_id, d.source, md5(d.text) AS hh, " +
+        "CAST(len(t.toks) AS BIGINT) AS ntk FROM documents d " +
+        "JOIN t ON d.doc_id = t.doc_id JOIN rtg g ON d.doc_id = g.doc_id " +
+        "WHERE g.governance = 'permissive'), " +
+        "rkp AS (SELECT hh, min(doc_id) AS doc_id FROM rcn GROUP BY 1), " +
+        "ruq AS MATERIALIZED (SELECT c.doc_id, c.source, c.ntk FROM rcn c " +
+        "JOIN rkp k ON c.doc_id = k.doc_id), " +
+        "rtot AS (SELECT CAST(sum(ntk) AS BIGINT) AS tt FROM ruq), " +
+        "rst AS (SELECT source, CAST(count(*) AS BIGINT) AS n_unique, " +
+        "CAST(sum(ntk) AS BIGINT) AS tokens_unique FROM ruq GROUP BY 1), " +
+        s"rtq AS (SELECT s.source, s.n_unique, s.tokens_unique, " +
+        s"m.dwsum/${Trainer.Iters}.0 AS weight_mean, " +
+        s"(m.dwsum/${Trainer.Iters}.0)*CAST((SELECT tt FROM rtot) AS DOUBLE) AS target_tokens, " +
+        s"least(1.0, ((m.dwsum/${Trainer.Iters}.0)*CAST((SELECT tt FROM rtot) AS DOUBLE))" +
+        "/CAST(s.tokens_unique AS DOUBLE)) AS accept_prob " +
+        s"FROM rst s JOIN mw${Trainer.Iters} m USING (source)), " +
+        "rrel AS MATERIALIZED (SELECT u.doc_id, u.source, u.ntk FROM ruq u " +
+        "JOIN rtq q USING (source) " +
+        "WHERE CAST(('0x' || substr(md5(CAST(u.doc_id AS VARCHAR) || ':rel'), 1, 8)) AS BIGINT)" +
+        "/4294967296.0 < q.accept_prob), " +
+        "rrs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_released, " +
+        "CAST(sum(ntk) AS BIGINT) AS tokens_released FROM rrel GROUP BY 1), " +
+        "rsh AS (SELECT GREATEST(CAST(1 AS BIGINT), LEAST(CAST(65536 AS BIGINT), " +
+        "(CAST(count(*) AS BIGINT) + 4095)//4096)) AS s FROM rrel), " +
+        "rni AS (SELECT source, CAST(count(*) AS BIGINT) AS n_input FROM documents GROUP BY 1), " +
+        "rnl AS (SELECT source, CAST(count(*) AS BIGINT) AS n_licensed FROM rtg " +
+        "WHERE governance = 'permissive' GROUP BY 1) " +
+        "SELECT q.source, i.n_input, l.n_licensed, q.n_unique, " +
+        "coalesce(r.n_released, CAST(0 AS BIGINT)) AS n_released, " +
+        "q.tokens_unique, q.weight_mean, q.target_tokens, q.accept_prob, " +
+        "coalesce(r.tokens_released, CAST(0 AS BIGINT)) AS tokens_released, " +
+        "(SELECT s FROM rsh) AS release_shards " +
+        "FROM rtq q JOIN rni i USING (source) JOIN rnl l USING (source) " +
+        "LEFT JOIN rrs r USING (source)"),
 
     // x228: quality fold = x46's score formula + the √n bucket chain;
     // Σp² folds over the source-sorted list; PII chain = x220's fixture

@@ -210,7 +210,17 @@ private[ext] object ExtOracles {
     * MW reweight with an ordered-fold normalizer. Exact IEEE arithmetic
     * throughout (the `(1 + η·excess)` update is the rational stand-in
     * for the softmax's exp). */
-  def doremiSql(buckets: Int, iters: Int): String = {
+  def doremiSql(buckets: Int, iters: Int): String =
+    s"WITH ${doremiCtes(buckets, iters)} " +
+      s"SELECT source, nd AS n_train, ref AS ref_brier, brier AS proxy_brier, excess, " +
+      "1.0/CAST((SELECT k FROM kk) AS DOUBLE) AS weight_uniform, dw AS weight_final, " +
+      s"dwsum/$iters.0 AS weight_mean, " +
+      s"(dwsum/$iters.0)/(1.0/CAST((SELECT k FROM kk) AS DOUBLE)) AS boost " +
+      s"FROM mw$iters"
+
+  /** The x234 CTE chain alone (feature CTEs + the full MW loop ending at
+    * `mw<iters>`), reusable by composed oracles (x239). */
+  def doremiCtes(buckets: Int, iters: Int): String = {
     val lr = Trainer.LearnRate
     val eta = Trainer.DoremiEta
     val xs = 0 until (buckets + 2)
@@ -260,7 +270,7 @@ private[ext] object ExtOracles {
         s"mw$t AS MATERIALIZED (SELECT u.source, u.nd, u.ref, u.brier, u.excess, " +
         s"u.nw/z.z AS dw, u.dwsum + u.nw/z.z AS dwsum FROM u$t u CROSS JOIN z$t z)"
     }.mkString(", ")
-    s"WITH ${lrFeatCtes(buckets)}, " +
+    s"${lrFeatCtes(buckets)}, " +
       "trs AS MATERIALIZED (SELECT f.*, d.source FROM tr f " +
       "JOIN documents d ON f.doc_id = d.doc_id), " +
       "ffb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM trs), " +
@@ -277,12 +287,7 @@ private[ext] object ExtOracles {
       (Seq("0.0 AS wb") ++ xs.map(j => s"0.0 AS w$j")).mkString(", ") + "), " +
       "mw0 AS (SELECT source, nd, ref, " +
       "1.0/CAST((SELECT k FROM kk) AS DOUBLE) AS dw, 0.0 AS dwsum FROM dm0), " +
-      body + " " +
-      s"SELECT source, nd AS n_train, ref AS ref_brier, brier AS proxy_brier, excess, " +
-      "1.0/CAST((SELECT k FROM kk) AS DOUBLE) AS weight_uniform, dw AS weight_final, " +
-      s"dwsum/$iters.0 AS weight_mean, " +
-      s"(dwsum/$iters.0)/(1.0/CAST((SELECT k FROM kk) AS DOUBLE)) AS boost " +
-      s"FROM mw$iters"
+      body
   }
 
   def sourceAblationSql(buckets: Int, iters: Int, ablated: String): String = {

@@ -355,6 +355,40 @@ object Preference {
         col("margin"))
   }
 
+  /** GRPO-style group advantage (x238, r10 continuation; Shao et al.
+    * 2024's group-relative normalization, the RL-data shape that replaced
+    * per-sample critics): candidates pool into md5-derived prompt groups
+    * (the [[bonAssign]] occupancy law), and each candidate's advantage is
+    * its reward z-scored WITHIN its group — `(r − mean_g)/std_g`, with
+    * the degenerate all-tied group (σ = 0) pinned to advantage 0 instead
+    * of a NaN that would poison a policy update. Population σ (the GRPO
+    * convention), computed in two group-keyed passes: a sorted-fold mean,
+    * then a sorted-fold of squared deviations — group buffers stay
+    * pool-sized under the occupancy law, and `sqrt`/division keep the
+    * whole row oracle-exact (no transcendentals).
+    *
+    * Scale shape: two pool-keyed partial aggs + two equi-joins on
+    * prompt_id; no windows, no corpus-sized state. */
+  def grpoAdvantage(scored: DataFrame, salt: String = "bon",
+      pools: Int = 0): DataFrame = {
+    import graft.functions.Stable.sortedFold
+    val sel = bonAssign(scored, salt, pools)
+    val g = sel.groupBy("prompt_id").agg(count(lit(1)).as("group_n"),
+      (sortedFold(col("score")) / count(lit(1)).cast("double")).as("group_mean"))
+    val d = sel.join(g, "prompt_id")
+      .withColumn("_dev", col("score") - col("group_mean"))
+    val v = d.groupBy("prompt_id")
+      .agg(sortedFold(col("_dev") * col("_dev")).as("_m2"))
+    d.join(v, "prompt_id")
+      .withColumn("group_std", sqrt(col("_m2") / col("group_n").cast("double")))
+      .select(col("prompt_id"), col("doc_id"), col("score").as("reward"),
+        col("group_n"), col("group_mean"), col("group_std"),
+        when(col("group_std") > lit(0.0),
+          (col("score") - col("group_mean")) / col("group_std"))
+          .otherwise(lit(0.0)).as("advantage"),
+        (col("group_std") === lit(0.0)).as("degenerate"))
+  }
+
   /** Per-round L1 convergence of the MM fit (x122's report shape). The
     * sum is a TWO-LEVEL deterministic fold of the per-item |Δ| doubles
     * (`Stable.sortedFold` per `doc_id % √n` bucket, then `bucketFold`

@@ -50,6 +50,14 @@ private[graft] object PreferenceQueries {
     "x147_best_of_n" -> ((s, dir) =>
       Preference.bestOfNReport(Trainer.lrScoreAll(s, Tables.documents(s, dir)))),
 
+    // GRPO group advantage (r10 continuation): per-pool z-scored rewards
+    // under the engine-trained scorer — group-relative normalization
+    // (population σ, degenerate all-tied pools pinned to 0) — the
+    // advantage table a critic-free RL run trains on, beside x149's DPO
+    // pairs and x169's KTO export.,
+    "x238_grpo_advantage" -> ((s, dir) =>
+      Preference.grpoAdvantage(Trainer.lrScoreAll(s, Tables.documents(s, dir)))),
+
     // SFT prompt dedup (r8 second half): conversations sharing an
     // identical first user turn are duplicates of the same task — digest
     // groups over the PARSED instruction, min-id survivor, duplicated
@@ -155,6 +163,25 @@ private[graft] object PreferenceQueries {
             s"list_aggregate(list(ps ORDER BY bkt), 'sum') AS l1_delta FROM dj$k)"
         }.mkString(", ") + " " +
         (0 until Preference.Iters).map(k => s"SELECT * FROM dl$k").mkString(" UNION ALL ")),
+    // x238: bonCtes' pooled scores, a sorted-fold group mean, a second
+    // sorted fold of squared deviations, then the z-score with the σ=0
+    // guard — sqrt/division only, oracle-exact.
+    "x238_grpo_advantage" ->
+      (s"WITH ${bonCtes(Trainer.Buckets, Trainer.Iters)}, " +
+        "ggs AS (SELECT prompt_id, CAST(count(*) AS BIGINT) AS group_n, " +
+        "list_aggregate(list_sort(list(score)), 'sum')/CAST(count(*) AS DOUBLE) AS group_mean " +
+        "FROM bpl GROUP BY 1), " +
+        "gdv AS (SELECT b.doc_id, b.score, b.prompt_id, g.group_n, g.group_mean, " +
+        "(b.score - g.group_mean) AS dev FROM bpl b JOIN ggs g USING (prompt_id)), " +
+        "gm2 AS (SELECT prompt_id, list_aggregate(list_sort(list(dev*dev)), 'sum') AS m2 " +
+        "FROM gdv GROUP BY 1) " +
+        "SELECT d.prompt_id, d.doc_id, d.score AS reward, d.group_n, d.group_mean, " +
+        "sqrt(m.m2/CAST(d.group_n AS DOUBLE)) AS group_std, " +
+        "CASE WHEN sqrt(m.m2/CAST(d.group_n AS DOUBLE)) > 0.0 " +
+        "THEN (d.score - d.group_mean)/sqrt(m.m2/CAST(d.group_n AS DOUBLE)) ELSE 0.0 END AS advantage, " +
+        "(sqrt(m.m2/CAST(d.group_n AS DOUBLE)) = 0.0) AS degenerate " +
+        "FROM gdv d JOIN gm2 m USING (prompt_id)"),
+
     "x147_best_of_n" ->
       (s"WITH ${bonCtes(Trainer.Buckets, Trainer.Iters)}, " +
         "bstt AS (SELECT prompt_id, CAST(count(*) AS BIGINT) AS n_candidates, " +

@@ -132,7 +132,9 @@ class PlanAuditSpec extends SparkTestBase {
     "x228_dataset_card" -> "the card is crossJoined 1-row rollups by construction — scan+partial-agg passes each reduced to a single report row before any join",
     "x231_source_ablation" -> "x185's 1-row broadcast final-weight scoring twice (full + ablated chains, constant model state) + 1-row train-count and AUC folds crossJoined into the report row",
     "x233_data_scaling_curve" -> "four nested-slice trainings' 1-row weight broadcasts + 1-row Brier/count folds per subset, then the 1-row closed-form fit crossJoined onto the 4 points (report constants)",
-    "x234_doremi_mix" -> "per-iteration 1-row model-weight broadcasts + the K-row domain-weight broadcast joins (K = #domains, equi on source); the only crossJoins are 1-row normalizer/base-rate folds"
+    "x234_doremi_mix" -> "per-iteration 1-row model-weight broadcasts + the K-row domain-weight broadcast joins (K = #domains, equi on source); the only crossJoins are 1-row normalizer/base-rate folds",
+    "x238_grpo_advantage" -> "x130's 1-row broadcast final-weight scoring (constant model state); the group statistics are pool-keyed equi-joins, no windows",
+    "x239_release_pipeline" -> "x234's per-iteration 1-row folds inside the embedded DoReMi loop + the 1-row token-total/shard-count report constants; dedup is a digest equi-join, the mixture stage K-row equi on source"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {

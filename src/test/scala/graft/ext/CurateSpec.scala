@@ -721,4 +721,40 @@ class CurateSpec extends SparkTestBase {
     // the 4-in-8 kind draw puts every class on the board at fixture scale
     assert(out.map(_.getAs[String]("license")).toSet.size === 5)
   }
+
+  test("releasePipeline: the funnel only narrows and every stage reconciles with its operator (x239)") {
+    val docs = Tables.documents(spark, sfDir)
+    val rows = Curate.releasePipeline(spark, docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ni, nl, nu, nr) = (r.getAs[Long]("n_input"), r.getAs[Long]("n_licensed"),
+        r.getAs[Long]("n_unique"), r.getAs[Long]("n_released"))
+      assert(ni >= nl && nl >= nu && nu >= nr, s"funnel must narrow: $r")
+      assert(nu > 0L)
+      val ap = r.getAs[Double]("accept_prob")
+      assert(ap > 0.0 && ap <= 1.0)
+      // a source at or under its target keeps everything
+      if (ap === 1.0) assert(nr === nu)
+      assert(r.getAs[Long]("tokens_released") <= r.getAs[Long]("tokens_unique"))
+      assert(r.getAs[Long]("release_shards") >= 1L)
+    }
+    // stage 1 reconciles with the license tagger's own verdict counts
+    val licensed = Curate.licenseTag(Curate.withLicense(docs))
+      .where(col("governance") === "permissive")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_licensed") === licensed(r.getAs[String]("source")))
+    }
+    // stage 3 reconciles with the DoReMi weights: weight_mean values match
+    val wm = graft.ext.Trainer.doremiMix(spark, docs).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("weight_mean")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Double]("weight_mean") === wm(r.getAs[String]("source")))
+    }
+    // the shard law prices the released total
+    val totalReleased = rows.map(_.getAs[Long]("n_released")).sum
+    val expectShards = math.min(65536L, math.max(1L, (totalReleased + 4095L) / 4096L))
+    assert(rows.head.getAs[Long]("release_shards") === expectShards)
+  }
 }

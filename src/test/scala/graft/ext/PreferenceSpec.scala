@@ -217,4 +217,43 @@ class PreferenceSpec extends SparkTestBase {
     assert(noisy.getAs[Double]("kappa") < noisy.getAs[Double]("po"),
       "kappa must sit below raw agreement once chance is removed")
   }
+
+  test("grpoAdvantage: single-pool z-scores, degenerate ties pin to 0, group invariants hold (x238)") {
+    import spark.implicits._
+    // pools = 1 → one group: advantages are plain population z-scores
+    val scored = Seq((1L, 0.2), (2L, 0.4), (3L, 0.6), (4L, 0.8))
+      .toDF("doc_id", "score")
+    val one = Preference.grpoAdvantage(scored, pools = 1)
+      .orderBy("doc_id").collect()
+    val mean = 0.5
+    val std = math.sqrt(Seq(0.2, 0.4, 0.6, 0.8).map(s => (s - mean) * (s - mean)).sum / 4.0)
+    one.zip(Seq(0.2, 0.4, 0.6, 0.8)).foreach { case (r, s) =>
+      assert(r.getAs[Long]("group_n") === 4L)
+      assert(math.abs(r.getAs[Double]("group_mean") - mean) < 1e-12)
+      assert(math.abs(r.getAs[Double]("group_std") - std) < 1e-12)
+      assert(math.abs(r.getAs[Double]("advantage") - (s - mean) / std) < 1e-12)
+      assert(!r.getAs[Boolean]("degenerate"))
+    }
+    // an all-tied pool must yield advantage 0, not NaN
+    val tied = Preference.grpoAdvantage(
+      Seq((1L, 0.5), (2L, 0.5), (3L, 0.5)).toDF("doc_id", "score"), pools = 1)
+      .collect()
+    tied.foreach { r =>
+      assert(r.getAs[Boolean]("degenerate"))
+      assert(r.getAs[Double]("advantage") === 0.0)
+      assert(!r.getAs[Double]("advantage").isNaN)
+    }
+    // fixture corpus through the trained scorer: per-group advantages sum
+    // to ~0 and the z-scores carry unit second moment per live group
+    val adv = Preference.grpoAdvantage(
+      Trainer.lrScoreAll(spark, Tables.documents(spark, sfDir))).collect()
+    adv.groupBy(_.getAs[Long]("prompt_id")).foreach { case (pid, rows) =>
+      if (!rows.head.getAs[Boolean]("degenerate")) {
+        val a = rows.map(_.getAs[Double]("advantage"))
+        assert(math.abs(a.sum) < 1e-6, s"pool $pid advantage sum ${a.sum}")
+        assert(math.abs(a.map(x => x * x).sum / a.length - 1.0) < 1e-6,
+          s"pool $pid second moment")
+      }
+    }
+  }
 }
