@@ -510,12 +510,36 @@ object ScaleProbe {
       time("scaling_curve") {
         graft.ext.Trainer.dataScalingCurve(spark, corpus).count()
       }
+      // GRPO advantage (r10 continuation): broadcast 1-row scorer + two
+      // pool-keyed partial aggs — corpus-linear, pool-sized buffers.
+      time("grpo_advantage") {
+        graft.ext.Preference.grpoAdvantage(
+          graft.ext.Trainer.lrScoreAll(spark, corpus)).count()
+      }
+      // Release pipeline (r10 continuation): scan-speed gates + one
+      // digest shuffle + the embedded DoReMi loop (pass-count-fixed) +
+      // K-row mixture state — wall tracks the doremi floor plus a
+      // corpus-linear increment.
+      time("release_pipeline") {
+        graft.ext.Curate.releasePipeline(spark, corpus).count()
+      }
       // Chat prefix tree (r10 continuation): one keyed window over
       // (conv, turn) rows + two digest-keyed partial aggs — corpus-linear,
       // digests only on the shuffle.
       time("chat_prefix_tree") {
         graft.ext.Chat.prefixTree(
           graft.ext.Chat.parseTurns(graft.ext.Chat.withChat(corpus))).count()
+      }
+      // Needle contexts (r10 continuation): one hash-keyed groupBy with
+      // context-bounded state — corpus-linear, context count follows the
+      // docs-per-context law.
+      time("needle_contexts") {
+        graft.ext.Chunking.needleContexts(corpus).count()
+      }
+      // Secret scan (r10 continuation): pure per-row regex over the
+      // injected corpus — scan speed, zero shuffle.
+      time("secret_scan") {
+        graft.ext.TextOps.secretScan(graft.ext.TextOps.withSecrets(corpus)).count()
       }
       // the per-run caches (shingle/band tables) must not leak across scales
       spark.sharedState.cacheManager.clearCache()

@@ -387,6 +387,55 @@ object Chunking {
     rRows.unionByName(sRows).unionByName(xRows)
   }
 
+  /** Needle-in-a-haystack context assembly (x240, r10 continuation): the
+    * long-context EVAL-data generator — documents hash into ~16-doc
+    * haystack contexts, each context gets a unique needle token
+    * (`needle:<ctx_id>`) inserted at its md5-derived depth decile, and
+    * the manifest row carries everything a retrieval eval needs: context
+    * size, the needle's exact position and relative depth, and an md5
+    * digest of the ASSEMBLED token stream (so the oracle proves the
+    * assembly itself, not just the bookkeeping). Deterministic end to
+    * end: context membership, within-context order (doc_id), depth
+    * (ctx_id mod 10) and the insertion arithmetic are all pure
+    * functions — a re-run regenerates byte-identical contexts, which is
+    * what makes eval scores comparable across runs.
+    *
+    * `insert_pos = floor(decile·len/10)` via double division — len is
+    * far below 2⁵³ and correctly-rounded division can't cross the ≥0.1
+    * gap to an integer boundary, so the floor matches the oracle's
+    * integer arithmetic exactly.
+    *
+    * Scale shape: one hash-keyed groupBy; per-context state is bounded
+    * by the docs-per-context law (the x43 pack discipline), and only
+    * token arrays of one context ever co-reside. */
+  def needleContexts(docs: DataFrame, docsPerCtx: Int = 16): DataFrame = {
+    val n = docs.count()
+    require(n > 0, "empty corpus — no contexts to assemble")
+    val c = math.max(1L, (n + docsPerCtx - 1) / docsPerCtx)
+    val assigned = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("_toks"))
+      .withColumn("ctx_id", pmod(conv(substring(
+        md5(concat(col("doc_id").cast("string"), lit(":nih"))), 1, 8), 16, 10)
+        .cast("long"), lit(c)))
+    assigned.groupBy("ctx_id")
+      .agg(count(lit(1)).as("n_docs"),
+        flatten(transform(
+          sort_array(collect_list(struct(col("doc_id"), col("_toks")))),
+          s => s.getField("_toks"))).as("_all"))
+      .withColumn("n_tokens", size(col("_all")).cast("long"))
+      .withColumn("depth_decile", pmod(col("ctx_id"), lit(10L)))
+      .withColumn("insert_pos",
+        floor((col("depth_decile") * col("n_tokens")).cast("double") / lit(10.0))
+          .cast("long"))
+      .select(col("ctx_id"), col("n_docs"), col("n_tokens"),
+        col("depth_decile"), col("insert_pos"),
+        md5(concat_ws(" ", concat(
+          slice(col("_all"), lit(1), col("insert_pos").cast("int")),
+          array(concat(lit("needle:"), col("ctx_id").cast("string"))),
+          slice(col("_all"), col("insert_pos").cast("int") + 1,
+            size(col("_all")) - col("insert_pos").cast("int")))))
+          .as("digest"))
+  }
+
   private[graft] def packSequencesNaive(docs: DataFrame, budget: Long): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)

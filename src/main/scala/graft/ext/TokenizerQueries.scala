@@ -133,6 +133,14 @@ private[graft] object TokenizerQueries {
     "x42_chunk_tokens" -> ((s, dir) =>
       Chunking.chunkTokens(Tables.documents(s, dir), 64, 48)),
 
+    // Needle-in-a-haystack context assembly (r10 continuation): the
+    // long-context eval-data generator — md5 haystack membership, a
+    // per-context needle at its depth decile, and a digest of the
+    // ASSEMBLED token stream so the oracle proves the assembly, not just
+    // the bookkeeping.,
+    "x240_needle_contexts" -> ((s, dir) =>
+      Chunking.needleContexts(Tables.documents(s, dir))),
+
     // Sequence packing by global token offset (two-phase distributed
     // prefix sum; oracle replays it as the single-window form).,
     "x43_pack_sequences" -> ((s, dir) =>
@@ -320,6 +328,27 @@ private[graft] object TokenizerQueries {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset FROM j207) " +
         "SELECT doc_id, source, n_tokens, token_offset % 2048 AS offset_in_seq, " +
         "token_offset // 2048 AS seq_id FROM o207"),
+    // x240: haystack membership + within-context doc_id order + the
+    // decile insertion arithmetic + the assembled-stream digest, all
+    // replayed with list algebra.
+    "x240_needle_contexts" ->
+      (s"WITH t AS ($toksCte), " +
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t), " +
+        "cc AS (SELECT GREATEST(CAST(1 AS BIGINT), (n + 15)//16) AS c FROM nn), " +
+        "asg AS (SELECT doc_id, toks, " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':nih'), 1, 8)) AS BIGINT) " +
+        "% (SELECT c FROM cc) AS ctx_id FROM t), " +
+        "pk AS (SELECT ctx_id, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "flatten(list(toks ORDER BY doc_id)) AS al FROM asg GROUP BY 1), " +
+        "ins AS (SELECT ctx_id, n_docs, CAST(len(al) AS BIGINT) AS n_tokens, " +
+        "ctx_id % 10 AS depth_decile, " +
+        "CAST(floor(CAST((ctx_id % 10) * len(al) AS DOUBLE)/10.0) AS BIGINT) AS insert_pos, " +
+        "al FROM pk) " +
+        "SELECT ctx_id, n_docs, n_tokens, depth_decile, insert_pos, " +
+        "md5(array_to_string(al[1:CAST(insert_pos AS INT)] || " +
+        "['needle:' || CAST(ctx_id AS VARCHAR)] || " +
+        "al[CAST(insert_pos AS INT)+1:], ' ')) AS digest FROM ins"),
+
     "x42_chunk_tokens" ->
       (s"WITH t AS ($toksCte), " +
         "n AS (SELECT doc_id, toks, len(toks) AS n FROM t), " +

@@ -106,6 +106,15 @@ object ChatStream {
       : org.apache.spark.sql.DataFrame =
     graft.ext.TextOps.piiRedact(docs)
 
+  /** Ingestion-time secret scrub — x241 at the stream boundary, the same
+    * cheapest-point argument as [[piiRedactIngest]] but for credentials:
+    * a leaked key never lands in training storage at all. Pure per-row
+    * regex, stateless — no state store, no watermark, stream verdicts ≡
+    * batch verdicts bit-for-bit (spec-pinned). */
+  def secretScanIngest(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    graft.ext.TextOps.secretScan(docs)
+
   /** Streaming per-conversation SFT stats. `NoTimeout` for bounded-drain
     * tests (same reason as `EventStream.sessionize`). */
   def sftStatsStream(turns: Dataset[TurnEvent],

@@ -316,4 +316,40 @@ class ChunkingSpec extends SparkTestBase {
       assert(r.getAs[Double]("utilization") <= 1.0)
     }
   }
+
+  test("needleContexts: membership partitions the corpus; digest matches an independent reassembly (x240)") {
+    val docs = Tables.documents(spark, sfDir)
+    val rows = Chunking.needleContexts(docs).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    rows.foreach { r =>
+      val (cid, nt) = (r.getAs[Long]("ctx_id"), r.getAs[Long]("n_tokens"))
+      val (dd, ip) = (r.getAs[Long]("depth_decile"), r.getAs[Long]("insert_pos"))
+      assert(dd === cid % 10)
+      assert(ip === dd * nt / 10, s"ctx $cid: pos $ip vs ${dd * nt / 10}")
+      assert(ip >= 0L && ip <= nt)
+    }
+    // independent reassembly of one context: replicate the hash draw, the
+    // doc order, and the insertion in plain Scala; the digest must agree
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val c = math.max(1L, (raw.length + 15L) / 16L)
+    def ctxOf(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:nih".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(h, 16) % c
+    }
+    val target = rows.minBy(_.getAs[Long]("n_tokens")).getAs[Long]("ctx_id")
+    val toks = raw.filter { case (id, _) => ctxOf(id) === target }
+      .sortBy(_._1).flatMap(_._2.split(" ", -1))
+    val pos = ((target % 10) * toks.length / 10).toInt
+    val assembled = (toks.take(pos) :+ s"needle:$target") ++ toks.drop(pos)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(assembled.mkString(" ").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(rows.find(_.getAs[Long]("ctx_id") === target).get
+      .getAs[String]("digest") === digest,
+      "engine assembly must match the independent reconstruction")
+  }
 }

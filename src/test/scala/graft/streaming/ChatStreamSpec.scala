@@ -88,6 +88,28 @@ class ChatStreamSpec extends SparkTestBase {
       "the injected slice must contain PII")
   }
 
+  test("secretScanIngest: stream scrub equals the batch x241 operator bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.ext.TextOps.withSecrets(Tables.documents(spark, sfDir)).limit(80)
+      .select(col("doc_id"), col("text"))
+    val batch = graft.ext.TextOps.secretScan(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    in.addData(b1.toSeq); in.addData(b2.toSeq)
+    val q = ChatStream.secretScanIngest(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("secret_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+    val streamed = spark.table("secret_stream").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(streamed === batch, "stream scrub must equal the batch scrub bit-for-bit")
+    assert(batch.values.exists(v => v(4).asInstanceOf[Long] > 0L),
+      "the injected slice must contain secrets")
+  }
+
   test("promptDeconIngest: stream verdicts equal the batch x213 gate bit-for-bit") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.documents(spark, sfDir)
