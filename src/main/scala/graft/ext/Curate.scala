@@ -1384,6 +1384,81 @@ object Curate {
         (col("governance") === "permissive").as("trainable"))
   }
 
+  /** Eval-set budget for [[neymanSample]] — fixed so the allocation
+    * arithmetic is oracle-literal. */
+  val NeymanBudget = 512L
+
+  /** Neyman-allocated stratified eval sampler (x242, r10 continuation):
+    * the statistically-correct way to spend a fixed eval budget across
+    * source strata — allocation ∝ N_h·σ_h (Neyman 1934), so
+    * high-variance strata (where one more labeled doc buys the most
+    * precision on the stratified mean) get more of the budget than
+    * proportional sampling would give them. Per stratum: size, mean and
+    * population σ of the quality score (two-level √n folds), the real
+    * allocation `E·N_hσ_h/ΣN_hσ_h`, the integerized allocation by the
+    * largest-remainder (Hamilton) method — deterministic tie-break on
+    * source name — capped at the stratum size, and the REALIZED sample's
+    * count and mean quality (md5-hash-order prefix per stratum, the x23
+    * sampling idiom, so the drawn set is stable across runs and engines).
+    *
+    * Exact arithmetic end to end (folds, sqrt, floor, integer compares);
+    * the only windows are the K-row allocation rank (K = #strata,
+    * dim-sized — documented global-window exemption) and the per-stratum
+    * hash rank (keyed). */
+  def neymanSample(docs: DataFrame): DataFrame = {
+    import graft.functions.Stable.{sortedFold, bucketFold, sqrtBuckets}
+    import org.apache.spark.sql.expressions.Window
+    val q = graft.ops.Caching.cacheOnce(TextOps.qualityMetrics(docs)
+      .select(col("doc_id"), col("source"), col("quality_score").as("q")))
+    val n = q.count()
+    require(n > 0, "empty corpus — nothing to stratify")
+    val bkt = pmod(col("doc_id"), lit(sqrtBuckets(n).toLong)).as("_bkt")
+    val md = q.groupBy(col("source"), bkt)
+      .agg(sortedFold(col("q")).as("_s"), count(lit(1)).as("_n"))
+      .groupBy("source")
+      .agg(sum(col("_n")).as("n_docs"),
+        (bucketFold(col("_bkt"), col("_s")) / sum(col("_n")).cast("double"))
+          .as("mean_q"))
+    val vd = q.join(md.select("source", "mean_q"), "source")
+      .withColumn("_dev", col("q") - col("mean_q"))
+      .groupBy(col("source"), bkt)
+      .agg(sortedFold(col("_dev") * col("_dev")).as("_s"))
+      .groupBy("source")
+      .agg(bucketFold(col("_bkt"), col("_s")).as("_m2"))
+    val sg = graft.ops.Caching.cacheOnce(md.join(vd, "source")
+      .withColumn("sigma", sqrt(col("_m2") / col("n_docs").cast("double"))))
+    val tt = sg.agg(sortedFold(col("n_docs").cast("double") * col("sigma")).as("_tot"))
+    val rw = graft.ops.Caching.cacheOnce(sg.crossJoin(broadcast(tt))
+      .withColumn("raw_alloc", lit(NeymanBudget.toDouble)
+        * (col("n_docs").cast("double") * col("sigma")) / col("_tot"))
+      .withColumn("_base", floor(col("raw_alloc")).cast("long"))
+      .withColumn("_rem", col("raw_alloc") - floor(col("raw_alloc"))))
+    val r = rw.agg((lit(NeymanBudget) - sum(col("_base"))).as("_r"))
+    val al = graft.ops.Caching.cacheOnce(rw
+      .withColumn("_rnk", row_number().over(
+        Window.orderBy(col("_rem").desc, col("source"))).cast("long"))
+      .crossJoin(broadcast(r))
+      .withColumn("alloc", least(col("n_docs"),
+        col("_base") + when(col("_rnk") <= col("_r"), 1L).otherwise(0L))))
+    val hw = Window.partitionBy("source")
+      .orderBy(uniformHash(col("doc_id"), "ney"), col("doc_id"))
+    // the literal rank bound (alloc ≤ E always) turns the per-source rank
+    // into a WindowGroupLimit: top-E rows per source survive the partial
+    // stage, so the exchanged volume is E·K, not the corpus
+    val sm = q.withColumn("_hrk", row_number().over(hw).cast("long"))
+      .where(col("_hrk") <= lit(NeymanBudget))
+      .join(broadcast(al.select("source", "alloc")), "source")
+      .where(col("_hrk") <= col("alloc"))
+      .groupBy("source")
+      .agg((sortedFold(col("q")) / count(lit(1)).cast("double"))
+        .as("sel_mean_quality"), count(lit(1)).as("n_selected"))
+    al.join(sm, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("mean_q").as("mean_quality"),
+        col("sigma").as("sigma_quality"), col("raw_alloc"), col("alloc"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        col("sel_mean_quality"))
+  }
+
   /** The release flagship (x239, r10 continuation): the LAST MILE a
     * corpus travels before shipping — rights → identity → mixture →
     * shards, every stage an already-verified operator, in ONE query:

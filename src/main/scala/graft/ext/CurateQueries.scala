@@ -227,6 +227,13 @@ private[graft] object CurateQueries {
     "x239_release_pipeline" -> ((s, dir) =>
       Curate.releasePipeline(s, Tables.documents(s, dir))),
 
+    // Neyman-allocated stratified eval sampler (r10 continuation):
+    // allocation ∝ N_h·σ_h over source strata, Hamilton integerization,
+    // md5-hash-order realization — the statistically-correct eval budget
+    // spend beside x23's uniform and x34's per-group sampling.,
+    "x242_neyman_sample" -> ((s, dir) =>
+      Curate.neymanSample(Tables.documents(s, dir))),
+
     // Span-level contamination localization (r10): the contiguous
     // 1-based token runs x117 would excise, per training doc —
     // gaps-and-islands over the SAME removal set, so the audit report
@@ -1126,6 +1133,50 @@ private[graft] object CurateQueries {
         "CAST(CAST(count(*) AS BIGINT) AS DOUBLE)/CAST(max(s.sd) AS DOUBLE) AS source_share, " +
         "(t.governance = 'permissive') AS trainable " +
         "FROM tg t JOIN sc s USING (source) GROUP BY 1, 2, 3"),
+
+    // x242: the qm quality formula, per-stratum two-level folds for mean
+    // and σ, the Neyman share + Hamilton rank, and the hash-order
+    // realization — sqrt/floor/integer compares only.
+    "x242_neyman_sample" ->
+      (s"WITH t AS ($toksCte), " +
+        "nq AS MATERIALIZED (SELECT d.doc_id, d.source, " +
+        "least(CAST(len(t.toks) AS DOUBLE)/50.0, 1.0)*0.5 " +
+        s"+ (CAST(len(list_filter(t.toks, tk -> list_contains(${graft.ext.ExtOracles.stopList}, tk))) AS DOUBLE)/len(t.toks))*0.25 " +
+        "+ (CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)/length(d.text))*0.25 AS q " +
+        "FROM documents d JOIN t ON d.doc_id = t.doc_id), " +
+        "nfb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM nq), " +
+        "nm1 AS (SELECT source, doc_id % (SELECT b FROM nfb) AS bkt, " +
+        "list_aggregate(list_sort(list(q)), 'sum') AS s, CAST(count(*) AS BIGINT) AS n " +
+        "FROM nq GROUP BY 1, 2), " +
+        "nmd AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs, " +
+        "list_aggregate(list(s ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS mean_q " +
+        "FROM nm1 GROUP BY 1), " +
+        "ndv AS (SELECT a.doc_id, a.source, (a.q - m.mean_q) AS dev " +
+        "FROM nq a JOIN nmd m USING (source)), " +
+        "nv1 AS (SELECT source, doc_id % (SELECT b FROM nfb) AS bkt, " +
+        "list_aggregate(list_sort(list(dev*dev)), 'sum') AS s FROM ndv GROUP BY 1, 2), " +
+        "nvd AS (SELECT source, list_aggregate(list(s ORDER BY bkt), 'sum') AS m2 " +
+        "FROM nv1 GROUP BY 1), " +
+        "nsg AS (SELECT m.source, m.n_docs, m.mean_q, " +
+        "sqrt(v.m2/CAST(m.n_docs AS DOUBLE)) AS sigma FROM nmd m JOIN nvd v USING (source)), " +
+        "ntt AS (SELECT list_aggregate(list_sort(list(CAST(n_docs AS DOUBLE)*sigma)), 'sum') AS tot FROM nsg), " +
+        "nrw AS (SELECT source, n_docs, mean_q, sigma, " +
+        "512.0*(CAST(n_docs AS DOUBLE)*sigma)/(SELECT tot FROM ntt) AS raw_alloc FROM nsg), " +
+        "nbs AS (SELECT *, CAST(floor(raw_alloc) AS BIGINT) AS base, " +
+        "raw_alloc - floor(raw_alloc) AS rem FROM nrw), " +
+        "nrr AS (SELECT CAST(512 - (SELECT sum(base) FROM nbs) AS BIGINT) AS r), " +
+        "nrk AS (SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rnk FROM nbs), " +
+        "nal AS (SELECT source, n_docs, mean_q, sigma, raw_alloc, " +
+        "least(n_docs, base + CASE WHEN rnk <= (SELECT r FROM nrr) THEN 1 ELSE 0 END) AS alloc FROM nrk), " +
+        "nhr AS (SELECT a.doc_id, a.source, a.q, " +
+        "CAST(row_number() OVER (PARTITION BY a.source ORDER BY " +
+        "CAST(('0x' || substr(md5(CAST(a.doc_id AS VARCHAR) || ':ney'), 1, 8)) AS BIGINT)/4294967296.0, a.doc_id) AS BIGINT) AS hrk FROM nq a), " +
+        "nse AS (SELECT h.source, h.q FROM nhr h JOIN nal a USING (source) WHERE h.hrk <= a.alloc), " +
+        "nsm AS (SELECT source, list_aggregate(list_sort(list(q)), 'sum')/CAST(count(*) AS DOUBLE) AS sel_mean_quality, " +
+        "CAST(count(*) AS BIGINT) AS n_selected FROM nse GROUP BY 1) " +
+        "SELECT a.source, a.n_docs, a.mean_q AS mean_quality, a.sigma AS sigma_quality, " +
+        "a.raw_alloc, a.alloc, coalesce(m.n_selected, CAST(0 AS BIGINT)) AS n_selected, " +
+        "m.sel_mean_quality FROM nal a LEFT JOIN nsm m USING (source)"),
 
     // x239: the whole funnel replayed — x237's footer/tag chain, x01's
     // digest dedup, the FULL doremiCtes MW loop for weight_mean, the

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+// flatMapGroupsWithState IO types are top-level case classes (the
+// EventStream convention — nested types break the implicit Encoders).
+case class QualityObs(source: String, seq: Long, q: Double)
+case class QualityPoint(source: String, seq: Long, q: Double,
+  ewma_before: Double, ewma_after: Double, n_seen: Long, alert: Boolean)
+
+/** Streaming per-source quality drift monitor — the stateful twin of the
+  * batch drift report (x139): where x139 compares two FINISHED slices,
+  * this watches the quality signal AS DOCUMENTS ARRIVE and raises the
+  * alert the moment one source's feed degrades (a crawler gone wrong, an
+  * upstream format change), instead of at the next batch audit.
+  *
+  * Per-source state is two numbers — an EWMA of the quality score and an
+  * observation count — updated in arrival (`seq`) order inside each
+  * micro-batch via `flatMapGroupsWithState`. α = 1/8 (exact binary, so
+  * `ewma' = α·q + (1−α)·ewma` is bit-reproducible), alerts fire after a
+  * [[QualityStream.Warmup]]-observation burn-in when a document deviates
+  * from the running mean by more than [[QualityStream.Tau]]. Every
+  * observation emits a point row (alerting or not), so stream output ≡ a
+  * plain sequential fold over the same observations — the equality the
+  * spec pins.
+  *
+  * Scale shape: state is O(#sources) × 16 bytes — dim-sized, unbounded
+  * streams run forever; the per-batch sort is per-source within one
+  * micro-batch (batch-sized, not stream-sized). A `ProcessingTimeTimeout`
+  * evicts sources that go quiet.
+  */
+object QualityStream {
+
+  /** EWMA smoothing — 1/8 is exact in binary, keeping the recurrence
+    * bit-reproducible across engines and replays. */
+  val Alpha = 0.125
+  /** Alert threshold on |q − ewma|. */
+  val Tau = 0.25
+  /** Observations before alerts may fire (the EWMA needs a burn-in). */
+  val Warmup = 8L
+
+  case class EwmaState(ewma: Double, n: Long)
+
+  private def step(hasTimeout: Boolean)(source: String, obs: Iterator[QualityObs],
+      state: GroupState[EwmaState]): Iterator[QualityPoint] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      var st = state.getOption.getOrElse(EwmaState(0.0, 0L))
+      val out = obs.toSeq.sortBy(_.seq).map { o =>
+        val before = if (st.n == 0L) o.q else st.ewma
+        val after = Alpha * o.q + (1.0 - Alpha) * before
+        val alert = st.n >= Warmup && math.abs(o.q - before) > Tau
+        st = EwmaState(after, st.n + 1L)
+        QualityPoint(o.source, o.seq, o.q, before, after, st.n, alert)
+      }
+      state.update(st)
+      if (hasTimeout) state.setTimeoutDuration("30 seconds")
+      out.iterator
+    }
+  }
+
+  /** `NoTimeout` for bounded-drain tests (the [[EventStream.sessionize]]
+    * convention). */
+  def qualityMonitor(obs: Dataset[QualityObs],
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout())
+      : Dataset[QualityPoint] = {
+    import obs.sparkSession.implicits._
+    obs.groupByKey(_.source)
+      .flatMapGroupsWithState[EwmaState, QualityPoint](OutputMode.Append(), timeout)(
+        step(timeout != GroupStateTimeout.NoTimeout()))
+  }
+
+  /** Document frame → quality observations via the x09 metric (seq =
+    * doc_id: the fixture's arrival order). */
+  def observations(docs: DataFrame): Dataset[QualityObs] = {
+    import docs.sparkSession.implicits._
+    graft.ext.TextOps.qualityMetrics(docs)
+      .select(col("source"), col("doc_id").as("seq"),
+        col("quality_score").as("q"))
+      .as[QualityObs]
+  }
+}

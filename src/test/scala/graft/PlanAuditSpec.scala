@@ -134,7 +134,8 @@ class PlanAuditSpec extends SparkTestBase {
     "x233_data_scaling_curve" -> "four nested-slice trainings' 1-row weight broadcasts + 1-row Brier/count folds per subset, then the 1-row closed-form fit crossJoined onto the 4 points (report constants)",
     "x234_doremi_mix" -> "per-iteration 1-row model-weight broadcasts + the K-row domain-weight broadcast joins (K = #domains, equi on source); the only crossJoins are 1-row normalizer/base-rate folds",
     "x238_grpo_advantage" -> "x130's 1-row broadcast final-weight scoring (constant model state); the group statistics are pool-keyed equi-joins, no windows",
-    "x239_release_pipeline" -> "x234's per-iteration 1-row folds inside the embedded DoReMi loop + the 1-row token-total/shard-count report constants; dedup is a digest equi-join, the mixture stage K-row equi on source"
+    "x239_release_pipeline" -> "x234's per-iteration 1-row folds inside the embedded DoReMi loop + the 1-row token-total/shard-count report constants; dedup is a digest equi-join, the mixture stage K-row equi on source",
+    "x242_neyman_sample" -> "1-row Neyman-total and remainder-budget folds crossJoined onto the K strata rows (report constants); everything per-doc is keyed partial aggs"
   )
 
   test("no registered query plans a cartesian/nested-loop join (except documented verifiers)") {
@@ -174,7 +175,9 @@ class PlanAuditSpec extends SparkTestBase {
     "x205_tokenizer_compare" ->
       "x203's vocabulary-sized token-id rank inside the unigram encode leg — the report itself is 1-row aggregates",
     "x207_unigram_pack" ->
-      "x203's vocabulary-sized token-id rank inside the encode leg — the packing prefix sum is source-keyed, never global"
+      "x203's vocabulary-sized token-id rank inside the encode leg — the packing prefix sum is source-keyed, never global",
+    "x242_neyman_sample" ->
+      "Hamilton remainder rank over the K source-strata rows (dim-sized) — the per-doc hash rank is source-keyed, never global"
   )
 
   test("no registered query plans a global (empty-partition) window (except documented calendar-sized ones)") {

@@ -722,6 +722,36 @@ class CurateSpec extends SparkTestBase {
     assert(out.map(_.getAs[String]("license")).toSet.size === 5)
   }
 
+  test("neymanSample: allocation follows N·sigma, Hamilton spends the exact budget, realization honors it (x242)") {
+    val docs = Tables.documents(spark, sfDir)
+    val rows = Curate.neymanSample(docs).collect()
+    assert(rows.nonEmpty)
+    val n = docs.count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === n)
+    // raw allocations are the exact Neyman shares of the budget
+    val tot = rows.map(r => r.getAs[Long]("n_docs").toDouble
+      * r.getAs[Double]("sigma_quality")).sorted.sum
+    rows.foreach { r =>
+      val expect = 512.0 * (r.getAs[Long]("n_docs").toDouble
+        * r.getAs[Double]("sigma_quality")) / tot
+      assert(math.abs(r.getAs[Double]("raw_alloc") - expect) < 1e-9)
+      assert(r.getAs[Long]("alloc") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_selected") === r.getAs[Long]("alloc"),
+        "realization must draw exactly the allocation (cap <= stratum size)")
+      assert(r.getAs[Double]("sigma_quality") >= 0.0)
+    }
+    // Hamilton spends the whole budget unless a stratum cap binds
+    val capped = rows.exists(r => r.getAs[Long]("alloc") === r.getAs[Long]("n_docs"))
+    val spent = rows.map(_.getAs[Long]("alloc")).sum
+    if (!capped) assert(spent === 512L, s"uncapped Hamilton must spend exactly 512, got $spent")
+    else assert(spent <= 512L)
+    // selected means stay inside the stratum's quality range
+    rows.filter(_.getAs[Long]("n_selected") > 0L).foreach { r =>
+      val sm = r.getAs[Double]("sel_mean_quality")
+      assert(sm > 0.0 && sm <= 1.0)
+    }
+  }
+
   test("releasePipeline: the funnel only narrows and every stage reconciles with its operator (x239)") {
     val docs = Tables.documents(spark, sfDir)
     val rows = Curate.releasePipeline(spark, docs).collect()

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
+
+class QualityStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def drain(batches: Seq[Seq[QualityObs]]): Map[(String, Long), QualityPoint] = {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[QualityObs]
+    batches.foreach(b => in.addData(b))
+    val name = s"qmon_${System.nanoTime()}"
+    val q = QualityStream.qualityMonitor(in.toDS(), GroupStateTimeout.NoTimeout())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+    spark.table(name).as[QualityPoint].collect()
+      .map(p => (p.source, p.seq) -> p).toMap
+  }
+
+  test("qualityMonitor: planted drift alerts after warmup; stable feed stays quiet") {
+    val stable = (1L to 12L).map(i => QualityObs("s", i, 0.5))
+    val jump = QualityObs("s", 13L, 0.9)
+    val out = drain(Seq(stable :+ jump))
+    assert(out.size === 13)
+    // burn-in: the EWMA of a constant signal IS the signal
+    assert(out(("s", 12L)).ewma_before === 0.5)
+    assert(!out.values.filter(_.seq <= 12L).exists(_.alert), "no false alarms on a flat feed")
+    val a = out(("s", 13L))
+    assert(a.alert, "a 0.4 jump past an 0.5 EWMA must alert")
+    assert(a.ewma_before === 0.5 && a.q === 0.9)
+    // a jump INSIDE tau must not alert
+    val mild = drain(Seq(stable :+ QualityObs("s", 13L, 0.7)))
+    assert(!mild(("s", 13L)).alert, "0.2 deviation is inside tau")
+    // warmup suppression: an early jump is absorbed silently
+    val early = drain(Seq(Seq(QualityObs("s", 1L, 0.5), QualityObs("s", 2L, 0.95))))
+    assert(!early(("s", 2L)).alert, "alerts must wait out the burn-in")
+  }
+
+  test("qualityMonitor: state carries across micro-batches — split drain equals one-batch drain equals a plain fold") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val obs = QualityStream.observations(docs).collect().sortBy(o => (o.source, o.seq))
+    val (b1, b2) = obs.partition(_.seq < obs(obs.length / 2).seq)
+    val split = drain(Seq(b1.toSeq, b2.toSeq))
+    val whole = drain(Seq(obs.toSeq))
+    assert(split === whole,
+      "per-source EWMA state must make batch boundaries invisible")
+    // independent sequential fold: the stream IS the fold, bit-for-bit
+    obs.groupBy(_.source).foreach { case (src, os) =>
+      var ewma = 0.0
+      var n = 0L
+      os.sortBy(_.seq).foreach { o =>
+        val before = if (n == 0L) o.q else ewma
+        ewma = QualityStream.Alpha * o.q + (1.0 - QualityStream.Alpha) * before
+        n += 1L
+        val p = whole((src, o.seq))
+        assert(p.ewma_before === before && p.ewma_after === ewma && p.n_seen === n,
+          s"fold mismatch at ($src, ${o.seq})")
+      }
+    }
+    assert(whole.values.exists(_.n_seen > QualityStream.Warmup),
+      "the fixture feed must get past warmup per source")
+  }
+}
