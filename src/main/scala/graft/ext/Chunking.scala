@@ -408,7 +408,11 @@ object Chunking {
     * Scale shape: one hash-keyed groupBy; per-context state is bounded
     * by the docs-per-context law (the x43 pack discipline), and only
     * token arrays of one context ever co-reside. */
-  def needleContexts(docs: DataFrame, docsPerCtx: Int = 16): DataFrame = {
+  /** Haystack width for [[needleContexts]] — named so the oracle's
+    * integer-division constants interpolate from the same law. */
+  val DocsPerContext = 16
+
+  def needleContexts(docs: DataFrame, docsPerCtx: Int = DocsPerContext): DataFrame = {
     val n = docs.count()
     require(n > 0, "empty corpus — no contexts to assemble")
     val c = math.max(1L, (n + docsPerCtx - 1) / docsPerCtx)

@@ -1373,7 +1373,9 @@ object Curate {
   }
 
   def licenseAudit(docs: DataFrame, text: Column = col("licensed_text")): DataFrame = {
-    val tagged = licenseTag(docs, text)
+    // cacheOnce: the tag scan feeds both the per-source totals and the
+    // rollup — without the cut the md5+contains chain runs twice
+    val tagged = graft.ops.Caching.cacheOnce(licenseTag(docs, text))
     val bySrc = tagged.groupBy("source").agg(count(lit(1)).as("_srcDocs"))
     tagged.groupBy(col("source"), col("license"), col("governance"))
       .agg(count(lit(1)).as("n_docs"))
@@ -1428,6 +1430,11 @@ object Curate {
     val sg = graft.ops.Caching.cacheOnce(md.join(vd, "source")
       .withColumn("sigma", sqrt(col("_m2") / col("n_docs").cast("double"))))
     val tt = sg.agg(sortedFold(col("n_docs").cast("double") * col("sigma")).as("_tot"))
+    // a zero-variance corpus (every stratum constant) makes the Neyman
+    // share 0/0 — fail loudly instead of shipping NaN allocations (the
+    // engines also diverge on floor(NaN), so this guards the oracle too)
+    require(tt.head().getDouble(0) > 0.0,
+      "all strata have zero quality variance — Neyman allocation undefined; use proportional sampling")
     val rw = graft.ops.Caching.cacheOnce(sg.crossJoin(broadcast(tt))
       .withColumn("raw_alloc", lit(NeymanBudget.toDouble)
         * (col("n_docs").cast("double") * col("sigma")) / col("_tot"))
@@ -1490,7 +1497,7 @@ object Curate {
   def releasePipeline(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame): DataFrame = {
     val base = graft.ops.Caching.cacheOnce(docs)
-    val tagged = licenseTag(withLicense(base))
+    val tagged = graft.ops.Caching.cacheOnce(licenseTag(withLicense(base)))
     val licensed = base
       .join(tagged.where(col("governance") === "permissive").select("doc_id"), "doc_id")
     val withTok = graft.ops.Caching.cacheOnce(licensed.select(
@@ -1505,29 +1512,39 @@ object Curate {
       sum(col("_ntk")).as("tokens_unique"))
     val w = graft.ext.Trainer.doremiMix(spark, base)
       .select(col("source"), col("weight_mean"))
-    val tq = st.join(w, "source").crossJoin(broadcast(tot))
+    // LEFT join: a source the DoReMi split never trained on keeps its
+    // funnel row with null weight columns (and releases nothing — the
+    // null accept_prob drops its docs at the acceptance filter) instead
+    // of silently vanishing from the report
+    val tq = st.join(w, Seq("source"), "left").crossJoin(broadcast(tot))
       .withColumn("target_tokens", col("weight_mean") * col("_tt").cast("double"))
-      .withColumn("accept_prob", least(lit(1.0),
-        col("target_tokens") / col("tokens_unique").cast("double")))
+      .withColumn("accept_prob", when(col("weight_mean").isNotNull,
+        least(lit(1.0), col("target_tokens") / col("tokens_unique").cast("double"))))
     val rel = graft.ops.Caching.cacheOnce(
       uq.join(broadcast(tq.select("source", "accept_prob")), "source")
         .where(uniformHash(col("doc_id"), "rel") < col("accept_prob")))
     val rs = rel.groupBy("source").agg(count(lit(1)).as("n_released"),
       sum(col("_ntk")).as("tokens_released"))
     val shards = rel.agg(count(lit(1)).as("_c"))
-      .select(greatest(lit(1L), least(lit(65536L),
-        floor((col("_c") + lit(4095L)).cast("double") / lit(4096.0)).cast("long")))
+      .select(graft.sources.WebDataset.derivedShardsCol(col("_c"))
         .as("release_shards"))
     val ni = base.groupBy("source").agg(count(lit(1)).as("n_input"))
     val nl = tagged.where(col("governance") === "permissive")
       .groupBy("source").agg(count(lit(1)).as("n_licensed"))
-    tq.join(ni, "source").join(nl, "source")
+    // pivot on n_input: EVERY input source gets its funnel row — a source
+    // whose docs all fail the license gate reports n_licensed = 0 rather
+    // than disappearing (the audit-visibility contract)
+    ni.join(nl, Seq("source"), "left")
+      .join(tq.select("source", "n_unique", "tokens_unique", "weight_mean",
+        "target_tokens", "accept_prob"), Seq("source"), "left")
       .join(rs, Seq("source"), "left")
       .crossJoin(broadcast(shards))
-      .select(col("source"), col("n_input"), col("n_licensed"), col("n_unique"),
+      .select(col("source"), col("n_input"),
+        coalesce(col("n_licensed"), lit(0L)).as("n_licensed"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
         coalesce(col("n_released"), lit(0L)).as("n_released"),
-        col("tokens_unique"), col("weight_mean"), col("target_tokens"),
-        col("accept_prob"),
+        coalesce(col("tokens_unique"), lit(0L)).as("tokens_unique"),
+        col("weight_mean"), col("target_tokens"), col("accept_prob"),
         coalesce(col("tokens_released"), lit(0L)).as("tokens_released"),
         col("release_shards"))
   }

@@ -1209,9 +1209,10 @@ private[graft] object CurateQueries {
         s"rtq AS (SELECT s.source, s.n_unique, s.tokens_unique, " +
         s"m.dwsum/${Trainer.Iters}.0 AS weight_mean, " +
         s"(m.dwsum/${Trainer.Iters}.0)*CAST((SELECT tt FROM rtot) AS DOUBLE) AS target_tokens, " +
+        s"CASE WHEN m.dwsum IS NOT NULL THEN " +
         s"least(1.0, ((m.dwsum/${Trainer.Iters}.0)*CAST((SELECT tt FROM rtot) AS DOUBLE))" +
-        "/CAST(s.tokens_unique AS DOUBLE)) AS accept_prob " +
-        s"FROM rst s JOIN mw${Trainer.Iters} m USING (source)), " +
+        "/CAST(s.tokens_unique AS DOUBLE)) END AS accept_prob " +
+        s"FROM rst s LEFT JOIN mw${Trainer.Iters} m USING (source)), " +
         "rrel AS MATERIALIZED (SELECT u.doc_id, u.source, u.ntk FROM ruq u " +
         "JOIN rtq q USING (source) " +
         "WHERE CAST(('0x' || substr(md5(CAST(u.doc_id AS VARCHAR) || ':rel'), 1, 8)) AS BIGINT)" +
@@ -1219,17 +1220,21 @@ private[graft] object CurateQueries {
         "rrs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_released, " +
         "CAST(sum(ntk) AS BIGINT) AS tokens_released FROM rrel GROUP BY 1), " +
         "rsh AS (SELECT GREATEST(CAST(1 AS BIGINT), LEAST(CAST(65536 AS BIGINT), " +
-        "(CAST(count(*) AS BIGINT) + 4095)//4096)) AS s FROM rrel), " +
+        s"(CAST(count(*) AS BIGINT) + ${graft.sources.WebDataset.SamplesPerShard - 1})" +
+        s"//${graft.sources.WebDataset.SamplesPerShard})) AS s FROM rrel), " +
         "rni AS (SELECT source, CAST(count(*) AS BIGINT) AS n_input FROM documents GROUP BY 1), " +
         "rnl AS (SELECT source, CAST(count(*) AS BIGINT) AS n_licensed FROM rtg " +
         "WHERE governance = 'permissive' GROUP BY 1) " +
-        "SELECT q.source, i.n_input, l.n_licensed, q.n_unique, " +
+        "SELECT i.source, i.n_input, " +
+        "coalesce(l.n_licensed, CAST(0 AS BIGINT)) AS n_licensed, " +
+        "coalesce(q.n_unique, CAST(0 AS BIGINT)) AS n_unique, " +
         "coalesce(r.n_released, CAST(0 AS BIGINT)) AS n_released, " +
-        "q.tokens_unique, q.weight_mean, q.target_tokens, q.accept_prob, " +
+        "coalesce(q.tokens_unique, CAST(0 AS BIGINT)) AS tokens_unique, " +
+        "q.weight_mean, q.target_tokens, q.accept_prob, " +
         "coalesce(r.tokens_released, CAST(0 AS BIGINT)) AS tokens_released, " +
         "(SELECT s FROM rsh) AS release_shards " +
-        "FROM rtq q JOIN rni i USING (source) JOIN rnl l USING (source) " +
-        "LEFT JOIN rrs r USING (source)"),
+        "FROM rni i LEFT JOIN rnl l USING (source) " +
+        "LEFT JOIN rtq q USING (source) LEFT JOIN rrs r USING (source)"),
 
     // x228: quality fold = x46's score formula + the √n bucket chain;
     // Σp² folds over the source-sorted list; PII chain = x220's fixture

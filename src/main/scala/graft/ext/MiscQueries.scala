@@ -152,7 +152,8 @@ private[graft] object MiscQueries {
     "x235_webdataset_export" ->
       ("WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
         "ss AS (SELECT GREATEST(CAST(1 AS BIGINT), LEAST(CAST(65536 AS BIGINT), " +
-        "(n + 4095)//4096)) AS s FROM nn), " +
+        s"(n + ${graft.sources.WebDataset.SamplesPerShard - 1})" +
+        s"//${graft.sources.WebDataset.SamplesPerShard})) AS s FROM nn), " +
         "m AS (SELECT doc_id, " +
         "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wds'), 1, 8)) AS BIGINT) " +
         "% (SELECT s FROM ss) AS shard, " +

@@ -334,7 +334,8 @@ private[graft] object TokenizerQueries {
     "x240_needle_contexts" ->
       (s"WITH t AS ($toksCte), " +
         "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t), " +
-        "cc AS (SELECT GREATEST(CAST(1 AS BIGINT), (n + 15)//16) AS c FROM nn), " +
+        s"cc AS (SELECT GREATEST(CAST(1 AS BIGINT), " +
+        s"(n + ${Chunking.DocsPerContext - 1})//${Chunking.DocsPerContext}) AS c FROM nn), " +
         "asg AS (SELECT doc_id, toks, " +
         "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':nih'), 1, 8)) AS BIGINT) " +
         "% (SELECT c FROM cc) AS ctx_id FROM t), " +

@@ -45,6 +45,17 @@ object WebDataset {
   def derivedShards(n: Long): Int =
     math.min(65536L, math.max(1L, (n + SamplesPerShard - 1) / SamplesPerShard)).toInt
 
+  /** [[derivedShards]] as a Column — for plans that PRICE a corpus in
+    * shards (x239's release report) without writing it, kept in lockstep
+    * with the writer's own law. Division by the power-of-two shard size
+    * is IEEE-exact, so the floor form equals integer division. */
+  def derivedShardsCol(n: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    greatest(lit(1L), least(lit(65536L),
+      floor((n + lit(SamplesPerShard - 1L)).cast("double")
+        / lit(SamplesPerShard.toDouble)).cast("long")))
+  }
+
   /** md5-mod shard assignment — engine-portable (the oracle replays the
     * identical 32-bit md5 prefix mod), uniform, and independent of input
     * layout. */
