@@ -410,6 +410,62 @@ object Multimodal {
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
   }
 
+  /** Visual decontamination (r10 continuation) — the IMAGE column of the
+    * decon matrix (x101/x117 text, x163 embeddings, x213 prompts): a
+    * training image that is a visual near-duplicate of an eval-benchmark
+    * image leaks the benchmark even when every byte differs (re-encode,
+    * resize, recompress), so the match runs on the perceptual DCT hash,
+    * not the payload digest. Eval hashes band 4×16-bit (the pigeonhole
+    * guarantee: Hamming ≤ 3 ⇒ a shared band) and BROADCAST — eval sets
+    * are dim-sized by definition — so the training side is one scan +
+    * hash + broadcast join; payloads never shuffle. Returns every
+    * flagged (train, eval) pair with its Hamming distance; dropping the
+    * flagged training docs is the caller's one `anti join`.
+    *
+    * DuckDB can't DCT, so like the rest of the decode family this is
+    * spec-pinned (planted near-dup flags, clean twin survives) rather
+    * than oracle-gated. */
+  def visualDecon(train: Dataset[MediaRow], ev: Dataset[MediaRow],
+      maxHamming: Int = 3): DataFrame = {
+    val th = phashImages(train).where(col("phash_ok"))
+      .select(col("doc_id").as("train_doc"), col("phash").as("h"))
+    val eh = phashImages(ev).where(col("phash_ok"))
+      .select(col("doc_id").as("eval_doc"), col("phash").as("h"))
+    bandedHashPairsAcross(th, "train_doc", eh, "eval_doc", maxHamming)
+  }
+
+  /** The audio column of the same matrix — [[visualDecon]]'s shape over
+    * the envelope-delta fingerprint ([[ahash64Of]]): a re-encoded or
+    * volume-scaled copy of an eval clip still matches. */
+  def audioDecon(train: Dataset[MediaRow], ev: Dataset[MediaRow],
+      maxHamming: Int = 3): DataFrame = {
+    val th = ahashAudio(train).where(col("ahash_ok"))
+      .select(col("doc_id").as("train_doc"), col("ahash").as("h"))
+    val eh = ahashAudio(ev).where(col("ahash_ok"))
+      .select(col("doc_id").as("eval_doc"), col("ahash").as("h"))
+    bandedHashPairsAcross(th, "train_doc", eh, "eval_doc", maxHamming)
+  }
+
+  /** Cross-set variant of [[bandedHashPairs]]: band both sides on the
+    * 4×16-bit pigeonhole key, broadcast the (dim-sized) right side, and
+    * verify `popcount(xor) ≤ maxHamming` after the equi-join. */
+  private def bandedHashPairsAcross(a: DataFrame, aId: String,
+      b: DataFrame, bId: String, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64, s"bad maxHamming $maxHamming")
+    def banded(df: DataFrame, id: String) = df.select(col(id), col("h"),
+      explode(array((0 until 4).map(k =>
+        shiftright(col("h"), k * 16).bitwiseAND(lit(0xffffL)) * 4 + k): _*))
+        .as("band_key"))
+    banded(a, aId).as("a")
+      .join(broadcast(banded(b, bId).as("b")), Seq("band_key"))
+      .select(col(s"a.$aId"), col(s"b.$bId"),
+        col("a.h").as("h_a"), col("b.h").as("h_b"))
+      .distinct()
+      .where(bit_count(col("h_a").bitwiseXOR(col("h_b"))) <= maxHamming)
+      .select(col(aId), col(bId),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
+  }
+
   case class AhashRow(doc_id: Long, ahash: Long, ahash_ok: Boolean)
 
   /** 64-bit audio fingerprint from the ENERGY-DELTA signature: downmix to

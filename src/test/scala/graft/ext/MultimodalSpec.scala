@@ -329,4 +329,44 @@ class MultimodalSpec extends SparkTestBase {
         }
       }
   }
+
+  test("visualDecon: re-encoded/rescaled eval twins flag across sets; fresh structure and corrupt payloads survive") {
+    val train = Seq(
+      Multimodal.MediaRow(1L, "image/jpeg", structuredImage("jpg", 64, 64)),   // JPEG re-encode of the eval image
+      Multimodal.MediaRow(2L, "image/png", structuredImage("png", 96, 96)),    // rescaled copy
+      Multimodal.MediaRow(3L, "image/png", structuredImage("png", 64, 64, variant = 7)), // different structure
+      Multimodal.MediaRow(4L, "image/corrupt", Array[Byte](9))                 // undecodable
+    ).toDS()
+    val ev = Seq(
+      Multimodal.MediaRow(100L, "image/png", structuredImage("png", 64, 64))
+    ).toDS()
+    val flagged = Multimodal.visualDecon(train, ev, maxHamming = 4).collect()
+    val ids = flagged.map(_.getLong(0)).toSet
+    assert(ids.contains(1L), "a JPEG re-encode of an eval image is leaked data")
+    assert(ids.contains(2L), "a rescaled copy is leaked data")
+    assert(!ids.contains(3L), "different structure must survive")
+    assert(!ids.contains(4L), "corrupt payloads can't flag")
+    flagged.foreach { r =>
+      assert(r.getLong(1) === 100L)
+      assert(r.getLong(2) <= 4L)
+    }
+  }
+
+  test("audioDecon: volume-scaled/resampled eval clips flag; a different envelope survives") {
+    val train = Seq(
+      Multimodal.MediaRow(1L, "audio/wav", wavEnvBytes(8000, 0.5, 0.4, 3.0)),  // quiet copy
+      Multimodal.MediaRow(2L, "audio/wav", wavEnvBytes(16000, 0.5, 0.9, 3.0)), // resampled copy
+      Multimodal.MediaRow(3L, "audio/wav", wavEnvBytes(8000, 0.5, 0.9, 7.0)),  // different envelope
+      Multimodal.MediaRow(4L, "audio/wav", "not audio".getBytes("UTF-8"))      // garbage
+    ).toDS()
+    val ev = Seq(
+      Multimodal.MediaRow(200L, "audio/wav", wavEnvBytes(8000, 0.5, 0.9, 3.0))
+    ).toDS()
+    val flagged = Multimodal.audioDecon(train, ev, maxHamming = 3).collect()
+    val ids = flagged.map(_.getLong(0)).toSet
+    assert(ids.contains(1L), "a volume-scaled eval clip is leaked data")
+    assert(ids.contains(2L), "a resampled eval clip is leaked data")
+    assert(!ids.contains(3L), "a different envelope must survive")
+    flagged.foreach(r => assert(r.getLong(1) === 200L))
+  }
 }
