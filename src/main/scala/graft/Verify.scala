@@ -28,7 +28,11 @@ object Verify {
     "x05_dedup_embedding", "x14_dedup_embedding_lsh", "x06_ann_bruteforce",
     "x07_ann_lsh", "x13_ann_ivf", "x32_ann_ivf", "x15_dedup_cluster",
     "x41_dedup_pipeline", "x64_dedup_prefix",
-    "q23_st1", "q24_ja_asof", "q49_sql_recursive", "q51_pp")
+    "q23_st1", "q24_ja_asof", "q49_sql_recursive", "q51_pp",
+    // the multi-training analytics (r10 continuation): each runs 2-4 GD
+    // chains — a timeout should truncate these, not the bulk
+    "x231_source_ablation", "x233_data_scaling", "x234_doremi",
+    "x239_release_pipeline")
 
   def main(args: Array[String]): Unit = {
     // Forensic breadcrumb, written before ANYTHING else (even SparkSession

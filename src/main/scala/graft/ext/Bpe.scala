@@ -113,6 +113,36 @@ object Bpe {
       .toDF("rnk", "sym_a", "sym_b", "merged", "n")
   }
 
+  /** Tokenizer drift report (x243, r10 continuation): retrain the merge
+    * table on the PRE-crawl snapshot (source ≠ src0, the delta-ingest
+    * convention) and on the full corpus, and diff it rank by rank — the
+    * "do we retrain the tokenizer after this crawl" gate a pipeline runs
+    * before committing to a vocabulary. `pair_kept` = the same merge at
+    * the same rank; `in_old_vocab` = the new merge exists SOMEWHERE in
+    * the old table (rank displacement tolerated — ids shift but no
+    * re-segmentation); `churn_frac` = the fraction of new merges absent
+    * from the old table entirely, the number that prices re-tokenizing
+    * a served corpus. Two x77 training loops; the merge lists are
+    * vocabulary-sized driver state by design. */
+  def tokenizerDrift(docs: DataFrame,
+      nMerges: Int = graft.ext.ExtOracles.BpeMerges): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val old = train(docs.where(col("source") =!= "src0"), nMerges)
+    val nw = train(docs, nMerges)
+    require(old.length == nMerges && nw.length == nMerges,
+      s"corpus too small to sustain $nMerges merges on both slices")
+    val oldSet = old.map(m => m.symA + m.symB).toSet
+    val churnFrac = nw.count(m => !oldSet.contains(m.symA + m.symB)).toDouble /
+      nMerges.toDouble
+    nw.zip(old).map { case (n, o) =>
+      (n.rnk, o.symA + o.symB, n.symA + n.symB,
+        o.symA == n.symA && o.symB == n.symB,
+        oldSet.contains(n.symA + n.symB), churnFrac)
+    }.toDF("rnk", "merged_old", "merged_new", "pair_kept", "in_old_vocab",
+      "churn_frac")
+  }
+
   /** Encode: text → token ids through a learned merge list.
     *
     * Ids are deterministic and data-derived: base symbols are the corpus's

@@ -1557,25 +1557,55 @@ private[ext] object ExtOracles {
     * scan — merge iff the accumulator's last symbol is exactly sym_a
     * (boundary-safe suffix check) and the next is sym_b.
     */
-  def bpeStagesSql: String = {
+  def bpeStagesSql: String = bpeStagesSqlOver("documents", "")
+
+  /** [[bpeStagesSql]] over an arbitrary docs relation with a CTE-name
+    * prefix — so composed oracles (x243's two-snapshot drift) can run
+    * two independent training chains in one statement. */
+  def bpeStagesSqlOver(docsRel: String, pfx: String): String = {
     val sb = new StringBuilder
-    sb ++= "pre AS (SELECT pretok, CAST(count(*) AS BIGINT) AS freq FROM " +
-      s"(SELECT unnest(regexp_extract_all(text, $bpePatSql)) AS pretok FROM documents) GROUP BY 1), " +
-      "s0 AS (SELECT pretok, freq, array_to_string(list_transform(" +
-      "generate_series(1, length(pretok)), i -> substr(pretok, i, 1)), chr(30)) AS s FROM pre)"
+    sb ++= s"${pfx}pre AS (SELECT pretok, CAST(count(*) AS BIGINT) AS freq FROM " +
+      s"(SELECT unnest(regexp_extract_all(text, $bpePatSql)) AS pretok FROM $docsRel) GROUP BY 1), " +
+      s"${pfx}s0 AS (SELECT pretok, freq, array_to_string(list_transform(" +
+      s"generate_series(1, length(pretok)), i -> substr(pretok, i, 1)), chr(30)) AS s FROM ${pfx}pre)"
     for (k <- 0 until BpeMerges) {
-      sb ++= s", p$k AS (SELECT pr.sym_a AS sym_a, pr.sym_b AS sym_b, CAST(sum(freq) AS BIGINT) AS n " +
+      sb ++= s", ${pfx}p$k AS (SELECT pr.sym_a AS sym_a, pr.sym_b AS sym_b, CAST(sum(freq) AS BIGINT) AS n " +
         "FROM (SELECT freq, unnest(list_transform(generate_series(1, len(li)-1), " +
         "i -> struct_pack(sym_a := li[i], sym_b := li[i+1]))) AS pr " +
-        s"FROM (SELECT freq, string_split(s, chr(30)) AS li FROM s$k) WHERE len(li) >= 2) GROUP BY 1, 2)" +
-        s", b$k AS (SELECT sym_a, sym_b, n FROM p$k ORDER BY n DESC, sym_a, sym_b LIMIT 1)" +
-        s", s${k + 1} AS (SELECT pretok, freq, CASE WHEN len(li) = 1 THEN li[1] " +
+        s"FROM (SELECT freq, string_split(s, chr(30)) AS li FROM ${pfx}s$k) WHERE len(li) >= 2) GROUP BY 1, 2)" +
+        s", ${pfx}b$k AS (SELECT sym_a, sym_b, n FROM ${pfx}p$k ORDER BY n DESC, sym_a, sym_b LIMIT 1)" +
+        s", ${pfx}s${k + 1} AS (SELECT pretok, freq, CASE WHEN len(li) = 1 THEN li[1] " +
         "ELSE list_reduce(li, (acc, x) -> CASE WHEN (acc = b.sym_a OR " +
         "ends_with(acc, chr(30) || b.sym_a)) AND x = b.sym_b " +
         "THEN acc || x ELSE acc || chr(30) || x END) END AS s " +
-        s"FROM (SELECT pretok, freq, string_split(s, chr(30)) AS li FROM s$k), b$k b)"
+        s"FROM (SELECT pretok, freq, string_split(s, chr(30)) AS li FROM ${pfx}s$k), ${pfx}b$k b)"
     }
     sb.toString
+  }
+
+  /** x243: two independent training chains (pre-crawl slice vs full
+    * corpus), rank-paired merge diff + old-vocabulary membership + the
+    * churn fraction — the oracle twin of [[graft.ext.Bpe.tokenizerDrift]]. */
+  def tokenizerDriftSql: String = {
+    // each per-rank argmax CTE is referenced EXACTLY ONCE (collected into
+    // one MATERIALIZED rank table per chain) — scalar-subquery fan-out
+    // over the training chains re-inlines them catastrophically
+    def rankTable(pfx: String) = (0 until BpeMerges).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS rnk, sym_a, sym_b FROM ${pfx}b$k")
+      .mkString(" UNION ALL ")
+    "WITH " +
+      bpeStagesSqlOver("(SELECT * FROM documents WHERE source <> 'src0')", "o") + ", " +
+      bpeStagesSqlOver("documents", "n") + ", " +
+      s"oldm AS MATERIALIZED (${rankTable("o")}), " +
+      s"newm AS MATERIALIZED (${rankTable("n")}), " +
+      "ch AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM newm " +
+      "WHERE (sym_a || sym_b) NOT IN (SELECT sym_a || sym_b FROM oldm)) " +
+      "SELECT n.rnk, o.sym_a || o.sym_b AS merged_old, " +
+      "n.sym_a || n.sym_b AS merged_new, " +
+      "(o.sym_a = n.sym_a AND o.sym_b = n.sym_b) AS pair_kept, " +
+      "((n.sym_a || n.sym_b) IN (SELECT sym_a || sym_b FROM oldm)) AS in_old_vocab, " +
+      s"(SELECT CAST(cnt AS DOUBLE)/$BpeMerges.0 FROM ch) AS churn_frac " +
+      "FROM newm n JOIN oldm o USING (rnk)"
   }
 
   def bpeTrainSql: String =

@@ -19,6 +19,13 @@ private[graft] object TokenizerQueries {
     // Quality-mass Lorenz curve (r8 batch 6): cumulative token share by
     // quality decile (exactNtile on (−score, doc_id)) — "keep the top-k
     // deciles, keep what fraction of the tokens?",
+    // Tokenizer drift (r10 continuation): retrain the BPE merge table on
+    // the pre-crawl slice vs the full corpus and diff rank by rank —
+    // kept pairs, rank-displaced merges, and the churn fraction that
+    // prices re-tokenizing a served corpus.,
+    "x243_tokenizer_drift" -> ((s, dir) =>
+      Bpe.tokenizerDrift(Tables.documents(s, dir))),
+
     "x77_bpe_train" -> ((s, dir) =>
       Bpe.mergeTable(Tables.documents(s, dir), BpeMerges)),
 
@@ -292,6 +299,7 @@ private[graft] object TokenizerQueries {
         "i -> substr(pretok, i, 2))) AS pair FROM f WHERE length(pretok) >= 2) " +
         "SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM pairs GROUP BY 1 HAVING sum(freq) >= 2"),
     "x77_bpe_train" -> bpeTrainSql,
+    "x243_tokenizer_drift" -> tokenizerDriftSql,
     "x78_bpe_encode" -> bpeEncodeSql,
     "x202_unigram_train" -> unigramTrainSql,
     "x203_unigram_encode" -> unigramEncodeSql,

@@ -70,6 +70,13 @@ object WebDataset {
     * a pure function of (name, size). */
   private[sources] def tarHeader(name: String, size: Long): Array[Byte] = {
     require(name.length <= 100, s"tar member name too long: $name")
+    // ustar's size field is 11 octal digits — 8 GiB − 1 per member. A
+    // larger size would silently overflow into the mtime field (caught by
+    // the property spec); samples that big belong in their own shards via
+    // the base-256 extension, which this writer deliberately doesn't
+    // implement — fail loudly instead.
+    require(size >= 0L && size < 8L * 1024 * 1024 * 1024,
+      s"tar member size $size outside ustar's 11-octal-digit range")
     val h = new Array[Byte](Block)
     def put(s: String, off: Int): Unit = {
       val b = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
@@ -116,7 +123,14 @@ object WebDataset {
     val src = if (ownCache) graft.ops.Caching.cacheOnce(df) else df
     try {
       val s = derivedShards(src.count())
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      val dir = java.nio.file.Paths.get(path)
+      java.nio.file.Files.createDirectories(dir)
+      // sweep stale temp litter from a previously crashed write: _tmp
+      // files are invisible to readers (the manifest globs shard-*.tar)
+      // but accumulate disk forever if never reclaimed
+      val stale = dir.toFile.listFiles()
+      if (stale != null) stale.filter(f => f.getName.startsWith("_tmp_shard-")
+        && f.getName.endsWith(".tar")).foreach(_.delete())
       src.select(shardId(col("doc_id"), s).as("_shard"),
           col("doc_id"), col("source"), col("text"))
         .repartition(s, col("_shard"))

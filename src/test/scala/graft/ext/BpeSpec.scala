@@ -103,4 +103,26 @@ class BpeSpec extends SparkTestBase {
       }
     }
   }
+
+  test("tokenizerDrift: identical snapshots diff to zero churn; the fixture crawl yields a consistent report (x243)") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    // a corpus with no src0 slice trains the same table on both sides —
+    // every rank kept, zero churn (the determinism + diff baseline)
+    val self = Bpe.tokenizerDrift(docs.where(col("source") =!= "src0")).collect()
+    assert(self.length === 8)
+    assert(self.forall(_.getAs[Boolean]("pair_kept")), "self-drift must keep every rank")
+    assert(self.forall(_.getAs[Double]("churn_frac") === 0.0))
+    // the real crawl diff: internal consistency of the report
+    val d = Bpe.tokenizerDrift(docs).orderBy("rnk").collect()
+    assert(d.length === 8)
+    assert(d.map(_.getAs[Long]("rnk")).toSeq === (0L to 7L).toSeq)
+    d.foreach { r =>
+      assert(r.getAs[String]("merged_old").nonEmpty && r.getAs[String]("merged_new").nonEmpty)
+      if (r.getAs[Boolean]("pair_kept"))
+        assert(r.getAs[Boolean]("in_old_vocab"), "a kept pair is trivially in the old vocab")
+    }
+    val churn = d.map(r => if (!r.getAs[Boolean]("in_old_vocab")) 1 else 0).sum.toDouble / 8.0
+    assert(d.map(_.getAs[Double]("churn_frac")).distinct.toSeq === Seq(churn),
+      "churn_frac is one number repeated, equal to the membership count")
+  }
 }

@@ -86,6 +86,42 @@ class WebDatasetSpec extends SparkTestBase {
     assert(a.length >= off + 1024 && a.drop(off).forall(_ === 0.toByte))
   }
 
+  test("ustar algebra holds for arbitrary payload sizes (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // header parses back, checksum verifies, and the padded-size formula
+    // matches — across block boundaries (0, 511, 512, 513…) and large sizes
+    val p = Prop.forAllNoShrink(Gen.oneOf(Gen.choose(0L, 2048L),
+      Gen.oneOf(0L, 1L, 511L, 512L, 513L, 1023L, 1024L,
+        8L * 1024 * 1024 * 1024 - 1))) { size =>
+      val h = WebDataset.tarHeader("000000000042.txt", size)
+      val parsed = java.lang.Long.parseLong(new String(h, 124, 11).trim, 8)
+      val copy = h.clone()
+      java.util.Arrays.fill(copy, 148, 156, ' '.toByte)
+      val cks = java.lang.Long.parseLong(new String(h, 148, 6), 8)
+      parsed == size && cks == copy.map(_ & 0xff).sum.toLong &&
+        new String(h, 257, 5) == "ustar"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+    // past the 11-octal-digit ceiling the header can't represent the size
+    // — the writer must refuse, not corrupt the mtime field
+    intercept[IllegalArgumentException] {
+      WebDataset.tarHeader("x.txt", 8L * 1024 * 1024 * 1024)
+    }
+    intercept[IllegalArgumentException] { WebDataset.tarHeader("x.txt", -1L) }
+  }
+
+  test("a crashed write's _tmp litter is swept by the next write") {
+    val out = java.nio.file.Files.createTempDirectory("graft-wds-litter").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$out/shards"))
+    val litter = java.nio.file.Paths.get(s"$out/shards/_tmp_shard-00007.tar")
+    java.nio.file.Files.write(litter, Array[Byte](1, 2, 3))
+    WebDataset.write(docs, s"$out/shards")
+    assert(!java.nio.file.Files.exists(litter), "stale temp files must be reclaimed")
+    assert(new java.io.File(s"$out/shards").listFiles()
+      .exists(_.getName == "shard-00000.tar"), "the real write still lands")
+  }
+
   test("fixture corpus: manifest shard law and totals reconcile with the table") {
     val d = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
     val out = java.nio.file.Files.createTempDirectory("graft-wds3").toString
