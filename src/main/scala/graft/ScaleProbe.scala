@@ -521,7 +521,7 @@ object ScaleProbe {
       // K-row mixture state — wall tracks the doremi floor plus a
       // corpus-linear increment.
       time("release_pipeline") {
-        graft.ext.Curate.releasePipeline(spark, corpus).count()
+        graft.ext.Curate.releasePipeline(spark, graft.ext.Curate.withLicense(corpus)).count()
       }
       // Chat prefix tree (r10 continuation): one keyed window over
       // (conv, turn) rows + two digest-keyed partial aggs — corpus-linear,

@@ -1495,9 +1495,15 @@ object Curate {
     * K-row state joined equi on source; the only crossJoins are 1-row
     * totals (documented PlanAudit exemptions). */
   def releasePipeline(spark: org.apache.spark.sql.SparkSession,
-      docs: DataFrame): DataFrame = {
+      docs: DataFrame, licenseText: Column = col("licensed_text")): DataFrame = {
+    // `docs` arrives ALREADY license-tagged-able: the rights metadata
+    // column is the caller's (for the registered fixture query,
+    // CurateQueries composes [[withLicense]] — the withPii/withSecrets
+    // enrichment-in-the-query-layer separation, ADVICE r10: hardwiring
+    // withLicense here meant the flagship could only ever audit
+    // fixture-planted rights, never a corpus's real license column).
     val base = graft.ops.Caching.cacheOnce(docs)
-    val tagged = graft.ops.Caching.cacheOnce(licenseTag(withLicense(base)))
+    val tagged = graft.ops.Caching.cacheOnce(licenseTag(base, licenseText))
     val licensed = base
       .join(tagged.where(col("governance") === "permissive").select("doc_id"), "doc_id")
     val withTok = graft.ops.Caching.cacheOnce(licensed.select(

@@ -223,9 +223,12 @@ private[graft] object CurateQueries {
     // The release flagship (r10 continuation): license gate -> exact
     // dedup -> DoReMi-weighted token-budget realization -> shard law, in
     // one query — the last mile from raw corpus to shippable shards,
-    // every stage an already-verified operator (x237, x01, x234, x235).,
+    // every stage an already-verified operator (x237, x01, x234, x235).
+    // withLicense composes HERE, in the query layer (ADVICE r10 — the
+    // x237/withPii separation: the pipeline takes an already-tagged
+    // frame, so a real corpus's own rights column plugs straight in).,
     "x239_release_pipeline" -> ((s, dir) =>
-      Curate.releasePipeline(s, Tables.documents(s, dir))),
+      Curate.releasePipeline(s, Curate.withLicense(Tables.documents(s, dir)))),
 
     // Neyman-allocated stratified eval sampler (r10 continuation):
     // allocation ∝ N_h·σ_h over source strata, Hamilton integerization,

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: images/audio/video travel as opaque `binary`
@@ -374,32 +374,26 @@ object Multimodal {
     }
   }
 
-  /** Visual near-dup pairs: pHash every image, band the 64-bit hash into 4
-    * 16-bit bands, equi-join on (band, value), verify `popcount(xor) <=
-    * maxHamming`. Pigeonhole: any pair within Hamming distance 3 is
-    * GUARANTEED to share a band (4 bands, <= 3 differing bits); larger
-    * thresholds are recall-probabilistic, same discipline as the text
-    * simhash banding (x20). The join moves (band, 16-bit value, id) — the
-    * image bytes never shuffle.
+  /** Visual near-dup pairs: pHash every image, band the 64-bit hash with
+    * [[bandKeys]] (maxHamming + 1 chunks, 4 minimum), equi-join on the
+    * chunk key, verify `popcount(xor) <= maxHamming`. Pigeonhole: any
+    * pair within the requested radius is GUARANTEED to share a band —
+    * the band count tracks the radius (ADVICE r10). The join moves
+    * (band key, id) — the image bytes never shuffle.
     */
   def phashNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
     bandedHashPairs(phashImages(media).where(col("phash_ok"))
       .select(col("doc_id"), col("phash").as("h")), maxHamming)
 
-  /** The 4×16-bit pigeonhole-banded pairing shared by the image and audio
-    * signatures: equi-join on (band, value), verify `popcount(xor) <=
-    * maxHamming`. Any pair within Hamming distance 3 is GUARANTEED to
-    * share a band (4 bands, <= 3 differing bits); larger thresholds are
-    * recall-probabilistic, same discipline as the text simhash banding
-    * (x20). The join moves (band, 16-bit value, id) — payloads never
-    * shuffle. Input: (doc_id, h: long).
+  /** The pigeonhole-banded pairing shared by the image and audio
+    * signatures: equi-join on the [[bandKeys]] chunk key, verify
+    * `popcount(xor) <= maxHamming` — a GUARANTEE at every requested
+    * radius, not just ≤ 3 (ADVICE r10). The join moves (band key, id) —
+    * payloads never shuffle. Input: (doc_id, h: long).
     */
-  private def bandedHashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 64, s"bad maxHamming $maxHamming")
+  private[ext] def bandedHashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     val banded = hashes.select(col("doc_id"), col("h"),
-      explode(array((0 until 4).map(b =>
-        shiftright(col("h"), b * 16).bitwiseAND(lit(0xffffL)) * 4 + b): _*))
-        .as("band_key"))
+      explode(array(bandKeys(col("h"), maxHamming): _*)).as("band_key"))
     banded.as("a").join(banded.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -415,8 +409,8 @@ object Multimodal {
     * training image that is a visual near-duplicate of an eval-benchmark
     * image leaks the benchmark even when every byte differs (re-encode,
     * resize, recompress), so the match runs on the perceptual DCT hash,
-    * not the payload digest. Eval hashes band 4×16-bit (the pigeonhole
-    * guarantee: Hamming ≤ 3 ⇒ a shared band) and BROADCAST — eval sets
+    * not the payload digest. Eval hashes band per [[bandKeys]] (the
+    * pigeonhole guarantee at the requested radius) and BROADCAST — eval sets
     * are dim-sized by definition — so the training side is one scan +
     * hash + broadcast join; payloads never shuffle. Returns every
     * flagged (train, eval) pair with its Hamming distance; dropping the
@@ -446,16 +440,34 @@ object Multimodal {
     bandedHashPairsAcross(th, "train_doc", eh, "eval_doc", maxHamming)
   }
 
+  /** The pigeonhole band keys for a 64-bit hash at a requested Hamming
+    * radius: split the hash into `maxHamming + 1` contiguous bit chunks
+    * (4 minimum — the original 4×16 layout for radius ≤ 3), so any pair
+    * within the radius is GUARANTEED to share an unchanged chunk. The r10
+    * form banded 4×16 for EVERY radius, silently under-flagging a
+    * Hamming-4 twin whose four differing bits hit all four bands (ADVICE
+    * r10 — an under-flagging decon gate). Chunk widths are
+    * ⌈64/nb⌉/⌊64/nb⌋; the key packs (chunk value, chunk index) so chunks
+    * only join their own kind. */
+  private def bandKeys(h: Column, maxHamming: Int): Seq[Column] = {
+    require(maxHamming >= 0 && maxHamming <= 16,
+      s"bad maxHamming $maxHamming — past 16 the bands are too narrow to prune")
+    val nb = math.max(4, maxHamming + 1)
+    val cuts = (0 to nb).map(i => i * 64 / nb)
+    (0 until nb).map { k =>
+      val lo = cuts(k); val width = cuts(k + 1) - cuts(k)
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      shiftright(h, lo).bitwiseAND(lit(mask)) * nb + k
+    }
+  }
+
   /** Cross-set variant of [[bandedHashPairs]]: band both sides on the
-    * 4×16-bit pigeonhole key, broadcast the (dim-sized) right side, and
-    * verify `popcount(xor) ≤ maxHamming` after the equi-join. */
+    * [[bandKeys]] pigeonhole key, broadcast the (dim-sized) right side,
+    * and verify `popcount(xor) ≤ maxHamming` after the equi-join. */
   private def bandedHashPairsAcross(a: DataFrame, aId: String,
       b: DataFrame, bId: String, maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 64, s"bad maxHamming $maxHamming")
     def banded(df: DataFrame, id: String) = df.select(col(id), col("h"),
-      explode(array((0 until 4).map(k =>
-        shiftright(col("h"), k * 16).bitwiseAND(lit(0xffffL)) * 4 + k): _*))
-        .as("band_key"))
+      explode(array(bandKeys(col("h"), maxHamming): _*)).as("band_key"))
     banded(a, aId).as("a")
       .join(broadcast(banded(b, bId).as("b")), Seq("band_key"))
       .select(col(s"a.$aId"), col(s"b.$bId"),

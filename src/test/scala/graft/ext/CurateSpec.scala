@@ -754,7 +754,7 @@ class CurateSpec extends SparkTestBase {
 
   test("releasePipeline: the funnel only narrows and every stage reconciles with its operator (x239)") {
     val docs = Tables.documents(spark, sfDir)
-    val rows = Curate.releasePipeline(spark, docs).collect()
+    val rows = Curate.releasePipeline(spark, Curate.withLicense(docs)).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (ni, nl, nu, nr) = (r.getAs[Long]("n_input"), r.getAs[Long]("n_licensed"),

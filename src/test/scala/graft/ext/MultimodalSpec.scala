@@ -279,6 +279,28 @@ class MultimodalSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), "poison payload must be dropped")
   }
 
+  test("banding pigeonhole holds at every requested radius (ADVICE r10)") {
+    // the adversarial Hamming-4 twin: one flipped bit in EACH of the old
+    // 4×16 bands (bits 0/16/32/48) — the pair the r10 4-band layout
+    // silently missed at maxHamming = 4; with maxHamming + 1 bands it is
+    // GUARANTEED to share an unchanged chunk
+    val base = 0x0123456789abcdefL
+    val twin4 = base ^ ((1L << 0) | (1L << 16) | (1L << 32) | (1L << 48))
+    val twin3 = base ^ ((1L << 5) | (1L << 21) | (1L << 60))
+    val far = base ^ 0x00ff00ff00ff00ffL
+    val hashes = Seq((1L, base), (2L, twin4), (3L, twin3), (4L, far))
+      .toDF("doc_id", "h")
+    val at4 = Multimodal.bandedHashPairs(hashes, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at4.contains((1L, 2L)), "Hamming-4 twin must flag at radius 4")
+    assert(at4.contains((1L, 3L)), "Hamming-3 twin must still flag")
+    assert(!at4.exists(p => p._1 == 4L || p._2 == 4L), "far hash stays out")
+    val at3 = Multimodal.bandedHashPairs(hashes, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at3.contains((1L, 3L)) && !at3.contains((1L, 2L)),
+      "radius 3 keeps the original 4x16 behavior")
+  }
+
   test("embedPayloads feeds straight into the ANN operators (decode → embed → top-k)") {
     val docs = graft.sources.Tables.documents(spark, sfDir).limit(200)
     val emb = Multimodal.embedPayloads(Multimodal.mediaFromDocuments(docs))
