@@ -60,6 +60,20 @@ object ClampProbe {
       val occ = spark.read.parquet(s"$idx/codes")
         .groupBy("cell").count().agg(max("count")).head().getLong(0)
       println(s"""{"scale":$k,"docs":$n,"op":"ivfpq_clamp16_max_cell","sec":0.0,"rows":$occ}""")
+      // the ACT half (r11, VERDICT item 1): rebuild at the DEFAULT law and
+      // probe again — probe time must drop back to the flat default-clamp
+      // regime (the before/after pair the rebuild verb exists for), and
+      // x160's trigger must clear
+      time(k, n, "ivfpq_rebuild_default_law") {
+        graft.ext.Similarity.rebuildIvfPqIndex(spark, idx, emb); 0L
+      }
+      time(k, n, "ivfpq_probe_rebuilt") {
+        graft.ext.Similarity.ivfPqTopK(spark, idx,
+          emb.where(col("vec_id") < 5), 10).count()
+      }
+      val rec = graft.ext.Similarity.ivfPqIndexStats(spark, idx)
+        .select("rebuild_recommended").head().getBoolean(0)
+      println(s"""{"scale":$k,"docs":$n,"op":"ivfpq_rebuilt_still_flagged","sec":0.0,"rows":${if (rec) 1 else 0}}""")
       rmTree(new java.io.File(idx))
       emb.unpersist(blocking = true)
       spark.sharedState.cacheManager.clearCache()

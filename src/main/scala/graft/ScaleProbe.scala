@@ -236,6 +236,14 @@ object ScaleProbe {
       time("mmr_select10") {
         graft.ext.Similarity.mmrSelect(emb).count()
       }
+      // Shortlist-bounded MMR (r11, VERDICT item 4): ONE rank-bounded
+      // relevance pass cuts the pool to C=64, then the same 10 greedy
+      // steps run over the cached C-row frame — wall tracks the single
+      // scan; the per-step cost is CONSTANT in corpus size (vs
+      // mmr_select10's 10×-scan slope above).
+      time("mmr_shortlist10") {
+        graft.ext.Similarity.mmrSelectShortlist(emb).count()
+      }
       time("ann_multitable") {
         graft.ext.Similarity.lshMultiTopK(
           emb.where(col("vec_id") < 5), emb, 10).count()

@@ -540,7 +540,9 @@ private[graft] object AnnQueries {
         "(SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank " +
         "FROM iscs) WHERE rank <= 10"),
 
-    // x160: the deterministic cell assignment's occupancy rollup.,
+    // x160: the deterministic cell assignment's occupancy rollup, plus
+    // the r11 rebuild-trigger columns (law_stride / occ_ratio /
+    // rebuild_recommended — derivedStride re-derived over n_vecs).,
     "x160_ivfpq_index_stats" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
         s"cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id % ${Similarity.strideSqlOver("e")} = 0), " +
@@ -548,14 +550,20 @@ private[graft] object AnnQueries {
         s"${dotSql("e.emb", "cents.cent_emb")} AS cent_cos FROM e, cents), " +
         "iasg AS (SELECT vec_id, cent_id AS cell FROM (SELECT *, " +
         "row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r FROM iscored) t WHERE r = 1), " +
-        "occ AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM iasg GROUP BY 1) " +
-        "SELECT CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(n) AS BIGINT) AS n_vecs, " +
+        "occ AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM iasg GROUP BY 1), " +
+        "base AS (SELECT CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(n) AS BIGINT) AS n_vecs, " +
         "CAST(min(n) AS BIGINT) AS min_cell, CAST(max(n) AS BIGINT) AS max_cell, " +
         "CAST(sum(n) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS mean_cell, " +
         "CAST(max(n) AS DOUBLE)*CAST(count(*) AS DOUBLE)/CAST(sum(n) AS DOUBLE) AS imbalance, " +
         s"CAST(count(*) AS DOUBLE)/${Similarity.IvfMaxCells}.0 AS clamp_cell_frac, " +
         s"count(*) >= ${Similarity.IvfMaxCells} AS at_clamp " +
-        "FROM occ"),
+        "FROM occ), " +
+        "law AS (SELECT *, greatest(CAST(1 AS BIGINT), " +
+        "CAST(ceil(sqrt(CAST(n_vecs AS DOUBLE))) AS BIGINT), " +
+        s"CAST(ceil(CAST(n_vecs AS DOUBLE)/${Similarity.IvfMaxCells}.0) AS BIGINT)) AS law_stride FROM base) " +
+        "SELECT *, mean_cell/CAST(law_stride AS DOUBLE) AS occ_ratio, " +
+        s"at_clamp OR mean_cell/CAST(law_stride AS DOUBLE) > ${Similarity.RebuildOccRatio} AS rebuild_recommended " +
+        "FROM law"),
 
     // x154: both probe depths' top-10 sets vs the brute-force truth —
     // scalar-subquery counts per method (x69's report form).,

@@ -120,6 +120,15 @@ private[graft] object RetrievalQueries {
     "x140_mmr_select" -> ((s, dir) =>
       Similarity.mmrSelect(Tables.embeddings(s, dir))),
 
+    // Shortlist-bounded MMR (r11, VERDICT item 4): the same greedy
+    // diversified selection, but the candidate pool is ONE rank-bounded
+    // top-C-by-relevance pass instead of the whole corpus — per-step cost
+    // O(C) at any corpus size. Spec pins shortlist ≡ full on the
+    // fixtures; the oracle replays the C-cut then the identical unrolled
+    // greedy.,
+    "x246_mmr_shortlist" -> ((s, dir) =>
+      Similarity.mmrSelectShortlist(Tables.embeddings(s, dir))),
+
     // Distribution-drift monitor (r6): decile quality-score histograms of
     // two slices (src0 vs rest — the "new crawl vs corpus" shape), per-bin
     // shares, |Δshare|, and the rational χ²-style term — the metric-
@@ -233,6 +242,44 @@ private[graft] object RetrievalQueries {
       "prrf AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank FROM " +
       "(SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank FROM pfu) " +
       "WHERE rank <= 10)"
+
+  /** The x140/x246 unrolled-greedy MMR oracle. `shortlistC = Some(C)`
+    * cuts the candidate CTE to the top-C by relevance first (rel DESC,
+    * vec_id — the engine's TakeOrderedAndProject ordering); the greedy
+    * steps are identical either way. */
+  private def mmrOracleSql(shortlistC: Option[Int]): String = {
+    val k = 10
+    val steps = (2 to k).map { t =>
+      s"mx$t AS (SELECT c.vec_id, max(${dotSql("c.emb", "s.emb")}) AS m " +
+        s"FROM cand c, acc${t - 1} s " +
+        s"WHERE c.vec_id NOT IN (SELECT vec_id FROM acc${t - 1}) GROUP BY c.vec_id), " +
+        s"s$t AS (SELECT c.vec_id, c.rel, 0.7*c.rel - 0.3*mx.m AS score " +
+        s"FROM cand c JOIN mx$t mx USING (vec_id)), " +
+        s"p$t AS MATERIALIZED (SELECT vec_id FROM s$t ORDER BY score DESC, vec_id LIMIT 1), " +
+        s"acc$t AS MATERIALIZED (SELECT * FROM acc${t - 1} " +
+        s"UNION ALL SELECT c.vec_id, c.emb FROM cand c JOIN p$t USING (vec_id))"
+    }.mkString(", ")
+    val rows = (1 to k).map { t =>
+      s"SELECT CAST($t AS BIGINT) AS rank, c.vec_id, c.rel, s.score AS mmr_score " +
+        s"FROM p$t JOIN s$t s USING (vec_id) JOIN cand c USING (vec_id)"
+    }.mkString(" UNION ALL ")
+    val candCte = shortlistC match {
+      case Some(c) =>
+        s"cand AS MATERIALIZED (SELECT vec_id, emb, rel FROM " +
+          s"(SELECT vec_id, emb, ${dotSql("emb", "qe")} AS rel " +
+          s"FROM e, q WHERE vec_id <> 0) ORDER BY rel DESC, vec_id LIMIT $c), "
+      case None =>
+        s"cand AS MATERIALIZED (SELECT vec_id, emb, ${dotSql("emb", "qe")} AS rel " +
+          "FROM e, q WHERE vec_id <> 0), "
+    }
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+      "q AS (SELECT emb AS qe FROM e WHERE vec_id = 0), " +
+      candCte +
+      "s1 AS (SELECT vec_id, rel, 0.7*rel - 0.3*0.0 AS score FROM cand), " +
+      "p1 AS MATERIALIZED (SELECT vec_id FROM s1 ORDER BY score DESC, vec_id LIMIT 1), " +
+      "acc1 AS MATERIALIZED (SELECT c.vec_id, c.emb FROM cand c JOIN p1 USING (vec_id)), " +
+      steps + " " + rows
+  }
 
   val oracleSql: Map[String, String] = Map(
     // x219: sbm (lexical top-20) anti-joined against the semantic top-10
@@ -398,31 +445,12 @@ private[graft] object RetrievalQueries {
         "r AS (SELECT q_id, q_label, vec_id, label, cos, " +
         "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s) " +
         "SELECT q_id, q_label, vec_id, label, cos, rank FROM r WHERE rank <= 10"),
-    "x140_mmr_select" -> {
-      val k = 10
-      val steps = (2 to k).map { t =>
-        s"mx$t AS (SELECT c.vec_id, max(${dotSql("c.emb", "s.emb")}) AS m " +
-          s"FROM cand c, acc${t - 1} s " +
-          s"WHERE c.vec_id NOT IN (SELECT vec_id FROM acc${t - 1}) GROUP BY c.vec_id), " +
-          s"s$t AS (SELECT c.vec_id, c.rel, 0.7*c.rel - 0.3*mx.m AS score " +
-          s"FROM cand c JOIN mx$t mx USING (vec_id)), " +
-          s"p$t AS MATERIALIZED (SELECT vec_id FROM s$t ORDER BY score DESC, vec_id LIMIT 1), " +
-          s"acc$t AS MATERIALIZED (SELECT * FROM acc${t - 1} " +
-          s"UNION ALL SELECT c.vec_id, c.emb FROM cand c JOIN p$t USING (vec_id))"
-      }.mkString(", ")
-      val rows = (1 to k).map { t =>
-        s"SELECT CAST($t AS BIGINT) AS rank, c.vec_id, c.rel, s.score AS mmr_score " +
-          s"FROM p$t JOIN s$t s USING (vec_id) JOIN cand c USING (vec_id)"
-      }.mkString(" UNION ALL ")
-      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-        "q AS (SELECT emb AS qe FROM e WHERE vec_id = 0), " +
-        s"cand AS MATERIALIZED (SELECT vec_id, emb, ${dotSql("emb", "qe")} AS rel " +
-        "FROM e, q WHERE vec_id <> 0), " +
-        "s1 AS (SELECT vec_id, rel, 0.7*rel - 0.3*0.0 AS score FROM cand), " +
-        "p1 AS MATERIALIZED (SELECT vec_id FROM s1 ORDER BY score DESC, vec_id LIMIT 1), " +
-        "acc1 AS MATERIALIZED (SELECT c.vec_id, c.emb FROM cand c JOIN p1 USING (vec_id)), " +
-        steps + " " + rows
-    },
+    "x140_mmr_select" -> mmrOracleSql(None),
+
+    // x246: x140's unrolled greedy, with `cand` first cut to the top-64
+    // by relevance (rel DESC, vec_id — the engine's TakeOrderedAndProject
+    // ordering) before step 1.,
+    "x246_mmr_shortlist" -> mmrOracleSql(Some(Similarity.MmrShortlistC)),
     "x48_bm25_topk" ->
       (s"WITH t AS ($toksCte), e AS (SELECT doc_id, unnest(toks) AS tok FROM t), " +
         "pd AS (SELECT doc_id, count(*) AS dl, " +

@@ -617,11 +617,123 @@ object Similarity {
     * what makes probing cheap: a probe's cell equi-join prunes to the
     * probed cells' files instead of scanning the corpus.
     */
-  def buildIvfIndex(corpus: DataFrame, indexDir: String): Unit = {
-    val cents = strideCents(corpus)
+  def buildIvfIndex(corpus: DataFrame, indexDir: String,
+      maxCells: Long = IvfMaxCells): Unit = {
+    // `maxCells` is the stride-law clamp dial (the buildIvfPqIndex
+    // convention): registered queries use the default; ClampProbe lowers
+    // it to manufacture the pinned-cells/linear-occupancy regime that
+    // rebuildIvfIndex then re-shards out of
+    val cents = strideCents(corpus, maxCells)
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
-    byCell(ivfAssign(corpus, corpus)).write.mode("overwrite")
+    byCell(assignCells(corpus, cents)).write.mode("overwrite")
       .partitionBy("cell").parquet(s"$indexDir/assigned")
+  }
+
+  /** The rebuild journal's directory names, shared by stage/install/
+    * recover. The plain-IVF index swaps (centroids, assigned); the IVFADC
+    * one swaps (centroids, codebook, codes). */
+  private val IvfRebuildSubs = Seq("centroids", "assigned")
+  private val IvfPqRebuildSubs = Seq("centroids", "codebook", "codes")
+
+  /** The committed half of a rebuild: swap each staged sub-table into the
+    * live index ASIDE-FIRST (live dir moves to `rebuild_tmp/aside_<sub>`
+    * before the staged dir moves in — a crash at any point re-enters an
+    * unambiguous state), then drop the staging. Idempotent re-run: moves
+    * already taken are simply absent from the staging. */
+  private def installIvfRebuild(indexDir: String, subs: Seq[String]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = s"$indexDir/rebuild_tmp"
+    for (sub <- subs) {
+      val staged = Paths.get(s"$tmp/$sub")
+      val live = Paths.get(s"$indexDir/$sub")
+      val aside = Paths.get(s"$tmp/aside_$sub")
+      if (Files.exists(staged)) {
+        if (Files.exists(live) && !Files.exists(aside))
+          Files.move(live, aside, StandardCopyOption.ATOMIC_MOVE)
+        if (!Files.exists(live))
+          Files.move(staged, live, StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    rmTree(new java.io.File(tmp))
+  }
+
+  /** Complete or discard an interrupted [[rebuildIvfIndex]]/
+    * [[rebuildIvfPqIndex]] — idempotent; runs automatically at the start
+    * of every rebuild. `rebuild_tmp/COMMIT` is the commit point
+    * ([[recoverIvfPqDelete]]'s discipline): present → the staged swap
+    * rolls FORWARD; absent → any aside dir rolls back and the staging is
+    * discarded (no live dir is touched before COMMIT). */
+  def recoverIvfRebuild(indexDir: String,
+      subs: Seq[String] = IvfRebuildSubs ++ Seq("codebook", "codes")): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = s"$indexDir/rebuild_tmp"
+    if (!new java.io.File(tmp).isDirectory) return
+    if (Files.exists(Paths.get(s"$tmp/COMMIT"))) installIvfRebuild(indexDir, subs)
+    else {
+      for (sub <- subs) {
+        val aside = Paths.get(s"$tmp/aside_$sub")
+        val live = Paths.get(s"$indexDir/$sub")
+        if (Files.exists(aside) && !Files.exists(live))
+          Files.move(aside, live, StandardCopyOption.ATOMIC_MOVE)
+      }
+      rmTree(new java.io.File(tmp))
+    }
+  }
+
+  /** The staging half of [[rebuildIvfIndex]] — everything except the
+    * COMMIT marker and the install, NO live-dir mutation. Package-private
+    * so the crash-window spec can construct every interrupted state. */
+  private[ext] def stageIvfRebuild(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    GraftFunctions.register(spark)
+    val vecs = spark.read.parquet(s"$indexDir/assigned")
+      .select("vec_id", "embedding")
+    val tmp = s"$indexDir/rebuild_tmp"
+    strideCents(vecs).write.mode("overwrite").parquet(s"$tmp/centroids")
+    val cents = spark.read.parquet(s"$tmp/centroids")
+    byCell(assignCells(vecs, cents)).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$tmp/assigned")
+  }
+
+  /** Rebuild a stored plain-IVF index IN PLACE at the CURRENT derived
+    * stride (VERDICT r10 item 1 — the ACT half of the clamp loop x160 and
+    * clampprobe only measured): appends grow occupancy at fixed centroids
+    * until `rebuild_recommended` flips; this verb re-trains the coarse
+    * cells from the index's own stored vectors (`assigned/` carries
+    * embeddings — no corpus re-supply) and re-partitions every vector
+    * under the new cell table. The swap is the journaled two-phase
+    * [[recoverIvfPqDelete]] discipline: stage under `rebuild_tmp/`,
+    * COMMIT marker, aside-first install — every crash window is consumed
+    * by [[recoverIvfRebuild]] (run automatically on entry). Cost is one
+    * corpus-scan assign + one cell-keyed shuffle — the same shape as
+    * [[buildIvfIndex]], scheduled by occupancy instead of per append. */
+  def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    recoverIvfRebuild(indexDir)
+    stageIvfRebuild(spark, indexDir)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$indexDir/rebuild_tmp/COMMIT"))
+    installIvfRebuild(indexDir, IvfRebuildSubs)
+  }
+
+  /** [[rebuildIvfIndex]] for the stored IVFADC index. PQ codes are LOSSY
+    * — the index cannot reconstruct its own vectors — so the rebuild
+    * takes the corpus back (the caller's vector-of-record table; at
+    * 100 TB an offline rebuild re-reads it anyway). Re-trains coarse
+    * centroids at the current derived stride AND the PQ codebook on the
+    * fresh bounded sample, re-encodes every vector, and swaps all three
+    * sub-tables through the same journaled two-phase install. Any
+    * interrupted DELETE journal is consumed first — its cell paths
+    * reference the OLD layout and must not replay over the rebuilt one. */
+  def rebuildIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, corpus: DataFrame,
+      m: Int = IvfPqM, kc: Int = PqK): Unit = {
+    recoverIvfRebuild(indexDir)
+    recoverIvfPqDelete(indexDir)
+    buildIvfPqIndex(corpus, s"$indexDir/rebuild_tmp", m, kc)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$indexDir/rebuild_tmp/COMMIT"))
+    installIvfRebuild(indexDir, IvfPqRebuildSubs)
   }
 
   /** Append a delta BATCH to a stored IVF index — the production
@@ -1258,6 +1370,12 @@ object Similarity {
     * rebuilds; imbalance creeping up is the rebuild trigger (a probe's
     * cost is its cell's size). One pruned scan of (cell) + a cell-keyed
     * count + a 1-row rollup — never reads codes payloads. */
+  /** Occupancy-vs-law rebuild trigger: recommend a rebuild once mean
+    * cell occupancy exceeds this multiple of the CURRENT law's stride
+    * (a fresh build lands mean_cell ≈ stride, so ratio ≈ 1; appends at
+    * fixed centroids push it up), or once cells hit the clamp. */
+  val RebuildOccRatio = 2.0
+
   def ivfPqIndexStats(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): DataFrame = {
     val per = spark.read.parquet(s"$indexDir/codes")
@@ -1276,6 +1394,18 @@ object Similarity {
         (col("n_cells").cast("double") / lit(IvfMaxCells.toDouble))
           .as("clamp_cell_frac"),
         (col("n_cells") >= lit(IvfMaxCells)).as("at_clamp"))
+      // the ACT half (r11, VERDICT item 1): what the CURRENT law would
+      // stride this corpus at, how far stored occupancy sits above it,
+      // and the boolean a maintenance loop feeds to rebuildIvfPqIndex /
+      // rebuildIvfIndex. All from the same one-row frame — derivedStride
+      // re-expressed over the n_vecs column (ceil/sqrt IEEE-exact, the
+      // strideSqlOver discipline).
+      .withColumn("law_stride", greatest(lit(1L),
+        ceil(sqrt(col("n_vecs").cast("double"))).cast("long"),
+        ceil(col("n_vecs").cast("double") / lit(IvfMaxCells.toDouble)).cast("long")))
+      .withColumn("occ_ratio", col("mean_cell") / col("law_stride").cast("double"))
+      .withColumn("rebuild_recommended",
+        col("at_clamp") || col("occ_ratio") > lit(RebuildOccRatio))
   }
 
   /** Probe the stored IVFADC index: the query is cell-assigned against
@@ -1828,18 +1958,53 @@ object Similarity {
     * centroid budget). Selected-set similarity is a `greatest` over ≤k−1
     * literal-vector cosines — model state, not data shuffle.
     */
-  def mmrSelect(emb: DataFrame, k: Int = 10, queryId: Long = 0L): DataFrame = {
+  def mmrSelect(emb: DataFrame, k: Int = 10, queryId: Long = 0L): DataFrame =
+    mmrGreedy(mmrCandidates(emb, queryId), k)
+
+  /** Default shortlist width for [[mmrSelectShortlist]] — comfortably
+    * above any k a few-shot/eval-pool builder asks for, small enough that
+    * the k greedy argmax passes run over a constant-size cached frame. */
+  val MmrShortlistC = 64
+
+  /** [[mmrSelect]] behind a relevance top-C shortlist (VERDICT r10 item
+    * 4): the full form's k greedy argmax passes each re-scan the WHOLE
+    * cached corpus — correct, but k corpus scans at 100 TB. This form
+    * cuts the candidate pool to the top-`c` by relevance in ONE
+    * rank-bounded pass (TakeOrderedAndProject — no global window, no
+    * second corpus scan), then runs the identical greedy over the cached
+    * C-row frame, so per-step cost is O(C) regardless of corpus size.
+    * Equivalence: exact whenever every full-form pick sits in the top-C
+    * by relevance — guaranteed for C ≥ k + (γ/λ)·(spread of maxSim)·n...
+    * in practice pinned by spec on the fixtures at C = 64, k = 10 (the
+    * λ=0.7-dominant objective keeps picks near the relevance head); a
+    * corpus where diversity must reach the relevance TAIL wants the full
+    * form or a larger C. The shortlist could equally come from a stored
+    * index ([[lshMultiTopK]], [[graphBeamTopK]]) — the greedy only needs
+    * (vec_id, emb, rel) rows. */
+  def mmrSelectShortlist(emb: DataFrame, k: Int = 10, queryId: Long = 0L,
+      c: Int = MmrShortlistC): DataFrame = {
+    require(c >= k, s"shortlist width $c must cover the selection size $k")
+    val cand = mmrCandidates(emb, queryId)
+    mmrGreedy(cand.orderBy(col("rel").desc, col("vec_id").asc).limit(c), k)
+  }
+
+  /** The shared relevance-scored candidate frame: one corpus scan, query
+    * vector collected once (D doubles — model state). */
+  private def mmrCandidates(emb: DataFrame, queryId: Long): DataFrame = {
     // Fail loudly on a missing query (the unrollFrom discipline) instead
     // of an opaque ArrayIndexOutOfBounds from collect()(0).
     val qRows = emb.where(col("vec_id") === queryId)
       .select(col("embedding").cast("array<double>")).collect()
     require(qRows.nonEmpty, s"mmrSelect: query vector $queryId not found in the input")
     val qe = qRows(0).getSeq[Double](0)
-    val cand = graft.ops.Caching.cacheOnce(
-      emb.where(col("vec_id") =!= queryId)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-        .withColumn("rel", cosine(col("emb"), typedLit(qe))))
-    require(!cand.isEmpty, s"mmrSelect: no candidates besides query $queryId")
+    emb.where(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("rel", cosine(col("emb"), typedLit(qe)))
+  }
+
+  private def mmrGreedy(cand0: DataFrame, k: Int): DataFrame = {
+    val cand = graft.ops.Caching.cacheOnce(cand0)
+    require(!cand.isEmpty, "mmrSelect: no candidates besides the query")
     var selected = Vector.empty[(Long, Seq[Double])]
     var rows = Vector.empty[DataFrame]
     var t = 1

@@ -639,6 +639,108 @@ class SimilaritySpec extends SparkTestBase {
       "recovery must consume the journal dirs AND the plan file")
   }
 
+  test("rebuildIvfIndex: a clamped index re-strides to the current law; probes equal a fresh default build") {
+    // the measure→act loop (VERDICT r10 item 1): manufacture the clamp
+    // regime (maxCells=4 → ~4 fat cells), then let the verb re-train at
+    // the default law from the index's OWN stored vectors
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-rebuild").toString
+    Similarity.buildIvfIndex(e, idx, maxCells = 4L)
+    def nCells(ix: String): Long = spark.read.parquet(s"$ix/assigned")
+      .select(col("cell").cast("long")).distinct().count()
+    val clampedCells = nCells(idx)
+    assert(clampedCells <= 4L, "the clamp dial must pin the cell count")
+    Similarity.rebuildIvfIndex(spark, idx)
+    val fresh = java.nio.file.Files.createTempDirectory("graft-ivf-fresh").toString
+    Similarity.buildIvfIndex(e, fresh)
+    assert(nCells(idx) === nCells(fresh),
+      "rebuilt cell layout must equal a fresh default-law build")
+    assert(nCells(idx) > clampedCells, "the rebuild must actually re-shard")
+    val queries = e.where(col("vec_id") < 5)
+    def probe(ix: String) = Similarity.ivfTopKStored(spark, ix, queries, 10)
+      .collect().map(_.toSeq).toSet
+    assert(probe(idx) === probe(fresh),
+      "rebuilt index must probe bit-identically to a fresh build")
+    assert(!new java.io.File(s"$idx/rebuild_tmp").exists(),
+      "the journal must be consumed")
+  }
+
+  test("rebuildIvfPqIndex: x160's rebuild_recommended flips in the clamp regime and clears after the rebuild") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-rebuild").toString
+    Similarity.buildIvfPqIndex(e, idx, maxCells = 4L)
+    val before = Similarity.ivfPqIndexStats(spark, idx).head()
+    assert(before.getAs[Boolean]("rebuild_recommended"),
+      s"clamped occupancy (occ_ratio=${before.getAs[Double]("occ_ratio")}) " +
+        "must trigger the rebuild recommendation")
+    Similarity.rebuildIvfPqIndex(spark, idx, e)
+    val after = Similarity.ivfPqIndexStats(spark, idx).head()
+    assert(!after.getAs[Boolean]("rebuild_recommended"),
+      s"a law-stride rebuild must clear the trigger (occ_ratio=${after.getAs[Double]("occ_ratio")})")
+    assert(after.getAs[Double]("occ_ratio") < before.getAs[Double]("occ_ratio"))
+    // the rebuilt index IS a default build: probes bit-identical
+    val fresh = java.nio.file.Files.createTempDirectory("graft-ivfpq-fresh").toString
+    Similarity.buildIvfPqIndex(e, fresh)
+    val queries = e.where(col("vec_id") < 5)
+    def probe(ix: String) = Similarity.ivfPqTopK(spark, ix, queries, 10)
+      .collect().map(_.toSeq).toSet
+    assert(probe(idx) === probe(fresh))
+  }
+
+  test("rebuild crash windows: uncommitted staging rolls BACK, committed rolls FORWARD, mid-install completes") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-rbcrash").toString
+    Similarity.buildIvfIndex(e, idx, maxCells = 4L)
+    val queries = e.where(col("vec_id") < 5)
+    def probe() = Similarity.ivfTopKStored(spark, idx, queries, 10)
+      .collect().map(_.toSeq).toSet
+    def nCells(): Long = spark.read.parquet(s"$idx/assigned")
+      .select(col("cell").cast("long")).distinct().count()
+    val clampedProbe = probe()
+    val clampedCells = nCells()
+    val tmp = s"$idx/rebuild_tmp"
+
+    // window A: staged but NOT committed → recovery discards the staging,
+    // the live (clamped) index is untouched
+    Similarity.stageIvfRebuild(spark, idx)
+    assert(Files.exists(Paths.get(s"$tmp/assigned")) &&
+      !Files.exists(Paths.get(s"$tmp/COMMIT")))
+    Similarity.recoverIvfRebuild(idx)
+    assert(!Files.exists(Paths.get(tmp)), "uncommitted staging must be discarded")
+    assert(nCells() === clampedCells && probe() === clampedProbe,
+      "rollback must leave the live index bit-identical")
+
+    // window B: staged AND committed, crash before any install move →
+    // recovery completes the rebuild forward
+    Similarity.stageIvfRebuild(spark, idx)
+    Files.createFile(Paths.get(s"$tmp/COMMIT"))
+    Similarity.recoverIvfRebuild(idx)
+    assert(!Files.exists(Paths.get(tmp)))
+    val rebuiltCells = nCells()
+    assert(rebuiltCells > clampedCells, "committed staging must roll forward")
+    val rebuiltProbe = probe()
+
+    // window C: committed install interrupted MID-SWAP (first sub fully
+    // swapped, second untouched) → recovery finishes the remaining subs.
+    // Rebuild the clamp state first so the swap changes content again.
+    val idx2 = java.nio.file.Files.createTempDirectory("graft-ivf-rbcrash2").toString
+    Similarity.buildIvfIndex(e, idx2, maxCells = 4L)
+    Similarity.stageIvfRebuild(spark, idx2)
+    val tmp2 = s"$idx2/rebuild_tmp"
+    Files.createFile(Paths.get(s"$tmp2/COMMIT"))
+    Files.move(Paths.get(s"$idx2/centroids"), Paths.get(s"$tmp2/aside_centroids"),
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(s"$tmp2/centroids"), Paths.get(s"$idx2/centroids"),
+      StandardCopyOption.ATOMIC_MOVE)
+    Similarity.recoverIvfRebuild(idx2)
+    assert(!Files.exists(Paths.get(tmp2)))
+    val probe2 = Similarity.ivfTopKStored(spark, idx2, queries, 10)
+      .collect().map(_.toSeq).toSet
+    assert(probe2 === rebuiltProbe,
+      "mid-install recovery must finish the swap — centroids and assigned consistent")
+  }
+
   test("IVFADC codes table compacts with Maintenance.compactPartitioned: fewer files, probes bit-identical") {
     val e = graft.sources.Tables.embeddings(spark, sfDir)
     val isBase = IvfTestSupport.isBase(e)
@@ -834,6 +936,27 @@ class SimilaritySpec extends SparkTestBase {
     // rank 1 pays no penalty: mmr_score == λ·rel exactly
     val r1 = a.find(_.getLong(0) == 1L).get
     assert(r1.getDouble(3) === Similarity.MmrLambda * r1.getDouble(2))
+  }
+
+  test("mmrSelectShortlist ≡ mmrSelect on the fixtures; per-step pool is C rows (VERDICT r10 item 4)") {
+    import graft.sources.Tables
+    val emb = Tables.embeddings(spark, sfDir)
+    val full = Similarity.mmrSelect(emb, 10).collect().map(_.toSeq).toSet
+    val short = Similarity.mmrSelectShortlist(emb, 10).collect().map(_.toSeq).toSet
+    assert(short === full,
+      "top-64-by-relevance shortlist must reproduce the full greedy exactly " +
+        "(every full-form pick sits in the relevance head under λ=0.7)")
+    // the shortlist itself must plan rank-bounded (TakeOrderedAndProject),
+    // not a global window — the zero-extra-shuffle one-pass cut
+    val plan = emb.where(col("vec_id") =!= 0L)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .orderBy(col("vec_id")).limit(Similarity.MmrShortlistC)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected a top-K cut in:\n$plan")
+    // shortlist width below k is a caller bug, loudly
+    intercept[IllegalArgumentException] {
+      Similarity.mmrSelectShortlist(emb, 10, 0L, c = 5)
+    }
   }
 
   test("matryoshka: full-dim anchor recalls 1.0; truncation flips a rank the renormalized cosine must see") {
@@ -1214,6 +1337,34 @@ class SimilaritySpec extends SparkTestBase {
       grown.getAs[Int]("law_beam") > grown.getAs[Int]("stored_beam"),
       "3x growth must cross at least one law step at every fixture SF")
     assert(grown.getAs[Boolean]("stale_laws"), "the grown index must flag for rebuild")
+  }
+
+  test("stored-graph probes take beam and width from meta/, never a corpus re-count (VERDICT r10 item 7)") {
+    import spark.implicits._
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-gmeta").toString
+    Similarity.buildGraphIndex(e, idx)
+    val q = e.where(col("vec_id") === 0)
+    val meta = spark.read.parquet(s"$idx/meta").head()
+    val (bits, m, parts, beam) = (meta.getAs[Int]("bits"), meta.getAs[Int]("m"),
+      meta.getAs[Int]("parts"), meta.getAs[Int]("beam"))
+    // default probe ≡ explicit probe at the META beam — the default comes
+    // from the stored row, not a derivedBeam(count(vectors/)) re-derivation
+    val viaMeta = Similarity.graphBeamVisited(spark, idx, q).count()
+    val viaExplicit = Similarity.graphBeamVisited(spark, idx, q, beam = beam).count()
+    assert(viaMeta === viaExplicit)
+    // rewrite meta with a WIDER beam and nothing else: the default probe
+    // must follow the stored value (if it re-counted the unchanged
+    // vectors/ dir, the walk could not change)
+    val bumped = math.min(Similarity.GraphBeamMax, beam + 4)
+    Seq((bits, m, parts, bumped)).toDF("bits", "m", "parts", "beam")
+      .repartition(1).write.mode("overwrite").parquet(s"$idx/meta")
+    val viaBumpedMeta = Similarity.graphBeamVisited(spark, idx, q).count()
+    val viaBumpedExplicit = Similarity.graphBeamVisited(spark, idx, q, beam = bumped).count()
+    assert(viaBumpedMeta === viaBumpedExplicit,
+      "the default beam must track the edited meta row — meta is the law's home")
+    assert(viaBumpedMeta >= viaMeta, "a wider beam can only widen the visited set")
   }
 
   test("graph index compacts: fewer files across all four dirs, probes bit-identical") {
