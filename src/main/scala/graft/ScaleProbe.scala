@@ -51,6 +51,14 @@ object ScaleProbe {
       time("minhash_lsh") { Dedup.minhashLsh(corpus, 3, 0.8).count() }
       time("simhash_banded") { Dedup.simhashBandedPairs(corpus, 3).count() }
       time("dup_passages") { Dedup.dupPassages(corpus).where(col("dup_frac") > 0).count() }
+      // Exact substring dedup (r11): gram explode is corpus-linear, the
+      // anchor groupBy shuffles digests only, islands window per doc —
+      // wall must track corpus size at scan slope. Replicas salt tokens,
+      // so cross-doc repeats exist only WITHIN each replica — pair volume
+      // stays linear too.
+      time("substring_dedup") {
+        Dedup.substringDedupReport(Dedup.withPlantedRepeats(corpus)).count()
+      }
       // BPE training cost is vocabulary-bound: the salted replicas grow the
       // pretoken vocabulary ~linearly, so the 8-merge loop should too (the
       // corpus pass is one partial-agg groupBy; each iteration is

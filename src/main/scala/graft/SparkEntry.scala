@@ -82,7 +82,10 @@ object SparkEntry {
     "x36_curate_contamination", "x79_url_domain_curation",
     "x85_embedding_outliers", "x111_shard_manifest", "x114_topic_tagging",
     "x120_html_extract", "x124_web_ingest_pipeline",
-    "x200_ann_graph_beam")
+    "x200_ann_graph_beam",
+    // r11: the Lee-et-al. exact-substring rung (0.16 s quiet at sf0.1 —
+    // under the 0.3 s headline floor, so it rides the extra line)
+    "x244_substring_dedup")
 
   private def coreQueries: Map[String, Q] = Map(
     // S1+P4+F1+F4 — dimension scan with projection + pushed predicates

@@ -894,4 +894,109 @@ object Dedup {
         count(lit(1)).as("span_len"))
       .select("doc_id", "span_start", "span_end", "span_len")
   }
+
+  // ---------------- Exact substring dedup (x244, r11) ----------------
+  //
+  // The canonical pretrain rung the register lacked (VERDICT r10 item 2):
+  // Lee et al., "Deduplicating Training Data Makes Language Models
+  // Better" (ACL 2022) drop any >= k-token sequence that appears verbatim
+  // in MORE THAN ONE document. Their implementation is a corpus-wide
+  // suffix array; the distributed re-expression is sorted k-gram ANCHOR
+  // groups: every k-token window hashes to an anchor, anchors appearing
+  // in >= 2 distinct documents are repeated, and a run of CONSECUTIVE
+  // repeated anchors in one document IS a maximal repeated substring of
+  // length run + k - 1 (every k-window of a repeated span is repeated;
+  // conversely consecutive repeated windows chain into a span). So the
+  // suffix array's "longest repeat" falls out of a gaps-and-islands pass
+  // over anchor positions — never an all-pairs comparison and never a
+  // global sort: the only shuffles are the anchor-keyed groupBy (16-byte
+  // digests + ids) and the per-document window.
+  //
+  // x117/x226 are the CROSS-corpus (train-vs-benchmark) relatives; this
+  // is the WITHIN-corpus form that catches boilerplate, mirrored articles
+  // and template spam.
+
+  /** Window length: Lee et al.'s 50-token threshold scaled to the
+    * fixture's short synthetic docs; the anchor mechanics are
+    * length-independent. */
+  val SubstrGramK = 8
+
+  /** Drop threshold on the longest cross-document repeated span. */
+  val SubstrDropSpan = 30L
+
+  /** Planting rate and passage for [[withPlantedRepeats]]. */
+  val SubstrPlantRate = 0.05
+  /** A 40-token passage no synthetic doc contains naturally — planted
+    * verbatim into the [[SubstrPlantRate]] slice, it gives every SF a
+    * known population of long cross-document repeats (the withLicense
+    * fixture-derivation idiom). Deterministically generated, embedded
+    * into the oracle SQL as the same literal. */
+  val RepeatPassage: String =
+    (1 to 40).map(i => "verbatim" + i).mkString(" ")
+
+  /** Deterministic repeat planter (query-layer enrichment, the
+    * withLicense/withPii separation): an md5 draw per doc appends the
+    * shared [[RepeatPassage]], giving the detector guaranteed long
+    * cross-doc repeats at any SF alongside whatever the corpus repeats
+    * naturally. */
+  def withPlantedRepeats(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(Curate.uniformHash(col("doc_id"), "substr") < lit(SubstrPlantRate),
+        concat(col("text"), lit(" " + RepeatPassage))).otherwise(col("text")))
+
+  /** Per-document exact-substring dedup report: of a document's
+    * `n_grams` k-token windows, `n_repeat_grams` appear verbatim in at
+    * least one OTHER document; `max_repeat_span` is the longest
+    * contiguous token region whose EVERY k-window appears verbatim
+    * elsewhere (islands of consecutive repeated anchors, + k − 1 —
+    * exactly the union-of-flagged-windows removal unit Lee et al.
+    * excise; adjacent windows may match different partner documents,
+    * which the policy treats identically); `drop_doc` applies the
+    * [[SubstrDropSpan]] policy. Every input document gets a row — docs
+    * shorter than k tokens report zero grams (they cannot contain a
+    * ≥ k-token repeat).
+    *
+    * Scale shape: anchor hashing is per-row HOF work; the repeated-anchor
+    * set comes from ONE digest-keyed groupBy over distinct (anchor, doc)
+    * pairs; flagged positions join back equi on the digest; the island
+    * window partitions by doc_id (never global). Shuffles carry md5
+    * digests and 8-byte ids only — text never moves. */
+  def substringDedupReport(docs: DataFrame, k: Int = SubstrGramK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"anchor must span at least 2 tokens, got $k")
+    val toks = TextOps.tokens(col("text"))
+    val base = graft.ops.Caching.cacheOnce(docs.select(col("doc_id"),
+      greatest(size(toks) - lit(k - 1), lit(0)).cast("long").as("n_grams"),
+      when(size(toks) >= k,
+        transform(sequence(lit(1), size(toks) - lit(k - 1)),
+          i => md5(concat_ws(" ", slice(toks, i, lit(k))))))
+        .otherwise(array().cast("array<string>")).as("_gh")))
+    val grams = base.select(col("doc_id"),
+      posexplode(col("_gh")).as(Seq("_p", "g")))
+      .select(col("doc_id"), (col("_p") + 1).cast("long").as("pos"), col("g"))
+    // anchors in >= 2 distinct docs: distinct (g, doc) first so a
+    // WITHIN-doc repeat alone never flags
+    val crossDoc = grams.select("g", "doc_id").distinct()
+      .groupBy("g").agg(count(lit(1)).as("_nd"))
+      .where(col("_nd") >= 2).select("g")
+    val flagged = graft.ops.Caching.cacheOnce(
+      grams.join(crossDoc, "g").select("doc_id", "pos"))
+    val perDoc = flagged
+      .withColumn("_grp", col("pos") -
+        row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "_grp").agg(count(lit(1)).as("_run"))
+      .groupBy("doc_id")
+      .agg(sum(col("_run")).as("n_repeat_grams"),
+        (max(col("_run")) + lit(k - 1).cast("long")).as("max_repeat_span"))
+    base.select("doc_id", "n_grams")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_repeat_grams"), lit(0L)).as("n_repeat_grams"),
+        when(col("n_grams") > 0,
+          coalesce(col("n_repeat_grams"), lit(0L)).cast("double")
+            / col("n_grams").cast("double")).as("repeat_frac"),
+        coalesce(col("max_repeat_span"), lit(0L)).as("max_repeat_span"),
+        (coalesce(col("max_repeat_span"), lit(0L)) >= lit(SubstrDropSpan))
+          .as("drop_doc"))
+  }
 }

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+import graft.ext.Multimodal
+import graft.ext.Multimodal.MediaRow
+
+/** Ingestion-time MEDIA decontamination — the visual/audio columns of the
+  * decon matrix moved to the stream boundary (r11, VERDICT item 6: the
+  * text/secret/PII gates had streaming twins; the r10 media batch ops did
+  * not). The cheapest point to stop benchmark leakage is before storage:
+  * an arriving image/clip that perceptually matches an eval asset is
+  * flagged (and droppable) before it ever lands in the training corpus.
+  *
+  * Shape: the eval side is dim-sized by definition, so its 64-bit
+  * perceptual hashes pack into ONE broadcast row and every arriving asset
+  * takes one decode + hash ([[Multimodal.phashImages]]/
+  * [[Multimodal.ahashAudio]] — stateless `mapPartitions`) plus one
+  * filter-HOF pass over the packed hashes ([[Multimodal.visualDeconRow]]).
+  * No state store, no watermark, no `distinct` — pure per-row work, so
+  * stream verdicts ≡ batch verdicts bit-for-bit (spec-pinned against the
+  * banded batch operators, whose pigeonhole guarantee is exact at the
+  * requested radius). Payload bytes never shuffle: only (id, 64-bit hash,
+  * hamming) rows leave the scan.
+  */
+object MediaStream {
+
+  /** Visual gate: every arriving image flagged against the broadcast eval
+    * pHash set. Returns the flagged (train_doc, eval_doc, hamming) rows;
+    * dropping flagged assets is the caller's one anti-join (or `isEmpty`
+    * check per asset in a `foreachBatch` sink). */
+  def visualDeconIngest(stream: Dataset[MediaRow], ev: Dataset[MediaRow],
+      maxHamming: Int = 3): DataFrame =
+    Multimodal.visualDeconRow(stream, ev, maxHamming)
+
+  /** Audio gate: [[visualDeconIngest]] over the envelope-delta
+    * fingerprint — a volume-scaled or resampled copy of an eval clip
+    * still flags. */
+  def audioDeconIngest(stream: Dataset[MediaRow], ev: Dataset[MediaRow],
+      maxHamming: Int = 3): DataFrame =
+    Multimodal.audioDeconRow(stream, ev, maxHamming)
+}

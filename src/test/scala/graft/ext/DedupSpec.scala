@@ -13,6 +13,59 @@ class DedupSpec extends SparkTestBase {
     (3L, "completely different words about spark catalyst optimizer plans and shuffles here")
   ).toDF("doc_id", "text")
 
+  test("substringDedupReport: cross-doc spans measure exactly; within-doc repeats alone never flag (x244)") {
+    // doc 1 (20 tokens) is copied verbatim into doc 2's tail; doc 3 is
+    // unique; doc 4 is ONE 8-gram repeated 9 times WITHIN itself — the
+    // distinct-(anchor, doc) guard must keep it clean; docs 5/6 share a
+    // 35-token block, crossing the 30-token drop policy
+    val t20 = ('a' to 't').map(c => s"w$c").mkString(" ")
+    val block35 = (1 to 35).map(i => s"b$i").mkString(" ")
+    val d = Seq(
+      (1L, t20),
+      (2L, "z1 z2 z3 z4 z5 z6 " + t20),
+      (3L, (1 to 19).map(i => s"u$i").mkString(" ")),
+      (4L, Seq.fill(16)("r").mkString(" ")),
+      (5L, block35 + " tailfive"),
+      (6L, "headsix " + block35)
+    ).toDF("doc_id", "text")
+    val r = Dedup.substringDedupReport(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // doc 1: 13 grams, all inside doc 2 → one island, span 13 + 7 = 20
+    assert(r(1L).getLong(1) === 13L && r(1L).getLong(2) === 13L)
+    assert(r(1L).getLong(4) === 20L && !r(1L).getBoolean(5))
+    assert(r(1L).getDouble(3) === 1.0)
+    // doc 2: 19 grams; only the 13 fully inside the copied block flag
+    assert(r(2L).getLong(1) === 19L && r(2L).getLong(2) === 13L)
+    assert(r(2L).getLong(4) === 20L)
+    // doc 3: unique → all zeros
+    assert(r(3L).getLong(2) === 0L && r(3L).getLong(4) === 0L && !r(3L).getBoolean(5))
+    // doc 4: the same anchor 9 times in ONE doc — never cross-doc
+    assert(r(4L).getLong(1) === 9L && r(4L).getLong(2) === 0L)
+    // docs 5/6: shared 35-token block → span 35 ≥ SubstrDropSpan → drop
+    assert(r(5L).getLong(4) === 35L && r(5L).getBoolean(5))
+    assert(r(6L).getLong(4) === 35L && r(6L).getBoolean(5))
+    // a doc shorter than k has no grams and cannot flag
+    val short = Dedup.substringDedupReport(
+      Seq((9L, "one two three")).toDF("doc_id", "text")).head()
+    assert(short.getLong(1) === 0L && short.getLong(2) === 0L && !short.getBoolean(5))
+    assert(short.isNullAt(3), "repeat_frac undefined at zero grams")
+  }
+
+  test("substringDedupReport over the fixture: every planted doc drops, some docs stay clean (x244)") {
+    val base = graft.sources.Tables.documents(spark, sfDir)
+    val rep = Dedup.substringDedupReport(Dedup.withPlantedRepeats(base))
+    val planted = base.where(
+      Curate.uniformHash(col("doc_id"), "substr") < lit(Dedup.SubstrPlantRate))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(planted.size >= 2, "fixture must plant at least two repeat carriers")
+    val dropped = rep.where(col("drop_doc")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(planted.subsetOf(dropped),
+      "every planted passage carrier must cross the drop threshold")
+    assert(rep.where(col("n_repeat_grams") === 0L).count() > 0,
+      "the detector must not flag the whole corpus")
+  }
+
   test("clusterSizeHistogram: hand-built clusters yield exact size rows; shares partition (x223)") {
     val df = Seq(
       (1L, "aaa"), (2L, "aaa"), (3L, "aaa"),

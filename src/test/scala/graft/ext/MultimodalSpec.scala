@@ -159,25 +159,8 @@ class MultimodalSpec extends SparkTestBase {
     * additive (no clamping nonlinearity) and touches only the DC term.
     */
   private def structuredImage(format: String, w: Int, h: Int, brightness: Int = 0,
-                              variant: Int = 0): Array[Byte] = {
-    val rnd = new scala.util.Random(42 + variant)
-    val amps = for (v <- 0 until 8; u <- 0 until 8 if u + v > 0)
-      yield (u, v, (rnd.nextDouble() * 2 - 1) / (1.0 + u + v))
-    val f = Array.tabulate(h, w) { (y, x) =>
-      amps.map { case (u, v, a) =>
-        a * math.cos(math.Pi * u * (x + 0.5) / w) * math.cos(math.Pi * v * (y + 0.5) / h)
-      }.sum
-    }
-    val lo = f.flatten.min; val hi = f.flatten.max
-    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until h; x <- 0 until w) {
-      val p = 10 + brightness + ((f(y)(x) - lo) / (hi - lo) * 205.0).round.toInt
-      img.setRGB(x, y, (p << 16) | (p << 8) | p)
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    assert(javax.imageio.ImageIO.write(img, format, bos))
-    bos.toByteArray
-  }
+                              variant: Int = 0): Array[Byte] =
+    MediaFixtures.structuredImage(format, w, h, brightness, variant)
 
   private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
@@ -221,26 +204,8 @@ class MultimodalSpec extends SparkTestBase {
     * a distinctive energy envelope for the audio fingerprint tests.
     */
   private def wavEnvBytes(rate: Int, seconds: Double, amp: Double,
-      modHz: Double): Array[Byte] = {
-    val n = (rate * seconds).toInt
-    val dataLen = n * 2
-    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.putInt(0x46464952); bb.putInt(36 + dataLen); bb.putInt(0x45564157)
-    bb.putInt(0x20746d66); bb.putInt(16)
-    bb.putShort(1); bb.putShort(1); bb.putInt(rate)
-    bb.putInt(rate * 2); bb.putShort(2); bb.putShort(16)
-    bb.putInt(0x61746164); bb.putInt(dataLen)
-    var i = 0
-    while (i < n) {
-      val t = i.toDouble / rate
-      val s = (amp * math.abs(math.sin(2 * math.Pi * modHz * t)) *
-        math.sin(2 * math.Pi * 440.0 * t) * 32767).toShort
-      bb.putShort(s)
-      i += 1
-    }
-    bb.array()
-  }
+      modHz: Double): Array[Byte] =
+    MediaFixtures.wavEnvBytes(rate, seconds, amp, modHz)
 
   test("ahash64: volume- and resample-invariant, far for a different envelope") {
     val base = Multimodal.ahash64Of(

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.ext.{MediaFixtures, Multimodal}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming media-decontamination gates (r11, VERDICT item 6): the
+  * visual/audio decon batch operators run at the stream boundary, and the
+  * stream verdicts must equal the banded batch operators bit-for-bit on
+  * the same planted re-encode/rescale/volume-scale twins MultimodalSpec
+  * pins — same fixtures (MediaFixtures), same flag sets. */
+class MediaStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def img(variant: Int, w: Int = 64, fmt: String = "png"): Array[Byte] =
+    MediaFixtures.structuredImage(fmt, w, w, variant = variant)
+
+  private def drainPairs(df: org.apache.spark.sql.DataFrame,
+      name: String): Set[(Long, Long, Long)] = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+    spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("visualDeconIngest: stream flags equal the banded batch gate on planted re-encode/rescale twins") {
+    implicit val sqlCtx = spark.sqlContext
+    // train: a JPEG re-encode (1) and a rescale (2) of eval image 100, a
+    // fresh structure (3), a corrupt payload (4 — must drop silently)
+    val train = Seq(
+      Multimodal.MediaRow(1L, "image/jpeg", img(0, fmt = "jpg")),
+      Multimodal.MediaRow(2L, "image/png", img(0, w = 96)),
+      Multimodal.MediaRow(3L, "image/png", img(7)),
+      Multimodal.MediaRow(4L, "image/corrupt", Array[Byte](1, 2))
+    )
+    val ev = Seq(Multimodal.MediaRow(100L, "image/png", img(0))).toDS()
+    val batch = pairsOf(Multimodal.visualDecon(train.toDS(), ev, maxHamming = 4))
+    assert(batch.map(_._1) === Set(1L, 2L),
+      "the planted twins must flag in batch; fresh structure and corrupt payloads survive")
+    val in = MemoryStream[Multimodal.MediaRow]
+    val (b1, b2) = train.splitAt(2)
+    in.addData(b1); in.addData(b2)
+    val streamed = drainPairs(
+      MediaStream.visualDeconIngest(in.toDS(), ev, maxHamming = 4), "vdecon_stream")
+    assert(streamed === batch, "stream flags must equal the banded batch gate bit-for-bit")
+  }
+
+  test("audioDeconIngest: stream flags equal the banded batch gate on volume/resample twins") {
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq(
+      Multimodal.MediaRow(1L, "audio/wav", MediaFixtures.wavEnvBytes(8000, 0.5, 0.4, 3.0)),
+      Multimodal.MediaRow(2L, "audio/wav", MediaFixtures.wavEnvBytes(16000, 0.5, 0.7, 3.0)),
+      Multimodal.MediaRow(3L, "audio/wav", MediaFixtures.wavEnvBytes(8000, 0.5, 0.9, 7.0)),
+      Multimodal.MediaRow(4L, "audio/corrupt", Array[Byte](9))
+    )
+    val ev = Seq(
+      Multimodal.MediaRow(200L, "audio/wav", MediaFixtures.wavEnvBytes(8000, 0.5, 0.9, 3.0))).toDS()
+    val batch = pairsOf(Multimodal.audioDecon(train.toDS(), ev, maxHamming = 3))
+    assert(batch.map(_._1) === Set(1L, 2L),
+      "volume-scaled and resampled twins must flag; a different envelope survives")
+    val in = MemoryStream[Multimodal.MediaRow]
+    in.addData(train.take(2)); in.addData(train.drop(2))
+    val streamed = drainPairs(
+      MediaStream.audioDeconIngest(in.toDS(), ev, maxHamming = 3), "adecon_stream")
+    assert(streamed === batch, "stream flags must equal the banded batch gate bit-for-bit")
+  }
+
+  test("per-row decon ≡ banded decon over the fixture-derived media corpus (row-form soundness)") {
+    // the stream twin's whole premise: at the guaranteed radius the
+    // packed-fold row form and the pigeonhole-banded join form flag the
+    // SAME pairs — checked across a broader population than the planted
+    // twins (fixture-derived payload media split into train/eval halves)
+    val media = Multimodal.mediaFromDocuments(
+      graft.sources.Tables.documents(spark, sfDir).limit(120))
+    val train = media.where(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+      .as[Multimodal.MediaRow]
+    val ev = media.where(org.apache.spark.sql.functions.col("doc_id") % 2 =!= 0)
+      .as[Multimodal.MediaRow]
+    // payload "images" here are synthetic bytes, most fail decode — which
+    // is the point: ok-filtering must agree too. Audio hashes over the
+    // same bytes exercise the envelope path.
+    val b = pairsOf(Multimodal.audioDecon(train, ev, maxHamming = 3))
+    val r = pairsOf(Multimodal.audioDeconRow(train, ev, maxHamming = 3))
+    assert(r === b, "row-form and banded-form flag sets must be identical")
+  }
+}
