@@ -293,6 +293,14 @@ private[graft] object AnnQueries {
         Seq((8, 16), (16, 16), (64, 256)))
     }),
 
+    // OPQ learned-rotation PQ (r11, VERDICT item 3): signed Walsh-Hadamard
+    // rotation (exact ±1/8 entries) + variance-snake dimension allocation
+    // ahead of the 4 B/vec PQ chain — three legs (raw / rotated /
+    // rotated+allocated) against the raw brute truth, so the table reads
+    // as what each OPQ ingredient buys at equal bytes.,
+    "x245_opq_recall" -> ((s, dir) =>
+      Similarity.opqRecallReport(Tables.embeddings(s, dir))),
+
     // The single query a user actually runs for corpus dedup: LSH candidate
     // pairs -> connected components (the large/small-star scale form) ->
     // drop non-canonical members -> per-(lang, source) surviving stats.,
@@ -818,6 +826,53 @@ private[graft] object AnnQueries {
     "x40_ann_ivf_kmeans" ->
       (s"SELECT CAST((SELECT count(*) FROM ($annBruteSql)) AS BIGINT) AS n_truth, " +
         "TRUE AS recall_ok"),
+
+    // x245: the rotation as ONE nested ±0.125 literal matrix (engine and
+    // oracle share graft.ext.Similarity.opqMatrix verbatim), the x177
+    // variance folds over the ROTATED corpus, the snake allocation as a
+    // single row_number + computed (grp, block) sort, then three pqChainSql
+    // instantiations differing only in `src`.,
+    "x245_opq_recall" -> {
+      val m = Similarity.OpqM
+      val kc = Similarity.PqK
+      val d = Similarity.PqDims
+      val w = Similarity.opqMatrix.map(_.map(_.toString)
+        .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      val chains = Seq(("za", "embeddings"), ("zr", "orot"), ("zp", "opm"))
+        .map { case (p, src) =>
+          pqChainSql(p, m, kc, Similarity.PqIters, 10, src = src)
+        }.mkString(", ")
+      val legs = Seq((s"pq_m${m}_k$kc", "za"), (s"opq_rot_m${m}_k$kc", "zr"),
+          (s"opq_alloc_m${m}_k$kc", "zp")).map { case (nm, p) =>
+        s"SELECT '$nm' AS method, 4.0 AS bytes_per_vec, " +
+          "CAST((SELECT count(*) FROM tru) AS BIGINT) AS n_truth, " +
+          s"CAST((SELECT count(*) FROM ${p}tk) AS BIGINT) AS n_approx, " +
+          s"CAST((SELECT count(*) FROM tru JOIN ${p}tk USING (q_id, vec_id)) AS BIGINT) AS n_common, " +
+          s"CAST((SELECT count(*) FROM tru JOIN ${p}tk USING (q_id, vec_id)) AS DOUBLE) " +
+          "/ (SELECT count(*) FROM tru) AS recall"
+      }.mkString(" UNION ALL ")
+      s"WITH tru AS (SELECT q_id, vec_id FROM ($annBruteSql)), " +
+        "oe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        s"ow AS (SELECT $w AS w), " +
+        s"orot AS MATERIALIZED (SELECT vec_id, list_transform(range(1, ${d + 1}), " +
+        s"i -> list_aggregate(list_transform(range(1, ${d + 1}), j -> oe.emb[j] * ow.w[i][j]), 'sum')) " +
+        "AS embedding FROM oe, ow), " +
+        "ofb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM orot), " +
+        "odx AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d, " +
+        "unnest(embedding) AS v FROM orot), " +
+        "os1 AS (SELECT d, vec_id % (SELECT b FROM ofb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
+        "list_aggregate(list_sort(list(v)), 'sum') AS s, " +
+        "list_aggregate(list_sort(list(v*v)), 'sum') AS s2 FROM odx GROUP BY 1, 2), " +
+        "ovr AS (SELECT d, list_aggregate(list(s2 ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) " +
+        "- (list_aggregate(list(s ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE)) " +
+        "* (list_aggregate(list(s ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE)) AS var_d FROM os1 GROUP BY 1), " +
+        "ork AS (SELECT d, row_number() OVER (ORDER BY var_d DESC, d) - 1 AS rr FROM ovr), " +
+        s"oord AS (SELECT list(d + 1 ORDER BY " +
+        s"(CASE WHEN (rr // $m) % 2 = 0 THEN rr % $m ELSE $m - 1 - (rr % $m) END), rr // $m) AS ord FROM ork), " +
+        "opm AS MATERIALIZED (SELECT vec_id, " +
+        s"list_transform((SELECT ord FROM oord), p -> embedding[CAST(p AS INTEGER)]) AS embedding FROM orot), " +
+        chains + " " + legs
+    },
 
     // Full replay of train -> encode -> ADC per config (deterministic
     // sorted-fold centroid means make the whole chain oracle-exact —

@@ -1800,6 +1800,156 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  // ---------------- OPQ: learned-rotation PQ (x245, r11) ----------------
+  //
+  // VERDICT r10 item 3. Optimized Product Quantization (Ge, He, Ke, Sun,
+  // CVPR 2013) inserts an orthogonal transform R before PQ so the M
+  // subspaces share the corpus's variance evenly — the standard fix when
+  // plain PQ's subspaces are unbalanced (their §4 "parametric" solution:
+  // PCA rotation + eigenvalue allocation). A full PCA basis is iterative
+  // float state no SQL oracle can replay bit-exactly at D = 64, so this
+  // engine uses the other published decomposition of the same idea:
+  //
+  //  1. a FIXED structured orthogonal rotation — the signed Walsh–
+  //     Hadamard transform R = H·diag(±1)/√D (H_{ij} = (−1)^popcount(i&j),
+  //     Sylvester's construction; the random-sign H·D rotation of the
+  //     fast-JL / hyperplane-rounding literature) that spreads any
+  //     dominant direction across all coordinates; every entry is ±1/8
+  //     EXACTLY, so both engines compute identical doubles;
+  //  2. a LEARNED dimension allocation — per-dim variance of the rotated
+  //     corpus (the x177 two-level fold, bit-exact), then a snake
+  //     (boustrophedon) assignment of variance-ranked dims into the M
+  //     subspaces: closed-form, so the oracle replays it with one
+  //     row_number, where Ge et al.'s greedy eigenvalue allocation would
+  //     need a sequential fold. Balanced by construction (D/M dims AND
+  //     near-equal variance mass per subspace).
+  //
+  // Dots are invariant under R up to roundoff, so the brute-force truth
+  // stays the RAW corpus's and the report reads as "does rebalancing buy
+  // recall at the same 4 B/vec". Honest expectation, pinned by x177: this
+  // fixture is near-isotropic (top_dim_var_share ≈ 1/D), so variance is
+  // already balanced and OPQ ≈ PQ here — the operator exists for the
+  // corpora where it isn't (PCA'd or whitened embedding dumps, where
+  // variance concentrates and plain PQ collapses); the x161-residual
+  // precedent: measure, document, keep both verbs.
+
+  /** The x245 config — the 4 B/vec rung (M=8, K=16), x146's weakest. */
+  val OpqM = 8
+
+  /** The signed Walsh–Hadamard rotation matrix, row-major: R[i][j] =
+    * sign_j · (−1)^popcount(i&j) / 8. Signs are an md5-parity draw per
+    * COLUMN (the [[graft.ProbeData.replicateEmb]] idiom); every entry is
+    * ±0.125 exactly, so the matrix round-trips through the oracle's
+    * decimal literals bit-for-bit. Orthogonal: H·Hᵀ = 64·I and diag(±1)
+    * preserves it. */
+  private[ext] lazy val opqMatrix: IndexedSeq[IndexedSeq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val signs = (0 until PqDims).map { j =>
+      val h = md.digest(s"opq:$j".getBytes("UTF-8"))
+      if ((h(0) & 1) == 1) 0.125 else -0.125
+    }
+    (0 until PqDims).map { i =>
+      (0 until PqDims).map { j =>
+        if (java.lang.Integer.bitCount(i & j) % 2 == 0) signs(j) else -signs(j)
+      }
+    }
+  }
+
+  /** Rotate every embedding by [[opqMatrix]]: one per-row HOF pass, D
+    * in-order dot folds per vector against the broadcast literal matrix —
+    * zero shuffle, scan speed. Output column is `embedding`
+    * (array<double>) so every PQ verb composes unchanged. */
+  def opqRotate(emb: DataFrame): DataFrame = {
+    val m = typedLit(opqMatrix.map(_.toSeq).toSeq)
+    emb.select(col("vec_id"),
+      transform(sequence(lit(0), lit(PqDims - 1)), i =>
+        aggregate(zip_with(col("embedding").cast("array<double>"),
+          element_at(m, (i + lit(1)).cast("int")), (x, w) => x * w),
+          lit(0.0), (a, x) => a + x)).as("embedding"))
+  }
+
+  /** The learned half: per-dim variance of the rotated corpus (two-level
+    * √n folds — bit-exact, so the driver-side sort reproduces the
+    * oracle's row_number ordering), snake-assigned into `m` groups.
+    * Returns the 1-BASED source index for each output position — output
+    * positions g·(D/M)..g·(D/M)+D/M−1 hold subspace g's dims, ordered by
+    * assignment round within the group. D doubles collect to the driver
+    * (model state, the kmeansCentroids budget). */
+  def opqDimOrder(rot: DataFrame, m: Int = OpqM): Seq[Int] = {
+    import graft.functions.Stable.{sortedFold, bucketFold, sqrtBuckets}
+    require(PqDims % m == 0)
+    val e = graft.ops.Caching.cacheOnce(rot)
+    val n = e.count()
+    require(n > 0, "OPQ allocation over an empty corpus is undefined")
+    val fb = sqrtBuckets(n)
+    val vars: Array[Double] = e
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy(col("d"), pmod(col("vec_id"), lit(fb.toLong)).as("_bkt"))
+      .agg(count(lit(1)).as("_n"), sortedFold(col("v")).as("_s"),
+        sortedFold(col("v") * col("v")).as("_s2"))
+      .groupBy("d")
+      .agg(((bucketFold(col("_bkt"), col("_s2")) / sum(col("_n")).cast("double"))
+        - (bucketFold(col("_bkt"), col("_s")) / sum(col("_n")).cast("double"))
+          * (bucketFold(col("_bkt"), col("_s")) / sum(col("_n")).cast("double")))
+        .as("var_d"))
+      .orderBy("d").collect().map(_.getDouble(1))
+    val ranked = vars.zipWithIndex.sortBy { case (vd, d) => (-vd, d) }
+    ranked.zipWithIndex.map { case ((_, d), rr) =>
+      val block = rr / m
+      val pos = rr % m
+      val grp = if (block % 2 == 0) pos else m - 1 - pos
+      (grp, block, d + 1)
+    }.sortBy(t => (t._1, t._2)).map(_._3).toIndexedSeq
+  }
+
+  /** Apply an [[opqDimOrder]] permutation: `embedding[out_i] =
+    * embedding[order(i)]` — per-row array gather, zero shuffle. */
+  def opqPermute(rot: DataFrame, order: Seq[Int]): DataFrame = {
+    require(order.length == PqDims && order.toSet == (1 to PqDims).toSet,
+      "order must be a permutation of 1..PqDims")
+    val o = typedLit(order)
+    rot.select(col("vec_id"),
+      transform(sequence(lit(0), lit(PqDims - 1)), i =>
+        element_at(col("embedding"),
+          element_at(o, (i + lit(1)).cast("int")))).as("embedding"))
+  }
+
+  /** The x245 report: plain PQ vs rotation-only vs rotation+allocation,
+    * all at the same bytes/vec (M=[[OpqM]], K=[[PqK]]), against the raw
+    * brute-force truth for the 5 fixture queries — x146's report shape
+    * with the transform as the varied axis, so the table reads as "what
+    * does each OPQ ingredient buy at 4 B/vec". Queries are the
+    * `vec_id < 5` slice transformed alongside the corpus (a query must be
+    * encoded in the index's own space). */
+  def opqRecallReport(emb: DataFrame, k: Int = 10, m: Int = OpqM,
+      kc: Int = PqK): DataFrame = {
+    require(Integer.bitCount(kc) == 1, s"codebook size $kc must be a power of two")
+    val bytesPerVec = m * Integer.numberOfTrailingZeros(kc) / 8.0
+    val e = graft.ops.Caching.cacheOnce(emb)
+    val queries = e.where(col("vec_id") < 5)
+    val truth = graft.ops.Caching.cacheOnce(
+      bruteForceTopK(queries, e, k).select("q_id", "vec_id"))
+    val rot = graft.ops.Caching.cacheOnce(opqRotate(e))
+    val perm = graft.ops.Caching.cacheOnce(opqPermute(rot, opqDimOrder(rot, m)))
+    def leg(nm: String, corpus: DataFrame): DataFrame = {
+      val approx = pqTopK(corpus.where(col("vec_id") < 5), corpus, k, m, kc)
+        .select("q_id", "vec_id")
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      val nA = approx.agg(count(lit(1)).as("n_approx"))
+      val nC = truth.join(approx, Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).as("n_common"))
+      nT.crossJoin(broadcast(nA)).crossJoin(broadcast(nC))
+        .select(lit(nm).as("method"),
+          lit(bytesPerVec).as("bytes_per_vec"),
+          col("n_truth"), col("n_approx"), col("n_common"),
+          (col("n_common").cast("double") / col("n_truth").cast("double"))
+            .as("recall"))
+    }
+    leg(s"pq_m${m}_k$kc", e)
+      .unionByName(leg(s"opq_rot_m${m}_k$kc", rot))
+      .unionByName(leg(s"opq_alloc_m${m}_k$kc", perm))
+  }
+
   /** Hamming-shortlist depth multiplier for [[binaryRecallReport]]'s
     * rerank leg: the exact-cosine rerank reads 4·k candidates. Embedded
     * in the oracle. */

@@ -86,6 +86,7 @@ class PlanAuditSpec extends SparkTestBase {
     "x211_retrieval_eval_ivfpq_stored" -> "x153's IVFADC leg alone (r10 split): x152's packed centroid/codebook 1-row crossJoins + x145's 1-row eval folds and broadcast query/relevance stream",
     "x212_retrieval_eval_rrf_stored" -> "x153's RRF fusion alone (r10 split): both stored legs' 1-row crossJoins + x145's 1-row eval folds and broadcast query/relevance stream",
     "x154_ann_ivfpq_recall" -> "crossJoin of three single-row count aggregates per method (recall-report constants, x69's shape) + x152's packed centroid/codebook 1-row crossJoins and the x06-shaped brute-force truth leg",
+    "x245_opq_recall" -> "x146's shape per leg: single-row count-aggregate crossJoins + the ONE-ROW packed flat codebook folds and the x06-shaped brute-force truth leg; the rotation/permutation are per-row HOF scans",
     "x156_dsir_resample" -> "x84's 1-row token-total crossJoin + ONE broadcast max-weight row (the acceptance normalizer, constant)",
     "x158_curation_refresh" -> "embeds x156's gates: x84's 1-row token-total crossJoin + the 1-row max-weight broadcast (constants)",
     "x159_influence_by_source" -> "x151's 1-row weight + 1-row mean-held-out-gradient broadcasts (constant model state)",

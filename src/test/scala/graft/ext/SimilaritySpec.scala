@@ -959,6 +959,67 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("OPQ rotation is exactly orthogonal; permutation preserves norms (x245)") {
+    // entries are ±1/8 and row dots are sums of ±1/64 — all powers of two,
+    // so orthogonality holds EXACTLY in doubles, not just approximately
+    val m = Similarity.opqMatrix
+    for (i <- m.indices; j <- m.indices) {
+      val dot = (0 until 64).map(t => m(i)(t) * m(j)(t)).sum
+      assert(dot === (if (i == j) 1.0 else 0.0), s"row $i · row $j = $dot")
+    }
+    val emb = graft.sources.Tables.embeddings(spark, sfDir).limit(50)
+    val rot = Similarity.opqRotate(emb)
+    def norms(df: org.apache.spark.sql.DataFrame) = df.select(col("vec_id"),
+      aggregate(col("embedding").cast("array<double>"), lit(0.0),
+        (a, x) => a + x * x).as("n2")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val nRaw = norms(emb)
+    val nRot = norms(rot)
+    nRaw.foreach { case (id, n2) =>
+      assert(math.abs(nRot(id) - n2) < 1e-9, s"rotation must preserve norms at $id")
+    }
+    val order = Similarity.opqDimOrder(rot)
+    assert(order.sorted === (1 to 64), "dim order must be a permutation")
+    // a gather can't change VALUES — the sorted element multiset is
+    // bit-identical per row (norms only match to an ulp: the fold order
+    // changes with the permutation)
+    def elems(df: org.apache.spark.sql.DataFrame) = df.select(col("vec_id"),
+      array_sort(col("embedding").cast("array<double>")).as("e")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val eRot = elems(rot)
+    val ePerm = elems(Similarity.opqPermute(rot, order))
+    eRot.foreach { case (id, e) =>
+      assert(ePerm(id) === e, s"permutation must preserve the element multiset at $id")
+    }
+  }
+
+  test("OPQ beats plain PQ where variance concentrates; ties it on the isotropic fixture (x245)") {
+    import spark.implicits._
+    // anisotropic corpus — the PCA'd-embedding shape OPQ exists for: dim
+    // j's scale decays as 1/(1+j/4), so natural-order PQ burns half its
+    // subspaces on near-constant dims while subspace 0 under-quantizes.
+    // The signed-Hadamard rotation spreads the variance evenly; recall at
+    // the same 4 B/vec must rise.
+    val rnd = new scala.util.Random(7)
+    val aniso = (0L until 400L).map { id =>
+      (id, (0 until 64).map(j =>
+        (rnd.nextGaussian() / (1.0 + j / 4.0)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.opqRecallReport(aniso).collect()
+      .map(x => x.getString(0) -> x.getDouble(5)).toMap
+    assert(r(s"opq_rot_m8_k16") > r(s"pq_m8_k16"),
+      s"rotation must lift recall on anisotropic data: $r")
+    // the fixture is near-isotropic (x177) — all three legs must land in
+    // one band (the honest x161-style read-off, pinned so a regression in
+    // any leg's chain shows)
+    val fx = Similarity.opqRecallReport(
+      graft.sources.Tables.embeddings(spark, sfDir)).collect()
+      .map(x => x.getString(0) -> x.getDouble(5)).toMap
+    assert(fx.values.forall(v => v >= 0.0 && v <= 1.0) && fx.size === 3)
+    assert(math.abs(fx(s"opq_alloc_m8_k16") - fx(s"pq_m8_k16")) < 0.25,
+      s"isotropic fixture: OPQ and PQ must sit in one recall band, got $fx")
+  }
+
   test("matryoshka: full-dim anchor recalls 1.0; truncation flips a rank the renormalized cosine must see") {
     // q = e1, so full cos = v[0] (unit vectors). vB wins at full dim
     // (0.7 > 0.6) but its mass sits in dim 2, so the renormalized
