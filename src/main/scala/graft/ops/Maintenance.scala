@@ -10,6 +10,14 @@ import org.apache.spark.sql.functions.col
   * deltas accumulates thousands of KB-scale files per partition, and scan
   * throughput collapses under per-file open/footer overhead long before
   * data volume is the bottleneck.
+  *
+  * Index-SPECIFIC maintenance verbs live with their families (they need
+  * the family's assignment/encode kernels): the occupancy-triggered IVF
+  * rebuilds are `graft.ext.Similarity.rebuildIvfIndex` /
+  * `rebuildIvfPqIndex` (r11 — journaled two-phase swaps, the
+  * `recoverSwap` discipline below generalized with a COMMIT marker),
+  * graph compaction is `Similarity.compactGraphIndex`, BM25 compaction
+  * `graft.ext.Search.compactBm25Index`.
   */
 object Maintenance {
 
