@@ -962,25 +962,41 @@ object Dedup {
     * window partitions by doc_id (never global). Shuffles carry md5
     * digests and 8-byte ids only — text never moves. */
   def substringDedupReport(docs: DataFrame, k: Int = SubstrGramK): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(k >= 2, s"anchor must span at least 2 tokens, got $k")
-    val toks = TextOps.tokens(col("text"))
-    val base = graft.ops.Caching.cacheOnce(docs.select(col("doc_id"),
-      greatest(size(toks) - lit(k - 1), lit(0)).cast("long").as("n_grams"),
-      when(size(toks) >= k,
-        transform(sequence(lit(1), size(toks) - lit(k - 1)),
-          i => md5(concat_ws(" ", slice(toks, i, lit(k))))))
-        .otherwise(array().cast("array<string>")).as("_gh")))
-    val grams = base.select(col("doc_id"),
-      posexplode(col("_gh")).as(Seq("_p", "g")))
-      .select(col("doc_id"), (col("_p") + 1).cast("long").as("pos"), col("g"))
+    val base = graft.ops.Caching.cacheOnce(substrGramBase(docs, k))
+    val grams = substrGrams(base)
     // anchors in >= 2 distinct docs: distinct (g, doc) first so a
     // WITHIN-doc repeat alone never flags
     val crossDoc = grams.select("g", "doc_id").distinct()
       .groupBy("g").agg(count(lit(1)).as("_nd"))
       .where(col("_nd") >= 2).select("g")
-    val flagged = graft.ops.Caching.cacheOnce(
-      grams.join(crossDoc, "g").select("doc_id", "pos"))
+    val flagged = grams.join(crossDoc, "g").select("doc_id", "pos")
+    substrRollup(base, flagged, k)
+  }
+
+  /** Per-doc k-gram anchor digests with positions — the shared front of
+    * the full and incremental substring-dedup forms. */
+  private def substrGramBase(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"anchor must span at least 2 tokens, got $k")
+    val toks = TextOps.tokens(col("text"))
+    docs.select(col("doc_id"),
+      greatest(size(toks) - lit(k - 1), lit(0)).cast("long").as("n_grams"),
+      when(size(toks) >= k,
+        transform(sequence(lit(1), size(toks) - lit(k - 1)),
+          i => md5(concat_ws(" ", slice(toks, i, lit(k))))))
+        .otherwise(array().cast("array<string>")).as("_gh"))
+  }
+
+  private def substrGrams(base: DataFrame): DataFrame =
+    base.select(col("doc_id"), posexplode(col("_gh")).as(Seq("_p", "g")))
+      .select(col("doc_id"), (col("_p") + 1).cast("long").as("pos"), col("g"))
+
+  /** Gaps-and-islands rollup shared by both forms: flagged positions →
+    * per-doc repeat counts, longest span, drop verdict — every base doc
+    * keeps a row. */
+  private def substrRollup(base: DataFrame, flagged0: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flagged = graft.ops.Caching.cacheOnce(flagged0)
     val perDoc = flagged
       .withColumn("_grp", col("pos") -
         row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
@@ -998,5 +1014,36 @@ object Dedup {
         coalesce(col("max_repeat_span"), lit(0L)).as("max_repeat_span"),
         (coalesce(col("max_repeat_span"), lit(0L)) >= lit(SubstrDropSpan))
           .as("drop_doc"))
+  }
+
+  /** The master corpus's stored anchor table — per k-gram digest, the
+    * count of distinct master docs containing it. At 100 TB this is
+    * computed ONCE at ingest and stored (the [[incrementalNearDups]] LSH
+    * -index discipline; ~48 B/distinct-gram), so a delta run never
+    * re-reads master text. */
+  def substringAnchorIndex(docs: DataFrame, k: Int = SubstrGramK): DataFrame =
+    substrGrams(substrGramBase(docs, k)).select("g", "doc_id").distinct()
+      .groupBy("g").agg(count(lit(1)).as("n_docs"))
+
+  /** Incremental exact-substring dedup (x247): which BATCH docs repeat
+    * ≥ k tokens verbatim from the already-ingested MASTER corpus or from
+    * another doc in the same batch — [[substringDedupReport]]'s delta-run
+    * form, the shape a pipeline executes per ingest. A batch gram flags
+    * iff it exists in the anchor index at all (the batch doc itself makes
+    * the second distinct doc) OR in ≥ 2 distinct batch docs — exactly the
+    * full-corpus `≥ 2 distinct docs over master ∪ batch` rule, so the
+    * full run restricted to batch docs IS the oracle (the x49 contract).
+    * Master work is one equi-join against the (stored) anchor table;
+    * everything else is batch-sized. Requires disjoint master/batch ids. */
+  def incrementalSubstringDedup(master: DataFrame, batch: DataFrame,
+      k: Int = SubstrGramK): DataFrame = {
+    val idx = substringAnchorIndex(master, k) // prod: read the stored index
+    val base = graft.ops.Caching.cacheOnce(substrGramBase(batch, k))
+    val grams = graft.ops.Caching.cacheOnce(substrGrams(base))
+    val inBatch = grams.select("g", "doc_id").distinct()
+      .groupBy("g").agg(count(lit(1)).as("_nb"))
+      .where(col("_nb") >= 2).select("g")
+    val flaggedGrams = idx.select("g").unionByName(inBatch).distinct()
+    substrRollup(base, grams.join(flaggedGrams, "g").select("doc_id", "pos"), k)
   }
 }

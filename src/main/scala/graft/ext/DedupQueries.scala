@@ -24,6 +24,16 @@ private[graft] object DedupQueries {
     // repeats in the synthetic corpus flag identically in both engines.,
     "x244_substring_dedup" -> ((s, dir) =>
       Dedup.substringDedupReport(Dedup.withPlantedRepeats(Tables.documents(s, dir)))),
+
+    // Incremental substring dedup (r11): the x244 rule per ingest batch —
+    // batch grams vs the master's (stored) anchor index plus the batch's
+    // own cross-doc anchors; oracle = the full-corpus x244 chain
+    // restricted to batch docs (the x49 incremental contract).,
+    "x247_substring_incremental" -> ((s, dir) => {
+      val d = Dedup.withPlantedRepeats(Tables.documents(s, dir))
+      Dedup.incrementalSubstringDedup(
+        d.where(col("doc_id") % 4 =!= 3), d.where(col("doc_id") % 4 === 3))
+    }),
     "x02_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), 3, 0.8)),
 
@@ -182,6 +192,33 @@ private[graft] object DedupQueries {
     // measurement motivates — OR-of-L recall for an L× index.,
   )
 
+  /** The x244/x247 oracle chain; `restrict` appends a final filter on the
+    * rollup (x247 = the batch slice). */
+  private def substrDedupSql(restrict: String): String = {
+    val k = Dedup.SubstrGramK
+    s"WITH src AS (SELECT doc_id, CASE WHEN " +
+      s"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':substr'), 1, 8)) AS BIGINT)/4294967296.0 " +
+      s"< ${Dedup.SubstrPlantRate} THEN text || ' ${Dedup.RepeatPassage}' ELSE text END AS text FROM documents), " +
+      "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM src), " +
+      s"n AS (SELECT doc_id, CAST(greatest(len(toks) - ${k - 1}, 0) AS BIGINT) AS n_grams FROM t), " +
+      "g AS (SELECT doc_id, CAST(s.i AS BIGINT) AS pos, md5(s.g) AS g FROM " +
+      s"(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - ${k - 1}), " +
+      s"i -> struct_pack(i := i, g := array_to_string(toks[i:i+${k - 1}], ' ')))) AS s " +
+      s"FROM t WHERE len(toks) >= $k)), " +
+      "cd AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1) WHERE nd >= 2), " +
+      "fp AS (SELECT doc_id, pos FROM g JOIN cd USING (g)), " +
+      "isl AS (SELECT doc_id, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM fp), " +
+      "runs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS run FROM isl GROUP BY doc_id, grp), " +
+      s"pd AS (SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_repeat_grams, " +
+      s"CAST(max(run) + ${k - 1} AS BIGINT) AS max_repeat_span FROM runs GROUP BY 1) " +
+      "SELECT n.doc_id, n.n_grams, " +
+      "coalesce(pd.n_repeat_grams, CAST(0 AS BIGINT)) AS n_repeat_grams, " +
+      "CASE WHEN n.n_grams > 0 THEN CAST(coalesce(pd.n_repeat_grams, 0) AS DOUBLE)/CAST(n.n_grams AS DOUBLE) END AS repeat_frac, " +
+      "coalesce(pd.max_repeat_span, CAST(0 AS BIGINT)) AS max_repeat_span, " +
+      s"coalesce(pd.max_repeat_span, CAST(0 AS BIGINT)) >= ${Dedup.SubstrDropSpan} AS drop_doc " +
+      s"FROM n LEFT JOIN pd USING (doc_id)$restrict"
+  }
+
   val oracleSql: Map[String, String] = Map(
     "x01_dedup_exact" ->
       ("SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies " +
@@ -191,30 +228,11 @@ private[graft] object DedupQueries {
     // positions, cross-doc anchors (count DISTINCT doc >= 2), flagged
     // positions, gaps-and-islands runs, per-doc rollup — every constant
     // interpolated from Dedup so the two engines cannot drift.,
-    "x244_substring_dedup" -> {
-      val k = Dedup.SubstrGramK
-      s"WITH src AS (SELECT doc_id, CASE WHEN " +
-        s"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':substr'), 1, 8)) AS BIGINT)/4294967296.0 " +
-        s"< ${Dedup.SubstrPlantRate} THEN text || ' ${Dedup.RepeatPassage}' ELSE text END AS text FROM documents), " +
-        "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM src), " +
-        s"n AS (SELECT doc_id, CAST(greatest(len(toks) - ${k - 1}, 0) AS BIGINT) AS n_grams FROM t), " +
-        "g AS (SELECT doc_id, CAST(s.i AS BIGINT) AS pos, md5(s.g) AS g FROM " +
-        s"(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - ${k - 1}), " +
-        s"i -> struct_pack(i := i, g := array_to_string(toks[i:i+${k - 1}], ' ')))) AS s " +
-        s"FROM t WHERE len(toks) >= $k)), " +
-        "cd AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1) WHERE nd >= 2), " +
-        "fp AS (SELECT doc_id, pos FROM g JOIN cd USING (g)), " +
-        "isl AS (SELECT doc_id, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM fp), " +
-        "runs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS run FROM isl GROUP BY doc_id, grp), " +
-        s"pd AS (SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_repeat_grams, " +
-        s"CAST(max(run) + ${k - 1} AS BIGINT) AS max_repeat_span FROM runs GROUP BY 1) " +
-        "SELECT n.doc_id, n.n_grams, " +
-        "coalesce(pd.n_repeat_grams, CAST(0 AS BIGINT)) AS n_repeat_grams, " +
-        "CASE WHEN n.n_grams > 0 THEN CAST(coalesce(pd.n_repeat_grams, 0) AS DOUBLE)/CAST(n.n_grams AS DOUBLE) END AS repeat_frac, " +
-        "coalesce(pd.max_repeat_span, CAST(0 AS BIGINT)) AS max_repeat_span, " +
-        s"coalesce(pd.max_repeat_span, CAST(0 AS BIGINT)) >= ${Dedup.SubstrDropSpan} AS drop_doc " +
-        "FROM n LEFT JOIN pd USING (doc_id)"
-    },
+    "x244_substring_dedup" -> substrDedupSql(""),
+
+    // x247: the identical full-corpus chain, restricted to the batch
+    // slice — the incremental form must reproduce it row-for-row.,
+    "x247_substring_incremental" -> substrDedupSql(" WHERE n.doc_id % 4 = 3"),
     "x223_dedup_cluster_histogram" ->
       ("WITH g AS (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS cluster_size " +
         "FROM documents GROUP BY 1) " +

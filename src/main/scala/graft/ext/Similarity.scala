@@ -664,7 +664,7 @@ object Similarity {
     * rolls FORWARD; absent → any aside dir rolls back and the staging is
     * discarded (no live dir is touched before COMMIT). */
   def recoverIvfRebuild(indexDir: String,
-      subs: Seq[String] = IvfRebuildSubs ++ Seq("codebook", "codes")): Unit = {
+      subs: Seq[String] = IvfRebuildSubs ++ Seq("codebook", "codes", "opq")): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = s"$indexDir/rebuild_tmp"
     if (!new java.io.File(tmp).isDirectory) return
@@ -1948,6 +1948,84 @@ object Similarity {
     leg(s"pq_m${m}_k$kc", e)
       .unionByName(leg(s"opq_rot_m${m}_k$kc", rot))
       .unionByName(leg(s"opq_alloc_m${m}_k$kc", perm))
+  }
+
+  /** Stored OPQ-IVFADC index (r11 — VERDICT item 3's stored-variant
+    * clause): the learned transform persists in `opq/` as the dim order
+    * (one 64-row table; the rotation matrix is the fixed public
+    * [[opqMatrix]] constant), and everything downstream IS the IVFADC
+    * index — so append/delete/stats/recovery reuse the x152 machinery
+    * unchanged, and probes transform queries through the STORED order
+    * (a query must be encoded in the index's own space; re-deriving at
+    * probe time would silently diverge once appends shift the variance
+    * ranking). The transform stays FROZEN between offline rebuilds, the
+    * IVF-centroid norm. */
+  def buildOpqIvfPqIndex(corpus: DataFrame, indexDir: String,
+      m: Int = OpqM, kc: Int = PqK): Unit = {
+    val rot = graft.ops.Caching.cacheOnce(opqRotate(corpus))
+    val order = opqDimOrder(rot, m)
+    writeOpqOrder(corpus.sparkSession, indexDir, order)
+    buildIvfPqIndex(asAtRestFloat(opqPermute(rot, order)), indexDir, m, kc)
+  }
+
+  /** Transformed vectors re-enter the stored-index machinery at the
+    * corpus's AT-REST dtype (float32 — what the fixture and any real
+    * embedding dump store): the coarse-assign kernel is float-typed, and
+    * keeping the index dtype-stable means append/probe/rebuild all see
+    * the same doubles after their internal double-cast. */
+  private def asAtRestFloat(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+
+  private def writeOpqOrder(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, order: Seq[Int]): Unit = {
+    import spark.implicits._
+    order.zipWithIndex.map { case (src, i) => (i + 1, src) }
+      .toDF("out_pos", "src_dim")
+      .repartition(1).write.mode("overwrite").parquet(s"$indexDir/opq")
+  }
+
+  /** Apply a stored index's frozen transform to any frame (queries or an
+    * append batch): one driver read of the 64-row order table, then the
+    * per-row rotate + gather. */
+  def opqTransformStored(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, df: DataFrame): DataFrame = {
+    val order = spark.read.parquet(s"$indexDir/opq")
+      .orderBy("out_pos").collect().map(_.getInt(1)).toIndexedSeq
+    asAtRestFloat(opqPermute(opqRotate(df), order))
+  }
+
+  /** Probe the stored OPQ-IVFADC index: transform the queries through the
+    * stored order, then the standard DPP cell probe. */
+  def opqIvfPqTopK(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, k: Int): DataFrame =
+    ivfPqTopK(spark, indexDir, opqTransformStored(spark, indexDir, queries), k)
+
+  /** Append a batch through the frozen stored transform — batch-sized
+    * work only, the [[appendToIvfPqIndex]] discipline. */
+  def appendToOpqIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame): Unit =
+    appendToIvfPqIndex(spark, indexDir,
+      opqTransformStored(spark, indexDir, batch))
+
+  /** Rebuild the stored OPQ-IVFADC index: re-LEARN the allocation at the
+    * current corpus (appends shift per-dim variance), re-train centroids
+    * and codebook, re-encode — all staged under `rebuild_tmp/` and
+    * swapped through the SAME journaled two-phase install as
+    * [[rebuildIvfPqIndex]], with `opq/` as a fourth swapped sub-table
+    * ([[recoverIvfRebuild]]'s default sub list covers it, so a crashed
+    * OPQ rebuild heals on the next maintenance entry). */
+  def rebuildOpqIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, corpus: DataFrame,
+      m: Int = OpqM, kc: Int = PqK): Unit = {
+    recoverIvfRebuild(indexDir)
+    recoverIvfPqDelete(indexDir)
+    val tmp = s"$indexDir/rebuild_tmp"
+    val rot = graft.ops.Caching.cacheOnce(opqRotate(corpus))
+    val order = opqDimOrder(rot, m)
+    writeOpqOrder(spark, tmp, order)
+    buildIvfPqIndex(asAtRestFloat(opqPermute(rot, order)), tmp, m, kc)
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$tmp/COMMIT"))
+    installIvfRebuild(indexDir, IvfPqRebuildSubs :+ "opq")
   }
 
   /** Hamming-shortlist depth multiplier for [[binaryRecallReport]]'s

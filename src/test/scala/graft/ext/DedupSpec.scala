@@ -66,6 +66,38 @@ class DedupSpec extends SparkTestBase {
       "the detector must not flag the whole corpus")
   }
 
+  test("incrementalSubstringDedup ≡ the full report restricted to batch docs (x247)") {
+    // the x49 contract on the substring rung: the delta run must equal
+    // the full-corpus run's batch slice row-for-row
+    val d = Dedup.withPlantedRepeats(graft.sources.Tables.documents(spark, sfDir))
+    val full = Dedup.substringDedupReport(d)
+      .where(col("doc_id") % 4 === 3).collect().map(_.toSeq).toSet
+    val inc = Dedup.incrementalSubstringDedup(
+      d.where(col("doc_id") % 4 =!= 3), d.where(col("doc_id") % 4 === 3))
+      .collect().map(_.toSeq).toSet
+    assert(inc === full, "incremental flags must equal the full run's batch slice")
+    // micro fixture: batch doc 10 repeats MASTER content (flags via the
+    // anchor index alone), 11 is batch-unique (clean), 12/13 repeat each
+    // other (flag batch-internally, no master involvement)
+    val block = (1 to 12).map(i => s"m$i").mkString(" ")
+    val other = (1 to 12).map(i => s"b$i").mkString(" ")
+    val master = Seq((1L, block + " tailm")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "lead10 " + block),
+      (11L, (1 to 14).map(i => s"u$i").mkString(" ")),
+      (12L, other + " tail12"),
+      (13L, "lead13 " + other)
+    ).toDF("doc_id", "text")
+    val r = Dedup.incrementalSubstringDedup(master, batch).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(10L).getLong(2) === 5L && r(10L).getLong(4) === 12L,
+      "a master-repeating batch doc must flag through the stored index")
+    assert(r(11L).getLong(2) === 0L, "a batch-unique doc stays clean")
+    assert(r(12L).getLong(2) === 5L && r(13L).getLong(2) === 5L,
+      "batch-internal repeats must flag without master involvement")
+    assert(!r.contains(1L), "master docs never appear in the delta report")
+  }
+
   test("clusterSizeHistogram: hand-built clusters yield exact size rows; shares partition (x223)") {
     val df = Seq(
       (1L, "aaa"), (2L, "aaa"), (3L, "aaa"),

@@ -1020,6 +1020,72 @@ class SimilaritySpec extends SparkTestBase {
       s"isotropic fixture: OPQ and PQ must sit in one recall band, got $fx")
   }
 
+  test("stored OPQ-IVFADC: probe ≡ plain stored-PQ over the pre-transformed corpus; append rides the frozen transform") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val queries = e.where(col("vec_id") < 5)
+    val idxA = java.nio.file.Files.createTempDirectory("graft-opq-idx").toString
+    Similarity.buildOpqIvfPqIndex(e, idxA)
+    // the reference: a plain IVFADC index built on the ALREADY-transformed
+    // corpus (at the same at-rest float dtype), probed with queries
+    // transformed the same way
+    val rot = Similarity.opqRotate(e)
+    val order = Similarity.opqDimOrder(rot)
+    val pre = Similarity.opqPermute(rot, order)
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val idxB = java.nio.file.Files.createTempDirectory("graft-opq-ref").toString
+    Similarity.buildIvfPqIndex(pre, idxB, m = Similarity.OpqM, kc = Similarity.PqK)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val a = rows(Similarity.opqIvfPqTopK(spark, idxA, queries, 10))
+    val b = rows(Similarity.ivfPqTopK(spark, idxB,
+      pre.where(col("vec_id") < 5), 10))
+    assert(a === b, "stored transform must reproduce the in-memory transform bit-for-bit")
+    // the stored order round-trips
+    val stored = spark.read.parquet(s"$idxA/opq").orderBy("out_pos")
+      .collect().map(_.getInt(1)).toSeq
+    assert(stored === order)
+    // append through the FROZEN transform: base ADC scores unmoved
+    val isBase = IvfTestSupport.isBase(e)
+    val grown = java.nio.file.Files.createTempDirectory("graft-opq-grow").toString
+    Similarity.buildOpqIvfPqIndex(e.where(isBase), grown)
+    def pairs(ix: String) = Similarity.opqIvfPqTopK(spark, ix, queries, 100000)
+      .select("q_id", "vec_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val before = pairs(grown)
+    Similarity.appendToOpqIvfPqIndex(spark, grown, e.where(!isBase))
+    val after = pairs(grown)
+    before.foreach { case (k2, v) =>
+      assert(after.contains(k2) && after(k2) == v, s"base score moved at $k2")
+    }
+    assert(after.size > before.size, "appended vectors must be probe-visible")
+  }
+
+  test("rebuildOpqIvfPqIndex: re-learned transform via the journaled swap; opq/ heals through recovery") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val queries = e.where(col("vec_id") < 5)
+    val isBase = IvfTestSupport.isBase(e)
+    val idx = java.nio.file.Files.createTempDirectory("graft-opq-rb").toString
+    Similarity.buildOpqIvfPqIndex(e.where(isBase), idx)
+    Similarity.appendToOpqIvfPqIndex(spark, idx, e.where(!isBase))
+    Similarity.rebuildOpqIvfPqIndex(spark, idx, e)
+    val fresh = java.nio.file.Files.createTempDirectory("graft-opq-rbf").toString
+    Similarity.buildOpqIvfPqIndex(e, fresh)
+    def rows(ix: String) = Similarity.opqIvfPqTopK(spark, ix, queries, 10)
+      .collect().map(_.toSeq).toSet
+    assert(rows(idx) === rows(fresh),
+      "an OPQ rebuild must equal a fresh build (transform re-learned, codes re-encoded)")
+    // interrupted install over the opq/ sub-table: staged + COMMIT, live
+    // order moved aside — recovery must finish the swap
+    val tmp = s"$idx/rebuild_tmp"
+    Files.createDirectories(Paths.get(tmp))
+    Files.move(Paths.get(s"$idx/opq"), Paths.get(s"$tmp/opq"),
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.createFile(Paths.get(s"$tmp/COMMIT"))
+    Similarity.recoverIvfRebuild(idx)
+    assert(!Files.exists(Paths.get(tmp)) && Files.exists(Paths.get(s"$idx/opq")))
+    assert(rows(idx) === rows(fresh), "recovered index must probe identically")
+  }
+
   test("matryoshka: full-dim anchor recalls 1.0; truncation flips a rank the renormalized cosine must see") {
     // q = e1, so full cos = v[0] (unit vectors). vB wins at full dim
     // (0.7 > 0.6) but its mass sits in dim 2, so the renormalized
