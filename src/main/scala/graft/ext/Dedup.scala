@@ -1036,8 +1036,11 @@ object Dedup {
     * Master work is one equi-join against the (stored) anchor table;
     * everything else is batch-sized. Requires disjoint master/batch ids. */
   def incrementalSubstringDedup(master: DataFrame, batch: DataFrame,
-      k: Int = SubstrGramK): DataFrame = {
-    val idx = substringAnchorIndex(master, k) // prod: read the stored index
+      k: Int = SubstrGramK): DataFrame =
+    incrementalSubstrAgainst(substringAnchorIndex(master, k), batch, k)
+
+  private def incrementalSubstrAgainst(idx: DataFrame, batch: DataFrame,
+      k: Int): DataFrame = {
     val base = graft.ops.Caching.cacheOnce(substrGramBase(batch, k))
     val grams = graft.ops.Caching.cacheOnce(substrGrams(base))
     val inBatch = grams.select("g", "doc_id").distinct()
@@ -1045,5 +1048,70 @@ object Dedup {
       .where(col("_nb") >= 2).select("g")
     val flaggedGrams = idx.select("g").unionByName(inBatch).distinct()
     substrRollup(base, grams.join(flaggedGrams, "g").select("doc_id", "pos"), k)
+  }
+
+  // -------- Stored substring-anchor index (r11 continuation) --------
+  //
+  // The [[substringAnchorIndex]] table as a STORED index with the
+  // lifecycle every other stored family carries (build / append / probe /
+  // compact): at 100 TB the master's grams are computed once at ingest,
+  // and every delta run equi-joins the stored table instead of re-reading
+  // corpus text. The layout is LSM-style: `anchors/` accumulates one
+  // delta file set per append (batch-sized work — no index rewrite), and
+  // readers MERGE by summing per-gram counts. The probe's flag rule uses
+  // MEMBERSHIP only (a gram in the index at all makes the batch doc the
+  // second distinct carrier), so a crash-replayed append — which
+  // duplicates a delta — can never change a verdict; counts are advisory
+  // (occupancy stats) and re-canonicalize at compaction.
+
+  def buildSubstringIndex(docs: DataFrame, indexDir: String,
+      k: Int = SubstrGramK): Unit =
+    substringAnchorIndex(docs, k).write.mode("overwrite")
+      .parquet(s"$indexDir/anchors")
+
+  /** Append one ingest batch's anchors — one batch-sized delta file set,
+    * existing files untouched. Same disjoint-id discipline as
+    * [[incrementalNearDups]]. */
+  def appendToSubstringIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame, k: Int = SubstrGramK): Unit =
+    substringAnchorIndex(batch, k).write.mode("append")
+      .parquet(s"$indexDir/anchors")
+
+  /** The merged view readers consume: per-gram summed counts across the
+    * delta files. */
+  def readSubstringIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/anchors")
+      .groupBy("g").agg(sum(col("n_docs")).as("n_docs"))
+
+  /** [[incrementalSubstringDedup]] against the STORED index — the form a
+    * pipeline actually runs per ingest (and the streaming gate's body):
+    * zero master-text reads, one equi-join against the merged anchor
+    * view. */
+  def incrementalSubstringDedupStored(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame, k: Int = SubstrGramK): DataFrame =
+    incrementalSubstrAgainst(readSubstringIndex(spark, indexDir), batch, k)
+
+  /** Merge the accumulated delta files into one canonical per-gram row
+    * set — [[graft.ops.Maintenance.compactPlain]]'s crash-safe tmp+swap
+    * discipline, with the merge folded into the rewrite (compactPlain
+    * alone would keep duplicate gram rows). Probes are verdict-identical
+    * before/after (membership is unchanged); only file counts and row
+    * multiplicity fall. */
+  def compactSubstringIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = s"$indexDir/anchors"
+    graft.ops.Maintenance.recoverSwap(dir)
+    readSubstringIndex(spark, indexDir)
+      .write.mode("overwrite").parquet(dir + "_compact_tmp")
+    Files.move(Paths.get(dir), Paths.get(dir + "_compact_old"),
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(dir + "_compact_tmp"), Paths.get(dir),
+      StandardCopyOption.ATOMIC_MOVE)
+    def rm(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rm)); p.delete()
+    }
+    rm(new java.io.File(dir + "_compact_old"))
   }
 }

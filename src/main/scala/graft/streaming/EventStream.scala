@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Structured Streaming operators (SURVEY.md §2.11): the streaming-native
   * form of the reference's batch-incremental machinery.
@@ -255,6 +255,33 @@ object EventStream {
     state.update(owner)
     incoming.iterator.filter(_ != owner).map(d => NearDupHit(d, owner, key._1))
   }
+
+  /** Streaming EXACT-SUBSTRING gate (r11 — the x244/x247 family's stream
+    * twin, completing the dedup gate set beside [[dedupStream]] exact keys
+    * and [[nearDupHits]] LSH): each micro-batch is flagged against the
+    * STORED anchor index
+    * ([[graft.ext.Dedup.incrementalSubstringDedupStored]] — one equi-join,
+    * zero master-text reads), its report lands in `reportDir`, and its own
+    * anchors append to the index so LATER batches see it — the growing-
+    * corpus semantics a dedup service runs. Crash replay is verdict-safe
+    * by construction: the probe's flag rule is index MEMBERSHIP, so a
+    * replayed batch's duplicate delta files cannot change any verdict
+    * (counts are advisory; compaction re-canonicalizes), and the
+    * checkpoint gives exactly-once source progress. */
+  def substringGateDrain(stream: DataFrame, indexDir: String,
+      reportDir: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          graft.ext.Dedup.incrementalSubstringDedupStored(spark, indexDir, batch)
+            .write.mode("append").parquet(reportDir)
+          graft.ext.Dedup.appendToSubstringIndex(spark, indexDir, batch)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
 
   /** Stream-static enrichment: join each micro-batch against a (small)
     * static dimension — the streaming twin of the pipeline's J2 broadcast

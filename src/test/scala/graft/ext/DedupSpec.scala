@@ -98,6 +98,39 @@ class DedupSpec extends SparkTestBase {
     assert(!r.contains(1L), "master docs never appear in the delta report")
   }
 
+  test("stored substring index: append-grown ≡ rebuilt, replayed deltas verdict-idempotent, compaction canonical") {
+    val d = Dedup.withPlantedRepeats(graft.sources.Tables.documents(spark, sfDir))
+    val master = d.where(col("doc_id") % 4 =!= 3)
+    val batch = d.where(col("doc_id") % 4 === 3)
+    val idx = java.nio.file.Files.createTempDirectory("graft-substr-idx").toString
+    // grown: build on half the master, append the rest
+    Dedup.buildSubstringIndex(master.where(col("doc_id") % 2 === 0), idx)
+    Dedup.appendToSubstringIndex(spark, idx, master.where(col("doc_id") % 2 =!= 0))
+    def report() = Dedup.incrementalSubstringDedupStored(spark, idx, batch)
+      .collect().map(_.toSeq).toSet
+    val expect = Dedup.incrementalSubstringDedup(master, batch)
+      .collect().map(_.toSeq).toSet
+    assert(report() === expect,
+      "append-grown stored index must probe exactly like the in-memory master run")
+    // a crash-REPLAYED append duplicates a delta — membership can't change,
+    // so no verdict moves
+    Dedup.appendToSubstringIndex(spark, idx, master.where(col("doc_id") % 2 =!= 0))
+    assert(report() === expect, "duplicate deltas must be verdict-idempotent")
+    // compaction merges deltas: one gram row each, fewer files, same verdicts
+    def files(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$idx/anchors")).count(_.getName.endsWith(".parquet"))
+    }
+    val before = files()
+    Dedup.compactSubstringIndex(spark, idx)
+    assert(files() < before, "compaction must reduce file count")
+    val merged = spark.read.parquet(s"$idx/anchors")
+    assert(merged.groupBy("g").count().where(col("count") > 1).isEmpty,
+      "post-compaction the index holds ONE row per gram")
+    assert(report() === expect, "compaction must not move a verdict")
+  }
+
   test("clusterSizeHistogram: hand-built clusters yield exact size rows; shares partition (x223)") {
     val df = Seq(
       (1L, "aaa"), (2L, "aaa"), (3L, "aaa"),

@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import graft.SparkTestBase
 import graft.streaming.{Event, SessionState, UserSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{TestGroupState, Trigger}
 
 class EventStreamSpec extends SparkTestBase {
@@ -360,5 +361,45 @@ class EventStreamSpec extends SparkTestBase {
       .trigger(Trigger.AvailableNow()).option("checkpointLocation", s"$dir/ckpt").start()
     q.awaitTermination(120000)
     assert(spark.table("fsout").count() === 2)
+  }
+
+  test("substringGateDrain: batches gate against the GROWING index; reports equal the sequential batch runs") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Dedup
+    val d = Dedup.withPlantedRepeats(graft.sources.Tables.documents(spark, sfDir))
+    val master = d.where(col("doc_id") % 4 =!= 3)
+    val batch = d.where(col("doc_id") % 4 === 3)
+    val b1 = batch.where(col("doc_id") % 8 === 3)
+    val b2 = batch.where(col("doc_id") % 8 =!= 3)
+    val idx = java.nio.file.Files.createTempDirectory("graft-sgate-idx").toString
+    val rep = java.nio.file.Files.createTempDirectory("graft-sgate-rep").toString + "/r"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sgate-ckpt").toString
+    Dedup.buildSubstringIndex(master, idx)
+    val rows1 = b1.select("doc_id", "text").as[(Long, String)].collect()
+    val rows2 = b2.select("doc_id", "text").as[(Long, String)].collect()
+    val in = MemoryStream[(Long, String)]
+    // two SEPARATE drains force the batch boundary: batch 2 must see
+    // batch 1's anchors through the index it appended
+    in.addData(rows1.toSeq)
+    val q1 = EventStream.substringGateDrain(
+      in.toDF().toDF("doc_id", "text"), idx, rep, ckpt)
+    q1.awaitTermination(180000)
+    in.addData(rows2.toSeq)
+    val q2 = EventStream.substringGateDrain(
+      in.toDF().toDF("doc_id", "text"), idx, rep, ckpt)
+    q2.awaitTermination(180000)
+    assert(q1.exception.isEmpty && q2.exception.isEmpty)
+    val expect = Dedup.incrementalSubstringDedup(master, b1)
+      .unionByName(Dedup.incrementalSubstringDedup(master.unionByName(b1), b2))
+      .collect().map(_.toSeq).toSet
+    val got = spark.read.parquet(rep).collect().map(_.toSeq).toSet
+    assert(got === expect,
+      "drained reports must equal the sequential growing-master batch runs")
+    // the drained index covers every gram the full corpus has
+    val allG = Dedup.substringAnchorIndex(d).select("g")
+      .collect().map(_.getString(0)).toSet
+    val storedG = Dedup.readSubstringIndex(spark, idx).select("g")
+      .collect().map(_.getString(0)).toSet
+    assert(storedG === allG, "the grown index must hold the full corpus's anchors")
   }
 }
