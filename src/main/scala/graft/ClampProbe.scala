@@ -25,6 +25,10 @@ object ClampProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    // Optional second arg: comma-separated substring filter on op names
+    // (the ScaleProbe convention) — re-run one leg family quietly without
+    // paying for the rest.
+    val opFilter: Option[String] = args.drop(1).headOption
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -39,6 +43,8 @@ object ClampProbe {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"scale":$k,"docs":$n,"op":"$op","sec":$sec%.2f,"rows":$rows}""")
     }
+    def wanted(family: String): Boolean =
+      opFilter.forall(_.split(",").exists(family.contains))
     def rmTree(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
     }
@@ -46,7 +52,7 @@ object ClampProbe {
     // IVF stride law at a lowered clamp: cells pinned at 16, occupancy
     // linear — probe time must track k (the default-clamp probe in
     // ScaleProbe stays ~flat at these scales for contrast)
-    for (k <- Seq(1, 4, 16)) {
+    for (k <- Seq(1, 4, 16) if wanted("ivfpq")) {
       val emb = ProbeData.replicateEmb(spark, sfDir, k).cache()
       val n = emb.count()
       val idx = java.nio.file.Files.createTempDirectory("clamp_ivfpq_").toString
@@ -74,6 +80,12 @@ object ClampProbe {
       val rec = graft.ext.Similarity.ivfPqIndexStats(spark, idx)
         .select("rebuild_recommended").head().getBoolean(0)
       println(s"""{"scale":$k,"docs":$n,"op":"ivfpq_rebuilt_still_flagged","sec":0.0,"rows":${if (rec) 1 else 0}}""")
+      // the occupancy drop is the rebuild's real deliverable at fixture
+      // scale (the probe wall is floor-dominated ~1-2 s here; at real
+      // scale probe cost tracks occupancy linearly)
+      val occ2 = spark.read.parquet(s"$idx/codes")
+        .groupBy("cell").count().agg(max("count")).head().getLong(0)
+      println(s"""{"scale":$k,"docs":$n,"op":"ivfpq_rebuilt_max_cell","sec":0.0,"rows":$occ2}""")
       rmTree(new java.io.File(idx))
       emb.unpersist(blocking = true)
       spark.sharedState.cacheManager.clearCache()
@@ -83,7 +95,7 @@ object ClampProbe {
     // rows = max (tbl, bkt) occupancy — must stay flat as bits grow with
     // the corpus (17 → 20 → 22 at sf0.1 replicas 64/512/2048), including
     // past the old MaxPlanesPerTable = 20 clamp
-    for (k <- Seq(64, 512, 2048)) {
+    for (k <- Seq(64, 512, 2048) if wanted("graph")) {
       val emb = ProbeData.replicateEmb(spark, sfDir, k).cache()
       val n = emb.count()
       val bits = graft.ext.Similarity.derivedBits(n, occ = 1L)

@@ -83,9 +83,10 @@ object SparkEntry {
     "x85_embedding_outliers", "x111_shard_manifest", "x114_topic_tagging",
     "x120_html_extract", "x124_web_ingest_pipeline",
     "x200_ann_graph_beam",
-    // r11: the Lee-et-al. exact-substring rung (0.16 s quiet at sf0.1 —
-    // under the 0.3 s headline floor, so it rides the extra line)
-    "x244_substring_dedup")
+    // r11: the Lee-et-al. exact-substring rung and its delta-run form
+    // (0.1–0.2 s quiet at sf0.1 — under the 0.3 s headline floor, so they
+    // ride the extra line)
+    "x244_substring_dedup", "x247_substring_incremental")
 
   private def coreQueries: Map[String, Q] = Map(
     // S1+P4+F1+F4 — dimension scan with projection + pushed predicates
