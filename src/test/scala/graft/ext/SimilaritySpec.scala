@@ -739,6 +739,25 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet
     assert(probe2 === rebuiltProbe,
       "mid-install recovery must finish the swap — centroids and assigned consistent")
+
+    // window D: a RECOVERY itself crashed mid-rollback — uncommitted tmp
+    // with an aside dir holding the live table (live missing). Re-running
+    // recovery must move the aside back and discard the staging.
+    val idx3 = java.nio.file.Files.createTempDirectory("graft-ivf-rbcrash3").toString
+    Similarity.buildIvfIndex(e, idx3, maxCells = 4L)
+    val probe3Before = Similarity.ivfTopKStored(spark, idx3, queries, 10)
+      .collect().map(_.toSeq).toSet
+    val tmp3 = s"$idx3/rebuild_tmp"
+    Files.createDirectories(Paths.get(tmp3))
+    Files.move(Paths.get(s"$idx3/centroids"), Paths.get(s"$tmp3/aside_centroids"),
+      StandardCopyOption.ATOMIC_MOVE)
+    Similarity.recoverIvfRebuild(idx3)
+    assert(!Files.exists(Paths.get(tmp3)) &&
+      Files.exists(Paths.get(s"$idx3/centroids")))
+    val probe3After = Similarity.ivfTopKStored(spark, idx3, queries, 10)
+      .collect().map(_.toSeq).toSet
+    assert(probe3After === probe3Before,
+      "a crashed rollback must re-enter cleanly: the aside table returns live")
   }
 
   test("IVFADC codes table compacts with Maintenance.compactPartitioned: fewer files, probes bit-identical") {
