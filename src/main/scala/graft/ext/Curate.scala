@@ -548,6 +548,57 @@ object Curate {
         DefaultDomainBlocklist),
       quota, scoreCol = "n_chars", srcCol = "domain")
 
+  /** Per-domain robots/opt-out POLICY kinds (x248): RFC 9309 prefix
+    * semantics reduced to the one-rule-per-domain shape a crawler cache
+    * stores, plus the training-specific opt-out signal (the
+    * `X-Robots-Tag: noai` convention) that a data-governance gate treats
+    * as disallow-for-training even where crawling is permitted. */
+  val RobotsPolicies: Seq[String] =
+    Seq("allow", "disallow_all", "disallow_prefix", "noai_optout")
+
+  /** The deterministic per-domain policy table — one row per derivable
+    * registered domain (names × TLDs, dim-sized by construction), kind
+    * and prefix rule drawn from md5 slices of `robots:<domain>` computed
+    * ON THE DRIVER and embedded as literals in both engines (the
+    * opqMatrix single-source discipline — nothing to drift). */
+  lazy val robotsPolicyRows: Seq[(String, String, String)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (n <- UrlDomainNames; t <- UrlTlds) yield {
+      val d = s"$n.$t"
+      val h = md.digest(s"robots:$d".getBytes("UTF-8"))
+      val kind = RobotsPolicies(((h(0) & 0xff) % RobotsPolicies.size + 4) % 4)
+      val rule =
+        if (kind == "disallow_prefix") s"/src${(h(1) & 0xff) % 20}/" else ""
+      (d, kind, rule)
+    }
+  }
+
+  /** robots/opt-out gate (x248 — the crawl-rights column of the
+    * governance family beside license x237, PII x220, secrets x241 and
+    * k-anonymity x188): derive each doc's URL, join the dim-sized
+    * BROADCAST policy table on the registered domain, and verdict
+    * `training_allowed` under RFC 9309 prefix matching (`disallow_all`,
+    * path-prefix `disallow_prefix`) plus the `noai` opt-out. A domain
+    * with no policy row defaults to ALLOW (the RFC's absent-rules rule).
+    * Scan-speed per-row work + one broadcast join — the corpus never
+    * shuffles; dropping disallowed docs is the caller's one filter. */
+  def robotsGate(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val policy = broadcast(robotsPolicyRows.toDF("domain", "policy", "rule"))
+    withHostDomain(withUrl(docs))
+      .withColumn("path", regexp_extract(col("url"), "https?://[^/]+(/.*)", 1))
+      .join(policy, Seq("domain"), "left")
+      .select(col("doc_id"), col("url"), col("domain"),
+        coalesce(col("policy"), lit("allow")).as("policy"),
+        coalesce(col("rule"), lit("")).as("rule"),
+        (!(coalesce(col("policy"), lit("allow")) === "disallow_all" ||
+          coalesce(col("policy"), lit("allow")) === "noai_optout" ||
+          (coalesce(col("policy"), lit("allow")) === "disallow_prefix" &&
+            col("path").startsWith(coalesce(col("rule"), lit(""))))))
+          .as("training_allowed"))
+  }
+
   /** Deterministic MESSY url variant for the canonicalization operator:
     * the same doc can surface with scheme/host case noise, an explicit
     * default port, tracking query params, a fragment, and a trailing

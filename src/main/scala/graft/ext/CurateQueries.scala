@@ -220,6 +220,13 @@ private[graft] object CurateQueries {
     "x237_license_audit" -> ((s, dir) =>
       Curate.licenseAudit(Curate.withLicense(Tables.documents(s, dir)))),
 
+    // robots/opt-out gate (r11): the crawl-rights governance column —
+    // per-domain policy table (RFC 9309 prefix semantics + the noai
+    // opt-out) broadcast onto the derived-URL corpus; training_allowed
+    // per doc at scan speed.,
+    "x248_robots_gate" -> ((s, dir) =>
+      Curate.robotsGate(Tables.documents(s, dir))),
+
     // The release flagship (r10 continuation): license gate -> exact
     // dedup -> DoReMi-weighted token-budget realization -> shard law, in
     // one query — the last mile from raw corpus to shippable shards,
@@ -1050,6 +1057,24 @@ private[graft] object CurateQueries {
         "r AS (SELECT doc_id, url, host, domain, n_chars, " +
         "CAST(row_number() OVER (PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank FROM f) " +
         "SELECT doc_id, url, host, domain, n_chars, rank FROM r WHERE rank <= 50"),
+
+    // x248: urlChainCtes' derived domains joined to the LITERAL policy
+    // rows (driver-computed md5 draws, the single-source discipline) —
+    // the verdict is the same RFC-9309 CASE both engines evaluate.,
+    "x248_robots_gate" -> {
+      val rows = Curate.robotsPolicyRows
+        .map { case (d, p, r) => s"('$d', '$p', '$r')" }.mkString(", ")
+      s"WITH $urlChainCtes, " +
+        s"rp AS (SELECT * FROM (VALUES $rows) AS t(domain, policy, rule)), " +
+        "g AS (SELECT d.doc_id, d.url, d.domain, " +
+        "coalesce(rp.policy, 'allow') AS policy, coalesce(rp.rule, '') AS rule, " +
+        "regexp_extract(d.url, 'https?://[^/]+(/.*)', 1) AS path " +
+        "FROM d LEFT JOIN rp USING (domain)) " +
+        "SELECT doc_id, url, domain, policy, rule, " +
+        "NOT (policy = 'disallow_all' OR policy = 'noai_optout' OR " +
+        "(policy = 'disallow_prefix' AND starts_with(path, rule))) AS training_allowed " +
+        "FROM g"
+    },
     "x105_ccnet_buckets" ->
       (s"WITH $lmTrigramCtes, " +
         "sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams, " +

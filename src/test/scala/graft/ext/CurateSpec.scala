@@ -752,6 +752,42 @@ class CurateSpec extends SparkTestBase {
     }
   }
 
+  test("robotsGate: RFC-9309 verdicts per policy kind; fixture exercises every kind (x248)") {
+    // the policy table is dim-sized and covers every derivable domain
+    val pol = Curate.robotsPolicyRows
+    assert(pol.size === Curate.UrlDomainNames.size * Curate.UrlTlds.size)
+    assert(pol.map(_._2).distinct.toSet.subsetOf(Curate.RobotsPolicies.toSet))
+    assert(pol.map(_._2).distinct.size === 4,
+      "the md5 draw must exercise all four policy kinds across the 18 domains")
+    pol.foreach { case (_, p, r) =>
+      assert((p == "disallow_prefix") === r.nonEmpty, "rules only on the prefix kind")
+      if (r.nonEmpty) assert(r.matches("/src\\d+/"), s"prefix rule shape: $r")
+    }
+    val g = Curate.robotsGate(Tables.documents(spark, sfDir)).collect()
+    assert(g.nonEmpty)
+    val byPolicy = g.groupBy(_.getAs[String]("policy"))
+    assert(byPolicy.keySet === Set("allow", "disallow_all", "disallow_prefix", "noai_optout"),
+      "the fixture corpus must land docs under every policy kind")
+    g.foreach { row =>
+      val (url, policy, rule, allowed) = (row.getAs[String]("url"),
+        row.getAs[String]("policy"), row.getAs[String]("rule"),
+        row.getAs[Boolean]("training_allowed"))
+      val path = url.replaceFirst("https?://[^/]+", "")
+      val expect = policy match {
+        case "allow" => true
+        case "disallow_all" | "noai_optout" => false
+        case "disallow_prefix" => !path.startsWith(rule)
+      }
+      assert(allowed === expect, s"verdict drift at $url ($policy, $rule)")
+    }
+    // both verdicts must occur within the prefix kind (the rule actually
+    // discriminates paths, not whole domains)
+    val prefixVerdicts = byPolicy("disallow_prefix")
+      .map(_.getAs[Boolean]("training_allowed")).toSet
+    assert(prefixVerdicts === Set(true, false),
+      "the prefix rule must block matching paths and pass the rest")
+  }
+
   test("releasePipeline: the funnel only narrows and every stage reconciles with its operator (x239)") {
     val docs = Tables.documents(spark, sfDir)
     val rows = Curate.releasePipeline(spark, Curate.withLicense(docs)).collect()
