@@ -1061,28 +1061,150 @@ object Dedup {
   // readers MERGE by summing per-gram counts. The probe's flag rule uses
   // MEMBERSHIP only (a gram in the index at all makes the batch doc the
   // second distinct carrier), so a crash-replayed append — which
-  // duplicates a delta — can never change a verdict; counts are advisory
-  // (occupancy stats) and re-canonicalize at compaction.
+  // duplicates a delta — can never change a verdict for a LATER batch;
+  // counts are advisory (occupancy stats) and re-canonicalize at
+  // compaction. The one membership-visible replay window is a batch
+  // re-probing an index that already holds ITS OWN anchors (the streaming
+  // gate's at-least-once foreachBatch, ADVICE r11) — every anchor row
+  // therefore carries the `batch_id` that wrote it ([[SubstrNoBatch]] for
+  // builds/plain appends), so a replayed probe can exclude its own delta
+  // ([[readSubstringIndexExcluding]]) and skip the duplicate append
+  // ([[substringIndexHasBatch]]).
+
+  /** `batch_id` tag for anchor rows written outside any stream (builds,
+    * untagged appends, compaction output). Streaming batch ids are ≥ 0,
+    * so −1 never collides. */
+  val SubstrNoBatch = -1L
 
   def buildSubstringIndex(docs: DataFrame, indexDir: String,
       k: Int = SubstrGramK): Unit =
-    substringAnchorIndex(docs, k).write.mode("overwrite")
-      .parquet(s"$indexDir/anchors")
+    substringAnchorIndex(docs, k).withColumn("batch_id", lit(SubstrNoBatch))
+      .write.mode("overwrite").parquet(s"$indexDir/anchors")
 
   /** Append one ingest batch's anchors — one batch-sized delta file set,
     * existing files untouched. Same disjoint-id discipline as
-    * [[incrementalNearDups]]. */
+    * [[incrementalNearDups]]. `batchId` tags the delta rows so an
+    * at-least-once caller (the streaming gate) can recognise and exclude
+    * its own replay. */
   def appendToSubstringIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, batch: DataFrame, k: Int = SubstrGramK): Unit =
-    substringAnchorIndex(batch, k).write.mode("append")
-      .parquet(s"$indexDir/anchors")
+      indexDir: String, batch: DataFrame, k: Int = SubstrGramK,
+      batchId: Long = SubstrNoBatch): Unit =
+    substringAnchorIndex(batch, k).withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(s"$indexDir/anchors")
 
-  /** The merged view readers consume: per-gram summed counts across the
-    * delta files. */
-  def readSubstringIndex(spark: org.apache.spark.sql.SparkSession,
+  private def substrAnchorsRaw(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/anchors")
-      .groupBy("g").agg(sum(col("n_docs")).as("n_docs"))
+
+  /** Pending delete tombstones, if any: distinct (doc_id, g) pairs
+    * appended by [[deleteFromSubstringIndex]], folded away by
+    * [[compactSubstringIndex]]. None ⇒ no pending deletes (the fast
+    * path every non-erased index takes). The `anchors/_FOLDED` marker
+    * (underscore-named — Spark's scanner ignores it, and it travels WITH
+    * the anchors dir through the compaction swap) means the live anchors
+    * already have the tombstones subtracted: a crash between the
+    * compaction's swap and its deletes-dir removal must not double-
+    * subtract, so readers treat marked anchors as tombstone-free.
+    * [[recoverSubstrCompact]] (mutator entry) completes the removal. */
+  private def substrDeletes(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[DataFrame] = {
+    val d = new java.io.File(s"$indexDir/deletes")
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$indexDir/anchors/_FOLDED"))) None
+    else if (d.isDirectory &&
+        Option(d.listFiles()).exists(_.exists(_.getName.endsWith(".parquet"))))
+      Some(spark.read.parquet(d.getPath))
+    else None
+  }
+
+  /** Heal an interrupted [[compactSubstringIndex]] — idempotent, run on
+    * entry to every substring-index MUTATION (readers stay pure: the
+    * `_FOLDED` marker rule in [[substrDeletes]] keeps every crash window
+    * read-correct without touching disk). Completes the anchor swap
+    * ([[graft.ops.Maintenance.recoverSwap]]), then finishes a committed
+    * fold: marker present → remove the now-folded tombstones FIRST, the
+    * marker last (a crash mid-removal re-enters with the marker still
+    * shielding the partial deletes dir from readers). */
+  def recoverSubstrCompact(indexDir: String): Unit = {
+    graft.ops.Maintenance.recoverSwap(s"$indexDir/anchors")
+    val marker = java.nio.file.Paths.get(s"$indexDir/anchors/_FOLDED")
+    if (java.nio.file.Files.exists(marker)) {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete()
+      }
+      rm(new java.io.File(s"$indexDir/deletes"))
+      java.nio.file.Files.delete(marker)
+    }
+  }
+
+  /** Per-gram survivor merge: summed append counts minus each gram's
+    * distinct DELETED carriers, membership kept at > 0 — exactly the
+    * anchor table a rebuild on the surviving corpus would produce
+    * (spec-pinned; the x224 delete ≡ rebuild contract). */
+  private def substrMerge(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, raw: DataFrame): DataFrame = {
+    val merged = raw.groupBy("g").agg(sum(col("n_docs")).as("n_docs"))
+    substrDeletes(spark, indexDir) match {
+      case None => merged
+      case Some(del) =>
+        val gone = del.select("doc_id", "g").distinct()
+          .groupBy("g").agg(count(lit(1)).as("_nd"))
+        merged.join(gone, Seq("g"), "left")
+          .select(col("g"),
+            (col("n_docs") - coalesce(col("_nd"), lit(0L))).as("n_docs"))
+          .where(col("n_docs") > 0)
+    }
+  }
+
+  /** The merged view readers consume: per-gram summed counts across the
+    * delta files, minus any pending delete tombstones. */
+  def readSubstringIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame =
+    substrMerge(spark, indexDir, substrAnchorsRaw(spark, indexDir))
+
+  /** The merged view MINUS one batch's own delta rows — what a replayed
+    * streaming micro-batch must probe so its previously-appended anchors
+    * don't make every ≥ k-token doc self-flag (ADVICE r11). A pushed
+    * `batch_id ≠ id` parquet filter, then the same per-gram merge.
+    * Deletes have no batch identity: an erasure mutating the index while
+    * a gate stream has an uncommitted batch in flight is the same quiesce
+    * contract as compaction. */
+  def readSubstringIndexExcluding(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batchId: Long): DataFrame =
+    substrMerge(spark, indexDir,
+      substrAnchorsRaw(spark, indexDir).where(col("batch_id") =!= batchId))
+
+  /** Tombstone-delete documents from a stored substring-anchor index —
+    * the verb that completed every OTHER index family's lifecycle but was
+    * missing here (VERDICT r11 item 1). The index stores per-gram COUNTS,
+    * not carrier ids, so the delete needs the victims' text to know which
+    * grams lose a carrier: `victims` is (doc_id, text) rows — the erasure
+    * flow reads them from the corpus BEFORE the corpus rewrite
+    * ([[Erasure.eraseDocs]]'s journal). The write is ONE appended
+    * tombstone file of distinct (doc_id, g) pairs (batch-sized: a
+    * victim's gram count), so crash safety needs no journal (job commit
+    * is all-or-nothing) and the verb is idempotent: victims already
+    * tombstoned are dropped by the anti-join, a replay appends nothing.
+    * Probes subtract tombstones at merge time ([[substrMerge]]);
+    * [[compactSubstringIndex]] folds them into the canonical rows. */
+  def deleteFromSubstringIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, victims: DataFrame, k: Int = SubstrGramK): Unit = {
+    recoverSubstrCompact(indexDir)
+    val fresh = substrDeletes(spark, indexDir) match {
+      case None => victims
+      case Some(del) => victims.join(
+        broadcast(del.select("doc_id").distinct()), Seq("doc_id"), "left_anti")
+    }
+    substrGrams(substrGramBase(fresh, k)).select("doc_id", "g").distinct()
+      .write.mode("append").parquet(s"$indexDir/deletes")
+  }
+
+  /** Whether `batchId`'s delta is already in the index — one pushed-filter
+    * scan, no merge. The streaming gate's skip-duplicate-append check. */
+  def substringIndexHasBatch(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batchId: Long): Boolean =
+    !substrAnchorsRaw(spark, indexDir)
+      .where(col("batch_id") === batchId).isEmpty
 
   /** [[incrementalSubstringDedup]] against the STORED index — the form a
     * pipeline actually runs per ingest (and the streaming gate's body):
@@ -1092,19 +1214,43 @@ object Dedup {
       indexDir: String, batch: DataFrame, k: Int = SubstrGramK): DataFrame =
     incrementalSubstrAgainst(readSubstringIndex(spark, indexDir), batch, k)
 
+  /** [[incrementalSubstringDedupStored]] probing the index WITHOUT
+    * `batchId`'s own delta — the replay-safe form the streaming gate
+    * runs: on first execution the exclusion matches nothing (the batch
+    * hasn't appended yet); on an at-least-once replay it restores exactly
+    * the pre-append view, so the verdicts are bit-identical either way. */
+  def incrementalSubstringDedupStoredExcluding(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      batch: DataFrame, batchId: Long, k: Int = SubstrGramK): DataFrame =
+    incrementalSubstrAgainst(
+      readSubstringIndexExcluding(spark, indexDir, batchId), batch, k)
+
   /** Merge the accumulated delta files into one canonical per-gram row
     * set — [[graft.ops.Maintenance.compactPlain]]'s crash-safe tmp+swap
     * discipline, with the merge folded into the rewrite (compactPlain
     * alone would keep duplicate gram rows). Probes are verdict-identical
     * before/after (membership is unchanged); only file counts and row
-    * multiplicity fall. */
+    * multiplicity fall. Pending DELETE tombstones fold into the canonical
+    * rows too (the survivor merge IS the rewrite source), crash-safely:
+    * the folded output carries an `anchors/_FOLDED` marker through the
+    * atomic swap, so a crash between the swap and the tombstone removal
+    * leaves readers on the marker rule (ignore `deletes/`) instead of
+    * double-subtracting; [[recoverSubstrCompact]] completes the removal.
+    * Compaction folds every delta's `batch_id` into [[SubstrNoBatch]],
+    * erasing replay identity — run it only when no gate stream has an
+    * uncommitted batch in flight (a maintenance window), the same quiesce
+    * contract as the IVF rebuild. */
   def compactSubstringIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val dir = s"$indexDir/anchors"
-    graft.ops.Maintenance.recoverSwap(dir)
+    recoverSubstrCompact(indexDir)
+    val hadDeletes = substrDeletes(spark, indexDir).isDefined
     readSubstringIndex(spark, indexDir)
+      .withColumn("batch_id", lit(SubstrNoBatch))
       .write.mode("overwrite").parquet(dir + "_compact_tmp")
+    if (hadDeletes)
+      Files.createFile(Paths.get(dir + "_compact_tmp/_FOLDED"))
     Files.move(Paths.get(dir), Paths.get(dir + "_compact_old"),
       StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(dir + "_compact_tmp"), Paths.get(dir),
@@ -1113,5 +1259,6 @@ object Dedup {
       Option(p.listFiles()).foreach(_.foreach(rm)); p.delete()
     }
     rm(new java.io.File(dir + "_compact_old"))
+    recoverSubstrCompact(indexDir)
   }
 }

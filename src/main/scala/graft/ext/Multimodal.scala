@@ -474,11 +474,16 @@ object Multimodal {
   /** The shared packed-eval fold: crossJoin the 1-row sorted eval array
     * (a documented broadcast-fold shape), filter it per training row to
     * the within-radius hashes, explode the matches. Output matches
-    * [[bandedHashPairsAcross]] column-for-column. */
+    * [[bandedHashPairsAcross]] column-for-column. The eval side packs
+    * DISTINCT (eval_doc, h) entries (ADVICE r11): the banded form dedups
+    * duplicate pairs via `.distinct()` on its output, and a repeated eval
+    * row (re-ingested asset) would otherwise emit one pair per duplicate
+    * entry here, breaking the spec-pinned row ≡ banded equality. The
+    * eval side is the STATIC dim, so the distinct stays stream-safe. */
   private def deconRowAgainst(t: DataFrame, e: DataFrame,
       maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 16, s"bad maxHamming $maxHamming")
-    val packed = broadcast(e.agg(
+    val packed = broadcast(e.distinct().agg(
       array_sort(collect_list(struct(col("eval_doc"), col("h")))).as("_ev")))
     t.crossJoin(packed)
       .select(col("train_doc"), col("h").as("h_t"),

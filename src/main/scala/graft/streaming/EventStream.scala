@@ -263,25 +263,41 @@ object EventStream {
     * ([[graft.ext.Dedup.incrementalSubstringDedupStored]] — one equi-join,
     * zero master-text reads), its report lands in `reportDir`, and its own
     * anchors append to the index so LATER batches see it — the growing-
-    * corpus semantics a dedup service runs. Crash replay is verdict-safe
-    * by construction: the probe's flag rule is index MEMBERSHIP, so a
-    * replayed batch's duplicate delta files cannot change any verdict
-    * (counts are advisory; compaction re-canonicalizes), and the
-    * checkpoint gives exactly-once source progress. */
+    * corpus semantics a dedup service runs. Crash replay is IDEMPOTENT
+    * per micro-batch (ADVICE r11 — foreachBatch is at-least-once): the
+    * probe reads the index EXCLUDING this batchId's own delta rows, so a
+    * batch replayed after its append landed but before the checkpoint
+    * committed sees exactly the pre-append view and cannot self-flag; the
+    * report lands in a per-batch `batch_id=` partition with overwrite, so
+    * a replay replaces its first attempt instead of appending a
+    * conflicting twin beside it; and the append is skipped when the
+    * batch's delta already exists. All three legs key on the foreachBatch
+    * batchId, which the checkpoint replays stably. */
   def substringGateDrain(stream: DataFrame, indexDir: String,
       reportDir: String, checkpoint: String): StreamingQuery =
     stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          graft.ext.Dedup.incrementalSubstringDedupStored(spark, indexDir, batch)
-            .write.mode("append").parquet(reportDir)
-          graft.ext.Dedup.appendToSubstringIndex(spark, indexDir, batch)
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        substringGateBatch(batch, batchId, indexDir, reportDir)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** [[substringGateDrain]]'s per-batch body, exposed so the spec can
+    * drive the at-least-once replay window directly (call it twice with
+    * the same batchId — the second call must change nothing). */
+  def substringGateBatch(batch: DataFrame, batchId: Long, indexDir: String,
+      reportDir: String): Unit = {
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      graft.ext.Dedup
+        .incrementalSubstringDedupStoredExcluding(spark, indexDir, batch, batchId)
+        .write.mode("overwrite").parquet(s"$reportDir/batch_id=$batchId")
+      if (!graft.ext.Dedup.substringIndexHasBatch(spark, indexDir, batchId))
+        graft.ext.Dedup.appendToSubstringIndex(spark, indexDir, batch,
+          batchId = batchId)
+    }
+  }
 
   /** Stream-static enrichment: join each micro-batch against a (small)
     * static dimension — the streaming twin of the pipeline's J2 broadcast

@@ -131,6 +131,56 @@ class DedupSpec extends SparkTestBase {
     assert(report() === expect, "compaction must not move a verdict")
   }
 
+  test("deleteFromSubstringIndex ≡ rebuild on survivors; idempotent; compaction folds tombstones crash-safely (r12, VERDICT r11 item 1)") {
+    val d = Dedup.withPlantedRepeats(graft.sources.Tables.documents(spark, sfDir))
+    val master = d.where(col("doc_id") % 4 =!= 3)
+    val batch = d.where(col("doc_id") % 4 === 3)
+    val victims = master.where(col("doc_id") % 23 === 3)
+    val survivors = master.where(col("doc_id") % 23 =!= 3)
+    val idx = java.nio.file.Files.createTempDirectory("graft-substr-del").toString
+    Dedup.buildSubstringIndex(master, idx)
+    Dedup.deleteFromSubstringIndex(spark, idx, victims)
+    def anchors() = Dedup.readSubstringIndex(spark, idx)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Dedup.substringAnchorIndex(survivors)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(anchors() === want,
+      "merged view after delete must equal the survivor rebuild's anchor table, counts included")
+    // the delete is idempotent: re-deleting already-tombstoned victims appends nothing
+    Dedup.deleteFromSubstringIndex(spark, idx, victims)
+    assert(anchors() === want, "replayed delete must change nothing")
+    // probes against the deleted index ≡ the survivor-master in-memory run
+    val expectProbe = Dedup.incrementalSubstringDedup(survivors, batch)
+      .collect().map(_.toSeq).toSet
+    assert(Dedup.incrementalSubstringDedupStored(spark, idx, batch)
+      .collect().map(_.toSeq).toSet === expectProbe,
+      "stored probe after delete ≡ in-memory run against the surviving master")
+    // compaction folds tombstones into the canonical rows and drops deletes/
+    Dedup.compactSubstringIndex(spark, idx)
+    assert(!new java.io.File(s"$idx/deletes").exists,
+      "compaction must fold and remove the tombstone table")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$idx/anchors/_FOLDED")),
+      "a completed compaction leaves no fold marker")
+    assert(anchors() === want, "folded anchors must still equal the survivor rebuild")
+    // the crash window between the compaction swap and the tombstone
+    // removal: live anchors are FOLDED (marker present) while deletes/
+    // still exists — readers must take the marker rule, not double-subtract
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$idx/anchors/_FOLDED"))
+    Dedup.substringAnchorIndex(victims)
+      .select(lit(0L).as("doc_id"), col("g"))
+      .write.mode("overwrite").parquet(s"$idx/deletes")
+    assert(anchors() === want,
+      "marker rule: folded anchors with a leftover deletes/ must not double-subtract")
+    Dedup.recoverSubstrCompact(idx)
+    assert(!new java.io.File(s"$idx/deletes").exists &&
+      !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$idx/anchors/_FOLDED")),
+      "recovery completes the fold: tombstones and marker both gone")
+    assert(anchors() === want, "recovery must not move a count")
+  }
+
   test("clusterSizeHistogram: hand-built clusters yield exact size rows; shares partition (x223)") {
     val df = Seq(
       (1L, "aaa"), (2L, "aaa"), (3L, "aaa"),

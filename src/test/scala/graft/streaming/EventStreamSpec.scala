@@ -392,7 +392,8 @@ class EventStreamSpec extends SparkTestBase {
     val expect = Dedup.incrementalSubstringDedup(master, b1)
       .unionByName(Dedup.incrementalSubstringDedup(master.unionByName(b1), b2))
       .collect().map(_.toSeq).toSet
-    val got = spark.read.parquet(rep).collect().map(_.toSeq).toSet
+    val got = spark.read.parquet(rep).drop("batch_id")
+      .collect().map(_.toSeq).toSet
     assert(got === expect,
       "drained reports must equal the sequential growing-master batch runs")
     // the drained index covers every gram the full corpus has
@@ -401,5 +402,38 @@ class EventStreamSpec extends SparkTestBase {
     val storedG = Dedup.readSubstringIndex(spark, idx).select("g")
       .collect().map(_.getString(0)).toSet
     assert(storedG === allG, "the grown index must hold the full corpus's anchors")
+  }
+
+  test("substringGateBatch: an at-least-once replay (append landed, checkpoint did not) changes nothing") {
+    import graft.ext.Dedup
+    val d = Dedup.withPlantedRepeats(graft.sources.Tables.documents(spark, sfDir))
+    val master = d.where(col("doc_id") % 4 =!= 3)
+    val batch = d.where(col("doc_id") % 4 === 3)
+    val idx = java.nio.file.Files.createTempDirectory("graft-sgate-rp-idx").toString
+    val rep = java.nio.file.Files.createTempDirectory("graft-sgate-rp-rep").toString + "/r"
+    Dedup.buildSubstringIndex(master, idx)
+    val expect = Dedup.incrementalSubstringDedup(master, batch)
+      .collect().map(_.toSeq).toSet
+    // first attempt: probe + report + append all succeed
+    EventStream.substringGateBatch(batch, 0L, idx, rep)
+    val firstRows = spark.read.parquet(rep).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    val firstIdxRows = spark.read.parquet(s"$idx/anchors").count()
+    assert(firstRows === expect)
+    // the crash window: the checkpoint never committed, so the SAME
+    // batchId replays against an index that already holds its own anchors
+    EventStream.substringGateBatch(batch, 0L, idx, rep)
+    val replayRows = spark.read.parquet(rep).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    assert(replayRows === expect,
+      "replayed verdicts must not self-flag against the batch's own anchors")
+    assert(spark.read.parquet(rep).select("doc_id").count()
+      === spark.read.parquet(rep).select("doc_id").distinct().count(),
+      "replay must overwrite its first attempt, not append a twin beside it")
+    assert(spark.read.parquet(s"$idx/anchors").count() === firstIdxRows,
+      "replay must not append a duplicate anchor delta")
+    // a LATER batch still sees the replayed batch's anchors normally
+    assert(!Dedup.readSubstringIndexExcluding(spark, idx, 1L)
+      .join(Dedup.substringAnchorIndex(batch).select("g"), "g").isEmpty)
   }
 }

@@ -80,8 +80,11 @@ class MediaStreamSpec extends SparkTestBase {
       graft.sources.Tables.documents(spark, sfDir).limit(120))
     val train = media.where(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
       .as[Multimodal.MediaRow]
-    val ev = media.where(org.apache.spark.sql.functions.col("doc_id") % 2 =!= 0)
-      .as[Multimodal.MediaRow]
+    // a RE-INGESTED eval asset (duplicate rows, same doc_id + bytes) must
+    // not break the equality — ADVICE r11: the row form packs distinct
+    // (eval_doc, h) entries just as the banded form distincts its output
+    val evBase = media.where(org.apache.spark.sql.functions.col("doc_id") % 2 =!= 0)
+    val ev = evBase.unionByName(evBase.limit(7)).as[Multimodal.MediaRow]
     // payload "images" here are synthetic bytes, most fail decode — which
     // is the point: ok-filtering must agree too. Audio hashes over the
     // same bytes exercise the envelope path.
