@@ -756,6 +756,20 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$indexDir/assigned")
   }
 
+  /** HARD-delete vectors from a stored plain-IVF index (r12, VERDICT r11
+    * item 1 — the erasure flagship needs every index family to carry a
+    * delete): `assigned/` holds the victims' actual embeddings, so a
+    * tombstone would leave erased payloads on disk; instead the victims'
+    * cells rewrite through [[deleteFromCellSub]]'s journaled swap
+    * (O(victim cells), untouched cells untouched, every crash window
+    * consumed by [[recoverCellDelete]]). Probes after the delete ≡ a
+    * rebuild on the survivors at the ORIGINAL stride (centroids are
+    * deliberately not re-derived — the fixed-centroid IVF norm; a
+    * shrunken corpus re-strides at the next [[rebuildIvfIndex]]). */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, ids: Seq[Long]): Unit =
+    deleteFromCellSub(spark, indexDir, "assigned", ids)
+
   /** Probe the stored index: queries are assigned against the stored
     * centroid table (same broadcast packed-centroid fold), then joined to
     * the cell-partitioned assignment table. Spark plans a dynamic-
@@ -1248,17 +1262,29 @@ object Similarity {
     * missing were emptied by the delete and stay absent); without it the
     * aside cells roll BACK and the incomplete rewrite is discarded. */
   def deleteFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, ids: Seq[Long]): Unit = {
+      indexDir: String, ids: Seq[Long]): Unit =
+    deleteFromCellSub(spark, indexDir, "codes", ids)
+
+  /** [[deleteFromIvfPqIndex]] generalized over the cell-partitioned
+    * sub-table name (r12, VERDICT r11 item 1): the plain-IVF `assigned/`,
+    * SQ8 `quant/` and BIN `signs/` tables share the IVFADC codes layout
+    * exactly (vec_id rows partitioned by cell), so the same journaled
+    * rewrite — affected-cell PLAN first, survivors to `_delete_tmp`,
+    * aside-first swap, [[recoverCellDelete]] consuming every window —
+    * gives all four families a HARD delete (payload actually leaves
+    * disk, the GDPR requirement tombstones alone don't meet). */
+  private def deleteFromCellSub(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, sub: String, ids: Seq[Long]): Unit = {
     require(ids.nonEmpty, "empty delete batch — nothing to do is a caller bug")
-    recoverIvfPqDelete(indexDir)
-    val codes = spark.read.parquet(s"$indexDir/codes")
+    recoverCellDelete(indexDir, sub)
+    val codes = spark.read.parquet(s"$indexDir/$sub")
     // the partition column reads back as INT (path inference) — normalize
     val cells = codes.where(col("vec_id").isin(ids: _*))
       .select(col("cell").cast("long")).distinct().collect().map(_.getLong(0)).sorted
     if (cells.nonEmpty) {
       import java.nio.file.{Files, Paths, StandardCopyOption}
-      val tmp = s"$indexDir/codes_delete_tmp"
-      val aside = s"$indexDir/codes_delete_old"
+      val tmp = s"$indexDir/${sub}_delete_tmp"
+      val aside = s"$indexDir/${sub}_delete_old"
       // journal the affected-cell PLAN before any heavy work (and OUTSIDE
       // tmp — the overwrite below would clear it): a cell emptied
       // entirely by the delete has no rewritten dir in tmp and, until its
@@ -1266,14 +1292,14 @@ object Similarity {
       // would otherwise leave its stale live dir invisible to recovery —
       // the deleted vec_ids would silently resurrect (the same gap class
       // as the ADVICE r9 multi-cell fix, for the emptied-cell case)
-      Files.write(Paths.get(s"$indexDir/codes_delete_plan"),
+      Files.write(Paths.get(s"$indexDir/${sub}_delete_plan"),
         cells.mkString("\n").getBytes("UTF-8"))
       byCell(codes.where(col("cell").isin(cells.toIndexedSeq: _*) &&
           !col("vec_id").isin(ids: _*)))
         .write.mode("overwrite").partitionBy("cell").parquet(tmp)
       Files.createDirectories(Paths.get(aside))
       for (c <- cells) {
-        val dst = Paths.get(s"$indexDir/codes/cell=$c")
+        val dst = Paths.get(s"$indexDir/$sub/cell=$c")
         val src = Paths.get(s"$tmp/cell=$c")
         if (Files.exists(dst))
           Files.move(dst, Paths.get(s"$aside/cell=$c"), StandardCopyOption.ATOMIC_MOVE)
@@ -1282,7 +1308,7 @@ object Similarity {
       }
       rmTree(new java.io.File(aside))
       rmTree(new java.io.File(tmp))
-      Files.deleteIfExists(Paths.get(s"$indexDir/codes_delete_plan"))
+      Files.deleteIfExists(Paths.get(s"$indexDir/${sub}_delete_plan"))
     }
   }
 
@@ -1297,17 +1323,23 @@ object Similarity {
     * swap FORWARD (move each pending rewritten cell in; an aside cell
     * with no rewritten twin was emptied by the delete and stays absent);
     * absent → roll aside cells BACK and discard the incomplete rewrite. */
-  def recoverIvfPqDelete(indexDir: String): Unit = {
+  def recoverIvfPqDelete(indexDir: String): Unit =
+    recoverCellDelete(indexDir, "codes")
+
+  /** [[recoverIvfPqDelete]] generalized over the cell-partitioned
+    * sub-table name — heals [[deleteFromCellSub]]'s windows for any of
+    * the four hard-delete families (codes/assigned/quant/signs). */
+  private[ext] def recoverCellDelete(indexDir: String, sub: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val tmp = s"$indexDir/codes_delete_tmp"
-    val aside = s"$indexDir/codes_delete_old"
+    val tmp = s"$indexDir/${sub}_delete_tmp"
+    val aside = s"$indexDir/${sub}_delete_old"
     val asideDir = new java.io.File(aside)
     val tmpDir = new java.io.File(tmp)
     val committed = Files.exists(Paths.get(s"$tmp/_SUCCESS"))
     if (asideDir.isDirectory) {
       for (a <- Option(asideDir.listFiles()).getOrElse(Array.empty)
            if a.isDirectory && a.getName.startsWith("cell=")) {
-        val dst = Paths.get(s"$indexDir/codes/${a.getName}")
+        val dst = Paths.get(s"$indexDir/$sub/${a.getName}")
         val src = Paths.get(s"$tmp/${a.getName}")
         if (!Files.exists(dst)) {
           if (committed && Files.exists(src))
@@ -1329,7 +1361,7 @@ object Similarity {
       for (t <- Option(tmpDir.listFiles()).getOrElse(Array.empty)
            if t.isDirectory && t.getName.startsWith("cell=")) {
         val asideTwin = Paths.get(s"$aside/${t.getName}")
-        val dst = Paths.get(s"$indexDir/codes/${t.getName}")
+        val dst = Paths.get(s"$indexDir/$sub/${t.getName}")
         if (!Files.exists(asideTwin)) {
           Files.createDirectories(Paths.get(aside))
           if (Files.exists(dst))
@@ -1343,11 +1375,11 @@ object Similarity {
     // PLAN knows their stale live dirs must come out. Iterate it last
     // with state-conditional steps (aside-first), so re-running after a
     // crash at any point — including mid-recovery — is idempotent.
-    val planPath = Paths.get(s"$indexDir/codes_delete_plan")
+    val planPath = Paths.get(s"$indexDir/${sub}_delete_plan")
     if (committed && Files.exists(planPath)) {
       for (c <- new String(Files.readAllBytes(planPath), "UTF-8")
            .split("\n").filter(_.nonEmpty)) {
-        val dst = Paths.get(s"$indexDir/codes/cell=$c")
+        val dst = Paths.get(s"$indexDir/$sub/cell=$c")
         val asideTwin = Paths.get(s"$aside/cell=$c")
         val src = Paths.get(s"$tmp/cell=$c")
         if (!Files.exists(asideTwin) && Files.exists(dst)) {
@@ -1611,6 +1643,13 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$indexDir/quant")
   }
 
+  /** HARD-delete from a stored IVF-SQ8 index — `quant/` shares the codes
+    * layout, so [[deleteFromCellSub]]'s journaled cell rewrite applies
+    * verbatim (see [[deleteFromIvfIndex]]). */
+  def deleteFromIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, ids: Seq[Long]): Unit =
+    deleteFromCellSub(spark, indexDir, "quant", ids)
+
   /** Probe the stored IVF-SQ8 index: the query is cell-assigned and
     * int8-quantized (x38's rule — both sides quantized, so the integer
     * dot is exact and the only rounding is the two per-vector scales);
@@ -1678,6 +1717,13 @@ object Similarity {
     byCell(ivfBinEncode(batch, cents))
       .write.mode("append").partitionBy("cell").parquet(s"$indexDir/signs")
   }
+
+  /** HARD-delete from a stored IVF-BIN index — `signs/` shares the codes
+    * layout, so [[deleteFromCellSub]]'s journaled cell rewrite applies
+    * verbatim (see [[deleteFromIvfIndex]]). */
+  def deleteFromIvfBinIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, ids: Seq[Long]): Unit =
+    deleteFromCellSub(spark, indexDir, "signs", ids)
 
   /** Probe the stored IVF-BIN index by Hamming distance within the probed
     * cells; the signs equi-join on `cell` plans the same dynamic-
@@ -2189,10 +2235,31 @@ object Similarity {
   def mmrSelect(emb: DataFrame, k: Int = 10, queryId: Long = 0L): DataFrame =
     mmrGreedy(mmrCandidates(emb, queryId), k)
 
-  /** Default shortlist width for [[mmrSelectShortlist]] — comfortably
-    * above any k a few-shot/eval-pool builder asks for, small enough that
-    * the k greedy argmax passes run over a constant-size cached frame. */
-  val MmrShortlistC = 64
+  /** Shortlist-width LAW (r12, VERDICT r11 item 6 — the fixed 64 made a
+    * house rule of derived knobs into a constant): a full-form pick can
+    * sit below the relevance head only by candidates the diversity term
+    * demoted, and a demoted candidate must lie within γ/λ relevance of
+    * the pick while resembling one of the ≤ k−1 already-selected items —
+    * so the skipped-run budget scales with k·(k−1)·γ/λ. The width is
+    * that margin over k, rounded UP to a power of two (the
+    * [[derivedBits]] discipline: stable under small k changes, never
+    * data-dependent), floored at 2k. At the registered defaults
+    * (k = 10, λ = 0.7, γ = 0.3): 10 + ⌈90·3/7⌉ = 49 → 64 — exactly the
+    * r11 constant, so x246's values are unchanged by construction. */
+  def mmrShortlistWidth(k: Int, lambda: Double = MmrLambda,
+      gamma: Double = MmrGamma): Int = {
+    require(k >= 1 && lambda > 0.0 && gamma >= 0.0,
+      s"bad MMR shortlist parameters k=$k lambda=$lambda gamma=$gamma")
+    val margin = math.ceil(k.toDouble * (k - 1).toDouble * gamma / lambda).toLong
+    val floor = math.max(2L * k, k + margin)
+    var c = 1L
+    while (c < floor) c <<= 1
+    c.toInt
+  }
+
+  /** The law value at the registered defaults — interpolated into x246's
+    * oracle SQL (ONE Scala definition, both engines). */
+  val MmrShortlistC: Int = mmrShortlistWidth(10)
 
   /** [[mmrSelect]] behind a relevance top-C shortlist (VERDICT r10 item
     * 4): the full form's k greedy argmax passes each re-scan the WHOLE
@@ -2208,12 +2275,15 @@ object Similarity {
     * corpus where diversity must reach the relevance TAIL wants the full
     * form or a larger C. The shortlist could equally come from a stored
     * index ([[lshMultiTopK]], [[graphBeamTopK]]) — the greedy only needs
-    * (vec_id, emb, rel) rows. */
+    * (vec_id, emb, rel) rows. `c ≤ 0` means "the [[mmrShortlistWidth]]
+    * law value for this k" (the graphBeamVisited beam idiom); an explicit
+    * c is the tuning override. */
   def mmrSelectShortlist(emb: DataFrame, k: Int = 10, queryId: Long = 0L,
-      c: Int = MmrShortlistC): DataFrame = {
-    require(c >= k, s"shortlist width $c must cover the selection size $k")
+      c: Int = 0): DataFrame = {
+    val width = if (c > 0) c else mmrShortlistWidth(k)
+    require(width >= k, s"shortlist width $width must cover the selection size $k")
     val cand = mmrCandidates(emb, queryId)
-    mmrGreedy(cand.orderBy(col("rel").desc, col("vec_id").asc).limit(c), k)
+    mmrGreedy(cand.orderBy(col("rel").desc, col("vec_id").asc).limit(width), k)
   }
 
   /** The shared relevance-scored candidate frame: one corpus scan, query

@@ -486,6 +486,70 @@ class SimilaritySpec extends SparkTestBase {
     assert(spark.read.parquet(s"$idx/codes").count() === nBefore - victims.size)
   }
 
+  test("hard delete generalizes to IVF/SQ8/BIN (r12, VERDICT r11 item 1): victims vanish, survivors bit-identical, quiet cells untouched, idempotent") {
+    // the journaled swap itself is crash-pinned on the codes sub-table
+    // (the two tests below); this pins the three new families' contracts
+    // over the SHARED deleteFromCellSub machinery
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val queries = e.where(col("vec_id") < 5)
+    val families: Seq[(String, String, String => Unit, () => Map[(Long, Long), Any])] = {
+      var dirs = Map.empty[String, String]
+      def mk(nm: String): String = {
+        val d = java.nio.file.Files.createTempDirectory(s"graft-$nm-del").toString
+        dirs += nm -> d; d
+      }
+      val ivf = mk("ivf"); val sq8 = mk("sq8"); val bin = mk("bin")
+      Seq(
+        ("assigned", ivf, (d: String) => Similarity.buildIvfIndex(e, d),
+          () => Similarity.ivfTopKStored(spark, ivf, queries, 100000)
+            .select("q_id", "vec_id", "cos").collect()
+            .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2): Any)).toMap),
+        ("quant", sq8, (d: String) => Similarity.buildIvfSq8Index(e, d),
+          () => Similarity.ivfSq8TopK(spark, sq8, queries, 100000)
+            .select("q_id", "vec_id", "score").collect()
+            .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2): Any)).toMap),
+        ("signs", bin, (d: String) => Similarity.buildIvfBinIndex(e, d),
+          () => Similarity.ivfBinTopK(spark, bin, queries, 100000)
+            .select("q_id", "vec_id", "hamming").collect()
+            .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2): Any)).toMap))
+    }
+    for ((sub, idx, build, pairs) <- families) {
+      build(idx)
+      val before = pairs()
+      val nBefore = spark.read.parquet(s"$idx/$sub").count()
+      val victims = before.keySet.map(_._2).toSeq.sorted.take(3)
+      val rows = spark.read.parquet(s"$idx/$sub")
+      val victimCells = rows.where(col("vec_id").isin(victims: _*))
+        .select(col("cell").cast("long")).distinct().collect().map(_.getLong(0)).toSet
+      val quietCell = rows.select(col("cell").cast("long")).distinct().collect()
+        .map(_.getLong(0)).filterNot(victimCells).head
+      def cellFiles(c: Long): Set[(String, Long)] =
+        Option(new java.io.File(s"$idx/$sub/cell=$c").listFiles()).toSeq.flatten
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified())).toSet
+      val quietBefore = cellFiles(quietCell)
+      def del(): Unit = sub match {
+        case "assigned" => Similarity.deleteFromIvfIndex(spark, idx, victims)
+        case "quant" => Similarity.deleteFromIvfSq8Index(spark, idx, victims)
+        case "signs" => Similarity.deleteFromIvfBinIndex(spark, idx, victims)
+      }
+      del()
+      assert(spark.read.parquet(s"$idx/$sub").count() === nBefore - victims.size,
+        s"$sub: victim rows must leave disk")
+      val after = pairs()
+      assert(victims.forall(v => !after.keySet.exists(_._2 == v)),
+        s"$sub: deleted vectors must be invisible to probes")
+      after.foreach { case (k2, v) =>
+        assert(before(k2) == v, s"$sub: survivor result moved at $k2")
+      }
+      assert(cellFiles(quietCell) === quietBefore,
+        s"$sub: a cell holding no victims must not be rewritten")
+      del()
+      assert(spark.read.parquet(s"$idx/$sub").count() === nBefore - victims.size,
+        s"$sub: replayed delete must be a no-op")
+    }
+  }
+
   test("delete crash windows recover: committed swap rolls FORWARD, uncommitted rolls BACK") {
     // ADVICE r8: the r8 delete rm'd the live cell before moving the
     // rewrite in — a crash in that window lost the cell's survivors for
@@ -976,6 +1040,24 @@ class SimilaritySpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Similarity.mmrSelectShortlist(emb, 10, 0L, c = 5)
     }
+  }
+
+  test("mmrShortlistWidth law (r12, VERDICT r11 item 6): 64 at the registered defaults, monotone, ≥ 2k, power of two") {
+    // the x246 compatibility anchor: the law must reproduce the r11
+    // constant at (k=10, λ=0.7, γ=0.3) so the registered values are
+    // unchanged by construction
+    assert(Similarity.mmrShortlistWidth(10) === 64)
+    assert(Similarity.MmrShortlistC === 64)
+    for (k <- 1 to 40) {
+      val c = Similarity.mmrShortlistWidth(k)
+      assert(c >= 2 * k, s"width $c below the 2k floor at k=$k")
+      assert((c & (c - 1)) === 0, s"width $c not a power of two at k=$k")
+      assert(Similarity.mmrShortlistWidth(k + 1) >= c, s"law not monotone at k=$k")
+    }
+    // a pure-relevance objective (γ=0) needs no duplicate-skip margin:
+    // the width collapses to the 2k floor's power of two
+    assert(Similarity.mmrShortlistWidth(10, gamma = 0.0) === 32)
+    intercept[IllegalArgumentException] { Similarity.mmrShortlistWidth(0) }
   }
 
   test("OPQ rotation is exactly orthogonal; permutation preserves norms (x245)") {
