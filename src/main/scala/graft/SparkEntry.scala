@@ -86,7 +86,17 @@ object SparkEntry {
     // r11: the Lee-et-al. exact-substring rung and its delta-run form
     // (0.1–0.2 s quiet at sf0.1 — under the 0.3 s headline floor, so they
     // ride the extra line)
-    "x244_substring_dedup", "x247_substring_incremental")
+    "x244_substring_dedup", "x247_substring_incremental",
+    // r12 bench governance (VERDICT r11 item 4): the three r11 rungs that
+    // were oracle-gated but invisible to regression tracking — the OPQ
+    // recall report (embeds a brute-force truth leg, the x146 precedent),
+    // the shortlist MMR, and the robots/opt-out gate
+    "x245_opq_recall", "x246_mmr_shortlist", "x248_robots_gate",
+    // r12: the substring-index delete rollup. x250 (the composed erasure
+    // flagship) stays OFF the bench deliberately: its cost is its six
+    // index builds, each already timed as a b-leg — timing it again
+    // would double-count builds; its quiet time is recorded in PERF.md
+    "x249_substring_index_delete")
 
   private def coreQueries: Map[String, Q] = Map(
     // S1+P4+F1+F4 — dimension scan with projection + pushed predicates

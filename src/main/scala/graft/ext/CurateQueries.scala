@@ -227,6 +227,46 @@ private[graft] object CurateQueries {
     "x248_robots_gate" -> ((s, dir) =>
       Curate.robotsGate(Tables.documents(s, dir))),
 
+    // Corpus-wide takedown/erasure + absence audit (r12 — VERDICT r11's
+    // top ask, the GDPR/DMCA operation a production corpus runs weekly):
+    // publish the corpus, build EVERY stored index family over it
+    // (substring anchors, BM25, plain IVF, IVFADC, OPQ-IVFADC, SQ8, BIN,
+    // graph NSW), erase the victim slice everywhere through the composed
+    // journaled verb, then prove absence — one row per surface with the
+    // substantive survivor count (`n_live`, the oracle recomputes it
+    // from the survivor corpus) and `victim_hits` summing CONTENT
+    // membership + real post-erase PROBE membership driven by the
+    // victims' own payloads. Hash match = erase ≡ rebuild-on-survivors
+    // across every retrieval surface at once. Not a bench leg: its cost
+    // IS its six index builds, each already timed as a b-leg.,
+    "x250_erase_docs_audit" -> ((s, dir) => {
+      val planted = Dedup.withPlantedRepeats(Tables.documents(s, dir))
+      val emb = Tables.embeddings(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("erase").toString
+      planted.write.mode("overwrite").parquet(s"$base/corpus")
+      Dedup.buildSubstringIndex(planted, s"$base/substr")
+      Search.buildBm25Index(planted, s"$base/bm25")
+      Similarity.buildIvfIndex(emb, s"$base/ivf")
+      Similarity.buildIvfPqIndex(emb, s"$base/ivfpq")
+      Similarity.buildOpqIvfPqIndex(emb, s"$base/opq")
+      Similarity.buildIvfSq8Index(emb, s"$base/sq8")
+      Similarity.buildIvfBinIndex(emb, s"$base/bin")
+      Similarity.buildGraphIndex(emb, s"$base/graph")
+      val surfaces = Erasure.Surfaces(
+        corpusDir = Some(s"$base/corpus"), substringDir = Some(s"$base/substr"),
+        bm25Dir = Some(s"$base/bm25"), ivfDir = Some(s"$base/ivf"),
+        ivfPqDir = Some(s"$base/ivfpq"), opqDir = Some(s"$base/opq"),
+        sq8Dir = Some(s"$base/sq8"), binDir = Some(s"$base/bin"),
+        graphDir = Some(s"$base/graph"))
+      // victim payload slices retained from the FIXTURE (the erasure
+      // destroys the published copies)
+      val victimDocs = planted.where(col("doc_id") % 23 === 3)
+      val victimVecs = emb.where(col("vec_id") % 23 === 3)
+      val ids = victimDocs.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      Erasure.eraseDocs(s, ids, surfaces, s"$base/journal")
+      Erasure.absenceAudit(s, ids, surfaces, Some(victimDocs), Some(victimVecs))
+    }),
+
     // The release flagship (r10 continuation): license gate -> exact
     // dedup -> DoReMi-weighted token-budget realization -> shard law, in
     // one query — the last mile from raw corpus to shippable shards,
@@ -1074,6 +1114,71 @@ private[graft] object CurateQueries {
         "NOT (policy = 'disallow_all' OR policy = 'noai_optout' OR " +
         "(policy = 'disallow_prefix' AND starts_with(path, rule))) AS training_allowed " +
         "FROM g"
+    },
+
+    // x250: every surface's n_live recomputed from the SURVIVOR corpus
+    // (erase ≡ rebuild-on-survivors), victim_hits recomputed from the
+    // same survivor relations (structurally zero — but COMPUTED, not a
+    // literal: the corpus/vector rows filter the victim rule over the
+    // survivor set, the substring row intersects live grams with
+    // victim-only grams, the bm25 row replays the x224 stored-probe
+    // top-k over survivors and counts victims in it). The five vector
+    // surfaces share the survivor embedding count; bm25's tf/df/stats
+    // replay uses the PLANTED text because the engine built its index
+    // on the planted corpus.,
+    "x250_erase_docs_audit" -> {
+      val k = Dedup.SubstrGramK
+      val bm25Score = Seq(0, 1, 2).map(i =>
+        s"CASE WHEN tf_$i > 0 THEN ((CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5)) * (CAST(tf_$i AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf_$i AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) ELSE 0.0 END")
+        .mkString(" + ")
+      s"WITH src AS (SELECT doc_id, CASE WHEN " +
+        s"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':substr'), 1, 8)) AS BIGINT)/4294967296.0 " +
+        s"< ${Dedup.SubstrPlantRate} THEN text || ' ${Dedup.RepeatPassage}' ELSE text END AS text FROM documents), " +
+        "surv AS (SELECT * FROM src WHERE doc_id % 23 <> 3), " +
+        "corp AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN doc_id % 23 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h FROM surv), " +
+        "ev AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN vec_id % 23 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h " +
+        "FROM embeddings WHERE vec_id % 23 <> 3), " +
+        "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM surv), " +
+        "sg AS (SELECT DISTINCT md5(s.g) AS g FROM " +
+        s"(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - ${k - 1}), " +
+        s"i -> struct_pack(g := array_to_string(toks[i:i+${k - 1}], ' ')))) AS s " +
+        s"FROM t WHERE len(toks) >= $k)), " +
+        "sgn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sg), " +
+        "vt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM src WHERE doc_id % 23 = 3), " +
+        "vg AS (SELECT DISTINCT md5(s.g) AS g FROM " +
+        s"(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - ${k - 1}), " +
+        s"i -> struct_pack(g := array_to_string(toks[i:i+${k - 1}], ' ')))) AS s " +
+        s"FROM vt WHERE len(toks) >= $k)), " +
+        "vo AS (SELECT g FROM vg EXCEPT SELECT g FROM sg), " +
+        "sh AS (SELECT CAST(count(*) AS BIGINT) AS h FROM sg JOIN vo USING (g)), " +
+        "e AS (SELECT doc_id, unnest(toks) AS tok FROM t), " +
+        "bl AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM e), " +
+        "pd AS (SELECT doc_id, count(*) AS dl, " +
+        "sum(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END) AS tf_0, " +
+        "sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS tf_1, " +
+        "sum(CASE WHEN tok = 'dup' THEN 1 ELSE 0 END) AS tf_2 " +
+        "FROM e GROUP BY doc_id), " +
+        "st AS (SELECT sum(dl) AS sum_dl, count(*) AS n_docs, " +
+        "sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0, " +
+        "sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1, " +
+        "sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2 FROM pd), " +
+        s"bp AS (SELECT doc_id, $bm25Score AS score FROM pd, st " +
+        "WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0 " +
+        "ORDER BY score DESC, doc_id LIMIT 10), " +
+        "bh AS (SELECT CAST(count(*) AS BIGINT) AS h FROM bp WHERE doc_id % 23 = 3) " +
+        "SELECT * FROM (" +
+        "SELECT 'bin' AS surface, n AS n_live, h AS victim_hits FROM ev " +
+        "UNION ALL SELECT 'bm25', bl.n, bh.h FROM bl, bh " +
+        "UNION ALL SELECT 'corpus', corp.n, corp.h FROM corp " +
+        "UNION ALL SELECT 'graph', n, h FROM ev " +
+        "UNION ALL SELECT 'ivf', n, h FROM ev " +
+        "UNION ALL SELECT 'ivfpq', n, h FROM ev " +
+        "UNION ALL SELECT 'opq_ivfpq', n, h FROM ev " +
+        "UNION ALL SELECT 'sq8', n, h FROM ev " +
+        "UNION ALL SELECT 'substring', sgn.n, sh.h FROM sgn, sh" +
+        ") ORDER BY surface"
     },
     "x105_ccnet_buckets" ->
       (s"WITH $lmTrigramCtes, " +

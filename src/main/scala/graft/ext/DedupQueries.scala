@@ -34,6 +34,25 @@ private[graft] object DedupQueries {
       Dedup.incrementalSubstringDedup(
         d.where(col("doc_id") % 4 =!= 3), d.where(col("doc_id") % 4 === 3))
     }),
+    // Substring-anchor index DELETE (r12, VERDICT r11 item 1 — the one
+    // index family that lacked a delete verb): build the stored index on
+    // the planted corpus, tombstone the victim slice, and roll up the
+    // LIVE merged view — gram count, total carriers, cross-doc grams,
+    // max carriers. The oracle computes the same rollup from a survivor
+    // REBUILD, so a hash match certifies delete ≡ rebuild-on-survivors
+    // with exact per-gram counts (the x224 contract on this family).,
+    "x249_substring_index_delete" -> ((s, dir) => {
+      val d = Dedup.withPlantedRepeats(Tables.documents(s, dir))
+      val idx = java.nio.file.Files.createTempDirectory("substrdel").toString
+      Dedup.buildSubstringIndex(d, idx)
+      Dedup.deleteFromSubstringIndex(s, idx, d.where(col("doc_id") % 23 === 3))
+      Dedup.readSubstringIndex(s, idx).agg(
+        count(lit(1)).as("n_grams"),
+        sum(col("n_docs")).as("total_carriers"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_crossdoc_grams"),
+        max(col("n_docs")).as("max_carriers"))
+    }),
+
     "x02_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), 3, 0.8)),
 
@@ -233,6 +252,28 @@ private[graft] object DedupQueries {
     // x247: the identical full-corpus chain, restricted to the batch
     // slice — the incremental form must reproduce it row-for-row.,
     "x247_substring_incremental" -> substrDedupSql(" WHERE n.doc_id % 4 = 3"),
+
+    // x249: the survivor REBUILD's anchor rollup — distinct k-gram
+    // digests over the planted corpus MINUS the victim slice, per-gram
+    // distinct-carrier counts, then the four exact integers the live
+    // merged view reports after the tombstone delete.,
+    "x249_substring_index_delete" -> {
+      val k = Dedup.SubstrGramK
+      s"WITH src AS (SELECT doc_id, CASE WHEN " +
+        s"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':substr'), 1, 8)) AS BIGINT)/4294967296.0 " +
+        s"< ${Dedup.SubstrPlantRate} THEN text || ' ${Dedup.RepeatPassage}' ELSE text END AS text " +
+        "FROM documents WHERE doc_id % 23 <> 3), " +
+        "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM src), " +
+        "g AS (SELECT DISTINCT doc_id, md5(s.g) AS g FROM " +
+        s"(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - ${k - 1}), " +
+        s"i -> struct_pack(g := array_to_string(toks[i:i+${k - 1}], ' ')))) AS s " +
+        s"FROM t WHERE len(toks) >= $k)), " +
+        "a AS (SELECT g, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM g GROUP BY 1) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_grams, " +
+        "CAST(sum(n_docs) AS BIGINT) AS total_carriers, " +
+        "CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_crossdoc_grams, " +
+        "CAST(max(n_docs) AS BIGINT) AS max_carriers FROM a"
+    },
     "x223_dedup_cluster_histogram" ->
       ("WITH g AS (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS cluster_size " +
         "FROM documents GROUP BY 1) " +

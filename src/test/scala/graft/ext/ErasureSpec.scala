@@ -1,0 +1,134 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Pins [[Erasure.eraseDocs]]'s cross-surface contract (r12, VERDICT r11
+  * item 1): the per-surface verbs are each spec-pinned in their own
+  * suites, so this suite exercises what only the COMPOSED verb owns —
+  * the journal that survives the corpus rewrite destroying the victims'
+  * text, resume after every crash window, idempotent re-run, and the
+  * absence audit reading all zeros.
+  */
+class ErasureSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def mkSurfaces(): (String, Erasure.Surfaces) = {
+    val base = java.nio.file.Files.createTempDirectory("graft-erase").toString
+    val planted = Dedup.withPlantedRepeats(graft.sources.Tables.documents(spark, sfDir))
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    planted.write.mode("overwrite").parquet(s"$base/corpus")
+    Dedup.buildSubstringIndex(planted, s"$base/substr")
+    Search.buildBm25Index(planted, s"$base/bm25")
+    Similarity.buildIvfIndex(emb, s"$base/ivf")
+    (base, Erasure.Surfaces(
+      corpusDir = Some(s"$base/corpus"), substringDir = Some(s"$base/substr"),
+      bm25Dir = Some(s"$base/bm25"), ivfDir = Some(s"$base/ivf")))
+  }
+
+  private def planted = Dedup.withPlantedRepeats(
+    graft.sources.Tables.documents(spark, sfDir))
+  private def victimIds: Seq[Long] = planted.where(col("doc_id") % 23 === 3)
+    .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+
+  test("eraseDocs end-to-end: victims leave every surface, audit reads zero, journal gone") {
+    val (base, s) = mkSurfaces()
+    val ids = victimIds
+    val victimDocs = planted.where(col("doc_id") % 23 === 3)
+    val victimVecs = graft.sources.Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") % 23 === 3)
+    Erasure.eraseDocs(spark, ids, s, s"$base/journal")
+    assert(!new java.io.File(s"$base/journal").exists, "journal must be consumed")
+    assert(spark.read.parquet(s"$base/corpus")
+      .where(col("doc_id").isin(ids: _*)).isEmpty, "victims must leave the corpus")
+    val audit = Erasure.absenceAudit(spark, ids, s,
+      Some(victimDocs), Some(victimVecs)).collect()
+    assert(audit.map(_.getString(0)).toSeq ===
+      Seq("bm25", "corpus", "ivf", "substring"))
+    audit.foreach { r =>
+      assert(r.getLong(2) === 0L, s"victim_hits nonzero on ${r.getString(0)}")
+      assert(r.getLong(1) > 0L, s"n_live empty on ${r.getString(0)}")
+    }
+    // the substring surface must equal a survivor rebuild, counts included
+    val want = Dedup.substringAnchorIndex(
+        planted.where(col("doc_id") % 23 =!= 3))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Dedup.readSubstringIndex(spark, s.substringDir.get)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want, "substring surface must equal the survivor rebuild")
+    // idempotent: a full re-run (fresh journal over the erased corpus) is a no-op
+    Erasure.eraseDocs(spark, ids, s, s"$base/journal2")
+    val again = Erasure.absenceAudit(spark, ids, s,
+      Some(victimDocs), Some(victimVecs)).collect()
+    assert(again.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      audit.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq,
+      "re-running a completed erasure must change nothing")
+  }
+
+  test("crash window: corpus rewritten, victim text only in the journal — resume completes every surface") {
+    val (base, s) = mkSurfaces()
+    val ids = victimIds
+    // construct the worst window BY HAND: the journal committed and the
+    // corpus already rewritten (victim text gone from every table), but
+    // no index was touched yet — resume must finish from the journal
+    val j = s"$base/journal"
+    ids.toDF("doc_id").repartition(1).write.mode("overwrite").parquet(s"$j/ids")
+    spark.read.parquet(s"$base/corpus").where(col("doc_id").isin(ids: _*))
+      .write.mode("overwrite").parquet(s"$j/docs")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$j/COMMIT"))
+    spark.read.parquet(s"$base/corpus").where(!col("doc_id").isin(ids: _*))
+      .write.mode("overwrite").parquet(s"$base/corpus_new")
+    def rm(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rm)); p.delete()
+    }
+    rm(new java.io.File(s"$base/corpus"))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$base/corpus_new"),
+      java.nio.file.Paths.get(s"$base/corpus"))
+    // re-entry with the SAME request resumes from the journal
+    Erasure.eraseDocs(spark, ids, s, j)
+    assert(!new java.io.File(j).exists, "resume must consume the journal")
+    val want = Dedup.substringAnchorIndex(
+        planted.where(col("doc_id") % 23 =!= 3))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Dedup.readSubstringIndex(spark, s.substringDir.get)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want,
+      "resume must rebuild the substring tombstones from the JOURNALED text " +
+        "(the corpus no longer has it)")
+    assert(spark.read.parquet(s"$base/ivf/assigned")
+      .where(col("vec_id").isin(ids: _*)).isEmpty, "resume must reach the vector index")
+  }
+
+  test("a pending committed journal is completed before a new request begins") {
+    val (base, s) = mkSurfaces()
+    val ids = victimIds
+    // pending erasure for victim set A (journal committed, nothing applied)
+    val j = s"$base/journal"
+    ids.toDF("doc_id").repartition(1).write.mode("overwrite").parquet(s"$j/ids")
+    spark.read.parquet(s"$base/corpus").where(col("doc_id").isin(ids: _*))
+      .write.mode("overwrite").parquet(s"$j/docs")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$j/COMMIT"))
+    // a NEW erasure request for a different set B arrives
+    val ids2 = planted.where(col("doc_id") % 23 === 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    Erasure.eraseDocs(spark, ids2, s, j)
+    assert(!new java.io.File(j).exists)
+    val corpus = spark.read.parquet(s"$base/corpus")
+    assert(corpus.where(col("doc_id").isin(ids: _*)).isEmpty,
+      "the pending set A must have been erased first")
+    assert(corpus.where(col("doc_id").isin(ids2: _*)).isEmpty,
+      "the new set B must be erased too")
+  }
+
+  test("eraseDocs argument contract: empty batch and substring-without-corpus are loud caller bugs") {
+    val (base, s) = mkSurfaces()
+    intercept[IllegalArgumentException] {
+      Erasure.eraseDocs(spark, Seq.empty, s, s"$base/j")
+    }
+    intercept[IllegalArgumentException] {
+      Erasure.eraseDocs(spark, Seq(1L),
+        Erasure.Surfaces(substringDir = Some(s"$base/substr")), s"$base/j")
+    }
+  }
+}
