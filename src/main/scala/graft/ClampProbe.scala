@@ -91,6 +91,63 @@ object ClampProbe {
       spark.sharedState.cacheManager.clearCache()
     }
 
+    // graph rebuild pair (r12, VERDICT r11 item 2 — the r11 IVF protocol
+    // on the graph rung): build at 1× so the width/beam laws derive from
+    // the SMALL corpus, append to 3× (both laws go stale at every fixture
+    // SF — the x208 spec's regime), measure the beam search's recall AND
+    // scanned-candidate budget vs the brute-force truth, rebuild, measure
+    // again. What the rebuild restores — measured honestly (the x161/x245
+    // precedent) — is the LAW'S COST BUDGET: a stale small-corpus width
+    // leaves buckets occupancy·(n/n_build)-fat, so the entry-finding join
+    // and the scan count inflate linearly with growth (the quadratic
+    // regime the width law exists to prevent), and on this salted-replica
+    // fixture the extra scanning BUYS recall — so recall lands at the
+    // fresh-build value for the new size, DOWN from the stale point,
+    // while n_scanned drops back to the bounded budget. stale flags are
+    // 0/1 in `rows`; recall is basis points; n_scanned is the 5-query
+    // total.
+    for (k <- Seq(1, 4) if wanted("grebuild")) {
+      val e1 = ProbeData.replicateEmb(spark, sfDir, k).cache()
+      val e3 = ProbeData.replicateEmb(spark, sfDir, 3 * k).cache()
+      val n = e3.count()
+      val idx = java.nio.file.Files.createTempDirectory("clamp_grebuild_").toString
+      graft.ext.Similarity.buildGraphIndex(e1, idx)
+      time(k, n, "grebuild_append_3x") {
+        graft.ext.Similarity.appendToGraphIndex(spark, idx, e3.exceptAll(e1)); 0L
+      }
+      def staleRow(op: String): Unit = {
+        val st = graft.ext.Similarity.graphIndexStats(spark, idx).head()
+        println(s"""{"scale":$k,"docs":$n,"op":"$op","sec":0.0,"rows":${if (st.getAs[Boolean]("stale_laws")) 1 else 0}}""")
+      }
+      def recallRows(tag: String): Unit = {
+        val r = graft.ext.Similarity.graphRecallReport(spark, idx,
+            e3.where(col("vec_id") < 5), e3, 10)
+          .where(col("method") === "graph_beam")
+          .select("recall", "n_scanned").head()
+        println(s"""{"scale":$k,"docs":$n,"op":"grebuild_recall_bp_$tag","sec":0.0,"rows":${math.round(r.getDouble(0) * 10000)}}""")
+        println(s"""{"scale":$k,"docs":$n,"op":"grebuild_scanned_$tag","sec":0.0,"rows":${r.getLong(1)}}""")
+      }
+      def occRow(tag: String): Unit = {
+        val occ = spark.read.parquet(s"$idx/buckets")
+          .groupBy("tbl", "bkt").agg(count(lit(1)).as("c"))
+          .agg(max(col("c"))).head().getLong(0)
+        println(s"""{"scale":$k,"docs":$n,"op":"grebuild_max_bucket_$tag","sec":0.0,"rows":$occ}""")
+      }
+      staleRow("grebuild_stale_before")
+      occRow("before")
+      recallRows("before")
+      time(k, n, "grebuild_rebuild") {
+        graft.ext.Similarity.rebuildGraphIndex(spark, idx); 0L
+      }
+      staleRow("grebuild_stale_after")
+      occRow("after")
+      recallRows("after")
+      rmTree(new java.io.File(idx))
+      e1.unpersist(blocking = true)
+      e3.unpersist(blocking = true)
+      spark.sharedState.cacheManager.clearCache()
+    }
+
     // graph width law at occupancy target 1, across the EXTENDED range:
     // rows = max (tbl, bkt) occupancy — must stay flat as bits grow with
     // the corpus (17 → 20 → 22 at sf0.1 replicas 64/512/2048), including

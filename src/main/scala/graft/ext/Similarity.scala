@@ -2556,6 +2556,71 @@ object Similarity {
       r.getAs[Int]("beam"))
   }
 
+  /** The graph rebuild journal's sub-table set — everything
+    * [[buildGraphIndex]] writes, swapped as one unit (meta included, so
+    * the re-derived width/beam land atomically with the tables they
+    * describe). */
+  private val GraphRebuildSubs = Seq("vectors", "buckets", "directed", "edges", "meta")
+
+  /** Rebuild a stored graph index IN PLACE at the CURRENT corpus size
+    * (r12, VERDICT r11 item 2 — the ACT half of the x208 `stale_laws`
+    * trigger, closing the same measure→act asymmetry the IVF family's
+    * r11 rebuild closed): appends keep the BUILD's width/beam by
+    * necessity (probes must hash the stored bucket table), so once the
+    * corpus grows past the laws' next steps recall drifts until an
+    * offline rebuild re-derives [[derivedBits]]/[[derivedBeam]] and
+    * re-mines every edge at the new width. The index stores its own
+    * vectors, so no corpus re-supply is needed — and the rebuild is the
+    * HARD half of [[deleteFromGraphIndex]]'s contract: tombstoned nodes
+    * are excluded from the rebuilt node set (their payloads leave disk)
+    * and the tombstone table is consumed. The swap is the journaled
+    * two-phase [[rebuildIvfIndex]] discipline — stage a full
+    * [[buildGraphIndex]] under `rebuild_tmp/`, COMMIT marker, aside-first
+    * install — with every crash window consumed by
+    * [[recoverGraphRebuild]] (run automatically here and at the start of
+    * every append and probe). Cost is one full build over the stored
+    * vectors; scheduled by `stale_laws`, not per append. */
+  def rebuildGraphIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, m: Int = GraphDegree, occ: Long = GraphBucketOcc): Unit = {
+    recoverGraphRebuild(indexDir)
+    // a pending append journal references the OLD layout and must not
+    // replay over the rebuilt one
+    recoverGraphAppend(indexDir)
+    val vectors = spark.read.parquet(s"$indexDir/vectors")
+    val live = graphTombstones(spark, indexDir) match {
+      case Some(ts) => vectors.join(broadcast(ts), Seq("vec_id"), "left_anti")
+      case None => vectors
+    }
+    buildGraphIndex(live, s"$indexDir/rebuild_tmp", m, occ)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$indexDir/rebuild_tmp/COMMIT"))
+    // tombstones are consumed INSIDE the committed window (after COMMIT,
+    // before install): a crash on either side re-enters through
+    // recoverGraphRebuild, whose forward branch re-runs this removal
+    rmTree(new java.io.File(s"$indexDir/tombstones"))
+    installIvfRebuild(indexDir, GraphRebuildSubs)
+  }
+
+  /** Complete or discard an interrupted [[rebuildGraphIndex]] —
+    * idempotent; runs automatically at the start of every rebuild,
+    * append, and probe. `rebuild_tmp/COMMIT` is the commit point:
+    * present → the tombstone table is removed (the staged graph was
+    * built WITHOUT those nodes — leaving the tombstones would hide any
+    * later legitimate append of the same ids) and the staged swap rolls
+    * FORWARD; absent → [[recoverIvfRebuild]]'s rollback branch restores
+    * any aside dirs and discards the staging (tombstones untouched —
+    * the rebuild never happened, so the soft deletes must keep
+    * filtering). */
+  def recoverGraphRebuild(indexDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val tmp = s"$indexDir/rebuild_tmp"
+    if (!new java.io.File(tmp).isDirectory) return
+    if (Files.exists(Paths.get(s"$tmp/COMMIT"))) {
+      rmTree(new java.io.File(s"$indexDir/tombstones"))
+      installIvfRebuild(indexDir, GraphRebuildSubs)
+    } else recoverIvfRebuild(indexDir, GraphRebuildSubs)
+  }
+
   /** Append a batch of NEW vectors to a stored graph index with
     * BATCH-SCALE compute — the [[appendToIvfIndex]]/BM25-append
     * discipline on the graph rung, and (unlike generic NSW insertion,
@@ -2583,6 +2648,7 @@ object Similarity {
     * width law's next step still waits for an offline rebuild. */
   def appendToGraphIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, batch: DataFrame): Unit = {
+    recoverGraphRebuild(indexDir)
     recoverGraphAppend(indexDir)
     stageGraphAppend(spark, indexDir, batch)
     installGraphAppend(indexDir)
@@ -2738,6 +2804,7 @@ object Similarity {
     * bit-identical before/after (spec-pinned); only file counts fall. */
   def compactGraphIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Unit = {
+    recoverGraphRebuild(indexDir)
     recoverGraphAppend(indexDir)
     graft.ops.Maintenance.compactPlain(spark, s"$indexDir/vectors")
     graft.ops.Maintenance.compactPlain(spark, s"$indexDir/buckets")
@@ -2764,6 +2831,7 @@ object Similarity {
     * count vs the meta literals). */
   def graphIndexStats(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): DataFrame = {
+    recoverGraphRebuild(indexDir)
     recoverGraphAppend(indexDir)
     val (bits, _, _, beam) = graphMeta(spark, indexDir)
     val vectors = spark.read.parquet(s"$indexDir/vectors")
@@ -2798,6 +2866,7 @@ object Similarity {
       indexDir: String, queries: DataFrame, beam: Int = 0,
       rounds: Int = GraphRounds): DataFrame = {
     GraftFunctions.register(spark)
+    recoverGraphRebuild(indexDir)
     recoverGraphAppend(indexDir)
     val vectors = spark.read.parquet(s"$indexDir/vectors")
     val edges = spark.read.parquet(s"$indexDir/edges").select("src", "dst")

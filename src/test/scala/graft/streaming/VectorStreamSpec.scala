@@ -52,6 +52,60 @@ class VectorStreamSpec extends SparkTestBase {
       "an empty re-drain must not duplicate appended vectors")
   }
 
+  test("graphIngest: streamed appends ≡ full rebuild edge-for-edge; batches visible at commit; replay skipped (r12, VERDICT r11 item 3)") {
+    implicit val sqlCtx = spark.sqlContext
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+    val base = e.where(col("vec_id") % 3 =!= 0)
+    val rest = e.where(col("vec_id") % 3 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Seq[Float])].collect()
+    val idx = java.nio.file.Files.createTempDirectory("graft-gstream-idx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-gstream-ckpt").toString
+    Similarity.buildGraphIndex(base, idx)
+    val (b1, b2) = rest.splitAt(rest.length / 2)
+    val in = MemoryStream[(Long, Seq[Float])]
+    def stream = in.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    // drain batch 1 alone: its nodes must be probe-visible at commit
+    in.addData(b1.toSeq)
+    val q1 = VectorStream.graphIngest(stream, idx, ckpt)
+    q1.awaitTermination(180000)
+    assert(q1.exception.isEmpty)
+    assert(spark.read.parquet(s"$idx/vectors").count() === base.count() + b1.length,
+      "batch 1 must be in the index the moment its drain commits")
+    in.addData(b2.toSeq)
+    val q2 = VectorStream.graphIngest(stream, idx, ckpt)
+    q2.awaitTermination(180000)
+    assert(q2.exception.isEmpty)
+    // the stream-grown graph equals a from-scratch build on everything —
+    // the append's rebuild-equivalence, surviving the micro-batch boundary
+    val full = java.nio.file.Files.createTempDirectory("graft-gstream-full").toString
+    Similarity.buildGraphIndex(e, full)
+    def edges(d: String) = spark.read.parquet(s"$d/edges").select("src", "dst", "cos")
+    assert(edges(idx).exceptAll(edges(full)).isEmpty &&
+      edges(full).exceptAll(edges(idx)).isEmpty,
+      "stream-grown edges must equal the full rebuild edge-for-edge")
+    // empty re-drain: checkpointed source progress makes it a no-op
+    val q3 = VectorStream.graphIngest(stream, idx, ckpt)
+    q3.awaitTermination(120000)
+    assert(spark.read.parquet(s"$idx/vectors").count() === e.count())
+    // at-least-once replay (fresh checkpoint, same data): every id is
+    // already a node, so the drain must SKIP, not throw the
+    // new-node-only error, and the index must not change
+    val in2 = MemoryStream[(Long, Seq[Float])]
+    in2.addData(b1.toSeq)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-gstream-ckpt2").toString
+    val q4 = VectorStream.graphIngest(
+      in2.toDF().toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")), idx, ckpt2)
+    q4.awaitTermination(120000)
+    assert(q4.exception.isEmpty, "a fully-committed replayed batch must be skipped")
+    assert(spark.read.parquet(s"$idx/vectors").count() === e.count())
+    assert(edges(idx).exceptAll(edges(full)).isEmpty,
+      "a skipped replay must not move an edge")
+  }
+
   test("bm25Ingest: a stream-grown lexical index probes identically to a full build") {
     implicit val sqlCtx = spark.sqlContext
     val docs = graft.sources.Tables.documents(spark, sfDir)
