@@ -106,6 +106,15 @@ private[graft] object AnnQueries {
     "x217_embedding_postprocess" -> ((s, dir) =>
       Embeddings.allButTop(Tables.embeddings(s, dir))),
 
+    // Isotropy-aware quantizer decision (r12, VERDICT r11 item 5 — the
+    // x177→x245 measure→act gap): the isotropy measurement, the
+    // plan-time 2/D dominance threshold, and the OPQ-vs-plain-PQ verdict
+    // an index build consults (buildAutoPqIndex dispatches on it;
+    // spec-pinned choosing the rotation on an anisotropic fixture and
+    // plain PQ on this near-isotropic one).,
+    "x252_quantizer_decision" -> ((s, dir) =>
+      Similarity.quantizerDecision(Tables.embeddings(s, dir))),
+
     // Embedding snapshot drift (r10): population-shift monitor between a
     // reference snapshot and the current ingest batch (fixture: vec_id
     // parity slices) — centroid cosine, centroid-difference norm,
@@ -959,6 +968,31 @@ private[graft] object AnnQueries {
         "list_aggregate(list(s ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS mean_norm FROM in1) " +
         "SELECT imn.n_vecs, imn.mean_norm, idr.mu_sqnorm, idr.trace_var, " +
         "CASE WHEN idr.trace_var > 0 THEN idr.maxvar/idr.trace_var END AS top_dim_var_share FROM imn, idr"),
+    // x252: the x177 variance chain, rolled into the decision columns —
+    // the threshold is the ONE Scala literal (OpqShareFactor / D)
+    // interpolated into both engines; NULL share (zero variance) decides
+    // plain PQ via the same coalesce.,
+    "x252_quantizer_decision" -> {
+      val thr = Similarity.OpqShareFactor / Similarity.PqDims
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "ifb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM e), " +
+        "dx AS (SELECT vec_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS d, " +
+        "unnest(emb) AS v FROM e), " +
+        "is1 AS (SELECT d, vec_id % (SELECT b FROM ifb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
+        "list_aggregate(list_sort(list(v)), 'sum') AS s, " +
+        "list_aggregate(list_sort(list(v*v)), 'sum') AS s2 FROM dx GROUP BY 1, 2), " +
+        "ipd AS (SELECT d, list_aggregate(list(s ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS mean_d, " +
+        "list_aggregate(list(s2 ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS m2_d FROM is1 GROUP BY 1), " +
+        "ipv AS (SELECT d, mean_d, m2_d - mean_d*mean_d AS var_d FROM ipd), " +
+        "idr AS (SELECT list_aggregate(list(var_d ORDER BY d), 'sum') AS trace_var, " +
+        "max(var_d) AS maxvar FROM ipv), " +
+        "nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM e), " +
+        "sh AS (SELECT CASE WHEN trace_var > 0 THEN maxvar/trace_var END AS top_dim_var_share FROM idr) " +
+        "SELECT nv.n_vecs, sh.top_dim_var_share, " +
+        s"$thr AS share_threshold, " +
+        s"coalesce(sh.top_dim_var_share, 0.0) > $thr AS use_opq FROM nv, sh"
+    },
+
     // x227: per-slice per-dim means (x177's fold idiom, one CTE chain per
     // slice), then a D-sized combine — dot/sq-norms/shift all fold over
     // dimensions ORDER BY d.,

@@ -1016,6 +1016,42 @@ object Dedup {
           .as("drop_doc"))
   }
 
+  /** The drop-span sensitivity grid (r12, VERDICT r11 item 7): Lee et
+    * al.'s published 50-token threshold, the engine's scaled-down
+    * [[SubstrDropSpan]] = 30, and an aggressive 20 — the x191 threshold-
+    * sweep discipline on the substring family. */
+  val SubstrSweepGrid: Seq[Long] = Seq(20L, 30L, 50L)
+
+  /** Drop-policy sensitivity sweep (x251): per grid threshold, how many
+    * documents and how many tokens the `max_repeat_span ≥ T` policy
+    * would drop — the datasheet row an operator reads before committing
+    * a corpus-wide excision (a threshold that drops 40 % of tokens is a
+    * different decision than one dropping 2 %). ONE [[substringDedupReport]]
+    * pass; the 3-literal grid explodes per doc and rolls up — grid work
+    * is O(|grid|·docs) rows of longs, never re-reading text. */
+  def substringThresholdSweep(docs: DataFrame, k: Int = SubstrGramK): DataFrame = {
+    val rep = substringDedupReport(docs, k).select("doc_id", "max_repeat_span")
+    val toks = docs.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    rep.join(toks, "doc_id")
+      .select(col("max_repeat_span"), col("n_tokens"),
+        explode(array(SubstrSweepGrid.map(lit): _*)).as("threshold"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("_n_docs"),
+        sum(when(col("max_repeat_span") >= col("threshold"), 1L)
+          .otherwise(0L)).as("docs_dropped"),
+        sum(col("n_tokens")).as("_total_tokens"),
+        sum(when(col("max_repeat_span") >= col("threshold"), col("n_tokens"))
+          .otherwise(0L)).as("tokens_dropped"))
+      .select(col("threshold"), col("docs_dropped"),
+        (col("docs_dropped").cast("double") / col("_n_docs").cast("double"))
+          .as("doc_drop_frac"),
+        col("tokens_dropped"),
+        (col("tokens_dropped").cast("double") / col("_total_tokens").cast("double"))
+          .as("token_drop_frac"))
+      .orderBy("threshold")
+  }
+
   /** The master corpus's stored anchor table — per k-gram digest, the
     * count of distinct master docs containing it. At 100 TB this is
     * computed ONCE at ingest and stored (the [[incrementalNearDups]] LSH

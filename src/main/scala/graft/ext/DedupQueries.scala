@@ -34,6 +34,14 @@ private[graft] object DedupQueries {
       Dedup.incrementalSubstringDedup(
         d.where(col("doc_id") % 4 =!= 3), d.where(col("doc_id") % 4 === 3))
     }),
+    // Substring drop-span sensitivity sweep (r12, VERDICT r11 item 7 —
+    // the x191 sweep discipline on this family): per 20/30/50-token grid
+    // threshold, documents and tokens the max_repeat_span >= T policy
+    // would drop over the planted corpus.,
+    "x251_substring_threshold_sweep" -> ((s, dir) =>
+      Dedup.substringThresholdSweep(
+        Dedup.withPlantedRepeats(Tables.documents(s, dir)))),
+
     // Substring-anchor index DELETE (r12, VERDICT r11 item 1 — the one
     // index family that lacked a delete verb): build the stored index on
     // the planted corpus, tombstone the victim slice, and roll up the
@@ -252,6 +260,36 @@ private[graft] object DedupQueries {
     // x247: the identical full-corpus chain, restricted to the batch
     // slice — the incremental form must reproduce it row-for-row.,
     "x247_substring_incremental" -> substrDedupSql(" WHERE n.doc_id % 4 = 3"),
+
+    // x251: the x244 gaps-and-islands chain rolled up over the
+    // 20/30/50 VALUES grid — drop counts and fractions per threshold,
+    // every constant interpolated from the one Scala grid definition.,
+    "x251_substring_threshold_sweep" -> {
+      val k = Dedup.SubstrGramK
+      val grid = Dedup.SubstrSweepGrid.mkString(", ")
+      s"WITH src AS (SELECT doc_id, CASE WHEN " +
+        s"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':substr'), 1, 8)) AS BIGINT)/4294967296.0 " +
+        s"< ${Dedup.SubstrPlantRate} THEN text || ' ${Dedup.RepeatPassage}' ELSE text END AS text FROM documents), " +
+        "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM src), " +
+        "g AS (SELECT doc_id, CAST(s.i AS BIGINT) AS pos, md5(s.g) AS g FROM " +
+        s"(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - ${k - 1}), " +
+        s"i -> struct_pack(i := i, g := array_to_string(toks[i:i+${k - 1}], ' ')))) AS s " +
+        s"FROM t WHERE len(toks) >= $k)), " +
+        "cd AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1) WHERE nd >= 2), " +
+        "fp AS (SELECT doc_id, pos FROM g JOIN cd USING (g)), " +
+        "isl AS (SELECT doc_id, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM fp), " +
+        "runs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS run FROM isl GROUP BY doc_id, grp), " +
+        s"pd AS (SELECT doc_id, CAST(max(run) + ${k - 1} AS BIGINT) AS mrs FROM runs GROUP BY 1), " +
+        "d AS (SELECT t.doc_id, coalesce(pd.mrs, CAST(0 AS BIGINT)) AS mrs, " +
+        "CAST(len(t.toks) AS BIGINT) AS n_tokens FROM t LEFT JOIN pd USING (doc_id)), " +
+        s"grid AS (SELECT CAST(unnest([$grid]) AS BIGINT) AS threshold) " +
+        "SELECT threshold, " +
+        "CAST(sum(CASE WHEN mrs >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS docs_dropped, " +
+        "CAST(sum(CASE WHEN mrs >= threshold THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS doc_drop_frac, " +
+        "CAST(sum(CASE WHEN mrs >= threshold THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_dropped, " +
+        "CAST(sum(CASE WHEN mrs >= threshold THEN n_tokens ELSE 0 END) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE) AS token_drop_frac " +
+        "FROM d, grid GROUP BY threshold ORDER BY threshold"
+    },
 
     // x249: the survivor REBUILD's anchor rollup — distinct k-gram
     // digests over the planted corpus MINUS the victim slice, per-gram

@@ -1996,6 +1996,51 @@ object Similarity {
       .unionByName(leg(s"opq_alloc_m${m}_k$kc", perm))
   }
 
+  /** Dominance factor for the quantizer DECISION (r12, VERDICT r11 item
+    * 5 — closing the x177→x245 measure→act gap): choose the OPQ rotation
+    * when `top_dim_var_share` exceeds `OpqShareFactor / D`, i.e. when one
+    * dimension carries more than [[OpqShareFactor]]× the perfectly-
+    * isotropic 1/D share. At 2× the rule is conservative in the right
+    * direction: x245 measured OPQ ≈ plain PQ on the near-isotropic
+    * fixture (share ≈ 1/D — rebalancing has nothing to move), while a
+    * whitened/PCA'd dump concentrating variance puts the share WAY past
+    * 2/D and plain PQ's unbalanced subspaces collapse (Ge et al. 2013,
+    * the case the rotation exists for). */
+  val OpqShareFactor = 2.0
+
+  /** The one-row decision an index build consults (x252): the x177
+    * isotropy measurement, the plan-time threshold literal, and the
+    * verdict. A zero-variance corpus (share NULL) has nothing to
+    * rebalance → plain PQ. */
+  def quantizerDecision(emb: DataFrame): DataFrame =
+    Embeddings.isotropyReport(emb).select(
+      col("n_vecs"), col("top_dim_var_share"),
+      lit(OpqShareFactor / PqDims).as("share_threshold"),
+      (coalesce(col("top_dim_var_share"), lit(0.0))
+        > lit(OpqShareFactor / PqDims)).as("use_opq"))
+
+  /** Isotropy-aware IVFADC build — the ACT half: measure the corpus,
+    * pick the quantizer by the [[quantizerDecision]] rule, build the
+    * corresponding stored index. The OPQ path leaves its `opq/` order
+    * table, which is exactly the dispatch marker [[autoPqTopK]] probes
+    * on — no separate decision record can drift from the index's actual
+    * shape. Returns the decision taken. */
+  def buildAutoPqIndex(corpus: DataFrame, indexDir: String): Boolean = {
+    val useOpq = quantizerDecision(corpus).select("use_opq").head().getBoolean(0)
+    if (useOpq) buildOpqIvfPqIndex(corpus, indexDir)
+    else buildIvfPqIndex(corpus, indexDir, OpqM)
+    useOpq
+  }
+
+  /** Probe an [[buildAutoPqIndex]] index: dispatch on the `opq/` marker
+    * — an OPQ index MUST transform queries through its stored order (the
+    * codes live in the rotated space), a plain index must not. */
+  def autoPqTopK(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, k: Int): DataFrame =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$indexDir/opq")))
+      opqIvfPqTopK(spark, indexDir, queries, k)
+    else ivfPqTopK(spark, indexDir, queries, k)
+
   /** Stored OPQ-IVFADC index (r11 — VERDICT item 3's stored-variant
     * clause): the learned transform persists in `opq/` as the dim order
     * (one 64-row table; the rotation matrix is the fixed public

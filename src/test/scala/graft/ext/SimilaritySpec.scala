@@ -1060,6 +1060,40 @@ class SimilaritySpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Similarity.mmrShortlistWidth(0) }
   }
 
+  test("quantizerDecision + buildAutoPqIndex: plain PQ on the isotropic fixture, the rotation on an anisotropic one (r12, VERDICT r11 item 5)") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    // the fixture is near-isotropic (x177: share ≈ 1/D), so the decision
+    // must be plain PQ and the auto index must carry no opq/ marker
+    val dec = Similarity.quantizerDecision(e).head()
+    assert(!dec.getAs[Boolean]("use_opq"), "isotropic corpus must pick plain PQ")
+    assert(dec.getAs[Double]("top_dim_var_share")
+      < dec.getAs[Double]("share_threshold"))
+    val idxIso = java.nio.file.Files.createTempDirectory("graft-autopq-iso").toString
+    assert(!Similarity.buildAutoPqIndex(e, idxIso))
+    assert(!new java.io.File(s"$idxIso/opq").exists)
+    val q = e.where(col("vec_id") < 3)
+    assert(Similarity.autoPqTopK(spark, idxIso, q, 5).collect().map(_.toSeq).toSet
+      === Similarity.ivfPqTopK(spark, idxIso, q, 5).collect().map(_.toSeq).toSet,
+      "auto probe over a plain index must BE the plain probe")
+    // an anisotropic corpus — one dimension carrying a dominant variance
+    // share (the whitened/PCA'd-dump shape) — must pick the rotation
+    val aniso = e.select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        (x, i) => when(i === 0, x * lit(8.0)).otherwise(x * lit(0.25)))
+        .cast("array<float>").as("embedding"))
+    val decA = Similarity.quantizerDecision(aniso).head()
+    assert(decA.getAs[Boolean]("use_opq"), "dominant-dimension corpus must pick OPQ")
+    assert(decA.getAs[Double]("top_dim_var_share")
+      > decA.getAs[Double]("share_threshold"))
+    val idxA = java.nio.file.Files.createTempDirectory("graft-autopq-aniso").toString
+    assert(Similarity.buildAutoPqIndex(aniso, idxA))
+    assert(new java.io.File(s"$idxA/opq").exists,
+      "the OPQ path must leave its stored-order marker")
+    assert(Similarity.autoPqTopK(spark, idxA, q, 5).collect().map(_.toSeq).toSet
+      === Similarity.opqIvfPqTopK(spark, idxA, q, 5).collect().map(_.toSeq).toSet,
+      "auto probe over an OPQ index must transform queries through the stored order")
+  }
+
   test("OPQ rotation is exactly orthogonal; permutation preserves norms (x245)") {
     // entries are ±1/8 and row dots are sums of ±1/64 — all powers of two,
     // so orthogonality holds EXACTLY in doubles, not just approximately
