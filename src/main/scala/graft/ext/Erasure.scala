@@ -79,9 +79,20 @@ object Erasure {
     * set first — the pending ids supersede the argument, because the
     * argument's snapshot may no longer be constructible — then proceeds
     * with the new request if it differs. One erasure in flight per
-    * journalDir (the compaction quiesce contract). */
+    * journalDir (the compaction quiesce contract).
+    *
+    * RETRIEVE-proof vs PAYLOAD-gone: the hard-delete families (corpus,
+    * IVF, IVFADC, OPQ, SQ8, BIN) remove the victims' bytes immediately;
+    * the tombstone families (BM25 postings, substring anchors, graph
+    * nodes) hide victims from every probe immediately but reclaim the
+    * bytes at their next maintenance pass. `reclaim = true` runs those
+    * passes here — BM25 compact, substring compact, graph rebuild — the
+    * full right-to-erasure in one call; the default leaves them to the
+    * scheduled maintenance window (a graph rebuild per takedown batch is
+    * the wrong cost shape at 100 TB). Each reclaim verb is itself
+    * journaled/idempotent, so the composed verb stays crash-resumable. */
   def eraseDocs(spark: SparkSession, ids: Seq[Long], s: Surfaces,
-      journalDir: String): Unit = {
+      journalDir: String, reclaim: Boolean = false): Unit = {
     require(ids.nonEmpty, "empty erasure batch — nothing to do is a caller bug")
     require(s.substringDir.isEmpty || s.corpusDir.nonEmpty,
       "substring-anchor erasure needs the corpus table for victim text")
@@ -92,7 +103,7 @@ object Erasure {
       val pending = spark.read.parquet(s"$journalDir/ids")
         .collect().map(_.getLong(0)).toSeq.sorted
       applyAll(spark, pending, s, journalDir)
-      if (pending == ids.sorted) return
+      if (pending == ids.sorted) { if (reclaim) reclaimAll(spark, s); return }
     }
     // fresh journal: snapshot BEFORE any mutation (the corpus still holds
     // the victims' text). The snapshot itself is idempotent to redo.
@@ -105,6 +116,17 @@ object Erasure {
     }
     Files.createFile(commit)
     applyAll(spark, ids, s, journalDir)
+    if (reclaim) reclaimAll(spark, s)
+  }
+
+  /** The payload-reclaim passes for the tombstone families — each one a
+    * journaled/idempotent maintenance verb, run AFTER the journal drops
+    * (a crash here loses only reclaim progress; re-running eraseDocs
+    * with reclaim, or the scheduled maintenance itself, completes it). */
+  private def reclaimAll(spark: SparkSession, s: Surfaces): Unit = {
+    s.bm25Dir.foreach(Search.compactBm25Index(spark, _))
+    s.substringDir.foreach(Dedup.compactSubstringIndex(spark, _))
+    s.graphDir.foreach(Similarity.rebuildGraphIndex(spark, _))
   }
 
   /** The post-COMMIT half: every step idempotent, so a crash at any point

@@ -115,4 +115,32 @@ object VectorStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** CORPUS-WIDE streaming takedown (r12 — [[bm25TombstoneDrain]]'s
+    * completion now the composed verb exists): takedown/erasure requests
+    * arrive as a `doc_id` stream and each micro-batch runs
+    * [[graft.ext.Erasure.eraseDocs]] across every configured surface —
+    * the published table and all stored indexes reflect a request the
+    * moment its batch commits. Each batch gets its OWN journal dir keyed
+    * by the checkpoint-stable batchId, so an at-least-once replay
+    * re-enters exactly its own erasure's resume path (eraseDocs is
+    * idempotent and journal-resumable at every crash point — spec-pinned
+    * in ErasureSpec); a fully-completed replay re-snapshots already-
+    * erased victims into an empty journal and every per-surface verb
+    * no-ops. Batch ids are takedown-request sized (a driver collect is
+    * the deleteFromIvfPqIndex ids-argument shape, not a data move). */
+  def takedownDrain(stream: DataFrame, surfaces: graft.ext.Erasure.Surfaces,
+      journalRoot: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val ids = batch.select("doc_id").distinct()
+            .collect().map(_.getLong(0)).toSeq.sorted
+          graft.ext.Erasure.eraseDocs(batch.sparkSession, ids, surfaces,
+            s"$journalRoot/batch_$batchId")
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

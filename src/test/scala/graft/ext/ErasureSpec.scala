@@ -121,6 +121,38 @@ class ErasureSpec extends SparkTestBase {
       "the new set B must be erased too")
   }
 
+  test("eraseDocs(reclaim = true): victim PAYLOADS leave the tombstone families too (full right-to-erasure)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-erase-rc").toString
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    planted.write.mode("overwrite").parquet(s"$base/corpus")
+    Dedup.buildSubstringIndex(planted, s"$base/substr")
+    Search.buildBm25Index(planted, s"$base/bm25")
+    Similarity.buildGraphIndex(emb.select("vec_id", "embedding"), s"$base/graph")
+    val s = Erasure.Surfaces(
+      corpusDir = Some(s"$base/corpus"), substringDir = Some(s"$base/substr"),
+      bm25Dir = Some(s"$base/bm25"), graphDir = Some(s"$base/graph"))
+    val ids = victimIds
+    Erasure.eraseDocs(spark, ids, s, s"$base/journal", reclaim = true)
+    // BM25: the postings rewrite happened — no victim doc_id anywhere on
+    // disk, and the tombstone table is consumed
+    assert(spark.read.parquet(s"$base/bm25/postings")
+      .where(col("doc_id").isin(ids: _*)).isEmpty,
+      "reclaim must rewrite victim postings out of the lexical index")
+    assert(!new java.io.File(s"$base/bm25/deletes").exists)
+    // substring: tombstones folded into canonical survivor rows
+    assert(!new java.io.File(s"$base/substr/deletes").exists)
+    val want = Dedup.substringAnchorIndex(
+        planted.where(col("doc_id") % 23 =!= 3))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Dedup.readSubstringIndex(spark, s.substringDir.get)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap === want)
+    // graph: the rebuild hard-reclaimed the tombstoned nodes
+    assert(spark.read.parquet(s"$base/graph/vectors")
+      .where(col("vec_id").isin(ids: _*)).isEmpty,
+      "reclaim must remove victim vectors from the graph store")
+    assert(!new java.io.File(s"$base/graph/tombstones").exists)
+  }
+
   test("eraseDocs argument contract: empty batch and substring-without-corpus are loud caller bugs") {
     val (base, s) = mkSurfaces()
     intercept[IllegalArgumentException] {

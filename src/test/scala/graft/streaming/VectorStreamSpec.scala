@@ -106,6 +106,66 @@ class VectorStreamSpec extends SparkTestBase {
       "a skipped replay must not move an edge")
   }
 
+  test("takedownDrain: streamed erasure requests reach every surface at batch commit; re-drain and replay are no-ops (r12)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.{Dedup, Erasure, Search, Similarity}
+    val base = java.nio.file.Files.createTempDirectory("graft-takedown").toString
+    val planted = Dedup.withPlantedRepeats(
+      graft.sources.Tables.documents(spark, sfDir))
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    planted.write.mode("overwrite").parquet(s"$base/corpus")
+    Dedup.buildSubstringIndex(planted, s"$base/substr")
+    Search.buildBm25Index(planted, s"$base/bm25")
+    Similarity.buildIvfIndex(emb, s"$base/ivf")
+    val surfaces = Erasure.Surfaces(
+      corpusDir = Some(s"$base/corpus"), substringDir = Some(s"$base/substr"),
+      bm25Dir = Some(s"$base/bm25"), ivfDir = Some(s"$base/ivf"))
+    val victims = planted.where(col("doc_id") % 23 === 3)
+    val victimVecs = emb.where(col("vec_id") % 23 === 3)
+    val ids = victims.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    val (b1, b2) = ids.splitAt(ids.length / 2)
+    val in = MemoryStream[Long]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-takedown-ckpt").toString
+    // batch 1 drains alone: its victims must be gone at commit, batch 2's
+    // must still be present (per-batch visibility)
+    in.addData(b1)
+    val q1 = VectorStream.takedownDrain(in.toDF().toDF("doc_id"),
+      surfaces, s"$base/journals", ckpt)
+    q1.awaitTermination(180000)
+    assert(q1.exception.isEmpty)
+    val mid = spark.read.parquet(s"$base/corpus")
+    assert(mid.where(col("doc_id").isin(b1: _*)).isEmpty,
+      "batch 1 victims must be erased at its commit")
+    assert(mid.where(col("doc_id").isin(b2: _*)).count() === b2.length,
+      "batch 2 victims must be untouched until their batch")
+    in.addData(b2)
+    val q2 = VectorStream.takedownDrain(in.toDF().toDF("doc_id"),
+      surfaces, s"$base/journals", ckpt)
+    q2.awaitTermination(180000)
+    assert(q2.exception.isEmpty)
+    val audit = Erasure.absenceAudit(spark, ids, surfaces,
+      Some(victims), Some(victimVecs)).collect()
+    audit.foreach(r => assert(r.getLong(2) === 0L,
+      s"victim_hits nonzero on ${r.getString(0)} after the full drain"))
+    // empty re-drain (checkpoint) and an at-least-once REPLAY (fresh
+    // checkpoint, same requests) must both be no-ops
+    val q3 = VectorStream.takedownDrain(in.toDF().toDF("doc_id"),
+      surfaces, s"$base/journals", ckpt)
+    q3.awaitTermination(120000)
+    val in2 = MemoryStream[Long]
+    in2.addData(ids)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-takedown-ckpt2").toString
+    val q4 = VectorStream.takedownDrain(in2.toDF().toDF("doc_id"),
+      surfaces, s"$base/journals2", ckpt2)
+    q4.awaitTermination(120000)
+    assert(q4.exception.isEmpty, "replayed requests must no-op, not fail")
+    val after = Erasure.absenceAudit(spark, ids, surfaces,
+      Some(victims), Some(victimVecs)).collect()
+    assert(after.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      audit.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq,
+      "re-drain and replay must not move an audit number")
+  }
+
   test("bm25Ingest: a stream-grown lexical index probes identically to a full build") {
     implicit val sqlCtx = spark.sqlContext
     val docs = graft.sources.Tables.documents(spark, sfDir)
