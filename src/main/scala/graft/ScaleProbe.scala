@@ -165,6 +165,35 @@ object ScaleProbe {
           .groupBy("shard", "lang").agg(count(lit(1)).as("n_rows"))
           .count()
       }
+      // Corpus-wide erasure (r12): surfaces built OUTSIDE the clock (their
+      // own build legs measure that); the timed verb erases a FIXED
+      // 100-victim batch from the published table + substring + BM25
+      // surfaces. The claim: index-side work is VICTIM-bounded (tombstone
+      // appends sized by the victims' grams/postings), so only the corpus
+      // survivor rewrite grows with k — erase time must rise at scan
+      // slope, nowhere near the index-build slope. The audit's probes are
+      // victim- and report-bounded on top of one survivor-gram pass.
+      if (opFilter.forall(_.split(",").exists("erase_docs_100".contains(_)))) {
+        val base = java.nio.file.Files.createTempDirectory("sp_erase_").toString
+        corpus.write.mode("overwrite").parquet(s"$base/corpus")
+        graft.ext.Dedup.buildSubstringIndex(corpus, s"$base/substr")
+        graft.ext.Search.buildBm25Index(corpus, s"$base/bm25")
+        val ids = corpus.select("doc_id").orderBy("doc_id").limit(100)
+          .collect().map(_.getLong(0)).toSeq
+        val victims = corpus.where(col("doc_id").isin(ids: _*)).cache()
+        victims.count()
+        val s = graft.ext.Erasure.Surfaces(
+          corpusDir = Some(s"$base/corpus"),
+          substringDir = Some(s"$base/substr"), bm25Dir = Some(s"$base/bm25"))
+        time("erase_docs_100") {
+          graft.ext.Erasure.eraseDocs(spark, ids, s, s"$base/journal"); 100L
+        }
+        time("erase_audit") {
+          graft.ext.Erasure.absenceAudit(spark, ids, s, Some(victims), None)
+            .where(col("victim_hits") === 0L).count()
+        }
+        victims.unpersist(blocking = true)
+      }
       // Leakage-safe split audit: LSH pairs (the scale default) → star-CC
       // (O(log n) rounds) → group-id draw → one-row audit. Pair volume and
       // CC work grow linearly by the salting argument; the audit adds two

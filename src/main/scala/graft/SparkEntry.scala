@@ -92,11 +92,12 @@ object SparkEntry {
     // recall report (embeds a brute-force truth leg, the x146 precedent),
     // the shortlist MMR, and the robots/opt-out gate
     "x245_opq_recall", "x246_mmr_shortlist", "x248_robots_gate",
-    // r12: the substring-index delete rollup. x250 (the composed erasure
-    // flagship) stays OFF the bench deliberately: its cost is its six
-    // index builds, each already timed as a b-leg — timing it again
-    // would double-count builds; its quiet time is recorded in PERF.md
-    "x249_substring_index_delete")
+    // r12: the substring-index delete rollup and the family's stats
+    // datasheet. x250 (the composed erasure flagship) stays OFF the
+    // bench deliberately: its cost is its six index builds, each
+    // already timed as a b-leg — timing it again would double-count
+    // builds; its quiet time is recorded in PERF.md
+    "x249_substring_index_delete", "x253_substring_index_stats")
 
   private def coreQueries: Map[String, Q] = Map(
     // S1+P4+F1+F4 — dimension scan with projection + pushed predicates

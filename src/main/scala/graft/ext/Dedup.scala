@@ -1261,6 +1261,49 @@ object Dedup {
     incrementalSubstrAgainst(
       readSubstringIndexExcluding(spark, indexDir, batchId), batch, k)
 
+  /** One-row health report over a stored substring-anchor index (r12 —
+    * the datasheet row every OTHER stored family already carries: x160
+    * IVFADC, x208 graph, x225 BM25): the live merged view's gram
+    * rollup (count / total carriers / cross-doc grams / max carriers —
+    * exact integers, all DuckDB-replayable from a survivor rebuild),
+    * the pending tombstone load (`pending_delete_docs` — distinct
+    * deleted doc ids not yet folded), and the LSM-health advisory a
+    * compaction scheduler watches: delta/tombstone file counts and
+    * `compact_recommended` (pending deletes, an interrupted fold, or
+    * file fragmentation past [[SubstrCompactFiles]] — sized at ~8
+    * appends' worth of shuffle-partition files, so a fresh build never
+    * flags and a long append run does). File counts are filesystem
+    * facts (not oracle-replayable) — the registered query x253 projects
+    * the replayable columns; the advisory ones are spec-pinned. */
+  val SubstrCompactFiles = 256
+
+  def substringIndexStats(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = {
+    def parquetFiles(d: String): Long = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(d)).count(_.getName.endsWith(".parquet")).toLong
+    }
+    val pending = substrDeletes(spark, indexDir)
+      .map(_.select("doc_id").distinct().count()).getOrElse(0L)
+    val anchorFiles = parquetFiles(s"$indexDir/anchors")
+    val deleteFiles = parquetFiles(s"$indexDir/deletes")
+    val foldPending = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$indexDir/anchors/_FOLDED"))
+    readSubstringIndex(spark, indexDir).agg(
+        count(lit(1)).as("n_grams"),
+        sum(col("n_docs")).as("total_carriers"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_crossdoc_grams"),
+        max(col("n_docs")).as("max_carriers"))
+      .withColumn("pending_delete_docs", lit(pending))
+      .withColumn("n_anchor_files", lit(anchorFiles))
+      .withColumn("n_delete_files", lit(deleteFiles))
+      .withColumn("fold_pending", lit(foldPending))
+      .withColumn("compact_recommended",
+        lit(pending > 0 || foldPending || anchorFiles > SubstrCompactFiles))
+  }
+
   /** Merge the accumulated delta files into one canonical per-gram row
     * set — [[graft.ops.Maintenance.compactPlain]]'s crash-safe tmp+swap
     * discipline, with the merge folded into the rewrite (compactPlain

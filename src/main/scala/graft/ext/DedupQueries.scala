@@ -61,6 +61,23 @@ private[graft] object DedupQueries {
         max(col("n_docs")).as("max_carriers"))
     }),
 
+    // Substring-index health row (r12 — the x160/x208/x225 datasheet
+    // symmetry: the one stored family without a stats verb): build on
+    // half, append the rest (fragmenting the LSM), tombstone the victim
+    // slice, then report the LIVE gram rollup + pending tombstone load.
+    // The filesystem advisory columns (file counts, fold marker,
+    // compact_recommended) are spec-pinned and projected OUT here —
+    // only DuckDB-replayable exact integers reach the oracle.,
+    "x253_substring_index_stats" -> ((s, dir) => {
+      val d = Dedup.withPlantedRepeats(Tables.documents(s, dir))
+      val idx = java.nio.file.Files.createTempDirectory("substrstats").toString
+      Dedup.buildSubstringIndex(d.where(col("doc_id") % 2 === 0), idx)
+      Dedup.appendToSubstringIndex(s, idx, d.where(col("doc_id") % 2 =!= 0))
+      Dedup.deleteFromSubstringIndex(s, idx, d.where(col("doc_id") % 23 === 3))
+      Dedup.substringIndexStats(s, idx).select("n_grams", "total_carriers",
+        "n_crossdoc_grams", "max_carriers", "pending_delete_docs")
+    }),
+
     "x02_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), 3, 0.8)),
 
@@ -289,6 +306,30 @@ private[graft] object DedupQueries {
         "CAST(sum(CASE WHEN mrs >= threshold THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_dropped, " +
         "CAST(sum(CASE WHEN mrs >= threshold THEN n_tokens ELSE 0 END) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE) AS token_drop_frac " +
         "FROM d, grid GROUP BY threshold ORDER BY threshold"
+    },
+
+    // x253: the x249 survivor rollup + the pending-tombstone count —
+    // distinct deleted doc ids, which is exactly the victims CARRYING
+    // at least one k-gram (a < k-token victim contributes no anchor
+    // pairs, so it never lands in the tombstone table).,
+    "x253_substring_index_stats" -> {
+      val k = Dedup.SubstrGramK
+      s"WITH src AS (SELECT doc_id, CASE WHEN " +
+        s"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':substr'), 1, 8)) AS BIGINT)/4294967296.0 " +
+        s"< ${Dedup.SubstrPlantRate} THEN text || ' ${Dedup.RepeatPassage}' ELSE text END AS text FROM documents), " +
+        "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM src WHERE doc_id % 23 <> 3), " +
+        "g AS (SELECT DISTINCT doc_id, md5(s.g) AS g FROM " +
+        s"(SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - ${k - 1}), " +
+        s"i -> struct_pack(g := array_to_string(toks[i:i+${k - 1}], ' ')))) AS s " +
+        s"FROM t WHERE len(toks) >= $k)), " +
+        "a AS (SELECT g, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM g GROUP BY 1), " +
+        "pend AS (SELECT CAST(count(*) AS BIGINT) AS p FROM src " +
+        s"WHERE doc_id % 23 = 3 AND len(string_split(text, ' ')) >= $k) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_grams, " +
+        "CAST(sum(n_docs) AS BIGINT) AS total_carriers, " +
+        "CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_crossdoc_grams, " +
+        "CAST(max(n_docs) AS BIGINT) AS max_carriers, " +
+        "(SELECT p FROM pend) AS pending_delete_docs FROM a"
     },
 
     // x249: the survivor REBUILD's anchor rollup — distinct k-gram

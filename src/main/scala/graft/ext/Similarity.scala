@@ -2041,6 +2041,18 @@ object Similarity {
       opqIvfPqTopK(spark, indexDir, queries, k)
     else ivfPqTopK(spark, indexDir, queries, k)
 
+  /** Append to an auto-built index through whichever family it IS (the
+    * same `opq/` dispatch as [[autoPqTopK]]): an OPQ index must encode
+    * the batch through its stored frozen order, a plain one must not —
+    * the decision is read from the index, never re-measured (appends
+    * keep build-time constants, the IVF-centroid norm; a shifted corpus
+    * re-decides at the next [[buildAutoPqIndex]]). */
+  def appendToAutoPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame): Unit =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$indexDir/opq")))
+      appendToOpqIvfPqIndex(spark, indexDir, batch)
+    else appendToIvfPqIndex(spark, indexDir, batch)
+
   /** Stored OPQ-IVFADC index (r11 — VERDICT item 3's stored-variant
     * clause): the learned transform persists in `opq/` as the dim order
     * (one 64-row table; the rotation matrix is the fixed public

@@ -181,6 +181,44 @@ class DedupSpec extends SparkTestBase {
     assert(anchors() === want, "recovery must not move a count")
   }
 
+  test("substringIndexStats advisory columns: pending tombstones and an interrupted fold recommend compaction; a compacted index is quiet (r12)") {
+    val d = Dedup.withPlantedRepeats(graft.sources.Tables.documents(spark, sfDir))
+    val idx = java.nio.file.Files.createTempDirectory("graft-substr-stats").toString
+    Dedup.buildSubstringIndex(d.where(col("doc_id") % 2 === 0), idx)
+    Dedup.appendToSubstringIndex(spark, idx, d.where(col("doc_id") % 2 =!= 0))
+    def stats() = Dedup.substringIndexStats(spark, idx).head()
+    val fresh = stats()
+    assert(fresh.getAs[Long]("pending_delete_docs") === 0L)
+    assert(!fresh.getAs[Boolean]("fold_pending"))
+    assert(!fresh.getAs[Boolean]("compact_recommended"),
+      "a fresh build+append must not flag for compaction")
+    // the replayable rollup equals the full-corpus anchor table's
+    val want = Dedup.substringAnchorIndex(d)
+      .agg(count(lit(1)), sum(col("n_docs"))).head()
+    assert(fresh.getAs[Long]("n_grams") === want.getLong(0))
+    assert(fresh.getAs[Long]("total_carriers") === want.getLong(1))
+    // pending tombstones flip the recommendation
+    Dedup.deleteFromSubstringIndex(spark, idx, d.where(col("doc_id") % 23 === 3))
+    val dirty = stats()
+    assert(dirty.getAs[Long]("pending_delete_docs") > 0L)
+    assert(dirty.getAs[Boolean]("compact_recommended"),
+      "pending tombstones must recommend the fold")
+    // compaction folds: pending clears, marker gone, quiet again
+    Dedup.compactSubstringIndex(spark, idx)
+    val clean = stats()
+    assert(clean.getAs[Long]("pending_delete_docs") === 0L)
+    assert(!clean.getAs[Boolean]("fold_pending"))
+    assert(!clean.getAs[Boolean]("compact_recommended"))
+    assert(clean.getAs[Long]("n_anchor_files") < fresh.getAs[Long]("n_anchor_files"),
+      "compaction must reduce the anchor file count")
+    // an interrupted fold (marker present) recommends completing it
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$idx/anchors/_FOLDED"))
+    assert(stats().getAs[Boolean]("compact_recommended"),
+      "a lingering fold marker must recommend the healing compaction")
+    Dedup.recoverSubstrCompact(idx)
+  }
+
   test("clusterSizeHistogram: hand-built clusters yield exact size rows; shares partition (x223)") {
     val df = Seq(
       (1L, "aaa"), (2L, "aaa"), (3L, "aaa"),

@@ -1092,6 +1092,16 @@ class SimilaritySpec extends SparkTestBase {
     assert(Similarity.autoPqTopK(spark, idxA, q, 5).collect().map(_.toSeq).toSet
       === Similarity.opqIvfPqTopK(spark, idxA, q, 5).collect().map(_.toSeq).toSet,
       "auto probe over an OPQ index must transform queries through the stored order")
+    // appends dispatch on the same marker: each path's batch lands in its
+    // own family's encoding and becomes probe-visible
+    for ((idx, corpus) <- Seq((idxIso, e), (idxA, aniso))) {
+      val before = spark.read.parquet(s"$idx/codes").count()
+      val batch = corpus.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        col("embedding")).limit(7)
+      Similarity.appendToAutoPqIndex(spark, idx, batch)
+      assert(spark.read.parquet(s"$idx/codes").count() === before + 7,
+        "auto append must land in the index's own family")
+    }
   }
 
   test("OPQ rotation is exactly orthogonal; permutation preserves norms (x245)") {
