@@ -244,6 +244,7 @@ private[graft] object CurateQueries {
       val emb = Tables.embeddings(s, dir)
       val base = java.nio.file.Files.createTempDirectory("erase").toString
       planted.write.mode("overwrite").parquet(s"$base/corpus")
+      emb.write.mode("overwrite").parquet(s"$base/embeddings")
       Dedup.buildSubstringIndex(planted, s"$base/substr")
       Search.buildBm25Index(planted, s"$base/bm25")
       Similarity.buildIvfIndex(emb, s"$base/ivf")
@@ -253,7 +254,9 @@ private[graft] object CurateQueries {
       Similarity.buildIvfBinIndex(emb, s"$base/bin")
       Similarity.buildGraphIndex(emb, s"$base/graph")
       val surfaces = Erasure.Surfaces(
-        corpusDir = Some(s"$base/corpus"), substringDir = Some(s"$base/substr"),
+        corpusDir = Some(s"$base/corpus"),
+        embeddingsDir = Some(s"$base/embeddings"),
+        substringDir = Some(s"$base/substr"),
         bm25Dir = Some(s"$base/bm25"), ivfDir = Some(s"$base/ivf"),
         ivfPqDir = Some(s"$base/ivfpq"), opqDir = Some(s"$base/opq"),
         sq8Dir = Some(s"$base/sq8"), binDir = Some(s"$base/bin"),
@@ -1172,6 +1175,7 @@ private[graft] object CurateQueries {
         "SELECT 'bin' AS surface, n AS n_live, h AS victim_hits FROM ev " +
         "UNION ALL SELECT 'bm25', bl.n, bh.h FROM bl, bh " +
         "UNION ALL SELECT 'corpus', corp.n, corp.h FROM corp " +
+        "UNION ALL SELECT 'embeddings', n, h FROM ev " +
         "UNION ALL SELECT 'graph', n, h FROM ev " +
         "UNION ALL SELECT 'ivf', n, h FROM ev " +
         "UNION ALL SELECT 'ivfpq', n, h FROM ev " +

@@ -42,6 +42,7 @@ object Erasure {
     * tombstones). */
   case class Surfaces(
       corpusDir: Option[String] = None,
+      embeddingsDir: Option[String] = None,
       substringDir: Option[String] = None,
       bm25Dir: Option[String] = None,
       ivfDir: Option[String] = None,
@@ -137,6 +138,9 @@ object Erasure {
   private def applyAll(spark: SparkSession, ids: Seq[Long], s: Surfaces,
       journalDir: String): Unit = {
     s.corpusDir.foreach(filterRewrite(spark, _, ids, "doc_id"))
+    // the published embedding table is a surface too — a victim's vector
+    // IS derived personal data; vec_id keys the same id space
+    s.embeddingsDir.foreach(filterRewrite(spark, _, ids, "vec_id"))
     s.substringDir.foreach { d =>
       Dedup.deleteFromSubstringIndex(spark, d,
         spark.read.parquet(s"$journalDir/docs").select("doc_id", "text"))
@@ -178,6 +182,10 @@ object Erasure {
       s.corpusDir.map { c =>
         val t = spark.read.parquet(c)
         row("corpus", t.count(), t.where(col("doc_id").isin(ids: _*)).count())
+      },
+      s.embeddingsDir.map { c =>
+        val t = spark.read.parquet(c)
+        row("embeddings", t.count(), t.where(col("vec_id").isin(ids: _*)).count())
       },
       s.substringDir.map { d =>
         val live = graft.ops.Caching.cacheOnce(

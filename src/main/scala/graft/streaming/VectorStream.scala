@@ -116,6 +116,26 @@ object VectorStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming ingest for an AUTO-built PQ index (r12 — the
+    * [[indexIngest]] twin for [[graft.ext.Similarity.buildAutoPqIndex]]
+    * indexes): each micro-batch appends through
+    * [[graft.ext.Similarity.appendToAutoPqIndex]], which dispatches on
+    * the index's own `opq/` marker — an OPQ index encodes batches
+    * through its stored frozen order, a plain one must not, and the
+    * stream never re-measures the decision (the frozen-constants norm).
+    * Same crash posture as [[indexIngest]]: batch-sized work, cell-
+    * partition appends, checkpointed source progress. */
+  def autoIngest(stream: DataFrame, indexDir: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.ext.Similarity.appendToAutoPqIndex(batch.sparkSession, indexDir, batch)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** CORPUS-WIDE streaming takedown (r12 — [[bm25TombstoneDrain]]'s
     * completion now the composed verb exists): takedown/erasure requests
     * arrive as a `doc_id` stream and each micro-batch runs

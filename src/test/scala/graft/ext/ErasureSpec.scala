@@ -18,11 +18,14 @@ class ErasureSpec extends SparkTestBase {
     val planted = Dedup.withPlantedRepeats(graft.sources.Tables.documents(spark, sfDir))
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     planted.write.mode("overwrite").parquet(s"$base/corpus")
+    emb.write.mode("overwrite").parquet(s"$base/embeddings")
     Dedup.buildSubstringIndex(planted, s"$base/substr")
     Search.buildBm25Index(planted, s"$base/bm25")
     Similarity.buildIvfIndex(emb, s"$base/ivf")
     (base, Erasure.Surfaces(
-      corpusDir = Some(s"$base/corpus"), substringDir = Some(s"$base/substr"),
+      corpusDir = Some(s"$base/corpus"),
+      embeddingsDir = Some(s"$base/embeddings"),
+      substringDir = Some(s"$base/substr"),
       bm25Dir = Some(s"$base/bm25"), ivfDir = Some(s"$base/ivf")))
   }
 
@@ -44,7 +47,10 @@ class ErasureSpec extends SparkTestBase {
     val audit = Erasure.absenceAudit(spark, ids, s,
       Some(victimDocs), Some(victimVecs)).collect()
     assert(audit.map(_.getString(0)).toSeq ===
-      Seq("bm25", "corpus", "ivf", "substring"))
+      Seq("bm25", "corpus", "embeddings", "ivf", "substring"))
+    assert(spark.read.parquet(s"$base/embeddings")
+      .where(col("vec_id").isin(ids: _*)).isEmpty,
+      "victims must leave the published embedding table too")
     audit.foreach { r =>
       assert(r.getLong(2) === 0L, s"victim_hits nonzero on ${r.getString(0)}")
       assert(r.getLong(1) > 0L, s"n_live empty on ${r.getString(0)}")

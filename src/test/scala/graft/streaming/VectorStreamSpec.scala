@@ -106,6 +106,45 @@ class VectorStreamSpec extends SparkTestBase {
       "a skipped replay must not move an edge")
   }
 
+  test("autoIngest: streamed batches land through the index's OWN family encoding on both auto paths (r12)") {
+    implicit val sqlCtx = spark.sqlContext
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    // anisotropic variant: the OPQ path must be chosen and the stream
+    // must encode through the stored order
+    val aniso = e.select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        (x, i) => when(i === 0, x * lit(8.0)).otherwise(x * lit(0.25)))
+        .cast("array<float>").as("embedding"))
+    for ((corpus, wantOpq) <- Seq((e, false), (aniso, true))) {
+      val isBase = graft.ext.IvfTestSupport.isBase(corpus)
+      val idx = java.nio.file.Files.createTempDirectory("graft-auto-ing").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-auto-ck").toString
+      assert(Similarity.buildAutoPqIndex(corpus.where(isBase), idx) === wantOpq)
+      // the batch-append twin: the stream ≡ batch contract is what pins
+      // that the stream encoded through the index's OWN family
+      val twin = java.nio.file.Files.createTempDirectory("graft-auto-twin").toString
+      assert(Similarity.buildAutoPqIndex(corpus.where(isBase), twin) === wantOpq)
+      Similarity.appendToAutoPqIndex(spark, twin, corpus.where(!isBase))
+      val rest = corpus.where(!isBase)
+        .select(col("vec_id"), col("embedding").cast("array<float>"))
+        .as[(Long, Seq[Float])].collect()
+      val in = MemoryStream[(Long, Seq[Float])]
+      in.addData(rest.toSeq)
+      val q = VectorStream.autoIngest(in.toDF().toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")), idx, ckpt)
+      q.awaitTermination(180000)
+      assert(q.exception.isEmpty)
+      assert(spark.read.parquet(s"$idx/codes").count() === corpus.count(),
+        s"streamed batch must land (opq=$wantOpq)")
+      val queries = corpus.where(col("vec_id") < 3)
+      assert(Similarity.autoPqTopK(spark, idx, queries, 10)
+          .collect().map(_.toSeq).toSet ===
+        Similarity.autoPqTopK(spark, twin, queries, 10)
+          .collect().map(_.toSeq).toSet,
+        s"stream-grown auto probe must equal the batch-append twin (opq=$wantOpq)")
+    }
+  }
+
   test("takedownDrain: streamed erasure requests reach every surface at batch commit; re-drain and replay are no-ops (r12)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ext.{Dedup, Erasure, Search, Similarity}
