@@ -97,7 +97,8 @@ object SparkEntry {
     // bench deliberately: its cost is its six index builds, each
     // already timed as a b-leg — timing it again would double-count
     // builds; its quiet time is recorded in PERF.md
-    "x249_substring_index_delete", "x253_substring_index_stats")
+    "x249_substring_index_delete", "x253_substring_index_stats",
+    "x254_quantizer_drift")
 
   private def coreQueries: Map[String, Q] = Map(
     // S1+P4+F1+F4 — dimension scan with projection + pushed predicates

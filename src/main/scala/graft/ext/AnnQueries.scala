@@ -115,6 +115,24 @@ private[graft] object AnnQueries {
     "x252_quantizer_decision" -> ((s, dir) =>
       Similarity.quantizerDecision(Tables.embeddings(s, dir))),
 
+    // Quantizer-decision drift (r12 — x252's staleness monitor, the
+    // stale_laws symmetry on the quantizer choice): build the auto index
+    // on the fixture (near-isotropic → plain PQ), then measure the
+    // decision over a DRIFTED corpus (dim-0 ×8, rest ×0.25 — exact
+    // power-of-two scalings, so both engines' variances are
+    // bit-identical) — stored ≠ now flips quantizer_stale, the
+    // rebuildAutoPqIndex trigger.,
+    "x254_quantizer_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("autodrift").toString
+      Similarity.buildAutoPqIndex(emb, idx)
+      val drifted = emb.select(col("vec_id"),
+        concat(array(element_at(col("embedding"), 1) * lit(8.0f)),
+          transform(slice(col("embedding"), 2, Similarity.PqDims - 1),
+            x => x * lit(0.25f))).as("embedding"))
+      Similarity.autoQuantizerStale(s, idx, drifted)
+    }),
+
     // Embedding snapshot drift (r10): population-shift monitor between a
     // reference snapshot and the current ingest batch (fixture: vec_id
     // parity slices) — centroid cosine, centroid-difference norm,
@@ -991,6 +1009,39 @@ private[graft] object AnnQueries {
         "SELECT nv.n_vecs, sh.top_dim_var_share, " +
         s"$thr AS share_threshold, " +
         s"coalesce(sh.top_dim_var_share, 0.0) > $thr AS use_opq FROM nv, sh"
+    },
+
+    // x254: the x252 decision chain TWICE — once over the raw embeddings
+    // (= the build-time decision = the stored family) and once over the
+    // drifted transform ([x*8] || rest*0.25, exact power-of-two
+    // scalings) — then the inequality. Shared fold discipline, one
+    // threshold literal.,
+    "x254_quantizer_drift" -> {
+      val thr = Similarity.OpqShareFactor / Similarity.PqDims
+      def chain(pfx: String, src: String): String =
+        s"${pfx}e AS (SELECT vec_id, $src AS emb FROM embeddings), " +
+          s"${pfx}fb AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS b FROM ${pfx}e), " +
+          s"${pfx}dx AS (SELECT vec_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS d, " +
+          s"unnest(emb) AS v FROM ${pfx}e), " +
+          s"${pfx}s1 AS (SELECT d, vec_id % (SELECT b FROM ${pfx}fb) AS bkt, CAST(count(*) AS BIGINT) AS n, " +
+          "list_aggregate(list_sort(list(v)), 'sum') AS s, " +
+          s"list_aggregate(list_sort(list(v*v)), 'sum') AS s2 FROM ${pfx}dx GROUP BY 1, 2), " +
+          s"${pfx}pd AS (SELECT d, list_aggregate(list(s ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS mean_d, " +
+          s"list_aggregate(list(s2 ORDER BY bkt), 'sum')/CAST(sum(n) AS DOUBLE) AS m2_d FROM ${pfx}s1 GROUP BY 1), " +
+          s"${pfx}pv AS (SELECT d, m2_d - mean_d*mean_d AS var_d FROM ${pfx}pd), " +
+          s"${pfx}dr AS (SELECT list_aggregate(list(var_d ORDER BY d), 'sum') AS trace_var, " +
+          s"max(var_d) AS maxvar FROM ${pfx}pv), " +
+          s"${pfx}sh AS (SELECT CASE WHEN trace_var > 0 THEN maxvar/trace_var END AS share FROM ${pfx}dr)"
+      "WITH " +
+        chain("r", "CAST(embedding AS DOUBLE[])") + ", " +
+        chain("t", "[CAST(embedding[1] * CAST(8.0 AS FLOAT) AS DOUBLE)] || " +
+          "list_transform(CAST(embedding[2:] AS DOUBLE[]), x -> x * 0.25)") + " " +
+        s"SELECT coalesce(rsh.share, 0.0) > $thr AS stored_opq, " +
+        s"coalesce(tsh.share, 0.0) > $thr AS use_opq_now, " +
+        "tsh.share AS top_dim_var_share, " +
+        s"$thr AS share_threshold, " +
+        s"(coalesce(rsh.share, 0.0) > $thr) <> (coalesce(tsh.share, 0.0) > $thr) AS quantizer_stale " +
+        "FROM rsh, tsh"
     },
 
     // x227: per-slice per-dim means (x177's fold idiom, one CTE chain per

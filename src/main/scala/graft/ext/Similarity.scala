@@ -2046,12 +2046,74 @@ object Similarity {
     * the batch through its stored frozen order, a plain one must not —
     * the decision is read from the index, never re-measured (appends
     * keep build-time constants, the IVF-centroid norm; a shifted corpus
-    * re-decides at the next [[buildAutoPqIndex]]). */
+    * re-decides at the next [[rebuildAutoPqIndex]]). */
   def appendToAutoPqIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, batch: DataFrame): Unit =
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$indexDir/opq")))
       appendToOpqIvfPqIndex(spark, indexDir, batch)
     else appendToIvfPqIndex(spark, indexDir, batch)
+
+  /** Quantizer-decision DRIFT row (x254 — the x252 decision's staleness
+    * monitor, completing the measure→act loop the same way `stale_laws`
+    * does for the graph: the family was chosen at BUILD time from that
+    * corpus's isotropy, appends keep it by necessity, and a drifted
+    * corpus — re-normalized, whitened, swapped encoder — can silently
+    * invalidate it). One row: the stored family, the CURRENT corpus's
+    * decision, and `quantizer_stale` — the [[rebuildAutoPqIndex]]
+    * trigger. */
+  def autoQuantizerStale(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, corpus: DataFrame): DataFrame = {
+    val storedOpq = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$indexDir/opq"))
+    quantizerDecision(corpus).select(
+      lit(storedOpq).as("stored_opq"),
+      col("use_opq").as("use_opq_now"),
+      col("top_dim_var_share"), col("share_threshold"),
+      (lit(storedOpq) =!= col("use_opq")).as("quantizer_stale"))
+  }
+
+  /** Rebuild an auto index RE-DECIDING the family (the ACT half of
+    * [[autoQuantizerStale]]): re-measure the corpus, stage the chosen
+    * family's full build under `rebuild_tmp/`, COMMIT, aside-first
+    * install. The one swap subtlety beyond [[rebuildIvfPqIndex]] is the
+    * FAMILY-CHANGE direction opq→plain: the staging then has no `opq/`
+    * to move in, so the stale live `opq/` is removed inside the
+    * committed window (the [[rebuildGraphIndex]] tombstone-consumption
+    * pattern) — a leftover order table would make [[autoPqTopK]]
+    * transform queries an encoding the codes no longer use.
+    * [[recoverAutoPqRebuild]] consumes every window. Returns the
+    * decision taken. */
+  def rebuildAutoPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, corpus: DataFrame): Boolean = {
+    recoverAutoPqRebuild(indexDir)
+    recoverIvfPqDelete(indexDir)
+    val useOpq = quantizerDecision(corpus).select("use_opq").head().getBoolean(0)
+    val tmp = s"$indexDir/rebuild_tmp"
+    if (useOpq) buildOpqIvfPqIndex(corpus, tmp)
+    else buildIvfPqIndex(corpus, tmp, OpqM)
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$tmp/COMMIT"))
+    if (!useOpq) rmTree(new java.io.File(s"$indexDir/opq"))
+    installIvfRebuild(indexDir, IvfPqRebuildSubs :+ "opq")
+    useOpq
+  }
+
+  /** Complete or discard an interrupted [[rebuildAutoPqIndex]]:
+    * COMMIT present → the staged family rolls FORWARD, and when the
+    * staging carries no `opq/` (the plain-PQ decision) the stale live
+    * order table is removed first; absent → rollback via
+    * [[recoverIvfRebuild]] (live `opq/` untouched — the rebuild never
+    * happened). */
+  def recoverAutoPqRebuild(indexDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val tmp = s"$indexDir/rebuild_tmp"
+    if (!new java.io.File(tmp).isDirectory) return
+    if (Files.exists(Paths.get(s"$tmp/COMMIT"))) {
+      if (!Files.exists(Paths.get(s"$tmp/opq")) &&
+          !Files.exists(Paths.get(s"$tmp/aside_opq")))
+        rmTree(new java.io.File(s"$indexDir/opq"))
+      installIvfRebuild(indexDir, IvfPqRebuildSubs :+ "opq")
+    } else recoverIvfRebuild(indexDir, IvfPqRebuildSubs :+ "opq")
+  }
 
   /** Stored OPQ-IVFADC index (r11 — VERDICT item 3's stored-variant
     * clause): the learned transform persists in `opq/` as the dim order

@@ -104,6 +104,7 @@ class PlanAuditSpec extends SparkTestBase {
     "x174_length_bias_audit" -> "x130's 1-row broadcast final-weight scoring ahead of the pool ranking (constant model state, x147's shape)",
     "x177_embedding_isotropy" -> "crossJoin of the 1-row mean-norm and 1-row dim-rollup aggregates (report constants)",
     "x252_quantizer_decision" -> "x177's 1-row mean-norm/dim-rollup crossJoins under the decision columns (report constants; the verdict is per-row arithmetic on the 1-row frame)",
+    "x254_quantizer_drift" -> "x252's 1-row decision chain over the drifted corpus (the stored-family flag is a plan-time literal from the index marker)",
     "x178_influence_quartiles" -> "x151's 1-row weight + 1-row mean-held-out-gradient broadcasts (constant model state) + exactNtile's broadcast partition-offset map",
     "x179_dup_cluster_histogram" -> "the 1-row doc-total crossJoined onto the multiplicity histogram (report constant)",
     "x181_matryoshka_recall" -> "crossJoin of single-row count aggregates per truncation dim (recall-report constants, x154's shape) + the x06-shaped brute-force truth leg",

@@ -1104,6 +1104,60 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("autoQuantizerStale + rebuildAutoPqIndex: drift flips the trigger, the rebuild re-decides the family BOTH directions, crash windows heal (r12)") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val aniso = e.select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        (x, i) => when(i === 0, x * lit(8.0)).otherwise(x * lit(0.25)))
+        .cast("array<float>").as("embedding"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-autorb").toString
+    // build plain on the isotropic fixture; same corpus → not stale
+    assert(!Similarity.buildAutoPqIndex(e, idx))
+    assert(!Similarity.autoQuantizerStale(spark, idx, e)
+      .head().getAs[Boolean]("quantizer_stale"))
+    // the corpus drifts anisotropic → stale flips
+    val st = Similarity.autoQuantizerStale(spark, idx, aniso).head()
+    assert(!st.getAs[Boolean]("stored_opq") && st.getAs[Boolean]("use_opq_now")
+      && st.getAs[Boolean]("quantizer_stale"))
+    // ACT: the rebuild re-decides plain→OPQ; probes ≡ a fresh auto build
+    assert(Similarity.rebuildAutoPqIndex(spark, idx, aniso))
+    assert(new java.io.File(s"$idx/opq").exists)
+    assert(!Similarity.autoQuantizerStale(spark, idx, aniso)
+      .head().getAs[Boolean]("quantizer_stale"), "the rebuild clears the trigger")
+    val q = aniso.where(col("vec_id") < 3)
+    val fresh = java.nio.file.Files.createTempDirectory("graft-autorb-f").toString
+    assert(Similarity.buildAutoPqIndex(aniso, fresh))
+    assert(Similarity.autoPqTopK(spark, idx, q, 5).collect().map(_.toSeq).toSet
+      === Similarity.autoPqTopK(spark, fresh, q, 5).collect().map(_.toSeq).toSet,
+      "rebuilt-to-OPQ probes must equal a fresh auto build's")
+    // the REVERSE direction opq→plain: the stale live opq/ order table
+    // must leave with the swap (a leftover would mis-transform queries)
+    assert(!Similarity.rebuildAutoPqIndex(spark, idx, e))
+    assert(!new java.io.File(s"$idx/opq").exists,
+      "the plain decision must remove the stale order table")
+    val qe = e.where(col("vec_id") < 3)
+    assert(Similarity.autoPqTopK(spark, idx, qe, 5).collect().map(_.toSeq).toSet
+      === Similarity.ivfPqTopK(spark, idx, qe, 5).collect().map(_.toSeq).toSet)
+    // crash windows. A: staged opq→plain, COMMIT present, live opq/ still
+    // there — recovery must remove it and roll forward
+    assert(Similarity.rebuildAutoPqIndex(spark, idx, aniso)) // back to OPQ
+    Similarity.buildIvfPqIndex(e, s"$idx/rebuild_tmp", Similarity.OpqM)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$idx/rebuild_tmp/COMMIT"))
+    Similarity.recoverAutoPqRebuild(idx)
+    assert(!new java.io.File(s"$idx/opq").exists &&
+      !new java.io.File(s"$idx/rebuild_tmp").exists,
+      "committed plain staging must consume the stale opq/ on recovery")
+    assert(Similarity.autoPqTopK(spark, idx, qe, 5).collect().nonEmpty)
+    // B: staged but NOT committed — rollback leaves the live index intact
+    val before = Similarity.autoPqTopK(spark, idx, qe, 5).collect().map(_.toSeq).toSet
+    Similarity.buildOpqIvfPqIndex(aniso, s"$idx/rebuild_tmp")
+    Similarity.recoverAutoPqRebuild(idx)
+    assert(!new java.io.File(s"$idx/rebuild_tmp").exists)
+    assert(Similarity.autoPqTopK(spark, idx, qe, 5).collect().map(_.toSeq).toSet
+      === before, "uncommitted staging must roll back clean")
+  }
+
   test("OPQ rotation is exactly orthogonal; permutation preserves norms (x245)") {
     // entries are ±1/8 and row dots are sums of ±1/64 — all powers of two,
     // so orthogonality holds EXACTLY in doubles, not just approximately
