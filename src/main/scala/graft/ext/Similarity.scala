@@ -736,6 +736,35 @@ object Similarity {
     installIvfRebuild(indexDir, IvfPqRebuildSubs)
   }
 
+  /** [[rebuildIvfPqIndex]] for the SQ8 / BIN rungs (r12 — the rebuild
+    * symmetry the quantization menu's other stored rungs already had):
+    * SQ8 and BIN codes are lossy like PQ — the index cannot reconstruct
+    * its own vectors — so the rebuild takes the corpus back, re-trains
+    * coarse cells at the CURRENT derived stride, and re-encodes every
+    * vector through the same journaled two-phase swap. The occupancy
+    * trigger is the families' stats rows (`rebuild_recommended` — the
+    * identical law arithmetic as x160, shared via the cell-layout
+    * rollup). */
+  def rebuildIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, corpus: DataFrame): Unit = {
+    recoverIvfRebuild(indexDir, Seq("centroids", "quant"))
+    recoverCellDelete(indexDir, "quant")
+    buildIvfSq8Index(corpus, s"$indexDir/rebuild_tmp")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$indexDir/rebuild_tmp/COMMIT"))
+    installIvfRebuild(indexDir, Seq("centroids", "quant"))
+  }
+
+  def rebuildIvfBinIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, corpus: DataFrame): Unit = {
+    recoverIvfRebuild(indexDir, Seq("centroids", "signs"))
+    recoverCellDelete(indexDir, "signs")
+    buildIvfBinIndex(corpus, s"$indexDir/rebuild_tmp")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$indexDir/rebuild_tmp/COMMIT"))
+    installIvfRebuild(indexDir, Seq("centroids", "signs"))
+  }
+
   /** Append a delta BATCH to a stored IVF index — the production
     * maintenance path at 100 TB: the index is built once (corpus-wide)
     * and then grows by delta batches, so an append must do BATCH-sized
@@ -1409,8 +1438,22 @@ object Similarity {
   val RebuildOccRatio = 2.0
 
   def ivfPqIndexStats(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): DataFrame = {
-    val per = spark.read.parquet(s"$indexDir/codes")
+      indexDir: String): DataFrame = cellTableStats(spark, indexDir, "codes")
+
+  /** [[ivfPqIndexStats]] for the SQ8 and BIN families (r12 — the stats
+    * symmetry the quantization menu's other rungs already had): the
+    * occupancy math is a pure function of the cell layout, which all
+    * four families share. */
+  def ivfSq8IndexStats(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = cellTableStats(spark, indexDir, "quant")
+  def ivfBinIndexStats(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = cellTableStats(spark, indexDir, "signs")
+  def ivfIndexStats(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = cellTableStats(spark, indexDir, "assigned")
+
+  private def cellTableStats(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, sub: String): DataFrame = {
+    val per = spark.read.parquet(s"$indexDir/$sub")
       .groupBy(col("cell").cast("long").as("cell")).agg(count(lit(1)).as("n"))
     per.agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_vecs"),
         min(col("n")).as("min_cell"), max(col("n")).as("max_cell"))

@@ -486,6 +486,49 @@ class SimilaritySpec extends SparkTestBase {
     assert(spark.read.parquet(s"$idx/codes").count() === nBefore - victims.size)
   }
 
+  test("SQ8/BIN stats + rebuild symmetry (r12): shared occupancy law columns; rebuild ≡ fresh default build; plain-IVF stats too") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val queries = e.where(col("vec_id") < 5)
+    // SQ8: clamped build inflates occupancy past the law → trigger flips;
+    // the rebuild re-strides and probes equal a fresh default build
+    type Stats = (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame
+    val families: Seq[(String, (org.apache.spark.sql.DataFrame, String) => Unit,
+        (org.apache.spark.sql.SparkSession, String, org.apache.spark.sql.DataFrame) => Unit,
+        Stats, String)] = Seq(
+      ("sq8", (c, d) => Similarity.buildIvfSq8Index(c, d),
+        (s: org.apache.spark.sql.SparkSession, d: String, c: org.apache.spark.sql.DataFrame) =>
+          Similarity.rebuildIvfSq8Index(s, d, c),
+        (s: org.apache.spark.sql.SparkSession, d: String) => Similarity.ivfSq8IndexStats(s, d), "quant"),
+      ("bin", (c, d) => Similarity.buildIvfBinIndex(c, d),
+        (s: org.apache.spark.sql.SparkSession, d: String, c: org.apache.spark.sql.DataFrame) =>
+          Similarity.rebuildIvfBinIndex(s, d, c),
+        (s: org.apache.spark.sql.SparkSession, d: String) => Similarity.ivfBinIndexStats(s, d), "signs"))
+    for ((nm, build, rebuild, stats, sub) <- families) {
+      val idx = java.nio.file.Files.createTempDirectory(s"graft-$nm-rb").toString
+      build(e, idx)
+      val st = stats(spark, idx).head()
+      assert(!st.getAs[Boolean]("rebuild_recommended"),
+        s"$nm: a fresh default build must not flag")
+      assert(st.getAs[Long]("n_vecs") === e.count())
+      rebuild(spark, idx, e)
+      val fresh = java.nio.file.Files.createTempDirectory(s"graft-$nm-rbf").toString
+      build(e, fresh)
+      def probe(d: String) = (nm match {
+        case "sq8" => Similarity.ivfSq8TopK(spark, d, queries, 10)
+        case _ => Similarity.ivfBinTopK(spark, d, queries, 10)
+      }).collect().map(_.toSeq).toSet
+      assert(probe(idx) === probe(fresh),
+        s"$nm: rebuilt probes must equal a fresh default build's")
+      assert(!new java.io.File(s"$idx/rebuild_tmp").exists)
+    }
+    // the plain-IVF stats row shares the same rollup
+    val ivfIdx = java.nio.file.Files.createTempDirectory("graft-ivf-st").toString
+    Similarity.buildIvfIndex(e, ivfIdx)
+    val ist = Similarity.ivfIndexStats(spark, ivfIdx).head()
+    assert(ist.getAs[Long]("n_vecs") === e.count()
+      && !ist.getAs[Boolean]("rebuild_recommended"))
+  }
+
   test("hard delete generalizes to IVF/SQ8/BIN (r12, VERDICT r11 item 1): victims vanish, survivors bit-identical, quiet cells untouched, idempotent") {
     // the journaled swap itself is crash-pinned on the codes sub-table
     // (the two tests below); this pins the three new families' contracts
