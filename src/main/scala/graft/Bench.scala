@@ -123,7 +123,23 @@ object Bench {
           "b167_ivfsq8_build" -> (graft.ext.Similarity.buildIvfSq8Index(emb, _)),
           "b193_ivfbin_build" -> (graft.ext.Similarity.buildIvfBinIndex(emb, _)),
           "b200_graph_build" -> (graft.ext.Similarity.buildGraphIndex(emb, _)),
-          "b126_bm25_build" -> (graft.ext.Search.buildBm25Index(docs, _)))
+          "b126_bm25_build" -> (graft.ext.Search.buildBm25Index(docs, _)),
+          // r13: the fixture lifecycles that used to dominate the
+          // x253/x254 legs (now StoredIndexes-shared, timing the reads) —
+          // build+append+delete over the substring LSM, and the
+          // decision-dispatched auto-PQ build
+          "b253_substr_lifecycle" -> { p =>
+            val d = graft.ext.Dedup.withPlantedRepeats(docs)
+            graft.ext.Dedup.buildSubstringIndex(
+              d.where(org.apache.spark.sql.functions.col("doc_id") % 2 === 0), p)
+            graft.ext.Dedup.appendToSubstringIndex(spark, p,
+              d.where(org.apache.spark.sql.functions.col("doc_id") % 2 =!= 0))
+            graft.ext.Dedup.deleteFromSubstringIndex(spark, p,
+              d.where(org.apache.spark.sql.functions.col("doc_id") % 23 === 3))
+          },
+          "b254_autopq_build" -> { p =>
+            graft.ext.Similarity.buildAutoPqIndex(emb, p); ()
+          })
         def rmTree(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
         }

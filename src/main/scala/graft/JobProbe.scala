@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Per-job time attribution for ONE registered query (r13 optimization
+  * round, guide §1): the bench tells us a leg's total seconds; this tells
+  * us WHERE inside the leg they go — each Spark job's wall time with its
+  * call site, so eager plan-construction work (counts, localCheckpoints,
+  * broadcast builds) is separated from the final action. Headless stand-in
+  * for the Spark UI's Jobs page (spark.ui.enabled=false everywhere here).
+  *
+  * Usage: tools/run.sh graft.JobProbe <query> [sfDir] — prints one line per
+  * job (start-offset, duration, call site) plus the construction/action
+  * split, then the total.
+  */
+object JobProbe {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // same untimed warm-up as Bench so one-time JVM costs don't pollute
+    spark.range(2000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count().collect()
+    if (name.startsWith("q51")) graft.pipeline.BackfillFlow.publishedPricesTable(spark, sfDir)
+
+    case class Job(id: Int, start: Long, var end: Long, site: String)
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Job]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val site = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+        jobs.put(js.jobId, Job(js.jobId, js.time, -1L, site))
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        Option(jobs.get(je.jobId)).foreach(_.end = je.time)
+      }
+    })
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "2").toInt
+    for (pass <- 1 to passes) {
+      jobs.clear()
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val tBuilt = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val t1 = System.nanoTime()
+      Thread.sleep(200) // let listener events drain
+      val js = jobs.values().toArray(Array.empty[Job]).sortBy(_.start)
+      val base = if (js.nonEmpty) js.head.start else 0L
+      println(f"== $name pass $pass: total ${(t1 - t0) / 1e9}%.2fs " +
+        f"(construct ${(tBuilt - t0) / 1e9}%.2fs, action ${(t1 - tBuilt) / 1e9}%.2fs), ${js.length} jobs")
+      js.foreach { j =>
+        val dur = if (j.end > 0) (j.end - j.start) / 1e3 else -1.0
+        println(f"  job ${j.id}%3d +${(j.start - base) / 1e3}%7.2fs ${dur}%7.2fs  ${j.site}")
+      }
+    }
+    spark.stop()
+  }
+}

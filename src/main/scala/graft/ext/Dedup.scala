@@ -1219,9 +1219,16 @@ object Dedup {
     * ([[Erasure.eraseDocs]]'s journal). The write is ONE appended
     * tombstone file of distinct (doc_id, g) pairs (batch-sized: a
     * victim's gram count), so crash safety needs no journal (job commit
-    * is all-or-nothing) and the verb is idempotent: victims already
-    * tombstoned are dropped by the anti-join, a replay appends nothing.
-    * Probes subtract tombstones at merge time ([[substrMerge]]);
+    * is all-or-nothing) and the verb is idempotent WITHIN the pre-fold
+    * window: victims already tombstoned are dropped by the anti-join, a
+    * replay appends nothing. The claim is scoped (ADVICE r12): once
+    * [[compactSubstringIndex]] folds the tombstones and clears
+    * `deletes/`, a replay of the SAME victims would pass the anti-join
+    * and double-subtract carriers — a direct caller must not replay a
+    * delete across a compaction boundary. [[Erasure.eraseDocs]] is safe
+    * by construction (its replay re-snapshots victims from the already-
+    * rewritten corpus, so the victim set is empty). Probes subtract
+    * tombstones at merge time ([[substrMerge]]);
     * [[compactSubstringIndex]] folds them into the canonical rows. */
   def deleteFromSubstringIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, victims: DataFrame, k: Int = SubstrGramK): Unit = {

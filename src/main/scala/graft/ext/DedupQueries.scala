@@ -49,11 +49,20 @@ private[graft] object DedupQueries {
     // max carriers. The oracle computes the same rollup from a survivor
     // REBUILD, so a hash match certifies delete ≡ rebuild-on-survivors
     // with exact per-gram counts (the x224 contract on this family).,
+    // The tombstoned index is PREPARED once per (JVM, sfDir) and the
+    // registered query times the live merged-view read (r13 bench
+    // governance, the x152/x210 StoredIndexes precedent + VERDICT r12's
+    // x253 blemish): the build+delete lifecycle used to dominate the leg
+    // (~90 % fixture setup), drowning regressions in the read path it
+    // exists to watch. The prepared index is immutable after the closure,
+    // deterministic, and the oracle result is unchanged; the lifecycle
+    // cost stays visible as Bench's b253_substr_lifecycle leg.
     "x249_substring_index_delete" -> ((s, dir) => {
-      val d = Dedup.withPlantedRepeats(Tables.documents(s, dir))
-      val idx = java.nio.file.Files.createTempDirectory("substrdel").toString
-      Dedup.buildSubstringIndex(d, idx)
-      Dedup.deleteFromSubstringIndex(s, idx, d.where(col("doc_id") % 23 === 3))
+      val idx = StoredIndexes.get("substr_del", dir) { p =>
+        val d = Dedup.withPlantedRepeats(Tables.documents(s, dir))
+        Dedup.buildSubstringIndex(d, p)
+        Dedup.deleteFromSubstringIndex(s, p, d.where(col("doc_id") % 23 === 3))
+      }
       Dedup.readSubstringIndex(s, idx).agg(
         count(lit(1)).as("n_grams"),
         sum(col("n_docs")).as("total_carriers"),
@@ -68,12 +77,18 @@ private[graft] object DedupQueries {
     // The filesystem advisory columns (file counts, fold marker,
     // compact_recommended) are spec-pinned and projected OUT here —
     // only DuckDB-replayable exact integers reach the oracle.,
+    // Same r13 governance as x249: the build-half/append-half/delete
+    // prelude is prepared once per (JVM, sfDir) so the leg times the
+    // stats READ (the datasheet an operator polls), not the fixture
+    // lifecycle — exactly VERDICT r12's "time the stats read separately"
+    // ask. Lifecycle cost lives in b253_substr_lifecycle.
     "x253_substring_index_stats" -> ((s, dir) => {
-      val d = Dedup.withPlantedRepeats(Tables.documents(s, dir))
-      val idx = java.nio.file.Files.createTempDirectory("substrstats").toString
-      Dedup.buildSubstringIndex(d.where(col("doc_id") % 2 === 0), idx)
-      Dedup.appendToSubstringIndex(s, idx, d.where(col("doc_id") % 2 =!= 0))
-      Dedup.deleteFromSubstringIndex(s, idx, d.where(col("doc_id") % 23 === 3))
+      val idx = StoredIndexes.get("substr_stats", dir) { p =>
+        val d = Dedup.withPlantedRepeats(Tables.documents(s, dir))
+        Dedup.buildSubstringIndex(d.where(col("doc_id") % 2 === 0), p)
+        Dedup.appendToSubstringIndex(s, p, d.where(col("doc_id") % 2 =!= 0))
+        Dedup.deleteFromSubstringIndex(s, p, d.where(col("doc_id") % 23 === 3))
+      }
       Dedup.substringIndexStats(s, idx).select("n_grams", "total_carriers",
         "n_crossdoc_grams", "max_carriers", "pending_delete_docs")
     }),

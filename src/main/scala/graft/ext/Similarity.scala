@@ -1124,45 +1124,93 @@ object Similarity {
   /** Train the M×K codebook on the BOUNDED [[pqTrainSample]]: init = the
     * K smallest sampled vectors' subvectors (cid = vec id; at the dense
     * fixtures this is exactly vectors 0..K−1), then `iters` Lloyd rounds
-    * — the codegen'd [[graft.functions.PqEncode]] assignment over the
-    * single broadcast packed-codebook row (zero shuffle, zero expansion)
-    * + per-(sub, cid, dim) sorted-fold means; empty cells keep their
-    * previous centroid. Centroid state is M·K rows, checkpointed per
-    * round (the CC/PageRank lineage discipline). Training cost is
-    * sample-sized — a constant — regardless of corpus size; only the
-    * final encode pass scans the corpus. */
+    * — [[graft.functions.PqEncode]]'s assignment arithmetic (per-dim
+    * `(x−c)²` accumulated in dim order, strict `<` argmin so ties keep
+    * the lowest cid) + per-(sub, cid, dim) sorted-fold means (values
+    * summed in ascending IEEE-total order — `sort_array` semantics);
+    * empty cells keep their previous centroid.
+    *
+    * Training cost is sample-sized — a constant (≤ [[PqTrainCap]]
+    * vectors) — regardless of corpus size, so the whole Lloyd loop runs
+    * ON THE DRIVER over the collected sample (r13 optimization: the
+    * distributed form spent ~15 Spark jobs per train on 4096 rows —
+    * per-iteration localCheckpoints + two-stage shuffles — which at
+    * local[32] cost more wall time than every corpus pass combined; the
+    * [[kmeansCentroids]] driver-model-state budget, M·K·ds doubles).
+    * The arithmetic reproduces the distributed form bit-for-bit —
+    * java.util.Arrays.sort is `sort_array`'s double total order and the
+    * fold orders are identical — so the DuckDB oracles that replay the
+    * train→encode→ADC chain (x146/x152/x211/…) hash-match unchanged;
+    * only the corpus-scale encode pass touches the cluster. */
   def pqTrain(emb: DataFrame, m: Int, k: Int = PqK,
       iters: Int = PqIters): DataFrame = {
-    graft.functions.PqEncode.register(emb.sparkSession)
+    require(PqDims % m == 0, s"PqDims=$PqDims not divisible by m=$m")
+    val spark = emb.sparkSession
     val ds = PqDims / m
-    val sampleEmb = graft.ops.Caching.cacheOnce(pqTrainSample(emb))
-    val initIds = sampleEmb.select("vec_id").orderBy("vec_id").limit(k)
-    var cents = pqSubvectors(sampleEmb.join(broadcast(initIds), "vec_id"), m)
-      .select(col("sub"), col("vec_id").as("cid"), col("svec").as("cvec"))
-      .localCheckpoint()
-    val sample = sampleEmb
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    for (_ <- 1 to iters) {
-      val means = sample.crossJoin(packPqFlat(cents))
-        .select(col("e"), col("_cids"),
-          graft.functions.PqEncode.pqEncode(col("e"), col("_cbf"), m).as("codes"))
-        .select(col("e"), col("_cids"), posexplode(col("codes")).as(Seq("sub", "code")))
-        .select(col("sub").cast("long").as("sub"),
-          element_at(element_at(col("_cids"), (col("sub") + 1).cast("int")),
-            col("code")).as("cid"),
-          slice(col("e"), col("sub") * ds + 1, lit(ds)).as("svec"))
-        .select(col("sub"), col("cid"), posexplode(col("svec")).as(Seq("d", "v")))
-        .groupBy("sub", "cid", "d")
-        .agg((graft.functions.Stable.sortedFold(col("v"))
-          / count(lit(1)).cast("double")).as("mv"))
-        .groupBy("sub", "cid")
-        .agg(transform(array_sort(collect_list(struct(col("d"), col("mv")))),
-          s => s.getField("mv")).as("mvec"))
-      cents = cents.join(means, Seq("sub", "cid"), "left")
-        .select(col("sub"), col("cid"), coalesce(col("mvec"), col("cvec")).as("cvec"))
-        .localCheckpoint()
+    val sample: Array[(Long, Array[Double])] = pqTrainSample(emb)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // init: the k smallest sampled vec_ids' subvectors, cid = vec_id
+    val initRows = sample.sortBy(_._1).take(k)
+    val cids: Array[Long] = initRows.map(_._1) // ascending — packPqFlat's order
+    val kk = cids.length
+    // cents(s)(p) = centroid for (sub = s, cid = cids(p)), dims in order
+    var cents: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      initRows.map { case (_, e) => java.util.Arrays.copyOfRange(e, s * ds, s * ds + ds) }
     }
-    cents
+    for (_ <- 1 to iters) {
+      // flat (sub, pos, dim) codebook — PqEncode's input layout
+      val flat = new Array[Double](m * kk * ds)
+      for (s <- 0 until m; p <- 0 until kk; i <- 0 until ds)
+        flat((s * kk + p) * ds + i) = cents(s)(p)(i)
+      // assign: PqEncode's exact loop (strict <, first-min-wins)
+      val members = Array.fill(m, kk)(scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+      for ((_, e) <- sample; s <- 0 until m) {
+        var best = Double.PositiveInfinity
+        var bestPos = 0
+        var p = 0
+        while (p < kk) {
+          val base = (s * kk + p) * ds
+          var d2 = 0.0
+          var i = 0
+          while (i < ds) {
+            val t = e(s * ds + i) - flat(base + i)
+            d2 += t * t
+            i += 1
+          }
+          if (d2 < best) { best = d2; bestPos = p }
+          p += 1
+        }
+        members(s)(bestPos) += java.util.Arrays.copyOfRange(e, s * ds, s * ds + ds)
+      }
+      // means: per (sub, cid, dim), the ascending-sorted sequential fold
+      // (sortedFold semantics); empty cells keep the previous centroid
+      cents = Array.tabulate(m) { s =>
+        Array.tabulate(kk) { p =>
+          val mem = members(s)(p)
+          if (mem.isEmpty) cents(s)(p)
+          else Array.tabulate(ds) { d =>
+            val vals = mem.map(_(d)).toArray
+            java.util.Arrays.sort(vals)
+            var acc = 0.0
+            var i = 0
+            while (i < vals.length) { acc += vals(i); i += 1 }
+            acc / mem.length.toDouble
+          }
+        }
+      }
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](m * kk)
+    for (s <- 0 until m; p <- 0 until kk)
+      rows.add(org.apache.spark.sql.Row(s.toLong, cids(p), cents(s)(p).toSeq))
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sub",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cvec", org.apache.spark.sql.types
+        .ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false),
+        nullable = false))))
   }
 
   /** ADC top-k: queries stay full-precision; corpus vectors are encoded
@@ -2134,6 +2182,14 @@ object Similarity {
     val tmp = s"$indexDir/rebuild_tmp"
     if (useOpq) buildOpqIvfPqIndex(corpus, tmp)
     else buildIvfPqIndex(corpus, tmp, OpqM)
+    // The decision is recorded EXPLICITLY in the staging before COMMIT:
+    // recovery must never infer "plain" from staged-dir absence, because
+    // the plain→OPQ install tail (staged opq/ already moved live, staging
+    // not yet dropped, and no aside_opq since the old index had none) has
+    // exactly that signature — re-entry would rmTree the freshly installed
+    // order table and leave OPQ-rotated codes silently probed as plain.
+    if (!useOpq)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$tmp/PLAIN"))
     java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$tmp/COMMIT"))
     if (!useOpq) rmTree(new java.io.File(s"$indexDir/opq"))
     installIvfRebuild(indexDir, IvfPqRebuildSubs :+ "opq")
@@ -2142,17 +2198,17 @@ object Similarity {
 
   /** Complete or discard an interrupted [[rebuildAutoPqIndex]]:
     * COMMIT present → the staged family rolls FORWARD, and when the
-    * staging carries no `opq/` (the plain-PQ decision) the stale live
-    * order table is removed first; absent → rollback via
-    * [[recoverIvfRebuild]] (live `opq/` untouched — the rebuild never
-    * happened). */
+    * staging's `PLAIN` marker records the plain-PQ decision the stale
+    * live order table is removed first (keyed on the marker, never on
+    * staged-dir absence — see [[rebuildAutoPqIndex]]'s window note);
+    * absent → rollback via [[recoverIvfRebuild]] (live `opq/` untouched
+    * — the rebuild never happened). */
   def recoverAutoPqRebuild(indexDir: String): Unit = {
     import java.nio.file.{Files, Paths}
     val tmp = s"$indexDir/rebuild_tmp"
     if (!new java.io.File(tmp).isDirectory) return
     if (Files.exists(Paths.get(s"$tmp/COMMIT"))) {
-      if (!Files.exists(Paths.get(s"$tmp/opq")) &&
-          !Files.exists(Paths.get(s"$tmp/aside_opq")))
+      if (Files.exists(Paths.get(s"$tmp/PLAIN")))
         rmTree(new java.io.File(s"$indexDir/opq"))
       installIvfRebuild(indexDir, IvfPqRebuildSubs :+ "opq")
     } else recoverIvfRebuild(indexDir, IvfPqRebuildSubs :+ "opq")

@@ -176,7 +176,17 @@ object Trainer {
     val foldBuckets = graft.functions.Stable.sqrtBuckets(n)
     var w: DataFrame = w0
     (1 to iters).map { _ =>
-      val next = step(tr, w, dim, learnRate, foldBuckets).localCheckpoint()
+      // Each iteration's output is ONE row of model state (weights +
+      // gradient diagnostics), so it lands on the driver as a literal
+      // frame (r13 optimization — the kmeansCentroids driver-model-state
+      // budget): the step's corpus-scale gradient passes stay distributed
+      // and arithmetically identical, but the next iteration's plan
+      // embeds the weights as plan-time constants instead of paying a
+      // localCheckpoint job + a broadcast build per round. Lineage is
+      // cut exactly as before (the frame IS a LocalRelation).
+      val stepped = step(tr, w, dim, learnRate, foldBuckets)
+      val next = stepped.sparkSession.createDataFrame(
+        java.util.Collections.singletonList(stepped.head()), stepped.schema)
       w = next
       next
     }

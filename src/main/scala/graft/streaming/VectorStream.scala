@@ -124,13 +124,24 @@ object VectorStream {
     * through its stored frozen order, a plain one must not, and the
     * stream never re-measures the decision (the frozen-constants norm).
     * Same crash posture as [[indexIngest]]: batch-sized work, cell-
-    * partition appends, checkpointed source progress. */
+    * partition appends, checkpointed source progress — plus the
+    * [[graphIngest]] id-level replay skip (ADVICE r12): a micro-batch
+    * replayed after its append landed but before the checkpoint
+    * committed would otherwise append the same vec_ids' codes rows a
+    * second time, duplicating probe candidates. All-ids-present ⇔ the
+    * batch landed (append visibility is atomic), so the skip is exact. */
   def autoIngest(stream: DataFrame, indexDir: String,
       checkpoint: String): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          graft.ext.Similarity.appendToAutoPqIndex(batch.sparkSession, indexDir, batch)
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val known = spark.read.parquet(s"$indexDir/codes").select("vec_id")
+          val replayed = batch.select("vec_id")
+            .join(known, Seq("vec_id"), "left_anti").isEmpty
+          if (!replayed)
+            graft.ext.Similarity.appendToAutoPqIndex(spark, indexDir, batch)
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -1181,10 +1181,13 @@ class SimilaritySpec extends SparkTestBase {
     val qe = e.where(col("vec_id") < 3)
     assert(Similarity.autoPqTopK(spark, idx, qe, 5).collect().map(_.toSeq).toSet
       === Similarity.ivfPqTopK(spark, idx, qe, 5).collect().map(_.toSeq).toSet)
-    // crash windows. A: staged opq→plain, COMMIT present, live opq/ still
-    // there — recovery must remove it and roll forward
+    // crash windows. A: staged opq→plain (the PLAIN decision marker is
+    // written before COMMIT — what rebuildAutoPqIndex leaves mid-crash),
+    // live opq/ still there — recovery must remove it and roll forward
     assert(Similarity.rebuildAutoPqIndex(spark, idx, aniso)) // back to OPQ
     Similarity.buildIvfPqIndex(e, s"$idx/rebuild_tmp", Similarity.OpqM)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$idx/rebuild_tmp/PLAIN"))
     java.nio.file.Files.createFile(
       java.nio.file.Paths.get(s"$idx/rebuild_tmp/COMMIT"))
     Similarity.recoverAutoPqRebuild(idx)
@@ -1199,6 +1202,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(!new java.io.File(s"$idx/rebuild_tmp").exists)
     assert(Similarity.autoPqTopK(spark, idx, qe, 5).collect().map(_.toSeq).toSet
       === before, "uncommitted staging must roll back clean")
+    // C (ADVICE r12 high): the plain→OPQ install TAIL — every staged dir
+    // already moved live, no aside_opq (the previously-plain live index
+    // had no opq/), only the staging dir with COMMIT remains. Staged-opq
+    // absence must NOT read as the plain decision: the freshly installed
+    // order table stays and probes keep dispatching through the rotation.
+    assert(Similarity.rebuildAutoPqIndex(spark, idx, aniso)) // live = fresh OPQ
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$idx/rebuild_tmp"))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$idx/rebuild_tmp/COMMIT"))
+    Similarity.recoverAutoPqRebuild(idx)
+    assert(new java.io.File(s"$idx/opq").exists,
+      "install-tail re-entry must not strip the freshly installed opq/")
+    assert(!new java.io.File(s"$idx/rebuild_tmp").exists)
+    val qa = aniso.where(col("vec_id") < 3)
+    assert(Similarity.autoPqTopK(spark, idx, qa, 5).collect().map(_.toSeq).toSet
+      === Similarity.opqIvfPqTopK(spark, idx, qa, 5).collect().map(_.toSeq).toSet,
+      "post-recovery probes must still transform through the stored order")
   }
 
   test("OPQ rotation is exactly orthogonal; permutation preserves norms (x245)") {

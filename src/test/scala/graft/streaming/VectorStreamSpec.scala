@@ -142,6 +142,18 @@ class VectorStreamSpec extends SparkTestBase {
         Similarity.autoPqTopK(spark, twin, queries, 10)
           .collect().map(_.toSeq).toSet,
         s"stream-grown auto probe must equal the batch-append twin (opq=$wantOpq)")
+      // at-least-once replay (ADVICE r12): the same batch re-drained from
+      // a FRESH checkpoint — its append already landed, so the id-level
+      // skip must make it a structural no-op, not a duplicate codes append
+      val in2 = MemoryStream[(Long, Seq[Float])]
+      in2.addData(rest.toSeq)
+      val ckpt2 = java.nio.file.Files.createTempDirectory("graft-auto-ck2").toString
+      val q2 = VectorStream.autoIngest(in2.toDF().toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")), idx, ckpt2)
+      q2.awaitTermination(120000)
+      assert(q2.exception.isEmpty)
+      assert(spark.read.parquet(s"$idx/codes").count() === corpus.count(),
+        s"a replayed batch must not duplicate codes rows (opq=$wantOpq)")
     }
   }
 
