@@ -130,12 +130,19 @@ object Bench {
           // decision-dispatched auto-PQ build
           "b253_substr_lifecycle" -> { p =>
             val d = graft.ext.Dedup.withPlantedRepeats(docs)
-            graft.ext.Dedup.buildSubstringIndex(
-              d.where(org.apache.spark.sql.functions.col("doc_id") % 2 === 0), p)
-            graft.ext.Dedup.appendToSubstringIndex(spark, p,
-              d.where(org.apache.spark.sql.functions.col("doc_id") % 2 =!= 0))
-            graft.ext.Dedup.deleteFromSubstringIndex(spark, p,
-              d.where(org.apache.spark.sql.functions.col("doc_id") % 23 === 3))
+            // build→append are ordered (same anchors/ dir); the delete's
+            // tombstone write targets its own deletes/ sub-dir and reads
+            // nothing from anchors/, so it overlaps (guide §2.6) — the
+            // final index state is identical to the sequential lifecycle
+            graft.ops.Concurrent.inParallel(
+              () => {
+                graft.ext.Dedup.buildSubstringIndex(
+                  d.where(org.apache.spark.sql.functions.col("doc_id") % 2 === 0), p)
+                graft.ext.Dedup.appendToSubstringIndex(spark, p,
+                  d.where(org.apache.spark.sql.functions.col("doc_id") % 2 =!= 0))
+              },
+              () => graft.ext.Dedup.deleteFromSubstringIndex(spark, p,
+                d.where(org.apache.spark.sql.functions.col("doc_id") % 23 === 3)))
           },
           "b254_autopq_build" -> { p =>
             graft.ext.Similarity.buildAutoPqIndex(emb, p); ()

@@ -462,10 +462,14 @@ object Hybrid {
   def bm25TopKSetStored(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, depth: Int,
       qs: Seq[(Long, Seq[String], Int)] = QuerySet): DataFrame =
-    qs.map { case (qid, terms, _) =>
-      Search.bm25TopKStored(spark, indexDir, terms, depth + 1)
-        .select(lit(qid).as("query_id"), col("doc_id"), col("score"))
-    }.reduce(_ unionByName _)
+    // ONE pruned-postings plan for the whole query set (r13 — was one
+    // [[Search.bm25TopKStored]] subtree per query: five scans, five
+    // global sorts). Scores are double-identical to the per-query probe
+    // (SearchSpec pins it), and ranking all non-self candidates to depth
+    // equals the old top-(depth+1)-then-drop-self form: at most one self
+    // row exists per query, so the surviving order is the same.
+    Search.bm25TopKStoredMulti(spark, indexDir,
+        qs.map { case (qid, terms, _) => (qid, terms) })
       .where(col("doc_id") =!= col("query_id"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id")))

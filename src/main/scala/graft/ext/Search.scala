@@ -204,6 +204,69 @@ object Search {
       .limit(k)
   }
 
+  /** Every query's stored-index top candidates in ONE plan (r13 — the
+    * x210/x212 eval legs ran [[bm25TopKStored]] once per query, paying
+    * five postings-scan + stats + df subtrees and five global sorts per
+    * eval). One pruned scan covers the union of all queries' terms; per-
+    * term df and the tombstone-corrected stats are computed once (df is
+    * term-global, so each query sees the identical integer the per-query
+    * probe derived); each (query, doc) score folds its matched terms'
+    * contributions in query-term order (ti). Bit-equivalence to the
+    * per-query probe: contributions are strictly positive and
+    * [[scoreExpr]]'s absent-term branches contribute an exact 0.0, which
+    * is an identity under IEEE addition of non-negative doubles — so the
+    * ti-ordered fold over PRESENT terms reproduces the per-query
+    * expression chain double-for-double (SearchSpec pins it).
+    * Returns (query_id, doc_id, score), unranked — callers window it. */
+  def bm25TopKStoredMulti(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: Seq[(Long, Seq[String])],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "bm25TopKStoredMulti needs at least one query")
+    queries.foreach { case (_, ts) =>
+      require(ts.nonEmpty && ts.distinct == ts,
+        "query terms must be non-empty and distinct")
+    }
+    recoverBm25Compact(indexDir)
+    val allTerms = queries.flatMap(_._2).distinct
+    val bks = allTerms.map(termBucket(_)).distinct
+    val pruned = spark.read.parquet(s"$indexDir/postings")
+      .where(col("bucket").isin(bks: _*) && col("tok").isin(allTerms: _*))
+    val del = bm25Deletes(spark, indexDir)
+    val post = del.fold(pruned)(d =>
+      pruned.join(broadcast(d.select("doc_id")), Seq("doc_id"), "left_anti"))
+    val rawStats = spark.read.parquet(s"$indexDir/stats")
+    val stats = del.fold(rawStats) { d =>
+      val dAgg = d.agg(coalesce(sum(col("dl")), lit(0L)).as("del_dl"),
+        count(lit(1)).as("del_n"))
+      rawStats.crossJoin(broadcast(dAgg))
+        .select((col("sum_dl") - col("del_dl")).as("sum_dl"),
+          (col("n_docs") - col("del_n")).as("n_docs"))
+    }
+    // per-term carrier counts over the tombstone-filtered pruned postings
+    // — the same integers bm25TopKStored's per-query dfAgg derives
+    val dfT = post.groupBy("tok").agg(count(lit(1)).as("df"))
+    import spark.implicits._
+    val qdf = broadcast(queries.flatMap { case (q, ts) =>
+      ts.zipWithIndex.map { case (t, i) => (q, i.toLong, t) }
+    }.toDF("query_id", "ti", "tok"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val lenNorm = lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)
+    val tfD = col("tf").cast("double")
+    val dfD = col("df").cast("double")
+    val idf = (col("n_docs").cast("double") - dfD + lit(0.5)) / (dfD + lit(0.5))
+    val contrib = idf * (tfD * (lit(k1) + lit(1.0))) / (tfD + lit(k1) * lenNorm)
+    post.join(qdf, "tok")
+      .join(broadcast(dfT), "tok")
+      .join(spark.read.parquet(s"$indexDir/doclen"), "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("_c", contrib)
+      .groupBy("query_id", "doc_id")
+      .agg(aggregate(
+        transform(sort_array(collect_list(struct(col("ti"), col("_c")))),
+          s => s.getField("_c")),
+        lit(0.0), (a, x) => a + x).as("score"))
+  }
+
   /** The tombstone table, if any deletes are pending: (doc_id, dl) rows
     * appended by [[deleteFromBm25Index]], consumed by
     * [[compactBm25Index]]. None ⇒ no pending deletes. */

@@ -1142,14 +1142,23 @@ object Similarity {
     * fold orders are identical — so the DuckDB oracles that replay the
     * train→encode→ADC chain (x146/x152/x211/…) hash-match unchanged;
     * only the corpus-scale encode pass touches the cluster. */
-  def pqTrain(emb: DataFrame, m: Int, k: Int = PqK,
-      iters: Int = PqIters): DataFrame = {
-    require(PqDims % m == 0, s"PqDims=$PqDims not divisible by m=$m")
-    val spark = emb.sparkSession
-    val ds = PqDims / m
-    val sample: Array[(Long, Array[Double])] = pqTrainSample(emb)
+  /** Collect the bounded training sample once — shared across configs by
+    * the recall reports (one count + one ≤2 MB collect instead of one
+    * pair per (m, kc) config). */
+  private[ext] def collectPqSample(emb: DataFrame): Array[(Long, Array[Double])] =
+    pqTrainSample(emb)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  def pqTrain(emb: DataFrame, m: Int, k: Int = PqK,
+      iters: Int = PqIters): DataFrame =
+    pqTrainOnSample(emb.sparkSession, collectPqSample(emb), m, k, iters)
+
+  private[ext] def pqTrainOnSample(spark: org.apache.spark.sql.SparkSession,
+      sample: Array[(Long, Array[Double])], m: Int, k: Int = PqK,
+      iters: Int = PqIters): DataFrame = {
+    require(PqDims % m == 0, s"PqDims=$PqDims not divisible by m=$m")
+    val ds = PqDims / m
     // init: the k smallest sampled vec_ids' subvectors, cid = vec_id
     val initRows = sample.sortBy(_._1).take(k)
     val cids: Array[Long] = initRows.map(_._1) // ascending — packPqFlat's order
@@ -1222,10 +1231,16 @@ object Similarity {
     * subspace order — the identical doubles, in the identical order, as
     * the oracle's sub-ordered pdot sum. */
   def pqTopK(queries: DataFrame, emb: DataFrame, k: Int, m: Int,
-      kc: Int = PqK, iters: Int = PqIters): DataFrame = {
+      kc: Int = PqK, iters: Int = PqIters): DataFrame =
+    pqTopKWith(queries, emb, k, m, kc, pqTrain(emb, m, kc, iters))
+
+  /** [[pqTopK]] over a PRE-TRAINED codebook — lets the recall reports
+    * train all configs from one shared collected sample. */
+  private[ext] def pqTopKWith(queries: DataFrame, emb: DataFrame, k: Int,
+      m: Int, kc: Int, codebook: DataFrame): DataFrame = {
     graft.functions.PqEncode.register(emb.sparkSession)
     val ds = PqDims / m
-    val packed = packPqFlat(pqTrain(emb, m, kc, iters))
+    val packed = packPqFlat(codebook)
     val codes = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .crossJoin(packed)
@@ -1558,8 +1573,12 @@ object Similarity {
     graft.functions.PqEncode.register(spark)
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val codebook = spark.read.parquet(s"$indexDir/codebook")
-    val m = codebook.select("sub").distinct().count().toInt
-    val kc = (codebook.count() / m).toInt
+    // (m, kc) are shape constants of the stored codebook (M·K tiny rows);
+    // one collect of the key column instead of the former two separate
+    // count jobs per probe (r13 — probes are the hot path)
+    val subKeys = codebook.select("sub").collect().map(_.getLong(0))
+    val m = subKeys.distinct.length
+    val kc = subKeys.length / m
     val ds = PqDims / m
     val codes = spark.read.parquet(s"$indexDir/codes")
     val lutCol = transform(sequence(lit(0), lit(m - 1)), s =>
@@ -1866,10 +1885,15 @@ object Similarity {
     * is a read-off, not an argument. */
   def pqRecallReport(queries: DataFrame, emb: DataFrame, k: Int = 10,
       configs: Seq[(Int, Int)] = Seq((8, PqK), (16, PqK))): DataFrame = {
+    val spark = emb.sparkSession
     val truth = graft.ops.Caching.cacheOnce(
       bruteForceTopK(queries, emb, k).select("q_id", "vec_id"))
+    // one count + one collect serve every config's Lloyd (the sample is
+    // config-independent; r13 — the per-config pqTrain paid the pair 3×)
+    val sample = collectPqSample(emb)
     configs.map { case (m, kc) =>
-      val approx = pqTopK(queries, emb, k, m, kc).select("q_id", "vec_id")
+      val approx = pqTopKWith(queries, emb, k, m, kc,
+        pqTrainOnSample(spark, sample, m, kc)).select("q_id", "vec_id")
       val bytes = m * (32 - Integer.numberOfLeadingZeros(kc - 1)) / 8.0
       val nT = truth.agg(count(lit(1)).as("n_truth"))
       val nA = approx.agg(count(lit(1)).as("n_approx"))
@@ -2069,7 +2093,8 @@ object Similarity {
     val rot = graft.ops.Caching.cacheOnce(opqRotate(e))
     val perm = graft.ops.Caching.cacheOnce(opqPermute(rot, opqDimOrder(rot, m)))
     def leg(nm: String, corpus: DataFrame): DataFrame = {
-      val approx = pqTopK(corpus.where(col("vec_id") < 5), corpus, k, m, kc)
+      val approx = pqTopKWith(corpus.where(col("vec_id") < 5), corpus, k, m, kc,
+        pqTrainOnSample(corpus.sparkSession, collectPqSample(corpus), m, kc))
         .select("q_id", "vec_id")
       val nT = truth.agg(count(lit(1)).as("n_truth"))
       val nA = approx.agg(count(lit(1)).as("n_approx"))
@@ -2744,27 +2769,36 @@ object Similarity {
         multiBucket(col("embedding"), l, bits)): _*)).as(Seq("tbl", "bkt")))
     val bk = graft.ops.Caching.cacheOnce(expanded.select("vec_id", "tbl", "bkt"))
     val emb = corpus.select("vec_id", "embedding")
-    val directed = directedTopM(bk, bk, emb, m)
+    // cached: the LSH-mined edge table feeds BOTH the directed/ write and
+    // the recap'd edges/ write — uncached, the bucket join + cosine +
+    // top-m window ran twice per build (r13; the build is the b200 leg
+    // and the staging half of every graph rebuild)
+    val directed = graft.ops.Caching.cacheOnce(directedTopM(bk, bk, emb, m))
     val capped = recap(directed, m)
-    emb.write.mode("overwrite").parquet(s"$indexDir/vectors")
+    import spark.implicits._
+    // The five sub-table writes are independent actions over cached
+    // inputs — submitted from a small pool so the scheduler backfills
+    // idle cores (guide §2.6 overlap); crash atomicity is unchanged (a
+    // plain build targets a fresh dir, a rebuild stages + journal-swaps).
     // src-hash partitioned + one file per partition: appends rewrite only
     // the partitions holding changed nodes (dynamic partition overwrite,
     // the ops.Incremental K1 discipline); build-time constants (LSH
     // width, degree, partition count) persist in meta/ so append and
     // probe hash/partition exactly as the build did — the width/layout
     // is re-derived ONLY by an offline rebuild, the IVF-centroid norm.
-    withEpart(directed, parts).repartition(col("epart"))
-      .write.mode("overwrite").partitionBy("epart").parquet(s"$indexDir/directed")
-    withEpart(capped, parts).repartition(col("epart"))
-      .write.mode("overwrite").partitionBy("epart").parquet(s"$indexDir/edges")
-    bk.write.mode("overwrite").parquet(s"$indexDir/buckets")
-    import spark.implicits._
     // the probe beam is a build-time law value like the LSH width: derived
     // from the SAME corpus count, persisted so append-grown probes keep
     // the build's walk (re-deriving at probe would silently change the
     // traversal once appends cross the law's next step)
-    Seq((bits, m, parts, derivedBeam(n))).toDF("bits", "m", "parts", "beam")
-      .repartition(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+    graft.ops.Concurrent.inParallel(
+      () => emb.write.mode("overwrite").parquet(s"$indexDir/vectors"),
+      () => withEpart(directed, parts).repartition(col("epart"))
+        .write.mode("overwrite").partitionBy("epart").parquet(s"$indexDir/directed"),
+      () => withEpart(capped, parts).repartition(col("epart"))
+        .write.mode("overwrite").partitionBy("epart").parquet(s"$indexDir/edges"),
+      () => bk.write.mode("overwrite").parquet(s"$indexDir/buckets"),
+      () => Seq((bits, m, parts, derivedBeam(n))).toDF("bits", "m", "parts", "beam")
+        .repartition(1).write.mode("overwrite").parquet(s"$indexDir/meta"))
   }
 
   private def graphMeta(spark: org.apache.spark.sql.SparkSession,
@@ -3117,10 +3151,16 @@ object Similarity {
     // beam, so its edges, the best candidates, expand in round 1; an
     // out-of-corpus query simply never finds one); self is excluded from
     // the RESULT ranking, not the traversal
-    var visited = entries.join(vectors, "vec_id").join(q, "q_id")
-      .select(col("q_id"), col("vec_id"),
-        GraftFunctions.cosineSim(col("q_emb"), col("embedding")).as("cos"))
-      .localCheckpoint()
+    // the walk state is PROBE-BUDGET-bounded by design (queries ×
+    // (entries + rounds·beam·2m) scored rows — never corpus-shaped), so
+    // each round's state lands on the driver as a literal relation
+    // (r13, Caching.localFrame): lineage cut as the former
+    // localCheckpoint did, one fewer job per round, and the next round's
+    // beam window plans over a LocalRelation
+    var visited = graft.ops.Caching.localFrame(
+      entries.join(vectors, "vec_id").join(q, "q_id")
+        .select(col("q_id"), col("vec_id"),
+          GraftFunctions.cosineSim(col("q_emb"), col("embedding")).as("cos")))
     for (_ <- 1 to rounds) {
       val bm = visited.withColumn("r", row_number().over(
           Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)))
@@ -3131,7 +3171,8 @@ object Similarity {
       val scored = frontier.join(vectors, "vec_id").join(q, "q_id")
         .select(col("q_id"), col("vec_id"),
           GraftFunctions.cosineSim(col("q_emb"), col("embedding")).as("cos"))
-      visited = visited.unionByName(scored).distinct().localCheckpoint()
+      visited = graft.ops.Caching.localFrame(
+        visited.unionByName(scored).distinct())
     }
     visited
   }

@@ -414,9 +414,13 @@ object TextOps {
     * [[tokenLift]] precedent); pruned bigrams score through the backoff
     * tier, exactly as unseen ones do.
     */
-  private def bigramModel(train: DataFrame,
+  private def bigramModel(train0: DataFrame,
       text: Column, minPairCount: Long = 1L): (DataFrame, DataFrame, DataFrame) = {
     val toks = tokens(text)
+    // the train slice feeds three model tables (uni, stats, bigrams) —
+    // uncached, each re-derives the caller's whole upstream subtree
+    // (x81's union-of-gated-docs paid it 3×; r13 optimization)
+    val train = graft.ops.Caching.cacheOnce(train0)
     val trTok = train.select(explode(toks).as("a"))
     val uni = trTok.groupBy("a").agg(count(lit(1)).as("c_a"))
     val stats = trTok.agg(count(lit(1)).as("n_tok"), countDistinct(col("a")).as("v"))

@@ -153,8 +153,17 @@ private[graft] object TextQueries {
     // product a training-data user actually ships.,
     "x81_web_corpus_pipeline" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val dom = Curate.domainBlockFilter(
-        Curate.withHostDomain(Curate.withUrl(docs)), Curate.DefaultDomainBlocklist)
+      // The composed pipeline's stages each reference their input 2-4×
+      // (lmInvProbScore builds three model tables + the scoring stream,
+      // percentileClip is threshold-agg + filter, canon/surviving and the
+      // final join re-read their base) — uncached, the physical plan
+      // re-derived the whole upstream per reference: 112 parquet scans /
+      // 234 Exchanges measured at r13 (plans/r13/x81_*_before.txt). The
+      // three reused intermediates are cacheOnce'd (the shingleSets/rel
+      // idiom), collapsing the tree; per-stage arithmetic is untouched so
+      // the oracle result is bit-identical.
+      val dom = graft.ops.Caching.cacheOnce(Curate.domainBlockFilter(
+        Curate.withHostDomain(Curate.withUrl(docs)), Curate.DefaultDomainBlocklist))
       // Score only the domain-surviving docs (plus the training slice):
       // the domain gate is a scan-level predicate, so pushing it below the
       // LM explode cuts ~1/3 of the scoring work; per-doc scores are
@@ -164,10 +173,12 @@ private[graft] object TextQueries {
       val scoringDocs = docs.where(col("source") === "src0")
         .unionByName(dom.where(col("source") =!= "src0").select(baseCols: _*))
       val scores = TextOps.lmInvProbScore(scoringDocs, col("source") === "src0")
-      val scored = dom.join(scores.select("doc_id", "avg_invp"), "doc_id")
+      val scored = graft.ops.Caching.cacheOnce(
+        dom.join(scores.select("doc_id", "avg_invp"), "doc_id"))
       val fluent = Curate.percentileClip(scored, "avg_invp", 0.0, 0.95)
       val canon = fluent.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
-      val surviving = fluent.join(canon.select("doc_id"), "doc_id")
+      val surviving = graft.ops.Caching.cacheOnce(
+        fluent.join(canon.select("doc_id"), "doc_id"))
       val chunkStats = Chunking.chunkTokens(surviving, 64, 48)
         .groupBy("doc_id").agg(count(lit(1)).as("n_chunks"),
           sum(col("n_chunk_tokens").cast("long")).as("chunk_tokens"))

@@ -160,12 +160,15 @@ object Unigram {
   def train(docs: DataFrame, text: Column = col("text")): DataFrame = {
     val pre = graft.ops.Caching.cacheOnce(Bpe.pretokenFreqs(docs, text))
     // each round's vocabulary is consumed several times downstream (char
-    // filter, multi filter, normalizing sum, the broadcast map) — an
-    // eager localCheckpoint pins the ≤ SeedCap+alphabet rows and cuts the
-    // lineage, or every consumer would replay the whole DP chain
-    // (the Bpe.train per-iteration discipline)
-    val fitted = (1 to EmRounds).foldLeft(seedVocab(pre).localCheckpoint())(
-      (v, _) => emRound(pre, v).localCheckpoint())
+    // filter, multi filter, normalizing sum, the broadcast map) and is
+    // BOUNDED by design (≤ SeedCap+alphabet rows) — it lands on the
+    // driver as a literal relation (r13, Caching.localFrame): lineage is
+    // cut exactly as the former localCheckpoint did, but the per-round
+    // checkpoint job and the per-consumer broadcast rebuilds disappear
+    // (the Bpe.train argmax-collect discipline, extended to the state)
+    val fitted = (1 to EmRounds).foldLeft(
+      graft.ops.Caching.localFrame(seedVocab(pre)))(
+      (v, _) => graft.ops.Caching.localFrame(emRound(pre, v)))
     val chars = fitted.where(length(col("piece")) === 1).select("piece", "n")
     val keep = fitted.where(length(col("piece")) >= 2)
       .orderBy(col("n").desc, col("piece").asc).limit(VocabTarget)

@@ -24,4 +24,17 @@ object Caching {
     * are done to release shingle/signature/band/dim caches.
     */
   def clearCaches(spark: SparkSession): Unit = spark.catalog.clearCache()
+
+  /** Materialize a BOUNDED frame as a driver-local literal relation (r13):
+    * the iterative loops' per-round state (LR weights, unigram vocab —
+    * frames bounded by DESIGN constants, never corpus-sized) used to pin
+    * lineage with `localCheckpoint()`, paying a checkpoint job plus a
+    * broadcast build per consumer; a LocalRelation cuts lineage the same
+    * way, transports the identical values (no reformatting — the Rows
+    * travel as-is), and downstream 1-row/broadcast folds evaluate
+    * driver-side without a job. Only for frames a driver can always hold.
+    */
+  def localFrame(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
 }

@@ -1,0 +1,35 @@
+package graft.ops
+
+/** Overlap independent Spark actions from driver threads (optimization
+  * guide §2.6): Spark's scheduler happily runs several jobs at once inside
+  * one application — actions are only sequential because driver code calls
+  * them sequentially. Submitting independent writes/collects from a small
+  * pool lets a later job's tasks backfill executor slots freed by an
+  * earlier job's straggler tail. FIFO scheduling (the default) gives
+  * exactly the back-fill behavior wanted here.
+  *
+  * Failure semantics: every task is awaited; the FIRST failure is
+  * rethrown (after all tasks settle, so no write is abandoned mid-flight
+  * with its siblings still running when the caller sees the error).
+  */
+object Concurrent {
+  def inParallel(tasks: (() => Unit)*): Unit = {
+    if (tasks.isEmpty) return
+    if (tasks.size == 1) { tasks.head(); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    try {
+      val fs = tasks.map(t => pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = t()
+      }))
+      var firstFailure: Option[Throwable] = None
+      fs.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            if (firstFailure.isEmpty) firstFailure = Some(e.getCause)
+        }
+      }
+      firstFailure.foreach(throw _)
+    } finally pool.shutdown()
+  }
+}

@@ -57,6 +57,40 @@ class SearchSpec extends SparkTestBase {
       s"probe read buckets $readBuckets beyond the query terms' $wanted")
   }
 
+  test("multi-query stored probe is score-identical to per-query probes (r13)") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sfDir)
+    val idx = java.nio.file.Files.createTempDirectory("bm25multi").toString
+    Search.buildBm25Index(docs, idx)
+    val qs = Hybrid.QuerySet.map { case (q, ts, _) => (q, ts) }
+    val multi = Search.bm25TopKStoredMulti(spark, idx, qs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for ((qid, terms) <- qs) {
+      // the per-query probe top-N IS the reference: every returned doc must
+      // appear in the multi probe with the bit-identical double score
+      val single = Search.bm25TopKStored(spark, idx, terms, 50).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1))
+      assert(single.nonEmpty)
+      single.foreach { case (d, s) =>
+        assert(multi.get((qid, d)).contains(s),
+          s"query $qid doc $d: multi=${multi.get((qid, d))} single=$s")
+      }
+    }
+    // delete-awareness parity: tombstone some docs, both forms must agree
+    val victims = docs.where(col("doc_id") % 7 === 0).select("doc_id")
+    Search.deleteFromBm25Index(spark, idx, victims)
+    val multiDel = Search.bm25TopKStoredMulti(spark, idx, qs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for ((qid, terms) <- qs) {
+      Search.bm25TopKStored(spark, idx, terms, 50).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1))
+        .foreach { case (d, s) =>
+          assert(multiDel.get((qid, d)).contains(s),
+            s"post-delete query $qid doc $d: multi=${multiDel.get((qid, d))} single=$s")
+        }
+    }
+  }
+
   test("index append: build-then-append probes identically to a full rebuild") {
     import graft.sources.Tables
     val docs = Tables.documents(spark, sfDir)
