@@ -298,14 +298,21 @@ object Hybrid {
     val q = broadcast(rt.join(
       emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
       "query_id"))
-    docs.join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+    // Tokenize each doc ONCE before the broadcast-query crossJoin (r13):
+    // the filter below references the broadcast side's rel_term, so with
+    // `tokens(text)` inline it would re-run the regex tokenizer once per
+    // (doc, query) pair — N_queries× per doc. Projecting the array first
+    // pins one tokenization per doc; the per-pair work is the array
+    // filter+size over the same values (gain bit-identical).
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("_toks"))
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
         Seq("doc_id"), "left")
       .crossJoin(q)
       .where(col("doc_id") =!= col("query_id"))
       .select(col("query_id"), col("doc_id"),
         (when(GraftFunctions.cosineSim(col("q_emb"), col("embedding")) >= SemRelThreshold,
           1L).otherwise(0L) +
-          when(size(filter(TextOps.tokens(col("text")), t => t === col("rel_term")))
+          when(size(filter(col("_toks"), t => t === col("rel_term")))
             >= col("rel_min"), 1L).otherwise(0L)).as("gain"))
   }
 

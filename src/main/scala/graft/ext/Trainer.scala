@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** In-engine discriminative classifier training — the "train a quality
   * classifier, then apply it to the corpus" loop (the FineWeb-Edu /
-  * fastText-filter production pattern) run ENTIRELY as declarative plans:
-  * no driver-resident weights, no collect, no UDF. Each gradient-descent
-  * iteration is one corpus aggregate producing a ONE-ROW weight frame that
-  * the next iteration broadcasts back over the feature scan, so the whole
-  * trajectory is a single unrolled Catalyst plan (the x122 PageRank-
+  * fastText-filter production pattern) run as declarative plans: the
+  * corpus-scale passes are engine-side with no UDF; the only driver state
+  * is the B+1-double model row each iteration collects (the
+  * kmeansCentroids budget) and re-embeds as plan literals. Each gradient-
+  * descent iteration is one corpus aggregate producing a ONE-ROW weight
+  * frame consumed by the next iteration's plan (the x122 PageRank-
   * convergence discipline applied to model fitting).
   *
   * Exactness contract (what buys the hash-matched DuckDB oracle):
@@ -90,6 +91,17 @@ object Trainer {
     (0 until dim).foldLeft(col("wb"): Column)(
       (acc, j) => acc + col("x").getItem(j) * col(s"w$j"))
 
+  /** [[marginCol]] with the weights inlined as PLAN-TIME LITERALS — the
+    * identical left-associated tree over the identical doubles (a
+    * `Literal` carries the exact bits an attribute would), minus the
+    * 1-row broadcast crossJoin that shipped them. Catalyst has no
+    * float-reassociation rule, so `lit(0.0) + …` is NOT folded away and
+    * the IEEE evaluation order is unchanged.
+    */
+  private def marginLit(w: IndexedSeq[Double], dim: Int): Column =
+    (0 until dim).foldLeft(lit(w(0)): Column)(
+      (acc, j) => acc + col("x").getItem(j) * lit(w(j + 1)))
+
   private def close(g: Column, ps: Column): Column =
     abs(g - ps) <= greatest(abs(g) * lit(1e-9), lit(1e-9))
 
@@ -106,12 +118,16 @@ object Trainer {
     * O(√n) buffers at both levels and the identical engine-portability
     * (the association tree is a pure function of (doc_id, value)).
     */
-  private def step(feats: DataFrame, wPrev: DataFrame, dim: Int,
+  private def step(feats: DataFrame, wPrev: IndexedSeq[Double], dim: Int,
       learnRate: Double, foldBuckets: Int): DataFrame = {
     import graft.functions.Stable.{sortedFold, bucketFold}
-    val scored = feats.crossJoin(broadcast(wPrev.select(
-        (col("wb") +: (0 until dim).map(j => col(s"w$j"))): _*)))
-      .withColumn("_r", fastSigmoid(marginCol(dim)) - col("y"))
+    // r13: the previous iteration's weights are ALREADY driver-resident
+    // (unrollFrom collects the 1-row state each round), so they enter this
+    // plan as literals — same IEEE tree via marginLit, but the per-
+    // iteration plan loses two 1-row broadcast crossJoins (gradient +
+    // update side), shrinking what Catalyst must re-analyze every round.
+    val scored = feats
+      .withColumn("_r", fastSigmoid(marginLit(wPrev, dim)) - col("y"))
     val s1Cols =
       Seq(count(lit(1)).as("_n"),
         sortedFold(col("_r")).as("g_b"), sum(col("_r")).as("ps_b")) ++
@@ -127,12 +143,10 @@ object Trainer {
           bucketFold(col("_bkt"), col(s"g$j")).as(s"g$j"),
           sum(col(s"ps$j")).as(s"ps$j")))
     val g = s1.agg(s2Cols.head, s2Cols.tail: _*)
-    g.crossJoin(broadcast(wPrev.select(
-        (col("wb").as("_pwb") +: (0 until dim).map(j => col(s"w$j").as(s"_pw$j"))): _*)))
-      .select(
-        (Seq((col("_pwb") - lit(learnRate) * (col("g_b") / col("n").cast("double"))).as("wb")) ++
+    g.select(
+        (Seq((lit(wPrev(0)) - lit(learnRate) * (col("g_b") / col("n").cast("double"))).as("wb")) ++
           (0 until dim).map(j =>
-            (col(s"_pw$j") - lit(learnRate) * (col(s"g$j") / col("n").cast("double"))).as(s"w$j")) ++
+            (lit(wPrev(j + 1)) - lit(learnRate) * (col(s"g$j") / col("n").cast("double"))).as(s"w$j")) ++
           Seq(col("g_b"), col("ps_b")) ++
           (0 until dim).flatMap(j => Seq(col(s"g$j"), col(s"ps$j"))) ++
           Seq(col("n"))): _*)
@@ -150,11 +164,12 @@ object Trainer {
   }
 
   /** The full unrolled weight sequence: element t is the 1-row frame after
-    * iteration t+1 (with gradients/diagnostics aboard). Each step is
-    * `localCheckpoint`ed — the frame is ONE row, and without the cut the
-    * plan references the previous step twice (gradient + update), doubling
-    * the subtree per iteration: 2^iters aggregate jobs by iter 10. Same
-    * bounded-lineage discipline as the CC / PageRank loops.
+    * iteration t+1 (with gradients/diagnostics aboard). Each step's 1-row
+    * state is collected to the driver and re-enters as plan literals —
+    * without the cut the plan would reference the previous step twice
+    * (gradient + update), doubling the subtree per iteration: 2^iters
+    * aggregate jobs by iter 10. Same bounded-lineage discipline as the
+    * CC / PageRank loops, at the kmeansCentroids driver-state budget.
     */
   private def unroll(spark: org.apache.spark.sql.SparkSession, tr: DataFrame,
       dim: Int, iters: Int, learnRate: Double): Seq[DataFrame] =
@@ -174,21 +189,26 @@ object Trainer {
     val n = tr.count()
     require(n > 0, "training slice is empty — gradient mean would be 0/0 (NaN weights)")
     val foldBuckets = graft.functions.Stable.sqrtBuckets(n)
-    var w: DataFrame = w0
+    // Each iteration's output is ONE row of model state (weights +
+    // gradient diagnostics), so it lands on the driver as a literal
+    // frame (r13 optimization — the kmeansCentroids driver-model-state
+    // budget): the step's corpus-scale gradient passes stay distributed
+    // and arithmetically identical, but the next iteration's plan
+    // embeds the weights as plan-time LITERALS (marginLit) instead of
+    // paying a localCheckpoint job + two 1-row broadcast crossJoins per
+    // round. Lineage is cut exactly as before (the frame IS a
+    // LocalRelation). w0 is always a LocalRelation (zeroWeights or a
+    // previous unroll's output), so reading its row is driver-local.
+    val w0Row = w0.select(
+      (col("wb") +: (0 until dim).map(j => col(s"w$j"))): _*).head()
+    var wVals: IndexedSeq[Double] = (0 to dim).map(w0Row.getDouble)
     (1 to iters).map { _ =>
-      // Each iteration's output is ONE row of model state (weights +
-      // gradient diagnostics), so it lands on the driver as a literal
-      // frame (r13 optimization — the kmeansCentroids driver-model-state
-      // budget): the step's corpus-scale gradient passes stay distributed
-      // and arithmetically identical, but the next iteration's plan
-      // embeds the weights as plan-time constants instead of paying a
-      // localCheckpoint job + a broadcast build per round. Lineage is
-      // cut exactly as before (the frame IS a LocalRelation).
-      val stepped = step(tr, w, dim, learnRate, foldBuckets)
-      val next = stepped.sparkSession.createDataFrame(
-        java.util.Collections.singletonList(stepped.head()), stepped.schema)
-      w = next
-      next
+      val stepped = step(tr, wVals, dim, learnRate, foldBuckets)
+      val row = stepped.head()
+      // stepped's schema leads with wb, w0..w_{dim-1} (see step's select)
+      wVals = (0 to dim).map(row.getDouble)
+      stepped.sparkSession.createDataFrame(
+        java.util.Collections.singletonList(row), stepped.schema)
     }
   }
 

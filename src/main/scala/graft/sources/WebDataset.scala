@@ -213,7 +213,13 @@ object WebDataset {
     } finally if (ownCache) src.unpersist(false)
   }
 
-  private case class Member(shard: Long, name: String, size: Long,
+  /** One parsed tar member row. NOT `private`: the Dataset encoder's
+    * generated serializer invokes the accessors from Janino-compiled
+    * code, and a non-public class fails that compile — Spark then falls
+    * back to per-row INTERPRETED projection for the whole manifest scan
+    * (the "Expr codegen error" WARN; guide §4 keep the hot path codegen).
+    */
+  case class Member(shard: Long, name: String, size: Long,
       tar_bytes: Long, checksum: Long, doc_id: Long)
 
   /** Per-shard manifest computed FROM THE WRITTEN BYTES: re-read every
