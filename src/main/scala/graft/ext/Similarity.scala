@@ -3151,30 +3151,65 @@ object Similarity {
     // beam, so its edges, the best candidates, expand in round 1; an
     // out-of-corpus query simply never finds one); self is excluded from
     // the RESULT ranking, not the traversal
-    // the walk state is PROBE-BUDGET-bounded by design (queries ×
+    //
+    // The walk state is PROBE-BUDGET-bounded by design (queries ×
     // (entries + rounds·beam·2m) scored rows — never corpus-shaped), so
-    // each round's state lands on the driver as a literal relation
-    // (r13, Caching.localFrame): lineage cut as the former
-    // localCheckpoint did, one fewer job per round, and the next round's
-    // beam window plans over a LocalRelation
-    var visited = graft.ops.Caching.localFrame(
-      entries.join(vectors, "vec_id").join(q, "q_id")
-        .select(col("q_id"), col("vec_id"),
-          GraftFunctions.cosineSim(col("q_emb"), col("embedding")).as("cos")))
+    // it lives on the driver (r13). Per round only the corpus-shaped
+    // work is a Spark plan — frontier ⋈ edges ⋈ vectors scoring, ONE
+    // collect-terminated action — while the beam cut (top-beamW per
+    // query) and the visited-set dedup run in driver Scala: the former
+    // per-round state window and the full-state union.distinct each
+    // cost an exchange + a job per round. Engine equivalence of the
+    // driver twins: Spark's double sort (SQLOrderingUtil.compareDoubles)
+    // is primitive </> with ±0.0 equal, and a cosine is never NaN, so
+    // the primitive comparator below reproduces (cos desc, vec_id asc)
+    // including ties; a re-reached (q_id, vec_id) rescored in a later
+    // round produces the IDENTICAL double (deterministic expression over
+    // identical inputs), so first-seen keyed dedup ≡ the old row
+    // distinct. The x200/x201/x206 oracles replay the walk bit-for-bit
+    // at 3 SFs and SimilaritySpec pins the budget law.
+    val scoreRows = new scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.Row]()
+    val seen = new scala.collection.mutable.HashSet[(Long, Long)]()
+    entries.join(vectors, "vec_id").join(q, "q_id")
+      .select(col("q_id"), col("vec_id"),
+        GraftFunctions.cosineSim(col("q_emb"), col("embedding")).as("cos"))
+      .collect().foreach { r =>
+        if (seen.add((r.getLong(0), r.getLong(1)))) scoreRows += r
+      }
+    val visitedSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("q_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cos",
+        org.apache.spark.sql.types.DoubleType)))
     for (_ <- 1 to rounds) {
-      val bm = visited.withColumn("r", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)))
-        .where(col("r") <= beamW)
-        .select(col("q_id"), col("vec_id").as("src"))
-      val frontier = bm.join(edges, "src")
+      val bm = scoreRows.groupBy(_.getLong(0)).toSeq.flatMap { case (qid, rs) =>
+        rs.sortWith { (a, b) =>
+          val ca = a.getDouble(2); val cb = b.getDouble(2)
+          if (ca > cb) true
+          else if (ca < cb) false
+          else a.getLong(1) < b.getLong(1)
+        }.take(beamW).map(r => org.apache.spark.sql.Row(qid, r.getLong(1)))
+      }
+      val bmDf = spark.createDataFrame(java.util.Arrays.asList(bm: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("q_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("src",
+            org.apache.spark.sql.types.LongType))))
+      bmDf.join(edges, "src")
         .select(col("q_id"), col("dst").as("vec_id")).distinct()
-      val scored = frontier.join(vectors, "vec_id").join(q, "q_id")
+        .join(vectors, "vec_id").join(q, "q_id")
         .select(col("q_id"), col("vec_id"),
           GraftFunctions.cosineSim(col("q_emb"), col("embedding")).as("cos"))
-      visited = graft.ops.Caching.localFrame(
-        visited.unionByName(scored).distinct())
+        .collect().foreach { r =>
+          if (seen.add((r.getLong(0), r.getLong(1)))) scoreRows += r
+        }
     }
-    visited
+    spark.createDataFrame(java.util.Arrays.asList(scoreRows.toSeq: _*),
+      visitedSchema)
   }
 
   /** Soft-delete from a stored graph index: tombstoned ids vanish from

@@ -152,32 +152,82 @@ object Unigram {
     normalize(chars.unionByName(multi))
   }
 
+  /** Spark's string sort order is UTF-8 BYTE order (UTF8String.compareTo),
+    * which differs from Java's String.compareTo (UTF-16 code units) for
+    * astral characters — the driver-side (n desc, piece asc) orderings in
+    * [[train]] must replicate the engine's, byte for byte. */
+  private val Utf8Order: Ordering[String] = (a: String, b: String) =>
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private val CountOrder: Ordering[(String, Long)] =
+    Ordering.by[(String, Long), Long](-_._2)
+      .orElse(Ordering.by[(String, Long), String](_._1)(Utf8Order))
+
   /** Train the unigram-LM vocabulary: seed → [[EmRounds]] hard-EM rounds →
     * prune multi-character pieces to the top [[VocabTarget]] by
     * (n desc, piece asc) → final re-normalize. Returns `(rnk, piece, n,
     * prob)` with `rnk` the (n desc, piece asc) rank over the final
-    * vocabulary — the x202 shape. */
+    * vocabulary — the x202 shape.
+    *
+    * r13 shape: the vocabulary state is BOUNDED by design (≤ SeedCap +
+    * alphabet rows), so the per-round bookkeeping — char floor, prune,
+    * the `n/Σn` normalize (exact integer sums plus one IEEE division per
+    * piece) — runs on the driver, and the current probabilities enter
+    * each round's segmentation plan as a MAP LITERAL instead of a
+    * broadcast crossJoin. Only the corpus-shaped passes stay distributed
+    * (substring seed counts; each EM round's Viterbi segmentation +
+    * piece re-count), ONE collect-terminated job per round where the
+    * per-round normalize/union/broadcast chain cost 4–6 orchestration
+    * jobs (x202 measured 32 jobs ≤ 0.28 s each — wall time was job
+    * overhead, not compute). UnigramSpec pins driver-state train ≡ the
+    * distributed seedVocab→emRound chain piece-for-piece, bit-for-bit;
+    * values are engine-identical: long sums are order-free, the division
+    * is the same IEEE op, and driver sorts use [[Utf8Order]]. */
   def train(docs: DataFrame, text: Column = col("text")): DataFrame = {
+    val spark = docs.sparkSession
     val pre = graft.ops.Caching.cacheOnce(Bpe.pretokenFreqs(docs, text))
-    // each round's vocabulary is consumed several times downstream (char
-    // filter, multi filter, normalizing sum, the broadcast map) and is
-    // BOUNDED by design (≤ SeedCap+alphabet rows) — it lands on the
-    // driver as a literal relation (r13, Caching.localFrame): lineage is
-    // cut exactly as the former localCheckpoint did, but the per-round
-    // checkpoint job and the per-consumer broadcast rebuilds disappear
-    // (the Bpe.train argmax-collect discipline, extended to the state)
-    val fitted = (1 to EmRounds).foldLeft(
-      graft.ops.Caching.localFrame(seedVocab(pre)))(
-      (v, _) => graft.ops.Caching.localFrame(emRound(pre, v)))
-    val chars = fitted.where(length(col("piece")) === 1).select("piece", "n")
-    val keep = fitted.where(length(col("piece")) >= 2)
-      .orderBy(col("n").desc, col("piece").asc).limit(VocabTarget)
-      .select("piece", "n")
-    normalize(chars.unionByName(keep))
-      .withColumn("rnk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("n").desc, col("piece").asc)).cast("long") - 1)
-      .select(col("rnk"), col("piece"), col("n"), col("prob"))
+    val sub = graft.ops.Caching.cacheOnce(substringCounts(pre))
+    val seedRows = sub.where(length(col("piece")) === 1)
+      .unionByName(sub.where(length(col("piece")) >= 2)
+        .orderBy(col("n").desc, col("piece").asc).limit(SeedCap))
+      .select("piece", "n").collect()
+    var counts: Seq[(String, Long)] =
+      seedRows.toSeq.map(r => (r.getString(0), r.getLong(1)))
+    (1 to EmRounds).foreach { _ =>
+      val t = counts.map(_._2).sum.toDouble
+      val vm = counts.map { case (p, n) => p -> (n.toDouble / t) }.toMap
+      val cnt = pre
+        .withColumn("_b", dpBest(col("pretok"), typedLit(vm)))
+        .select(col("freq"), explode(split(col("_b").getField("path"), Sep)).as("piece"))
+        .groupBy("piece").agg(sum("freq").as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val cm = cnt.toMap
+      // chars come from the VOCAB (floored at 1 — never pruned, keeps the
+      // DP total); multi-char pieces survive only if the segmentation
+      // still uses them — emRound's exact rule
+      counts = counts.filter(_._1.length == 1)
+        .map { case (p, _) => (p, math.max(cm.getOrElse(p, 0L), 1L)) } ++
+        cnt.filter(_._1.length >= 2)
+    }
+    val fin = counts.filter(_._1.length == 1) ++
+      counts.filter(_._1.length >= 2).sorted(CountOrder).take(VocabTarget)
+    val t = fin.map(_._2).sum.toDouble
+    val rows: Seq[org.apache.spark.sql.Row] =
+      fin.sorted(CountOrder).zipWithIndex.map { case ((p, n), i) =>
+        org.apache.spark.sql.Row(i.toLong, p, n, n.toDouble / t)
+      }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rnk",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("piece",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("prob",
+          org.apache.spark.sql.types.DoubleType))))
   }
 
   /** Encode: text → unigram token rows through a trained vocabulary,

@@ -76,6 +76,32 @@ class UnigramSpec extends SparkTestBase {
       s"EM round regressed the Viterbi objective: $o0 -> $o1")
   }
 
+  test("driver-state train ≡ the distributed seed→EM→prune chain, bit-for-bit") {
+    // r13: train keeps the vocabulary state on the driver (bounded by
+    // SeedCap + alphabet) and feeds each round's probabilities back as a
+    // map literal; this pins it against the reference distributed chain
+    // (seedVocab → emRound^EmRounds → prune/normalize in DataFrame ops),
+    // including the exact doubles (raw bit comparison, no tolerance).
+    val docs = Tables.documents(spark, sfDir).limit(200)
+    val pre = Bpe.pretokenFreqs(docs).localCheckpoint()
+    val fitted = (1 to Unigram.EmRounds).foldLeft(
+      Unigram.seedVocab(pre).localCheckpoint())(
+      (v, _) => Unigram.emRound(pre, v).localCheckpoint())
+    val un = fitted.where(length(col("piece")) === 1).select("piece", "n")
+      .unionByName(fitted.where(length(col("piece")) >= 2)
+        .orderBy(col("n").desc, col("piece").asc).limit(Unigram.VocabTarget)
+        .select("piece", "n"))
+    val t = un.agg(sum(col("n"))).collect().head.getLong(0).toDouble
+    val expected = un.orderBy(col("n").desc, col("piece").asc).collect()
+      .zipWithIndex.map { case (r, i) =>
+        (i.toLong, r.getString(0), r.getLong(1),
+          java.lang.Double.doubleToRawLongBits(r.getLong(1).toDouble / t)) }
+    val got = Unigram.train(docs).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3))))
+    assert(got.sortBy(_._1).toSeq === expected.sortBy(_._1).toSeq)
+  }
+
   test("tokenizer compare: both families partition the same character stream") {
     val docs = Tables.documents(spark, sfDir).limit(300)
     val rep = Unigram.compareTokenizers(docs,
